@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Binned / windowed averaging operators (SURVEY.md §2.4-2.5).
+  *
+  * All are single-shuffle hash aggregates (partial + final supplied by
+  * Spark); at cluster scale the shuffle key is the group key, so a
+  * 100 TB input aggregates map-side first — no operator here ever
+  * collects to the driver.
+  */
+object AverageOps {
+
+  /** A value column averaged under a weight column — the reference's
+    * weighted-mean rule for DATA/CORRECTED_DATA
+    * (cngi/vis/chan_average.py:55-63): out = sum(v*w)/sum(w).
+    */
+  final case class Weighted(value: String, weight: String)
+
+  /** chan_average (cngi/vis/chan_average.py:21): fixed-width binning
+    * along the channel axis. `coarsen(chan=width)` becomes
+    * `groupBy(floor(chan/width))`; the reference's `boundary='trim'`
+    * (drop incomplete trailing bin) is the HAVING count = width filter,
+    * controlled by `trim`.
+    *
+    * Scale note: group count = |keys| × nchan/width — uniform by
+    * construction, no skew; one shuffle on the group key.
+    */
+  def chanAverage(df: DataFrame, chanCol: String, width: Int,
+                  keys: Seq[String], weighted: Seq[Weighted],
+                  plain: Seq[String] = Nil, trim: Boolean = false): DataFrame = {
+    val bin = floor(col(chanCol) / width).cast("int").as(chanCol)
+    val aggs =
+      weighted.map(wv =>
+        (sum(col(wv.value) * col(wv.weight)) / sum(col(wv.weight))).as(wv.value)) ++
+      weighted.map(wv => sum(col(wv.weight)).as(wv.weight)) ++
+      plain.map(c => avg(col(c)).as(c)) ++
+      Seq(count(lit(1)).as("n_in_bin"))
+    val g = df.groupBy((keys.map(col) :+ bin): _*)
+      .agg(aggs.head, aggs.tail: _*)
+    if (trim) g.where(col("n_in_bin") === width).drop("n_in_bin")
+    else g.drop("n_in_bin")
+  }
+
+  /** time_average, resample flavor (cngi/vis/time_average.py:21,66):
+    * tumbling event-time windows via `window()` — the exact Spark analog
+    * of xarray `resample(time=width)`. `spanKeys` reproduces the
+    * reference's "bins never span scan/state boundaries" rule (:91-101)
+    * by adding those columns to the grouping key.
+    */
+  def timeAverage(df: DataFrame, timeCol: String, width: String,
+                  keys: Seq[String], spanKeys: Seq[String],
+                  weighted: Seq[Weighted], summed: Seq[String] = Nil,
+                  plain: Seq[String] = Nil): DataFrame = {
+    val aggs =
+      weighted.map(wv =>
+        (sum(col(wv.value) * col(wv.weight)) / sum(col(wv.weight))).as(wv.value)) ++
+      weighted.map(wv => sum(col(wv.weight)).as(wv.weight)) ++
+      summed.map(c => sum(col(c)).as(c)) ++
+      plain.map(c => avg(col(c)).as(c)) ++
+      Seq(count(lit(1)).as("n_rows"))
+    df.groupBy((Seq(window(col(timeCol), width).as("time_bin")) ++
+        (spanKeys ++ keys).map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** rebin (cngi/image/rebin.py:21,42-48): coarsen one axis by an integer
+    * factor with plain mean. A thin alias of chanAverage with no weights.
+    */
+  def rebin(df: DataFrame, axisCol: String, factor: Int,
+            keys: Seq[String], values: Seq[String]): DataFrame =
+    chanAverage(df, axisCol, factor, keys, Nil, values)
+
+  /** chan_smooth (cngi/vis/chan_smooth.py:21,54-73): centered rolling
+    * window along chan, dot-product with a normalized kernel,
+    * `min_periods=1` semantics (partial windows renormalize over the
+    * taps actually present).
+    *
+    * Implemented as 2h+1 lead/lag terms over a window frame — pure
+    * column expressions, codegen'd, no collect_list. For kernels of the
+    * size the reference uses (3-11 taps) this is the fastest shape Spark
+    * offers: a single sort-within-partition per (keys) group.
+    */
+  def chanSmooth(df: DataFrame, chanCol: String, keys: Seq[String],
+                 values: Seq[String], kernel: Array[Double]): DataFrame = {
+    require(kernel.length % 2 == 1, "kernel length must be odd")
+    val h = kernel.length / 2
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col(chanCol))
+    values.foldLeft(df) { (d, v) =>
+      val terms = (-h to h).map { j =>
+        val shifted =
+          if (j < 0) lag(col(v), -j).over(w)
+          else if (j > 0) lead(col(v), j).over(w)
+          else col(v)
+        val wj = lit(kernel(j + h))
+        (when(shifted.isNotNull, wj * shifted).otherwise(lit(0.0)),
+         when(shifted.isNotNull, wj).otherwise(lit(0.0)))
+      }
+      val num = terms.map(_._1).reduce(_ + _)
+      val den = terms.map(_._2).reduce(_ + _)
+      d.withColumn(v, num / den)
+    }
+  }
+
+  /** Window-function kernels (scipy.signal.get_window analogs used by
+    * chan_smooth: boxcar/triang/hann..., cngi/vis/chan_smooth.py:54-59),
+    * normalized to unit sum.
+    */
+  object Kernels {
+    private def norm(a: Array[Double]): Array[Double] = {
+      val s = a.sum; a.map(_ / s)
+    }
+    def boxcar(n: Int): Array[Double] = norm(Array.fill(n)(1.0))
+    def triang(n: Int): Array[Double] =
+      norm(Array.tabulate(n)(i => 1.0 - math.abs(i - (n - 1) / 2.0) / ((n + 1) / 2.0)))
+    def hann(n: Int): Array[Double] =
+      norm(Array.tabulate(n)(i => 0.5 - 0.5 * math.cos(2 * math.Pi * i / (n - 1))))
+  }
+}

@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Flagging operators (SURVEY.md §2.2, §2.4).
+  *
+  * The reference mutates a boolean FLAG data variable; every operator
+  * here is a pure projection `DataFrame => DataFrame` — Catalyst folds
+  * consecutive flag edits into one whole-stage-codegen'd projection, so
+  * chains of flag commands cost a single scan.
+  */
+object FlagOps {
+
+  /** apply_flags (cngi/vis/apply_flags.py:21,49-53): null out every data
+    * column wherever the flag column is set. Nulls then vanish from all
+    * downstream aggregates — Spark null semantics replace the
+    * reference's NaN convention (SURVEY.md §2.9).
+    */
+  def applyFlags(df: DataFrame, flag: Column, dataCols: Seq[String]): DataFrame =
+    dataCols.foldLeft(df) { (d, c) =>
+      d.withColumn(c, when(!coalesce(flag, lit(false)), col(c)))
+    }
+
+  /** auto_clip (ngcasa/flagging/auto_clip.py:22,45-48):
+    * FLAG |= magnitude < clipMin || magnitude > clipMax.
+    */
+  def autoClip(df: DataFrame, flagCol: String, magnitude: Column,
+               clipMin: Double, clipMax: Double): DataFrame =
+    df.withColumn(flagCol,
+      coalesce(col(flagCol), lit(false)) ||
+        magnitude < clipMin || magnitude > clipMax)
+
+  /** Selection command DSL — the moral equivalent of the reference's
+    * flag-command dicts (ngcasa/flagging/_flagging_utils/
+    * _parse_sel_cmd.py:20-58): a conjunction of closed ranges and
+    * membership lists over named columns; antenna selections expand to
+    * both baseline legs (`_antenna_to_baseline.py`).
+    */
+  final case class SelCmd(
+      ranges: Map[String, (Any, Any)] = Map.empty,
+      isin: Map[String, Seq[Any]] = Map.empty,
+      antenna: Option[(String, String, Seq[Any])] = None // (ant1Col, ant2Col, ids)
+  ) {
+    def toPredicate: Column = {
+      val rs = ranges.toSeq.map { case (c, (lo, hi)) => col(c).between(lo, hi) }
+      val ms = isin.toSeq.map { case (c, vs) => col(c).isin(vs: _*) }
+      val as = antenna.toSeq.map { case (a1, a2, ids) =>
+        col(a1).isin(ids: _*) || col(a2).isin(ids: _*)
+      }
+      (rs ++ ms ++ as).reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  /** manual_flag (ngcasa/flagging/manual_flag.py:26,71-88):
+    * FLAG |= OR of the command predicates.
+    */
+  def manualFlag(df: DataFrame, flagCol: String, cmds: Seq[SelCmd]): DataFrame = {
+    val sel = cmds.map(_.toPredicate).reduceOption(_ || _).getOrElse(lit(false))
+    df.withColumn(flagCol, coalesce(col(flagCol), lit(false)) || sel)
+  }
+
+  /** manual_unflag (ngcasa/flagging/manual_unflag.py:24-70): clear FLAG on
+    * the selection; an empty command list clears everything (:54-55).
+    */
+  def manualUnflag(df: DataFrame, flagCol: String, cmds: Seq[SelCmd]): DataFrame = {
+    val sel = cmds.map(_.toPredicate).reduceOption(_ || _).getOrElse(lit(true))
+    df.withColumn(flagCol, coalesce(col(flagCol), lit(false)) && !sel)
+  }
+
+  /** manager_add / manager_remove (ngcasa/flagging/manager_add.py:24-60):
+    * named flag-version columns initialized from a source column.
+    */
+  def managerAdd(df: DataFrame, name: String, source: String): DataFrame =
+    df.withColumn(name, col(source))
+
+  def managerRemove(df: DataFrame, name: String): DataFrame = df.drop(name)
+
+  def managerList(df: DataFrame, prefix: String = "flag"): Seq[String] =
+    df.columns.filter(_.toLowerCase.startsWith(prefix)).toSeq
+
+  /** summary (ngcasa/flagging/summary.py:22-150 +
+    * _flagging_utils/_summary_utils.py): flagged/total counts broken down
+    * by several independent keys. The reference runs one groupby per key
+    * (6 scans); we do it in a single pass with GROUPING SETS — each key
+    * becomes one grouping set, plus the grand-total set (SURVEY.md §2.4).
+    */
+  def summary(df: DataFrame, flag: Column, keys: Seq[String]): DataFrame = {
+    val sets = Seq(Seq.empty[Column]) ++ keys.map(k => Seq(col(k)))
+    df.groupingSets(sets, keys.map(col): _*)
+      .agg(
+        sum(when(coalesce(flag, lit(false)), 1L).otherwise(0L)).as("flagged"),
+        count(lit(1)).as("total"))
+  }
+}

@@ -1,0 +1,88 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Statistics / moments operators (SURVEY.md §2.4).
+  */
+object StatsOps {
+
+  /** statistics (cngi/image/statistics.py:20,55-118): global aggregates
+    * over one value column — n, sum, mean, std, rms, min, max, median,
+    * q1/q3/IQR, medabsdevmed, and the argmin/argmax positions.
+    *
+    * One distributed agg pass computes everything except medabsdevmed,
+    * which by definition needs the median first (:87-93) — that second
+    * pass joins the scalar median back via a broadcast cross join (1 row,
+    * free at any scale). Exact `percentile` is used to match the
+    * reference's numpy quantiles; at 100 TB swap for
+    * `percentile_approx` via `approxQuantiles=true`.
+    *
+    * Argmin/argmax positions (:111-118) are `min_by`/`max_by` over a
+    * position struct — no window, no second scan.
+    */
+  def statistics(df: DataFrame, value: String, posCols: Seq[String],
+                 approxQuantiles: Boolean = false): DataFrame = {
+    val v = col(value)
+    def pct(p: Double): Column =
+      if (approxQuantiles) percentile_approx(v, lit(p), lit(10000))
+      else percentile(v, lit(p))
+    val pos = struct(posCols.map(col): _*)
+    val base = df.agg(
+      count(v).as("n"),
+      sum(v).as("sum"),
+      sum(v * v).as("sumsq"),
+      avg(v).as("mean"),
+      stddev_samp(v).as("sigma"),
+      sqrt(avg(v * v)).as("rms"),
+      min(v).as("min"),
+      max(v).as("max"),
+      pct(0.5).as("median"),
+      pct(0.25).as("q1"),
+      pct(0.75).as("q3"),
+      min_by(pos, v).as("minpos"),
+      max_by(pos, v).as("maxpos"))
+      .withColumn("iqr", col("q3") - col("q1"))
+    val med = df.agg(pct(0.5).as("med_"))
+    val mad = df.crossJoin(broadcast(med))
+      .agg(percentile(abs(v - col("med_")), lit(0.5)).as("medabsdevmed"))
+    base.crossJoin(broadcast(mad))
+  }
+
+  /** moments (cngi/image/moments.py:25,85-143): per-group reductions
+    * along the spectral axis. The reference computes 12 moment images
+    * with one pass over chan per pixel; here all requested moments come
+    * out of a single hash aggregate over (keys).
+    *
+    * Moment definitions (intensity I over channels v = coordinate):
+    *  - mean:            avg(I)                                (:85)
+    *  - integrated:      sum(I) * delta                        (:92)
+    *  - weighted_coord:  sum(I*v)/sum(I)   ("velocity field")  (:95-98)
+    *  - weighted_dispersion: sqrt(sum(I*v^2)/sum(I) - wc^2)    (:99-101)
+    *  - median:          percentile(I, 0.5)                    (:104)
+    *  - stddev: manual N-1 formula — the reference deliberately
+    *    hand-rolls it for CASA parity (:107-115)
+    *  - rms:             sqrt(avg(I^2))                        (:117)
+    *  - absmeandev:      avg(|I - avg(I)|) — 2-pass            (:119-121)
+    *  - max/min and their coordinates: max_by/min_by           (:122-143)
+    */
+  def moments(df: DataFrame, keys: Seq[String], chanCol: String,
+              intensity: String, delta: Double = 1.0): DataFrame = {
+    val i = col(intensity)
+    val v = col(chanCol)
+    val wc = sum(i * v) / sum(i)
+    df.groupBy(keys.map(col): _*).agg(
+      avg(i).as("mom_mean"),
+      (sum(i) * lit(delta)).as("mom_integrated"),
+      wc.as("mom_weighted_coord"),
+      sqrt(sum(i * v * v) / sum(i) - wc * wc).as("mom_weighted_dispersion"),
+      percentile(i, lit(0.5)).as("mom_median"),
+      sqrt((sum(i * i) - pow(sum(i), 2) / count(i)) / (count(i) - 1))
+        .as("mom_stddev"),
+      sqrt(avg(i * i)).as("mom_rms"),
+      max(i).as("mom_max"),
+      min(i).as("mom_min"),
+      max_by(v, i).as("mom_max_coord"),
+      min_by(v, i).as("mom_min_coord"))
+  }
+}
