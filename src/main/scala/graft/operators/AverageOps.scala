@@ -21,27 +21,38 @@ object AverageOps {
 
   /** chan_average (cngi/vis/chan_average.py:21): fixed-width binning
     * along the channel axis. `coarsen(chan=width)` becomes
-    * `groupBy(floor(chan/width))`; the reference's `boundary='trim'`
-    * (drop incomplete trailing bin) is the HAVING count = width filter,
-    * controlled by `trim`.
+    * `groupBy(floor(chan/width))`. The reference's `boundary='trim'`
+    * (cngi/vis/chan_average.py:50-65) drops only the incomplete TRAILING
+    * bin of the dense 0-based channel axis — interior holes stay (they
+    * are NaN cells in the reference, absent rows here). So trim is
+    * positional: keep `chan < floor(nchan/width)*width` with
+    * nchan = max(chan)+1, NOT a row-count filter (which would also drop
+    * interior bins with missing rows).
     *
     * Scale note: group count = |keys| × nchan/width — uniform by
-    * construction, no skew; one shuffle on the group key.
+    * construction, no skew; one shuffle on the group key. The trim
+    * bound is a 1-row broadcast, free at any scale.
     */
   def chanAverage(df: DataFrame, chanCol: String, width: Int,
                   keys: Seq[String], weighted: Seq[Weighted],
-                  plain: Seq[String] = Nil, trim: Boolean = false): DataFrame = {
+                  plain: Seq[String] = Nil, trim: Boolean = true): DataFrame = {
+    val in =
+      if (!trim) df
+      else {
+        val bound = df.agg(
+          (floor((max(col(chanCol)) + 1) / width) * width).as("_chan_bound"))
+        df.crossJoin(broadcast(bound))
+          .where(col(chanCol) < col("_chan_bound"))
+          .drop("_chan_bound")
+      }
     val bin = floor(col(chanCol) / width).cast("int").as(chanCol)
     val aggs =
       weighted.map(wv =>
         (sum(col(wv.value) * col(wv.weight)) / sum(col(wv.weight))).as(wv.value)) ++
       weighted.map(wv => sum(col(wv.weight)).as(wv.weight)) ++
-      plain.map(c => avg(col(c)).as(c)) ++
-      Seq(count(lit(1)).as("n_in_bin"))
-    val g = df.groupBy((keys.map(col) :+ bin): _*)
+      plain.map(c => avg(col(c)).as(c))
+    in.groupBy((keys.map(col) :+ bin): _*)
       .agg(aggs.head, aggs.tail: _*)
-    if (trim) g.where(col("n_in_bin") === width).drop("n_in_bin")
-    else g.drop("n_in_bin")
   }
 
   /** time_average, resample flavor (cngi/vis/time_average.py:21,66):
@@ -74,9 +85,15 @@ object AverageOps {
     chanAverage(df, axisCol, factor, keys, Nil, values)
 
   /** chan_smooth (cngi/vis/chan_smooth.py:21,54-73): centered rolling
-    * window along chan, dot-product with a normalized kernel,
-    * `min_periods=1` semantics (partial windows renormalize over the
-    * taps actually present).
+    * window along chan, dot-product with a normalized kernel.
+    *
+    * Reference edge semantics: `rolling(..., min_periods=1).construct`
+    * fills partial edge windows with NaN, and the subsequent `.dot`
+    * propagates that NaN — so edge positions with fewer than
+    * kernel.length taps come out NaN. `minPeriods = kernel.length`
+    * (the default) reproduces that: positions with fewer taps → null.
+    * Pass `minPeriods = 1` for the renormalize-over-present-taps
+    * variant (a deliberate extension, NOT reference behavior).
     *
     * Implemented as 2h+1 lead/lag terms over a window frame — pure
     * column expressions, codegen'd, no collect_list. For kernels of the
@@ -84,8 +101,10 @@ object AverageOps {
     * offers: a single sort-within-partition per (keys) group.
     */
   def chanSmooth(df: DataFrame, chanCol: String, keys: Seq[String],
-                 values: Seq[String], kernel: Array[Double]): DataFrame = {
+                 values: Seq[String], kernel: Array[Double],
+                 minPeriods: Int = -1): DataFrame = {
     require(kernel.length % 2 == 1, "kernel length must be odd")
+    val minP = if (minPeriods < 0) kernel.length else minPeriods
     val h = kernel.length / 2
     val w = Window.partitionBy(keys.map(col): _*).orderBy(col(chanCol))
     values.foldLeft(df) { (d, v) =>
@@ -96,12 +115,45 @@ object AverageOps {
           else col(v)
         val wj = lit(kernel(j + h))
         (when(shifted.isNotNull, wj * shifted).otherwise(lit(0.0)),
-         when(shifted.isNotNull, wj).otherwise(lit(0.0)))
+         when(shifted.isNotNull, wj).otherwise(lit(0.0)),
+         when(shifted.isNotNull, 1).otherwise(0))
       }
       val num = terms.map(_._1).reduce(_ + _)
       val den = terms.map(_._2).reduce(_ + _)
-      d.withColumn(v, num / den)
+      val n = terms.map(_._3).reduce(_ + _)
+      d.withColumn(v, when(n >= minP, num / den))
     }
+  }
+
+  /** time_average, fixed-bin flavor (cngi/vis/time_average.py:21 `bin` —
+    * every N steps of the dense time axis). The dense time index is
+    * recovered by ranking the DISTINCT time values (dimension-scale:
+    * ~1e5 rows even for a day of data) and broadcast-joining the index
+    * back to the fact — no fact-side window, no single-partition scan of
+    * fact data at any scale.
+    *
+    * Output carries `time_bin` (the bin ordinal) and `time` = earliest
+    * time in the bin (the reference averages the time coordinate; we
+    * keep the bin-start instant, documented divergence).
+    */
+  def timeAverageBin(df: DataFrame, timeCol: String, bin: Int,
+                     keys: Seq[String], spanKeys: Seq[String],
+                     weighted: Seq[Weighted], summed: Seq[String] = Nil,
+                     plain: Seq[String] = Nil): DataFrame = {
+    val w = Window.orderBy(col(timeCol)) // distinct-times cardinality only
+    val idx = df.select(col(timeCol)).distinct()
+      .withColumn("time_bin",
+        floor((row_number().over(w) - 1) / bin).cast("int"))
+    val aggs =
+      weighted.map(wv =>
+        (sum(col(wv.value) * col(wv.weight)) / sum(col(wv.weight))).as(wv.value)) ++
+      weighted.map(wv => sum(col(wv.weight)).as(wv.weight)) ++
+      summed.map(c => sum(col(c)).as(c)) ++
+      plain.map(c => avg(col(c)).as(c)) ++
+      Seq(min(col(timeCol)).as(timeCol))
+    df.join(broadcast(idx), Seq(timeCol))
+      .groupBy((Seq(col("time_bin")) ++ (spanKeys ++ keys).map(col)): _*)
+      .agg(aggs.head, aggs.tail: _*)
   }
 
   /** Window-function kernels (scipy.signal.get_window analogs used by

@@ -19,10 +19,12 @@ object JoinOps {
     */
   def joinVis(a: DataFrame, b: DataFrame, keys: Seq[String],
               values: Seq[String]): DataFrame = {
-    val joined = a.as("a").join(b.as("b"), keys, "full_outer")
-    values.foldLeft(joined) { (d, v) =>
-      d.withColumn(v, coalesce(col(s"a.$v"), col(s"b.$v")))
-    }.select((keys ++ values).map(col): _*)
+    // One explicit select: after a using-columns join both sides keep a
+    // value column named v, so a withColumn(v, ...) would hit
+    // AMBIGUOUS_REFERENCE. Qualified coalesce per value column instead.
+    a.as("a").join(b.as("b"), keys, "full_outer")
+      .select(keys.map(col) ++
+        values.map(v => coalesce(col(s"a.$v"), col(s"b.$v")).as(v)): _*)
   }
 
   /** The `no_conflicts` assertion of join_vis (:145-149): count of cells

@@ -44,8 +44,11 @@ object StatsOps {
       max_by(pos, v).as("maxpos"))
       .withColumn("iqr", col("q3") - col("q1"))
     val med = df.agg(pct(0.5).as("med_"))
-    val mad = df.crossJoin(broadcast(med))
-      .agg(percentile(abs(v - col("med_")), lit(0.5)).as("medabsdevmed"))
+    val dev = abs(v - col("med_"))
+    val madAgg =
+      if (approxQuantiles) percentile_approx(dev, lit(0.5), lit(10000))
+      else percentile(dev, lit(0.5))
+    val mad = df.crossJoin(broadcast(med)).agg(madAgg.as("medabsdevmed"))
     base.crossJoin(broadcast(mad))
   }
 
@@ -71,7 +74,7 @@ object StatsOps {
     val i = col(intensity)
     val v = col(chanCol)
     val wc = sum(i * v) / sum(i)
-    df.groupBy(keys.map(col): _*).agg(
+    val main = df.groupBy(keys.map(col): _*).agg(
       avg(i).as("mom_mean"),
       (sum(i) * lit(delta)).as("mom_integrated"),
       wc.as("mom_weighted_coord"),
@@ -84,5 +87,14 @@ object StatsOps {
       min(i).as("mom_min"),
       max_by(v, i).as("mom_max_coord"),
       min_by(v, i).as("mom_min_coord"))
+    // absmeandev (cngi/image/moments.py:119-121) is inherently 2-pass:
+    // per-group mean joined back, then avg(|I - mean|). The join carries
+    // only (keys, mean) — group cardinality, not fact rows — and the
+    // result-side join of `main` with `amd` is group-cardinality too.
+    val means = df.groupBy(keys.map(col): _*).agg(avg(i).as("_gmean"))
+    val amd = df.join(means, keys)
+      .groupBy(keys.map(col): _*)
+      .agg(avg(abs(i - col("_gmean"))).as("mom_absmeandev"))
+    main.join(amd, keys)
   }
 }
