@@ -1,0 +1,417 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.complex._
+
+/** Driver-contract query surface (SURVEY.md §2): one entry per
+  * implemented operator, each paired with the exact DuckDB SQL the
+  * driver runs as the oracle on the same parquet tables.
+  *
+  * Numeric-parity rules used throughout (documented once here):
+  *  - Row-wise arithmetic on the same parquet doubles is bit-exact
+  *    across engines (identical IEEE ops) — no rounding.
+  *  - Order-dependent reductions (sum/avg/stddev over doubles) carry
+  *    ~n*eps relative noise; they are quantized with
+  *    `floor(x*10^d + 0.5)/10^d` — the SAME primitive ops in both
+  *    engines, unlike round() whose tie semantics differ (Spark
+  *    HALF_UP on the shortest decimal repr vs DuckDB multiply+rint).
+  *  - argmin/argmax tie-break deterministically on (value, position).
+  *  - Integer aggregates (count, grouping sets) are exact; no rounding.
+  *
+  * The TPC-H-ish tables stand in for the reference's data model
+  * (TESTDATA.md): lineitem = visibility fact table, l_linenumber-1 =
+  * chan axis, l_shipdate = time axis, l_returnflag='R' = FLAG,
+  * small tables = mxds "global" subtables.
+  */
+object Queries {
+
+  final case class Q(fn: (SparkSession, String) => DataFrame, sql: String)
+
+  /** floor(x*10^d + 0.5)/10^d — engine-portable quantization. */
+  def qround(c: Column, d: Int): Column = {
+    val s = math.pow(10, d)
+    floor(c * lit(s) + lit(0.5)) / lit(s)
+  }
+
+  /** lineitem with the vis-fact derived columns used by most queries:
+    * chan = 0-based channel axis, flag = the FLAG data variable.
+    */
+  private def li(s: SparkSession, dir: String): DataFrame =
+    Tables.lineitem(s, dir)
+      .withColumn("chan", (col("l_linenumber") - 1).cast("int"))
+      .withColumn("flag", col("l_returnflag") === lit("R"))
+
+  private val keyCols = Seq("l_orderkey", "l_linenumber")
+
+  // ---------------------------------------------------------------- flags
+
+  private val applyFlagsQ = Q(
+    (s, d) => {
+      val out = FlagOps.applyFlags(li(s, d), col("flag"),
+        Seq("l_extendedprice", "l_quantity"))
+      out.select("l_orderkey", "l_linenumber", "l_extendedprice", "l_quantity")
+    },
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN NOT (l_returnflag = 'R') THEN l_extendedprice END AS l_extendedprice,
+      |  CASE WHEN NOT (l_returnflag = 'R') THEN l_quantity END AS l_quantity
+      |FROM lineitem""".stripMargin)
+
+  private val autoClipQ = Q(
+    (s, d) => FlagOps.autoClip(li(s, d), "flag", col("l_extendedprice"),
+        clipMin = 1000.0, clipMax = 50000.0)
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R' OR l_extendedprice < 1000.0 OR l_extendedprice > 50000.0) AS flag
+      |FROM lineitem""".stripMargin)
+
+  private val manualFlagQ = Q(
+    (s, d) => FlagOps.manualFlag(li(s, d), "flag", Seq(
+        FlagOps.SelCmd(
+          ranges = Map("l_quantity" -> (10, 20)),
+          isin = Map("l_linestatus" -> Seq("F"))),
+        FlagOps.SelCmd(isin = Map("l_returnflag" -> Seq("N")))))
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R'
+      |   OR (l_quantity BETWEEN 10 AND 20 AND l_linestatus = 'F')
+      |   OR l_returnflag = 'N') AS flag
+      |FROM lineitem""".stripMargin)
+
+  private val manualUnflagQ = Q(
+    (s, d) => FlagOps.manualUnflag(li(s, d), "flag", Seq(
+        FlagOps.SelCmd(ranges = Map("l_discount" -> (0.0, 0.03)))))
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R' AND NOT (l_discount BETWEEN 0.0 AND 0.03)) AS flag
+      |FROM lineitem""".stripMargin)
+
+  private val flagSummaryQ = Q(
+    (s, d) => FlagOps.summary(li(s, d), col("flag"),
+      Seq("l_returnflag", "l_linestatus")),
+    """SELECT l_returnflag, l_linestatus,
+      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flagged,
+      |  count(*) AS total
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((), (l_returnflag), (l_linestatus))""".stripMargin)
+
+  private val managerFlagsQ = Q(
+    (s, d) => {
+      val withBackup = FlagOps.managerAdd(li(s, d), "flag_backup", "flag")
+      FlagOps.autoClip(withBackup, "flag", col("l_quantity"), 5.0, 45.0)
+        .select("l_orderkey", "l_linenumber", "flag", "flag_backup")
+    },
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R' OR l_quantity < 5.0 OR l_quantity > 45.0) AS flag,
+      |  (l_returnflag = 'R') AS flag_backup
+      |FROM lineitem""".stripMargin)
+
+  // ------------------------------------------------------------ averaging
+
+  private val chanAverageQ = Q(
+    (s, d) => {
+      val out = AverageOps.chanAverage(li(s, d), "chan", width = 2,
+        keys = Seq("l_returnflag"),
+        weighted = Seq(AverageOps.Weighted("l_extendedprice", "l_quantity")),
+        plain = Seq("l_discount"))
+      out.select(col("l_returnflag"), col("chan"),
+        qround(col("l_extendedprice"), 4).as("l_extendedprice"),
+        qround(col("l_quantity"), 4).as("l_quantity"),
+        qround(col("l_discount"), 6).as("l_discount"))
+    },
+    """WITH t AS (SELECT *, l_linenumber - 1 AS chan FROM lineitem
+      |           WHERE l_linenumber - 1 < 6)
+      |SELECT l_returnflag, CAST(floor(chan / 2.0) AS INT) AS chan,
+      |  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+      |  floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS l_discount
+      |FROM t GROUP BY 1, 2""".stripMargin)
+
+  private val timeAverageQ = Q(
+    (s, d) => {
+      val out = AverageOps.timeAverage(li(s, d), "l_shipdate", "7 days",
+        keys = Seq("l_returnflag"), spanKeys = Nil,
+        weighted = Seq(AverageOps.Weighted("l_extendedprice", "l_quantity")),
+        plain = Seq("l_discount"))
+      out.select(
+        (unix_timestamp(col("time_bin.start")) / 604800).cast("long").as("time_bin_id"),
+        col("l_returnflag"),
+        qround(col("l_extendedprice"), 4).as("l_extendedprice"),
+        qround(col("l_quantity"), 4).as("l_quantity"),
+        qround(col("l_discount"), 6).as("l_discount"),
+        col("n_rows"))
+    },
+    """SELECT CAST(floor(epoch(l_shipdate) / 604800.0) AS BIGINT) AS time_bin_id,
+      |  l_returnflag,
+      |  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+      |  floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS l_discount,
+      |  count(*) AS n_rows
+      |FROM lineitem GROUP BY 1, 2""".stripMargin)
+
+  private val timeAverageBinQ = Q(
+    (s, d) => {
+      val out = AverageOps.timeAverageBin(li(s, d), "l_shipdate", bin = 30,
+        keys = Seq("l_returnflag"), spanKeys = Nil,
+        weighted = Seq(AverageOps.Weighted("l_extendedprice", "l_quantity")))
+      out.select(col("time_bin"), col("l_returnflag"),
+        qround(col("l_extendedprice"), 4).as("l_extendedprice"),
+        qround(col("l_quantity"), 4).as("l_quantity"),
+        col("l_shipdate"))
+    },
+    """WITH idx AS (
+      |  SELECT t, CAST(floor((row_number() OVER (ORDER BY t) - 1) / 30.0) AS INT) AS time_bin
+      |  FROM (SELECT DISTINCT l_shipdate AS t FROM lineitem))
+      |SELECT i.time_bin, l.l_returnflag,
+      |  floor((sum(l.l_extendedprice * l.l_quantity) / sum(l.l_quantity)) * 10000.0 + 0.5) / 10000.0 AS l_extendedprice,
+      |  floor(sum(l.l_quantity) * 10000.0 + 0.5) / 10000.0 AS l_quantity,
+      |  min(l.l_shipdate) AS l_shipdate
+      |FROM lineitem l JOIN idx i ON l.l_shipdate = i.t
+      |GROUP BY 1, 2""".stripMargin)
+
+  private val rebinQ = Q(
+    (s, d) => {
+      val out = AverageOps.rebin(li(s, d), "chan", factor = 3,
+        keys = Seq("l_returnflag"), values = Seq("l_discount", "l_tax"))
+      out.select(col("l_returnflag"), col("chan"),
+        qround(col("l_discount"), 6).as("l_discount"),
+        qround(col("l_tax"), 6).as("l_tax"))
+    },
+    """WITH t AS (SELECT *, l_linenumber - 1 AS chan FROM lineitem
+      |           WHERE l_linenumber - 1 < 6)
+      |SELECT l_returnflag, CAST(floor(chan / 3.0) AS INT) AS chan,
+      |  floor(avg(l_discount) * 1000000.0 + 0.5) / 1000000.0 AS l_discount,
+      |  floor(avg(l_tax) * 1000000.0 + 0.5) / 1000000.0 AS l_tax
+      |FROM t GROUP BY 1, 2""".stripMargin)
+
+  private val chanSmoothQ = Q(
+    (s, d) => {
+      // one cell per (key, chan), as in the reference's data model —
+      // l_linenumber is NOT unique per order in the synthetic data
+      val in = li(s, d).groupBy(col("l_orderkey"), col("chan"))
+        .agg(avg(col("l_quantity")).as("l_quantity"))
+      val out = AverageOps.chanSmooth(in, "chan", keys = Seq("l_orderkey"),
+        values = Seq("l_quantity"), kernel = AverageOps.Kernels.boxcar(3))
+      out.select(col("l_orderkey"), col("chan"),
+        qround(col("l_quantity"), 6).as("l_quantity"))
+    },
+    """WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan, avg(l_quantity) AS l_quantity
+      |           FROM lineitem GROUP BY 1, 2)
+      |SELECT l_orderkey, chan,
+      |  CASE WHEN count(*) OVER w = 3
+      |       THEN floor(((sum(l_quantity * (1.0/3.0)) OVER w) / (sum(1.0/3.0) OVER w)) * 1000000.0 + 0.5) / 1000000.0
+      |  END AS l_quantity
+      |FROM t
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY chan
+      |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
+
+  // ------------------------------------------------------------ statistics
+
+  private val statisticsQ = Q(
+    (s, d) => {
+      val out = StatsOps.statistics(li(s, d), "l_extendedprice",
+        posCols = Seq("l_orderkey", "l_linenumber"))
+      out.select(col("n"),
+        qround(col("mean"), 4).as("mean"),
+        qround(col("sigma"), 4).as("sigma"),
+        qround(col("rms"), 4).as("rms"),
+        col("min"), col("max"),
+        qround(col("median"), 4).as("median"),
+        qround(col("q1"), 4).as("q1"),
+        qround(col("q3"), 4).as("q3"),
+        qround(col("iqr"), 4).as("iqr"),
+        qround(col("medabsdevmed"), 4).as("medabsdevmed"),
+        col("minpos.l_orderkey").as("minpos_orderkey"),
+        col("minpos.l_linenumber").as("minpos_linenumber"),
+        col("maxpos.l_orderkey").as("maxpos_orderkey"),
+        col("maxpos.l_linenumber").as("maxpos_linenumber"))
+    },
+    """WITH med AS (SELECT quantile_cont(l_extendedprice, 0.5) AS m FROM lineitem)
+      |SELECT count(l_extendedprice) AS n,
+      |  floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS mean,
+      |  floor(stddev_samp(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sigma,
+      |  floor(sqrt(avg(l_extendedprice * l_extendedprice)) * 10000.0 + 0.5) / 10000.0 AS rms,
+      |  min(l_extendedprice) AS min, max(l_extendedprice) AS max,
+      |  floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS median,
+      |  floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
+      |  floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3,
+      |  floor((quantile_cont(l_extendedprice, 0.75) - quantile_cont(l_extendedprice, 0.25)) * 10000.0 + 0.5) / 10000.0 AS iqr,
+      |  (SELECT floor(quantile_cont(abs(l.l_extendedprice - med.m), 0.5) * 10000.0 + 0.5) / 10000.0
+      |     FROM lineitem l CROSS JOIN med) AS medabsdevmed,
+      |  (SELECT l_orderkey FROM lineitem ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC LIMIT 1) AS minpos_orderkey,
+      |  (SELECT l_linenumber FROM lineitem ORDER BY l_extendedprice ASC, l_orderkey ASC, l_linenumber ASC LIMIT 1) AS minpos_linenumber,
+      |  (SELECT l_orderkey FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC LIMIT 1) AS maxpos_orderkey,
+      |  (SELECT l_linenumber FROM lineitem ORDER BY l_extendedprice DESC, l_orderkey DESC, l_linenumber DESC LIMIT 1) AS maxpos_linenumber
+      |FROM lineitem""".stripMargin)
+
+  private val momentsQ = Q(
+    (s, d) => {
+      val out = StatsOps.moments(li(s, d), keys = Seq("l_returnflag"),
+        chanCol = "chan", intensity = "l_quantity")
+      out.select(col("l_returnflag"),
+        qround(col("mom_mean"), 6).as("mom_mean"),
+        qround(col("mom_integrated"), 2).as("mom_integrated"),
+        qround(col("mom_weighted_coord"), 6).as("mom_weighted_coord"),
+        qround(col("mom_weighted_dispersion"), 6).as("mom_weighted_dispersion"),
+        qround(col("mom_median"), 6).as("mom_median"),
+        qround(col("mom_stddev"), 6).as("mom_stddev"),
+        qround(col("mom_rms"), 6).as("mom_rms"),
+        col("mom_max"), col("mom_min"),
+        col("mom_max_coord"), col("mom_min_coord"),
+        qround(col("mom_absmeandev"), 6).as("mom_absmeandev"))
+    },
+    """WITH t AS (SELECT l_returnflag, l_linenumber - 1 AS chan, l_quantity AS i
+      |           FROM lineitem),
+      |m AS (SELECT l_returnflag, avg(i) AS gmean FROM t GROUP BY 1)
+      |SELECT t.l_returnflag,
+      |  floor(avg(i) * 1000000.0 + 0.5) / 1000000.0 AS mom_mean,
+      |  floor(sum(i) * 100.0 + 0.5) / 100.0 AS mom_integrated,
+      |  floor((sum(i * chan) / sum(i)) * 1000000.0 + 0.5) / 1000000.0 AS mom_weighted_coord,
+      |  floor(sqrt(sum(i * chan * chan) / sum(i) - (sum(i * chan) / sum(i)) * (sum(i * chan) / sum(i))) * 1000000.0 + 0.5) / 1000000.0 AS mom_weighted_dispersion,
+      |  floor(quantile_cont(i, 0.5) * 1000000.0 + 0.5) / 1000000.0 AS mom_median,
+      |  floor(sqrt((sum(i * i) - sum(i) * sum(i) / count(i)) / (count(i) - 1)) * 1000000.0 + 0.5) / 1000000.0 AS mom_stddev,
+      |  floor(sqrt(avg(i * i)) * 1000000.0 + 0.5) / 1000000.0 AS mom_rms,
+      |  max(i) AS mom_max, min(i) AS mom_min,
+      |  (array_agg(chan ORDER BY i DESC, chan DESC))[1] AS mom_max_coord,
+      |  (array_agg(chan ORDER BY i ASC, chan ASC))[1] AS mom_min_coord,
+      |  floor(avg(abs(i - m.gmean)) * 1000000.0 + 0.5) / 1000000.0 AS mom_absmeandev
+      |FROM t JOIN m ON t.l_returnflag = m.l_returnflag
+      |GROUP BY 1""".stripMargin)
+
+  // ---------------------------------------------------------------- joins
+
+  private def visHalves(s: SparkSession, d: String): (DataFrame, DataFrame) = {
+    val base = li(s, d).select("l_orderkey", "chan", "l_quantity", "l_extendedprice")
+    (base.where(col("chan") <= 3), base.where(col("chan") >= 3))
+  }
+
+  private val joinVisQ = Q(
+    (s, d) => {
+      val (a, b) = visHalves(s, d)
+      JoinOps.joinVis(a, b, keys = Seq("l_orderkey", "chan"),
+        values = Seq("l_quantity", "l_extendedprice"))
+    },
+    """WITH a AS (SELECT l_orderkey, l_linenumber - 1 AS chan, l_quantity, l_extendedprice
+      |           FROM lineitem WHERE l_linenumber - 1 <= 3),
+      |     b AS (SELECT l_orderkey, l_linenumber - 1 AS chan, l_quantity, l_extendedprice
+      |           FROM lineitem WHERE l_linenumber - 1 >= 3)
+      |SELECT COALESCE(a.l_orderkey, b.l_orderkey) AS l_orderkey,
+      |       COALESCE(a.chan, b.chan) AS chan,
+      |       COALESCE(a.l_quantity, b.l_quantity) AS l_quantity,
+      |       COALESCE(a.l_extendedprice, b.l_extendedprice) AS l_extendedprice
+      |FROM a FULL JOIN b ON a.l_orderkey = b.l_orderkey AND a.chan = b.chan""".stripMargin)
+
+  private val joinConflictsQ = Q(
+    (s, d) => {
+      val (a, b0) = visHalves(s, d)
+      // perturb overlap rows of b where quantity is odd -> known conflicts
+      val b = b0.withColumn("l_quantity",
+        when(col("l_quantity") % 2 === 1, col("l_quantity") + 1)
+          .otherwise(col("l_quantity")))
+      JoinOps.joinConflictsDF(a, b, keys = Seq("l_orderkey", "chan"),
+        values = Seq("l_quantity", "l_extendedprice"))
+    },
+    """WITH a AS (SELECT l_orderkey, l_linenumber - 1 AS chan, l_quantity, l_extendedprice
+      |           FROM lineitem WHERE l_linenumber - 1 <= 3),
+      |     b AS (SELECT l_orderkey, l_linenumber - 1 AS chan,
+      |                  CASE WHEN l_quantity % 2 = 1 THEN l_quantity + 1 ELSE l_quantity END AS l_quantity,
+      |                  l_extendedprice
+      |           FROM lineitem WHERE l_linenumber - 1 >= 3)
+      |SELECT count(*) AS conflicts
+      |FROM a JOIN b ON a.l_orderkey = b.l_orderkey AND a.chan = b.chan
+      |WHERE (a.l_quantity IS NOT NULL AND b.l_quantity IS NOT NULL AND a.l_quantity <> b.l_quantity)
+      |   OR (a.l_extendedprice IS NOT NULL AND b.l_extendedprice IS NOT NULL AND a.l_extendedprice <> b.l_extendedprice)""".stripMargin)
+
+  private val splitDatasetQ = Q(
+    (s, d) => JoinOps.semiJoinPrune(Tables.nation(s, d), Tables.customer(s, d),
+      dimKey = "n_nationkey", factKey = "c_nationkey"),
+    """SELECT n.* FROM nation n
+      |WHERE n.n_nationkey IN (SELECT c_nationkey FROM customer)""".stripMargin)
+
+  private val joinDatasetQ = Q(
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      JoinOps.unionWithKeyRemap(nation, nation, "n_nationkey")._1
+        .withColumn("n_nationkey", col("n_nationkey").cast("long"))
+    },
+    """SELECT CAST(n_nationkey AS BIGINT) AS n_nationkey, n_name, n_regionkey FROM nation
+      |UNION ALL
+      |SELECT (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation)
+      |         + dense_rank() OVER (ORDER BY n_nationkey) AS n_nationkey,
+      |       n_name, n_regionkey FROM nation""".stripMargin)
+
+  private val remapFactKeyQ = Q(
+    (s, d) => {
+      val nation = Tables.nation(s, d)
+      val remap = JoinOps.unionWithKeyRemap(nation, nation, "n_nationkey")._2
+      JoinOps.remapFactKey(
+        Tables.customer(s, d).select("c_custkey", "c_nationkey"),
+        "c_nationkey", remap)
+    },
+    """WITH remap AS (
+      |  SELECT old_key,
+      |         (SELECT CAST(max(n_nationkey) AS BIGINT) FROM nation)
+      |           + dense_rank() OVER (ORDER BY old_key) AS new_key
+      |  FROM (SELECT DISTINCT CAST(n_nationkey AS BIGINT) AS old_key FROM nation))
+      |SELECT c.c_custkey, COALESCE(r.new_key, CAST(c.c_nationkey AS BIGINT)) AS c_nationkey
+      |FROM customer c LEFT JOIN remap r ON c.c_nationkey = r.old_key""".stripMargin)
+
+  // ------------------------------------------------------ scalar functions
+
+  private val complexMathQ = Q(
+    (s, d) => {
+      val z = c(col("l_discount"), col("l_tax"))
+      val w = c(col("l_quantity"), col("l_discount"))
+      val zw = c_mul(z, c_conj(w))
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+        re(zw).as("zw_re"), im(zw).as("zw_im"),
+        c_abs(z).as("z_abs"),
+        qround(c_arg(z), 8).as("z_arg"))
+    },
+    """SELECT l_orderkey, l_linenumber,
+      |  l_discount * l_quantity + l_tax * l_discount AS zw_re,
+      |  l_tax * l_quantity - l_discount * l_discount AS zw_im,
+      |  sqrt(l_discount * l_discount + l_tax * l_tax) AS z_abs,
+      |  floor(atan2(l_tax, l_discount) * 100000000.0 + 0.5) / 100000000.0 AS z_arg
+      |FROM lineitem""".stripMargin)
+
+  // -------------------------------------------------------------- describe
+
+  private val describeVisQ = Q(
+    (s, d) => li(s, d).groupBy(col("l_returnflag").as("ddi"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("l_shipdate")).as("n_times"),
+        countDistinct(col("l_orderkey")).as("n_baselines"),
+        min(col("l_shipdate")).as("time_min"),
+        max(col("l_shipdate")).as("time_max")),
+    """SELECT l_returnflag AS ddi, count(*) AS n_rows,
+      |  count(DISTINCT l_shipdate) AS n_times,
+      |  count(DISTINCT l_orderkey) AS n_baselines,
+      |  min(l_shipdate) AS time_min, max(l_shipdate) AS time_max
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
+  // ---------------------------------------------------------------- export
+
+  val all: Map[String, Q] = Map(
+    "apply_flags" -> applyFlagsQ,
+    "auto_clip" -> autoClipQ,
+    "manual_flag" -> manualFlagQ,
+    "manual_unflag" -> manualUnflagQ,
+    "flag_summary" -> flagSummaryQ,
+    "manager_flags" -> managerFlagsQ,
+    "chan_average" -> chanAverageQ,
+    "time_average" -> timeAverageQ,
+    "time_average_bin" -> timeAverageBinQ,
+    "rebin" -> rebinQ,
+    "chan_smooth" -> chanSmoothQ,
+    "statistics" -> statisticsQ,
+    "moments" -> momentsQ,
+    "join_vis" -> joinVisQ,
+    "join_conflicts" -> joinConflictsQ,
+    "split_dataset" -> splitDatasetQ,
+    "join_dataset" -> joinDatasetQ,
+    "remap_fact_key" -> remapFactKeyQ,
+    "complex_math" -> complexMathQ,
+    "describe_vis" -> describeVisQ)
+}

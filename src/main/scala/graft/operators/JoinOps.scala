@@ -32,12 +32,19 @@ object JoinOps {
     * validation action when required.
     */
   def joinConflicts(a: DataFrame, b: DataFrame, keys: Seq[String],
-                    values: Seq[String]): Long = {
+                    values: Seq[String]): Long =
+    joinConflictsDF(a, b, keys, values).head().getLong(0)
+
+  /** joinConflicts as a 1-row DataFrame (`conflicts` BIGINT) — the lazy
+    * form used by the driver contract and composable into plans.
+    */
+  def joinConflictsDF(a: DataFrame, b: DataFrame, keys: Seq[String],
+                      values: Seq[String]): DataFrame = {
     val j = a.as("a").join(b.as("b"), keys, "inner")
     val anyConflict = values.map(v =>
       col(s"a.$v").isNotNull && col(s"b.$v").isNotNull &&
         col(s"a.$v") =!= col(s"b.$v")).reduce(_ || _)
-    j.where(anyConflict).count()
+    j.where(anyConflict).agg(count(lit(1)).as("conflicts"))
   }
 
   /** split_dataset subtable pruning (cngi/vis/split_dataset.py:23,

@@ -40,8 +40,11 @@ object StatsOps {
       pct(0.5).as("median"),
       pct(0.25).as("q1"),
       pct(0.75).as("q3"),
-      min_by(pos, v).as("minpos"),
-      max_by(pos, v).as("maxpos"))
+      // Tie-break argpos deterministically: order by (value, position)
+      // lexicographically so Spark and any oracle agree even when the
+      // extreme value occurs at several positions.
+      min_by(pos, struct((v +: posCols.map(col)): _*)).as("minpos"),
+      max_by(pos, struct((v +: posCols.map(col)): _*)).as("maxpos"))
       .withColumn("iqr", col("q3") - col("q1"))
     val med = df.agg(pct(0.5).as("med_"))
     val dev = abs(v - col("med_"))
@@ -85,8 +88,11 @@ object StatsOps {
       sqrt(avg(i * i)).as("mom_rms"),
       max(i).as("mom_max"),
       min(i).as("mom_min"),
-      max_by(v, i).as("mom_max_coord"),
-      min_by(v, i).as("mom_min_coord"))
+      // struct-lexicographic extremes: coordinate of the max intensity,
+      // ties broken toward the larger (resp. smaller) coordinate —
+      // deterministic under intensity ties, unlike bare max_by.
+      max(struct(i.as("i"), v.as("v"))).getField("v").as("mom_max_coord"),
+      min(struct(i.as("i"), v.as("v"))).getField("v").as("mom_min_coord"))
     // absmeandev (cngi/image/moments.py:119-121) is inherently 2-pass:
     // per-group mean joined back, then avg(|I - mean|). The join carries
     // only (keys, mean) — group cardinality, not fact rows — and the
