@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.StatsOps
+
+class StatsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("statistics on a known sample") {
+    // values 1..5 at positions p=10..14
+    val df = (1 to 5).map(v => (v.toDouble, v + 9)).toDF("v", "p")
+    val r = StatsOps.statistics(df, "v", Seq("p")).head()
+    assert(r.getAs[Long]("n") === 5L)
+    assert(approx(r.getAs[Double]("mean"), 3.0))
+    assert(approx(r.getAs[Double]("median"), 3.0))
+    assert(approx(r.getAs[Double]("q1"), 2.0))
+    assert(approx(r.getAs[Double]("q3"), 4.0))
+    assert(approx(r.getAs[Double]("iqr"), 2.0))
+    assert(approx(r.getAs[Double]("medabsdevmed"), 1.0))
+    assert(approx(r.getAs[Double]("rms"), math.sqrt(11.0)))
+    assert(r.getAs[org.apache.spark.sql.Row]("minpos").getInt(0) === 10)
+    assert(r.getAs[org.apache.spark.sql.Row]("maxpos").getInt(0) === 14)
+  }
+
+  test("statistics argpos tie-breaks deterministically on position") {
+    val df = Seq((1.0, 5), (1.0, 2), (9.0, 7), (9.0, 3)).toDF("v", "p")
+    val r = StatsOps.statistics(df, "v", Seq("p")).head()
+    assert(r.getAs[org.apache.spark.sql.Row]("minpos").getInt(0) === 2)
+    // maxpos tie-breaks toward the LARGER position (value, pos) lexicographic max
+    assert(r.getAs[org.apache.spark.sql.Row]("maxpos").getInt(0) === 7)
+  }
+
+  test("moments: all 12 reductions on an analytic spectrum") {
+    // one pixel, intensity I(v) = [1, 2, 6] over chans v = [0, 1, 2]
+    val df = Seq((1, 0, 1.0), (1, 1, 2.0), (1, 2, 6.0)).toDF("px", "chan", "i")
+    val r = StatsOps.moments(df, Seq("px"), "chan", "i", delta = 2.0).head()
+    assert(approx(r.getAs[Double]("mom_mean"), 3.0))
+    assert(approx(r.getAs[Double]("mom_integrated"), 18.0))
+    assert(approx(r.getAs[Double]("mom_weighted_coord"), 14.0 / 9))
+    // E[v^2]_w = (0 + 2 + 24)/9 = 26/9; disp = sqrt(26/9 - (14/9)^2)
+    assert(approx(r.getAs[Double]("mom_weighted_dispersion"),
+      math.sqrt(26.0 / 9 - math.pow(14.0 / 9, 2))))
+    assert(approx(r.getAs[Double]("mom_median"), 2.0))
+    assert(approx(r.getAs[Double]("mom_stddev"), math.sqrt(7.0))) // var of 1,2,6
+    assert(approx(r.getAs[Double]("mom_rms"), math.sqrt(41.0 / 3)))
+    assert(approx(r.getAs[Double]("mom_absmeandev"), 2.0))
+    assert(r.getAs[Double]("mom_max") === 6.0 && r.getAs[Double]("mom_min") === 1.0)
+    assert(r.getAs[Int]("mom_max_coord") === 2 && r.getAs[Int]("mom_min_coord") === 0)
+  }
+}
