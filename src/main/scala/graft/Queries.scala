@@ -376,6 +376,168 @@ object Queries {
       |  floor(atan2(l_tax, l_discount) * 100000000.0 + 0.5) / 100000000.0 AS z_arg
       |FROM lineitem""".stripMargin)
 
+  // ------------------------------------------------------------ regression
+
+  /** one cell per (series key, chan) — the vis-cube shape regression runs on */
+  private def series(s: SparkSession, d: String): DataFrame =
+    li(s, d).groupBy(col("l_orderkey"), col("chan"))
+      .agg(avg(col("l_quantity")).as("y"))
+
+  private val uvContFitQ = Q(
+    (s, d) => {
+      val fit = RegressionOps.uvContFit(series(s, d), Seq("l_orderkey"),
+        "chan", source = "y", target = "contfit", fitorder = 1)
+      fit.select(col("l_orderkey"), col("chan"),
+        qround(col("contfit"), 6).as("contfit"))
+    },
+    """WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan, avg(l_quantity) AS y
+      |           FROM lineitem GROUP BY 1, 2),
+      |f AS (SELECT l_orderkey, regr_slope(y, chan) AS b1, regr_intercept(y, chan) AS b0
+      |      FROM t GROUP BY 1)
+      |SELECT t.l_orderkey, t.chan,
+      |  floor((f.b0 + f.b1 * t.chan) * 1000000.0 + 0.5) / 1000000.0 AS contfit
+      |FROM t JOIN f ON t.l_orderkey = f.l_orderkey""".stripMargin)
+
+  private val contSubQ = Q(
+    (s, d) => {
+      val out = RegressionOps.contSub(series(s, d), Seq("l_orderkey"), "chan",
+        source = "y", lineName = "line", contName = "continuum", fitorder = 1)
+      out.select(col("l_orderkey"), col("chan"),
+        qround(col("line"), 6).as("line"),
+        qround(col("continuum"), 6).as("continuum"))
+    },
+    """WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan, avg(l_quantity) AS y
+      |           FROM lineitem GROUP BY 1, 2),
+      |f AS (SELECT l_orderkey, regr_slope(y, chan) AS b1, regr_intercept(y, chan) AS b0
+      |      FROM t GROUP BY 1)
+      |SELECT t.l_orderkey, t.chan,
+      |  floor((f.b0 + f.b1 * t.chan) * 1000000.0 + 0.5) / 1000000.0 AS line,
+      |  floor((t.y - (f.b0 + f.b1 * t.chan)) * 1000000.0 + 0.5) / 1000000.0 AS continuum
+      |FROM t JOIN f ON t.l_orderkey = f.l_orderkey""".stripMargin)
+
+  private val fitMetricsQ = Q(
+    (s, d) => {
+      val fit = RegressionOps.uvContFit(series(s, d), Seq("l_orderkey"),
+        "chan", source = "y", target = "contfit", fitorder = 1)
+      val m = RegressionOps.fitMetrics(fit, "chan", "y", "contfit")
+      m.select(qround(col("rms_error"), 6).as("rms_error"),
+        qround(col("min_abs_error"), 6).as("min_abs_error"),
+        qround(col("max_abs_error"), 6).as("max_abs_error"))
+    },
+    """WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan, avg(l_quantity) AS y
+      |           FROM lineitem GROUP BY 1, 2),
+      |f AS (SELECT l_orderkey, regr_slope(y, chan) AS b1, regr_intercept(y, chan) AS b0
+      |      FROM t GROUP BY 1),
+      |e AS (SELECT (f.b0 + f.b1 * t.chan) - t.y AS err
+      |      FROM t JOIN f ON t.l_orderkey = f.l_orderkey)
+      |SELECT floor(sqrt(avg(err * err)) * 1000000.0 + 0.5) / 1000000.0 AS rms_error,
+      |  floor(min(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS min_abs_error,
+      |  floor(max(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_error
+      |FROM e""".stripMargin)
+
+  // ----------------------------------------------------------------- image
+
+  // shared fixture: 8x6 SIN-projected grid about (0.5, -0.3) rad
+  private def skyGrid(s: SparkSession): DataFrame =
+    ImageOps.makeEmptySkyImage(s, phaseCenter = (0.5, -0.3),
+      imageSize = (8, 6), cellSize = (-0.001, 0.001),
+      chans = Seq(1.0e9, 2.0e9), pols = Seq(1, 2))
+
+  private val skyGridSql =
+    """SELECT CAST(i // 6 AS INT) AS l_idx, CAST(i % 6 AS INT) AS m_idx,
+      |  (CAST(i // 6 AS INT) - 4) * CAST(-0.001 AS DOUBLE) AS l,
+      |  (CAST(i % 6 AS INT) - 3) * CAST(0.001 AS DOUBLE) AS m
+      |FROM generate_series(0, 47) t(i)""".stripMargin
+
+  private val makeEmptySkyImageQ = Q(
+    (s, d) => skyGrid(s).select(
+      col("l_idx"), col("m_idx"), col("l"), col("m"),
+      qround(col("right_ascension"), 12).as("right_ascension"),
+      qround(col("declination"), 12).as("declination"),
+      col("chan"), col("chan_freq"), col("pol"), col("time")),
+    s"""WITH px AS ($skyGridSql),
+      |world AS (
+      |  SELECT *,
+      |    floor((0.5 + atan2(l, sqrt(1.0 - l*l - m*m) * cos(-0.3) - m * sin(-0.3))) * 1e12 + 0.5) / 1e12 AS right_ascension,
+      |    floor(asin(m * cos(-0.3) + sqrt(1.0 - l*l - m*m) * sin(-0.3)) * 1e12 + 0.5) / 1e12 AS declination
+      |  FROM px)
+      |SELECT w.*, c.chan, c.chan_freq, p.pol, CAST(0.0 AS DOUBLE) AS time
+      |FROM world w
+      |CROSS JOIN (VALUES (0, CAST(1000000000.0 AS DOUBLE)), (1, CAST(2000000000.0 AS DOUBLE))) c(chan, chan_freq)
+      |CROSS JOIN (VALUES (1), (2)) p(pol)""".stripMargin)
+
+  private val maskRegionQ = Q(
+    (s, d) => {
+      val g = skyGrid(s)
+      val masked = ImageOps.mask(g, "mask0",
+        raRange = (0.4985, 0.5025), decRange = (-0.3025, -0.2985),
+        lRange = (-0.0025, 0.0015), mRange = (-0.0015, 0.0025),
+        pols = Seq(1), chans = Seq(0))
+      val out = ImageOps.region(masked, "region0",
+        raRange = (0.4985, 0.5025), decRange = (-0.3025, -0.2985),
+        lRange = (-0.0025, 0.0015), mRange = (-0.0015, 0.0025),
+        pols = Seq(1), chans = Seq(0))
+      out.select("l_idx", "m_idx", "chan", "pol", "mask0", "region0")
+    },
+    s"""WITH px AS ($skyGridSql),
+      |world AS (
+      |  SELECT *,
+      |    0.5 + atan2(l, sqrt(1.0 - l*l - m*m) * cos(-0.3) - m * sin(-0.3)) AS ra,
+      |    asin(m * cos(-0.3) + sqrt(1.0 - l*l - m*m) * sin(-0.3)) AS dec
+      |  FROM px),
+      |g AS (SELECT w.*, c.chan, p.pol
+      |      FROM world w
+      |      CROSS JOIN (VALUES (0), (1)) c(chan) CROSS JOIN (VALUES (1), (2)) p(pol)),
+      |b AS (SELECT *,
+      |  (ra > 0.4985 AND ra < 0.5025 AND dec > -0.3025 AND dec < -0.2985) AS in_world,
+      |  (l > -0.0025 AND l < 0.0015 AND m > -0.0015 AND m < 0.0025) AS in_pix
+      |  FROM g)
+      |SELECT l_idx, m_idx, chan, pol,
+      |  (NOT in_world AND NOT in_pix AND pol <> 1 AND chan <> 0) AS mask0,
+      |  ((in_world OR in_pix) AND pol = 1 AND chan = 0) AS region0
+      |FROM b""".stripMargin)
+
+  private val stokesToCorrQ = Q(
+    (s, d) => {
+      val stokes = li(s, d)
+        .withColumn("pol", (col("chan") % 4 + 1).cast("int"))
+        .groupBy(col("l_orderkey"), col("pol"))
+        .agg(c(avg(col("l_quantity")), avg(col("l_discount"))).as("value"))
+      val out = ImageOps.stokesToCorr(stokes, Seq("l_orderkey"), "pol", "value")
+      out.select(col("l_orderkey"), col("pol"),
+        qround(col("value.re"), 6).as("value_re"),
+        qround(col("value.im"), 6).as("value_im"))
+    },
+    """WITH s AS (SELECT l_orderkey, ((l_linenumber - 1) % 4) + 1 AS pol,
+      |             avg(l_quantity) AS re, avg(l_discount) AS im
+      |           FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT l_orderkey,
+      |  max(CASE WHEN pol = 1 THEN re END) AS i_re, max(CASE WHEN pol = 1 THEN im END) AS i_im,
+      |  max(CASE WHEN pol = 2 THEN re END) AS q_re, max(CASE WHEN pol = 2 THEN im END) AS q_im,
+      |  max(CASE WHEN pol = 3 THEN re END) AS u_re, max(CASE WHEN pol = 3 THEN im END) AS u_im,
+      |  max(CASE WHEN pol = 4 THEN re END) AS v_re, max(CASE WHEN pol = 4 THEN im END) AS v_im
+      |  FROM s GROUP BY 1)
+      |SELECT l_orderkey, 9 AS pol,
+      |  floor((i_re + q_re) * 1000000.0 + 0.5) / 1000000.0 AS value_re,
+      |  floor((i_im + q_im) * 1000000.0 + 0.5) / 1000000.0 AS value_im FROM p
+      |UNION ALL SELECT l_orderkey, 10,
+      |  floor((u_re - v_im) * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((u_im + v_re) * 1000000.0 + 0.5) / 1000000.0 FROM p
+      |UNION ALL SELECT l_orderkey, 11,
+      |  floor((u_re + v_im) * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((u_im - v_re) * 1000000.0 + 0.5) / 1000000.0 FROM p
+      |UNION ALL SELECT l_orderkey, 12,
+      |  floor((i_re - q_re) * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((i_im - q_im) * 1000000.0 + 0.5) / 1000000.0 FROM p""".stripMargin)
+
+  private val decimateQ = Q(
+    (s, d) => StatsOps.decimate(li(s, d), strides = Map("chan" -> 2),
+      keys = Seq("l_returnflag"), values = Seq("l_quantity", "l_extendedprice")),
+    """SELECT l_linenumber - 1 AS chan, l_returnflag,
+      |  max(l_quantity) AS l_quantity, max(l_extendedprice) AS l_extendedprice
+      |FROM lineitem WHERE (l_linenumber - 1) % 2 = 0
+      |GROUP BY 1, 2""".stripMargin)
+
   // -------------------------------------------------------------- describe
 
   private val describeVisQ = Q(
@@ -413,5 +575,12 @@ object Queries {
     "join_dataset" -> joinDatasetQ,
     "remap_fact_key" -> remapFactKeyQ,
     "complex_math" -> complexMathQ,
-    "describe_vis" -> describeVisQ)
+    "describe_vis" -> describeVisQ,
+    "uv_cont_fit" -> uvContFitQ,
+    "cont_sub" -> contSubQ,
+    "fit_metrics" -> fitMetricsQ,
+    "make_empty_sky_image" -> makeEmptySkyImageQ,
+    "mask_region" -> maskRegionQ,
+    "stokes_to_corr" -> stokesToCorrQ,
+    "decimate" -> decimateQ)
 }

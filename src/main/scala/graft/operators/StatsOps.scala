@@ -103,4 +103,19 @@ object StatsOps {
       .agg(avg(abs(i - col("_gmean"))).as("mom_absmeandev"))
     main.join(amd, keys)
   }
+
+  /** visplot/implot preview decimation (cngi/vis/visplot.py:56-105,
+    * cngi/image/implot.py:20): stride-decimate the plotted axes to a
+    * bounded point count and max-collapse the remaining dims. Pure
+    * filter + hash aggregate — the filter is pushed to the scan, so a
+    * 100 TB preview reads only the strided rows' columns.
+    */
+  def decimate(df: DataFrame, strides: Map[String, Int],
+               keys: Seq[String], values: Seq[String]): DataFrame = {
+    val kept = strides.map { case (c, s) => pmod(col(c), lit(s)) === 0 }
+      .reduceOption(_ && _).getOrElse(lit(true))
+    val groupCols = (strides.keys.toSeq ++ keys).map(col)
+    val aggs = values.map(v => max(col(v)).as(v))
+    df.where(kept).groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
 }
