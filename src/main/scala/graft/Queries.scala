@@ -582,5 +582,5 @@ object Queries {
     "make_empty_sky_image" -> makeEmptySkyImageQ,
     "mask_region" -> maskRegionQ,
     "stokes_to_corr" -> stokesToCorrQ,
-    "decimate" -> decimateQ)
+    "decimate" -> decimateQ) ++ QueriesLlm.all
 }

@@ -1,0 +1,321 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.Queries.{Q, qround}
+
+/** Driver-contract queries for the LLM-training-data-pipeline operators
+  * (dedup / similarity / text analysis / multimodal).
+  *
+  * The oracle SQL is GENERATED from the same constants the Scala
+  * operators use (hash base/modulus, minhash seeds, hyperplanes), so
+  * both engines compute identical integers; floating outputs use the
+  * same portable quantization as Queries.
+  */
+object QueriesLlm {
+
+  private val M = TextOps.HashMod
+  private val B = TextOps.HashBase
+
+  // ---------------------------------------------------------- SQL builders
+
+  /** DuckDB polynomial string hash — mirrors TextOps.polyHash. */
+  private def phSql(s: String): String =
+    s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
+      s"list_transform(generate_series(1, length($s)), i_ -> " +
+      s"CAST(ascii(substr($s, i_, 1)) AS BIGINT))), " +
+      s"(acc_, x_) -> (acc_ * $B + x_) % $M)"
+
+  /** word-hash list — mirrors TextOps.wordHashes. */
+  private def whSql(s: String): String =
+    s"list_transform(string_split($s, ' '), w_ -> ${phSql("w_")})"
+
+  /** distinct 3-word shingle hashes — mirrors TextOps.shingleHashes(_, 3). */
+  private def shSql(wh: String): String = {
+    val w2 = B * B % M
+    s"CASE WHEN len($wh) >= 3 THEN list_distinct(" +
+      s"list_transform(generate_series(1, len($wh) - 2), i_ -> " +
+      s"(($wh[i_] * $w2 % $M) + ($wh[i_ + 1] * $B % $M) + $wh[i_ + 2]) % $M)) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+  }
+
+  /** fold-order-exact dot product of two DOUBLE[] — mirrors SimilarityOps.dot. */
+  private def dotSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i_ -> $a[i_] * $b[i_])), " +
+      s"(x_, y_) -> x_ + y_)"
+
+  private def qrSql(expr: String, d: Int): String = {
+    val s = "1" + "0" * d
+    s"floor(($expr) * $s.0 + 0.5) / $s.0"
+  }
+
+  // ------------------------------------------------------------- dedup
+
+  private val dedupExactQ = Q(
+    (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text"),
+    s"""SELECT ${phSql("text")} AS text_hash, min(doc_id) AS doc_id,
+       |  count(*) AS n_dupes
+       |FROM documents GROUP BY 1""".stripMargin)
+
+  /** corpus with synthetic near-dups: 20 lightly-mutated copies. */
+  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+    val docs = Tables.documents(s, d).select("doc_id", "text")
+    docs.unionByName(docs.where(col("doc_id") < 20)
+      .select((col("doc_id") + 10000).as("doc_id"),
+        concat(col("text"), lit(" extra")).as("text")))
+  }
+
+  private val dupCorpusSql =
+    """corpus AS (SELECT doc_id, text FROM documents
+      |  UNION ALL SELECT doc_id + 10000, text || ' extra'
+      |  FROM documents WHERE doc_id < 20)""".stripMargin
+
+  private def sigSqlEntries: String =
+    (0 until 16).map { j =>
+      val (a, b) = (DedupOps.minHashA(j), DedupOps.minHashB(j))
+      s"list_min(list_transform(sh, s_ -> ($a * s_ + $b) % $M))"
+    }.mkString("[", ", ", "]")
+
+  private val dedupMinhashQ = Q(
+    (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+        qround(col("jaccard"), 6).as("jaccard")),
+    s"""WITH $dupCorpusSql,
+       |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
+       |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
+       |bands AS (
+       |  SELECT doc_id, b, (sig[2*b + 1] * $B + sig[2*b + 2]) % $M AS band_hash
+       |  FROM sig CROSS JOIN generate_series(0, 7) t(b)),
+       |cand AS (
+       |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
+       |ver AS (
+       |  SELECT id1, id2,
+       |    len(list_intersect(s1.sh, s2.sh)) AS n_inter,
+       |    len(list_distinct(list_concat(s1.sh, s2.sh))) AS n_union
+       |  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
+       |            JOIN sh s2 ON cand.id2 = s2.doc_id)
+       |SELECT id1, id2, n_inter, n_union,
+       |  ${qrSql("CAST(n_inter AS DOUBLE) / n_union", 6)} AS jaccard
+       |FROM ver
+       |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+
+  private val dedupSimhashQ = Q(
+    (s, d) => Tables.documents(s, d)
+      .select(col("doc_id"), DedupOps.simHash(col("text"), 16).as("simhash")),
+    {
+      val bitTerms = (0 until 16).map { b =>
+        s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
+          s"CASE WHEN (h_ >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH w AS (SELECT doc_id, ${whSql("text")} AS wh FROM documents)
+         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM w""".stripMargin
+    })
+
+  private val ngramJaccardQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(col("doc_id") < 250)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 250).as("id2"))
+      DedupOps.jaccardOnPairs(pairs, docs, "doc_id", "text")
+        .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+          qround(col("jaccard"), 6).as("jaccard"))
+    },
+    s"""WITH sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM documents),
+       |pairs AS (SELECT doc_id AS id1, doc_id + 250 AS id2 FROM documents
+       |          WHERE doc_id < 250)
+       |SELECT id1, id2,
+       |  len(list_intersect(s1.sh, s2.sh)) AS n_inter,
+       |  len(list_distinct(list_concat(s1.sh, s2.sh))) AS n_union,
+       |  CASE WHEN len(list_distinct(list_concat(s1.sh, s2.sh))) > 0
+       |    THEN ${qrSql("CAST(len(list_intersect(s1.sh, s2.sh)) AS DOUBLE) / len(list_distinct(list_concat(s1.sh, s2.sh)))", 6)}
+       |    ELSE 0.0 END AS jaccard
+       |FROM pairs JOIN sh s1 ON pairs.id1 = s1.doc_id
+       |           JOIN sh s2 ON pairs.id2 = s2.doc_id""".stripMargin)
+
+  // -------------------------------------------------------- similarity
+
+  private val annTopkQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.bruteForceTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"),
+          qround(col("cosine"), 8).as("cosine"), col("rank"))
+    },
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT vec_id AS query_id, v AS qv FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_
+       |  FROM e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, ${qrSql("cos_", 8)} AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin)
+
+  /** SQL for the hyperplane bucket of DOUBLE[] column v — mirrors
+    * SimilarityOps.hyperplaneBucket(dim=64, nplanes=8).
+    */
+  private def bucketSql(v: String): String =
+    (0 until 8).map { i =>
+      val hp = s"list_transform(generate_series(1, 64), j_ -> " +
+        s"CAST((($i * 64 + j_ - 1) * 2654435761) % 1000 AS DOUBLE) / " +
+        s"CAST(1000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
+      s"CASE WHEN ${dotSql(v, hp)} > 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString("(", " + ", ")")
+
+  private val annLshQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.lshTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          qround(col("cosine"), 8).as("cosine"), col("rank"))
+    },
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+       |scored AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+       |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_
+       |  FROM e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, bucket, cos_,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, bucket, ${qrSql("cos_", 8)} AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin)
+
+  private val embedNearDupQ = Q(
+    (s, d) => SimilarityOps.nearDupPairs(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, threshold = 0.2)
+      .select(col("id1"), col("id2"), qround(col("cosine"), 8).as("cosine")),
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cos_
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id)
+       |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
+       |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
+
+  // ------------------------------------------------------ text analysis
+
+  private val tokenCountQ = Q(
+    (s, d) => TextOps.tokenCounts(Tables.documents(s, d), "text")
+      .select("doc_id", "n_words", "n_tokens_regex"),
+    """SELECT doc_id, len(string_split(text, ' ')) AS n_words,
+      |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_tokens_regex
+      |FROM documents""".stripMargin)
+
+  private val textQualityQ = Q(
+    (s, d) => TextOps.qualityScore(Tables.documents(s, d), "text")
+      .select(col("doc_id"), col("n_chars_q"),
+        qround(col("punct_ratio"), 8).as("punct_ratio"),
+        qround(col("stopword_ratio"), 8).as("stopword_ratio"),
+        qround(col("mean_word_len"), 8).as("mean_word_len"),
+        qround(col("quality_score"), 8).as("quality_score")),
+    s"""WITH t AS (
+       |  SELECT doc_id, text, length(text) AS n_chars_q,
+       |    string_split(text, ' ') AS ws,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')) AS n_punct
+       |  FROM documents),
+       |u AS (
+       |  SELECT doc_id, n_chars_q, n_punct, len(ws) AS n_words,
+       |    len(list_filter(ws, w_ -> w_ IN ('the','a','of','and','to','in','is'))) AS n_stop,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ws, w_ -> CAST(length(w_) AS BIGINT))),
+       |      (x_, y_) -> x_ + y_) AS sum_wlen
+       |  FROM t)
+       |SELECT doc_id, n_chars_q,
+       |  ${qrSql("CAST(n_punct AS DOUBLE) / n_chars_q", 8)} AS punct_ratio,
+       |  ${qrSql("CAST(n_stop AS DOUBLE) / n_words", 8)} AS stopword_ratio,
+       |  ${qrSql("CAST(sum_wlen AS DOUBLE) / n_words", 8)} AS mean_word_len,
+       |  ${qrSql(
+      "(CASE WHEN n_words >= 5 AND CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 2.0 AND 12.0 " +
+        "THEN 1.0 ELSE 0.0 END) * (1.0 - least(CAST(n_punct AS DOUBLE) / n_words, 1.0))", 8)} AS quality_score
+       |FROM u""".stripMargin)
+
+  private val fingerprintQ = Q(
+    (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
+      .select("doc_id", "fp_hash", "fp_min_shingle"),
+    s"""SELECT doc_id, ${phSql("text")} AS fp_hash,
+       |  list_min(${shSql(whSql("text"))}) AS fp_min_shingle
+       |FROM documents""".stripMargin)
+
+  private val langIdQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.languageId(docs, "doc_id", "text", docs, "text", "lang")
+        .select(col("doc_id"), col("lang_pred"),
+          qround(col("lang_score"), 4).as("lang_score"))
+    },
+    """WITH tok AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS word FROM documents),
+      |counts AS (SELECT lang, word, count(*) AS cwl FROM tok GROUP BY 1, 2),
+      |totals AS (SELECT lang, count(*) AS cl FROM tok GROUP BY 1),
+      |vocab AS (SELECT count(DISTINCT word) AS v FROM counts),
+      |profile AS (
+      |  SELECT c.lang, c.word,
+      |    ln((c.cwl + 1) / CAST(t.cl + vocab.v AS DOUBLE)) AS logp
+      |  FROM counts c JOIN totals t ON c.lang = t.lang CROSS JOIN vocab),
+      |floors AS (
+      |  SELECT lang, ln(1.0 / CAST(cl + vocab.v AS DOUBLE)) AS floor_logp
+      |  FROM totals CROSS JOIN vocab),
+      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |scored AS (
+      |  SELECT dw.doc_id, f.lang,
+      |    sum(COALESCE(p.logp, f.floor_logp)) AS score
+      |  FROM dw CROSS JOIN floors f
+      |  LEFT JOIN profile p ON p.lang = f.lang AND p.word = dw.word
+      |  GROUP BY 1, 2)
+      |SELECT doc_id,
+      |  (array_agg(lang ORDER BY score DESC, lang DESC))[1] AS lang_pred,
+      |  floor(max(score) * 10000.0 + 0.5) / 10000.0 AS lang_score
+      |FROM scored GROUP BY 1""".stripMargin)
+
+  // -------------------------------------------------------- multimodal
+
+  private val multimodalQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.extractFeatures(s, media).toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          col("byte_sum"), qround(col("byte_mean"), 8).as("byte_mean"),
+          col("frames_sampled"))
+    },
+    s"""WITH b AS (
+       |  SELECT doc_id AS media_id, 'img/fake' AS format,
+       |    CAST(length(text) AS BIGINT) AS n_bytes,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(generate_series(1, length(text)), i_ ->
+       |        CAST(ascii(substr(text, i_, 1)) AS BIGINT))),
+       |      (x_, y_) -> x_ + y_) AS byte_sum
+       |  FROM documents)
+       |SELECT media_id, format, n_bytes, byte_sum,
+       |  ${qrSql("CAST(byte_sum AS DOUBLE) / n_bytes", 8)} AS byte_mean,
+       |  CAST((n_bytes + 15) // 16 AS INT) AS frames_sampled
+       |FROM b""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "dedup_exact" -> dedupExactQ,
+    "dedup_minhash" -> dedupMinhashQ,
+    "dedup_simhash" -> dedupSimhashQ,
+    "ngram_jaccard" -> ngramJaccardQ,
+    "ann_topk" -> annTopkQ,
+    "ann_lsh" -> annLshQ,
+    "embed_neardup" -> embedNearDupQ,
+    "token_count" -> tokenCountQ,
+    "text_quality" -> textQualityQ,
+    "fingerprint" -> fingerprintQ,
+    "lang_id" -> langIdQ,
+    "multimodal_features" -> multimodalQ)
+}

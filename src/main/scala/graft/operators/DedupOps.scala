@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import TextOps.{HashMod, shingleHashes}
+
+/** Deduplication operators for training-data pipelines: exact,
+  * MinHash-LSH near-dup, SimHash, and n-gram Jaccard verification.
+  *
+  * 100 TB story (stated per the builder brief):
+  *  - exactDedup is one hash aggregate on the text hash — map-side
+  *    combine collapses duplicates before the shuffle, so the shuffle
+  *    carries one row per distinct hash, not per document.
+  *  - MinHash-LSH never forms all pairs: documents are exploded to
+  *    (band, bandHash) keys (b rows/doc) and candidates come from a
+  *    self-equi-join on those keys — the classic banding scheme whose
+  *    cost is proportional to the number of truly-colliding pairs.
+  *    The exact-Jaccard verification runs only on candidates.
+  *  - Band skew (a degenerate band bucket with k docs producing k^2
+  *    pairs) is the known hot spot: bucket sizes are bounded by
+  *    `maxBucket` (drop pathological buckets, standard practice).
+  */
+object DedupOps {
+
+  /** Exact dedup by content hash: one row per distinct text with the
+    * smallest id as representative and the duplicate count.
+    */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.groupBy(TextOps.polyHash(col(textCol)).as("text_hash"))
+      .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
+
+  /** Keep one representative row per distinct text. */
+  def dropExactDupes(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val reps = exactDedup(df, idCol, textCol).select(idCol)
+    df.join(reps, Seq(idCol), "left_semi")
+  }
+
+  /** MinHash signature as an array column: minhash_j = min over the
+    * shingle set S of (a_j * s + b_j) mod M. The (a_j, b_j) constants
+    * are deterministic functions of j, shared with the oracle SQL.
+    */
+  def minHashA(j: Int): Long = (2L * j + 1) * 1299709L % HashMod
+  def minHashB(j: Int): Long = (j + 1) * 15485863L % HashMod
+
+  def minHashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map { j =>
+      array_min(transform(shingles,
+        s => (lit(minHashA(j)) * s + lit(minHashB(j))) % lit(HashMod)))
+    }: _*)
+
+  /** LSH banding: rows (id, band, band_hash), one per band. */
+  def lshBands(df: DataFrame, idCol: String, sigCol: String,
+               bands: Int, rowsPerBand: Int): DataFrame = {
+    val bandHashes = array((0 until bands).map { b =>
+      (0 until rowsPerBand)
+        .map(r => get(col(sigCol), lit(b * rowsPerBand + r)) *
+          lit(Seq.fill(rowsPerBand - 1 - r)(TextOps.HashBase).product % HashMod) %
+          lit(HashMod))
+        .reduce(_ + _) % lit(HashMod)
+    }: _*)
+    df.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
+      .where(col("band_hash").isNotNull) // docs with no shingles drop out
+  }
+
+  /** Candidate pairs (id1 < id2) from MinHash-LSH banding over n-word
+    * shingles, with per-bucket size cap against degenerate skew.
+    */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sigs = df.select(col(idCol),
+      minHashSignature(shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
+    val bandRows = lshBands(sigs, idCol, "sig", bands, numHashes / bands)
+    val bounded = bandRows
+      .withColumn("_bn", count(lit(1))
+        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+      .where(col("_bn") <= maxBucket).drop("_bn")
+    val a = bounded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+    val b = bounded.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+    a.join(b, Seq("band", "band_hash"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2").distinct()
+  }
+
+  /** Exact n-gram Jaccard similarity for given id pairs — the
+    * verification stage after LSH candidate generation. Set sizes are
+    * integers, so the ratio is engine-exact.
+    */
+  def jaccardOnPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                     textCol: String, shingleN: Int = 3): DataFrame = {
+    val sh = docs.select(col(idCol),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    pairs
+      .join(sh.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("n_union", size(array_union(col("sh1"), col("sh2"))))
+      .withColumn("jaccard",
+        when(col("n_union") > 0,
+          col("n_inter").cast("double") / col("n_union")).otherwise(lit(0.0)))
+      .select("id1", "id2", "n_inter", "n_union", "jaccard")
+  }
+
+  /** MinHash-LSH near-dup end to end: candidates -> exact-Jaccard
+    * verify -> pairs above threshold.
+    */
+  def minHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     threshold: Double, shingleN: Int = 3,
+                     numHashes: Int = 16, bands: Int = 8): DataFrame = {
+    val cands = minHashCandidates(df, idCol, textCol, shingleN, numHashes, bands)
+    jaccardOnPairs(cands, df, idCol, textCol, shingleN)
+      .where(col("jaccard") >= threshold)
+  }
+
+  /** SimHash: nbits-bit signature from word-hash bit votes — documents
+    * with small Hamming distance between signatures are near-dups.
+    * Pure expressions: per bit, sum +/-1 votes over the word hashes,
+    * then assemble the sign bits into one long.
+    */
+  def simHash(textCol: Column, nbits: Int = 16): Column = {
+    val wh = TextOps.wordHashes(textCol)
+    val bits = (0 until nbits).map { b =>
+      val vote = aggregate(wh, lit(0L),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L)
+          .otherwise(-1L))
+      when(vote > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDist(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+}

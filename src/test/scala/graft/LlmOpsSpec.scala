@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+class LlmOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog"),
+    (1L, "the quick brown fox jumps over the lazy cat"),
+    (2L, "completely different words entirely here now"),
+    (3L, "the quick brown fox jumps over the lazy dog")) // exact dup of 0
+    .toDF("doc_id", "text")
+
+  test("exactDedup groups identical texts and keeps min id") {
+    val out = DedupOps.exactDedup(docs, "doc_id", "text")
+    assert(out.count() === 3)
+    val dup = out.where(col("n_dupes") === 2).head()
+    assert(dup.getAs[Long]("doc_id") === 0L)
+    assert(DedupOps.dropExactDupes(docs, "doc_id", "text").count() === 3)
+  }
+
+  test("shingleHashes: distinct shingles, short docs empty") {
+    val sh = Seq((0L, "a b c d"), (1L, "a b")).toDF("id", "t")
+      .select(col("id"), TextOps.shingleHashes(col("t"), 3).as("sh"))
+      .collect().map(r => r.getAs[Long]("id") -> r.getSeq[Long](1)).toMap
+    assert(sh(0L).length === 2) // (a b c), (b c d)
+    assert(sh(1L).isEmpty)
+  }
+
+  test("minHashNearDup finds the near-dup pair, not the unrelated one") {
+    val out = DedupOps.minHashNearDup(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(out.contains((0L, 3L))) // exact dup -> jaccard 1
+    assert(out.contains((0L, 1L)) || out.contains((1L, 3L))) // near dup
+    assert(!out.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
+  }
+
+  test("jaccard of identical docs is 1, of disjoint docs is 0") {
+    val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id1", "id2")
+    val j = DedupOps.jaccardOnPairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")) ->
+        r.getAs[Double]("jaccard")).toMap
+    assert(j((0L, 3L)) === 1.0)
+    assert(j((0L, 2L)) === 0.0)
+  }
+
+  test("simHash: identical docs equal, near docs closer than far docs") {
+    val sh = docs.select(col("doc_id"), DedupOps.simHash(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sh(0L) === sh(3L))
+    def ham(a: Long, b: Long) = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sh(0L), sh(1L)) < ham(sh(0L), sh(2L)))
+  }
+
+  test("cosine: orthogonal = 0, parallel = 1, antiparallel = -1") {
+    val df = Seq(
+      (Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (Array(1.0f, 2.0f), Array(2.0f, 4.0f)),
+      (Array(1.0f, 0.0f), Array(-3.0f, 0.0f))).toDF("a", "b")
+    val cs = df.select(SimilarityOps.cosine(
+      transform(col("a"), _.cast("double")),
+      transform(col("b"), _.cast("double"))).as("c"))
+      .as[Double].collect()
+    assert(approx(cs(0), 0.0) && approx(cs(1), 1.0) && approx(cs(2), -1.0))
+  }
+
+  test("bruteForceTopK returns k ranked neighbors, self excluded") {
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0.0f, 1.0f)), (3L, Array(1.0f, 0.05f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.bruteForceTopK(
+      emb.where(col("vec_id") === 0), emb, "vec_id", "vec_id", "embedding", k = 2)
+    val got = out.orderBy("rank").select("neighbor_id").as[Long].collect()
+    assert(got.toSeq === Seq(3L, 1L)) // 3 is most aligned with 0
+  }
+
+  test("lshTopK only scores bucket collisions; identical vectors collide") {
+    val emb = Seq(
+      (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
+      (2L, Array.fill(64)(-0.5f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.lshTopK(emb.where(col("vec_id") === 0), emb,
+      "vec_id", "vec_id", "embedding", dim = 64, k = 5)
+    val ids = out.select("neighbor_id").as[Long].collect().toSet
+    assert(ids.contains(1L)) // same vector -> same bucket
+    assert(!ids.contains(2L)) // opposite vector -> opposite bits
+  }
+
+  test("tokenCounts and qualityScore on a known sentence") {
+    val df = Seq((0L, "the cat sat on a mat!")).toDF("doc_id", "text")
+    val t = TextOps.tokenCounts(df, "text").head()
+    assert(t.getAs[Int]("n_words") === 6)
+    val q = TextOps.qualityScore(df, "text").head()
+    assert(q.getAs[Double]("stopword_ratio") === 2.0 / 6) // "the", "a"
+    assert(approx(q.getAs[Double]("punct_ratio"), 1.0 / 21))
+  }
+
+  test("languageId recovers the training labels on separable data") {
+    val train = Seq(
+      ("aa bb aa cc aa", "x"), ("aa cc bb aa", "x"),
+      ("zz yy zz ww zz", "y"), ("yy zz ww ww", "y")).toDF("text", "lang")
+    val docs = Seq((0L, "aa bb cc"), (1L, "zz ww yy")).toDF("doc_id", "text")
+    val out = TextOps.languageId(docs, "doc_id", "text", train, "text", "lang")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang_pred")).toMap
+    assert(out(0L) === "x" && out(1L) === "y")
+  }
+
+  test("multimodal: packMedia + extractFeatures + frameSample plumbing") {
+    val media = MultimodalOps.packMedia(docs, "doc_id", "text")
+    assert(media.schema("content").dataType.typeName === "binary")
+    val feats = MultimodalOps.extractFeatures(spark, media).collect()
+    val f0 = feats.find(_.media_id == 0L).get
+    val text0 = "the quick brown fox jumps over the lazy dog"
+    assert(f0.n_bytes === text0.length)
+    assert(f0.byte_sum === text0.getBytes("UTF-8").map(_ & 0xff).map(_.toLong).sum)
+    val frames = MultimodalOps.frameSample(spark, media, blockSize = 8, stride = 2)
+    assert(frames.where(col("media_id") === 0).count() ===
+      ((text0.length + 7) / 8 + 1) / 2)
+  }
+}
