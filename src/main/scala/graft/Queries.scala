@@ -553,6 +553,35 @@ object Queries {
       |  min(l_shipdate) AS time_min, max(l_shipdate) AS time_max
       |FROM lineitem GROUP BY 1""".stripMargin)
 
+  // -------------------------------------------------------------------- io
+
+  private val writeReadRoundtripQ = Q(
+    (s, d) => {
+      // write partitioned+zstd, read back with partition pruning, then
+      // aggregate — matching the oracle run directly on the source table
+      // proves the round trip is lossless.
+      val path = s"/tmp/graft_roundtrip_${math.abs(d.hashCode)}"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
+      sources.IoOps.writeVis(
+        Tables.lineitem(s, d).select(cols.map(col): _*), path,
+        partitionBy = Seq("l_returnflag"), repartitionTo = Some(4))
+      val back = sources.IoOps.readVis(s, path,
+        partitionFilter = Map("l_returnflag" -> Seq("R")))
+      back.groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(avg(col("l_extendedprice")), 4).as("avg_price"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(avg(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS avg_price,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem WHERE l_returnflag = 'R'
+      |GROUP BY 1, 2""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -582,5 +611,6 @@ object Queries {
     "make_empty_sky_image" -> makeEmptySkyImageQ,
     "mask_region" -> maskRegionQ,
     "stokes_to_corr" -> stokesToCorrQ,
-    "decimate" -> decimateQ) ++ QueriesLlm.all
+    "decimate" -> decimateQ,
+    "write_read_roundtrip" -> writeReadRoundtripQ) ++ QueriesLlm.all
 }

