@@ -612,5 +612,6 @@ object Queries {
     "mask_region" -> maskRegionQ,
     "stokes_to_corr" -> stokesToCorrQ,
     "decimate" -> decimateQ,
-    "write_read_roundtrip" -> writeReadRoundtripQ) ++ QueriesLlm.all
+    "write_read_roundtrip" -> writeReadRoundtripQ) ++
+    QueriesLlm.all ++ QueriesImaging.all
 }

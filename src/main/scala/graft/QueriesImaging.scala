@@ -1,0 +1,220 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.GridOps
+import graft.operators.GridOps.GridParams
+import graft.Queries.{Q, qround}
+
+/** Driver-contract queries for the imaging chain. The DuckDB oracles
+  * recompute the gridder as an explode + group-by (49 kernel taps per
+  * visibility) and the FFT as a direct DFT over the touched grid
+  * cells; the PSWF kernel / correction tables are embedded as literal
+  * lists GENERATED from the very same Scala functions the operator
+  * uses, so both engines look up identical doubles.
+  */
+object QueriesImaging {
+
+  private val P = GridParams((32, 32), (0.002, 0.002),
+    imageSize = Some((16, 16)))
+  private val Freq = 1.5e9
+
+  /** deterministic uv fixture from lineitem, identical in both engines */
+  private def visFixture(s: SparkSession, d: String): DataFrame =
+    Tables.lineitem(s, d).select(
+      col("l_orderkey"), col("l_linenumber"),
+      lit(0).as("img_chan"),
+      (col("l_linenumber") % 2).cast("int").as("pol"),
+      (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+      ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+      col("l_tax").as("re"), col("l_discount").as("im"),
+      (col("l_discount") + 0.5).as("weight"),
+      lit(Freq).as("freq"))
+
+  private val visFixtureSql =
+    s"""SELECT l_orderkey, l_linenumber, 0 AS img_chan,
+       |  CAST(l_linenumber % 2 AS INT) AS pol,
+       |  l_extendedprice % 60.0 - 30.0 AS u,
+       |  (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+       |  l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+       |  1500000000.0 AS freq
+       |FROM lineitem""".stripMargin
+
+  private def fmt(d: Double): String = {
+    val s = "%.17e".format(d)
+    s
+  }
+
+  private def litList(a: Array[Double]): String =
+    a.map(fmt).mkString("[", ", ", "]")
+
+  // kernel geometry shared by Scala and SQL: scale, center, rounding
+  private val geomSql =
+    s"""SELECT *,
+       |  u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
+       |  v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
+       |FROM fx""".stripMargin
+
+  private val idxSql =
+    """SELECT *,
+      |  CAST(floor(u_pos + 0.5) AS INT) AS uc,
+      |  CAST(floor(v_pos + 0.5) AS INT) AS vc,
+      |  re * weight AS wre, im * weight AS wim
+      |FROM geom
+      |WHERE CAST(floor(u_pos + 0.5) AS INT) + 3 < 32
+      |  AND CAST(floor(v_pos + 0.5) AS INT) + 3 < 32
+      |  AND CAST(floor(u_pos + 0.5) AS INT) - 3 >= 0
+      |  AND CAST(floor(v_pos + 0.5) AS INT) - 3 >= 0""".stripMargin
+
+  private def fracSql(doPsf: Boolean) = {
+    val (wre, wim, gate) =
+      if (doPsf) ("weight", "0.0", "weight <> 0.0")
+      else ("wre", "wim", "(wre <> 0.0 OR wim <> 0.0)")
+    s"""SELECT *,
+       |  CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+       |  CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac,
+       |  $wre AS gre, $wim AS gim
+       |FROM idx WHERE $gate""".stripMargin
+  }
+
+  /** the 49-tap scatter, exploded: one row per (vis, du, dv), conv<>0 */
+  private def tapsSql: String =
+    s"""SELECT pol, uc + du AS u_idx, vc + dv AS v_idx,
+       |  cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv,
+       |  gre, gim
+       |FROM frac
+       |CROSS JOIN generate_series(-3, 3) tu(du)
+       |CROSS JOIN generate_series(-3, 3) tv(dv)
+       |CROSS JOIN cgk
+       |WHERE cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] <> 0.0""".stripMargin
+
+  private def gridCtes(doPsf: Boolean): String =
+    s"""fx AS ($visFixtureSql),
+       |cgk AS (SELECT ${litList(GridOps.cgk1D(100, 7))}::DOUBLE[] AS t),
+       |geom AS ($geomSql),
+       |idx AS ($idxSql),
+       |frac AS (${fracSql(doPsf)}),
+       |taps AS ($tapsSql)""".stripMargin
+
+  private val makeGridQ = Q(
+    (s, d) => {
+      val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P)
+      grid.select(col("img_chan"), col("pol"), col("u_idx"), col("v_idx"),
+        qround(col("grid_re"), 6).as("grid_re"),
+        qround(col("grid_im"), 6).as("grid_im"))
+    },
+    s"""WITH ${gridCtes(doPsf = false)}
+       |SELECT 0 AS img_chan, pol, u_idx, v_idx,
+       |  floor(sum(conv * gre) * 1000000.0 + 0.5) / 1000000.0 AS grid_re,
+       |  floor(sum(conv * gim) * 1000000.0 + 0.5) / 1000000.0 AS grid_im
+       |FROM taps GROUP BY 2, 3, 4""".stripMargin)
+
+  private val gridSumWeightQ = Q(
+    (s, d) => {
+      val (_, sumW) = GridOps.makeGrid(s, visFixture(s, d), P)
+      sumW.select(col("img_chan"), col("pol"),
+        qround(col("sum_weight"), 4).as("sum_weight"))
+    },
+    s"""WITH fx AS ($visFixtureSql),
+       |cgk AS (SELECT ${litList(GridOps.cgk1D(100, 7))}::DOUBLE[] AS t),
+       |geom AS ($geomSql),
+       |idx AS ($idxSql),
+       |frac AS (${fracSql(doPsf = false)}),
+       |norms AS (
+       |  SELECT pol, weight,
+       |    list_sum(list_transform(generate_series(-3, 3), du_ ->
+       |      cgk.t[abs(100 * du_ + ufrac) + 1])) *
+       |    list_sum(list_transform(generate_series(-3, 3), dv_ ->
+       |      cgk.t[abs(100 * dv_ + vfrac) + 1])) AS norm
+       |  FROM frac CROSS JOIN cgk)
+       |SELECT 0 AS img_chan, pol,
+       |  floor(sum(weight * norm) * 10000.0 + 0.5) / 10000.0 AS sum_weight
+       |FROM norms GROUP BY 2""".stripMargin)
+
+  private val makePsfGridQ = Q(
+    (s, d) => {
+      val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P, doPsf = true)
+      grid.select(col("img_chan"), col("pol"), col("u_idx"), col("v_idx"),
+        qround(col("grid_re"), 6).as("grid_re"),
+        qround(col("grid_im"), 6).as("grid_im"))
+    },
+    s"""WITH ${gridCtes(doPsf = true)}
+       |SELECT 0 AS img_chan, pol, u_idx, v_idx,
+       |  floor(sum(conv * gre) * 1000000.0 + 0.5) / 1000000.0 AS grid_re,
+       |  floor(sum(conv * gim) * 1000000.0 + 0.5) / 1000000.0 AS grid_im
+       |FROM taps GROUP BY 2, 3, 4""".stripMargin)
+
+  /** make_image: Spark does FFT+crop+normalize; the oracle recomputes
+    * each cropped pixel as a direct DFT over the gridded cells:
+    *   img[lp,mp] = Re sum G[ju,jv] e^{2 pi i ((ju-16)(lp-16)+(jv-16)(mp-16))/32}
+    * then divides by sum_weight and the PSWF correction.
+    */
+  private val makeImageQ = Q(
+    (s, d) => GridOps.makeImage(s, visFixture(s, d), P)
+      .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+        qround(col("image"), 4).as("image")),
+    s"""WITH ${gridCtes(doPsf = false)},
+       |grid AS (
+       |  SELECT pol, u_idx, v_idx,
+       |    sum(conv * gre) AS gre, sum(conv * gim) AS gim
+       |  FROM taps GROUP BY 1, 2, 3),
+       |sw AS (
+       |  SELECT pol,
+       |    list_sum(list_transform(generate_series(-3, 3), du_ ->
+       |      cgk.t[abs(100 * du_ + ufrac) + 1])) *
+       |    list_sum(list_transform(generate_series(-3, 3), dv_ ->
+       |      cgk.t[abs(100 * dv_ + vfrac) + 1])) * weight AS wn
+       |  FROM frac CROSS JOIN cgk),
+       |sumw AS (SELECT pol, sum(wn) AS sum_weight FROM sw GROUP BY 1),
+       |corr AS (SELECT ${litList(GridOps.correcting1D(32))}::DOUBLE[] AS t),
+       |px AS (
+       |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+       |  FROM generate_series(0, 15) tl(l_out) CROSS JOIN generate_series(0, 15) tm(m_out)),
+       |dft AS (
+       |  SELECT g.pol, px.l_out, px.m_out, px.lp, px.mp,
+       |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0)
+       |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0)) AS val
+       |  FROM grid g CROSS JOIN px
+       |  GROUP BY 1, 2, 3, 4, 5)
+       |SELECT 0 AS img_chan, dft.pol, l_out AS l_idx, m_out AS m_idx,
+       |  floor((val / (CASE WHEN sumw.sum_weight = 0 THEN 1.0 ELSE sumw.sum_weight END)
+       |         / (corr.t[lp + 1] * corr.t[mp + 1])) * 10000.0 + 0.5) / 10000.0 AS image
+       |FROM dft JOIN sumw ON dft.pol = sumw.pol CROSS JOIN corr""".stripMargin)
+
+  private val imagingWeightQ = Q(
+    (s, d) => GridOps.makeImagingWeight(visFixture(s, d), P, "briggs", robust = 0.5)
+      .select(col("l_orderkey"), col("l_linenumber"),
+        col("u_cell"), col("v_cell"),
+        qround(col("imaging_weight"), 8).as("imaging_weight")),
+    s"""WITH fx AS ($visFixtureSql),
+       |cells0 AS (
+       |  SELECT *,
+       |    CAST(floor(u * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_cell,
+       |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell
+       |  FROM fx),
+       |cells AS (
+       |  SELECT pol, u_cell, v_cell, sum(weight) AS cell_w FROM cells0
+       |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32
+       |  GROUP BY 1, 2, 3),
+       |fac AS (
+       |  SELECT pol,
+       |    power(5.0 * power(10.0, -0.5), 2) / (sum(cell_w * cell_w) / sum(cell_w)) AS f2
+       |  FROM cells GROUP BY 1)
+       |SELECT c0.l_orderkey, c0.l_linenumber, c0.u_cell, c0.v_cell,
+       |  floor((CASE WHEN c0.u_cell >= 0 AND c0.u_cell < 32
+       |                AND c0.v_cell >= 0 AND c0.v_cell < 32
+       |                AND c0.weight <> 0.0 AND c.cell_w IS NOT NULL
+       |                AND c.cell_w <> 0.0
+       |         THEN c0.weight / (fac.f2 * c.cell_w + 1.0)
+       |         ELSE c0.weight END) * 100000000.0 + 0.5) / 100000000.0 AS imaging_weight
+       |FROM cells0 c0
+       |LEFT JOIN cells c ON c0.pol = c.pol AND c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
+       |LEFT JOIN fac ON c0.pol = fac.pol""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "make_grid" -> makeGridQ,
+    "grid_sum_weight" -> gridSumWeightQ,
+    "make_psf_grid" -> makePsfGridQ,
+    "make_image" -> makeImageQ,
+    "imaging_weight_briggs" -> imagingWeightQ)
+}

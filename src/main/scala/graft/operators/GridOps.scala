@@ -1,0 +1,310 @@
+package graft.operators
+
+import scala.collection.mutable
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.Fft
+
+/** The standard uv-gridder and the imaging chain built on it —
+  * the reference's defining kernels (SURVEY.md §2.8, §3.3):
+  * make_grid / make_image / make_psf
+  * (ngcasa/imaging/_imaging_utils/_standard_grid.py:240-370,
+  * ngcasa/imaging/make_image.py:105-130) and make_imaging_weight
+  * (ngcasa/imaging/make_imaging_weight.py:144-255).
+  *
+  * Spark-first design (replaces the reference's hand-built dask graph
+  * + chunk-index bookkeeping, _standard_grid.py:35-120):
+  *
+  *  1. `mapPartitions` grids each INPUT partition locally into dense
+  *     per-(img_chan, pol) partial planes — no shuffle of raw
+  *     visibilities, exactly the reference's per-chunk partial grids.
+  *  2. `groupByKey(plane).reduceGroups(array add)` merges partials —
+  *     Spark's partial+final aggregation replaces `_tree_sum_list`
+  *     (_standard_grid.py:109-120); the shuffle carries only
+  *     n_input_partitions x plane_size bytes, independent of row count.
+  *  3. FFT + normalization run per merged plane inside `map` — one
+  *     task per image plane (plane fits in memory by construction;
+  *     the buffer-size math of SURVEY.md §7.3 risk 2: a plane is
+  *     8B x 2 x nU x nV, e.g. 64 MB at 2048^2 — partition the input
+  *     by chan when cube-mode planes x groups exceed executor memory).
+  *
+  * Numerics follow the reference deliberately (SURVEY.md §7.3 risk 3):
+  * fortran-style `int(x+0.5)` center rounding (_standard_grid.py:311),
+  * `floor(off*os + 0.5)` fractional kernel index, the Schwab rational
+  * PSWF approximation, and the `weighted_data != 0` contribution gate.
+  */
+object GridOps {
+
+  // ------------------------------------------------------- PSWF kernel
+
+  /** Schwab's rational approximation of the prolate spheroidal wave
+    * function (m=6, alpha=1) — _gridding_convolutional_kernels.py:101-151.
+    * Returns the gridding-correction value; the gridding kernel value
+    * is (1-u^2)*grdsf(u).
+    */
+  def grdsf(uIn: Double): Double = {
+    val u = math.abs(uIn)
+    if (u > 1.0) 0.0
+    else {
+      val (p, q, uend) =
+        if (u < 0.75)
+          (Array(8.203343e-2, -3.644705e-1, 6.278660e-1, -5.335581e-1, 2.312756e-1),
+            Array(1.0, 8.212018e-1, 2.078043e-1), 0.75)
+        else
+          (Array(4.028559e-3, -3.697768e-2, 1.021332e-1, -1.201436e-1, 6.412774e-2),
+            Array(1.0, 9.599102e-1, 2.918724e-1), 1.0)
+      val delusq = u * u - uend * uend
+      var top = p(0); var bot = q(0)
+      var k = 1
+      while (k < p.length) { top += p(k) * math.pow(delusq, k); k += 1 }
+      k = 1
+      while (k < q.length) { bot += q(k) * math.pow(delusq, k); k += 1 }
+      if (bot > 0.0) top / bot else 0.0
+    }
+  }
+
+  def kernelValue(u: Double): Double = (1.0 - u * u) * grdsf(u)
+
+  /** 1-D oversampled half-kernel lookup table
+    * (_create_prolate_spheroidal_kernel_1D): length os*(support/2+1),
+    * entry k = kernelValue(k / (os * (support/2))), zero beyond edge.
+    */
+  def cgk1D(oversampling: Int, support: Int): Array[Double] = {
+    val sc = support / 2
+    val out = new Array[Double](oversampling * (sc + 1))
+    var k = 0
+    while (k < oversampling * sc) {
+      out(k) = kernelValue(k.toDouble / (sc * oversampling)); k += 1
+    }
+    out
+  }
+
+  /** Gridding-correction 1-D profile at padded image coords:
+    * grdsf(|2 * (i - n/2) / n|) (_gridding_convolutional_kernels.py:86-93).
+    */
+  def correcting1D(n: Int): Array[Double] =
+    Array.tabulate(n)(i => grdsf(math.abs(2.0 * (i - n / 2) / n)))
+
+  val SpeedOfLight = 299792458.0
+
+  // ------------------------------------------------------- parameters
+
+  /** @param nUV padded grid size (u, v) — powers of 2 for the FFT
+    * @param deltaLM image cell size in rad (l, m)
+    * @param imageSize unpadded output image size; defaults to nUV
+    */
+  final case class GridParams(nUV: (Int, Int), deltaLM: (Double, Double),
+                              support: Int = 7, oversampling: Int = 100,
+                              imageSize: Option[(Int, Int)] = None) {
+    def nU: Int = nUV._1
+    def nV: Int = nUV._2
+    def imgSize: (Int, Int) = imageSize.getOrElse(nUV)
+  }
+
+  /** Input row contract for the gridder. img_chan is the IMAGING
+    * channel (continuum: constant 0; cube: the chan index) — the
+    * reference's chan_map (_standard_grid.py:151-156) as a column.
+    */
+  final case class GridVis(img_chan: Int, pol: Int, u: Double, v: Double,
+                           re: Double, im: Double, weight: Double, freq: Double)
+
+  /** One partial/merged uv plane. grid is interleaved [re, im] pairs,
+    * row-major over (u_idx, v_idx); touched marks cells that received
+    * any nonzero kernel contribution.
+    */
+  final case class PartialPlane(img_chan: Int, pol: Int, grid: Array[Double],
+                                touched: Array[Boolean], sum_weight: Double)
+
+  // ---------------------------------------------------------- gridding
+
+  private def gridPartition(rows: Iterator[GridVis], p: GridParams,
+                            doPsf: Boolean): Iterator[PartialPlane] = {
+    val cgk = cgk1D(p.oversampling, p.support)
+    val sc = p.support / 2
+    val (nU, nV) = (p.nU, p.nV)
+    val (cU, cV) = (nU / 2, nV / 2)
+    val planes = mutable.LinkedHashMap.empty[(Int, Int), PartialPlane]
+    for (r <- rows) {
+      // uv_scale per reference: -(freq * delta_lm * n_uv) / c
+      val u = r.u * (-(r.freq * p.deltaLM._1 * nU) / SpeedOfLight)
+      val v = r.v * (-(r.freq * p.deltaLM._2 * nV) / SpeedOfLight)
+      if (!u.isNaN && !v.isNaN) {
+        val uPos = u + cU; val vPos = v + cV
+        val uc = (uPos + 0.5).toInt; val vc = (vPos + 0.5).toInt // fortran rounding
+        if (uc + sc < nU && vc + sc < nV && uc - sc >= 0 && vc - sc >= 0) {
+          val uFrac = math.floor((uc - uPos) * p.oversampling + 0.5).toInt
+          val vFrac = math.floor((vc - vPos) * p.oversampling + 0.5).toInt
+          val (wRe, wIm, selW) =
+            if (doPsf) (r.weight, 0.0, r.weight)
+            else (r.re * r.weight, r.im * r.weight, r.weight)
+          if (!(wRe.isNaN || wIm.isNaN) && (wRe != 0.0 || wIm != 0.0)) {
+            val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
+              PartialPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
+                new Array[Boolean](nU * nV), 0.0))
+            var norm = 0.0
+            var iv = -sc
+            while (iv <= sc) {
+              val convV = cgk(math.abs(p.oversampling * iv + vFrac))
+              var iu = -sc
+              while (iu <= sc) {
+                val conv = cgk(math.abs(p.oversampling * iu + uFrac)) * convV
+                if (conv != 0.0) {
+                  val cell = (uc + iu) * nV + (vc + iv)
+                  plane.grid(2 * cell) += conv * wRe
+                  plane.grid(2 * cell + 1) += conv * wIm
+                  plane.touched(cell) = true
+                }
+                norm += conv
+                iu += 1
+              }
+              iv += 1
+            }
+            planes((r.img_chan, r.pol)) =
+              plane.copy(sum_weight = plane.sum_weight + selW * norm)
+          }
+        }
+      }
+    }
+    planes.valuesIterator
+  }
+
+  private def mergePlanes(a: PartialPlane, b: PartialPlane): PartialPlane = {
+    var i = 0
+    while (i < a.grid.length) { a.grid(i) += b.grid(i); i += 1 }
+    i = 0
+    while (i < a.touched.length) {
+      a.touched(i) = a.touched(i) || b.touched(i); i += 1
+    }
+    a.copy(sum_weight = a.sum_weight + b.sum_weight)
+  }
+
+  /** Grid visibilities into merged uv planes (one row per
+    * (img_chan, pol)). The two-stage partial/merge shape described in
+    * the object doc.
+    */
+  def gridPlanes(spark: SparkSession, vis: DataFrame, p: GridParams,
+                 doPsf: Boolean = false): Dataset[PartialPlane] = {
+    import spark.implicits._
+    vis.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("u").cast("double"), col("v").cast("double"),
+        col("re").cast("double"), col("im").cast("double"),
+        col("weight").cast("double"), col("freq").cast("double"))
+      .as[GridVis]
+      .mapPartitions(rows => gridPartition(rows, p, doPsf))
+      .groupByKey(pl => (pl.img_chan, pl.pol))
+      .reduceGroups(mergePlanes _)
+      .map(_._2)
+  }
+
+  /** make_grid (ngcasa/imaging/make_grid.py:27-143): the raw uv grid in
+    * long form — only touched cells, plus the per-plane sum of weight.
+    */
+  def makeGrid(spark: SparkSession, vis: DataFrame, p: GridParams,
+               doPsf: Boolean = false): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val planes = gridPlanes(spark, vis, p, doPsf).cache()
+    val grid = planes.flatMap { pl =>
+      val nV = p.nV
+      pl.touched.iterator.zipWithIndex.collect { case (true, cell) =>
+        (pl.img_chan, pl.pol, cell / nV, cell % nV,
+          pl.grid(2 * cell), pl.grid(2 * cell + 1))
+      }
+    }.toDF("img_chan", "pol", "u_idx", "v_idx", "grid_re", "grid_im")
+    val sumW = planes.map(pl => (pl.img_chan, pl.pol, pl.sum_weight))
+      .toDF("img_chan", "pol", "sum_weight")
+    (grid, sumW)
+  }
+
+  /** make_image (ngcasa/imaging/make_image.py:105-130): per-plane
+    * fftshift(ifft2(ifftshift(grid))) * N, crop padding, divide by
+    * sum_weight and the PSWF correcting image. Long-form output
+    * (img_chan, pol, l_idx, m_idx, image, sum_weight).
+    */
+  def makeImage(spark: SparkSession, vis: DataFrame, p: GridParams,
+                doPsf: Boolean = false): DataFrame = {
+    import spark.implicits._
+    val (nU, nV) = (p.nU, p.nV)
+    val (nL, nM) = p.imgSize
+    val corrU = correcting1D(nU)
+    val corrV = correcting1D(nV)
+    val (offL, offM) = (nU / 2 - nL / 2, nV / 2 - nM / 2)
+    gridPlanes(spark, vis, p, doPsf).flatMap { pl =>
+      // split interleaved grid, ifftshift, unnormalized inverse FFT, fftshift
+      var re = new Array[Double](nU * nV)
+      var im = new Array[Double](nU * nV)
+      var i = 0
+      while (i < nU * nV) { re(i) = pl.grid(2 * i); im(i) = pl.grid(2 * i + 1); i += 1 }
+      re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
+      Fft.fft2(re, im, nU, nV, invert = true)
+      re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
+      val sw = if (pl.sum_weight == 0.0) 1.0 else pl.sum_weight
+      for (l <- 0 until nL; m <- 0 until nM) yield {
+        val pix = re((l + offL) * nV + (m + offM))
+        val corrected = pix / sw / (corrU(l + offL) * corrV(m + offM))
+        (pl.img_chan, pl.pol, l, m, corrected, pl.sum_weight)
+      }
+    }.toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
+  }
+
+  /** make_psf (ngcasa/imaging/make_psf.py:27-264): the point-spread
+    * function — make_image of the weights only.
+    */
+  def makePsf(spark: SparkSession, vis: DataFrame, p: GridParams): DataFrame =
+    makeImage(spark, vis, p, doPsf = true)
+
+  // ------------------------------------------- imaging weights (briggs)
+
+  /** make_imaging_weight (ngcasa/imaging/make_imaging_weight.py:20-255).
+    * natural: the weight itself. uniform/briggs: grid the weights to
+    * the NEAREST uv cell (support=1 gridder == hash aggregate), compute
+    * the robust factor, then join the gridded weight back to each
+    * visibility ("degrid") and divide:
+    *   f2 = (5*10^-robust)^2 / (sum_cells W^2 / sum w)
+    *   imaging_weight = w / (f2 * W[cell] + f1)        (uniform: f2=1, f1=0)
+    *
+    * Fully relational: one hash aggregate onto cells + one broadcast
+    * factor + one equi-join back — no dense grid materialized, scales
+    * to any uv extent with data-sized cost.
+    */
+  def makeImagingWeight(vis: DataFrame, p: GridParams,
+                        weighting: String = "natural",
+                        robust: Double = 0.5): DataFrame = {
+    val (nU, nV) = (p.nU, p.nV)
+    val uScale = col("freq") * lit(-p.deltaLM._1 * nU / SpeedOfLight)
+    val vScale = col("freq") * lit(-p.deltaLM._2 * nV / SpeedOfLight)
+    val ucIdx = floor(col("u") * uScale + lit(nU / 2) + lit(0.5)).cast("int")
+    val vcIdx = floor(col("v") * vScale + lit(nV / 2) + lit(0.5)).cast("int")
+    val withCell = vis
+      .withColumn("u_cell", ucIdx).withColumn("v_cell", vcIdx)
+      .withColumn("_in_grid",
+        col("u_cell") >= 0 && col("u_cell") < nU &&
+          col("v_cell") >= 0 && col("v_cell") < nV)
+    if (weighting == "natural")
+      return withCell.withColumn("imaging_weight", col("weight"))
+
+    val cells = withCell.where(col("_in_grid"))
+      .groupBy("img_chan", "pol", "u_cell", "v_cell")
+      .agg(sum(col("weight")).as("cell_w"))
+    val factors = cells.groupBy("img_chan", "pol")
+      .agg(sum(col("cell_w") * col("cell_w")).as("sq_sum"),
+        sum(col("cell_w")).as("sum_w"))
+      .select(col("img_chan"), col("pol"),
+        (weighting match {
+          case "briggs" =>
+            lit(math.pow(5.0 * math.pow(10.0, -robust), 2)) /
+              (col("sq_sum") / col("sum_w"))
+          case _ => lit(1.0) // uniform
+        }).as("f2"),
+        lit(if (weighting == "briggs") 1.0 else 0.0).as("f1"))
+    withCell
+      .join(cells, Seq("img_chan", "pol", "u_cell", "v_cell"), "left")
+      .join(broadcast(factors), Seq("img_chan", "pol"), "left")
+      .withColumn("imaging_weight",
+        when(col("_in_grid") && col("weight") =!= 0.0 &&
+          col("cell_w").isNotNull && col("cell_w") =!= 0.0,
+          col("weight") / (col("f2") * col("cell_w") + col("f1")))
+          .otherwise(col("weight")))
+      .drop("cell_w", "f2", "f1")
+  }
+}

@@ -1,0 +1,129 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.Fft
+import graft.operators.GridOps
+import graft.operators.GridOps.GridParams
+
+class GridOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("FFT: forward+inverse roundtrip recovers input (up to N)") {
+    val n = 8
+    val re = Array.tabulate(n * n)(i => math.sin(i * 0.7))
+    val im = Array.tabulate(n * n)(i => math.cos(i * 1.3))
+    val (r2, i2) = (re.clone(), im.clone())
+    Fft.fft2(r2, i2, n, n, invert = false)
+    Fft.fft2(r2, i2, n, n, invert = true)
+    // unnormalized: inverse(forward(x)) = N * x
+    r2.zip(re).foreach { case (a, b) => assert(approx(a, b * n * n, 1e-9)) }
+    i2.zip(im).foreach { case (a, b) => assert(approx(a, b * n * n, 1e-9)) }
+  }
+
+  test("FFT of a delta at origin is flat") {
+    val n = 8
+    val re = new Array[Double](n * n); val im = new Array[Double](n * n)
+    re(0) = 1.0
+    Fft.fft2(re, im, n, n, invert = false)
+    re.foreach(v => assert(approx(v, 1.0)))
+    im.foreach(v => assert(approx(v, 0.0)))
+  }
+
+  test("fftshift moves index 0 to the center and is an involution for even n") {
+    val n = 4
+    val a = Array.tabulate(n * n)(_.toDouble)
+    val s = Fft.fftshift2(a, n, n)
+    assert(s((n / 2) * n + n / 2) === a(0))
+    assert(Fft.fftshift2(s, n, n).toSeq === a.toSeq)
+  }
+
+  test("PSWF kernel: peak at center, zero at edge, positive inside") {
+    assert(GridOps.kernelValue(0.0) > 0.9)
+    assert(GridOps.kernelValue(1.0) === 0.0)
+    assert(GridOps.grdsf(1.5) === 0.0)
+    val cgk = GridOps.cgk1D(100, 7)
+    assert(cgk.length === 400)
+    assert(cgk(0) === GridOps.kernelValue(0.0))
+    assert(cgk(399) === 0.0) // tail beyond support edge
+  }
+
+  // A visibility set from a point source AT PHASE CENTER has
+  // vis == flux for every (u, v): the dirty image must peak at the
+  // center pixel with value ~= flux (SURVEY.md §5 analytic fixture).
+  private def pointSourceVis(flux: Double) = {
+    val rng = new scala.util.Random(7)
+    val c = GridOps.SpeedOfLight
+    // uv in meters such that scaled |uv| stays well inside the 32-grid
+    (0 until 200).map { _ =>
+      val scaleMax = 1.5e9 * 0.002 * 32 / c // ~0.32 cells per meter
+      (0, 0, (rng.nextDouble() - 0.5) * 20 / scaleMax / 20,
+        (rng.nextDouble() - 0.5) * 20 / scaleMax / 20,
+        flux, 0.0, 1.0, 1.5e9)
+    }.toDF("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+  }
+
+  private val p32 = GridParams((32, 32), (0.002, 0.002))
+
+  test("gridder: point source at phase center -> image peaks at center with flux") {
+    // pad 32 -> crop 16: the correction function blows up edge pixels of
+    // the PADDED plane (grdsf -> 0 at the edge), which is exactly why the
+    // reference grids padded and crops (make_image.py:118-121)
+    val p = GridParams((32, 32), (0.002, 0.002), imageSize = Some((16, 16)))
+    val img = GridOps.makeImage(spark, pointSourceVis(2.5), p)
+    val rows = img.collect()
+    assert(rows.length === 16 * 16)
+    val center = rows.find(r => r.getInt(2) == 8 && r.getInt(3) == 8).get
+    assert(approx(center.getDouble(4), 2.5, 1e-2),
+      s"center pixel ${center.getDouble(4)} != flux 2.5")
+    // center is the global max of the cropped image
+    val maxPix = rows.map(_.getDouble(4)).max
+    assert(center.getDouble(4) === maxPix)
+  }
+
+  test("psf: peak of unit-weight psf at center is 1 after normalization") {
+    val psf = GridOps.makePsf(spark, pointSourceVis(9.9), p32)
+    val center = psf.collect().find(r => r.getInt(2) == 16 && r.getInt(3) == 16).get
+    assert(approx(center.getDouble(4), 1.0, 1e-2))
+  }
+
+  test("makeGrid sum_weight equals sum(weight * kernel norm)") {
+    val (grid, sumW) = GridOps.makeGrid(spark, pointSourceVis(1.0), p32)
+    assert(grid.count() > 0)
+    val sw = sumW.head().getDouble(2)
+    // 200 rows of weight 1; per-row norm = (sum of 7 kernel taps)^2 at
+    // the row's fractional offset, bounded by support^2 * peak
+    assert(sw > 0 && sw < 200 * 49)
+  }
+
+  test("partial grids merge across partitions identically to single partition") {
+    val vis = pointSourceVis(1.0)
+    val one = GridOps.makeGrid(spark, vis.coalesce(1), p32)._1
+    val many = GridOps.makeGrid(spark, vis.repartition(7), p32)._1
+    val j = one.as("a").join(many.as("b"),
+      Seq("img_chan", "pol", "u_idx", "v_idx"), "full_outer")
+    val mism = j.where(
+      abs(col("a.grid_re") - col("b.grid_re")) > 1e-9 ||
+        abs(col("a.grid_im") - col("b.grid_im")) > 1e-9 ||
+        col("a.grid_re").isNull || col("b.grid_re").isNull).count()
+    assert(mism === 0L)
+  }
+
+  test("imaging weights: uniform makes gridded cell weights equal") {
+    val vis = pointSourceVis(1.0)
+      .withColumn("weight", (col("u") * 0 + 1.0) + rand(3)) // varied weights
+    val iw = GridOps.makeImagingWeight(vis, p32, "uniform")
+    // after uniform weighting, summing imaging weights per cell gives ~1
+    val perCell = iw.where(col("_in_grid"))
+      .groupBy("u_cell", "v_cell").agg(sum("imaging_weight").as("s"))
+    val bad = perCell.where(abs(col("s") - 1.0) > 1e-9).count()
+    assert(bad === 0L)
+  }
+
+  test("imaging weights: natural is identity; briggs between natural and uniform") {
+    val vis = pointSourceVis(1.0)
+    val nat = GridOps.makeImagingWeight(vis, p32, "natural")
+    assert(nat.where(col("imaging_weight") =!= col("weight")).count() === 0)
+    val br = GridOps.makeImagingWeight(vis, p32, "briggs", robust = 0.5)
+    assert(br.where(col("imaging_weight").isNull).count() === 0)
+  }
+}
