@@ -613,5 +613,5 @@ object Queries {
     "stokes_to_corr" -> stokesToCorrQ,
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ) ++
-    QueriesLlm.all ++ QueriesImaging.all
+    QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }

@@ -1,0 +1,226 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.complex._
+import graft.Queries.{Q, qround}
+
+/** Driver-contract queries for the remaining §2.8 kernels. Row-wise
+  * operators (direction_rotate, gaussian_beam, make_pb) get exact
+  * DuckDB oracles (the J1 polynomial and rotation matrices are
+  * generated from the same Scala code); iterative kernels (self_cal,
+  * CLEAN, smooth, fit_gaussian) are wired without oracle SQL — the
+  * driver records the weaker rows-only check, and their numerics are
+  * covered by the analytic ScalaTest fixtures.
+  */
+object QueriesKernels {
+
+  private def fmt(d: Double): String = "%.17e".format(d)
+
+  // ------------------------------------------------------ direction_rotate
+
+  private val NewCenter = (0.501, -0.299)
+  private val FieldCenter = (0.5, -0.3)
+
+  private val directionRotateQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit(0).as("field_id"),
+        (col("l_extendedprice") % 1000.0).as("u"),
+        (col("l_quantity") * 20.0).as("v"),
+        (col("l_discount") * 100.0).as("w"),
+        c(col("l_tax"), col("l_discount")).as("vis"),
+        lit(1.5e9).as("freq"))
+      RotateOps.directionRotate(vis, Map(0 -> FieldCenter), NewCenter,
+          "field_id", "u", "v", "w", "vis", "freq")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qround(col("u_rot"), 6).as("u_rot"),
+          qround(col("v_rot"), 6).as("v_rot"),
+          qround(col("w_rot"), 6).as("w_rot"),
+          qround(col("vis_rot.re"), 8).as("vis_re"),
+          qround(col("vis_rot.im"), 8).as("vis_im"))
+    }, {
+      val (m, p) = RotateOps.rotationForField(NewCenter, FieldCenter,
+        commonTangent = true)
+      s"""WITH v AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_extendedprice % 1000.0 AS u, l_quantity * 20.0 AS v,
+         |    l_discount * 100.0 AS w, l_tax AS vr, l_discount AS vi
+         |  FROM lineitem),
+         |r AS (
+         |  SELECT *,
+         |    u * ${fmt(m(0)(0))} + v * ${fmt(m(1)(0))} + w * ${fmt(m(2)(0))} AS u_rot,
+         |    u * ${fmt(m(0)(1))} + v * ${fmt(m(1)(1))} + w * ${fmt(m(2)(1))} AS v_rot,
+         |    u * ${fmt(m(0)(2))} + v * ${fmt(m(1)(2))} + w * ${fmt(m(2)(2))} AS w_rot,
+         |    2 * pi() * (u * ${fmt(p(0))} + v * ${fmt(p(1))}) * 1500000000.0 / 299792458.0 AS theta
+         |  FROM v)
+         |SELECT l_orderkey, l_linenumber,
+         |  floor(u_rot * 1000000.0 + 0.5) / 1000000.0 AS u_rot,
+         |  floor(v_rot * 1000000.0 + 0.5) / 1000000.0 AS v_rot,
+         |  floor(w_rot * 1000000.0 + 0.5) / 1000000.0 AS w_rot,
+         |  floor((vr * cos(theta) - vi * sin(theta)) * 100000000.0 + 0.5) / 100000000.0 AS vis_re,
+         |  floor((vr * sin(theta) + vi * cos(theta)) * 100000000.0 + 0.5) / 100000000.0 AS vis_im
+         |FROM r""".stripMargin
+    })
+
+  // --------------------------------------------------------- gaussian_beam
+
+  private val gaussianBeamQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+      BeamOps.gaussianBeam(grid, 600.0, 400.0, 30.0, (0.0005, 0.0005), 16, 16)
+        .select(col("l_idx"), col("m_idx"), qround(col("beam"), 10).as("beam"))
+    }, {
+      // mirror the synthesizedbeam quadratic-form constants from Scala
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (600.0 / incr, 400.0 / incr)
+      val t = 30.0 * math.Pi / 180
+      val ln2x4 = 4 * math.log(2)
+      val alpha = ln2x4 * (math.pow(math.cos(t), 2) / (dc1 * dc1) +
+        math.pow(math.sin(t), 2) / (dc2 * dc2))
+      val beta = 2 * ln2x4 * (1 / (dc1 * dc1) - 1 / (dc2 * dc2)) *
+        math.sin(t) * math.cos(t)
+      val gamma = ln2x4 * (math.pow(math.sin(t), 2) / (dc1 * dc1) +
+        math.pow(math.cos(t), 2) / (dc2 * dc2))
+      s"""SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx,
+         |  floor(exp(-(${fmt(alpha)} * (CAST(i // 16 AS INT) - 8) * (CAST(i // 16 AS INT) - 8)
+         |    + ${fmt(beta)} * (CAST(i // 16 AS INT) - 8) * (CAST(i % 16 AS INT) - 8)
+         |    + ${fmt(gamma)} * (CAST(i % 16 AS INT) - 8) * (CAST(i % 16 AS INT) - 8))) * 1e10 + 0.5) / 1e10 AS beam
+         |FROM generate_series(0, 255) s(i)""".stripMargin
+    })
+
+  // --------------------------------------------------------------- make_pb
+
+  /** SQL mirror of BeamOps.besselJ1 (A&S rational approximation). */
+  private def j1Sql(x: String): String = {
+    val small = {
+      val c = Seq(0.5, -0.56249985, 0.21093573, -0.03954289, 0.00443319,
+        -0.00031761, 0.00001109)
+      val y = s"(($x) / 3.0) * (($x) / 3.0)"
+      val horner = c.reverse.map(fmt).reduce((acc, cc) => s"($cc + $y * ($acc))")
+      // NOTE reversed fold builds c0 + y*(c1 + y*(...)) exactly as Scala
+      s"($x) * $horner"
+    }
+    val big = {
+      val f1c = Seq(0.79788456, 0.00000156, 0.01659667, 0.00017105,
+        -0.00249511, 0.00113653, -0.00020033)
+      val thc = Seq(0.12499612, 0.0000565, -0.00637879, 0.00074348,
+        0.00079824, -0.00029166)
+      val y = s"(3.0 / abs($x))"
+      val f1 = f1c.reverse.map(fmt).reduce((acc, cc) => s"($cc + $y * ($acc))")
+      val th = s"(abs($x) - 2.35619449 + $y * ${
+        thc.reverse.map(fmt).reduce((acc, cc) => s"($cc + $y * ($acc))")})"
+      s"sqrt(2.0 / (pi() * abs($x))) * ($f1) * cos($th) * (CASE WHEN ($x) < 0 THEN -1.0 ELSE 1.0 END)"
+    }
+    s"(CASE WHEN abs($x) < 3.0 THEN ($small) ELSE ($big) END)"
+  }
+
+  private val makePbQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005), chans = Seq(1.0e9))
+      BeamOps.makePb(grid, dishDiameter = 25.0)
+        .select(col("l_idx"), col("m_idx"), col("chan"),
+          qround(col("pb"), 10).as("pb"))
+    },
+    s"""WITH px AS (
+       |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx,
+       |    (CAST(i // 16 AS INT) - 8) * CAST(0.0005 AS DOUBLE) AS l,
+       |    (CAST(i % 16 AS INT) - 8) * CAST(0.0005 AS DOUBLE) AS m
+       |  FROM generate_series(0, 255) s(i)),
+       |r AS (
+       |  SELECT l_idx, m_idx, 0 AS chan,
+       |    sqrt(l * l + m * m) * (2 * pi() * 1000000000.0 / 299792458.0) * 12.5 AS r0
+       |  FROM px),
+       |rr AS (SELECT *, CASE WHEN r0 = 0.0 THEN 1.0 ELSE r0 END AS rv FROM r)
+       |SELECT l_idx, m_idx, chan,
+       |  CASE WHEN r0 = 0.0 THEN 1.0
+       |       ELSE floor(power(2.0 * ${j1Sql("rv")} / rv, 2) * 1e10 + 0.5) / 1e10
+       |  END AS pb
+       |FROM rr""".stripMargin)
+
+  // --------------------------------- iterative kernels (rows-only checks)
+
+  private val selfCalQ = Q(
+    (s, d) => {
+      // synthetic per-"antenna" gains over the lineitem-derived baselines:
+      // solint = month of shipdate, antennas from order/supplier keys
+      val vis = Tables.lineitem(s, d).select(
+        (month(col("l_shipdate"))).cast("long").as("solint"),
+        (col("l_orderkey") % 8).cast("int").as("ant1"),
+        (col("l_suppkey") % 8).cast("int").as("ant2"),
+        c(col("l_tax") + 1.0, col("l_discount")).as("vis"),
+        c_lit(1.0, 0.0).as("model"),
+        lit(1.0).as("w"), lit(false).as("flag"))
+        .where(col("ant1") =!= col("ant2"))
+      CalOps.selfCal(s, vis, "solint", "ant1", "ant2", "vis", "model",
+        "w", "flag", refAnt = 0)
+        .select(col("solint"), col("antenna"),
+          qround(col("gain_re"), 4).as("gain_re"),
+          qround(col("gain_im"), 4).as("gain_im"))
+    },
+    "") // iterative solve: rows-only check; numerics in KernelOpsSpec
+
+  private val cleanQ = Q(
+    (s, d) => {
+      // CLEAN the gridded lineitem image with its own PSF (both planes
+      // from the imaging-chain fixture at 16x16)
+      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
+        imageSize = Some((16, 16)))
+      val fx = Tables.lineitem(s, d).select(
+        lit(0).as("img_chan"), lit(0).as("pol"),
+        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+        col("l_tax").as("re"), col("l_discount").as("im"),
+        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
+      val img = GridOps.makeImage(s, fx, p)
+      val psf = GridOps.makePsf(s, fx, p)
+      CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
+          gain = 0.2, threshold = 0.05, niter = 200)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    },
+    "") // iterative kernel: rows-only check; numerics in KernelOpsSpec
+
+  private val smoothQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        sin(col("l_idx") * 0.3) + cos(col("m_idx") * 0.5))
+      val beam = BeamOps.gaussianBeam(grid, 300.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16)
+      BeamOps.smooth(s, img, beam, 16, 16)
+        .select(col("l_idx"), col("m_idx"), qround(col("smoothed"), 6).as("smoothed"))
+    },
+    "") // FFT-convolution: rows-only check; identity test in KernelOpsSpec
+
+  private val fitGaussianQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (32, 32),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val beam = BeamOps.gaussianBeam(grid, 600.0, 400.0, 20.0,
+        (0.0005, 0.0005), 32, 32).withColumnRenamed("beam", "image")
+      BeamOps.fitGaussianBeam(s, beam, 32, 32)
+        .select(col("img_chan"), col("pol"),
+          qround(col("d1_pix"), 6).as("d1_pix"),
+          qround(col("d2_pix"), 6).as("d2_pix"),
+          qround(col("theta_rad"), 6).as("theta_rad"), col("n_points"))
+    },
+    "") // per-plane LSQ fit: rows-only check; recovery test in KernelOpsSpec
+
+  val all: Map[String, Q] = Map(
+    "direction_rotate" -> directionRotateQ,
+    "gaussian_beam" -> gaussianBeamQ,
+    "make_pb" -> makePbQ,
+    "self_cal" -> selfCalQ,
+    "deconvolve_point_clean" -> cleanQ,
+    "smooth" -> smoothQ,
+    "fit_gaussian" -> fitGaussianQ)
+}

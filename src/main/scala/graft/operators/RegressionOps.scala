@@ -29,10 +29,16 @@ object RegressionOps {
     * k = 0..2*order; rhs(i) = sum(y*x^i). Returns null for singular /
     * under-determined groups (fewer distinct x than order+1).
     */
-  private[graft] def solveNormal(moments: Seq[Double], rhs: Seq[Double]): Option[Seq[Double]] = {
-    val n = rhs.length
-    val a = Array.tabulate(n, n)((i, j) => moments(i + j))
-    val b = rhs.toArray
+  private[graft] def solveNormal(moments: Seq[Double], rhs: Seq[Double]): Option[Seq[Double]] =
+    solveNormalMat(Array.tabulate(rhs.length, rhs.length)((i, j) => moments(i + j)),
+      rhs.toArray)
+
+  /** General small dense solve (Gaussian elimination, partial pivot). */
+  private[graft] def solveNormalMat(aIn: Array[Array[Double]],
+                                    bIn: Array[Double]): Option[Seq[Double]] = {
+    val n = bIn.length
+    val a = aIn.map(_.clone())
+    val b = bIn.clone()
     for (col <- 0 until n) {
       var p = col
       for (r <- col + 1 until n) if (math.abs(a(r)(col)) > math.abs(a(p)(col))) p = r

@@ -1,0 +1,169 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+import graft.functions.complex._
+
+class KernelOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ----------------------------------------------------------- rotation
+
+  test("directionRotate: rotating to the same phase center is identity") {
+    val center = (0.5, -0.3)
+    val df = Seq((0, 100.0, 50.0, 10.0, 1.0, 0.5, 1.5e9))
+      .toDF("field_id", "u", "v", "w", "vr", "vi", "freq")
+      .select(col("field_id"), col("u"), col("v"), col("w"),
+        c(col("vr"), col("vi")).as("vis"), col("freq"))
+    val out = RotateOps.directionRotate(df, Map(0 -> center), center,
+      "field_id", "u", "v", "w", "vis", "freq").head()
+    // same center: phase rotation is 0, vis unchanged
+    val vis = out.getAs[org.apache.spark.sql.Row]("vis_rot")
+    assert(approx(vis.getDouble(0), 1.0) && approx(vis.getDouble(1), 0.5))
+    // |uvw| preserved by the rotation (orthogonal matrix)
+    val (u2, v2, w2) = (out.getAs[Double]("u_rot"), out.getAs[Double]("v_rot"),
+      out.getAs[Double]("w_rot"))
+    assert(approx(u2 * u2 + v2 * v2 + w2 * w2,
+      100.0 * 100 + 50 * 50 + 10 * 10, 1e-6))
+  }
+
+  test("directionRotate: phase preserves amplitude") {
+    val df = Seq((0, 100.0, 50.0, 10.0, 3.0, 4.0, 1.5e9))
+      .toDF("field_id", "u", "v", "w", "vr", "vi", "freq")
+      .select(col("field_id"), col("u"), col("v"), col("w"),
+        c(col("vr"), col("vi")).as("vis"), col("freq"))
+    val out = RotateOps.directionRotate(df, Map(0 -> ((0.5, -0.3))),
+      (0.501, -0.299), "field_id", "u", "v", "w", "vis", "freq").head()
+    val vis = out.getAs[org.apache.spark.sql.Row]("vis_rot")
+    assert(approx(math.hypot(vis.getDouble(0), vis.getDouble(1)), 5.0))
+    assert(!approx(vis.getDouble(0), 3.0, 1e-6)) // phase actually rotated
+  }
+
+  // ---------------------------------------------------------- self_cal
+
+  test("selfCal recovers synthetic antenna gains exactly (V = g_i conj(g_j) M)") {
+    val trueG = Map(0 -> (1.0, 0.0), 1 -> (1.2, 0.3), 2 -> (0.8, -0.2), 3 -> (1.1, 0.1))
+    val rows = for {
+      a1 <- 0 to 3; a2 <- (a1 + 1) to 3
+    } yield {
+      val (g1r, g1i) = trueG(a1); val (g2r, g2i) = trueG(a2)
+      // V = g1 * conj(g2) * M, with M = 2+0i
+      val vr = (g1r * g2r + g1i * g2i) * 2.0
+      val vi = (g1i * g2r - g1r * g2i) * 2.0
+      (0L, a1, a2, vr, vi, 2.0, 0.0, 1.0, false)
+    }
+    val df = rows.toDF("t", "ant1", "ant2", "vr", "vi", "mr", "mi", "w", "flag")
+      .select(col("t"), col("ant1"), col("ant2"),
+        c(col("vr"), col("vi")).as("vis"), c(col("mr"), col("mi")).as("model"),
+        col("w"), col("flag"))
+    val gains = CalOps.selfCal(spark, df, "t", "ant1", "ant2",
+      "vis", "model", "w", "flag", refAnt = 0)
+    val got = gains.collect().map(r => r.getAs[Int]("antenna") ->
+      (r.getAs[Double]("gain_re"), r.getAs[Double]("gain_im"))).toMap
+    // refant 0 true gain is real-positive, so solutions match directly
+    trueG.foreach { case (a, (re, im)) =>
+      assert(approx(got(a)._1, re, 1e-6) && approx(got(a)._2, im, 1e-6),
+        s"antenna $a: ${got(a)} != ($re, $im)")
+    }
+    // applying the gains corrects V back to M
+    val corrected = CalOps.applyGains(df, gains, "t", "ant1", "ant2", "vis")
+    corrected.select(col("vis_corrected.re"), col("vis_corrected.im")).collect()
+      .foreach { r =>
+        assert(approx(r.getDouble(0), 2.0, 1e-6) && approx(r.getDouble(1), 0.0, 1e-6))
+      }
+  }
+
+  // -------------------------------------------------------------- clean
+
+  test("hogbom CLEAN with delta PSF recovers the image as the model") {
+    val nL = 8; val nM = 8
+    val res = new Array[Double](nL * nM)
+    res(2 * nM + 3) = 5.0; res(6 * nM + 1) = -3.0
+    val psf = new Array[Double](nL * nM)
+    psf(4 * nM + 4) = 1.0 // delta at center
+    val model = CleanOps.hogbom(res.clone(), psf, nL, nM, nL, nM,
+      gain = 1.0, threshold = 1e-9, niter = 100)
+    assert(approx(model(2 * nM + 3), 5.0))
+    assert(approx(model(6 * nM + 1), -3.0))
+  }
+
+  test("distributed cleanPlanes converges and model+residual ~ image for delta psf") {
+    val img = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, if (l == 3 && m == 5) 4.0 else 0.0))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image")
+    val psf = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, if (l == 4 && m == 4) 1.0 else 0.0))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image")
+    val out = CleanOps.cleanPlanes(spark, img, psf, 8, 8, 8, 8,
+      gain = 0.5, threshold = 1e-6, niter = 500)
+    val peak = out.where(col("l_idx") === 3 && col("m_idx") === 5).head()
+    assert(approx(peak.getAs[Double]("model"), 4.0, 1e-4))
+    assert(math.abs(peak.getAs[Double]("residual")) < 1e-4)
+  }
+
+  // -------------------------------------------------------------- beams
+
+  test("besselJ1 matches known values") {
+    assert(approx(BeamOps.besselJ1(0.0), 0.0, 1e-7))
+    assert(approx(BeamOps.besselJ1(1.0), 0.4400505857, 1e-6))
+    assert(approx(BeamOps.besselJ1(3.8317059702), 0.0, 1e-5)) // first zero
+    assert(approx(BeamOps.besselJ1(-1.0), -0.4400505857, 1e-6))
+  }
+
+  test("makePb: airy peak 1 at center, decreasing outward, first null present") {
+    val grid = ImageOps.makeEmptySkyImage(spark, (0.0, 0.0), (32, 32),
+      (0.0005, 0.0005), chans = Seq(1.0e9))
+    val pb = BeamOps.makePb(grid, dishDiameter = 25.0)
+    val rows = pb.collect().map(r =>
+      (r.getAs[Int]("l_idx"), r.getAs[Int]("m_idx")) -> r.getAs[Double]("pb")).toMap
+    assert(rows((16, 16)) === 1.0)
+    assert(rows((17, 16)) < 1.0 && rows((17, 16)) > rows((20, 16)))
+  }
+
+  test("gaussianBeam peaks at center with unit amplitude and FWHM scaling") {
+    val grid = ImageOps.makeEmptySkyImage(spark, (0.0, 0.0), (32, 32),
+      (0.0005, 0.0005))
+    val beam = BeamOps.gaussianBeam(grid, d1 = 500.0, d2 = 300.0, theta = 0.0,
+      cell = (0.0005, 0.0005), nX = 32, nY = 32)
+    val rows = beam.collect().map(r =>
+      (r.getAs[Int]("l_idx"), r.getAs[Int]("m_idx")) -> r.getAs[Double]("beam")).toMap
+    assert(approx(rows((16, 16)), 1.0))
+    assert(rows((18, 16)) > rows((16, 18))) // wider along l (d1 > d2)
+  }
+
+  test("smooth with delta kernel is identity (up to fftshift-center)") {
+    val img = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, math.sin(l * 0.5) + math.cos(m * 0.7)))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image")
+    val ker = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, if (l == 4 && m == 4) 1.0 else 0.0))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "beam")
+    val out = BeamOps.smooth(spark, img, ker, 8, 8)
+    // delta at center + final fftshift => |smoothed| == |original|
+    val got = out.collect().map(r =>
+      (r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    for (l <- 0 until 8; m <- 0 until 8)
+      assert(approx(got((l, m)),
+        math.abs(math.sin(l * 0.5) + math.cos(m * 0.7)), 1e-9))
+  }
+
+  test("fitGaussianBeam recovers the parameters of a synthesized beam") {
+    val grid = ImageOps.makeEmptySkyImage(spark, (0.0, 0.0), (32, 32),
+      (0.0005, 0.0005))
+    val beam = BeamOps.gaussianBeam(grid, d1 = 600.0, d2 = 400.0, theta = 0.0,
+      cell = (0.0005, 0.0005), nX = 32, nY = 32)
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      .withColumnRenamed("beam", "image")
+    val fit = BeamOps.fitGaussianBeam(spark, beam, 32, 32).head()
+    val incr = 0.0005 * 180 / math.Pi * 3600 // arcsec per pixel
+    assert(approx(fit.getAs[Double]("d1_pix") * incr, 600.0, 1e-3))
+    assert(approx(fit.getAs[Double]("d2_pix") * incr, 400.0, 1e-3))
+  }
+
+  test("specFit recovers gaussian line parameters") {
+    val xs = (0 until 64).map(_.toDouble)
+    val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
+    val (amp, cen, sig) = BeamOps.specFit(spec)
+    assert(approx(amp, 3.0, 1e-6) && approx(cen, 30.0, 1e-6) && approx(sig, 4.0, 1e-6))
+  }
+}
