@@ -582,6 +582,59 @@ object Queries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1, 2""".stripMargin)
 
+  // ------------------------------------------------------- ingest/streaming
+
+  private val baselineIdsQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 50).cast("int").as("antenna1"),
+        (col("l_suppkey") % 50).cast("int").as("antenna2"))
+      sources.IngestOps.assignBaselineIds(vis, "antenna1", "antenna2")
+        .select("l_orderkey", "l_linenumber", "antenna1", "antenna2", "baseline")
+    },
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_orderkey % 50 AS INT) AS antenna1,
+      |    CAST(l_suppkey % 50 AS INT) AS antenna2
+      |  FROM lineitem),
+      |pairs AS (
+      |  SELECT antenna1, antenna2,
+      |    CAST(dense_rank() OVER (ORDER BY antenna1, antenna2) - 1 AS INT) AS baseline
+      |  FROM (SELECT DISTINCT antenna1, antenna2 FROM v))
+      |SELECT v.l_orderkey, v.l_linenumber, v.antenna1, v.antenna2, p.baseline
+      |FROM v JOIN pairs p ON v.antenna1 = p.antenna1 AND v.antenna2 = p.antenna2""".stripMargin)
+
+  private val deriveWeightQ = Q(
+    (s, d) => sources.IngestOps.deriveDataWeight(
+        Tables.lineitem(s, d).withColumn("sigma", col("l_tax")), "sigma")
+      .select(col("l_orderkey"), col("l_linenumber"), col("data_weight")),
+    """SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_tax IS NOT NULL AND l_tax <> 0.0
+      |       THEN 1.0 / (l_tax * l_tax) END AS data_weight
+      |FROM lineitem""".stripMargin)
+
+  private val eventsWindowQ = Q(
+    (s, d) => {
+      // events.parquet carries TIMESTAMP(NANOS) which Spark only reads
+      // as long via the legacy conf; convert ns -> timestamp explicitly
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+        .withColumn("ts", timestamp_seconds(col("ts") / lit(1.0e9)))
+        .withColumn("w", lit(1.0))
+      streaming.StreamingOps.windowedAverage(ev, "ts", "10 minutes",
+          Seq("event_type"), "value", "w")
+        .select(
+          (unix_timestamp(col("time_bin.start")) / 600).cast("long").as("time_bin_id"),
+          col("event_type"), qround(col("value"), 6).as("value"),
+          col("w"), col("n_rows"))
+    },
+    """SELECT CAST(floor(epoch(ts) / 600.0) AS BIGINT) AS time_bin_id,
+      |  event_type,
+      |  floor((sum(value * 1.0) / sum(1.0)) * 1000000.0 + 0.5) / 1000000.0 AS value,
+      |  sum(1.0) AS w, count(*) AS n_rows
+      |FROM events GROUP BY 1, 2""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -612,6 +665,9 @@ object Queries {
     "mask_region" -> maskRegionQ,
     "stokes_to_corr" -> stokesToCorrQ,
     "decimate" -> decimateQ,
-    "write_read_roundtrip" -> writeReadRoundtripQ) ++
+    "write_read_roundtrip" -> writeReadRoundtripQ,
+    "baseline_ids" -> baselineIdsQ,
+    "derive_weight" -> deriveWeightQ,
+    "events_window" -> eventsWindowQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }

@@ -215,7 +215,28 @@ object QueriesKernels {
     },
     "") // per-plane LSQ fit: rows-only check; recovery test in KernelOpsSpec
 
+  private val mosaicImageQ = Q(
+    (s, d) => {
+      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
+        imageSize = Some((16, 16)))
+      val fx = Tables.lineitem(s, d).select(
+        lit(0).as("img_chan"), lit(0).as("pol"),
+        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+        col("l_tax").as("re"), col("l_discount").as("im"),
+        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"),
+        (col("l_suppkey") % 2).cast("int").as("cf_type"),
+        (col("l_orderkey") % 2).cast("int").as("field_id"))
+      val (gcf, _) = MosaicOps.makeGcf(Map(0 -> 25.0, 1 -> 12.0), baseDish = 25.0)
+      MosaicOps.makeImageMosaic(s, fx, p, gcf,
+          Map(0 -> ((0.0, 0.0)), 1 -> ((0.002, -0.002))))
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("image"), 4).as("image"))
+    },
+    "") // mosaic gridder: rows-only; equivalence + steering in MosaicOpsSpec
+
   val all: Map[String, Q] = Map(
+    "make_image_mosaic" -> mosaicImageQ,
     "direction_rotate" -> directionRotateQ,
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,

@@ -42,24 +42,46 @@ object DedupOps {
   def minHashA(j: Int): Long = (2L * j + 1) * 1299709L % HashMod
   def minHashB(j: Int): Long = (j + 1) * 15485863L % HashMod
 
+  /** Compiled signature kernel (see TextOps perf note): null for docs
+    * with no shingles — they drop out of banding via explode-of-null.
+    */
+  def minHashSignatureFn(sh: Seq[Long], numHashes: Int): Array[Long] =
+    if (sh == null || sh.isEmpty) null
+    else Array.tabulate(numHashes) { j =>
+      val (a, b) = (minHashA(j), minHashB(j))
+      var best = Long.MaxValue
+      val it = sh.iterator
+      while (it.hasNext) {
+        val h = (a * it.next() + b) % HashMod
+        if (h < best) best = h
+      }
+      best
+    }
+
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    array((0 until numHashes).map { j =>
-      array_min(transform(shingles,
-        s => (lit(minHashA(j)) * s + lit(minHashB(j))) % lit(HashMod)))
-    }: _*)
+    udf((sh: Seq[Long]) => minHashSignatureFn(sh, numHashes)).apply(shingles)
+
+  private[graft] def bandHashesFn(sig: Seq[Long], bands: Int,
+                                  rowsPerBand: Int): Array[Long] =
+    Array.tabulate(bands) { b =>
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        val w = Seq.fill(rowsPerBand - 1 - r)(TextOps.HashBase)
+          .product % HashMod
+        acc += sig(b * rowsPerBand + r) * w % HashMod
+        r += 1
+      }
+      acc % HashMod
+    }
 
   /** LSH banding: rows (id, band, band_hash), one per band. */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
                bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandHashes = array((0 until bands).map { b =>
-      (0 until rowsPerBand)
-        .map(r => get(col(sigCol), lit(b * rowsPerBand + r)) *
-          lit(Seq.fill(rowsPerBand - 1 - r)(TextOps.HashBase).product % HashMod) %
-          lit(HashMod))
-        .reduce(_ + _) % lit(HashMod)
-    }: _*)
-    df.select(col(idCol), posexplode(bandHashes).as(Seq("band", "band_hash")))
-      .where(col("band_hash").isNotNull) // docs with no shingles drop out
+    val bandsUdf = udf((sig: Seq[Long]) =>
+      if (sig == null) null else bandHashesFn(sig, bands, rowsPerBand))
+    df.select(col(idCol), posexplode(bandsUdf(col(sigCol)))
+      .as(Seq("band", "band_hash")))
   }
 
   /** Candidate pairs (id1 < id2) from MinHash-LSH banding over n-word
@@ -115,19 +137,28 @@ object DedupOps {
 
   /** SimHash: nbits-bit signature from word-hash bit votes — documents
     * with small Hamming distance between signatures are near-dups.
-    * Pure expressions: per bit, sum +/-1 votes over the word hashes,
+    * Compiled kernel: per bit, sum +/-1 votes over the word hashes,
     * then assemble the sign bits into one long.
     */
-  def simHash(textCol: Column, nbits: Int = 16): Column = {
-    val wh = TextOps.wordHashes(textCol)
-    val bits = (0 until nbits).map { b =>
-      val vote = aggregate(wh, lit(0L),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(lit(1L)) === 1, 1L)
-          .otherwise(-1L))
-      when(vote > 0, lit(1L) * lit(1L << b)).otherwise(lit(0L))
+  def simHashFn(s: String, nbits: Int): Long = {
+    val wh = TextOps.wordHashesFn(s)
+    var out = 0L
+    var b = 0
+    while (b < nbits) {
+      var vote = 0L
+      var i = 0
+      while (i < wh.length) {
+        vote += (if (((wh(i) >> b) & 1L) == 1L) 1L else -1L)
+        i += 1
+      }
+      if (vote > 0) out += (1L << b)
+      b += 1
     }
-    bits.reduce(_ + _)
+    out
   }
+
+  def simHash(textCol: Column, nbits: Int = 16): Column =
+    udf((s: String) => simHashFn(s, nbits)).apply(textCol)
 
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column =

@@ -169,7 +169,7 @@ object GridOps {
     planes.valuesIterator
   }
 
-  private def mergePlanes(a: PartialPlane, b: PartialPlane): PartialPlane = {
+  private[operators] def mergePlanes(a: PartialPlane, b: PartialPlane): PartialPlane = {
     var i = 0
     while (i < a.grid.length) { a.grid(i) += b.grid(i); i += 1 }
     i = 0

@@ -14,16 +14,33 @@ import org.apache.spark.sql.expressions.Window
   * hyperplane signature first, so the join only scores vectors whose
   * buckets collide (expected cost |colliding pairs|, not all pairs);
   * recall is tuned by nplanes and by probing neighboring buckets.
-  * All arithmetic is fold-order-deterministic column expressions —
-  * no UDFs in the scan path.
+  *
+  * PERF NOTE (measured, see TextOps): the inner products are compiled
+  * Scala UDFs, not zip_with/aggregate HOF expressions — the HOFs are
+  * CodegenFallback (interpreted per element) and were the bottleneck
+  * at bench scale. Norms are computed ONCE per side before the join,
+  * never per pair; pair scoring repartitions to the default
+  * parallelism (small parquet inputs otherwise arrive as one
+  * partition and serialize the whole join onto one core).
   */
 object SimilarityOps {
 
-  /** Dot product of two double-array columns (left-to-right fold). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, v) => acc + v)
+  /** Left-to-right fold — mirrors the oracle's list_reduce exactly. */
+  def dotFn(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { acc += a(i) * b(i); i += 1 }
+    acc
+  }
 
-  def norm(a: Column): Column = sqrt(dot(a, a))
+  private val dotUdf = udf(dotFn _)
+  private val normUdf = udf((a: Seq[Double]) => math.sqrt(dotFn(a, a)))
+
+  /** Dot product of two double-array columns. */
+  def dot(a: Column, b: Column): Column = dotUdf(a, b)
+
+  def norm(a: Column): Column = normUdf(a)
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
@@ -38,24 +55,36 @@ object SimilarityOps {
 
   /** nplanes-bit signature: bit i = sign of dot(vec, hyperplane_i). */
   def hyperplaneBucket(vec: Column, dim: Int, nplanes: Int): Column = {
-    val bits = (0 until nplanes).map { i =>
-      val hp = array((0 until dim).map(j => lit(hyperplane(i, j))): _*)
-      when(dot(toDouble(vec), hp) > 0, lit(1L << i)).otherwise(lit(0L))
-    }
-    bits.reduce(_ + _)
+    val planes = Array.tabulate(nplanes, dim)((i, j) => hyperplane(i, j))
+    udf((v: Seq[Double]) => {
+      var out = 0L
+      var i = 0
+      while (i < nplanes) {
+        if (dotFn(v, planes(i).toSeq) > 0) out += (1L << i)
+        i += 1
+      }
+      out
+    }).apply(toDouble(vec))
   }
 
+  private def spread(df: DataFrame): DataFrame =
+    df.repartition(df.sparkSession.sparkContext.defaultParallelism)
+
   /** Exact cosine top-k of each query against the whole corpus.
-    * Ranking is deterministic: ties in (quantized) cosine break on the
-    * corpus id. Queries are broadcast (small side).
+    * Ranking is deterministic: ties in cosine break on the corpus id.
+    * Queries are broadcast (small side); the corpus is spread across
+    * the cluster before scoring.
     */
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                      cId: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
-    val c = corpus.select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("qn", normUdf(col("qv")))
+    val c = spread(corpus)
+      .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", normUdf(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -70,12 +99,15 @@ object SimilarityOps {
               cId: String, vecCol: String, dim: Int, k: Int,
               nplanes: Int = 8): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"),
-      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
-    val c = corpus.select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
-      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+        hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+      .withColumn("qn", normUdf(col("qv")))
+    val c = spread(corpus)
+      .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
+        hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+      .withColumn("cn", normUdf(col("cv")))
     val scored = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", cosine(col("qv"), col("cv")))
+      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -88,13 +120,16 @@ object SimilarityOps {
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
                    threshold: Double, nplanes: Int = 8): DataFrame = {
-    val sig = df.select(col(idCol), toDouble(col(vecCol)).as("v"),
-      hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
-    val a = sig.select(col(idCol).as("id1"), col("v").as("v1"), col("bucket"))
-    val b = sig.select(col(idCol).as("id2"), col("v").as("v2"), col("bucket"))
+    val sig = spread(df).select(col(idCol), toDouble(col(vecCol)).as("v"),
+        hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+      .withColumn("n", normUdf(col("v")))
+    val a = sig.select(col(idCol).as("id1"), col("v").as("v1"),
+      col("n").as("n1"), col("bucket"))
+    val b = sig.select(col(idCol).as("id2"), col("v").as("v2"),
+      col("n").as("n2"), col("bucket"))
     a.join(b, Seq("bucket"))
       .where(col("id1") < col("id2"))
-      .withColumn("cosine", cosine(col("v1"), col("v2")))
+      .withColumn("cosine", dotUdf(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }

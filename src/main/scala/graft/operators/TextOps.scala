@@ -5,54 +5,78 @@ import org.apache.spark.sql.functions._
 
 /** Text-analysis operators for large-scale training-data pipelines
   * (builder brief: language-ID, quality scoring, token counting,
-  * document fingerprinting). Everything here is pure column
-  * expressions (higher-order functions over arrays) — whole-stage
-  * codegen'd, no UDFs, no driver-side loops — so a 100 TB documents
-  * table processes as an embarrassingly parallel scan.
+  * document fingerprinting). Everything is an embarrassingly parallel
+  * scan — no shuffles, no driver-side loops.
   *
   * Hash design: all hashing is an explicit 31-base polynomial rolling
   * hash mod 1e9+7 over character codes, NOT Spark's builtin xxhash64 —
   * the explicit form is engine-portable (the DuckDB oracle computes the
   * identical integers) and integer-exact. Constants below are shared
   * with the oracle SQL generators in Queries.
+  *
+  * PERF NOTE (measured): the hash kernels are compiled Scala UDFs, not
+  * higher-order-function column expressions. Spark's array HOFs
+  * (transform/aggregate) are CodegenFallback — interpreted
+  * Expression.eval per element — and nested per-character trees get
+  * re-inlined by projection collapse (16x for a minhash signature);
+  * on the sf0.1 documents table that was >800 s of single-task CPU.
+  * The compiled UDFs do the identical integer math at JVM speed.
   */
 object TextOps {
 
   val HashBase = 31L
   val HashMod = 1000000007L
 
-  /** 1-based character codes of a string column as an int array. */
-  def charCodes(c: Column): Column =
-    transform(sequence(lit(1), length(c)), i => ascii(c.substr(i, lit(1))))
+  /** Polynomial rolling hash of a string: fold (acc*31 + code) % M. */
+  def polyHashFn(s: String): Long = {
+    var acc = 0L
+    var i = 0
+    while (i < s.length) {
+      acc = (acc * HashBase + s.charAt(i).toInt) % HashMod
+      i += 1
+    }
+    acc
+  }
 
-  /** Polynomial rolling hash of a full string: fold (acc*31 + code) % M. */
-  def polyHash(c: Column): Column =
-    aggregate(charCodes(c), lit(0L),
-      (acc, x) => (acc * lit(HashBase) + x.cast("long")) % lit(HashMod))
+  /** Whitespace tokens, keeping empties — mirrors SQL string_split. */
+  def wordsFn(s: String): Array[String] = s.split(" ", -1)
+
+  def wordHashesFn(s: String): Array[Long] = wordsFn(s).map(polyHashFn)
+
+  /** Distinct hashes of n-word shingles (base-31^k positional combine). */
+  def shingleHashesFn(s: String, n: Int): Array[Long] = {
+    val wh = wordHashesFn(s)
+    if (wh.length < n) return Array.empty
+    val weights = Array.tabulate(n)(k => {
+      var w = 1L; (0 until (n - 1 - k)).foreach(_ => w = w * HashBase % HashMod); w
+    })
+    val out = new Array[Long](wh.length - n + 1)
+    var i = 0
+    while (i <= wh.length - n) {
+      var acc = 0L
+      var k = 0
+      while (k < n) { acc += wh(i + k) * weights(k) % HashMod; k += 1 }
+      out(i) = acc % HashMod
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** Polynomial rolling hash of a string column. */
+  def polyHash(c: Column): Column = udf(polyHashFn _).apply(c)
 
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")
 
   /** Per-word polynomial hashes. */
-  def wordHashes(c: Column): Column = transform(words(c), polyHash(_))
+  def wordHashes(c: Column): Column = udf(wordHashesFn _).apply(c)
 
   /** Hashes of n-word shingles: combine n consecutive word hashes
     * positionally (base-31^k weights, mod M). Returns DISTINCT shingle
     * hashes — the set form used by Jaccard / MinHash.
     */
-  def shingleHashes(c: Column, n: Int): Column = {
-    val wh = wordHashes(c)
-    val weights = Seq.tabulate(n)(k => {
-      var w = 1L; (0 until (n - 1 - k)).foreach(_ => w = w * HashBase % HashMod); w
-    })
-    val sh = transform(sequence(lit(0), size(wh) - n), i =>
-      (0 until n).map(k => get(wh, i + lit(k)) * lit(weights(k)) % lit(HashMod))
-        .reduce(_ + _) % lit(HashMod))
-    // sequence(0, negative) would generate a DESCENDING range — guard
-    // docs shorter than n words to an empty shingle set instead
-    array_distinct(
-      when(size(wh) >= n, sh).otherwise(array().cast("array<bigint>")))
-  }
+  def shingleHashes(c: Column, n: Int): Column =
+    udf((s: String) => shingleHashesFn(s, n)).apply(c)
 
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digits / other non-space singletons).

@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import graft.streaming.StreamingOps
+
+class StreamingOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("windowedAverage over a MemoryStream matches the batch result") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int, Double, Double)]
+    val df = input.toDF().toDF("ts", "key", "v", "w")
+
+    val agg = StreamingOps.windowedAverage(df, "ts", "10 seconds",
+      Seq("key"), "v", "w", watermark = Some("1 minute"))
+    val q = agg.writeStream.format("memory").queryName("win_avg")
+      .outputMode("complete").start()
+
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:01"), 0, 1.0, 1.0),
+      (t("2024-01-01 00:00:05"), 0, 3.0, 1.0),
+      (t("2024-01-01 00:00:12"), 0, 5.0, 2.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_avg").orderBy($"time_bin.start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(approx(rows(0).getAs[Double]("v"), 2.0)) // (1+3)/2
+    assert(approx(rows(1).getAs[Double]("v"), 5.0))
+    assert(rows(1).getAs[Double]("w") === 2.0)
+
+    // batch equivalence: same operator on a static frame
+    val batch = Seq(
+      (t("2024-01-01 00:00:01"), 0, 1.0, 1.0),
+      (t("2024-01-01 00:00:05"), 0, 3.0, 1.0),
+      (t("2024-01-01 00:00:12"), 0, 5.0, 2.0)).toDF("ts", "key", "v", "w")
+    val b = StreamingOps.windowedAverage(batch, "ts", "10 seconds",
+      Seq("key"), "v", "w").orderBy($"time_bin.start").collect()
+    assert(b.map(_.getAs[Double]("v")).toSeq ===
+      rows.map(_.getAs[Double]("v")).toSeq)
+  }
+
+  test("runningFlagCounts counts flags per window under streaming") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, String, Boolean)]
+    val df = input.toDF().toDF("ts", "kind", "flag")
+    val agg = StreamingOps.runningFlagCounts(df, "ts", "1 minute",
+      col("flag"), Seq("kind"))
+    val q = agg.writeStream.format("memory").queryName("flag_counts")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData(
+      (t("2024-01-01 00:00:01"), "a", true),
+      (t("2024-01-01 00:00:02"), "a", false),
+      (t("2024-01-01 00:00:03"), "b", true))
+    q.processAllAvailable()
+    val rows = spark.table("flag_counts").collect()
+    q.stop()
+    val a = rows.find(_.getAs[String]("kind") == "a").get
+    assert(a.getAs[Long]("flagged") === 1L && a.getAs[Long]("total") === 2L)
+  }
+}
