@@ -1,0 +1,23 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Dev scratch: print physical plans of representative queries for the
+  * design-for-scale audit (pushdown, pruning, codegen, join strategy).
+  */
+object PlanAudit {
+  def main(args: Array[String]): Unit = {
+    val spark = SparkSession.builder().master("local[4]")
+      .config("spark.sql.shuffle.partitions", "4")
+      .config("spark.ui.enabled", "false").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    val d = "/root/testdata/sf0.01"
+    for (name <- Seq("chan_average", "apply_flags", "join_vis",
+      "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk")) {
+      println(s"########## $name ##########")
+      println(Queries.all(name).fn(spark, d).queryExecution.explainString(
+        org.apache.spark.sql.execution.SimpleMode))
+    }
+    spark.stop()
+  }
+}

@@ -235,8 +235,25 @@ object QueriesKernels {
     },
     "") // mosaic gridder: rows-only; equivalence + steering in MosaicOpsSpec
 
+  private val specFitQ = Q(
+    (s, d) => {
+      import s.implicits._
+      // per-chan mean quantity = the "spectrum" of one synthetic pixel;
+      // dimension-sized collect + driver-side fit, as in the reference
+      val spec = Tables.lineitem(s, d)
+        .groupBy((col("l_linenumber") - 1).cast("int").as("chan"))
+        .agg(avg(col("l_quantity")).as("v"))
+        .collect().map(r => (r.getInt(0).toDouble, r.getDouble(1)))
+      val (amp, cen, sig) = BeamOps.specFit(spec)
+      Seq((qr4(amp), qr4(cen), qr4(sig))).toDF("amp", "center", "sigma")
+    },
+    "") // nonlinear driver-side fit: rows-only; recovery test in KernelOpsSpec
+
+  private def qr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
+
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
+    "spec_fit" -> specFitQ,
     "direction_rotate" -> directionRotateQ,
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,

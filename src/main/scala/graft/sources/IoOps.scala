@@ -75,4 +75,30 @@ object IoOps {
                       sidecarPath: String, keys: Seq[String]): DataFrame =
     spark.read.parquet(basePath)
       .join(spark.read.parquet(sidecarPath), keys, "left")
+
+  /** read_image / write_image (cngi/dio/read_image.py, write_image.py):
+    * image datasets use the same partitioned-parquet layout as vis
+    * (keys (l_idx, m_idx, time, chan, pol) instead of the vis dims).
+    */
+  def readImage(spark: SparkSession, path: String,
+                partitionFilter: Map[String, Seq[Any]] = Map.empty): DataFrame =
+    readVis(spark, path, partitionFilter)
+
+  def writeImage(df: DataFrame, path: String,
+                 partitionBy: Seq[String] = Nil): Unit =
+    writeVis(df, path, partitionBy)
+
+  /** convert_image artifact merge (cngi/conversion/convert_image.py:
+    * 84-137): sibling artifacts (psf, pb, residual, model, ...) become
+    * one table with one value column per artifact — a chain of outer
+    * joins on the image dims.
+    */
+  def mergeImageArtifacts(artifacts: Seq[(String, DataFrame)],
+                          keys: Seq[String],
+                          valueCol: String = "image"): DataFrame = {
+    require(artifacts.nonEmpty)
+    artifacts.map { case (name, df) =>
+      df.withColumnRenamed(valueCol, name)
+    }.reduce((a, b) => a.join(b, keys, "full_outer"))
+  }
 }
