@@ -11,6 +11,7 @@ object PlanAudit {
       .config("spark.sql.shuffle.partitions", "4")
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    println("entry() rows = " + SparkEntry.entry(spark).count())
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("chan_average", "apply_flags", "join_vis",
       "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk")) {

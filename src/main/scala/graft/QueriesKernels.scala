@@ -251,9 +251,38 @@ object QueriesKernels {
 
   private def qr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
+  /** The full synthesis-imaging composition (SURVEY §7.1 P4):
+    * briggs imaging weights -> grid -> image + psf -> CLEAN. Each stage
+    * is individually oracle-checked elsewhere; this query proves the
+    * stages compose end to end (rows-only).
+    */
+  private val synthesisQ = Q(
+    (s, d) => {
+      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
+        imageSize = Some((16, 16)))
+      val vis = Tables.lineitem(s, d).select(
+        lit(0).as("img_chan"), lit(0).as("pol"),
+        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+        col("l_tax").as("re"), col("l_discount").as("im"),
+        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
+      val weighted = GridOps.makeImagingWeight(vis, p, "briggs", robust = 0.5)
+        .withColumn("weight", col("imaging_weight"))
+        .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+      val img = GridOps.makeImage(s, weighted, p)
+      val psf = GridOps.makePsf(s, weighted, p)
+      CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
+          gain = 0.2, threshold = 0.05, niter = 100)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    },
+    "") // composed pipeline: rows-only; every stage oracle-checked alone
+
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
     "spec_fit" -> specFitQ,
+    "synthesis_imaging" -> synthesisQ,
     "direction_rotate" -> directionRotateQ,
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,

@@ -8,19 +8,25 @@ import org.apache.spark.sql.functions._
   */
 object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0.
-    * The reference's everyday chain (SURVEY.md §3.2): flag -> apply ->
-    * weighted channel average.
+    * The reference's reason-to-exist pipeline (SURVEY.md §3.3):
+    * imaging weights -> uv-grid -> FFT -> normalized dirty image.
     */
   def entry(spark: SparkSession): DataFrame = {
+    import org.apache.spark.sql.functions._
     val dir = "/root/testdata/sf0.001"
-    val vis = Tables.lineitem(spark, dir)
-      .withColumn("chan", (col("l_linenumber") - 1).cast("int"))
-      .withColumn("flag", col("l_returnflag") === lit("R"))
-    val flagged = operators.FlagOps.applyFlags(vis, col("flag"),
-      Seq("l_extendedprice"))
-    operators.AverageOps.chanAverage(flagged, "chan", width = 2,
-      keys = Seq("l_returnflag"),
-      weighted = Seq(operators.AverageOps.Weighted("l_extendedprice", "l_quantity")))
+    val p = operators.GridOps.GridParams((32, 32), (0.002, 0.002),
+      imageSize = Some((16, 16)))
+    val vis = Tables.lineitem(spark, dir).select(
+      lit(0).as("img_chan"), lit(0).as("pol"),
+      (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+      ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+      col("l_tax").as("re"), col("l_discount").as("im"),
+      (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
+    val weighted = operators.GridOps
+      .makeImagingWeight(vis, p, "briggs", robust = 0.5)
+      .withColumn("weight", col("imaging_weight"))
+      .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+    operators.GridOps.makeImage(spark, weighted, p)
   }
 
   /** One entry per implemented operator from SURVEY.md §2. */

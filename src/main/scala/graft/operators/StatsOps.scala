@@ -21,16 +21,45 @@ object StatsOps {
     * Argmin/argmax positions (:111-118) are `min_by`/`max_by` over a
     * position struct — no window, no second scan.
     */
+  /** Exact quantiles by distributed sort + rank selection: range-
+    * partitioned sort spreads the data across the cluster, per-
+    * partition counts locate the global ranks, and only the few rows
+    * at the selected ranks come back. Spark's `percentile` aggregate
+    * instead merges a buffer of EVERY value on one reducer — the
+    * single-node bottleneck this replaces (linear interpolation at
+    * p*(n-1), identical semantics to percentile / quantile_cont).
+    */
+  private[graft] def exactQuantiles(df: DataFrame, valueCol: Column,
+                                    ps: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(valueCol.cast("double").as("_v"))
+      .where(col("_v").isNotNull).sort(col("_v"))
+      .rdd.map(_.getDouble(0))
+    val partSizes = sorted.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size))).collect().sortBy(_._1).map(_._2)
+    val n = partSizes.map(_.toLong).sum
+    if (n == 0) return ps.map(_ => Double.NaN)
+    val offsets = partSizes.scanLeft(0L)(_ + _)
+    val wanted: Map[Long, Double] = ps.flatMap { p =>
+      val rank = p * (n - 1)
+      Seq(math.floor(rank).toLong, math.ceil(rank).toLong)
+    }.distinct.map(_ -> 0.0).toMap
+    val picked = sorted.mapPartitionsWithIndex { (i, it) =>
+      val base = offsets(i)
+      it.zipWithIndex.collect {
+        case (value, j) if wanted.contains(base + j) => (base + j, value)
+      }
+    }.collect().toMap
+    ps.map { p =>
+      val rank = p * (n - 1)
+      val (lo, hi) = (math.floor(rank).toLong, math.ceil(rank).toLong)
+      val frac = rank - lo
+      picked(lo) + (picked(hi) - picked(lo)) * frac
+    }
+  }
+
   def statistics(df: DataFrame, value: String, posCols: Seq[String],
                  approxQuantiles: Boolean = false): DataFrame = {
     val v = col(value)
-    // ONE percentile aggregate for all three quantiles (a separate call
-    // per quantile buffers the whole column once per call — measured 3x
-    // the aggregation cost at bench scale)
-    val qs =
-      if (approxQuantiles)
-        percentile_approx(v, array(lit(0.25), lit(0.5), lit(0.75)), lit(10000))
-      else percentile(v, array(lit(0.25), lit(0.5), lit(0.75)))
     val pos = struct(posCols.map(col): _*)
     val base = df.agg(
       count(v).as("n"),
@@ -41,27 +70,29 @@ object StatsOps {
       sqrt(avg(v * v)).as("rms"),
       min(v).as("min"),
       max(v).as("max"),
-      qs.as("_qs"),
       // Tie-break argpos deterministically: order by (value, position)
       // lexicographically so Spark and any oracle agree even when the
       // extreme value occurs at several positions.
       min_by(pos, struct((v +: posCols.map(col)): _*)).as("minpos"),
       max_by(pos, struct((v +: posCols.map(col)): _*)).as("maxpos"))
-      .select(col("*"),
-        element_at(col("_qs"), 1).as("q1"),
-        element_at(col("_qs"), 2).as("median"),
-        element_at(col("_qs"), 3).as("q3"))
-      .drop("_qs")
-      .withColumn("iqr", col("q3") - col("q1"))
-    // medabsdevmed reuses the base median (broadcast 1-row) — the second
-    // pass is inherent to the definition, but no third pass is needed
-    val med = base.select(col("median").as("med_"))
-    val dev = abs(v - col("med_"))
-    val madAgg =
-      if (approxQuantiles) percentile_approx(dev, lit(0.5), lit(10000))
-      else percentile(dev, lit(0.5))
-    val mad = df.crossJoin(broadcast(med)).agg(madAgg.as("medabsdevmed"))
-    base.crossJoin(broadcast(mad))
+    val (q1, med, q3) =
+      if (approxQuantiles) {
+        val Array(a, b, c) =
+          df.stat.approxQuantile(value, Array(0.25, 0.5, 0.75), 1e-4)
+        (a, b, c)
+      } else {
+        val Seq(a, b, c) = exactQuantiles(df, v, Seq(0.25, 0.5, 0.75))
+        (a, b, c)
+      }
+    val dev = abs(v - lit(med))
+    val mad =
+      if (approxQuantiles)
+        df.select(dev.as("_d")).stat.approxQuantile("_d", Array(0.5), 1e-4)(0)
+      else exactQuantiles(df, dev, Seq(0.5)).head
+    base
+      .withColumn("q1", lit(q1)).withColumn("median", lit(med))
+      .withColumn("q3", lit(q3)).withColumn("iqr", lit(q3 - q1))
+      .withColumn("medabsdevmed", lit(mad))
   }
 
   /** moments (cngi/image/moments.py:25,85-143): per-group reductions
