@@ -435,6 +435,30 @@ object Queries {
       |  floor(max(abs(err)) * 1000000.0 + 0.5) / 1000000.0 AS max_abs_error
       |FROM e""".stripMargin)
 
+  private val uvContFitComplexQ = Q(
+    (s, d) => {
+      // complex visibility: real/imag fitted as two independent
+      // regressions sharing one pass (uv_cont_fit.py:75-79)
+      val in = li(s, d).groupBy(col("l_orderkey"), col("chan"))
+        .agg(avg(col("l_quantity")).as("re_"), avg(col("l_discount")).as("im_"))
+      val fit = RegressionOps.polyFit(in, Seq("l_orderkey"), "chan",
+        Seq("re_" -> "fit_re", "im_" -> "fit_im"), order = 1)
+      fit.select(col("l_orderkey"), col("chan"),
+        qround(col("fit_re"), 6).as("fit_re"),
+        qround(col("fit_im"), 8).as("fit_im"))
+    },
+    """WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan,
+      |             avg(l_quantity) AS re_, avg(l_discount) AS im_
+      |           FROM lineitem GROUP BY 1, 2),
+      |f AS (SELECT l_orderkey,
+      |        regr_slope(re_, chan) AS br, regr_intercept(re_, chan) AS ar,
+      |        regr_slope(im_, chan) AS bi, regr_intercept(im_, chan) AS ai
+      |      FROM t GROUP BY 1)
+      |SELECT t.l_orderkey, t.chan,
+      |  floor((f.ar + f.br * t.chan) * 1000000.0 + 0.5) / 1000000.0 AS fit_re,
+      |  floor((f.ai + f.bi * t.chan) * 100000000.0 + 0.5) / 100000000.0 AS fit_im
+      |FROM t JOIN f ON t.l_orderkey = f.l_orderkey""".stripMargin)
+
   // ----------------------------------------------------------------- image
 
   // shared fixture: 8x6 SIN-projected grid about (0.5, -0.3) rad
@@ -659,6 +683,7 @@ object Queries {
     "complex_math" -> complexMathQ,
     "describe_vis" -> describeVisQ,
     "uv_cont_fit" -> uvContFitQ,
+    "uv_cont_fit_complex" -> uvContFitComplexQ,
     "cont_sub" -> contSubQ,
     "fit_metrics" -> fitMetricsQ,
     "make_empty_sky_image" -> makeEmptySkyImageQ,

@@ -164,6 +164,47 @@ object QueriesKernels {
     },
     "") // iterative solve: rows-only check; numerics in KernelOpsSpec
 
+  /** The relational reduction stage of self_cal, oracle-checked on its
+    * own (the iterative solve above it is covered by analytic tests).
+    */
+  private val selfcalReduceQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        month(col("l_shipdate")).cast("long").as("solint"),
+        (col("l_orderkey") % 8).cast("int").as("ant1"),
+        (col("l_suppkey") % 8).cast("int").as("ant2"),
+        c(col("l_tax") + 1.0, col("l_discount")).as("vis"),
+        c(lit(2.0), lit(0.0)).as("model"),
+        (col("l_quantity") / 10.0).as("w"),
+        (col("l_linenumber") === 7).as("flag"))
+      CalOps.reduceVisModel(vis, "solint", "ant1", "ant2", "vis", "model",
+          "w", "flag")
+        .select(col("solint"), col("ant1"), col("ant2"),
+          qround(col("xre"), 8).as("xre"), qround(col("xim"), 8).as("xim"),
+          qround(col("wt"), 4).as("wt"))
+    },
+    """WITH v AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS solint,
+      |    CAST(l_orderkey % 8 AS INT) AS ant1,
+      |    CAST(l_suppkey % 8 AS INT) AS ant2,
+      |    (l_tax + 1.0) AS vr, l_discount AS vi,
+      |    l_quantity / 10.0 AS w
+      |  FROM lineitem
+      |  WHERE NOT (l_linenumber = 7) AND l_orderkey % 8 <> l_suppkey % 8
+      |    AND l_quantity / 10.0 > 0),
+      |x AS (
+      |  -- X = V/M with M = 2+0i: (vr/2, vi/2); Xwt = w * |M|^2 = w*4
+      |  SELECT solint, ant1, ant2,
+      |    (vr * 2.0 + vi * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xre,
+      |    (vi * 2.0 - vr * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xim,
+      |    w * (2.0 * 2.0 + 0.0 * 0.0) AS xwt
+      |  FROM v)
+      |SELECT solint, ant1, ant2,
+      |  floor((sum(xre * xwt) / sum(xwt)) * 100000000.0 + 0.5) / 100000000.0 AS xre,
+      |  floor((sum(xim * xwt) / sum(xwt)) * 100000000.0 + 0.5) / 100000000.0 AS xim,
+      |  floor(sum(xwt) * 10000.0 + 0.5) / 10000.0 AS wt
+      |FROM x GROUP BY 1, 2, 3""".stripMargin)
+
   private val cleanQ = Q(
     (s, d) => {
       // CLEAN the gridded lineitem image with its own PSF (both planes
@@ -287,6 +328,7 @@ object QueriesKernels {
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,
     "self_cal" -> selfCalQ,
+    "selfcal_reduce" -> selfcalReduceQ,
     "deconvolve_point_clean" -> cleanQ,
     "smooth" -> smoothQ,
     "fit_gaussian" -> fitGaussianQ)

@@ -194,6 +194,36 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, bucket, ${qrSql("cos_", 8)} AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  private val annLshProbedQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.lshTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", dim = 64, k = 5, probes = 1)
+        .select(col("query_id"), col("neighbor_id"), col("bucket"),
+          qround(col("cosine"), 8).as("cosine"), col("rank"))
+    }, {
+      val probeList = ("bucket" +: (0 until 8).map(b => s"xor(bucket, ${1L << b})"))
+        .mkString("[", ", ", "]")
+      s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
+         |q AS (SELECT vec_id AS query_id, v AS qv, unnest($probeList) AS bucket
+         |      FROM e WHERE vec_id < 10),
+         |scored0 AS (
+         |  SELECT q.query_id, e.vec_id AS neighbor_id, e.bucket,
+         |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_
+         |  FROM e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id),
+         |scored AS (
+         |  SELECT * FROM (
+         |    SELECT *, row_number() OVER (PARTITION BY query_id, neighbor_id ORDER BY bucket) AS rn_
+         |    FROM scored0) WHERE rn_ = 1),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, bucket, cos_,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, bucket, ${qrSql("cos_", 8)} AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    })
+
   private val embedNearDupQ = Q(
     (s, d) => SimilarityOps.nearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", dim = 64, threshold = 0.2)
@@ -312,6 +342,7 @@ object QueriesLlm {
     "ngram_jaccard" -> ngramJaccardQ,
     "ann_topk" -> annTopkQ,
     "ann_lsh" -> annLshQ,
+    "ann_lsh_probed" -> annLshProbedQ,
     "embed_neardup" -> embedNearDupQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,

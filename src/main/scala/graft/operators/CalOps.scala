@@ -87,17 +87,18 @@ object CalOps {
     * Input: long-form rows with a complex `vis` and `model` struct,
     * weight, flag; output: one gain row per (solint, antenna).
     */
-  def selfCal(spark: SparkSession, df: DataFrame, solintCol: String,
-              ant1Col: String, ant2Col: String, visCol: String,
-              modelCol: String, weightCol: String, flagCol: String,
-              refAnt: Int = 0): DataFrame = {
-    import spark.implicits._
+  /** The relational reduction stage of self_cal (self_cal.py:289-301):
+    * X = V/M weighted-averaged over chans/pols per (interval,
+    * baseline) with weight wt*|M|^2; flagged/autocorr rows dropped.
+    * One hash aggregate — exposed separately so it can be verified
+    * against a SQL oracle independently of the iterative solve.
+    */
+  def reduceVisModel(df: DataFrame, solintCol: String, ant1Col: String,
+                     ant2Col: String, visCol: String, modelCol: String,
+                     weightCol: String, flagCol: String): DataFrame = {
     val x = c_div(col(visCol), col(modelCol))
     val xwt = col(weightCol) * c_abs2(col(modelCol))
-    // X = V/M averaged over chans/pols with weight wt*|M|^2
-    // (self_cal.py:289-301); flagged/autocorr rows dropped
-    val reduced = df
-      .where(!coalesce(col(flagCol), lit(false)) &&
+    df.where(!coalesce(col(flagCol), lit(false)) &&
         col(ant1Col) =!= col(ant2Col) && col(weightCol) > 0)
       .groupBy(col(solintCol).cast("long").as("solint"),
         col(ant1Col).cast("int").as("ant1"),
@@ -105,7 +106,15 @@ object CalOps {
       .agg((sum(re(x) * xwt) / sum(xwt)).as("xre"),
         (sum(im(x) * xwt) / sum(xwt)).as("xim"),
         sum(xwt).as("wt"))
-      .as[BaselineX]
+  }
+
+  def selfCal(spark: SparkSession, df: DataFrame, solintCol: String,
+              ant1Col: String, ant2Col: String, visCol: String,
+              modelCol: String, weightCol: String, flagCol: String,
+              refAnt: Int = 0): DataFrame = {
+    import spark.implicits._
+    val reduced = reduceVisModel(df, solintCol, ant1Col, ant2Col,
+      visCol, modelCol, weightCol, flagCol).as[BaselineX]
     reduced.groupByKey(_.solint)
       .flatMapGroups { (solint, it) =>
         val rows = it.toSeq

@@ -95,19 +95,36 @@ object SimilarityOps {
   /** LSH-bucketed top-k: score only bucket-colliding (query, corpus)
     * pairs. Returns the same schema as bruteForceTopK plus the bucket.
     */
+  /** @param probes 0 = exact-bucket only; 1 = additionally probe the
+    *   nplanes neighbor buckets at Hamming distance 1 from the query's
+    *   bucket (multi-probe LSH — recovers neighbors that fall just
+    *   across one hyperplane, the standard recall/cost dial).
+    */
   def lshTopK(queries: DataFrame, corpus: DataFrame, qId: String,
               cId: String, vecCol: String, dim: Int, k: Int,
-              nplanes: Int = 8): DataFrame = {
-    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"),
-        hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
+              nplanes: Int = 8, probes: Int = 0): DataFrame = {
+    val q0 = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"),
+        hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket0"))
       .withColumn("qn", normUdf(col("qv")))
+    val probeBuckets =
+      if (probes <= 0) array(col("bucket0"))
+      else array(col("bucket0") +:
+        (0 until nplanes).map(b => col("bucket0").bitwiseXOR(lit(1L << b))): _*)
+    val q = q0.withColumn("bucket", explode(probeBuckets)).drop("bucket0")
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
         hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
       .withColumn("cn", normUdf(col("cv")))
-    val scored = c.join(broadcast(q), Seq("bucket"))
+    val scored0 = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    // multi-probe can surface the same pair through several buckets:
+    // keep the smallest bucket deterministically
+    val scored =
+      if (probes <= 0) scored0
+      else scored0.withColumn("_rn", row_number().over(
+          Window.partitionBy("query_id", "neighbor_id").orderBy("bucket")))
+        .where(col("_rn") === 1).drop("_rn")
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
