@@ -156,6 +156,32 @@ object AverageOps {
       .agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Skew-safe two-stage aggregation: when one group key dominates
+    * (hot antenna, hot channel), a single hash aggregate funnels the
+    * hot key's rows through one reducer. Salting splits each key into
+    * `salts` sub-keys for the partial stage, then combines the
+    * decomposable aggregates (sums/counts) in a second, tiny
+    * aggregation. Weighted means compose exactly: keep (sum(v*w),
+    * sum(w)) through both stages and divide at the end.
+    *
+    * AQE's skew-join handling covers joins; this covers aggregation
+    * skew, which AQE does not re-balance.
+    */
+  def saltedWeightedAverage(df: DataFrame, keys: Seq[String],
+                            weighted: Seq[Weighted], salts: Int = 16): DataFrame = {
+    val salted = df.withColumn("_salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)))
+    val aggCols = weighted.map(wv => sum(col(wv.value) * col(wv.weight)).as(s"_vw_${wv.value}")) ++
+      weighted.map(wv => sum(col(wv.weight)).as(s"_w_${wv.value}"))
+    val stage1 = salted.groupBy((keys.map(col) :+ col("_salt")): _*)
+      .agg(aggCols.head, aggCols.tail: _*)
+    val finalAggs = weighted.map(wv =>
+      (sum(col(s"_vw_${wv.value}")) / sum(col(s"_w_${wv.value}"))).as(wv.value)) ++
+      weighted.map(wv => sum(col(s"_w_${wv.value}")).as(wv.weight))
+    stage1.groupBy(keys.map(col): _*)
+      .agg(finalAggs.head, finalAggs.tail: _*)
+  }
+
   /** Window-function kernels (scipy.signal.get_window analogs used by
     * chan_smooth: boxcar/triang/hann..., cngi/vis/chan_smooth.py:54-59),
     * normalized to unit sum.

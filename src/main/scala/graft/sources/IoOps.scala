@@ -88,6 +88,24 @@ object IoOps {
                  partitionBy: Seq[String] = Nil): Unit =
     writeVis(df, path, partitionBy)
 
+  /** Bucketed write for co-located joins: two vis stores bucketed and
+    * sorted on the same keys join WITHOUT a shuffle (the join_vis /
+    * join_dataset hot path at 100 TB). Bucketing requires the table
+    * catalog (`saveAsTable` with an explicit path), which is why it is
+    * a separate entry point from the plain partitioned write.
+    * NOTE: bucket metadata lives in the catalog — with the default
+    * in-memory metastore it is visible only within the writing
+    * session; production use needs a shared metastore.
+    */
+  def writeVisBucketed(df: DataFrame, table: String, path: String,
+                       bucketBy: Seq[String], numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .option("compression", "zstd")
+      .option("path", path)
+      .bucketBy(numBuckets, bucketBy.head, bucketBy.tail: _*)
+      .sortBy(bucketBy.head, bucketBy.tail: _*)
+      .saveAsTable(table)
+
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
     * 84-137): sibling artifacts (psf, pb, residual, model, ...) become
     * one table with one value column per artifact — a chain of outer

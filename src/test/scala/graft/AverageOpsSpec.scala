@@ -85,6 +85,20 @@ class AverageOpsSpec extends SparkSpec {
     assert(approx(vs(0), 1.5) && approx(vs(1), 1.5))
   }
 
+  test("saltedWeightedAverage matches the direct weighted average") {
+    val df = (for (k <- 0 until 3; i <- 0 until 200)
+      yield (k, (i % 17 + 1).toDouble, (i % 5 + 1).toDouble)).toDF("key", "v", "w")
+    val direct = df.groupBy("key")
+      .agg((sum($"v" * $"w") / sum($"w")).as("v"), sum($"w").as("w"))
+    val salted = AverageOps.saltedWeightedAverage(df, Seq("key"),
+      Seq(Weighted("v", "w")), salts = 8)
+    val d = direct.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    val s = salted.collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    d.foreach { case (k, (v, w)) =>
+      assert(approx(s(k)._1, v) && approx(s(k)._2, w))
+    }
+  }
+
   test("kernels are normalized to unit sum") {
     for (k <- Seq(AverageOps.Kernels.boxcar(5), AverageOps.Kernels.triang(5),
       AverageOps.Kernels.hann(5)))

@@ -1,0 +1,116 @@
+package graft
+
+import org.scalacheck.Gen
+import graft.operators.{DedupOps, GridOps, RegressionOps, TextOps}
+
+/** Randomized property tests (SURVEY.md §5: algebraic identities the
+  * reference documents, plus kernel invariants). Uses raw ScalaCheck
+  * generators sampled from ScalaTest (the scalatest-plus bridge is not
+  * in the offline dependency cache).
+  */
+class PropertySpec extends SparkSpec {
+
+  private def forSamples[A](g: Gen[A], n: Int = 200)(f: A => Unit): Unit = {
+    val seed0 = org.scalacheck.rng.Seed(42L)
+    var seed = seed0
+    (1 to n).foreach { _ =>
+      g.apply(Gen.Parameters.default, seed).foreach(f)
+      seed = seed.next
+    }
+  }
+
+  private def forSamples2[A, B](ga: Gen[A], gb: Gen[B])(f: (A, B) => Unit): Unit =
+    forSamples(Gen.zip(ga, gb))(t => f(t._1, t._2))
+
+  private def whenever(cond: Boolean)(f: => Unit): Unit = if (cond) f
+
+  private val finiteD = Gen.choose(-1e6, 1e6)
+
+  test("property: polyHash is stable, in range, and order-sensitive") {
+    forSamples2(Gen.alphaNumStr, Gen.alphaNumStr) { (a: String, b: String) =>
+      val h = TextOps.polyHashFn(a)
+      assert(h >= 0 && h < TextOps.HashMod)
+      assert(h === TextOps.polyHashFn(a)) // deterministic
+      whenever(a != b) {
+        // different strings rarely collide; at minimum concat order matters
+        if (a.nonEmpty && b.nonEmpty)
+          assert(TextOps.polyHashFn(a + b) === {
+            var acc = TextOps.polyHashFn(a)
+            var i = 0
+            while (i < b.length) {
+              acc = (acc * TextOps.HashBase + b.charAt(i).toInt) % TextOps.HashMod
+              i += 1
+            }
+            acc
+          }) // rolling property: hash(a+b) extends hash(a)
+      }
+    }
+  }
+
+  test("property: minhash signature entries are min-stable under duplication") {
+    forSamples(Gen.nonEmptyListOf(Gen.choose(0L, TextOps.HashMod - 1))) { sh =>
+      val sig = DedupOps.minHashSignatureFn(sh, 8)
+      val sigDup = DedupOps.minHashSignatureFn(sh ++ sh, 8) // set semantics
+      assert(sig.toSeq === sigDup.toSeq)
+    }
+  }
+
+  test("property: shingle sets of a doc and itself have jaccard 1 ingredients") {
+    forSamples(Gen.listOfN(6, Gen.identifier)) { ws =>
+      whenever(ws.length >= 3) {
+        val sh = TextOps.shingleHashesFn(ws.mkString(" "), 3)
+        assert(sh.distinct.length === sh.length) // distinct by construction
+      }
+    }
+  }
+
+  test("property: solveNormal recovers random order-2 polynomials") {
+    val coefGen = Gen.choose(-5.0, 5.0)
+    forSamples(Gen.zip(coefGen, coefGen, coefGen)) { case (c0, c1, c2) =>
+      val xs = (0 to 6).map(_.toDouble)
+      val ys = xs.map(x => c0 + c1 * x + c2 * x * x)
+      val moments = (0 to 4).map(k => xs.map(math.pow(_, k)).sum)
+      val rhs = (0 to 2).map(k => xs.zip(ys).map { case (x, y) => y * math.pow(x, k) }.sum)
+      val Some(sol) = RegressionOps.solveNormal(moments, rhs)
+      assert(approx(sol(0), c0, 1e-6) && approx(sol(1), c1, 1e-6) &&
+        approx(sol(2), c2, 1e-6))
+    }
+  }
+
+  test("property: PSWF kernel is symmetric, bounded, zero outside support") {
+    forSamples(Gen.choose(-2.0, 2.0)) { u =>
+      val k = GridOps.kernelValue(u)
+      assert(approx(k, GridOps.kernelValue(-u)))
+      if (math.abs(u) >= 1.0) assert(k <= 0.0 + 1e-12) // (1-u^2) <= 0 at edge
+      else assert(k >= 0.0 && k <= 1.0)
+    }
+  }
+
+  test("property: simhash of identical docs equal; hamming within bit count") {
+    forSamples(Gen.nonEmptyListOf(Gen.identifier)) { ws =>
+      val s = ws.mkString(" ")
+      val h1 = DedupOps.simHashFn(s, 16)
+      assert(h1 === DedupOps.simHashFn(s, 16))
+      assert(h1 >= 0 && h1 < (1L << 16))
+    }
+  }
+
+  test("property: complex c_mul/c_div roundtrip on the driver-side model") {
+    // mirrors the column expressions' math on plain doubles
+    forSamples(Gen.zip(finiteD, finiteD, finiteD, finiteD)) { case (ar, ai, br, bi) =>
+      whenever(math.abs(br) + math.abs(bi) > 1e-6) {
+        // (a*b)/b == a
+        val mr = ar * br - ai * bi
+        val mi = ar * bi + ai * br
+        val d = br * br + bi * bi
+        val rr = (mr * br + mi * bi) / d
+        val ri = (mi * br - mr * bi) / d
+        assert(approx(rr, ar, 1e-6) && assertOk(ri, ai))
+      }
+    }
+  }
+
+  private def assertOk(a: Double, b: Double): Boolean = {
+    assert(approx(a, b, 1e-6)); true
+  }
+}
