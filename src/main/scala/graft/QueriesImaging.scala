@@ -131,6 +131,38 @@ object QueriesImaging {
        |  floor(sum(weight * norm) * 10000.0 + 0.5) / 10000.0 AS sum_weight
        |FROM norms GROUP BY 2""".stripMargin)
 
+  /** cube-mode gridding: img_chan = a real channel axis (2 planes per
+    * pol) instead of the continuum collapse — the chan_map choice of
+    * make_image.py:132-139 expressed as a column.
+    */
+  private val makeGridCubeQ = Q(
+    (s, d) => {
+      val vis = visFixture(s, d)
+        .withColumn("img_chan", (col("l_orderkey") % 2).cast("int"))
+      val (grid, _) = GridOps.makeGrid(s, vis, P)
+      grid.select(col("img_chan"), col("pol"), col("u_idx"), col("v_idx"),
+        qround(col("grid_re"), 6).as("grid_re"),
+        qround(col("grid_im"), 6).as("grid_im"))
+    },
+    s"""WITH fx0 AS ($visFixtureSql),
+       |fx AS (SELECT * REPLACE (CAST(l_orderkey % 2 AS INT) AS img_chan) FROM fx0),
+       |cgk AS (SELECT ${litList(GridOps.cgk1D(100, 7))}::DOUBLE[] AS t),
+       |geom AS ($geomSql),
+       |idx AS ($idxSql),
+       |frac AS (${fracSql(doPsf = false)}),
+       |taps AS (SELECT img_chan, pol, uc + du AS u_idx, vc + dv AS v_idx,
+       |  cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv,
+       |  gre, gim
+       |FROM frac
+       |CROSS JOIN generate_series(-3, 3) tu(du)
+       |CROSS JOIN generate_series(-3, 3) tv(dv)
+       |CROSS JOIN cgk
+       |WHERE cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] <> 0.0)
+       |SELECT img_chan, pol, u_idx, v_idx,
+       |  floor(sum(conv * gre) * 1000000.0 + 0.5) / 1000000.0 AS grid_re,
+       |  floor(sum(conv * gim) * 1000000.0 + 0.5) / 1000000.0 AS grid_im
+       |FROM taps GROUP BY 1, 2, 3, 4""".stripMargin)
+
   private val makePsfGridQ = Q(
     (s, d) => {
       val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P, doPsf = true)
@@ -213,6 +245,7 @@ object QueriesImaging {
 
   val all: Map[String, Q] = Map(
     "make_grid" -> makeGridQ,
+    "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,
     "make_psf_grid" -> makePsfGridQ,
     "make_image" -> makeImageQ,

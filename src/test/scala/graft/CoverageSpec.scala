@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import graft.operators.{GridOps, Stubs}
+import graft.sources.IoOps
+
+/** Tests for the smaller surface pieces: image artifact merge, image
+  * I/O aliases, parity stubs, cube-mode gridding.
+  */
+class CoverageSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("mergeImageArtifacts: one value column per artifact, outer-joined") {
+    val img = Seq((0, 0, 1.0), (0, 1, 2.0)).toDF("l", "m", "image")
+    val psf = Seq((0, 0, 0.5), (1, 1, 0.1)).toDF("l", "m", "image")
+    val merged = IoOps.mergeImageArtifacts(
+      Seq("image" -> img, "psf" -> psf), keys = Seq("l", "m"))
+    assert(merged.columns.toSet === Set("l", "m", "image", "psf"))
+    assert(merged.count() === 3) // (0,0), (0,1), (1,1)
+    val r = merged.where($"l" === 0 && $"m" === 0).head()
+    assert(r.getAs[Double]("image") === 1.0 && r.getAs[Double]("psf") === 0.5)
+  }
+
+  test("readImage/writeImage round-trip") {
+    val dir = Files.createTempDirectory("graft_img").toString + "/img"
+    val img = Seq((0, 0, 1.5), (0, 1, 2.5)).toDF("l_idx", "m_idx", "image")
+    IoOps.writeImage(img, dir)
+    assert(IoOps.readImage(spark, dir).count() === 2)
+  }
+
+  test("stubs throw NotImplementedError naming the reference location") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val e = intercept[NotImplementedError](Stubs.shadow(df))
+    assert(e.getMessage.contains("shadow.py"))
+    intercept[NotImplementedError](Stubs.reframe(df))
+    intercept[NotImplementedError](Stubs.feather(df, df))
+  }
+
+  test("cube-mode gridding equals per-chan continuum gridding") {
+    val rng = new scala.util.Random(5)
+    val scale = 1.5e9 * 0.002 * 32 / GridOps.SpeedOfLight
+    val vis = (0 until 200).map { i =>
+      (i % 2, 0, (rng.nextDouble() - 0.5) / scale * 16,
+        (rng.nextDouble() - 0.5) / scale * 16, 1.0 + i % 3, 0.5, 1.0, 1.5e9)
+    }.toDF("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+    val p = GridOps.GridParams((32, 32), (0.002, 0.002))
+    val (cube, sw) = GridOps.makeGrid(spark, vis, p)
+    assert(sw.count() === 2) // one sum_weight per plane
+    // plane 0 of the cube == continuum gridding of only chan-0 rows
+    val (only0, _) = GridOps.makeGrid(spark, vis.where($"img_chan" === 0), p)
+    val j = cube.where($"img_chan" === 0).as("a")
+      .join(only0.as("b"), Seq("img_chan", "pol", "u_idx", "v_idx"), "full_outer")
+    assert(j.where(col("a.grid_re").isNull || col("b.grid_re").isNull ||
+      abs(col("a.grid_re") - col("b.grid_re")) > 1e-9).count() === 0)
+  }
+}
