@@ -1,0 +1,55 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
+import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Native Catalyst expression for the engine's polynomial string hash
+  * (see graft.operators.TextOps): fold (acc*31 + charCode) % (1e9+7)
+  * over the string's characters.
+  *
+  * This is the one place the built-in surface genuinely couldn't keep
+  * up (SURVEY.md §7.2): array higher-order functions are interpreted
+  * (CodegenFallback), and a Scala UDF pays String materialization +
+  * boxing per row. Here `doGenCode` emits the loop directly into the
+  * whole-stage-codegen'd projection, reading the UTF8String in place.
+  *
+  * Semantics match TextOps.polyHashFn exactly for BMP text (the fold
+  * is over UTF-16 code units there, code points here only differing
+  * beyond the BMP; the corpus contract is ASCII).
+  */
+case class PolyHash(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(input: Any): Any =
+    graft.operators.TextOps.polyHashFn(input.asInstanceOf[UTF8String].toString)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, c => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val acc = ctx.freshName("acc")
+      val s = ctx.freshName("s")
+      s"""
+         |java.lang.String $s = $c.toString();
+         |long $acc = 0L;
+         |int $n = $s.length();
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % 1000000007L;
+         |}
+         |${ev.value} = $acc;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): PolyHash =
+    copy(child = newChild)
+}
+
+object PolyHash {
+  /** Column wrapper: the codegen'd form of TextOps.polyHash. */
+  def apply(c: Column): Column = toColumn(PolyHash(toExpression(c)))
+}

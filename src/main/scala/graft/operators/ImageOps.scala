@@ -51,11 +51,20 @@ object ImageOps {
       .withColumn("right_ascension",
         lit(ra0) + atan2(col("l"),
           n * lit(math.cos(dec0)) - col("m") * lit(math.sin(dec0))))
-    import spark.implicits._
+    // chan/pol/time expansion as literal-array explodes: one generate
+    // chain, no join nodes (a broadcast-join chain here costs several
+    // AQE replans per tiny dimension — measured seconds of fixed
+    // overhead on a 256-row grid)
+    val chanArr = array(chans.zipWithIndex.map { case (f, i) =>
+      struct(lit(i).as("chan"), lit(f).as("chan_freq"))
+    }: _*)
     withWorld
-      .crossJoin(broadcast(chans.zipWithIndex.toDF("chan_freq", "chan")))
-      .crossJoin(broadcast(pols.toDF("pol")))
-      .crossJoin(broadcast(times.toDF("time")))
+      .withColumn("_c", explode(chanArr))
+      .withColumn("chan", col("_c.chan"))
+      .withColumn("chan_freq", col("_c.chan_freq"))
+      .drop("_c")
+      .withColumn("pol", explode(array(pols.map(lit): _*)))
+      .withColumn("time", explode(array(times.map(lit): _*)))
   }
 
   private def between(c: Column, lo: Double, hi: Double): Column =

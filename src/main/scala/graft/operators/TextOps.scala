@@ -62,8 +62,11 @@ object TextOps {
     out.distinct
   }
 
-  /** Polynomial rolling hash of a string column. */
-  def polyHash(c: Column): Column = udf(polyHashFn _).apply(c)
+  /** Polynomial rolling hash of a string column — a native Catalyst
+    * expression with whole-stage codegen (graft.functions.PolyHash);
+    * the one custom Expression the engine needs (SURVEY.md §7.2).
+    */
+  def polyHash(c: Column): Column = graft.functions.PolyHash(c)
 
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")

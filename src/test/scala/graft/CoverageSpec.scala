@@ -37,6 +37,21 @@ class CoverageSpec extends SparkSpec {
     intercept[NotImplementedError](Stubs.feather(df, df))
   }
 
+  test("PolyHash native expression matches the Scala kernel, codegen and interpreted") {
+    val strs = Seq("", "a", "hello world", "the quick brown fox", "Zürich αβγ",
+      " spaces  everywhere ", "0123456789" * 20)
+    val df = strs.toDF("s")
+    val got = df.select(graft.operators.TextOps.polyHash(col("s")).as("h"))
+      .as[Long].collect()
+    got.zip(strs).foreach { case (h, s0) =>
+      assert(h === graft.operators.TextOps.polyHashFn(s0), s0)
+    }
+    // dedup path uses it end to end: hash grouping stays consistent
+    val d = Seq((0L, "x y z"), (1L, "x y z"), (2L, "other")).toDF("doc_id", "text")
+    val out = graft.operators.DedupOps.exactDedup(d, "doc_id", "text")
+    assert(out.count() === 2)
+  }
+
   test("cube-mode gridding equals per-chan continuum gridding") {
     val rng = new scala.util.Random(5)
     val scale = 1.5e9 * 0.002 * 32 / GridOps.SpeedOfLight
