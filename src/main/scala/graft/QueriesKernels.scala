@@ -227,6 +227,56 @@ object QueriesKernels {
     },
     "") // iterative kernel: rows-only check; numerics in KernelOpsSpec
 
+  /** One Hogbom iteration IS closed-form (peak -> model += gain*peak,
+    * residual -= gain*peak*shifted-psf), so the CLEAN kernel's update
+    * rule gets an exact oracle; the multi-iteration query below stays
+    * rows-only.
+    */
+  private val cleanOneIterQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        sin(col("l_idx") * 1.3) + cos(col("m_idx") * 0.7) +
+          when(col("l_idx") === 5 && col("m_idx") === 9, 4.0).otherwise(0.0))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
+          gain = 0.3, threshold = 0.0, niter = 1)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  sin(l_idx * CAST(1.3 AS DOUBLE)) + cos(m_idx * CAST(0.7 AS DOUBLE)) +
+         |    CASE WHEN l_idx = 5 AND m_idx = 9 THEN 4.0 ELSE 0.0 END AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |peak AS (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM img
+         |         ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1)
+         |SELECT i.l_idx, i.m_idx,
+         |  floor((CASE WHEN i.l_idx = p.pl AND i.m_idx = p.pm
+         |         THEN 0.3 * p.pv ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS model,
+         |  floor((i.v - CASE WHEN (8 + i.l_idx - p.pl) BETWEEN 0 AND 15
+         |                     AND (8 + i.m_idx - p.pm) BETWEEN 0 AND 15
+         |               THEN 0.3 * p.pv * ps.k ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM img i CROSS JOIN peak p
+         |LEFT JOIN psf ps ON ps.l_idx = 8 + i.l_idx - p.pl
+         |                AND ps.m_idx = 8 + i.m_idx - p.pm""".stripMargin
+    })
+
   private val smoothQ = Q(
     (s, d) => {
       val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
@@ -238,8 +288,36 @@ object QueriesKernels {
         (0.0005, 0.0005), 16, 16)
       BeamOps.smooth(s, img, beam, 16, 16)
         .select(col("l_idx"), col("m_idx"), qround(col("smoothed"), 6).as("smoothed"))
-    },
-    "") // FFT-convolution: rows-only check; identity test in KernelOpsSpec
+    }, {
+      // oracle: ifft2(fft2(A)*fft2(K)) == circular convolution; the
+      // final fftshift is an index shift of +n/2 mod n. Beam constants
+      // mirror BeamOps.gaussianBeam(d1=300, d2=300, theta=0).
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val dc = 300.0 / incr
+      val a = 4 * math.log(2) * (1.0 / (dc * dc)) // alpha == gamma, beta == 0
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |          sin(l_idx * CAST(0.3 AS DOUBLE)) + cos(m_idx * CAST(0.5 AS DOUBLE)) AS v
+         |        FROM px),
+         |ker AS (SELECT l_idx, m_idx,
+         |          exp(-(${fmt(a)} * (l_idx - 8) * (l_idx - 8)
+         |              + ${fmt(a)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |        FROM px),
+         |conv AS (
+         |  SELECT p.l_idx, p.m_idx,
+         |    sum(i.v * k.k) AS s
+         |  FROM px p
+         |  JOIN img i ON true
+         |  JOIN ker k
+         |    ON k.l_idx = ((p.l_idx + 8 - i.l_idx) % 16 + 16) % 16
+         |   AND k.m_idx = ((p.m_idx + 8 - i.m_idx) % 16 + 16) % 16
+         |  GROUP BY 1, 2)
+         |SELECT l_idx, m_idx,
+         |  floor(abs(s) * 1000000.0 + 0.5) / 1000000.0 AS smoothed
+         |FROM conv""".stripMargin
+    })
 
   private val fitGaussianQ = Q(
     (s, d) => {
@@ -273,8 +351,88 @@ object QueriesKernels {
           Map(0 -> ((0.0, 0.0)), 1 -> ((0.002, -0.002))))
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("image"), 4).as("image"))
-    },
-    "") // mosaic gridder: rows-only; equivalence + steering in MosaicOpsSpec
+    }, {
+      // full SQL mirror: per-type kernels (support 7 and 15), per-field
+      // steering phasor, scatter, DFT, sum-weight + PSWF normalization
+      val cgk0 = GridOps.cgk1D(100, 7)
+      val cgk1 = GridOps.cgk1D(100, 15)
+      def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+      s"""WITH fx AS (
+         |  SELECT l_extendedprice % 60.0 - 30.0 AS u,
+         |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+         |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+         |    1500000000.0 AS freq,
+         |    CAST(l_suppkey % 2 AS INT) AS cf_type,
+         |    CAST(l_orderkey % 2 AS INT) AS field_id
+         |  FROM lineitem),
+         |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
+         |ph AS (
+         |  SELECT *,
+         |    CASE cf_type WHEN 0 THEN 3 ELSE 7 END AS sc,
+         |    2 * pi() * (u * (CASE field_id WHEN 1 THEN CAST(0.002 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+         |              + v * (CASE field_id WHEN 1 THEN CAST(-0.002 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
+         |      * freq / 299792458.0 AS theta
+         |  FROM fx),
+         |rot AS (
+         |  SELECT *, re * cos(theta) - im * sin(theta) AS vre,
+         |            re * sin(theta) + im * cos(theta) AS vim,
+         |    u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
+         |    v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
+         |  FROM ph),
+         |idx AS (
+         |  SELECT *, CAST(floor(u_pos + 0.5) AS INT) AS uc,
+         |            CAST(floor(v_pos + 0.5) AS INT) AS vc,
+         |            vre * weight AS gre, vim * weight AS gim
+         |  FROM rot
+         |  WHERE CAST(floor(u_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
+         |    AND CAST(floor(v_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
+         |    AND CAST(floor(u_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0
+         |    AND CAST(floor(v_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0),
+         |frac AS (
+         |  SELECT *, CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+         |            CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac
+         |  FROM idx WHERE (gre <> 0.0 OR gim <> 0.0)),
+         |taps AS (
+         |  SELECT uc + du AS u_idx, vc + dv AS v_idx, gre, gim,
+         |    (CASE cf_type WHEN 0 THEN k.t0[abs(100 * du + ufrac) + 1]
+         |                  ELSE k.t1[abs(100 * du + ufrac) + 1] END) *
+         |    (CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv + vfrac) + 1]
+         |                  ELSE k.t1[abs(100 * dv + vfrac) + 1] END) AS conv
+         |  FROM frac
+         |  CROSS JOIN generate_series(-7, 7) tu(du)
+         |  CROSS JOIN generate_series(-7, 7) tv(dv)
+         |  CROSS JOIN k
+         |  WHERE abs(du) <= sc AND abs(dv) <= sc
+         |    AND (CASE cf_type WHEN 0 THEN k.t0[abs(100 * du + ufrac) + 1]
+         |                      ELSE k.t1[abs(100 * du + ufrac) + 1] END) *
+         |        (CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv + vfrac) + 1]
+         |                      ELSE k.t1[abs(100 * dv + vfrac) + 1] END) <> 0.0),
+         |grid AS (SELECT u_idx, v_idx, sum(conv * gre) AS gre, sum(conv * gim) AS gim
+         |         FROM taps GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT weight,
+         |    list_sum(list_transform(generate_series(-sc, sc), du_ ->
+         |      CASE cf_type WHEN 0 THEN k.t0[abs(100 * du_ + ufrac) + 1]
+         |                   ELSE k.t1[abs(100 * du_ + ufrac) + 1] END)) *
+         |    list_sum(list_transform(generate_series(-sc, sc), dv_ ->
+         |      CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv_ + vfrac) + 1]
+         |                   ELSE k.t1[abs(100 * dv_ + vfrac) + 1] END)) AS norm
+         |  FROM frac CROSS JOIN k),
+         |sumw AS (SELECT sum(weight * norm) AS sw FROM norms),
+         |corr AS (SELECT ${lst(GridOps.correcting1D(32))}::DOUBLE[] AS t),
+         |pxx AS (
+         |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+         |  FROM generate_series(0, 15) tl(l_out) CROSS JOIN generate_series(0, 15) tm(m_out)),
+         |dft AS (
+         |  SELECT pxx.l_out, pxx.m_out, pxx.lp, pxx.mp,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)
+         |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)) AS val
+         |  FROM grid g CROSS JOIN pxx GROUP BY 1, 2, 3, 4)
+         |SELECT 0 AS img_chan, 0 AS pol, l_out AS l_idx, m_out AS m_idx,
+         |  floor((val / (CASE WHEN sumw.sw = 0 THEN 1.0 ELSE sumw.sw END)
+         |         / (corr.t[lp + 1] * corr.t[mp + 1])) * 10000.0 + 0.5) / 10000.0 AS image
+         |FROM dft CROSS JOIN sumw CROSS JOIN corr""".stripMargin
+    })
 
   private val specFitQ = Q(
     (s, d) => {
@@ -330,6 +488,7 @@ object QueriesKernels {
     "self_cal" -> selfCalQ,
     "selfcal_reduce" -> selfcalReduceQ,
     "deconvolve_point_clean" -> cleanQ,
+    "clean_one_iter" -> cleanOneIterQ,
     "smooth" -> smoothQ,
     "fit_gaussian" -> fitGaussianQ)
 }
