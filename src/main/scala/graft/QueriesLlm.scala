@@ -224,6 +224,49 @@ object QueriesLlm {
          |FROM ranked WHERE rank <= 5""".stripMargin
     })
 
+  /** squared-L2 fold — mirrors SimilarityOps.sqDistFn. */
+  private def sqDistSql(a: String, b: String): String =
+    s"list_reduce(list_prepend(CAST(0.0 AS DOUBLE), " +
+      s"list_transform(generate_series(1, len($a)), i_ -> " +
+      s"($a[i_] - $b[i_]) * ($a[i_] - $b[i_]))), (x_, y_) -> x_ + y_)"
+
+  private val annIvfQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.ivfTopK(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5, nCentroids = 16, nProbe = 4)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"),
+          qround(col("cosine"), 8).as("cosine"), col("rank"))
+    },
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "cent.cv")}, cent.cid) AS rn_
+       |    FROM e CROSS JOIN cent) WHERE rn_ = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "cent.cv")}, cent.cid) AS rn_
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE rn_ <= 4),
+       |scored AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id,
+       |    ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cos_
+       |  FROM probes p
+       |  JOIN assign a ON a.list_id = p.list_id
+       |  JOIN e q ON q.vec_id = p.query_id
+       |  JOIN e c ON c.vec_id = a.vec_id
+       |  WHERE p.query_id <> a.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, list_id, cos_,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, list_id, ${qrSql("cos_", 8)} AS cosine, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin)
+
   private val embedNearDupQ = Q(
     (s, d) => SimilarityOps.nearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", dim = 64, threshold = 0.2)
@@ -343,6 +386,7 @@ object QueriesLlm {
     "ann_topk" -> annTopkQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_probed" -> annLshProbedQ,
+    "ann_ivf" -> annIvfQ,
     "embed_neardup" -> embedNearDupQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,

@@ -68,6 +68,36 @@ object MultimodalOps {
     }
   }
 
+  /** Resize stub: a real implementation would decode + rescale pixels;
+    * the deterministic fake block-averages the byte-pixels down to
+    * (newW x newH). The Spark-side shape — binary in, smaller binary +
+    * updated metadata out, per-partition batch loop — is the real
+    * plumbing per the builder brief.
+    */
+  def resize(spark: SparkSession, media: DataFrame,
+             newW: Int, newH: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.map { r =>
+        val px = decodeStub(r.content) // STUB: codec + rescale go here
+        val out = new Array[Byte](newW * newH)
+        val n = math.max(px.length, 1)
+        var i = 0
+        while (i < out.length) {
+          // block-average the source range mapping to this target cell
+          val from = i.toLong * n / out.length
+          val until = math.max(from + 1, (i + 1).toLong * n / out.length)
+          var sum = 0L
+          var j = from
+          while (j < until && j < px.length) { sum += px(j.toInt); j += 1 }
+          out(i) = (sum / (until - from)).toByte
+          i += 1
+        }
+        r.copy(width = newW, height = newH, content = out)
+      }
+    }
+  }
+
   /** Frame sampling stub for "video" payloads: every strideth block
     * becomes a frame row (media_id, frame_idx, frame_bytes). Long-form
     * explode — the Spark-side shape of video frame extraction.

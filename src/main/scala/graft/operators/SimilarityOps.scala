@@ -132,6 +132,64 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "bucket", "cosine", "rank")
   }
 
+  /** Squared L2 distance, left-to-right fold (oracle-exact). */
+  def sqDistFn(a: Seq[Double], b: Seq[Double]): Double = {
+    var acc = 0.0
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) { val d = a(i) - b(i); acc += d * d; i += 1 }
+    acc
+  }
+
+  /** IVF-style ANN: a coarse quantizer partitions the corpus into
+    * inverted lists; a query probes only its nProbe nearest lists.
+    * Centroids here are a deterministic subset of the corpus (the
+    * first nCentroids ids) rather than k-means-trained — same index
+    * structure and scan behavior, reproducible across engines (a
+    * trained quantizer plugs into the same shape).
+    *
+    * 100 TB story: the corpus is scanned once to assign list ids
+    * (broadcast centroids, compiled kernel), then the search join
+    * touches only the probed lists — cost |queries| x nProbe x
+    * avg-list-size instead of |queries| x |corpus|.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+              cId: String, vecCol: String, k: Int,
+              nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val cents: Array[(Long, Array[Double])] = corpus
+      .where(col(cId) < nCentroids)
+      .select(col(cId).cast("long"), toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    val assignUdf = udf((v: Seq[Double]) => {
+      var best = -1L; var bestD = Double.MaxValue
+      cents.foreach { case (id, c) =>
+        val d = sqDistFn(v, c.toSeq)
+        if (d < bestD || (d == bestD && id < best)) { best = id; bestD = d }
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Double]) =>
+      cents.map { case (id, c) => (sqDistFn(v, c.toSeq), id) }
+        .sortBy(identity).take(nProbe).map(_._2))
+    val c = spread(corpus)
+      .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("list_id", assignUdf(col("cv")))
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "list_id", "cosine", "rank")
+  }
+
   /** Embedding near-duplicate pairs: bucket self-join + cosine >=
     * threshold, id1 < id2. The all-pairs form is never materialized.
     */

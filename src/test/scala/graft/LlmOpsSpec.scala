@@ -108,6 +108,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(0L) === "x" && out(1L) === "y")
   }
 
+  test("ivfTopK probes only nearby lists and ranks by cosine") {
+    val emb = (0 until 40).map { i =>
+      val v = Array.tabulate(64)(j => (math.sin(i * 0.7 + j) * 0.5).toFloat)
+      (i.toLong, v)
+    }.toDF("vec_id", "embedding")
+    val out = SimilarityOps.ivfTopK(emb.where(col("vec_id") < 3), emb,
+      "vec_id", "vec_id", "embedding", k = 3, nCentroids = 8, nProbe = 3)
+    val byQ = out.collect().groupBy(_.getAs[Long]("query_id"))
+    assert(byQ.keySet === Set(0L, 1L, 2L))
+    byQ.values.foreach { rows =>
+      assert(rows.length <= 3)
+      val cosines = rows.sortBy(_.getAs[Int]("rank")).map(_.getAs[Double]("cosine"))
+      assert(cosines.sliding(2).forall(p => p.length < 2 || p(0) >= p(1)))
+    }
+  }
+
+  test("multimodal resize: smaller payload, updated metadata, deterministic") {
+    val media = MultimodalOps.packMedia(docs, "doc_id", "text")
+    val resized = MultimodalOps.resize(spark, media, 8, 4).collect()
+    resized.foreach { r =>
+      assert(r.width === 8 && r.height === 4 && r.content.length === 32)
+    }
+    val again = MultimodalOps.resize(spark, media, 8, 4).collect()
+    assert(resized.map(_.content.toSeq).toSeq === again.map(_.content.toSeq).toSeq)
+  }
+
   test("multimodal: packMedia + extractFeatures + frameSample plumbing") {
     val media = MultimodalOps.packMedia(docs, "doc_id", "text")
     assert(media.schema("content").dataType.typeName === "binary")
