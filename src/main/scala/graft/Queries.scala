@@ -341,6 +341,21 @@ object Queries {
       |         + dense_rank() OVER (ORDER BY n_nationkey) AS n_nationkey,
       |       n_name, n_regionkey FROM nation""".stripMargin)
 
+  private val splitMxdsQ = Q(
+    (s, d) => {
+      // mxds-wide split: partitions per returnflag, supplier subtable
+      // pruned to the suppliers referenced by the kept partition
+      val li0 = Tables.lineitem(s, d)
+      val parts = Seq("R", "A", "N").map(f =>
+        s"xds_$f" -> li0.where(col("l_returnflag") === f)).toMap
+      val m = Mxds(partitions = parts,
+        subtables = Map("SUPPLIER" -> Tables.supplier(s, d)),
+        subtableKeys = Map("SUPPLIER" -> (("s_suppkey", Seq("l_suppkey")))))
+      m.split(Seq("xds_R")).subtables("SUPPLIER")
+    },
+    """SELECT s.* FROM supplier s
+      |WHERE s.s_suppkey IN (SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'R')""".stripMargin)
+
   private val remapFactKeyQ = Q(
     (s, d) => {
       val nation = Tables.nation(s, d)
@@ -678,6 +693,7 @@ object Queries {
     "join_vis" -> joinVisQ,
     "join_conflicts" -> joinConflictsQ,
     "split_dataset" -> splitDatasetQ,
+    "split_mxds" -> splitMxdsQ,
     "join_dataset" -> joinDatasetQ,
     "remap_fact_key" -> remapFactKeyQ,
     "complex_math" -> complexMathQ,
