@@ -96,6 +96,21 @@ object Queries {
       |FROM lineitem
       |GROUP BY GROUPING SETS ((), (l_returnflag), (l_linestatus))""".stripMargin)
 
+  private val flagSummaryAntennaQ = Q(
+    (s, d) => {
+      val vis = li(s, d)
+        .withColumn("antenna1", (col("l_orderkey") % 20).cast("int"))
+        .withColumn("antenna2", (col("l_suppkey") % 20).cast("int"))
+      FlagOps.summaryPerAntenna(vis, col("flag"), "antenna1", "antenna2")
+    },
+    """WITH legs AS (
+      |  SELECT CAST(l_orderkey % 20 AS INT) AS antenna, l_returnflag = 'R' AS f FROM lineitem
+      |  UNION ALL
+      |  SELECT CAST(l_suppkey % 20 AS INT) AS antenna, l_returnflag = 'R' AS f FROM lineitem)
+      |SELECT antenna, sum(CASE WHEN f THEN 1 ELSE 0 END) AS flagged,
+      |  count(*) AS total
+      |FROM legs GROUP BY 1""".stripMargin)
+
   private val managerFlagsQ = Q(
     (s, d) => {
       val withBackup = FlagOps.managerAdd(li(s, d), "flag_backup", "flag")
@@ -682,6 +697,7 @@ object Queries {
     "manual_flag" -> manualFlagQ,
     "manual_unflag" -> manualUnflagQ,
     "flag_summary" -> flagSummaryQ,
+    "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,
     "chan_average" -> chanAverageQ,
     "time_average" -> timeAverageQ,

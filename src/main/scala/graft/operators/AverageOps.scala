@@ -195,5 +195,12 @@ object AverageOps {
       norm(Array.tabulate(n)(i => 1.0 - math.abs(i - (n - 1) / 2.0) / ((n + 1) / 2.0)))
     def hann(n: Int): Array[Double] =
       norm(Array.tabulate(n)(i => 0.5 - 0.5 * math.cos(2 * math.Pi * i / (n - 1))))
+    def hamming(n: Int): Array[Double] =
+      norm(Array.tabulate(n)(i => 0.54 - 0.46 * math.cos(2 * math.Pi * i / (n - 1))))
+    def blackman(n: Int): Array[Double] =
+      norm(Array.tabulate(n)(i => 0.42 - 0.5 * math.cos(2 * math.Pi * i / (n - 1)) +
+        0.08 * math.cos(4 * math.Pi * i / (n - 1))))
+    def gaussian(n: Int, std: Double): Array[Double] =
+      norm(Array.tabulate(n)(i => math.exp(-0.5 * math.pow((i - (n - 1) / 2.0) / std, 2))))
   }
 }

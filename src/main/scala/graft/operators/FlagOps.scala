@@ -92,4 +92,17 @@ object FlagOps {
         sum(when(coalesce(flag, lit(false)), 1L).otherwise(0L)).as("flagged"),
         count(lit(1)).as("total"))
   }
+
+  /** Per-antenna flag counts, reference-faithful: every baseline row is
+    * counted under BOTH its antennas (ngcasa/flagging/summary.py:
+    * antenna breakdown counts ant1 and ant2 legs) — an explode over
+    * the two legs followed by one hash aggregate.
+    */
+  def summaryPerAntenna(df: DataFrame, flag: Column,
+                        ant1: String, ant2: String): DataFrame =
+    df.select(explode(array(col(ant1), col(ant2))).as("antenna"),
+        coalesce(flag, lit(false)).as("_f"))
+      .groupBy("antenna")
+      .agg(sum(when(col("_f"), 1L).otherwise(0L)).as("flagged"),
+        count(lit(1)).as("total"))
 }
