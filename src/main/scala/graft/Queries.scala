@@ -221,6 +221,43 @@ object Queries {
       |WINDOW w AS (PARTITION BY l_orderkey ORDER BY chan
       |             ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
 
+  private val chanSmoothGaussianQ = Q(
+    (s, d) => {
+      val in = li(s, d).groupBy(col("l_orderkey"), col("chan"))
+        .agg(avg(col("l_quantity")).as("l_quantity"))
+      val out = AverageOps.chanSmooth(in, "chan", keys = Seq("l_orderkey"),
+        values = Seq("l_quantity"),
+        kernel = AverageOps.Kernels.gaussian(5, 1.5))
+      out.select(col("l_orderkey"), col("chan"),
+        qround(col("l_quantity"), 6).as("l_quantity"))
+    }, {
+      val k = AverageOps.Kernels.gaussian(5, 1.5)
+      def fmt(x: Double) = "%.17e".format(x)
+      // mirror the lead/lag weighted-dot shape: shifted terms, weights
+      // zeroed where the tap is absent, null when fewer than 5 taps
+      val shifts = (-2 to 2).map {
+        case j if j < 0 => s"lag(l_quantity, ${-j}) OVER w"
+        case 0 => "l_quantity"
+        case j => s"lead(l_quantity, $j) OVER w"
+      }
+      val num = shifts.zipWithIndex.map { case (sh, i) =>
+        s"CASE WHEN $sh IS NOT NULL THEN ${fmt(k(i))} * $sh ELSE 0.0 END"
+      }.mkString(" + ")
+      val den = shifts.zipWithIndex.map { case (sh, i) =>
+        s"CASE WHEN $sh IS NOT NULL THEN ${fmt(k(i))} ELSE 0.0 END"
+      }.mkString(" + ")
+      val cnt = shifts.map(sh =>
+        s"CASE WHEN $sh IS NOT NULL THEN 1 ELSE 0 END").mkString(" + ")
+      s"""WITH t AS (SELECT l_orderkey, l_linenumber - 1 AS chan, avg(l_quantity) AS l_quantity
+         |           FROM lineitem GROUP BY 1, 2)
+         |SELECT l_orderkey, chan,
+         |  CASE WHEN ($cnt) >= 5
+         |       THEN floor((($num) / ($den)) * 1000000.0 + 0.5) / 1000000.0
+         |  END AS l_quantity
+         |FROM t
+         |WINDOW w AS (PARTITION BY l_orderkey ORDER BY chan)""".stripMargin
+    })
+
   // ------------------------------------------------------------ statistics
 
   private val statisticsQ = Q(
@@ -704,6 +741,7 @@ object Queries {
     "time_average_bin" -> timeAverageBinQ,
     "rebin" -> rebinQ,
     "chan_smooth" -> chanSmoothQ,
+    "chan_smooth_gaussian" -> chanSmoothGaussianQ,
     "statistics" -> statisticsQ,
     "moments" -> momentsQ,
     "join_vis" -> joinVisQ,

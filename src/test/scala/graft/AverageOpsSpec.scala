@@ -101,7 +101,8 @@ class AverageOpsSpec extends SparkSpec {
 
   test("kernels are normalized to unit sum") {
     for (k <- Seq(AverageOps.Kernels.boxcar(5), AverageOps.Kernels.triang(5),
-      AverageOps.Kernels.hann(5)))
+      AverageOps.Kernels.hann(5), AverageOps.Kernels.hamming(5),
+      AverageOps.Kernels.blackman(5), AverageOps.Kernels.gaussian(5, 1.5)))
       assert(approx(k.sum, 1.0))
   }
 }
