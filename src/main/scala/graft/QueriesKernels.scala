@@ -319,6 +319,22 @@ object QueriesKernels {
          |FROM conv""".stripMargin
     })
 
+  /** 4x4 determinant as a SQL expression (Leibniz expansion) — lets
+    * the oracle solve the fit's normal equations by Cramer's rule.
+    */
+  private def det4(m: Array[Array[String]]): String = {
+    val perms = Seq(0, 1, 2, 3).permutations.toSeq
+    def sign(p: Seq[Int]): Int = {
+      var s = 1
+      for (i <- p.indices; j <- i + 1 until p.length) if (p(i) > p(j)) s = -s
+      s
+    }
+    perms.map { p =>
+      val term = (0 until 4).map(i => m(i)(p(i))).mkString(" * ")
+      s"${if (sign(p) > 0) "+" else "-"} ($term)"
+    }.mkString(" ")
+  }
+
   private val fitGaussianQ = Q(
     (s, d) => {
       val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (32, 32),
@@ -331,8 +347,56 @@ object QueriesKernels {
           qround(col("d1_pix"), 6).as("d1_pix"),
           qround(col("d2_pix"), 6).as("d2_pix"),
           qround(col("theta_rad"), 6).as("theta_rad"), col("n_points"))
-    },
-    "") // per-plane LSQ fit: rows-only check; recovery test in KernelOpsSpec
+    }, {
+      // mirror of BeamOps.fitGaussianBeam on the same synthesized beam:
+      // LSQ of ln v on (1, x^2, xy, y^2) over the central 9x9 window,
+      // solved by Cramer's rule (different fp path than the Scala
+      // Gaussian elimination — quantization absorbs the ~1e-12 gap)
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (600.0 / incr, 400.0 / incr)
+      val t0 = 20.0 * math.Pi / 180
+      val ln2x4 = 4 * math.log(2)
+      val al0 = ln2x4 * (math.pow(math.cos(t0), 2) / (dc1 * dc1) +
+        math.pow(math.sin(t0), 2) / (dc2 * dc2))
+      val be0 = 2 * ln2x4 * (1 / (dc1 * dc1) - 1 / (dc2 * dc2)) *
+        math.sin(t0) * math.cos(t0)
+      val ga0 = ln2x4 * (math.pow(math.sin(t0), 2) / (dc1 * dc1) +
+        math.pow(math.cos(t0), 2) / (dc2 * dc2))
+      // normal matrix entries: s(fi*fj) over f = (1, xx, xy, yy)
+      val f = Array("1.0", "xx", "xy", "yy")
+      val a = Array.tabulate(4, 4)((i, j) => s"sum(${f(i)} * ${f(j)})")
+      val b = Array.tabulate(4)(i => s"sum(${f(i)} * lv)")
+      def repl(colIdx: Int): Array[Array[String]] =
+        Array.tabulate(4, 4)((i, j) => if (j == colIdx) b(i) else a(i)(j))
+      s"""WITH px AS (
+         |  SELECT CAST(i // 32 AS INT) AS l_idx, CAST(i % 32 AS INT) AS m_idx
+         |  FROM generate_series(0, 1023) t(i)),
+         |beam AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al0)} * (l_idx - 16) * (l_idx - 16)
+         |      + ${fmt(be0)} * (l_idx - 16) * (m_idx - 16)
+         |      + ${fmt(ga0)} * (m_idx - 16) * (m_idx - 16))) AS v
+         |  FROM px),
+         |w AS (
+         |  SELECT CAST(l_idx - 16 AS DOUBLE) AS x, CAST(m_idx - 16 AS DOUBLE) AS y, v
+         |  FROM beam
+         |  WHERE abs(l_idx - 16) <= 4 AND abs(m_idx - 16) <= 4 AND v > 1e-12),
+         |feats AS (SELECT x * x AS xx, x * y AS xy, y * y AS yy, ln(v) AS lv FROM w),
+         |solved AS (
+         |  SELECT count(*) AS n_points,
+         |    (${det4(repl(1))}) / (${det4(a)}) AS s1,
+         |    (${det4(repl(2))}) / (${det4(a)}) AS s2,
+         |    (${det4(repl(3))}) / (${det4(a)}) AS s3
+         |  FROM feats),
+         |p AS (SELECT n_points, -s1 AS al, -s2 AS be, -s3 AS ga FROM solved),
+         |q AS (SELECT *, al + ga AS tr,
+         |        sqrt((al - ga) * (al - ga) + be * be) AS dd FROM p)
+         |SELECT 0 AS img_chan, 0 AS pol,
+         |  floor(sqrt(2 * ${fmt(ln2x4)} / (tr - dd)) * 1000000.0 + 0.5) / 1000000.0 AS d1_pix,
+         |  floor(sqrt(2 * ${fmt(ln2x4)} / (tr + dd)) * 1000000.0 + 0.5) / 1000000.0 AS d2_pix,
+         |  floor((0.5 * atan2(be, al - ga)) * 1000000.0 + 0.5) / 1000000.0 AS theta_rad,
+         |  n_points
+         |FROM q""".stripMargin
+    })
 
   private val mosaicImageQ = Q(
     (s, d) => {
