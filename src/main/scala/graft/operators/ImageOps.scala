@@ -107,6 +107,30 @@ object ImageOps {
     df.withColumn(name, r2)
   }
 
+  /** Inverse of stokesToCorr (linear basis): I=(XX+YY)/2, Q=(XX-YY)/2,
+    * U=(XY+YX)/2, V=(XY-YX)/(2i) — the natural completion of the
+    * basis-change pair (the reference ships only the forward form).
+    */
+  def corrToStokes(df: DataFrame, dims: Seq[String], polCol: String,
+                   valueCol: String): DataFrame = {
+    val piv = df.groupBy(dims.map(col): _*)
+      .pivot(polCol, Seq(9, 10, 11, 12))
+      .agg(first(col(valueCol)))
+    val xx = col("9"); val xy = col("10"); val yx = col("11"); val yy = col("12")
+    val half = lit(0.5)
+    val stokes: Seq[(Int, Column)] = Seq(
+      1 -> c_scale(c_add(xx, yy), half),
+      2 -> c_scale(c_sub(xx, yy), half),
+      3 -> c_scale(c_add(xy, yx), half),
+      // (XY - YX) / (2i): divide by 2i == multiply by -0.5i
+      4 -> c((im(xy) - im(yx)) * half, (re(yx) - re(xy)) * half))
+    val packed = piv.select(dims.map(col) :+
+      explode(array(stokes.map { case (code, expr) =>
+        struct(lit(code).as(polCol), expr.as(valueCol))
+      }: _*)).as("_c"): _*)
+    packed.select(dims.map(col) :+ col(s"_c.$polCol") :+ col(s"_c.$valueCol"): _*)
+  }
+
   /** stokes_to_corr (cngi/image/stokes_to_corr.py:113-120 linear,
     * circular branch below it): polarization basis change from Stokes
     * rows (pol codes 1=I 2=Q 3=U 4=V) to correlation rows

@@ -59,6 +59,24 @@ class ImageOpsSpec extends SparkSpec {
     assert(m(12) === ((8.0, 0.0)))   // YY = I-Q
   }
 
+  test("corrToStokes inverts stokesToCorr (roundtrip)") {
+    val stokes = Seq(
+      (0, 1, 10.0, 0.5), (0, 2, 2.0, -0.25), (0, 3, 3.0, 0.5), (0, 4, 1.0, -0.5))
+      .toDF("px", "pol", "vr", "vi")
+      .select(col("px"), col("pol"), c(col("vr"), col("vi")).as("value"))
+    val corr = ImageOps.stokesToCorr(stokes, Seq("px"), "pol", "value")
+    val back = ImageOps.corrToStokes(corr, Seq("px"), "pol", "value")
+    val got = back.collect().map(r => r.getAs[Int]("pol") ->
+      (r.getAs[org.apache.spark.sql.Row]("value").getDouble(0),
+        r.getAs[org.apache.spark.sql.Row]("value").getDouble(1))).toMap
+    val want = stokes.collect().map(r => r.getAs[Int]("pol") ->
+      (r.getAs[org.apache.spark.sql.Row]("value").getDouble(0),
+        r.getAs[org.apache.spark.sql.Row]("value").getDouble(1))).toMap
+    want.foreach { case (p, (re0, im0)) =>
+      assert(approx(got(p)._1, re0) && approx(got(p)._2, im0), s"pol $p")
+    }
+  }
+
   test("stokesToCorr circular: RR=I+V, LL=I-V") {
     val stokes = Seq((0, 1, 10.0, 0.0), (0, 4, 2.0, 0.0))
       .toDF("px", "pol", "vr", "vi")
