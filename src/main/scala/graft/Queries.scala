@@ -18,7 +18,11 @@ import graft.functions.complex._
   *    engines, unlike round() whose tie semantics differ (Spark
   *    HALF_UP on the shortest decimal repr vs DuckDB multiply+rint).
   *  - argmin/argmax tie-break deterministically on (value, position).
-  *  - Integer aggregates (count, grouping sets) are exact; no rounding.
+  *  - Integer aggregates (count, grouping sets) are exact; no rounding —
+  *    but DuckDB's sum(INTEGER) returns HUGEINT (int128) while Spark's
+  *    sum(int) is BIGINT, and the driver's hash is type-sensitive:
+  *    every integer SUM in oracle SQL must CAST(... AS BIGINT)
+  *    (count(*) is already BIGINT in both engines).
   *
   * The TPC-H-ish tables stand in for the reference's data model
   * (TESTDATA.md): lineitem = visibility fact table, l_linenumber-1 =
@@ -90,8 +94,10 @@ object Queries {
   private val flagSummaryQ = Q(
     (s, d) => FlagOps.summary(li(s, d), col("flag"),
       Seq("l_returnflag", "l_linestatus")),
+    // CAST: DuckDB sum(INTEGER) returns HUGEINT (int128); Spark emits
+    // BIGINT — the driver hash is type-sensitive, so cast to int64.
     """SELECT l_returnflag, l_linestatus,
-      |  sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS flagged,
+      |  CAST(sum(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
       |  count(*) AS total
       |FROM lineitem
       |GROUP BY GROUPING SETS ((), (l_returnflag), (l_linestatus))""".stripMargin)
@@ -107,7 +113,7 @@ object Queries {
       |  SELECT CAST(l_orderkey % 20 AS INT) AS antenna, l_returnflag = 'R' AS f FROM lineitem
       |  UNION ALL
       |  SELECT CAST(l_suppkey % 20 AS INT) AS antenna, l_returnflag = 'R' AS f FROM lineitem)
-      |SELECT antenna, sum(CASE WHEN f THEN 1 ELSE 0 END) AS flagged,
+      |SELECT antenna, CAST(sum(CASE WHEN f THEN 1 ELSE 0 END) AS BIGINT) AS flagged,
       |  count(*) AS total
       |FROM legs GROUP BY 1""".stripMargin)
 

@@ -218,20 +218,34 @@ object QueriesImaging {
       .select(col("l_orderkey"), col("l_linenumber"),
         col("u_cell"), col("v_cell"),
         qround(col("imaging_weight"), 8).as("imaging_weight")),
+    // Hermitian mirror per _standard_grid_jit do_imaging_weight:
+    // each weight lands on its cell AND the conjugate cell, sum_w is
+    // doubled; f2 = (5*10^-r)^2 / (sum W^2 / sum_w).
     s"""WITH fx AS ($visFixtureSql),
        |cells0 AS (
        |  SELECT *,
        |    CAST(floor(u * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_cell,
-       |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell
+       |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell,
+       |    CAST(floor((-u) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_conj,
+       |    CAST(floor((-v) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_conj
        |  FROM fx),
+       |prim AS (
+       |  SELECT * FROM cells0
+       |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32),
+       |contrib AS (
+       |  SELECT pol, u_cell, v_cell, weight FROM prim
+       |  UNION ALL
+       |  SELECT pol, u_conj AS u_cell, v_conj AS v_cell, weight FROM prim
+       |  WHERE u_conj >= 0 AND u_conj < 32 AND v_conj >= 0 AND v_conj < 32),
        |cells AS (
-       |  SELECT pol, u_cell, v_cell, sum(weight) AS cell_w FROM cells0
-       |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32
+       |  SELECT pol, u_cell, v_cell, sum(weight) AS cell_w FROM contrib
        |  GROUP BY 1, 2, 3),
+       |sumw AS (SELECT pol, sum(weight) * 2.0 AS sum_w FROM prim GROUP BY 1),
        |fac AS (
-       |  SELECT pol,
-       |    power(5.0 * power(10.0, -0.5), 2) / (sum(cell_w * cell_w) / sum(cell_w)) AS f2
-       |  FROM cells GROUP BY 1)
+       |  SELECT q.pol,
+       |    power(5.0 * power(10.0, -0.5), 2) / (q.sq_sum / s.sum_w) AS f2
+       |  FROM (SELECT pol, sum(cell_w * cell_w) AS sq_sum FROM cells GROUP BY 1) q
+       |  JOIN sumw s ON q.pol = s.pol)
        |SELECT c0.l_orderkey, c0.l_linenumber, c0.u_cell, c0.v_cell,
        |  floor((CASE WHEN c0.u_cell >= 0 AND c0.u_cell < 32
        |                AND c0.v_cell >= 0 AND c0.v_cell < 32
@@ -243,11 +257,88 @@ object QueriesImaging {
        |LEFT JOIN cells c ON c0.pol = c.pol AND c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
        |LEFT JOIN fac ON c0.pol = fac.pol""".stripMargin)
 
+  /** 2-pol fixture: both pols share a (time,baseline,chan) row identity
+    * so polAverage (reference n_pol==2, _standard_grid_jit:330-335)
+    * grids (w0+w1)/2 for both pol planes.
+    */
+  private val imagingWeightPolAvgQ = Q(
+    (s, d) => {
+      // one row per (orderkey, linenumber) — l_linenumber is NOT unique
+      // per order in the synthetic data, and the pol-average window
+      // needs the row identity to hold exactly the 2 pol legs
+      val vis = Tables.lineitem(s, d)
+        .groupBy(col("l_orderkey"), col("l_linenumber"))
+        .agg(min(col("l_extendedprice")).as("ep"),
+          min(col("l_quantity")).as("qt"),
+          min(col("l_discount")).as("dc"), min(col("l_tax")).as("tx"))
+        .select(col("l_orderkey"), col("l_linenumber"),
+          lit(0).as("img_chan"),
+          (col("ep") % 60.0 - 30.0).as("u"),
+          ((col("qt") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+          (col("dc") + 0.5).as("w0"),
+          (col("tx") + 0.2).as("w1"),
+          lit(Freq).as("freq"))
+        .selectExpr("l_orderkey", "l_linenumber", "img_chan", "u", "v", "freq",
+          "stack(2, 0, w0, 1, w1) AS (pol, weight)")
+      GridOps.makeImagingWeight(vis, P, "briggs", robust = 0.5,
+          polAverage = true, rowKeyCols = Seq("l_orderkey", "l_linenumber"))
+        .select(col("l_orderkey"), col("l_linenumber"), col("pol"),
+          col("u_cell"), col("v_cell"),
+          qround(col("imaging_weight"), 8).as("imaging_weight"))
+    },
+    s"""WITH fx0 AS (
+       |  SELECT l_orderkey, l_linenumber,
+       |    min(l_extendedprice) % 60.0 - 30.0 AS u,
+       |    (min(l_quantity) * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+       |    min(l_discount) + 0.5 AS w0, min(l_tax) + 0.2 AS w1,
+       |    1500000000.0 AS freq
+       |  FROM lineitem GROUP BY l_orderkey, l_linenumber),
+       |fx AS (
+       |  SELECT fx0.*, p.pol,
+       |    CASE WHEN p.pol = 0 THEN w0 ELSE w1 END AS weight,
+       |    (w0 + w1) / 2 AS nat_w
+       |  FROM fx0 CROSS JOIN (VALUES (0), (1)) p(pol)),
+       |cells0 AS (
+       |  SELECT *,
+       |    CAST(floor(u * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_cell,
+       |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell,
+       |    CAST(floor((-u) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_conj,
+       |    CAST(floor((-v) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_conj
+       |  FROM fx),
+       |prim AS (
+       |  SELECT * FROM cells0
+       |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32),
+       |contrib AS (
+       |  SELECT pol, u_cell, v_cell, nat_w FROM prim
+       |  UNION ALL
+       |  SELECT pol, u_conj AS u_cell, v_conj AS v_cell, nat_w FROM prim
+       |  WHERE u_conj >= 0 AND u_conj < 32 AND v_conj >= 0 AND v_conj < 32),
+       |cells AS (
+       |  SELECT pol, u_cell, v_cell, sum(nat_w) AS cell_w FROM contrib
+       |  GROUP BY 1, 2, 3),
+       |sumw AS (SELECT pol, sum(nat_w) * 2.0 AS sum_w FROM prim GROUP BY 1),
+       |fac AS (
+       |  SELECT q.pol,
+       |    power(5.0 * power(10.0, -0.5), 2) / (q.sq_sum / s.sum_w) AS f2
+       |  FROM (SELECT pol, sum(cell_w * cell_w) AS sq_sum FROM cells GROUP BY 1) q
+       |  JOIN sumw s ON q.pol = s.pol)
+       |SELECT c0.l_orderkey, c0.l_linenumber, c0.pol, c0.u_cell, c0.v_cell,
+       |  floor((CASE WHEN c0.u_cell >= 0 AND c0.u_cell < 32
+       |                AND c0.v_cell >= 0 AND c0.v_cell < 32
+       |                AND c0.nat_w <> 0.0 AND c.cell_w IS NOT NULL
+       |                AND c.cell_w <> 0.0
+       |         THEN c0.nat_w / (fac.f2 * c.cell_w + 1.0)
+       |         ELSE c0.nat_w END) * 100000000.0 + 0.5) / 100000000.0 AS imaging_weight
+       |FROM cells0 c0
+       |LEFT JOIN cells c ON c0.pol = c.pol AND c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
+       |LEFT JOIN fac ON c0.pol = fac.pol""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "make_grid" -> makeGridQ,
     "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,
     "make_psf_grid" -> makePsfGridQ,
     "make_image" -> makeImageQ,
-    "imaging_weight_briggs" -> imagingWeightQ)
+    "imaging_weight_briggs" -> imagingWeightQ,
+    "imaging_weight_polavg" -> imagingWeightPolAvgQ)
 }

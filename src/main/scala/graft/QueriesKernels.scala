@@ -54,7 +54,8 @@ object QueriesKernels {
          |    u * ${fmt(m(0)(0))} + v * ${fmt(m(1)(0))} + w * ${fmt(m(2)(0))} AS u_rot,
          |    u * ${fmt(m(0)(1))} + v * ${fmt(m(1)(1))} + w * ${fmt(m(2)(1))} AS v_rot,
          |    u * ${fmt(m(0)(2))} + v * ${fmt(m(1)(2))} + w * ${fmt(m(2)(2))} AS w_rot,
-         |    2 * pi() * (u * ${fmt(p(0))} + v * ${fmt(p(1))}) * 1500000000.0 / 299792458.0 AS theta
+         |    2 * pi() * ((u * ${fmt(m(0)(0))} + v * ${fmt(m(1)(0))} + w * ${fmt(m(2)(0))}) * ${fmt(p(0))}
+         |      + (u * ${fmt(m(0)(1))} + v * ${fmt(m(1)(1))} + w * ${fmt(m(2)(1))}) * ${fmt(p(1))}) * 1500000000.0 / 299792458.0 AS theta
          |  FROM v)
          |SELECT l_orderkey, l_linenumber,
          |  floor(u_rot * 1000000.0 + 0.5) / 1000000.0 AS u_rot,

@@ -21,11 +21,17 @@ object QueriesLlm {
   // ---------------------------------------------------------- SQL builders
 
   /** DuckDB polynomial string hash — mirrors TextOps.polyHash. */
-  private def phSql(s: String): String =
+  private def phSqlWith(s: String, base: Long, mod: Long): String =
     s"list_reduce(list_prepend(CAST(0 AS BIGINT), " +
       s"list_transform(generate_series(1, length($s)), i_ -> " +
       s"CAST(ascii(substr($s, i_, 1)) AS BIGINT))), " +
-      s"(acc_, x_) -> (acc_ * $B + x_) % $M)"
+      s"(acc_, x_) -> (acc_ * $base + x_) % $mod)"
+
+  private def phSql(s: String): String = phSqlWith(s, B, M)
+
+  /** second hash of the 128-bit composite — mirrors TextOps.polyHash2. */
+  private def phSql2(s: String): String =
+    phSqlWith(s, TextOps.HashBase2, TextOps.HashMod2)
 
   /** word-hash list — mirrors TextOps.wordHashes. */
   private def whSql(s: String): String =
@@ -55,9 +61,9 @@ object QueriesLlm {
 
   private val dedupExactQ = Q(
     (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text"),
-    s"""SELECT ${phSql("text")} AS text_hash, min(doc_id) AS doc_id,
-       |  count(*) AS n_dupes
-       |FROM documents GROUP BY 1""".stripMargin)
+    s"""SELECT ${phSql("text")} AS text_hash, ${phSql2("text")} AS text_hash2,
+       |  min(doc_id) AS doc_id, count(*) AS n_dupes
+       |FROM documents GROUP BY 1, 2""".stripMargin)
 
   /** corpus with synthetic near-dups: 20 lightly-mutated copies. */
   private def dupCorpus(s: SparkSession, d: String): DataFrame = {
@@ -167,7 +173,7 @@ object QueriesLlm {
   private def bucketSql(v: String): String =
     (0 until 8).map { i =>
       val hp = s"list_transform(generate_series(1, 64), j_ -> " +
-        s"CAST((($i * 64 + j_ - 1) * 2654435761) % 1000 AS DOUBLE) / " +
+        s"CAST((($i * 100003 + j_ - 1) * 2654435761) % 1000 AS DOUBLE) / " +
         s"CAST(1000.0 AS DOUBLE) - CAST(0.5 AS DOUBLE))"
       s"CASE WHEN ${dotSql(v, hp)} > 0 THEN ${1L << i} ELSE 0 END"
     }.mkString("(", " + ", ")")
@@ -319,8 +325,9 @@ object QueriesLlm {
 
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
-      .select("doc_id", "fp_hash", "fp_min_shingle"),
+      .select("doc_id", "fp_hash", "fp_hash2", "fp_min_shingle"),
     s"""SELECT doc_id, ${phSql("text")} AS fp_hash,
+       |  ${phSql2("text")} AS fp_hash2,
        |  list_min(${shSql(whSql("text"))}) AS fp_min_shingle
        |FROM documents""".stripMargin)
 

@@ -8,7 +8,7 @@ import org.apache.spark.sql.types.{DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's polynomial string hash
-  * (see graft.operators.TextOps): fold (acc*31 + charCode) % (1e9+7)
+  * (see graft.operators.TextOps): fold (acc*base + charCode) % mod
   * over the string's characters.
   *
   * This is the one place the built-in surface genuinely couldn't keep
@@ -17,16 +17,23 @@ import org.apache.spark.unsafe.types.UTF8String
   * boxing per row. Here `doGenCode` emits the loop directly into the
   * whole-stage-codegen'd projection, reading the UTF8String in place.
   *
+  * Two independent (base, mod) instances give a 2x~30-bit composite
+  * key: a single ~2^30 hash space false-merges distinct documents from
+  * ~50k docs by birthday bound — far below the 100 TB corpus target —
+  * while a pair of independent primes pushes collisions past 2^59.
+  *
   * Semantics match TextOps.polyHashFn exactly for BMP text (the fold
   * is over UTF-16 code units there, code points here only differing
   * beyond the BMP; the corpus contract is ASCII).
   */
-case class PolyHash(child: Expression) extends UnaryExpression {
+case class PolyHash(child: Expression, base: Long, mod: Long)
+    extends UnaryExpression {
 
   override def dataType: DataType = LongType
 
   override def nullSafeEval(input: Any): Any =
-    graft.operators.TextOps.polyHashFn(input.asInstanceOf[UTF8String].toString)
+    graft.operators.TextOps.polyHashFn(
+      input.asInstanceOf[UTF8String].toString, base, mod)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
@@ -39,7 +46,7 @@ case class PolyHash(child: Expression) extends UnaryExpression {
          |long $acc = 0L;
          |int $n = $s.length();
          |for (int $i = 0; $i < $n; $i++) {
-         |  $acc = ($acc * 31L + (long) $s.charAt($i)) % 1000000007L;
+         |  $acc = ($acc * ${base}L + (long) $s.charAt($i)) % ${mod}L;
          |}
          |${ev.value} = $acc;
        """.stripMargin
@@ -51,5 +58,9 @@ case class PolyHash(child: Expression) extends UnaryExpression {
 
 object PolyHash {
   /** Column wrapper: the codegen'd form of TextOps.polyHash. */
-  def apply(c: Column): Column = toColumn(PolyHash(toExpression(c)))
+  def apply(c: Column): Column =
+    apply(c, graft.operators.TextOps.HashBase, graft.operators.TextOps.HashMod)
+
+  def apply(c: Column, base: Long, mod: Long): Column =
+    toColumn(PolyHash(toExpression(c), base, mod))
 }

@@ -23,10 +23,15 @@ import TextOps.{HashMod, shingleHashes}
 object DedupOps {
 
   /** Exact dedup by content hash: one row per distinct text with the
-    * smallest id as representative and the duplicate count.
+    * smallest id as representative and the duplicate count. Keys on
+    * the 128-bit composite (two independent polynomial hashes): a
+    * single ~2^30 hash space birthday-collides from ~50k documents —
+    * guaranteed false merges at web scale; the pair pushes that past
+    * 2^59 per-pair.
     */
   def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.groupBy(TextOps.polyHash(col(textCol)).as("text_hash"))
+    df.groupBy(TextOps.polyHash(col(textCol)).as("text_hash"),
+        TextOps.polyHash2(col(textCol)).as("text_hash2"))
       .agg(min(col(idCol)).as(idCol), count(lit(1)).as("n_dupes"))
 
   /** Keep one representative row per distinct text. */

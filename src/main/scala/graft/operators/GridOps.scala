@@ -1,7 +1,7 @@
 package graft.operators
 
 import scala.collection.mutable
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.functions.Fft
@@ -142,12 +142,15 @@ object GridOps {
             val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
               PartialPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
                 new Array[Boolean](nU * nV), 0.0))
+            // tap window [-sc, support-sc) — exactly `support` taps for
+            // either parity, matching range(-support//2, support-support//2)
+            // (_standard_grid.py:285-287)
             var norm = 0.0
             var iv = -sc
-            while (iv <= sc) {
+            while (iv < p.support - sc) {
               val convV = cgk(math.abs(p.oversampling * iv + vFrac))
               var iu = -sc
-              while (iu <= sc) {
+              while (iu < p.support - sc) {
                 val conv = cgk(math.abs(p.oversampling * iu + uFrac)) * convV
                 if (conv != 0.0) {
                   val cell = (uc + iu) * nV + (vc + iv)
@@ -263,32 +266,71 @@ object GridOps {
     *   f2 = (5*10^-robust)^2 / (sum_cells W^2 / sum w)
     *   imaging_weight = w / (f2 * W[cell] + f1)        (uniform: f2=1, f1=0)
     *
+    * Faithful to _standard_grid_jit with do_imaging_weight=True
+    * (_standard_grid.py:302-368):
+    *  - each weight is gridded at BOTH its cell and the Hermitian
+    *    conjugate cell int(-u + center + 0.5) (…:305-317,362-364), and
+    *    sum_weight accumulates twice (…:366-369) — so sum_w below is
+    *    2 x the in-grid natural weight sum;
+    *  - with polAverage=true (reference n_pol==2, …:330-335 and
+    *    _standard_imaging_weight_degrid_jit:505-512) the natural weight
+    *    is replaced by the mean over the row's pol group before both
+    *    gridding and degridding (long form: an avg window over
+    *    `rowKeyCols`, the (time,baseline,chan) identity).
+    *  - divergence: the reference does not bounds-check the conjugate
+    *    cell (numpy would wrap a negative index); we keep only in-grid
+    *    conjugate contributions.
+    *
     * Fully relational: one hash aggregate onto cells + one broadcast
     * factor + one equi-join back — no dense grid materialized, scales
     * to any uv extent with data-sized cost.
     */
   def makeImagingWeight(vis: DataFrame, p: GridParams,
                         weighting: String = "natural",
-                        robust: Double = 0.5): DataFrame = {
+                        robust: Double = 0.5,
+                        polAverage: Boolean = false,
+                        rowKeyCols: Seq[String] = Nil): DataFrame = {
     val (nU, nV) = (p.nU, p.nV)
     val uScale = col("freq") * lit(-p.deltaLM._1 * nU / SpeedOfLight)
     val vScale = col("freq") * lit(-p.deltaLM._2 * nV / SpeedOfLight)
-    val ucIdx = floor(col("u") * uScale + lit(nU / 2) + lit(0.5)).cast("int")
-    val vcIdx = floor(col("v") * vScale + lit(nV / 2) + lit(0.5)).cast("int")
-    val withCell = vis
-      .withColumn("u_cell", ucIdx).withColumn("v_cell", vcIdx)
-      .withColumn("_in_grid",
-        col("u_cell") >= 0 && col("u_cell") < nU &&
-          col("v_cell") >= 0 && col("v_cell") < nV)
+    def cellIdx(c: Column, scale: Column, n: Int): Column =
+      floor(c * scale + lit(n / 2) + lit(0.5)).cast("int")
+    def inGrid(u: Column, v: Column): Column =
+      u >= 0 && u < nU && v >= 0 && v < nV
+    val withCell0 = vis
+      .withColumn("u_cell", cellIdx(col("u"), uScale, nU))
+      .withColumn("v_cell", cellIdx(col("v"), vScale, nV))
+      .withColumn("_in_grid", inGrid(col("u_cell"), col("v_cell")))
     if (weighting == "natural")
-      return withCell.withColumn("imaging_weight", col("weight"))
+      return withCell0.withColumn("imaging_weight", col("weight"))
 
-    val cells = withCell.where(col("_in_grid"))
+    val withCell = {
+      val c = withCell0
+        .withColumn("u_conj", cellIdx(-col("u"), uScale, nU))
+        .withColumn("v_conj", cellIdx(-col("v"), vScale, nV))
+      if (polAverage) {
+        require(rowKeyCols.nonEmpty,
+          "polAverage needs rowKeyCols identifying the pol group")
+        val w = Window.partitionBy(rowKeyCols.map(col): _*)
+        c.withColumn("nat_w", avg(col("weight")).over(w))
+      } else c.withColumn("nat_w", col("weight"))
+    }
+    val primary = withCell.where(col("_in_grid"))
+    val contributions = primary
+      .select(col("img_chan"), col("pol"), col("u_cell"), col("v_cell"),
+        col("nat_w"))
+      .unionByName(primary
+        .where(inGrid(col("u_conj"), col("v_conj")))
+        .select(col("img_chan"), col("pol"), col("u_conj").as("u_cell"),
+          col("v_conj").as("v_cell"), col("nat_w")))
+    val cells = contributions
       .groupBy("img_chan", "pol", "u_cell", "v_cell")
-      .agg(sum(col("weight")).as("cell_w"))
+      .agg(sum(col("nat_w")).as("cell_w"))
+    val sumW = primary.groupBy("img_chan", "pol")
+      .agg((sum(col("nat_w")) * lit(2.0)).as("sum_w"))
     val factors = cells.groupBy("img_chan", "pol")
-      .agg(sum(col("cell_w") * col("cell_w")).as("sq_sum"),
-        sum(col("cell_w")).as("sum_w"))
+      .agg(sum(col("cell_w") * col("cell_w")).as("sq_sum"))
+      .join(sumW, Seq("img_chan", "pol"))
       .select(col("img_chan"), col("pol"),
         (weighting match {
           case "briggs" =>
@@ -301,10 +343,10 @@ object GridOps {
       .join(cells, Seq("img_chan", "pol", "u_cell", "v_cell"), "left")
       .join(broadcast(factors), Seq("img_chan", "pol"), "left")
       .withColumn("imaging_weight",
-        when(col("_in_grid") && col("weight") =!= 0.0 &&
+        when(col("_in_grid") && col("nat_w") =!= 0.0 &&
           col("cell_w").isNotNull && col("cell_w") =!= 0.0,
-          col("weight") / (col("f2") * col("cell_w") + col("f1")))
-          .otherwise(col("weight")))
-      .drop("cell_w", "f2", "f1")
+          col("nat_w") / (col("f2") * col("cell_w") + col("f1")))
+          .otherwise(col("nat_w")))
+      .drop("cell_w", "f2", "f1", "u_conj", "v_conj", "nat_w")
   }
 }

@@ -81,12 +81,13 @@ object MosaicOps {
               val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
                 PartialPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
                   new Array[Boolean](nU * nV), 0.0))
+              // [-sc, support-sc): exactly `support` taps either parity
               var norm = 0.0
               var iv = -sc
-              while (iv <= sc) {
+              while (iv < kern.support - sc) {
                 val convV = kern.cgk(math.abs(os * iv + vFrac))
                 var iu = -sc
-                while (iu <= sc) {
+                while (iu < kern.support - sc) {
                   val conv = kern.cgk(math.abs(os * iu + uFrac)) * convV
                   if (conv != 0.0) {
                     val cell = (uc + iu) * nV + (vc + iv)

@@ -66,8 +66,10 @@ object RotateOps {
     *
     * Appends u_rot / v_rot / w_rot and `visRotCol` =
     * vis * exp(2 pi i * phase_direction * freq / c)
-    * where phase_direction = uvw[0:e] . phase[0:e]
-    * (e = 2 under common-tangent reprojection, direction_rotate.py:220-247).
+    * where phase_direction = uvw_rot[0:e] . phase[0:e] — the ROTATED uvw
+    * (direction_rotate.py:102 feeds apply_rotation_matrix's output into
+    * apply_phasor at :111; e = 2 under common-tangent reprojection,
+    * direction_rotate.py:220-247).
     */
   def directionRotate(df: DataFrame, fields: Map[Int, ((Double, Double))],
                       newCenter: (Double, Double),
@@ -91,8 +93,8 @@ object RotateOps {
     val vR = u * col("m01") + v * col("m11") + w * col("m21")
     val wR = u * col("m02") + v * col("m12") + w * col("m22")
     val phaseDir =
-      if (commonTangent) u * col("p0") + v * col("p1")
-      else u * col("p0") + v * col("p1") + w * col("p2")
+      if (commonTangent) uR * col("p0") + vR * col("p1")
+      else uR * col("p0") + vR * col("p1") + wR * col("p2")
     val theta = lit(2.0 * math.Pi) * phaseDir * col(freqCol) / lit(SpeedOfLight)
     j.withColumn("u_rot", uR).withColumn("v_rot", vR).withColumn("w_rot", wR)
       .withColumn(visRotCol, c_mul(col(visCol), c_phasor(theta)))

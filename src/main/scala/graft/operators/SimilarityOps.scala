@@ -49,9 +49,11 @@ object SimilarityOps {
   /** Deterministic pseudo-random hyperplane component for (plane i,
     * dim j): an exact rational in [-0.5, 0.5) derived from a Knuth
     * multiplicative hash — identical in any engine, no RNG state.
+    * Stride 100003 (prime > any supported dim) keeps (i, j) keys
+    * injective, so planes stay uncorrelated for dim > 64 too.
     */
   def hyperplane(i: Int, j: Int): Double =
-    ((i.toLong * 64 + j) * 2654435761L % 1000L) / 1000.0 - 0.5
+    ((i.toLong * 100003 + j) * 2654435761L % 1000L) / 1000.0 - 0.5
 
   /** nplanes-bit signature: bit i = sign of dot(vec, hyperplane_i). */
   def hyperplaneBucket(vec: Column, dim: Int, nplanes: Int): Column = {

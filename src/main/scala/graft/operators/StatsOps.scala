@@ -29,32 +29,50 @@ object StatsOps {
     * single-node bottleneck this replaces (linear interpolation at
     * p*(n-1), identical semantics to percentile / quantile_cont).
     */
-  private[graft] def exactQuantiles(df: DataFrame, valueCol: Column,
-                                    ps: Seq[Double]): Seq[Double] = {
-    val sorted = df.select(valueCol.cast("double").as("_v"))
-      .where(col("_v").isNotNull).sort(col("_v"))
-      .rdd.map(_.getDouble(0))
+  /** Rank-select quantiles from an already-sorted RDD. The RDD MUST be
+    * cached by the caller: the two jobs here (partition sizes, rank
+    * pick) must see the same partitioning and contents — an uncached
+    * non-deterministic upstream could recompute differently between
+    * jobs and make the rank lookup miss.
+    */
+  private def rankSelect(sorted: org.apache.spark.rdd.RDD[Double],
+                         ps: Seq[Double]): Seq[Double] = {
     val partSizes = sorted.mapPartitionsWithIndex((i, it) =>
       Iterator((i, it.size))).collect().sortBy(_._1).map(_._2)
     val n = partSizes.map(_.toLong).sum
     if (n == 0) return ps.map(_ => Double.NaN)
     val offsets = partSizes.scanLeft(0L)(_ + _)
-    val wanted: Map[Long, Double] = ps.flatMap { p =>
+    val wanted: Set[Long] = ps.flatMap { p =>
       val rank = p * (n - 1)
       Seq(math.floor(rank).toLong, math.ceil(rank).toLong)
-    }.distinct.map(_ -> 0.0).toMap
+    }.toSet
     val picked = sorted.mapPartitionsWithIndex { (i, it) =>
       val base = offsets(i)
       it.zipWithIndex.collect {
         case (value, j) if wanted.contains(base + j) => (base + j, value)
       }
     }.collect().toMap
+    def at(r: Long): Double = picked.getOrElse(r,
+      sys.error(s"rank $r not found — sorted RDD changed between jobs"))
     ps.map { p =>
       val rank = p * (n - 1)
       val (lo, hi) = (math.floor(rank).toLong, math.ceil(rank).toLong)
       val frac = rank - lo
-      picked(lo) + (picked(hi) - picked(lo)) * frac
+      at(lo) + (at(hi) - at(lo)) * frac
     }
+  }
+
+  /** Sort once, cache, rank-select: the sorted values live in executor
+    * memory (spilling to disk if large) for the two rank-select jobs
+    * instead of recomputing the sort per job.
+    */
+  private[graft] def exactQuantiles(df: DataFrame, valueCol: Column,
+                                    ps: Seq[Double]): Seq[Double] = {
+    val sorted = df.select(valueCol.cast("double").as("_v"))
+      .where(col("_v").isNotNull).sort(col("_v"))
+      .rdd.map(_.getDouble(0)).cache()
+    try rankSelect(sorted, ps)
+    finally sorted.unpersist(blocking = false)
   }
 
   def statistics(df: DataFrame, value: String, posCols: Seq[String],
@@ -75,20 +93,29 @@ object StatsOps {
       // extreme value occurs at several positions.
       min_by(pos, struct((v +: posCols.map(col)): _*)).as("minpos"),
       max_by(pos, struct((v +: posCols.map(col)): _*)).as("maxpos"))
-    val (q1, med, q3) =
+    val (q1, med, q3, mad) =
       if (approxQuantiles) {
         val Array(a, b, c) =
           df.stat.approxQuantile(value, Array(0.25, 0.5, 0.75), 1e-4)
-        (a, b, c)
+        val m = df.select(abs(v - lit(b)).as("_d"))
+          .stat.approxQuantile("_d", Array(0.5), 1e-4)(0)
+        (a, b, c, m)
       } else {
-        val Seq(a, b, c) = exactQuantiles(df, v, Seq(0.25, 0.5, 0.75))
-        (a, b, c)
+        // ONE full sort of the values serves q1/median/q3 AND the MAD
+        // pass: the deviation |v - med| is derived from the cached
+        // sorted values (in-memory map + re-range-partition), never
+        // re-reading or re-sorting the source.
+        val sortedV = df.select(v.cast("double").as("_v"))
+          .where(col("_v").isNotNull).sort(col("_v"))
+          .rdd.map(_.getDouble(0)).cache()
+        try {
+          val Seq(a, b, c) = rankSelect(sortedV, Seq(0.25, 0.5, 0.75))
+          val sortedDev = sortedV.map(x => math.abs(x - b))
+            .sortBy(identity).cache()
+          try (a, b, c, rankSelect(sortedDev, Seq(0.5)).head)
+          finally sortedDev.unpersist(blocking = false)
+        } finally sortedV.unpersist(blocking = false)
       }
-    val dev = abs(v - lit(med))
-    val mad =
-      if (approxQuantiles)
-        df.select(dev.as("_d")).stat.approxQuantile("_d", Array(0.5), 1e-4)(0)
-      else exactQuantiles(df, dev, Seq(0.5)).head
     base
       .withColumn("q1", lit(q1)).withColumn("median", lit(med))
       .withColumn("q3", lit(q3)).withColumn("iqr", lit(q3 - q1))

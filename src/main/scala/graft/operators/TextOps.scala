@@ -27,12 +27,19 @@ object TextOps {
   val HashBase = 31L
   val HashMod = 1000000007L
 
-  /** Polynomial rolling hash of a string: fold (acc*31 + code) % M. */
-  def polyHashFn(s: String): Long = {
+  /** Second independent hash family for the 128-bit composite dedup
+    * key — different base AND modulus (both prime), so the two hashes
+    * collide together only with ~2^-59 probability per pair.
+    */
+  val HashBase2 = 131L
+  val HashMod2 = 998244353L
+
+  /** Polynomial rolling hash of a string: fold (acc*base + code) % mod. */
+  def polyHashFn(s: String, base: Long = HashBase, mod: Long = HashMod): Long = {
     var acc = 0L
     var i = 0
     while (i < s.length) {
-      acc = (acc * HashBase + s.charAt(i).toInt) % HashMod
+      acc = (acc * base + s.charAt(i).toInt) % mod
       i += 1
     }
     acc
@@ -41,7 +48,7 @@ object TextOps {
   /** Whitespace tokens, keeping empties — mirrors SQL string_split. */
   def wordsFn(s: String): Array[String] = s.split(" ", -1)
 
-  def wordHashesFn(s: String): Array[Long] = wordsFn(s).map(polyHashFn)
+  def wordHashesFn(s: String): Array[Long] = wordsFn(s).map(w => polyHashFn(w))
 
   /** Distinct hashes of n-word shingles (base-31^k positional combine). */
   def shingleHashesFn(s: String, n: Int): Array[Long] = {
@@ -67,6 +74,10 @@ object TextOps {
     * the one custom Expression the engine needs (SURVEY.md §7.2).
     */
   def polyHash(c: Column): Column = graft.functions.PolyHash(c)
+
+  /** The independent second hash (base 131, mod 998244353). */
+  def polyHash2(c: Column): Column =
+    graft.functions.PolyHash(c, HashBase2, HashMod2)
 
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")
@@ -114,12 +125,14 @@ object TextOps {
           * (lit(1.0) - least(nPunct.cast("double") / nWords, lit(1.0))))
   }
 
-  /** Document fingerprint: the full-text polynomial hash plus a
-    * winnowed min-shingle fingerprint (smallest 3-word shingle hash —
-    * stable under local edits elsewhere in the document).
+  /** Document fingerprint: the full-text polynomial hash pair (the
+    * 128-bit composite — a single ~2^30 hash false-merges at web
+    * scale) plus a winnowed min-shingle fingerprint (smallest 3-word
+    * shingle hash — stable under local edits elsewhere in the document).
     */
   def fingerprint(df: DataFrame, textCol: String): DataFrame =
     df.withColumn("fp_hash", polyHash(col(textCol)))
+      .withColumn("fp_hash2", polyHash2(col(textCol)))
       .withColumn("fp_min_shingle", array_min(shingleHashes(col(textCol), 3)))
 
   /** Language identification by word-frequency profile — a naive-Bayes

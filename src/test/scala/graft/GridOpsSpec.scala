@@ -108,14 +108,19 @@ class GridOpsSpec extends SparkSpec {
     assert(mism === 0L)
   }
 
-  test("imaging weights: uniform makes gridded cell weights equal") {
-    val vis = pointSourceVis(1.0)
-      .withColumn("weight", (col("u") * 0 + 1.0) + rand(3)) // varied weights
+  test("imaging weights: uniform per-cell sums are 1/2 on a Hermitian-symmetric fixture") {
+    // Symmetrize the uv coverage: for every (u,v) row add its (-u,-v)
+    // mirror. The gridder also accumulates each row at its conjugate
+    // cell (_standard_grid_jit do_imaging_weight), so every cell's
+    // gridded weight W = 2 x (its primary weight P) and uniform
+    // weighting makes each cell's imaging-weight sum P/W = 1/2.
+    val half = pointSourceVis(1.0).withColumn("weight", lit(1.0))
+    val vis = half.unionByName(
+      half.withColumn("u", -col("u")).withColumn("v", -col("v")))
     val iw = GridOps.makeImagingWeight(vis, p32, "uniform")
-    // after uniform weighting, summing imaging weights per cell gives ~1
     val perCell = iw.where(col("_in_grid"))
       .groupBy("u_cell", "v_cell").agg(sum("imaging_weight").as("s"))
-    val bad = perCell.where(abs(col("s") - 1.0) > 1e-9).count()
+    val bad = perCell.where(abs(col("s") - 0.5) > 1e-9).count()
     assert(bad === 0L)
   }
 

@@ -21,6 +21,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(DedupOps.dropExactDupes(docs, "doc_id", "text").count() === 3)
   }
 
+  test("exactDedup does not false-merge a first-hash collision") {
+    // "Aa" and "BB" collide under the base-31 hash (65*31+97 = 66*31+66)
+    // but differ under the independent base-131 hash — the composite
+    // key must keep them distinct.
+    assert(TextOps.polyHashFn("Aa") === TextOps.polyHashFn("BB"))
+    assert(TextOps.polyHashFn("Aa", TextOps.HashBase2, TextOps.HashMod2) !==
+      TextOps.polyHashFn("BB", TextOps.HashBase2, TextOps.HashMod2))
+    val collide = Seq((0L, "Aa"), (1L, "BB")).toDF("doc_id", "text")
+    assert(DedupOps.exactDedup(collide, "doc_id", "text").count() === 2)
+    assert(DedupOps.dropExactDupes(collide, "doc_id", "text").count() === 2)
+  }
+
   test("shingleHashes: distinct shingles, short docs empty") {
     val sh = Seq((0L, "a b c d"), (1L, "a b")).toDF("id", "t")
       .select(col("id"), TextOps.shingleHashes(col("t"), 3).as("sh"))
