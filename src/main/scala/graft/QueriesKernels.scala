@@ -165,6 +165,157 @@ object QueriesKernels {
     },
     "") // iterative solve: rows-only check; numerics in KernelOpsSpec
 
+  // -------------------------------------------------- uv_cont_fit order 3
+
+  /** Replays RegressionOps.solveNormalMat's Gaussian elimination with
+    * partial pivoting on the KNOWN moment matrix, emitting the same op
+    * sequence applied to the rhs columns as SQL with literal
+    * multipliers. The fixture fixes every group's chan set, so the
+    * moment matrix is the same exact-integer-valued matrix in both
+    * engines and the recorded multipliers are bit-identical to the
+    * ones the operator computes at runtime.
+    */
+  private def eliminationSql(mom: Array[Double], rhs: Array[String]): Array[String] = {
+    val n = rhs.length
+    val a = Array.tabulate(n, n)((i, j) => mom(i + j))
+    val b: Array[String] = rhs.clone()
+    for (c0 <- 0 until n) {
+      var p = c0
+      for (r <- c0 + 1 until n) if (math.abs(a(r)(c0)) > math.abs(a(p)(c0))) p = r
+      val tmp = a(c0); a(c0) = a(p); a(p) = tmp
+      val tb = b(c0); b(c0) = b(p); b(p) = tb
+      for (r <- c0 + 1 until n) {
+        val f = a(r)(c0) / a(c0)(c0)
+        for (cc <- c0 until n) a(r)(cc) -= f * a(c0)(cc)
+        b(r) = s"(${b(r)} - ${fmt(f)} * ${b(c0)})"
+      }
+    }
+    val out = new Array[String](n)
+    for (i <- n - 1 to 0 by -1) {
+      var s = b(i)
+      for (j <- i + 1 until n) s = s"($s - ${fmt(a(i)(j))} * ${out(j)})"
+      out(i) = s"(($s) / ${fmt(a(i)(i))})"
+    }
+    out
+  }
+
+  /** Order-3 polynomial continuum fit with a nonempty excludechans
+    * (uv_cont_fit.py:66) — the higher-order path of the regression
+    * aggregator, oracle'd by replaying the exact solve (above) over
+    * SQL-computed normal-equation sums.
+    */
+  private val uvContFitOrder3Q = Q(
+    (s, d) => {
+      // every group gets the full chan set 0..6 so the moment matrix is
+      // a shared exact-integer constant (see eliminationSql)
+      val base = Tables.lineitem(s, d).groupBy(col("l_orderkey"))
+        .agg(avg(col("l_quantity")).as("q"), avg(col("l_discount")).as("dsc"))
+      val chans = s.range(0, 7).select(col("id").cast("int").as("chan"))
+      val series = base.crossJoin(chans)
+        .select(col("l_orderkey"), col("chan"),
+          (col("q") + col("q") * col("chan") +
+            col("dsc") * pow(col("chan"), 4)).as("y"))
+      val fit = RegressionOps.uvContFit(series, Seq("l_orderkey"), "chan",
+        source = "y", target = "contfit", fitorder = 3, excludeChans = Seq(5))
+      fit.select(col("l_orderkey"), col("chan"),
+        qround(col("contfit"), 6).as("contfit"))
+    }, {
+      val included = Seq(0, 1, 2, 3, 4, 6).map(_.toDouble)
+      val mom = Array.tabulate(7)(k =>
+        included.map(x => math.pow(x, k)).sum)
+      val coefs = eliminationSql(mom, Array("r0", "r1", "r2", "r3"))
+      s"""WITH t AS (
+         |  SELECT l_orderkey, avg(l_quantity) AS q, avg(l_discount) AS dsc
+         |  FROM lineitem GROUP BY 1),
+         |series AS (
+         |  SELECT l_orderkey, CAST(g.chan AS INT) AS chan,
+         |    q + q * CAST(g.chan AS INT) + dsc * pow(CAST(g.chan AS INT), 4) AS y
+         |  FROM t CROSS JOIN generate_series(0, 6) g(chan)),
+         |r AS (
+         |  SELECT l_orderkey,
+         |    sum(CASE WHEN chan <> 5 THEN y * 1.0 ELSE 0.0 END) AS r0,
+         |    sum(CASE WHEN chan <> 5 THEN y * chan ELSE 0.0 END) AS r1,
+         |    sum(CASE WHEN chan <> 5 THEN y * pow(chan, 2) ELSE 0.0 END) AS r2,
+         |    sum(CASE WHEN chan <> 5 THEN y * pow(chan, 3) ELSE 0.0 END) AS r3
+         |  FROM series GROUP BY 1),
+         |cfs AS (
+         |  SELECT l_orderkey, ${coefs(0)} AS c0, ${coefs(1)} AS c1,
+         |    ${coefs(2)} AS c2, ${coefs(3)} AS c3
+         |  FROM r)
+         |SELECT series.l_orderkey, series.chan,
+         |  floor((c0 * 1.0 + c1 * series.chan + c2 * pow(series.chan, 2)
+         |    + c3 * pow(series.chan, 3)) * 1000000.0 + 0.5) / 1000000.0 AS contfit
+         |FROM series JOIN cfs ON series.l_orderkey = cfs.l_orderkey""".stripMargin
+    })
+
+  /** ONE damped StEFCal update from the unit initial guess IS
+    * closed-form (CalOps.solveGains with g=1: per antenna
+    * N_k = sum over incident baselines of w*X (conj(X) on the ant2
+    * leg), D_k = sum w, then g_k = (1 + N_k/D_k)/2 followed by the
+    * reference-antenna phase rotation) — so the solver's update rule
+    * gets an exact oracle; the converged solve stays rows-only.
+    */
+  private val selfcalOneIterQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        month(col("l_shipdate")).cast("long").as("solint"),
+        (col("l_orderkey") % 8).cast("int").as("ant1"),
+        (col("l_suppkey") % 8).cast("int").as("ant2"),
+        c(col("l_tax") + 1.0, col("l_discount")).as("vis"),
+        c(lit(2.0), lit(0.0)).as("model"),
+        (col("l_quantity") / 10.0).as("w"),
+        (col("l_linenumber") === 7).as("flag"))
+      CalOps.selfCal(s, vis, "solint", "ant1", "ant2", "vis", "model",
+          "w", "flag", refAnt = 0, maxIter = 1)
+        .select(col("solint"), col("antenna"),
+          qround(col("gain_re"), 6).as("gain_re"),
+          qround(col("gain_im"), 6).as("gain_im"),
+          col("n_iter"))
+    },
+    """WITH v AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS solint,
+      |    CAST(l_orderkey % 8 AS INT) AS ant1,
+      |    CAST(l_suppkey % 8 AS INT) AS ant2,
+      |    (l_tax + 1.0) AS vr, l_discount AS vi,
+      |    l_quantity / 10.0 AS w
+      |  FROM lineitem
+      |  WHERE NOT (l_linenumber = 7) AND l_orderkey % 8 <> l_suppkey % 8
+      |    AND l_quantity / 10.0 > 0),
+      |x AS (
+      |  SELECT solint, ant1, ant2,
+      |    (vr * 2.0 + vi * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xre,
+      |    (vi * 2.0 - vr * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xim,
+      |    w * (2.0 * 2.0 + 0.0 * 0.0) AS xwt
+      |  FROM v),
+      |red AS (
+      |  SELECT solint, ant1, ant2,
+      |    sum(xre * xwt) / sum(xwt) AS xre,
+      |    sum(xim * xwt) / sum(xwt) AS xim,
+      |    sum(xwt) AS wt
+      |  FROM x GROUP BY 1, 2, 3),
+      |legs AS (
+      |  SELECT solint, ant1 AS antenna, wt, xre, xim FROM red
+      |  UNION ALL
+      |  SELECT solint, ant2 AS antenna, wt, xre, -xim FROM red),
+      |num AS (
+      |  SELECT solint, antenna, sum(wt * xre) AS nre,
+      |    sum(wt * xim) AS nim, sum(wt) AS den
+      |  FROM legs GROUP BY 1, 2),
+      |g0 AS (
+      |  SELECT solint, antenna,
+      |    0.5 * (1.0 + nre / den) AS gre, 0.5 * (nim / den) AS gim
+      |  FROM num),
+      |rot AS (
+      |  SELECT solint,
+      |    gre / sqrt(gre * gre + gim * gim) AS cr,
+      |    -gim / sqrt(gre * gre + gim * gim) AS ci
+      |  FROM g0 WHERE antenna = 0)
+      |SELECT g0.solint, g0.antenna,
+      |  floor((gre * cr - gim * ci) * 1000000.0 + 0.5) / 1000000.0 AS gain_re,
+      |  floor((gre * ci + gim * cr) * 1000000.0 + 0.5) / 1000000.0 AS gain_im,
+      |  CAST(1 AS INT) AS n_iter
+      |FROM g0 JOIN rot ON g0.solint = rot.solint""".stripMargin)
+
   /** The relational reduction stage of self_cal, oracle-checked on its
     * own (the iterative solve above it is covered by analytic tests).
     */
@@ -533,8 +684,8 @@ object QueriesKernels {
       val weighted = GridOps.makeImagingWeight(vis, p, "briggs", robust = 0.5)
         .withColumn("weight", col("imaging_weight"))
         .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
-      val img = GridOps.makeImage(s, weighted, p)
-      val psf = GridOps.makePsf(s, weighted, p)
+      // one scan + one shuffle grids both accumulators
+      val (img, psf) = GridOps.makeImageAndPsf(s, weighted, p)
       CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
           gain = 0.2, threshold = 0.05, niter = 100)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
@@ -552,6 +703,8 @@ object QueriesKernels {
     "make_pb" -> makePbQ,
     "self_cal" -> selfCalQ,
     "selfcal_reduce" -> selfcalReduceQ,
+    "selfcal_one_iter" -> selfcalOneIterQ,
+    "uv_cont_fit_order3" -> uvContFitOrder3Q,
     "deconvolve_point_clean" -> cleanQ,
     "clean_one_iter" -> cleanOneIterQ,
     "smooth" -> smoothQ,

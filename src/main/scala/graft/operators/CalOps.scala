@@ -111,14 +111,14 @@ object CalOps {
   def selfCal(spark: SparkSession, df: DataFrame, solintCol: String,
               ant1Col: String, ant2Col: String, visCol: String,
               modelCol: String, weightCol: String, flagCol: String,
-              refAnt: Int = 0): DataFrame = {
+              refAnt: Int = 0, maxIter: Int = 100): DataFrame = {
     import spark.implicits._
     val reduced = reduceVisModel(df, solintCol, ant1Col, ant2Col,
       visCol, modelCol, weightCol, flagCol).as[BaselineX]
     reduced.groupByKey(_.solint)
       .flatMapGroups { (solint, it) =>
         val rows = it.toSeq
-        val (gains, nIter) = solveGains(rows, refAnt)
+        val (gains, nIter) = solveGains(rows, refAnt, maxIter)
         gains.iterator.map { case (a, (gre, gim)) =>
           GainRow(solint, a, gre, gim, nIter)
         }

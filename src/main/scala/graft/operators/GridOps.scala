@@ -219,6 +219,34 @@ object GridOps {
     (grid, sumW)
   }
 
+  /** ifftshift -> unnormalized inverse FFT -> fftshift -> crop ->
+    * divide by sum_weight and the PSWF correcting image: one uv plane
+    * (interleaved [re,im]) to cropped image pixels.
+    */
+  private[operators] def planePixels(imgChan: Int, pol: Int,
+                                     grid: Array[Double], sumWeight: Double,
+                                     p: GridParams)
+      : Seq[(Int, Int, Int, Int, Double, Double)] = {
+    val (nU, nV) = (p.nU, p.nV)
+    val (nL, nM) = p.imgSize
+    val corrU = correcting1D(nU)
+    val corrV = correcting1D(nV)
+    val (offL, offM) = (nU / 2 - nL / 2, nV / 2 - nM / 2)
+    var re = new Array[Double](nU * nV)
+    var im = new Array[Double](nU * nV)
+    var i = 0
+    while (i < nU * nV) { re(i) = grid(2 * i); im(i) = grid(2 * i + 1); i += 1 }
+    re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
+    Fft.fft2(re, im, nU, nV, invert = true)
+    re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
+    val sw = if (sumWeight == 0.0) 1.0 else sumWeight
+    for (l <- 0 until nL; m <- 0 until nM) yield {
+      val pix = re((l + offL) * nV + (m + offM))
+      val corrected = pix / sw / (corrU(l + offL) * corrV(m + offM))
+      (imgChan, pol, l, m, corrected, sumWeight)
+    }
+  }
+
   /** make_image (ngcasa/imaging/make_image.py:105-130): per-plane
     * fftshift(ifft2(ifftshift(grid))) * N, crop padding, divide by
     * sum_weight and the PSWF correcting image. Long-form output
@@ -227,27 +255,9 @@ object GridOps {
   def makeImage(spark: SparkSession, vis: DataFrame, p: GridParams,
                 doPsf: Boolean = false): DataFrame = {
     import spark.implicits._
-    val (nU, nV) = (p.nU, p.nV)
-    val (nL, nM) = p.imgSize
-    val corrU = correcting1D(nU)
-    val corrV = correcting1D(nV)
-    val (offL, offM) = (nU / 2 - nL / 2, nV / 2 - nM / 2)
-    gridPlanes(spark, vis, p, doPsf).flatMap { pl =>
-      // split interleaved grid, ifftshift, unnormalized inverse FFT, fftshift
-      var re = new Array[Double](nU * nV)
-      var im = new Array[Double](nU * nV)
-      var i = 0
-      while (i < nU * nV) { re(i) = pl.grid(2 * i); im(i) = pl.grid(2 * i + 1); i += 1 }
-      re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
-      Fft.fft2(re, im, nU, nV, invert = true)
-      re = Fft.fftshift2(re, nU, nV); im = Fft.fftshift2(im, nU, nV)
-      val sw = if (pl.sum_weight == 0.0) 1.0 else pl.sum_weight
-      for (l <- 0 until nL; m <- 0 until nM) yield {
-        val pix = re((l + offL) * nV + (m + offM))
-        val corrected = pix / sw / (corrU(l + offL) * corrV(m + offM))
-        (pl.img_chan, pl.pol, l, m, corrected, pl.sum_weight)
-      }
-    }.toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
+    gridPlanes(spark, vis, p, doPsf)
+      .flatMap(pl => planePixels(pl.img_chan, pl.pol, pl.grid, pl.sum_weight, p))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
   }
 
   /** make_psf (ngcasa/imaging/make_psf.py:27-264): the point-spread
@@ -255,6 +265,109 @@ object GridOps {
     */
   def makePsf(spark: SparkSession, vis: DataFrame, p: GridParams): DataFrame =
     makeImage(spark, vis, p, doPsf = true)
+
+  // ------------------------------------- single-pass image + psf grids
+
+  /** Data grid + psf grid accumulated in ONE pass over the
+    * visibilities. The synthesis pipeline needs both; gridding them
+    * together halves the input scans and shuffles (the reference
+    * builds two separate dask graphs that each re-read the vis —
+    * make_image.py + make_psf.py).
+    */
+  final case class DualPlane(img_chan: Int, pol: Int, grid: Array[Double],
+                             psf: Array[Double], sum_weight: Double,
+                             sum_weight_psf: Double)
+
+  private def gridPartitionDual(rows: Iterator[GridVis],
+                                p: GridParams): Iterator[DualPlane] = {
+    val cgk = cgk1D(p.oversampling, p.support)
+    val sc = p.support / 2
+    val (nU, nV) = (p.nU, p.nV)
+    val (cU, cV) = (nU / 2, nV / 2)
+    val planes = mutable.LinkedHashMap.empty[(Int, Int), DualPlane]
+    for (r <- rows) {
+      val u = r.u * (-(r.freq * p.deltaLM._1 * nU) / SpeedOfLight)
+      val v = r.v * (-(r.freq * p.deltaLM._2 * nV) / SpeedOfLight)
+      if (!u.isNaN && !v.isNaN) {
+        val uPos = u + cU; val vPos = v + cV
+        val uc = (uPos + 0.5).toInt; val vc = (vPos + 0.5).toInt
+        if (uc + sc < nU && vc + sc < nV && uc - sc >= 0 && vc - sc >= 0) {
+          val uFrac = math.floor((uc - uPos) * p.oversampling + 0.5).toInt
+          val vFrac = math.floor((vc - vPos) * p.oversampling + 0.5).toInt
+          val (wRe, wIm) = (r.re * r.weight, r.im * r.weight)
+          val dataGate = !(wRe.isNaN || wIm.isNaN) && (wRe != 0.0 || wIm != 0.0)
+          val psfGate = !r.weight.isNaN && r.weight != 0.0
+          if (dataGate || psfGate) {
+            val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
+              DualPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
+                new Array[Double](2 * nU * nV), 0.0, 0.0))
+            var norm = 0.0
+            var iv = -sc
+            while (iv < p.support - sc) {
+              val convV = cgk(math.abs(p.oversampling * iv + vFrac))
+              var iu = -sc
+              while (iu < p.support - sc) {
+                val conv = cgk(math.abs(p.oversampling * iu + uFrac)) * convV
+                if (conv != 0.0) {
+                  val cell = (uc + iu) * nV + (vc + iv)
+                  if (dataGate) {
+                    plane.grid(2 * cell) += conv * wRe
+                    plane.grid(2 * cell + 1) += conv * wIm
+                  }
+                  if (psfGate) plane.psf(2 * cell) += conv * r.weight
+                }
+                norm += conv
+                iu += 1
+              }
+              iv += 1
+            }
+            planes((r.img_chan, r.pol)) = plane.copy(
+              sum_weight = plane.sum_weight +
+                (if (dataGate) r.weight * norm else 0.0),
+              sum_weight_psf = plane.sum_weight_psf +
+                (if (psfGate) r.weight * norm else 0.0))
+          }
+        }
+      }
+    }
+    planes.valuesIterator
+  }
+
+  private def mergeDual(a: DualPlane, b: DualPlane): DualPlane = {
+    var i = 0
+    while (i < a.grid.length) {
+      a.grid(i) += b.grid(i); a.psf(i) += b.psf(i); i += 1
+    }
+    a.copy(sum_weight = a.sum_weight + b.sum_weight,
+      sum_weight_psf = a.sum_weight_psf + b.sum_weight_psf)
+  }
+
+  /** make_image + make_psf from ONE scan + ONE shuffle of the input.
+    * The merged dual planes are cached so the two returned frames
+    * share the gridding work; numerics are identical to calling
+    * makeImage and makePsf separately.
+    */
+  def makeImageAndPsf(spark: SparkSession, vis: DataFrame,
+                      p: GridParams): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val planes = vis.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("u").cast("double"), col("v").cast("double"),
+        col("re").cast("double"), col("im").cast("double"),
+        col("weight").cast("double"), col("freq").cast("double"))
+      .as[GridVis]
+      .mapPartitions(rows => gridPartitionDual(rows, p))
+      .groupByKey(pl => (pl.img_chan, pl.pol))
+      .reduceGroups(mergeDual _)
+      .map(_._2)
+      .cache()
+    val img = planes
+      .flatMap(pl => planePixels(pl.img_chan, pl.pol, pl.grid, pl.sum_weight, p))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
+    val psf = planes
+      .flatMap(pl => planePixels(pl.img_chan, pl.pol, pl.psf, pl.sum_weight_psf, p))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
+    (img, psf)
+  }
 
   // ------------------------------------------- imaging weights (briggs)
 

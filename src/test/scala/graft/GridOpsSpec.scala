@@ -124,6 +124,18 @@ class GridOpsSpec extends SparkSpec {
     assert(bad === 0L)
   }
 
+  test("makeImageAndPsf equals separate makeImage + makePsf bitwise") {
+    val vis = pointSourceVis(1.0)
+    val (img, psf) = GridOps.makeImageAndPsf(spark, vis, p32)
+    def diff(a: org.apache.spark.sql.DataFrame,
+             b: org.apache.spark.sql.DataFrame): Long =
+      a.as("a").join(b.as("b"), Seq("img_chan", "pol", "l_idx", "m_idx"))
+        .where(col("a.image") =!= col("b.image") ||
+          col("a.sum_weight") =!= col("b.sum_weight")).count()
+    assert(diff(img, GridOps.makeImage(spark, vis, p32)) === 0L)
+    assert(diff(psf, GridOps.makePsf(spark, vis, p32)) === 0L)
+  }
+
   test("imaging weights: natural is identity; briggs between natural and uniform") {
     val vis = pointSourceVis(1.0)
     val nat = GridOps.makeImagingWeight(vis, p32, "natural")
