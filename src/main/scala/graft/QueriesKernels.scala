@@ -429,6 +429,150 @@ object QueriesKernels {
          |                AND ps.m_idx = 8 + i.m_idx - p.pm""".stripMargin
     })
 
+  // -------------------------------------------------------- fit_gaussian_rl
+
+  /** n x n determinant as a SQL expression via first-row cofactor
+    * expansion (the oracle side of Cramer's rule; the operator solves
+    * by Gaussian elimination — output quantization absorbs the
+    * ~1e-12 fp-path gap, same pattern as fit_gaussian).
+    */
+  private def detSql(m: Vector[Vector[String]]): String =
+    if (m.length == 1) m(0)(0)
+    else m(0).indices.map { j =>
+      val minor = m.tail.map(row => row.take(j) ++ row.drop(j + 1))
+      val term = s"(${m(0)(j)}) * (${detSql(minor)})"
+      if (j % 2 == 0) s"+ $term" else s"- $term"
+    }.mkString("(", " ", ")")
+
+  /** Catmull-Rom cubic as SQL — op order mirrors BeamOps.catmullRom. */
+  private def crSql(p0: String, p1: String, p2: String, p3: String,
+                    t: String): String =
+    s"(0.5 * ((2.0 * $p1 + ($p2 - $p0) * $t) + " +
+      s"(((2.0 * $p0 - 5.0 * $p1 + 4.0 * $p2 - $p3) * ($t * $t)) + " +
+      s"((-$p0 + 3.0 * $p1 - 3.0 * $p2 + $p3) * (($t * $t) * $t)))))"
+
+  /** fit_gaussian_rl on a synthesized 33x33 beam: the oracle replays
+    * the whole chain — window, Catmull-Rom oversampling, contour-band
+    * selection (bit-identical values, so the discrete point set
+    * matches), conic normal equations, Cramer's-rule solve, and the
+    * reference's ellipse conversion formulas.
+    */
+  private val fitGaussianRlQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (33, 33),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val beam = BeamOps.gaussianBeam(grid, 1200.0, 800.0, 30.0,
+        (0.0005, 0.0005), 33, 33).withColumnRenamed("beam", "image")
+      BeamOps.fitGaussianRl(s, beam, 33, 33, (17, 17), (81, 81),
+          cutoff = 0.5, sensitivity = 0.01, delta = (incr, incr))
+        .select(col("img_chan"), col("pol"),
+          qround(col("major"), 5).as("major"),
+          qround(col("minor"), 5).as("minor"),
+          qround(col("phi_deg"), 5).as("phi_deg"), col("n_points"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (1200.0 / incr, 800.0 / incr)
+      val t0 = 30.0 * math.Pi / 180
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 * (math.pow(math.cos(t0), 2) / (dc1 * dc1) +
+        math.pow(math.sin(t0), 2) / (dc2 * dc2))
+      val be = 2 * ln2x4 * (1 / (dc1 * dc1) - 1 / (dc2 * dc2)) *
+        math.sin(t0) * math.cos(t0)
+      val ga = ln2x4 * (math.pow(math.sin(t0), 2) / (dc1 * dc1) +
+        math.pow(math.cos(t0), 2) / (dc2 * dc2))
+      val step = 16.0 / 80.0 // (npix-1)/(sampling-1), same both axes
+      // 16 bicubic taps: beam value at window (clamp(i0+di), clamp(j0+dj))
+      val tapJoins = (for (di <- -1 to 2; dj <- -1 to 2) yield {
+        val nm = s"b${di + 1}${dj + 1}"
+        s"JOIN beam $nm ON $nm.l_idx = 8 + least(greatest(i0 + $di, 0), 16) " +
+          s"AND $nm.m_idx = 8 + least(greatest(j0 + $dj, 0), 16)"
+      }).mkString("\n")
+      val rows = (-1 to 2).map(di =>
+        crSql(s"b${di + 1}0.v", s"b${di + 1}1.v", s"b${di + 1}2.v",
+          s"b${di + 1}3.v", "fy"))
+      val vExpr = crSql(rows(0), rows(1), rows(2), rows(3), "fx")
+      // 5x5 normal-equation entries as moment column names
+      val basis = Vector("(x * x)", "(x * y)", "(y * y)", "x", "y")
+      val momDefs = (for (i <- 0 until 5; j <- i until 5) yield
+        s"sum(${basis(i)} * ${basis(j)}) AS m$i$j").mkString(",\n    ")
+      val rhsDefs = (0 until 5).map(i => s"sum(${basis(i)}) AS r$i")
+        .mkString(", ")
+      def mm(i: Int, j: Int): String = if (i <= j) s"m$i$j" else s"m$j$i"
+      val mMat = Vector.tabulate(5, 5)((i, j) => mm(i, j))
+      val det = detSql(mMat)
+      val cols = (0 until 5).map { k =>
+        val rep = Vector.tabulate(5, 5)((i, j) =>
+          if (j == k) s"r$i" else mm(i, j))
+        s"(${detSql(rep)}) / ($det) AS c$k"
+      }.mkString(",\n    ")
+      s"""WITH px AS (
+         |  SELECT CAST(i // 33 AS INT) AS l_idx, CAST(i % 33 AS INT) AS m_idx
+         |  FROM generate_series(0, 1088) t(i)),
+         |beam AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 16) * (l_idx - 16)
+         |      + ${fmt(be)} * (l_idx - 16) * (m_idx - 16)
+         |      + ${fmt(ga)} * (m_idx - 16) * (m_idx - 16))) AS v
+         |  FROM px),
+         |samp AS (
+         |  SELECT s0.si, s1.sj,
+         |    CAST(least(floor(s0.si * ${fmt(step)}), 15) AS INT) AS i0,
+         |    s0.si * ${fmt(step)} - CAST(least(floor(s0.si * ${fmt(step)}), 15) AS INT) AS fx,
+         |    CAST(least(floor(s1.sj * ${fmt(step)}), 15) AS INT) AS j0,
+         |    s1.sj * ${fmt(step)} - CAST(least(floor(s1.sj * ${fmt(step)}), 15) AS INT) AS fy
+         |  FROM generate_series(0, 80) s0(si) CROSS JOIN generate_series(0, 80) s1(sj)),
+         |vals AS (
+         |  SELECT si, sj, $vExpr AS v
+         |  FROM samp
+         |  $tapJoins),
+         |contour AS (
+         |  SELECT CAST(si AS DOUBLE) AS cx, CAST(sj AS DOUBLE) AS cy
+         |  FROM vals WHERE abs(v - 0.5) < 0.01),
+         |ctr AS (
+         |  SELECT sum(cx) / count(*) AS xm, sum(cy) / count(*) AS ym,
+         |    count(*) AS n
+         |  FROM contour),
+         |pts AS (
+         |  SELECT (cx - xm) / 32.0 AS x, (cy - ym) / 32.0 AS y
+         |  FROM contour CROSS JOIN ctr),
+         |mom AS (
+         |  SELECT $momDefs,
+         |    $rhsDefs
+         |  FROM pts),
+         |cfs AS (
+         |  SELECT $cols
+         |  FROM mom),
+         |conic AS (
+         |  SELECT c0 AS a0, c1 / 2 AS b0, c2 AS cc0, c3 / 2 AS d0,
+         |    c4 / 2 AS f0, -1.0 AS g0
+         |  FROM cfs),
+         |ell AS (
+         |  SELECT
+         |    CASE WHEN b0 = 0.0 THEN (CASE WHEN a0 > cc0 THEN 0.0 ELSE pi() / 2 END)
+         |         WHEN a0 < cc0 THEN atan(2 * b0 / (a0 - cc0)) / 2
+         |         ELSE pi() / 2 + atan(2 * b0 / (a0 - cc0)) / 2 END AS phi0,
+         |    2 * (a0 * f0 * f0 + cc0 * d0 * d0 + g0 * b0 * b0
+         |      - 2 * b0 * d0 * f0 - a0 * cc0 * g0) AS up,
+         |    (b0 * b0 - a0 * cc0) *
+         |      (sqrt((a0 - cc0) * (a0 - cc0) + 4 * b0 * b0) - (a0 + cc0)) AS down1,
+         |    (b0 * b0 - a0 * cc0) *
+         |      (-sqrt((a0 - cc0) * (a0 - cc0) + 4 * b0 * b0) - (a0 + cc0)) AS down2
+         |  FROM conic),
+         |res AS (
+         |  SELECT sqrt(up / down1) * 32.0 AS res1, sqrt(up / down2) * 32.0 AS res2,
+         |    CASE WHEN phi0 * 180.0 / pi() - 90.0 < -90.0
+         |         THEN phi0 * 180.0 / pi() - 90.0 + 180.0
+         |         ELSE phi0 * 180.0 / pi() - 90.0 END AS phi_deg
+         |  FROM ell)
+         |SELECT 0 AS img_chan, 0 AS pol,
+         |  floor((res1 / 80 * 16 * ${fmt(incr)} * 2) * 100000.0 + 0.5) / 100000.0 AS major,
+         |  floor((res2 / 80 * 16 * ${fmt(incr)} * 2) * 100000.0 + 0.5) / 100000.0 AS minor,
+         |  floor(phi_deg * 100000.0 + 0.5) / 100000.0 AS phi_deg,
+         |  CAST(ctr.n AS INT) AS n_points
+         |FROM res CROSS JOIN ctr""".stripMargin
+    })
+
   private val smoothQ = Q(
     (s, d) => {
       val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
@@ -708,5 +852,6 @@ object QueriesKernels {
     "deconvolve_point_clean" -> cleanQ,
     "clean_one_iter" -> cleanOneIterQ,
     "smooth" -> smoothQ,
-    "fit_gaussian" -> fitGaussianQ)
+    "fit_gaussian" -> fitGaussianQ,
+    "fit_gaussian_rl" -> fitGaussianRlQ)
 }

@@ -160,6 +160,23 @@ class KernelOpsSpec extends SparkSpec {
     assert(approx(fit.getAs[Double]("d2_pix") * incr, 400.0, 1e-3))
   }
 
+  test("fitGaussianRl recovers the FWHM ellipse from the half-power contour") {
+    val grid = ImageOps.makeEmptySkyImage(spark, (0.0, 0.0), (33, 33),
+      (0.0005, 0.0005))
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+    val incr = 0.0005 * 180 / math.Pi * 3600
+    val beam = BeamOps.gaussianBeam(grid, 1200.0, 800.0, 30.0,
+      (0.0005, 0.0005), 33, 33).withColumnRenamed("beam", "image")
+    val fit = BeamOps.fitGaussianRl(spark, beam, 33, 33, (17, 17), (81, 81),
+      cutoff = 0.5, sensitivity = 0.01, delta = (incr, incr)).head()
+    // the half-power contour IS the FWHM ellipse: axes = d1/d2, angle
+    // east-of-north = theta - 90
+    assert(approx(fit.getAs[Double]("major"), 1200.0, 3.0))
+    assert(approx(fit.getAs[Double]("minor"), 800.0, 3.0))
+    assert(approx(fit.getAs[Double]("phi_deg"), -60.0, 0.5))
+    assert(fit.getAs[Int]("n_points") > 50)
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
