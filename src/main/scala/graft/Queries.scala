@@ -679,6 +679,62 @@ object Queries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1, 2""".stripMargin)
 
+  /** append_xds as sidecar + join view: write a base store and a
+    * keyed sidecar of new columns, read the joined view back, and
+    * match an oracle computed directly on the source — proving the
+    * append round trip is lossless.
+    */
+  private val appendXdsQ = Q(
+    (s, d) => {
+      val bpath = s"/tmp/graft_append_base_${math.abs(d.hashCode)}"
+      val spath = s"/tmp/graft_append_side_${math.abs(d.hashCode)}"
+      val keys = Seq("l_orderkey", "l_linenumber")
+      // one row per key — (l_orderkey, l_linenumber) is not unique in
+      // the synthetic data and the sidecar join must be 1:1
+      val base = Tables.lineitem(s, d)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("l_quantity")).as("qty"))
+      sources.IoOps.writeVis(base, bpath, repartitionTo = Some(2))
+      val side = base.select(col("l_orderkey"), col("l_linenumber"),
+        (col("qty") * 2.0).as("qty2x"))
+      sources.IoOps.appendColumns(base, spath, keys, side)
+      sources.IoOps.readWithSidecar(s, bpath, spath, keys)
+        .select("l_orderkey", "l_linenumber", "qty", "qty2x")
+    },
+    """SELECT l_orderkey, l_linenumber, min(l_quantity) AS qty,
+      |  min(l_quantity) * 2.0 AS qty2x
+      |FROM lineitem GROUP BY 1, 2""".stripMargin)
+
+  /** convert_image artifact merge: sibling artifacts become one table
+    * with a value column per artifact via full-outer joins on the
+    * image dims (one artifact deliberately partial).
+    */
+  private val mergeArtifactsQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+      val residual = grid.select(col("l_idx"), col("m_idx"),
+        (sin(col("l_idx") * lit(0.3)) + cos(col("m_idx") * lit(0.5))).as("image"))
+      val model = grid.where(col("l_idx") < 8)
+        .select(col("l_idx"), col("m_idx"),
+          (col("l_idx") * lit(0.1) + col("m_idx") * lit(0.2)).as("image"))
+      sources.IoOps.mergeImageArtifacts(
+          Seq("residual" -> residual, "model" -> model),
+          keys = Seq("l_idx", "m_idx"))
+        .select("l_idx", "m_idx", "residual", "model")
+    },
+    """WITH px AS (
+      |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+      |  FROM generate_series(0, 255) t(i)),
+      |a1 AS (SELECT l_idx, m_idx,
+      |  sin(l_idx * CAST(0.3 AS DOUBLE)) + cos(m_idx * CAST(0.5 AS DOUBLE)) AS residual
+      |  FROM px),
+      |a2 AS (SELECT l_idx, m_idx,
+      |  l_idx * CAST(0.1 AS DOUBLE) + m_idx * CAST(0.2 AS DOUBLE) AS model
+      |  FROM px WHERE l_idx < 8)
+      |SELECT a1.l_idx, a1.m_idx, a1.residual, a2.model
+      |FROM a1 FULL OUTER JOIN a2 ON a1.l_idx = a2.l_idx AND a1.m_idx = a2.m_idx""".stripMargin)
+
   // ------------------------------------------------------- ingest/streaming
 
   private val baselineIdsQ = Q(
@@ -767,6 +823,8 @@ object Queries {
     "stokes_to_corr" -> stokesToCorrQ,
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
+    "append_xds" -> appendXdsQ,
+    "merge_image_artifacts" -> mergeArtifactsQ,
     "baseline_ids" -> baselineIdsQ,
     "derive_weight" -> deriveWeightQ,
     "events_window" -> eventsWindowQ) ++

@@ -694,105 +694,135 @@ object QueriesKernels {
          |FROM q""".stripMargin
     })
 
+  // mosaic fixture shared by the image and psf queries
+  private def mosaicFixture(s: SparkSession, d: String) =
+    Tables.lineitem(s, d).select(
+      lit(0).as("img_chan"), lit(0).as("pol"),
+      (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+      ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+      col("l_tax").as("re"), col("l_discount").as("im"),
+      (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"),
+      (col("l_suppkey") % 2).cast("int").as("cf_type"),
+      (col("l_orderkey") % 2).cast("int").as("field_id"))
+
+  private val MosaicP = GridOps.GridParams((32, 32), (0.002, 0.002),
+    imageSize = Some((16, 16)))
+  private val MosaicOffsets =
+    Map(0 -> ((0.0, 0.0)), 1 -> ((0.002, -0.002)))
+
+  /** Full SQL mirror of the aperture gridder: per-type kernels
+    * (support 7 and 15), per-field phase gradient applied to the
+    * KERNEL taps (complex conv = k x e^{i(cfU pix0 + cfV pix1)}),
+    * complex grid + per-row complex norm, sum_weight with Re(norm^2)
+    * (image) / Re(norm) (psf), DFT, and sinc-oversampling + PSWF
+    * normalization.
+    */
+  private def mosaicSql(doPsf: Boolean): String = {
+    val cgk0 = GridOps.cgk1D(100, 7)
+    val cgk1 = GridOps.cgk1D(100, 15)
+    def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+    // per-field kernel-coordinate phase slopes, via the same helper the
+    // operator uses — bit-identical constants
+    val pix0f1 = MosaicOps.phaseGradientPix(0.002, 0.002, 32, 100)
+    val pix1f1 = MosaicOps.phaseGradientPix(-0.002, 0.002, 32, 100)
+    val pix0f0 = MosaicOps.phaseGradientPix(0.0, 0.002, 32, 100)
+    val pix1f0 = MosaicOps.phaseGradientPix(0.0, 0.002, 32, 100)
+    val (greDef, gimDef, gate, swExpr) =
+      if (doPsf) ("weight", "0.0", "weight <> 0.0", "weight * nre")
+      else ("re * weight", "im * weight", "(gre <> 0.0 OR gim <> 0.0)",
+        "weight * (nre * nre - nim * nim)")
+    val kExpr =
+      "(CASE cf_type WHEN 0 THEN k.t0[abs(100 * du + ufrac) + 1] " +
+        "ELSE k.t1[abs(100 * du + ufrac) + 1] END) * " +
+        "(CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv + vfrac) + 1] " +
+        "ELSE k.t1[abs(100 * dv + vfrac) + 1] END)"
+    val thExpr = "((100 * du + ufrac) * pix0 + (100 * dv + vfrac) * pix1)"
+    s"""WITH fx AS (
+       |  SELECT row_number() OVER () AS rid,
+       |    l_extendedprice % 60.0 - 30.0 AS u,
+       |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+       |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+       |    1500000000.0 AS freq,
+       |    CAST(l_suppkey % 2 AS INT) AS cf_type,
+       |    CAST(l_orderkey % 2 AS INT) AS field_id
+       |  FROM lineitem),
+       |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
+       |geom AS (
+       |  SELECT *,
+       |    CASE cf_type WHEN 0 THEN 3 ELSE 7 END AS sc,
+       |    CASE field_id WHEN 1 THEN ${fmt(pix0f1)} ELSE ${fmt(pix0f0)} END AS pix0,
+       |    CASE field_id WHEN 1 THEN ${fmt(pix1f1)} ELSE ${fmt(pix1f0)} END AS pix1,
+       |    u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
+       |    v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
+       |  FROM fx),
+       |idx AS (
+       |  SELECT *, CAST(floor(u_pos + 0.5) AS INT) AS uc,
+       |            CAST(floor(v_pos + 0.5) AS INT) AS vc,
+       |            $greDef AS gre, $gimDef AS gim
+       |  FROM geom
+       |  WHERE CAST(floor(u_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
+       |    AND CAST(floor(v_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
+       |    AND CAST(floor(u_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0
+       |    AND CAST(floor(v_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0),
+       |frac AS (
+       |  SELECT *, CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+       |            CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac
+       |  FROM idx WHERE $gate),
+       |taps AS (
+       |  SELECT rid, weight, uc + du AS u_idx, vc + dv AS v_idx, gre, gim,
+       |    $kExpr AS kk,
+       |    $kExpr * cos($thExpr) AS conv_re,
+       |    $kExpr * sin($thExpr) AS conv_im
+       |  FROM frac
+       |  CROSS JOIN generate_series(-7, 7) tu(du)
+       |  CROSS JOIN generate_series(-7, 7) tv(dv)
+       |  CROSS JOIN k
+       |  WHERE abs(du) <= sc AND abs(dv) <= sc),
+       |grid AS (
+       |  SELECT u_idx, v_idx,
+       |    sum(conv_re * gre - conv_im * gim) AS gre,
+       |    sum(conv_re * gim + conv_im * gre) AS gim
+       |  FROM taps WHERE kk <> 0.0 GROUP BY 1, 2),
+       |norms AS (
+       |  SELECT rid, any_value(weight) AS weight,
+       |    sum(conv_re) AS nre, sum(conv_im) AS nim
+       |  FROM taps GROUP BY 1),
+       |sumw AS (SELECT sum($swExpr) AS sw FROM norms),
+       |corr AS (SELECT ${lst(GridOps.correcting1D(32))}::DOUBLE[] AS t,
+       |  ${lst(MosaicOps.sincCorr1D(32, 100))}::DOUBLE[] AS sn),
+       |pxx AS (
+       |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+       |  FROM generate_series(0, 15) tl(l_out) CROSS JOIN generate_series(0, 15) tm(m_out)),
+       |dft AS (
+       |  SELECT pxx.l_out, pxx.m_out, pxx.lp, pxx.mp,
+       |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)
+       |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)) AS val
+       |  FROM grid g CROSS JOIN pxx GROUP BY 1, 2, 3, 4)
+       |SELECT 0 AS img_chan, 0 AS pol, l_out AS l_idx, m_out AS m_idx,
+       |  floor((val / (CASE WHEN sumw.sw = 0 THEN 1.0 ELSE sumw.sw END)
+       |         / ((corr.sn[lp + 1] * corr.sn[mp + 1]) * (corr.t[lp + 1] * corr.t[mp + 1]))) * 10000.0 + 0.5) / 10000.0 AS image
+       |FROM dft CROSS JOIN sumw CROSS JOIN corr""".stripMargin
+  }
+
   private val mosaicImageQ = Q(
     (s, d) => {
-      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
-        imageSize = Some((16, 16)))
-      val fx = Tables.lineitem(s, d).select(
-        lit(0).as("img_chan"), lit(0).as("pol"),
-        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
-        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
-        col("l_tax").as("re"), col("l_discount").as("im"),
-        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"),
-        (col("l_suppkey") % 2).cast("int").as("cf_type"),
-        (col("l_orderkey") % 2).cast("int").as("field_id"))
       val (gcf, _) = MosaicOps.makeGcf(Map(0 -> 25.0, 1 -> 12.0), baseDish = 25.0)
-      MosaicOps.makeImageMosaic(s, fx, p, gcf,
-          Map(0 -> ((0.0, 0.0)), 1 -> ((0.002, -0.002))))
+      MosaicOps.makeImageMosaic(s, mosaicFixture(s, d), MosaicP, gcf,
+          MosaicOffsets)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("image"), 4).as("image"))
-    }, {
-      // full SQL mirror: per-type kernels (support 7 and 15), per-field
-      // steering phasor, scatter, DFT, sum-weight + PSWF normalization
-      val cgk0 = GridOps.cgk1D(100, 7)
-      val cgk1 = GridOps.cgk1D(100, 15)
-      def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
-      s"""WITH fx AS (
-         |  SELECT l_extendedprice % 60.0 - 30.0 AS u,
-         |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
-         |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
-         |    1500000000.0 AS freq,
-         |    CAST(l_suppkey % 2 AS INT) AS cf_type,
-         |    CAST(l_orderkey % 2 AS INT) AS field_id
-         |  FROM lineitem),
-         |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
-         |ph AS (
-         |  SELECT *,
-         |    CASE cf_type WHEN 0 THEN 3 ELSE 7 END AS sc,
-         |    2 * pi() * (u * (CASE field_id WHEN 1 THEN CAST(0.002 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
-         |              + v * (CASE field_id WHEN 1 THEN CAST(-0.002 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END))
-         |      * freq / 299792458.0 AS theta
-         |  FROM fx),
-         |rot AS (
-         |  SELECT *, re * cos(theta) - im * sin(theta) AS vre,
-         |            re * sin(theta) + im * cos(theta) AS vim,
-         |    u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
-         |    v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
-         |  FROM ph),
-         |idx AS (
-         |  SELECT *, CAST(floor(u_pos + 0.5) AS INT) AS uc,
-         |            CAST(floor(v_pos + 0.5) AS INT) AS vc,
-         |            vre * weight AS gre, vim * weight AS gim
-         |  FROM rot
-         |  WHERE CAST(floor(u_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
-         |    AND CAST(floor(v_pos + 0.5) AS INT) + (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) < 32
-         |    AND CAST(floor(u_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0
-         |    AND CAST(floor(v_pos + 0.5) AS INT) - (CASE cf_type WHEN 0 THEN 3 ELSE 7 END) >= 0),
-         |frac AS (
-         |  SELECT *, CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
-         |            CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac
-         |  FROM idx WHERE (gre <> 0.0 OR gim <> 0.0)),
-         |taps AS (
-         |  SELECT uc + du AS u_idx, vc + dv AS v_idx, gre, gim,
-         |    (CASE cf_type WHEN 0 THEN k.t0[abs(100 * du + ufrac) + 1]
-         |                  ELSE k.t1[abs(100 * du + ufrac) + 1] END) *
-         |    (CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv + vfrac) + 1]
-         |                  ELSE k.t1[abs(100 * dv + vfrac) + 1] END) AS conv
-         |  FROM frac
-         |  CROSS JOIN generate_series(-7, 7) tu(du)
-         |  CROSS JOIN generate_series(-7, 7) tv(dv)
-         |  CROSS JOIN k
-         |  WHERE abs(du) <= sc AND abs(dv) <= sc
-         |    AND (CASE cf_type WHEN 0 THEN k.t0[abs(100 * du + ufrac) + 1]
-         |                      ELSE k.t1[abs(100 * du + ufrac) + 1] END) *
-         |        (CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv + vfrac) + 1]
-         |                      ELSE k.t1[abs(100 * dv + vfrac) + 1] END) <> 0.0),
-         |grid AS (SELECT u_idx, v_idx, sum(conv * gre) AS gre, sum(conv * gim) AS gim
-         |         FROM taps GROUP BY 1, 2),
-         |norms AS (
-         |  SELECT weight,
-         |    list_sum(list_transform(generate_series(-sc, sc), du_ ->
-         |      CASE cf_type WHEN 0 THEN k.t0[abs(100 * du_ + ufrac) + 1]
-         |                   ELSE k.t1[abs(100 * du_ + ufrac) + 1] END)) *
-         |    list_sum(list_transform(generate_series(-sc, sc), dv_ ->
-         |      CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv_ + vfrac) + 1]
-         |                   ELSE k.t1[abs(100 * dv_ + vfrac) + 1] END)) AS norm
-         |  FROM frac CROSS JOIN k),
-         |sumw AS (SELECT sum(weight * norm) AS sw FROM norms),
-         |corr AS (SELECT ${lst(GridOps.correcting1D(32))}::DOUBLE[] AS t),
-         |pxx AS (
-         |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
-         |  FROM generate_series(0, 15) tl(l_out) CROSS JOIN generate_series(0, 15) tm(m_out)),
-         |dft AS (
-         |  SELECT pxx.l_out, pxx.m_out, pxx.lp, pxx.mp,
-         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)
-         |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)) AS val
-         |  FROM grid g CROSS JOIN pxx GROUP BY 1, 2, 3, 4)
-         |SELECT 0 AS img_chan, 0 AS pol, l_out AS l_idx, m_out AS m_idx,
-         |  floor((val / (CASE WHEN sumw.sw = 0 THEN 1.0 ELSE sumw.sw END)
-         |         / (corr.t[lp + 1] * corr.t[mp + 1])) * 10000.0 + 0.5) / 10000.0 AS image
-         |FROM dft CROSS JOIN sumw CROSS JOIN corr""".stripMargin
-    })
+    },
+    mosaicSql(doPsf = false))
+
+  private val mosaicPsfQ = Q(
+    (s, d) => {
+      val (gcf, _) = MosaicOps.makeGcf(Map(0 -> 25.0, 1 -> 12.0), baseDish = 25.0)
+      MosaicOps.makePsfMosaic(s, mosaicFixture(s, d), MosaicP, gcf,
+          MosaicOffsets)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("image"), 4).as("image"))
+    },
+    mosaicSql(doPsf = true))
 
   private val specFitQ = Q(
     (s, d) => {
@@ -840,6 +870,7 @@ object QueriesKernels {
 
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
+    "make_psf_mosaic" -> mosaicPsfQ,
     "spec_fit" -> specFitQ,
     "synthesis_imaging" -> synthesisQ,
     "direction_rotate" -> directionRotateQ,

@@ -11,17 +11,27 @@ import GridOps.{GridParams, PartialPlane, SpeedOfLight}
   * _graph_aperture_grid (_imaging_utils/_aperture_grid.py:25-530):
   * like the standard gridder, but the convolution kernel is looked up
   * per baseline TYPE (antenna-pair dish combination) and a per-FIELD
-  * phase gradient steers each pointing to its offset in the mosaic.
+  * phase gradient multiplies the KERNEL (not the visibility), steering
+  * each pointing to its offset in the mosaic.
   *
-  * Spark-first shape: the kernel table is a tiny broadcastable
-  * structure (n_baseline_types x oversampled support — the reference
-  * notes the same, SURVEY.md §2.8) captured in the task closure; the
-  * per-field phase gradient is the common-tangent small-offset phasor
-  * e^{2 pi i (u dl + v dm) f / c} applied to the visibility before the
-  * scatter (simplified from the reference's per-field gradient applied
-  * to the aperture function — same first-order mosaic steering,
-  * documented divergence). Partial-plane merge is identical to the
-  * standard gridder.
+  * Faithful to _aperture_grid_jit (_aperture_grid.py:377-516):
+  *  - the tap value is COMPLEX: kernel(cfU, cfV) x
+  *    exp(i (cfU pix0 + cfV pix1)) with cfU = oversampling*i_u + frac
+  *    offset — the reference's conv_kernel * phase_gradient lookup
+  *    (:429, :504), where pix = -(field offset in padded-image pixels)
+  *    * 2 pi / (n_uv * oversampling)
+  *    (make_gridding_convolution_function.py:331-359; the pixel
+  *    distance uses the small-offset SIN approximation offset/cell
+  *    instead of astropy WCS — documented divergence, equal to first
+  *    order);
+  *  - sum_weight accumulates weight * Re(norm^2) for data ("the pb is
+  *    in the image twice", :513-515) and weight * Re(norm) for the psf
+  *    (:512);
+  *  - grid and norm are complex sums over the taps.
+  *
+  * Spark-first shape: kernels + per-field pix constants are tiny
+  * broadcastable structures captured in the task closure; partial-
+  * plane merge is identical to the standard gridder.
   */
 object MosaicOps {
 
@@ -45,6 +55,24 @@ object MosaicOps {
     (kernels, fieldOffsets)
   }
 
+  /** Per-field phase-gradient slope in oversampled-kernel coordinates
+    * (make_phase_gradient: pix = -(pix_dist) * 2 pi / (n_uv * os)),
+    * with pix_dist = offset / cell (small-offset SIN approximation).
+    * Shared by the operator and the oracle SQL generator.
+    */
+  def phaseGradientPix(offset: Double, cell: Double, n: Int, os: Int): Double =
+    -(offset / cell) * (2.0 * math.Pi) / (n.toDouble * os)
+
+  /** np.sinc-style normalized sinc. */
+  def sinc(x: Double): Double =
+    if (x == 0.0) 1.0 else math.sin(math.Pi * x) / (math.Pi * x)
+
+  /** Oversampling-correcting function, one axis (_normalize.py:
+    * sinc(arange(-c, n-c) / (n * os)) — EVLA memo 198 sinc correction).
+    */
+  def sincCorr1D(n: Int, os: Int): Array[Double] =
+    Array.tabulate(n)(i => sinc((i - n / 2).toDouble / (n.toDouble * os)))
+
   /** Gridder input with kernel type and field. */
   final case class MosaicVis(img_chan: Int, pol: Int, u: Double, v: Double,
                              re: Double, im: Double, weight: Double,
@@ -52,10 +80,17 @@ object MosaicOps {
 
   private def gridPartitionMosaic(rows: Iterator[MosaicVis], p: GridParams,
                                   gcf: Map[Int, Gcf],
-                                  fieldOffsets: Map[Int, (Double, Double)])
+                                  fieldOffsets: Map[Int, (Double, Double)],
+                                  doPsf: Boolean)
       : Iterator[PartialPlane] = {
     val (nU, nV) = (p.nU, p.nV)
     val (cU, cV) = (nU / 2, nV / 2)
+    // per-field kernel-coordinate phase slopes
+    val pix = fieldOffsets.map { case (f, (dl, dm)) =>
+      val os = gcf.head._2.oversampling
+      f -> ((phaseGradientPix(dl, p.deltaLM._1, nU, os),
+        phaseGradientPix(dm, p.deltaLM._2, nV, os)))
+    }
     val planes = mutable.LinkedHashMap.empty[(Int, Int), PartialPlane]
     for (r <- rows) {
       val kern = gcf.getOrElse(r.cf_type, null)
@@ -70,38 +105,42 @@ object MosaicOps {
           if (uc + sc < nU && vc + sc < nV && uc - sc >= 0 && vc - sc >= 0) {
             val uFrac = math.floor((uc - uPos) * os + 0.5).toInt
             val vFrac = math.floor((vc - vPos) * os + 0.5).toInt
-            // per-field mosaic steering phasor
-            val (dl, dm) = fieldOffsets.getOrElse(r.field_id, (0.0, 0.0))
-            val theta = 2.0 * math.Pi * (r.u * dl + r.v * dm) * r.freq / SpeedOfLight
-            val (pc, ps) = (math.cos(theta), math.sin(theta))
-            val vRe = r.re * pc - r.im * ps
-            val vIm = r.re * ps + r.im * pc
-            val (wRe, wIm, selW) = (vRe * r.weight, vIm * r.weight, r.weight)
+            val (pix0, pix1) = pix.getOrElse(r.field_id, (0.0, 0.0))
+            val (wRe, wIm, selW) =
+              if (doPsf) (r.weight, 0.0, r.weight)
+              else (r.re * r.weight, r.im * r.weight, r.weight)
             if (!(wRe.isNaN || wIm.isNaN) && (wRe != 0.0 || wIm != 0.0)) {
               val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
                 PartialPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
                   new Array[Boolean](nU * nV), 0.0))
-              // [-sc, support-sc): exactly `support` taps either parity
-              var norm = 0.0
+              // complex tap: k * e^{i(cfU pix0 + cfV pix1)}; complex norm
+              var normRe = 0.0; var normIm = 0.0
               var iv = -sc
               while (iv < kern.support - sc) {
-                val convV = kern.cgk(math.abs(os * iv + vFrac))
+                val cfV = os * iv + vFrac
+                val kv = kern.cgk(math.abs(cfV))
                 var iu = -sc
                 while (iu < kern.support - sc) {
-                  val conv = kern.cgk(math.abs(os * iu + uFrac)) * convV
-                  if (conv != 0.0) {
+                  val cfU = os * iu + uFrac
+                  val k = kern.cgk(math.abs(cfU)) * kv
+                  val th = cfU * pix0 + cfV * pix1
+                  val cRe = k * math.cos(th); val cIm = k * math.sin(th)
+                  if (k != 0.0) {
                     val cell = (uc + iu) * nV + (vc + iv)
-                    plane.grid(2 * cell) += conv * wRe
-                    plane.grid(2 * cell + 1) += conv * wIm
+                    plane.grid(2 * cell) += cRe * wRe - cIm * wIm
+                    plane.grid(2 * cell + 1) += cRe * wIm + cIm * wRe
                     plane.touched(cell) = true
                   }
-                  norm += conv
+                  normRe += cRe; normIm += cIm
                   iu += 1
                 }
                 iv += 1
               }
+              val swInc =
+                if (doPsf) selW * normRe
+                else selW * (normRe * normRe - normIm * normIm) // Re(norm^2)
               planes((r.img_chan, r.pol)) =
-                plane.copy(sum_weight = plane.sum_weight + selW * norm)
+                plane.copy(sum_weight = plane.sum_weight + swInc)
             }
           }
         }
@@ -113,7 +152,8 @@ object MosaicOps {
   /** Mosaic gridding: same partial/merge shape as the standard path. */
   def gridPlanesMosaic(spark: SparkSession, vis: DataFrame, p: GridParams,
                        gcf: Map[Int, Gcf],
-                       fieldOffsets: Map[Int, (Double, Double)])
+                       fieldOffsets: Map[Int, (Double, Double)],
+                       doPsf: Boolean = false)
       : Dataset[PartialPlane] = {
     import spark.implicits._
     vis.select(col("img_chan").cast("int"), col("pol").cast("int"),
@@ -122,25 +162,24 @@ object MosaicOps {
         col("weight").cast("double"), col("freq").cast("double"),
         col("cf_type").cast("int"), col("field_id").cast("int"))
       .as[MosaicVis]
-      .mapPartitions(rows => gridPartitionMosaic(rows, p, gcf, fieldOffsets))
+      .mapPartitions(rows => gridPartitionMosaic(rows, p, gcf, fieldOffsets, doPsf))
       .groupByKey(pl => (pl.img_chan, pl.pol))
       .reduceGroups(GridOps.mergePlanes _)
       .map(_._2)
   }
 
-  /** make_image_with_gcf (ngcasa/imaging/make_image_with_gcf.py:20-210)
-    * simplified: mosaic-grid then FFT+normalize like make_image.
-    */
-  def makeImageMosaic(spark: SparkSession, vis: DataFrame, p: GridParams,
-                      gcf: Map[Int, Gcf],
-                      fieldOffsets: Map[Int, (Double, Double)]): DataFrame = {
+  private def fftNormalize(spark: SparkSession,
+                           planes: Dataset[PartialPlane],
+                           p: GridParams, os: Int): DataFrame = {
     import spark.implicits._
     val (nU, nV) = (p.nU, p.nV)
     val (nL, nM) = p.imgSize
     val corrU = GridOps.correcting1D(nU)
     val corrV = GridOps.correcting1D(nV)
+    val sincU = sincCorr1D(nU, os)
+    val sincV = sincCorr1D(nV, os)
     val (offL, offM) = (nU / 2 - nL / 2, nV / 2 - nM / 2)
-    gridPlanesMosaic(spark, vis, p, gcf, fieldOffsets).flatMap { pl =>
+    planes.flatMap { pl =>
       var re = new Array[Double](nU * nV)
       var im = new Array[Double](nU * nV)
       var i = 0
@@ -151,10 +190,37 @@ object MosaicOps {
       re = graft.functions.Fft.fftshift2(re, nU, nV)
       val sw = if (pl.sum_weight == 0.0) 1.0 else pl.sum_weight
       for (l <- 0 until nL; m <- 0 until nM) yield {
-        val pix = re((l + offL) * nV + (m + offM))
-        (pl.img_chan, pl.pol, l, m,
-          pix / sw / (corrU(l + offL) * corrV(m + offM)), pl.sum_weight)
+        val (pl2, pm2) = (l + offL, m + offM)
+        val pix = re(pl2 * nV + pm2)
+        // (image / sum_weight) / (sinc oversampling correction * PSWF
+        // correcting image) — _normalize.py normalize_image with
+        // norm_type 'none' (a PB model divide composes on top for
+        // flat_noise/flat_sky)
+        val corrected = pix / sw /
+          ((sincU(pl2) * sincV(pm2)) * (corrU(pl2) * corrV(pm2)))
+        (pl.img_chan, pl.pol, l, m, corrected, pl.sum_weight)
       }
     }.toDF("img_chan", "pol", "l_idx", "m_idx", "image", "sum_weight")
   }
+
+  /** make_image_with_gcf (ngcasa/imaging/make_image_with_gcf.py:20-210):
+    * mosaic-grid then FFT + sinc/PSWF-corrected normalization.
+    */
+  def makeImageMosaic(spark: SparkSession, vis: DataFrame, p: GridParams,
+                      gcf: Map[Int, Gcf],
+                      fieldOffsets: Map[Int, (Double, Double)]): DataFrame =
+    fftNormalize(spark, gridPlanesMosaic(spark, vis, p, gcf, fieldOffsets),
+      p, gcf.head._2.oversampling)
+
+  /** make_psf_with_gcf (ngcasa/imaging/make_psf_with_gcf.py): the
+    * mosaic PSF — weights gridded through the same complex kernels
+    * (do_psf branch of _aperture_grid_jit: weighted_data = the imaging
+    * weight, sum_weight += weight * Re(norm)).
+    */
+  def makePsfMosaic(spark: SparkSession, vis: DataFrame, p: GridParams,
+                    gcf: Map[Int, Gcf],
+                    fieldOffsets: Map[Int, (Double, Double)]): DataFrame =
+    fftNormalize(spark,
+      gridPlanesMosaic(spark, vis, p, gcf, fieldOffsets, doPsf = true),
+      p, gcf.head._2.oversampling)
 }
