@@ -14,7 +14,9 @@ object PlanAudit {
     println("entry() rows = " + SparkEntry.entry(spark).count())
     val d = "/root/testdata/sf0.01"
     for (name <- Seq("chan_average", "apply_flags", "join_vis",
-      "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk")) {
+      "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk",
+      "imaging_weight_polavg", "uv_cont_fit_order3", "dedup_exact",
+      "stream_dedup", "make_image_mosaic")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

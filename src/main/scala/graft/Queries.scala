@@ -705,6 +705,32 @@ object Queries {
       |  min(l_quantity) * 2.0 AS qty2x
       |FROM lineitem GROUP BY 1, 2""".stripMargin)
 
+  /** The rewrite-merge compaction of a sidecar append: compact, read
+    * the MERGED store (no join), and match the same oracle as
+    * `append_xds` — proving compaction preserves the joined view.
+    */
+  private val appendCompactQ = Q(
+    (s, d) => {
+      val bpath = s"/tmp/graft_compact_base_${math.abs(d.hashCode)}"
+      val spath = s"/tmp/graft_compact_side_${math.abs(d.hashCode)}"
+      val opath = s"/tmp/graft_compact_out_${math.abs(d.hashCode)}"
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val base = Tables.lineitem(s, d)
+        .groupBy(keys.map(col): _*)
+        .agg(min(col("l_quantity")).as("qty"))
+      sources.IoOps.writeVis(base, bpath, repartitionTo = Some(2))
+      val side = base.select(col("l_orderkey"), col("l_linenumber"),
+        (col("qty") * 2.0).as("qty2x"))
+      sources.IoOps.appendColumns(base, spath, keys, side)
+      sources.IoOps.compactSidecar(s, bpath, spath, keys, opath,
+        repartitionTo = Some(2))
+      s.read.parquet(opath)
+        .select("l_orderkey", "l_linenumber", "qty", "qty2x")
+    },
+    """SELECT l_orderkey, l_linenumber, min(l_quantity) AS qty,
+      |  min(l_quantity) * 2.0 AS qty2x
+      |FROM lineitem GROUP BY 1, 2""".stripMargin)
+
   /** convert_image artifact merge: sibling artifacts become one table
     * with a value column per artifact via full-outer joins on the
     * image dims (one artifact deliberately partial).
@@ -824,6 +850,7 @@ object Queries {
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
     "append_xds" -> appendXdsQ,
+    "append_compact" -> appendCompactQ,
     "merge_image_artifacts" -> mergeArtifactsQ,
     "baseline_ids" -> baselineIdsQ,
     "derive_weight" -> deriveWeightQ,

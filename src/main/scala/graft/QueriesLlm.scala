@@ -59,6 +59,19 @@ object QueriesLlm {
 
   // ------------------------------------------------------------- dedup
 
+  /** streamingExactDedup in batch mode: each hash group arrives with
+    * empty state, so the emission rule (first-seen wins, min id within
+    * the batch) reduces to min(doc_id) per distinct content — exactly
+    * SQL-checkable. Cross-micro-batch suppression is covered by the
+    * MemoryStream ScalaTest.
+    */
+  private val streamDedupQ = Q(
+    (s, d) => graft.streaming.StreamingOps.streamingExactDedup(
+      s, Tables.documents(s, d), "doc_id", "text"),
+    s"""SELECT ${phSql("text")} AS text_hash, ${phSql2("text")} AS text_hash2,
+       |  min(doc_id) AS doc_id
+       |FROM documents GROUP BY 1, 2""".stripMargin)
+
   private val dedupExactQ = Q(
     (s, d) => DedupOps.exactDedup(Tables.documents(s, d), "doc_id", "text"),
     s"""SELECT ${phSql("text")} AS text_hash, ${phSql2("text")} AS text_hash2,
@@ -398,6 +411,7 @@ object QueriesLlm {
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,
     "fingerprint" -> fingerprintQ,
+    "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)
 }

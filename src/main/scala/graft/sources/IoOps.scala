@@ -76,6 +76,21 @@ object IoOps {
     spark.read.parquet(basePath)
       .join(spark.read.parquet(sidecarPath), keys, "left")
 
+  /** Rewrite-merge compaction of a sidecar append: materialize the
+    * joined view as a single store, after which readers drop the join.
+    * The reference's in-place zarr column-append rewrites chunk files
+    * similarly; here compaction is an explicit maintenance step (run
+    * it when the sidecar count or join cost grows), keeping the
+    * happy-path append O(new columns) only.
+    */
+  def compactSidecar(spark: SparkSession, basePath: String,
+                     sidecarPath: String, keys: Seq[String],
+                     outPath: String,
+                     partitionBy: Seq[String] = Nil,
+                     repartitionTo: Option[Int] = None): Unit =
+    writeVis(readWithSidecar(spark, basePath, sidecarPath, keys),
+      outPath, partitionBy, repartitionTo)
+
   /** read_image / write_image (cngi/dio/read_image.py, write_image.py):
     * image datasets use the same partitioned-parquet layout as vis
     * (keys (l_idx, m_idx, time, chan, pol) instead of the vis dims).

@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupStateTimeout, OutputMode}
 
 /** Streaming surface (SURVEY.md §2.10 — beyond-parity): the reference
   * is batch-only, but its `time_average` resample is exactly a
@@ -41,6 +42,43 @@ object StreamingOps {
         keys.map(col)): _*)
       .agg(sum(when(flag, 1L).otherwise(0L)).as("flagged"),
         count(lit(1)).as("total"))
+  }
+
+  /** Streaming exact-dedup: emit a document's (hash pair, id) the
+    * FIRST time its content is seen, suppress every later duplicate —
+    * the continuous-ingestion form of DedupOps.exactDedup, with the
+    * same 128-bit composite key. `flatMapGroupsWithState` keeps one
+    * boolean per distinct content hash; state is the distinct-content
+    * cardinality, not the stream length.
+    *
+    * Works on BOTH batch and streaming frames: on a batch frame each
+    * group arrives at once with empty state, so the output is exactly
+    * one row per distinct text keyed by min id — which is what the
+    * DuckDB oracle of the `stream_dedup` contract query checks; the
+    * cross-micro-batch suppression is covered by the MemoryStream
+    * ScalaTest.
+    */
+  def streamingExactDedup(spark: SparkSession, df: DataFrame,
+                          idCol: String, textCol: String): DataFrame = {
+    import spark.implicits._
+    import graft.operators.TextOps
+    val keyed = df.select(
+        TextOps.polyHash(col(textCol)).as("h1"),
+        TextOps.polyHash2(col(textCol)).as("h2"),
+        col(idCol).cast("long").as("id"))
+      .as[(Long, Long, Long)]
+    keyed.groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Boolean, (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((h1, h2), rows, state) =>
+          if (state.exists) Iterator.empty
+          else {
+            state.update(true)
+            var best = Long.MaxValue
+            for (r <- rows) if (r._3 < best) best = r._3
+            Iterator((h1, h2, best))
+          }
+      }.toDF("text_hash", "text_hash2", "doc_id")
   }
 
   /** Incremental append analog of convert_ms(append=True)

@@ -50,4 +50,21 @@ class IoOpsSpec extends SparkSpec {
     assert(joined.columns.contains("v2"))
     assert(joined.where($"v2" =!= $"v" * 2).count() === 0)
   }
+
+  test("compactSidecar merges base + sidecar into a join-free store") {
+    val dir = Files.createTempDirectory("graft_io").toString
+    val (base, side, out) = (dir + "/base", dir + "/side", dir + "/out")
+    val keys = Seq("ddi", "time", "baseline")
+    IoOps.writeVis(vis, base)
+    IoOps.appendColumns(vis, side, keys,
+      vis.select($"ddi", $"time", $"baseline", ($"v" * 2).as("v2")))
+    IoOps.compactSidecar(spark, base, side, keys, out)
+    val compacted = spark.read.parquet(out)
+    val joined = IoOps.readWithSidecar(spark, base, side, keys)
+    assert(compacted.count() === joined.count())
+    assert(compacted.columns.sorted.toSeq === joined.columns.sorted.toSeq)
+    assert(compacted.where($"v2" =!= $"v" * 2).count() === 0)
+    // no join in the compacted read plan
+    assert(!compacted.queryExecution.executedPlan.toString.contains("Join"))
+  }
 }

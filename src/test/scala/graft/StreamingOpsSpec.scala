@@ -41,6 +41,32 @@ class StreamingOpsSpec extends SparkSpec {
       rows.map(_.getAs[Double]("v")).toSeq)
   }
 
+  test("streamingExactDedup suppresses duplicates across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingExactDedup(spark, df, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("stream_dedup_t")
+      .outputMode("append").start()
+    input.addData((0L, "alpha beta"), (1L, "gamma"), (2L, "alpha beta"))
+    q.processAllAvailable()
+    // batch 2: one repeat of an already-seen text + one new text
+    input.addData((3L, "alpha beta"), (4L, "delta"))
+    q.processAllAvailable()
+    val rows = spark.table("stream_dedup_t").collect()
+      .map(r => r.getAs[Long]("doc_id")).sorted.toSeq
+    q.stop()
+    // "alpha beta" emitted once with min id of its FIRST batch (0);
+    // id 3 from batch 2 is suppressed by state
+    assert(rows === Seq(0L, 1L, 4L))
+
+    // batch mode: same operator = one row per distinct text, min id
+    val batch = Seq((0L, "x y"), (5L, "x y"), (9L, "z")).toDF("doc_id", "text")
+    val b = StreamingOps.streamingExactDedup(spark, batch, "doc_id", "text")
+      .collect().map(_.getAs[Long]("doc_id")).sorted.toSeq
+    assert(b === Seq(0L, 9L))
+  }
+
   test("runningFlagCounts counts flags per window under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Boolean)]
