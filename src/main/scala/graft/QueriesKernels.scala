@@ -799,10 +799,17 @@ object QueriesKernels {
        |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)) AS val
        |  FROM grid g CROSS JOIN pxx GROUP BY 1, 2, 3, 4)
        |SELECT 0 AS img_chan, 0 AS pol, l_out AS l_idx, m_out AS m_idx,
-       |  floor((val / (CASE WHEN sumw.sw = 0 THEN 1.0 ELSE sumw.sw END)
-       |         / ((corr.sn[lp + 1] * corr.sn[mp + 1]) * (corr.t[lp + 1] * corr.t[mp + 1]))) * 10000.0 + 0.5) / 10000.0 AS image
+       |  val / (CASE WHEN sumw.sw = 0 THEN 1.0 ELSE sumw.sw END)
+       |    / ((corr.sn[lp + 1] * corr.sn[mp + 1]) * (corr.t[lp + 1] * corr.t[mp + 1])) AS image
        |FROM dft CROSS JOIN sumw CROSS JOIN corr""".stripMargin
   }
+
+  private def mosaicSqlRounded(doPsf: Boolean): String =
+    s"""SELECT img_chan, pol, l_idx, m_idx,
+       |  floor(image * 10000.0 + 0.5) / 10000.0 AS image
+       |FROM (
+       |${mosaicSql(doPsf)}
+       |) b""".stripMargin
 
   private val mosaicImageQ = Q(
     (s, d) => {
@@ -812,7 +819,7 @@ object QueriesKernels {
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("image"), 4).as("image"))
     },
-    mosaicSql(doPsf = false))
+    mosaicSqlRounded(doPsf = false))
 
   private val mosaicPsfQ = Q(
     (s, d) => {
@@ -822,7 +829,45 @@ object QueriesKernels {
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("image"), 4).as("image"))
     },
-    mosaicSql(doPsf = true))
+    mosaicSqlRounded(doPsf = true))
+
+  /** flat_noise: the mosaic image divided by the airy PB model with a
+    * pb_limit cutoff — _normalize.py's normalizing_image = PS_CORR x PB
+    * composed as ImageOps.pbNormalize on top of the mosaic image.
+    */
+  private val mosaicPbNormQ = Q(
+    (s, d) => {
+      val (gcf, _) = MosaicOps.makeGcf(Map(0 -> 25.0, 1 -> 12.0), baseDish = 25.0)
+      val img = MosaicOps.makeImageMosaic(s, mosaicFixture(s, d), MosaicP,
+        gcf, MosaicOffsets)
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.002, 0.002), chans = Seq(1.5e9))
+      val pb = BeamOps.makePb(grid, dishDiameter = 25.0)
+        .select("l_idx", "m_idx", "pb")
+      ImageOps.pbNormalize(img, pb, Seq("l_idx", "m_idx"), pbLimit = 0.01)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("image"), 4).as("image"))
+    },
+    s"""WITH base AS (
+       |${mosaicSql(doPsf = false)}
+       |),
+       |pbr AS (
+       |  SELECT l_idx, m_idx,
+       |    sqrt(l * l + m * m) * (2 * pi() * 1500000000.0 / 299792458.0) * 12.5 AS r0
+       |  FROM (
+       |    SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx,
+       |      (CAST(i // 16 AS INT) - 8) * CAST(0.002 AS DOUBLE) AS l,
+       |      (CAST(i % 16 AS INT) - 8) * CAST(0.002 AS DOUBLE) AS m
+       |    FROM generate_series(0, 255) s(i)) px),
+       |pbv AS (
+       |  SELECT l_idx, m_idx,
+       |    CASE WHEN r0 = 0.0 THEN 1.0
+       |         ELSE power(2.0 * ${j1Sql("rv")} / rv, 2) END AS pb
+       |  FROM (SELECT *, CASE WHEN r0 = 0.0 THEN 1.0 ELSE r0 END AS rv FROM pbr) q)
+       |SELECT base.img_chan, base.pol, base.l_idx, base.m_idx,
+       |  floor((CASE WHEN pbv.pb < 0.01 THEN 0.0
+       |         ELSE base.image / pbv.pb END) * 10000.0 + 0.5) / 10000.0 AS image
+       |FROM base JOIN pbv ON base.l_idx = pbv.l_idx AND base.m_idx = pbv.m_idx""".stripMargin)
 
   private val specFitQ = Q(
     (s, d) => {
@@ -871,6 +916,7 @@ object QueriesKernels {
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
     "make_psf_mosaic" -> mosaicPsfQ,
+    "make_image_mosaic_pbnorm" -> mosaicPbNormQ,
     "spec_fit" -> specFitQ,
     "synthesis_imaging" -> synthesisQ,
     "direction_rotate" -> directionRotateQ,

@@ -107,6 +107,23 @@ object ImageOps {
     df.withColumn(name, r2)
   }
 
+  /** PB normalization tail of _normalize.py (flat_noise direction
+    * 'forward'): divide the (already sum-weight/correcting-image
+    * normalized) image by the primary-beam model, zeroing pixels below
+    * pb_limit. Op-order note: the reference folds the PB into the one
+    * combined divisor; dividing the normalized image by pb afterwards
+    * is the same quantity composed per-operator (documented fp-path
+    * difference, mirrored by the oracle).
+    */
+  def pbNormalize(image: DataFrame, pb: DataFrame, keys: Seq[String],
+                  imageCol: String = "image", pbCol: String = "pb",
+                  pbLimit: Double = 0.2): DataFrame =
+    image.join(broadcast(pb.select((keys.map(col) :+ col(pbCol)): _*)), keys)
+      .withColumn(imageCol,
+        when(col(pbCol) < pbLimit, lit(0.0))
+          .otherwise(col(imageCol) / col(pbCol)))
+      .drop(pbCol)
+
   /** Inverse of stokesToCorr (linear basis): I=(XX+YY)/2, Q=(XX-YY)/2,
     * U=(XY+YX)/2, V=(XY-YX)/(2i) — the natural completion of the
     * basis-change pair (the reference ships only the forward form).
