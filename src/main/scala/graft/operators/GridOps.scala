@@ -425,7 +425,10 @@ object GridOps {
         require(rowKeyCols.nonEmpty,
           "polAverage needs rowKeyCols identifying the pol group")
         val w = Window.partitionBy(rowKeyCols.map(col): _*)
-        c.withColumn("nat_w", avg(col("weight")).over(w))
+        // cache: this frame feeds the cell aggregate, the sum_weight
+        // aggregate AND the degrid join — without it the window
+        // shuffle re-executes once per branch (6x in the audited plan)
+        c.withColumn("nat_w", avg(col("weight")).over(w)).cache()
       } else c.withColumn("nat_w", col("weight"))
     }
     val primary = withCell.where(col("_in_grid"))
