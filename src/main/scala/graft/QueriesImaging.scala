@@ -333,7 +333,52 @@ object QueriesImaging {
        |LEFT JOIN cells c ON c0.pol = c.pol AND c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
        |LEFT JOIN fac ON c0.pol = fac.pol""".stripMargin)
 
+  private val calcCellSizeQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        (col("l_extendedprice") % 60.0).as("u"),
+        (col("l_quantity") * 2.0).as("v"),
+        (lit(1.4e9) + (col("l_suppkey") % 100) * 1e6).as("freq"))
+      GridOps.calcImageCellSize(vis, "u", "v", "freq",
+          minDishDiameter = 25.0, pixelsPerBeam = 7.0)
+        .select(qround(col("cell_l"), 8).as("cell_l"),
+          qround(col("cell_m"), 8).as("cell_m"),
+          col("imsize_l"), col("imsize_m"))
+    }, {
+      val radToArc = 3600.0 * 180.0 / math.Pi
+      s"""WITH v AS (
+         |  SELECT l_extendedprice % 60.0 AS u, l_quantity * 2.0 AS v,
+         |    1400000000.0 + (l_suppkey % 100) * 1000000.0 AS freq
+         |  FROM lineitem),
+         |a AS (
+         |  SELECT max(u) AS max_u, max(v) AS max_v,
+         |    min(freq) AS f_min, max(freq) AS f_max
+         |  FROM v),
+         |c0 AS (
+         |  SELECT *,
+         |    ${fmt(radToArc)} * (299792458.0 / (max_u * f_max)) / 7.0 AS cell_u,
+         |    ${fmt(radToArc)} * (299792458.0 / (max_v * f_max)) / 7.0 AS cell_v,
+         |    ${fmt(radToArc)} * (${fmt(1.02 * 299792458.0)} / (25.0 * f_min)) AS fwhm
+         |  FROM a),
+         |c1 AS (
+         |  SELECT *,
+         |    CASE WHEN cell_u / cell_v < CAST(1.2 AS DOUBLE)
+         |           AND cell_v / cell_u < CAST(1.2 AS DOUBLE)
+         |         THEN least(cell_u, cell_v) ELSE cell_u END AS cell_l,
+         |    CASE WHEN cell_u / cell_v < CAST(1.2 AS DOUBLE)
+         |           AND cell_v / cell_u < CAST(1.2 AS DOUBLE)
+         |         THEN least(cell_u, cell_v) ELSE cell_v END AS cell_m
+         |  FROM c0)
+         |SELECT
+         |  floor(cell_l * 100000000.0 + 0.5) / 100000000.0 AS cell_l,
+         |  floor(cell_m * 100000000.0 + 0.5) / 100000000.0 AS cell_m,
+         |  CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_l, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_l,
+         |  CAST(ceil(pow(2.0, ceil(log2(greatest(fwhm / cell_m, 1.0) / 10.0))) * 10.0 / 1.2) AS BIGINT) AS imsize_m
+         |FROM c1""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
+    "calc_image_cell_size" -> calcCellSizeQ,
     "make_grid" -> makeGridQ,
     "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,

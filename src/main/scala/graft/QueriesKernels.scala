@@ -869,6 +869,77 @@ object QueriesKernels {
        |         ELSE base.image / pbv.pb END) * 10000.0 + 0.5) / 10000.0 AS image
        |FROM base JOIN pbv ON base.l_idx = pbv.l_idx AND base.m_idx = pbv.m_idx""".stripMargin)
 
+  /** make_mosaic_pb: weights gridded through the complex gcf kernels
+    * stamped at the GRID CENTER (no vis position, no frac offset), FFT,
+    * /sum_weight; PB = sqrt(|weight image|). Full SQL mirror.
+    */
+  private val mosaicPbQ = Q(
+    (s, d) => {
+      val (gcf, _) = MosaicOps.makeGcf(Map(0 -> 25.0, 1 -> 12.0), baseDish = 25.0)
+      MosaicOps.makeMosaicPb(s, mosaicFixture(s, d), MosaicP, gcf,
+          MosaicOffsets)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("weight_pb"), 6).as("weight_pb"),
+          qround(col("pb"), 6).as("pb"),
+          qround(col("sum_weight"), 4).as("sum_weight"))
+    }, {
+      val cgk0 = GridOps.cgk1D(100, 7)
+      val cgk1 = GridOps.cgk1D(100, 15)
+      def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+      val pix0f1 = MosaicOps.phaseGradientPix(0.002, 0.002, 32, 100)
+      val pix1f1 = MosaicOps.phaseGradientPix(-0.002, 0.002, 32, 100)
+      val pix0f0 = MosaicOps.phaseGradientPix(0.0, 0.002, 32, 100)
+      val kExpr =
+        "(CASE cf_type WHEN 0 THEN k.t0[abs(100 * du) + 1] " +
+          "ELSE k.t1[abs(100 * du) + 1] END) * " +
+          "(CASE cf_type WHEN 0 THEN k.t0[abs(100 * dv) + 1] " +
+          "ELSE k.t1[abs(100 * dv) + 1] END)"
+      val thExpr = "((100 * du) * pix0 + (100 * dv) * pix1)"
+      s"""WITH fx AS (
+         |  SELECT row_number() OVER () AS rid, l_discount + 0.5 AS weight,
+         |    CAST(l_suppkey % 2 AS INT) AS cf_type,
+         |    CAST(l_orderkey % 2 AS INT) AS field_id
+         |  FROM lineitem),
+         |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
+         |geom AS (
+         |  SELECT *,
+         |    CASE cf_type WHEN 0 THEN 3 ELSE 7 END AS sc,
+         |    CASE field_id WHEN 1 THEN ${fmt(pix0f1)} ELSE ${fmt(pix0f0)} END AS pix0,
+         |    CASE field_id WHEN 1 THEN ${fmt(pix1f1)} ELSE ${fmt(pix0f0)} END AS pix1
+         |  FROM fx WHERE weight <> 0.0),
+         |taps AS (
+         |  SELECT rid, weight, 16 + du AS u_idx, 16 + dv AS v_idx,
+         |    $kExpr AS kk,
+         |    $kExpr * cos($thExpr) AS conv_re,
+         |    $kExpr * sin($thExpr) AS conv_im
+         |  FROM geom
+         |  CROSS JOIN generate_series(-7, 7) tu(du)
+         |  CROSS JOIN generate_series(-7, 7) tv(dv)
+         |  CROSS JOIN k
+         |  WHERE abs(du) <= sc AND abs(dv) <= sc),
+         |grid AS (
+         |  SELECT u_idx, v_idx,
+         |    sum(conv_re * weight) AS gre, sum(conv_im * weight) AS gim
+         |  FROM taps WHERE kk <> 0.0 GROUP BY 1, 2),
+         |norms AS (
+         |  SELECT rid, any_value(weight) AS weight, sum(conv_re) AS nre
+         |  FROM taps GROUP BY 1),
+         |sumw AS (SELECT sum(weight * nre) AS sw FROM norms),
+         |pxx AS (
+         |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+         |  FROM generate_series(0, 15) tl(l_out) CROSS JOIN generate_series(0, 15) tm(m_out)),
+         |dft AS (
+         |  SELECT pxx.l_out, pxx.m_out,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)
+         |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (pxx.lp - 16) + (g.v_idx - 16) * (pxx.mp - 16)) / 32.0)) AS val
+         |  FROM grid g CROSS JOIN pxx GROUP BY 1, 2)
+         |SELECT 0 AS img_chan, 0 AS pol, l_out AS l_idx, m_out AS m_idx,
+         |  floor((val / sw) * 1000000.0 + 0.5) / 1000000.0 AS weight_pb,
+         |  floor(sqrt(abs(val / sw)) * 1000000.0 + 0.5) / 1000000.0 AS pb,
+         |  floor(sw * 10000.0 + 0.5) / 10000.0 AS sum_weight
+         |FROM dft CROSS JOIN sumw""".stripMargin
+    })
+
   private val specFitQ = Q(
     (s, d) => {
       import s.implicits._
@@ -917,6 +988,7 @@ object QueriesKernels {
     "make_image_mosaic" -> mosaicImageQ,
     "make_psf_mosaic" -> mosaicPsfQ,
     "make_image_mosaic_pbnorm" -> mosaicPbNormQ,
+    "make_mosaic_pb" -> mosaicPbQ,
     "spec_fit" -> specFitQ,
     "synthesis_imaging" -> synthesisQ,
     "direction_rotate" -> directionRotateQ,

@@ -369,6 +369,37 @@ object GridOps {
     (img, psf)
   }
 
+  /** calc_image_cell_size (ngcasa/imaging/calc_image_cell_size.py:20-75):
+    * cell size from the max uv extent at the max frequency
+    * (pixels_per_beam per synthesized beam), image size from the
+    * perfectly-illuminated-aperture FWHM at the min frequency, rounded
+    * up to (2^n * 10)/padding. One aggregate row + scalar column math —
+    * no collect; `minDishDiameter` stands in for the reference's
+    * global_dataset.ANT_DISH_DIAMETER min (a one-row dimension lookup).
+    */
+  def calcImageCellSize(vis: DataFrame, uCol: String, vCol: String,
+                        freqCol: String, minDishDiameter: Double,
+                        pixelsPerBeam: Double = 7.0,
+                        padding: Double = 1.2): DataFrame = {
+    val radToArc = 3600.0 * 180.0 / math.Pi
+    val agg = vis.agg(
+      max(col(uCol)).as("max_u"), max(col(vCol)).as("max_v"),
+      min(col(freqCol)).as("f_min"), max(col(freqCol)).as("f_max"))
+    val cellU = lit(radToArc) * (lit(SpeedOfLight) / (col("max_u") * col("f_max"))) / lit(pixelsPerBeam)
+    val cellV = lit(radToArc) * (lit(SpeedOfLight) / (col("max_v") * col("f_max"))) / lit(pixelsPerBeam)
+    // within 20% of each other -> use the smaller for both (:55-56)
+    val close = cellU / cellV < 1.2 && cellV / cellU < 1.2
+    val cellL = when(close, least(cellU, cellV)).otherwise(cellU)
+    val cellM = when(close, least(cellU, cellV)).otherwise(cellV)
+    val fwhm = lit(radToArc) * (lit(1.02 * SpeedOfLight) / (lit(minDishDiameter) * col("f_min")))
+    def imsize(cell: Column): Column = {
+      val raw = greatest(fwhm / cell, lit(1.0))
+      ceil(pow(lit(2.0), ceil(log2(raw / 10.0))) * lit(10.0) / lit(padding))
+    }
+    agg.select(cellL.as("cell_l"), cellM.as("cell_m"),
+      imsize(cellL).as("imsize_l"), imsize(cellM).as("imsize_m"))
+  }
+
   // ------------------------------------------- imaging weights (briggs)
 
   /** make_imaging_weight (ngcasa/imaging/make_imaging_weight.py:20-255).

@@ -212,6 +212,94 @@ object MosaicOps {
     fftNormalize(spark, gridPlanesMosaic(spark, vis, p, gcf, fieldOffsets),
       p, gcf.head._2.oversampling)
 
+  /** make_mosaic_pb (ngcasa/imaging/make_mosaic_pb.py:30-160 via
+    * _aperture_weight_grid_jit, _aperture_grid.py:181-291): every
+    * row's WEIGHT is gridded through its complex gcf kernel STAMPED AT
+    * THE GRID CENTER (v_indx = v_center + i_v — the vis position and
+    * fractional offset never enter), building the weighted aperture
+    * autocorrelation; its FFT / sum_weight is the weight image and
+    * PB = sqrt(|weight image|) (make_mosaic_pb.py:123-137).
+    * Output: (img_chan, pol, l_idx, m_idx, weight_pb, pb, sum_weight).
+    */
+  def makeMosaicPb(spark: SparkSession, vis: DataFrame, p: GridParams,
+                   gcf: Map[Int, Gcf],
+                   fieldOffsets: Map[Int, (Double, Double)]): DataFrame = {
+    import spark.implicits._
+    val (nU, nV) = (p.nU, p.nV)
+    val (nL, nM) = p.imgSize
+    val (offL, offM) = (nU / 2 - nL / 2, nV / 2 - nM / 2)
+    val planes = vis.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("u").cast("double"), col("v").cast("double"),
+        col("re").cast("double"), col("im").cast("double"),
+        col("weight").cast("double"), col("freq").cast("double"),
+        col("cf_type").cast("int"), col("field_id").cast("int"))
+      .as[MosaicVis]
+      .mapPartitions { rows =>
+        val (cU, cV) = (nU / 2, nV / 2)
+        val pix = fieldOffsets.map { case (f, (dl, dm)) =>
+          val os = gcf.head._2.oversampling
+          f -> ((phaseGradientPix(dl, p.deltaLM._1, nU, os),
+            phaseGradientPix(dm, p.deltaLM._2, nV, os)))
+        }
+        val planes = mutable.LinkedHashMap.empty[(Int, Int), PartialPlane]
+        for (r <- rows) {
+          val kern = gcf.getOrElse(r.cf_type, null)
+          if (kern != null && !r.u.isNaN && !r.v.isNaN &&
+            !r.weight.isNaN && r.weight != 0.0) {
+            val sc = kern.support / 2
+            val os = kern.oversampling
+            val (pix0, pix1) = pix.getOrElse(r.field_id, (0.0, 0.0))
+            val plane = planes.getOrElseUpdate((r.img_chan, r.pol),
+              PartialPlane(r.img_chan, r.pol, new Array[Double](2 * nU * nV),
+                new Array[Boolean](nU * nV), 0.0))
+            var normRe = 0.0
+            var iv = -sc
+            while (iv < kern.support - sc) {
+              val cfV = os * iv
+              val kv = kern.cgk(math.abs(cfV))
+              var iu = -sc
+              while (iu < kern.support - sc) {
+                val cfU = os * iu
+                val k = kern.cgk(math.abs(cfU)) * kv
+                val th = cfU * pix0 + cfV * pix1
+                val cRe = k * math.cos(th); val cIm = k * math.sin(th)
+                if (k != 0.0) {
+                  val cell = (cU + iu) * nV + (cV + iv)
+                  plane.grid(2 * cell) += cRe * r.weight
+                  plane.grid(2 * cell + 1) += cIm * r.weight
+                  plane.touched(cell) = true
+                }
+                normRe += cRe
+                iu += 1
+              }
+              iv += 1
+            }
+            planes((r.img_chan, r.pol)) =
+              plane.copy(sum_weight = plane.sum_weight + r.weight * normRe)
+          }
+        }
+        planes.valuesIterator
+      }
+      .groupByKey(pl => (pl.img_chan, pl.pol))
+      .reduceGroups(GridOps.mergePlanes _)
+      .map(_._2)
+    planes.flatMap { pl =>
+      var re = new Array[Double](nU * nV)
+      var im = new Array[Double](nU * nV)
+      var i = 0
+      while (i < nU * nV) { re(i) = pl.grid(2 * i); im(i) = pl.grid(2 * i + 1); i += 1 }
+      re = graft.functions.Fft.fftshift2(re, nU, nV)
+      im = graft.functions.Fft.fftshift2(im, nU, nV)
+      graft.functions.Fft.fft2(re, im, nU, nV, invert = true)
+      re = graft.functions.Fft.fftshift2(re, nU, nV)
+      val sw = if (pl.sum_weight == 0.0) 1.0 else pl.sum_weight
+      for (l <- 0 until nL; m <- 0 until nM) yield {
+        val w = re((l + offL) * nV + (m + offM)) / sw
+        (pl.img_chan, pl.pol, l, m, w, math.sqrt(math.abs(w)), pl.sum_weight)
+      }
+    }.toDF("img_chan", "pol", "l_idx", "m_idx", "weight_pb", "pb", "sum_weight")
+  }
+
   /** make_psf_with_gcf (ngcasa/imaging/make_psf_with_gcf.py): the
     * mosaic PSF — weights gridded through the same complex kernels
     * (do_psf branch of _aperture_grid_jit: weighted_data = the imaging
