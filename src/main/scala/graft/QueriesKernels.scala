@@ -984,8 +984,44 @@ object QueriesKernels {
     },
     "") // composed pipeline: rows-only; every stage oracle-checked alone
 
+  /** synthesis_imaging_cube (ngcasa/imaging/synthesis_imaging_cube.py:
+    * 30-310): the per-channel flagship composition — imaging weights ->
+    * single-pass image+psf cube gridding -> per-plane restore-beam fit
+    * (the reference's casa_fit over the psf). Rows-only: every stage is
+    * oracle-checked on its own (imaging_weight_briggs, make_grid_cube,
+    * make_image, fit_gaussian).
+    */
+  private val synthesisCubeQ = Q(
+    (s, d) => {
+      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
+        imageSize = Some((16, 16)))
+      val vis = Tables.lineitem(s, d).select(
+        (col("l_orderkey") % 2).cast("int").as("img_chan"), // cube: 2 planes
+        lit(0).as("pol"),
+        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+        col("l_tax").as("re"), col("l_discount").as("im"),
+        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
+      val weighted = GridOps.makeImagingWeight(vis, p, "briggs", robust = 0.5)
+        .withColumn("weight", col("imaging_weight"))
+        .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+      val (img, psf) = GridOps.makeImageAndPsf(s, weighted, p)
+      val beam = BeamOps.fitGaussianBeam(s, psf, 16, 16)
+      img.join(psf.select(col("img_chan"), col("pol"), col("l_idx"),
+          col("m_idx"), col("image").as("psf")),
+          Seq("img_chan", "pol", "l_idx", "m_idx"))
+        .join(broadcast(beam), Seq("img_chan", "pol"))
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("image"), 6).as("image"),
+          qround(col("psf"), 6).as("psf"),
+          qround(col("d1_pix"), 4).as("beam_d1_pix"),
+          qround(col("d2_pix"), 4).as("beam_d2_pix"))
+    },
+    "") // composed cube pipeline: rows-only; stages oracle-checked alone
+
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
+    "synthesis_imaging_cube" -> synthesisCubeQ,
     "make_psf_mosaic" -> mosaicPsfQ,
     "make_image_mosaic_pbnorm" -> mosaicPbNormQ,
     "make_mosaic_pb" -> mosaicPbQ,
