@@ -398,7 +398,47 @@ object QueriesLlm {
        |  CAST((n_bytes + 15) // 16 AS INT) AS frames_sampled
        |FROM b""".stripMargin)
 
+  /** PCM16 frame energy over the packed fake payload. Samples are
+    * exact small integers and per-frame counts <= 32, so the sums of
+    * squares are exact in both engines — no float-order noise at all.
+    */
+  private val audioFrameEnergyQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.frameEnergy(s, media, frameLen = 32)
+        .select(col("media_id"), col("frame_idx"),
+          qround(col("rms_energy"), 8).as("rms_energy"))
+    },
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, text, length(text) // 2 AS n
+       |  FROM documents),
+       |fr AS (
+       |  SELECT media_id, text, n,
+       |    CAST(unnest(generate_series(0, CAST((n + 31) // 32 AS BIGINT) - 1)) AS INT) AS frame_idx
+       |  FROM m WHERE n > 0),
+       |e AS (
+       |  SELECT media_id, frame_idx,
+       |    list_sum(list_transform(
+       |      generate_series(frame_idx * 32 + 1, least((frame_idx + 1) * 32, n)),
+       |      k_ -> (
+       |        CAST(ascii(substr(text, 2 * k_ - 1, 1))
+       |          + 256 * ascii(substr(text, 2 * k_, 1))
+       |          - CASE WHEN ascii(substr(text, 2 * k_ - 1, 1))
+       |                    + 256 * ascii(substr(text, 2 * k_, 1)) >= 32768
+       |                 THEN 65536 ELSE 0 END AS DOUBLE)
+       |        * (ascii(substr(text, 2 * k_ - 1, 1))
+       |          + 256 * ascii(substr(text, 2 * k_, 1))
+       |          - CASE WHEN ascii(substr(text, 2 * k_ - 1, 1))
+       |                    + 256 * ascii(substr(text, 2 * k_, 1)) >= 32768
+       |                 THEN 65536 ELSE 0 END)))) AS ss,
+       |    least((frame_idx + 1) * 32, n) - frame_idx * 32 AS cnt
+       |  FROM fr)
+       |SELECT media_id, frame_idx,
+       |  ${qrSql("sqrt(ss / cnt)", 8)} AS rms_energy
+       |FROM e""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "audio_frame_energy" -> audioFrameEnergyQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash" -> dedupMinhashQ,
     "dedup_simhash" -> dedupSimhashQ,

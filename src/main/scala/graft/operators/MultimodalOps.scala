@@ -98,6 +98,38 @@ object MultimodalOps {
     }
   }
 
+  /** Audio path: treat the payload as PCM16 little-endian and emit
+    * per-frame RMS energy — the VAD / silence-filter primitive of an
+    * audio training-data pipeline. The "decode" is the same honest
+    * byte-level stand-in (no codecs in this container); the framing
+    * and energy plumbing is the real shape. Integer byte math keeps
+    * the energies engine-exact (sums of int squares < 2^53).
+    */
+  def frameEnergy(spark: SparkSession, media: DataFrame,
+                  frameLen: Int = 32): DataFrame = {
+    import spark.implicits._
+    media.as[MediaRow].flatMap { r =>
+      val n = r.content.length / 2
+      val samples = Array.tabulate(n) { k =>
+        val lo = r.content(2 * k) & 0xff
+        val hi = r.content(2 * k + 1) & 0xff
+        val v = lo + 256 * hi
+        if (v >= 32768) v - 65536 else v
+      }
+      val nFrames = (n + frameLen - 1) / frameLen
+      (0 until nFrames).map { f =>
+        val until = math.min((f + 1) * frameLen, n)
+        var ss = 0.0
+        var i = f * frameLen
+        while (i < until) {
+          ss += samples(i).toDouble * samples(i); i += 1
+        }
+        val cnt = until - f * frameLen
+        (r.media_id, f, math.sqrt(ss / cnt))
+      }
+    }.toDF("media_id", "frame_idx", "rms_energy")
+  }
+
   /** Frame sampling stub for "video" payloads: every strideth block
     * becomes a frame row (media_id, frame_idx, frame_bytes). Long-form
     * explode — the Spark-side shape of video frame extraction.

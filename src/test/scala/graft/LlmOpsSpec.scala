@@ -136,6 +136,21 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("frameEnergy: PCM16 samples and per-frame RMS from known bytes") {
+    // "AA" -> bytes (65, 65) -> one sample 65 + 256*65 = 16705 -> rms 16705
+    val media = MultimodalOps.packMedia(
+      Seq((0L, "AA")).toDF("doc_id", "text"), "doc_id", "text")
+    val e = MultimodalOps.frameEnergy(spark, media).head()
+    assert(e.getAs[Int]("frame_idx") === 0)
+    assert(e.getAs[Double]("rms_energy") === 16705.0)
+    // high byte >= 0x80 -> negative sample; energy is the magnitude
+    // "\u00ff" is UTF-8 0xC3 0xBF -> 195 + 256*191 - 65536 = -16445
+    val neg = MultimodalOps.packMedia(
+      Seq((1L, "\u00ff")).toDF("doc_id", "text"), "doc_id", "text")
+    val e2 = MultimodalOps.frameEnergy(spark, neg).head()
+    assert(e2.getAs[Double]("rms_energy") === 16445.0)
+  }
+
   test("multimodal resize: smaller payload, updated metadata, deterministic") {
     val media = MultimodalOps.packMedia(docs, "doc_id", "text")
     val resized = MultimodalOps.resize(spark, media, 8, 4).collect()
