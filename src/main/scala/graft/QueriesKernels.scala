@@ -316,6 +316,54 @@ object QueriesKernels {
       |  CAST(1 AS INT) AS n_iter
       |FROM g0 JOIN rot ON g0.solint = rot.solint""".stripMargin)
 
+  /** applyGains (self_cal.py docstring: Vcorrect = Vobs / (g_i
+    * conj(g_j))): two broadcast joins + row-wise complex division —
+    * exact oracle with a literal 8-antenna gain table.
+    */
+  private val applyGainsQ = Q(
+    (s, d) => {
+      import s.implicits._
+      val vis = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        lit(1L).as("solint"),
+        (col("l_orderkey") % 8).cast("int").as("ant1"),
+        (col("l_suppkey") % 8).cast("int").as("ant2"),
+        c(col("l_tax") + 1.0, col("l_discount")).as("vis"))
+      // deterministic synthetic gains: g_a = (1 + a/10, a/20)
+      val gains = (0 until 8).map(a =>
+        (1L, a, 1.0 + a / 10.0, a / 20.0))
+        .toDF("solint", "antenna", "gain_re", "gain_im")
+      CalOps.applyGains(vis, gains, "solint", "ant1", "ant2", "vis")
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("ant1"), col("ant2"),
+          qround(col("vis_corrected.re"), 8).as("corr_re"),
+          qround(col("vis_corrected.im"), 8).as("corr_im"))
+    }, {
+      val gainRows = (0 until 8).map(a =>
+        s"($a, ${fmt(1.0 + a / 10.0)}, ${fmt(a / 20.0)})").mkString(", ")
+      // c_div(v, g1*conj(g2)): d = g1*conj(g2); out = v*conj(d)/|d|^2
+      s"""WITH v AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    CAST(l_orderkey % 8 AS INT) AS ant1,
+         |    CAST(l_suppkey % 8 AS INT) AS ant2,
+         |    (l_tax + 1.0) AS vr, l_discount AS vi
+         |  FROM lineitem),
+         |g(antenna, gre, gim) AS (VALUES $gainRows),
+         |j AS (
+         |  SELECT v.*, g1.gre AS g1re, g1.gim AS g1im,
+         |    g2.gre AS g2re, g2.gim AS g2im
+         |  FROM v JOIN g g1 ON v.ant1 = g1.antenna
+         |         JOIN g g2 ON v.ant2 = g2.antenna),
+         |dd AS (
+         |  SELECT *, g1re * g2re + g1im * g2im AS dre,
+         |    g1im * g2re - g1re * g2im AS dim
+         |  FROM j)
+         |SELECT l_orderkey, l_linenumber, ant1, ant2,
+         |  floor(((vr * dre + vi * dim) / (dre * dre + dim * dim)) * 100000000.0 + 0.5) / 100000000.0 AS corr_re,
+         |  floor(((vi * dre - vr * dim) / (dre * dre + dim * dim)) * 100000000.0 + 0.5) / 100000000.0 AS corr_im
+         |FROM dd""".stripMargin
+    })
+
   /** The relational reduction stage of self_cal, oracle-checked on its
     * own (the iterative solve above it is covered by analytic tests).
     */
@@ -1031,6 +1079,7 @@ object QueriesKernels {
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,
     "self_cal" -> selfCalQ,
+    "apply_gains" -> applyGainsQ,
     "selfcal_reduce" -> selfcalReduceQ,
     "selfcal_one_iter" -> selfcalOneIterQ,
     "uv_cont_fit_order3" -> uvContFitOrder3Q,

@@ -398,6 +398,46 @@ object QueriesLlm {
        |  CAST((n_bytes + 15) // 16 AS INT) AS frames_sampled
        |FROM b""".stripMargin)
 
+  /** One Lloyd iteration of the learned-IVF quantizer, seeded with the
+    * first 4 corpus vectors. Distances are left-to-right folds (bit
+    * exact in both engines), so the discrete cluster ASSIGNMENT
+    * matches exactly; the centroid means carry sum-order noise and are
+    * quantized.
+    */
+  private val ivfTrainIterQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val seeds = emb.where(col("vec_id") < 4)
+        .select(col("vec_id").cast("int"),
+          expr("transform(embedding, x -> cast(x as double))"))
+        .collect()
+        .map(r => (r.getInt(0), r.getSeq[Double](1).toArray)).toSeq
+      SimilarityOps.kMeansIter(emb, "vec_id", "embedding", seeds)
+        .select(col("cluster"), col("dim"),
+          qround(col("centroid"), 8).as("centroid"), col("n_members"))
+    },
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |seeds AS (
+       |  SELECT CAST(vec_id AS INT) AS cid, v AS c FROM e WHERE vec_id < 4),
+       |dist AS (
+       |  SELECT e.vec_id, seeds.cid,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64), i_ ->
+       |        (e.v[i_] - seeds.c[i_]) * (e.v[i_] - seeds.c[i_]))),
+       |      (a_, b_) -> a_ + b_) AS dd
+       |  FROM e CROSS JOIN seeds),
+       |assign AS (
+       |  SELECT vec_id, (array_agg(cid ORDER BY dd, cid))[1] AS cluster
+       |  FROM dist GROUP BY 1),
+       |x AS (
+       |  SELECT a.cluster, CAST(g.i - 1 AS INT) AS dim, e.v[g.i] AS x
+       |  FROM assign a JOIN e ON a.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(i))
+       |SELECT cluster, dim,
+       |  ${qrSql("sum(x) / count(*)", 8)} AS centroid,
+       |  count(*) AS n_members
+       |FROM x GROUP BY 1, 2""".stripMargin)
+
   /** PCM16 frame energy over the packed fake payload. Samples are
     * exact small integers and per-frame counts <= 32, so the sums of
     * squares are exact in both engines — no float-order noise at all.
@@ -447,6 +487,7 @@ object QueriesLlm {
     "ann_lsh" -> annLshQ,
     "ann_lsh_probed" -> annLshProbedQ,
     "ann_ivf" -> annIvfQ,
+    "ivf_train_iter" -> ivfTrainIterQ,
     "embed_neardup" -> embedNearDupQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,

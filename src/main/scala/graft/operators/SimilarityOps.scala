@@ -192,6 +192,36 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "list_id", "cosine", "rank")
   }
 
+  /** One Lloyd (k-means) iteration over the embedding column — the
+    * training step of a LEARNED IVF coarse quantizer (the deterministic
+    * ivfTopK quantizer above plugs the result straight in): assign
+    * each vector to its nearest centroid (exact squared distance,
+    * lowest-id tiebreak), then recompute centroids as per-cluster
+    * means. Output long form: (cluster, dim, centroid, n_members).
+    *
+    * 100 TB story per iteration: K x d centroids broadcast in the task
+    * closure (compiled kernel — see the TextOps perf note), one scan
+    * to assign, one hash aggregate over (cluster, dim) to update; the
+    * shuffle carries K x d rows, never vectors.
+    */
+  def kMeansIter(emb: DataFrame, idCol: String, vecCol: String,
+                 centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val cents = centroids.sortBy(_._1)
+    val assignUdf = udf((v: Seq[Double]) => {
+      var best = -1; var bestD = Double.MaxValue
+      cents.foreach { case (cid, c) =>
+        val d = sqDistFn(v, c.toSeq)
+        if (d < bestD) { best = cid; bestD = d } // ascending ids: first wins ties
+      }
+      best
+    })
+    emb.select(assignUdf(toDouble(col(vecCol))).as("cluster"),
+        posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .groupBy("cluster", "dim")
+      .agg((sum(col("x")) / count(lit(1))).as("centroid"),
+        count(lit(1)).as("n_members"))
+  }
+
   /** Embedding near-duplicate pairs: bucket self-join + cosine >=
     * threshold, id1 < id2. The all-pairs form is never materialized.
     */
