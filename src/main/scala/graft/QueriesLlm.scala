@@ -136,6 +136,34 @@ object QueriesLlm {
          |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM w""".stripMargin
     })
 
+  /** Banded simhash near-dup pairs over the mutated corpus — integer
+    * signatures, band extraction, xor popcount: everything exact.
+    */
+  private val simhashNearDupQ = Q(
+    (s, d) => DedupOps.simHashNearDup(dupCorpus(s, d), "doc_id", "text",
+      nbits = 16, bands = 4, maxDist = 3),
+    {
+      val bitTerms = (0 until 16).map { b =>
+        s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
+          s"CASE WHEN (h_ >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END"
+      }.mkString(" + ")
+      s"""WITH $dupCorpusSql,
+         |w AS (SELECT doc_id, ${whSql("text")} AS wh FROM corpus),
+         |sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sig FROM w),
+         |banded AS (
+         |  SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 4)) & 15 AS band_val
+         |  FROM sig CROSS JOIN generate_series(0, 3) b(b)),
+         |cand AS (
+         |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,
+         |    x.sig AS sig1, y.sig AS sig2
+         |  FROM banded x JOIN banded y
+         |    ON x.band = y.band AND x.band_val = y.band_val
+         |   AND x.doc_id < y.doc_id)
+         |SELECT id1, id2, CAST(bit_count(xor(sig1, sig2)) AS INT) AS hamming
+         |FROM cand WHERE bit_count(xor(sig1, sig2)) <= 3""".stripMargin
+    })
+
   private val ngramJaccardQ = Q(
     (s, d) => {
       val docs = Tables.documents(s, d)
@@ -482,6 +510,7 @@ object QueriesLlm {
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash" -> dedupMinhashQ,
     "dedup_simhash" -> dedupSimhashQ,
+    "simhash_neardup" -> simhashNearDupQ,
     "ngram_jaccard" -> ngramJaccardQ,
     "ann_topk" -> annTopkQ,
     "ann_lsh" -> annLshQ,

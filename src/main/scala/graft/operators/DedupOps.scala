@@ -168,4 +168,39 @@ object DedupOps {
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs at scale: split the nbits signature into
+    * `bands` equal bit chunks — any pair within hamming distance
+    * < bands shares at least one exact chunk (pigeonhole), so a
+    * banded self-equi-join finds every candidate without the
+    * quadratic all-pairs scan; exact popcount verifies. Same banding
+    * discipline as the MinHash path (never all pairs; candidate cost
+    * proportional to true collisions).
+    */
+  def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
+                     nbits: Int = 16, bands: Int = 4,
+                     maxDist: Int = 3): DataFrame = {
+    require(nbits % bands == 0, "bands must divide nbits")
+    require(maxDist < bands,
+      "pigeonhole completeness needs maxDist < bands")
+    val width = nbits / bands
+    val mask = (1L << width) - 1
+    val sig = df.select(col(idCol), simHash(col(textCol), nbits).as("sig"))
+    val banded = sig.select(col(idCol), col("sig"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+            .as("band_val"))): _*)).as("bv"))
+      .select(col(idCol), col("sig"), col("bv.band"), col("bv.band_val"))
+    val a = banded.select(col(idCol).as("id1"), col("sig").as("sig1"),
+      col("band"), col("band_val"))
+    val b = banded.select(col(idCol).as("id2"), col("sig").as("sig2"),
+      col("band"), col("band_val"))
+    a.join(b, Seq("band", "band_val"))
+      .where(col("id1") < col("id2"))
+      .select("id1", "id2", "sig1", "sig2").distinct()
+      .withColumn("hamming", hammingDist(col("sig1"), col("sig2")))
+      .where(col("hamming") <= maxDist)
+      .select("id1", "id2", "hamming")
+  }
 }

@@ -136,6 +136,28 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("simHashNearDup: banding finds all close pairs, never distant ones") {
+    val corpus = Seq(
+      (0L, "the quick brown fox jumps over the lazy dog"),
+      (1L, "the quick brown fox jumps over the lazy cat"),
+      (2L, "completely different words entirely here now"),
+      (3L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val pairs = DedupOps.simHashNearDup(corpus, "doc_id", "text",
+      nbits = 16, bands = 4, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((0L, 3L)) === 0) // identical text -> distance 0
+    // pigeonhole completeness: every emitted pair respects the bound
+    assert(pairs.values.forall(_ <= 3))
+    // exhaustive check: any pair with true distance <= 3 was found
+    val sigs = corpus.select(col("doc_id"),
+        DedupOps.simHash(col("text"), 16).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for (i <- sigs.keys; j <- sigs.keys if i < j) {
+      val dist = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+      if (dist <= 3) assert(pairs.contains((i, j)), s"missing pair ($i,$j)")
+    }
+  }
+
   test("frameEnergy: PCM16 samples and per-frame RMS from known bytes") {
     // "AA" -> bytes (65, 65) -> one sample 65 + 256*65 = 16705 -> rms 16705
     val media = MultimodalOps.packMedia(
