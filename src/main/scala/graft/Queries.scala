@@ -679,6 +679,21 @@ object Queries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1, 2""".stripMargin)
 
+  /** The skew-safe two-stage salted aggregation must equal the plain
+    * one-stage weighted average — the oracle computes the latter, so
+    * hash-matching proves the salting rewrite is value-preserving.
+    */
+  private val saltedAvgQ = Q(
+    (s, d) => AverageOps.saltedWeightedAverage(li(s, d), Seq("l_returnflag"),
+        Seq(AverageOps.Weighted("l_extendedprice", "l_quantity")), salts = 16)
+      .select(col("l_returnflag"),
+        qround(col("l_extendedprice"), 6).as("wavg_price"),
+        qround(col("l_quantity"), 4).as("sum_qty")),
+    """SELECT l_returnflag,
+      |  floor((sum(l_extendedprice * l_quantity) / sum(l_quantity)) * 1000000.0 + 0.5) / 1000000.0 AS wavg_price,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
   /** append_xds as sidecar + join view: write a base store and a
     * keyed sidecar of new columns, read the joined view back, and
     * match an oracle computed directly on the source — proving the
@@ -825,6 +840,7 @@ object Queries {
     "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,
     "chan_average" -> chanAverageQ,
+    "salted_weighted_average" -> saltedAvgQ,
     "time_average" -> timeAverageQ,
     "time_average_bin" -> timeAverageBinQ,
     "rebin" -> rebinQ,

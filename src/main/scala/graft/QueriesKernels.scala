@@ -621,6 +621,68 @@ object QueriesKernels {
          |FROM res CROSS JOIN ctr""".stripMargin
     })
 
+  /** TWO Hogbom iterations in closed form: iteration 1's residual is a
+    * row-wise expression, so iteration 2's peak search and update are
+    * plain SQL over it — the oracle now checks the iteration
+    * RECURRENCE (peak of the updated residual), not just one step.
+    */
+  private val cleanTwoIterQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        sin(col("l_idx") * 1.3) + cos(col("m_idx") * 0.7) +
+          when(col("l_idx") === 5 && col("m_idx") === 9, 4.0).otherwise(0.0))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
+          gain = 0.3, threshold = 0.0, niter = 2)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  sin(l_idx * CAST(1.3 AS DOUBLE)) + cos(m_idx * CAST(0.7 AS DOUBLE)) +
+         |    CASE WHEN l_idx = 5 AND m_idx = 9 THEN 4.0 ELSE 0.0 END AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |p1 AS (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM img
+         |       ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
+         |r1 AS (
+         |  SELECT i.l_idx, i.m_idx, p1.pl, p1.pm, p1.pv,
+         |    i.v - CASE WHEN (8 + i.l_idx - p1.pl) BETWEEN 0 AND 15
+         |                AND (8 + i.m_idx - p1.pm) BETWEEN 0 AND 15
+         |          THEN 0.3 * p1.pv * ps.k ELSE 0.0 END AS v1
+         |  FROM img i CROSS JOIN p1
+         |  LEFT JOIN psf ps ON ps.l_idx = 8 + i.l_idx - p1.pl
+         |                  AND ps.m_idx = 8 + i.m_idx - p1.pm),
+         |p2 AS (SELECT l_idx AS pl2, m_idx AS pm2, v1 AS pv2 FROM r1
+         |       ORDER BY abs(v1) DESC, l_idx ASC, m_idx ASC LIMIT 1)
+         |SELECT r1.l_idx, r1.m_idx,
+         |  floor((CASE WHEN r1.l_idx = r1.pl AND r1.m_idx = r1.pm
+         |         THEN 0.3 * r1.pv ELSE 0.0 END
+         |       + CASE WHEN r1.l_idx = p2.pl2 AND r1.m_idx = p2.pm2
+         |         THEN 0.3 * p2.pv2 ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS model,
+         |  floor((r1.v1 - CASE WHEN (8 + r1.l_idx - p2.pl2) BETWEEN 0 AND 15
+         |                      AND (8 + r1.m_idx - p2.pm2) BETWEEN 0 AND 15
+         |                 THEN 0.3 * p2.pv2 * ps2.k ELSE 0.0 END) * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM r1 CROSS JOIN p2
+         |LEFT JOIN psf ps2 ON ps2.l_idx = 8 + r1.l_idx - p2.pl2
+         |                 AND ps2.m_idx = 8 + r1.m_idx - p2.pm2""".stripMargin
+    })
+
   private val smoothQ = Q(
     (s, d) => {
       val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
@@ -1085,6 +1147,7 @@ object QueriesKernels {
     "uv_cont_fit_order3" -> uvContFitOrder3Q,
     "deconvolve_point_clean" -> cleanQ,
     "clean_one_iter" -> cleanOneIterQ,
+    "clean_two_iter" -> cleanTwoIterQ,
     "smooth" -> smoothQ,
     "fit_gaussian" -> fitGaussianQ,
     "fit_gaussian_rl" -> fitGaussianRlQ)
