@@ -1050,6 +1050,72 @@ object QueriesKernels {
          |FROM dft CROSS JOIN sumw""".stripMargin
     })
 
+  private def det3(m: Array[Array[String]]): String =
+    s"((${m(0)(0)}) * ((${m(1)(1)}) * (${m(2)(2)}) - (${m(1)(2)}) * (${m(2)(1)}))" +
+      s" - (${m(0)(1)}) * ((${m(1)(0)}) * (${m(2)(2)}) - (${m(1)(2)}) * (${m(2)(0)}))" +
+      s" + (${m(0)(2)}) * ((${m(1)(0)}) * (${m(2)(1)}) - (${m(1)(1)}) * (${m(2)(0)})))"
+
+  /** ONE Gauss-Newton step of spec_fit from the data-driven initial
+    * guess (amp = max y, center = argmax, sigma = range/6) IS closed
+    * form: the J'J / J'r sums and the damped 3x3 solve are plain SQL
+    * (Cramer's rule; quantization absorbs the fp-path gap vs the
+    * operator's Gaussian elimination). The converged fit stays
+    * rows-only with the analytic recovery test.
+    */
+  private val specFitOneStepQ = Q(
+    (s, d) => {
+      import s.implicits._
+      val spec = Tables.lineitem(s, d)
+        .groupBy((col("l_linenumber") - 1).cast("int").as("chan"))
+        .agg(avg(col("l_quantity")).as("v"))
+        .orderBy("chan") // deterministic accumulation order
+        .collect().map(r => (r.getInt(0).toDouble, r.getDouble(1)))
+      val (amp, cen, sig) = BeamOps.specFit(spec, maxIter = 1)
+      Seq((qr4(amp), qr4(cen), qr4(sig))).toDF("amp", "center", "sigma")
+    }, {
+      val a = Array(
+        Array("a00", "a01", "a02"),
+        Array("a01", "a11", "a12"),
+        Array("a02", "a12", "a22"))
+      val b = Array("b0", "b1", "b2")
+      def repl(k: Int): Array[Array[String]] =
+        Array.tabulate(3, 3)((i, j) => if (j == k) b(i) else a(i)(j))
+      s"""WITH t AS (
+         |  SELECT CAST(l_linenumber - 1 AS INT) AS chan, avg(l_quantity) AS y
+         |  FROM lineitem GROUP BY 1),
+         |init AS (
+         |  SELECT max(y) AS amp,
+         |    CAST((array_agg(chan ORDER BY y DESC, chan))[1] AS DOUBLE) AS cen,
+         |    (max(chan) - min(chan)) / 6.0 AS sig
+         |  FROM t),
+         |comp AS (
+         |  SELECT chan, y, amp, cen, sig,
+         |    exp(-0.5 * pow((chan - cen) / sig, 2)) AS e
+         |  FROM t CROSS JOIN init),
+         |jc AS (
+         |  SELECT *, amp * e AS f FROM comp),
+         |jr AS (
+         |  SELECT *, e AS j0,
+         |    f * (chan - cen) / (sig * sig) AS j1,
+         |    f * (chan - cen) * (chan - cen) / (sig * sig * sig) AS j2,
+         |    y - f AS r
+         |  FROM jc),
+         |m AS (
+         |  SELECT
+         |    sum(j0 * j0) * (1.0 + 1e-9) AS a00, sum(j0 * j1) AS a01,
+         |    sum(j0 * j2) AS a02, sum(j1 * j1) * (1.0 + 1e-9) AS a11,
+         |    sum(j1 * j2) AS a12, sum(j2 * j2) * (1.0 + 1e-9) AS a22,
+         |    sum(j0 * r) AS b0, sum(j1 * r) AS b1, sum(j2 * r) AS b2,
+         |    any_value(amp) AS amp, any_value(cen) AS cen,
+         |    any_value(sig) AS sig
+         |  FROM jr)
+         |SELECT
+         |  floor((amp + (${det3(repl(0))}) / (${det3(a)})) * 10000.0 + 0.5) / 10000.0 AS amp,
+         |  floor((cen + (${det3(repl(1))}) / (${det3(a)})) * 10000.0 + 0.5) / 10000.0 AS center,
+         |  floor(abs(sig + (${det3(repl(2))}) / (${det3(a)})) * 10000.0 + 0.5) / 10000.0 AS sigma
+         |FROM m""".stripMargin
+    })
+
   private val specFitQ = Q(
     (s, d) => {
       import s.implicits._
@@ -1136,6 +1202,7 @@ object QueriesKernels {
     "make_image_mosaic_pbnorm" -> mosaicPbNormQ,
     "make_mosaic_pb" -> mosaicPbQ,
     "spec_fit" -> specFitQ,
+    "spec_fit_one_step" -> specFitOneStepQ,
     "synthesis_imaging" -> synthesisQ,
     "direction_rotate" -> directionRotateQ,
     "gaussian_beam" -> gaussianBeamQ,
