@@ -141,9 +141,9 @@ object QueriesLlm {
     */
   private val simhashNearDupQ = Q(
     (s, d) => DedupOps.simHashNearDup(dupCorpus(s, d), "doc_id", "text",
-      nbits = 16, bands = 4, maxDist = 3),
+      nbits = 48, bands = 4, maxDist = 3),
     {
-      val bitTerms = (0 until 16).map { b =>
+      val bitTerms = (0 until 48).map { b =>
         s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
           s"CASE WHEN (h_ >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
           s"THEN ${1L << b} ELSE 0 END"
@@ -152,7 +152,7 @@ object QueriesLlm {
          |w AS (SELECT doc_id, ${whSql("text")} AS wh FROM corpus),
          |sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sig FROM w),
          |banded AS (
-         |  SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 4)) & 15 AS band_val
+         |  SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 12)) & 4095 AS band_val
          |  FROM sig CROSS JOIN generate_series(0, 3) b(b)),
          |cand AS (
          |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2,

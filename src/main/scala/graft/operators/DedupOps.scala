@@ -176,9 +176,15 @@ object DedupOps {
     * quadratic all-pairs scan; exact popcount verifies. Same banding
     * discipline as the MinHash path (never all pairs; candidate cost
     * proportional to true collisions).
+    *
+    * Scale note: bucket granularity is 2^(nbits/bands) values per
+    * band — too-narrow chunks (e.g. 4 bits = 16 buckets) degenerate
+    * into quadratic pair blowup on any real corpus. Default 48/4
+    * gives 4096 buckets per band; size nbits/bands so corpus/2^width
+    * stays small.
     */
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
-                     nbits: Int = 16, bands: Int = 4,
+                     nbits: Int = 48, bands: Int = 4,
                      maxDist: Int = 3): DataFrame = {
     require(nbits % bands == 0, "bands must divide nbits")
     require(maxDist < bands,

@@ -1,5 +1,6 @@
 package graft.operators
 
+import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
@@ -206,20 +207,35 @@ object SimilarityOps {
     */
   def kMeansIter(emb: DataFrame, idCol: String, vecCol: String,
                  centroids: Seq[(Int, Array[Double])]): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
     val cents = centroids.sortBy(_._1)
-    val assignUdf = udf((v: Seq[Double]) => {
-      var best = -1; var bestD = Double.MaxValue
-      cents.foreach { case (cid, c) =>
-        val d = sqDistFn(v, c.toSeq)
-        if (d < bestD) { best = cid; bestD = d } // ascending ids: first wins ties
+    // partial K x d sums per input partition (the gridder's
+    // partial-plane shape) — the shuffle carries n_partitions x K x d
+    // partial rows, never exploded vectors
+    emb.select(toDouble(col(vecCol)).as("v")).as[Seq[Double]]
+      .mapPartitions { rows =>
+        val sums = mutable.Map.empty[Int, (Array[Double], Long)]
+        for (v <- rows) {
+          var best = -1; var bestD = Double.MaxValue
+          cents.foreach { case (cid, c) =>
+            val d = sqDistFn(v, c.toSeq)
+            if (d < bestD) { best = cid; bestD = d } // asc ids: first wins ties
+          }
+          val (acc, _) = sums.getOrElseUpdate(best,
+            (new Array[Double](v.length), 0L))
+          var i = 0
+          while (i < v.length) { acc(i) += v(i); i += 1 }
+          sums(best) = (acc, sums(best)._2 + 1)
+        }
+        sums.iterator.flatMap { case (cid, (acc, n)) =>
+          acc.iterator.zipWithIndex.map { case (s, dim) => (cid, dim, s, n) }
+        }
       }
-      best
-    })
-    emb.select(assignUdf(toDouble(col(vecCol))).as("cluster"),
-        posexplode(toDouble(col(vecCol))).as(Seq("dim", "x")))
+      .toDF("cluster", "dim", "psum", "pn")
       .groupBy("cluster", "dim")
-      .agg((sum(col("x")) / count(lit(1))).as("centroid"),
-        count(lit(1)).as("n_members"))
+      .agg((sum(col("psum")) / sum(col("pn"))).as("centroid"),
+        sum(col("pn")).as("n_members"))
   }
 
   /** Embedding near-duplicate pairs: bucket self-join + cosine >=
