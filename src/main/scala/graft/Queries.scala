@@ -720,6 +720,41 @@ object Queries {
       |  min(l_quantity) * 2.0 AS qty2x
       |FROM lineitem GROUP BY 1, 2""".stripMargin)
 
+  /** Bucketed co-located join — the join_vis/join_dataset hot path at
+    * 100 TB: both sides written bucketed+sorted on the join key (8
+    * buckets) via writeVisBucketed, read back through the catalog, and
+    * joined WITHOUT a shuffle or sort on either side (asserted on the
+    * physical plan in IoOpsSpec; here the oracle proves the bucketed
+    * round trip + join is value-preserving vs a plain join on the
+    * source parquet).
+    */
+  private val bucketedJoinQ = Q(
+    (s, d) => {
+      val h = math.abs(d.hashCode)
+      val li4 = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_quantity", "l_extendedprice")
+      val ord = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      sources.IoOps.writeVisBucketed(li4, s"graft_bkt_li_$h",
+        s"/tmp/graft_bkt_li_$h", Seq("l_orderkey"), numBuckets = 8)
+      sources.IoOps.writeVisBucketed(ord, s"graft_bkt_ord_$h",
+        s"/tmp/graft_bkt_ord_$h", Seq("o_orderkey"), numBuckets = 8)
+      val a = s.table(s"graft_bkt_li_$h")
+      val b = s.table(s"graft_bkt_ord_$h")
+      a.join(b, a("l_orderkey") === b("o_orderkey"))
+        .groupBy("o_orderstatus")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"),
+          countDistinct(col("o_custkey")).as("n_cust"))
+    },
+    """SELECT o_orderstatus, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0 AS sum_price,
+      |  count(DISTINCT o_custkey) AS n_cust
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1""".stripMargin)
+
   /** The rewrite-merge compaction of a sidecar append: compact, read
     * the MERGED store (no join), and match the same oracle as
     * `append_xds` — proving compaction preserves the joined view.
@@ -865,6 +900,7 @@ object Queries {
     "stokes_to_corr" -> stokesToCorrQ,
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
+    "bucketed_join" -> bucketedJoinQ,
     "append_xds" -> appendXdsQ,
     "append_compact" -> appendCompactQ,
     "merge_image_artifacts" -> mergeArtifactsQ,

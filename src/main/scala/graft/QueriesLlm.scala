@@ -505,8 +505,205 @@ object QueriesLlm {
        |  ${qrSql("sqrt(ss / cnt)", 8)} AS rms_energy
        |FROM e""".stripMargin)
 
+  /** %.17e literal — parses as DOUBLE in DuckDB, round-trips exactly. */
+  private def dlit(x: Double): String = f"$x%.17e"
+
+  /** Gopher repetition filters. All inputs to every emitted fraction
+    * are exact integers (word counts, n-gram counts, char lengths), so
+    * the single int/int division is bit-identical across engines and
+    * the keep/reject DECISION (a comparison on that exact double) is
+    * oracle-safe — no qround needed before the threshold test.
+    */
+  private val gopherQualityQ = Q(
+    (s, d) => TextOps.gopherQuality(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+        col("n_distinct_words").cast("long").as("n_distinct_words"),
+        qround(col("dup_word_frac"), 8).as("dup_word_frac"),
+        col("top_bigram"),
+        qround(col("top_bigram_char_frac"), 8).as("top_bigram_char_frac"),
+        qround(col("top_trigram_char_frac"), 8).as("top_trigram_char_frac"),
+        col("quality_keep").cast("int").as("quality_keep")),
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws, length(text) AS nc
+       |  FROM documents),
+       |base AS (
+       |  SELECT doc_id, nc, len(ws) AS nw, len(list_distinct(ws)) AS nd
+       |  FROM w),
+       |bgi AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws) - 1)) AS i, ws
+       |  FROM w WHERE len(ws) >= 2),
+       |bgc AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] AS s, count(*) AS c
+       |  FROM bgi GROUP BY 1, 2),
+       |topbg AS (
+       |  SELECT doc_id, (array_agg(s ORDER BY c DESC, s))[1] AS bs,
+       |         (array_agg(c ORDER BY c DESC, s))[1] AS bc
+       |  FROM bgc GROUP BY 1),
+       |tgi AS (
+       |  SELECT doc_id, unnest(generate_series(1, len(ws) - 2)) AS i, ws
+       |  FROM w WHERE len(ws) >= 3),
+       |tgc AS (
+       |  SELECT doc_id, ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS s,
+       |         count(*) AS c
+       |  FROM tgi GROUP BY 1, 2),
+       |toptg AS (
+       |  SELECT doc_id, (array_agg(s ORDER BY c DESC, s))[1] AS ts,
+       |         (array_agg(c ORDER BY c DESC, s))[1] AS tc
+       |  FROM tgc GROUP BY 1),
+       |j AS (
+       |  SELECT b.doc_id, b.nw, b.nd,
+       |    CASE WHEN b.nw > 0
+       |         THEN CAST(b.nw - b.nd AS DOUBLE) / b.nw
+       |         ELSE ${dlit(0.0)} END AS dwf,
+       |    coalesce(topbg.bs, '') AS top_bigram,
+       |    CASE WHEN b.nc > 0 AND topbg.bc IS NOT NULL
+       |         THEN CAST(topbg.bc * length(topbg.bs) AS DOUBLE) / b.nc
+       |         ELSE ${dlit(0.0)} END AS bgf,
+       |    CASE WHEN b.nc > 0 AND toptg.tc IS NOT NULL
+       |         THEN CAST(toptg.tc * length(toptg.ts) AS DOUBLE) / b.nc
+       |         ELSE ${dlit(0.0)} END AS tgf
+       |  FROM base b
+       |  LEFT JOIN topbg ON b.doc_id = topbg.doc_id
+       |  LEFT JOIN toptg ON b.doc_id = toptg.doc_id)
+       |SELECT doc_id, nw AS n_words, nd AS n_distinct_words,
+       |  ${qrSql("dwf", 8)} AS dup_word_frac, top_bigram,
+       |  ${qrSql("bgf", 8)} AS top_bigram_char_frac,
+       |  ${qrSql("tgf", 8)} AS top_trigram_char_frac,
+       |  CAST(CASE WHEN dwf < ${dlit(0.5)} AND bgf < ${dlit(0.20)}
+       |       AND tgf < ${dlit(0.18)} THEN 1 ELSE 0 END AS INT) AS quality_keep
+       |FROM j""".stripMargin)
+
+  /** BM25 keyword scoring vs a fixed 3-term query. The oracle mirrors
+    * the operator's exact float op order (fixed-order fold over terms,
+    * same association in idf and the length norm); ln() parity between
+    * the engines is already proven by lang_id, and qround(6) absorbs
+    * any last-ulp drift.
+    */
+  private val bm25Terms = Seq("spark", "join", "hash")
+
+  private val bm25Q = Q(
+    (s, d) => TextOps.bm25Score(Tables.documents(s, d), "doc_id", "text",
+        bm25Terms)
+      .select(col("doc_id"), col("dl"), col("n_terms_matched"),
+        qround(col("bm25"), 6).as("bm25")),
+    {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+      val half = dlit(0.5); val one = dlit(1.0)
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
+        .mkString(",\n    ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val terms = bm25Terms.indices.map { i =>
+        s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+          s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+          s" * dl / avgdl))"
+      }.mkString(" + ")
+      val matched = bm25Terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS dl,
+         |    $tfs
+         |  FROM w),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |    $dfs
+         |  FROM tf),
+         |j AS (
+         |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
+         |  FROM tf CROSS JOIN stats)
+         |SELECT doc_id, dl,
+         |  CAST($matched AS INT) AS n_terms_matched,
+         |  ${qrSql(terms, 6)} AS bm25
+         |FROM j WHERE $matched > 0""".stripMargin
+    })
+
+  /** JL random projection 64 -> 16 dims. Each output component is a
+    * left-to-right fold over input dims with +-1 hash signs — the
+    * recipe-proven bit-exact dot-product shape.
+    */
+  private val embedProjectQ = Q(
+    (s, d) => SimilarityOps.randomProject(Tables.embeddings(s, d),
+        "vec_id", "embedding", dim = 64, outDim = 16)
+      .select(col("vec_id"), col("out_dim"),
+        qround(col("value"), 8).as("value")),
+    {
+      val scale = dlit(1.0 / math.sqrt(16.0))
+      val sign = s"CASE WHEN ((out_dim * 100003 + (j_ - 1)) * 2654435761)" +
+        s" % 1000000007 % 2 = 0 THEN ${dlit(1.0)} ELSE ${dlit(-1.0)} END"
+      s"""WITH e AS (
+         |  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |dd AS (
+         |  SELECT vec_id, v,
+         |    CAST(unnest(generate_series(0, 15)) AS INT) AS out_dim
+         |  FROM e)
+         |SELECT vec_id, out_dim,
+         |  ${qrSql(
+            s"list_reduce(list_prepend(${dlit(0.0)}, " +
+              s"list_transform(generate_series(1, 64), j_ -> " +
+              s"v[j_] * ($sign))), (a_, b_) -> a_ + b_) * $scale", 8)} AS value
+         |FROM dd""".stripMargin
+    })
+
+  /** Raster patch stats over the packed fake payload (patch = 8 rows x
+    * 16 cols = 128 consecutive bytes). All sums exact integers — no
+    * float-order noise anywhere.
+    */
+  private val imagePatchStatsQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.imagePatchStats(s, media, patchW = 16, patchH = 8)
+        .select(col("media_id"), col("patch_idx"), col("n_px"),
+          col("px_min"), col("px_max"),
+          qround(col("px_mean"), 8).as("px_mean"),
+          qround(col("px_var"), 8).as("px_var"))
+    },
+    {
+      val px = "CAST(ascii(substr(text, k_, 1)) AS BIGINT)"
+      s"""WITH m AS (
+         |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+         |p AS (
+         |  SELECT media_id, text, n,
+         |    CAST(unnest(generate_series(0,
+         |      CAST((n + 127) // 128 AS BIGINT) - 1)) AS INT) AS patch_idx
+         |  FROM m WHERE n > 0),
+         |s AS (
+         |  SELECT media_id, patch_idx,
+         |    least((patch_idx + 1) * 128, n) - patch_idx * 128 AS cnt,
+         |    list_sum(list_transform(
+         |      generate_series(patch_idx * 128 + 1,
+         |        least((patch_idx + 1) * 128, n)), k_ -> $px)) AS s1,
+         |    list_sum(list_transform(
+         |      generate_series(patch_idx * 128 + 1,
+         |        least((patch_idx + 1) * 128, n)),
+         |      k_ -> $px * ascii(substr(text, k_, 1)))) AS s2,
+         |    list_min(list_transform(
+         |      generate_series(patch_idx * 128 + 1,
+         |        least((patch_idx + 1) * 128, n)),
+         |      k_ -> ascii(substr(text, k_, 1)))) AS mn,
+         |    list_max(list_transform(
+         |      generate_series(patch_idx * 128 + 1,
+         |        least((patch_idx + 1) * 128, n)),
+         |      k_ -> ascii(substr(text, k_, 1)))) AS mx
+         |  FROM p)
+         |SELECT media_id, patch_idx, CAST(cnt AS INT) AS n_px,
+         |  CAST(mn AS INT) AS px_min, CAST(mx AS INT) AS px_max,
+         |  ${qrSql("CAST(s1 AS DOUBLE) / cnt", 8)} AS px_mean,
+         |  ${qrSql("CAST(cnt * s2 - s1 * s1 AS DOUBLE) / (cnt * cnt)", 8)} AS px_var
+         |FROM s""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "audio_frame_energy" -> audioFrameEnergyQ,
+    "gopher_quality" -> gopherQualityQ,
+    "bm25_score" -> bm25Q,
+    "embed_project" -> embedProjectQ,
+    "image_patch_stats" -> imagePatchStatsQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash" -> dedupMinhashQ,
     "dedup_simhash" -> dedupSimhashQ,

@@ -146,4 +146,47 @@ object MultimodalOps {
       }
     }.toDF("media_id", "frame_idx", "frame_bytes")
   }
+
+  /** Per-patch raster statistics: treat the payload as an 8-bit
+    * grayscale image of width `patchW` pixels and slice it into
+    * horizontal bands of `patchH` rows (so one patch = patchH * patchW
+    * consecutive bytes, row-major). Emits per-patch pixel count, mean,
+    * min, max, variance — the screening stats an image-dedup /
+    * quality-filter pipeline computes before any expensive model.
+    * The DECODE step is the same declared stub as extractFeatures
+    * (bytes ARE the pixels); the partitioned batch shape is real.
+    *
+    * 100 TB story: flatMap scan, no shuffle; per-patch sums are exact
+    * integer arithmetic (pixels are u8, patches are small), so mean
+    * and variance are single exact-int divisions — engine-portable
+    * with no float-order noise.
+    */
+  def imagePatchStats(spark: SparkSession, media: DataFrame,
+                      patchW: Int = 16, patchH: Int = 8): DataFrame = {
+    import spark.implicits._
+    val patchLen = patchW * patchH
+    media.as[MediaRow].flatMap { r =>
+      val px = decodeStub(r.content) // STUB: codec call goes here
+      val nPatches = (px.length + patchLen - 1) / patchLen
+      (0 until nPatches).map { p =>
+        val from = p * patchLen
+        val until = math.min(from + patchLen, px.length)
+        var s = 0L; var ss = 0L; var mn = 255; var mx = 0
+        var i = from
+        while (i < until) {
+          val v = px(i)
+          s += v; ss += v.toLong * v
+          if (v < mn) mn = v
+          if (v > mx) mx = v
+          i += 1
+        }
+        val n = until - from
+        val mean = s.toDouble / n
+        // E[x^2] - E[x]^2 with exact integer sums: (n*ss - s^2)/n^2
+        val variance = (n.toLong * ss - s * s).toDouble / (n.toLong * n)
+        (r.media_id, p, n, mn, mx, mean, variance)
+      }
+    }.toDF("media_id", "patch_idx", "n_px", "px_min", "px_max",
+      "px_mean", "px_var")
+  }
 }

@@ -256,4 +256,40 @@ object SimilarityOps {
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
+
+  /** Deterministic +-1 sign for output-dim d, input-dim j of the
+    * random-projection matrix — same Knuth-hash family as
+    * [[hyperplane]], stride-protected against (d, j) aliasing.
+    */
+  def projSign(d: Int, j: Int): Int =
+    if ((d.toLong * 100003 + j) * 2654435761L % 1000000007L % 2L == 0L) 1
+    else -1
+
+  /** Johnson-Lindenstrauss random projection: reduce `dim`-dim
+    * embeddings to `outDim` dims with a deterministic +-1 sign matrix,
+    * scaled by 1/sqrt(outDim) (preserves expected norms). Output long
+    * form (id, out_dim, value) — the shape the IVF/LSH index builders
+    * consume.
+    *
+    * 100 TB story: pure per-row compiled kernel (outDim x dim
+    * multiply-adds), NO shuffle, no materialized projection matrix —
+    * signs are recomputed from the hash on the fly, so the operator
+    * broadcasts nothing. Each output component is a LEFT-TO-RIGHT fold
+    * over input dims: bit-exact against the oracle's list_reduce.
+    */
+  def randomProject(df: DataFrame, idCol: String, vecCol: String,
+                    dim: Int, outDim: Int): DataFrame = {
+    val scale = 1.0 / math.sqrt(outDim.toDouble)
+    val kernel = udf((v: Seq[Double]) => {
+      Array.tabulate(outDim) { d =>
+        var acc = 0.0
+        var j = 0
+        val n = math.min(v.length, dim)
+        while (j < n) { acc += v(j) * projSign(d, j); j += 1 }
+        acc * scale
+      }
+    })
+    df.select(col(idCol), posexplode(kernel(toDouble(col(vecCol))))
+        .as(Seq("out_dim", "value")))
+  }
 }

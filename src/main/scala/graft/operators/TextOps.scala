@@ -172,4 +172,122 @@ object TextOps {
         struct(col("score"), col("lang"))).as("lang_pred"),
         max(col("score")).as("lang_score"))
   }
+
+  /** Gopher-style repetition filters (Rae et al. 2021, "Scaling
+    * Language Models", table A1): duplicate-word fraction and the
+    * fraction of characters taken by the most common word 2-gram /
+    * 3-gram. Documents dominated by a repeated phrase are boilerplate
+    * and get `quality_keep = false`.
+    *
+    * 100 TB story: one compiled-UDF scan, NO shuffle — the per-doc
+    * n-gram counting stays inside the row kernel (a groupBy(doc,
+    * ngram) formulation would shuffle |corpus| x |ngrams| rows for a
+    * per-row statistic). All counts are exact integers; the emitted
+    * fractions are single int/int divisions — engine-portable.
+    */
+  def gopherQuality(df: DataFrame, idCol: String, textCol: String,
+                    maxDupWordFrac: Double = 0.5,
+                    maxTop2Frac: Double = 0.20,
+                    maxTop3Frac: Double = 0.18): DataFrame = {
+    // top n-gram by (count desc, string asc) — the same tie-break the
+    // oracle's array_agg(s ORDER BY c DESC, s) applies (binary UTF8
+    // ordering in both engines).
+    def topNgram(ws: Array[String], n: Int): (String, Int) = {
+      if (ws.length < n) return ("", 0)
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i <= ws.length - n) {
+        val s = ws.slice(i, i + n).mkString(" ")
+        counts(s) = counts.getOrElse(s, 0) + 1
+        i += 1
+      }
+      counts.toSeq.minBy { case (s, c) => (-c, s) }
+    }
+    val kernel = udf((text: String) => {
+      val ws = wordsFn(text)
+      val nWords = ws.length
+      val nDistinct = ws.distinct.length
+      val nChars = text.length
+      val dupFrac =
+        if (nWords > 0) (nWords - nDistinct).toDouble / nWords else 0.0
+      val (bg, bgc) = topNgram(ws, 2)
+      val (tg, tgc) = topNgram(ws, 3)
+      val bgFrac = if (nChars > 0) bgc.toLong * bg.length / nChars.toDouble
+                   else 0.0
+      val tgFrac = if (nChars > 0) tgc.toLong * tg.length / nChars.toDouble
+                   else 0.0
+      (nWords, nDistinct, dupFrac, bg, bgFrac, tgFrac)
+    })
+    df.withColumn("_gq", kernel(col(textCol)))
+      .withColumn("n_words", col("_gq._1"))
+      .withColumn("n_distinct_words", col("_gq._2"))
+      .withColumn("dup_word_frac", col("_gq._3"))
+      .withColumn("top_bigram", col("_gq._4"))
+      .withColumn("top_bigram_char_frac", col("_gq._5"))
+      .withColumn("top_trigram_char_frac", col("_gq._6"))
+      .withColumn("quality_keep",
+        col("dup_word_frac") < maxDupWordFrac &&
+          col("top_bigram_char_frac") < maxTop2Frac &&
+          col("top_trigram_char_frac") < maxTop3Frac)
+      .drop("_gq")
+  }
+
+  /** BM25 scoring of every document against a FIXED small query-term
+    * set — the keyword-targeted data-selection step of a training
+    * pipeline (e.g. pull all docs matching a domain vocabulary).
+    *
+    * Okapi BM25: score(d) = sum_t idf(t) * tf * (k1+1) /
+    * (tf + k1 * (1 - b + b * dl/avgdl)), idf(t) = ln(1 + (N - df +
+    * 0.5) / (df + 0.5)).
+    *
+    * 100 TB story: one scan computes per-doc term frequencies
+    * (compiled UDF over the fixed term array — no explode, no
+    * |corpus| x |vocab| shuffle); one single-row global aggregate (N,
+    * total dl, df per term) is broadcast back; scoring is then pure
+    * row-wise arithmetic. The per-doc term sum is a FIXED-ORDER fold
+    * over the term list, so float addition order is deterministic —
+    * never a sum over an unordered grouped explode.
+    */
+  def bm25Score(df: DataFrame, idCol: String, textCol: String,
+                terms: Seq[String], k1: Double = 1.2,
+                b: Double = 0.75): DataFrame = {
+    val termsArr = terms.toArray
+    val tfUdf = udf((text: String) => {
+      val ws = wordsFn(text)
+      termsArr.map(t => ws.count(_ == t))
+    })
+    val withTf = df.select(col(idCol),
+      size(words(col(textCol))).as("dl"), tfUdf(col(textCol)).as("tfs"))
+    val aggs = count(lit(1)).cast("double").as("n_docs") +:
+      sum(col("dl")).cast("double").as("sum_dl") +:
+      termsArr.indices.map(i =>
+        sum(when(col("tfs").getItem(i) > 0, 1L).otherwise(0L))
+          .cast("double").as(s"df_$i"))
+    val stats = withTf.agg(aggs.head, aggs.tail: _*)
+    val j = withTf.crossJoin(broadcast(stats))
+      .withColumn("avgdl", col("sum_dl") / col("n_docs"))
+    // fixed-order fold over terms: deterministic float addition
+    val score = termsArr.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val tf = col("tfs").getItem(i).cast("double")
+      val idf = log(lit(1.0) +
+        (col("n_docs") - col(s"df_$i") + 0.5) / (col(s"df_$i") + 0.5))
+      acc + idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / col("avgdl")))
+    }
+    val nMatched = termsArr.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(col("tfs").getItem(i) > 0, 1).otherwise(0)
+    }
+    j.select(col(idCol), col("dl"), nMatched.as("n_terms_matched"),
+        score.as("bm25"))
+      .where(col("n_terms_matched") > 0)
+  }
+
+  /** Top-k BM25 retrieval: rank the scored docs (score desc, id asc).
+    * At scale this is a single TakeOrdered (no full sort materialized).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               terms: Seq[String], k: Int): DataFrame =
+    bm25Score(df, idCol, textCol, terms)
+      .orderBy(col("bm25").desc, col(idCol))
+      .limit(k)
 }

@@ -67,4 +67,29 @@ class IoOpsSpec extends SparkSpec {
     // no join in the compacted read plan
     assert(!compacted.queryExecution.executedPlan.toString.contains("Join"))
   }
+
+  test("bucketed join: co-located, no shuffle on either side") {
+    val dir = Files.createTempDirectory("graft_bkt").toString
+    val facts = (0 until 100).map(i => (i % 10, i.toDouble))
+      .toDF("key", "v")
+    val dims = (0 until 10).map(i => (i, s"dim_$i")).toDF("dkey", "name")
+    IoOps.writeVisBucketed(facts, "bkt_facts_t", s"$dir/facts",
+      Seq("key"), numBuckets = 4)
+    IoOps.writeVisBucketed(dims, "bkt_dims_t", s"$dir/dims",
+      Seq("dkey"), numBuckets = 4)
+    // force the sort-merge path (broadcast would hide the bucketing)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.table("bkt_facts_t")
+      val b = spark.table("bkt_dims_t")
+      val joined = a.join(b, a("key") === b("dkey"))
+      assert(joined.count() === 100)
+      // the whole point: bucketed+sorted layout joins with NO exchange
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join should not shuffle:\n$plan")
+    } finally {
+      spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    }
+  }
 }

@@ -195,4 +195,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(frames.where(col("media_id") === 0).count() ===
       ((text0.length + 7) / 8 + 1) / 2)
   }
+
+  test("gopherQuality flags phrase-repetition boilerplate, keeps prose") {
+    val d = Seq(
+      (0L, "buy now buy now buy now buy now buy now"),
+      (1L, "one two three four five six seven eight nine ten" +
+        " eleven twelve thirteen fourteen fifteen sixteen"))
+      .toDF("doc_id", "text")
+    val out = TextOps.gopherQuality(d, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    val spam = out(0L); val prose = out(1L)
+    assert(!spam.getAs[Boolean]("quality_keep"))
+    assert(prose.getAs[Boolean]("quality_keep"))
+    assert(spam.getAs[String]("top_bigram") === "buy now")
+    // "buy now" x 5 occurrences x 7 chars over 39 chars
+    assert(approx(spam.getAs[Double]("top_bigram_char_frac"), 35.0 / 39.0))
+    assert(spam.getAs[Double]("dup_word_frac") === 8.0 / 10.0)
+    assert(prose.getAs[Double]("dup_word_frac") === 0.0)
+  }
+
+  test("bm25 ranks the term-dense doc first; non-matching docs dropped") {
+    val d = Seq(
+      (0L, "spark spark spark join"),
+      (1L, "spark is mentioned once in a much longer document body here"),
+      (2L, "nothing relevant at all")).toDF("doc_id", "text")
+    val top = TextOps.bm25TopK(d, "doc_id", "text",
+      Seq("spark", "join"), k = 5).collect()
+    assert(top.map(_.getAs[Long]("doc_id")).toSeq === Seq(0L, 1L))
+    assert(top(0).getAs[Double]("bm25") > top(1).getAs[Double]("bm25"))
+    assert(top(0).getAs[Int]("n_terms_matched") === 2)
+  }
+
+  test("randomProject preserves expected norm scale and is deterministic") {
+    val d = Seq((0L, Array.fill(64)(1.0f)), (1L, Array.tabulate(64)(_.toFloat)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.randomProject(d, "vec_id", "embedding", 64, 16)
+    assert(out.count() === 32)
+    // component 0 of vec 0: sum of signs over 64 dims * 1/4 — recompute
+    val expected = (0 until 64).map(j =>
+      SimilarityOps.projSign(0, j).toDouble).sum / 4.0
+    val got = out.where(col("vec_id") === 0 && col("out_dim") === 0)
+      .head().getAs[Double]("value")
+    assert(got === expected)
+  }
+
+  test("imagePatchStats: exact int stats per 128-byte patch") {
+    val d = Seq((0L, "ab" * 100)).toDF("doc_id", "text") // 200 bytes
+    val media = MultimodalOps.packMedia(d, "doc_id", "text")
+    val out = MultimodalOps.imagePatchStats(spark, media).collect()
+      .map(r => r.getAs[Int]("patch_idx") -> r).toMap
+    assert(out.size === 2) // 128 + 72
+    assert(out(0).getAs[Int]("n_px") === 128)
+    assert(out(1).getAs[Int]("n_px") === 72)
+    assert(out(0).getAs[Int]("px_min") === 'a'.toInt)
+    assert(out(0).getAs[Int]("px_max") === 'b'.toInt)
+    assert(out(0).getAs[Double]("px_mean") === ('a' + 'b').toDouble / 2)
+    // variance of alternating 97/98 = 0.25
+    assert(out(0).getAs[Double]("px_var") === 0.25)
+  }
 }
