@@ -314,6 +314,78 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, list_id, ${qrSql("cos_", 8)} AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  /** Trained-IVF end-to-end: 2 distributed Lloyd iterations train the
+    * coarse quantizer (centroids quantized to 8 decimals BETWEEN
+    * iterations — part of the algorithm contract, so the iteration-2
+    * and final assignments are discrete choices over exact decimal
+    * values, reproducible in any engine), then the standard
+    * inverted-list probe search runs against the trained centroids.
+    * The oracle replays the entire chain: both Lloyd iterations
+    * (assign -> per-dim mean -> qround -> dead-cluster coalesce), the
+    * final corpus assignment, probes, and ranked cosines.
+    */
+  private val annIvfTrainedQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val trained = SimilarityOps.trainIvf(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      SimilarityOps.ivfTopKWith(emb.where(col("vec_id") < 10), emb,
+          "vec_id", "vec_id", "embedding", k = 5, trained, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id"), col("list_id"),
+          qround(col("cosine"), 8).as("cosine"), col("rank"))
+    },
+    {
+      def iter(prev: String, n: Int): String =
+        s"""a$n AS (
+           |  SELECT vec_id, cid FROM (
+           |    SELECT e.vec_id, $prev.cid,
+           |      row_number() OVER (PARTITION BY e.vec_id
+           |        ORDER BY ${sqDistSql("e.v", s"$prev.cv")}, $prev.cid) AS rn_
+           |    FROM e CROSS JOIN $prev) WHERE rn_ = 1),
+           |x$n AS (
+           |  SELECT a$n.cid, g.i AS dim, e.v[g.i] AS x
+           |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id
+           |  CROSS JOIN generate_series(1, 64) g(i)),
+           |s$n AS (
+           |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
+           |  FROM x$n GROUP BY 1, 2),
+           |l$n AS (
+           |  SELECT cid, array_agg(c ORDER BY dim) AS cv FROM s$n GROUP BY 1),
+           |c$n AS (
+           |  SELECT p.cid, coalesce(l$n.cv, p.cv) AS cv
+           |  FROM $prev p LEFT JOIN l$n ON p.cid = l$n.cid)"""
+      s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+         |${iter("c0", 1)},
+         |${iter("c1", 2)},
+         |af AS (
+         |  SELECT vec_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e CROSS JOIN c2) WHERE rn_ = 1),
+         |probes AS (
+         |  SELECT vec_id AS query_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e CROSS JOIN c2 WHERE e.vec_id < 10) WHERE rn_ <= 3),
+         |scored AS (
+         |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id,
+         |    ${dotSql("q.v", "c.v")} / (sqrt(${dotSql("q.v", "q.v")}) * sqrt(${dotSql("c.v", "c.v")})) AS cos_
+         |  FROM probes p
+         |  JOIN af a ON a.list_id = p.list_id
+         |  JOIN e q ON q.vec_id = p.query_id
+         |  JOIN e c ON c.vec_id = a.vec_id
+         |  WHERE p.query_id <> a.vec_id),
+         |ranked AS (
+         |  SELECT query_id, neighbor_id, list_id, cos_,
+         |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+         |  FROM scored)
+         |SELECT query_id, neighbor_id, list_id, ${qrSql("cos_", 8)} AS cosine, rank
+         |FROM ranked WHERE rank <= 5""".stripMargin
+    })
+
   private val embedNearDupQ = Q(
     (s, d) => SimilarityOps.nearDupPairs(Tables.embeddings(s, d),
         "vec_id", "embedding", dim = 64, threshold = 0.2)
@@ -713,6 +785,7 @@ object QueriesLlm {
     "ann_lsh" -> annLshQ,
     "ann_lsh_probed" -> annLshProbedQ,
     "ann_ivf" -> annIvfQ,
+    "ann_ivf_trained" -> annIvfTrainedQ,
     "ivf_train_iter" -> ivfTrainIterQ,
     "embed_neardup" -> embedNearDupQ,
     "token_count" -> tokenCountQ,

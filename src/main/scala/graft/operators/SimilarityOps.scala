@@ -257,6 +257,82 @@ object SimilarityOps {
       .select("id1", "id2", "cosine")
   }
 
+  /** Train an IVF coarse quantizer: seed with the first k corpus
+    * vectors, then run `iters` Lloyd iterations ([[kMeansIter]], each
+    * fully distributed), QUANTIZING the centroids to `qdec` decimals
+    * between iterations. The quantization is part of the algorithm
+    * contract, not a display nicety: it pins the centroids to exact
+    * decimal values, so every downstream DISCRETE choice (cluster
+    * assignment, probe order) is reproducible across engines and runs
+    * — the float-order noise of the distributed mean never reaches an
+    * argmin. A cluster that loses all members keeps its previous
+    * centroid (standard Lloyd dead-cluster rule).
+    *
+    * 100 TB story: per iteration one scan + one K x d-row shuffle
+    * (see kMeansIter); only the K x d centroid table (bounded, tiny)
+    * is ever collected.
+    */
+  def trainIvf(emb: DataFrame, idCol: String, vecCol: String,
+               k: Int, iters: Int, qdec: Int = 8): Seq[(Long, Array[Double])] = {
+    val scale = math.pow(10, qdec)
+    def qr(x: Double): Double = math.floor(x * scale + 0.5) / scale
+    var cents: Seq[(Long, Array[Double])] = emb.where(col(idCol) < k)
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1).toSeq
+    (0 until iters).foreach { _ =>
+      val next = kMeansIter(emb, idCol, vecCol,
+          cents.map { case (id, v) => (id.toInt, v) })
+        .collect()
+        .map(r => (r.getAs[Int]("cluster"), r.getAs[Int]("dim"),
+          r.getAs[Double]("centroid")))
+        .groupBy(_._1)
+        .map { case (cid, rows) =>
+          cid.toLong -> rows.sortBy(_._2).map(t => qr(t._3))
+        }
+      cents = cents.map { case (id, old) => (id, next.getOrElse(id, old)) }
+    }
+    cents
+  }
+
+  /** IVF search against an EXPLICIT centroid table (e.g. one produced
+    * by [[trainIvf]]) — same inverted-list structure and probe
+    * behavior as [[ivfTopK]].
+    */
+  def ivfTopKWith(queries: DataFrame, corpus: DataFrame, qId: String,
+                  cId: String, vecCol: String, k: Int,
+                  cents: Seq[(Long, Array[Double])],
+                  nProbe: Int): DataFrame = {
+    val centsArr = cents.sortBy(_._1).toArray
+    val assignUdf = udf((v: Seq[Double]) => {
+      var best = -1L; var bestD = Double.MaxValue
+      centsArr.foreach { case (id, c) =>
+        val d = sqDistFn(v, c.toSeq)
+        if (d < bestD) { best = id; bestD = d }
+      }
+      best
+    })
+    val probeUdf = udf((v: Seq[Double]) =>
+      centsArr.map { case (id, c) => (sqDistFn(v, c.toSeq), id) }
+        .sortBy(identity).take(nProbe).map(_._2))
+    val c = spread(corpus)
+      .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("list_id", assignUdf(col("cv")))
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cosine").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "list_id", "cosine", "rank")
+  }
+
   /** Deterministic +-1 sign for output-dim d, input-dim j of the
     * random-projection matrix — same Knuth-hash family as
     * [[hyperplane]], stride-protected against (d, j) aliasing.

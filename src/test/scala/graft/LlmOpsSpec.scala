@@ -239,6 +239,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("trainIvf converges on separated clusters; search stays in-list") {
+    // two tight clusters far apart; seeds = first 2 vectors (one in each)
+    val vecs = (0 until 20).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.tabulate(8)(d => base + (i / 2) * 0.01f + d * 0.001f))
+    }.toDF("vec_id", "embedding")
+    val cents = SimilarityOps.trainIvf(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+    assert(cents.map(_._1) === Seq(0L, 1L))
+    // centroid 0 ~ 0.045 mean of the low cluster, centroid 1 ~ 10.045
+    assert(cents(0)._2.head < 1.0 && cents(1)._2.head > 9.0)
+    val out = SimilarityOps.ivfTopKWith(
+      vecs.where(col("vec_id") < 2), vecs, "vec_id", "vec_id", "embedding",
+      k = 3, cents, nProbe = 1).collect()
+    assert(out.length === 6) // 3 neighbors per query
+    // probing one list: every neighbor of query 0 is in the even cluster
+    assert(out.filter(_.getAs[Long]("query_id") == 0L)
+      .forall(_.getAs[Long]("neighbor_id") % 2 == 0))
+  }
+
   test("imagePatchStats: exact int stats per 128-byte patch") {
     val d = Seq((0L, "ab" * 100)).toDF("doc_id", "text") // 200 bytes
     val media = MultimodalOps.packMedia(d, "doc_id", "text")
