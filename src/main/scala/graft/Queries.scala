@@ -864,6 +864,47 @@ object Queries {
       |  sum(1.0) AS w, count(*) AS n_rows
       |FROM events GROUP BY 1, 2""".stripMargin)
 
+  /** User sessionization over the events stream: 30-minute-gap
+    * sessions computed on the raw integer nanosecond timestamps (see
+    * StreamingOps.sessionize — bit-exact across engines; wall-clock
+    * floats are not). DuckDB mirrors with the classic gaps-and-islands
+    * lag/cumsum; the integer sums make every session boundary exact.
+    */
+  private val sessionizeQ = Q(
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // contract resolution is MICROSECONDS (integer div, not float):
+      // DuckDB reads parquet TIMESTAMP(NANOS) at us precision, so the
+      // oracle can only see us — the sub-us digits are dropped on both
+      // sides before any gap comparison.
+      val ev = Tables.events(s, d)
+        .withColumn("ts", expr("ts div 1000 * 1000"))
+      streaming.StreamingOps.sessionize(ev,
+          "user_id", "ts", gapNs = 1800L * 1000 * 1000 * 1000, "value")
+        .select(col("user_id"), col("session_seq"),
+          col("session_start_ns"), col("session_end_ns"),
+          col("n_events"), qround(col("value_sum"), 6).as("value_sum"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, value FROM events),
+      |l AS (
+      |  SELECT user_id, tsn, value,
+      |    CASE WHEN lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn) IS NULL
+      |           OR tsn - lag(tsn) OVER (PARTITION BY user_id ORDER BY tsn)
+      |              > 1800000000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sids AS (
+      |  SELECT user_id, tsn, value,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsn
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM l)
+      |SELECT user_id, session_seq,
+      |  min(tsn) AS session_start_ns, max(tsn) AS session_end_ns,
+      |  count(*) AS n_events,
+      |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
+      |FROM sids GROUP BY 1, 2""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -906,6 +947,7 @@ object Queries {
     "merge_image_artifacts" -> mergeArtifactsQ,
     "baseline_ids" -> baselineIdsQ,
     "derive_weight" -> deriveWeightQ,
-    "events_window" -> eventsWindowQ) ++
+    "events_window" -> eventsWindowQ,
+    "sessionize" -> sessionizeQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }

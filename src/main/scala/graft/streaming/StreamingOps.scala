@@ -81,6 +81,52 @@ object StreamingOps {
       }.toDF("text_hash", "text_hash2", "doc_id")
   }
 
+  /** Batch sessionization (gaps-and-islands) over INTEGER event-time
+    * nanos: a new session starts when the gap to the previous event of
+    * the same key exceeds `gapNs`. Pure integer arithmetic end to end
+    * — session boundaries, ids, and min/max times are bit-exact in any
+    * engine (wall-clock float seconds would wobble at the microsecond
+    * ulp).
+    *
+    * 100 TB story: ONE shuffle (partition by key), sort within
+    * partition, two window passes + one hash agg — the canonical
+    * distributed sessionization. Skew is bounded by the heaviest
+    * single key's event count; same-timestamp ties never open a
+    * session (gap 0), so tie order is irrelevant to every output.
+    */
+  def sessionize(df: DataFrame, keyCol: String, tsNanosCol: String,
+                 gapNs: Long, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byKey = Window.partitionBy(col(keyCol)).orderBy(col(tsNanosCol))
+    val newSession = when(
+      lag(col(tsNanosCol), 1).over(byKey).isNull ||
+        col(tsNanosCol) - lag(col(tsNanosCol), 1).over(byKey) > gapNs,
+      1L).otherwise(0L)
+    df.withColumn("_new_s", newSession)
+      .withColumn("session_seq",
+        sum(col("_new_s")).over(byKey.rowsBetween(Window.unboundedPreceding,
+          Window.currentRow)))
+      .groupBy(col(keyCol), col("session_seq"))
+      .agg(min(col(tsNanosCol)).as("session_start_ns"),
+        max(col(tsNanosCol)).as("session_end_ns"),
+        count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("value_sum"))
+  }
+
+  /** Streaming sessionization via the built-in `session_window`
+    * (merging gap windows + watermark state eviction) — the streaming
+    * twin of [[sessionize]]; also runs on batch frames. MemoryStream
+    * equivalence is covered in StreamingOpsSpec.
+    */
+  def sessionizeStream(df: DataFrame, timeCol: String, gap: String,
+                       keys: Seq[String], valueCol: String,
+                       watermark: Option[String] = None): DataFrame = {
+    val in = watermark.map(df.withWatermark(timeCol, _)).getOrElse(df)
+    in.groupBy((session_window(col(timeCol), gap).as("session") +:
+        keys.map(col)): _*)
+      .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -86,4 +86,48 @@ class StreamingOpsSpec extends SparkSpec {
     val a = rows.find(_.getAs[String]("kind") == "a").get
     assert(a.getAs[Long]("flagged") === 1L && a.getAs[Long]("total") === 2L)
   }
+
+  test("sessionize splits on gap, merges within; ties never split") {
+    import spark.implicits._
+    val ns = 1000L * 1000 * 1000
+    val ev = Seq(
+      (1L, 0L * ns, 1.0), (1L, 10L * ns, 2.0),   // session 1
+      (1L, 100L * ns, 4.0), (1L, 100L * ns, 8.0), // session 2 (tie inside)
+      (2L, 5L * ns, 1.5))                          // other user
+      .toDF("user_id", "ts", "value")
+    val out = StreamingOps.sessionize(ev, "user_id", "ts",
+        gapNs = 30L * ns, "value")
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("session_seq")) -> r)
+      .toMap
+    assert(out.size === 3)
+    assert(out((1L, 1L)).getAs[Long]("n_events") === 2)
+    assert(out((1L, 2L)).getAs[Long]("n_events") === 2)
+    assert(out((1L, 2L)).getAs[Double]("value_sum") === 12.0)
+    assert(out((1L, 2L)).getAs[Long]("session_start_ns") === 100L * ns)
+    assert(out((2L, 1L)).getAs[Long]("n_events") === 1)
+  }
+
+  test("sessionizeStream merges gap windows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long, Double)]
+    val df = input.toDF().toDF("ts", "user_id", "value")
+    val agg = StreamingOps.sessionizeStream(df, "ts", "30 seconds",
+      Seq("user_id"), "value", watermark = Some("10 minutes"))
+    val q = agg.writeStream.format("memory").queryName("sess_t")
+      .outputMode("complete").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 00:00:01"), 1L, 1.0))
+    q.processAllAvailable()
+    // second batch extends the same session (gap < 30s) and opens a new one
+    input.addData((t("2024-01-01 00:00:20"), 1L, 2.0),
+      (t("2024-01-01 00:05:00"), 1L, 4.0))
+    q.processAllAvailable()
+    val rows = spark.table("sess_t").orderBy($"session.start").collect()
+    q.stop()
+    assert(rows.length === 2)
+    assert(rows(0).getAs[Long]("n_events") === 2) // merged across batches
+    assert(rows(0).getAs[Double]("value_sum") === 3.0)
+    assert(rows(1).getAs[Double]("value_sum") === 4.0)
+  }
 }
