@@ -35,17 +35,22 @@ object SimilarityOps {
     acc
   }
 
-  private val dotUdf = udf(dotFn _)
-  private val normUdf = udf((a: Seq[Double]) => math.sqrt(dotFn(a, a)))
+  /** Dot product of two numeric-array columns — the native codegen
+    * expression (graft.functions.DotProduct); bit-identical to the
+    * dotFn fold, with no per-row Seq materialization.
+    */
+  def dot(a: Column, b: Column): Column = graft.functions.DotProduct(a, b)
 
-  /** Dot product of two double-array columns. */
-  def dot(a: Column, b: Column): Column = dotUdf(a, b)
-
-  def norm(a: Column): Column = normUdf(a)
+  def norm(a: Column): Column = sqrt(dot(a, a))
 
   def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
 
-  private def toDouble(c: Column): Column = transform(c, _.cast("double"))
+  /** float[] -> double[] via Cast (whole-stage codegen'd; the
+    * transform(_, _.cast) HOF spelling is CodegenFallback).
+    */
+  private def toDouble(c: Column): Column =
+    c.cast(org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
 
   /** Deterministic pseudo-random hyperplane component for (plane i,
     * dim j): an exact rational in [-0.5, 0.5) derived from a Knuth
@@ -81,13 +86,13 @@ object SimilarityOps {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, qId: String,
                      cId: String, vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("qn", norm(col("qv")))
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("cn", norm(col("cv")))
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -108,7 +113,7 @@ object SimilarityOps {
               nplanes: Int = 8, probes: Int = 0): DataFrame = {
     val q0 = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"),
         hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket0"))
-      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("qn", norm(col("qv")))
     val probeBuckets =
       if (probes <= 0) array(col("bucket0"))
       else array(col("bucket0") +:
@@ -117,10 +122,10 @@ object SimilarityOps {
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"),
         hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
-      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("cn", norm(col("cv")))
     val scored0 = c.join(broadcast(q), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     // multi-probe can surface the same pair through several buckets:
     // keep the smallest bucket deterministically
     val scored =
@@ -178,14 +183,14 @@ object SimilarityOps {
         .sortBy(identity).take(nProbe).map(_._2))
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("list_id", assignUdf(col("cv")))
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("list_id", explode(probeUdf(col("qv"))))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -245,14 +250,14 @@ object SimilarityOps {
                    threshold: Double, nplanes: Int = 8): DataFrame = {
     val sig = spread(df).select(col(idCol), toDouble(col(vecCol)).as("v"),
         hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
-      .withColumn("n", normUdf(col("v")))
+      .withColumn("n", norm(col("v")))
     val a = sig.select(col(idCol).as("id1"), col("v").as("v1"),
       col("n").as("n1"), col("bucket"))
     val b = sig.select(col(idCol).as("id2"), col("v").as("v2"),
       col("n").as("n2"), col("bucket"))
     a.join(b, Seq("bucket"))
       .where(col("id1") < col("id2"))
-      .withColumn("cosine", dotUdf(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
       .where(col("cosine") >= threshold)
       .select("id1", "id2", "cosine")
   }
@@ -318,14 +323,14 @@ object SimilarityOps {
         .sortBy(identity).take(nProbe).map(_._2))
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("cn", normUdf(col("cv")))
+      .withColumn("cn", norm(col("cv")))
       .withColumn("list_id", assignUdf(col("cv")))
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("qn", normUdf(col("qv")))
+      .withColumn("qn", norm(col("qv")))
       .withColumn("list_id", explode(probeUdf(col("qv"))))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("cosine", dotUdf(col("qv"), col("cv")) / (col("qn") * col("cn")))
+      .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cosine").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))

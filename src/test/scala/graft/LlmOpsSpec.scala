@@ -239,6 +239,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(got === expected)
   }
 
+  test("DotProduct expression: exact fold parity, float widening, codegen") {
+    val d = Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5, 0.25, 2.0)))
+      .toDF("f", "dd")
+    val out = d.select(
+      graft.functions.DotProduct(col("f").cast("array<double>"), col("dd")).as("x"),
+      graft.functions.DotProduct(col("f"), col("dd")).as("y"), // float side
+      SimilarityOps.norm(col("dd")).as("n"))
+      .head()
+    val expect = SimilarityOps.dotFn(Seq(1.0, 2.0, 3.0), Seq(0.5, 0.25, 2.0))
+    assert(out.getAs[Double]("x") === expect)
+    assert(out.getAs[Double]("y") === expect)
+    assert(out.getAs[Double]("n") === math.sqrt(0.25 + 0.0625 + 4.0))
+    // stays inside whole-stage codegen: no UDF / interpreted eval node
+    val plan = d.select(graft.functions.DotProduct(col("f"), col("dd")))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BatchEvalPython") && !plan.contains("ScalaUDF"))
+  }
+
   test("trainIvf converges on separated clusters; search stays in-list") {
     // two tight clusters far apart; seeds = first 2 vectors (one in each)
     val vecs = (0 until 20).map { i =>
