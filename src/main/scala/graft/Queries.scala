@@ -864,6 +864,63 @@ object Queries {
       |  sum(1.0) AS w, count(*) AS n_rows
       |FROM events GROUP BY 1, 2""".stripMargin)
 
+  /** AS-OF join: attach to every event the most recent 'click' of the
+    * same user at-or-before it (clicks pre-aggregated to one row per
+    * (user, time) so the inclusive-tie semantics are engine-neutral).
+    * Times are integer microsecond-nanos (see sessionize). The oracle
+    * is DuckDB's native ASOF LEFT JOIN — an independent implementation
+    * of the same semantics, checking our union+window formulation.
+    */
+  private val asofJoinQ = Q(
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+        .withColumn("tsn", expr("ts div 1000 * 1000"))
+      val left = ev.select("event_id", "user_id", "tsn")
+      val clicks = ev.where(col("event_type") === "click")
+        .groupBy("user_id", "tsn").agg(max(col("value")).as("click_value"))
+      JoinOps.asofJoin(left, clicks, Seq("user_id"),
+          leftTime = "tsn", rightTime = "tsn",
+          payload = Seq("tsn" -> "click_tsn", "click_value" -> "click_value"),
+          tieCol = "tsn")
+        .select("event_id", "user_id", "tsn", "click_tsn", "click_value")
+    },
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type, value
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, tsn, max(value) AS click_value
+      |  FROM e WHERE event_type = 'click' GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.tsn,
+      |  c.tsn AS click_tsn, c.click_value
+      |FROM e ASOF LEFT JOIN c
+      |  ON e.user_id = c.user_id AND e.tsn >= c.tsn""".stripMargin)
+
+  /** Binned range join: lineitem prices against +-0.05 intervals
+    * around part retail prices — the equi-join-on-bin plan (see
+    * JoinOps.rangeJoin), never a nested loop. The oracle is the plain
+    * non-equi join (DuckDB plans it as an IEJoin), independently
+    * checking the binning rewrite is exactly match-preserving.
+    */
+  private val rangeJoinQ = Q(
+    (s, d) => {
+      val points = Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_extendedprice")
+      val intervals = Tables.part(s, d)
+        .select(col("p_partkey"),
+          (col("p_retailprice") - 0.05).as("lo"),
+          (col("p_retailprice") + 0.05).as("hi"))
+      JoinOps.rangeJoin(points, intervals,
+          "l_extendedprice", "lo", "hi", binWidth = 1.0)
+        .select("l_orderkey", "l_linenumber", "p_partkey",
+          "l_extendedprice", "lo")
+    },
+    """SELECT l_orderkey, l_linenumber, p_partkey, l_extendedprice,
+      |  p_retailprice - 5.0e-2 AS lo
+      |FROM lineitem JOIN part
+      |  ON l_extendedprice >= p_retailprice - 5.0e-2
+      | AND l_extendedprice <  p_retailprice + 5.0e-2""".stripMargin)
+
   /** User sessionization over the events stream: 30-minute-gap
     * sessions computed on the raw integer nanosecond timestamps (see
     * StreamingOps.sessionize — bit-exact across engines; wall-clock
@@ -948,6 +1005,8 @@ object Queries {
     "baseline_ids" -> baselineIdsQ,
     "derive_weight" -> deriveWeightQ,
     "events_window" -> eventsWindowQ,
-    "sessionize" -> sessionizeQ) ++
+    "sessionize" -> sessionizeQ,
+    "asof_join" -> asofJoinQ,
+    "range_join" -> rangeJoinQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }

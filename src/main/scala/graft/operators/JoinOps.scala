@@ -95,4 +95,87 @@ object JoinOps {
       .withColumn(keyCol,
         coalesce(col("new_key"), col(keyCol).cast("long")))
       .drop("old_key", "new_key")
+
+  /** AS-OF join (backward, inclusive): attach to each left row the
+    * single right row with the greatest `rightTime` <= the left row's
+    * `leftTime`, per key — the time-series join Spark has no native
+    * operator for.
+    *
+    * Spark-first formulation (composition, not a custom physical op):
+    * tag and UNION the two sides, then one `last_value(_, ignoreNulls)`
+    * window ordered by (time, side, tiebreak) delivers the most recent
+    * right payload to every left row. ONE shuffle on the key, one sort
+    * within partitions — the same cost shape as a co-partitioned merge
+    * join; never a non-equi join (which would plan as a nested-loop).
+    * At equal times the right row sorts FIRST (inclusive semantics);
+    * among equal-time right rows the greatest `tieCol` wins —
+    * deterministic for any input.
+    *
+    * 100 TB story: cost = shuffle(left+right) by key + in-partition
+    * sort; state never exceeds a partition, no broadcast, no skew
+    * beyond the heaviest key (salt-split a hot key upstream if needed).
+    *
+    * @param payload right-side columns to carry (renamed as given)
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               leftTime: String, rightTime: String,
+               payload: Seq[(String, String)],
+               tieCol: String): DataFrame = {
+    val leftCols = left.columns.toSeq
+    // common long-form: (keys, _t, _side, left payload..., right payload...)
+    val l = left
+      .withColumn("_t", col(leftTime))
+      .withColumn("_side", lit(1)) // left sorts AFTER right at equal time
+      .withColumn("_tie", lit(null).cast("long"))
+    val r0 = right.select(
+      (keys.map(col) :+ col(rightTime).as("_t") :+
+        col(tieCol).cast("long").as("_tie")) ++
+        payload.map { case (c, as) => col(c).as(s"_p_$as") }: _*)
+      .withColumn("_side", lit(0))
+    val lAll = leftCols.foldLeft(r0) { (d, c) =>
+      if (d.columns.contains(c)) d else d.withColumn(c, lit(null)) }
+    val rAll = payload.foldLeft(l) { case (d, (_, as)) =>
+      d.withColumn(s"_p_$as", lit(null)) }
+    val union = rAll.select((leftCols ++ Seq("_t", "_side", "_tie") ++
+        payload.map(p => s"_p_${p._2}")).map(col): _*)
+      .unionByName(lAll.select((leftCols ++ Seq("_t", "_side", "_tie") ++
+        payload.map(p => s"_p_${p._2}")).map(col): _*))
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_t"), col("_side"), col("_tie"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payload.foldLeft(union) { case (d, (_, as)) =>
+      d.withColumn(as, last(col(s"_p_$as"), ignoreNulls = true).over(w))
+    }
+    filled.where(col("_side") === 1)
+      .select((leftCols ++ payload.map(_._2)).map(col): _*)
+  }
+
+  /** Range join via BINNING: join points to the intervals [lo, hi)
+    * containing them without the nested-loop plan a raw non-equi join
+    * produces. Intervals explode to every bin of width `binWidth` they
+    * overlap; each point lives in exactly ONE bin, so the equi-join on
+    * the bin meets every true (point, interval) pair exactly once —
+    * no post-join dedup — and the residual [lo, hi) filter runs only
+    * on bin-colliding pairs.
+    *
+    * 100 TB story: cost = |points| + sum(interval width / binWidth)
+    * exploded rows + the true-match count, all hash-partitioned by
+    * bin — never |points| x |intervals|. Size binWidth ~ the typical
+    * interval width so each interval hits O(1) bins.
+    */
+  def rangeJoin(points: DataFrame, intervals: DataFrame,
+                pointCol: String, loCol: String, hiCol: String,
+                binWidth: Double): DataFrame = {
+    val pBin = floor(col(pointCol) / binWidth).cast("long")
+    val p = points.withColumn("_bin", pBin)
+    val i = intervals
+      .withColumn("_bin_lo", floor(col(loCol) / binWidth).cast("long"))
+      .withColumn("_bin_hi", floor(col(hiCol) / binWidth).cast("long"))
+      .withColumn("_bin",
+        explode(sequence(col("_bin_lo"), col("_bin_hi"))))
+      .drop("_bin_lo", "_bin_hi")
+    p.join(i, Seq("_bin"))
+      .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
+      .drop("_bin")
+  }
 }

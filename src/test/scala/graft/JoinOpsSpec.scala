@@ -92,4 +92,42 @@ class JoinOpsSpec extends SparkSpec {
     assert(out.select(col("k").cast("long")).as[Long].collect().sorted.toSeq
       === Seq(6L, 7L, 9L))
   }
+
+  test("asofJoin: backward inclusive, per key, null before first right") {
+    val left = Seq((1L, 5L, "a"), (1L, 10L, "b"), (1L, 20L, "c"),
+      (2L, 7L, "d")).toDF("k", "t", "tag")
+    val right = Seq((1L, 5L, 100.0), (1L, 15L, 200.0), (2L, 9L, 300.0))
+      .toDF("k", "rt", "v")
+    val out = JoinOps.asofJoin(left, right, Seq("k"), "t", "rt",
+        payload = Seq("rt" -> "asof_t", "v" -> "asof_v"), tieCol = "rt")
+      .collect().map(r => r.getAs[String]("tag") -> r).toMap
+    assert(out("a").getAs[Double]("asof_v") === 100.0) // inclusive tie t=rt=5
+    assert(out("b").getAs[Double]("asof_v") === 100.0) // 15 > 10, stays at 5
+    assert(out("c").getAs[Double]("asof_v") === 200.0)
+    assert(out("d").isNullAt(out("d").fieldIndex("asof_v"))) // 9 > 7: none
+  }
+
+  test("asofJoin: greatest tieCol wins among equal right times") {
+    val left = Seq((1L, 10L)).toDF("k", "t")
+    val right = Seq((1L, 10L, 1L, 111.0), (1L, 10L, 2L, 222.0))
+      .toDF("k", "rt", "seq", "v")
+    val out = JoinOps.asofJoin(left, right, Seq("k"), "t", "rt",
+      payload = Seq("v" -> "asof_v"), tieCol = "seq").head()
+    assert(out.getAs[Double]("asof_v") === 222.0)
+  }
+
+  test("rangeJoin matches the naive non-equi join exactly, no dupes") {
+    val points = (0 until 200).map(i => (i, i * 0.37)).toDF("pid", "x")
+    val intervals = (0 until 40).map(i =>
+      (i, i * 1.7, i * 1.7 + 2.5)).toDF("iid", "lo", "hi")
+    val binned = JoinOps.rangeJoin(points, intervals, "x", "lo", "hi",
+        binWidth = 2.0)
+      .select("pid", "iid").as[(Int, Int)].collect().sorted.toSeq
+    val naive = points.join(intervals,
+        col("x") >= col("lo") && col("x") < col("hi"))
+      .select("pid", "iid").as[(Int, Int)].collect().sorted.toSeq
+    assert(binned === naive)
+    assert(binned.distinct.size === binned.size) // exactly-once per pair
+    assert(binned.nonEmpty)
+  }
 }
