@@ -864,6 +864,36 @@ object Queries {
       |  sum(1.0) AS w, count(*) AS n_rows
       |FROM events GROUP BY 1, 2""".stripMargin)
 
+  /** KMV distinct-count sketch per group (k = 64 smallest distinct
+    * hashes of l_orderkey). Deterministic by construction — the oracle
+    * replays the sketch exactly: rank the distinct hashes, take the
+    * 64th as threshold, estimate (k-1)*M/h_(k). A HLL would not be
+    * oracle-checkable; this is the point of the KMV design (see
+    * SketchOps).
+    */
+  private val distinctSketchQ = Q(
+    (s, d) => operators.SketchOps.distinctSketch(
+        Tables.lineitem(s, d), Seq("l_returnflag"), "l_orderkey", k = 64)
+      .select(col("l_returnflag"), col("kth_min"), col("n_sketch"),
+        qround(col("estimate"), 6).as("estimate")),
+    """WITH h AS (
+      |  SELECT DISTINCT l_returnflag,
+      |    (l_orderkey * 2654435761) % 1000000007 AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, h,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h) AS rn,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS nd
+      |  FROM h)
+      |SELECT l_returnflag,
+      |  max(CASE WHEN rn = least(nd, 64) THEN h END) AS kth_min,
+      |  CAST(least(max(nd), 64) AS BIGINT) AS n_sketch,
+      |  floor((CASE WHEN max(nd) < 64 THEN CAST(max(nd) AS DOUBLE)
+      |         ELSE 6.3e1 * 1.000000007e9
+      |              / max(CASE WHEN rn = 64 THEN h END) END)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS estimate
+      |FROM r GROUP BY 1""".stripMargin)
+
   /** AS-OF join: attach to every event the most recent 'click' of the
     * same user at-or-before it (clicks pre-aggregated to one row per
     * (user, time) so the inclusive-tie semantics are engine-neutral).
@@ -1007,6 +1037,7 @@ object Queries {
     "events_window" -> eventsWindowQ,
     "sessionize" -> sessionizeQ,
     "asof_join" -> asofJoinQ,
-    "range_join" -> rangeJoinQ) ++
+    "range_join" -> rangeJoinQ,
+    "distinct_sketch" -> distinctSketchQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }
