@@ -436,6 +436,55 @@ object QueriesLlm {
         "THEN 1.0 ELSE 0.0 END) * (1.0 - least(CAST(n_punct AS DOUBLE) / n_words, 1.0))", 8)} AS quality_score
        |FROM u""".stripMargin)
 
+  /** Count-Min heavy hitters over document words: build a 4x512 CMS
+    * of word-hash frequencies, then rank the vocabulary by sketch
+    * estimate (true count alongside — the sketch never under-counts).
+    * The oracle replays the exact counters: same (a,b) seeds, same
+    * Mersenne-prime hash, min over depth.
+    */
+  private val cmsTopWordsQ = Q(
+    (s, d) => {
+      val words = Tables.documents(s, d)
+        .select(explode(split(col("text"), " ")).as("word"))
+        .withColumn("x", TextOps.polyHash(col("word")))
+      SketchOps.cmsHeavyHitters(words, "word", "x",
+        depth = 4, width = 512, k = 20)
+    }, {
+      val seedRows = SketchOps.cmsSeeds(4).zipWithIndex
+        .map { case ((a, b), i) => s"($i, $a, $b)" }.mkString(", ")
+      val P = SketchOps.CmsP
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS word FROM documents),
+         |h AS (SELECT word, ${phSql("word")} AS x FROM w),
+         |d AS (SELECT * FROM (VALUES $seedRows) AS t(i, a, b)),
+         |sk AS (
+         |  SELECT i, ((a * x + b) % $P) % 512 AS bucket, count(*) AS cnt
+         |  FROM h CROSS JOIN d GROUP BY 1, 2),
+         |cand AS (SELECT word, x, count(*) AS true_cnt FROM h GROUP BY 1, 2),
+         |cb AS (SELECT word, true_cnt, i,
+         |    ((a * x + b) % $P) % 512 AS bucket FROM cand CROSS JOIN d),
+         |est AS (
+         |  SELECT word, true_cnt, min(cnt) AS est
+         |  FROM cb JOIN sk USING (i, bucket) GROUP BY 1, 2)
+         |SELECT word, est, true_cnt FROM est
+         |ORDER BY est DESC, word LIMIT 20""".stripMargin
+    })
+
+  /** Deterministic hash-bucket train/val/test split of documents —
+    * assignment is a pure function of doc_id (reproducible, no rand()),
+    * replayed exactly by the oracle.
+    */
+  private val hashSplitQ = Q(
+    (s, d) => SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      .select("doc_id", "split"),
+    s"""SELECT doc_id,
+       |  CASE WHEN b < 8000 THEN 'train'
+       |       WHEN b < 9000 THEN 'val' ELSE 'test' END AS split
+       |FROM (SELECT doc_id,
+       |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M) % ${SampleOps.SplitBuckets} AS b
+       |  FROM documents)""".stripMargin)
+
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
       .select("doc_id", "fp_hash", "fp_hash2", "fp_min_shingle"),
@@ -791,6 +840,8 @@ object QueriesLlm {
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,
     "fingerprint" -> fingerprintQ,
+    "cms_top_words" -> cmsTopWordsQ,
+    "hash_split" -> hashSplitQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)

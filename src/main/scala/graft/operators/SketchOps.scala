@@ -104,4 +104,77 @@ object SketchOps {
       .select(keys.map(col) :+ col("sk.kth_min").as("kth_min") :+
         col("sk.n_sketch").as("n_sketch") :+
         col("sk.estimate").as("estimate"): _*)
+
+  // ------------------------------------------------------ Count-Min sketch
+
+  /** Count-Min frequency sketch. State = depth x width counters; point
+    * estimate = min over depth of the counter each row-hash lands in
+    * (never under-counts; over-counts by collisions ~ N/width).
+    *
+    * Spark shape: the BUILD is one hash aggregate over a depth-fold
+    * posexplode — map-side partial counting means the shuffle carries
+    * at most depth*width counter rows per partition, independent of
+    * input rows. The sketch itself is a bounded depth*width-row
+    * DataFrame, always broadcast on the estimate side. Like KMV (and
+    * unlike Spark's CountMinSketchAgg, which seeds from murmur), the
+    * hash family ((a_i*x + b_i) mod P) mod width over the Mersenne
+    * prime P=2^31-1 is exact integer math both engines replay
+    * identically, so the driver oracle checks the sketch bit-for-bit.
+    *
+    * Inputs must be nonnegative hashes < 2^31 (e.g. TextOps.polyHash)
+    * so a*x stays within int64.
+    */
+  val CmsP = 2147483647L // 2^31 - 1, Mersenne
+
+  /** Deterministic per-depth (a, b) seeds, engine-portable constants. */
+  def cmsSeeds(depth: Int): Seq[(Long, Long)] =
+    (1 to depth).map { i =>
+      val a = KmvMult * i % CmsP
+      val b = 1099511628211L * i % CmsP
+      (if (a == 0) 1L else a, b)
+    }
+
+  private def cmsBuckets(x: Column, depth: Int, width: Int): Column =
+    array(cmsSeeds(depth).map { case (a, b) =>
+      ((x * a + b) % CmsP % width).cast("int")
+    }: _*)
+
+  /** Build the sketch: (depth_i, bucket, cnt), <= depth*width rows. */
+  def cmsSketch(df: DataFrame, hashCol: String, depth: Int,
+                width: Int): DataFrame =
+    df.select(posexplode(cmsBuckets(col(hashCol), depth, width))
+        .as(Seq("depth_i", "bucket")))
+      .groupBy("depth_i", "bucket").agg(count(lit(1)).as("cnt"))
+
+  /** Point estimates for `items` (any columns + `hashCol`): appends
+    * `est` = min over depth of the matching counters. The sketch side
+    * is broadcast (bounded by construction); the only shuffle is the
+    * per-item min, carrying depth rows per item.
+    */
+  def cmsEstimate(sketch: DataFrame, items: DataFrame, hashCol: String,
+                  depth: Int, width: Int): DataFrame = {
+    val itemCols = items.columns.toSeq
+    items.select(itemCols.map(col) :+
+        posexplode(cmsBuckets(col(hashCol), depth, width))
+          .as(Seq("depth_i", "bucket")): _*)
+      .join(broadcast(sketch), Seq("depth_i", "bucket"))
+      .groupBy(itemCols.map(col): _*)
+      .agg(min("cnt").as("est"))
+  }
+
+  /** Top-k heavy hitters of `keyCol` by sketch estimate, with the true
+    * count alongside (demonstrates est >= true_cnt; at 100 TB the
+    * candidate set comes from a sample / external stream and only the
+    * sketch is consulted — the exact count here is for validation).
+    * Deterministic tie-break (est desc, key asc).
+    */
+  def cmsHeavyHitters(df: DataFrame, keyCol: String, hashCol: String,
+                      depth: Int, width: Int, k: Int): DataFrame = {
+    val sketch = cmsSketch(df, hashCol, depth, width)
+    val cand = df.groupBy(keyCol, hashCol).agg(count(lit(1)).as("true_cnt"))
+    cmsEstimate(sketch, cand, hashCol, depth, width)
+      .select(col(keyCol), col("est"), col("true_cnt"))
+      .orderBy(col("est").desc, col(keyCol))
+      .limit(k)
+  }
 }

@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.SampleOps
+
+class SampleOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("hashSplit: proportions, determinism, group coherence") {
+    val keys = (0L until 10000L).toDF("user_id")
+    val out = SampleOps.hashSplit(keys, "user_id",
+      Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+    val counts = out.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum === 10000L)
+    assert(math.abs(counts("train") - 8000L) < 300, counts)
+    assert(math.abs(counts("val") - 1000L) < 150, counts)
+    assert(math.abs(counts("test") - 1000L) < 150, counts)
+    // determinism across evaluations
+    assert(SampleOps.hashSplit(keys, "user_id", Seq(0.8, 0.1, 0.1),
+      Seq("train", "val", "test")).except(out).count() === 0)
+    // group coherence: many rows per key, one split per key
+    val grouped = keys.crossJoin(Seq(1, 2, 3).toDF("rep"))
+    val g = SampleOps.hashSplit(grouped, "user_id",
+      Seq(0.5, 0.5), Seq("a", "b"))
+    assert(g.select("user_id", "split").distinct().count() === 10000L)
+  }
+
+  test("sampleByHash: approximate fraction and nested subsets") {
+    val keys = (0L until 10000L).toDF("k")
+    val s10 = SampleOps.sampleByHash(keys, "k", 0.10)
+    val s20 = SampleOps.sampleByHash(keys, "k", 0.20)
+    assert(math.abs(s10.count() - 1000L) < 150)
+    assert(math.abs(s20.count() - 2000L) < 200)
+    // threshold sampling nests: the 10% sample is inside the 20% one
+    assert(s10.except(s20).count() === 0)
+  }
+}

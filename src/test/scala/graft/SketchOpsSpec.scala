@@ -22,6 +22,40 @@ class SketchOpsSpec extends SparkSpec {
     assert(out7 === out.map { case (g, r) => g -> r.getAs[Long]("kth_min") })
   }
 
+  test("cms: never under-counts, exact when collision-free, layout-independent") {
+    // zipf-ish: value v appears 101-v times, v in 1..100
+    val rows = (1 to 100).flatMap(v => Seq.fill(101 - v)(v.toLong))
+    val df = rows.toDF("x")
+    val truth = rows.groupBy(identity).map { case (v, g) => (v, g.size.toLong) }
+    val est = SketchOps
+      .cmsEstimate(SketchOps.cmsSketch(df, "x", 4, 1024),
+        df.distinct(), "x", 4, 1024)
+      .collect().map(r => r.getAs[Long]("x") -> r.getAs[Long]("est")).toMap
+    truth.foreach { case (v, n) => assert(est(v) >= n, s"under-count at $v") }
+    // 100 values into 4x1024 buckets: expect exactness here
+    assert(truth.forall { case (v, n) => est(v) == n })
+    // merge path: same sketch regardless of partitioning
+    val a = SketchOps.cmsSketch(df, "x", 4, 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    val b = SketchOps.cmsSketch(df.repartition(13), "x", 4, 64).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(a === b)
+  }
+
+  test("cms: heavy hitters rank by estimate with deterministic ties") {
+    val df = (Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      Seq.fill(30)("gamma") ++ (1 to 20).map(i => s"w$i"))
+      .toDF("word")
+      .withColumn("x", graft.functions.PolyHash(col("word")))
+    val top = SketchOps.cmsHeavyHitters(df, "word", "x", 4, 2048, 3)
+      .collect().map(r => (r.getString(0), r.getAs[Long]("est"),
+        r.getAs[Long]("true_cnt")))
+    assert(top(0) === ("alpha", 50L, 50L))
+    // beta/gamma tie at 30 -> word-ascending order
+    assert(top(1)._1 === "beta" && top(2)._1 === "gamma")
+    assert(top.forall { case (_, e, t) => e >= t })
+  }
+
   test("kmv: estimate within ~2/sqrt(k) above k; threshold is kth hash") {
     val n = 5000
     val df = Seq.tabulate(n)(i => i.toLong).toDF("v").withColumn("g", lit(0))
