@@ -485,6 +485,60 @@ object QueriesLlm {
        |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M) % ${SampleOps.SplitBuckets} AS b
        |  FROM documents)""".stripMargin)
 
+  /** Deterministic mixture sampling: per-language keep rates applied
+    * via the hash-bucket rule (rates nest — retuning a rate upward
+    * only appends rows).
+    */
+  private val mixRates =
+    Seq("en" -> 0.5, "de" -> 1.0, "zh" -> 0.8, "es" -> 0.25, "fr" -> 1.0)
+
+  private val mixtureSampleQ = Q(
+    (s, d) => {
+      val rate = mixRates.tail
+        .foldLeft(when(col("lang") === mixRates.head._1,
+          mixRates.head._2)) { case (acc, (l, r)) =>
+          acc.when(col("lang") === l, r)
+        }.otherwise(0.0)
+      SampleOps.sampleByRate(Tables.documents(s, d), "doc_id", rate)
+        .select("doc_id", "lang")
+    }, {
+      val cuts = mixRates.map { case (l, r) =>
+        s"WHEN lang = '$l' THEN ${math.floor(r * SampleOps.SplitBuckets).toLong}"
+      }.mkString(" ")
+      s"""SELECT doc_id, lang FROM (
+         |  SELECT doc_id, lang,
+         |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M) % ${SampleOps.SplitBuckets} AS b,
+         |    CASE $cuts ELSE 0 END AS cut
+         |  FROM documents) WHERE b < cut""".stripMargin
+    })
+
+  /** Shard-local sequence packing to a 256-token budget over 8 hash
+    * shards; the oracle replays the window cumsum and the
+    * offset-addressed pack rule exactly.
+    */
+  private val packSequencesQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("toks", size(split(col("text"), " ")).cast("long"))
+      PackOps.packSequences(docs, "doc_id", "toks",
+          budget = 256, shards = 8)
+        .select("doc_id", "shard", "start_tok", "pack_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS toks,
+       |    CAST((((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} % 8 AS BIGINT) AS shard
+       |  FROM documents),
+       |w AS (
+       |  SELECT doc_id, shard, toks,
+       |    CAST(sum(toks) OVER (PARTITION BY shard ORDER BY doc_id)
+       |      - toks AS BIGINT) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, shard, start_tok,
+       |  shard * ${PackOps.PackStride} + start_tok // 256 AS pack_id
+       |FROM w""".stripMargin)
+
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
       .select("doc_id", "fp_hash", "fp_hash2", "fp_min_shingle"),
@@ -842,6 +896,8 @@ object QueriesLlm {
     "fingerprint" -> fingerprintQ,
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,
+    "mixture_sample" -> mixtureSampleQ,
+    "pack_sequences" -> packSequencesQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)

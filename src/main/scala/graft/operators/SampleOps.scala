@@ -56,4 +56,16 @@ object SampleOps {
                    fraction: Double): DataFrame =
     df.filter(splitBucket(col(keyCol)) <
       math.floor(fraction * SplitBuckets).toLong)
+
+  /** Mixture sampling: keep each row iff its key's bucket falls under
+    * the ROW'S OWN rate (a column in [0,1] — per-domain/per-language
+    * mixture weight, a quality score, a curriculum temperature).
+    * Deterministic like sampleByHash, and rates nest: raising a rate
+    * only ever ADDS rows, so mixture re-tuning is incremental at
+    * 100 TB (reprocess nothing, append the delta).
+    */
+  def sampleByRate(df: DataFrame, keyCol: String,
+                   rateCol: Column): DataFrame =
+    df.filter(splitBucket(col(keyCol)) <
+      floor(rateCol * SplitBuckets).cast("long"))
 }

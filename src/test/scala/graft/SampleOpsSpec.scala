@@ -26,6 +26,21 @@ class SampleOpsSpec extends SparkSpec {
     assert(g.select("user_id", "split").distinct().count() === 10000L)
   }
 
+  test("sampleByRate: per-row rates, nesting when a rate is raised") {
+    val df = (0L until 4000L)
+      .map(k => (k, if (k % 2 == 0) "hi" else "lo")).toDF("k", "grp")
+    val rate = when(col("grp") === "hi", 0.9).otherwise(0.1)
+    val out = SampleOps.sampleByRate(df, "k", rate)
+    val counts = out.groupBy("grp").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(math.abs(counts("hi") - 1800L) < 150, counts)
+    assert(math.abs(counts("lo") - 200L) < 100, counts)
+    // raising lo's rate to 0.3 only ADDS rows (incremental retuning)
+    val raised = SampleOps.sampleByRate(df, "k",
+      when(col("grp") === "hi", 0.9).otherwise(0.3))
+    assert(out.except(raised).count() === 0)
+  }
+
   test("sampleByHash: approximate fraction and nested subsets") {
     val keys = (0L until 10000L).toDF("k")
     val s10 = SampleOps.sampleByHash(keys, "k", 0.10)
