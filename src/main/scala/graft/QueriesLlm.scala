@@ -539,6 +539,38 @@ object QueriesLlm {
        |  shard * ${PackOps.PackStride} + start_tok // 256 AS pack_id
        |FROM w""".stripMargin)
 
+  /** Eval decontamination sweep: test-split docs sharing rare 3-gram
+    * shingles with train-split docs (doc-frequency-pruned join, never
+    * all pairs).
+    */
+  private val decontaminateQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      DedupOps.contaminationPairs(split, "doc_id", "text", "split",
+        "train", "test", shingleN = 3, maxDf = 10)
+    },
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} AS b,
+       |    ${shSql(whSql("text"))} AS shs
+       |  FROM documents),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 8000 THEN 'train'
+       |         WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |    unnest(shs) AS sh
+       |  FROM s0),
+       |f AS (SELECT * FROM s WHERE split IN ('train', 'test')),
+       |df AS (SELECT sh FROM f GROUP BY sh HAVING count(*) <= 10),
+       |p AS (SELECT f.* FROM f JOIN df USING (sh))
+       |SELECT te.doc_id AS test_id, tr.doc_id AS train_id,
+       |  count(*) AS n_shared
+       |FROM p te JOIN p tr USING (sh)
+       |WHERE te.split = 'test' AND tr.split = 'train'
+       |GROUP BY 1, 2""".stripMargin)
+
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
       .select("doc_id", "fp_hash", "fp_hash2", "fp_min_shingle"),
@@ -898,6 +930,7 @@ object QueriesLlm {
     "hash_split" -> hashSplitQ,
     "mixture_sample" -> mixtureSampleQ,
     "pack_sequences" -> packSequencesQ,
+    "decontaminate" -> decontaminateQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)

@@ -129,6 +129,38 @@ object DedupOps {
       .select("id1", "id2", "n_inter", "n_union", "jaccard")
   }
 
+  /** Eval decontamination: (test_doc, train_doc) pairs that share
+    * n-gram shingles, with the shared-shingle count — the standard
+    * "is the eval set leaked into the training split" sweep.
+    *
+    * Scale shape: one shingle-hash equi-join, never all doc pairs.
+    * The skew control is DOCUMENT-FREQUENCY pruning: a shingle that
+    * appears in more than `maxDf` docs is boilerplate ("the of the")
+    * whose join blowup is quadratic in df and whose evidentiary value
+    * is nil, so it is dropped before the join — same discipline as
+    * the LSH maxBucket cap. Per-doc shingles are already distinct
+    * (TextOps.shingleHashes), so (doc, shingle) rows are unique and
+    * the pair count is a plain count.
+    */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+                         splitCol: String, trainLabel: String,
+                         testLabel: String, shingleN: Int = 3,
+                         maxDf: Long = 10): DataFrame = {
+    val sh = docs
+      .filter(col(splitCol).isin(trainLabel, testLabel))
+      .select(col(idCol), col(splitCol),
+        explode(shingleHashes(col(textCol), shingleN)).as("sh"))
+    val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDf)
+    val pruned = sh.join(rare.select("sh"), "sh")
+    val te = pruned.filter(col(splitCol) === testLabel)
+      .select(col("sh"), col(idCol).as("test_id"))
+    val tr = pruned.filter(col(splitCol) === trainLabel)
+      .select(col("sh"), col(idCol).as("train_id"))
+    te.join(tr, "sh").groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** MinHash-LSH near-dup end to end: candidates -> exact-Jaccard
     * verify -> pairs above threshold.
     */
