@@ -97,12 +97,12 @@ object QueriesLlm {
       s"list_min(list_transform(sh, s_ -> ($a * s_ + $b) % $M))"
     }.mkString("[", ", ", "]")
 
-  private val dedupMinhashQ = Q(
-    (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d), "doc_id", "text",
-        threshold = 0.5)
-      .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
-        qround(col("jaccard"), 6).as("jaccard")),
-    s"""WITH $dupCorpusSql,
+  /** Shared SQL chain: dup-injected corpus -> shingles -> minhash
+    * signatures -> LSH bands -> candidate pairs -> exact-Jaccard
+    * verification (mirrors DedupOps.minHashNearDup pre-threshold).
+    */
+  private def minhashVerSql =
+    s"""$dupCorpusSql,
        |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
        |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
        |bands AS (
@@ -117,11 +117,45 @@ object QueriesLlm {
        |    len(list_intersect(s1.sh, s2.sh)) AS n_inter,
        |    len(list_distinct(list_concat(s1.sh, s2.sh))) AS n_union
        |  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
-       |            JOIN sh s2 ON cand.id2 = s2.doc_id)
+       |            JOIN sh s2 ON cand.id2 = s2.doc_id)""".stripMargin
+
+  private val dedupMinhashQ = Q(
+    (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d), "doc_id", "text",
+        threshold = 0.5)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
+        qround(col("jaccard"), 6).as("jaccard")),
+    s"""WITH $minhashVerSql
        |SELECT id1, id2, n_inter, n_union,
        |  ${qrSql("CAST(n_inter AS DOUBLE) / n_union", 6)} AS jaccard
        |FROM ver
        |WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5""".stripMargin)
+
+  /** Duplicate-cluster assignment: LSH near-dup pairs -> connected
+    * components (iterative min-label propagation in Spark) -> one
+    * cluster id per document. The oracle computes the CONVERGED
+    * components independently with a recursive transitive-closure
+    * CTE, so the fixpoint itself is exact-checked, not just one
+    * iteration.
+    */
+  private val dedupClustersQ = Q(
+    (s, d) => DedupOps.dedupClusters(dupCorpus(s, d), "doc_id", "text",
+      threshold = 0.5),
+    s"""WITH RECURSIVE $minhashVerSql,
+       |pairs AS (
+       |  SELECT id1, id2 FROM ver
+       |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+       |e AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |      UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |        FROM reach GROUP BY a)
+       |SELECT c.doc_id,
+       |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+       |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
+       |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
   private val dedupSimhashQ = Q(
     (s, d) => Tables.documents(s, d)
@@ -931,6 +965,7 @@ object QueriesLlm {
     "mixture_sample" -> mixtureSampleQ,
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
+    "dedup_clusters" -> dedupClustersQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)

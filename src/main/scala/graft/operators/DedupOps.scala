@@ -161,6 +161,74 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Connected components over an undirected near-dup pair list:
+    * every document gets the smallest doc id reachable through the
+    * pair graph as its cluster id — the canonical "collapse duplicate
+    * clusters to one representative" step that follows LSH/SimHash
+    * pair generation.
+    *
+    * Algorithm: min-label propagation with pointer jumping. Each
+    * round a node takes the min of (its label, its neighbors' labels,
+    * the label of its label); the extra label-of-label hop compresses
+    * paths so convergence is O(log diameter) rounds, not O(diameter).
+    * Each round is two shuffles (one join + one hash aggregate) over
+    * the EDGE list — never all pairs of nodes. Convergence is
+    * detected by the strictly-decreasing sum of labels (one scalar
+    * action per round). `localCheckpoint` truncates the lineage each
+    * round; on a real cluster use `checkpoint` to HDFS so a lost
+    * executor replays one round, not the whole history. Near-dup
+    * clusters are shallow (all copies of one document), so rounds
+    * stay in single digits even at web scale.
+    */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+                          maxIter: Int = 20): DataFrame = {
+    val fwd = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+    val edges = fwd.union(fwd.select(col("dst").as("src"),
+        col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val propagated = labels.union(nbr)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val jumped = propagated
+        .join(propagated.toDF("lbl", "lbl2"), Seq("lbl"), "left")
+        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"),
+          col("lbl"))).as("lbl"))
+        .localCheckpoint()
+      val s = jumped.agg(sum("lbl")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = jumped
+      iter += 1
+    }
+    labels
+  }
+
+  /** Cluster assignment for a whole corpus: near-dup pairs at
+    * `threshold` -> connected components -> (doc, cluster_id, keep)
+    * where keep=1 marks the cluster representative (smallest id).
+    * Documents in no pair are their own singleton cluster.
+    */
+  def dedupClusters(df: DataFrame, idCol: String, textCol: String,
+                    threshold: Double): DataFrame = {
+    val pairs = minHashNearDup(df, idCol, textCol, threshold)
+    val cc = connectedComponents(pairs, "id1", "id2")
+      .withColumnRenamed("id", idCol)
+    df.select(idCol).join(cc, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("lbl"), col(idCol)).as("cluster_id"))
+      .withColumn("keep",
+        (col("cluster_id") === col(idCol)).cast("long"))
+  }
+
   /** MinHash-LSH near-dup end to end: candidates -> exact-Jaccard
     * verify -> pairs above threshold.
     */

@@ -49,6 +49,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(!out.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated never pairs
   }
 
+  test("connectedComponents labels a chain and keeps components apart") {
+    // chain 1-2-3-4 (diameter 3, exercises multi-round propagation)
+    // plus a separate pair 10-11; node 99 appears in no pair.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("id1", "id2")
+    val cc = DedupOps.connectedComponents(pairs, "id1", "id2")
+      .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("lbl")).toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dedupClusters assigns every doc and marks min-id representatives") {
+    val out = DedupOps.dedupClusters(docs, "doc_id", "text", threshold = 0.4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep"))).toMap
+    assert(out.keySet === Set(0L, 1L, 2L, 3L))
+    assert(out(0L) === (0L, 1L)) // representative
+    assert(out(3L) === (0L, 0L)) // exact dup joins 0's cluster
+    assert(out(2L) === (2L, 1L)) // singleton keeps itself
+    assert(out(1L)._1 === 0L)    // near dup clusters with 0 too
+  }
+
   test("jaccard of identical docs is 1, of disjoint docs is 0") {
     val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id1", "id2")
     val j = DedupOps.jaccardOnPairs(pairs, docs, "doc_id", "text")
