@@ -605,6 +605,45 @@ object QueriesLlm {
        |WHERE te.split = 'test' AND tr.split = 'train'
        |GROUP BY 1, 2""".stripMargin)
 
+  /** Unigram LM quality filter: counts trained on the train split,
+    * every doc scored by mean word logprob. The mean is an
+    * order-dependent float sum -> qround(6) in both engines.
+    */
+  private val lmScoreQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      TextOps.unigramLmScore(split, "doc_id", "text", "split", "train")
+        .select(col("doc_id"), col("n_words"),
+          qround(col("lm_logprob_mean"), 6).as("lm_logprob_mean"))
+    },
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} AS b,
+       |    text
+       |  FROM documents),
+       |docs AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 8000 THEN 'train'
+       |         WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |    text
+       |  FROM s0),
+       |w AS (SELECT doc_id, split, unnest(${whSql("text")}) AS wh FROM docs),
+       |counts AS (
+       |  SELECT wh, CAST(count(*) AS BIGINT) AS c
+       |  FROM w WHERE split = 'train' GROUP BY wh),
+       |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS vocab FROM counts),
+       |scored AS (
+       |  SELECT doc_id,
+       |    ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
+       |       CAST(total + vocab AS DOUBLE)) AS logp
+       |  FROM w LEFT JOIN counts USING (wh) CROSS JOIN tot)
+       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |  ${qrSql("sum(logp) / count(*)", 6)} AS lm_logprob_mean
+       |FROM scored GROUP BY doc_id""".stripMargin)
+
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
       .select("doc_id", "fp_hash", "fp_hash2", "fp_min_shingle"),
@@ -966,6 +1005,7 @@ object QueriesLlm {
     "pack_sequences" -> packSequencesQ,
     "decontaminate" -> decontaminateQ,
     "dedup_clusters" -> dedupClustersQ,
+    "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
     "multimodal_features" -> multimodalQ)

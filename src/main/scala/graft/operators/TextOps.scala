@@ -125,6 +125,35 @@ object TextOps {
           * (lit(1.0) - least(nPunct.cast("double") / nWords, lit(1.0))))
   }
 
+  /** Unigram language-model quality score (the CCNet-style LM filter):
+    * train add-one-smoothed unigram counts on the `trainLabel` rows of
+    * `splitCol`, then score EVERY document by its mean word logprob
+    * logp(w) = ln((c_w + 1) / (total + vocab)). Low scores flag
+    * gibberish / OOV-heavy documents for filtering.
+    *
+    * Scale shape: the count table is vocab-sized (millions of rows at
+    * web scale, built by one map-side-combined hash aggregate over the
+    * train split), and scoring is one equi-join on the word hash — AQE
+    * broadcasts it when it fits. The (total, vocab) scalars ride a
+    * broadcast cross join, never a driver collect.
+    */
+  def unigramLmScore(df: DataFrame, idCol: String, textCol: String,
+                     splitCol: String, trainLabel: String): DataFrame = {
+    val w = df.select(col(idCol), col(splitCol),
+      explode(wordHashes(col(textCol))).as("wh"))
+    val counts = w.filter(col(splitCol) === trainLabel)
+      .groupBy("wh").agg(count(lit(1)).as("c"))
+    val tot = counts.agg(sum("c").as("total"), count(lit(1)).as("vocab"))
+    w.join(counts, Seq("wh"), "left")
+      .crossJoin(broadcast(tot))
+      .withColumn("logp",
+        log((coalesce(col("c"), lit(0L)) + 1).cast("double") /
+          (col("total") + col("vocab")).cast("double")))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("n_words"),
+        (sum("logp") / count(lit(1))).as("lm_logprob_mean"))
+  }
+
   /** Document fingerprint: the full-text polynomial hash pair (the
     * 128-bit composite — a single ~2^30 hash false-merges at web
     * scale) plus a winnowed min-shingle fingerprint (smallest 3-word

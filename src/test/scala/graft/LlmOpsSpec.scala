@@ -71,6 +71,21 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(1L)._1 === 0L)    // near dup clusters with 0 too
   }
 
+  test("unigramLmScore: add-one smoothing, OOV docs score lower") {
+    // train = "a a b": counts a->2 b->1, total 3, vocab 2
+    val corpus = Seq((0L, "a a b", "train"), (1L, "a b", "test"),
+      (2L, "z z", "test")).toDF("doc_id", "text", "split")
+    val out = TextOps.unigramLmScore(corpus, "doc_id", "text",
+        "split", "train")
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_words"), r.getAs[Double]("lm_logprob_mean"))).toMap
+    assert(out(1L)._1 === 2L)
+    assert(math.abs(out(1L)._2 -
+      (math.log(3.0 / 5) + math.log(2.0 / 5)) / 2) < 1e-12)
+    assert(math.abs(out(2L)._2 - math.log(1.0 / 5)) < 1e-12)
+    assert(out(2L)._2 < out(1L)._2) // OOV-heavy doc flags lower
+  }
+
   test("jaccard of identical docs is 1, of disjoint docs is 0") {
     val pairs = Seq((0L, 3L), (0L, 2L)).toDF("id1", "id2")
     val j = DedupOps.jaccardOnPairs(pairs, docs, "doc_id", "text")
