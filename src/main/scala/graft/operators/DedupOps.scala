@@ -182,9 +182,12 @@ object DedupOps {
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
                           maxIter: Int = 20): DataFrame = {
-    val fwd = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-    val edges = fwd.union(fwd.select(col("dst").as("src"),
-        col("src").as("dst")))
+    // Materialize the pair source ONCE before symmetrizing: the union
+    // references it twice, and an unmaterialized source (e.g. the whole
+    // LSH pipeline) would execute twice inside the distinct.
+    val p = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
@@ -192,21 +195,21 @@ object DedupOps {
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // Two jobs per round: one checkpoint of the new labels (join +
+      // union + hash aggregate), one scalar sum for convergence.
       val nbr = edges
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .select(col("src").as("id"), col("lbl"))
-      val propagated = labels.union(nbr)
+      val lblOfLbl = labels
+        .join(labels.toDF("lbl", "lbl2"), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      val newLabels = labels.union(nbr).union(lblOfLbl)
         .groupBy("id").agg(min("lbl").as("lbl"))
         .localCheckpoint()
-      val jumped = propagated
-        .join(propagated.toDF("lbl", "lbl2"), Seq("lbl"), "left")
-        .select(col("id"), least(col("lbl"), coalesce(col("lbl2"),
-          col("lbl"))).as("lbl"))
-        .localCheckpoint()
-      val s = jumped.agg(sum("lbl")).head.getLong(0)
+      val s = newLabels.agg(sum("lbl")).head.getLong(0)
       converged = s == prevSum
       prevSum = s
-      labels = jumped
+      labels = newLabels
       iter += 1
     }
     labels
