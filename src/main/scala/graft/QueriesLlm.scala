@@ -157,18 +157,23 @@ object QueriesLlm {
        |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
        |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
+  /** Mirrors DedupOps.simHashFn: bit b votes on the parity of the
+    * (minHashA(b), minHashB(b)) affine transform of each word hash.
+    */
+  private def simhashBitTermsSql(nbits: Int): String =
+    (0 until nbits).map { b =>
+      val a = DedupOps.minHashA(b); val c = DedupOps.minHashB(b)
+      s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
+        s"CASE WHEN (($a * h_ + $c) % $M) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
+        s"THEN ${1L << b} ELSE 0 END"
+    }.mkString(" + ")
+
   private val dedupSimhashQ = Q(
     (s, d) => Tables.documents(s, d)
       .select(col("doc_id"), DedupOps.simHash(col("text"), 16).as("simhash")),
-    {
-      val bitTerms = (0 until 16).map { b =>
-        s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
-          s"CASE WHEN (h_ >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
-          s"THEN ${1L << b} ELSE 0 END"
-      }.mkString(" + ")
-      s"""WITH w AS (SELECT doc_id, ${whSql("text")} AS wh FROM documents)
-         |SELECT doc_id, CAST($bitTerms AS BIGINT) AS simhash FROM w""".stripMargin
-    })
+    s"""WITH w AS (SELECT doc_id, ${whSql("text")} AS wh FROM documents)
+       |SELECT doc_id, CAST(${simhashBitTermsSql(16)} AS BIGINT) AS simhash
+       |FROM w""".stripMargin)
 
   /** Banded simhash near-dup pairs over the mutated corpus — integer
     * signatures, band extraction, xor popcount: everything exact.
@@ -177,14 +182,10 @@ object QueriesLlm {
     (s, d) => DedupOps.simHashNearDup(dupCorpus(s, d), "doc_id", "text",
       nbits = 48, bands = 4, maxDist = 3),
     {
-      val bitTerms = (0 until 48).map { b =>
-        s"CASE WHEN list_sum(list_transform(wh, h_ -> " +
-          s"CASE WHEN (h_ >> $b) & 1 = 1 THEN 1 ELSE -1 END)) > 0 " +
-          s"THEN ${1L << b} ELSE 0 END"
-      }.mkString(" + ")
       s"""WITH $dupCorpusSql,
          |w AS (SELECT doc_id, ${whSql("text")} AS wh FROM corpus),
-         |sig AS (SELECT doc_id, CAST($bitTerms AS BIGINT) AS sig FROM w),
+         |sig AS (SELECT doc_id,
+         |  CAST(${simhashBitTermsSql(48)} AS BIGINT) AS sig FROM w),
          |banded AS (
          |  SELECT doc_id, sig, b.b AS band, (sig >> (b.b * 12)) & 4095 AS band_val
          |  FROM sig CROSS JOIN generate_series(0, 3) b(b)),

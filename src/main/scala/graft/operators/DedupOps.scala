@@ -253,10 +253,16 @@ object DedupOps {
     var out = 0L
     var b = 0
     while (b < nbits) {
+      // Bit b votes on the PARITY of an independent affine transform of
+      // the word hash, not on bit b of the hash itself: the word hash is
+      // only ~30 bits wide, so raw bits >= 30 are constant zero and every
+      // document would collide in the high bands (measured: one 12-bit
+      // band bucket holding the entire corpus -> 25M candidate pairs).
+      val a = minHashA(b); val c = minHashB(b)
       var vote = 0L
       var i = 0
       while (i < wh.length) {
-        vote += (if (((wh(i) >> b) & 1L) == 1L) 1L else -1L)
+        vote += (if (((a * wh(i) + c) % HashMod & 1L) == 1L) 1L else -1L)
         i += 1
       }
       if (vote > 0) out += (1L << b)
@@ -301,13 +307,16 @@ object DedupOps {
           shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
             .as("band_val"))): _*)).as("bv"))
       .select(col(idCol), col("sig"), col("bv.band"), col("bv.band_val"))
-    val a = banded.select(col(idCol).as("id1"), col("sig").as("sig1"),
-      col("band"), col("band_val"))
-    val b = banded.select(col(idCol).as("id2"), col("sig").as("sig2"),
-      col("band"), col("band_val"))
-    a.join(b, Seq("band", "band_val"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2", "sig1", "sig2").distinct()
+    // Identical subplans on both join sides (aliases applied ABOVE the
+    // join, not below): the band-key exchange is planned once and
+    // reused, so the signature UDF runs a single pass over the corpus.
+    banded.as("a").join(banded.as("b"),
+        col("a.band") === col("b.band") &&
+          col("a.band_val") === col("b.band_val") &&
+          col(s"a.$idCol") < col(s"b.$idCol"))
+      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
+        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+      .distinct()
       .withColumn("hamming", hammingDist(col("sig1"), col("sig2")))
       .where(col("hamming") <= maxDist)
       .select("id1", "id2", "hamming")
