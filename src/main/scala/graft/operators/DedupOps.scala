@@ -152,12 +152,21 @@ object DedupOps {
         explode(shingleHashes(col(textCol), shingleN)).as("sh"))
     val rare = sh.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf)
+    // The df prune runs BEFORE any per-shingle collect, so the list
+    // aggregate below is bounded by maxDf — no boilerplate-shingle
+    // straggler. The join probe's exchange on sh is identical to the
+    // df aggregate's input exchange (reused, one pass over the
+    // shingles), and the post-join groupBy(sh) needs no new shuffle:
+    // the join output is already hash-partitioned by sh.
     val pruned = sh.join(rare.select("sh"), "sh")
-    val te = pruned.filter(col(splitCol) === testLabel)
-      .select(col("sh"), col(idCol).as("test_id"))
-    val tr = pruned.filter(col(splitCol) === trainLabel)
-      .select(col("sh"), col(idCol).as("train_id"))
-    te.join(tr, "sh").groupBy("test_id", "train_id")
+    pruned.groupBy("sh").agg(
+        collect_list(when(col(splitCol) === testLabel, col(idCol)))
+          .as("te_ids"),
+        collect_list(when(col(splitCol) === trainLabel, col(idCol)))
+          .as("tr_ids"))
+      .select(explode(col("te_ids")).as("test_id"), col("tr_ids"))
+      .select(col("test_id"), explode(col("tr_ids")).as("train_id"))
+      .groupBy("test_id", "train_id")
       .agg(count(lit(1)).as("n_shared"))
   }
 
