@@ -992,6 +992,30 @@ object Queries {
       |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
       |FROM sids GROUP BY 1, 2""".stripMargin)
 
+  /** Trailing 1-hour rolling count/sum per user over event time (RANGE
+    * frame on integer nanos — frame membership exact in both engines;
+    * the in-frame float sum is order-dependent, hence qround).
+    */
+  private val rollingValueQ = Q(
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d)
+        .withColumn("tsn", expr("ts div 1000 * 1000"))
+        .select("event_id", "user_id", "tsn", "value")
+      operators.StatsOps.rollingByTime(ev, Seq("user_id"), "tsn",
+          "value", windowNs = 3600L * 1000 * 1000 * 1000)
+        .select(col("event_id"), col("user_id"), col("tsn"),
+          col("n_window"), qround(col("sum_window"), 6).as("sum_window"))
+    },
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, value FROM events)
+      |SELECT event_id, user_id, tsn,
+      |  count(*) OVER w AS n_window,
+      |  floor(sum(value) OVER w * 1000000.0 + 0.5) / 1000000.0 AS sum_window
+      |FROM e
+      |WINDOW w AS (PARTITION BY user_id ORDER BY tsn
+      |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -1036,6 +1060,7 @@ object Queries {
     "derive_weight" -> deriveWeightQ,
     "events_window" -> eventsWindowQ,
     "sessionize" -> sessionizeQ,
+    "rolling_value" -> rollingValueQ,
     "asof_join" -> asofJoinQ,
     "range_join" -> rangeJoinQ,
     "distinct_sketch" -> distinctSketchQ) ++

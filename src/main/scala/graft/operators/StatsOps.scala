@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** Statistics / moments operators (SURVEY.md §2.4).
@@ -184,5 +185,23 @@ object StatsOps {
     val groupCols = (strides.keys.toSeq ++ keys).map(col)
     val aggs = values.map(v => max(col(v)).as(v))
     df.where(kept).groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Trailing time-range rolling aggregate: per key, count and sum of
+    * `valueCol` over the RANGE frame [t - windowNs, t] on an integer
+    * nanosecond time column. One shuffle on the key; within a key the
+    * frame slides over time-sorted rows (Spark's sliding frame keeps a
+    * running buffer — no per-row rescan of the window). Frame
+    * membership is an integer comparison, so the row set is exact; the
+    * float sum inside the frame is order-dependent (quantize
+    * downstream). A key with pathologically many rows is the skew unit
+    * — at 100 TB, pre-split hot keys by coarse time bucket and merge.
+    */
+  def rollingByTime(df: DataFrame, keyCols: Seq[String], tsNanosCol: String,
+                    valueCol: String, windowNs: Long): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(tsNanosCol)).rangeBetween(-windowNs, 0L)
+    df.withColumn("n_window", count(lit(1)).over(w))
+      .withColumn("sum_window", sum(col(valueCol)).over(w))
   }
 }

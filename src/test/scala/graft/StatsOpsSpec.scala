@@ -46,4 +46,19 @@ class StatsOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("mom_max") === 6.0 && r.getAs[Double]("mom_min") === 1.0)
     assert(r.getAs[Int]("mom_max_coord") === 2 && r.getAs[Int]("mom_min_coord") === 0)
   }
+
+  test("rollingByTime: trailing range frame includes boundary, drops old") {
+    // user 1 at t = 0, 5, 10, 16 with window 10: frames {0},{0,5},
+    // {0,5,10} (boundary inclusive), {10,16} (5 just outside)
+    val df = Seq((1L, 0L, 1.0), (1L, 5L, 2.0), (1L, 10L, 4.0),
+      (1L, 16L, 8.0), (2L, 7L, 16.0)).toDF("u", "tsn", "v")
+    val out = StatsOps.rollingByTime(df, Seq("u"), "tsn", "v", windowNs = 10L)
+      .collect().map(r => (r.getAs[Long]("u"), r.getAs[Long]("tsn")) ->
+        (r.getAs[Long]("n_window"), r.getAs[Double]("sum_window"))).toMap
+    assert(out((1L, 0L)) === (1L, 1.0))
+    assert(out((1L, 5L)) === (2L, 3.0))
+    assert(out((1L, 10L)) === (3L, 7.0))
+    assert(out((1L, 16L)) === (2L, 12.0))
+    assert(out((2L, 7L)) === (1L, 16.0)) // keys never mix
+  }
 }
