@@ -1016,6 +1016,35 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY tsn
       |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin)
 
+  /** Top-3 events per user by value (deterministic event_id
+    * tie-break) — the rank-truncation window shape.
+    */
+  private val topPerGroupQ = Q(
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d).select("event_id", "user_id", "value")
+      operators.StatsOps.topKPerGroup(ev, Seq("user_id"), "value",
+        Seq("event_id"), k = 3)
+    },
+    """SELECT event_id, user_id, value, rk FROM (
+      |  SELECT event_id, user_id, value,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id) AS rk
+      |  FROM events) WHERE rk <= 3""".stripMargin)
+
+  /** Exact per-group lower median of l_quantity by return flag —
+    * a discrete rank pick, engine-exact with no float averaging.
+    */
+  private val groupMedianQ = Q(
+    (s, d) => operators.StatsOps.groupMedian(Tables.lineitem(s, d),
+      Seq("l_returnflag"), "l_quantity", Seq("l_orderkey", "l_linenumber")),
+    """SELECT l_returnflag, l_quantity AS median, n_group FROM (
+      |  SELECT l_returnflag, l_quantity,
+      |    row_number() OVER (PARTITION BY l_returnflag
+      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS n_group
+      |  FROM lineitem) WHERE rk = CAST(ceil(n_group / 2.0) AS BIGINT)""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -1061,6 +1090,8 @@ object Queries {
     "events_window" -> eventsWindowQ,
     "sessionize" -> sessionizeQ,
     "rolling_value" -> rollingValueQ,
+    "top_per_group" -> topPerGroupQ,
+    "group_median" -> groupMedianQ,
     "asof_join" -> asofJoinQ,
     "range_join" -> rangeJoinQ,
     "distinct_sketch" -> distinctSketchQ) ++

@@ -187,6 +187,36 @@ object StatsOps {
     df.where(kept).groupBy(groupCols: _*).agg(aggs.head, aggs.tail: _*)
   }
 
+  /** Top-k rows per group by `orderCol` descending, ties broken by
+    * `tieCols` ascending so the selection is deterministic in any
+    * engine. One shuffle on the group key; rank truncation happens
+    * inside the window sort, so only k rows per group survive the
+    * operator — the classic "top products per user" shape.
+    */
+  def topKPerGroup(df: DataFrame, keyCols: Seq[String], orderCol: String,
+                   tieCols: Seq[String], k: Int): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(orderCol).desc +: tieCols.map(col(_).asc): _*)
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
+  }
+
+  /** Exact per-group lower median by rank selection: the ceil(n/2)-th
+    * row ordered by (value, tieCols) — a DISCRETE pick of an existing
+    * row, so it is engine-exact with no float averaging. Same shuffle
+    * shape as topKPerGroup.
+    */
+  def groupMedian(df: DataFrame, keyCols: Seq[String], valueCol: String,
+                  tieCols: Seq[String]): DataFrame = {
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valueCol).asc +: tieCols.map(col(_).asc): _*)
+    val wAll = Window.partitionBy(keyCols.map(col): _*)
+    df.withColumn("rk", row_number().over(w))
+      .withColumn("n_group", count(lit(1)).over(wAll))
+      .where(col("rk") === ceil(col("n_group") / lit(2.0)).cast("long"))
+      .select((keyCols.map(col) :+ col(valueCol).as("median") :+
+        col("n_group")): _*)
+  }
+
   /** Trailing time-range rolling aggregate: per key, count and sum of
     * `valueCol` over the RANGE frame [t - windowNs, t] on an integer
     * nanosecond time column. One shuffle on the key; within a key the
