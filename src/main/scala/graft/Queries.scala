@@ -1016,6 +1016,23 @@ object Queries {
       |WINDOW w AS (PARTITION BY user_id ORDER BY tsn
       |  RANGE BETWEEN 3600000000000 PRECEDING AND CURRENT ROW)""".stripMargin)
 
+  /** Stream-static enrichment: orders enriched with customer
+    * attributes through the broadcast dimension join (stateless under
+    * Structured Streaming; the MemoryStream twin is in
+    * StreamingOpsSpec).
+    */
+  private val streamEnrichQ = Q(
+    (s, d) => streaming.StreamingOps.enrich(
+        Tables.orders(s, d).select(col("o_orderkey"),
+          col("o_custkey").as("c_custkey"), col("o_totalprice")),
+        Tables.customer(s, d), keys = Seq("c_custkey"),
+        dimCols = Seq("c_nationkey", "c_mktsegment"))
+      .select("o_orderkey", "c_custkey", "o_totalprice",
+        "c_nationkey", "c_mktsegment"),
+    """SELECT o_orderkey, o_custkey AS c_custkey, o_totalprice,
+      |  c_nationkey, c_mktsegment
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)
+
   /** Top-3 events per user by value (deterministic event_id
     * tie-break) — the rank-truncation window shape.
     */
@@ -1091,6 +1108,7 @@ object Queries {
     "sessionize" -> sessionizeQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
+    "stream_enrich" -> streamEnrichQ,
     "group_median" -> groupMedianQ,
     "asof_join" -> asofJoinQ,
     "range_join" -> rangeJoinQ,

@@ -127,6 +127,19 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_events"), sum(col(valueCol)).as("value_sum"))
   }
 
+  /** Stream-static enrichment: join each event against a static (or
+    * slowly-refreshed) dimension snapshot. Works on BOTH batch and
+    * streaming fact frames — under Structured Streaming a stream-static
+    * equi-join is stateless (each micro-batch probes the dimension,
+    * nothing is buffered), and the broadcast hint keeps the probe
+    * shuffle-free when the dimension fits; at 100 TB/day this is the
+    * enrich-on-ingest shape, with the dimension re-broadcast per batch.
+    */
+  def enrich(facts: DataFrame, dim: DataFrame, keys: Seq[String],
+             dimCols: Seq[String]): DataFrame =
+    facts.join(broadcast(dim.select((keys ++ dimCols).map(col): _*)),
+      keys, "left")
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

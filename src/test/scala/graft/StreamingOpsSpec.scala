@@ -130,4 +130,22 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(0).getAs[Double]("value_sum") === 3.0)
     assert(rows(1).getAs[Double]("value_sum") === 4.0)
   }
+
+  test("enrich joins a stream against a static dimension statelessly") {
+    implicit val sqlCtx = spark.sqlContext
+    val dim = Seq((1L, "gold"), (2L, "base")).toDF("k", "tier")
+    val input = MemoryStream[(Long, Long)]
+    val facts = input.toDF().toDF("id", "k")
+    val out = StreamingOps.enrich(facts, dim, Seq("k"), Seq("tier"))
+    val q = out.writeStream.format("memory").queryName("enrich_t")
+      .outputMode("append").start()
+    input.addData((10L, 1L), (11L, 3L))
+    q.processAllAvailable()
+    input.addData((12L, 2L))
+    q.processAllAvailable()
+    val rows = spark.table("enrich_t").orderBy("id").collect()
+    q.stop()
+    assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("tier")))
+      .toSeq === Seq((10L, "gold"), (11L, null), (12L, "base")))
+  }
 }
