@@ -163,6 +163,47 @@ object QueriesImaging {
        |  floor(sum(conv * gim) * 1000000.0 + 0.5) / 1000000.0 AS grid_im
        |FROM taps GROUP BY 1, 2, 3, 4""".stripMargin)
 
+  /** Kernel degrid (beyond-parity — the reference's predict_modelvis
+    * is a stub): grid the fixture, then sample the grid back at every
+    * fixture (u, v) through the same PSWF taps. The oracle rebuilds
+    * the UNROUNDED grid and replays the tap sampling; the qround
+    * absorbs the cross-engine cell-sum order.
+    */
+  private val degridVisQ = Q(
+    (s, d) => {
+      val fx = visFixture(s, d)
+      val (grid, _) = GridOps.makeGrid(s, fx, P)
+      GridOps.degridVis(fx, grid, P, Seq("l_orderkey", "l_linenumber"))
+        .select(col("img_chan"), col("pol"),
+          col("l_orderkey"), col("l_linenumber"),
+          qround(col("model_re"), 6).as("model_re"),
+          qround(col("model_im"), 6).as("model_im"))
+    },
+    s"""WITH ${gridCtes(doPsf = false)},
+       |grid AS (SELECT pol, u_idx, v_idx,
+       |    sum(conv * gre) AS gr, sum(conv * gim) AS gi
+       |  FROM taps GROUP BY 1, 2, 3),
+       |dfrac AS (SELECT *,
+       |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+       |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac
+       |  FROM idx),
+       |dtaps AS (SELECT l_orderkey, l_linenumber, pol,
+       |    uc + du AS u_idx, vc + dv AS v_idx,
+       |    cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv
+       |  FROM dfrac
+       |  CROSS JOIN generate_series(-3, 3) tu(du)
+       |  CROSS JOIN generate_series(-3, 3) tv(dv)
+       |  CROSS JOIN cgk),
+       |j AS (SELECT d.l_orderkey, d.l_linenumber, d.pol, d.conv,
+       |    coalesce(g.gr, 0.0) AS gr, coalesce(g.gi, 0.0) AS gi
+       |  FROM dtaps d LEFT JOIN grid g USING (pol, u_idx, v_idx))
+       |SELECT 0 AS img_chan, pol, l_orderkey, l_linenumber,
+       |  floor(sum(conv * gr) / sum(conv) * 1000000.0 + 0.5) / 1000000.0
+       |    AS model_re,
+       |  floor(sum(conv * gi) / sum(conv) * 1000000.0 + 0.5) / 1000000.0
+       |    AS model_im
+       |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
+
   private val makePsfGridQ = Q(
     (s, d) => {
       val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P, doPsf = true)
@@ -380,6 +421,7 @@ object QueriesImaging {
   val all: Map[String, Q] = Map(
     "calc_image_cell_size" -> calcCellSizeQ,
     "make_grid" -> makeGridQ,
+    "degrid_vis" -> degridVisQ,
     "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,
     "make_psf_grid" -> makePsfGridQ,

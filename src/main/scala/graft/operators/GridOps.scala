@@ -219,6 +219,76 @@ object GridOps {
     (grid, sumW)
   }
 
+  /** Kernel-based degrid — predict a model visibility at each (u, v)
+    * point by sampling the uv grid through the SAME prolate-spheroidal
+    * taps the gridder scatters with, normalized by the tap sum. The
+    * reference leaves model-vis prediction unimplemented
+    * (ngcasa/imaging/predict_modelvis_image.py — a NotImplementedError
+    * stub whose comments sketch exactly this _degrid step); its only
+    * shipped degrid is the nearest-cell imaging-weight sampler
+    * (_standard_grid.py:467-520), so this operator goes beyond parity
+    * using the gridder's own kernel machinery (geometry and cgk table
+    * shared verbatim with gridPartition).
+    *
+    * Relational shape, not a scatter kernel: each visibility explodes
+    * into its support x support taps (one compiled UDF call per row),
+    * the taps equi-join the grid cells — the grid is the SMALL side
+    * (n_u x n_v x chan x pol cells) and is broadcast, so the probe is
+    * shuffle-free — and one hash aggregate per row key re-assembles
+    * the weighted sample. At 100 TB the vis side streams through
+    * map-side joins; nothing is ever collected.
+    */
+  def degridVis(vis: DataFrame, grid: DataFrame, p: GridParams,
+                rowKeys: Seq[String]): DataFrame = {
+    val cgk = cgk1D(p.oversampling, p.support)
+    val sc = p.support / 2
+    val os = p.oversampling
+    val support = p.support
+    val tapsUdf = udf((ufrac: Int, vfrac: Int) => {
+      val out = collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
+      var dv = -sc
+      while (dv < support - sc) {
+        val cv = cgk(math.abs(os * dv + vfrac))
+        var du = -sc
+        while (du < support - sc) {
+          out += ((du, dv, cgk(math.abs(os * du + ufrac)) * cv))
+          du += 1
+        }
+        dv += 1
+      }
+      out.toSeq
+    })
+    val (nU, nV) = (p.nU, p.nV)
+    val uScale = col("freq") * lit(-p.deltaLM._1 * nU / SpeedOfLight)
+    val vScale = col("freq") * lit(-p.deltaLM._2 * nV / SpeedOfLight)
+    val geo = vis
+      .withColumn("u_pos", col("u") * uScale + lit(nU / 2))
+      .withColumn("v_pos", col("v") * vScale + lit(nV / 2))
+      .withColumn("uc", floor(col("u_pos") + 0.5).cast("int"))
+      .withColumn("vc", floor(col("v_pos") + 0.5).cast("int"))
+      .where(col("uc") + sc < nU && col("vc") + sc < nV &&
+        col("uc") - sc >= 0 && col("vc") - sc >= 0)
+      .withColumn("ufrac",
+        floor((col("uc") - col("u_pos")) * os + 0.5).cast("int"))
+      .withColumn("vfrac",
+        floor((col("vc") - col("v_pos")) * os + 0.5).cast("int"))
+    val taps = geo
+      .withColumn("tap", explode(tapsUdf(col("ufrac"), col("vfrac"))))
+      .withColumn("u_idx", col("uc") + col("tap._1"))
+      .withColumn("v_idx", col("vc") + col("tap._2"))
+      .withColumn("conv", col("tap._3"))
+    val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
+    taps.join(broadcast(grid), Seq("img_chan", "pol", "u_idx", "v_idx"),
+        "left")
+      .groupBy(keyCols: _*)
+      .agg(sum(col("conv") * coalesce(col("grid_re"), lit(0.0)))
+          .as("acc_re"),
+        sum(col("conv") * coalesce(col("grid_im"), lit(0.0))).as("acc_im"),
+        sum(col("conv")).as("norm"))
+      .select((keyCols :+ (col("acc_re") / col("norm")).as("model_re") :+
+        (col("acc_im") / col("norm")).as("model_im")): _*)
+  }
+
   /** ifftshift -> unnormalized inverse FFT -> fftshift -> crop ->
     * divide by sum_weight and the PSWF correcting image: one uv plane
     * (interleaved [re,im]) to cropped image pixels.

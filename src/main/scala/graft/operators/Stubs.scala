@@ -30,6 +30,10 @@ object Stubs {
   // imaging / calibration / deconvolution stubs
   def predictModelvisComponent(df: DataFrame): DataFrame =
     ni("predict_modelvis_component", "ngcasa/imaging/predict_modelvis_component.py")
+  /** Kept for API parity; the _degrid core the reference's stub
+    * sketches IS implemented here — see GridOps.degridVis (the
+    * `degrid_vis` contract query).
+    */
   def predictModelvisImage(df: DataFrame): DataFrame =
     ni("predict_modelvis_image", "ngcasa/imaging/predict_modelvis_image.py")
   def makeSdImage(df: DataFrame): DataFrame = ni("make_sd_image", "ngcasa/imaging/make_sd_image.py")

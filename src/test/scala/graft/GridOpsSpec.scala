@@ -136,6 +136,37 @@ class GridOpsSpec extends SparkSpec {
     assert(diff(psf, GridOps.makePsf(spark, vis, p32)) === 0L)
   }
 
+  test("degridVis of a constant grid returns the constant at any uv") {
+    // sum(conv * c) / sum(conv) = c exactly, independent of position
+    val cells = for (u <- 0 until 32; v <- 0 until 32)
+      yield (0, 0, u, v, 2.5, -1.25)
+    val grid = cells.toDF("img_chan", "pol", "u_idx", "v_idx",
+      "grid_re", "grid_im")
+    val vis = pointSourceVis(1.0).withColumn("rid",
+      monotonically_increasing_id())
+    val out = GridOps.degridVis(vis, grid, p32, Seq("rid")).collect()
+    assert(out.length === vis.count())
+    out.foreach { r =>
+      assert(approx(r.getAs[Double]("model_re"), 2.5, 1e-12))
+      assert(approx(r.getAs[Double]("model_im"), -1.25, 1e-12))
+    }
+  }
+
+  test("degridVis at a gridded point reproduces the kernel-smoothed sample") {
+    // one unit visibility at the phase center; degrid at the same spot:
+    // model = sum(conv^2)/sum(conv) of the center taps — positive and
+    // bounded by the peak cell value
+    val vis = Seq((0, 0, 0.0, 0.0, 1.0, 0.0, 1.0, 1.5e9))
+      .toDF("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+      .withColumn("rid", lit(1L))
+    val (grid, _) = GridOps.makeGrid(spark, vis, p32)
+    val m = GridOps.degridVis(vis, grid, p32, Seq("rid")).head()
+    val peak = grid.agg(max(col("grid_re"))).head().getDouble(0)
+    assert(m.getAs[Double]("model_re") > 0.0)
+    assert(m.getAs[Double]("model_re") <= peak + 1e-12)
+    assert(approx(m.getAs[Double]("model_im"), 0.0, 1e-12))
+  }
+
   test("imaging weights: natural is identity; briggs between natural and uniform") {
     val vis = pointSourceVis(1.0)
     val nat = GridOps.makeImagingWeight(vis, p32, "natural")
