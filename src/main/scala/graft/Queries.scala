@@ -91,6 +91,49 @@ object Queries {
       |  (l_returnflag = 'R' AND NOT (l_discount BETWEEN 0.0 AND 0.03)) AS flag
       |FROM lineitem""".stripMargin)
 
+  /** quack (the reference stubs it): flag rows within 30 days of their
+    * scan's first or last timestamp; scan key = l_orderkey, time =
+    * epoch days (integer — window min/max and comparisons exact).
+    */
+  private val quackFlagQ = Q(
+    (s, d) => FlagOps.quack(
+        li(s, d).withColumn("tday", unix_date(col("l_shipdate").cast("date")).cast("long")),
+        "flag", Seq("l_orderkey"), "tday", widthNs = 30L, mode = "both")
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R'
+      |   OR CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |      < min(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+      |        OVER (PARTITION BY l_orderkey) + 30
+      |   OR CAST(l_shipdate AS DATE) - DATE '1970-01-01'
+      |      > max(CAST(l_shipdate AS DATE) - DATE '1970-01-01')
+      |        OVER (PARTITION BY l_orderkey) - 30) AS flag
+      |FROM lineitem""".stripMargin)
+
+  /** extend (the reference stubs it): grow flags across the channel
+    * axis — a cell is flagged when more than half of its 3-chan
+    * neighborhood is flagged. Cells deduped to one per (key, chan)
+    * first so the ROWS frame is deterministic.
+    */
+  private val extendFlagQ = Q(
+    (s, d) => {
+      val cells = li(s, d).groupBy("l_orderkey", "chan")
+        .agg(expr("bool_or(flag)").as("flag"))
+      FlagOps.extendFlags(cells, "flag", Seq("l_orderkey"), "chan",
+          k = 1, threshold = 0.5)
+        .select("l_orderkey", "chan", "flag")
+    },
+    """WITH cells AS (
+      |  SELECT l_orderkey, l_linenumber - 1 AS chan,
+      |    bool_or(l_returnflag = 'R') AS flag
+      |  FROM lineitem GROUP BY 1, 2)
+      |SELECT l_orderkey, chan,
+      |  (flag OR sum(CASE WHEN flag THEN 1.0 ELSE 0.0 END) OVER w
+      |           / count(*) OVER w > 0.5) AS flag
+      |FROM cells
+      |WINDOW w AS (PARTITION BY l_orderkey ORDER BY chan
+      |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
+
   private val flagSummaryQ = Q(
     (s, d) => FlagOps.summary(li(s, d), col("flag"),
       Seq("l_returnflag", "l_linestatus")),
@@ -1069,6 +1112,8 @@ object Queries {
     "auto_clip" -> autoClipQ,
     "manual_flag" -> manualFlagQ,
     "manual_unflag" -> manualUnflagQ,
+    "quack_flag" -> quackFlagQ,
+    "extend_flag" -> extendFlagQ,
     "flag_summary" -> flagSummaryQ,
     "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,

@@ -93,6 +93,45 @@ object FlagOps {
         count(lit(1)).as("total"))
   }
 
+  /** quack (beyond-parity — ngcasa/flagging/quack.py is a
+    * NotImplementedError stub whose docstring specifies "flag the
+    * beginning and/or end of scans for slewing delays"): FLAG |= row
+    * within `widthNs` of its scan's first (mode "beg"), last ("end"),
+    * or either ("both") timestamp. One window min/max over the scan
+    * key — a single shuffle, no self-join.
+    */
+  def quack(df: DataFrame, flagCol: String, scanCols: Seq[String],
+            tsNanosCol: String, widthNs: Long,
+            mode: String = "beg"): DataFrame = {
+    require(Seq("beg", "end", "both").contains(mode), s"bad mode $mode")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(scanCols.map(col): _*)
+    val beg = col(tsNanosCol) < min(col(tsNanosCol)).over(w) + widthNs
+    val end = col(tsNanosCol) > max(col(tsNanosCol)).over(w) - widthNs
+    val hit = mode match {
+      case "beg" => beg; case "end" => end; case _ => beg || end
+    }
+    df.withColumn(flagCol, coalesce(col(flagCol), lit(false)) || hit)
+  }
+
+  /** extend (beyond-parity — ngcasa/flagging/extend.py is a stub):
+    * grow flags along the channel axis — FLAG |= more than
+    * `threshold` of the 2k+1 channels centered on this one (same
+    * group) are already flagged. The classic "bridge narrow RFI
+    * gaps" pass as one ROWS-frame window over chan order, no
+    * self-join.
+    */
+  def extendFlags(df: DataFrame, flagCol: String, keyCols: Seq[String],
+                  chanCol: String, k: Int, threshold: Double): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(keyCols.map(col): _*)
+      .orderBy(col(chanCol)).rowsBetween(-k, k)
+    val frac = sum(when(coalesce(col(flagCol), lit(false)), 1.0)
+      .otherwise(0.0)).over(w) / count(lit(1)).over(w)
+    df.withColumn(flagCol,
+      coalesce(col(flagCol), lit(false)) || frac > threshold)
+  }
+
   /** Per-antenna flag counts, reference-faithful: every baseline row is
     * counted under BOTH its antennas (ngcasa/flagging/summary.py:
     * antenna breakdown counts ant1 and ant2 legs) — an explode over

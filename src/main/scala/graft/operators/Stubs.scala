@@ -23,6 +23,10 @@ object Stubs {
   def autoTfcrop(df: DataFrame): DataFrame = ni("auto_tfcrop", "ngcasa/flagging/auto_tfcrop.py")
   def autoUvbin(df: DataFrame): DataFrame = ni("auto_uvbin", "ngcasa/flagging/auto_uvbin.py:44")
   def elevation(df: DataFrame): DataFrame = ni("elevation", "ngcasa/flagging/elevation.py:40")
+  /** Kept for API parity; real implementations of the stubbed
+    * semantics exist — FlagOps.extendFlags / FlagOps.quack (the
+    * `extend_flag` / `quack_flag` contract queries).
+    */
   def extendFlags(df: DataFrame): DataFrame = ni("extend", "ngcasa/flagging/extend.py")
   def quack(df: DataFrame): DataFrame = ni("quack", "ngcasa/flagging/quack.py")
   def shadow(df: DataFrame): DataFrame = ni("shadow", "ngcasa/flagging/shadow.py:53")

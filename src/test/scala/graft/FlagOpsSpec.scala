@@ -68,4 +68,30 @@ class FlagOpsSpec extends SparkSpec {
     val grand = out.where(col("time").isNull).head()
     assert(grand.getAs[Long]("flagged") === 2L && grand.getAs[Long]("total") === 4L)
   }
+
+  test("quack flags scan edges in the requested mode") {
+    val scan = Seq((1, 0L, false), (1, 5L, false), (1, 50L, false),
+      (1, 97L, false), (2, 10L, false))
+      .toDF("scan", "t", "flag")
+    def flagged(mode: String) =
+      FlagOps.quack(scan, "flag", Seq("scan"), "t", widthNs = 10L, mode)
+        .where(col("flag")).select("scan", "t").collect()
+        .map(r => (r.getInt(0), r.getLong(1))).toSet
+    // beg: within (min, min+10) exclusive of rows at >= min+10
+    assert(flagged("beg") === Set((1, 0L), (1, 5L), (2, 10L)))
+    assert(flagged("end") === Set((1, 97L), (2, 10L)))
+    assert(flagged("both") === Set((1, 0L), (1, 5L), (1, 97L), (2, 10L)))
+  }
+
+  test("extendFlags bridges a gap surrounded by flags, leaves isolates") {
+    // chans 0..4, flags T _ T F F: chan 1 has 2/3 flagged -> grows;
+    // chan 3 has 1/3 -> stays; edge chan 0 (frame {0,1}) 1/2 -> stays
+    val cells = Seq((1, 0, true), (1, 1, false), (1, 2, true),
+      (1, 3, false), (1, 4, false)).toDF("k", "chan", "flag")
+    val out = FlagOps.extendFlags(cells, "flag", Seq("k"), "chan",
+        k = 1, threshold = 0.5)
+      .collect().map(r => r.getInt(1) -> r.getBoolean(2)).toMap
+    assert(out === Map(0 -> true, 1 -> true, 2 -> true,
+      3 -> false, 4 -> false))
+  }
 }
