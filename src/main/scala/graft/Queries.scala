@@ -134,6 +134,43 @@ object Queries {
       |WINDOW w AS (PARTITION BY l_orderkey ORDER BY chan
       |  ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING)""".stripMargin)
 
+  /** shadow (the reference stubs it): projected baseline shorter than
+    * the dish diameter. Row-wise IEEE math — bit-exact, no rounding.
+    */
+  private val shadowFlagQ = Q(
+    (s, d) => FlagOps.shadow(
+        li(s, d).withColumn("u", col("l_extendedprice") % 1000.0)
+          .withColumn("v", col("l_quantity") * 20.0),
+        "flag", col("u"), col("v"), dishDiameter = 100.0)
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """SELECT l_orderkey, l_linenumber,
+      |  (l_returnflag = 'R'
+      |   OR (l_extendedprice % 1000.0) * (l_extendedprice % 1000.0)
+      |      + (l_quantity * 20.0) * (l_quantity * 20.0) < 10000.0) AS flag
+      |FROM lineitem""".stripMargin)
+
+  /** elevation (the reference stubs it): sin(el) under sin(limit) at
+    * the row's hour angle; constants emitted as %.17e literals so both
+    * engines fold identical doubles.
+    */
+  private val elevationFlagQ = Q(
+    (s, d) => FlagOps.elevationFlag(
+        li(s, d).withColumn("ha",
+          col("l_extendedprice") % 24.0 * (2 * math.Pi / 24) - math.Pi),
+        "flag", col("ha"), latRad = 0.6, decRad = -0.2, limitRad = 0.3)
+      .select("l_orderkey", "l_linenumber", "flag"),
+    {
+      def dl(x: Double) = f"$x%.17e"
+      val a = math.sin(0.6) * math.sin(-0.2)
+      val b = math.cos(0.6) * math.cos(-0.2)
+      s"""SELECT l_orderkey, l_linenumber,
+         |  (l_returnflag = 'R'
+         |   OR ${dl(a)} + ${dl(b)} * cos(l_extendedprice % 24.0
+         |        * ${dl(2 * math.Pi / 24)} - ${dl(math.Pi)})
+         |      < ${dl(math.sin(0.3))}) AS flag
+         |FROM lineitem""".stripMargin
+    })
+
   private val flagSummaryQ = Q(
     (s, d) => FlagOps.summary(li(s, d), col("flag"),
       Seq("l_returnflag", "l_linestatus")),
@@ -1114,6 +1151,8 @@ object Queries {
     "manual_unflag" -> manualUnflagQ,
     "quack_flag" -> quackFlagQ,
     "extend_flag" -> extendFlagQ,
+    "shadow_flag" -> shadowFlagQ,
+    "elevation_flag" -> elevationFlagQ,
     "flag_summary" -> flagSummaryQ,
     "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,

@@ -132,6 +132,34 @@ object FlagOps {
       coalesce(col(flagCol), lit(false)) || frac > threshold)
   }
 
+  /** shadow (beyond-parity — ngcasa/flagging/shadow.py:53 is a stub):
+    * FLAG |= the projected baseline separation sqrt(u^2 + v^2) is
+    * shorter than the dish diameter — one antenna of the pair sits in
+    * the other's aperture shadow as seen from the source (the standard
+    * CASA flagdata mode='shadow' criterion). Pure row-wise predicate,
+    * whole-stage codegen, no shuffle.
+    */
+  def shadow(df: DataFrame, flagCol: String, u: Column, v: Column,
+             dishDiameter: Double): DataFrame =
+    df.withColumn(flagCol,
+      coalesce(col(flagCol), lit(false)) ||
+        u * u + v * v < dishDiameter * dishDiameter)
+
+  /** elevation (beyond-parity — ngcasa/flagging/elevation.py:40 is a
+    * stub): FLAG |= source elevation below `limitRad` at the row's
+    * hour angle. sin(el) = sin(lat)sin(dec) + cos(lat)cos(dec)cos(HA);
+    * the comparison runs on sin(el) against the precomputed
+    * sin(limit), avoiding an asin per row. Row-wise trig, no shuffle.
+    */
+  def elevationFlag(df: DataFrame, flagCol: String, haRad: Column,
+                    latRad: Double, decRad: Double,
+                    limitRad: Double): DataFrame = {
+    val sinEl = lit(math.sin(latRad) * math.sin(decRad)) +
+      lit(math.cos(latRad) * math.cos(decRad)) * cos(haRad)
+    df.withColumn(flagCol,
+      coalesce(col(flagCol), lit(false)) || sinEl < math.sin(limitRad))
+  }
+
   /** Per-antenna flag counts, reference-faithful: every baseline row is
     * counted under BOTH its antennas (ngcasa/flagging/summary.py:
     * antenna breakdown counts ant1 and ant2 legs) — an explode over

@@ -22,6 +22,10 @@ object Stubs {
   def autoRflag(df: DataFrame): DataFrame = ni("auto_rflag", "ngcasa/flagging/auto_rflag.py")
   def autoTfcrop(df: DataFrame): DataFrame = ni("auto_tfcrop", "ngcasa/flagging/auto_tfcrop.py")
   def autoUvbin(df: DataFrame): DataFrame = ni("auto_uvbin", "ngcasa/flagging/auto_uvbin.py:44")
+  /** Kept for API parity; real implementations of the stubbed
+    * semantics exist — FlagOps.elevationFlag / FlagOps.shadow (the
+    * `elevation_flag` / `shadow_flag` contract queries).
+    */
   def elevation(df: DataFrame): DataFrame = ni("elevation", "ngcasa/flagging/elevation.py:40")
   /** Kept for API parity; real implementations of the stubbed
     * semantics exist — FlagOps.extendFlags / FlagOps.quack (the
