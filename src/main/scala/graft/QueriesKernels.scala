@@ -725,6 +725,60 @@ object QueriesKernels {
          |FROM conv""".stripMargin
     })
 
+  /** feather (the reference stubs it): SD + interferometer image
+    * combination. The oracle uses the image-space identity
+    * comb = int + B (x) (s*sd - int) with a circular-convolution join
+    * (same pattern as the smooth oracle) and divides by the beam sum
+    * after the convolution — linearity makes that equal to the
+    * operator's pre-normalized beam up to the qround.
+    */
+  private val featherQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val imgInt = grid.withColumn("image",
+        sin(col("l_idx") * 0.3) + cos(col("m_idx") * 0.5))
+      val imgSd = grid.withColumn("image",
+        cos(col("l_idx") * 0.2) + sin(col("m_idx") * 0.1))
+      val beam = BeamOps.gaussianBeam(grid, 600.0, 600.0, 0.0,
+        (0.0005, 0.0005), 16, 16)
+      BeamOps.feather(s, imgInt, imgSd, beam, 16, 16, fluxScale = 0.5)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("feathered"), 6).as("feathered"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val dc = 600.0 / incr
+      val a = 4 * math.log(2) * (1.0 / (dc * dc))
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |iimg AS (SELECT l_idx, m_idx,
+         |           sin(l_idx * CAST(0.3 AS DOUBLE))
+         |           + cos(m_idx * CAST(0.5 AS DOUBLE)) AS v FROM px),
+         |simg AS (SELECT l_idx, m_idx,
+         |           cos(l_idx * CAST(0.2 AS DOUBLE))
+         |           + sin(m_idx * CAST(0.1 AS DOUBLE)) AS v FROM px),
+         |ker AS (SELECT l_idx, m_idx,
+         |          exp(-(${fmt(a)} * (l_idx - 8) * (l_idx - 8)
+         |              + ${fmt(a)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |        FROM px),
+         |df AS (SELECT i.l_idx, i.m_idx, 5.0e-1 * s.v - i.v AS v
+         |       FROM iimg i JOIN simg s USING (l_idx, m_idx)),
+         |conv AS (
+         |  SELECT p.l_idx, p.m_idx, sum(df.v * k.k) AS s
+         |  FROM px p
+         |  JOIN df ON true
+         |  JOIN ker k
+         |    ON k.l_idx = ((p.l_idx + 8 - df.l_idx) % 16 + 16) % 16
+         |   AND k.m_idx = ((p.m_idx + 8 - df.m_idx) % 16 + 16) % 16
+         |  GROUP BY 1, 2)
+         |SELECT c.l_idx, c.m_idx,
+         |  floor((i.v + c.s / (SELECT sum(k) FROM ker)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS feathered
+         |FROM conv c JOIN iimg i USING (l_idx, m_idx)""".stripMargin
+    })
+
   /** 4x4 determinant as a SQL expression (Leibniz expansion) — lets
     * the oracle solve the fit's normal equations by Cramer's rule.
     */
@@ -1216,6 +1270,7 @@ object QueriesKernels {
     "clean_one_iter" -> cleanOneIterQ,
     "clean_two_iter" -> cleanTwoIterQ,
     "smooth" -> smoothQ,
+    "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,
     "fit_gaussian_rl" -> fitGaussianRlQ)
 }

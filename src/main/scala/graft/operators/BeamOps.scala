@@ -132,6 +132,70 @@ object BeamOps {
     }.toDF("img_chan", "pol", "l_idx", "m_idx", "smoothed")
   }
 
+  /** feather (beyond-parity — ngcasa/imaging/feather.py is a
+    * NotImplementedError stub): combine a single-dish image (trusted
+    * at low spatial frequency) with an interferometer image (trusted
+    * at high) in Fourier space,
+    *   F_comb = W * s * F_sd + (1 - W) * F_int,
+    * where W is the transform of the UNIT-SUM single-dish beam (so
+    * W(0,0) = 1) and s the flux scale — the standard feathering
+    * weighting (Stanimirovic et al.). Implemented in image space via
+    * the exact identity  comb = int + B (x) (s*sd - int)  with B the
+    * normalized beam and (x) circular convolution — one FFT multiply
+    * per plane inside flatMapGroups, same per-plane parallelism as
+    * smooth: planes are the distribution unit, a 100 TB cube feathers
+    * plane-parallel with no cross-plane traffic.
+    */
+  def feather(spark: SparkSession, imgInt: DataFrame, imgSd: DataFrame,
+              sdBeam: DataFrame, nL: Int, nM: Int,
+              fluxScale: Double = 1.0): DataFrame = {
+    import spark.implicits._
+    def tag(df: DataFrame, vCol: String, kind: Int) =
+      df.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col(vCol).cast("double"), lit(kind).as("kind"))
+    val tagged = tag(imgInt, "image", 0)
+      .union(tag(imgSd, "image", 1))
+      .union(tag(sdBeam, "beam", 2))
+      .as[(Int, Int, Int, Int, Double, Int)]
+    tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double, Int)]) =>
+        val (chan, pol) = key
+        val intI = new Array[Double](nL * nM)
+        val dRe = new Array[Double](nL * nM)
+        val bRe = new Array[Double](nL * nM)
+        for ((_, _, l, m, v, kind) <- it) kind match {
+          case 0 => intI(l * nM + m) = v
+          case 1 => dRe(l * nM + m) = v * fluxScale
+          case _ => bRe(l * nM + m) = v
+        }
+        var bSum = 0.0
+        var i = 0
+        while (i < nL * nM) { bSum += bRe(i); i += 1 }
+        val bn = if (bSum == 0.0) 1.0 else bSum
+        i = 0
+        while (i < nL * nM) { bRe(i) /= bn; dRe(i) -= intI(i); i += 1 }
+        val dIm = new Array[Double](nL * nM)
+        val bIm = new Array[Double](nL * nM)
+        Fft.fft2(dRe, dIm, nL, nM, invert = false)
+        Fft.fft2(bRe, bIm, nL, nM, invert = false)
+        i = 0
+        while (i < nL * nM) {
+          val re = dRe(i) * bRe(i) - dIm(i) * bIm(i)
+          val im = dRe(i) * bIm(i) + dIm(i) * bRe(i)
+          dRe(i) = re; dIm(i) = im
+          i += 1
+        }
+        Fft.fft2(dRe, dIm, nL, nM, invert = true)
+        val n = (nL * nM).toDouble
+        val outRe = Fft.fftshift2(dRe, nL, nM)
+        (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map { m =>
+          val idx = l * nM + m
+          (chan, pol, l, m, intI(idx) + outRe(idx) / n)
+        })
+    }.toDF("img_chan", "pol", "l_idx", "m_idx", "feathered")
+  }
+
   /** fit_gaussian (cngi/image/fit_gaussian.py:25-234): fit the
     * synthesized-beam gaussian parameters to each plane's central
     * window via moment estimates of the quadratic form — per-plane

@@ -46,6 +46,9 @@ object Stubs {
     ni("predict_modelvis_image", "ngcasa/imaging/predict_modelvis_image.py")
   def makeSdImage(df: DataFrame): DataFrame = ni("make_sd_image", "ngcasa/imaging/make_sd_image.py")
   def makeSdPsf(df: DataFrame): DataFrame = ni("make_sd_psf", "ngcasa/imaging/make_sd_psf.py")
+  /** Kept for API parity; the real implementation is BeamOps.feather
+    * (the `feather` contract query).
+    */
   def feather(a: DataFrame, b: DataFrame): DataFrame = ni("feather", "ngcasa/imaging/feather.py")
   def linearMosaic(df: DataFrame): DataFrame = ni("linear_mosaic", "ngcasa/imaging/linear_mosaic.py")
   def deconvolveMultitermClean(df: DataFrame): DataFrame =

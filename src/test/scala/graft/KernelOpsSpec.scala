@@ -177,6 +177,31 @@ class KernelOpsSpec extends SparkSpec {
     assert(fit.getAs[Int]("n_points") > 50)
   }
 
+  test("feather: identical inputs are a fixpoint; flux comes from the SD side") {
+    val img = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, math.sin(l * 0.5) + math.cos(m * 0.7)))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image")
+    val sd = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m, math.cos(l * 0.3)))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "image")
+    val beam = (for (l <- 0 until 8; m <- 0 until 8)
+      yield (0, 0, l, m,
+        math.exp(-0.3 * ((l - 4) * (l - 4) + (m - 4) * (m - 4)))))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "beam")
+    // sd == int, s = 1 -> comb == int exactly (the difference plane is 0)
+    val same = BeamOps.feather(spark, img, img, beam, 8, 8)
+      .collect().map(r => (r.getInt(2), r.getInt(3)) -> r.getDouble(4)).toMap
+    for (l <- 0 until 8; m <- 0 until 8)
+      assert(approx(same((l, m)),
+        math.sin(l * 0.5) + math.cos(m * 0.7), 1e-9))
+    // zero-spacing flux: sum(comb) = s * sum(sd) since sum(B) = 1
+    val s = 0.5
+    val comb = BeamOps.feather(spark, img, sd, beam, 8, 8, fluxScale = s)
+      .agg(sum(col("feathered"))).head().getDouble(0)
+    val sdSum = sd.agg(sum(col("image"))).head().getDouble(0)
+    assert(approx(comb, s * sdSum, 1e-9))
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
