@@ -204,6 +204,84 @@ object QueriesImaging {
        |    AS model_im
        |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
 
+  /** linear_mosaic (the reference stubs it): two analytic fields
+    * combined with pb/pb^2 weighting. The per-pixel sums have two
+    * commutative-exact terms, but exp/sin differ by an ulp across
+    * engines, so the result is quantized like any float reduction.
+    */
+  private val linearMosaicQ = Q(
+    (s, d) => {
+      val px = Tables.lineitem(s, d)
+        .select((col("l_orderkey") % 32).cast("int").as("l_idx"),
+          ((col("l_orderkey") / 32) % 32).cast("int").as("m_idx"))
+        .distinct()
+      val fields = Seq((0, 10.0, 12.0), (1, 20.0, 18.0))
+      val stacked = fields.map { case (f, cl, cm) =>
+        px.withColumn("field", lit(f))
+          .withColumn("pb",
+            exp((-(col("l_idx") - cl) * (col("l_idx") - cl)
+              - (col("m_idx") - cm) * (col("m_idx") - cm)) / lit(80.0)))
+          .withColumn("image",
+            sin(col("l_idx") * 0.3) + cos(col("m_idx") * 0.5) + lit(f))
+      }.reduce(_ unionByName _)
+      operators.ImageOps.linearMosaic(stacked, "image", "pb",
+          Seq("l_idx", "m_idx"))
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("mosaic_image"), 8).as("mosaic_image"),
+          col("n_fields"))
+    },
+    """WITH px AS (
+      |  SELECT DISTINCT CAST(l_orderkey % 32 AS INT) AS l_idx,
+      |    CAST((l_orderkey // 32) % 32 AS INT) AS m_idx
+      |  FROM lineitem),
+      |f AS (
+      |  SELECT l_idx, m_idx, field,
+      |    exp((-(l_idx - cl) * (l_idx - cl)
+      |         - (m_idx - cm) * (m_idx - cm)) / 8.0e1) AS pb,
+      |    sin(l_idx * CAST(0.3 AS DOUBLE))
+      |      + cos(m_idx * CAST(0.5 AS DOUBLE)) + field AS image
+      |  FROM px CROSS JOIN (VALUES (0, 1.0e1, 1.2e1), (1, 2.0e1, 1.8e1))
+      |    c(field, cl, cm))
+      |SELECT l_idx, m_idx,
+      |  CASE WHEN sum(pb * pb) <> 0.0
+      |    THEN floor(sum(pb * image) / sum(pb * pb) * 100000000.0 + 0.5)
+      |         / 100000000.0 ELSE 0.0 END AS mosaic_image,
+      |  count(*) AS n_fields
+      |FROM f GROUP BY 1, 2""".stripMargin)
+
+  /** predict_modelvis_component (the reference stubs it): analytic
+    * point-component phasor sum per (u, v) row; the oracle mirrors
+    * the left-associated component sum term for term.
+    */
+  private val predictComponentQ = Q(
+    (s, d) => {
+      val comps = Seq((2.0, 0.001, -0.002), (1.0, -0.003, 0.0005),
+        (0.5, 0.0, 0.0))
+      val vis = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_extendedprice") % 1000.0).as("u"),
+        (col("l_quantity") * 20.0).as("v"))
+      GridOps.predictComponentVis(vis, comps)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qround(col("model_re"), 8).as("model_re"),
+          qround(col("model_im"), 8).as("model_im"))
+    }, {
+      val comps = Seq((2.0, 0.001, -0.002), (1.0, -0.003, 0.0005),
+        (0.5, 0.0, 0.0))
+      def term(f: String, c: (Double, Double, Double)) =
+        s"${fmt(c._1)} * $f(${fmt(-2 * math.Pi)} * (u * ${fmt(c._2)} + v * ${fmt(c._3)}))"
+      val re = comps.map(term("cos", _)).mkString(" + ")
+      val im = comps.map(term("sin", _)).mkString(" + ")
+      s"""WITH vis AS (
+         |  SELECT l_orderkey, l_linenumber,
+         |    l_extendedprice % 1000.0 AS u, l_quantity * 20.0 AS v
+         |  FROM lineitem)
+         |SELECT l_orderkey, l_linenumber,
+         |  floor(($re) * 100000000.0 + 0.5) / 100000000.0 AS model_re,
+         |  floor(($im) * 100000000.0 + 0.5) / 100000000.0 AS model_im
+         |FROM vis""".stripMargin
+    })
+
   private val makePsfGridQ = Q(
     (s, d) => {
       val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P, doPsf = true)
@@ -422,6 +500,8 @@ object QueriesImaging {
     "calc_image_cell_size" -> calcCellSizeQ,
     "make_grid" -> makeGridQ,
     "degrid_vis" -> degridVisQ,
+    "linear_mosaic" -> linearMosaicQ,
+    "predict_component" -> predictComponentQ,
     "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,
     "make_psf_grid" -> makePsfGridQ,

@@ -289,6 +289,32 @@ object GridOps {
         (col("acc_im") / col("norm")).as("model_im")): _*)
   }
 
+  /** predict_modelvis_component (beyond-parity — the reference's
+    * ngcasa/imaging/predict_modelvis_component.py is a
+    * NotImplementedError stub): evaluate the model visibility of a
+    * point-component list analytically,
+    *   V(u, v) = sum_c S_c exp(-2 pi i (u l_c + v m_c)),
+    * with (u, v) already in wavelengths and (l_c, m_c) direction
+    * cosines. Components unroll into one codegen'd column expression
+    * (left-associated sum, mirrored verbatim by the oracle) — a pure
+    * projection, no shuffle, no state.
+    */
+  def predictComponentVis(vis: DataFrame,
+                          components: Seq[(Double, Double, Double)],
+                          uCol: String = "u",
+                          vCol: String = "v"): DataFrame = {
+    require(components.nonEmpty, "need at least one component")
+    def phase(l0: Double, m0: Double) =
+      lit(-2 * math.Pi) * (col(uCol) * lit(l0) + col(vCol) * lit(m0))
+    val re = components.map { case (s, l0, m0) =>
+      lit(s) * cos(phase(l0, m0))
+    }.reduce(_ + _)
+    val im = components.map { case (s, l0, m0) =>
+      lit(s) * sin(phase(l0, m0))
+    }.reduce(_ + _)
+    vis.withColumn("model_re", re).withColumn("model_im", im)
+  }
+
   /** ifftshift -> unnormalized inverse FFT -> fftshift -> crop ->
     * divide by sum_weight and the PSWF correcting image: one uv plane
     * (interleaved [re,im]) to cropped image pixels.

@@ -148,6 +148,24 @@ object ImageOps {
     packed.select(dims.map(col) :+ col(s"_c.$polCol") :+ col(s"_c.$valueCol"): _*)
   }
 
+  /** linear_mosaic (beyond-parity — ngcasa/imaging/linear_mosaic.py is
+    * a NotImplementedError stub): combine per-field images onto one
+    * mosaic plane with the optimal (noise-minimizing) primary-beam
+    * weighting  mosaic(p) = sum_f pb_f(p) img_f(p) / sum_f pb_f(p)^2.
+    * One hash aggregate over the pixel key — fields need not be
+    * co-partitioned, and the shuffle carries one row per (field,
+    * pixel) only where the field's PB support overlaps the pixel.
+    */
+  def linearMosaic(fields: DataFrame, imgCol: String, pbCol: String,
+                   pixelKeys: Seq[String]): DataFrame =
+    fields.groupBy(pixelKeys.map(col): _*)
+      .agg(sum(col(pbCol) * col(imgCol)).as("num"),
+        sum(col(pbCol) * col(pbCol)).as("den"),
+        count(lit(1)).as("n_fields"))
+      .select((pixelKeys.map(col) :+
+        when(col("den") =!= 0.0, col("num") / col("den"))
+          .otherwise(lit(0.0)).as("mosaic_image") :+ col("n_fields")): _*)
+
   /** stokes_to_corr (cngi/image/stokes_to_corr.py:113-120 linear,
     * circular branch below it): polarization basis change from Stokes
     * rows (pol codes 1=I 2=Q 3=U 4=V) to correlation rows

@@ -36,6 +36,9 @@ object Stubs {
   def shadow(df: DataFrame): DataFrame = ni("shadow", "ngcasa/flagging/shadow.py:53")
 
   // imaging / calibration / deconvolution stubs
+  /** Kept for API parity; the real implementation is
+    * GridOps.predictComponentVis (the `predict_component` query).
+    */
   def predictModelvisComponent(df: DataFrame): DataFrame =
     ni("predict_modelvis_component", "ngcasa/imaging/predict_modelvis_component.py")
   /** Kept for API parity; the _degrid core the reference's stub
@@ -50,6 +53,9 @@ object Stubs {
     * (the `feather` contract query).
     */
   def feather(a: DataFrame, b: DataFrame): DataFrame = ni("feather", "ngcasa/imaging/feather.py")
+  /** Kept for API parity; the real implementation is
+    * ImageOps.linearMosaic (the `linear_mosaic` contract query).
+    */
   def linearMosaic(df: DataFrame): DataFrame = ni("linear_mosaic", "ngcasa/imaging/linear_mosaic.py")
   def deconvolveMultitermClean(df: DataFrame): DataFrame =
     ni("deconvolve_multiterm_clean", "ngcasa/deconvolution/deconvolve_multiterm_clean.py")
