@@ -173,9 +173,9 @@ object QueriesImaging {
     (s, d) => {
       val fx = visFixture(s, d)
       val (grid, _) = GridOps.makeGrid(s, fx, P)
-      GridOps.degridVis(fx, grid, P, Seq("l_orderkey", "l_linenumber"))
+      GridOps.degridVis(fx, grid, P, Seq("l_orderkey", "l_linenumber", "u", "v"))
         .select(col("img_chan"), col("pol"),
-          col("l_orderkey"), col("l_linenumber"),
+          col("l_orderkey"), col("l_linenumber"), col("u"), col("v"),
           qround(col("model_re"), 6).as("model_re"),
           qround(col("model_im"), 6).as("model_im"))
     },
@@ -187,22 +187,22 @@ object QueriesImaging {
        |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
        |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac
        |  FROM idx),
-       |dtaps AS (SELECT l_orderkey, l_linenumber, pol,
+       |dtaps AS (SELECT l_orderkey, l_linenumber, u, v, pol,
        |    uc + du AS u_idx, vc + dv AS v_idx,
        |    cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv
        |  FROM dfrac
        |  CROSS JOIN generate_series(-3, 3) tu(du)
        |  CROSS JOIN generate_series(-3, 3) tv(dv)
        |  CROSS JOIN cgk),
-       |j AS (SELECT d.l_orderkey, d.l_linenumber, d.pol, d.conv,
+       |j AS (SELECT d.l_orderkey, d.l_linenumber, d.u, d.v, d.pol, d.conv,
        |    coalesce(g.gr, 0.0) AS gr, coalesce(g.gi, 0.0) AS gi
        |  FROM dtaps d LEFT JOIN grid g USING (pol, u_idx, v_idx))
-       |SELECT 0 AS img_chan, pol, l_orderkey, l_linenumber,
+       |SELECT 0 AS img_chan, pol, l_orderkey, l_linenumber, u, v,
        |  floor(sum(conv * gr) / sum(conv) * 1000000.0 + 0.5) / 1000000.0
        |    AS model_re,
        |  floor(sum(conv * gi) / sum(conv) * 1000000.0 + 0.5) / 1000000.0
        |    AS model_im
-       |FROM j GROUP BY 1, 2, 3, 4""".stripMargin)
+       |FROM j GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
 
   /** linear_mosaic (the reference stubs it): two analytic fields
     * combined with pb/pb^2 weighting. The per-pixel sums have two
