@@ -171,6 +171,34 @@ object Queries {
          |FROM lineitem""".stripMargin
     })
 
+  /** auto_uvbin (the reference stubs it): radial-uv-bin amplitude
+    * outliers. The per-bin threshold mean + 3*std is quantized to 1e-6
+    * in both engines, so the flag decision compares identical doubles.
+    */
+  private val autoUvbinQ = Q(
+    (s, d) => FlagOps.autoUvBin(
+        li(s, d).withColumn("u", col("l_extendedprice") % 1000.0)
+          .withColumn("v", col("l_quantity") * 20.0),
+        "flag", col("u"), col("v"), amp = col("l_extendedprice"),
+        binWidth = 100.0, nSigma = 2.0)
+      .select("l_orderkey", "l_linenumber", "uvbin", "flag"),
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_extendedprice,
+      |    CAST(floor(sqrt((l_extendedprice % 1000.0) * (l_extendedprice % 1000.0)
+      |      + (l_quantity * 20.0) * (l_quantity * 20.0)) / 100.0) AS BIGINT)
+      |      AS uvbin
+      |  FROM lineitem),
+      |st AS (
+      |  SELECT uvbin,
+      |    floor((avg(l_extendedprice)
+      |      + 2.0e0 * sqrt(greatest(0.0e0, avg(l_extendedprice * l_extendedprice)
+      |                     - avg(l_extendedprice) * avg(l_extendedprice))))
+      |      * 1000000.0 + 0.5) / 1000000.0 AS thr
+      |  FROM b GROUP BY 1)
+      |SELECT l_orderkey, l_linenumber, uvbin,
+      |  (l_returnflag = 'R' OR l_extendedprice > thr) AS flag
+      |FROM b JOIN st USING (uvbin)""".stripMargin)
+
   private val flagSummaryQ = Q(
     (s, d) => FlagOps.summary(li(s, d), col("flag"),
       Seq("l_returnflag", "l_linestatus")),
@@ -1153,6 +1181,7 @@ object Queries {
     "extend_flag" -> extendFlagQ,
     "shadow_flag" -> shadowFlagQ,
     "elevation_flag" -> elevationFlagQ,
+    "auto_uvbin" -> autoUvbinQ,
     "flag_summary" -> flagSummaryQ,
     "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,

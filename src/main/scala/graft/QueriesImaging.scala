@@ -282,6 +282,59 @@ object QueriesImaging {
          |FROM vis""".stripMargin
     })
 
+  /** make_sd_image (+ the weight plane; the reference stubs all three
+    * SD operators): gaussian kernel binning of total-power samples.
+    */
+  private val makeSdImageQ = Q(
+    (s, d) => {
+      val samples = Tables.lineitem(s, d).select(
+        lit(0).as("img_chan"),
+        (col("l_linenumber") % 2).cast("int").as("pol"),
+        (col("l_extendedprice") % 28.0 + 2.0).as("px"),
+        ((col("l_quantity") * 1.7) % 28.0 + 2.0).as("py"),
+        col("l_tax").as("value"),
+        (col("l_discount") + 0.5).as("weight"))
+      GridOps.makeSdImage(samples, nL = 32, nM = 32, support = 2,
+          sigmaPx = 1.5)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("sd_weight"), 6).as("sd_weight"),
+          qround(col("sd_image"), 6).as("sd_image"))
+    }, {
+      val inv2s2 = 1.0 / (2.0 * 1.5 * 1.5)
+      s"""WITH sm AS (
+         |  SELECT 0 AS img_chan, CAST(l_linenumber % 2 AS INT) AS pol,
+         |    l_extendedprice % 28.0 + 2.0 AS px,
+         |    (l_quantity * 1.7) % 28.0 + 2.0 AS py,
+         |    l_tax AS value, l_discount + 0.5 AS weight
+         |  FROM lineitem),
+         |g AS (
+         |  SELECT *, CAST(floor(px + 0.5) AS INT) AS pc,
+         |    CAST(floor(py + 0.5) AS INT) AS qc
+         |  FROM sm
+         |  WHERE CAST(floor(px + 0.5) AS INT) - 2 >= 0
+         |    AND CAST(floor(px + 0.5) AS INT) + 2 < 32
+         |    AND CAST(floor(py + 0.5) AS INT) - 2 >= 0
+         |    AND CAST(floor(py + 0.5) AS INT) + 2 < 32),
+         |taps AS (
+         |  SELECT img_chan, pol, pc + di AS l_idx, qc + dj AS m_idx,
+         |    exp(-((pc + di - px) * (pc + di - px)
+         |        + (qc + dj - py) * (qc + dj - py)) * ${fmt(inv2s2)}) AS k,
+         |    value, weight
+         |  FROM g
+         |  CROSS JOIN generate_series(-2, 2) tu(di)
+         |  CROSS JOIN generate_series(-2, 2) tv(dj)),
+         |agg AS (
+         |  SELECT img_chan, pol, l_idx, m_idx,
+         |    sum(k * weight * value) AS num, sum(k * weight) AS den
+         |  FROM taps GROUP BY 1, 2, 3, 4)
+         |SELECT img_chan, pol, l_idx, m_idx,
+         |  floor(den * 1000000.0 + 0.5) / 1000000.0 AS sd_weight,
+         |  CASE WHEN den <> 0.0
+         |    THEN floor(num / den * 1000000.0 + 0.5) / 1000000.0
+         |    ELSE 0.0 END AS sd_image
+         |FROM agg""".stripMargin
+    })
+
   private val makePsfGridQ = Q(
     (s, d) => {
       val (grid, _) = GridOps.makeGrid(s, visFixture(s, d), P, doPsf = true)
@@ -501,6 +554,7 @@ object QueriesImaging {
     "make_grid" -> makeGridQ,
     "degrid_vis" -> degridVisQ,
     "linear_mosaic" -> linearMosaicQ,
+    "make_sd_image" -> makeSdImageQ,
     "predict_component" -> predictComponentQ,
     "make_grid_cube" -> makeGridCubeQ,
     "grid_sum_weight" -> gridSumWeightQ,

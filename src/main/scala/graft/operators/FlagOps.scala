@@ -160,6 +160,34 @@ object FlagOps {
       coalesce(col(flagCol), lit(false)) || sinEl < math.sin(limitRad))
   }
 
+  /** auto_uvbin (beyond-parity — ngcasa/flagging/auto_uvbin.py is a
+    * stub: "detects outliers on the gridded spatial frequency plane"):
+    * bin rows by radial uv distance, compute each bin's amplitude mean
+    * and population stddev, and flag rows whose amplitude exceeds the
+    * bin's mean + nSigma*std threshold. The threshold is quantized
+    * (1e-6) so the outlier decision compares identical doubles in any
+    * engine. One aggregate over the bin key + one broadcast join back
+    * — the bin table is radial and tiny.
+    */
+  def autoUvBin(df: DataFrame, flagCol: String, u: Column, v: Column,
+                amp: Column, binWidth: Double,
+                nSigma: Double = 3.0): DataFrame = {
+    val withBin = df.withColumn("uvbin",
+        floor(sqrt(u * u + v * v) / binWidth).cast("long"))
+      .withColumn("_amp", amp)
+    val stats = withBin.groupBy("uvbin")
+      .agg(avg(col("_amp")).as("_mean"),
+        // population stddev via the moment form, matching SQL exactly
+        sqrt(greatest(lit(0.0), avg(col("_amp") * col("_amp")) -
+          avg(col("_amp")) * avg(col("_amp")))).as("_std"))
+      .withColumn("_thr",
+        floor((col("_mean") + lit(nSigma) * col("_std")) * 1e6 + 0.5) / 1e6)
+    withBin.join(broadcast(stats.select("uvbin", "_thr")), Seq("uvbin"))
+      .withColumn(flagCol,
+        coalesce(col(flagCol), lit(false)) || col("_amp") > col("_thr"))
+      .drop("_amp", "_thr")
+  }
+
   /** Per-antenna flag counts, reference-faithful: every baseline row is
     * counted under BOTH its antennas (ngcasa/flagging/summary.py:
     * antenna breakdown counts ant1 and ant2 legs) — an explode over

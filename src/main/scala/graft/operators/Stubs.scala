@@ -21,6 +21,9 @@ object Stubs {
   // flagging stubs (ngcasa/flagging/*.py)
   def autoRflag(df: DataFrame): DataFrame = ni("auto_rflag", "ngcasa/flagging/auto_rflag.py")
   def autoTfcrop(df: DataFrame): DataFrame = ni("auto_tfcrop", "ngcasa/flagging/auto_tfcrop.py")
+  /** Kept for API parity; the real implementation is
+    * FlagOps.autoUvBin (the `auto_uvbin` contract query).
+    */
   def autoUvbin(df: DataFrame): DataFrame = ni("auto_uvbin", "ngcasa/flagging/auto_uvbin.py:44")
   /** Kept for API parity; real implementations of the stubbed
     * semantics exist — FlagOps.elevationFlag / FlagOps.shadow (the
@@ -47,6 +50,10 @@ object Stubs {
     */
   def predictModelvisImage(df: DataFrame): DataFrame =
     ni("predict_modelvis_image", "ngcasa/imaging/predict_modelvis_image.py")
+  /** Kept for API parity; the real implementation of all three SD
+    * planes (image / psf / weight) is GridOps.makeSdImage (the
+    * `make_sd_image` contract query).
+    */
   def makeSdImage(df: DataFrame): DataFrame = ni("make_sd_image", "ngcasa/imaging/make_sd_image.py")
   def makeSdPsf(df: DataFrame): DataFrame = ni("make_sd_psf", "ngcasa/imaging/make_sd_psf.py")
   /** Kept for API parity; the real implementation is BeamOps.feather
