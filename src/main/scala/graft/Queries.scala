@@ -199,6 +199,116 @@ object Queries {
       |  (l_returnflag = 'R' OR l_extendedprice > thr) AS flag
       |FROM b JOIN st USING (uvbin)""".stripMargin)
 
+  /** auto_rflag: hierarchical-MAD outlier flags. Medians are
+    * order-insensitive, so Spark and DuckDB agree bit-for-bit and only
+    * the final threshold needs the 1e-6 quantization.
+    */
+  private val autoRflagQ = Q(
+    (s, d) => FlagOps.autoRflag(li(s, d), "flag",
+        keyCols = Seq("l_suppkey"), chanCol = "chan",
+        amp = col("l_extendedprice"), nSigma = 2.0)
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |    CAST(l_linenumber - 1 AS INT) AS chan, l_extendedprice AS amp
+      |  FROM lineitem),
+      |med AS (SELECT l_suppkey, chan, median(amp) AS med
+      |        FROM v GROUP BY 1, 2),
+      |sig AS (
+      |  SELECT v.l_suppkey, v.chan,
+      |    median(abs(v.amp - med.med)) * 1.4826e0 AS sigma
+      |  FROM v JOIN med USING (l_suppkey, chan) GROUP BY 1, 2),
+      |cs AS (SELECT chan, median(sigma) AS chan_sigma FROM sig GROUP BY 1)
+      |SELECT v.l_orderkey, v.l_linenumber,
+      |  (v.l_returnflag = 'R' OR
+      |   abs(v.amp - med.med) >
+      |     floor(2.0e0 * greatest(sig.sigma, cs.chan_sigma) * 1000000.0 + 0.5)
+      |       / 1000000.0) AS flag
+      |FROM v JOIN med USING (l_suppkey, chan)
+      |       JOIN sig USING (l_suppkey, chan)
+      |       JOIN cs USING (chan)""".stripMargin)
+
+  /** auto_tfcrop: quadratic bandpass fit + k-sigma crop. The power
+    * sums ARE order-sensitive in their last ulps, so the operator
+    * quantizes both the residual and the threshold (1e-4) before the
+    * boolean comparison — mirrored exactly here.
+    */
+  private val autoTfcropQ = Q(
+    (s, d) => FlagOps.autoTfcrop(li(s, d), "flag",
+        keyCols = Seq("l_suppkey"), chanCol = "chan",
+        amp = col("l_extendedprice"), nSigma = 2.0)
+      .select("l_orderkey", "l_linenumber", "flag"),
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber, l_suppkey, l_returnflag,
+      |    CAST(CAST(l_linenumber - 1 AS INT) AS DOUBLE) AS x,
+      |    l_extendedprice AS y
+      |  FROM lineitem),
+      |sums AS (
+      |  SELECT l_suppkey,
+      |    CAST(count(*) AS DOUBLE) AS s0, sum(x) AS s1, sum(x*x) AS s2,
+      |    sum(x*x*x) AS s3, sum(x*x*x*x) AS s4,
+      |    sum(y) AS sy, sum(x*y) AS sxy, sum(x*x*y) AS sx2y
+      |  FROM v GROUP BY 1),
+      |cf AS (
+      |  SELECT l_suppkey,
+      |    (sy*(s2*s4-s3*s3) - s1*(sxy*s4-s3*sx2y) + s2*(sxy*s3-s2*sx2y))
+      |      / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS ca,
+      |    (s0*(sxy*s4-s3*sx2y) - sy*(s1*s4-s3*s2) + s2*(s1*sx2y-sxy*s2))
+      |      / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS cb,
+      |    (s0*(s2*sx2y-sxy*s3) - s1*(s1*sx2y-sxy*s2) + sy*(s1*s3-s2*s2))
+      |      / (s0*(s2*s4-s3*s3) - s1*(s1*s4-s3*s2) + s2*(s1*s3-s2*s2)) AS cc
+      |  FROM sums),
+      |r AS (
+      |  SELECT v.l_orderkey, v.l_linenumber, v.l_suppkey, v.l_returnflag,
+      |    v.y - (cf.ca + cf.cb * v.x + cf.cc * v.x * v.x) AS resid
+      |  FROM v JOIN cf USING (l_suppkey)),
+      |sp AS (
+      |  SELECT l_suppkey,
+      |    sqrt(greatest(0.0e0, avg(resid * resid) - avg(resid) * avg(resid)))
+      |      AS rsig
+      |  FROM r GROUP BY 1)
+      |SELECT r.l_orderkey, r.l_linenumber,
+      |  (r.l_returnflag = 'R' OR
+      |   floor(abs(r.resid) * 10000.0 + 0.5) / 10000.0 >
+      |     floor(2.0e0 * sp.rsig * 10000.0 + 0.5) / 10000.0) AS flag
+      |FROM r JOIN sp USING (l_suppkey)""".stripMargin)
+
+  /** reframe: doppler-correct channel regridding with linear
+    * interpolation; every arithmetic step is mirrored so the fractional
+    * positions (and their floors) are bit-identical across engines.
+    */
+  private val reframeQ = Q(
+    (s, d) => {
+      val vis = li(s, d).withColumn("vel",
+        (col("l_suppkey") % 50).cast("double") * lit(20000.0))
+      AverageOps.reframe(vis, Seq("l_orderkey"), "chan",
+          Seq("l_extendedprice"), "vel", f0 = 1.4e9, dfHz = 1e6)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          qround(col("l_extendedprice_reframed"), 6).as("reframed"))
+    },
+    """WITH v AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CAST(l_linenumber - 1 AS INT) AS chan, l_extendedprice,
+      |    CAST(l_suppkey % 50 AS DOUBLE) * 20000.0 AS vel
+      |  FROM lineitem),
+      |b AS (
+      |  SELECT *,
+      |    CAST(floor(((1.4e9 + CAST(chan AS DOUBLE) * 1.0e6)
+      |      / (1.0e0 - vel / 299792458.0e0) - 1.4e9) / 1.0e6) AS INT) AS c0,
+      |    ((1.4e9 + CAST(chan AS DOUBLE) * 1.0e6)
+      |      / (1.0e0 - vel / 299792458.0e0) - 1.4e9) / 1.0e6
+      |      - CAST(floor(((1.4e9 + CAST(chan AS DOUBLE) * 1.0e6)
+      |        / (1.0e0 - vel / 299792458.0e0) - 1.4e9) / 1.0e6) AS INT) AS w
+      |  FROM v)
+      |SELECT b.l_orderkey, b.l_linenumber,
+      |  floor((CASE WHEN b.w = 0.0 THEN lo.l_extendedprice
+      |         ELSE (1.0e0 - b.w) * lo.l_extendedprice
+      |              + b.w * hi.l_extendedprice END)
+      |    * 1000000.0 + 0.5) / 1000000.0 AS reframed
+      |FROM b
+      |LEFT JOIN v lo ON lo.l_orderkey = b.l_orderkey AND lo.chan = b.c0
+      |LEFT JOIN v hi ON hi.l_orderkey = b.l_orderkey AND hi.chan = b.c0 + 1""".stripMargin)
+
   private val flagSummaryQ = Q(
     (s, d) => FlagOps.summary(li(s, d), col("flag"),
       Seq("l_returnflag", "l_linestatus")),
@@ -1182,6 +1292,9 @@ object Queries {
     "shadow_flag" -> shadowFlagQ,
     "elevation_flag" -> elevationFlagQ,
     "auto_uvbin" -> autoUvbinQ,
+    "auto_rflag" -> autoRflagQ,
+    "auto_tfcrop" -> autoTfcropQ,
+    "reframe" -> reframeQ,
     "flag_summary" -> flagSummaryQ,
     "flag_summary_antenna" -> flagSummaryAntennaQ,
     "manager_flags" -> managerFlagsQ,

@@ -683,6 +683,141 @@ object QueriesKernels {
          |                 AND ps2.m_idx = 8 + r1.m_idx - p2.pm2""".stripMargin
     })
 
+  /** restore_model: model (x) clean-beam + residual (native
+    * resolution). Oracle mirrors the smooth oracle's circular
+    * convolution on the sparse model plane and adds the residual.
+    */
+  private val restoreModelQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val model = grid.withColumn("model",
+        when(col("l_idx") === 5 && col("m_idx") === 9, 2.0)
+          .when(col("l_idx") === 11 && col("m_idx") === 3, 1.0)
+          .otherwise(0.0))
+      val residual = grid.withColumn("residual",
+        (sin(col("l_idx") * 0.3) + cos(col("m_idx") * 0.5)) * 0.1)
+      val beam = BeamOps.gaussianBeam(grid, 300.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16)
+      CleanOps.restoreModel(s, model, residual, beam, 16, 16)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("restored"), 6).as("restored"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val dc = 300.0 / incr
+      val a = 4 * math.log(2) * (1.0 / (dc * dc))
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |mdl AS (SELECT l_idx, m_idx,
+         |          CASE WHEN l_idx = 5 AND m_idx = 9 THEN 2.0
+         |               WHEN l_idx = 11 AND m_idx = 3 THEN 1.0
+         |               ELSE 0.0 END AS v FROM px),
+         |ker AS (SELECT l_idx, m_idx,
+         |          exp(-(${fmt(a)} * (l_idx - 8) * (l_idx - 8)
+         |              + ${fmt(a)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |        FROM px),
+         |conv AS (
+         |  SELECT p.l_idx, p.m_idx, sum(i.v * k.k) AS s
+         |  FROM px p
+         |  JOIN mdl i ON true
+         |  JOIN ker k
+         |    ON k.l_idx = ((p.l_idx + 8 - i.l_idx) % 16 + 16) % 16
+         |   AND k.m_idx = ((p.m_idx + 8 - i.m_idx) % 16 + 16) % 16
+         |  GROUP BY 1, 2)
+         |SELECT l_idx, m_idx,
+         |  floor((abs(s) + (sin(l_idx * CAST(0.3 AS DOUBLE))
+         |                 + cos(m_idx * CAST(0.5 AS DOUBLE))) * 0.1e0)
+         |    * 1000000.0 + 0.5) / 1000000.0 AS restored
+         |FROM conv""".stripMargin
+    })
+
+  /** make_mask: |image| above nSigma * robust-sigma, inside the
+    * primary-beam limit. Medians are order-insensitive, so the mask
+    * booleans agree across engines with no quantization.
+    */
+  private val makeMaskQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        (sin(col("l_idx") * 0.7) + cos(col("m_idx") * 1.1)) * 0.2 +
+          when(col("l_idx") === 4 && col("m_idx") === 12, 3.0)
+            .when(col("l_idx") === 9 && col("m_idx") === 2, -2.5)
+            .otherwise(0.0))
+      val withPb = BeamOps.gaussianBeam(img, 2000.0, 2000.0, 0.0,
+        (0.0005, 0.0005), 16, 16, outCol = "pb")
+      CleanOps.makeMask(withPb, nSigma = 3.0, pbCol = Some("pb"),
+          pbLimit = 0.3)
+        .select(col("l_idx"), col("m_idx"), col("mask"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val dc = 2000.0 / incr
+      val a = 4 * math.log(2) * (1.0 / (dc * dc))
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  (sin(l_idx * CAST(0.7 AS DOUBLE)) + cos(m_idx * CAST(1.1 AS DOUBLE))) * 0.2e0
+         |  + CASE WHEN l_idx = 4 AND m_idx = 12 THEN 3.0
+         |         WHEN l_idx = 9 AND m_idx = 2 THEN -2.5
+         |         ELSE 0.0 END AS v
+         |  FROM px),
+         |med AS (SELECT median(v) AS med FROM img),
+         |sig AS (SELECT median(abs(img.v - med.med)) * 1.4826e0 AS sigma
+         |        FROM img, med)
+         |SELECT img.l_idx, img.m_idx,
+         |  (abs(img.v) > 3.0e0 * sig.sigma
+         |   AND exp(-(${fmt(a)} * (img.l_idx - 8) * (img.l_idx - 8)
+         |           + ${fmt(a)} * (img.m_idx - 8) * (img.m_idx - 8))) > 0.3e0)
+         |    AS mask
+         |FROM img, sig""".stripMargin
+    })
+
+  /** is_converged: the iteration controller's stopping criteria as one
+    * aggregate row per plane — peak |residual| vs threshold, iteration
+    * budget, and their disjunction.
+    */
+  private val isConvergedQ = Q(
+    (s, d) => {
+      val s2 = s
+      import s2.implicits._
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0))
+        .withColumn("pol", explode(array(lit(0), lit(1))))
+      val res = grid.withColumn("residual",
+        (sin(col("l_idx") * 0.3 + col("pol")) + cos(col("m_idx") * 0.5)) *
+          (lit(0.05) + col("pol") * 0.04))
+      val iters = Seq((0, 0, 50), (0, 1, 200))
+        .toDF("img_chan", "pol", "iters_done")
+      CleanOps.isConverged(res, iters, threshold = 0.15, niter = 100)
+        .select(col("img_chan"), col("pol"),
+          qround(col("peak_residual"), 6).as("peak_residual"),
+          col("iters_done"), col("hit_threshold"), col("hit_niter"),
+          col("converged"))
+    },
+    """WITH px AS (
+      |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx,
+      |    CAST(p AS INT) AS pol
+      |  FROM generate_series(0, 255) t(i) CROSS JOIN generate_series(0, 1) q(p)),
+      |res AS (SELECT pol,
+      |  (sin(l_idx * CAST(0.3 AS DOUBLE) + pol) + cos(m_idx * CAST(0.5 AS DOUBLE)))
+      |    * (0.05e0 + pol * 0.04e0) AS v
+      |  FROM px),
+      |iters AS (SELECT 0 AS pol, 50 AS iters_done
+      |          UNION ALL SELECT 1, 200),
+      |pk AS (SELECT pol, max(abs(v)) AS peak FROM res GROUP BY 1)
+      |SELECT 0 AS img_chan, pk.pol,
+      |  floor(pk.peak * 1000000.0 + 0.5) / 1000000.0 AS peak_residual,
+      |  iters.iters_done,
+      |  pk.peak <= 0.15e0 AS hit_threshold,
+      |  iters.iters_done >= 100 AS hit_niter,
+      |  (pk.peak <= 0.15e0 OR iters.iters_done >= 100) AS converged
+      |FROM pk JOIN iters USING (pol)""".stripMargin)
+
   private val smoothQ = Q(
     (s, d) => {
       val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
@@ -1269,6 +1404,9 @@ object QueriesKernels {
     "deconvolve_point_clean" -> cleanQ,
     "clean_one_iter" -> cleanOneIterQ,
     "clean_two_iter" -> cleanTwoIterQ,
+    "restore_model" -> restoreModelQ,
+    "make_mask" -> makeMaskQ,
+    "is_converged" -> isConvergedQ,
     "smooth" -> smoothQ,
     "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,

@@ -182,6 +182,55 @@ object AverageOps {
       .agg(finalAggs.head, finalAggs.tail: _*)
   }
 
+  /** reframe (cngi/vis/reframe.py:21-96 — the reference's spectral
+    * reference-frame conversion; its body is incomplete/non-functional
+    * Python, so semantics follow the docstring: "transform channel
+    * labels and visibilities ... e.g. ... to correct for doppler shifts
+    * throughout the time of observation" with
+    * interpolation='linear').
+    *
+    * Given a per-row radial velocity (m/s, + = receding), the observed
+    * frequency f maps to the output frame as f_out = f * (1 - v/c)
+    * (radio convention). On a uniform channel grid (f0, df) the output
+    * channel c therefore samples the input at fractional position
+    *   pos(c) = (f_c / (1 - v/c_light) - f0) / df,
+    * and linear interpolation between floor(pos) and floor(pos)+1
+    * rebuilds the spectrum in the new frame.
+    *
+    * Spark shape: the fractional index is a row-wise expression; the
+    * two bracketing samples arrive by equi-joins of the fact against
+    * itself on (group key, floor(pos)) and (group key, floor(pos)+1) —
+    * shuffle-partitioned by the same key both sides, so AQE plans one
+    * exchange per side and no window/sort. Out-of-range positions
+    * yield null (the reference's NaN edge). (keys, chan) is assumed
+    * unique per sample — duplicates fan out through the joins.
+    */
+  def reframe(df: DataFrame, keys: Seq[String], chanCol: String,
+              valueCols: Seq[String], velCol: String,
+              f0: Double, dfHz: Double): DataFrame = {
+    val cLight = 299792458.0
+    val fOut = lit(f0) + col(chanCol).cast("double") * lit(dfHz)
+    val pos = (fOut / (lit(1.0) - col(velCol) / lit(cLight)) - lit(f0)) / lit(dfHz)
+    def leg(suffix: String) =
+      df.select((keys.map(col) :+ col(chanCol).cast("int").as("_jc")) ++
+        valueCols.map(c => col(c).as(s"_${suffix}_$c")): _*)
+    val base = df
+      .withColumn("_pos", pos)
+      .withColumn("_c0", floor(col("_pos")).cast("int"))
+      .withColumn("_w", col("_pos") - col("_c0"))
+    val withLo = base.withColumn("_jc", col("_c0"))
+      .join(leg("lo"), keys :+ "_jc", "left").drop("_jc")
+    val withHi = withLo.withColumn("_jc", col("_c0") + 1)
+      .join(leg("hi"), keys :+ "_jc", "left").drop("_jc")
+    val out = valueCols.foldLeft(withHi) { (d, c) =>
+      d.withColumn(s"${c}_reframed",
+        when(col("_w") === 0.0, col(s"_lo_$c")).otherwise(
+          (lit(1.0) - col("_w")) * col(s"_lo_$c") + col("_w") * col(s"_hi_$c")))
+    }
+    out.drop((valueCols.map(c => s"_lo_$c") ++ valueCols.map(c => s"_hi_$c") ++
+      Seq("_pos", "_c0", "_w")): _*)
+  }
+
   /** Window-function kernels (scipy.signal.get_window analogs used by
     * chan_smooth: boxcar/triang/hann..., cngi/vis/chan_smooth.py:54-59),
     * normalized to unit sum.

@@ -95,4 +95,87 @@ object CleanOps {
           CleanResult(chan, pol, l, m, model(l * nM + m), res(l * nM + m))))
       }.toDF()
   }
+
+  /** restore_model (ngcasa/deconvolution/restore_model.py — a
+    * NotImplementedError stub in the reference; semantics from its
+    * docstring): restored = model (x) clean-beam + residual, the
+    * cube/single-term path ("smooth the model image to the target
+    * resolution ... add"). At native resolution the residual passes
+    * through unsmoothed; at a non-native target both planes are
+    * convolved with the restoring beam.
+    *
+    * Spark shape: one per-plane FFT convolution (BeamOps.smooth) plus
+    * an equi-join on the pixel key — the join is plane-partitioned and
+    * the beam is image-sized, so shuffle volume is O(pixels), never
+    * O(visibilities).
+    */
+  def restoreModel(spark: SparkSession, model: DataFrame, residual: DataFrame,
+                   beam: DataFrame, nL: Int, nM: Int,
+                   nativeResolution: Boolean = true): DataFrame = {
+    val key = Seq("img_chan", "pol", "l_idx", "m_idx")
+    val sm = BeamOps.smooth(spark, model, beam, nL, nM, valueCol = "model")
+      .withColumnRenamed("smoothed", "_model_sm")
+    val res =
+      if (nativeResolution) residual.select(key.map(col) :+
+        col("residual").as("_res"): _*)
+      else BeamOps.smooth(spark, residual, beam, nL, nM, valueCol = "residual")
+        .withColumnRenamed("smoothed", "_res")
+    sm.join(res, key)
+      .withColumn("restored", col("_model_sm") + col("_res"))
+      .drop("_model_sm", "_res")
+  }
+
+  /** make_mask (ngcasa/deconvolution/make_mask.py — stub; docstring
+    * semantics): the deconvolution mask is the INTERSECTION of
+    * (a) an auto-mask — |image| above nSigma times the plane's robust
+    *     noise (median absolute deviation scaled to gaussian sigma),
+    * (b) a primary-beam limit — pb above pbLimit,
+    * (c) an optional user region column (cngi.image.region output).
+    *
+    * Robust sigma per plane = 1.4826 * median(|v - median(v)|) — two
+    * per-plane exact medians via percentile, computed group-local (a
+    * plane is image-sized) and broadcast-joined back; the comparison
+    * itself is a pure scan. At 100 TB the agg output is one row per
+    * (chan, pol) plane — dimension-scale.
+    */
+  def makeMask(image: DataFrame, nSigma: Double, pbCol: Option[String] = None,
+               pbLimit: Double = 0.2, regionCol: Option[String] = None,
+               valueCol: String = "image"): DataFrame = {
+    val planeKey = Seq(col("img_chan"), col("pol"))
+    val med = image.groupBy(planeKey: _*)
+      .agg(expr(s"percentile($valueCol, 0.5)").as("_med"))
+    val dev = image.join(broadcast(med), Seq("img_chan", "pol"))
+    val sig = dev
+      .withColumn("_adev", abs(col(valueCol) - col("_med")))
+      .groupBy(planeKey: _*)
+      .agg(expr("percentile(_adev, 0.5)").as("_mad"))
+      .withColumn("_sigma", col("_mad") * lit(1.4826))
+      .select(col("img_chan"), col("pol"), col("_sigma"))
+    val auto = abs(col(valueCol)) > lit(nSigma) * col("_sigma")
+    val pbOk = pbCol.map(c => col(c) > lit(pbLimit)).getOrElse(lit(true))
+    val regionOk = regionCol.map(col).getOrElse(lit(true))
+    dev.join(broadcast(sig), Seq("img_chan", "pol"))
+      .withColumn("mask", auto && pbOk && regionOk)
+      .drop("_med", "_sigma")
+  }
+
+  /** is_converged (ngcasa/deconvolution/is_converged.py — stub;
+    * docstring semantics): evaluate the current image set against the
+    * stopping criteria and emit a convergence-history record. Applied
+    * criteria (the docstring's ordered list): peak residual within the
+    * mask <= threshold, total iterations >= niter. One aggregate row
+    * per plane — a single hash agg, no driver-side data.
+    */
+  def isConverged(residual: DataFrame, itersDone: DataFrame,
+                  threshold: Double, niter: Int,
+                  maskCol: Option[String] = None): DataFrame = {
+    val inMask = maskCol.map(col).getOrElse(lit(true))
+    val peaks = residual
+      .groupBy(col("img_chan"), col("pol"))
+      .agg(max(when(inMask, abs(col("residual")))).as("peak_residual"))
+    peaks.join(itersDone, Seq("img_chan", "pol"))
+      .withColumn("hit_threshold", col("peak_residual") <= lit(threshold))
+      .withColumn("hit_niter", col("iters_done") >= lit(niter))
+      .withColumn("converged", col("hit_threshold") || col("hit_niter"))
+  }
 }

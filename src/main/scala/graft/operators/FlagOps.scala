@@ -188,6 +188,114 @@ object FlagOps {
       .drop("_amp", "_thr")
   }
 
+  /** auto_rflag (ngcasa/flagging/auto_rflag.py — a NotImplementedError
+    * stub in the reference; its docstring specifies "outliers via
+    * hierarchical MAD statistics applied to the visibility data"):
+    * the CASA rflag criterion in two levels —
+    *
+    *   level 1 (local): per (baseline-key, chan) robust center and
+    *     spread: med = median(amp), sigma = 1.4826 * median(|amp-med|);
+    *   level 2 (hierarchical): per chan, the median of the level-1
+    *     sigmas across baselines — a noisy baseline cannot inflate its
+    *     own threshold past the population's.
+    *
+    *   FLAG |= |amp - med| > nSigma * max(sigma, medSigma_chan).
+    *
+    * Shape: two hash aggregates over the (key, chan) group + one
+    * chan-keyed aggregate, joined back on their group keys (AQE
+    * broadcasts them when small). Medians are exact but GROUP-local
+    * (`percentile` per group, groups are time-series sized) — never a
+    * global single-reducer sort. The threshold is quantized (1e-6) so
+    * the flag decision compares identical doubles in any engine.
+    */
+  def autoRflag(df: DataFrame, flagCol: String, keyCols: Seq[String],
+                chanCol: String, amp: Column,
+                nSigma: Double = 5.0): DataFrame = {
+    val gk = keyCols :+ chanCol
+    val withAmp = df.withColumn("_amp", amp)
+    val med = withAmp.groupBy(gk.map(col): _*)
+      .agg(expr("percentile(_amp, 0.5)").as("_med"))
+    val joined = withAmp.join(med, gk)
+    val sig = joined
+      .withColumn("_adev", abs(col("_amp") - col("_med")))
+      .groupBy(gk.map(col): _*)
+      .agg((expr("percentile(_adev, 0.5)") * lit(1.4826)).as("_sigma"))
+    val chanSig = sig.groupBy(col(chanCol))
+      .agg(expr("percentile(_sigma, 0.5)").as("_chan_sigma"))
+    joined.join(sig, gk).join(chanSig, Seq(chanCol))
+      .withColumn("_thr", floor(lit(nSigma) *
+        greatest(col("_sigma"), col("_chan_sigma")) * 1e6 + 0.5) / 1e6)
+      .withColumn(flagCol,
+        coalesce(col(flagCol), lit(false)) ||
+          abs(col("_amp") - col("_med")) > col("_thr"))
+      .drop("_amp", "_med", "_sigma", "_chan_sigma", "_thr")
+  }
+
+  /** auto_tfcrop (ngcasa/flagging/auto_tfcrop.py — stub; docstring:
+    * "outliers based on the assumption that the time-frequency plane
+    * ... for a sky signal is smooth in comparison to RFI"): fit a
+    * quadratic over the channel axis per (time-key) group — the smooth
+    * bandpass — and flag samples deviating from the fit by more than
+    * nSigma times the group's residual spread.
+    *
+    * The fit is the same normal-equations shape as uv_cont_fit
+    * (RegressionOps): ONE hash aggregate collects the power sums
+    * (Σx^k, Σx^k y), Cramer's rule solves the 3x3 system in closed-form
+    * column expressions, and a join back scores each sample — two
+    * passes over the facts, no iteration, no driver-side data.
+    */
+  def autoTfcrop(df: DataFrame, flagCol: String, keyCols: Seq[String],
+                 chanCol: String, amp: Column,
+                 nSigma: Double = 4.0): DataFrame = {
+    val x = col(chanCol).cast("double")
+    val y0 = amp
+    val base = df.withColumn("_x", x).withColumn("_y", y0)
+    val sums = base.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).cast("double").as("s0"),
+        sum(col("_x")).as("s1"),
+        sum(col("_x") * col("_x")).as("s2"),
+        sum(col("_x") * col("_x") * col("_x")).as("s3"),
+        sum(col("_x") * col("_x") * col("_x") * col("_x")).as("s4"),
+        sum(col("_y")).as("sy"),
+        sum(col("_x") * col("_y")).as("sxy"),
+        sum(col("_x") * col("_x") * col("_y")).as("sx2y"))
+    // Cramer's rule for [s0 s1 s2; s1 s2 s3; s2 s3 s4] [a b c]' = [sy sxy sx2y]'
+    def det3(a: Column, b: Column, c: Column, d: Column, e: Column, f: Column,
+             g: Column, h: Column, i: Column): Column =
+      a * (e * i - f * h) - b * (d * i - f * g) + c * (d * h - e * g)
+    val dd = det3(col("s0"), col("s1"), col("s2"),
+      col("s1"), col("s2"), col("s3"), col("s2"), col("s3"), col("s4"))
+    val da = det3(col("sy"), col("s1"), col("s2"),
+      col("sxy"), col("s2"), col("s3"), col("sx2y"), col("s3"), col("s4"))
+    val db = det3(col("s0"), col("sy"), col("s2"),
+      col("s1"), col("sxy"), col("s3"), col("s2"), col("sx2y"), col("s4"))
+    val dc = det3(col("s0"), col("s1"), col("sy"),
+      col("s1"), col("s2"), col("sxy"), col("s2"), col("s3"), col("sx2y"))
+    val coefs = sums
+      .withColumn("_ca", da / dd)
+      .withColumn("_cb", db / dd)
+      .withColumn("_cc", dc / dd)
+      .select((keyCols.map(col) :+ col("_ca") :+ col("_cb") :+ col("_cc")): _*)
+    val scored = base.join(coefs, keyCols)
+      .withColumn("_fit",
+        col("_ca") + col("_cb") * col("_x") + col("_cc") * col("_x") * col("_x"))
+      .withColumn("_resid", col("_y") - col("_fit"))
+    val spread = scored.groupBy(keyCols.map(col): _*)
+      .agg(sqrt(greatest(lit(0.0),
+        avg(col("_resid") * col("_resid")) -
+          avg(col("_resid")) * avg(col("_resid")))).as("_rsig"))
+    // Both sides of the outlier comparison are quantized (1e-4): the
+    // power sums are engine-order-sensitive in their last ulps, and a
+    // boolean output leaves no downstream rounding to absorb that.
+    scored.join(spread, keyCols)
+      .withColumn("_thr", floor(lit(nSigma) * col("_rsig") * 1e4 + 0.5) / 1e4)
+      .withColumn("_rq", floor(abs(col("_resid")) * 1e4 + 0.5) / 1e4)
+      .withColumn(flagCol,
+        coalesce(col(flagCol), lit(false)) || col("_rq") > col("_thr"))
+      .drop("_x", "_y", "_ca", "_cb", "_cc", "_fit", "_resid", "_rsig",
+        "_thr", "_rq")
+  }
+
   /** Per-antenna flag counts, reference-faithful: every baseline row is
     * counted under BOTH its antennas (ngcasa/flagging/summary.py:
     * antenna breakdown counts ant1 and ant2 legs) — an explode over

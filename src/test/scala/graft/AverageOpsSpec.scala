@@ -99,6 +99,32 @@ class AverageOpsSpec extends SparkSpec {
     }
   }
 
+  test("reframe at zero velocity is the identity; doppler shift interpolates") {
+    val f0 = 1.0e9; val dfHz = 1.0e6; val c = 299792458.0
+    val spec = (0 until 10).map(ch => (1, ch, ch * 10.0, 0.0))
+      .toDF("id", "chan", "v", "vel")
+    val ident = AverageOps.reframe(spec, Seq("id"), "chan", Seq("v"), "vel",
+        f0, dfHz)
+      .select("chan", "v_reframed")
+      .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    (0 until 10).foreach(ch => assert(ident(ch) === ch * 10.0))
+
+    val vel = 3.0e5 // ~1e-3 c: shifts ~1 channel at 1 GHz
+    val spec2 = (0 until 10).map(ch => (1, ch, ch * 10.0, vel))
+      .toDF("id", "chan", "v", "vel")
+    val out = AverageOps.reframe(spec2, Seq("id"), "chan", Seq("v"), "vel",
+        f0, dfHz)
+      .select("chan", "v_reframed")
+      .collect().map(r => r.getInt(0) -> Option(r.get(1))).toMap
+    // expected: value at fractional input position, linearly interpolated
+    def pos(ch: Int) = ((f0 + ch * dfHz) / (1.0 - vel / c) - f0) / dfHz
+    val p0 = pos(0); val c0 = math.floor(p0).toInt; val w = p0 - c0
+    val expect = (1.0 - w) * (c0 * 10.0) + w * ((c0 + 1) * 10.0)
+    assert(approx(out(0).get.asInstanceOf[Double], expect, 1e-12))
+    // last channels shift past the band edge -> null
+    assert(out(9).isEmpty)
+  }
+
   test("kernels are normalized to unit sum") {
     for (k <- Seq(AverageOps.Kernels.boxcar(5), AverageOps.Kernels.triang(5),
       AverageOps.Kernels.hann(5), AverageOps.Kernels.hamming(5),

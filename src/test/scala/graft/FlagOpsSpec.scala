@@ -94,4 +94,35 @@ class FlagOpsSpec extends SparkSpec {
     assert(out === Map(0 -> true, 1 -> true, 2 -> true,
       3 -> false, 4 -> false))
   }
+
+  test("autoRflag flags the MAD outlier, keeps well-behaved samples") {
+    // ants 0..2, one chan; ant 0 carries a gross outlier at t=4.
+    val rows =
+      (0 until 5).map(t => (0, 0, t, if (t == 4) 100.0 else 10.0 + 0.1 * t)) ++
+        (0 until 5).map(t => (1, 0, t, 20.0 + 0.2 * t)) ++
+        (0 until 5).map(t => (2, 0, t, 30.0 + 0.3 * t))
+    val df = rows.toDF("ant", "chan", "t", "amp").withColumn("flag", lit(false))
+    val out = FlagOps.autoRflag(df, "flag", Seq("ant"), "chan",
+        col("amp"), nSigma = 5.0)
+      .select("ant", "t", "flag")
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(out((0, 4)), "gross outlier must be flagged")
+    assert(!out((1, 2)) && !out((2, 0)), "clean baselines stay unflagged")
+  }
+
+  test("autoTfcrop keeps a perfect quadratic bandpass unflagged, crops RFI") {
+    val clean = (0 until 8).map(x => (0, x, 1.0 + 2.0 * x + 0.5 * x * x))
+    val df = clean.toDF("bl", "chan", "amp").withColumn("flag", lit(false))
+    val none = FlagOps.autoTfcrop(df, "flag", Seq("bl"), "chan", col("amp"))
+      .where(col("flag")).count()
+    assert(none === 0, "zero residuals must not flag")
+
+    val rfi = clean.map { case (b, x, y) =>
+      (b, x, if (x == 3) y + 1000.0 else y) }
+    val df2 = rfi.toDF("bl", "chan", "amp").withColumn("flag", lit(false))
+    val out = FlagOps.autoTfcrop(df2, "flag", Seq("bl"), "chan", col("amp"),
+        nSigma = 2.0)
+      .collect().map(r => r.getInt(1) -> r.getBoolean(3)).toMap
+    assert(out(3), "the RFI spike must be cropped")
+  }
 }

@@ -202,6 +202,67 @@ class KernelOpsSpec extends SparkSpec {
     assert(approx(comb, s * sdSum, 1e-9))
   }
 
+  test("restoreModel: delta model restores to the beam plus residual") {
+    import org.apache.spark.sql.functions._
+    val grid = graft.operators.ImageOps.makeEmptySkyImage(spark, (0.0, 0.0),
+        (16, 16), (0.0005, 0.0005))
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+    val model = grid.withColumn("model",
+      when(col("l_idx") === 8 && col("m_idx") === 8, 2.0).otherwise(0.0))
+    val residual = grid.withColumn("residual", col("l_idx") * 0.01)
+    val beam = BeamOps.gaussianBeam(grid, 300.0, 300.0, 0.0,
+      (0.0005, 0.0005), 16, 16)
+    val beamVals = beam.select("l_idx", "m_idx", "beam").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val out = graft.operators.CleanOps
+      .restoreModel(spark, model, residual, beam, 16, 16)
+      .select("l_idx", "m_idx", "restored").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    // delta at the beam center: restored(p) = 2*beam(p) + residual(p)
+    for (p <- Seq((8, 8), (7, 9), (3, 12)))
+      assert(approx(out(p), 2.0 * beamVals(p) + p._1 * 0.01, 1e-9))
+  }
+
+  test("makeMask: sigma-threshold spikes inside the pb limit only") {
+    import org.apache.spark.sql.functions._
+    val grid = graft.operators.ImageOps.makeEmptySkyImage(spark, (0.0, 0.0),
+        (16, 16), (0.0005, 0.0005))
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+    // flat plane + two spikes; pb is wide gaussian: ~1 at center,
+    // tiny in the far corner
+    val img = grid.withColumn("image",
+      when(col("l_idx") === 8 && col("m_idx") === 8, 5.0)
+        .when(col("l_idx") === 0 && col("m_idx") === 0, 5.0)
+        .otherwise(sin(col("l_idx") * 0.1) * 0.01))
+    val withPb = BeamOps.gaussianBeam(img, 800.0, 800.0, 0.0,
+      (0.0005, 0.0005), 16, 16, outCol = "pb")
+    val out = graft.operators.CleanOps
+      .makeMask(withPb, nSigma = 5.0, pbCol = Some("pb"), pbLimit = 0.3)
+      .select("l_idx", "m_idx", "mask").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getBoolean(2)).toMap
+    assert(out((8, 8)), "central spike above pb limit is masked")
+    assert(!out((0, 0)), "corner spike below the pb limit is rejected")
+    assert(!out((4, 4)), "noise floor stays unmasked")
+  }
+
+  test("isConverged applies threshold and niter stopping criteria") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val res = Seq((0, 0, 0, 0, 0.01), (0, 0, 0, 1, -0.2),
+        (0, 1, 0, 0, 0.5))
+      .toDF("img_chan", "pol", "l_idx", "m_idx", "residual")
+    val iters = Seq((0, 0, 10), (0, 1, 100))
+      .toDF("img_chan", "pol", "iters_done")
+    val out = graft.operators.CleanOps
+      .isConverged(res, iters, threshold = 0.25, niter = 50)
+      .collect().map(r => r.getInt(1) ->
+        (r.getBoolean(4), r.getBoolean(5), r.getBoolean(6))).toMap
+    // pol 0: peak 0.2 <= 0.25 -> threshold hit, 10 < 50 iters
+    assert(out(0) === ((true, false, true)))
+    // pol 1: peak 0.5 above threshold, but iteration budget exhausted
+    assert(out(1) === ((false, true, true)))
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray

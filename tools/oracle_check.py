@@ -47,6 +47,17 @@ def main(sf_dir, out_dir):
         if sorted(spark_cols) != sorted(duck_cols):
             print(f"FAIL  {name}: schema {sorted(spark_cols)} vs {sorted(duck_cols)}")
             continue
+        # The driver's hash is type-sensitive (round 2: DuckDB sum(int) ->
+        # HUGEINT hashed != Spark BIGINT despite equal values). Flag any
+        # column whose DuckDB result type differs from the Spark parquet
+        # type so the artifact can't hide behind Python int equality.
+        s_types = {c[0]: c[1] for c in spark_rel.description}
+        d_types = {c[0]: c[1] for c in duck_rel.description}
+        ty_bad = [c for c in s_types
+                  if s_types[c] != d_types.get(c)]
+        if ty_bad:
+            print(f"TYPE  {name}: " + ", ".join(
+                f"{c}: spark={s_types[c]} duck={d_types[c]}" for c in ty_bad))
         s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
         d_ix = [duck_cols.index(c) for c in sorted(duck_cols)]
         s = sorted([tuple(norm(r[i]) for i in s_ix) for r in spark_rows],
