@@ -683,6 +683,124 @@ object QueriesKernels {
          |                 AND ps2.m_idx = 8 + r1.m_idx - p2.pm2""".stripMargin
     })
 
+  /** deconvolve_multiterm_clean, MS-Clean option (nterms=1): the full
+    * iterative multi-scale kernel on the gridded fixture — rows-only
+    * (iterative), with the one-iteration recurrence oracled exactly
+    * below (same pattern as clean_one_iter).
+    */
+  private val msCleanQ = Q(
+    (s, d) => {
+      val p = GridOps.GridParams((32, 32), (0.002, 0.002),
+        imageSize = Some((16, 16)))
+      val fx = Tables.lineitem(s, d).select(
+        lit(0).as("img_chan"), lit(0).as("pol"),
+        (col("l_extendedprice") % 60.0 - 30.0).as("u"),
+        ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
+        col("l_tax").as("re"), col("l_discount").as("im"),
+        (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
+      val img = GridOps.makeImage(s, fx, p)
+      val psf = GridOps.makePsf(s, fx, p)
+      CleanOps.msCleanPlanes(s, img, psf, 16, 16, 16, 16,
+          scales = Seq(0, 2), gain = 0.2, threshold = 0.05, niter = 50)
+        .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    },
+    "") // iterative kernel: rows-only; recurrence oracled in msclean_one_iter
+
+  /** One MS-CLEAN iteration in closed form: smoothed residuals per
+    * scale, bias-weighted argmax over (scale, pixel), coeff =
+    * gain * r_s(p) / (psf (x) k_s (x) k_s)(center), model += coeff *
+    * k_s footprint, residual -= coeff * (psf (x) k_s) shifted. The
+    * scale-tagged kernel table makes every step a generic join — no
+    * branch on which scale wins.
+    */
+  private val msCleanOneIterQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        lit(3.0) * exp(-((col("l_idx") - 5) * (col("l_idx") - 5)
+          + (col("m_idx") - 9) * (col("m_idx") - 9)) / 8.0) +
+          when(col("l_idx") === 12 && col("m_idx") === 4, 1.5).otherwise(0.0))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.msCleanPlanes(s, img, psf, 16, 16, 16, 16,
+          scales = Seq(0, 2), gain = 0.2, threshold = 0.0, niter = 1,
+          smallScaleBias = 0.6)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  3.0e0 * exp(-((l_idx - 5) * (l_idx - 5)
+         |              + (m_idx - 9) * (m_idx - 9)) / 8.0e0)
+         |  + CASE WHEN l_idx = 12 AND m_idx = 4 THEN 1.5e0 ELSE 0.0e0 END AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |kk AS (
+         |  SELECT 0 AS scale, 0 AS i, 0 AS j, 1.0e0 AS k
+         |  UNION ALL
+         |  SELECT 2, CAST(i AS INT), CAST(j AS INT),
+         |    (1.0e0 - (i*i + j*j) / 4.0e0) / 6.0e0
+         |  FROM generate_series(-2, 2) a(i) CROSS JOIN generate_series(-2, 2) b(j)
+         |  WHERE i*i + j*j <= 4),
+         |bias AS (SELECT 0 AS scale, 1.0e0 AS b
+         |         UNION ALL SELECT 2, 1.0e0 - 0.6e0 * 2.0e0 / 2.0e0),
+         |rs AS (
+         |  SELECT kk.scale, p.l_idx, p.m_idx, sum(i.v * kk.k) AS v
+         |  FROM px p
+         |  JOIN img i ON true
+         |  JOIN kk ON kk.i = p.l_idx - i.l_idx AND kk.j = p.m_idx - i.m_idx
+         |  GROUP BY 1, 2, 3),
+         |psfs AS (
+         |  SELECT kk.scale, p.l_idx, p.m_idx, sum(f.k * kk.k) AS v
+         |  FROM px p
+         |  JOIN psf f ON true
+         |  JOIN kk ON kk.i = p.l_idx - f.l_idx AND kk.j = p.m_idx - f.m_idx
+         |  GROUP BY 1, 2, 3),
+         |norm AS (
+         |  SELECT ps.scale, sum(ps.v * kk.k) AS nv
+         |  FROM psfs ps
+         |  JOIN kk ON kk.scale = ps.scale
+         |         AND ps.l_idx = 8 - kk.i AND ps.m_idx = 8 - kk.j
+         |  GROUP BY 1),
+         |cand AS (
+         |  SELECT rs.scale, rs.l_idx AS pl, rs.m_idx AS pm, rs.v AS pv
+         |  FROM rs JOIN bias USING (scale)
+         |  ORDER BY abs(rs.v) * bias.b DESC, rs.scale ASC,
+         |    rs.l_idx ASC, rs.m_idx ASC
+         |  LIMIT 1),
+         |cf AS (
+         |  SELECT c.scale, c.pl, c.pm, 0.2e0 * c.pv / n.nv AS coeff
+         |  FROM cand c JOIN norm n USING (scale))
+         |SELECT p.l_idx, p.m_idx,
+         |  floor(coalesce(cf.coeff * mk.k, 0.0e0) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS model,
+         |  floor((i.v - coalesce(cf.coeff * ps.v, 0.0e0)) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS residual
+         |FROM px p
+         |JOIN img i USING (l_idx, m_idx)
+         |CROSS JOIN cf
+         |LEFT JOIN kk mk ON mk.scale = cf.scale
+         |  AND mk.i = p.l_idx - cf.pl AND mk.j = p.m_idx - cf.pm
+         |LEFT JOIN psfs ps ON ps.scale = cf.scale
+         |  AND ps.l_idx = 8 + p.l_idx - cf.pl
+         |  AND ps.m_idx = 8 + p.m_idx - cf.pm""".stripMargin
+    })
+
   /** restore_model: model (x) clean-beam + residual (native
     * resolution). Oracle mirrors the smooth oracle's circular
     * convolution on the sparse model plane and adds the residual.
@@ -1407,6 +1525,8 @@ object QueriesKernels {
     "restore_model" -> restoreModelQ,
     "make_mask" -> makeMaskQ,
     "is_converged" -> isConvergedQ,
+    "deconvolve_multiscale_clean" -> msCleanQ,
+    "msclean_one_iter" -> msCleanOneIterQ,
     "smooth" -> smoothQ,
     "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,

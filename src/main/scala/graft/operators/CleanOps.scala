@@ -96,6 +96,184 @@ object CleanOps {
       }.toDF()
   }
 
+  /** Multi-scale CLEAN scale function (deconvolve_multiterm_clean.py's
+    * "inverted tapered paraboloid" basis, Cornwell 2008 MS-CLEAN):
+    * m_a(r) = 1 - (r/a)^2 truncated at r = a, normalized to unit sum;
+    * scale 0 is the delta function (point-source CLEAN).
+    * Returns (row-major (2a+1)^2 taps, width).
+    */
+  private[graft] def scaleKernel(a: Int): (Array[Double], Int) = {
+    if (a == 0) (Array(1.0), 1)
+    else {
+      val n = 2 * a + 1
+      val raw = Array.tabulate(n * n) { idx =>
+        val di = idx / n - a; val dj = idx % n - a
+        val r2 = (di * di + dj * dj).toDouble / (a * a)
+        if (r2 <= 1.0) 1.0 - r2 else 0.0
+      }
+      val s = raw.sum
+      (raw.map(_ / s), n)
+    }
+  }
+
+  /** Zero-padded 2-D convolution of an (nL x nM) plane with a (w x w)
+    * kernel, same-size output: out(p) = sum_q in(q) k(p - q + c).
+    */
+  private[graft] def conv2(in: Array[Double], nL: Int, nM: Int,
+                           k: Array[Double], w: Int): Array[Double] = {
+    val c = w / 2
+    val out = new Array[Double](nL * nM)
+    var l = 0
+    while (l < nL) {
+      var m = 0
+      while (m < nM) {
+        var acc = 0.0
+        var di = -c
+        while (di <= c) {
+          val ql = l - di
+          if (ql >= 0 && ql < nL) {
+            var dj = -c
+            while (dj <= c) {
+              val qm = m - dj
+              if (qm >= 0 && qm < nM)
+                acc += in(ql * nM + qm) * k((di + c) * w + (dj + c))
+              dj += 1
+            }
+          }
+          di += 1
+        }
+        out(l * nM + m) = acc
+        m += 1
+      }
+      l += 1
+    }
+    out
+  }
+
+  /** Local MS-CLEAN loop (Cornwell 2008; the deconvolve_multiterm_clean
+    * stub's nterms=1 "MS-Clean" option). Maintains one smoothed
+    * residual per scale; each iteration picks the bias-weighted peak
+    * across (scale, pixel), adds the scale function to the model, and
+    * subtracts coeff * (psf (x) s_best (x) s) from every smoothed
+    * residual. scales must start with 0 so rs(0) IS the plain residual.
+    * Returns (model, residual).
+    */
+  private[graft] def msClean(residual: Array[Double], psf: Array[Double],
+                             nL: Int, nM: Int, psfL: Int, psfM: Int,
+                             scales: Seq[Int], gain: Double,
+                             threshold: Double, niter: Int,
+                             smallScaleBias: Double)
+      : (Array[Double], Array[Double]) = {
+    require(scales.headOption.contains(0), "scales must start with 0")
+    val nS = scales.length
+    val maxScale = scales.max.max(1)
+    val bias = scales.map(a => 1.0 - smallScaleBias * a.toDouble / maxScale).toArray
+    val kernels = scales.map(scaleKernel).toArray
+    // smoothed residuals r_s = residual (x) k_s  (scale 0 = identity)
+    val rs = kernels.map { case (k, w) => conv2(residual, nL, nM, k, w) }
+    // psfS_s = psf (x) k_s; cross(s, s') = psf (x) k_s (x) k_s'
+    val psfS = kernels.map { case (k, w) => conv2(psf, psfL, psfM, k, w) }
+    val cross = Array.tabulate(nS, nS)((s1, s2) =>
+      conv2(psfS(s1), psfL, psfM, kernels(s2)._1, kernels(s2)._2))
+    val (pcL, pcM) = (psfL / 2, psfM / 2)
+    // norm_s = (psf (x) k_s (x) k_s)(center) — the component-amplitude
+    // scaling between the smoothed-residual peak and the model coeff
+    val norm = Array.tabulate(nS)(s => cross(s)(s)(pcL * psfM + pcM))
+    val model = new Array[Double](nL * nM)
+    def peak(): (Int, Int, Double) = {
+      var bs = 0; var bp = 0; var bv = -1.0
+      var s = 0
+      while (s < nS) {
+        val r = rs(s); var p = 0
+        while (p < r.length) {
+          val a = math.abs(r(p)) * bias(s)
+          if (a > bv) { bv = a; bs = s; bp = p }
+          p += 1
+        }
+        s += 1
+      }
+      (bs, bp, bv)
+    }
+    var (s0, p0, v0) = peak()
+    if (v0 <= 0.0 || v0.isNaN) return (model, rs(0))
+    val stop = threshold * v0
+    var it = 0
+    var done = false
+    while (!done && it < niter) {
+      val coeff = gain * rs(s0)(p0) / norm(s0)
+      val (pl, pm) = (p0 / nM, p0 % nM)
+      // model += coeff * k_best centered at the peak
+      val (kb, wb) = kernels(s0); val cb = wb / 2
+      var di = -cb
+      while (di <= cb) {
+        val l = pl + di
+        if (l >= 0 && l < nL) {
+          var dj = -cb
+          while (dj <= cb) {
+            val m = pm + dj
+            if (m >= 0 && m < nM)
+              model(l * nM + m) += coeff * kb((di + cb) * wb + (dj + cb))
+            dj += 1
+          }
+        }
+        di += 1
+      }
+      // every smoothed residual loses coeff * cross(best, s) at the peak
+      var s = 0
+      while (s < nS) {
+        val x = cross(s0)(s); val r = rs(s)
+        val l0 = math.max(pl - pcL, 0); val l1 = math.min(pl + (psfL - pcL), nL)
+        var l = l0
+        while (l < l1) {
+          val xRow = (pcL + (l - pl)) * psfM
+          var m = math.max(pm - pcM, 0)
+          val m1 = math.min(pm + (psfM - pcM), nM)
+          while (m < m1) {
+            r(l * nM + m) -= coeff * x(xRow + (pcM + (m - pm)))
+            m += 1
+          }
+          l += 1
+        }
+        s += 1
+      }
+      val nxt = peak(); s0 = nxt._1; p0 = nxt._2; v0 = nxt._3
+      if (v0 <= stop || v0.isNaN || v0 == 0.0) done = true
+      it += 1
+    }
+    (model, rs(0))
+  }
+
+  /** Distributed MS-CLEAN over long-form planes — the same co-grouped
+    * per-(chan, pol) shape as [[cleanPlanes]]; scales/bias per
+    * deconvolve_multiterm_clean's MS-Clean option.
+    */
+  def msCleanPlanes(spark: SparkSession, image: DataFrame, psf: DataFrame,
+                    nL: Int, nM: Int, psfL: Int, psfM: Int,
+                    scales: Seq[Int], gain: Double = 0.1,
+                    threshold: Double = 0.01, niter: Int = 1000,
+                    smallScaleBias: Double = 0.6): DataFrame = {
+    import spark.implicits._
+    val img = image.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(0).as("kind"))
+      .union(psf.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(1).as("kind")))
+      .as[(Int, Int, Int, Int, Double, Int)]
+    img.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double, Int)]) =>
+        val (chan, pol) = key
+        val res = new Array[Double](nL * nM)
+        val psfA = new Array[Double](psfL * psfM)
+        for ((_, _, l, m, v, kind) <- it)
+          if (kind == 0) res(l * nM + m) = v else psfA(l * psfM + m) = v
+        val (model, resOut) = msClean(res, psfA, nL, nM, psfL, psfM,
+          scales, gain, threshold, niter, smallScaleBias)
+        (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map(m =>
+          CleanResult(chan, pol, l, m, model(l * nM + m), resOut(l * nM + m))))
+      }.toDF()
+  }
+
   /** restore_model (ngcasa/deconvolution/restore_model.py — a
     * NotImplementedError stub in the reference; semantics from its
     * docstring): restored = model (x) clean-beam + residual, the

@@ -263,6 +263,42 @@ class KernelOpsSpec extends SparkSpec {
     assert(out(1) === ((false, true, true)))
   }
 
+  test("msClean with scales=(0) reduces exactly to Hogbom") {
+    val nL = 16; val nM = 16
+    val res = Array.tabulate(nL * nM)(i =>
+      math.sin(i * 0.37) + (if (i == 77) 4.0 else 0.0))
+    val psf = Array.tabulate(nL * nM) { i =>
+      val (l, m) = (i / nM - 8, i % nM - 8)
+      math.exp(-(l * l + m * m) / 6.0)
+    }
+    val hog = graft.operators.CleanOps.hogbom(res.clone(), psf, nL, nM, nL, nM,
+      gain = 0.3, threshold = 0.0, niter = 3)
+    val (ms, _) = graft.operators.CleanOps.msClean(res.clone(), psf,
+      nL, nM, nL, nM, Seq(0), gain = 0.3, threshold = 0.0, niter = 3,
+      smallScaleBias = 0.6)
+    hog.zip(ms).foreach { case (a, b) => assert(approx(a, b, 1e-12)) }
+  }
+
+  test("msClean subtracts flux: residual peak decreases across scales") {
+    val nL = 16; val nM = 16
+    // broad source: gaussian blob (extended relative to scale-2 kernel)
+    val res = Array.tabulate(nL * nM) { i =>
+      val (l, m) = (i / nM - 6, i % nM - 10)
+      3.0 * math.exp(-(l * l + m * m) / 10.0)
+    }
+    val psf = Array.tabulate(nL * nM) { i =>
+      val (l, m) = (i / nM - 8, i % nM - 8)
+      math.exp(-(l * l + m * m) / 4.0)
+    }
+    val before = res.map(math.abs).max
+    val (model, after) = graft.operators.CleanOps.msClean(res.clone(), psf,
+      nL, nM, nL, nM, Seq(0, 2), gain = 0.2, threshold = 0.1, niter = 100,
+      smallScaleBias = 0.0)
+    assert(after.map(math.abs).max < 0.2 * before,
+      "CLEAN must drive the residual below the stop threshold band")
+    assert(model.sum > 0.0, "flux lands in the model")
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
