@@ -801,6 +801,74 @@ object QueriesKernels {
          |  AND ps.m_idx = 8 + p.m_idx - cf.pm""".stripMargin
     })
 
+  /** deconvolve_fast_resolve: Wiener/MAP deconvolution, oracled by a
+    * direct DFT per transform (the radix-2 FFT and the DFT sums differ
+    * only in addition order; qround(6) absorbs it — same device as the
+    * make_image oracle).
+    */
+  private val fastResolveQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        lit(1.0) + lit(0.5) * sin(col("l_idx") * 0.4) +
+          lit(0.3) * cos(col("m_idx") * 0.7))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.fastResolve(s, img, psf, 16, 16, lambda = 0.01)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("error"), 6).as("error"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  1.0e0 + 0.5e0 * sin(l_idx * CAST(0.4 AS DOUBLE))
+         |        + 0.3e0 * cos(m_idx * CAST(0.7 AS DOUBLE)) AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |fimg AS (
+         |  SELECT f.l_idx AS p, f.m_idx AS q,
+         |    sum(i.v * cos(2 * pi() * (f.l_idx * i.l_idx + f.m_idx * i.m_idx) / 16.0)) AS re,
+         |    -sum(i.v * sin(2 * pi() * (f.l_idx * i.l_idx + f.m_idx * i.m_idx) / 16.0)) AS im
+         |  FROM px f JOIN img i ON true GROUP BY 1, 2),
+         |fpsf AS (
+         |  SELECT f.l_idx AS p, f.m_idx AS q,
+         |    sum(k.k * cos(2 * pi() * (f.l_idx * k.l_idx + f.m_idx * k.m_idx) / 16.0)) AS re,
+         |    -sum(k.k * sin(2 * pi() * (f.l_idx * k.l_idx + f.m_idx * k.m_idx) / 16.0)) AS im
+         |  FROM px f JOIN psf k ON true GROUP BY 1, 2),
+         |wien AS (
+         |  SELECT i.p, i.q,
+         |    (s.re * i.re + s.im * i.im) / (s.re * s.re + s.im * s.im + 0.01e0) AS mr,
+         |    (s.re * i.im - s.im * i.re) / (s.re * s.re + s.im * s.im + 0.01e0) AS mi
+         |  FROM fimg i JOIN fpsf s USING (p, q)),
+         |err AS (
+         |  SELECT sum(0.01e0 / (re * re + im * im + 0.01e0)) / 256.0 AS e
+         |  FROM fpsf),
+         |inv AS (
+         |  SELECT o.l_idx, o.m_idx,
+         |    sum(w.mr * cos(2 * pi() * (w.p * ((o.l_idx + 8) % 16) + w.q * ((o.m_idx + 8) % 16)) / 16.0)
+         |      - w.mi * sin(2 * pi() * (w.p * ((o.l_idx + 8) % 16) + w.q * ((o.m_idx + 8) % 16)) / 16.0)) AS yre,
+         |    sum(w.mr * sin(2 * pi() * (w.p * ((o.l_idx + 8) % 16) + w.q * ((o.m_idx + 8) % 16)) / 16.0)
+         |      + w.mi * cos(2 * pi() * (w.p * ((o.l_idx + 8) % 16) + w.q * ((o.m_idx + 8) % 16)) / 16.0)) AS yim
+         |  FROM px o JOIN wien w ON true GROUP BY 1, 2)
+         |SELECT inv.l_idx, inv.m_idx,
+         |  floor(sqrt(yre * yre + yim * yim) / 256.0 * 1000000.0 + 0.5)
+         |    / 1000000.0 AS model,
+         |  floor(err.e * 1000000.0 + 0.5) / 1000000.0 AS error
+         |FROM inv CROSS JOIN err""".stripMargin
+    })
+
   /** restore_model: model (x) clean-beam + residual (native
     * resolution). Oracle mirrors the smooth oracle's circular
     * convolution on the sparse model plane and adds the residual.
@@ -1527,6 +1595,7 @@ object QueriesKernels {
     "is_converged" -> isConvergedQ,
     "deconvolve_multiscale_clean" -> msCleanQ,
     "msclean_one_iter" -> msCleanOneIterQ,
+    "deconvolve_fast_resolve" -> fastResolveQ,
     "smooth" -> smoothQ,
     "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import graft.functions.Fft
 
 /** deconvolve_point_clean (ngcasa/deconvolution/
   * deconvolve_point_clean.py:30-332): Hogbom CLEAN — per (chan, pol)
@@ -272,6 +273,66 @@ object CleanOps {
         (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map(m =>
           CleanResult(chan, pol, l, m, model(l * nM + m), resOut(l * nM + m))))
       }.toDF()
+  }
+
+  /** deconvolve_fast_resolve (ngcasa/deconvolution/
+    * deconvolve_fast_resolve.py — a NotImplementedError stub; docstring:
+    * "a Bayesian model from an observed image(set) and psf(set) ...
+    * constraints on the flux distribution", output "Cube model image,
+    * Error map"): the quadratic-prior MAP estimate, i.e. Wiener
+    * deconvolution — per plane, per Fourier mode k,
+    *   M(k) = conj(P(k)) I(k) / (|P(k)|^2 + lambda),
+    * model = fftshift(ifft2(M)), with the stationary posterior variance
+    *   error = (1/N) sum_k lambda / (|P(k)|^2 + lambda)
+    * as the (per-plane constant) error map. lambda is the prior
+    * precision: lambda -> 0 recovers naive inverse filtering,
+    * lambda -> inf shrinks the model to zero.
+    *
+    * Same per-(chan, pol) co-grouped plane shape as [[cleanPlanes]]:
+    * one task per plane, shuffle volume = plane bytes.
+    */
+  def fastResolve(spark: SparkSession, image: DataFrame, psf: DataFrame,
+                  nL: Int, nM: Int, lambda: Double): DataFrame = {
+    import spark.implicits._
+    val tagged = image.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(0).as("kind"))
+      .union(psf.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(1).as("kind")))
+      .as[(Int, Int, Int, Int, Double, Int)]
+    tagged.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double, Int)]) =>
+        val (chan, pol) = key
+        val n = nL * nM
+        val imgRe = new Array[Double](n); val imgIm = new Array[Double](n)
+        val psfRe = new Array[Double](n); val psfIm = new Array[Double](n)
+        for ((_, _, l, m, v, kind) <- it)
+          if (kind == 0) imgRe(l * nM + m) = v else psfRe(l * nM + m) = v
+        Fft.fft2(imgRe, imgIm, nL, nM, invert = false)
+        Fft.fft2(psfRe, psfIm, nL, nM, invert = false)
+        var errAcc = 0.0
+        var i = 0
+        while (i < n) {
+          val p2 = psfRe(i) * psfRe(i) + psfIm(i) * psfIm(i)
+          val den = p2 + lambda
+          // conj(P) * I / den
+          val re = (psfRe(i) * imgRe(i) + psfIm(i) * imgIm(i)) / den
+          val im = (psfRe(i) * imgIm(i) - psfIm(i) * imgRe(i)) / den
+          imgRe(i) = re; imgIm(i) = im
+          errAcc += lambda / den
+          i += 1
+        }
+        val error = errAcc / n
+        Fft.fft2(imgRe, imgIm, nL, nM, invert = true)
+        val outRe = Fft.fftshift2(imgRe, nL, nM)
+        val outIm = Fft.fftshift2(imgIm, nL, nM)
+        (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map { m =>
+          val idx = l * nM + m
+          (chan, pol, l, m,
+            math.hypot(outRe(idx) / n, outIm(idx) / n), error)
+        })
+    }.toDF("img_chan", "pol", "l_idx", "m_idx", "model", "error")
   }
 
   /** restore_model (ngcasa/deconvolution/restore_model.py — a

@@ -299,6 +299,29 @@ class KernelOpsSpec extends SparkSpec {
     assert(model.sum > 0.0, "flux lands in the model")
   }
 
+  test("fastResolve inverts smooth: Wiener deconvolution round-trip") {
+    import org.apache.spark.sql.functions._
+    val grid = graft.operators.ImageOps.makeEmptySkyImage(spark, (0.0, 0.0),
+        (16, 16), (0.0005, 0.0005))
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+    val truth = grid.withColumn("image",
+      lit(2.0) + sin(col("l_idx") * 0.5) * 0.5)
+    val beam = BeamOps.gaussianBeam(grid, 300.0, 300.0, 0.0,
+      (0.0005, 0.0005), 16, 16)
+    val blurred = BeamOps.smooth(spark, truth, beam, 16, 16)
+      .withColumnRenamed("smoothed", "image")
+    val psf = beam.withColumnRenamed("beam", "image")
+    val out = graft.operators.CleanOps
+      .fastResolve(spark, blurred, psf, 16, 16, lambda = 1e-9)
+      .select("l_idx", "m_idx", "model").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    val want = truth.select("l_idx", "m_idx", "image").collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getDouble(2)).toMap
+    for (p <- Seq((0, 0), (5, 9), (12, 3), (8, 8)))
+      assert(approx(out(p), want(p), 1e-5),
+        s"$p: ${out(p)} vs ${want(p)}")
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
