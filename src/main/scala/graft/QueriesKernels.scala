@@ -869,6 +869,99 @@ object QueriesKernels {
          |FROM inv CROSS JOIN err""".stripMargin
     })
 
+  /** deconvolve_rotation_measure_clean, one CLEAN iteration in closed
+    * form: Faraday spectrum + RMSF as DFT sums over lambda^2, window
+    * argmax per pixel, peak * shifted-RMSF subtraction.
+    */
+  private val rmCleanOneIterQ = Q(
+    (s, d) => {
+      val vis = s.range(0, 4)
+        .selectExpr("CAST(id DIV 2 AS INT) AS l_idx", "CAST(id % 2 AS INT) AS m_idx")
+        .crossJoin(s.range(0, 8).selectExpr("CAST(id AS INT) AS chan"))
+        .select(col("l_idx"), col("m_idx"),
+          (lit(1.4e9) + col("chan") * 5.0e7).as("freq"),
+          sin(col("chan") * 0.7 + col("l_idx")).as("q"),
+          cos(col("chan") * 0.3 + col("m_idx")).as("u"))
+      CleanOps.rmClean(s, vis, nPhi = 16, dPhi = 4.0, gain = 0.2,
+          threshold = 0.0, niter = 1)
+        .select(col("l_idx"), col("m_idx"), col("phi_idx"),
+          qround(col("model_re"), 6).as("model_re"),
+          qround(col("model_im"), 6).as("model_im"),
+          qround(col("resid_re"), 6).as("resid_re"),
+          qround(col("resid_im"), 6).as("resid_im"))
+    },
+    """WITH px AS (
+      |  SELECT CAST(i // 2 AS INT) AS l_idx, CAST(i % 2 AS INT) AS m_idx
+      |  FROM generate_series(0, 3) t(i)),
+      |ch AS (SELECT CAST(c AS INT) AS chan, 1.4e9 + c * 5.0e7 AS freq
+      |       FROM generate_series(0, 7) g(c)),
+      |v AS (
+      |  SELECT p.l_idx, p.m_idx, ch.chan,
+      |    (299792458.0e0 / ch.freq) * (299792458.0e0 / ch.freq) AS lam2,
+      |    sin(ch.chan * CAST(0.7 AS DOUBLE) + p.l_idx) AS q,
+      |    cos(ch.chan * CAST(0.3 AS DOUBLE) + p.m_idx) AS u
+      |  FROM px p CROSS JOIN ch),
+      |l0 AS (SELECT l_idx, m_idx, (min(lam2) + max(lam2)) / 2.0e0 AS l0
+      |       FROM v GROUP BY 1, 2),
+      |f AS (
+      |  SELECT v.l_idx, v.m_idx, CAST(k.k AS INT) AS phi_idx,
+      |    sum((v.q * cos(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))
+      |       - v.u * sin(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))) / 8.0e0) AS fre,
+      |    sum((v.q * sin(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))
+      |       + v.u * cos(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))) / 8.0e0) AS fim
+      |  FROM v JOIN l0 USING (l_idx, m_idx)
+      |  CROSS JOIN generate_series(0, 15) k(k)
+      |  GROUP BY 1, 2, 3),
+      |rmsf AS (
+      |  SELECT v.l_idx, v.m_idx, CAST(o.o AS INT) AS o,
+      |    sum(cos(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rre,
+      |    sum(sin(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rim
+      |  FROM v JOIN l0 USING (l_idx, m_idx)
+      |  CROSS JOIN generate_series(-15, 15) o(o)
+      |  GROUP BY 1, 2, 3),
+      |pk AS (
+      |  SELECT l_idx, m_idx, phi_idx AS pp, fre AS pre, fim AS pim
+      |  FROM (SELECT *, row_number() OVER (
+      |          PARTITION BY l_idx, m_idx
+      |          ORDER BY fre * fre + fim * fim DESC, phi_idx ASC) AS rn
+      |        FROM f)
+      |  WHERE rn = 1)
+      |SELECT f.l_idx, f.m_idx, f.phi_idx,
+      |  floor((CASE WHEN f.phi_idx = pk.pp THEN 0.2e0 * pk.pre
+      |         ELSE 0.0e0 END) * 1000000.0 + 0.5) / 1000000.0 AS model_re,
+      |  floor((CASE WHEN f.phi_idx = pk.pp THEN 0.2e0 * pk.pim
+      |         ELSE 0.0e0 END) * 1000000.0 + 0.5) / 1000000.0 AS model_im,
+      |  floor((f.fre - (0.2e0 * pk.pre * r.rre - 0.2e0 * pk.pim * r.rim))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS resid_re,
+      |  floor((f.fim - (0.2e0 * pk.pre * r.rim + 0.2e0 * pk.pim * r.rre))
+      |    * 1000000.0 + 0.5) / 1000000.0 AS resid_im
+      |FROM f
+      |JOIN pk USING (l_idx, m_idx)
+      |JOIN rmsf r ON r.l_idx = f.l_idx AND r.m_idx = f.m_idx
+      |           AND r.o = f.phi_idx - pk.pp""".stripMargin)
+
+  /** The full iterative RM-CLEAN on the same fixture — rows-only, the
+    * recurrence is oracled one iteration above.
+    */
+  private val rmCleanQ = Q(
+    (s, d) => {
+      val vis = s.range(0, 4)
+        .selectExpr("CAST(id DIV 2 AS INT) AS l_idx", "CAST(id % 2 AS INT) AS m_idx")
+        .crossJoin(s.range(0, 8).selectExpr("CAST(id AS INT) AS chan"))
+        .select(col("l_idx"), col("m_idx"),
+          (lit(1.4e9) + col("chan") * 5.0e7).as("freq"),
+          sin(col("chan") * 0.7 + col("l_idx")).as("q"),
+          cos(col("chan") * 0.3 + col("m_idx")).as("u"))
+      CleanOps.rmClean(s, vis, nPhi = 16, dPhi = 4.0, gain = 0.2,
+          threshold = 0.05, niter = 100)
+        .select(col("l_idx"), col("m_idx"), col("phi_idx"),
+          qround(col("model_re"), 6).as("model_re"),
+          qround(col("model_im"), 6).as("model_im"),
+          qround(col("resid_re"), 6).as("resid_re"),
+          qround(col("resid_im"), 6).as("resid_im"))
+    },
+    "") // iterative kernel: rows-only; recurrence oracled above
+
   /** restore_model: model (x) clean-beam + residual (native
     * resolution). Oracle mirrors the smooth oracle's circular
     * convolution on the sparse model plane and adds the residual.
@@ -1596,6 +1689,8 @@ object QueriesKernels {
     "deconvolve_multiscale_clean" -> msCleanQ,
     "msclean_one_iter" -> msCleanOneIterQ,
     "deconvolve_fast_resolve" -> fastResolveQ,
+    "deconvolve_rm_clean" -> rmCleanQ,
+    "rmclean_one_iter" -> rmCleanOneIterQ,
     "smooth" -> smoothQ,
     "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,

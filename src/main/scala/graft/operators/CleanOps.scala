@@ -335,6 +335,109 @@ object CleanOps {
     }.toDF("img_chan", "pol", "l_idx", "m_idx", "model", "error")
   }
 
+  final case class RmResult(l_idx: Int, m_idx: Int, phi_idx: Int,
+                            model_re: Double, model_im: Double,
+                            resid_re: Double, resid_im: Double)
+
+  /** deconvolve_rotation_measure_clean (ngcasa/deconvolution/
+    * deconvolve_rotation_measure_clean.py — a NotImplementedError stub;
+    * docstring steps): per pixel, (1) map channel frequencies to
+    * lambda^2 space, (2) rotation-measure synthesis — the Faraday
+    * dispersion spectrum F(phi) = (1/N) sum_c P_c e^{-2i phi (l2_c -
+    * l2_0)} with P = Q + iU, plus the RM spread function on the offset
+    * grid, (3) 1-D Hogbom CLEAN of F against the RMSF, (4) the model
+    * stays as phi-space components (the frequency-space evaluation is
+    * the adjoint of step 2 — composable via the same expression).
+    *
+    * l2_0 is the ORDER-FREE reference (min+max)/2 of lambda^2 — a mean
+    * would sum in shuffle-arrival order and wobble the last ulp across
+    * runs. Channels are sorted before the DFT for the same reason.
+    *
+    * Spark shape: groupByKey per (l_idx, m_idx) pixel; each task holds
+    * one pixel's spectrum (nchan complex values) and its nphi-bin
+    * Faraday spectrum — the exact per-pixel independence the docstring's
+    * cube layout implies, so the operator scales with pixels x chans.
+    */
+  def rmClean(spark: SparkSession, vis: DataFrame,
+              nPhi: Int, dPhi: Double,
+              gain: Double = 0.1, threshold: Double = 0.0,
+              niter: Int = 1): DataFrame = {
+    import spark.implicits._
+    val c = 299792458.0
+    val in = vis.select(col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("freq").cast("double"), col("q").cast("double"),
+        col("u").cast("double"))
+      .as[(Int, Int, Double, Double, Double)]
+    in.groupByKey(r => (r._1, r._2)).flatMapGroups {
+      (key: (Int, Int), it: Iterator[(Int, Int, Double, Double, Double)]) =>
+        val (li, mi) = key
+        val chans = it.toArray.sortBy(_._3)
+        val n = chans.length
+        val lam2 = chans.map(t => (c / t._3) * (c / t._3))
+        val l0 = (lam2.min + lam2.max) / 2.0
+        // phi grid centered on zero: phi_k = (k - nPhi/2) * dPhi
+        def phi(k: Int) = (k - nPhi / 2) * dPhi
+        val fRe = new Array[Double](nPhi); val fIm = new Array[Double](nPhi)
+        var k = 0
+        while (k < nPhi) {
+          var s = 0
+          while (s < n) {
+            val ang = -2.0 * phi(k) * (lam2(s) - l0)
+            val (cs, sn) = (math.cos(ang), math.sin(ang))
+            fRe(k) += (chans(s)._4 * cs - chans(s)._5 * sn) / n
+            fIm(k) += (chans(s)._4 * sn + chans(s)._5 * cs) / n
+            s += 1
+          }
+          k += 1
+        }
+        // RMSF over offsets -(nPhi-1) .. nPhi-1
+        val rRe = new Array[Double](2 * nPhi - 1)
+        val rIm = new Array[Double](2 * nPhi - 1)
+        var o = -(nPhi - 1)
+        while (o <= nPhi - 1) {
+          var s = 0
+          while (s < n) {
+            val ang = -2.0 * (o * dPhi) * (lam2(s) - l0)
+            rRe(o + nPhi - 1) += math.cos(ang) / n
+            rIm(o + nPhi - 1) += math.sin(ang) / n
+            s += 1
+          }
+          o += 1
+        }
+        val mRe = new Array[Double](nPhi); val mIm = new Array[Double](nPhi)
+        def peak(): (Int, Double) = {
+          var bp = 0; var bv = -1.0
+          var j = 0
+          while (j < nPhi) {
+            val a = fRe(j) * fRe(j) + fIm(j) * fIm(j)
+            if (a > bv) { bv = a; bp = j }
+            j += 1
+          }
+          (bp, bv)
+        }
+        var (p0, v0) = peak()
+        val stop = threshold * threshold * v0
+        var i = 0
+        var done = v0 <= 0.0
+        while (!done && i < niter) {
+          val (pr, pi) = (gain * fRe(p0), gain * fIm(p0))
+          mRe(p0) += pr; mIm(p0) += pi
+          var j = 0
+          while (j < nPhi) {
+            val ri = j - p0 + nPhi - 1
+            fRe(j) -= pr * rRe(ri) - pi * rIm(ri)
+            fIm(j) -= pr * rIm(ri) + pi * rRe(ri)
+            j += 1
+          }
+          val nxt = peak(); p0 = nxt._1; v0 = nxt._2
+          if (v0 <= stop || v0 == 0.0) done = true
+          i += 1
+        }
+        (0 until nPhi).iterator.map(j =>
+          RmResult(li, mi, j, mRe(j), mIm(j), fRe(j), fIm(j)))
+    }.toDF()
+  }
+
   /** restore_model (ngcasa/deconvolution/restore_model.py — a
     * NotImplementedError stub in the reference; semantics from its
     * docstring): restored = model (x) clean-beam + residual, the

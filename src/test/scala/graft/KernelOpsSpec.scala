@@ -322,6 +322,33 @@ class KernelOpsSpec extends SparkSpec {
         s"$p: ${out(p)} vs ${want(p)}")
   }
 
+  test("rmClean recovers an on-grid Faraday screen") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val c = 299792458.0
+    val phi0 = 8.0 // on the phi grid: (k - 8) * 4 => k = 10
+    val chans = (0 until 8).map { ch =>
+      val f = 1.4e9 + ch * 5.0e7
+      val lam2 = (c / f) * (c / f)
+      (ch, f, lam2)
+    }
+    val l0 = (chans.map(_._3).min + chans.map(_._3).max) / 2.0
+    val vis = chans.map { case (_, f, lam2) =>
+      val ang = 2.0 * phi0 * (lam2 - l0)
+      (0, 0, f, math.cos(ang), math.sin(ang))
+    }.toDF("l_idx", "m_idx", "freq", "q", "u")
+    val out = graft.operators.CleanOps
+      .rmClean(spark, vis, nPhi = 16, dPhi = 4.0, gain = 0.5,
+        threshold = 0.01, niter = 200)
+      .collect().map(r => r.getInt(2) ->
+        (math.hypot(r.getDouble(3), r.getDouble(4)),
+          math.hypot(r.getDouble(5), r.getDouble(6)))).toMap
+    assert(out(10)._1 > 0.8, s"model at phi=8 rad/m^2: ${out(10)._1}")
+    assert(out.filter(_._1 != 10).values.map(_._1).max < 0.2,
+      "model concentrates on the true Faraday depth")
+    assert(out.values.map(_._2).max < 0.1, "residual cleaned down")
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
