@@ -443,6 +443,64 @@ object QueriesLlm {
       |  len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]')) AS n_tokens_regex
       |FROM documents""".stripMargin)
 
+  /** PII scrub over documents laced with deterministic synthetic PII
+    * (the corpus itself is word salad) — the fixture builds the same
+    * dirty text in both engines, the scrubber must strip it back.
+    */
+  private val piiScrubQ = Q(
+    (s, d) => {
+      val dirty = Tables.documents(s, d).withColumn("text_dirty",
+        concat(lit("user"), col("doc_id"), lit("@example.com call 555-123-4567 from 10.0.0."),
+          (col("doc_id") % 256), lit(" "), substring(col("text"), 1, 40)))
+      TextOps.piiScrub(dirty, "text_dirty")
+        .select("doc_id", "text_scrubbed")
+    },
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    regexp_replace(
+      |      regexp_replace(
+      |        'user' || doc_id || '@example.com call 555-123-4567 from 10.0.0.'
+      |          || (doc_id % 256) || ' ' || substr(text, 1, 40),
+      |        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+      |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+      |    '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g') AS text_scrubbed
+      |FROM documents""".stripMargin)
+
+  /** URL canonicalization + crawl-level dedup: scheme/www/query/slash
+    * variants of the same page collapse to one canonical key.
+    */
+  private val urlDedupQ = Q(
+    (s, d) => {
+      val withUrl = Tables.documents(s, d).withColumn("url",
+        when(col("doc_id") % 2 === 0,
+          concat(lit("https://www.example.com/p/"),
+            (col("doc_id") / 2).cast("long")))
+          .otherwise(concat(lit("HTTP://example.com/p/"),
+            (col("doc_id") / 2).cast("long"),
+            lit("/?utm_source=feed#frag"))))
+      TextOps.urlDedup(withUrl, "url", "doc_id")
+        .select("url_canonical", "keep_id", "n_dups")
+    },
+    """WITH u AS (
+      |  SELECT doc_id,
+      |    CASE WHEN doc_id % 2 = 0
+      |      THEN 'https://www.example.com/p/' || CAST(doc_id // 2 AS BIGINT)
+      |      ELSE 'HTTP://example.com/p/' || CAST(doc_id // 2 AS BIGINT)
+      |           || '/?utm_source=feed#frag' END AS url
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(lower(url), '^https?://', ''),
+      |          '^www\.', ''),
+      |        '[?#].*$', ''),
+      |      '/$', '') AS url_canonical
+      |  FROM u)
+      |SELECT url_canonical, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM c GROUP BY 1""".stripMargin)
+
   private val textQualityQ = Q(
     (s, d) => TextOps.qualityScore(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("n_chars_q"),
@@ -999,6 +1057,8 @@ object QueriesLlm {
     "embed_neardup" -> embedNearDupQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,
+    "pii_scrub" -> piiScrubQ,
+    "url_dedup" -> urlDedupQ,
     "fingerprint" -> fingerprintQ,
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,

@@ -125,6 +125,52 @@ object TextOps {
           * (lit(1.0) - least(nPunct.cast("double") / nWords, lit(1.0))))
   }
 
+  /** PII scrubbing (beyond-parity, standard training-corpus hygiene):
+    * replace emails, then dotted-quad IPs, then NNN-NNN-NNNN phone
+    * numbers with typed placeholder tokens. Three chained
+    * regexp_replace projections — whole-stage codegen, one scan, no
+    * shuffle; the patterns stay in the regex subset Java and RE2
+    * agree on (no lookaround, no word-boundary).
+    */
+  def piiScrub(df: DataFrame, textCol: String,
+               outCol: String = "text_scrubbed"): DataFrame = {
+    val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+    val ip = "([0-9]{1,3}\\.){3}[0-9]{1,3}"
+    val phone = "[0-9]{3}-[0-9]{3}-[0-9]{4}"
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(col(textCol), email, "<EMAIL>"),
+          ip, "<IP>"),
+        phone, "<PHONE>"))
+  }
+
+  /** URL canonicalization (beyond-parity): lowercase, strip the
+    * scheme, a leading www., the query/fragment, and any trailing
+    * slash — the normalization under which trivially-duplicated crawl
+    * URLs collide. Pure projection.
+    */
+  def canonicalizeUrl(df: DataFrame, urlCol: String,
+                      outCol: String = "url_canonical"): DataFrame =
+    df.withColumn(outCol,
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(lower(col(urlCol)), "^https?://", ""),
+            "^www\\.", ""),
+          "[?#].*$", ""),
+        "/$", ""))
+
+  /** URL-level dedup: group on the canonical URL, keep the smallest
+    * doc id, count the collapsed duplicates. One hash aggregate with
+    * map-side combine — the classic first-stage crawl dedup that runs
+    * BEFORE any content hashing at 100 TB because it needs no text IO.
+    */
+  def urlDedup(df: DataFrame, urlCol: String, idCol: String): DataFrame =
+    canonicalizeUrl(df, urlCol)
+      .groupBy(col("url_canonical"))
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_dups"))
+
   /** Unigram language-model quality score (the CCNet-style LM filter):
     * train add-one-smoothed unigram counts on the `trainLabel` rows of
     * `splitCol`, then score EVERY document by its mean word logprob

@@ -328,4 +328,32 @@ class LlmOpsSpec extends SparkSpec {
     // variance of alternating 97/98 = 0.25
     assert(out(0).getAs[Double]("px_var") === 0.25)
   }
+
+  test("piiScrub strips emails, IPs and phone numbers, leaves prose") {
+    import spark.implicits._
+    val df = Seq(
+      (1, "mail me at jane.doe+x@sub.example.org today"),
+      (2, "server 192.168.001.5 rebooted, call 555-867-5309"),
+      (3, "no pii here, just 12345 and a.b"))
+      .toDF("id", "text")
+    val out = graft.operators.TextOps.piiScrub(df, "text")
+      .collect().map(r => r.getInt(0) -> r.getString(2)).toMap
+    assert(out(1) === "mail me at <EMAIL> today")
+    assert(out(2) === "server <IP> rebooted, call <PHONE>")
+    assert(out(3) === "no pii here, just 12345 and a.b")
+  }
+
+  test("urlDedup collapses scheme/www/query/slash variants") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "https://www.Example.com/a/b?q=1"),
+      (2L, "http://example.com/a/b/"),
+      (3L, "HTTPS://example.com/a/b#frag"),
+      (4L, "https://example.com/other"))
+      .toDF("doc_id", "url")
+    val out = graft.operators.TextOps.urlDedup(df, "url", "doc_id")
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(out("example.com/a/b") === ((1L, 3L)))
+    assert(out("example.com/other") === ((4L, 1L)))
+  }
 }
