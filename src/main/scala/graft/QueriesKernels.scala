@@ -869,6 +869,117 @@ object QueriesKernels {
          |FROM inv CROSS JOIN err""".stripMargin
     })
 
+  /** deconvolve_adaptive_scale_pixel_clean, one iteration in closed
+    * form: correlation-scored scale selection over a literal sigma
+    * grid, best-fit amplitude, gaussian-component and psf-convolved
+    * subtraction — all generic joins over a (sigma, r)-tagged tap
+    * table. refineIters=0 here (grid-only) so the SQL stays closed
+    * form; the continuous ternary-search refinement is exercised by
+    * the rows-only query and ScalaTest.
+    */
+  private val aspCleanOneIterQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        lit(3.0) * exp(-((col("l_idx") - 6) * (col("l_idx") - 6)
+          + (col("m_idx") - 10) * (col("m_idx") - 10)) / lit(2.0 * 1.8 * 1.8)) +
+          lit(0.1) * sin(col("l_idx") * 0.9) * cos(col("m_idx") * 0.8))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.aspCleanPlanes(s, img, psf, 16, 16, 16, 16,
+          sigmas = Seq(1.0, 2.0, 3.0), gain = 0.3, threshold = 0.0,
+          niter = 1, refineIters = 0)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    }, {
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  3.0e0 * exp(-((l_idx - 6) * (l_idx - 6)
+         |              + (m_idx - 10) * (m_idx - 10)) / ${fmt(2.0 * 1.8 * 1.8)})
+         |  + 0.1e0 * sin(l_idx * CAST(0.9 AS DOUBLE))
+         |          * cos(m_idx * CAST(0.8 AS DOUBLE)) AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |sg AS (SELECT * FROM (VALUES (1.0e0, 3), (2.0e0, 6), (3.0e0, 9))
+         |       s(sigma, r)),
+         |pk AS (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM img
+         |       ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
+         |taps AS (
+         |  SELECT sg.sigma, CAST(a.i AS INT) AS i, CAST(b.j AS INT) AS j,
+         |    exp(-(a.i * a.i + b.j * b.j)
+         |        / (2.0e0 * sg.sigma * sg.sigma)) AS g
+         |  FROM sg
+         |  CROSS JOIN generate_series(-9, 9) a(i)
+         |  CROSS JOIN generate_series(-9, 9) b(j)
+         |  WHERE abs(a.i) <= sg.r AND abs(b.j) <= sg.r),
+         |corr AS (
+         |  SELECT t.sigma, sum(i.v * t.g) AS s1, sum(t.g * t.g) AS s2
+         |  FROM taps t
+         |  CROSS JOIN pk
+         |  JOIN img i ON i.l_idx = pk.pl + t.i AND i.m_idx = pk.pm + t.j
+         |  GROUP BY 1),
+         |best AS (
+         |  SELECT sigma, s1 / s2 AS amp FROM corr
+         |  ORDER BY s1 * s1 / s2 DESC, sigma ASC LIMIT 1),
+         |sub AS (
+         |  SELECT p.l_idx, p.m_idx, sum(t.g * f.k) AS c
+         |  FROM px p
+         |  CROSS JOIN best b
+         |  CROSS JOIN pk
+         |  JOIN taps t ON t.sigma = b.sigma
+         |  JOIN psf f ON f.l_idx = 8 + p.l_idx - pk.pl - t.i
+         |            AND f.m_idx = 8 + p.m_idx - pk.pm - t.j
+         |  GROUP BY 1, 2)
+         |SELECT p.l_idx, p.m_idx,
+         |  floor(coalesce(0.3e0 * b.amp * mt.g, 0.0e0) * 1000000.0 + 0.5)
+         |    / 1000000.0 AS model,
+         |  floor((i.v - 0.3e0 * b.amp * coalesce(sub.c, 0.0e0))
+         |    * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM px p
+         |JOIN img i USING (l_idx, m_idx)
+         |CROSS JOIN best b
+         |CROSS JOIN pk
+         |LEFT JOIN taps mt ON mt.sigma = b.sigma
+         |  AND mt.i = p.l_idx - pk.pl AND mt.j = p.m_idx - pk.pm
+         |LEFT JOIN sub USING (l_idx, m_idx)""".stripMargin
+    })
+
+  /** The full adaptive loop with continuous scale refinement —
+    * rows-only; the grid-restricted recurrence is oracled above.
+    */
+  private val aspCleanQ = Q(
+    (s, d) => {
+      val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+        (0.0005, 0.0005))
+        .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+      val img = grid.withColumn("image",
+        lit(3.0) * exp(-((col("l_idx") - 6) * (col("l_idx") - 6)
+          + (col("m_idx") - 10) * (col("m_idx") - 10)) / lit(2.0 * 1.8 * 1.8)) +
+          lit(0.1) * sin(col("l_idx") * 0.9) * cos(col("m_idx") * 0.8))
+      val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+        (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      CleanOps.aspCleanPlanes(s, img, psf, 16, 16, 16, 16,
+          sigmas = Seq(1.0, 2.0, 3.0), gain = 0.3, threshold = 0.05,
+          niter = 20, refineIters = 3)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("model"), 6).as("model"),
+          qround(col("residual"), 6).as("residual"))
+    },
+    "") // iterative + continuous refinement: rows-only
+
   /** deconvolve_rotation_measure_clean, one CLEAN iteration in closed
     * form: Faraday spectrum + RMSF as DFT sums over lambda^2, window
     * argmax per pixel, peak * shifted-RMSF subtraction.
@@ -1691,6 +1802,8 @@ object QueriesKernels {
     "deconvolve_fast_resolve" -> fastResolveQ,
     "deconvolve_rm_clean" -> rmCleanQ,
     "rmclean_one_iter" -> rmCleanOneIterQ,
+    "deconvolve_asp_clean" -> aspCleanQ,
+    "aspclean_one_iter" -> aspCleanOneIterQ,
     "smooth" -> smoothQ,
     "feather" -> featherQ,
     "fit_gaussian" -> fitGaussianQ,

@@ -335,6 +335,170 @@ object CleanOps {
     }.toDF("img_chan", "pol", "l_idx", "m_idx", "model", "error")
   }
 
+  /** deconvolve_adaptive_scale_pixel_clean (ngcasa/deconvolution/
+    * deconvolve_adaptive_scale_pixel_clean.py — a NotImplementedError
+    * stub; Asp-CLEAN, Bhatnagar & Cornwell 2004): each component is a
+    * gaussian whose scale ADAPTS per component — at the residual peak,
+    * every candidate width is scored by the energy it explains,
+    * score(sigma) = <R, G_sigma>^2 / <G_sigma, G_sigma> over the
+    * in-plane patch (|d| <= ceil(3 sigma) per axis), the best-fit
+    * amplitude is a = <R, G_sigma> / <G_sigma, G_sigma>, and
+    * `refineIters` ternary-search steps optionally continue the scale
+    * optimization BETWEEN the grid points (the truly-adaptive part;
+    * disabled in the oracle query, exercised in ScalaTest).
+    * Update: model += gain a G, residual -= gain a (psf (x) G).
+    */
+  private[graft] def aspClean(residual: Array[Double], psf: Array[Double],
+                              nL: Int, nM: Int, psfL: Int, psfM: Int,
+                              sigmas: Seq[Double], gain: Double,
+                              threshold: Double, niter: Int,
+                              refineIters: Int = 0)
+      : (Array[Double], Array[Double]) = {
+    val model = new Array[Double](nL * nM)
+    val (pcL, pcM) = (psfL / 2, psfM / 2)
+    def peak(): (Int, Double) = {
+      var bp = 0; var bv = -1.0
+      var i = 0
+      while (i < residual.length) {
+        val a = math.abs(residual(i))
+        if (a > bv) { bv = a; bp = i }
+        i += 1
+      }
+      (bp, bv)
+    }
+    // (amplitude, score) of a gaussian of width sigma at pixel p
+    def fit(p: Int, sigma: Double): (Double, Double) = {
+      val (pl, pm) = (p / nM, p % nM)
+      val r = math.ceil(3.0 * sigma).toInt
+      val inv2s2 = 1.0 / (2.0 * sigma * sigma)
+      var s1 = 0.0; var s2 = 0.0
+      var di = -r
+      while (di <= r) {
+        val l = pl + di
+        if (l >= 0 && l < nL) {
+          var dj = -r
+          while (dj <= r) {
+            val m = pm + dj
+            if (m >= 0 && m < nM) {
+              val g = math.exp(-(di * di + dj * dj) * inv2s2)
+              s1 += residual(l * nM + m) * g
+              s2 += g * g
+            }
+            dj += 1
+          }
+        }
+        di += 1
+      }
+      (s1 / s2, s1 * s1 / s2)
+    }
+    var (p0, v0) = peak()
+    if (v0 <= 0.0 || v0.isNaN) return (model, residual)
+    val stop = threshold * v0
+    var it = 0
+    var done = false
+    while (!done && it < niter) {
+      var bestSigma = sigmas.head; var bestAmp = 0.0; var bestScore = -1.0
+      for (s <- sigmas) {
+        val (a, sc) = fit(p0, s)
+        if (sc > bestScore) { bestScore = sc; bestSigma = s; bestAmp = a }
+      }
+      // ternary search between the grid neighbors of the winner
+      if (refineIters > 0) {
+        val i = sigmas.indexOf(bestSigma)
+        var lo = if (i > 0) sigmas(i - 1) else bestSigma * 0.5
+        var hi = if (i < sigmas.length - 1) sigmas(i + 1) else bestSigma * 2.0
+        var k = 0
+        while (k < refineIters) {
+          val m1 = lo + (hi - lo) / 3.0; val m2 = hi - (hi - lo) / 3.0
+          if (fit(p0, m1)._2 < fit(p0, m2)._2) lo = m1 else hi = m2
+          k += 1
+        }
+        bestSigma = (lo + hi) / 2.0; val r = fit(p0, bestSigma)
+        bestAmp = r._1; bestScore = r._2
+      }
+      val (pl, pm) = (p0 / nM, p0 % nM)
+      val r = math.ceil(3.0 * bestSigma).toInt
+      val inv2s2 = 1.0 / (2.0 * bestSigma * bestSigma)
+      // model += gain a G
+      var di = -r
+      while (di <= r) {
+        val l = pl + di
+        if (l >= 0 && l < nL) {
+          var dj = -r
+          while (dj <= r) {
+            val m = pm + dj
+            if (m >= 0 && m < nM)
+              model(l * nM + m) +=
+                gain * bestAmp * math.exp(-(di * di + dj * dj) * inv2s2)
+            dj += 1
+          }
+        }
+        di += 1
+      }
+      // residual -= gain a (psf (x) G) centered at the peak:
+      // for each plane pixel q, subtract sum_d G(d) psf(pc + q - p0 - d)
+      var l = 0
+      while (l < nL) {
+        var m = 0
+        while (m < nM) {
+          var acc = 0.0
+          var gi = -r
+          while (gi <= r) {
+            val sl = pcL + (l - pl) - gi
+            if (sl >= 0 && sl < psfL) {
+              var gj = -r
+              while (gj <= r) {
+                val sm = pcM + (m - pm) - gj
+                if (sm >= 0 && sm < psfM)
+                  acc += math.exp(-(gi * gi + gj * gj) * inv2s2) *
+                    psf(sl * psfM + sm)
+                gj += 1
+              }
+            }
+            gi += 1
+          }
+          residual(l * nM + m) -= gain * bestAmp * acc
+          m += 1
+        }
+        l += 1
+      }
+      val nxt = peak(); p0 = nxt._1; v0 = nxt._2
+      if (v0 <= stop || v0 == 0.0 || v0.isNaN) done = true
+      it += 1
+    }
+    (model, residual)
+  }
+
+  /** Distributed Asp-CLEAN over long-form planes — same co-grouped
+    * per-(chan, pol) shape as [[cleanPlanes]].
+    */
+  def aspCleanPlanes(spark: SparkSession, image: DataFrame, psf: DataFrame,
+                     nL: Int, nM: Int, psfL: Int, psfM: Int,
+                     sigmas: Seq[Double], gain: Double = 0.1,
+                     threshold: Double = 0.01, niter: Int = 100,
+                     refineIters: Int = 0): DataFrame = {
+    import spark.implicits._
+    val img = image.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(0).as("kind"))
+      .union(psf.select(col("img_chan").cast("int"), col("pol").cast("int"),
+        col("l_idx").cast("int"), col("m_idx").cast("int"),
+        col("image").cast("double"), lit(1).as("kind")))
+      .as[(Int, Int, Int, Int, Double, Int)]
+    img.groupByKey(r => (r._1, r._2))
+      .flatMapGroups { (key: (Int, Int), it: Iterator[(Int, Int, Int, Int, Double, Int)]) =>
+        val (chan, pol) = key
+        val res = new Array[Double](nL * nM)
+        val psfA = new Array[Double](psfL * psfM)
+        for ((_, _, l, m, v, kind) <- it)
+          if (kind == 0) res(l * nM + m) = v else psfA(l * psfM + m) = v
+        val (model, resOut) = aspClean(res, psfA, nL, nM, psfL, psfM,
+          sigmas, gain, threshold, niter, refineIters)
+        (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map(m =>
+          CleanResult(chan, pol, l, m, model(l * nM + m), resOut(l * nM + m))))
+      }.toDF()
+  }
+
   final case class RmResult(l_idx: Int, m_idx: Int, phi_idx: Int,
                             model_re: Double, model_im: Double,
                             resid_re: Double, resid_im: Double)

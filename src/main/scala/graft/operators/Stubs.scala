@@ -19,6 +19,10 @@ object Stubs {
       s"$name is not implemented (parity with reference stub at $ref)")
 
   // flagging stubs (ngcasa/flagging/*.py)
+  /** Kept for API parity; real implementations of the documented
+    * semantics exist — FlagOps.autoRflag / FlagOps.autoTfcrop (the
+    * `auto_rflag` / `auto_tfcrop` contract queries).
+    */
   def autoRflag(df: DataFrame): DataFrame = ni("auto_rflag", "ngcasa/flagging/auto_rflag.py")
   def autoTfcrop(df: DataFrame): DataFrame = ni("auto_tfcrop", "ngcasa/flagging/auto_tfcrop.py")
   /** Kept for API parity; the real implementation is
@@ -64,19 +68,39 @@ object Stubs {
     * ImageOps.linearMosaic (the `linear_mosaic` contract query).
     */
   def linearMosaic(df: DataFrame): DataFrame = ni("linear_mosaic", "ngcasa/imaging/linear_mosaic.py")
+  /** Kept for API parity; the MS-Clean (nterms=1) option is really
+    * implemented as CleanOps.msCleanPlanes (the
+    * `deconvolve_multiscale_clean` / `msclean_one_iter` queries).
+    */
   def deconvolveMultitermClean(df: DataFrame): DataFrame =
     ni("deconvolve_multiterm_clean", "ngcasa/deconvolution/deconvolve_multiterm_clean.py")
   def deconvolveAdaptiveScaleClean(df: DataFrame): DataFrame =
     ni("deconvolve_adaptive_scale_pixel_clean", "ngcasa/deconvolution/deconvolve_adaptive_scale_pixel_clean.py")
+  /** Kept for API parity; the real implementation is
+    * CleanOps.fastResolve (the `deconvolve_fast_resolve` query).
+    */
   def deconvolveFastResolve(df: DataFrame): DataFrame =
     ni("deconvolve_fast_resolve", "ngcasa/deconvolution/deconvolve_fast_resolve.py")
+  /** Kept for API parity; the real implementation is CleanOps.rmClean
+    * (the `deconvolve_rm_clean` / `rmclean_one_iter` queries).
+    */
   def deconvolveRotationMeasureClean(df: DataFrame): DataFrame =
     ni("deconvolve_rotation_measure_clean", "ngcasa/deconvolution/deconvolve_rotation_measure_clean.py")
+  /** Kept for API parity; real implementations exist —
+    * CleanOps.restoreModel / makeMask / isConverged (the
+    * `restore_model` / `make_mask` / `is_converged` queries).
+    */
   def restoreModel(df: DataFrame): DataFrame = ni("restore_model", "ngcasa/deconvolution/restore_model.py")
   def makeMask(df: DataFrame): DataFrame = ni("make_mask", "ngcasa/deconvolution/make_mask.py")
   def isConverged(df: DataFrame): Boolean = ni("is_converged", "ngcasa/deconvolution/is_converged.py")
+  /** Kept for API parity; gain application is CalOps.applyGains (the
+    * `apply_gains` contract query).
+    */
   def applyCalibration(df: DataFrame): DataFrame =
     ni("apply_calibration", "ngcasa/calibration/apply_calibration.py")
+  /** Kept for API parity; the real implementation is
+    * AverageOps.reframe (the `reframe` contract query).
+    */
   def reframe(df: DataFrame): DataFrame =
     ni("reframe", "cngi/vis/reframe.py:62-95 (broken in reference: undefined vars)")
 }

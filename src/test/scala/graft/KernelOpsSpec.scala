@@ -349,6 +349,27 @@ class KernelOpsSpec extends SparkSpec {
     assert(out.values.map(_._2).max < 0.1, "residual cleaned down")
   }
 
+  test("aspClean adapts the component scale to the source width") {
+    val nL = 16; val nM = 16
+    val sigTrue = 1.8
+    val res = Array.tabulate(nL * nM) { i =>
+      val (l, m) = (i / nM - 6, i % nM - 10)
+      3.0 * math.exp(-(l * l + m * m) / (2.0 * sigTrue * sigTrue))
+    }
+    // delta psf: subtraction removes exactly the fitted gaussian
+    val psf = Array.tabulate(nL * nM)(i => if (i == 8 * nM + 8) 1.0 else 0.0)
+    val (model, after) = graft.operators.CleanOps.aspClean(res.clone(), psf,
+      nL, nM, nL, nM, Seq(1.0, 2.0, 3.0), gain = 1.0, threshold = 0.0,
+      niter = 1, refineIters = 20)
+    // one full-gain component with a refined scale ~sigTrue removes
+    // nearly all flux of a pure gaussian source
+    val peakBefore = res.map(math.abs).max
+    assert(after.map(math.abs).max < 0.05 * peakBefore,
+      s"adaptive fit should absorb the source: ${after.map(math.abs).max}")
+    assert(math.abs(model.sum - res.sum) / res.sum < 0.05,
+      "component flux matches the source flux")
+  }
+
   test("specFit recovers gaussian line parameters") {
     val xs = (0 until 64).map(_.toDouble)
     val spec = xs.map(x => (x, 3.0 * math.exp(-0.5 * math.pow((x - 30) / 4, 2)))).toArray
