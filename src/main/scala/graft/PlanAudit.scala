@@ -16,7 +16,8 @@ object PlanAudit {
     for (name <- Seq("chan_average", "apply_flags", "join_vis",
       "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk",
       "imaging_weight_polavg", "uv_cont_fit_order3", "dedup_exact",
-      "stream_dedup", "make_image_mosaic")) {
+      "stream_dedup", "make_image_mosaic",
+      "auto_rflag", "auto_tfcrop", "reframe", "url_dedup", "pii_scrub")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -216,13 +216,17 @@ object FlagOps {
     val med = withAmp.groupBy(gk.map(col): _*)
       .agg(expr("percentile(_amp, 0.5)").as("_med"))
     val joined = withAmp.join(med, gk)
+    // level-2 chan median rides a WINDOW over the (dimension-sized)
+    // sigma table rather than a second aggregate — a separate agg
+    // would make `sig` feed two consumers and re-execute its whole
+    // subtree (one extra fact scan + one redundant median agg).
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(chanCol))
     val sig = joined
       .withColumn("_adev", abs(col("_amp") - col("_med")))
       .groupBy(gk.map(col): _*)
       .agg((expr("percentile(_adev, 0.5)") * lit(1.4826)).as("_sigma"))
-    val chanSig = sig.groupBy(col(chanCol))
-      .agg(expr("percentile(_sigma, 0.5)").as("_chan_sigma"))
-    joined.join(sig, gk).join(chanSig, Seq(chanCol))
+      .withColumn("_chan_sigma", expr("percentile(_sigma, 0.5)").over(w))
+    joined.join(sig, gk)
       .withColumn("_thr", floor(lit(nSigma) *
         greatest(col("_sigma"), col("_chan_sigma")) * 1e6 + 0.5) / 1e6)
       .withColumn(flagCol,
