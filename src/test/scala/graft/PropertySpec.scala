@@ -113,4 +113,39 @@ class PropertySpec extends SparkSpec {
   private def assertOk(a: Double, b: Double): Boolean = {
     assert(approx(a, b, 1e-6)); true
   }
+
+  test("property: piiScrub is idempotent and PII-free after one pass") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val texts = Seq(
+      "a@b.co and c.d@e-f.org", "1.2.3.4 10.255.0.1", "555-123-4567",
+      "mixed a@b.co 1.2.3.4 555-000-1111 tail", "clean prose only",
+      "x@y.io x@y.io twice", "<EMAIL> already scrubbed")
+      .zipWithIndex.map(_.swap).toDF("id", "text")
+    val once = graft.operators.TextOps.piiScrub(texts, "text")
+      .select(col("id"), col("text_scrubbed").as("text"))
+    val twice = graft.operators.TextOps.piiScrub(once, "text")
+    val rows = twice.collect().map(r => r.getString(1) -> r.getString(2))
+    rows.foreach { case (a, b) => assert(a === b, "scrub must be idempotent") }
+    rows.foreach { case (_, b) =>
+      assert(!b.matches(".*[0-9]{3}-[0-9]{3}-[0-9]{4}.*"), b)
+      assert(!b.matches(".*[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}.*"), b)
+    }
+  }
+
+  test("property: canonicalizeUrl is idempotent") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    forSamples(Gen.oneOf(
+      "https://www.A.com/x?q=1", "http://a.com/x/", "a.com/x#f",
+      "HTTPS://WWW.B.ORG/", "www.c.net/p/q/r?a=b#c", "d.io"), n = 6) { u =>
+      val df = Seq((1, u)).toDF("id", "url")
+      val once = graft.operators.TextOps.canonicalizeUrl(df, "url")
+        .select(col("id"), col("url_canonical").as("url"))
+      val c1 = once.collect()(0).getString(1)
+      val c2 = graft.operators.TextOps.canonicalizeUrl(once, "url")
+        .collect()(0).getString(2)
+      assert(c1 === c2, s"canonical($u) not a fixpoint: $c1 vs $c2")
+    }
+  }
 }
