@@ -501,6 +501,57 @@ object QueriesLlm {
       |SELECT url_canonical, min(doc_id) AS keep_id, count(*) AS n_dups
       |FROM c GROUP BY 1""".stripMargin)
 
+  /** Flagship curation composition — scrub -> exact-dedup -> quality
+    * gate -> per-language budget summary, chained as ONE Spark DAG and
+    * mirrored end-to-end in SQL (unlike the radio synthesis
+    * composition, every stage here is closed-form, so the WHOLE
+    * pipeline gets an exact oracle, not just its stages).
+    */
+  private val curationPipelineQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"), col("lang")))
+      val scrubbed = TextOps.piiScrub(corpus, "text")
+      val deduped = DedupOps.dropExactDupes(scrubbed, "doc_id", "text_scrubbed")
+      val scored = TextOps.qualityScore(
+        TextOps.tokenCounts(deduped, "text_scrubbed"), "text_scrubbed")
+      scored.where(col("quality_score") > 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    }, {
+      val scrub =
+        """regexp_replace(regexp_replace(regexp_replace(text,
+          |      '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+          |      '([0-9]{1,3}\.){3}[0-9]{1,3}', '<IP>', 'g'),
+          |      '[0-9]{3}-[0-9]{3}-[0-9]{4}', '<PHONE>', 'g')""".stripMargin
+      s"""WITH corpus AS (
+         |  SELECT doc_id, text, lang FROM documents
+         |  UNION ALL
+         |  SELECT doc_id + 10000, text, lang FROM documents WHERE doc_id < 20),
+         |scrub AS (SELECT doc_id, lang, $scrub AS t FROM corpus),
+         |reps AS (SELECT min(doc_id) AS doc_id FROM scrub
+         |         GROUP BY ${phSql("t")}, ${phSql2("t")}),
+         |kept AS (SELECT s.* FROM scrub s JOIN reps USING (doc_id)),
+         |q AS (
+         |  SELECT doc_id, lang, string_split(t, ' ') AS ws,
+         |    length(t) - length(regexp_replace(t, '[.,!?;:]', '', 'g')) AS n_punct
+         |  FROM kept),
+         |u AS (
+         |  SELECT doc_id, lang, len(ws) AS n_words, n_punct,
+         |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+         |      list_transform(ws, w_ -> CAST(length(w_) AS BIGINT))),
+         |      (x_, y_) -> x_ + y_) AS sum_wlen
+         |  FROM q)
+         |SELECT lang, count(*) AS n_docs, CAST(sum(n_words) AS BIGINT) AS n_tokens
+         |FROM u
+         |WHERE (CASE WHEN n_words >= 5
+         |            AND CAST(sum_wlen AS DOUBLE) / n_words BETWEEN 2.0 AND 12.0
+         |       THEN 1.0e0 ELSE 0.0e0 END)
+         |      * (1.0e0 - least(CAST(n_punct AS DOUBLE) / n_words, 1.0e0)) > 0.5e0
+         |GROUP BY 1""".stripMargin
+    })
+
   private val textQualityQ = Q(
     (s, d) => TextOps.qualityScore(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("n_chars_q"),
@@ -1059,6 +1110,7 @@ object QueriesLlm {
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,
     "url_dedup" -> urlDedupQ,
+    "curation_pipeline" -> curationPipelineQ,
     "fingerprint" -> fingerprintQ,
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,
