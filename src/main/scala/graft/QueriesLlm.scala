@@ -434,6 +434,153 @@ object QueriesLlm {
        |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
        |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
 
+  /** PQ codebook CTE shared by the encode/search oracles: subspace m's
+    * codebook = the m-th 8-dim slice of the first 16 corpus vectors
+    * (mirrors SimilarityOps.pqCodebooks).
+    */
+  private val pqCbSql =
+    s"""e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |cb AS (
+       |  SELECT g.m, e.vec_id AS code,
+       |    list_slice(e.v, g.m * 8 + 1, g.m * 8 + 8) AS cv
+       |  FROM e CROSS JOIN generate_series(0, 7) g(m)
+       |  WHERE e.vec_id < 16),
+       |enc AS (
+       |  SELECT vec_id, subspace, code FROM (
+       |    SELECT e.vec_id, cb.m AS subspace, cb.code,
+       |      row_number() OVER (PARTITION BY e.vec_id, cb.m
+       |        ORDER BY ${sqDistSql("list_slice(e.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")}, cb.code) AS rn_
+       |    FROM e CROSS JOIN cb) WHERE rn_ = 1)""".stripMargin
+
+  /** PQ encode: every distance is a left-to-right fold (bit-exact in
+    * both engines) and the output is a discrete argmin — fully exact.
+    */
+  private val pqEncodeQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+        .select(col("vec_id"), col("subspace").cast("long").as("subspace"),
+          col("code").cast("long").as("code"))
+    },
+    s"""WITH $pqCbSql
+       |SELECT vec_id, subspace, code FROM enc""".stripMargin)
+
+  /** PQ ADC search: per-subspace distances are exact folds; only the
+    * final 8-term ADC sum carries addition-order noise, so it is
+    * quantized (6 decimals) BEFORE ranking — the rank ordering is a
+    * discrete choice over exact decimal values in both engines.
+    */
+  private val pqSearchQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.pqSearch(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 5, cb)
+    },
+    s"""WITH $pqCbSql,
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")} AS dd
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |adc0 AS (
+       |  SELECT dt.query_id, enc.vec_id AS neighbor_id, sum(dt.dd) AS adc_
+       |  FROM enc JOIN dt ON dt.m = enc.subspace AND dt.code = enc.code
+       |  WHERE dt.query_id <> enc.vec_id GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, ${qrSql("adc_", 6)} AS adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${qrSql("adc_", 6)}, neighbor_id) AS rank
+       |  FROM adc0)
+       |SELECT query_id, neighbor_id, adc, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin)
+
+  /** SemDeDup: the oracle replays the one trained-Lloyd iteration
+    * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
+    * ann_ivf_trained), the final cluster assignment, and the
+    * within-cluster cosine pruning. Cosines are exact folds, so the
+    * keep/drop DECISION needs no quantization.
+    */
+  private val semanticDedupQ = Q(
+    (s, d) => SimilarityOps.semanticDedup(Tables.embeddings(s, d),
+      "vec_id", "embedding", k = 8, iters = 1, threshold = 0.2),
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c0.cv")}, c0.cid) AS rn_
+       |    FROM e CROSS JOIN c0) WHERE rn_ = 1),
+       |x1 AS (
+       |  SELECT a1.cid, g.i AS dim, e.v[g.i] AS x
+       |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(i)),
+       |s1 AS (
+       |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
+       |  FROM x1 GROUP BY 1, 2),
+       |l1 AS (
+       |  SELECT cid, array_agg(c ORDER BY dim) AS cv FROM s1 GROUP BY 1),
+       |c1 AS (
+       |  SELECT p.cid, coalesce(l1.cv, p.cv) AS cv
+       |  FROM c0 p LEFT JOIN l1 ON p.cid = l1.cid),
+       |af AS (
+       |  SELECT vec_id, cid AS cluster FROM (
+       |    SELECT e.vec_id, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c1.cv")}, c1.cid) AS rn_
+       |    FROM e CROSS JOIN c1) WHERE rn_ = 1),
+       |sig AS (
+       |  SELECT af.vec_id, af.cluster, e.v,
+       |    sqrt(${dotSql("e.v", "e.v")}) AS n
+       |  FROM af JOIN e ON af.vec_id = e.vec_id),
+       |drops AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM sig a JOIN sig b
+       |    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+       |  WHERE ${dotSql("a.v", "b.v")} / (a.n * b.n) >= 0.2e0)
+       |SELECT af.vec_id, af.cluster, (d.vec_id IS NULL) AS keep
+       |FROM af LEFT JOIN drops d ON af.vec_id = d.vec_id""".stripMargin)
+
+  /** CCNet-style line dedup over a multi-line fixture: every document
+    * is framed by a shared boilerplate header/footer line (removed —
+    * corpus frequency 2N) around two content lines (kept unless they
+    * collide across documents). Counts and strings are exact.
+    */
+  private val lineDedupQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d).withColumn("text_lines",
+        concat(lit("shared header line"), lit("\n"),
+          substring(col("text"), 1, 50), lit("\n"),
+          substring(col("text"), 51, 50), lit("\n"),
+          lit("shared header line")))
+      DedupOps.lineDedup(docs, "doc_id", "text_lines")
+    },
+    """WITH docs AS (
+      |  SELECT doc_id,
+      |    'shared header line' || chr(10) || substr(text, 1, 50)
+      |      || chr(10) || substr(text, 51, 50)
+      |      || chr(10) || 'shared header line' AS t
+      |  FROM documents),
+      |ls AS (SELECT doc_id, string_split(t, chr(10)) AS l FROM docs),
+      |lines AS (
+      |  SELECT doc_id, i_ - 1 AS pos, l[i_] AS line
+      |  FROM ls CROSS JOIN generate_series(1, 4) g(i_)
+      |  WHERE i_ <= len(l)),
+      |freq AS (SELECT line, count(*) AS line_count FROM lines GROUP BY 1),
+      |kept AS (
+      |  SELECT doc_id, pos, line FROM lines JOIN freq USING (line)
+      |  WHERE line_count <= 1),
+      |reb AS (
+      |  SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text_dedup,
+      |    count(*) AS n_kept
+      |  FROM kept GROUP BY 1)
+      |SELECT ls.doc_id, coalesce(reb.text_dedup, '') AS text_dedup,
+      |  len(ls.l) AS n_lines, coalesce(reb.n_kept, 0) AS n_kept
+      |FROM ls LEFT JOIN reb ON ls.doc_id = reb.doc_id""".stripMargin)
+
   // ------------------------------------------------------ text analysis
 
   private val tokenCountQ = Q(
@@ -1106,6 +1253,10 @@ object QueriesLlm {
     "ann_ivf_trained" -> annIvfTrainedQ,
     "ivf_train_iter" -> ivfTrainIterQ,
     "embed_neardup" -> embedNearDupQ,
+    "pq_encode" -> pqEncodeQ,
+    "pq_search" -> pqSearchQ,
+    "semantic_dedup" -> semanticDedupQ,
+    "line_dedup" -> lineDedupQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,

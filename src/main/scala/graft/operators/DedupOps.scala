@@ -40,6 +40,47 @@ object DedupOps {
     df.join(reps, Seq(idCol), "left_semi")
   }
 
+  /** CCNet-style line-level dedup (Wenzek et al. 2020): split each
+    * document on `sep`, count every line's occurrences across the
+    * whole corpus, and keep only the lines seen at most `maxDf` times
+    * — boilerplate (headers, nav bars, cookie banners) repeats across
+    * pages and is removed from EVERY document, including the first.
+    * Output: (id, text_dedup, n_lines, n_kept); a document whose
+    * every line is boilerplate survives with empty text.
+    *
+    * 100 TB story: lines are exploded once and aggregated on the
+    * 128-bit line hash (map-side combine collapses repeats before the
+    * shuffle, so the frequency shuffle carries one row per DISTINCT
+    * line); the count join shuffles on the same hash key — raw line
+    * strings never key a shuffle. Reassembly is one hash aggregate on
+    * the doc id. Three shuffles total, each linear in the data.
+    */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                sep: String = "\n", maxDf: Int = 1): DataFrame = {
+    val lines = df
+      .select(col(idCol), posexplode(split(col(textCol), sep, -1))
+        .as(Seq("pos", "line")))
+      .withColumn("lh", TextOps.polyHash(col("line")))
+      .withColumn("lh2", TextOps.polyHash2(col("line")))
+    val freq = lines.groupBy("lh", "lh2")
+      .agg(count(lit(1)).as("line_count"))
+    val kept = lines.join(freq, Seq("lh", "lh2"))
+      .where(col("line_count") <= maxDf)
+    val rebuilt = kept.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("pos"), col("line")))),
+          x => x("line")), sep).as("text_dedup"),
+        count(lit(1)).as("n_kept"))
+    df.select(col(idCol),
+        size(split(col(textCol), sep, -1)).cast("long").as("n_lines"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_dedup"), lit("")).as("text_dedup"),
+        col("n_lines"),
+        coalesce(col("n_kept"), lit(0L)).as("n_kept"))
+  }
+
   /** MinHash signature as an array column: minhash_j = min over the
     * shingle set S of (a_j * s + b_j) mod M. The (a_j, b_j) constants
     * are deterministic functions of j, shared with the oracle SQL.

@@ -338,6 +338,145 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "list_id", "cosine", "rank")
   }
 
+  /** Product-quantization codebooks: the 64-dim space is split into
+    * `m` subspaces of `dsub` dims; codebook for subspace s = the s-th
+    * subvector of the first `ksub` corpus vectors (the same
+    * deterministic seeding rule as [[ivfTopK]]'s coarse quantizer —
+    * a k-means-trained codebook plugs into the identical shape).
+    * Returns codebooks(s)(code) = centroid subvector.
+    *
+    * Bounded collect: m x ksub x dsub doubles (8 x 16 x 8 = 1 KiB
+    * here) — never corpus-sized.
+    */
+  def pqCodebooks(corpus: DataFrame, idCol: String, vecCol: String,
+                  m: Int, dsub: Int, ksub: Int): Array[Array[Array[Double]]] = {
+    val seeds = corpus.where(col(idCol) < ksub)
+      .select(col(idCol).cast("long"), toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    Array.tabulate(m)(s => seeds.map(_._2.slice(s * dsub, s * dsub + dsub)))
+  }
+
+  /** PQ encode: each vector becomes m small integer codes — the
+    * nearest codebook entry per subspace (exact squared distance,
+    * lowest-code tiebreak). Output long form (id, subspace, code).
+    *
+    * 100 TB story: this is the memory lever for embedding search at
+    * scale — a 64-dim float vector (256 B) compresses to m = 8 codes
+    * (8 B, 32x). Pure per-row compiled kernel with the codebooks in
+    * the task closure: one scan, NO shuffle.
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebooks: Array[Array[Array[Double]]]): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val codesUdf = udf((v: Seq[Double]) =>
+      Array.tabulate(m) { s =>
+        val sub = v.slice(s * dsub, s * dsub + dsub)
+        var best = -1; var bestD = Double.MaxValue
+        var c = 0
+        while (c < codebooks(s).length) { // asc codes: first wins ties
+          val d = sqDistFn(sub, codebooks(s)(c).toSeq)
+          if (d < bestD) { best = c; bestD = d }
+          c += 1
+        }
+        best
+      })
+    df.select(col(idCol), posexplode(codesUdf(toDouble(col(vecCol))))
+      .as(Seq("subspace", "code")))
+  }
+
+  /** PQ search with asymmetric distance computation (ADC): the query
+    * stays un-quantized; its distance to each corpus vector is
+    * approximated by summing, per subspace, the exact distance from
+    * the query subvector to the corpus vector's ASSIGNED CODEBOOK
+    * ENTRY. Ranking is over the quantized ADC (qdec decimals) with id
+    * tiebreak, so the order is reproducible across engines.
+    *
+    * 100 TB story: the scan side touches only the m-code table (32x
+    * smaller than the raw vectors); each query precomputes its
+    * m x ksub distance table once (tiny, in-closure), so scoring a
+    * corpus row is m table lookups + adds — no dot products at scan
+    * time. Queries are broadcast; corpus codes are spread.
+    */
+  def pqSearch(queries: DataFrame, corpus: DataFrame, qId: String,
+               cId: String, vecCol: String, k: Int,
+               codebooks: Array[Array[Array[Double]]],
+               qdec: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val scale = math.pow(10, qdec)
+    val enc = pqEncode(spread(corpus), cId, vecCol, codebooks)
+      .groupBy(col(cId).as("neighbor_id"))
+      .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
+        .as("sc"))
+      .select(col("neighbor_id"),
+        transform(col("sc"), x => x("code")).as("codes"))
+    val adcUdf = udf((qv: Seq[Double], codes: Seq[Int]) => {
+      // fixed subspace order -> deterministic float addition order
+      var acc = 0.0
+      var s = 0
+      while (s < m) {
+        acc += sqDistFn(qv.slice(s * dsub, s * dsub + dsub),
+          codebooks(s)(codes(s)).toSeq)
+        s += 1
+      }
+      math.floor(acc * scale + 0.5) / scale
+    })
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcUdf(col("qv"), col("codes")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "adc", "rank")
+  }
+
+  /** SemDeDup (cluster-restricted semantic dedup, after Abbas et al.
+    * 2023, arXiv:2303.09540): cluster the embeddings with the trained
+    * coarse quantizer ([[trainIvf]]), then score cosine ONLY within
+    * each cluster and drop every vector that has a higher-similarity
+    * twin with a smaller id. Output (vec_id, cluster, keep).
+    *
+    * 100 TB story: the quadratic pair scoring is confined to single
+    * clusters — cost sum(n_c^2) instead of n^2, dialed by k; the
+    * self-join shuffles both sides on the cluster id only. Skewed
+    * (degenerate) clusters are the known failure mode: raise k or cap
+    * cluster size upstream; centroid state is K x d, broadcast.
+    */
+  def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
+                    k: Int, iters: Int, threshold: Double): DataFrame = {
+    val cents = trainIvf(emb, idCol, vecCol, k, iters).sortBy(_._1).toArray
+    val assignUdf = udf((v: Seq[Double]) => {
+      var best = -1L; var bestD = Double.MaxValue
+      cents.foreach { case (id, c) =>
+        val d = sqDistFn(v, c.toSeq)
+        if (d < bestD) { best = id; bestD = d } // asc ids: first wins ties
+      }
+      best
+    })
+    val e = spread(emb)
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
+      .withColumn("n", norm(col("v")))
+      .withColumn("cluster", assignUdf(col("v")))
+    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+      col("n").as("n1"), col("cluster"))
+    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+      col("n").as("n2"), col("cluster"))
+    val drops = a.join(b, Seq("cluster"))
+      .where(col("id1") < col("id2"))
+      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
+      .where(col("cosine") >= threshold)
+      .select(col("id2").as("vec_id")).distinct()
+      .withColumn("dropped", lit(true))
+    e.select("vec_id", "cluster")
+      .join(drops, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        coalesce(!col("dropped"), lit(true)).as("keep"))
+  }
+
   /** Deterministic +-1 sign for output-dim d, input-dim j of the
     * random-projection matrix — same Knuth-hash family as
     * [[hyperplane]], stride-protected against (d, j) aliasing.

@@ -356,4 +356,77 @@ class LlmOpsSpec extends SparkSpec {
     assert(out("example.com/a/b") === ((1L, 3L)))
     assert(out("example.com/other") === ((4L, 1L)))
   }
+
+  test("lineDedup removes corpus-frequent lines, keeps order, empties boilerplate-only docs") {
+    val df = Seq(
+      (0L, "header\nunique a\nheader"),
+      (1L, "header\nunique b"),
+      (2L, "header\nheader"),
+      (3L, "k1\nheader\nk2"),
+      (4L, "dup line\nx only"),
+      (5L, "dup line\ny only"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(df, "doc_id", "text")
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[String]("text_dedup"), r.getAs[Long]("n_lines"),
+          r.getAs[Long]("n_kept")))).toMap
+    assert(out(0L) === (("unique a", 3L, 1L)))
+    assert(out(1L) === (("unique b", 2L, 1L)))
+    assert(out(2L) === (("", 2L, 0L))) // all-boilerplate doc survives empty
+    assert(out(3L) === (("k1\nk2", 3L, 2L))) // order preserved across a gap
+    assert(out(4L) === (("x only", 2L, 1L))) // cross-doc dup removed from both
+    assert(out(5L) === (("y only", 2L, 1L)))
+  }
+
+  private def pqVecs = Seq(
+    (0L, Array(0f, 0f, 0f, 0f)),
+    (1L, Array(1f, 1f, 1f, 1f)),
+    (2L, Array(0.1f, 0f, 1f, 1f)),
+    (3L, Array(1f, 1f, 0f, 0f)))
+    .toDF("vec_id", "embedding")
+
+  test("pqEncode assigns per-subspace nearest codes") {
+    val cb = SimilarityOps.pqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 2)
+    assert(cb(0)(1).toSeq === Seq(1.0, 1.0)) // codebook = seed subvectors
+    val codes = SimilarityOps.pqEncode(pqVecs, "vec_id", "embedding", cb)
+      .collect()
+      .map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("subspace")) ->
+        r.getAs[Int]("code")).toMap
+    assert(codes((2L, 0)) === 0) // [0.1,0] nearer [0,0] than [1,1]
+    assert(codes((2L, 1)) === 1)
+    assert(codes((3L, 0)) === 1)
+    assert(codes((3L, 1)) === 0)
+  }
+
+  test("pqSearch ranks by ADC distance over quantized codes") {
+    val cb = SimilarityOps.pqCodebooks(pqVecs, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 2)
+    val out = SimilarityOps.pqSearch(pqVecs.where(col("vec_id") === 2),
+        pqVecs, "vec_id", "vec_id", "embedding", k = 3, cb)
+      .collect()
+      .map(r => r.getAs[Int]("rank") ->
+        ((r.getAs[Long]("neighbor_id"), r.getAs[Double]("adc")))).toMap
+    // q=[0.1,0 | 1,1]: ADC(1)=d([.1,0],[1,1])+d([1,1],[1,1])=1.81+0
+    //                  ADC(0)=d([.1,0],[0,0])+d([1,1],[0,0])=0.01+2
+    //                  ADC(3)=1.81+2 (codes (1,0))
+    assert(out(1) === ((1L, 1.81)))
+    assert(out(2) === ((0L, 2.01)))
+    assert(out(3) === ((3L, 3.81)))
+  }
+
+  test("semanticDedup drops the higher id of each within-cluster near-dup") {
+    val emb = Seq(
+      (0L, Array(1f, 0f, 0f, 0f)),
+      (1L, Array(0f, 1f, 0f, 0f)),
+      (2L, Array(1f, 0.01f, 0f, 0f)), // twin of 0, same cluster
+      (3L, Array(0f, 1f, 0.01f, 0f))) // twin of 1, same cluster
+      .toDF("vec_id", "embedding")
+    val keep = SimilarityOps.semanticDedup(emb, "vec_id", "embedding",
+        k = 2, iters = 1, threshold = 0.9)
+      .collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
+    assert(keep === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
+  }
 }
