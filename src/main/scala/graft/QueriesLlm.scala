@@ -830,6 +830,32 @@ object QueriesLlm {
        |  shard * ${PackOps.PackStride} + start_tok // 256 AS pack_id
        |FROM w""".stripMargin)
 
+  /** Exact global prefix-sum sharding: the two-phase distributed scan
+    * (monotone id bucketing + per-bucket cumsum + broadcast bucket
+    * offsets) must equal the oracle's single global window cumsum —
+    * all integers, exact.
+    */
+  private val shardByTokensQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      PackOps.shardByTokenBudget(docs, "doc_id", "n_tok",
+          budget = 1000, buckets = 16)
+        .select("doc_id", "n_tok", "start_tok", "shard")
+    },
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, n_tok,
+      |    coalesce(CAST(sum(n_tok) OVER (ORDER BY doc_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+      |      0) AS start_tok
+      |  FROM t)
+      |SELECT doc_id, n_tok, start_tok, start_tok // 1000 AS shard
+      |FROM c""".stripMargin)
+
   /** Eval decontamination sweep: test-split docs sharing rare 3-gram
     * shingles with train-split docs (doc-frequency-pruned join, never
     * all pairs).
@@ -1267,6 +1293,7 @@ object QueriesLlm {
     "hash_split" -> hashSplitQ,
     "mixture_sample" -> mixtureSampleQ,
     "pack_sequences" -> packSequencesQ,
+    "shard_by_tokens" -> shardByTokensQ,
     "decontaminate" -> decontaminateQ,
     "dedup_clusters" -> dedupClustersQ,
     "lm_score" -> lmScoreQ,

@@ -45,4 +45,59 @@ object PackOps {
   def packStats(packed: DataFrame, tokenCol: String): DataFrame =
     packed.groupBy("pack_id")
       .agg(count(lit(1)).as("n_docs"), sum(tokenCol).as("pack_tokens"))
+
+  /** EXACT global running total of `tokenCol` in `idCol` order — the
+    * distributed prefix-sum (scan) primitive Spark has no operator
+    * for, without ever materializing a single global sort partition.
+    *
+    * Two-phase scan: rows are bucketed by a MONOTONE function of the
+    * id (bucket = floor(id * buckets / (max_id + 1)) — order-preserving
+    * across buckets, deterministic, no sampled range boundaries), each
+    * bucket computes its local window cumsum, and each bucket's start
+    * offset is the running total of the (buckets-sized, broadcast)
+    * per-bucket sums. Output = input + `start_tok` (global tokens
+    * strictly before the row) — so downstream sharding/packing reads
+    * an exact global layout.
+    *
+    * 100 TB story: one tiny aggregate for max_id, one hash aggregate
+    * for per-bucket totals (buckets rows — the offset table stays
+    * dimension-sized and broadcasts), one shuffle to bucket + an
+    * in-bucket sort for the window. No global Window.orderBy (which
+    * would serialize the corpus through one partition), no driver
+    * loop. Dense-ish ids spread evenly; for adversarially-clustered
+    * ids swap the monotone bucketer for quantile boundaries upstream.
+    */
+  def globalCumsum(df: DataFrame, idCol: String, tokenCol: String,
+                   buckets: Int = 32): DataFrame = {
+    require(buckets > 0)
+    val mx = df.agg(max(col(idCol)).cast("long")).head().getLong(0) + 1
+    // exact integer DIV — a double `/` would misbucket ids above 2^53
+    val withB = df.withColumn("_b",
+      expr(s"(CAST($idCol AS BIGINT) * $buckets) DIV $mx"))
+    val offsets = withB.groupBy("_b")
+      .agg(sum(col(tokenCol)).as("_btok"))
+      .withColumn("_offset",
+        coalesce(sum(col("_btok")).over(
+          Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_offset") // buckets rows: broadcast side
+    val w = Window.partitionBy("_b").orderBy(idCol)
+    withB.join(broadcast(offsets), Seq("_b"))
+      .withColumn("start_tok",
+        col("_offset") + sum(col(tokenCol)).over(w) - col(tokenCol))
+      .drop("_b", "_offset")
+  }
+
+  /** Token-budget sharding in exact global id order: shard k holds the
+    * rows whose global token prefix lands in [k*budget, (k+1)*budget)
+    * — balanced training shards with at most one boundary-straddling
+    * document each (the loader truncate/continue convention), laid out
+    * identically no matter the cluster width. Cost = [[globalCumsum]].
+    */
+  def shardByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
+                         budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0)
+    globalCumsum(df, idCol, tokenCol, buckets)
+      .withColumn("shard", (col("start_tok") / budget).cast("long"))
+  }
 }

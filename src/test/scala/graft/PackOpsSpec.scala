@@ -39,4 +39,30 @@ class PackOpsSpec extends SparkSpec {
     assert(a.filter(floor(col("pack_id") / PackOps.PackStride)
       =!= col("shard")).count() === 0)
   }
+
+  test("globalCumsum: exact global prefix over sparse, clustered ids") {
+    // clustered ids stress the monotone bucketer: most land in few
+    // buckets, some buckets are empty — offsets must still chain.
+    val rows = (Seq(3L, 4L, 5L, 6L) ++ Seq(900L, 901L) ++ Seq(9999L))
+      .map(i => (i, i % 7 + 1))
+    val df = rows.toDF("doc_id", "n").repartition(5)
+    val out = PackOps.globalCumsum(df, "doc_id", "n", buckets = 8)
+      .orderBy("doc_id")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("start_tok"))
+    val expect = rows.sortBy(_._1)
+      .scanLeft((0L, 0L)) { case ((_, acc), (id, n)) => (id, acc + n) }
+      .dropRight(1).zip(rows.sortBy(_._1))
+      .map { case ((_, acc), (id, _)) => id -> acc }
+    assert(out.toSeq === expect)
+  }
+
+  test("shardByTokenBudget: shards are contiguous global token ranges") {
+    val docs = (0L until 300L).map(i => (i, 10L)).toDF("doc_id", "n")
+    val out = PackOps.shardByTokenBudget(docs, "doc_id", "n",
+        budget = 500, buckets = 16)
+      .orderBy("doc_id")
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("shard")))
+    // 10 tokens/doc, 500/shard -> 50 docs per shard, in id order
+    assert(out.forall { case (id, s) => s === id / 50 })
+  }
 }
