@@ -860,13 +860,10 @@ object QueriesLlm {
     * shingles with train-split docs (doc-frequency-pruned join, never
     * all pairs).
     */
-  private val decontaminateQ = Q(
-    (s, d) => {
-      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
-        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
-      DedupOps.contaminationPairs(split, "doc_id", "text", "split",
-        "train", "test", shingleN = 3, maxDf = 10)
-    },
+  /** Shared decontamination oracle — the Bloom-prefiltered variant
+    * must produce byte-identical pairs (the filter is perf-only).
+    */
+  private val decontSql =
     s"""WITH s0 AS (
        |  SELECT doc_id,
        |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
@@ -886,7 +883,28 @@ object QueriesLlm {
        |  count(*) AS n_shared
        |FROM p te JOIN p tr USING (sh)
        |WHERE te.split = 'test' AND tr.split = 'train'
-       |GROUP BY 1, 2""".stripMargin)
+       |GROUP BY 1, 2""".stripMargin
+
+  private val decontaminateQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      DedupOps.contaminationPairs(split, "doc_id", "text", "split",
+        "train", "test", shingleN = 3, maxDf = 10)
+    },
+    decontSql)
+
+  /** Bloom prefilter exercised end-to-end; the oracle is the SAME SQL
+    * as `decontaminate` — proof the prefilter changes nothing.
+    */
+  private val decontaminateBloomQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      DedupOps.contaminationPairsBloom(split, "doc_id", "text", "split",
+        "train", "test", shingleN = 3, maxDf = 10, fpp = 0.01)
+    },
+    decontSql)
 
   /** Unigram LM quality filter: counts trained on the train split,
     * every doc scored by mean word logprob. The mean is an
@@ -1295,6 +1313,7 @@ object QueriesLlm {
     "pack_sequences" -> packSequencesQ,
     "shard_by_tokens" -> shardByTokensQ,
     "decontaminate" -> decontaminateQ,
+    "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,

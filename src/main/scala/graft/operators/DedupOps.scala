@@ -211,6 +211,52 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Bloom-prefiltered decontamination — IDENTICAL output to
+    * [[contaminationPairs]], cheaper scan side. A Bloom filter is
+    * built over the eval-split shingle hashes (the small side: eval
+    * sets are millions of shingles where the train corpus is
+    * trillions) and broadcast in the task closure; train shingles
+    * that cannot be in any eval document are dropped BEFORE the
+    * frequency aggregate and join, so ~(1 - fpp) of the train-side
+    * shuffle volume disappears.
+    *
+    * Output equality argument (why fpp never leaks into results):
+    * a train occurrence of a shingle PRESENT in the eval split always
+    * passes the filter (Bloom has no false negatives), so every
+    * pair-producing shingle keeps its full occurrence count and the
+    * df-prune decides identically; a false-positive train-only
+    * shingle joins no eval row and yields no pair. The filter is a
+    * pure perf prefilter — the exact join is still the authority.
+    */
+  def contaminationPairsBloom(docs: DataFrame, idCol: String,
+                              textCol: String, splitCol: String,
+                              trainLabel: String, testLabel: String,
+                              shingleN: Int = 3, maxDf: Long = 10,
+                              fpp: Double = 0.01): DataFrame = {
+    val sh = docs
+      .filter(col(splitCol).isin(trainLabel, testLabel))
+      .select(col(idCol), col(splitCol),
+        explode(shingleHashes(col(textCol), shingleN)).as("sh"))
+    val testSh = sh.filter(col(splitCol) === testLabel)
+    val nTest = math.max(1L, testSh.count())
+    val bf = testSh.stat.bloomFilter("sh", nTest, fpp)
+    val mightContain = udf((s: Long) => bf.mightContainLong(s))
+    val pre = sh.filter(col(splitCol) === testLabel ||
+      mightContain(col("sh")))
+    val rare = pre.groupBy("sh").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDf)
+    val pruned = pre.join(rare.select("sh"), "sh")
+    pruned.groupBy("sh").agg(
+        collect_list(when(col(splitCol) === testLabel, col(idCol)))
+          .as("te_ids"),
+        collect_list(when(col(splitCol) === trainLabel, col(idCol)))
+          .as("tr_ids"))
+      .select(explode(col("te_ids")).as("test_id"), col("tr_ids"))
+      .select(col("test_id"), explode(col("tr_ids")).as("train_id"))
+      .groupBy("test_id", "train_id")
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Connected components over an undirected near-dup pair list:
     * every document gets the smallest doc id reachable through the
     * pair graph as its cluster id — the canonical "collapse duplicate

@@ -416,6 +416,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) === ((3L, 3.81)))
   }
 
+  test("contaminationPairsBloom equals the exact join at any fpp") {
+    val corpus = Seq(
+      (0L, "train", "alpha beta gamma delta epsilon"),
+      (1L, "train", "zeta eta theta iota kappa"),
+      (2L, "test", "alpha beta gamma something else"),
+      (3L, "test", "totally novel eval content here"),
+      (4L, "train", "alpha beta gamma delta epsilon"))
+      .toDF("doc_id", "split", "text")
+    val exact = DedupOps.contaminationPairs(corpus, "doc_id", "text",
+      "split", "train", "test")
+    for (fpp <- Seq(0.5, 0.01)) { // even a half-wrong bloom changes nothing
+      val bloom = DedupOps.contaminationPairsBloom(corpus, "doc_id", "text",
+        "split", "train", "test", fpp = fpp)
+      assert(bloom.except(exact).count() === 0)
+      assert(exact.except(bloom).count() === 0)
+    }
+    // sanity: the contaminated pair is found, the novel doc is clean
+    val pairs = exact.collect()
+      .map(r => (r.getAs[Long]("test_id"), r.getAs[Long]("train_id"))).toSet
+    assert(pairs.contains((2L, 0L)) && pairs.contains((2L, 4L)))
+    assert(!pairs.exists(_._1 == 3L))
+  }
+
   test("semanticDedup drops the higher id of each within-cluster near-dup") {
     val emb = Seq(
       (0L, Array(1f, 0f, 0f, 0f)),
