@@ -906,6 +906,49 @@ object QueriesLlm {
     },
     decontSql)
 
+  /** DSIR importance resampling toward the 'de' slice: two unigram-LM
+    * replays (target + complement), the log importance ratio, and the
+    * hash-seeded Gumbel key — quantized before the top-k so the
+    * selection is a discrete choice in both engines.
+    */
+  private val dsirSampleQ = Q(
+    (s, d) => SampleOps.dsirSample(Tables.documents(s, d),
+      "doc_id", "text", "lang", "de", k = 100),
+    s"""WITH d0 AS (
+       |  SELECT doc_id, text,
+       |    CASE WHEN lang = 'de' THEN 't' ELSE 'r' END AS dom,
+       |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} AS b
+       |  FROM documents),
+       |w AS (SELECT doc_id, dom, unnest(${whSql("text")}) AS wh FROM d0),
+       |ct AS (SELECT wh, count(*) AS c FROM w WHERE dom = 't' GROUP BY 1),
+       |cr AS (SELECT wh, count(*) AS c FROM w WHERE dom = 'r' GROUP BY 1),
+       |tt AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+       |              CAST(count(*) AS BIGINT) AS vocab FROM ct),
+       |tr2 AS (SELECT CAST(sum(c) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS vocab FROM cr),
+       |st AS (
+       |  SELECT w.doc_id,
+       |    sum(ln(CAST(coalesce(ct.c, 0) + 1 AS DOUBLE)
+       |      / (tt.total + tt.vocab))) / count(*) AS lp
+       |  FROM w LEFT JOIN ct USING (wh) CROSS JOIN tt GROUP BY 1),
+       |sr AS (
+       |  SELECT w.doc_id,
+       |    sum(ln(CAST(coalesce(cr.c, 0) + 1 AS DOUBLE)
+       |      / (tr2.total + tr2.vocab))) / count(*) AS lp
+       |  FROM w LEFT JOIN cr USING (wh) CROSS JOIN tr2 GROUP BY 1),
+       |sc AS (
+       |  SELECT st.doc_id,
+       |    ${qrSql("st.lp - sr.lp", 6)} AS log_w,
+       |    ${qrSql(s"st.lp - sr.lp - ln(-ln((d0.b + 0.5) / ${SampleOps.SplitBuckets}.0))", 6)} AS gumbel_key
+       |  FROM st JOIN sr USING (doc_id) JOIN d0 USING (doc_id)),
+       |ranked AS (
+       |  SELECT doc_id, log_w, gumbel_key,
+       |    row_number() OVER (ORDER BY gumbel_key DESC, doc_id) AS rank
+       |  FROM sc)
+       |SELECT doc_id, log_w, gumbel_key, rank
+       |FROM ranked WHERE rank <= 100""".stripMargin)
+
   /** Unigram LM quality filter: counts trained on the train split,
     * every doc scored by mean word logprob. The mean is an
     * order-dependent float sum -> qround(6) in both engines.
@@ -1310,6 +1353,7 @@ object QueriesLlm {
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,
     "mixture_sample" -> mixtureSampleQ,
+    "dsir_sample" -> dsirSampleQ,
     "pack_sequences" -> packSequencesQ,
     "shard_by_tokens" -> shardByTokensQ,
     "decontaminate" -> decontaminateQ,

@@ -68,4 +68,47 @@ object SampleOps {
                    rateCol: Column): DataFrame =
     df.filter(splitBucket(col(keyCol)) <
       floor(rateCol * SplitBuckets).cast("long"))
+
+  /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
+    * score every document by the log importance ratio
+    * `log_w = logp_target(x) − logp_raw(x)` between a unigram LM of
+    * the target domain (`targetCol == targetLabel`) and one of the
+    * complement, then draw k documents WITHOUT replacement with
+    * probability ∝ exp(log_w) via deterministic Gumbel-top-k: each
+    * doc's key is `log_w + g(id)` where `g = −ln(−ln(u))` and
+    * `u = (bucket(id)+0.5)/10000` — reproducible noise from the split
+    * hash, no RNG state. Keys are quantized (6 decimals) BEFORE the
+    * top-k so the selection is a discrete choice over exact decimal
+    * values in any engine.
+    *
+    * 100 TB story: two linear LM-score passes (vocab-sized count
+    * tables, map-side-combined; see unigramLmScore), then top-k by
+    * sort+limit — Spark plans TakeOrdered (per-partition bounded
+    * heaps merged on the driver, k rows ever moved), NEVER a global
+    * sort; the final rank window touches only the k selected rows.
+    */
+  def dsirSample(docs: DataFrame, idCol: String, textCol: String,
+                 targetCol: String, targetLabel: String,
+                 k: Int): DataFrame = {
+    val tagged = docs.withColumn("_dom",
+      when(col(targetCol) === targetLabel, lit("t")).otherwise(lit("r")))
+    val target = TextOps.unigramLmScore(tagged, idCol, textCol, "_dom", "t")
+      .select(col(idCol), col("lm_logprob_mean").as("logp_target"))
+    val raw = TextOps.unigramLmScore(tagged, idCol, textCol, "_dom", "r")
+      .select(col(idCol), col("lm_logprob_mean").as("logp_raw"))
+    def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
+    val u = (splitBucket(col(idCol)).cast("double") + 0.5) / SplitBuckets
+    val scored = target.join(raw, Seq(idCol))
+      .withColumn("log_w", q6(col("logp_target") - col("logp_raw")))
+      .withColumn("gumbel_key",
+        q6(col("logp_target") - col("logp_raw") - log(-log(u))))
+    val top = scored
+      .sort(col("gumbel_key").desc, col(idCol)) // TakeOrdered with limit
+      .limit(k)
+      .select(col(idCol), col("log_w"), col("gumbel_key"))
+    // rank over exactly k rows — bounded, not a fact-sized window
+    top.withColumn("rank", row_number().over(
+      org.apache.spark.sql.expressions.Window
+        .orderBy(col("gumbel_key").desc, col(idCol))))
+  }
 }

@@ -50,4 +50,27 @@ class SampleOpsSpec extends SparkSpec {
     // threshold sampling nests: the 10% sample is inside the 20% one
     assert(s10.except(s20).count() === 0)
   }
+
+  test("dsirSample prefers target-domain-like docs, deterministic") {
+    // target domain speaks 'aaa bbb'; raw domain speaks 'xxx yyy'.
+    // Unlabeled docs 100-103 mimic the target, 104-107 the raw side.
+    val docs = ((0L until 8L).map(i => (i, "tgt", "aaa bbb aaa bbb")) ++
+      (8L until 16L).map(i => (i, "raw", "xxx yyy xxx yyy")) ++
+      (100L until 104L).map(i => (i, "pool", "aaa bbb aaa")) ++
+      (104L until 108L).map(i => (i, "pool", "xxx yyy xxx")))
+      .toDF("doc_id", "domain", "text")
+    val out = SampleOps.dsirSample(docs, "doc_id", "text",
+      "domain", "tgt", k = 30)
+    val byId = out.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("log_w")).toMap
+    // every target-mimic outweighs every raw-mimic
+    val mimicT = (100L until 104L).map(byId)
+    val mimicR = (104L until 108L).map(byId)
+    assert(mimicT.min > mimicR.max)
+    // deterministic: a rerun selects the identical ranked set
+    val again = SampleOps.dsirSample(docs, "doc_id", "text",
+      "domain", "tgt", k = 30)
+    assert(out.except(again).count() === 0 &&
+      again.except(out).count() === 0)
+  }
 }
