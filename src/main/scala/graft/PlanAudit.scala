@@ -17,7 +17,9 @@ object PlanAudit {
       "split_dataset", "flag_summary", "imaging_weight_briggs", "ann_topk",
       "imaging_weight_polavg", "uv_cont_fit_order3", "dedup_exact",
       "stream_dedup", "make_image_mosaic",
-      "auto_rflag", "auto_tfcrop", "reframe", "url_dedup", "pii_scrub")) {
+      "auto_rflag", "auto_tfcrop", "reframe", "url_dedup", "pii_scrub",
+      "line_dedup", "pq_search", "shard_by_tokens", "semantic_dedup",
+      "decontaminate_bloom", "dsir_sample")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))
