@@ -133,6 +133,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: lineDedup is idempotent — survivors are corpus-unique") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // random multi-line docs over a tiny line alphabet (forces heavy
+    // cross-doc duplication)
+    val lineGen = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    forSamples(Gen.listOfN(6, Gen.listOfN(4, lineGen)), n = 20) { docLines =>
+      val df = docLines.zipWithIndex
+        .map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+        .toDF("doc_id", "text")
+      val once = DedupOps.lineDedup(df, "doc_id", "text")
+        .select(col("doc_id"), col("text_dedup").as("text"))
+      val onceMap = once.collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      val twiceMap = DedupOps.lineDedup(once, "doc_id", "text")
+        .collect().map(r => r.getAs[Long]("doc_id") ->
+          r.getAs[String]("text_dedup")).toMap
+      // empty docs: splitting "" yields one empty line per doc, which is
+      // itself corpus-frequent when several docs emptied — so compare
+      // only non-empty survivors (the meaningful fixpoint)
+      onceMap.filter(_._2.nonEmpty).foreach { case (id, a) =>
+        assert(twiceMap(id) === a, "second pass must keep every unique survivor")
+      }
+    }
+  }
+
+  test("property: globalCumsum matches the sequential scan on random data") {
+    import spark.implicits._
+    val rowGen = Gen.listOfN(40,
+      Gen.zip(Gen.choose(0L, 5000L), Gen.choose(1L, 99L)))
+    forSamples(rowGen, n = 15) { raw =>
+      val rows = raw.toMap.toSeq // distinct ids
+      whenever(rows.nonEmpty) {
+        val df = rows.toDF("id", "n").repartition(7)
+        val out = graft.operators.PackOps
+          .globalCumsum(df, "id", "n", buckets = 8)
+          .collect().map(r => r.getAs[Long]("id") -> r.getAs[Long]("start_tok"))
+          .toMap
+        var acc = 0L
+        rows.sortBy(_._1).foreach { case (id, n) =>
+          assert(out(id) === acc, s"prefix at id=$id")
+          acc += n
+        }
+      }
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
