@@ -90,15 +90,37 @@ object SampleOps {
   def dsirSample(docs: DataFrame, idCol: String, textCol: String,
                  targetCol: String, targetLabel: String,
                  k: Int): DataFrame = {
-    val tagged = docs.withColumn("_dom",
-      when(col(targetCol) === targetLabel, lit("t")).otherwise(lit("r")))
-    val target = TextOps.unigramLmScore(tagged, idCol, textCol, "_dom", "t")
-      .select(col(idCol), col("lm_logprob_mean").as("logp_target"))
-    val raw = TextOps.unigramLmScore(tagged, idCol, textCol, "_dom", "r")
-      .select(col(idCol), col("lm_logprob_mean").as("logp_raw"))
+    // Both LMs share ONE exploded word-hash frame: the target and raw
+    // scores ride the same scan, the same two count-table joins, and a
+    // single per-doc aggregate — not two independent unigramLmScore
+    // pipelines (which would explode the corpus twice and double the
+    // heaviest shuffle at 100 TB).
+    val w = docs
+      .withColumn("_dom",
+        when(col(targetCol) === targetLabel, lit("t")).otherwise(lit("r")))
+      .select(col(idCol), col("_dom"),
+        explode(TextOps.wordHashes(col(textCol))).as("wh"))
+    val ct = w.filter(col("_dom") === "t")
+      .groupBy("wh").agg(count(lit(1)).as("c_t"))
+    val cr = w.filter(col("_dom") === "r")
+      .groupBy("wh").agg(count(lit(1)).as("c_r"))
+    val tt = ct.agg(sum("c_t").as("total_t"), count(lit(1)).as("vocab_t"))
+    val tr = cr.agg(sum("c_r").as("total_r"), count(lit(1)).as("vocab_r"))
+    val perDoc = w
+      .join(ct, Seq("wh"), "left").join(cr, Seq("wh"), "left")
+      .crossJoin(broadcast(tt)).crossJoin(broadcast(tr))
+      .withColumn("logp_t",
+        log((coalesce(col("c_t"), lit(0L)) + 1).cast("double") /
+          (col("total_t") + col("vocab_t")).cast("double")))
+      .withColumn("logp_r",
+        log((coalesce(col("c_r"), lit(0L)) + 1).cast("double") /
+          (col("total_r") + col("vocab_r")).cast("double")))
+      .groupBy(col(idCol))
+      .agg((sum("logp_t") / count(lit(1))).as("logp_target"),
+        (sum("logp_r") / count(lit(1))).as("logp_raw"))
     def q6(c: Column): Column = floor(c * 1e6 + 0.5) / 1e6
     val u = (splitBucket(col(idCol)).cast("double") + 0.5) / SplitBuckets
-    val scored = target.join(raw, Seq(idCol))
+    val scored = perDoc
       .withColumn("log_w", q6(col("logp_target") - col("logp_raw")))
       .withColumn("gumbel_key",
         q6(col("logp_target") - col("logp_raw") - log(-log(u))))
