@@ -434,6 +434,56 @@ object QueriesLlm {
        |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
        |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
 
+  /** POSITIONAL 3-gram shingle hashes (no distinct) — the winnowing
+    * input; same combine as shSql.
+    */
+  private def shPosSql(wh: String): String = {
+    val w2 = B * B % M
+    s"CASE WHEN len($wh) >= 3 THEN " +
+      s"list_transform(generate_series(1, len($wh) - 2), i_ -> " +
+      s"(($wh[i_] * $w2 % $M) + ($wh[i_ + 1] * $B % $M) + $wh[i_ + 2]) % $M) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+  }
+
+  /** Winnowed fingerprint set: distinct minimum of each w-window of
+    * positional shingles — mirrors TextOps.winnowFingerprintsFn.
+    */
+  private def winnowSql(sh: String, w: Int): String =
+    s"CASE WHEN len($sh) >= 1 THEN list_distinct(" +
+      s"list_transform(generate_series(1, greatest(len($sh) - $w, 0) + 1), " +
+      s"j_ -> list_min(list_slice($sh, j_, j_ + ${w - 1})))) " +
+      s"ELSE CAST([] AS BIGINT[]) END"
+
+  /** Winnowing is pure integer hashing + discrete min selection —
+    * exact in any engine.
+    */
+  private val winnowFingerprintsQ = Q(
+    (s, d) => Tables.documents(s, d).select(col("doc_id"),
+      explode(TextOps.winnowFingerprints(col("text"), 3, 4)).as("fp")),
+    s"""WITH f0 AS (
+       |  SELECT doc_id, ${shPosSql(whSql("text"))} AS sh FROM documents),
+       |f1 AS (SELECT doc_id, ${winnowSql("sh", 4)} AS fps FROM f0)
+       |SELECT doc_id, unnest(fps) AS fp FROM f1""".stripMargin)
+
+  /** Substring-level dup pairs over the mutated-copy corpus: the
+    * injected near-copies share long spans, hence many winnowed
+    * fingerprints; the df prune and pair count are exact integers.
+    */
+  private val substringDupesQ = Q(
+    (s, d) => DedupOps.substringDupes(dupCorpus(s, d), "doc_id", "text",
+      n = 3, w = 4, minShared = 5, maxDf = 50),
+    s"""WITH $dupCorpusSql,
+       |f0 AS (
+       |  SELECT doc_id, ${shPosSql(whSql("text"))} AS sh FROM corpus),
+       |f1 AS (SELECT doc_id, ${winnowSql("sh", 4)} AS fps FROM f0),
+       |fp AS (SELECT doc_id, unnest(fps) AS fp FROM f1),
+       |keep AS (SELECT fp FROM fp GROUP BY fp HAVING count(*) <= 50),
+       |p AS (SELECT fp.* FROM fp JOIN keep USING (fp))
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  count(*) AS n_shared_fp
+       |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
+
   /** PQ codebook CTE shared by the encode/search oracles: subspace m's
     * codebook = the m-th 8-dim slice of the first 16 corpus vectors
     * (mirrors SimilarityOps.pqCodebooks).
@@ -1344,6 +1394,8 @@ object QueriesLlm {
     "pq_search" -> pqSearchQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
+    "winnow_fingerprints" -> winnowFingerprintsQ,
+    "substring_dupes" -> substringDupesQ,
     "token_count" -> tokenCountQ,
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,

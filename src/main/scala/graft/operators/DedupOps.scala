@@ -211,6 +211,37 @@ object DedupOps {
       .agg(count(lit(1)).as("n_shared"))
   }
 
+  /** Substring-level duplicate pairs via winnowed fingerprints
+    * ([[TextOps.winnowFingerprintsFn]]): documents sharing at least
+    * `minShared` winnowed fingerprints are flagged — catches long
+    * COPIED SPANS (quotes, mirrored passages, licence boilerplate)
+    * that whole-document hashing misses and that line dedup only
+    * catches when the span aligns with line boundaries. Guarantee:
+    * a shared run of >= w + n - 1 words always shares a fingerprint.
+    *
+    * 100 TB story: only ~2/(w+1) of shingles survive winnowing, so
+    * the exploded fingerprint table is a fraction of the shingle
+    * stream; `maxDf` drops corpus-boilerplate fingerprints BEFORE the
+    * self-join (the same degenerate-bucket cap as LSH banding), and
+    * the pair aggregate shuffles only true co-occurrences.
+    */
+  def substringDupes(df: DataFrame, idCol: String, textCol: String,
+                     n: Int = 3, w: Int = 4, minShared: Long = 5,
+                     maxDf: Long = 50): DataFrame = {
+    val fp = df.select(col(idCol),
+      explode(TextOps.winnowFingerprints(col(textCol), n, w)).as("fp"))
+    val keep = fp.groupBy("fp").agg(count(lit(1)).as("df_"))
+      .filter(col("df_") <= maxDf)
+    val pruned = fp.join(keep.select("fp"), "fp")
+    val a = pruned.select(col(idCol).as("id1"), col("fp"))
+    val b = pruned.select(col(idCol).as("id2"), col("fp"))
+    a.join(b, Seq("fp"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("n_shared_fp"))
+      .filter(col("n_shared_fp") >= minShared)
+  }
+
   /** Bloom-prefiltered decontamination — IDENTICAL output to
     * [[contaminationPairs]], cheaper scan side. A Bloom filter is
     * built over the eval-split shingle hashes (the small side: eval

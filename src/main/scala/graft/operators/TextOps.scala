@@ -92,6 +92,49 @@ object TextOps {
   def shingleHashes(c: Column, n: Int): Column =
     udf((s: String) => shingleHashesFn(s, n)).apply(c)
 
+  /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS local
+    * fingerprinting scheme): slide a window of `w` consecutive n-gram
+    * shingle hashes and keep each window's MINIMUM; the distinct kept
+    * values are the document's fingerprint set. Guarantee: any shared
+    * substring of at least w + n - 1 words contributes at least one
+    * COMMON fingerprint to both documents, while only ~2/(w+1) of all
+    * shingles are kept — the density/recall dial for substring-level
+    * dup detection. A document shorter than one window keeps the
+    * minimum of what it has.
+    */
+  def winnowFingerprintsFn(s: String, n: Int, w: Int): Array[Long] = {
+    val wh = wordHashesFn(s)
+    if (wh.length < n) return Array.empty
+    val weights = Array.tabulate(n)(k => {
+      var x = 1L; (0 until (n - 1 - k)).foreach(_ => x = x * HashBase % HashMod); x
+    })
+    val m = wh.length - n + 1
+    val sh = new Array[Long](m)
+    var i = 0
+    while (i < m) {
+      var acc = 0L
+      var k = 0
+      while (k < n) { acc += wh(i + k) * weights(k) % HashMod; k += 1 }
+      sh(i) = acc % HashMod
+      i += 1
+    }
+    val out = new Array[Long](math.max(m - w, 0) + 1)
+    i = 0
+    while (i < out.length) {
+      var mn = Long.MaxValue
+      var j = i
+      val end = math.min(i + w, m)
+      while (j < end) { if (sh(j) < mn) mn = sh(j); j += 1 }
+      out(i) = mn
+      i += 1
+    }
+    out.distinct
+  }
+
+  /** Column form of [[winnowFingerprintsFn]] (compiled kernel). */
+  def winnowFingerprints(c: Column, n: Int, w: Int): Column =
+    udf((s: String) => winnowFingerprintsFn(s, n, w)).apply(c)
+
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digits / other non-space singletons).
     */

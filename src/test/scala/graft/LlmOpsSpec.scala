@@ -416,6 +416,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) === ((3L, 3.81)))
   }
 
+  test("winnowing: shared long span guarantees a common fingerprint") {
+    // guarantee threshold: w + n - 1 = 4 + 3 - 1 = 6 shared words
+    val span = "one two three four five six"
+    val a = s"prefix words here $span"
+    val b = s"$span totally different tail content"
+    val fa = TextOps.winnowFingerprintsFn(a, 3, 4).toSet
+    val fb = TextOps.winnowFingerprintsFn(b, 3, 4).toSet
+    assert(fa.intersect(fb).nonEmpty, "6-word shared span must collide")
+    // density: winnowing keeps far fewer than all shingles
+    val all = TextOps.shingleHashesFn(a, 3)
+    assert(fa.size < all.length)
+    // a short doc (under one window) still fingerprints its minimum
+    assert(TextOps.winnowFingerprintsFn("x y z", 3, 4).length === 1)
+    assert(TextOps.winnowFingerprintsFn("x y", 3, 4).isEmpty)
+  }
+
+  test("substringDupes flags the copied span, not unrelated docs") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "intro alpha beta gamma delta epsilon zeta eta theta iota kappa outro"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val pairs = DedupOps.substringDupes(docs, "doc_id", "text",
+        n = 3, w = 4, minShared = 2, maxDf = 50)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"))).toSet
+    assert(pairs === Set((0L, 1L)))
+  }
+
   test("contaminationPairsBloom equals the exact join at any fpp") {
     val corpus = Seq(
       (0L, "train", "alpha beta gamma delta epsilon"),
