@@ -57,8 +57,11 @@ object DedupOps {
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 sep: String = "\n", maxDf: Int = 1): DataFrame = {
+    // sep is a LITERAL separator (quoted before the regex split) —
+    // the oracle's string_split semantics, safe for "|", ".", etc.
+    val sepRe = java.util.regex.Pattern.quote(sep)
     val lines = df
-      .select(col(idCol), posexplode(split(col(textCol), sep, -1))
+      .select(col(idCol), posexplode(split(col(textCol), sepRe, -1))
         .as(Seq("pos", "line")))
       .withColumn("lh", TextOps.polyHash(col("line")))
       .withColumn("lh2", TextOps.polyHash2(col("line")))
@@ -73,7 +76,7 @@ object DedupOps {
           x => x("line")), sep).as("text_dedup"),
         count(lit(1)).as("n_kept"))
     df.select(col(idCol),
-        size(split(col(textCol), sep, -1)).cast("long").as("n_lines"))
+        size(split(col(textCol), sepRe, -1)).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("text_dedup"), lit("")).as("text_dedup"),

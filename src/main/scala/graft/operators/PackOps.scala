@@ -70,7 +70,11 @@ object PackOps {
   def globalCumsum(df: DataFrame, idCol: String, tokenCol: String,
                    buckets: Int = 32): DataFrame = {
     require(buckets > 0)
-    val mx = df.agg(max(col(idCol)).cast("long")).head().getLong(0) + 1
+    val mxRow = df.agg(max(col(idCol)).cast("long")).head()
+    // empty input: any mx works (no rows to bucket); ids must be >= 0
+    // for the monotone DIV bucketing
+    val mx = (if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)) + 1
+    require(mx > 0, s"globalCumsum needs non-negative $idCol")
     // exact integer DIV — a double `/` would misbucket ids above 2^53
     val withB = df.withColumn("_b",
       expr(s"(CAST($idCol AS BIGINT) * $buckets) DIV $mx"))
