@@ -1629,6 +1629,77 @@ object QueriesKernels {
          |FROM dft CROSS JOIN sumw""".stripMargin
     })
 
+  /** MS-MFS Taylor maps over a synthesized 5-channel polynomial cube:
+    * the per-pixel c0/c1/c2 solve (oracle: Cramer's rule on the 3x3
+    * normal equations — quantization absorbs the fp-path gap vs the
+    * operator's Gaussian elimination) plus the alpha = c1/c0 map.
+    * All x powers are multiplication chains, never libm pow.
+    */
+  private val mfsTaylorQ = Q(
+    (s, d) => {
+      val px = s.range(16L * 16)
+        .select((col("id") / 16).cast("int").as("l_idx"),
+          (col("id") % 16).cast("int").as("m_idx"))
+      val cube = px
+        .withColumn("chan", explode(array((0 until 5).map(i => lit(i)): _*)))
+        .withColumn("freq",
+          (lit(1.0) + col("chan").cast("double") / lit(10.0)) * lit(1.0e9))
+        .withColumn("xf", (col("freq") - lit(1.0e9)) / lit(1.0e9))
+        .withColumn("image",
+          lit(1.0) + col("l_idx") * lit(0.5) +
+            (col("m_idx") * lit(0.25) - lit(2.0)) * col("xf") +
+            (col("l_idx") * lit(0.125) - col("m_idx") * lit(0.0625)) *
+              col("xf") * col("xf"))
+      CleanOps.mfsTaylor(cube, Seq("l_idx", "m_idx"), "freq", "image",
+          refFreq = 1.0e9, nterms = 3)
+        .select(col("l_idx"), col("m_idx"),
+          qround(col("c0"), 6).as("c0"), qround(col("c1"), 6).as("c1"),
+          qround(col("c2"), 6).as("c2"),
+          qround(col("alpha"), 6).as("alpha"), col("n_chan"))
+    }, {
+      val a = Array(
+        Array("m0", "m1", "m2"),
+        Array("m1", "m2", "m3"),
+        Array("m2", "m3", "m4"))
+      val b = Array("r0", "r1", "r2")
+      def repl(k: Int): Array[Array[String]] =
+        a.zipWithIndex.map { case (row, i) =>
+          row.zipWithIndex.map { case (v, j) => if (j == k) b(i) else v } }
+      def qr6(e: String): String = s"floor(($e) * 1.0e6 + 0.5) / 1.0e6"
+      s"""WITH px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |ch AS (SELECT CAST(unnest(generate_series(0, 4)) AS INT) AS chan),
+         |cx AS (
+         |  SELECT l_idx, m_idx,
+         |    ((1.0e0 + chan / 10.0e0) * 1.0e9 - 1.0e9) / 1.0e9 AS x
+         |  FROM px CROSS JOIN ch),
+         |cube AS (
+         |  SELECT l_idx, m_idx, x,
+         |    1.0e0 + l_idx * 5.0e-1 + (m_idx * 2.5e-1 - 2.0e0) * x
+         |      + (l_idx * 1.25e-1 - m_idx * 6.25e-2) * x * x AS v
+         |  FROM cx),
+         |mom AS (
+         |  SELECT l_idx, m_idx,
+         |    sum(1.0e0) AS m0, sum(x) AS m1, sum(x * x) AS m2,
+         |    sum(x * x * x) AS m3, sum(x * x * x * x) AS m4,
+         |    sum(v * 1.0e0) AS r0, sum(v * x) AS r1,
+         |    sum(v * (x * x)) AS r2,
+         |    count(*) AS n_chan
+         |  FROM cube GROUP BY 1, 2),
+         |sol AS (
+         |  SELECT l_idx, m_idx, n_chan,
+         |    (${det3(repl(0))}) / (${det3(a)}) AS c0,
+         |    (${det3(repl(1))}) / (${det3(a)}) AS c1,
+         |    (${det3(repl(2))}) / (${det3(a)}) AS c2
+         |  FROM mom)
+         |SELECT l_idx, m_idx, ${qr6("c0")} AS c0, ${qr6("c1")} AS c1,
+         |  ${qr6("c2")} AS c2,
+         |  CASE WHEN c0 <> 0.0e0 THEN ${qr6("c1 / c0")} ELSE NULL END AS alpha,
+         |  n_chan
+         |FROM sol""".stripMargin
+    })
+
   private def det3(m: Array[Array[String]]): String =
     s"((${m(0)(0)}) * ((${m(1)(1)}) * (${m(2)(2)}) - (${m(1)(2)}) * (${m(2)(1)}))" +
       s" - (${m(0)(1)}) * ((${m(1)(0)}) * (${m(2)(2)}) - (${m(1)(2)}) * (${m(2)(0)}))" +
@@ -1798,6 +1869,7 @@ object QueriesKernels {
     "make_mask" -> makeMaskQ,
     "is_converged" -> isConvergedQ,
     "deconvolve_multiscale_clean" -> msCleanQ,
+    "mfs_taylor" -> mfsTaylorQ,
     "msclean_one_iter" -> msCleanOneIterQ,
     "deconvolve_fast_resolve" -> fastResolveQ,
     "deconvolve_rm_clean" -> rmCleanQ,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.Fft
 
@@ -683,5 +683,51 @@ object CleanOps {
       .withColumn("hit_threshold", col("peak_residual") <= lit(threshold))
       .withColumn("hit_niter", col("iters_done") >= lit(niter))
       .withColumn("converged", col("hit_threshold") || col("hit_niter"))
+  }
+
+  /** MS-MFS wideband Taylor-coefficient maps — the MS-MFS branch the
+    * reference documents but never implements
+    * (ngcasa/deconvolution/deconvolve_multiterm_clean.py:20-58;
+    * algorithm per Rau & Cornwell 2011, A&A 532 A71): per pixel, fit
+    * the spectral cube I(l, m, nu) to a Taylor series in
+    * x = (nu - nu0)/nu0, emitting the coefficient maps c_t and the
+    * spectral-index map alpha = c1/c0 (null where c0 = 0, or where
+    * the normal system is singular — fewer distinct channels than
+    * terms).
+    *
+    * Spark shape: ONE hash aggregate over the pixel keys accumulating
+    * the (2*nterms-1) x-moments and nterms cross-moments (the
+    * uv_cont_fit normal-equation pattern — map-side combine, shuffle
+    * carries 2 small arrays per pixel, never spectra), then a per-row
+    * solve. Scales to any cube: cost is linear in pixels x channels.
+    */
+  def mfsTaylor(cube: DataFrame, keys: Seq[String], freqCol: String,
+                valCol: String, refFreq: Double,
+                nterms: Int = 3): DataFrame = {
+    require(nterms >= 1, "nterms must be >= 1")
+    // powers as LEFT-ASSOC multiplication chains, not libm pow —
+    // bit-identical to the oracle's x * x * ... for non-integer x
+    def pw(k: Int): Column = k match {
+      case 0 => lit(1.0)
+      case n => (2 to n).foldLeft(col("_x"))((a, _) => a * col("_x"))
+    }
+    val solve = udf((m: Seq[Double], r: Seq[Double]) =>
+      RegressionOps.solveNormal(m, r).orNull)
+    val solved = cube
+      .withColumn("_x", (col(freqCol) - lit(refFreq)) / lit(refFreq))
+      .groupBy(keys.map(col): _*)
+      .agg(
+        array((0 to 2 * (nterms - 1)).map(k => sum(pw(k))): _*).as("_m"),
+        array((0 until nterms).map(k => sum(col(valCol) * pw(k))): _*)
+          .as("_r"),
+        count(lit(1)).as("n_chan"))
+      .withColumn("_c", solve(col("_m"), col("_r")))
+    val coefCols = (0 until nterms)
+      .map(t => element_at(col("_c"), t + 1).as(s"c$t"))
+    solved
+      .select(keys.map(col) ++ coefCols :+ col("n_chan"): _*)
+      .withColumn("alpha",
+        when(col("c0").isNotNull && col("c0") =!= 0.0,
+          (if (nterms > 1) col("c1") else lit(0.0)) / col("c0")))
   }
 }

@@ -376,4 +376,33 @@ class KernelOpsSpec extends SparkSpec {
     val (amp, cen, sig) = BeamOps.specFit(spec)
     assert(approx(amp, 3.0, 1e-6) && approx(cen, 30.0, 1e-6) && approx(sig, 4.0, 1e-6))
   }
+
+  test("mfsTaylor recovers per-pixel Taylor coefficients and alpha") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    // two pixels, exact quadratic spectra in x = (nu - nu0)/nu0
+    val rows = for {
+      (l, c0, c1, c2) <- Seq((0, 2.0, 1.0, -0.5), (1, 4.0, -2.0, 0.25))
+      ch <- 0 until 5
+      x = ch / 10.0
+    } yield (l, 0, (1.0 + x) * 1.0e9, c0 + c1 * x + c2 * x * x)
+    val cube = rows.toDF("l_idx", "m_idx", "freq", "image")
+    val out = CleanOps.mfsTaylor(cube, Seq("l_idx", "m_idx"), "freq",
+        "image", refFreq = 1.0e9, nterms = 3)
+      .collect().map(r => r.getAs[Int]("l_idx") ->
+        ((r.getAs[Double]("c0"), r.getAs[Double]("c1"),
+          r.getAs[Double]("c2"), r.getAs[Double]("alpha")))).toMap
+    val (a0, a1, a2, al) = out(0)
+    assert(approx(a0, 2.0, 1e-8) && approx(a1, 1.0, 1e-6) &&
+      approx(a2, -0.5, 1e-5))
+    assert(approx(al, 1.0 / 2.0, 1e-6)) // spectral index = c1/c0
+    val (b0, b1, _, _) = out(1)
+    assert(approx(b0, 4.0, 1e-8) && approx(b1, -2.0, 1e-6))
+    // singular system (1 channel, 3 terms) -> null coefficients, no crash
+    val one = Seq((0, 0, 1.0e9, 5.0)).toDF("l_idx", "m_idx", "freq", "image")
+    val sing = CleanOps.mfsTaylor(one, Seq("l_idx", "m_idx"), "freq",
+      "image", refFreq = 1.0e9, nterms = 3).collect()(0)
+    assert(sing.isNullAt(sing.fieldIndex("c0")) &&
+      sing.isNullAt(sing.fieldIndex("alpha")))
+  }
 }
