@@ -434,6 +434,49 @@ object QueriesLlm {
        |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
        |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
 
+  /** BPE induction replayed move-for-move: the oracle carries each
+    * word as a '|'-delimited symbol string, counts adjacent symbol
+    * pairs positionally, takes the same (count desc, lexicographic)
+    * argmax, and applies the merge with a boundary-anchored
+    * replace('|l|r|' -> '|lr|') whose left-to-right non-overlap
+    * semantics match the kernel exactly. All integers — exact.
+    */
+  private val bpeMergesQ = Q(
+    (s, d) => TextOps.bpeMerges(Tables.documents(s, d), "text", nMerges = 3),
+    {
+      def round(n: Int): String = {
+        val prev = if (n == 1) "v0" else s"v${n - 1}"
+        s"""sy$n AS (
+           |  SELECT rep, wc, string_split(trim(rep, '|'), '|') AS syms
+           |  FROM $prev),
+           |p$n AS (
+           |  SELECT syms[g.i] AS l, syms[g.i + 1] AS r, wc
+           |  FROM sy$n CROSS JOIN generate_series(1, 300) g(i)
+           |  WHERE g.i < len(syms)),
+           |t$n AS (
+           |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
+           |  FROM p$n GROUP BY 1, 2
+           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |v$n AS (
+           |  SELECT replace(v.rep, '|' || t.l || '|' || t.r || '|',
+           |    '|' || t.l || t.r || '|') AS rep, v.wc
+           |  FROM $prev v CROSS JOIN t$n t)"""
+      }
+      s"""WITH w AS (
+         |  SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+         |v0 AS (
+         |  SELECT '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS rep,
+         |    CAST(count(*) AS BIGINT) AS wc
+         |  FROM w WHERE length(wd) > 0 GROUP BY 1),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT 1 AS merge_rank, l AS sym_left, r AS sym_right,
+         |  cnt AS pair_count FROM t1
+         |UNION ALL SELECT 2, l, r, cnt FROM t2
+         |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin
+    })
+
   /** POSITIONAL 3-gram shingle hashes (no distinct) — the winnowing
     * input; same combine as shSql.
     */
@@ -1397,6 +1440,7 @@ object QueriesLlm {
     "winnow_fingerprints" -> winnowFingerprintsQ,
     "substring_dupes" -> substringDupesQ,
     "token_count" -> tokenCountQ,
+    "bpe_merges" -> bpeMergesQ,
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,
     "url_dedup" -> urlDedupQ,

@@ -143,6 +143,66 @@ object TextOps {
       .withColumn("n_tokens_regex",
         size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))))
 
+  /** Distributed BPE merge induction (Sennrich et al. 2016,
+    * arXiv:1508.07909) — the tokenizer-training primitive. Symbols
+    * start as single characters; each round counts adjacent symbol
+    * pairs over the frequency-weighted vocabulary and fuses the
+    * (count desc, then lexicographic) argmax pair in every word,
+    * left-to-right non-overlapping. Returns the merge table
+    * (merge_rank, sym_left, sym_right, pair_count) — the artifact a
+    * BPE tokenizer ships.
+    *
+    * 100 TB story: the corpus is scanned ONCE (word-frequency hash
+    * aggregate, map-side combined); every merge round then runs on
+    * the DIMENSION-SIZED vocabulary (distinct words x counts) — one
+    * explode + one hash aggregate + a 1-row ordered limit
+    * (TakeOrdered) + a vocab map, checkpointed per round so the plan
+    * never re-grows. nMerges rounds = nMerges tiny jobs.
+    */
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toSyms = udf((w: String) => w.toCharArray.map(_.toString))
+    var vocab = df.select(explode(words(col(textCol))).as("wd"))
+      .where(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("wc"))
+      .select(toSyms(col("wd")).as("syms"), col("wc"))
+      .localCheckpoint()
+    val pairsUdf = udf((s: Seq[String]) =>
+      if (s.length < 2) Seq.empty[(String, String)]
+      else s.sliding(2).map(p => (p(0), p(1))).toSeq)
+    val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      val top = vocab
+        .select(col("wc"), explode(pairsUdf(col("syms"))).as("pr"))
+        .groupBy(col("pr._1").as("l"), col("pr._2").as("r"))
+        .agg(sum("wc").as("cnt"))
+        .orderBy(col("cnt").desc, col("l"), col("r"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
+        merges += ((k, l, r, top(0).getAs[Long]("cnt")))
+        val mergeUdf = udf((s: Seq[String]) => {
+          val out = scala.collection.mutable.ArrayBuffer.empty[String]
+          var i = 0
+          while (i < s.length) {
+            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
+              out += l + r; i += 2 // left-to-right, non-overlapping
+            } else { out += s(i); i += 1 }
+          }
+          out.toSeq
+        })
+        vocab = vocab.select(mergeUdf(col("syms")).as("syms"), col("wc"))
+          .localCheckpoint()
+        k += 1
+      }
+    }
+    merges.toSeq.toDF("merge_rank", "sym_left", "sym_right", "pair_count")
+  }
+
   /** Quality-score components + composite (length / punctuation ratio /
     * stopword ratio / mean word length) — the standard cheap heuristics
     * used to filter web-scale training corpora.

@@ -416,6 +416,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) === ((3L, 3.81)))
   }
 
+  test("bpeMerges learns frequency-ordered merges and stops when exhausted") {
+    val df = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
+    val out = TextOps.bpeMerges(df, "text", nMerges = 5)
+      .collect().map(r => (r.getAs[Int]("merge_rank"),
+        r.getAs[String]("sym_left"), r.getAs[String]("sym_right"),
+        r.getAs[Long]("pair_count")))
+    // (a,a) appears in both 'aa' words (weight 2) and in 'ab' never;
+    // after fusing 'aa' the only pair left is (a,b) from 'ab'
+    assert(out.toSeq === Seq((1, "a", "a", 2L), (2, "a", "b", 1L)))
+    // non-overlapping left-to-right: 'aaa' = [aa, a] after merge 1,
+    // so round 2's top pair is (aa, a)
+    val tri = Seq((0L, "aaa aaa")).toDF("doc_id", "text")
+    val out2 = TextOps.bpeMerges(tri, "text", nMerges = 2)
+      .collect().map(r => (r.getAs[String]("sym_left"),
+        r.getAs[String]("sym_right"))).toSeq
+    assert(out2 === Seq(("a", "a"), ("aa", "a")))
+  }
+
   test("winnowing: shared long span guarantees a common fingerprint") {
     // guarantee threshold: w + n - 1 = 4 + 3 - 1 = 6 shared words
     val span = "one two three four five six"
