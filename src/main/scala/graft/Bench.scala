@@ -27,7 +27,12 @@ object Bench {
       try { fn(spark, sfDir).queryExecution.toRdd.count() }
       catch { case e: Throwable =>
         System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // Isolate measurements: drop any cache an operator materialized
+      // (outside the timed window) so heap pressure from query i never
+      // lands as a GC pause inside query i+1's wall time.
+      spark.catalog.clearCache()
+      name -> dt
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
