@@ -17,6 +17,11 @@ object Bench {
       Tables.lineitem(spark, sfDir).count()
       SparkEntry.queries("token_count")(spark, sfDir)
         .queryExecution.toRdd.count()
+      // warm the gridding/codegen path too — otherwise whichever heavy
+      // imaging query runs first absorbs ~4 s of one-time JIT
+      SparkEntry.queries("make_grid")(spark, sfDir)
+        .queryExecution.toRdd.count()
+      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
     // Deterministic (sorted) order so per-query numbers are comparable
     // across rounds.
