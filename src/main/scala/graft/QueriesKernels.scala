@@ -417,8 +417,7 @@ object QueriesKernels {
         ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
         col("l_tax").as("re"), col("l_discount").as("im"),
         (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
-      val img = GridOps.makeImage(s, fx, p)
-      val psf = GridOps.makePsf(s, fx, p)
+      val (img, psf) = GridOps.makeImageAndPsf(s, fx, p)
       CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
           gain = 0.2, threshold = 0.05, niter = 200)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
@@ -698,8 +697,7 @@ object QueriesKernels {
         ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
         col("l_tax").as("re"), col("l_discount").as("im"),
         (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
-      val img = GridOps.makeImage(s, fx, p)
-      val psf = GridOps.makePsf(s, fx, p)
+      val (img, psf) = GridOps.makeImageAndPsf(s, fx, p)
       CleanOps.msCleanPlanes(s, img, psf, 16, 16, 16, 16,
           scales = Seq(0, 2), gain = 0.2, threshold = 0.05, niter = 50)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
