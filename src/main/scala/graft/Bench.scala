@@ -21,8 +21,8 @@ object Bench {
       // imaging query runs first absorbs ~4 s of one-time JIT
       SparkEntry.queries("make_grid")(spark, sfDir)
         .queryExecution.toRdd.count()
-      spark.catalog.clearCache()
     } catch { case _: Throwable => () }
+    finally spark.catalog.clearCache() // even if warmup threw
     // Deterministic (sorted) order so per-query numbers are comparable
     // across rounds.
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>

@@ -434,40 +434,44 @@ object QueriesLlm {
        |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
        |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
 
-  /** BPE induction replayed move-for-move: the oracle carries each
-    * word as a '|'-delimited symbol string, counts adjacent symbol
-    * pairs positionally, takes the same (count desc, lexicographic)
-    * argmax, and applies the merge with a boundary-anchored
-    * replace('|l|r|' -> '|lr|') whose left-to-right non-overlap
-    * semantics match the kernel exactly. All integers — exact.
+  /** BPE induction replayed move-for-move: pairs are counted
+    * positionally over symbol LISTS (no length cap — correlated
+    * generate_series), and each merge is applied with a left-to-right
+    * fold whose accumulator appends `r` straight onto the last symbol
+    * when it equals `l` — exactly the kernel's greedy non-overlapping
+    * scan, including back-to-back repeats ('banana' + (a,n) fuses
+    * BOTH pairs; a boundary replace() would miss the second). The
+    * chr(30) accumulator delimiter assumes no RS control char in
+    * words (guaranteed for the fixture corpus). All integers — exact.
     */
   private val bpeMergesQ = Q(
     (s, d) => TextOps.bpeMerges(Tables.documents(s, d), "text", nMerges = 3),
     {
       def round(n: Int): String = {
         val prev = if (n == 1) "v0" else s"v${n - 1}"
-        s"""sy$n AS (
-           |  SELECT rep, wc, string_split(trim(rep, '|'), '|') AS syms
-           |  FROM $prev),
-           |p$n AS (
-           |  SELECT syms[g.i] AS l, syms[g.i + 1] AS r, wc
-           |  FROM sy$n CROSS JOIN generate_series(1, 300) g(i)
-           |  WHERE g.i < len(syms)),
+        s"""p$n AS (
+           |  SELECT syms[i] AS l, syms[i + 1] AS r, wc FROM (
+           |    SELECT syms, wc,
+           |      CAST(unnest(generate_series(1, len(syms) - 1)) AS BIGINT) AS i
+           |    FROM $prev)),
            |t$n AS (
            |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
            |  FROM p$n GROUP BY 1, 2
            |  ORDER BY cnt DESC, l, r LIMIT 1),
            |v$n AS (
-           |  SELECT replace(v.rep, '|' || t.l || '|' || t.r || '|',
-           |    '|' || t.l || t.r || '|') AS rep, v.wc
+           |  SELECT string_split(list_reduce(v.syms,
+           |      (acc_, x_) -> CASE
+           |        WHEN string_split(acc_, chr(30))[-1] = t.l AND x_ = t.r
+           |        THEN acc_ || x_ ELSE acc_ || chr(30) || x_ END),
+           |    chr(30)) AS syms, v.wc
            |  FROM $prev v CROSS JOIN t$n t)"""
       }
       s"""WITH w AS (
          |  SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
          |v0 AS (
-         |  SELECT '|' || regexp_replace(wd, '(.)', '\\1|', 'g') AS rep,
+         |  SELECT string_split(wd, '') AS syms,
          |    CAST(count(*) AS BIGINT) AS wc
-         |  FROM w WHERE length(wd) > 0 GROUP BY 1),
+         |  FROM w WHERE length(wd) > 0 GROUP BY wd),
          |${round(1)},
          |${round(2)},
          |${round(3)}

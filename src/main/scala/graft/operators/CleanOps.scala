@@ -711,8 +711,6 @@ object CleanOps {
       case 0 => lit(1.0)
       case n => (2 to n).foldLeft(col("_x"))((a, _) => a * col("_x"))
     }
-    val solve = udf((m: Seq[Double], r: Seq[Double]) =>
-      RegressionOps.solveNormal(m, r).orNull)
     val solved = cube
       .withColumn("_x", (col(freqCol) - lit(refFreq)) / lit(refFreq))
       .groupBy(keys.map(col): _*)
@@ -721,7 +719,7 @@ object CleanOps {
         array((0 until nterms).map(k => sum(col(valCol) * pw(k))): _*)
           .as("_r"),
         count(lit(1)).as("n_chan"))
-      .withColumn("_c", solve(col("_m"), col("_r")))
+      .withColumn("_c", RegressionOps.solveUdf(col("_m"), col("_r")))
     val coefCols = (0 until nterms)
       .map(t => element_at(col("_c"), t + 1).as(s"c$t"))
     solved

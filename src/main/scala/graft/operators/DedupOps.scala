@@ -49,11 +49,14 @@ object DedupOps {
     * every line is boilerplate survives with empty text.
     *
     * 100 TB story: lines are exploded once and aggregated on the
-    * 128-bit line hash (map-side combine collapses repeats before the
-    * shuffle, so the frequency shuffle carries one row per DISTINCT
-    * line); the count join shuffles on the same hash key — raw line
-    * strings never key a shuffle. Reassembly is one hash aggregate on
-    * the doc id. Three shuffles total, each linear in the data.
+    * composite line hash (two independent polynomial hashes, ~2^60
+    * joint space — per-pair collision odds ~2^-60, birthday bound at
+    * ~1e9 distinct lines; beyond that, widen the hashes or add a
+    * within-group string verify). Map-side combine collapses repeats
+    * before the shuffle, so the frequency shuffle carries one row per
+    * DISTINCT line; the count join shuffles on the same hash key —
+    * raw line strings never key a shuffle. Reassembly is one hash
+    * aggregate on the doc id. Three shuffles total, each linear.
     */
   def lineDedup(df: DataFrame, idCol: String, textCol: String,
                 sep: String = "\n", maxDf: Int = 1): DataFrame = {
@@ -271,9 +274,13 @@ object DedupOps {
       .filter(col(splitCol).isin(trainLabel, testLabel))
       .select(col(idCol), col(splitCol),
         explode(shingleHashes(col(textCol), shingleN)).as("sh"))
-    val testSh = sh.filter(col(splitCol) === testLabel)
+    // cache: the eval shingles feed two driver actions (count sizes
+    // the filter, then the bloom aggregate) — without it the eval
+    // split is re-shingled per action
+    val testSh = sh.filter(col(splitCol) === testLabel).cache()
     val nTest = math.max(1L, testSh.count())
     val bf = testSh.stat.bloomFilter("sh", nTest, fpp)
+    testSh.unpersist()
     val mightContain = udf((s: Long) => bf.mightContainLong(s))
     val pre = sh.filter(col(splitCol) === testLabel ||
       mightContain(col("sh")))

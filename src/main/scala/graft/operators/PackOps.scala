@@ -70,14 +70,19 @@ object PackOps {
   def globalCumsum(df: DataFrame, idCol: String, tokenCol: String,
                    buckets: Int = 32): DataFrame = {
     require(buckets > 0)
-    val mxRow = df.agg(max(col(idCol)).cast("long")).head()
-    // empty input: any mx works (no rows to bucket); ids must be >= 0
-    // for the monotone DIV bucketing
-    val mx = (if (mxRow.isNullAt(0)) 0L else mxRow.getLong(0)) + 1
-    require(mx > 0, s"globalCumsum needs non-negative $idCol")
-    // exact integer DIV — a double `/` would misbucket ids above 2^53
+    val mm = df.agg(min(col(idCol)).cast("long"), max(col(idCol)).cast("long"))
+      .head()
+    // empty input: any width works (no rows to bucket)
+    val mx = (if (mm.isNullAt(1)) 0L else mm.getLong(1)) + 1
+    require(mm.isNullAt(0) || mm.getLong(0) >= 0,
+      s"globalCumsum needs non-negative $idCol (DIV bucketing monotonicity)")
+    // exact integer DIV by a width, not id * buckets (which overflows
+    // Long for snowflake-scale ids), and never a double `/` (which
+    // rounds above 2^53): bucket = id DIV ceil(mx / buckets),
+    // monotone in id with range [0, buckets)
+    val width = math.max(1L, (mx + buckets - 1) / buckets)
     val withB = df.withColumn("_b",
-      expr(s"(CAST($idCol AS BIGINT) * $buckets) DIV $mx"))
+      expr(s"CAST($idCol AS BIGINT) DIV $width"))
     val offsets = withB.groupBy("_b")
       .agg(sum(col(tokenCol)).as("_btok"))
       .withColumn("_offset",
@@ -101,7 +106,9 @@ object PackOps {
   def shardByTokenBudget(df: DataFrame, idCol: String, tokenCol: String,
                          budget: Long, buckets: Int = 32): DataFrame = {
     require(budget > 0)
+    // integer DIV: `/` is double division, which rounds the shard id
+    // once the global token prefix passes 2^53
     globalCumsum(df, idCol, tokenCol, buckets)
-      .withColumn("shard", (col("start_tok") / budget).cast("long"))
+      .withColumn("shard", expr(s"start_tok DIV $budget"))
   }
 }

@@ -59,7 +59,7 @@ object RegressionOps {
     Some(b.toSeq)
   }
 
-  private val solveUdf =
+  private[graft] val solveUdf =
     udf((m: Seq[Double], r: Seq[Double]) => solveNormal(m, r).orNull)
 
   /** Fit y(x) = sum_k c_k x^k per group and append the model values.

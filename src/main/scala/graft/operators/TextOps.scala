@@ -162,7 +162,10 @@ object TextOps {
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val toSyms = udf((w: String) => w.toCharArray.map(_.toString))
+    // split by CODEPOINT, not UTF-16 char — surrogate halves are not
+    // symbols (and the oracle's string_split works on codepoints)
+    val toSyms = udf((w: String) =>
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp))))
     var vocab = df.select(explode(words(col(textCol))).as("wd"))
       .where(length(col("wd")) > 0)
       .groupBy("wd").agg(count(lit(1)).as("wc"))

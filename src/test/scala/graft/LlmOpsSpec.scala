@@ -432,6 +432,13 @@ class LlmOpsSpec extends SparkSpec {
       .collect().map(r => (r.getAs[String]("sym_left"),
         r.getAs[String]("sym_right"))).toSeq
     assert(out2 === Seq(("a", "a"), ("aa", "a")))
+    // back-to-back repeats of the merged pair fuse BOTH occurrences:
+    // banana -> [b, an, an, a], so round 2 sees the (an, an) bigram
+    val ban = Seq((0L, "banana banana")).toDF("doc_id", "text")
+    val out3 = TextOps.bpeMerges(ban, "text", nMerges = 2)
+      .collect().map(r => (r.getAs[String]("sym_left"),
+        r.getAs[String]("sym_right"), r.getAs[Long]("pair_count"))).toSeq
+    assert(out3 === Seq(("a", "n", 4L), ("an", "a", 2L)))
   }
 
   test("winnowing: shared long span guarantees a common fingerprint") {
