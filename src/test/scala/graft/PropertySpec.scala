@@ -180,6 +180,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: pqEncode and semanticDedup invariant under repartitioning") {
+    import spark.implicits._
+    val emb = (0L until 40L)
+      .map(i => (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat)))
+      .toDF("vec_id", "embedding")
+    val cb = graft.operators.SimilarityOps.pqCodebooks(emb, "vec_id",
+      "embedding", m = 2, dsub = 4, ksub = 4)
+    val a = graft.operators.SimilarityOps.pqEncode(emb, "vec_id", "embedding", cb)
+    val b = graft.operators.SimilarityOps.pqEncode(emb.repartition(13),
+      "vec_id", "embedding", cb)
+    assert(a.except(b).count() === 0 && b.except(a).count() === 0)
+    val s1 = graft.operators.SimilarityOps.semanticDedup(emb, "vec_id",
+      "embedding", k = 4, iters = 1, threshold = 0.8)
+    val s2 = graft.operators.SimilarityOps.semanticDedup(emb.repartition(7),
+      "vec_id", "embedding", k = 4, iters = 1, threshold = 0.8)
+    assert(s1.except(s2).count() === 0 && s2.except(s1).count() === 0)
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
