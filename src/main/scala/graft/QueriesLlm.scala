@@ -434,6 +434,27 @@ object QueriesLlm {
        |SELECT id1, id2, ${qrSql("cos_", 8)} AS cosine
        |FROM pairs WHERE cos_ >= 0.2""".stripMargin)
 
+  /** Sliding-window chunking: pure integer window math + string
+    * reassembly — exact in both engines.
+    */
+  private val chunkDocumentsQ = Q(
+    (s, d) => TextOps.chunkDocuments(Tables.documents(s, d),
+      "doc_id", "text", size = 20, stride = 15),
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id, ws,
+      |    CAST(unnest(generate_series(0, (len(ws) - 1) // 15)) AS INT)
+      |      AS chunk_id
+      |  FROM w)
+      |SELECT doc_id, chunk_id,
+      |  array_to_string(
+      |    list_slice(ws, chunk_id * 15 + 1, chunk_id * 15 + 20), ' ')
+      |    AS chunk_text,
+      |  CAST(len(list_slice(ws, chunk_id * 15 + 1, chunk_id * 15 + 20))
+      |    AS BIGINT) AS n_tokens
+      |FROM c""".stripMargin)
+
   /** BPE induction replayed move-for-move: pairs are counted
     * positionally over symbol LISTS (no length cap — correlated
     * generate_series), and each merge is applied with a left-to-right
@@ -1445,6 +1466,7 @@ object QueriesLlm {
     "substring_dupes" -> substringDupesQ,
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
+    "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,
     "url_dedup" -> urlDedupQ,

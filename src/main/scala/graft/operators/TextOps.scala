@@ -143,6 +143,34 @@ object TextOps {
       .withColumn("n_tokens_regex",
         size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))))
 
+  /** Sliding-window document chunking — the RAG / pretraining prep
+    * step: split each document's word stream into windows of `size`
+    * tokens advancing by `stride` (stride < size gives the standard
+    * overlapping windows). Chunk starts are 0, stride, 2*stride, ...
+    * while they fall inside the document; the final window is partial.
+    * Output (id, chunk_id, chunk_text, n_tokens).
+    *
+    * 100 TB story: pure per-row generate+project of NATIVE functions
+    * (sequence/slice/array_join — whole-stage codegen, no UDF), no
+    * shuffle at all; output row count is input tokens / stride.
+    */
+  def chunkDocuments(df: DataFrame, idCol: String, textCol: String,
+                     size: Int, stride: Int): DataFrame = {
+    require(size > 0 && stride > 0)
+    val ws = words(col(textCol))
+    val n = org.apache.spark.sql.functions.size(ws)
+    df.withColumn("_ws", ws)
+      .withColumn("chunk_id",
+        explode(sequence(lit(0),
+          floor((n - lit(1)) / lit(stride)).cast("int"))))
+      .select(col(idCol), col("chunk_id"),
+        array_join(slice(col("_ws"), col("chunk_id") * stride + 1, lit(size)), " ")
+          .as("chunk_text"),
+        org.apache.spark.sql.functions
+          .size(slice(col("_ws"), col("chunk_id") * stride + 1, lit(size)))
+          .cast("long").as("n_tokens"))
+  }
+
   /** Distributed BPE merge induction (Sennrich et al. 2016,
     * arXiv:1508.07909) — the tokenizer-training primitive. Symbols
     * start as single characters; each round counts adjacent symbol

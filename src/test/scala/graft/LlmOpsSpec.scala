@@ -416,6 +416,22 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) === ((3L, 3.81)))
   }
 
+  test("chunkDocuments: overlapping windows cover every token in order") {
+    val df = Seq((0L, (1 to 23).map(i => s"w$i").mkString(" ")),
+      (1L, "a b")).toDF("doc_id", "text")
+    val out = TextOps.chunkDocuments(df, "doc_id", "text",
+        size = 10, stride = 5)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("chunk_id")) ->
+        ((r.getAs[String]("chunk_text"), r.getAs[Long]("n_tokens")))).toMap
+    // 23 words, stride 5 -> starts 0,5,10,15,20 = 5 chunks
+    assert(out.keys.count(_._1 == 0L) === 5)
+    assert(out((0L, 0)) ===
+      (((1 to 10).map(i => s"w$i").mkString(" "), 10L)))
+    assert(out((0L, 1))._1.startsWith("w6 ")) // overlap of size-stride=5
+    assert(out((0L, 4)) === (("w21 w22 w23", 3L))) // partial tail kept
+    assert(out((1L, 0)) === (("a b", 2L))) // doc shorter than one window
+  }
+
   test("bpeMerges learns frequency-ordered merges and stops when exhausted") {
     val df = Seq((0L, "aa aa ab")).toDF("doc_id", "text")
     val out = TextOps.bpeMerges(df, "text", nMerges = 5)
