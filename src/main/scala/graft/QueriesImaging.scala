@@ -169,16 +169,13 @@ object QueriesImaging {
     * the UNROUNDED grid and replays the tap sampling; the qround
     * absorbs the cross-engine cell-sum order.
     */
-  private val degridVisQ = Q(
-    (s, d) => {
-      val fx = visFixture(s, d)
-      val (grid, _) = GridOps.makeGrid(s, fx, P)
-      GridOps.degridVis(fx, grid, P, Seq("l_orderkey", "l_linenumber", "u", "v"))
-        .select(col("img_chan"), col("pol"),
-          col("l_orderkey"), col("l_linenumber"), col("u"), col("v"),
-          qround(col("model_re"), 6).as("model_re"),
-          qround(col("model_im"), 6).as("model_im"))
-    },
+  private def degridSelect(df: org.apache.spark.sql.DataFrame) =
+    df.select(col("img_chan"), col("pol"),
+      col("l_orderkey"), col("l_linenumber"), col("u"), col("v"),
+      qround(col("model_re"), 6).as("model_re"),
+      qround(col("model_im"), 6).as("model_im"))
+
+  private val degridOracleSql =
     s"""WITH ${gridCtes(doPsf = false)},
        |grid AS (SELECT pol, u_idx, v_idx,
        |    sum(conv * gre) AS gr, sum(conv * gim) AS gi
@@ -202,7 +199,31 @@ object QueriesImaging {
        |    AS model_re,
        |  floor(sum(conv * gi) / sum(conv) * 1000000.0 + 0.5) / 1000000.0
        |    AS model_im
-       |FROM j GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin)
+       |FROM j GROUP BY 1, 2, 3, 4, 5, 6""".stripMargin
+
+  private val degridVisQ = Q(
+    (s, d) => {
+      val fx = visFixture(s, d)
+      val (grid, _) = GridOps.makeGrid(s, fx, P)
+      degridSelect(GridOps.degridVis(fx, grid, P,
+        Seq("l_orderkey", "l_linenumber", "u", "v")))
+    },
+    degridOracleSql)
+
+  /** Same semantics through the RELATIONAL physical path (the
+    * cube-scale fallback of GridOps.degridVis — taps equi-join the
+    * grid DataFrame instead of sampling a broadcast). Shares the
+    * oracle with degrid_vis: the paths are proven bitwise equal in
+    * GridOpsSpec, so one SQL mirror serves both.
+    */
+  private val degridVisJoinQ = Q(
+    (s, d) => {
+      val fx = visFixture(s, d)
+      val (grid, _) = GridOps.makeGrid(s, fx, P)
+      degridSelect(GridOps.degridVisJoin(fx, grid, P,
+        Seq("l_orderkey", "l_linenumber", "u", "v")))
+    },
+    degridOracleSql)
 
   /** linear_mosaic (the reference stubs it): two analytic fields
     * combined with pb/pb^2 weighting. The per-pixel sums have two
@@ -553,6 +574,7 @@ object QueriesImaging {
     "calc_image_cell_size" -> calcCellSizeQ,
     "make_grid" -> makeGridQ,
     "degrid_vis" -> degridVisQ,
+    "degrid_vis_join" -> degridVisJoinQ,
     "linear_mosaic" -> linearMosaicQ,
     "make_sd_image" -> makeSdImageQ,
     "predict_component" -> predictComponentQ,

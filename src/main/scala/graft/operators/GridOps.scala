@@ -230,20 +230,65 @@ object GridOps {
     * using the gridder's own kernel machinery (geometry and cgk table
     * shared verbatim with gridPartition).
     *
-    * Shape: the grid is a BOUNDED small artifact (n_u x n_v cells per
-    * (chan, pol) plane — 16 KB for a padded 32x32 plane), so it is
-    * collected into dense per-plane arrays and broadcast once; each
-    * visibility then samples its support x support taps inside one
-    * compiled UDF — a pure projection over the vis stream, no tap
-    * explosion, no join, no shuffle (measured 10.9 s -> sub-second at
-    * sf0.1 vs the explode + broadcast-join + re-aggregate form, which
-    * materialized 49 rows per visibility only to collapse them again).
-    * For cubes whose chan x pol plane set outgrows a broadcast, fall
-    * back to that relational form — same math, the grid side becomes
-    * a distributed equi-join.
+    * Shape — TWO physical strategies behind one logical operator,
+    * selected by the size of the grid's (chan, pol) plane set:
+    *
+    *  - BROADCAST (small plane sets, e.g. continuum: 16 KB for a
+    *    padded 32x32 plane): dense per-plane arrays collected and
+    *    broadcast once; each visibility samples its support x support
+    *    taps inside one compiled UDF — a pure projection over the vis
+    *    stream, no tap explosion, no join, no shuffle (measured
+    *    10.9 s -> sub-second at sf0.1 vs the relational form at
+    *    fixture scale).
+    *  - EQUI-JOIN (cube-scale plane sets — a CHILES-class
+    *    1000^2 x 30720-chan cube is ~0.5 TB of planes, far past any
+    *    driver or broadcast budget): each visibility explodes into its
+    *    support^2 (u_idx, v_idx) taps which equi-join the grid
+    *    DataFrame on (img_chan, pol, u_idx, v_idx); the per-vis
+    *    weighted sum folds the joined taps back in deterministic tap
+    *    order, so the result is BITWISE identical to the broadcast
+    *    path (GridOpsSpec proves it). The grid never leaves the
+    *    executors; both sides shuffle on the 4-int cell key.
+    *
+    * degridVis dispatches on nPlanes x planeBytes vs
+    * maxBroadcastBytes; both concrete paths stay public.
     */
   def degridVis(vis: DataFrame, grid: DataFrame, p: GridParams,
-                rowKeys: Seq[String]): DataFrame = {
+                rowKeys: Seq[String],
+                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+    val planeBytes = 16L * p.nU * p.nV
+    val nPlanes = grid.select("img_chan", "pol").distinct().count()
+    if (nPlanes * planeBytes <= maxBroadcastBytes)
+      degridVisBroadcast(vis, grid, p, rowKeys)
+    else degridVisJoin(vis, grid, p, rowKeys)
+  }
+
+  /** Per-vis degrid geometry shared by both physical paths: nearest
+    * cell (fortran rounding), oversampled kernel fraction, and the
+    * same in-grid bound the gridder applies (gridPartition:135).
+    */
+  private def degridGeo(vis: DataFrame, p: GridParams): DataFrame = {
+    val sc = p.support / 2
+    val os = p.oversampling
+    val (nU, nV) = (p.nU, p.nV)
+    val uScale = col("freq") * lit(-p.deltaLM._1 * nU / SpeedOfLight)
+    val vScale = col("freq") * lit(-p.deltaLM._2 * nV / SpeedOfLight)
+    vis
+      .withColumn("u_pos", col("u") * uScale + lit(nU / 2))
+      .withColumn("v_pos", col("v") * vScale + lit(nV / 2))
+      .withColumn("uc", floor(col("u_pos") + 0.5).cast("int"))
+      .withColumn("vc", floor(col("v_pos") + 0.5).cast("int"))
+      .where(col("uc") + sc < nU && col("vc") + sc < nV &&
+        col("uc") - sc >= 0 && col("vc") - sc >= 0)
+      .withColumn("ufrac",
+        floor((col("uc") - col("u_pos")) * os + 0.5).cast("int"))
+      .withColumn("vfrac",
+        floor((col("vc") - col("v_pos")) * os + 0.5).cast("int"))
+  }
+
+  /** Broadcast physical path of [[degridVis]] — see its scaladoc. */
+  def degridVisBroadcast(vis: DataFrame, grid: DataFrame, p: GridParams,
+                         rowKeys: Seq[String]): DataFrame = {
     val cgk = cgk1D(p.oversampling, p.support)
     val sc = p.support / 2
     val os = p.oversampling
@@ -286,22 +331,87 @@ object GridOps {
       }
       (accRe / norm, accIm / norm)
     })
-    val uScale = col("freq") * lit(-p.deltaLM._1 * nU / SpeedOfLight)
-    val vScale = col("freq") * lit(-p.deltaLM._2 * nV / SpeedOfLight)
-    val geo = vis
-      .withColumn("u_pos", col("u") * uScale + lit(nU / 2))
-      .withColumn("v_pos", col("v") * vScale + lit(nV / 2))
-      .withColumn("uc", floor(col("u_pos") + 0.5).cast("int"))
-      .withColumn("vc", floor(col("v_pos") + 0.5).cast("int"))
-      .where(col("uc") + sc < nU && col("vc") + sc < nV &&
-        col("uc") - sc >= 0 && col("vc") - sc >= 0)
-      .withColumn("ufrac",
-        floor((col("uc") - col("u_pos")) * os + 0.5).cast("int"))
-      .withColumn("vfrac",
-        floor((col("vc") - col("v_pos")) * os + 0.5).cast("int"))
+    val geo = degridGeo(vis, p)
     val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
     geo.withColumn("_m", sample(col("img_chan"), col("pol"), col("uc"),
         col("vc"), col("ufrac"), col("vfrac")))
+      .select((keyCols :+ col("_m._1").as("model_re") :+
+        col("_m._2").as("model_im")): _*)
+  }
+
+  /** Relational physical path of [[degridVis]]: explode each
+    * visibility into its support^2 taps (tap index i enumerates dv
+    * outer / du inner — the exact loop order of the broadcast kernel),
+    * LEFT-join the grid DataFrame on (img_chan, pol, u_idx, v_idx)
+    * with absent cells coalesced to 0 (every vis therefore keeps all
+    * support^2 tap rows), then fold each vis's taps back in ascending
+    * tap order. Because IEEE addition of the identical contribution
+    * sequence is reproduced term for term, the output is bitwise equal
+    * to the broadcast path. The fold sorts a 49-element array per vis
+    * AFTER the hash aggregate, so the extra cost is O(support^2 log
+    * support^2) per row with no extra shuffle beyond the tap join
+    * itself. Scales to arbitrary plane sets: the grid stays
+    * distributed, keyed by the same 4-int cell key the taps shuffle
+    * on.
+    */
+  def degridVisJoin(vis: DataFrame, grid: DataFrame, p: GridParams,
+                    rowKeys: Seq[String]): DataFrame = {
+    val cgk = cgk1D(p.oversampling, p.support)
+    val sc = p.support / 2
+    val os = p.oversampling
+    val support = p.support
+    val tapsUdf = udf((ufrac: Int, vfrac: Int) => {
+      val out = new Array[(Int, Int, Double)](support * support)
+      var i = 0
+      var dv = -sc
+      while (dv < support - sc) {
+        val cv = cgk(math.abs(os * dv + vfrac))
+        var du = -sc
+        while (du < support - sc) {
+          out(i) = (du, dv, cgk(math.abs(os * du + ufrac)) * cv)
+          i += 1
+          du += 1
+        }
+        dv += 1
+      }
+      out
+    })
+    val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
+    val taps = degridGeo(vis, p)
+      .select((keyCols :+ col("uc") :+ col("vc") :+
+        posexplode(tapsUdf(col("ufrac"), col("vfrac")))
+          .as(Seq("tap_i", "tap"))): _*)
+      .withColumn("u_idx", col("uc") + col("tap._1"))
+      .withColumn("v_idx", col("vc") + col("tap._2"))
+      .withColumn("conv", col("tap._3"))
+      .drop("uc", "vc", "tap")
+    val g = grid.select(col("img_chan").cast("int").as("g_chan"),
+      col("pol").cast("int").as("g_pol"),
+      col("u_idx").cast("int").as("g_u"), col("v_idx").cast("int").as("g_v"),
+      col("grid_re").cast("double").as("g_re"),
+      col("grid_im").cast("double").as("g_im"))
+    val joined = taps.join(g,
+        taps("img_chan") === g("g_chan") && taps("pol") === g("g_pol") &&
+          taps("u_idx") === g("g_u") && taps("v_idx") === g("g_v"),
+        "left")
+      .withColumn("c_re", col("conv") * coalesce(col("g_re"), lit(0.0)))
+      .withColumn("c_im", col("conv") * coalesce(col("g_im"), lit(0.0)))
+    // one hash aggregate per vis; sort_array restores tap order so the
+    // per-vis fold replays the broadcast kernel's addition sequence
+    val folded = joined.groupBy(keyCols: _*)
+      .agg(sort_array(collect_list(struct(col("tap_i"), col("c_re"),
+        col("c_im"), col("conv")))).as("_t"))
+    val foldUdf = udf((re: Seq[Double], im: Seq[Double], cv: Seq[Double]) => {
+      var accRe = 0.0; var accIm = 0.0; var norm = 0.0
+      var i = 0
+      while (i < cv.length) {
+        accRe += re(i); accIm += im(i); norm += cv(i); i += 1
+      }
+      (accRe / norm, accIm / norm)
+    })
+    folded
+      .withColumn("_m", foldUdf(col("_t.c_re"), col("_t.c_im"),
+        col("_t.conv")))
       .select((keyCols :+ col("_m._1").as("model_re") :+
         col("_m._2").as("model_im")): _*)
   }

@@ -167,6 +167,42 @@ class GridOpsSpec extends SparkSpec {
     assert(approx(m.getAs[Double]("model_im"), 0.0, 1e-12))
   }
 
+  test("degridVis join path is bitwise identical to the broadcast path") {
+    // the relational fallback must reproduce the broadcast kernel's
+    // IEEE addition sequence exactly — same taps, same fold order
+    val vis = pointSourceVis(1.0)
+      .withColumn("rid", monotonically_increasing_id())
+      .withColumn("img_chan", (col("rid") % 2).cast("int"))
+    val (grid, _) = GridOps.makeGrid(spark,
+      vis.withColumn("re", col("u") * 1e-3), p32)
+    val b = GridOps.degridVisBroadcast(vis, grid, p32, Seq("rid"))
+    val j = GridOps.degridVisJoin(vis, grid, p32, Seq("rid"))
+    assert(b.count() === vis.count())
+    val mism = b.as("a").join(j.as("b"), Seq("img_chan", "pol", "rid"),
+        "full_outer")
+      .where(col("a.model_re") =!= col("b.model_re") ||
+        col("a.model_im") =!= col("b.model_im") ||
+        col("a.model_re").isNull || col("b.model_re").isNull).count()
+    assert(mism === 0L)
+  }
+
+  test("degridVis dispatcher picks the join path past the broadcast budget") {
+    val vis = pointSourceVis(1.0).withColumn("rid",
+      monotonically_increasing_id())
+    val (grid, _) = GridOps.makeGrid(spark, vis, p32)
+    // tiny budget -> must route through the relational path; results
+    // still equal the broadcast path bitwise
+    val forced = GridOps.degridVis(vis, grid, p32, Seq("rid"),
+      maxBroadcastBytes = 0L)
+    val bcast = GridOps.degridVisBroadcast(vis, grid, p32, Seq("rid"))
+    val mism = forced.as("a").join(bcast.as("b"),
+        Seq("img_chan", "pol", "rid"))
+      .where(col("a.model_re") =!= col("b.model_re") ||
+        col("a.model_im") =!= col("b.model_im")).count()
+    assert(mism === 0L)
+    assert(forced.count() === bcast.count())
+  }
+
   test("imaging weights: natural is identity; briggs between natural and uniform") {
     val vis = pointSourceVis(1.0)
     val nat = GridOps.makeImagingWeight(vis, p32, "natural")
