@@ -861,7 +861,7 @@ object QueriesKernels {
          |      + w.mi * cos(2 * pi() * (w.p * ((o.l_idx + 8) % 16) + w.q * ((o.m_idx + 8) % 16)) / 16.0)) AS yim
          |  FROM px o JOIN wien w ON true GROUP BY 1, 2)
          |SELECT inv.l_idx, inv.m_idx,
-         |  floor(sqrt(yre * yre + yim * yim) / 256.0 * 1000000.0 + 0.5)
+         |  floor(yre / 256.0 * 1000000.0 + 0.5)
          |    / 1000000.0 AS model,
          |  floor(err.e * 1000000.0 + 0.5) / 1000000.0 AS error
          |FROM inv CROSS JOIN err""".stripMargin

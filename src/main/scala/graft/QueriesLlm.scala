@@ -478,7 +478,7 @@ object QueriesLlm {
            |t$n AS (
            |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
            |  FROM p$n GROUP BY 1, 2
-           |  ORDER BY cnt DESC, l, r LIMIT 1),
+           |  ORDER BY cnt DESC, encode(l), encode(r) LIMIT 1),
            |v$n AS (
            |  SELECT string_split(list_reduce(v.syms,
            |      (acc_, x_) -> CASE

@@ -329,8 +329,12 @@ object CleanOps {
         val outIm = Fft.fftshift2(imgIm, nL, nM)
         (0 until nL).iterator.flatMap(l => (0 until nM).iterator.map { m =>
           val idx = l * nM + m
-          (chan, pol, l, m,
-            math.hypot(outRe(idx) / n, outIm(idx) / n), error)
+          // model = Re(ifft) — for a real image+psf the spectrum is
+          // Hermitian so Im is rounding noise, and a quadratic-prior
+          // MAP estimate legitimately goes negative (sidelobe
+          // ringing); taking a magnitude here would silently fold
+          // those regions positive
+          (chan, pol, l, m, outRe(idx) / n, error)
         })
     }.toDF("img_chan", "pol", "l_idx", "m_idx", "model", "error")
   }

@@ -90,7 +90,14 @@ object PackOps {
           Window.orderBy("_b").rowsBetween(
             Window.unboundedPreceding, -1)), lit(0L)))
       .select("_b", "_offset") // buckets rows: broadcast side
+    // ROWS frame, not the default RANGE frame: RANGE gives every row
+    // of a tied id group the full group total, silently corrupting
+    // start_tok for duplicate ids. With the ROWS frame duplicates
+    // instead get distinct consecutive offsets; ids are REQUIRED
+    // unique for a well-defined global order (asserted by callers /
+    // property tests — duplicates have no meaningful cumsum position).
     val w = Window.partitionBy("_b").orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     withB.join(broadcast(offsets), Seq("_b"))
       .withColumn("start_tok",
         col("_offset") + sum(col(tokenCol)).over(w) - col(tokenCol))

@@ -355,6 +355,16 @@ object SimilarityOps {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    // codes are POSITIONS in this array, and pqSearch / the SQL oracle
+    // key entries by the seed id itself — if any id in [0, ksub) is
+    // missing (or ids don't start at 0) the two numbering schemes
+    // silently diverge, so demand the dense prefix outright
+    require(seeds.length == ksub && seeds.headOption.exists(_._1 == 0L) &&
+      seeds.last._1 == ksub - 1,
+      s"pqCodebooks needs exactly the dense seed ids 0..${ksub - 1}; " +
+        s"got ${seeds.length} rows" +
+        seeds.headOption.map(h => s" spanning [${h._1}, ${seeds.last._1}]")
+          .getOrElse(""))
     Array.tabulate(m)(s => seeds.map(_._2.slice(s * dsub, s * dsub + dsub)))
   }
 

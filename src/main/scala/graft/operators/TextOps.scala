@@ -210,7 +210,13 @@ object TextOps {
         .select(col("wc"), explode(pairsUdf(col("syms"))).as("pr"))
         .groupBy(col("pr._1").as("l"), col("pr._2").as("r"))
         .agg(sum("wc").as("cnt"))
-        .orderBy(col("cnt").desc, col("l"), col("r"))
+        // tie-break on UTF-8 BYTES, not strings: Spark compares
+        // strings by UTF-16 code unit while DuckDB compares UTF-8
+        // bytes — for U+E000..U+FFFF vs supplementary-plane symbols
+        // the two orders differ. Both engines compare binary
+        // unsigned-lexicographically, so encode() agrees everywhere.
+        .orderBy(col("cnt").desc, encode(col("l"), "UTF-8"),
+          encode(col("r"), "UTF-8"))
         .limit(1).collect()
       if (top.isEmpty) exhausted = true
       else {

@@ -56,6 +56,19 @@ class PackOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("globalCumsum: explicit ROWS frame keeps tied ids at distinct offsets") {
+    // ids are contractually unique, but the window frame must still be
+    // ROWS: the default RANGE frame hands every member of a tied id
+    // group the full group total (here both rows would start at 5
+    // and no row at 0). The multiset of offsets pins the frame.
+    val df = Seq((7L, 5L), (7L, 5L), (9L, 3L)).toDF("doc_id", "n")
+      .repartition(3)
+    val out = PackOps.globalCumsum(df, "doc_id", "n", buckets = 4)
+      .collect().map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("start_tok")))
+    assert(out.filter(_._1 == 7L).map(_._2).sorted.toSeq === Seq(0L, 5L))
+    assert(out.find(_._1 == 9L).get._2 === 10L)
+  }
+
   test("shardByTokenBudget: shards are contiguous global token ranges") {
     val docs = (0L until 300L).map(i => (i, 10L)).toDF("doc_id", "n")
     val out = PackOps.shardByTokenBudget(docs, "doc_id", "n",

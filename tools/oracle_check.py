@@ -56,8 +56,12 @@ def main(sf_dir, out_dir):
         ty_bad = [c for c in s_types
                   if s_types[c] != d_types.get(c)]
         if ty_bad:
-            print(f"TYPE  {name}: " + ", ".join(
+            # a type mismatch IS a failure: the driver hash is
+            # type-sensitive, so equal Python values with different
+            # engine types would still hash-mismatch in the gate
+            print(f"FAIL  {name}: type " + ", ".join(
                 f"{c}: spark={s_types[c]} duck={d_types[c]}" for c in ty_bad))
+            continue
         s_ix = [spark_cols.index(c) for c in sorted(spark_cols)]
         d_ix = [duck_cols.index(c) for c in sorted(duck_cols)]
         s = sorted([tuple(norm(r[i]) for i in s_ix) for r in spark_rows],
