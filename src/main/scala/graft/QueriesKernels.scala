@@ -316,6 +316,95 @@ object QueriesKernels {
       |  CAST(1 AS INT) AS n_iter
       |FROM g0 JOIN rot ON g0.solint = rot.solint""".stripMargin)
 
+  /** TWO damped StEFCal sweeps, hash-exact: sweep 1 from the unit
+    * guess is selfcal_one_iter's closed form (kept UNROTATED — the
+    * kernel applies the reference-antenna phase rotation only after
+    * the loop); sweep 2 re-evaluates the per-antenna numerator /
+    * denominator against the sweep-1 gains through the same two-leg
+    * union, then rotates. Covers the solver's full per-iteration
+    * recurrence including gain-dependent denominators.
+    */
+  private val selfcalTwoIterQ = Q(
+    (s, d) => {
+      val vis = Tables.lineitem(s, d).select(
+        month(col("l_shipdate")).cast("long").as("solint"),
+        (col("l_orderkey") % 8).cast("int").as("ant1"),
+        (col("l_suppkey") % 8).cast("int").as("ant2"),
+        c(col("l_tax") + 1.0, col("l_discount")).as("vis"),
+        c(lit(2.0), lit(0.0)).as("model"),
+        (col("l_quantity") / 10.0).as("w"),
+        (col("l_linenumber") === 7).as("flag"))
+      CalOps.selfCal(s, vis, "solint", "ant1", "ant2", "vis", "model",
+          "w", "flag", refAnt = 0, maxIter = 2)
+        .select(col("solint"), col("antenna"),
+          qround(col("gain_re"), 6).as("gain_re"),
+          qround(col("gain_im"), 6).as("gain_im"),
+          col("n_iter"))
+    },
+    """WITH v AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS solint,
+      |    CAST(l_orderkey % 8 AS INT) AS ant1,
+      |    CAST(l_suppkey % 8 AS INT) AS ant2,
+      |    (l_tax + 1.0) AS vr, l_discount AS vi,
+      |    l_quantity / 10.0 AS w
+      |  FROM lineitem
+      |  WHERE NOT (l_linenumber = 7) AND l_orderkey % 8 <> l_suppkey % 8
+      |    AND l_quantity / 10.0 > 0),
+      |x AS (
+      |  SELECT solint, ant1, ant2,
+      |    (vr * 2.0 + vi * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xre,
+      |    (vi * 2.0 - vr * 0.0) / (2.0 * 2.0 + 0.0 * 0.0) AS xim,
+      |    w * (2.0 * 2.0 + 0.0 * 0.0) AS xwt
+      |  FROM v),
+      |red AS (
+      |  SELECT solint, ant1, ant2,
+      |    sum(xre * xwt) / sum(xwt) AS xre,
+      |    sum(xim * xwt) / sum(xwt) AS xim,
+      |    sum(xwt) AS wt
+      |  FROM x GROUP BY 1, 2, 3),
+      |legs1 AS (
+      |  SELECT solint, ant1 AS antenna, wt, xre, xim FROM red
+      |  UNION ALL
+      |  SELECT solint, ant2 AS antenna, wt, xre, -xim FROM red),
+      |g1 AS (
+      |  SELECT solint, antenna,
+      |    0.5 * (1.0 + sum(wt * xre) / sum(wt)) AS gre,
+      |    0.5 * (sum(wt * xim) / sum(wt)) AS gim
+      |  FROM legs1 GROUP BY 1, 2),
+      |legs2 AS (
+      |  -- ant1 leg: numerator X_ij * g_j, denominator |g_j|^2
+      |  SELECT r.solint, r.ant1 AS antenna,
+      |    r.wt * (r.xre * gj.gre - r.xim * gj.gim) AS nre,
+      |    r.wt * (r.xim * gj.gre + r.xre * gj.gim) AS nim,
+      |    r.wt * (gj.gre * gj.gre + gj.gim * gj.gim) AS den
+      |  FROM red r JOIN g1 gj
+      |    ON r.solint = gj.solint AND r.ant2 = gj.antenna
+      |  UNION ALL
+      |  -- ant2 leg: numerator conj(X_ij) * g_i, denominator |g_i|^2
+      |  SELECT r.solint, r.ant2 AS antenna,
+      |    r.wt * (r.xre * gi.gre + r.xim * gi.gim) AS nre,
+      |    r.wt * (-r.xim * gi.gre + r.xre * gi.gim) AS nim,
+      |    r.wt * (gi.gre * gi.gre + gi.gim * gi.gim) AS den
+      |  FROM red r JOIN g1 gi
+      |    ON r.solint = gi.solint AND r.ant1 = gi.antenna),
+      |g2 AS (
+      |  SELECT l.solint, l.antenna,
+      |    0.5 * (g1.gre + sum(l.nre) / sum(l.den)) AS gre,
+      |    0.5 * (g1.gim + sum(l.nim) / sum(l.den)) AS gim
+      |  FROM legs2 l JOIN g1
+      |    ON l.solint = g1.solint AND l.antenna = g1.antenna
+      |  GROUP BY l.solint, l.antenna, g1.gre, g1.gim),
+      |rot AS (
+      |  SELECT solint,
+      |    gre / sqrt(gre * gre + gim * gim) AS cr,
+      |    -gim / sqrt(gre * gre + gim * gim) AS ci
+      |  FROM g2 WHERE antenna = 0)
+      |SELECT g2.solint, g2.antenna,
+      |  floor((gre * cr - gim * ci) * 1000000.0 + 0.5) / 1000000.0 AS gain_re,
+      |  floor((gre * ci + gim * cr) * 1000000.0 + 0.5) / 1000000.0 AS gain_im,
+      |  CAST(2 AS INT) AS n_iter
+      |FROM g2 JOIN rot ON g2.solint = rot.solint""".stripMargin)
+
   /** applyGains (self_cal.py docstring: Vcorrect = Vobs / (g_i
     * conj(g_j))): two broadcast joins + row-wise complex division —
     * exact oracle with a literal 8-antenna gain table.
@@ -681,6 +770,89 @@ object QueriesKernels {
          |LEFT JOIN psf ps2 ON ps2.l_idx = 8 + r1.l_idx - p2.pl2
          |                 AND ps2.m_idx = 8 + r1.m_idx - p2.pm2""".stripMargin
     })
+
+  /** MULTI-iteration Hogbom replayed as a DuckDB recursive CTE: the
+    * working table carries (residual, model) per pixel; each recursive
+    * step re-derives the plane peak (argmax with the kernel's
+    * first-strict-max row-major tie-break) from the previous
+    * iteration's rows and applies the exact update rule of
+    * clean_one_iter — so the whole loop, not just one unrolled step,
+    * is oracle-checked. The stop predicate mirrors _clean_jit's
+    * threshold-relative-to-initial-peak semantics: iterate while
+    * |peak| > threshold * |initial peak| AND it < niter.
+    */
+  private def cleanRecursiveSql(gain: Double, threshold: Double,
+                                niter: Int): String = {
+    val incr = 0.0005 * 180 / math.Pi * 3600
+    val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+    val ln2x4 = 4 * math.log(2)
+    val al = ln2x4 / (dc1 * dc1)
+    val ga = ln2x4 / (dc2 * dc2)
+    s"""WITH RECURSIVE px AS (
+       |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+       |  FROM generate_series(0, 255) t(i)),
+       |img AS (SELECT l_idx, m_idx,
+       |  sin(l_idx * CAST(1.3 AS DOUBLE)) + cos(m_idx * CAST(0.7 AS DOUBLE)) +
+       |    CASE WHEN l_idx = 5 AND m_idx = 9 THEN 4.0 ELSE 0.0 END AS v
+       |  FROM px),
+       |psf AS (SELECT l_idx, m_idx,
+       |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+       |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+       |  FROM px),
+       |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
+       |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
+       |r AS (
+       |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
+       |  FROM img
+       |  UNION ALL
+       |  SELECT r.it + 1, r.l_idx, r.m_idx,
+       |    r.v - CASE WHEN (8 + r.l_idx - p.pl) BETWEEN 0 AND 15
+       |                AND (8 + r.m_idx - p.pm) BETWEEN 0 AND 15
+       |          THEN ${fmt(gain)} * p.pv * ps.k ELSE 0.0 END,
+       |    r.model + CASE WHEN r.l_idx = p.pl AND r.m_idx = p.pm
+       |          THEN ${fmt(gain)} * p.pv ELSE 0.0 END
+       |  FROM r
+       |  CROSS JOIN (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM r
+       |              ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1) p
+       |  CROSS JOIN thr
+       |  LEFT JOIN psf ps ON ps.l_idx = 8 + r.l_idx - p.pl
+       |                  AND ps.m_idx = 8 + r.m_idx - p.pm
+       |  WHERE r.it < $niter AND abs(p.pv) > thr.t)
+       |SELECT l_idx, m_idx,
+       |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
+       |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS residual
+       |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+  }
+
+  private def cleanFixtureRun(s: SparkSession, gain: Double,
+                              threshold: Double, niter: Int) = {
+    val grid = ImageOps.makeEmptySkyImage(s, (0.0, 0.0), (16, 16),
+      (0.0005, 0.0005))
+      .withColumn("img_chan", lit(0)).withColumn("pol", lit(0))
+    val img = grid.withColumn("image",
+      sin(col("l_idx") * 1.3) + cos(col("m_idx") * 0.7) +
+        when(col("l_idx") === 5 && col("m_idx") === 9, 4.0).otherwise(0.0))
+    val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
+      (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+    CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
+        gain = gain, threshold = threshold, niter = niter)
+      .select(col("l_idx"), col("m_idx"),
+        qround(col("model"), 6).as("model"),
+        qround(col("residual"), 6).as("residual"))
+  }
+
+  /** Five full Hogbom iterations, hash-exact via the recursive CTE. */
+  private val cleanFiveIterQ = Q(
+    (s, d) => cleanFixtureRun(s, gain = 0.3, threshold = 0.0, niter = 5),
+    cleanRecursiveSql(gain = 0.3, threshold = 0.0, niter = 5))
+
+  /** CLEAN run to its own convergence criterion (|peak| falls under
+    * threshold x |initial peak| before niter) — the complete
+    * deconvolve_point_clean loop semantics, hash-exact.
+    */
+  private val cleanConvergedQ = Q(
+    (s, d) => cleanFixtureRun(s, gain = 0.3, threshold = 0.3, niter = 50),
+    cleanRecursiveSql(gain = 0.3, threshold = 0.3, niter = 50))
 
   /** deconvolve_multiterm_clean, MS-Clean option (nterms=1): the full
     * iterative multi-scale kernel on the gridded fixture — rows-only
@@ -1859,10 +2031,13 @@ object QueriesKernels {
     "apply_gains" -> applyGainsQ,
     "selfcal_reduce" -> selfcalReduceQ,
     "selfcal_one_iter" -> selfcalOneIterQ,
+    "selfcal_two_iter" -> selfcalTwoIterQ,
     "uv_cont_fit_order3" -> uvContFitOrder3Q,
     "deconvolve_point_clean" -> cleanQ,
     "clean_one_iter" -> cleanOneIterQ,
     "clean_two_iter" -> cleanTwoIterQ,
+    "clean_five_iter" -> cleanFiveIterQ,
+    "clean_converged" -> cleanConvergedQ,
     "restore_model" -> restoreModelQ,
     "make_mask" -> makeMaskQ,
     "is_converged" -> isConvergedQ,
