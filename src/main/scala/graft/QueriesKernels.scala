@@ -163,7 +163,74 @@ object QueriesKernels {
           qround(col("gain_re"), 4).as("gain_re"),
           qround(col("gain_im"), 4).as("gain_im"))
     },
-    "") // iterative solve: rows-only check; numerics in KernelOpsSpec
+    // The CONVERGED solve, hash-exact via a recursive CTE: each level
+    // replays one damped StEFCal sweep against the previous level's
+    // gains; per-solint rows stop recursing once that interval's
+    // max-delta falls under tol (mirroring the kernel's per-interval
+    // while loop — intervals converge at different depths), and the
+    // final state is each (solint, antenna)'s deepest row. The damped
+    // fixed point contracts, so both engines sit within tol of the
+    // same limit and qround(4) makes the cross-engine iteration-count
+    // boundary immaterial. Base-case literals MUST be cast to DOUBLE:
+    // a bare 1.0 types the recursive union DECIMAL(2,1) and silently
+    // rounds every sweep back to the unit gain.
+    """WITH RECURSIVE red AS (
+      |  SELECT CAST(month(l_shipdate) AS BIGINT) AS solint,
+      |    CAST(l_orderkey % 8 AS INT) AS ant1,
+      |    CAST(l_suppkey % 8 AS INT) AS ant2,
+      |    sum((l_tax + 1.0) * 1.0) / sum(1.0) AS xre,
+      |    sum(l_discount * 1.0) / sum(1.0) AS xim,
+      |    sum(1.0) AS wt
+      |  FROM lineitem WHERE l_orderkey % 8 <> l_suppkey % 8
+      |  GROUP BY 1, 2, 3),
+      |g AS (
+      |  SELECT 0 AS it, solint, antenna, CAST(1.0 AS DOUBLE) AS gre,
+      |    CAST(0.0 AS DOUBLE) AS gim, CAST(1.0 AS DOUBLE) AS delta
+      |  FROM (SELECT DISTINCT solint, ant1 AS antenna FROM red
+      |        UNION SELECT DISTINCT solint, ant2 FROM red)
+      |  UNION ALL
+      |  SELECT nn.it, nn.solint, nn.antenna, nn.gre, nn.gim,
+      |    max(abs(nn.gre - nn.ogre) + abs(nn.gim - nn.ogim))
+      |      OVER (PARTITION BY nn.solint) AS delta
+      |  FROM (
+      |    SELECT o.it + 1 AS it, l.solint, l.antenna,
+      |      0.5 * (o.gre + sum(l.nre) / sum(l.den)) AS gre,
+      |      0.5 * (o.gim + sum(l.nim) / sum(l.den)) AS gim,
+      |      o.gre AS ogre, o.gim AS ogim
+      |    FROM (
+      |      SELECT r.solint, r.ant1 AS antenna,
+      |        r.wt * (r.xre * gj.gre - r.xim * gj.gim) AS nre,
+      |        r.wt * (r.xim * gj.gre + r.xre * gj.gim) AS nim,
+      |        r.wt * (gj.gre * gj.gre + gj.gim * gj.gim) AS den
+      |      FROM red r JOIN g gj
+      |        ON r.solint = gj.solint AND r.ant2 = gj.antenna
+      |      UNION ALL
+      |      SELECT r.solint, r.ant2 AS antenna,
+      |        r.wt * (r.xre * gi.gre + r.xim * gi.gim) AS nre,
+      |        r.wt * (-r.xim * gi.gre + r.xre * gi.gim) AS nim,
+      |        r.wt * (gi.gre * gi.gre + gi.gim * gi.gim) AS den
+      |      FROM red r JOIN g gi
+      |        ON r.solint = gi.solint AND r.ant1 = gi.antenna
+      |    ) l
+      |    JOIN g o ON l.solint = o.solint AND l.antenna = o.antenna
+      |    WHERE o.it < 100 AND o.delta > 1e-12
+      |    GROUP BY o.it, l.solint, l.antenna, o.gre, o.gim
+      |  ) nn),
+      |fin AS (
+      |  SELECT solint, antenna, gre, gim,
+      |    row_number() OVER (PARTITION BY solint, antenna
+      |                       ORDER BY it DESC) AS rn
+      |  FROM g),
+      |last AS (SELECT solint, antenna, gre, gim FROM fin WHERE rn = 1),
+      |rot AS (
+      |  SELECT solint,
+      |    gre / sqrt(gre * gre + gim * gim) AS cr,
+      |    -gim / sqrt(gre * gre + gim * gim) AS ci
+      |  FROM last WHERE antenna = 0)
+      |SELECT l.solint, l.antenna,
+      |  floor((gre * cr - gim * ci) * 10000.0 + 0.5) / 10000.0 AS gain_re,
+      |  floor((gre * ci + gim * cr) * 10000.0 + 0.5) / 10000.0 AS gain_im
+      |FROM last l JOIN rot ON l.solint = rot.solint""".stripMargin)
 
   // -------------------------------------------------- uv_cont_fit order 3
 
@@ -513,7 +580,130 @@ object QueriesKernels {
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
     },
-    "") // iterative kernel: rows-only check; numerics in KernelOpsSpec
+    // The FULL pipeline oracle, hash-exact end to end — see
+    // hogbomChainSql.
+    s"""WITH RECURSIVE fx AS (
+       |  SELECT l_extendedprice % 60.0 - 30.0 AS u,
+       |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+       |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+       |    1500000000.0 AS freq
+       |  FROM lineitem),
+       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 200)}""".stripMargin)
+
+  /** Everything downstream of a `fx(u, v, re, im, weight, freq)` CTE
+    * for a full single-plane imaging + Hogbom chain, hash-exact end to
+    * end: grid both the data and psf planes through the 49-tap
+    * scatter, invert each by direct DFT (FFT vs DFT differ only in
+    * addition order; qround(6) absorbs it), divide by sum_weight and
+    * the PSWF correction, then replay EVERY Hogbom iteration as a
+    * recursive CTE — peak argmax with the kernel's first-strict-max
+    * row-major tie-break, exact subtraction,
+    * threshold-relative-to-initial-peak stop. The ulp-scale FFT/DFT
+    * differences never flip an argmax on these fixtures because
+    * competing peaks are separated by far more than 1e-12. The caller
+    * must open `WITH RECURSIVE` and define fx.
+    */
+  private def hogbomChainSql(gain: Double, threshold: Double,
+                             niter: Int): String = {
+    def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+    val tapsFor = (frac: String) =>
+      s"""SELECT uc + du AS u_idx, vc + dv AS v_idx,
+         |    cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv,
+         |    gre, gim
+         |  FROM $frac
+         |  CROSS JOIN generate_series(-3, 3) tu(du)
+         |  CROSS JOIN generate_series(-3, 3) tv(dv)
+         |  CROSS JOIN cgk
+         |  WHERE cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] <> 0.0""".stripMargin
+    val sumwFor = (frac: String) =>
+      s"""SELECT sum(
+         |    list_sum(list_transform(generate_series(-3, 3), du_ ->
+         |      cgk.t[abs(100 * du_ + ufrac) + 1])) *
+         |    list_sum(list_transform(generate_series(-3, 3), dv_ ->
+         |      cgk.t[abs(100 * dv_ + vfrac) + 1])) * weight) AS sw
+         |  FROM $frac CROSS JOIN cgk""".stripMargin
+    s"""cgk AS (SELECT ${lst(GridOps.cgk1D(100, 7))}::DOUBLE[] AS t),
+         |corr AS (SELECT ${lst(GridOps.correcting1D(32))}::DOUBLE[] AS t),
+         |geom AS (
+         |  SELECT *,
+         |    u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
+         |    v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
+         |  FROM fx),
+         |idx AS (
+         |  SELECT *,
+         |    CAST(floor(u_pos + 0.5) AS INT) AS uc,
+         |    CAST(floor(v_pos + 0.5) AS INT) AS vc,
+         |    re * weight AS wre, im * weight AS wim
+         |  FROM geom
+         |  WHERE CAST(floor(u_pos + 0.5) AS INT) + 3 < 32
+         |    AND CAST(floor(v_pos + 0.5) AS INT) + 3 < 32
+         |    AND CAST(floor(u_pos + 0.5) AS INT) - 3 >= 0
+         |    AND CAST(floor(v_pos + 0.5) AS INT) - 3 >= 0),
+         |frac_i AS (
+         |  SELECT *,
+         |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+         |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac,
+         |    wre AS gre, wim AS gim
+         |  FROM idx WHERE (wre <> 0.0 OR wim <> 0.0)),
+         |frac_p AS (
+         |  SELECT *,
+         |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+         |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac,
+         |    weight AS gre, 0.0 AS gim
+         |  FROM idx WHERE weight <> 0.0),
+         |taps_i AS (${tapsFor("frac_i")}),
+         |taps_p AS (${tapsFor("frac_p")}),
+         |grid_i AS (
+         |  SELECT u_idx, v_idx, sum(conv * gre) AS gre, sum(conv * gim) AS gim
+         |  FROM taps_i GROUP BY 1, 2),
+         |grid_p AS (
+         |  SELECT u_idx, v_idx, sum(conv * gre) AS gre
+         |  FROM taps_p GROUP BY 1, 2),
+         |sumw_i AS (${sumwFor("frac_i")}),
+         |sumw_p AS (${sumwFor("frac_p")}),
+         |px AS (
+         |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+         |  FROM generate_series(0, 15) tl(l_out)
+         |  CROSS JOIN generate_series(0, 15) tm(m_out)),
+         |img AS (
+         |  SELECT px.l_out AS l_idx, px.m_out AS m_idx,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0)
+         |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
+         |      / (SELECT CASE WHEN sw = 0 THEN 1.0 ELSE sw END FROM sumw_i)
+         |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS v
+         |  FROM grid_i g CROSS JOIN px CROSS JOIN corr
+         |  GROUP BY px.l_out, px.m_out, px.lp, px.mp, corr.t),
+         |psf AS (
+         |  SELECT px.l_out AS l_idx, px.m_out AS m_idx,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
+         |      / (SELECT CASE WHEN sw = 0 THEN 1.0 ELSE sw END FROM sumw_p)
+         |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS k
+         |  FROM grid_p g CROSS JOIN px CROSS JOIN corr
+         |  GROUP BY px.l_out, px.m_out, px.lp, px.mp, corr.t),
+         |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
+         |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
+         |r AS (
+         |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
+         |  FROM img
+         |  UNION ALL
+         |  SELECT r.it + 1, r.l_idx, r.m_idx,
+         |    r.v - CASE WHEN (8 + r.l_idx - p.pl) BETWEEN 0 AND 15
+         |                AND (8 + r.m_idx - p.pm) BETWEEN 0 AND 15
+         |          THEN ${fmt(gain)} * p.pv * ps.k ELSE 0.0 END,
+         |    r.model + CASE WHEN r.l_idx = p.pl AND r.m_idx = p.pm
+         |          THEN ${fmt(gain)} * p.pv ELSE 0.0 END
+         |  FROM r
+         |  CROSS JOIN (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM r
+         |              ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1) p
+         |  CROSS JOIN thr
+         |  LEFT JOIN psf ps ON ps.l_idx = 8 + r.l_idx - p.pl
+         |                  AND ps.m_idx = 8 + r.m_idx - p.pm
+         |  WHERE r.it < $niter AND abs(p.pv) > thr.t)
+         |SELECT 0 AS img_chan, 0 AS pol, l_idx, m_idx,
+         |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
+         |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+  }
 
   /** One Hogbom iteration IS closed-form (peak -> model += gain*peak,
     * residual -= gain*peak*shifted-psf), so the CLEAN kernel's update
@@ -1978,7 +2168,53 @@ object QueriesKernels {
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
     },
-    "") // composed pipeline: rows-only; every stage oracle-checked alone
+    // Composed-pipeline oracle, hash-exact end to end: the briggs
+    // imaging-weight mirror (hermitian cell sums + robust factor,
+    // identical to the imaging_weight_briggs oracle) rewrites each
+    // row's weight, and everything downstream — dual gridding, DFT
+    // inversion, every Hogbom iteration — is hogbomChainSql.
+    s"""WITH RECURSIVE fx0 AS (
+       |  SELECT l_extendedprice % 60.0 - 30.0 AS u,
+       |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+       |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+       |    1500000000.0 AS freq
+       |  FROM lineitem),
+       |cells0 AS (
+       |  SELECT *,
+       |    CAST(floor(u * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_cell,
+       |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell,
+       |    CAST(floor((-u) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_conj,
+       |    CAST(floor((-v) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_conj
+       |  FROM fx0),
+       |prim AS (
+       |  SELECT * FROM cells0
+       |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32),
+       |contrib AS (
+       |  SELECT u_cell, v_cell, weight FROM prim
+       |  UNION ALL
+       |  SELECT u_conj AS u_cell, v_conj AS v_cell, weight FROM prim
+       |  WHERE u_conj >= 0 AND u_conj < 32 AND v_conj >= 0 AND v_conj < 32),
+       |cells AS (
+       |  SELECT u_cell, v_cell, sum(weight) AS cell_w FROM contrib
+       |  GROUP BY 1, 2),
+       |sumwb AS (SELECT sum(weight) * 2.0 AS sum_w FROM prim),
+       |fac AS (
+       |  SELECT power(5.0 * power(10.0, -0.5), 2) / (q.sq_sum / s.sum_w) AS f2
+       |  FROM (SELECT sum(cell_w * cell_w) AS sq_sum FROM cells) q
+       |  CROSS JOIN sumwb s),
+       |fx AS (
+       |  SELECT c0.u, c0.v, c0.re, c0.im,
+       |    CASE WHEN c0.u_cell >= 0 AND c0.u_cell < 32
+       |          AND c0.v_cell >= 0 AND c0.v_cell < 32
+       |          AND c0.weight <> 0.0 AND c.cell_w IS NOT NULL
+       |          AND c.cell_w <> 0.0
+       |     THEN c0.weight / (fac.f2 * c.cell_w + 1.0)
+       |     ELSE c0.weight END AS weight,
+       |    c0.freq
+       |  FROM cells0 c0
+       |  LEFT JOIN cells c ON c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
+       |  CROSS JOIN fac),
+       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 100)}""".stripMargin)
 
   /** synthesis_imaging_cube (ngcasa/imaging/synthesis_imaging_cube.py:
     * 30-310): the per-channel flagship composition — imaging weights ->
