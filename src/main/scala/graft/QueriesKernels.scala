@@ -1411,8 +1411,13 @@ object QueriesKernels {
       |JOIN rmsf r ON r.l_idx = f.l_idx AND r.m_idx = f.m_idx
       |           AND r.o = f.phi_idx - pk.pp""".stripMargin)
 
-  /** The full iterative RM-CLEAN on the same fixture — rows-only, the
-    * recurrence is oracled one iteration above.
+  /** The full iterative RM-CLEAN on the same fixture, hash-exact: the
+    * recursive CTE replays every iteration — per-pixel complex peak
+    * (power argmax, first-strict-max phi tie-break), RMSF subtraction
+    * in the kernel's exact arithmetic order, and the per-pixel
+    * threshold^2 * initial-peak-power stop (pixels converge at
+    * different depths and drop out of the recursion independently;
+    * each pixel's final state is its deepest row).
     */
   private val rmCleanQ = Q(
     (s, d) => {
@@ -1431,7 +1436,73 @@ object QueriesKernels {
           qround(col("resid_re"), 6).as("resid_re"),
           qround(col("resid_im"), 6).as("resid_im"))
     },
-    "") // iterative kernel: rows-only; recurrence oracled above
+    """WITH RECURSIVE px AS (
+      |  SELECT CAST(i // 2 AS INT) AS l_idx, CAST(i % 2 AS INT) AS m_idx
+      |  FROM generate_series(0, 3) t(i)),
+      |ch AS (SELECT CAST(c AS INT) AS chan, 1.4e9 + c * 5.0e7 AS freq
+      |       FROM generate_series(0, 7) g(c)),
+      |v AS (
+      |  SELECT p.l_idx, p.m_idx, ch.chan,
+      |    (299792458.0e0 / ch.freq) * (299792458.0e0 / ch.freq) AS lam2,
+      |    sin(ch.chan * CAST(0.7 AS DOUBLE) + p.l_idx) AS q,
+      |    cos(ch.chan * CAST(0.3 AS DOUBLE) + p.m_idx) AS u
+      |  FROM px p CROSS JOIN ch),
+      |l0 AS (SELECT l_idx, m_idx, (min(lam2) + max(lam2)) / 2.0e0 AS l0
+      |       FROM v GROUP BY 1, 2),
+      |f AS (
+      |  SELECT v.l_idx, v.m_idx, CAST(k.k AS INT) AS phi_idx,
+      |    sum((v.q * cos(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))
+      |       - v.u * sin(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))) / 8.0e0) AS fre,
+      |    sum((v.q * sin(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))
+      |       + v.u * cos(-2.0e0 * ((k.k - 8) * 4.0e0) * (v.lam2 - l0.l0))) / 8.0e0) AS fim
+      |  FROM v JOIN l0 USING (l_idx, m_idx)
+      |  CROSS JOIN generate_series(0, 15) k(k)
+      |  GROUP BY 1, 2, 3),
+      |rmsf AS (
+      |  SELECT v.l_idx, v.m_idx, CAST(o.o AS INT) AS o,
+      |    sum(cos(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rre,
+      |    sum(sin(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rim
+      |  FROM v JOIN l0 USING (l_idx, m_idx)
+      |  CROSS JOIN generate_series(-15, 15) o(o)
+      |  GROUP BY 1, 2, 3),
+      |stp AS (
+      |  SELECT l_idx, m_idx,
+      |    CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
+      |      * max(fre * fre + fim * fim) AS stop
+      |  FROM f GROUP BY 1, 2),
+      |r AS (
+      |  SELECT 0 AS it, l_idx, m_idx, phi_idx, fre, fim,
+      |    CAST(0 AS DOUBLE) AS mre, CAST(0 AS DOUBLE) AS mim
+      |  FROM f
+      |  UNION ALL
+      |  SELECT r.it + 1, r.l_idx, r.m_idx, r.phi_idx,
+      |    r.fre - ((0.2e0 * pk.pre) * rf.rre - (0.2e0 * pk.pim) * rf.rim),
+      |    r.fim - ((0.2e0 * pk.pre) * rf.rim + (0.2e0 * pk.pim) * rf.rre),
+      |    r.mre + CASE WHEN r.phi_idx = pk.pp THEN 0.2e0 * pk.pre ELSE 0.0e0 END,
+      |    r.mim + CASE WHEN r.phi_idx = pk.pp THEN 0.2e0 * pk.pim ELSE 0.0e0 END
+      |  FROM r
+      |  JOIN (
+      |    SELECT l_idx, m_idx, phi_idx AS pp, fre AS pre, fim AS pim,
+      |      fre * fre + fim * fim AS pwr
+      |    FROM (SELECT *, row_number() OVER (
+      |            PARTITION BY l_idx, m_idx
+      |            ORDER BY fre * fre + fim * fim DESC, phi_idx ASC) AS rn
+      |          FROM r)
+      |    WHERE rn = 1) pk USING (l_idx, m_idx)
+      |  JOIN rmsf rf ON rf.l_idx = r.l_idx AND rf.m_idx = r.m_idx
+      |              AND rf.o = r.phi_idx - pk.pp
+      |  JOIN stp s USING (l_idx, m_idx)
+      |  WHERE r.it < 100 AND pk.pwr > s.stop),
+      |fin AS (
+      |  SELECT *, row_number() OVER (PARTITION BY l_idx, m_idx, phi_idx
+      |                               ORDER BY it DESC) AS rn
+      |  FROM r)
+      |SELECT l_idx, m_idx, phi_idx,
+      |  floor(mre * 1000000.0 + 0.5) / 1000000.0 AS model_re,
+      |  floor(mim * 1000000.0 + 0.5) / 1000000.0 AS model_im,
+      |  floor(fre * 1000000.0 + 0.5) / 1000000.0 AS resid_re,
+      |  floor(fim * 1000000.0 + 0.5) / 1000000.0 AS resid_im
+      |FROM fin WHERE rn = 1""".stripMargin)
 
   /** restore_model: model (x) clean-beam + residual (native
     * resolution). Oracle mirrors the smooth oracle's circular
@@ -2137,8 +2208,73 @@ object QueriesKernels {
         .collect().map(r => (r.getInt(0).toDouble, r.getDouble(1)))
       val (amp, cen, sig) = BeamOps.specFit(spec)
       Seq((qr4(amp), qr4(cen), qr4(sig))).toDF("amp", "center", "sigma")
-    },
-    "") // nonlinear driver-side fit: rows-only; recovery test in KernelOpsSpec
+    }, {
+      // The CONVERGED Gauss-Newton fit, hash-exact via a recursive CTE:
+      // each level recomputes the 3x3 normal equations against the
+      // current (amp, cen, sig) and applies the Cramer-solved step;
+      // recursion stops at the kernel's |d0|+|d1|+|d2| < 1e-12 test.
+      // Cramer here vs Gaussian elimination in the kernel differ at fp
+      // level, but Gauss-Newton contracts near the optimum so both
+      // engines land within tol of the same fixed point (same device
+      // as the self_cal oracle); qround(4) absorbs the rest. NOTE the
+      // `mm.it IS NOT NULL` guard: an aggregate over the empty
+      // filtered recursive table still emits one all-NULL row, which
+      // would otherwise recurse forever.
+      val a = Array(
+        Array("a00", "a01", "a02"),
+        Array("a01", "a11", "a12"),
+        Array("a02", "a12", "a22"))
+      val b = Array("b0", "b1", "b2")
+      def repl(k: Int): Array[Array[String]] =
+        Array.tabulate(3, 3)((i, j) => if (j == k) b(i) else a(i)(j))
+      s"""WITH RECURSIVE t AS (
+         |  SELECT CAST(l_linenumber - 1 AS INT) AS chan, avg(l_quantity) AS y
+         |  FROM lineitem GROUP BY 1),
+         |init AS (
+         |  SELECT max(y) AS amp,
+         |    CAST((array_agg(chan ORDER BY y DESC, chan))[1] AS DOUBLE) AS cen,
+         |    (max(chan) - min(chan)) / 6.0 AS sig
+         |  FROM t),
+         |r AS (
+         |  SELECT 0 AS it, amp, cen, sig, CAST(1.0 AS DOUBLE) AS delta
+         |  FROM init
+         |  UNION ALL
+         |  SELECT s.it, s.amp + s.d0, s.cen + s.d1, s.sig + s.d2,
+         |    abs(s.d0) + abs(s.d1) + abs(s.d2)
+         |  FROM (
+         |    SELECT mm.it, mm.amp, mm.cen, mm.sig,
+         |      (${det3(repl(0))}) / (${det3(a)}) AS d0,
+         |      (${det3(repl(1))}) / (${det3(a)}) AS d1,
+         |      (${det3(repl(2))}) / (${det3(a)}) AS d2
+         |    FROM (
+         |      SELECT any_value(q.it) + 1 AS it, any_value(q.amp) AS amp,
+         |        any_value(q.cen) AS cen, any_value(q.sig) AS sig,
+         |        sum(j0 * j0) * (1.0 + 1e-9) AS a00, sum(j0 * j1) AS a01,
+         |        sum(j0 * j2) AS a02, sum(j1 * j1) * (1.0 + 1e-9) AS a11,
+         |        sum(j1 * j2) AS a12, sum(j2 * j2) * (1.0 + 1e-9) AS a22,
+         |        sum(j0 * r_) AS b0, sum(j1 * r_) AS b1, sum(j2 * r_) AS b2
+         |      FROM (
+         |        SELECT rr.it, rr.amp, rr.cen, rr.sig,
+         |          e AS j0,
+         |          f * (chan - cen) / (sig * sig) AS j1,
+         |          f * (chan - cen) * (chan - cen) / (sig * sig * sig) AS j2,
+         |          y - f AS r_
+         |        FROM (
+         |          SELECT r.*, t.chan, t.y,
+         |            exp(-0.5 * pow((t.chan - r.cen) / r.sig, 2)) AS e,
+         |            r.amp * exp(-0.5 * pow((t.chan - r.cen) / r.sig, 2)) AS f
+         |          FROM r CROSS JOIN t
+         |          WHERE r.it < 200 AND r.delta >= 1e-12
+         |        ) rr
+         |      ) q
+         |    ) mm
+         |    WHERE mm.it IS NOT NULL
+         |  ) s)
+         |SELECT floor(amp * 10000.0 + 0.5) / 10000.0 AS amp,
+         |  floor(cen * 10000.0 + 0.5) / 10000.0 AS center,
+         |  floor(abs(sig) * 10000.0 + 0.5) / 10000.0 AS sigma
+         |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+    })
 
   private def qr4(x: Double): Double = math.floor(x * 1e4 + 0.5) / 1e4
 
