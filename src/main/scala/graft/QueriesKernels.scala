@@ -604,7 +604,37 @@ object QueriesKernels {
     * must open `WITH RECURSIVE` and define fx.
     */
   private def hogbomChainSql(gain: Double, threshold: Double,
-                             niter: Int): String = {
+                             niter: Int): String =
+    s"""$imagingPrefixSql,
+       |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
+       |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
+       |r AS (
+       |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
+       |  FROM img
+       |  UNION ALL
+       |  SELECT r.it + 1, r.l_idx, r.m_idx,
+       |    r.v - CASE WHEN (8 + r.l_idx - p.pl) BETWEEN 0 AND 15
+       |                AND (8 + r.m_idx - p.pm) BETWEEN 0 AND 15
+       |          THEN ${fmt(gain)} * p.pv * ps.k ELSE 0.0 END,
+       |    r.model + CASE WHEN r.l_idx = p.pl AND r.m_idx = p.pm
+       |          THEN ${fmt(gain)} * p.pv ELSE 0.0 END
+       |  FROM r
+       |  CROSS JOIN (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM r
+       |              ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1) p
+       |  CROSS JOIN thr
+       |  LEFT JOIN psf ps ON ps.l_idx = 8 + r.l_idx - p.pl
+       |                  AND ps.m_idx = 8 + r.m_idx - p.pm
+       |  WHERE r.it < $niter AND abs(p.pv) > thr.t)
+       |SELECT 0 AS img_chan, 0 AS pol, l_idx, m_idx,
+       |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
+       |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS residual
+       |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+
+  /** The shared gridding + DFT-inversion CTE block: everything from
+    * the 49-tap scatter through the `img` (data) and `psf` plane CTEs,
+    * both unrounded. Consumes a `fx(u, v, re, im, weight, freq)` CTE.
+    */
+  private def imagingPrefixSql: String = {
     def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
     val tapsFor = (frac: String) =>
       s"""SELECT uc + du AS u_idx, vc + dv AS v_idx,
@@ -679,30 +709,7 @@ object QueriesKernels {
          |      / (SELECT CASE WHEN sw = 0 THEN 1.0 ELSE sw END FROM sumw_p)
          |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS k
          |  FROM grid_p g CROSS JOIN px CROSS JOIN corr
-         |  GROUP BY px.l_out, px.m_out, px.lp, px.mp, corr.t),
-         |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
-         |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
-         |r AS (
-         |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
-         |  FROM img
-         |  UNION ALL
-         |  SELECT r.it + 1, r.l_idx, r.m_idx,
-         |    r.v - CASE WHEN (8 + r.l_idx - p.pl) BETWEEN 0 AND 15
-         |                AND (8 + r.m_idx - p.pm) BETWEEN 0 AND 15
-         |          THEN ${fmt(gain)} * p.pv * ps.k ELSE 0.0 END,
-         |    r.model + CASE WHEN r.l_idx = p.pl AND r.m_idx = p.pm
-         |          THEN ${fmt(gain)} * p.pv ELSE 0.0 END
-         |  FROM r
-         |  CROSS JOIN (SELECT l_idx AS pl, m_idx AS pm, v AS pv FROM r
-         |              ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1) p
-         |  CROSS JOIN thr
-         |  LEFT JOIN psf ps ON ps.l_idx = 8 + r.l_idx - p.pl
-         |                  AND ps.m_idx = 8 + r.m_idx - p.pm
-         |  WHERE r.it < $niter AND abs(p.pv) > thr.t)
-         |SELECT 0 AS img_chan, 0 AS pol, l_idx, m_idx,
-         |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
-         |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS residual
-         |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+         |  GROUP BY px.l_out, px.m_out, px.lp, px.mp, corr.t)""".stripMargin
   }
 
   /** One Hogbom iteration IS closed-form (peak -> model += gain*peak,
@@ -1066,7 +1073,101 @@ object QueriesKernels {
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
     },
-    "") // iterative kernel: rows-only; recurrence oracled in msclean_one_iter
+    {
+      // The FULL multi-scale CLEAN replayed recursively, hash-exact:
+      // the working table carries BOTH smoothed residuals (scale 0 =
+      // identity, scale 2 = the tapered-paraboloid kernel) plus the
+      // model per pixel; each level takes the bias-weighted argmax
+      // across (scale, pixel) with the kernel's scan-order tie-break,
+      // adds coeff * k_best to the model, and subtracts
+      // coeff * cross(best, s) from every smoothed residual. The
+      // cross-convolution tables psf(x)k2 and psf(x)k2(x)k2 are
+      // precomputed CTEs; biases and the scale kernel are emitted as
+      // exact double literals from the Scala arrays.
+      def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+      val k2 = lst(CleanOps.scaleKernel(2)._1)
+      val bias1 = fmt(1.0 - 0.6 * 2.0 / 2.0)
+      val conv5 = (src: String, vcol: String, out: String) =>
+        s"""SELECT p.l_idx, p.m_idx,
+           |    coalesce(sum(i.$vcol * k2.t[(d1.di + 2) * 5 + (d2.dj + 2) + 1]), 0.0) AS $out
+           |  FROM (SELECT l_idx, m_idx FROM $src) p
+           |  CROSS JOIN generate_series(-2, 2) d1(di)
+           |  CROSS JOIN generate_series(-2, 2) d2(dj)
+           |  CROSS JOIN k2
+           |  LEFT JOIN $src i ON i.l_idx = p.l_idx - d1.di
+           |                  AND i.m_idx = p.m_idx - d2.dj
+           |  GROUP BY 1, 2""".stripMargin
+      s"""WITH RECURSIVE fx AS (
+         |  SELECT l_extendedprice % 60.0 - 30.0 AS u,
+         |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+         |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+         |    1500000000.0 AS freq
+         |  FROM lineitem),
+         |$imagingPrefixSql,
+         |k2 AS (SELECT $k2::DOUBLE[] AS t),
+         |r1init AS (${conv5("img", "v", "v")}),
+         |crossA AS (${conv5("psf", "k", "x")}),
+         |crossB AS (${conv5("crossA", "x", "x")}),
+         |nrm AS (
+         |  SELECT (SELECT k FROM psf WHERE l_idx = 8 AND m_idx = 8) AS n0,
+         |         (SELECT x FROM crossB WHERE l_idx = 8 AND m_idx = 8) AS n1),
+         |state0 AS (
+         |  SELECT i.l_idx, i.m_idx, i.v AS r0, r1.v AS r1,
+         |    CAST(0 AS DOUBLE) AS model
+         |  FROM img i JOIN r1init r1 USING (l_idx, m_idx)),
+         |stp AS (
+         |  SELECT ${fmt(0.05)} * max(biased) AS stop FROM (
+         |    SELECT abs(r0) * 1.0e0 AS biased FROM state0
+         |    UNION ALL
+         |    SELECT abs(r1) * $bias1 FROM state0)),
+         |r AS (
+         |  SELECT 0 AS it, l_idx, m_idx, r0, r1, model FROM state0
+         |  UNION ALL
+         |  SELECT r.it + 1, r.l_idx, r.m_idx,
+         |    r.r0 - CASE WHEN (8 + r.l_idx - pk.pl) BETWEEN 0 AND 15
+         |                 AND (8 + r.m_idx - pk.pm) BETWEEN 0 AND 15
+         |           THEN pk.coeff * (CASE WHEN pk.s0 = 0 THEN ps.k ELSE ca.x END)
+         |           ELSE 0.0 END,
+         |    r.r1 - CASE WHEN (8 + r.l_idx - pk.pl) BETWEEN 0 AND 15
+         |                 AND (8 + r.m_idx - pk.pm) BETWEEN 0 AND 15
+         |           THEN pk.coeff * (CASE WHEN pk.s0 = 0 THEN ca.x ELSE cb.x END)
+         |           ELSE 0.0 END,
+         |    r.model + CASE
+         |      WHEN pk.s0 = 0 AND r.l_idx = pk.pl AND r.m_idx = pk.pm
+         |        THEN pk.coeff * 1.0e0
+         |      WHEN pk.s0 = 1 AND abs(r.l_idx - pk.pl) <= 2
+         |        AND abs(r.m_idx - pk.pm) <= 2
+         |        THEN pk.coeff * k2.t[(r.l_idx - pk.pl + 2) * 5 + (r.m_idx - pk.pm + 2) + 1]
+         |      ELSE 0.0 END
+         |  FROM r
+         |  CROSS JOIN (
+         |    SELECT pl, pm, s AS s0, biased,
+         |      (${fmt(0.2)} * pv) / (CASE WHEN s = 0 THEN nrm.n0 ELSE nrm.n1 END) AS coeff
+         |    FROM (
+         |      SELECT l_idx AS pl, m_idx AS pm, s, pv, biased,
+         |        row_number() OVER (ORDER BY biased DESC, s ASC,
+         |                           l_idx ASC, m_idx ASC) AS rn
+         |      FROM (
+         |        SELECT it, l_idx, m_idx, 0 AS s, r0 AS pv,
+         |          abs(r0) * 1.0e0 AS biased FROM r
+         |        UNION ALL
+         |        SELECT it, l_idx, m_idx, 1, r1, abs(r1) * $bias1 FROM r)
+         |    ) q CROSS JOIN nrm
+         |    WHERE rn = 1) pk(pl, pm, s0, biased, coeff)
+         |  CROSS JOIN stp
+         |  CROSS JOIN k2
+         |  LEFT JOIN psf ps ON ps.l_idx = 8 + r.l_idx - pk.pl
+         |                  AND ps.m_idx = 8 + r.m_idx - pk.pm
+         |  LEFT JOIN crossA ca ON ca.l_idx = 8 + r.l_idx - pk.pl
+         |                     AND ca.m_idx = 8 + r.m_idx - pk.pm
+         |  LEFT JOIN crossB cb ON cb.l_idx = 8 + r.l_idx - pk.pl
+         |                     AND cb.m_idx = 8 + r.m_idx - pk.pm
+         |  WHERE r.it < 50 AND pk.biased > stp.stop)
+         |SELECT 0 AS img_chan, 0 AS pol, l_idx, m_idx,
+         |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
+         |  floor(r0 * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+    })
 
   /** One MS-CLEAN iteration in closed form: smoothed residuals per
     * scale, bias-weighted argmax over (scale, pixel), coeff =
