@@ -2486,7 +2486,191 @@ object QueriesKernels {
           qround(col("d1_pix"), 4).as("beam_d1_pix"),
           qround(col("d2_pix"), 4).as("beam_d2_pix"))
     },
-    "") // composed cube pipeline: rows-only; stages oracle-checked alone
+    {
+      // Composed cube oracle, hash-exact end to end: every CTE block
+      // from the single-plane chain re-keyed by the channel column —
+      // per-channel briggs factors, grids, sum-weights, DFT inversion —
+      // plus the restore-beam fit: a per-plane 4x4 least-squares of
+      // ln(psf) over the 9x9 center window, solved by Cramer (detSql)
+      // against the kernel's Gaussian elimination; qround(4) absorbs
+      // the fp-path gap (same device as fit_gaussian). The x^2*y^2
+      // moment appears twice with DIFFERENT factorizations — (x*x)*
+      // (y*y) for a13 but (x*y)*(x*y) for a22 — mirroring the
+      // kernel's f(i)*f(j) products bit for bit.
+      def lst(a: Array[Double]) = a.map(fmt).mkString("[", ", ", "]")
+      def mm(i: Int, j: Int) = s"m${math.min(i, j)}${math.max(i, j)}"
+      val a4 = Vector.tabulate(4, 4)((i, j) => mm(i, j))
+      val b4 = Vector("r0", "r1", "r2", "r3")
+      def repl4(k: Int) = Vector.tabulate(4, 4)((i, j) =>
+        if (j == k) b4(i) else a4(i)(j))
+      s"""WITH fx0 AS (
+         |  SELECT CAST(l_orderkey % 2 AS INT) AS ch,
+         |    l_extendedprice % 60.0 - 30.0 AS u,
+         |    (l_quantity * 3.0 + l_linenumber) % 60.0 - 30.0 AS v,
+         |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
+         |    1500000000.0 AS freq
+         |  FROM lineitem),
+         |cells0 AS (
+         |  SELECT *,
+         |    CAST(floor(u * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_cell,
+         |    CAST(floor(v * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_cell,
+         |    CAST(floor((-u) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS u_conj,
+         |    CAST(floor((-v) * (freq * ((-0.002 * 32) / 299792458.0)) + 16 + 0.5) AS INT) AS v_conj
+         |  FROM fx0),
+         |prim AS (
+         |  SELECT * FROM cells0
+         |  WHERE u_cell >= 0 AND u_cell < 32 AND v_cell >= 0 AND v_cell < 32),
+         |contrib AS (
+         |  SELECT ch, u_cell, v_cell, weight FROM prim
+         |  UNION ALL
+         |  SELECT ch, u_conj AS u_cell, v_conj AS v_cell, weight FROM prim
+         |  WHERE u_conj >= 0 AND u_conj < 32 AND v_conj >= 0 AND v_conj < 32),
+         |cells AS (
+         |  SELECT ch, u_cell, v_cell, sum(weight) AS cell_w FROM contrib
+         |  GROUP BY 1, 2, 3),
+         |sumwb AS (SELECT ch, sum(weight) * 2.0 AS sum_w FROM prim GROUP BY 1),
+         |fac AS (
+         |  SELECT q.ch, power(5.0 * power(10.0, -0.5), 2) / (q.sq_sum / s.sum_w) AS f2
+         |  FROM (SELECT ch, sum(cell_w * cell_w) AS sq_sum FROM cells GROUP BY 1) q
+         |  JOIN sumwb s ON q.ch = s.ch),
+         |fx AS (
+         |  SELECT c0.ch, c0.u, c0.v, c0.re, c0.im,
+         |    CASE WHEN c0.u_cell >= 0 AND c0.u_cell < 32
+         |          AND c0.v_cell >= 0 AND c0.v_cell < 32
+         |          AND c0.weight <> 0.0 AND c.cell_w IS NOT NULL
+         |          AND c.cell_w <> 0.0
+         |     THEN c0.weight / (fac.f2 * c.cell_w + 1.0)
+         |     ELSE c0.weight END AS weight,
+         |    c0.freq
+         |  FROM cells0 c0
+         |  LEFT JOIN cells c ON c0.ch = c.ch AND c0.u_cell = c.u_cell
+         |                   AND c0.v_cell = c.v_cell
+         |  LEFT JOIN fac ON c0.ch = fac.ch),
+         |cgk AS (SELECT ${lst(GridOps.cgk1D(100, 7))}::DOUBLE[] AS t),
+         |corr AS (SELECT ${lst(GridOps.correcting1D(32))}::DOUBLE[] AS t),
+         |geom AS (
+         |  SELECT *,
+         |    u * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS u_pos,
+         |    v * ((-((freq * 0.002) * 32)) / 299792458.0) + 16 AS v_pos
+         |  FROM fx),
+         |idx AS (
+         |  SELECT *,
+         |    CAST(floor(u_pos + 0.5) AS INT) AS uc,
+         |    CAST(floor(v_pos + 0.5) AS INT) AS vc,
+         |    re * weight AS wre, im * weight AS wim
+         |  FROM geom
+         |  WHERE CAST(floor(u_pos + 0.5) AS INT) + 3 < 32
+         |    AND CAST(floor(v_pos + 0.5) AS INT) + 3 < 32
+         |    AND CAST(floor(u_pos + 0.5) AS INT) - 3 >= 0
+         |    AND CAST(floor(v_pos + 0.5) AS INT) - 3 >= 0),
+         |frac_i AS (
+         |  SELECT *,
+         |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+         |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac,
+         |    wre AS gre, wim AS gim
+         |  FROM idx WHERE (wre <> 0.0 OR wim <> 0.0)),
+         |frac_p AS (
+         |  SELECT *,
+         |    CAST(floor((uc - u_pos) * 100 + 0.5) AS INT) AS ufrac,
+         |    CAST(floor((vc - v_pos) * 100 + 0.5) AS INT) AS vfrac,
+         |    weight AS gre, 0.0 AS gim
+         |  FROM idx WHERE weight <> 0.0),
+         |taps_i AS (
+         |  SELECT ch, uc + du AS u_idx, vc + dv AS v_idx,
+         |    cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv,
+         |    gre, gim
+         |  FROM frac_i
+         |  CROSS JOIN generate_series(-3, 3) tu(du)
+         |  CROSS JOIN generate_series(-3, 3) tv(dv)
+         |  CROSS JOIN cgk
+         |  WHERE cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] <> 0.0),
+         |taps_p AS (
+         |  SELECT ch, uc + du AS u_idx, vc + dv AS v_idx,
+         |    cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] AS conv,
+         |    gre
+         |  FROM frac_p
+         |  CROSS JOIN generate_series(-3, 3) tu(du)
+         |  CROSS JOIN generate_series(-3, 3) tv(dv)
+         |  CROSS JOIN cgk
+         |  WHERE cgk.t[abs(100 * du + ufrac) + 1] * cgk.t[abs(100 * dv + vfrac) + 1] <> 0.0),
+         |grid_i AS (
+         |  SELECT ch, u_idx, v_idx, sum(conv * gre) AS gre, sum(conv * gim) AS gim
+         |  FROM taps_i GROUP BY 1, 2, 3),
+         |grid_p AS (
+         |  SELECT ch, u_idx, v_idx, sum(conv * gre) AS gre
+         |  FROM taps_p GROUP BY 1, 2, 3),
+         |sumw_i AS (
+         |  SELECT ch, sum(
+         |    list_sum(list_transform(generate_series(-3, 3), du_ ->
+         |      cgk.t[abs(100 * du_ + ufrac) + 1])) *
+         |    list_sum(list_transform(generate_series(-3, 3), dv_ ->
+         |      cgk.t[abs(100 * dv_ + vfrac) + 1])) * weight) AS sw
+         |  FROM frac_i CROSS JOIN cgk GROUP BY 1),
+         |sumw_p AS (
+         |  SELECT ch, sum(
+         |    list_sum(list_transform(generate_series(-3, 3), du_ ->
+         |      cgk.t[abs(100 * du_ + ufrac) + 1])) *
+         |    list_sum(list_transform(generate_series(-3, 3), dv_ ->
+         |      cgk.t[abs(100 * dv_ + vfrac) + 1])) * weight) AS sw
+         |  FROM frac_p CROSS JOIN cgk GROUP BY 1),
+         |px AS (
+         |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
+         |  FROM generate_series(0, 15) tl(l_out)
+         |  CROSS JOIN generate_series(0, 15) tm(m_out)),
+         |img AS (
+         |  SELECT g.ch, px.l_out AS l_idx, px.m_out AS m_idx,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0)
+         |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
+         |      / any_value(CASE WHEN sumw_i.sw = 0 THEN 1.0 ELSE sumw_i.sw END)
+         |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS v
+         |  FROM grid_i g
+         |  JOIN sumw_i ON g.ch = sumw_i.ch
+         |  CROSS JOIN px CROSS JOIN corr
+         |  GROUP BY g.ch, px.l_out, px.m_out, px.lp, px.mp, corr.t),
+         |psf AS (
+         |  SELECT g.ch, px.l_out AS l_idx, px.m_out AS m_idx,
+         |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
+         |      / any_value(CASE WHEN sumw_p.sw = 0 THEN 1.0 ELSE sumw_p.sw END)
+         |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS k
+         |  FROM grid_p g
+         |  JOIN sumw_p ON g.ch = sumw_p.ch
+         |  CROSS JOIN px CROSS JOIN corr
+         |  GROUP BY g.ch, px.l_out, px.m_out, px.lp, px.mp, corr.t),
+         |fitpts AS (
+         |  SELECT ch, CAST(l_idx - 8 AS DOUBLE) AS x,
+         |    CAST(m_idx - 8 AS DOUBLE) AS y, ln(k) AS lv
+         |  FROM psf
+         |  WHERE abs(l_idx - 8) <= 4 AND abs(m_idx - 8) <= 4 AND k > 1e-12),
+         |mom AS (
+         |  SELECT ch,
+         |    sum(1.0 * 1.0) AS m00, sum(1.0 * (x * x)) AS m01,
+         |    sum(1.0 * (x * y)) AS m02, sum(1.0 * (y * y)) AS m03,
+         |    sum((x * x) * (x * x)) AS m11, sum((x * x) * (x * y)) AS m12,
+         |    sum((x * x) * (y * y)) AS m13, sum((x * y) * (x * y)) AS m22,
+         |    sum((x * y) * (y * y)) AS m23, sum((y * y) * (y * y)) AS m33,
+         |    sum(1.0 * lv) AS r0, sum((x * x) * lv) AS r1,
+         |    sum((x * y) * lv) AS r2, sum((y * y) * lv) AS r3
+         |  FROM fitpts GROUP BY 1),
+         |beam AS (
+         |  SELECT ch,
+         |    -((${detSql(repl4(1))}) / (${detSql(a4)})) AS al,
+         |    -((${detSql(repl4(2))}) / (${detSql(a4)})) AS be,
+         |    -((${detSql(repl4(3))}) / (${detSql(a4)})) AS ga
+         |  FROM mom),
+         |bm AS (
+         |  SELECT ch,
+         |    sqrt(2 * (4 * ln(2.0)) / ((al + ga) - sqrt((al - ga) * (al - ga) + be * be))) AS d1,
+         |    sqrt(2 * (4 * ln(2.0)) / ((al + ga) + sqrt((al - ga) * (al - ga) + be * be))) AS d2
+         |  FROM beam)
+         |SELECT i.ch AS img_chan, 0 AS pol, i.l_idx, i.m_idx,
+         |  floor(i.v * 1000000.0 + 0.5) / 1000000.0 AS image,
+         |  floor(p.k * 1000000.0 + 0.5) / 1000000.0 AS psf,
+         |  floor(bm.d1 * 10000.0 + 0.5) / 10000.0 AS beam_d1_pix,
+         |  floor(bm.d2 * 10000.0 + 0.5) / 10000.0 AS beam_d2_pix
+         |FROM img i
+         |JOIN psf p ON i.ch = p.ch AND i.l_idx = p.l_idx AND i.m_idx = p.m_idx
+         |JOIN bm ON i.ch = bm.ch""".stripMargin
+    })
 
   val all: Map[String, Q] = Map(
     "make_image_mosaic" -> mosaicImageQ,
