@@ -1432,14 +1432,118 @@ object QueriesKernels {
           lit(0.1) * sin(col("l_idx") * 0.9) * cos(col("m_idx") * 0.8))
       val psf = BeamOps.gaussianBeam(grid, 400.0, 300.0, 0.0,
         (0.0005, 0.0005), 16, 16).withColumnRenamed("beam", "image")
+      // gain 0.1: with this broad psf the ASP subtraction overshoots at
+      // gain 0.3 and the loop diverges to ~1e8 amplitudes, where the
+      // absolute 1e-6 quantization grid sits only ~100 ulp above the
+      // noise floor; at gain 0.1 the loop CONVERGES (threshold stop at
+      // iteration 18 of 20), values stay O(1), and the full adaptive
+      // recursion is hash-checkable
       CleanOps.aspCleanPlanes(s, img, psf, 16, 16, 16, 16,
-          sigmas = Seq(1.0, 2.0, 3.0), gain = 0.3, threshold = 0.05,
+          sigmas = Seq(1.0, 2.0, 3.0), gain = 0.1, threshold = 0.05,
           niter = 20, refineIters = 3)
         .select(col("l_idx"), col("m_idx"),
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
-    },
-    "") // iterative + continuous refinement: rows-only
+    }, {
+      // The FULL adaptive-scale-pixel loop replayed recursively,
+      // hash-exact — including the CONTINUOUS ternary-search scale
+      // refinement the one-iteration oracle cannot reach: each level's
+      // peak derived table nests the grid scoring (three correlated
+      // fit aggregates over the working residual), the winner bracket,
+      // three unrolled ternary steps (each comparing two more fit
+      // aggregates at data-dependent sigmas), the final fit at
+      // (lo3+hi3)/2, and the gaussian + psf-convolved subtraction at
+      // the refined width. Tap bounds use a fixed +-18 series clipped
+      // by ceil(3 sigma), mirroring the kernel's loop bounds exactly.
+      val sig1 = "1.0e0"; val sig2 = "2.0e0"; val sig3 = "3.0e0"
+      def s1(sig: String) =
+        s"(SELECT sum(rr.v * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
+          s"FROM generate_series(-18, 18) a(di) CROSS JOIN generate_series(-18, 18) b(dj) " +
+          s"CROSS JOIN r rr " +
+          s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
+          s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
+          s"AND rr.l_idx = pl + a.di AND rr.m_idx = pm + b.dj)"
+      def s2(sig: String) =
+        s"(SELECT sum(exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) " +
+          s"     * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
+          s"FROM generate_series(-18, 18) a(di) CROSS JOIN generate_series(-18, 18) b(dj) " +
+          s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
+          s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
+          s"AND pl + a.di BETWEEN 0 AND 15 AND pm + b.dj BETWEEN 0 AND 15)"
+      val pk0 = "(SELECT l_idx AS pl, m_idx AS pm, abs(v) AS pabs FROM r " +
+        "ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1)"
+      val l1 = s"SELECT *, ${s1(sig1)} AS s1_1, ${s2(sig1)} AS s2_1, " +
+        s"${s1(sig2)} AS s1_2, ${s2(sig2)} AS s2_2, " +
+        s"${s1(sig3)} AS s1_3, ${s2(sig3)} AS s2_3 FROM $pk0 p0"
+      val l2 = "SELECT *, " +
+        "CASE WHEN s1_2 * s1_2 / s2_2 > s1_1 * s1_1 / s2_1 THEN 2 ELSE 1 END AS b12, " +
+        "CASE WHEN s1_2 * s1_2 / s2_2 > s1_1 * s1_1 / s2_1 THEN s1_2 * s1_2 / s2_2 " +
+        s"ELSE s1_1 * s1_1 / s2_1 END AS sc12 FROM ($l1) t1"
+      val l3 = "SELECT *, CASE WHEN s1_3 * s1_3 / s2_3 > sc12 THEN 3 ELSE b12 END AS bidx " +
+        s"FROM ($l2) t2"
+      val l4 = "SELECT *, CASE bidx WHEN 1 THEN 5.0e-1 WHEN 2 THEN 1.0e0 ELSE 2.0e0 END AS lo0, " +
+        "CASE bidx WHEN 1 THEN 2.0e0 WHEN 2 THEN 3.0e0 ELSE 6.0e0 END AS hi0 " +
+        s"FROM ($l3) t3"
+      var lvl = l4
+      for (k <- 0 until 3) {
+        val m1 = s"(lo$k + (hi$k - lo$k) / 3.0e0)"
+        val m2 = s"(hi$k - (hi$k - lo$k) / 3.0e0)"
+        val cmp = s"SELECT *, (${s1(m1)}) AS s1m1_$k, (${s2(m1)}) AS s2m1_$k, " +
+          s"(${s1(m2)}) AS s1m2_$k, (${s2(m2)}) AS s2m2_$k FROM ($lvl) ta$k"
+        lvl = s"SELECT *, CASE WHEN s1m1_$k * s1m1_$k / s2m1_$k < s1m2_$k * s1m2_$k / s2m2_$k " +
+          s"THEN $m1 ELSE lo$k END AS lo${k + 1}, " +
+          s"CASE WHEN s1m1_$k * s1m1_$k / s2m1_$k < s1m2_$k * s1m2_$k / s2m2_$k " +
+          s"THEN hi$k ELSE $m2 END AS hi${k + 1} FROM ($cmp) tb$k"
+      }
+      val lf = s"SELECT *, (lo3 + hi3) / 2.0e0 AS sigf FROM ($lvl) tc"
+      val lg = s"SELECT *, (${s1("sigf")}) / (${s2("sigf")}) AS ampf, " +
+        "CAST(ceil(3.0e0 * sigf) AS INT) AS rrad, " +
+        s"1.0e0 / (2.0e0 * sigf * sigf) AS inv FROM ($lf) td"
+      val incr = 0.0005 * 180 / math.Pi * 3600
+      val (dc1, dc2) = (400.0 / incr, 300.0 / incr)
+      val ln2x4 = 4 * math.log(2)
+      val al = ln2x4 / (dc1 * dc1)
+      val ga = ln2x4 / (dc2 * dc2)
+      s"""WITH RECURSIVE px AS (
+         |  SELECT CAST(i // 16 AS INT) AS l_idx, CAST(i % 16 AS INT) AS m_idx
+         |  FROM generate_series(0, 255) t(i)),
+         |img AS (SELECT l_idx, m_idx,
+         |  3.0e0 * exp(-((l_idx - 6) * (l_idx - 6)
+         |              + (m_idx - 10) * (m_idx - 10)) / ${fmt(2.0 * 1.8 * 1.8)})
+         |  + 0.1e0 * sin(l_idx * CAST(0.9 AS DOUBLE))
+         |          * cos(m_idx * CAST(0.8 AS DOUBLE)) AS v
+         |  FROM px),
+         |psf AS (SELECT l_idx, m_idx,
+         |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
+         |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
+         |  FROM px),
+         |stp AS (SELECT ${fmt(0.05)} * max(abs(v)) AS stop FROM img),
+         |r AS (
+         |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model FROM img
+         |  UNION ALL
+         |  SELECT r.it + 1, r.l_idx, r.m_idx,
+         |    r.v - ${fmt(0.1)} * pk.ampf * coalesce(
+         |      (SELECT sum(exp(-(a.gi * a.gi + b.gj * b.gj) * pk.inv) * f.k)
+         |       FROM generate_series(-18, 18) a(gi)
+         |       CROSS JOIN generate_series(-18, 18) b(gj)
+         |       JOIN psf f ON f.l_idx = 8 + r.l_idx - pk.pl - a.gi
+         |                 AND f.m_idx = 8 + r.m_idx - pk.pm - b.gj
+         |       WHERE abs(a.gi) <= pk.rrad AND abs(b.gj) <= pk.rrad), 0.0),
+         |    r.model + CASE WHEN abs(r.l_idx - pk.pl) <= pk.rrad
+         |                    AND abs(r.m_idx - pk.pm) <= pk.rrad
+         |      THEN ${fmt(0.1)} * pk.ampf
+         |        * exp(-((r.l_idx - pk.pl) * (r.l_idx - pk.pl)
+         |              + (r.m_idx - pk.pm) * (r.m_idx - pk.pm)) * pk.inv)
+         |      ELSE 0.0 END
+         |  FROM r
+         |  CROSS JOIN ($lg) pk
+         |  CROSS JOIN stp
+         |  WHERE r.it < 20 AND pk.pabs > stp.stop)
+         |SELECT l_idx, m_idx,
+         |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
+         |  floor(v * 1000000.0 + 0.5) / 1000000.0 AS residual
+         |FROM r WHERE it = (SELECT max(it) FROM r)""".stripMargin
+    })
 
   /** deconvolve_rotation_measure_clean, one CLEAN iteration in closed
     * form: Faraday spectrum + RMSF as DFT sums over lambda^2, window

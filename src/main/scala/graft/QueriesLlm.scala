@@ -1440,8 +1440,82 @@ object QueriesLlm {
          |FROM s""".stripMargin
     })
 
+  /** REAL-codec image path: deterministic grayscale rasters are
+    * encoded to PNG and decoded back through javax.imageio inside the
+    * partition kernel, then patch statistics run on the DECODED
+    * pixels. PNG is lossless, so the decoded raster equals the
+    * generating formula px(i) = (id * 31 + 7 i) mod 256 bit for bit —
+    * the oracle computes the statistics from that formula directly,
+    * proving the whole encode -> decode -> stats chain.
+    */
+  private val imageDecodeStatsQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packPngMedia(Tables.documents(s, d), "doc_id",
+        width = 24, height = 16)
+      MultimodalOps.imagePatchStats(s, media.toDF(), patchW = 16, patchH = 8)
+        .select(col("media_id"), col("patch_idx"), col("n_px"),
+          col("px_min"), col("px_max"),
+          qround(col("px_mean"), 8).as("px_mean"),
+          qround(col("px_var"), 8).as("px_var"))
+    },
+    {
+      val px = "((d.doc_id * 31 + (patch_idx * 128 + k_) * 7) % 256)"
+      s"""WITH p AS (
+         |  SELECT d.doc_id AS media_id, d.doc_id,
+         |    CAST(g.p AS INT) AS patch_idx
+         |  FROM documents d CROSS JOIN generate_series(0, 2) g(p)),
+         |s AS (
+         |  SELECT media_id, patch_idx,
+         |    list_sum(list_transform(generate_series(0, 127),
+         |      k_ -> $px)) AS s1,
+         |    list_sum(list_transform(generate_series(0, 127),
+         |      k_ -> $px * $px)) AS s2,
+         |    list_min(list_transform(generate_series(0, 127),
+         |      k_ -> $px)) AS mn,
+         |    list_max(list_transform(generate_series(0, 127),
+         |      k_ -> $px)) AS mx
+         |  FROM p JOIN documents d ON p.doc_id = d.doc_id)
+         |SELECT media_id, patch_idx, CAST(128 AS INT) AS n_px,
+         |  CAST(mn AS INT) AS px_min, CAST(mx AS INT) AS px_max,
+         |  ${qrSql("CAST(s1 AS DOUBLE) / 128", 8)} AS px_mean,
+         |  ${qrSql("CAST(128 * s2 - s1 * s1 AS DOUBLE) / (128 * 128)", 8)} AS px_var
+         |FROM s""".stripMargin
+    })
+
+  /** REAL-codec audio path: deterministic PCM16 samples are wrapped
+    * in a RIFF/WAVE container and decoded back through
+    * javax.sound.sampled, then per-frame RMS energies run on the
+    * DECODED samples. The container is lossless, so the oracle mirrors
+    * the generating formula s(k) = ((id * 17 + 13 k) mod 4096) - 2048.
+    */
+  private val audioDecodeEnergyQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packWavMedia(Tables.documents(s, d), "doc_id",
+        nSamples = 256)
+      MultimodalOps.frameEnergy(s, media.toDF(), frameLen = 32)
+        .select(col("media_id"), col("frame_idx"),
+          qround(col("rms_energy"), 8).as("rms_energy"))
+    },
+    {
+      val smp = "(((d.doc_id * 17 + (frame_idx * 32 + k_) * 13) % 4096) - 2048)"
+      s"""WITH fr AS (
+         |  SELECT d.doc_id AS media_id, d.doc_id,
+         |    CAST(g.f AS INT) AS frame_idx
+         |  FROM documents d CROSS JOIN generate_series(0, 7) g(f)),
+         |e AS (
+         |  SELECT media_id, frame_idx,
+         |    list_sum(list_transform(generate_series(0, 31),
+         |      k_ -> CAST($smp AS DOUBLE) * $smp)) AS ss
+         |  FROM fr JOIN documents d ON fr.doc_id = d.doc_id)
+         |SELECT media_id, frame_idx,
+         |  ${qrSql("sqrt(ss / 32)", 8)} AS rms_energy
+         |FROM e""".stripMargin
+    })
+
   val all: Map[String, Q] = Map(
     "audio_frame_energy" -> audioFrameEnergyQ,
+    "image_decode_stats" -> imageDecodeStatsQ,
+    "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,
     "bm25_score" -> bm25Q,
     "embed_project" -> embedProjectQ,

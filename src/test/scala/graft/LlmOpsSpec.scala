@@ -233,6 +233,54 @@ class LlmOpsSpec extends SparkSpec {
       ((text0.length + 7) / 8 + 1) / 2)
   }
 
+  test("PNG codec round-trip: encode + decode through javax.imageio is lossless") {
+    val px = Array.tabulate(24 * 16)(i => (i * 7 + 3) % 256)
+    val bytes = MultimodalOps.encodePngGray(24, 16, px)
+    // a real PNG container, not our bytes echoed back
+    assert(bytes.take(4).map(_ & 0xff).toSeq === Seq(0x89, 'P'.toInt, 'N'.toInt, 'G'.toInt))
+    val Some((w, h, back)) = MultimodalOps.decodeImageGray(bytes)
+    assert(w === 24 && h === 16)
+    assert(back.toSeq === px.toSeq)
+  }
+
+  test("WAV codec round-trip: RIFF container through javax.sound.sampled is lossless") {
+    val samples = Array.tabulate(300)(k => ((k * 131) % 4096) - 2048)
+    val bytes = MultimodalOps.encodeWavPcm16(samples)
+    assert(new String(bytes.take(4), "US-ASCII") === "RIFF")
+    assert(MultimodalOps.decodeWavPcm16(bytes).toSeq === samples.toSeq)
+  }
+
+  test("imagePatchStats on real decoded PNG pixels matches the raster formula") {
+    val media = MultimodalOps.packPngMedia(
+      Seq((3L, "x")).toDF("doc_id", "text"), "doc_id", width = 24, height = 16)
+    val out = MultimodalOps.imagePatchStats(spark, media.toDF(),
+        patchW = 16, patchH = 8).collect()
+      .map(r => r.getAs[Int]("patch_idx") -> r).toMap
+    assert(out.size === 3) // 384 px / 128 per patch
+    val expected = Array.tabulate(384)(i => ((3L * 31 + i * 7) % 256).toInt)
+    for (p <- 0 until 3) {
+      val patch = expected.slice(p * 128, (p + 1) * 128)
+      assert(out(p).getAs[Int]("px_min") === patch.min)
+      assert(out(p).getAs[Int]("px_max") === patch.max)
+      assert(out(p).getAs[Double]("px_mean") === patch.sum.toDouble / 128)
+    }
+  }
+
+  test("frameEnergy on real decoded WAV samples matches the sample formula") {
+    val media = MultimodalOps.packWavMedia(
+      Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", nSamples = 64)
+    val out = MultimodalOps.frameEnergy(spark, media.toDF(), frameLen = 32)
+      .collect().map(r => r.getAs[Int]("frame_idx") -> r.getAs[Double]("rms_energy"))
+      .toMap
+    assert(out.size === 2)
+    val samples = Array.tabulate(64)(k => ((5L * 17 + k * 13) % 4096).toInt - 2048)
+    for (f <- 0 until 2) {
+      val fr = samples.slice(f * 32, (f + 1) * 32)
+      val rms = math.sqrt(fr.map(s => s.toDouble * s).sum / 32)
+      assert(out(f) === rms)
+    }
+  }
+
   test("gopherQuality flags phrase-repetition boilerplate, keeps prose") {
     val d = Seq(
       (0L, "buy now buy now buy now buy now buy now"),
