@@ -72,12 +72,27 @@ object DedupOps {
       .agg(count(lit(1)).as("line_count"))
     val kept = lines.join(freq, Seq("lh", "lh2"))
       .where(col("line_count") <= maxDf)
-    val rebuilt = kept.groupBy(col(idCol))
+    // TWO-LEVEL reassembly: a single pathological document (book-length,
+    // millions of lines) would otherwise materialize one collect_list
+    // of millions of (pos, line) structs in a single reducer row. The
+    // chunk level caps any one aggregation buffer at 8192 structs; the
+    // doc level then concatenates at most n_lines/8192 chunk strings in
+    // chunk order. Because chunks partition the positions in order,
+    // joining chunk texts with the separator equals the flat join
+    // string for string.
+    val chunked = kept.withColumn("_chunk", expr("pos DIV 8192"))
+      .groupBy(col(idCol), col("_chunk"))
       .agg(
         array_join(transform(
           array_sort(collect_list(struct(col("pos"), col("line")))),
-          x => x("line")), sep).as("text_dedup"),
-        count(lit(1)).as("n_kept"))
+          x => x("line")), sep).as("_chunk_text"),
+        count(lit(1)).as("_n"))
+    val rebuilt = chunked.groupBy(col(idCol))
+      .agg(
+        array_join(transform(
+          array_sort(collect_list(struct(col("_chunk"), col("_chunk_text")))),
+          x => x("_chunk_text")), sep).as("text_dedup"),
+        sum(col("_n")).as("n_kept"))
     df.select(col(idCol),
         size(split(col(textCol), sepRe, -1)).cast("long").as("n_lines"))
       .join(rebuilt, Seq(idCol), "left")

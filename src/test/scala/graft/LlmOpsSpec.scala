@@ -427,6 +427,23 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(5L) === (("y only", 2L, 1L)))
   }
 
+  test("lineDedup: chunked reassembly rebuilds a 100k-line doc exactly, spanning many chunks") {
+    // one pathological document far past the 8192-line chunk size —
+    // the two-level reassembly must reproduce the flat rebuild string
+    // for string (chunks partition positions in order)
+    val n = 100000
+    val big = (0 until n).map(i => s"line $i").mkString("\n")
+    val df = Seq((0L, big), (1L, "line 7\nonly in one")).toDF("doc_id", "text")
+    val out = DedupOps.lineDedup(df, "doc_id", "text")
+      .collect().map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // "line 7" appears in both docs -> dropped everywhere
+    val expected = (0 until n).filter(_ != 7).map(i => s"line $i").mkString("\n")
+    assert(out(0L).getAs[Long]("n_lines") === n.toLong)
+    assert(out(0L).getAs[Long]("n_kept") === (n - 1).toLong)
+    assert(out(0L).getAs[String]("text_dedup") === expected)
+    assert(out(1L).getAs[String]("text_dedup") === "only in one")
+  }
+
   private def pqVecs = Seq(
     (0L, Array(0f, 0f, 0f, 0f)),
     (1L, Array(1f, 1f, 1f, 1f)),

