@@ -345,14 +345,26 @@ object GridOps {
     * LEFT-join the grid DataFrame on (img_chan, pol, u_idx, v_idx)
     * with absent cells coalesced to 0 (every vis therefore keeps all
     * support^2 tap rows), then fold each vis's taps back in ascending
-    * tap order. Because IEEE addition of the identical contribution
-    * sequence is reproduced term for term, the output is bitwise equal
-    * to the broadcast path. The fold sorts a 49-element array per vis
-    * AFTER the hash aggregate, so the extra cost is O(support^2 log
-    * support^2) per row with no extra shuffle beyond the tap join
-    * itself. Scales to arbitrary plane sets: the grid stays
-    * distributed, keyed by the same 4-int cell key the taps shuffle
-    * on.
+    * tap order.
+    *
+    * The explosion happens on the GRID side, not the vis side: each
+    * grid cell is emitted once per tap slot it can serve, and one hash
+    * aggregate folds those emissions into a per-ANCHOR sparse
+    * neighborhood patch — (sorted tap slots, grid re, grid im) arrays
+    * keyed by the nearest-cell coordinate. Each visibility then makes
+    * a single equi-join probe on (img_chan, pol, uc, vc) and a
+    * compiled kernel folds its support^2 taps against the patch in the
+    * broadcast kernel's exact loop order (absent cells contribute the
+    * same +0.0 the dense array holds there), so the output is bitwise
+    * equal to the broadcast path — GridOpsSpec proves it.
+    *
+    * Scale shape: shuffle volume is O(grid x support^2) to build the
+    * patch table plus O(vis) for the probe — the vis stream is never
+    * multiplied by support^2 (an earlier tap-side explode + regroup
+    * measured 70-85 s at sf0.1; this form runs in a few seconds). For
+    * cube-scale plane sets both join sides stay distributed, keyed by
+    * the 4-int anchor; for small grids Catalyst broadcasts the patch
+    * table on its own.
     */
   def degridVisJoin(vis: DataFrame, grid: DataFrame, p: GridParams,
                     rowKeys: Seq[String]): DataFrame = {
@@ -360,58 +372,66 @@ object GridOps {
     val sc = p.support / 2
     val os = p.oversampling
     val support = p.support
-    val tapsUdf = udf((ufrac: Int, vfrac: Int) => {
-      val out = new Array[(Int, Int, Double)](support * support)
+    // grid-side explode: cell (u_idx, v_idx) serves anchor
+    // (u_idx - du, v_idx - dv) at tap slot (dv+sc)*support + (du+sc)
+    val offsets = for (dv <- -sc until support - sc;
+                       du <- -sc until support - sc)
+      yield (du, dv, (dv + sc) * support + (du + sc))
+    val offDf = vis.sparkSession.createDataFrame(offsets)
+      .toDF("_du", "_dv", "_slot")
+    val patch = grid
+      .select(col("img_chan").cast("int").as("g_chan"),
+        col("pol").cast("int").as("g_pol"),
+        col("u_idx").cast("int"), col("v_idx").cast("int"),
+        col("grid_re").cast("double").as("g_re"),
+        col("grid_im").cast("double").as("g_im"))
+      .crossJoin(broadcast(offDf))
+      .select(col("g_chan"), col("g_pol"),
+        (col("u_idx") - col("_du")).as("a_u"),
+        (col("v_idx") - col("_dv")).as("a_v"),
+        col("_slot"), col("g_re"), col("g_im"))
+      .groupBy("g_chan", "g_pol", "a_u", "a_v")
+      .agg(sort_array(collect_list(struct(col("_slot"), col("g_re"),
+        col("g_im")))).as("_p"))
+      .select(col("g_chan"), col("g_pol"), col("a_u"), col("a_v"),
+        col("_p._slot").as("_slots"), col("_p.g_re").as("_res"),
+        col("_p.g_im").as("_ims"))
+    // per-vis fold against the sparse patch, in kernel loop order;
+    // a null patch (no grid cell anywhere in the support) degrades to
+    // the broadcast path's missing-plane branch: acc 0, norm real
+    val fold = udf((ufrac: Int, vfrac: Int, slots: Seq[Int],
+                    res: Seq[Double], ims: Seq[Double]) => {
+      var accRe = 0.0; var accIm = 0.0; var norm = 0.0
+      val n = if (slots == null) 0 else slots.length
+      var ptr = 0
       var i = 0
       var dv = -sc
       while (dv < support - sc) {
         val cv = cgk(math.abs(os * dv + vfrac))
         var du = -sc
         while (du < support - sc) {
-          out(i) = (du, dv, cgk(math.abs(os * du + ufrac)) * cv)
+          val conv = cgk(math.abs(os * du + ufrac)) * cv
+          while (ptr < n && slots(ptr) < i) ptr += 1
+          if (ptr < n && slots(ptr) == i) {
+            accRe += conv * res(ptr)
+            accIm += conv * ims(ptr)
+          }
+          norm += conv
           i += 1
           du += 1
         }
         dv += 1
       }
-      out
-    })
-    val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
-    val taps = degridGeo(vis, p)
-      .select((keyCols :+ col("uc") :+ col("vc") :+
-        posexplode(tapsUdf(col("ufrac"), col("vfrac")))
-          .as(Seq("tap_i", "tap"))): _*)
-      .withColumn("u_idx", col("uc") + col("tap._1"))
-      .withColumn("v_idx", col("vc") + col("tap._2"))
-      .withColumn("conv", col("tap._3"))
-      .drop("uc", "vc", "tap")
-    val g = grid.select(col("img_chan").cast("int").as("g_chan"),
-      col("pol").cast("int").as("g_pol"),
-      col("u_idx").cast("int").as("g_u"), col("v_idx").cast("int").as("g_v"),
-      col("grid_re").cast("double").as("g_re"),
-      col("grid_im").cast("double").as("g_im"))
-    val joined = taps.join(g,
-        taps("img_chan") === g("g_chan") && taps("pol") === g("g_pol") &&
-          taps("u_idx") === g("g_u") && taps("v_idx") === g("g_v"),
-        "left")
-      .withColumn("c_re", col("conv") * coalesce(col("g_re"), lit(0.0)))
-      .withColumn("c_im", col("conv") * coalesce(col("g_im"), lit(0.0)))
-    // one hash aggregate per vis; sort_array restores tap order so the
-    // per-vis fold replays the broadcast kernel's addition sequence
-    val folded = joined.groupBy(keyCols: _*)
-      .agg(sort_array(collect_list(struct(col("tap_i"), col("c_re"),
-        col("c_im"), col("conv")))).as("_t"))
-    val foldUdf = udf((re: Seq[Double], im: Seq[Double], cv: Seq[Double]) => {
-      var accRe = 0.0; var accIm = 0.0; var norm = 0.0
-      var i = 0
-      while (i < cv.length) {
-        accRe += re(i); accIm += im(i); norm += cv(i); i += 1
-      }
       (accRe / norm, accIm / norm)
     })
-    folded
-      .withColumn("_m", foldUdf(col("_t.c_re"), col("_t.c_im"),
-        col("_t.conv")))
+    val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
+    val geo = degridGeo(vis, p)
+    geo.join(patch,
+        geo("img_chan") === patch("g_chan") && geo("pol") === patch("g_pol") &&
+          geo("uc") === patch("a_u") && geo("vc") === patch("a_v"),
+        "left")
+      .withColumn("_m", fold(col("ufrac"), col("vfrac"), col("_slots"),
+        col("_res"), col("_ims")))
       .select((keyCols :+ col("_m._1").as("model_re") :+
         col("_m._2").as("model_im")): _*)
   }
