@@ -465,41 +465,92 @@ object QueriesLlm {
     * chr(30) accumulator delimiter assumes no RS control char in
     * words (guaranteed for the fixture corpus). All integers — exact.
     */
+  /** One BPE induction round as CTEs: pair counts over v{n-1}, winner
+    * t$n (count desc, UTF-8 byte tie-break), merged vocab v$n via the
+    * boundary-safe list_reduce fold. Shared by the induction oracle
+    * (bpe_merges) and the tokenizer oracle (bpe_apply).
+    */
+  private def bpeRoundSql(n: Int): String = {
+    val prev = if (n == 1) "v0" else s"v${n - 1}"
+    s"""p$n AS (
+       |  SELECT syms[i] AS l, syms[i + 1] AS r, wc FROM (
+       |    SELECT syms, wc,
+       |      CAST(unnest(generate_series(1, len(syms) - 1)) AS BIGINT) AS i
+       |    FROM $prev)),
+       |t$n AS (
+       |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
+       |  FROM p$n GROUP BY 1, 2
+       |  ORDER BY cnt DESC, encode(l), encode(r) LIMIT 1),
+       |v$n AS (
+       |  SELECT string_split(list_reduce(v.syms,
+       |      (acc_, x_) -> CASE
+       |        WHEN string_split(acc_, chr(30))[-1] = t.l AND x_ = t.r
+       |        THEN acc_ || x_ ELSE acc_ || chr(30) || x_ END),
+       |    chr(30)) AS syms, v.wc
+       |  FROM $prev v CROSS JOIN t$n t)"""
+  }
+
+  private val bpeVocabCtes =
+    s"""w AS (
+       |  SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
+       |v0 AS (
+       |  SELECT string_split(wd, '') AS syms,
+       |    CAST(count(*) AS BIGINT) AS wc
+       |  FROM w WHERE length(wd) > 0 GROUP BY wd),
+       |${bpeRoundSql(1)},
+       |${bpeRoundSql(2)},
+       |${bpeRoundSql(3)}""".stripMargin
+
   private val bpeMergesQ = Q(
     (s, d) => TextOps.bpeMerges(Tables.documents(s, d), "text", nMerges = 3),
-    {
-      def round(n: Int): String = {
-        val prev = if (n == 1) "v0" else s"v${n - 1}"
-        s"""p$n AS (
-           |  SELECT syms[i] AS l, syms[i + 1] AS r, wc FROM (
-           |    SELECT syms, wc,
-           |      CAST(unnest(generate_series(1, len(syms) - 1)) AS BIGINT) AS i
-           |    FROM $prev)),
-           |t$n AS (
-           |  SELECT l, r, CAST(sum(wc) AS BIGINT) AS cnt
-           |  FROM p$n GROUP BY 1, 2
-           |  ORDER BY cnt DESC, encode(l), encode(r) LIMIT 1),
-           |v$n AS (
-           |  SELECT string_split(list_reduce(v.syms,
+    s"""WITH $bpeVocabCtes
+       |SELECT 1 AS merge_rank, l AS sym_left, r AS sym_right,
+       |  cnt AS pair_count FROM t1
+       |UNION ALL SELECT 2, l, r, cnt FROM t2
+       |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin)
+
+  /** BPE tokenization end to end: learn 3 merges on the corpus, then
+    * tokenize every document with them. The oracle re-learns the same
+    * merges with the induction CTEs and replays the rank-ordered
+    * greedy application per word with the same list_reduce fold —
+    * sequential rank-order application IS Sennrich's apply_bpe.
+    */
+  private val bpeApplyQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("sym_left"), r.getAs[String]("sym_right")))
+        .toSeq
+      TextOps.bpeApply(docs, "doc_id", "text", merges)
+    }, {
+      def applyRound(n: Int): String =
+        s"""a$n AS (
+           |  SELECT doc_id, word_idx, string_split(list_reduce(a.syms,
            |      (acc_, x_) -> CASE
            |        WHEN string_split(acc_, chr(30))[-1] = t.l AND x_ = t.r
            |        THEN acc_ || x_ ELSE acc_ || chr(30) || x_ END),
-           |    chr(30)) AS syms, v.wc
-           |  FROM $prev v CROSS JOIN t$n t)"""
-      }
-      s"""WITH w AS (
-         |  SELECT unnest(string_split(text, ' ')) AS wd FROM documents),
-         |v0 AS (
-         |  SELECT string_split(wd, '') AS syms,
-         |    CAST(count(*) AS BIGINT) AS wc
-         |  FROM w WHERE length(wd) > 0 GROUP BY wd),
-         |${round(1)},
-         |${round(2)},
-         |${round(3)}
-         |SELECT 1 AS merge_rank, l AS sym_left, r AS sym_right,
-         |  cnt AS pair_count FROM t1
-         |UNION ALL SELECT 2, l, r, cnt FROM t2
-         |UNION ALL SELECT 3, l, r, cnt FROM t3""".stripMargin
+           |    chr(30)) AS syms
+           |  FROM a${n - 1} a CROSS JOIN t$n t)"""
+      s"""WITH $bpeVocabCtes,
+         |dw AS (
+         |  SELECT doc_id, wds,
+         |    CAST(unnest(generate_series(1, len(wds))) AS INT) AS wi
+         |  FROM (SELECT doc_id, string_split(text, ' ') AS wds
+         |        FROM documents)),
+         |a0 AS (
+         |  SELECT doc_id, wi - 1 AS word_idx,
+         |    string_split(wds[wi], '') AS syms
+         |  FROM dw WHERE length(wds[wi]) > 0),
+         |${applyRound(1)},
+         |${applyRound(2)},
+         |${applyRound(3)},
+         |tok AS (
+         |  SELECT doc_id, word_idx, syms,
+         |    CAST(unnest(generate_series(1, len(syms))) AS INT) AS si
+         |  FROM a3)
+         |SELECT doc_id, word_idx, si - 1 AS sym_idx, syms[si] AS token
+         |FROM tok""".stripMargin
     })
 
   /** POSITIONAL 3-gram shingle hashes (no distinct) — the winnowing
@@ -1540,6 +1591,7 @@ object QueriesLlm {
     "substring_dupes" -> substringDupesQ,
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
+    "bpe_apply" -> bpeApplyQ,
     "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,
     "pii_scrub" -> piiScrubQ,

@@ -240,6 +240,43 @@ object TextOps {
     merges.toSeq.toDF("merge_rank", "sym_left", "sym_right", "pair_count")
   }
 
+  /** BPE TOKENIZATION with a learned merge table — the apply side of
+    * [[bpeMerges]] (Sennrich et al. 2016, apply_bpe): merges are
+    * applied in rank order, each greedily left-to-right over every
+    * word, which is exactly a replay of the induction's merge steps on
+    * unseen text. Output long form: one row per (doc, word position,
+    * symbol position, token), empty words skipped but still counted in
+    * word_idx.
+    *
+    * 100 TB story: the merge table is tokenizer-sized (vocab rows) and
+    * rides the task closure; the corpus pass is ONE scan through a
+    * compiled kernel — no shuffle, no state. This is the shape of
+    * tokenizing a pretraining corpus on-cluster.
+    */
+  def bpeApply(df: DataFrame, idCol: String, textCol: String,
+               merges: Seq[(String, String)]): DataFrame = {
+    val applyUdf = udf((w: String) => {
+      var syms: Array[String] =
+        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+      for ((l, r) <- merges) {
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+            out += l + r; i += 2 // greedy left-to-right, non-overlapping
+          } else { out += syms(i); i += 1 }
+        }
+        syms = out.toArray
+      }
+      syms
+    })
+    df.select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("word_idx", "wd")))
+      .where(length(col("wd")) > 0)
+      .select(col(idCol), col("word_idx"),
+        posexplode(applyUdf(col("wd"))).as(Seq("sym_idx", "token")))
+  }
+
   /** Quality-score components + composite (length / punctuation ratio /
     * stopword ratio / mean word length) — the standard cheap heuristics
     * used to filter web-scale training corpora.

@@ -233,6 +233,24 @@ class LlmOpsSpec extends SparkSpec {
       ((text0.length + 7) / 8 + 1) / 2)
   }
 
+  test("bpeApply: rank-ordered greedy merges tokenize like sennrich apply_bpe") {
+    val df = Seq((0L, "banana band"), (1L, "an")).toDF("doc_id", "text")
+    val out = TextOps.bpeApply(df, "doc_id", "text",
+        Seq(("a", "n"), ("an", "a")))
+      .collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("word_idx"),
+        r.getAs[Int]("sym_idx"), r.getAs[String]("token")))
+      .sortBy(t => (t._1, t._2, t._3))
+    // banana: (a,n) -> b|an|an|a ; (an,a) greedy L2R -> b|an|ana
+    // band:   (a,n) -> b|an|d    ; (an,a) no match
+    // an:     single merged token
+    val expect = Seq(
+      (0L, 0, 0, "b"), (0L, 0, 1, "an"), (0L, 0, 2, "ana"),
+      (0L, 1, 0, "b"), (0L, 1, 1, "an"), (0L, 1, 2, "d"),
+      (1L, 0, 0, "an"))
+    assert(out.toSeq === expect)
+  }
+
   test("PNG codec round-trip: encode + decode through javax.imageio is lossless") {
     val px = Array.tabulate(24 * 16)(i => (i * 7 + 3) % 256)
     val bytes = MultimodalOps.encodePngGray(24, 16, px)
