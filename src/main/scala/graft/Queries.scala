@@ -1112,6 +1112,44 @@ object Queries {
       |    * 1000000.0 + 0.5) / 1000000.0 AS estimate
       |FROM r GROUP BY 1""".stripMargin)
 
+  /** Bottom-k quantile sketch per group (k = 256 rows with smallest
+    * row-id hash; estimates = lower-rank order statistics of the
+    * sample). Deterministic and merge-order-invariant by construction,
+    * so the oracle replays the ENTIRE sketch exactly: rank rows by
+    * (hash, value), keep 256, take the order statistics. A GK/KLL/
+    * t-digest would not be oracle-checkable (state depends on merge
+    * order); this is the point of the bottom-k design (see SketchOps).
+    */
+  private val quantileSketchQ = Q(
+    (s, d) => operators.SketchOps.quantileSketch(
+        Tables.lineitem(s, d), Seq("l_returnflag"),
+        expr("l_orderkey * 8 + l_linenumber"), col("l_extendedprice"),
+        k = 256,
+        qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75, "q90" -> 0.9)),
+    """WITH h AS (
+      |  SELECT l_returnflag, l_extendedprice AS v,
+      |    ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007 AS h
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY h, v) AS rk
+      |  FROM h),
+      |o AS (
+      |  SELECT l_returnflag, v,
+      |    row_number() OVER (PARTITION BY l_returnflag ORDER BY v) AS vr,
+      |    count(*) OVER (PARTITION BY l_returnflag) AS ns
+      |  FROM r WHERE rk <= 256)
+      |SELECT l_returnflag, CAST(max(ns) AS BIGINT) AS n_sample,
+      |  max(CASE WHEN vr = CAST(floor(2.5e-1 * (ns - 1)) AS BIGINT) + 1
+      |      THEN v END) AS q25,
+      |  max(CASE WHEN vr = CAST(floor(5.0e-1 * (ns - 1)) AS BIGINT) + 1
+      |      THEN v END) AS q50,
+      |  max(CASE WHEN vr = CAST(floor(7.5e-1 * (ns - 1)) AS BIGINT) + 1
+      |      THEN v END) AS q75,
+      |  max(CASE WHEN vr = CAST(floor(9.0e-1 * (ns - 1)) AS BIGINT) + 1
+      |      THEN v END) AS q90
+      |FROM o GROUP BY 1""".stripMargin)
+
   /** AS-OF join: attach to every event the most recent 'click' of the
     * same user at-or-before it (clicks pre-aggregated to one row per
     * (user, time) so the inclusive-tie semantics are engine-neutral).
@@ -1209,6 +1247,44 @@ object Queries {
       |  count(*) AS n_events,
       |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
       |FROM sids GROUP BY 1, 2""".stripMargin)
+
+  /** INTERVAL join on the events stream: every view paired with the
+    * same user's clicks within the following 6 hours. Integer
+    * nanosecond bounds — frame membership is exact in both engines, so
+    * the whole join is hash-checkable (see StreamingOps.intervalJoin;
+    * the streaming twin with watermark state eviction is covered by
+    * the MemoryStream ScalaTest).
+    */
+  private val intervalJoinQ = Q(
+    (s, d) => {
+      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+      val ev = Tables.events(s, d).withColumn("tsn", expr("ts div 1000 * 1000"))
+      val views = ev.where(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"),
+          col("tsn").as("view_ts"))
+      val clicks = ev.where(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"),
+          col("tsn").as("click_ts"), col("value").as("click_value"))
+      streaming.StreamingOps.intervalJoin(views, clicks, Seq("user_id"),
+          "view_ts", "click_ts", lit(0L), lit(21600L * 1000 * 1000 * 1000))
+        .select("view_id", "user_id", "view_ts", "click_id", "click_ts",
+          "click_value")
+    },
+    """WITH e AS (
+      |  SELECT event_id, user_id, epoch_ns(ts) AS tsn, event_type, value
+      |  FROM events),
+      |v AS (
+      |  SELECT event_id AS view_id, user_id, tsn AS view_ts
+      |  FROM e WHERE event_type = 'view'),
+      |c AS (
+      |  SELECT event_id AS click_id, user_id, tsn AS click_ts,
+      |    value AS click_value
+      |  FROM e WHERE event_type = 'click')
+      |SELECT v.view_id, v.user_id, v.view_ts, c.click_id, c.click_ts,
+      |  c.click_value
+      |FROM v JOIN c ON v.user_id = c.user_id
+      | AND c.click_ts >= v.view_ts
+      | AND c.click_ts <= v.view_ts + 21600000000000""".stripMargin)
 
   /** Trailing 1-hour rolling count/sum per user over event time (RANGE
     * frame on integer nanos — frame membership exact in both engines;
@@ -1332,12 +1408,14 @@ object Queries {
     "derive_weight" -> deriveWeightQ,
     "events_window" -> eventsWindowQ,
     "sessionize" -> sessionizeQ,
+    "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
     "stream_enrich" -> streamEnrichQ,
     "group_median" -> groupMedianQ,
     "asof_join" -> asofJoinQ,
     "range_join" -> rangeJoinQ,
-    "distinct_sketch" -> distinctSketchQ) ++
+    "distinct_sketch" -> distinctSketchQ,
+    "quantile_sketch" -> quantileSketchQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
 }

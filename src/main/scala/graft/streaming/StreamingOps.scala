@@ -140,6 +140,43 @@ object StreamingOps {
     facts.join(broadcast(dim.select((keys ++ dimCols).map(col): _*)),
       keys, "left")
 
+  /** Stream-stream INTERVAL join: pair each left event with the right
+    * events of the same key whose event time falls in
+    * [leftTime + lower, leftTime + upper]. Output = all left columns +
+    * the right side's non-key columns (right column names must not
+    * collide with left ones — rename before the call, as the asof join
+    * does).
+    *
+    * Works on BOTH batch and streaming frames. On a streaming pair
+    * this is Spark's canonical watermark-bounded stateful join: both
+    * sides buffer rows in the state store, and the time-range ON
+    * condition plus the two watermarks let Spark evict a buffered row
+    * as soon as the other side's watermark passes its join window —
+    * state is O(key-rate x window), not O(stream). On batch frames
+    * Catalyst plans the same expression as an equi-join on the keys
+    * with the range as a post-filter — the dominant cost is the hash
+    * join, never a nested loop.
+    *
+    * Time columns may be TimestampType (streaming; bounds like
+    * `expr("interval 10 minutes")`) or integer nanos (batch-exact;
+    * bounds as long literals) — the condition is pure comparisons
+    * either way.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   leftTime: String, rightTime: String,
+                   lower: Column, upper: Column,
+                   leftWatermark: Option[String] = None,
+                   rightWatermark: Option[String] = None): DataFrame = {
+    val l = leftWatermark.map(left.withWatermark(leftTime, _))
+      .getOrElse(left).alias("l")
+    val r = rightWatermark.map(right.withWatermark(rightTime, _))
+      .getOrElse(right).alias("r")
+    val cond = keys.map(k => col(s"l.$k") === col(s"r.$k")).reduce(_ && _) &&
+      col(s"r.$rightTime") >= col(s"l.$leftTime") + lower &&
+      col(s"r.$rightTime") <= col(s"l.$leftTime") + upper
+    keys.foldLeft(l.join(r, cond))((d, k) => d.drop(col(s"r.$k")))
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -56,6 +56,42 @@ class SketchOpsSpec extends SparkSpec {
     assert(top.forall { case (_, e, t) => e >= t })
   }
 
+  test("quantile sketch: matches sequential replay, layout-invariant, " +
+      "exact below k") {
+    val n = 2000
+    val rows = Seq.tabulate(n)(i => (i % 2, i.toLong, (i * 37 % 997).toDouble))
+    val df = rows.toDF("g", "id", "v")
+    val qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q90" -> 0.9)
+    val out = SketchOps.quantileSketch(df, Seq("g"), col("id"), col("v"),
+        k = 128, qs)
+      .collect().map(r => r.getAs[Int]("g") ->
+        (r.getAs[Long]("n_sample"),
+          r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+          r.getAs[Double]("q90"))).toMap
+    // sequential replay: k smallest by (hash, v), then order statistics
+    rows.groupBy(_._1).foreach { case (g, grp) =>
+      val samp = grp.map(t => (SketchOps.kmvHash(t._2), t._3))
+        .sortBy(identity).take(128).map(_._2).sorted
+      val want = qs.map { case (_, q) =>
+        samp(math.floor(q * (samp.length - 1)).toInt) }
+      assert(out(g) === ((128L, want(0), want(1), want(2))), s"group $g")
+    }
+    // merge path: identical under a hostile partition layout
+    val out13 = SketchOps.quantileSketch(df.repartition(13), Seq("g"),
+        col("id"), col("v"), k = 128, qs)
+      .collect().map(r => r.getAs[Int]("g") ->
+        (r.getAs[Long]("n_sample"),
+          r.getAs[Double]("q25"), r.getAs[Double]("q50"),
+          r.getAs[Double]("q90"))).toMap
+    assert(out13 === out)
+    // below k the sample is the whole group: exact quantiles
+    val small = Seq.tabulate(10)(i => (0, i.toLong, i.toDouble)).toDF("g", "id", "v")
+    val r = SketchOps.quantileSketch(small, Seq("g"), col("id"), col("v"),
+        k = 128, Seq("q50" -> 0.5)).head()
+    assert(r.getAs[Long]("n_sample") === 10L)
+    assert(r.getAs[Double]("q50") === 4.0) // floor(0.5*9) = 4
+  }
+
   test("kmv: estimate within ~2/sqrt(k) above k; threshold is kth hash") {
     val n = 5000
     val df = Seq.tabulate(n)(i => i.toLong).toDF("v").withColumn("g", lit(0))

@@ -67,6 +67,47 @@ class StreamingOpsSpec extends SparkSpec {
     assert(b === Seq(0L, 9L))
   }
 
+  test("intervalJoin buffers across micro-batches and bounds the window") {
+    implicit val sqlCtx = spark.sqlContext
+    def t(s: String) = java.sql.Timestamp.valueOf(s)
+    val views = MemoryStream[(java.sql.Timestamp, Int, Long)]
+    val clicks = MemoryStream[(java.sql.Timestamp, Int, Long)]
+    val out = StreamingOps.intervalJoin(
+      views.toDF().toDF("view_ts", "key", "view_id"),
+      clicks.toDF().toDF("click_ts", "key", "click_id"),
+      Seq("key"), "view_ts", "click_ts",
+      expr("interval 0 seconds"), expr("interval 10 seconds"),
+      leftWatermark = Some("1 minute"), rightWatermark = Some("1 minute"))
+    val q = out.writeStream.format("memory").queryName("ij_t")
+      .outputMode("append").start()
+    // batch 1: views only — nothing joinable yet
+    views.addData((t("2024-01-01 00:00:01"), 0, 100L),
+      (t("2024-01-01 00:00:30"), 1, 101L))
+    q.processAllAvailable()
+    assert(spark.table("ij_t").count() === 0)
+    // batch 2: a click 4 s after view 100 (in window, buffered left
+    // side joins NOW) and one 29 s after view 101 (outside window)
+    clicks.addData((t("2024-01-01 00:00:05"), 0, 200L),
+      (t("2024-01-01 00:00:59"), 1, 201L))
+    q.processAllAvailable()
+    val got = spark.table("ij_t").collect()
+      .map(r => (r.getAs[Long]("view_id"), r.getAs[Long]("click_id"))).toSeq
+    q.stop()
+    assert(got === Seq((100L, 200L)))
+
+    // batch equivalence: same operator on static frames
+    val bv = Seq((t("2024-01-01 00:00:01"), 0, 100L),
+      (t("2024-01-01 00:00:30"), 1, 101L)).toDF("view_ts", "key", "view_id")
+    val bc = Seq((t("2024-01-01 00:00:05"), 0, 200L),
+      (t("2024-01-01 00:00:59"), 1, 201L)).toDF("click_ts", "key", "click_id")
+    val b = StreamingOps.intervalJoin(bv, bc, Seq("key"),
+        "view_ts", "click_ts",
+        expr("interval 0 seconds"), expr("interval 10 seconds"))
+      .collect().map(r => (r.getAs[Long]("view_id"),
+        r.getAs[Long]("click_id"))).toSeq
+    assert(b === got)
+  }
+
   test("runningFlagCounts counts flags per window under streaming") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(java.sql.Timestamp, String, Boolean)]
