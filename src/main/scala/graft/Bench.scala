@@ -43,6 +43,16 @@ object Bench {
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    // The driver captures only the TAIL of stdout (~2000 chars), and the
+    // full per-query line above is ~4.5 KB — every round so far recorded
+    // `parsed: null` because the line's head was cut off. Emit a compact
+    // record LAST (total + the 10 slowest queries, rounded), well under
+    // the capture window, so the tail always holds one parseable JSON.
+    val top = results.sortBy(-_._2).take(10)
+      .map { case (k, v) => "\"" + k + "\":" + (math.floor(v * 1000) / 1000) }
+      .mkString("{", ",", "}")
+    val totalR = math.floor(total * 1000) / 1000
+    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

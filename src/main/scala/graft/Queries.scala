@@ -1096,7 +1096,7 @@ object Queries {
         qround(col("estimate"), 6).as("estimate")),
     """WITH h AS (
       |  SELECT DISTINCT l_returnflag,
-      |    (l_orderkey * 2654435761) % 1000000007 AS h
+      |    ((l_orderkey % 1000000007) * 2654435761) % 1000000007 AS h
       |  FROM lineitem),
       |r AS (
       |  SELECT l_returnflag, h,
@@ -1128,7 +1128,8 @@ object Queries {
         qs = Seq("q25" -> 0.25, "q50" -> 0.5, "q75" -> 0.75, "q90" -> 0.9)),
     """WITH h AS (
       |  SELECT l_returnflag, l_extendedprice AS v,
-      |    ((l_orderkey * 8 + l_linenumber) * 2654435761) % 1000000007 AS h
+      |    (((l_orderkey * 8 + l_linenumber) % 1000000007) * 2654435761)
+      |      % 1000000007 AS h
       |  FROM lineitem),
       |r AS (
       |  SELECT l_returnflag, v,

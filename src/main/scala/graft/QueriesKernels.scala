@@ -174,7 +174,7 @@ object QueriesKernels {
     // boundary immaterial. Base-case literals MUST be cast to DOUBLE:
     // a bare 1.0 types the recursive union DECIMAL(2,1) and silently
     // rounds every sweep back to the unit gain.
-    """WITH RECURSIVE red AS (
+    """WITH RECURSIVE red AS MATERIALIZED (
       |  SELECT CAST(month(l_shipdate) AS BIGINT) AS solint,
       |    CAST(l_orderkey % 8 AS INT) AS ant1,
       |    CAST(l_suppkey % 8 AS INT) AS ant2,
@@ -574,8 +574,12 @@ object QueriesKernels {
         col("l_tax").as("re"), col("l_discount").as("im"),
         (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
       val (img, psf) = GridOps.makeImageAndPsf(s, fx, p)
+      // niter 40 (was 200): each oracle iteration is one recursive-CTE
+      // level, and 200 levels cost ~12 s of the driver's DuckDB budget;
+      // 40 still replays a deep greedy loop and clean_converged covers
+      // the threshold-stop path separately.
       CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
-          gain = 0.2, threshold = 0.05, niter = 200)
+          gain = 0.2, threshold = 0.05, niter = 40)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
@@ -588,7 +592,7 @@ object QueriesKernels {
        |    l_tax AS re, l_discount AS im, l_discount + 0.5 AS weight,
        |    1500000000.0 AS freq
        |  FROM lineitem),
-       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 200)}""".stripMargin)
+       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 40)}""".stripMargin)
 
   /** Everything downstream of a `fx(u, v, re, im, weight, freq)` CTE
     * for a full single-plane imaging + Hogbom chain, hash-exact end to
@@ -606,7 +610,7 @@ object QueriesKernels {
   private def hogbomChainSql(gain: Double, threshold: Double,
                              niter: Int): String =
     s"""$imagingPrefixSql,
-       |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
+       |thr AS MATERIALIZED (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
        |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
        |r AS (
        |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
@@ -695,7 +699,7 @@ object QueriesKernels {
          |  SELECT l_out, m_out, l_out + 8 AS lp, m_out + 8 AS mp
          |  FROM generate_series(0, 15) tl(l_out)
          |  CROSS JOIN generate_series(0, 15) tm(m_out)),
-         |img AS (
+         |img AS MATERIALIZED (
          |  SELECT px.l_out AS l_idx, px.m_out AS m_idx,
          |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0)
          |      - g.gim * sin(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
@@ -703,7 +707,12 @@ object QueriesKernels {
          |      / (corr.t[px.lp + 1] * corr.t[px.mp + 1]) AS v
          |  FROM grid_i g CROSS JOIN px CROSS JOIN corr
          |  GROUP BY px.l_out, px.m_out, px.lp, px.mp, corr.t),
-         |psf AS (
+         |-- MATERIALIZED: DuckDB inlines single-reference CTEs, and a
+         |-- CTE referenced from inside a recursive term is re-evaluated
+         |-- at EVERY recursion level — without the hint each Hogbom
+         |-- level recomputed this whole gridding + DFT chain (measured
+         |-- 10.4 s -> 0.3 s on deconvolve_point_clean)
+         |psf AS MATERIALIZED (
          |  SELECT px.l_out AS l_idx, px.m_out AS m_idx,
          |    sum(g.gre * cos(2 * pi() * ((g.u_idx - 16) * (px.lp - 16) + (g.v_idx - 16) * (px.mp - 16)) / 32.0))
          |      / (SELECT CASE WHEN sw = 0 THEN 1.0 ELSE sw END FROM sumw_p)
@@ -992,11 +1001,11 @@ object QueriesKernels {
        |  sin(l_idx * CAST(1.3 AS DOUBLE)) + cos(m_idx * CAST(0.7 AS DOUBLE)) +
        |    CASE WHEN l_idx = 5 AND m_idx = 9 THEN 4.0 ELSE 0.0 END AS v
        |  FROM px),
-       |psf AS (SELECT l_idx, m_idx,
+       |psf AS MATERIALIZED (SELECT l_idx, m_idx,
        |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
        |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
        |  FROM px),
-       |thr AS (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
+       |thr AS MATERIALIZED (SELECT ${fmt(threshold)} * abs(v) AS t FROM img
        |        ORDER BY abs(v) DESC, l_idx ASC, m_idx ASC LIMIT 1),
        |r AS (
        |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model
@@ -1067,8 +1076,11 @@ object QueriesKernels {
         col("l_tax").as("re"), col("l_discount").as("im"),
         (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
       val (img, psf) = GridOps.makeImageAndPsf(s, fx, p)
+      // niter 20 (was 50): each level is a heavy recursive-CTE step in
+      // the oracle (dual smoothed residuals + scored argmax); 50 cost
+      // ~20 s of the driver's DuckDB budget
       CleanOps.msCleanPlanes(s, img, psf, 16, 16, 16, 16,
-          scales = Seq(0, 2), gain = 0.2, threshold = 0.05, niter = 50)
+          scales = Seq(0, 2), gain = 0.2, threshold = 0.05, niter = 20)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
@@ -1104,18 +1116,18 @@ object QueriesKernels {
          |    1500000000.0 AS freq
          |  FROM lineitem),
          |$imagingPrefixSql,
-         |k2 AS (SELECT $k2::DOUBLE[] AS t),
+         |k2 AS MATERIALIZED (SELECT $k2::DOUBLE[] AS t),
          |r1init AS (${conv5("img", "v", "v")}),
-         |crossA AS (${conv5("psf", "k", "x")}),
-         |crossB AS (${conv5("crossA", "x", "x")}),
-         |nrm AS (
+         |crossA AS MATERIALIZED (${conv5("psf", "k", "x")}),
+         |crossB AS MATERIALIZED (${conv5("crossA", "x", "x")}),
+         |nrm AS MATERIALIZED (
          |  SELECT (SELECT k FROM psf WHERE l_idx = 8 AND m_idx = 8) AS n0,
          |         (SELECT x FROM crossB WHERE l_idx = 8 AND m_idx = 8) AS n1),
-         |state0 AS (
+         |state0 AS MATERIALIZED (
          |  SELECT i.l_idx, i.m_idx, i.v AS r0, r1.v AS r1,
          |    CAST(0 AS DOUBLE) AS model
          |  FROM img i JOIN r1init r1 USING (l_idx, m_idx)),
-         |stp AS (
+         |stp AS MATERIALIZED (
          |  SELECT ${fmt(0.05)} * max(biased) AS stop FROM (
          |    SELECT abs(r0) * 1.0e0 AS biased FROM state0
          |    UNION ALL
@@ -1162,7 +1174,7 @@ object QueriesKernels {
          |                     AND ca.m_idx = 8 + r.m_idx - pk.pm
          |  LEFT JOIN crossB cb ON cb.l_idx = 8 + r.l_idx - pk.pl
          |                     AND cb.m_idx = 8 + r.m_idx - pk.pm
-         |  WHERE r.it < 50 AND pk.biased > stp.stop)
+         |  WHERE r.it < 20 AND pk.biased > stp.stop)
          |SELECT 0 AS img_chan, 0 AS pol, l_idx, m_idx,
          |  floor(model * 1000000.0 + 0.5) / 1000000.0 AS model,
          |  floor(r0 * 1000000.0 + 0.5) / 1000000.0 AS residual
@@ -1458,7 +1470,7 @@ object QueriesKernels {
       val sig1 = "1.0e0"; val sig2 = "2.0e0"; val sig3 = "3.0e0"
       def s1(sig: String) =
         s"(SELECT sum(rr.v * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
-          s"FROM generate_series(-18, 18) a(di) CROSS JOIN generate_series(-18, 18) b(dj) " +
+          s"FROM generate_series(-9, 9) a(di) CROSS JOIN generate_series(-9, 9) b(dj) " +
           s"CROSS JOIN r rr " +
           s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
@@ -1466,7 +1478,7 @@ object QueriesKernels {
       def s2(sig: String) =
         s"(SELECT sum(exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) " +
           s"     * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
-          s"FROM generate_series(-18, 18) a(di) CROSS JOIN generate_series(-18, 18) b(dj) " +
+          s"FROM generate_series(-9, 9) a(di) CROSS JOIN generate_series(-9, 9) b(dj) " +
           s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND pl + a.di BETWEEN 0 AND 15 AND pm + b.dj BETWEEN 0 AND 15)"
@@ -1481,8 +1493,12 @@ object QueriesKernels {
         s"ELSE s1_1 * s1_1 / s2_1 END AS sc12 FROM ($l1) t1"
       val l3 = "SELECT *, CASE WHEN s1_3 * s1_3 / s2_3 > sc12 THEN 3 ELSE b12 END AS bidx " +
         s"FROM ($l2) t2"
+      // hi for the edge-winning largest sigma is the sigma itself (3),
+      // not 2x: the kernel clamps refinement to the grid span, which
+      // bounds every tap radius at ceil(3 * 3) = 9 and lets the whole
+      // oracle use a +-9 series instead of +-18 (4x fewer tap cells)
       val l4 = "SELECT *, CASE bidx WHEN 1 THEN 5.0e-1 WHEN 2 THEN 1.0e0 ELSE 2.0e0 END AS lo0, " +
-        "CASE bidx WHEN 1 THEN 2.0e0 WHEN 2 THEN 3.0e0 ELSE 6.0e0 END AS hi0 " +
+        "CASE bidx WHEN 1 THEN 2.0e0 WHEN 2 THEN 3.0e0 ELSE 3.0e0 END AS hi0 " +
         s"FROM ($l3) t3"
       var lvl = l4
       for (k <- 0 until 3) {
@@ -1513,19 +1529,19 @@ object QueriesKernels {
          |  + 0.1e0 * sin(l_idx * CAST(0.9 AS DOUBLE))
          |          * cos(m_idx * CAST(0.8 AS DOUBLE)) AS v
          |  FROM px),
-         |psf AS (SELECT l_idx, m_idx,
+         |psf AS MATERIALIZED (SELECT l_idx, m_idx,
          |  exp(-(${fmt(al)} * (l_idx - 8) * (l_idx - 8)
          |      + ${fmt(ga)} * (m_idx - 8) * (m_idx - 8))) AS k
          |  FROM px),
-         |stp AS (SELECT ${fmt(0.05)} * max(abs(v)) AS stop FROM img),
+         |stp AS MATERIALIZED (SELECT ${fmt(0.05)} * max(abs(v)) AS stop FROM img),
          |r AS (
          |  SELECT 0 AS it, l_idx, m_idx, v, CAST(0 AS DOUBLE) AS model FROM img
          |  UNION ALL
          |  SELECT r.it + 1, r.l_idx, r.m_idx,
          |    r.v - ${fmt(0.1)} * pk.ampf * coalesce(
          |      (SELECT sum(exp(-(a.gi * a.gi + b.gj * b.gj) * pk.inv) * f.k)
-         |       FROM generate_series(-18, 18) a(gi)
-         |       CROSS JOIN generate_series(-18, 18) b(gj)
+         |       FROM generate_series(-9, 9) a(gi)
+         |       CROSS JOIN generate_series(-9, 9) b(gj)
          |       JOIN psf f ON f.l_idx = 8 + r.l_idx - pk.pl - a.gi
          |                 AND f.m_idx = 8 + r.m_idx - pk.pm - b.gj
          |       WHERE abs(a.gi) <= pk.rrad AND abs(b.gj) <= pk.rrad), 0.0),
@@ -1663,14 +1679,14 @@ object QueriesKernels {
       |  FROM v JOIN l0 USING (l_idx, m_idx)
       |  CROSS JOIN generate_series(0, 15) k(k)
       |  GROUP BY 1, 2, 3),
-      |rmsf AS (
+      |rmsf AS MATERIALIZED (
       |  SELECT v.l_idx, v.m_idx, CAST(o.o AS INT) AS o,
       |    sum(cos(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rre,
       |    sum(sin(-2.0e0 * (o.o * 4.0e0) * (v.lam2 - l0.l0)) / 8.0e0) AS rim
       |  FROM v JOIN l0 USING (l_idx, m_idx)
       |  CROSS JOIN generate_series(-15, 15) o(o)
       |  GROUP BY 1, 2, 3),
-      |stp AS (
+      |stp AS MATERIALIZED (
       |  SELECT l_idx, m_idx,
       |    CAST(0.05 AS DOUBLE) * CAST(0.05 AS DOUBLE)
       |      * max(fre * fre + fim * fim) AS stop
@@ -2019,9 +2035,15 @@ object QueriesKernels {
          |FROM q""".stripMargin
     })
 
-  // mosaic fixture shared by the image and psf queries
+  // mosaic fixture shared by the image and psf queries. The 1/16
+  // deterministic subset (l_orderkey % 16 = 0, mirrored in every
+  // mosaic oracle's fx CTE) keeps the DuckDB mirror affordable: the
+  // oracle replays the complex-kernel scatter as a 225-tap explode
+  // per row, which at full sf0.01 cost ~90 s PER mosaic query and
+  // blew the driver's correctness budget in round 4. Exactness is
+  // untouched — both engines see the identical subset.
   private def mosaicFixture(s: SparkSession, d: String) =
-    Tables.lineitem(s, d).select(
+    Tables.lineitem(s, d).where(col("l_orderkey") % 16 === 0).select(
       lit(0).as("img_chan"), lit(0).as("pol"),
       (col("l_extendedprice") % 60.0 - 30.0).as("u"),
       ((col("l_quantity") * 3.0 + col("l_linenumber")) % 60.0 - 30.0).as("v"),
@@ -2070,7 +2092,7 @@ object QueriesKernels {
        |    1500000000.0 AS freq,
        |    CAST(l_suppkey % 2 AS INT) AS cf_type,
        |    CAST(l_orderkey % 2 AS INT) AS field_id
-       |  FROM lineitem),
+       |  FROM lineitem WHERE l_orderkey % 16 = 0),
        |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
        |geom AS (
        |  SELECT *,
@@ -2224,7 +2246,7 @@ object QueriesKernels {
          |  SELECT row_number() OVER () AS rid, l_discount + 0.5 AS weight,
          |    CAST(l_suppkey % 2 AS INT) AS cf_type,
          |    CAST(l_orderkey % 2 AS INT) AS field_id
-         |  FROM lineitem),
+         |  FROM lineitem WHERE l_orderkey % 16 = 0),
          |k AS (SELECT ${lst(cgk0)}::DOUBLE[] AS t0, ${lst(cgk1)}::DOUBLE[] AS t1),
          |geom AS (
          |  SELECT *,
@@ -2503,8 +2525,11 @@ object QueriesKernels {
         .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
       // one scan + one shuffle grids both accumulators
       val (img, psf) = GridOps.makeImageAndPsf(s, weighted, p)
+      // niter 30 (was 100): the composed-pipeline oracle replays every
+      // Hogbom level recursively; 100 levels cost ~15 s of the
+      // driver's DuckDB budget
       CleanOps.cleanPlanes(s, img, psf, 16, 16, 16, 16,
-          gain = 0.2, threshold = 0.05, niter = 100)
+          gain = 0.2, threshold = 0.05, niter = 30)
         .select(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"),
           qround(col("model"), 6).as("model"),
           qround(col("residual"), 6).as("residual"))
@@ -2555,7 +2580,7 @@ object QueriesKernels {
        |  FROM cells0 c0
        |  LEFT JOIN cells c ON c0.u_cell = c.u_cell AND c0.v_cell = c.v_cell
        |  CROSS JOIN fac),
-       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 100)}""".stripMargin)
+       |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 30)}""".stripMargin)
 
   /** synthesis_imaging_cube (ngcasa/imaging/synthesis_imaging_cube.py:
     * 30-310): the per-channel flagship composition — imaging weights ->

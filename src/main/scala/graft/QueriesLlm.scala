@@ -78,18 +78,28 @@ object QueriesLlm {
        |  min(doc_id) AS doc_id, count(*) AS n_dupes
        |FROM documents GROUP BY 1, 2""".stripMargin)
 
-  /** corpus with synthetic near-dups: 20 lightly-mutated copies. */
-  private def dupCorpus(s: SparkSession, d: String): DataFrame = {
+  /** corpus with synthetic near-dups: 20 lightly-mutated copies.
+    * `mod` takes a deterministic 1/mod subset (doc_id % mod = 0,
+    * mirrored in [[dupCorpusSql]]) — the SQL mirrors of the heavier
+    * dedup oracles (shingle list ops per doc, and dedup_clusters'
+    * all-pairs transitive closure) were the round-4 driver-budget
+    * offenders, and a smaller identical corpus in BOTH engines keeps
+    * them exact while affordable.
+    */
+  private def dupCorpus(s: SparkSession, d: String,
+                        mod: Int = 1): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
+      .where(col("doc_id") % mod === 0)
     docs.unionByName(docs.where(col("doc_id") < 20)
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text")))
   }
 
-  private val dupCorpusSql =
-    """corpus AS (SELECT doc_id, text FROM documents
-      |  UNION ALL SELECT doc_id + 10000, text || ' extra'
-      |  FROM documents WHERE doc_id < 20)""".stripMargin
+  private def dupCorpusSql(mod: Int = 1): String =
+    s"""corpus AS (SELECT doc_id, text FROM documents
+       |  WHERE doc_id % $mod = 0
+       |  UNION ALL SELECT doc_id + 10000, text || ' extra'
+       |  FROM documents WHERE doc_id < 20 AND doc_id % $mod = 0)""".stripMargin
 
   private def sigSqlEntries: String =
     (0 until 16).map { j =>
@@ -101,8 +111,8 @@ object QueriesLlm {
     * signatures -> LSH bands -> candidate pairs -> exact-Jaccard
     * verification (mirrors DedupOps.minHashNearDup pre-threshold).
     */
-  private def minhashVerSql =
-    s"""$dupCorpusSql,
+  private def minhashVerSql(mod: Int = 1) =
+    s"""${dupCorpusSql(mod)},
        |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
        |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
        |bands AS (
@@ -120,11 +130,11 @@ object QueriesLlm {
        |            JOIN sh s2 ON cand.id2 = s2.doc_id)""".stripMargin
 
   private val dedupMinhashQ = Q(
-    (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d), "doc_id", "text",
-        threshold = 0.5)
+    (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d, mod = 2), "doc_id",
+        "text", threshold = 0.5)
       .select(col("id1"), col("id2"), col("n_inter"), col("n_union"),
         qround(col("jaccard"), 6).as("jaccard")),
-    s"""WITH $minhashVerSql
+    s"""WITH ${minhashVerSql(mod = 2)}
        |SELECT id1, id2, n_inter, n_union,
        |  ${qrSql("CAST(n_inter AS DOUBLE) / n_union", 6)} AS jaccard
        |FROM ver
@@ -138,13 +148,20 @@ object QueriesLlm {
     * iteration.
     */
   private val dedupClustersQ = Q(
-    (s, d) => DedupOps.dedupClusters(dupCorpus(s, d), "doc_id", "text",
-      threshold = 0.5),
-    s"""WITH RECURSIVE $minhashVerSql,
+    // mod = 4: the oracle's `reach` CTE is all-pairs reachability per
+    // component — quadratic in component size — and cost ~60 s of the
+    // round-4 driver budget at the full corpus
+    (s, d) => DedupOps.dedupClusters(dupCorpus(s, d, mod = 4), "doc_id",
+      "text", threshold = 0.5),
+    s"""WITH RECURSIVE ${minhashVerSql(mod = 4)},
        |pairs AS (
        |  SELECT id1, id2 FROM ver
        |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
-       |e AS (SELECT id1 AS a, id2 AS b FROM pairs
+       |-- MATERIALIZED: e is probed at every recursion level of
+       |-- `reach`; un-hinted, DuckDB re-evaluates the whole minhash +
+       |-- band-join chain behind it per level (~45 s of the round-4
+       |-- driver budget)
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
        |      UNION SELECT id2, id1 FROM pairs),
        |reach(a, b) AS (
        |  SELECT DISTINCT a, a FROM e
@@ -182,7 +199,7 @@ object QueriesLlm {
     (s, d) => DedupOps.simHashNearDup(dupCorpus(s, d), "doc_id", "text",
       nbits = 48, bands = 4, maxDist = 3),
     {
-      s"""WITH $dupCorpusSql,
+      s"""WITH ${dupCorpusSql()},
          |w AS (SELECT doc_id, ${whSql("text")} AS wh FROM corpus),
          |sig AS (SELECT doc_id,
          |  CAST(${simhashBitTermsSql(48)} AS BIGINT) AS sig FROM w),
@@ -487,7 +504,7 @@ object QueriesLlm {
        |        WHEN string_split(acc_, chr(30))[-1] = t.l AND x_ = t.r
        |        THEN acc_ || x_ ELSE acc_ || chr(30) || x_ END),
        |    chr(30)) AS syms, v.wc
-       |  FROM $prev v CROSS JOIN t$n t)"""
+       |  FROM $prev v LEFT JOIN t$n t ON TRUE)"""
   }
 
   private val bpeVocabCtes =
@@ -524,6 +541,12 @@ object QueriesLlm {
         .toSeq
       TextOps.bpeApply(docs, "doc_id", "text", merges)
     }, {
+      // LEFT JOIN ON TRUE, not CROSS JOIN: if the fixture corpus ever
+      // exhausted before round n, t$n is EMPTY — a cross join would
+      // vanish every row downstream while the Spark side tokenizes
+      // with the fewer learned merges. With the left join, t.l/t.r
+      // are NULL, the CASE falls through to the pass-through branch,
+      // and a$n degrades to a no-op round — matching the kernel.
       def applyRound(n: Int): String =
         s"""a$n AS (
            |  SELECT doc_id, word_idx, string_split(list_reduce(a.syms,
@@ -531,7 +554,7 @@ object QueriesLlm {
            |        WHEN string_split(acc_, chr(30))[-1] = t.l AND x_ = t.r
            |        THEN acc_ || x_ ELSE acc_ || chr(30) || x_ END),
            |    chr(30)) AS syms
-           |  FROM a${n - 1} a CROSS JOIN t$n t)"""
+           |  FROM a${n - 1} a LEFT JOIN t$n t ON TRUE)"""
       s"""WITH $bpeVocabCtes,
          |dw AS (
          |  SELECT doc_id, wds,
@@ -589,9 +612,9 @@ object QueriesLlm {
     * fingerprints; the df prune and pair count are exact integers.
     */
   private val substringDupesQ = Q(
-    (s, d) => DedupOps.substringDupes(dupCorpus(s, d), "doc_id", "text",
-      n = 3, w = 4, minShared = 5, maxDf = 50),
-    s"""WITH $dupCorpusSql,
+    (s, d) => DedupOps.substringDupes(dupCorpus(s, d, mod = 2), "doc_id",
+      "text", n = 3, w = 4, minShared = 5, maxDf = 50),
+    s"""WITH ${dupCorpusSql(mod = 2)},
        |f0 AS (
        |  SELECT doc_id, ${shPosSql(whSql("text"))} AS sh FROM corpus),
        |f1 AS (SELECT doc_id, ${winnowSql("sh", 4)} AS fps FROM f0),
@@ -1032,13 +1055,16 @@ object QueriesLlm {
   /** Shared decontamination oracle — the Bloom-prefiltered variant
     * must produce byte-identical pairs (the filter is perf-only).
     */
+  // documents subset doc_id % 2 = 0 (mirrored in both decontaminate
+  // Spark fixtures): the per-doc shingle list ops in this mirror cost
+  // ~10 s each of the round-4 driver budget at the full table
   private val decontSql =
     s"""WITH s0 AS (
        |  SELECT doc_id,
        |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
        |      % ${SampleOps.SplitBuckets} AS b,
        |    ${shSql(whSql("text"))} AS shs
-       |  FROM documents),
+       |  FROM documents WHERE doc_id % 2 = 0),
        |s AS (
        |  SELECT doc_id,
        |    CASE WHEN b < 8000 THEN 'train'
@@ -1056,7 +1082,8 @@ object QueriesLlm {
 
   private val decontaminateQ = Q(
     (s, d) => {
-      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+      val split = SampleOps.hashSplit(
+        Tables.documents(s, d).where(col("doc_id") % 2 === 0), "doc_id",
         Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
       DedupOps.contaminationPairs(split, "doc_id", "text", "split",
         "train", "test", shingleN = 3, maxDf = 10)
@@ -1068,7 +1095,8 @@ object QueriesLlm {
     */
   private val decontaminateBloomQ = Q(
     (s, d) => {
-      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+      val split = SampleOps.hashSplit(
+        Tables.documents(s, d).where(col("doc_id") % 2 === 0), "doc_id",
         Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
       DedupOps.contaminationPairsBloom(split, "doc_id", "text", "split",
         "train", "test", shingleN = 3, maxDf = 10, fpp = 0.01)

@@ -406,11 +406,17 @@ object CleanOps {
         val (a, sc) = fit(p0, s)
         if (sc > bestScore) { bestScore = sc; bestSigma = s; bestAmp = a }
       }
-      // ternary search between the grid neighbors of the winner
+      // ternary search between the grid neighbors of the winner. The
+      // bracket never leaves the configured grid span upward: an
+      // edge-winning largest sigma refines within its LAST grid
+      // interval rather than doubling, so the kernel's support radius
+      // is bounded by ceil(3 * max(sigmas)) by construction — the
+      // distributed tap cost (and the SQL oracle's tap series) stays
+      // provably bounded no matter what the data does.
       if (refineIters > 0) {
         val i = sigmas.indexOf(bestSigma)
         var lo = if (i > 0) sigmas(i - 1) else bestSigma * 0.5
-        var hi = if (i < sigmas.length - 1) sigmas(i + 1) else bestSigma * 2.0
+        var hi = if (i < sigmas.length - 1) sigmas(i + 1) else bestSigma
         var k = 0
         while (k < refineIters) {
           val m1 = lo + (hi - lo) / 3.0; val m2 = hi - (hi - lo) / 3.0

@@ -3,7 +3,6 @@ package graft.operators
 import scala.collection.mutable
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.Fft
 
 /** The standard uv-gridder and the imaging chain built on it —
@@ -255,9 +254,16 @@ object GridOps {
     */
   def degridVis(vis: DataFrame, grid: DataFrame, p: GridParams,
                 rowKeys: Seq[String],
-                maxBroadcastBytes: Long = 64L << 20): DataFrame = {
+                maxBroadcastBytes: Long = 64L << 20,
+                nPlanesHint: Option[Long] = None): DataFrame = {
     val planeBytes = 16L * p.nU * p.nV
-    val nPlanes = grid.select("img_chan", "pol").distinct().count()
+    // The plane-set size that picks the physical path is metadata
+    // (chans x pols), not data: callers that know the cube shape pass
+    // nPlanesHint and dispatch is free. Only without a hint does ONE
+    // counting job run — and then the chosen path recomputes the grid
+    // lineage, so expensive-grid callers should always hint.
+    val nPlanes = nPlanesHint.getOrElse(
+      grid.select("img_chan", "pol").distinct().count())
     if (nPlanes * planeBytes <= maxBroadcastBytes)
       degridVisBroadcast(vis, grid, p, rowKeys)
     else degridVisJoin(vis, grid, p, rowKeys)
@@ -752,11 +758,16 @@ object GridOps {
       if (polAverage) {
         require(rowKeyCols.nonEmpty,
           "polAverage needs rowKeyCols identifying the pol group")
-        val w = Window.partitionBy(rowKeyCols.map(col): _*)
-        // cache: this frame feeds the cell aggregate, the sum_weight
-        // aggregate AND the degrid join — without it the window
-        // shuffle re-executes once per branch (6x in the audited plan)
-        c.withColumn("nat_w", avg(col("weight")).over(w)).cache()
+        // Pol-group mean as an aggregate joined back, NOT a window over
+        // the fact frame: the aggregate output is one row per pol group
+        // (a shuffle both sides of a key-partitioned join — scales to
+        // any vis count), where a window + cache of the visibility
+        // stream would pin fact-sized memory on every executor. The
+        // mean over a pol group is order-exact for the 2-pol case
+        // (a+b is commutative in IEEE), so hash parity is unaffected.
+        val polMean = c.groupBy(rowKeyCols.map(col): _*)
+          .agg(avg(col("weight")).as("nat_w"))
+        c.join(polMean, rowKeyCols)
       } else c.withColumn("nat_w", col("weight"))
     }
     val primary = withCell.where(col("_in_grid"))

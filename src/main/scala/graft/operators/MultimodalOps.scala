@@ -94,8 +94,11 @@ object MultimodalOps {
       var i = 0
       while (i < px.length) {
         val (x, y) = (i % w, i / w)
+        // bands: 1 = gray, 2 = gray+alpha (alpha ignored), 3 = RGB,
+        // 4 = RGB+alpha (alpha ignored) — indexing band 2 on a 2-band
+        // gray+alpha raster would throw inside the executor otherwise
         px(i) =
-          if (bands == 1) raster.getSample(x, y, 0)
+          if (bands <= 2) raster.getSample(x, y, 0)
           else {
             val r = raster.getSample(x, y, 0)
             val g = raster.getSample(x, y, 1)
@@ -128,11 +131,26 @@ object MultimodalOps {
     out.toByteArray
   }
 
-  /** REAL WAV decode via javax.sound.sampled: parses the RIFF header,
-    * converts to PCM16 little-endian mono samples.
+  /** REAL WAV decode via javax.sound.sampled: parses the RIFF header
+    * and returns PCM16 little-endian mono samples. Streams whose
+    * actual format differs (8/24-bit, big-endian, multi-channel,
+    * float, compressed) are CONVERTED through the codec's resampler
+    * when possible rather than silently reinterpreted as PCM16LE
+    * mono — and rejected loudly when no converter exists.
     */
   def decodeWavPcm16(content: Array[Byte]): Array[Int] = {
-    val in = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    val raw = AudioSystem.getAudioInputStream(new ByteArrayInputStream(content))
+    val fmt = raw.getFormat
+    val want = new AudioFormat(fmt.getSampleRate, 16, 1, true, false)
+    val in =
+      if (fmt.getEncoding == AudioFormat.Encoding.PCM_SIGNED &&
+        fmt.getSampleSizeInBits == 16 && fmt.getChannels == 1 &&
+        !fmt.isBigEndian) raw
+      else {
+        require(AudioSystem.isConversionSupported(want, fmt),
+          s"unsupported WAV format $fmt: cannot convert to PCM16LE mono")
+        AudioSystem.getAudioInputStream(want, raw)
+      }
     val bytes = in.readAllBytes()
     in.close()
     val n = bytes.length / 2

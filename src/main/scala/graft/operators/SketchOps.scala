@@ -29,7 +29,17 @@ object SketchOps {
   val KmvMod = 1000000007L
   val KmvMult = 2654435761L
 
-  def kmvHash(x: Long): Long = x * KmvMult % KmvMod
+  /** Pre-reducing x into [0, M) before the multiply keeps the product
+    * under 2^62 for ANY int64 input — without it, ids >= ~3.5e9 (easy
+    * in a 100 TB id space) overflow silently and the negative "hashes"
+    * all sort below every honest value, corrupting the bottom-k set.
+    * The reduction is mod the SAME prime as the hash range, so it costs
+    * nothing in collision structure (the hash range was [0, M) anyway)
+    * and stays exact-integer-replayable in SQL:
+    * ((x % 1000000007) * 2654435761) % 1000000007.
+    */
+  def kmvHash(x: Long): Long =
+    java.lang.Math.floorMod(x, KmvMod) * KmvMult % KmvMod
 
   /** Final sketch row: the k-th smallest distinct hash (the sketch
     * threshold), how many values the sketch holds, and the estimate.
@@ -200,9 +210,9 @@ object SketchOps {
     *
     * Spark shape: typed Aggregator → runs in the normal partial/final
     * hash-aggregate with map-side combine; the shuffle carries one
-    * <= k-pair buffer per group per partition, never raw rows. Row-id
-    * hashes must stay within int64 (id * 2654435761 < 2^63, i.e.
-    * id < 4e9) — at larger id spaces pre-hash ids into that range.
+    * <= k-pair buffer per group per partition, never raw rows. Any
+    * int64 row id is safe: [[kmvHash]] pre-reduces into [0, M) before
+    * multiplying, so nothing overflows (property-tested near 2^62).
     */
   final case class QsBuf(hs: Array[Long], vs: Array[Double])
   final case class QsResult(n_sample: Long, quants: Array[Double])

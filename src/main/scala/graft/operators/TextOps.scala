@@ -252,9 +252,26 @@ object TextOps {
     * rides the task closure; the corpus pass is ONE scan through a
     * compiled kernel — no shuffle, no state. This is the shape of
     * tokenizing a pretraining corpus on-cluster.
+    *
+    * Precondition (validated): each rank's operand symbols must be
+    * producible at that rank — a single codepoint or the output of an
+    * earlier-ranked merge. Tables learned by [[bpeMerges]] satisfy
+    * this by construction; for an arbitrary table that violates it
+    * (e.g. ("ab","c") ranked before ("a","b")) a single rank-ordered
+    * pass is NOT Sennrich apply_bpe, so we reject it loudly instead
+    * of silently mis-tokenizing.
     */
   def bpeApply(df: DataFrame, idCol: String, textCol: String,
                merges: Seq[(String, String)]): DataFrame = {
+    val produced = scala.collection.mutable.Set.empty[String]
+    for (((l, r), k) <- merges.zipWithIndex) {
+      def ok(s: String) = s.codePointCount(0, s.length) == 1 || produced(s)
+      require(ok(l) && ok(r),
+        s"bpeApply merge table invalid at rank ${k + 1}: ('$l','$r') " +
+          "references a symbol no earlier rank produces; single-pass " +
+          "rank-order replay only equals apply_bpe for learned tables")
+      produced += l + r
+    }
     val applyUdf = udf((w: String) => {
       var syms: Array[String] =
         w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))

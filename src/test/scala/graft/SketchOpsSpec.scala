@@ -92,6 +92,36 @@ class SketchOpsSpec extends SparkSpec {
     assert(r.getAs[Double]("q50") === 4.0) // floor(0.5*9) = 4
   }
 
+  test("kmvHash: safe across the full int64 id domain (no overflow)") {
+    // ids near 2^62 would overflow x * 2654435761 without the
+    // pre-reduction; with it, every hash is in [0, M) and equals the
+    // hash of the reduced id — a huge-id sketch must therefore match a
+    // small-id control built from the reduced ids.
+    val big = Seq.tabulate(500)(i => (1L << 62) + i * 2654435761L)
+    big.foreach { x =>
+      val h = SketchOps.kmvHash(x)
+      assert(h >= 0 && h < SketchOps.KmvMod, s"hash $h out of range")
+      assert(h === SketchOps.kmvHash(java.lang.Math.floorMod(
+        x, SketchOps.KmvMod)), s"id $x")
+    }
+    assert(SketchOps.kmvHash(-7L) >= 0) // floorMod, not %
+    val qs = Seq("q50" -> 0.5)
+    val bigDf = big.zipWithIndex
+      .map { case (id, i) => (0, id, (i * 37 % 997).toDouble) }
+      .toDF("g", "id", "v")
+    val ctlDf = big.zipWithIndex
+      .map { case (id, i) =>
+        (0, java.lang.Math.floorMod(id, SketchOps.KmvMod),
+          (i * 37 % 997).toDouble) }
+      .toDF("g", "id", "v")
+    val a = SketchOps.quantileSketch(bigDf, Seq("g"), col("id"), col("v"),
+      k = 64, qs).head()
+    val b = SketchOps.quantileSketch(ctlDf, Seq("g"), col("id"), col("v"),
+      k = 64, qs).head()
+    assert(a.getAs[Double]("q50") === b.getAs[Double]("q50"))
+    assert(a.getAs[Long]("n_sample") === b.getAs[Long]("n_sample"))
+  }
+
   test("kmv: estimate within ~2/sqrt(k) above k; threshold is kth hash") {
     val n = 5000
     val df = Seq.tabulate(n)(i => i.toLong).toDF("v").withColumn("g", lit(0))
