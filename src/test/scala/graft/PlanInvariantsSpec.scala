@@ -83,6 +83,64 @@ class PlanInvariantsSpec extends SparkSpec {
       s"degrid join degenerated to cartesian:\n$p")
   }
 
+  test("degridVis DISPATCHER picks the relational join path past the broadcast budget (plan-level)") {
+    // round-4 verdict item 5a: the dispatcher's RESULT equivalence is
+    // covered in GridOpsSpec; here we assert the physical PLAN, so a
+    // future edit can't silently route cube-scale grids through the
+    // driver-collecting broadcast path.
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val vis = (0 until 50).map { i =>
+      (0, 0, i * 0.1 - 2.5, i * 0.07 - 1.75, 1.0, 0.0, 1.0, 1.5e9)
+    }.toDF("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
+      .withColumn("rid", monotonically_increasing_id())
+    val p32 = operators.GridOps.GridParams((32, 32), (0.002, 0.002))
+    val (grid, _) = operators.GridOps.makeGrid(spark, vis, p32)
+    // budget 0 -> join path: the grid must be a JOIN OPERAND in the plan
+    val joinPlan = planOf(operators.GridOps.degridVis(
+      vis, grid, p32, Seq("rid"), maxBroadcastBytes = 0L))
+    assert(joinPlan.contains("Join"),
+      s"dispatcher no longer routes past-budget grids to the join path:\n$joinPlan")
+    // huge budget -> broadcast path: grid collected eagerly, plan is a
+    // pure projection with NO join operator
+    val bcastPlan = planOf(operators.GridOps.degridVis(
+      vis, grid, p32, Seq("rid"), maxBroadcastBytes = Long.MaxValue))
+    assert(!bcastPlan.contains("Join"),
+      s"dispatcher stopped broadcasting small grids:\n$bcastPlan")
+  }
+
+  test("no NEW global (partition-less) window on any wired query") {
+    // round-4 verdict item 5b: a Window without PARTITION BY pulls the
+    // whole frame through one task — fatal at 100 TB. Exactly these
+    // queries carry one, each over provably bounded cardinality:
+    //   baseline_ids     distinct antenna pairs   (IngestOps.scala:27)
+    //   time_average_bin distinct timestamps      (AverageOps.scala:143)
+    //   shard_by_tokens  per-bucket totals        (PackOps.scala:90)
+    //   join_dataset /   distinct remap keys      (JoinOps.scala:75)
+    //     remap_fact_key
+    //   dsir_sample      the k rows AFTER limit   (SampleOps.scala:134)
+    // Any other query acquiring a global window fails this test and
+    // must either partition the window or document + whitelist it.
+    import org.apache.spark.sql.execution.window.WindowExec
+    val whitelist = Set("baseline_ids", "time_average_bin",
+      "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample")
+    val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
+      val globals =
+        try q.fn(spark, d).queryExecution.sparkPlan.collect {
+          case w: WindowExec if w.partitionSpec.isEmpty => w
+        }.size
+        catch { case _: Throwable => 0 } // unplannable here = other specs' job
+      name -> globals
+    }).filter(_._2 > 0).map(_._1).toSet
+    assert(offenders.subsetOf(whitelist),
+      s"NEW global window(s) in: ${(offenders -- whitelist).toSeq.sorted
+        .mkString(", ")} — partition the window or whitelist with a " +
+        "cardinality argument")
+    assert(whitelist.subsetOf(offenders),
+      s"whitelist is stale — these no longer have global windows: " +
+        s"${(whitelist -- offenders).toSeq.sorted.mkString(", ")}")
+  }
+
   test("filter pushdown reaches the parquet scan on a partition-pruned read") {
     val df = Tables.lineitem(spark, d).where("l_linenumber = 3")
       .select("l_orderkey", "l_quantity")
