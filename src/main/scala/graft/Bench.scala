@@ -21,11 +21,18 @@ object Bench {
       // imaging query runs first absorbs ~4 s of one-time JIT
       SparkEntry.queries("make_grid")(spark, sfDir)
         .queryExecution.toRdd.count()
+      // and the RDD sort / rank-select path (statistics is its only
+      // user): ~1.8 s of one-time JIT otherwise lands on that query
+      SparkEntry.queries("statistics")(spark, sfDir)
+        .queryExecution.toRdd.count()
     } catch { case _: Throwable => () }
     finally spark.catalog.clearCache() // even if warmup threw
     // Deterministic (sorted) order so per-query numbers are comparable
-    // across rounds.
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // across rounds. Optional args = query-name filter (same convention
+    // as Verify) for targeted solo timing.
+    val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    val results = wanted.map { case (name, fn) =>
       val t0 = System.nanoTime()
       // Materialize every row of the real plan (a bare .count() would let
       // Catalyst prune the value columns and skip the measured work).
