@@ -1061,6 +1061,34 @@ object Queries {
       |       THEN 1.0 / (l_tax * l_tax) END AS data_weight
       |FROM lineitem""".stripMargin)
 
+  private val splitAutocrossQ = Q(
+    (s, d) => {
+      // FEED-aware auto/cross split (convert_ms.py:105-106): a row is
+      // auto only when antennas AND feeds both match; the query returns
+      // the cross partition tagged, plus enough keys to hash-compare.
+      val vis = Tables.lineitem(s, d).select(
+        col("l_orderkey"), col("l_linenumber"),
+        (col("l_orderkey") % 20).cast("int").as("antenna1"),
+        (col("l_suppkey") % 20).cast("int").as("antenna2"),
+        (col("l_linenumber") % 2).cast("int").as("feed1"),
+        lit(0).cast("int").as("feed2"))
+      val (auto, cross) = sources.IngestOps.splitAutoCross(
+        vis, "antenna1", "antenna2", Some("feed1"), Some("feed2"))
+      auto.withColumn("part", lit("auto"))
+        .unionAll(cross.withColumn("part", lit("cross")))
+        .select("l_orderkey", "l_linenumber", "antenna1", "antenna2",
+          "feed1", "feed2", "part")
+    },
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_orderkey % 20 AS INT) AS antenna1,
+      |  CAST(l_suppkey % 20 AS INT) AS antenna2,
+      |  CAST(l_linenumber % 2 AS INT) AS feed1,
+      |  CAST(0 AS INT) AS feed2,
+      |  CASE WHEN l_orderkey % 20 = l_suppkey % 20
+      |        AND l_linenumber % 2 = 0
+      |       THEN 'auto' ELSE 'cross' END AS part
+      |FROM lineitem""".stripMargin)
+
   private val eventsWindowQ = Q(
     (s, d) => {
       // events.parquet carries TIMESTAMP(NANOS) which Spark only reads
@@ -1407,6 +1435,7 @@ object Queries {
     "merge_image_artifacts" -> mergeArtifactsQ,
     "baseline_ids" -> baselineIdsQ,
     "derive_weight" -> deriveWeightQ,
+    "split_autocross" -> splitAutocrossQ,
     "events_window" -> eventsWindowQ,
     "sessionize" -> sessionizeQ,
     "interval_join" -> intervalJoinQ,

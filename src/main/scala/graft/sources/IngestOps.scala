@@ -47,9 +47,23 @@ object IngestOps {
       (row_number().over(Window.orderBy(orderBy.map(col): _*)) - 1).cast("long"))
 
   /** Auto/cross-correlation split (convert_ms.py:101-112): the two
-    * partitions the reference materializes per DDI.
+    * partitions the reference materializes per DDI. The reference's
+    * predicate is FEED-aware (convert_ms.py:105-106): a row is an
+    * autocorrelation only when BOTH the antennas and the feeds match
+    * (`ANTENNA1 == ANTENNA2 && FEED1 == FEED2`); a same-antenna
+    * cross-feed row belongs to the cross partition. Pass the feed
+    * columns when the table has them; without feeds the split
+    * degenerates to the antenna-only predicate.
     */
-  def splitAutoCross(df: DataFrame, ant1: String, ant2: String)
-      : (DataFrame, DataFrame) =
-    (df.where(col(ant1) === col(ant2)), df.where(col(ant1) =!= col(ant2)))
+  def splitAutoCross(df: DataFrame, ant1: String, ant2: String,
+                     feed1: Option[String] = None,
+                     feed2: Option[String] = None)
+      : (DataFrame, DataFrame) = {
+    val sameFeed = (feed1, feed2) match {
+      case (Some(f1), Some(f2)) => col(f1) === col(f2)
+      case _                    => lit(true)
+    }
+    val auto = col(ant1) === col(ant2) && sameFeed
+    (df.where(auto), df.where(!auto))
+  }
 }
