@@ -919,6 +919,104 @@ object QueriesLlm {
         "THEN 1.0 ELSE 0.0 END) * (1.0 - least(CAST(n_punct AS DOUBLE) / n_words, 1.0))", 8)} AS quality_score
        |FROM u""".stripMargin)
 
+  // ------------------------------------------------- quality classifier
+
+  /** Shared featurization for the logistic quality classifier: three
+    * cheap per-doc features (scaled length, English-stopword ratio,
+    * space ratio) and the is-English label — every expression chosen
+    * to be bit-identical across engines (integer-ratio divisions and
+    * one exact scale, no transcendentals).
+    */
+  private def logregFeatures(docs: DataFrame): DataFrame = {
+    val ws = split(col("text"), " ")
+    val stopArr = array(Seq("the", "a", "of", "and", "to", "in", "is").map(lit): _*)
+    docs.select(col("doc_id"),
+      (col("n_chars").cast("double") / lit(200.0)).as("f_len"),
+      (size(filter(ws, w => array_contains(stopArr, w))).cast("double") /
+        size(ws)).as("f_stop"),
+      ((length(col("text")) -
+        length(regexp_replace(col("text"), " ", ""))).cast("double") /
+        length(col("text"))).as("f_space"),
+      when(col("lang") === "en", lit(1.0)).otherwise(lit(0.0)).as("y"))
+  }
+
+  /** The same featurization + the 5-step GD replay as a recursive CTE:
+    * each level recomputes the 4 gradient sums as correlated scalar
+    * subqueries over the MATERIALIZED feature table and steps the
+    * weights on the shared 1e-9 grid (ClassifierOps quantizes
+    * identically, so the trajectories are engine-exact).
+    */
+  private val logregGdSql: String = {
+    val z = "gd.w1*f1 + gd.w2*f2 + gd.w3*f3 + gd.b"
+    def g(fac: String) =
+      s"(SELECT sum((1.0e0/(1.0e0 + exp(-($z))) - y)$fac) FROM f)"
+    def step(w: String, fac: String) =
+      s"floor(($w - 0.5e0 * ${g(fac)} / (SELECT n FROM nn)) * 1e9 + 0.5) / 1e9"
+    s"""f AS MATERIALIZED (
+       |  SELECT doc_id,
+       |    CAST(n_chars AS DOUBLE) / 200.0e0 AS f1,
+       |    CAST(len(list_filter(string_split(text, ' '),
+       |      w_ -> w_ IN ('the','a','of','and','to','in','is'))) AS DOUBLE)
+       |      / len(string_split(text, ' ')) AS f2,
+       |    CAST(length(text) - length(replace(text, ' ', '')) AS DOUBLE)
+       |      / length(text) AS f3,
+       |    CASE WHEN lang = 'en' THEN CAST(1.0 AS DOUBLE)
+       |         ELSE CAST(0.0 AS DOUBLE) END AS y
+       |  FROM documents),
+       |nn AS (SELECT CAST(count(*) AS DOUBLE) AS n FROM f),
+       |gd AS (
+       |  SELECT 0 AS it, CAST(0.0 AS DOUBLE) AS w1, CAST(0.0 AS DOUBLE) AS w2,
+       |         CAST(0.0 AS DOUBLE) AS w3, CAST(0.0 AS DOUBLE) AS b
+       |  UNION ALL
+       |  SELECT it + 1,
+       |    ${step("w1", " * f1")},
+       |    ${step("w2", " * f2")},
+       |    ${step("w3", " * f3")},
+       |    ${step("b", "")}
+       |  FROM gd WHERE it < 5)""".stripMargin
+  }
+
+  private val logregFeatureNames = Seq("f_len", "f_stop", "f_space")
+
+  private def trainLogregWeights(s: SparkSession, d: String): Array[Double] =
+    ClassifierOps.trainLogistic(logregFeatures(Tables.documents(s, d)),
+      logregFeatureNames, "y", iters = 5, lr = 0.5)
+
+  private val logregTrainQ = Q(
+    (s, d) => {
+      import s.implicits._
+      val w = trainLogregWeights(s, d)
+      (logregFeatureNames :+ "bias").zip(w).toSeq.toDF("feature", "weight")
+        .select(col("feature"), qround(col("weight"), 6).as("weight"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5)
+       |SELECT 'f_len' AS feature, ${qrSql("w1", 6)} AS weight FROM wf
+       |UNION ALL SELECT 'f_stop', ${qrSql("w2", 6)} FROM wf
+       |UNION ALL SELECT 'f_space', ${qrSql("w3", 6)} FROM wf
+       |UNION ALL SELECT 'bias', ${qrSql("b", 6)} FROM wf""".stripMargin)
+
+  private val logregScoreQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+        logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+      // pred compares the QUANTIZED score so both engines branch on the
+      // same grid point, never on raw last-ulp noise
+      scored.select(col("doc_id"), qround(col("score"), 6).as("score"))
+        .withColumn("pred",
+          when(col("score") >= 0.5, lit(1)).otherwise(lit(0)))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT doc_id,
+       |    ${qrSql("1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))", 6)} AS score
+       |  FROM f, wf)
+       |SELECT doc_id, score,
+       |  CASE WHEN score >= 0.5e0 THEN 1 ELSE 0 END AS pred
+       |FROM sc""".stripMargin)
+
   /** Count-Min heavy hitters over document words: build a 4x512 CMS
     * of word-hash frequencies, then rank the vocabulary by sketch
     * estimate (true count alongside — the sketch never under-counts).
@@ -1622,6 +1720,8 @@ object QueriesLlm {
     "bpe_apply" -> bpeApplyQ,
     "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,
+    "logreg_quality_train" -> logregTrainQ,
+    "logreg_quality_score" -> logregScoreQ,
     "pii_scrub" -> piiScrubQ,
     "url_dedup" -> urlDedupQ,
     "curation_pipeline" -> curationPipelineQ,
