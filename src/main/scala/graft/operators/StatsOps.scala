@@ -30,50 +30,129 @@ object StatsOps {
     * single-node bottleneck this replaces (linear interpolation at
     * p*(n-1), identical semantics to percentile / quantile_cont).
     */
-  /** Rank-select quantiles from an already-sorted RDD. The RDD MUST be
-    * cached by the caller: the two jobs here (partition sizes, rank
-    * pick) must see the same partitioning and contents — an uncached
-    * non-deterministic upstream could recompute differently between
-    * jobs and make the rank lookup miss.
+  /** Per-partition row counts of the cached sorted RDD — one cheap job
+    * over cached blocks; prefix-summed into global rank offsets.
     */
-  private def rankSelect(sorted: org.apache.spark.rdd.RDD[Double],
-                         ps: Seq[Double]): Seq[Double] = {
-    val partSizes = sorted.mapPartitionsWithIndex((i, it) =>
-      Iterator((i, it.size))).collect().sortBy(_._1).map(_._2)
-    val n = partSizes.map(_.toLong).sum
-    if (n == 0) return ps.map(_ => Double.NaN)
-    val offsets = partSizes.scanLeft(0L)(_ + _)
-    val wanted: Set[Long] = ps.flatMap { p =>
-      val rank = p * (n - 1)
-      Seq(math.floor(rank).toLong, math.ceil(rank).toLong)
-    }.toSet
-    val picked = sorted.mapPartitionsWithIndex { (i, it) =>
-      val base = offsets(i)
-      it.zipWithIndex.collect {
-        case (value, j) if wanted.contains(base + j) => (base + j, value)
-      }
-    }.collect().toMap
-    def at(r: Long): Double = picked.getOrElse(r,
-      sys.error(s"rank $r not found — sorted RDD changed between jobs"))
-    ps.map { p =>
-      val rank = p * (n - 1)
-      val (lo, hi) = (math.floor(rank).toLong, math.ceil(rank).toLong)
-      val frac = rank - lo
-      at(lo) + (at(hi) - at(lo)) * frac
-    }
+  private def sortedOffsets(
+      sorted: org.apache.spark.rdd.RDD[Double]): Array[Long] = {
+    val sizes = sorted.mapPartitionsWithIndex((i, it) =>
+      Iterator((i, it.size.toLong))).collect().sortBy(_._1).map(_._2)
+    sizes.scanLeft(0L)(_ + _)
   }
 
-  /** Sort once, cache, rank-select: the sorted values live in executor
-    * memory (spilling to disk if large) for the two rank-select jobs
-    * instead of recomputing the sort per job.
+  /** Values at the given global ranks of the cached sorted RDD: ONE
+    * `runJob` touching ONLY the partitions that hold a wanted rank
+    * (all other partitions never schedule a task), each task scanning
+    * its cached block up to the last wanted local position. The
+    * collect is |ranks|-bounded.
+    */
+  private def valuesAtRanks(sorted: org.apache.spark.rdd.RDD[Double],
+                            offsets: Array[Long],
+                            ranks: Set[Long]): Map[Long, Double] = {
+    if (ranks.isEmpty) return Map.empty
+    // partition p holds rank r iff offsets(p) <= r < offsets(p+1);
+    // lastIndexWhere skips over empty partitions (equal offsets).
+    val byPart: Map[Int, Array[Int]] = ranks.toSeq
+      .groupBy(r => offsets.lastIndexWhere(_ <= r))
+      .map { case (p, rs) =>
+        p -> rs.map(r => (r - offsets(p)).toInt).sorted.toArray
+      }
+    val picked = sorted.sparkContext.runJob(sorted,
+      (ctx: org.apache.spark.TaskContext, it: Iterator[Double]) => {
+        val pid = ctx.partitionId()
+        val want = byPart(pid)
+        val out = new scala.collection.mutable.ArrayBuffer[(Long, Double)]
+        var idx = 0
+        var wi = 0
+        while (wi < want.length && it.hasNext) {
+          val v = it.next()
+          if (idx == want(wi)) { out += ((offsets(pid) + idx, v)); wi += 1 }
+          idx += 1
+        }
+        out.toSeq
+      }, byPart.keys.toSeq.sorted)
+    picked.flatten.toMap
+  }
+
+  /** Memoizing single-rank accessor over the cached sorted RDD. */
+  private final class RankAccessor(
+      sorted: org.apache.spark.rdd.RDD[Double], offsets: Array[Long],
+      seed: Map[Long, Double]) {
+    private val memo = scala.collection.mutable.Map[Long, Double](seed.toSeq: _*)
+    def at(r: Long): Double = memo.getOrElseUpdate(r,
+      valuesAtRanks(sorted, offsets, Set(r))(r))
+  }
+
+  /** Linear interpolation at rank p*(n-1) (numpy / quantile_cont). */
+  private def interp(p: Double, n: Long, at: Long => Double): Double = {
+    val rank = p * (n - 1)
+    val (lo, hi) = (math.floor(rank).toLong, math.ceil(rank).toLong)
+    val frac = rank - lo
+    val vlo = at(lo)
+    if (hi == lo) vlo else vlo + (at(hi) - vlo) * frac
+  }
+
+  /** Exact quantiles by distributed sort + rank probe: ONE census job
+    * (cached block sizes) + ONE probe job over only the rank-holding
+    * partitions. Collects are |ps|-bounded; nothing re-reads the
+    * source.
     */
   private[graft] def exactQuantiles(df: DataFrame, valueCol: Column,
                                     ps: Seq[Double]): Seq[Double] = {
     val sorted = df.select(valueCol.cast("double").as("_v"))
       .where(col("_v").isNotNull).sort(col("_v"))
       .rdd.map(_.getDouble(0)).cache()
-    try rankSelect(sorted, ps)
-    finally sorted.unpersist(blocking = false)
+    try {
+      val offsets = sortedOffsets(sorted)
+      val n = offsets.last
+      if (n == 0) return ps.map(_ => Double.NaN)
+      val wanted: Set[Long] = ps.flatMap { p =>
+        val rank = p * (n - 1)
+        Seq(math.floor(rank).toLong, math.ceil(rank).toLong)
+      }.toSet
+      val picked = valuesAtRanks(sorted, offsets, wanted)
+      ps.map(p => interp(p, n, picked(_)))
+    } finally sorted.unpersist(blocking = false)
+  }
+
+  /** Median absolute deviation from the median, WITHOUT re-sorting:
+    * on the ascending values v(0..n-1) with v(s-1) <= med <= v(s),
+    * the deviations |v - med| are the merge of two ascending
+    * sequences — L(a) = med - v(s-1-a) walking left from the split
+    * and R(b) = v(s+b) - med walking right. The k-th smallest of two
+    * ascending sequences needs only O(log k) random accesses
+    * (classic two-array selection), each a single-partition probe of
+    * the cached sort. At scale this replaces a second full shuffle
+    * sort of the data with ~2·log2(n) tiny cached-block reads.
+    */
+  private def madFromSorted(acc: RankAccessor, n: Long,
+                            med: Double): Double = {
+    // v(mhi) >= med >= v(mhi - 1) by median interpolation, so mhi is
+    // a valid split (ties around med may land on either side — their
+    // deviation is the same either way).
+    val s = math.ceil(0.5 * (n - 1)).toLong
+    val lenL = s
+    val lenR = n - s
+    def L(a: Long): Double = med - acc.at(s - 1 - a)
+    def R(b: Long): Double = acc.at(s + b) - med
+    def kth(k0: Long): Double = { // k0 is 1-based
+      var kk = k0; var aL = 0L; var aR = 0L
+      while (aL < lenL && aR < lenR && kk > 1) {
+        val step = kk / 2
+        val ni = math.min(aL + step, lenL)
+        val nj = math.min(aR + step, lenR)
+        if (L(ni - 1) <= R(nj - 1)) { kk -= ni - aL; aL = ni }
+        else { kk -= nj - aR; aR = nj }
+      }
+      if (aL == lenL) R(aR + kk - 1)
+      else if (aR == lenR) L(aL + kk - 1)
+      else math.min(L(aL), R(aR))
+    }
+    val rank = 0.5 * (n - 1)
+    val (lo, hi) = (math.floor(rank).toLong, math.ceil(rank).toLong)
+    val dlo = kth(lo + 1)
+    val dhi = if (hi == lo) dlo else kth(hi + 1)
+    dlo + (dhi - dlo) * (rank - lo)
   }
 
   def statistics(df: DataFrame, value: String, posCols: Seq[String],
@@ -102,19 +181,29 @@ object StatsOps {
           .stat.approxQuantile("_d", Array(0.5), 1e-4)(0)
         (a, b, c, m)
       } else {
-        // ONE full sort of the values serves q1/median/q3 AND the MAD
-        // pass: the deviation |v - med| is derived from the cached
-        // sorted values (in-memory map + re-range-partition), never
-        // re-reading or re-sorting the source.
+        // ONE full sort of the values serves q1/median/q3 AND the MAD:
+        // quartiles come from a single batched rank probe, and the MAD
+        // is selected from the SAME cached sort via the two-sequence
+        // k-closest search (madFromSorted) — no second sort, no second
+        // shuffle, no re-read of the source.
         val sortedV = df.select(v.cast("double").as("_v"))
           .where(col("_v").isNotNull).sort(col("_v"))
           .rdd.map(_.getDouble(0)).cache()
         try {
-          val Seq(a, b, c) = rankSelect(sortedV, Seq(0.25, 0.5, 0.75))
-          val sortedDev = sortedV.map(x => math.abs(x - b))
-            .sortBy(identity).cache()
-          try (a, b, c, rankSelect(sortedDev, Seq(0.5)).head)
-          finally sortedDev.unpersist(blocking = false)
+          val offsets = sortedOffsets(sortedV)
+          val n = offsets.last
+          if (n == 0) (Double.NaN, Double.NaN, Double.NaN, Double.NaN)
+          else {
+            val wanted: Set[Long] = Seq(0.25, 0.5, 0.75).flatMap { p =>
+              val rank = p * (n - 1)
+              Seq(math.floor(rank).toLong, math.ceil(rank).toLong)
+            }.toSet
+            val picked = valuesAtRanks(sortedV, offsets, wanted)
+            val acc = new RankAccessor(sortedV, offsets, picked)
+            val Seq(a, b, c) =
+              Seq(0.25, 0.5, 0.75).map(p => interp(p, n, acc.at))
+            (a, b, c, madFromSorted(acc, n, b))
+          }
         } finally sortedV.unpersist(blocking = false)
       }
     base

@@ -1,6 +1,7 @@
 package graft
 
 import graft.operators.StatsOps
+import org.apache.spark.sql.functions.lit
 
 class StatsOpsSpec extends SparkSpec {
   import spark.implicits._
@@ -60,5 +61,37 @@ class StatsOpsSpec extends SparkSpec {
     assert(out((1L, 10L)) === (3L, 7.0))
     assert(out((1L, 16L)) === (2L, 12.0))
     assert(out((2L, 7L)) === (1L, 16.0)) // keys never mix
+  }
+
+  test("quartiles + MAD match brute force across sizes and duplicates") {
+    // Covers the rank-probe + two-sequence MAD selection: odd/even n,
+    // n=1..2 degenerate splits, heavy duplicates, negatives, and a
+    // partition count that forces empty partitions.
+    def bruteQ(xs: Array[Double], p: Double): Double = {
+      val s = xs.sorted
+      val rank = p * (s.length - 1)
+      val lo = math.floor(rank).toInt; val hi = math.ceil(rank).toInt
+      s(lo) + (s(hi) - s(lo)) * (rank - lo)
+    }
+    val rnd = new scala.util.Random(42)
+    val cases: Seq[Array[Double]] =
+      Seq(Array(7.0), Array(3.0, 1.0), Array(5.0, 5.0, 5.0, 5.0)) ++
+        (0 until 8).map { i =>
+          val n = 1 + rnd.nextInt(400)
+          Array.fill(n)(
+            if (rnd.nextBoolean()) rnd.nextInt(10).toDouble
+            else rnd.nextGaussian() * 100)
+        }
+    for (xs <- cases) {
+      val df = spark.sparkContext.parallelize(xs.toSeq, 17).toDF("v")
+        .withColumn("p", lit(0))
+      val r = StatsOps.statistics(df, "v", Seq("p")).head()
+      val med = bruteQ(xs, 0.5)
+      val mad = bruteQ(xs.map(x => math.abs(x - med)), 0.5)
+      assert(approx(r.getAs[Double]("q1"), bruteQ(xs, 0.25)), s"q1 n=${xs.length}")
+      assert(approx(r.getAs[Double]("median"), med), s"med n=${xs.length}")
+      assert(approx(r.getAs[Double]("q3"), bruteQ(xs, 0.75)), s"q3 n=${xs.length}")
+      assert(approx(r.getAs[Double]("medabsdevmed"), mad, 1e-6), s"mad n=${xs.length}")
+    }
   }
 }
