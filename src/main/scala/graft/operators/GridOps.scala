@@ -258,15 +258,37 @@ object GridOps {
                 nPlanesHint: Option[Long] = None): DataFrame = {
     val planeBytes = 16L * p.nU * p.nV
     // The plane-set size that picks the physical path is metadata
-    // (chans x pols), not data: callers that know the cube shape pass
-    // nPlanesHint and dispatch is free. Only without a hint does ONE
-    // counting job run — and then the chosen path recomputes the grid
-    // lineage, so expensive-grid callers should always hint.
-    val nPlanes = nPlanesHint.getOrElse(
-      grid.select("img_chan", "pol").distinct().count())
-    if (nPlanes * planeBytes <= maxBroadcastBytes)
-      degridVisBroadcast(vis, grid, p, rowKeys)
-    else degridVisJoin(vis, grid, p, rowKeys)
+    // (chans x pols), not data. Dispatch never computes the grid
+    // twice: a single over-budget plane (every cube-scale case)
+    // short-circuits to the join path with NO job; callers that know
+    // the cube shape pass nPlanesHint and dispatch is free; only the
+    // hintless small-plane case runs the ONE counting job, against a
+    // cached grid that the chosen path then reuses.
+    if (planeBytes > maxBroadcastBytes)
+      return degridVisJoin(vis, grid, p, rowKeys)
+    nPlanesHint match {
+      case Some(n) =>
+        if (n * planeBytes <= maxBroadcastBytes)
+          degridVisBroadcast(vis, grid, p, rowKeys)
+        else degridVisJoin(vis, grid, p, rowKeys)
+      case None =>
+        val cached = grid.cache()
+        val nPlanes = cached.select("img_chan", "pol").distinct().count()
+        if (nPlanes * planeBytes <= maxBroadcastBytes)
+          // broadcast path collects the grid EAGERLY inside the call,
+          // off the blocks the count just materialized — safe to drop
+          // the cache as soon as it returns.
+          try degridVisBroadcast(vis, cached, p, rowKeys)
+          finally cached.unpersist(blocking = false)
+        else {
+          // join path consumes the grid lazily; drop the cache rather
+          // than leak it (worst case the grid recomputes once — the
+          // same cost dispatch had before, and real cube-scale grids
+          // never reach here: the short-circuit above catches them).
+          cached.unpersist(blocking = false)
+          degridVisJoin(vis, grid, p, rowKeys)
+        }
+    }
   }
 
   /** Per-vis degrid geometry shared by both physical paths: nearest
