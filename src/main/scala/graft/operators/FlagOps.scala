@@ -201,32 +201,46 @@ object FlagOps {
     *
     *   FLAG |= |amp - med| > nSigma * max(sigma, medSigma_chan).
     *
-    * Shape: two hash aggregates over the (key, chan) group + one
-    * chan-keyed aggregate, joined back on their group keys (AQE
-    * broadcasts them when small). Medians are exact but GROUP-local
-    * (`percentile` per group, groups are time-series sized) — never a
-    * global single-reducer sort. The threshold is quantized (1e-6) so
-    * the flag decision compares identical doubles in any engine.
+    * Shape: ONE hash aggregate over the (key, chan) group computes
+    * BOTH robust statistics — med and sigma come out of the same
+    * sorted group buffer, so the facts shuffle once and join back
+    * once (AQE broadcasts the dimension-sized stats table). Spark's
+    * own `percentile` buffers every group value too, so per-group
+    * memory is identical to the two-aggregate form this replaces —
+    * at half the fact scans (2 vs 3) and half the shuffles. Groups
+    * are time-series sized, never the whole frame. The median kernel
+    * interpolates exactly like `percentile`/`median` (value ranks at
+    * p*(n-1)), and the threshold is quantized (1e-6) so the flag
+    * decision compares identical doubles in any engine.
     */
   def autoRflag(df: DataFrame, flagCol: String, keyCols: Seq[String],
                 chanCol: String, amp: Column,
                 nSigma: Double = 5.0): DataFrame = {
     val gk = keyCols :+ chanCol
     val withAmp = df.withColumn("_amp", amp)
-    val med = withAmp.groupBy(gk.map(col): _*)
-      .agg(expr("percentile(_amp, 0.5)").as("_med"))
-    val joined = withAmp.join(med, gk)
+    val medSig = udf((vs: Seq[Double]) => {
+      // same interpolation as percentile: lower + (upper-lower)*frac
+      def q50(a: Array[Double]): Double = {
+        val r = 0.5 * (a.length - 1)
+        val lo = math.floor(r).toInt; val hi = math.ceil(r).toInt
+        a(lo) + (a(hi) - a(lo)) * (r - lo)
+      }
+      val a = vs.toArray.sorted
+      val m = q50(a)
+      (m, q50(a.map(x => math.abs(x - m)).sorted) * 1.4826)
+    })
     // level-2 chan median rides a WINDOW over the (dimension-sized)
-    // sigma table rather than a second aggregate — a separate agg
-    // would make `sig` feed two consumers and re-execute its whole
-    // subtree (one extra fact scan + one redundant median agg).
+    // stats table rather than a second aggregate — a separate agg
+    // would make the table feed two consumers and re-execute its
+    // whole subtree (one extra fact scan + one redundant median agg).
     val w = org.apache.spark.sql.expressions.Window.partitionBy(col(chanCol))
-    val sig = joined
-      .withColumn("_adev", abs(col("_amp") - col("_med")))
-      .groupBy(gk.map(col): _*)
-      .agg((expr("percentile(_adev, 0.5)") * lit(1.4826)).as("_sigma"))
+    val stats = withAmp.groupBy(gk.map(col): _*)
+      .agg(collect_list(col("_amp")).as("_vs"))
+      .withColumn("_ms", medSig(col("_vs")))
+      .select((gk.map(col) :+ col("_ms._1").as("_med") :+
+        col("_ms._2").as("_sigma")): _*)
       .withColumn("_chan_sigma", expr("percentile(_sigma, 0.5)").over(w))
-    joined.join(sig, gk)
+    withAmp.join(stats, gk)
       .withColumn("_thr", floor(lit(nSigma) *
         greatest(col("_sigma"), col("_chan_sigma")) * 1e6 + 0.5) / 1e6)
       .withColumn(flagCol,
