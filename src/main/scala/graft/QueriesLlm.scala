@@ -1322,6 +1322,38 @@ object QueriesLlm {
       |  floor(max(score) * 10000.0 + 0.5) / 10000.0 AS lang_score
       |FROM scored GROUP BY 1""".stripMargin)
 
+  // -------------------------------------------------------- sql surface
+
+  /** The `spark.sql(...)` entry point end-to-end: the native
+    * expressions registered by [[graft.functions.GraftFunctions]]
+    * (`polyhash`, 3-arg `polyhash`, `dot_product`) driven from SQL text
+    * over temp views of the shared tables — proving a reference user
+    * can reach the engine from plain SQL, with the same bit-exact
+    * results the Column API produces. Plan shape: one broadcast-able
+    * equi-join + pure codegen projection (the registered expressions
+    * implement doGenCode — no UDF, no interpreted eval).
+    */
+  private val sqlSurfaceQ = Q(
+    (s, d) => {
+      graft.functions.GraftFunctions.register(s)
+      Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
+      Tables.embeddings(s, d).createOrReplaceTempView("graft_sql_embs")
+      s.sql(
+        s"""SELECT d.doc_id,
+           |  polyhash(d.text) AS h1,
+           |  polyhash(d.text, ${TextOps.HashBase2}, ${TextOps.HashMod2}) AS h2,
+           |  floor(dot_product(e.embedding, e.embedding) * 1000000.0 + 0.5)
+           |    / 1000000.0 AS self_dot
+           |FROM graft_sql_docs d
+           |JOIN graft_sql_embs e ON d.doc_id = e.vec_id""".stripMargin)
+    },
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+       |SELECT d.doc_id,
+       |  ${phSql("d.text")} AS h1,
+       |  ${phSql2("d.text")} AS h2,
+       |  ${qrSql(dotSql("e.v", "e.v"), 6)} AS self_dot
+       |FROM documents d JOIN e ON d.doc_id = e.vec_id""".stripMargin)
+
   // -------------------------------------------------------- multimodal
 
   private val multimodalQ = Q(
@@ -1738,5 +1770,6 @@ object QueriesLlm {
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,
     "lang_id" -> langIdQ,
+    "sql_surface" -> sqlSurfaceQ,
     "multimodal_features" -> multimodalQ)
 }

@@ -1,10 +1,11 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.GraftExpressionBridge.{toColumn, toExpression}
-import org.apache.spark.sql.types.{DataType, LongType}
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native Catalyst expression for the engine's polynomial string hash
@@ -30,6 +31,14 @@ case class PolyHash(child: Expression, base: Long, mod: Long)
     extends UnaryExpression {
 
   override def dataType: DataType = LongType
+
+  // strict (no implicit cast): hashing a non-string is almost always a
+  // bug — surface it at analysis, not as per-row nonsense
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case StringType => TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"polyhash expects a STRING argument, got ${other.sql}")
+  }
 
   override def nullSafeEval(input: Any): Any =
     graft.operators.TextOps.polyHashFn(
