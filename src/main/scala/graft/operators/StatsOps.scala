@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
 
 /** Statistics / moments operators (SURVEY.md §2.4).
   */
@@ -99,9 +100,13 @@ object StatsOps {
     */
   private[graft] def exactQuantiles(df: DataFrame, valueCol: Column,
                                     ps: Seq[Double]): Seq[Double] = {
+    // MEMORY_AND_DISK, not the MEMORY_ONLY default: this block holds a
+    // fact-sized sorted column, and an eviction under memory pressure
+    // would replay the whole sort — at 100 TB, spilling the partition
+    // to local disk is strictly cheaper than recomputing the shuffle.
     val sorted = df.select(valueCol.cast("double").as("_v"))
       .where(col("_v").isNotNull).sort(col("_v"))
-      .rdd.map(_.getDouble(0)).cache()
+      .rdd.map(_.getDouble(0)).persist(StorageLevel.MEMORY_AND_DISK)
     try {
       val offsets = sortedOffsets(sorted)
       val n = offsets.last
@@ -188,7 +193,8 @@ object StatsOps {
         // shuffle, no re-read of the source.
         val sortedV = df.select(v.cast("double").as("_v"))
           .where(col("_v").isNotNull).sort(col("_v"))
-          .rdd.map(_.getDouble(0)).cache()
+          .rdd.map(_.getDouble(0))
+          .persist(StorageLevel.MEMORY_AND_DISK) // see exactQuantiles
         try {
           val offsets = sortedOffsets(sortedV)
           val n = offsets.last
