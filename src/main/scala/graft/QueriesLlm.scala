@@ -129,6 +129,32 @@ object QueriesLlm {
        |  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
        |            JOIN sh s2 ON cand.id2 = s2.doc_id)""".stripMargin
 
+  /** Streaming LSH ingest-dedup, batch-driven: on a batch frame the
+    * band-bucket state machine reduces to the pure min-id rule (see
+    * StreamingOps.streamingBandCollisions), so the oracle is "dup iff
+    * an earlier doc shares any band bucket" — checked exactly. The
+    * cross-micro-batch behavior is covered by the MemoryStream spec.
+    */
+  private val streamNeardupQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 8)
+      val coll = graft.streaming.StreamingOps
+        .streamingBandCollisions(s, corpus, "doc_id", "text")
+      graft.streaming.StreamingOps.nearDupDecisions(corpus, "doc_id", coll)
+    },
+    s"""WITH ${dupCorpusSql(8)},
+       |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
+       |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
+       |bands AS (
+       |  SELECT doc_id, b, (sig[2*b + 1] * $B + sig[2*b + 2]) % $M AS band_hash
+       |  FROM sig CROSS JOIN generate_series(0, 7) t(b)),
+       |dup AS (
+       |  SELECT DISTINCT y.doc_id
+       |  FROM bands x JOIN bands y
+       |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id)
+       |SELECT c.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
+       |FROM corpus c LEFT JOIN dup ON c.doc_id = dup.doc_id""".stripMargin)
+
   private val dedupMinhashQ = Q(
     (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d, mod = 2), "doc_id",
         "text", threshold = 0.5)
@@ -1769,6 +1795,7 @@ object QueriesLlm {
     "dedup_clusters" -> dedupClustersQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,
+    "stream_neardup" -> streamNeardupQ,
     "lang_id" -> langIdQ,
     "sql_surface" -> sqlSurfaceQ,
     "multimodal_features" -> multimodalQ)

@@ -81,6 +81,80 @@ object StreamingOps {
       }.toDF("text_hash", "text_hash2", "doc_id")
   }
 
+  /** Streaming NEAR-dup detection at ingest — the MinHash-LSH twin of
+    * [[streamingExactDedup]]: each document's signature is banded, and
+    * every (band, band_hash) bucket remembers the smallest id it has
+    * ever held. A document COLLIDES on a band when its bucket already
+    * holds an earlier document — i.e. it is a near-duplicate candidate
+    * of something already ingested.
+    *
+    * Emits one row per (id, band): `(id, band, collided)`. The per-doc
+    * verdict (dup on ANY band) is a separate plain aggregation —
+    * [[nearDupDecisions]] — because Spark does not allow a second
+    * stateful operator after flatMapGroupsWithState in one streaming
+    * query; run the reduction in the sink (`foreachBatch`) or on the
+    * collision stream's output table, exactly as LSH ingest dedup is
+    * deployed in practice.
+    *
+    * Ordering semantics: "earlier" = smaller id within a micro-batch,
+    * first-arrival across micro-batches — identical to the pure
+    * min-id rule whenever arrival order follows id order (the ingest
+    * contract). On a BATCH frame every group arrives at once with
+    * empty state, so the operator IS the min-id rule, which is what
+    * the `stream_neardup` contract query oracle-checks in DuckDB.
+    *
+    * 100 TB story: state = ONE long per occupied band bucket (bounded
+    * by distinct-bucket cardinality, not stream length); the per-group
+    * batch buffer is bucket occupancy within one micro-batch. For
+    * adversarial buckets (boilerplate shingles) cap upstream like
+    * DedupOps.minHashCandidates(maxBucket); for unbounded retention
+    * add a GroupStateTimeout — kept NoTimeout here because dedup
+    * memory is the point.
+    */
+  def streamingBandCollisions(spark: SparkSession, df: DataFrame,
+                              idCol: String, textCol: String,
+                              shingleN: Int = 3, numHashes: Int = 16,
+                              bands: Int = 8): DataFrame = {
+    import spark.implicits._
+    import graft.operators.{DedupOps, TextOps}
+    require(numHashes % bands == 0, "bands must divide numHashes")
+    val sig = df.select(col(idCol).cast("long").as("id"),
+        DedupOps.minHashSignature(
+          TextOps.shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
+      .where(col("sig").isNotNull)
+    DedupOps.lshBands(sig, "id", "sig", bands, numHashes / bands)
+      .select(col("band").cast("int"), col("band_hash").cast("long"),
+        col("id"))
+      .as[(Int, Long, Long)]
+      .groupByKey(r => (r._1, r._2))
+      .flatMapGroupsWithState[Long, (Long, Int, Boolean)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case ((band, _), rows, state) =>
+          val rs = rows.toArray // bucket occupancy within this batch
+          var mn = Long.MaxValue
+          for (r <- rs) if (r._3 < mn) mn = r._3
+          val seenBefore = state.exists
+          state.update(if (seenBefore) math.min(state.get, mn) else mn)
+          rs.iterator.map(r => (r._3, band, seenBefore || r._3 > mn))
+      }.toDF("id", "band", "collided")
+  }
+
+  /** Per-document verdict over [[streamingBandCollisions]] output:
+    * `(doc_id, is_dup)` for every document of `orig` — dup iff ANY
+    * band collided; documents with no shingles (too short to band)
+    * are never dups. Plain hash aggregate + left join: run batch-side
+    * or per micro-batch in `foreachBatch`.
+    */
+  def nearDupDecisions(orig: DataFrame, idCol: String,
+                       collisions: DataFrame): DataFrame = {
+    val verdict = collisions.groupBy(col("id"))
+      .agg(max(col("collided")).as("_coll"))
+    orig.select(col(idCol).cast("long").as("doc_id")).distinct()
+      .join(verdict, col("doc_id") === col("id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("_coll"), lit(false)).as("is_dup"))
+  }
+
   /** Batch sessionization (gaps-and-islands) over INTEGER event-time
     * nanos: a new session starts when the gap to the previous event of
     * the same key exceeds `gapNs`. Pure integer arithmetic end to end

@@ -67,6 +67,44 @@ class StreamingOpsSpec extends SparkSpec {
     assert(b === Seq(0L, 9L))
   }
 
+  test("streamingBandCollisions remembers band buckets across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, String)]
+    val df = input.toDF().toDF("doc_id", "text")
+    val out = StreamingOps.streamingBandCollisions(spark, df, "doc_id", "text")
+    val q = out.writeStream.format("memory").queryName("snd_t")
+      .outputMode("append").start()
+    val textA = "the quick brown fox jumps over the lazy dog again"
+    val textB = "completely different words with no shared shingles here at all"
+    // batch 1: A and an identical copy of A (collides on every band),
+    // plus unrelated B
+    input.addData((0L, textA), (1L, textA), (10L, textB))
+    q.processAllAvailable()
+    // batch 2: another copy of A — must collide via STATE, not batch
+    // contents; and a fresh unrelated doc
+    input.addData((2L, textA),
+      (11L, "yet more unrelated text that shares nothing with the others"))
+    q.processAllAvailable()
+    val verdict = StreamingOps
+      .nearDupDecisions(spark.table("snd_t")
+        .select(col("id").as("doc_id")), "doc_id", spark.table("snd_t"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    q.stop()
+    assert(verdict(0L) === false) // first occupant of its buckets
+    assert(verdict(1L) === true)  // same batch, larger id
+    assert(verdict(2L) === true)  // later batch, collides via state
+    assert(verdict(10L) === false)
+    assert(verdict(11L) === false)
+
+    // batch mode = pure min-id rule, including the no-shingle edge
+    val batch = Seq((5L, textA), (3L, textA), (7L, textB), (8L, "ab"))
+      .toDF("doc_id", "text")
+    val b = StreamingOps.nearDupDecisions(batch, "doc_id",
+      StreamingOps.streamingBandCollisions(spark, batch, "doc_id", "text"))
+      .collect().map(r => r.getLong(0) -> r.getBoolean(1)).toMap
+    assert(b === Map(3L -> false, 5L -> true, 7L -> false, 8L -> false))
+  }
+
   test("intervalJoin buffers across micro-batches and bounds the window") {
     implicit val sqlCtx = spark.sqlContext
     def t(s: String) = java.sql.Timestamp.valueOf(s)
