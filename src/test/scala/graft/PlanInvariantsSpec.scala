@@ -38,6 +38,23 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("top-k shapes get partial WindowGroupLimit below the shuffle") {
+    // Spark 3.5+ rewrites `row_number() <= k` into WindowGroupLimit
+    // (Partial before the exchange, Final after), so only <= k rows
+    // per group per partition ever shuffle — THE property that makes
+    // window-based top-k viable at 100 TB. If a refactor of
+    // StatsOps.topPerGroup / SimilarityOps.bruteForceTopK breaks the
+    // rank-filter pattern the optimizer recognizes, full fact rows
+    // shuffle again; this trips first.
+    for (name <- Seq("top_per_group", "ann_topk")) {
+      val p = plan(name)
+      val n = "WindowGroupLimit".r.findAllIn(p).size
+      assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, " +
+        s"found $n node(s) — the rank filter no longer matches " +
+        s"InferWindowGroupLimit:\n$p")
+    }
+  }
+
   test("bucketed_join: the join itself reads bucketed scans with no Exchange below it") {
     val p = plan("bucketed_join")
     // the join must consume the two bucketed scans without a SHUFFLE
