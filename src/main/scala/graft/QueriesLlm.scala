@@ -715,6 +715,58 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, adc, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  /** IVFPQ composition: the oracle replays coarse assignment/probing
+    * (ann_ivf's CTEs) and ADC pricing (pq_search's CTEs) over the
+    * SAME discrete structures, joined — candidates only from probed
+    * lists, distance only from codes. A (query, neighbor) pair exists
+    * via at most ONE list (each vector has one list_id), so grouping
+    * by (query, neighbor, list) is collision-free.
+    */
+  private val annIvfpqQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.ivfPqTopK(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 5, cb,
+        nCentroids = 16, nProbe = 4)
+    },
+    s"""WITH $pqCbSql,
+       |cent AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 16),
+       |assign AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "cent.cv")}, cent.cid) AS rn_
+       |    FROM e CROSS JOIN cent) WHERE rn_ = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, cent.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "cent.cv")}, cent.cid) AS rn_
+       |    FROM e CROSS JOIN cent WHERE e.vec_id < 10) WHERE rn_ <= 4),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")} AS dd
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |adc0 AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id,
+       |    sum(dt.dd) AS adc_
+       |  FROM probes p
+       |  JOIN assign a ON a.list_id = p.list_id
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN dt ON dt.query_id = p.query_id
+       |    AND dt.m = enc.subspace AND dt.code = enc.code
+       |  WHERE p.query_id <> a.vec_id
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, list_id, ${qrSql("adc_", 6)} AS adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${qrSql("adc_", 6)}, neighbor_id) AS rank
+       |  FROM adc0)
+       |SELECT query_id, neighbor_id, list_id, adc, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin)
+
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
     * ann_ivf_trained), the final cluster assignment, and the
@@ -1769,6 +1821,7 @@ object QueriesLlm {
     "embed_neardup" -> embedNearDupQ,
     "pq_encode" -> pqEncodeQ,
     "pq_search" -> pqSearchQ,
+    "ann_ivfpq" -> annIvfpqQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,

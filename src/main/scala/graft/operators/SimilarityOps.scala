@@ -444,6 +444,87 @@ object SimilarityOps {
       .select("query_id", "neighbor_id", "adc", "rank")
   }
 
+  /** IVF + PQ composed (the faiss IVFPQ shape): the coarse quantizer
+    * prunes WHICH corpus rows a query prices (nProbe inverted lists),
+    * and PQ/ADC prices each candidate from its m codes instead of the
+    * raw vector — the standard memory x compute composition of a
+    * web-scale embedding index, here as one declarative plan.
+    *
+    * Same deterministic contracts as the parts: centroids = dense id
+    * prefix (a trained quantizer plugs in), codes/probes break ties on
+    * the lower id/code, ADC quantized to qdec decimals before ranking.
+    *
+    * 100 TB story: ONE corpus scan computes (list_id, codes) per row —
+    * both kernels share the closure, no corpus self-join, no shuffle
+    * until the probe equi-join on list_id; the scan side of that join
+    * carries m bytes of codes per row (32x smaller than vectors), and
+    * each query only meets its nProbe lists' rows. Query-side state =
+    * the m x ksub distance table, built per row in the closure.
+    */
+  def ivfPqTopK(queries: DataFrame, corpus: DataFrame, qId: String,
+                cId: String, vecCol: String, k: Int,
+                codebooks: Array[Array[Array[Double]]],
+                nCentroids: Int = 16, nProbe: Int = 4,
+                qdec: Int = 6): DataFrame = {
+    val m = codebooks.length
+    val dsub = codebooks(0)(0).length
+    val scale = math.pow(10, qdec)
+    val cents: Array[(Long, Array[Double])] = corpus
+      .where(col(cId) < nCentroids)
+      .select(col(cId).cast("long"), toDouble(col(vecCol)))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
+      .sortBy(_._1)
+    // one corpus pass: coarse list + PQ codes from the same closure
+    val encodeUdf = udf((v: Seq[Double]) => {
+      var list = -1L; var bestD = Double.MaxValue
+      cents.foreach { case (id, c) =>
+        val dd = sqDistFn(v, c.toSeq)
+        if (dd < bestD) { list = id; bestD = dd } // asc ids: first wins ties
+      }
+      val codes = Array.tabulate(m) { s =>
+        val sub = v.slice(s * dsub, s * dsub + dsub)
+        var best = -1; var bd = Double.MaxValue
+        var c = 0
+        while (c < codebooks(s).length) { // asc codes: first wins ties
+          val dd = sqDistFn(sub, codebooks(s)(c).toSeq)
+          if (dd < bd) { best = c; bd = dd }
+          c += 1
+        }
+        best
+      }
+      (list, codes)
+    })
+    val c = spread(corpus)
+      .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
+      .withColumn("_lc", encodeUdf(col("cv")))
+      .select(col("neighbor_id"), col("_lc._1").as("list_id"),
+        col("_lc._2").as("codes"))
+    val probeUdf = udf((v: Seq[Double]) =>
+      cents.map { case (id, ct) => (sqDistFn(v, ct.toSeq), id) }
+        .sortBy(identity).take(nProbe).map(_._2))
+    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+      .withColumn("list_id", explode(probeUdf(col("qv"))))
+    val adcUdf = udf((qv: Seq[Double], codes: Seq[Int]) => {
+      var acc = 0.0
+      var s = 0
+      while (s < m) { // fixed subspace order -> deterministic addition
+        acc += sqDistFn(qv.slice(s * dsub, s * dsub + dsub),
+          codebooks(s)(codes(s)).toSeq)
+        s += 1
+      }
+      math.floor(acc * scale + 0.5) / scale
+    })
+    val scored = c.join(broadcast(q), Seq("list_id"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc", adcUdf(col("qv"), col("codes")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc").asc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select("query_id", "neighbor_id", "list_id", "adc", "rank")
+  }
+
   /** SemDeDup (cluster-restricted semantic dedup, after Abbas et al.
     * 2023, arXiv:2303.09540): cluster the embeddings with the trained
     * coarse quantizer ([[trainIvf]]), then score cosine ONLY within

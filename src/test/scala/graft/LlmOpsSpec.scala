@@ -499,6 +499,38 @@ class LlmOpsSpec extends SparkSpec {
     assert(out(3) === ((3L, 3.81)))
   }
 
+  test("ivfPqTopK prices only probed lists' rows, by ADC") {
+    // two well-separated clusters: {0, 2, 4} near the origin,
+    // {1, 3, 5} near (10, 10, 10, 10); centroids = dense prefix {0, 1}
+    val emb = Seq(
+      (0L, Array(0f, 0f, 0f, 0f)),
+      (1L, Array(10f, 10f, 10f, 10f)),
+      (2L, Array(0.5f, 0f, 0f, 0f)),
+      (3L, Array(10f, 10.5f, 10f, 10f)),
+      (4L, Array(0f, 0.5f, 0f, 0.5f)),
+      (5L, Array(9.5f, 10f, 10f, 9.5f)))
+      .toDF("vec_id", "embedding")
+    val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 2, dsub = 2, ksub = 2)
+    val out = SimilarityOps.ivfPqTopK(emb.where(col("vec_id") === 4), emb,
+        "vec_id", "vec_id", "embedding", k = 5, cb,
+        nCentroids = 2, nProbe = 1)
+      .collect()
+      .map(r => (r.getAs[Long]("neighbor_id"), r.getAs[Long]("list_id")))
+    // nProbe = 1: only list 0 (query 4 is nearest centroid 0) is
+    // priced — the far cluster never enters the join
+    assert(out.map(_._2).toSet === Set(0L))
+    assert(out.map(_._1).toSet === Set(0L, 2L))
+    // with both lists probed the far cluster appears, ranked after
+    val all = SimilarityOps.ivfPqTopK(emb.where(col("vec_id") === 4), emb,
+        "vec_id", "vec_id", "embedding", k = 5, cb,
+        nCentroids = 2, nProbe = 2)
+      .collect()
+      .map(r => r.getAs[Int]("rank") -> r.getAs[Long]("neighbor_id")).toMap
+    assert(Set(all(1), all(2)) === Set(0L, 2L))
+    assert(Set(all(3), all(4), all(5)) === Set(1L, 3L, 5L))
+  }
+
   test("chunkDocuments: overlapping windows cover every token in order") {
     val df = Seq((0L, (1 to 23).map(i => s"w$i").mkString(" ")),
       (1L, "a b")).toDF("doc_id", "text")
