@@ -11,6 +11,11 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Forked `run` output goes straight to this process's stdout WITHOUT
+// sbt's `[info] ` prefix — the driver tail-scrapes `sbt runMain
+// graft.Bench` stdout for a bare JSON line, and the prefix made every
+// round's BENCH artifact parse as null (see BENCH_r06.json "tail").
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

@@ -59,7 +59,19 @@ object Bench {
       .map { case (k, v) => "\"" + k + "\":" + (math.floor(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val totalR = math.floor(total * 1000) / 1000
-    println(s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}""")
+    val compact =
+      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}"""
+    // Belt and braces against stdout scraping (r4/r6 both lost the line
+    // to truncation or sbt log prefixes): persist the full record to a
+    // file the driver/judge can always read, then print the compact
+    // line LAST (after spark.stop(), so no shutdown logging follows it).
+    val full =
+      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+    try {
+      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
+      try w.println(full) finally w.close()
+    } catch { case _: Throwable => () }
     spark.stop()
+    println(compact)
   }
 }

@@ -1388,10 +1388,14 @@ object QueriesLlm {
       |floors AS (
       |  SELECT lang, ln(1.0 / CAST(cl + vocab.v AS DOUBLE)) AS floor_logp
       |  FROM totals CROSS JOIN vocab),
-      |dw AS (SELECT doc_id, unnest(string_split(text, ' ')) AS word FROM documents),
+      |dw AS (
+      |  SELECT doc_id, word, count(*) AS wc FROM (
+      |    SELECT doc_id, unnest(string_split(text, ' ')) AS word
+      |    FROM documents)
+      |  GROUP BY 1, 2),
       |scored AS (
       |  SELECT dw.doc_id, f.lang,
-      |    sum(COALESCE(p.logp, f.floor_logp)) AS score
+      |    sum(dw.wc * COALESCE(p.logp, f.floor_logp)) AS score
       |  FROM dw CROSS JOIN floors f
       |  LEFT JOIN profile p ON p.lang = f.lang AND p.word = dw.word
       |  GROUP BY 1, 2)
@@ -1416,20 +1420,27 @@ object QueriesLlm {
       graft.functions.GraftFunctions.register(s)
       Tables.documents(s, d).createOrReplaceTempView("graft_sql_docs")
       Tables.embeddings(s, d).createOrReplaceTempView("graft_sql_embs")
+      // Every output column carries an explicit CAST, mirrored in the
+      // oracle SQL: the gate's hash is engine-type-sensitive (round-2
+      // precedent: DuckDB HUGEINT vs Spark BIGINT hashed differently
+      // despite equal values), so both engines are pinned to
+      // BIGINT/DOUBLE rather than trusting their literal/lambda
+      // arithmetic promotion rules to agree.
       s.sql(
-        s"""SELECT d.doc_id,
-           |  polyhash(d.text) AS h1,
-           |  polyhash(d.text, ${TextOps.HashBase2}, ${TextOps.HashMod2}) AS h2,
-           |  floor(dot_product(e.embedding, e.embedding) * 1000000.0 + 0.5)
-           |    / 1000000.0 AS self_dot
+        s"""SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+           |  CAST(polyhash(d.text) AS BIGINT) AS h1,
+           |  CAST(polyhash(d.text, ${TextOps.HashBase2}, ${TextOps.HashMod2})
+           |    AS BIGINT) AS h2,
+           |  CAST(floor(dot_product(e.embedding, e.embedding) * 1000000.0
+           |    + 0.5) / 1000000.0 AS DOUBLE) AS self_dot
            |FROM graft_sql_docs d
            |JOIN graft_sql_embs e ON d.doc_id = e.vec_id""".stripMargin)
     },
     s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
-       |SELECT d.doc_id,
-       |  ${phSql("d.text")} AS h1,
-       |  ${phSql2("d.text")} AS h2,
-       |  ${qrSql(dotSql("e.v", "e.v"), 6)} AS self_dot
+       |SELECT CAST(d.doc_id AS BIGINT) AS doc_id,
+       |  CAST(${phSql("d.text")} AS BIGINT) AS h1,
+       |  CAST(${phSql2("d.text")} AS BIGINT) AS h2,
+       |  CAST(${qrSql(dotSql("e.v", "e.v"), 6)} AS DOUBLE) AS self_dot
        |FROM documents d JOIN e ON d.doc_id = e.vec_id""".stripMargin)
 
   // -------------------------------------------------------- multimodal

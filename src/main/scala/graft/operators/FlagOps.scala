@@ -225,9 +225,16 @@ object FlagOps {
         val lo = math.floor(r).toInt; val hi = math.ceil(r).toInt
         a(lo) + (a(hi) - a(lo)) * (r - lo)
       }
-      val a = vs.toArray.sorted
-      val m = q50(a)
-      (m, q50(a.map(x => math.abs(x - m)).sorted) * 1.4826)
+      // collect_list drops nulls, so an all-null group arrives as an
+      // EMPTY list: return null (None) exactly like the percentile
+      // aggregate this kernel replaced, so downstream null-propagation
+      // degrades the flag gracefully instead of q50 indexing a(-1).
+      if (vs.isEmpty) None
+      else {
+        val a = vs.toArray.sorted
+        val m = q50(a)
+        Some((m, q50(a.map(x => math.abs(x - m)).sorted) * 1.4826))
+      }
     })
     // level-2 chan median rides a WINDOW over the (dimension-sized)
     // stats table rather than a second aggregate — a separate agg

@@ -273,21 +273,20 @@ object GridOps {
         else degridVisJoin(vis, grid, p, rowKeys)
       case None =>
         val cached = grid.cache()
-        val nPlanes = cached.select("img_chan", "pol").distinct().count()
-        if (nPlanes * planeBytes <= maxBroadcastBytes)
-          // broadcast path collects the grid EAGERLY inside the call,
-          // off the blocks the count just materialized — safe to drop
-          // the cache as soon as it returns.
-          try degridVisBroadcast(vis, cached, p, rowKeys)
-          finally cached.unpersist(blocking = false)
-        else {
-          // join path consumes the grid lazily; drop the cache rather
-          // than leak it (worst case the grid recomputes once — the
-          // same cost dispatch had before, and real cube-scale grids
-          // never reach here: the short-circuit above catches them).
-          cached.unpersist(blocking = false)
-          degridVisJoin(vis, grid, p, rowKeys)
-        }
+        // One try/finally spans the counting job AND both branches: a
+        // failure anywhere (including the count itself) must not leak
+        // the cache for the session lifetime. Safe in both branches —
+        // the broadcast path collects the grid EAGERLY inside the
+        // call, and the join path consumes the ORIGINAL (uncached)
+        // grid lazily (worst case the grid recomputes once — the same
+        // cost dispatch had before; real cube-scale grids never reach
+        // here: the short-circuit above catches them).
+        try {
+          val nPlanes = cached.select("img_chan", "pol").distinct().count()
+          if (nPlanes * planeBytes <= maxBroadcastBytes)
+            degridVisBroadcast(vis, cached, p, rowKeys)
+          else degridVisJoin(vis, grid, p, rowKeys)
+        } finally cached.unpersist(blocking = false)
     }
   }
 

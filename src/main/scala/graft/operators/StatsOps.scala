@@ -70,6 +70,14 @@ object StatsOps {
           if (idx == want(wi)) { out += ((offsets(pid) + idx, v)); wi += 1 }
           idx += 1
         }
+        // A short iterator means the cached sorted RDD's partitioning
+        // changed between the offsets job and this probe — fail loudly
+        // here, not later with an opaque NoSuchElementException from
+        // the caller's map lookup.
+        if (wi != want.length) sys.error(
+          s"rank not found — sorted RDD changed between jobs " +
+            s"(partition $pid: wanted ${want.length} ranks, found $wi " +
+            s"in $idx rows)")
         out.toSeq
       }, byPart.keys.toSeq.sorted)
     picked.flatten.toMap

@@ -421,21 +421,29 @@ object TextOps {
       explode(words(col(trainTextCol))).as("word"))
     val counts = tokensTrain.groupBy("lang", "word").agg(count(lit(1)).as("cwl"))
     val langTotals = tokensTrain.groupBy("lang").agg(count(lit(1)).as("cl"))
-    val vocabSize = counts.select("word").distinct().count()
-    val profile = counts.join(langTotals, "lang")
+    // Vocabulary size as a LAZY 1-row aggregate folded into the plan
+    // (broadcast-joined below) instead of an eager distinct().count()
+    // driver job on every languageId call.
+    val vocab = counts.agg(countDistinct(col("word")).as("v"))
+    val profile = counts.join(langTotals, "lang").crossJoin(broadcast(vocab))
       .select(col("lang"), col("word"),
-        log((col("cwl") + 1).cast("double") / (col("cl") + vocabSize)).as("logp"))
-    val floors = langTotals.select(col("lang"),
-      log(lit(1.0) / (col("cl") + vocabSize)).as("floor_logp"))
+        log((col("cwl") + 1).cast("double") / (col("cl") + col("v"))).as("logp"))
+    val floors = langTotals.crossJoin(broadcast(vocab)).select(col("lang"),
+      log(lit(1.0) / (col("cl") + col("v"))).as("floor_logp"))
 
+    // Pre-aggregate the token stream to (doc, word, count) BEFORE the
+    // per-language expansion: the n_langs multiplier then applies to
+    // DISTINCT doc-words (bounded by per-doc vocabulary), not raw
+    // tokens. At 100 TB that is the difference between shuffling
+    // |tokens| x n_langs rows into the doc aggregate and
+    // |distinct doc-words| x n_langs.
     val docWords = docs.select(col(idCol), explode(words(col(textCol))).as("word"))
-    // score every (doc, lang): join words to profile per lang; missing
-    // (word, lang) pairs take the lang floor
+      .groupBy(col(idCol), col("word")).agg(count(lit(1)).as("wc"))
     val scored = docWords
       .crossJoin(broadcast(floors))
       .join(broadcast(profile), Seq("lang", "word"), "left")
       .groupBy(col(idCol), col("lang"))
-      .agg(sum(coalesce(col("logp"), col("floor_logp"))).as("score"))
+      .agg(sum(col("wc") * coalesce(col("logp"), col("floor_logp"))).as("score"))
     scored.groupBy(col(idCol))
       .agg(max_by(col("lang"),
         struct(col("score"), col("lang"))).as("lang_pred"),
