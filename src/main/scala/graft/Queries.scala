@@ -1091,12 +1091,9 @@ object Queries {
 
   private val eventsWindowQ = Q(
     (s, d) => {
-      // events.parquet carries TIMESTAMP(NANOS) which Spark only reads
-      // as long via the legacy conf; convert ns -> timestamp explicitly
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.events(s, d)
-        .withColumn("ts", timestamp_seconds(col("ts") / lit(1.0e9)))
-        .withColumn("w", lit(1.0))
+      // Tables.events already normalizes ts to a canonical timestamp
+      // column regardless of the parquet flavor (int64 nanos vs µs).
+      val ev = Tables.events(s, d).withColumn("w", lit(1.0))
       streaming.StreamingOps.windowedAverage(ev, "ts", "10 minutes",
           Seq("event_type"), "value", "w")
         .select(
@@ -1188,9 +1185,8 @@ object Queries {
     */
   private val asofJoinQ = Q(
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, d)
-        .withColumn("tsn", expr("ts div 1000 * 1000"))
+        .withColumn("tsn", expr("ts_ns div 1000 * 1000"))
       val left = ev.select("event_id", "user_id", "tsn")
       val clicks = ev.where(col("event_type") === "click")
         .groupBy("user_id", "tsn").agg(max(col("value")).as("click_value"))
@@ -1244,13 +1240,12 @@ object Queries {
     */
   private val sessionizeQ = Q(
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       // contract resolution is MICROSECONDS (integer div, not float):
-      // DuckDB reads parquet TIMESTAMP(NANOS) at us precision, so the
-      // oracle can only see us — the sub-us digits are dropped on both
-      // sides before any gap comparison.
+      // DuckDB reads parquet timestamps at us precision, so the oracle
+      // can only see us — any sub-us digits are dropped on both sides
+      // before any gap comparison.
       val ev = Tables.events(s, d)
-        .withColumn("ts", expr("ts div 1000 * 1000"))
+        .withColumn("ts", expr("ts_ns div 1000 * 1000"))
       streaming.StreamingOps.sessionize(ev,
           "user_id", "ts", gapNs = 1800L * 1000 * 1000 * 1000, "value")
         .select(col("user_id"), col("session_seq"),
@@ -1286,8 +1281,7 @@ object Queries {
     */
   private val intervalJoinQ = Q(
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      val ev = Tables.events(s, d).withColumn("tsn", expr("ts div 1000 * 1000"))
+      val ev = Tables.events(s, d).withColumn("tsn", expr("ts_ns div 1000 * 1000"))
       val views = ev.where(col("event_type") === "view")
         .select(col("event_id").as("view_id"), col("user_id"),
           col("tsn").as("view_ts"))
@@ -1321,9 +1315,8 @@ object Queries {
     */
   private val rollingValueQ = Q(
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, d)
-        .withColumn("tsn", expr("ts div 1000 * 1000"))
+        .withColumn("tsn", expr("ts_ns div 1000 * 1000"))
         .select("event_id", "user_id", "tsn", "value")
       operators.StatsOps.rollingByTime(ev, Seq("user_id"), "tsn",
           "value", windowNs = 3600L * 1000 * 1000 * 1000)
@@ -1361,7 +1354,6 @@ object Queries {
     */
   private val topPerGroupQ = Q(
     (s, d) => {
-      s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
       val ev = Tables.events(s, d).select("event_id", "user_id", "value")
       operators.StatsOps.topKPerGroup(ev, Seq("user_id"), "value",
         Seq("event_id"), k = 3)
