@@ -469,48 +469,42 @@ object GridOps {
     * onto image pixels,
     *   image(p) = sum_s K(p - pos_s) w_s v_s / sum_s K(p - pos_s) w_s,
     * with a truncated gaussian beam kernel. One row per (sample, tap)
-    * after a compiled-UDF tap expansion, then ONE hash aggregate onto
-    * the pixel key — map-side combine collapses taps to at most
-    * n_pixels rows per partition before the shuffle, so the shuffle
-    * volume is bounded by the image size, not the sample count. The
-    * weight plane (make_sd_weight_image) is the same aggregate's
-    * denominator; doPsf = true drops the data factor (make_sd_psf).
-    * Input columns: img_chan, pol, px, py (pixel coords), value,
-    * weight.
+    * after exploding a LITERAL (2·support+1)² tap-offset array — a
+    * Generate over constants plus pure column arithmetic, so the whole
+    * expansion stays inside whole-stage codegen (no UDF, no row
+    * boxing; the round-7 ScalaUDF explode was the slowest plan in the
+    * suite) — then ONE hash aggregate onto the pixel key. Map-side
+    * combine collapses taps to at most n_pixels rows per partition
+    * before the shuffle, so the shuffle volume is bounded by the image
+    * size, not the sample count. The weight plane (make_sd_weight_image)
+    * is the same aggregate's denominator; doPsf = true drops the data
+    * factor (make_sd_psf). Input columns: img_chan, pol, px, py (pixel
+    * coords), value, weight.
     */
   def makeSdImage(vis: DataFrame, nL: Int, nM: Int, support: Int,
                   sigmaPx: Double, doPsf: Boolean = false): DataFrame = {
     val inv2s2 = 1.0 / (2.0 * sigmaPx * sigmaPx)
-    val tapsUdf = udf((px: Double, py: Double) => {
-      val pc = math.floor(px + 0.5).toInt
-      val qc = math.floor(py + 0.5).toInt
-      val out = collection.mutable.ArrayBuffer.empty[(Int, Int, Double)]
-      var di = -support
-      while (di <= support) {
-        var dj = -support
-        while (dj <= support) {
-          val dx = (pc + di) - px
-          val dy = (qc + dj) - py
-          out += ((pc + di, qc + dj,
-            math.exp(-(dx * dx + dy * dy) * inv2s2)))
-          dj += 1
-        }
-        di += 1
-      }
-      out.toSeq
-    })
     val pc = floor(col("px") + 0.5).cast("int")
     val qc = floor(col("py") + 0.5).cast("int")
+    val offsets = for {
+      di <- -support to support
+      dj <- -support to support
+    } yield struct(lit(di).as("di"), lit(dj).as("dj"))
+    val dx = col("l_idx").cast("double") - col("px")
+    val dy = col("m_idx").cast("double") - col("py")
+    val kern = exp(-(dx * dx + dy * dy) * lit(inv2s2))
     val num =
-      if (doPsf) sum(col("tap._3") * col("weight"))
-      else sum(col("tap._3") * col("weight") * col("value"))
+      if (doPsf) sum(col("k") * col("weight"))
+      else sum(col("k") * col("weight") * col("value"))
     vis.where(pc - support >= 0 && pc + support < nL &&
         qc - support >= 0 && qc + support < nM)
-      .withColumn("tap", explode(tapsUdf(col("px"), col("py"))))
-      .groupBy(col("img_chan"), col("pol"),
-        col("tap._1").as("l_idx"), col("tap._2").as("m_idx"))
-      .agg(num.as("_num"),
-        sum(col("tap._3") * col("weight")).as("sd_weight"))
+      .withColumn("pc", pc).withColumn("qc", qc)
+      .withColumn("off", explode(array(offsets: _*)))
+      .withColumn("l_idx", col("pc") + col("off.di"))
+      .withColumn("m_idx", col("qc") + col("off.dj"))
+      .withColumn("k", kern)
+      .groupBy(col("img_chan"), col("pol"), col("l_idx"), col("m_idx"))
+      .agg(num.as("_num"), sum(col("k") * col("weight")).as("sd_weight"))
       .withColumn("sd_image",
         when(col("sd_weight") =!= 0.0, col("_num") / col("sd_weight"))
           .otherwise(lit(0.0)))

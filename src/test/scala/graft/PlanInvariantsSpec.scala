@@ -55,6 +55,20 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("make_sd_image tap expansion stays codegen (no ScalaUDF in plan)") {
+    // round-7 verdict item 2: the tap fan-out must be a Generate over a
+    // LITERAL offset array + column arithmetic — a per-row UDF explode
+    // boxes (2·support+1)² tuples per sample and was the slowest plan
+    // in the suite. Applies to the whole sd-image family.
+    for (name <- Seq("make_sd_image")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF") && !p.toLowerCase.contains("batchevalpython"),
+        s"$name tap expansion fell back to a UDF:\n$p")
+      assert(p.contains("Generate explode"),
+        s"$name lost its literal-array explode:\n$p")
+    }
+  }
+
   test("bucketed_join: the join itself reads bucketed scans with no Exchange below it") {
     val p = plan("bucketed_join")
     // the join must consume the two bucketed scans without a SHUFFLE
