@@ -244,13 +244,20 @@ object SimilarityOps {
   }
 
   /** Embedding near-duplicate pairs: bucket self-join + cosine >=
-    * threshold, id1 < id2. The all-pairs form is never materialized.
+    * threshold, id1 < id2. The all-pairs form is never materialized,
+    * and a degenerate hyperplane bucket (all-similar corpora hash
+    * together) is excluded from pairing past `maxBucket` members —
+    * same bounded-bucket policy as [[DedupOps.minHashCandidates]];
+    * recover recall by raising nplanes, not the cap.
     */
   def nearDupPairs(df: DataFrame, idCol: String, vecCol: String, dim: Int,
-                   threshold: Double, nplanes: Int = 8): DataFrame = {
+                   threshold: Double, nplanes: Int = 8,
+                   maxBucket: Int = 100000): DataFrame = {
     val sig = spread(df).select(col(idCol), toDouble(col(vecCol)).as("v"),
         hyperplaneBucket(col(vecCol), dim, nplanes).as("bucket"))
       .withColumn("n", norm(col("v")))
+      .withColumn("_bn", count(lit(1)).over(Window.partitionBy("bucket")))
+      .where(col("_bn") <= maxBucket).drop("_bn")
     val a = sig.select(col(idCol).as("id1"), col("v").as("v1"),
       col("n").as("n1"), col("bucket"))
     val b = sig.select(col(idCol).as("id2"), col("v").as("v2"),
@@ -534,11 +541,18 @@ object SimilarityOps {
     * 100 TB story: the quadratic pair scoring is confined to single
     * clusters — cost sum(n_c^2) instead of n^2, dialed by k; the
     * self-join shuffles both sides on the cluster id only. Skewed
-    * (degenerate) clusters are the known failure mode: raise k or cap
-    * cluster size upstream; centroid state is K x d, broadcast.
+    * (degenerate) clusters are the known failure mode, so it is
+    * ENFORCED here, not just documented: clusters larger than
+    * `maxCluster` are excluded from pair scoring entirely (their
+    * members are kept verbatim) — the same bounded-bucket policy as
+    * [[DedupOps.minHashCandidates]]'s `maxBucket`. One oversized
+    * cluster then costs one window count instead of n_c² pairs;
+    * recover its dedup by raising k (finer clusters), not the cap.
+    * Centroid state is K x d, broadcast.
     */
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
-                    k: Int, iters: Int, threshold: Double): DataFrame = {
+                    k: Int, iters: Int, threshold: Double,
+                    maxCluster: Int = 100000): DataFrame = {
     val cents = trainIvf(emb, idCol, vecCol, k, iters).sortBy(_._1).toArray
     val assignUdf = udf((v: Seq[Double]) => {
       var best = -1L; var bestD = Double.MaxValue
@@ -552,9 +566,12 @@ object SimilarityOps {
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
       .withColumn("cluster", assignUdf(col("v")))
-    val a = e.select(col("vec_id").as("id1"), col("v").as("v1"),
+    val bounded = e
+      .withColumn("_cn", count(lit(1)).over(Window.partitionBy("cluster")))
+      .where(col("_cn") <= maxCluster).drop("_cn")
+    val a = bounded.select(col("vec_id").as("id1"), col("v").as("v1"),
       col("n").as("n1"), col("cluster"))
-    val b = e.select(col("vec_id").as("id2"), col("v").as("v2"),
+    val b = bounded.select(col("vec_id").as("id2"), col("v").as("v2"),
       col("n").as("n2"), col("cluster"))
     val drops = a.join(b, Seq("cluster"))
       .where(col("id1") < col("id2"))

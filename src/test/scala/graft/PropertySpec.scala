@@ -198,6 +198,35 @@ class PropertySpec extends SparkSpec {
     assert(s1.except(s2).count() === 0 && s2.except(s1).count() === 0)
   }
 
+  test("property: semanticDedup/nearDupPairs cap degenerate clusters instead of going quadratic") {
+    import spark.implicits._
+    // 30 identical vectors (one degenerate cluster) + 10 spread ones
+    val emb = ((0L until 30L).map(i => (i, Array.tabulate(8)(_ => 1.0f))) ++
+        (30L until 40L).map(i =>
+          (i, Array.tabulate(8)(j => ((i * 7 + j * 3) % 11).toFloat))))
+      .toDF("vec_id", "embedding")
+    // cap below the degenerate cluster's size: its members must ALL be
+    // kept (excluded from pair scoring, never dropped) and the op must
+    // not emit any within-degenerate-cluster drop
+    val capped = graft.operators.SimilarityOps.semanticDedup(emb, "vec_id",
+      "embedding", k = 4, iters = 1, threshold = 0.99, maxCluster = 10)
+    val kept = capped.where($"vec_id" < 30 && $"keep").count()
+    assert(kept === 30L, "capped degenerate cluster must keep all members")
+    // uncapped control: the same cluster dedups down to one survivor
+    val full = graft.operators.SimilarityOps.semanticDedup(emb, "vec_id",
+      "embedding", k = 4, iters = 1, threshold = 0.99)
+    assert(full.where($"vec_id" < 30 && $"keep").count() === 1L)
+    // nearDupPairs: same policy on the hyperplane buckets — capped run
+    // emits no pairs from the degenerate bucket, uncapped emits ~n^2/2
+    val pairsCapped = graft.operators.SimilarityOps.nearDupPairs(
+      emb, "vec_id", "embedding", dim = 8, threshold = 0.99,
+      maxBucket = 10)
+    assert(pairsCapped.where($"id1" < 30 && $"id2" < 30).count() === 0L)
+    val pairsFull = graft.operators.SimilarityOps.nearDupPairs(
+      emb, "vec_id", "embedding", dim = 8, threshold = 0.99)
+    assert(pairsFull.where($"id1" < 30 && $"id2" < 30).count() === 435L)
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
