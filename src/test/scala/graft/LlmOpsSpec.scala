@@ -251,6 +251,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("bpeApply: rejects a merge table whose operands no earlier rank produces") {
+    val df = Seq((0L, "abc")).toDF("doc_id", "text")
+    // ("ab","c") ranked FIRST references "ab" before any rank makes it
+    // — single-pass rank-order replay would silently mis-tokenize, so
+    // the table must be rejected loudly at plan-build time.
+    val e = intercept[IllegalArgumentException] {
+      TextOps.bpeApply(df, "doc_id", "text", Seq(("ab", "c"), ("a", "b")))
+    }
+    assert(e.getMessage.contains("invalid at rank 1"))
+    // the same merges in a producible order are fine
+    assert(TextOps.bpeApply(df, "doc_id", "text",
+      Seq(("a", "b"), ("ab", "c"))).count() === 1L)
+  }
+
   test("PNG codec round-trip: encode + decode through javax.imageio is lossless") {
     val px = Array.tabulate(24 * 16)(i => (i * 7 + 3) % 256)
     val bytes = MultimodalOps.encodePngGray(24, 16, px)
