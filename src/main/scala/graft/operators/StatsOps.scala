@@ -248,6 +248,12 @@ object StatsOps {
     val i = col(intensity)
     val v = col(chanCol)
     val wc = sum(i * v) / sum(i)
+    // group-cardinality intermediate, persisted so BOTH its consumers
+    // (the absmeandev mean side and the final result join) trigger the
+    // fact scan once, not twice — at sf0.1 this is the difference
+    // between 3 and 2 scans of the fact table (the r4->r6 perf slip).
+    // Spill-safe: the persisted set is one row per group, never fact
+    // rows.
     val main = df.groupBy(keys.map(col): _*).agg(
       avg(i).as("mom_mean"),
       (sum(i) * lit(delta)).as("mom_integrated"),
@@ -264,11 +270,17 @@ object StatsOps {
       // deterministic under intensity ties, unlike bare max_by.
       max(struct(i.as("i"), v.as("v"))).getField("v").as("mom_max_coord"),
       min(struct(i.as("i"), v.as("v"))).getField("v").as("mom_min_coord"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
     // absmeandev (cngi/image/moments.py:119-121) is inherently 2-pass:
-    // per-group mean joined back, then avg(|I - mean|). The join carries
-    // only (keys, mean) — group cardinality, not fact rows — and the
-    // result-side join of `main` with `amd` is group-cardinality too.
-    val means = df.groupBy(keys.map(col): _*).agg(avg(i).as("_gmean"))
+    // per-group mean joined back, then avg(|I - mean|) — but the mean
+    // is ALREADY in `main`, so the second pass reuses it instead of
+    // re-aggregating the fact. The join carries only (keys, mean) —
+    // group cardinality, not fact rows (auto-broadcast when small;
+    // deliberately NOT forced, per-pixel moments can have 1e9 groups)
+    // — and the result-side join of `main` with `amd` is
+    // group-cardinality too.
+    val means = main.select((keys.map(col) :+
+      col("mom_mean").as("_gmean")): _*)
     val amd = df.join(means, keys)
       .groupBy(keys.map(col): _*)
       .agg(avg(abs(i - col("_gmean"))).as("mom_absmeandev"))
