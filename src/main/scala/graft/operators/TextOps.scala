@@ -181,13 +181,24 @@ object TextOps {
     * BPE tokenizer ships.
     *
     * 100 TB story: the corpus is scanned ONCE (word-frequency hash
-    * aggregate, map-side combined); every merge round then runs on
-    * the DIMENSION-SIZED vocabulary (distinct words x counts) — one
-    * explode + one hash aggregate + a 1-row ordered limit
-    * (TakeOrdered) + a vocab map, checkpointed per round so the plan
-    * never re-grows. nMerges rounds = nMerges tiny jobs.
+    * aggregate, map-side combined); the merge induction itself is
+    * VOCABULARY-sized, never corpus-sized — exactly the structure of
+    * Sennrich's learn_bpe, which operates on the word-frequency
+    * dictionary. When the vocabulary fits the driver
+    * (<= maxDriverVocab distinct words) the whole induction runs
+    * there as an incremental pair-count loop (lazy-deletion heap,
+    * per-word delta updates): nMerges merges cost ZERO extra Spark
+    * jobs after the one corpus aggregate, instead of one
+    * explode+agg+limit+rewrite job per merge. Past the threshold the
+    * per-round distributed loop below takes over (one explode + one
+    * hash aggregate + a 1-row TakeOrdered + a vocab map per round,
+    * checkpointed so the plan never re-grows). Both paths are
+    * bit-identical: same overlapping pair counting, same
+    * (count desc, UTF-8-byte lexicographic) argmax, same greedy
+    * left-to-right non-overlapping rewrite.
     */
-  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int): DataFrame = {
+  def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
+                maxDriverVocab: Int = 1 << 20): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     // split by CODEPOINT, not UTF-16 char — surrogate halves are not
@@ -199,6 +210,13 @@ object TextOps {
       .groupBy("wd").agg(count(lit(1)).as("wc"))
       .select(toSyms(col("wd")).as("syms"), col("wc"))
       .localCheckpoint()
+    if (vocab.count() <= maxDriverVocab) {
+      val words0 = vocab.as[(Seq[String], Long)].collect()
+        .map { case (s, c) => (s.toArray, c) }
+      val merges = bpeMergesLocal(words0, nMerges)
+      return merges.toSeq.toDF("merge_rank", "sym_left", "sym_right",
+        "pair_count")
+    }
     val pairsUdf = udf((s: Seq[String]) =>
       if (s.length < 2) Seq.empty[(String, String)]
       else s.sliding(2).map(p => (p(0), p(1))).toSeq)
@@ -238,6 +256,84 @@ object TextOps {
       }
     }
     merges.toSeq.toDF("merge_rank", "sym_left", "sym_right", "pair_count")
+  }
+
+  /** Driver-side BPE induction over a collected (syms, weight)
+    * vocabulary — the fast path of [[bpeMerges]]. Incremental
+    * classic-trainer structure: global overlapping pair counts, a
+    * pair -> containing-words index so each merge touches only the
+    * words holding the winning pair, and a lazy-deletion max-heap
+    * (re-push on every count change, discard stale entries on pop) so
+    * argmax selection is O(log) instead of a full rescan per round.
+    * Ordering matches the distributed path exactly: count desc, then
+    * UTF-8 bytes of left then right symbol, unsigned lexicographic.
+    */
+  private[operators] def bpeMergesLocal(words0: Array[(Array[String], Long)],
+                                        nMerges: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import scala.collection.mutable
+    val syms = words0.map(_._1.clone())
+    val wcs = words0.map(_._2)
+    def wordPairs(s: Array[String]): Iterator[(String, String)] =
+      if (s.length < 2) Iterator.empty
+      else (0 until s.length - 1).iterator.map(i => (s(i), s(i + 1)))
+    val pairCount = mutable.HashMap.empty[(String, String), Long]
+    val pairWords = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def byteLt(a: String, b: String): Boolean =
+      java.util.Arrays.compareUnsigned(
+        a.getBytes("UTF-8"), b.getBytes("UTF-8")) < 0
+    // heap entries carry the count they were pushed with; stale ones
+    // (count since changed) are discarded on pop
+    case class Cand(cnt: Long, l: String, r: String)
+    implicit val ord: Ordering[Cand] = new Ordering[Cand] {
+      def compare(x: Cand, y: Cand): Int =
+        if (x.cnt != y.cnt) java.lang.Long.compare(x.cnt, y.cnt) // max-heap
+        else if (x.l != y.l) { if (byteLt(x.l, y.l)) 1 else -1 }  // smaller wins
+        else if (x.r != y.r) { if (byteLt(x.r, y.r)) 1 else -1 }
+        else 0
+    }
+    val heap = mutable.PriorityQueue.empty[Cand]
+    def bump(p: (String, String), delta: Long, w: Int, add: Boolean): Unit = {
+      val n = pairCount.getOrElse(p, 0L) + delta
+      if (n <= 0L) pairCount.remove(p) else pairCount(p) = n
+      val set = pairWords.getOrElseUpdate(p, mutable.Set.empty)
+      if (add) set += w else set -= w
+      if (n > 0L) heap.enqueue(Cand(n, p._1, p._2))
+    }
+    for (w <- syms.indices; p <- wordPairs(syms(w))) bump(p, wcs(w), w, add = true)
+    val out = mutable.Buffer.empty[(Int, String, String, Long)]
+    var k = 1
+    var exhausted = false
+    while (k <= nMerges && !exhausted) {
+      // pop to the first live candidate
+      var top: Option[Cand] = None
+      while (top.isEmpty && heap.nonEmpty) {
+        val c = heap.dequeue()
+        if (pairCount.get((c.l, c.r)).contains(c.cnt)) top = Some(c)
+      }
+      top match {
+        case None => exhausted = true
+        case Some(Cand(cnt, l, r)) =>
+          out += ((k, l, r, cnt))
+          val affected = pairWords.getOrElse((l, r), mutable.Set.empty).toArray
+          for (w <- affected) {
+            val old = syms(w)
+            // retract this word's pair contributions, rewrite, re-add
+            for (p <- wordPairs(old)) bump(p, -wcs(w), w, add = false)
+            val nw = mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < old.length) {
+              if (i < old.length - 1 && old(i) == l && old(i + 1) == r) {
+                nw += l + r; i += 2 // greedy left-to-right, non-overlapping
+              } else { nw += old(i); i += 1 }
+            }
+            syms(w) = nw.toArray
+            for (p <- wordPairs(syms(w))) bump(p, wcs(w), w, add = true)
+          }
+          k += 1
+      }
+    }
+    out.toSeq
   }
 
   /** BPE TOKENIZATION with a learned merge table — the apply side of

@@ -251,6 +251,34 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("bpeMerges: driver fast path is bit-identical to the distributed rounds") {
+    // ties, overlapping repeats, multi-occurrence words — the cases
+    // where the two implementations could diverge
+    val df = Seq((0L, "banana band banana"), (1L, "an anana aa aaa"),
+      (2L, "cab cab dab")).toDF("doc_id", "text")
+    def rows(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Int]("merge_rank"), r.getAs[String]("sym_left"),
+        r.getAs[String]("sym_right"), r.getAs[Long]("pair_count")))
+      .sortBy(_._1).toSeq
+    val local = rows(TextOps.bpeMerges(df, "text", nMerges = 10))
+    val dist = rows(TextOps.bpeMerges(df, "text", nMerges = 10,
+      maxDriverVocab = 0))
+    assert(local === dist)
+  }
+
+  test("bpeMerges: 100 merges complete fast on the fixture corpus") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+    val t0 = System.nanoTime()
+    val m = TextOps.bpeMerges(docs, "text", nMerges = 100)
+      .orderBy("merge_rank").collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    // the fixture corpus exhausts its pair supply before 100 rounds —
+    // early stop is the contract; ranks must still be dense from 1
+    assert(m.length > 50 && m.length <= 100)
+    assert(m.map(_.getAs[Int]("merge_rank")).toSeq === (1 to m.length))
+    assert(secs < 30.0, f"${m.length} merges took $secs%.1f s — driver fast path regressed")
+  }
+
   test("bpeApply: rejects a merge table whose operands no earlier rank produces") {
     val df = Seq((0L, "abc")).toDF("doc_id", "text")
     // ("ab","c") ranked FIRST references "ab" before any rank makes it
