@@ -28,7 +28,23 @@ class PlanInvariantsSpec extends SparkSpec {
     "flag_summary", "imaging_weight_briggs", "dedup_exact", "url_dedup",
     "line_dedup", "shard_by_tokens", "semantic_dedup", "dsir_sample",
     "reframe", "auto_tfcrop", "stream_enrich", "asof_join",
-    "degrid_vis_join", "dedup_minhash", "decontaminate_bloom")
+    "degrid_vis_join", "dedup_minhash", "decontaminate_bloom",
+    // the whole events family — round 7 lost all of these to a silent
+    // schema drift, so every one of them stays in the sweep
+    "events_window", "sessionize", "interval_join", "rolling_value")
+
+  test("interval_join pushes the event_type filters to the parquet scan") {
+    // the view/click selections must reach the scan even through the
+    // canonical ts/ts_ns derivation Tables.events now prepends — a
+    // derived column that blocked pushdown would make a 100 TB events
+    // scan read every row twice
+    val p = plan("interval_join")
+    assert(p.contains("PushedFilters: [IsNotNull(event_type), EqualTo(event_type,view)")
+        || p.contains("EqualTo(event_type,view)"),
+      s"view-side event_type filter no longer pushed to scan:\n$p")
+    assert(p.contains("EqualTo(event_type,click)"),
+      s"click-side event_type filter no longer pushed to scan:\n$p")
+  }
 
   test("no CartesianProduct in any fact-path plan") {
     for (name <- noCartesian) {
