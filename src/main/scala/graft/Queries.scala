@@ -1349,6 +1349,36 @@ object Queries {
       |  c_nationkey, c_mktsegment
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)
 
+  /** Schema-on-read JSON extraction over the events props column
+    * (beyond-parity; the metadata-filtering shape of a training-data
+    * pipeline): `from_json` with an explicit schema — a native codegen
+    * expression, so the parse rides the scan with no UDF and no
+    * shuffle — then one hash aggregate per event_type. All outputs are
+    * exact integers, so the whole query is hash-checkable against
+    * DuckDB's independent JSON parser.
+    */
+  private val propsParseQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .withColumn("k",
+          from_json(col("props"), lit("k BIGINT")).getField("k"))
+      ev.groupBy("event_type")
+        .agg(count(lit(1)).as("n_events"),
+          sum("k").as("k_sum"),
+          min("k").as("k_min"), max("k").as("k_max"),
+          sum(when(col("k") % 2 === 0, 1L).otherwise(0L)).as("n_even"),
+          sum(when(col("k").isNull, 1L).otherwise(0L)).as("n_null"))
+    },
+    """WITH p AS (
+      |  SELECT event_type,
+      |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+      |  FROM events)
+      |SELECT event_type, count(*) AS n_events,
+      |  CAST(sum(k) AS BIGINT) AS k_sum, min(k) AS k_min, max(k) AS k_max,
+      |  CAST(sum(CASE WHEN k % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_even,
+      |  CAST(sum(CASE WHEN k IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null
+      |FROM p GROUP BY 1""".stripMargin)
+
   /** Top-3 events per user by value (deterministic event_id
     * tie-break) — the rank-truncation window shape.
     */
@@ -1429,6 +1459,7 @@ object Queries {
     "derive_weight" -> deriveWeightQ,
     "split_autocross" -> splitAutocrossQ,
     "events_window" -> eventsWindowQ,
+    "props_parse" -> propsParseQ,
     "sessionize" -> sessionizeQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
