@@ -1690,6 +1690,40 @@ object QueriesLlm {
          |FROM dd""".stripMargin
     })
 
+  /** Nearest-centroid classification over the labeled embeddings
+    * (embeddings.label was previously an unused column): centroids
+    * quantized to the 1e-8 grid exactly like ivf_train_iter, every
+    * distance a mirrored left-to-right fold, argmin tie-broken to the
+    * smaller label — prediction engine-exact, dist2 qrounded.
+    */
+  private val nearestCentroidQ = Q(
+    (s, d) => SimilarityOps.nearestCentroid(Tables.embeddings(s, d),
+        "vec_id", "embedding", "label")
+      .select(col("vec_id"), col("label"), col("pred_label"),
+        qround(col("dist2"), 6).as("dist2")),
+    s"""WITH e AS (
+       |  SELECT vec_id, CAST(label AS INT) AS label,
+       |    embedding::DOUBLE[] AS v
+       |  FROM embeddings),
+       |cd AS (
+       |  SELECT label AS c_label, CAST(g.i - 1 AS INT) AS dim,
+       |    ${qrSql("sum(v[g.i]) / count(*)", 8)} AS c
+       |  FROM e CROSS JOIN generate_series(1, 64) g(i)
+       |  GROUP BY 1, 2),
+       |ca AS (
+       |  SELECT c_label, list(c ORDER BY dim) AS cv FROM cd GROUP BY 1),
+       |dist AS (
+       |  SELECT e.vec_id, e.label, ca.c_label,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(generate_series(1, 64), i_ ->
+       |        (e.v[i_] - ca.cv[i_]) * (e.v[i_] - ca.cv[i_]))),
+       |      (a_, b_) -> a_ + b_) AS dd
+       |  FROM e CROSS JOIN ca)
+       |SELECT vec_id, label,
+       |  (array_agg(c_label ORDER BY dd, c_label))[1] AS pred_label,
+       |  ${qrSql("(array_agg(dd ORDER BY dd, c_label))[1]", 6)} AS dist2
+       |FROM dist GROUP BY 1, 2""".stripMargin)
+
   /** Raster patch stats over the packed fake payload (patch = 8 rows x
     * 16 cols = 128 consecutive bytes). All sums exact integers — no
     * float-order noise anywhere.
@@ -1817,6 +1851,7 @@ object QueriesLlm {
     "gopher_quality" -> gopherQualityQ,
     "bm25_score" -> bm25Q,
     "embed_project" -> embedProjectQ,
+    "nearest_centroid" -> nearestCentroidQ,
     "image_patch_stats" -> imagePatchStatsQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash" -> dedupMinhashQ,

@@ -585,6 +585,45 @@ object SimilarityOps {
         coalesce(!col("dropped"), lit(true)).as("keep"))
   }
 
+  /** Nearest-centroid (Rocchio) classifier over labeled embeddings —
+    * the embedding-space analog of the fastText-style quality/domain
+    * gate: per-label mean vectors, then every vector assigned to the
+    * nearest centroid (squared euclidean, ties to the smaller label).
+    * Centroids are QUANTIZED to `qdec` decimals exactly like
+    * [[trainIvf]] — the quantization pins every downstream argmin to
+    * exact decimal inputs, so the prediction is reproducible across
+    * engines. Output (id, label, pred_label, dist2).
+    *
+    * 100 TB story: two corpus scans — one posexplode + hash aggregate
+    * building the (n_labels x d) centroid table (dimension-sized,
+    * never collected), one scoring pass against the broadcast
+    * centroid arrays with codegen'd zip_with/aggregate folds; the
+    * n_labels multiplier applies to rows, not exploded dims.
+    */
+  def nearestCentroid(emb: DataFrame, idCol: String, vecCol: String,
+                      labelCol: String, qdec: Int = 8): DataFrame = {
+    val scale = math.pow(10, qdec)
+    val e = spread(emb).select(col(idCol),
+      col(labelCol).cast("int").as("label"), toDouble(col(vecCol)).as("v"))
+    val cents = e.select(col("label").as("c_label"),
+        posexplode(col("v")).as(Seq("dim", "x")))
+      .groupBy("c_label", "dim")
+      .agg((sum("x") / count(lit(1))).as("c"))
+      .withColumn("c", floor(col("c") * scale + lit(0.5)) / scale)
+    val carr = cents.groupBy("c_label")
+      .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
+      .select(col("c_label"), transform(col("dc"), _.getField("c")).as("cv"))
+    // same left-to-right fold the oracle's list_reduce replays
+    val scored = e.crossJoin(broadcast(carr))
+      .withColumn("dd", aggregate(
+        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x))
+    scored.groupBy(col(idCol), col("label"))
+      .agg(min(struct(col("dd"), col("c_label"))).as("best"))
+      .select(col(idCol), col("label"),
+        col("best.c_label").as("pred_label"), col("best.dd").as("dist2"))
+  }
+
   /** Deterministic +-1 sign for output-dim d, input-dim j of the
     * random-projection matrix — same Knuth-hash family as
     * [[hyperplane]], stride-protected against (d, j) aliasing.

@@ -251,6 +251,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.toSeq === expect)
   }
 
+  test("nearestCentroid assigns separable clusters to their own labels") {
+    import spark.implicits._
+    // two well-separated labels + one vector nearer the other cloud
+    val emb = (
+      (0L until 10L).map(i => (i, 0, Array.tabulate(8)(j => (j + 0.1 * i).toFloat))) ++
+      (10L until 20L).map(i => (i, 1, Array.tabulate(8)(j => (100.0 + j + 0.1 * i).toFloat))) :+
+      ((20L, 0, Array.tabulate(8)(j => (100.0 + j).toFloat)))
+    ).toDF("vec_id", "label", "embedding")
+    val out = graft.operators.SimilarityOps.nearestCentroid(
+        emb, "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") ->
+        (r.getAs[Int]("label"), r.getAs[Int]("pred_label"))).toMap
+    assert(out.size === 21)
+    for (i <- 0L until 10L) assert(out(i)._2 === 0, s"vec $i")
+    for (i <- 10L until 20L) assert(out(i)._2 === 1, s"vec $i")
+    // the planted outlier carries label 0 but classifies as 1
+    assert(out(20L) === ((0, 1)))
+    // invariant under repartitioning (quantized centroids)
+    val out7 = graft.operators.SimilarityOps.nearestCentroid(
+        emb.repartition(7), "vec_id", "embedding", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("pred_label")).toMap
+    assert(out7 === out.map { case (k, v) => k -> v._2 })
+  }
+
   test("bpeMerges: driver fast path is bit-identical to the distributed rounds") {
     // ties, overlapping repeats, multi-occurrence words — the cases
     // where the two implementations could diverge
