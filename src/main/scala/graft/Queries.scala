@@ -1272,6 +1272,46 @@ object Queries {
       |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
       |FROM sids GROUP BY 1, 2""".stripMargin)
 
+  /** Sessionization through the BUILT-IN `session_window` (the
+    * streaming twin of `sessionize` — same operator runs under
+    * Structured Streaming with a watermark; see
+    * StreamingOps.sessionizeStream). Boundary semantics verified
+    * inclusive: an event exactly gap after the previous one MERGES, so
+    * the oracle's gaps-and-islands split is strictly-greater — the
+    * same convention the integer-nanos sessionize uses. Session end =
+    * last event + gap, mirrored as max + 30 min.
+    */
+  private val streamSessionizeQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      streaming.StreamingOps.sessionizeStream(ev, "ts", "30 minutes",
+          Seq("user_id"), "value")
+        .select(col("user_id"),
+          unix_micros(col("session.start")).as("session_start_us"),
+          unix_micros(col("session.end")).as("session_end_us"),
+          col("n_events"), qround(col("value_sum"), 6).as("value_sum"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_us(ts) AS tsu, value FROM events),
+      |l AS (
+      |  SELECT user_id, tsu, value,
+      |    CASE WHEN lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu) IS NULL
+      |           OR tsu - lag(tsu) OVER (PARTITION BY user_id ORDER BY tsu)
+      |              > 1800000000
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sids AS (
+      |  SELECT user_id, tsu, value,
+      |    CAST(sum(new_s) OVER (PARTITION BY user_id ORDER BY tsu
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS session_seq
+      |  FROM l)
+      |SELECT user_id,
+      |  min(tsu) AS session_start_us,
+      |  max(tsu) + 1800000000 AS session_end_us,
+      |  count(*) AS n_events,
+      |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
+      |FROM sids GROUP BY user_id, session_seq""".stripMargin)
+
   /** INTERVAL join on the events stream: every view paired with the
     * same user's clicks within the following 6 hours. Integer
     * nanosecond bounds — frame membership is exact in both engines, so
@@ -1461,6 +1501,7 @@ object Queries {
     "events_window" -> eventsWindowQ,
     "props_parse" -> propsParseQ,
     "sessionize" -> sessionizeQ,
+    "stream_sessionize" -> streamSessionizeQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
