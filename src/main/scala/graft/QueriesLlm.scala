@@ -1772,6 +1772,45 @@ object QueriesLlm {
          |FROM s""".stripMargin
     })
 
+  /** Resize chain end to end: pack → block-average resize to a fixed
+    * (8 x 4) raster → feature-extract the RESIZED payload. The resize
+    * kernel is pure integer math (block bounds by integer division,
+    * block mean by integer division), so the oracle replays every
+    * output pixel exactly and the downstream byte_sum is
+    * hash-checkable. Completes the brief's decode / feature-extract /
+    * resize / frame-sample quartet in the contract gate.
+    */
+  private val imageResizeQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d),
+        "doc_id", "text")
+      val resized = MultimodalOps.resize(s, media, newW = 8, newH = 4)
+      MultimodalOps.extractFeatures(s, resized.toDF())
+        .toDF()
+        .select(col("media_id"), col("format"), col("n_bytes"),
+          col("byte_sum"), qround(col("byte_mean"), 8).as("byte_mean"),
+          col("frames_sampled"))
+    },
+    s"""WITH src AS (
+       |  SELECT doc_id AS media_id, text, length(text) AS n
+       |  FROM documents),
+       |blocks AS (
+       |  SELECT media_id, text, n, g.i AS i,
+       |    (g.i * n) // 32 AS f,
+       |    greatest((g.i * n) // 32 + 1, ((g.i + 1) * n) // 32) AS u
+       |  FROM src CROSS JOIN generate_series(0, 31) g(i)),
+       |vals AS (
+       |  SELECT media_id, i,
+       |    list_sum(list_transform(generate_series(f + 1, u),
+       |      j_ -> ascii(substr(text, CAST(j_ AS INT), 1)))) // (u - f) AS p
+       |  FROM blocks)
+       |SELECT media_id, 'img/fake' AS format,
+       |  CAST(32 AS BIGINT) AS n_bytes,
+       |  CAST(sum(p) AS BIGINT) AS byte_sum,
+       |  ${qrSql("CAST(sum(p) AS DOUBLE) / 32.0", 8)} AS byte_mean,
+       |  CAST(2 AS INT) AS frames_sampled
+       |FROM vals GROUP BY media_id""".stripMargin)
+
   /** REAL-codec image path: deterministic grayscale rasters are
     * encoded to PNG and decoded back through javax.imageio inside the
     * partition kernel, then patch statistics run on the DECODED
@@ -1847,6 +1886,7 @@ object QueriesLlm {
   val all: Map[String, Q] = Map(
     "audio_frame_energy" -> audioFrameEnergyQ,
     "image_decode_stats" -> imageDecodeStatsQ,
+    "image_resize" -> imageResizeQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,
     "bm25_score" -> bm25Q,
