@@ -1389,6 +1389,29 @@ object Queries {
       |  c_nationkey, c_mktsegment
       |FROM orders LEFT JOIN customer ON o_custkey = c_custkey""".stripMargin)
 
+  /** Windowed flag-rate counting (StreamingOps.runningFlagCounts —
+    * the same operator runs under Structured Streaming with a
+    * watermark; MemoryStream twin in StreamingOpsSpec): per 10-minute
+    * bin and event_type, how many events exceed the value threshold.
+    * Exact integers throughout.
+    */
+  private val runningFlagCountsQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      streaming.StreamingOps.runningFlagCounts(ev, "ts", "10 minutes",
+          col("value") >= 50.0, Seq("event_type"))
+        .select(
+          (unix_timestamp(col("time_bin.start")) / 600).cast("long")
+            .as("time_bin_id"),
+          col("event_type"), col("flagged"), col("total"))
+    },
+    """SELECT CAST(floor(epoch(ts) / 600.0) AS BIGINT) AS time_bin_id,
+      |  event_type,
+      |  CAST(sum(CASE WHEN value >= 50.0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS flagged,
+      |  count(*) AS total
+      |FROM events GROUP BY 1, 2""".stripMargin)
+
   /** Schema-on-read JSON extraction over the events props column
     * (beyond-parity; the metadata-filtering shape of a training-data
     * pipeline): `from_json` with an explicit schema — a native codegen
@@ -1500,6 +1523,7 @@ object Queries {
     "split_autocross" -> splitAutocrossQ,
     "events_window" -> eventsWindowQ,
     "props_parse" -> propsParseQ,
+    "running_flag_counts" -> runningFlagCountsQ,
     "sessionize" -> sessionizeQ,
     "stream_sessionize" -> streamSessionizeQ,
     "interval_join" -> intervalJoinQ,

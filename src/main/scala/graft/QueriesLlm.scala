@@ -1663,6 +1663,73 @@ object QueriesLlm {
          |FROM j WHERE $matched > 0""".stripMargin
     })
 
+  /** BM25 retrieval top-k — the rank-truncated form of bm25_score
+    * (global TakeOrdered, never a full sort): score fold and
+    * tie-break (bm25 desc, doc_id) are computed on identical doubles
+    * in both engines, so the selected set is exact.
+    */
+  private val bm25TopKQ = Q(
+    (s, d) => TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        bm25Terms, k = 25)
+      .select(col("doc_id"), col("n_terms_matched"),
+        qround(col("bm25"), 6).as("bm25")),
+    {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+      val half = dlit(0.5); val one = dlit(1.0)
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
+        .mkString(",\n    ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val terms = bm25Terms.indices.map { i =>
+        s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+          s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+          s" * dl / avgdl))"
+      }.mkString(" + ")
+      val matched = bm25Terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS dl,
+         |    $tfs
+         |  FROM w),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) AS sum_dl,
+         |    $dfs
+         |  FROM tf),
+         |j AS (
+         |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
+         |  FROM tf CROSS JOIN stats)
+         |SELECT doc_id, CAST($matched AS INT) AS n_terms_matched,
+         |  ${qrSql(terms, 6)} AS bm25
+         |FROM j WHERE $matched > 0
+         |ORDER BY $terms DESC, doc_id LIMIT 25""".stripMargin
+    })
+
+  /** Frame sampling over the packed payload (every stride-th block of
+    * blockSize bytes) — the video/audio frame-subsample shape. The
+    * fixture payload is the UTF-8 text, so each sampled frame equals
+    * a substring and the whole output is string-exact.
+    */
+  private val frameSampleQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d),
+        "doc_id", "text")
+      MultimodalOps.frameSample(s, media, blockSize = 16, stride = 4)
+        .select(col("media_id"), col("frame_idx"),
+          col("frame_bytes").cast("string").as("frame_text"))
+    },
+    """WITH src AS (
+      |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
+      |SELECT media_id, CAST(g.i AS INT) AS frame_idx,
+      |  substr(text, CAST(g.i AS INT) * 16 + 1, 16) AS frame_text
+      |FROM src CROSS JOIN generate_series(0, 999, 4) g(i)
+      |WHERE g.i < (n + 15) // 16""".stripMargin)
+
   /** JL random projection 64 -> 16 dims. Each output component is a
     * left-to-right fold over input dims with +-1 hash signs — the
     * recipe-proven bit-exact dot-product shape.
@@ -1887,6 +1954,8 @@ object QueriesLlm {
     "audio_frame_energy" -> audioFrameEnergyQ,
     "image_decode_stats" -> imageDecodeStatsQ,
     "image_resize" -> imageResizeQ,
+    "bm25_topk" -> bm25TopKQ,
+    "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,
     "bm25_score" -> bm25Q,
