@@ -845,6 +845,44 @@ object Queries {
       |  floor((i_re - q_re) * 1000000.0 + 0.5) / 1000000.0,
       |  floor((i_im - q_im) * 1000000.0 + 0.5) / 1000000.0 FROM p""".stripMargin)
 
+  /** corr→Stokes — the inverse of stokes_to_corr (same pivot + packed
+    * projection shape, linear basis: I=(XX+YY)/2, Q=(XX-YY)/2,
+    * U=(XY+YX)/2, V=(XY-YX)/2i), previously unit-tested but not
+    * oracle-gated.
+    */
+  private val corrToStokesQ = Q(
+    (s, d) => {
+      val corr = li(s, d)
+        .withColumn("pol", (col("chan") % 4 + 9).cast("int"))
+        .groupBy(col("l_orderkey"), col("pol"))
+        .agg(c(avg(col("l_quantity")), avg(col("l_discount"))).as("value"))
+      val out = ImageOps.corrToStokes(corr, Seq("l_orderkey"), "pol", "value")
+      out.select(col("l_orderkey"), col("pol"),
+        qround(col("value.re"), 6).as("value_re"),
+        qround(col("value.im"), 6).as("value_im"))
+    },
+    """WITH s AS (SELECT l_orderkey, ((l_linenumber - 1) % 4) + 9 AS pol,
+      |             avg(l_quantity) AS re, avg(l_discount) AS im
+      |           FROM lineitem GROUP BY 1, 2),
+      |p AS (SELECT l_orderkey,
+      |  max(CASE WHEN pol = 9 THEN re END) AS xx_re, max(CASE WHEN pol = 9 THEN im END) AS xx_im,
+      |  max(CASE WHEN pol = 10 THEN re END) AS xy_re, max(CASE WHEN pol = 10 THEN im END) AS xy_im,
+      |  max(CASE WHEN pol = 11 THEN re END) AS yx_re, max(CASE WHEN pol = 11 THEN im END) AS yx_im,
+      |  max(CASE WHEN pol = 12 THEN re END) AS yy_re, max(CASE WHEN pol = 12 THEN im END) AS yy_im
+      |  FROM s GROUP BY 1)
+      |SELECT l_orderkey, 1 AS pol,
+      |  floor((xx_re + yy_re) * 0.5 * 1000000.0 + 0.5) / 1000000.0 AS value_re,
+      |  floor((xx_im + yy_im) * 0.5 * 1000000.0 + 0.5) / 1000000.0 AS value_im FROM p
+      |UNION ALL SELECT l_orderkey, 2,
+      |  floor((xx_re - yy_re) * 0.5 * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((xx_im - yy_im) * 0.5 * 1000000.0 + 0.5) / 1000000.0 FROM p
+      |UNION ALL SELECT l_orderkey, 3,
+      |  floor((xy_re + yx_re) * 0.5 * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((xy_im + yx_im) * 0.5 * 1000000.0 + 0.5) / 1000000.0 FROM p
+      |UNION ALL SELECT l_orderkey, 4,
+      |  floor((xy_im - yx_im) * 0.5 * 1000000.0 + 0.5) / 1000000.0,
+      |  floor((yx_re - xy_re) * 0.5 * 1000000.0 + 0.5) / 1000000.0 FROM p""".stripMargin)
+
   private val decimateQ = Q(
     (s, d) => StatsOps.decimate(li(s, d), strides = Map("chan" -> 2),
       keys = Seq("l_returnflag"), values = Seq("l_quantity", "l_extendedprice")),
@@ -1512,6 +1550,7 @@ object Queries {
     "make_empty_sky_image" -> makeEmptySkyImageQ,
     "mask_region" -> maskRegionQ,
     "stokes_to_corr" -> stokesToCorrQ,
+    "corr_to_stokes" -> corrToStokesQ,
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
     "bucketed_join" -> bucketedJoinQ,
