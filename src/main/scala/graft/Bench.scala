@@ -33,41 +33,56 @@ object Bench {
     // as Verify) for targeted solo timing.
     val wanted = SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (n, _) => args.isEmpty || args.contains(n) }
+    // Repeat each query REPS times and report the per-query MEDIAN (plus
+    // min/max in the file record): one-pass timings in this sandbox have
+    // twice produced phantom 10x "regressions" that were pure scheduler
+    // contention — a median-of-3 makes cross-round comparison meaningful.
+    val reps = sys.env.get("SPARK_GRAFT_BENCH_REPS")
+      .flatMap(v => scala.util.Try(v.toInt).toOption).filter(_ >= 1).getOrElse(3)
     val results = wanted.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      // Materialize every row of the real plan (a bare .count() would let
-      // Catalyst prune the value columns and skip the measured work).
-      try { fn(spark, sfDir).queryExecution.toRdd.count() }
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
-      val dt = (System.nanoTime() - t0) / 1e9
-      // Isolate measurements: drop any cache an operator materialized
-      // (outside the timed window) so heap pressure from query i never
-      // lands as a GC pause inside query i+1's wall time.
-      spark.catalog.clearCache()
-      name -> dt
+      val times = (1 to reps).map { _ =>
+        val t0 = System.nanoTime()
+        // Materialize every row of the real plan (a bare .count() would let
+        // Catalyst prune the value columns and skip the measured work).
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] $name failed: ${e.getMessage}"); -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // Isolate measurements: drop any cache an operator materialized
+        // (outside the timed window) so heap pressure from rep i never
+        // lands as a GC pause inside rep i+1's wall time.
+        spark.catalog.clearCache()
+        dt
+      }.sorted
+      val median = times(times.length / 2)
+      (name, median, times.head, times.last)
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v, _, _) => s"\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    val qsMin = results.map { case (k, _, lo, _) => s"\"" + k + "\":" + lo }
+      .mkString("{", ",", "}")
+    val qsMax = results.map { case (k, _, _, hi) => s"\"" + k + "\":" + hi }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"queries":$qs,"sf":"$sfDir"}""")
     // The driver captures only the TAIL of stdout (~2000 chars), and the
     // full per-query line above is ~4.5 KB — every round so far recorded
     // `parsed: null` because the line's head was cut off. Emit a compact
     // record LAST (total + the 10 slowest queries, rounded), well under
     // the capture window, so the tail always holds one parseable JSON.
     val top = results.sortBy(-_._2).take(10)
-      .map { case (k, v) => "\"" + k + "\":" + (math.floor(v * 1000) / 1000) }
+      .map { case (k, v, _, _) => "\"" + k + "\":" + (math.floor(v * 1000) / 1000) }
       .mkString("{", ",", "}")
     val totalR = math.floor(total * 1000) / 1000
     val compact =
-      s"""{"metric":"total","value":$totalR,"unit":"sec","n_queries":${results.size},"queries":$top,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$totalR,"unit":"sec","reps":$reps,"n_queries":${results.size},"queries":$top,"sf":"$sfDir"}"""
     // Belt and braces against stdout scraping (r4/r6 both lost the line
     // to truncation or sbt log prefixes): persist the full record to a
     // file the driver/judge can always read, then print the compact
     // line LAST (after spark.stop(), so no shutdown logging follows it).
+    // "queries" = per-query median; min/max expose the contention spread.
     val full =
-      s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},"queries":$qs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
     try {
       val w = new java.io.PrintWriter("/tmp/graft_bench.json")
       try w.println(full) finally w.close()

@@ -28,6 +28,40 @@ object Tables {
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
+  /** True iff the parquet footer declares `ts` as TIMESTAMP(NANOS) —
+    * the one physical flavor Spark can only read through the legacy
+    * long mapping (SPARK-40819). Reads the footer of the first data
+    * file directly (parquet-hadoop) instead of sniffing Spark's
+    * exception text, which is brittle across versions/locales.
+    */
+  private def tsIsParquetNanos(s: SparkSession, path: String): Boolean = {
+    import org.apache.hadoop.fs.Path
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    import org.apache.parquet.schema.LogicalTypeAnnotation.{TimeUnit, TimestampLogicalTypeAnnotation}
+    try {
+      val conf = s.sessionState.newHadoopConf()
+      val root = new Path(path)
+      val fs = root.getFileSystem(conf)
+      val st = fs.getFileStatus(root)
+      val dataFile =
+        if (st.isDirectory)
+          fs.listStatus(root).map(_.getPath)
+            .find(p => p.getName.endsWith(".parquet"))
+            .getOrElse(return false)
+        else root
+      val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        if (!schema.containsField("ts")) return false
+        schema.getFields.get(schema.getFieldIndex("ts")).getLogicalTypeAnnotation match {
+          case t: TimestampLogicalTypeAnnotation => t.getUnit == TimeUnit.NANOS
+          case _ => false
+        }
+      } finally reader.close()
+    } catch { case _: Exception => false } // unreadable footer → let the normal load surface it
+  }
+
   /** Schema-adaptive events loader — the analog of the reference's
     * dtype tolerance at open time (`cngi/dio/read_vis.py:39-41`): the
     * driver has shipped `ts` as int64 nanoseconds, parquet
@@ -41,22 +75,25 @@ object Tables {
     *   - `ts_ns` LongType epoch nanoseconds (µs-aligned when the file
     *             only carries µs)
     *
-    * No session conf is mutated on the normal paths; only the
-    * TIMESTAMP(NANOS) flavor has no non-legacy read path in Spark, so
-    * that branch alone flips the documented escape hatch.
+    * NO session conf is ever mutated on the caller's session: the
+    * TIMESTAMP(NANOS) flavor (footer-probed above) is read through a
+    * cloned `newSession()` — same SparkContext, catalog and cache,
+    * isolated runtime conf — so the `nanosAsLong` escape hatch lives
+    * and dies with a session nothing else ever sees. The returned
+    * DataFrame stays valid under the caller's session because the
+    * parquet relation captures its own session at read time.
     */
   def events(s: SparkSession, d: String): DataFrame = {
     val raw =
-      try load(s, d, "events")
-      catch {
-        case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
-          // parquet TIMESTAMP(NANOS): Spark's only read path is the
-          // legacy long mapping (SPARK-40819); restoring the conf
-          // before execution would break the deferred scan, so it
-          // stays set for this flavor only.
-          s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-          load(s, d, "events")
-      }
+      if (tsIsParquetNanos(s, s"$d/events.parquet")) {
+        val iso = s.newSession()
+        iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        // newSession inherits builder-time confs but not runtime ones;
+        // timestamp semantics must match the caller's session.
+        iso.conf.set("spark.sql.session.timeZone",
+          s.conf.get("spark.sql.session.timeZone", "UTC"))
+        load(iso, d, "events")
+      } else load(s, d, "events")
     raw.schema("ts").dataType match {
       case LongType => // raw int64 epoch-nanos (incl. legacy NANOS mapping)
         raw.withColumn("ts_ns", col("ts"))
