@@ -16,11 +16,13 @@ import org.apache.spark.sql.expressions.Window
   * buckets collide (expected cost |colliding pairs|, not all pairs);
   * recall is tuned by nplanes and by probing neighboring buckets.
   *
-  * PERF NOTE (measured, see TextOps): the inner products are compiled
-  * Scala UDFs, not zip_with/aggregate HOF expressions — the HOFs are
-  * CodegenFallback (interpreted per element) and were the bottleneck
-  * at bench scale. Norms are computed ONCE per side before the join,
-  * never per pair; pair scoring repartitions to the default
+  * PERF NOTE (measured, see TextOps): the inner kernels are native
+  * codegen expressions (graft.functions.VectorKernels) — zip_with/
+  * aggregate HOFs are CodegenFallback (interpreted per element) and
+  * Scala UDFs box a WrappedArray[Double] per row; both were measured
+  * bottlenecks at bench scale on what is the hottest corpus scan of
+  * the 100 TB story. Norms are computed ONCE per side before the
+  * join, never per pair; pair scoring repartitions to the default
   * parallelism (small parquet inputs otherwise arrive as one
   * partition and serialize the whole join onto one core).
   */
@@ -61,18 +63,13 @@ object SimilarityOps {
   def hyperplane(i: Int, j: Int): Double =
     ((i.toLong * 100003 + j) * 2654435761L % 1000L) / 1000.0 - 0.5
 
-  /** nplanes-bit signature: bit i = sign of dot(vec, hyperplane_i). */
+  /** nplanes-bit signature: bit i = sign of dot(vec, hyperplane_i).
+    * Native codegen expression — this runs on the CORPUS side of every
+    * LSH query, so it must not pay the UDF boxing tax per row.
+    */
   def hyperplaneBucket(vec: Column, dim: Int, nplanes: Int): Column = {
     val planes = Array.tabulate(nplanes, dim)((i, j) => hyperplane(i, j))
-    udf((v: Seq[Double]) => {
-      var out = 0L
-      var i = 0
-      while (i < nplanes) {
-        if (dotFn(v, planes(i).toSeq) > 0) out += (1L << i)
-        i += 1
-      }
-      out
-    }).apply(toDouble(vec))
+    graft.functions.HyperplaneSig(toDouble(vec), planes)
   }
 
   private def spread(df: DataFrame): DataFrame =
@@ -170,24 +167,15 @@ object SimilarityOps {
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    val assignUdf = udf((v: Seq[Double]) => {
-      var best = -1L; var bestD = Double.MaxValue
-      cents.foreach { case (id, c) =>
-        val d = sqDistFn(v, c.toSeq)
-        if (d < bestD || (d == bestD && id < best)) { best = id; bestD = d }
-      }
-      best
-    })
-    val probeUdf = udf((v: Seq[Double]) =>
-      cents.map { case (id, c) => (sqDistFn(v, c.toSeq), id) }
-        .sortBy(identity).take(nProbe).map(_._2))
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("list_id", assignUdf(col("cv")))
+      .withColumn("list_id",
+        graft.functions.NearestCentroidId(col("cv"), cents.toSeq))
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .withColumn("list_id",
+        explode(graft.functions.ProbeListIds(col("qv"), cents.toSeq, nProbe)))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -316,25 +304,15 @@ object SimilarityOps {
                   cId: String, vecCol: String, k: Int,
                   cents: Seq[(Long, Array[Double])],
                   nProbe: Int): DataFrame = {
-    val centsArr = cents.sortBy(_._1).toArray
-    val assignUdf = udf((v: Seq[Double]) => {
-      var best = -1L; var bestD = Double.MaxValue
-      centsArr.foreach { case (id, c) =>
-        val d = sqDistFn(v, c.toSeq)
-        if (d < bestD) { best = id; bestD = d }
-      }
-      best
-    })
-    val probeUdf = udf((v: Seq[Double]) =>
-      centsArr.map { case (id, c) => (sqDistFn(v, c.toSeq), id) }
-        .sortBy(identity).take(nProbe).map(_._2))
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .withColumn("cn", norm(col("cv")))
-      .withColumn("list_id", assignUdf(col("cv")))
+      .withColumn("list_id",
+        graft.functions.NearestCentroidId(col("cv"), cents))
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("qn", norm(col("qv")))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
+      .withColumn("list_id",
+        explode(graft.functions.ProbeListIds(col("qv"), cents, nProbe)))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("cosine", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
@@ -385,24 +363,10 @@ object SimilarityOps {
     * the task closure: one scan, NO shuffle.
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
-               codebooks: Array[Array[Array[Double]]]): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
-    val codesUdf = udf((v: Seq[Double]) =>
-      Array.tabulate(m) { s =>
-        val sub = v.slice(s * dsub, s * dsub + dsub)
-        var best = -1; var bestD = Double.MaxValue
-        var c = 0
-        while (c < codebooks(s).length) { // asc codes: first wins ties
-          val d = sqDistFn(sub, codebooks(s)(c).toSeq)
-          if (d < bestD) { best = c; bestD = d }
-          c += 1
-        }
-        best
-      })
-    df.select(col(idCol), posexplode(codesUdf(toDouble(col(vecCol))))
-      .as(Seq("subspace", "code")))
-  }
+               codebooks: Array[Array[Array[Double]]]): DataFrame =
+    df.select(col(idCol),
+      posexplode(graft.functions.PqCodes(toDouble(col(vecCol)), codebooks))
+        .as(Seq("subspace", "code")))
 
   /** PQ search with asymmetric distance computation (ADC): the query
     * stays un-quantized; its distance to each corpus vector is
@@ -421,29 +385,23 @@ object SimilarityOps {
                cId: String, vecCol: String, k: Int,
                codebooks: Array[Array[Array[Double]]],
                qdec: Int = 6): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val scale = math.pow(10, qdec)
+    val ksub = codebooks(0).length
     val enc = pqEncode(spread(corpus), cId, vecCol, codebooks)
       .groupBy(col(cId).as("neighbor_id"))
       .agg(array_sort(collect_list(struct(col("subspace"), col("code"))))
         .as("sc"))
       .select(col("neighbor_id"),
         transform(col("sc"), x => x("code")).as("codes"))
-    val adcUdf = udf((qv: Seq[Double], codes: Seq[Int]) => {
-      // fixed subspace order -> deterministic float addition order
-      var acc = 0.0
-      var s = 0
-      while (s < m) {
-        acc += sqDistFn(qv.slice(s * dsub, s * dsub + dsub),
-          codebooks(s)(codes(s)).toSeq)
-        s += 1
-      }
-      math.floor(acc * scale + 0.5) / scale
-    })
-    val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
+    // per-query m x ksub distance table, built ONCE on the broadcast
+    // side; the corpus-scale join then prices each row in m table
+    // lookups (AdcFromTable, emitted Java) — no per-row boxing, no
+    // dot products at scan time
+    val q = queries.select(col(qId).as("query_id"),
+      graft.functions.PqDistTable(toDouble(col(vecCol)), codebooks).as("tab"))
     val scored = enc.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcUdf(col("qv"), col("codes")))
+      .withColumn("adc",
+        graft.functions.AdcFromTable(col("tab"), col("codes"), ksub, scale))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -473,58 +431,30 @@ object SimilarityOps {
                 codebooks: Array[Array[Array[Double]]],
                 nCentroids: Int = 16, nProbe: Int = 4,
                 qdec: Int = 6): DataFrame = {
-    val m = codebooks.length
-    val dsub = codebooks(0)(0).length
     val scale = math.pow(10, qdec)
+    val ksub = codebooks(0).length
     val cents: Array[(Long, Array[Double])] = corpus
       .where(col(cId) < nCentroids)
       .select(col(cId).cast("long"), toDouble(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
-    // one corpus pass: coarse list + PQ codes from the same closure
-    val encodeUdf = udf((v: Seq[Double]) => {
-      var list = -1L; var bestD = Double.MaxValue
-      cents.foreach { case (id, c) =>
-        val dd = sqDistFn(v, c.toSeq)
-        if (dd < bestD) { list = id; bestD = dd } // asc ids: first wins ties
-      }
-      val codes = Array.tabulate(m) { s =>
-        val sub = v.slice(s * dsub, s * dsub + dsub)
-        var best = -1; var bd = Double.MaxValue
-        var c = 0
-        while (c < codebooks(s).length) { // asc codes: first wins ties
-          val dd = sqDistFn(sub, codebooks(s)(c).toSeq)
-          if (dd < bd) { best = c; bd = dd }
-          c += 1
-        }
-        best
-      }
-      (list, codes)
-    })
+    // one corpus pass: coarse list + PQ codes, both native codegen
+    // kernels riding the same scan projection
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
-      .withColumn("_lc", encodeUdf(col("cv")))
-      .select(col("neighbor_id"), col("_lc._1").as("list_id"),
-        col("_lc._2").as("codes"))
-    val probeUdf = udf((v: Seq[Double]) =>
-      cents.map { case (id, ct) => (sqDistFn(v, ct.toSeq), id) }
-        .sortBy(identity).take(nProbe).map(_._2))
+      .select(col("neighbor_id"),
+        graft.functions.NearestCentroidId(col("cv"), cents.toSeq).as("list_id"),
+        graft.functions.PqCodes(col("cv"), codebooks).as("codes"))
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
-      .withColumn("list_id", explode(probeUdf(col("qv"))))
-    val adcUdf = udf((qv: Seq[Double], codes: Seq[Int]) => {
-      var acc = 0.0
-      var s = 0
-      while (s < m) { // fixed subspace order -> deterministic addition
-        acc += sqDistFn(qv.slice(s * dsub, s * dsub + dsub),
-          codebooks(s)(codes(s)).toSeq)
-        s += 1
-      }
-      math.floor(acc * scale + 0.5) / scale
-    })
+      .withColumn("list_id",
+        explode(graft.functions.ProbeListIds(col("qv"), cents.toSeq, nProbe)))
+      .select(col("query_id"), col("list_id"),
+        graft.functions.PqDistTable(col("qv"), codebooks).as("tab"))
     val scored = c.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc", adcUdf(col("qv"), col("codes")))
+      .withColumn("adc",
+        graft.functions.AdcFromTable(col("tab"), col("codes"), ksub, scale))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc").asc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
@@ -553,19 +483,12 @@ object SimilarityOps {
   def semanticDedup(emb: DataFrame, idCol: String, vecCol: String,
                     k: Int, iters: Int, threshold: Double,
                     maxCluster: Int = 100000): DataFrame = {
-    val cents = trainIvf(emb, idCol, vecCol, k, iters).sortBy(_._1).toArray
-    val assignUdf = udf((v: Seq[Double]) => {
-      var best = -1L; var bestD = Double.MaxValue
-      cents.foreach { case (id, c) =>
-        val d = sqDistFn(v, c.toSeq)
-        if (d < bestD) { best = id; bestD = d } // asc ids: first wins ties
-      }
-      best
-    })
+    val cents = trainIvf(emb, idCol, vecCol, k, iters).sortBy(_._1)
     val e = spread(emb)
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("v"))
       .withColumn("n", norm(col("v")))
-      .withColumn("cluster", assignUdf(col("v")))
+      .withColumn("cluster",
+        graft.functions.NearestCentroidId(col("v"), cents))
     val bounded = e
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy("cluster")))
       .where(col("_cn") <= maxCluster).drop("_cn")
@@ -613,11 +536,11 @@ object SimilarityOps {
     val carr = cents.groupBy("c_label")
       .agg(array_sort(collect_list(struct(col("dim"), col("c")))).as("dc"))
       .select(col("c_label"), transform(col("dc"), _.getField("c")).as("cv"))
-    // same left-to-right fold the oracle's list_reduce replays
+    // same left-to-right fold the oracle's list_reduce replays —
+    // native codegen (the zip_with/aggregate spelling is
+    // CodegenFallback: one interpreted eval per ELEMENT)
     val scored = e.crossJoin(broadcast(carr))
-      .withColumn("dd", aggregate(
-        zip_with(col("v"), col("cv"), (a, b) => (a - b) * (a - b)),
-        lit(0.0), (acc, x) => acc + x))
+      .withColumn("dd", graft.functions.SquaredDistance(col("v"), col("cv")))
     scored.groupBy(col(idCol), col("label"))
       .agg(min(struct(col("dd"), col("c_label"))).as("best"))
       .select(col(idCol), col("label"),
@@ -638,25 +561,19 @@ object SimilarityOps {
     * form (id, out_dim, value) — the shape the IVF/LSH index builders
     * consume.
     *
-    * 100 TB story: pure per-row compiled kernel (outDim x dim
-    * multiply-adds), NO shuffle, no materialized projection matrix —
-    * signs are recomputed from the hash on the fly, so the operator
-    * broadcasts nothing. Each output component is a LEFT-TO-RIGHT fold
-    * over input dims: bit-exact against the oracle's list_reduce.
+    * 100 TB story: pure per-row native kernel (outDim x dim
+    * multiply-adds, no shuffle, no UDF boxing); the deterministic
+    * +-1 sign matrix is outDim x dim doubles embedded in the plan —
+    * KiB-sized, never data-sized. Each output component is a
+    * LEFT-TO-RIGHT fold over input dims: bit-exact against the
+    * oracle's list_reduce.
     */
   def randomProject(df: DataFrame, idCol: String, vecCol: String,
                     dim: Int, outDim: Int): DataFrame = {
     val scale = 1.0 / math.sqrt(outDim.toDouble)
-    val kernel = udf((v: Seq[Double]) => {
-      Array.tabulate(outDim) { d =>
-        var acc = 0.0
-        var j = 0
-        val n = math.min(v.length, dim)
-        while (j < n) { acc += v(j) * projSign(d, j); j += 1 }
-        acc * scale
-      }
-    })
-    df.select(col(idCol), posexplode(kernel(toDouble(col(vecCol))))
-        .as(Seq("out_dim", "value")))
+    val mat = Array.tabulate(outDim, dim)((d, j) => projSign(d, j).toDouble)
+    df.select(col(idCol), posexplode(
+        graft.functions.ProjectVector(toDouble(col(vecCol)), mat, scale))
+      .as(Seq("out_dim", "value")))
   }
 }

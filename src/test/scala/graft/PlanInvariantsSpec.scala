@@ -85,6 +85,24 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("ANN/embedding corpus scans stay native codegen (no ScalaUDF in plan)") {
+    // round-8 verdict item 3: the embedding-index kernels (coarse
+    // assignment, PQ encode, ADC pricing, LSH signatures, JL
+    // projection) are the hottest corpus scans of the 100 TB story —
+    // they must run as graft.functions.VectorKernels expressions, not
+    // Scala UDFs, which box a WrappedArray[Double] per row. This
+    // covers the QUERY side too (probe lists, distance tables): the
+    // whole plan must be UDF-free.
+    for (name <- Seq("ann_topk", "ann_lsh", "ann_lsh_probed", "ann_ivf",
+        "ann_ivf_trained", "pq_encode", "pq_search", "ann_ivfpq",
+        "semantic_dedup", "embed_neardup", "embed_project",
+        "nearest_centroid")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"),
+        s"$name reintroduced a Scala UDF into an embedding scan:\n$p")
+    }
+  }
+
   test("bucketed_join: the join itself reads bucketed scans with no Exchange below it") {
     val p = plan("bucketed_join")
     // the join must consume the two bucketed scans without a SHUFFLE
