@@ -1508,6 +1508,26 @@ object Queries {
       |    count(*) OVER (PARTITION BY l_returnflag) AS n_group
       |  FROM lineitem) WHERE rk = CAST(ceil(n_group / 2.0) AS BIGINT)""".stripMargin)
 
+  /** Exact per-group interpolated quartiles via the shared rank-select
+    * machinery (StatsOps.groupedQuantiles): one window sort, bounded
+    * 2·|ps|-double aggregate state per group — never a per-group value
+    * buffer like `percentile`/collect_list.
+    */
+  private val groupedQuantilesQ = Q(
+    (s, d) => {
+      val out = operators.StatsOps.groupedQuantiles(Tables.lineitem(s, d),
+        Seq("l_returnflag"), "l_extendedprice", Seq(0.25, 0.5, 0.75))
+      out.select(col("l_returnflag"), col("n_group"),
+        qround(col("q_0"), 4).as("q1"),
+        qround(col("q_1"), 4).as("median"),
+        qround(col("q_2"), 4).as("q3"))
+    },
+    """SELECT l_returnflag, count(l_extendedprice) AS n_group,
+      |  floor(quantile_cont(l_extendedprice, 0.25) * 10000.0 + 0.5) / 10000.0 AS q1,
+      |  floor(quantile_cont(l_extendedprice, 0.5) * 10000.0 + 0.5) / 10000.0 AS median,
+      |  floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -1570,6 +1590,7 @@ object Queries {
     "top_per_group" -> topPerGroupQ,
     "stream_enrich" -> streamEnrichQ,
     "group_median" -> groupMedianQ,
+    "grouped_quantiles" -> groupedQuantilesQ,
     "asof_join" -> asofJoinQ,
     "range_join" -> rangeJoinQ,
     "distinct_sketch" -> distinctSketchQ,
