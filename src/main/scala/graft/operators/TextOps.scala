@@ -190,12 +190,16 @@ object TextOps {
     * per-word delta updates): nMerges merges cost ZERO extra Spark
     * jobs after the one corpus aggregate, instead of one
     * explode+agg+limit+rewrite job per merge. Past the threshold the
-    * per-round distributed loop below takes over (one explode + one
-    * hash aggregate + a 1-row TakeOrdered + a vocab map per round,
-    * checkpointed so the plan never re-grows). Both paths are
-    * bit-identical: same overlapping pair counting, same
-    * (count desc, UTF-8-byte lexicographic) argmax, same greedy
-    * left-to-right non-overlapping rewrite.
+    * BATCHED distributed loop below takes over: each round collects
+    * the top-K pair counts once and applies the longest provably
+    * order-safe prefix of them ([[safeBatchPrefix]]) in a single
+    * rewrite job (checkpointed so the plan never re-grows) — up to K
+    * merges for two jobs when the head of the pair distribution is
+    * symbol-disjoint, degrading gracefully to the classic one merge
+    * per round when it is not. Both paths are bit-identical: same
+    * overlapping pair counting, same (count desc, UTF-8-byte
+    * lexicographic) argmax, same greedy left-to-right non-overlapping
+    * rewrite.
     */
   def bpeMerges(df: DataFrame, textCol: String, nMerges: Int,
                 maxDriverVocab: Int = 1 << 20): DataFrame = {
@@ -221,41 +225,135 @@ object TextOps {
       if (s.length < 2) Seq.empty[(String, String)]
       else s.sliding(2).map(p => (p(0), p(1))).toSeq)
     val merges = scala.collection.mutable.Buffer.empty[(Int, String, String, Long)]
+    // BATCHED rounds (round-8 verdict item 5): one pair-count job used
+    // to run per MERGE (100 merges = 100 explode+agg jobs). Each round
+    // now collects the top-K pairs once and applies the longest PREFIX
+    // of them that provably replays sequential greedy order (see
+    // safeBatchPrefix) in ONE rewrite job — same merges bit-for-bit,
+    // jobs per round amortized over the whole accepted batch.
+    val topK = 64
     var k = 1
     var exhausted = false
     while (k <= nMerges && !exhausted) {
-      val top = vocab
+      // the round's pair-count table is consumed by THREE bounded
+      // actions (top-K, two max-profiles), so it is cached for the
+      // round and dropped after — pair-alphabet-sized, never corpus-
+      // sized
+      val pairAgg = vocab
         .select(col("wc"), explode(pairsUdf(col("syms"))).as("pr"))
         .groupBy(col("pr._1").as("l"), col("pr._2").as("r"))
         .agg(sum("wc").as("cnt"))
-        // tie-break on UTF-8 BYTES, not strings: Spark compares
-        // strings by UTF-16 code unit while DuckDB compares UTF-8
-        // bytes — for U+E000..U+FFFF vs supplementary-plane symbols
-        // the two orders differ. Both engines compare binary
-        // unsigned-lexicographically, so encode() agrees everywhere.
-        .orderBy(col("cnt").desc, encode(col("l"), "UTF-8"),
-          encode(col("r"), "UTF-8"))
-        .limit(1).collect()
-      if (top.isEmpty) exhausted = true
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val batch = try {
+        val top = pairAgg
+          // tie-break on UTF-8 BYTES, not strings: Spark compares
+          // strings by UTF-16 code unit while DuckDB compares UTF-8
+          // bytes — for U+E000..U+FFFF vs supplementary-plane symbols
+          // the two orders differ. Both engines compare binary
+          // unsigned-lexicographically, so encode() agrees everywhere.
+          .orderBy(col("cnt").desc, encode(col("l"), "UTF-8"),
+            encode(col("r"), "UTF-8"))
+          .limit(topK).collect()
+          .map(r => (r.getAs[String]("l"), r.getAs[String]("r"),
+            r.getAs[Long]("cnt")))
+        if (top.isEmpty) Array.empty[(String, String, Long)]
+        else {
+          // EXACT per-symbol adjacency maxima over the FULL pair table
+          // for the symbols the batch-safety proof inspects (candidate
+          // symbols + their concatenations) — two |syms|-bounded
+          // collects off the cached aggregate
+          val syms = (top.map(_._1) ++ top.map(_._2) ++
+            top.map(t => t._1 + t._2)).distinct.toSeq
+          def maxBy(side: String): Map[String, Long] = pairAgg
+            .where(col(side).isin(syms: _*))
+            .groupBy(side).agg(max("cnt").as("m")).collect()
+            .map(r => r.getString(0) -> r.getAs[Long]("m")).toMap
+          safeBatchPrefix(top, maxBy("l"), maxBy("r"),
+            maxLen = nMerges - k + 1).toArray
+        }
+      } finally pairAgg.unpersist(blocking = false)
+      if (batch.isEmpty) exhausted = true
       else {
-        val (l, r) = (top(0).getAs[String]("l"), top(0).getAs[String]("r"))
-        merges += ((k, l, r, top(0).getAs[Long]("cnt")))
+        for ((l, r, c) <- batch) { merges += ((k, l, r, c)); k += 1 }
+        val batchArr = batch.map(t => (t._1, t._2)).toArray
         val mergeUdf = udf((s: Seq[String]) => {
-          val out = scala.collection.mutable.ArrayBuffer.empty[String]
-          var i = 0
-          while (i < s.length) {
-            if (i < s.length - 1 && s(i) == l && s(i + 1) == r) {
-              out += l + r; i += 2 // left-to-right, non-overlapping
-            } else { out += s(i); i += 1 }
+          // apply the batch IN ORDER — identical to one rewrite job per
+          // merge (safeBatchPrefix guarantees the passes commute with
+          // the pair counts the later merges were selected under)
+          var cur: Array[String] = s.toArray
+          for ((l, r) <- batchArr) {
+            val out = scala.collection.mutable.ArrayBuffer.empty[String]
+            var i = 0
+            while (i < cur.length) {
+              if (i < cur.length - 1 && cur(i) == l && cur(i + 1) == r) {
+                out += l + r; i += 2 // left-to-right, non-overlapping
+              } else { out += cur(i); i += 1 }
+            }
+            cur = out.toArray
           }
-          out.toSeq
+          cur.toSeq
         })
         vocab = vocab.select(mergeUdf(col("syms")).as("syms"), col("wc"))
           .localCheckpoint()
-        k += 1
       }
     }
     merges.toSeq.toDF("merge_rank", "sym_left", "sym_right", "pair_count")
+  }
+
+  /** Longest prefix of the (count desc, byte-lexicographic) sorted
+    * candidate pairs that can be merged in ONE rewrite pass without
+    * changing the sequential greedy order. Candidate i (count c_i) is
+    * accepted after the already-accepted set A iff:
+    *
+    *  1. its symbols and its merged output are disjoint from every
+    *     earlier accepted symbol and merged output — then no accepted
+    *     merge can create, destroy or shift an instance of pair i
+    *     (instances would have to share a symbol occurrence), so c_i
+    *     is still exact when sequential greedy reaches step i;
+    *  2. no pair CREATED or BOOSTED by an earlier accepted merge m can
+    *     outrank candidate i. A merge m spawns new pairs (x, l_m r_m)
+    *     / (l_m r_m, y) with count <= bound_m = min(c_m, maxAdj_m)
+    *     (each new instance consumes an instance of (x, l_m) resp.
+    *     (r_m, y) — maxAdj_m is the EXACT full-table maximum of those,
+    *     from maxByL/maxByR); if the concatenated string already
+    *     exists as a symbol, an EXISTING pair involving it can gain up
+    *     to bound_m on top of its old count (<= maxConcat_m, exact for
+    *     the same reason). Acceptance requires bound_m + maxConcat_m
+    *     < c_i strictly — ties must lose too, because a tied new pair
+    *     could win the byte-order tiebreak.
+    *
+    * `maxByL(s)` / `maxByR(s)` = the max pair count over the WHOLE
+    * current pair table among pairs whose left / right symbol is `s`
+    * (absent key = no such pair). The first candidate is always
+    * accepted (= the old one-merge round), and the scan stops at the
+    * first rejection — a rejected candidate would itself be the next
+    * sequential merge.
+    */
+  private[operators] def safeBatchPrefix(
+      cands: Array[(String, String, Long)],
+      maxByL: Map[String, Long], maxByR: Map[String, Long],
+      maxLen: Int): Seq[(String, String, Long)] = {
+    val accepted = scala.collection.mutable.Buffer.empty[(String, String, Long)]
+    val usedSyms = scala.collection.mutable.Set.empty[String]
+    var stop = false
+    for ((l, r, c) <- cands if !stop && accepted.length < maxLen) {
+      val concat = l + r
+      val disjoint = !usedSyms(l) && !usedSyms(r) && !usedSyms(concat)
+      val orderSafe = accepted.forall { case (lm, rm, cm) =>
+        val sm = lm + rm
+        // pairs (x, l_m): right symbol is l_m; pairs (r_m, y): left is r_m
+        val adjMax = math.max(maxByR.getOrElse(lm, 0L),
+          maxByL.getOrElse(rm, 0L))
+        val bound = math.min(cm, adjMax)
+        val maxConcat = math.max(maxByL.getOrElse(sm, 0L),
+          maxByR.getOrElse(sm, 0L))
+        bound + maxConcat < c
+      }
+      if (disjoint && orderSafe) {
+        accepted += ((l, r, c)); usedSyms ++= Seq(l, r, concat)
+      } else stop = true
+    }
+    accepted.toSeq
   }
 
   /** Driver-side BPE induction over a collected (syms, weight)
