@@ -1724,11 +1724,14 @@ object QueriesLlm {
           col("frame_bytes").cast("string").as("frame_text"))
     },
     """WITH src AS (
-      |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents)
-      |SELECT media_id, CAST(g.i AS INT) AS frame_idx,
-      |  substr(text, CAST(g.i AS INT) * 16 + 1, 16) AS frame_text
-      |FROM src CROSS JOIN generate_series(0, 999, 4) g(i)
-      |WHERE g.i < (n + 15) // 16""".stripMargin)
+      |  SELECT doc_id AS media_id, text, length(text) AS n FROM documents),
+      |fr AS (
+      |  SELECT media_id, text,
+      |    CAST(unnest(generate_series(0, (n + 15) // 16 - 1)) AS INT) AS i
+      |  FROM src)
+      |SELECT media_id, i AS frame_idx,
+      |  substr(text, i * 16 + 1, 16) AS frame_text
+      |FROM fr WHERE i % 4 = 0""".stripMargin)
 
   /** JL random projection 64 -> 16 dims. Each output component is a
     * left-to-right fold over input dims with +-1 hash signs — the

@@ -101,6 +101,33 @@ class SchemaContractSpec extends SparkSpec {
       }
     }
 
+  test("events.props carries the JSON object contract props_parse reads") {
+    // round-8 additions insurance: props_parse extracts $.k as BIGINT
+    // with an explicit from_json schema. If a regeneration changed the
+    // key name or value type, BOTH engines would parse all-null and the
+    // oracle compare would stay silently green on a gutted query — so
+    // the fixture must keep producing real values here.
+    import org.apache.spark.sql.functions._
+    val ev = Tables.events(spark, d)
+      .withColumn("k", from_json(col("props"), lit("k BIGINT")).getField("k"))
+    val n = ev.count()
+    val nonNull = ev.where(col("k").isNotNull).count()
+    assert(n > 0 && nonNull > 0,
+      s"events.props no longer yields $$.k BIGINT values " +
+        s"($nonNull non-null of $n) — props_parse is parsing nothing")
+  }
+
+  test("embeddings.embedding keeps the 64-dim contract the ANN family assumes") {
+    // dim=64 is baked into the index parameters (PQ: 8 subspaces x 8
+    // dims; JL projection: 64 -> 16; LSH planes tabulated to dim) — a
+    // silent dimensionality change would degrade every ANN query's
+    // geometry without failing analysis.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.embeddings(spark, d)
+      .where(size(col("embedding")) =!= 64).count()
+    assert(bad == 0L, s"$bad embedding rows are not 64-dimensional")
+  }
+
   test("Tables.events normalizes every flavor to ts timestamp + ts_ns long") {
     val ev = Tables.events(spark, d)
     assert(ev.schema("ts").dataType == TimestampType,
