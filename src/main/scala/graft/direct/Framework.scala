@@ -54,4 +54,10 @@ object Framework {
 
   /** `GetFrameworkClient()` (`cngi/direct/framework.py:78-91`). */
   def getFrameworkClient: Option[SparkSession] = active
+
+  /** Forget the tracked session WITHOUT stopping it. Test-only: lets a
+    * suite assert the pristine "no client yet" contract regardless of
+    * which suite touched the module global first in the shared JVM.
+    */
+  private[graft] def forgetForTest(): Unit = synchronized { active = None }
 }

@@ -14,6 +14,9 @@ class DirectFrameworkSpec extends SparkSpec {
 
   test("initializeFramework returns a live session and getFrameworkClient tracks it") {
     spark // force the shared session first (so getOrCreate adopts it)
+    // Order-independent precondition: forget (not stop) any session a
+    // previously-run suite may have registered, then assert pristine.
+    Framework.forgetForTest()
     assert(Framework.getFrameworkClient.isEmpty)
     val s = Framework.initializeFramework(workers = 2,
       extraConf = Map("spark.graft.direct.marker" -> "yes"))
