@@ -1710,6 +1710,61 @@ object QueriesLlm {
          |ORDER BY $terms DESC, doc_id LIMIT 25""".stripMargin
     })
 
+  /** Per-doc top-3 terms by TF-IDF. Integer tf/df in both engines; the
+    * only float ops are n_docs/df_t, ln, and one multiply — identical
+    * IEEE sequences, so the (tfidf desc, term) ranking agrees exactly
+    * (qround(6) only cosmetics the emitted score).
+    */
+  private val tfIdfTopTermsQ = Q(
+    (s, d) => TextOps.tfIdfTopTerms(Tables.documents(s, d),
+        "doc_id", "text", k = 3)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"),
+        qround(col("tfidf"), 6).as("tfidf")),
+    """WITH dt AS (
+      |  SELECT doc_id, w_ AS term, count(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS w_
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |dfx AS (SELECT term, CAST(count(*) AS DOUBLE) AS df_t
+      |        FROM dt GROUP BY 1),
+      |n AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs FROM documents),
+      |s AS (
+      |  SELECT dt.doc_id, dt.term, dt.tf,
+      |    CAST(dt.tf AS DOUBLE) * ln(n.n_docs / dfx.df_t) AS tfidf
+      |  FROM dt JOIN dfx USING (term) CROSS JOIN n),
+      |r AS (SELECT *, row_number() OVER
+      |        (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rank
+      |      FROM s)
+      |SELECT doc_id, CAST(rank AS INT) AS rank, term, tf,
+      |  floor(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
+      |FROM r WHERE rank <= 3""".stripMargin)
+
+  /** Byte-distribution Shannon entropy (nats) per document, via the
+    * native codegen'd CharEntropy kernel. The oracle replays the exact
+    * ascending-byte fold through list(cnt ORDER BY ch) + list_reduce
+    * (fixture text is ASCII, so char order == byte order — pinned by
+    * SchemaContractSpec).
+    */
+  private val charEntropyQ = Q(
+    (s, d) => TextOps.charEntropy(Tables.documents(s, d), "doc_id", "text")
+      .select(col("doc_id"), col("n_chars"),
+        qround(col("char_entropy"), 8).as("char_entropy")),
+    """WITH ch AS (
+      |  SELECT doc_id,
+      |    unnest(list_transform(generate_series(1, length(text)),
+      |                          i_ -> substr(text, i_, 1))) AS c
+      |  FROM documents),
+      |cc AS (SELECT doc_id, c, CAST(count(*) AS DOUBLE) AS cnt
+      |       FROM ch GROUP BY 1, 2),
+      |l AS (SELECT doc_id, list(cnt ORDER BY c) AS cs, sum(cnt) AS n
+      |      FROM cc GROUP BY 1)
+      |SELECT d.doc_id, CAST(length(d.text) AS INT) AS n_chars,
+      |  coalesce(floor(list_reduce(list_prepend(0.0,
+      |    list_transform(l.cs, x_ -> -(x_ / l.n) * ln(x_ / l.n))),
+      |    (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0,
+      |    0.0) AS char_entropy
+      |FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id""".stripMargin)
+
   /** Frame sampling over the packed payload (every stride-th block of
     * blockSize bytes) — the video/audio frame-subsample shape. The
     * fixture payload is the UTF-8 text, so each sampled frame equals
@@ -1961,6 +2016,8 @@ object QueriesLlm {
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,
+    "tfidf_top_terms" -> tfIdfTopTermsQ,
+    "char_entropy" -> charEntropyQ,
     "bm25_score" -> bm25Q,
     "embed_project" -> embedProjectQ,
     "nearest_centroid" -> nearestCentroidQ,

@@ -761,4 +761,54 @@ object TextOps {
     bm25Score(df, idCol, textCol, terms)
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
+
+  /** Per-document top-k terms by TF-IDF — the keyword/topic-feature
+    * extraction step of a curation pipeline (domain tagging, cluster
+    * labeling). tfidf(t, d) = tf(t, d) * ln(N / df(t)) with raw
+    * integer term counts (integer-exact across engines; only the final
+    * ln/multiply are float, in a fixed per-row order).
+    *
+    * 100 TB story: one explode + map-side-combined groupBy produces
+    * the (doc, term, tf) table — shuffle bounded by distinct doc-term
+    * pairs, not token count. Document frequency is a second partial
+    * aggregate of that table, VOCABULARY-sized; it joins back on term
+    * with no broadcast hint so AQE picks broadcast while the vocab is
+    * small and a shuffle join once it isn't (a web-scale vocab outgrows
+    * any broadcast budget). The per-doc top-k is a row_number window
+    * (tfidf desc, term asc — total order, ties byte-broken), which
+    * Spark plans with a partial WindowGroupLimit below the exchange:
+    * each map task forwards at most k rows per doc.
+    */
+  def tfIdfTopTerms(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docTerm = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val termDf = docTerm.groupBy("term")
+      .agg(count(lit(1)).cast("double").as("df_t"))
+    val nDocs = df.agg(count(lit(1)).cast("double").as("n_docs"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("tfidf").desc, col("term"))
+    docTerm.join(termDf, "term")
+      .crossJoin(broadcast(nDocs))
+      .withColumn("tfidf",
+        col("tf").cast("double") * log(col("n_docs") / col("df_t")))
+      .withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
+  }
+
+  /** Character-distribution entropy (nats, over UTF-8 bytes) — the
+    * junk-text signal (base64 blobs, single-char spam, binary spill)
+    * of a quality-filtering pipeline. Pure codegen'd scan via the
+    * native [[graft.functions.CharEntropy]] expression: no UDF, no
+    * String copy, no shuffle — a per-row kernel riding the parquet
+    * scan, exactly what a 100 TB corpus sweep wants.
+    */
+  def charEntropy(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol),
+      length(col(textCol)).as("n_chars"),
+      graft.functions.CharEntropy(col(textCol)).as("char_entropy"))
 }

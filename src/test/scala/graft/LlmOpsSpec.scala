@@ -747,4 +747,40 @@ class LlmOpsSpec extends SparkSpec {
       .map(r => r.getAs[Long]("vec_id") -> r.getAs[Boolean]("keep")).toMap
     assert(keep === Map(0L -> true, 1L -> true, 2L -> false, 3L -> false))
   }
+
+  test("charEntropy: known distributions, empty string, byte-order fold") {
+    val df = Seq(
+      (0L, "aabb"),         // two symbols, p = 1/2 each -> ln 2
+      (1L, "abcd"),         // uniform over 4 -> ln 4
+      (2L, ""),             // empty -> 0.0 by definition
+      (3L, "aaaa"))         // single symbol -> 0.0
+      .toDF("doc_id", "text")
+    val out = TextOps.charEntropy(df, "doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("char_entropy"))
+      .toMap
+    assert(math.abs(out(0L) - math.log(2)) < 1e-12)
+    assert(math.abs(out(1L) - math.log(4)) < 1e-12)
+    assert(out(2L) === 0.0)
+    assert(out(3L) === 0.0)
+  }
+
+  test("tfIdfTopTerms: corpus-wide terms score zero, rare terms rank first") {
+    val df = Seq(
+      (0L, "shared shared unique0"),
+      (1L, "shared unique1 unique1"),
+      (2L, "shared other")).toDF("doc_id", "text")
+    val out = TextOps.tfIdfTopTerms(df, "doc_id", "text", k = 2).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("rank")) ->
+        (r.getAs[String]("term"), r.getAs[Long]("tf"),
+          r.getAs[Double]("tfidf"))).toMap
+    // "shared" appears in every doc -> idf = ln(1) = 0; any unique term
+    // (idf = ln 3) must outrank it regardless of tf. Spark's column
+    // log is StrictMath.log — compare against the same flavor.
+    assert(out((0L, 1))._1 === "unique0")
+    assert(out((0L, 1))._3 === StrictMath.log(3.0))
+    assert(out((1L, 1))._1 === "unique1")
+    assert(out((1L, 1))._3 === 2.0 * StrictMath.log(3.0))
+    assert(out((0L, 2)) === (("shared", 2L, 0.0)))
+    assert(out((2L, 1))._1 === "other" && out((2L, 2))._1 === "shared")
+  }
 }

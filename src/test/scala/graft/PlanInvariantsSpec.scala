@@ -62,7 +62,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // StatsOps.topPerGroup / SimilarityOps.bruteForceTopK breaks the
     // rank-filter pattern the optimizer recognizes, full fact rows
     // shuffle again; this trips first.
-    for (name <- Seq("top_per_group", "ann_topk")) {
+    for (name <- Seq("top_per_group", "ann_topk", "tfidf_top_terms")) {
       val p = plan(name)
       val n = "WindowGroupLimit".r.findAllIn(p).size
       assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, " +
@@ -101,6 +101,18 @@ class PlanInvariantsSpec extends SparkSpec {
       assert(!p.contains("ScalaUDF"),
         s"$name reintroduced a Scala UDF into an embedding scan:\n$p")
     }
+  }
+
+  test("char_entropy rides the scan as a native kernel (no UDF, no shuffle)") {
+    // TextOps.charEntropy is a per-row statistic — its whole plan must
+    // be a codegen'd projection over the parquet scan: any Exchange or
+    // ScalaUDF here means a 100 TB corpus sweep added a shuffle or a
+    // per-row String copy for a row-local computation.
+    val p = plan("char_entropy")
+    assert(!p.contains("ScalaUDF"),
+      s"char_entropy fell back to a Scala UDF:\n$p")
+    assert(!p.contains("Exchange"),
+      s"char_entropy introduced a shuffle for a per-row statistic:\n$p")
   }
 
   test("bucketed_join: the join itself reads bucketed scans with no Exchange below it") {

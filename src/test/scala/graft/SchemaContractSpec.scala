@@ -128,6 +128,18 @@ class SchemaContractSpec extends SparkSpec {
     assert(bad == 0L, s"$bad embedding rows are not 64-dimensional")
   }
 
+  test("documents.text stays ASCII (char_entropy byte-fold == oracle char-fold)") {
+    // char_entropy folds over UTF-8 BYTES in ascending byte order; the
+    // DuckDB oracle folds over CHARACTERS in ascending char order. The
+    // two orders coincide exactly when the text is single-byte ASCII —
+    // if a regeneration introduces multi-byte characters this trips
+    // here instead of surfacing as an entropy hash mismatch.
+    import org.apache.spark.sql.functions._
+    val bad = Tables.documents(spark, d)
+      .where(col("text").rlike("[^\\x00-\\x7F]")).count()
+    assert(bad == 0L, s"$bad documents contain non-ASCII characters")
+  }
+
   test("Tables.events normalizes every flavor to ts timestamp + ts_ns long") {
     val ev = Tables.events(spark, d)
     assert(ev.schema("ts").dataType == TimestampType,
