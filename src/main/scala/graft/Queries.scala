@@ -935,6 +935,35 @@ object Queries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1, 2""".stripMargin)
 
+  private val zorderLayoutQ = Q(
+    (s, d) => {
+      // Z-ordered rewrite on (l_extendedprice, l_quantity), read back
+      // through a 2-d range predicate, then aggregate — matching the
+      // oracle on the source table proves the layout op is lossless.
+      // The predicate's real payoff (file/row-group skipping via the
+      // clustered footer min/max stats) is asserted by ZorderSpec.
+      val path = s"/tmp/graft_zorder_${math.abs(d.hashCode)}"
+      sources.IoOps.writeZordered(Tables.lineitem(s, d), path,
+        Seq("l_extendedprice", "l_quantity"), numFiles = 8)
+      s.read.parquet(path)
+        .where(col("l_extendedprice").between(20000, 40000) &&
+          col("l_quantity").between(10, 20))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_extendedprice BETWEEN 20000 AND 40000
+      |  AND l_quantity BETWEEN 10 AND 20
+      |GROUP BY 1""".stripMargin)
+
   /** The skew-safe two-stage salted aggregation must equal the plain
     * one-stage weighted average — the oracle computes the latter, so
     * hash-matching proves the salting rewrite is value-preserving.
@@ -1573,6 +1602,7 @@ object Queries {
     "corr_to_stokes" -> corrToStokesQ,
     "decimate" -> decimateQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
+    "zorder_layout" -> zorderLayoutQ,
     "bucketed_join" -> bucketedJoinQ,
     "append_xds" -> appendXdsQ,
     "append_compact" -> appendCompactQ,

@@ -121,6 +121,55 @@ object IoOps {
       .sortBy(bucketBy.head, bucketBy.tail: _*)
       .saveAsTable(table)
 
+  /** Z-order (Morton) interleave key over up to 4 numeric columns —
+    * pure native bit arithmetic (shiftleft/and/or fold), entirely
+    * inside whole-stage codegen. Each column is min/max-scaled to
+    * `bits` bits; bit j of column i lands at position j*n + i.
+    */
+  def zorderKey(cols: Seq[org.apache.spark.sql.Column],
+                mins: Seq[Double], maxs: Seq[Double],
+                bits: Int = 16): org.apache.spark.sql.Column = {
+    require(cols.nonEmpty && cols.length <= 4 && cols.length * bits <= 63)
+    val maxQ = (1L << bits) - 1
+    val n = cols.length
+    val quantized = cols.zipWithIndex.map { case (c, i) =>
+      val range = maxs(i) - mins(i)
+      val scaled =
+        if (range > 0) (c.cast("double") - mins(i)) / range * maxQ
+        else lit(0.0)
+      least(greatest(scaled.cast("long"), lit(0L)), lit(maxQ))
+    }
+    quantized.zipWithIndex.foldLeft(lit(0L)) { case (acc0, (q, i)) =>
+      (0 until bits).foldLeft(acc0) { (acc, j) =>
+        acc.bitwiseOR(shiftleft(q.bitwiseAND(lit(1L << j)), j * (n - 1) + i))
+      }
+    }
+  }
+
+  /** Z-ordered layout write — the data-skipping story at 100 TB. A
+    * range repartition + within-partition sort on the Morton key makes
+    * every output file's parquet row groups cover a small HYPERCUBE of
+    * the key space instead of a random slice, so the footer min/max
+    * stats prune multi-dimensional range predicates at scan time (the
+    * lakehouse OPTIMIZE ZORDER BY shape, built from stock Spark ops:
+    * one bounded min/max aggregate, one range exchange, one sort —
+    * nothing driver-sized).
+    */
+  def writeZordered(df: DataFrame, path: String, zcols: Seq[String],
+                    numFiles: Int = 32, bits: Int = 16): Unit = {
+    val aggs = zcols.flatMap(c => Seq(
+      min(col(c).cast("double")).as(s"min_$c"),
+      max(col(c).cast("double")).as(s"max_$c")))
+    val r = df.agg(aggs.head, aggs.tail: _*).head() // scalar, bounded
+    val mins = zcols.indices.map(i => r.getDouble(2 * i))
+    val maxs = zcols.indices.map(i => r.getDouble(2 * i + 1))
+    df.withColumn("_zkey", zorderKey(zcols.map(col), mins, maxs, bits))
+      .repartitionByRange(numFiles, col("_zkey"))
+      .sortWithinPartitions("_zkey")
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
+
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
     * 84-137): sibling artifacts (psf, pb, residual, model, ...) become
     * one table with one value column per artifact — a chain of outer

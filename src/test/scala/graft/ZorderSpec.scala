@@ -1,0 +1,77 @@
+package graft
+
+import java.io.File
+import org.apache.spark.sql.functions._
+import graft.sources.IoOps
+
+/** The property that makes writeZordered worth a rewrite at 100 TB:
+  * after Z-ordering, each output file covers a small hypercube of the
+  * (x, y) domain, so parquet footer min/max stats can prune a 2-d
+  * range predicate. A hash-partitioned write gives every file the FULL
+  * domain on both axes — nothing is ever skippable.
+  */
+class ZorderSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def meanNormRange(dir: String, cols: Seq[String],
+                            lo: Seq[Double], hi: Seq[Double]): Seq[Double] = {
+    val files = new File(dir).listFiles()
+      .filter(f => f.getName.startsWith("part-") &&
+        f.getName.endsWith(".parquet"))
+      .map(_.getAbsolutePath).toSeq
+    assert(files.size >= 4, s"expected several files, got ${files.size}")
+    val perFile = files.map { f =>
+      val aggs = cols.flatMap(c => Seq(min(col(c)).cast("double"),
+        max(col(c)).cast("double")))
+      val r = spark.read.parquet(f).agg(aggs.head, aggs.tail: _*).head()
+      cols.indices.map(i =>
+        (r.getDouble(2 * i + 1) - r.getDouble(2 * i)) / (hi(i) - lo(i)))
+    }
+    cols.indices.map(i => perFile.map(_(i)).sum / perFile.size)
+  }
+
+  test("zorderKey interleaves bits (locality: nearby points share prefixes)") {
+    val df = Seq((0.0, 0.0), (1.0, 1.0), (0.0, 1.0), (1.0, 0.0))
+      .toDF("x", "y")
+    val keys = df.select(IoOps.zorderKey(Seq(col("x"), col("y")),
+        Seq(0.0, 0.0), Seq(1.0, 1.0), bits = 2).as("z"))
+      .collect().map(_.getLong(0))
+    // 2-bit quantization: 0.0 -> 00, 1.0 -> 11. Interleaved (bit j of
+    // col i at position 2j+i): (x=3,y=3) -> 1111=15, (x=0,y=3) ->
+    // 1010=10, (x=3,y=0) -> 0101=5.
+    assert(keys.toSeq == Seq(0L, 15L, 10L, 5L))
+  }
+
+  test("Z-ordered files cover small hypercubes; hash layout covers everything") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val stats = li.agg(
+      min("l_extendedprice").cast("double"), max("l_extendedprice").cast("double"),
+      min("l_quantity").cast("double"), max("l_quantity").cast("double")).head()
+    val lo = Seq(stats.getDouble(0), stats.getDouble(2))
+    val hi = Seq(stats.getDouble(1), stats.getDouble(3))
+    val cols = Seq("l_extendedprice", "l_quantity")
+
+    val zDir = "/tmp/graft_zorder_spec_z"
+    IoOps.writeZordered(li, zDir, cols, numFiles = 16)
+    val zRange = meanNormRange(zDir, cols, lo, hi)
+
+    val hDir = "/tmp/graft_zorder_spec_h"
+    li.repartition(16).write.mode("overwrite").parquet(hDir)
+    val hRange = meanNormRange(hDir, cols, lo, hi)
+
+    // 16 files over a 2-d Morton curve -> each file spans roughly a
+    // 1/4 x 1/4 tile (plus curve-boundary spill); hash layout spans
+    // ~the whole domain per file on both axes.
+    assert(zRange.forall(_ < 0.6),
+      s"z-ordered per-file footprint too wide: $zRange")
+    assert(hRange.forall(_ > 0.8),
+      s"hash baseline unexpectedly clustered: $hRange")
+    assert(cols.indices.forall(i => zRange(i) < hRange(i) / 2),
+      s"z-order not clearly tighter than hash: $zRange vs $hRange")
+
+    // and the rewrite is lossless
+    assert(spark.read.parquet(zDir).count() === li.count())
+  }
+}
