@@ -891,6 +891,57 @@ object Queries {
       |FROM lineitem WHERE (l_linenumber - 1) % 2 = 0
       |GROUP BY 1, 2""".stripMargin)
 
+  /** visplot rasterization (cngi/vis/visplot.py:56-105): the full
+    * point cloud reduced to a 64x64 density canvas — the distributed
+    * part of the preview plot (PlotOps.visplotPng encodes this exact
+    * table to PNG; PlotOpsSpec round-trips it losslessly). Pixel
+    * binning and intensity are integer-exact; the only floats are the
+    * identical (x-min)/(max-min) scalings in both engines.
+    */
+  private val visplotRenderQ = Q(
+    (s, d) => operators.PlotOps.visplotPixels(
+      li(s, d), "l_extendedprice", "l_quantity", width = 64, height = 64),
+    """WITH b AS (
+      |  SELECT min(l_extendedprice) AS xmin, max(l_extendedprice) AS xmax,
+      |         min(l_quantity) AS ymin, max(l_quantity) AS ymax
+      |  FROM lineitem)
+      |SELECT
+      |  CAST(CASE WHEN xmax > xmin
+      |       THEN floor((l_extendedprice - xmin) / (xmax - xmin) * 63 + 0.5)
+      |       ELSE 0.0 END AS INT) AS x_px,
+      |  CAST(CASE WHEN ymax > ymin
+      |       THEN floor((l_quantity - ymin) / (ymax - ymin) * 63 + 0.5)
+      |       ELSE 0.0 END AS INT) AS y_px,
+      |  count(*) AS n_points,
+      |  CAST(255 - least(count(*), 255) AS INT) AS gray
+      |FROM lineitem CROSS JOIN b
+      |GROUP BY 1, 2""".stripMargin)
+
+  /** implot rasterization (cngi/image/implot.py:20): collapse the
+    * non-plotted dims with an order-free max (the reference's
+    * collapse), normalize the plane to 8-bit gray. Raster here is the
+    * events heatmap (hour-of-day x user bucket).
+    */
+  private val implotRenderQ = Q(
+    (s, d) => operators.PlotOps.implotPixels(
+      Tables.events(s, d)
+        .select((expr("ts_ns div 1000000000") % 24)
+            .cast("int").as("hour_px"),
+          (col("user_id") % 16).cast("int").as("user_px"),
+          col("value")),
+      "hour_px", "user_px", "value"),
+    """WITH plane AS (
+      |  SELECT CAST((epoch_ns(ts) // 1000000000) % 24 AS INT) AS l_px,
+      |         CAST(user_id % 16 AS INT) AS m_px,
+      |         max(value) AS v
+      |  FROM events GROUP BY 1, 2),
+      |b AS (SELECT min(v) AS vmin, max(v) AS vmax FROM plane)
+      |SELECT l_px, m_px,
+      |  CAST(CASE WHEN vmax > vmin
+      |       THEN floor((v - vmin) / (vmax - vmin) * 255 + 0.5)
+      |       ELSE 0.0 END AS INT) AS gray
+      |FROM plane CROSS JOIN b""".stripMargin)
+
   // -------------------------------------------------------------- describe
 
   private val describeVisQ = Q(
@@ -1601,6 +1652,8 @@ object Queries {
     "stokes_to_corr" -> stokesToCorrQ,
     "corr_to_stokes" -> corrToStokesQ,
     "decimate" -> decimateQ,
+    "visplot_render" -> visplotRenderQ,
+    "implot_render" -> implotRenderQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
     "zorder_layout" -> zorderLayoutQ,
     "bucketed_join" -> bucketedJoinQ,
