@@ -13,6 +13,8 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `polyhash(s)`               — engine-default (base, mod)
   *   - `polyhash(s, base, mod)`    — explicit constants (foldable args)
   *   - `dot_product(a, b)`         — float[]/double[] multiply-add fold
+  *   - `squared_distance(a, b)`    — float[]/double[] L2^2 fold
+  *   - `char_entropy(s)`           — UTF-8 byte-distribution entropy (nats)
   *
   * Two registration paths, same builders:
   *
@@ -60,6 +62,20 @@ object GraftFunctions {
         case Seq(a, b) => DotProduct(a, b)
         case _ => throw new IllegalArgumentException(
           s"dot_product takes 2 arguments, got ${args.size}")
+      }),
+    (FunctionIdentifier("char_entropy"),
+      new ExpressionInfo(classOf[CharEntropy].getName, "char_entropy"),
+      (args: Seq[Expression]) => args match {
+        case Seq(c) => CharEntropy(c)
+        case _ => throw new IllegalArgumentException(
+          s"char_entropy takes 1 argument, got ${args.size}")
+      }),
+    (FunctionIdentifier("squared_distance"),
+      new ExpressionInfo(classOf[SquaredDistance].getName, "squared_distance"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => SquaredDistance(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"squared_distance takes 2 arguments, got ${args.size}")
       }))
 
   /** Register on a live session (idempotent — re-registration replaces). */

@@ -109,6 +109,16 @@ class GraftExtensionsSpec extends SparkSpec {
     }
   }
 
+  test("char_entropy / squared_distance from SQL match their kernels") {
+    assert(sql.sql("SELECT char_entropy('aabb') AS e").head().getDouble(0)
+      === graft.functions.CharEntropy.entropy(
+        org.apache.spark.unsafe.types.UTF8String.fromString("aabb")))
+    assert(sql.sql(
+        "SELECT squared_distance(array(1.0D, 2.0D), array(3.0D, 0.0D)) AS d")
+      .head().getDouble(0) === 8.0)
+    intercept[Exception] { sql.sql("SELECT char_entropy(7)").collect() }
+  }
+
   test("registered functions stay inside whole-stage codegen") {
     // range() keeps the projection out of ConvertToLocalRelation's
     // constant folding, so the executed plan shows the real span
