@@ -1765,6 +1765,93 @@ object QueriesLlm {
       |    0.0) AS char_entropy
       |FROM documents d LEFT JOIN l ON d.doc_id = l.doc_id""".stripMargin)
 
+  /** Hybrid retrieval: reciprocal-rank fusion of BM25 (lexical) and
+    * cosine (semantic) top-50 lists for one query — the RAG-shaped
+    * composition of the text and embedding index families (documents
+    * and embeddings share the 0..N-1 id domain). rrf = 1/(60+r_bm) +
+    * 1/(60+r_cos), missing list membership contributing 0; ranks are
+    * exact integers in both engines, so the fused doubles and the
+    * final top-20 agree bitwise. Both rank assignments happen AFTER a
+    * TakeOrdered limit (50 rows), so the one global window rides
+    * bounded cardinality — whitelisted in PlanInvariantsSpec next to
+    * dsir_sample's identical pattern.
+    */
+  private val hybridRetrievalQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val cos = SimilarityOps.bruteForceTopK(
+          emb.where(col("vec_id") === 0), emb,
+          "vec_id", "vec_id", "embedding", k = 50)
+        .select(col("neighbor_id").as("id"), col("rank").as("cos_rank"))
+      val bm = TextOps.bm25Score(Tables.documents(s, d), "doc_id", "text",
+          bm25Terms)
+        .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+        .withColumn("bm_rank",
+          row_number().over(Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("bm_rank"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .select(col("id"), col("bm_rank"), col("cos_rank"),
+          qround(col("rrf"), 8).as("rrf"))
+    },
+    {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+      val half = dlit(0.5); val one = dlit(1.0)
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
+        .mkString(",\n    ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val terms = bm25Terms.indices.map { i =>
+        s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+          s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+          s" * dl / avgdl))"
+      }.mkString(" + ")
+      val matched = bm25Terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS dl, $tfs FROM w),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) AS sum_dl, $dfs
+         |  FROM tf),
+         |jx AS (
+         |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
+         |  FROM tf CROSS JOIN stats),
+         |bmall AS (
+         |  SELECT doc_id, $terms AS bm25 FROM jx WHERE $matched > 0),
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+         |      AS bm_rank
+         |  FROM bmall QUALIFY bm_rank <= 50),
+         |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+         |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+         |cos AS (
+         |  SELECT e.vec_id AS id,
+         |    CAST(row_number() OVER (ORDER BY
+         |      ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) *
+         |        sqrt(${dotSql("v", "v")})) DESC, e.vec_id) AS INT)
+         |      AS cos_rank
+         |  FROM e CROSS JOIN q WHERE e.vec_id <> 0
+         |  QUALIFY cos_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(bm.id, cos.id) AS id, bm.bm_rank, cos.cos_rank,
+         |    coalesce($one / (60 + bm.bm_rank), ${dlit(0.0)}) +
+         |      coalesce($one / (60 + cos.cos_rank), ${dlit(0.0)}) AS rrf
+         |  FROM bm FULL JOIN cos ON bm.id = cos.id)
+         |SELECT id, bm_rank, cos_rank, ${qrSql("rrf", 8)} AS rrf
+         |FROM f ORDER BY rrf DESC, id LIMIT 20""".stripMargin
+    })
+
   /** Frame sampling over the packed payload (every stride-th block of
     * blockSize bytes) — the video/audio frame-subsample shape. The
     * fixture payload is the UTF-8 text, so each sampled frame equals
@@ -2013,6 +2100,7 @@ object QueriesLlm {
     "image_decode_stats" -> imageDecodeStatsQ,
     "image_resize" -> imageResizeQ,
     "bm25_topk" -> bm25TopKQ,
+    "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,

@@ -199,8 +199,10 @@ class PlanInvariantsSpec extends SparkSpec {
     // Any other query acquiring a global window fails this test and
     // must either partition the window or document + whitelist it.
     import org.apache.spark.sql.execution.window.WindowExec
+    //   hybrid_retrieval the 50 rows AFTER limit  (QueriesLlm: bm_rank)
     val whitelist = Set("baseline_ids", "time_average_bin",
-      "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample")
+      "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
+      "hybrid_retrieval")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
