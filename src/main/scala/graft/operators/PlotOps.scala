@@ -33,16 +33,31 @@ object PlotOps {
     * plan as a broadcast scalar aggregate — no eager driver action.
     */
   def visplotPixels(df: DataFrame, xCol: String, yCol: String,
-                    width: Int = 250, height: Int = 250): DataFrame = {
-    val b = df.agg(
-      min(col(xCol).cast("double")).as("_xmin"),
-      max(col(xCol).cast("double")).as("_xmax"),
-      min(col(yCol).cast("double")).as("_ymin"),
-      max(col(yCol).cast("double")).as("_ymax"))
+                    width: Int = 250, height: Int = 250,
+                    bounds: Option[(Double, Double, Double, Double)] = None)
+      : DataFrame = {
+    // bounds: pass fixed (xmin, xmax, ymin, ymax) to skip the extra
+    // bounds scan — at 100 TB the axis ranges are usually known (or
+    // cheaply read from partition/footer stats) and halving the scans
+    // halves the plot's cost.
+    val b = bounds match {
+      case Some((x0, x1, y0, y1)) =>
+        df.sparkSession.range(1).select(lit(x0).as("_xmin"),
+          lit(x1).as("_xmax"), lit(y0).as("_ymin"), lit(y1).as("_ymax"))
+      case None => df.agg(
+        min(col(xCol).cast("double")).as("_xmin"),
+        max(col(xCol).cast("double")).as("_xmax"),
+        min(col(yCol).cast("double")).as("_ymin"),
+        max(col(yCol).cast("double")).as("_ymax"))
+    }
+    // clamp: a no-op when bounds came from the data's own min/max, but
+    // with caller-fixed bounds it pins out-of-range points to the edge
+    // pixels instead of emitting off-canvas bins
     def px(c: Column, lo: Column, hi: Column, n: Int): Column =
-      when(hi > lo,
-        floor((c.cast("double") - lo) / (hi - lo) * (n - 1) + 0.5))
-        .otherwise(0.0).cast("int")
+      least(greatest(
+        when(hi > lo,
+          floor((c.cast("double") - lo) / (hi - lo) * (n - 1) + 0.5))
+          .otherwise(0.0), lit(0.0)), lit((n - 1).toDouble)).cast("int")
     df.crossJoin(broadcast(b))
       .select(px(col(xCol), col("_xmin"), col("_xmax"), width).as("x_px"),
         px(col(yCol), col("_ymin"), col("_ymax"), height).as("y_px"))

@@ -48,6 +48,15 @@ class PlotOpsSpec extends SparkSpec {
     assert(r.getSample(1, 1, 0) === 191) // floor(7.5/10*255+0.5)
   }
 
+  test("visplotPixels with fixed bounds skips the scan and clamps outliers") {
+    val pts = Seq((5.0, 5.0), (99.0, -3.0)).toDF("x", "y")
+    val px = PlotOps.visplotPixels(pts, "x", "y", width = 11, height = 11,
+        bounds = Some((0.0, 10.0, 0.0, 10.0)))
+      .collect().map(r => (r.getInt(0), r.getInt(1))).toSet
+    // (5,5) lands mid-canvas; (99,-3) clamps to the (10, 0) corner
+    assert(px === Set((5, 5), (10, 0)))
+  }
+
   test("visplotPng paints unhit pixels white") {
     val pts = Seq((0.0, 0.0), (3.0, 3.0)).toDF("x", "y")
     val png = PlotOps.visplotPng(pts, "x", "y", width = 4, height = 4)

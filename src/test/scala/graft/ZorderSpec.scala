@@ -42,6 +42,26 @@ class ZorderSpec extends SparkSpec {
     assert(keys.toSeq == Seq(0L, 15L, 10L, 5L))
   }
 
+  test("zorderKey: bijective on the quantized grid, monotone per axis") {
+    // every (qx, qy) cell maps to a distinct key (no two cells ever
+    // collide into one sort position), and with the other axis fixed
+    // the key grows with the coordinate — the two properties that make
+    // range-partitioning the key equivalent to tiling the plane
+    val n = 8 // 3-bit grid exercised through the full 16-bit key path
+    val grid = (0 until n).flatMap(x => (0 until n).map(y =>
+      (x.toDouble, y.toDouble))).toDF("x", "y")
+    val rows = grid.select(col("x"), col("y"),
+        IoOps.zorderKey(Seq(col("x"), col("y")),
+          Seq(0.0, 0.0), Seq(n - 1.0, n - 1.0), bits = 3).as("z"))
+      .collect().map(r => (r.getDouble(0).toInt, r.getDouble(1).toInt) ->
+        r.getLong(2)).toMap
+    assert(rows.values.toSeq.distinct.size === n * n)
+    for (fixed <- 0 until n; i <- 1 until n) {
+      assert(rows((i, fixed)) > rows((i - 1, fixed)))
+      assert(rows((fixed, i)) > rows((fixed, i - 1)))
+    }
+  }
+
   test("Z-ordered files cover small hypercubes; hash layout covers everything") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, sf)
