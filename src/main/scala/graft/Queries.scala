@@ -1430,6 +1430,39 @@ object Queries {
       |  floor(sum(value) * 1000000.0 + 0.5) / 1000000.0 AS value_sum
       |FROM sids GROUP BY user_id, session_seq""".stripMargin)
 
+  /** First-touch funnel view → click → purchase per user
+    * (SequenceOps.funnelSteps): conditional-min cascade on integer
+    * nanosecond timestamps — every chain timestamp and the depth are
+    * exact integers in both engines.
+    */
+  private val funnelStepsQ = Q(
+    (s, d) => operators.SequenceOps.funnelSteps(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts_ns")),
+        "user_id", "event_type", "ts_ns",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"), col("t1"), col("t2"), col("t3"), col("depth")),
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT v.user_id, v.t1,
+      |    min(CASE WHEN epoch_ns(e.ts) > v.t1 THEN epoch_ns(e.ts) END) AS t2
+      |  FROM v LEFT JOIN events e
+      |    ON e.user_id = v.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT c.user_id, c.t1, c.t2,
+      |    min(CASE WHEN epoch_ns(e.ts) > c.t2 THEN epoch_ns(e.ts) END) AS t3
+      |  FROM c LEFT JOIN events e
+      |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, t1, t2, t3,
+      |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+      |    AS depth
+      |FROM p""".stripMargin)
+
   /** INTERVAL join on the events stream: every view paired with the
     * same user's clicks within the following 6 hours. Integer
     * nanosecond bounds — frame membership is exact in both engines, so
@@ -1668,6 +1701,7 @@ object Queries {
     "running_flag_counts" -> runningFlagCountsQ,
     "sessionize" -> sessionizeQ,
     "stream_sessionize" -> streamSessionizeQ,
+    "funnel_steps" -> funnelStepsQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

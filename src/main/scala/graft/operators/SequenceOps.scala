@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Ordered-sequence analytics over event streams — the funnel /
+  * path-progression family every event-analytics engine ships next to
+  * sessionization (the batch twin of StreamingOps.sessionizeStream's
+  * domain).
+  */
+object SequenceOps {
+
+  /** First-touch funnel: per key, the earliest strictly-ordered chain
+    * through `steps` — t1 = first step-0 event, t(i) = first step-i
+    * event strictly after t(i-1). `depth` counts completed steps; a
+    * missing step nulls every later one (the conditional min of a null
+    * comparison stays null), so depth is always a prefix length.
+    *
+    * Plan shape: one filtered aggregate for step 0, then per further
+    * step one key-equi join + conditional-min re-aggregate — every
+    * stage hash-partitioned by the key, partial-agg combined, with the
+    * `event_type` filters pushed to the scan. Per-key state never
+    * exceeds the chain timestamps; shuffle volume is the type-filtered
+    * event counts, not the full stream. At 100 TB: identical shape,
+    * AQE handles the hot-key tail (a celebrity user's events all hash
+    * to one partition but only their own rows).
+    */
+  def funnelSteps(events: DataFrame, keyCol: String, typeCol: String,
+                  timeCol: String, steps: Seq[String]): DataFrame = {
+    require(steps.nonEmpty, "funnelSteps needs at least one step")
+    var acc = events.where(col(typeCol) === steps.head)
+      .groupBy(col(keyCol)).agg(min(col(timeCol)).as("t1"))
+    var i = 2
+    for (step <- steps.tail) {
+      val prev = s"t${i - 1}"
+      val e = events.where(col(typeCol) === step)
+        .select(col(keyCol), col(timeCol).as("_t"))
+      acc = acc.join(e, Seq(keyCol), "left")
+        .withColumn("_tv", when(col("_t") > col(prev), col("_t")))
+        .groupBy((col(keyCol) +: (1 until i).map(j => col(s"t$j"))): _*)
+        .agg(min(col("_tv")).as(s"t$i"))
+      i += 1
+    }
+    val depth = (2 to steps.size).foldLeft(lit(1)) { (d, j) =>
+      d + when(col(s"t$j").isNotNull, 1).otherwise(0)
+    }
+    acc.withColumn("depth", depth)
+  }
+}

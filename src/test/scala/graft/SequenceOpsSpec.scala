@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.SequenceOps
+
+class SequenceOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ev(rows: (Long, String, Long)*) =
+    rows.toSeq.toDF("user_id", "event_type", "ts_ns")
+
+  test("funnelSteps: earliest strictly-ordered chain, prefix depth") {
+    val events = ev(
+      // user 1: full chain, with an earlier purchase that must NOT count
+      (1L, "purchase", 5L), (1L, "view", 10L), (1L, "click", 20L),
+      (1L, "purchase", 30L), (1L, "click", 15L),
+      // user 2: view then purchase but no click -> depth 1, t3 null
+      (2L, "view", 10L), (2L, "purchase", 40L),
+      // user 3: click before any view -> not in the funnel at all
+      (3L, "click", 10L),
+      // user 4: click exactly AT the view time is not strictly after
+      (4L, "view", 10L), (4L, "click", 10L))
+    val out = SequenceOps.funnelSteps(events, "user_id", "event_type",
+        "ts_ns", Seq("view", "click", "purchase"))
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((Option(r.get(1)), Option(r.get(2)), Option(r.get(3)),
+          r.getAs[Int]("depth")))).toMap
+    assert(out(1L) === ((Some(10L), Some(15L), Some(30L), 3)))
+    // purchase at 40 does NOT count for user 2: the click step is
+    // missing, so the chain stops at depth 1
+    assert(out(2L) === ((Some(10L), None, None, 1)))
+    assert(out(4L) === ((Some(10L), None, None, 1)))
+    assert(!out.contains(3L))
+  }
+}
