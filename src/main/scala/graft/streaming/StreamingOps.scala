@@ -251,6 +251,58 @@ object StreamingOps {
     keys.foldLeft(l.join(r, cond))((d, k) => d.drop(col(s"r.$k")))
   }
 
+  /** Streaming first-touch funnel — the incremental twin of
+    * SequenceOps.funnelSteps. State per key is the chain of step
+    * timestamps (O(|steps|) longs, NOT the event history): each
+    * micro-batch folds its rows in event-time order and extends the
+    * chain greedily — an event extends it iff its type is the next
+    * step and its time is strictly after the chain's end. Emits one
+    * `(key, chain, depth)` snapshot per batch in which the chain grew.
+    *
+    * Semantics: identical to the batch conditional-min cascade
+    * whenever each key's events arrive in event-time order across
+    * micro-batches (the greedy time-ordered fold IS the cascade); a
+    * LATE event that would have refined an earlier chain link is
+    * ignored — the documented price of O(|steps|) state. On a batch
+    * frame every group arrives at once, so the fold sees fully sorted
+    * history and the output equals funnelSteps exactly (pinned by
+    * StreamingOpsSpec).
+    */
+  def funnelStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                   typeCol: String, timeCol: String,
+                   steps: Seq[String]): DataFrame = {
+    import spark.implicits._
+    val stepIdx = steps.zipWithIndex.toMap
+    val k = steps.size
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(typeCol).as("_ty"), col(timeCol).cast("long").as("_ts"))
+      .as[(Long, String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long], (Long, Seq[Long], Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val chain = state.getOption.getOrElse(Array.empty[Long])
+          var depth = chain.length
+          val grown = new scala.collection.mutable.ArrayBuffer[Long](k)
+          grown ++= chain
+          // fold in event-time order; at equal times a lower step index
+          // first (a (view, click) tie still can't chain: strict >)
+          val evs = rows.toArray
+            .filter(r => stepIdx.contains(r._2))
+            .sortBy(r => (r._3, stepIdx(r._2)))
+          for (e <- evs if depth < k)
+            if (stepIdx(e._2) == depth &&
+                (depth == 0 || e._3 > grown(depth - 1))) {
+              grown += e._3; depth += 1
+            }
+          if (depth > chain.length) {
+            state.update(grown.toArray)
+            Iterator((key, grown.toSeq, depth))
+          } else Iterator.empty
+      }
+      .toDF(keyCol, "chain", "depth")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

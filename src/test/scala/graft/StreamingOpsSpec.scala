@@ -238,6 +238,48 @@ class StreamingOpsSpec extends SparkSpec {
     // (asserted implicitly: the emitted row was final at emission)
   }
 
+  test("funnelStream extends chains across micro-batches and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val steps = Seq("view", "click", "purchase")
+    val input = MemoryStream[(Long, String, Long)]
+    val df = input.toDF().toDF("user_id", "event_type", "ts_ns")
+    val out = StreamingOps.funnelStream(spark, df, "user_id",
+      "event_type", "ts_ns", steps)
+    val q = out.writeStream.format("memory").queryName("funnel_t")
+      .outputMode("append").start()
+    // batch 1: user 1 views (an early purchase must not chain)
+    input.addData((1L, "purchase", 5L), (1L, "view", 10L), (2L, "click", 3L))
+    q.processAllAvailable()
+    // batch 2: user 1 clicks then purchases; user 2 still never views
+    input.addData((1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 9L))
+    q.processAllAvailable()
+    val rows = spark.table("funnel_t").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getSeq[Long](1), r.getInt(2)))
+    q.stop()
+    // one snapshot per batch the chain grew: (10) then (10,20,30)
+    assert(rows.toSet === Set((1L, Seq(10L), 1),
+      (1L, Seq(10L, 20L, 30L), 3)))
+
+    // batch form equals SequenceOps.funnelSteps on the same events
+    val events = Seq((1L, "purchase", 5L), (1L, "view", 10L),
+      (2L, "click", 3L), (1L, "click", 20L), (1L, "purchase", 30L),
+      (2L, "purchase", 9L), (3L, "view", 7L), (3L, "click", 7L))
+      .toDF("user_id", "event_type", "ts_ns")
+    val stream = StreamingOps.funnelStream(spark, events, "user_id",
+        "event_type", "ts_ns", steps)
+      .collect().map(r => r.getAs[Long]("user_id") ->
+        ((r.getSeq[Long](1), r.getInt(2)))).toMap
+    val batch = operators.SequenceOps.funnelSteps(events, "user_id",
+        "event_type", "ts_ns", steps)
+      .collect().map { r =>
+        val chain = Seq(1, 2, 3).map(i => Option(r.get(i)))
+          .takeWhile(_.isDefined).map(_.get.asInstanceOf[Long])
+        r.getAs[Long]("user_id") -> ((chain, r.getAs[Int]("depth")))
+      }.toMap
+    assert(stream === batch)
+  }
+
   test("enrich joins a stream against a static dimension statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "base")).toDF("k", "tier")
