@@ -1463,6 +1463,23 @@ object Queries {
       |    AS depth
       |FROM p""".stripMargin)
 
+  /** Weekly cohort retention over the events stream
+    * (SequenceOps.retentionCohorts): pure integer arithmetic — cohort
+    * and offset are epoch-week divisions, the count is an exact
+    * distinct.
+    */
+  private val retentionCohortsQ = Q(
+    (s, d) => operators.SequenceOps.retentionCohorts(
+      Tables.events(s, d).select(col("user_id"), col("ts_ns")),
+      "user_id", "ts_ns", periodNs = 604800000000000L),
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS period
+      |  FROM events),
+      |f AS (SELECT user_id, min(period) AS cohort FROM w GROUP BY 1)
+      |SELECT f.cohort, w.period - f.cohort AS offset,
+      |  count(DISTINCT w.user_id) AS n_active
+      |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin)
+
   /** INTERVAL join on the events stream: every view paired with the
     * same user's clicks within the following 6 hours. Integer
     * nanosecond bounds — frame membership is exact in both engines, so
@@ -1702,6 +1719,7 @@ object Queries {
     "sessionize" -> sessionizeQ,
     "stream_sessionize" -> streamSessionizeQ,
     "funnel_steps" -> funnelStepsQ,
+    "retention_cohorts" -> retentionCohortsQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

@@ -46,4 +46,27 @@ object SequenceOps {
     }
     acc.withColumn("depth", depth)
   }
+
+  /** Cohort retention: bucket every key by its first-activity period
+    * (integer division of the long timestamp by `periodNs`), then count
+    * distinct keys active at each offset from their cohort — the
+    * retention-triangle table behind every cohort chart.
+    *
+    * Plan shape: distinct (key, period) — shuffle bounded by distinct
+    * activity pairs, not events — one min-aggregate for the cohort, a
+    * key-equi join back, and the final count-distinct (which Spark
+    * expands to a two-phase exact aggregate). All integer arithmetic:
+    * hash-exact against any engine.
+    */
+  def retentionCohorts(events: DataFrame, keyCol: String, timeCol: String,
+                       periodNs: Long): DataFrame = {
+    val periods = events
+      .select(col(keyCol), expr(s"$timeCol div ${periodNs}L").as("period"))
+      .distinct()
+    val cohorts = periods.groupBy(col(keyCol))
+      .agg(min(col("period")).as("cohort"))
+    periods.join(cohorts, Seq(keyCol))
+      .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
+      .agg(countDistinct(col(keyCol)).as("n_active"))
+  }
 }

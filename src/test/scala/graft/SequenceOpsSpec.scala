@@ -31,4 +31,17 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(4L) === ((Some(10L), None, None, 1)))
     assert(!out.contains(3L))
   }
+
+  test("retentionCohorts: cohort by first period, distinct actives per offset") {
+    val events = Seq(
+      (1L, 0L), (1L, 5L),          // user 1: cohort 0, active p0 (twice)
+      (1L, 25L),                   // ... and p2
+      (2L, 12L), (2L, 22L),        // user 2: cohort 1, active p1 + p2
+      (3L, 21L)).toDF("user_id", "ts_ns") // user 3: cohort 2 only
+    val out = operators.SequenceOps.retentionCohorts(events, "user_id",
+        "ts_ns", periodNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(out === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L,
+      (1L, 0L) -> 1L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
+  }
 }
