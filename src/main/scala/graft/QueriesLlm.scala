@@ -1739,6 +1739,29 @@ object QueriesLlm {
       |  floor(tfidf * 1000000.0 + 0.5) / 1000000.0 AS tfidf
       |FROM r WHERE rank <= 3""".stripMargin)
 
+  /** Heaps vocabulary-growth curve — all integers (first-occurrence
+    * min, per-doc news count, exact two-phase prefix sum), so the
+    * whole curve is hash-exact. The bucket-offset window inside
+    * globalCumsum rides bucket-count rows (whitelisted with
+    * shard_by_tokens' identical pattern).
+    */
+  private val vocabGrowthQ = Q(
+    (s, d) => TextOps.vocabGrowth(Tables.documents(s, d), "doc_id", "text"),
+    """WITH t AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |  FROM documents),
+      |fo AS (SELECT term, min(doc_id) AS first_doc FROM t GROUP BY 1),
+      |np AS (SELECT first_doc AS doc_id, count(*) AS new_terms
+      |       FROM fo GROUP BY 1),
+      |pd AS (
+      |  SELECT d.doc_id, coalesce(np.new_terms, 0) AS new_terms
+      |  FROM (SELECT DISTINCT doc_id FROM documents) d
+      |  LEFT JOIN np USING (doc_id))
+      |SELECT doc_id, CAST(new_terms AS BIGINT) AS new_terms,
+      |  CAST(sum(new_terms) OVER (ORDER BY doc_id
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_vocab
+      |FROM pd""".stripMargin)
+
   /** Byte-distribution Shannon entropy (nats) per document, via the
     * native codegen'd CharEntropy kernel. The oracle replays the exact
     * ascending-byte fold through list(cnt ORDER BY ch) + list_reduce
@@ -2106,6 +2129,7 @@ object QueriesLlm {
     "gopher_quality" -> gopherQualityQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
+    "vocab_growth" -> vocabGrowthQ,
     "bm25_score" -> bm25Q,
     "embed_project" -> embedProjectQ,
     "nearest_centroid" -> nearestCentroidQ,

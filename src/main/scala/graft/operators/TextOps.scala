@@ -800,6 +800,33 @@ object TextOps {
       .select(col(idCol), col("rank"), col("term"), col("tf"), col("tfidf"))
   }
 
+  /** Vocabulary-growth (Heaps) curve: per document in id order, how
+    * many NEVER-SEEN-BEFORE terms it introduces and the cumulative
+    * vocabulary size — the corpus-diversity diagnostic behind dedup /
+    * mixture decisions.
+    *
+    * 100 TB story: "distinct so far" never materializes as running
+    * state. Each term's first occurrence is one min-aggregate
+    * (vocab-sized), the per-doc news count is a second bounded
+    * aggregate, and the running total reuses PackOps.globalCumsum's
+    * two-phase exact prefix sum — per-bucket totals + a bucket-count
+    * window, never a corpus-wide global sort.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String)
+      : DataFrame = {
+    val firstOcc = df
+      .select(col(idCol), explode(words(col(textCol))).as("term"))
+      .groupBy("term").agg(min(col(idCol)).as("first_doc"))
+    val newPerDoc = firstOcc.groupBy(col("first_doc").as(idCol))
+      .agg(count(lit(1)).as("new_terms"))
+    val perDoc = df.select(col(idCol)).distinct()
+      .join(newPerDoc, Seq(idCol), "left")
+      .withColumn("new_terms", coalesce(col("new_terms"), lit(0L)))
+    PackOps.globalCumsum(perDoc, idCol, "new_terms")
+      .withColumn("cum_vocab", col("start_tok") + col("new_terms"))
+      .select(col(idCol), col("new_terms"), col("cum_vocab"))
+  }
+
   /** Character-distribution entropy (nats, over UTF-8 bytes) — the
     * junk-text signal (base64 blobs, single-char spam, binary spill)
     * of a quality-filtering pipeline. Pure codegen'd scan via the
