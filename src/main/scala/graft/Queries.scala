@@ -1634,8 +1634,8 @@ object Queries {
     """SELECT l_returnflag, l_quantity AS median, n_group FROM (
       |  SELECT l_returnflag, l_quantity,
       |    row_number() OVER (PARTITION BY l_returnflag
-      |      ORDER BY l_quantity, l_orderkey, l_linenumber) AS rk,
-      |    count(*) OVER (PARTITION BY l_returnflag) AS n_group
+      |      ORDER BY l_quantity NULLS LAST, l_orderkey, l_linenumber) AS rk,
+      |    count(l_quantity) OVER (PARTITION BY l_returnflag) AS n_group
       |  FROM lineitem) WHERE rk = CAST(ceil(n_group / 2.0) AS BIGINT)""".stripMargin)
 
   /** Exact per-group interpolated quartiles via the shared rank-select

@@ -43,12 +43,22 @@ object Tables {
       val conf = s.sessionState.newHadoopConf()
       val root = new Path(path)
       val fs = root.getFileSystem(conf)
+      // recursive: a hive-partitioned layout keeps its part files in
+      // key= subdirectories, so a top-level-only listing would miss
+      // them and silently skip the NANOS branch
+      def firstParquet(p: Path, depth: Int): Option[Path] = {
+        if (depth > 8) return None
+        val entries = fs.listStatus(p).sortBy(_.getPath.getName)
+        entries.collectFirst {
+          case e if e.isFile && e.getPath.getName.endsWith(".parquet") =>
+            e.getPath
+        }.orElse(entries.filter(_.isDirectory).iterator
+          .flatMap(e => firstParquet(e.getPath, depth + 1))
+          .find(_ => true))
+      }
       val st = fs.getFileStatus(root)
       val dataFile =
-        if (st.isDirectory)
-          fs.listStatus(root).map(_.getPath)
-            .find(p => p.getName.endsWith(".parquet"))
-            .getOrElse(return false)
+        if (st.isDirectory) firstParquet(root, 0).getOrElse(return false)
         else root
       val reader = ParquetFileReader.open(HadoopInputFile.fromPath(dataFile, conf))
       try {

@@ -289,7 +289,8 @@ case class ProbeListIds(child: Expression, ids: Array[Long],
     val used = new Array[Boolean](k)
     val out = new Array[Long](m)
     var r = 0
-    while (r < m) {
+    var exhausted = false
+    while (r < m && !exhausted) {
       var best = -1
       var bestD = Double.MaxValue
       var j = 0
@@ -297,11 +298,13 @@ case class ProbeListIds(child: Expression, ids: Array[Long],
         if (!used(j) && dist(j) < bestD) { best = j; bestD = dist(j) }
         j += 1
       }
-      used(best) = true
-      out(r) = ids(best)
-      r += 1
+      // best stays -1 when every remaining distance is NaN (a NaN
+      // query component): truncate instead of indexing used(-1)
+      if (best < 0) exhausted = true
+      else { used(best) = true; out(r) = ids(best); r += 1 }
     }
-    new GenericArrayData(out)
+    new GenericArrayData(
+      if (r == m) out else java.util.Arrays.copyOf(out, r))
   }
 
   override def nullSafeEval(input: Any): Any =
@@ -395,6 +398,12 @@ object PqCodes {
   */
 case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]])
     extends UnaryExpression with VectorArrayInput {
+
+  // the flattened m x ksub table indexes with a UNIFORM ksub — a ragged
+  // codebook set would silently corrupt neighboring subspace slots
+  require(codebooks.nonEmpty &&
+    codebooks.forall(_.length == codebooks(0).length),
+    "pq_dist_table requires the same ksub in every subspace codebook")
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

@@ -58,7 +58,10 @@ object PlotOps {
         when(hi > lo,
           floor((c.cast("double") - lo) / (hi - lo) * (n - 1) + 0.5))
           .otherwise(0.0), lit(0.0)), lit((n - 1).toDouble)).cast("int")
-    df.crossJoin(broadcast(b))
+    // null on either axis is unplottable — drop instead of letting the
+    // null-skipping greatest/least silently pin those rows to (0, 0)
+    df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .crossJoin(broadcast(b))
       .select(px(col(xCol), col("_xmin"), col("_xmax"), width).as("x_px"),
         px(col(yCol), col("_ymin"), col("_ymax"), height).as("y_px"))
       .groupBy("x_px", "y_px")

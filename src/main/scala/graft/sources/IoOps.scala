@@ -124,7 +124,9 @@ object IoOps {
   /** Z-order (Morton) interleave key over up to 4 numeric columns —
     * pure native bit arithmetic (shiftleft/and/or fold), entirely
     * inside whole-stage codegen. Each column is min/max-scaled to
-    * `bits` bits; bit j of column i lands at position j*n + i.
+    * `bits` bits; bit j of column i lands at position j*n + i. The
+    * interleaved key must fit a signed long: n*bits <= 63, so 4
+    * columns need bits <= 15 (writeZordered clamps automatically).
     */
   def zorderKey(cols: Seq[org.apache.spark.sql.Column],
                 mins: Seq[Double], maxs: Seq[Double],
@@ -161,9 +163,15 @@ object IoOps {
       min(col(c).cast("double")).as(s"min_$c"),
       max(col(c).cast("double")).as(s"max_$c")))
     val r = df.agg(aggs.head, aggs.tail: _*).head() // scalar, bounded
-    val mins = zcols.indices.map(i => r.getDouble(2 * i))
-    val maxs = zcols.indices.map(i => r.getDouble(2 * i + 1))
-    df.withColumn("_zkey", zorderKey(zcols.map(col), mins, maxs, bits))
+    // empty input / all-null column → null aggregate; 0.0 collapses
+    // that column's range so its quantized key bits are all zero
+    def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    val mins = zcols.indices.map(i => d(2 * i))
+    val maxs = zcols.indices.map(i => d(2 * i + 1))
+    // honor the documented 4-column support at the default bits=16 by
+    // shrinking bits to keep the interleaved key inside a signed long
+    val effBits = math.min(bits, 63 / zcols.length)
+    df.withColumn("_zkey", zorderKey(zcols.map(col), mins, maxs, effBits))
       .repartitionByRange(numFiles, col("_zkey"))
       .sortWithinPartitions("_zkey")
       .select(df.columns.map(col): _*)

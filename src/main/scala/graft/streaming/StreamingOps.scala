@@ -272,6 +272,20 @@ object StreamingOps {
                    typeCol: String, timeCol: String,
                    steps: Seq[String]): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // the long-keyed state encoding is only sound for integral inputs:
+    // a string key would cast to null and merge every user into one
+    // state group; a timestamp would truncate to seconds and lose the
+    // strict ordering funnelSteps honors
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(keyCol).dataType),
+      s"funnelStream needs an integral $keyCol " +
+        s"(got ${df.schema(keyCol).dataType.sql}); hash or dictionary-" +
+        "encode other key types upstream")
+    require(integral.contains(df.schema(timeCol).dataType),
+      s"funnelStream needs an integral (epoch-nanos) $timeCol, " +
+        s"got ${df.schema(timeCol).dataType.sql}")
     val stepIdx = steps.zipWithIndex.toMap
     val k = steps.size
     val typed = df.select(col(keyCol).cast("long").as("_k"),

@@ -57,6 +57,15 @@ class PlotOpsSpec extends SparkSpec {
     assert(px === Set((5, 5), (10, 0)))
   }
 
+  test("visplotPixels drops null-axis rows instead of pinning them to (0,0)") {
+    val pts = Seq((Some(0.0), Some(0.0)), (None, Some(1.0)),
+        (Some(1.0), None), (Some(10.0), Some(10.0)))
+      .toDF("x", "y")
+    val px = PlotOps.visplotPixels(pts, "x", "y", width = 11, height = 11)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(px === Map((0, 0) -> 1L, (10, 10) -> 1L))
+  }
+
   test("visplotPng paints unhit pixels white") {
     val pts = Seq((0.0, 0.0), (3.0, 3.0)).toDF("x", "y")
     val png = PlotOps.visplotPng(pts, "x", "y", width = 4, height = 4)

@@ -280,6 +280,15 @@ class StreamingOpsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("funnelStream rejects non-integral key/time columns loudly") {
+    val bad = Seq(("u1", "view", 10L)).toDF("user_id", "event_type", "ts_ns")
+    val e = intercept[IllegalArgumentException] {
+      StreamingOps.funnelStream(spark, bad, "user_id", "event_type",
+        "ts_ns", Seq("view"))
+    }
+    assert(e.getMessage.contains("integral"))
+  }
+
   test("enrich joins a stream against a static dimension statelessly") {
     implicit val sqlCtx = spark.sqlContext
     val dim = Seq((1L, "gold"), (2L, "base")).toDF("k", "tier")

@@ -141,4 +141,28 @@ class VectorKernelsSpec extends SparkSpec {
       .sortBy(identity).take(2).map(_._2)
     assert(pl.eval(null).asInstanceOf[ArrayData].toLongArray.toSeq == expectP)
   }
+
+  test("ProbeListIds truncates (no crash) when a NaN query voids all distances") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    import org.apache.spark.sql.catalyst.util.ArrayData
+    val nanV = Array.fill(dim)(Double.NaN)
+    val litV = Literal.create(nanV, org.apache.spark.sql.types.ArrayType(
+      org.apache.spark.sql.types.DoubleType))
+    val sorted = cents.sortBy(_._1).toArray
+    val pl = functions.ProbeListIds(litV, sorted.map(_._1), sorted.map(_._2), 2)
+    assert(pl.eval(null).asInstanceOf[ArrayData].numElements() === 0)
+  }
+
+  test("PqDistTable rejects ragged codebooks at construction") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val litV = Literal.create(Array(0.0, 1.0),
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val ragged = Array(
+      Array(Array(0.0), Array(1.0)), // ksub 2
+      Array(Array(0.0)))             // ksub 1
+    intercept[IllegalArgumentException] {
+      functions.PqDistTable(litV, ragged)
+    }
+  }
 }

@@ -62,6 +62,19 @@ class ZorderSpec extends SparkSpec {
     }
   }
 
+  test("writeZordered handles empty input and 4 columns at default bits") {
+    val empty = spark.emptyDataFrame
+      .withColumn("a", lit(1.0)).withColumn("b", lit(2.0)).limit(0)
+    IoOps.writeZordered(empty, "/tmp/graft_zorder_spec_empty", Seq("a", "b"))
+    assert(spark.read.parquet("/tmp/graft_zorder_spec_empty").count() === 0)
+    // 4 z-columns at the default bits=16 auto-clamp to 15 bits/col
+    val four = Seq((1.0, 2.0, 3.0, 4.0), (5.0, 6.0, 7.0, 8.0))
+      .toDF("a", "b", "c", "d")
+    IoOps.writeZordered(four, "/tmp/graft_zorder_spec_four",
+      Seq("a", "b", "c", "d"), numFiles = 1)
+    assert(spark.read.parquet("/tmp/graft_zorder_spec_four").count() === 2)
+  }
+
   test("Z-ordered files cover small hypercubes; hash layout covers everything") {
     val sf = "/root/testdata/sf0.001"
     val li = Tables.lineitem(spark, sf)
