@@ -1463,6 +1463,44 @@ object Queries {
       |    AS depth
       |FROM p""".stripMargin)
 
+  /** The STREAMING funnel run on the batch frame — on a static frame
+    * every group folds its full sorted history at once, so the output
+    * must equal funnelSteps exactly (same oracle SQL; the chain column
+    * unpacks through try_element_at, null past the depth under ANSI).
+    * Cross-micro-batch progression is covered by the MemoryStream spec.
+    */
+  private val streamFunnelQ = Q(
+    (s, d) => streaming.StreamingOps.funnelStream(s,
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts_ns")),
+        "user_id", "event_type", "ts_ns",
+        Seq("view", "click", "purchase"))
+      .select(col("user_id"),
+        expr("try_element_at(chain, 1)").as("t1"),
+        expr("try_element_at(chain, 2)").as("t2"),
+        expr("try_element_at(chain, 3)").as("t3"),
+        col("depth")),
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT v.user_id, v.t1,
+      |    min(CASE WHEN epoch_ns(e.ts) > v.t1 THEN epoch_ns(e.ts) END) AS t2
+      |  FROM v LEFT JOIN events e
+      |    ON e.user_id = v.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT c.user_id, c.t1, c.t2,
+      |    min(CASE WHEN epoch_ns(e.ts) > c.t2 THEN epoch_ns(e.ts) END) AS t3
+      |  FROM c LEFT JOIN events e
+      |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3)
+      |SELECT user_id, t1, t2, t3,
+      |  CAST(1 + (CASE WHEN t2 IS NOT NULL THEN 1 ELSE 0 END)
+      |         + (CASE WHEN t3 IS NOT NULL THEN 1 ELSE 0 END) AS INT)
+      |    AS depth
+      |FROM p""".stripMargin)
+
   /** Weekly cohort retention over the events stream
     * (SequenceOps.retentionCohorts): pure integer arithmetic — cohort
     * and offset are epoch-week divisions, the count is an exact
@@ -1720,6 +1758,7 @@ object Queries {
     "stream_sessionize" -> streamSessionizeQ,
     "funnel_steps" -> funnelStepsQ,
     "retention_cohorts" -> retentionCohortsQ,
+    "stream_funnel" -> streamFunnelQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
