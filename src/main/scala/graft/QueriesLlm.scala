@@ -1198,6 +1198,49 @@ object QueriesLlm {
        |  shard * ${PackOps.PackStride} + start_tok // 256 AS pack_id
        |FROM w""".stripMargin)
 
+  /** Packing composition end-to-end: sliding-window chunking (here
+    * non-overlapping, stride == size) → per-chunk token counts →
+    * exact global token-budget sharding of the CHUNK stream — the
+    * tokenize-and-pack half of a pretraining prep pipeline, proving
+    * chunkDocuments and shardByTokenBudget compose (the curation
+    * counterpart is curation_pipeline). The synthetic global chunk id
+    * (doc_id * 64 + chunk_id) keeps the cumsum order (doc, chunk) —
+    * all integers, exact.
+    */
+  private val packingPipelineQ = Q(
+    (s, d) => {
+      val chunks = TextOps.chunkDocuments(Tables.documents(s, d),
+        "doc_id", "text", size = 32, stride = 32)
+      val gid = chunks.withColumn("gid",
+        col("doc_id") * 64 + col("chunk_id"))
+      PackOps.shardByTokenBudget(gid, "gid", "n_tokens",
+          budget = 500, buckets = 16)
+        .select(col("doc_id"), col("chunk_id"), col("n_tokens"),
+          col("start_tok"), col("shard"))
+    },
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |c AS (
+      |  SELECT doc_id,
+      |    CAST(unnest(generate_series(0, (len(ws) - 1) // 32)) AS INT)
+      |      AS chunk_id,
+      |    ws
+      |  FROM w),
+      |ch AS (
+      |  SELECT doc_id, chunk_id,
+      |    CAST(len(list_slice(ws, chunk_id * 32 + 1, chunk_id * 32 + 32))
+      |      AS BIGINT) AS n_tokens
+      |  FROM c),
+      |sx AS (
+      |  SELECT doc_id, chunk_id, n_tokens,
+      |    CAST(coalesce(sum(n_tokens) OVER (ORDER BY doc_id, chunk_id
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |      AS BIGINT) AS start_tok
+      |  FROM ch)
+      |SELECT doc_id, chunk_id, n_tokens, start_tok,
+      |  start_tok // 500 AS shard
+      |FROM sx""".stripMargin)
+
   /** Exact global prefix-sum sharding: the two-phase distributed scan
     * (monotone id bucketing + per-bucket cumsum + broadcast bucket
     * offsets) must equal the oracle's single global window cumsum —
@@ -2170,6 +2213,7 @@ object QueriesLlm {
     "dsir_sample" -> dsirSampleQ,
     "pack_sequences" -> packSequencesQ,
     "shard_by_tokens" -> shardByTokensQ,
+    "packing_pipeline" -> packingPipelineQ,
     "decontaminate" -> decontaminateQ,
     "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
