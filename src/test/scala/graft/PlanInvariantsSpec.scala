@@ -200,10 +200,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // must either partition the window or document + whitelist it.
     import org.apache.spark.sql.execution.window.WindowExec
     //   hybrid_retrieval the 50 rows AFTER limit  (QueriesLlm: bm_rank)
-    //   vocab_growth     per-bucket totals        (via globalCumsum)
+    //   vocab_growth /   per-bucket totals        (via globalCumsum)
+    //     packing_pipeline
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
-      "hybrid_retrieval", "vocab_growth")
+      "hybrid_retrieval", "vocab_growth", "packing_pipeline")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
