@@ -155,6 +155,31 @@ object QueriesLlm {
        |SELECT c.doc_id, (dup.doc_id IS NOT NULL) AS is_dup
        |FROM corpus c LEFT JOIN dup ON c.doc_id = dup.doc_id""".stripMargin)
 
+  /** Sketch-quality readout: the MinHash Jaccard estimate vs the exact
+    * verify on the same candidate pairs. Signature component equality
+    * and set sizes are integers in both engines; the estimate and true
+    * Jaccard are single int/int divisions (qround cosmetics only).
+    */
+  private val minhashEstQ = Q(
+    (s, d) => DedupOps.minHashJaccardEst(dupCorpus(s, d, mod = 2),
+        "doc_id", "text")
+      .select(col("id1"), col("id2"), col("n_match"),
+        qround(col("est_jaccard"), 8).as("est_jaccard"),
+        qround(col("jaccard"), 8).as("jaccard")),
+    s"""WITH ${minhashVerSql(mod = 2)},
+       |m AS (
+       |  SELECT c.id1, c.id2,
+       |    CAST(len(list_filter(generate_series(1, 16),
+       |      i_ -> g1.sig[i_] = g2.sig[i_])) AS INT) AS n_match
+       |  FROM cand c JOIN sig g1 ON c.id1 = g1.doc_id
+       |              JOIN sig g2 ON c.id2 = g2.doc_id)
+       |SELECT m.id1, m.id2, m.n_match,
+       |  ${qrSql("CAST(m.n_match AS DOUBLE) / CAST(16 AS DOUBLE)", 8)}
+       |    AS est_jaccard,
+       |  ${qrSql("CASE WHEN v.n_union > 0 THEN CAST(v.n_inter AS DOUBLE) / v.n_union ELSE 0.0 END", 8)}
+       |    AS jaccard
+       |FROM m JOIN ver v ON m.id1 = v.id1 AND m.id2 = v.id2""".stripMargin)
+
   private val dedupMinhashQ = Q(
     (s, d) => DedupOps.minHashNearDup(dupCorpus(s, d, mod = 2), "doc_id",
         "text", threshold = 0.5)
@@ -2179,6 +2204,7 @@ object QueriesLlm {
     "image_patch_stats" -> imagePatchStatsQ,
     "dedup_exact" -> dedupExactQ,
     "dedup_minhash" -> dedupMinhashQ,
+    "minhash_est" -> minhashEstQ,
     "dedup_simhash" -> dedupSimhashQ,
     "simhash_neardup" -> simhashNearDupQ,
     "ngram_jaccard" -> ngramJaccardQ,

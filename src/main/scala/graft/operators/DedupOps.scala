@@ -191,6 +191,39 @@ object DedupOps {
       .select("id1", "id2", "n_inter", "n_union", "jaccard")
   }
 
+  /** MinHash Jaccard ESTIMATE next to the exact verify, per LSH
+    * candidate pair: est = (matching signature components)/numHashes —
+    * the estimator-quality readout used to tune numHashes/bands before
+    * trusting the sketch at corpus scale (E[est] = true Jaccard).
+    * Cost rides the candidate pairs (never all-pairs); the signature
+    * equality count is integer-exact, the two divisions are single
+    * int/int ops — engine-portable.
+    */
+  def minHashJaccardEst(df: DataFrame, idCol: String, textCol: String,
+                        shingleN: Int = 3, numHashes: Int = 16,
+                        bands: Int = 8): DataFrame = {
+    val sigs = df.select(col(idCol),
+      minHashSignature(shingleHashes(col(textCol), shingleN), numHashes)
+        .as("sig"))
+    val cands = minHashCandidates(df, idCol, textCol, shingleN, numHashes,
+      bands)
+    val matchUdf = udf((a: Seq[Long], b: Seq[Long]) =>
+      a.zip(b).count(p => p._1 == p._2))
+    val est = cands
+      .join(sigs.select(col(idCol).as("id1"), col("sig").as("_s1")),
+        Seq("id1"))
+      .join(sigs.select(col(idCol).as("id2"), col("sig").as("_s2")),
+        Seq("id2"))
+      .withColumn("n_match", matchUdf(col("_s1"), col("_s2")))
+      .withColumn("est_jaccard",
+        col("n_match").cast("double") / numHashes)
+      .select("id1", "id2", "n_match", "est_jaccard")
+    jaccardOnPairs(cands, df, idCol, textCol, shingleN)
+      .join(est, Seq("id1", "id2"))
+      .select(col("id1"), col("id2"), col("n_match"), col("est_jaccard"),
+        col("jaccard"))
+  }
+
   /** Eval decontamination: (test_doc, train_doc) pairs that share
     * n-gram shingles, with the shared-shingle count — the standard
     * "is the eval set leaked into the training split" sweep.
