@@ -344,6 +344,61 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, bucket, ${qrSql("cos_", 8)} AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  /** Index-quality eval: recall@5 of the single-bucket LSH index
+    * against the brute-force ground truth, per query. Both member
+    * sets are selected on bit-identical cosines (recipe-proven), so
+    * the hit counts are exact integers; recall is one int/int
+    * division.
+    */
+  private val annRecallQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val q10 = emb.where(col("vec_id") < 10)
+      val exact = SimilarityOps.bruteForceTopK(q10, emb,
+          "vec_id", "vec_id", "embedding", k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val approx = SimilarityOps.lshTopK(q10, emb,
+          "vec_id", "vec_id", "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+        .withColumn("_hit", lit(1L))
+      exact.join(approx, Seq("query_id", "neighbor_id"), "left")
+        .groupBy("query_id")
+        .agg(sum(coalesce(col("_hit"), lit(0L))).as("n_hit"),
+          count(lit(1)).as("k"))
+        .withColumn("recall",
+          qround(col("n_hit").cast("double") / col("k"), 8))
+    },
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
+       |q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM e WHERE vec_id < 10),
+       |xs AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_
+       |  FROM e CROSS JOIN q WHERE q.query_id <> e.vec_id),
+       |xr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM xs),
+       |exact AS (SELECT query_id, neighbor_id FROM xr WHERE rank <= 5),
+       |ls AS (
+       |  SELECT q.query_id, e.vec_id AS neighbor_id,
+       |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")}) * sqrt(${dotSql("v", "v")})) AS cos_
+       |  FROM e JOIN q ON e.bucket = q.bucket WHERE q.query_id <> e.vec_id),
+       |lr AS (
+       |  SELECT query_id, neighbor_id,
+       |    row_number() OVER (PARTITION BY query_id ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM ls),
+       |approx AS (SELECT query_id, neighbor_id FROM lr WHERE rank <= 5)
+       |SELECT x.query_id,
+       |  CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END)
+       |    AS BIGINT) AS n_hit,
+       |  count(*) AS k,
+       |  ${qrSql("CAST(sum(CASE WHEN a.neighbor_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*)", 8)}
+       |    AS recall
+       |FROM exact x LEFT JOIN approx a
+       |  ON x.query_id = a.query_id AND x.neighbor_id = a.neighbor_id
+       |GROUP BY 1""".stripMargin)
+
   private val annLshProbedQ = Q(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -2211,6 +2266,7 @@ object QueriesLlm {
     "ann_topk" -> annTopkQ,
     "ann_lsh" -> annLshQ,
     "ann_lsh_probed" -> annLshProbedQ,
+    "ann_recall" -> annRecallQ,
     "ann_ivf" -> annIvfQ,
     "ann_ivf_trained" -> annIvfTrainedQ,
     "ivf_train_iter" -> ivfTrainIterQ,
