@@ -198,6 +198,36 @@ object QueriesLlm {
     * CTE, so the fixpoint itself is exact-checked, not just one
     * iteration.
     */
+  /** Integer PageRank, 3 unrolled iterations over the LSH candidate
+    * graph — every update is integer div/mul, so the whole trajectory
+    * is engine-exact with no quantization at all.
+    */
+  private val pagerankQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 4)
+      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text")
+      DedupOps.pageRankIntegers(cands, "id1", "id2", iters = 3)
+    }, {
+      def step(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT e.dst AS id,
+           |    150000 + (CAST(sum($prev.rank // dg.deg) AS BIGINT) * 85) // 100
+           |      AS rank
+           |  FROM $prev JOIN edges e ON $prev.id = e.src
+           |             JOIN deg dg ON $prev.id = dg.src
+           |  GROUP BY 1)"""
+      s"""WITH ${minhashVerSql(mod = 4)},
+         |edges AS (
+         |  SELECT id1 AS src, id2 AS dst FROM cand
+         |  UNION SELECT id2, id1 FROM cand),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT id, rank FROM r3""".stripMargin
+    })
+
   private val dedupClustersQ = Q(
     // mod = 4: the oracle's `reach` CTE is all-pairs reachability per
     // component — quadratic in component size — and cost ~60 s of the
@@ -2299,6 +2329,7 @@ object QueriesLlm {
     "decontaminate" -> decontaminateQ,
     "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
+    "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,
     "stream_neardup" -> streamNeardupQ,

@@ -365,6 +365,44 @@ object DedupOps {
     * clusters are shallow (all copies of one document), so rounds
     * stay in single digits even at web scale.
     */
+  /** Fixed-point integer PageRank over an undirected pair list — the
+    * centrality companion to [[connectedComponents]] (which doc is the
+    * canonical center of a duplicate cluster; which URL is the hub).
+    * Ranks live in integer micro-units and every update is integer
+    * multiply/divide — r' = 0.15*U + (sum_u r(u) DIV deg(u)) * 85 DIV
+    * 100 — so the trajectory is deterministic in ANY engine at ANY
+    * parallelism: no float sum-order hazard, unlike textbook float
+    * PageRank whose per-node sums reorder under shuffle.
+    *
+    * Scale shape: per iteration one edge-list join + one hash
+    * aggregate, both keyed — cost rides |edges|, never |V|^2;
+    * localCheckpoint truncates the iteration lineage (durable
+    * checkpoint on a real cluster).
+    */
+  def pageRankIntegers(pairs: DataFrame, id1: String, id2: String,
+                       iters: Int = 3, unit: Long = 1000000L): DataFrame = {
+    val p = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    val deg = edges.groupBy("src").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    var ranks = deg.select(col("src").as("id"), lit(unit).as("rank"))
+    val base = unit * 15L / 100L
+    for (_ <- 1 to iters) {
+      // every node of `deg` receives >= 1 contribution (edges are
+      // symmetric), so the aggregate is total over the node set
+      ranks = edges
+        .join(ranks.select(col("id").as("src"), col("rank")), Seq("src"))
+        .join(deg, Seq("src"))
+        .select(col("dst").as("id"), expr("rank DIV deg").as("c"))
+        .groupBy("id")
+        .agg((lit(base) + expr("sum(c) * 85 DIV 100")).as("rank"))
+        .localCheckpoint()
+    }
+    ranks
+  }
+
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
                           maxIter: Int = 20): DataFrame = {
     // Materialize the pair source ONCE before symmetrizing: the union
