@@ -986,6 +986,76 @@ object Queries {
       |FROM lineitem WHERE l_returnflag = 'R'
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Lakehouse MERGE (IoOps.mergeUpsert): a change set carrying
+    * updates (+100 qty for orderkey%10=0), deletes (%10=1) and inserts
+    * (%10=2 re-keyed +3M) applied copy-on-write, then aggregated —
+    * matching the oracle's replayed ANTI JOIN + union proves the merge
+    * semantics row-for-row (quantities are integral, sums exact).
+    */
+  private val mergeUpsertQ = Q(
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity")
+      val t = li(s, d).select(cols.map(col): _*)
+      val changes = li(s, d).where(col("l_orderkey") % 10 <= 2)
+        .select(
+          when(col("l_orderkey") % 10 === 2,
+            col("l_orderkey") + 3000000L).otherwise(col("l_orderkey"))
+            .as("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"),
+          when(col("l_orderkey") % 10 === 0, col("l_quantity") + 100)
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          (col("l_orderkey") % 10 === 1).as("_del"))
+      sources.IoOps.mergeUpsert(t, changes,
+          Seq("l_orderkey", "l_linenumber"), deleteCol = Some("_del"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """WITH chg AS (
+      |  SELECT CASE WHEN l_orderkey % 10 = 2 THEN l_orderkey + 3000000
+      |              ELSE l_orderkey END AS l_orderkey,
+      |    l_linenumber, l_returnflag,
+      |    CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 100
+      |         ELSE l_quantity END AS l_quantity,
+      |    (l_orderkey % 10 = 1) AS _del
+      |  FROM lineitem WHERE l_orderkey % 10 <= 2),
+      |kept AS (
+      |  SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag, t.l_quantity
+      |  FROM lineitem t ANTI JOIN chg c
+      |    ON t.l_orderkey = c.l_orderkey
+      |   AND t.l_linenumber = c.l_linenumber),
+      |merged AS (
+      |  SELECT * FROM kept
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      |  FROM chg WHERE NOT _del)
+      |SELECT l_returnflag, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM merged GROUP BY 1""".stripMargin)
+
+  /** Salted skew join (JoinOps.saltedJoin): result must be
+    * row-identical to the plain lineitem x part join — the salt only
+    * moves rows between reducers, never changes the relation.
+    */
+  private val saltedJoinQ2 = Q(
+    (s, d) => {
+      val big = li(s, d).select(col("l_partkey").as("p_partkey"),
+        col("l_quantity"))
+      val dim = Tables.part(s, d).select(col("p_partkey"), col("p_brand"))
+      operators.JoinOps.saltedJoin(big, dim, Seq("p_partkey"), salts = 8)
+        .groupBy("p_brand")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"))
+    },
+    """SELECT p_brand, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY 1""".stripMargin)
+
   private val zorderLayoutQ = Q(
     (s, d) => {
       // Z-ordered rewrite on (l_extendedprice, l_quantity), read back
@@ -1744,6 +1814,8 @@ object Queries {
     "implot_render" -> implotRenderQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
     "zorder_layout" -> zorderLayoutQ,
+    "merge_upsert" -> mergeUpsertQ,
+    "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,
     "append_xds" -> appendXdsQ,
     "append_compact" -> appendCompactQ,

@@ -178,6 +178,28 @@ object IoOps {
       .write.mode("overwrite").option("compression", "zstd").parquet(path)
   }
 
+  /** MERGE (upsert + delete) into a keyed table — the lakehouse
+    * copy-on-write primitive behind incremental corrections at 100 TB
+    * (re-crawled documents, re-scored quality, retracted rows):
+    * matched target rows are REPLACED by their change row (or dropped
+    * when the change is flagged deleted), unmatched changes insert,
+    * unmatched target survives. One key-partitioned anti-join + one
+    * union — shuffle rides |target|+|changes| on the key, no
+    * broadcast assumption (AQE broadcasts a small change set on its
+    * own). Deterministic for any multiset input; key uniqueness is
+    * NOT required (all rows of a matched key are replaced by all
+    * change rows of that key).
+    */
+  def mergeUpsert(target: DataFrame, changes: DataFrame, keys: Seq[String],
+                  deleteCol: Option[String] = None): DataFrame = {
+    val upserts = deleteCol
+      .map(c => changes.where(!col(c)).drop(c))
+      .getOrElse(changes)
+    val kept = target.join(
+      changes.select(keys.map(col): _*).distinct(), keys, "left_anti")
+    kept.unionByName(upserts)
+  }
+
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
     * 84-137): sibling artifacts (psf, pb, residual, model, ...) become
     * one table with one value column per artifact — a chain of outer

@@ -92,4 +92,19 @@ class IoOpsSpec extends SparkSpec {
       spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
     }
   }
+
+  test("mergeUpsert: update replaces, delete drops, insert appends, rest survives") {
+    import spark.implicits._
+    val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))
+      .toDF("id", "tag", "v")
+    val changes = Seq(
+      (2L, "b2", 99.0, false), // update
+      (3L, "c", 30.0, true),   // delete
+      (4L, "d", 40.0, false))  // insert
+      .toDF("id", "tag", "v", "_del")
+    val out = IoOps.mergeUpsert(target, changes, Seq("id"),
+        deleteCol = Some("_del"))
+      .as[(Long, String, Double)].collect().sorted.toSeq
+    assert(out === Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0)))
+  }
 }

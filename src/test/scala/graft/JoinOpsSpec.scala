@@ -130,4 +130,25 @@ class JoinOpsSpec extends SparkSpec {
     assert(binned.distinct.size === binned.size) // exactly-once per pair
     assert(binned.nonEmpty)
   }
+
+  test("saltedJoin equals the plain join and keys the exchange on the salt") {
+    val big = (0 until 2000).map(i => (i % 3, i.toDouble))
+      .toDF("k", "v") // key 0/1/2, heavily repeated (the skew shape)
+    val dim = Seq((0, "a"), (1, "b"), (2, "c"), (9, "unmatched"))
+      .toDF("k", "tag")
+    val salted = JoinOps.saltedJoin(big, dim, Seq("k"), salts = 4)
+    val plain = big.join(dim, Seq("k"))
+    assert(salted.select("k", "v", "tag").as[(Int, Double, String)]
+      .collect().sorted.toSeq ===
+      plain.select("k", "v", "tag").as[(Int, Double, String)]
+        .collect().sorted.toSeq)
+    // the shuffle must be keyed on (k, _salt) — that IS the skew split
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plan = JoinOps.saltedJoin(big, dim, Seq("k"), salts = 4)
+        .queryExecution.executedPlan.toString
+      assert(plan.contains("_salt"),
+        s"salt column vanished from the join plan:\n$plan")
+    } finally spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+  }
 }
