@@ -1533,6 +1533,28 @@ object Queries {
       |    AS depth
       |FROM p""".stripMargin)
 
+  /** Streaming cohort retention driven on the batch frame: the
+    * stateful first-seen stage collapses to exact (user, cohort,
+    * period) pairs, and the plain triangle reduction must equal
+    * SequenceOps.retentionCohorts — same oracle SQL.
+    */
+  private val streamRetentionQ = Q(
+    (s, d) => {
+      val pairs = streaming.StreamingOps.firstSeenPeriods(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns")),
+        "user_id", "ts_ns", periodNs = 604800000000000L)
+      pairs.groupBy(col("cohort"),
+          (col("period") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+    """WITH w AS (
+      |  SELECT DISTINCT user_id, epoch_ns(ts) // 604800000000000 AS period
+      |  FROM events),
+      |f AS (SELECT user_id, min(period) AS cohort FROM w GROUP BY 1)
+      |SELECT f.cohort, w.period - f.cohort AS offset,
+      |  count(DISTINCT w.user_id) AS n_active
+      |FROM w JOIN f USING (user_id) GROUP BY 1, 2""".stripMargin)
+
   /** The STREAMING funnel run on the batch frame — on a static frame
     * every group folds its full sorted history at once, so the output
     * must equal funnelSteps exactly (same oracle SQL; the chain column
@@ -1831,6 +1853,7 @@ object Queries {
     "funnel_steps" -> funnelStepsQ,
     "retention_cohorts" -> retentionCohortsQ,
     "stream_funnel" -> streamFunnelQ,
+    "stream_retention" -> streamRetentionQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

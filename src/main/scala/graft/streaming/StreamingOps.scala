@@ -317,6 +317,51 @@ object StreamingOps {
       .toDF(keyCol, "chain", "depth")
   }
 
+  /** Streaming first-seen activity periods — the stateful front half
+    * of incremental cohort retention (SequenceOps.retentionCohorts).
+    * State per key: the cohort (first period ever seen) plus the set
+    * of periods already emitted — bounded by the CALENDAR (periods
+    * elapsed), never by event count. Emits one (key, cohort, period)
+    * row the first time a key is active in a period; the retention
+    * triangle is then a plain downstream aggregation (run it in
+    * foreachBatch / on the sink table — same two-stage deployment as
+    * streamingBandCollisions, since Spark allows one stateful operator
+    * per streaming query).
+    *
+    * Late-data caveat: a late event from a period EARLIER than the
+    * key's known cohort re-bases the cohort only if it arrives before
+    * any emission for that key is consumed downstream; on a batch
+    * frame each group folds its full history at once, so the output
+    * matches the batch operator exactly.
+    */
+  def firstSeenPeriods(spark: SparkSession, df: DataFrame, keyCol: String,
+                       timeCol: String, periodNs: Long): DataFrame = {
+    import spark.implicits._
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        expr(s"$timeCol div ${periodNs}L").as("_p"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Seq[Long]), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val (cohort0, seen0) =
+            state.getOption.getOrElse((Long.MaxValue, Seq.empty[Long]))
+          val seen = scala.collection.mutable.Set(seen0: _*)
+          var cohort = cohort0
+          val fresh = scala.collection.mutable.ArrayBuffer.empty[Long]
+          for (r <- rows) {
+            if (r._2 < cohort) cohort = r._2
+            if (!seen.contains(r._2)) { seen += r._2; fresh += r._2 }
+          }
+          if (fresh.isEmpty) Iterator.empty
+          else {
+            state.update((cohort, seen.toSeq))
+            fresh.iterator.map(p => (key, cohort, p))
+          }
+      }
+      .toDF(keyCol, "cohort", "period")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

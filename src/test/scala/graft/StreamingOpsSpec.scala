@@ -280,6 +280,24 @@ class StreamingOpsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("firstSeenPeriods suppresses repeat periods across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("user_id", "ts_ns")
+    val out = StreamingOps.firstSeenPeriods(spark, df, "user_id",
+      "ts_ns", periodNs = 10L)
+    val q = out.writeStream.format("memory").queryName("fsp_t")
+      .outputMode("append").start()
+    input.addData((1L, 5L), (1L, 7L), (2L, 25L)) // user1 p0 (twice), user2 p2
+    q.processAllAvailable()
+    input.addData((1L, 8L), (1L, 15L), (2L, 21L)) // p0 repeat, p1 new, p2 repeat
+    q.processAllAvailable()
+    val rows = spark.table("fsp_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    q.stop()
+    assert(rows === Seq((1L, 0L, 0L), (1L, 0L, 1L), (2L, 2L, 2L)))
+  }
+
   test("funnelStream rejects non-integral key/time columns loudly") {
     val bad = Seq(("u1", "view", 10L)).toDF("user_id", "event_type", "ts_ns")
     val e = intercept[IllegalArgumentException] {
