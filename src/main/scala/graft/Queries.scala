@@ -1533,6 +1533,39 @@ object Queries {
       |    AS depth
       |FROM p""".stripMargin)
 
+  /** Top user-journey paths (SequenceOps.sessionPaths): 30-minute-gap
+    * sessions, event types concatenated in exact (tsn, event_id)
+    * order, 20 most common paths. Strings and integers only — exact;
+    * the (count desc, path) tie-break pins the selected set.
+    */
+  private val sessionPathsQ = Q(
+    (s, d) => operators.SequenceOps.sessionPaths(
+      Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+        col("event_id"), col("event_type")),
+      "user_id", "ts_ns", "event_id", "event_type",
+      gapNs = 1800L * 1000 * 1000 * 1000, k = 20),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events),
+      |l AS (
+      |  SELECT *, CASE WHEN lag(tsn) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+      |    OR tsn - lag(tsn) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id)
+      |      > 1800000000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sx AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM l),
+      |p AS (
+      |  SELECT user_id, sess,
+      |    string_agg(event_type, '>' ORDER BY tsn, event_id) AS path
+      |  FROM sx GROUP BY 1, 2)
+      |SELECT path, count(*) AS n_sessions
+      |FROM p GROUP BY 1
+      |ORDER BY n_sessions DESC, path LIMIT 20""".stripMargin)
+
   /** Streaming cohort retention driven on the batch frame: the
     * stateful first-seen stage collapses to exact (user, cohort,
     * period) pairs, and the plain triangle reduction must equal
@@ -1854,6 +1887,7 @@ object Queries {
     "retention_cohorts" -> retentionCohortsQ,
     "stream_funnel" -> streamFunnelQ,
     "stream_retention" -> streamRetentionQ,
+    "session_paths" -> sessionPathsQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

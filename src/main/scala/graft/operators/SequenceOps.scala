@@ -47,6 +47,39 @@ object SequenceOps {
     acc.withColumn("depth", depth)
   }
 
+  /** Top session paths — the "user journey" readout next to funnels:
+    * sessionize by inactivity gap (gaps-and-islands on integer
+    * timestamps), concatenate each session's event types in exact
+    * (time, tiebreak) order, rank the resulting path strings by
+    * frequency. The ordered concat rides array_sort over collected
+    * (time, tie, type) structs — deterministic total order, no
+    * window-ordered collect_list — and the per-session collect is
+    * bounded by session length (human-scale), never the key's full
+    * history. Top-k is one TakeOrdered.
+    */
+  def sessionPaths(events: DataFrame, keyCol: String, tsCol: String,
+                   tieCol: String, typeCol: String, gapNs: Long,
+                   k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val sessioned = events
+      .withColumn("_new",
+        when(lag(col(tsCol), 1).over(w).isNull ||
+          col(tsCol) - lag(col(tsCol), 1).over(w) > gapNs, 1L)
+          .otherwise(0L))
+      .withColumn("_sess", sum(col("_new"))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    sessioned.groupBy(col(keyCol), col("_sess"))
+      .agg(array_join(expr(
+          s"transform(array_sort(collect_list(struct($tsCol, $tieCol, " +
+            s"$typeCol))), x -> x.$typeCol)"), ">").as("path"))
+      .groupBy("path")
+      .agg(count(lit(1)).as("n_sessions"))
+      .orderBy(col("n_sessions").desc, col("path"))
+      .limit(k)
+  }
+
   /** Cohort retention: bucket every key by its first-activity period
     * (integer division of the long timestamp by `periodNs`), then count
     * distinct keys active at each offset from their cohort — the
