@@ -31,7 +31,10 @@ class PlanInvariantsSpec extends SparkSpec {
     "degrid_vis_join", "dedup_minhash", "decontaminate_bloom",
     // the whole events family — round 7 lost all of these to a silent
     // schema drift, so every one of them stays in the sweep
-    "events_window", "sessionize", "interval_join", "rolling_value")
+    "events_window", "sessionize", "interval_join", "rolling_value",
+    // round-9 fact-path additions
+    "funnel_steps", "retention_cohorts", "session_paths", "merge_upsert",
+    "salted_join", "pagerank", "tfidf_top_terms")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
