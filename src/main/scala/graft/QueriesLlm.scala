@@ -198,6 +198,33 @@ object QueriesLlm {
     * CTE, so the fixpoint itself is exact-checked, not just one
     * iteration.
     */
+  private val dedupClustersQ = Q(
+    // mod = 4: the oracle's `reach` CTE is all-pairs reachability per
+    // component — quadratic in component size — and cost ~60 s of the
+    // round-4 driver budget at the full corpus
+    (s, d) => DedupOps.dedupClusters(dupCorpus(s, d, mod = 4), "doc_id",
+      "text", threshold = 0.5),
+    s"""WITH RECURSIVE ${minhashVerSql(mod = 4)},
+       |pairs AS (
+       |  SELECT id1, id2 FROM ver
+       |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+       |-- MATERIALIZED: e is probed at every recursion level of
+       |-- `reach`; un-hinted, DuckDB re-evaluates the whole minhash +
+       |-- band-join chain behind it per level (~45 s of the round-4
+       |-- driver budget)
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
+       |      UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |        FROM reach GROUP BY a)
+       |SELECT c.doc_id,
+       |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+       |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
+       |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
+
   /** Integer PageRank, 3 unrolled iterations over the LSH candidate
     * graph — every update is integer div/mul, so the whole trajectory
     * is engine-exact with no quantization at all.
@@ -227,33 +254,6 @@ object QueriesLlm {
          |${step("r2", "r3")}
          |SELECT id, rank FROM r3""".stripMargin
     })
-
-  private val dedupClustersQ = Q(
-    // mod = 4: the oracle's `reach` CTE is all-pairs reachability per
-    // component — quadratic in component size — and cost ~60 s of the
-    // round-4 driver budget at the full corpus
-    (s, d) => DedupOps.dedupClusters(dupCorpus(s, d, mod = 4), "doc_id",
-      "text", threshold = 0.5),
-    s"""WITH RECURSIVE ${minhashVerSql(mod = 4)},
-       |pairs AS (
-       |  SELECT id1, id2 FROM ver
-       |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
-       |-- MATERIALIZED: e is probed at every recursion level of
-       |-- `reach`; un-hinted, DuckDB re-evaluates the whole minhash +
-       |-- band-join chain behind it per level (~45 s of the round-4
-       |-- driver budget)
-       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
-       |      UNION SELECT id2, id1 FROM pairs),
-       |reach(a, b) AS (
-       |  SELECT DISTINCT a, a FROM e
-       |  UNION
-       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
-       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id
-       |        FROM reach GROUP BY a)
-       |SELECT c.doc_id,
-       |  coalesce(l.cluster_id, c.doc_id) AS cluster_id,
-       |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
-       |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
   /** Mirrors DedupOps.simHashFn: bit b votes on the parity of the
     * (minHashA(b), minHashB(b)) affine transform of each word hash.
@@ -1314,15 +1314,18 @@ object QueriesLlm {
     * tokenize-and-pack half of a pretraining prep pipeline, proving
     * chunkDocuments and shardByTokenBudget compose (the curation
     * counterpart is curation_pipeline). The synthetic global chunk id
-    * (doc_id * 64 + chunk_id) keeps the cumsum order (doc, chunk) —
-    * all integers, exact.
+    * (doc_id << 20 | chunk_id) keeps the cumsum order (doc, chunk)
+    * with collision headroom for documents up to 2^20 chunks (~33M
+    * tokens — globalCumsum REQUIRES unique ids, and a narrow
+    * multiplier would silently collide a long doc's tail chunks with
+    * the next doc's head) — all integers, exact.
     */
   private val packingPipelineQ = Q(
     (s, d) => {
       val chunks = TextOps.chunkDocuments(Tables.documents(s, d),
         "doc_id", "text", size = 32, stride = 32)
       val gid = chunks.withColumn("gid",
-        col("doc_id") * 64 + col("chunk_id"))
+        col("doc_id") * lit(1048576L) + col("chunk_id"))
       PackOps.shardByTokenBudget(gid, "gid", "n_tokens",
           budget = 500, buckets = 16)
         .select(col("doc_id"), col("chunk_id"), col("n_tokens"),

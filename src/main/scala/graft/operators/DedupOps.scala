@@ -365,6 +365,41 @@ object DedupOps {
     * clusters are shallow (all copies of one document), so rounds
     * stay in single digits even at web scale.
     */
+  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
+                          maxIter: Int = 20): DataFrame = {
+    // Materialize the pair source ONCE before symmetrizing: the union
+    // references it twice, and an unmaterialized source (e.g. the whole
+    // LSH pipeline) would execute twice inside the distinct.
+    val p = pairs.select(col(id1).as("src"), col(id2).as("dst"))
+      .localCheckpoint()
+    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      // Two jobs per round: one checkpoint of the new labels (join +
+      // union + hash aggregate), one scalar sum for convergence.
+      val nbr = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .select(col("src").as("id"), col("lbl"))
+      val lblOfLbl = labels
+        .join(labels.toDF("lbl", "lbl2"), Seq("lbl"), "left")
+        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
+      val newLabels = labels.union(nbr).union(lblOfLbl)
+        .groupBy("id").agg(min("lbl").as("lbl"))
+        .localCheckpoint()
+      val s = newLabels.agg(sum("lbl")).head.getLong(0)
+      converged = s == prevSum
+      prevSum = s
+      labels = newLabels
+      iter += 1
+    }
+    labels
+  }
+
   /** Fixed-point integer PageRank over an undirected pair list — the
     * centrality companion to [[connectedComponents]] (which doc is the
     * canonical center of a duplicate cluster; which URL is the hub).
@@ -401,41 +436,6 @@ object DedupOps {
         .localCheckpoint()
     }
     ranks
-  }
-
-  def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-                          maxIter: Int = 20): DataFrame = {
-    // Materialize the pair source ONCE before symmetrizing: the union
-    // references it twice, and an unmaterialized source (e.g. the whole
-    // LSH pipeline) would execute twice inside the distinct.
-    val p = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .localCheckpoint()
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
-    var prevSum = labels.agg(sum("lbl")).head.getLong(0)
-    var iter = 0
-    var converged = false
-    while (!converged && iter < maxIter) {
-      // Two jobs per round: one checkpoint of the new labels (join +
-      // union + hash aggregate), one scalar sum for convergence.
-      val nbr = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .select(col("src").as("id"), col("lbl"))
-      val lblOfLbl = labels
-        .join(labels.toDF("lbl", "lbl2"), Seq("lbl"), "left")
-        .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-      val newLabels = labels.union(nbr).union(lblOfLbl)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
-      val s = newLabels.agg(sum("lbl")).head.getLong(0)
-      converged = s == prevSum
-      prevSum = s
-      labels = newLabels
-      iter += 1
-    }
-    labels
   }
 
   /** Cluster assignment for a whole corpus: near-dup pairs at

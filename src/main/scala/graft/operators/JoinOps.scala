@@ -150,22 +150,24 @@ object JoinOps {
       .select((leftCols ++ payload.map(_._2)).map(col): _*)
   }
 
-  /** Salted equi-join for skewed keys: the fact side gets a
-    * deterministic salt in [0, salts) (xxhash of the whole row — the
-    * salt VALUE never affects the result, only which replica a row
-    * meets), the dimension side replicates once per salt, and the join
-    * key becomes (keys, salt) — a hot key's rows now spread over
-    * `salts` reducers instead of one straggler task. Output is
-    * row-identical to the plain join (inner, dimension keys unique);
-    * cost trades `salts`x dimension replication for even task sizes —
-    * the manual form of AQE's skew-join split, usable when the skew is
-    * known up front or AQE's thresholds don't trigger.
+  /** Salted equi-join for skewed keys: the fact side gets a salt in
+    * [0, salts) from its per-partition row position (the salt VALUE
+    * never affects the result, only which replica a row meets — so
+    * even byte-identical duplicate rows of a hot key round-robin
+    * across replicas, where a content hash would pin them to one),
+    * the dimension side replicates once per salt, and the join key
+    * becomes (keys, salt) — a hot key's rows now spread over `salts`
+    * reducers instead of one straggler task. Output is row-identical
+    * to the plain join (inner, dimension keys unique); cost trades
+    * `salts`x dimension replication for even task sizes — the manual
+    * form of AQE's skew-join split, usable when the skew is known up
+    * front or AQE's thresholds don't trigger.
     */
   def saltedJoin(big: DataFrame, small: DataFrame, keys: Seq[String],
                  salts: Int): DataFrame = {
     require(salts > 0)
     val b = big.withColumn("_salt",
-      pmod(xxhash64(big.columns.map(col): _*), lit(salts)).cast("int"))
+      pmod(monotonically_increasing_id(), lit(salts.toLong)).cast("int"))
     val s = small.withColumn("_salt",
       explode(lit((0 until salts).toArray)))
     b.join(s, keys :+ "_salt").drop("_salt")

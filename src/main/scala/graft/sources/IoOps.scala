@@ -192,8 +192,11 @@ object IoOps {
     */
   def mergeUpsert(target: DataFrame, changes: DataFrame, keys: Seq[String],
                   deleteCol: Option[String] = None): DataFrame = {
+    // NULL delete flag = NOT a delete (the row upserts): a bare
+    // !col(c) would filter NULL rows out of the upserts while their
+    // keys still anti-join the target away — a silent delete
     val upserts = deleteCol
-      .map(c => changes.where(!col(c)).drop(c))
+      .map(c => changes.where(!coalesce(col(c), lit(false))).drop(c))
       .getOrElse(changes)
     val kept = target.join(
       changes.select(keys.map(col): _*).distinct(), keys, "left_anti")

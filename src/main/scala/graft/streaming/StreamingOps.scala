@@ -337,6 +337,17 @@ object StreamingOps {
   def firstSeenPeriods(spark: SparkSession, df: DataFrame, keyCol: String,
                        timeCol: String, periodNs: Long): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    // same contract as funnelStream: a string key would cast to null
+    // and merge every user into one state group
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(keyCol).dataType),
+      s"firstSeenPeriods needs an integral $keyCol " +
+        s"(got ${df.schema(keyCol).dataType.sql})")
+    require(integral.contains(df.schema(timeCol).dataType),
+      s"firstSeenPeriods needs an integral (epoch-nanos) $timeCol, " +
+        s"got ${df.schema(timeCol).dataType.sql}")
     val typed = df.select(col(keyCol).cast("long").as("_k"),
         expr(s"$timeCol div ${periodNs}L").as("_p"))
       .as[(Long, Long)]

@@ -32,9 +32,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // the whole events family — round 7 lost all of these to a silent
     // schema drift, so every one of them stays in the sweep
     "events_window", "sessionize", "interval_join", "rolling_value",
-    // round-9 fact-path additions
+    // round-9 fact-path additions (pagerank deliberately absent: its
+    // localCheckpoint-ed result plans as a LogicalRDD scan, so the
+    // sweep would execute the whole iteration for a vacuous assert —
+    // same reason dedup_clusters is not listed)
     "funnel_steps", "retention_cohorts", "session_paths", "merge_upsert",
-    "salted_join", "pagerank", "tfidf_top_terms")
+    "salted_join", "tfidf_top_terms")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the

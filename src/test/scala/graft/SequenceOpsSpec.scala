@@ -32,26 +32,6 @@ class SequenceOpsSpec extends SparkSpec {
     assert(!out.contains(3L))
   }
 
-  test("pageRankIntegers: star center outranks leaves; trajectory is integral") {
-    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (0L, 4L))
-      .toDF("id1", "id2")
-    val pr = operators.DedupOps.pageRankIntegers(star, "id1", "id2",
-        iters = 3)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    // hand-rolled fixed-point recurrence: center deg 4, leaves deg 1
-    // r0 = 1e6 each; r1(center) = 150000 + 4e6*85/100, r1(leaf) =
-    // 150000 + (1e6 div 4)*85/100, then one more round
-    var c = 1000000L; var l = 1000000L
-    for (_ <- 1 to 3) {
-      val cN = 150000L + (4 * l) * 85L / 100L
-      val lN = 150000L + (c / 4L) * 85L / 100L
-      c = cN; l = lN
-    }
-    assert(pr(0L) === c)
-    assert(Seq(1L, 2L, 3L, 4L).forall(pr(_) === l))
-    assert(pr(0L) > pr(1L))
-  }
-
   test("retentionCohorts: cohort by first period, distinct actives per offset") {
     val events = Seq(
       (1L, 0L), (1L, 5L),          // user 1: cohort 0, active p0 (twice)
