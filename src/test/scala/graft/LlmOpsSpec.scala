@@ -768,6 +768,17 @@ class LlmOpsSpec extends SparkSpec {
     assert(pr(0L) > pr(1L))
   }
 
+  test("vocabGrowth: first occurrences count once, cumulative is exact") {
+    val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
+      .toDF("doc_id", "text")
+    val out = TextOps.vocabGrowth(df, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // doc 0 introduces {a, b}; doc 1 only {c}; doc 2 nothing new
+    assert(out === Map(0L -> ((2L, 2L)), 1L -> ((1L, 3L)),
+      2L -> ((0L, 3L))))
+  }
+
   test("charEntropy: known distributions, empty string, byte-order fold") {
     val df = Seq(
       (0L, "aabb"),         // two symbols, p = 1/2 each -> ln 2

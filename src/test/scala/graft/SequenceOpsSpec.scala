@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.functions.col
 import graft.operators.SequenceOps
 
 class SequenceOpsSpec extends SparkSpec {
@@ -30,6 +31,24 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(2L) === ((Some(10L), None, None, 1)))
     assert(out(4L) === ((Some(10L), None, None, 1)))
     assert(!out.contains(3L))
+  }
+
+  test("sessionPaths: gap splits sessions, order is (time, tie), counts rank") {
+    val events = ev(
+      // user 1, session A: view(10) -> click(12); session B after gap:
+      // view(100) -> click(101)
+      (1L, "view", 10L), (1L, "click", 12L),
+      (1L, "view", 100L), (1L, "click", 101L),
+      // user 2, one session with the same path shape
+      (2L, "view", 5L), (2L, "click", 6L),
+      // user 3: single event
+      (3L, "error", 7L))
+    val out = operators.SequenceOps.sessionPaths(
+        events.withColumn("event_id", col("ts_ns")), // unique tie
+        "user_id", "ts_ns", "event_id", "event_type",
+        gapNs = 50L, k = 10)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(out === Map("view>click" -> 3L, "error" -> 1L))
   }
 
   test("retentionCohorts: cohort by first period, distinct actives per offset") {
