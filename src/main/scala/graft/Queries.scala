@@ -1821,6 +1821,154 @@ object Queries {
       |  floor(quantile_cont(l_extendedprice, 0.75) * 10000.0 + 0.5) / 10000.0 AS q3
       |FROM lineitem GROUP BY 1""".stripMargin)
 
+  /** Rolling z-score anomaly flags (SequenceOps.anomalyZscore): value
+    * fixed-point-scaled to exact BIGINT (money-like 2-decimal data;
+    * the ×1000 double product sits within 1e-10 of an integer, so
+    * round() is tie-free and engine-identical), windowed sums exact
+    * integers, z one closed-form double expression evaluated in the
+    * same op order by both engines — the |z|>3 flag is bit-identical
+    * without tolerance.
+    */
+  private val anomalyZscoreQ = Q(
+    (s, d) => operators.SequenceOps.anomalyZscore(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", "ts_ns", "event_id", "value")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("value_scaled"), col("n_prev"), qround(col("z"), 6).as("z"),
+        col("is_anomaly")),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS iv
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, ts_ns, event_id, iv,
+      |    count(iv) OVER pw AS n,
+      |    sum(iv) OVER pw AS sm,
+      |    sum(iv * iv) OVER pw AS sq
+      |  FROM e
+      |  WINDOW pw AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |    ROWS BETWEEN 10 PRECEDING AND 1 PRECEDING)),
+      |z AS (
+      |  SELECT user_id, ts_ns, event_id, iv, n,
+      |    CASE WHEN n >= 5 AND
+      |      (CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE) * CAST(sm AS DOUBLE)
+      |         / CAST(n AS DOUBLE)) / (CAST(n AS DOUBLE) - 1.0) > 0.0
+      |    THEN (CAST(iv AS DOUBLE) - CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |      / sqrt((CAST(sq AS DOUBLE) - CAST(sm AS DOUBLE)
+      |           * CAST(sm AS DOUBLE) / CAST(n AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) - 1.0))
+      |    END AS zv
+      |  FROM w)
+      |SELECT user_id, ts_ns, event_id, iv AS value_scaled, n AS n_prev,
+      |  floor(zv * 1000000.0 + 0.5) / 1000000.0 AS z,
+      |  CAST(CASE WHEN abs(zv) > 3.0 THEN 1 ELSE 0 END AS INT) AS is_anomaly
+      |FROM z""".stripMargin)
+
+  /** The STREAMING anomaly scorer on the batch frame — each group folds
+    * its full sorted history, so the ring-buffer fold must equal the
+    * batch window operator bit-for-bit (same oracle SQL). Incremental
+    * cross-batch behavior is pinned by StreamingOpsSpec.
+    */
+  private val streamAnomalyQ = Q(
+    (s, d) => streaming.StreamingOps.anomalyStream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"),
+          round(col("value") * 1000).cast("long").as("value_scaled")),
+        "user_id", "ts_ns", "event_id", "value_scaled")
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        col("value_scaled"), col("n_prev"), qround(col("z"), 6).as("z"),
+        col("is_anomaly")),
+    anomalyZscoreQ.sql)
+
+  /** SCD type-2 dimension history (SequenceOps.scd2History): each
+    * user's event_type treated as a changing state attribute, collapsed
+    * to [valid_from, valid_to) rows. Integers and strings only.
+    */
+  private val scd2HistoryQ = Q(
+    (s, d) => operators.SequenceOps.scd2History(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_ns", "event_id", "event_type"),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events),
+      |c AS (
+      |  SELECT user_id, event_type, tsn, event_id,
+      |    lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id) AS prev
+      |  FROM e),
+      |f AS (SELECT * FROM c WHERE prev IS NULL OR prev <> event_type)
+      |SELECT user_id, event_type AS state,
+      |  CAST(row_number() OVER w AS INT) AS version,
+      |  tsn AS valid_from,
+      |  lead(tsn) OVER w AS valid_to
+      |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)"""
+      .stripMargin)
+
+  /** First-order Markov transition matrix
+    * (SequenceOps.eventTransitions): (prev → next) counts and exact
+    * int/int conditional probabilities, '_start' fronting each user.
+    */
+  private val eventTransitionsQ = Q(
+    (s, d) => operators.SequenceOps.eventTransitions(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_ns", "event_id", "event_type"),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events),
+      |p AS (
+      |  SELECT coalesce(lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id), '_start')
+      |      AS prev_type,
+      |    event_type AS next_type
+      |  FROM e),
+      |g AS (SELECT prev_type, next_type, count(*) AS n FROM p GROUP BY 1, 2),
+      |t AS (SELECT prev_type, sum(n) AS tot FROM g GROUP BY 1)
+      |SELECT g.prev_type, g.next_type, g.n,
+      |  CAST(g.n AS DOUBLE) / CAST(t.tot AS DOUBLE) AS p
+      |FROM g JOIN t USING (prev_type)""".stripMargin)
+
+  /** CUBE rollup over (event_type, day-of-week): the multi-dimensional
+    * summary surface next to flag_summary's GROUPING SETS. All-exact
+    * integers (epoch-day arithmetic dow, fixed-point value sums);
+    * the null super-aggregate cells match across engines.
+    */
+  private val eventsCubeQ = Q(
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts_ns div 86400000000000L + 4) % 7").cast("int").as("dow"),
+        round(col("value") * 1000).cast("long").as("iv"))
+      .cube(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("iv")).as("sv")),
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+      |    CAST(round(value * 1000) AS BIGINT) AS iv
+      |  FROM events)
+      |SELECT event_type, dow, count(*) AS n,
+      |  CAST(sum(iv) AS BIGINT) AS sv
+      |FROM e GROUP BY CUBE (event_type, dow)""".stripMargin)
+
+  /** Quantile normalization: percent_rank of value within each
+    * event_type under a fully-deterministic (value, event_id) order —
+    * rank and count are exact integers, (rank-1)/(n-1) one exact
+    * division, identical in both engines by definition.
+    */
+  private val percentRankNormQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), percent_rank().over(w).as("pr"))
+    },
+    """SELECT event_id, event_type, value,
+      |  percent_rank() OVER
+      |    (PARTITION BY event_type ORDER BY value, event_id) AS pr
+      |FROM events""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -1888,6 +2036,12 @@ object Queries {
     "stream_funnel" -> streamFunnelQ,
     "stream_retention" -> streamRetentionQ,
     "session_paths" -> sessionPathsQ,
+    "anomaly_zscore" -> anomalyZscoreQ,
+    "stream_anomaly" -> streamAnomalyQ,
+    "scd2_history" -> scd2HistoryQ,
+    "event_transitions" -> eventTransitionsQ,
+    "events_cube" -> eventsCubeQ,
+    "percent_rank_norm" -> percentRankNormQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

@@ -102,4 +102,109 @@ object SequenceOps {
       .groupBy(col("cohort"), (col("period") - col("cohort")).as("offset"))
       .agg(countDistinct(col(keyCol)).as("n_active"))
   }
+
+  /** Per-key rolling z-score anomaly flags over the TRAILING `lookback`
+    * events (current row excluded — the score judges each event against
+    * its own past, so an outlier never dilutes its own baseline).
+    *
+    * Exactness across engines: the value is fixed-point-scaled to an
+    * exact BIGINT (`round(value * scale)` — lossless when the data is
+    * money-like at 1/scale resolution), so the windowed sum / sum-of-
+    * squares / count are exact integers; mean, variance and z are then
+    * ONE closed-form double expression over those integers, evaluated
+    * in the same operation order by any IEEE-754 engine — the
+    * |z| > threshold DECISION is therefore bit-identical, no rounding
+    * tolerance needed. z is null (and the flag 0) until `minN` prior
+    * events exist or when the trailing window is constant (variance
+    * ≤ 0 — a z-score against zero spread is undefined, not infinite).
+    *
+    * Plan shape: one shuffle on the key, one per-partition sort, a
+    * bounded ROWS frame (Spark keeps a sliding buffer of `lookback`
+    * rows, O(1) state per row). At 100 TB: identical — window state is
+    * frame-bounded, never key-history-bounded; AQE absorbs hot keys.
+    */
+  def anomalyZscore(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String, scale: Long = 1000L,
+                    lookback: Int = 10, minN: Int = 5,
+                    threshold: Double = 3.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, -1)
+    val iv = round(col(valueCol) * scale).cast("long")
+    val base = events
+      .withColumn("_iv", iv)
+      .withColumn("_n", count(col("_iv")).over(w))
+      .withColumn("_sm", sum(col("_iv")).over(w))
+      .withColumn("_sq", sum(col("_iv") * col("_iv")).over(w))
+    val nD = col("_n").cast("double")
+    val smD = col("_sm").cast("double")
+    val sqD = col("_sq").cast("double")
+    val mean = smD / nD
+    val varr = (sqD - smD * smD / nD) / (nD - lit(1.0))
+    val z = when(col("_n") >= minN && varr > 0.0,
+      (col("_iv").cast("double") - mean) / sqrt(varr))
+    base.select(col(keyCol), col(tsCol), col(tieCol),
+      col("_iv").as("value_scaled"), col("_n").as("n_prev"),
+      z.as("z"),
+      when(abs(z) > threshold, 1).otherwise(0).as("is_anomaly"))
+  }
+
+  /** SCD type-2 history from an event stream: collapse each key's
+    * ordered (state) sequence into change rows carrying
+    * [valid_from, valid_to) validity intervals — the lakehouse
+    * dimension-history builder that pairs with JoinOps.mergeUpsert
+    * (which handles type-1 upserts) and the asof join (which reads
+    * this table back at a point in time).
+    *
+    * valid_to is the NEXT change's valid_from (half-open interval);
+    * null marks the current row. version numbers changes 1..k per key.
+    * Integers and strings only — hash-exact against any engine.
+    *
+    * Plan shape: one shuffle on the key, one sort serving both the
+    * change-detection lag and (after the filter) the lead/row_number —
+    * Spark reuses the exchange+sort across the two window stages
+    * because partitioning and ordering match. State per row is O(1).
+    */
+  def scd2History(events: DataFrame, keyCol: String, tsCol: String,
+                  tieCol: String, stateCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val changes = events
+      .withColumn("_prev", lag(col(stateCol), 1).over(w))
+      .where(col("_prev").isNull || col("_prev") =!= col(stateCol))
+    changes
+      .withColumn("version", row_number().over(w))
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w))
+      .select(col(keyCol), col(stateCol).as("state"), col("version"),
+        col("valid_from"), col("valid_to"))
+  }
+
+  /** First-order Markov transition matrix over each key's ordered event
+    * types: counts and conditional probabilities of (prev → next),
+    * with the synthetic '_start' state in front of every key's first
+    * event (so outgoing-from-start rows double as per-first-event
+    * marketing attribution). p = n / total(prev) is one division of
+    * two exact integers — bit-identical across engines, no rounding.
+    *
+    * Plan shape: one shuffle+sort on the key for the lag, then a hash
+    * aggregate whose cardinality is |types|² + |types| — trivially
+    * broadcastable downstream however large the stream; the per-prev
+    * total rides a second tiny aggregate joined broadcast-style.
+    */
+  def eventTransitions(events: DataFrame, keyCol: String, tsCol: String,
+                       tieCol: String, typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+    val pairs = events
+      .withColumn("_prev", coalesce(lag(col(typeCol), 1).over(w),
+        lit("_start")))
+      .groupBy(col("_prev").as("prev_type"), col(typeCol).as("next_type"))
+      .agg(count(lit(1)).as("n"))
+    val totals = pairs.groupBy(col("prev_type"))
+      .agg(sum(col("n")).as("_tot"))
+    pairs.join(broadcast(totals), Seq("prev_type"))
+      .select(col("prev_type"), col("next_type"), col("n"),
+        (col("n").cast("double") / col("_tot").cast("double")).as("p"))
+  }
 }

@@ -373,6 +373,70 @@ object StreamingOps {
       .toDF(keyCol, "cohort", "period")
   }
 
+  /** Streaming rolling z-score anomaly detection — the incremental twin
+    * of SequenceOps.anomalyZscore. State per key: a ring buffer of the
+    * last `lookback` fixed-point values (O(lookback) longs, bounded by
+    * construction — never by the key's history). Each event is scored
+    * against the buffer CONTENT before it is appended, with the exact
+    * same closed-form double expression as the batch window operator,
+    * so on a batch frame (every group folds its full sorted history at
+    * once) the output is bit-identical to anomalyZscore — pinned by
+    * StreamingOpsSpec and the shared oracle SQL.
+    *
+    * Cross-micro-batch semantics: exact whenever each key's events
+    * arrive in event-time order across batches (the buffer then always
+    * holds the true trailing window); a late event is scored against
+    * the state as-of arrival — the documented price of O(lookback)
+    * state, same contract as funnelStream.
+    */
+  def anomalyStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                    tsCol: String, tieCol: String, valueScaledCol: String,
+                    lookback: Int = 10, minN: Int = 5,
+                    threshold: Double = 3.0): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol, valueScaledCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"anomalyStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        col(valueScaledCol).cast("long").as("_iv"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Long],
+        (Long, Long, Long, Long, Long, Option[Double], Int)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val buf = scala.collection.mutable.ArrayDeque[Long](
+            state.getOption.getOrElse(Array.empty[Long]).toSeq: _*)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
+            val n = buf.length
+            // same operation order as the batch Catalyst expression:
+            // exact integer sums, one closed-form double evaluation
+            var sm = 0L; var sq = 0L
+            buf.foreach { v => sm += v; sq += v * v }
+            val nD = n.toDouble
+            val varr = (sq.toDouble - sm.toDouble * sm.toDouble / nD) /
+              (nD - 1.0)
+            val z: Option[Double] =
+              if (n >= minN && varr > 0.0)
+                Some((r._4.toDouble - sm.toDouble / nD) / math.sqrt(varr))
+              else None
+            val flag = if (z.exists(v => math.abs(v) > threshold)) 1 else 0
+            buf.append(r._4)
+            if (buf.length > lookback) buf.removeHead()
+            (key, r._2, r._3, r._4, n.toLong, z, flag)
+          }.toVector
+          state.update(buf.toArray)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, "value_scaled", "n_prev", "z",
+        "is_anomaly")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -63,4 +63,67 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out === Map((0L, 0L) -> 1L, (0L, 2L) -> 1L,
       (1L, 0L) -> 1L, (1L, 1L) -> 1L, (2L, 0L) -> 1L))
   }
+
+  test("anomalyZscore: trailing window, minN gate, constant-window null, flag") {
+    val events = Seq(
+      (1L, 1L, 1L, 10.0), (1L, 2L, 2L, 12.0), (1L, 3L, 3L, 10.0),
+      (1L, 4L, 4L, 12.0), (1L, 5L, 5L, 100.0),
+      // user 2: constant history -> variance 0 -> z stays null
+      (2L, 1L, 6L, 7.0), (2L, 2L, 7L, 7.0), (2L, 3L, 8L, 7.0),
+      (2L, 4L, 9L, 7.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val out = SequenceOps.anomalyZscore(events, "user_id", "ts_ns",
+        "event_id", "value", scale = 1L, lookback = 3, minN = 2,
+        threshold = 1.5)
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_prev"), Option(r.get(r.fieldIndex("z")))
+            .map(_.asInstanceOf[Double]),
+          r.getAs[Int]("is_anomaly")))).toMap
+    // first row: no history; second: n=1 < minN
+    assert(out(1L) === ((0L, None, 0)))
+    assert(out(2L) === ((1L, None, 0)))
+    // row 3 scored against [10, 12]: mean 11, var 2 -> z = -1/sqrt(2)
+    val (n3, z3, f3) = out(3L)
+    assert(n3 === 2L && f3 === 0)
+    assert(math.abs(z3.get - (-1.0 / math.sqrt(2.0))) < 1e-12)
+    // row 5 scored against [12, 10, 12]: the spike flags
+    val (n5, z5, f5) = out(5L)
+    val varr5 = (388.0 - 34.0 * 34.0 / 3.0) / 2.0
+    val exp5 = (100.0 - 34.0 / 3.0) / math.sqrt(varr5)
+    assert(n5 === 3L && f5 === 1)
+    assert(math.abs(z5.get - exp5) < 1e-12)
+    // constant windows never score (variance 0, not infinity)
+    assert(Seq(8L, 9L).forall(id => out(id)._2.isEmpty))
+  }
+
+  test("scd2History: change rows, half-open intervals, version numbers") {
+    val events = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"), (1L, 3L, 3L, "B"),
+      (1L, 4L, 4L, "B"), (1L, 5L, 5L, "A"),
+      (2L, 7L, 6L, "X"))
+      .toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = SequenceOps.scd2History(events, "user_id", "ts_ns",
+        "event_id", "event_type")
+      .collect().map(r => (r.getAs[Long]("user_id"),
+        r.getAs[String]("state"), r.getAs[Int]("version"),
+        r.getAs[Long]("valid_from"),
+        Option(r.get(r.fieldIndex("valid_to"))))).toSet
+    assert(out === Set(
+      (1L, "A", 1, 1L, Some(3L)), (1L, "B", 2, 3L, Some(5L)),
+      (1L, "A", 3, 5L, None), (2L, "X", 1, 7L, None)))
+  }
+
+  test("eventTransitions: _start fronting, counts and exact conditional p") {
+    val events = Seq(
+      (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
+      (2L, 1L, 4L, "B"))
+      .toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = SequenceOps.eventTransitions(events, "user_id", "ts_ns",
+        "event_id", "event_type")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n"), r.getAs[Double]("p")))).toMap
+    assert(out === Map(
+      ("_start", "A") -> ((1L, 0.5)), ("_start", "B") -> ((1L, 0.5)),
+      ("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 1.0))))
+  }
 }

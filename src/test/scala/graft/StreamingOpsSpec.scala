@@ -280,6 +280,55 @@ class StreamingOpsSpec extends SparkSpec {
     assert(stream === batch)
   }
 
+  test("anomalyStream carries the ring buffer across micro-batches and matches batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id",
+      "value_scaled")
+    val out = StreamingOps.anomalyStream(spark, df, "user_id", "ts_ns",
+      "event_id", "value_scaled", lookback = 3, minN = 2, threshold = 1.5)
+    val q = out.writeStream.format("memory").queryName("anom_t")
+      .outputMode("append").start()
+    input.addData((1L, 1L, 1L, 10L), (1L, 2L, 2L, 12L))
+    q.processAllAvailable()
+    input.addData((1L, 3L, 3L, 10L), (1L, 4L, 4L, 12L), (1L, 5L, 5L, 100L))
+    q.processAllAvailable()
+    val rows = spark.table("anom_t").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((r.getAs[Long]("n_prev"), Option(r.get(r.fieldIndex("z")))
+            .map(_.asInstanceOf[Double]), r.getAs[Int]("is_anomaly"))))
+      .toMap
+    q.stop()
+    // row 3 arrived in batch 2 but is scored against state carried from
+    // batch 1 ([10, 12]): n=2, z = -1/sqrt(2), below threshold
+    assert(rows(3L)._1 === 2L)
+    assert(math.abs(rows(3L)._2.get - (-1.0 / math.sqrt(2.0))) < 1e-12)
+    assert(rows(3L)._3 === 0)
+    // the spike at row 5 flags; rows 1-2 had too little history
+    assert(rows(5L)._3 === 1 && rows(1L)._2.isEmpty && rows(2L)._2.isEmpty)
+
+    // batch form is bit-identical to the window operator
+    val events = Seq((1L, 1L, 1L, 10.0), (1L, 2L, 2L, 12.0),
+      (1L, 3L, 3L, 10.0), (1L, 4L, 4L, 12.0), (1L, 5L, 5L, 100.0),
+      (2L, 1L, 6L, 7.0), (2L, 2L, 7L, 7.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val viaStream = StreamingOps.anomalyStream(spark,
+        events.withColumn("value_scaled",
+          org.apache.spark.sql.functions.round(col("value")).cast("long")),
+        "user_id", "ts_ns", "event_id", "value_scaled",
+        lookback = 3, minN = 2, threshold = 1.5)
+      .select("user_id", "ts_ns", "event_id", "value_scaled", "n_prev",
+        "z", "is_anomaly")
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.SequenceOps.anomalyZscore(events, "user_id",
+        "ts_ns", "event_id", "value", scale = 1L, lookback = 3, minN = 2,
+        threshold = 1.5)
+      .select("user_id", "ts_ns", "event_id", "value_scaled", "n_prev",
+        "z", "is_anomaly")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
+
   test("firstSeenPeriods suppresses repeat periods across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
