@@ -2274,7 +2274,98 @@ object QueriesLlm {
          |FROM e""".stripMargin
     })
 
+  /** Positional-index phrase search (TextOps.phraseSearch): occurrence
+    * counts of a fixed 3-word phrase. The oracle checks every word
+    * position directly; the engine's anchor-bitmask aggregate must
+    * land on the same exact counts.
+    */
+  private val phraseSearchQ = Q(
+    (s, d) => TextOps.phraseSearch(Tables.documents(s, d), "doc_id",
+      "text", Seq("slow", "hash", "batch")),
+    """WITH w AS (
+      |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+      |m AS (
+      |  SELECT doc_id,
+      |    len(list_filter(generate_series(1, len(ws) - 2), i_ ->
+      |      ws[i_] = 'slow' AND ws[i_ + 1] = 'hash'
+      |        AND ws[i_ + 2] = 'batch')) AS n_matches
+      |  FROM w)
+      |SELECT doc_id, CAST(n_matches AS BIGINT) AS n_matches
+      |FROM m WHERE n_matches > 0""".stripMargin)
+
+  /** Triangle census (DedupOps.triangleCount) of the LSH candidate
+    * graph — all-integer counts; the oracle re-derives the same
+    * ordered-triple join on its independently-built candidate edges.
+    */
+  private val triangleCountQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 2)
+      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text")
+      DedupOps.triangleCount(cands, "id1", "id2")
+    },
+    s"""WITH ${minhashVerSql(mod = 2)},
+       |e AS (SELECT id1 AS a, id2 AS b FROM cand),
+       |nodes AS (SELECT a AS v FROM e UNION SELECT b FROM e),
+       |tri AS (
+       |  SELECT e1.a, e1.b, e2.b AS c
+       |  FROM e e1 JOIN e e2 ON e1.b = e2.a
+       |            JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b)
+       |SELECT (SELECT count(*) FROM nodes) AS n_nodes,
+       |  (SELECT count(*) FROM e) AS n_edges,
+       |  (SELECT count(*) FROM tri) AS n_triangles""".stripMargin)
+
+  /** 2-D Pareto skyline (StatsOps.skyline2D) of documents over
+    * genuinely trading-off axes: lexical richness (distinct words,
+    * maximized) vs brevity (total words, minimized — negated into the
+    * maximize frame). The engine's sort-based frontier must equal the
+    * oracle's quadratic NOT-EXISTS dominance test — integers only.
+    */
+  private val skylineQ = Q(
+    (s, d) => StatsOps.skyline2D(
+        Tables.documents(s, d).select(col("doc_id"),
+          size(array_distinct(split(col("text"), " ")))
+            .as("n_distinct_words"),
+          (-size(split(col("text"), " "))).as("_nwneg"),
+          size(split(col("text"), " ")).as("n_words")),
+        "n_distinct_words", "_nwneg")
+      .select(col("doc_id"), col("n_distinct_words"), col("n_words")),
+    """WITH t AS (
+      |  SELECT doc_id,
+      |    CAST(len(list_distinct(string_split(text, ' '))) AS INT)
+      |      AS nd,
+      |    CAST(len(string_split(text, ' ')) AS INT) AS nw
+      |  FROM documents)
+      |SELECT a.doc_id, a.nd AS n_distinct_words, a.nw AS n_words
+      |FROM t a
+      |WHERE NOT EXISTS (SELECT 1 FROM t b
+      |  WHERE b.nd >= a.nd AND b.nw <= a.nw
+      |    AND (b.nd > a.nd OR b.nw < a.nw))""".stripMargin)
+
+  /** Exact-quota stratified sampling (SampleOps.stratifiedSample):
+    * 30 documents per language under the shared polynomial hash order
+    * — selection and ranks are integers, reproducible by any engine.
+    */
+  private val stratifiedSampleQ = Q(
+    (s, d) => SampleOps.stratifiedSample(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id", n = 30)
+      .select(col("doc_id"), col("lang"), col("rk")),
+    s"""WITH h AS (
+       |  SELECT doc_id, lang,
+       |    ${phSql("CAST(doc_id AS VARCHAR)")} AS hk
+       |  FROM documents),
+       |r AS (
+       |  SELECT doc_id, lang,
+       |    CAST(row_number() OVER (PARTITION BY lang ORDER BY hk, doc_id)
+       |      AS INT) AS rk
+       |  FROM h)
+       |SELECT doc_id, lang, rk FROM r WHERE rk <= 30""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "phrase_search" -> phraseSearchQ,
+    "triangle_count" -> triangleCountQ,
+    "skyline" -> skylineQ,
+    "stratified_sample" -> stratifiedSampleQ,
     "audio_frame_energy" -> audioFrameEnergyQ,
     "image_decode_stats" -> imageDecodeStatsQ,
     "image_resize" -> imageResizeQ,

@@ -438,6 +438,39 @@ object DedupOps {
     ranks
   }
 
+  /** Triangle census of an undirected pair list — the graph-density
+    * readout next to [[connectedComponents]] (how tightly a duplicate
+    * cluster is knit) and [[pageRankIntegers]]. Uses the ordered-
+    * triple method: edges canonicalized a < b, wedges (a,b)⋈(b,c)
+    * closed against (a,c) — each triangle counted exactly once, no
+    * symmetrized edge blow-up.
+    *
+    * Scale shape: two equi-joins on single node keys plus one count —
+    * cost rides the wedge count of the ORDERED graph, which the id
+    * ordering already truncates (each wedge is generated from its
+    * middle vertex only with ordered endpoints). On a power-law graph
+    * at 100 TB, replace the id order with a degree order (orient
+    * low-degree → high-degree) so hub wedges collapse; the join
+    * shape — and this operator — stay identical, only the
+    * canonicalization key changes. Input here is the LSH candidate
+    * graph, whose banding caps already bound per-node degree.
+    */
+  def triangleCount(pairs: DataFrame, id1: String, id2: String): DataFrame = {
+    val e = pairs
+      .select(least(col(id1), col(id2)).as("a"),
+        greatest(col(id1), col(id2)).as("b"))
+      .where(col("a") < col("b")).distinct()
+      .localCheckpoint() // referenced three times below; one LSH run
+    val nodes = e.select(col("a").as("v"))
+      .union(e.select(col("b").as("v"))).distinct()
+    val wedges = e.join(e.select(col("a").as("b"), col("b").as("c")), "b")
+    val tri = wedges.join(e.select(col("a"), col("b").as("c")),
+      Seq("a", "c"), "left_semi")
+    nodes.agg(count(lit(1)).as("n_nodes")).crossJoin(
+        e.agg(count(lit(1)).as("n_edges")))
+      .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
+  }
+
   /** Cluster assignment for a whole corpus: near-dup pairs at
     * `threshold` -> connected components -> (doc, cluster_id, keep)
     * where keep=1 marks the cluster representative (smallest id).

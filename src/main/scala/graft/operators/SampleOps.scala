@@ -69,6 +69,29 @@ object SampleOps {
     df.filter(splitBucket(col(keyCol)) <
       floor(rateCol * SplitBuckets).cast("long"))
 
+  /** Exact-quota stratified sampling: the first `n` rows of each
+    * stratum under a deterministic hash order — the "exactly 30 docs
+    * per language" eval-set builder that [[sampleByRate]]'s
+    * rate-based cousin can't promise (rates give binomial counts).
+    * The (hash, id) order makes the selection reproducible across
+    * runs, partitionings and engines, and quotas NEST: the top-10 set
+    * is a prefix of the top-30 set, so growing an eval set never
+    * resamples it.
+    *
+    * Scale shape: one shuffle on the stratum, and the rank ≤ n filter
+    * is the WindowGroupLimit pattern — Spark pushes a partial top-n
+    * below the exchange, so each map task forwards at most n rows per
+    * stratum, never the stratum's full population.
+    */
+  def stratifiedSample(df: DataFrame, stratumCol: String, idCol: String,
+                       n: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(n > 0, "stratifiedSample needs a positive per-stratum quota")
+    val hk = TextOps.polyHash(col(idCol).cast("string"))
+    val w = Window.partitionBy(col(stratumCol)).orderBy(hk, col(idCol))
+    df.withColumn("rk", row_number().over(w)).where(col("rk") <= n)
+  }
+
   /** DSIR-style data selection (Xie et al. 2023, arXiv:2302.03169):
     * score every document by the log importance ratio
     * `log_w = logp_target(x) − logp_raw(x)` between a unigram LM of

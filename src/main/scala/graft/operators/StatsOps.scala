@@ -304,6 +304,36 @@ object StatsOps {
     agged.select(out: _*)
   }
 
+  /** 2-D Pareto skyline (maximize both axes): the rows no other row
+    * dominates — the "best trade-off frontier" readout (longest AND
+    * richest documents, cheapest AND fastest plans). Computed WITHOUT
+    * the textbook quadratic NOT-EXISTS self-join: group to one ymax
+    * per distinct x, take a running max over x descending, and a
+    * frontier x survives iff its ymax strictly beats every ymax at
+    * larger x; rows join back on (x, ymax). Ties on both axes are
+    * mutually non-dominating and all kept.
+    *
+    * Scale shape: the full-data work is one hash aggregate (distinct-x
+    * sized output) and one broadcast join back; the ordered running
+    * max touches ONLY the distinct-x table — a global window over a
+    * value domain, not the fact (whitelisted in the plan sweep with
+    * that cardinality argument). The frontier is at most one row per
+    * distinct x and usually far smaller — always broadcastable.
+    */
+  def skyline2D(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val perX = df.groupBy(col(xCol).as("_sx"))
+      .agg(max(col(yCol)).as("_ymax"))
+    val w = Window.orderBy(col("_sx").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val frontier = perX.withColumn("_pm", max(col("_ymax")).over(w))
+      .where(col("_pm").isNull || col("_ymax") > col("_pm"))
+      .select(col("_sx"), col("_ymax"))
+    df.join(broadcast(frontier),
+        col(xCol) === col("_sx") && col(yCol) === col("_ymax"))
+      .select(df.columns.map(col): _*)
+  }
+
   /** moments (cngi/image/moments.py:25,85-143): per-group reductions
     * along the spectral axis. The reference computes 12 moment images
     * with one pass over chan per pixel; here everything — median and

@@ -143,6 +143,41 @@ object TextOps {
       .withColumn("n_tokens_regex",
         size(regexp_extract_all(col(textCol), lit("[a-zA-Z]+|[0-9]|[^a-zA-Z0-9 ]"), lit(0))))
 
+  /** Exact phrase search via a positional inverted index — the
+    * word-order-aware companion to [[bm25Score]] (bag-of-words). Each
+    * posting (doc, pos, word) that matches ANY phrase term is mapped to
+    * its implied phrase START (anchor = pos − term index) tagged with a
+    * term bitmask; one hash aggregate per (doc, anchor) bit-ORs the
+    * masks, and anchors whose mask is complete are occurrences. A term
+    * repeated in the phrase contributes every one of its positions'
+    * bits, so "a b a" style phrases work unchanged.
+    *
+    * Scale shape: the only full-corpus work is the posting explode +
+    * ONE shuffle keyed (doc, anchor) — and the broadcast term join
+    * discards every posting whose word is not in the phrase before the
+    * shuffle, so shuffle volume is the phrase terms' posting lists,
+    * exactly what a search engine reads for the query. No window, no
+    * self-join on the corpus. Output: (id, n_matches > 0).
+    */
+  def phraseSearch(df: DataFrame, idCol: String, textCol: String,
+                   phrase: Seq[String]): DataFrame = {
+    require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val terms = phrase.zipWithIndex.toDF("_w", "_i")
+    val full = (1L << phrase.size) - 1
+    val postings = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("_pos", "_word")))
+    postings.join(broadcast(terms), col("_word") === col("_w"))
+      .select(col(idCol), (col("_pos") - col("_i")).as("_anchor"),
+        expr("shiftleft(1L, _i)").as("_m"))
+      .groupBy(col(idCol), col("_anchor"))
+      .agg(expr("bit_or(_m)").as("_mask"))
+      .where(col("_mask") === full)
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_matches"))
+  }
+
   /** Sliding-window document chunking — the RAG / pretraining prep
     * step: split each document's word stream into windows of `size`
     * tokens advancing by `stride` (stride < size gives the standard

@@ -768,6 +768,62 @@ class LlmOpsSpec extends SparkSpec {
     assert(pr(0L) > pr(1L))
   }
 
+  test("triangleCount: ordered-triple census, duplicate edges collapse") {
+    // K4 on {1,2,3,4} (C(4,3) = 4 triangles) plus a pendant edge and
+    // duplicate/reversed edges that must not inflate any count
+    val edges = Seq((1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (3L, 4L), (4L, 5L), (2L, 1L), (1L, 2L)).toDF("id1", "id2")
+    val r = DedupOps.triangleCount(edges, "id1", "id2").head()
+    assert(r.getAs[Long]("n_nodes") === 5L)
+    assert(r.getAs[Long]("n_edges") === 7L)
+    assert(r.getAs[Long]("n_triangles") === 4L)
+  }
+
+  test("phraseSearch: anchors count occurrences; repeated terms work") {
+    val corpus = Seq(
+      (0L, "x slow hash batch y slow hash batch"),
+      (1L, "slow hash batch"),
+      (2L, "slow hash fast batch"),   // broken phrase: no match
+      (3L, "hash batch slow"))        // all words, wrong order
+      .toDF("doc_id", "text")
+    val out = TextOps.phraseSearch(corpus, "doc_id", "text",
+        Seq("slow", "hash", "batch"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(0L -> 2L, 1L -> 1L))
+    // phrase with a repeated word: both positions must match their own
+    // occurrence ("a b a" at anchor 0 of "a b a c")
+    val rep = Seq((0L, "a b a c"), (1L, "a b c a")).toDF("doc_id", "text")
+    val out2 = TextOps.phraseSearch(rep, "doc_id", "text",
+        Seq("a", "b", "a"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out2 === Map(0L -> 1L))
+  }
+
+  test("skyline2D: frontier keeps non-dominated rows and both-axis ties") {
+    val pts = Seq(
+      (1L, 1, 10), (2L, 2, 8), (3L, 3, 5),  // frontier
+      (4L, 1, 9),                           // dominated by (1,10)
+      (5L, 2, 8),                           // tie with id 2 -> both kept
+      (6L, 3, 4), (7L, 0, 10))              // dominated
+      .toDF("id", "x", "y")
+    val out = StatsOps.skyline2D(pts, "x", "y")
+      .collect().map(_.getLong(0)).toSet
+    assert(out === Set(1L, 2L, 3L, 5L))
+  }
+
+  test("stratifiedSample: exact quotas and prefix-nesting of selections") {
+    val df = Seq.tabulate(40)(i => (i.toLong, if (i % 2 == 0) "en" else "fr"))
+      .toDF("doc_id", "lang")
+    val top5 = SampleOps.stratifiedSample(df, "lang", "doc_id", 5)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    val top9 = SampleOps.stratifiedSample(df, "lang", "doc_id", 9)
+      .collect().map(r => (r.getString(1), r.getLong(0))).toSet
+    assert(top5.count(_._1 == "en") === 5 && top5.count(_._1 == "fr") === 5)
+    assert(top9.size === 18)
+    // quotas nest: the 5-sample is a strict subset of the 9-sample
+    assert(top5.subsetOf(top9))
+  }
+
   test("vocabGrowth: first occurrences count once, cumulative is exact") {
     val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
       .toDF("doc_id", "text")

@@ -37,7 +37,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // sweep would execute the whole iteration for a vacuous assert —
     // same reason dedup_clusters is not listed)
     "funnel_steps", "retention_cohorts", "session_paths", "merge_upsert",
-    "salted_join", "tfidf_top_terms")
+    "salted_join", "tfidf_top_terms",
+    // round-9 continuation additions (triangle_count deliberately
+    // absent: its three 1-row summary aggregates compose via crossJoin
+    // — a cartesian over exactly one row per side)
+    "anomaly_zscore", "scd2_history", "event_transitions",
+    "percent_rank_norm", "phrase_search", "stratified_sample", "skyline")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -208,9 +213,10 @@ class PlanInvariantsSpec extends SparkSpec {
     //   hybrid_retrieval the 50 rows AFTER limit  (QueriesLlm: bm_rank)
     //   vocab_growth /   per-bucket totals        (via globalCumsum)
     //     packing_pipeline
+    //   skyline          distinct-x frontier      (StatsOps.skyline2D)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
-      "hybrid_retrieval", "vocab_growth", "packing_pipeline")
+      "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
