@@ -1906,6 +1906,20 @@ object Queries {
       |FROM f WINDOW w AS (PARTITION BY user_id ORDER BY tsn, event_id)"""
       .stripMargin)
 
+  /** The STREAMING SCD2 builder on the batch frame — each group folds
+    * its full sorted history, so closed intervals + the final open
+    * snapshot equal the batch window operator (same oracle SQL).
+    * Cross-batch interval closing is pinned by StreamingOpsSpec.
+    */
+  private val streamScd2Q = Q(
+    (s, d) => streaming.StreamingOps.scd2Stream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_ns", "event_id", "event_type")
+      .select(col("user_id"), col("state"), col("version"),
+        col("valid_from"), col("valid_to")),
+    scd2HistoryQ.sql)
+
   /** First-order Markov transition matrix
     * (SequenceOps.eventTransitions): (prev → next) counts and exact
     * int/int conditional probabilities, '_start' fronting each user.
@@ -2039,6 +2053,7 @@ object Queries {
     "anomaly_zscore" -> anomalyZscoreQ,
     "stream_anomaly" -> streamAnomalyQ,
     "scd2_history" -> scd2HistoryQ,
+    "stream_scd2" -> streamScd2Q,
     "event_transitions" -> eventTransitionsQ,
     "events_cube" -> eventsCubeQ,
     "percent_rank_norm" -> percentRankNormQ,

@@ -2361,8 +2361,64 @@ object QueriesLlm {
        |  FROM h)
        |SELECT doc_id, lang, rk FROM r WHERE rk <= 30""".stripMargin)
 
+  /** Temperature-scaled mixture resampling (SampleOps.temperatureMix):
+    * rate_s = sqrt(n_min/n_s) on a 1e-6 grid, applied through the
+    * shared deterministic hash gate. The whole arithmetic chain —
+    * integer counts, sqrt, grid floor, bucket compare — is evaluated
+    * in the same op order by both engines, so the kept SET is exact.
+    */
+  private val temperatureMixQ = Q(
+    (s, d) => SampleOps.temperatureMix(
+        Tables.documents(s, d).select(col("doc_id"), col("lang")),
+        "lang", "doc_id")
+      .select(col("doc_id"), col("lang"), col("rate")),
+    s"""WITH c AS (SELECT lang, count(*) AS n FROM documents GROUP BY 1),
+       |m AS (SELECT min(n) AS nmin FROM c),
+       |r AS (
+       |  SELECT lang,
+       |    floor(sqrt(CAST(m.nmin AS DOUBLE) / CAST(c.n AS DOUBLE))
+       |      * 1000000.0) / 1000000.0 AS rate
+       |  FROM c CROSS JOIN m)
+       |SELECT d.doc_id, d.lang, r.rate
+       |FROM documents d JOIN r USING (lang)
+       |WHERE (((d.doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |    % ${SampleOps.SplitBuckets}
+       |  < CAST(floor(r.rate * ${SampleOps.SplitBuckets}) AS BIGINT)"""
+      .stripMargin)
+
+  /** Within-document co-occurrence PMI (TextOps.wordPmi): exact
+    * integer counts, one ln() over their exact ratio in identical op
+    * order; qround(8) absorbs any last-ulp ln drift (ln parity is
+    * already proven by lang_id).
+    */
+  private val wordPmiQ = Q(
+    (s, d) => TextOps.wordPmi(Tables.documents(s, d), "doc_id", "text",
+        minCount = 2L)
+      .select(col("w1"), col("w2"), col("n_pair"),
+        qround(col("pmi"), 8).as("pmi")),
+    s"""WITH dw AS (
+       |  SELECT DISTINCT doc_id,
+       |    unnest(list_distinct(string_split(text, ' '))) AS w
+       |  FROM documents),
+       |nd AS (SELECT count(*) AS n FROM documents),
+       |f AS (SELECT w, count(*) AS df FROM dw GROUP BY 1
+       |      HAVING count(*) >= 2),
+       |p AS (
+       |  SELECT a.w AS w1, b.w AS w2, f1.df AS df1, f2.df AS df2,
+       |    count(*) AS c
+       |  FROM dw a JOIN dw b ON a.doc_id = b.doc_id AND a.w < b.w
+       |       JOIN f f1 ON a.w = f1.w JOIN f f2 ON b.w = f2.w
+       |  GROUP BY 1, 2, 3, 4
+       |  HAVING count(*) >= 2)
+       |SELECT w1, w2, c AS n_pair,
+       |  ${qrSql("ln((CAST(c AS DOUBLE) * CAST(n AS DOUBLE)) / " +
+         "(CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE)))", 8)} AS pmi
+       |FROM p CROSS JOIN nd""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
+    "temperature_mix" -> temperatureMixQ,
+    "word_pmi" -> wordPmiQ,
     "triangle_count" -> triangleCountQ,
     "skyline" -> skylineQ,
     "stratified_sample" -> stratifiedSampleQ,

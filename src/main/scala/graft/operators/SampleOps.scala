@@ -69,6 +69,35 @@ object SampleOps {
     df.filter(splitBucket(col(keyCol)) <
       floor(rateCol * SplitBuckets).cast("long"))
 
+  /** Temperature-scaled mixture resampling (the Gopher / multilingual-
+    * LLaMA data-mixing move): acceptance rate per stratum
+    * rate_s = sqrt(n_min / n_s) — i.e. target shares ∝ n_s^0.5, the
+    * α = 0.5 temperature that upweights tail languages — quantized to
+    * a 1e-6 grid and applied through the deterministic
+    * [[sampleByRate]] hash gate, so the kept set is reproducible
+    * across runs, partitionings and engines (the keep DECISION
+    * compares an exact integer bucket to an arithmetic chain both
+    * engines evaluate identically).
+    *
+    * Scale shape: one stratum-count aggregate (|strata| rows), a
+    * 1-row global min crossed in (single-row cartesian, bounded by
+    * construction), one broadcast rate join, one codegen filter over
+    * the corpus. Raising the temperature only ever ADDS rows per
+    * stratum (rates nest like sampleByRate's), so re-mixing at 100 TB
+    * appends a delta instead of reprocessing.
+    */
+  def temperatureMix(df: DataFrame, stratumCol: String,
+                     keyCol: String): DataFrame = {
+    val counts = df.groupBy(col(stratumCol)).agg(count(lit(1)).as("_n"))
+    val nMin = counts.agg(min(col("_n")).as("_nmin"))
+    val rates = counts.crossJoin(broadcast(nMin))
+      .select(col(stratumCol),
+        (floor(sqrt(col("_nmin").cast("double") / col("_n").cast("double"))
+          * lit(1e6)) / lit(1e6)).as("rate"))
+    sampleByRate(df.join(broadcast(rates), Seq(stratumCol)), keyCol,
+      col("rate"))
+  }
+
   /** Exact-quota stratified sampling: the first `n` rows of each
     * stratum under a deterministic hash order — the "exactly 30 docs
     * per language" eval-set builder that [[sampleByRate]]'s

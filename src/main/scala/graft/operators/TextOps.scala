@@ -178,6 +178,44 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Pointwise mutual information over within-document word
+    * co-occurrence — the collocation / phrase-mining readout
+    * (PMI(x,y) = ln(c_xy·N / (df_x·df_y)) over document frequencies).
+    * Words below `minCount` document frequency are pruned BEFORE the
+    * pairing self-join, which is the standard scale lever: the join
+    * blow-up is per-document distinct-vocab², and pruning plus the
+    * x < y canonical order cut it to the survivors' half-matrix. All
+    * counts are exact integers; the single ln() over their exact
+    * ratio is evaluated in the same op order by both engines.
+    *
+    * Scale shape: one explode + distinct (shuffle keyed (doc, word)),
+    * one doc-frequency aggregate (vocab-sized), a vocab-keyed
+    * frequency join, and the per-doc self-join keyed on the doc id.
+    * N rides a 1-row broadcast, never a driver action.
+    */
+  def wordPmi(df: DataFrame, idCol: String, textCol: String,
+              minCount: Long = 2L): DataFrame = {
+    val dw = df.select(col(idCol).as("_doc"),
+      explode(array_distinct(words(col(textCol)))).as("_w")).distinct()
+    val nDocs = df.agg(count(lit(1)).as("_ndocs"))
+    val dfreq = dw.groupBy(col("_w")).agg(count(lit(1)).as("_df"))
+      .where(col("_df") >= minCount)
+    val kept = dw.join(dfreq, "_w")
+    val lhs = kept.select(col("_doc"), col("_w").as("w1"),
+      col("_df").as("_df1"))
+    val rhs = kept.select(col("_doc"), col("_w").as("w2"),
+      col("_df").as("_df2"))
+    lhs.join(rhs, Seq("_doc")).where(col("w1") < col("w2"))
+      .groupBy(col("w1"), col("w2"), col("_df1"), col("_df2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+      .crossJoin(broadcast(nDocs))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        log((col("n_pair").cast("double") * col("_ndocs").cast("double")) /
+          (col("_df1").cast("double") * col("_df2").cast("double")))
+          .as("pmi"))
+  }
+
   /** Sliding-window document chunking — the RAG / pretraining prep
     * step: split each document's word stream into windows of `size`
     * tokens advancing by `stride` (stride < size gives the standard

@@ -437,6 +437,60 @@ object StreamingOps {
         "is_anomaly")
   }
 
+  /** Streaming SCD type-2 history — the incremental twin of
+    * SequenceOps.scd2History. State per key: the OPEN interval only
+    * (state value, version, valid_from) — O(1) however long the
+    * history. Each batch folds its events in (time, tie) order:
+    * every state change emits the PREVIOUS interval closed
+    * (valid_to = change time), and a batch whose fold changed the
+    * open interval emits its current snapshot (valid_to null) —
+    * funnelStream's snapshot contract. On a batch frame each group
+    * folds its full sorted history at once, so closed rows + the
+    * final open row equal the batch operator exactly (shared oracle
+    * SQL); across micro-batches a later change closes a previously
+    * snapshotted open row, superseding it downstream.
+    */
+  def scd2Stream(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, tieCol: String,
+                 stateCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"scd2Stream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        col(stateCol).cast("string").as("_st"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(String, Int, Long),
+        (Long, String, Int, Long, Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var cur = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, String, Int, Long, Option[Long])]
+          var openChanged = false
+          for (r <- rows.toArray.sortBy(x => (x._2, x._3)))
+            if (cur.forall(_._1 != r._4)) {
+              cur.foreach { c =>
+                out += ((key, c._1, c._2, c._3, Some(r._2)))
+              }
+              cur = Some((r._4, cur.map(_._2).getOrElse(0) + 1, r._2))
+              openChanged = true
+            }
+          cur.foreach { c =>
+            state.update(c)
+            if (openChanged) out += ((key, c._1, c._2, c._3, None))
+          }
+          out.iterator
+      }
+      .toDF(keyCol, "state", "version", "valid_from", "valid_to")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

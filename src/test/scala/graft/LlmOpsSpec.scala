@@ -824,6 +824,37 @@ class LlmOpsSpec extends SparkSpec {
     assert(top5.subsetOf(top9))
   }
 
+  test("temperatureMix: smallest stratum kept whole, rates nest by stratum size") {
+    val df = Seq.tabulate(120)(i =>
+      (i.toLong, if (i < 100) "en" else "rare")).toDF("doc_id", "lang")
+    val out = SampleOps.temperatureMix(df, "lang", "doc_id")
+      .collect().map(r => (r.getAs[String]("lang"), r.getAs[Long]("doc_id"),
+        r.getAs[Double]("rate")))
+    val byLang = out.groupBy(_._1)
+    // rate 1.0 for the min stratum -> every rare row survives the gate
+    assert(byLang("rare").size === 20)
+    assert(byLang("rare").forall(_._3 === 1.0))
+    // the big stratum is downsampled at sqrt(20/100), quantized
+    val expRate = math.floor(math.sqrt(20.0 / 100.0) * 1e6) / 1e6
+    assert(byLang("en").forall(_._3 === expRate))
+    assert(byLang("en").size < 100 && byLang("en").nonEmpty)
+  }
+
+  test("wordPmi: exact counts, canonical order, minCount pruning") {
+    val corpus = Seq(
+      (0L, "a b"), (1L, "a b"), (2L, "a b c"), (3L, "c d"))
+      .toDF("doc_id", "text")
+    val out = TextOps.wordPmi(corpus, "doc_id", "text", minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Double]("pmi")))).toMap
+    // df: a=3, b=3, c=2; d has df 1 -> pruned. Pairs with c_xy >= 2:
+    // only (a,b) with 3 co-occurrences. N = 4 docs.
+    assert(out.keySet === Set(("a", "b")))
+    val (n, pmi) = out(("a", "b"))
+    assert(n === 3L)
+    assert(math.abs(pmi - math.log(3.0 * 4.0 / (3.0 * 3.0))) < 1e-12)
+  }
+
   test("vocabGrowth: first occurrences count once, cumulative is exact") {
     val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
       .toDF("doc_id", "text")

@@ -329,6 +329,45 @@ class StreamingOpsSpec extends SparkSpec {
     assert(viaStream === viaBatch)
   }
 
+  test("scd2Stream closes intervals across micro-batches, snapshots the open row") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = StreamingOps.scd2Stream(spark, df, "user_id", "ts_ns",
+      "event_id", "event_type")
+    val q = out.writeStream.format("memory").queryName("scd2_t")
+      .outputMode("append").start()
+    input.addData((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"))
+    q.processAllAvailable()
+    input.addData((1L, 5L, 3L, "B"), (1L, 6L, 4L, "B"))
+    q.processAllAvailable()
+    // batch with no state change for the key: nothing emitted
+    input.addData((1L, 7L, 5L, "B"))
+    q.processAllAvailable()
+    val rows = spark.table("scd2_t").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2), r.getLong(3),
+        Option(r.get(4)).map(_.asInstanceOf[Long]))).toSeq
+    q.stop()
+    // batch 1: open snapshot A@[1,); batch 2: A closed at 5 + open B@[5,)
+    assert(rows.toSet === Set(
+      (1L, "A", 1, 1L, None),
+      (1L, "A", 1, 1L, Some(5L)),
+      (1L, "B", 2, 5L, None)))
+    assert(rows.size === 3) // the no-change batch added nothing
+
+    // batch form equals SequenceOps.scd2History on the same events
+    val events = Seq((1L, 1L, 1L, "A"), (1L, 2L, 2L, "A"),
+      (1L, 3L, 3L, "B"), (1L, 5L, 4L, "A"), (2L, 9L, 5L, "X"))
+      .toDF("user_id", "ts_ns", "event_id", "event_type")
+    val viaStream = StreamingOps.scd2Stream(spark, events, "user_id",
+        "ts_ns", "event_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.SequenceOps.scd2History(events, "user_id",
+        "ts_ns", "event_id", "event_type")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
+
   test("firstSeenPeriods suppresses repeat periods across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
