@@ -1983,6 +1983,95 @@ object Queries {
       |    (PARTITION BY event_type ORDER BY value, event_id) AS pr
       |FROM events""".stripMargin)
 
+  /** Decile bucketing: ntile(10) per event_type under the fully-
+    * deterministic (value, event_id) order — NTILE's bucket arithmetic
+    * is exact integers by definition in both engines.
+    */
+  private val ntileBucketQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), ntile(10).over(w).as("decile"))
+    },
+    """SELECT event_id, event_type, value,
+      |  CAST(ntile(10) OVER
+      |    (PARTITION BY event_type ORDER BY value, event_id) AS INT)
+      |    AS decile
+      |FROM events""".stripMargin)
+
+  /** Last-touch attribution (SequenceOps.lastTouchAttribution): each
+    * purchase credited to the user's most recent preceding view, with
+    * latency; null attribution rows kept. Integer nanos throughout.
+    */
+  private val lastTouchQ = Q(
+    (s, d) => operators.SequenceOps.lastTouchAttribution(
+      Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+        col("event_id"), col("event_type")),
+      "user_id", "ts_ns", "event_id", "event_type",
+      touchType = "view", convType = "purchase"),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events),
+      |a AS (
+      |  SELECT user_id, tsn, event_id, event_type,
+      |    max(CASE WHEN event_type = 'view' THEN tsn END) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id
+      |       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |      AS touch_ts
+      |  FROM e)
+      |SELECT user_id, tsn AS conv_ts, event_id, touch_ts,
+      |  tsn - touch_ts AS latency
+      |FROM a WHERE event_type = 'purchase'""".stripMargin)
+
+  /** ORC round-trip (IoOps.writeTable/readTable): write the fact as
+    * ORC, read it back, aggregate — matching the oracle run on the
+    * source parquet proves the format conversion lossless (integral
+    * quantities only, so sums are order-independent exact).
+    */
+  private val orcRoundtripQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_orc_${math.abs(d.hashCode)}"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag")
+      sources.IoOps.writeTable(
+        Tables.lineitem(s, d).select(cols.map(col): _*), path, "orc",
+        repartitionTo = Some(4))
+      sources.IoOps.readTable(s, path, "orc")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
+  /** JSONL round-trip: write integer/string columns as JSON lines,
+    * read back under the WRITER'S schema (inference would widen the
+    * integers), aggregate — proves the interchange path lossless.
+    */
+  private val jsonlRoundtripQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_jsonl_${math.abs(d.hashCode)}"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+      val src = Tables.lineitem(s, d).select(cols.map(col): _*)
+      sources.IoOps.writeTable(src, path, "json", repartitionTo = Some(4))
+      sources.IoOps.readTable(s, path, "json", Some(src.schema))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_line"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2057,6 +2146,10 @@ object Queries {
     "event_transitions" -> eventTransitionsQ,
     "events_cube" -> eventsCubeQ,
     "percent_rank_norm" -> percentRankNormQ,
+    "ntile_bucket" -> ntileBucketQ,
+    "last_touch" -> lastTouchQ,
+    "orc_roundtrip" -> orcRoundtripQ,
+    "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

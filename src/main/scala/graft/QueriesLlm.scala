@@ -2415,10 +2415,33 @@ object QueriesLlm {
          "(CAST(df1 AS DOUBLE) * CAST(df2 AS DOUBLE)))", 8)} AS pmi
        |FROM p CROSS JOIN nd""".stripMargin)
 
+  /** Add-one bigram LM training (TextOps.bigramLmTrain): exact integer
+    * pair/context/vocab counts, one exact division per row — the
+    * trained table the lm_score scorer consumes.
+    */
+  private val bigramLmQ = Q(
+    (s, d) => TextOps.bigramLmTrain(Tables.documents(s, d), "text")
+      .select(col("w1"), col("w2"), col("n_pair"), col("p")),
+    """WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+      |b AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM w WHERE len(ws) >= 2)),
+      |pc AS (SELECT w1, w2, count(*) AS n_pair FROM b GROUP BY 1, 2),
+      |cx AS (SELECT w1, CAST(sum(n_pair) AS BIGINT) AS c1
+      |       FROM pc GROUP BY 1),
+      |v AS (SELECT count(DISTINCT w) AS nv
+      |      FROM (SELECT unnest(ws) AS w FROM w))
+      |SELECT pc.w1, pc.w2, pc.n_pair,
+      |  (CAST(pc.n_pair AS DOUBLE) + 1.0)
+      |    / (CAST(cx.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE)) AS p
+      |FROM pc JOIN cx USING (w1) CROSS JOIN v""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
     "temperature_mix" -> temperatureMixQ,
     "word_pmi" -> wordPmiQ,
+    "bigram_lm" -> bigramLmQ,
     "triangle_count" -> triangleCountQ,
     "skyline" -> skylineQ,
     "stratified_sample" -> stratifiedSampleQ,

@@ -180,6 +180,36 @@ object SequenceOps {
         col("valid_from"), col("valid_to"))
   }
 
+  /** Last-touch attribution: each conversion event paired with the
+    * most recent PRECEDING touch event of the same key (marketing's
+    * "which view gets credit for this purchase"), plus the
+    * touch-to-conversion latency. "Preceding" is by ROW under the
+    * total (time, tie) order — a touch sharing the conversion's
+    * timestamp attributes (latency 0) iff the tiebreak sorts it first.
+    * Conversions with no prior touch surface with null attribution —
+    * the unattributed-revenue row marketers audit first.
+    *
+    * Plan shape: one shuffle+sort on the key; the conditional max over
+    * the UNBOUNDED PRECEDING frame is O(1) running state per row
+    * (Spark keeps the running max, never the frame), and the
+    * conversion filter prunes the output, not the scan — both event
+    * roles come from one pass over one sorted partition.
+    */
+  def lastTouchAttribution(events: DataFrame, keyCol: String, tsCol: String,
+                           tieCol: String, typeCol: String,
+                           touchType: String, convType: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    events
+      .withColumn("_touch_ts",
+        max(when(col(typeCol) === touchType, col(tsCol))).over(w))
+      .where(col(typeCol) === convType)
+      .select(col(keyCol), col(tsCol).as("conv_ts"), col(tieCol),
+        col("_touch_ts").as("touch_ts"),
+        (col(tsCol) - col("_touch_ts")).as("latency"))
+  }
+
   /** First-order Markov transition matrix over each key's ordered event
     * types: counts and conditional probabilities of (prev → next),
     * with the synthetic '_start' state in front of every key's first

@@ -178,6 +178,37 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** Add-one-smoothed bigram language model TRAINING — the counts →
+    * conditional-probability step whose scoring half is [[lmScore]].
+    * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V the corpus
+    * vocabulary size; every input is an exact integer, so the single
+    * division is bit-identical across engines.
+    *
+    * Plan shape: bigram extraction is a native transform/sequence
+    * explode riding the scan (no UDF); ONE hash aggregate over
+    * (w1, w2) — vocab²-bounded state, map-side combined; the
+    * context totals derive from that aggregate itself (vocab-sized
+    * re-aggregate, broadcast back); V rides a 1-row broadcast.
+    */
+  def bigramLmTrain(df: DataFrame, textCol: String): DataFrame = {
+    val ws = words(col(textCol))
+    // guard single-word docs: sequence(0, -1) would DESCEND in Spark
+    val pairs = df.where(size(ws) >= 2).select(explode(expr(
+      s"""transform(sequence(0, size(split($textCol, ' ')) - 2),
+         |  i -> struct(split($textCol, ' ')[i] AS w1,
+         |              split($textCol, ' ')[i + 1] AS w2))""".stripMargin))
+      .as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("n_pair"))
+    val ctx = pairs.groupBy(col("w1")).agg(sum(col("n_pair")).as("_c1"))
+    val vocab = df.select(explode(ws).as("_w")).agg(
+      countDistinct(col("_w")).as("_v"))
+    pairs.join(broadcast(ctx), Seq("w1")).crossJoin(broadcast(vocab))
+      .select(col("w1"), col("w2"), col("n_pair"),
+        ((col("n_pair").cast("double") + lit(1.0)) /
+          (col("_c1").cast("double") + col("_v").cast("double"))).as("p"))
+  }
+
   /** Pointwise mutual information over within-document word
     * co-occurrence — the collocation / phrase-mining readout
     * (PMI(x,y) = ln(c_xy·N / (df_x·df_y)) over document frequencies).

@@ -32,6 +32,36 @@ object IoOps {
       .parquet(path)
   }
 
+  /** Generic-format sink: the multi-format face of [[writeVis]] for
+    * interchange stores — `orc` (columnar, full type fidelity, splits
+    * like parquet) and `json` (JSONL, the crawl/export interchange
+    * format). Same partition/size dials as the parquet path; at 100 TB
+    * the format choice changes codecs and footers, never the plan.
+    */
+  def writeTable(df: DataFrame, path: String, format: String,
+                 partitionBy: Seq[String] = Nil,
+                 repartitionTo: Option[Int] = None,
+                 mode: String = "overwrite"): Unit = {
+    val sized = repartitionTo.map(n =>
+      if (partitionBy.nonEmpty)
+        df.repartition(n, partitionBy.map(col): _*)
+      else df.repartition(n)).getOrElse(df)
+    val w = sized.write.mode(mode).format(format)
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .save(path)
+  }
+
+  /** Generic-format source. For schemaless text formats (JSONL) pass
+    * the writer's schema explicitly — inference would widen integer
+    * columns and break round-trip fidelity; ORC carries its own types.
+    */
+  def readTable(spark: SparkSession, path: String, format: String,
+                schema: Option[org.apache.spark.sql.types.StructType] = None)
+      : DataFrame = {
+    val r = spark.read.format(format)
+    schema.fold(r)(s => r.schema(s)).load(path)
+  }
+
   /** read_vis (cngi/dio/read_vis.py:21,183-191): lazy open with
     * optional partition selection — the WHERE on partition columns is
     * pruned at planning time (only the selected directories are read).

@@ -93,6 +93,33 @@ class IoOpsSpec extends SparkSpec {
     }
   }
 
+  test("writeTable/readTable: ORC keeps types, JSONL needs the writer's schema") {
+    import spark.implicits._
+    val src = Seq((1L, 2, "x", 1.5), (2L, 3, "y", -0.25))
+      .toDF("id", "k", "tag", "v")
+    val orcPath = "/tmp/graft_iospec_orc"
+    IoOps.writeTable(src, orcPath, "orc")
+    val orc = IoOps.readTable(spark, orcPath, "orc")
+    // compare names+types; nullability flags legitimately relax on read
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.schema.fields.map(f => (f.name, f.dataType)).toSeq
+    assert(shape(orc) === shape(src))
+    assert(orc.as[(Long, Int, String, Double)].collect().sorted.toSeq ===
+      Seq((1L, 2, "x", 1.5), (2L, 3, "y", -0.25)))
+    val jPath = "/tmp/graft_iospec_jsonl"
+    IoOps.writeTable(src.drop("v"), jPath, "json")
+    // with the writer's schema the integer types survive exactly
+    val j = IoOps.readTable(spark, jPath, "json",
+      Some(src.drop("v").schema))
+    assert(shape(j) === shape(src.drop("v")))
+    assert(j.as[(Long, Int, String)].collect().sorted.toSeq ===
+      Seq((1L, 2, "x"), (2L, 3, "y")))
+    // without it, inference widens: the round-trip contract is REAL
+    val inferred = IoOps.readTable(spark, jPath, "json")
+    assert((inferred.schema("id").dataType != src.schema("id").dataType) ||
+      (inferred.schema("k").dataType != src.schema("k").dataType))
+  }
+
   test("mergeUpsert: update replaces, delete drops, insert appends, rest survives") {
     import spark.implicits._
     val target = Seq((1L, "a", 10.0), (2L, "b", 20.0), (3L, "c", 30.0))

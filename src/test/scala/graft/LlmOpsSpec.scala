@@ -855,6 +855,19 @@ class LlmOpsSpec extends SparkSpec {
     assert(math.abs(pmi - math.log(3.0 * 4.0 / (3.0 * 3.0))) < 1e-12)
   }
 
+  test("bigramLmTrain: add-one smoothing over exact counts, 1-word docs ignored") {
+    val corpus = Seq((0L, "a b a b"), (1L, "a b"), (2L, "c"))
+      .toDF("doc_id", "text")
+    val out = TextOps.bigramLmTrain(corpus, "text")
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getAs[Long]("n_pair"), r.getAs[Double]("p")))).toMap
+    // bigrams: doc0 (a,b)(b,a)(a,b); doc1 (a,b) -> c(a,b)=3, c(b,a)=1
+    // contexts: a->3, b->1; vocab {a,b,c} = 3 (doc2 counts for V only)
+    assert(out(("a", "b")) === ((3L, (3.0 + 1.0) / (3.0 + 3.0))))
+    assert(out(("b", "a")) === ((1L, (1.0 + 1.0) / (1.0 + 3.0))))
+    assert(out.size === 2)
+  }
+
   test("vocabGrowth: first occurrences count once, cumulative is exact") {
     val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
       .toDF("doc_id", "text")

@@ -113,6 +113,29 @@ class SequenceOpsSpec extends SparkSpec {
       (1L, "A", 3, 5L, None), (2L, "X", 1, 7L, None)))
   }
 
+  test("lastTouchAttribution: strictly-preceding touch, nulls kept, ties excluded") {
+    val events = Seq(
+      // user 1: view(10) -> purchase(20); a later view must not count
+      (1L, 10L, 1L, "view"), (1L, 20L, 2L, "purchase"),
+      (1L, 30L, 3L, "view"), (1L, 40L, 4L, "purchase"),
+      // user 2: purchase with NO prior view -> null attribution
+      (2L, 5L, 5L, "purchase"),
+      // user 3: view at the SAME ts as the purchase does not attribute
+      (3L, 7L, 6L, "view"), (3L, 7L, 7L, "purchase"))
+      .toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = SequenceOps.lastTouchAttribution(events, "user_id", "ts_ns",
+        "event_id", "event_type", "view", "purchase")
+      .collect().map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(r.fieldIndex("touch_ts"))),
+          Option(r.get(r.fieldIndex("latency")))))).toMap
+    assert(out(2L) === ((Some(10L), Some(10L))))
+    assert(out(4L) === ((Some(30L), Some(10L))))
+    assert(out(5L) === ((None, None)))
+    // (7,view) sorts before (7,purchase) by the tie-break but sits in
+    // the same-row-exclusive frame: ROWS ... 1 PRECEDING still sees it
+    assert(out(7L) === ((Some(7L), Some(0L))))
+  }
+
   test("eventTransitions: _start fronting, counts and exact conditional p") {
     val events = Seq(
       (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
