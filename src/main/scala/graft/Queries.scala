@@ -2025,6 +2025,37 @@ object Queries {
       |  tsn - touch_ts AS latency
       |FROM a WHERE event_type = 'purchase'""".stripMargin)
 
+  /** The STREAMING attribution scorer on the batch frame — O(1) state
+    * (latest touch ts per user); each group folds its full sorted
+    * history, so the output equals lastTouchAttribution exactly
+    * (same oracle SQL).
+    */
+  private val streamAttributionQ = Q(
+    (s, d) => streaming.StreamingOps.attributionStream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_ns", "event_id", "event_type",
+        touchType = "view", convType = "purchase")
+      .select(col("user_id"), col("conv_ts"), col("event_id"),
+        col("touch_ts"), col("latency")),
+    lastTouchQ.sql)
+
+  /** Distinct active users per 10-minute window
+    * (StreamingOps.windowedDistinctUsers): the dedup→count chain whose
+    * streaming form runs as chained stateful operators; batch form is
+    * exact COUNT(DISTINCT) — all integers.
+    */
+  private val streamWindowUsersQ = Q(
+    (s, d) => streaming.StreamingOps.windowedDistinctUsers(
+        Tables.events(s, d), "ts", "10 minutes", "user_id")
+      .select(
+        (unix_timestamp(col("time_bin.start")) / 600).cast("long")
+          .as("time_bin_id"),
+        col("n_users")),
+    """SELECT CAST(floor(epoch(ts) / 600.0) AS BIGINT) AS time_bin_id,
+      |  count(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1""".stripMargin)
+
   /** ORC round-trip (IoOps.writeTable/readTable): write the fact as
     * ORC, read it back, aggregate — matching the oracle run on the
     * source parquet proves the format conversion lossless (integral
@@ -2148,6 +2179,8 @@ object Queries {
     "percent_rank_norm" -> percentRankNormQ,
     "ntile_bucket" -> ntileBucketQ,
     "last_touch" -> lastTouchQ,
+    "stream_attribution" -> streamAttributionQ,
+    "stream_window_users" -> streamWindowUsersQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,

@@ -2437,11 +2437,77 @@ object QueriesLlm {
       |    / (CAST(cx.c1 AS DOUBLE) + CAST(v.nv AS DOUBLE)) AS p
       |FROM pc JOIN cx USING (w1) CROSS JOIN v""".stripMargin)
 
+  /** NDCG@10 of the BM25 ranking (TextOps.ndcgAtK) with
+    * n_terms_matched as graded relevance: ranking order rides the
+    * same quantized bm25 both engines compute, and both DCG folds are
+    * fixed-order over the 10 survivors — engine-exact to qround(8).
+    */
+  private val ndcgEvalQ = Q(
+    (s, d) => {
+      val scored = TextOps.bm25Score(Tables.documents(s, d), "doc_id",
+          "text", bm25Terms)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25r"))
+      TextOps.ndcgAtK(scored, "doc_id", "n_terms_matched", "bm25r", 10)
+        .select(qround(col("dcg"), 8).as("dcg"),
+          qround(col("idcg"), 8).as("idcg"),
+          qround(col("ndcg"), 8).as("ndcg"))
+    }, {
+      def foldSql(src: String) =
+        s"""(SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+           |  list_transform(generate_series(1, len(lr)), i_ ->
+           |    CAST(lr[i_] AS DOUBLE)
+           |      / (ln(CAST(i_ AS DOUBLE) + 1.0) / ln(2.0)))),
+           |  (a_, b_) -> a_ + b_)
+           |FROM (SELECT list(rel ORDER BY rk) AS lr FROM $src))"""
+          .stripMargin
+      s"""WITH s AS (${bm25Q.sql}),
+         |top AS (
+         |  SELECT n_terms_matched AS rel,
+         |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+         |  FROM s ORDER BY bm25 DESC, doc_id LIMIT 10),
+         |idl AS (
+         |  SELECT n_terms_matched AS rel,
+         |    row_number() OVER (ORDER BY n_terms_matched DESC, doc_id)
+         |      AS rk
+         |  FROM s ORDER BY n_terms_matched DESC, doc_id LIMIT 10),
+         |v AS (SELECT ${foldSql("top")} AS dcg, ${foldSql("idl")} AS idcg)
+         |SELECT ${qrSql("dcg", 8)} AS dcg, ${qrSql("idcg", 8)} AS idcg,
+         |  ${qrSql("dcg / idcg", 8)} AS ndcg
+         |FROM v""".stripMargin
+    })
+
+  /** Confusion matrix of the trained quality classifier: quantized-
+    * score predictions vs the is-English label, cell counts exact.
+    */
+  private val classifierConfusionQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          when(qround(col("score"), 6) >= 0.5, 1).otherwise(0).as("pred"))
+        .groupBy("label", "pred").agg(count(lit(1)).as("n"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    CASE WHEN ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} >= 0.5e0
+       |      THEN 1 ELSE 0 END AS pred
+       |  FROM f, wf)
+       |SELECT label, pred, count(*) AS n FROM sc GROUP BY 1, 2"""
+      .stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
     "temperature_mix" -> temperatureMixQ,
     "word_pmi" -> wordPmiQ,
     "bigram_lm" -> bigramLmQ,
+    "ndcg_eval" -> ndcgEvalQ,
+    "classifier_confusion" -> classifierConfusionQ,
     "triangle_count" -> triangleCountQ,
     "skyline" -> skylineQ,
     "stratified_sample" -> stratifiedSampleQ,

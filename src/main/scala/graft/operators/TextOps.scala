@@ -178,6 +178,39 @@ object TextOps {
       .agg(count(lit(1)).as("n_matches"))
   }
 
+  /** NDCG@k of a scored ranking against graded relevance — the
+    * retrieval-quality eval that completes the bm25 / hybrid family
+    * (ann_recall covers the binary-relevance embedding side). DCG uses
+    * the standard rel / log2(rank+1) discount, written as ln(·)/ln(2)
+    * so any IEEE engine evaluates the identical expression; both DCG
+    * and the ideal DCG are FIXED-ORDER folds over the k selected rows
+    * (rank-sorted array aggregate, never a parallel float sum), so the
+    * numbers are engine-exact up to qround.
+    *
+    * Scale shape: the only corpus-sized work is two TakeOrdered top-k
+    * selections (per-partition heaps, no global sort, no shuffle of
+    * the fact); the rank windows and folds run on the k survivors.
+    */
+  def ndcgAtK(scored: DataFrame, idCol: String, relCol: String,
+              scoreCol: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "ndcgAtK needs a positive k")
+    def dcgOf(ordCol: String, out: String) = {
+      val top = scored.orderBy(col(ordCol).desc, col(idCol)).limit(k)
+        .withColumn("_rk", row_number().over(
+          Window.orderBy(col(ordCol).desc, col(idCol))))
+      top.agg(expr(
+        s"""aggregate(array_sort(collect_list(struct(_rk, $relCol))),
+           |  cast(0.0 as double),
+           |  (acc, x) -> acc + cast(x.$relCol as double)
+           |    / (ln(cast(x._rk as double) + 1.0d) / ln(2.0d)))"""
+          .stripMargin).as(out))
+    }
+    dcgOf(scoreCol, "dcg").crossJoin(broadcast(dcgOf(relCol, "idcg")))
+      .select(col("dcg"), col("idcg"),
+        (col("dcg") / col("idcg")).as("ndcg"))
+  }
+
   /** Add-one-smoothed bigram language model TRAINING — the counts →
     * conditional-probability step whose scoring half is [[lmScore]].
     * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V the corpus

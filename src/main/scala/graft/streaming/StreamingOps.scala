@@ -491,6 +491,68 @@ object StreamingOps {
       .toDF(keyCol, "state", "version", "valid_from", "valid_to")
   }
 
+  /** Streaming last-touch attribution — the incremental twin of
+    * SequenceOps.lastTouchAttribution. State per key: the latest touch
+    * timestamp only (one long). Conversions are scored on arrival
+    * against that state and emitted immediately — no retraction, no
+    * buffering; on a batch frame each group folds its full sorted
+    * history, so the output equals the batch window operator exactly
+    * (shared oracle SQL). Late touches arriving after a conversion
+    * was emitted do not re-attribute it — the documented price of
+    * O(1) state, same contract as funnelStream.
+    */
+  def attributionStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                        tsCol: String, tieCol: String, typeCol: String,
+                        touchType: String, convType: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"attributionStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        col(typeCol).cast("string").as("_ty"))
+      .as[(Long, Long, Long, String)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long,
+        (Long, Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var last: Option[Long] = state.getOption
+          val out = scala.collection.mutable.ArrayBuffer
+            .empty[(Long, Long, Long, Option[Long], Option[Long])]
+          for (r <- rows.toArray.sortBy(x => (x._2, x._3))) {
+            if (r._4 == convType)
+              out += ((key, r._2, r._3, last, last.map(t => r._2 - t)))
+            if (r._4 == touchType) last = Some(r._2)
+          }
+          last.foreach(state.update)
+          out.iterator
+      }
+      .toDF(keyCol, "conv_ts", tieCol, "touch_ts", "latency")
+  }
+
+  /** Distinct active users per event-time window — streaming unique
+    * counting without sketches: a keyed dedup on (window, user) whose
+    * state the watermark expires, then a plain count per window. Both
+    * stages are watermark-bounded; Spark 4 runs the dedup→agg chain
+    * as chained stateful operators in append mode. On a batch frame
+    * the same plan is exact distinct counting (the oracle's
+    * COUNT(DISTINCT)).
+    */
+  def windowedDistinctUsers(df: DataFrame, timeCol: String, width: String,
+                            userCol: String,
+                            watermark: Option[String] = None): DataFrame = {
+    val src = watermark.map(w => df.withWatermark(timeCol, w)).getOrElse(df)
+    src.select(window(col(timeCol), width).as("time_bin"), col(userCol))
+      .dropDuplicates("time_bin", userCol)
+      .groupBy(col("time_bin"))
+      .agg(count(lit(1)).as("n_users"))
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -868,6 +868,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(out.size === 2)
   }
 
+  test("ndcgAtK: perfect ranking scores 1, swapped ranking discounts") {
+    val scored = Seq(
+      (1L, 3, 30.0), (2L, 2, 20.0), (3L, 1, 10.0), (4L, 0, 5.0))
+      .toDF("id", "rel", "score")
+    def ln2(x: Double) = math.log(x) / math.log(2.0)
+    val perfect = TextOps.ndcgAtK(scored, "id", "rel", "score", 3).head()
+    val expDcg = 3.0 / ln2(2.0) + 2.0 / ln2(3.0) + 1.0 / ln2(4.0)
+    assert(math.abs(perfect.getAs[Double]("dcg") - expDcg) < 1e-12)
+    assert(math.abs(perfect.getAs[Double]("ndcg") - 1.0) < 1e-12)
+    // invert the scores: the best doc falls to rank 3 (of k=3)
+    val swapped = TextOps.ndcgAtK(
+      scored.withColumn("score", -col("score")), "id", "rel", "score", 3)
+      .head()
+    val swapDcg = 0.0 / ln2(2.0) + 1.0 / ln2(3.0) + 2.0 / ln2(4.0)
+    assert(math.abs(swapped.getAs[Double]("dcg") - swapDcg) < 1e-12)
+    assert(swapped.getAs[Double]("ndcg") < 1.0)
+  }
+
   test("vocabGrowth: first occurrences count once, cumulative is exact") {
     val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
       .toDF("doc_id", "text")

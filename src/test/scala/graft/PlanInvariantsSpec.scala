@@ -214,9 +214,11 @@ class PlanInvariantsSpec extends SparkSpec {
     //   vocab_growth /   per-bucket totals        (via globalCumsum)
     //     packing_pipeline
     //   skyline          distinct-x frontier      (StatsOps.skyline2D)
+    //   ndcg_eval        the k rows AFTER limit   (TextOps.ndcgAtK)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
-      "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline")
+      "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
+      "ndcg_eval")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {

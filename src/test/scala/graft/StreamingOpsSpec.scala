@@ -368,6 +368,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(viaStream === viaBatch)
   }
 
+  test("attributionStream scores conversions against carried touch state") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, String)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id", "event_type")
+    val out = StreamingOps.attributionStream(spark, df, "user_id", "ts_ns",
+      "event_id", "event_type", "view", "purchase")
+    val q = out.writeStream.format("memory").queryName("attr_t")
+      .outputMode("append").start()
+    input.addData((1L, 10L, 1L, "view"), (2L, 5L, 2L, "purchase"))
+    q.processAllAvailable()
+    // purchase in batch 2 attributes to the view carried from batch 1
+    input.addData((1L, 20L, 3L, "purchase"))
+    q.processAllAvailable()
+    val rows = spark.table("attr_t").collect()
+      .map(r => r.getAs[Long]("event_id") ->
+        ((Option(r.get(3)).map(_.asInstanceOf[Long]),
+          Option(r.get(4)).map(_.asInstanceOf[Long])))).toMap
+    q.stop()
+    assert(rows(2L) === ((None, None)))
+    assert(rows(3L) === ((Some(10L), Some(10L))))
+
+    // batch form equals the window operator
+    val events = Seq((1L, 10L, 1L, "view"), (1L, 20L, 2L, "purchase"),
+      (1L, 30L, 3L, "view"), (1L, 40L, 4L, "purchase"),
+      (2L, 5L, 5L, "purchase"), (3L, 7L, 6L, "view"), (3L, 7L, 7L, "purchase"))
+      .toDF("user_id", "ts_ns", "event_id", "event_type")
+    val viaStream = StreamingOps.attributionStream(spark, events, "user_id",
+        "ts_ns", "event_id", "event_type", "view", "purchase")
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.SequenceOps.lastTouchAttribution(events,
+        "user_id", "ts_ns", "event_id", "event_type", "view", "purchase")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
+
+  test("windowedDistinctUsers dedups within windows across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(java.sql.Timestamp, Long)]
+    val df = input.toDF().toDF("ts", "user_id")
+    val out = StreamingOps.windowedDistinctUsers(df, "ts", "10 minutes",
+      "user_id", watermark = Some("1 hour"))
+    val q = out.writeStream.format("memory").queryName("wdu_t")
+      .outputMode("complete").start()
+    def t(min: Int) = new java.sql.Timestamp(min * 60000L)
+    input.addData((t(1), 1L), (t(2), 1L), (t(3), 2L)) // window 0: users {1,2}
+    q.processAllAvailable()
+    input.addData((t(4), 1L), (t(11), 1L))            // dup + window 1: {1}
+    q.processAllAvailable()
+    val rows = spark.table("wdu_t").collect()
+      .map(r => r.getStruct(0).getTimestamp(0).getTime / 60000 ->
+        r.getAs[Long]("n_users")).toMap
+    q.stop()
+    assert(rows === Map(0L -> 2L, 10L -> 1L))
+  }
+
   test("firstSeenPeriods suppresses repeat periods across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
