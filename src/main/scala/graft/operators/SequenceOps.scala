@@ -133,9 +133,13 @@ object SequenceOps {
     val iv = round(col(valueCol) * scale).cast("long")
     val base = events
       .withColumn("_iv", iv)
+      // pre-project the square: an expression INSIDE a window aggregate
+      // forces Spark into a second WindowExec pass; with _iv2 material,
+      // all three aggregates share one Window over one sort
+      .withColumn("_iv2", col("_iv") * col("_iv"))
       .withColumn("_n", count(col("_iv")).over(w))
       .withColumn("_sm", sum(col("_iv")).over(w))
-      .withColumn("_sq", sum(col("_iv") * col("_iv")).over(w))
+      .withColumn("_sq", sum(col("_iv2")).over(w))
     val nD = col("_n").cast("double")
     val smD = col("_sm").cast("double")
     val sqD = col("_sq").cast("double")
