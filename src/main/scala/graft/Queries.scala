@@ -2103,6 +2103,109 @@ object Queries {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM lineitem GROUP BY 1""".stripMargin)
 
+  /** Snapshot diff (JoinOps.tableDiff): the base fact vs a mutated
+    * revision (same change shape as merge_upsert), reconciled to
+    * added/removed/changed rows by one full outer join — every
+    * comparison on exact integers/strings.
+    */
+  private val tableDiffQ = Q(
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_returnflag")
+      val base = Tables.lineitem(s, d).select(cols.map(col): _*)
+      val revised = base.where(col("l_orderkey") % 10 =!= 1)
+        .withColumn("l_quantity",
+          when(col("l_orderkey") % 10 === 0, col("l_quantity") + 100)
+            .otherwise(col("l_quantity")))
+        .unionByName(base.where(col("l_orderkey") % 10 === 2)
+          .withColumn("l_orderkey", col("l_orderkey") + 3000000L))
+      operators.JoinOps.tableDiff(base, revised,
+        Seq("l_orderkey", "l_linenumber"))
+    },
+    """WITH b AS (
+      |  SELECT l_orderkey, l_linenumber, l_quantity, l_returnflag
+      |  FROM lineitem),
+      |r AS (
+      |  SELECT l_orderkey, l_linenumber,
+      |    CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 100
+      |         ELSE l_quantity END AS l_quantity,
+      |    l_returnflag
+      |  FROM lineitem WHERE l_orderkey % 10 <> 1
+      |  UNION ALL
+      |  SELECT l_orderkey + 3000000, l_linenumber, l_quantity,
+      |    l_returnflag
+      |  FROM lineitem WHERE l_orderkey % 10 = 2),
+      |j AS (
+      |  SELECT coalesce(b.l_orderkey, r.l_orderkey) AS l_orderkey,
+      |    coalesce(b.l_linenumber, r.l_linenumber) AS l_linenumber,
+      |    CASE WHEN b.l_orderkey IS NULL THEN 'added'
+      |         WHEN r.l_orderkey IS NULL THEN 'removed'
+      |         WHEN NOT (b.l_quantity IS NOT DISTINCT FROM r.l_quantity
+      |               AND b.l_returnflag IS NOT DISTINCT FROM
+      |                   r.l_returnflag)
+      |         THEN 'changed' END AS status
+      |  FROM b FULL OUTER JOIN r
+      |    ON b.l_orderkey = r.l_orderkey
+      |   AND b.l_linenumber = r.l_linenumber)
+      |SELECT * FROM j WHERE status IS NOT NULL""".stripMargin)
+
+  /** Winsorized values: clamp at the per-type exact p05/p95 cutoffs
+    * QUANTIZED to the 1e-4 grid (the same grid grouped_quantiles is
+    * gate-proven equal on), so the clamp decisions compare identical
+    * doubles in both engines.
+    */
+  private val winsorizeQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val q = operators.StatsOps.groupedQuantiles(
+          ev.select(col("event_type"), col("value")),
+          Seq("event_type"), "value", Seq(0.05, 0.95))
+        .select(col("event_type"), qround(col("q_0"), 4).as("_lo"),
+          qround(col("q_1"), 4).as("_hi"))
+      ev.join(broadcast(q), Seq("event_type"))
+        .select(col("event_id"), col("event_type"), col("value"),
+          when(col("value") < col("_lo"), col("_lo"))
+            .when(col("value") > col("_hi"), col("_hi"))
+            .otherwise(col("value")).as("clamped"))
+    },
+    """WITH q AS (
+      |  SELECT event_type,
+      |    floor(quantile_cont(value, 0.05) * 10000.0 + 0.5) / 10000.0
+      |      AS lo,
+      |    floor(quantile_cont(value, 0.95) * 10000.0 + 0.5) / 10000.0
+      |      AS hi
+      |  FROM events GROUP BY 1)
+      |SELECT event_id, e.event_type, value,
+      |  CASE WHEN value < lo THEN lo
+      |       WHEN value > hi THEN hi ELSE value END AS clamped
+      |FROM events e JOIN q USING (event_type)""".stripMargin)
+
+  /** Behavioral entropy (SequenceOps.behavioralEntropy): per-user
+    * Shannon entropy of the event-type mix via a fixed-order fold
+    * over exact integer counts.
+    */
+  private val userEntropyQ = Q(
+    (s, d) => operators.SequenceOps.behavioralEntropy(
+        Tables.events(s, d).select(col("user_id"), col("event_type")),
+        "user_id", "event_type")
+      .select(col("user_id"), col("n_events"),
+        qround(col("entropy"), 8).as("entropy")),
+    """WITH c AS (
+      |  SELECT user_id, event_type AS ty, count(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |g AS (
+      |  SELECT user_id, CAST(sum(c) AS BIGINT) AS n_events,
+      |    list(c ORDER BY ty) AS lc
+      |  FROM c GROUP BY 1)
+      |SELECT user_id, n_events,
+      |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(lc)), i_ ->
+      |        -(CAST(lc[i_] AS DOUBLE) / CAST(n_events AS DOUBLE))
+      |          * ln(CAST(lc[i_] AS DOUBLE) / CAST(n_events AS DOUBLE)))),
+      |      (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0
+      |    AS entropy
+      |FROM g""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2181,6 +2284,9 @@ object Queries {
     "last_touch" -> lastTouchQ,
     "stream_attribution" -> streamAttributionQ,
     "stream_window_users" -> streamWindowUsersQ,
+    "table_diff" -> tableDiffQ,
+    "winsorize" -> winsorizeQ,
+    "user_entropy" -> userEntropyQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,

@@ -2501,8 +2501,25 @@ object QueriesLlm {
        |SELECT label, pred, count(*) AS n FROM sc GROUP BY 1, 2"""
       .stripMargin)
 
+  /** Degree distribution (DedupOps.degreeHistogram) of the LSH
+    * candidate graph — all integer counts.
+    */
+  private val degreeHistQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 2)
+      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text")
+      DedupOps.degreeHistogram(cands, "id1", "id2")
+    },
+    s"""WITH ${minhashVerSql(mod = 2)},
+       |e AS (SELECT id1 AS a, id2 AS b FROM cand),
+       |n AS (SELECT a AS v FROM e UNION ALL SELECT b FROM e),
+       |deg AS (SELECT v, count(*) AS degree FROM n GROUP BY 1)
+       |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"""
+      .stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
+    "degree_hist" -> degreeHistQ,
     "temperature_mix" -> temperatureMixQ,
     "word_pmi" -> wordPmiQ,
     "bigram_lm" -> bigramLmQ,

@@ -471,6 +471,21 @@ object DedupOps {
       .crossJoin(tri.agg(count(lit(1)).as("n_triangles")))
   }
 
+  /** Degree distribution of an undirected pair list — the first graph
+    * sanity readout next to [[triangleCount]] (is the near-dup graph a
+    * few giant hubs or many small cliques?). Two hash aggregates:
+    * node degrees (node-set sized), then nodes-per-degree (tiny).
+    */
+  def degreeHistogram(pairs: DataFrame, id1: String, id2: String): DataFrame = {
+    val e = pairs
+      .select(least(col(id1), col(id2)).as("a"),
+        greatest(col(id1), col(id2)).as("b"))
+      .where(col("a") < col("b")).distinct()
+    e.select(col("a").as("v")).union(e.select(col("b").as("v")))
+      .groupBy(col("v")).agg(count(lit(1)).as("degree"))
+      .groupBy(col("degree")).agg(count(lit(1)).as("n_nodes"))
+  }
+
   /** Cluster assignment for a whole corpus: near-dup pairs at
     * `threshold` -> connected components -> (doc, cluster_id, keep)
     * where keep=1 marks the cluster representative (smallest id).

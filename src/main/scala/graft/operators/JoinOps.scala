@@ -201,4 +201,37 @@ object JoinOps {
       .where(col(pointCol) >= col(loCol) && col(pointCol) < col(hiCol))
       .drop("_bin")
   }
+
+  /** Snapshot reconciliation: diff two versions of a keyed table into
+    * added / removed / changed rows — the audit readout behind every
+    * lakehouse MERGE (this is [[graft.sources.IoOps.mergeUpsert]]'s
+    * inverse: apply the emitted rows as a change set and the base
+    * becomes the revision). Row equality is null-safe per non-key
+    * column, so a column going null counts as a change.
+    *
+    * Scale shape: ONE full outer join hash-partitioned on the key —
+    * both sides shuffle once, output is the diff only (unchanged rows
+    * are filtered before leaving the join stage). No row hashing
+    * trickery: the <=> conjunction is codegen'd column compares.
+    */
+  def tableDiff(base: DataFrame, revised: DataFrame,
+                keys: Seq[String]): DataFrame = {
+    val nonKeys = base.columns.filterNot(keys.contains).toSeq
+    require(nonKeys.nonEmpty, "tableDiff needs at least one value column")
+    val b = base.select(keys.map(col) ++
+      Seq(lit(true).as("_in_b")) ++
+      nonKeys.map(c => col(c).as(s"_b_$c")): _*)
+    val r = revised.select(keys.map(col) ++
+      Seq(lit(true).as("_in_r")) ++
+      nonKeys.map(c => col(c).as(s"_r_$c")): _*)
+    val same = nonKeys.map(c => col(s"_b_$c") <=> col(s"_r_$c"))
+      .reduce(_ && _)
+    b.join(r, keys, "full_outer")
+      .withColumn("status",
+        when(col("_in_b").isNull, "added")
+          .when(col("_in_r").isNull, "removed")
+          .when(!same, "changed"))
+      .where(col("status").isNotNull)
+      .select(keys.map(col) :+ col("status"): _*)
+  }
 }

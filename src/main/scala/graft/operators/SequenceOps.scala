@@ -214,6 +214,35 @@ object SequenceOps {
         (col(tsCol) - col("_touch_ts")).as("latency"))
   }
 
+  /** Behavioral entropy: per key, the Shannon entropy (nats) of its
+    * event-type distribution — the bot-vs-human diversity signal
+    * (a scraper hammering one endpoint scores ~0; an organic session
+    * mix scores high). p = c/n are exact int ratios; the Σ −p·ln p is
+    * a FIXED-ORDER fold over the type-sorted count list, never a
+    * parallel float sum — engine-exact up to the ln ulp that
+    * qround absorbs.
+    *
+    * Scale shape: one hash aggregate to (key, type) counts —
+    * map-side combined, state bounded by keys × |type domain| — then
+    * a per-key collect of at most |type domain| elements. No windows,
+    * no sort of the fact.
+    */
+  def behavioralEntropy(events: DataFrame, keyCol: String,
+                        typeCol: String): DataFrame = {
+    events
+      .groupBy(col(keyCol), col(typeCol).as("_ty"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(keyCol))
+      .agg(sum(col("_c")).as("n_events"),
+        expr("array_sort(collect_list(struct(_ty, _c)))").as("_arr"))
+      .select(col(keyCol), col("n_events"),
+        expr(
+          """aggregate(_arr, cast(0.0 as double), (acc, x) ->
+            |  acc - (cast(x._c as double) / cast(n_events as double))
+            |    * ln(cast(x._c as double) / cast(n_events as double)))"""
+            .stripMargin).as("entropy"))
+  }
+
   /** First-order Markov transition matrix over each key's ordered event
     * types: counts and conditional probabilities of (prev → next),
     * with the synthetic '_start' state in front of every key's first

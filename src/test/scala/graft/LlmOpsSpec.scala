@@ -768,6 +768,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(pr(0L) > pr(1L))
   }
 
+  test("degreeHistogram: star graph gives one hub and n leaves") {
+    val star = Seq((0L, 1L), (0L, 2L), (0L, 3L), (1L, 0L)) // dup reversed
+      .toDF("id1", "id2")
+    val out = DedupOps.degreeHistogram(star, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(3L -> 1L, 1L -> 3L))
+  }
+
+  test("tableDiff: added, removed, changed classified; unchanged dropped") {
+    val base = Seq((1L, "a", 10), (2L, "b", 20), (3L, "c", 30))
+      .toDF("id", "tag", "v")
+    val revised = Seq((1L, "a", 10), (2L, "B", 20), (4L, "d", 40))
+      .toDF("id", "tag", "v")
+    val out = JoinOps.tableDiff(base, revised, Seq("id"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out === Map(2L -> "changed", 3L -> "removed", 4L -> "added"))
+  }
+
   test("triangleCount: ordered-triple census, duplicate edges collapse") {
     // K4 on {1,2,3,4} (C(4,3) = 4 triangles) plus a pendant edge and
     // duplicate/reversed edges that must not inflate any count

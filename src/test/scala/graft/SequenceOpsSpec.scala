@@ -136,6 +136,23 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(7L) === ((Some(7L), Some(0L))))
   }
 
+  test("behavioralEntropy: uniform mix maxes, single-type is zero") {
+    val events = Seq(
+      (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),   // uniform over 4
+      (2L, "a"), (2L, "a"), (2L, "a"),              // constant -> 0
+      (3L, "a"), (3L, "a"), (3L, "b"))              // 2/3, 1/3
+      .toDF("user_id", "event_type")
+    val out = SequenceOps.behavioralEntropy(events, "user_id", "event_type")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getAs[Long]("n_events"), r.getAs[Double]("entropy")))).toMap
+    assert(out(1L)._1 === 4L)
+    assert(math.abs(out(1L)._2 - math.log(4.0)) < 1e-12)
+    assert(out(2L) === ((3L, 0.0)))
+    val p1 = 2.0 / 3.0; val p2 = 1.0 / 3.0
+    assert(math.abs(out(3L)._2 -
+      (-p1 * math.log(p1) - p2 * math.log(p2))) < 1e-12)
+  }
+
   test("eventTransitions: _start fronting, counts and exact conditional p") {
     val events = Seq(
       (1L, 1L, 1L, "A"), (1L, 2L, 2L, "B"), (1L, 3L, 3L, "A"),
