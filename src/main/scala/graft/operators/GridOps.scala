@@ -780,9 +780,23 @@ object GridOps {
         // stream would pin fact-sized memory on every executor. The
         // mean over a pol group is order-exact for the 2-pol case
         // (a+b is commutative in IEEE), so hash parity is unaffected.
-        val polMean = c.groupBy(rowKeyCols.map(col): _*)
+        //
+        // Materialize the cell-annotated fact ONCE before fanning out:
+        // this frame feeds the pol-mean aggregate, its join-back, both
+        // union branches of the cell histogram, the sum-of-weights
+        // aggregate AND the final join — 6 consumers that each
+        // replayed the whole upstream (scan + dedup + stack) in the
+        // lazy plan (measured 12 FileScans / 25 Exchanges, 5.5 s solo
+        // at sf0.1; 1 scan after). Same localCheckpoint pattern as
+        // pageRankIntegers; on a durable cluster point
+        // spark.checkpoint.dir at HDFS/S3 instead.
+        // (measured: checkpointing the JOINED frame as well costs more
+        // than the 4 join replays it saves — the second eager barrier
+        // plus the wider row dominate; one checkpoint is the optimum)
+        val cc = c.localCheckpoint()
+        val polMean = cc.groupBy(rowKeyCols.map(col): _*)
           .agg(avg(col("weight")).as("nat_w"))
-        c.join(polMean, rowKeyCols)
+        cc.join(polMean, rowKeyCols)
       } else c.withColumn("nat_w", col("weight"))
     }
     val primary = withCell.where(col("_in_grid"))
