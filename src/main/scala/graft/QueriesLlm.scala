@@ -2517,9 +2517,35 @@ object QueriesLlm {
        |SELECT degree, count(*) AS n_nodes FROM deg GROUP BY 1"""
       .stripMargin)
 
+  /** Exact edit distance on the LSH candidate pairs — the fuzzy-match
+    * verifier beside the Jaccard one (dedup_minhash): LSH prunes the
+    * quadratic pair space, levenshtein (built-in codegen'd kernel,
+    * identical classic definition in both engines) prices only the
+    * survivors. Integers throughout.
+    */
+  private val editDistanceQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 4)
+      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text")
+      cands
+        .join(corpus.select(col("doc_id").as("id1"), col("text").as("_t1")),
+          "id1")
+        .join(corpus.select(col("doc_id").as("id2"), col("text").as("_t2")),
+          "id2")
+        .select(col("id1"), col("id2"),
+          levenshtein(col("_t1"), col("_t2")).as("edit_dist"))
+    },
+    s"""WITH ${minhashVerSql(mod = 4)}
+       |SELECT c.id1, c.id2,
+       |  CAST(levenshtein(t1.text, t2.text) AS INT) AS edit_dist
+       |FROM cand c
+       |JOIN corpus t1 ON c.id1 = t1.doc_id
+       |JOIN corpus t2 ON c.id2 = t2.doc_id""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
+    "edit_distance" -> editDistanceQ,
     "temperature_mix" -> temperatureMixQ,
     "word_pmi" -> wordPmiQ,
     "bigram_lm" -> bigramLmQ,

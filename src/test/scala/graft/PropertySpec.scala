@@ -227,6 +227,69 @@ class PropertySpec extends SparkSpec {
     assert(pairsFull.where($"id1" < 30 && $"id2" < 30).count() === 435L)
   }
 
+  test("property: skyline2D equals the brute-force dominance filter") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.zip(Gen.choose(0, 10), Gen.choose(0, 10)))
+    forSamples(gen, n = 6) { pts0 =>
+      val pts = pts0.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+      val out = graft.operators.StatsOps.skyline2D(
+          pts.toDF("id", "x", "y"), "x", "y")
+        .collect().map(_.getLong(0)).toSet
+      val brute = pts.filter { case (_, x, y) =>
+        !pts.exists { case (_, x2, y2) =>
+          x2 >= x && y2 >= y && (x2 > x || y2 > y)
+        }
+      }.map(_._1).toSet
+      assert(out === brute, s"skyline mismatch on $pts")
+    }
+  }
+
+  test("property: anomalyZscore and anomalyStream are bit-identical") {
+    import spark.implicits._
+    val gen = Gen.listOfN(30,
+      Gen.zip(Gen.choose(1L, 3L), Gen.choose(0L, 2000L)))
+    forSamples(gen, n = 4) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, v), i) =>
+        (k, i.toLong, i.toLong, v) // unique ts per row keeps order total
+      }
+      val df = rows.toDF("user_id", "ts_ns", "event_id", "value_scaled")
+      val batch = graft.operators.SequenceOps.anomalyZscore(
+          df.withColumn("value",
+            org.apache.spark.sql.functions.col("value_scaled").cast("double")),
+          "user_id", "ts_ns", "event_id", "value", scale = 1L,
+          lookback = 5, minN = 3, threshold = 2.0)
+        .select("user_id", "ts_ns", "event_id", "value_scaled", "n_prev",
+          "z", "is_anomaly").collect().map(_.toSeq).toSet
+      val stream = graft.streaming.StreamingOps.anomalyStream(spark, df,
+          "user_id", "ts_ns", "event_id", "value_scaled",
+          lookback = 5, minN = 3, threshold = 2.0)
+        .select("user_id", "ts_ns", "event_id", "value_scaled", "n_prev",
+          "z", "is_anomaly").collect().map(_.toSeq).toSet
+      assert(batch === stream)
+    }
+  }
+
+  test("property: phraseSearch equals the brute-force window scan") {
+    import spark.implicits._
+    val word = Gen.oneOf("a", "b", "c")
+    val gen = Gen.listOfN(4, Gen.listOfN(12, word))
+    val phrase = Seq("a", "b", "a")
+    forSamples(gen, n = 6) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val out = graft.operators.TextOps.phraseSearch(
+          docs.toDF("doc_id", "text"), "doc_id", "text", phrase)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      val brute = docs.map { case (id, t) =>
+        val ws = t.split(" ", -1)
+        id -> (0 to ws.length - phrase.length).count(i =>
+          phrase.indices.forall(j => ws(i + j) == phrase(j))).toLong
+      }.filter(_._2 > 0).toMap
+      assert(out === brute, s"phrase mismatch on $docs")
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
