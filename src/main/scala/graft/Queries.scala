@@ -2206,6 +2206,80 @@ object Queries {
       |    AS entropy
       |FROM g""".stripMargin)
 
+  /** Pivot: per-user event-type count matrix through Spark's pivot
+    * surface (explicit value list — no extra distinct pass), nulls
+    * filled to the oracle's CASE-sum zeros. All integers.
+    */
+  private val pivotCountsQ = Q(
+    (s, d) => {
+      val types = Seq("view", "click", "purchase", "signup", "error")
+      Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", types)
+        .agg(count(lit(1)))
+        .na.fill(0L, types)
+    },
+    """SELECT user_id,
+      |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS view,
+      |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS click,
+      |  CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS purchase,
+      |  CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS signup,
+      |  CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS error
+      |FROM events GROUP BY 1""".stripMargin)
+
+  /** Deterministic argmax: the (value, event_id)-lexicographic struct
+    * max per user — unlike max_by, ties resolve identically in any
+    * engine (the oracle mirrors with a two-key descending rank).
+    */
+  private val argmaxEventQ = Q(
+    (s, d) => Tables.events(s, d)
+      .groupBy(col("user_id"))
+      .agg(max(struct(col("value"), col("event_id"))).as("_m"))
+      .select(col("user_id"), col("_m.value").as("max_value"),
+        col("_m.event_id").as("argmax_event")),
+    """WITH r AS (
+      |  SELECT user_id, value, event_id,
+      |    row_number() OVER (PARTITION BY user_id
+      |      ORDER BY value DESC, event_id DESC) AS rk
+      |  FROM events)
+      |SELECT user_id, value AS max_value, event_id AS argmax_event
+      |FROM r WHERE rk = 1""".stripMargin)
+
+  /** Funnel conversion-rate readout: users reaching at least step k
+    * (depth exploded to its prefix), rate = n_reached(k)/n_reached(1)
+    * — exact ints over the funnel_steps chain, single exact division.
+    */
+  private val funnelRatesQ = Q(
+    (s, d) => {
+      val f = operators.SequenceOps.funnelSteps(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts_ns")),
+        "user_id", "event_type", "ts_ns",
+        Seq("view", "click", "purchase"))
+      val reached = f
+        .select(explode(sequence(lit(1), col("depth"))).as("step"))
+        .groupBy(col("step")).agg(count(lit(1)).as("n_reached"))
+      val total = reached.where(col("step") === 1)
+        .select(col("n_reached").as("_n0"))
+      reached.crossJoin(broadcast(total))
+        .select(col("step"), col("n_reached"),
+          (col("n_reached").cast("double") / col("_n0").cast("double"))
+            .as("rate"))
+    },
+    s"""WITH fs AS (${funnelStepsQ.sql}),
+       |e AS (SELECT unnest(generate_series(1, depth)) AS step FROM fs),
+       |g AS (SELECT CAST(step AS INT) AS step, count(*) AS n_reached
+       |      FROM e GROUP BY 1),
+       |t AS (SELECT n_reached AS n0 FROM g WHERE step = 1)
+       |SELECT step, n_reached,
+       |  CAST(n_reached AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate
+       |FROM g CROSS JOIN t""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2287,6 +2361,9 @@ object Queries {
     "table_diff" -> tableDiffQ,
     "winsorize" -> winsorizeQ,
     "user_entropy" -> userEntropyQ,
+    "pivot_counts" -> pivotCountsQ,
+    "argmax_event" -> argmaxEventQ,
+    "funnel_rates" -> funnelRatesQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,

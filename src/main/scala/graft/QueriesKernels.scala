@@ -1399,7 +1399,15 @@ object QueriesKernels {
          |  CROSS JOIN generate_series(-9, 9) b(j)
          |  WHERE abs(a.i) <= sg.r AND abs(b.j) <= sg.r),
          |corr AS (
-         |  SELECT t.sigma, sum(i.v * t.g) AS s1, sum(t.g * t.g) AS s2
+         |  -- fixed-order folds in the kernel's (i, j) loop order: a
+         |  -- parallel float sum() could reorder additions run-to-run
+         |  SELECT t.sigma,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(i.v * t.g ORDER BY t.i, t.j)),
+         |      (x_, y_) -> x_ + y_) AS s1,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(t.g * t.g ORDER BY t.i, t.j)),
+         |      (x_, y_) -> x_ + y_) AS s2
          |  FROM taps t
          |  CROSS JOIN pk
          |  JOIN img i ON i.l_idx = pk.pl + t.i AND i.m_idx = pk.pm + t.j
@@ -1408,7 +1416,10 @@ object QueriesKernels {
          |  SELECT sigma, s1 / s2 AS amp FROM corr
          |  ORDER BY s1 * s1 / s2 DESC, sigma ASC LIMIT 1),
          |sub AS (
-         |  SELECT p.l_idx, p.m_idx, sum(t.g * f.k) AS c
+         |  SELECT p.l_idx, p.m_idx,
+         |    list_reduce(list_prepend(CAST(0 AS DOUBLE),
+         |      list(t.g * f.k ORDER BY t.i, t.j)),
+         |      (x_, y_) -> x_ + y_) AS c
          |  FROM px p
          |  CROSS JOIN best b
          |  CROSS JOIN pk
@@ -1468,16 +1479,28 @@ object QueriesKernels {
       // the refined width. Tap bounds use a fixed +-18 series clipped
       // by ceil(3 sigma), mirroring the kernel's loop bounds exactly.
       val sig1 = "1.0e0"; val sig2 = "2.0e0"; val sig3 = "3.0e0"
+      // FIXED-ORDER folds, not sum(): DuckDB parallelizes float
+      // aggregation, so a plain sum's addition order varies with
+      // thread scheduling — observed once as a full-gate flicker when
+      // a borderline value crossed the 1e-6 grid. list(... ORDER BY
+      // di, dj) + list_reduce replays the KERNEL'S exact accumulation
+      // order (CleanOps fit(): di outer, dj inner, ascending), making
+      // the doubles bit-identical, not just grid-equal.
+      def foldSum(terms: String) =
+        s"list_reduce(list_prepend(CAST(0 AS DOUBLE), $terms), " +
+          "(x_, y_) -> x_ + y_)"
       def s1(sig: String) =
-        s"(SELECT sum(rr.v * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
+        s"(SELECT ${foldSum(
+            s"list(rr.v * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) ORDER BY a.di, b.dj)")} " +
           s"FROM generate_series(-9, 9) a(di) CROSS JOIN generate_series(-9, 9) b(dj) " +
           s"CROSS JOIN r rr " +
           s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND rr.l_idx = pl + a.di AND rr.m_idx = pm + b.dj)"
       def s2(sig: String) =
-        s"(SELECT sum(exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) " +
-          s"     * exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig))))) " +
+        s"(SELECT ${foldSum(
+            s"list(exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) " +
+            s"* exp(-(a.di * a.di + b.dj * b.dj) * (1.0 / (2.0 * ($sig) * ($sig)))) ORDER BY a.di, b.dj)")} " +
           s"FROM generate_series(-9, 9) a(di) CROSS JOIN generate_series(-9, 9) b(dj) " +
           s"WHERE abs(a.di) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
           s"AND abs(b.dj) <= CAST(ceil(3.0 * ($sig)) AS INT) " +
@@ -1539,7 +1562,9 @@ object QueriesKernels {
          |  UNION ALL
          |  SELECT r.it + 1, r.l_idx, r.m_idx,
          |    r.v - ${fmt(0.1)} * pk.ampf * coalesce(
-         |      (SELECT sum(exp(-(a.gi * a.gi + b.gj * b.gj) * pk.inv) * f.k)
+         |      (SELECT ${foldSum(
+                  "list(exp(-(a.gi * a.gi + b.gj * b.gj) * pk.inv) * f.k " +
+                  "ORDER BY a.gi, b.gj)")}
          |       FROM generate_series(-9, 9) a(gi)
          |       CROSS JOIN generate_series(-9, 9) b(gj)
          |       JOIN psf f ON f.l_idx = 8 + r.l_idx - pk.pl - a.gi
