@@ -2280,6 +2280,42 @@ object Queries {
        |  CAST(n_reached AS DOUBLE) / CAST(n0 AS DOUBLE) AS rate
        |FROM g CROSS JOIN t""".stripMargin)
 
+  /** Gap-filling resample (SequenceOps.resampleFfill): each user's
+    * activity span on a 6-hour grid with forward-filled values —
+    * integer grid arithmetic, passthrough doubles, null before first
+    * observation. Both engines fill via the same running
+    * last-non-null under the same total order.
+    */
+  private val resampleFfillQ = Q(
+    (s, d) => operators.SequenceOps.resampleFfill(
+      Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+        col("event_id"), col("value")),
+      "user_id", "ts_ns", "event_id", "value",
+      stepNs = 21600L * 1000000000L),
+    """WITH b AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t0, max(epoch_ns(ts)) AS t1
+      |  FROM events GROUP BY 1),
+      |g AS (
+      |  SELECT user_id,
+      |    unnest(generate_series(t0 // 21600000000000,
+      |      t1 // 21600000000000)) * 21600000000000 AS gts
+      |  FROM b),
+      |u AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, value,
+      |    0 AS is_grid
+      |  FROM events
+      |  UNION ALL
+      |  SELECT user_id, gts, CAST(NULL AS BIGINT), CAST(NULL AS DOUBLE), 1
+      |  FROM g),
+      |f AS (
+      |  SELECT user_id, tsn, is_grid,
+      |    last_value(value IGNORE NULLS) OVER (PARTITION BY user_id
+      |      ORDER BY tsn, is_grid, event_id ROWS UNBOUNDED PRECEDING)
+      |      AS v
+      |  FROM u)
+      |SELECT user_id, tsn AS grid_ts, v AS value_ffill
+      |FROM f WHERE is_grid = 1""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2364,6 +2400,7 @@ object Queries {
     "pivot_counts" -> pivotCountsQ,
     "argmax_event" -> argmaxEventQ,
     "funnel_rates" -> funnelRatesQ,
+    "resample_ffill" -> resampleFfillQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,

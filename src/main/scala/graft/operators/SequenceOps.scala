@@ -214,6 +214,46 @@ object SequenceOps {
         (col(tsCol) - col("_touch_ts")).as("latency"))
   }
 
+  /** Gap-filling resample: per key, a fixed `stepNs` time grid spanning
+    * the key's own activity, each grid point carrying the LAST observed
+    * value at or before it (forward fill) — the asfreq+ffill move that
+    * turns an irregular event stream into a regular time series for
+    * joins and models. Grid points before the key's first observation
+    * stay null (nothing to carry). An observation exactly ON a grid
+    * point is visible to it (events order before grid markers at equal
+    * timestamps).
+    *
+    * Plan shape: a tiny per-key bounds aggregate explodes to the grid
+    * (output size = activity span / step, never events × grid); one
+    * union, ONE shuffle+sort on the key, and the forward fill is a
+    * running `last(ignoreNulls)` — O(1) state per row. No as-of join,
+    * no per-grid-point probe.
+    */
+  def resampleFfill(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String,
+                    stepNs: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bounds = events.groupBy(col(keyCol))
+      .agg(min(col(tsCol)).as("_t0"), max(col(tsCol)).as("_t1"))
+    val grid = bounds.select(col(keyCol),
+      explode(sequence(expr(s"_t0 div ${stepNs}L"),
+        expr(s"_t1 div ${stepNs}L"))).as("_g"))
+      .select(col(keyCol), (col("_g") * stepNs).as("_ts"),
+        lit(null).cast("long").as(tieCol),
+        lit(null).cast("double").as(valueCol), lit(1).as("_is_grid"))
+    val obs = events.select(col(keyCol), col(tsCol).as("_ts"),
+      col(tieCol), col(valueCol).cast("double").as(valueCol),
+      lit(0).as("_is_grid"))
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col("_ts"), col("_is_grid"), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    obs.unionByName(grid)
+      .withColumn("_v", last(col(valueCol), ignoreNulls = true).over(w))
+      .where(col("_is_grid") === 1)
+      .select(col(keyCol), col("_ts").as("grid_ts"),
+        col("_v").as("value_ffill"))
+  }
+
   /** Behavioral entropy: per key, the Shannon entropy (nats) of its
     * event-type distribution — the bot-vs-human diversity signal
     * (a scraper hammering one endpoint scores ~0; an organic session

@@ -136,6 +136,24 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out(7L) === ((Some(7L), Some(0L))))
   }
 
+  test("resampleFfill: grid spans activity, forward-fills, on-grid event visible") {
+    val events = Seq(
+      (1L, 12L, 1L, 5.0),   // first obs after grid point 10
+      (1L, 20L, 2L, 7.0),   // exactly ON grid point 20
+      (1L, 33L, 3L, 9.0),
+      (2L, 5L, 4L, 1.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val out = SequenceOps.resampleFfill(events, "user_id", "ts_ns",
+        "event_id", "value", stepNs = 10L)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    // user 1 grid: 10 (before first obs -> null), 20 (on-grid event
+    // wins over the carried 5.0), 30 (carry 7.0)
+    assert(out === Map(
+      (1L, 10L) -> None, (1L, 20L) -> Some(7.0), (1L, 30L) -> Some(7.0),
+      (2L, 0L) -> None))
+  }
+
   test("behavioralEntropy: uniform mix maxes, single-type is zero") {
     val events = Seq(
       (1L, "a"), (1L, "b"), (1L, "c"), (1L, "d"),   // uniform over 4
