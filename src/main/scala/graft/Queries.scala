@@ -2316,6 +2316,66 @@ object Queries {
       |SELECT user_id, tsn AS grid_ts, v AS value_ffill
       |FROM f WHERE is_grid = 1""".stripMargin)
 
+  /** Multiset EXCEPT through Spark's exceptAll — duplicates subtract
+    * by count, genuinely exercised because (orderkey, linenumber) is
+    * NOT unique in the synthetic fact. All integers.
+    */
+  private val exceptAllQ = Q(
+    (s, d) => {
+      val a = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val b = Tables.lineitem(s, d).where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      a.exceptAll(b).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+    """WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |      WHERE l_discount > 0.05),
+      |e AS (SELECT * FROM a EXCEPT ALL SELECT * FROM b)
+      |SELECT l_orderkey, count(*) AS n FROM e GROUP BY 1""".stripMargin)
+
+  /** Multiset INTERSECT (intersectAll) — the companion surface. */
+  private val intersectAllQ = Q(
+    (s, d) => {
+      val a = Tables.lineitem(s, d).where(col("l_returnflag") === "R")
+        .select(col("l_orderkey"), col("l_linenumber"))
+      val b = Tables.lineitem(s, d).where(col("l_discount") > 0.05)
+        .select(col("l_orderkey"), col("l_linenumber"))
+      a.intersectAll(b).groupBy(col("l_orderkey"))
+        .agg(count(lit(1)).as("n"))
+    },
+    """WITH a AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |           WHERE l_returnflag = 'R'),
+      |b AS (SELECT l_orderkey, l_linenumber FROM lineitem
+      |      WHERE l_discount > 0.05),
+      |e AS (SELECT * FROM a INTERSECT ALL SELECT * FROM b)
+      |SELECT l_orderkey, count(*) AS n FROM e GROUP BY 1""".stripMargin)
+
+  /** Fixed-bin histogram of value: 20 equal-width bins over the
+    * observed [min, max], top edge clamped into the last bin — the
+    * bin arithmetic is one identical double expression per row in
+    * both engines, counts exact.
+    */
+  private val valueHistogramQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val m = ev.agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      ev.crossJoin(broadcast(m))
+        .select(least(
+          floor((col("value") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / lit(20.0))).cast("int"),
+          lit(19)).as("bin"))
+        .groupBy(col("bin")).agg(count(lit(1)).as("n"))
+    },
+    """WITH m AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
+      |b AS (
+      |  SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+      |    AS INT), 19) AS bin
+      |  FROM events CROSS JOIN m)
+      |SELECT bin, count(*) AS n FROM b GROUP BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2401,6 +2461,9 @@ object Queries {
     "argmax_event" -> argmaxEventQ,
     "funnel_rates" -> funnelRatesQ,
     "resample_ffill" -> resampleFfillQ,
+    "except_all" -> exceptAllQ,
+    "intersect_all" -> intersectAllQ,
+    "value_histogram" -> valueHistogramQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "interval_join" -> intervalJoinQ,
