@@ -1079,6 +1079,35 @@ object QueriesLlm {
          |GROUP BY 1""".stripMargin
     })
 
+  /** The STREAMING curation pipeline on the batch frame: stateless
+    * scrub → stateful first-seen dedup (streamingExactDedup, the one
+    * stateful operator) → kept-id semi-join → stateless quality gate
+    * and per-language budget. Deployed streaming, the semi-join and
+    * aggregate run downstream of the dedup's output table (the
+    * two-stage pattern every ingest dedup uses — see
+    * streamingBandCollisions' scaladoc); on a batch frame the dedup
+    * folds to the same min-id rule as dropExactDupes, so the whole
+    * composition must equal curation_pipeline exactly (shared oracle).
+    */
+  private val streamCurationQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text", "lang")
+      val corpus = docs.unionByName(docs.where(col("doc_id") < 20)
+        .select((col("doc_id") + 10000).as("doc_id"), col("text"),
+          col("lang")))
+      val scrubbed = TextOps.piiScrub(corpus, "text")
+      val kept = graft.streaming.StreamingOps.streamingExactDedup(s,
+          scrubbed, "doc_id", "text_scrubbed")
+        .select(col("doc_id"))
+      val deduped = scrubbed.join(kept, Seq("doc_id"), "left_semi")
+      val scored = TextOps.qualityScore(
+        TextOps.tokenCounts(deduped, "text_scrubbed"), "text_scrubbed")
+      scored.where(col("quality_score") > 0.5)
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_tokens"))
+    },
+    curationPipelineQ.sql)
+
   private val textQualityQ = Q(
     (s, d) => TextOps.qualityScore(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("n_chars_q"),
@@ -2600,6 +2629,7 @@ object QueriesLlm {
     "pii_scrub" -> piiScrubQ,
     "url_dedup" -> urlDedupQ,
     "curation_pipeline" -> curationPipelineQ,
+    "stream_curation" -> streamCurationQ,
     "fingerprint" -> fingerprintQ,
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,
