@@ -82,6 +82,41 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("phrase_search prunes postings via broadcast BEFORE the anchor shuffle") {
+    // the term join must broadcast the phrase-terms literal and sit
+    // BELOW the (doc, anchor) exchange — that ordering is what bounds
+    // shuffle volume to the query terms' posting lists at 100 TB
+    val p = plan("phrase_search")
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastNestedLoopJoin"),
+      s"phrase_search lost its broadcast term join:\n$p")
+    val bcast = p.indexOf("BroadcastHashJoin")
+    val exch = p.indexOf("Exchange hashpartitioning")
+    assert(bcast >= 0 && (exch < 0 || exch < bcast),
+      s"phrase_search shuffles before pruning postings (exchange at " +
+        s"$exch, broadcast at $bcast — broadcast must be deeper):\n$p")
+  }
+
+  test("winsorize / temperature_mix broadcast their cutoff tables") {
+    // both join a tiny derived dimension (per-group quantiles; per-
+    // stratum rates) back to the fact — a sort-merge here would
+    // shuffle the whole fact for a |groups|-row table
+    for (name <- Seq("winsorize", "temperature_mix")) {
+      val p = plan(name)
+      assert(p.contains("BroadcastHashJoin"),
+        s"$name cutoff join is not broadcast:\n$p")
+      assert(!p.contains("SortMergeJoin"),
+        s"$name degenerated to a sort-merge join:\n$p")
+    }
+  }
+
+  test("resample_ffill fills with ONE fact sort (single window pass)") {
+    // the union + running last-non-null must plan as one Window over
+    // one key sort; a second WindowExec would mean the fill re-sorts
+    val p = plan("resample_ffill")
+    assert("Window \\[".r.findAllIn(p).size === 1,
+      s"resample_ffill grew extra Window passes:\n$p")
+  }
+
   test("make_sd_image tap expansion stays codegen (no ScalaUDF in plan)") {
     // round-7 verdict item 2: the tap fan-out must be a Generate over a
     // LITERAL offset array + column arithmetic — a per-row UDF explode
