@@ -72,3 +72,203 @@ object CharEntropy {
 
   def apply(c: Column): Column = toColumn(CharEntropy(toExpression(c)))
 }
+
+/** Per-word polynomial hash array — the native form of
+  * TextOps.wordHashes, the first stage of every shingle/minhash/simhash
+  * corpus scan. Same kernel function, minus the Scala-UDF wrapper
+  * (serializer round-trip + boxed WrappedArray per row).
+  */
+case class WordHashArr(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"word_hashes expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    WordHashArr.kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, s => s"graft.functions.WordHashArr.kernel($s)")
+  override protected def withNewChildInternal(newChild: Expression): WordHashArr =
+    copy(child = newChild)
+}
+
+object WordHashArr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(s: UTF8String): ArrayData =
+    new GenericArrayData(graft.operators.TextOps.wordHashesFn(s.toString))
+  def apply(c: Column): Column = toColumn(WordHashArr(toExpression(c)))
+}
+
+/** Distinct n-word shingle hashes — native TextOps.shingleHashes. */
+case class ShingleHashArr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"shingle_hashes expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    ShingleHashArr.kernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.ShingleHashArr.kernel($s, $n)")
+  override protected def withNewChildInternal(newChild: Expression): ShingleHashArr =
+    copy(child = newChild)
+}
+
+object ShingleHashArr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      graft.operators.TextOps.shingleHashesFn(s.toString, n))
+  def apply(c: Column, n: Int): Column =
+    toColumn(ShingleHashArr(toExpression(c), n))
+}
+
+/** Winnowed fingerprint set — native TextOps.winnowFingerprints. */
+case class WinnowFpArr(child: Expression, n: Int, w: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"winnow_fp expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    WinnowFpArr.kernel(input.asInstanceOf[UTF8String], n, w)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.WinnowFpArr.kernel($s, $n, $w)")
+  override protected def withNewChildInternal(newChild: Expression): WinnowFpArr =
+    copy(child = newChild)
+}
+
+object WinnowFpArr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(s: UTF8String, n: Int, w: Int): ArrayData =
+    new GenericArrayData(
+      graft.operators.TextOps.winnowFingerprintsFn(s.toString, n, w))
+  def apply(c: Column, n: Int, w: Int): Column =
+    toColumn(WinnowFpArr(toExpression(c), n, w))
+}
+
+/** SimHash signature — native DedupOps.simHash (long out). */
+case class SimHash64(child: Expression, nbits: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = LongType
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"simhash expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    SimHash64.kernel(input.asInstanceOf[UTF8String], nbits)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.SimHash64.kernel($s, $nbits)")
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  def kernel(s: UTF8String, nbits: Int): Long =
+    graft.operators.DedupOps.simHashFn(s.toString, nbits)
+  def apply(c: Column, nbits: Int): Column =
+    toColumn(SimHash64(toExpression(c), nbits))
+}
+
+/** MinHash signature over a shingle-hash array — native
+  * DedupOps.minHashSignature. Primitive getLong per element, no
+  * WrappedArray; null for an empty shingle set (the no-shingle doc
+  * drops out of banding via explode-of-null, same as the UDF).
+  */
+case class MinHashSig(child: Expression, numHashes: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"minhash_sig expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    MinHashSig.kernel(input.asInstanceOf[ArrayData], numHashes)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a =>
+      s"""${ev.value} = graft.functions.MinHashSig.kernel($a, $numHashes);
+         |${ev.isNull} = (${ev.value} == null);""".stripMargin)
+  override protected def withNewChildInternal(newChild: Expression): MinHashSig =
+    copy(child = newChild)
+}
+
+object MinHashSig {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(a: ArrayData, k: Int): ArrayData = {
+    import graft.operators.{DedupOps, TextOps}
+    val n = a.numElements()
+    if (n == 0) return null
+    val out = new Array[Long](k)
+    var j = 0
+    while (j < k) {
+      val aj = DedupOps.minHashA(j); val bj = DedupOps.minHashB(j)
+      var best = Long.MaxValue
+      var i = 0
+      while (i < n) {
+        val h = (aj * a.getLong(i) + bj) % TextOps.HashMod
+        if (h < best) best = h
+        i += 1
+      }
+      out(j) = best
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  def apply(c: Column, numHashes: Int): Column =
+    toColumn(MinHashSig(toExpression(c), numHashes))
+}
+
+/** LSH band hashes over a MinHash signature — native
+  * DedupOps.bandHashesFn (same positional base-combine arithmetic).
+  */
+case class BandHashArr(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.ArrayData
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"band_hashes expects ARRAY<BIGINT>, got ${t.sql}")
+  }
+  override def nullSafeEval(input: Any): Any =
+    BandHashArr.kernel(input.asInstanceOf[ArrayData], bands, rowsPerBand)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev, a =>
+      s"graft.functions.BandHashArr.kernel($a, $bands, $rowsPerBand)")
+  override protected def withNewChildInternal(newChild: Expression): BandHashArr =
+    copy(child = newChild)
+}
+
+object BandHashArr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(a: ArrayData, bands: Int, rowsPerBand: Int): ArrayData = {
+    import graft.operators.TextOps
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var acc = 0L
+      var r = 0
+      while (r < rowsPerBand) {
+        // weight = HashBase^(rowsPerBand-1-r) mod M, as in bandHashesFn
+        var w = 1L
+        var t = 0
+        while (t < rowsPerBand - 1 - r) { w = w * TextOps.HashBase % TextOps.HashMod; t += 1 }
+        acc += a.getLong(b * rowsPerBand + r) * w % TextOps.HashMod
+        r += 1
+      }
+      out(b) = acc % TextOps.HashMod
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  def apply(c: Column, bands: Int, rowsPerBand: Int): Column =
+    toColumn(BandHashArr(toExpression(c), bands, rowsPerBand))
+}

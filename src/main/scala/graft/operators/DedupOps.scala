@@ -125,8 +125,12 @@ object DedupOps {
       best
     }
 
+  /** Native codegen form (functions.MinHashSig) — primitive getLong
+    * over the shingle ArrayData, no WrappedArray boxing on the corpus
+    * scan; null for empty shingle sets, same as the old UDF.
+    */
   def minHashSignature(shingles: Column, numHashes: Int): Column =
-    udf((sh: Seq[Long]) => minHashSignatureFn(sh, numHashes)).apply(shingles)
+    graft.functions.MinHashSig(shingles, numHashes)
 
   private[graft] def bandHashesFn(sig: Seq[Long], bands: Int,
                                   rowsPerBand: Int): Array[Long] =
@@ -142,14 +146,15 @@ object DedupOps {
       acc % HashMod
     }
 
-  /** LSH banding: rows (id, band, band_hash), one per band. */
+  /** LSH banding: rows (id, band, band_hash), one per band. Native
+    * codegen band kernel (functions.BandHashArr; null signature →
+    * null array → posexplode drops the doc, as before).
+    */
   def lshBands(df: DataFrame, idCol: String, sigCol: String,
-               bands: Int, rowsPerBand: Int): DataFrame = {
-    val bandsUdf = udf((sig: Seq[Long]) =>
-      if (sig == null) null else bandHashesFn(sig, bands, rowsPerBand))
-    df.select(col(idCol), posexplode(bandsUdf(col(sigCol)))
+               bands: Int, rowsPerBand: Int): DataFrame =
+    df.select(col(idCol), posexplode(
+        graft.functions.BandHashArr(col(sigCol), bands, rowsPerBand))
       .as(Seq("band", "band_hash")))
-  }
 
   /** Candidate pairs (id1 < id2) from MinHash-LSH banding over n-word
     * shingles, with per-bucket size cap against degenerate skew.
@@ -542,8 +547,9 @@ object DedupOps {
     out
   }
 
+  /** Native codegen form (functions.SimHash64). */
   def simHash(textCol: Column, nbits: Int = 16): Column =
-    udf((s: String) => simHashFn(s, nbits)).apply(textCol)
+    graft.functions.SimHash64(textCol, nbits)
 
   /** Hamming distance between two simhash longs. */
   def hammingDist(a: Column, b: Column): Column =

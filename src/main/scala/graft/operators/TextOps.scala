@@ -82,15 +82,18 @@ object TextOps {
   /** Whitespace tokens. */
   def words(c: Column): Column = split(c, " ")
 
-  /** Per-word polynomial hashes. */
-  def wordHashes(c: Column): Column = udf(wordHashesFn _).apply(c)
+  /** Per-word polynomial hashes — native codegen kernel (no UDF
+    * wrapper on the corpus scan; see functions.WordHashArr).
+    */
+  def wordHashes(c: Column): Column = graft.functions.WordHashArr(c)
 
   /** Hashes of n-word shingles: combine n consecutive word hashes
     * positionally (base-31^k weights, mod M). Returns DISTINCT shingle
-    * hashes — the set form used by Jaccard / MinHash.
+    * hashes — the set form used by Jaccard / MinHash. Native codegen
+    * kernel (functions.ShingleHashArr).
     */
   def shingleHashes(c: Column, n: Int): Column =
-    udf((s: String) => shingleHashesFn(s, n)).apply(c)
+    graft.functions.ShingleHashArr(c, n)
 
   /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS local
     * fingerprinting scheme): slide a window of `w` consecutive n-gram
@@ -131,9 +134,11 @@ object TextOps {
     out.distinct
   }
 
-  /** Column form of [[winnowFingerprintsFn]] (compiled kernel). */
+  /** Column form of [[winnowFingerprintsFn]] — native codegen kernel
+    * (functions.WinnowFpArr).
+    */
   def winnowFingerprints(c: Column, n: Int, w: Int): Column =
-    udf((s: String) => winnowFingerprintsFn(s, n, w)).apply(c)
+    graft.functions.WinnowFpArr(c, n, w)
 
   /** Token counts: whitespace tokens and a BPE-ish regex token count
     * (letter runs / digits / other non-space singletons).

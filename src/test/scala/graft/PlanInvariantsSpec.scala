@@ -82,6 +82,19 @@ class PlanInvariantsSpec extends SparkSpec {
     }
   }
 
+  test("text dedup corpus scans stay native codegen (no ScalaUDF in plan)") {
+    // word/shingle/minhash/band/simhash/winnow kernels are the hottest
+    // text scans of the 100 TB story — they must run as
+    // graft.functions.TextKernels expressions, not Scala UDFs (which
+    // box a WrappedArray per row and break whole-stage codegen)
+    for (name <- Seq("dedup_minhash", "dedup_simhash",
+        "winnow_fingerprints", "stream_neardup")) {
+      val p = plan(name)
+      assert(!p.contains("ScalaUDF"),
+        s"$name corpus scan fell back to a Scala UDF:\n$p")
+    }
+  }
+
   test("phrase_search prunes postings via broadcast BEFORE the anchor shuffle") {
     // the term join must broadcast the phrase-terms literal and sit
     // BELOW the (doc, anchor) exchange — that ordering is what bounds
