@@ -272,3 +272,157 @@ object BandHashArr {
   def apply(c: Column, bands: Int, rowsPerBand: Int): Column =
     toColumn(BandHashArr(toExpression(c), bands, rowsPerBand))
 }
+
+/** Per-document term-frequency vector against a FIXED query-term array
+  * — native form of bm25Score's tf scan (one int per term per doc, no
+  * explode, no UDF).
+  */
+case class TermFreqs(child: Expression, terms: Array[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"term_freqs expects STRING, got ${child.dataType.sql}")
+  def kernel(s: UTF8String): Any = {
+    val ws = graft.operators.TextOps.wordsFn(s.toString)
+    val out = new Array[Int](terms.length)
+    var i = 0
+    while (i < terms.length) {
+      val t = terms(i)
+      var c = 0
+      var j = 0
+      while (j < ws.length) { if (ws(j) == t) c += 1; j += 1 }
+      out(i) = c
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[TermFreqs].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): TermFreqs =
+    copy(child = newChild)
+}
+
+object TermFreqs {
+  def apply(c: Column, terms: Seq[String]): Column =
+    toColumn(TermFreqs(toExpression(c), terms.toArray))
+}
+
+/** Rank-ordered BPE merge replay on one word — native form of
+  * bpeApply's per-word tokenizer scan. The merge table rides the
+  * expression as a reference object; greedy left-to-right,
+  * non-overlapping, exactly the Scala UDF's loop.
+  */
+case class BpeApplySyms(child: Expression, mergesL: Array[String],
+                        mergesR: Array[String])
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"bpe_apply expects STRING, got ${child.dataType.sql}")
+  def kernel(s: UTF8String): Any = {
+    val w = s.toString
+    var syms: Array[String] =
+      w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
+    var k = 0
+    while (k < mergesL.length) {
+      val l = mergesL(k); val r = mergesR(k)
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
+          out += l + r; i += 2
+        } else { out += syms(i); i += 1 }
+      }
+      syms = out.toArray
+      k += 1
+    }
+    new GenericArrayData(syms.map(UTF8String.fromString))
+  }
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[BpeApplySyms].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): BpeApplySyms =
+    copy(child = newChild)
+}
+
+object BpeApplySyms {
+  def apply(c: Column, merges: Seq[(String, String)]): Column =
+    toColumn(BpeApplySyms(toExpression(c),
+      merges.map(_._1).toArray, merges.map(_._2).toArray))
+}
+
+/** Gopher repetition statistics in one pass — native form of
+  * gopherQuality's kernel scan. Emits the struct
+  * (n_words, n_distinct_words, dup_word_frac, top_bigram,
+  * top_bigram_char_frac, top_trigram_char_frac) with the same
+  * (count desc, string asc) top-n-gram tie-break the oracle replays.
+  */
+case class GopherStats(child: Expression) extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_words", IntegerType, nullable = false),
+    StructField("n_distinct_words", IntegerType, nullable = false),
+    StructField("dup_word_frac", DoubleType, nullable = false),
+    StructField("top_bigram", StringType, nullable = false),
+    StructField("top_bigram_char_frac", DoubleType, nullable = false),
+    StructField("top_trigram_char_frac", DoubleType, nullable = false)))
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"gopher_stats expects STRING, got ${child.dataType.sql}")
+  def kernel(s: UTF8String): Any = {
+    val text = s.toString
+    val ws = graft.operators.TextOps.wordsFn(text)
+    def topNgram(n: Int): (String, Int) = {
+      if (ws.length < n) return ("", 0)
+      val counts = scala.collection.mutable.HashMap.empty[String, Int]
+      var i = 0
+      while (i <= ws.length - n) {
+        val t = ws.slice(i, i + n).mkString(" ")
+        counts(t) = counts.getOrElse(t, 0) + 1
+        i += 1
+      }
+      counts.toSeq.minBy { case (t, c) => (-c, t) }
+    }
+    val nWords = ws.length
+    val nDistinct = ws.distinct.length
+    val nChars = text.length
+    val dupFrac =
+      if (nWords > 0) (nWords - nDistinct).toDouble / nWords else 0.0
+    val (bg, bgc) = topNgram(2)
+    val (tg, tgc) = topNgram(3)
+    val bgFrac = if (nChars > 0) bgc.toLong * bg.length / nChars.toDouble
+                 else 0.0
+    val tgFrac = if (nChars > 0) tgc.toLong * tg.length / nChars.toDouble
+                 else 0.0
+    new GenericInternalRow(Array[Any](nWords, nDistinct, dupFrac,
+      UTF8String.fromString(bg), bgFrac, tgFrac))
+  }
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[GopherStats].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.InternalRow) $ref.kernel($s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): GopherStats =
+    copy(child = newChild)
+}
+
+object GopherStats {
+  def apply(c: Column): Column = toColumn(GopherStats(toExpression(c)))
+}

@@ -608,26 +608,15 @@ object TextOps {
           "rank-order replay only equals apply_bpe for learned tables")
       produced += l + r
     }
-    val applyUdf = udf((w: String) => {
-      var syms: Array[String] =
-        w.codePoints().toArray.map(cp => new String(Character.toChars(cp)))
-      for ((l, r) <- merges) {
-        val out = scala.collection.mutable.ArrayBuffer.empty[String]
-        var i = 0
-        while (i < syms.length) {
-          if (i < syms.length - 1 && syms(i) == l && syms(i + 1) == r) {
-            out += l + r; i += 2 // greedy left-to-right, non-overlapping
-          } else { out += syms(i); i += 1 }
-        }
-        syms = out.toArray
-      }
-      syms
-    })
+    // native codegen kernel (functions.BpeApplySyms): greedy
+    // left-to-right non-overlapping replay in rank order, merge table
+    // riding the expression as a reference object
     df.select(col(idCol), posexplode(words(col(textCol)))
         .as(Seq("word_idx", "wd")))
       .where(length(col("wd")) > 0)
       .select(col(idCol), col("word_idx"),
-        posexplode(applyUdf(col("wd"))).as(Seq("sym_idx", "token")))
+        posexplode(graft.functions.BpeApplySyms(col("wd"), merges))
+          .as(Seq("sym_idx", "token")))
   }
 
   /** Quality-score components + composite (length / punctuation ratio /
@@ -802,42 +791,18 @@ object TextOps {
                     maxDupWordFrac: Double = 0.5,
                     maxTop2Frac: Double = 0.20,
                     maxTop3Frac: Double = 0.18): DataFrame = {
-    // top n-gram by (count desc, string asc) — the same tie-break the
+    // one-pass native codegen kernel (functions.GopherStats): top
+    // n-gram by (count desc, string asc) — the same tie-break the
     // oracle's array_agg(s ORDER BY c DESC, s) applies (binary UTF8
     // ordering in both engines).
-    def topNgram(ws: Array[String], n: Int): (String, Int) = {
-      if (ws.length < n) return ("", 0)
-      val counts = scala.collection.mutable.HashMap.empty[String, Int]
-      var i = 0
-      while (i <= ws.length - n) {
-        val s = ws.slice(i, i + n).mkString(" ")
-        counts(s) = counts.getOrElse(s, 0) + 1
-        i += 1
-      }
-      counts.toSeq.minBy { case (s, c) => (-c, s) }
-    }
-    val kernel = udf((text: String) => {
-      val ws = wordsFn(text)
-      val nWords = ws.length
-      val nDistinct = ws.distinct.length
-      val nChars = text.length
-      val dupFrac =
-        if (nWords > 0) (nWords - nDistinct).toDouble / nWords else 0.0
-      val (bg, bgc) = topNgram(ws, 2)
-      val (tg, tgc) = topNgram(ws, 3)
-      val bgFrac = if (nChars > 0) bgc.toLong * bg.length / nChars.toDouble
-                   else 0.0
-      val tgFrac = if (nChars > 0) tgc.toLong * tg.length / nChars.toDouble
-                   else 0.0
-      (nWords, nDistinct, dupFrac, bg, bgFrac, tgFrac)
-    })
-    df.withColumn("_gq", kernel(col(textCol)))
-      .withColumn("n_words", col("_gq._1"))
-      .withColumn("n_distinct_words", col("_gq._2"))
-      .withColumn("dup_word_frac", col("_gq._3"))
-      .withColumn("top_bigram", col("_gq._4"))
-      .withColumn("top_bigram_char_frac", col("_gq._5"))
-      .withColumn("top_trigram_char_frac", col("_gq._6"))
+    df.withColumn("_gq", graft.functions.GopherStats(col(textCol)))
+      .withColumn("n_words", col("_gq.n_words"))
+      .withColumn("n_distinct_words", col("_gq.n_distinct_words"))
+      .withColumn("dup_word_frac", col("_gq.dup_word_frac"))
+      .withColumn("top_bigram", col("_gq.top_bigram"))
+      .withColumn("top_bigram_char_frac", col("_gq.top_bigram_char_frac"))
+      .withColumn("top_trigram_char_frac",
+        col("_gq.top_trigram_char_frac"))
       .withColumn("quality_keep",
         col("dup_word_frac") < maxDupWordFrac &&
           col("top_bigram_char_frac") < maxTop2Frac &&
@@ -865,12 +830,9 @@ object TextOps {
                 terms: Seq[String], k1: Double = 1.2,
                 b: Double = 0.75): DataFrame = {
     val termsArr = terms.toArray
-    val tfUdf = udf((text: String) => {
-      val ws = wordsFn(text)
-      termsArr.map(t => ws.count(_ == t))
-    })
     val withTf = df.select(col(idCol),
-      size(words(col(textCol))).as("dl"), tfUdf(col(textCol)).as("tfs"))
+      size(words(col(textCol))).as("dl"),
+      graft.functions.TermFreqs(col(textCol), terms).as("tfs"))
     val aggs = count(lit(1)).cast("double").as("n_docs") +:
       sum(col("dl")).cast("double").as("sum_dl") +:
       termsArr.indices.map(i =>

@@ -88,7 +88,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // graft.functions.TextKernels expressions, not Scala UDFs (which
     // box a WrappedArray per row and break whole-stage codegen)
     for (name <- Seq("dedup_minhash", "dedup_simhash",
-        "winnow_fingerprints", "stream_neardup")) {
+        "winnow_fingerprints", "stream_neardup",
+        "gopher_quality", "bm25_score", "bpe_apply")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"),
         s"$name corpus scan fell back to a Scala UDF:\n$p")
