@@ -1108,6 +1108,69 @@ object QueriesLlm {
     },
     curationPipelineQ.sql)
 
+  /** Provenance QC report: per source — doc count, exact-dup count
+    * (corpus-wide 128-bit text-hash multiplicity), language diversity,
+    * quality-gate passes and total chars. The dashboard a curation
+    * pipeline reads before deciding which crawls to keep. Exact-dup
+    * signal injected by re-keying every 7th doc with identical text.
+    */
+  private val sourceReportQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .select("doc_id", "text", "lang", "source", "n_chars")
+      val corpus = docs.unionByName(docs.where(col("doc_id") % 7 === 0)
+        .withColumn("doc_id", col("doc_id") + 20000))
+      val scored = TextOps.qualityScore(
+        TextOps.tokenCounts(corpus, "text"), "text")
+      val withH = scored
+        .withColumn("_h1", TextOps.polyHash(col("text")))
+        .withColumn("_h2", TextOps.polyHash2(col("text")))
+      val dc = withH.groupBy("_h1", "_h2").agg(count(lit(1)).as("_cnt"))
+      withH.join(dc, Seq("_h1", "_h2"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(when(col("_cnt") > 1, 1L).otherwise(0L)).as("n_dup_docs"),
+          countDistinct(col("lang")).as("n_langs"),
+          sum(when(col("quality_score") > 0.5, 1L).otherwise(0L))
+            .as("n_quality"),
+          sum(col("n_chars")).as("sum_chars"))
+    },
+    s"""WITH corpus AS (
+       |  SELECT doc_id, text, lang, source, n_chars FROM documents
+       |  UNION ALL
+       |  SELECT doc_id + 20000, text, lang, source, n_chars
+       |  FROM documents WHERE doc_id % 7 = 0),
+       |h AS (SELECT *, ${phSql("text")} AS h1, ${phSql2("text")} AS h2
+       |      FROM corpus),
+       |dc AS (SELECT h1, h2, count(*) AS cnt FROM h GROUP BY 1, 2),
+       |q AS (
+       |  SELECT doc_id, source, lang, n_chars, h1, h2,
+       |    string_split(text, ' ') AS ws,
+       |    length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g'))
+       |      AS n_punct
+       |  FROM h),
+       |u AS (
+       |  SELECT doc_id, source, lang, n_chars, h1, h2,
+       |    len(ws) AS n_words, n_punct,
+       |    list_reduce(list_prepend(CAST(0 AS BIGINT),
+       |      list_transform(ws, w_ -> CAST(length(w_) AS BIGINT))),
+       |      (x_, y_) -> x_ + y_) AS sum_wlen
+       |  FROM q),
+       |j AS (SELECT u.*, dc.cnt FROM u JOIN dc USING (h1, h2))
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(CASE WHEN cnt > 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_dup_docs,
+       |  count(DISTINCT lang) AS n_langs,
+       |  CAST(sum(CASE WHEN
+       |      (CASE WHEN n_words >= 5
+       |            AND CAST(sum_wlen AS DOUBLE) / n_words
+       |                BETWEEN 2.0 AND 12.0
+       |       THEN 1.0e0 ELSE 0.0e0 END)
+       |      * (1.0e0 - least(CAST(n_punct AS DOUBLE) / n_words, 1.0e0))
+       |      > 0.5e0 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+       |  CAST(sum(n_chars) AS BIGINT) AS sum_chars
+       |FROM j GROUP BY 1""".stripMargin)
+
   private val textQualityQ = Q(
     (s, d) => TextOps.qualityScore(Tables.documents(s, d), "text")
       .select(col("doc_id"), col("n_chars_q"),
@@ -2630,6 +2693,7 @@ object QueriesLlm {
     "url_dedup" -> urlDedupQ,
     "curation_pipeline" -> curationPipelineQ,
     "stream_curation" -> streamCurationQ,
+    "source_report" -> sourceReportQ,
     "fingerprint" -> fingerprintQ,
     "cms_top_words" -> cmsTopWordsQ,
     "hash_split" -> hashSplitQ,
