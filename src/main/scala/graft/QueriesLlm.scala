@@ -2634,10 +2634,59 @@ object QueriesLlm {
        |JOIN corpus t1 ON c.id1 = t1.doc_id
        |JOIN corpus t2 ON c.id2 = t2.doc_id""".stripMargin)
 
+  /** Calibration curve of the trained classifier: quantized scores
+    * bucketed into 10 equal-width bins over the OBSERVED score range
+    * (the raw sigmoid clusters tightly, so absolute deciles would
+    * collapse to one bin), positives fraction per bucket — the bin
+    * arithmetic is one identical double expression in both engines,
+    * counts exact, one exact division.
+    */
+  private val calibrationCurveQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("sq"))
+      val m = scored.agg(min(col("sq")).as("_lo"), max(col("sq")).as("_hi"))
+      scored.crossJoin(broadcast(m))
+        .select(col("label"), least(
+          floor((col("sq") - col("_lo")) /
+            ((col("_hi") - col("_lo")) / lit(10.0))).cast("int"),
+          lit(9)).as("bucket"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("label").cast("long")).as("n_pos"))
+        .select(col("bucket"), col("n"), col("n_pos"),
+          (col("n_pos").cast("double") / col("n").cast("double"))
+            .as("frac_pos"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+           "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+           6)} AS sq
+       |  FROM f, wf),
+       |m AS (SELECT min(sq) AS lo, max(sq) AS hi FROM sc),
+       |b AS (
+       |  SELECT label, LEAST(CAST(floor((sq - lo) / ((hi - lo) / 10.0))
+       |    AS INT), 9) AS bucket
+       |  FROM sc CROSS JOIN m),
+       |g AS (
+       |  SELECT bucket, count(*) AS n,
+       |    CAST(sum(label) AS BIGINT) AS n_pos
+       |  FROM b GROUP BY 1)
+       |SELECT bucket, n, n_pos,
+       |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
+       |FROM g""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
     "edit_distance" -> editDistanceQ,
+    "calibration_curve" -> calibrationCurveQ,
     "temperature_mix" -> temperatureMixQ,
     "word_pmi" -> wordPmiQ,
     "bigram_lm" -> bigramLmQ,
