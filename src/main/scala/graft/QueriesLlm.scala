@@ -374,6 +374,71 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, bucket, ${qrSql("cos_", 8)} AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  /** k-NN majority-vote classification over the labeled embeddings —
+    * the lazy-learner companion to nearest_centroid: every vector is
+    * classified by the majority label of its 5 nearest LSH-bucket-
+    * mates (never all pairs; the bucket join is the scale path, same
+    * as embed_neardup). Vote counts are exact integers; ties break
+    * (count desc, label asc) via a deterministic struct max. Vectors
+    * alone in their bucket surface with a null prediction.
+    */
+  private val knnClassifyQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val nn = SimilarityOps.lshTopK(emb, emb, "vec_id", "vec_id",
+          "embedding", dim = 64, k = 5)
+        .select(col("query_id"), col("neighbor_id"))
+      val votes = nn
+        .join(emb.select(col("vec_id").as("neighbor_id"),
+          col("label").as("_nl")), "neighbor_id")
+        .groupBy(col("query_id"), col("_nl"))
+        .agg(count(lit(1)).as("_c"))
+      val pick = votes.groupBy(col("query_id"))
+        .agg(max(struct(col("_c"), (-col("_nl")).as("_neg"))).as("_m"),
+          sum(col("_c")).as("n_neighbors"))
+        .select(col("query_id"), (-col("_m._neg")).as("pred_label"),
+          col("n_neighbors"))
+      emb.select(col("vec_id"), col("label"))
+        .join(pick, col("vec_id") === col("query_id"), "left")
+        .select(col("vec_id"), col("label"), col("pred_label"),
+          coalesce(col("n_neighbors"), lit(0L)).as("n_neighbors"),
+          when(col("label") === col("pred_label"), 1).otherwise(0)
+            .as("correct"))
+    },
+    s"""WITH e0 AS (SELECT vec_id, label, embedding::DOUBLE[] AS v
+       |            FROM embeddings),
+       |e AS (SELECT vec_id, label, v, ${bucketSql("v")} AS bucket
+       |      FROM e0),
+       |scored AS (
+       |  SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+       |    e.label AS nl,
+       |    ${dotSql("q.v", "e.v")} / (sqrt(${dotSql("q.v", "q.v")})
+       |      * sqrt(${dotSql("e.v", "e.v")})) AS cos_
+       |  FROM e JOIN e q ON e.bucket = q.bucket
+       |  WHERE q.vec_id <> e.vec_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, nl,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY cos_ DESC, neighbor_id) AS rank
+       |  FROM scored),
+       |votes AS (
+       |  SELECT query_id, nl, count(*) AS c
+       |  FROM ranked WHERE rank <= 5 GROUP BY 1, 2),
+       |pick AS (
+       |  SELECT query_id, nl AS pred_label,
+       |    CAST(sum(c) OVER (PARTITION BY query_id) AS BIGINT)
+       |      AS n_neighbors,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY c DESC, nl ASC) AS pr
+       |  FROM votes)
+       |SELECT e0.vec_id, CAST(e0.label AS INT) AS label,
+       |  CAST(p.pred_label AS INT) AS pred_label,
+       |  coalesce(p.n_neighbors, 0) AS n_neighbors,
+       |  CAST(CASE WHEN e0.label = p.pred_label THEN 1 ELSE 0 END AS INT)
+       |    AS correct
+       |FROM e0 LEFT JOIN (SELECT * FROM pick WHERE pr = 1) p
+       |  ON e0.vec_id = p.query_id""".stripMargin)
+
   /** Index-quality eval: recall@5 of the single-bucket LSH index
     * against the brute-force ground truth, per query. Both member
     * sets are selected on bit-identical cosines (recipe-proven), so
@@ -2718,6 +2783,7 @@ object QueriesLlm {
     "ngram_jaccard" -> ngramJaccardQ,
     "ann_topk" -> annTopkQ,
     "ann_lsh" -> annLshQ,
+    "knn_classify" -> knnClassifyQ,
     "ann_lsh_probed" -> annLshProbedQ,
     "ann_recall" -> annRecallQ,
     "ann_ivf" -> annIvfQ,
