@@ -2081,6 +2081,29 @@ object Queries {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM lineitem GROUP BY 1""".stripMargin)
 
+  /** CSV round-trip (headered), completing the interchange trio with
+    * ORC and JSONL: integer/string columns, writer-schema read.
+    */
+  private val csvRoundtripQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_csv_${math.abs(d.hashCode)}"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
+      val src = Tables.lineitem(s, d).select(cols.map(col): _*)
+      sources.IoOps.writeTable(src, path, "csv", repartitionTo = Some(4),
+        options = Map("header" -> "true"))
+      sources.IoOps.readTable(s, path, "csv", Some(src.schema),
+          options = Map("header" -> "true"))
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          sum(col("l_linenumber")).as("sum_line"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, count(*) AS n,
+      |  CAST(sum(l_linenumber) AS BIGINT) AS sum_line,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem GROUP BY 1""".stripMargin)
+
   /** JSONL round-trip: write integer/string columns as JSON lines,
     * read back under the WRITER'S schema (inference would widen the
     * integers), aggregate — proves the interchange path lossless.
@@ -2466,6 +2489,7 @@ object Queries {
     "value_histogram" -> valueHistogramQ,
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
+    "csv_roundtrip" -> csvRoundtripQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

@@ -41,24 +41,27 @@ object IoOps {
   def writeTable(df: DataFrame, path: String, format: String,
                  partitionBy: Seq[String] = Nil,
                  repartitionTo: Option[Int] = None,
-                 mode: String = "overwrite"): Unit = {
+                 mode: String = "overwrite",
+                 options: Map[String, String] = Map.empty): Unit = {
     val sized = repartitionTo.map(n =>
       if (partitionBy.nonEmpty)
         df.repartition(n, partitionBy.map(col): _*)
       else df.repartition(n)).getOrElse(df)
-    val w = sized.write.mode(mode).format(format)
+    val w = sized.write.mode(mode).format(format).options(options)
     (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
       .save(path)
   }
 
-  /** Generic-format source. For schemaless text formats (JSONL) pass
-    * the writer's schema explicitly — inference would widen integer
-    * columns and break round-trip fidelity; ORC carries its own types.
+  /** Generic-format source. For schemaless text formats (JSONL, CSV)
+    * pass the writer's schema explicitly — inference would widen
+    * integer columns and break round-trip fidelity; ORC carries its
+    * own types.
     */
   def readTable(spark: SparkSession, path: String, format: String,
-                schema: Option[org.apache.spark.sql.types.StructType] = None)
+                schema: Option[org.apache.spark.sql.types.StructType] = None,
+                options: Map[String, String] = Map.empty)
       : DataFrame = {
-    val r = spark.read.format(format)
+    val r = spark.read.format(format).options(options)
     schema.fold(r)(s => r.schema(s)).load(path)
   }
 

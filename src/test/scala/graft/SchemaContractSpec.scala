@@ -152,4 +152,20 @@ class SchemaContractSpec extends SparkSpec {
       .count()
     assert(bad == 0L, s"$bad rows where ts and ts_ns disagree")
   }
+
+  test("driver contract: queries and oracleSql stay 1:1, names well-formed") {
+    // the driver's gate iterates queries and looks up oracleSql by the
+    // same key — a query without an oracle silently records a weaker
+    // rows-only check, and this engine claims NONE of those
+    val qs = SparkEntry.queries
+    val os = SparkEntry.oracleSql
+    assert(qs.nonEmpty)
+    assert(qs.keySet === os.keySet,
+      s"queries without oracle: ${(qs.keySet -- os.keySet).toSeq.sorted
+        .mkString(", ")}; oracles without query: " +
+        s"${(os.keySet -- qs.keySet).toSeq.sorted.mkString(", ")}")
+    val badNames = qs.keySet.filterNot(_.matches("[a-z0-9_]+"))
+    assert(badNames.isEmpty, s"non-kebab query names: $badNames")
+    assert(os.values.forall(_.trim.nonEmpty))
+  }
 }
