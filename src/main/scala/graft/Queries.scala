@@ -2399,6 +2399,61 @@ object Queries {
       |  FROM events CROSS JOIN m)
       |SELECT bin, count(*) AS n FROM b GROUP BY 1""".stripMargin)
 
+  /** Grouped Pearson correlation + sample covariance from EXACT
+    * integer sums (quantity is integral; price floors to exact whole
+    * units), assembled by one closed-form double expression per group
+    * — bit-identical across engines, unlike corr()'s streaming
+    * accumulator whose merge order shuffles float error. The same
+    * move as anomaly_zscore: never trust a float aggregate, aggregate
+    * integers and do the float math once.
+    */
+  private val groupCorrelationQ = Q(
+    (s, d) => {
+      val x = col("l_quantity").cast("long")
+      val y = floor(col("l_extendedprice")).cast("long")
+      val g = Tables.lineitem(s, d)
+        .select(col("l_returnflag"), x.as("_x"), y.as("_y"))
+        .groupBy(col("l_returnflag"))
+        .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+          sum(col("_y")).as("_sy"),
+          sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"),
+          sum(col("_y") * col("_y")).as("_syy"))
+      val nD = col("n").cast("double")
+      def D(c: String) = col(c).cast("double")
+      val rnum = nD * D("_sxy") - D("_sx") * D("_sy")
+      val rden = sqrt(nD * D("_sxx") - D("_sx") * D("_sx")) *
+        sqrt(nD * D("_syy") - D("_sy") * D("_sy"))
+      val cov = (D("_sxy") - D("_sx") * D("_sy") / nD) / (nD - lit(1.0))
+      g.select(col("l_returnflag"), col("n"),
+        qround(rnum / rden, 8).as("corr_qty_price"),
+        qround(cov, 4).as("covar_samp"))
+    },
+    """WITH g AS (
+      |  SELECT l_returnflag, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy
+      |  FROM (SELECT l_returnflag,
+      |          CAST(l_quantity AS BIGINT) AS x,
+      |          CAST(floor(l_extendedprice) AS BIGINT) AS y
+      |        FROM lineitem)
+      |  GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |  floor(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS corr_qty_price,
+      |  floor(((CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |    / (CAST(n AS DOUBLE) - 1.0)) * 10000.0 + 0.5) / 10000.0
+      |    AS covar_samp
+      |FROM g""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2490,6 +2545,7 @@ object Queries {
     "orc_roundtrip" -> orcRoundtripQ,
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "csv_roundtrip" -> csvRoundtripQ,
+    "group_correlation" -> groupCorrelationQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
