@@ -2454,6 +2454,80 @@ object Queries {
       |    AS covar_samp
       |FROM g""".stripMargin)
 
+  /** cume_dist companion to percent_rank: rows ≤ current / n under the
+    * same deterministic total order — exact integer ratio.
+    */
+  private val cumeDistNormQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("event_type"))
+        .orderBy(col("value"), col("event_id"))
+      Tables.events(s, d).select(col("event_id"), col("event_type"),
+        col("value"), cume_dist().over(w).as("cd"))
+    },
+    """SELECT event_id, event_type, value,
+      |  cume_dist() OVER
+      |    (PARTITION BY event_type ORDER BY value, event_id) AS cd
+      |FROM events""".stripMargin)
+
+  /** Per-user linear trend of value over time: slope/intercept by
+    * closed-form least squares over EXACT integer sums — x is whole
+    * seconds since the user's first event (span-bounded so x² sums
+    * stay double-exact), y the fixed-point value. Same discipline as
+    * group_correlation; only users with ≥ 2 distinct x fit.
+    */
+  private val groupLinfitQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"),
+          round(col("value") * 1000).cast("long").as("_y"))
+        .withColumn("_x",
+          expr("(ts_ns - min(ts_ns) OVER (PARTITION BY user_id)) div 1000000000L"))
+      val g = base.groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+          sum(col("_y")).as("_sy"),
+          sum(col("_x") * col("_y")).as("_sxy"),
+          sum(col("_x") * col("_x")).as("_sxx"))
+      val nD = col("n").cast("double")
+      def D(c: String) = col(c).cast("double")
+      val den = nD * D("_sxx") - D("_sx") * D("_sx")
+      val slope = (nD * D("_sxy") - D("_sx") * D("_sy")) / den
+      val icept = (D("_sy") - slope * D("_sx")) / nD
+      g.where(den > 0.0)
+        .select(col("user_id"), col("n"),
+          qround(slope, 8).as("slope_per_sec"),
+          qround(icept, 4).as("intercept"))
+    },
+    """WITH b AS (
+      |  SELECT user_id,
+      |    (epoch_ns(ts) - min(epoch_ns(ts)) OVER (PARTITION BY user_id))
+      |      // 1000000000 AS x,
+      |    CAST(round(value * 1000) AS BIGINT) AS y
+      |  FROM events),
+      |g AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx
+      |  FROM b GROUP BY 1),
+      |f AS (
+      |  SELECT user_id, n,
+      |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS den,
+      |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |     / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope,
+      |    sx, sy
+      |  FROM g)
+      |SELECT user_id, n,
+      |  floor(slope * 100000000.0 + 0.5) / 100000000.0 AS slope_per_sec,
+      |  floor(((CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+      |      / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS intercept
+      |FROM f WHERE den > 0.0""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2546,6 +2620,8 @@ object Queries {
     "jsonl_roundtrip" -> jsonlRoundtripQ,
     "csv_roundtrip" -> csvRoundtripQ,
     "group_correlation" -> groupCorrelationQ,
+    "cume_dist_norm" -> cumeDistNormQ,
+    "group_linfit" -> groupLinfitQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
