@@ -2528,6 +2528,20 @@ object Queries {
       |      / CAST(n AS DOUBLE)) * 10000.0 + 0.5) / 10000.0 AS intercept
       |FROM f WHERE den > 0.0""".stripMargin)
 
+  /** The STREAMING linear-trend fit on the batch frame — exact integer
+    * sums make the state order-free, so each group's one fold equals
+    * the batch closed form bit-for-bit (shared oracle SQL).
+    */
+  private val streamLinfitQ = Q(
+    (s, d) => streaming.StreamingOps.linfitStream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          round(col("value") * 1000).cast("long").as("value_scaled")),
+        "user_id", "ts_ns", "value_scaled")
+      .select(col("user_id"), col("n"),
+        qround(col("slope_per_sec"), 8).as("slope_per_sec"),
+        qround(col("intercept"), 4).as("intercept")),
+    groupLinfitQ.sql)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2622,6 +2636,7 @@ object Queries {
     "group_correlation" -> groupCorrelationQ,
     "cume_dist_norm" -> cumeDistNormQ,
     "group_linfit" -> groupLinfitQ,
+    "stream_linfit" -> streamLinfitQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,

@@ -553,6 +553,62 @@ object StreamingOps {
       .agg(count(lit(1)).as("n_users"))
   }
 
+  /** Streaming per-key linear trend — incremental least squares whose
+    * state is the SIX EXACT INTEGER SUMS (n, Σx, Σy, Σxy, Σx², plus
+    * the key's first timestamp as the x origin). Because the sums are
+    * integers, accumulation order cannot perturb them — unlike every
+    * float-accumulator regression — so the fitted line is bit-identical
+    * to the batch closed form whenever the x origin is right, i.e.
+    * each key's FIRST event arrives first (the ingest contract shared
+    * with funnelStream; on a batch frame each group folds at once, so
+    * equality is unconditional — shared oracle with group_linfit).
+    * Emits a (user, n, slope, intercept) snapshot per batch in which
+    * the key saw data and the fit is defined.
+    */
+  def linfitStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                   tsCol: String, valueScaledCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, valueScaledCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"linfitStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"),
+        col(valueScaledCol).cast("long").as("_y"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long, Long),
+        (Long, Long, Double, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var (t0, n, sx, sy, sxy, sxx) =
+            state.getOption.getOrElse((Long.MinValue, 0L, 0L, 0L, 0L, 0L))
+          val evs = rows.toArray.sortBy(_._2)
+          for (r <- evs) {
+            if (t0 == Long.MinValue) t0 = r._2
+            val x = (r._2 - t0) / 1000000000L
+            n += 1; sx += x; sy += r._3; sxy += x * r._3; sxx += x * x
+          }
+          if (evs.isEmpty) Iterator.empty
+          else {
+            state.update((t0, n, sx, sy, sxy, sxx))
+            // same closed-form double op order as the batch operator
+            val nD = n.toDouble
+            val den = nD * sxx.toDouble - sx.toDouble * sx.toDouble
+            if (den > 0.0) {
+              val slope = (nD * sxy.toDouble - sx.toDouble * sy.toDouble) /
+                den
+              val icept = (sy.toDouble - slope * sx.toDouble) / nD
+              Iterator((key, n, slope, icept))
+            } else Iterator.empty
+          }
+      }
+      .toDF(keyCol, "n", "slope_per_sec", "intercept")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -423,6 +423,31 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows === Map(0L -> 2L, 10L -> 1L))
   }
 
+  test("linfitStream accumulates exact sums across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "value_scaled")
+    val out = StreamingOps.linfitStream(spark, df, "user_id", "ts_ns",
+      "value_scaled")
+    val q = out.writeStream.format("memory").queryName("linfit_t")
+      .outputMode("append").start()
+    def ns(sec: Long) = sec * 1000000000L
+    input.addData((1L, ns(0), 10L), (1L, ns(10), 20L))
+    q.processAllAvailable()
+    input.addData((1L, ns(20), 30L), (2L, ns(5), 7L))
+    q.processAllAvailable()
+    val rows = spark.table("linfit_t").collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    q.stop()
+    // batch 1 snapshot: points (0,10),(10,20) -> slope 1, intercept 10
+    assert(rows((1L, 2L)) === ((1.0, 10.0)))
+    // batch 2 extends the same state: (0,10),(10,20),(20,30)
+    assert(rows((1L, 3L)) === ((1.0, 10.0)))
+    // a single-instant user never emits (denominator 0)
+    assert(!rows.keySet.exists(_._1 == 2L))
+  }
+
   test("firstSeenPeriods suppresses repeat periods across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long)]
