@@ -42,7 +42,9 @@ class PlanInvariantsSpec extends SparkSpec {
     // absent: its three 1-row summary aggregates compose via crossJoin
     // — a cartesian over exactly one row per side)
     "anomaly_zscore", "scd2_history", "event_transitions",
-    "percent_rank_norm", "phrase_search", "stratified_sample", "skyline")
+    "percent_rank_norm", "phrase_search", "stratified_sample", "skyline",
+    "table_diff", "knn_classify", "source_report", "group_correlation",
+    "last_touch", "resample_ffill", "winsorize", "group_linfit")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
