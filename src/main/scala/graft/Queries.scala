@@ -2542,6 +2542,68 @@ object Queries {
         qround(col("intercept"), 4).as("intercept")),
     groupLinfitQ.sql)
 
+  /** ROLLUP companion to events_cube: the hierarchical
+    * (event_type → dow) super-aggregates only. Same exact integers.
+    */
+  private val eventsRollupQ = Q(
+    (s, d) => Tables.events(s, d)
+      .select(col("event_type"),
+        expr("(ts_ns div 86400000000000L + 4) % 7").cast("int").as("dow"),
+        round(col("value") * 1000).cast("long").as("iv"))
+      .rollup(col("event_type"), col("dow"))
+      .agg(count(lit(1)).as("n"), sum(col("iv")).as("sv")),
+    """WITH e AS (
+      |  SELECT event_type,
+      |    CAST((epoch_ns(ts) // 86400000000000 + 4) % 7 AS INT) AS dow,
+      |    CAST(round(value * 1000) AS BIGINT) AS iv
+      |  FROM events)
+      |SELECT event_type, dow, count(*) AS n,
+      |  CAST(sum(iv) AS BIGINT) AS sv
+      |FROM e GROUP BY ROLLUP (event_type, dow)""".stripMargin)
+
+  /** Per-user session statistics off the shared gap sessionization:
+    * session count, event count, exact events-per-session ratio.
+    */
+  private val sessionStatsQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts_ns"), col("event_id"))
+      val gapNs = 1800L * 1000 * 1000 * 1000
+      val sessioned = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_id"))
+        .withColumn("_new",
+          when(lag(col("ts_ns"), 1).over(w).isNull ||
+            col("ts_ns") - lag(col("ts_ns"), 1).over(w) > gapNs, 1L)
+            .otherwise(0L))
+        .withColumn("_sess", sum(col("_new")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      sessioned.groupBy(col("user_id"))
+        .agg(countDistinct(col("_sess")).as("n_sessions"),
+          count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("n_sessions"), col("n_events"),
+          (col("n_events").cast("double") /
+            col("n_sessions").cast("double")).as("events_per_session"))
+    },
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id FROM events),
+      |l AS (
+      |  SELECT *, CASE WHEN lag(tsn) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id) IS NULL
+      |    OR tsn - lag(tsn) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id)
+      |      > 1800000000000 THEN 1 ELSE 0 END AS new_s
+      |  FROM e),
+      |sx AS (
+      |  SELECT *, sum(new_s) OVER (PARTITION BY user_id
+      |    ORDER BY tsn, event_id ROWS UNBOUNDED PRECEDING) AS sess
+      |  FROM l)
+      |SELECT user_id, count(DISTINCT sess) AS n_sessions,
+      |  count(*) AS n_events,
+      |  CAST(count(*) AS DOUBLE) / count(DISTINCT sess)
+      |    AS events_per_session
+      |FROM sx GROUP BY 1""".stripMargin)
+
   // ---------------------------------------------------------------- export
 
   val all: Map[String, Q] = Map(
@@ -2637,6 +2699,8 @@ object Queries {
     "cume_dist_norm" -> cumeDistNormQ,
     "group_linfit" -> groupLinfitQ,
     "stream_linfit" -> streamLinfitQ,
+    "events_rollup" -> eventsRollupQ,
+    "session_stats" -> sessionStatsQ,
     "interval_join" -> intervalJoinQ,
     "rolling_value" -> rollingValueQ,
     "top_per_group" -> topPerGroupQ,
