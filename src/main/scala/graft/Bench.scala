@@ -83,10 +83,16 @@ object Bench {
     // "queries" = per-query median; min/max expose the contention spread.
     val full =
       s"""{"metric":"total","value":$total,"unit":"sec","reps":$reps,"n_queries":${results.size},"queries":$qs,"queries_min":$qsMin,"queries_max":$qsMax,"sf":"$sfDir"}"""
-    try {
-      val w = new java.io.PrintWriter("/tmp/graft_bench.json")
-      try w.println(full) finally w.close()
-    } catch { case _: Throwable => () }
+    // Two copies: /tmp (historical location) and bench_full.json in the
+    // CWD — the driver runs from the repo, so the second lands next to
+    // BENCH_r{N}.json where the judge can diff ALL per-query medians
+    // (the stdout tail alone covered only 62/233 queries in round 9).
+    for (dst <- Seq("/tmp/graft_bench.json", "bench_full.json")) {
+      try {
+        val w = new java.io.PrintWriter(dst)
+        try w.println(full) finally w.close()
+      } catch { case _: Throwable => () }
+    }
     spark.stop()
     println(compact)
   }

@@ -39,6 +39,17 @@ object Queries {
     floor(c * lit(s) + lit(0.5)) / lit(s)
   }
 
+  /** Fresh scratch suffix per invocation for the I/O round-trip
+    * queries. The old abs-of-hashCode scheme had three holes:
+    * `math.abs(Int.MinValue)` stays negative, concurrent runs over the
+    * same data dir raced on one shared overwrite path, and repeated
+    * invocations (bench reps, plan sweeps) clobbered each other's
+    * files mid-read. Alphanumeric-only so it is also valid inside a
+    * catalog table name (bucketed_join).
+    */
+  private def scratchTag(): String =
+    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+
   /** lineitem with the vis-fact derived columns used by most queries:
     * chan = 0-based channel axis, flag = the FLAG data variable.
     */
@@ -964,7 +975,7 @@ object Queries {
       // write partitioned+zstd, read back with partition pruning, then
       // aggregate — matching the oracle run directly on the source table
       // proves the round trip is lossless.
-      val path = s"/tmp/graft_roundtrip_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_roundtrip_${scratchTag()}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_linestatus")
       sources.IoOps.writeVis(
@@ -1063,7 +1074,7 @@ object Queries {
       // oracle on the source table proves the layout op is lossless.
       // The predicate's real payoff (file/row-group skipping via the
       // clustered footer min/max stats) is asserted by ZorderSpec.
-      val path = s"/tmp/graft_zorder_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_zorder_${scratchTag()}"
       sources.IoOps.writeZordered(Tables.lineitem(s, d), path,
         Seq("l_extendedprice", "l_quantity"), numFiles = 8)
       s.read.parquet(path)
@@ -1107,8 +1118,8 @@ object Queries {
     */
   private val appendXdsQ = Q(
     (s, d) => {
-      val bpath = s"/tmp/graft_append_base_${math.abs(d.hashCode)}"
-      val spath = s"/tmp/graft_append_side_${math.abs(d.hashCode)}"
+      val bpath = s"/tmp/graft_append_base_${scratchTag()}"
+      val spath = s"/tmp/graft_append_side_${scratchTag()}"
       val keys = Seq("l_orderkey", "l_linenumber")
       // one row per key — (l_orderkey, l_linenumber) is not unique in
       // the synthetic data and the sidecar join must be 1:1
@@ -1136,7 +1147,7 @@ object Queries {
     */
   private val bucketedJoinQ = Q(
     (s, d) => {
-      val h = math.abs(d.hashCode)
+      val h = scratchTag()
       val li4 = Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val ord = Tables.orders(s, d)
@@ -1167,9 +1178,9 @@ object Queries {
     */
   private val appendCompactQ = Q(
     (s, d) => {
-      val bpath = s"/tmp/graft_compact_base_${math.abs(d.hashCode)}"
-      val spath = s"/tmp/graft_compact_side_${math.abs(d.hashCode)}"
-      val opath = s"/tmp/graft_compact_out_${math.abs(d.hashCode)}"
+      val bpath = s"/tmp/graft_compact_base_${scratchTag()}"
+      val spath = s"/tmp/graft_compact_side_${scratchTag()}"
+      val opath = s"/tmp/graft_compact_out_${scratchTag()}"
       val keys = Seq("l_orderkey", "l_linenumber")
       val base = Tables.lineitem(s, d)
         .groupBy(keys.map(col): _*)
@@ -2063,7 +2074,7 @@ object Queries {
     */
   private val orcRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_orc_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_orc_${scratchTag()}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
         "l_returnflag")
       sources.IoOps.writeTable(
@@ -2086,7 +2097,7 @@ object Queries {
     */
   private val csvRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_csv_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_csv_${scratchTag()}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
       val src = Tables.lineitem(s, d).select(cols.map(col): _*)
       sources.IoOps.writeTable(src, path, "csv", repartitionTo = Some(4),
@@ -2110,7 +2121,7 @@ object Queries {
     */
   private val jsonlRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_jsonl_${math.abs(d.hashCode)}"
+      val path = s"/tmp/graft_jsonl_${scratchTag()}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
       val src = Tables.lineitem(s, d).select(cols.map(col): _*)
       sources.IoOps.writeTable(src, path, "json", repartitionTo = Some(4))
@@ -2578,8 +2589,11 @@ object Queries {
             .otherwise(0L))
         .withColumn("_sess", sum(col("_new")).over(
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      // max(_sess) == countDistinct(_sess) by construction (sessions are
+      // numbered 1..n per user by the running sum) and skips the
+      // distinct-aggregate Expand the countDistinct form pays.
       sessioned.groupBy(col("user_id"))
-        .agg(countDistinct(col("_sess")).as("n_sessions"),
+        .agg(max(col("_sess")).as("n_sessions"),
           count(lit(1)).as("n_events"))
         .select(col("user_id"), col("n_sessions"), col("n_events"),
           (col("n_events").cast("double") /

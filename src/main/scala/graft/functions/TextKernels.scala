@@ -277,15 +277,21 @@ object BandHashArr {
   * — native form of bm25Score's tf scan (one int per term per doc, no
   * explode, no UDF).
   */
-case class TermFreqs(child: Expression, terms: Array[String])
+case class TermFreqs(child: Expression, terms: Seq[String])
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
+  // Seq field (value equality) so equals/semanticEquals dedupe
+  // identical expressions — an Array field is reference-equal only and
+  // defeats common-subexpression elimination and exchange reuse. The
+  // kernel loops over a lazily-materialized Array for primitive speed.
+  @transient private lazy val termsArr: Array[String] = terms.toArray
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
     else TypeCheckResult.TypeCheckFailure(
       s"term_freqs expects STRING, got ${child.dataType.sql}")
   def kernel(s: UTF8String): Any = {
+    val terms = termsArr
     val ws = graft.operators.TextOps.wordsFn(s.toString)
     val out = new Array[Int](terms.length)
     var i = 0
@@ -312,7 +318,7 @@ case class TermFreqs(child: Expression, terms: Array[String])
 
 object TermFreqs {
   def apply(c: Column, terms: Seq[String]): Column =
-    toColumn(TermFreqs(toExpression(c), terms.toArray))
+    toColumn(TermFreqs(toExpression(c), terms.toList))
 }
 
 /** Rank-ordered BPE merge replay on one word — native form of
@@ -320,10 +326,14 @@ object TermFreqs {
   * expression as a reference object; greedy left-to-right,
   * non-overlapping, exactly the Scala UDF's loop.
   */
-case class BpeApplySyms(child: Expression, mergesL: Array[String],
-                        mergesR: Array[String])
+case class BpeApplySyms(child: Expression, mergesLS: Seq[String],
+                        mergesRS: Seq[String])
     extends UnaryExpression {
   import org.apache.spark.sql.catalyst.util.GenericArrayData
+  // Seq fields for value equality (see TermFreqs); arrays built once
+  // per task for the kernel's indexed loop.
+  @transient private lazy val mergesL: Array[String] = mergesLS.toArray
+  @transient private lazy val mergesR: Array[String] = mergesRS.toArray
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def checkInputDataTypes(): TypeCheckResult =
     if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
@@ -362,7 +372,7 @@ case class BpeApplySyms(child: Expression, mergesL: Array[String],
 object BpeApplySyms {
   def apply(c: Column, merges: Seq[(String, String)]): Column =
     toColumn(BpeApplySyms(toExpression(c),
-      merges.map(_._1).toArray, merges.map(_._2).toArray))
+      merges.map(_._1).toList, merges.map(_._2).toList))
 }
 
 /** Gopher repetition statistics in one pass — native form of

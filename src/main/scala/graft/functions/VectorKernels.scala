@@ -118,7 +118,7 @@ object SquaredDistance {
   */
 case class NearestCentroidId(child: Expression, ids: Array[Long],
                              cents: Array[Array[Double]])
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   override def dataType: DataType = LongType
 
@@ -193,7 +193,7 @@ object NearestCentroidId {
   * data-sized).
   */
 case class HyperplaneSig(child: Expression, planes: Array[Array[Double]])
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   override def dataType: DataType = LongType
 
@@ -261,7 +261,7 @@ object HyperplaneSig {
   */
 case class ProbeListIds(child: Expression, ids: Array[Long],
                         cents: Array[Array[Double]], nProbe: Int)
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
@@ -333,7 +333,7 @@ object ProbeListIds {
   * — the corpus-side scan of pqEncode / ivfPqTopK.
   */
 case class PqCodes(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
@@ -397,7 +397,7 @@ object PqCodes {
   * [[AdcFromTable]] instead of m*dsub flops.
   */
 case class PqDistTable(child: Expression, codebooks: Array[Array[Array[Double]]])
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   // the flattened m x ksub table indexes with a UNIFORM ksub — a ragged
   // codebook set would silently corrupt neighboring subspace slots
@@ -465,7 +465,7 @@ object PqDistTable {
   */
 case class ProjectVector(child: Expression, mat: Array[Array[Double]],
                          scale: Double)
-    extends UnaryExpression with VectorArrayInput {
+    extends UnaryExpression with VectorArrayInput with DeepConstEquality {
 
   override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
 

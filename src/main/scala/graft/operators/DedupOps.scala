@@ -138,8 +138,14 @@ object DedupOps {
       var acc = 0L
       var r = 0
       while (r < rowsPerBand) {
-        val w = Seq.fill(rowsPerBand - 1 - r)(TextOps.HashBase)
-          .product % HashMod
+        // stepwise mod, identical to BandHashArr.kernel — a plain
+        // HashBase^k product overflows Long for rowsPerBand >= 14 and
+        // would silently diverge from the native production kernel
+        var w = 1L
+        var t = 0
+        while (t < rowsPerBand - 1 - r) {
+          w = w * TextOps.HashBase % HashMod; t += 1
+        }
         acc += sig(b * rowsPerBand + r) * w % HashMod
         r += 1
       }
@@ -334,9 +340,22 @@ object DedupOps {
     val nTest = math.max(1L, testSh.count())
     val bf = testSh.stat.bloomFilter("sh", nTest, fpp)
     testSh.unpersist()
-    val mightContain = udf((s: Long) => bf.mightContainLong(s))
-    val pre = sh.filter(col(splitCol) === testLabel ||
-      mightContain(col("sh")))
+    // Native probe: serialize the filter into a binary literal and use
+    // Catalyst's BloomFilterMightContain (the expression behind runtime
+    // row-level filtering — same sketch class, same hash arithmetic as
+    // bf.mightContainLong, with a real doGenCode). The earlier
+    // `udf(bf.mightContainLong)` was the last Scala UDF riding a
+    // corpus-scale scan and broke whole-stage codegen on the full-corpus
+    // shingle sweep; this keeps the filter inside the codegen'd stage.
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    val probe = org.apache.spark.sql.GraftExpressionBridge.toColumn(
+      org.apache.spark.sql.catalyst.expressions.BloomFilterMightContain(
+        org.apache.spark.sql.catalyst.expressions.Literal(
+          bos.toByteArray,
+          org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.GraftExpressionBridge.toExpression(col("sh"))))
+    val pre = sh.filter(col(splitCol) === testLabel || probe)
     val rare = pre.groupBy("sh").agg(count(lit(1)).as("df_"))
       .filter(col("df_") <= maxDf)
     val pruned = pre.join(rare.select("sh"), "sh")

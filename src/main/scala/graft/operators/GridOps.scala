@@ -423,44 +423,23 @@ object GridOps {
       .select(col("g_chan"), col("g_pol"), col("a_u"), col("a_v"),
         col("_p._slot").as("_slots"), col("_p.g_re").as("_res"),
         col("_p.g_im").as("_ims"))
-    // per-vis fold against the sparse patch, in kernel loop order;
-    // a null patch (no grid cell anywhere in the support) degrades to
-    // the broadcast path's missing-plane branch: acc 0, norm real
-    val fold = udf((ufrac: Int, vfrac: Int, slots: Seq[Int],
-                    res: Seq[Double], ims: Seq[Double]) => {
-      var accRe = 0.0; var accIm = 0.0; var norm = 0.0
-      val n = if (slots == null) 0 else slots.length
-      var ptr = 0
-      var i = 0
-      var dv = -sc
-      while (dv < support - sc) {
-        val cv = cgk(math.abs(os * dv + vfrac))
-        var du = -sc
-        while (du < support - sc) {
-          val conv = cgk(math.abs(os * du + ufrac)) * cv
-          while (ptr < n && slots(ptr) < i) ptr += 1
-          if (ptr < n && slots(ptr) == i) {
-            accRe += conv * res(ptr)
-            accIm += conv * ims(ptr)
-          }
-          norm += conv
-          i += 1
-          du += 1
-        }
-        dv += 1
-      }
-      (accRe / norm, accIm / norm)
-    })
+    // per-vis fold against the sparse patch, in kernel loop order, as
+    // a native codegen expression (functions.DegridFold): the earlier
+    // Scala UDF boxed three Seqs per visibility row; the kernel now
+    // reads the join's ArrayData in place. A null patch (no grid cell
+    // anywhere in the support) degrades to the broadcast path's
+    // missing-plane branch: acc 0, norm real.
     val keyCols = (Seq("img_chan", "pol") ++ rowKeys).map(col)
     val geo = degridGeo(vis, p)
     geo.join(patch,
         geo("img_chan") === patch("g_chan") && geo("pol") === patch("g_pol") &&
           geo("uc") === patch("a_u") && geo("vc") === patch("a_v"),
         "left")
-      .withColumn("_m", fold(col("ufrac"), col("vfrac"), col("_slots"),
-        col("_res"), col("_ims")))
-      .select((keyCols :+ col("_m._1").as("model_re") :+
-        col("_m._2").as("model_im")): _*)
+      .withColumn("_m", graft.functions.DegridFold(col("ufrac"),
+        col("vfrac"), col("_slots"), col("_res"), col("_ims"),
+        cgk, support, os))
+      .select((keyCols :+ col("_m").getItem(0).as("model_re") :+
+        col("_m").getItem(1).as("model_im")): _*)
   }
 
   /** Single-dish imaging (beyond-parity — make_sd_image, make_sd_psf

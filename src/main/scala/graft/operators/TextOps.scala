@@ -167,6 +167,10 @@ object TextOps {
   def phraseSearch(df: DataFrame, idCol: String, textCol: String,
                    phrase: Seq[String]): DataFrame = {
     require(phrase.nonEmpty, "phraseSearch needs a non-empty phrase")
+    // the completeness mask packs one bit per phrase position into a
+    // Long — 64+ terms would silently overflow the shift
+    require(phrase.size <= 63,
+      s"phraseSearch supports at most 63 phrase terms, got ${phrase.size}")
     val spark = df.sparkSession
     import spark.implicits._
     val terms = phrase.zipWithIndex.toDF("_w", "_i")

@@ -465,25 +465,44 @@ object StreamingOps {
         col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
         col(stateCol).cast("string").as("_st"))
       .as[(Long, Long, Long, String)]
+    // State = (open state, version, valid_from, last ROW's state).
+    // The 4th slot mirrors the batch operator's lag(): batch declares a
+    // change on `_prev.isNull || _prev =!= state`, so under SQL
+    // three-valued logic a row AFTER a null-state row always changes
+    // (null lag → isNull true) while a null-state row after a non-null
+    // one does NOT (`x =!= null` is null → filtered). Comparing against
+    // the open interval instead of the last row — as this fold did
+    // before — diverged from the batch twin whenever stateCol was null.
     typed.groupByKey(_._1)
-      .flatMapGroupsWithState[(String, Int, Long),
+      .flatMapGroupsWithState[(String, Int, Long, String),
         (Long, String, Int, Long, Option[Long])](
         OutputMode.Append, GroupStateTimeout.NoTimeout) {
         case (key, rows, state) =>
-          var cur = state.getOption
+          val restored = state.getOption
+          var cur: Option[(String, Int, Long)] =
+            restored.map(t => (t._1, t._2, t._3))
+          // Some(null) = "last row's state was null" (≠ None = no rows)
+          var lastSeen: Option[String] = restored.map(_._4)
           val out = scala.collection.mutable.ArrayBuffer
             .empty[(Long, String, Int, Long, Option[Long])]
           var openChanged = false
-          for (r <- rows.toArray.sortBy(x => (x._2, x._3)))
-            if (cur.forall(_._1 != r._4)) {
+          for (r <- rows.toArray.sortBy(x => (x._2, x._3))) {
+            val changed = lastSeen match {
+              case None => true // first row of the key ever
+              case Some(null) => true // batch: null lag → change
+              case Some(p) => r._4 != null && p != r._4
+            }
+            if (changed) {
               cur.foreach { c =>
                 out += ((key, c._1, c._2, c._3, Some(r._2)))
               }
               cur = Some((r._4, cur.map(_._2).getOrElse(0) + 1, r._2))
               openChanged = true
             }
+            lastSeen = Some(r._4)
+          }
           cur.foreach { c =>
-            state.update(c)
+            state.update((c._1, c._2, c._3, lastSeen.orNull))
             if (openChanged) out += ((key, c._1, c._2, c._3, None))
           }
           out.iterator

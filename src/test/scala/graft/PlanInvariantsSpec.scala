@@ -89,9 +89,13 @@ class PlanInvariantsSpec extends SparkSpec {
     // text scans of the 100 TB story — they must run as
     // graft.functions.TextKernels expressions, not Scala UDFs (which
     // box a WrappedArray per row and break whole-stage codegen)
+    // decontaminate_bloom joined the list in round 10: its bloom
+    // prefilter now rides Catalyst's native BloomFilterMightContain
+    // over a binary literal instead of a per-row udf(mightContainLong)
     for (name <- Seq("dedup_minhash", "dedup_simhash",
         "winnow_fingerprints", "stream_neardup",
-        "gopher_quality", "bm25_score", "bpe_apply")) {
+        "gopher_quality", "bm25_score", "bpe_apply",
+        "decontaminate_bloom")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"),
         s"$name corpus scan fell back to a Scala UDF:\n$p")
@@ -220,6 +224,11 @@ class PlanInvariantsSpec extends SparkSpec {
     assert(p.contains("Join"), s"degrid join path lost its join:\n$p")
     assert(!p.contains("CartesianProduct"),
       s"degrid join degenerated to cartesian:\n$p")
+    // round-10: the per-visibility fold is functions.DegridFold (native
+    // codegen over the join's ArrayData) — a ScalaUDF here means the
+    // boxed-Seq fold came back on the cube-scale path
+    assert(!p.contains("ScalaUDF"),
+      s"degrid join fold fell back to a Scala UDF:\n$p")
   }
 
   test("degridVis DISPATCHER picks the relational join path past the broadcast budget (plan-level)") {
