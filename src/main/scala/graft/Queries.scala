@@ -2419,27 +2419,15 @@ object Queries {
     * integers and do the float math once.
     */
   private val groupCorrelationQ = Q(
-    (s, d) => {
-      val x = col("l_quantity").cast("long")
-      val y = floor(col("l_extendedprice")).cast("long")
-      val g = Tables.lineitem(s, d)
-        .select(col("l_returnflag"), x.as("_x"), y.as("_y"))
-        .groupBy(col("l_returnflag"))
-        .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
-          sum(col("_y")).as("_sy"),
-          sum(col("_x") * col("_y")).as("_sxy"),
-          sum(col("_x") * col("_x")).as("_sxx"),
-          sum(col("_y") * col("_y")).as("_syy"))
-      val nD = col("n").cast("double")
-      def D(c: String) = col(c).cast("double")
-      val rnum = nD * D("_sxy") - D("_sx") * D("_sy")
-      val rden = sqrt(nD * D("_sxx") - D("_sx") * D("_sx")) *
-        sqrt(nD * D("_syy") - D("_sy") * D("_sy"))
-      val cov = (D("_sxy") - D("_sx") * D("_sy") / nD) / (nD - lit(1.0))
-      g.select(col("l_returnflag"), col("n"),
-        qround(rnum / rden, 8).as("corr_qty_price"),
-        qround(cov, 4).as("covar_samp"))
-    },
+    (s, d) => operators.StatsOps.groupCorrelation(
+        Tables.lineitem(s, d)
+          .select(col("l_returnflag"),
+            col("l_quantity").cast("long").as("_xq"),
+            floor(col("l_extendedprice")).cast("long").as("_yq")),
+        Seq("l_returnflag"), "_xq", "_yq")
+      .select(col("l_returnflag"), col("n"),
+        qround(col("corr"), 8).as("corr_qty_price"),
+        qround(col("covar_samp"), 4).as("covar_samp")),
     """WITH g AS (
       |  SELECT l_returnflag, count(*) AS n,
       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,

@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Ten-minute tour, runnable as `sbt "runMain graft.Quickstart [sfDir]"`.
@@ -9,18 +10,19 @@ import org.apache.spark.sql.functions._
   * gridding, FFT to a normalized sky image — then one LLM-pipeline
   * operator (MinHash near-dup over the documents table). Every step here
   * is the same call a README reader would paste into `sbt console`.
+  *
+  * The tour body lives in [[run]] so QuickstartSpec can drive the exact
+  * documented path on the shared test session (main's own bootstrap
+  * would `stop()` the JVM-wide session other suites share).
   */
 object Quickstart {
-  def main(args: Array[String]): Unit = {
-    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
 
-    // 1. Session bootstrap — the cngi.direct parity surface. All graft
-    //    SQL functions (graft_dot, graft_polyhash, ...) are registered.
-    val spark = direct.Framework.initializeFramework(
-      workers = 8, extraConf = Map("spark.sql.shuffle.partitions" -> "8"))
-    spark.sparkContext.setLogLevel("WARN")
-
-    // 2. A visibility-shaped fact table from the bundled fixtures (the
+  /** The documented tour on a caller-provided session. Returns the
+    * final sky image and the near-dup pair count — the two artifacts
+    * the README tells the reader to look at.
+    */
+  def run(spark: SparkSession, sf: String): (DataFrame, Long) = {
+    // 1. A visibility-shaped fact table from the bundled fixtures (the
     //    melted long form every vis operator consumes: one row per
     //    (time, baseline, chan, pol) sample).
     val vis = Tables.lineitem(spark, sf).select(
@@ -30,7 +32,7 @@ object Quickstart {
       col("l_tax").as("re"), col("l_discount").as("im"),
       (col("l_discount") + 0.5).as("weight"), lit(1.5e9).as("freq"))
 
-    // 3. Flagship imaging chain: Briggs imaging weights -> uv grid ->
+    // 2. Flagship imaging chain: Briggs imaging weights -> uv grid ->
     //    per-plane FFT -> sum-weight-normalized sky image.
     val p = operators.GridOps.GridParams((32, 32), (0.002, 0.002),
       imageSize = Some((16, 16)))
@@ -39,15 +41,28 @@ object Quickstart {
       .withColumn("weight", col("imaging_weight"))
       .select("img_chan", "pol", "u", "v", "re", "im", "weight", "freq")
     val image = operators.GridOps.makeImage(spark, weighted, p)
-    println("-- brightest image pixels --")
-    image.orderBy(desc("image")).show(3)
 
-    // 4. One LLM-pipeline operator: banded MinHash near-duplicate pairs
+    // 3. One LLM-pipeline operator: banded MinHash near-duplicate pairs
     //    over the documents table (never all-pairs — LSH buckets only).
     val docs = spark.read.parquet(s"$sf/documents.parquet")
-    val dups = operators.DedupOps.minHashNearDup(
-      docs, idCol = "doc_id", textCol = "text", threshold = 0.7)
-    println(s"near-dup pairs at jaccard >= 0.7: ${dups.count}")
+    val nDups = operators.DedupOps.minHashNearDup(
+      docs, idCol = "doc_id", textCol = "text", threshold = 0.7).count()
+    (image, nDups)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = args.headOption.getOrElse("/root/testdata/sf0.001")
+
+    // Session bootstrap — the cngi.direct parity surface. All graft
+    // SQL functions (graft_dot, graft_polyhash, ...) are registered.
+    val spark = direct.Framework.initializeFramework(
+      workers = 8, extraConf = Map("spark.sql.shuffle.partitions" -> "8"))
+    spark.sparkContext.setLogLevel("WARN")
+
+    val (image, nDups) = run(spark, sf)
+    println("-- brightest image pixels --")
+    image.orderBy(desc("image")).show(3)
+    println(s"near-dup pairs at jaccard >= 0.7: $nDups")
 
     println("QUICKSTART_OK")
     spark.stop()

@@ -457,4 +457,40 @@ object StatsOps {
     df.withColumn("n_window", count(lit(1)).over(w))
       .withColumn("sum_window", sum(col(valueCol)).over(w))
   }
+
+  /** Per-group Pearson correlation + sample covariance from EXACT
+    * integer sums: `xCol`/`yCol` must already be integral (callers
+    * fixed-point-scale), so the five accumulated sums are exact BIGINTs
+    * and the correlation is ONE closed-form double expression over
+    * them — the same operation order in any IEEE engine, hash-exact
+    * after quantization. A zero-variance group (all x equal, or all y
+    * equal) has denominator 0: under Spark's default ANSI mode a plain
+    * `/` THROWS there, so both divisions ride `try_divide` — corr is
+    * null (never NaN/Infinity/a task failure), and a single-row group
+    * gets null covariance instead of killing the job.
+    *
+    * Plan shape: one hash aggregate on the keys, map-side combined;
+    * state per group is five longs. No window, no sort. Scale-sound.
+    */
+  def groupCorrelation(df: DataFrame, keys: Seq[String], xCol: String,
+                       yCol: String): DataFrame = {
+    val g = df
+      .select((keys.map(col) :+ col(xCol).cast("long").as("_x") :+
+        col(yCol).cast("long").as("_y")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+        sum(col("_y")).as("_sy"),
+        sum(col("_x") * col("_y")).as("_sxy"),
+        sum(col("_x") * col("_x")).as("_sxx"),
+        sum(col("_y") * col("_y")).as("_syy"))
+    val nD = col("n").cast("double")
+    def D(c: String) = col(c).cast("double")
+    val rnum = nD * D("_sxy") - D("_sx") * D("_sy")
+    val rden = sqrt(nD * D("_sxx") - D("_sx") * D("_sx")) *
+      sqrt(nD * D("_syy") - D("_sy") * D("_sy"))
+    val cov = try_divide(D("_sxy") - D("_sx") * D("_sy") / nD,
+      nD - lit(1.0))
+    g.select((keys.map(col) :+ col("n") :+
+      try_divide(rnum, rden).as("corr") :+ cov.as("covar_samp")): _*)
+  }
 }

@@ -290,6 +290,120 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: winsorize clamp is the identity on all-equal groups") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{broadcast, col, when}
+    // each group holds ONE repeated value — every quantile must equal
+    // it exactly, so the p05/p95 clamp must change nothing
+    val gen = Gen.listOfN(5, Gen.zip(Gen.identifier, Gen.choose(-500.0, 500.0)))
+    forSamples(gen, n = 6) { groups0 =>
+      val groups = groups0.toMap.toSeq // distinct keys
+      whenever(groups.nonEmpty) {
+        val df = groups.flatMap { case (k, v) =>
+          (0 until 7).map(i => (k, i.toLong, v))
+        }.toDF("grp", "row_id", "value")
+        val q = graft.operators.StatsOps.groupedQuantiles(
+            df.select(col("grp"), col("value")),
+            Seq("grp"), "value", Seq(0.05, 0.95))
+          .select(col("grp"), col("q_0").as("_lo"), col("q_1").as("_hi"))
+        val out = df.join(broadcast(q), Seq("grp"))
+          .select(col("grp"), col("value"),
+            when(col("value") < col("_lo"), col("_lo"))
+              .when(col("value") > col("_hi"), col("_hi"))
+              .otherwise(col("value")).as("clamped"))
+          .collect()
+        out.foreach { r =>
+          assert(r.getDouble(1) === r.getDouble(2),
+            s"all-equal group ${r.getString(0)} was clamped")
+        }
+      }
+    }
+  }
+
+  test("property: resampleFfill leaves leading grid points (no fill source) null") {
+    import spark.implicits._
+    // key observations start mid-grid: the aligned grid begins at
+    // t0 div step (BEFORE the first observation when t0 % step != 0 is
+    // large), so grid points preceding the first obs must surface null
+    val step = 1000L
+    val gen = Gen.listOfN(6, Gen.zip(Gen.choose(1L, 3L),
+      Gen.choose(500L, 9999L), Gen.choose(-50L, 50L)))
+    forSamples(gen, n = 8) { rows0 =>
+      val rows = rows0.zipWithIndex.map { case ((k, ts, v), i) =>
+        (k, ts, i.toLong, v.toDouble)
+      }
+      val df = rows.toDF("user_id", "ts_ns", "event_id", "value")
+      val out = graft.operators.SequenceOps.resampleFfill(
+          df, "user_id", "ts_ns", "event_id", "value", step)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          if (r.isNullAt(2)) None else Some(r.getDouble(2))))
+      // brute force: per key, grid from t0 div step to t1 div step; a
+      // grid point carries the LAST observation at ts <= grid ts
+      // (grid sorts after obs at equal ts), else null
+      val byKey = rows.groupBy(_._1)
+      for ((k, ts, v) <- out) {
+        val obs = byKey(k)
+        val expected = obs.filter(_._2 <= ts)
+          .sortBy(o => (o._2, o._3)).lastOption.map(_._4)
+        assert(v === expected, s"ffill($k, $ts)")
+        val t0 = obs.map(_._2).min
+        if (ts < t0) assert(v.isEmpty, s"leading grid point $ts filled from nothing")
+      }
+      // the leading-gap case actually occurred for at least one key
+      // whenever some key's first obs is off-grid (usual for this gen)
+    }
+  }
+
+  test("property: groupCorrelation yields null corr and zero covariance on zero-variance keys") {
+    import spark.implicits._
+    val gen = Gen.listOfN(8, Gen.zip(Gen.choose(-100L, 100L), Gen.choose(-100L, 100L)))
+    forSamples(gen, n = 6) { ys0 =>
+      whenever(ys0.size >= 2) {
+        // key "zx": x constant, y varies -> corr null, covar 0 exactly
+        // key "zy": y constant, x varies -> corr null
+        // key "ok": both vary linearly -> corr == 1 exactly
+        val rows =
+          ys0.map { case (_, y) => ("zx", 7L, y) } ++
+          ys0.map { case (x, _) => ("zy", x, -3L) } ++
+          ys0.indices.map(i => ("ok", i.toLong, 2L * i + 5L))
+        val out = graft.operators.StatsOps.groupCorrelation(
+            rows.toDF("grp", "x", "y"), Seq("grp"), "x", "y")
+          .collect().map(r => r.getString(0) ->
+            ((if (r.isNullAt(2)) None else Some(r.getDouble(2))),
+             r.getDouble(3))).toMap
+        assert(out("zx")._1.isEmpty, "constant x must yield null corr")
+        assert(out("zx")._2 === 0.0, "covariance with a constant must be 0")
+        assert(out("zy")._1.isEmpty, "constant y must yield null corr")
+        if (ys0.size >= 2)
+          assert(approx(out("ok")._1.get, 1.0, 1e-9),
+            "exact linear relation must score corr 1")
+      }
+    }
+  }
+
+  test("property: anomalyZscore stays null-z below minN and on constant windows") {
+    import spark.implicits._
+    val gen = Gen.listOfN(4, Gen.choose(0L, 100L))
+    forSamples(gen, n = 6) { vs =>
+      // key 1: only |vs| (< minN=5 prior) events -> every z null, flag 0
+      // key 2: constant values, many rows -> variance 0 -> z null, flag 0
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+          (1L, i.toLong, i.toLong, v) } ++
+        (0 until 12).map(i => (2L, i.toLong, i.toLong, 42L))
+      val df = rows.toDF("user_id", "ts_ns", "event_id", "raw")
+        .withColumn("value",
+          org.apache.spark.sql.functions.col("raw").cast("double"))
+      val out = graft.operators.SequenceOps.anomalyZscore(df, "user_id",
+          "ts_ns", "event_id", "value", scale = 1L, lookback = 10,
+          minN = 5, threshold = 2.0)
+        .collect().map(r => (r.getLong(0), r.isNullAt(5), r.getInt(6)))
+      out.foreach { case (k, zNull, flag) =>
+        assert(zNull, s"key $k: z must be null (short window or zero variance)")
+        assert(flag === 0, s"key $k: no anomaly may fire without a defined z")
+      }
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col

@@ -86,20 +86,85 @@ class SchemaContractSpec extends SparkSpec {
       "embedding" -> Set(ArrayType(FloatType), ArrayType(FloatType, false)),
       "label" -> Set(IntegerType, LongType)))
 
-  for ((table, cols) <- contracts.toSeq.sortBy(_._1))
-    test(s"$table columns carry the types its queries assume") {
-      val schema = Tables.load(spark, d, table).schema
-      for ((name, accepted) <- cols) {
-        assert(schema.fieldNames.contains(name),
-          s"$table.$name MISSING — generator drift; fields: " +
-            schema.fieldNames.mkString(", "))
+  /** The contract check itself, factored out so a synthetic drifted
+    * schema can prove the tripwire actually fires (not just that
+    * today's data happens to pass). Returns one violation line per
+    * missing/mistyped column; empty = contract satisfied.
+    */
+  private def violations(schema: StructType, table: String): Seq[String] =
+    contracts(table).flatMap { case (name, accepted) =>
+      if (!schema.fieldNames.contains(name))
+        Some(s"$table.$name MISSING — generator drift; fields: " +
+          schema.fieldNames.mkString(", "))
+      else {
         val dt = schema(name).dataType
-        assert(accepted.contains(dt),
-          s"$table.$name is $dt but queries assume one of " +
-            s"${accepted.mkString("{", ", ", "}")} — schema drift; " +
-            "adapt the loader (see Tables.events) or the consumers")
+        if (accepted.contains(dt)) None
+        else Some(s"$table.$name is $dt but queries assume one of " +
+          s"${accepted.mkString("{", ", ", "}")} — schema drift; " +
+          "adapt the loader (see Tables.events) or the consumers")
       }
     }
+
+  for ((table, _) <- contracts.toSeq.sortBy(_._1))
+    test(s"$table columns carry the types its queries assume") {
+      val v = violations(Tables.load(spark, d, table).schema, table)
+      assert(v.isEmpty, v.mkString("\n"))
+    }
+
+  test("contract is COMPLETE: it pins every physical column of every table") {
+    // a regeneration that ADDS a column is harmless, but a column the
+    // contract forgot to pin is a hole the next drift walks through —
+    // as of round 10 the contract enumerates the full generator schema,
+    // so any unpinned column means the generator grew and the contract
+    // (plus any new consumer) must be extended deliberately
+    for ((table, cols) <- contracts.toSeq.sortBy(_._1)) {
+      val pinned = cols.map(_._1).toSet
+      val physical = Tables.load(spark, d, table).schema.fieldNames.toSet
+      assert(physical.subsetOf(pinned),
+        s"$table grew unpinned columns: ${(physical -- pinned).toSeq.sorted
+          .mkString(", ")} — pin them (with the types consumers assume)")
+    }
+  }
+
+  test("a drifted fixture TRIPS the contract (the tripwire itself works)") {
+    // round-10 verdict item 5: prove the check catches the historical
+    // failure modes, not merely that current data passes
+    val base = Tables.load(spark, d, "events").schema
+    // (a) the round-7 incident inverted: ts regressing to DoubleType
+    val retyped = StructType(base.map(f =>
+      if (f.name == "ts") f.copy(dataType = DoubleType) else f))
+    assert(violations(retyped, "events").exists(_.contains("events.ts")),
+      "ts dtype drift must be reported")
+    // (b) a dropped column
+    val dropped = StructType(base.filterNot(_.name == "props"))
+    assert(violations(dropped, "events").exists(_.contains("MISSING")),
+      "a dropped column must be reported as MISSING")
+    // (c) embeddings collapsing to double[] (would silently change
+    // every ANN distance) — ArrayType(DoubleType) is NOT accepted
+    val embBase = Tables.load(spark, d, "embeddings").schema
+    val widened = StructType(embBase.map(f =>
+      if (f.name == "embedding") f.copy(dataType = ArrayType(DoubleType))
+      else f))
+    assert(violations(widened, "embeddings").exists(_.contains("embedding")),
+      "embedding element-type drift must be reported")
+  }
+
+  test("Tables.events REJECTS an unreadable ts flavor loudly (drifted parquet)") {
+    // end-to-end through the loader: a string ts is not normalizable —
+    // the loader must throw its one-line diagnosis, not hand queries a
+    // column that fails 233 analysis steps later
+    import spark.implicits._
+    val path = s"/tmp/graft_drift_events_${java.util.UUID.randomUUID
+      .toString.take(8)}"
+    Seq((1L, "2024-01-01T00:00:00", 7L, "view", 1.5, """{"k":1}"""))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$path/events.parquet")
+    val e = intercept[IllegalArgumentException] {
+      Tables.events(spark, path)
+    }
+    assert(e.getMessage.contains("events.ts"),
+      s"loader must name the drifted column, got: ${e.getMessage}")
+  }
 
   test("events.props carries the JSON object contract props_parse reads") {
     // round-8 additions insurance: props_parse extracts $.k as BIGINT
