@@ -2713,5 +2713,6 @@ object Queries {
     "range_join" -> rangeJoinQ,
     "distinct_sketch" -> distinctSketchQ,
     "quantile_sketch" -> quantileSketchQ) ++
-    QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all
+    QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all ++
+    QueriesCuration.all
 }

@@ -1,0 +1,158 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.{Q, qround}
+import graft.operators.{SequenceOps, SketchOps, StatsOps}
+
+/** Round-10 curation / data-quality query surface: table profiling,
+  * Tukey-fence outlier filtering, exact heavy hitters priced as a
+  * sketch, bounded-lookback EWMA smoothing, and blocked record
+  * linkage. Same Q contract as [[Queries]] (Spark fn + DuckDB oracle,
+  * column names aligned, quantization via qround).
+  */
+object QueriesCuration {
+
+  /** Column-level profile of the fact table — row/null/exact-distinct
+    * counts per column in one melted pass. The oracle recomputes each
+    * column independently; distinct counts agree because the melt's
+    * stringification is injective on these types.
+    */
+  private val profileCols =
+    Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+
+  private val profileTableQ = Q(
+    (s, d) => StatsOps.profileTable(
+      Tables.lineitem(s, d).select(profileCols.map(col): _*), profileCols),
+    profileCols.map { c =>
+      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+         |  count(*) - count($c) AS n_null,
+         |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+
+  /** Tukey-fence outlier counts per event type: cutoffs are the exact
+    * interpolated quartiles quantized to the 1e-4 grid (the same grid
+    * grouped_quantiles is gate-proven on), then `q1 − 1.5·IQR` /
+    * `q3 + 1.5·IQR` arithmetic on those quantized doubles — identical
+    * in both engines, so the fence DECISION is bit-exact.
+    */
+  private val iqrOutliersQ = Q(
+    (s, d) => StatsOps.iqrOutliers(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          col("value")),
+        Seq("event_type"), "value")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("is_outlier"), 1L).otherwise(0L)).as("n_outliers"),
+        qround(min(col("_lo")), 4).as("lo"),
+        qround(max(col("_hi")), 4).as("hi")),
+    """WITH q AS (
+      |  SELECT event_type,
+      |    floor(quantile_cont(value, 0.25) * 10000.0 + 0.5) / 10000.0
+      |      AS q1,
+      |    floor(quantile_cont(value, 0.75) * 10000.0 + 0.5) / 10000.0
+      |      AS q3
+      |  FROM events GROUP BY 1),
+      |f AS (
+      |  SELECT event_type, q1 - 1.5 * (q3 - q1) AS lo,
+      |    q3 + 1.5 * (q3 - q1) AS hi FROM q)
+      |SELECT e.event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN value < lo OR value > hi THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_outliers,
+      |  floor(min(lo) * 10000.0 + 0.5) / 10000.0 AS lo,
+      |  floor(max(hi) * 10000.0 + 0.5) / 10000.0 AS hi
+      |FROM events e JOIN f USING (event_type)
+      |GROUP BY 1""".stripMargin)
+
+  /** Exact heavy hitters (frequency > n/(k+1)) of the document-length
+    * bucket per language, priced by the two-pass Misra-Gries shape
+    * (SketchOps.heavyHitters). The oracle computes the same frequent
+    * set with a direct GROUP BY + HAVING — exact on both sides, so the
+    * sketch pass is proven lossless, not just plausible.
+    */
+  private val hhK = 5
+
+  private val heavyHittersQ = Q(
+    (s, d) => SketchOps.heavyHitters(
+      Tables.documents(s, d)
+        .select(col("lang"), expr("n_chars div 100L").as("len_bucket")),
+      Seq("lang"), "len_bucket", k = hhK),
+    s"""WITH b AS (
+       |  SELECT lang, n_chars // 100 AS value FROM documents),
+       |t AS (SELECT lang, count(*) AS n_group FROM b GROUP BY 1),
+       |c AS (SELECT lang, value, count(*) AS cnt FROM b GROUP BY 1, 2)
+       |SELECT c.lang, c.value, c.cnt, t.n_group
+       |FROM c JOIN t USING (lang)
+       |WHERE c.cnt * ${hhK + 1} > t.n_group""".stripMargin)
+
+  /** Bounded-lookback EWMA (α = 0.5, exact power-of-two decay) of the
+    * event value per user — every α^i·x term is an exact IEEE binary
+    * scaling and both engines fold the frame list left-to-right, so
+    * the smoothed series replays bit-identically before qround.
+    */
+  private val ewmaSmoothQ = Q(
+    (s, d) => SequenceOps.ewmaSmooth(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", "ts_ns", "event_id", "value", alpha = 0.5, lookback = 8)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        qround(col("ewma"), 6).as("ewma")),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, ts_ns, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vs
+      |  FROM e)
+      |SELECT user_id, ts_ns, event_id,
+      |  floor((list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(vs)), i_ ->
+      |        power(CAST(0.5 AS DOUBLE), len(vs) - i_) * vs[i_])),
+      |      (a_, b_) -> a_ + b_)
+      |    / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(generate_series(1, len(vs)), i_ ->
+      |        power(CAST(0.5 AS DOUBLE), len(vs) - i_))),
+      |      (a_, b_) -> a_ + b_)) * 1000000.0 + 0.5) / 1000000.0 AS ewma
+      |FROM w""".stripMargin)
+
+  /** Blocked record linkage: customer×supplier candidate pairs blocked
+    * on the nation key (never all-pairs — the block join IS the
+    * blocking step of entity resolution), scored with the native
+    * Jaro-Winkler kernel and kept at ≥ 0.8 on the QUANTIZED score so
+    * the threshold decision compares identical doubles in both
+    * engines. DuckDB ships the same JW semantics
+    * (`jaro_winkler_similarity`: boost 0.7, prefix 4, p = 0.1 —
+    * verified empirically), which is exactly what
+    * functions.JaroWinkler implements.
+    */
+  private val recordLinkageQ = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("_nk"))
+      val sp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("_nk"))
+      c.join(sp, "_nk")
+        .withColumn("jw",
+          qround(graft.functions.JaroWinkler(col("c_name"), col("s_name")), 8))
+        .where(col("jw") >= 0.8)
+        .select(col("c_custkey"), col("s_suppkey"),
+          col("_nk").as("nationkey"), col("jw"))
+    },
+    """SELECT c_custkey, s_suppkey,
+      |  CAST(c_nationkey AS BIGINT) AS nationkey,
+      |  floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS jw
+      |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |WHERE floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0
+      |  + 0.5) / 100000000.0 >= 0.8""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "profile_table" -> profileTableQ,
+    "iqr_outliers" -> iqrOutliersQ,
+    "heavy_hitters" -> heavyHittersQ,
+    "ewma_smooth" -> ewmaSmoothQ,
+    "record_linkage" -> recordLinkageQ)
+}

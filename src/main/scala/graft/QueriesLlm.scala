@@ -225,6 +225,110 @@ object QueriesLlm {
        |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
        |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
+  /** Quality-aware duplicate-cluster collapse: dedup_clusters'
+    * connected components, but the kept REPRESENTATIVE is the longest
+    * member (doc_id-ascending tiebreak) instead of the smallest id —
+    * the curation policy real pipelines use ("keep the most complete
+    * copy"). One row per cluster: representative, its length, member
+    * count. The oracle recomputes the converged components with the
+    * same recursive closure as dedup_clusters and reselects
+    * independently, so the POLICY is exact-checked end to end.
+    *
+    * Plan shape past the (already-verified) cluster assignment: one
+    * row_number window on cluster_id (top-1 → partial WindowGroupLimit
+    * shuffles ≤ 1 row per cluster per partition) plus one count
+    * aggregate, joined back — scale-bounded by cluster count.
+    */
+  private val clusterBestRepQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val corpus = dupCorpus(s, d, mod = 4)
+      val cl = DedupOps.dedupClusters(corpus, "doc_id", "text",
+        threshold = 0.5)
+      val scored = cl.join(
+        corpus.select(col("doc_id"),
+          length(col("text")).cast("long").as("_len")), "doc_id")
+      val w = Window.partitionBy(col("cluster_id"))
+        .orderBy(desc("_len"), col("doc_id"))
+      val reps = scored.withColumn("_rk", row_number().over(w))
+        .where(col("_rk") === 1)
+      val members = cl.groupBy(col("cluster_id"))
+        .agg(count(lit(1)).as("n_members"))
+      reps.join(members, "cluster_id")
+        .select(col("cluster_id"), col("doc_id").as("rep_id"),
+          col("_len").as("rep_len"), col("n_members"))
+    },
+    s"""WITH RECURSIVE ${minhashVerSql(mod = 4)},
+       |pairs AS (
+       |  SELECT id1, id2 FROM ver
+       |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+       |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
+       |      UNION SELECT id2, id1 FROM pairs),
+       |reach(a, b) AS (
+       |  SELECT DISTINCT a, a FROM e
+       |  UNION
+       |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+       |lab AS (SELECT a AS doc_id, min(b) AS cluster_id
+       |        FROM reach GROUP BY a),
+       |cl AS (SELECT c.doc_id,
+       |    coalesce(l.cluster_id, c.doc_id) AS cluster_id,
+       |    CAST(length(c.text) AS BIGINT) AS len
+       |  FROM corpus c LEFT JOIN lab l USING (doc_id)),
+       |rk AS (SELECT *, row_number() OVER (PARTITION BY cluster_id
+       |    ORDER BY len DESC, doc_id) AS rk FROM cl),
+       |m AS (SELECT cluster_id, count(*) AS n_members FROM cl GROUP BY 1)
+       |SELECT r.cluster_id, r.doc_id AS rep_id, r.len AS rep_len,
+       |  m.n_members
+       |FROM rk r JOIN m USING (cluster_id) WHERE rk = 1""".stripMargin)
+
+  /** Cross-split embedding leakage: near-duplicate pairs (the
+    * embed_neardup LSH machinery) that STRADDLE a deterministic 90/10
+    * train/test hash split — the semantic twin of `decontaminate`
+    * (which catches exact shingle overlap; this catches paraphrases
+    * and re-encodings the shingle pass misses). Output: one row per
+    * leaking (test_id, train_id) pair with its cosine.
+    */
+  private val embedLeakageQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val split = SampleOps.hashSplit(emb.select("vec_id"), "vec_id",
+        Seq(0.9, 0.1), Seq("train", "test"))
+      val pairs = SimilarityOps.nearDupPairs(emb, "vec_id", "embedding",
+        dim = 64, threshold = 0.2)
+      pairs
+        .join(split.select(col("vec_id").as("id1"),
+          col("split").as("_sp1")), "id1")
+        .join(split.select(col("vec_id").as("id2"),
+          col("split").as("_sp2")), "id2")
+        .where(col("_sp1") =!= col("_sp2"))
+        .select(
+          when(col("_sp1") === "test", col("id1")).otherwise(col("id2"))
+            .as("test_id"),
+          when(col("_sp1") === "test", col("id2")).otherwise(col("id1"))
+            .as("train_id"),
+          qround(col("cosine"), 8).as("cosine"))
+    },
+    s"""WITH e0 AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |sp AS (SELECT vec_id,
+       |    CASE WHEN (((vec_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} < 9000
+       |    THEN 'train' ELSE 'test' END AS split
+       |  FROM embeddings),
+       |e AS (SELECT vec_id, v, ${bucketSql("v")} AS bucket FROM e0),
+       |pairs AS (
+       |  SELECT a.vec_id AS id1, b.vec_id AS id2,
+       |    ${dotSql("a.v", "b.v")} / (sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")})) AS cos_
+       |  FROM e a JOIN e b ON a.bucket = b.bucket AND a.vec_id < b.vec_id),
+       |j AS (
+       |  SELECT p.id1, p.id2, p.cos_, sa.split AS s1, sb.split AS s2
+       |  FROM pairs p JOIN sp sa ON p.id1 = sa.vec_id
+       |               JOIN sp sb ON p.id2 = sb.vec_id
+       |  WHERE sa.split <> sb.split AND p.cos_ >= 0.2)
+       |SELECT CASE WHEN s1 = 'test' THEN id1 ELSE id2 END AS test_id,
+       |  CASE WHEN s1 = 'test' THEN id2 ELSE id1 END AS train_id,
+       |  ${qrSql("cos_", 8)} AS cosine
+       |FROM j""".stripMargin)
+
   /** Integer PageRank, 3 unrolled iterations over the LSH candidate
     * graph — every update is integer div/mul, so the whole trajectory
     * is engine-exact with no quantization at all.
@@ -2820,6 +2924,8 @@ object QueriesLlm {
     "decontaminate" -> decontaminateQ,
     "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
+    "cluster_best_rep" -> clusterBestRepQ,
+    "embed_leakage" -> embedLeakageQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,

@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-rehearsal data amplifier: writes an sf×N copy of a driver
+  * testdata dir by unioning N key-offset replicas of every fact table
+  * (`sbt "runMain graft.ScaleUp <srcDir> <dstDir> [n]"`).
+  *
+  * Purpose (round-9 verdict item 8): the driver benches at sf0.1; this
+  * produces a 10× volume locally so anything superlinear (pairing
+  * self-joins, full-width compares) surfaces BEFORE real scale.
+  * Replica i adds `i * KeyOffset` to every entity key — foreign keys
+  * included, so each replica is a self-consistent universe and joins
+  * keep their exact 1:N shape (the per-key fan-in/fan-out of the
+  * original, N× the keys). Bounded dimensions (`region`, `nation`) and
+  * nation FKs are left alone, exactly how a bigger TPC-H keeps its
+  * fixed 25-nation world. Timestamps are NOT shifted: N× event density
+  * over the same window, each user still owning its original history
+  * (user ids are offset). Document text is replicated verbatim —
+  * web-corpus-realistic exact/near duplication that stresses the LSH
+  * bucket caps by design.
+  */
+object ScaleUp {
+
+  /** Larger than any key the generator emits at sf ≤ 1. */
+  val KeyOffset = 1000000000L
+
+  private val keyCols: Map[String, Seq[String]] = Map(
+    "region" -> Nil, // bounded dimension — single copy
+    "nation" -> Nil, // bounded dimension — single copy
+    "customer" -> Seq("c_custkey"),
+    "supplier" -> Seq("s_suppkey"),
+    "part" -> Seq("p_partkey"),
+    "orders" -> Seq("o_orderkey", "o_custkey"),
+    "lineitem" -> Seq("l_orderkey", "l_partkey", "l_suppkey"),
+    "events" -> Seq("event_id", "user_id"),
+    "documents" -> Seq("doc_id"),
+    "embeddings" -> Seq("vec_id"))
+
+  def amplify(df: DataFrame, keys: Seq[String], n: Int): DataFrame =
+    if (keys.isEmpty) df
+    else (0 until n).map { i =>
+      keys.foldLeft(df) { (acc, k) =>
+        acc.withColumn(k, col(k) + lit(i * KeyOffset))
+      }
+    }.reduce(_ unionByName _)
+
+  def main(args: Array[String]): Unit = {
+    val src = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val dst = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val n = args.lift(2).map(_.toInt).getOrElse(10)
+    val spark = SparkSession.builder()
+      .master(s"local[${sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")}]")
+      .config("spark.sql.shuffle.partitions", "32")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    for (t <- Tables.all) {
+      val out = amplify(Tables.load(spark, src, t), keyCols(t), n)
+      // a few files per table keeps read parallelism without tiny-file
+      // overhead at this scale
+      out.repartition(math.max(4, 4 * keyCols(t).size))
+        .write.mode("overwrite").parquet(s"$dst/$t.parquet")
+      println(s"[scaleup] $t -> $dst/$t.parquet")
+    }
+    spark.stop()
+  }
+}

@@ -310,4 +310,43 @@ object SequenceOps {
       .select(col("prev_type"), col("next_type"), col("n"),
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
+
+  /** Bounded-lookback exponentially-weighted moving average: per key,
+    * over rows in (ts, tie) order,
+    *   ewma_t = Σ_{i=0..L} α^i · x_{t−i} / Σ_{i=0..L} α^i
+    * restricted to the rows that actually exist in the trailing frame
+    * — the classic time-series smoother, made scale-exact two ways:
+    *
+    *   - the lookback is a ROWS frame (L+1 values max), so the state
+    *     carried per row is bounded — a true recursive EWMA would need
+    *     the key's full history and is not order-free;
+    *   - with α an exact power of two (default 0.5), α^i, α^i·x and
+    *     the fixed-left-to-right fold are all exact IEEE scalings in
+    *     ANY engine, so the smoothed value replays bit-identically in
+    *     the oracle (no rounding tolerance needed before qround).
+    *
+    * Plan shape: one shuffle on the key, one sort, a bounded
+    * collect_list frame (frame order = window order), then a pure
+    * codegen'd `aggregate` fold per row. No UDF, no second window.
+    */
+  def ewmaSmooth(events: DataFrame, keyCol: String, tsCol: String,
+                 tieCol: String, valueCol: String, alpha: Double = 0.5,
+                 lookback: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, 0)
+    // frame values oldest..current; weight of slot i (1-based of n) is
+    // alpha^(n - i): the CURRENT row gets alpha^0, the oldest the most
+    // decay — both folds below run left-to-right over the same list
+    events
+      .withColumn("_vs", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("ewma", expr(
+        s"""aggregate(sequence(1, size(_vs)), cast(0.0 as double),
+           |  (acc, i) -> acc + power(cast($alpha as double),
+           |    size(_vs) - i) * element_at(_vs, i)) /
+           |aggregate(sequence(1, size(_vs)), cast(0.0 as double),
+           |  (acc, i) -> acc + power(cast($alpha as double),
+           |    size(_vs) - i))""".stripMargin))
+      .drop("_vs")
+  }
 }

@@ -289,4 +289,80 @@ object SketchOps {
           qs.zipWithIndex.map { case ((nm, _), i) =>
             col("sk.quants")(i).as(nm)
           }): _*)
+
+  /** Misra-Gries frequent-items summary (capacity k): O(k) state per
+    * group whatever the value cardinality, mergeable, and with the
+    * classical guarantee that EVERY value of true frequency > n/(k+1)
+    * survives in the summary — the candidate set can only over-include,
+    * never miss a heavy hitter. The candidate VALUES depend on arrival
+    * order (inherent to MG); [[heavyHitters]] restores determinism with
+    * an exact recount.
+    */
+  final class MisraGriesAggregator(k: Int)
+      extends Aggregator[Long, Map[Long, Long], Array[Long]] {
+
+    override def zero: Map[Long, Long] = Map.empty
+
+    override def reduce(m: Map[Long, Long], v: Long): Map[Long, Long] =
+      m.get(v) match {
+        case Some(c) => m.updated(v, c + 1)
+        case None if m.size < k => m.updated(v, 1L)
+        case None => // decrement-all step: drop counters reaching 0
+          m.collect { case (key, c) if c > 1 => key -> (c - 1) }
+      }
+
+    /** Canonical MG summary merge (Agarwal et al., "Mergeable
+      * Summaries"): sum counters, then subtract the (k+1)-th largest
+      * combined count from every counter and keep the positives —
+      * at most k survive and the error guarantee is preserved.
+      */
+    override def merge(a: Map[Long, Long], b: Map[Long, Long]): Map[Long, Long] = {
+      val sum = b.foldLeft(a) { case (acc, (key, c)) =>
+        acc.updated(key, acc.getOrElse(key, 0L) + c)
+      }
+      if (sum.size <= k) sum
+      else {
+        val t = sum.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+        sum.collect { case (key, c) if c > t => key -> (c - t) }
+      }
+    }
+
+    override def finish(m: Map[Long, Long]): Array[Long] =
+      m.keys.toArray.sorted
+
+    override def bufferEncoder: Encoder[Map[Long, Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Map[Long, Long]]()
+    override def outputEncoder: Encoder[Array[Long]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
+  }
+
+  /** Exact per-group frequent items at threshold n/(k+1), priced like a
+    * sketch: pass 1 runs the O(k)-state Misra-Gries aggregate to get a
+    * per-group candidate array (bounded, broadcastable); pass 2
+    * semi-joins the fact down to candidate rows only and recounts them
+    * EXACTLY; the final filter `cnt·(k+1) > n_group` keeps precisely
+    * the true heavy hitters. Because MG can never miss one, the output
+    * is deterministic — independent of row order and partitioning —
+    * even though the intermediate candidate sets are not. This is the
+    * standard two-pass exact-heavy-hitters shape at corpus scale: the
+    * full-width groupBy((keys, value)) count it avoids is the thing
+    * that melts at 100 TB value cardinality.
+    */
+  def heavyHitters(df: DataFrame, keys: Seq[String], valueCol: String,
+                   k: Int): DataFrame = {
+    val fact = df.select((keys.map(col) :+
+      col(valueCol).cast("long").as("_v")): _*)
+    val cands = fact.groupBy(keys.map(col): _*)
+      .agg(udaf(new MisraGriesAggregator(k)).apply(col("_v")).as("_cands"))
+      .select((keys.map(col) :+ explode(col("_cands")).as("_v")): _*)
+    val totals = fact.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n_group"))
+    fact.join(broadcast(cands), keys :+ "_v", "left_semi")
+      .groupBy((keys :+ "_v").map(col): _*)
+      .agg(count(lit(1)).as("cnt"))
+      .join(broadcast(totals), keys)
+      .where(col("cnt") * lit(k + 1L) > col("n_group"))
+      .select((keys.map(col) :+ col("_v").as("value") :+
+        col("cnt") :+ col("n_group")): _*)
+  }
 }

@@ -493,4 +493,56 @@ object StatsOps {
     g.select((keys.map(col) :+ col("n") :+
       try_divide(rnum, rden).as("corr") :+ cov.as("covar_samp")): _*)
   }
+
+  /** Column-level table profile — the data-quality summary every
+    * ingest step of a 100 TB pipeline runs first: one output row per
+    * profiled column with row count, null count, and EXACT distinct
+    * count. Values are melted to (col_name, stringified value) by a
+    * single `stack` Generate (pure codegen, one pass over the scan),
+    * then ONE hash aggregate; stringification is injective for the
+    * profiled types, so the distinct counts equal the raw columns'.
+    *
+    * 100 TB story: map-side combine collapses the melted stream to
+    * (column × distinct-values-per-partition) before the shuffle, so
+    * the exchange is bounded by per-column cardinality, not row count.
+    * For columns with data-scale cardinality swap the exact
+    * countDistinct for approx_count_distinct at the call site — the
+    * plan shape is identical.
+    */
+  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profileTable needs at least one column")
+    val pairs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+    df.select(expr(s"stack(${cols.size}, $pairs) as (col_name, val)"))
+      .groupBy(col("col_name"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+        countDistinct(col("val")).as("n_distinct"))
+  }
+
+  /** Per-row IQR outlier flag: a row is an outlier when its value
+    * falls outside [q1 − f·IQR, q3 + f·IQR] of its GROUP — the Tukey
+    * fence, the standard numeric-curation filter next to winsorize
+    * (which clamps instead of flagging). Cutoff arithmetic runs on
+    * cutoffs QUANTIZED to the 1e-`quantDigits` grid, so the fence
+    * comparison evaluates identical doubles in any engine. Plan:
+    * [[groupedQuantiles]] (one shuffle on the keys) broadcast-joined
+    * back to the fact — same shape as winsorize, scale-sound.
+    */
+  def iqrOutliers(df: DataFrame, keys: Seq[String], valueCol: String,
+                  factor: Double = 1.5, quantDigits: Int = 4): DataFrame = {
+    val s = math.pow(10, quantDigits)
+    def qr(c: Column) = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val q = groupedQuantiles(
+        df.select((keys :+ valueCol).map(col): _*), keys, valueCol,
+        Seq(0.25, 0.75))
+      .select((keys.map(col) :+ qr(col("q_0")).as("_q1") :+
+        qr(col("q_1")).as("_q3")): _*)
+    val iqr = col("_q3") - col("_q1")
+    df.join(broadcast(q), keys)
+      .withColumn("_lo", col("_q1") - lit(factor) * iqr)
+      .withColumn("_hi", col("_q3") + lit(factor) * iqr)
+      .withColumn("is_outlier",
+        (col(valueCol) < col("_lo")) || (col(valueCol) > col("_hi")))
+      .drop("_q1", "_q3")
+  }
 }

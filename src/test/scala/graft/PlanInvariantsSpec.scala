@@ -44,7 +44,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "anomaly_zscore", "scd2_history", "event_transitions",
     "percent_rank_norm", "phrase_search", "stratified_sample", "skyline",
     "table_diff", "knn_classify", "source_report", "group_correlation",
-    "last_touch", "resample_ffill", "winsorize", "group_linfit")
+    "last_touch", "resample_ffill", "winsorize", "group_linfit",
+    // round-10 curation additions (record_linkage's block join is an
+    // equi-join on the nation key — the blocking IS the cartesian guard)
+    "profile_table", "iqr_outliers", "heavy_hitters", "ewma_smooth",
+    "record_linkage", "embed_leakage", "cluster_best_rep")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -75,7 +79,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // StatsOps.topPerGroup / SimilarityOps.bruteForceTopK breaks the
     // rank-filter pattern the optimizer recognizes, full fact rows
     // shuffle again; this trips first.
-    for (name <- Seq("top_per_group", "ann_topk", "tfidf_top_terms")) {
+    for (name <- Seq("top_per_group", "ann_topk", "tfidf_top_terms",
+        "cluster_best_rep")) {
       val p = plan(name)
       val n = "WindowGroupLimit".r.findAllIn(p).size
       assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, " +
