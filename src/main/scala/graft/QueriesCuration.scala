@@ -149,10 +149,82 @@ object QueriesCuration {
       |WHERE floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0
       |  + 0.5) / 100000000.0 >= 0.8""".stripMargin)
 
+  /** Order-independent content checksums for the two fact tables —
+    * the "did anything change" snapshot primitive (IoOps
+    * .datasetFingerprint). Row hashes are exact modular integer
+    * arithmetic over the key columns; Σ mod p commutes, so the
+    * fingerprint is identical under any row order, partitioning, or
+    * engine. Spark accumulates in DECIMAL(38,0) ≡ DuckDB HUGEINT.
+    */
+  private val M = operators.TextOps.HashMod
+  private val B = operators.TextOps.HashBase
+
+  private val datasetFingerprintQ = Q(
+    (s, d) => sources.IoOps.datasetFingerprint(Seq(
+      "lineitem" -> Tables.lineitem(s, d).select(
+        expr(s"((l_orderkey % $M) * $B + l_linenumber) % $M")
+          .as("_row_hash")),
+      "orders" -> Tables.orders(s, d).select(
+        expr(s"((o_orderkey % $M) * $B + (o_custkey % $M)) % $M")
+          .as("_row_hash")))),
+    s"""SELECT 'lineitem' AS table_name, count(*) AS n_rows,
+       |  CAST(sum(((l_orderkey % $M) * $B + l_linenumber) % $M) % $M
+       |    AS BIGINT) AS fingerprint
+       |FROM lineitem
+       |UNION ALL
+       |SELECT 'orders', count(*),
+       |  CAST(sum(((o_orderkey % $M) * $B + (o_custkey % $M)) % $M) % $M
+       |    AS BIGINT)
+       |FROM orders""".stripMargin)
+
+  /** Tokenizer vocabulary coverage per language: OOV rate against the
+    * global top-500 word vocabulary (count desc, word asc — a
+    * deterministic total order both engines replay). Counts exact, one
+    * exact division.
+    */
+  private val oovRateQ = Q(
+    (s, d) => operators.TextOps.oovRate(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        "lang", "text", vocabSize = 500)
+      .select(col("lang"), col("n_tokens"), col("n_oov"),
+        qround(col("oov_rate"), 8).as("oov_rate")),
+    """WITH t AS (
+      |  SELECT lang, unnest(string_split(text, ' ')) AS w
+      |  FROM documents),
+      |v AS (
+      |  SELECT w FROM (
+      |    SELECT w, count(*) AS c FROM t GROUP BY 1
+      |    ORDER BY c DESC, w LIMIT 500))
+      |SELECT lang, count(*) AS n_tokens,
+      |  CAST(sum(CASE WHEN w NOT IN (SELECT w FROM v) THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_oov,
+      |  floor((CAST(sum(CASE WHEN w NOT IN (SELECT w FROM v)
+      |      THEN 1 ELSE 0 END) AS DOUBLE) / count(*))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS oov_rate
+      |FROM t GROUP BY 1""".stripMargin)
+
+  /** Streaming EWMA driven on a batch frame: identical output to the
+    * batch window operator (StreamingOps.ewmaStream carries the same
+    * ring buffer across micro-batches; here every key arrives in one
+    * group so the fold equals the batch frame exactly — shared oracle
+    * with ewma_smooth's SQL).
+    */
+  private val streamEwmaQ = Q(
+    (s, d) => graft.streaming.StreamingOps.ewmaStream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", "ts_ns", "event_id", "value", alpha = 0.5, lookback = 8)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        qround(col("ewma"), 6).as("ewma")),
+    ewmaSmoothQ.sql)
+
   val all: Map[String, Q] = Map(
     "profile_table" -> profileTableQ,
     "iqr_outliers" -> iqrOutliersQ,
     "heavy_hitters" -> heavyHittersQ,
     "ewma_smooth" -> ewmaSmoothQ,
-    "record_linkage" -> recordLinkageQ)
+    "record_linkage" -> recordLinkageQ,
+    "dataset_fingerprint" -> datasetFingerprintQ,
+    "oov_rate" -> oovRateQ,
+    "stream_ewma" -> streamEwmaQ)
 }

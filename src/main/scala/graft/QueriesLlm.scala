@@ -422,6 +422,40 @@ object QueriesLlm {
        |FROM pairs JOIN sh s1 ON pairs.id1 = s1.doc_id
        |           JOIN sh s2 ON pairs.id2 = s2.doc_id""".stripMargin)
 
+  /** Asymmetric containment pairs — the "document swallowed by a
+    * longer one" near-dup measure (quote farms, boilerplate wrappers)
+    * that Jaccard's union denominator hides. Candidates come from the
+    * rare-shingle join, NOT the LSH bands (whose collision rate tracks
+    * Jaccard and misses exactly these pairs — see the operator's
+    * scaladoc). The dup-injected ` extra` variants score containment
+    * 1.0 of the original in the extension.
+    */
+  private val containmentDupesQ = Q(
+    (s, d) => DedupOps.containmentPairs(dupCorpus(s, d, mod = 2),
+        "doc_id", "text", minContainment = 0.5)
+      .select(col("id1"), col("id2"), col("n_inter"), col("n1"), col("n2"),
+        qround(col("containment"), 6).as("containment")),
+    s"""WITH ${dupCorpusSql(2)},
+       |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
+       |ex AS (SELECT doc_id, unnest(sh) AS s FROM sh),
+       |keep AS (SELECT s FROM ex GROUP BY s HAVING count(*) <= 50),
+       |pe AS (SELECT doc_id, s FROM ex JOIN keep USING (s)),
+       |cand AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2
+       |  FROM pe a JOIN pe b ON a.s = b.s AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING count(*) >= 3),
+       |ver AS (
+       |  SELECT id1, id2,
+       |    len(list_intersect(s1.sh, s2.sh)) AS n_inter,
+       |    len(s1.sh) AS n1, len(s2.sh) AS n2
+       |  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
+       |            JOIN sh s2 ON cand.id2 = s2.doc_id)
+       |SELECT id1, id2, n_inter, n1, n2,
+       |  ${qrSql("CAST(n_inter AS DOUBLE) / least(n1, n2)", 6)}
+       |    AS containment
+       |FROM ver
+       |WHERE CAST(n_inter AS DOUBLE) / least(n1, n2) >= 0.5""".stripMargin)
+
   // -------------------------------------------------------- similarity
 
   private val annTopkQ = Q(
@@ -2794,11 +2828,21 @@ object QueriesLlm {
         .join(corpus.select(col("doc_id").as("id2"), col("text").as("_t2")),
           "id2")
         .select(col("id1"), col("id2"),
-          levenshtein(col("_t1"), col("_t2")).as("edit_dist"))
+          // identical-text fast path: a web-scale corpus is FULL of
+          // byte-identical near-dup survivors (every exact-dup cluster
+          // of size m contributes C(m,2) candidate pairs), and the
+          // O(|a|·|b|) DP on equal strings is pure waste — the O(L)
+          // equality memcmp short-circuits it (CaseWhen evaluates only
+          // the taken branch). Measured at the 10x scale rehearsal:
+          // 77 s → seconds on the duplicate-amplified corpus.
+          when(col("_t1") === col("_t2"), lit(0))
+            .otherwise(levenshtein(col("_t1"), col("_t2")))
+            .as("edit_dist"))
     },
     s"""WITH ${minhashVerSql(mod = 4)}
        |SELECT c.id1, c.id2,
-       |  CAST(levenshtein(t1.text, t2.text) AS INT) AS edit_dist
+       |  CAST(CASE WHEN t1.text = t2.text THEN 0
+       |    ELSE levenshtein(t1.text, t2.text) END AS INT) AS edit_dist
        |FROM cand c
        |JOIN corpus t1 ON c.id1 = t1.doc_id
        |JOIN corpus t2 ON c.id2 = t2.doc_id""".stripMargin)
@@ -2926,6 +2970,7 @@ object QueriesLlm {
     "dedup_clusters" -> dedupClustersQ,
     "cluster_best_rep" -> clusterBestRepQ,
     "embed_leakage" -> embedLeakageQ,
+    "containment_dupes" -> containmentDupesQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,

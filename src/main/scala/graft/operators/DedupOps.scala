@@ -202,6 +202,56 @@ object DedupOps {
       .select("id1", "id2", "n_inter", "n_union", "jaccard")
   }
 
+  /** Exact shingle CONTAINMENT pairs: c = n_inter / min(n1, n2) — the
+    * asymmetric near-dup measure Jaccard misses. A short document
+    * fully embedded in a long one (quote farms, boilerplate wrappers,
+    * prepended headers) has tiny Jaccard (the union is dominated by
+    * the long side) but containment ≈ 1; dedup pipelines filter on
+    * max-containment for exactly this "document swallowed by another"
+    * case.
+    *
+    * Candidate generation deliberately does NOT reuse the MinHash-LSH
+    * banding: LSH collision probability tracks JACCARD, so it
+    * systematically misses the high-containment/low-Jaccard pairs this
+    * operator exists for (a 20-shingle doc inside a 120-shingle one is
+    * J ≈ 0.17 — essentially invisible to the bands). Instead candidates
+    * come from the rare-shingle self-join (the substringDupes /
+    * decontaminate discipline): df-prune corpus-boilerplate shingles
+    * at `maxDf` BEFORE the join, pair docs sharing ≥ `minShared`
+    * surviving shingles, then verify exactly on the full shingle sets.
+    * Shuffle is bounded by the pruned posting lists — never all-pairs.
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       shingleN: Int = 3, maxDf: Long = 50,
+                       minShared: Long = 3,
+                       minContainment: Double = 0.8): DataFrame = {
+    val sets = df.select(col(idCol),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    val ex = sets.select(col(idCol), explode(col("sh")).as("s"))
+    val keep = ex.groupBy("s").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("s")
+    val pruned = ex.join(keep, "s")
+    val cands = pruned.select(col(idCol).as("id1"), col("s"))
+      .join(pruned.select(col(idCol).as("id2"), col("s")), Seq("s"))
+      .where(col("id1") < col("id2"))
+      .groupBy("id1", "id2")
+      .agg(count(lit(1)).as("_n_shared"))
+      .filter(col("_n_shared") >= minShared)
+      .select("id1", "id2")
+    cands
+      .join(sets.select(col(idCol).as("id1"), col("sh").as("sh1")), "id1")
+      .join(sets.select(col(idCol).as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("n_inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("n1", size(col("sh1")))
+      .withColumn("n2", size(col("sh2")))
+      .withColumn("containment",
+        when(least(col("n1"), col("n2")) > 0,
+          col("n_inter").cast("double") / least(col("n1"), col("n2")))
+          .otherwise(lit(0.0)))
+      .where(col("containment") >= minContainment)
+      .select("id1", "id2", "n_inter", "n1", "n2", "containment")
+  }
+
   /** MinHash Jaccard ESTIMATE next to the exact verify, per LSH
     * candidate pair: est = (matching signature components)/numHashes —
     * the estimator-quality readout used to tune numHashes/bands before

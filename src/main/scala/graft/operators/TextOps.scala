@@ -949,4 +949,35 @@ object TextOps {
     df.select(col(idCol),
       length(col(textCol)).as("n_chars"),
       graft.functions.CharEntropy(col(textCol)).as("char_entropy"))
+
+  /** Out-of-vocabulary rate per group against a corpus-derived top-n
+    * vocabulary — the tokenizer-coverage readout run before committing
+    * a vocab to a training run (a lang/domain whose OOV rate spikes is
+    * about to be tokenized into byte soup). The vocabulary is the n
+    * globally most frequent words (count desc, word asc tie-break —
+    * deterministic); OOV = tokens outside it.
+    *
+    * Plan shape: one hash aggregate to word counts (map-side combined,
+    * state = |vocabulary domain|), a TakeOrdered top-n of THAT bounded
+    * table (never the fact), then one broadcast anti-join-shaped left
+    * join flag + per-group aggregate over the token stream. The token
+    * explode is the only fact-sized stage and it carries two columns.
+    */
+  def oovRate(df: DataFrame, groupCol: String, textCol: String,
+              vocabSize: Int): DataFrame = {
+    val toks = df.select(col(groupCol),
+      explode(words(col(textCol))).as("_w"))
+    val vocab = toks.groupBy(col("_w"))
+      .agg(count(lit(1)).as("_c"))
+      .orderBy(col("_c").desc, col("_w"))
+      .limit(vocabSize)
+      .select(col("_w"), lit(1).as("_in_vocab"))
+    toks.join(broadcast(vocab), Seq("_w"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when(col("_in_vocab").isNull, 1L).otherwise(0L)).as("n_oov"))
+      .select(col(groupCol), col("n_tokens"), col("n_oov"),
+        (col("n_oov").cast("double") / col("n_tokens").cast("double"))
+          .as("oov_rate"))
+  }
 }

@@ -249,4 +249,31 @@ object IoOps {
       df.withColumnRenamed(valueCol, name)
     }.reduce((a, b) => a.join(b, keys, "full_outer"))
   }
+
+  /** Order-independent dataset fingerprint: one row per named table
+    * with its row count and a content checksum — the "did anything
+    * change since the last snapshot" primitive that pairs with
+    * JoinOps.tableDiff (which says WHAT changed, at full-diff price;
+    * this says WHETHER, at one-aggregate price).
+    *
+    * The checksum is Σ rowHash mod p over a caller-supplied integral
+    * row-hash column — commutative, so it is independent of row order,
+    * partitioning, and merge order, and replayable exactly in any
+    * engine. The sum accumulates in DECIMAL(38,0) (Spark's decimal sum
+    * ≡ DuckDB's HUGEINT sum) so it cannot overflow int64 at any row
+    * count before the final mod. One hash aggregate per table,
+    * map-side combined — the cheapest possible full-table sweep.
+    */
+  def datasetFingerprint(tables: Seq[(String, DataFrame)]): DataFrame = {
+    require(tables.nonEmpty, "datasetFingerprint needs at least one table")
+    val p = graft.operators.TextOps.HashMod
+    tables.map { case (name, df) =>
+      // df must already carry an integral _row_hash column
+      df.select(col("_row_hash").cast("decimal(38,0)").as("_h"))
+        .agg(count(lit(1)).as("n_rows"),
+          (sum(col("_h")) % lit(p)).cast("long").as("fingerprint"))
+        .select(lit(name).as("table_name"), col("n_rows"),
+          col("fingerprint"))
+    }.reduce(_ unionByName _)
+  }
 }

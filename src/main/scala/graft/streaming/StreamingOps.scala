@@ -437,6 +437,63 @@ object StreamingOps {
         "is_anomaly")
   }
 
+  /** Streaming bounded-lookback EWMA — the incremental twin of
+    * SequenceOps.ewmaSmooth. State per key: a ring buffer of the last
+    * `lookback` values, O(lookback) whatever the key's history. Each
+    * arriving row is smoothed over (buffer ++ itself) with α^i decay
+    * in the batch operator's EXACT fold order (oldest first, weights
+    * α^(n-1-i), numerator and denominator folded separately, divided
+    * once) — with α a power of two every step is an exact IEEE
+    * scaling, so on a batch frame the output is bit-identical to the
+    * batch window (shared oracle SQL), and across micro-batches the
+    * carried buffer makes the smoothing seamless.
+    */
+  def ewmaStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                 tsCol: String, tieCol: String, valueCol: String,
+                 alpha: Double = 0.5, lookback: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"ewmaStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        col(valueCol).cast("double").as("_v"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Double],
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val buf = scala.collection.mutable.ArrayDeque[Double](
+            state.getOption.getOrElse(Array.empty[Double]).toSeq: _*)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
+            buf.append(r._4)
+            if (buf.length > lookback + 1) buf.removeHead()
+            val n = buf.length
+            var num = 0.0; var den = 0.0
+            var i = 0
+            while (i < n) { // batch fold order: oldest first
+              val w = math.pow(alpha, (n - 1 - i).toDouble)
+              num += w * buf(i)
+              i += 1
+            }
+            i = 0
+            while (i < n) {
+              den += math.pow(alpha, (n - 1 - i).toDouble)
+              i += 1
+            }
+            (key, r._2, r._3, num / den)
+          }.toVector
+          state.update(buf.toArray)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, "ewma")
+  }
+
   /** Streaming SCD type-2 history — the incremental twin of
     * SequenceOps.scd2History. State per key: the OPEN interval only
     * (state value, version, valid_from) — O(1) however long the

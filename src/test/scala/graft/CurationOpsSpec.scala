@@ -72,6 +72,49 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx(out(3L), 12.0, 1e-12))
   }
 
+  test("datasetFingerprint is invariant under row order and partitioning") {
+    val rows = (1L to 200L).map(i => (i * 37 % 1000, i)).toDF("a", "b")
+      .selectExpr("(a * 31 + b) % 1000000007 as _row_hash")
+    val f1 = sources.IoOps.datasetFingerprint(Seq("t" -> rows))
+      .collect()(0)
+    val f2 = sources.IoOps.datasetFingerprint(
+      Seq("t" -> rows.repartition(13).orderBy(desc("_row_hash"))))
+      .collect()(0)
+    assert(f1.getLong(1) === 200L)
+    assert(f1.getLong(2) === f2.getLong(2),
+      "fingerprint must not depend on layout")
+    // and it moves when content moves
+    val f3 = sources.IoOps.datasetFingerprint(
+      Seq("t" -> rows.withColumn("_row_hash", col("_row_hash") + 1)))
+      .collect()(0)
+    assert(f3.getLong(2) !== f1.getLong(2))
+  }
+
+  test("oovRate: tokens outside the top-n vocabulary are counted per group") {
+    // corpus: 'a' x6, 'b' x4, 'c' x2, 'd' x1 — vocab(2) = {a, b}
+    val docs = Seq(
+      ("g1", "a a a b b c"), ("g2", "a a a b b c d"))
+      .toDF("lang", "text")
+    val out = operators.TextOps.oovRate(docs, "lang", "text", vocabSize = 2)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("g1") === ((6L, 1L, 1.0 / 6.0)))
+    assert(out("g2") === ((7L, 2L, 2.0 / 7.0)))
+  }
+
+  test("containment catches a short doc swallowed by a long one where jaccard fails") {
+    val short = (1 to 20).map(i => s"w$i").mkString(" ")
+    val long = short + " " + (100 to 200).map(i => s"x$i").mkString(" ")
+    val docs = Seq((1L, short), (2L, long), (3L, "totally different words here entirely"))
+      .toDF("doc_id", "text")
+    val out = operators.DedupOps.containmentPairs(
+        docs, "doc_id", "text", minContainment = 0.8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(5)))
+    assert(out.length === 1 && out(0)._1 === 1L && out(0)._2 === 2L,
+      s"expected only the (short, long) pair, got ${out.toSeq}")
+    assert(out(0)._3 === 1.0, "full containment must score 1.0")
+  }
+
   test("JaroWinkler matches the published reference values") {
     // classic test vectors (same ones verified against DuckDB's
     // jaro_winkler_similarity)

@@ -492,4 +492,39 @@ class StreamingOpsSpec extends SparkSpec {
     assert(rows.map(r => (r.getAs[Long]("id"), r.getAs[String]("tier")))
       .toSeq === Seq((10L, "gold"), (11L, null), (12L, "base")))
   }
+
+  test("ewmaStream carries the ring buffer across micro-batches and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+    val out = StreamingOps.ewmaStream(spark, df, "user_id", "ts_ns",
+      "event_id", "value", alpha = 0.5, lookback = 8)
+    val q = out.writeStream.format("memory").queryName("ewma_t")
+      .outputMode("append").start()
+    input.addData((1L, 1L, 1L, 4.0), (1L, 2L, 2L, 8.0))
+    q.processAllAvailable()
+    input.addData((1L, 3L, 3L, 16.0))
+    q.processAllAvailable()
+    val rows = spark.table("ewma_t").collect()
+      .map(r => r.getAs[Long]("ts_ns") -> r.getAs[Double]("ewma")).toMap
+    q.stop()
+    // row 3 arrived alone in batch 2, smoothed against carried [4, 8]:
+    // (0.25*4 + 0.5*8 + 16) / 1.75 = 12 — and every value is
+    // bit-identical to the batch window operator
+    assert(rows(1L) === 4.0)
+    assert(math.abs(rows(2L) - 10.0 / 1.5) < 1e-12)
+    assert(rows(3L) === 12.0)
+    val events = Seq((1L, 1L, 1L, 4.0), (1L, 2L, 2L, 8.0),
+      (1L, 3L, 3L, 16.0), (2L, 1L, 4L, 5.0), (2L, 2L, 5L, 7.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val viaStream = StreamingOps.ewmaStream(spark, events, "user_id",
+        "ts_ns", "event_id", "value", alpha = 0.5, lookback = 8)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.SequenceOps.ewmaSmooth(events, "user_id",
+        "ts_ns", "event_id", "value", alpha = 0.5, lookback = 8)
+      .select("user_id", "ts_ns", "event_id", "ewma")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
 }
