@@ -1544,6 +1544,45 @@ object Queries {
       |    AS depth
       |FROM p""".stripMargin)
 
+  /** Funnel completion-latency percentiles (SequenceOps.funnelLatency):
+    * exact interpolated p50/p90 of (purchase − first view) over users
+    * who completed the whole view→click→purchase chain, in seconds
+    * (the ns→s division is the same IEEE op in both engines).
+    */
+  private val funnelLatencyQ = Q(
+    (s, d) => operators.SequenceOps.funnelLatency(
+        Tables.events(s, d).select(col("user_id"), col("event_type"),
+          col("ts_ns")),
+        "user_id", "event_type", "ts_ns",
+        Seq("view", "click", "purchase"), ps = Seq(0.5, 0.9))
+      .select(col("n_completed"),
+        qround(col("q_0"), 6).as("p50_s"),
+        qround(col("q_1"), 6).as("p90_s")),
+    """WITH v AS (
+      |  SELECT user_id, min(epoch_ns(ts)) AS t1
+      |  FROM events WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT v.user_id, v.t1,
+      |    min(CASE WHEN epoch_ns(e.ts) > v.t1 THEN epoch_ns(e.ts) END) AS t2
+      |  FROM v LEFT JOIN events e
+      |    ON e.user_id = v.user_id AND e.event_type = 'click'
+      |  GROUP BY 1, 2),
+      |p AS (
+      |  SELECT c.user_id, c.t1, c.t2,
+      |    min(CASE WHEN epoch_ns(e.ts) > c.t2 THEN epoch_ns(e.ts) END) AS t3
+      |  FROM c LEFT JOIN events e
+      |    ON e.user_id = c.user_id AND e.event_type = 'purchase'
+      |  GROUP BY 1, 2, 3),
+      |done AS (
+      |  SELECT CAST(t3 - t1 AS DOUBLE) / 1e9 AS lat
+      |  FROM p WHERE t3 IS NOT NULL)
+      |SELECT count(*) AS n_completed,
+      |  floor(quantile_cont(lat, 0.5) * 1000000.0 + 0.5) / 1000000.0
+      |    AS p50_s,
+      |  floor(quantile_cont(lat, 0.9) * 1000000.0 + 0.5) / 1000000.0
+      |    AS p90_s
+      |FROM done""".stripMargin)
+
   /** Top user-journey paths (SequenceOps.sessionPaths): 30-minute-gap
     * sessions, event types concatenated in exact (tsn, event_id)
     * order, 20 most common paths. Strings and integers only — exact;
@@ -2669,6 +2708,7 @@ object Queries {
     "sessionize" -> sessionizeQ,
     "stream_sessionize" -> streamSessionizeQ,
     "funnel_steps" -> funnelStepsQ,
+    "funnel_latency" -> funnelLatencyQ,
     "retention_cohorts" -> retentionCohortsQ,
     "stream_funnel" -> streamFunnelQ,
     "stream_retention" -> streamRetentionQ,

@@ -456,6 +456,60 @@ object QueriesLlm {
        |FROM ver
        |WHERE CAST(n_inter AS DOUBLE) / least(n1, n2) >= 0.5""".stripMargin)
 
+  /** BLEU-2 over the fixed (doc_id, doc_id+250) evaluation pairs —
+    * the generation-eval scorer (clipped multiset n-gram precision ×
+    * brevity penalty) next to ngram_jaccard's set overlap. Counts are
+    * exact integers; the ln/exp composition is one identical double
+    * expression in both engines, quantized at 1e-8.
+    */
+  private val bleuPairsQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(col("doc_id") < 250)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 250).as("id2"))
+      TextOps.bleuPairs(pairs, docs, "doc_id", "text")
+        .select(col("id1"), col("id2"), col("len_ref"), col("len_cand"),
+          col("clip1"), col("clip2"), qround(col("bleu2"), 8).as("bleu2"))
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |pairs AS (SELECT doc_id AS id1, doc_id + 250 AS id2 FROM documents
+       |          WHERE doc_id < 250),
+       |uni AS (SELECT doc_id, g, count(*) AS c FROM
+       |  (SELECT doc_id, unnest(ws) AS g FROM ws) GROUP BY 1, 2),
+       |bi AS (SELECT doc_id, g, count(*) AS c FROM
+       |  (SELECT doc_id, unnest(list_transform(
+       |     generate_series(1, len(ws) - 1),
+       |     i_ -> ws[i_] || chr(31) || ws[i_ + 1])) AS g FROM ws)
+       |  GROUP BY 1, 2),
+       |c1 AS (
+       |  SELECT p.id1, p.id2,
+       |    sum(least(u2.c, coalesce(u1.c, 0))) AS clip1,
+       |    sum(u2.c) AS len_cand
+       |  FROM pairs p JOIN uni u2 ON p.id2 = u2.doc_id
+       |  LEFT JOIN uni u1 ON p.id1 = u1.doc_id AND u1.g = u2.g
+       |  GROUP BY 1, 2),
+       |c2 AS (
+       |  SELECT p.id1, p.id2,
+       |    sum(least(b2.c, coalesce(b1.c, 0))) AS clip2,
+       |    sum(b2.c) AS bi_cand
+       |  FROM pairs p JOIN bi b2 ON p.id2 = b2.doc_id
+       |  LEFT JOIN bi b1 ON p.id1 = b1.doc_id AND b1.g = b2.g
+       |  GROUP BY 1, 2),
+       |rl AS (SELECT p.id1, p.id2, len(ws.ws) AS len_ref
+       |       FROM pairs p JOIN ws ON p.id1 = ws.doc_id)
+       |SELECT r.id1, r.id2, CAST(r.len_ref AS BIGINT) AS len_ref,
+       |  CAST(c1.len_cand AS BIGINT) AS len_cand,
+       |  CAST(c1.clip1 AS BIGINT) AS clip1,
+       |  CAST(coalesce(c2.clip2, 0) AS BIGINT) AS clip2,
+       |  ${qrSql(
+         "CASE WHEN c1.clip1 > 0 AND coalesce(c2.clip2, 0) > 0 THEN " +
+           "least(CAST(1.0 AS DOUBLE), exp(1.0 - CAST(r.len_ref AS DOUBLE) / c1.len_cand)) * " +
+           "exp((ln(CAST(c1.clip1 AS DOUBLE) / c1.len_cand) + " +
+           "ln(CAST(c2.clip2 AS DOUBLE) / c2.bi_cand)) / 2.0) " +
+           "ELSE 0.0 END", 8)} AS bleu2
+       |FROM rl r JOIN c1 USING (id1, id2) LEFT JOIN c2 USING (id1, id2)""".stripMargin)
+
   // -------------------------------------------------------- similarity
 
   private val annTopkQ = Q(
@@ -2971,6 +3025,7 @@ object QueriesLlm {
     "cluster_best_rep" -> clusterBestRepQ,
     "embed_leakage" -> embedLeakageQ,
     "containment_dupes" -> containmentDupesQ,
+    "bleu_pairs" -> bleuPairsQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
     "stream_dedup" -> streamDedupQ,

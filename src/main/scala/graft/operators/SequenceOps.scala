@@ -311,6 +311,27 @@ object SequenceOps {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Funnel completion-latency distribution: over keys that completed
+    * the whole funnel (last step time non-null), exact interpolated
+    * quantiles of (t_last − t_first) in seconds plus the completion
+    * count. One row out. Rides [[funnelSteps]] (per-key aggregate, so
+    * the quantile input is bounded by key count, not event count) and
+    * StatsOps.groupedQuantiles' rank-select machinery — at data-scale
+    * key cardinality swap in SketchOps.quantileSketch, same contract.
+    */
+  def funnelLatency(events: DataFrame, keyCol: String, typeCol: String,
+                    tsCol: String, steps: Seq[String],
+                    ps: Seq[Double]): DataFrame = {
+    val n = steps.size
+    val funnel = funnelSteps(events, keyCol, typeCol, tsCol, steps)
+    val completed = funnel.where(col(s"t$n").isNotNull)
+      .select(((col(s"t$n") - col("t1")).cast("double") / lit(1e9))
+        .as("_lat_s"), lit(1).as("_g"))
+    StatsOps.groupedQuantiles(completed, Seq("_g"), "_lat_s", ps)
+      .select((col("n_group").as("n_completed") +:
+        ps.indices.map(i => col(s"q_$i"))): _*)
+  }
+
   /** Bounded-lookback exponentially-weighted moving average: per key,
     * over rows in (ts, tie) order,
     *   ewma_t = Σ_{i=0..L} α^i · x_{t−i} / Σ_{i=0..L} α^i

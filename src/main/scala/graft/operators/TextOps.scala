@@ -950,6 +950,65 @@ object TextOps {
       length(col(textCol)).as("n_chars"),
       graft.functions.CharEntropy(col(textCol)).as("char_entropy"))
 
+  /** BLEU-2 between given (reference id, candidate id) pairs — the
+    * generation-eval metric that completes the retrieval-eval pair
+    * (ndcg_eval) and the overlap family (ngram_jaccard measures SET
+    * overlap; BLEU measures clipped MULTISET n-gram precision with a
+    * brevity penalty, the actual summarization/translation scorer).
+    *
+    *   p_n  = Σ_g min(cnt_cand(g), cnt_ref(g)) / (#cand n-grams)
+    *   BLEU = min(1, e^(1 − r/c)) · exp((ln p₁ + ln p₂)/2),  0 if any pₙ=0
+    *
+    * Fully relational: n-gram counts are hash aggregates, clipping is
+    * one `least` per (pair, gram) join row, so cost is bounded by the
+    * pair list's posting volume — no per-pair kernel, no all-pairs.
+    * Counts are exact integers; the two ln/exp calls are the same IEEE
+    * double expression in any engine (quantize downstream).
+    */
+  def bleuPairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol), words(col(textCol)).as("_ws"))
+    val uni = ws.select(col(idCol), explode(col("_ws")).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+    // guard: Spark's sequence(1, 0) runs DESCENDING ([1, 0]) instead of
+    // empty — single-word docs must yield zero bigrams explicitly
+    val bi = ws.select(col(idCol),
+        explode(when(size(col("_ws")) >= 2,
+          expr("transform(sequence(1, size(_ws) - 1), i -> " +
+            "concat(element_at(_ws, i), chr(31), element_at(_ws, i + 1)))"))
+          .otherwise(expr("array()"))).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+    def clipped(grams: DataFrame) = {
+      val cand = pairs.join(
+        grams.select(col(idCol).as("id2"), col("_g"),
+          col("_c").as("_cc")), "id2")
+      cand.join(
+          grams.select(col(idCol).as("id1"), col("_g"),
+            col("_c").as("_cr")), Seq("id1", "_g"), "left")
+        .groupBy("id1", "id2")
+        .agg(sum(least(col("_cc"), coalesce(col("_cr"), lit(0L))))
+          .as("_clip"), sum(col("_cc")).as("_tot"))
+    }
+    val c1 = clipped(uni).withColumnRenamed("_clip", "clip1")
+      .withColumnRenamed("_tot", "len_cand")
+    val c2 = clipped(bi).withColumnRenamed("_clip", "clip2")
+      .withColumnRenamed("_tot", "bi_cand")
+    val refLen = pairs.join(
+      ws.select(col(idCol).as("id1"), size(col("_ws")).cast("long")
+        .as("len_ref")), "id1")
+    val base = refLen.join(c1, Seq("id1", "id2"))
+      .join(c2, Seq("id1", "id2"), "left") // single-word cand: no bigrams
+    val p1 = col("clip1").cast("double") / col("len_cand")
+    val p2 = col("clip2").cast("double") / col("bi_cand")
+    val bp = least(lit(1.0),
+      exp(lit(1.0) - col("len_ref").cast("double") / col("len_cand")))
+    base.select(col("id1"), col("id2"), col("len_ref"), col("len_cand"),
+      col("clip1"), coalesce(col("clip2"), lit(0L)).as("clip2"),
+      when(col("clip1") > 0 && coalesce(col("clip2"), lit(0L)) > 0,
+        bp * exp((log(p1) + log(p2)) / lit(2.0)))
+        .otherwise(lit(0.0)).as("bleu2"))
+  }
+
   /** Out-of-vocabulary rate per group against a corpus-derived top-n
     * vocabulary — the tokenizer-coverage readout run before committing
     * a vocab to a training run (a lang/domain whose OOV rate spikes is

@@ -115,6 +115,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(out(0)._3 === 1.0, "full containment must score 1.0")
   }
 
+  test("bleuPairs scores identity 1.0, zero-overlap 0.0, and the closed-form partial case") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), // partial: p1=p2=1, BP=e^(1-4/3)
+      (3L, "x y z"), (4L, "x y z"), // identity
+      (5L, "p q"), (6L, "r s")) // zero overlap
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val out = operators.TextOps.bleuPairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(6))
+      .toMap
+    assert(out((3L, 4L)) === 1.0, "identical texts must score 1")
+    assert(out((5L, 6L)) === 0.0, "no overlap must score 0")
+    assert(approx(out((1L, 2L)), math.exp(1.0 - 4.0 / 3.0), 1e-12),
+      "perfect precision under-length: bleu = brevity penalty alone")
+  }
+
+  test("funnelLatency: exact interpolated percentiles over completed funnels only") {
+    // u1 completes in 10s, u2 in 30s, u3 never completes
+    val ns = 1000L * 1000 * 1000
+    val events = Seq(
+      (1L, "view", 0L), (1L, "click", 4 * ns), (1L, "purchase", 10 * ns),
+      (2L, "view", 0L), (2L, "click", 10 * ns), (2L, "purchase", 30 * ns),
+      (3L, "view", 0L), (3L, "click", 5 * ns))
+      .toDF("user_id", "event_type", "ts_ns")
+    val r = operators.SequenceOps.funnelLatency(events, "user_id",
+      "event_type", "ts_ns", Seq("view", "click", "purchase"),
+      ps = Seq(0.5, 1.0)).collect()(0)
+    assert(r.getLong(0) === 2L, "only completed funnels count")
+    assert(approx(r.getDouble(1), 20.0, 1e-12), "p50 interpolates 10..30")
+    assert(approx(r.getDouble(2), 30.0, 1e-12))
+  }
+
   test("JaroWinkler matches the published reference values") {
     // classic test vectors (same ones verified against DuckDB's
     // jaro_winkler_similarity)

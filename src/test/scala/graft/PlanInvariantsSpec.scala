@@ -49,7 +49,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // equi-join on the nation key — the blocking IS the cartesian guard)
     "profile_table", "iqr_outliers", "heavy_hitters", "ewma_smooth",
     "record_linkage", "embed_leakage", "cluster_best_rep",
-    "dataset_fingerprint", "oov_rate", "containment_dupes")
+    "dataset_fingerprint", "oov_rate", "containment_dupes",
+    "funnel_latency", "bleu_pairs")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
