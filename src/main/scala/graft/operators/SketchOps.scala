@@ -352,15 +352,21 @@ object SketchOps {
                    k: Int): DataFrame = {
     val fact = df.select((keys.map(col) :+
       col(valueCol).cast("long").as("_v")): _*)
-    val cands = fact.groupBy(keys.map(col): _*)
-      .agg(udaf(new MisraGriesAggregator(k)).apply(col("_v")).as("_cands"))
-      .select((keys.map(col) :+ explode(col("_cands")).as("_v")): _*)
-    val totals = fact.groupBy(keys.map(col): _*)
-      .agg(count(lit(1)).as("n_group"))
-    fact.join(broadcast(cands), keys :+ "_v", "left_semi")
+    // candidates AND group totals from ONE scan/aggregate (the count
+    // rides the same partial/final machinery as the MG summary), so
+    // the operator reads the fact exactly twice: sketch pass + the
+    // semi-join-pruned exact recount.
+    val summary = fact.groupBy(keys.map(col): _*)
+      .agg(udaf(new MisraGriesAggregator(k)).apply(col("_v")).as("_cands"),
+        count(lit(1)).as("n_group"))
+    val cands = summary
+      .select((keys.map(col) :+ col("n_group") :+
+        explode(col("_cands")).as("_v")): _*)
+    fact.join(broadcast(cands.select((keys :+ "_v").map(col): _*)),
+        keys :+ "_v", "left_semi")
       .groupBy((keys :+ "_v").map(col): _*)
       .agg(count(lit(1)).as("cnt"))
-      .join(broadcast(totals), keys)
+      .join(broadcast(cands), keys :+ "_v")
       .where(col("cnt") * lit(k + 1L) > col("n_group"))
       .select((keys.map(col) :+ col("_v").as("value") :+
         col("cnt") :+ col("n_group")): _*)
