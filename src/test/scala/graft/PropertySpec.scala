@@ -404,6 +404,57 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: heavyHitters equals the brute-force frequent-items set") {
+    import spark.implicits._
+    // skewed generator: values drawn from a small domain with geometric
+    // bias so some exceed the n/(k+1) threshold and most don't
+    val valGen = Gen.frequency((8, Gen.const(1L)), (4, Gen.const(2L)),
+      (2, Gen.const(3L)), (1, Gen.choose(4L, 30L)))
+    val gen = Gen.listOfN(120, Gen.zip(Gen.choose(1, 2), valGen))
+    forSamples(gen, n = 5) { rows =>
+      val df = rows.map { case (g, v) => (s"g$g", v) }.toDF("k", "v")
+        .repartition(5)
+      for (k <- Seq(3, 6)) {
+        val got = operators.SketchOps.heavyHitters(df, Seq("k"), "v", k)
+          .collect().map(r => (r.getString(0), r.getLong(1)) ->
+            ((r.getLong(2), r.getLong(3)))).toMap
+        val brute = rows.groupBy(_._1).flatMap { case (g, grp) =>
+          val n = grp.size.toLong
+          grp.groupBy(_._2).collect {
+            case (v, occ) if occ.size.toLong * (k + 1) > n =>
+              (s"g$g", v) -> ((occ.size.toLong, n))
+          }
+        }.toMap
+        assert(got === brute, s"k=$k on $rows")
+      }
+    }
+  }
+
+  test("property: containmentPairs matches brute-force containment on random corpora") {
+    import spark.implicits._
+    val word = Gen.oneOf((1 to 12).map(i => s"w$i"))
+    val gen = Gen.listOfN(5, Gen.choose(4, 14).flatMap(Gen.listOfN(_, word)))
+    forSamples(gen, n = 5) { docs0 =>
+      val docs = docs0.zipWithIndex.map { case (ws, i) =>
+        (i.toLong, ws.mkString(" "))
+      }
+      val out = operators.DedupOps.containmentPairs(
+          docs.toDF("doc_id", "text"), "doc_id", "text",
+          maxDf = 1000, minShared = 1, minContainment = 0.5)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(5))
+        .toMap
+      def sh(t: String) =
+        operators.TextOps.shingleHashesFn(t, 3).toSet
+      val brute = (for {
+        (i1, t1) <- docs; (i2, t2) <- docs if i1 < i2
+        s1 = sh(t1); s2 = sh(t2)
+        m = math.min(s1.size, s2.size) if m > 0
+        c = (s1 & s2).size.toDouble / m if c >= 0.5
+      } yield (i1, i2) -> c).toMap
+      assert(out === brute, s"containment mismatch on $docs")
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
