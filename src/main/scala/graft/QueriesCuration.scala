@@ -218,7 +218,39 @@ object QueriesCuration {
         qround(col("ewma"), 6).as("ewma")),
     ewmaSmoothQ.sql)
 
+  /** Zarr v2 interchange round-trip (sources.ZarrSource): the per-user
+    * event counts — a DIMENSION-bounded vector (one element per user),
+    * so the writer's driver-side collect is the same bounded pattern
+    * as the plot canvases — are written as a chunked, zlib-compressed
+    * zarr 1-D array and read back through the distributed chunk
+    * decoder; matching the oracle computed directly on the source
+    * parquet proves writer + reader lossless end to end. Values are
+    * integer-valued doubles, so the readback sum is exact.
+    */
+  private val zarrRoundtripQ = Q(
+    (s, d) => {
+      val counts = Tables.events(s, d).groupBy(col("user_id"))
+        .agg(count(lit(1)).as("n")).orderBy(col("user_id"))
+        .select(col("n").cast("double"))
+        .collect().map(_.getDouble(0))
+      val path = s"/tmp/graft_zarr_${java.util.UUID.randomUUID.toString
+        .replace("-", "").take(12)}"
+      sources.ZarrSource.writeVar1D(counts, path, chunk = 128)
+      sources.ZarrSource.readVar(s, path)
+        .agg(count(lit(1)).as("n_vals"),
+          sum(col("value")).cast("long").as("sum_vals"),
+          min(col("value")).cast("long").as("min_val"),
+          max(col("value")).cast("long").as("max_val"))
+    },
+    """WITH c AS (
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      |SELECT count(*) AS n_vals, CAST(sum(n) AS BIGINT) AS sum_vals,
+      |  CAST(min(n) AS BIGINT) AS min_val,
+      |  CAST(max(n) AS BIGINT) AS max_val
+      |FROM c""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "zarr_roundtrip" -> zarrRoundtripQ,
     "profile_table" -> profileTableQ,
     "iqr_outliers" -> iqrOutliersQ,
     "heavy_hitters" -> heavyHittersQ,

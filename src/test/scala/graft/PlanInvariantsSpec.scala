@@ -50,7 +50,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "profile_table", "iqr_outliers", "heavy_hitters", "ewma_smooth",
     "record_linkage", "embed_leakage", "cluster_best_rep",
     "dataset_fingerprint", "oov_rate", "containment_dupes",
-    "funnel_latency", "bleu_pairs")
+    "funnel_latency", "bleu_pairs", "zarr_roundtrip")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -282,10 +282,14 @@ class PlanInvariantsSpec extends SparkSpec {
     //     packing_pipeline
     //   skyline          distinct-x frontier      (StatsOps.skyline2D)
     //   ndcg_eval        the k rows AFTER limit   (TextOps.ndcgAtK)
+    //   funnel_latency   one row per COMPLETED funnel key (the per-key
+    //                    funnel aggregate precedes the quantile rank
+    //                    window; SequenceOps.funnelLatency names
+    //                    quantileSketch as the data-scale swap)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
-      "ndcg_eval")
+      "ndcg_eval", "funnel_latency")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {

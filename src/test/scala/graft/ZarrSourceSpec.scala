@@ -1,0 +1,125 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.sources.ZarrSource
+
+/** Pure-JVM zarr v2 reader against AUTHORITATIVE fixtures: the raw and
+  * zlib stores were written by numpy/python-zlib directly (the exact
+  * byte layouts real zarr writers emit for those compressors), the
+  * blosc frames follow the public c-blosc1 container spec (memcpy
+  * flag; block-offset table; per-block [csize][payload] with
+  * csize == raw size marking stored blocks; per-block byte shuffle)
+  * with python-zlib payloads. The zstd inner-codec path is covered by
+  * a spec-conformant frame built here with the standard zstd library.
+  */
+class ZarrSourceSpec extends SparkSpec {
+
+  private val fx = "src/test/resources/zarr_fixtures"
+
+  // value formula the python generator used: a[i, j] = (i*7 + j)*100 + 7
+  private def expect2d(i: Long, j: Long): Double = (i * 7 + j) * 100 + 7
+
+  test("raw (compressor null) 2-D store: edge chunks honored, missing chunk omitted") {
+    val df = ZarrSource.readVar(spark, s"$fx/real2d_raw")
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    // full shape 5x7 = 35, minus the deleted chunk (1,1) covering
+    // rows 3-4 x cols 4-6 = 6 elements
+    assert(got.size === 29)
+    got.foreach { case ((i, j), v) => assert(v === expect2d(i, j), s"($i,$j)") }
+    assert(!got.contains((4L, 6L)), "deleted chunk's cells must be absent")
+    assert(got((4L, 3L)) === expect2d(4, 3), "edge chunk (1,0) must read")
+  }
+
+  test("zlib store decodes identically to the raw store") {
+    val raw = ZarrSource.readVar(spark, s"$fx/real2d_raw")
+    val zl = ZarrSource.readVar(spark, s"$fx/real2d_zlib")
+    // zlib store has ALL chunks; restrict to the raw store's
+    assert(zl.count() === 35)
+    val j = raw.as("a").join(zl.as("b"), Seq("i0", "i1"))
+    assert(j.where(col("a.value") =!= col("b.value")).count() === 0)
+  }
+
+  test("complex <c16 store yields value_re/value_im") {
+    val got = ZarrSource.readVar(spark, s"$fx/cplx1d_zlib")
+      .collect().map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2))))
+      .toMap
+    assert(got.size === 10)
+    (0 until 10).foreach { i =>
+      assert(got(i.toLong) === ((i + 0.5, -i.toDouble)), s"i=$i")
+    }
+  }
+
+  test("int <i4 store reads as doubles") {
+    val got = ZarrSource.readVar(spark, s"$fx/int1d_raw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0L -> 3.0, 1L -> -1.0, 2L -> 4.0, 3L -> 1.0,
+      4L -> -5.0, 5L -> 9.0))
+  }
+
+  test("blosc memcpy frame decodes") {
+    val got = ZarrSource.readVar(spark, s"$fx/blosc_memcpy_1d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0L -> 1.5, 1L -> -2.5, 2L -> 3.25, 3L -> 0.0,
+      4L -> 7.125, 5L -> -0.5))
+  }
+
+  test("blosc zlib-inner multi-block frame with byte shuffle decodes") {
+    val got = ZarrSource.readVar(spark, s"$fx/blosc_zlib_shuffle_1d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = (Seq.fill(7)(1.0) ++ Seq(2.0, 3.0, 4.0)).zipWithIndex
+      .map { case (v, i) => i.toLong -> v }.toMap
+    assert(got === want)
+  }
+
+  test("blosc zstd-inner frame (spec-conformant, standard zstd payload) decodes") {
+    // same container layout the python-validated zlib-inner fixture
+    // pins, with the inner codec swapped to zstd (code 4)
+    val values = Array.tabulate(12)(i => i * 1.25 - 3.0)
+    val bb = java.nio.ByteBuffer.allocate(96)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(bb.putDouble)
+    val payload = bb.array()
+    val comp = com.github.luben.zstd.Zstd.compress(payload, 3)
+    val useComp = comp.length < payload.length
+    val blockBytes =
+      if (useComp) comp else payload
+    val csize = if (useComp) comp.length else payload.length
+    val out = java.nio.ByteBuffer
+      .allocate(16 + 4 + 4 + blockBytes.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte)
+      .put((4 << 5).toByte) // flags: no shuffle, codec zstd
+      .put(8.toByte) // typesize
+      .putInt(payload.length).putInt(payload.length) // nbytes, blocksize
+      .putInt(16 + 4 + 4 + blockBytes.length) // cbytes
+      .putInt(20) // bstarts[0]: header (16) + offset table (4)
+      .putInt(csize)
+    out.put(blockBytes)
+    val dec = ZarrSource.bloscDecompress(out.array())
+    val rb = java.nio.ByteBuffer.wrap(dec)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.indices.foreach(i => assert(rb.getDouble(i * 8) === values(i)))
+  }
+
+  test("readVars full-outer joins sibling variables on the index columns") {
+    val df = ZarrSource.readVars(spark, fx,
+      Seq("blosc_memcpy_1d", "int1d_raw"))
+    assert(df.columns.toSet ===
+      Set("i0", "blosc_memcpy_1d", "int1d_raw"))
+    val r = df.where(col("i0") === 2).collect()(0)
+    assert(r.getAs[Double]("blosc_memcpy_1d") === 3.25)
+    assert(r.getAs[Double]("int1d_raw") === 4.0)
+  }
+
+  test("writeVar1D -> readVar round-trip (zlib, partial tail chunk)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zarr").toString + "/arr"
+    val values = Array.tabulate(11)(i => math.sin(i.toDouble) * 10)
+    ZarrSource.writeVar1D(values, dir, chunk = 4)
+    val got = ZarrSource.readVar(spark, dir)
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got.size === 11)
+    values.indices.foreach(i => assert(got(i.toLong) === values(i)))
+  }
+}
