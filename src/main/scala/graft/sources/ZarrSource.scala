@@ -286,6 +286,97 @@ object ZarrSource {
     frames.map(_._2).reduce((a, b) => a.join(b, keys, "full_outer"))
   }
 
+  // ------------------------------------------------- xarray awareness
+
+  /** Dimension NAMES of one array, from the `_ARRAY_DIMENSIONS`
+    * attribute xarray writes into `.zattrs` (the public convention
+    * that makes a zarr store an xarray dataset). Empty when absent.
+    */
+  def arrayDimensions(arrayDir: String): Seq[String] = {
+    val p = Paths.get(arrayDir, ".zattrs")
+    if (!Files.exists(p)) return Nil
+    parseJsonMap(new String(Files.readAllBytes(p), "UTF-8"))
+      .get("_ARRAY_DIMENSIONS") match {
+      case Some(l: java.util.List[_]) =>
+        scala.jdk.CollectionConverters.ListHasAsScala(l).asScala
+          .map(_.toString).toSeq
+      case _ => Nil
+    }
+  }
+
+  /** Store inventory — one row per array with dims/shape/chunks/dtype/
+    * compressor, read from consolidated `.zmetadata` when present
+    * (one JSON fetch, the reason xarray consolidates: object stores
+    * charge per request) and by walking `.zarray` files otherwise.
+    * This is the describe_vis analog at the physical layer.
+    */
+  def describeStore(spark: SparkSession, storeDir: String): DataFrame = {
+    import spark.implicits._
+    val zm = Paths.get(storeDir, ".zmetadata")
+    val entries: Seq[(String, ZarrayMeta, Seq[String])] =
+      if (Files.exists(zm)) {
+        val all = parseJsonMap(new String(Files.readAllBytes(zm), "UTF-8"))
+        val metaMap = all("metadata").asInstanceOf[java.util.Map[String, Any]]
+        val m = scala.jdk.CollectionConverters
+          .MapHasAsScala(metaMap).asScala
+        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+        val arrays = m.keys.filter(_.endsWith("/.zarray"))
+          .map(_.stripSuffix("/.zarray")).toSeq.sorted
+        arrays.map { name =>
+          val metaJson = mapper.writeValueAsString(m(s"$name/.zarray"))
+          val tmp = Files.createTempDirectory("zmeta")
+          Files.write(tmp.resolve(".zarray"), metaJson.getBytes("UTF-8"))
+          val meta = readMeta(tmp.toString)
+          val dims = m.get(s"$name/.zattrs") match {
+            case Some(attrs: java.util.Map[_, _]) =>
+              scala.jdk.CollectionConverters.MapHasAsScala(
+                attrs.asInstanceOf[java.util.Map[String, Any]]).asScala
+                .get("_ARRAY_DIMENSIONS") match {
+                case Some(l: java.util.List[_]) =>
+                  scala.jdk.CollectionConverters.ListHasAsScala(l)
+                    .asScala.map(_.toString).toSeq
+                case _ => Nil
+              }
+            case _ => Nil
+          }
+          (name, meta, dims)
+        }
+      } else {
+        val root = Paths.get(storeDir)
+        val subs = Files.list(root).iterator()
+        val names = scala.collection.mutable.ArrayBuffer.empty[String]
+        while (subs.hasNext) {
+          val p = subs.next()
+          if (Files.isDirectory(p) &&
+            Files.exists(p.resolve(".zarray"))) names += p.getFileName.toString
+        }
+        names.sorted.toSeq.map { name =>
+          (name, readMeta(s"$storeDir/$name"),
+            arrayDimensions(s"$storeDir/$name"))
+        }
+      }
+    entries.map { case (name, meta, dims) =>
+      (name, dims.mkString(","), meta.shape.mkString("x"),
+        meta.chunks.mkString("x"), meta.dtype,
+        meta.compressor.get("id").map(_.toString).getOrElse("null"))
+    }.toDF("variable", "dims", "shape", "chunks", "dtype", "compressor")
+  }
+
+  /** Read one array with its xarray dimension NAMES as the index
+    * columns (time/baseline/chan/pol instead of i0..i3) — the
+    * read_vis-shaped entry point over a real store. Falls back to
+    * i0.. when the store carries no `_ARRAY_DIMENSIONS`.
+    */
+  def readVarNamed(spark: SparkSession, arrayDir: String): DataFrame = {
+    val df = readVar(spark, arrayDir)
+    val dims = arrayDimensions(arrayDir)
+    val idxCols = df.columns.filter(_.startsWith("i")).toSeq
+    if (dims.length != idxCols.length) df
+    else idxCols.zip(dims).foldLeft(df) { case (acc, (from, to)) =>
+      acc.withColumnRenamed(from, to)
+    }
+  }
+
   // ------------------------------------------------------------- write
 
   /** Minimal zarr v2 writer for 1-D double arrays (round-trip

@@ -112,6 +112,28 @@ class ZarrSourceSpec extends SparkSpec {
     assert(r.getAs[Double]("int1d_raw") === 4.0)
   }
 
+  test("readVarNamed maps xarray _ARRAY_DIMENSIONS onto the index columns") {
+    val df = ZarrSource.readVarNamed(spark, s"$fx/real2d_raw")
+    assert(df.columns.toSeq === Seq("time", "chan", "value"))
+    assert(df.where(col("time") === 4 && col("chan") === 3).collect()(0)
+      .getDouble(2) === expect2d(4, 3))
+  }
+
+  test("describeStore reads consolidated .zmetadata (one fetch) and dir-walk alike") {
+    val viaZmeta = ZarrSource.describeStore(spark, s"$fx/xds_store")
+      .collect().map(r => r.getString(0) ->
+        ((r.getString(1), r.getString(2), r.getString(4), r.getString(5))))
+      .toMap
+    assert(viaZmeta("DATA") === (("row", "6", "<f8", "blosc")))
+    assert(viaZmeta("WEIGHT") === (("row", "6", "<i4", "null")))
+    // same store described by walking .zarray files: delete nothing,
+    // just point at a dir with NO .zmetadata (the fixtures root has
+    // array subdirs but no consolidated metadata)
+    val walked = ZarrSource.describeStore(spark, fx)
+      .collect().map(_.getString(0)).toSet
+    assert(walked.contains("real2d_raw") && walked.contains("cplx1d_zlib"))
+  }
+
   test("writeVar1D -> readVar round-trip (zlib, partial tail chunk)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_zarr").toString + "/arr"
