@@ -1831,15 +1831,12 @@ object QueriesLlm {
     * every doc scored by mean word logprob. The mean is an
     * order-dependent float sum -> qround(6) in both engines.
     */
-  private val lmScoreQ = Q(
-    (s, d) => {
-      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
-        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
-      TextOps.unigramLmScore(split, "doc_id", "text", "split", "train")
-        .select(col("doc_id"), col("n_words"),
-          qround(col("lm_logprob_mean"), 6).as("lm_logprob_mean"))
-    },
-    s"""WITH s0 AS (
+  /** Shared CTE chain: hash split -> train unigram LM -> per-doc mean
+    * logprob (`perdoc(doc_id, n_words, lm)`). Serves lm_score and
+    * domain_reweight so the two oracles cannot drift.
+    */
+  private def lmPerDocSql: String =
+    s"""s0 AS (
        |  SELECT doc_id,
        |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
        |      % ${SampleOps.SplitBuckets} AS b,
@@ -1861,10 +1858,67 @@ object QueriesLlm {
        |  SELECT doc_id,
        |    ln(CAST(coalesce(c, 0) + 1 AS DOUBLE) /
        |       CAST(total + vocab AS DOUBLE)) AS logp
-       |  FROM w LEFT JOIN counts USING (wh) CROSS JOIN tot)
-       |SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
-       |  ${qrSql("sum(logp) / count(*)", 6)} AS lm_logprob_mean
-       |FROM scored GROUP BY doc_id""".stripMargin)
+       |  FROM w LEFT JOIN counts USING (wh) CROSS JOIN tot),
+       |perdoc AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS n_words,
+       |    sum(logp) / count(*) AS lm
+       |  FROM scored GROUP BY doc_id)""".stripMargin
+
+  private val lmScoreQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(Tables.documents(s, d), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      TextOps.unigramLmScore(split, "doc_id", "text", "split", "train")
+        .select(col("doc_id"), col("n_words"),
+          qround(col("lm_logprob_mean"), 6).as("lm_logprob_mean"))
+    },
+    s"""WITH $lmPerDocSql
+       |SELECT doc_id, n_words,
+       |  ${qrSql("lm", 6)} AS lm_logprob_mean
+       |FROM perdoc""".stripMargin)
+
+  /** One DoReMi-flavored exponentiated-gradient mixture step
+    * (SampleOps.domainReweight): per-language mean LM loss (per-doc
+    * scores quantized to the 1e-6 grid, then EXACT integer domain
+    * sums) -> w ∝ exp(η·loss), normalized by a domain-sorted fold —
+    * the measured-loss counterpart of mixture_sample's given rates.
+    */
+  private val domainReweightQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = SampleOps.hashSplit(docs, "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      val perDoc = TextOps.unigramLmScore(split, "doc_id", "text",
+          "split", "train")
+        .select(col("doc_id"),
+          floor(-col("lm_logprob_mean") * lit(1e6) + lit(0.5))
+            .cast("long").as("_ls"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      SampleOps.domainReweight(perDoc, "lang", "_ls", scale = 1e6,
+          eta = 1.0)
+        .select(col("lang"), col("n_docs"),
+          qround(col("mean_loss"), 6).as("mean_loss"),
+          qround(col("weight"), 8).as("weight"))
+    },
+    s"""WITH $lmPerDocSql,
+       |loss AS (
+       |  SELECT p.doc_id,
+       |    CAST(floor(-(p.lm) * 1000000.0 + 0.5) AS BIGINT) AS ls,
+       |    d2.lang
+       |  FROM perdoc p JOIN documents d2 USING (doc_id)),
+       |g AS (SELECT lang, count(*) AS n_docs,
+       |        CAST(sum(ls) AS BIGINT) AS sl
+       |      FROM loss GROUP BY 1),
+       |m AS (SELECT lang, n_docs,
+       |        CAST(sl AS DOUBLE) / n_docs / 1000000.0 AS mean_loss,
+       |        exp(1.0 * (CAST(sl AS DOUBLE) / n_docs / 1000000.0)) AS w
+       |      FROM g),
+       |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(w ORDER BY lang)), (a_, b_) -> a_ + b_) AS tot
+       |      FROM m)
+       |SELECT lang, n_docs, ${qrSql("mean_loss", 6)} AS mean_loss,
+       |  ${qrSql("w / tot", 8)} AS weight
+       |FROM m CROSS JOIN t""".stripMargin)
 
   private val fingerprintQ = Q(
     (s, d) => TextOps.fingerprint(Tables.documents(s, d), "text")
@@ -3028,6 +3082,7 @@ object QueriesLlm {
     "bleu_pairs" -> bleuPairsQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
+    "domain_reweight" -> domainReweightQ,
     "stream_dedup" -> streamDedupQ,
     "stream_neardup" -> streamNeardupQ,
     "lang_id" -> langIdQ,

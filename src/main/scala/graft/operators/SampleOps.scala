@@ -69,6 +69,42 @@ object SampleOps {
     df.filter(splitBucket(col(keyCol)) <
       floor(rateCol * SplitBuckets).cast("long"))
 
+  /** One DoReMi-flavored exponentiated-gradient step over per-domain
+    * losses: domains whose documents score a higher mean loss (harder,
+    * under-trained) get up-weighted,
+    *   w_dom ∝ exp(η · mean_loss_dom),  normalized over domains —
+    * the data-mixture re-tuning primitive next to mixture_sample /
+    * temperature_mix (which apply a GIVEN mixture; this derives one
+    * from measured loss).
+    *
+    * Exactness: `lossScaledCol` must be a pre-quantized integer (the
+    * caller fixes the grid), so the per-domain sums and means are
+    * exact and the exp() argument is the identical double everywhere.
+    * The normalizer folds the domain weights in DOMAIN-sorted order —
+    * a fixed-order fold over a |domains|-bounded list, never a
+    * parallel float sum.
+    *
+    * Plan shape: one hash aggregate to |domains| rows, one 1-row fold,
+    * one broadcast join-back. Nothing fact-sized past the first
+    * aggregate.
+    */
+  def domainReweight(df: DataFrame, domainCol: String,
+                     lossScaledCol: String, scale: Double,
+                     eta: Double): DataFrame = {
+    val g = df.groupBy(col(domainCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col(lossScaledCol)).as("_sl"))
+      .withColumn("mean_loss",
+        col("_sl").cast("double") / col("n_docs") / lit(scale))
+      .withColumn("_w", exp(lit(eta) * col("mean_loss")))
+    val tot = g.agg(expr(
+      s"""aggregate(array_sort(collect_list(struct($domainCol, _w))),
+         |cast(0.0 as double), (acc, x) -> acc + x._w)""".stripMargin)
+      .as("_tot"))
+    g.crossJoin(broadcast(tot))
+      .select(col(domainCol), col("n_docs"), col("mean_loss"),
+        (col("_w") / col("_tot")).as("weight"))
+  }
+
   /** Temperature-scaled mixture resampling (the Gopher / multilingual-
     * LLaMA data-mixing move): acceptance rate per stratum
     * rate_s = sqrt(n_min / n_s) — i.e. target shares ∝ n_s^0.5, the
