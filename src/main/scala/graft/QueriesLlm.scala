@@ -510,6 +510,38 @@ object QueriesLlm {
            "ELSE 0.0 END", 8)} AS bleu2
        |FROM rl r JOIN c1 USING (id1, id2) LEFT JOIN c2 USING (id1, id2)""".stripMargin)
 
+  /** Banding quality readout (DedupOps.lshRecall): recall/precision of
+    * the production MinHash bands vs an exact all-pairs Jaccard sweep
+    * on the mod-4 eval corpus (declared brute-force baseline — the
+    * same contract as ann_topk/ann_recall, excluded from the
+    * no-Cartesian sweep by design).
+    */
+  private val lshRecallQ = Q(
+    (s, d) => DedupOps.lshRecall(dupCorpus(s, d, mod = 4), "doc_id",
+        "text", threshold = 0.5)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        qround(col("recall"), 8).as("recall"),
+        qround(col("precision"), 8).as("precision")),
+    s"""WITH ${minhashVerSql(mod = 4)},
+       |allp AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |    len(list_intersect(a.sh, b.sh)) AS ni,
+       |    len(list_distinct(list_concat(a.sh, b.sh))) AS nu
+       |  FROM sh a JOIN sh b ON a.doc_id < b.doc_id),
+       |true_p AS (
+       |  SELECT id1, id2 FROM allp
+       |  WHERE nu > 0 AND CAST(ni AS DOUBLE) / nu >= 0.5),
+       |hit AS (
+       |  SELECT t.id1, t.id2 FROM true_p t
+       |  JOIN cand c ON t.id1 = c.id1 AND t.id2 = c.id2),
+       |n AS (SELECT (SELECT count(*) FROM true_p) AS n_true,
+       |             (SELECT count(*) FROM cand) AS n_cand,
+       |             (SELECT count(*) FROM hit) AS n_hit)
+       |SELECT n_true, n_cand, n_hit,
+       |  ${qrSql("CASE WHEN n_true > 0 THEN CAST(n_hit AS DOUBLE) / n_true ELSE 1.0 END", 8)} AS recall,
+       |  ${qrSql("CASE WHEN n_cand > 0 THEN CAST(n_hit AS DOUBLE) / n_cand ELSE 1.0 END", 8)} AS precision
+       |FROM n""".stripMargin)
+
   // -------------------------------------------------------- similarity
 
   private val annTopkQ = Q(
@@ -3080,6 +3112,7 @@ object QueriesLlm {
     "embed_leakage" -> embedLeakageQ,
     "containment_dupes" -> containmentDupesQ,
     "bleu_pairs" -> bleuPairsQ,
+    "lsh_recall" -> lshRecallQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,
     "domain_reweight" -> domainReweightQ,

@@ -252,6 +252,44 @@ object DedupOps {
       .select("id1", "id2", "n_inter", "n1", "n2", "containment")
   }
 
+  /** LSH banding RECALL/PRECISION against exact Jaccard ground truth
+    * on an evaluation corpus — the text-side twin of ann_recall (which
+    * scores the embedding indexes): what fraction of the truly-similar
+    * pairs do the bands surface, and how much of the candidate volume
+    * is noise the verify stage must pay for. The ground truth is a
+    * DECLARED all-pairs sweep (eval corpora are sampled small, same
+    * contract as ann_topk's brute-force baseline — never run this on
+    * the full corpus); candidates are the production banding.
+    * Output: one row (n_true, n_cand, n_hit, recall, precision) with
+    * exact integer counts and two exact divisions.
+    */
+  def lshRecall(df: DataFrame, idCol: String, textCol: String,
+                threshold: Double, shingleN: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol),
+      shingleHashes(col(textCol), shingleN).as("sh"))
+    val a = sh.select(col(idCol).as("id1"), col("sh").as("sh1"))
+    val b = sh.select(col(idCol).as("id2"), col("sh").as("sh2"))
+    val truePairs = a.join(b, col("id1") < col("id2"))
+      .withColumn("_ni", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("_nu", size(array_union(col("sh1"), col("sh2"))))
+      .where(col("_nu") > 0 &&
+        col("_ni").cast("double") / col("_nu") >= threshold)
+      .select("id1", "id2")
+    val cands = minHashCandidates(df, idCol, textCol, shingleN)
+    val hits = truePairs.join(cands, Seq("id1", "id2"), "left_semi")
+    val nTrue = truePairs.agg(count(lit(1)).as("n_true"))
+    val nCand = cands.agg(count(lit(1)).as("n_cand"))
+    val nHit = hits.agg(count(lit(1)).as("n_hit"))
+    nTrue.crossJoin(nCand).crossJoin(nHit)
+      .select(col("n_true"), col("n_cand"), col("n_hit"),
+        when(col("n_true") > 0,
+          col("n_hit").cast("double") / col("n_true"))
+          .otherwise(lit(1.0)).as("recall"),
+        when(col("n_cand") > 0,
+          col("n_hit").cast("double") / col("n_cand"))
+          .otherwise(lit(1.0)).as("precision"))
+  }
+
   /** MinHash Jaccard ESTIMATE next to the exact verify, per LSH
     * candidate pair: est = (matching signature components)/numHashes —
     * the estimator-quality readout used to tune numHashes/bands before

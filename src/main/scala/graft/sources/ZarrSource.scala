@@ -385,6 +385,51 @@ object ZarrSource {
     * The driver collects NOTHING — each task writes the chunks covering
     * its partition of a PRE-SORTED, contiguously-indexed column.
     */
+  /** 2-D companion to [[writeVar1D]] — the write_image interchange
+    * path (sky images, PSFs, beams are (l, m) planes): row-major
+    * C-order chunk files over a (chunkRows × chunkCols) grid, zlib.
+    * Dimension names land in `.zattrs` so xarray (and readVarNamed)
+    * sees named axes.
+    */
+  def writeVar2D(values: Array[Array[Double]], arrayDir: String,
+                 chunkRows: Int, chunkCols: Int,
+                 dims: (String, String) = ("l", "m"),
+                 zlibLevel: Int = 1): Unit = {
+    val nR = values.length
+    val nC = if (nR == 0) 0 else values(0).length
+    require(values.forall(_.length == nC), "ragged 2-D array")
+    val dir = Paths.get(arrayDir)
+    Files.createDirectories(dir)
+    val metaJson =
+      s"""{"zarr_format": 2, "shape": [$nR, $nC],
+         |"chunks": [$chunkRows, $chunkCols], "dtype": "<f8",
+         |"order": "C",
+         |"compressor": {"id": "zlib", "level": $zlibLevel},
+         |"fill_value": null, "filters": null}""".stripMargin
+    Files.write(dir.resolve(".zarray"), metaJson.getBytes("UTF-8"))
+    Files.write(dir.resolve(".zattrs"),
+      s"""{"_ARRAY_DIMENSIONS": ["${dims._1}", "${dims._2}"]}"""
+        .getBytes("UTF-8"))
+    for (cr <- 0 until (nR + chunkRows - 1) / chunkRows;
+         cc <- 0 until (nC + chunkCols - 1) / chunkCols) {
+      val bb = ByteBuffer.allocate(chunkRows * chunkCols * 8)
+        .order(ByteOrder.LITTLE_ENDIAN)
+      for (i <- 0 until chunkRows; j <- 0 until chunkCols) {
+        val (gi, gj) = (cr * chunkRows + i, cc * chunkCols + j)
+        if (gi < nR && gj < nC)
+          bb.putDouble((i * chunkCols + j) * 8, values(gi)(gj))
+      }
+      val deflater = new java.util.zip.Deflater(zlibLevel)
+      deflater.setInput(bb.array()); deflater.finish()
+      val out = new ByteArrayOutputStream()
+      val buf = new Array[Byte](8192)
+      while (!deflater.finished())
+        out.write(buf, 0, deflater.deflate(buf))
+      deflater.end()
+      Files.write(dir.resolve(s"$cr.$cc"), out.toByteArray)
+    }
+  }
+
   def writeVar1D(values: Array[Double], arrayDir: String, chunk: Int,
                  zlibLevel: Int = 1): Unit = {
     val dir = Paths.get(arrayDir)

@@ -22,7 +22,9 @@ class PlanInvariantsSpec extends SparkSpec {
 
   // Every fact-path query that must never degenerate to a cartesian
   // product. ann_topk and friends are EXCLUDED by design: their
-  // brute-force all-pairs scan is the declared exact baseline.
+  // brute-force all-pairs scan is the declared exact baseline
+  // (lsh_recall likewise: its ground truth IS an all-pairs sweep on a
+  // declared eval corpus).
   private val noCartesian = Seq(
     "chan_average", "apply_flags", "join_vis", "split_dataset",
     "flag_summary", "imaging_weight_briggs", "dedup_exact", "url_dedup",

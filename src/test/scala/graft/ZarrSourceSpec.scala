@@ -134,6 +134,20 @@ class ZarrSourceSpec extends SparkSpec {
     assert(walked.contains("real2d_raw") && walked.contains("cplx1d_zlib"))
   }
 
+  test("writeVar2D -> readVarNamed round-trip (edge chunks, named dims)") {
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_zarr2d").toString + "/img"
+    val vals = Array.tabulate(5, 7)((i, j) => i * 10.0 + j + 0.25)
+    ZarrSource.writeVar2D(vals, dir, chunkRows = 3, chunkCols = 4)
+    val df = ZarrSource.readVarNamed(spark, dir)
+    assert(df.columns.toSeq === Seq("l", "m", "value"))
+    val got = df.collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.size === 35)
+    for (i <- 0 until 5; j <- 0 until 7)
+      assert(got((i.toLong, j.toLong)) === vals(i)(j), s"($i,$j)")
+  }
+
   test("writeVar1D -> readVar round-trip (zlib, partial tail chunk)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_zarr").toString + "/arr"
