@@ -2607,6 +2607,41 @@ object QueriesKernels {
        |  CROSS JOIN fac),
        |${hogbomChainSql(gain = 0.2, threshold = 0.05, niter = 30)}""".stripMargin)
 
+  /** The flagship pipeline's artifacts THROUGH the zarr store layer:
+    * run synthesis_imaging, export the model and residual planes as
+    * chunked zarr 2-D arrays (sources.ZarrSource.writeVar2D — the
+    * reference persists exactly these artifacts to zarr), read them
+    * back through the distributed chunk decoder, and reassemble the
+    * original output shape. Shares synthesis_imaging's composed oracle
+    * VERBATIM, so the store round-trip is proven bit-preserving on the
+    * real workflow's numbers (doubles ride <f8 untouched). The 256-px
+    * collect is canvas-bounded — the same budget as the plot queries.
+    */
+  private val synthesisZarrQ = Q(
+    (s, d) => {
+      val rows = synthesisQ.fn(s, d).collect()
+      val (nL, nM) = (16, 16)
+      def plane(cIdx: Int) = {
+        val a = Array.fill(nL, nM)(0.0)
+        rows.foreach { r =>
+          a(r.getInt(2))(r.getInt(3)) = r.getDouble(cIdx)
+        }
+        a
+      }
+      val base = s"/tmp/graft_zarrimg_${java.util.UUID.randomUUID.toString
+        .replace("-", "").take(12)}"
+      sources.ZarrSource.writeVar2D(plane(4), s"$base/model", 8, 8,
+        ("l_idx", "m_idx"))
+      sources.ZarrSource.writeVar2D(plane(5), s"$base/residual", 8, 8,
+        ("l_idx", "m_idx"))
+      sources.ZarrSource.readVars(s, base, Seq("model", "residual"))
+        .select(lit(0).as("img_chan"), lit(0).as("pol"),
+          col("i0").cast("int").as("l_idx"),
+          col("i1").cast("int").as("m_idx"),
+          col("model"), col("residual"))
+    },
+    synthesisQ.sql)
+
   /** synthesis_imaging_cube (ngcasa/imaging/synthesis_imaging_cube.py:
     * 30-310): the per-channel flagship composition — imaging weights ->
     * single-pass image+psf cube gridding -> per-plane restore-beam fit
@@ -2835,6 +2870,7 @@ object QueriesKernels {
     "spec_fit" -> specFitQ,
     "spec_fit_one_step" -> specFitOneStepQ,
     "synthesis_imaging" -> synthesisQ,
+    "synthesis_to_zarr" -> synthesisZarrQ,
     "direction_rotate" -> directionRotateQ,
     "gaussian_beam" -> gaussianBeamQ,
     "make_pb" -> makePbQ,
