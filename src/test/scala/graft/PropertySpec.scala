@@ -455,6 +455,40 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: zarr write/read round-trips random arrays bit-exactly") {
+    val gen = Gen.zip(Gen.choose(1, 40),
+      Gen.choose(1, 7), Gen.listOf(Gen.choose(-1e12, 1e12)))
+    forSamples(gen, n = 6) { case (n, chunk, seed0) =>
+      val rng = new scala.util.Random(n * 31 + chunk)
+      val vals = Array.fill(n)(rng.nextDouble() * 2e6 - 1e6)
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zarr_prop").toString + "/a"
+      graft.sources.ZarrSource.writeVar1D(vals, dir, chunk)
+      val got = graft.sources.ZarrSource.readVar(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+      assert(got.size === n, s"n=$n chunk=$chunk")
+      vals.indices.foreach(i =>
+        assert(got(i.toLong) === vals(i), s"i=$i n=$n chunk=$chunk"))
+    }
+  }
+
+  test("property: blosc unshuffle inverts the spec shuffle for any typesize") {
+    val gen = Gen.zip(Gen.choose(1, 16), Gen.listOfN(64, Gen.choose(-128, 127)))
+    forSamples(gen, n = 40) { case (ts, bytes0) =>
+      val bytes = bytes0.map(_.toByte).toArray
+      // forward shuffle per the public spec: byte-plane concatenation
+      // over full elements, raw tail
+      val nElem = bytes.length / ts
+      val out = new Array[Byte](bytes.length)
+      for (b <- 0 until ts; i <- 0 until nElem)
+        out(b * nElem + i) = bytes(i * ts + b)
+      System.arraycopy(bytes, nElem * ts, out, nElem * ts,
+        bytes.length - nElem * ts)
+      assert(graft.sources.ZarrSource.unshuffle(out, ts).toSeq ===
+        bytes.toSeq, s"typesize=$ts")
+    }
+  }
+
   test("property: canonicalizeUrl is idempotent") {
     import spark.implicits._
     import org.apache.spark.sql.functions.col
