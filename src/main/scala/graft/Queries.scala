@@ -39,16 +39,20 @@ object Queries {
     floor(c * lit(s) + lit(0.5)) / lit(s)
   }
 
-  /** Fresh scratch suffix per invocation for the I/O round-trip
-    * queries. The old abs-of-hashCode scheme had three holes:
-    * `math.abs(Int.MinValue)` stays negative, concurrent runs over the
-    * same data dir raced on one shared overwrite path, and repeated
-    * invocations (bench reps, plan sweeps) clobbered each other's
-    * files mid-read. Alphanumeric-only so it is also valid inside a
-    * catalog table name (bucketed_join).
+  /** Scratch suffix for the I/O round-trip queries: unique PER SPARK
+    * APPLICATION (applicationId) and per data dir, stable within the
+    * process. Concurrent runs over the same data dir can no longer
+    * race on one shared path (the old abs-of-hashCode hole — which
+    * also mishandled Int.MinValue), while repeated invocations inside
+    * one process (bench reps, plan sweeps) REUSE their path in
+    * overwrite mode instead of leaking a fresh table copy per rep.
+    * Alphanumeric-only so it is also valid inside a catalog table
+    * name (bucketed_join).
     */
-  private def scratchTag(): String =
-    java.util.UUID.randomUUID().toString.replace("-", "").take(12)
+  private def scratchTag(s: SparkSession, d: String): String = {
+    val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
+    s"${app}_${d.hashCode & 0x7fffffff}"
+  }
 
   /** lineitem with the vis-fact derived columns used by most queries:
     * chan = 0-based channel axis, flag = the FLAG data variable.
@@ -975,7 +979,7 @@ object Queries {
       // write partitioned+zstd, read back with partition pruning, then
       // aggregate — matching the oracle run directly on the source table
       // proves the round trip is lossless.
-      val path = s"/tmp/graft_roundtrip_${scratchTag()}"
+      val path = s"/tmp/graft_roundtrip_${scratchTag(s, d)}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
         "l_extendedprice", "l_returnflag", "l_linestatus")
       sources.IoOps.writeVis(
@@ -1074,7 +1078,7 @@ object Queries {
       // oracle on the source table proves the layout op is lossless.
       // The predicate's real payoff (file/row-group skipping via the
       // clustered footer min/max stats) is asserted by ZorderSpec.
-      val path = s"/tmp/graft_zorder_${scratchTag()}"
+      val path = s"/tmp/graft_zorder_${scratchTag(s, d)}"
       sources.IoOps.writeZordered(Tables.lineitem(s, d), path,
         Seq("l_extendedprice", "l_quantity"), numFiles = 8)
       s.read.parquet(path)
@@ -1118,8 +1122,8 @@ object Queries {
     */
   private val appendXdsQ = Q(
     (s, d) => {
-      val bpath = s"/tmp/graft_append_base_${scratchTag()}"
-      val spath = s"/tmp/graft_append_side_${scratchTag()}"
+      val bpath = s"/tmp/graft_append_base_${scratchTag(s, d)}"
+      val spath = s"/tmp/graft_append_side_${scratchTag(s, d)}"
       val keys = Seq("l_orderkey", "l_linenumber")
       // one row per key — (l_orderkey, l_linenumber) is not unique in
       // the synthetic data and the sidecar join must be 1:1
@@ -1147,7 +1151,7 @@ object Queries {
     */
   private val bucketedJoinQ = Q(
     (s, d) => {
-      val h = scratchTag()
+      val h = scratchTag(s, d)
       val li4 = Tables.lineitem(s, d)
         .select("l_orderkey", "l_quantity", "l_extendedprice")
       val ord = Tables.orders(s, d)
@@ -1178,9 +1182,9 @@ object Queries {
     */
   private val appendCompactQ = Q(
     (s, d) => {
-      val bpath = s"/tmp/graft_compact_base_${scratchTag()}"
-      val spath = s"/tmp/graft_compact_side_${scratchTag()}"
-      val opath = s"/tmp/graft_compact_out_${scratchTag()}"
+      val bpath = s"/tmp/graft_compact_base_${scratchTag(s, d)}"
+      val spath = s"/tmp/graft_compact_side_${scratchTag(s, d)}"
+      val opath = s"/tmp/graft_compact_out_${scratchTag(s, d)}"
       val keys = Seq("l_orderkey", "l_linenumber")
       val base = Tables.lineitem(s, d)
         .groupBy(keys.map(col): _*)
@@ -2113,7 +2117,7 @@ object Queries {
     */
   private val orcRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_orc_${scratchTag()}"
+      val path = s"/tmp/graft_orc_${scratchTag(s, d)}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
         "l_returnflag")
       sources.IoOps.writeTable(
@@ -2136,7 +2140,7 @@ object Queries {
     */
   private val csvRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_csv_${scratchTag()}"
+      val path = s"/tmp/graft_csv_${scratchTag(s, d)}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
       val src = Tables.lineitem(s, d).select(cols.map(col): _*)
       sources.IoOps.writeTable(src, path, "csv", repartitionTo = Some(4),
@@ -2160,7 +2164,7 @@ object Queries {
     */
   private val jsonlRoundtripQ = Q(
     (s, d) => {
-      val path = s"/tmp/graft_jsonl_${scratchTag()}"
+      val path = s"/tmp/graft_jsonl_${scratchTag(s, d)}"
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag")
       val src = Tables.lineitem(s, d).select(cols.map(col): _*)
       sources.IoOps.writeTable(src, path, "json", repartitionTo = Some(4))

@@ -58,7 +58,15 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Tables.all) {
-      val out = amplify(Tables.load(spark, src, t), keyCols(t), n)
+      // events goes through the schema-adaptive loader: the driver has
+      // shipped ts as int64-nanos / TIMESTAMP(NANOS) / timestamp[us],
+      // and a raw load crashes on the NANOS flavor (SPARK-40819); the
+      // canonical ts survives the round trip, ts_ns is re-derived by
+      // every consumer so it is not materialized here
+      val base =
+        if (t == "events") Tables.events(spark, src).drop("ts_ns")
+        else Tables.load(spark, src, t)
+      val out = amplify(base, keyCols(t), n)
       // a few files per table keeps read parallelism without tiny-file
       // overhead at this scale
       out.repartition(math.max(4, 4 * keyCols(t).size))

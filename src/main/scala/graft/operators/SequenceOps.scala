@@ -327,8 +327,12 @@ object SequenceOps {
     val completed = funnel.where(col(s"t$n").isNotNull)
       .select(((col(s"t$n") - col("t1")).cast("double") / lit(1e9))
         .as("_lat_s"), lit(1).as("_g"))
-    StatsOps.groupedQuantiles(completed, Seq("_g"), "_lat_s", ps)
-      .select((col("n_group").as("n_completed") +:
+    val q = StatsOps.groupedQuantiles(completed, Seq("_g"), "_lat_s", ps)
+    // zero completions must still yield ONE summary row (n_completed=0,
+    // null quantiles) — SQL aggregates-without-GROUP-BY do, and an
+    // empty result would silently drop the "nobody converted" signal
+    events.sparkSession.range(1).join(broadcast(q), lit(true), "left")
+      .select((coalesce(col("n_group"), lit(0L)).as("n_completed") +:
         ps.indices.map(i => col(s"q_$i"))): _*)
   }
 

@@ -350,8 +350,12 @@ object SketchOps {
     */
   def heavyHitters(df: DataFrame, keys: Seq[String], valueCol: String,
                    k: Int): DataFrame = {
+    // drop NULL values explicitly: the typed Aggregator's primitive
+    // Long input would silently read them as 0 and could fabricate a
+    // heavy hitter at value 0
     val fact = df.select((keys.map(col) :+
       col(valueCol).cast("long").as("_v")): _*)
+      .where(col("_v").isNotNull)
     // candidates AND group totals from ONE scan/aggregate (the count
     // rides the same partial/final machinery as the MG summary), so
     // the operator reads the fact exactly twice: sketch pass + the

@@ -58,10 +58,11 @@ object ZarrSource {
         v.asInstanceOf[java.util.List[Any]]).asScala
       .map(x => x.asInstanceOf[Number].intValue()).toArray
 
-  def readMeta(arrayDir: String): ZarrayMeta = {
-    val raw = new String(
-      Files.readAllBytes(Paths.get(arrayDir, ".zarray")), "UTF-8")
-    val m = parseJsonMap(raw)
+  def readMeta(arrayDir: String): ZarrayMeta =
+    metaFromMap(parseJsonMap(new String(
+      Files.readAllBytes(Paths.get(arrayDir, ".zarray")), "UTF-8")))
+
+  private def metaFromMap(m: Map[String, Any]): ZarrayMeta = {
     val comp = m.get("compressor") match {
       case Some(null) | None => Map.empty[String, Any]
       case Some(c: java.util.Map[_, _]) =>
@@ -104,8 +105,12 @@ object ZarrSource {
     val codec = (flags >> 5) & 0x7 // 0 blosclz 1 lz4 2 snappy 3 zlib 4 zstd
     val out = new Array[Byte](nbytes)
     if (memcpyed) {
+      // c-blosc's incompressible fallback memcpys the ORIGINAL
+      // (pre-filter) bytes and may leave DOSHUFFLE set alongside
+      // MEMCPYED — reference decoders check MEMCPYED first and never
+      // unshuffle such frames; doing so would scramble every value
       System.arraycopy(frame, 16, out, 0, nbytes)
-      return if (shuffled) unshuffle(out, typesize) else out
+      return out
     }
     val blocksize = if (blocksize0 <= 0) nbytes else blocksize0
     val nblocks = (nbytes + blocksize - 1) / blocksize
@@ -170,9 +175,17 @@ object ZarrSource {
     inf.setInput(src, off, len)
     val out = new Array[Byte](expected)
     var done = 0
-    while (done < expected && !inf.finished())
-      done += inf.inflate(out, done, expected - done)
+    var stalled = false
+    while (done < expected && !inf.finished() && !stalled) {
+      val n = inf.inflate(out, done, expected - done)
+      done += n
+      // a truncated/corrupt stream makes inflate() return 0 while
+      // asking for more input — fail loudly instead of spinning
+      stalled = n == 0 && (inf.needsInput() || inf.needsDictionary())
+    }
     inf.end()
+    require(!stalled,
+      s"zlib chunk truncated/corrupt after $done of $expected bytes")
     require(done == expected,
       s"zlib chunk inflated to $done bytes, expected $expected")
     out
@@ -192,7 +205,7 @@ object ZarrSource {
   // -------------------------------------------------------------- read
 
   private def dtypeBytes(dtype: String): Int = dtype match {
-    case "<f8" | "<i8" | "<u8" | "<c8r" => 8
+    case "<f8" | "<i8" => 8
     case "<f4" | "<i4" | "<u4" => 4
     case "<c16" => 16
     case "<c8" => 8
@@ -238,9 +251,14 @@ object ZarrSource {
           case "<f8" | "<c16" => bb.getDouble(off)
           case "<f4" | "<c8" => bb.getFloat(off).toDouble
           case "<i8" => bb.getLong(off).toDouble
-          case "<i4" | "<u4" => bb.getInt(off).toDouble
-          case "<i2" | "<u2" => bb.getShort(off).toDouble
-          case "|i1" | "|u1" | "|b1" => bytes(off).toDouble
+          case "<i4" => bb.getInt(off).toDouble
+          // unsigned dtypes: widen through the unsigned reinterpretation
+          // or the upper half of the range would come back negative
+          case "<u4" => (bb.getInt(off) & 0xffffffffL).toDouble
+          case "<i2" => bb.getShort(off).toDouble
+          case "<u2" => (bb.getShort(off) & 0xffff).toDouble
+          case "|i1" | "|b1" => bytes(off).toDouble
+          case "|u1" => (bytes(off) & 0xff).toDouble
         }
         // C-order walk of the chunk; emit only in-bounds elements
         val starts = chunkIdx.indices.map(i => chunkIdx(i).toLong * chunks(i))
@@ -280,7 +298,14 @@ object ZarrSource {
     val frames = vars.map { v =>
       val df = readVar(spark, s"$storeDir/$v")
       val idxCols = df.columns.filter(_.startsWith("i")).toSeq
-      (idxCols, df.withColumnRenamed("value", v))
+      // complex vars surface as <v>_re/<v>_im — a plain rename of
+      // "value" would leave every complex frame with the SAME
+      // value_re/value_im names and make the join output ambiguous
+      val named = df
+        .withColumnRenamed("value", v)
+        .withColumnRenamed("value_re", s"${v}_re")
+        .withColumnRenamed("value_im", s"${v}_im")
+      (idxCols, named)
     }
     val keys = frames.head._1
     frames.map(_._2).reduce((a, b) => a.join(b, keys, "full_outer"))
@@ -319,14 +344,12 @@ object ZarrSource {
         val metaMap = all("metadata").asInstanceOf[java.util.Map[String, Any]]
         val m = scala.jdk.CollectionConverters
           .MapHasAsScala(metaMap).asScala
-        val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
         val arrays = m.keys.filter(_.endsWith("/.zarray"))
           .map(_.stripSuffix("/.zarray")).toSeq.sorted
         arrays.map { name =>
-          val metaJson = mapper.writeValueAsString(m(s"$name/.zarray"))
-          val tmp = Files.createTempDirectory("zmeta")
-          Files.write(tmp.resolve(".zarray"), metaJson.getBytes("UTF-8"))
-          val meta = readMeta(tmp.toString)
+          val meta = metaFromMap(scala.jdk.CollectionConverters
+            .MapHasAsScala(m(s"$name/.zarray")
+              .asInstanceOf[java.util.Map[String, Any]]).asScala.toMap)
           val dims = m.get(s"$name/.zattrs") match {
             case Some(attrs: java.util.Map[_, _]) =>
               scala.jdk.CollectionConverters.MapHasAsScala(

@@ -64,6 +64,23 @@ class ZarrSourceSpec extends SparkSpec {
       4L -> 7.125, 5L -> -0.5))
   }
 
+  test("blosc memcpy frame with DOSHUFFLE also set decodes WITHOUT unshuffling") {
+    // c-blosc's incompressible fallback memcpys the ORIGINAL bytes and
+    // may leave the shuffle flag set (flags 0x03) — unshuffling here
+    // would scramble every value (round-10 review finding)
+    val got = ZarrSource.readVar(spark, s"$fx/blosc_memcpy_shuffled_1d")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0L -> 9.5, 1L -> -8.25, 2L -> 7.125, 3L -> 0.0,
+      4L -> -1.5, 5L -> 2.75))
+  }
+
+  test("unsigned <u2 dtype reads the upper half of the range as positive") {
+    val got = ZarrSource.readVar(spark, s"$fx/uint1d_raw")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    assert(got === Map(0L -> 40000.0, 1L -> 65535.0, 2L -> 0.0,
+      3L -> 123.0))
+  }
+
   test("blosc zlib-inner multi-block frame with byte shuffle decodes") {
     val got = ZarrSource.readVar(spark, s"$fx/blosc_zlib_shuffle_1d")
       .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
