@@ -86,20 +86,28 @@ object QueriesLlm {
     * offenders, and a smaller identical corpus in BOTH engines keeps
     * them exact while affordable.
     */
-  private def dupCorpus(s: SparkSession, d: String,
-                        mod: Int = 1): DataFrame = {
+  /** `cap` bounds the ORIGINAL ids kept (default: no bound — the SQL
+    * text of every existing oracle is unchanged). lsh_recall sets it:
+    * its ground truth is a declared all-pairs sweep, so the eval
+    * corpus must stay O(hundreds) at ANY sf, not grow with the data.
+    */
+  private def dupCorpus(s: SparkSession, d: String, mod: Int = 1,
+                        cap: Long = Long.MaxValue): DataFrame = {
     val docs = Tables.documents(s, d).select("doc_id", "text")
-      .where(col("doc_id") % mod === 0)
+      .where(col("doc_id") % mod === 0 && col("doc_id") < cap)
     docs.unionByName(docs.where(col("doc_id") < 20)
       .select((col("doc_id") + 10000).as("doc_id"),
         concat(col("text"), lit(" extra")).as("text")))
   }
 
-  private def dupCorpusSql(mod: Int = 1): String =
+  private def dupCorpusSql(mod: Int = 1,
+                           cap: Long = Long.MaxValue): String = {
+    val capSql = if (cap == Long.MaxValue) "" else s" AND doc_id < $cap"
     s"""corpus AS (SELECT doc_id, text FROM documents
-       |  WHERE doc_id % $mod = 0
+       |  WHERE doc_id % $mod = 0$capSql
        |  UNION ALL SELECT doc_id + 10000, text || ' extra'
-       |  FROM documents WHERE doc_id < 20 AND doc_id % $mod = 0)""".stripMargin
+       |  FROM documents WHERE doc_id < 20 AND doc_id % $mod = 0$capSql)""".stripMargin
+  }
 
   private def sigSqlEntries: String =
     (0 until 16).map { j =>
@@ -111,8 +119,8 @@ object QueriesLlm {
     * signatures -> LSH bands -> candidate pairs -> exact-Jaccard
     * verification (mirrors DedupOps.minHashNearDup pre-threshold).
     */
-  private def minhashVerSql(mod: Int = 1) =
-    s"""${dupCorpusSql(mod)},
+  private def minhashVerSql(mod: Int = 1, cap: Long = Long.MaxValue) =
+    s"""${dupCorpusSql(mod, cap)},
        |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
        |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
        |bands AS (
@@ -517,12 +525,16 @@ object QueriesLlm {
     * no-Cartesian sweep by design).
     */
   private val lshRecallQ = Q(
-    (s, d) => DedupOps.lshRecall(dupCorpus(s, d, mod = 4), "doc_id",
-        "text", threshold = 0.5)
+    // cap 1000: the eval corpus stays O(hundreds) documents at any sf
+    // (at sf0.01 every doc_id is already < 1000, so the sf the gate
+    // checks is unchanged) — the all-pairs ground truth is quadratic
+    // and 21 s of the sf0.1 bench uncapped
+    (s, d) => DedupOps.lshRecall(dupCorpus(s, d, mod = 4, cap = 1000),
+        "doc_id", "text", threshold = 0.5)
       .select(col("n_true"), col("n_cand"), col("n_hit"),
         qround(col("recall"), 8).as("recall"),
         qround(col("precision"), 8).as("precision")),
-    s"""WITH ${minhashVerSql(mod = 4)},
+    s"""WITH ${minhashVerSql(mod = 4, cap = 1000)},
        |allp AS (
        |  SELECT a.doc_id AS id1, b.doc_id AS id2,
        |    len(list_intersect(a.sh, b.sh)) AS ni,
