@@ -51,7 +51,10 @@ object Queries {
     */
   private def scratchTag(s: SparkSession, d: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
-    s"${app}_${d.hashCode & 0x7fffffff}"
+    // local-mode applicationId is millisecond-resolution — two JVMs
+    // launched in the same ms would collide; the OS pid disambiguates
+    val pid = ProcessHandle.current().pid()
+    s"${app}_p${pid}_${d.hashCode & 0x7fffffff}"
   }
 
   /** lineitem with the vis-fact derived columns used by most queries:

@@ -78,7 +78,8 @@ object QueriesCuration {
         .select(col("lang"), expr("n_chars div 100L").as("len_bucket")),
       Seq("lang"), "len_bucket", k = hhK),
     s"""WITH b AS (
-       |  SELECT lang, n_chars // 100 AS value FROM documents),
+       |  SELECT lang, n_chars // 100 AS value FROM documents
+       |  WHERE n_chars IS NOT NULL),
        |t AS (SELECT lang, count(*) AS n_group FROM b GROUP BY 1),
        |c AS (SELECT lang, value, count(*) AS cnt FROM b GROUP BY 1, 2)
        |SELECT c.lang, c.value, c.cnt, t.n_group

@@ -58,14 +58,20 @@ object ScaleUp {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     for (t <- Tables.all) {
-      // events goes through the schema-adaptive loader: the driver has
-      // shipped ts as int64-nanos / TIMESTAMP(NANOS) / timestamp[us],
-      // and a raw load crashes on the NANOS flavor (SPARK-40819); the
-      // canonical ts survives the round trip, ts_ns is re-derived by
-      // every consumer so it is not materialized here
+      // events: a plain load handles the int64-nanos and timestamp[us]
+      // flavors VERBATIM (bit-preserving — ns tie-breaks in the
+      // amplified copy equal the source's); only the parquet
+      // TIMESTAMP(NANOS) footer flavor crashes a raw read
+      // (SPARK-40819), so that one goes through the same isolated
+      // nanosAsLong session Tables.events uses, which surfaces ts as
+      // the raw int64 nanos — still lossless
       val base =
-        if (t == "events") Tables.events(spark, src).drop("ts_ns")
-        else Tables.load(spark, src, t)
+        if (t == "events" &&
+            Tables.tsIsParquetNanos(spark, s"$src/events.parquet")) {
+          val iso = spark.newSession()
+          iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+          Tables.load(iso, src, t)
+        } else Tables.load(spark, src, t)
       val out = amplify(base, keyCols(t), n)
       // a few files per table keeps read parallelism without tiny-file
       // overhead at this scale

@@ -34,7 +34,7 @@ object Tables {
     * file directly (parquet-hadoop) instead of sniffing Spark's
     * exception text, which is brittle across versions/locales.
     */
-  private def tsIsParquetNanos(s: SparkSession, path: String): Boolean = {
+  private[graft] def tsIsParquetNanos(s: SparkSession, path: String): Boolean = {
     import org.apache.hadoop.fs.Path
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile

@@ -336,12 +336,17 @@ object SketchOps {
       org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Long]]()
   }
 
-  /** Exact per-group frequent items at threshold n/(k+1), priced like a
-    * sketch: pass 1 runs the O(k)-state Misra-Gries aggregate to get a
-    * per-group candidate array (bounded, broadcastable); pass 2
-    * semi-joins the fact down to candidate rows only and recounts them
-    * EXACTLY; the final filter `cnt·(k+1) > n_group` keeps precisely
-    * the true heavy hitters. Because MG can never miss one, the output
+  /** Exact per-group frequent items at threshold n/(k+1) — over the
+    * NON-NULL values of `valueCol`, with n_group counting the same
+    * (NULLs are dropped up front: the typed aggregator's primitive
+    * input would otherwise read them as value 0 and fabricate a
+    * hitter; callers wanting null-share semantics should pre-encode
+    * nulls to a sentinel value) — priced like a sketch: pass 1 runs
+    * the O(k)-state Misra-Gries aggregate to get a per-group candidate
+    * array (bounded, broadcastable); pass 2 semi-joins the fact down
+    * to candidate rows only and recounts them EXACTLY; the final
+    * filter `cnt·(k+1) > n_group` keeps precisely the true heavy
+    * hitters. Because MG can never miss one, the output
     * is deterministic — independent of row order and partitioning —
     * even though the intermediate candidate sets are not. This is the
     * standard two-pass exact-heavy-hitters shape at corpus scale: the
