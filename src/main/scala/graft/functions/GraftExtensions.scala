@@ -15,6 +15,7 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   *   - `dot_product(a, b)`         — float[]/double[] multiply-add fold
   *   - `squared_distance(a, b)`    — float[]/double[] L2^2 fold
   *   - `char_entropy(s)`           — UTF-8 byte-distribution entropy (nats)
+  *   - `jaro_winkler(a, b)`        — record-linkage similarity (DuckDB semantics)
   *
   * Two registration paths, same builders:
   *
@@ -76,6 +77,13 @@ object GraftFunctions {
         case Seq(a, b) => SquaredDistance(a, b)
         case _ => throw new IllegalArgumentException(
           s"squared_distance takes 2 arguments, got ${args.size}")
+      }),
+    (FunctionIdentifier("jaro_winkler"),
+      new ExpressionInfo(classOf[JaroWinkler].getName, "jaro_winkler"),
+      (args: Seq[Expression]) => args match {
+        case Seq(a, b) => JaroWinkler(a, b)
+        case _ => throw new IllegalArgumentException(
+          s"jaro_winkler takes 2 arguments, got ${args.size}")
       }))
 
   /** Register on a live session (idempotent — re-registration replaces). */

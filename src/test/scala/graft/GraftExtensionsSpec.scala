@@ -59,6 +59,14 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(viaSql == viaCol)
   }
 
+  test("jaro_winkler from SQL equals the Column kernel on the reference vectors") {
+    val got = sql.sql(
+      "SELECT jaro_winkler('martha', 'marhta') AS a, " +
+        "jaro_winkler('ax', 'ay') AS b").head()
+    assert(approx(got.getDouble(0), 0.9611111111, 1e-9))
+    assert(approx(got.getDouble(1), 2.0 / 3.0, 1e-9)) // no winkler boost
+  }
+
   test("type misuse fails at analysis, not execution") {
     intercept[AnalysisException] {
       sql.sql("SELECT polyhash(42)").collect()
