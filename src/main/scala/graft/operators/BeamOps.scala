@@ -383,6 +383,8 @@ object BeamOps {
     */
   def specFit(spectrum: Array[(Double, Double)], maxIter: Int = 200)
       : (Double, Double, Double) = {
+    require(spectrum.nonEmpty,
+      "specFit needs a non-empty spectrum (0 channels collected)")
     val xs = spectrum.map(_._1); val ys = spectrum.map(_._2)
     var amp = ys.max
     var cen = xs(ys.indexOf(ys.max))

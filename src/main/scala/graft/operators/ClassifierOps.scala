@@ -52,6 +52,8 @@ object ClassifierOps {
       val row = df.agg(count(lit(1)).as("_n"),
         gradCols.zipWithIndex.map { case (c, j) => c.as(s"_g$j") }: _*)
         .collect()(0)
+      require(row.getLong(0) > 0,
+        "trainLogistic needs a non-empty corpus (0 rows after filtering)")
       val n = row.getLong(0).toDouble
       w = Array.tabulate(d + 1)(j => q9(w(j) - lr * row.getDouble(j + 1) / n))
     }

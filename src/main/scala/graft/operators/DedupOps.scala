@@ -425,8 +425,15 @@ object DedupOps {
     // the filter, then the bloom aggregate) — without it the eval
     // split is re-shingled per action
     val testSh = sh.filter(col(splitCol) === testLabel).cache()
-    val nTest = math.max(1L, testSh.count())
-    val bf = testSh.stat.bloomFilter("sh", nTest, fpp)
+    val nTestRaw = testSh.count()
+    // an empty eval split has nothing to leak against — and Spark's
+    // bloomFilter aggregate NPEs on a zero-row build; the exact join
+    // below produces the (empty) answer without a prefilter
+    if (nTestRaw == 0) { testSh.unpersist(); return sh.limit(0)
+      .groupBy("sh").agg(count(lit(1)).as("n_shared"))
+      .select(col("sh").as("test_id"), col("sh").as("train_id"),
+        col("n_shared")) }
+    val bf = testSh.stat.bloomFilter("sh", nTestRaw, fpp)
     testSh.unpersist()
     // Native probe: serialize the filter into a binary literal and use
     // Catalyst's BloomFilterMightContain (the expression behind runtime
@@ -488,6 +495,9 @@ object DedupOps {
       .distinct().localCheckpoint()
     var labels = edges.select(col("src").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    // no edges → no non-trivial components; the convergence sum below
+    // would read a NULL aggregate off the empty frame
+    if (labels.isEmpty) return labels
     var prevSum = labels.agg(sum("lbl")).head.getLong(0)
     var iter = 0
     var converged = false

@@ -217,7 +217,10 @@ object TextOps {
     }
     dcgOf(scoreCol, "dcg").crossJoin(broadcast(dcgOf(relCol, "idcg")))
       .select(col("dcg"), col("idcg"),
-        (col("dcg") / col("idcg")).as("ndcg"))
+        // a batch with zero relevant docs has idcg 0 — NDCG is
+        // undefined there, and under ANSI mode a plain `/` would kill
+        // the job instead of yielding the null the metric wants
+        try_divide(col("dcg"), col("idcg")).as("ndcg"))
   }
 
   /** Add-one-smoothed bigram language model TRAINING — the counts →
