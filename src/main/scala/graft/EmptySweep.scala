@@ -8,9 +8,12 @@ object EmptySweep {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val src = "/root/testdata/sf0.001"
-    val dst = "/tmp/graft_sf_empty"
+    // optional arg = rows kept per table (default 0 = the empty sweep;
+    // 1 exercises the single-row edge: windows, interpolation, folds)
+    val keep = args.headOption.map(_.toInt).getOrElse(0)
+    val dst = s"/tmp/graft_sf_rows$keep"
     for (t <- Tables.all)
-      Tables.load(spark, src, t).limit(0)
+      Tables.load(spark, src, t).limit(keep)
         .write.mode("overwrite").parquet(s"$dst/$t.parquet")
     var ok = 0; var bad = 0
     for ((name, fn) <- SparkEntry.queries.toSeq.sortBy(_._1)) {

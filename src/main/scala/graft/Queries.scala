@@ -2442,17 +2442,20 @@ object Queries {
     (s, d) => {
       val ev = Tables.events(s, d)
       val m = ev.agg(min(col("value")).as("_lo"), max(col("value")).as("_hi"))
+      // a degenerate range (all values equal) collapses to bin 0 in
+      // both engines instead of an ANSI division-by-zero job kill
       ev.crossJoin(broadcast(m))
-        .select(least(
+        .select(when(col("_hi") === col("_lo"), lit(0)).otherwise(least(
           floor((col("value") - col("_lo")) /
             ((col("_hi") - col("_lo")) / lit(20.0))).cast("int"),
-          lit(19)).as("bin"))
+          lit(19))).as("bin"))
         .groupBy(col("bin")).agg(count(lit(1)).as("n"))
     },
     """WITH m AS (SELECT min(value) AS lo, max(value) AS hi FROM events),
       |b AS (
-      |  SELECT LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0))
-      |    AS INT), 19) AS bin
+      |  SELECT CASE WHEN hi = lo THEN 0
+      |    ELSE LEAST(CAST(floor((value - lo) / ((hi - lo) / 20.0))
+      |      AS INT), 19) END AS bin
       |  FROM events CROSS JOIN m)
       |SELECT bin, count(*) AS n FROM b GROUP BY 1""".stripMargin)
 

@@ -3014,11 +3014,14 @@ object QueriesLlm {
         .select(col("y").cast("int").as("label"),
           qround(col("score"), 6).as("sq"))
       val m = scored.agg(min(col("sq")).as("_lo"), max(col("sq")).as("_hi"))
+      // degenerate score range (all scores equal) -> one bucket, not
+      // an ANSI division-by-zero job kill
       scored.crossJoin(broadcast(m))
-        .select(col("label"), least(
-          floor((col("sq") - col("_lo")) /
-            ((col("_hi") - col("_lo")) / lit(10.0))).cast("int"),
-          lit(9)).as("bucket"))
+        .select(col("label"), when(col("_hi") === col("_lo"), lit(0))
+          .otherwise(least(
+            floor((col("sq") - col("_lo")) /
+              ((col("_hi") - col("_lo")) / lit(10.0))).cast("int"),
+            lit(9))).as("bucket"))
         .groupBy(col("bucket"))
         .agg(count(lit(1)).as("n"),
           sum(col("label").cast("long")).as("n_pos"))
@@ -3036,8 +3039,9 @@ object QueriesLlm {
        |  FROM f, wf),
        |m AS (SELECT min(sq) AS lo, max(sq) AS hi FROM sc),
        |b AS (
-       |  SELECT label, LEAST(CAST(floor((sq - lo) / ((hi - lo) / 10.0))
-       |    AS INT), 9) AS bucket
+       |  SELECT label, CASE WHEN hi = lo THEN 0
+       |    ELSE LEAST(CAST(floor((sq - lo) / ((hi - lo) / 10.0))
+       |      AS INT), 9) END AS bucket
        |  FROM sc CROSS JOIN m),
        |g AS (
        |  SELECT bucket, count(*) AS n,

@@ -297,9 +297,12 @@ object FlagOps {
     val dc = det3(col("s0"), col("s1"), col("sy"),
       col("s1"), col("s2"), col("sxy"), col("s2"), col("s3"), col("sx2y"))
     val coefs = sums
-      .withColumn("_ca", da / dd)
-      .withColumn("_cb", db / dd)
-      .withColumn("_cc", dc / dd)
+      // a degenerate group (single sample / collinear channel axis)
+      // has dd = 0 — under ANSI a plain `/` kills the job; null coefs
+      // make the fit (and the flag decision) null -> not flagged
+      .withColumn("_ca", try_divide(da, dd))
+      .withColumn("_cb", try_divide(db, dd))
+      .withColumn("_cc", try_divide(dc, dd))
       .select((keyCols.map(col) :+ col("_ca") :+ col("_cb") :+ col("_cc")): _*)
     val scored = base.join(coefs, keyCols)
       .withColumn("_fit",

@@ -374,17 +374,21 @@ object StatsOps {
               intensity: String, delta: Double = 1.0): DataFrame = {
     val i = col(intensity)
     val v = col(chanCol)
-    val wc = sum(i * v) / sum(i)
+    // try_divide throughout: a plane with zero total intensity (wc) or
+    // a single channel (stddev's n-1) must yield null moments, not an
+    // ANSI DIVIDE_BY_ZERO job kill; quotients are unchanged otherwise
+    val wc = try_divide(sum(i * v), sum(i))
     val wAll = Window.partitionBy(keys.map(col): _*)
     val pre = df.withColumn("_gmean", avg(i).over(wAll))
     pre.groupBy(keys.map(col): _*).agg(
       avg(i).as("mom_mean"),
       (sum(i) * lit(delta)).as("mom_integrated"),
       wc.as("mom_weighted_coord"),
-      sqrt(sum(i * v * v) / sum(i) - wc * wc).as("mom_weighted_dispersion"),
+      sqrt(try_divide(sum(i * v * v), sum(i)) - wc * wc)
+        .as("mom_weighted_dispersion"),
       percentile(i, lit(0.5)).as("mom_median"),
-      sqrt((sum(i * i) - pow(sum(i), 2) / count(i)) / (count(i) - 1))
-        .as("mom_stddev"),
+      sqrt(try_divide(sum(i * i) - pow(sum(i), 2) / count(i),
+        count(i) - 1)).as("mom_stddev"),
       sqrt(avg(i * i)).as("mom_rms"),
       max(i).as("mom_max"),
       min(i).as("mom_min"),
