@@ -250,7 +250,32 @@ object QueriesCuration {
       |  CAST(max(n) AS BIGINT) AS max_val
       |FROM c""".stripMargin)
 
+  /** Trailing rolling median per user (SequenceOps.rollingMedian):
+    * discrete lower-median pick from the sorted bounded frame —
+    * engine-exact, qround only for the parquet/oracle float identity.
+    */
+  private val rollingMedianQ = Q(
+    (s, d) => SequenceOps.rollingMedian(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", "ts_ns", "event_id", "value", lookback = 8)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        qround(col("rolling_median"), 6).as("rolling_median")),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id, value
+      |  FROM events),
+      |w AS (
+      |  SELECT user_id, ts_ns, event_id,
+      |    list(value) OVER (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |      ROWS BETWEEN 8 PRECEDING AND CURRENT ROW) AS vs
+      |  FROM e)
+      |SELECT user_id, ts_ns, event_id,
+      |  floor(list_sort(vs)[CAST(ceil(len(vs) / 2.0) AS INT)]
+      |    * 1000000.0 + 0.5) / 1000000.0 AS rolling_median
+      |FROM w""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "rolling_median" -> rollingMedianQ,
     "zarr_roundtrip" -> zarrRoundtripQ,
     "profile_table" -> profileTableQ,
     "iqr_outliers" -> iqrOutliersQ,

@@ -336,6 +336,31 @@ object SequenceOps {
         ps.indices.map(i => col(s"q_$i"))): _*)
   }
 
+  /** Trailing rolling median (lower-median pick) over the last
+    * `lookback`+1 rows per key — the robust companion to [[ewmaSmooth]]
+    * (a mean-based smoother follows spikes; the rolling median rejects
+    * them, the standard robust-baseline step before anomaly scoring).
+    * The pick is a DISCRETE element of the sorted frame list
+    * (ceil(n/2)-th), so it is engine-exact with no float interpolation.
+    *
+    * Plan shape: one shuffle on the key, one sort, a bounded
+    * collect_list frame, then a codegen'd array_sort + element_at per
+    * row — state per row is O(lookback), the same budget as the EWMA
+    * and the anomaly ring buffer.
+    */
+  def rollingMedian(events: DataFrame, keyCol: String, tsCol: String,
+                    tieCol: String, valueCol: String,
+                    lookback: Int = 8): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(-lookback, 0)
+    events
+      .withColumn("_vs", collect_list(col(valueCol).cast("double")).over(w))
+      .withColumn("rolling_median", expr(
+        "element_at(array_sort(_vs), cast(ceil(size(_vs) / 2.0) as int))"))
+      .drop("_vs")
+  }
+
   /** Bounded-lookback exponentially-weighted moving average: per key,
     * over rows in (ts, tie) order,
     *   ewma_t = Σ_{i=0..L} α^i · x_{t−i} / Σ_{i=0..L} α^i

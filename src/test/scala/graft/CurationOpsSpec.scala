@@ -147,6 +147,23 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx(r.getDouble(2), 30.0, 1e-12))
   }
 
+  test("rollingMedian rejects a spike the EWMA follows") {
+    val rows = Seq(1.0, 1.0, 1.0, 100.0, 1.0).zipWithIndex
+      .map { case (v, i) => (1L, i.toLong, i.toLong, v) }
+      .toDF("k", "ts", "tie", "v")
+    val med = operators.SequenceOps
+      .rollingMedian(rows, "k", "ts", "tie", "v", lookback = 8)
+      .select("ts", "rolling_median")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    // at the spike row the frame is [1,1,1,100]: lower median = 1
+    assert(med(3L) === 1.0, "median must reject the spike")
+    assert(med(4L) === 1.0)
+    val ew = operators.SequenceOps
+      .ewmaSmooth(rows, "k", "ts", "tie", "v", alpha = 0.5, lookback = 8)
+      .collect().map(r => r.getLong(1) -> r.getDouble(4)).toMap
+    assert(ew(3L) > 25.0, "the mean-based smoother follows the spike")
+  }
+
   test("JaroWinkler matches the published reference values") {
     // classic test vectors (same ones verified against DuckDB's
     // jaro_winkler_similarity)

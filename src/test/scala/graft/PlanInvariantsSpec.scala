@@ -52,7 +52,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "profile_table", "iqr_outliers", "heavy_hitters", "ewma_smooth",
     "record_linkage", "embed_leakage", "cluster_best_rep",
     "dataset_fingerprint", "oov_rate", "containment_dupes",
-    "funnel_latency", "bleu_pairs", "zarr_roundtrip", "domain_reweight")
+    "funnel_latency", "bleu_pairs", "zarr_roundtrip", "domain_reweight",
+    "rolling_median")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
