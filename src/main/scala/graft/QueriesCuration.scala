@@ -274,8 +274,21 @@ object QueriesCuration {
       |    * 1000000.0 + 0.5) / 1000000.0 AS rolling_median
       |FROM w""".stripMargin)
 
+  /** Streaming twin on a batch frame (StreamingOps.rollingMedianStream):
+    * discrete picks, no floats — shares rolling_median's oracle.
+    */
+  private val streamRollingMedianQ = Q(
+    (s, d) => graft.streaming.StreamingOps.rollingMedianStream(s,
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "user_id", "ts_ns", "event_id", "value", lookback = 8)
+      .select(col("user_id"), col("ts_ns"), col("event_id"),
+        qround(col("rolling_median"), 6).as("rolling_median")),
+    rollingMedianQ.sql)
+
   val all: Map[String, Q] = Map(
     "rolling_median" -> rollingMedianQ,
+    "stream_rolling_median" -> streamRollingMedianQ,
     "zarr_roundtrip" -> zarrRoundtripQ,
     "profile_table" -> profileTableQ,
     "iqr_outliers" -> iqrOutliersQ,

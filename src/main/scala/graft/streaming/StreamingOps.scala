@@ -494,6 +494,48 @@ object StreamingOps {
       .toDF(keyCol, tsCol, tieCol, "ewma")
   }
 
+  /** Streaming trailing rolling median — the incremental twin of
+    * SequenceOps.rollingMedian, sharing ewmaStream's ring-buffer shape
+    * (O(lookback) state per key). The pick is the DISCRETE
+    * ceil(n/2)-th element of the sorted frame copy, so batch and
+    * stream agree exactly with no float arithmetic at all.
+    */
+  def rollingMedianStream(spark: SparkSession, df: DataFrame,
+                          keyCol: String, tsCol: String, tieCol: String,
+                          valueCol: String,
+                          lookback: Int = 8): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"rollingMedianStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        col(valueCol).cast("double").as("_v"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Double],
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val buf = scala.collection.mutable.ArrayDeque[Double](
+            state.getOption.getOrElse(Array.empty[Double]).toSeq: _*)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
+            buf.append(r._4)
+            if (buf.length > lookback + 1) buf.removeHead()
+            val sorted = buf.toArray.sorted
+            val med = sorted((math.ceil(sorted.length / 2.0) - 1).toInt)
+            (key, r._2, r._3, med)
+          }.toVector
+          state.update(buf.toArray)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, "rolling_median")
+  }
+
   /** Streaming SCD type-2 history — the incremental twin of
     * SequenceOps.scd2History. State per key: the OPEN interval only
     * (state value, version, valid_from) — O(1) however long the

@@ -493,6 +493,39 @@ class StreamingOpsSpec extends SparkSpec {
       .toSeq === Seq((10L, "gold"), (11L, null), (12L, "base")))
   }
 
+  test("rollingMedianStream carries the ring buffer across micro-batches and matches batch") {
+    import spark.implicits._
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Double)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id", "value")
+    val out = StreamingOps.rollingMedianStream(spark, df, "user_id",
+      "ts_ns", "event_id", "value", lookback = 3)
+    val q = out.writeStream.format("memory").queryName("rmed_t")
+      .outputMode("append").start()
+    input.addData((1L, 1L, 1L, 5.0), (1L, 2L, 2L, 1.0))
+    q.processAllAvailable()
+    input.addData((1L, 3L, 3L, 100.0)) // spike against carried [5, 1]
+    q.processAllAvailable()
+    val rows = spark.table("rmed_t").collect()
+      .map(r => r.getAs[Long]("ts_ns") -> r.getAs[Double]("rolling_median"))
+      .toMap
+    q.stop()
+    assert(rows(1L) === 5.0)
+    assert(rows(2L) === 1.0) // lower median of [1, 5]
+    assert(rows(3L) === 5.0) // median of [1, 5, 100] rejects the spike
+    val events = Seq((1L, 1L, 1L, 5.0), (1L, 2L, 2L, 1.0),
+      (1L, 3L, 3L, 100.0), (2L, 1L, 4L, 7.0))
+      .toDF("user_id", "ts_ns", "event_id", "value")
+    val viaStream = StreamingOps.rollingMedianStream(spark, events,
+        "user_id", "ts_ns", "event_id", "value", lookback = 3)
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.SequenceOps.rollingMedian(events, "user_id",
+        "ts_ns", "event_id", "value", lookback = 3)
+      .select("user_id", "ts_ns", "event_id", "rolling_median")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
+
   test("ewmaStream carries the ring buffer across micro-batches and matches batch") {
     import spark.implicits._
     implicit val sqlCtx = spark.sqlContext
