@@ -453,6 +453,43 @@ object ZarrSource {
     }
   }
 
+  /** Consolidate a store's metadata into `.zmetadata` (and stamp the
+    * root `.zgroup`) — the xarray/zarr convention that lets object-
+    * store readers open a dataset with ONE fetch instead of one per
+    * array. Collects every `.zarray`/`.zattrs` under the store root;
+    * [[describeStore]] reads the result back.
+    */
+  def consolidateMetadata(storeDir: String): Unit = {
+    val root = Paths.get(storeDir)
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val metadata = new java.util.LinkedHashMap[String, Any]()
+    metadata.put(".zgroup", mapper.readValue(
+      """{"zarr_format": 2}""", classOf[java.util.Map[String, Any]]))
+    val subs = Files.list(root).iterator()
+    val names = scala.collection.mutable.ArrayBuffer.empty[String]
+    while (subs.hasNext) {
+      val p = subs.next()
+      if (Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+        names += p.getFileName.toString
+    }
+    for (name <- names.sorted) {
+      for (f <- Seq(".zarray", ".zattrs")) {
+        val p = root.resolve(name).resolve(f)
+        if (Files.exists(p))
+          metadata.put(s"$name/$f", mapper.readValue(
+            new String(Files.readAllBytes(p), "UTF-8"),
+            classOf[java.util.Map[String, Any]]))
+      }
+    }
+    val doc = new java.util.LinkedHashMap[String, Any]()
+    doc.put("metadata", metadata)
+    doc.put("zarr_consolidated_format", 1)
+    Files.write(root.resolve(".zgroup"),
+      """{"zarr_format": 2}""".getBytes("UTF-8"))
+    Files.write(root.resolve(".zmetadata"),
+      mapper.writeValueAsString(doc).getBytes("UTF-8"))
+  }
+
   def writeVar1D(values: Array[Double], arrayDir: String, chunk: Int,
                  zlibLevel: Int = 1): Unit = {
     val dir = Paths.get(arrayDir)

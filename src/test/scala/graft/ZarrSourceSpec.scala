@@ -165,6 +165,29 @@ class ZarrSourceSpec extends SparkSpec {
       assert(got((i.toLong, j.toLong)) === vals(i)(j), s"($i,$j)")
   }
 
+  test("consolidateMetadata writes the real zarr convention describeStore reads back") {
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_zarr_store").toString
+    ZarrSource.writeVar1D(Array(1.0, 2.0, 3.0), s"$store/A", chunk = 2)
+    ZarrSource.writeVar2D(Array(Array(1.0, 2.0), Array(3.0, 4.0)),
+      s"$store/B", 2, 2)
+    ZarrSource.consolidateMetadata(store)
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(store, ".zmetadata")))
+    // consolidated read equals the dir walk
+    val viaMeta = ZarrSource.describeStore(spark, store)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+      .toSet
+    assert(viaMeta === Set(("A", "", "3"), ("B", "l,m", "2x2")))
+    // the file follows the real convention: metadata + format stamp
+    val doc = new com.fasterxml.jackson.databind.ObjectMapper().readValue(
+      new String(java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(store, ".zmetadata")), "UTF-8"),
+      classOf[java.util.Map[String, Any]])
+    assert(doc.get("zarr_consolidated_format") == 1)
+    assert(doc.containsKey("metadata"))
+  }
+
   test("writeVar1D -> readVar round-trip (zlib, partial tail chunk)") {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_zarr").toString + "/arr"
