@@ -335,6 +335,25 @@ object ZarrSource {
     * charge per request) and by walking `.zarray` files otherwise.
     * This is the describe_vis analog at the physical layer.
     */
+  /** Top-level array directories of a store (dirs carrying a
+    * `.zarray`), sorted — shared by describeStore's fallback walk and
+    * consolidateMetadata so the two scans cannot drift; the directory
+    * stream is closed (Files.list leaks an FD otherwise).
+    */
+  private def listArrayDirs(root: java.nio.file.Path): Seq[String] = {
+    val stream = Files.list(root)
+    try {
+      val it = stream.iterator()
+      val names = scala.collection.mutable.ArrayBuffer.empty[String]
+      while (it.hasNext) {
+        val p = it.next()
+        if (Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
+          names += p.getFileName.toString
+      }
+      names.sorted.toSeq
+    } finally stream.close()
+  }
+
   def describeStore(spark: SparkSession, storeDir: String): DataFrame = {
     import spark.implicits._
     val zm = Paths.get(storeDir, ".zmetadata")
@@ -365,15 +384,7 @@ object ZarrSource {
           (name, meta, dims)
         }
       } else {
-        val root = Paths.get(storeDir)
-        val subs = Files.list(root).iterator()
-        val names = scala.collection.mutable.ArrayBuffer.empty[String]
-        while (subs.hasNext) {
-          val p = subs.next()
-          if (Files.isDirectory(p) &&
-            Files.exists(p.resolve(".zarray"))) names += p.getFileName.toString
-        }
-        names.sorted.toSeq.map { name =>
+        listArrayDirs(Paths.get(storeDir)).map { name =>
           (name, readMeta(s"$storeDir/$name"),
             arrayDimensions(s"$storeDir/$name"))
         }
@@ -465,14 +476,7 @@ object ZarrSource {
     val metadata = new java.util.LinkedHashMap[String, Any]()
     metadata.put(".zgroup", mapper.readValue(
       """{"zarr_format": 2}""", classOf[java.util.Map[String, Any]]))
-    val subs = Files.list(root).iterator()
-    val names = scala.collection.mutable.ArrayBuffer.empty[String]
-    while (subs.hasNext) {
-      val p = subs.next()
-      if (Files.isDirectory(p) && Files.exists(p.resolve(".zarray")))
-        names += p.getFileName.toString
-    }
-    for (name <- names.sorted) {
+    for (name <- listArrayDirs(root)) {
       for (f <- Seq(".zarray", ".zattrs")) {
         val p = root.resolve(name).resolve(f)
         if (Files.exists(p))

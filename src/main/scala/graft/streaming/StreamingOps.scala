@@ -437,6 +437,56 @@ object StreamingOps {
         "is_anomaly")
   }
 
+  /** Shared ring-buffer scaffold of the bounded-lookback streaming
+    * twins (EWMA, rolling median): integral key/ts/tie requires, a
+    * LOUD non-null contract on the value column (the typed encoder's
+    * primitive Double would otherwise die with an opaque null-field
+    * error mid-job — the batch twins tolerate nulls, so a null here is
+    * a contract violation to surface, not silently diverge on), the
+    * per-key Array[Double] ring of the last `lookback`+1 values
+    * carried across micro-batches, and the within-batch (ts, tie)
+    * sort. Each twin supplies only its per-row reducer over the
+    * buffer (oldest..current).
+    */
+  private def ringDoubleStream(spark: SparkSession, df: DataFrame,
+                               opName: String, keyCol: String,
+                               tsCol: String, tieCol: String,
+                               valueCol: String, lookback: Int,
+                               outCol: String)
+                              (reduce: scala.collection.Seq[Double] => Double)
+      : DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"$opName needs an integral $c, got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
+        coalesce(col(valueCol).cast("double"),
+          raise_error(lit(s"$opName: $valueCol must be non-null " +
+            "(the batch twin skips nulls; pre-filter or impute them)")))
+          .as("_v"))
+      .as[(Long, Long, Long, Double)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Array[Double],
+        (Long, Long, Long, Double)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val buf = scala.collection.mutable.ArrayDeque[Double](
+            state.getOption.getOrElse(Array.empty[Double]).toSeq: _*)
+          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
+            buf.append(r._4)
+            if (buf.length > lookback + 1) buf.removeHead()
+            (key, r._2, r._3, reduce(buf))
+          }.toVector
+          state.update(buf.toArray)
+          out.iterator
+      }
+      .toDF(keyCol, tsCol, tieCol, outCol)
+  }
+
   /** Streaming bounded-lookback EWMA — the incremental twin of
     * SequenceOps.ewmaSmooth. State per key: a ring buffer of the last
     * `lookback` values, O(lookback) whatever the key's history. Each
@@ -450,49 +500,23 @@ object StreamingOps {
     */
   def ewmaStream(spark: SparkSession, df: DataFrame, keyCol: String,
                  tsCol: String, tieCol: String, valueCol: String,
-                 alpha: Double = 0.5, lookback: Int = 8): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = Set[org.apache.spark.sql.types.DataType](
-      ByteType, ShortType, IntegerType, LongType)
-    for (c <- Seq(keyCol, tsCol, tieCol))
-      require(integral.contains(df.schema(c).dataType),
-        s"ewmaStream needs an integral $c, " +
-          s"got ${df.schema(c).dataType.sql}")
-    val typed = df.select(col(keyCol).cast("long").as("_k"),
-        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
-        col(valueCol).cast("double").as("_v"))
-      .as[(Long, Long, Long, Double)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Double],
-        (Long, Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state) =>
-          val buf = scala.collection.mutable.ArrayDeque[Double](
-            state.getOption.getOrElse(Array.empty[Double]).toSeq: _*)
-          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
-            buf.append(r._4)
-            if (buf.length > lookback + 1) buf.removeHead()
-            val n = buf.length
-            var num = 0.0; var den = 0.0
-            var i = 0
-            while (i < n) { // batch fold order: oldest first
-              val w = math.pow(alpha, (n - 1 - i).toDouble)
-              num += w * buf(i)
-              i += 1
-            }
-            i = 0
-            while (i < n) {
-              den += math.pow(alpha, (n - 1 - i).toDouble)
-              i += 1
-            }
-            (key, r._2, r._3, num / den)
-          }.toVector
-          state.update(buf.toArray)
-          out.iterator
+                 alpha: Double = 0.5, lookback: Int = 8): DataFrame =
+    ringDoubleStream(spark, df, "ewmaStream", keyCol, tsCol, tieCol,
+        valueCol, lookback, "ewma") { buf =>
+      val n = buf.length
+      var num = 0.0; var den = 0.0
+      var i = 0
+      while (i < n) { // batch fold order: oldest first
+        num += math.pow(alpha, (n - 1 - i).toDouble) * buf(i)
+        i += 1
       }
-      .toDF(keyCol, tsCol, tieCol, "ewma")
-  }
+      i = 0
+      while (i < n) {
+        den += math.pow(alpha, (n - 1 - i).toDouble)
+        i += 1
+      }
+      num / den
+    }
 
   /** Streaming trailing rolling median — the incremental twin of
     * SequenceOps.rollingMedian, sharing ewmaStream's ring-buffer shape
@@ -503,38 +527,12 @@ object StreamingOps {
   def rollingMedianStream(spark: SparkSession, df: DataFrame,
                           keyCol: String, tsCol: String, tieCol: String,
                           valueCol: String,
-                          lookback: Int = 8): DataFrame = {
-    import spark.implicits._
-    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
-    val integral = Set[org.apache.spark.sql.types.DataType](
-      ByteType, ShortType, IntegerType, LongType)
-    for (c <- Seq(keyCol, tsCol, tieCol))
-      require(integral.contains(df.schema(c).dataType),
-        s"rollingMedianStream needs an integral $c, " +
-          s"got ${df.schema(c).dataType.sql}")
-    val typed = df.select(col(keyCol).cast("long").as("_k"),
-        col(tsCol).cast("long").as("_ts"), col(tieCol).cast("long").as("_tie"),
-        col(valueCol).cast("double").as("_v"))
-      .as[(Long, Long, Long, Double)]
-    typed.groupByKey(_._1)
-      .flatMapGroupsWithState[Array[Double],
-        (Long, Long, Long, Double)](
-        OutputMode.Append, GroupStateTimeout.NoTimeout) {
-        case (key, rows, state) =>
-          val buf = scala.collection.mutable.ArrayDeque[Double](
-            state.getOption.getOrElse(Array.empty[Double]).toSeq: _*)
-          val out = rows.toArray.sortBy(r => (r._2, r._3)).iterator.map { r =>
-            buf.append(r._4)
-            if (buf.length > lookback + 1) buf.removeHead()
-            val sorted = buf.toArray.sorted
-            val med = sorted((math.ceil(sorted.length / 2.0) - 1).toInt)
-            (key, r._2, r._3, med)
-          }.toVector
-          state.update(buf.toArray)
-          out.iterator
-      }
-      .toDF(keyCol, tsCol, tieCol, "rolling_median")
-  }
+                          lookback: Int = 8): DataFrame =
+    ringDoubleStream(spark, df, "rollingMedianStream", keyCol, tsCol,
+        tieCol, valueCol, lookback, "rolling_median") { buf =>
+      val sorted = buf.toArray.sorted
+      sorted((math.ceil(sorted.length / 2.0) - 1).toInt)
+    }
 
   /** Streaming SCD type-2 history — the incremental twin of
     * SequenceOps.scd2History. State per key: the OPEN interval only
