@@ -286,8 +286,59 @@ object QueriesCuration {
         qround(col("rolling_median"), 6).as("rolling_median")),
     rollingMedianQ.sql)
 
+  /** Feature-drift monitor (StatsOps.populationStability): PSI of the
+    * value distribution between view and purchase events over 10
+    * equal-width bins — exact integer bin counts, add-one smoothing
+    * over ALL bins, fixed-order fold; the oracle replays the identical
+    * arithmetic.
+    */
+  private val psiBins = 10
+
+  private val datasetDriftQ = Q(
+    (s, d) => StatsOps.populationStability(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", bins = psiBins)
+      .select(col("n_a"), col("n_b"), qround(col("psi"), 8).as("psi")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c, value FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |m AS (SELECT floor(min(value) * 10000.0 + 0.5) / 10000.0 AS lo,
+       |             floor(max(value) * 10000.0 + 0.5) / 10000.0 AS hi
+       |      FROM e),
+       |b AS (
+       |  SELECT c, CASE WHEN hi = lo THEN 0
+       |    ELSE LEAST(CAST(floor((value - lo) / ((hi - lo) / $psiBins.0))
+       |      AS INT), ${psiBins - 1}) END AS bin
+       |  FROM e CROSS JOIN m),
+       |obs AS (
+       |  SELECT bin,
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS cb
+       |  FROM b GROUP BY 1),
+       |full_ AS (
+       |  SELECT g.bin, coalesce(obs.ca, 0) AS ca, coalesce(obs.cb, 0) AS cb
+       |  FROM (SELECT unnest(generate_series(0, ${psiBins - 1})) AS bin) g
+       |  LEFT JOIN obs USING (bin)),
+       |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |             CAST(sum(cb) AS BIGINT) AS n_b,
+       |             list({'bin': bin, 'ca': ca, 'cb': cb} ORDER BY bin)
+       |               AS arr
+       |      FROM full_)
+       |SELECT n_a, n_b,
+       |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(arr, x_ ->
+       |      ((CAST(x_.ca + 1 AS DOUBLE) / (n_a + $psiBins))
+       |        - (CAST(x_.cb + 1 AS DOUBLE) / (n_b + $psiBins)))
+       |      * ln((CAST(x_.ca + 1 AS DOUBLE) / (n_a + $psiBins))
+       |          / (CAST(x_.cb + 1 AS DOUBLE) / (n_b + $psiBins))))),
+       |    (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0 AS psi
+       |FROM t""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "rolling_median" -> rollingMedianQ,
+    "dataset_drift" -> datasetDriftQ,
     "stream_rolling_median" -> streamRollingMedianQ,
     "zarr_roundtrip" -> zarrRoundtripQ,
     "profile_table" -> profileTableQ,

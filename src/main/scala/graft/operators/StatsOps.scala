@@ -498,6 +498,65 @@ object StatsOps {
       try_divide(rnum, rden).as("corr") :+ cov.as("covar_samp")): _*)
   }
 
+  /** Population stability index between two cohorts of one numeric
+    * column — THE production drift monitor (feature drift between a
+    * training snapshot and serving traffic; score drift week over
+    * week):  PSI = Σ_bins (p_a − p_b) · ln(p_a / p_b), over `bins`
+    * equal-width bins spanning the combined quantized range, with
+    * add-one smoothing so an empty bin contributes a finite term
+    * instead of ±∞. Rule of thumb: <0.1 stable, >0.25 drifted.
+    *
+    * Exactness: bin edges come from quantized min/max (identical
+    * doubles in any engine), counts are exact integers, p ratios are
+    * single divisions of those integers, and the Σ is a FIXED-ORDER
+    * fold over the bin-sorted list — engine-exact up to the ln ulp
+    * that downstream qround absorbs. A degenerate combined range
+    * (all values equal) puts everything in bin 0 → PSI exactly 0.
+    *
+    * Plan shape: one pass for min/max, one hash aggregate to
+    * (cohort × bins) counts, one |bins|-bounded fold. Nothing
+    * fact-sized past the binning scan.
+    */
+  def populationStability(df: DataFrame, cohortCol: String,
+                          cohortA: String, cohortB: String,
+                          valueCol: String, bins: Int = 10,
+                          quantDigits: Int = 4): DataFrame = {
+    require(bins > 0)
+    val s = math.pow(10, quantDigits)
+    def qr(c: Column) = floor(c * lit(s) + lit(0.5)) / lit(s)
+    val in = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+      col(valueCol).isNotNull)
+    val m = in.agg(qr(min(col(valueCol))).as("_lo"),
+      qr(max(col(valueCol))).as("_hi"))
+    val binned = in.crossJoin(broadcast(m))
+      .select(col(cohortCol).as("_c"),
+        when(col("_hi") === col("_lo"), lit(0)).otherwise(least(
+          floor((col(valueCol) - col("_lo")) /
+            ((col("_hi") - col("_lo")) / lit(bins.toDouble))).cast("int"),
+          lit(bins - 1))).as("_bin"))
+    val observed = binned.groupBy("_bin")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    // the Σ runs over ALL bins — an empty bin still contributes its
+    // smoothed (1/(n+bins)) probability mass, which matters whenever
+    // the cohorts differ in size
+    val counts = df.sparkSession.range(bins)
+      .select(col("id").cast("int").as("_bin"))
+      .join(observed, Seq("_bin"), "left")
+      .select(col("_bin"), coalesce(col("_ca"), lit(0L)).as("_ca"),
+        coalesce(col("_cb"), lit(0L)).as("_cb"))
+    counts.agg(
+        sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        expr("array_sort(collect_list(struct(_bin, _ca, _cb)))").as("_arr"))
+      .select(col("n_a"), col("n_b"), expr(
+        s"""aggregate(_arr, cast(0.0 as double), (acc, x) ->
+           |  acc + ((cast(x._ca + 1 as double) / cast(n_a + $bins as double))
+           |       - (cast(x._cb + 1 as double) / cast(n_b + $bins as double)))
+           |    * ln((cast(x._ca + 1 as double) / cast(n_a + $bins as double))
+           |        / (cast(x._cb + 1 as double) / cast(n_b + $bins as double))))"""
+          .stripMargin).as("psi"))
+  }
+
   /** Column-level table profile — the data-quality summary every
     * ingest step of a 100 TB pipeline runs first: one output row per
     * profiled column with row count, null count, and EXACT distinct

@@ -164,6 +164,29 @@ class CurationOpsSpec extends SparkSpec {
     assert(ew(3L) > 25.0, "the mean-based smoother follows the spike")
   }
 
+  test("populationStability: 0 for identical cohorts, large for disjoint ones") {
+    val same = ((1 to 50).map(i => ("a", i % 10 * 1.0)) ++
+      (1 to 50).map(i => ("b", i % 10 * 1.0))).toDF("c", "v")
+    val psiSame = operators.StatsOps
+      .populationStability(same, "c", "a", "b", "v", bins = 10)
+      .collect()(0).getDouble(2)
+    assert(math.abs(psiSame) < 1e-12, "identical cohorts must score ~0")
+    val shifted = ((1 to 50).map(_ => ("a", 1.0)) ++
+      (1 to 50).map(_ => ("b", 9.0))).toDF("c", "v")
+    val psiShift = operators.StatsOps
+      .populationStability(shifted, "c", "a", "b", "v", bins = 10)
+      .collect()(0).getDouble(2)
+    assert(psiShift > 1.0, s"disjoint cohorts must score high, got $psiShift")
+    // degenerate combined range: everything in bin 0; with EQUAL cohort
+    // sizes the smoothed ps coincide bin-for-bin -> PSI exactly 0
+    // (unequal sizes legitimately score > 0 under add-one smoothing)
+    val const = Seq(("a", 5.0), ("a", 5.0), ("b", 5.0), ("b", 5.0))
+      .toDF("c", "v")
+    assert(operators.StatsOps
+      .populationStability(const, "c", "a", "b", "v", bins = 10)
+      .collect()(0).getDouble(2) === 0.0)
+  }
+
   test("JaroWinkler matches the published reference values") {
     // classic test vectors (same ones verified against DuckDB's
     // jaro_winkler_similarity)

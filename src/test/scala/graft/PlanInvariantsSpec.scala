@@ -53,7 +53,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "record_linkage", "embed_leakage", "cluster_best_rep",
     "dataset_fingerprint", "oov_rate", "containment_dupes",
     "funnel_latency", "bleu_pairs", "zarr_roundtrip", "domain_reweight",
-    "rolling_median")
+    "rolling_median", "dataset_drift")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
