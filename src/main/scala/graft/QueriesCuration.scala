@@ -336,9 +336,47 @@ object QueriesCuration {
        |    (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0 AS psi
        |FROM t""".stripMargin)
 
+  /** Exact two-sample KS drift (StatsOps.ksDrift): sup-distance of the
+    * view vs purchase value ECDFs on the 1e-4 quantized grid — exact
+    * cumulative integers, one division pair per distinct grid value.
+    */
+  private val ksDriftQ = Q(
+    (s, d) => StatsOps.ksDrift(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value")
+      .select(col("n_a"), col("n_b"), qround(col("ks"), 8).as("ks")),
+    """WITH e AS (
+      |  SELECT event_type AS c,
+      |    floor(value * 10000.0 + 0.5) / 10000.0 AS q
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+      |g AS (
+      |  SELECT q,
+      |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM e GROUP BY 1),
+      |cum AS (
+      |  SELECT q,
+      |    CAST(sum(ca) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cuma,
+      |    CAST(sum(cb) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumb
+      |  FROM g),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |             CAST(sum(cb) AS BIGINT) AS n_b FROM g)
+      |SELECT n_a, n_b,
+      |  floor(max(abs(CAST(cuma AS DOUBLE) / n_a
+      |    - CAST(cumb AS DOUBLE) / n_b)) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS ks
+      |FROM cum CROSS JOIN t
+      |GROUP BY n_a, n_b""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "rolling_median" -> rollingMedianQ,
     "dataset_drift" -> datasetDriftQ,
+    "ks_drift" -> ksDriftQ,
     "stream_rolling_median" -> streamRollingMedianQ,
     "zarr_roundtrip" -> zarrRoundtripQ,
     "profile_table" -> profileTableQ,

@@ -557,6 +557,48 @@ object StatsOps {
           .stripMargin).as("psi"))
   }
 
+  /** Exact two-sample Kolmogorov-Smirnov statistic between two cohorts
+    * — the binning-free companion to [[populationStability]] (PSI needs
+    * a bin count; KS is the sup-distance of the empirical CDFs and
+    * catches shape drift PSI's coarse bins can smear):
+    *   KS = max over values of |ECDF_a(v) − ECDF_b(v)|.
+    * Values are quantized to the 1e-`quantDigits` grid first, which
+    * BOUNDS the distinct-value domain the running sums walk (the
+    * scale knob: the global cumulative window is over the quantized
+    * DOMAIN, never the fact) and makes the grid identical cross-engine.
+    * Cumulative counts are exact integers; the two ECDF ratios and
+    * their difference are evaluated per distinct value, and the max is
+    * order-free.
+    */
+  def ksDrift(df: DataFrame, cohortCol: String, cohortA: String,
+              cohortB: String, valueCol: String,
+              quantDigits: Int = 4): DataFrame = {
+    val s = math.pow(10, quantDigits)
+    val in = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+      col(valueCol).isNotNull)
+    val counts = in
+      .select(col(cohortCol).as("_c"),
+        (floor(col(valueCol) * lit(s) + lit(0.5)) / lit(s)).as("_q"))
+      .groupBy("_q")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    // global window over the QUANTIZED value domain — bounded by the
+    // grid, not the fact (whitelisted in the plan sweep with exactly
+    // this cardinality argument)
+    val w = Window.orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    counts
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        max(abs(
+          try_divide(col("_cuma").cast("double"), col("n_a")) -
+            try_divide(col("_cumb").cast("double"), col("n_b")))).as("ks"))
+  }
+
   /** Column-level table profile — the data-quality summary every
     * ingest step of a 100 TB pipeline runs first: one output row per
     * profiled column with row count, null count, and EXACT distinct

@@ -187,6 +187,21 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0).getDouble(2) === 0.0)
   }
 
+  test("ksDrift equals the closed-form sup-distance on a known pair") {
+    // a = {1,1,2,2}, b = {2,2,3,3}: ECDFs at grid {1,2,3} are
+    // a: .5, 1, 1 and b: 0, .5, 1 -> KS = 0.5
+    val df = Seq(("a", 1.0), ("a", 1.0), ("a", 2.0), ("a", 2.0),
+      ("b", 2.0), ("b", 2.0), ("b", 3.0), ("b", 3.0)).toDF("c", "v")
+    val r = operators.StatsOps.ksDrift(df, "c", "a", "b", "v").collect()(0)
+    assert(r.getLong(0) === 4L && r.getLong(1) === 4L)
+    assert(r.getDouble(2) === 0.5)
+    // identical cohorts -> 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("c", "v")
+    assert(operators.StatsOps.ksDrift(same, "c", "a", "b", "v")
+      .collect()(0).getDouble(2) === 0.0)
+  }
+
   test("JaroWinkler matches the published reference values") {
     // classic test vectors (same ones verified against DuckDB's
     // jaro_winkler_similarity)
