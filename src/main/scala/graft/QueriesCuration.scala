@@ -373,8 +373,166 @@ object QueriesCuration {
       |FROM cum CROSS JOIN t
       |GROUP BY n_a, n_b""".stripMargin)
 
+  /** Chi-squared homogeneity drift (StatsOps.chi2Drift): is the
+    * user-bucket mix (user_id mod 7) the same for view vs purchase
+    * events? Exact integer cell counts; each cell term is the same
+    * short IEEE expression in both engines; fixed-order fold over the
+    * category-sorted list.
+    */
+  private val chi2DriftQ = Q(
+    (s, d) => StatsOps.chi2Drift(
+        Tables.events(s, d).select(col("event_type"),
+          (col("user_id") % 7).as("ucat")),
+        "event_type", "view", "purchase", "ucat")
+      .select(col("n_a"), col("n_b"), col("dof"),
+        qround(col("chi2"), 8).as("chi2")),
+    """WITH e AS (
+      |  SELECT event_type AS c, CAST(user_id % 7 AS VARCHAR) AS cat
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase') AND user_id IS NOT NULL),
+      |counts AS (
+      |  SELECT cat,
+      |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |             CAST(sum(cb) AS BIGINT) AS n_b,
+      |             count(*) - 1 AS dof,
+      |             list({'cat': cat, 'ca': ca, 'cb': cb} ORDER BY cat)
+      |               AS arr
+      |      FROM counts)
+      |SELECT n_a, n_b, dof,
+      |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(arr, x_ ->
+      |      (x_.ca - CAST(x_.ca + x_.cb AS DOUBLE) * n_a / (n_a + n_b))
+      |      * (x_.ca - CAST(x_.ca + x_.cb AS DOUBLE) * n_a / (n_a + n_b))
+      |      / (CAST(x_.ca + x_.cb AS DOUBLE) * n_a / (n_a + n_b))
+      |      + (x_.cb - CAST(x_.ca + x_.cb AS DOUBLE) * n_b / (n_a + n_b))
+      |      * (x_.cb - CAST(x_.ca + x_.cb AS DOUBLE) * n_b / (n_a + n_b))
+      |      / (CAST(x_.ca + x_.cb AS DOUBLE) * n_b / (n_a + n_b)))),
+      |    (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0 AS chi2
+      |FROM t""".stripMargin)
+
+  /** Jensen-Shannon drift (StatsOps.jsDivergence): bounded symmetric
+    * divergence of the source mix between English and Spanish
+    * documents, add-one smoothed over the union source domain.
+    */
+  private val jsDivergenceQ = Q(
+    (s, d) => StatsOps.jsDivergence(
+        Tables.documents(s, d).select(col("lang"), col("source")),
+        "lang", "en", "es", "source")
+      .select(col("n_a"), col("n_b"), qround(col("jsd"), 8).as("jsd")),
+    """WITH e AS (
+      |  SELECT lang AS c, source AS cat FROM documents
+      |  WHERE lang IN ('en', 'es') AND source IS NOT NULL),
+      |counts AS (
+      |  SELECT cat,
+      |    CAST(sum(CASE WHEN c = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |             CAST(sum(cb) AS BIGINT) AS n_b,
+      |             count(*) AS k,
+      |             list({'cat': cat, 'ca': ca, 'cb': cb} ORDER BY cat)
+      |               AS arr
+      |      FROM counts)
+      |SELECT n_a, n_b,
+      |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(arr, x_ ->
+      |      ((CAST(x_.ca + 1 AS DOUBLE) / (n_a + k))
+      |         * ln((CAST(x_.ca + 1 AS DOUBLE) / (n_a + k))
+      |             / (((CAST(x_.ca + 1 AS DOUBLE) / (n_a + k))
+      |                 + (CAST(x_.cb + 1 AS DOUBLE) / (n_b + k))) / 2.0))
+      |       + (CAST(x_.cb + 1 AS DOUBLE) / (n_b + k))
+      |         * ln((CAST(x_.cb + 1 AS DOUBLE) / (n_b + k))
+      |             / (((CAST(x_.ca + 1 AS DOUBLE) / (n_a + k))
+      |                 + (CAST(x_.cb + 1 AS DOUBLE) / (n_b + k))) / 2.0)))
+      |      / 2.0)),
+      |    (a_, b_) -> a_ + b_) * 100000000.0 + 0.5) / 100000000.0 AS jsd
+      |FROM t""".stripMargin)
+
+  /** Plug-in mutual information (StatsOps.mutualInformation) between
+    * document language and source, with the three entropies it
+    * decomposes into. Exact joint counts; marginals re-aggregated from
+    * the joint table; every Σ a fixed-order fold over its sorted list.
+    */
+  private val mutualInformationQ = Q(
+    (s, d) => StatsOps.mutualInformation(
+        Tables.documents(s, d).select(col("lang"), col("source")),
+        "lang", "source")
+      .select(col("n"), qround(col("h_x"), 8).as("h_x"),
+        qround(col("h_y"), 8).as("h_y"),
+        qround(col("h_xy"), 8).as("h_xy"),
+        qround(col("mi"), 8).as("mi")),
+    """WITH j AS (
+      |  SELECT lang AS x, source AS y, CAST(count(*) AS BIGINT) AS c
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      |xm AS (SELECT x, CAST(sum(c) AS BIGINT) AS cx FROM j GROUP BY 1),
+      |ym AS (SELECT y, CAST(sum(c) AS BIGINT) AS cy FROM j GROUP BY 1),
+      |t AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM j),
+      |hx AS (SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(cx AS DOUBLE) / n * ln(CAST(cx AS DOUBLE) / n)
+      |         ORDER BY x)),
+      |    (a_, b_) -> a_ + b_) AS h_x FROM xm CROSS JOIN t),
+      |hy AS (SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(cy AS DOUBLE) / n * ln(CAST(cy AS DOUBLE) / n)
+      |         ORDER BY y)),
+      |    (a_, b_) -> a_ + b_) AS h_y FROM ym CROSS JOIN t),
+      |hxy AS (SELECT -list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(c AS DOUBLE) / n * ln(CAST(c AS DOUBLE) / n)
+      |         ORDER BY x, y)),
+      |    (a_, b_) -> a_ + b_) AS h_xy FROM j CROSS JOIN t),
+      |mi AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(c AS DOUBLE) / n
+      |         * ln(CAST(c AS DOUBLE) * n / (CAST(cx AS DOUBLE) * cy))
+      |         ORDER BY x, y)),
+      |    (a_, b_) -> a_ + b_) AS mi
+      |  FROM j JOIN xm USING (x) JOIN ym USING (y) CROSS JOIN t)
+      |SELECT n,
+      |  floor(h_x * 100000000.0 + 0.5) / 100000000.0 AS h_x,
+      |  floor(h_y * 100000000.0 + 0.5) / 100000000.0 AS h_y,
+      |  floor(h_xy * 100000000.0 + 0.5) / 100000000.0 AS h_xy,
+      |  floor(mi * 100000000.0 + 0.5) / 100000000.0 AS mi
+      |FROM t CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy
+      |CROSS JOIN mi""".stripMargin)
+
+  /** Join-key skew report (StatsOps.skewReport): the ten heaviest
+    * user_id keys in the events fact with exact share and
+    * mean-load-ratio — the pre-flight read before picking a salting
+    * factor. Deterministic tie-break: count desc, key (string) asc.
+    */
+  private val skewReportQ = Q(
+    (s, d) => StatsOps.skewReport(
+        Tables.events(s, d).select(col("user_id")), "user_id", topK = 10)
+      .select(col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+        qround(col("share"), 8).as("share"),
+        qround(col("skew_ratio"), 8).as("skew_ratio")),
+    """WITH counts AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS key,
+      |         CAST(count(*) AS BIGINT) AS cnt
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |t AS (SELECT count(*) AS n_keys,
+      |             CAST(sum(cnt) AS BIGINT) AS n_rows FROM counts)
+      |SELECT key, cnt, n_keys, n_rows,
+      |  floor(CAST(cnt AS DOUBLE) / n_rows * 100000000.0 + 0.5)
+      |    / 100000000.0 AS share,
+      |  floor(CAST(cnt AS DOUBLE) * n_keys / n_rows * 100000000.0 + 0.5)
+      |    / 100000000.0 AS skew_ratio
+      |FROM counts CROSS JOIN t
+      |ORDER BY cnt DESC, key
+      |LIMIT 10""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "rolling_median" -> rollingMedianQ,
+    "chi2_drift" -> chi2DriftQ,
+    "js_divergence" -> jsDivergenceQ,
+    "mutual_information" -> mutualInformationQ,
+    "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,
     "stream_rolling_median" -> streamRollingMedianQ,

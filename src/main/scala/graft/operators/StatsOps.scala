@@ -650,4 +650,176 @@ object StatsOps {
         (col(valueCol) < col("_lo")) || (col(valueCol) > col("_hi")))
       .drop("_q1", "_q3")
   }
+
+  /** Per-category cohort counts shared by the categorical drift tests
+    * ([[chi2Drift]], [[jsDivergence]]): one hash aggregate from the
+    * fact to (category × two exact cohort counts) — the only
+    * fact-sized stage either statistic needs; everything downstream is
+    * bounded by the category domain.
+    */
+  private def cohortCounts(df: DataFrame, cohortCol: String,
+                           cohortA: String, cohortB: String,
+                           categoryCol: String): DataFrame =
+    df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(categoryCol).isNotNull)
+      .groupBy(col(categoryCol).cast("string").as("_cat"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+          .as("_ca"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
+          .as("_cb"))
+
+  /** Pearson chi-squared homogeneity statistic between two cohorts
+    * over a CATEGORICAL column — the discrete companion to the numeric
+    * drift pair ([[populationStability]] bins, [[ksDrift]] ECDFs):
+    * "is the category mix the same in both cohorts?". Cells are the
+    * categories present in either cohort; expected counts are the
+    * classic row·column/total margins,
+    *   chi2 = Σ_cells (obs − exp)² / exp,   dof = (#categories − 1).
+    *
+    * Exactness: observed counts are exact integers; each cell's
+    * expected value and term are the same short IEEE expression in any
+    * engine (explicit (o−e)·(o−e), no pow, whose rounding could differ
+    * per-platform), and the Σ is a FIXED-ORDER fold over the
+    * category-sorted list. A category present in the union always has
+    * ca+cb ≥ 1, so exp > 0 whenever both cohorts are non-empty.
+    *
+    * Plan shape: one hash aggregate to category counts, a 1-row
+    * broadcast of the totals, one |categories|-bounded fold. Nothing
+    * fact-sized past the counting scan.
+    */
+  def chi2Drift(df: DataFrame, cohortCol: String, cohortA: String,
+                cohortB: String, categoryCol: String): DataFrame = {
+    val counts = cohortCounts(df, cohortCol, cohortA, cohortB, categoryCol)
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    val ea = (col("_ca") + col("_cb")).cast("double") * col("n_a") /
+      (col("n_a") + col("n_b"))
+    val eb = (col("_ca") + col("_cb")).cast("double") * col("n_b") /
+      (col("n_a") + col("n_b"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("_cat"),
+        ((col("_ca") - ea) * (col("_ca") - ea) / ea +
+          (col("_cb") - eb) * (col("_cb") - eb) / eb).as("_term"),
+        col("n_a"), col("n_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (count(lit(1)) - 1).as("dof"),
+        expr("""aggregate(array_sort(collect_list(struct(_cat, _term))),
+               |  cast(0.0 as double), (acc, x) -> acc + x._term)"""
+          .stripMargin).as("chi2"))
+  }
+
+  /** Jensen-Shannon divergence (nats) between two cohorts' CATEGORICAL
+    * distributions — the bounded, symmetric alternative to PSI's
+    * KL-style score (JSD ∈ [0, ln 2], defined even when one side has
+    * empty categories): with add-one smoothing over the union category
+    * domain,
+    *   p = (ca+1)/(n_a+K),  q = (cb+1)/(n_b+K),  m = (p+q)/2,
+    *   JSD = Σ ( p·ln(p/m) + q·ln(q/m) ) / 2.
+    *
+    * Exactness mirrors [[populationStability]]: exact integer counts,
+    * per-category terms from single divisions of those integers, and a
+    * fixed-order fold over the category-sorted list; smoothing keeps
+    * every term finite at any cohort imbalance.
+    *
+    * Plan shape: identical to [[chi2Drift]] — one hash aggregate, one
+    * 1-row broadcast, one |categories|-bounded fold.
+    */
+  def jsDivergence(df: DataFrame, cohortCol: String, cohortA: String,
+                   cohortB: String, categoryCol: String): DataFrame = {
+    val counts = cohortCounts(df, cohortCol, cohortA, cohortB, categoryCol)
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"), count(lit(1)).as("_k"))
+    val p = (col("_ca") + 1).cast("double") / (col("n_a") + col("_k"))
+    val q = (col("_cb") + 1).cast("double") / (col("n_b") + col("_k"))
+    val m = (p + q) / lit(2.0)
+    counts.crossJoin(broadcast(tot))
+      .select(col("_cat"),
+        ((p * log(p / m) + q * log(q / m)) / lit(2.0)).as("_term"),
+        col("n_a"), col("n_b"))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        expr("""aggregate(array_sort(collect_list(struct(_cat, _term))),
+               |  cast(0.0 as double), (acc, x) -> acc + x._term)"""
+          .stripMargin).as("jsd"))
+  }
+
+  /** Plug-in mutual information (nats) between two categorical columns
+    * plus the entropies it decomposes into — the dependence readout a
+    * curation pipeline runs before trusting a feature ("does language
+    * actually carry information about document length?"):
+    *   H(X) = −Σ (nx/N)·ln(nx/N)   (and H(Y), H(X,Y) likewise),
+    *   MI   =  Σ (nxy/N)·ln(nxy·N / (nx·ny)).
+    *
+    * Exactness: one hash aggregate to exact joint counts; marginals
+    * are bounded re-aggregations of THAT table (never the fact); every
+    * entropy/MI term is a single-division + ln expression over exact
+    * integers, and each Σ is a fixed-order fold over its sorted list.
+    * ln(nxy·N/(nx·ny))'s products are taken in DOUBLE (a bigint·bigint
+    * product would overflow Long past ~3·10⁹ rows; the double product
+    * is one correctly-rounded IEEE op, identical in any engine).
+    *
+    * Plan shape: fact → joint counts (one shuffle); joint → marginals
+    * (bounded); two broadcast joins of the marginals back onto the
+    * joint; four 1-row aggregates crossJoined. Nothing fact-sized past
+    * the first aggregate.
+    */
+  def mutualInformation(df: DataFrame, xCol: String,
+                        yCol: String): DataFrame = {
+    val joint = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("_x"),
+        col(yCol).cast("string").as("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val xm = joint.groupBy(col("_x")).agg(sum(col("_c")).as("_cx"))
+    val ym = joint.groupBy(col("_y")).agg(sum(col("_c")).as("_cy"))
+    val tot = joint.agg(sum(col("_c")).as("n"))
+    def entropyOf(m: DataFrame, keys: Seq[String], cnt: String,
+                  out: String): DataFrame =
+      m.crossJoin(broadcast(tot))
+        .select(concat_ws("\u001f", keys.map(col): _*).as("_k"),
+          (col(cnt).cast("double") / col("n") *
+            log(col(cnt).cast("double") / col("n"))).as("_t"))
+        .agg((-expr("""aggregate(array_sort(collect_list(struct(_k, _t))),
+                      |  cast(0.0 as double), (acc, x) -> acc + x._t)"""
+          .stripMargin)).as(out))
+    val mi = joint.join(broadcast(xm), "_x").join(broadcast(ym), "_y")
+      .crossJoin(broadcast(tot))
+      .select(col("_x"), col("_y"),
+        (col("_c").cast("double") / col("n") *
+          log(col("_c").cast("double") * col("n") /
+            (col("_cx").cast("double") * col("_cy")))).as("_t"))
+      .agg(expr("""aggregate(array_sort(collect_list(struct(_x, _y, _t))),
+                  |  cast(0.0 as double), (acc, x) -> acc + x._t)"""
+        .stripMargin).as("mi"))
+    tot.crossJoin(entropyOf(xm, Seq("_x"), "_cx", "h_x"))
+      .crossJoin(entropyOf(ym, Seq("_y"), "_cy", "h_y"))
+      .crossJoin(entropyOf(joint, Seq("_x", "_y"), "_c", "h_xy"))
+      .crossJoin(mi)
+  }
+
+  /** Join-key skew report — the pre-flight diagnostic run before
+    * choosing a join strategy at 100 TB (a key whose share dwarfs the
+    * mean is the one you salt or AQE-split): per-key exact counts, the
+    * top-k heaviest keys (count desc, key asc — deterministic), each
+    * with its share of all rows and its ratio to the mean key load
+    * (cnt·n_keys/n_rows, the "how many average keys is this one worth"
+    * number the salting factor comes from).
+    *
+    * Plan shape: one hash aggregate to per-key counts, a 1-row totals
+    * broadcast, and a TakeOrdered top-k of the COUNTS table — never a
+    * global sort of the fact. Output is k rows; both divisions are
+    * single exact-integer ratios.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topK: Int): DataFrame = {
+    require(topK > 0, "skewReport needs topK > 0")
+    val counts = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol).cast("string").as("key"))
+      .agg(count(lit(1)).as("cnt"))
+    val tot = counts.agg(count(lit(1)).as("n_keys"),
+      sum(col("cnt")).as("n_rows"))
+    counts.orderBy(col("cnt").desc, col("key")).limit(topK)
+      .crossJoin(broadcast(tot))
+      .select(col("key"), col("cnt"), col("n_keys"), col("n_rows"),
+        (col("cnt").cast("double") / col("n_rows")).as("share"),
+        (col("cnt").cast("double") * col("n_keys") / col("n_rows"))
+          .as("skew_ratio"))
+  }
 }

@@ -220,4 +220,74 @@ class CurationOpsSpec extends SparkSpec {
     for ((a, b, want) <- cases)
       assert(approx(got((a, b)), want, 1e-9), s"jw($a, $b)")
   }
+
+  test("chi2Drift matches the hand-computed 2x2 statistic") {
+    // cohort a: 10x cat x, 10x cat y; cohort b: 20x cat x, 0x cat y
+    // cell x: exp_a = 30*20/40 = 15 -> (10-15)^2/15 + (20-15)^2/15 = 10/3
+    // cell y: exp_a = 10*20/40 = 5  -> 25/5 + 25/5 = 10
+    val df = ((1 to 10).map(_ => ("a", "x")) ++
+      (1 to 10).map(_ => ("a", "y")) ++
+      (1 to 20).map(_ => ("b", "x"))).toDF("c", "cat")
+    val r = operators.StatsOps.chi2Drift(df, "c", "a", "b", "cat")
+      .collect()(0)
+    assert(r.getLong(0) === 20L && r.getLong(1) === 20L)
+    assert(r.getLong(2) === 1L, "dof = categories - 1")
+    assert(approx(r.getDouble(3), 10.0 / 3 + 10.0, 1e-12))
+    // identical cohorts -> observed == expected in every cell -> 0
+    val same = ((1 to 10).map(i => ("a", (i % 3).toString)) ++
+      (1 to 10).map(i => ("b", (i % 3).toString))).toDF("c", "cat")
+    assert(operators.StatsOps.chi2Drift(same, "c", "a", "b", "cat")
+      .collect()(0).getDouble(3) === 0.0)
+  }
+
+  test("jsDivergence: 0 for identical mixes, near ln 2 when disjoint") {
+    val same = ((1 to 10).map(i => ("a", (i % 2).toString)) ++
+      (1 to 10).map(i => ("b", (i % 2).toString))).toDF("c", "cat")
+    assert(operators.StatsOps.jsDivergence(same, "c", "a", "b", "cat")
+      .collect()(0).getDouble(2) === 0.0, "p == q term-for-term -> 0")
+    // disjoint supports: cat x only in a (10), cat y only in b (10)
+    // K = 2; p_x = 11/12, q_x = 1/12 (and mirrored for y)
+    val disj = ((1 to 10).map(_ => ("a", "x")) ++
+      (1 to 10).map(_ => ("b", "y"))).toDF("c", "cat")
+    val jsd = operators.StatsOps.jsDivergence(disj, "c", "a", "b", "cat")
+      .collect()(0).getDouble(2)
+    val p = 11.0 / 12; val q = 1.0 / 12; val m = (p + q) / 2
+    val want = p * math.log(p / m) + q * math.log(q / m)
+    assert(approx(jsd, want, 1e-12))
+    assert(jsd > 0 && jsd < math.log(2.0), "JSD bounded by ln 2")
+  }
+
+  test("mutualInformation: 0 when factorized, H(X) when deterministic") {
+    // exactly factorized joint: every cell count = nx*ny/N -> MI = 0
+    val indep = (for { x <- Seq("a", "b"); y <- Seq("c", "d");
+      _ <- 1 to 25 } yield (x, y)).toDF("x", "y")
+    val ri = operators.StatsOps.mutualInformation(indep, "x", "y")
+      .collect()(0)
+    assert(ri.getLong(0) === 100L)
+    assert(ri.getDouble(4) === 0.0, "ln(1) terms only")
+    assert(approx(ri.getDouble(3), ri.getDouble(1) + ri.getDouble(2),
+      1e-12), "independence: H(X,Y) = H(X) + H(Y)")
+    // y = f(x): MI = H(X) = ln 2, and H(X,Y) = H(X)
+    val dep = ((1 to 50).map(_ => ("a", "c")) ++
+      (1 to 50).map(_ => ("b", "d"))).toDF("x", "y")
+    val rd = operators.StatsOps.mutualInformation(dep, "x", "y")
+      .collect()(0)
+    assert(approx(rd.getDouble(4), math.log(2.0), 1e-12))
+    assert(approx(rd.getDouble(3), rd.getDouble(1), 1e-12))
+  }
+
+  test("skewReport ranks keys by load with deterministic tie-break") {
+    val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
+      (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")
+    val rows = operators.StatsOps.skewReport(df, "k", topK = 3).collect()
+      .sortBy(r => (-r.getLong(1), r.getString(0)))
+    assert(rows.map(_.getString(0)).toSeq === Seq("k1", "k2", "k3"),
+      "count desc then key asc")
+    val r1 = rows(0)
+    assert(r1.getLong(1) === 5L && r1.getLong(2) === 4L &&
+      r1.getLong(3) === 12L)
+    assert(approx(r1.getDouble(4), 5.0 / 12, 1e-15))
+    assert(approx(r1.getDouble(5), 5.0 * 4 / 12, 1e-15),
+      "skew_ratio = key load in units of the mean key")
+  }
 }
