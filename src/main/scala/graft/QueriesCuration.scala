@@ -501,6 +501,60 @@ object QueriesCuration {
       |FROM t CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy
       |CROSS JOIN mi""".stripMargin)
 
+  /** Mann-Whitney U drift (StatsOps.mannWhitney): rank-sum test of
+    * view vs purchase values on the 1e-4 quantized grid — doubled
+    * midranks keep the rank sum an exact bigint; the tie sum replays
+    * as the same fixed-order fold in both engines.
+    */
+  private val mannWhitneyQ = Q(
+    (s, d) => StatsOps.mannWhitney(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value")
+      .select(col("n_a"), col("n_b"), qround(col("u_a"), 6).as("u_a"),
+        qround(col("z"), 8).as("z")),
+    """WITH e AS (
+      |  SELECT event_type AS c,
+      |    floor(value * 10000.0 + 0.5) / 10000.0 AS q
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+      |g AS (
+      |  SELECT q,
+      |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM e GROUP BY 1),
+      |cum AS (
+      |  SELECT q, ca, cb,
+      |    CAST(sum(ca + cb) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cm
+      |  FROM g),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |             CAST(sum(cb) AS BIGINT) AS n_b,
+      |             CAST(sum(ca * (2 * cm - (ca + cb) + 1)) AS BIGINT)
+      |               AS r2,
+      |             list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |               list(CAST(ca + cb AS DOUBLE) * CAST(ca + cb AS DOUBLE)
+      |                      * CAST(ca + cb AS DOUBLE)
+      |                    - CAST(ca + cb AS DOUBLE) ORDER BY q)),
+      |               (a_, b_) -> a_ + b_) AS ties
+      |      FROM cum),
+      |m AS (SELECT n_a, n_b,
+      |  (CAST(r2 AS DOUBLE)
+      |    - CAST(n_a AS DOUBLE) * (CAST(n_a AS DOUBLE) + 1)) / 2.0 AS u,
+      |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 2.0 AS mu,
+      |  CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE) / 12.0
+      |    * ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) + 1)
+      |       - ties / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+      |                 * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE) - 1)))
+      |    AS sig2
+      |  FROM t)
+      |SELECT n_a, n_b,
+      |  floor(u * 1000000.0 + 0.5) / 1000000.0 AS u_a,
+      |  floor((CASE WHEN sig2 > 0 THEN (u - mu) / sqrt(sig2)
+      |         ELSE 0.0 END) * 100000000.0 + 0.5) / 100000000.0 AS z
+      |FROM m""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -532,6 +586,7 @@ object QueriesCuration {
     "chi2_drift" -> chi2DriftQ,
     "js_divergence" -> jsDivergenceQ,
     "mutual_information" -> mutualInformationQ,
+    "mann_whitney" -> mannWhitneyQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

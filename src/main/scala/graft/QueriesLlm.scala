@@ -518,6 +518,67 @@ object QueriesLlm {
            "ELSE 0.0 END", 8)} AS bleu2
        |FROM rl r JOIN c1 USING (id1, id2) LEFT JOIN c2 USING (id1, id2)""".stripMargin)
 
+  /** ROUGE-1/2 recall + F1 on the same offset pair list bleu_pairs
+    * scores (TextOps.rougePairs): exact clipped-overlap integers; each
+    * score is one or two divisions of those integers, identical IEEE
+    * in both engines, quantized at 1e-8.
+    */
+  private val rougePairsQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.where(col("doc_id") < 250)
+        .select(col("doc_id").as("id1"), (col("doc_id") + 250).as("id2"))
+      TextOps.rougePairs(pairs, docs, "doc_id", "text")
+        .select(col("id1"), col("id2"), col("ref1"), col("cand1"),
+          col("ov1"), col("ov2"),
+          qround(col("rouge1_r"), 8).as("rouge1_r"),
+          qround(col("rouge1_f"), 8).as("rouge1_f"),
+          qround(col("rouge2_f"), 8).as("rouge2_f"))
+    },
+    s"""WITH ws AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |pairs AS (SELECT doc_id AS id1, doc_id + 250 AS id2 FROM documents
+       |          WHERE doc_id < 250),
+       |uni AS (SELECT doc_id, g, count(*) AS c FROM
+       |  (SELECT doc_id, unnest(ws) AS g FROM ws) GROUP BY 1, 2),
+       |bi AS (SELECT doc_id, g, count(*) AS c FROM
+       |  (SELECT doc_id, unnest(list_transform(
+       |     generate_series(1, len(ws) - 1),
+       |     i_ -> ws[i_] || chr(31) || ws[i_ + 1])) AS g FROM ws)
+       |  GROUP BY 1, 2),
+       |o1 AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(sum(least(u2.c, u1.c)) AS BIGINT) AS ov1
+       |  FROM pairs p JOIN uni u2 ON p.id2 = u2.doc_id
+       |  JOIN uni u1 ON p.id1 = u1.doc_id AND u1.g = u2.g
+       |  GROUP BY 1, 2),
+       |o2 AS (
+       |  SELECT p.id1, p.id2,
+       |    CAST(sum(least(b2.c, b1.c)) AS BIGINT) AS ov2
+       |  FROM pairs p JOIN bi b2 ON p.id2 = b2.doc_id
+       |  JOIN bi b1 ON p.id1 = b1.doc_id AND b1.g = b2.g
+       |  GROUP BY 1, 2),
+       |lens AS (SELECT doc_id, CAST(len(ws) AS BIGINT) AS n1,
+       |  CAST(greatest(len(ws) - 1, 0) AS BIGINT) AS n2 FROM ws)
+       |SELECT p.id1, p.id2, lr.n1 AS ref1, lc.n1 AS cand1,
+       |  coalesce(o1.ov1, 0) AS ov1, coalesce(o2.ov2, 0) AS ov2,
+       |  ${qrSql(
+         "CASE WHEN coalesce(o1.ov1, 0) > 0 THEN " +
+           "CAST(o1.ov1 AS DOUBLE) / lr.n1 ELSE 0.0 END", 8)} AS rouge1_r,
+       |  ${qrSql(
+         "CASE WHEN coalesce(o1.ov1, 0) > 0 THEN " +
+           "2.0 * CAST(o1.ov1 AS DOUBLE) / (lr.n1 + lc.n1) " +
+           "ELSE 0.0 END", 8)} AS rouge1_f,
+       |  ${qrSql(
+         "CASE WHEN coalesce(o2.ov2, 0) > 0 THEN " +
+           "2.0 * CAST(o2.ov2 AS DOUBLE) / (lr.n2 + lc.n2) " +
+           "ELSE 0.0 END", 8)} AS rouge2_f
+       |FROM pairs p
+       |JOIN lens lr ON p.id1 = lr.doc_id
+       |JOIN lens lc ON p.id2 = lc.doc_id
+       |LEFT JOIN o1 ON p.id1 = o1.id1 AND p.id2 = o1.id2
+       |LEFT JOIN o2 ON p.id1 = o2.id1 AND p.id2 = o2.id2""".stripMargin)
+
   /** Banding quality readout (DedupOps.lshRecall): recall/precision of
     * the production MinHash bands vs an exact all-pairs Jaccard sweep
     * on the mod-4 eval corpus (declared brute-force baseline — the
@@ -3128,6 +3189,7 @@ object QueriesLlm {
     "embed_leakage" -> embedLeakageQ,
     "containment_dupes" -> containmentDupesQ,
     "bleu_pairs" -> bleuPairsQ,
+    "rouge_pairs" -> rougePairsQ,
     "lsh_recall" -> lshRecallQ,
     "pagerank" -> pagerankQ,
     "lm_score" -> lmScoreQ,

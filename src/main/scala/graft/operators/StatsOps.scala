@@ -795,6 +795,67 @@ object StatsOps {
       .crossJoin(mi)
   }
 
+  /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
+    * normal approximation and tie correction — the NONPARAMETRIC
+    * member of the drift family ([[populationStability]] bins,
+    * [[ksDrift]] sup-distance, [[chi2Drift]] categorical): "does one
+    * cohort stochastically dominate the other?", robust to any
+    * monotone transform of the value.
+    *
+    * Ranks are midranks over the 1e-`quantDigits` quantized grid
+    * (ties share the average rank). Exactness trick: DOUBLED midranks
+    * are integers — for a value with t tied rows and `cum` rows at or
+    * below it, 2·midrank = 2·cum − t + 1 — so the rank sum is carried
+    * as the exact bigint R2 = Σ ca·(2·cum − t + 1) = 2·R_a and every
+    * downstream quantity is a short double expression over exact
+    * integers:
+    *   U_a = (R2 − n_a·(n_a+1)) / 2,   μ = n_a·n_b/2,
+    *   σ² = n_a·n_b/12 · (N+1 − Σ(t³−t)/(N·(N−1))),  z = (U_a − μ)/σ.
+    * The tie sum Σ(t³−t) is a fixed-order fold over the value-sorted
+    * grid (t³ exceeds exact-integer range only past 2M tied rows per
+    * grid value; the double product is correctly rounded identically
+    * in any engine).
+    *
+    * Scale: same contract as [[ksDrift]] — the global cumulative
+    * window walks the QUANTIZED DOMAIN (bounded by the grid), never
+    * the fact; one hash aggregate is the only fact-sized stage.
+    */
+  def mannWhitney(df: DataFrame, cohortCol: String, cohortA: String,
+                  cohortB: String, valueCol: String,
+                  quantDigits: Int = 4): DataFrame = {
+    val s = math.pow(10, quantDigits)
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"),
+        (floor(col(valueCol) * lit(s) + lit(0.5)) / lit(s)).as("_q"))
+      .groupBy("_q")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val t = col("_ca") + col("_cb")
+    val agg = counts
+      .withColumn("_cum", sum(t).over(w))
+      .select(col("_q"), col("_ca"), col("_cb"),
+        (lit(2) * col("_cum") - t + 1).as("_r2v"),
+        t.cast("double").as("_td"))
+      .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        sum(col("_ca") * col("_r2v")).as("_r2"),
+        expr("""aggregate(array_sort(collect_list(struct(_q, _td))),
+               |  cast(0.0 as double),
+               |  (acc, x) -> acc + (x._td * x._td * x._td - x._td))"""
+          .stripMargin).as("_ties"))
+    val naD = col("n_a").cast("double")
+    val nbD = col("n_b").cast("double")
+    val nD = naD + nbD
+    val u = (col("_r2").cast("double") - naD * (naD + 1)) / lit(2.0)
+    val mu = naD * nbD / lit(2.0)
+    val sig2 = naD * nbD / lit(12.0) *
+      ((nD + 1) - col("_ties") / (nD * (nD - 1)))
+    agg.select(col("n_a"), col("n_b"), u.as("u_a"),
+      when(sig2 > 0, (u - mu) / sqrt(sig2)).otherwise(lit(0.0)).as("z"))
+  }
+
   /** Join-key skew report — the pre-flight diagnostic run before
     * choosing a join strategy at 100 TB (a key whose share dwarfs the
     * mean is the one you salt or AQE-split): per-key exact counts, the

@@ -1012,6 +1012,66 @@ object TextOps {
         .otherwise(lit(0.0)).as("bleu2"))
   }
 
+  /** ROUGE-1/ROUGE-2 between given (reference id, candidate id) pairs —
+    * the recall-side eval twin of [[bleuPairs]] (BLEU asks "how much of
+    * the candidate is in the reference?"; ROUGE asks the reverse, the
+    * summarization-eval convention):
+    *
+    *   overlap_n = Σ_g min(cnt_ref(g), cnt_cand(g))
+    *   recall_n  = overlap_n / (#ref n-grams)
+    *   F1_n      = 2·P·R/(P+R)  =  2·overlap_n / (#ref + #cand n-grams)
+    *
+    * (the harmonic mean of count-ratio P and R collapses to the second
+    * form — one division instead of three, same IEEE result in any
+    * engine). Same relational shape as BLEU: n-gram counts are hash
+    * aggregates and the overlap join is INNER on (pair, gram) — only
+    * shared grams contribute to the min — so cost is bounded by the
+    * pair list's posting volume, never all-pairs.
+    */
+  def rougePairs(pairs: DataFrame, docs: DataFrame, idCol: String,
+                 textCol: String): DataFrame = {
+    val ws = docs.select(col(idCol), words(col(textCol)).as("_ws"))
+    val uni = ws.select(col(idCol), explode(col("_ws")).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+    // same descending-sequence guard as bleuPairs: single-word docs
+    // must yield zero bigrams, not sequence(1, 0) = [1, 0]
+    val bi = ws.select(col(idCol),
+        explode(when(size(col("_ws")) >= 2,
+          expr("transform(sequence(1, size(_ws) - 1), i -> " +
+            "concat(element_at(_ws, i), chr(31), element_at(_ws, i + 1)))"))
+          .otherwise(expr("array()"))).as("_g"))
+      .groupBy(col(idCol), col("_g")).agg(count(lit(1)).as("_c"))
+    def overlap(grams: DataFrame, out: String) =
+      pairs.join(grams.select(col(idCol).as("id2"), col("_g"),
+          col("_c").as("_cc")), "id2")
+        .join(grams.select(col(idCol).as("id1"), col("_g"),
+          col("_c").as("_cr")), Seq("id1", "_g"))
+        .groupBy("id1", "id2")
+        .agg(sum(least(col("_cc"), col("_cr"))).as(out))
+    val lens = ws.select(col(idCol),
+      size(col("_ws")).cast("long").as("_n1"),
+      greatest(size(col("_ws")) - 1, lit(0)).cast("long").as("_n2"))
+    val base = pairs
+      .join(lens.select(col(idCol).as("id1"), col("_n1").as("ref1"),
+        col("_n2").as("ref2")), "id1")
+      .join(lens.select(col(idCol).as("id2"), col("_n1").as("cand1"),
+        col("_n2").as("cand2")), "id2")
+      .join(overlap(uni, "_ov1"), Seq("id1", "id2"), "left")
+      .join(overlap(bi, "_ov2"), Seq("id1", "id2"), "left")
+    val ov1 = coalesce(col("_ov1"), lit(0L))
+    val ov2 = coalesce(col("_ov2"), lit(0L))
+    base.select(col("id1"), col("id2"), col("ref1"), col("cand1"),
+      ov1.as("ov1"), ov2.as("ov2"),
+      when(ov1 > 0, ov1.cast("double") / col("ref1"))
+        .otherwise(lit(0.0)).as("rouge1_r"),
+      when(ov1 > 0,
+        lit(2.0) * ov1.cast("double") / (col("ref1") + col("cand1")))
+        .otherwise(lit(0.0)).as("rouge1_f"),
+      when(ov2 > 0,
+        lit(2.0) * ov2.cast("double") / (col("ref2") + col("cand2")))
+        .otherwise(lit(0.0)).as("rouge2_f"))
+  }
+
   /** Out-of-vocabulary rate per group against a corpus-derived top-n
     * vocabulary — the tokenizer-coverage readout run before committing
     * a vocab to a training run (a lang/domain whose OOV rate spikes is

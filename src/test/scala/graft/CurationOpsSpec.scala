@@ -131,6 +131,25 @@ class CurationOpsSpec extends SparkSpec {
       "perfect precision under-length: bleu = brevity penalty alone")
   }
 
+  test("rougePairs: identity 1.0, zero-overlap 0.0, hand-computed partial") {
+    val docs = Seq(
+      (1L, "a b c d"), (2L, "a b c"), // ref 4 uni / cand 3; ov1 = 3
+      (3L, "x y z"), (4L, "x y z"), // identity
+      (5L, "p q"), (6L, "r s")) // zero overlap
+      .toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L), (5L, 6L)).toDF("id1", "id2")
+    val out = operators.TextOps.rougePairs(pairs, docs, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getDouble(6), r.getDouble(7), r.getDouble(8)))).toMap
+    assert(out((3L, 4L)) === ((1.0, 1.0, 1.0)), "identical texts score 1")
+    assert(out((5L, 6L)) === ((0.0, 0.0, 0.0)), "no overlap scores 0")
+    val (r1r, r1f, r2f) = out((1L, 2L))
+    assert(approx(r1r, 3.0 / 4, 1e-15), "recall = ov/ref")
+    assert(approx(r1f, 2.0 * 3 / (4 + 3), 1e-15), "F1 = 2ov/(ref+cand)")
+    assert(approx(r2f, 2.0 * 2 / (3 + 2), 1e-15),
+      "bigrams: {a b, b c} shared of ref 3 / cand 2")
+  }
+
   test("funnelLatency: exact interpolated percentiles over completed funnels only") {
     // u1 completes in 10s, u2 in 30s, u3 never completes
     val ns = 1000L * 1000 * 1000
@@ -274,6 +293,29 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0)
     assert(approx(rd.getDouble(4), math.log(2.0), 1e-12))
     assert(approx(rd.getDouble(3), rd.getDouble(1), 1e-12))
+  }
+
+  test("mannWhitney matches the hand-computed tied and tie-free cases") {
+    // a = {1,2}, b = {2,3}: midranks 1, 2.5, 2.5, 4 -> R_a = 3.5,
+    // U_a = 0.5, mu = 2, ties = 2^3-2 = 6,
+    // sig2 = (4/12)*((4+1) - 6/(4*3)) = 1.5
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("c", "v")
+    val r = operators.StatsOps.mannWhitney(tied, "c", "a", "b", "v")
+      .collect()(0)
+    assert(r.getLong(0) === 2L && r.getLong(1) === 2L)
+    assert(r.getDouble(2) === 0.5, "U_a from doubled midranks")
+    assert(approx(r.getDouble(3), -1.5 / math.sqrt(1.5), 1e-12))
+    // identical cohorts -> U_a = mu -> z = 0 exactly
+    val same = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0),
+      ("b", 1.0), ("b", 2.0), ("b", 3.0)).toDF("c", "v")
+    val rs = operators.StatsOps.mannWhitney(same, "c", "a", "b", "v")
+      .collect()(0)
+    assert(rs.getDouble(2) === 4.5 && rs.getDouble(3) === 0.0)
+    // degenerate: every value tied -> sig2 = 0 -> z defined as 0
+    val const = Seq(("a", 5.0), ("b", 5.0), ("b", 5.0)).toDF("c", "v")
+    assert(operators.StatsOps.mannWhitney(const, "c", "a", "b", "v")
+      .collect()(0).getDouble(3) === 0.0)
   }
 
   test("skewReport ranks keys by load with deterministic tie-break") {

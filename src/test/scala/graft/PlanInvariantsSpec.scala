@@ -53,7 +53,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "record_linkage", "embed_leakage", "cluster_best_rep",
     "dataset_fingerprint", "oov_rate", "containment_dupes",
     "funnel_latency", "bleu_pairs", "zarr_roundtrip", "domain_reweight",
-    "rolling_median", "dataset_drift", "ks_drift")
+    "rolling_median", "dataset_drift", "ks_drift",
+    // drift/dependence diagnostics + ROUGE (1-row totals broadcast as
+    // BroadcastNestedLoopJoin is fine; CartesianProduct is not)
+    "chi2_drift", "js_divergence", "mutual_information", "skew_report",
+    "rouge_pairs", "mann_whitney")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -289,13 +293,13 @@ class PlanInvariantsSpec extends SparkSpec {
     //                    funnel aggregate precedes the quantile rank
     //                    window; SequenceOps.funnelLatency names
     //                    quantileSketch as the data-scale swap)
-    //   ks_drift         distinct QUANTIZED values     (StatsOps.ksDrift:
-    //                    the 1e-4 grid bounds the domain the cumulative
-    //                    window walks, never the fact)
+    //   ks_drift /       distinct QUANTIZED values     (StatsOps.ksDrift
+    //     mann_whitney   + mannWhitney: the 1e-4 grid bounds the domain
+    //                    the cumulative window walks, never the fact)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
-      "ndcg_eval", "funnel_latency", "ks_drift")
+      "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
