@@ -555,6 +555,101 @@ object QueriesCuration {
       |         ELSE 0.0 END) * 100000000.0 + 0.5) / 100000000.0 AS z
       |FROM m""".stripMargin)
 
+  /** Per-user value autocorrelation at lags 1..3
+    * (StatsOps.autocorrelation): values fixed-point-scaled to the 1e-4
+    * grid so every accumulated sum is an exact bigint; each ACF is one
+    * closed-form double expression both engines evaluate identically.
+    */
+  private val autocorrelationQ = Q(
+    (s, d) => StatsOps.autocorrelation(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            floor(col("value") * 10000.0 + 0.5).as("xq")),
+        Seq("user_id"), "ts_ns", "event_id", "xq", maxLag = 3)
+      .select(col("user_id"), col("lag"), col("n"), col("n_pairs"),
+        qround(col("acf"), 8).as("acf")),
+    """WITH b AS (
+      |  SELECT user_id,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x,
+      |    lead(CAST(floor(value * 10000.0 + 0.5) AS BIGINT), 1)
+      |      OVER w AS l1,
+      |    lead(CAST(floor(value * 10000.0 + 0.5) AS BIGINT), 2)
+      |      OVER w AS l2,
+      |    lead(CAST(floor(value * 10000.0 + 0.5) AS BIGINT), 3)
+      |      OVER w AS l3
+      |  FROM events WHERE value IS NOT NULL
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |g AS (
+      |  SELECT user_id, count(*) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(x * l1) AS BIGINT) AS sxy1,
+      |    CAST(sum(CASE WHEN l1 IS NOT NULL THEN x END) AS BIGINT) AS sh1,
+      |    CAST(sum(l1) AS BIGINT) AS st1, count(l1) AS cnt1,
+      |    CAST(sum(x * l2) AS BIGINT) AS sxy2,
+      |    CAST(sum(CASE WHEN l2 IS NOT NULL THEN x END) AS BIGINT) AS sh2,
+      |    CAST(sum(l2) AS BIGINT) AS st2, count(l2) AS cnt2,
+      |    CAST(sum(x * l3) AS BIGINT) AS sxy3,
+      |    CAST(sum(CASE WHEN l3 IS NOT NULL THEN x END) AS BIGINT) AS sh3,
+      |    CAST(sum(l3) AS BIGINT) AS st3, count(l3) AS cnt3
+      |  FROM b GROUP BY 1),
+      |s AS (
+      |  SELECT user_id, n, sx, sxx, 1 AS lag, sxy1 AS sxy, sh1 AS sh,
+      |         st1 AS st, cnt1 AS cnt FROM g
+      |  UNION ALL
+      |  SELECT user_id, n, sx, sxx, 2, sxy2, sh2, st2, cnt2 FROM g
+      |  UNION ALL
+      |  SELECT user_id, n, sx, sxx, 3, sxy3, sh3, st3, cnt3 FROM g)
+      |SELECT user_id, lag, n, cnt AS n_pairs,
+      |  floor((CAST(sxy AS DOUBLE)
+      |     - (CAST(sx AS DOUBLE) / n)
+      |       * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+      |     + CAST(cnt AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+      |       * (CAST(sx AS DOUBLE) / n))
+      |    / nullif(CAST(sxx AS DOUBLE)
+      |       - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+      |         * (CAST(sx AS DOUBLE) / n), 0.0)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS acf
+      |FROM s""".stripMargin)
+
+  /** Two-sided CUSUM changepoint summary (SequenceOps.cusumChange) per
+    * user on the 1e-4 fixed-point grid: target 50.0 with slack 5.0
+    * (refUp 55.0 / refDown 45.0), threshold 200.0 — every cumulative
+    * statistic an exact bigint, output hash-exact with no quantization.
+    */
+  private val cusumChangeQ = Q(
+    (s, d) => SequenceOps.cusumChange(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            floor(col("value") * 10000.0 + 0.5).as("xq")),
+        Seq("user_id"), "ts_ns", "event_id", "xq",
+        refUp = 550000L, refDown = 450000L, threshold = 2000000L),
+    """WITH b AS (
+      |  SELECT user_id, epoch_ns(ts) AS ts_ns, event_id,
+      |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS x
+      |  FROM events WHERE value IS NOT NULL),
+      |p AS (
+      |  SELECT user_id, ts_ns, event_id,
+      |    CAST(sum(x - 550000) OVER w AS BIGINT) AS p,
+      |    CAST(sum(450000 - x) OVER w AS BIGINT) AS r
+      |  FROM b
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |               ROWS UNBOUNDED PRECEDING)),
+      |s AS (
+      |  SELECT user_id, ts_ns,
+      |    p - least(0, CAST(min(p) OVER w2 AS BIGINT)) AS sp,
+      |    r - least(0, CAST(min(r) OVER w2 AS BIGINT)) AS sn
+      |  FROM p
+      |  WINDOW w2 AS (PARTITION BY user_id ORDER BY ts_ns, event_id
+      |                ROWS UNBOUNDED PRECEDING))
+      |SELECT user_id, count(*) AS n,
+      |  CAST(max(sp) AS BIGINT) AS max_pos,
+      |  CAST(max(sn) AS BIGINT) AS max_neg,
+      |  CAST(min(CASE WHEN sp > 2000000 THEN ts_ns END) AS BIGINT)
+      |    AS first_alarm_pos,
+      |  CAST(min(CASE WHEN sn > 2000000 THEN ts_ns END) AS BIGINT)
+      |    AS first_alarm_neg
+      |FROM s GROUP BY 1""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -587,6 +682,8 @@ object QueriesCuration {
     "js_divergence" -> jsDivergenceQ,
     "mutual_information" -> mutualInformationQ,
     "mann_whitney" -> mannWhitneyQ,
+    "autocorrelation" -> autocorrelationQ,
+    "cusum_change" -> cusumChangeQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

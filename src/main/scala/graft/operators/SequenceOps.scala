@@ -399,4 +399,49 @@ object SequenceOps {
            |    size(_vs) - i))""".stripMargin))
       .drop("_vs")
   }
+
+  /** Two-sided CUSUM changepoint summary per series — the sequential
+    * shift detector of the monitoring family ([[rollingMedian]] smooths,
+    * anomaly_zscore flags points; CUSUM flags sustained LEVEL SHIFTS,
+    * the "this metric quietly moved 10% three days ago" alarm):
+    *
+    *   S⁺_t = max(0, S⁺_{t−1} + (x_t − refUp)),
+    *   S⁻_t = max(0, S⁻_{t−1} + (refDown − x_t)),
+    * alarm when either exceeds `threshold`.
+    *
+    * The max-reset recursion is NOT window-expressible directly, but
+    * its closed form is: with prefix sums P_t = Σ_{i≤t}(x_i − refUp),
+    *   S⁺_t = P_t − min(0, min_{j≤t} P_j)
+    * (resetting at zero ≡ subtracting the running minimum, empty
+    * prefix included) — two partitioned cumulative windows over the
+    * SAME sort, no recursion, no UDF. `valueCol` and the three
+    * parameters must be integral (callers fixed-point-scale, the
+    * [[StatsOps.groupCorrelation]] contract), so every S is an exact
+    * bigint and the whole output is hash-exact with no quantization.
+    *
+    * Output per key: n, max S⁺/S⁻ excursions, and the first timestamp
+    * each side crossed `threshold` (null = never alarmed).
+    */
+  def cusumChange(df: DataFrame, keys: Seq[String], tsCol: String,
+                  tieCol: String, valueCol: String, refUp: Long,
+                  refDown: Long, threshold: Long): DataFrame = {
+    require(threshold > 0, "cusumChange needs threshold > 0")
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val withS = df
+      .select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+        col(valueCol).cast("long").as("_x")): _*)
+      .withColumn("_p", sum(col("_x") - lit(refUp)).over(w))
+      .withColumn("_r", sum(lit(refDown) - col("_x")).over(w))
+      .withColumn("_sp", col("_p") - least(lit(0L), min(col("_p")).over(w)))
+      .withColumn("_sn", col("_r") - least(lit(0L), min(col("_r")).over(w)))
+    withS.groupBy(keys.map(col): _*).agg(
+      count(lit(1)).as("n"),
+      max(col("_sp")).as("max_pos"),
+      max(col("_sn")).as("max_neg"),
+      min(when(col("_sp") > threshold, col(tsCol))).as("first_alarm_pos"),
+      min(when(col("_sn") > threshold, col(tsCol))).as("first_alarm_neg"))
+  }
 }

@@ -795,6 +795,63 @@ object StatsOps {
       .crossJoin(mi)
   }
 
+  /** Per-series sample autocorrelation at lags 1..`maxLag` — the
+    * seasonality/momentum readout of the monitoring family (an ACF
+    * spike at lag 7 on daily aggregates = weekly cycle; ACF ≈ 0
+    * everywhere = the metric is noise):
+    *
+    *   r_l = Σ_{t≤n−l} (x_t − x̄)(x_{t+l} − x̄) / Σ_t (x_t − x̄)²
+    *
+    * with the GLOBAL series mean and full-series denominator (the
+    * standard biased estimator). Same exactness contract as
+    * [[groupCorrelation]]: `valueCol` must already be integral
+    * (callers fixed-point-scale), so every accumulated sum — ΣxΣx²
+    * over the series, and per lag Σx_t·x_{t+l} plus the head/tail
+    * partial sums the cross term needs — is an exact BIGINT, and each
+    * r_l is ONE closed-form double expression over them. A constant
+    * series has denominator 0 → null via try_divide (never NaN/ANSI
+    * throw); a series shorter than the lag has no pairs → null.
+    *
+    * Plan shape: one per-key window (partitioned — never global) that
+    * computes all `maxLag` leads in a single pass, then ONE hash
+    * aggregate carrying 3 + 4·maxLag longs per key, then a stack to
+    * (key, lag) rows. No self-join, nothing fact-sized downstream.
+    */
+  def autocorrelation(df: DataFrame, keys: Seq[String], tsCol: String,
+                      tieCol: String, valueCol: String,
+                      maxLag: Int): DataFrame = {
+    require(maxLag >= 1 && maxLag <= 32,
+      s"autocorrelation supports 1..32 lags, got $maxLag")
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol), col(tieCol))
+    val lags = 1 to maxLag
+    val base = df.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+      col(valueCol).cast("long").as("_x")): _*)
+    val withLeads = base.select((keys.map(col) :+ col("_x")) ++
+      lags.map(l => lead(col("_x"), l).over(w).as(s"_l$l")): _*)
+    val aggs = Seq(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
+      sum(col("_x") * col("_x")).as("_sxx")) ++
+      lags.flatMap { l =>
+        Seq(sum(col("_x") * col(s"_l$l")).as(s"_sxy$l"),
+          sum(when(col(s"_l$l").isNotNull, col("_x"))).as(s"_sh$l"),
+          sum(col(s"_l$l")).as(s"_st$l"),
+          count(col(s"_l$l")).as(s"_cnt$l"))
+      }
+    val g = withLeads.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val stackArgs = lags.map(l =>
+      s"$l, _sxy$l, _sh$l, _st$l, _cnt$l").mkString(", ")
+    val stacked = g.select((keys.map(col) :+ col("n") :+ col("_sx") :+
+      col("_sxx") :+ expr(s"stack($maxLag, $stackArgs) " +
+        "as (lag, _sxy, _sh, _st, _cnt)")): _*)
+    val nD = col("n").cast("double")
+    def D(c: String) = col(c).cast("double")
+    val xb = D("_sx") / nD
+    val num = D("_sxy") - xb * (D("_sh") + D("_st")) + D("_cnt") * xb * xb
+    val den = D("_sxx") - nD * xb * xb
+    stacked.select((keys.map(col) :+ col("lag") :+ col("n") :+
+      col("_cnt").as("n_pairs") :+ try_divide(num, den).as("acf")): _*)
+  }
+
   /** Mann-Whitney U (Wilcoxon rank-sum) two-sample test with the
     * normal approximation and tie correction — the NONPARAMETRIC
     * member of the drift family ([[populationStability]] bins,

@@ -318,6 +318,52 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0).getDouble(3) === 0.0)
   }
 
+  test("autocorrelation matches hand-computed ACF, nulls degenerate cases") {
+    // k1 = [1,2,3,4]: mean 2.5, den 5; r1 = 1.25/5, r2 = -1.5/5,
+    // r3 = -2.25/5. k2 constant -> den 0 -> null. k3 = [7,9] -> lag 2,3
+    // have no pairs -> null.
+    val rows = (Seq(1L, 2L, 3L, 4L).zipWithIndex.map { case (v, i) =>
+        ("k1", i.toLong, i.toLong, v) } ++
+      Seq(("k2", 0L, 0L, 5L), ("k2", 1L, 1L, 5L), ("k2", 2L, 2L, 5L)) ++
+      Seq(("k3", 0L, 0L, 7L), ("k3", 1L, 1L, 9L)))
+      .toDF("k", "ts", "tie", "v")
+    val out = operators.StatsOps
+      .autocorrelation(rows, Seq("k"), "ts", "tie", "v", maxLag = 3)
+      .collect().map(r => (r.getString(0), r.getInt(1)) ->
+        (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+    assert(out.size === 9, "3 keys x 3 lags")
+    assert(out(("k1", 1)) === Some(0.25))
+    assert(out(("k1", 2)) === Some(-0.3))
+    assert(out(("k1", 3)) === Some(-0.45))
+    assert(out(("k2", 1)) === None, "constant series: zero variance")
+    // k3: mean 8, devs [-1, 1], den 2, lag-1 cross = -1 -> r = -0.5
+    assert(out(("k3", 1)) === Some(-0.5))
+    assert(out(("k3", 2)) === None && out(("k3", 3)) === None,
+      "no pairs past the series length")
+  }
+
+  test("cusumChange: max-reset recursion via prefix-sum minus running min") {
+    // k1 shifts UP: [10,10,20,20,20], refUp 12 -> S+ = [0,0,8,16,24],
+    // first crossing of 15 at ts 3; S- never leaves 0.
+    // k2 shifts DOWN: [10,0,0,0], refDown 8 -> S- = [0,8,16,24],
+    // alarm at ts 2; S+ never leaves 0.
+    val rows = (Seq(10L, 10L, 20L, 20L, 20L).zipWithIndex.map {
+        case (v, i) => ("k1", i.toLong, i.toLong, v) } ++
+      Seq(10L, 0L, 0L, 0L).zipWithIndex.map {
+        case (v, i) => ("k2", i.toLong, i.toLong, v) })
+      .toDF("k", "ts", "tie", "v")
+    val out = operators.SequenceOps.cusumChange(rows, Seq("k"), "ts",
+        "tie", "v", refUp = 12L, refDown = 8L, threshold = 15L)
+      .collect().map(r => r.getString(0) -> r).toMap
+    val k1 = out("k1")
+    assert(k1.getLong(2) === 24L && k1.getLong(3) === 0L)
+    assert(k1.getLong(4) === 3L, "first S+ > 15 at ts 3")
+    assert(k1.isNullAt(5), "no downward alarm")
+    val k2 = out("k2")
+    assert(k2.getLong(2) === 0L && k2.getLong(3) === 24L)
+    assert(k2.isNullAt(4) && k2.getLong(5) === 2L)
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")

@@ -57,7 +57,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // drift/dependence diagnostics + ROUGE (1-row totals broadcast as
     // BroadcastNestedLoopJoin is fine; CartesianProduct is not)
     "chi2_drift", "js_divergence", "mutual_information", "skew_report",
-    "rouge_pairs", "mann_whitney")
+    "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
