@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.{Q, qround}
-import graft.operators.{SequenceOps, SketchOps, StatsOps}
+import graft.operators.{SampleOps, SequenceOps, SketchOps, StatsOps}
 
 /** Round-10 curation / data-quality query surface: table profiling,
   * Tukey-fence outlier filtering, exact heavy hitters priced as a
@@ -650,6 +650,69 @@ object QueriesCuration {
       |    AS first_alarm_neg
       |FROM s GROUP BY 1""".stripMargin)
 
+  /** The STREAMING CUSUM on the batch frame — all-integer state makes
+    * each group's one fold equal the batch closed form bit-for-bit
+    * (shared oracle SQL with cusum_change).
+    */
+  private val streamCusumQ = Q(
+    (s, d) => graft.streaming.StreamingOps.cusumStream(s,
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            floor(col("value") * 10000.0 + 0.5).as("xq")),
+        "user_id", "ts_ns", "event_id", "xq",
+        refUp = 550000L, refDown = 450000L, threshold = 2000000L),
+    cusumChangeQ.sql)
+
+  /** Budget concentration per source (StatsOps.concentration): Gini +
+    * HHI of document lengths — ranks from a deterministic (value, id)
+    * sort, four exact bigint sums, two closed-form double indices.
+    */
+  private val giniConcentrationQ = Q(
+    (s, d) => StatsOps.concentration(
+        Tables.documents(s, d).select(col("source"), col("n_chars"),
+          col("doc_id")),
+        Seq("source"), "n_chars", "doc_id")
+      .select(col("source"), col("n"), col("sum_v"),
+        qround(col("gini"), 8).as("gini"), qround(col("hhi"), 8).as("hhi")),
+    """WITH b AS (
+      |  SELECT source, n_chars AS v, doc_id,
+      |    CAST(row_number() OVER (PARTITION BY source
+      |      ORDER BY n_chars, doc_id) AS BIGINT) AS rn
+      |  FROM documents),
+      |g AS (
+      |  SELECT source, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(v * v) AS BIGINT) AS svv,
+      |    CAST(sum(rn * v) AS BIGINT) AS srv
+      |  FROM b GROUP BY 1)
+      |SELECT source, n, sv AS sum_v,
+      |  floor((2.0 * CAST(srv AS DOUBLE)
+      |      / (CAST(n AS DOUBLE) * CAST(sv AS DOUBLE))
+      |    - (CAST(n AS DOUBLE) + 1.0) / CAST(n AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS gini,
+      |  floor((CAST(svv AS DOUBLE)
+      |      / (CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS hhi
+      |FROM g""".stripMargin)
+
+  /** Deterministic per-language bottom-k document sample
+    * (SampleOps.bottomKSample): the 5 smallest multiplicative key
+    * hashes per lang — reproducible across runs and engines, and the
+    * row_number <= k shape rides partial WindowGroupLimit.
+    */
+  private val bottomkSampleQ = Q(
+    (s, d) => SampleOps.bottomKSample(
+        Tables.documents(s, d).select(col("lang"), col("doc_id")),
+        Seq("lang"), "doc_id", k = 5)
+      .select(col("lang"), col("doc_id"), col("sample_rank")),
+    """SELECT lang, doc_id, CAST(sample_rank AS INT) AS sample_rank
+      |FROM (
+      |  SELECT lang, doc_id,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY ((doc_id % 1000000007) * 2654435761) % 1000000007,
+      |               doc_id) AS sample_rank
+      |  FROM documents)
+      |WHERE sample_rank <= 5""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -684,6 +747,9 @@ object QueriesCuration {
     "mann_whitney" -> mannWhitneyQ,
     "autocorrelation" -> autocorrelationQ,
     "cusum_change" -> cusumChangeQ,
+    "stream_cusum" -> streamCusumQ,
+    "gini_concentration" -> giniConcentrationQ,
+    "bottomk_sample" -> bottomkSampleQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

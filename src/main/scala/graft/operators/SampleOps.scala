@@ -51,6 +51,32 @@ object SampleOps {
     df.withColumn("split", assign)
   }
 
+  /** Deterministic per-group bottom-k sample: the k rows per group
+    * whose multiplicative key hash is smallest ((hash, id) order — a
+    * reproducible stand-in for "k uniform rows per group", the
+    * eyeball-sample / debug-slice every curation run wants without
+    * rand()'s nondeterminism). Same hash family as [[splitBucket]], so
+    * samples are stable across runs and engines.
+    *
+    * Scale: the `row_number() <= k` shape is exactly the partial
+    * WindowGroupLimit pattern (plan-asserted with the other top-k
+    * queries) — at most k rows per group per partition ever shuffle.
+    */
+  def bottomKSample(df: DataFrame, keys: Seq[String], idCol: String,
+                    k: Int): DataFrame = {
+    require(k > 0, "bottomKSample needs k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val h = pmod(col(idCol).cast("long"), lit(TextOps.HashMod)) *
+      SketchOps.KmvMult % TextOps.HashMod
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_h"), col(idCol))
+    df.withColumn("_h", h)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .withColumn("sample_rank", col("_rn"))
+      .drop("_h", "_rn")
+  }
+
   /** Keep a deterministic `fraction` of key-groups (bucket < cut). */
   def sampleByHash(df: DataFrame, keyCol: String,
                    fraction: Double): DataFrame =

@@ -795,6 +795,44 @@ object StatsOps {
       .crossJoin(mi)
   }
 
+  /** Per-group Gini coefficient + Herfindahl index over a non-negative
+    * integral measure — the budget-concentration readout of a curation
+    * pipeline ("is one document hogging this source's token budget?",
+    * "does one user dominate the shard?"):
+    *
+    *   G   = 2·Σᵢ i·x₍ᵢ₎ / (n·Σx) − (n+1)/n   (x ascending, i = 1..n)
+    *   HHI = Σx² / (Σx)²
+    *
+    * Exactness: `valueCol` must be integral (the [[groupCorrelation]]
+    * fixed-point contract), ranks come from a deterministic
+    * (value, tie) sort, so all four accumulated sums are exact BIGINTs
+    * and each index is one closed-form double expression. An all-zero
+    * group divides by zero → null via try_divide (never ANSI throw).
+    *
+    * Plan shape: one partitioned rank window (never global), one hash
+    * aggregate carrying four longs per group. Scale-sound.
+    */
+  def concentration(df: DataFrame, keys: Seq[String], valueCol: String,
+                    tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_v"), col(tieCol))
+    val g = df
+      .select((keys.map(col) :+ col(tieCol) :+
+        col(valueCol).cast("long").as("_v")): _*)
+      .withColumn("_rn", row_number().over(w).cast("long"))
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_sv"),
+        sum(col("_v") * col("_v")).as("_svv"),
+        sum(col("_rn") * col("_v")).as("_srv"))
+    val nD = col("n").cast("double")
+    def D(c: String) = col(c).cast("double")
+    val gini = try_divide(lit(2.0) * D("_srv"), nD * D("_sv")) -
+      (nD + lit(1.0)) / nD
+    val hhi = try_divide(D("_svv"), D("_sv") * D("_sv"))
+    g.select((keys.map(col) :+ col("n") :+ col("_sv").as("sum_v") :+
+      gini.as("gini") :+ hhi.as("hhi")): _*)
+  }
+
   /** Per-series sample autocorrelation at lags 1..`maxLag` — the
     * seasonality/momentum readout of the monitoring family (an ACF
     * spike at lag 7 on daily aggregates = weekly cycle; ACF ≈ 0

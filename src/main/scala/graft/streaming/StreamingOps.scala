@@ -725,6 +725,72 @@ object StreamingOps {
       .toDF(keyCol, "n", "slope_per_sec", "intercept")
   }
 
+  /** Streaming two-sided CUSUM — the incremental twin of
+    * [[graft.operators.SequenceOps.cusumChange]]. State per key is
+    * seven longs + the two alarm stamps: the running prefix sums, their
+    * zero-clamped minima (the closed form's "subtract the running min"
+    * carried incrementally), the max excursions, and n — O(1) however
+    * long the series, all exact integers, so a key's one batch-frame
+    * fold equals the batch operator bit-for-bit (shared oracle SQL) and
+    * micro-batch folds continue the identical state. Emits a
+    * (key, n, max_pos, max_neg, first_alarm_pos, first_alarm_neg)
+    * snapshot per batch in which the key saw data. Ingest contract as
+    * ever: events arrive per-key time-ordered across batches (within a
+    * batch any order — the fold sorts).
+    */
+  def cusumStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                  tsCol: String, tieCol: String, valueCol: String,
+                  refUp: Long, refDown: Long,
+                  threshold: Long): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    require(threshold > 0, "cusumStream needs threshold > 0")
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, tsCol, tieCol, valueCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"cusumStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(tsCol).cast("long").as("_ts"),
+        col(tieCol).cast("long").as("_tie"),
+        col(valueCol).cast("long").as("_x"))
+      .as[(Long, Long, Long, Long)]
+    // state: (n, p, pmin, r, rmin, maxSp, maxSn, firstPos, firstNeg)
+    // with the alarm stamps Long.MinValue = "not yet"
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[
+        (Long, Long, Long, Long, Long, Long, Long, Long, Long),
+        (Long, Long, Long, Long, Option[Long], Option[Long])](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var (n, p, pmin, r, rmin, maxSp, maxSn, firstPos, firstNeg) =
+            state.getOption.getOrElse(
+              (0L, 0L, 0L, 0L, 0L, 0L, 0L, Long.MinValue, Long.MinValue))
+          val evs = rows.toArray.sortBy(x => (x._2, x._3))
+          for (e <- evs) {
+            n += 1
+            p += e._4 - refUp; if (p < pmin) pmin = p
+            r += refDown - e._4; if (r < rmin) rmin = r
+            val sp = p - pmin; val sn = r - rmin
+            if (sp > maxSp) maxSp = sp
+            if (sn > maxSn) maxSn = sn
+            if (sp > threshold && firstPos == Long.MinValue) firstPos = e._2
+            if (sn > threshold && firstNeg == Long.MinValue) firstNeg = e._2
+          }
+          if (evs.isEmpty) Iterator.empty
+          else {
+            state.update((n, p, pmin, r, rmin, maxSp, maxSn,
+              firstPos, firstNeg))
+            Iterator((key, n, maxSp, maxSn,
+              if (firstPos == Long.MinValue) None else Some(firstPos),
+              if (firstNeg == Long.MinValue) None else Some(firstNeg)))
+          }
+      }
+      .toDF(keyCol, "n", "max_pos", "max_neg",
+        "first_alarm_pos", "first_alarm_neg")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -364,6 +364,38 @@ class CurationOpsSpec extends SparkSpec {
     assert(k2.isNullAt(4) && k2.getLong(5) === 2L)
   }
 
+  test("concentration: Gini 0 for equal shares, (n-1)/n for one-holder, HHI exact") {
+    val df = Seq(
+      ("eq", 1L, 5L), ("eq", 2L, 5L), ("eq", 3L, 5L),
+      ("one", 1L, 0L), ("one", 2L, 0L), ("one", 3L, 10L),
+      ("zero", 1L, 0L), ("zero", 2L, 0L)).toDF("g", "id", "v")
+    val out = operators.StatsOps.concentration(df, Seq("g"), "v", "id")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("eq").getDouble(3) === 0.0)
+    assert(approx(out("eq").getDouble(4), 1.0 / 3, 1e-15))
+    assert(approx(out("one").getDouble(3), 2.0 / 3, 1e-15),
+      "single holder of everything: G = (n-1)/n")
+    assert(out("one").getDouble(4) === 1.0)
+    assert(out("zero").isNullAt(3) && out("zero").isNullAt(4),
+      "all-zero group: indices undefined, not a throw")
+  }
+
+  test("bottomKSample picks the k smallest key hashes, deterministically") {
+    val df = (1L to 10L).map(i => ("g", i)).toDF("g", "id")
+    val got = operators.SampleOps.bottomKSample(df, Seq("g"), "id", k = 3)
+      .orderBy("sample_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(2)))
+    val m = operators.TextOps.HashMod
+    val want = (1L to 10L)
+      .sortBy(i => (i % m * operators.SketchOps.KmvMult % m, i)).take(3)
+    assert(got.map(_._1).toSeq === want)
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3))
+    // rerun = same sample (no rand anywhere)
+    val again = operators.SampleOps.bottomKSample(df, Seq("g"), "id", 3)
+      .orderBy("sample_rank").collect().map(_.getLong(1))
+    assert(again.toSeq === want)
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")

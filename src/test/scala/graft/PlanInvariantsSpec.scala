@@ -57,7 +57,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // drift/dependence diagnostics + ROUGE (1-row totals broadcast as
     // BroadcastNestedLoopJoin is fine; CartesianProduct is not)
     "chi2_drift", "js_divergence", "mutual_information", "skew_report",
-    "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change")
+    "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change",
+    "stream_cusum", "gini_concentration", "bottomk_sample")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -89,7 +90,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // rank-filter pattern the optimizer recognizes, full fact rows
     // shuffle again; this trips first.
     for (name <- Seq("top_per_group", "ann_topk", "tfidf_top_terms",
-        "cluster_best_rep")) {
+        "cluster_best_rep", "bottomk_sample")) {
       val p = plan(name)
       val n = "WindowGroupLimit".r.findAllIn(p).size
       assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, " +

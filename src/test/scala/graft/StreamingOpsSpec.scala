@@ -560,4 +560,37 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaStream === viaBatch)
   }
+
+  test("cusumStream carries integer CUSUM state across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val df = input.toDF().toDF("user_id", "ts_ns", "event_id", "xq")
+    val out = StreamingOps.cusumStream(spark, df, "user_id", "ts_ns",
+      "event_id", "xq", refUp = 12L, refDown = 8L, threshold = 15L)
+    val q = out.writeStream.format("memory").queryName("cusum_t")
+      .outputMode("append").start()
+    // k1 = [10,10,20,20,20] split across batches: S+ = [0,0,8,16,24]
+    input.addData((1L, 0L, 0L, 10L), (1L, 1L, 1L, 10L), (1L, 2L, 2L, 20L))
+    q.processAllAvailable()
+    input.addData((1L, 3L, 3L, 20L), (1L, 4L, 4L, 20L))
+    q.processAllAvailable()
+    val snaps = spark.table("cusum_t").collect()
+      .map(r => r.getLong(1) -> r).toMap // keyed by n
+    q.stop()
+    val b1 = snaps(3L) // after batch 1: S+ peaked at 8, no alarm yet
+    assert(b1.getLong(2) === 8L && b1.isNullAt(4))
+    val b2 = snaps(5L) // resumed state: S+ = 24, alarm stamped at ts 3
+    assert(b2.getLong(2) === 24L && b2.getLong(4) === 3L)
+    // and the batch-frame fold equals the batch operator exactly
+    import spark.implicits._
+    val frame = Seq((1L, 0L, 0L, 10L), (1L, 1L, 1L, 10L),
+      (1L, 2L, 2L, 20L), (1L, 3L, 3L, 20L), (1L, 4L, 4L, 20L))
+      .toDF("user_id", "ts_ns", "event_id", "xq")
+    val viaStream = StreamingOps.cusumStream(spark, frame, "user_id",
+      "ts_ns", "event_id", "xq", 12L, 8L, 15L).collect().map(_.toSeq)
+    val viaBatch = operators.SequenceOps.cusumChange(frame,
+      Seq("user_id"), "ts_ns", "event_id", "xq", 12L, 8L, 15L)
+      .collect().map(_.toSeq)
+    assert(viaStream.toSet === viaBatch.toSet)
+  }
 }
