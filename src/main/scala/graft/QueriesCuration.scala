@@ -713,6 +713,73 @@ object QueriesCuration {
       |  FROM documents)
       |WHERE sample_rank <= 5""".stripMargin)
 
+  /** Benford first-digit conformance per event type
+    * (StatsOps.benfordCheck) on the 1e-4 fixed-point grid: leading
+    * digits from the decimal string of the scaled bigint (no
+    * log10-of-double edge cases), expected shares as shared
+    * shortest-roundtrip literals, chi2 the fixed-order nine-term sum.
+    */
+  private val benfordCheckQ = Q(
+    (s, d) => StatsOps.benfordCheck(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 10000.0 + 0.5).as("xq")),
+        Seq("event_type"), "xq")
+      .select((col("event_type") +: (1 to 9).map(i => col(s"o$i")) :+
+        col("n") :+ qround(col("chi2"), 8).as("chi2")): _*),
+    {
+      val obsCols = (1 to 9).map(i =>
+        s"""CAST(sum(CASE WHEN dg = $i THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS o$i""".stripMargin).mkString(",\n    ")
+      val nSum = (1 to 9).map(i => s"o$i").mkString(" + ")
+      val chi2 = (1 to 9).map { i =>
+        val p = math.log10(1.0 + 1.0 / i)
+        s"(o$i - ndbl * $p) * (o$i - ndbl * $p) / (ndbl * $p)"
+      }.mkString("\n    + ")
+      s"""WITH b AS (
+         |  SELECT event_type,
+         |    CAST(substr(CAST(CAST(floor(value * 10000.0 + 0.5) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INT) AS dg
+         |  FROM events
+         |  WHERE value IS NOT NULL AND floor(value * 10000.0 + 0.5) > 0),
+         |g AS (
+         |  SELECT event_type,
+         |    $obsCols
+         |  FROM b GROUP BY 1),
+         |m AS (SELECT *, CAST($nSum AS DOUBLE) AS ndbl FROM g)
+         |SELECT event_type, ${(1 to 9).map(i => s"o$i").mkString(", ")},
+         |  CAST(ndbl AS BIGINT) AS n,
+         |  floor(($chi2) * 100000000.0 + 0.5) / 100000000.0 AS chi2
+         |FROM m""".stripMargin
+    })
+
+  /** Incremental aggregate maintenance (StatsOps.aggState/
+    * mergeAggStates): state from even event_ids, delta from odd ones,
+    * merged — the oracle aggregates the WHOLE fact directly, proving
+    * partial-state combination is exact (the claim that makes
+    * yesterday's-state ⊎ today's-delta safe at 100 TB).
+    */
+  private val incrementalAggQ = Q(
+    (s, d) => {
+      val e = Tables.events(s, d).where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          floor(col("value") * 10000.0 + 0.5).as("xq"))
+      val state = StatsOps.aggState(
+        e.where(col("event_id") % 2 === 0), Seq("event_type"), "xq")
+      val delta = StatsOps.aggState(
+        e.where(col("event_id") % 2 === 1), Seq("event_type"), "xq")
+      StatsOps.mergeAggStates(state, delta, Seq("event_type"))
+    },
+    """SELECT event_type, count(*) AS n,
+      |  CAST(sum(xq) AS BIGINT) AS sum_v,
+      |  CAST(min(xq) AS BIGINT) AS min_v,
+      |  CAST(max(xq) AS BIGINT) AS max_v,
+      |  CAST(sum(xq * xq) AS BIGINT) AS sum_sq
+      |FROM (SELECT event_type,
+      |        CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS xq
+      |      FROM events WHERE value IS NOT NULL)
+      |GROUP BY 1""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -750,6 +817,8 @@ object QueriesCuration {
     "stream_cusum" -> streamCusumQ,
     "gini_concentration" -> giniConcentrationQ,
     "bottomk_sample" -> bottomkSampleQ,
+    "benford_check" -> benfordCheckQ,
+    "incremental_agg" -> incrementalAggQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

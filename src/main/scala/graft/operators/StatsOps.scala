@@ -795,6 +795,71 @@ object StatsOps {
       .crossJoin(mi)
   }
 
+  /** Algebraic per-group aggregate STATE — (n, Σv, min, max, Σv²) over
+    * an integral measure — built so partial states COMBINE: the
+    * incremental-rollup pattern a 100 TB pipeline lives on (yesterday's
+    * materialized state ⊎ today's delta instead of re-scanning the
+    * fact). All five slots are exact bigints and every slot is a
+    * commutative monoid, so [[mergeAggStates]] over any batching of the
+    * data equals [[aggState]] over the whole — bit-for-bit, no
+    * refold-order hazard.
+    */
+  def aggState(df: DataFrame, keys: Seq[String],
+               valueCol: String): DataFrame =
+    df.select((keys.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+      .groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_v"),
+        min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
+        sum(col("_v") * col("_v")).as("sum_sq"))
+
+  /** Fold a delta state into an existing state (both [[aggState]]
+    * outputs on the same keys): union + one bounded re-aggregation —
+    * state tables are key-cardinality-sized, never fact-sized, so the
+    * maintenance cost is independent of history length.
+    */
+  def mergeAggStates(state: DataFrame, delta: DataFrame,
+                     keys: Seq[String]): DataFrame =
+    state.unionByName(delta)
+      .groupBy(keys.map(col): _*)
+      .agg(sum(col("n")).as("n"), sum(col("sum_v")).as("sum_v"),
+        min(col("min_v")).as("min_v"), max(col("max_v")).as("max_v"),
+        sum(col("sum_sq")).as("sum_sq"))
+
+  /** Per-group Benford first-digit conformance — the fabricated-data /
+    * unit-mixup smell test ("did this source's amounts stop looking
+    * organic?"): observed counts of leading digits 1..9 of the
+    * POSITIVE fixed-point-scaled values, and the chi-squared distance
+    * from Benford's law p_d = log10(1 + 1/d).
+    *
+    * Determinism: the leading digit comes from the DECIMAL STRING of
+    * the scaled bigint (first character) — identical in any engine,
+    * no log10-of-double edge cases; the nine expected shares are
+    * shortest-roundtrip double literals baked into both the plan and
+    * the oracle; chi2 is the fixed-order nine-term sum.
+    *
+    * Plan shape: one conditional-sum hash aggregate per group (nine
+    * longs of state); the chi2 is a pure projection. Scale-sound.
+    */
+  def benfordCheck(df: DataFrame, keys: Seq[String],
+                   valueScaledCol: String): DataFrame = {
+    val digit = substring(col(valueScaledCol).cast("long").cast("string"),
+      1, 1).cast("int")
+    val obs = (1 to 9).map(d =>
+      sum(when(digit === d, 1L).otherwise(0L)).as(s"o$d"))
+    val g = df.where(col(valueScaledCol) > 0)
+      .groupBy(keys.map(col): _*)
+      .agg(obs.head, obs.tail: _*)
+    val nD = (1 to 9).map(d => col(s"o$d")).reduceLeft(_ + _)
+      .cast("double")
+    val chi2 = (1 to 9).map { d =>
+      val p = lit(math.log10(1.0 + 1.0 / d))
+      val e = nD * p
+      (col(s"o$d") - e) * (col(s"o$d") - e) / e
+    }.reduceLeft(_ + _)
+    g.select((keys.map(col) ++ (1 to 9).map(d => col(s"o$d")) :+
+      nD.cast("long").as("n") :+ chi2.as("chi2")): _*)
+  }
+
   /** Per-group Gini coefficient + Herfindahl index over a non-negative
     * integral measure — the budget-concentration readout of a curation
     * pipeline ("is one document hogging this source's token budget?",

@@ -396,6 +396,45 @@ class CurationOpsSpec extends SparkSpec {
     assert(again.toSeq === want)
   }
 
+  test("benfordCheck: string-derived leading digits and closed-form chi2") {
+    val df = Seq(("g", 123L), ("g", 19L), ("g", 250L), ("g", 999L),
+      ("g", 0L), ("g", -5L)).toDF("k", "v") // 0 and negatives excluded
+    val r = operators.StatsOps.benfordCheck(df, Seq("k"), "v").collect()(0)
+    val obs = (1 to 9).map(i => r.getLong(i)) // o1..o9 after key col
+    assert(obs === Seq(2L, 1L, 0L, 0L, 0L, 0L, 0L, 0L, 1L))
+    assert(r.getLong(10) === 4L)
+    val want = (1 to 9).map { i =>
+      val p = math.log10(1.0 + 1.0 / i); val e = 4.0 * p
+      val o = obs(i - 1).toDouble
+      (o - e) * (o - e) / e
+    }.sum
+    assert(approx(r.getDouble(11), want, 1e-12))
+  }
+
+  test("mergeAggStates over any batching equals aggState over the whole") {
+    val rows = (1 to 40).map(i =>
+      (if (i % 3 == 0) "a" else "b", i.toLong, (i * 7 % 13).toLong))
+      .toDF("k", "id", "v")
+    val whole = operators.StatsOps.aggState(rows, Seq("k"), "v")
+      .collect().map(_.toSeq).toSet
+    // two-way split on id parity
+    val m2 = operators.StatsOps.mergeAggStates(
+      operators.StatsOps.aggState(rows.where($"id" % 2 === 0), Seq("k"), "v"),
+      operators.StatsOps.aggState(rows.where($"id" % 2 === 1), Seq("k"), "v"),
+      Seq("k")).collect().map(_.toSeq).toSet
+    assert(m2 === whole)
+    // sequential three-way fold, including a part with only one key
+    val p1 = operators.StatsOps.aggState(rows.where($"id" <= 3), Seq("k"), "v")
+    val p2 = operators.StatsOps.aggState(
+      rows.where($"id" > 3 && $"k" === "a"), Seq("k"), "v")
+    val p3 = operators.StatsOps.aggState(
+      rows.where($"id" > 3 && $"k" === "b"), Seq("k"), "v")
+    val m3 = operators.StatsOps.mergeAggStates(
+      operators.StatsOps.mergeAggStates(p1, p2, Seq("k")), p3, Seq("k"))
+      .collect().map(_.toSeq).toSet
+    assert(m3 === whole)
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")
