@@ -504,4 +504,95 @@ class PropertySpec extends SparkSpec {
       assert(c1 === c2, s"canonical($u) not a fixpoint: $c1 vs $c2")
     }
   }
+
+  test("property: cusumChange closed form equals the max-reset recursion") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.choose(-20L, 20L))
+    forSamples(gen, n = 8) { vs =>
+      whenever(vs.nonEmpty) {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+          .toDF("k", "ts", "tie", "v")
+        val r = graft.operators.SequenceOps.cusumChange(df, Seq("k"),
+          "ts", "tie", "v", refUp = 3L, refDown = -3L, threshold = 10L)
+          .collect()(0)
+        // reference: the literal textbook recursion
+        var sp = 0L; var sn = 0L; var maxP = 0L; var maxN = 0L
+        var firstP = Option.empty[Long]; var firstN = Option.empty[Long]
+        for ((v, i) <- vs.zipWithIndex) {
+          sp = math.max(0L, sp + (v - 3L)); sn = math.max(0L, sn + (-3L - v))
+          maxP = math.max(maxP, sp); maxN = math.max(maxN, sn)
+          if (sp > 10L && firstP.isEmpty) firstP = Some(i.toLong)
+          if (sn > 10L && firstN.isEmpty) firstN = Some(i.toLong)
+        }
+        assert(r.getLong(2) === maxP && r.getLong(3) === maxN, s"vs=$vs")
+        assert((if (r.isNullAt(4)) None else Some(r.getLong(4))) === firstP)
+        assert((if (r.isNullAt(5)) None else Some(r.getLong(5))) === firstN)
+      }
+    }
+  }
+
+  test("property: mannWhitney U equals brute-force midranks; z is centered") {
+    import spark.implicits._
+    val gen = Gen.zip(Gen.listOfN(8, Gen.choose(0, 5)),
+      Gen.listOfN(10, Gen.choose(0, 5)))
+    forSamples(gen, n = 8) { case (as, bs) =>
+      val df = (as.map(v => ("a", v.toDouble)) ++
+        bs.map(v => ("b", v.toDouble))).toDF("c", "v")
+      val r = graft.operators.StatsOps.mannWhitney(df, "c", "a", "b", "v")
+        .collect()(0)
+      // brute-force midranks over the combined sample
+      val all = (as ++ bs).sorted
+      val midrank = all.distinct.map { v =>
+        val lo = all.indexOf(v) + 1; val hi = all.lastIndexOf(v) + 1
+        v -> (lo + hi) / 2.0
+      }.toMap
+      val ra = as.map(midrank).sum
+      val ua = ra - as.size * (as.size + 1) / 2.0
+      assert(approx(r.getDouble(2), ua, 1e-9), s"as=$as bs=$bs")
+    }
+  }
+
+  test("property: autocorrelation matches the direct estimator; lag-0 analog is 1") {
+    import spark.implicits._
+    val gen = Gen.listOfN(10, Gen.choose(0L, 9L))
+    forSamples(gen, n = 8) { vs =>
+      whenever(vs.distinct.size > 1) {
+        val df = vs.zipWithIndex
+          .map { case (v, i) => ("k", i.toLong, i.toLong, v) }
+          .toDF("k", "ts", "tie", "v")
+        val got = graft.operators.StatsOps
+          .autocorrelation(df, Seq("k"), "ts", "tie", "v", maxLag = 2)
+          .collect().map(r => r.getInt(1) ->
+            (if (r.isNullAt(4)) None else Some(r.getDouble(4)))).toMap
+        val n = vs.size; val mean = vs.sum.toDouble / n
+        val den = vs.map(v => (v - mean) * (v - mean)).sum
+        for (l <- 1 to 2) {
+          val num = (0 until n - l)
+            .map(t => (vs(t) - mean) * (vs(t + l) - mean)).sum
+          assert(approx(got(l).get, num / den, 1e-9),
+            s"lag $l on $vs: got ${got(l)}")
+          assert(got(l).get >= -1.0 - 1e-9 && got(l).get <= 1.0 + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("property: gini within [0, (n-1)/n], HHI within [1/n, 1]") {
+    import spark.implicits._
+    val gen = Gen.listOfN(9, Gen.choose(0L, 50L))
+    forSamples(gen, n = 8) { vs =>
+      whenever(vs.sum > 0) {
+        val df = vs.zipWithIndex.map { case (v, i) => ("k", i.toLong, v) }
+          .toDF("k", "id", "v")
+        val r = graft.operators.StatsOps
+          .concentration(df, Seq("k"), "v", "id").collect()(0)
+        val n = vs.size
+        assert(r.getDouble(3) >= -1e-12 &&
+          r.getDouble(3) <= (n - 1.0) / n + 1e-12, s"gini out of range: $vs")
+        assert(r.getDouble(4) >= 1.0 / n - 1e-12 &&
+          r.getDouble(4) <= 1.0 + 1e-12, s"hhi out of range: $vs")
+      }
+    }
+  }
 }
