@@ -780,6 +780,86 @@ object QueriesCuration {
       |      FROM events WHERE value IS NOT NULL)
       |GROUP BY 1""".stripMargin)
 
+  /** Token-level drift (TextOps.termShift): top-30 terms by absolute
+    * log-frequency-ratio between English and Spanish documents —
+    * exact counts, two single divisions + one ln per term, ranked
+    * before quantization on both sides (identical cutoff).
+    */
+  private val termShiftQ = Q(
+    (s, d) => graft.operators.TextOps.termShift(
+        Tables.documents(s, d).select(col("lang"), col("text")),
+        "lang", "en", "es", "text", k = 30)
+      .select(col("term"), col("cnt_a"), col("cnt_b"),
+        qround(col("shift"), 8).as("shift")),
+    """WITH t AS (
+      |  SELECT lang AS c, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE lang IN ('en', 'es')),
+      |counts AS (
+      |  SELECT w,
+      |    CAST(sum(CASE WHEN c = 'en' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'es' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |               CAST(sum(cb) AS BIGINT) AS n_b,
+      |               count(*) AS v FROM counts),
+      |sh AS (
+      |  SELECT w AS term, ca AS cnt_a, cb AS cnt_b,
+      |    ln((CAST(ca + 1 AS DOUBLE) / (n_a + v))
+      |       / (CAST(cb + 1 AS DOUBLE) / (n_b + v))) AS shift_raw
+      |  FROM counts CROSS JOIN tot)
+      |SELECT term, cnt_a, cnt_b,
+      |  floor(shift_raw * 100000000.0 + 0.5) / 100000000.0 AS shift
+      |FROM sh
+      |ORDER BY abs(shift_raw) DESC, term
+      |LIMIT 30""".stripMargin)
+
+  /** Which part of the distribution moved: per-quantile deltas between
+    * the view and purchase value distributions, each side's exact
+    * interpolated quantile quantized to the gate-proven 1e-4 grid
+    * BEFORE the subtraction (StatsOps.groupedQuantiles both engines
+    * agree on; the delta of two quantized doubles is deterministic).
+    */
+  private val qdPs = Seq(0.1, 0.25, 0.5, 0.75, 0.9)
+  private val qdNames = Seq("d_p10", "d_p25", "d_p50", "d_p75", "d_p90")
+
+  private val quantileDriftQ = Q(
+    (s, d) => {
+      val q = StatsOps.groupedQuantiles(
+        Tables.events(s, d).where(col("value").isNotNull &&
+          col("event_type").isin("view", "purchase")),
+        Seq("event_type"), "value", qdPs)
+      val qq = q.select(col("event_type") +: col("n_group") +:
+        qdPs.indices.map(ix => qround(col(s"q_$ix"), 4).as(s"_qq$ix")): _*)
+      val aggCols =
+        max(when(col("event_type") === "view", col("n_group"))).as("n_a") +:
+        max(when(col("event_type") === "purchase", col("n_group")))
+          .as("n_b") +:
+        qdPs.indices.map { ix =>
+          (max(when(col("event_type") === "view", col(s"_qq$ix"))) -
+            max(when(col("event_type") === "purchase", col(s"_qq$ix"))))
+            .as(qdNames(ix))
+        }
+      qq.agg(aggCols.head, aggCols.tail: _*)
+    },
+    s"""WITH qa AS (
+       |  SELECT count(value) AS n_a,
+       |${qdPs.zipWithIndex.map { case (p, ix) =>
+          s"    floor(quantile_cont(value, $p) * 10000.0 + 0.5) / 10000.0 AS qa$ix"
+        }.mkString(",\n")}
+       |  FROM events WHERE value IS NOT NULL AND event_type = 'view'),
+       |qb AS (
+       |  SELECT count(value) AS n_b,
+       |${qdPs.zipWithIndex.map { case (p, ix) =>
+          s"    floor(quantile_cont(value, $p) * 10000.0 + 0.5) / 10000.0 AS qb$ix"
+        }.mkString(",\n")}
+       |  FROM events WHERE value IS NOT NULL AND event_type = 'purchase')
+       |SELECT n_a, n_b,
+       |${qdPs.indices.map(ix =>
+          s"  qa$ix - qb$ix AS ${qdNames(ix)}").mkString(",\n")}
+       |FROM qa CROSS JOIN qb""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -819,6 +899,8 @@ object QueriesCuration {
     "bottomk_sample" -> bottomkSampleQ,
     "benford_check" -> benfordCheckQ,
     "incremental_agg" -> incrementalAggQ,
+    "term_shift" -> termShiftQ,
+    "quantile_drift" -> quantileDriftQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

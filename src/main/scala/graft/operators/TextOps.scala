@@ -1072,6 +1072,40 @@ object TextOps {
         .otherwise(lit(0.0)).as("rouge2_f"))
   }
 
+  /** Top-k term-frequency shift between two cohorts — the TOKEN-level
+    * drift readout that tells you WHAT moved when the distribution
+    * monitors ([[graft.operators.StatsOps.ksDrift]], PSI) fire:
+    * per-term log-ratio of add-one-smoothed relative frequencies,
+    *   shift(w) = ln( ((ca+1)/(n_a+V)) / ((cb+1)/(n_b+V)) ),
+    * ranked by |shift| (term tie-break — deterministic cutoff).
+    *
+    * Fully relational: one explode + hash aggregate to per-term cohort
+    * counts (bounded by vocabulary), a 1-row totals broadcast, and a
+    * TakeOrdered top-k of the COUNTS table — never a sort of the fact.
+    * Counts are exact integers; each shift is two single divisions and
+    * one ln, identical IEEE in any engine.
+    */
+  def termShift(docs: DataFrame, cohortCol: String, cohortA: String,
+                cohortB: String, textCol: String, k: Int): DataFrame = {
+    require(k > 0, "termShift needs k > 0")
+    val toks = docs.where(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).as("_c"),
+        explode(words(col(textCol))).as("_w"))
+    val counts = toks.groupBy("_w").agg(
+      sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+      sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"), count(lit(1)).as("_v"))
+    counts.crossJoin(broadcast(tot))
+      .select(col("_w").as("term"), col("_ca").as("cnt_a"),
+        col("_cb").as("cnt_b"),
+        log(((col("_ca") + 1).cast("double") / (col("n_a") + col("_v"))) /
+          ((col("_cb") + 1).cast("double") / (col("n_b") + col("_v"))))
+          .as("shift"))
+      .orderBy(abs(col("shift")).desc, col("term"))
+      .limit(k)
+  }
+
   /** Out-of-vocabulary rate per group against a corpus-derived top-n
     * vocabulary — the tokenizer-coverage readout run before committing
     * a vocab to a training run (a lang/domain whose OOV rate spikes is

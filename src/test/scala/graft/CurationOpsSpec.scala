@@ -435,6 +435,20 @@ class CurationOpsSpec extends SparkSpec {
     assert(m3 === whole)
   }
 
+  test("termShift ranks terms by absolute smoothed log-frequency-ratio") {
+    // cohort a: "x x z" (n_a=3), cohort b: "y z" (n_b=2), V=3
+    // shift(x)=ln((3/6)/(1/5)), shift(y)=ln((1/6)/(2/5)), shift(z)=ln((2/6)/(2/5))
+    val docs = Seq(("a", "x x z"), ("b", "y z")).toDF("c", "text")
+    val out = operators.TextOps.termShift(docs, "c", "a", "b", "text", k = 2)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3)))
+    assert(out.map(_._1).toSeq === Seq("x", "y"),
+      "|shift| order: x (rose) before y (fell), z below the cut")
+    assert(out(0)._2 === 2L && out(0)._3 === 0L)
+    assert(approx(out(0)._4, math.log((3.0 / 6) / (1.0 / 5)), 1e-12))
+    assert(approx(out(1)._4, math.log((1.0 / 6) / (2.0 / 5)), 1e-12))
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")
