@@ -780,6 +780,19 @@ object QueriesCuration {
       |      FROM events WHERE value IS NOT NULL)
       |GROUP BY 1""".stripMargin)
 
+  /** The STREAMING aggregate state on the batch frame — the five-slot
+    * monoid is fully commutative, so state is order-free and the fold
+    * equals the batch operator bit-for-bit (shared oracle SQL with
+    * incremental_agg).
+    */
+  private val streamAggStateQ = Q(
+    (s, d) => graft.streaming.StreamingOps.aggStateStream(s,
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("event_type"),
+            floor(col("value") * 10000.0 + 0.5).as("xq")),
+        "event_type", "xq"),
+    incrementalAggQ.sql)
+
   /** Token-level drift (TextOps.termShift): top-30 terms by absolute
     * log-frequency-ratio between English and Spanish documents —
     * exact counts, two single divisions + one ln per term, ranked
@@ -900,6 +913,7 @@ object QueriesCuration {
     "benford_check" -> benfordCheckQ,
     "incremental_agg" -> incrementalAggQ,
     "term_shift" -> termShiftQ,
+    "stream_agg_state" -> streamAggStateQ,
     "quantile_drift" -> quantileDriftQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,

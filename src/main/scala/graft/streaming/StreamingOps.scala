@@ -791,6 +791,49 @@ object StreamingOps {
         "first_alarm_pos", "first_alarm_neg")
   }
 
+  /** Streaming algebraic aggregate state — the live face of
+    * [[graft.operators.StatsOps.aggState]]/mergeAggStates: the same
+    * five-slot (n, Σv, min, max, Σv²) monoid carried per key by
+    * flatMapGroupsWithState. Every slot is commutative, so the state
+    * is ORDER-FREE — no ingest-order contract at all, any batching
+    * equals the batch operator bit-for-bit (shared oracle SQL).
+    * Emits a snapshot per batch in which the key saw data.
+    */
+  def aggStateStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                     valueCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    require(integral.contains(df.schema(valueCol).dataType),
+      s"aggStateStream needs an integral $valueCol, " +
+        s"got ${df.schema(valueCol).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("string").as("_k"),
+        col(valueCol).cast("long").as("_v"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long, Long),
+        (String, Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var (n, s, mn, mx, sq) = state.getOption
+            .getOrElse((0L, 0L, Long.MaxValue, Long.MinValue, 0L))
+          var any = false
+          for (r <- rows) {
+            any = true; n += 1; s += r._2
+            if (r._2 < mn) mn = r._2
+            if (r._2 > mx) mx = r._2
+            sq += r._2 * r._2
+          }
+          if (!any) Iterator.empty
+          else {
+            state.update((n, s, mn, mx, sq))
+            Iterator((key, n, s, mn, mx, sq))
+          }
+      }
+      .toDF(keyCol, "n", "sum_v", "min_v", "max_v", "sum_sq")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -59,7 +59,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "chi2_drift", "js_divergence", "mutual_information", "skew_report",
     "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change",
     "stream_cusum", "gini_concentration", "bottomk_sample",
-    "benford_check", "incremental_agg", "term_shift", "quantile_drift")
+    "benford_check", "incremental_agg", "term_shift", "quantile_drift",
+    "stream_agg_state")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the

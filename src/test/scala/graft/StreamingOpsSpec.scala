@@ -593,4 +593,35 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(_.toSeq)
     assert(viaStream.toSet === viaBatch.toSet)
   }
+
+  test("aggStateStream: order-free five-slot monoid across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("k", "v")
+    val out = StreamingOps.aggStateStream(spark, df, "k", "v")
+    val q = out.writeStream.format("memory").queryName("aggstate_t")
+      .outputMode("append").start()
+    input.addData(("a", 5L), ("a", -2L))
+    q.processAllAvailable()
+    input.addData(("a", 9L), ("b", 1L)) // deliberately out of any order
+    q.processAllAvailable()
+    val snaps = spark.table("aggstate_t").collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r).toMap
+    q.stop()
+    val a1 = snaps(("a", 2L))
+    assert(a1.getLong(2) === 3L && a1.getLong(3) === -2L &&
+      a1.getLong(4) === 5L && a1.getLong(5) === 29L)
+    val a2 = snaps(("a", 3L)) // resumed: min/max/sums extended
+    assert(a2.getLong(2) === 12L && a2.getLong(3) === -2L &&
+      a2.getLong(4) === 9L && a2.getLong(5) === 110L)
+    // batch-frame fold equals the batch operator (any order)
+    import spark.implicits._
+    val frame = Seq(("a", 9L), ("a", 5L), ("a", -2L), ("b", 1L))
+      .toDF("k", "v")
+    val viaStream = StreamingOps.aggStateStream(spark, frame, "k", "v")
+      .collect().map(_.toSeq).toSet
+    val viaBatch = operators.StatsOps.aggState(frame, Seq("k"), "v")
+      .collect().map(_.toSeq).toSet
+    assert(viaStream === viaBatch)
+  }
 }
