@@ -873,6 +873,53 @@ object QueriesCuration {
           s"  qa$ix - qb$ix AS ${qdNames(ix)}").mkString(",\n")}
        |FROM qa CROSS JOIN qb""".stripMargin)
 
+  /** Embedding-space drift (SimilarityOps.embeddingDrift): centroid
+    * cosine + L2 between label-0 and label-1 vectors on the 1e-6
+    * fixed-point grid — per-dim exact bigint sums in ONE scan,
+    * dim-bounded folds after.
+    */
+  private val embeddingDriftQ = Q(
+    (s, d) => graft.operators.SimilarityOps.embeddingDrift(
+        Tables.embeddings(s, d).select(col("label"), col("embedding")),
+        "label", 0, 1, "embedding")
+      .select(col("n_a"), col("n_b"),
+        qround(col("cosine"), 8).as("cosine"),
+        qround(col("l2_dist"), 8).as("l2_dist")),
+    """WITH e AS (
+      |  SELECT c, i - 1 AS d,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS xq
+      |  FROM (SELECT label AS c, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings WHERE label IN (0, 1))),
+      |g AS (
+      |  SELECT d,
+      |    CAST(sum(CASE WHEN c = 0 THEN xq ELSE 0 END) AS BIGINT) AS sa,
+      |    CAST(sum(CASE WHEN c = 1 THEN xq ELSE 0 END) AS BIGINT) AS sb,
+      |    CAST(sum(CASE WHEN c = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+      |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb
+      |  FROM e GROUP BY 1),
+      |t AS (SELECT d, na, nb,
+      |    CAST(sa AS DOUBLE) / na AS ca,
+      |    CAST(sb AS DOUBLE) / nb AS cb FROM g),
+      |f AS (SELECT max(na) AS n_a, max(nb) AS n_b,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(ca * cb ORDER BY d)), (a_, b_) -> a_ + b_) AS dot,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(ca * ca ORDER BY d)), (a_, b_) -> a_ + b_) AS a2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(cb * cb ORDER BY d)), (a_, b_) -> a_ + b_) AS b2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list((ca - cb) * (ca - cb) ORDER BY d)), (a_, b_) -> a_ + b_)
+      |      AS dd
+      |  FROM t)
+      |SELECT n_a, n_b,
+      |  floor(dot / (sqrt(a2) * sqrt(b2)) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS cosine,
+      |  floor(sqrt(dd) / 1000000.0 * 100000000.0 + 0.5)
+      |    / 100000000.0 AS l2_dist
+      |FROM f""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -915,6 +962,7 @@ object QueriesCuration {
     "term_shift" -> termShiftQ,
     "stream_agg_state" -> streamAggStateQ,
     "quantile_drift" -> quantileDriftQ,
+    "embedding_drift" -> embeddingDriftQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

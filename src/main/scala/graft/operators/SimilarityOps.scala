@@ -576,4 +576,58 @@ object SimilarityOps {
         graft.functions.ProjectVector(toDouble(col(vecCol)), mat, scale))
       .as(Seq("out_dim", "value")))
   }
+
+  /** Embedding-space drift between two cohorts — the VECTOR member of
+    * the drift family (PSI/KS/chi2 watch scalar columns; this one
+    * answers "did the representation itself move?", the signal that a
+    * re-embed or recalibration is due): cosine similarity and L2
+    * distance between the cohort CENTROIDS.
+    *
+    * Exactness: components are fixed-point-scaled to `digits` decimals
+    * (floor(x·10^d + 0.5) on the float→double value — exact in any
+    * engine), so the per-dimension cohort sums are exact BIGINTs; each
+    * centroid component is one division of those integers, and the
+    * three norms/dot are fixed-order folds over the DIM-sorted list
+    * (bounded by the embedding width, never the corpus). The L2 is
+    * reported in raw embedding units (descaled once at the end).
+    *
+    * Plan shape: ONE scan — posexplode + a hash aggregate to
+    * (dim × four bigints); everything after is |dims|-bounded. An
+    * empty cohort yields null metrics via try_divide, never a throw.
+    */
+  def embeddingDrift(df: DataFrame, cohortCol: String, cohortA: Any,
+                     cohortB: Any, vecCol: String,
+                     digits: Int = 6): DataFrame = {
+    val s = math.pow(10, digits)
+    val e = df.where(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).as("_c"),
+        posexplode(col(vecCol)).as(Seq("_d", "_x")))
+      .select(col("_c"), col("_d"),
+        floor(col("_x").cast("double") * lit(s) + lit(0.5)).as("_xq"))
+    val dims = e.groupBy("_d").agg(
+      sum(when(col("_c") === cohortA, col("_xq")).otherwise(0L)).as("_sa"),
+      sum(when(col("_c") === cohortB, col("_xq")).otherwise(0L)).as("_sb"),
+      sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_na"),
+      sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_nb"))
+    def fold(term: String, out: String) =
+      expr(s"""aggregate(array_sort(collect_list(struct(_d, $term))),
+              |  cast(0.0 as double), (acc, x) -> acc + x.$term)"""
+        .stripMargin).as(out)
+    val agg = dims
+      .select(col("_d"), col("_na"), col("_nb"),
+        try_divide(col("_sa").cast("double"), col("_na")).as("_ca"),
+        try_divide(col("_sb").cast("double"), col("_nb")).as("_cb"))
+      .select(col("_d"), col("_na"), col("_nb"),
+        (col("_ca") * col("_cb")).as("_dot"),
+        (col("_ca") * col("_ca")).as("_a2"),
+        (col("_cb") * col("_cb")).as("_b2"),
+        ((col("_ca") - col("_cb")) * (col("_ca") - col("_cb"))).as("_dd"))
+      .agg(max(col("_na")).as("n_a"), max(col("_nb")).as("n_b"),
+        fold("_dot", "dot"), fold("_a2", "a2"), fold("_b2", "b2"),
+        fold("_dd", "dd"))
+    agg.select(col("n_a"), col("n_b"),
+      try_divide(col("dot"), sqrt(col("a2")) * sqrt(col("b2")))
+        .as("cosine"),
+      (sqrt(col("dd")) / lit(s)).as("l2_dist"))
+  }
 }

@@ -449,6 +449,26 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx(out(1)._4, math.log((1.0 / 6) / (2.0 / 5)), 1e-12))
   }
 
+  test("embeddingDrift: cosine 1 / L2 0 for equal centroids, 0 for orthogonal") {
+    val same = Seq((0, Seq(1.0f, 1.0f)), (0, Seq(3.0f, 1.0f)),
+      (1, Seq(1.0f, 1.0f)), (1, Seq(3.0f, 1.0f))).toDF("label", "emb")
+    val rs = operators.SimilarityOps
+      .embeddingDrift(same, "label", 0, 1, "emb").collect()(0)
+    assert(rs.getLong(0) === 2L && rs.getLong(1) === 2L)
+    assert(approx(rs.getDouble(2), 1.0, 1e-12) && rs.getDouble(3) === 0.0)
+    val orth = Seq((0, Seq(1.0f, 0.0f)), (0, Seq(1.0f, 0.0f)),
+      (1, Seq(0.0f, 2.0f)), (1, Seq(0.0f, 2.0f))).toDF("label", "emb")
+    val ro = operators.SimilarityOps
+      .embeddingDrift(orth, "label", 0, 1, "emb").collect()(0)
+    assert(ro.getDouble(2) === 0.0, "orthogonal centroids")
+    assert(approx(ro.getDouble(3), math.sqrt(5.0), 1e-9))
+    // empty cohort: null metrics, no throw
+    val one = Seq((0, Seq(1.0f, 0.0f))).toDF("label", "emb")
+    val r1 = operators.SimilarityOps
+      .embeddingDrift(one, "label", 0, 1, "emb").collect()(0)
+    assert(r1.isNullAt(2) && r1.isNullAt(3))
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")

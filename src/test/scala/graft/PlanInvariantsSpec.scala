@@ -60,7 +60,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change",
     "stream_cusum", "gini_concentration", "bottomk_sample",
     "benford_check", "incremental_agg", "term_shift", "quantile_drift",
-    "stream_agg_state")
+    "stream_agg_state", "embedding_drift")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
