@@ -696,10 +696,15 @@ object StatsOps {
       (col("n_a") + col("n_b"))
     val eb = (col("_ca") + col("_cb")).cast("double") * col("n_b") /
       (col("n_a") + col("n_b"))
+    // try_divide: an EMPTY cohort zeroes one margin, so exp = 0 for
+    // every cell of that side — the statistic is undefined there and
+    // must surface as null, not an ANSI divide-by-zero task failure
+    // (the single-row sweep hits exactly this)
     counts.crossJoin(broadcast(tot))
       .select(col("_cat"),
-        ((col("_ca") - ea) * (col("_ca") - ea) / ea +
-          (col("_cb") - eb) * (col("_cb") - eb) / eb).as("_term"),
+        (try_divide((col("_ca") - ea) * (col("_ca") - ea), ea) +
+          try_divide((col("_cb") - eb) * (col("_cb") - eb), eb))
+          .as("_term"),
         col("n_a"), col("n_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         (count(lit(1)) - 1).as("dof"),
@@ -1010,8 +1015,10 @@ object StatsOps {
     val nD = naD + nbD
     val u = (col("_r2").cast("double") - naD * (naD + 1)) / lit(2.0)
     val mu = naD * nbD / lit(2.0)
+    // try_divide: N = 1 makes the tie-correction denominator 0 (the
+    // single-row sweep); sig2 goes null -> z falls to the 0.0 branch
     val sig2 = naD * nbD / lit(12.0) *
-      ((nD + 1) - col("_ties") / (nD * (nD - 1)))
+      ((nD + 1) - try_divide(col("_ties"), nD * (nD - 1)))
     agg.select(col("n_a"), col("n_b"), u.as("u_a"),
       when(sig2 > 0, (u - mu) / sqrt(sig2)).otherwise(lit(0.0)).as("z"))
   }
