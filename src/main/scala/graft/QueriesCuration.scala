@@ -920,6 +920,68 @@ object QueriesCuration {
       |    / 100000000.0 AS l2_dist
       |FROM f""".stripMargin)
 
+  /** Deterministic WEIGHTED per-language sample
+    * (SampleOps.weightedSample, Efraimidis-Spirakis with hash draws):
+    * five documents per lang, long documents proportionally likelier —
+    * reproducible across runs, engines, and re-weightings.
+    */
+  private val weightedSampleQ = Q(
+    (s, d) => SampleOps.weightedSample(
+        Tables.documents(s, d).select(col("lang"), col("doc_id"),
+          col("n_chars")),
+        Seq("lang"), "doc_id", "n_chars", k = 5)
+      .select(col("lang"), col("doc_id"), col("n_chars"),
+        col("sample_rank"),
+        qround(col("sample_score"), 8).as("sample_score")),
+    """SELECT lang, doc_id, n_chars, CAST(sample_rank AS INT)
+      |    AS sample_rank,
+      |  floor(score * 100000000.0 + 0.5) / 100000000.0 AS sample_score
+      |FROM (
+      |  SELECT lang, doc_id, n_chars, score,
+      |    row_number() OVER (PARTITION BY lang
+      |      ORDER BY score DESC, doc_id) AS sample_rank
+      |  FROM (SELECT lang, doc_id, n_chars,
+      |      ln(((((doc_id % 1000000007) * 2654435761) % 1000000007
+      |            % 10000) + 0.5) / 10000)
+      |        / CAST(n_chars AS DOUBLE) AS score
+      |    FROM documents WHERE n_chars > 0))
+      |WHERE sample_rank <= 5""".stripMargin)
+
+  /** The one-pass monitor dashboard: every scalar drift statistic this
+    * engine ships (PSI, KS, Mann-Whitney z, chi2, JSD) over the same
+    * view/purchase cohort pair, labeled and unioned — operator
+    * composition, each leg identical to its standalone gate query.
+    */
+  private val driftReportQ = Q(
+    (s, d) => {
+      def leg(name: String, df: org.apache.spark.sql.DataFrame,
+              stat: String) =
+        df.select(lit(name).as("metric"), col("n_a"), col("n_b"),
+          qround(col(stat), 8).as("statistic"))
+      val ev = Tables.events(s, d).select(col("event_type"), col("value"))
+      leg("psi", StatsOps.populationStability(ev, "event_type", "view",
+          "purchase", "value", bins = psiBins), "psi")
+        .unionByName(leg("ks", StatsOps.ksDrift(ev, "event_type",
+          "view", "purchase", "value"), "ks"))
+        .unionByName(leg("mwu_z", StatsOps.mannWhitney(ev, "event_type",
+          "view", "purchase", "value"), "z"))
+        .unionByName(leg("chi2", StatsOps.chi2Drift(
+          Tables.events(s, d).select(col("event_type"),
+            (col("user_id") % 7).as("ucat")),
+          "event_type", "view", "purchase", "ucat"), "chi2"))
+        .unionByName(leg("jsd", StatsOps.jsDivergence(
+          Tables.documents(s, d).select(col("lang"), col("source")),
+          "lang", "en", "es", "source"), "jsd"))
+    },
+    Seq(("psi", datasetDriftQ.sql, "psi"), ("ks", ksDriftQ.sql, "ks"),
+      ("mwu_z", mannWhitneyQ.sql, "z"), ("chi2", chi2DriftQ.sql, "chi2"),
+      ("jsd", jsDivergenceQ.sql, "jsd")).map { case (name, sql, stat) =>
+      s"""SELECT '$name' AS metric, n_a, n_b, $stat AS statistic
+         |FROM (
+         |$sql
+         |)""".stripMargin
+    }.mkString("\nUNION ALL\n"))
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -963,6 +1025,8 @@ object QueriesCuration {
     "stream_agg_state" -> streamAggStateQ,
     "quantile_drift" -> quantileDriftQ,
     "embedding_drift" -> embeddingDriftQ,
+    "weighted_sample" -> weightedSampleQ,
+    "drift_report" -> driftReportQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

@@ -77,6 +77,37 @@ object SampleOps {
       .drop("_h", "_rn")
   }
 
+  /** Deterministic WEIGHTED per-group sample (Efraimidis-Spirakis
+    * A-Res with the hash standing in for the uniform draw): keep the k
+    * rows per group with the largest u^(1/w), computed as the
+    * monotone-equivalent ln(u)/w (one ln + one division — steadier
+    * cross-engine than pow). u = (bucket+0.5)/10000 from the same
+    * multiplicative hash family as [[splitBucket]], so a row's draw is
+    * a pure function of its key: samples are reproducible across runs,
+    * engines, and — the property A-Res is famous for — across
+    * re-weightings, where only rows whose RELATIVE weight changed can
+    * enter or leave. Weights must be positive.
+    *
+    * Scale: row_number <= k over (score desc, id) — the partial
+    * WindowGroupLimit top-k shape; at most k rows per group per
+    * partition shuffle.
+    */
+  def weightedSample(df: DataFrame, keys: Seq[String], idCol: String,
+                     weightCol: String, k: Int): DataFrame = {
+    require(k > 0, "weightedSample needs k > 0")
+    import org.apache.spark.sql.expressions.Window
+    val u = (splitBucket(col(idCol)).cast("double") + 0.5) / SplitBuckets
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_score").desc, col(idCol))
+    df.where(col(weightCol) > 0)
+      .withColumn("_score", log(u) / col(weightCol).cast("double"))
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= k)
+      .withColumn("sample_rank", col("_rn"))
+      .withColumn("sample_score", col("_score"))
+      .drop("_score", "_rn")
+  }
+
   /** Keep a deterministic `fraction` of key-groups (bucket < cut). */
   def sampleByHash(df: DataFrame, keyCol: String,
                    fraction: Double): DataFrame =

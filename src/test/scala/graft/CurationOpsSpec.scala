@@ -469,6 +469,28 @@ class CurationOpsSpec extends SparkSpec {
     assert(r1.isNullAt(2) && r1.isNullAt(3))
   }
 
+  test("weightedSample reproduces the Efraimidis-Spirakis hash scores") {
+    val df = (1L to 20L).map(i => ("g", i, i * 10L)).toDF("g", "id", "w")
+    val got = operators.SampleOps
+      .weightedSample(df, Seq("g"), "id", "w", k = 4)
+      .orderBy("sample_rank").collect()
+      .map(r => (r.getLong(1), r.getInt(3), r.getDouble(4)))
+    val m = operators.TextOps.HashMod
+    def score(id: Long) = {
+      val b = id % m * operators.SketchOps.KmvMult % m %
+        operators.SampleOps.SplitBuckets
+      math.log((b + 0.5) / operators.SampleOps.SplitBuckets) / (id * 10.0)
+    }
+    val want = (1L to 20L).sortBy(i => (-score(i), i)).take(4)
+    assert(got.map(_._1).toSeq === want)
+    assert(got.map(_._2).toSeq === Seq(1, 2, 3, 4))
+    for ((id, _, s) <- got) assert(approx(s, score(id), 1e-12))
+    // zero/negative weights are excluded, not a throw
+    val zw = Seq(("g", 1L, 0L), ("g", 2L, 5L)).toDF("g", "id", "w")
+    assert(operators.SampleOps.weightedSample(zw, Seq("g"), "id", "w", 4)
+      .collect().map(_.getLong(1)).toSeq === Seq(2L))
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")

@@ -60,7 +60,8 @@ class PlanInvariantsSpec extends SparkSpec {
     "rouge_pairs", "mann_whitney", "autocorrelation", "cusum_change",
     "stream_cusum", "gini_concentration", "bottomk_sample",
     "benford_check", "incremental_agg", "term_shift", "quantile_drift",
-    "stream_agg_state", "embedding_drift")
+    "stream_agg_state", "embedding_drift", "weighted_sample",
+    "drift_report")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -92,7 +93,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // rank-filter pattern the optimizer recognizes, full fact rows
     // shuffle again; this trips first.
     for (name <- Seq("top_per_group", "ann_topk", "tfidf_top_terms",
-        "cluster_best_rep", "bottomk_sample")) {
+        "cluster_best_rep", "bottomk_sample", "weighted_sample")) {
       val p = plan(name)
       val n = "WindowGroupLimit".r.findAllIn(p).size
       assert(n >= 2, s"$name: expected partial+final WindowGroupLimit, " +
@@ -297,12 +298,14 @@ class PlanInvariantsSpec extends SparkSpec {
     //                    window; SequenceOps.funnelLatency names
     //                    quantileSketch as the data-scale swap)
     //   ks_drift /       distinct QUANTIZED values     (StatsOps.ksDrift
-    //     mann_whitney   + mannWhitney: the 1e-4 grid bounds the domain
-    //                    the cumulative window walks, never the fact)
+    //     mann_whitney / + mannWhitney: the 1e-4 grid bounds the domain
+    //     drift_report   the cumulative window walks, never the fact;
+    //                    drift_report composes those two legs)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
-      "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney")
+      "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
+      "drift_report")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
