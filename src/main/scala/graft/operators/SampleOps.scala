@@ -29,8 +29,13 @@ object SampleOps {
     * under 2^62.
     */
   def splitBucket(key: Column): Column =
+    keyHash(key) % SplitBuckets
+
+  /** The one multiplicative key hash every deterministic sampler here
+    * derives from — [0, HashMod), a pure function of the key. */
+  private def keyHash(key: Column): Column =
     pmod(key.cast("long"), lit(TextOps.HashMod)) * SketchOps.KmvMult %
-      TextOps.HashMod % SplitBuckets
+      TextOps.HashMod
 
   /** Adds a `split` label column chosen by cumulative weight over the
     * key's bucket. Weights need not sum to 1 (normalized internally);
@@ -66,11 +71,9 @@ object SampleOps {
                     k: Int): DataFrame = {
     require(k > 0, "bottomKSample needs k > 0")
     import org.apache.spark.sql.expressions.Window
-    val h = pmod(col(idCol).cast("long"), lit(TextOps.HashMod)) *
-      SketchOps.KmvMult % TextOps.HashMod
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_h"), col(idCol))
-    df.withColumn("_h", h)
+    df.withColumn("_h", keyHash(col(idCol)))
       .withColumn("_rn", row_number().over(w))
       .where(col("_rn") <= k)
       .withColumn("sample_rank", col("_rn"))

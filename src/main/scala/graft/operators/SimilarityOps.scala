@@ -610,9 +610,7 @@ object SimilarityOps {
       sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_na"),
       sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_nb"))
     def fold(term: String, out: String) =
-      expr(s"""aggregate(array_sort(collect_list(struct(_d, $term))),
-              |  cast(0.0 as double), (acc, x) -> acc + x.$term)"""
-        .stripMargin).as(out)
+      StatsOps.orderedFoldSum(Seq("_d"), term).as(out)
     val agg = dims
       .select(col("_d"), col("_na"), col("_nb"),
         try_divide(col("_sa").cast("double"), col("_na")).as("_ca"),

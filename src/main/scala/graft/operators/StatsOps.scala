@@ -657,6 +657,19 @@ object StatsOps {
     * fact-sized stage either statistic needs; everything downstream is
     * bounded by the category domain.
     */
+  /** The exactness-critical fixed-order fold: Σ of `termCol` over the
+    * collect_list sorted by `keyCols` — the ONE summation idiom every
+    * cross-engine-exact statistic here shares (the oracle replays it
+    * as a DuckDB ORDER BY list + list_reduce). Keys must make rows
+    * unique; term must be the LAST struct field listed.
+    */
+  private[operators] def orderedFoldSum(keyCols: Seq[String],
+                                        termCol: String): Column =
+    expr(s"""aggregate(array_sort(collect_list(struct(
+            |    ${(keyCols :+ termCol).mkString(", ")}))),
+            |  cast(0.0 as double), (acc, x) -> acc + x.$termCol)"""
+      .stripMargin)
+
   private def cohortCounts(df: DataFrame, cohortCol: String,
                            cohortA: String, cohortB: String,
                            categoryCol: String): DataFrame =
@@ -708,9 +721,7 @@ object StatsOps {
         col("n_a"), col("n_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
         (count(lit(1)) - 1).as("dof"),
-        expr("""aggregate(array_sort(collect_list(struct(_cat, _term))),
-               |  cast(0.0 as double), (acc, x) -> acc + x._term)"""
-          .stripMargin).as("chi2"))
+        orderedFoldSum(Seq("_cat"), "_term").as("chi2"))
   }
 
   /** Jensen-Shannon divergence (nats) between two cohorts' CATEGORICAL
@@ -742,9 +753,7 @@ object StatsOps {
         ((p * log(p / m) + q * log(q / m)) / lit(2.0)).as("_term"),
         col("n_a"), col("n_b"))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        expr("""aggregate(array_sort(collect_list(struct(_cat, _term))),
-               |  cast(0.0 as double), (acc, x) -> acc + x._term)"""
-          .stripMargin).as("jsd"))
+        orderedFoldSum(Seq("_cat"), "_term").as("jsd"))
   }
 
   /** Plug-in mutual information (nats) between two categorical columns
@@ -782,18 +791,14 @@ object StatsOps {
         .select(concat_ws("\u001f", keys.map(col): _*).as("_k"),
           (col(cnt).cast("double") / col("n") *
             log(col(cnt).cast("double") / col("n"))).as("_t"))
-        .agg((-expr("""aggregate(array_sort(collect_list(struct(_k, _t))),
-                      |  cast(0.0 as double), (acc, x) -> acc + x._t)"""
-          .stripMargin)).as(out))
+        .agg((-orderedFoldSum(Seq("_k"), "_t")).as(out))
     val mi = joint.join(broadcast(xm), "_x").join(broadcast(ym), "_y")
       .crossJoin(broadcast(tot))
       .select(col("_x"), col("_y"),
         (col("_c").cast("double") / col("n") *
           log(col("_c").cast("double") * col("n") /
             (col("_cx").cast("double") * col("_cy")))).as("_t"))
-      .agg(expr("""aggregate(array_sort(collect_list(struct(_x, _y, _t))),
-                  |  cast(0.0 as double), (acc, x) -> acc + x._t)"""
-        .stripMargin).as("mi"))
+      .agg(orderedFoldSum(Seq("_x", "_y"), "_t").as("mi"))
     tot.crossJoin(entropyOf(xm, Seq("_x"), "_cx", "h_x"))
       .crossJoin(entropyOf(ym, Seq("_y"), "_cy", "h_y"))
       .crossJoin(entropyOf(joint, Seq("_x", "_y"), "_c", "h_xy"))
@@ -811,7 +816,12 @@ object StatsOps {
     */
   def aggState(df: DataFrame, keys: Seq[String],
                valueCol: String): DataFrame =
-    df.select((keys.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
+    // null measures are excluded BEFORE counting — otherwise n counts
+    // rows the sums skip and the persisted state is internally
+    // inconsistent (mean = sum_v/n silently wrong); the streaming twin
+    // applies the same filter, keeping the bit-for-bit contract
+    df.where(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(valueCol).cast("long").as("_v")): _*)
       .groupBy(keys.map(col): _*)
       .agg(count(lit(1)).as("n"), sum(col("_v")).as("sum_v"),
         min(col("_v")).as("min_v"), max(col("_v")).as("max_v"),
@@ -886,7 +896,10 @@ object StatsOps {
                     tieCol: String): DataFrame = {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("_v"), col(tieCol))
-    val g = df
+    // null measures out BEFORE ranking: nulls sort first under asc, so
+    // leaving them in shifts every real value's rank and inflates n
+    // while the sums skip them — a plausible-looking wrong Gini
+    val g = df.where(col(valueCol).isNotNull)
       .select((keys.map(col) :+ col(tieCol) :+
         col(valueCol).cast("long").as("_v")): _*)
       .withColumn("_rn", row_number().over(w).cast("long"))
@@ -933,8 +946,12 @@ object StatsOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col(tieCol))
     val lags = 1 to maxLag
-    val base = df.select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
-      col(valueCol).cast("long").as("_x")): _*)
+    // null values out BEFORE the lead windows: a null would occupy a
+    // window position and inflate n while vanishing from every product
+    // sum — a finite but wrong ACF instead of an honest null
+    val base = df.where(col(valueCol).isNotNull)
+      .select((keys.map(col) :+ col(tsCol) :+ col(tieCol) :+
+        col(valueCol).cast("long").as("_x")): _*)
     val withLeads = base.select((keys.map(col) :+ col("_x")) ++
       lags.map(l => lead(col("_x"), l).over(w).as(s"_l$l")): _*)
     val aggs = Seq(count(lit(1)).as("n"), sum(col("_x")).as("_sx"),
@@ -1003,13 +1020,11 @@ object StatsOps {
       .withColumn("_cum", sum(t).over(w))
       .select(col("_q"), col("_ca"), col("_cb"),
         (lit(2) * col("_cum") - t + 1).as("_r2v"),
-        t.cast("double").as("_td"))
+        (t.cast("double") * t.cast("double") * t.cast("double") -
+          t.cast("double")).as("_t3"))
       .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
         sum(col("_ca") * col("_r2v")).as("_r2"),
-        expr("""aggregate(array_sort(collect_list(struct(_q, _td))),
-               |  cast(0.0 as double),
-               |  (acc, x) -> acc + (x._td * x._td * x._td - x._td))"""
-          .stripMargin).as("_ties"))
+        orderedFoldSum(Seq("_q"), "_t3").as("_ties"))
     val naD = col("n_a").cast("double")
     val nbD = col("n_b").cast("double")
     val nD = naD + nbD

@@ -808,7 +808,10 @@ object StreamingOps {
     require(integral.contains(df.schema(valueCol).dataType),
       s"aggStateStream needs an integral $valueCol, " +
         s"got ${df.schema(valueCol).dataType.sql}")
-    val typed = df.select(col(keyCol).cast("string").as("_k"),
+    // same null exclusion as the batch twin — a null measure would
+    // otherwise kill the non-nullable encoder mid-batch
+    val typed = df.where(col(valueCol).isNotNull)
+      .select(col(keyCol).cast("string").as("_k"),
         col(valueCol).cast("long").as("_v"))
       .as[(String, Long)]
     typed.groupByKey(_._1)

@@ -491,6 +491,31 @@ class CurationOpsSpec extends SparkSpec {
       .collect().map(_.getLong(1)).toSeq === Seq(2L))
   }
 
+  test("null measures are excluded, not silently miscounted") {
+    // concentration: a null row must not occupy rank 1 / inflate n
+    val g = Seq(("g", 1L, Some(10L)), ("g", 2L, None)).toDF("k", "id", "v")
+    val rc = operators.StatsOps.concentration(g, Seq("k"), "v", "id")
+      .collect()(0)
+    assert(rc.getLong(1) === 1L && rc.getDouble(3) === 0.0,
+      "single holder of the only value: n=1, gini 0")
+    // aggState: n must equal the rows the sums actually saw
+    val ra = operators.StatsOps.aggState(g, Seq("k"), "v").collect()(0)
+    assert(ra.getLong(1) === 1L && ra.getLong(2) === 10L)
+    // and the streaming twin folds the same frame without crashing
+    val rs = graft.streaming.StreamingOps.aggStateStream(spark,
+      g, "k", "v").collect()(0)
+    assert(rs.getLong(1) === 1L && rs.getLong(2) === 10L)
+    // autocorrelation: a null row must not shift window positions
+    val s3 = Seq(("k", 0L, 0L, Some(1L)), ("k", 1L, 1L, None),
+      ("k", 2L, 2L, Some(3L))).toDF("k", "ts", "tie", "v")
+    val acf = operators.StatsOps
+      .autocorrelation(s3, Seq("k"), "ts", "tie", "v", maxLag = 1)
+      .collect()(0)
+    assert(acf.getLong(2) === 2L, "n counts only non-null values")
+    // two points {1,3}: mean 2, lag-1 cross = (1-2)(3-2) = -1, den 2
+    assert(acf.getDouble(4) === -0.5)
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")
