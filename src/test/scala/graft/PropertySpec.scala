@@ -578,6 +578,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: information-theoretic bounds — JSD in [0, ln2], chi2 >= 0, 0 <= MI <= min(H)") {
+    import spark.implicits._
+    val gen = Gen.listOfN(24, Gen.zip(Gen.oneOf("a", "b"),
+      Gen.choose(0, 3), Gen.choose(0, 2)))
+    forSamples(gen, n = 6) { rows =>
+      whenever(rows.exists(_._1 == "a") && rows.exists(_._1 == "b")) {
+        val df = rows.map { case (c, x, y) => (c, x.toString, y.toString) }
+          .toDF("c", "x", "y")
+        val jsd = operators.StatsOps.jsDivergence(df, "c", "a", "b", "x")
+          .collect()(0).getDouble(2)
+        assert(jsd >= -1e-12 && jsd <= math.log(2.0) + 1e-12, s"jsd=$jsd")
+        val chi2 = operators.StatsOps.chi2Drift(df, "c", "a", "b", "x")
+          .collect()(0).getDouble(3)
+        assert(chi2 >= -1e-12, s"chi2=$chi2")
+        val mi = operators.StatsOps.mutualInformation(df, "x", "y")
+          .collect()(0)
+        val (hx, hy, hxy, m) = (mi.getDouble(1), mi.getDouble(2),
+          mi.getDouble(3), mi.getDouble(4))
+        assert(m >= -1e-9, s"MI=$m negative")
+        assert(m <= math.min(hx, hy) + 1e-9, s"MI=$m > min(H)")
+        assert(approx(hx + hy - m, hxy, 1e-9),
+          "identity: H(X,Y) = H(X) + H(Y) - MI")
+      }
+    }
+  }
+
+  test("property: rougePairs scores stay in [0,1] and recall <= ov/ref") {
+    import spark.implicits._
+    val word = Gen.oneOf("u", "v", "w", "x")
+    val gen = Gen.zip(Gen.listOfN(5, word), Gen.listOfN(4, word))
+    forSamples(gen, n = 6) { case (ws1, ws2) =>
+      val docs = Seq((1L, ws1.mkString(" ")), (2L, ws2.mkString(" ")))
+        .toDF("doc_id", "text")
+      val pairs = Seq((1L, 2L)).toDF("id1", "id2")
+      val r = operators.TextOps.rougePairs(pairs, docs, "doc_id", "text")
+        .collect()(0)
+      for (i <- Seq(6, 7, 8)) {
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0 + 1e-12, s"score $i out of [0,1]: $v")
+      }
+      assert(r.getLong(4) <= math.min(r.getLong(2), r.getLong(3)),
+        "overlap bounded by both gram totals")
+    }
+  }
+
   test("property: gini within [0, (n-1)/n], HHI within [1/n, 1]") {
     import spark.implicits._
     val gen = Gen.listOfN(9, Gen.choose(0L, 50L))
