@@ -49,7 +49,7 @@ object Queries {
     * Alphanumeric-only so it is also valid inside a catalog table
     * name (bucketed_join).
     */
-  private def scratchTag(s: SparkSession, d: String): String = {
+  private[graft] def scratchTag(s: SparkSession, d: String): String = {
     val app = s.sparkContext.applicationId.replaceAll("[^a-zA-Z0-9]", "")
     // local-mode applicationId is millisecond-resolution — two JVMs
     // launched in the same ms would collide; the OS pid disambiguates

@@ -982,6 +982,79 @@ object QueriesCuration {
          |)""".stripMargin
     }.mkString("\nUNION ALL\n"))
 
+  /** Declarative contract check (ValidateOps.expectations +
+    * expectUnique): five rules over the events fact in ONE pass plus
+    * an exact uniqueness aggregate, melted to a labeled report —
+    * violations are exact integers, the report is rules-sized.
+    */
+  private val dataExpectationsQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      graft.operators.ValidateOps.expectations(ev, Seq(
+          "value_not_null" -> col("value").isNotNull,
+          "value_nonnegative" ->
+            (col("value").isNull || col("value") >= 0),
+          "value_under_100" ->
+            (col("value").isNull || col("value") <= 100),
+          "event_type_known" -> col("event_type").isin(
+            "view", "click", "purchase", "signup", "error"),
+          "user_id_not_null" -> col("user_id").isNotNull))
+        .unionByName(graft.operators.ValidateOps.expectUnique(
+          ev, Seq("event_id"), "event_id_unique"))
+    },
+    """WITH g AS (
+      |  SELECT count(*) AS n_rows,
+      |    CAST(sum(CASE WHEN value IS NOT NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v0,
+      |    CAST(sum(CASE WHEN value IS NULL OR value >= 0 THEN 0 ELSE 1
+      |      END) AS BIGINT) AS v1,
+      |    CAST(sum(CASE WHEN value IS NULL OR value <= 100 THEN 0 ELSE 1
+      |      END) AS BIGINT) AS v2,
+      |    CAST(sum(CASE WHEN event_type IN
+      |      ('view', 'click', 'purchase', 'signup', 'error')
+      |      THEN 0 ELSE 1 END) AS BIGINT) AS v3,
+      |    CAST(sum(CASE WHEN user_id IS NOT NULL THEN 0 ELSE 1 END)
+      |      AS BIGINT) AS v4,
+      |    count(*) - count(DISTINCT event_id) AS v5
+      |  FROM events)
+      |SELECT 'value_not_null' AS rule, n_rows, v0 AS violations,
+      |  v0 = 0 AS pass FROM g
+      |UNION ALL SELECT 'value_nonnegative', n_rows, v1, v1 = 0 FROM g
+      |UNION ALL SELECT 'value_under_100', n_rows, v2, v2 = 0 FROM g
+      |UNION ALL SELECT 'event_type_known', n_rows, v3, v3 = 0 FROM g
+      |UNION ALL SELECT 'user_id_not_null', n_rows, v4, v4 = 0 FROM g
+      |UNION ALL SELECT 'event_id_unique', n_rows, v5, v5 = 0 FROM g"""
+      .stripMargin)
+
+  /** Schema evolution on read: two parquet parts written with
+    * DIFFERENT schemas (the second adds an `extra` bigint), read back
+    * with mergeSchema — the missing column arrives as null in old
+    * rows. The oracle recomputes the merged aggregate from the
+    * original fact. Exact integers throughout.
+    */
+  private val evolveSchemaQ = Q(
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("event_id"), col("user_id"))
+      val path = s"/tmp/graft_evolve_${Queries.scratchTag(s, d)}"
+      base.where(col("event_id") % 2 === 0)
+        .write.mode("overwrite").parquet(s"$path/p1")
+      base.where(col("event_id") % 2 === 1)
+        .withColumn("extra", col("event_id") % 100)
+        .write.mode("overwrite").parquet(s"$path/p2")
+      s.read.option("mergeSchema", "true")
+        .parquet(s"$path/p1", s"$path/p2")
+        .agg(count(lit(1)).as("n"),
+          count(col("extra")).as("n_extra"),
+          sum(col("extra")).as("sum_extra"))
+    },
+    """SELECT count(*) AS n,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS n_extra,
+      |  CAST(sum(CASE WHEN event_id % 2 = 1 THEN event_id % 100 END)
+      |    AS BIGINT) AS sum_extra
+      |FROM events""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -1027,6 +1100,8 @@ object QueriesCuration {
     "embedding_drift" -> embeddingDriftQ,
     "weighted_sample" -> weightedSampleQ,
     "drift_report" -> driftReportQ,
+    "data_expectations" -> dataExpectationsQ,
+    "evolve_schema" -> evolveSchemaQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,
     "ks_drift" -> ksDriftQ,

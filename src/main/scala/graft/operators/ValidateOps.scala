@@ -1,0 +1,62 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Declarative data-quality expectations — the dbt-test /
+  * Great-Expectations-style contract check every ingest of a 100 TB
+  * pipeline runs before promoting a batch: N row-level rules evaluated
+  * in ONE fact pass (a single hash aggregate carrying one long per
+  * rule), melted to a (rule, n_rows, violations, pass) report.
+  *
+  * Reference scope note: the reference has no validation surface; this
+  * is part of the beyond-parity curation layer (builder brief), built
+  * on the same one-scan discipline as
+  * [[graft.operators.StatsOps.profileTable]].
+  */
+object ValidateOps {
+
+  /** Evaluate row-level rules in one pass. Each rule is
+    * (name, predicate); a row VIOLATES the rule when the predicate is
+    * false OR null (SQL three-valued logic would otherwise let nulls
+    * slip through every check — the classic silent-contract failure).
+    * Rule names must be identifier-like (embedded in a stack expr).
+    *
+    * Plan shape: one conditional-sum hash aggregate over the fact
+    * (state = rules.size + 1 longs), then a rules.size-row stack —
+    * nothing fact-sized downstream, no second scan per rule.
+    */
+  def expectations(df: DataFrame,
+                   rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "expectations needs at least one rule")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "rule names must be identifier-like")
+    val aggs = count(lit(1)).as("_n") +:
+      rules.zipWithIndex.map { case ((_, p), i) =>
+        sum(when(p, 0L).otherwise(1L)).as(s"_v$i")
+      }
+    val g = df.agg(aggs.head, aggs.tail: _*)
+    val stackArgs = rules.zipWithIndex
+      .map { case ((name, _), i) => s"'$name', _v$i" }.mkString(", ")
+    g.select(col("_n").as("n_rows"),
+        expr(s"stack(${rules.size}, $stackArgs) as (rule, violations)"))
+      .select(col("rule"), col("n_rows"), col("violations"),
+        (col("violations") === 0L).as("pass"))
+  }
+
+  /** Uniqueness expectation — not expressible as a row predicate, so
+    * it is its own (exact) distinct aggregate: violations = n_rows −
+    * distinct key combinations. Null key fields count as values (the
+    * struct wrap), so duplicate null keys ARE flagged. Output schema
+    * matches [[expectations]] for unionByName composition.
+    */
+  def expectUnique(df: DataFrame, cols: Seq[String],
+                   name: String): DataFrame = {
+    require(cols.nonEmpty, "expectUnique needs at least one column")
+    df.agg(count(lit(1)).as("n_rows"),
+        count_distinct(struct(cols.map(col): _*)).as("_d"))
+      .select(lit(name).as("rule"), col("n_rows"),
+        (col("n_rows") - col("_d")).as("violations"),
+        (col("n_rows") === col("_d")).as("pass"))
+  }
+}

@@ -516,6 +516,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(acf.getDouble(4) === -0.5)
   }
 
+  test("expectations: null predicates count as violations; unique flags null dupes") {
+    val df = Seq((Some(5L), "a"), (None, "a"), (Some(-1L), "b"))
+      .toDF("v", "k")
+    val out = operators.ValidateOps.expectations(df, Seq(
+        "v_not_null" -> $"v".isNotNull,
+        // v >= 0 is NULL for the null row — three-valued logic must
+        // still count it as a violation
+        "v_nonneg_strict" -> ($"v" >= 0)))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(out("v_not_null") === ((3L, 1L, false)))
+    assert(out("v_nonneg_strict") === ((3L, 2L, false)),
+      "null predicate = violation, not a silent pass")
+    // uniqueness: duplicate non-null AND duplicate null keys flagged
+    val dup = Seq(Some(1L), Some(1L), None, None, Some(2L))
+      .toDF("id")
+    val u = operators.ValidateOps.expectUnique(dup, Seq("id"), "id_unique")
+      .collect()(0)
+    assert(u.getLong(1) === 5L && u.getLong(2) === 2L &&
+      !u.getBoolean(3))
+    // report schemas compose
+    val both = operators.ValidateOps.expectations(df,
+        Seq("any" -> $"v".isNotNull))
+      .unionByName(operators.ValidateOps.expectUnique(df, Seq("k"), "k_u"))
+    assert(both.count() === 2L)
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")
