@@ -1026,6 +1026,30 @@ object QueriesCuration {
       |UNION ALL SELECT 'event_id_unique', n_rows, v5, v5 = 0 FROM g"""
       .stripMargin)
 
+  /** Quarantine routing (ValidateOps.quarantine): rows tagged with the
+    * rules they violate, aggregated to a (violated-set, count)
+    * census — the report that says what to fix first. Pure projection
+    * riding the scan; the census is rule-combination-bounded.
+    */
+  private val quarantineSplitQ = Q(
+    (s, d) => graft.operators.ValidateOps.quarantine(
+        Tables.events(s, d), Seq(
+          "value_under_100" ->
+            (col("value").isNull || col("value") <= 100),
+          "value_under_300" ->
+            (col("value").isNull || col("value") <= 300),
+          "even_user" -> (col("user_id") % 2 === 0)))
+      .groupBy(col("violated"))
+      .agg(count(lit(1)).as("cnt")),
+    """SELECT concat_ws(',',
+      |    CASE WHEN value IS NULL OR value <= 100 THEN NULL
+      |         ELSE 'value_under_100' END,
+      |    CASE WHEN value IS NULL OR value <= 300 THEN NULL
+      |         ELSE 'value_under_300' END,
+      |    CASE WHEN user_id % 2 = 0 THEN NULL ELSE 'even_user' END)
+      |  AS violated, count(*) AS cnt
+      |FROM events GROUP BY 1""".stripMargin)
+
   /** Schema evolution on read: two parquet parts written with
     * DIFFERENT schemas (the second adds an `extra` bigint), read back
     * with mergeSchema — the missing column arrives as null in old
@@ -1101,6 +1125,7 @@ object QueriesCuration {
     "weighted_sample" -> weightedSampleQ,
     "drift_report" -> driftReportQ,
     "data_expectations" -> dataExpectationsQ,
+    "quarantine_split" -> quarantineSplitQ,
     "evolve_schema" -> evolveSchemaQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,

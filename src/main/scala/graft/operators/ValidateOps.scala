@@ -44,6 +44,24 @@ object ValidateOps {
         (col("violations") === 0L).as("pass"))
   }
 
+  /** The operational half of [[expectations]]: tag every row with the
+    * comma-joined names of the rules it violates (empty string =
+    * clean), so the caller can route `violated != ''` to a quarantine
+    * sink instead of failing the batch. Pure projection riding the
+    * scan — no shuffle, no second pass; `concat_ws` skips the nulls
+    * the passing rules leave, and rule order fixes the tag format.
+    */
+  def quarantine(df: DataFrame,
+                 rules: Seq[(String, Column)]): DataFrame = {
+    require(rules.nonEmpty, "quarantine needs at least one rule")
+    require(rules.forall(_._1.matches("[A-Za-z0-9_]+")),
+      "rule names must be identifier-like")
+    df.withColumn("violated", concat_ws(",",
+      rules.map { case (name, p) =>
+        when(p, lit(null)).otherwise(lit(name))
+      }: _*))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate, so
     * it is its own (exact) distinct aggregate: violations = n_rows −
     * distinct key combinations. Null key fields count as values (the

@@ -541,6 +541,14 @@ class CurationOpsSpec extends SparkSpec {
         Seq("any" -> $"v".isNotNull))
       .unionByName(operators.ValidateOps.expectUnique(df, Seq("k"), "k_u"))
     assert(both.count() === 2L)
+    // quarantine: per-row violated-rule tags in declaration order
+    val tagged = operators.ValidateOps.quarantine(df, Seq(
+        "not_null" -> $"v".isNotNull, "nonneg" -> ($"v" >= 0)))
+      .collect().map(r => (r.get(0), r.getString(2))).toMap
+    assert(tagged(5L) === "")
+    assert(tagged(null) === "not_null,nonneg",
+      "null fails BOTH rules under three-valued logic")
+    assert(tagged(-1L) === "nonneg")
   }
 
   test("skewReport ranks keys by load with deterministic tie-break") {

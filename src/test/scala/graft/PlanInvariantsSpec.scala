@@ -61,7 +61,7 @@ class PlanInvariantsSpec extends SparkSpec {
     "stream_cusum", "gini_concentration", "bottomk_sample",
     "benford_check", "incremental_agg", "term_shift", "quantile_drift",
     "stream_agg_state", "embedding_drift", "weighted_sample",
-    "drift_report", "data_expectations")
+    "drift_report", "data_expectations", "quarantine_split")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
