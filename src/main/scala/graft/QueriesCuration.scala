@@ -1079,6 +1079,36 @@ object QueriesCuration {
       |    AS BIGINT) AS sum_extra
       |FROM events""".stripMargin)
 
+  /** Exact weighted quantiles (StatsOps.weightedQuantile): per-lang
+    * byte-median document lengths — the length below which half the
+    * corpus BYTES live (weight = n_chars), not half the documents.
+    * All-integer cumulative weights; only the boundary compare is a
+    * double, identical in both engines.
+    */
+  private val weightedMedianQ = Q(
+    (s, d) => StatsOps.weightedQuantile(
+        Tables.documents(s, d).select(col("lang"), col("n_chars")),
+        Seq("lang"), "n_chars", "n_chars", ps = Seq(0.25, 0.5, 0.75))
+      .select(col("lang"), col("total_w"), col("wq_0"), col("wq_1"),
+        col("wq_2")),
+    """WITH pv AS (
+      |  SELECT lang, n_chars AS v, CAST(sum(n_chars) AS BIGINT) AS wv
+      |  FROM documents WHERE n_chars > 0 GROUP BY 1, 2),
+      |c AS (
+      |  SELECT lang, v, wv,
+      |    CAST(sum(wv) OVER (PARTITION BY lang ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+      |    CAST(sum(wv) OVER (PARTITION BY lang) AS BIGINT) AS tot
+      |  FROM pv)
+      |SELECT lang, CAST(sum(wv) AS BIGINT) AS total_w,
+      |  CAST(min(CASE WHEN CAST(cum AS DOUBLE)
+      |    >= 0.25 * CAST(tot AS DOUBLE) THEN v END) AS BIGINT) AS wq_0,
+      |  CAST(min(CASE WHEN CAST(cum AS DOUBLE)
+      |    >= 0.5 * CAST(tot AS DOUBLE) THEN v END) AS BIGINT) AS wq_1,
+      |  CAST(min(CASE WHEN CAST(cum AS DOUBLE)
+      |    >= 0.75 * CAST(tot AS DOUBLE) THEN v END) AS BIGINT) AS wq_2
+      |FROM c GROUP BY 1""".stripMargin)
+
   /** Join-key skew report (StatsOps.skewReport): the ten heaviest
     * user_id keys in the events fact with exact share and
     * mean-load-ratio — the pre-flight read before picking a salting
@@ -1126,6 +1156,7 @@ object QueriesCuration {
     "drift_report" -> driftReportQ,
     "data_expectations" -> dataExpectationsQ,
     "quarantine_split" -> quarantineSplitQ,
+    "weighted_median" -> weightedMedianQ,
     "evolve_schema" -> evolveSchemaQ,
     "skew_report" -> skewReportQ,
     "dataset_drift" -> datasetDriftQ,

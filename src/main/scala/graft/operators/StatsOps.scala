@@ -875,6 +875,49 @@ object StatsOps {
       nD.cast("long").as("n") :+ chi2.as("chi2")): _*)
   }
 
+  /** Exact per-group WEIGHTED quantiles (type-1, lower) — the
+    * "median document length weighted by tokens" readout the
+    * unweighted [[groupedQuantiles]] cannot give: q_p = the smallest
+    * value whose cumulative weight reaches p·W.
+    *
+    * Exactness: `valueCol` and `weightCol` must be integral (the
+    * fixed-point contract), so per-value weight sums and the running
+    * cumulative are exact BIGINTs; the only float op is the boundary
+    * compare cumw ≥ p·W — one double product of an exact integer,
+    * identical in any engine, and the inf over qualifying values is
+    * order-free. Non-positive weights are excluded.
+    *
+    * Plan shape: one hash aggregate to (key × distinct value) weight
+    * sums, one partitioned cumulative window over the per-key VALUE
+    * DOMAIN (bounded by distinct values, never row count), one final
+    * hash aggregate with |ps| longs of state.
+    */
+  def weightedQuantile(df: DataFrame, keys: Seq[String],
+                       valueCol: String, weightCol: String,
+                       ps: Seq[Double]): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p > 0 && p <= 1),
+      "weightedQuantile needs quantiles in (0, 1]")
+    val perValue = df.where(col(weightCol) > 0)
+      .select((keys.map(col) :+ col(valueCol).cast("long").as("_v") :+
+        col(weightCol).cast("long").as("_w")): _*)
+      .groupBy((keys.map(col) :+ col("_v")): _*)
+      .agg(sum(col("_w")).as("_wv"))
+    val wOrd = Window.partitionBy(keys.map(col): _*).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wAll = Window.partitionBy(keys.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = perValue
+      .withColumn("_cum", sum(col("_wv")).over(wOrd))
+      .withColumn("_tot", sum(col("_wv")).over(wAll))
+    val aggs = sum(col("_wv")).as("total_w") +:
+      ps.zipWithIndex.map { case (p, ix) =>
+        min(when(col("_cum").cast("double") >=
+          lit(p) * col("_tot").cast("double"), col("_v")))
+          .as(s"wq_$ix")
+      }
+    cum.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+  }
+
   /** Per-group Gini coefficient + Herfindahl index over a non-negative
     * integral measure — the budget-concentration readout of a curation
     * pipeline ("is one document hogging this source's token budget?",

@@ -551,6 +551,19 @@ class CurationOpsSpec extends SparkSpec {
     assert(tagged(-1L) === "nonneg")
   }
 
+  test("weightedQuantile: inf over cumulative weight, weight dominates count") {
+    // weights: v=1 w=1, v=2 w=1, v=10 w=8 -> W=10, cum 1,2,10
+    val df = Seq(("g", 1L, 1L), ("g", 2L, 1L), ("g", 10L, 8L),
+      ("g", 3L, 0L)).toDF("k", "v", "w") // zero weight excluded
+    val r = operators.StatsOps.weightedQuantile(df, Seq("k"), "v", "w",
+      ps = Seq(0.1, 0.2, 0.5)).collect()(0)
+    assert(r.getLong(1) === 10L, "total weight excludes w=0")
+    assert(r.getLong(2) === 1L, "p=.1: cum 1 >= 1")
+    assert(r.getLong(3) === 2L, "p=.2: first v with cum >= 2")
+    assert(r.getLong(4) === 10L,
+      "p=.5: the heavy value holds the weighted median (count median is 2)")
+  }
+
   test("skewReport ranks keys by load with deterministic tie-break") {
     val df = ((1 to 5).map(_ => "k1") ++ (1 to 3).map(_ => "k2") ++
       (1 to 3).map(_ => "k3") ++ Seq("k4")).toDF("k")

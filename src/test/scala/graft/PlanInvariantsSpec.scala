@@ -61,7 +61,11 @@ class PlanInvariantsSpec extends SparkSpec {
     "stream_cusum", "gini_concentration", "bottomk_sample",
     "benford_check", "incremental_agg", "term_shift", "quantile_drift",
     "stream_agg_state", "embedding_drift", "weighted_sample",
-    "drift_report", "data_expectations", "quarantine_split")
+    "drift_report", "data_expectations", "quarantine_split",
+    // evolve_schema deliberately absent: its fn writes scratch parquet
+    // as a side effect, so plan-only sweeps must not invoke it (same
+    // contract as the csv/orc/jsonl roundtrips)
+    "weighted_median")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
