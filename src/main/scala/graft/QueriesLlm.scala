@@ -3112,7 +3112,99 @@ object QueriesLlm {
        |  CAST(n_pos AS DOUBLE) / CAST(n AS DOUBLE) AS frac_pos
        |FROM g""".stripMargin)
 
+  /** Exact ROC AUC (ClassifierOps.rocAuc) of the trained quality
+    * classifier against the is-English label — the threshold-free
+    * companion to classifier_confusion/calibration_curve. Scores ride
+    * the shared 1e-6 grid so both engines group on identical distinct
+    * scores; the doubled U statistic is an exact BIGINT and AUC is the
+    * single final division.
+    */
+  private val rocAucQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("score"))
+      ClassifierOps.rocAuc(scored, "label", "score")
+        .select(col("n_pos"), col("n_neg"), qround(col("auc"), 8).as("auc"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} AS score
+       |  FROM f, wf),
+       |c AS (
+       |  SELECT score,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n
+       |  FROM sc GROUP BY 1),
+       |cc AS (
+       |  SELECT p, n, sum(n) OVER (ORDER BY score
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumn
+       |  FROM c)
+       |SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |  CAST(sum(n) AS BIGINT) AS n_neg,
+       |  ${qrSql("CAST(sum(p * (2 * cumn - n)) AS DOUBLE) / " +
+         "(2.0e0 * CAST(sum(p) AS DOUBLE) * CAST(sum(n) AS DOUBLE))", 8)}
+       |    AS auc
+       |FROM cc""".stripMargin)
+
+  /** Cohen's kappa (ClassifierOps.cohensKappa) between the cheap
+    * stopword-ratio heuristic gate and the learned classifier's
+    * prediction — the can-the-heuristic-stand-in agreement readout.
+    * Both raters branch on the shared 1e-6 quantized grid; kappa's
+    * closed form clears denominators so every input is an exact
+    * BIGINT.
+    */
+  private val cohensKappaQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(
+          when(qround(col("f_stop"), 6) >= 0.12, 1).otherwise(0)
+            .as("rater_a"),
+          // 0.44 sits near the score median — 0.5 (the confusion
+          // matrix's operating point) is OUTSIDE this model's score
+          // range and would make the rater constant (kappa trivially 0)
+          when(qround(col("score"), 6) >= 0.44, 1).otherwise(0)
+            .as("rater_b"))
+      ClassifierOps.cohensKappa(scored, "rater_a", "rater_b")
+        .select(col("n"), col("n_agree"), qround(col("kappa"), 8).as("kappa"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |r AS (
+       |  SELECT
+       |    CASE WHEN ${qrSql("f2", 6)} >= 0.12e0 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} >= 0.44e0
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM f, wf),
+       |cells AS (SELECT a, b, count(*) AS c FROM r GROUP BY 1, 2),
+       |tot AS (
+       |  SELECT CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a = b THEN c ELSE 0 END) AS BIGINT) AS na
+       |  FROM cells),
+       |ma AS (SELECT a AS k, CAST(sum(c) AS BIGINT) AS ra
+       |       FROM cells GROUP BY 1),
+       |mb AS (SELECT b AS k, CAST(sum(c) AS BIGINT) AS rb
+       |       FROM cells GROUP BY 1),
+       |pe AS (SELECT COALESCE(CAST(sum(ra * rb) AS BIGINT), 0) AS pe2
+       |       FROM ma JOIN mb USING (k))
+       |SELECT n, na AS n_agree,
+       |  ${qrSql("CAST(n * na - pe2 AS DOUBLE) / " +
+         "CAST(n * n - pe2 AS DOUBLE)", 8)} AS kappa
+       |FROM tot, pe""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "roc_auc" -> rocAucQ,
+    "cohens_kappa" -> cohensKappaQ,
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
     "edit_distance" -> editDistanceQ,

@@ -70,4 +70,86 @@ object ClassifierOps {
       s"got ${w.length} weights for ${features.size} features + bias")
     df.withColumn(out, lit(1.0) / (lit(1.0) + exp(-margin(features, w))))
   }
+
+  /** Exact ROC AUC of a scorer against a 0/1 label — the
+    * threshold-free quality readout of the classifier family (the
+    * confusion matrix and calibration curve pin ONE threshold; AUC
+    * ranks the whole score distribution).
+    *
+    * AUC is the Mann-Whitney U statistic normalized by n_pos·n_neg
+    * (ties counted half), computed over the DISTINCT-score table, not
+    * the fact: one hash aggregate collapses the corpus to per-score
+    * (positives, negatives) counts, then a cumulative window over that
+    * score-bounded table prices every pos/neg comparison in closed
+    * form. The doubled U stays an exact BIGINT (a positive at score s
+    * beats the `cum_neg - neg_s` negatives strictly below twice and
+    * the `neg_s` tied ones once), so the single final division is the
+    * only float op. Callers should pass an already-quantized score so
+    * both engines group on the same grid points.
+    *
+    * Plan shape: one fact-scan hash aggregate (map-side combined), one
+    * window over the distinct-score domain (bounded by the score
+    * quantization grid, NOT the fact — whitelisted in the plan sweep
+    * with exactly this cardinality argument), one 1-row reduce. A
+    * degenerate corpus (no positives or no negatives) yields null AUC
+    * via try_divide, never an ANSI throw.
+    */
+  def rocAuc(df: DataFrame, labelCol: String, scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = col(labelCol).cast("long") === 1L
+    val counts = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("_p"),
+        sum(when(pos, 0L).otherwise(1L)).as("_n"))
+    val w = Window.orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    counts
+      .withColumn("_cumn", sum(col("_n")).over(w))
+      .agg(sum(col("_p")).as("n_pos"), sum(col("_n")).as("n_neg"),
+        sum(col("_p") * (col("_cumn") * 2L - col("_n"))).as("_u2"))
+      .select(col("n_pos"), col("n_neg"),
+        try_divide(col("_u2").cast("double"),
+          lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")).as("auc"))
+  }
+
+  /** Cohen's kappa — chance-corrected agreement between two
+    * categorical raters (heuristic gate vs learned classifier, two
+    * annotator pools, old vs new model): the governance number that
+    * says whether a cheap labeler can stand in for an expensive one.
+    *
+    * kappa = (p_o - p_e) / (1 - p_e) with p_o the observed agreement
+    * and p_e the chance agreement from the marginals. Every input is
+    * an exact BIGINT cell count, and the closed form clears
+    * denominators — kappa = (n·n_agree - Σ_k row_k·col_k) /
+    * (n² - Σ_k row_k·col_k) — so ONE division is the only float op.
+    * Multi-class by construction; a degenerate table where a single
+    * class carries all mass on both sides (p_e = 1) yields null via
+    * try_divide.
+    *
+    * Plan shape: one fact-scan hash aggregate to the (a, b) confusion
+    * cells (class²-bounded), marginals re-aggregated from the CELLS
+    * table — never a second fact pass — and combined through
+    * broadcast joins of 1-row/class-bounded frames.
+    */
+  def cohensKappa(df: DataFrame, aCol: String, bCol: String): DataFrame = {
+    val cells = df
+      .where(col(aCol).isNotNull && col(bCol).isNotNull)
+      .groupBy(col(aCol).as("_a"), col(bCol).as("_b"))
+      .agg(count(lit(1)).as("_c"))
+    val totals = cells.agg(sum(col("_c")).as("n"),
+      sum(when(col("_a") === col("_b"), col("_c")).otherwise(0L))
+        .as("n_agree"))
+    val margins = cells.groupBy(col("_a").as("_k"))
+      .agg(sum(col("_c")).as("_ra"))
+      .join(cells.groupBy(col("_b").as("_k")).agg(sum(col("_c")).as("_rb")),
+        Seq("_k"))
+      .agg(coalesce(sum(col("_ra") * col("_rb")), lit(0L)).as("_pe2"))
+    totals.crossJoin(broadcast(margins))
+      .select(col("n"), col("n_agree"),
+        try_divide(
+          (col("n") * col("n_agree") - col("_pe2")).cast("double"),
+          (col("n") * col("n") - col("_pe2")).cast("double")).as("kappa"))
+  }
 }

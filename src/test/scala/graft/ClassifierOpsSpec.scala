@@ -56,4 +56,71 @@ class ClassifierOpsSpec extends SparkSpec {
       ClassifierOps.scoreLogistic(toy, Seq("x1", "x2"), Array(1.0, 2.0))
     }
   }
+
+  test("rocAuc: separation 1.0, anti-separation 0.0, ties midranked") {
+    def auc(rows: Seq[(Int, Double)]): (Long, Long, Double) = {
+      val r = ClassifierOps.rocAuc(rows.toDF("label", "score"),
+        "label", "score").head()
+      (r.getLong(0), r.getLong(1), if (r.isNullAt(2)) Double.NaN
+       else r.getDouble(2))
+    }
+    // perfect ranking: every positive above every negative
+    assert(auc(Seq((1, 0.9), (1, 0.8), (0, 0.2), (0, 0.1))) ==
+      ((2L, 2L, 1.0)))
+    // inverted ranking
+    assert(auc(Seq((0, 0.9), (0, 0.8), (1, 0.2), (1, 0.1))) ==
+      ((2L, 2L, 0.0)))
+    // all tied at one score: AUC is exactly 1/2 from the tie half-count
+    assert(auc(Seq((1, 0.5), (0, 0.5), (1, 0.5), (0, 0.5))) ==
+      ((2L, 2L, 0.5)))
+    // hand case: pos at {0.8, 0.4}, neg at {0.6, 0.4}. Pairs:
+    // 0.8 beats both (2) + 0.4 beats none, ties one (0.5) = 2.5 of 4
+    assert(auc(Seq((1, 0.8), (1, 0.4), (0, 0.6), (0, 0.4))) ==
+      ((2L, 2L, 0.625)))
+  }
+
+  test("rocAuc: degenerate one-class input yields null, not a throw") {
+    val r = ClassifierOps.rocAuc(
+      Seq((1, 0.7), (1, 0.3)).toDF("label", "score"), "label", "score")
+      .head()
+    assert(r.getLong(0) == 2L && r.getLong(1) == 0L && r.isNullAt(2))
+  }
+
+  test("rocAuc is invariant to row order and partitioning") {
+    val rows = (0 until 400).map { i =>
+      (i % 3 min 1, ((i * 37) % 100) / 100.0)
+    }
+    val a = ClassifierOps.rocAuc(rows.toDF("label", "score"),
+      "label", "score").head()
+    val b = ClassifierOps.rocAuc(
+      rows.toDF("label", "score").repartition(7), "label", "score").head()
+    assert(a == b)
+  }
+
+  test("cohensKappa: perfect agreement 1, known 2x2 hand value") {
+    def kap(rows: Seq[(String, String)]): Double =
+      ClassifierOps.cohensKappa(rows.toDF("a", "b"), "a", "b")
+        .head().getDouble(2)
+    assert(kap(Seq(("x", "x"), ("y", "y"), ("z", "z"))) == 1.0)
+    // classic 2x2: cells yy=20, yn=5, ny=10, nn=15, n=50
+    // po = 35/50; pe = (25*30 + 25*20)/2500 = 0.5; kappa = 0.4
+    val rows = Seq.fill(20)(("y", "y")) ++ Seq.fill(5)(("y", "n")) ++
+      Seq.fill(10)(("n", "y")) ++ Seq.fill(15)(("n", "n"))
+    assert(math.abs(kap(rows) - 0.4) < 1e-12)
+  }
+
+  test("cohensKappa: independent raters near 0, constant rater exact 0") {
+    import graft.operators.ClassifierOps.cohensKappa
+    // a constant rater makes observed agreement equal chance agreement
+    val const = Seq(("y", "p"), ("n", "p"), ("y", "p"), ("n", "p"))
+    assert(cohensKappa(const.toDF("a", "b"), "a", "b")
+      .head().getDouble(2) == 0.0)
+    // both raters constant and agreeing: p_e = 1 → undefined → null
+    val degen = Seq(("p", "p"), ("p", "p"))
+    assert(cohensKappa(degen.toDF("a", "b"), "a", "b").head().isNullAt(2))
+    // multi-class disagreement beyond chance goes negative
+    val anti = Seq(("x", "y"), ("y", "x"), ("x", "y"), ("y", "x"))
+    assert(cohensKappa(anti.toDF("a", "b"), "a", "b")
+      .head().getDouble(2) == -1.0)
+  }
 }

@@ -305,11 +305,15 @@ class PlanInvariantsSpec extends SparkSpec {
     //     mann_whitney / + mannWhitney: the 1e-4 grid bounds the domain
     //     drift_report   the cumulative window walks, never the fact;
     //                    drift_report composes those two legs)
+    //   roc_auc          distinct QUANTIZED scores (the 1e-6 sigmoid
+    //                    grid bounds the cumulative window's domain —
+    //                    ClassifierOps.rocAuc aggregates the fact to
+    //                    per-score counts FIRST)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
       "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
-      "drift_report")
+      "drift_report", "roc_auc")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
