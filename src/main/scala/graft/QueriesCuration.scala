@@ -1135,7 +1135,100 @@ object QueriesCuration {
       |ORDER BY cnt DESC, key
       |LIMIT 10""".stripMargin)
 
+  /** Two-proportion z-test (StatsOps.twoProportionZ) over a
+    * deterministic hash-assigned 50/50 user split: per-user conversion
+    * (15+ purchase events), arms from the shared multiplicative-hash
+    * bucket gate — reproducible across runs and engines, no rand().
+    * All four counts exact BIGINTs; the z closed form is written in
+    * the same left-associated shape in both engines.
+    */
+  private val abTestQ = Q(
+    (s, d) => {
+      // conversion = a HEAVY purchaser (15+ purchase events): "any
+      // purchase" converts every user at this event density and makes
+      // the test degenerate (pooled rate 1 → se 0 → null z)
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15, 1L).otherwise(0L).as("converted"))
+      val armed = SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      StatsOps.twoProportionZ(armed, "split", "a", "b", "converted")
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          qround(col("rate_a"), 8).as("rate_a"),
+          qround(col("rate_b"), 8).as("rate_b"),
+          qround(col("lift"), 8).as("lift"),
+          qround(col("z"), 8).as("z"))
+    },
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN (((user_id % ${graft.operators.TextOps.HashMod})
+       |      * ${SketchOps.KmvMult}) % ${graft.operators.TextOps.HashMod})
+       |      % ${SampleOps.SplitBuckets} < 5000
+       |    THEN 'a' ELSE 'b' END AS arm, conv
+       |  FROM u),
+       |g AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS x_a,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS x_b
+       |  FROM arms),
+       |v AS (
+       |  SELECT n_a, x_a, n_b, x_b,
+       |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+       |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+       |    CAST(x_a + x_b AS DOUBLE)
+       |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+       |  FROM g)
+       |SELECT n_a, x_a, n_b, x_b,
+       |  floor(pa * 100000000.0 + 0.5) / 100000000.0 AS rate_a,
+       |  floor(pb * 100000000.0 + 0.5) / 100000000.0 AS rate_b,
+       |  floor((pa - pb) * 100000000.0 + 0.5) / 100000000.0 AS lift,
+       |  floor((pa - pb) / sqrt(pp * (1.0 - pp)
+       |      * (1.0 / CAST(n_a AS DOUBLE) + 1.0 / CAST(n_b AS DOUBLE)))
+       |    * 100000000.0 + 0.5) / 100000000.0 AS z
+       |FROM v""".stripMargin)
+
+  /** k-anonymity audit (ValidateOps.kAnonymity) of the documents
+    * table under the (lang, source, length-bucket) quasi-identifier —
+    * the release-gate readout: how many rows sit in cohorts smaller
+    * than k=5. Exact integer counts off one group-by pass.
+    */
+  private val kAnonymityQ = Q(
+    (s, d) => graft.operators.ValidateOps.kAnonymity(
+        Tables.documents(s, d).select(col("lang"), col("source"),
+          floor(col("n_chars") / 100).as("len_bucket")),
+        Seq("lang", "source", "len_bucket"), k = 5L)
+      .select(col("k"), col("n_groups"), col("n_rows"), col("min_k"),
+        col("groups_at_risk"), col("rows_at_risk"),
+        qround(col("risk_share"), 8).as("risk_share")),
+    """WITH g AS (
+      |  SELECT lang, source, CAST(floor(n_chars / 100) AS BIGINT)
+      |      AS len_bucket, count(*) AS c
+      |  FROM documents GROUP BY 1, 2, 3)
+      |SELECT CAST(5 AS BIGINT) AS k, count(*) AS n_groups,
+      |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(min(c) AS BIGINT) AS min_k,
+      |  CAST(sum(CASE WHEN c < 5 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_at_risk,
+      |  CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  floor(CAST(sum(CASE WHEN c < 5 THEN c ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(c) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0
+      |    AS risk_share
+      |FROM g""".stripMargin)
+
   val all: Map[String, Q] = Map(
+    "ab_test" -> abTestQ,
+    "k_anonymity" -> kAnonymityQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,
     "js_divergence" -> jsDivergenceQ,

@@ -1108,4 +1108,39 @@ object StatsOps {
         (col("cnt").cast("double") * col("n_keys") / col("n_rows"))
           .as("skew_ratio"))
   }
+
+  /** Two-proportion z-test — the A/B readout of the monitoring family
+    * (did arm A convert better than arm B, beyond what the pooled
+    * rate explains?): exact success/trial counts per arm, pooled-rate
+    * normal approximation, one output row.
+    *
+    * All four inputs are exact BIGINTs off ONE conditional-sum hash
+    * aggregate (map-side combined, no shuffle of fact rows beyond the
+    * 1-row reduce); every derived double (rates, lift, pooled p, se,
+    * z) is a fixed, left-associated composition of those integers, so
+    * an oracle writing the same shape is bit-identical. A degenerate
+    * experiment (either arm empty, or pooled rate 0/1 making se = 0)
+    * yields null z via try_divide — never an ANSI throw, never ±Inf.
+    */
+  def twoProportionZ(df: DataFrame, armCol: String, armA: String,
+                     armB: String, successCol: String): DataFrame = {
+    val in = df.where(col(armCol).isin(armA, armB) &&
+      col(successCol).isNotNull)
+    val s = col(successCol).cast("long")
+    val g = in.agg(
+      sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(col(armCol) === armA, s).otherwise(0L)).as("x_a"),
+      sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(col(armCol) === armB, s).otherwise(0L)).as("x_b"))
+    val naD = col("n_a").cast("double"); val nbD = col("n_b").cast("double")
+    val pA = try_divide(col("x_a").cast("double"), naD)
+    val pB = try_divide(col("x_b").cast("double"), nbD)
+    val pPool = try_divide((col("x_a") + col("x_b")).cast("double"),
+      naD + nbD)
+    val se = sqrt(pPool * (lit(1.0) - pPool) *
+      (lit(1.0) / naD + lit(1.0) / nbD))
+    g.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+      pA.as("rate_a"), pB.as("rate_b"), (pA - pB).as("lift"),
+      when(se > 0, (pA - pB) / se).otherwise(lit(null)).as("z"))
+  }
 }

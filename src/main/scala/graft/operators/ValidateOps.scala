@@ -62,6 +62,35 @@ object ValidateOps {
       }: _*))
   }
 
+  /** k-anonymity audit — the re-identification-risk readout of the
+    * governance family: group the table by its quasi-identifier
+    * columns and report how exposed the smallest cohorts are. A row
+    * whose QI combination is shared by fewer than k rows is
+    * re-identifiable by anyone who knows those attributes; the
+    * summary says whether the table may leave the trust boundary
+    * as-is or needs suppression/generalization first.
+    *
+    * Plan shape: ONE hash aggregate over the fact to per-QI-group
+    * counts (map-side combined), then a 1-row reduce of that bounded
+    * groups table — nothing fact-sized downstream. All counts exact
+    * BIGINTs; risk_share is the single final division (null on an
+    * empty table via try_divide).
+    */
+  def kAnonymity(df: DataFrame, quasiIds: Seq[String],
+                 k: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "kAnonymity needs at least one column")
+    require(k >= 2, s"k-anonymity below 2 is vacuous, got $k")
+    df.groupBy(quasiIds.map(col): _*).agg(count(lit(1)).as("_c"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_c")).as("n_rows"),
+        min(col("_c")).as("min_k"),
+        sum(when(col("_c") < k, 1L).otherwise(0L)).as("groups_at_risk"),
+        sum(when(col("_c") < k, col("_c")).otherwise(0L)).as("rows_at_risk"))
+      .select(lit(k).as("k"), col("n_groups"), col("n_rows"), col("min_k"),
+        col("groups_at_risk"), col("rows_at_risk"),
+        try_divide(col("rows_at_risk").cast("double"),
+          col("n_rows").cast("double")).as("risk_share"))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate, so
     * it is its own (exact) distinct aggregate: violations = n_rows −
     * distinct key combinations. Null key fields count as values (the

@@ -578,4 +578,42 @@ class CurationOpsSpec extends SparkSpec {
     assert(approx(r1.getDouble(5), 5.0 * 4 / 12, 1e-15),
       "skew_ratio = key load in units of the mean key")
   }
+
+  test("twoProportionZ: hand case, off-arm rows dropped, degenerate null") {
+    // arm a: 8 of 10 convert; arm b: 2 of 10; arm c must be ignored
+    val rows = (1 to 10).map(i => ("a", if (i <= 8) 1L else 0L)) ++
+      (1 to 10).map(i => ("b", if (i <= 2) 1L else 0L)) ++
+      Seq(("c", 1L))
+    val r = operators.StatsOps
+      .twoProportionZ(rows.toDF("arm", "conv"), "arm", "a", "b", "conv")
+      .collect()(0)
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ===
+      ((10L, 8L, 10L, 2L)))
+    assert(r.getDouble(4) === 0.8 && r.getDouble(5) === 0.2)
+    // pooled p = 0.5, se = sqrt(.25 * .2) ~ .2236, z = .6/se ~ 2.683
+    assert(approx(r.getDouble(7),
+      0.6 / math.sqrt(0.5 * 0.5 * 0.2), 1e-12))
+    // everyone converts -> pooled 1 -> se 0 -> null z, not Inf/throw
+    val degen = Seq(("a", 1L), ("b", 1L)).toDF("arm", "conv")
+    val dz = operators.StatsOps
+      .twoProportionZ(degen, "arm", "a", "b", "conv").collect()(0)
+    assert(dz.isNullAt(7) && dz.getDouble(6) === 0.0)
+  }
+
+  test("kAnonymity: group sizes vs k, null QI values form a cohort") {
+    // cohorts: (x,1)x3, (x,2)x1, (y,null)x2 with k=3 ->
+    // min_k 1, at-risk groups 2 (sizes 1 and 2), rows 3 of 6
+    val df = Seq(("x", Some(1)), ("x", Some(1)), ("x", Some(1)),
+      ("x", Some(2)), ("y", None), ("y", None)).toDF("qa", "qb")
+    val r = operators.ValidateOps.kAnonymity(df, Seq("qa", "qb"), 3L)
+      .collect()(0)
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L &&
+      r.getLong(2) === 6L)
+    assert(r.getLong(3) === 1L, "min_k")
+    assert(r.getLong(4) === 2L && r.getLong(5) === 3L)
+    assert(r.getDouble(6) === 0.5)
+    intercept[IllegalArgumentException] {
+      operators.ValidateOps.kAnonymity(df, Seq("qa"), 1L)
+    }
+  }
 }
