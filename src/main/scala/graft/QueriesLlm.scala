@@ -2985,6 +2985,77 @@ object QueriesLlm {
          |FROM v""".stripMargin
     })
 
+  /** MRR@10 of the BM25 ranking (TextOps.mrrAtK): reciprocal rank of
+    * the first hit matching 2+ query terms — the
+    * position-of-first-answer companion to ndcg_eval, on the same
+    * quantized-score top-10.
+    */
+  private val mrrEvalQ = Q(
+    (s, d) => {
+      val scored = TextOps.bm25Score(Tables.documents(s, d), "doc_id",
+          "text", bm25Terms)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25r"))
+      TextOps.mrrAtK(scored, "doc_id", "n_terms_matched", "bm25r",
+        k = 10, relMin = 2L)
+    },
+    s"""WITH s AS (${bm25Q.sql}),
+       |top AS (
+       |  SELECT n_terms_matched AS rel,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM s ORDER BY bm25 DESC, doc_id LIMIT 10)
+       |SELECT
+       |  CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+       |    AS n_rel_topk,
+       |  CAST(min(CASE WHEN rel >= 2 THEN rk END) AS BIGINT)
+       |    AS first_rel_rank,
+       |  floor(100000000.0 / min(CASE WHEN rel >= 2 THEN rk END))
+       |    / 100000000.0 AS rr
+       |FROM top""".stripMargin)
+
+  /** Zipf power-law fit (TextOps.zipfFit) over the top-500 vocabulary
+    * — the does-this-look-like-natural-language corpus diagnostic.
+    * The OLS runs on 1e-6-quantized logs as exact bigints; slope and
+    * intercept are the only float ops.
+    */
+  private val zipfFitQ = Q(
+    (s, d) => TextOps.zipfFit(Tables.documents(s, d), "text", topN = 500)
+      .select(col("n_terms"), qround(col("alpha"), 8).as("alpha"),
+        qround(col("log_c"), 8).as("log_c")),
+    """WITH tf AS (
+      |  SELECT w, count(*) AS f FROM (
+      |    SELECT unnest(string_split(text, ' ')) AS w FROM documents)
+      |  WHERE len(w) > 0 GROUP BY 1),
+      |top AS (
+      |  SELECT f, row_number() OVER (ORDER BY f DESC, w) AS r
+      |  FROM tf ORDER BY f DESC, w LIMIT 500),
+      |q AS (
+      |  SELECT
+      |    CAST(floor(ln(CAST(r AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS lr,
+      |    CAST(floor(ln(CAST(f AS DOUBLE)) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS lf
+      |  FROM top),
+      |g AS (
+      |  SELECT count(*) AS n, CAST(sum(lr) AS BIGINT) AS slr,
+      |    CAST(sum(lf) AS BIGINT) AS slf,
+      |    CAST(sum(lr * lr) AS BIGINT) AS slrr,
+      |    CAST(sum(lr * lf) AS BIGINT) AS slrf
+      |  FROM q),
+      |v AS (
+      |  SELECT n, slr, slf,
+      |    (CAST(n AS DOUBLE) * CAST(slrf AS DOUBLE)
+      |        - CAST(slr AS DOUBLE) * CAST(slf AS DOUBLE))
+      |      / (CAST(n AS DOUBLE) * CAST(slrr AS DOUBLE)
+      |        - CAST(slr AS DOUBLE) * CAST(slr AS DOUBLE)) AS slope
+      |  FROM g)
+      |SELECT n AS n_terms,
+      |  floor(-slope * 100000000.0 + 0.5) / 100000000.0 AS alpha,
+      |  floor((CAST(slf AS DOUBLE) - slope * CAST(slr AS DOUBLE))
+      |      / CAST(n AS DOUBLE) / 1000000.0
+      |    * 100000000.0 + 0.5) / 100000000.0 AS log_c
+      |FROM v""".stripMargin)
+
   /** Confusion matrix of the trained quality classifier: quantized-
     * score predictions vs the is-English label, cell counts exact.
     */
@@ -3205,6 +3276,8 @@ object QueriesLlm {
   val all: Map[String, Q] = Map(
     "roc_auc" -> rocAucQ,
     "cohens_kappa" -> cohensKappaQ,
+    "mrr_eval" -> mrrEvalQ,
+    "zipf_fit" -> zipfFitQ,
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
     "edit_distance" -> editDistanceQ,

@@ -223,6 +223,87 @@ object TextOps {
         try_divide(col("dcg"), col("idcg")).as("ndcg"))
   }
 
+  /** MRR@k — reciprocal rank of the FIRST relevant hit in the top-k,
+    * the position-of-first-answer companion to [[ndcgAtK]] (NDCG
+    * grades the whole ranking; MRR asks only "how far down is the
+    * first good result", the metric RAG retrieval stacks report).
+    * Relevance = `relCol >= relMin`.
+    *
+    * Determinism: ranking order is (scoreCol desc, idCol) — callers
+    * pass an already-quantized score so both engines take identical
+    * top-k — and rr derives from the integer rank as
+    * floor(1e8 / rank) / 1e8 (one correctly-rounded division, then a
+    * grid snap), so it is engine-exact without any float fold. A
+    * top-k with no relevant hit yields null rank and null rr.
+    *
+    * Plan shape: TakeOrdered(k) then a window + aggregate over the k
+    * survivors — nothing fact-sized past the top-k, same contract as
+    * ndcgAtK.
+    */
+  def mrrAtK(scored: DataFrame, idCol: String, relCol: String,
+             scoreCol: String, k: Int, relMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "mrrAtK needs a positive k")
+    val rel = col(relCol).cast("long") >= relMin
+    scored.orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .agg(sum(when(rel, 1L).otherwise(0L)).as("n_rel_topk"),
+        min(when(rel, col("_rk"))).as("first_rel_rank"))
+      .select(col("n_rel_topk"), col("first_rel_rank"),
+        (floor(lit(1.0e8) / col("first_rel_rank")) / lit(1.0e8)).as("rr"))
+  }
+
+  /** Zipf power-law fit of the term-frequency distribution — the
+    * does-this-corpus-look-like-natural-language diagnostic (natural
+    * text has alpha near 1; boilerplate/spam/machine-generated dumps
+    * bend the rank-frequency line): OLS of log f on log rank over the
+    * top-N vocabulary, alpha = −slope.
+    *
+    * Determinism: the regression runs on LOGS QUANTIZED TO THE 1e-6
+    * GRID as exact BIGINTs — the four accumulated sums are integer
+    * (sum order free), and the slope/intercept closed forms are the
+    * only float ops. Ranks come from the deterministic
+    * (freq desc, term) order.
+    *
+    * Plan shape: one fact-scan hash aggregate to the vocab-bounded
+    * term-frequency table, a TakeOrdered top-N of THAT table (never a
+    * global sort of the fact), a window + one aggregate over the N
+    * survivors. Scale: the fit is top-N by construction — the power
+    * law lives in the head, and the N-row tail stage is constant-size
+    * at any corpus scale.
+    */
+  def zipfFit(df: DataFrame, textCol: String, topN: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(topN >= 2, "zipfFit needs at least 2 ranks to fit a line")
+    val tf = df.select(explode(words(col(textCol))).as("_w"))
+      .where(length(col("_w")) > 0)
+      .groupBy("_w").agg(count(lit(1)).as("_f"))
+    val top = tf.orderBy(col("_f").desc, col("_w")).limit(topN)
+      .withColumn("_r", row_number().over(
+        Window.orderBy(col("_f").desc, col("_w"))))
+    val lr = floor(log(col("_r").cast("double")) * lit(1.0e6) + lit(0.5))
+      .cast("long")
+    val lf = floor(log(col("_f").cast("double")) * lit(1.0e6) + lit(0.5))
+      .cast("long")
+    val g = top.select(lr.as("_lr"), lf.as("_lf"))
+      .agg(count(lit(1)).as("n_terms"),
+        sum(col("_lr")).as("_slr"), sum(col("_lf")).as("_slf"),
+        sum(col("_lr") * col("_lr")).as("_slrr"),
+        sum(col("_lr") * col("_lf")).as("_slrf"))
+    val nD = col("n_terms").cast("double")
+    def D(c: String) = col(c).cast("double")
+    // try_divide: a degenerate corpus where every top term has rank
+    // domain of one point (topN rows all rank-tied is impossible, but
+    // n_terms = 1 after an undersized vocab is not) zeroes the
+    // denominator — null fit, never a throw
+    val slope = try_divide(nD * D("_slrf") - D("_slr") * D("_slf"),
+      nD * D("_slrr") - D("_slr") * D("_slr"))
+    g.select(col("n_terms"), (-slope).as("alpha"),
+      (try_divide(D("_slf") - slope * D("_slr"), nD) / lit(1.0e6))
+        .as("log_c"))
+  }
+
   /** Add-one-smoothed bigram language model TRAINING — the counts →
     * conditional-probability step whose scoring half is [[lmScore]].
     * P(w2|w1) = (c(w1,w2) + 1) / (c(w1,·) + V) with V the corpus

@@ -904,6 +904,42 @@ class LlmOpsSpec extends SparkSpec {
     assert(swapped.getAs[Double]("ndcg") < 1.0)
   }
 
+  test("mrrAtK: first relevant rank, truncation at k, empty-hit null") {
+    val scored = Seq(
+      (1L, 0, 40.0), (2L, 0, 30.0), (3L, 2, 20.0), (4L, 3, 10.0))
+      .toDF("id", "rel", "score")
+    // first 2+-relevant doc sits at rank 3 -> rr = 1/3 on the 1e-8 grid
+    val r = TextOps.mrrAtK(scored, "id", "rel", "score", 4, relMin = 2L)
+      .head()
+    assert(r.getLong(0) === 2L && r.getLong(1) === 3L)
+    assert(r.getDouble(2) === 0.33333333)
+    // k = 2 truncates before any relevant doc -> nulls, zero count
+    val cut = TextOps.mrrAtK(scored, "id", "rel", "score", 2, relMin = 2L)
+      .head()
+    assert(cut.getLong(0) === 0L && cut.isNullAt(1) && cut.isNullAt(2))
+    // ties broken by id: equal scores rank doc 3 before doc 4
+    val tied = TextOps.mrrAtK(
+      scored.withColumn("score", lit(1.0)), "id", "rel", "score", 4, 3L)
+      .head()
+    assert(tied.getLong(1) === 4L, "doc 4 (rel 3) behind ids 1..3")
+  }
+
+  test("zipfFit: exact power law recovers alpha, degenerate fit is null") {
+    // f(r) = round(1e4 * r^-1.5): a near-perfect alpha-1.5 line
+    // (integer rounding bends log f by at most ~1.3% at rank 40)
+    val docs = (1 to 40).flatMap { r =>
+      val f = math.round(1e4 * math.pow(r, -1.5)).toInt
+      Seq.fill(f)(f"w$r%02d")
+    }.toDF("text")
+    val fit = TextOps.zipfFit(docs, "text", topN = 40).head()
+    assert(fit.getLong(0) === 40L)
+    assert(math.abs(fit.getDouble(1) - 1.5) < 0.05,
+      s"alpha ${fit.getDouble(1)} should be ~1.5")
+    // single-term corpus: one rank point, zero OLS denominator -> null
+    val one = TextOps.zipfFit(Seq("solo").toDF("text"), "text", 5).head()
+    assert(one.getLong(0) === 1L && one.isNullAt(1) && one.isNullAt(2))
+  }
+
   test("vocabGrowth: first occurrences count once, cumulative is exact") {
     val df = Seq((0L, "a b"), (1L, "b c"), (2L, "a"))
       .toDF("doc_id", "text")

@@ -309,11 +309,14 @@ class PlanInvariantsSpec extends SparkSpec {
     //                    grid bounds the cumulative window's domain —
     //                    ClassifierOps.rocAuc aggregates the fact to
     //                    per-score counts FIRST)
+    //   mrr_eval         the k rows AFTER limit   (TextOps.mrrAtK)
+    //   zipf_fit         the topN rows AFTER limit of the vocab-
+    //                    bounded term-frequency table (TextOps.zipfFit)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
       "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
-      "drift_report", "roc_auc")
+      "drift_report", "roc_auc", "mrr_eval", "zipf_fit")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
