@@ -2590,6 +2590,50 @@ object Queries {
         qround(col("intercept"), 4).as("intercept")),
     groupLinfitQ.sql)
 
+  /** Theil-Sen robust per-user trend (StatsOps.theilSen) on the same
+    * (seconds-from-first-event, value×1000) frame as group_linfit —
+    * the outlier-immune slope beside the OLS one. Pairwise slopes
+    * snap to the 1e-6 grid as bigints; the discrete median picks a
+    * grid point; the per-key cap bounds the quadratic pair space.
+    */
+  private val theilSenQ = Q(
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .select(col("user_id"), col("event_id"), col("ts_ns"),
+          round(col("value") * 1000).cast("long").as("_y"))
+        .withColumn("_x",
+          expr("(ts_ns - min(ts_ns) OVER (PARTITION BY user_id)) div 1000000000L"))
+      operators.StatsOps.theilSen(base, Seq("user_id"), "_x", "_y",
+          "event_id", maxN = 128, quantDigits = 6)
+        .select(col("user_id"), col("slope"), col("n_pairs"))
+    },
+    """WITH b AS (
+      |  SELECT user_id, event_id,
+      |    (epoch_ns(ts) - min(epoch_ns(ts)) OVER (PARTITION BY user_id))
+      |      // 1000000000 AS x,
+      |    CAST(round(value * 1000) AS BIGINT) AS y
+      |  FROM events WHERE value IS NOT NULL),
+      |r AS (
+      |  SELECT user_id, x, y, row_number() OVER (PARTITION BY user_id
+      |    ORDER BY x, event_id) AS rn
+      |  FROM b),
+      |c AS (SELECT * FROM r WHERE rn <= 128),
+      |p AS (
+      |  SELECT a.user_id,
+      |    CAST(floor(CAST(b2.y - a.y AS DOUBLE)
+      |      / CAST(b2.x - a.x AS DOUBLE) * 1000000.0 + 0.5) AS BIGINT)
+      |      AS sq
+      |  FROM c a JOIN c b2 ON a.user_id = b2.user_id
+      |    AND a.rn < b2.rn AND a.x <> b2.x),
+      |m AS (
+      |  SELECT user_id, sq,
+      |    row_number() OVER (PARTITION BY user_id ORDER BY sq) AS rk,
+      |    count(sq) OVER (PARTITION BY user_id) AS n
+      |  FROM p)
+      |SELECT user_id, CAST(sq AS DOUBLE) / 1000000.0 AS slope,
+      |  n AS n_pairs
+      |FROM m WHERE rk = CAST(ceil(n / 2.0) AS BIGINT)""".stripMargin)
+
   /** ROLLUP companion to events_cube: the hierarchical
     * (event_type → dow) super-aggregates only. Same exact integers.
     */
@@ -2750,6 +2794,7 @@ object Queries {
     "group_correlation" -> groupCorrelationQ,
     "cume_dist_norm" -> cumeDistNormQ,
     "group_linfit" -> groupLinfitQ,
+    "theil_sen" -> theilSenQ,
     "stream_linfit" -> streamLinfitQ,
     "events_rollup" -> eventsRollupQ,
     "session_stats" -> sessionStatsQ,

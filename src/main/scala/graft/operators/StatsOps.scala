@@ -1109,6 +1109,63 @@ object StatsOps {
           .as("skew_ratio"))
   }
 
+  /** Theil-Sen estimator — the ROBUST per-key trend beside
+    * [[groupLinfit]]'s OLS (one wild outlier can drag an OLS slope
+    * anywhere; the median of pairwise slopes has a 29% breakdown
+    * point — the fit you trust on telemetry with spikes): per key,
+    * slope = lower median over all point pairs of
+    * (y2 − y1)/(x2 − x1), ties and even counts resolved by the
+    * discrete type-1 pick (same contract as [[groupMedian]]).
+    *
+    * The pair space is quadratic IN THE GROUP, so the operator
+    * enforces a deterministic per-key cap: only the first `maxN` rows
+    * per key in (x, tie) order enter the pairing (row_number ≤ maxN
+    * rides partial WindowGroupLimit). At 100 TB you either accept the
+    * cap as a deterministic subsample of the trend window or
+    * pre-aggregate x to a coarser grid first — never lift the cap and
+    * pair a million-row key.
+    *
+    * Determinism: x and y are exact longs (callers quantize y the way
+    * group_linfit does), each pairwise slope is ONE correctly-rounded
+    * division snapped to the 1e-`quantDigits` grid as a BIGINT, and
+    * the median picks a grid point — engine-exact throughout. Pairs
+    * with x1 = x2 (vertical) are excluded, matching the classic
+    * estimator; a key with no valid pair drops out.
+    *
+    * Plan shape: one partitioned rank window, a key-co-partitioned
+    * self-equi-join (ONE shuffle per side, no cartesian — the join is
+    * on the keys), and the shared group-rank median. Pair volume is
+    * bounded by maxN²/2 per key.
+    */
+  def theilSen(df: DataFrame, keys: Seq[String], xCol: String,
+               yCol: String, tieCol: String, maxN: Int = 128,
+               quantDigits: Int = 6): DataFrame = {
+    require(maxN >= 2 && maxN <= 2048,
+      s"theilSen pairs maxN² rows per key; maxN=$maxN out of [2, 2048]")
+    val s = math.pow(10, quantDigits)
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col("_x"), col("_t"))
+    val capped = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .select((keys.map(col) :+ col(xCol).cast("long").as("_x") :+
+        col(yCol).cast("long").as("_y") :+ col(tieCol).as("_t")): _*)
+      .withColumn("_rn", row_number().over(w))
+      .where(col("_rn") <= maxN)
+    def side(i: Int) = capped.select((keys.map(col) :+
+      col("_x").as(s"_x$i") :+ col("_y").as(s"_y$i") :+
+      col("_rn").as(s"_r$i")): _*)
+    val pairs = side(1).join(side(2), keys)
+      .where(col("_r1") < col("_r2") && col("_x1") =!= col("_x2"))
+      .select((keys.map(col) :+
+        floor((col("_y2") - col("_y1")).cast("double") /
+          (col("_x2") - col("_x1")).cast("double") * lit(s) + lit(0.5))
+          .cast("long").as("_sq")): _*)
+    groupMedian(pairs, keys, "_sq", tieCols = Nil)
+      .select((keys.map(col) :+
+        (col("median").cast("double") / lit(s)).as("slope") :+
+        col("n_group").as("n_pairs")): _*)
+  }
+
   /** Two-proportion z-test — the A/B readout of the monitoring family
     * (did arm A convert better than arm B, beyond what the pooled
     * rate explains?): exact success/trial counts per arm, pooled-rate

@@ -94,4 +94,31 @@ class StatsOpsSpec extends SparkSpec {
       assert(approx(r.getAs[Double]("medabsdevmed"), mad, 1e-6), s"mad n=${xs.length}")
     }
   }
+
+  test("theilSen: outlier-immune slope, vertical pairs excluded, cap binds") {
+    // key a: y = 2x exactly on x = 0..9, except y(9) = 1000 (a spike).
+    // 8 of 9 pairwise slopes per point avoid the spike -> median is
+    // still 2; OLS on the same data is dragged far above 2.
+    val a = (0 to 9).map(x =>
+      ("a", x.toLong, if (x == 9) 1000L else 2L * x, x.toLong))
+    val out = StatsOps.theilSen(a.toDF("k", "x", "y", "t"),
+      Seq("k"), "x", "y", "t").collect()(0)
+    assert(out.getDouble(1) === 2.0, "robust slope ignores the spike")
+    assert(out.getLong(2) === 45L)
+    // duplicate x values: vertical pairs are excluded from the census
+    val b = Seq(("b", 0L, 0L, 0L), ("b", 0L, 100L, 1L), ("b", 1L, 3L, 2L))
+    val ob = StatsOps.theilSen(b.toDF("k", "x", "y", "t"),
+      Seq("k"), "x", "y", "t").collect()(0)
+    // pairs: (0,0)-(1,3) slope 3 and (0,100)-(1,3) slope -97; lower
+    // median of {-97, 3} is -97
+    assert(ob.getLong(2) === 2L && ob.getDouble(1) === -97.0)
+    // maxN = 2 keeps only the first two rows in (x, t) order -> the
+    // surviving pair is vertical -> the key drops out entirely
+    assert(StatsOps.theilSen(b.toDF("k", "x", "y", "t"),
+      Seq("k"), "x", "y", "t", maxN = 2).count() === 0L)
+    intercept[IllegalArgumentException] {
+      StatsOps.theilSen(b.toDF("k", "x", "y", "t"),
+        Seq("k"), "x", "y", "t", maxN = 1)
+    }
+  }
 }
