@@ -65,7 +65,12 @@ class PlanInvariantsSpec extends SparkSpec {
     // evolve_schema deliberately absent: its fn writes scratch parquet
     // as a side effect, so plan-only sweeps must not invoke it (same
     // contract as the csv/orc/jsonl roundtrips)
-    "weighted_median")
+    "weighted_median",
+    // round-10 eval/governance batch: theil_sen's pairing must stay a
+    // key-co-partitioned equi-join; kappa/ab_test/k_anonymity compose
+    // 1-row/class-bounded broadcasts only
+    "roc_auc", "cohens_kappa", "ab_test", "k_anonymity", "mrr_eval",
+    "zipf_fit", "theil_sen")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
