@@ -1198,6 +1198,31 @@ object QueriesCuration {
        |    * 100000000.0 + 0.5) / 100000000.0 AS z
        |FROM v""".stripMargin)
 
+  /** The STREAMING A/B readout on the batch frame
+    * (StreamingOps.conversionStream): per-user purchase counts as ONE
+    * long of order-free state, then the same threshold/arm/z
+    * composition as the batch twin — shared oracle SQL.
+    */
+  private val streamAbTestQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("is_purchase"))
+      val perUser = graft.streaming.StreamingOps
+        .conversionStream(s, ev, "user_id", "is_purchase")
+        .select(col("user_id"),
+          when(col("n_success") >= 15, 1L).otherwise(0L).as("converted"))
+      val armed = SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      StatsOps.twoProportionZ(armed, "split", "a", "b", "converted")
+        .select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
+          qround(col("rate_a"), 8).as("rate_a"),
+          qround(col("rate_b"), 8).as("rate_b"),
+          qround(col("lift"), 8).as("lift"),
+          qround(col("z"), 8).as("z"))
+    },
+    abTestQ.sql)
+
   /** k-anonymity audit (ValidateOps.kAnonymity) of the documents
     * table under the (lang, source, length-bucket) quasi-identifier —
     * the release-gate readout: how many rows sit in cohorts smaller
@@ -1228,6 +1253,7 @@ object QueriesCuration {
 
   val all: Map[String, Q] = Map(
     "ab_test" -> abTestQ,
+    "stream_abtest" -> streamAbTestQ,
     "k_anonymity" -> kAnonymityQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,

@@ -837,6 +837,45 @@ object StreamingOps {
       .toDF(keyCol, "n", "sum_v", "min_v", "max_v", "sum_sq")
   }
 
+  /** Streaming per-key success counter — the stateful half of the A/B
+    * readout (`ab_test`): one long of ORDER-FREE state per key (a sum
+    * commutes, so late/shuffled events cannot change the result — the
+    * strongest determinism class a stream op can have). Each batch a
+    * key saw data emits its updated lifetime success count; the arm
+    * assignment, conversion threshold, and two-proportion z are pure
+    * projections/aggregates the sink side composes (they need no
+    * per-event state). A key's fold over the whole batch frame equals
+    * any micro-batch split of it bit-for-bit.
+    */
+  def conversionStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                       flagCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, flagCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"conversionStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(flagCol).cast("long").as("_f"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[Long, (Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var n = state.getOption.getOrElse(0L)
+          var any = false
+          for (r <- rows) { any = true; n += r._2 }
+          if (!any) Iterator.empty
+          else {
+            state.update(n)
+            Iterator((key, n))
+          }
+      }
+      .toDF(keyCol, "n_success")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -624,4 +624,33 @@ class StreamingOpsSpec extends SparkSpec {
       .collect().map(_.toSeq).toSet
     assert(viaStream === viaBatch)
   }
+
+  test("conversionStream accumulates per-key successes across micro-batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("user_id", "is_hit")
+    val out = StreamingOps.conversionStream(spark, df, "user_id", "is_hit")
+    val q = out.writeStream.format("memory").queryName("conv_t")
+      .outputMode("append").start()
+    input.addData((1L, 1L), (1L, 0L), (2L, 1L))
+    q.processAllAvailable()
+    input.addData((1L, 1L), (3L, 0L))
+    q.processAllAvailable()
+    val rows = spark.table("conv_t").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_success")))
+      .toSeq
+    q.stop()
+    // batch 1 snapshots: user 1 -> 1, user 2 -> 1; batch 2 CONTINUES
+    // user 1's state (1 + 1 = 2) and opens user 3 at 0
+    assert(rows.sorted === Seq((1L, 1L), (1L, 2L), (2L, 1L), (3L, 0L)))
+
+    // order-free: a shuffled batch frame folds to the same totals
+    val frame = Seq((7L, 1L), (7L, 1L), (7L, 0L), (8L, 1L)).toDF("u", "f")
+    val a = StreamingOps.conversionStream(spark, frame, "u", "f")
+      .collect().map(_.toSeq).toSet
+    val b = StreamingOps.conversionStream(
+      spark, frame.repartition(5).orderBy(rand(42)), "u", "f")
+      .collect().map(_.toSeq).toSet
+    assert(a === b && a === Set(Seq(7L, 2L), Seq(8L, 1L)))
+  }
 }
