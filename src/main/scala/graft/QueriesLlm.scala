@@ -2752,6 +2752,96 @@ object QueriesLlm {
          |FROM s""".stripMargin
     })
 
+  /** Perceptual average-hash of the REAL-codec image path
+    * (MultimodalOps.imageAHash): PNG-encode the deterministic raster,
+    * decode through javax.imageio, block-average to 8x8, threshold on
+    * the integer mean comparison. Lossless container -> the oracle
+    * replays the generating formula px(i) = (id·31 + 7i) mod 256.
+    * The hash ships as two 32-bit halves so neither engine touches
+    * the bit-63 sign.
+    */
+  private val imageHashQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packPngMedia(Tables.documents(s, d),
+        "doc_id", width = 24, height = 16)
+      MultimodalOps.imageAHash(s, media.toDF())
+        .select(col("media_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          col("ahash").bitwiseAND(lit(0xFFFFFFFFL)).as("ahash_lo"))
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    list_sum(list_transform(generate_series(0, 383), i_ ->
+       |      (doc_id * 31 + i_ * 7) % 256)) AS total
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 63), b_ ->
+       |      CASE WHEN list_sum(list_transform(generate_series(0, 5),
+       |          k_ -> (doc_id * 31 + (((b_ // 8) * 2 + k_ // 3) * 24
+       |            + (b_ % 8) * 3 + k_ % 3) * 7) % 256)) * 64 > total
+       |        THEN 1 ELSE 0 END) AS bv
+       |  FROM t)
+       |SELECT doc_id AS media_id,
+       |  CAST(list_sum(list_transform(generate_series(32, 63), b_ ->
+       |    bv[b_ + 1] * (1::BIGINT << (b_ - 32)))) AS BIGINT) AS ahash_hi,
+       |  CAST(list_sum(list_transform(generate_series(0, 31), b_ ->
+       |    bv[b_ + 1] * (1::BIGINT << b_))) AS BIGINT) AS ahash_lo
+       |FROM bits""".stripMargin)
+
+  /** Image near-dup pairs: aHash over a duplicate-amplified corpus
+    * (rasters repeat mod 64 while media ids stay unique), then the
+    * shared banded-Hamming join (DedupOps.hashNearDup, 8 bands of 8
+    * bits, dist <= 6). The oracle replays hash + banding + popcount
+    * relationally on the halves — including the band-collision
+    * REQUIREMENT, since 6 bit flips can straddle all 8 bands only
+    * when no band matches.
+    */
+  private val imageNearDupQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packPngMedia(Tables.documents(s, d),
+        "doc_id", width = 24, height = 16, rasterMod = 64L)
+      val hashes = MultimodalOps.imageAHash(s, media.toDF())
+      DedupOps.hashNearDup(hashes, "media_id", "ahash",
+        nbits = 64, bands = 8, maxDist = 6)
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id, doc_id % 64 AS rid,
+       |    list_sum(list_transform(generate_series(0, 383), i_ ->
+       |      ((doc_id % 64) * 31 + i_ * 7) % 256)) AS total
+       |  FROM documents),
+       |bits AS (
+       |  SELECT doc_id,
+       |    list_transform(generate_series(0, 63), b_ ->
+       |      CASE WHEN list_sum(list_transform(generate_series(0, 5),
+       |          k_ -> (rid * 31 + (((b_ // 8) * 2 + k_ // 3) * 24
+       |            + (b_ % 8) * 3 + k_ % 3) * 7) % 256)) * 64 > total
+       |        THEN 1 ELSE 0 END) AS bv
+       |  FROM t),
+       |h AS (
+       |  SELECT doc_id,
+       |    CAST(list_sum(list_transform(generate_series(32, 63), b_ ->
+       |      bv[b_ + 1] * (1::BIGINT << (b_ - 32)))) AS BIGINT) AS hi,
+       |    CAST(list_sum(list_transform(generate_series(0, 31), b_ ->
+       |      bv[b_ + 1] * (1::BIGINT << b_))) AS BIGINT) AS lo
+       |  FROM bits)
+       |SELECT a.doc_id AS id1, b.doc_id AS id2,
+       |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo))
+       |    AS INT) AS hamming
+       |FROM h a JOIN h b ON a.doc_id < b.doc_id
+       |WHERE (bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)))
+       |    <= 6
+       |  AND (
+       |    (a.lo // 1) % 256 = (b.lo // 1) % 256 OR
+       |    (a.lo // 256) % 256 = (b.lo // 256) % 256 OR
+       |    (a.lo // 65536) % 256 = (b.lo // 65536) % 256 OR
+       |    (a.lo // 16777216) % 256 = (b.lo // 16777216) % 256 OR
+       |    (a.hi // 1) % 256 = (b.hi // 1) % 256 OR
+       |    (a.hi // 256) % 256 = (b.hi // 256) % 256 OR
+       |    (a.hi // 65536) % 256 = (b.hi // 65536) % 256 OR
+       |    (a.hi // 16777216) % 256 = (b.hi // 16777216) % 256)"""
+      .stripMargin)
+
   /** REAL-codec audio path: deterministic PCM16 samples are wrapped
     * in a RIFF/WAVE container and decoded back through
     * javax.sound.sampled, then per-frame RMS energies run on the
@@ -3278,6 +3368,8 @@ object QueriesLlm {
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,
     "zipf_fit" -> zipfFitQ,
+    "image_hash" -> imageHashQ,
+    "image_neardup" -> imageNearDupQ,
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
     "edit_distance" -> editDistanceQ,

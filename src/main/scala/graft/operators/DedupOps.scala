@@ -689,21 +689,40 @@ object DedupOps {
   def simHashNearDup(df: DataFrame, idCol: String, textCol: String,
                      nbits: Int = 48, bands: Int = 4,
                      maxDist: Int = 3): DataFrame = {
+    val sig = df.select(col(idCol), simHash(col(textCol), nbits).as("sig"))
+    hashNearDup(sig, idCol, "sig", nbits, bands, maxDist)
+  }
+
+  /** Generic banded Hamming near-dup over ANY long bit-signature
+    * column (simhash text signatures, perceptual image hashes, any
+    * locality-preserving fingerprint): the banding/verify second half
+    * of [[simHashNearDup]], factored out so every signature family
+    * shares one audited join shape. Split the nbits signature into
+    * `bands` equal chunks; any pair within hamming distance < bands
+    * shares at least one exact chunk (pigeonhole), so a banded
+    * self-equi-join finds every such pair without the quadratic
+    * all-pairs scan; exact popcount verifies.
+    *
+    * Scale note: bucket granularity is 2^(nbits/bands) values per
+    * band — size the chunk width so corpus/2^width stays small, or
+    * the band join degenerates quadratically.
+    */
+  def hashNearDup(sig: DataFrame, idCol: String, sigCol: String,
+                  nbits: Int, bands: Int, maxDist: Int): DataFrame = {
     require(nbits % bands == 0, "bands must divide nbits")
     require(maxDist < bands,
       "pigeonhole completeness needs maxDist < bands")
     val width = nbits / bands
-    val mask = (1L << width) - 1
-    val sig = df.select(col(idCol), simHash(col(textCol), nbits).as("sig"))
-    val banded = sig.select(col(idCol), col("sig"),
+    val mask = if (width == 64) -1L else (1L << width) - 1
+    val banded = sig.select(col(idCol), col(sigCol).as("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
+          shiftright(col(sigCol), b * width).bitwiseAND(lit(mask))
             .as("band_val"))): _*)).as("bv"))
       .select(col(idCol), col("sig"), col("bv.band"), col("bv.band_val"))
     // Identical subplans on both join sides (aliases applied ABOVE the
     // join, not below): the band-key exchange is planned once and
-    // reused, so the signature UDF runs a single pass over the corpus.
+    // reused, so the signature kernel runs a single pass over the corpus.
     banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&

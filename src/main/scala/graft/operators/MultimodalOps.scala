@@ -177,17 +177,69 @@ object MultimodalOps {
     * statistics without being able to parse PNG itself.
     */
   def packPngMedia(df: DataFrame, idCol: String,
-                   width: Int = 24, height: Int = 16): Dataset[MediaRow] = {
+                   width: Int = 24, height: Int = 16,
+                   rasterMod: Long = 0L): Dataset[MediaRow] = {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).cast("long")).as[Long].mapPartitions { ids =>
       ids.map { id =>
+        // rasterMod > 0 derives the raster from id % rasterMod while
+        // keeping media_id unique — the duplicate-amplified corpus the
+        // image near-dup path needs (same trick as dupCorpus for text)
+        val rid = if (rasterMod > 0) id % rasterMod else id
         val px = Array.tabulate(width * height)(i =>
-          ((id * 31 + i * 7) % 256).toInt)
+          ((rid * 31 + i * 7) % 256).toInt)
         MediaRow(id, "image/png", width, height,
           encodePngGray(width, height, px))
       }
     }
+  }
+
+  /** Perceptual average-hash (aHash) of each image — the multimodal
+    * member of the dedup family: decode through the REAL codec,
+    * block-average down to a gridW x gridH thumbnail, set bit b when
+    * block b's mean is strictly above the global mean. Near-identical
+    * images (recompressions, tiny edits) land within a few bits;
+    * unrelated images differ in ~half of them — feed the output to
+    * [[DedupOps.hashNearDup]] for the banded pair search.
+    *
+    * Exactness: all comparisons are INTEGER (blockSum·nBlocks vs
+    * pixel total — no mean division ever happens), so the hash is
+    * engine-exact and oracle-replayable. Codec-bound row work in a
+    * mapPartitions kernel, scan-shaped at any scale; images whose
+    * dimensions the grid does not divide are dropped (this corpus
+    * packs fixed 24x16 rasters; a production caller resizes first).
+    */
+  def imageAHash(spark: SparkSession, media: DataFrame,
+                 gridW: Int = 8, gridH: Int = 8): DataFrame = {
+    import spark.implicits._
+    require(gridW * gridH <= 64, "hash must fit one long")
+    media.as[MediaRow].mapPartitions { rows =>
+      rows.flatMap { r =>
+        decodeImageGray(r.content).collect {
+          case (w, h, px) if w % gridW == 0 && h % gridH == 0 =>
+            val bw = w / gridW; val bh = h / gridH
+            val nBlocks = gridW * gridH
+            val sums = new Array[Long](nBlocks)
+            var i = 0
+            while (i < px.length) {
+              val bx = (i % w) / bw; val by = (i / w) / bh
+              sums(by * gridW + bx) += px(i)
+              i += 1
+            }
+            var total = 0L
+            var b = 0
+            while (b < nBlocks) { total += sums(b); b += 1 }
+            var hash = 0L
+            b = 0
+            while (b < nBlocks) {
+              if (sums(b) * nBlocks > total) hash |= (1L << b)
+              b += 1
+            }
+            (r.media_id, hash)
+        }
+      }
+    }.toDF("media_id", "ahash")
   }
 
   /** Pack a REAL RIFF/WAVE payload per row: deterministic PCM16

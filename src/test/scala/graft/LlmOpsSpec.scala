@@ -395,6 +395,44 @@ class LlmOpsSpec extends SparkSpec {
     }
   }
 
+  test("imageAHash: identical rasters collide, one edit stays near, inverse is far") {
+    import graft.operators.MultimodalOps.{encodePngGray, MediaRow}
+    def media(rows: (Long, Array[Int])*) = {
+      val spark2 = spark; import spark2.implicits._
+      rows.map { case (id, px) =>
+        MediaRow(id, "image/png", 24, 16, encodePngGray(24, 16, px))
+      }.toDS().toDF()
+    }
+    // a structured raster (vertical gradient) and small/large edits
+    val base = Array.tabulate(384)(i => (i / 24) * 16) // rows 0..15 -> 0..240
+    val oneEdit = base.clone(); oneEdit(100) = 255
+    val inverse = base.map(255 - _)
+    val hashes = graft.operators.MultimodalOps
+      .imageAHash(spark, media((1L, base), (2L, base.clone()),
+        (3L, oneEdit), (4L, inverse)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(hashes(1L) === hashes(2L), "identical rasters, identical hash")
+    val near = java.lang.Long.bitCount(hashes(1L) ^ hashes(3L))
+    val far = java.lang.Long.bitCount(hashes(1L) ^ hashes(4L))
+    assert(near <= 2, s"one-pixel edit moved $near bits")
+    assert(far >= 32, s"inverted image only $far bits away")
+    // hashNearDup finds exactly the close pairs at dist <= 6
+    val ids = Seq((1L, hashes(1L)), (2L, hashes(2L)), (3L, hashes(3L)),
+      (4L, hashes(4L)))
+    val spark2 = spark; import spark2.implicits._
+    val pairs = graft.operators.DedupOps.hashNearDup(
+        ids.toDF("id", "h"), "id", "h", nbits = 64, bands = 8, maxDist = 6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs === Set((1L, 2L), (1L, 3L), (2L, 3L)),
+      s"got $pairs")
+    // indivisible dimensions are dropped, not mishashed
+    val odd = MultimodalOps.packPngMedia(
+      Seq((9L, "x")).toDF("doc_id", "text"), "doc_id",
+      width = 23, height = 16)
+    assert(graft.operators.MultimodalOps
+      .imageAHash(spark, odd.toDF()).count() === 0L)
+  }
+
   test("frameEnergy on real decoded WAV samples matches the sample formula") {
     val media = MultimodalOps.packWavMedia(
       Seq((5L, "x")).toDF("doc_id", "text"), "doc_id", nSamples = 64)
