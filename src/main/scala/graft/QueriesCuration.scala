@@ -1223,6 +1223,69 @@ object QueriesCuration {
     },
     abTestQ.sql)
 
+  /** Deterministic Poisson-bootstrap CI (StatsOps.bootstrapCi) for the
+    * per-event-type mean value: 64 replicates in ONE hash aggregate
+    * (2·64 longs of state per group), multiplicities from the shared
+    * hash scheme + the Poisson(1) inverse-CDF grid, CI = discrete
+    * 2.5%/97.5% picks over the replicate means. No rand() anywhere —
+    * the oracle replays every draw.
+    */
+  private val bootstrapCiQ = Q(
+    (s, d) => StatsOps.bootstrapCi(
+        Tables.events(s, d).select(col("event_type"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("v")),
+        Seq("event_type"), "v", "event_id", reps = 64)
+      .select(col("event_type"), col("n"),
+        qround(col("mean"), 8).as("mean"),
+        qround(col("ci_lo"), 8).as("ci_lo"),
+        qround(col("ci_hi"), 8).as("ci_hi")),
+    {
+      val M = graft.operators.TextOps.HashMod
+      val A = SketchOps.KmvMult
+      s"""WITH e AS (
+         |  SELECT event_type, event_id,
+         |    CAST(round(value * 1000) AS BIGINT) AS v
+         |  FROM events WHERE value IS NOT NULL),
+         |mb AS (
+         |  SELECT event_type, b,
+         |    CAST(sum(m * v) AS BIGINT) AS mv, CAST(sum(m) AS BIGINT) AS ms
+         |  FROM (
+         |    SELECT event_type, v, b,
+         |      CASE WHEN bucket < 3679 THEN 0 WHEN bucket < 7358 THEN 1
+         |           WHEN bucket < 9197 THEN 2 WHEN bucket < 9810 THEN 3
+         |           WHEN bucket < 9963 THEN 4 WHEN bucket < 9994 THEN 5
+         |           WHEN bucket < 9999 THEN 6 ELSE 7 END AS m
+         |    FROM (
+         |      SELECT e.event_type, e.v, r.b,
+         |        (event_id % $M) * (r.b + 1) % $M * $A % $M % 10000
+         |          AS bucket
+         |      FROM e CROSS JOIN (SELECT unnest(generate_series(0, 63))
+         |        AS b) r))
+         |  GROUP BY 1, 2),
+         |bm AS (
+         |  SELECT event_type, CAST(mv AS DOUBLE) / CAST(ms AS DOUBLE)
+         |    AS bmean
+         |  FROM mb WHERE ms > 0),
+         |rk AS (
+         |  SELECT event_type, bmean,
+         |    row_number() OVER (PARTITION BY event_type ORDER BY bmean)
+         |      AS rk,
+         |    count(*) OVER (PARTITION BY event_type) AS nr
+         |  FROM bm),
+         |base AS (
+         |  SELECT event_type, count(*) AS n, CAST(sum(v) AS BIGINT) AS sv
+         |  FROM e GROUP BY 1)
+         |SELECT base.event_type, base.n,
+         |  floor(CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)
+         |    * 100000000.0 + 0.5) / 100000000.0 AS mean,
+         |  floor(min(CASE WHEN rk = CAST(ceil(nr * 0.025) AS BIGINT)
+         |      THEN bmean END) * 100000000.0 + 0.5) / 100000000.0 AS ci_lo,
+         |  floor(min(CASE WHEN rk = CAST(ceil(nr * 0.975) AS BIGINT)
+         |      THEN bmean END) * 100000000.0 + 0.5) / 100000000.0 AS ci_hi
+         |FROM base JOIN rk USING (event_type)
+         |GROUP BY base.event_type, base.n, sv""".stripMargin
+    })
+
   /** k-anonymity audit (ValidateOps.kAnonymity) of the documents
     * table under the (lang, source, length-bucket) quasi-identifier —
     * the release-gate readout: how many rows sit in cohorts smaller
@@ -1254,6 +1317,7 @@ object QueriesCuration {
   val all: Map[String, Q] = Map(
     "ab_test" -> abTestQ,
     "stream_abtest" -> streamAbTestQ,
+    "bootstrap_ci" -> bootstrapCiQ,
     "k_anonymity" -> kAnonymityQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,

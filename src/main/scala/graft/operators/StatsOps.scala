@@ -1166,6 +1166,69 @@ object StatsOps {
         col("n_group").as("n_pairs")): _*)
   }
 
+  /** Deterministic Poisson-bootstrap confidence interval for the
+    * per-group mean — uncertainty quantification that scales: the
+    * classic multinomial bootstrap needs a global resample (a shuffle
+    * per replicate); the Poisson(1) bootstrap gives each row an
+    * independent replicate multiplicity, so ALL `reps` replicates ride
+    * ONE hash aggregate carrying 2·reps longs per group (m·v and m
+    * sums — map-side combined, no row amplification, no explode).
+    *
+    * Randomness is a pure hash of (row id, replicate): the bucket
+    * walks the shared multiplicative-hash scheme and the multiplicity
+    * is an inverse-CDF table of Poisson(1) on the 10000-bucket grid
+    * (cutoffs 3679/7358/9197/9810/9963/9994/9999 = cumulative pmf
+    * rounded to 1e-4) — reproducible across runs, partitionings, and
+    * engines; no rand(). Each replicate mean is ONE division of exact
+    * bigints; the CI bounds are the discrete type-1 2.5%/97.5% picks
+    * over the replicate means (an empty replicate — every m drawn 0 —
+    * yields a null mean and drops from the rank census).
+    *
+    * valueCol must be integral (quantize upstream, the group_linfit
+    * convention); idCol seeds the per-row hash.
+    */
+  def bootstrapCi(df: DataFrame, keys: Seq[String], valueCol: String,
+                  idCol: String, reps: Int = 64): DataFrame = {
+    require(reps >= 4 && reps <= 256, s"reps=$reps out of [4, 256]")
+    val M = graft.operators.TextOps.HashMod
+    val A = SketchOps.KmvMult
+    // Poisson(1) inverse CDF on the 10000-bucket grid
+    val cuts = Seq(3679L, 7358L, 9197L, 9810L, 9963L, 9994L, 9999L)
+    def mult(b: Int): Column = {
+      val bucket = pmod(col(idCol).cast("long"), lit(M))
+        .multiply(lit(b + 1L)).mod(lit(M))
+        .multiply(lit(A)).mod(lit(M)).mod(lit(10000L))
+      cuts.zipWithIndex.reverse.foldLeft(lit(7L)) {
+        case (rest, (cut, m)) => when(bucket < cut, m.toLong).otherwise(rest)
+      }
+    }
+    val in = df.where(col(valueCol).isNotNull && col(idCol).isNotNull)
+      .select((keys.map(col) :+ col(idCol) :+
+        col(valueCol).cast("long").as("_v")): _*)
+    val aggs = (0 until reps).flatMap { b =>
+      val m = mult(b)
+      Seq(sum(m * col("_v")).as(s"_mv$b"), sum(m).as(s"_m$b"))
+    } :+ count(lit(1)).as("n") :+ sum(col("_v")).as("_sv")
+    val g = in.groupBy(keys.map(col): _*).agg(aggs.head, aggs.tail: _*)
+    val meanExprs = (0 until reps).map(b =>
+      s"try_divide(cast(_mv$b as double), cast(_m$b as double))")
+    val melted = g.select((keys.map(col) :+ col("n") :+ col("_sv") :+
+      explode(expr(s"array(${meanExprs.mkString(", ")})")).as("_bm")): _*)
+    val w = Window.partitionBy(keys.map(col): _*).orderBy(col("_bm"))
+    val ranked = melted.where(col("_bm").isNotNull)
+      .withColumn("_rk", row_number().over(w))
+      .withColumn("_nr", count(lit(1)).over(
+        Window.partitionBy(keys.map(col): _*)))
+    val lo = ceil(col("_nr") * lit(0.025)).cast("long")
+    val hi = ceil(col("_nr") * lit(0.975)).cast("long")
+    ranked.groupBy((keys.map(col) :+ col("n") :+ col("_sv")): _*)
+      .agg(min(when(col("_rk") === lo, col("_bm"))).as("ci_lo"),
+        min(when(col("_rk") === hi, col("_bm"))).as("ci_hi"))
+      .select((keys.map(col) :+ col("n") :+
+        try_divide(col("_sv").cast("double"), col("n").cast("double"))
+          .as("mean") :+ col("ci_lo") :+ col("ci_hi")): _*)
+  }
+
   /** Two-proportion z-test — the A/B readout of the monitoring family
     * (did arm A convert better than arm B, beyond what the pooled
     * rate explains?): exact success/trial counts per arm, pooled-rate

@@ -600,6 +600,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(dz.isNullAt(7) && dz.getDouble(6) === 0.0)
   }
 
+  test("bootstrapCi: constant data collapses the CI, draws are order-free") {
+    // every replicate resamples a constant -> every replicate mean IS
+    // the constant -> the interval collapses to a point exactly
+    val const = (1 to 500).map(i => ("g", i.toLong, 42L))
+      .toDF("k", "id", "v")
+    val r = operators.StatsOps.bootstrapCi(const, Seq("k"), "v", "id")
+      .collect()(0)
+    assert(r.getDouble(2) === 42.0 &&
+      r.getDouble(3) === 42.0 && r.getDouble(4) === 42.0)
+    // non-constant data: a proper bracket around the mean, and the
+    // whole readout is invariant to partitioning (hash draws, no rand)
+    val varied = (1 to 500).map(i => ("g", i.toLong, (i % 100).toLong))
+      .toDF("k", "id", "v")
+    val a = operators.StatsOps.bootstrapCi(varied, Seq("k"), "v", "id")
+      .collect()(0)
+    val b = operators.StatsOps.bootstrapCi(
+      varied.repartition(13).orderBy(col("v").desc), Seq("k"), "v", "id")
+      .collect()(0)
+    assert(a.toSeq === b.toSeq, "hash draws must be partition-invariant")
+    assert(a.getDouble(3) < a.getDouble(2) && a.getDouble(2) < a.getDouble(4),
+      s"CI [${a.getDouble(3)}, ${a.getDouble(4)}] should bracket mean " +
+        s"${a.getDouble(2)}")
+    intercept[IllegalArgumentException] {
+      operators.StatsOps.bootstrapCi(varied, Seq("k"), "v", "id", reps = 2)
+    }
+  }
+
   test("kAnonymity: group sizes vs k, null QI values form a cohort") {
     // cohorts: (x,1)x3, (x,2)x1, (y,null)x2 with k=3 ->
     // min_k 1, at-risk groups 2 (sizes 1 and 2), rows 3 of 6
