@@ -1286,6 +1286,58 @@ object QueriesCuration {
          |GROUP BY base.event_type, base.n, sv""".stripMargin
     })
 
+  /** Masked imputation eval (StatsOps.imputeMedian): hide every 11th
+    * event's value, repair from the surviving per-type discrete
+    * median, score mean absolute error against the held-out truth —
+    * the repair-quality readout run before trusting an imputer on
+    * real gaps. All integers except the one MAE division.
+    */
+  private val imputeEvalQ = Q(
+    (s, d) => {
+      val base = Tables.events(s, d)
+        .where(col("value").isNotNull)
+        .select(col("event_type"), col("event_id"),
+          round(col("value") * 1000).cast("long").as("_true"))
+        .withColumn("_v", when(col("event_id") % 11 === 0,
+          lit(null).cast("long")).otherwise(col("_true")))
+      StatsOps.imputeMedian(base, Seq("event_type"), "_v",
+          Seq("event_id"))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          sum(when(col("was_imputed"), 1L).otherwise(0L)).as("n_imputed"),
+          sum(when(col("was_imputed"), abs(col("_v_filled") - col("_true")))
+            .otherwise(0L)).as("_ae"))
+        .select(col("event_type"), col("n"), col("n_imputed"),
+          qround(try_divide(col("_ae").cast("double"),
+            col("n_imputed").cast("double")), 8).as("mae"))
+    },
+    """WITH b AS (
+      |  SELECT event_type, event_id,
+      |    CAST(round(value * 1000) AS BIGINT) AS t,
+      |    CASE WHEN event_id % 11 = 0 THEN NULL
+      |         ELSE CAST(round(value * 1000) AS BIGINT) END AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |med AS (
+      |  SELECT event_type, v AS med FROM (
+      |    SELECT event_type, v, event_id,
+      |      row_number() OVER (PARTITION BY event_type
+      |        ORDER BY v, event_id) AS rk,
+      |      count(v) OVER (PARTITION BY event_type) AS ng
+      |    FROM b WHERE v IS NOT NULL)
+      |  WHERE rk = CAST(ceil(ng / 2.0) AS BIGINT)),
+      |f AS (
+      |  SELECT b.event_type, t, v, coalesce(v, med) AS fv,
+      |    (v IS NULL AND med IS NOT NULL) AS wi
+      |  FROM b LEFT JOIN med USING (event_type))
+      |SELECT event_type, count(*) AS n,
+      |  CAST(sum(CASE WHEN wi THEN 1 ELSE 0 END) AS BIGINT) AS n_imputed,
+      |  floor(CAST(sum(CASE WHEN wi THEN abs(fv - t) ELSE 0 END)
+      |      AS DOUBLE)
+      |    / NULLIF(CAST(sum(CASE WHEN wi THEN 1 ELSE 0 END) AS DOUBLE),
+      |      0.0)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mae
+      |FROM f GROUP BY 1""".stripMargin)
+
   /** k-anonymity audit (ValidateOps.kAnonymity) of the documents
     * table under the (lang, source, length-bucket) quasi-identifier —
     * the release-gate readout: how many rows sit in cohorts smaller
@@ -1318,6 +1370,7 @@ object QueriesCuration {
     "ab_test" -> abTestQ,
     "stream_abtest" -> streamAbTestQ,
     "bootstrap_ci" -> bootstrapCiQ,
+    "impute_eval" -> imputeEvalQ,
     "k_anonymity" -> kAnonymityQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,

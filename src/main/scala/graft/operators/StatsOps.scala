@@ -444,6 +444,33 @@ object StatsOps {
         col("_n").as("n_group")): _*)
   }
 
+  /** Median imputation — the robust missing-value repair of the
+    * curation family: fill each null measure with its group's discrete
+    * type-1 median over the SURVIVING (non-null) values (the
+    * [[groupMedian]] contract, so the filled value is an actual
+    * observed value on the quantization grid, engine-exact — never an
+    * interpolated float). Adds `<valueCol>_filled` and a `was_imputed`
+    * flag; a group with no surviving value leaves its nulls in place
+    * (flag false — nothing was imputed, the gap is still a gap).
+    *
+    * Plan shape: one window-rank median over the non-null slice, then
+    * a key-co-partitioned equi-join back to the fact (broadcast when
+    * the group table is small — Catalyst's call). Nothing fact-sized
+    * beyond the one join.
+    */
+  def imputeMedian(df: DataFrame, keys: Seq[String], valueCol: String,
+                   tieCols: Seq[String]): DataFrame = {
+    val med = groupMedian(df.where(col(valueCol).isNotNull), keys,
+        valueCol, tieCols)
+      .select((keys.map(col) :+ col("median").as("_gmed")): _*)
+    df.join(med, keys, "left")
+      .withColumn(s"${valueCol}_filled",
+        coalesce(col(valueCol), col("_gmed")))
+      .withColumn("was_imputed",
+        col(valueCol).isNull && col("_gmed").isNotNull)
+      .drop("_gmed")
+  }
+
   /** Trailing time-range rolling aggregate: per key, count and sum of
     * `valueCol` over the RANGE frame [t - windowNs, t] on an integer
     * nanosecond time column. One shuffle on the key; within a key the

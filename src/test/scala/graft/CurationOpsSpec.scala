@@ -627,6 +627,21 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("imputeMedian: nulls filled with the group median, empty groups stay null") {
+    val df = Seq(
+      ("a", 1L, Some(10L)), ("a", 2L, Some(30L)), ("a", 3L, Some(20L)),
+      ("a", 4L, None), // fill with a's lower median (20)
+      ("b", 5L, None)) // no survivor in b -> stays null, not imputed
+      .toDF("k", "id", "v")
+    val out = operators.StatsOps.imputeMedian(df, Seq("k"), "v", Seq("id"))
+      .collect().map(r => r.getLong(1) ->
+        ((if (r.isNullAt(3)) None else Some(r.getLong(3))),
+          r.getBoolean(4))).toMap
+    assert(out(1L) === ((Some(10L), false)))
+    assert(out(4L) === ((Some(20L), true)), "null filled with type-1 median")
+    assert(out(5L) === ((None, false)), "no fill source leaves the gap")
+  }
+
   test("kAnonymity: group sizes vs k, null QI values form a cohort") {
     // cohorts: (x,1)x3, (x,2)x1, (y,null)x2 with k=3 ->
     // min_k 1, at-risk groups 2 (sizes 1 and 2), rows 3 of 6
