@@ -3314,6 +3314,57 @@ object QueriesLlm {
        |    AS auc
        |FROM cc""".stripMargin)
 
+  /** Cumulative-gains / lift curve (ClassifierOps.liftCurve) of the
+    * trained quality classifier — the targeting readout beside
+    * roc_auc/calibration: deciles from the distinct-quantized-score
+    * table (ties stay together, no global fact sort), exact counts,
+    * closed-form gain and lift.
+    */
+  private val liftCurveQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("score"))
+      ClassifierOps.liftCurve(scored, "label", "score", buckets = 10)
+        .select(col("bucket"), col("n"), col("n_pos"),
+          qround(col("gain"), 8).as("gain"),
+          qround(col("lift"), 8).as("lift"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} AS score
+       |  FROM f, wf),
+       |c AS (
+       |  SELECT score, count(*) AS n,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS p
+       |  FROM sc GROUP BY 1),
+       |cc AS (
+       |  SELECT n, p,
+       |    sum(n) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+       |    (SELECT CAST(sum(n) AS BIGINT) FROM c) AS tn,
+       |    (SELECT CAST(sum(p) AS BIGINT) FROM c) AS tp
+       |  FROM c),
+       |b AS (
+       |  SELECT ((cum - n) * 10) // tn AS bucket, tn, tp,
+       |    CAST(sum(n) AS BIGINT) AS n,
+       |    CAST(sum(p) AS BIGINT) AS n_pos
+       |  FROM cc GROUP BY 1, 2, 3)
+       |SELECT bucket, n, n_pos,
+       |  ${qrSql("CAST(sum(n_pos) OVER (ORDER BY bucket " +
+         "ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) " +
+         "/ CAST(tp AS DOUBLE)", 8)} AS gain,
+       |  ${qrSql("CAST(n_pos * tn AS DOUBLE) / CAST(n * tp AS DOUBLE)",
+         8)} AS lift
+       |FROM b""".stripMargin)
+
   /** Cohen's kappa (ClassifierOps.cohensKappa) between the cheap
     * stopword-ratio heuristic gate and the learned classifier's
     * prediction — the can-the-heuristic-stand-in agreement readout.
@@ -3370,6 +3421,7 @@ object QueriesLlm {
     "zipf_fit" -> zipfFitQ,
     "image_hash" -> imageHashQ,
     "image_neardup" -> imageNearDupQ,
+    "lift_curve" -> liftCurveQ,
     "phrase_search" -> phraseSearchQ,
     "degree_hist" -> degreeHistQ,
     "edit_distance" -> editDistanceQ,

@@ -114,6 +114,62 @@ object ClassifierOps {
             col("n_neg").cast("double")).as("auc"))
   }
 
+  /** Cumulative-gains / lift curve — the targeting readout of the
+    * classifier family (rank the corpus by score, take the top X%:
+    * what share of the positives did you capture, and how much better
+    * than random is each slice?): completes the eval suite beside the
+    * confusion matrix (one threshold), calibration curve (probability
+    * quality), and AUC (whole-ranking order).
+    *
+    * Scale-sound bucketing: a textbook ntile(k) over the corpus is a
+    * GLOBAL SORT of the fact and splits tied scores arbitrarily.
+    * Instead the fact collapses to the distinct-quantized-score table
+    * (one hash aggregate), and every row of a score lands in the
+    * bucket of that score's cumulative rank — floor(cumBefore·k/n) —
+    * so ties stay together, buckets are deterministic, and the only
+    * windows walk the score-grid domain (whitelisted, like
+    * [[rocAuc]]). Callers pass an already-quantized score.
+    *
+    * All counts exact BIGINTs; gain and lift are single closed-form
+    * divisions (lift = n_pos·n_total / (n·pos_total), null via
+    * try_divide when the corpus has no positives). Buckets with no
+    * score mass (heavy ties) simply don't appear.
+    */
+  def liftCurve(df: DataFrame, labelCol: String, scoreCol: String,
+                buckets: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(buckets >= 2, "liftCurve needs at least 2 buckets")
+    val pos = col(labelCol).cast("long") === 1L
+    val counts = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_n"),
+        sum(when(pos, 1L).otherwise(0L)).as("_p"))
+    val w = Window.orderBy(col("_s").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("_n")).as("_tn"), sum(col("_p")).as("_tp"))
+    val bucketed = counts
+      .withColumn("_cum", sum(col("_n")).over(w))
+      .crossJoin(broadcast(tot))
+      // integer division on BOTH engines (Spark `div`, DuckDB `//`):
+      // a double-division-then-cast would round on one engine and
+      // truncate on the other at exact bucket boundaries
+      .withColumn("bucket",
+        expr(s"((_cum - _n) * $buckets) div _tn"))
+      .groupBy(col("bucket"), col("_tn"), col("_tp"))
+      .agg(sum(col("_n")).as("n"), sum(col("_p")).as("n_pos"))
+    val wb = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    bucketed
+      .withColumn("_cump", sum(col("n_pos")).over(wb))
+      .select(col("bucket"), col("n"), col("n_pos"),
+        try_divide(col("_cump").cast("double"), col("_tp").cast("double"))
+          .as("gain"),
+        try_divide(
+          (col("n_pos") * col("_tn")).cast("double"),
+          (col("n") * col("_tp")).cast("double")).as("lift"))
+  }
+
   /** Cohen's kappa — chance-corrected agreement between two
     * categorical raters (heuristic gate vs learned classifier, two
     * annotator pools, old vs new model): the governance number that

@@ -109,6 +109,30 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(math.abs(kap(rows) - 0.4) < 1e-12)
   }
 
+  test("liftCurve: perfect ranking concentrates lift, ties stay together") {
+    def curve(rows: Seq[(Int, Double)], k: Int) =
+      ClassifierOps.liftCurve(rows.toDF("label", "score"), "label",
+          "score", buckets = k)
+        .collect().map(r => r.getLong(0) ->
+          ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getDouble(4))))
+        .toMap
+    // 10 rows, both positives carry the 2 highest scores; 2 buckets
+    val rows = (0 until 10).map(i =>
+      (if (i < 2) 1 else 0, 1.0 - i * 0.1))
+    val c = curve(rows, 2)
+    // top half: 5 rows, 2 of 2 positives -> gain 1, lift = 2·10/(5·2)
+    assert(c(0L) === ((5L, 2L, 1.0, 2.0)))
+    assert(c(1L) === ((5L, 0L, 1.0, 0.0)))
+    // one fully-tied score: ONE bucket holds everything, lift exactly 1
+    val tied = curve((0 until 8).map(i => (i % 2, 0.5)), 4)
+    assert(tied === Map(0L -> ((8L, 4L, 1.0, 1.0))))
+    // no positives: gain/lift null, never a throw
+    val none = ClassifierOps.liftCurve(
+      Seq((0, 0.9), (0, 0.1)).toDF("label", "score"), "label", "score")
+      .collect()
+    assert(none.forall(r => r.isNullAt(3) && r.isNullAt(4)))
+  }
+
   test("cohensKappa: independent raters near 0, constant rater exact 0") {
     import graft.operators.ClassifierOps.cohensKappa
     // a constant rater makes observed agreement equal chance agreement

@@ -71,7 +71,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // 1-row/class-bounded broadcasts only
     "roc_auc", "cohens_kappa", "ab_test", "k_anonymity", "mrr_eval",
     "zipf_fit", "theil_sen", "stream_abtest", "bootstrap_ci",
-    "image_hash", "image_neardup", "impute_eval")
+    "image_hash", "image_neardup", "impute_eval", "lift_curve")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -318,11 +318,14 @@ class PlanInvariantsSpec extends SparkSpec {
     //   mrr_eval         the k rows AFTER limit   (TextOps.mrrAtK)
     //   zipf_fit         the topN rows AFTER limit of the vocab-
     //                    bounded term-frequency table (TextOps.zipfFit)
+    //   lift_curve       distinct QUANTIZED scores + the <=k bucket
+    //                    table (ClassifierOps.liftCurve — same grid
+    //                    argument as roc_auc)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
       "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
-      "drift_report", "roc_auc", "mrr_eval", "zipf_fit")
+      "drift_report", "roc_auc", "mrr_eval", "zipf_fit", "lift_curve")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
