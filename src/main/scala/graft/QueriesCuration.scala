@@ -150,6 +150,56 @@ object QueriesCuration {
       |WHERE floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0
       |  + 0.5) / 100000000.0 >= 0.8""".stripMargin)
 
+  /** Entity resolution end-to-end: the record_linkage scorer at a
+    * looser threshold (0.75) feeds connectedComponents, so
+    * transitively-linked customer/supplier names collapse into one
+    * entity cluster — the step after pairwise linkage every MDM
+    * pipeline runs. Node ids interleave the two key spaces (cust·2,
+    * supp·2+1); output is the per-cluster membership census. The
+    * oracle recomputes the converged components with the recursive
+    * closure (the dedup_clusters technique) on the same edge list.
+    */
+  private val linkageClustersQ = Q(
+    (s, d) => {
+      val c = Tables.customer(s, d)
+        .select(col("c_custkey"), col("c_name"),
+          col("c_nationkey").cast("long").as("_nk"))
+      val sp = Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_name"),
+          col("s_nationkey").cast("long").as("_nk"))
+      val pairs = c.join(sp, "_nk")
+        .withColumn("jw", qround(
+          graft.functions.JaroWinkler(col("c_name"), col("s_name")), 8))
+        .where(col("jw") >= 0.75)
+        .select((col("c_custkey") * 2).as("n1"),
+          (col("s_suppkey") * 2 + 1).as("n2"))
+      graft.operators.DedupOps.connectedComponents(pairs, "n1", "n2")
+        .groupBy(col("lbl").as("cluster_id"))
+        .agg(count(lit(1)).as("n_members"),
+          sum(when(col("id") % 2 === 0, 1L).otherwise(0L))
+            .as("n_customers"),
+          sum(when(col("id") % 2 === 1, 1L).otherwise(0L))
+            .as("n_suppliers"))
+    },
+    """WITH RECURSIVE pairs AS (
+      |  SELECT c_custkey * 2 AS n1, s_suppkey * 2 + 1 AS n2
+      |  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |  WHERE floor(jaro_winkler_similarity(c_name, s_name)
+      |    * 100000000.0 + 0.5) / 100000000.0 >= 0.75),
+      |e AS MATERIALIZED (SELECT n1 AS a, n2 AS b FROM pairs
+      |      UNION SELECT n2, n1 FROM pairs),
+      |reach(a, b) AS (
+      |  SELECT DISTINCT a, a FROM e
+      |  UNION
+      |  SELECT r.a, e.b FROM reach r JOIN e ON r.b = e.a),
+      |lab AS (SELECT a AS id, min(b) AS cluster_id FROM reach GROUP BY a)
+      |SELECT cluster_id, count(*) AS n_members,
+      |  CAST(sum(CASE WHEN id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_customers,
+      |  CAST(sum(CASE WHEN id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_suppliers
+      |FROM lab GROUP BY 1""".stripMargin)
+
   /** Order-independent content checksums for the two fact tables —
     * the "did anything change" snapshot primitive (IoOps
     * .datasetFingerprint). Row hashes are exact modular integer
@@ -1404,6 +1454,7 @@ object QueriesCuration {
     "heavy_hitters" -> heavyHittersQ,
     "ewma_smooth" -> ewmaSmoothQ,
     "record_linkage" -> recordLinkageQ,
+    "linkage_clusters" -> linkageClustersQ,
     "dataset_fingerprint" -> datasetFingerprintQ,
     "oov_rate" -> oovRateQ,
     "stream_ewma" -> streamEwmaQ)
