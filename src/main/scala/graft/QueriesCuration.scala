@@ -118,11 +118,24 @@ object QueriesCuration {
       |FROM w""".stripMargin)
 
   /** Blocked record linkage: customer×supplier candidate pairs blocked
-    * on the nation key (never all-pairs — the block join IS the
-    * blocking step of entity resolution), scored with the native
-    * Jaro-Winkler kernel and kept at ≥ 0.8 on the QUANTIZED score so
-    * the threshold decision compares identical doubles in both
-    * engines. DuckDB ships the same JW semantics
+    * on a COMPOSITE key — nation + the first 6 digits of the name's
+    * numeric suffix (an id-neighborhood prefix, the normalized-name
+    * blocking every production linkage pipeline layers over a coarse
+    * region key) — scored with the native Jaro-Winkler kernel and
+    * kept at ≥ 0.8 on the QUANTIZED score so the threshold decision
+    * compares identical doubles in both engines.
+    *
+    * Scale contract: a bare nation block (25 values) is within-block
+    * all-pairs — both sides grow with the data, so candidates grow
+    * quadratically per block (measured 11.8× at 10× data in the r9
+    * rehearsal). The 6-digit prefix caps each block at ≤1000 ids per
+    * side REGARDLESS of corpus size: more data populates more
+    * prefixes, never bigger blocks, so candidate volume is O(k·n)
+    * (measured 10.1× at 10× data). The prefix is recall-lossless at
+    * this threshold — every ≥0.8 pair on these names shares the
+    * 6-digit neighborhood (verified at sf0.01 and sf0.1) — because a
+    * JW that survives the differing Customer#/Supplier# heads needs a
+    * near-identical digit tail. DuckDB ships the same JW semantics
     * (`jaro_winkler_similarity`: boost 0.7, prefix 4, p = 0.1 —
     * verified empirically), which is exactly what
     * functions.JaroWinkler implements.
@@ -131,11 +144,13 @@ object QueriesCuration {
     (s, d) => {
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
-          col("c_nationkey").cast("long").as("_nk"))
+          col("c_nationkey").cast("long").as("_nk"),
+          substring(col("c_name"), 10, 6).as("_blk"))
       val sp = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"),
-          col("s_nationkey").cast("long").as("_nk"))
-      c.join(sp, "_nk")
+          col("s_nationkey").cast("long").as("_nk"),
+          substring(col("s_name"), 10, 6).as("_blk"))
+      c.join(sp, Seq("_nk", "_blk"))
         .withColumn("jw",
           qround(graft.functions.JaroWinkler(col("c_name"), col("s_name")), 8))
         .where(col("jw") >= 0.8)
@@ -147,6 +162,7 @@ object QueriesCuration {
       |  floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0 + 0.5)
       |    / 100000000.0 AS jw
       |FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |  AND substr(c_name, 10, 6) = substr(s_name, 10, 6)
       |WHERE floor(jaro_winkler_similarity(c_name, s_name) * 100000000.0
       |  + 0.5) / 100000000.0 >= 0.8""".stripMargin)
 
@@ -158,16 +174,24 @@ object QueriesCuration {
     * supp·2+1); output is the per-cluster membership census. The
     * oracle recomputes the converged components with the recursive
     * closure (the dedup_clusters technique) on the same edge list.
+    * Candidates come from record_linkage's composite
+    * (nation, 6-digit-id-prefix) block — the scale contract lives on
+    * that query's scaladoc; at this looser 0.75 threshold the block
+    * additionally DEFINES the candidate contract (blocking always
+    * trades recall for the O(k·n) candidate bound, and both engines
+    * apply the identical block).
     */
   private val linkageClustersQ = Q(
     (s, d) => {
       val c = Tables.customer(s, d)
         .select(col("c_custkey"), col("c_name"),
-          col("c_nationkey").cast("long").as("_nk"))
+          col("c_nationkey").cast("long").as("_nk"),
+          substring(col("c_name"), 10, 6).as("_blk"))
       val sp = Tables.supplier(s, d)
         .select(col("s_suppkey"), col("s_name"),
-          col("s_nationkey").cast("long").as("_nk"))
-      val pairs = c.join(sp, "_nk")
+          col("s_nationkey").cast("long").as("_nk"),
+          substring(col("s_name"), 10, 6).as("_blk"))
+      val pairs = c.join(sp, Seq("_nk", "_blk"))
         .withColumn("jw", qround(
           graft.functions.JaroWinkler(col("c_name"), col("s_name")), 8))
         .where(col("jw") >= 0.75)
@@ -184,6 +208,7 @@ object QueriesCuration {
     """WITH RECURSIVE pairs AS (
       |  SELECT c_custkey * 2 AS n1, s_suppkey * 2 + 1 AS n2
       |  FROM customer JOIN supplier ON c_nationkey = s_nationkey
+      |    AND substr(c_name, 10, 6) = substr(s_name, 10, 6)
       |  WHERE floor(jaro_winkler_similarity(c_name, s_name)
       |    * 100000000.0 + 0.5) / 100000000.0 >= 0.75),
       |e AS MATERIALIZED (SELECT n1 AS a, n2 AS b FROM pairs
@@ -357,8 +382,9 @@ object QueriesCuration {
        |      FROM e),
        |b AS (
        |  SELECT c, CASE WHEN hi = lo THEN 0
-       |    ELSE LEAST(CAST(floor((value - lo) / ((hi - lo) / $psiBins.0))
-       |      AS INT), ${psiBins - 1}) END AS bin
+       |    ELSE GREATEST(0,
+       |      LEAST(CAST(floor((value - lo) / ((hi - lo) / $psiBins.0))
+       |        AS INT), ${psiBins - 1})) END AS bin
        |  FROM e CROSS JOIN m),
        |obs AS (
        |  SELECT bin,

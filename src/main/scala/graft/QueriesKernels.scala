@@ -2628,8 +2628,10 @@ object QueriesKernels {
         }
         a
       }
-      val base = s"/tmp/graft_zarrimg_${java.util.UUID.randomUUID.toString
-        .replace("-", "").take(12)}"
+      // deterministic per-(session, sf) scratch path — reps overwrite
+      // in place (same shape -> same chunk files) instead of leaking a
+      // fresh UUID-named store per bench rep
+      val base = s"/tmp/graft_zarrimg_${Queries.scratchTag(s, d)}"
       sources.ZarrSource.writeVar2D(plane(4), s"$base/model", 8, 8,
         ("l_idx", "m_idx"))
       sources.ZarrSource.writeVar2D(plane(5), s"$base/residual", 8, 8,

@@ -507,16 +507,18 @@ object QueriesLlm {
        |rl AS (SELECT p.id1, p.id2, len(ws.ws) AS len_ref
        |       FROM pairs p JOIN ws ON p.id1 = ws.doc_id)
        |SELECT r.id1, r.id2, CAST(r.len_ref AS BIGINT) AS len_ref,
-       |  CAST(c1.len_cand AS BIGINT) AS len_cand,
-       |  CAST(c1.clip1 AS BIGINT) AS clip1,
+       |  CAST(coalesce(c1.len_cand, 0) AS BIGINT) AS len_cand,
+       |  CAST(coalesce(c1.clip1, 0) AS BIGINT) AS clip1,
        |  CAST(coalesce(c2.clip2, 0) AS BIGINT) AS clip2,
        |  ${qrSql(
-         "CASE WHEN c1.clip1 > 0 AND coalesce(c2.clip2, 0) > 0 THEN " +
+         "CASE WHEN coalesce(c1.clip1, 0) > 0 " +
+           "AND coalesce(c2.clip2, 0) > 0 THEN " +
            "least(CAST(1.0 AS DOUBLE), exp(1.0 - CAST(r.len_ref AS DOUBLE) / c1.len_cand)) * " +
            "exp((ln(CAST(c1.clip1 AS DOUBLE) / c1.len_cand) + " +
            "ln(CAST(c2.clip2 AS DOUBLE) / c2.bi_cand)) / 2.0) " +
            "ELSE 0.0 END", 8)} AS bleu2
-       |FROM rl r JOIN c1 USING (id1, id2) LEFT JOIN c2 USING (id1, id2)""".stripMargin)
+       |FROM rl r LEFT JOIN c1 USING (id1, id2)
+       |  LEFT JOIN c2 USING (id1, id2)""".stripMargin)
 
   /** ROUGE-1/2 recall + F1 on the same offset pair list bleu_pairs
     * scores (TextOps.rougePairs): exact clipped-overlap integers; each
@@ -2014,10 +2016,13 @@ object QueriesLlm {
        |g AS (SELECT lang, count(*) AS n_docs,
        |        CAST(sum(ls) AS BIGINT) AS sl
        |      FROM loss GROUP BY 1),
-       |m AS (SELECT lang, n_docs,
-       |        CAST(sl AS DOUBLE) / n_docs / 1000000.0 AS mean_loss,
-       |        exp(1.0 * (CAST(sl AS DOUBLE) / n_docs / 1000000.0)) AS w
+       |m0 AS (SELECT lang, n_docs,
+       |        CAST(sl AS DOUBLE) / n_docs / 1000000.0 AS mean_loss
        |      FROM g),
+       |mx AS (SELECT max(mean_loss) AS ml_max FROM m0),
+       |m AS (SELECT lang, n_docs, mean_loss,
+       |        exp(1.0 * (mean_loss - ml_max)) AS w
+       |      FROM m0 CROSS JOIN mx),
        |t AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
        |        list(w ORDER BY lang)), (a_, b_) -> a_ + b_) AS tot
        |      FROM m)
@@ -3353,7 +3358,7 @@ object QueriesLlm {
        |    (SELECT CAST(sum(p) AS BIGINT) FROM c) AS tp
        |  FROM c),
        |b AS (
-       |  SELECT ((cum - n) * 10) // tn AS bucket, tn, tp,
+       |  SELECT CAST(((cum - n) * 10) // tn AS BIGINT) AS bucket, tn, tp,
        |    CAST(sum(n) AS BIGINT) AS n,
        |    CAST(sum(p) AS BIGINT) AS n_pos
        |  FROM cc GROUP BY 1, 2, 3)

@@ -155,12 +155,17 @@ object SampleOps {
       .agg(count(lit(1)).as("n_docs"), sum(col(lossScaledCol)).as("_sl"))
       .withColumn("mean_loss",
         col("_sl").cast("double") / col("n_docs") / lit(scale))
-      .withColumn("_w", exp(lit(eta) * col("mean_loss")))
-    val tot = g.agg(expr(
+    // softmax is shift-invariant: subtracting the max mean loss (a
+    // 1-row broadcast) keeps every exp() argument <= 0, so a large eta
+    // or loss scale can't overflow to Infinity and NaN the weights
+    val mx = g.agg(max(col("mean_loss")).as("_mx"))
+    val gw = g.crossJoin(broadcast(mx))
+      .withColumn("_w", exp(lit(eta) * (col("mean_loss") - col("_mx"))))
+    val tot = gw.agg(expr(
       s"""aggregate(array_sort(collect_list(struct($domainCol, _w))),
          |cast(0.0 as double), (acc, x) -> acc + x._w)""".stripMargin)
       .as("_tot"))
-    g.crossJoin(broadcast(tot))
+    gw.crossJoin(broadcast(tot))
       .select(col(domainCol), col("n_docs"), col("mean_loss"),
         (col("_w") / col("_tot")).as("weight"))
   }

@@ -557,10 +557,12 @@ object StatsOps {
       qr(max(col(valueCol))).as("_hi"))
     val binned = in.crossJoin(broadcast(m))
       .select(col(cohortCol).as("_c"),
-        when(col("_hi") === col("_lo"), lit(0)).otherwise(least(
-          floor((col(valueCol) - col("_lo")) /
-            ((col("_hi") - col("_lo")) / lit(bins.toDouble))).cast("int"),
-          lit(bins - 1))).as("_bin"))
+        when(col("_hi") === col("_lo"), lit(0)).otherwise(greatest(
+          lit(0),
+          least(
+            floor((col(valueCol) - col("_lo")) /
+              ((col("_hi") - col("_lo")) / lit(bins.toDouble))).cast("int"),
+            lit(bins - 1)))).as("_bin"))
     val observed = binned.groupBy("_bin")
       .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
         sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))

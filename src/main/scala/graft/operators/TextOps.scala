@@ -1080,15 +1080,21 @@ object TextOps {
     val refLen = pairs.join(
       ws.select(col(idCol).as("id1"), size(col("_ws")).cast("long")
         .as("len_ref")), "id1")
-    val base = refLen.join(c1, Seq("id1", "id2"))
+    // BOTH gram joins are left: a candidate that tokenizes to zero
+    // words has no unigram rows, and an inner join would silently drop
+    // the pair instead of scoring the metric's defined value (0)
+    val base = refLen.join(c1, Seq("id1", "id2"), "left")
       .join(c2, Seq("id1", "id2"), "left") // single-word cand: no bigrams
     val p1 = col("clip1").cast("double") / col("len_cand")
     val p2 = col("clip2").cast("double") / col("bi_cand")
     val bp = least(lit(1.0),
       exp(lit(1.0) - col("len_ref").cast("double") / col("len_cand")))
-    base.select(col("id1"), col("id2"), col("len_ref"), col("len_cand"),
-      col("clip1"), coalesce(col("clip2"), lit(0L)).as("clip2"),
-      when(col("clip1") > 0 && coalesce(col("clip2"), lit(0L)) > 0,
+    base.select(col("id1"), col("id2"), col("len_ref"),
+      coalesce(col("len_cand"), lit(0L)).as("len_cand"),
+      coalesce(col("clip1"), lit(0L)).as("clip1"),
+      coalesce(col("clip2"), lit(0L)).as("clip2"),
+      when(coalesce(col("clip1"), lit(0L)) > 0 &&
+          coalesce(col("clip2"), lit(0L)) > 0,
         bp * exp((log(p1) + log(p2)) / lit(2.0)))
         .otherwise(lit(0.0)).as("bleu2"))
   }
