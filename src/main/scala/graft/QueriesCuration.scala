@@ -13,21 +13,45 @@ import graft.operators.{SampleOps, SequenceOps, SketchOps, StatsOps}
   */
 object QueriesCuration {
 
-  /** Column-level profile of the fact table — row/null/exact-distinct
-    * counts per column in one melted pass. The oracle recomputes each
-    * column independently; distinct counts agree because the melt's
-    * stringification is injective on these types.
+  /** Column-level profile of the fact table, cardinality-aware:
+    * dimension-scale columns (returnflag, linenumber, quantity) take
+    * the melted single-pass EXACT distinct count; the key-like
+    * l_orderkey — where map-side combine collapses nothing and exact
+    * countDistinct would ship ~rows values — takes the deterministic
+    * KMV sketch (O(k) partial state, exchange bounded at
+    * partitions×k). The oracle recomputes exact columns independently
+    * (the melt's stringification is injective on these types) and
+    * replays the KMV estimate in SQL: k smallest distinct portable
+    * hashes, n_hat = (k−1)·M / h_(k), floored to BIGINT.
     */
   private val profileCols =
     Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_quantity")
+  private val profileApprox = Set("l_orderkey")
+  private val profileK = 1024
 
   private val profileTableQ = Q(
     (s, d) => StatsOps.profileTable(
-      Tables.lineitem(s, d).select(profileCols.map(col): _*), profileCols),
-    profileCols.map { c =>
-      s"""SELECT '$c' AS col_name, count(*) AS n_rows,
-         |  count(*) - count($c) AS n_null,
-         |  count(DISTINCT $c) AS n_distinct FROM lineitem""".stripMargin
+      Tables.lineitem(s, d).select(profileCols.map(col): _*), profileCols,
+      approxCols = profileApprox, k = profileK),
+    profileCols.map {
+      case c if profileApprox(c) =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  (SELECT CASE WHEN count(*) < $profileK
+           |     THEN CAST(count(*) AS BIGINT)
+           |     ELSE CAST(floor((${profileK - 1}.0 * 1000000007.0)
+           |       / max(h)) AS BIGINT) END
+           |   FROM (SELECT h FROM (
+           |       SELECT DISTINCT (($c % 1000000007) * 2654435761)
+           |         % 1000000007 AS h
+           |       FROM lineitem WHERE $c IS NOT NULL)
+           |     ORDER BY h LIMIT $profileK)) AS n_distinct,
+           |  FALSE AS exact FROM lineitem""".stripMargin
+      case c =>
+        s"""SELECT '$c' AS col_name, count(*) AS n_rows,
+           |  count(*) - count($c) AS n_null,
+           |  count(DISTINCT $c) AS n_distinct,
+           |  TRUE AS exact FROM lineitem""".stripMargin
     }.mkString("\nUNION ALL\n"))
 
   /** Tukey-fence outlier counts per event type: cutoffs are the exact

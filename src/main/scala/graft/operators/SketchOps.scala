@@ -48,14 +48,18 @@ object SketchOps {
 
   /** Buffer = sorted array of the <= k smallest DISTINCT hashes seen.
     * All transitions are set operations, so the result is independent
-    * of row order and partition layout.
+    * of row order and partition layout. NULL inputs are skipped —
+    * matching count(DISTINCT) semantics, so the sketch composes with
+    * nullable columns (profile_table's approx path) without a
+    * pre-filter.
     */
   final class KmvAggregator(k: Int)
-      extends Aggregator[Long, Array[Long], KmvResult] {
+      extends Aggregator[java.lang.Long, Array[Long], KmvResult] {
 
     override def zero: Array[Long] = Array.empty
 
-    override def reduce(buf: Array[Long], x: Long): Array[Long] = {
+    override def reduce(buf: Array[Long], x: java.lang.Long): Array[Long] = {
+      if (x == null) return buf
       val h = kmvHash(x)
       if (buf.length >= k && h >= buf(buf.length - 1)) buf
       else {

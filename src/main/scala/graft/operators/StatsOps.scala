@@ -630,27 +630,69 @@ object StatsOps {
 
   /** Column-level table profile — the data-quality summary every
     * ingest step of a 100 TB pipeline runs first: one output row per
-    * profiled column with row count, null count, and EXACT distinct
-    * count. Values are melted to (col_name, stringified value) by a
-    * single `stack` Generate (pure codegen, one pass over the scan),
-    * then ONE hash aggregate; stringification is injective for the
-    * profiled types, so the distinct counts equal the raw columns'.
+    * profiled column with row count, null count, distinct count, and
+    * an `exact` flag saying which estimator produced it.
     *
-    * 100 TB story: map-side combine collapses the melted stream to
-    * (column × distinct-values-per-partition) before the shuffle, so
-    * the exchange is bounded by per-column cardinality, not row count.
-    * For columns with data-scale cardinality swap the exact
-    * countDistinct for approx_count_distinct at the call site — the
-    * plan shape is identical.
+    * Cardinality-aware split, selected by the caller:
+    *  - DIMENSION-SCALE columns (flags, enums, small keys) melt to
+    *    (col_name, stringified value) through a single `stack`
+    *    Generate (pure codegen, one pass over the scan), then ONE hash
+    *    aggregate with EXACT countDistinct. Map-side combine collapses
+    *    the melted stream to (column × distinct-per-partition) before
+    *    the shuffle, so the exchange is bounded by per-column
+    *    cardinality — cheap exactly when cardinality is small.
+    *  - KEY-LIKE columns (named in `approxCols` — doc ids, order
+    *    keys) would collapse NOTHING map-side and ship ~rows
+    *    stringified values per column; they take the deterministic
+    *    KMV sketch instead ([[SketchOps.kmvDistinct]]): O(k) partial
+    *    state per partition, so the exchange carries partitions×k
+    *    longs regardless of row count, and — unlike HyperLogLog — the
+    *    estimate is an exact-integer-replayable function of the data
+    *    (the oracle recomputes it in SQL). Estimates floor to BIGINT;
+    *    a sketch that never fills (distinct < k) degrades to the
+    *    exact count. Approx columns must be long-castable (they are
+    *    key-like by selection).
     */
-  def profileTable(df: DataFrame, cols: Seq[String]): DataFrame = {
+  def profileTable(df: DataFrame, cols: Seq[String],
+                   approxCols: Set[String] = Set.empty,
+                   k: Int = 1024): DataFrame = {
     require(cols.nonEmpty, "profileTable needs at least one column")
-    val pairs = cols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
-    df.select(expr(s"stack(${cols.size}, $pairs) as (col_name, val)"))
-      .groupBy(col("col_name"))
-      .agg(count(lit(1)).as("n_rows"),
-        sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
-        countDistinct(col("val")).as("n_distinct"))
+    require(approxCols.subsetOf(cols.toSet),
+      "approxCols must be a subset of the profiled columns")
+    val exactCols = cols.filterNot(approxCols)
+    val approxList = cols.filter(approxCols)
+    val exact = if (exactCols.isEmpty) None else Some {
+      val pairs =
+        exactCols.map(c => s"'$c', cast(`$c` as string)").mkString(", ")
+      df.select(
+          expr(s"stack(${exactCols.size}, $pairs) as (col_name, val)"))
+        .groupBy(col("col_name"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(when(col("val").isNull, 1L).otherwise(0L)).as("n_null"),
+          countDistinct(col("val")).as("n_distinct"))
+        .withColumn("exact", lit(true))
+    }
+    val approx = if (approxList.isEmpty) None else Some {
+      // ONE no-group aggregate computes every approx column's triple
+      // in a single pass; the 1-row result melts to |approxCols| rows
+      val aggs = count(lit(1)).as("_nr") +: approxList.flatMap { c =>
+        Seq(sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"_null_$c"),
+          SketchOps.kmvDistinct(col(c).cast("long"), k).as(s"_sk_$c"))
+      }
+      val row = df.agg(aggs.head, aggs.tail: _*)
+      approxList.map { c =>
+        row.select(lit(c).as("col_name"), col("_nr").as("n_rows"),
+          col(s"_null_$c").as("n_null"),
+          floor(col(s"_sk_$c.estimate")).cast("long").as("n_distinct"),
+          lit(false).as("exact"))
+      }.reduce(_ unionByName _)
+    }
+    (exact, approx) match {
+      case (Some(e), Some(a)) => e.unionByName(a)
+      case (Some(e), None)    => e
+      case (None, Some(a))    => a
+      case _                  => throw new IllegalStateException
+    }
   }
 
   /** Per-row IQR outlier flag: a row is an outlier when its value

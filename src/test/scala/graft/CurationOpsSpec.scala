@@ -21,6 +21,31 @@ class CurationOpsSpec extends SparkSpec {
     assert(out("y") === ((5L, 2L, 2L)))
   }
 
+  test("profileTable approx path: KMV estimate, exact flag, null skip") {
+    val df = (1L to 500L).map(v => (v, v % 7)).toDF("id", "cat")
+      .union(Seq((None: Option[Long], Some(0L))).toDF("id", "cat"))
+    // sketch never fills (500 distinct < k): estimate degrades exact
+    val full = operators.StatsOps.profileTable(df, Seq("id", "cat"),
+        approxCols = Set("id"), k = 1024)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getBoolean(4))))
+      .toMap
+    assert(full("id") === ((501L, 1L, 500L, false)),
+      "unfilled sketch must report the exact non-null distinct count")
+    assert(full("cat") === ((501L, 0L, 7L, true)))
+    // sketch fills (k = 64 < 500 distinct): closed-form KMV estimate,
+    // independent of partitioning
+    val hs = (1L to 500L)
+      .map(operators.SketchOps.kmvHash).distinct.sorted.take(64)
+    val want = math.floor(63.0 * operators.SketchOps.KmvMod / hs.last).toLong
+    for (parts <- Seq(1, 7)) {
+      val est = operators.StatsOps.profileTable(
+          df.repartition(parts), Seq("id"), approxCols = Set("id"), k = 64)
+        .collect().head.getLong(3)
+      assert(est === want, s"KMV estimate at $parts partitions")
+    }
+  }
+
   test("iqrOutliers flags exactly the rows outside the Tukey fence") {
     // group g: values 1..9 plus outliers -100 and 100
     val rows = ((1 to 9).map(v => ("g", v.toLong, v.toDouble)) ++
