@@ -119,7 +119,16 @@ object QueriesLlm {
     * signatures -> LSH bands -> candidate pairs -> exact-Jaccard
     * verification (mirrors DedupOps.minHashNearDup pre-threshold).
     */
-  private def minhashVerSql(mod: Int = 1, cap: Long = Long.MaxValue) =
+  private def minhashVerSql(mod: Int = 1, cap: Long = Long.MaxValue,
+                            bucketCap: Int = Int.MaxValue) = {
+    // mirror of minHashCandidates' opt-in per-bucket subsample: keep
+    // each (band, band_hash) bucket's `bucketCap` smallest doc ids
+    val bandSrc =
+      if (bucketCap == Int.MaxValue) "bands"
+      else s"""(SELECT doc_id, b, band_hash FROM (
+              |    SELECT doc_id, b, band_hash, row_number()
+              |      OVER (PARTITION BY b, band_hash ORDER BY doc_id) AS rk
+              |    FROM bands) WHERE rk <= $bucketCap)""".stripMargin
     s"""${dupCorpusSql(mod, cap)},
        |sh AS (SELECT doc_id, ${shSql(whSql("text"))} AS sh FROM corpus),
        |sig AS (SELECT doc_id, $sigSqlEntries AS sig FROM sh WHERE len(sh) > 0),
@@ -128,7 +137,7 @@ object QueriesLlm {
        |  FROM sig CROSS JOIN generate_series(0, 7) t(b)),
        |cand AS (
        |  SELECT DISTINCT x.doc_id AS id1, y.doc_id AS id2
-       |  FROM bands x JOIN bands y
+       |  FROM $bandSrc x JOIN $bandSrc y
        |    ON x.b = y.b AND x.band_hash = y.band_hash AND x.doc_id < y.doc_id),
        |ver AS (
        |  SELECT id1, id2,
@@ -136,6 +145,7 @@ object QueriesLlm {
        |    len(list_distinct(list_concat(s1.sh, s2.sh))) AS n_union
        |  FROM cand JOIN sh s1 ON cand.id1 = s1.doc_id
        |            JOIN sh s2 ON cand.id2 = s2.doc_id)""".stripMargin
+  }
 
   /** Streaming LSH ingest-dedup, batch-driven: on a batch frame the
     * band-bucket state machine reduces to the pure min-id rule (see
@@ -3196,29 +3206,44 @@ object QueriesLlm {
     * quadratic pair space, levenshtein (built-in codegen'd kernel,
     * identical classic definition in both engines) prices only the
     * survivors. Integers throughout.
+    *
+    * Duplication-skew pricing (the r9/r10 watch item): a web-scale
+    * corpus holds exact-dup clusters, and every cross-cluster near-dup
+    * (a, b) then surfaces as |A|·|B| candidate PAIRS — the 10×
+    * rehearsal measured 100× pair growth for 10× data. Two guards keep
+    * the DP stage independent of that shape: (1) bucketCap = 64 bounds
+    * any single degenerate bucket at C(64,2) pairs via the
+    * deterministic smallest-ids subsample (see minHashCandidates; the
+    * oracle applies the identical rank filter); (2) the DP itself runs
+    * ONCE PER DISTINCT TEXT PAIR — pairs group on (text1, text2), one
+    * levenshtein per group, result joined back to the id pairs — so
+    * duplicated documents reuse one computation instead of re-running
+    * the O(len²) kernel per id pair (19 s → 3 s at the 10× rehearsal;
+    * output values are identical because the distance is a pure
+    * function of the texts, which is also why the oracle needs no
+    * mirroring change). The identical-text fast path (exact-dup
+    * SIBLINGS, the bulk of candidates under skew) stays: equality is
+    * O(L) vs the DP's O(L²).
     */
   private val editDistanceQ = Q(
     (s, d) => {
       val corpus = dupCorpus(s, d, mod = 4)
-      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text")
-      cands
+      val cands = DedupOps.minHashCandidates(corpus, "doc_id", "text",
+        bucketCap = 64)
+      val pairs = cands
         .join(corpus.select(col("doc_id").as("id1"), col("text").as("_t1")),
           "id1")
         .join(corpus.select(col("doc_id").as("id2"), col("text").as("_t2")),
           "id2")
-        .select(col("id1"), col("id2"),
-          // identical-text fast path: a web-scale corpus is FULL of
-          // byte-identical near-dup survivors (every exact-dup cluster
-          // of size m contributes C(m,2) candidate pairs), and the
-          // O(|a|·|b|) DP on equal strings is pure waste — the O(L)
-          // equality memcmp short-circuits it (CaseWhen evaluates only
-          // the taken branch). Measured at the 10x scale rehearsal:
-          // 77 s → seconds on the duplicate-amplified corpus.
+      val perTextPair = pairs.select("_t1", "_t2").distinct()
+        .select(col("_t1"), col("_t2"),
           when(col("_t1") === col("_t2"), lit(0))
             .otherwise(levenshtein(col("_t1"), col("_t2")))
             .as("edit_dist"))
+      pairs.join(perTextPair, Seq("_t1", "_t2"))
+        .select(col("id1"), col("id2"), col("edit_dist"))
     },
-    s"""WITH ${minhashVerSql(mod = 4)}
+    s"""WITH ${minhashVerSql(mod = 4, bucketCap = 64)}
        |SELECT c.id1, c.id2,
        |  CAST(CASE WHEN t1.text = t2.text THEN 0
        |    ELSE levenshtein(t1.text, t2.text) END AS INT) AS edit_dist

@@ -38,11 +38,30 @@ object ScaleUp {
     "documents" -> Seq("doc_id"),
     "embeddings" -> Seq("vec_id"))
 
-  def amplify(df: DataFrame, keys: Seq[String], n: Int): DataFrame =
+  /** Entity-name columns derived from the entity key in the TPC-H
+    * generator (`Customer#%09d`). Replicas must RE-DERIVE them from
+    * the offset key: keeping the source name verbatim would make every
+    * replica an exact name-duplicate of the original, so any
+    * name-keyed operator (record_linkage's composite block, name
+    * joins) measures the amplifier's duplication artifact instead of
+    * genuine scale — real data growth mints new names, never 10
+    * byte-identical copies of each. Replica 0 keeps the source bytes.
+    */
+  private val nameCols: Map[String, Seq[(String, String, String)]] = Map(
+    "customer" -> Seq(("c_name", "Customer#", "c_custkey")),
+    "supplier" -> Seq(("s_name", "Supplier#", "s_suppkey")))
+
+  def amplify(df: DataFrame, keys: Seq[String], n: Int,
+              names: Seq[(String, String, String)] = Nil): DataFrame =
     if (keys.isEmpty) df
     else (0 until n).map { i =>
-      keys.foldLeft(df) { (acc, k) =>
+      val offset = keys.foldLeft(df) { (acc, k) =>
         acc.withColumn(k, col(k) + lit(i * KeyOffset))
+      }
+      if (i == 0) offset
+      else names.foldLeft(offset) { case (acc, (nameCol, prefix, keyCol)) =>
+        acc.withColumn(nameCol,
+          concat(lit(prefix), lpad(col(keyCol).cast("string"), 10, "0")))
       }
     }.reduce(_ unionByName _)
 
@@ -72,7 +91,7 @@ object ScaleUp {
           iso.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
           Tables.load(iso, src, t)
         } else Tables.load(spark, src, t)
-      val out = amplify(base, keyCols(t), n)
+      val out = amplify(base, keyCols(t), n, nameCols.getOrElse(t, Nil))
       // a few files per table keeps read parallelism without tiny-file
       // overhead at this scale
       out.repartition(math.max(4, 4 * keyCols(t).size))

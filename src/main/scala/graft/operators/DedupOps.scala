@@ -163,19 +163,40 @@ object DedupOps {
       .as(Seq("band", "band_hash")))
 
   /** Candidate pairs (id1 < id2) from MinHash-LSH banding over n-word
-    * shingles, with per-bucket size cap against degenerate skew.
+    * shingles, with two skew guards:
+    *  - `maxBucket` DROPS degenerate buckets outright (a band hash
+    *    shared by >1000 docs is corpus boilerplate, not similarity);
+    *  - `bucketCap` (opt-in) SUBSAMPLES surviving buckets to their
+    *    `bucketCap` smallest ids before pairing, so a bucket of size m
+    *    contributes ≤ C(cap, 2) pairs instead of C(m, 2). The r9 sf1
+    *    rehearsal measured 45× candidate growth at 10× data on a
+    *    duplication-amplified corpus (exact-dup clusters collide in
+    *    every band by construction) — the cap makes the downstream
+    *    verify stage's cost corpus-shape-INDEPENDENT, the same
+    *    deterministic-subsample discipline theil_sen applies to its
+    *    per-key pair space. The id-order subsample is deterministic
+    *    across runs/partitionings; the window sort is bucket-bounded
+    *    (≤ maxBucket rows per key).
     */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         shingleN: Int = 3, numHashes: Int = 16,
-                        bands: Int = 8, maxBucket: Int = 1000): DataFrame = {
+                        bands: Int = 8, maxBucket: Int = 1000,
+                        bucketCap: Int = Int.MaxValue): DataFrame = {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = df.select(col(idCol),
       minHashSignature(shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
     val bandRows = lshBands(sigs, idCol, "sig", bands, numHashes / bands)
-    val bounded = bandRows
+    val bounded0 = bandRows
       .withColumn("_bn", count(lit(1))
         .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
       .where(col("_bn") <= maxBucket).drop("_bn")
+    val bounded =
+      if (bucketCap == Int.MaxValue) bounded0
+      else bounded0
+        .withColumn("_rk", row_number().over(org.apache.spark.sql
+          .expressions.Window.partitionBy("band", "band_hash")
+          .orderBy(col(idCol))))
+        .where(col("_rk") <= bucketCap).drop("_rk")
     val a = bounded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
     val b = bounded.select(col(idCol).as("id2"), col("band"), col("band_hash"))
     a.join(b, Seq("band", "band_hash"))

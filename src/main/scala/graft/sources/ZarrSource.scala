@@ -86,10 +86,23 @@ object ZarrSource {
     * [version, versionlz, flags, typesize, nbytes i32, blocksize i32,
     * cbytes i32], then either the raw payload (memcpy flag) or a table
     * of int32 block offsets — one per ceil(nbytes/blocksize) block,
-    * offsets from frame start — each pointing at [csize i32][payload],
-    * csize == block's uncompressed size meaning "stored raw". The
+    * offsets from frame start. Each block holds one or more STREAMS of
+    * [csize i32][payload] back to back (csize == the stream's
+    * uncompressed size meaning "stored raw").
+    *
+    * Split blocks: c-blosc SPLITS each block into `typesize` streams
+    * (one per shuffled byte plane) for the fast codecs — blosclz and
+    * lz4, when 1 < typesize <= 16 and blocksize/typesize >= the
+    * 128-byte minimum (`split_block()` in blosc.c, the default
+    * FORWARD_COMPAT policy) — which is exactly the numcodecs/xarray
+    * DEFAULT compressor configuration (Blosc cname='lz4',
+    * shuffle=SHUFFLE). Writers record the decision in header flag
+    * 0x10 (DONT_SPLIT, c-blosc >= 1.12); older frames omit the bit,
+    * so the decoder honors the bit when set and otherwise recomputes
+    * the same predicate — matching both writer generations. The
     * byte-shuffle filter, when flagged, was applied per BLOCK before
-    * compression and is inverted here after decode.
+    * splitting/compression and is inverted here after the streams are
+    * reassembled.
     */
   private[graft] def bloscDecompress(frame: Array[Byte]): Array[Byte] = {
     require(frame.length >= 16, "blosc frame shorter than its header")
@@ -101,6 +114,7 @@ object ZarrSource {
     val shuffled = (flags & 0x1) != 0
     val memcpyed = (flags & 0x2) != 0
     val bitshuffled = (flags & 0x4) != 0
+    val dontSplit = (flags & 0x10) != 0
     require(!bitshuffled, "blosc bit-shuffle filter unsupported")
     val codec = (flags >> 5) & 0x7 // 0 blosclz 1 lz4 2 snappy 3 zlib 4 zstd
     val out = new Array[Byte](nbytes)
@@ -113,39 +127,59 @@ object ZarrSource {
       return out
     }
     val blocksize = if (blocksize0 <= 0) nbytes else blocksize0
+    val split = !dontSplit && (codec == 0 || codec == 1) &&
+      typesize > 1 && typesize <= 16 && blocksize / typesize >= 128
     val nblocks = (nbytes + blocksize - 1) / blocksize
     var j = 0
     while (j < nblocks) {
       val bstart = bb.getInt(16 + 4 * j)
       val neblock = math.min(blocksize, nbytes - j * blocksize)
-      val csize = bb.getInt(bstart)
-      val block =
-        if (csize == neblock) { // stored raw
-          java.util.Arrays.copyOfRange(frame, bstart + 4,
-            bstart + 4 + neblock)
-        } else codec match {
-          case 4 => // zstd
-            val dst = new Array[Byte](neblock)
-            com.github.luben.zstd.Zstd.decompressByteArray(
-              dst, 0, neblock, frame, bstart + 4, csize)
-            dst
-          case 3 => // zlib
-            zlibInflate(frame, bstart + 4, csize, neblock)
-          case 1 => // lz4 (block format)
-            val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
-              .fastDecompressor()
-            val dst = new Array[Byte](neblock)
-            dec.decompress(frame, bstart + 4, dst, 0, neblock)
-            dst
-          case other => throw new IllegalArgumentException(
-            s"blosc inner codec $other unsupported (zstd/zlib/lz4 only)")
+      val nstreams = if (split) typesize else 1
+      require(neblock % nstreams == 0,
+        s"blosc split block $neblock not divisible into $nstreams streams")
+      val streamLen = neblock / nstreams
+      val block = new Array[Byte](neblock)
+      var pos = bstart
+      var sIdx = 0
+      while (sIdx < nstreams) {
+        val csize = bb.getInt(pos)
+        pos += 4
+        if (csize == streamLen) { // stored raw
+          System.arraycopy(frame, pos, block, sIdx * streamLen, streamLen)
+        } else {
+          val dec = bloscInnerDecode(codec, frame, pos, csize, streamLen)
+          System.arraycopy(dec, 0, block, sIdx * streamLen, streamLen)
         }
+        pos += csize
+        sIdx += 1
+      }
       val placed = if (shuffled) unshuffle(block, typesize) else block
       System.arraycopy(placed, 0, out, j * blocksize, neblock)
       j += 1
     }
     out
   }
+
+  /** One compressed blosc stream → `expected` raw bytes. */
+  private def bloscInnerDecode(codec: Int, frame: Array[Byte], off: Int,
+                               csize: Int, expected: Int): Array[Byte] =
+    codec match {
+      case 4 => // zstd
+        val dst = new Array[Byte](expected)
+        com.github.luben.zstd.Zstd.decompressByteArray(
+          dst, 0, expected, frame, off, csize)
+        dst
+      case 3 => // zlib
+        zlibInflate(frame, off, csize, expected)
+      case 1 => // lz4 (block format)
+        val dec = net.jpountz.lz4.LZ4Factory.fastestInstance()
+          .fastDecompressor()
+        val dst = new Array[Byte](expected)
+        dec.decompress(frame, off, dst, 0, expected)
+        dst
+      case other => throw new IllegalArgumentException(
+        s"blosc inner codec $other unsupported (zstd/zlib/lz4 only)")
+    }
 
   /** Inverse of blosc's byte-shuffle: input holds all byte-0s of every
     * element, then all byte-1s, ...; the remainder bytes past the last
@@ -419,16 +453,112 @@ object ZarrSource {
     * The driver collects NOTHING — each task writes the chunks covering
     * its partition of a PRE-SORTED, contiguously-indexed column.
     */
+  // ------------------------------------------------------------ write
+
+  /** Writer codecs: plain `zlib`, or a blosc v1 frame with the
+    * byte-shuffle filter and a zstd/zlib payload (`blosc-zstd` /
+    * `blosc-zlib`) — the container xarray's default compressor
+    * family emits, so the reader's blosc path is exercised by bytes
+    * OUR writer produced, not only hand-authored fixtures. The
+    * blosc-zlib variant is additionally decodable by stock
+    * python/numpy + zlib (tools/zarr_crosscheck.py), giving an
+    * engine-independent check on the frame layout and shuffle.
+    */
+  private def compressorJson(codec: String, level: Int): String =
+    codec match {
+      case "zlib" => s"""{"id": "zlib", "level": $level}"""
+      case "blosc-zstd" =>
+        s"""{"id": "blosc", "cname": "zstd", "clevel": $level,
+           | "shuffle": 1, "blocksize": 0}""".stripMargin
+      case "blosc-zlib" =>
+        s"""{"id": "blosc", "cname": "zlib", "clevel": $level,
+           | "shuffle": 1, "blocksize": 0}""".stripMargin
+      case other =>
+        throw new IllegalArgumentException(s"writer codec '$other'")
+    }
+
+  private def zlibDeflate(raw: Array[Byte], level: Int): Array[Byte] = {
+    val deflater = new java.util.zip.Deflater(level)
+    deflater.setInput(raw); deflater.finish()
+    val out = new ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!deflater.finished())
+      out.write(buf, 0, deflater.deflate(buf))
+    deflater.end()
+    out.toByteArray
+  }
+
+  /** Forward of blosc's byte-shuffle (see [[unshuffle]]). */
+  private[graft] def shuffleBytes(a: Array[Byte], typesize: Int)
+      : Array[Byte] = {
+    if (typesize <= 1) return a
+    val nElem = a.length / typesize
+    val body = nElem * typesize
+    val out = new Array[Byte](a.length)
+    var b = 0
+    while (b < typesize) {
+      var i = 0
+      while (i < nElem) {
+        out(b * nElem + i) = a(i * typesize + b)
+        i += 1
+      }
+      b += 1
+    }
+    System.arraycopy(a, body, out, body, a.length - body)
+    out
+  }
+
+  /** One chunk's raw C-order bytes → stored file bytes. The blosc
+    * frames are single-block, DONT_SPLIT (header bit 0x10, matching
+    * what c-blosc >= 1.12 records for zstd/zlib payloads), shuffle
+    * applied before compression; a payload that doesn't compress is
+    * stored as a raw stream (csize == nbytes), still inside the
+    * frame.
+    */
+  private[graft] def encodeChunk(raw: Array[Byte], codec: String,
+                                 level: Int,
+                                 typesize: Int = 8): Array[Byte] =
+    codec match {
+      case "zlib" => zlibDeflate(raw, level)
+      case "blosc-zstd" | "blosc-zlib" =>
+        val innerId = if (codec == "blosc-zstd") 4 else 3
+        val shuffled = shuffleBytes(raw, typesize)
+        val comp =
+          if (innerId == 4)
+            com.github.luben.zstd.Zstd.compress(shuffled, level)
+          else zlibDeflate(shuffled, level)
+        val (payload, csize) =
+          if (comp.length < raw.length) (comp, comp.length)
+          else (shuffled, raw.length) // raw stream
+        val frame = ByteBuffer.allocate(16 + 4 + 4 + payload.length)
+          .order(ByteOrder.LITTLE_ENDIAN)
+        frame.put(0, 2.toByte) // format version
+        frame.put(1, 1.toByte) // codec format version
+        frame.put(2, (0x1 | 0x10 | (innerId << 5)).toByte)
+        frame.put(3, typesize.toByte)
+        frame.putInt(4, raw.length) // nbytes
+        frame.putInt(8, raw.length) // blocksize: single block
+        frame.putInt(12, 16 + 4 + 4 + payload.length) // cbytes
+        frame.putInt(16, 20) // block 0 offset
+        frame.putInt(20, csize)
+        frame.position(24)
+        frame.put(payload)
+        frame.array()
+      case other =>
+        throw new IllegalArgumentException(s"writer codec '$other'")
+    }
+
   /** 2-D companion to [[writeVar1D]] — the write_image interchange
     * path (sky images, PSFs, beams are (l, m) planes): row-major
-    * C-order chunk files over a (chunkRows × chunkCols) grid, zlib.
+    * C-order chunk files over a (chunkRows × chunkCols) grid.
     * Dimension names land in `.zattrs` so xarray (and readVarNamed)
     * sees named axes.
     */
   def writeVar2D(values: Array[Array[Double]], arrayDir: String,
                  chunkRows: Int, chunkCols: Int,
                  dims: (String, String) = ("l", "m"),
-                 zlibLevel: Int = 1): Unit = {
+                 zlibLevel: Int = 1,
+                 codec: String = "zlib"): Unit = {
     val nR = values.length
     val nC = if (nR == 0) 0 else values(0).length
     require(values.forall(_.length == nC), "ragged 2-D array")
@@ -438,7 +568,7 @@ object ZarrSource {
       s"""{"zarr_format": 2, "shape": [$nR, $nC],
          |"chunks": [$chunkRows, $chunkCols], "dtype": "<f8",
          |"order": "C",
-         |"compressor": {"id": "zlib", "level": $zlibLevel},
+         |"compressor": ${compressorJson(codec, zlibLevel)},
          |"fill_value": null, "filters": null}""".stripMargin
     Files.write(dir.resolve(".zarray"), metaJson.getBytes("UTF-8"))
     Files.write(dir.resolve(".zattrs"),
@@ -453,14 +583,8 @@ object ZarrSource {
         if (gi < nR && gj < nC)
           bb.putDouble((i * chunkCols + j) * 8, values(gi)(gj))
       }
-      val deflater = new java.util.zip.Deflater(zlibLevel)
-      deflater.setInput(bb.array()); deflater.finish()
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!deflater.finished())
-        out.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      Files.write(dir.resolve(s"$cr.$cc"), out.toByteArray)
+      Files.write(dir.resolve(s"$cr.$cc"),
+        encodeChunk(bb.array(), codec, zlibLevel))
     }
   }
 
@@ -495,13 +619,13 @@ object ZarrSource {
   }
 
   def writeVar1D(values: Array[Double], arrayDir: String, chunk: Int,
-                 zlibLevel: Int = 1): Unit = {
+                 zlibLevel: Int = 1, codec: String = "zlib"): Unit = {
     val dir = Paths.get(arrayDir)
     Files.createDirectories(dir)
     val metaJson =
       s"""{"zarr_format": 2, "shape": [${values.length}],
          |"chunks": [$chunk], "dtype": "<f8", "order": "C",
-         |"compressor": {"id": "zlib", "level": $zlibLevel},
+         |"compressor": ${compressorJson(codec, zlibLevel)},
          |"fill_value": null, "filters": null}""".stripMargin
     Files.write(dir.resolve(".zarray"), metaJson.getBytes("UTF-8"))
     var c = 0
@@ -513,14 +637,8 @@ object ZarrSource {
       val bb = ByteBuffer.allocate(chunk * 8).order(ByteOrder.LITTLE_ENDIAN)
       var i = 0
       while (i < n) { bb.putDouble(i * 8, values(lo + i)); i += 1 }
-      val deflater = new java.util.zip.Deflater(zlibLevel)
-      deflater.setInput(bb.array()); deflater.finish()
-      val out = new ByteArrayOutputStream()
-      val buf = new Array[Byte](8192)
-      while (!deflater.finished())
-        out.write(buf, 0, deflater.deflate(buf))
-      deflater.end()
-      Files.write(dir.resolve(c.toString), out.toByteArray)
+      Files.write(dir.resolve(c.toString),
+        encodeChunk(bb.array(), codec, zlibLevel))
       c += 1
     }
   }

@@ -198,4 +198,90 @@ class ZarrSourceSpec extends SparkSpec {
     assert(got.size === 11)
     values.indices.foreach(i => assert(got(i.toLong) === values(i)))
   }
+
+  test("blosc SPLIT-block lz4+shuffle frame (the numcodecs/xarray default) decodes") {
+    // c-blosc splits each block into `typesize` streams for lz4 with
+    // typesize <= 16 and blocksize/typesize >= 128 — the DEFAULT
+    // xarray compressor (Blosc cname='lz4', shuffle=SHUFFLE). Build a
+    // spec-conformant split frame: shuffle, then per byte-plane
+    // [csize][lz4-payload] streams, DONT_SPLIT bit CLEAR.
+    val n = 256 // 2048 bytes: blocksize/typesize = 256 >= 128 -> split
+    val values = Array.tabulate(n)(i => i * 0.5 - 17.0)
+    val raw = java.nio.ByteBuffer.allocate(n * 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.foreach(raw.putDouble)
+    val shuffled = ZarrSource.shuffleBytes(raw.array(), 8)
+    val lz4 = net.jpountz.lz4.LZ4Factory.fastestInstance().fastCompressor()
+    val planeLen = n // bytes per byte-plane stream
+    val streams = (0 until 8).map { p =>
+      val plane = java.util.Arrays.copyOfRange(
+        shuffled, p * planeLen, (p + 1) * planeLen)
+      val comp = lz4.compress(plane)
+      if (comp.length < planeLen) (comp.length, comp)
+      else (planeLen, plane) // raw stream
+    }
+    val body = streams.map(_._2.length + 4).sum
+    val out = java.nio.ByteBuffer.allocate(16 + 4 + body)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put(2.toByte).put(1.toByte)
+      .put((0x1 | (1 << 5)).toByte) // shuffle, codec lz4, SPLIT
+      .put(8.toByte)
+      .putInt(n * 8).putInt(n * 8) // nbytes, blocksize: one block
+      .putInt(16 + 4 + body) // cbytes
+      .putInt(20) // bstarts[0]
+    streams.foreach { case (csize, bytes) =>
+      out.putInt(csize); out.put(bytes)
+    }
+    val dec = ZarrSource.bloscDecompress(out.array())
+    val rb = java.nio.ByteBuffer.wrap(dec)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    values.indices.foreach(i => assert(rb.getDouble(i * 8) === values(i)))
+  }
+
+  test("writer blosc codecs round-trip through the reader (shuffle + zstd/zlib payloads)") {
+    for (codec <- Seq("blosc-zstd", "blosc-zlib")) {
+      val dir = java.nio.file.Files
+        .createTempDirectory("graft_zarr_bl").toString + "/arr"
+      val vals = Array.tabulate(6, 9)((i, j) => i * 3.5 - j * 0.125)
+      ZarrSource.writeVar2D(vals, dir, chunkRows = 4, chunkCols = 5,
+        codec = codec, zlibLevel = 3)
+      // metadata advertises the real blosc compressor config
+      val meta = ZarrSource.readMeta(dir)
+      assert(meta.compressor("id") === "blosc", codec)
+      assert(meta.compressor("shuffle") === 1, codec)
+      val got = ZarrSource.readVar(spark, dir)
+        .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+        .toMap
+      assert(got.size === 54, codec)
+      for (i <- 0 until 6; j <- 0 until 9)
+        assert(got((i.toLong, j.toLong)) === vals(i)(j), s"$codec ($i,$j)")
+    }
+  }
+
+  test("consolidated multi-codec store round-trips both directions") {
+    // one store, three vars, three codecs — written by OUR writer,
+    // consolidated, then read back through BOTH describeStore paths
+    // and readVars
+    val store = java.nio.file.Files
+      .createTempDirectory("graft_zarr_mc").toString
+    val a = Array.tabulate(10)(i => i * 1.5)
+    val b = Array.tabulate(10)(i => 100.0 - i)
+    val c = Array.tabulate(10)(i => i * i * 0.25)
+    ZarrSource.writeVar1D(a, s"$store/A", chunk = 4, codec = "zlib")
+    ZarrSource.writeVar1D(b, s"$store/B", chunk = 4, codec = "blosc-zstd")
+    ZarrSource.writeVar1D(c, s"$store/C", chunk = 4, codec = "blosc-zlib")
+    ZarrSource.consolidateMetadata(store)
+    val desc = ZarrSource.describeStore(spark, store)
+      .collect().map(r => r.getString(0) -> r.getString(5)).toMap
+    assert(desc("A") === "zlib" && desc("B") === "blosc" &&
+      desc("C") === "blosc")
+    val df = ZarrSource.readVars(spark, store, Seq("A", "B", "C"))
+    val rows = df.collect()
+      .map(r => r.getLong(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(rows.size === 10)
+    (0 until 10).foreach { i =>
+      assert(rows(i.toLong) === ((a(i), b(i), c(i))), s"i=$i")
+    }
+  }
 }
