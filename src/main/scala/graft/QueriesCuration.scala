@@ -1466,8 +1466,38 @@ object QueriesCuration {
       |    AS risk_share
       |FROM g""".stripMargin)
 
+  /** l-diversity audit (ValidateOps.lDiversity): k-anonymity's
+    * homogeneity-attack companion on the same release quasi-ids —
+    * per (lang, source) group, how many DISTINCT sensitive values
+    * (the 50-char length band standing in for the sensitive column)
+    * survive? Exact integers; the one ratio is qround-cosmetic.
+    */
+  private val lDiversityQ = Q(
+    (s, d) => graft.operators.ValidateOps.lDiversity(
+        Tables.documents(s, d).select(col("lang"), col("source"),
+          (col("n_chars") % 50).as("len_band")),
+        Seq("lang", "source"), "len_band", l = 3L)
+      .select(col("l"), col("n_groups"), col("n_rows"), col("min_l"),
+        col("groups_at_risk"), col("rows_at_risk"),
+        qround(col("risk_share"), 8).as("risk_share")),
+    """WITH g AS (
+      |  SELECT lang, source, count(*) AS c,
+      |    count(DISTINCT n_chars % 50) AS div
+      |  FROM documents GROUP BY 1, 2)
+      |SELECT CAST(3 AS BIGINT) AS l, count(*) AS n_groups,
+      |  CAST(sum(c) AS BIGINT) AS n_rows, CAST(min(div) AS BIGINT) AS min_l,
+      |  CAST(sum(CASE WHEN div < 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_at_risk,
+      |  CAST(sum(CASE WHEN div < 3 THEN c ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  floor(CAST(sum(CASE WHEN div < 3 THEN c ELSE 0 END) AS DOUBLE)
+      |      / CAST(sum(c) AS DOUBLE) * 100000000.0 + 0.5) / 100000000.0
+      |    AS risk_share
+      |FROM g""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "ab_test" -> abTestQ,
+    "l_diversity" -> lDiversityQ,
     "stream_abtest" -> streamAbTestQ,
     "bootstrap_ci" -> bootstrapCiQ,
     "impute_eval" -> imputeEvalQ,

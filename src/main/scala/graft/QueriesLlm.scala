@@ -2227,6 +2227,182 @@ object QueriesLlm {
   /** %.17e literal — parses as DOUBLE in DuckDB, round-trips exactly. */
   private def dlit(x: Double): String = f"$x%.17e"
 
+  /** Within-doc repetition diagnostics (TextOps.repetitionScore) —
+    * the total-duplicate-mass half of the Gopher rules next to
+    * gopher_quality's top-gram half. The fixture frames every
+    * document with a twice-repeated leading-60-chars line, so
+    * duplicate lines AND cross-copy duplicate 5/10-grams provably
+    * exist. All fraction inputs are exact integers (occurrence
+    * counts × char lengths over length(text)); qround is cosmetic.
+    */
+  private val repetitionScoreQ = Q(
+    (s, d) => {
+      val framed = Tables.documents(s, d).select(col("doc_id"),
+        concat(col("text"), lit("\n"), substring(col("text"), 1, 60),
+          lit("\n"), substring(col("text"), 1, 60)).as("text"))
+      TextOps.repetitionScore(framed, "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"),
+          qround(col("dup_line_frac"), 8).as("dup_line_frac"),
+          qround(col("dup_line_char_frac"), 8).as("dup_line_char_frac"),
+          qround(col("dup_5gram_char_frac"), 8).as("dup_5gram_char_frac"),
+          qround(col("dup_10gram_char_frac"), 8)
+            .as("dup_10gram_char_frac"))
+    },
+    s"""WITH docs AS (
+       |  SELECT doc_id, text || chr(10) || substr(text, 1, 60)
+       |    || chr(10) || substr(text, 1, 60) AS t
+       |  FROM documents),
+       |lc AS (
+       |  SELECT doc_id, line, count(*) AS c FROM (
+       |    SELECT doc_id, unnest(string_split(t, chr(10))) AS line
+       |    FROM docs) GROUP BY 1, 2),
+       |lineleg AS (
+       |  SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_lines,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c ELSE 0 END) AS DOUBLE)
+       |      / CAST(sum(c) AS DOUBLE) AS dlf,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c * len(line) ELSE 0 END)
+       |        AS DOUBLE)
+       |      / CAST(sum(c * len(line)) AS DOUBLE) AS dlcf
+       |  FROM lc GROUP BY 1),
+       |ws AS (SELECT doc_id, len(t) AS tot, string_split(t, ' ') AS ws
+       |  FROM docs),
+       |g5c AS (
+       |  SELECT doc_id, g, max(tot) AS tot, count(*) AS c FROM (
+       |    SELECT doc_id, tot, unnest(CASE WHEN len(ws) >= 5 THEN
+       |      list_transform(generate_series(1, len(ws) - 4),
+       |        i_ -> array_to_string(ws[i_:i_+4], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END) AS g
+       |    FROM ws) GROUP BY 1, 2),
+       |leg5 AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
+       |        AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS f
+       |  FROM g5c GROUP BY 1),
+       |g10c AS (
+       |  SELECT doc_id, g, max(tot) AS tot, count(*) AS c FROM (
+       |    SELECT doc_id, tot, unnest(CASE WHEN len(ws) >= 10 THEN
+       |      list_transform(generate_series(1, len(ws) - 9),
+       |        i_ -> array_to_string(ws[i_:i_+9], ' '))
+       |      ELSE CAST([] AS VARCHAR[]) END) AS g
+       |    FROM ws) GROUP BY 1, 2),
+       |leg10 AS (
+       |  SELECT doc_id,
+       |    CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
+       |        AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS f
+       |  FROM g10c GROUP BY 1)
+       |SELECT l.doc_id, l.n_lines,
+       |  ${qrSql("l.dlf", 8)} AS dup_line_frac,
+       |  ${qrSql("l.dlcf", 8)} AS dup_line_char_frac,
+       |  ${qrSql("coalesce(leg5.f, 0.0)", 8)} AS dup_5gram_char_frac,
+       |  ${qrSql("coalesce(leg10.f, 0.0)", 8)} AS dup_10gram_char_frac
+       |FROM lineleg l
+       |LEFT JOIN leg5 USING (doc_id)
+       |LEFT JOIN leg10 USING (doc_id)""".stripMargin)
+
+  /** CCNet-style per-language quality buckets
+    * (TextOps.ccnetBuckets): head/middle/tail thirds of the quantized
+    * unigram-LM score within each language — exact integer mass
+    * tertiles over the distinct-score domain (no quantile
+    * interpolation; a tied score group lands wholly in one bucket),
+    * so the label is deterministic in both engines.
+    */
+  private val ccnetBucketsQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val split = SampleOps.hashSplit(docs, "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      val scored = TextOps.unigramLmScore(split, "doc_id", "text",
+          "split", "train")
+        .select(col("doc_id"), qround(col("lm_logprob_mean"), 6).as("score"))
+        .join(docs.select("doc_id", "lang"), "doc_id")
+      TextOps.ccnetBuckets(scored, "lang", "score")
+        .select(col("doc_id"), col("lang"), col("score"), col("bucket"))
+    },
+    s"""WITH $lmPerDocSql,
+       |sc AS (
+       |  SELECT p.doc_id, ${qrSql("p.lm", 6)} AS score, d2.lang
+       |  FROM perdoc p JOIN documents d2 USING (doc_id)),
+       |cnt AS (SELECT lang, score, count(*) AS c FROM sc GROUP BY 1, 2),
+       |cum AS (
+       |  SELECT lang, score, c,
+       |    CAST(sum(c) OVER (PARTITION BY lang ORDER BY score
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumle,
+       |    CAST(sum(c) OVER (PARTITION BY lang) AS BIGINT) AS n
+       |  FROM cnt),
+       |lab AS (
+       |  SELECT lang, score,
+       |    CASE WHEN 3 * cumle <= n THEN 'tail'
+       |         WHEN 3 * (cumle - c) >= 2 * n THEN 'head'
+       |         ELSE 'middle' END AS bucket
+       |  FROM cum)
+       |SELECT sc.doc_id, sc.lang, sc.score, lab.bucket
+       |FROM sc JOIN lab USING (lang, score)""".stripMargin)
+
+  /** T5-style span corruption (TextOps.spanCorruption): deterministic
+    * hash-gated mask spans, maximal-run sentinels, (input, target)
+    * pair per document. Every decision is exact integer arithmetic on
+    * the portable hash, and the rebuilt strings are order-keyed exact
+    * concatenations — the whole row is hash-exact, no quantization
+    * anywhere.
+    */
+  private val spanCorruptionQ = Q(
+    (s, d) => TextOps.spanCorruption(Tables.documents(s, d),
+      "doc_id", "text"),
+    s"""WITH ws0 AS (SELECT doc_id, string_split(text, ' ') AS ws
+       |  FROM documents),
+       |pos AS (SELECT doc_id, s.p AS p, s.w AS w FROM (
+       |  SELECT doc_id, unnest(list_transform(generate_series(1, len(ws)),
+       |    i_ -> {'p': i_ - 1, 'w': ws[i_]})) AS s FROM ws0)),
+       |m1 AS (
+       |  SELECT doc_id, p, w,
+       |    ((doc_id * 1000003 + p) % $M) * ${SketchOps.KmvMult} % $M
+       |      % 20 = 0 AS start
+       |  FROM pos),
+       |m2 AS (
+       |  SELECT doc_id, p, w, start,
+       |    max(CASE WHEN start THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY p
+       |       ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) = 1 AS m
+       |  FROM m1),
+       |m3 AS (
+       |  SELECT doc_id, p, w, start, m,
+       |    m AND NOT coalesce(lag(m) OVER
+       |      (PARTITION BY doc_id ORDER BY p), false) AS run_start
+       |  FROM m2),
+       |m4 AS (
+       |  SELECT *, CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) OVER
+       |      (PARTITION BY doc_id ORDER BY p ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) - 1 AS run
+       |  FROM m3),
+       |tok AS (
+       |  SELECT doc_id, p * 2 AS k, w AS t, 'in' AS side
+       |  FROM m4 WHERE NOT m
+       |  UNION ALL SELECT doc_id, p * 2,
+       |    '<extra_id_' || CAST(run AS VARCHAR) || '>', 'in'
+       |  FROM m4 WHERE run_start
+       |  UNION ALL SELECT doc_id, p * 2, w, 'tgt' FROM m4 WHERE m
+       |  UNION ALL SELECT doc_id, p * 2 - 1,
+       |    '<extra_id_' || CAST(run AS VARCHAR) || '>', 'tgt'
+       |  FROM m4 WHERE run_start),
+       |built AS (
+       |  SELECT doc_id, side,
+       |    array_to_string(array_agg(t ORDER BY k), ' ') AS txt
+       |  FROM tok GROUP BY 1, 2),
+       |stats AS (
+       |  SELECT doc_id, count(*) AS n_words,
+       |    CAST(sum(CASE WHEN m THEN 1 ELSE 0 END) AS BIGINT) AS n_masked,
+       |    CAST(sum(CASE WHEN run_start THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_spans
+       |  FROM m4 GROUP BY 1)
+       |SELECT s.doc_id, s.n_words, s.n_masked, s.n_spans,
+       |  coalesce(i.txt, '') AS input_text,
+       |  coalesce(g.txt, '') AS target_text
+       |FROM stats s
+       |LEFT JOIN (SELECT doc_id, txt FROM built WHERE side = 'in') i
+       |  USING (doc_id)
+       |LEFT JOIN (SELECT doc_id, txt FROM built WHERE side = 'tgt') g
+       |  USING (doc_id)""".stripMargin)
+
   /** Gopher repetition filters. All inputs to every emitted fraction
     * are exact integers (word counts, n-gram counts, char lengths), so
     * the single int/int division is bit-identical across engines and
@@ -3472,6 +3648,9 @@ object QueriesLlm {
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
     "gopher_quality" -> gopherQualityQ,
+    "repetition_score" -> repetitionScoreQ,
+    "ccnet_buckets" -> ccnetBucketsQ,
+    "span_corruption" -> spanCorruptionQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
     "vocab_growth" -> vocabGrowthQ,

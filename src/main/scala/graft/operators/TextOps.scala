@@ -810,6 +810,117 @@ object TextOps {
         (sum("logp") / count(lit(1))).as("lm_logprob_mean"))
   }
 
+  /** CCNet-style per-language quality buckets: rank each document's
+    * (quantized) LM score within its language and label the top third
+    * `head`, bottom third `tail`, rest `middle` — the
+    * perplexity-bucketed corpus partition CCNet feeds to mixture
+    * sampling (keep head, downsample tail).
+    *
+    * EXACT integer tertiles, no quantile interpolation: counts per
+    * DISTINCT quantized score, a cumulative sum over the per-language
+    * score DOMAIN (never the fact), and the bucket decision compares
+    * integer products — a tied score group lands wholly in one bucket
+    * (`tail` iff 3·cum_le ≤ n, `head` iff 3·cum_lt ≥ 2n, else
+    * `middle`), so the label is deterministic across engines, runs
+    * and partitionings. The label table (one row per distinct
+    * (lang, score)) broadcasts back onto the fact.
+    */
+  def ccnetBuckets(scored: DataFrame, langCol: String,
+                   scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val counts = scored.groupBy(col(langCol), col(scoreCol).as("_s"))
+      .agg(count(lit(1)).as("_c"))
+    // windows over the distinct-score DOMAIN per language — bounded by
+    // the quantized score grid, not the row count
+    val w = Window.partitionBy(col(langCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val lab = counts
+      .withColumn("_cumle", sum(col("_c")).over(w))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(col(langCol))))
+      .withColumn("bucket",
+        when(lit(3L) * col("_cumle") <= col("_n"), lit("tail"))
+          .when(lit(3L) * (col("_cumle") - col("_c")) >= lit(2L) * col("_n"),
+            lit("head"))
+          .otherwise(lit("middle")))
+      .select(col(langCol), col("_s").as(scoreCol), col("bucket"))
+    scored.join(broadcast(lab), Seq(langCol, scoreCol))
+  }
+
+  /** T5-style span corruption — the pretraining-example builder that
+    * turns each document into a (input, target) pair: deterministic
+    * ~spanRate of word positions START a `spanLen`-word mask span,
+    * overlapping spans merge into maximal runs, each run is replaced
+    * by a numbered sentinel in the input and emitted after its
+    * sentinel in the target:
+    *
+    *   words:  w0 w1 [w2 w3 w4] w5 [w6 w7] ...
+    *   input:  w0 w1 <extra_id_0> w5 <extra_id_1> ...
+    *   target: <extra_id_0> w2 w3 w4 <extra_id_1> w6 w7
+    *
+    * DETERMINISTIC, not random: the start gate is the portable hash
+    * ((doc·1000003 + pos) mod M) · 2654435761 mod M mod `denom` == 0 —
+    * reproducible across runs, engines and partitionings (the
+    * no-rand() house rule), so the corruption of a 100 TB corpus is
+    * re-derivable and incremental.
+    *
+    * Plan shape: one posexplode off the scan; the mask/run machinery
+    * is three window functions PARTITIONED BY document (frames are
+    * doc-length-bounded — never a global sort); reassembly is one
+    * doc-keyed hash aggregate over sort-keyed token structs. Output is
+    * one row per doc.
+    */
+  def spanCorruption(df: DataFrame, idCol: String, textCol: String,
+                     spanLen: Int = 3, denom: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(spanLen >= 1 && denom >= 2)
+    val M = HashMod
+    val pos = df.select(col(idCol),
+      posexplode(words(col(textCol))).as(Seq("_p", "_w")))
+    val byDoc = Window.partitionBy(col(idCol)).orderBy(col("_p"))
+    val marked = pos
+      .withColumn("_start",
+        (col(idCol).cast("long") * lit(1000003L) + col("_p")) % lit(M)
+          * lit(graft.operators.SketchOps.KmvMult) % lit(M)
+          % lit(denom.toLong) === 0L)
+      .withColumn("_m", max(when(col("_start"), 1).otherwise(0))
+        .over(byDoc.rowsBetween(-(spanLen - 1), 0)) === 1)
+      .withColumn("_runStart",
+        col("_m") && !lag(col("_m"), 1, false).over(byDoc))
+      .withColumn("_run",
+        sum(when(col("_runStart"), 1L).otherwise(0L))
+          .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
+    val sentinel = concat(lit("<extra_id_"),
+      col("_run").cast("string"), lit(">"))
+    // sort keys interleave sentinels before their run's words: word at
+    // position p sorts at 2p, a run's sentinel at 2·firstPos − 1
+    val inputTok = marked.where(!col("_m"))
+      .select(col(idCol), (col("_p") * 2).as("_k"), col("_w").as("_t"))
+      .unionByName(marked.where(col("_runStart"))
+        .select(col(idCol), (col("_p") * 2).as("_k"), sentinel.as("_t")))
+    val targetTok = marked.where(col("_m"))
+      .select(col(idCol), (col("_p") * 2).as("_k"), col("_w").as("_t"))
+      .unionByName(marked.where(col("_runStart"))
+        .select(col(idCol), (col("_p") * 2 - 1).as("_k"),
+          sentinel.as("_t")))
+    def rebuild(tok: DataFrame, out: String) = tok.groupBy(col(idCol))
+      .agg(array_join(transform(
+        array_sort(collect_list(struct(col("_k"), col("_t")))),
+        x => x("_t")), " ").as(out))
+    val stats = marked.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("_m"), 1L).otherwise(0L)).as("n_masked"),
+        sum(when(col("_runStart"), 1L).otherwise(0L)).as("n_spans"))
+    stats
+      .join(rebuild(inputTok, "input_text"), Seq(idCol), "left")
+      .join(rebuild(targetTok, "target_text"), Seq(idCol), "left")
+      .select(col(idCol), col("n_words"), col("n_masked"), col("n_spans"),
+        // a fully-masked doc has no input tokens, an unmasked doc no
+        // target tokens — both are empty strings, not nulls
+        coalesce(col("input_text"), lit("")).as("input_text"),
+        coalesce(col("target_text"), lit("")).as("target_text"))
+  }
+
   /** Document fingerprint: the full-text polynomial hash pair (the
     * 128-bit composite — a single ~2^30 hash false-merges at web
     * scale) plus a winnowed min-shingle fingerprint (smallest 3-word
@@ -899,6 +1010,74 @@ object TextOps {
           col("top_bigram_char_frac") < maxTop2Frac &&
           col("top_trigram_char_frac") < maxTop3Frac)
       .drop("_gq")
+  }
+
+  /** Within-document repetition diagnostics — the OTHER half of the
+    * Gopher repetition rules (gopherQuality covers duplicate words and
+    * the TOP 2/3-gram char mass; this covers duplicate LINES and the
+    * TOTAL duplicate-n-gram char mass, the signals that catch
+    * boilerplate-looped and template-stamped pages):
+    *
+    *  - dup_line_frac      = occurrences of repeated lines / n_lines
+    *  - dup_line_char_frac = chars in those occurrences / total line chars
+    *  - dup_{n}gram_char_frac (per requested n) =
+    *      Σ over word n-grams occurring >= 2 times of c·len(gram),
+    *      over length(text) — the Dolma/RedPajama accounting (every
+    *      occurrence's characters count, spaces included).
+    *
+    * All counts are exact integers; each fraction is one integer/
+    * integer division — engine-exact. Docs shorter than n words score
+    * 0 for that n (left-join + coalesce).
+    *
+    * 100 TB story: lines and n-grams explode off the scan (×|ns|+1
+    * passes, each linear), (doc, gram) counting is a hash aggregate
+    * whose map-side combine collapses within-doc repeats — the
+    * metric's subject — before the shuffle; everything after is
+    * doc-sized. No windows, no sorts, no driver data.
+    */
+  def repetitionScore(df: DataFrame, idCol: String, textCol: String,
+                      lineSep: String = "\n",
+                      ngramSizes: Seq[Int] = Seq(5, 10)): DataFrame = {
+    require(ngramSizes.nonEmpty && ngramSizes.forall(_ >= 2))
+    val sepRe = java.util.regex.Pattern.quote(lineSep)
+    val lines = df.select(col(idCol),
+      explode(split(col(textCol), sepRe, -1)).as("_line"))
+    val lineLeg = lines.groupBy(col(idCol), col("_line"))
+      .agg(count(lit(1)).as("_c"))
+      .groupBy(col(idCol))
+      .agg(sum(col("_c")).as("n_lines"),
+        sum(when(col("_c") >= 2, col("_c")).otherwise(0L)).as("_dl"),
+        sum(col("_c") * length(col("_line"))).as("_lc"),
+        sum(when(col("_c") >= 2, col("_c") * length(col("_line")))
+          .otherwise(0L)).as("_dlc"))
+      .select(col(idCol), col("n_lines"),
+        try_divide(col("_dl").cast("double"),
+          col("n_lines").cast("double")).as("dup_line_frac"),
+        try_divide(col("_dlc").cast("double"),
+          col("_lc").cast("double")).as("dup_line_char_frac"))
+    val base = df.select(col(idCol), length(col(textCol)).as("_tot"),
+      words(col(textCol)).as("_ws"))
+    val gramLegs = ngramSizes.map { n =>
+      base
+        .select(col(idCol), col("_tot"),
+          explode(when(size(col("_ws")) >= n,
+            expr(s"transform(sequence(1, size(_ws) - ${n - 1}), " +
+              s"i -> array_join(slice(_ws, i, $n), ' '))"))
+            .otherwise(expr("array()"))).as("_g"))
+        .groupBy(col(idCol), col("_g"))
+        .agg(max(col("_tot")).as("_tot"), count(lit(1)).as("_c"))
+        .groupBy(col(idCol))
+        .agg(try_divide(
+          sum(when(col("_c") >= 2, col("_c") * length(col("_g")))
+            .otherwise(0L)).cast("double"),
+          max(col("_tot")).cast("double")).as(s"dup_${n}gram_char_frac"))
+    }
+    gramLegs.foldLeft(lineLeg) { (acc, leg) =>
+      acc.join(leg, Seq(idCol), "left")
+    }.select((col(idCol) +: col("n_lines") +: col("dup_line_frac") +:
+      col("dup_line_char_frac") +: ngramSizes.map(n =>
+        coalesce(col(s"dup_${n}gram_char_frac"), lit(0.0))
+          .as(s"dup_${n}gram_char_frac"))): _*)
   }
 
   /** BM25 scoring of every document against a FIXED small query-term

@@ -91,6 +91,37 @@ object ValidateOps {
           col("n_rows").cast("double")).as("risk_share"))
   }
 
+  /** l-diversity audit — k-anonymity's companion release gate: a
+    * quasi-identifier group can be large (k-anonymous) yet still leak
+    * if every member shares the same SENSITIVE value (the homogeneity
+    * attack k-anonymity misses). Per quasi-id group the metric is the
+    * number of DISTINCT sensitive values; the report is the same
+    * 1-row summary shape as [[kAnonymity]] so the two gates compose.
+    *
+    * Scale shape: one hash aggregate to the quasi-id domain with a
+    * per-group exact countDistinct (group-bounded — the sensitive
+    * domain per group is what's being measured, and a group with
+    * data-scale distinct sensitive values is maximally private
+    * anyway), then a 1-row fold. Exact integers throughout.
+    */
+  def lDiversity(df: DataFrame, quasiIds: Seq[String],
+                 sensitiveCol: String, l: Long): DataFrame = {
+    require(quasiIds.nonEmpty, "lDiversity needs at least one column")
+    require(l >= 2, s"l-diversity below 2 is vacuous, got $l")
+    df.groupBy(quasiIds.map(col): _*)
+      .agg(count(lit(1)).as("_c"),
+        countDistinct(col(sensitiveCol)).as("_div"))
+      .agg(count(lit(1)).as("n_groups"), sum(col("_c")).as("n_rows"),
+        min(col("_div")).as("min_l"),
+        sum(when(col("_div") < l, 1L).otherwise(0L)).as("groups_at_risk"),
+        sum(when(col("_div") < l, col("_c")).otherwise(0L))
+          .as("rows_at_risk"))
+      .select(lit(l).as("l"), col("n_groups"), col("n_rows"),
+        col("min_l"), col("groups_at_risk"), col("rows_at_risk"),
+        try_divide(col("rows_at_risk").cast("double"),
+          col("n_rows").cast("double")).as("risk_share"))
+  }
+
   /** Uniqueness expectation — not expressible as a row predicate, so
     * it is its own (exact) distinct aggregate: violations = n_rows −
     * distinct key combinations. Null key fields count as values (the

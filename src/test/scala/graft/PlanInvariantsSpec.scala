@@ -71,7 +71,11 @@ class PlanInvariantsSpec extends SparkSpec {
     // 1-row/class-bounded broadcasts only
     "roc_auc", "cohens_kappa", "ab_test", "k_anonymity", "mrr_eval",
     "zipf_fit", "theil_sen", "stream_abtest", "bootstrap_ci",
-    "image_hash", "image_neardup", "impute_eval", "lift_curve")
+    "image_hash", "image_neardup", "impute_eval", "lift_curve",
+    // round-11 additions: repetition/span windows are doc-partitioned,
+    // ccnet's label table broadcasts, l_diversity is two aggregates
+    "repetition_score", "ccnet_buckets", "l_diversity",
+    "span_corruption")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the

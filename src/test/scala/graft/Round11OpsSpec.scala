@@ -1,0 +1,99 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{TextOps, ValidateOps}
+
+/** Round-11 additions: within-doc repetition diagnostics, CCNet
+  * quality buckets, l-diversity, T5 span corruption.
+  */
+class Round11OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("repetitionScore: duplicate lines and duplicate n-gram char mass") {
+    val docs = Seq(
+      (1L, "x\nx\ny"), // 3 lines, 'x' repeated
+      (2L, "a b c d e a b c d e"), // the 5-gram "a b c d e" twice
+      (3L, "unique words only here")) // nothing repeated
+      .toDF("doc_id", "text")
+    val out = TextOps.repetitionScore(docs, "doc_id", "text")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3), r.getDouble(4),
+          r.getDouble(5)))).toMap
+    val (n1, dlf1, dlcf1, g51, _) = out(1L)
+    assert(n1 === 3L && dlf1 === 2.0 / 3 && dlcf1 === 2.0 / 3)
+    assert(g51 === 0.0, "single multiline token has no 5-grams")
+    val (_, dlf2, _, g52, g102) = out(2L)
+    assert(dlf2 === 0.0, "one line, not duplicated")
+    // dup mass: "a b c d e" (9 chars) x 2 occurrences over 19 chars
+    assert(g52 === 18.0 / 19)
+    assert(g102 === 0.0, "the single 10-gram occurs once")
+    assert(out(3L)._4 === 0.0 && out(3L)._2 === 0.0)
+  }
+
+  test("ccnetBuckets: exact integer mass tertiles, tied groups stay whole") {
+    val scored = (1 to 6).map(i => ("en", i.toDouble, i.toLong)) ++
+      Seq(("fr", 1.0, 10L), ("fr", 1.0, 11L), ("fr", 1.0, 12L),
+        ("fr", 2.0, 13L), ("fr", 2.0, 14L), ("fr", 2.0, 15L))
+    val df = scored.toDF("lang", "score", "doc_id")
+    val out = TextOps.ccnetBuckets(df, "lang", "score")
+      .collect().map(r => r.getLong(2) -> r.getString(3)).toMap
+    // en: 6 distinct scores -> clean thirds
+    assert(out(1L) === "tail" && out(2L) === "tail")
+    assert(out(3L) === "middle" && out(4L) === "middle")
+    assert(out(5L) === "head" && out(6L) === "head")
+    // fr: two half-mass tied groups — neither fits a third, both middle
+    (10L to 15L).foreach(id => assert(out(id) === "middle", s"fr $id"))
+  }
+
+  test("lDiversity flags homogeneous groups k-anonymity would pass") {
+    // group g1: 4 rows, all the same sensitive value (k-anonymous at
+    // k=4, yet l-diversity 1); g2: 3 rows, 3 distinct values
+    val df = Seq(("g1", "s"), ("g1", "s"), ("g1", "s"), ("g1", "s"),
+      ("g2", "a"), ("g2", "b"), ("g2", "c")).toDF("q", "sens")
+    val r = ValidateOps.lDiversity(df, Seq("q"), "sens", l = 2L)
+      .collect().head
+    assert(r.getAs[Long]("n_groups") === 2L)
+    assert(r.getAs[Long]("min_l") === 1L)
+    assert(r.getAs[Long]("groups_at_risk") === 1L)
+    assert(r.getAs[Long]("rows_at_risk") === 4L)
+  }
+
+  test("spanCorruption: de-corruption reconstructs the original, partition-invariant") {
+    val docs = Tables.documents(spark, "/root/testdata/sf0.001")
+      .limit(40).select("doc_id", "text")
+    def run(df: org.apache.spark.sql.DataFrame) =
+      TextOps.spanCorruption(df, "doc_id", "text").collect()
+        .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getString(4), r.getString(5)))).toMap
+    val out = run(docs)
+    val texts = docs.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(out.keySet === texts.keySet)
+    var sawSpan = false
+    for ((id, (nWords, nMasked, nSpans, input, target)) <- out) {
+      val orig = texts(id)
+      assert(nWords === orig.split(" ", -1).length.toLong, s"doc $id")
+      assert(nMasked >= nSpans, s"doc $id")
+      if (nSpans > 0) sawSpan = true
+      // de-corrupt: substitute each sentinel in the input with its
+      // span words from the target
+      val sent = "<extra_id_(\\d+)>".r
+      val spans: Map[Long, String] = if (target.isEmpty) Map.empty else {
+        val parts = sent.findAllMatchIn(target).toSeq
+        parts.zipWithIndex.map { case (m, i) =>
+          val until =
+            if (i + 1 < parts.length) parts(i + 1).start - 1
+            else target.length
+          m.group(1).toLong ->
+            target.substring(m.end, until).stripPrefix(" ")
+        }.toMap
+      }
+      val rebuilt = sent.replaceAllIn(input, m =>
+        java.util.regex.Matcher.quoteReplacement(spans(m.group(1).toLong)))
+      assert(rebuilt === orig, s"doc $id fails de-corruption")
+    }
+    assert(sawSpan, "fixture produced no spans — gate rate broken?")
+    // deterministic under repartitioning
+    val out7 = run(docs.repartition(7))
+    assert(out7 === out)
+  }
+}
