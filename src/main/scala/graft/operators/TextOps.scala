@@ -892,33 +892,32 @@ object TextOps {
           .over(byDoc.rowsBetween(Window.unboundedPreceding, 0)) - 1L)
     val sentinel = concat(lit("<extra_id_"),
       col("_run").cast("string"), lit(">"))
-    // sort keys interleave sentinels before their run's words: word at
-    // position p sorts at 2p, a run's sentinel at 2·firstPos − 1
-    val inputTok = marked.where(!col("_m"))
-      .select(col(idCol), (col("_p") * 2).as("_k"), col("_w").as("_t"))
-      .unionByName(marked.where(col("_runStart"))
-        .select(col(idCol), (col("_p") * 2).as("_k"), sentinel.as("_t")))
-    val targetTok = marked.where(col("_m"))
-      .select(col(idCol), (col("_p") * 2).as("_k"), col("_w").as("_t"))
-      .unionByName(marked.where(col("_runStart"))
-        .select(col(idCol), (col("_p") * 2 - 1).as("_k"),
-          sentinel.as("_t")))
-    def rebuild(tok: DataFrame, out: String) = tok.groupBy(col(idCol))
-      .agg(array_join(transform(
-        array_sort(collect_list(struct(col("_k"), col("_t")))),
-        x => x("_t")), " ").as(out))
-    val stats = marked.groupBy(col(idCol))
+    // ONE aggregate over the marked stream (collect_list skips the
+    // nulls the `when`s produce) — a union of filtered branches would
+    // re-run the posexplode + per-doc sort once per branch. Sort keys
+    // interleave sentinels before their run's words: word at position
+    // p sorts at 2p, a run's sentinel at 2·firstPos − 1. A row emits
+    // exactly one input entry (word when unmasked, sentinel when it
+    // starts a run, nothing inside a run) and up to two target
+    // entries (its word when masked, plus the sentinel when it starts
+    // the run) — the two target lists merge in one array_sort.
+    val inEntry = when(!col("_m"),
+        struct((col("_p") * 2).as("_k"), col("_w").as("_t")))
+      .when(col("_runStart"),
+        struct((col("_p") * 2).as("_k"), sentinel.as("_t")))
+    val tgtWord = when(col("_m"),
+      struct((col("_p") * 2).as("_k"), col("_w").as("_t")))
+    val tgtSent = when(col("_runStart"),
+      struct((col("_p") * 2 - 1).as("_k"), sentinel.as("_t")))
+    def joined(entries: Column) = array_join(
+      transform(array_sort(entries), x => x("_t")), " ")
+    marked.groupBy(col(idCol))
       .agg(count(lit(1)).as("n_words"),
         sum(when(col("_m"), 1L).otherwise(0L)).as("n_masked"),
-        sum(when(col("_runStart"), 1L).otherwise(0L)).as("n_spans"))
-    stats
-      .join(rebuild(inputTok, "input_text"), Seq(idCol), "left")
-      .join(rebuild(targetTok, "target_text"), Seq(idCol), "left")
-      .select(col(idCol), col("n_words"), col("n_masked"), col("n_spans"),
-        // a fully-masked doc has no input tokens, an unmasked doc no
-        // target tokens — both are empty strings, not nulls
-        coalesce(col("input_text"), lit("")).as("input_text"),
-        coalesce(col("target_text"), lit("")).as("target_text"))
+        sum(when(col("_runStart"), 1L).otherwise(0L)).as("n_spans"),
+        joined(collect_list(inEntry)).as("input_text"),
+        joined(concat(collect_list(tgtWord), collect_list(tgtSent)))
+          .as("target_text"))
   }
 
   /** Document fingerprint: the full-text polynomial hash pair (the
