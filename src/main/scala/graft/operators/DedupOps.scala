@@ -735,24 +735,49 @@ object DedupOps {
       "pigeonhole completeness needs maxDist < bands")
     val width = nbits / bands
     val mask = if (width == 64) -1L else (1L << width) - 1
-    val banded = sig.select(col(idCol), col(sigCol).as("sig"),
+    // The banded self-join runs over DISTINCT signatures, not ids: a
+    // web-scale corpus is full of byte-identical media whose identical
+    // signatures collide in EVERY band, so an id-level join pays
+    // |group|² × bands shuffle rows per duplicate cluster (measured
+    // 28× cost at the 10× duplication rehearsal). Signature-level
+    // banding prices the join and the popcount verify on the
+    // duplication-INDEPENDENT distinct-signature space; id pairs are
+    // re-expanded afterwards — generator work proportional to the
+    // OUTPUT, which is the floor any all-pairs emitter has.
+    val members = sig.select(col(sigCol).as("sig"), col(idCol))
+    val distinctSigs = members.select("sig").distinct()
+    // identical signatures: every within-group pair, distance 0, via a
+    // sig-co-partitioned equi-self-join (output-sized, no banding)
+    val same = members.as("x").join(members.as("y"),
+        col("x.sig") === col("y.sig") &&
+          col(s"x.$idCol") < col(s"y.$idCol"))
+      .select(col(s"x.$idCol").as("id1"), col(s"y.$idCol").as("id2"),
+        lit(0).cast("int").as("hamming"))
+    val banded = distinctSigs.select(col("sig"),
       explode(array((0 until bands).map(b =>
         struct(lit(b).as("band"),
-          shiftright(col(sigCol), b * width).bitwiseAND(lit(mask))
+          shiftright(col("sig"), b * width).bitwiseAND(lit(mask))
             .as("band_val"))): _*)).as("bv"))
-      .select(col(idCol), col("sig"), col("bv.band"), col("bv.band_val"))
+      .select(col("sig"), col("bv.band"), col("bv.band_val"))
     // Identical subplans on both join sides (aliases applied ABOVE the
     // join, not below): the band-key exchange is planned once and
-    // reused, so the signature kernel runs a single pass over the corpus.
-    banded.as("a").join(banded.as("b"),
+    // reused, so the signature pass is planned a single time.
+    val sigPairs = banded.as("a").join(banded.as("b"),
         col("a.band") === col("b.band") &&
           col("a.band_val") === col("b.band_val") &&
-          col(s"a.$idCol") < col(s"b.$idCol"))
-      .select(col(s"a.$idCol").as("id1"), col(s"b.$idCol").as("id2"),
-        col("a.sig").as("sig1"), col("b.sig").as("sig2"))
+          col("a.sig") < col("b.sig"))
+      .select(col("a.sig").as("sig1"), col("b.sig").as("sig2"))
       .distinct()
       .withColumn("hamming", hammingDist(col("sig1"), col("sig2")))
       .where(col("hamming") <= maxDist)
-      .select("id1", "id2", "hamming")
+    val cross = sigPairs
+      .join(members.select(col("sig").as("sig1"),
+        col(idCol).as("_i1")), "sig1")
+      .join(members.select(col("sig").as("sig2"),
+        col(idCol).as("_i2")), "sig2")
+      .select(least(col("_i1"), col("_i2")).as("id1"),
+        greatest(col("_i1"), col("_i2")).as("id2"),
+        col("hamming").cast("int").as("hamming"))
+    same.unionByName(cross)
   }
 }
