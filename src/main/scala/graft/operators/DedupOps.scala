@@ -185,23 +185,74 @@ object DedupOps {
     require(numHashes % bands == 0, "bands must divide numHashes")
     val sigs = df.select(col(idCol),
       minHashSignature(shingleHashes(col(textCol), shingleN), numHashes).as("sig"))
-    val bandRows = lshBands(sigs, idCol, "sig", bands, numHashes / bands)
-    val bounded0 = bandRows
-      .withColumn("_bn", count(lit(1))
-        .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
-      .where(col("_bn") <= maxBucket).drop("_bn")
-    val bounded =
-      if (bucketCap == Int.MaxValue) bounded0
-      else bounded0
+    if (bucketCap != Int.MaxValue) {
+      // id-level path: the rank subsample is defined on ids within a
+      // bucket, so the banding must stay id-rowed (the oracle's rank
+      // filter replays exactly this)
+      val bandRows = lshBands(sigs, idCol, "sig", bands, numHashes / bands)
+      val bounded = bandRows
+        .withColumn("_bn", count(lit(1))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+        .where(col("_bn") <= maxBucket).drop("_bn")
         .withColumn("_rk", row_number().over(org.apache.spark.sql
           .expressions.Window.partitionBy("band", "band_hash")
           .orderBy(col(idCol))))
         .where(col("_rk") <= bucketCap).drop("_rk")
-    val a = bounded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
-    val b = bounded.select(col(idCol).as("id2"), col("band"), col("band_hash"))
-    a.join(b, Seq("band", "band_hash"))
-      .where(col("id1") < col("id2"))
-      .select("id1", "id2").distinct()
+      val a = bounded.select(col(idCol).as("id1"), col("band"), col("band_hash"))
+      val b = bounded.select(col(idCol).as("id2"), col("band"), col("band_hash"))
+      a.join(b, Seq("band", "band_hash"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2").distinct()
+    } else {
+      // DISTINCT-signature banding (default path): exact-duplicate
+      // documents share the whole signature and collide in EVERY
+      // band, so id-level banding pays |group|² × bands join rows per
+      // dup cluster (the same disease hashNearDup had — measured 9×
+      // at the 10× duplication rehearsal). Banding the distinct
+      // signatures prices the join on the duplication-independent
+      // signature space; id pairs re-expand afterwards. Semantics are
+      // IDENTICAL to the id-level join: a same-sig group shares every
+      // bucket, so its members pair iff any of its buckets survives
+      // maxBucket; bucket size for the cap is the ID count
+      // (Σ member-counts over the bucket's sigs), exactly as before.
+      val groups = sigs.where(col("sig").isNotNull)
+        .groupBy(col("sig"))
+        .agg(collect_list(col(idCol)).as("_ids"),
+          count(lit(1)).as("_m"))
+      val bandRows = lshBands(groups, "sig", "sig", bands,
+          numHashes / bands)
+        .join(groups, Seq("sig"))
+      val bounded = bandRows
+        .withColumn("_bn", sum(col("_m"))
+          .over(org.apache.spark.sql.expressions.Window.partitionBy("band", "band_hash")))
+        .where(col("_bn") <= maxBucket).drop("_bn", "_m")
+      // same-sig pairs: every within-group (i < j) pair, provided the
+      // group survives in at least one bucket; ids are unique, so the
+      // pair list needs no dedup
+      val same = bounded.select(col("sig"), col("_ids")).distinct()
+        .where(size(col("_ids")) >= 2)
+        .select(explode(col("_ids")).as("id1"), col("_ids"))
+        .select(col("id1"), explode(col("_ids")).as("id2"))
+        .where(col("id1") < col("id2"))
+        .select("id1", "id2")
+      // cross-sig pairs: banded join over distinct signatures (one
+      // distinct on sig pairs — a pair may collide in several bands),
+      // then expand both member lists; each id pair comes from exactly
+      // one sig pair, so the expansion needs no dedup either
+      val a = bounded.select(col("band"), col("band_hash"),
+        col("sig").as("_s1"), col("_ids").as("_ids1"))
+      val b = bounded.select(col("band"), col("band_hash"),
+        col("sig").as("_s2"), col("_ids").as("_ids2"))
+      val cross = a.join(b, Seq("band", "band_hash"))
+        .where(col("_s1") < col("_s2"))
+        .select(col("_s1"), col("_s2"), col("_ids1"), col("_ids2"))
+        .distinct()
+        .select(explode(col("_ids1")).as("_i1"), col("_ids2"))
+        .select(col("_i1"), explode(col("_ids2")).as("_i2"))
+        .select(least(col("_i1"), col("_i2")).as("id1"),
+          greatest(col("_i1"), col("_i2")).as("id2"))
+      same.unionByName(cross)
+    }
   }
 
   /** Exact n-gram Jaccard similarity for given id pairs — the
