@@ -492,15 +492,42 @@ object SimilarityOps {
     val bounded = e
       .withColumn("_cn", count(lit(1)).over(Window.partitionBy("cluster")))
       .where(col("_cn") <= maxCluster).drop("_cn")
-    val a = bounded.select(col("vec_id").as("id1"), col("v").as("v1"),
-      col("n").as("n1"), col("cluster"))
-    val b = bounded.select(col("vec_id").as("id2"), col("v").as("v2"),
-      col("n").as("n2"), col("cluster"))
-    val drops = a.join(b, Seq("cluster"))
-      .where(col("id1") < col("id2"))
-      .withColumn("cosine", dot(col("v1"), col("v2")) / (col("n1") * col("n2")))
-      .where(col("cosine") >= threshold)
-      .select(col("id2").as("vec_id")).distinct()
+    // The within-cluster pairing runs over DISTINCT vectors: replicated
+    // embeddings (exact-dup media/text re-encoded) collapse to one
+    // group each, so the cosine join is priced on the duplication-
+    // independent distinct-vector space instead of |cluster|² id pairs
+    // (measured 6× at the 10× duplication rehearsal). The drop rule
+    // "∃ id' < id with cos ≥ threshold" factors exactly:
+    //  - a NON-MINIMAL member of group g is dropped iff the group's
+    //    self-cosine clears the threshold (its own minimum is the
+    //    earlier witness), or some foreign qualifying group has a
+    //    member below it — i.e. min_foreign < id;
+    //  - the MINIMAL member is dropped iff min_foreign < it.
+    // min_foreign(g) = min over foreign groups f with cos(g, f) ≥
+    // threshold of min(f) — one aggregate over the distinct-pair join.
+    val groups = bounded.groupBy(col("cluster"), col("v"), col("n"))
+      .agg(collect_list(col("vec_id")).as("_ids"),
+        min(col("vec_id")).as("_min"))
+      .withColumn("_selfcos",
+        dot(col("v"), col("v")) / (col("n") * col("n")))
+    val aG = groups.select(col("cluster"), col("v").as("v1"),
+      col("n").as("n1"), col("_min").as("min1"))
+    val bG = groups.select(col("cluster"), col("v").as("v2"),
+      col("n").as("n2"), col("_min").as("min2"))
+    val foreign = aG.join(bG, Seq("cluster"))
+      .where(col("min1") =!= col("min2"))
+      .where(dot(col("v1"), col("v2")) / (col("n1") * col("n2"))
+        >= threshold)
+      .groupBy(col("cluster"), col("min1"))
+      .agg(min(col("min2")).as("_t"))
+    val drops = groups
+      .join(foreign.select(col("cluster"), col("min1").as("_min"),
+        col("_t")), Seq("cluster", "_min"), "left")
+      .select(explode(col("_ids")).as("vec_id"), col("_min"),
+        col("_selfcos"), col("_t"))
+      .where((col("_selfcos") >= threshold && col("vec_id") > col("_min"))
+        || (col("_t").isNotNull && col("vec_id") > col("_t")))
+      .select(col("vec_id"))
       .withColumn("dropped", lit(true))
     e.select("vec_id", "cluster")
       .join(drops, Seq("vec_id"), "left")
