@@ -2338,6 +2338,40 @@ object QueriesLlm {
        |SELECT sc.doc_id, sc.lang, sc.score, lab.bucket
        |FROM sc JOIN lab USING (lang, score)""".stripMargin)
 
+  /** The one-shot dedup dashboard — every duplication mode this engine
+    * detects, counted over the shared dup-injected corpus and labeled:
+    * exact survivors, verified MinHash near-dup pairs, banded SimHash
+    * pairs, asymmetric containment pairs, line-dedup survivors, and
+    * canonical-URL survivors. Pure operator composition (each leg IS
+    * its standalone gate query wrapped in a count), the same pattern
+    * drift_report proves for the monitor family — the "how duplicated
+    * is this corpus, and in which mode?" readout a curation run opens
+    * with.
+    */
+  private val dedupReportQ = Q(
+    (s, d) => {
+      def leg(name: String, q: Q) =
+        q.fn(s, d).agg(count(lit(1)).as("n_rows"))
+          .select(lit(name).as("metric"), col("n_rows"))
+      leg("exact_survivors", dedupExactQ)
+        .unionByName(leg("minhash_verified_pairs", dedupMinhashQ))
+        .unionByName(leg("simhash_pairs", simhashNearDupQ))
+        .unionByName(leg("containment_pairs", containmentDupesQ))
+        .unionByName(leg("line_dedup_docs", lineDedupQ))
+        .unionByName(leg("url_survivors", urlDedupQ))
+    },
+    Seq(("exact_survivors", dedupExactQ.sql),
+      ("minhash_verified_pairs", dedupMinhashQ.sql),
+      ("simhash_pairs", simhashNearDupQ.sql),
+      ("containment_pairs", containmentDupesQ.sql),
+      ("line_dedup_docs", lineDedupQ.sql),
+      ("url_survivors", urlDedupQ.sql)).map { case (n, sql) =>
+      // plain concatenation, NOT stripMargin: the embedded leg SQL has
+      // continuation lines starting with `||`, which an outer
+      // stripMargin would truncate to `|`
+      s"SELECT '$n' AS metric, count(*) AS n_rows FROM (\n$sql\n)"
+    }.mkString("\nUNION ALL\n"))
+
   /** T5-style span corruption (TextOps.spanCorruption): deterministic
     * hash-gated mask spans, maximal-run sentinels, (input, target)
     * pair per document. Every decision is exact integer arithmetic on
@@ -3651,6 +3685,7 @@ object QueriesLlm {
     "repetition_score" -> repetitionScoreQ,
     "ccnet_buckets" -> ccnetBucketsQ,
     "span_corruption" -> spanCorruptionQ,
+    "dedup_report" -> dedupReportQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
     "vocab_growth" -> vocabGrowthQ,
