@@ -2232,8 +2232,8 @@ object QueriesLlm {
     * gopher_quality's top-gram half. The fixture frames every
     * document with a twice-repeated leading-60-chars line, so
     * duplicate lines AND cross-copy duplicate 5/10-grams provably
-    * exist. All fraction inputs are exact integers (occurrence
-    * counts × char lengths over length(text)); qround is cosmetic.
+    * exist. All fraction inputs are exact integers (covered word-
+    * position char sums over length(text)); qround is cosmetic.
     */
   private val repetitionScoreQ = Q(
     (s, d) => {
@@ -2266,30 +2266,54 @@ object QueriesLlm {
        |  FROM lc GROUP BY 1),
        |ws AS (SELECT doc_id, len(t) AS tot, string_split(t, ' ') AS ws
        |  FROM docs),
-       |g5c AS (
-       |  SELECT doc_id, g, max(tot) AS tot, count(*) AS c FROM (
+       |wl AS (
+       |  SELECT doc_id, s.p AS p, len(s.w) AS wl FROM (
+       |    SELECT doc_id, unnest(list_transform(
+       |        generate_series(1, len(ws)),
+       |        i_ -> {'p': i_ - 1, 'w': ws[i_]})) AS s
+       |    FROM ws)),
+       |g5 AS (
+       |  SELECT doc_id, tot, s.i AS i, s.g AS g FROM (
        |    SELECT doc_id, tot, unnest(CASE WHEN len(ws) >= 5 THEN
        |      list_transform(generate_series(1, len(ws) - 4),
-       |        i_ -> array_to_string(ws[i_:i_+4], ' '))
-       |      ELSE CAST([] AS VARCHAR[]) END) AS g
-       |    FROM ws) GROUP BY 1, 2),
+       |        i_ -> {'i': i_ - 1,
+       |               'g': array_to_string(ws[i_:i_+4], ' ')})
+       |      ELSE CAST([] AS STRUCT(i BIGINT, g VARCHAR)[]) END) AS s
+       |    FROM ws)),
+       |d5 AS (
+       |  SELECT doc_id, max(tot) AS tot, list(i) AS is_
+       |  FROM g5 GROUP BY doc_id, g HAVING count(*) >= 2),
+       |cov5 AS (
+       |  SELECT DISTINCT doc_id, tot,
+       |    unnest(flatten(list_transform(is_, i0 ->
+       |      list_transform(generate_series(0, 4), o_ -> i0 + o_)))) AS p
+       |  FROM d5),
        |leg5 AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
-       |        AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS f
-       |  FROM g5c GROUP BY 1),
-       |g10c AS (
-       |  SELECT doc_id, g, max(tot) AS tot, count(*) AS c FROM (
+       |  SELECT c.doc_id,
+       |    CAST(sum(wl.wl) AS DOUBLE) / CAST(max(c.tot) AS DOUBLE) AS f
+       |  FROM cov5 c JOIN wl ON c.doc_id = wl.doc_id AND c.p = wl.p
+       |  GROUP BY 1),
+       |g10 AS (
+       |  SELECT doc_id, tot, s.i AS i, s.g AS g FROM (
        |    SELECT doc_id, tot, unnest(CASE WHEN len(ws) >= 10 THEN
        |      list_transform(generate_series(1, len(ws) - 9),
-       |        i_ -> array_to_string(ws[i_:i_+9], ' '))
-       |      ELSE CAST([] AS VARCHAR[]) END) AS g
-       |    FROM ws) GROUP BY 1, 2),
+       |        i_ -> {'i': i_ - 1,
+       |               'g': array_to_string(ws[i_:i_+9], ' ')})
+       |      ELSE CAST([] AS STRUCT(i BIGINT, g VARCHAR)[]) END) AS s
+       |    FROM ws)),
+       |d10 AS (
+       |  SELECT doc_id, max(tot) AS tot, list(i) AS is_
+       |  FROM g10 GROUP BY doc_id, g HAVING count(*) >= 2),
+       |cov10 AS (
+       |  SELECT DISTINCT doc_id, tot,
+       |    unnest(flatten(list_transform(is_, i0 ->
+       |      list_transform(generate_series(0, 9), o_ -> i0 + o_)))) AS p
+       |  FROM d10),
        |leg10 AS (
-       |  SELECT doc_id,
-       |    CAST(sum(CASE WHEN c >= 2 THEN c * len(g) ELSE 0 END)
-       |        AS DOUBLE) / CAST(max(tot) AS DOUBLE) AS f
-       |  FROM g10c GROUP BY 1)
+       |  SELECT c.doc_id,
+       |    CAST(sum(wl.wl) AS DOUBLE) / CAST(max(c.tot) AS DOUBLE) AS f
+       |  FROM cov10 c JOIN wl ON c.doc_id = wl.doc_id AND c.p = wl.p
+       |  GROUP BY 1)
        |SELECT l.doc_id, l.n_lines,
        |  ${qrSql("l.dlf", 8)} AS dup_line_frac,
        |  ${qrSql("l.dlcf", 8)} AS dup_line_char_frac,

@@ -1019,19 +1019,25 @@ object TextOps {
     *
     *  - dup_line_frac      = occurrences of repeated lines / n_lines
     *  - dup_line_char_frac = chars in those occurrences / total line chars
-    *  - dup_{n}gram_char_frac (per requested n) =
-    *      Σ over word n-grams occurring >= 2 times of c·len(gram),
-    *      over length(text) — the Dolma/RedPajama accounting (every
-    *      occurrence's characters count, spaces included).
+    *  - dup_{n}gram_char_frac (per requested n) = COVERAGE: characters
+    *      of word positions covered by at least one n-gram that occurs
+    *      >= 2 times in the doc, each position counted ONCE, over
+    *      length(text) — the Gopher/Dolma "fraction of characters in
+    *      duplicate n-grams". (Occurrence-mass accounting — Σ c·len —
+    *      is NOT a fraction: overlapping repeats push it past 1, which
+    *      the property suite caught.)
     *
     * All counts are exact integers; each fraction is one integer/
     * integer division — engine-exact. Docs shorter than n words score
-    * 0 for that n (left-join + coalesce).
+    * 0 for that n (left-join + coalesce). Fractions are bounded by 1
+    * (strictly below when the doc has separators, which the numerator
+    * never counts).
     *
     * 100 TB story: lines and n-grams explode off the scan (×|ns|+1
     * passes, each linear), (doc, gram) counting is a hash aggregate
     * whose map-side combine collapses within-doc repeats — the
-    * metric's subject — before the shuffle; everything after is
+    * metric's subject — before the shuffle; the coverage expansion is
+    * bounded by n × duplicate occurrences, and everything after is
     * doc-sized. No windows, no sorts, no driver data.
     */
   def repetitionScore(df: DataFrame, idCol: String, textCol: String,
@@ -1056,19 +1062,29 @@ object TextOps {
           col("_lc").cast("double")).as("dup_line_char_frac"))
     val base = df.select(col(idCol), length(col(textCol)).as("_tot"),
       words(col(textCol)).as("_ws"))
+    val wlens = base.select(col(idCol),
+      posexplode(col("_ws")).as(Seq("_p", "_w")))
+      .select(col(idCol), col("_p"), length(col("_w")).as("_wl"))
     val gramLegs = ngramSizes.map { n =>
-      base
+      val occ = base
         .select(col(idCol), col("_tot"),
-          explode(when(size(col("_ws")) >= n,
+          posexplode(when(size(col("_ws")) >= n,
             expr(s"transform(sequence(1, size(_ws) - ${n - 1}), " +
               s"i -> array_join(slice(_ws, i, $n), ' '))"))
-            .otherwise(expr("array()"))).as("_g"))
+            .otherwise(expr("array()"))).as(Seq("_i", "_g")))
+      val dupStarts = occ
         .groupBy(col(idCol), col("_g"))
-        .agg(max(col("_tot")).as("_tot"), count(lit(1)).as("_c"))
+        .agg(max(col("_tot")).as("_tot"), count(lit(1)).as("_c"),
+          collect_list(col("_i")).as("_is"))
+        .where(col("_c") >= 2)
+      val covered = dupStarts
+        .select(col(idCol), col("_tot"), explode(col("_is")).as("_i"))
+        .select(col(idCol), col("_tot"),
+          explode(expr(s"sequence(_i, _i + ${n - 1})")).as("_p"))
+        .distinct()
+      covered.join(wlens, Seq(idCol, "_p"))
         .groupBy(col(idCol))
-        .agg(try_divide(
-          sum(when(col("_c") >= 2, col("_c") * length(col("_g")))
-            .otherwise(0L)).cast("double"),
+        .agg(try_divide(sum(col("_wl")).cast("double"),
           max(col("_tot")).cast("double")).as(s"dup_${n}gram_char_frac"))
     }
     gramLegs.foldLeft(lineLeg) { (acc, leg) =>

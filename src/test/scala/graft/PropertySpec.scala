@@ -623,6 +623,53 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: repetitionScore fractions in [0,1]; all-duplicate doc saturates") {
+    import spark.implicits._
+    val gen = Gen.listOfN(12, Gen.oneOf("aa", "bb", "cc", "dd"))
+    forSamples(gen, n = 8) { ws =>
+      val df = Seq((1L, ws.mkString(" "))).toDF("doc_id", "text")
+      val r = operators.TextOps.repetitionScore(df, "doc_id", "text")
+        .collect()(0)
+      for (i <- Seq(2, 3, 4, 5)) {
+        val v = r.getDouble(i)
+        assert(v >= 0.0 && v <= 1.0 + 1e-12, s"frac $i out of [0,1]: $ws")
+      }
+      // a doc of ONE repeated word saturates coverage: every word
+      // position is inside a duplicated 5-gram, so the fraction is
+      // exactly (word chars)/(total chars) — the separator chars are
+      // the only uncovered mass
+      val sat = Seq((2L, Seq.fill(12)("xx").mkString(" ")))
+        .toDF("doc_id", "text")
+      val rs = operators.TextOps.repetitionScore(sat, "doc_id", "text")
+        .collect()(0)
+      assert(rs.getDouble(4) === 24.0 / 35,
+        "uniform doc: all word chars covered")
+    }
+  }
+
+  test("property: ccnetBuckets covers every row and tertiles are mass-ordered") {
+    import spark.implicits._
+    val gen = Gen.listOfN(10, Gen.choose(0, 5))
+    forSamples(gen, n = 8) { raw =>
+      val df = raw.zipWithIndex
+        .map { case (s, i) => ("en", s.toDouble, i.toLong) }
+        .toDF("lang", "score", "doc_id")
+      val out = operators.TextOps.ccnetBuckets(df, "lang", "score")
+        .collect().map(r => (r.getDouble(1), r.getString(3)))
+      assert(out.length === raw.size, "every input row labeled once")
+      // bucket boundaries respect score order: max(tail) <= min(head),
+      // and no tail score exceeds a middle score's … (monotone labels)
+      def scores(b: String) = out.filter(_._2 == b).map(_._1)
+      for (t <- scores("tail"); m <- scores("middle"))
+        assert(t <= m, s"tail $t above middle $m in $raw")
+      for (m <- scores("middle"); h <- scores("head"))
+        assert(m <= h, s"middle $m above head $h in $raw")
+      for (t <- scores("tail"); h <- scores("head"))
+        assert(t < h || raw.distinct.size == 1,
+          s"tail $t not below head $h in $raw")
+    }
+  }
+
   test("property: gini within [0, (n-1)/n], HHI within [1/n, 1]") {
     import spark.implicits._
     val gen = Gen.listOfN(9, Gen.choose(0L, 50L))

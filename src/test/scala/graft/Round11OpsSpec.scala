@@ -24,8 +24,9 @@ class Round11OpsSpec extends SparkSpec {
     assert(g51 === 0.0, "single multiline token has no 5-grams")
     val (_, dlf2, _, g52, g102) = out(2L)
     assert(dlf2 === 0.0, "one line, not duplicated")
-    // dup mass: "a b c d e" (9 chars) x 2 occurrences over 19 chars
-    assert(g52 === 18.0 / 19)
+    // coverage: the duplicated 5-gram covers all 10 word positions
+    // (1 char each) over the 19-char text
+    assert(g52 === 10.0 / 19)
     assert(g102 === 0.0, "the single 10-gram occurs once")
     assert(out(3L)._4 === 0.0 && out(3L)._2 === 0.0)
   }
