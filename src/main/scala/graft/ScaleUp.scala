@@ -60,8 +60,11 @@ object ScaleUp {
       }
       if (i == 0) offset
       else names.foldLeft(offset) { case (acc, (nameCol, prefix, keyCol)) =>
+        // 13-digit pad: wide enough for key + 50 replica offsets —
+        // lpad TRUNCATES overlong input, and a truncated key collides
+        // replica names, silently inflating every name-keyed join
         acc.withColumn(nameCol,
-          concat(lit(prefix), lpad(col(keyCol).cast("string"), 10, "0")))
+          concat(lit(prefix), lpad(col(keyCol).cast("string"), 13, "0")))
       }
     }.reduce(_ unionByName _)
 
