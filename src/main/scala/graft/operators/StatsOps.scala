@@ -453,18 +453,32 @@ object StatsOps {
     df.withColumn("rk", row_number().over(w)).where(col("rk") <= k)
   }
 
-  /** Exact per-group lower median by rank selection: the ceil(n/2)-th
-    * row ordered by (value, tieCols) — a DISCRETE pick of an existing
-    * row, so it is engine-exact with no float averaging. Same shuffle
-    * shape as topKPerGroup; the ranking rides [[withGroupRank]], the
-    * same machinery as groupedQuantiles / moments.
+  /** Exact per-group lower median by rank selection: the value at the
+    * 0-based rank ceil(n/2)−1 of the sorted group — a DISCRETE pick of
+    * an existing value, so it is engine-exact with no float averaging.
+    * Rides the same distinct-value-domain machinery as
+    * [[groupedQuantiles]]: counts per (group, value), cumulative
+    * window over the per-group value DOMAIN, rank-range pick — the
+    * picked VALUE is identical to the old row-sorted formulation
+    * (ties share a value, so tie order can't change the output), but
+    * the only fact-sized stage is the hash aggregate; nothing sorts
+    * the fact. `tieCols` is kept for signature compatibility — the
+    * output never depended on it.
     */
   def groupMedian(df: DataFrame, keyCols: Seq[String], valueCol: String,
                   tieCols: Seq[String]): DataFrame = {
-    val ranked = withGroupRank(df, keyCols, col(valueCol),
-      ties = tieCols.map(col))
-    ranked
-      .where(col("_rk") + 1 === ceil(col("_n") / lit(2.0)).cast("long"))
+    val counts = df.where(col(valueCol).isNotNull)
+      .groupBy((keyCols.map(col) :+ col(valueCol)): _*)
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(keyCols.map(col): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val r = (ceil(col("_n") / lit(2.0)).cast("long") - 1L)
+    counts
+      .withColumn("_cumle", sum(col("_c")).over(w))
+      .withColumn("_n",
+        sum(col("_c")).over(Window.partitionBy(keyCols.map(col): _*)))
+      .where(col("_cumle") - col("_c") <= r && r < col("_cumle"))
       .select((keyCols.map(col) :+ col(valueCol).as("median") :+
         col("_n").as("n_group")): _*)
   }
