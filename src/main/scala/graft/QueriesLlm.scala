@@ -3544,6 +3544,126 @@ object QueriesLlm {
     * scores; the doubled U statistic is an exact BIGINT and AUC is the
     * single final division.
     */
+  /** Per-source fairness audit (ClassifierOps.fairnessReport): exact
+    * selection rate / TPR / FPR per document source plus the max−min
+    * gaps — the demographic-parity and equalized-odds release gate
+    * over the trained quality classifier. Every rate is one division
+    * of exact conditional BIGINTs; a group missing a class yields
+    * null (excluded from the gap extrema in both engines).
+    */
+  private val fairnessReportQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val docs = Tables.documents(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(docs), logregFeatureNames, w)
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          when(qround(col("score"), 6) >= 0.5, 1).otherwise(0).as("pred"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      ClassifierOps.fairnessReport(scored, "source", "label", "pred")
+        .select(col("source"), col("n"),
+          qround(col("sel_rate"), 8).as("sel_rate"),
+          qround(col("tpr"), 8).as("tpr"),
+          qround(col("fpr"), 8).as("fpr"),
+          qround(col("sel_rate_gap"), 8).as("sel_rate_gap"),
+          qround(col("tpr_gap"), 8).as("tpr_gap"),
+          qround(col("fpr_gap"), 8).as("fpr_gap"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(y AS INT) AS label,
+       |    CASE WHEN ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} >= 0.5e0
+       |      THEN 1 ELSE 0 END AS pred
+       |  FROM f, wf),
+       |j AS (SELECT sc.*, d2.source FROM sc
+       |      JOIN documents d2 USING (doc_id)),
+       |g AS (
+       |  SELECT source, count(*) AS n,
+       |    CAST(sum(pred) AS BIGINT) AS sel,
+       |    CAST(sum(CASE WHEN label = 1 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS pos,
+       |    CAST(sum(CASE WHEN label = 0 AND pred = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN label = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS neg
+       |  FROM j GROUP BY 1),
+       |r AS (
+       |  SELECT source, n,
+       |    CAST(sel AS DOUBLE) / CAST(n AS DOUBLE) AS sel_rate,
+       |    CASE WHEN pos > 0 THEN CAST(tp AS DOUBLE) / CAST(pos AS DOUBLE)
+       |      END AS tpr,
+       |    CASE WHEN neg > 0 THEN CAST(fp AS DOUBLE) / CAST(neg AS DOUBLE)
+       |      END AS fpr
+       |  FROM g),
+       |gaps AS (SELECT max(sel_rate) - min(sel_rate) AS srg,
+       |  max(tpr) - min(tpr) AS tg, max(fpr) - min(fpr) AS fg FROM r)
+       |SELECT r.source, r.n,
+       |  ${qrSql("sel_rate", 8)} AS sel_rate,
+       |  ${qrSql("tpr", 8)} AS tpr, ${qrSql("fpr", 8)} AS fpr,
+       |  ${qrSql("srg", 8)} AS sel_rate_gap,
+       |  ${qrSql("tg", 8)} AS tpr_gap, ${qrSql("fg", 8)} AS fpr_gap
+       |FROM r CROSS JOIN gaps""".stripMargin)
+
+  /** Per-source exact ROC AUC + gap (ClassifierOps.aucByGroup) — the
+    * ranking-quality half of the fairness audit: identical doubled-U
+    * construction to roc_auc, partitioned by source, windows over
+    * each group's distinct-score domain.
+    */
+  private val aucByGroupQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val docs = Tables.documents(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(docs), logregFeatureNames, w)
+        .select(col("doc_id"), col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("score"))
+        .join(docs.select("doc_id", "source"), "doc_id")
+      ClassifierOps.aucByGroup(scored, "source", "label", "score")
+        .select(col("source"), col("n_pos"), col("n_neg"),
+          qround(col("auc"), 8).as("auc"),
+          qround(col("auc_gap"), 8).as("auc_gap"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT f.doc_id, CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} AS score
+       |  FROM f, wf),
+       |j AS (SELECT sc.*, d2.source FROM sc
+       |      JOIN documents d2 USING (doc_id)),
+       |c AS (
+       |  SELECT source, score,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS p,
+       |    CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT) AS n
+       |  FROM j GROUP BY 1, 2),
+       |cc AS (
+       |  SELECT source, p, n,
+       |    CAST(sum(n) OVER (PARTITION BY source ORDER BY score
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS cumn
+       |  FROM c),
+       |pg AS (
+       |  SELECT source, CAST(sum(p) AS BIGINT) AS n_pos,
+       |    CAST(sum(n) AS BIGINT) AS n_neg,
+       |    CAST(sum(p * (cumn * 2 - n)) AS BIGINT) AS u2
+       |  FROM cc GROUP BY 1),
+       |r AS (
+       |  SELECT source, n_pos, n_neg,
+       |    CASE WHEN n_pos > 0 AND n_neg > 0
+       |      THEN CAST(u2 AS DOUBLE) / (2.0 * n_pos * n_neg) END AS auc
+       |  FROM pg),
+       |gap AS (SELECT max(auc) - min(auc) AS auc_gap FROM r)
+       |SELECT r.source, r.n_pos, r.n_neg,
+       |  ${qrSql("auc", 8)} AS auc, ${qrSql("auc_gap", 8)} AS auc_gap
+       |FROM r CROSS JOIN gap""".stripMargin)
+
   private val rocAucQ = Q(
     (s, d) => {
       val w = trainLogregWeights(s, d)
@@ -3710,6 +3830,8 @@ object QueriesLlm {
     "ccnet_buckets" -> ccnetBucketsQ,
     "span_corruption" -> spanCorruptionQ,
     "dedup_report" -> dedupReportQ,
+    "fairness_report" -> fairnessReportQ,
+    "auc_by_group" -> aucByGroupQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
     "vocab_growth" -> vocabGrowthQ,

@@ -114,6 +114,82 @@ object ClassifierOps {
             col("n_neg").cast("double")).as("auc"))
   }
 
+  /** Per-group fairness audit of a binary classifier — the release
+    * gate that catches a model performing differently across cohorts
+    * (languages, sources, demographics): for every group the exact
+    * selection rate P(pred=1), TPR and FPR, plus the three max−min
+    * GAPS across groups (demographic-parity gap on selection rate,
+    * equalized-odds gaps on TPR/FPR) broadcast onto every row so one
+    * table answers both "how does each group fare" and "how unequal
+    * is the worst spread".
+    *
+    * Exactness: every rate is one division of exact conditional
+    * BIGINT sums (try_divide → null for a group missing a class, and
+    * null rates are EXCLUDED from the gap extrema rather than
+    * polluting them). Plan: one hash aggregate to the group domain,
+    * one 1-row gap fold, one broadcast join — nothing fact-sized
+    * past the scan.
+    */
+  def fairnessReport(df: DataFrame, groupCol: String, labelCol: String,
+                     predCol: String): DataFrame = {
+    val y = col(labelCol).cast("long")
+    val p = col(predCol).cast("long")
+    val g = df
+      .where(col(labelCol).isNotNull && col(predCol).isNotNull)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n"),
+        sum(when(p === 1L, 1L).otherwise(0L)).as("_sel"),
+        sum(when(y === 1L && p === 1L, 1L).otherwise(0L)).as("_tp"),
+        sum(when(y === 1L, 1L).otherwise(0L)).as("_pos"),
+        sum(when(y === 0L && p === 1L, 1L).otherwise(0L)).as("_fp"),
+        sum(when(y === 0L, 1L).otherwise(0L)).as("_neg"))
+      .select(col(groupCol), col("n"),
+        try_divide(col("_sel").cast("double"), col("n").cast("double"))
+          .as("sel_rate"),
+        try_divide(col("_tp").cast("double"), col("_pos").cast("double"))
+          .as("tpr"),
+        try_divide(col("_fp").cast("double"), col("_neg").cast("double"))
+          .as("fpr"))
+    val gaps = g.agg(
+      (max(col("sel_rate")) - min(col("sel_rate"))).as("sel_rate_gap"),
+      (max(col("tpr")) - min(col("tpr"))).as("tpr_gap"),
+      (max(col("fpr")) - min(col("fpr"))).as("fpr_gap"))
+    g.crossJoin(broadcast(gaps))
+  }
+
+  /** Per-group exact ROC AUC — [[rocAuc]] partitioned by a cohort
+    * column, the ranking-quality half of the fairness audit (a model
+    * can have equal rates yet rank one cohort's positives worse).
+    * Same doubled-U construction per group: counts per (group,
+    * distinct score), cumulative window over each group's score
+    * DOMAIN, exact BIGINT U; plus the max−min AUC gap broadcast onto
+    * every row.
+    */
+  def aucByGroup(df: DataFrame, groupCol: String, labelCol: String,
+                 scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = col(labelCol).cast("long") === 1L
+    val counts = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(groupCol), col(scoreCol).as("_s"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("_p"),
+        sum(when(pos, 0L).otherwise(1L)).as("_n"))
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("_s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perGroup = counts
+      .withColumn("_cumn", sum(col("_n")).over(w))
+      .groupBy(col(groupCol))
+      .agg(sum(col("_p")).as("n_pos"), sum(col("_n")).as("n_neg"),
+        sum(col("_p") * (col("_cumn") * 2L - col("_n"))).as("_u2"))
+      .select(col(groupCol), col("n_pos"), col("n_neg"),
+        try_divide(col("_u2").cast("double"),
+          lit(2.0) * col("n_pos").cast("double") *
+            col("n_neg").cast("double")).as("auc"))
+    val gap = perGroup.agg((max(col("auc")) - min(col("auc")))
+      .as("auc_gap"))
+    perGroup.crossJoin(broadcast(gap))
+  }
+
   /** Cumulative-gains / lift curve — the targeting readout of the
     * classifier family (rank the corpus by score, take the top X%:
     * what share of the positives did you capture, and how much better

@@ -59,6 +59,42 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("rows_at_risk") === 4L)
   }
 
+  test("fairnessReport: exact per-group rates, null rates excluded from gaps") {
+    // g1: 2 pos (1 caught), 2 neg (1 flagged) -> sel 1/2, tpr 1/2,
+    // fpr 1/2; g2: all positive (fpr undefined), all selected
+    val df = Seq(
+      ("g1", 1, 1), ("g1", 1, 0), ("g1", 0, 1), ("g1", 0, 0),
+      ("g2", 1, 1), ("g2", 1, 1)).toDF("g", "label", "pred")
+    val out = graft.operators.ClassifierOps
+      .fairnessReport(df, "g", "label", "pred")
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(out("g1").getAs[Double]("sel_rate") === 0.5)
+    assert(out("g1").getAs[Double]("tpr") === 0.5)
+    assert(out("g1").getAs[Double]("fpr") === 0.5)
+    assert(out("g2").getAs[Double]("sel_rate") === 1.0)
+    assert(out("g2").getAs[Double]("tpr") === 1.0)
+    assert(out("g2").isNullAt(out("g2").fieldIndex("fpr")),
+      "no negatives -> fpr undefined")
+    // gaps: sel 1.0-0.5, tpr 1.0-0.5; fpr gap over the ONE defined
+    // value = 0 (null excluded, not treated as 0)
+    assert(out("g1").getAs[Double]("sel_rate_gap") === 0.5)
+    assert(out("g1").getAs[Double]("tpr_gap") === 0.5)
+    assert(out("g1").getAs[Double]("fpr_gap") === 0.0)
+  }
+
+  test("aucByGroup: perfect ranking 1.0, tied ranking 0.5, gap exact") {
+    val df = Seq(
+      ("a", 1, 0.9), ("a", 1, 0.8), ("a", 0, 0.1), // perfectly separated
+      ("b", 1, 0.5), ("b", 0, 0.5)) // fully tied
+      .toDF("g", "label", "score")
+    val out = graft.operators.ClassifierOps
+      .aucByGroup(df, "g", "label", "score")
+      .collect().map(r => r.getString(0) ->
+        ((r.getAs[Double]("auc"), r.getAs[Double]("auc_gap")))).toMap
+    assert(out("a") === ((1.0, 0.5)))
+    assert(out("b") === ((0.5, 0.5)))
+  }
+
   test("spanCorruption: de-corruption reconstructs the original, partition-invariant") {
     val docs = Tables.documents(spark, "/root/testdata/sf0.001")
       .limit(40).select("doc_id", "text")
