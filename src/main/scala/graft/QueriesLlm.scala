@@ -1888,6 +1888,48 @@ object QueriesLlm {
     },
     decontSql)
 
+  /** Per-eval-doc contamination severity (DedupOps.contaminationRate):
+    * fraction of each test document's distinct shingles appearing
+    * anywhere in train — the reported decontamination number, scored
+    * on the same split as `decontaminate` but WITHOUT the df-prune
+    * (pruning would understate the rate; the semi-join costs one probe
+    * per shingle regardless).
+    */
+  private val contaminationRateQ = Q(
+    (s, d) => {
+      val split = SampleOps.hashSplit(
+        Tables.documents(s, d).where(col("doc_id") % 2 === 0), "doc_id",
+        Seq(0.8, 0.1, 0.1), Seq("train", "val", "test"))
+      DedupOps.contaminationRate(split, "doc_id", "text", "split",
+          "train", "test", shingleN = 3)
+        .select(col("test_id"), col("n_shingles"), col("n_contaminated"),
+          qround(col("contamination_rate"), 8).as("contamination_rate"))
+    },
+    s"""WITH s0 AS (
+       |  SELECT doc_id,
+       |    (((doc_id % $M) * ${SketchOps.KmvMult}) % $M)
+       |      % ${SampleOps.SplitBuckets} AS b,
+       |    ${shSql(whSql("text"))} AS shs
+       |  FROM documents WHERE doc_id % 2 = 0),
+       |s AS (
+       |  SELECT doc_id,
+       |    CASE WHEN b < 8000 THEN 'train'
+       |         WHEN b < 9000 THEN 'val' ELSE 'test' END AS split,
+       |    unnest(shs) AS sh
+       |  FROM s0),
+       |te AS (SELECT doc_id, sh FROM s WHERE split = 'test'),
+       |trd AS (SELECT DISTINCT sh FROM s WHERE split = 'train'),
+       |tot AS (SELECT doc_id AS test_id, count(*) AS n_shingles
+       |        FROM te GROUP BY 1),
+       |m AS (SELECT doc_id AS test_id, count(*) AS n_cont
+       |      FROM te WHERE sh IN (SELECT sh FROM trd) GROUP BY 1)
+       |SELECT t.test_id, t.n_shingles,
+       |  CAST(coalesce(m.n_cont, 0) AS BIGINT) AS n_contaminated,
+       |  ${qrSql(
+         "CAST(coalesce(m.n_cont, 0) AS DOUBLE) / CAST(t.n_shingles AS DOUBLE)",
+         8)} AS contamination_rate
+       |FROM tot t LEFT JOIN m USING (test_id)""".stripMargin)
+
   /** Bloom prefilter exercised end-to-end; the oracle is the SAME SQL
     * as `decontaminate` — proof the prefilter changes nothing.
     */
@@ -3832,6 +3874,7 @@ object QueriesLlm {
     "dedup_report" -> dedupReportQ,
     "fairness_report" -> fairnessReportQ,
     "auc_by_group" -> aucByGroupQ,
+    "contamination_rate" -> contaminationRateQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
     "vocab_growth" -> vocabGrowthQ,

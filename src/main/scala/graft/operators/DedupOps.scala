@@ -484,6 +484,47 @@ object DedupOps {
     * shingle joins no eval row and yields no pair. The filter is a
     * pure perf prefilter — the exact join is still the authority.
     */
+  /** Per-eval-document contamination RATE — the number people actually
+    * report after decontamination: of each test document's distinct
+    * shingles, what fraction appears ANYWHERE in the train split?
+    * [[contaminationPairs]] names the offending (test, train) pairs;
+    * this scores severity per eval doc, deduplicated across train docs
+    * (a shingle shared with fifty train documents is still one
+    * contaminated shingle). No df-prune: pruning would understate the
+    * rate, and the join here is a LEFT SEMI against the
+    * distinct-train-shingle set, so boilerplate shingles cost one
+    * probe, never a posting-list blowup. Test docs too short to form a
+    * shingle have no row (they cannot be scored).
+    *
+    * Exactness: distinct-shingle counts are exact integers (the
+    * shingle kernel emits distinct hashes per doc); the rate is one
+    * division. Plan: one shingle scan, one distinct on train shingles,
+    * one semi join, two doc-sized aggregates.
+    */
+  def contaminationRate(docs: DataFrame, idCol: String, textCol: String,
+                        splitCol: String, trainLabel: String,
+                        testLabel: String,
+                        shingleN: Int = 3): DataFrame = {
+    val sh = docs
+      .filter(col(splitCol).isin(trainLabel, testLabel))
+      .select(col(idCol), col(splitCol),
+        explode(shingleHashes(col(textCol), shingleN)).as("sh"))
+    val testSh = sh.where(col(splitCol) === testLabel)
+    val trainShD = sh.where(col(splitCol) === trainLabel)
+      .select("sh").distinct()
+    val totals = testSh.groupBy(col(idCol).as("test_id"))
+      .agg(count(lit(1)).as("n_shingles"))
+    val matched = testSh.join(trainShD, Seq("sh"), "left_semi")
+      .groupBy(col(idCol).as("test_id"))
+      .agg(count(lit(1)).as("n_contaminated"))
+    totals.join(matched, Seq("test_id"), "left")
+      .select(col("test_id"), col("n_shingles"),
+        coalesce(col("n_contaminated"), lit(0L)).as("n_contaminated"),
+        try_divide(
+          coalesce(col("n_contaminated"), lit(0L)).cast("double"),
+          col("n_shingles").cast("double")).as("contamination_rate"))
+  }
+
   def contaminationPairsBloom(docs: DataFrame, idCol: String,
                               textCol: String, splitCol: String,
                               trainLabel: String, testLabel: String,

@@ -75,7 +75,8 @@ class PlanInvariantsSpec extends SparkSpec {
     // round-11 additions: repetition/span windows are doc-partitioned,
     // ccnet's label table broadcasts, l_diversity is two aggregates
     "repetition_score", "ccnet_buckets", "l_diversity",
-    "span_corruption", "dedup_report", "fairness_report", "auc_by_group")
+    "span_corruption", "dedup_report", "fairness_report", "auc_by_group",
+    "contamination_rate")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the

@@ -59,6 +59,25 @@ class Round11OpsSpec extends SparkSpec {
     assert(r.getAs[Long]("rows_at_risk") === 4L)
   }
 
+  test("contaminationRate: dedupes across train docs, zero for clean docs") {
+    val docs = Seq(
+      (1L, "train", "alpha beta gamma delta"),
+      (2L, "train", "alpha beta gamma epsilon"), // shares a shingle with 1
+      (10L, "test", "alpha beta gamma zeta"), // 1st shingle in train (twice)
+      (11L, "test", "nothing shared here at all"))
+      .toDF("doc_id", "split", "text")
+    val out = graft.operators.DedupOps
+      .contaminationRate(docs, "doc_id", "text", "split", "train", "test")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    // doc 10: shingles {alpha beta gamma, beta gamma zeta} -> first is
+    // in train (in BOTH train docs — counted once), second is not
+    assert(out(10L) === ((2L, 1L, 0.5)))
+    val (n11, c11, r11) = out(11L)
+    assert(c11 === 0L && r11 === 0.0, "clean doc scores zero")
+    assert(n11 === 3L)
+  }
+
   test("fairnessReport: exact per-group rates, null rates excluded from gaps") {
     // g1: 2 pos (1 caught), 2 neg (1 flagged) -> sel 1/2, tpr 1/2,
     // fpr 1/2; g2: all positive (fpr undefined), all selected
