@@ -2438,6 +2438,55 @@ object QueriesLlm {
       s"SELECT '$n' AS metric, count(*) AS n_rows FROM (\n$sql\n)"
     }.mkString("\nUNION ALL\n"))
 
+  /** The corpus datasheet in one table — size, language and source
+    * mixes, and length-shape facts normalized to (section, metric,
+    * value) rows: the "dataset card" summary a release ships next to
+    * the data. Every value is an exact integer count cast to double
+    * (< 2^53, exact) or a qround-quantized share; sections compose by
+    * unionByName, each leg a single aggregate over the scan.
+    */
+  private val datasetCardQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      def leg(section: String, metric: org.apache.spark.sql.Column,
+              value: org.apache.spark.sql.Column,
+              src: org.apache.spark.sql.DataFrame) =
+        src.select(lit(section).as("section"), metric.as("metric"),
+          value.cast("double").as("value"))
+      val size = docs.agg(count(lit(1)).as("n"),
+        sum(col("n_chars")).as("tc"),
+        qround(try_divide(
+          sum(when(col("n_chars") < 100, 1L).otherwise(0L)).cast("double"),
+          count(lit(1)).cast("double")), 8).as("short_share"))
+      leg("size", lit("n_docs"), col("n"), size)
+        .unionByName(leg("size", lit("total_chars"), col("tc"), size))
+        .unionByName(
+          leg("length", lit("short_doc_share"), col("short_share"), size))
+        .unionByName(leg("lang_mix", concat(lit("lang_"), col("lang")),
+          col("cnt"),
+          docs.groupBy("lang").agg(count(lit(1)).as("cnt"))))
+        .unionByName(leg("source_mix",
+          concat(lit("source_"), col("source")), col("cnt"),
+          docs.groupBy("source").agg(count(lit(1)).as("cnt"))))
+    },
+    s"""SELECT 'size' AS section, 'n_docs' AS metric,
+       |  CAST(count(*) AS DOUBLE) AS value FROM documents
+       |UNION ALL
+       |SELECT 'size', 'total_chars', CAST(sum(n_chars) AS DOUBLE)
+       |FROM documents
+       |UNION ALL
+       |SELECT 'length', 'short_doc_share',
+       |  ${qrSql(
+         "CAST(sum(CASE WHEN n_chars < 100 THEN 1 ELSE 0 END) AS DOUBLE)" +
+           " / CAST(count(*) AS DOUBLE)", 8)}
+       |FROM documents
+       |UNION ALL
+       |SELECT 'lang_mix', 'lang_' || lang, CAST(count(*) AS DOUBLE)
+       |FROM documents GROUP BY lang
+       |UNION ALL
+       |SELECT 'source_mix', 'source_' || source, CAST(count(*) AS DOUBLE)
+       |FROM documents GROUP BY source""".stripMargin)
+
   /** T5-style span corruption (TextOps.spanCorruption): deterministic
     * hash-gated mask spans, maximal-run sentinels, (input, target)
     * pair per document. Every decision is exact integer arithmetic on
@@ -3875,6 +3924,7 @@ object QueriesLlm {
     "fairness_report" -> fairnessReportQ,
     "auc_by_group" -> aucByGroupQ,
     "contamination_rate" -> contaminationRateQ,
+    "dataset_card" -> datasetCardQ,
     "tfidf_top_terms" -> tfIdfTopTermsQ,
     "char_entropy" -> charEntropyQ,
     "vocab_growth" -> vocabGrowthQ,

@@ -76,7 +76,7 @@ class PlanInvariantsSpec extends SparkSpec {
     // ccnet's label table broadcasts, l_diversity is two aggregates
     "repetition_score", "ccnet_buckets", "l_diversity",
     "span_corruption", "dedup_report", "fairness_report", "auc_by_group",
-    "contamination_rate")
+    "contamination_rate", "dataset_card")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
