@@ -2809,5 +2809,5 @@ object Queries {
     "distinct_sketch" -> distinctSketchQ,
     "quantile_sketch" -> quantileSketchQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all ++
-    QueriesCuration.all
+    QueriesCuration.all ++ QueriesAnalytics.all
 }

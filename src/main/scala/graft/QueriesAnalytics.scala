@@ -1,0 +1,195 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.Queries.{Q, qround}
+import graft.operators.StatsOps
+
+/** Round-12 analytics surface: rank-based dependence/testing
+  * (Spearman, Kruskal-Wallis, Cramér's V) and the time-series /
+  * maintenance families added this round. Same Q contract as
+  * [[Queries]] (Spark fn + DuckDB oracle, column names aligned,
+  * quantization via qround).
+  */
+object QueriesAnalytics {
+
+  private def qrSql(expr: String, d: Int): String = {
+    val s = "1" + "0" * d
+    s"floor(($expr) * $s.0 + 0.5) / $s.0"
+  }
+
+  /** Per-event-type Spearman ρ between value and the hour bucket of
+    * the event time (StatsOps.spearmanCorr) — "is value drifting
+    * monotonically over the observation window?" robust to outliers.
+    * Value rides the 1e-2 grid, time the hour grid, so the joint
+    * domain both engines rank over is identical and bounded.
+    */
+  private val spearmanTrendQ = Q(
+    (s, d) => StatsOps.spearmanCorr(
+        Tables.events(s, d).select(col("event_type"), col("value"),
+          expr("CAST(ts_ns div 3600000000000L AS DOUBLE)").as("hour")),
+        "event_type", "value", "hour",
+        quantXDigits = 2, quantYDigits = 0)
+      .select(col("event_type"), col("n"), qround(col("rho"), 8).as("rho")),
+    """WITH e AS (
+      |  SELECT event_type AS g,
+      |    floor(value * 100.0 + 0.5) / 100.0 AS qx,
+      |    floor(CAST(epoch_ns(ts) // 3600000000000 AS DOUBLE) * 1.0 + 0.5)
+      |      / 1.0 AS qy
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |joint AS (
+      |  SELECT g, qx, qy, CAST(count(*) AS BIGINT) AS c
+      |  FROM e GROUP BY 1, 2, 3),
+      |mx AS (
+      |  SELECT g, qx,
+      |    2 * CAST(sum(t) OVER (PARTITION BY g ORDER BY qx
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - t + 1 AS dx
+      |  FROM (SELECT g, qx, CAST(sum(c) AS BIGINT) AS t
+      |        FROM joint GROUP BY 1, 2)),
+      |my AS (
+      |  SELECT g, qy,
+      |    2 * CAST(sum(t) OVER (PARTITION BY g ORDER BY qy
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - t + 1 AS dy
+      |  FROM (SELECT g, qy, CAST(sum(c) AS BIGINT) AS t
+      |        FROM joint GROUP BY 1, 2)),
+      |p AS (
+      |  SELECT joint.g, c, dx, dy FROM joint
+      |  JOIN mx ON joint.g = mx.g AND joint.qx = mx.qx
+      |  JOIN my ON joint.g = my.g AND joint.qy = my.qy),
+      |a AS (
+      |  SELECT g AS event_type, CAST(sum(c) AS BIGINT) AS n,
+      |    CAST(sum(c * dx) AS BIGINT) AS sx,
+      |    CAST(sum(c * dy) AS BIGINT) AS sy,
+      |    CAST(sum(c * dx * dx) AS BIGINT) AS sxx,
+      |    CAST(sum(c * dy * dy) AS BIGINT) AS syy,
+      |    CAST(sum(c * dx * dy) AS BIGINT) AS sxy
+      |  FROM p GROUP BY 1)
+      |SELECT event_type, n,
+      |  CASE WHEN (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |      * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |        - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) <> 0.0
+      |    THEN floor((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |      / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |          - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |        * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+      |          - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+      |      * 100000000.0 + 0.5) / 100000000.0
+      |  END AS rho
+      |FROM a""".stripMargin)
+
+  /** Kruskal-Wallis H across ALL event types on value
+    * (StatsOps.kruskalWallis) — the k-group rank test beside the
+    * two-cohort mann_whitney, same 1e-4 grid, same doubled-midrank
+    * exactness, tie-corrected.
+    */
+  private val kruskalWallisQ = Q(
+    (s, d) => StatsOps.kruskalWallis(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", quantDigits = 4)
+      .select(col("k"), col("n"), col("dof"), qround(col("h"), 8).as("h"),
+        qround(col("h_corr"), 8).as("h_corr")),
+    """WITH e AS (
+      |  SELECT event_type AS g,
+      |    floor(value * 10000.0 + 0.5) / 10000.0 AS q
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |joint AS (
+      |  SELECT g, q, CAST(count(*) AS BIGINT) AS c FROM e GROUP BY 1, 2),
+      |vm AS (
+      |  SELECT q,
+      |    2 * CAST(sum(t) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) - t + 1 AS dr,
+      |    CAST(t AS DOUBLE) * CAST(t AS DOUBLE) * CAST(t AS DOUBLE)
+      |      - CAST(t AS DOUBLE) AS t3
+      |  FROM (SELECT q, CAST(sum(c) AS BIGINT) AS t
+      |        FROM joint GROUP BY 1)),
+      |ties AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list_transform(list({'q': q, 't3': t3} ORDER BY q),
+      |      x_ -> x_.t3)), (a_, b_) -> a_ + b_) AS tiesum
+      |  FROM vm),
+      |grp AS (
+      |  SELECT g, CAST(sum(c) AS BIGINT) AS ng,
+      |    CAST(sum(c * dr) AS BIGINT) AS r2
+      |  FROM joint JOIN vm USING (q) GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS k,
+      |    CAST(sum(ng) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list({'g': g,
+      |          'term': (CAST(r2 AS DOUBLE) / 2.0)
+      |            * (CAST(r2 AS DOUBLE) / 2.0) / CAST(ng AS DOUBLE)}
+      |          ORDER BY g),
+      |        x_ -> x_.term)), (a_, b_) -> a_ + b_) AS sr
+      |  FROM grp),
+      |h AS (
+      |  SELECT k, n, k - 1 AS dof,
+      |    12.0 / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1.0)) * sr
+      |      - 3.0 * (CAST(n AS DOUBLE) + 1.0) AS hstat,
+      |    1.0 - tiesum / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)
+      |      * CAST(n AS DOUBLE) - CAST(n AS DOUBLE)) AS corr
+      |  FROM a CROSS JOIN ties)
+      |SELECT k, n, dof,
+      |  floor(hstat * 100000000.0 + 0.5) / 100000000.0 AS h,
+      |  CASE WHEN corr > 0
+      |    THEN floor(hstat / corr * 100000000.0 + 0.5) / 100000000.0
+      |  END AS h_corr
+      |FROM h""".stripMargin)
+
+  /** Cramér's V between document language and source
+    * (StatsOps.cramersV) — the bounded effect-size number for "how
+    * tied is source to language", over ALL r×c cells including
+    * unobserved ones.
+    */
+  private val cramersVQ = Q(
+    (s, d) => StatsOps.cramersV(
+        Tables.documents(s, d).select(col("lang"), col("source")),
+        "lang", "source")
+      .select(col("n"), col("r"), col("c"), col("dof"),
+        qround(col("chi2"), 8).as("chi2"), qround(col("v"), 8).as("v")),
+    """WITH joint AS (
+      |  SELECT CAST(lang AS VARCHAR) AS x, CAST(source AS VARCHAR) AS y,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents
+      |  WHERE lang IS NOT NULL AND source IS NOT NULL GROUP BY 1, 2),
+      |mx AS (SELECT x, CAST(sum(c) AS BIGINT) AS nx
+      |       FROM joint GROUP BY 1),
+      |my AS (SELECT y, CAST(sum(c) AS BIGINT) AS ny
+      |       FROM joint GROUP BY 1),
+      |tot AS (
+      |  SELECT (SELECT CAST(sum(c) AS BIGINT) FROM joint) AS n,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM mx) AS r,
+      |    (SELECT CAST(count(*) AS BIGINT) FROM my) AS c2),
+      |cells AS (
+      |  SELECT mx.x, my.y, nx, ny,
+      |    CAST(coalesce(joint.c, 0) AS BIGINT) AS o
+      |  FROM mx CROSS JOIN my
+      |  LEFT JOIN joint ON joint.x = mx.x AND joint.y = my.y),
+      |a AS (
+      |  SELECT n, r, c2,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list({'x': x, 'y': y,
+      |          'term': (o - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+      |              / CAST(n AS DOUBLE))
+      |            * (o - CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+      |              / CAST(n AS DOUBLE))
+      |            / (CAST(nx AS DOUBLE) * CAST(ny AS DOUBLE)
+      |              / CAST(n AS DOUBLE))} ORDER BY x, y),
+      |        x_ -> x_.term)), (a_, b_) -> a_ + b_) AS chi2
+      |  FROM cells CROSS JOIN tot
+      |  GROUP BY n, r, c2)
+      |SELECT n, r, c2 AS c, (r - 1) * (c2 - 1) AS dof,
+      |  floor(chi2 * 100000000.0 + 0.5) / 100000000.0 AS chi2,
+      |  floor(sqrt(chi2 / (CAST(n AS DOUBLE)
+      |      * CAST(least(r - 1, c2 - 1) AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS v
+      |FROM a""".stripMargin)
+
+  val all: Map[String, Q] = Map(
+    "spearman_trend" -> spearmanTrendQ,
+    "kruskal_wallis" -> kruskalWallisQ,
+    "cramers_v" -> cramersVQ)
+}

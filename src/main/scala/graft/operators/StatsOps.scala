@@ -1373,4 +1373,180 @@ object StatsOps {
       pA.as("rate_a"), pB.as("rate_b"), (pA - pB).as("lift"),
       when(se > 0, (pA - pB) / se).otherwise(lit(null)).as("z"))
   }
+
+  /** Doubled midranks of a quantized-value marginal: for a grid value
+    * with `t` tied rows and `cum` rows at or below it (within its
+    * window partition), 2·midrank = 2·cum − t + 1 — an exact BIGINT,
+    * the same trick [[mannWhitney]] carries its rank sum with. Input
+    * must already be a (keys…, count) marginal table; the window walks
+    * that bounded domain, never the fact.
+    */
+  private def doubledMidrank(cum: Column, t: Column): Column =
+    lit(2) * cum - t + lit(1)
+
+  /** Per-group Spearman rank correlation between two QUANTIZED
+    * variables — the monotone-trend detector of the dependence family
+    * (Pearson answers "linear?", [[mutualInformation]] answers "any
+    * dependence?"; Spearman answers "monotone?", robust to outliers
+    * and any monotone rescaling).
+    *
+    * ρ is Pearson computed on midranks. Exactness: the fact collapses
+    * in ONE hash aggregate to the (group, qx, qy) joint-count table
+    * (bounded by the two quantization grids); both rank marginals are
+    * re-aggregated from THAT table — never the fact — and carry
+    * DOUBLED midranks (exact BIGINTs, see [[mannWhitney]]); the five
+    * per-group moment sums Σc·dx, Σc·dy, Σc·dx², Σc·dy², Σc·dx·dy are
+    * exact BIGINTs (Σc·dx·dy ≤ 4n³ stays in-range to ~1.3M rows per
+    * group — the same headroom note as mannWhitney's tie sum); the
+    * closed form is evaluated in double from those exact integers,
+    * identically associated in any engine. Doubling cancels: Pearson
+    * is invariant to the affine map r → 2r.
+    *
+    * Plan shape: one fact-sized hash aggregate, two grid-bounded
+    * cumulative windows PARTITIONED by group, two joint⋈marginal
+    * equi-joins on the joint table, one per-group reduce. Degenerate
+    * groups (constant x or y → zero variance) yield null via
+    * try_divide.
+    */
+  def spearmanCorr(df: DataFrame, groupCol: String, xCol: String,
+                   yCol: String, quantXDigits: Int = 2,
+                   quantYDigits: Int = 0): DataFrame = {
+    val sx = math.pow(10, quantXDigits)
+    val sy = math.pow(10, quantYDigits)
+    val joint = df
+      .where(col(xCol).isNotNull && col(yCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        (floor(col(xCol) * lit(sx) + lit(0.5)) / lit(sx)).as("_qx"),
+        (floor(col(yCol) * lit(sy) + lit(0.5)) / lit(sy)).as("_qy"))
+      .groupBy("_g", "_qx", "_qy").agg(count(lit(1)).as("_c"))
+    def marginal(qCol: String, out: String): DataFrame = {
+      val w = Window.partitionBy("_g").orderBy(qCol)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      joint.groupBy("_g", qCol).agg(sum(col("_c")).as("_t"))
+        .withColumn("_cum", sum(col("_t")).over(w))
+        .select(col("_g"), col(qCol),
+          doubledMidrank(col("_cum"), col("_t")).as(out))
+    }
+    val paired = joint
+      .join(marginal("_qx", "_dx"), Seq("_g", "_qx"))
+      .join(marginal("_qy", "_dy"), Seq("_g", "_qy"))
+    val g = paired.groupBy(col("_g").as(groupCol))
+      .agg(sum(col("_c")).as("n"),
+        sum(col("_c") * col("_dx")).as("_sx"),
+        sum(col("_c") * col("_dy")).as("_sy"),
+        sum(col("_c") * col("_dx") * col("_dx")).as("_sxx"),
+        sum(col("_c") * col("_dy") * col("_dy")).as("_syy"),
+        sum(col("_c") * col("_dx") * col("_dy")).as("_sxy"))
+    def D(c: String) = col(c).cast("double")
+    val nD = D("n")
+    val num = nD * D("_sxy") - D("_sx") * D("_sy")
+    val den = sqrt(nD * D("_sxx") - D("_sx") * D("_sx")) *
+      sqrt(nD * D("_syy") - D("_sy") * D("_sy"))
+    g.select(col(groupCol), col("n"), try_divide(num, den).as("rho"))
+  }
+
+  /** Kruskal-Wallis H test — the k-group extension of [[mannWhitney]]
+    * ("do ANY of these cohorts' value distributions differ?"), the
+    * one-way ANOVA that survives non-normal data. Midranks are global
+    * over the 1e-`quantDigits` quantized grid; with doubled rank sums
+    * R2_g = 2·R_g per group,
+    *   H = 12/(N(N+1)) · Σ_g (R2_g/2)²/n_g − 3(N+1),
+    * tie-corrected by C = 1 − Σ(t³−t)/(N³−N), h_corr = H/C.
+    *
+    * Exactness: one hash aggregate to (group × grid-value) counts; the
+    * value marginal (re-aggregated from that table) carries exact
+    * BIGINT doubled midranks through ONE global cumulative window over
+    * the grid-bounded domain (same whitelist argument as mannWhitney);
+    * R2_g is an exact BIGINT; (R2_g/2)²/n_g is evaluated in double
+    * (R2_g² would overflow BIGINT past ~3B rank mass) and Σ_g is a
+    * fixed-order fold over the group-sorted list, as is the tie sum
+    * over the value-sorted grid.
+    *
+    * Plan shape: one fact-sized hash aggregate, one grid-bounded
+    * global window, one joint⋈marginal equi-join, one groups-bounded
+    * fold + a 1-row totals broadcast.
+    */
+  def kruskalWallis(df: DataFrame, groupCol: String, valueCol: String,
+                    quantDigits: Int = 4): DataFrame = {
+    val s = math.pow(10, quantDigits)
+    val joint = df
+      .where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        (floor(col(valueCol) * lit(s) + lit(0.5)) / lit(s)).as("_q"))
+      .groupBy("_g", "_q").agg(count(lit(1)).as("_c"))
+    val w = Window.orderBy("_q")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tD = col("_t").cast("double")
+    val vm = joint.groupBy("_q").agg(sum(col("_c")).as("_t"))
+      .withColumn("_cum", sum(col("_t")).over(w))
+      .select(col("_q"), doubledMidrank(col("_cum"), col("_t")).as("_dr"),
+        (tD * tD * tD - tD).as("_t3"))
+    val totals = vm.agg(orderedFoldSum(Seq("_q"), "_t3").as("_ties"))
+    val groups = joint.join(vm.select("_q", "_dr"), Seq("_q"))
+      .groupBy("_g")
+      .agg(sum(col("_c")).as("_ng"), sum(col("_c") * col("_dr")).as("_r2"))
+    val r2D = col("_r2").cast("double")
+    val term = (r2D / lit(2.0)) * (r2D / lit(2.0)) /
+      col("_ng").cast("double")
+    val agg = groups.select(col("_g"), col("_ng"), term.as("_term"))
+      .agg(count(lit(1)).as("k"), sum(col("_ng")).as("n"),
+        orderedFoldSum(Seq("_g"), "_term").as("_sr"))
+      .crossJoin(broadcast(totals))
+    val nD = col("n").cast("double")
+    val h = lit(12.0) / (nD * (nD + 1)) * col("_sr") -
+      lit(3.0) * (nD + 1)
+    val corr = lit(1.0) - try_divide(col("_ties"), nD * nD * nD - nD)
+    agg.select(col("k"), col("n"), (col("k") - 1).as("dof"), h.as("h"),
+      when(corr > 0, h / corr).otherwise(lit(null)).as("h_corr"))
+  }
+
+  /** Cramér's V association strength between two CATEGORICAL columns —
+    * the bounded [0,1] effect-size companion to [[chi2Drift]] (which
+    * tests two cohorts over one categorical; this scores the full
+    * r×c contingency of two columns, the "should I even condition on
+    * this feature" number beside [[mutualInformation]]'s nats):
+    *   V = sqrt( χ² / (N · min(r−1, c−1)) ).
+    *
+    * The χ² runs over ALL r×c cells including unobserved ones (O=0
+    * still contributes its expected mass E) — the margins cross-join
+    * is bounded by the two category domains, and observed counts
+    * left-join in with coalesce-to-0. Exactness: exact integer joint
+    * counts, margins re-aggregated from the joint table, each cell
+    * term one short double expression, Σ a fixed-order fold over the
+    * cell-sorted list.
+    *
+    * Plan shape: one fact-sized hash aggregate, two bounded margin
+    * re-aggregations, one r×c-bounded cross join (declared — both
+    * sides are category domains, not fact), one fold.
+    */
+  def cramersV(df: DataFrame, xCol: String, yCol: String): DataFrame = {
+    val joint = df.where(col(xCol).isNotNull && col(yCol).isNotNull)
+      .groupBy(col(xCol).cast("string").as("_x"),
+        col(yCol).cast("string").as("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val mx = joint.groupBy("_x").agg(sum(col("_c")).as("_nx"))
+    val my = joint.groupBy("_y").agg(sum(col("_c")).as("_ny"))
+    val tot = joint.agg(sum(col("_c")).as("n"))
+      .crossJoin(broadcast(mx.agg(count(lit(1)).as("r"))))
+      .crossJoin(broadcast(my.agg(count(lit(1)).as("c"))))
+    val cells = mx.crossJoin(my)
+      .join(joint, Seq("_x", "_y"), "left")
+      .select(col("_x"), col("_y"), col("_nx"), col("_ny"),
+        coalesce(col("_c"), lit(0L)).as("_o"))
+      .crossJoin(broadcast(tot))
+    val e = col("_nx").cast("double") * col("_ny").cast("double") /
+      col("n").cast("double")
+    val term = (col("_o") - e) * (col("_o") - e) / e
+    val agg = cells.select(col("_x"), col("_y"), term.as("_term"),
+        col("n"), col("r"), col("c"))
+      .agg(max(col("n")).as("n"), max(col("r")).as("r"),
+        max(col("c")).as("c"),
+        orderedFoldSum(Seq("_x", "_y"), "_term").as("chi2"))
+    val minDof = least(col("r") - 1, col("c") - 1).cast("double")
+    agg.select(col("n"), col("r"), col("c"),
+      ((col("r") - 1) * (col("c") - 1)).as("dof"), col("chi2"),
+      sqrt(try_divide(col("chi2"),
+        col("n").cast("double") * minDof)).as("v"))
+  }
 }

@@ -326,11 +326,17 @@ class PlanInvariantsSpec extends SparkSpec {
     //   lift_curve       distinct QUANTIZED scores + the <=k bucket
     //                    table (ClassifierOps.liftCurve — same grid
     //                    argument as roc_auc)
+    //   kruskal_wallis   distinct QUANTIZED values — the k-group rank
+    //                    test shares mann_whitney's 1e-4-grid argument
+    //                    (StatsOps.kruskalWallis aggregates the fact to
+    //                    (group × grid) counts FIRST; the global window
+    //                    walks the value marginal of that table)
     val whitelist = Set("baseline_ids", "time_average_bin",
       "shard_by_tokens", "join_dataset", "remap_fact_key", "dsir_sample",
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
       "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
-      "drift_report", "roc_auc", "mrr_eval", "zipf_fit", "lift_curve")
+      "drift_report", "roc_auc", "mrr_eval", "zipf_fit", "lift_curve",
+      "kruskal_wallis")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
