@@ -3840,6 +3840,129 @@ object QueriesLlm {
          8)} AS lift
        |FROM b""".stripMargin)
 
+  /** Precision-recall curve + average precision
+    * (ClassifierOps.prCurve) of the trained quality classifier — the
+    * imbalanced-data readout beside roc_auc: per distinct COARSE
+    * (1e-3) quantized score threshold, exact tp/fp and the
+    * closed-form rates, with the step-integral AP broadcast onto
+    * every row. The coarse grid bounds both the window's domain and
+    * the output row count.
+    */
+  private val prCurveQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 3).as("score"))
+      ClassifierOps.prCurve(scored, "label", "score")
+        .select(col("score"), col("tp"), col("fp"),
+          qround(col("precision"), 8).as("precision"),
+          qround(col("recall"), 8).as("recall"),
+          qround(col("f1"), 8).as("f1"),
+          qround(col("ap"), 8).as("ap"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             3)} AS score
+       |  FROM f, wf),
+       |c AS (
+       |  SELECT score,
+       |    CAST(sum(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS p,
+       |    CAST(sum(CASE WHEN label = 1 THEN 0 ELSE 1 END) AS BIGINT)
+       |      AS n
+       |  FROM sc GROUP BY 1),
+       |tot AS (SELECT CAST(sum(p) AS BIGINT) AS n_pos,
+       |               CAST(sum(n) AS BIGINT) AS n_neg FROM c),
+       |cc AS (
+       |  SELECT score, p,
+       |    CAST(sum(p) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(n) OVER (ORDER BY score DESC
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS fp
+       |  FROM c),
+       |r AS (
+       |  SELECT score, p, tp, fp, n_pos, n_neg,
+       |    CAST(tp AS DOUBLE) / CAST(tp + fp AS DOUBLE) AS prec,
+       |    CASE WHEN n_pos <> 0
+       |      THEN CAST(tp AS DOUBLE) / CAST(n_pos AS DOUBLE) END AS rec
+       |  FROM cc CROSS JOIN tot),
+       |ap AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list_transform(list({'s': score,
+       |        'term': (CASE WHEN n_pos <> 0 THEN CAST(p AS DOUBLE)
+       |          / CAST(n_pos AS DOUBLE) END) * prec} ORDER BY score),
+       |      x_ -> x_.term)), (a_, b_) -> a_ + b_) AS ap
+       |  FROM r)
+       |SELECT score, tp, fp,
+       |  ${qrSql("prec", 8)} AS "precision",
+       |  ${qrSql("rec", 8)} AS recall,
+       |  CASE WHEN (prec + rec) <> 0.0
+       |    THEN ${qrSql("2.0 * prec * rec / (prec + rec)", 8)} END AS f1,
+       |  ${qrSql("ap.ap", 8)} AS ap
+       |FROM r CROSS JOIN ap""".stripMargin)
+
+  /** Brier score + 10-bin expected calibration error
+    * (ClassifierOps.brierEce) — the scalar probability-quality
+    * summary beside calibration_curve's per-bin shape; squared errors
+    * are exact BIGINTs on the 1e-4 score grid, ECE is a fixed-order
+    * fold over the 10 bins.
+    */
+  private val brierEceQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("score"))
+      ClassifierOps.brierEce(scored, "label", "score", bins = 10)
+        .select(col("n"), qround(col("brier"), 8).as("brier"),
+          qround(col("ece"), 8).as("ece"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} AS score
+       |  FROM f, wf),
+       |q AS (
+       |  SELECT label,
+       |    CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS p4
+       |  FROM sc),
+       |b AS (
+       |  SELECT least(p4 * 10 // 10000, 9) AS bin,
+       |    CAST(count(*) AS BIGINT) AS nb,
+       |    CAST(sum(p4) AS BIGINT) AS sp,
+       |    CAST(sum(label) AS BIGINT) AS sy,
+       |    CAST(sum((p4 - label * 10000) * (p4 - label * 10000))
+       |      AS BIGINT) AS ssq
+       |  FROM q GROUP BY 1),
+       |tot AS (SELECT CAST(sum(nb) AS BIGINT) AS n,
+       |               CAST(sum(ssq) AS BIGINT) AS tsq FROM b)
+       |SELECT n,
+       |  ${qrSql("CAST(tsq AS DOUBLE) / (1.0e8 * CAST(n AS DOUBLE))", 8)}
+       |    AS brier,
+       |  ${qrSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list({'b': bin,
+         |        'term': abs(CAST(sp AS DOUBLE)
+         |            / (10000.0 * CAST(nb AS DOUBLE))
+         |          - CAST(sy AS DOUBLE) / CAST(nb AS DOUBLE))
+         |          * CAST(nb AS DOUBLE) / CAST(n AS DOUBLE)}
+         |      ORDER BY bin),
+         |      x_ -> x_.term)), (a_, b_) -> a_ + b_)""".stripMargin, 8)}
+       |    AS ece
+       |FROM b CROSS JOIN tot
+       |GROUP BY n, tsq""".stripMargin)
+
   /** Cohen's kappa (ClassifierOps.cohensKappa) between the cheap
     * stopword-ratio heuristic gate and the learned classifier's
     * prediction — the can-the-heuristic-stand-in agreement readout.
@@ -3891,6 +4014,8 @@ object QueriesLlm {
 
   val all: Map[String, Q] = Map(
     "roc_auc" -> rocAucQ,
+    "pr_curve" -> prCurveQ,
+    "brier_ece" -> brierEceQ,
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,
     "zipf_fit" -> zipfFitQ,

@@ -284,4 +284,102 @@ object ClassifierOps {
           (col("n") * col("n_agree") - col("_pe2")).cast("double"),
           (col("n") * col("n") - col("_pe2")).cast("double")).as("kappa"))
   }
+
+  /** Precision-recall curve + average precision — the imbalanced-data
+    * companion to [[rocAuc]] (AUC stays optimistic when negatives
+    * dwarf positives; PR space does not): one row per distinct
+    * quantized score threshold τ with the counts and rates of the
+    * "predict positive when score ≥ τ" rule, plus the AP summary
+    * (the step-integral Σ_τ ΔR·P) broadcast onto every row.
+    *
+    * Scale/exactness contract mirrors [[liftCurve]]: the fact
+    * collapses to the distinct-quantized-score table in one hash
+    * aggregate; ONE descending cumulative window walks that
+    * grid-bounded domain (whitelisted with the same argument), so
+    * tp/fp are exact BIGINTs; precision/recall/f1 are short double
+    * expressions of those integers; and because ΔR at threshold τ is
+    * exactly p_τ/P (the positives AT that score), AP's fold terms are
+    * per-score local — summed in fixed score order so both engines
+    * associate identically. Callers pass an already-quantized score
+    * (coarse — the grid bounds the OUTPUT row count too).
+    */
+  def prCurve(df: DataFrame, labelCol: String,
+              scoreCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pos = col(labelCol).cast("long") === 1L
+    val counts = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(scoreCol).as("score"))
+      .agg(sum(when(pos, 1L).otherwise(0L)).as("_p"),
+        sum(when(pos, 0L).otherwise(1L)).as("_n"))
+    val w = Window.orderBy(col("score").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("_p")).as("n_pos"),
+      sum(col("_n")).as("n_neg"))
+    val cur = counts
+      .withColumn("tp", sum(col("_p")).over(w))
+      .withColumn("fp", sum(col("_n")).over(w))
+      .crossJoin(broadcast(tot))
+    val prec = col("tp").cast("double") /
+      (col("tp") + col("fp")).cast("double")
+    val rec = try_divide(col("tp").cast("double"),
+      col("n_pos").cast("double"))
+    val f1 = try_divide(lit(2.0) * prec * rec, prec + rec)
+    val rows = cur.select(col("score"), col("tp"), col("fp"),
+      col("n_pos"), col("n_neg"), prec.as("precision"), rec.as("recall"),
+      f1.as("f1"),
+      (try_divide(col("_p").cast("double"), col("n_pos").cast("double"))
+        * prec).as("_term"))
+    val ap = rows.agg(
+      StatsOps.orderedFoldSum(Seq("score"), "_term").as("ap"))
+    rows.drop("_term").crossJoin(broadcast(ap))
+  }
+
+  /** Brier score + expected calibration error in one 1-row readout —
+    * the proper-scoring and calibration summary beside the per-bin
+    * reliability curve (which shows WHERE the probabilities are off;
+    * these two numbers say HOW MUCH, comparably across models):
+    *   brier = Σ (p − y)² / n,   ece = Σ_bins |conf_b − acc_b|·n_b/n.
+    *
+    * Exactness: the score is snapped to the 1e-4 integer grid
+    * (p4 = floor(score·10⁴ + 0.5), a BIGINT), so each squared error
+    * (p4 − y·10⁴)² is an exact BIGINT ≤ 10⁸ and the Brier numerator
+    * is an exact integer sum (in-range to ~9·10¹⁰ rows); bins are
+    * integer division of p4 (clamped to the last bin at p = 1); per
+    * bin, Σp4 and Σy are exact BIGINTs, conf/acc are single
+    * divisions, and the ECE Σ is a fixed-order fold over the ≤`bins`
+    * sorted bins. Plan: ONE fact-sized hash aggregate to the bin
+    * domain (carrying the Brier partials), a 1-row totals broadcast,
+    * one bounded fold.
+    */
+  def brierEce(df: DataFrame, labelCol: String, scoreCol: String,
+               bins: Int = 10): DataFrame = {
+    require(bins >= 2, "brierEce needs at least 2 bins")
+    val y = col(labelCol).cast("long")
+    val p4 = floor(col(scoreCol) * lit(10000.0) + lit(0.5)).cast("long")
+    val perBin = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(p4.as("_p4"), y.as("_y"))
+      // integer division on BOTH engines (Spark `div`, DuckDB `//`)
+      .select(least(expr(s"_p4 * ${bins}L div 10000L"),
+          lit(bins.toLong - 1)).as("_b"),
+        col("_p4"), col("_y"),
+        ((col("_p4") - col("_y") * 10000L) *
+          (col("_p4") - col("_y") * 10000L)).as("_sq"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("_nb"), sum(col("_p4")).as("_sp"),
+        sum(col("_y")).as("_sy"), sum(col("_sq")).as("_ssq"))
+    val tot = perBin.agg(sum(col("_nb")).as("n"),
+      sum(col("_ssq")).as("_tsq"))
+    val nbD = col("_nb").cast("double")
+    val term = abs(col("_sp").cast("double") / (lit(10000.0) * nbD) -
+      col("_sy").cast("double") / nbD) * nbD
+    perBin.crossJoin(broadcast(tot))
+      .select(col("_b"), (term / col("n").cast("double")).as("_term"),
+        col("n"), col("_tsq"))
+      .agg(max(col("n")).as("n"),
+        (max(col("_tsq")).cast("double") /
+          (lit(1.0e8) * max(col("n")).cast("double"))).as("brier"),
+        StatsOps.orderedFoldSum(Seq("_b"), "_term").as("ece"))
+  }
 }

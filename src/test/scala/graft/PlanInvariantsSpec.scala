@@ -336,7 +336,10 @@ class PlanInvariantsSpec extends SparkSpec {
       "hybrid_retrieval", "vocab_growth", "packing_pipeline", "skyline",
       "ndcg_eval", "funnel_latency", "ks_drift", "mann_whitney",
       "drift_report", "roc_auc", "mrr_eval", "zipf_fit", "lift_curve",
-      "kruskal_wallis")
+      // pr_curve: distinct COARSE (1e-3) quantized scores — the same
+      // grid-bounds-the-domain argument as roc_auc/lift_curve, with
+      // the descending cumulative walking the counts table
+      "kruskal_wallis", "pr_curve")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
