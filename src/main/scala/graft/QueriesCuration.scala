@@ -1443,6 +1443,73 @@ object QueriesCuration {
     * the release-gate readout: how many rows sit in cohorts smaller
     * than k=5. Exact integer counts off one group-by pass.
     */
+  /** t-closeness audit (ValidateOps.tCloseness) on the same release
+    * quasi-ids as k_anonymity/l_diversity, with the 500-char length
+    * band as the ORDERED sensitive attribute — per (lang, source)
+    * group, the exact-integer EMD between the group's and the whole
+    * table's band distribution, summarized in the shared 1-row audit
+    * shape. All cumulative products clear denominators to BIGINTs;
+    * the only doubles are each group's single EMD division and the
+    * t-threshold branch both engines derive identically.
+    */
+  private val tClosenessQ = Q(
+    (s, d) => graft.operators.ValidateOps.tCloseness(
+        Tables.documents(s, d).select(col("lang"), col("source"),
+          expr("n_chars div 500L").as("len_band")),
+        Seq("lang", "source"), "len_band", t = 0.2)
+      .select(col("t"), col("n_groups"), col("n_rows"), col("m"),
+        qround(col("max_emd"), 8).as("max_emd"), col("groups_at_risk"),
+        col("rows_at_risk"), qround(col("risk_share"), 8).as("risk_share")),
+    """WITH j AS (
+      |  SELECT lang, source, n_chars // 500 AS sv,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1, 2, 3),
+      |dom AS (SELECT sv, CAST(sum(c) AS BIGINT) AS tv
+      |        FROM j GROUP BY 1),
+      |domc AS (
+      |  SELECT sv, CAST(sum(tv) OVER (ORDER BY sv
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumall
+      |  FROM dom),
+      |tot AS (SELECT CAST(sum(tv) AS BIGINT) AS nn,
+      |               CAST(count(*) AS BIGINT) AS m FROM dom),
+      |grp AS (SELECT lang, source, CAST(sum(c) AS BIGINT) AS ng
+      |        FROM j GROUP BY 1, 2),
+      |grid AS (
+      |  SELECT grp.lang, grp.source, grp.ng, domc.sv, domc.cumall,
+      |    CAST(coalesce(j.c, 0) AS BIGINT) AS c0
+      |  FROM grp CROSS JOIN domc
+      |  LEFT JOIN j ON j.lang = grp.lang AND j.source = grp.source
+      |    AND j.sv = domc.sv),
+      |cg AS (
+      |  SELECT lang, source, ng, cumall,
+      |    CAST(sum(c0) OVER (PARTITION BY lang, source ORDER BY sv
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumg
+      |  FROM grid),
+      |pg AS (
+      |  SELECT lang, source, max(ng) AS ng, max(nn) AS nn2,
+      |    max(m) AS m2,
+      |    CAST(sum(abs(cumg * nn - cumall * ng)) AS BIGINT) AS sd
+      |  FROM cg CROSS JOIN tot GROUP BY 1, 2),
+      |pe AS (
+      |  SELECT ng,
+      |    CASE WHEN m2 > 1
+      |      THEN CAST(sd AS DOUBLE) / (CAST(ng AS DOUBLE)
+      |        * CAST(nn2 AS DOUBLE) * CAST(m2 - 1 AS DOUBLE))
+      |      ELSE 0.0 END AS emd,
+      |    m2
+      |  FROM pg)
+      |SELECT 0.2e0 AS t, CAST(count(*) AS BIGINT) AS n_groups,
+      |  CAST(sum(ng) AS BIGINT) AS n_rows, CAST(max(m2) AS BIGINT) AS m,
+      |  floor(max(emd) * 100000000.0 + 0.5) / 100000000.0 AS max_emd,
+      |  CAST(sum(CASE WHEN emd > 0.2e0 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS groups_at_risk,
+      |  CAST(sum(CASE WHEN emd > 0.2e0 THEN ng ELSE 0 END) AS BIGINT)
+      |    AS rows_at_risk,
+      |  floor(CAST(sum(CASE WHEN emd > 0.2e0 THEN ng ELSE 0 END)
+      |      AS DOUBLE) / CAST(sum(ng) AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS risk_share
+      |FROM pe""".stripMargin)
+
   private val kAnonymityQ = Q(
     (s, d) => graft.operators.ValidateOps.kAnonymity(
         Tables.documents(s, d).select(col("lang"), col("source"),
@@ -1502,6 +1569,7 @@ object QueriesCuration {
     "bootstrap_ci" -> bootstrapCiQ,
     "impute_eval" -> imputeEvalQ,
     "k_anonymity" -> kAnonymityQ,
+    "t_closeness" -> tClosenessQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,
     "js_divergence" -> jsDivergenceQ,

@@ -339,7 +339,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // pr_curve: distinct COARSE (1e-3) quantized scores — the same
       // grid-bounds-the-domain argument as roc_auc/lift_curve, with
       // the descending cumulative walking the counts table
-      "kruskal_wallis", "pr_curve")
+      // t_closeness: the global cumulative walks the m-value ordered
+      // SENSITIVE domain (ValidateOps.tCloseness re-aggregates the
+      // fact to that domain first); per-group cumulatives are
+      // partitioned
+      "kruskal_wallis", "pr_curve", "t_closeness")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
