@@ -188,8 +188,146 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS v
       |FROM a""".stripMargin)
 
+  /** Hour-of-day seasonal decomposition of event value per type
+    * (SequenceOps.seasonalDecompose): per (type, hour) the seasonal
+    * mean and index on the 1e-2 grid, plus the pooled residual
+    * variance once the daily wave is removed.
+    */
+  private val seasonalDecomposeQ = Q(
+    (s, d) => operators.SequenceOps.seasonalDecompose(
+        Tables.events(s, d).select(col("event_type"),
+          expr("(ts_ns div 3600000000000L) % 24").as("hour"),
+          col("value")),
+        "event_type", "hour", "value", quantDigits = 2)
+      .select(col("event_type"), col("hour"), col("n"),
+        qround(col("season_mean"), 8).as("season_mean"),
+        qround(col("seasonal_idx"), 8).as("seasonal_idx"),
+        qround(col("resid_var"), 6).as("resid_var")),
+    """WITH e AS (
+      |  SELECT event_type AS g,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |ps AS (
+      |  SELECT g, hour, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(v * v) AS BIGINT) AS svv
+      |  FROM e GROUP BY 1, 2),
+      |pg AS (
+      |  SELECT g, CAST(sum(n) AS BIGINT) AS ng,
+      |    CAST(sum(sv) AS BIGINT) AS svg,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list({'h': hour,
+      |          'term': (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+      |            * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0}
+      |          ORDER BY hour),
+      |        x_ -> x_.term)), (a_, b_) -> a_ + b_) AS ssr
+      |  FROM ps GROUP BY 1)
+      |SELECT ps.g AS event_type, hour, n,
+      |  floor(CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS season_mean,
+      |  floor((CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE))
+      |      - CAST(svg AS DOUBLE) / (100.0 * CAST(ng AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS seasonal_idx,
+      |  floor(ssr / CAST(ng AS DOUBLE) * 1000000.0 + 0.5) / 1000000.0
+      |    AS resid_var
+      |FROM ps JOIN pg USING (g)""".stripMargin)
+
+  /** Seasonal-naive forecast backtest per event type
+    * (SequenceOps.forecastBacktest, season = 24 observations): exact
+    * integer MAE/RMSE on the 1e-2 grid and the scale-free MASE ratio
+    * against one-step persistence on the SAME eval rows.
+    */
+  private val forecastBacktestQ = Q(
+    (s, d) => operators.SequenceOps.forecastBacktest(
+        Tables.events(s, d).select(col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "event_type", "ts_ns", "event_id", "value", season = 24,
+        quantDigits = 2)
+      .select(col("event_type"), col("n_eval"),
+        qround(col("mae"), 8).as("mae"), qround(col("rmse"), 8).as("rmse"),
+        qround(col("mae_naive"), 8).as("mae_naive"),
+        qround(col("mase"), 8).as("mase")),
+    """WITH e AS (
+      |  SELECT event_type AS g, epoch_ns(ts) AS tn, event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL),
+      |l AS (
+      |  SELECT g, v,
+      |    lag(v, 24) OVER (PARTITION BY g ORDER BY tn, event_id) AS ps,
+      |    lag(v, 1) OVER (PARTITION BY g ORDER BY tn, event_id) AS pn
+      |  FROM e),
+      |f AS (SELECT * FROM l WHERE ps IS NOT NULL AND pn IS NOT NULL),
+      |a AS (
+      |  SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n_eval,
+      |    CAST(sum(abs(v - ps)) AS BIGINT) AS saes,
+      |    CAST(sum((v - ps) * (v - ps)) AS BIGINT) AS sses,
+      |    CAST(sum(abs(v - pn)) AS BIGINT) AS saen
+      |  FROM f GROUP BY 1)
+      |SELECT event_type, n_eval,
+      |  floor(CAST(saes AS DOUBLE) / (100.0 * CAST(n_eval AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mae,
+      |  floor(sqrt(CAST(sses AS DOUBLE)
+      |      / (10000.0 * CAST(n_eval AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS rmse,
+      |  floor(CAST(saen AS DOUBLE) / (100.0 * CAST(n_eval AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mae_naive,
+      |  CASE WHEN saen <> 0
+      |    THEN floor(CAST(saes AS DOUBLE) / CAST(saen AS DOUBLE)
+      |      * 100000000.0 + 0.5) / 100000000.0 END AS mase
+      |FROM a""".stripMargin)
+
+  /** Kaplan-Meier user-lifetime survival curve
+    * (SequenceOps.kaplanMeier): integer day lifetimes from the event
+    * stream, still-active-yesterday keys right-censored (this stream keeps nearly every user active to the window end, so a 1-day horizon is what leaves a real death set), survival as a
+    * fixed-order product fold over the day-bounded domain — one row
+    * per death time.
+    */
+  private val kaplanMeierQ = Q(
+    (s, d) => operators.SequenceOps.kaplanMeier(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns")),
+        "user_id", "ts_ns", censorDays = 1)
+      .select(col("t"), col("d"), col("n_at_risk"),
+        qround(col("s"), 8).as("s")),
+    """WITH pk AS (
+      |  SELECT user_id,
+      |    min(epoch_ns(ts) // 86400000000000) AS d0,
+      |    max(epoch_ns(ts) // 86400000000000) AS d1
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |e2 AS (SELECT (SELECT max(d1) FROM pk) AS endd),
+      |lv AS (SELECT d1 - d0 AS t, d1 <= endd - 1 AS dead
+      |       FROM pk CROSS JOIN e2),
+      |h AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM lv GROUP BY 1),
+      |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM h),
+      |dm AS (
+      |  SELECT t, d, c,
+      |    nn - CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + d + c AS n
+      |  FROM h CROSS JOIN tot),
+      |one AS (SELECT list({'t': t, 'd': d, 'n': n} ORDER BY t) AS arr
+      |        FROM dm),
+      |curve AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(arr)),
+      |    i_ -> {'t': arr[i_].t, 'd': arr[i_].d, 'n': arr[i_].n,
+      |      's': list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |        list_transform(arr[1:i_],
+      |          x_ -> 1.0 - CAST(x_.d AS DOUBLE) / CAST(x_.n AS DOUBLE))),
+      |        (a_, b_) -> a_ * b_)}), recursive := true)
+      |  FROM one)
+      |SELECT t, d, n AS n_at_risk,
+      |  floor(s * 100000000.0 + 0.5) / 100000000.0 AS s
+      |FROM curve WHERE d > 0""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "spearman_trend" -> spearmanTrendQ,
     "kruskal_wallis" -> kruskalWallisQ,
-    "cramers_v" -> cramersVQ)
+    "cramers_v" -> cramersVQ,
+    "seasonal_decompose" -> seasonalDecomposeQ,
+    "forecast_backtest" -> forecastBacktestQ,
+    "kaplan_meier" -> kaplanMeierQ)
 }

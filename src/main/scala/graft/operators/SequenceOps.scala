@@ -444,4 +444,160 @@ object SequenceOps {
       min(when(col("_sp") > threshold, col(tsCol))).as("first_alarm_pos"),
       min(when(col("_sn") > threshold, col(tsCol))).as("first_alarm_neg"))
   }
+
+  /** Classical seasonal decomposition by period means — the
+    * time-series triage every monitoring stack runs before an anomaly
+    * hunt ("is the daily wave SEASONALITY or drift?"): per (series,
+    * season-bucket) the seasonal mean and its index (season mean −
+    * series mean), plus the pooled residual variance LEFT once the
+    * seasonal component is removed — the "how much signal does
+    * seasonality explain" number.
+    *
+    * Exactness: values snap to the 1e-`quantDigits` integer grid, so
+    * per-season n/Σv/Σv² are exact BIGINTs off ONE fact-sized hash
+    * aggregate (Σv² stays in-range while n·v̂² < 9·10¹⁸ — pick the
+    * grid for the value range); the pooled within-season sum of
+    * squares Σ_s(Σv² − (Σv)²/n_s) uses the textbook shortcut per
+    * season (single double expression of exact integers) and Σ_s is a
+    * fixed-order fold over the season-sorted list; every mean is one
+    * division. Residual variance is the biased (÷n) form.
+    *
+    * Plan shape: one fact hash aggregate to the (series × season)
+    * domain; a series-bounded re-aggregation; one broadcast join
+    * back. Output is |series|·|seasons| rows.
+    */
+  def seasonalDecompose(df: DataFrame, groupCol: String,
+                        seasonCol: String, valueCol: String,
+                        quantDigits: Int = 2): DataFrame = {
+    val sc = math.pow(10, quantDigits)
+    val q = floor(col(valueCol) * lit(sc) + lit(0.5)).cast("long")
+    val perSeason = df
+      .where(col(valueCol).isNotNull && col(seasonCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol), col(seasonCol), q.as("_v"))
+      .groupBy(col(groupCol), col(seasonCol))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_sv"),
+        sum(col("_v") * col("_v")).as("_svv"))
+    def D(c: String) = col(c).cast("double")
+    val ssw = (D("_svv") - D("_sv") * D("_sv") / D("n")) /
+      lit(sc * sc)
+    val perGroup = perSeason
+      .withColumn("_ssw", ssw)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("_ng"), sum(col("_sv")).as("_svg"),
+        StatsOps.orderedFoldSum(Seq(seasonCol), "_ssw").as("_ssr"))
+    val seasonMean = D("_sv") / (lit(sc) * D("n"))
+    val groupMean = D("_svg") / (lit(sc) * D("_ng"))
+    perSeason.join(broadcast(perGroup), Seq(groupCol))
+      .select(col(groupCol), col(seasonCol), col("n"),
+        seasonMean.as("season_mean"),
+        (seasonMean - groupMean).as("seasonal_idx"),
+        (col("_ssr") / D("_ng")).as("resid_var"))
+  }
+
+  /** Seasonal-naive forecast backtest — the "beat this before you
+    * ship a model" baseline eval: per series, predict each point by
+    * the value `season` observations back, score MAE/RMSE on the
+    * quantized grid, and report MASE = MAE(seasonal)/MAE(one-step
+    * naive) — the scale-free "is the seasonal structure real" ratio
+    * (< 1 means the season beats pure persistence). Both predictors
+    * are evaluated on the SAME rows (those with both lags defined) so
+    * the ratio compares like with like.
+    *
+    * Exactness: on the integer grid every |error| and error² is an
+    * exact BIGINT, so MAE/RMSE are single divisions and MASE is a
+    * pure integer ratio (the grid scale cancels). Plan: one
+    * partitioned window pass (two lags over (ts, id) within each
+    * series — callers at 100 TB supply series keys fine enough to
+    * shard the sort), one hash aggregate.
+    */
+  def forecastBacktest(df: DataFrame, groupCol: String, tsCol: String,
+                       idCol: String, valueCol: String, season: Int,
+                       quantDigits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(season >= 2, s"season must be >= 2, got $season")
+    val sc = math.pow(10, quantDigits)
+    val q = floor(col(valueCol) * lit(sc) + lit(0.5)).cast("long")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(idCol))
+    val lagged = df.where(col(valueCol).isNotNull)
+      .select(col(groupCol), col(tsCol), col(idCol), q.as("_v"))
+      .withColumn("_ps", lag(col("_v"), season).over(w))
+      .withColumn("_pn", lag(col("_v"), 1).over(w))
+      .where(col("_ps").isNotNull && col("_pn").isNotNull)
+    val diffS = col("_v") - col("_ps")
+    val diffN = col("_v") - col("_pn")
+    val g = lagged.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(abs(diffS)).as("_saes"), sum(diffS * diffS).as("_sses"),
+        sum(abs(diffN)).as("_saen"))
+    def D(c: String) = col(c).cast("double")
+    g.select(col(groupCol), col("n_eval"),
+      (D("_saes") / (lit(sc) * D("n_eval"))).as("mae"),
+      sqrt(D("_sses") / (lit(sc * sc) * D("n_eval"))).as("rmse"),
+      (D("_saen") / (lit(sc) * D("n_eval"))).as("mae_naive"),
+      try_divide(D("_saes"), D("_saen")).as("mase"))
+  }
+
+  /** Kaplan-Meier survival curve of per-key lifetimes with
+    * right-censoring — the retention readout beyond the cohort
+    * triangle (retention_cohorts bins survivors per period; KM is the
+    * estimator that stays unbiased when the observation window cuts
+    * lives short): keys whose last activity falls within `censorDays`
+    * of the window end are CENSORED (still alive as far as the data
+    * can say), everyone else's lifetime is an observed death.
+    *   S(t) = Π_{death times u ≤ t} (1 − d_u / n_u),
+    * with n_u the at-risk count (observed lifetime ≥ u).
+    *
+    * Exactness: lifetimes are integer day counts; d/c/n are exact
+    * BIGINTs off the per-key aggregate + one cumulative window over
+    * the day-bounded lifetime domain; the product prefix is a
+    * fixed-order left fold per output row over that bounded domain
+    * (O(m²) for m distinct lifetimes — m is bounded by the
+    * observation span in days), so both engines multiply the exact
+    * same factor sequence. Output: one row per DEATH time.
+    *
+    * Plan shape: one fact hash aggregate to per-key (first, last),
+    * one 1-row window-end broadcast, one domain-bounded histogram +
+    * window, one 1-row collect_list fold (m-bounded) re-exploded.
+    */
+  def kaplanMeier(df: DataFrame, keyCol: String, tsNsCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val dayNs = 86400000000000L
+    val perKey = df.where(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"$tsNsCol div ${dayNs}L")).as("_d0"),
+        max(expr(s"$tsNsCol div ${dayNs}L")).as("_d1"))
+    val end = perKey.agg(max(col("_d1")).as("_end"))
+    val lives = perKey.crossJoin(broadcast(end))
+      .select((col("_d1") - col("_d0")).as("_t"),
+        (col("_d1") <= col("_end") - censorDays).as("_dead"))
+    val hist = lives.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_dead"), 0L).otherwise(1L)).as("_c"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("_d") + col("_c")).as("_nn"))
+    val domain = hist
+      .withColumn("_cum", sum(col("_d") + col("_c")).over(w))
+      .crossJoin(broadcast(tot))
+      // at-risk at t = keys whose observed lifetime is >= t
+      .select(col("_t"), col("_d"), col("_c"),
+        (col("_nn") - col("_cum") + col("_d") + col("_c")).as("_n"))
+    domain
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"),
+        col("_c"), col("_n")))).as("arr"))
+      .select(explode(expr(
+        """transform(sequence(1, size(arr)), i -> struct(
+          |  arr[i-1]._t as t, arr[i-1]._d as d, arr[i-1]._n as n_at_risk,
+          |  aggregate(slice(arr, 1, i), cast(1.0 as double),
+          |    (acc, x) -> acc * (cast(1.0 as double)
+          |      - cast(x._d as double) / cast(x._n as double))) as s))"""
+        .stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.d").as("d"),
+        col("r.n_at_risk").as("n_at_risk"), col("r.s").as("s"))
+      .where(col("d") > 0)
+  }
 }

@@ -343,7 +343,10 @@ class PlanInvariantsSpec extends SparkSpec {
       // SENSITIVE domain (ValidateOps.tCloseness re-aggregates the
       // fact to that domain first); per-group cumulatives are
       // partitioned
-      "kruskal_wallis", "pr_curve", "t_closeness")
+      // kaplan_meier: the global cumulative + 1-row collect walk the
+      // integer-DAY lifetime domain (bounded by the observation span;
+      // SequenceOps.kaplanMeier aggregates keys first)
+      "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
