@@ -323,11 +323,81 @@ object QueriesAnalytics {
       |  floor(s * 100000000.0 + 0.5) / 100000000.0 AS s
       |FROM curve WHERE d > 0""".stripMargin)
 
+  /** Small-file compaction plan (IoOps.compactionPlan) over a
+    * simulated per-(returnflag, orderkey-shard) file inventory —
+    * largest-first cumulative-sum bin packing into ~4MB rewrite
+    * groups, exact integers on the metadata-scale inventory.
+    */
+  private val compactionPlanQ = Q(
+    (s, d) => {
+      val inv = Tables.lineitem(s, d)
+        .groupBy(col("l_returnflag").as("part"),
+          (col("l_orderkey") % 50).as("file_id"))
+        .agg(sum(expr("CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT)"))
+          .as("bytes"))
+      sources.IoOps.compactionPlan(inv, Seq("part"), "file_id", "bytes",
+          targetBytes = 4000000L)
+        .select(col("part"), col("group_id"), col("n_files"), col("bytes"))
+    },
+    """WITH inv AS (
+      |  SELECT l_returnflag AS part, l_orderkey % 50 AS file_id,
+      |    CAST(sum(CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT))
+      |      AS BIGINT) AS bytes
+      |  FROM lineitem GROUP BY 1, 2),
+      |w AS (
+      |  SELECT part, file_id, bytes,
+      |    CAST(sum(bytes) OVER (PARTITION BY part
+      |      ORDER BY bytes DESC, file_id
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM inv)
+      |SELECT part, (cum - bytes) // 4000000 AS group_id,
+      |  CAST(count(*) AS BIGINT) AS n_files,
+      |  CAST(sum(bytes) AS BIGINT) AS bytes
+      |FROM w GROUP BY 1, 2""".stripMargin)
+
+  /** Zone-map data-skipping advisor (IoOps.skipStats): month
+    * partitions of lineitem, ship-day zone maps, and the exact
+    * skip/scan accounting for a one-month ship-day predicate — the
+    * "does this layout prune" readout (here it does: the partition
+    * key derives from the filter column).
+    */
+  private val skipStatsQ = Q(
+    (s, d) => sources.IoOps.skipStats(
+        Tables.lineitem(s, d).select(
+          expr("year(l_shipdate) * 12 + month(l_shipdate)")
+            .as("ship_month"),
+          expr("datediff(l_shipdate, DATE'1992-01-01')").as("ship_day")),
+        "ship_month", "ship_day", lo = 1200L, hi = 1230L)
+      .select(col("lo"), col("hi"), col("n_partitions"), col("n_rows"),
+        col("parts_skipped"), col("rows_skipped"), col("rows_scanned"),
+        qround(col("scan_share"), 8).as("scan_share")),
+    """WITH p AS (
+      |  SELECT year(l_shipdate) * 12 + month(l_shipdate) AS m,
+      |    CAST(count(*) AS BIGINT) AS n,
+      |    min(date_diff('day', DATE '1992-01-01', l_shipdate)) AS mn,
+      |    max(date_diff('day', DATE '1992-01-01', l_shipdate)) AS mx
+      |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1)
+      |SELECT CAST(1200 AS BIGINT) AS lo, CAST(1230 AS BIGINT) AS hi,
+      |  CAST(count(*) AS BIGINT) AS n_partitions,
+      |  CAST(sum(n) AS BIGINT) AS n_rows,
+      |  CAST(sum(CASE WHEN mx < 1200 OR mn > 1230 THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS parts_skipped,
+      |  CAST(sum(CASE WHEN mx < 1200 OR mn > 1230 THEN n ELSE 0 END)
+      |    AS BIGINT) AS rows_skipped,
+      |  CAST(sum(n) - sum(CASE WHEN mx < 1200 OR mn > 1230 THEN n
+      |    ELSE 0 END) AS BIGINT) AS rows_scanned,
+      |  floor(CAST(sum(n) - sum(CASE WHEN mx < 1200 OR mn > 1230
+      |        THEN n ELSE 0 END) AS DOUBLE) / CAST(sum(n) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS scan_share
+      |FROM p""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "spearman_trend" -> spearmanTrendQ,
     "kruskal_wallis" -> kruskalWallisQ,
     "cramers_v" -> cramersVQ,
     "seasonal_decompose" -> seasonalDecomposeQ,
     "forecast_backtest" -> forecastBacktestQ,
-    "kaplan_meier" -> kaplanMeierQ)
+    "kaplan_meier" -> kaplanMeierQ,
+    "compaction_plan" -> compactionPlanQ,
+    "skip_stats" -> skipStatsQ)
 }

@@ -276,4 +276,69 @@ object IoOps {
           col("fingerprint"))
     }.reduce(_ unionByName _)
   }
+
+  /** Small-file compaction planner — the table-maintenance step every
+    * lakehouse runs when streaming ingest has littered a partition
+    * with kilobyte files (each file is a task + an open at scan time;
+    * at 100 TB the file COUNT, not the byte count, is what kills the
+    * scheduler): given a file inventory (partition cols, file id,
+    * bytes), assign files to rewrite groups of ~`targetBytes` by the
+    * streaming cumulative-sum rule — within each partition, walk
+    * files largest-first (deterministic (bytes desc, file asc)
+    * order) and a file joins group floor(cumBefore / target). One
+    * group ≈ one rewritten output file.
+    *
+    * Everything is exact integer arithmetic on the inventory table —
+    * which is METADATA-scale (one row per file, not per data row), so
+    * the partitioned window costs nothing at any data scale. Output:
+    * one plan row per (partition, group) with file count and bytes —
+    * n_files > 1 rows are the rewrites worth doing.
+    */
+  def compactionPlan(files: DataFrame, partCols: Seq[String],
+                     fileCol: String, bytesCol: String,
+                     targetBytes: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(partCols.nonEmpty, "compactionPlan needs partition columns")
+    require(targetBytes > 0, s"targetBytes must be > 0, got $targetBytes")
+    val w = Window.partitionBy(partCols.map(col): _*)
+      .orderBy(col(bytesCol).desc, col(fileCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    files
+      .withColumn("_cum", sum(col(bytesCol)).over(w))
+      .withColumn("_grp",
+        expr(s"(_cum - $bytesCol) div ${targetBytes}L"))
+      .groupBy((partCols.map(col) :+ col("_grp").as("group_id")): _*)
+      .agg(count(lit(1)).as("n_files"), sum(col(bytesCol)).as("bytes"))
+  }
+
+  /** Data-skipping advisor — the "is this layout actually pruning"
+    * readout run before betting a 100 TB scan on partition/zone-map
+    * pruning: per partition the min/max zone map of `valueCol`, and
+    * for the half-open predicate value ∈ [lo, hi] the exact
+    * skip/scan accounting a file-skipping reader would achieve
+    * (skip when max < lo or min > hi — the standard zone-map test).
+    * scan_share near 1.0 on a selective predicate is the signal to
+    * re-layout (zorder_layout / repartition on the filter column).
+    *
+    * One fact-sized hash aggregate to the partition domain; the
+    * summary is a 1-row fold of that bounded table; all counts exact
+    * BIGINTs, the one share is a single division.
+    */
+  def skipStats(df: DataFrame, partCol: String, valueCol: String,
+                lo: Long, hi: Long): DataFrame = {
+    require(lo <= hi, s"need lo <= hi, got [$lo, $hi]")
+    val parts = df.where(col(partCol).isNotNull)
+      .groupBy(col(partCol))
+      .agg(count(lit(1)).as("_n"), min(col(valueCol)).as("_mn"),
+        max(col(valueCol)).as("_mx"))
+    val skip = col("_mx") < lo || col("_mn") > hi
+    parts.agg(count(lit(1)).as("n_partitions"), sum(col("_n")).as("n_rows"),
+        sum(when(skip, 1L).otherwise(0L)).as("parts_skipped"),
+        sum(when(skip, col("_n")).otherwise(0L)).as("rows_skipped"))
+      .select(lit(lo).as("lo"), lit(hi).as("hi"), col("n_partitions"),
+        col("n_rows"), col("parts_skipped"), col("rows_skipped"),
+        (col("n_rows") - col("rows_skipped")).as("rows_scanned"),
+        try_divide((col("n_rows") - col("rows_skipped")).cast("double"),
+          col("n_rows").cast("double")).as("scan_share"))
+  }
 }
