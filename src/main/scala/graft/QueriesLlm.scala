@@ -243,6 +243,115 @@ object QueriesLlm {
        |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
        |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
+  /** Newman modularity (DedupOps.modularity) of the LANGUAGE
+    * partition over the verified near-dup graph — "do duplicate edges
+    * stay inside a language, or is the corpus leaking cross-language
+    * copies?" Injected dup copies inherit their original's language
+    * (id − 10000 lookup). Exact integer e_c/d_c/m; per-language terms
+    * fold in fixed order.
+    */
+  private val graphModularityQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 4)
+      val pairs = DedupOps.minHashNearDup(corpus, "doc_id", "text",
+        threshold = 0.5).select(col("id1"), col("id2"))
+      val labels = corpus.select(col("doc_id"),
+          when(col("doc_id") >= 10000, col("doc_id") - 10000)
+            .otherwise(col("doc_id")).as("_orig"))
+        .join(Tables.documents(s, d)
+          .select(col("doc_id").as("_orig"), col("lang")), "_orig")
+        .select(col("doc_id"), col("lang"))
+      DedupOps.modularity(pairs, "id1", "id2", labels, "doc_id", "lang")
+        .select(col("m"), col("n_comms"), qround(col("q"), 8).as("q"))
+    },
+    s"""WITH ${minhashVerSql(mod = 4)},
+       |pairs AS (
+       |  SELECT id1, id2 FROM ver
+       |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+       |lab AS (
+       |  SELECT c.doc_id, dl.lang FROM corpus c JOIN documents dl
+       |  ON dl.doc_id = CASE WHEN c.doc_id >= 10000
+       |    THEN c.doc_id - 10000 ELSE c.doc_id END),
+       |j AS (
+       |  SELECT p.id1, p.id2, a.lang AS ca, b.lang AS cb
+       |  FROM pairs p JOIN lab a ON p.id1 = a.doc_id
+       |               JOIN lab b ON p.id2 = b.doc_id),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j),
+       |ein AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e
+       |        FROM j WHERE ca = cb GROUP BY 1),
+       |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dd FROM (
+       |    SELECT ca AS c FROM j UNION ALL SELECT cb FROM j)
+       |  GROUP BY 1),
+       |comm AS (
+       |  SELECT deg.c, dd, CAST(coalesce(e, 0) AS BIGINT) AS e
+       |  FROM deg LEFT JOIN ein USING (c))
+       |SELECT m, CAST(count(*) AS BIGINT) AS n_comms,
+       |  ${qrSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list_transform(list({'c': c,
+         |        'term': CAST(e AS DOUBLE) / CAST(m AS DOUBLE)
+         |          - (CAST(dd AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))
+         |          * (CAST(dd AS DOUBLE) / (2.0 * CAST(m AS DOUBLE)))}
+         |      ORDER BY c),
+         |      x_ -> x_.term)), (a_, b_) -> a_ + b_)""".stripMargin, 8)}
+       |    AS q
+       |FROM comm CROSS JOIN tot GROUP BY m""".stripMargin)
+
+  /** Tokenizer-efficiency readout per language
+    * (TextOps.bpeApply over the learned merges): chars-per-token and
+    * the token-chars/doc-chars compression share — the "is this
+    * tokenizer fair to every language" audit (a language with low
+    * chars-per-token pays more tokens for the same text). Exact
+    * integer sums; two divisions per language.
+    */
+  // lazy: embeds bpeApplyQ.sql, which is defined further down the file
+  private lazy val tokenizerEfficiencyQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("sym_left"),
+          r.getAs[String]("sym_right"))).toSeq
+      val perDoc = TextOps.bpeApply(docs, "doc_id", "text", merges)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("_nt"),
+          sum(length(col("token")).cast("long")).as("_sc"))
+      docs.select(col("doc_id"), col("lang"),
+          length(col("text")).cast("long").as("_len"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("_nt"), lit(0L))).as("n_tokens"),
+          sum(col("_len")).as("n_chars"),
+          sum(coalesce(col("_sc"), lit(0L))).as("n_token_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          qround(try_divide(col("n_chars").cast("double"),
+            col("n_tokens").cast("double")), 8).as("chars_per_token"),
+          qround(try_divide(col("n_token_chars").cast("double"),
+            col("n_chars").cast("double")), 8).as("compression"))
+    },
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM (
+       |${bpeApplyQ.sql}
+       |  )),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+       |    CAST(sum(length(token)) AS BIGINT) AS sc
+       |  FROM tk GROUP BY 1)
+       |SELECT d2.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(d2.text)) AS BIGINT) AS n_chars,
+       |  CASE WHEN sum(coalesce(nt, 0)) <> 0 THEN
+       |    ${qrSql("CAST(sum(length(d2.text)) AS DOUBLE) / " +
+         "CAST(sum(coalesce(nt, 0)) AS DOUBLE)", 8)} END
+       |    AS chars_per_token,
+       |  CASE WHEN sum(length(d2.text)) <> 0 THEN
+       |    ${qrSql("CAST(sum(coalesce(sc, 0)) AS DOUBLE) / " +
+         "CAST(sum(length(d2.text)) AS DOUBLE)", 8)} END
+       |    AS compression
+       |FROM documents d2 LEFT JOIN pd ON d2.doc_id = pd.doc_id
+       |GROUP BY 1""".stripMargin)
+
   /** Quality-aware duplicate-cluster collapse: dedup_clusters'
     * connected components, but the kept REPRESENTATIVE is the longest
     * member (doc_id-ascending tiebreak) instead of the smallest id —
@@ -4102,6 +4211,8 @@ object QueriesLlm {
     "decontaminate" -> decontaminateQ,
     "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
+    "graph_modularity" -> graphModularityQ,
+    "tokenizer_efficiency" -> tokenizerEfficiencyQ,
     "cluster_best_rep" -> clusterBestRepQ,
     "embed_leakage" -> embedLeakageQ,
     "containment_dupes" -> containmentDupesQ,

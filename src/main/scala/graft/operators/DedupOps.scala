@@ -872,4 +872,49 @@ object DedupOps {
         col("hamming").cast("int").as("hamming"))
     same.unionByName(cross)
   }
+
+  /** Newman modularity of a node partition over an undirected simple
+    * edge list — the "is this grouping real structure or just degree
+    * luck" score for the near-dup graph (labels from an attribute
+    * like language, or from [[connectedComponents]]): with m edges,
+    * e_c intra-community edges and d_c the summed degree of
+    * community c,
+    *   Q = Σ_c ( e_c/m − (d_c/(2m))² ),
+    * ∈ [−1/2, 1): ≈0 means the partition explains nothing beyond the
+    * degree sequence; Q > 0.3 is conventionally "real" community
+    * structure. (A connected-components partition makes every edge
+    * intra-community, so there Q = 1 − Σ(d_c/2m)² — still informative
+    * about balance.)
+    *
+    * Exactness: e_c, d_c, m are exact BIGINTs off edge-list joins and
+    * hash aggregates (cost rides |edges|); each community term is one
+    * short double expression and Σ_c is a fixed-order fold over the
+    * community-sorted list. Output: 1 row (m, n_comms, q).
+    */
+  def modularity(pairs: DataFrame, id1: String, id2: String,
+                 labels: DataFrame, idCol: String,
+                 commCol: String): DataFrame = {
+    val la = labels.select(col(idCol).as("_a"),
+      col(commCol).cast("string").as("_ca"))
+    val lb = labels.select(col(idCol).as("_b"),
+      col(commCol).cast("string").as("_cb"))
+    val j = pairs.select(col(id1).as("_a"), col(id2).as("_b"))
+      .join(la, "_a").join(lb, "_b")
+    val tot = j.agg(count(lit(1)).as("m"))
+    val eIn = j.where(col("_ca") === col("_cb"))
+      .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("_e"))
+    val deg = j.select(col("_ca").as("_c"))
+      .unionAll(j.select(col("_cb").as("_c")))
+      .groupBy("_c").agg(count(lit(1)).as("_d"))
+    val comm = deg.join(eIn, Seq("_c"), "left")
+      .select(col("_c"), col("_d"), coalesce(col("_e"), lit(0L)).as("_e"))
+      .crossJoin(broadcast(tot))
+    val mD = col("m").cast("double")
+    val term = col("_e").cast("double") / mD -
+      (col("_d").cast("double") / (lit(2.0) * mD)) *
+        (col("_d").cast("double") / (lit(2.0) * mD))
+    comm.select(col("_c"), term.as("_term"), col("m"))
+      .agg(max(col("m")).as("m"), count(lit(1)).as("n_comms"),
+        StatsOps.orderedFoldSum(Seq("_c"), "_term").as("q"))
+  }
 }
