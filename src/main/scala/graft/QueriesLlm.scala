@@ -759,6 +759,80 @@ object QueriesLlm {
        |SELECT query_id, neighbor_id, ${qrSql("cos_", 8)} AS cosine, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
 
+  /** MMR diversified re-ranking (SimilarityOps.mmrRerank) of vec 0's
+    * cosine top-50 down to 10 — the RAG-shortlist diversification
+    * step. Relevance and pairwise sims snap to the 1e-8 grid before
+    * any greedy comparison; λ = 0.5 keeps both blend weights exactly
+    * representable; the oracle replays the greedy sequence with an
+    * unrolled materialized CTE chain over the 50-candidate pair
+    * table, same (score DESC, id ASC) pick rule.
+    */
+  /** One unrolled MMR greedy round for the oracle: DuckDB's recursive
+    * CTEs mis-evaluate correlated references to the recursion column
+    * (observed: NULL picks on the first rounds, varying run to run),
+    * so the k=10 selection is a plain CTE chain — max-sim to the
+    * picked set via an unnest JOIN, the argmax via arg_max on a
+    * (score, −cid) struct (score DESC, id ASC — the engine's rule).
+    */
+  private def mmrRoundSql(n: Int): String =
+    s"""ms$n AS MATERIALIZED (
+       |  SELECT p.i AS cid, max(p.sim) AS msim
+       |  FROM pair p JOIN (SELECT unnest(ids) AS pid FROM pk${n - 1}) u
+       |    ON p.j_ = u.pid
+       |  GROUP BY 1),
+       |sc$n AS MATERIALIZED (
+       |  SELECT t.cid, 0.5 * t.rel - 0.5 * coalesce(m.msim, 0.0) AS score
+       |  FROM topc t LEFT JOIN ms$n m ON t.cid = m.cid
+       |  WHERE t.cid NOT IN (SELECT unnest(ids) FROM pk${n - 1})),
+       |pk$n AS MATERIALIZED (
+       |  SELECT list_append((SELECT ids FROM pk${n - 1}),
+       |    (SELECT min(cid) FROM sc$n
+       |     WHERE score = (SELECT max(score) FROM sc$n))) AS ids)"""
+      .stripMargin
+
+  private val mmrRerankQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      SimilarityOps.mmrRerank(emb.where(col("vec_id") === 0), emb,
+          "vec_id", "vec_id", "embedding", topC = 50, k = 10,
+          lambda = 0.5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"),
+          qround(col("rel"), 8).as("rel"),
+          qround(col("mmr_score"), 8).as("mmr_score"))
+    },
+    s"""WITH RECURSIVE
+       |e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+       |rel0 AS (
+       |  SELECT e.vec_id AS cid, e.v,
+       |    ${dotSql("qv", "v")} / (sqrt(${dotSql("qv", "qv")})
+       |      * sqrt(${dotSql("v", "v")})) AS cos_
+       |  FROM e CROSS JOIN q WHERE e.vec_id <> 0),
+       |topc AS MATERIALIZED (
+       |  SELECT cid, v, ${qrSql("cos_", 8)} AS rel
+       |  FROM (SELECT cid, v, cos_,
+       |      row_number() OVER (ORDER BY cos_ DESC, cid) AS rk
+       |    FROM rel0) WHERE rk <= 50),
+       |pair AS MATERIALIZED (
+       |  SELECT a.cid AS i, b.cid AS j_,
+       |    ${qrSql(s"${dotSql("a.v", "b.v")} / " +
+         s"(sqrt(${dotSql("a.v", "a.v")}) * sqrt(${dotSql("b.v", "b.v")}))",
+         8)} AS sim
+       |  FROM topc a JOIN topc b ON a.cid <> b.cid),
+       |pk0 AS (SELECT CAST([] AS BIGINT[]) AS ids),
+       |${(1 to 10).map(mmrRoundSql).mkString(",\n")},
+       |outp AS MATERIALIZED (
+       |  SELECT i_ AS rank, ids[i_] AS neighbor_id
+       |  FROM pk10 CROSS JOIN generate_series(1, 10) t(i_))
+       |SELECT CAST(0 AS BIGINT) AS query_id, rank, o.neighbor_id,
+       |  t.rel,
+       |  ${qrSql("""0.5 * t.rel - 0.5 * coalesce((
+         |    SELECT max(p.sim) FROM pair p
+         |    JOIN outp o2 ON p.j_ = o2.neighbor_id AND o2.rank < o.rank
+         |    WHERE p.i = o.neighbor_id), 0.0)""".stripMargin, 8)}
+       |    AS mmr_score
+       |FROM outp o JOIN topc t ON t.cid = o.neighbor_id""".stripMargin)
+
   /** SQL for the hyperplane bucket of DOUBLE[] column v — mirrors
     * SimilarityOps.hyperplaneBucket(dim=64, nplanes=8).
     */
@@ -4173,6 +4247,7 @@ object QueriesLlm {
     "simhash_neardup" -> simhashNearDupQ,
     "ngram_jaccard" -> ngramJaccardQ,
     "ann_topk" -> annTopkQ,
+    "mmr_rerank" -> mmrRerankQ,
     "ann_lsh" -> annLshQ,
     "knn_classify" -> knnClassifyQ,
     "ann_lsh_probed" -> annLshProbedQ,

@@ -655,4 +655,91 @@ object SimilarityOps {
         .as("cosine"),
       (sqrt(col("dd")) / lit(s)).as("l2_dist"))
   }
+
+  /** Maximal Marginal Relevance re-ranking — the diversification step
+    * a RAG retriever runs on its top-C shortlist so the k returned
+    * passages aren't k copies of the best one: greedily pick
+    *   argmax_c  λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s),
+    * ties broken by ascending candidate id.
+    *
+    * Scale/exactness contract: the DISTRIBUTED work is
+    * [[bruteForceTopK]] (or any ANN shortlist) — the greedy loop runs
+    * on the driver over the C-bounded shortlist (a sanctioned
+    * candidate-bounded collect, like the IVF centroid loops; C·dim
+    * doubles + C² cached sims). Both relevance and pairwise cosines
+    * are snapped to the 1e-`quantDigits` grid BEFORE any greedy
+    * comparison, and every driver float op (index-order dot fold,
+    * sqrt, the λ-blend) is the same IEEE expression an oracle
+    * replays, so the selection SEQUENCE is deterministic. Shortlist
+    * membership itself ranks on raw cosine (same rule as
+    * bruteForceTopK).
+    *
+    * Output: (query_id, rank 1..k, neighbor_id, rel, mmr_score).
+    */
+  def mmrRerank(queries: DataFrame, corpus: DataFrame, qId: String,
+                cId: String, vecCol: String, topC: Int, k: Int,
+                lambda: Double, quantDigits: Int = 8): DataFrame = {
+    require(topC >= k && k >= 1, s"need topC >= k >= 1, got $topC, $k")
+    require(lambda >= 0 && lambda <= 1, s"lambda in [0,1], got $lambda")
+    val s = math.pow(10, quantDigits)
+    def qq(x: Double): Double = math.floor(x * s + 0.5) / s
+    val spark = corpus.sparkSession
+    val top = bruteForceTopK(queries, corpus, qId, cId, vecCol, topC)
+      .select(col("query_id").cast("long"),
+        col("neighbor_id").cast("long"), col("cosine"))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), qq(r.getDouble(2))))
+    val candIds = top.map(_._2).distinct
+    val vecs: Map[Long, Array[Double]] = corpus
+      .select(col(cId).cast("long").as("_id"),
+        col(vecCol).cast("array<double>").as("_v"))
+      .where(col("_id").isin(candIds: _*))
+      .collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Double](1).toArray)
+      .toMap
+    def cosine(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+      while (i < a.length) {
+        d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i); i += 1
+      }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val out = top.groupBy(_._1).toSeq.sortBy(_._1).flatMap {
+      case (query, cands) =>
+        val rel = cands.map(c => c._2 -> c._3).toMap
+        val simCache =
+          scala.collection.mutable.Map.empty[(Long, Long), Double]
+        def sim(a: Long, b: Long): Double =
+          simCache.getOrElseUpdate(if (a < b) (a, b) else (b, a),
+            qq(cosine(vecs(a), vecs(b))))
+        val selected = scala.collection.mutable.ArrayBuffer.empty[Long]
+        val rows = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, Int, Long, Double, Double)]
+        val remaining =
+          scala.collection.mutable.SortedSet(rel.keysIterator.toSeq: _*)
+        var r = 1
+        while (r <= k && remaining.nonEmpty) {
+          var bestId = -1L
+          var bestScore = Double.NegativeInfinity
+          // ascending-id iteration + strict > keeps the smallest id
+          // on ties — the same (score DESC, id ASC) rule the oracle's
+          // ORDER BY ... LIMIT 1 applies
+          remaining.foreach { c =>
+            val maxSim =
+              if (selected.isEmpty) 0.0
+              else selected.iterator.map(sM => sim(c, sM)).max
+            val score = lambda * rel(c) - (1 - lambda) * maxSim
+            if (score > bestScore) { bestScore = score; bestId = c }
+          }
+          selected += bestId
+          remaining -= bestId
+          rows += ((query, r, bestId, rel(bestId), bestScore))
+          r += 1
+        }
+        rows
+    }
+    import spark.implicits._
+    out.toDF("query_id", "rank", "neighbor_id", "rel", "mmr_score")
+  }
 }

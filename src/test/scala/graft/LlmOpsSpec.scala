@@ -126,6 +126,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(got.toSeq === Seq(3L, 1L)) // 3 is most aligned with 0
   }
 
+  test("mmrRerank demotes a duplicate below a diverse candidate") {
+    // q = (1,0); 1 and 2 point the same way (rel = 1 both), 3 is
+    // slightly less relevant but diverse. Pure relevance would rank
+    // the duplicate 2 second; MMR at lambda=0.3 ranks 3 second
+    // because 2's max-sim penalty (sim(2,1)=1) outweighs its rel.
+    val emb = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(1.0f, 0.0f)),
+      (2L, Array(2.0f, 0.0f)), (3L, Array(0.95f, 0.3122f)))
+      .toDF("vec_id", "embedding")
+    val out = SimilarityOps.mmrRerank(emb.where(col("vec_id") === 0),
+      emb, "vec_id", "vec_id", "embedding", topC = 3, k = 3,
+      lambda = 0.3)
+    val rows = out.orderBy("rank")
+      .select("neighbor_id", "rel", "mmr_score")
+      .collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(1L, 3L, 2L))
+    // rank 1 has no selected set yet: score = lambda * rel
+    assert(approx(rows(0).getDouble(2), 0.3 * rows(0).getDouble(1)))
+    // the duplicate's penalty is its full similarity to pick 1
+    assert(approx(rows(2).getDouble(2), 0.3 * 1.0 - 0.7 * 1.0))
+  }
+
   test("lshTopK only scores bucket collisions; identical vectors collide") {
     val emb = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
