@@ -1103,6 +1103,36 @@ object Queries {
       |  AND l_quantity BETWEEN 10 AND 20
       |GROUP BY 1""".stripMargin)
 
+  private val hilbertLayoutQ = Q(
+    (s, d) => {
+      // Hilbert-clustered rewrite on (l_extendedprice, l_quantity),
+      // read back through a 2-d range predicate, then aggregate —
+      // the oracle on the source table proves the layout rewrite is
+      // lossless (same contract as zorder_layout; the curve-quality
+      // delta vs Morton is asserted by ZorderSpec's bounding-box
+      // comparison, not here).
+      val path = s"/tmp/graft_hilbert_${scratchTag(s, d)}"
+      sources.IoOps.writeHilberted(Tables.lineitem(s, d), path,
+        "l_extendedprice", "l_quantity", numFiles = 8)
+      s.read.parquet(path)
+        .where(col("l_extendedprice").between(50000, 70000) &&
+          col("l_quantity").between(30, 40))
+        .groupBy("l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 2).as("sum_price"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_linestatus, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 100.0 + 0.5) / 100.0 AS sum_price,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE l_extendedprice BETWEEN 50000 AND 70000
+      |  AND l_quantity BETWEEN 30 AND 40
+      |GROUP BY 1""".stripMargin)
+
   /** The skew-safe two-stage salted aggregation must equal the plain
     * one-stage weighted average — the oracle computes the latter, so
     * hash-matching proves the salting rewrite is value-preserving.
@@ -2747,6 +2777,7 @@ object Queries {
     "implot_render" -> implotRenderQ,
     "write_read_roundtrip" -> writeReadRoundtripQ,
     "zorder_layout" -> zorderLayoutQ,
+    "hilbert_layout" -> hilbertLayoutQ,
     "merge_upsert" -> mergeUpsertQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,

@@ -181,6 +181,53 @@ object IoOps {
     }
   }
 
+  /** Hilbert-curve key over exactly 2 numeric columns — same min/max
+    * quantization as [[zorderKey]], then the native
+    * [[graft.functions.HilbertIndex]] xy2d transform (whole-stage
+    * codegen, constant code size). Versus Morton, consecutive Hilbert
+    * keys are always GRID NEIGHBORS, so range-repartitioned files
+    * cover one compact blob of the (x, y) plane with no diagonal
+    * seams — tighter footer min/max boxes, better multi-dimensional
+    * range skipping.
+    */
+  def hilbertKey(x: org.apache.spark.sql.Column,
+                 y: org.apache.spark.sql.Column,
+                 mins: Seq[Double], maxs: Seq[Double],
+                 bits: Int = 16): org.apache.spark.sql.Column = {
+    require(mins.length == 2 && maxs.length == 2 && bits * 2 <= 62)
+    val maxQ = (1L << bits) - 1
+    val quantized = Seq(x, y).zipWithIndex.map { case (c, i) =>
+      val range = maxs(i) - mins(i)
+      val scaled =
+        if (range > 0) (c.cast("double") - mins(i)) / range * maxQ
+        else lit(0.0)
+      least(greatest(scaled.cast("long"), lit(0L)), lit(maxQ))
+    }
+    graft.functions.HilbertIndex(quantized(0), quantized(1), bits)
+  }
+
+  /** Hilbert-clustered layout write — [[writeZordered]] with the
+    * Morton key swapped for the Hilbert key (2-D only; the curve's
+    * unit-step locality is what pays for the extra transform). Same
+    * scale shape: one bounded min/max aggregate, one range exchange,
+    * one within-partition sort.
+    */
+  def writeHilberted(df: DataFrame, path: String, xCol: String, yCol: String,
+                     numFiles: Int = 32, bits: Int = 16): Unit = {
+    val r = df.agg(
+      min(col(xCol).cast("double")).as("min_x"),
+      max(col(xCol).cast("double")).as("max_x"),
+      min(col(yCol).cast("double")).as("min_y"),
+      max(col(yCol).cast("double")).as("max_y")).head() // scalar, bounded
+    def d(i: Int): Double = if (r.isNullAt(i)) 0.0 else r.getDouble(i)
+    df.withColumn("_hkey", hilbertKey(col(xCol), col(yCol),
+        Seq(d(0), d(2)), Seq(d(1), d(3)), bits))
+      .repartitionByRange(numFiles, col("_hkey"))
+      .sortWithinPartitions("_hkey")
+      .select(df.columns.map(col): _*)
+      .write.mode("overwrite").option("compression", "zstd").parquet(path)
+  }
+
   /** Z-ordered layout write — the data-skipping story at 100 TB. A
     * range repartition + within-partition sort on the Morton key makes
     * every output file's parquet row groups cover a small HYPERCUBE of

@@ -107,4 +107,56 @@ class ZorderSpec extends SparkSpec {
     // and the rewrite is lossless
     assert(spark.read.parquet(zDir).count() === li.count())
   }
+
+  test("hilbertKey pins the xy2d orientation and walks the grid in unit steps") {
+    // order-2 pinned values of the public-domain xy2d transform:
+    // the first quadrant visits (0,0),(1,0),(1,1),(0,1), and (1,2)=7
+    val pts = Seq((0L, 0L), (1L, 0L), (1L, 1L), (0L, 1L), (1L, 2L))
+      .toDF("x", "y")
+    val d = pts.select(graft.functions.HilbertIndex(
+        col("x"), col("y"), bits = 2).as("d"))
+      .collect().map(_.getLong(0))
+    assert(d.toSeq === Seq(0L, 1L, 2L, 3L, 7L))
+
+    // exhaustive at bits=4 (16x16): the key is a bijection onto
+    // [0, 256) and consecutive keys are GRID NEIGHBORS (|dx|+|dy| = 1)
+    // — the defining Hilbert property Morton lacks, and the reason
+    // range-partitioned files have no diagonal seams
+    val n = 16
+    val grid = (0 until n).flatMap(x => (0 until n).map(y =>
+      (x.toLong, y.toLong))).toDF("x", "y")
+    val cells = grid.select(col("x"), col("y"),
+        graft.functions.HilbertIndex(col("x"), col("y"), bits = 4).as("d"))
+      .collect().map(r => r.getLong(2) -> (r.getLong(0), r.getLong(1)))
+      .sortBy(_._1)
+    assert(cells.map(_._1).toSeq === (0L until (n * n).toLong))
+    cells.sliding(2).foreach { case Array((_, (x0, y0)), (_, (x1, y1))) =>
+      assert(math.abs(x1 - x0) + math.abs(y1 - y0) === 1L,
+        s"non-unit step ($x0,$y0) -> ($x1,$y1)")
+    }
+
+    // interpreted eval (no codegen) agrees with the codegen path
+    val interp = new graft.functions.HilbertIndex(
+      org.apache.spark.sql.catalyst.expressions.Literal(1L),
+      org.apache.spark.sql.catalyst.expressions.Literal(2L), 2)
+      .eval(null)
+    assert(interp === 7L)
+  }
+
+  test("Hilbert files cover small blobs too, and the rewrite is lossless") {
+    val sf = "/root/testdata/sf0.001"
+    val li = Tables.lineitem(spark, sf)
+      .select("l_orderkey", "l_quantity", "l_extendedprice")
+    val stats = li.agg(
+      min("l_extendedprice").cast("double"), max("l_extendedprice").cast("double"),
+      min("l_quantity").cast("double"), max("l_quantity").cast("double")).head()
+    val lo = Seq(stats.getDouble(0), stats.getDouble(2))
+    val hi = Seq(stats.getDouble(1), stats.getDouble(3))
+    val cols = Seq("l_extendedprice", "l_quantity")
+    val dir = "/tmp/graft_zorder_spec_hilbert"
+    IoOps.writeHilberted(li, dir, cols(0), cols(1), numFiles = 16)
+    val r = meanNormRange(dir, cols, lo, hi)
+    assert(r.forall(_ < 0.6), s"hilbert per-file footprint too wide: $r")
+    assert(spark.read.parquet(dir).count() === li.count())
+  }
 }
