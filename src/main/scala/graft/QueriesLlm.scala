@@ -3626,6 +3626,46 @@ object QueriesLlm {
        |    / 100000000.0 AS rr
        |FROM top""".stripMargin)
 
+  /** MAP@10 of the BM25 ranking (TextOps.averagePrecisionAtK):
+    * precision at every relevant hit in the top-10, normalized by
+    * min(corpus-wide relevant count, 10) — completes the ranking-eval
+    * trio with ndcg_eval (graded order quality) and mrr_eval (first
+    * hit). Per-rank precisions snap to 1e-8 BIGINTs before the
+    * order-free integer sum.
+    */
+  private val mapEvalQ = Q(
+    (s, d) => {
+      val scored = TextOps.bm25Score(Tables.documents(s, d), "doc_id",
+          "text", bm25Terms)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25r"))
+      TextOps.averagePrecisionAtK(scored, "doc_id", "n_terms_matched",
+          "bm25r", k = 10, relMin = 2L)
+        .select(col("n_rel_corpus"), col("n_rel_topk"),
+          qround(col("ap"), 8).as("ap"))
+    },
+    s"""WITH s AS (${bm25Q.sql}),
+       |nr AS (
+       |  SELECT CAST(sum(CASE WHEN n_terms_matched >= 2 THEN 1 ELSE 0
+       |    END) AS BIGINT) AS n_rel_corpus FROM s),
+       |top AS (
+       |  SELECT n_terms_matched AS rel,
+       |    row_number() OVER (ORDER BY bm25 DESC, doc_id) AS rk
+       |  FROM s ORDER BY bm25 DESC, doc_id LIMIT 10),
+       |p AS (
+       |  SELECT rk, CASE WHEN rel >= 2 THEN 1 ELSE 0 END AS r,
+       |    CAST(sum(CASE WHEN rel >= 2 THEN 1 ELSE 0 END)
+       |      OVER (ORDER BY rk) AS DOUBLE) / CAST(rk AS DOUBLE) AS prec
+       |  FROM top)
+       |SELECT nr.n_rel_corpus, CAST(sum(r) AS BIGINT) AS n_rel_topk,
+       |  ${qrSql(
+         """CAST(sum(CASE WHEN r = 1 THEN
+           |    CAST(floor(prec * 100000000.0 + 0.5) AS BIGINT)
+           |    ELSE 0 END) AS DOUBLE) / 100000000.0
+           |    / CAST(least(nr.n_rel_corpus, 10) AS DOUBLE)""".stripMargin,
+         8)} AS ap
+       |FROM p CROSS JOIN nr GROUP BY nr.n_rel_corpus""".stripMargin)
+
   /** Zipf power-law fit (TextOps.zipfFit) over the top-500 vocabulary
     * — the does-this-look-like-natural-language corpus diagnostic.
     * The OLS runs on 1e-6-quantized logs as exact bigints; slope and
@@ -4201,6 +4241,7 @@ object QueriesLlm {
     "brier_ece" -> brierEceQ,
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,
+    "map_eval" -> mapEvalQ,
     "zipf_fit" -> zipfFitQ,
     "image_hash" -> imageHashQ,
     "image_neardup" -> imageNearDupQ,

@@ -254,6 +254,44 @@ object TextOps {
         (floor(lit(1.0e8) / col("first_rel_rank")) / lit(1.0e8)).as("rr"))
   }
 
+  /** Average precision @ k of a scored ranking — the area-under-PR
+    * companion to [[mrrAtK]] (position of EVERY answer, not just the
+    * first): AP = Σ_{relevant i ≤ k} P@i / min(R, k), with R the
+    * corpus-wide relevant count so a retriever is penalized for
+    * answers it never surfaced. MAP over a query set is the mean of
+    * this per query.
+    *
+    * Determinism: each P@i = cum_rel(i)/i is one IEEE division on
+    * exact integers, then snapped to the 1e-8 grid AS A BIGINT — the
+    * sum is integer (order-free) and the final normalization is the
+    * only remaining float op, so any oracle replays it exactly.
+    * Scale: TakeOrdered top-k (never a global fact sort) + one scalar
+    * aggregate for R; the window walks k rows.
+    */
+  def averagePrecisionAtK(scored: DataFrame, idCol: String, relCol: String,
+                          scoreCol: String, k: Int,
+                          relMin: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(k > 0, "averagePrecisionAtK needs a positive k")
+    val rel = col(relCol).cast("long") >= relMin
+    val nRel = scored.agg(
+      sum(when(rel, 1L).otherwise(0L)).as("n_rel_corpus"))
+    val byRank = Window.orderBy(col("_rk"))
+    scored.orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+      .withColumn("_rk", row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).cast("long"))
+      .withColumn("_crel", sum(when(rel, 1L).otherwise(0L)).over(byRank))
+      .agg(
+        sum(when(rel, floor(col("_crel").cast("double") / col("_rk")
+          * lit(1.0e8) + lit(0.5)).cast("long")).otherwise(0L)).as("_psum"),
+        sum(when(rel, 1L).otherwise(0L)).as("n_rel_topk"))
+      .crossJoin(nRel)
+      .select(col("n_rel_corpus"), col("n_rel_topk"),
+        (col("_psum").cast("double") / lit(1.0e8) /
+          least(col("n_rel_corpus"), lit(k.toLong)).cast("double"))
+          .as("ap"))
+  }
+
   /** Zipf power-law fit of the term-frequency distribution — the
     * does-this-corpus-look-like-natural-language diagnostic (natural
     * text has alpha near 1; boilerplate/spam/machine-generated dumps

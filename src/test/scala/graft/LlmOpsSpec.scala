@@ -148,6 +148,18 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx(rows(2).getDouble(2), 0.3 * 1.0 - 0.7 * 1.0))
   }
 
+  test("averagePrecisionAtK: P@i at each hit, normalized by min(R, k)") {
+    // score order 1>2>3>4>5; relevant = {1, 3, 5}; k=4 keeps ranks
+    // 1..4, hits at ranks 1 and 3 -> AP = (1/1 + 2/3) / min(3, 4)
+    val scored = Seq((1L, 5L, 2L), (2L, 4L, 0L), (3L, 3L, 2L),
+      (4L, 2L, 0L), (5L, 1L, 2L)).toDF("doc_id", "score", "rel")
+    val r = TextOps.averagePrecisionAtK(scored, "doc_id", "rel",
+      "score", k = 4, relMin = 2L).head()
+    assert(r.getAs[Long]("n_rel_corpus") === 3L)
+    assert(r.getAs[Long]("n_rel_topk") === 2L)
+    assert(approx(r.getAs[Double]("ap"), (1.0 + 2.0 / 3.0) / 3.0, 1e-7))
+  }
+
   test("lshTopK only scores bucket collisions; identical vectors collide") {
     val emb = Seq(
       (0L, Array.fill(64)(0.5f)), (1L, Array.fill(64)(0.5f)),
