@@ -4071,6 +4071,82 @@ object QueriesLlm {
     * every row. The coarse grid bounds both the window's domain and
     * the output row count.
     */
+  /** Split conformal interval (ClassifierOps.conformalInterval) for
+    * price ~ quantity on lineitem at alpha = 0.1: hash 3-way split,
+    * exact-bigint OLS on train, rank-select residual quantile on
+    * calibration, integer coverage count on test. The oracle replays
+    * the identical sums, the identical IEEE slope/intercept
+    * expressions, and the identical 1e-2-grid residual snap.
+    */
+  private val conformalIntervalQ = Q(
+    (s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        (col("l_orderkey") * 8 + col("l_linenumber")).as("k"),
+        col("l_quantity").cast("long").as("x"),
+        floor(col("l_extendedprice") * 100.0 + 0.5).cast("long").as("y"))
+      ClassifierOps.conformalInterval(li, "k", "x", "y", alpha = 0.1)
+        .select(col("n_train"), col("n_cal"), col("n_test"),
+          qround(col("slope"), 6).as("slope"),
+          qround(col("intercept"), 4).as("intercept"),
+          col("qhat"), col("n_covered"),
+          qround(col("coverage"), 8).as("coverage"))
+    },
+    s"""WITH base AS (
+       |  SELECT
+       |    (((l_orderkey * 8 + l_linenumber) % $M)
+       |      * ${SketchOps.KmvMult}) % $M % ${SampleOps.SplitBuckets} AS b,
+       |    CAST(l_quantity AS BIGINT) AS x,
+       |    CAST(floor(l_extendedprice * 100.0 + 0.5) AS BIGINT) AS y
+       |  FROM lineitem),
+       |tr AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(x) AS BIGINT) AS sx,
+       |    CAST(sum(y) AS BIGINT) AS sy, CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy
+       |  FROM base WHERE b < 6000),
+       |ab AS (
+       |  SELECT n, sx, sy,
+       |    (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+       |    / (CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) AS slope
+       |  FROM tr),
+       |ab2 AS (
+       |  SELECT n, slope,
+       |    (CAST(sy AS DOUBLE) - slope * CAST(sx AS DOUBLE))
+       |      / CAST(n AS DOUBLE) AS icept
+       |  FROM ab),
+       |sc AS MATERIALIZED (
+       |  SELECT b, CAST(floor(abs(CAST(y AS DOUBLE)
+       |      - (icept + slope * CAST(x AS DOUBLE))) * ${dlit(100.0)}
+       |      + ${dlit(0.5)}) AS BIGINT) AS rq
+       |  FROM base CROSS JOIN ab2),
+       |calh AS (
+       |  SELECT rq, count(*) AS cnt
+       |  FROM sc WHERE b >= 6000 AND b < 8000 GROUP BY 1),
+       |nc AS (SELECT CAST(sum(cnt) AS BIGINT) AS n_cal FROM calh),
+       |kk AS (
+       |  SELECT n_cal, least(n_cal,
+       |    CAST(ceil(CAST(n_cal + 1 AS DOUBLE) * ${dlit(0.9)}) AS BIGINT))
+       |    AS k
+       |  FROM nc),
+       |qh AS (
+       |  SELECT min(rq) AS qhat FROM
+       |    (SELECT rq, sum(cnt) OVER (ORDER BY rq) AS cum FROM calh) c,
+       |    kk WHERE c.cum >= kk.k),
+       |tst AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_test,
+       |    CAST(sum(CASE WHEN rq <= qhat THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_covered
+       |  FROM sc, qh WHERE b >= 8000)
+       |SELECT ab2.n AS n_train, kk.n_cal, tst.n_test,
+       |  ${qrSql("ab2.slope", 6)} AS slope,
+       |  ${qrSql("ab2.icept", 4)} AS intercept,
+       |  qh.qhat, tst.n_covered,
+       |  ${qrSql(
+         "CAST(tst.n_covered AS DOUBLE) / CAST(tst.n_test AS DOUBLE)",
+         8)} AS coverage
+       |FROM ab2, kk, qh, tst""".stripMargin)
+
   private val prCurveQ = Q(
     (s, d) => {
       val w = trainLogregWeights(s, d)
@@ -4238,6 +4314,7 @@ object QueriesLlm {
   val all: Map[String, Q] = Map(
     "roc_auc" -> rocAucQ,
     "pr_curve" -> prCurveQ,
+    "conformal_interval" -> conformalIntervalQ,
     "brier_ece" -> brierEceQ,
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,

@@ -382,4 +382,74 @@ object ClassifierOps {
           (lit(1.0e8) * max(col("n")).cast("double"))).as("brier"),
         StatsOps.orderedFoldSum(Seq("_b"), "_term").as("ece"))
   }
+
+  /** Split conformal prediction interval for a linear point predictor
+    * — the distribution-free uncertainty wrapper model evals want
+    * around any regressor: hash-split into train/calibration/test,
+    * OLS-fit y ~ x on train, take q̂ = the ⌈(n_cal+1)(1−α)⌉-th
+    * smallest |residual| on calibration, and report the empirical
+    * test coverage of ŷ ± q̂ (guaranteed ≥ 1−α in expectation by
+    * exchangeability — Vovk et al.'s split CP).
+    *
+    * Exactness contract: `xCol`/`yCol` must be integer-valued (the
+    * caller pre-scales, e.g. price→cents), so the five OLS sums are
+    * exact BIGINTs (order-free); slope/intercept are the same IEEE
+    * double expressions an oracle replays from those sums. Residuals
+    * snap to the 1/resQuant grid as BIGINTs, so the calibration
+    * quantile is an exact rank-select on the DISTINCT residual domain
+    * (window walks distinct values, never a fact sort) and the test
+    * coverage comparison is integer.
+    *
+    * Scale: three scans (train sums, calibration histogram, test
+    * coverage), each one hash aggregate; driver state is 5 sums +
+    * the residual histogram head (distinct-value-bounded). Overflow:
+    * Σx·y stays under 2^63 for |x·y| ≤ 5e8 up to ~10^10 rows.
+    */
+  def conformalInterval(df: DataFrame, keyCol: String, xCol: String,
+                        yCol: String, alpha: Double,
+                        trainFrac: Double = 0.6, calFrac: Double = 0.2,
+                        resQuant: Double = 100.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(alpha > 0 && alpha < 1, s"alpha in (0,1), got $alpha")
+    val nb = SampleOps.SplitBuckets
+    val trainCut = math.floor(trainFrac * nb).toLong
+    val calCut = math.floor((trainFrac + calFrac) * nb).toLong
+    val base = df.select(
+      SampleOps.splitBucket(col(keyCol)).as("_b"),
+      col(xCol).cast("long").as("_x"), col(yCol).cast("long").as("_y"))
+    val tr = base.where(col("_b") < trainCut)
+      .agg(count(lit(1)).as("n"), sum("_x").as("sx"), sum("_y").as("sy"),
+        sum(col("_x") * col("_x")).as("sxx"),
+        sum(col("_x") * col("_y")).as("sxy"))
+      .head() // 5 scalars, bounded
+    val n = tr.getLong(0)
+    require(n > 0, "conformalInterval: empty training split")
+    val (sx, sy, sxx, sxy) =
+      (tr.getLong(1), tr.getLong(2), tr.getLong(3), tr.getLong(4))
+    // same double expression the oracle computes from the same bigints
+    val slope = (n.toDouble * sxy.toDouble - sx.toDouble * sy.toDouble) /
+      (n.toDouble * sxx.toDouble - sx.toDouble * sx.toDouble)
+    val icept = (sy.toDouble - slope * sx.toDouble) / n.toDouble
+    val rq = floor(abs(col("_y").cast("double") -
+        (lit(icept) + lit(slope) * col("_x").cast("double"))) *
+      lit(resQuant) + lit(0.5)).cast("long")
+    val scored = base.withColumn("_rq", rq)
+    val cal = scored.where(col("_b") >= trainCut && col("_b") < calCut)
+    val nCal = cal.count()
+    require(nCal > 0, "conformalInterval: empty calibration split")
+    val k = math.min(nCal,
+      math.ceil((nCal + 1).toDouble * (1.0 - alpha)).toLong)
+    val qhat = cal.groupBy("_rq").agg(count(lit(1)).as("_n"))
+      .withColumn("_cum", sum("_n").over(Window.orderBy("_rq")))
+      .where(col("_cum") >= k)
+      .agg(min("_rq")).head().getLong(0) // rank-select scalar
+    scored.where(col("_b") >= calCut)
+      .agg(count(lit(1)).as("n_test"),
+        sum(when(col("_rq") <= qhat, 1L).otherwise(0L)).as("n_covered"))
+      .select(lit(n).as("n_train"), lit(nCal).as("n_cal"), col("n_test"),
+        lit(slope).as("slope"), lit(icept).as("intercept"),
+        lit(qhat).as("qhat"), col("n_covered"),
+        (col("n_covered").cast("double") / col("n_test").cast("double"))
+          .as("coverage"))
+  }
 }

@@ -147,4 +147,53 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(cohensKappa(anti.toDF("a", "b"), "a", "b")
       .head().getDouble(2) == -1.0)
   }
+
+  test("conformalInterval: exact-linear data gives zero-width intervals") {
+    val df = (0L until 400L).map(k => (k, k % 10, 10 * (k % 10) + 7))
+      .toDF("k", "x", "y")
+    val r = ClassifierOps.conformalInterval(df, "k", "x", "y", alpha = 0.1)
+      .head()
+    assert(approx(r.getAs[Double]("slope"), 10.0, 1e-9))
+    assert(approx(r.getAs[Double]("intercept"), 7.0, 1e-9))
+    assert(r.getAs[Long]("qhat") === 0L)
+    assert(r.getAs[Double]("coverage") === 1.0)
+    assert(r.getAs[Long]("n_train") + r.getAs[Long]("n_cal") +
+      r.getAs[Long]("n_test") === 400L)
+  }
+
+  test("conformalInterval qhat is the ceil((n+1)(1-alpha))-th residual") {
+    import graft.operators.SampleOps
+    // y = 10x plus a key-parity bump of 5 -> residuals are a known
+    // two-point distribution; replicate the split + rank rule in
+    // plain Scala as an independent check of the rank-select
+    val rows = (0L until 1000L).map { k =>
+      (k, k % 10, 10 * (k % 10) + (if (k % 2 == 0) 0L else 5L))
+    }
+    val df = rows.toDF("k", "x", "y")
+    val r = ClassifierOps.conformalInterval(df, "k", "x", "y",
+      alpha = 0.2).head()
+    // independent replica: buckets via the same public splitBucket,
+    // OLS + residuals + quantile in plain Scala collections
+    val buckets = df.select(col("k"),
+        SampleOps.splitBucket(col("k")).as("b"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    val train = rows.filter(t => buckets(t._1) < 6000)
+    val n = train.size.toDouble
+    val (sx, sy) = (train.map(_._2).sum.toDouble, train.map(_._3).sum.toDouble)
+    val sxx = train.map(t => t._2 * t._2).sum.toDouble
+    val sxy = train.map(t => t._2 * t._3).sum.toDouble
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    val icept = (sy - slope * sx) / n
+    def rq(t: (Long, Long, Long)): Long =
+      math.floor(math.abs(t._3.toDouble - (icept + slope * t._2)) *
+        100.0 + 0.5).toLong
+    val cal = rows.filter(t =>
+      buckets(t._1) >= 6000 && buckets(t._1) < 8000).map(rq).sorted
+    val k = math.min(cal.size.toLong,
+      math.ceil((cal.size + 1).toDouble * 0.8).toLong)
+    assert(r.getAs[Long]("qhat") === cal((k - 1).toInt))
+    val test = rows.filter(t => buckets(t._1) >= 8000)
+    val covered = test.count(t => rq(t) <= r.getAs[Long]("qhat"))
+    assert(r.getAs[Long]("n_covered") === covered.toLong)
+  }
 }
