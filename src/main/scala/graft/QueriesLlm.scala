@@ -4214,6 +4214,67 @@ object QueriesLlm {
     * are exact BIGINTs on the 1e-4 score grid, ECE is a fixed-order
     * fold over the 10 bins.
     */
+  /** Isotonic recalibration (ClassifierOps.isotonicCalibrate) of the
+    * trained logreg quality score at 50 buckets: PAV by minimax over
+    * the bucket domain — integer cum-sums, exact divisions, min/max
+    * only, so no float-order hazard exists on either engine.
+    */
+  private val isotonicCalibrationQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("y").cast("int").as("label"),
+          qround(col("score"), 6).as("score"))
+      ClassifierOps.isotonicCalibrate(scored, "label", "score", bins = 50)
+        .select(col("bucket"), col("n_b"),
+          qround(col("mean_score"), 8).as("mean_score"),
+          qround(col("frac_pos"), 8).as("frac_pos"),
+          qround(col("iso_p"), 8).as("iso_p"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |sc AS (
+       |  SELECT CAST(y AS INT) AS label,
+       |    ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} AS score
+       |  FROM f, wf),
+       |pb AS (
+       |  SELECT least(CAST(floor(score * 10000.0 + 0.5) AS BIGINT)
+       |      * 50 // 10000, 49) AS b,
+       |    CAST(label AS BIGINT) AS yy,
+       |    CAST(floor(score * 10000.0 + 0.5) AS BIGINT) AS p4
+       |  FROM sc),
+       |g AS (
+       |  SELECT b, CAST(count(*) AS BIGINT) AS n_b,
+       |    CAST(sum(yy) AS BIGINT) AS s_b,
+       |    CAST(sum(p4) AS BIGINT) AS sp_b
+       |  FROM pb GROUP BY 1),
+       |c AS (
+       |  SELECT b, n_b, s_b,
+       |    CAST(sum(n_b) OVER (ORDER BY b) AS BIGINT) AS cn,
+       |    CAST(sum(s_b) OVER (ORDER BY b) AS BIGINT) AS cs
+       |  FROM g),
+       |seg AS (
+       |  SELECT a.b AS j, k.b AS k_,
+       |    CAST(k.cs - a.cs + a.s_b AS DOUBLE)
+       |      / CAST(k.cn - a.cn + a.n_b AS DOUBLE) AS m
+       |  FROM c a JOIN c k ON a.b <= k.b),
+       |mi AS (
+       |  SELECT i.b AS i, seg.j, min(seg.m) AS mn
+       |  FROM c i JOIN seg ON seg.j <= i.b AND i.b <= seg.k_
+       |  GROUP BY 1, 2),
+       |iso AS (SELECT i, max(mn) AS iso_p FROM mi GROUP BY 1)
+       |SELECT g.b AS bucket, g.n_b,
+       |  ${qrSql(
+         "CAST(g.sp_b AS DOUBLE) / (10000.0 * CAST(g.n_b AS DOUBLE))", 8)}
+       |    AS mean_score,
+       |  ${qrSql("CAST(g.s_b AS DOUBLE) / CAST(g.n_b AS DOUBLE)", 8)}
+       |    AS frac_pos,
+       |  ${qrSql("iso.iso_p", 8)} AS iso_p
+       |FROM g JOIN iso ON g.b = iso.i""".stripMargin)
+
   private val brierEceQ = Q(
     (s, d) => {
       val w = trainLogregWeights(s, d)
@@ -4316,6 +4377,7 @@ object QueriesLlm {
     "pr_curve" -> prCurveQ,
     "conformal_interval" -> conformalIntervalQ,
     "brier_ece" -> brierEceQ,
+    "isotonic_calibration" -> isotonicCalibrationQ,
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,
     "map_eval" -> mapEvalQ,

@@ -383,6 +383,66 @@ object ClassifierOps {
         StatsOps.orderedFoldSum(Seq("_b"), "_term").as("ece"))
   }
 
+  /** Isotonic calibration (pool-adjacent-violators) of a [0,1] score
+    * against a 0/1 label — the standard nonparametric recalibrator
+    * (sklearn's `IsotonicRegression`, Zadrozny–Elkan) a quality/
+    * reward-model eval runs when the reliability diagram
+    * (calibration_curve / brier_ece) shows miscalibration.
+    *
+    * PAV is computed by its minimax characterization instead of the
+    * sequential pooling loop:
+    *   iso(i) = max_{j ≤ i} min_{k ≥ i} mean(y over buckets j..k)
+    * which needs only per-bucket INTEGER sums (order-free), cumulative
+    * sums over the B-row bucket table, and min/max over exact IEEE
+    * divisions — no float summation anywhere, so the result is
+    * engine-exact with no quantization tricks.
+    *
+    * Scale: ONE fact-scan hash aggregate to B rows; the j≤i≤k triple
+    * join is O(B³) on a broadcast-size table (B=50 → 20k rows),
+    * constant at any corpus scale. Same 1e-4 score snap + integer
+    * `div` bucketing as [[brierEce]].
+    */
+  def isotonicCalibrate(df: DataFrame, labelCol: String, scoreCol: String,
+                        bins: Int = 50): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(bins >= 2, "isotonicCalibrate needs at least 2 bins")
+    val y = col(labelCol).cast("long")
+    val p4 = floor(col(scoreCol) * lit(10000.0) + lit(0.5)).cast("long")
+    val perBin = df
+      .where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .select(p4.as("_p4"), y.as("_y"))
+      .select(least(expr(s"_p4 * ${bins}L div 10000L"),
+        lit(bins.toLong - 1)).as("_b"), col("_p4"), col("_y"))
+      .groupBy("_b")
+      .agg(count(lit(1)).as("n_b"), sum(col("_y")).as("s_b"),
+        sum(col("_p4")).as("sp_b"))
+    val cum = perBin
+      .withColumn("cn", sum("n_b").over(Window.orderBy("_b")))
+      .withColumn("cs", sum("s_b").over(Window.orderBy("_b")))
+    // segment means over bucket ranges [j, k]: integer cum diffs, one
+    // exact division — (j, k, mean)
+    val a = cum.select(col("_b").as("j"), col("cn").as("cnj"),
+      col("cs").as("csj"), col("n_b").as("nj"), col("s_b").as("sj"))
+    val b = cum.select(col("_b").as("k"), col("cn").as("cnk"),
+      col("cs").as("csk"))
+    val seg = a.join(b, col("j") <= col("k"))
+      .select(col("j"), col("k"),
+        ((col("csk") - col("csj") + col("sj")).cast("double") /
+          (col("cnk") - col("cnj") + col("nj")).cast("double")).as("m"))
+    // iso(i) = max_{j<=i} min_{k>=i} m(j,k): bounded triple join
+    val i = cum.select(col("_b").as("i"))
+    val iso = seg.join(i, col("j") <= col("i") && col("i") <= col("k"))
+      .groupBy("i", "j").agg(min("m").as("mn"))
+      .groupBy("i").agg(max("mn").as("iso_p"))
+    perBin.join(iso, perBin("_b") === iso("i"))
+      .select(col("_b").as("bucket"), col("n_b"),
+        (col("sp_b").cast("double") /
+          (lit(10000.0) * col("n_b").cast("double"))).as("mean_score"),
+        (col("s_b").cast("double") / col("n_b").cast("double"))
+          .as("frac_pos"),
+        col("iso_p"))
+  }
+
   /** Split conformal prediction interval for a linear point predictor
     * — the distribution-free uncertainty wrapper model evals want
     * around any regressor: hash-split into train/calibration/test,

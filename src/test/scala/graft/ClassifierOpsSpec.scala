@@ -148,6 +148,26 @@ class ClassifierOpsSpec extends SparkSpec {
       .head().getDouble(2) == -1.0)
   }
 
+  test("isotonicCalibrate pools adjacent violators (hand PAV case)") {
+    // bucket means 0.75, 0.25, 1.0 -> classic PAV pools the first two
+    // to 0.5 and leaves 1.0: iso = [0.5, 0.5, 1.0]
+    val rows =
+      Seq.fill(3)((0.01, 1)) ++ Seq((0.01, 0)) ++
+      Seq((0.31, 1)) ++ Seq.fill(3)((0.31, 0)) ++
+      Seq.fill(2)((0.61, 1))
+    val out = ClassifierOps.isotonicCalibrate(
+        rows.toDF("score", "label"), "label", "score", bins = 50)
+      .orderBy("bucket").collect()
+    assert(out.map(_.getAs[Long]("bucket")).toSeq === Seq(0L, 15L, 30L))
+    assert(out.map(_.getAs[Double]("iso_p")).toSeq === Seq(0.5, 0.5, 1.0))
+    // monotone by construction
+    assert(out.map(_.getAs[Double]("iso_p")).toSeq ===
+      out.map(_.getAs[Double]("iso_p")).sorted.toSeq)
+    // frac_pos reports the raw (unpooled) per-bucket rate
+    assert(out.map(_.getAs[Double]("frac_pos")).toSeq ===
+      Seq(0.75, 0.25, 1.0))
+  }
+
   test("conformalInterval: exact-linear data gives zero-width intervals") {
     val df = (0L until 400L).map(k => (k, k % 10, 10 * (k % 10) + 7))
       .toDF("k", "x", "y")
