@@ -234,6 +234,54 @@ object QueriesAnalytics {
       |    AS resid_var
       |FROM ps JOIN pg USING (g)""".stripMargin)
 
+  /** SAX symbolization (SequenceOps.saxEncode) of each event type's
+    * hourly profile: PAA over 24 hourly windows, z-scored against the
+    * series, alphabet a..d at the N(0,1) quartile breakpoints. The
+    * oracle replays the identical integer sums and IEEE mean/std/z
+    * expressions; symbols are pure comparisons.
+    */
+  private val saxEncodeQ = Q(
+    (s, d) => operators.SequenceOps.saxEncode(
+        Tables.events(s, d).select(col("event_type"),
+          expr("(ts_ns div 3600000000000L) % 24").as("hour"),
+          col("value")),
+        "event_type", "hour", "value", quantDigits = 2)
+      .select(col("event_type"), col("hour"), col("n_w"),
+        qround(col("paa"), 8).as("paa"),
+        qround(col("z"), 8).as("z"), col("symbol")),
+    """WITH e AS (
+      |  SELECT event_type AS g,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hour,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |pw AS (
+      |  SELECT g, hour, CAST(count(*) AS BIGINT) AS n_w,
+      |    CAST(sum(v) AS BIGINT) AS svw,
+      |    CAST(sum(v * v) AS BIGINT) AS svvw
+      |  FROM e GROUP BY 1, 2),
+      |pg AS (
+      |  SELECT g, CAST(sum(n_w) AS BIGINT) AS n,
+      |    CAST(sum(svw) AS BIGINT) AS sv,
+      |    CAST(sum(svvw) AS BIGINT) AS svv
+      |  FROM pw GROUP BY 1),
+      |z AS (
+      |  SELECT g, hour, n_w,
+      |    CAST(svw AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE)) AS paa,
+      |    (CAST(svw AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE))
+      |      - CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+      |    / sqrt((CAST(svv AS DOUBLE) / (100.0 * 100.0)
+      |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |          / (100.0 * 100.0 * CAST(n AS DOUBLE)))
+      |      / CAST(n AS DOUBLE)) AS zz
+      |  FROM pw JOIN pg USING (g))
+      |SELECT g AS event_type, hour, n_w,
+      |  floor(paa * 100000000.0 + 0.5) / 100000000.0 AS paa,
+      |  floor(zz * 100000000.0 + 0.5) / 100000000.0 AS z,
+      |  CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
+      |       WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS symbol
+      |FROM z""".stripMargin)
+
   /** Seasonal-naive forecast backtest per event type
     * (SequenceOps.forecastBacktest, season = 24 observations): exact
     * integer MAE/RMSE on the 1e-2 grid and the scale-free MASE ratio
@@ -396,6 +444,7 @@ object QueriesAnalytics {
     "kruskal_wallis" -> kruskalWallisQ,
     "cramers_v" -> cramersVQ,
     "seasonal_decompose" -> seasonalDecomposeQ,
+    "sax_encode" -> saxEncodeQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

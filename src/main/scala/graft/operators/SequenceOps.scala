@@ -495,6 +495,52 @@ object SequenceOps {
         (col("_ssr") / D("_ng")).as("resid_var"))
   }
 
+  /** SAX (Symbolic Aggregate approXimation, Lin/Keogh) encoding of a
+    * time-bucketed series — the time-series-to-text bridge: PAA means
+    * per window, z-normalized against the series, then mapped to an
+    * alphabet via N(0,1) quantile breakpoints. The resulting symbol
+    * strings feed every text-side tool in the library (n-gram motifs,
+    * MinHash near-dup of series shapes, frequency anomalies).
+    *
+    * Exactness: window and series statistics are exact integer sums
+    * on the `quantDigits` grid; mean, std (population) and each z are
+    * the same IEEE expressions an oracle replays; symbols compare z
+    * against the quartile breakpoints of N(0,1) with half-open
+    * [lo, hi) cells — comparisons only, no float accumulation.
+    * alphabet=4 uses breakpoints (-0.6745, 0, 0.6745).
+    *
+    * Plan shape: one fact hash aggregate to (series × window), a
+    * series-bounded re-aggregation, one broadcast join back — the
+    * [[seasonalDecompose]] shape.
+    */
+  def saxEncode(df: DataFrame, groupCol: String, windowCol: String,
+                valueCol: String, quantDigits: Int = 2): DataFrame = {
+    val sc = math.pow(10, quantDigits)
+    val q = floor(col(valueCol) * lit(sc) + lit(0.5)).cast("long")
+    val perWin = df
+      .where(col(valueCol).isNotNull && col(windowCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol), col(windowCol), q.as("_v"))
+      .groupBy(col(groupCol), col(windowCol))
+      .agg(count(lit(1)).as("n_w"), sum(col("_v")).as("_svw"),
+        sum(col("_v") * col("_v")).as("_svvw"))
+    val perGroup = perWin.groupBy(col(groupCol))
+      .agg(sum(col("n_w")).as("_n"), sum(col("_svw")).as("_sv"),
+        sum(col("_svvw")).as("_svv"))
+    def D(c: String) = col(c).cast("double")
+    val mean = D("_sv") / (lit(sc) * D("_n"))
+    val std = sqrt((D("_svv") / (lit(sc) * lit(sc)) -
+      D("_sv") * D("_sv") / (lit(sc) * lit(sc) * D("_n"))) / D("_n"))
+    val paa = D("_svw") / (lit(sc) * D("n_w"))
+    val bp = 0.6745 // N(0,1) quartile; alphabet 'a' < -bp <= 'b' < 0 <= 'c' < bp <= 'd'
+    perWin.join(broadcast(perGroup), Seq(groupCol))
+      .withColumn("_z", (paa - mean) / std)
+      .select(col(groupCol), col(windowCol), col("n_w"),
+        paa.as("paa"), col("_z").as("z"),
+        when(col("_z") < -bp, "a").when(col("_z") < 0.0, "b")
+          .when(col("_z") < bp, "c").otherwise("d").as("symbol"))
+  }
+
   /** Seasonal-naive forecast backtest — the "beat this before you
     * ship a model" baseline eval: per series, predict each point by
     * the value `season` observations back, score MAE/RMSE on the

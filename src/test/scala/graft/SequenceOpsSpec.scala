@@ -184,4 +184,27 @@ class SequenceOpsSpec extends SparkSpec {
       ("_start", "A") -> ((1L, 0.5)), ("_start", "B") -> ((1L, 0.5)),
       ("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 1.0))))
   }
+
+  test("saxEncode: PAA z-scores hit the four quartile symbols") {
+    // one point per window at 0/10/20/30: mean 15, population std
+    // sqrt(125) -> z = ±1.342, ±0.447 -> symbols a, b, c, d
+    val df = Seq(("g", 0L, 0.0), ("g", 1L, 10.0), ("g", 2L, 20.0),
+      ("g", 3L, 30.0)).toDF("g", "w", "v")
+    val out = operators.SequenceOps.saxEncode(df, "g", "w", "v")
+      .orderBy("w").collect()
+    assert(out.map(_.getAs[String]("symbol")).toSeq ===
+      Seq("a", "b", "c", "d"))
+    assert(out.map(_.getAs[Double]("paa")).toSeq ===
+      Seq(0.0, 10.0, 20.0, 30.0))
+    val z = out.map(_.getAs[Double]("z"))
+    assert(approx(z(0), -15.0 / math.sqrt(125.0), 1e-9))
+    assert(approx(z(2), 5.0 / math.sqrt(125.0), 1e-9))
+    // window means, not raw rows: two points in one window pool first
+    val pooled = operators.SequenceOps.saxEncode(
+        Seq(("g", 0L, 0.0), ("g", 0L, 20.0), ("g", 1L, 5.0),
+          ("g", 1L, 15.0)).toDF("g", "w", "v"), "g", "w", "v")
+      .orderBy("w").collect()
+    assert(pooled.map(_.getAs[Double]("paa")).toSeq === Seq(10.0, 10.0))
+    assert(pooled.map(_.getAs[String]("symbol")).toSeq === Seq("c", "c"))
+  }
 }
