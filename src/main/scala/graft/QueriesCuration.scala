@@ -1510,6 +1510,35 @@ object QueriesCuration {
       |    / 100000000.0 AS risk_share
       |FROM pe""".stripMargin)
 
+  /** ε-DP noisy histogram (ValidateOps.dpCount, ε = 1): customers per
+    * nation with deterministic hash-seeded Laplace noise — the
+    * release side of the privacy family. The oracle replays the
+    * multiplicative hash, the half-shifted uniform and the inverse
+    * CDF verbatim.
+    */
+  private val dpCountQ = Q(
+    (s, d) => graft.operators.ValidateOps.dpCount(
+        Tables.customer(s, d).select(col("c_nationkey")),
+        "c_nationkey", epsilon = 1.0)
+      .select(col("c_nationkey").as("nationkey"), col("n"),
+        qround(col("noise"), 8).as("noise"),
+        qround(col("dp_n"), 8).as("dp_n")),
+    s"""WITH g AS (
+       |  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n
+       |  FROM customer GROUP BY 1),
+       |u AS (
+       |  SELECT k, n,
+       |    (CAST(((k % 1000000007) * ${SketchOps.KmvMult})
+       |        % 1000000007 AS DOUBLE) + 0.5) / 1000000007.0 - 0.5 AS uu
+       |  FROM g)
+       |SELECT k AS nationkey, n,
+       |  floor((-1.0) * sign(uu) * ln(1.0 - 2.0 * abs(uu))
+       |    * 100000000.0 + 0.5) / 100000000.0 AS noise,
+       |  floor((CAST(n AS DOUBLE) + (-1.0) * sign(uu)
+       |      * ln(1.0 - 2.0 * abs(uu))) * 100000000.0 + 0.5)
+       |    / 100000000.0 AS dp_n
+       |FROM u""".stripMargin)
+
   private val kAnonymityQ = Q(
     (s, d) => graft.operators.ValidateOps.kAnonymity(
         Tables.documents(s, d).select(col("lang"), col("source"),
@@ -1569,6 +1598,7 @@ object QueriesCuration {
     "bootstrap_ci" -> bootstrapCiQ,
     "impute_eval" -> imputeEvalQ,
     "k_anonymity" -> kAnonymityQ,
+    "dp_count" -> dpCountQ,
     "t_closeness" -> tClosenessQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,

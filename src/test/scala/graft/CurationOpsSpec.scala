@@ -683,4 +683,27 @@ class CurationOpsSpec extends SparkSpec {
       operators.ValidateOps.kAnonymity(df, Seq("qa"), 1L)
     }
   }
+
+  test("dpCount: deterministic Laplace noise scales as 1/epsilon") {
+    val df = (0L until 100L).map(k => (k % 7, k)).toDF("g", "id")
+    def run(eps: Double) = operators.ValidateOps
+      .dpCount(df.select(col("g")), "g", eps)
+      .orderBy("g").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))
+    val e1 = run(1.0)
+    // exact counts survive underneath; dp_n = n + noise by definition
+    assert(e1.map(_._2).sum === 100L)
+    e1.foreach { case (_, n, noise, dp) =>
+      assert(approx(dp, n + noise, 1e-12)) }
+    // same seed -> identical noise (no rand() anywhere)
+    assert(run(1.0).toSeq === e1.toSeq)
+    // Laplace scale is 1/eps: doubling eps exactly halves every draw
+    val e2 = run(2.0)
+    e1.zip(e2).foreach { case ((_, _, n1, _), (_, _, n2, _)) =>
+      assert(approx(n2, n1 / 2.0, 1e-12), s"$n1 vs $n2") }
+    // noise is nonzero and finite for every group
+    e1.foreach { case (_, _, noise, _) =>
+      assert(!noise.isNaN && !noise.isInfinite && noise != 0.0) }
+  }
 }
