@@ -3666,6 +3666,43 @@ object QueriesLlm {
          8)} AS ap
        |FROM p CROSS JOIN nr GROUP BY nr.n_rel_corpus""".stripMargin)
 
+  /** TextRank keywords (TextOps.textRankKeywords): integer PageRank
+    * over the distinct content-word adjacency graph, top-20 by
+    * (rank DESC, word). The oracle replays the same three exact
+    * integer steps as pagerank's, over bigram-derived edges.
+    */
+  private val textrankKeywordsQ = Q(
+    (s, d) => TextOps.textRankKeywords(Tables.documents(s, d), "text",
+      minLen = 4, iters = 3, topN = 20),
+    {
+      def step(prev: String, cur: String) =
+        s"""$cur AS (
+           |  SELECT e.dst AS id,
+           |    150000 + (CAST(sum($prev.rank // dg.deg) AS BIGINT) * 85) // 100
+           |      AS rank
+           |  FROM $prev JOIN edges e ON $prev.id = e.src
+           |             JOIN deg dg ON $prev.id = dg.src
+           |  GROUP BY 1)"""
+      s"""WITH w AS (SELECT string_split(text, ' ') AS ws FROM documents),
+         |bi AS (
+         |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+         |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+         |        FROM w WHERE len(ws) >= 2)),
+         |pairs AS (
+         |  SELECT DISTINCT w1, w2 FROM bi
+         |  WHERE length(w1) >= 4 AND length(w2) >= 4 AND w1 <> w2),
+         |edges AS (
+         |  SELECT w1 AS src, w2 AS dst FROM pairs
+         |  UNION SELECT w2, w1 FROM pairs),
+         |deg AS (SELECT src, count(*) AS deg FROM edges GROUP BY 1),
+         |r0 AS (SELECT src AS id, CAST(1000000 AS BIGINT) AS rank FROM deg),
+         |${step("r0", "r1")},
+         |${step("r1", "r2")},
+         |${step("r2", "r3")}
+         |SELECT id AS word, rank FROM r3
+         |ORDER BY rank DESC, id LIMIT 20""".stripMargin
+    })
+
   /** Zipf power-law fit (TextOps.zipfFit) over the top-500 vocabulary
     * — the does-this-look-like-natural-language corpus diagnostic.
     * The OLS runs on 1e-6-quantized logs as exact bigints; slope and
@@ -4381,6 +4418,7 @@ object QueriesLlm {
     "cohens_kappa" -> cohensKappaQ,
     "mrr_eval" -> mrrEvalQ,
     "map_eval" -> mapEvalQ,
+    "textrank_keywords" -> textrankKeywordsQ,
     "zipf_fit" -> zipfFitQ,
     "image_hash" -> imageHashQ,
     "image_neardup" -> imageNearDupQ,

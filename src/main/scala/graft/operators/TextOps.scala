@@ -376,6 +376,37 @@ object TextOps {
           (col("_c1").cast("double") + col("_v").cast("double"))).as("p"))
   }
 
+  /** TextRank keyword extraction (Mihalcea & Tarau) — corpus-level
+    * keywords as the PageRank centrality of the word-adjacency graph:
+    * adjacent content words (length ≥ minLen, no self-loops) form
+    * undirected edges, [[graft.operators.DedupOps.pageRankIntegers]]
+    * ranks them in exact integer micro-units (deterministic at any
+    * parallelism — no float sum-order hazard), top-N by
+    * (rank DESC, word) comes back.
+    *
+    * Scale shape: one fact scan to the DISTINCT adjacency list
+    * (vocab²-bounded, in practice ~vocab-sized), then the PageRank
+    * joins ride |edges|; the top-N is a TakeOrdered on the vocab
+    * table, never a fact sort.
+    */
+  def textRankKeywords(df: DataFrame, textCol: String, minLen: Int = 4,
+                       iters: Int = 3, topN: Int = 20): DataFrame = {
+    val ws = words(col(textCol))
+    val pairs = df.select(ws.as("_ws")).where(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(_ws) - 2),
+          |  i -> struct(_ws[i] AS w1, _ws[i + 1] AS w2))""".stripMargin))
+        .as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .where(length(col("w1")) >= minLen && length(col("w2")) >= minLen &&
+        col("w1") =!= col("w2"))
+      .distinct()
+    graft.operators.DedupOps.pageRankIntegers(pairs, "w1", "w2", iters)
+      .orderBy(col("rank").desc, col("id"))
+      .limit(topN)
+      .select(col("id").as("word"), col("rank"))
+  }
+
   /** Pointwise mutual information over within-document word
     * co-occurrence — the collocation / phrase-mining readout
     * (PMI(x,y) = ln(c_xy·N / (df_x·df_y)) over document frequencies).

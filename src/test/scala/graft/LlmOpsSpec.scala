@@ -148,6 +148,24 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx(rows(2).getDouble(2), 0.3 * 1.0 - 0.7 * 1.0))
   }
 
+  test("textRankKeywords: hub word of a star graph ranks first") {
+    // adjacency graph is a star centered on "castle" (degree 3);
+    // short words ("a", "the") never enter the graph
+    val docs = Seq(
+      (1L, "castle river castle stone"),
+      (2L, "castle forest a the tiny")).toDF("doc_id", "text")
+    val out = TextOps.textRankKeywords(docs, "text", minLen = 4,
+      iters = 3, topN = 10).collect()
+    assert(out.head.getString(0) === "castle")
+    val ranks = out.map(_.getLong(1))
+    assert(ranks.toSeq === ranks.sortBy(-_).toSeq)
+    // "a"/"the" filtered; "tiny" only borders "the" so it is isolated
+    val ws = out.map(_.getString(0)).toSet
+    assert(!ws.contains("a") && !ws.contains("the") &&
+      !ws.contains("tiny"))
+    assert(ws === Set("castle", "river", "stone", "forest"))
+  }
+
   test("averagePrecisionAtK: P@i at each hit, normalized by min(R, k)") {
     // score order 1>2>3>4>5; relevant = {1, 3, 5}; k=4 keeps ranks
     // 1..4, hits at ranks 1 and 3 -> AP = (1/1 + 2/3) / min(3, 4)
