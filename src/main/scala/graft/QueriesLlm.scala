@@ -2414,14 +2414,12 @@ object QueriesLlm {
     * exact small integers and per-frame counts <= 32, so the sums of
     * squares are exact in both engines — no float-order noise at all.
     */
-  private val audioFrameEnergyQ = Q(
-    (s, d) => {
-      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
-      MultimodalOps.frameEnergy(s, media, frameLen = 32)
-        .select(col("media_id"), col("frame_idx"),
-          qround(col("rms_energy"), 8).as("rms_energy"))
-    },
-    s"""WITH m AS (
+  /** Shared CTE chain (m, fr, e) decoding the packed payload as
+    * PCM16 LE and producing per-frame (ss, cnt) at frameLen = 32 —
+    * the oracle base of audio_frame_energy and audio_vad.
+    */
+  private val audioEnergyCtes: String =
+    s"""m AS (
        |  SELECT doc_id AS media_id, text, length(text) // 2 AS n
        |  FROM documents),
        |fr AS (
@@ -2444,10 +2442,62 @@ object QueriesLlm {
        |                    + 256 * ascii(substr(text, 2 * k_, 1)) >= 32768
        |                 THEN 65536 ELSE 0 END)))) AS ss,
        |    least((frame_idx + 1) * 32, n) - frame_idx * 32 AS cnt
-       |  FROM fr)
+       |  FROM fr)""".stripMargin
+
+  private val audioFrameEnergyQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.frameEnergy(s, media, frameLen = 32)
+        .select(col("media_id"), col("frame_idx"),
+          qround(col("rms_energy"), 8).as("rms_energy"))
+    },
+    s"""WITH $audioEnergyCtes
        |SELECT media_id, frame_idx,
        |  ${qrSql("sqrt(ss / cnt)", 8)} AS rms_energy
        |FROM e""".stripMargin)
+
+  /** Voice-activity segments (MultimodalOps.vadSegments) at RMS ≥
+    * 25000 over the PCM16 fixture: integer 1e-8-grid energies, the
+    * islands run-grouping, per-segment exact mean. The oracle shares
+    * audio_frame_energy's decode CTEs verbatim.
+    */
+  private val audioVadQ = Q(
+    (s, d) => {
+      val media = MultimodalOps.packMedia(Tables.documents(s, d), "doc_id", "text")
+      MultimodalOps.vadSegments(s, media, frameLen = 32,
+          threshold = 25000.0)
+        .select(col("media_id"), col("seg_id"), col("seg_start"),
+          col("seg_end"), col("n_frames"),
+          qround(col("mean_energy"), 8).as("mean_energy"))
+    },
+    s"""WITH $audioEnergyCtes,
+       |a AS (
+       |  SELECT media_id, frame_idx,
+       |    CAST(floor(sqrt(ss / cnt) * 100000000.0 + 0.5) AS BIGINT)
+       |      AS e8
+       |  FROM e
+       |  WHERE CAST(floor(sqrt(ss / cnt) * 100000000.0 + 0.5) AS BIGINT)
+       |    >= ${math.floor(25000.0 * 1e8 + 0.5).toLong}),
+       |g AS (
+       |  SELECT media_id, frame_idx, e8,
+       |    frame_idx - row_number()
+       |      OVER (PARTITION BY media_id ORDER BY frame_idx) AS grp
+       |  FROM a),
+       |seg AS (
+       |  SELECT media_id, grp,
+       |    min(frame_idx) AS seg_start, max(frame_idx) AS seg_end,
+       |    CAST(count(*) AS BIGINT) AS n_frames,
+       |    CAST(sum(e8) AS BIGINT) AS se
+       |  FROM g GROUP BY 1, 2)
+       |SELECT media_id,
+       |  CAST(row_number()
+       |    OVER (PARTITION BY media_id ORDER BY seg_start) AS INT)
+       |    AS seg_id,
+       |  seg_start, seg_end, n_frames,
+       |  ${qrSql(
+         "CAST(se AS DOUBLE) / (100000000.0 * CAST(n_frames AS DOUBLE))",
+         8)} AS mean_energy
+       |FROM seg""".stripMargin)
 
   /** %.17e literal — parses as DOUBLE in DuckDB, round-trips exactly. */
   private def dlit(x: Double): String = f"$x%.17e"
@@ -4419,6 +4469,7 @@ object QueriesLlm {
     "mrr_eval" -> mrrEvalQ,
     "map_eval" -> mapEvalQ,
     "textrank_keywords" -> textrankKeywordsQ,
+    "audio_vad" -> audioVadQ,
     "zipf_fit" -> zipfFitQ,
     "image_hash" -> imageHashQ,
     "image_neardup" -> imageNearDupQ,

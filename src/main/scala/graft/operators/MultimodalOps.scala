@@ -345,6 +345,43 @@ object MultimodalOps {
     }.toDF("media_id", "frame_idx", "rms_energy")
   }
 
+  /** Voice-activity segments over [[frameEnergy]] — the
+    * silence-filter step of an audio curation pipeline: frames with
+    * RMS ≥ threshold, grouped into maximal consecutive runs by the
+    * islands trick (frame_idx − row_number is constant within a run).
+    *
+    * Exactness: the threshold compare and the per-segment mean ride
+    * 1e-8-grid BIGINT energies — integer compare, integer sum, one
+    * final division. Windows are partitioned by media_id (per-file
+    * frame counts are bounded by the media length, never corpus-
+    * scale).
+    */
+  def vadSegments(spark: SparkSession, media: DataFrame,
+                  frameLen: Int = 32,
+                  threshold: Double = 25000.0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val thrQ = math.floor(threshold * 1e8 + 0.5).toLong
+    val active = frameEnergy(spark, media, frameLen)
+      .select(col("media_id"), col("frame_idx"),
+        floor(col("rms_energy") * lit(1.0e8) + lit(0.5)).cast("long")
+          .as("_e8"))
+      .where(col("_e8") >= thrQ)
+    val byFrame = Window.partitionBy("media_id").orderBy("frame_idx")
+    val bySegStart = Window.partitionBy("media_id").orderBy("seg_start")
+    active
+      .withColumn("_g", col("frame_idx") - row_number().over(byFrame))
+      .groupBy("media_id", "_g")
+      .agg(min("frame_idx").as("seg_start"),
+        max("frame_idx").as("seg_end"),
+        count(lit(1)).as("n_frames"), sum("_e8").as("_se"))
+      .withColumn("seg_id", row_number().over(bySegStart))
+      .select(col("media_id"), col("seg_id"), col("seg_start"),
+        col("seg_end"), col("n_frames"),
+        (col("_se").cast("double") /
+          (lit(1.0e8) * col("n_frames").cast("double")))
+          .as("mean_energy"))
+  }
+
   /** Frame sampling stub for "video" payloads: every strideth block
     * becomes a frame row (media_id, frame_idx, frame_bytes). Long-form
     * explode — the Spark-side shape of video frame extraction.

@@ -346,7 +346,13 @@ class PlanInvariantsSpec extends SparkSpec {
       // kaplan_meier: the global cumulative + 1-row collect walk the
       // integer-DAY lifetime domain (bounded by the observation span;
       // SequenceOps.kaplanMeier aggregates keys first)
-      "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier")
+      // map_eval: the k rows AFTER limit (TextOps.averagePrecisionAtK
+      // — same TakeOrdered-then-window shape as mrr_eval)
+      // isotonic_calibration: the B=50 bucket table — the cumulative
+      // and the PAV triple join both walk the bins-bounded domain
+      // (ClassifierOps.isotonicCalibrate aggregates the fact FIRST)
+      "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
+      "map_eval", "isotonic_calibration")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
