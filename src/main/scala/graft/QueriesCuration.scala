@@ -606,6 +606,45 @@ object QueriesCuration {
     * midranks keep the rank sum an exact bigint; the tie sum replays
     * as the same fixed-order fold in both engines.
     */
+  /** Cliff's delta (StatsOps.cliffsDelta) for view-vs-purchase event
+    * values — the effect-size companion sharing mann_whitney's
+    * distinct-quantized-value domain; pair counts stay exact BIGINTs.
+    */
+  private val cliffsDeltaQ = Q(
+    (s, d) => StatsOps.cliffsDelta(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value")
+      .select(col("n_a"), col("n_b"), col("n_greater"), col("n_less"),
+        col("n_ties"), qround(col("delta"), 8).as("delta")),
+    """WITH e AS (
+      |  SELECT event_type AS c,
+      |    floor(value * 10000.0 + 0.5) / 10000.0 AS q
+      |  FROM events
+      |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+      |g AS (
+      |  SELECT q,
+      |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS ca,
+      |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+      |      AS cb
+      |  FROM e GROUP BY 1),
+      |cum AS (
+      |  SELECT q, ca, cb,
+      |    CAST(sum(cb) OVER (ORDER BY q ROWS UNBOUNDED PRECEDING)
+      |      AS BIGINT) AS cumb
+      |  FROM g),
+      |t AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+      |             CAST(sum(cb) AS BIGINT) AS n_b,
+      |             CAST(sum(ca * cumb) AS BIGINT) AS s,
+      |             CAST(sum(ca * cb) AS BIGINT) AS t_
+      |      FROM cum)
+      |SELECT n_a, n_b, s - t_ AS n_greater, n_a * n_b - s AS n_less,
+      |  t_ AS n_ties,
+      |  floor((CAST(s - t_ AS DOUBLE) - CAST(n_a * n_b - s AS DOUBLE))
+      |      / CAST(n_a * n_b AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS delta
+      |FROM t""".stripMargin)
+
   private val mannWhitneyQ = Q(
     (s, d) => StatsOps.mannWhitney(
         Tables.events(s, d).select(col("event_type"), col("value")),
@@ -1599,6 +1638,7 @@ object QueriesCuration {
     "impute_eval" -> imputeEvalQ,
     "k_anonymity" -> kAnonymityQ,
     "dp_count" -> dpCountQ,
+    "cliffs_delta" -> cliffsDeltaQ,
     "t_closeness" -> tClosenessQ,
     "rolling_median" -> rollingMedianQ,
     "chi2_drift" -> chi2DriftQ,

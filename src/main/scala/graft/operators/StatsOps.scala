@@ -1191,6 +1191,48 @@ object StatsOps {
       when(sig2 > 0, (u - mu) / sqrt(sig2)).otherwise(lit(0.0)).as("z"))
   }
 
+  /** Cliff's delta — the nonparametric EFFECT SIZE companion to
+    * [[mannWhitney]]'s significance: δ = (#{a>b} − #{a<b}) / (n_a·n_b)
+    * over all cross-cohort pairs (+1 = total dominance, 0 = overlap).
+    * A 100-TB A/B readout needs both: at that scale every test is
+    * "significant"; δ says whether it matters.
+    *
+    * Exactness + scale (the mann_whitney argument verbatim): one hash
+    * aggregate to per-quantized-value cohort counts, one cumulative
+    * window over that DISTINCT-value domain, one aggregate — the pair
+    * counts are exact BIGINTs (Σ ca·cumB-style products), never an
+    * all-pairs join; δ is the single final division.
+    */
+  def cliffsDelta(df: DataFrame, cohortCol: String, cohortA: String,
+                  cohortB: String, valueCol: String,
+                  quantDigits: Int = 4): DataFrame = {
+    val s = math.pow(10, quantDigits)
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"),
+        (floor(col(valueCol) * lit(s) + lit(0.5)) / lit(s)).as("_q"))
+      .groupBy("_q")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_q"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val agg = counts
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .agg(sum(col("_ca")).as("n_a"), sum(col("_cb")).as("n_b"),
+        // Σ ca(v)·cumB(≤v) and Σ ca(v)·cb(v): greater = s − t,
+        // less = n_a·n_b − s, ties = t
+        sum(col("_ca") * col("_cumb")).as("_s"),
+        sum(col("_ca") * col("_cb")).as("_t"))
+    val nab = col("n_a") * col("n_b")
+    agg.select(col("n_a"), col("n_b"),
+      (col("_s") - col("_t")).as("n_greater"),
+      (nab - col("_s")).as("n_less"),
+      col("_t").as("n_ties"),
+      ((col("_s") - col("_t")).cast("double") -
+        (nab - col("_s")).cast("double"))
+        .divide(nab.cast("double")).as("delta"))
+  }
+
   /** Join-key skew report — the pre-flight diagnostic run before
     * choosing a join strategy at 100 TB (a key whose share dwarfs the
     * mean is the one you salt or AQE-split): per-key exact counts, the

@@ -343,6 +343,28 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0).getDouble(3) === 0.0)
   }
 
+  test("cliffsDelta: hand pair census, dominance extremes, tie zero") {
+    // a = {1,2}, b = {2,3}: pairs (1,2)< (1,3)< (2,2)= (2,3)< ->
+    // greater 0, less 3, ties 1, delta = -3/4
+    val tied = Seq(("a", 1.0), ("a", 2.0), ("b", 2.0), ("b", 3.0))
+      .toDF("c", "v")
+    val r = operators.StatsOps.cliffsDelta(tied, "c", "a", "b", "v")
+      .head()
+    assert((r.getLong(2), r.getLong(3), r.getLong(4)) === ((0L, 3L, 1L)))
+    assert(r.getDouble(5) === -0.75)
+    // total dominance both ways
+    val dom = Seq(("a", 9.0), ("a", 8.0), ("b", 1.0)).toDF("c", "v")
+    assert(operators.StatsOps.cliffsDelta(dom, "c", "a", "b", "v")
+      .head().getDouble(5) === 1.0)
+    assert(operators.StatsOps.cliffsDelta(dom, "c", "b", "a", "v")
+      .head().getDouble(5) === -1.0)
+    // identical cohorts -> delta 0
+    val same = Seq(("a", 1.0), ("a", 2.0), ("b", 1.0), ("b", 2.0))
+      .toDF("c", "v")
+    assert(operators.StatsOps.cliffsDelta(same, "c", "a", "b", "v")
+      .head().getDouble(5) === 0.0)
+  }
+
   test("autocorrelation matches hand-computed ACF, nulls degenerate cases") {
     // k1 = [1,2,3,4]: mean 2.5, den 5; r1 = 1.25/5, r2 = -1.5/5,
     // r3 = -2.25/5. k2 constant -> den 0 -> null. k3 = [7,9] -> lag 2,3

@@ -351,8 +351,10 @@ class PlanInvariantsSpec extends SparkSpec {
       // isotonic_calibration: the B=50 bucket table — the cumulative
       // and the PAV triple join both walk the bins-bounded domain
       // (ClassifierOps.isotonicCalibrate aggregates the fact FIRST)
+      // cliffs_delta: shares mann_whitney's distinct-quantized-value
+      // domain argument verbatim (StatsOps.cliffsDelta)
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
-      "map_eval", "isotonic_calibration")
+      "map_eval", "isotonic_calibration", "cliffs_delta")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
