@@ -3716,6 +3716,58 @@ object QueriesLlm {
          8)} AS ap
        |FROM p CROSS JOIN nr GROUP BY nr.n_rel_corpus""".stripMargin)
 
+  /** Held-out bigram-LM perplexity (TextOps.bigramPerplexity): add-one
+    * model trained on the 80% hash split, scored on the rest; each
+    * ln(p) snaps to a 1e-6 BIGINT so the corpus sum is order-free,
+    * weighted by exact test counts.
+    */
+  private val bigramPerplexityQ = Q(
+    (s, d) => TextOps.bigramPerplexity(Tables.documents(s, d), "doc_id",
+        "text", trainFrac = 0.8)
+      .select(col("n_test_bigrams"),
+        qround(col("avg_logp"), 8).as("avg_logp"),
+        qround(col("perplexity"), 6).as("perplexity")),
+    s"""WITH trw AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents
+       |  WHERE (((doc_id % $M) * ${SketchOps.KmvMult}) % $M) % 10000 < 8000),
+       |tew AS (
+       |  SELECT string_split(text, ' ') AS ws FROM documents
+       |  WHERE (((doc_id % $M) * ${SketchOps.KmvMult}) % $M) % 10000 >= 8000),
+       |trb AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM trw WHERE len(ws) >= 2)),
+       |pairs AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS np
+       |  FROM trb GROUP BY 1, 2),
+       |ctx AS (SELECT w1, CAST(sum(np) AS BIGINT) AS c1
+       |        FROM pairs GROUP BY 1),
+       |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS nv
+       |      FROM (SELECT unnest(ws) AS w FROM trw)),
+       |teb AS (
+       |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+       |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+       |        FROM tew WHERE len(ws) >= 2)),
+       |tst AS (
+       |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS nt
+       |  FROM teb GROUP BY 1, 2),
+       |sc AS (
+       |  SELECT tst.nt,
+       |    CAST(floor(ln(CAST(coalesce(pairs.np, 0) + 1 AS DOUBLE)
+       |        / CAST(coalesce(ctx.c1, 0) + v.nv AS DOUBLE))
+       |      * 1000000.0 + 0.5) AS BIGINT) AS lq
+       |  FROM tst LEFT JOIN pairs USING (w1, w2)
+       |           LEFT JOIN ctx USING (w1) CROSS JOIN v)
+       |SELECT CAST(sum(nt) AS BIGINT) AS n_test_bigrams,
+       |  ${qrSql(
+         """CAST(sum(nt * lq) AS DOUBLE) / 1000000.0
+           |    / CAST(sum(nt) AS DOUBLE)""".stripMargin, 8)} AS avg_logp,
+       |  ${qrSql(
+         """exp(-(CAST(sum(nt * lq) AS DOUBLE) / 1000000.0
+           |    / CAST(sum(nt) AS DOUBLE)))""".stripMargin, 6)}
+       |    AS perplexity
+       |FROM sc""".stripMargin)
+
   /** TextRank keywords (TextOps.textRankKeywords): integer PageRank
     * over the distinct content-word adjacency graph, top-20 by
     * (rank DESC, word). The oracle replays the same three exact
@@ -4470,6 +4522,7 @@ object QueriesLlm {
     "map_eval" -> mapEvalQ,
     "textrank_keywords" -> textrankKeywordsQ,
     "audio_vad" -> audioVadQ,
+    "bigram_perplexity" -> bigramPerplexityQ,
     "zipf_fit" -> zipfFitQ,
     "image_hash" -> imageHashQ,
     "image_neardup" -> imageNearDupQ,

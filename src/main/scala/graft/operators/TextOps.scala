@@ -407,6 +407,60 @@ object TextOps {
       .select(col("id").as("word"), col("rank"))
   }
 
+  /** Held-out bigram-LM perplexity — the intrinsic LM eval every
+    * data-mixture decision reads (Gopher/Chinchilla-style "does this
+    * corpus slice predict that one"): train an add-one bigram model
+    * on the `trainFrac` hash split of documents, score the remaining
+    * split, report mean log-prob and perplexity.
+    *
+    * Exactness: each bigram's p = (n_pair + 1)/(c1 + V) is one exact
+    * division of integers (unseen contexts coalesce to 0); per-bigram
+    * ln(p) snaps to the 1e-6 grid AS A BIGINT, so the corpus sum is
+    * order-free integer arithmetic weighted by exact test counts —
+    * the zipf_fit discipline. Perplexity = exp(−mean) is the single
+    * remaining float op.
+    *
+    * Plan shape: train counts are one vocab²-bounded hash aggregate;
+    * test bigrams aggregate to their own (pair × count) table BEFORE
+    * the two left joins (pair table, context table) — the joins ride
+    * vocab²-bounded relations, never fact rows.
+    */
+  def bigramPerplexity(df: DataFrame, idCol: String, textCol: String,
+                       trainFrac: Double = 0.8): DataFrame = {
+    import graft.operators.SampleOps
+    val cut = math.floor(trainFrac * SampleOps.SplitBuckets).toLong
+    val bucket = SampleOps.splitBucket(col(idCol))
+    val ws = words(col(textCol))
+    def bigrams(src: DataFrame): DataFrame = src
+      .select(ws.as("_ws")).where(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(_ws) - 2),
+          |  i -> struct(_ws[i] AS w1, _ws[i + 1] AS w2))""".stripMargin))
+        .as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_n"))
+    val train = df.where(bucket < cut)
+    val test = df.where(bucket >= cut)
+    val pairs = bigrams(train).withColumnRenamed("_n", "_np")
+    val ctx = pairs.groupBy("w1").agg(sum("_np").as("_c1"))
+    val vocab = train.select(explode(ws).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    val scored = bigrams(test).withColumnRenamed("_n", "_nt")
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col("_nt"),
+        floor(log((coalesce(col("_np"), lit(0L)) + lit(1L)).cast("double") /
+            (coalesce(col("_c1"), lit(0L)) + col("_v")).cast("double")) *
+          lit(1.0e6) + lit(0.5)).cast("long").as("_lq"))
+    scored.agg(sum(col("_nt")).as("n_test_bigrams"),
+        sum(col("_nt") * col("_lq")).as("_slq"))
+      .select(col("n_test_bigrams"),
+        (col("_slq").cast("double") / lit(1.0e6) /
+          col("n_test_bigrams").cast("double")).as("avg_logp"))
+      .withColumn("perplexity", exp(-col("avg_logp")))
+  }
+
   /** Pointwise mutual information over within-document word
     * co-occurrence — the collocation / phrase-mining readout
     * (PMI(x,y) = ln(c_xy·N / (df_x·df_y)) over document frequencies).

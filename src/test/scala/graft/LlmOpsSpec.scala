@@ -148,6 +148,28 @@ class LlmOpsSpec extends SparkSpec {
     assert(approx(rows(2).getDouble(2), 0.3 * 1.0 - 0.7 * 1.0))
   }
 
+  test("bigramPerplexity: add-one probabilities on a hand bigram table") {
+    import graft.operators.SampleOps
+    // pick one id per split by probing the real split hash
+    val buckets = (0L until 64L).toDF("id")
+      .select(col("id"), SampleOps.splitBucket(col("id")).as("b"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val trainId = buckets.collectFirst {
+      case (id, b) if b < 8000 => id }.get
+    val testId = buckets.collectFirst {
+      case (id, b) if b >= 8000 => id }.get
+    // train "a b a b": np(a,b)=2, np(b,a)=1, c1(a)=2, c1(b)=1, V=2
+    // test "a b c": p(a,b) = 3/4, p(b,c) = 1/3 (unseen w2)
+    val docs = Seq((trainId, "a b a b"), (testId, "a b c"))
+      .toDF("doc_id", "text")
+    val r = TextOps.bigramPerplexity(docs, "doc_id", "text", 0.8).head()
+    assert(r.getAs[Long]("n_test_bigrams") === 2L)
+    def q6(x: Double) = math.floor(x * 1e6 + 0.5) / 1e6
+    val expAvg = (q6(math.log(0.75)) + q6(math.log(1.0 / 3.0))) / 2.0
+    assert(approx(r.getAs[Double]("avg_logp"), expAvg, 1e-9))
+    assert(approx(r.getAs[Double]("perplexity"), math.exp(-expAvg), 1e-9))
+  }
+
   test("textRankKeywords: hub word of a star graph ranks first") {
     // adjacency graph is a star centered on "castle" (degree 3);
     // short words ("a", "the") never enter the graph
