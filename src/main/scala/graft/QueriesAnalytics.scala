@@ -282,6 +282,69 @@ object QueriesAnalytics {
       |       WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS symbol
       |FROM z""".stripMargin)
 
+  /** Hurst exponent per event type (SequenceOps.hurstExponent):
+    * aggregated-variance method over block sizes 1..32 — complete
+    * blocks only, exact bigint block sums, 1e-6-quantized log-log OLS.
+    */
+  private val hurstExponentQ = Q(
+    (s, d) => operators.SequenceOps.hurstExponent(
+        Tables.events(s, d).select(col("event_type"), col("ts_ns"),
+          col("event_id"), col("value")),
+        "event_type", "ts_ns", "event_id", "value")
+      .select(col("event_type"), col("n_scales"),
+        qround(col("slope"), 8).as("slope"),
+        qround(col("hurst"), 8).as("hurst")),
+    """WITH e AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v,
+      |    CAST(row_number() OVER (PARTITION BY event_type
+      |      ORDER BY ts, event_id) - 1 AS BIGINT) AS i
+      |  FROM events
+      |  WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |b AS (
+      |  SELECT g, m, i // m AS blk, CAST(count(*) AS BIGINT) AS nr,
+      |    CAST(sum(v) AS BIGINT) AS sv
+      |  FROM e CROSS JOIN (SELECT unnest([1, 2, 4, 8, 16, 32]) AS m) ms
+      |  GROUP BY 1, 2, 3),
+      |pm AS (
+      |  SELECT g, m, CAST(count(*) AS BIGINT) AS nb,
+      |    CAST(sum(sv) AS BIGINT) AS s1,
+      |    CAST(sum(sv * sv) AS BIGINT) AS s2
+      |  FROM b WHERE nr = m GROUP BY 1, 2),
+      |vv AS (
+      |  SELECT g, m, nb,
+      |    CAST(s2 AS DOUBLE) / (CAST(nb AS DOUBLE) * 100.0 * 100.0
+      |      * CAST(m AS DOUBLE) * CAST(m AS DOUBLE))
+      |    - (CAST(s1 AS DOUBLE)
+      |        / (CAST(nb AS DOUBLE) * 100.0 * CAST(m AS DOUBLE)))
+      |      * (CAST(s1 AS DOUBLE)
+      |        / (CAST(nb AS DOUBLE) * 100.0 * CAST(m AS DOUBLE)))
+      |      AS var
+      |  FROM pm WHERE nb >= 2),
+      |lg AS (
+      |  SELECT g,
+      |    CAST(floor(ln(1.0 * m) * 1000000.0 + 0.5) AS BIGINT) AS lx,
+      |    CAST(floor(ln(var) * 1000000.0 + 0.5) AS BIGINT) AS ly
+      |  FROM vv WHERE var > 0),
+      |f AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_scales,
+      |    CAST(sum(lx) AS BIGINT) AS sx, CAST(sum(ly) AS BIGINT) AS sy,
+      |    CAST(sum(lx * lx) AS BIGINT) AS sxx,
+      |    CAST(sum(lx * ly) AS BIGINT) AS sxy
+      |  FROM lg GROUP BY 1 HAVING count(*) >= 2)
+      |SELECT g AS event_type, n_scales,
+      |  floor((CAST(n_scales AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS slope,
+      |  floor((1.0 + (CAST(n_scales AS DOUBLE) * CAST(sxy AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |    / (CAST(n_scales AS DOUBLE) * CAST(sxx AS DOUBLE)
+      |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE)) / 2.0)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS hurst
+      |FROM f""".stripMargin)
+
   /** Seasonal-naive forecast backtest per event type
     * (SequenceOps.forecastBacktest, season = 24 observations): exact
     * integer MAE/RMSE on the 1e-2 grid and the scale-free MASE ratio
@@ -445,6 +508,7 @@ object QueriesAnalytics {
     "cramers_v" -> cramersVQ,
     "seasonal_decompose" -> seasonalDecomposeQ,
     "sax_encode" -> saxEncodeQ,
+    "hurst_exponent" -> hurstExponentQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

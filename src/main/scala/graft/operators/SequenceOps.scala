@@ -495,6 +495,78 @@ object SequenceOps {
         (col("_ssr") / D("_ng")).as("resid_var"))
   }
 
+  /** Hurst exponent by the aggregated-variance method — the
+    * long-range-dependence diagnostic for a metric stream (H ≈ 0.5 =
+    * short memory; H → 1 = trends persist, so window-based anomaly
+    * thresholds and traffic forecasts need wider bands): for block
+    * sizes m ∈ {1, 2, 4, …}, the variance of complete-block means
+    * scales as m^(2H−2); H comes from the log-log OLS slope.
+    *
+    * Exactness: block sums are exact BIGINTs on the quantized grid
+    * and only COMPLETE blocks enter (the ragged tail would bias the
+    * small-m variances); each Var(m) is a closed-form double of exact
+    * integers; the OLS runs on 1e-6-quantized logs as exact bigints
+    * (the zipf_fit discipline), so slope/H are the only float ops.
+    *
+    * Plan shape: one partitioned window pass for sequence numbers,
+    * one fact×|ms| explode into block aggregates (the autocorrelation
+    * lag-k cost shape), a (series × ms)-bounded re-aggregation, and a
+    * series-bounded OLS. Degenerate variances (≤ 0) drop out of the
+    * fit; a series needs ≥ 2 usable block sizes to report.
+    */
+  def hurstExponent(df: DataFrame, groupCol: String, tsCol: String,
+                    tieCol: String, valueCol: String,
+                    blockSizes: Seq[Int] = Seq(1, 2, 4, 8, 16, 32),
+                    quantDigits: Int = 2): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(blockSizes.nonEmpty && blockSizes.forall(_ >= 1))
+    val sc = math.pow(10, quantDigits)
+    val seqW = Window.partitionBy(col(groupCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val base = df.where(col(valueCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol) * lit(sc) + lit(0.5)).cast("long").as("_v"),
+        (row_number().over(seqW) - 1).cast("long").as("_i"))
+    val ms = {
+      val sp = df.sparkSession
+      import sp.implicits._
+      blockSizes.toDF("_m")
+    }
+    val blocks = base.crossJoin(broadcast(ms))
+      .groupBy(col("_g"), col("_m"),
+        expr("_i div _m").as("_blk"))
+      .agg(count(lit(1)).as("_nr"), sum("_v").as("_sv"))
+      .where(col("_nr") === col("_m")) // complete blocks only
+    def D(c: org.apache.spark.sql.Column) = c.cast("double")
+    val perM = blocks.groupBy("_g", "_m")
+      .agg(count(lit(1)).as("_nb"), sum("_sv").as("_s1"),
+        sum(col("_sv") * col("_sv")).as("_s2"))
+      .where(col("_nb") >= 2)
+      .select(col("_g"), col("_m"), col("_nb"),
+        (D(col("_s2")) / (D(col("_nb")) * lit(sc) * lit(sc) *
+          D(col("_m")) * D(col("_m"))) -
+          (D(col("_s1")) / (D(col("_nb")) * lit(sc) * D(col("_m")))) *
+          (D(col("_s1")) / (D(col("_nb")) * lit(sc) * D(col("_m")))))
+          .as("_var"))
+      .where(col("_var") > 0)
+      .select(col("_g"),
+        floor(log(lit(1.0) * col("_m")) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("_lx"),
+        floor(log(col("_var")) * lit(1.0e6) + lit(0.5))
+          .cast("long").as("_ly"))
+    val fit = perM.groupBy("_g")
+      .agg(count(lit(1)).as("n_scales"), sum("_lx").as("_sx"),
+        sum("_ly").as("_sy"), sum(col("_lx") * col("_lx")).as("_sxx"),
+        sum(col("_lx") * col("_ly")).as("_sxy"))
+      .where(col("n_scales") >= 2)
+    val n = D(col("n_scales"))
+    val slope = (n * D(col("_sxy")) - D(col("_sx")) * D(col("_sy"))) /
+      (n * D(col("_sxx")) - D(col("_sx")) * D(col("_sx")))
+    fit.select(col("_g").as(groupCol), col("n_scales"),
+      slope.as("slope"),
+      (lit(1.0) + slope / lit(2.0)).as("hurst"))
+  }
+
   /** SAX (Symbolic Aggregate approXimation, Lin/Keogh) encoding of a
     * time-bucketed series — the time-series-to-text bridge: PAA means
     * per window, z-normalized against the series, then mapped to an

@@ -185,6 +185,32 @@ class SequenceOpsSpec extends SparkSpec {
       ("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 1.0))))
   }
 
+  test("hurstExponent: noise is short-memory, exact under repartition") {
+    // deterministic hash noise: iid-ish -> Var(m) ~ 1/m -> H near 0.5
+    // (splitmix64 finalizer; a bare multiplicative stride is strongly
+    // anti-persistent and drives H toward 0)
+    def mix(i: Long): Long = {
+      var z = i + 0x9E3779B97F4A7C15L
+      z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+      z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+      z ^ (z >>> 31)
+    }
+    val rows = (0L until 512L).map { i =>
+      ("s", i, i, math.floorMod(mix(i), 1000L).toDouble / 10.0)
+    }
+    val df = rows.toDF("g", "ts", "id", "v")
+    val r = operators.SequenceOps.hurstExponent(df, "g", "ts", "id", "v")
+      .head()
+    assert(r.getAs[Long]("n_scales") === 6L)
+    val h = r.getAs[Double]("hurst")
+    assert(h > 0.2 && h < 0.8, s"hash-noise H should be near 0.5, got $h")
+    // the exactness contract: identical output at any partitioning
+    val r16 = operators.SequenceOps.hurstExponent(
+      df.repartition(16), "g", "ts", "id", "v").head()
+    assert(r16.getAs[Double]("hurst") === h)
+    assert(r16.getAs[Double]("slope") === r.getAs[Double]("slope"))
+  }
+
   test("saxEncode: PAA z-scores hit the four quartile symbols") {
     // one point per window at 0/10/20/30: mean 15, population std
     // sqrt(125) -> z = ±1.342, ±0.447 -> symbols a, b, c, d
