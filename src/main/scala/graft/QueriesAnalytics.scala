@@ -345,6 +345,70 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS hurst
       |FROM f""".stripMargin)
 
+  /** Hill tail index (StatsOps.hillTailIndex, k = 100) of
+    * l_extendedprice: TakeOrdered top-(k+1), 1e-6-quantized logs as
+    * exact bigints, closed-form H and alpha.
+    */
+  private val tailIndexQ = Q(
+    (s, d) => StatsOps.hillTailIndex(
+        Tables.lineitem(s, d).select(col("l_extendedprice")),
+        "l_extendedprice", k = 100)
+      .select(col("k"), qround(col("ln_xref"), 6).as("ln_xref"),
+        qround(col("hill_h"), 8).as("hill_h"),
+        qround(col("alpha"), 8).as("alpha")),
+    """WITH top AS (
+      |  SELECT CAST(floor(ln(CAST(l_extendedprice AS DOUBLE))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS lq
+      |  FROM lineitem
+      |  WHERE l_extendedprice IS NOT NULL AND l_extendedprice > 0
+      |  ORDER BY CAST(l_extendedprice AS DOUBLE) DESC LIMIT 101),
+      |a AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n, CAST(sum(lq) AS BIGINT)
+      |      AS s, CAST(min(lq) AS BIGINT) AS lref
+      |  FROM top)
+      |SELECT n - 1 AS k,
+      |  floor(CAST(lref AS DOUBLE) / 1000000.0 * 1000000.0 + 0.5)
+      |    / 1000000.0 AS ln_xref,
+      |  floor(CAST(s - n * lref AS DOUBLE) / 1000000.0
+      |      / CAST(n - 1 AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS hill_h,
+      |  floor(1.0 / (CAST(s - n * lref AS DOUBLE) / 1000000.0
+      |      / CAST(n - 1 AS DOUBLE)) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS alpha
+      |FROM a WHERE n >= 3""".stripMargin)
+
+  /** Fano-factor burstiness (SequenceOps.burstiness) of each event
+    * type's hourly arrival counts — exact integer window counts,
+    * closed-form dispersion ratio.
+    */
+  private val burstinessQ = Q(
+    (s, d) => operators.SequenceOps.burstiness(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("n_windows"),
+        qround(col("mean_count"), 8).as("mean_count"),
+        qround(col("fano"), 8).as("fano")),
+    """WITH c AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS win,
+      |    CAST(count(*) AS BIGINT) AS c
+      |  FROM events WHERE event_type IS NOT NULL
+      |  GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_windows,
+      |    CAST(sum(c) AS BIGINT) AS sc,
+      |    CAST(sum(c * c) AS BIGINT) AS scc
+      |  FROM c GROUP BY 1)
+      |SELECT g AS event_type, n_windows,
+      |  floor(CAST(sc AS DOUBLE) / CAST(n_windows AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_count,
+      |  floor((CAST(scc AS DOUBLE) / CAST(n_windows AS DOUBLE)
+      |      - (CAST(sc AS DOUBLE) / CAST(n_windows AS DOUBLE))
+      |        * (CAST(sc AS DOUBLE) / CAST(n_windows AS DOUBLE)))
+      |    / (CAST(sc AS DOUBLE) / CAST(n_windows AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS fano
+      |FROM a""".stripMargin)
+
   /** Seasonal-naive forecast backtest per event type
     * (SequenceOps.forecastBacktest, season = 24 observations): exact
     * integer MAE/RMSE on the 1e-2 grid and the scale-free MASE ratio
@@ -509,6 +573,8 @@ object QueriesAnalytics {
     "seasonal_decompose" -> seasonalDecomposeQ,
     "sax_encode" -> saxEncodeQ,
     "hurst_exponent" -> hurstExponentQ,
+    "tail_index" -> tailIndexQ,
+    "burstiness" -> burstinessQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

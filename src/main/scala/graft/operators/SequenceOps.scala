@@ -495,6 +495,34 @@ object SequenceOps {
         (col("_ssr") / D("_ng")).as("resid_var"))
   }
 
+  /** Burstiness (Fano factor / index of dispersion) per series — the
+    * arrival-process triage next to [[hurstExponent]]: Fano =
+    * Var(counts per window)/Mean(counts per window) over OBSERVED
+    * time windows (1 = Poisson, >1 bursty, <1 regular). Cron-driven
+    * scrapers vs organic traffic separate on this one number.
+    *
+    * Exactness: window counts are exact integers, so n/Σc/Σc² are
+    * BIGINTs off two hash aggregates; Fano's biased-variance/mean
+    * form is a closed-form double of exact integers. Plan: fact →
+    * (series × window) counts → series-bounded re-aggregation.
+    */
+  def burstiness(df: DataFrame, groupCol: String,
+                 windowCol: String): DataFrame = {
+    val counts = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol), col(windowCol))
+      .agg(count(lit(1)).as("_c"))
+    def D(c: String) = col(c).cast("double")
+    counts.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_windows"), sum("_c").as("_sc"),
+        sum(col("_c") * col("_c")).as("_scc"))
+      .select(col(groupCol), col("n_windows"),
+        (D("_sc") / D("n_windows")).as("mean_count"),
+        ((D("_scc") / D("n_windows") -
+          (D("_sc") / D("n_windows")) * (D("_sc") / D("n_windows"))) /
+          (D("_sc") / D("n_windows"))).as("fano"))
+  }
+
   /** Hurst exponent by the aggregated-variance method — the
     * long-range-dependence diagnostic for a metric stream (H ≈ 0.5 =
     * short memory; H → 1 = trends persist, so window-based anomaly

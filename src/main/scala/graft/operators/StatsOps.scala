@@ -1191,6 +1191,38 @@ object StatsOps {
       when(sig2 > 0, (u - mu) / sqrt(sig2)).otherwise(lit(0.0)).as("z"))
   }
 
+  /** Hill tail-index estimator — the heavy-tail diagnostic next to
+    * zipf_fit (zipf reads the frequency HEAD; Hill reads the value
+    * TAIL): over the k+1 largest values, H = mean(ln xᵢ − ln x_ref)
+    * with x_ref the smallest of them, and alpha = 1/H the Pareto tail
+    * exponent (alpha ≤ 2 → infinite variance: means/CIs on this
+    * column are lies; sampling needs the heavy_hitters path).
+    *
+    * Exactness + scale: the k+1 survivors come from a TakeOrdered
+    * (never a global fact sort); logs snap to 1e-6 BIGINTs so the sum
+    * is order-free (ties at the boundary may swap WHICH rows survive
+    * between engines, but tied values have equal logs, so the sum is
+    * invariant); H and alpha are the only float ops.
+    */
+  def hillTailIndex(df: DataFrame, valueCol: String,
+                    k: Int = 100): DataFrame = {
+    require(k >= 2, "hillTailIndex needs k >= 2")
+    val top = df.where(col(valueCol).isNotNull && col(valueCol) > 0)
+      .select(col(valueCol).cast("double").as("_x"))
+      .orderBy(col("_x").desc).limit(k + 1)
+      .select(floor(log(col("_x")) * lit(1.0e6) + lit(0.5)).cast("long")
+        .as("_lq"))
+    val agg = top.agg(count(lit(1)).as("_n"), sum("_lq").as("_s"),
+      min("_lq").as("_lref"))
+    val kEff = (col("_n") - 1).cast("double")
+    val h = (col("_s") - col("_n") * col("_lref")).cast("double") /
+      lit(1.0e6) / kEff
+    agg.where(col("_n") >= 3)
+      .select((col("_n") - 1).as("k"),
+        (col("_lref").cast("double") / lit(1.0e6)).as("ln_xref"),
+        h.as("hill_h"), (lit(1.0) / h).as("alpha"))
+  }
+
   /** Cliff's delta — the nonparametric EFFECT SIZE companion to
     * [[mannWhitney]]'s significance: δ = (#{a>b} − #{a<b}) / (n_a·n_b)
     * over all cross-cohort pairs (+1 = total dominance, 0 = overlap).

@@ -343,6 +343,23 @@ class CurationOpsSpec extends SparkSpec {
       .collect()(0).getDouble(3) === 0.0)
   }
 
+  test("hillTailIndex: hand case on exact exponentials") {
+    // values e^1..e^4, k=2: survivors e^4,e^3,e^2; lref = 2;
+    // H = ((4+3+2) - 3*2)/2 = 1.5, alpha = 1/1.5
+    val df = Seq(math.exp(1), math.exp(2), math.exp(3), math.exp(4))
+      .toDF("v")
+    val r = operators.StatsOps.hillTailIndex(df, "v", k = 2).head()
+    assert(r.getAs[Long]("k") === 2L)
+    assert(approx(r.getAs[Double]("ln_xref"), 2.0, 1e-6))
+    assert(approx(r.getAs[Double]("hill_h"), 1.5, 1e-6))
+    assert(approx(r.getAs[Double]("alpha"), 1.0 / 1.5, 1e-6))
+    // non-positive values are excluded, not ln'd
+    val withZero = Seq(0.0, -1.0, math.exp(1), math.exp(2), math.exp(3),
+      math.exp(4)).toDF("v")
+    assert(approx(operators.StatsOps.hillTailIndex(withZero, "v", k = 2)
+      .head().getAs[Double]("hill_h"), 1.5, 1e-6))
+  }
+
   test("cliffsDelta: hand pair census, dominance extremes, tie zero") {
     // a = {1,2}, b = {2,3}: pairs (1,2)< (1,3)< (2,2)= (2,3)< ->
     // greater 0, less 3, ties 1, delta = -3/4

@@ -185,6 +185,18 @@ class SequenceOpsSpec extends SparkSpec {
       ("A", "B") -> ((1L, 1.0)), ("B", "A") -> ((1L, 1.0))))
   }
 
+  test("burstiness: constant windows give Fano 0, known split gives 0.5") {
+    val df = Seq(("a", 0L), ("a", 0L), ("a", 1L), ("a", 1L),
+      ("a", 2L), ("a", 2L), // constant 2 per window
+      ("b", 0L), ("b", 1L), ("b", 1L), ("b", 1L)) // {1, 3}
+      .toDF("g", "w")
+    val out = operators.SequenceOps.burstiness(df, "g", "w")
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(out("a") === ((3L, 2.0, 0.0)))
+    assert(out("b") === ((2L, 2.0, 0.5))) // var (1+9)/2 - 4 = 1; 1/2
+  }
+
   test("hurstExponent: noise is short-memory, exact under repartition") {
     // deterministic hash noise: iid-ish -> Var(m) ~ 1/m -> H near 0.5
     // (splitmix64 finalizer; a bare multiplicative stride is strongly
