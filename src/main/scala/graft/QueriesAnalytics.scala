@@ -409,6 +409,185 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS fano
       |FROM a""".stripMargin)
 
+  /** HyperLogLog distinct users per event type (SketchOps.hllDistinct,
+    * p = 6 → 64 registers) joined against the exact count: register
+    * math is exact-integer (Knuth hash, bin-string trailing zeros),
+    * the harmonic sum is exact-dyadic, so both engines agree to the
+    * bit before the 1e-4 output snap.
+    */
+  private val hllSketchQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d).where(col("event_type").isNotNull)
+      operators.SketchOps.hllDistinct(ev, "user_id", Seq("event_type"))
+        .join(ev.where(col("user_id").isNotNull).groupBy("event_type")
+          .agg(count_distinct(col("user_id")).as("n_exact")), "event_type")
+        .select(col("event_type"), col("n_exact"), col("zero_regs"),
+          qround(col("hll_est"), 4).as("hll_est"))
+    },
+    """WITH h0 AS (
+      |  SELECT event_type AS g,
+      |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h0
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |hm AS (
+      |  SELECT g, (xor(h0, h0 >> 15) * 2654435761) % 1000000007 AS g2
+      |  FROM h0),
+      |h AS (SELECT g, xor(g2, g2 >> 15) AS h FROM hm),
+      |r AS (
+      |  SELECT g, h % 64 AS reg,
+      |    CASE WHEN h // 64 = 0 THEN 26
+      |      ELSE length(bin(h // 64)) - length(rtrim(bin(h // 64), '0'))
+      |        + 1 END AS rho
+      |  FROM h),
+      |m AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS mr
+      |      FROM r GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS v,
+      |    sum(1.0 / CAST((CAST(1 AS BIGINT) << CAST(mr AS INTEGER))
+      |      AS DOUBLE)) AS sp
+      |  FROM m GROUP BY 1),
+      |x AS (
+      |  SELECT g, 64 - v AS zero_regs,
+      |    0.709 * 4096.0 / (sp + CAST(64 - v AS DOUBLE)) AS raw
+      |  FROM a),
+      |e AS (
+      |  SELECT g, zero_regs,
+      |    CASE WHEN raw <= 160.0 AND zero_regs > 0
+      |      THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
+      |      ELSE raw END AS est
+      |  FROM x),
+      |ex AS (
+      |  SELECT event_type AS g,
+      |    CAST(count(DISTINCT user_id) AS BIGINT) AS n_exact
+      |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL
+      |  GROUP BY 1)
+      |SELECT e.g AS event_type, n_exact, zero_regs,
+      |  floor(est * 10000.0 + 0.5) / 10000.0 AS hll_est
+      |FROM e JOIN ex ON e.g = ex.g""".stripMargin)
+
+  /** Referential-integrity audit (ValidateOps.fkOrphans) over the
+    * star schema's four FK edges plus the events→customer edge (which
+    * has a real orphan: user_id 0 has no custkey 0). Dimension parents
+    * broadcast; the lineitem→orders edge takes the shuffle anti-join.
+    */
+  private val fkOrphansQ = Q(
+    (s, d) => operators.ValidateOps.fkOrphans(Seq(
+      ("lineitem_orders", Tables.lineitem(s, d), "l_orderkey",
+        Tables.orders(s, d), "o_orderkey"),
+      ("lineitem_part", Tables.lineitem(s, d), "l_partkey",
+        broadcast(Tables.part(s, d)), "p_partkey"),
+      ("lineitem_supplier", Tables.lineitem(s, d), "l_suppkey",
+        broadcast(Tables.supplier(s, d)), "s_suppkey"),
+      ("orders_customer", Tables.orders(s, d), "o_custkey",
+        broadcast(Tables.customer(s, d)), "c_custkey"),
+      ("events_customer", Tables.events(s, d), "user_id",
+        broadcast(Tables.customer(s, d)), "c_custkey"))),
+    """SELECT 'lineitem_orders' AS relation,
+      |  CAST(count(*) AS BIGINT) AS child_rows,
+      |  CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT) AS null_keys,
+      |  CAST(count(*) FILTER (WHERE l_orderkey IS NOT NULL
+      |    AND o_orderkey IS NULL) AS BIGINT) AS orphan_rows,
+      |  CAST(count(DISTINCT CASE WHEN o_orderkey IS NULL
+      |    THEN l_orderkey END) AS BIGINT) AS orphan_keys
+      |FROM lineitem LEFT JOIN orders ON l_orderkey = o_orderkey
+      |UNION ALL
+      |SELECT 'lineitem_part',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(count(*) FILTER (WHERE l_partkey IS NOT NULL
+      |    AND p_partkey IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT CASE WHEN p_partkey IS NULL
+      |    THEN l_partkey END) AS BIGINT)
+      |FROM lineitem LEFT JOIN part ON l_partkey = p_partkey
+      |UNION ALL
+      |SELECT 'lineitem_supplier',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(count(*) FILTER (WHERE l_suppkey IS NOT NULL
+      |    AND s_suppkey IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT CASE WHEN s_suppkey IS NULL
+      |    THEN l_suppkey END) AS BIGINT)
+      |FROM lineitem LEFT JOIN supplier ON l_suppkey = s_suppkey
+      |UNION ALL
+      |SELECT 'orders_customer',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(count(*) FILTER (WHERE o_custkey IS NOT NULL
+      |    AND c_custkey IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+      |    THEN o_custkey END) AS BIGINT)
+      |FROM orders LEFT JOIN customer ON o_custkey = c_custkey
+      |UNION ALL
+      |SELECT 'events_customer',
+      |  CAST(count(*) AS BIGINT),
+      |  CAST(sum(CASE WHEN user_id IS NULL THEN 1 ELSE 0 END)
+      |    AS BIGINT),
+      |  CAST(count(*) FILTER (WHERE user_id IS NOT NULL
+      |    AND c_custkey IS NULL) AS BIGINT),
+      |  CAST(count(DISTINCT CASE WHEN c_custkey IS NULL
+      |    THEN user_id END) AS BIGINT)
+      |FROM events LEFT JOIN customer ON user_id = c_custkey""".stripMargin)
+
+  /** Bivariate Mahalanobis outlier census per event type
+    * (StatsOps.mahalanobisOutliers) over (value, hour-of-day): exact
+    * integer moment sums on the 1e-2 grid, mirrored IEEE d²
+    * expression, χ²₂ 99% threshold.
+    */
+  private val mahalanobisQ = Q(
+    (s, d) => StatsOps.mahalanobisOutliers(
+        Tables.events(s, d).select(col("event_type"), col("value"),
+          expr("CAST((ts_ns div 3600000000000L) % 24 AS DOUBLE)")
+            .as("hod")),
+        "event_type", "value", "hod")
+      .select(col("event_type"), col("n"), col("n_out"),
+        qround(col("max_d2"), 6).as("max_d2")),
+    """WITH f AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS x,
+      |    CAST(floor(CAST((epoch_ns(ts) // 3600000000000) % 24
+      |      AS DOUBLE) * 1.0 + 0.5) AS BIGINT) AS y
+      |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+      |st AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+      |    CAST(sum(x * x) AS BIGINT) AS sxx,
+      |    CAST(sum(y * y) AS BIGINT) AS syy,
+      |    CAST(sum(x * y) AS BIGINT) AS sxy
+      |  FROM f GROUP BY 1),
+      |s2 AS (
+      |  SELECT g, n,
+      |    CAST(sx AS DOUBLE) / CAST(n AS DOUBLE) AS mx,
+      |    CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS my,
+      |    CAST(sxx AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS cxx,
+      |    CAST(syy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cyy,
+      |    CAST(sxy AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)) AS cxy
+      |  FROM st),
+      |j AS (
+      |  SELECT f.g,
+      |    CASE WHEN cxx * cyy - cxy * cxy > 0 THEN
+      |      ((CAST(x AS DOUBLE) - mx) * (CAST(x AS DOUBLE) - mx) * cyy
+      |       - (CAST(x AS DOUBLE) - mx) * (CAST(y AS DOUBLE) - my)
+      |         * cxy * 2.0
+      |       + (CAST(y AS DOUBLE) - my) * (CAST(y AS DOUBLE) - my)
+      |         * cxx)
+      |      / (cxx * cyy - cxy * cxy)
+      |    ELSE 0.0 END AS d2
+      |  FROM f JOIN s2 ON f.g = s2.g)
+      |SELECT g AS event_type, CAST(count(*) AS BIGINT) AS n,
+      |  CAST(sum(CASE WHEN d2 > 9.21034 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_out,
+      |  floor(max(d2) * 1000000.0 + 0.5) / 1000000.0 AS max_d2
+      |FROM j GROUP BY 1""".stripMargin)
+
   /** Seasonal-naive forecast backtest per event type
     * (SequenceOps.forecastBacktest, season = 24 observations): exact
     * integer MAE/RMSE on the 1e-2 grid and the scale-free MASE ratio
@@ -575,6 +754,9 @@ object QueriesAnalytics {
     "hurst_exponent" -> hurstExponentQ,
     "tail_index" -> tailIndexQ,
     "burstiness" -> burstinessQ,
+    "hll_sketch" -> hllSketchQ,
+    "fk_orphans" -> fkOrphansQ,
+    "mahalanobis_outliers" -> mahalanobisQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -384,4 +384,68 @@ object SketchOps {
       .select((keys.map(col) :+ col("_v").as("value") :+
         col("cnt") :+ col("n_group")): _*)
   }
+
+  /** HyperLogLog distinct estimate per group — the REGISTER-side
+    * sibling of the KMV sketch above, built entirely from relational
+    * primitives: register = h mod m, rho = trailing-zeros(h div m)+1
+    * (geometric under the uniform hash, P(rho > k) ~ 2^-k), register
+    * state = groupBy(group, register).max(rho), estimate = the
+    * standard bias-corrected harmonic mean with the linear-counting
+    * small-range correction. At 100 TB the shuffle carries at most
+    * m = 2^p rows per group regardless of row count — the whole point
+    * of HLL — and map-side combine collapses the fact before exchange.
+    *
+    * Determinism across engines: the hash is the exact-integer Knuth
+    * family ([[kmvHash]]) hardened with two xor-shift rounds — a bare
+    * multiplicative hash assigns SEQUENTIAL ids (the common key shape)
+    * to registers with a constant stride coprime to m, which packs
+    * registers collision-free and wrecks the estimator; the xor of
+    * high bits into low breaks that lattice while staying exact
+    * integer (the intermediate stays < 2^30, so the second multiply
+    * fits int64 in engines that error on overflow). rho comes from
+    * the BINARY STRING of the suffix (both engines' bin() emit
+    * minimal-width binary, so trailing-zero counting is exact string
+    * arithmetic, no float log2 boundary risk); and the harmonic sum
+    * Σ2^-rho is a sum of dyadic rationals >= 2^-26 whose partial sums
+    * are all exactly representable in double (exponent span + m fits
+    * the 53-bit mantissa), so it is order-free without quantization.
+    */
+  def hllDistinct(df: DataFrame, keyCol: String, groupCols: Seq[String],
+                  p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"hllDistinct: p must be in [2,12], got $p")
+    val m = 1 << p
+    // alpha_m from the HLL paper; m >= 128 uses the asymptotic form
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val g = groupCols.map(col)
+    val h = expr(s"((($keyCol % ${KmvMod}L) * ${KmvMult}L) % ${KmvMod}L)")
+    val mixed = df.where(col(keyCol).isNotNull)
+      .select((g :+ h.as("_h0")): _*)
+      .withColumn("_g1", expr("_h0 ^ shiftright(_h0, 15)"))
+      .withColumn("_g2", expr(s"(_g1 * ${KmvMult}L) % ${KmvMod}L"))
+      .withColumn("_hm", expr("_g2 ^ shiftright(_g2, 15)"))
+    val regs = mixed
+      .select((g :+ (col("_hm") % lit(m.toLong)).as("_reg") :+
+        expr(s"_hm div ${m.toLong}L").as("_w")): _*)
+      .withColumn("_rho", when(col("_w") === 0, lit(26))
+        .otherwise(length(expr("bin(_w)")) -
+          length(expr("trim(TRAILING '0' FROM bin(_w))")) + lit(1)))
+      .groupBy((g :+ col("_reg")): _*)
+      .agg(max(col("_rho")).as("_mr"))
+    val perGroup = regs.groupBy(g: _*)
+      .agg(count(lit(1)).as("_v"),
+        sum(lit(1.0) / expr("shiftleft(1L, cast(_mr as int))")).as("_sp"))
+    val zeros = (lit(m.toLong) - col("_v"))
+    val sumAll = col("_sp") + zeros.cast("double")
+    val raw = lit(alpha * m * m) / sumAll
+    val est = when(raw <= lit(2.5 * m) && zeros > 0,
+      lit(m.toDouble) * log(lit(m.toDouble) / zeros.cast("double")))
+      .otherwise(raw)
+    perGroup.select((g :+ zeros.as("zero_regs") :+
+      est.as("hll_est")): _*)
+  }
 }

@@ -1223,6 +1223,58 @@ object StatsOps {
         h.as("hill_h"), (lit(1.0) / h).as("alpha"))
   }
 
+  /** Per-group bivariate Mahalanobis outlier census — the MULTIVARIATE
+    * upgrade of anomaly_zscore: a point can be 1σ on each axis yet
+    * wildly off the joint distribution (the correlation ellipse), and
+    * d² = zᵀΣ⁻¹z is exactly that joint distance (χ²₂: 9.21 = 99%).
+    * Mahalanobis is invariant to per-axis linear scaling, so computing
+    * it on the quantized integer grid equals computing it on the
+    * quantized values — no de-quantization needed.
+    *
+    * Exactness: inputs snap to integer grids, the five moment sums are
+    * exact BIGINTs off one hash aggregate, and every row's d² is the
+    * SAME IEEE expression over those exact integers on both engines
+    * (mirrored association order), so the threshold census and max are
+    * deterministic. Plan: fact aggregate → group-bounded stats
+    * broadcast back → second fact pass → group-bounded output.
+    */
+  def mahalanobisOutliers(df: DataFrame, groupCol: String, xCol: String,
+                          yCol: String, quantXDigits: Int = 2,
+                          quantYDigits: Int = 0,
+                          threshold: Double = 9.21034): DataFrame = {
+    def qz(c: Column, d: Int): Column =
+      floor(c.cast("double") * lit(math.pow(10, d)) + lit(0.5)).cast("long")
+    val f = df.where(col(groupCol).isNotNull && col(xCol).isNotNull &&
+        col(yCol).isNotNull)
+      .select(col(groupCol).as("_g"), qz(col(xCol), quantXDigits).as("_x"),
+        qz(col(yCol), quantYDigits).as("_y"))
+    val st = f.groupBy(col("_g")).agg(count(lit(1)).as("_n"),
+      sum("_x").as("_sx"), sum("_y").as("_sy"),
+      sum(col("_x") * col("_x")).as("_sxx"),
+      sum(col("_y") * col("_y")).as("_syy"),
+      sum(col("_x") * col("_y")).as("_sxy"))
+    def D(c: Column) = c.cast("double")
+    val nD = D(col("_n"))
+    val mx = D(col("_sx")) / nD
+    val my = D(col("_sy")) / nD
+    val cxx = D(col("_sxx")) / nD - mx * mx
+    val cyy = D(col("_syy")) / nD - my * my
+    val cxy = D(col("_sxy")) / nD - mx * my
+    val det = cxx * cyy - cxy * cxy
+    val dx = D(col("_x")) - mx
+    val dy = D(col("_y")) - my
+    val d2 = when(det > 0,
+      (dx * dx * cyy - dx * dy * cxy * lit(2.0) + dy * dy * cxx) / det)
+      .otherwise(lit(0.0))
+    f.join(broadcast(st), Seq("_g"))
+      .select(col("_g"), d2.as("_d2"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("_d2") > threshold, 1L).otherwise(0L)).as("n_out"),
+        max(col("_d2")).as("max_d2"))
+      .withColumnRenamed("_g", groupCol)
+  }
+
   /** Cliff's delta — the nonparametric EFFECT SIZE companion to
     * [[mannWhitney]]'s significance: δ = (#{a>b} − #{a<b}) / (n_a·n_b)
     * over all cross-cohort pairs (+1 = total dominance, 0 = overlap).

@@ -247,4 +247,33 @@ object ValidateOps {
         try_divide(col("rows_at_risk").cast("double"),
           col("n_rows").cast("double")).as("risk_share"))
   }
+
+  /** Referential-integrity audit over declared FK relations — the
+    * join-hygiene report a lakehouse runs before trusting a snapshot:
+    * for each (relation, child, childKey, parent, parentKey), count
+    * child rows, NULL keys, orphan rows (non-null key with no parent),
+    * and DISTINCT orphan keys.
+    *
+    * Plan shape per relation: one anti join child→parent (callers
+    * wrap dimension parents in broadcast() — a broadcast anti join
+    * never shuffles the child; fact-sized parents like orders take
+    * the shuffle anti-join, the correct plan at scale), then a single
+    * hash aggregate for the row/distinct-key census. Nothing
+    * fact-sized ever reaches the driver.
+    */
+  def fkOrphans(relations: Seq[(String, DataFrame, String, DataFrame,
+                                String)]): DataFrame = {
+    relations.map { case (name, child, ck, parent, pk) =>
+      val base = child.select(col(ck).as("_k"))
+      val counts = base.agg(count(lit(1)).as("child_rows"),
+        sum(when(col("_k").isNull, 1L).otherwise(0L)).as("null_keys"))
+      val orphanAgg = base.where(col("_k").isNotNull)
+        .join(parent.select(col(pk).as("_k")), Seq("_k"), "left_anti")
+        .agg(count(lit(1)).as("orphan_rows"),
+          count_distinct(col("_k")).as("orphan_keys"))
+      counts.crossJoin(orphanAgg)
+        .select(lit(name).as("relation"), col("child_rows"),
+          col("null_keys"), col("orphan_rows"), col("orphan_keys"))
+    }.reduce(_ unionByName _)
+  }
 }

@@ -360,6 +360,21 @@ class CurationOpsSpec extends SparkSpec {
       .head().getAs[Double]("hill_h"), 1.5, 1e-6))
   }
 
+  test("fkOrphans: hand census incl. nulls, orphans, multi-relation") {
+    val child = Seq(Some(1L), Some(2L), Some(2L), Some(3L), None)
+      .toDF("k")
+    val parent = Seq(1L, 2L).toDF("p")
+    val out = operators.ValidateOps.fkOrphans(Seq(
+        ("r1", child, "k", parent, "p"),
+        ("r2", parent.withColumnRenamed("p", "k"), "k", child, "k")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // r1: 5 rows, 1 null, key 3 orphan (1 row, 1 key)
+    assert(out("r1") === ((5L, 1L, 1L, 1L)))
+    // r2: parents as child of child-keys {1,2,3}: no orphans
+    assert(out("r2") === ((2L, 0L, 0L, 0L)))
+  }
+
   test("cliffsDelta: hand pair census, dominance extremes, tie zero") {
     // a = {1,2}, b = {2,3}: pairs (1,2)< (1,3)< (2,2)= (2,3)< ->
     // greater 0, less 3, ties 1, delta = -3/4

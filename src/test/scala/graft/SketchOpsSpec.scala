@@ -134,4 +134,49 @@ class SketchOpsSpec extends SparkSpec {
       .distinct.sorted.apply(255)
     assert(r.getAs[Long]("kth_min") === want)
   }
+
+  test("hll: matches a scala replay exactly; sane on 5000 distinct") {
+    // scala replay of the register pipeline (m = 64)
+    def replay(keys: Seq[Long]): (Long, Double) = {
+      val m = 64
+      val regs = keys.map(SketchOps.kmvHash)
+        .map { h0 =>
+          val g1 = h0 ^ (h0 >> 15)
+          val g2 = g1 * SketchOps.KmvMult % SketchOps.KmvMod
+          g2 ^ (g2 >> 15)
+        }
+        .map(h => (h % m, h / m))
+        .map { case (r, w) =>
+          (r, if (w == 0) 26
+              else java.lang.Long.numberOfTrailingZeros(w) + 1) }
+        .groupBy(_._1).map { case (r, xs) => r -> xs.map(_._2).max }
+      val v = regs.size.toLong
+      val zeros = m - v
+      val sp = regs.values.toSeq.sorted
+        .map(rho => 1.0 / (1L << rho)).sum + zeros.toDouble
+      val raw = 0.709 * m * m / sp
+      val est = if (raw <= 2.5 * m && zeros > 0)
+        m.toDouble * math.log(m.toDouble / zeros) else raw
+      (zeros, est)
+    }
+    val small = (1L to 40L)
+    val r1 = SketchOps.hllDistinct(small.toDF("k").withColumn("g", lit(0)),
+      "k", Seq("g")).head()
+    val (z1, e1) = replay(small)
+    assert(r1.getAs[Long]("zero_regs") === z1)
+    assert(r1.getAs[Double]("hll_est") === e1) // exact: dyadic sums
+    // 40 distinct keys: linear-counting regime, estimate in range
+    assert(math.abs(e1 - 40.0) / 40.0 < 0.35, s"est $e1")
+    // large: raw harmonic-mean regime, ~13% rse at m=64
+    val big = (1L to 5000L)
+    val r2 = SketchOps.hllDistinct(big.toDF("k").withColumn("g", lit(0)),
+      "k", Seq("g")).head()
+    val e2 = r2.getAs[Double]("hll_est")
+    assert(math.abs(e2 - 5000.0) / 5000.0 < 0.4, s"est $e2")
+    // nulls skipped, groups independent
+    val r3 = SketchOps.hllDistinct(
+      (small.map(k => (java.lang.Long.valueOf(k), 0)) :+
+        ((null: java.lang.Long), 0)).toDF("k", "g"), "k", Seq("g")).head()
+    assert(r3.getAs[Double]("hll_est") === e1)
+  }
 }

@@ -121,4 +121,24 @@ class StatsOpsSpec extends SparkSpec {
         Seq("k"), "x", "y", "t", maxN = 1)
     }
   }
+
+  test("mahalanobisOutliers: hand d2 on a diagonal-cov cross; det<=0") {
+    // cross at (1,0): cov diag(0.5, 0.5) in value units -> every
+    // point's d2 = 2 exactly (invariant under the 1e-2 x grid)
+    val a = Seq(("a", 0.0, 0.0), ("a", 2.0, 0.0),
+      ("a", 1.0, 1.0), ("a", 1.0, -1.0),
+      // constant y -> det = 0 exactly -> d2 census all zero
+      ("b", 0.0, 5.0), ("b", 1.0, 5.0), ("b", 2.0, 5.0))
+      .toDF("g", "x", "y")
+    val out = StatsOps.mahalanobisOutliers(a, "g", "x", "y")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 === 4L && out("a")._2 === 0L)
+    assert(approx(out("a")._3, 2.0, 1e-12))
+    assert(out("b") === ((3L, 0L, 0.0)))
+    // census counts past a lowered threshold
+    val t = StatsOps.mahalanobisOutliers(a.where($"g" === "a"),
+      "g", "x", "y", threshold = 1.5).head()
+    assert(t.getAs[Long]("n_out") === 4L)
+  }
 }
