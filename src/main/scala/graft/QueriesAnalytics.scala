@@ -409,6 +409,95 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS fano
       |FROM a""".stripMargin)
 
+  /** Flesch reading-ease per source (TextOps.fleschReadability):
+    * exact word/sentence/vowel-group censuses, per-doc score snapped
+    * to a 1e-6 bigint before the group mean.
+    */
+  private val fleschQ = Q(
+    (s, d) => operators.TextOps.fleschReadability(
+        Tables.documents(s, d), "text", "source")
+      .select(col("source"), col("n_docs"),
+        qround(col("mean_flesch"), 8).as("mean_flesch"),
+        qround(col("syl_per_word"), 8).as("syl_per_word")),
+    """WITH t AS (
+      |  SELECT source AS g,
+      |    CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+      |    greatest(CAST(1 AS BIGINT),
+      |      CAST(len(regexp_extract_all(text, '[.!?]+')) AS BIGINT))
+      |      AS s,
+      |    CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+      |      AS BIGINT) AS syl
+      |  FROM documents WHERE text IS NOT NULL AND source IS NOT NULL),
+      |q AS (
+      |  SELECT g,
+      |    CAST(floor((206.835
+      |      - 1.015 * (CAST(w AS DOUBLE) / CAST(s AS DOUBLE))
+      |      - 84.6 * (CAST(syl AS DOUBLE) / CAST(w AS DOUBLE)))
+      |      * 1000000.0 + 0.5) AS BIGINT) AS fq,
+      |    syl, w
+      |  FROM t),
+      |a AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS n_docs,
+      |    CAST(sum(fq) AS BIGINT) AS sf,
+      |    CAST(sum(syl) AS BIGINT) AS ssyl,
+      |    CAST(sum(w) AS BIGINT) AS sw
+      |  FROM q GROUP BY 1)
+      |SELECT g AS source, n_docs,
+      |  floor(CAST(sf AS DOUBLE) / 1000000.0 / CAST(n_docs AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_flesch,
+      |  floor(CAST(ssyl AS DOUBLE) / CAST(sw AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS syl_per_word
+      |FROM a""".stripMargin)
+
+  /** Nelson-Aalen cumulative hazard over user lifetimes
+    * (SequenceOps.nelsonAalen, censorDays = 1) — kaplan_meier's
+    * additive sibling, same day-bounded domain and fixed-order folds.
+    */
+  private val nelsonAalenQ = Q(
+    (s, d) => operators.SequenceOps.nelsonAalen(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns")),
+        "user_id", "ts_ns", censorDays = 1)
+      .select(col("t"), col("d"), col("n_at_risk"),
+        qround(col("h"), 8).as("h"), qround(col("var_h"), 8).as("var_h")),
+    """WITH pk AS (
+      |  SELECT user_id,
+      |    min(epoch_ns(ts) // 86400000000000) AS d0,
+      |    max(epoch_ns(ts) // 86400000000000) AS d1
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |e2 AS (SELECT (SELECT max(d1) FROM pk) AS endd),
+      |lv AS (SELECT d1 - d0 AS t, d1 <= endd - 1 AS dead
+      |       FROM pk CROSS JOIN e2),
+      |h AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM lv GROUP BY 1),
+      |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM h),
+      |dm AS (
+      |  SELECT t, d, c,
+      |    nn - CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + d + c AS n
+      |  FROM h CROSS JOIN tot),
+      |one AS (SELECT list({'t': t, 'd': d, 'n': n} ORDER BY t) AS arr
+      |        FROM dm),
+      |curve AS (
+      |  SELECT unnest(list_transform(generate_series(1, len(arr)),
+      |    i_ -> {'t': arr[i_].t, 'd': arr[i_].d, 'n': arr[i_].n,
+      |      'h': list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(arr[1:i_],
+      |          x_ -> CAST(x_.d AS DOUBLE) / CAST(x_.n AS DOUBLE))),
+      |        (a_, b_) -> a_ + b_),
+      |      'vh': list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |        list_transform(arr[1:i_],
+      |          x_ -> CAST(x_.d AS DOUBLE)
+      |            / (CAST(x_.n AS DOUBLE) * CAST(x_.n AS DOUBLE)))),
+      |        (a_, b_) -> a_ + b_)}), recursive := true)
+      |  FROM one)
+      |SELECT t, d, n AS n_at_risk,
+      |  floor(h * 100000000.0 + 0.5) / 100000000.0 AS h,
+      |  floor(vh * 100000000.0 + 0.5) / 100000000.0 AS var_h
+      |FROM curve WHERE d > 0""".stripMargin)
+
   /** HyperLogLog distinct users per event type (SketchOps.hllDistinct,
     * p = 6 → 64 registers) joined against the exact count: register
     * math is exact-integer (Knuth hash, bin-string trailing zeros),
@@ -757,6 +846,8 @@ object QueriesAnalytics {
     "hll_sketch" -> hllSketchQ,
     "fk_orphans" -> fkOrphansQ,
     "mahalanobis_outliers" -> mahalanobisQ,
+    "flesch_readability" -> fleschQ,
+    "nelson_aalen" -> nelsonAalenQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

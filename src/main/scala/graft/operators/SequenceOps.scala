@@ -746,4 +746,59 @@ object SequenceOps {
         col("r.n_at_risk").as("n_at_risk"), col("r.s").as("s"))
       .where(col("d") > 0)
   }
+
+  /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive
+    * sibling (H(t) = Σ_{tᵢ<=t} dᵢ/nᵢ, with the Σ dᵢ/nᵢ² variance):
+    * preferred when hazard RATE, not survival probability, drives the
+    * decision (e.g. retention interventions). Same lifetime model:
+    * per-key first→last day span, right-censored at the observation
+    * end.
+    *
+    * Exactness + plan: identical shape to kaplanMeier — day-bounded
+    * domain, exact integer (d, n) histogram, and the prefix sums are
+    * fixed-order left folds over the sorted bounded domain, so both
+    * engines add the same rational sequence in the same order.
+    */
+  def nelsonAalen(df: DataFrame, keyCol: String, tsNsCol: String,
+                  censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val dayNs = 86400000000000L
+    val perKey = df.where(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"$tsNsCol div ${dayNs}L")).as("_d0"),
+        max(expr(s"$tsNsCol div ${dayNs}L")).as("_d1"))
+    val end = perKey.agg(max(col("_d1")).as("_end"))
+    val lives = perKey.crossJoin(broadcast(end))
+      .select((col("_d1") - col("_d0")).as("_t"),
+        (col("_d1") <= col("_end") - censorDays).as("_dead"))
+    val hist = lives.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_dead"), 0L).otherwise(1L)).as("_c"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("_d") + col("_c")).as("_nn"))
+    val domain = hist
+      .withColumn("_cum", sum(col("_d") + col("_c")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("_t"), col("_d"), col("_c"),
+        (col("_nn") - col("_cum") + col("_d") + col("_c")).as("_n"))
+    domain
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"),
+        col("_c"), col("_n")))).as("arr"))
+      .select(explode(expr(
+        """transform(sequence(1, size(arr)), i -> struct(
+          |  arr[i-1]._t as t, arr[i-1]._d as d, arr[i-1]._n as n_at_risk,
+          |  aggregate(slice(arr, 1, i), cast(0.0 as double),
+          |    (acc, x) -> acc + cast(x._d as double)
+          |      / cast(x._n as double)) as h,
+          |  aggregate(slice(arr, 1, i), cast(0.0 as double),
+          |    (acc, x) -> acc + cast(x._d as double)
+          |      / (cast(x._n as double) * cast(x._n as double)))
+          |    as var_h))""".stripMargin)).as("r"))
+      .select(col("r.t").as("t"), col("r.d").as("d"),
+        col("r.n_at_risk").as("n_at_risk"), col("r.h").as("h"),
+        col("r.var_h").as("var_h"))
+      .where(col("d") > 0)
+  }
 }

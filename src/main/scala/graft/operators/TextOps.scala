@@ -1540,4 +1540,39 @@ object TextOps {
         (col("n_oov").cast("double") / col("n_tokens").cast("double"))
           .as("oov_rate"))
   }
+
+  /** Flesch reading-ease per group — the readability axis the
+    * length/punct quality scores don't capture: 206.835 − 1.015·(W/S)
+    * − 84.6·(SYL/W) with words = single-space tokens, sentences =
+    * max(1, [.!?]+ runs), syllables = vowel-group runs in the
+    * lowercased text (the standard heuristic; hyphenation-free).
+    *
+    * Exactness: the three counts are exact integers off one regexp
+    * scan; the per-doc score is a mirrored IEEE expression snapped to
+    * a 1e-6 BIGINT before the group sum, so the mean is an exact
+    * integer ratio. Plan: one fact scan → one hash aggregate; no
+    * shuffle of text.
+    */
+  def fleschReadability(df: DataFrame, textCol: String,
+                        groupCol: String): DataFrame = {
+    val t = df.where(col(textCol).isNotNull && col(groupCol).isNotNull)
+      .select(col(groupCol),
+        size(split(col(textCol), " ")).cast("long").as("_w"),
+        greatest(lit(1L), size(regexp_extract_all(col(textCol),
+          lit("[.!?]+"), lit(0))).cast("long")).as("_s"),
+        size(regexp_extract_all(lower(col(textCol)),
+          lit("[aeiouy]+"), lit(0))).cast("long").as("_syl"))
+    def D(c: String) = col(c).cast("double")
+    val flesch = lit(206.835) - lit(1.015) * (D("_w") / D("_s")) -
+      lit(84.6) * (D("_syl") / D("_w"))
+    t.select(col(groupCol),
+        floor(flesch * lit(1.0e6) + lit(0.5)).cast("long").as("_fq"),
+        col("_syl"), col("_w"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum("_fq").as("_sf"),
+        sum("_syl").as("_ssyl"), sum("_w").as("_sw"))
+      .select(col(groupCol), col("n_docs"),
+        (D("_sf") / lit(1.0e6) / D("n_docs")).as("mean_flesch"),
+        (D("_ssyl") / D("_sw")).as("syl_per_word"))
+  }
 }

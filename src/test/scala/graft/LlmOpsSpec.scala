@@ -1098,4 +1098,26 @@ class LlmOpsSpec extends SparkSpec {
     assert(out((0L, 2)) === (("shared", 2L, 0.0)))
     assert(out((2L, 1))._1 === "other" && out((2L, 2))._1 === "shared")
   }
+
+  test("fleschReadability: hand counts, sentence floor, group mean") {
+    // "the cat sat. it ran!": 5 words, 2 sentences, 5 vowel groups
+    // -> 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
+    val df = Seq(("a", "the cat sat. it ran!"),
+      // no terminator -> sentence floor 1; "zzz xy" 2 words, 1 vowel
+      // group -> 206.835 - 1.015*2 - 84.6*0.5 = 162.505
+      ("b", "zzz xy")).toDF("g", "text")
+    val out = operators.TextOps.fleschReadability(df, "text", "g")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getDouble(2), r.getDouble(3)))).toMap
+    assert(out("a")._1 === 1L)
+    assert(approx(out("a")._2, 119.6975, 1e-6))
+    assert(approx(out("a")._3, 1.0))
+    assert(approx(out("b")._2, 162.505, 1e-6))
+    assert(approx(out("b")._3, 0.5))
+    // two docs in one group: mean of the two per-doc scores
+    val both = Seq(("c", "the cat sat. it ran!"), ("c", "zzz xy"))
+      .toDF("g", "text")
+    val m = operators.TextOps.fleschReadability(both, "text", "g").head()
+    assert(approx(m.getDouble(2), (119.6975 + 162.505) / 2, 1e-6))
+  }
 }

@@ -197,6 +197,26 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out("b") === ((2L, 2.0, 0.5))) // var (1+9)/2 - 4 = 1; 1/2
   }
 
+  test("nelsonAalen: hand hazard curve with censoring") {
+    val day = 86400000000000L
+    // spans: k1 0->2 (t=2, dead), k2 0->1 (t=1, dead), k3 2 only
+    // (t=0, dead), k4 1->3 (t=2, censored at end-1=2)
+    val df = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L)).map { case (k, dd) => (k, dd * day) }
+      .toDF("k", "ts")
+    val out = operators.SequenceOps.nelsonAalen(df, "k", "ts",
+      censorDays = 1).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))).toMap
+    assert(out(0L)._1 === 1L && out(0L)._2 === 4L)
+    assert(approx(out(0L)._3, 0.25) && approx(out(0L)._4, 1.0 / 16))
+    assert(out(1L)._2 === 3L)
+    assert(approx(out(1L)._3, 0.25 + 1.0 / 3))
+    assert(out(2L)._1 === 1L && out(2L)._2 === 2L)
+    assert(approx(out(2L)._3, 0.25 + 1.0 / 3 + 0.5))
+    assert(approx(out(2L)._4, 1.0 / 16 + 1.0 / 9 + 0.25))
+  }
+
   test("hurstExponent: noise is short-memory, exact under repartition") {
     // deterministic hash noise: iid-ish -> Var(m) ~ 1/m -> H near 0.5
     // (splitmix64 finalizer; a bare multiplicative stride is strongly
