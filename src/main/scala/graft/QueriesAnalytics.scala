@@ -409,6 +409,155 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS fano
       |FROM a""".stripMargin)
 
+  /** Pinball-loss quantile backtest per event type
+    * (ClassifierOps.pinballEval): hash split, exact train-side rank
+    * selection on the 1e-2 grid, integer-scaled test losses.
+    */
+  private val pinballEvalQ = Q(
+    (s, d) => operators.ClassifierOps.pinballEval(
+        Tables.events(s, d), "event_type", "event_id", "value")
+      .select(col("event_type"), qround(col("q"), 8).as("q"),
+        qround(col("qhat"), 8).as("qhat"), col("n_test"),
+        qround(col("pinball"), 8).as("pinball")),
+    """WITH f AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq,
+      |    (((event_id % 1000000007) * 2654435761) % 1000000007)
+      |      % 10000 AS b
+      |  FROM events
+      |  WHERE event_type IS NOT NULL AND event_id IS NOT NULL
+      |    AND value IS NOT NULL),
+      |tr AS (SELECT g, vq FROM f WHERE b < 8000),
+      |te AS (SELECT g, vq FROM f WHERE b >= 8000),
+      |h AS (SELECT g, vq, CAST(count(*) AS BIGINT) AS c
+      |      FROM tr GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT g, vq,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY vq
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM h),
+      |nt AS (SELECT g, CAST(count(*) AS BIGINT) AS nt
+      |       FROM tr GROUP BY 1),
+      |p AS (
+      |  SELECT cum.g, k, min(vq) AS qhat
+      |  FROM cum JOIN nt ON cum.g = nt.g
+      |  CROSS JOIN (SELECT unnest([1, 5, 9]) AS k)
+      |  WHERE cum >= (k * nt + 9) // 10
+      |  GROUP BY 1, 2),
+      |l AS (
+      |  SELECT te.g, k, qhat,
+      |    greatest(k * (vq - qhat), (k - 10) * (vq - qhat)) AS ls
+      |  FROM te JOIN p ON te.g = p.g)
+      |SELECT g AS event_type,
+      |  floor(CAST(k AS DOUBLE) / 10.0 * 100000000.0 + 0.5)
+      |    / 100000000.0 AS q,
+      |  floor(CAST(qhat AS DOUBLE) / 100.0 * 100000000.0 + 0.5)
+      |    / 100000000.0 AS qhat,
+      |  CAST(count(*) AS BIGINT) AS n_test,
+      |  floor(CAST(sum(ls) AS DOUBLE) / 10.0 / 100.0
+      |      / CAST(count(*) AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS pinball
+      |FROM l GROUP BY g, k, qhat""".stripMargin)
+
+  /** SQ8 scalar quantization reconstruction error per label
+    * (SimilarityOps.scalarQuantize8): per-dim min/max grid, mirrored
+    * IEEE encode/decode, 1e-12 integer error sums.
+    */
+  private val sq8EncodeQ = Q(
+    (s, d) => operators.SimilarityOps.scalarQuantize8(
+        Tables.embeddings(s, d), "vec_id", "embedding", "label")
+      .select(col("label"), col("n_dims"),
+        qround(col("mse"), 12).as("mse")),
+    """WITH e AS (
+      |  SELECT label, i - 1 AS d, CAST(emb[i] AS DOUBLE) AS x
+      |  FROM (SELECT label, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings WHERE embedding IS NOT NULL)),
+      |st AS (SELECT d, min(x) AS lo, max(x) AS hi FROM e GROUP BY 1),
+      |j AS (
+      |  SELECT label, x, lo, hi,
+      |    CASE WHEN hi - lo > 0 THEN
+      |      least(CAST(255 AS BIGINT), greatest(CAST(0 AS BIGINT),
+      |        CAST(floor((x - lo) / (hi - lo) * 255.0 + 0.5)
+      |          AS BIGINT)))
+      |    ELSE 0 END AS code
+      |  FROM e JOIN st USING (d)),
+      |r AS (
+      |  SELECT label,
+      |    CAST(floor(
+      |      (x - (lo + CAST(code AS DOUBLE) / 255.0 * (hi - lo)))
+      |      * (x - (lo + CAST(code AS DOUBLE) / 255.0 * (hi - lo)))
+      |      * 1000000000000.0 + 0.5) AS BIGINT) AS eq
+      |  FROM j)
+      |SELECT label, CAST(count(*) AS BIGINT) AS n_dims,
+      |  floor(CAST(sum(eq) AS DOUBLE) / 1000000000000.0
+      |      / CAST(count(*) AS DOUBLE) * 1000000000000.0 + 0.5)
+      |    / 1000000000000.0 AS mse
+      |FROM r GROUP BY 1""".stripMargin)
+
+  /** Fleiss' kappa over three deterministic hash-noised raters
+    * (ClassifierOps.fleissKappa): base category = n_chars mod 3, each
+    * rater flips to the next category on a 20% hash gate — exact
+    * integer censuses end-to-end, closed-form kappa.
+    */
+  private val fleissKappaQ = Q(
+    (s, d) => operators.ClassifierOps.fleissKappa(
+        Tables.documents(s, d)
+          .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(1, 3)")).as("r"))
+          .select(col("doc_id").as("item"),
+            expr("""CASE WHEN (((((doc_id % 1000000007L) * 31 + r)
+              % 1000000007L) * 2654435761L) % 1000000007L) % 10 < 2
+              THEN (n_chars % 3 + 1) % 3
+              ELSE n_chars % 3 END""").as("cat")),
+        "item", "cat", raters = 3)
+      .select(col("n_items"), col("n_dropped"),
+        qround(col("p_bar"), 8).as("p_bar"),
+        qround(col("p_e"), 8).as("p_e"),
+        qround(col("kappa"), 8).as("kappa")),
+    """WITH r AS (
+      |  SELECT doc_id AS i,
+      |    CASE WHEN (((((doc_id % 1000000007) * 31 + rr)
+      |      % 1000000007) * 2654435761) % 1000000007) % 10 < 2
+      |      THEN (n_chars % 3 + 1) % 3
+      |      ELSE n_chars % 3 END AS cat
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS rr)
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+      |cells AS (
+      |  SELECT i, cat, CAST(count(*) AS BIGINT) AS c
+      |  FROM r GROUP BY 1, 2),
+      |pi AS (
+      |  SELECT i, CAST(sum(c * (c - 1)) AS BIGINT) AS pn,
+      |    CAST(sum(c) AS BIGINT) AS nr
+      |  FROM cells GROUP BY 1),
+      |kept AS (SELECT * FROM pi WHERE nr = 3),
+      |drp AS (
+      |  SELECT CAST(sum(CASE WHEN nr <> 3 THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_dropped FROM pi),
+      |b AS (
+      |  SELECT CAST(count(*) AS BIGINT) AS n_items,
+      |    CAST(sum(pn) AS BIGINT) AS np
+      |  FROM kept),
+      |ne AS (
+      |  SELECT COALESCE(CAST(sum(sc * sc) AS BIGINT), 0) AS ne FROM (
+      |    SELECT CAST(sum(c) AS BIGINT) AS sc
+      |    FROM cells JOIN kept USING (i) GROUP BY cat))
+      |SELECT n_items, n_dropped,
+      |  floor(CAST(np AS DOUBLE) / CAST(n_items * 6 AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS p_bar,
+      |  floor(CAST(ne AS DOUBLE) / (CAST(n_items * 3 AS DOUBLE)
+      |      * CAST(n_items * 3 AS DOUBLE))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS p_e,
+      |  floor((CAST(np AS DOUBLE) / CAST(n_items * 6 AS DOUBLE)
+      |      - CAST(ne AS DOUBLE) / (CAST(n_items * 3 AS DOUBLE)
+      |        * CAST(n_items * 3 AS DOUBLE)))
+      |    / (1.0 - CAST(ne AS DOUBLE) / (CAST(n_items * 3 AS DOUBLE)
+      |        * CAST(n_items * 3 AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS kappa
+      |FROM b, drp, ne""".stripMargin)
+
   /** Flesch reading-ease per source (TextOps.fleschReadability):
     * exact word/sentence/vowel-group censuses, per-doc score snapped
     * to a 1e-6 bigint before the group mean.
@@ -848,6 +997,9 @@ object QueriesAnalytics {
     "mahalanobis_outliers" -> mahalanobisQ,
     "flesch_readability" -> fleschQ,
     "nelson_aalen" -> nelsonAalenQ,
+    "fleiss_kappa" -> fleissKappaQ,
+    "pinball_eval" -> pinballEvalQ,
+    "sq8_encode" -> sq8EncodeQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

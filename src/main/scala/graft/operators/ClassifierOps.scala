@@ -285,6 +285,105 @@ object ClassifierOps {
           (col("n") * col("n") - col("_pe2")).cast("double")).as("kappa"))
   }
 
+  /** Fleiss' kappa — [[cohensKappa]] generalized to n raters per item
+    * (the labeling-quality gate for multi-annotator curation: raters
+    * here are usually heuristic classifiers whose consensus is being
+    * audited). Input = one row per (item, rating); items without
+    * exactly `raters` ratings are dropped (and counted) rather than
+    * silently biasing the statistic.
+    *
+    * Exactness: P̄'s numerator Σᵢ Σ_c n_ic(n_ic−1) and P_e's numerator
+    * Σ_c S_c² are exact BIGINT censuses (S_c < ~3e9 before the square
+    * overflows — fine for any rating table whose category sums fit
+    * int32-ish; document-scale rating audits do); kappa is one closed
+    * form over them. Plan: fact → (item,cat) cells → item-bounded and
+    * k-bounded aggregates; nothing fact-sized past the first shuffle.
+    */
+  def fleissKappa(df: DataFrame, itemCol: String, catCol: String,
+                  raters: Int): DataFrame = {
+    require(raters >= 2, s"fleissKappa needs raters >= 2, got $raters")
+    val cells = df.where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(catCol).as("_cat"))
+      .agg(count(lit(1)).as("_c"))
+    val perItem = cells.groupBy(col("_i"))
+      .agg(sum(col("_c") * (col("_c") - 1)).as("_pn"),
+        sum(col("_c")).as("_nr"))
+    val kept = perItem.where(col("_nr") === raters)
+    val dropped = perItem.agg(
+      sum(when(col("_nr") =!= raters, 1L).otherwise(0L)).as("n_dropped"))
+    val base = kept.agg(count(lit(1)).as("n_items"),
+      sum(col("_pn")).as("_np"))
+    val ne = cells.join(kept.select(col("_i")), Seq("_i"), "left_semi")
+      .groupBy(col("_cat")).agg(sum(col("_c")).as("_sc"))
+      .agg(coalesce(sum(col("_sc") * col("_sc")), lit(0L)).as("_ne"))
+    def D(c: Column) = c.cast("double")
+    val nTot = col("n_items") * raters
+    val pbar = try_divide(D(col("_np")),
+      D(col("n_items") * (raters * (raters - 1))))
+    val pe = try_divide(D(col("_ne")), D(nTot) * D(nTot))
+    base.crossJoin(broadcast(ne)).crossJoin(broadcast(dropped))
+      .select(col("n_items"), col("n_dropped"), pbar.as("p_bar"),
+        pe.as("p_e"),
+        try_divide(pbar - pe, lit(1.0) - pe).as("kappa"))
+  }
+
+  /** Pinball (quantile) loss backtest — the eval for quantile
+    * FORECASTS (P90 latency budgets, demand bands) that MAE/RMSE
+    * can't grade: train/test split by the deterministic hash gate,
+    * prediction = the exact train-side q-quantile per group, loss =
+    * mean max(q·e, (q−1)·e) on the test side, one row per (group, q).
+    *
+    * Exactness: values ride the 10^digits grid as BIGINTs; with q a
+    * tenth (k/10), ceil(q·n) = (k·n+9) div 10 is integer rank
+    * selection over the distinct-value domain, and the per-row loss
+    * scaled by 10·10^digits is max(k·e, (k−10)·e) — a BIGINT — so the
+    * test mean is an exact integer ratio. Plan: train fact → grid
+    * histogram → domain window (group-partitioned); predictions are
+    * (groups × tenths)-bounded and broadcast onto the test fact.
+    */
+  def pinballEval(df: DataFrame, groupCol: String, keyCol: String,
+                  valueCol: String, quantDigits: Int = 2,
+                  tenths: Seq[Int] = Seq(1, 5, 9),
+                  trainBuckets: Int = 8000): DataFrame = {
+    require(tenths.nonEmpty && tenths.forall(k => k >= 1 && k <= 9),
+      s"tenths must be within [1,9], got $tenths")
+    import org.apache.spark.sql.expressions.Window
+    val scale = math.pow(10, quantDigits)
+    val f = df.where(col(groupCol).isNotNull && col(keyCol).isNotNull &&
+        col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+          .cast("long").as("_vq"),
+        SampleOps.splitBucket(col(keyCol)).as("_b"))
+    val train = f.where(col("_b") < trainBuckets)
+    val test = f.where(col("_b") >= trainBuckets)
+    val hist = train.groupBy(col("_g"), col("_vq"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_vq"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+      .join(train.groupBy(col("_g")).agg(count(lit(1)).as("_nt")),
+        Seq("_g"))
+    val preds = cum
+      .select(col("_g"), col("_vq"), col("_cum"), col("_nt"),
+        explode(lit(tenths.toArray)).as("_k"))
+      .where(col("_cum") >= expr("(_k * _nt + 9) div 10"))
+      .groupBy(col("_g"), col("_k"))
+      .agg(min(col("_vq")).as("_qhat"))
+    val e = col("_vq") - col("_qhat")
+    val lossScaled = greatest(col("_k") * e, (col("_k") - 10) * e)
+    test.join(broadcast(preds), Seq("_g"))
+      .select(col("_g"), col("_k"), col("_qhat"), lossScaled.as("_l"))
+      .groupBy(col("_g"), col("_k"), col("_qhat"))
+      .agg(count(lit(1)).as("n_test"), sum(col("_l")).as("_sl"))
+      .select(col("_g").as(groupCol),
+        (col("_k").cast("double") / lit(10.0)).as("q"),
+        (col("_qhat").cast("double") / lit(scale)).as("qhat"),
+        col("n_test"),
+        (col("_sl").cast("double") / lit(10.0) / lit(scale) /
+          col("n_test").cast("double")).as("pinball"))
+  }
+
   /** Precision-recall curve + average precision — the imbalanced-data
     * companion to [[rocAuc]] (AUC stays optimistic when negatives
     * dwarf positives; PR space does not): one row per distinct

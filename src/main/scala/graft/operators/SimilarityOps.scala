@@ -742,4 +742,47 @@ object SimilarityOps {
     import spark.implicits._
     out.toDF("query_id", "rank", "neighbor_id", "rel", "mmr_score")
   }
+
+  /** Int8 scalar quantization (SQ8) of an embedding column — the
+    * memory-side companion to PQ: per-dimension min/max train the
+    * affine code grid (code = round(255·(x−min)/(max−min))), and the
+    * report is the per-label reconstruction MSE — the number that
+    * decides whether the 4× memory saving is safe for the ANN recall
+    * budget.
+    *
+    * Exactness: min/max are order-free; code and reconstruction error
+    * are mirrored IEEE expressions of exact doubles (float widening
+    * is exact), and the per-dim squared error snaps to a 1e-12 BIGINT
+    * before any sum, so group means are exact integer ratios.
+    *
+    * 100 TB plan: two corpus scans (dim stats, then encode) — the dim
+    * stats table is dim-bounded and broadcast back; no fact-sized
+    * state anywhere.
+    */
+  def scalarQuantize8(df: DataFrame, idCol: String, vecCol: String,
+                      groupCol: String): DataFrame = {
+    val ex = df.where(col(vecCol).isNotNull)
+      .select(col(idCol), col(groupCol),
+        posexplode(col(vecCol)).as(Seq("_d", "_xf")))
+      .select(col(idCol), col(groupCol), col("_d"),
+        col("_xf").cast("double").as("_x"))
+    val stats = ex.groupBy(col("_d"))
+      .agg(min(col("_x")).as("_lo"), max(col("_x")).as("_hi"))
+    val joined = ex.join(broadcast(stats), Seq("_d"))
+    val span = col("_hi") - col("_lo")
+    val code = when(span > 0,
+      least(lit(255L), greatest(lit(0L),
+        floor((col("_x") - col("_lo")) / span * lit(255.0) + lit(0.5))
+          .cast("long")))).otherwise(lit(0L))
+    val recon = col("_lo") + code.cast("double") / lit(255.0) * span
+    val err = (col("_x") - recon) * (col("_x") - recon)
+    joined
+      .select(col(groupCol),
+        floor(err * lit(1.0e12) + lit(0.5)).cast("long").as("_eq"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_dims"), sum(col("_eq")).as("_se"))
+      .select(col(groupCol), col("n_dims"),
+        (col("_se").cast("double") / lit(1.0e12) /
+          col("n_dims").cast("double")).as("mse"))
+  }
 }

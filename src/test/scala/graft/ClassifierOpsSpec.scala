@@ -216,4 +216,55 @@ class ClassifierOpsSpec extends SparkSpec {
     val covered = test.count(t => rq(t) <= r.getAs[Long]("qhat"))
     assert(r.getAs[Long]("n_covered") === covered.toLong)
   }
+
+  test("pinballEval: matches an independent sorted-rank replay") {
+    val P = 1000000007L
+    val A = 2654435761L
+    def bucket(k: Long): Long = Math.floorMod(k, P) * A % P % 10000
+    val rows = (1L to 300L).map(k => ("g", k, (k % 37).toDouble / 3.0))
+    val df = rows.toDF("g", "k", "v")
+    val out = ClassifierOps.pinballEval(df, "g", "k", "v")
+      .collect().map(r => r.getDouble(1) ->
+        ((r.getDouble(2), r.getLong(3), r.getDouble(4)))).toMap
+    val grid = (v: Double) => math.floor(v * 100 + 0.5).toLong
+    val train = rows.filter(r => bucket(r._2) < 8000).map(r => grid(r._3))
+      .sorted
+    val test = rows.filter(r => bucket(r._2) >= 8000).map(r => grid(r._3))
+    assert(train.nonEmpty && test.nonEmpty)
+    for (k <- Seq(1, 5, 9)) {
+      val rank = (k * train.size + 9) / 10
+      val qhat = train(rank - 1)
+      val loss = test.map(v =>
+        math.max(k * (v - qhat), (k - 10) * (v - qhat))).sum
+      val (oQhat, oN, oPin) = out(k / 10.0)
+      assert(oQhat === qhat / 100.0)
+      assert(oN === test.size.toLong)
+      assert(approx(oPin, loss.toDouble / 10.0 / 100.0 / test.size))
+    }
+  }
+
+  test("fleissKappa: hand value, unbalanced items dropped not biased") {
+    // item 1 = (A,A,A): pn 6; item 2 = (A,A,B): pn 2
+    // pbar = 8/12; col sums A=5 B=1 -> pe = 26/36; kappa = -0.2
+    val base = Seq((1L, "A"), (1L, "A"), (1L, "A"),
+      (2L, "A"), (2L, "A"), (2L, "B"))
+    val r = ClassifierOps.fleissKappa(base.toDF("i", "c"), "i", "c", 3)
+      .head()
+    assert(r.getAs[Long]("n_items") === 2L)
+    assert(r.getAs[Long]("n_dropped") === 0L)
+    assert(approx(r.getAs[Double]("p_bar"), 8.0 / 12))
+    assert(approx(r.getAs[Double]("p_e"), 26.0 / 36))
+    assert(approx(r.getAs[Double]("kappa"), -0.2))
+    // a 2-rating item is dropped and leaves the statistic unchanged
+    val withBad = base ++ Seq((3L, "A"), (3L, "B"))
+    val r2 = ClassifierOps.fleissKappa(withBad.toDF("i", "c"), "i", "c", 3)
+      .head()
+    assert(r2.getAs[Long]("n_dropped") === 1L)
+    assert(approx(r2.getAs[Double]("kappa"), -0.2))
+    // perfect agreement across all items -> kappa 1 when pe < 1
+    val perfect = Seq((1L, "A"), (1L, "A"), (2L, "B"), (2L, "B"))
+    val r3 = ClassifierOps.fleissKappa(perfect.toDF("i", "c"), "i", "c", 2)
+      .head()
+    assert(approx(r3.getAs[Double]("kappa"), 1.0))
+  }
 }

@@ -165,4 +165,22 @@ class VectorKernelsSpec extends SparkSpec {
       functions.PqDistTable(litV, ragged)
     }
   }
+
+  test("scalarQuantize8: endpoints exact, midpoint error, flat dim 0") {
+    // dim0 range [0,1], dim1 range [10,20], dim2 flat (code 0, err 0)
+    val df = Seq((1L, Seq(0f, 10f, 7f), "x"),
+      (2L, Seq(1f, 20f, 7f), "x"),
+      (3L, Seq(0.5f, 15f, 7f), "x")).toDF("id", "v", "lab")
+    val r = SimilarityOps.scalarQuantize8(df, "id", "v", "lab").head()
+    assert(r.getAs[Long]("n_dims") === 9L)
+    // endpoints reconstruct exactly; midpoints code to 128 with
+    // err (1/510)^2 resp. (10/510)^2, each snapped to the 1e-12 grid
+    def eq(x: Double, lo: Double, hi: Double): Long = {
+      val code = math.floor((x - lo) / (hi - lo) * 255.0 + 0.5)
+      val recon = lo + code / 255.0 * (hi - lo)
+      math.floor((x - recon) * (x - recon) * 1.0e12 + 0.5).toLong
+    }
+    val want = (eq(0.5, 0, 1) + eq(15, 10, 20)).toDouble / 1.0e12 / 9
+    assert(approx(r.getAs[Double]("mse"), want, 1e-12))
+  }
 }
