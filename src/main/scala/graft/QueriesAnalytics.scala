@@ -409,6 +409,78 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS fano
       |FROM a""".stripMargin)
 
+  /** Unrolled power-iteration chain for the pca_power oracle — one
+    * MATERIALIZED matvec + normalize pair per step (memory: unrolled
+    * chains must be MATERIALIZED; recursive CTEs mis-evaluate
+    * correlated refs), each fold ascending-index to mirror the
+    * driver-side while loops bit-for-bit.
+    */
+  private def pcaIterSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""u$t AS MATERIALIZED (
+         |  SELECT cm.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(cm.c * p.v ORDER BY cm.j)), (a_, b_) -> a_ + b_) AS u
+         |  FROM cm JOIN v${t - 1} p ON cm.j = p.i GROUP BY cm.i),
+         |n$t AS MATERIALIZED (
+         |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list(u * u ORDER BY i)), (a_, b_) -> a_ + b_)) AS nm
+         |  FROM u$t),
+         |v$t AS MATERIALIZED (SELECT i, u / nm AS v FROM u$t, n$t)"""
+        .stripMargin
+    }
+    s"""v0 AS MATERIALIZED (
+       |  SELECT i, CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
+       |    ELSE CAST(0.0 AS DOUBLE) END AS v
+       |  FROM (SELECT unnest(generate_series(0, 63)) AS i)),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Top principal component of the embedding corpus
+    * (SimilarityOps.pcaPower): exact-bigint Gram on the 1e-4 grid,
+    * 8 fixed-order power steps, deterministic sign from v0 = e0.
+    */
+  private val pcaPowerQ = Q(
+    (s, d) => operators.SimilarityOps.pcaPower(
+        Tables.embeddings(s, d), "vec_id", "embedding")
+      .select(col("dim").cast("long").as("dim"),
+        qround(col("loading"), 8).as("loading"),
+        qround(col("lambda"), 8).as("lambda"), col("n")),
+    s"""WITH e AS (
+       |  SELECT vec_id, i - 1 AS di,
+       |    CAST(floor(CAST(emb[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+       |      AS xq
+       |  FROM (SELECT vec_id, embedding AS emb,
+       |          unnest(generate_series(1, len(embedding))) AS i
+       |        FROM embeddings WHERE embedding IS NOT NULL)),
+       |g AS MATERIALIZED (
+       |  SELECT a.di AS i, b.di AS j, CAST(sum(a.xq * b.xq) AS BIGINT)
+       |    AS s
+       |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+       |m AS (SELECT di, CAST(sum(xq) AS BIGINT) AS sx FROM e GROUP BY 1),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+       |       WHERE embedding IS NOT NULL),
+       |cm AS MATERIALIZED (
+       |  SELECT g.i, g.j,
+       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+       |      - (CAST(ma.sx AS DOUBLE) / CAST(n AS DOUBLE))
+       |        * (CAST(mb.sx AS DOUBLE) / CAST(n AS DOUBLE)) AS c
+       |  FROM g JOIN m ma ON g.i = ma.di JOIN m mb ON g.j = mb.di
+       |  CROSS JOIN nn),
+       |${pcaIterSql(8)},
+       |w AS (
+       |  SELECT cm.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(cm.c * p.v ORDER BY cm.j)), (a_, b_) -> a_ + b_) AS wv
+       |  FROM cm JOIN v8 p ON cm.j = p.i GROUP BY cm.i),
+       |lam AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(v.v * w.wv ORDER BY v.i)), (a_, b_) -> a_ + b_)
+       |    / 100000000.0 AS lambda
+       |  FROM v8 v JOIN w ON v.i = w.i)
+       |SELECT CAST(v.i AS BIGINT) AS dim,
+       |  floor(v.v * 100000000.0 + 0.5) / 100000000.0 AS loading,
+       |  floor(lambda * 100000000.0 + 0.5) / 100000000.0 AS lambda, n
+       |FROM v8 v, lam, nn""".stripMargin)
+
   /** Pinball-loss quantile backtest per event type
     * (ClassifierOps.pinballEval): hash split, exact train-side rank
     * selection on the 1e-2 grid, integer-scaled test losses.
@@ -1000,6 +1072,7 @@ object QueriesAnalytics {
     "fleiss_kappa" -> fleissKappaQ,
     "pinball_eval" -> pinballEvalQ,
     "sq8_encode" -> sq8EncodeQ,
+    "pca_power" -> pcaPowerQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

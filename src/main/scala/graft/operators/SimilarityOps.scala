@@ -785,4 +785,75 @@ object SimilarityOps {
         (col("_se").cast("double") / lit(1.0e12) /
           col("n_dims").cast("double")).as("mse"))
   }
+
+  /** Top principal component by power iteration — the PCA sibling of
+    * [[randomProject]] (data-adaptive axis instead of oblivious): the
+    * d×d covariance Gram accumulates DISTRIBUTED as exact BIGINTs
+    * (components snap to a 1e-4 grid, so Σ xᵢxⱼ is an order-free
+    * integer sum; the grid is uniform across dims, which leaves the
+    * eigenvector unchanged and scales the eigenvalue by exactly 1e8),
+    * then `iters` fixed-order power steps run on the driver over the
+    * d²-bounded collected matrix (the codebook-collect budget). Sign
+    * and value are deterministic: v₀ = e₀ and every fold is ascending
+    * index, so an engine replaying the same folds reproduces the
+    * vector bit-for-bit.
+    *
+    * 100 TB plan: ONE corpus scan emitting d² products per row into a
+    * map-side-combined hash aggregate (the standard O(n·d²) Gram
+    * cost); everything after is d-bounded. Returns one row per dim:
+    * (dim, loading, lambda, n).
+    */
+  def pcaPower(df: DataFrame, idCol: String, vecCol: String,
+               iters: Int = 8): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
+    val q = expr(s"transform($vecCol, x -> " +
+      "cast(floor(cast(x as double) * 10000.0 + 0.5) as long))")
+    val base = df.where(col(vecCol).isNotNull).select(q.as("_q"))
+    val gram = base
+      .select(posexplode(expr(
+        "flatten(transform(_q, x -> transform(_q, y -> x * y)))"))
+        .as(Seq("_ij", "_p")))
+      .groupBy(col("_ij")).agg(sum(col("_p")).as("_s"))
+    val dimSums = base
+      .select(posexplode(col("_q")).as(Seq("_d", "_x")))
+      .groupBy(col("_d"))
+      .agg(sum(col("_x")).as("_sx"), count(lit(1)).as("_n"))
+    // d²- and d-bounded collects (the codebook budget)
+    val sums = gram.collect()
+      .map(r => r.getInt(0).toLong -> r.getLong(1)).toMap
+    val dims = dimSums.collect()
+      .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    val spark = df.sparkSession
+    import spark.implicits._
+    if (dims.isEmpty) return Seq.empty[(Int, Double, Double, Long)]
+      .toDF("dim", "loading", "lambda", "n")
+    val d = dims.keys.max + 1
+    val n = dims(0)._2
+    val nD = n.toDouble
+    val c = Array.tabulate(d, d) { (i, j) =>
+      sums(i.toLong * d + j).toDouble / nD -
+        (dims(i)._1.toDouble / nD) * (dims(j)._1.toDouble / nD)
+    }
+    def matvec(v: Array[Double]): Array[Double] =
+      Array.tabulate(d) { i =>
+        var acc = 0.0; var j = 0
+        while (j < d) { acc += c(i)(j) * v(j); j += 1 }
+        acc
+      }
+    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+    for (_ <- 1 to iters) {
+      val u = matvec(v)
+      var n2 = 0.0; var i = 0
+      while (i < d) { n2 += u(i) * u(i); i += 1 }
+      val nm = math.sqrt(n2)
+      v = u.map(_ / nm)
+    }
+    val w = matvec(v)
+    var lamGrid = 0.0
+    var i = 0
+    while (i < d) { lamGrid += v(i) * w(i); i += 1 }
+    val lambda = lamGrid / 1.0e8
+    v.zipWithIndex.map { case (x, dim) => (dim, x, lambda, n) }
+      .toSeq.toDF("dim", "loading", "lambda", "n")
+  }
 }

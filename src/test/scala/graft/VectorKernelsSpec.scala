@@ -183,4 +183,24 @@ class VectorKernelsSpec extends SparkSpec {
     val want = (eq(0.5, 0, 1) + eq(15, 10, 20)).toDouble / 1.0e12 / 9
     assert(approx(r.getAs[Double]("mse"), want, 1e-12))
   }
+
+  test("pcaPower: rank-1 cloud recovers its axis, lambda, and sign") {
+    // all points on span{(3,4)}: top PC = (0.6, 0.8) with sign fixed
+    // by v0 = e0 (first Gram column is positive), lambda = 62.5
+    val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(-3f, -4f)),
+      (3L, Seq(6f, 8f)), (4L, Seq(-6f, -8f))).toDF("id", "v")
+    val out = SimilarityOps.pcaPower(df, "id", "v").collect()
+      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
+        r.getLong(3)))).toMap
+    assert(out(0)._3 === 4L)
+    assert(approx(out(0)._1, 0.6, 1e-9))
+    assert(approx(out(1)._1, 0.8, 1e-9))
+    assert(approx(out(0)._2, 62.5, 1e-9))
+    // centering: a constant offset must not change the component
+    val shifted = Seq((1L, Seq(13f, 24f)), (2L, Seq(7f, 16f)),
+      (3L, Seq(16f, 28f)), (4L, Seq(4f, 12f))).toDF("id", "v")
+    val s0 = SimilarityOps.pcaPower(shifted, "id", "v").collect()
+      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+    assert(approx(s0(0), 0.6, 1e-9) && approx(s0(1), 0.8, 1e-9))
+  }
 }
