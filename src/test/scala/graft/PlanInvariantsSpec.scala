@@ -353,8 +353,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // (ClassifierOps.isotonicCalibrate aggregates the fact FIRST)
       // cliffs_delta: shares mann_whitney's distinct-quantized-value
       // domain argument verbatim (StatsOps.cliffsDelta)
+      // nelson_aalen: shares kaplan_meier's integer-day lifetime
+      // domain argument verbatim (SequenceOps.nelsonAalen)
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
-      "map_eval", "isotonic_calibration", "cliffs_delta")
+      "map_eval", "isotonic_calibration", "cliffs_delta",
+      "nelson_aalen")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
