@@ -774,6 +774,49 @@ object QueriesAnalytics {
       |  floor(est * 10000.0 + 0.5) / 10000.0 AS hll_est
       |FROM e JOIN ex ON e.g = ex.g""".stripMargin)
 
+  /** Streaming HLL twin (StreamingOps.hllStream) — distinct users per
+    * DAY with register-max state carried across micro-batches;
+    * register max is commutative+idempotent so the batch fold here is
+    * exactly what the stream emits after its last batch.
+    */
+  private val streamHllQ = Q(
+    (s, d) => graft.streaming.StreamingOps.hllStream(s,
+        Tables.events(s, d).select(
+          expr("ts_ns div 86400000000000L").as("day"), col("user_id")),
+        "day", "user_id")
+      .select(col("day"), col("zero_regs"),
+        qround(col("hll_est"), 4).as("hll_est")),
+    """WITH h0 AS (
+      |  SELECT epoch_ns(ts) // 86400000000000 AS g,
+      |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h0
+      |  FROM events WHERE user_id IS NOT NULL),
+      |hm AS (
+      |  SELECT g, (xor(h0, h0 >> 15) * 2654435761) % 1000000007 AS g2
+      |  FROM h0),
+      |h AS (SELECT g, xor(g2, g2 >> 15) AS h FROM hm),
+      |r AS (
+      |  SELECT g, h % 64 AS reg,
+      |    CASE WHEN h // 64 = 0 THEN 26
+      |      ELSE length(bin(h // 64)) - length(rtrim(bin(h // 64), '0'))
+      |        + 1 END AS rho
+      |  FROM h),
+      |m AS (SELECT g, reg, CAST(max(rho) AS BIGINT) AS mr
+      |      FROM r GROUP BY 1, 2),
+      |a AS (
+      |  SELECT g, CAST(count(*) AS BIGINT) AS v,
+      |    sum(1.0 / CAST((CAST(1 AS BIGINT) << CAST(mr AS INTEGER))
+      |      AS DOUBLE)) AS sp
+      |  FROM m GROUP BY 1),
+      |x AS (
+      |  SELECT g, 64 - v AS zero_regs,
+      |    0.709 * 4096.0 / (sp + CAST(64 - v AS DOUBLE)) AS raw
+      |  FROM a)
+      |SELECT g AS day, zero_regs,
+      |  floor(CASE WHEN raw <= 160.0 AND zero_regs > 0
+      |      THEN 64.0 * ln(64.0 / CAST(zero_regs AS DOUBLE))
+      |      ELSE raw END * 10000.0 + 0.5) / 10000.0 AS hll_est
+      |FROM x""".stripMargin)
+
   /** Referential-integrity audit (ValidateOps.fkOrphans) over the
     * star schema's four FK edges plus the events→customer edge (which
     * has a real orphan: user_id 0 has no custkey 0). Dimension parents
@@ -1073,6 +1116,7 @@ object QueriesAnalytics {
     "pinball_eval" -> pinballEvalQ,
     "sq8_encode" -> sq8EncodeQ,
     "pca_power" -> pcaPowerQ,
+    "stream_hll" -> streamHllQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -876,6 +876,68 @@ object StreamingOps {
       .toDF(keyCol, "n_success")
   }
 
+  /** Streaming HyperLogLog distinct estimate per key — the streaming
+    * twin of [[graft.operators.SketchOps.hllDistinct]]: state is the
+    * m-byte register-max array, and register max is commutative AND
+    * idempotent, so the emitted estimate is EXACTLY batch-equal
+    * regardless of micro-batch slicing, row order, or replays — the
+    * rare sketch whose streaming form has no approximation drift on
+    * top of the sketch error. Emits one snapshot row per key per
+    * batch that touched it. State = 2^p bytes per key, watermark-free
+    * (register arrays never need eviction to stay correct).
+    */
+  def hllStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                idCol: String, p: Int = 6): DataFrame = {
+    import spark.implicits._
+    import graft.operators.SketchOps
+    require(p >= 2 && p <= 12, s"hllStream: p must be in [2,12], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val typed = df
+      .where(col(keyCol).isNotNull && col(idCol).isNotNull)
+      .select(col(keyCol).cast("long"), col(idCol).cast("long"))
+      .as[(Long, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Array[Byte], (Long, Long, Double)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val regs = state.getOption.getOrElse(new Array[Byte](m))
+          for ((_, id) <- rows) {
+            val h0 = SketchOps.kmvHash(id)
+            val g1 = h0 ^ (h0 >> 15)
+            val g2 = g1 * SketchOps.KmvMult % SketchOps.KmvMod
+            val hm = g2 ^ (g2 >> 15)
+            val reg = (hm % m).toInt
+            val w = hm / m
+            val rho = (if (w == 0) 26
+              else java.lang.Long.numberOfTrailingZeros(w) + 1).toByte
+            if (rho > regs(reg)) regs(reg) = rho
+          }
+          state.update(regs)
+          var zeros = 0L
+          var sp = 0.0
+          var i = 0
+          while (i < m) { // dyadic-exact sum: order-free
+            if (regs(i) == 0) zeros += 1
+            else sp += 1.0 / (1L << regs(i))
+            i += 1
+          }
+          val sumAll = sp + zeros.toDouble
+          val raw = alpha * m * m / sumAll
+          // StrictMath.log: Catalyst's Log expression is StrictMath,
+          // and batch-equality with hllDistinct must be bit-exact
+          val est = if (raw <= 2.5 * m && zeros > 0)
+            m.toDouble * StrictMath.log(m.toDouble / zeros) else raw
+          (key, zeros, est)
+      }
+      .toDF(keyCol, "zero_regs", "hll_est")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -156,7 +156,7 @@ class SketchOpsSpec extends SparkSpec {
         .map(rho => 1.0 / (1L << rho)).sum + zeros.toDouble
       val raw = 0.709 * m * m / sp
       val est = if (raw <= 2.5 * m && zeros > 0)
-        m.toDouble * math.log(m.toDouble / zeros) else raw
+        m.toDouble * StrictMath.log(m.toDouble / zeros) else raw
       (zeros, est)
     }
     val small = (1L to 40L)

@@ -561,6 +561,30 @@ class StreamingOpsSpec extends SparkSpec {
     assert(viaStream === viaBatch)
   }
 
+  test("hllStream: register state across batches equals batch sketch") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long)]
+    val df = input.toDF().toDF("g", "id")
+    val out = StreamingOps.hllStream(spark, df, "g", "id")
+    val q = out.writeStream.format("memory").queryName("hll_t")
+      .outputMode("update").start()
+    input.addData((1L to 30L).map(i => (0L, i)): _*)
+    q.processAllAvailable()
+    // second batch replays half the ids (idempotent) and adds new ones
+    input.addData((16L to 60L).map(i => (0L, i)): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("hll_t").collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).last
+    // batch operator over the union of both batches
+    import spark.implicits._
+    val batch = operators.SketchOps.hllDistinct(
+      (1L to 60L).toDF("id").withColumn("g", lit(0L)), "id", Seq("g"))
+      .head()
+    assert(last._1 === batch.getAs[Long]("zero_regs"))
+    assert(last._2 === batch.getAs[Double]("hll_est")) // bit-exact
+  }
+
   test("cusumStream carries integer CUSUM state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)]
