@@ -409,6 +409,120 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS fano
       |FROM a""".stripMargin)
 
+  /** Per-dimension MI feature ranking (SimilarityOps.featureMi):
+    * exact (dim × bucket × label) censuses on the 1e-1 grid, fixed
+    * (bucket, label)-ordered folds per dim.
+    */
+  private val featureMiQ = Q(
+    (s, d) => operators.SimilarityOps.featureMi(
+        Tables.embeddings(s, d), "embedding", "label")
+      .select(col("dim"), col("n"), qround(col("mi"), 8).as("mi")),
+    """WITH e AS (
+      |  SELECT label AS l, i - 1 AS d,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 10.0 + 0.5) AS BIGINT)
+      |      AS b
+      |  FROM (SELECT label, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings
+      |        WHERE embedding IS NOT NULL AND label IS NOT NULL)),
+      |j AS (SELECT d, b, l, CAST(count(*) AS BIGINT) AS c
+      |      FROM e GROUP BY 1, 2, 3),
+      |xm AS (SELECT d, b, CAST(sum(c) AS BIGINT) AS cx
+      |       FROM j GROUP BY 1, 2),
+      |ym AS (SELECT d, l, CAST(sum(c) AS BIGINT) AS cy
+      |       FROM j GROUP BY 1, 2),
+      |t AS (SELECT d, CAST(sum(c) AS BIGINT) AS n FROM j GROUP BY 1),
+      |terms AS (
+      |  SELECT j.d, j.b, j.l, n,
+      |    CAST(c AS DOUBLE) / CAST(n AS DOUBLE)
+      |      * ln(CAST(c AS DOUBLE) * CAST(n AS DOUBLE)
+      |        / (CAST(cx AS DOUBLE) * CAST(cy AS DOUBLE))) AS tt
+      |  FROM j JOIN xm USING (d, b) JOIN ym USING (d, l)
+      |  JOIN t USING (d))
+      |SELECT CAST(d AS BIGINT) AS dim, max(n) AS n,
+      |  floor(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(tt ORDER BY b, l)), (a_, b_) -> a_ + b_)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mi
+      |FROM terms GROUP BY d""".stripMargin)
+
+  /** Exact decision stump over melted event features
+    * (ClassifierOps.stumpTrain): label = purchase, features = value
+    * grid / hour-of-day / day-of-week; Gini gains from cumulative
+    * integer censuses, deterministic argmax.
+    */
+  private val stumpTrainQ = Q(
+    (s, d) => operators.ClassifierOps.stumpTrain(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(when(col("event_type") === "purchase", 1L)
+            .otherwise(0L).as("y"), col("value"), col("ts_ns"))
+          .selectExpr("y",
+            """stack(3,
+              |  'value_q', cast(floor(value * 10.0 + 0.5) as long),
+              |  'hod', (ts_ns div 3600000000000L) % 24,
+              |  'dow', (ts_ns div 86400000000000L) % 7)
+              |  AS (feature, xq)""".stripMargin),
+        "feature", "xq", "y")
+      .select(col("feature"), col("threshold"),
+        qround(col("gain"), 8).as("gain"),
+        qround(col("acc"), 8).as("acc"), col("n")),
+    """WITH b AS (
+      |  SELECT CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END
+      |      AS y,
+      |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS vq,
+      |    (epoch_ns(ts) // 3600000000000) % 24 AS hod,
+      |    (epoch_ns(ts) // 86400000000000) % 7 AS dow
+      |  FROM events WHERE value IS NOT NULL),
+      |m AS (
+      |  SELECT 'value_q' AS f, vq AS x, y FROM b
+      |  UNION ALL SELECT 'hod', hod, y FROM b
+      |  UNION ALL SELECT 'dow', dow, y FROM b),
+      |cells AS (
+      |  SELECT f, x, CAST(sum(y) AS BIGINT) AS p,
+      |    CAST(count(*) AS BIGINT) AS t
+      |  FROM m GROUP BY 1, 2),
+      |tot AS (SELECT f, CAST(sum(p) AS BIGINT) AS bp,
+      |        CAST(sum(t) AS BIGINT) AS bt FROM cells GROUP BY 1),
+      |cum AS (
+      |  SELECT f, x, p, t,
+      |    CAST(sum(p) OVER (PARTITION BY f ORDER BY x
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cp,
+      |    CAST(sum(t) OVER (PARTITION BY f ORDER BY x
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS ct
+      |  FROM cells),
+      |sc AS (
+      |  SELECT cum.f, x, cp - p AS lp, ct - t AS lt,
+      |    bp - (cp - p) AS rp, bt - (ct - t) AS rt, bp, bt
+      |  FROM cum JOIN tot ON cum.f = tot.f
+      |  WHERE ct - t > 0),
+      |gg AS (
+      |  SELECT f AS feature, x AS threshold,
+      |    (1.0
+      |      - (CAST(bp AS DOUBLE) / CAST(bt AS DOUBLE))
+      |        * (CAST(bp AS DOUBLE) / CAST(bt AS DOUBLE))
+      |      - (CAST(bt - bp AS DOUBLE) / CAST(bt AS DOUBLE))
+      |        * (CAST(bt - bp AS DOUBLE) / CAST(bt AS DOUBLE)))
+      |    - (CAST(lt AS DOUBLE) / CAST(bt AS DOUBLE)) * (1.0
+      |      - (CAST(lp AS DOUBLE) / CAST(lt AS DOUBLE))
+      |        * (CAST(lp AS DOUBLE) / CAST(lt AS DOUBLE))
+      |      - (CAST(lt - lp AS DOUBLE) / CAST(lt AS DOUBLE))
+      |        * (CAST(lt - lp AS DOUBLE) / CAST(lt AS DOUBLE)))
+      |    - (CAST(rt AS DOUBLE) / CAST(bt AS DOUBLE)) * (1.0
+      |      - (CAST(rp AS DOUBLE) / CAST(rt AS DOUBLE))
+      |        * (CAST(rp AS DOUBLE) / CAST(rt AS DOUBLE))
+      |      - (CAST(rt - rp AS DOUBLE) / CAST(rt AS DOUBLE))
+      |        * (CAST(rt - rp AS DOUBLE) / CAST(rt AS DOUBLE)))
+      |      AS gain,
+      |    (CAST(greatest(lp, lt - lp) AS DOUBLE)
+      |      + CAST(greatest(rp, rt - rp) AS DOUBLE))
+      |      / CAST(bt AS DOUBLE) AS acc,
+      |    bt AS n
+      |  FROM sc)
+      |SELECT feature, threshold,
+      |  floor(gain * 100000000.0 + 0.5) / 100000000.0 AS gain,
+      |  floor(acc * 100000000.0 + 0.5) / 100000000.0 AS acc, n
+      |FROM gg ORDER BY gain DESC, feature, threshold LIMIT 1"""
+      .stripMargin)
+
   /** Unrolled power-iteration chain for the pca_power oracle — one
     * MATERIALIZED matvec + normalize pair per step (memory: unrolled
     * chains must be MATERIALIZED; recursive CTEs mis-evaluate
@@ -1117,6 +1231,8 @@ object QueriesAnalytics {
     "sq8_encode" -> sq8EncodeQ,
     "pca_power" -> pcaPowerQ,
     "stream_hll" -> streamHllQ,
+    "feature_mi" -> featureMiQ,
+    "stump_train" -> stumpTrainQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -327,6 +327,59 @@ object ClassifierOps {
         try_divide(pbar - pe, lit(1.0) - pe).as("kappa"))
   }
 
+  /** Exact decision-stump training — the interpretable baseline
+    * classifier next to logistic regression: over melted (feature,
+    * grid-value, 0/1 label) rows, score EVERY (feature, threshold)
+    * split by Gini gain computed from cumulative integer censuses,
+    * and return the single best split (ties broken deterministically
+    * by feature then threshold). "Predict 1 when x >= threshold" is
+    * the right branch.
+    *
+    * Exactness + scale: one fact hash aggregate to the (feature ×
+    * grid) cells; the cumulative window is partitioned by feature
+    * over the grid-bounded domain; gains are mirrored IEEE
+    * expressions of exact BIGINTs, so the argmax (a TakeOrdered over
+    * the bounded candidate table, never a fact sort) picks the same
+    * split on both engines.
+    */
+  def stumpTrain(df: DataFrame, featureCol: String, xqCol: String,
+                 labelCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val cells = df.where(col(featureCol).isNotNull &&
+        col(xqCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(col(featureCol).as("_f"), col(xqCol).as("_x"))
+      .agg(sum(col(labelCol).cast("long")).as("_p"),
+        count(lit(1)).as("_t"))
+    val w = Window.partitionBy(col("_f")).orderBy(col("_x"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = cells.groupBy(col("_f"))
+      .agg(sum(col("_p")).as("_bp"), sum(col("_t")).as("_bt"))
+    val cand = cells
+      .withColumn("_cp", sum(col("_p")).over(w))
+      .withColumn("_ct", sum(col("_t")).over(w))
+      .join(broadcast(tot), Seq("_f"))
+      .select(col("_f"), col("_x"),
+        (col("_cp") - col("_p")).as("_lp"),
+        (col("_ct") - col("_t")).as("_lt"),
+        col("_bp"), col("_bt"))
+      .where(col("_lt") > 0)
+    def D(c: Column) = c.cast("double")
+    def gini(p: Column, t: Column): Column =
+      lit(1.0) - (D(p) / D(t)) * (D(p) / D(t)) -
+        (D(t - p) / D(t)) * (D(t - p) / D(t))
+    val rp = col("_bp") - col("_lp")
+    val rt = col("_bt") - col("_lt")
+    val gain = gini(col("_bp"), col("_bt")) -
+      (D(col("_lt")) / D(col("_bt"))) * gini(col("_lp"), col("_lt")) -
+      (D(rt) / D(col("_bt"))) * gini(rp, rt)
+    val acc = (D(greatest(col("_lp"), col("_lt") - col("_lp"))) +
+      D(greatest(rp, rt - rp))) / D(col("_bt"))
+    cand.select(col("_f").as("feature"), col("_x").as("threshold"),
+        gain.as("gain"), acc.as("acc"), col("_bt").as("n"))
+      .orderBy(col("gain").desc, col("feature"), col("threshold"))
+      .limit(1)
+  }
+
   /** Pinball (quantile) loss backtest — the eval for quantile
     * FORECASTS (P90 latency budgets, demand bands) that MAE/RMSE
     * can't grade: train/test split by the deterministic hash gate,

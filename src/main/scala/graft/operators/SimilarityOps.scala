@@ -786,6 +786,46 @@ object SimilarityOps {
           col("n_dims").cast("double")).as("mse"))
   }
 
+  /** Per-dimension mutual information against a label — feature
+    * selection for embedding columns (which dims actually carry the
+    * label?): components snap to a coarse grid, and each dim's
+    * I(bucket; label) comes from exact integer (dim × bucket × label)
+    * censuses with the fixed-order fold [[StatsOps.orderedFoldSum]]
+    * walking the (bucket, label) cells — the one summation idiom every
+    * cross-engine-exact statistic shares.
+    *
+    * 100 TB plan: one posexplode scan into a hash aggregate whose
+    * output is (d × buckets × labels)-bounded; the marginals broadcast
+    * back onto that bounded table. Nothing fact-sized downstream.
+    */
+  def featureMi(df: DataFrame, vecCol: String, labelCol: String,
+                quantDigits: Int = 1): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val ex = df.where(col(vecCol).isNotNull && col(labelCol).isNotNull)
+      .select(col(labelCol).as("_l"),
+        posexplode(expr(s"transform($vecCol, x -> cast(floor(" +
+          s"cast(x as double) * $scale + 0.5) as long))"))
+          .as(Seq("_d", "_b")))
+    val joint = ex.groupBy(col("_d"), col("_b"), col("_l"))
+      .agg(count(lit(1)).as("_c"))
+    val xm = joint.groupBy(col("_d"), col("_b"))
+      .agg(sum(col("_c")).as("_cx"))
+    val ym = joint.groupBy(col("_d"), col("_l"))
+      .agg(sum(col("_c")).as("_cy"))
+    val tot = joint.groupBy(col("_d")).agg(sum(col("_c")).as("_n"))
+    def D(c: String) = col(c).cast("double")
+    joint.join(broadcast(xm), Seq("_d", "_b"))
+      .join(broadcast(ym), Seq("_d", "_l"))
+      .join(broadcast(tot), Seq("_d"))
+      .select(col("_d"), col("_b"), col("_l"), col("_n"),
+        (D("_c") / D("_n") * log(D("_c") * D("_n") /
+          (D("_cx") * D("_cy")))).as("_t"))
+      .groupBy(col("_d"))
+      .agg(max(col("_n")).as("n"),
+        StatsOps.orderedFoldSum(Seq("_b", "_l"), "_t").as("mi"))
+      .select(col("_d").cast("long").as("dim"), col("n"), col("mi"))
+  }
+
   /** Top principal component by power iteration — the PCA sibling of
     * [[randomProject]] (data-adaptive axis instead of oblivious): the
     * d×d covariance Gram accumulates DISTRIBUTED as exact BIGINTs

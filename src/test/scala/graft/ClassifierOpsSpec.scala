@@ -217,6 +217,21 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_covered") === covered.toLong)
   }
 
+  test("stumpTrain: perfect split beats noise feature, hand gain") {
+    // feature f: y == x exactly -> split at 1, gain 0.5, acc 1
+    // feature g: y independent of x -> gain 0
+    val rows = Seq(("f", 0L, 0L), ("f", 0L, 0L), ("f", 1L, 1L),
+      ("f", 1L, 1L), ("g", 0L, 0L), ("g", 0L, 1L), ("g", 1L, 0L),
+      ("g", 1L, 1L))
+    val r = ClassifierOps.stumpTrain(rows.toDF("f", "x", "y"),
+      "f", "x", "y").head()
+    assert(r.getString(0) === "f")
+    assert(r.getLong(1) === 1L)
+    assert(approx(r.getDouble(2), 0.5))
+    assert(approx(r.getDouble(3), 1.0))
+    assert(r.getLong(4) === 4L)
+  }
+
   test("pinballEval: matches an independent sorted-rank replay") {
     val P = 1000000007L
     val A = 2654435761L

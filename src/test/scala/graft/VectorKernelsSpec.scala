@@ -184,6 +184,17 @@ class VectorKernelsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("mse"), want, 1e-12))
   }
 
+  test("featureMi: predictive dim scores ln2, constant dim scores 0") {
+    val df = Seq((1L, Seq(0f, 0.5f), 0), (2L, Seq(0f, 0.5f), 0),
+      (3L, Seq(1f, 0.5f), 1), (4L, Seq(1f, 0.5f), 1))
+      .toDF("id", "v", "label")
+    val out = SimilarityOps.featureMi(df, "v", "label").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(0L)._1 === 4L)
+    assert(approx(out(0L)._2, math.log(2.0), 1e-12))
+    assert(out(1L)._2 === 0.0)
+  }
+
   test("pcaPower: rank-1 cloud recovers its axis, lambda, and sign") {
     // all points on span{(3,4)}: top PC = (0.6, 0.8) with sign fixed
     // by v0 = e0 (first Gram column is positive), lambda = 62.5
