@@ -523,6 +523,47 @@ object QueriesAnalytics {
       |FROM gg ORDER BY gain DESC, feature, threshold LIMIT 1"""
       .stripMargin)
 
+  /** pass@k over per-user event "attempts" (ClassifierOps.passAtK):
+    * correct = value >= 50 on the exact grid; per-task k-term product
+    * folds, 1e-9 integer means.
+    */
+  private val passAtKQ = Q(
+    (s, d) => operators.ClassifierOps.passAtK(
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"),
+            when(expr("floor(value * 100.0 + 0.5)") >= 5000, 1L)
+              .otherwise(0L).as("correct")),
+        "user_id", "correct")
+      .select(col("k"), col("n_tasks"),
+        qround(col("mean_pass"), 8).as("mean_pass")),
+    """WITH s AS (
+      |  SELECT user_id AS task,
+      |    CASE WHEN floor(value * 100.0 + 0.5) >= 5000 THEN 1 ELSE 0
+      |      END AS y
+      |  FROM events WHERE value IS NOT NULL AND user_id IS NOT NULL),
+      |t AS (SELECT task, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS c
+      |      FROM s GROUP BY 1),
+      |p AS (
+      |  SELECT k, task,
+      |    CASE WHEN n - c < k THEN 1.0
+      |      ELSE 1.0 - list_reduce(list_prepend(CAST(1.0 AS DOUBLE),
+      |        list_transform(generate_series(0, k - 1),
+      |          i_ -> CAST(n - c - i_ AS DOUBLE)
+      |            / CAST(n - i_ AS DOUBLE))),
+      |        (a_, b_) -> a_ * b_) END AS pass
+      |  FROM t CROSS JOIN (SELECT unnest([1, 5, 10]) AS k)
+      |  WHERE n >= k),
+      |q AS (SELECT k, CAST(floor(pass * 1000000000.0 + 0.5) AS BIGINT)
+      |        AS pq
+      |      FROM p)
+      |SELECT CAST(k AS BIGINT) AS k, CAST(count(*) AS BIGINT)
+      |    AS n_tasks,
+      |  floor(CAST(sum(pq) AS DOUBLE) / 1000000000.0
+      |      / CAST(count(*) AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS mean_pass
+      |FROM q GROUP BY 1""".stripMargin)
+
   /** Unrolled power-iteration chain for the pca_power oracle — one
     * MATERIALIZED matvec + normalize pair per step (memory: unrolled
     * chains must be MATERIALIZED; recursive CTEs mis-evaluate
@@ -1233,6 +1274,7 @@ object QueriesAnalytics {
     "stream_hll" -> streamHllQ,
     "feature_mi" -> featureMiQ,
     "stump_train" -> stumpTrainQ,
+    "pass_at_k" -> passAtKQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

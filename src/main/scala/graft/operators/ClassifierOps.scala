@@ -327,6 +327,49 @@ object ClassifierOps {
         try_divide(pbar - pe, lit(1.0) - pe).as("kappa"))
   }
 
+  /** pass@k — the standard unbiased estimator for "of n sampled
+    * attempts per task, c correct, what's P(at least one of a random
+    * k-subset is correct)": 1 − C(n−c,k)/C(n,k), evaluated per task as
+    * the fixed-order product Π_{i<k}(n−c−i)/(n−i) (never factorials —
+    * overflow-free for any n), with the n−c<k degenerate case exactly
+    * 1. Tasks with n < k are dropped from that k's mean rather than
+    * polluting it.
+    *
+    * Exactness: (n, c) are exact integers; the k-term product is a
+    * fixed-order fold; the per-task pass snaps to a 1e-9 BIGINT before
+    * the cross-task mean, so the report is an exact integer ratio.
+    * Plan: one fact hash aggregate to the task table, then
+    * (tasks × |ks|)-bounded arithmetic.
+    */
+  def passAtK(df: DataFrame, taskCol: String, correctCol: String,
+              ks: Seq[Int] = Seq(1, 5, 10)): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"ks must be >= 1: $ks")
+    val perTask = df.where(col(taskCol).isNotNull &&
+        col(correctCol).isNotNull)
+      .groupBy(col(taskCol).as("_task"))
+      .agg(count(lit(1)).as("_n"),
+        sum(col(correctCol).cast("long")).as("_c"))
+    val pass = perTask
+      .select(col("_task"), col("_n"), col("_c"),
+        explode(lit(ks.toArray)).as("k"))
+      .where(col("_n") >= col("k"))
+      .withColumn("_pass",
+        when(col("_n") - col("_c") < col("k"), lit(1.0))
+          .otherwise(lit(1.0) - expr(
+            """aggregate(sequence(0, k - 1), cast(1.0 as double),
+              |  (acc, i) -> acc * (cast(_n - _c - i as double)
+              |    / cast(_n - i as double)))""".stripMargin)))
+    pass
+      .select(col("k"),
+        floor(col("_pass") * lit(1.0e9) + lit(0.5)).cast("long")
+          .as("_pq"))
+      .groupBy(col("k"))
+      .agg(count(lit(1)).as("n_tasks"), sum(col("_pq")).as("_sp"))
+      .select(col("k").cast("long").as("k"), col("n_tasks"),
+        (col("_sp").cast("double") / lit(1.0e9) /
+          col("n_tasks").cast("double")).as("mean_pass"))
+  }
+
   /** Exact decision-stump training — the interpretable baseline
     * classifier next to logistic regression: over melted (feature,
     * grid-value, 0/1 label) rows, score EVERY (feature, threshold)

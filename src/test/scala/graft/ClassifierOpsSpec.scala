@@ -217,6 +217,26 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_covered") === covered.toLong)
   }
 
+  test("passAtK: hand combinatorics, degenerate cases, n<k dropped") {
+    // A: n=3 c=1 -> pass@1 = 1/3; B: n=5 c=0 -> 0; C: n=5 c=5 -> 1
+    val rows = Seq(("A", 1L), ("A", 0L), ("A", 0L)) ++
+      (1 to 5).map(_ => ("B", 0L)) ++ (1 to 5).map(_ => ("C", 1L))
+    val out = ClassifierOps.passAtK(rows.toDF("t", "y"), "t", "y")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(out(1L)._1 === 3L)
+    // per-task pass snaps to 1e-9 before the mean
+    val third = math.floor(1.0 / 3 * 1e9 + 0.5) / 1e9
+    assert(approx(out(1L)._2, (third + 0.0 + 1.0) / 3, 1e-12))
+    assert(out(5L) === ((2L, 0.5))) // A dropped (n < 5)
+    assert(!out.contains(10L))      // nobody has 10 samples
+    // pass@2 on n=4 c=2: 1 - (2/4)(1/3) = 5/6
+    val two = ClassifierOps.passAtK(
+      Seq(("d", 1L), ("d", 1L), ("d", 0L), ("d", 0L)).toDF("t", "y"),
+      "t", "y", ks = Seq(2)).head()
+    assert(approx(two.getDouble(2), 5.0 / 6, 1e-9))
+  }
+
   test("stumpTrain: perfect split beats noise feature, hand gain") {
     // feature f: y == x exactly -> split at 1, gain 0.5, acc 1
     // feature g: y independent of x -> gain 0
