@@ -523,6 +523,97 @@ object QueriesAnalytics {
       |FROM gg ORDER BY gain DESC, feature, threshold LIMIT 1"""
       .stripMargin)
 
+  /** Unrolled Bradley-Terry MM chain for the bradley_terry oracle —
+    * each step one MATERIALIZED matvec-like update whose opponent
+    * fold is ORDER BY o, mirroring the driver's ascending-entity loop.
+    */
+  private def btIterSql(iters: Int): String = {
+    val steps = (1 to iters).map { t =>
+      s"""p$t AS MATERIALIZED (
+         |  SELECT nm.s,
+         |    CAST(wct.wins AS DOUBLE)
+         |      / list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |        list(CAST(nm.n AS DOUBLE) / (ps.p + po.p)
+         |          ORDER BY nm.o)), (a_, b_) -> a_ + b_) AS p
+         |  FROM nm JOIN p${t - 1} ps ON nm.s = ps.s
+         |  JOIN p${t - 1} po ON nm.o = po.s
+         |  JOIN wct ON nm.s = wct.s
+         |  GROUP BY nm.s, wct.wins)""".stripMargin
+    }
+    s"""p0 AS MATERIALIZED (
+       |  SELECT s, CAST(1.0 AS DOUBLE) AS p
+       |  FROM (SELECT DISTINCT s FROM nm)),
+       |${steps.mkString(",\n")}""".stripMargin
+  }
+
+  /** Bradley-Terry source ratings (ClassifierOps.bradleyTerry) from
+    * hash-paired document head-to-heads (winner = longer doc,
+    * deterministic tie-break): exact win-matrix census, 10 MM steps
+    * with ascending-entity folds.
+    */
+  private val bradleyTerryQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      val nd = docs.agg(count(lit(1)).as("_nd"))
+      val beats = col("n_chars") > col("_c2") ||
+        (col("n_chars") === col("_c2") && col("doc_id") < col("_pid"))
+      val matches = docs.crossJoin(broadcast(nd))
+        .select(col("doc_id"), col("source"), col("n_chars"),
+          expr("((doc_id % 1000000007L) * 2654435761L) % 1000000007L" +
+            " % _nd").as("_pid"))
+        .join(docs.select(col("doc_id").as("_pid"),
+          col("source").as("_s2"), col("n_chars").as("_c2")),
+          Seq("_pid"))
+        .where(col("source") =!= col("_s2"))
+        .select(when(beats, col("source")).otherwise(col("_s2"))
+            .as("winner"),
+          when(beats, col("_s2")).otherwise(col("source")).as("loser"))
+      operators.ClassifierOps.bradleyTerry(matches, "winner", "loser")
+        .select(col("winner").as("source"), col("wins"),
+          col("n_matches"), qround(col("rating"), 8).as("rating"))
+    },
+    s"""WITH docs AS (
+       |  SELECT doc_id, source, n_chars FROM documents
+       |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM docs),
+       |mt AS (
+       |  SELECT CASE WHEN p.n_chars > q.n_chars
+       |      OR (p.n_chars = q.n_chars AND p.doc_id < q.doc_id)
+       |    THEN p.source ELSE q.source END AS w,
+       |    CASE WHEN p.n_chars > q.n_chars
+       |      OR (p.n_chars = q.n_chars AND p.doc_id < q.doc_id)
+       |    THEN q.source ELSE p.source END AS l
+       |  FROM (SELECT d.doc_id, d.source, d.n_chars,
+       |          ((d.doc_id % 1000000007) * 2654435761) % 1000000007
+       |            % nd.n AS pid
+       |        FROM docs d CROSS JOIN nd) p
+       |  JOIN docs q ON p.pid = q.doc_id
+       |  WHERE p.source <> q.source),
+       |cells AS (SELECT w, l, CAST(count(*) AS BIGINT) AS c
+       |          FROM mt GROUP BY 1, 2),
+       |nm AS (
+       |  SELECT s, o, CAST(sum(c) AS BIGINT) AS n FROM (
+       |    SELECT w AS s, l AS o, c FROM cells
+       |    UNION ALL SELECT l, w, c FROM cells) GROUP BY 1, 2),
+       |wct AS (
+       |  SELECT s, CAST(sum(wn) AS BIGINT) AS wins FROM (
+       |    SELECT w AS s, c AS wn FROM cells
+       |    UNION ALL SELECT l, 0 FROM cells) GROUP BY 1),
+       |${btIterSql(10)},
+       |z AS (SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |        list(p ORDER BY s)), (a_, b_) -> a_ + b_) AS z
+       |      FROM p10),
+       |mts AS (SELECT s, CAST(sum(n) AS BIGINT) AS n_matches
+       |        FROM nm GROUP BY 1)
+       |SELECT p10.s AS source, wins, n_matches,
+       |  floor(p10.p / z.z * 100000000.0 + 0.5) / 100000000.0
+       |    AS rating
+       |FROM p10 CROSS JOIN z
+       |JOIN wct ON p10.s = wct.s
+       |JOIN mts ON p10.s = mts.s""".stripMargin)
+
   /** pass@k over per-user event "attempts" (ClassifierOps.passAtK):
     * correct = value >= 50 on the exact grid; per-task k-term product
     * folds, 1e-9 integer means.
@@ -1275,6 +1366,7 @@ object QueriesAnalytics {
     "feature_mi" -> featureMiQ,
     "stump_train" -> stumpTrainQ,
     "pass_at_k" -> passAtKQ,
+    "bradley_terry" -> bradleyTerryQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -327,6 +327,59 @@ object ClassifierOps {
         try_divide(pbar - pe, lit(1.0) - pe).as("kappa"))
   }
 
+  /** Bradley-Terry strength ratings from pairwise match outcomes —
+    * the principled "which model/source wins head-to-heads" ranking
+    * (win RATE is confounded by opponent strength; BT is not). MM
+    * iterations: p'ₛ = Wₛ / Σ_o n_so/(pₛ+p_o), run on the driver over
+    * the entity²-bounded win matrix (the codebook-collect budget),
+    * every fold ascending-entity so an engine replaying the same
+    * folds reproduces the ratings bit-for-bit. Ratings normalize to
+    * sum 1. Entities with zero matches are excluded (their MM update
+    * is undefined); zero-win entities converge to rating 0.
+    *
+    * 100 TB plan: ONE hash aggregate from the match fact to the
+    * (winner, loser) cells; everything after is entity-bounded.
+    */
+  def bradleyTerry(matches: DataFrame, winnerCol: String,
+                   loserCol: String, iters: Int = 10): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
+    val cells = matches.where(col(winnerCol).isNotNull &&
+        col(loserCol).isNotNull && col(winnerCol) =!= col(loserCol))
+      .groupBy(col(winnerCol).cast("string").as("_w"),
+        col(loserCol).cast("string").as("_l"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        r.getLong(2)).toMap
+    val spark = matches.sparkSession
+    import spark.implicits._
+    if (cells.isEmpty)
+      return Seq.empty[(String, Long, Long, Double)]
+        .toDF(winnerCol, "wins", "n_matches", "rating")
+    val entities = cells.keys.flatMap(k => Seq(k._1, k._2)).toSeq
+      .distinct.sorted
+    def n(a: String, b: String): Long =
+      cells.getOrElse((a, b), 0L) + cells.getOrElse((b, a), 0L)
+    val wins = entities.map(s =>
+      s -> entities.iterator.map(o => cells.getOrElse((s, o), 0L)).sum)
+      .toMap
+    var p = entities.map(_ -> 1.0).toMap
+    for (_ <- 1 to iters) {
+      p = entities.map { s =>
+        var denom = 0.0
+        for (o <- entities if o != s) { // ascending-entity fold
+          val m = n(s, o)
+          if (m > 0) denom += m.toDouble / (p(s) + p(o))
+        }
+        s -> wins(s).toDouble / denom
+      }.toMap
+    }
+    var z = 0.0
+    for (s <- entities) z += p(s)
+    entities.map(s => (s, wins(s),
+        entities.iterator.map(o => n(s, o)).sum, p(s) / z))
+      .toDF(winnerCol, "wins", "n_matches", "rating")
+  }
+
   /** pass@k — the standard unbiased estimator for "of n sampled
     * attempts per task, c correct, what's P(at least one of a random
     * k-subset is correct)": 1 − C(n−c,k)/C(n,k), evaluated per task as

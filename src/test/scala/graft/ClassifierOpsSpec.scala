@@ -217,6 +217,23 @@ class ClassifierOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("n_covered") === covered.toLong)
   }
 
+  test("bradleyTerry: two-player MLE exact, transitive ordering, sum 1") {
+    // A beats B 3-1: two-player BT MLE is exactly (0.75, 0.25)
+    val ab = Seq(("A", "B"), ("A", "B"), ("A", "B"), ("B", "A"))
+    val r = ClassifierOps.bradleyTerry(ab.toDF("w", "l"), "w", "l")
+      .collect().map(x => x.getString(0) ->
+        ((x.getLong(1), x.getLong(2), x.getDouble(3)))).toMap
+    assert(r("A") === ((3L, 4L, 0.75)))
+    assert(r("B") === ((1L, 4L, 0.25)))
+    // A > B > C dominance survives; ratings normalize to 1
+    val abc = Seq(("A", "B"), ("A", "B"), ("B", "C"), ("B", "C"),
+      ("A", "C"), ("C", "A"))
+    val r3 = ClassifierOps.bradleyTerry(abc.toDF("w", "l"), "w", "l")
+      .collect().map(x => x.getString(0) -> x.getDouble(3)).toMap
+    assert(r3("A") > r3("B") && r3("B") > r3("C"))
+    assert(approx(r3.values.sum, 1.0, 1e-12))
+  }
+
   test("passAtK: hand combinatorics, degenerate cases, n<k dropped") {
     // A: n=3 c=1 -> pass@1 = 1/3; B: n=5 c=0 -> 0; C: n=5 c=5 -> 1
     val rows = Seq(("A", 1L), ("A", 0L), ("A", 0L)) ++
