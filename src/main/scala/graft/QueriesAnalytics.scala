@@ -546,6 +546,92 @@ object QueriesAnalytics {
        |${steps.mkString(",\n")}""".stripMargin
   }
 
+  /** Quantile-normalize document lengths onto the global distribution
+    * (StatsOps.quantileNormalize): integer rank mapping
+    * ceil(cum·N/n), domain×broadcast-domain non-equi join.
+    */
+  private val quantileNormalizeQ = Q(
+    (s, d) => StatsOps.quantileNormalize(
+        Tables.documents(s, d), "source", "n_chars")
+      .select(col("source"), col("n"),
+        qround(col("mean_raw"), 8).as("mean_raw"),
+        qround(col("mean_mapped"), 8).as("mean_mapped")),
+    """WITH f AS (
+      |  SELECT source AS g,
+      |    CAST(floor(CAST(n_chars AS DOUBLE) * 1.0 + 0.5) AS BIGINT)
+      |      AS v
+      |  FROM documents WHERE source IS NOT NULL
+      |    AND n_chars IS NOT NULL),
+      |gd AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |       FROM f GROUP BY 1, 2),
+      |gcum AS (
+      |  SELECT g, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM gd),
+      |ng AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS nn FROM f),
+      |gl AS (SELECT v AS tv, CAST(count(*) AS BIGINT) AS tc
+      |       FROM f GROUP BY 1),
+      |glc AS (
+      |  SELECT tv, tc, CAST(sum(tc) OVER (ORDER BY tv
+      |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS tcum
+      |  FROM gl),
+      |mp AS (
+      |  SELECT g, v, c, n, (cum * nn + n - 1) // n AS r
+      |  FROM gcum JOIN ng USING (g) CROSS JOIN nn),
+      |j AS (
+      |  SELECT mp.g, c, v, tv, n
+      |  FROM mp JOIN glc ON r > tcum - tc AND r <= tcum)
+      |SELECT g AS source, CAST(max(n) AS BIGINT) AS n,
+      |  floor(CAST(sum(c * v) AS DOUBLE) / 1.0 / CAST(max(n) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_raw,
+      |  floor(CAST(sum(c * tv) AS DOUBLE) / 1.0
+      |      / CAST(max(n) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_mapped
+      |FROM j GROUP BY 1""".stripMargin)
+
+  /** Exact 10%-trimmed mean of event values per type
+    * (StatsOps.trimmedMean): per-value surviving multiplicities are
+    * pure integer clamps on the cumulative histogram.
+    */
+  private val trimmedMeanQ = Q(
+    (s, d) => StatsOps.trimmedMean(
+        Tables.events(s, d), "event_type", "value")
+      .select(col("event_type"), col("n"), col("k"),
+        qround(col("mean_raw"), 8).as("mean_raw"),
+        qround(col("trimmed_mean"), 8).as("trimmed_mean")),
+    """WITH f AS (
+      |  SELECT event_type AS g,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE event_type IS NOT NULL
+      |    AND value IS NOT NULL),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM f GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT g, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM h),
+      |nt AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+      |kk AS (
+      |  SELECT g, v, c, cum, nt.n, (nt.n * 100000) // 1000000 AS k
+      |  FROM cc JOIN nt USING (g)),
+      |kept AS (
+      |  SELECT g, v, c, n, k,
+      |    greatest(CAST(0 AS BIGINT),
+      |      least(cum, n - k) - greatest(cum - c, k)) AS ke
+      |  FROM kk)
+      |SELECT g AS event_type, CAST(max(n) AS BIGINT) AS n,
+      |  CAST(max(k) AS BIGINT) AS k,
+      |  floor(CAST(sum(c * v) AS DOUBLE) / 100.0
+      |      / CAST(max(n) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_raw,
+      |  floor(CAST(sum(ke * v) AS DOUBLE) / 100.0
+      |      / CAST(sum(ke) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS trimmed_mean
+      |FROM kept GROUP BY 1""".stripMargin)
+
   /** Bradley-Terry source ratings (ClassifierOps.bradleyTerry) from
     * hash-paired document head-to-heads (winner = longer doc,
     * deterministic tie-break): exact win-matrix census, 10 MM steps
@@ -1367,6 +1453,8 @@ object QueriesAnalytics {
     "stump_train" -> stumpTrainQ,
     "pass_at_k" -> passAtKQ,
     "bradley_terry" -> bradleyTerryQ,
+    "quantile_normalize" -> quantileNormalizeQ,
+    "trimmed_mean" -> trimmedMeanQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -1275,6 +1275,100 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Quantile normalization — map every group's value distribution
+    * onto the GLOBAL quantile function (the cross-source length/score
+    * harmonizer: after it, "top decile" means the same thing in every
+    * source). Convention: each distinct group value at upper rank
+    * cum_g maps to the global value at integer rank
+    * ceil(cum_g·N/n_g) — an exact integer, so the value→value mapping
+    * is deterministic (ties map together; no fractional quantiles).
+    *
+    * Exactness + plan: both sides collapse to distinct-value domains
+    * first (one hash aggregate each); the mapping is a non-equi join
+    * of the (group × value) domain against the BROADCAST global
+    * domain on integer rank containment — domain×domain, never
+    * fact-sized; report sums are exact grid-int products.
+    */
+  def quantileNormalize(df: DataFrame, groupCol: String,
+                        valueCol: String,
+                        quantDigits: Int = 0): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val scale = math.pow(10, quantDigits)
+    val f = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+          .cast("long").as("_v"))
+    val wg = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val gdom = f.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(wg))
+      .join(f.groupBy(col("_g")).agg(count(lit(1)).as("_ng")),
+        Seq("_g"))
+    val wAll = Window.orderBy(col("_tv"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = f.agg(count(lit(1)).as("_nn"))
+    // global domain: each distinct value owns the rank span
+    // (_tcum - _tc, _tcum]
+    val global = f.groupBy(col("_v").as("_tv"))
+      .agg(count(lit(1)).as("_tc"))
+      .withColumn("_tcum", sum(col("_tc")).over(wAll))
+    val mapped = gdom.crossJoin(broadcast(tot))
+      .withColumn("_r",
+        expr("(_cum * _nn + _ng - 1) div _ng")) // ceil(cum*N/n)
+      .join(broadcast(global),
+        col("_r") > col("_tcum") - col("_tc") &&
+          col("_r") <= col("_tcum"))
+    def D(c: Column) = c.cast("double")
+    mapped.groupBy(col("_g"))
+      .agg(max(col("_ng")).as("n"),
+        sum(col("_c") * col("_v")).as("_sv"),
+        sum(col("_c") * col("_tv")).as("_sm"))
+      .select(col("_g").as(groupCol), col("n"),
+        (D(col("_sv")) / lit(scale) / D(col("n"))).as("mean_raw"),
+        (D(col("_sm")) / lit(scale) / D(col("n"))).as("mean_mapped"))
+  }
+
+  /** Exact trimmed mean per group — the outlier-robust mean that
+    * DROPS the tail ranks instead of clamping them ([[winsorize]]'s
+    * sibling): with k = floor(n·trim), average ranks k+1..n−k. Each
+    * distinct value's surviving multiplicity is
+    * min(cum, n−k) − max(cum−c, k) clamped at 0 — pure integer
+    * arithmetic on the distinct-value histogram, so the whole
+    * statistic is an exact integer ratio on the grid. Plan: one fact
+    * hash aggregate → group-partitioned window over the value domain.
+    */
+  def trimmedMean(df: DataFrame, groupCol: String, valueCol: String,
+                  trim: Double = 0.1, quantDigits: Int = 2): DataFrame = {
+    require(trim >= 0 && trim < 0.5, s"trim in [0, 0.5), got $trim")
+    import org.apache.spark.sql.expressions.Window
+    val scale = math.pow(10, quantDigits)
+    val f = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+          .cast("long").as("_v"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tq = math.round(trim * 1e6)
+    val hist = f.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .join(f.groupBy(col("_g")).agg(count(lit(1)).as("_n")), Seq("_g"))
+      .withColumn("_k", expr(s"(_n * ${tq}L) div 1000000L"))
+    val kept = greatest(lit(0L),
+      least(col("_cum"), col("_n") - col("_k")) -
+        greatest(col("_cum") - col("_c"), col("_k")))
+    def D(c: Column) = c.cast("double")
+    hist.groupBy(col("_g"))
+      .agg(max(col("_n")).as("n"), max(col("_k")).as("k"),
+        sum(kept * col("_v")).as("_ts"), sum(kept).as("_tn"),
+        sum(col("_c") * col("_v")).as("_sv"))
+      .select(col("_g").as(groupCol), col("n"), col("k"),
+        (D(col("_sv")) / lit(scale) / D(col("n"))).as("mean_raw"),
+        (D(col("_ts")) / lit(scale) / D(col("_tn")))
+          .as("trimmed_mean"))
+  }
+
   /** Cliff's delta — the nonparametric EFFECT SIZE companion to
     * [[mannWhitney]]'s significance: δ = (#{a>b} − #{a<b}) / (n_a·n_b)
     * over all cross-cohort pairs (+1 = total dominance, 0 = overlap).

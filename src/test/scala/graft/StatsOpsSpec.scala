@@ -122,6 +122,33 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("trimmedMean: drops exactly the tail ranks, tie-spanning clamps") {
+    // 0..8 plus outlier 100, k = 1: trimmed keeps 1..8 -> 4.5
+    val a = ((0 to 8).map(_.toDouble) :+ 100.0).map(("a", _))
+    val r = StatsOps.trimmedMean(a.toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("n") === 10L && r.getAs[Long]("k") === 1L)
+    assert(approx(r.getAs[Double]("mean_raw"), 13.6))
+    assert(approx(r.getAs[Double]("trimmed_mean"), 4.5))
+    // ties spanning the cut: [0,0,0,10] trim .25 -> keep two 0s
+    val b = Seq(("b", 0.0), ("b", 0.0), ("b", 0.0), ("b", 10.0))
+    val r2 = StatsOps.trimmedMean(b.toDF("g", "v"), "g", "v",
+      trim = 0.25).head()
+    assert(r2.getAs[Long]("k") === 1L)
+    assert(r2.getAs[Double]("trimmed_mean") === 0.0)
+  }
+
+  test("quantileNormalize: disjoint groups land on the same mapped mean") {
+    // global sorted [1,2,3,4,11,12,13,14]; both groups map their
+    // ranks to global ranks {2,4,6,8} -> targets {2,4,12,14}, mean 8
+    val df = (Seq(1, 2, 3, 4).map(("a", _)) ++
+      Seq(11, 12, 13, 14).map(("b", _))).toDF("g", "v")
+    val out = StatsOps.quantileNormalize(df, "g", "v").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2),
+        r.getDouble(3)))).toMap
+    assert(out("a") === ((4L, 2.5, 8.0)))
+    assert(out("b") === ((4L, 12.5, 8.0)))
+  }
+
   test("mahalanobisOutliers: hand d2 on a diagonal-cov cross; det<=0") {
     // cross at (1,0): cov diag(0.5, 0.5) in value units -> every
     // point's d2 = 2 exactly (invariant under the 1e-2 x grid)
