@@ -546,6 +546,71 @@ object QueriesAnalytics {
        |${steps.mkString(",\n")}""".stripMargin
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity on the hash split
+    * (TextOps.kneserNeyPerplexity): type-count continuation model,
+    * D = 0.75, mirrored IEEE log-prob per test bigram.
+    */
+  private val kneserNeyQ = Q(
+    (s, d) => operators.TextOps.kneserNeyPerplexity(
+        Tables.documents(s, d), "doc_id", "text")
+      .select(col("n_test_bigrams"),
+        qround(col("avg_logp"), 8).as("avg_logp"),
+        qround(col("perplexity"), 6).as("perplexity")),
+    """WITH trw AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007)
+      |    % 10000 < 8000),
+      |tew AS (
+      |  SELECT string_split(text, ' ') AS ws FROM documents
+      |  WHERE (((doc_id % 1000000007) * 2654435761) % 1000000007)
+      |    % 10000 >= 8000),
+      |trb AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM trw WHERE len(ws) >= 2)),
+      |pairs AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS np
+      |  FROM trb GROUP BY 1, 2),
+      |ctx AS (SELECT w1, CAST(sum(np) AS BIGINT) AS c1,
+      |          CAST(count(*) AS BIGINT) AS n1f
+      |        FROM pairs GROUP BY 1),
+      |bwd AS (SELECT w2, CAST(count(*) AS BIGINT) AS n1b
+      |        FROM pairs GROUP BY 1),
+      |tt AS (SELECT CAST(count(*) AS BIGINT) AS tt FROM pairs),
+      |v AS (SELECT CAST(count(DISTINCT w) AS BIGINT) AS nv
+      |      FROM (SELECT unnest(ws) AS w FROM trw)),
+      |teb AS (
+      |  SELECT ws[i] AS w1, ws[i + 1] AS w2
+      |  FROM (SELECT ws, unnest(generate_series(1, len(ws) - 1)) AS i
+      |        FROM tew WHERE len(ws) >= 2)),
+      |tst AS (
+      |  SELECT w1, w2, CAST(count(*) AS BIGINT) AS nt
+      |  FROM teb GROUP BY 1, 2),
+      |sc AS (
+      |  SELECT tst.nt,
+      |    CAST(floor(ln(
+      |      CASE WHEN coalesce(ctx.c1, 0) > 0 THEN
+      |        greatest(CAST(coalesce(pairs.np, 0) AS DOUBLE) - 0.75,
+      |          0.0) / CAST(ctx.c1 AS DOUBLE)
+      |        + 0.75 * CAST(ctx.n1f AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+      |          * ((CAST(coalesce(bwd.n1b, 0) AS DOUBLE) + 1.0)
+      |            / (CAST(tt.tt AS DOUBLE) + CAST(v.nv AS DOUBLE)
+      |              + 1.0))
+      |      ELSE (CAST(coalesce(bwd.n1b, 0) AS DOUBLE) + 1.0)
+      |        / (CAST(tt.tt AS DOUBLE) + CAST(v.nv AS DOUBLE) + 1.0)
+      |      END) * 1000000.0 + 0.5) AS BIGINT) AS lq
+      |  FROM tst LEFT JOIN pairs USING (w1, w2)
+      |       LEFT JOIN ctx USING (w1) LEFT JOIN bwd USING (w2)
+      |       CROSS JOIN tt CROSS JOIN v)
+      |SELECT CAST(sum(nt) AS BIGINT) AS n_test_bigrams,
+      |  floor(CAST(sum(nt * lq) AS DOUBLE) / 1000000.0
+      |      / CAST(sum(nt) AS DOUBLE) * 100000000.0 + 0.5)
+      |    / 100000000.0 AS avg_logp,
+      |  floor(exp(-(CAST(sum(nt * lq) AS DOUBLE) / 1000000.0
+      |      / CAST(sum(nt) AS DOUBLE))) * 1000000.0 + 0.5)
+      |    / 1000000.0 AS perplexity
+      |FROM sc""".stripMargin)
+
   /** Quantile-normalize document lengths onto the global distribution
     * (StatsOps.quantileNormalize): integer rank mapping
     * ceil(cum·N/n), domain×broadcast-domain non-equi join.
@@ -1455,6 +1520,7 @@ object QueriesAnalytics {
     "bradley_terry" -> bradleyTerryQ,
     "quantile_normalize" -> quantileNormalizeQ,
     "trimmed_mean" -> trimmedMeanQ,
+    "kneser_ney" -> kneserNeyQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

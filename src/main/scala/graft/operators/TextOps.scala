@@ -461,6 +461,71 @@ object TextOps {
       .withColumn("perplexity", exp(-col("avg_logp")))
   }
 
+  /** Interpolated Kneser-Ney bigram perplexity — the smoothing that
+    * actually wins LM evals, next to [[bigramPerplexity]]'s add-one
+    * baseline: P(w2|w1) = max(c12−D,0)/c1 + D·N1+(w1,·)/c1 ·
+    * Pcont(w2), with the continuation probability built from TYPE
+    * counts (how many distinct contexts precede w2) instead of raw
+    * frequency — which is why "Francisco" (frequent, one context)
+    * stops stealing mass from genuinely productive words. Unseen
+    * contexts back off to Pcont entirely; Pcont is add-one smoothed
+    * over (T + V + 1) so unseen test words keep finite log-loss.
+    *
+    * Exactness: every model quantity is an exact integer type/token
+    * census; each test bigram's log-probability is one mirrored IEEE
+    * expression snapped to a 1e-6 BIGINT before the weighted sum.
+    * Plan: token explode → vocab-bounded pair/context/continuation
+    * tables, broadcast onto the test bigram table.
+    */
+  def kneserNeyPerplexity(df: DataFrame, idCol: String, textCol: String,
+                          trainFrac: Double = 0.8,
+                          discount: Double = 0.75): DataFrame = {
+    import graft.operators.SampleOps
+    require(discount > 0 && discount < 1, s"discount in (0,1): $discount")
+    val cut = math.floor(trainFrac * SampleOps.SplitBuckets).toLong
+    val bucket = SampleOps.splitBucket(col(idCol))
+    val ws = words(col(textCol))
+    def bigrams(src: DataFrame): DataFrame = src
+      .select(ws.as("_ws")).where(size(col("_ws")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(0, size(_ws) - 2),
+          |  i -> struct(_ws[i] AS w1, _ws[i + 1] AS w2))""".stripMargin))
+        .as("_p"))
+      .select(col("_p.w1").as("w1"), col("_p.w2").as("w2"))
+      .groupBy("w1", "w2").agg(count(lit(1)).as("_n"))
+    val train = df.where(bucket < cut)
+    val test = df.where(bucket >= cut)
+    val pairs = bigrams(train).withColumnRenamed("_n", "_np")
+    val ctx = pairs.groupBy("w1")
+      .agg(sum("_np").as("_c1"), count(lit(1)).as("_n1f"))
+    val bwd = pairs.groupBy("w2").agg(count(lit(1)).as("_n1b"))
+    val types = pairs.agg(count(lit(1)).as("_tt"))
+    val vocab = train.select(explode(ws).as("_w"))
+      .agg(countDistinct(col("_w")).as("_v"))
+    def D(c: Column) = c.cast("double")
+    val pc = (D(coalesce(col("_n1b"), lit(0L))) + lit(1.0)) /
+      (D(col("_tt")) + D(col("_v")) + lit(1.0))
+    val dd = lit(discount)
+    val p = when(coalesce(col("_c1"), lit(0L)) > 0,
+      greatest(D(coalesce(col("_np"), lit(0L))) - dd, lit(0.0)) /
+        D(col("_c1")) +
+        dd * D(col("_n1f")) / D(col("_c1")) * pc)
+      .otherwise(pc)
+    val scored = bigrams(test).withColumnRenamed("_n", "_nt")
+      .join(pairs, Seq("w1", "w2"), "left")
+      .join(broadcast(ctx), Seq("w1"), "left")
+      .join(broadcast(bwd), Seq("w2"), "left")
+      .crossJoin(broadcast(types)).crossJoin(broadcast(vocab))
+      .select(col("_nt"),
+        floor(log(p) * lit(1.0e6) + lit(0.5)).cast("long").as("_lq"))
+    scored.agg(sum(col("_nt")).as("n_test_bigrams"),
+        sum(col("_nt") * col("_lq")).as("_slq"))
+      .select(col("n_test_bigrams"),
+        (col("_slq").cast("double") / lit(1.0e6) /
+          col("n_test_bigrams").cast("double")).as("avg_logp"))
+      .withColumn("perplexity", exp(-col("avg_logp")))
+  }
+
   /** Pointwise mutual information over within-document word
     * co-occurrence — the collocation / phrase-mining readout
     * (PMI(x,y) = ln(c_xy·N / (df_x·df_y)) over document frequencies).

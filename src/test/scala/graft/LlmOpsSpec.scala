@@ -1099,6 +1099,33 @@ class LlmOpsSpec extends SparkSpec {
     assert(out((2L, 1))._1 === "other" && out((2L, 2))._1 === "shared")
   }
 
+  test("kneserNeyPerplexity: hand KN math, unseen-context backoff") {
+    val P = 1000000007L
+    def bucket(k: Long): Long =
+      Math.floorMod(k, P) * operators.SketchOps.KmvMult % P % 10000
+    val trainId = (1L to 200L).find(bucket(_) < 8000).get
+    val testId = (1L to 200L).find(bucket(_) >= 8000).get
+    // train "a b a b a c": pairs (a,b)=2 (b,a)=2 (a,c)=1; T=3, V=3
+    // ctx a: c1=3 n1f=2; Pcont(b) = (1+1)/(3+3+1) = 2/7
+    // test "a b": P = 1.25/3 + 0.75*2/3 * 2/7
+    val df = Seq((trainId, "a b a b a c"), (testId, "a b"))
+      .toDF("doc_id", "text")
+    val r = operators.TextOps.kneserNeyPerplexity(df, "doc_id", "text")
+      .head()
+    val p = 1.25 / 3 + 0.75 * 2 / 3 * (2.0 / 7)
+    val lq = math.floor(math.log(p) * 1e6 + 0.5) / 1e6
+    assert(r.getAs[Long]("n_test_bigrams") === 1L)
+    assert(approx(r.getAs[Double]("avg_logp"), lq, 1e-9))
+    assert(approx(r.getAs[Double]("perplexity"), math.exp(-lq), 1e-9))
+    // unseen context "z b" backs off to Pcont(b) = 2/7
+    val df2 = Seq((trainId, "a b a b a c"), (testId, "z b"))
+      .toDF("doc_id", "text")
+    val r2 = operators.TextOps.kneserNeyPerplexity(df2, "doc_id", "text")
+      .head()
+    val lq2 = math.floor(math.log(2.0 / 7) * 1e6 + 0.5) / 1e6
+    assert(approx(r2.getAs[Double]("avg_logp"), lq2, 1e-9))
+  }
+
   test("fleschReadability: hand counts, sentence floor, group mean") {
     // "the cat sat. it ran!": 5 words, 2 sentences, 5 vowel groups
     // -> 206.835 - 1.015*(5/2) - 84.6*(5/5) = 119.6975
