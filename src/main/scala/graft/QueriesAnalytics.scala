@@ -546,6 +546,108 @@ object QueriesAnalytics {
        |${steps.mkString(",\n")}""".stripMargin
   }
 
+  /** Best two-segment split of each event type's hourly arrival
+    * series (SequenceOps.changepointSplit): exact bigint prefix SSEs,
+    * deterministic rank-1 argmax.
+    */
+  private val changepointSplitQ = Q(
+    (s, d) => operators.SequenceOps.changepointSplit(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("split_at"),
+        qround(col("sse_reduction"), 8).as("sse_reduction"),
+        qround(col("mean_left"), 8).as("mean_left"),
+        qround(col("mean_right"), 8).as("mean_right")),
+    """WITH s AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(y) AS BIGINT) AS sv,
+      |        CAST(sum(y * y) AS BIGINT) AS ss
+      |      FROM s GROUP BY 1),
+      |c AS (
+      |  SELECT g, h, y,
+      |    CAST(count(*) OVER wd AS BIGINT) AS cn,
+      |    CAST(sum(y) OVER wd AS BIGINT) AS cs,
+      |    CAST(sum(y * y) OVER wd AS BIGINT) AS css
+      |  FROM s WINDOW wd AS (PARTITION BY g ORDER BY h
+      |    ROWS UNBOUNDED PRECEDING)),
+      |cand AS (
+      |  SELECT c.g, h, cn - 1 AS lnn, cs - y AS ls,
+      |    css - y * y AS lss, n, sv, ss
+      |  FROM c JOIN t ON c.g = t.g WHERE cn - 1 > 0),
+      |sc AS (
+      |  SELECT g, h,
+      |    (CAST(ss AS DOUBLE) - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |        / CAST(n AS DOUBLE))
+      |    - (CAST(lss AS DOUBLE)
+      |        - CAST(ls AS DOUBLE) * CAST(ls AS DOUBLE)
+      |          / CAST(lnn AS DOUBLE))
+      |    - (CAST(ss - lss AS DOUBLE)
+      |        - CAST(sv - ls AS DOUBLE) * CAST(sv - ls AS DOUBLE)
+      |          / CAST(n - lnn AS DOUBLE)) AS red,
+      |    CAST(ls AS DOUBLE) / CAST(lnn AS DOUBLE) AS ml,
+      |    CAST(sv - ls AS DOUBLE) / CAST(n - lnn AS DOUBLE) AS mr
+      |  FROM cand),
+      |rk AS (SELECT g, h, red, ml, mr,
+      |         row_number() OVER (PARTITION BY g ORDER BY red DESC, h)
+      |           AS r
+      |       FROM sc)
+      |SELECT g AS event_type, h AS split_at,
+      |  floor(red * 100000000.0 + 0.5) / 100000000.0 AS sse_reduction,
+      |  floor(ml * 100000000.0 + 0.5) / 100000000.0 AS mean_left,
+      |  floor(mr * 100000000.0 + 0.5) / 100000000.0 AS mean_right
+      |FROM rk WHERE r = 1""".stripMargin)
+
+  /** Holt linear smoothing of hourly arrivals per event type
+    * (SequenceOps.holtLinear, alpha 0.3 / beta 0.1): one fixed-order
+    * IEEE recurrence per series over the hour domain.
+    */
+  private val holtWintersQ = Q(
+    (s, d) => operators.SequenceOps.holtLinear(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("n_windows"),
+        qround(col("level"), 8).as("level"),
+        qround(col("trend"), 8).as("trend"),
+        qround(col("forecast"), 8).as("forecast"),
+        qround(col("sse"), 6).as("sse")),
+    """WITH s AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |arrs AS (
+      |  SELECT g, list({'h': h, 'y': y} ORDER BY h) AS arr
+      |  FROM s GROUP BY 1),
+      |st AS (
+      |  -- list-valued fold state: DuckDB STRUCT lambdas rebind acc
+      |  -- fields sequentially as they are computed (field 'b' would
+      |  -- see the NEW 'l'); list element references stay immutable
+      |  SELECT g, len(arr) AS n_windows,
+      |    list_reduce(list_prepend(
+      |      [arr[2].y, arr[2].y - arr[1].y, CAST(0.0 AS DOUBLE)],
+      |      list_transform(arr[3:], e_ -> [e_.y,
+      |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+      |      (acc, x_) -> [
+      |        CAST(0.3 AS DOUBLE) * x_[1]
+      |          + (1.0 - CAST(0.3 AS DOUBLE)) * (acc[1] + acc[2]),
+      |        CAST(0.1 AS DOUBLE) * ((CAST(0.3 AS DOUBLE) * x_[1]
+      |            + (1.0 - CAST(0.3 AS DOUBLE)) * (acc[1] + acc[2]))
+      |          - acc[1]) + (1.0 - CAST(0.1 AS DOUBLE)) * acc[2],
+      |        acc[3] + (x_[1] - (acc[1] + acc[2]))
+      |          * (x_[1] - (acc[1] + acc[2]))]) AS st
+      |  FROM arrs WHERE len(arr) >= 3)
+      |SELECT g AS event_type, CAST(n_windows AS BIGINT) AS n_windows,
+      |  floor(st[1] * 100000000.0 + 0.5) / 100000000.0 AS level,
+      |  floor(st[2] * 100000000.0 + 0.5) / 100000000.0 AS trend,
+      |  floor((st[1] + st[2]) * 100000000.0 + 0.5) / 100000000.0
+      |    AS forecast,
+      |  floor(st[3] * 1000000.0 + 0.5) / 1000000.0 AS sse
+      |FROM st""".stripMargin)
+
   /** Interpolated Kneser-Ney bigram perplexity on the hash split
     * (TextOps.kneserNeyPerplexity): type-count continuation model,
     * D = 0.75, mirrored IEEE log-prob per test bigram.
@@ -1521,6 +1623,8 @@ object QueriesAnalytics {
     "quantile_normalize" -> quantileNormalizeQ,
     "trimmed_mean" -> trimmedMeanQ,
     "kneser_ney" -> kneserNeyQ,
+    "changepoint_split" -> changepointSplitQ,
+    "holt_winters" -> holtWintersQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Ordered-sequence analytics over event streams — the funnel /
@@ -745,6 +745,114 @@ object SequenceOps {
       .select(col("r.t").as("t"), col("r.d").as("d"),
         col("r.n_at_risk").as("n_at_risk"), col("r.s").as("s"))
       .where(col("d") > 0)
+  }
+
+  /** Holt linear (level+trend) exponential smoothing over each
+    * series' per-window counts — the forecasting step up from
+    * [[SequenceOps]]'s seasonal-naive backtest and ewma: state
+    * (l, b) folds once through the window domain in time order,
+    * accumulating one-step-ahead SSE, and emits the fitted level,
+    * trend, and next-window forecast. Init: l=y₁, b=y₁−y₀ (the
+    * standard two-point start), fold from y₂.
+    *
+    * Exactness: the series is exact integer counts; the fold is a
+    * per-group fixed-order aggregate over the collected window domain
+    * (bounded by the observation span), so both engines run the same
+    * IEEE recurrence; smoothing literals are spelled identically
+    * (`alpha`, `1.0 - alpha`) in both expression trees. Plan: one
+    * fact hash aggregate, one domain-bounded collect_list fold per
+    * group.
+    */
+  def holtLinear(df: DataFrame, groupCol: String, windowCol: String,
+                 alpha: Double = 0.3, beta: Double = 0.1): DataFrame = {
+    require(alpha > 0 && alpha < 1 && beta > 0 && beta < 1,
+      s"alpha/beta in (0,1), got $alpha/$beta")
+    val a = alpha.toString
+    val b = beta.toString
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).cast("double").as("_y"))
+    series.groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_h"), col("_y"))))
+        .as("arr"))
+      .where(size(col("arr")) >= 3)
+      .withColumn("_st", expr(
+        s"""aggregate(slice(arr, 3, size(arr) - 2),
+           |  named_struct(
+           |    'l', arr[1]._y,
+           |    'b', arr[1]._y - arr[0]._y,
+           |    's', cast(0.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    'l', $a * x._y + (1.0 - $a) * (acc.l + acc.b),
+           |    'b', $b * (($a * x._y + (1.0 - $a) * (acc.l + acc.b))
+           |      - acc.l) + (1.0 - $b) * acc.b,
+           |    's', acc.s + (x._y - (acc.l + acc.b))
+           |      * (x._y - (acc.l + acc.b))))""".stripMargin))
+      .select(col("_g").as(groupCol),
+        size(col("arr")).cast("long").as("n_windows"),
+        col("_st.l").as("level"), col("_st.b").as("trend"),
+        (col("_st.l") + col("_st.b")).as("forecast"),
+        col("_st.s").as("sse"))
+  }
+
+  /** Best single change-point by variance reduction — the offline
+    * sibling of [[cusumChange]] (CUSUM alarms online; this LOCATES
+    * the break): over each series' per-window counts, choose the
+    * boundary t maximizing SSE(all) − SSE(<t) − SSE(≥t), the exact
+    * two-segment least-squares split (binary segmentation's first
+    * step).
+    *
+    * Exactness + scale: window counts are exact integers; segment
+    * SSEs are Σy² − (Σy)²/n over exact BIGINT prefix sums (one
+    * group-partitioned window over the window domain); the argmax is
+    * a rank-1 filter with deterministic (reduction desc, t) ordering,
+    * mirrored IEEE throughout. Plan: fact → (series × window) counts
+    * → domain window → domain-bounded argmax. Nothing fact-sized
+    * after the first aggregate.
+    */
+  def changepointSplit(df: DataFrame, groupCol: String,
+                       windowCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).as("_y"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = series.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_n"), sum(col("_y")).as("_s"),
+        sum(col("_y") * col("_y")).as("_ss"))
+    def D(c: Column) = c.cast("double")
+    def sse(n: Column, s: Column, ss: Column): Column =
+      D(ss) - D(s) * D(s) / D(n)
+    val cand = series
+      .withColumn("_cn", count(lit(1)).over(w))
+      .withColumn("_cs", sum(col("_y")).over(w))
+      .withColumn("_css", sum(col("_y") * col("_y")).over(w))
+      .join(broadcast(tot), Seq("_g"))
+      // split BEFORE row _h: left = rows with window < _h
+      .select(col("_g"), col("_h"),
+        (col("_cn") - 1).as("_ln"), (col("_cs") - col("_y")).as("_ls"),
+        (col("_css") - col("_y") * col("_y")).as("_lss"),
+        col("_n"), col("_s"), col("_ss"))
+      .where(col("_ln") > 0)
+    val rn = col("_n") - col("_ln")
+    val rs = col("_s") - col("_ls")
+    val rss = col("_ss") - col("_lss")
+    val reduction = sse(col("_n"), col("_s"), col("_ss")) -
+      sse(col("_ln"), col("_ls"), col("_lss")) - sse(rn, rs, rss)
+    val scored = cand.select(col("_g"), col("_h"),
+      reduction.as("_red"),
+      (D(col("_ls")) / D(col("_ln"))).as("_ml"),
+      (D(rs) / D(rn)).as("_mr"))
+    val rk = Window.partitionBy(col("_g"))
+      .orderBy(col("_red").desc, col("_h"))
+    scored.withColumn("_r", row_number().over(rk))
+      .where(col("_r") === 1)
+      .select(col("_g").as(groupCol), col("_h").as("split_at"),
+        col("_red").as("sse_reduction"), col("_ml").as("mean_left"),
+        col("_mr").as("mean_right"))
   }
 
   /** Nelson-Aalen cumulative hazard — [[kaplanMeier]]'s additive

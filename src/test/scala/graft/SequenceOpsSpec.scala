@@ -197,6 +197,38 @@ class SequenceOpsSpec extends SparkSpec {
     assert(out("b") === ((2L, 2.0, 0.5))) // var (1+9)/2 - 4 = 1; 1/2
   }
 
+  test("changepointSplit: clean level shift found exactly") {
+    // counts per window: [1,1,1,1,3,3,3,3] -> split at 4, total SSE 8
+    val rows = (0L to 3L).map(("a", _)) ++
+      (4L to 7L).flatMap(h => Seq.fill(3)(("a", h)))
+    val r = operators.SequenceOps.changepointSplit(
+      rows.toDF("g", "w"), "g", "w").head()
+    assert(r.getLong(1) === 4L)
+    assert(approx(r.getDouble(2), 8.0))
+    assert(approx(r.getDouble(3), 1.0) && approx(r.getDouble(4), 3.0))
+  }
+
+  test("holtLinear: hand recurrence on counts [1,3,2,5,4]") {
+    // python/scala replay: init l=3 b=2, fold 2,5,4 with a=.3 b=.1
+    val rows = Seq.fill(1)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++
+      Seq.fill(5)(3L) ++ Seq.fill(4)(4L)
+    val r = operators.SequenceOps.holtLinear(
+      rows.map(("a", _)).toDF("g", "w"), "g", "w").head()
+    var (l, b, s) = (3.0, 2.0, 0.0)
+    for (y <- Seq(2.0, 5.0, 4.0)) {
+      val f = l + b
+      s += (y - f) * (y - f)
+      val l2 = 0.3 * y + (1.0 - 0.3) * (l + b)
+      val b2 = 0.1 * (l2 - l) + (1.0 - 0.1) * b
+      l = l2; b = b2
+    }
+    assert(r.getAs[Long]("n_windows") === 5L)
+    assert(r.getAs[Double]("level") === l)    // bit-exact
+    assert(r.getAs[Double]("trend") === b)
+    assert(r.getAs[Double]("sse") === s)
+    assert(r.getAs[Double]("forecast") === l + b)
+  }
+
   test("nelsonAalen: hand hazard curve with censoring") {
     val day = 86400000000000L
     // spans: k1 0->2 (t=2, dead), k2 0->1 (t=1, dead), k3 2 only
