@@ -648,6 +648,122 @@ object QueriesAnalytics {
       |  floor(st[3] * 1000000.0 + 0.5) / 1000000.0 AS sse
       |FROM st""".stripMargin)
 
+  /** Unrolled EM chain for the gmm1d_em oracle: per step one
+    * MATERIALIZED fold CTE (ascending-value list_reduce sums of the
+    * log-space responsibilities) and one parameter-update CTE with
+    * the same clamps as the driver loop.
+    */
+  private def gmmIterSql(iters: Int): String = {
+    val vD = "CAST(h.v AS DOUBLE)"
+    def dExpr(p: String) =
+      s"""(ln(1.0 - $p.w1) - ($vD - $p.m2) * ($vD - $p.m2)
+         |        / (2.0 * $p.s2) - 0.5 * ln($p.s2))
+         |      - (ln($p.w1) - ($vD - $p.m1) * ($vD - $p.m1)
+         |        / (2.0 * $p.s1) - 0.5 * ln($p.s1))""".stripMargin
+    def fold(term: String) =
+      s"""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |      list($term ORDER BY h.v)), (a_, b_) -> a_ + b_)"""
+        .stripMargin
+    val steps = (1 to iters).map { t =>
+      val r1 = s"(1.0 / (1.0 + exp(${dExpr("p")})))"
+      s"""raw$t AS MATERIALIZED (
+         |  SELECT h.g,
+         |    ${fold(s"CAST(h.c AS DOUBLE) * $r1")} AS a,
+         |    ${fold(s"CAST(h.c AS DOUBLE) * $r1 * $vD")} AS av,
+         |    ${fold(s"CAST(h.c AS DOUBLE) * $r1 * $vD * $vD")} AS avv
+         |  FROM hist h JOIN p${t - 1} p ON h.g = p.g GROUP BY h.g),
+         |p$t AS MATERIALIZED (
+         |  SELECT r.g,
+         |    greatest(a, 1.0e-6) / CAST(n AS DOUBLE) AS w1,
+         |    av / greatest(a, 1.0e-6) AS m1,
+         |    CASE WHEN avv / greatest(a, 1.0e-6)
+         |        - (av / greatest(a, 1.0e-6))
+         |          * (av / greatest(a, 1.0e-6)) <= 0 THEN 0.25
+         |      ELSE avv / greatest(a, 1.0e-6)
+         |        - (av / greatest(a, 1.0e-6))
+         |          * (av / greatest(a, 1.0e-6)) END AS s1,
+         |    (CAST(s AS DOUBLE) - av)
+         |      / greatest(CAST(n AS DOUBLE) - a, 1.0e-6) AS m2,
+         |    CASE WHEN (CAST(ss AS DOUBLE) - avv)
+         |          / greatest(CAST(n AS DOUBLE) - a, 1.0e-6)
+         |        - ((CAST(s AS DOUBLE) - av)
+         |            / greatest(CAST(n AS DOUBLE) - a, 1.0e-6))
+         |          * ((CAST(s AS DOUBLE) - av)
+         |            / greatest(CAST(n AS DOUBLE) - a, 1.0e-6)) <= 0
+         |      THEN 0.25
+         |      ELSE (CAST(ss AS DOUBLE) - avv)
+         |          / greatest(CAST(n AS DOUBLE) - a, 1.0e-6)
+         |        - ((CAST(s AS DOUBLE) - av)
+         |            / greatest(CAST(n AS DOUBLE) - a, 1.0e-6))
+         |          * ((CAST(s AS DOUBLE) - av)
+         |            / greatest(CAST(n AS DOUBLE) - a, 1.0e-6)) END AS s2
+         |  FROM raw$t r JOIN base USING (g))""".stripMargin
+    }
+    steps.mkString(",\n")
+  }
+
+  /** Two-component 1-D Gaussian mixture per event type
+    * (StatsOps.gmm1dEm, 1e-1 grid, 5 EM steps): exact rank-selected
+    * init, log-space responsibilities, ascending-value folds.
+    */
+  private val gmm1dEmQ = Q(
+    (s, d) => StatsOps.gmm1dEm(Tables.events(s, d), "event_type",
+        "value")
+      .select(col("event_type"), col("n"),
+        qround(col("w1"), 8).as("w1"), qround(col("mu1"), 8).as("mu1"),
+        qround(col("sigma1"), 8).as("sigma1"),
+        qround(col("mu2"), 8).as("mu2"),
+        qround(col("sigma2"), 8).as("sigma2")),
+    s"""WITH hist AS MATERIALIZED (
+       |  SELECT event_type AS g,
+       |    CAST(floor(value * 10.0 + 0.5) AS BIGINT) AS v,
+       |    CAST(count(*) AS BIGINT) AS c
+       |  FROM events WHERE event_type IS NOT NULL
+       |    AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |base AS (
+       |  SELECT g, CAST(sum(c) AS BIGINT) AS n,
+       |    CAST(sum(c * v) AS BIGINT) AS s,
+       |    CAST(sum(c * v * v) AS BIGINT) AS ss
+       |  FROM hist GROUP BY 1),
+       |cum AS (
+       |  SELECT g, v,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+       |  FROM hist),
+       |q1 AS (SELECT cum.g, min(v) AS mu1 FROM cum JOIN base USING (g)
+       |       WHERE cum >= (base.n + 3) // 4 GROUP BY 1),
+       |q3 AS (SELECT cum.g, min(v) AS mu2 FROM cum JOIN base USING (g)
+       |       WHERE cum >= (3 * base.n + 3) // 4 GROUP BY 1),
+       |p0 AS MATERIALIZED (
+       |  SELECT base.g, CAST(0.5 AS DOUBLE) AS w1,
+       |    CAST(q1.mu1 AS DOUBLE) AS m1, CAST(q3.mu2 AS DOUBLE) AS m2,
+       |    CASE WHEN CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+       |      THEN 0.25
+       |      ELSE CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END AS s1,
+       |    CASE WHEN CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) <= 0
+       |      THEN 0.25
+       |      ELSE CAST(ss AS DOUBLE) / CAST(n AS DOUBLE)
+       |        - (CAST(s AS DOUBLE) / CAST(n AS DOUBLE))
+       |          * (CAST(s AS DOUBLE) / CAST(n AS DOUBLE)) END AS s2
+       |  FROM base JOIN q1 USING (g) JOIN q3 USING (g)),
+       |${gmmIterSql(5)}
+       |SELECT p5.g AS event_type, n,
+       |  floor(w1 * 100000000.0 + 0.5) / 100000000.0 AS w1,
+       |  floor(m1 / 10.0 * 100000000.0 + 0.5) / 100000000.0 AS mu1,
+       |  floor(sqrt(s1) / 10.0 * 100000000.0 + 0.5) / 100000000.0
+       |    AS sigma1,
+       |  floor(m2 / 10.0 * 100000000.0 + 0.5) / 100000000.0 AS mu2,
+       |  floor(sqrt(s2) / 10.0 * 100000000.0 + 0.5) / 100000000.0
+       |    AS sigma2
+       |FROM p5 JOIN base USING (g)""".stripMargin)
+
   /** Interpolated Kneser-Ney bigram perplexity on the hash split
     * (TextOps.kneserNeyPerplexity): type-count continuation model,
     * D = 0.75, mirrored IEEE log-prob per test bigram.
@@ -1625,6 +1741,7 @@ object QueriesAnalytics {
     "kneser_ney" -> kneserNeyQ,
     "changepoint_split" -> changepointSplitQ,
     "holt_winters" -> holtWintersQ,
+    "gmm1d_em" -> gmm1dEmQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

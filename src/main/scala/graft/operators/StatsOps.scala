@@ -1275,6 +1275,86 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** 1-D two-component Gaussian-mixture EM per group — the
+    * distributional upgrade of anomaly_zscore/mahalanobis: bimodal
+    * metrics (mixed traffic classes, dual-population latencies) get a
+    * wrong single-Gaussian z-score; the mixture separates them. EM
+    * runs over the GRID-BOUNDED value histogram (one fact hash
+    * aggregate; the histogram's size is capped by the quantization
+    * grid regardless of corpus size), collected to the driver under
+    * the codebook budget, `iters` fixed steps.
+    *
+    * Determinism: init is exact rank selection (μ = P25/P75 grid
+    * values, σ² from exact integer sums); responsibilities use
+    * log-space subtraction (no underflow NaNs) with StrictMath
+    * log/exp — probed bit-identical to DuckDB's ln/exp — and every
+    * E-step sum folds in ascending-value order, so an engine
+    * replaying the same folds reproduces the fit bit-for-bit.
+    * Degenerate guards (empty component, zero variance) clamp
+    * identically on both sides.
+    */
+  def gmm1dEm(df: DataFrame, groupCol: String, valueCol: String,
+              quantDigits: Int = 1, iters: Int = 5): DataFrame = {
+    require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
+    val scale = math.pow(10, quantDigits)
+    val rows = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"),
+        floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+          .cast("long").as("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val spark = df.sparkSession
+    import spark.implicits._
+    val out = rows.groupBy(_._1).toSeq.sortBy(_._1).map {
+      case (g, cells0) =>
+        val cells = cells0.map(t => (t._2, t._3)).sortBy(_._1)
+        val n = cells.map(_._2).sum
+        val sS = cells.map(t => t._1 * t._2).sum
+        val sSS = cells.map(t => t._1 * t._1 * t._2).sum
+        val nD = n.toDouble
+        def rankSelect(r: Long): Long = {
+          var cum = 0L
+          cells.find { case (_, c) => cum += c; cum >= r }.get._1
+        }
+        var m1 = rankSelect((n + 3) / 4).toDouble
+        var m2 = rankSelect((3 * n + 3) / 4).toDouble
+        val v0 = sSS.toDouble / nD - (sS.toDouble / nD) * (sS.toDouble / nD)
+        var s1 = if (v0 <= 0) 0.25 else v0
+        var s2 = s1
+        var w1 = 0.5
+        for (_ <- 1 to iters) {
+          var a = 0.0; var av = 0.0; var avv = 0.0
+          for ((v, c) <- cells) { // ascending-value folds
+            val vd = v.toDouble
+            val cd = c.toDouble
+            val d = (StrictMath.log(1.0 - w1) -
+              (vd - m2) * (vd - m2) / (2.0 * s2) -
+              0.5 * StrictMath.log(s2)) -
+              (StrictMath.log(w1) -
+                (vd - m1) * (vd - m1) / (2.0 * s1) -
+                0.5 * StrictMath.log(s1))
+            val r1 = 1.0 / (1.0 + StrictMath.exp(d))
+            a += cd * r1
+            av += cd * r1 * vd
+            avv += cd * r1 * vd * vd
+          }
+          val aC = math.max(a, 1.0e-6)
+          val n2C = math.max(nD - a, 1.0e-6)
+          w1 = aC / nD
+          m1 = av / aC
+          val t1 = avv / aC - (av / aC) * (av / aC)
+          s1 = if (t1 <= 0) 0.25 else t1
+          m2 = (sS.toDouble - av) / n2C
+          val t2 = (sSS.toDouble - avv) / n2C -
+            ((sS.toDouble - av) / n2C) * ((sS.toDouble - av) / n2C)
+          s2 = if (t2 <= 0) 0.25 else t2
+        }
+        (g, n, w1, m1 / scale, math.sqrt(s1) / scale,
+          m2 / scale, math.sqrt(s2) / scale)
+    }
+    out.toDF(groupCol, "n", "w1", "mu1", "sigma1", "mu2", "sigma2")
+  }
+
   /** Quantile normalization — map every group's value distribution
     * onto the GLOBAL quantile function (the cross-source length/score
     * harmonizer: after it, "top decile" means the same thing in every

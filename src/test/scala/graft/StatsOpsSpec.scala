@@ -122,6 +122,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("gmm1dEm: separates a clean bimodal mix; degenerate is NaN-free") {
+    val lo = Seq(-0.1, 0.0, 0.1).flatMap(v => Seq.fill(20)(("a", v)))
+    val hi = Seq(9.9, 10.0, 10.1).flatMap(v => Seq.fill(20)(("a", v + 0.0)))
+    val r = StatsOps.gmm1dEm((lo ++ hi).toDF("g", "v"), "g", "v").head()
+    assert(r.getAs[Long]("n") === 120L)
+    assert(math.abs(r.getAs[Double]("w1") - 0.5) < 0.05)
+    assert(math.abs(r.getAs[Double]("mu1") - 0.0) < 0.2)
+    assert(math.abs(r.getAs[Double]("mu2") - 10.0) < 0.2)
+    assert(r.getAs[Double]("sigma1") < 0.5)
+    // constant column: variance clamp keeps everything finite
+    val c = StatsOps.gmm1dEm(Seq.fill(10)(("b", 5.0)).toDF("g", "v"),
+      "g", "v").head()
+    for (i <- 2 to 6)
+      assert(!c.getDouble(i).isNaN && !c.getDouble(i).isInfinite)
+  }
+
   test("trimmedMean: drops exactly the tail ranks, tie-spanning clamps") {
     // 0..8 plus outlier 100, k = 1: trimmed keeps 1..8 -> 4.5
     val a = ((0 to 8).map(_.toDouble) :+ 100.0).map(("a", _))
