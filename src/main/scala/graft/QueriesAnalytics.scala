@@ -764,6 +764,48 @@ object QueriesAnalytics {
        |    AS sigma2
        |FROM p5 JOIN base USING (g)""".stripMargin)
 
+  /** Max drawdown of hourly mean value per event type
+    * (SequenceOps.maxDrawdown): exact-ratio window means, one
+    * (peak, drawdown, trough) fold in time order.
+    */
+  private val maxDrawdownQ = Q(
+    (s, d) => operators.SequenceOps.maxDrawdown(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win"), col("value")),
+        "event_type", "win", "value")
+      .select(col("event_type"), col("n_windows"),
+        qround(col("peak"), 8).as("peak"),
+        qround(col("max_drawdown"), 8).as("max_drawdown"),
+        col("trough_at")),
+    """WITH s AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+      |        AS DOUBLE) / 100.0 / CAST(count(*) AS DOUBLE) AS y
+      |  FROM events WHERE event_type IS NOT NULL
+      |    AND value IS NOT NULL
+      |  GROUP BY 1, 2),
+      |arrs AS (
+      |  SELECT g, list({'h': h, 'y': y} ORDER BY h) AS arr
+      |  FROM s GROUP BY 1),
+      |st AS (
+      |  SELECT g, len(arr) AS n_windows,
+      |    list_reduce(list_prepend(
+      |      [arr[1].y, CAST(0.0 AS DOUBLE), CAST(arr[1].h AS DOUBLE)],
+      |      list_transform(arr[2:], e_ -> [e_.y,
+      |        CAST(0.0 AS DOUBLE), CAST(e_.h AS DOUBLE)])),
+      |      (acc, x_) -> [
+      |        greatest(acc[1], x_[1]),
+      |        greatest(acc[2], greatest(acc[1], x_[1]) - x_[1]),
+      |        CASE WHEN greatest(acc[1], x_[1]) - x_[1] > acc[2]
+      |          THEN x_[3] ELSE acc[3] END]) AS st
+      |  FROM arrs WHERE len(arr) >= 2)
+      |SELECT g AS event_type, CAST(n_windows AS BIGINT) AS n_windows,
+      |  floor(st[1] * 100000000.0 + 0.5) / 100000000.0 AS peak,
+      |  floor(st[2] * 100000000.0 + 0.5) / 100000000.0
+      |    AS max_drawdown,
+      |  CAST(st[3] AS BIGINT) AS trough_at
+      |FROM st""".stripMargin)
+
   /** Interpolated Kneser-Ney bigram perplexity on the hash split
     * (TextOps.kneserNeyPerplexity): type-count continuation model,
     * D = 0.75, mirrored IEEE log-prob per test bigram.
@@ -1742,6 +1784,7 @@ object QueriesAnalytics {
     "changepoint_split" -> changepointSplitQ,
     "holt_winters" -> holtWintersQ,
     "gmm1d_em" -> gmm1dEmQ,
+    "max_drawdown" -> maxDrawdownQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -796,6 +796,48 @@ object SequenceOps {
         col("_st.s").as("sse"))
   }
 
+  /** Maximum drawdown of each series' per-window mean — the
+    * peak-to-trough collapse metric (how far did the metric fall from
+    * its running high, and when): one fixed-order fold carrying
+    * (running peak, max drawdown, trough window) through the window
+    * domain in time order.
+    *
+    * Exactness: window means are exact-integer ratios (1e-2-grid
+    * sums / counts); the fold is the same domain-bounded
+    * collect_list recurrence as [[holtLinear]], so both engines run
+    * identical IEEE comparisons. Plan: one fact hash aggregate, one
+    * domain fold per group.
+    */
+  def maxDrawdown(df: DataFrame, groupCol: String, windowCol: String,
+                  valueCol: String, quantDigits: Int = 2): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg((sum(floor(col(valueCol).cast("double") * lit(scale) +
+          lit(0.5)).cast("long")).cast("double") / lit(scale) /
+        count(lit(1)).cast("double")).as("_y"))
+    series.groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_h"), col("_y"))))
+        .as("arr"))
+      .where(size(col("arr")) >= 2)
+      .withColumn("_st", expr(
+        """aggregate(slice(arr, 2, size(arr) - 1),
+          |  named_struct(
+          |    'p', arr[0]._y,
+          |    'd', cast(0.0 as double),
+          |    'at', cast(arr[0]._h as double)),
+          |  (acc, x) -> named_struct(
+          |    'p', greatest(acc.p, x._y),
+          |    'd', greatest(acc.d, greatest(acc.p, x._y) - x._y),
+          |    'at', if(greatest(acc.p, x._y) - x._y > acc.d,
+          |      cast(x._h as double), acc.at)))""".stripMargin))
+      .select(col("_g").as(groupCol),
+        size(col("arr")).cast("long").as("n_windows"),
+        col("_st.p").as("peak"), col("_st.d").as("max_drawdown"),
+        col("_st.at").cast("long").as("trough_at"))
+  }
+
   /** Best single change-point by variance reduction — the offline
     * sibling of [[cusumChange]] (CUSUM alarms online; this LOCATES
     * the break): over each series' per-window counts, choose the

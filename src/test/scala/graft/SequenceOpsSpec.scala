@@ -208,6 +208,25 @@ class SequenceOpsSpec extends SparkSpec {
     assert(approx(r.getDouble(3), 1.0) && approx(r.getDouble(4), 3.0))
   }
 
+  test("maxDrawdown: hand series, trough stamped at first max dd") {
+    // means per window: 5, 8, 3, 6, 2 -> peak 8, mdd 8-2=6 at h=4
+    val rows = Seq((0L, 5.0), (1L, 8.0), (2L, 3.0), (3L, 6.0),
+      (4L, 2.0)).map { case (h, v) => ("a", h, v) }
+    val r = operators.SequenceOps.maxDrawdown(rows.toDF("g", "w", "v"),
+      "g", "w", "v").head()
+    assert(r.getAs[Long]("n_windows") === 5L)
+    assert(r.getAs[Double]("peak") === 8.0)
+    assert(r.getAs[Double]("max_drawdown") === 6.0)
+    assert(r.getAs[Long]("trough_at") === 4L)
+    // monotone rise -> zero drawdown, trough stays at the start
+    val up = Seq((0L, 1.0), (1L, 2.0), (2L, 3.0))
+      .map { case (h, v) => ("b", h, v) }
+    val r2 = operators.SequenceOps.maxDrawdown(up.toDF("g", "w", "v"),
+      "g", "w", "v").head()
+    assert(r2.getAs[Double]("max_drawdown") === 0.0)
+    assert(r2.getAs[Long]("trough_at") === 0L)
+  }
+
   test("holtLinear: hand recurrence on counts [1,3,2,5,4]") {
     // python/scala replay: init l=3 b=2, fold 2,5,4 with a=.3 b=.1
     val rows = Seq.fill(1)(0L) ++ Seq.fill(3)(1L) ++ Seq.fill(2)(2L) ++
