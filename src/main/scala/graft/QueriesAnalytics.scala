@@ -806,6 +806,63 @@ object QueriesAnalytics {
       |  CAST(st[3] AS BIGINT) AS trough_at
       |FROM st""".stripMargin)
 
+  /** Rank-biased overlap between the two hash-halves' top-20 term
+    * rankings (TextOps.rboTerms, p = 0.9): deterministic rankings,
+    * k²-bounded depth join, pow-free weight fold.
+    */
+  private val rboTermsQ = Q(
+    (s, d) => operators.TextOps.rboTerms(
+        Tables.documents(s, d)
+          .where(col("doc_id").isNotNull && col("text").isNotNull)
+          .withColumn("cohort",
+            when(expr("(((doc_id % 1000000007L) * 2654435761L)" +
+              " % 1000000007L) % 10000") < 5000, "A").otherwise("B")),
+        "cohort", "A", "B", "text")
+      .select(col("n_common"), qround(col("rbo"), 8).as("rbo"),
+        qround(col("overlap_at_k"), 8).as("overlap_at_k")),
+    """WITH dd AS (
+      |  SELECT CASE WHEN (((doc_id % 1000000007) * 2654435761)
+      |      % 1000000007) % 10000 < 5000
+      |    THEN 'A' ELSE 'B' END AS c, text
+      |  FROM documents WHERE doc_id IS NOT NULL
+      |    AND text IS NOT NULL),
+      |tk AS (SELECT c, unnest(string_split(text, ' ')) AS w FROM dd),
+      |cnt AS (SELECT c, w, CAST(count(*) AS BIGINT) AS n
+      |        FROM tk GROUP BY 1, 2),
+      |rk AS (SELECT c, w,
+      |         row_number() OVER (PARTITION BY c ORDER BY n DESC, w)
+      |           AS r
+      |       FROM cnt),
+      |kk AS (SELECT * FROM rk WHERE r <= 20),
+      |j AS (
+      |  SELECT a.w, greatest(a.r, b.r) AS m
+      |  FROM (SELECT w, r FROM kk WHERE c = 'A') a
+      |  JOIN (SELECT w, r FROM kk WHERE c = 'B') b USING (w)),
+      |ds AS (
+      |  SELECT d, CAST(coalesce(x0, 0) AS BIGINT) AS x
+      |  FROM (SELECT unnest(generate_series(1, 20)) AS d) dd2
+      |  LEFT JOIN (
+      |    SELECT d2 AS d, CAST(count(*) AS BIGINT) AS x0
+      |    FROM j CROSS JOIN
+      |      (SELECT unnest(generate_series(1, 20)) AS d2)
+      |    WHERE m <= d2 GROUP BY 1) o USING (d)),
+      |one AS (
+      |  SELECT list({'d': d, 'x': x} ORDER BY d) AS arr,
+      |    max(CASE WHEN d = 20 THEN x END) AS xk
+      |  FROM ds)
+      |SELECT CAST(coalesce(xk, 0) AS BIGINT) AS n_common,
+      |  floor((CAST(1.0 AS DOUBLE) - CAST(0.9 AS DOUBLE))
+      |    * (list_reduce(list_prepend(
+      |        [CAST(1.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+      |        list_transform(arr, e_ -> [CAST(e_.x AS DOUBLE),
+      |          CAST(e_.d AS DOUBLE)])),
+      |        (acc, x_) -> [acc[1] * CAST(0.9 AS DOUBLE),
+      |          acc[2] + acc[1] * x_[1] / x_[2]]))[2]
+      |    * 100000000.0 + 0.5) / 100000000.0 AS rbo,
+      |  floor(CAST(coalesce(xk, 0) AS DOUBLE) / 20.0
+      |    * 100000000.0 + 0.5) / 100000000.0 AS overlap_at_k
+      |FROM one""".stripMargin)
+
   /** Interpolated Kneser-Ney bigram perplexity on the hash split
     * (TextOps.kneserNeyPerplexity): type-count continuation model,
     * D = 0.75, mirrored IEEE log-prob per test bigram.
@@ -1785,6 +1842,7 @@ object QueriesAnalytics {
     "holt_winters" -> holtWintersQ,
     "gmm1d_em" -> gmm1dEmQ,
     "max_drawdown" -> maxDrawdownQ,
+    "rbo_terms" -> rboTermsQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -1606,6 +1606,68 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Rank-biased overlap (RBO, Webber et al.) between two cohorts'
+    * top-k term rankings — [[termShift]] scores individual terms;
+    * RBO scores whether the RANKINGS agree, top-weighted (a swap at
+    * rank 2 costs more than at rank 19), the right drift metric for
+    * "did the vocabulary head change". Truncated form:
+    * (1−p)·Σ_{d<=k} p^(d−1)·|A_d ∩ B_d|/d with p = 0.9.
+    *
+    * Exactness: rankings are deterministic (count desc, term asc);
+    * per-depth overlaps are exact integers from a k²-bounded depth
+    * join; p^(d−1) comes from a fixed-order multiply-accumulate fold
+    * (no pow(), whose rounding is not portable across libms). Plan:
+    * token scan → vocab-bounded counts → per-cohort k-bounded rank
+    * windows → k²-bounded arithmetic.
+    */
+  def rboTerms(docs: DataFrame, cohortCol: String, cohortA: String,
+               cohortB: String, textCol: String, k: Int = 20,
+               p: Double = 0.9): DataFrame = {
+    require(k > 0 && p > 0 && p < 1, s"need k > 0, p in (0,1): $k, $p")
+    import org.apache.spark.sql.expressions.Window
+    val toks = docs.where(col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).as("_c"),
+        explode(words(col(textCol))).as("_w"))
+      .groupBy(col("_c"), col("_w")).agg(count(lit(1)).as("_n"))
+    val rw = Window.partitionBy(col("_c"))
+      .orderBy(col("_n").desc, col("_w"))
+    val ranked = toks.withColumn("_r", row_number().over(rw))
+      .where(col("_r") <= k)
+    val joined = ranked.where(col("_c") === cohortA)
+      .select(col("_w"), col("_r").as("_ra"))
+      .join(ranked.where(col("_c") === cohortB)
+        .select(col("_w"), col("_r").as("_rb")), Seq("_w"))
+    val allD = spark.range(1, k + 1)
+      .select(col("id").cast("int").as("_d"))
+    val overlaps = joined
+      .select(greatest(col("_ra"), col("_rb")).as("_m"))
+      .crossJoin(allD)
+      .where(col("_m") <= col("_d"))
+      .groupBy(col("_d")).agg(count(lit(1)).as("_x0"))
+    // zero-overlap depths MUST still advance the weight fold
+    val depths = allD.join(overlaps, Seq("_d"), "left")
+      .select(col("_d"), coalesce(col("_x0"), lit(0L)).as("_x"))
+    val pStr = p.toString
+    depths
+      .agg(sort_array(collect_list(struct(col("_d"), col("_x"))))
+        .as("arr"), max(when(col("_d") === k, col("_x"))).as("_xk"))
+      .select(coalesce(col("_xk"), lit(0L)).as("n_common"),
+        expr(
+          s"""aggregate(arr,
+             |  named_struct('w', cast(1.0 as double),
+             |    's', cast(0.0 as double)),
+             |  (acc, x) -> named_struct(
+             |    'w', acc.w * cast($pStr as double),
+             |    's', acc.s + acc.w * cast(x._x as double)
+             |      / cast(x._d as double)),
+             |  acc -> (cast(1.0 as double) - cast($pStr as double))
+             |    * acc.s)""".stripMargin).as("rbo"),
+        (coalesce(col("_xk"), lit(0L)).cast("double") /
+          lit(k.toDouble)).as("overlap_at_k"))
+  }
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+
   /** Flesch reading-ease per group — the readability axis the
     * length/punct quality scores don't capture: 206.835 − 1.015·(W/S)
     * − 84.6·(SYL/W) with words = single-space tokens, sentences =

@@ -1099,6 +1099,29 @@ class LlmOpsSpec extends SparkSpec {
     assert(out((2L, 1))._1 === "other" && out((2L, 2))._1 === "shared")
   }
 
+  test("rboTerms: identical rankings replay, disjoint vocab is zero") {
+    // both cohorts rank x > y > z identically
+    val same = Seq(("A", "x x x y y z"), ("B", "x x x y y z"))
+      .toDF("c", "text")
+    val r = operators.TextOps.rboTerms(same, "c", "A", "B", "text")
+      .head()
+    assert(r.getAs[Long]("n_common") === 3L)
+    // X_d = min(d, 3); rbo = 0.1 * sum p^(d-1) * X_d / d
+    var w = 1.0; var s = 0.0
+    for (d <- 1 to 20) {
+      s += w * math.min(d, 3).toDouble / d
+      w *= 0.9
+    }
+    assert(approx(r.getAs[Double]("rbo"), (1.0 - 0.9) * s, 1e-12))
+    assert(approx(r.getAs[Double]("overlap_at_k"), 3.0 / 20))
+    // disjoint heads -> zero everywhere
+    val disj = Seq(("A", "x x y"), ("B", "q q r")).toDF("c", "text")
+    val r2 = operators.TextOps.rboTerms(disj, "c", "A", "B", "text")
+      .head()
+    assert(r2.getAs[Long]("n_common") === 0L)
+    assert(r2.getAs[Double]("rbo") === 0.0)
+  }
+
   test("kneserNeyPerplexity: hand KN math, unseen-context backoff") {
     val P = 1000000007L
     def bucket(k: Long): Long =
