@@ -863,6 +863,53 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS overlap_at_k
       |FROM one""".stripMargin)
 
+  /** Entropy-rate readout over the user event-type Markov chain
+    * (SequenceOps.transitionEntropy): exact censuses, fixed-order
+    * entropy folds, info gain = H(next) − H(next|prev).
+    */
+  private val transitionEntropyQ = Q(
+    (s, d) => operators.SequenceOps.transitionEntropy(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          col("event_id"), col("event_type")),
+        "user_id", "ts_ns", "event_id", "event_type")
+      .select(col("n_transitions"),
+        qround(col("h_next"), 8).as("h_next"),
+        qround(col("h_cond"), 8).as("h_cond"),
+        qround(col("info_gain"), 8).as("info_gain")),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id, event_type
+      |  FROM events
+      |  WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
+      |p AS (
+      |  SELECT coalesce(lag(event_type) OVER
+      |      (PARTITION BY user_id ORDER BY tsn, event_id), '_start')
+      |      AS pv,
+      |    event_type AS nx
+      |  FROM e),
+      |g AS (SELECT pv, nx, CAST(count(*) AS BIGINT) AS n
+      |      FROM p GROUP BY 1, 2),
+      |tp AS (SELECT pv, CAST(sum(n) AS BIGINT) AS tp FROM g GROUP BY 1),
+      |tn AS (SELECT nx, CAST(sum(n) AS BIGINT) AS tn FROM g GROUP BY 1),
+      |nn AS (SELECT CAST(sum(n) AS BIGINT) AS nn FROM g),
+      |hc AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(n AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(tp.tp AS DOUBLE) / CAST(n AS DOUBLE))
+      |      ORDER BY pv, nx)), (a_, b_) -> a_ + b_) AS h_cond
+      |  FROM g JOIN tp USING (pv) CROSS JOIN nn),
+      |hn AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(tn.tn AS DOUBLE) / CAST(nn AS DOUBLE)
+      |      * ln(CAST(nn AS DOUBLE) / CAST(tn.tn AS DOUBLE))
+      |      ORDER BY nx)), (a_, b_) -> a_ + b_) AS h_next
+      |  FROM tn CROSS JOIN nn)
+      |SELECT nn AS n_transitions,
+      |  floor(h_next * 100000000.0 + 0.5) / 100000000.0 AS h_next,
+      |  floor(h_cond * 100000000.0 + 0.5) / 100000000.0 AS h_cond,
+      |  floor((h_next - h_cond) * 100000000.0 + 0.5) / 100000000.0
+      |    AS info_gain
+      |FROM nn CROSS JOIN hn CROSS JOIN hc""".stripMargin)
+
   /** Interpolated Kneser-Ney bigram perplexity on the hash split
     * (TextOps.kneserNeyPerplexity): type-count continuation model,
     * D = 0.75, mirrored IEEE log-prob per test bigram.
@@ -1843,6 +1890,7 @@ object QueriesAnalytics {
     "gmm1d_em" -> gmm1dEmQ,
     "max_drawdown" -> maxDrawdownQ,
     "rbo_terms" -> rboTermsQ,
+    "transition_entropy" -> transitionEntropyQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

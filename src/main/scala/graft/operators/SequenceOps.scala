@@ -311,6 +311,50 @@ object SequenceOps {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Sequence predictability — entropy-rate readout over the
+    * [[eventTransitions]] matrix: marginal H(next), conditional
+    * H(next|prev), and the information gain between them (how much
+    * does knowing the previous event tell you about the next — the
+    * one-number test of whether session context is worth modeling).
+    * Includes the synthetic '_start' state, so the chain covers every
+    * observed event exactly once.
+    *
+    * Exactness: all counts exact integers; entropy terms
+    * (n/N)·ln(tot/n) fold in fixed (prev, next) order via
+    * [[graft.operators.StatsOps.orderedFoldSum]]. Plan: one keyed
+    * lag window on the fact, then |types|²-bounded arithmetic.
+    */
+  def transitionEntropy(events: DataFrame, keyCol: String,
+                        tsCol: String, tieCol: String,
+                        typeCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol), col(tieCol))
+    val cells = events
+      .where(col(keyCol).isNotNull && col(typeCol).isNotNull)
+      .withColumn("_prev", coalesce(lag(col(typeCol), 1).over(w),
+        lit("_start")))
+      .groupBy(col("_prev"), col(typeCol).as("_next"))
+      .agg(count(lit(1)).as("_n"))
+    val prevTot = cells.groupBy(col("_prev")).agg(sum(col("_n")).as("_tp"))
+    val nextTot = cells.groupBy(col("_next")).agg(sum(col("_n")).as("_tn"))
+    val tot = cells.agg(sum(col("_n")).as("_nn"))
+    def D(c: String) = col(c).cast("double")
+    val hCond = cells.join(broadcast(prevTot), Seq("_prev"))
+      .crossJoin(broadcast(tot))
+      .select(col("_prev"), col("_next"),
+        (D("_n") / D("_nn") * log(D("_tp") / D("_n"))).as("_t"))
+      .agg(StatsOps.orderedFoldSum(Seq("_prev", "_next"), "_t")
+        .as("h_cond"))
+    val hNext = nextTot.crossJoin(broadcast(tot))
+      .select(col("_next"),
+        (D("_tn") / D("_nn") * log(D("_nn") / D("_tn"))).as("_t"))
+      .agg(StatsOps.orderedFoldSum(Seq("_next"), "_t").as("h_next"))
+    tot.crossJoin(hNext).crossJoin(hCond)
+      .select(col("_nn").as("n_transitions"), col("h_next"),
+        col("h_cond"), (col("h_next") - col("h_cond")).as("info_gain"))
+  }
+
   /** Funnel completion-latency distribution: over keys that completed
     * the whole funnel (last step time non-null), exact interpolated
     * quantiles of (t_last − t_first) in seconds plus the completion

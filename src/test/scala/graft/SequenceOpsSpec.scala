@@ -208,6 +208,18 @@ class SequenceOpsSpec extends SparkSpec {
     assert(approx(r.getDouble(3), 1.0) && approx(r.getDouble(4), 3.0))
   }
 
+  test("transitionEntropy: deterministic chain has zero conditional H") {
+    // one user, a b a b: every prev fully determines next
+    val df = Seq((1L, 0L, 0L, "a"), (1L, 1L, 1L, "b"),
+      (1L, 2L, 2L, "a"), (1L, 3L, 3L, "b")).toDF("k", "ts", "tie", "t")
+    val r = operators.SequenceOps.transitionEntropy(df, "k", "ts",
+      "tie", "t").head()
+    assert(r.getAs[Long]("n_transitions") === 4L)
+    assert(r.getAs[Double]("h_cond") === 0.0)
+    assert(approx(r.getAs[Double]("h_next"), math.log(2.0), 1e-12))
+    assert(approx(r.getAs[Double]("info_gain"), math.log(2.0), 1e-12))
+  }
+
   test("maxDrawdown: hand series, trough stamped at first max dd") {
     // means per window: 5, 8, 3, 6, 2 -> peak 8, mdd 8-2=6 at h=4
     val rows = Seq((0L, 5.0), (1L, 8.0), (2L, 3.0), (3L, 6.0),
