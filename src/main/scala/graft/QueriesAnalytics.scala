@@ -863,6 +863,59 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS overlap_at_k
       |FROM one""".stripMargin)
 
+  /** Restricted mean survival time at τ = 7 days over user lifetimes
+    * (SequenceOps.rmst, censorDays = 1): the KM step integral as one
+    * τ-clipped fixed-order fold.
+    */
+  private val rmstQ = Q(
+    (s, d) => operators.SequenceOps.rmst(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns")),
+        "user_id", "ts_ns", censorDays = 1, tauDays = 7)
+      .select(col("n_death_times"), col("tau_days"),
+        qround(col("rmst"), 8).as("rmst"),
+        qround(col("s_final"), 8).as("s_final")),
+    """WITH pk AS (
+      |  SELECT user_id,
+      |    min(epoch_ns(ts) // 86400000000000) AS d0,
+      |    max(epoch_ns(ts) // 86400000000000) AS d1
+      |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+      |e2 AS (SELECT (SELECT max(d1) FROM pk) AS endd),
+      |lv AS (SELECT d1 - d0 AS t, d1 <= endd - 1 AS dead
+      |       FROM pk CROSS JOIN e2),
+      |h AS (
+      |  SELECT t,
+      |    CAST(sum(CASE WHEN dead THEN 1 ELSE 0 END) AS BIGINT) AS d,
+      |    CAST(sum(CASE WHEN dead THEN 0 ELSE 1 END) AS BIGINT) AS c
+      |  FROM lv GROUP BY 1),
+      |tot AS (SELECT CAST(sum(d + c) AS BIGINT) AS nn FROM h),
+      |dm AS (
+      |  SELECT t, d,
+      |    nn - CAST(sum(d + c) OVER (ORDER BY t
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + d + c AS n
+      |  FROM h CROSS JOIN tot),
+      |one AS (SELECT list({'t': t, 'd': d, 'n': n} ORDER BY t) AS arr
+      |        FROM dm WHERE d > 0),
+      |f AS (
+      |  SELECT len(arr) AS ndt,
+      |    list_reduce(list_prepend(
+      |      [CAST(0.0 AS DOUBLE), CAST(1.0 AS DOUBLE),
+      |       CAST(0.0 AS DOUBLE)],
+      |      list_transform(arr, e_ -> [CAST(e_.t AS DOUBLE),
+      |        CAST(e_.d AS DOUBLE), CAST(e_.n AS DOUBLE)])),
+      |      (acc, x_) -> [
+      |        x_[1],
+      |        acc[2] * (CAST(1.0 AS DOUBLE) - x_[2] / x_[3]),
+      |        acc[3] + acc[2] * (least(x_[1], CAST(7.0 AS DOUBLE))
+      |          - least(acc[1], CAST(7.0 AS DOUBLE)))]) AS st
+      |  FROM one)
+      |SELECT CAST(ndt AS BIGINT) AS n_death_times,
+      |  CAST(7 AS BIGINT) AS tau_days,
+      |  floor((st[3] + st[2] * (CAST(7.0 AS DOUBLE)
+      |      - least(st[1], CAST(7.0 AS DOUBLE))))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS rmst,
+      |  floor(st[2] * 100000000.0 + 0.5) / 100000000.0 AS s_final
+      |FROM f""".stripMargin)
+
   /** Entropy-rate readout over the user event-type Markov chain
     * (SequenceOps.transitionEntropy): exact censuses, fixed-order
     * entropy folds, info gain = H(next) − H(next|prev).
@@ -1891,6 +1944,7 @@ object QueriesAnalytics {
     "max_drawdown" -> maxDrawdownQ,
     "rbo_terms" -> rboTermsQ,
     "transition_entropy" -> transitionEntropyQ,
+    "rmst" -> rmstQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -311,6 +311,71 @@ object SequenceOps {
         (col("n").cast("double") / col("_tot").cast("double")).as("p"))
   }
 
+  /** Restricted mean survival time — the scalar summary of the
+    * [[kaplanMeier]] curve (expected days survived within the first
+    * τ days; the number a retention intervention is actually graded
+    * on): RMST(τ) = ∫₀^τ S(t)dt over the step function, one
+    * fixed-order fold carrying (prev time, running S, area) through
+    * the death-time domain with τ-clipped segment widths, plus the
+    * tail segment after the last death.
+    *
+    * Exactness + plan: same day-bounded lifetime domain as
+    * kaplanMeier (per-key aggregate, exact integer (d, n) histogram);
+    * the fold multiplies/accumulates the same rational sequence in
+    * the same order on both engines.
+    */
+  def rmst(df: DataFrame, keyCol: String, tsNsCol: String,
+           censorDays: Int = 7, tauDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0 && tauDays > 0,
+      s"bad censorDays/tauDays: $censorDays/$tauDays")
+    val dayNs = 86400000000000L
+    val perKey = df.where(col(keyCol).isNotNull && col(tsNsCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"$tsNsCol div ${dayNs}L")).as("_d0"),
+        max(expr(s"$tsNsCol div ${dayNs}L")).as("_d1"))
+    val end = perKey.agg(max(col("_d1")).as("_end"))
+    val lives = perKey.crossJoin(broadcast(end))
+      .select((col("_d1") - col("_d0")).as("_t"),
+        (col("_d1") <= col("_end") - censorDays).as("_dead"))
+    val hist = lives.groupBy(col("_t"))
+      .agg(sum(when(col("_dead"), 1L).otherwise(0L)).as("_d"),
+        sum(when(col("_dead"), 0L).otherwise(1L)).as("_c"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = hist.agg(sum(col("_d") + col("_c")).as("_nn"))
+    val domain = hist
+      .withColumn("_cum", sum(col("_d") + col("_c")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("_t"), col("_d"),
+        (col("_nn") - col("_cum") + col("_d") + col("_c")).as("_n"))
+      .where(col("_d") > 0)
+    val tau = tauDays.toDouble.toString
+    domain
+      .agg(sort_array(collect_list(struct(col("_t"), col("_d"),
+        col("_n")))).as("arr"))
+      .select(size(col("arr")).cast("long").as("n_death_times"),
+        lit(tauDays.toLong).as("tau_days"),
+        expr(
+          s"""aggregate(arr,
+             |  named_struct('pt', cast(0.0 as double),
+             |    'sv', cast(1.0 as double), 'ar', cast(0.0 as double)),
+             |  (acc, x) -> named_struct(
+             |    'pt', cast(x._t as double),
+             |    'sv', acc.sv * (cast(1.0 as double)
+             |      - cast(x._d as double) / cast(x._n as double)),
+             |    'ar', acc.ar + acc.sv
+             |      * (least(cast(x._t as double), cast($tau as double))
+             |        - least(acc.pt, cast($tau as double)))),
+             |  acc -> named_struct(
+             |    's_final', acc.sv,
+             |    'rmst', acc.ar + acc.sv * (cast($tau as double)
+             |      - least(acc.pt, cast($tau as double)))))"""
+            .stripMargin).as("_f"))
+      .select(col("n_death_times"), col("tau_days"),
+        col("_f.rmst").as("rmst"), col("_f.s_final").as("s_final"))
+  }
+
   /** Sequence predictability — entropy-rate readout over the
     * [[eventTransitions]] matrix: marginal H(next), conditional
     * H(next|prev), and the information gain between them (how much

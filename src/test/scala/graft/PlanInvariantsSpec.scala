@@ -358,9 +358,11 @@ class PlanInvariantsSpec extends SparkSpec {
       // quantile_normalize: the global cumulative walks the DISTINCT
       // value domain (StatsOps.quantileNormalize aggregates the fact
       // to that domain first; doc-length/grid cardinality-bounded)
+      // rmst: same integer-day lifetime domain as kaplan_meier /
+      // nelson_aalen (SequenceOps.rmst aggregates keys first)
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
       "map_eval", "isotonic_calibration", "cliffs_delta",
-      "nelson_aalen", "quantile_normalize")
+      "nelson_aalen", "quantile_normalize", "rmst")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {

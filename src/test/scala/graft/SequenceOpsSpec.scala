@@ -208,6 +208,24 @@ class SequenceOpsSpec extends SparkSpec {
     assert(approx(r.getDouble(3), 1.0) && approx(r.getDouble(4), 3.0))
   }
 
+  test("rmst: hand step integral over the KM curve, tau clipping") {
+    val day = 86400000000000L
+    // same fixture as nelsonAalen: deaths at t=0 (S->3/4), t=1
+    // (S->1/2), t=2 (S->1/4); RMST(7) = 0.75 + 0.5 + 0.25*5 = 2.5
+    val df = Seq((1L, 0L), (1L, 2L), (2L, 0L), (2L, 1L), (3L, 2L),
+      (4L, 1L), (4L, 3L)).map { case (k, dd) => (k, dd * day) }
+      .toDF("k", "ts")
+    val r = operators.SequenceOps.rmst(df, "k", "ts", censorDays = 1,
+      tauDays = 7).head()
+    assert(r.getAs[Long]("n_death_times") === 3L)
+    assert(approx(r.getAs[Double]("rmst"), 2.5))
+    assert(approx(r.getAs[Double]("s_final"), 0.25))
+    // tau = 1 clips: area = 0.75*1 = 0.75 (deaths past tau ignored)
+    val r2 = operators.SequenceOps.rmst(df, "k", "ts", censorDays = 1,
+      tauDays = 1).head()
+    assert(approx(r2.getAs[Double]("rmst"), 0.75))
+  }
+
   test("transitionEntropy: deterministic chain has zero conditional H") {
     // one user, a b a b: every prev fully determines next
     val df = Seq((1L, 0L, 0L, "a"), (1L, 1L, 1L, "b"),
