@@ -1229,25 +1229,49 @@ object QueriesAnalytics {
     * correlated refs), each fold ascending-index to mirror the
     * driver-side while loops bit-for-bit.
     */
-  private def pcaIterSql(iters: Int): String = {
+  private def pcaIterSql(iters: Int, mat: String = "cm",
+                         pfx: String = "v"): String = {
     val steps = (1 to iters).map { t =>
-      s"""u$t AS MATERIALIZED (
-         |  SELECT cm.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
-         |    list(cm.c * p.v ORDER BY cm.j)), (a_, b_) -> a_ + b_) AS u
-         |  FROM cm JOIN v${t - 1} p ON cm.j = p.i GROUP BY cm.i),
-         |n$t AS MATERIALIZED (
+      s"""${pfx}u$t AS MATERIALIZED (
+         |  SELECT $mat.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+         |    list($mat.c * p.v ORDER BY $mat.j)), (a_, b_) -> a_ + b_) AS u
+         |  FROM $mat JOIN $pfx${t - 1} p ON $mat.j = p.i GROUP BY $mat.i),
+         |${pfx}n$t AS MATERIALIZED (
          |  SELECT sqrt(list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list(u * u ORDER BY i)), (a_, b_) -> a_ + b_)) AS nm
-         |  FROM u$t),
-         |v$t AS MATERIALIZED (SELECT i, u / nm AS v FROM u$t, n$t)"""
-        .stripMargin
+         |  FROM ${pfx}u$t),
+         |$pfx$t AS MATERIALIZED (SELECT i, u / nm AS v
+         |  FROM ${pfx}u$t, ${pfx}n$t)""".stripMargin
     }
-    s"""v0 AS MATERIALIZED (
+    s"""${pfx}0 AS MATERIALIZED (
        |  SELECT i, CASE WHEN i = 0 THEN CAST(1.0 AS DOUBLE)
        |    ELSE CAST(0.0 AS DOUBLE) END AS v
        |  FROM (SELECT unnest(generate_series(0, 63)) AS i)),
        |${steps.mkString(",\n")}""".stripMargin
   }
+
+  private val pcaBaseSql =
+    """e AS (
+      |  SELECT vec_id, i - 1 AS di,
+      |    CAST(floor(CAST(emb[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
+      |      AS xq
+      |  FROM (SELECT vec_id, embedding AS emb,
+      |          unnest(generate_series(1, len(embedding))) AS i
+      |        FROM embeddings WHERE embedding IS NOT NULL)),
+      |g AS MATERIALIZED (
+      |  SELECT a.di AS i, b.di AS j, CAST(sum(a.xq * b.xq) AS BIGINT)
+      |    AS s
+      |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
+      |m AS (SELECT di, CAST(sum(xq) AS BIGINT) AS sx FROM e GROUP BY 1),
+      |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
+      |       WHERE embedding IS NOT NULL),
+      |cm AS MATERIALIZED (
+      |  SELECT g.i, g.j,
+      |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
+      |      - (CAST(ma.sx AS DOUBLE) / CAST(n AS DOUBLE))
+      |        * (CAST(mb.sx AS DOUBLE) / CAST(n AS DOUBLE)) AS c
+      |  FROM g JOIN m ma ON g.i = ma.di JOIN m mb ON g.j = mb.di
+      |  CROSS JOIN nn)""".stripMargin
 
   /** Top principal component of the embedding corpus
     * (SimilarityOps.pcaPower): exact-bigint Gram on the 1e-4 grid,
@@ -1259,27 +1283,7 @@ object QueriesAnalytics {
       .select(col("dim").cast("long").as("dim"),
         qround(col("loading"), 8).as("loading"),
         qround(col("lambda"), 8).as("lambda"), col("n")),
-    s"""WITH e AS (
-       |  SELECT vec_id, i - 1 AS di,
-       |    CAST(floor(CAST(emb[i] AS DOUBLE) * 10000.0 + 0.5) AS BIGINT)
-       |      AS xq
-       |  FROM (SELECT vec_id, embedding AS emb,
-       |          unnest(generate_series(1, len(embedding))) AS i
-       |        FROM embeddings WHERE embedding IS NOT NULL)),
-       |g AS MATERIALIZED (
-       |  SELECT a.di AS i, b.di AS j, CAST(sum(a.xq * b.xq) AS BIGINT)
-       |    AS s
-       |  FROM e a JOIN e b USING (vec_id) GROUP BY 1, 2),
-       |m AS (SELECT di, CAST(sum(xq) AS BIGINT) AS sx FROM e GROUP BY 1),
-       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM embeddings
-       |       WHERE embedding IS NOT NULL),
-       |cm AS MATERIALIZED (
-       |  SELECT g.i, g.j,
-       |    CAST(s AS DOUBLE) / CAST(n AS DOUBLE)
-       |      - (CAST(ma.sx AS DOUBLE) / CAST(n AS DOUBLE))
-       |        * (CAST(mb.sx AS DOUBLE) / CAST(n AS DOUBLE)) AS c
-       |  FROM g JOIN m ma ON g.i = ma.di JOIN m mb ON g.j = mb.di
-       |  CROSS JOIN nn),
+    s"""WITH $pcaBaseSql,
        |${pcaIterSql(8)},
        |w AS (
        |  SELECT cm.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
@@ -1294,6 +1298,55 @@ object QueriesAnalytics {
        |  floor(v.v * 100000000.0 + 0.5) / 100000000.0 AS loading,
        |  floor(lambda * 100000000.0 + 0.5) / 100000000.0 AS lambda, n
        |FROM v8 v, lam, nn""".stripMargin)
+
+  /** Top TWO principal components via Hotelling deflation
+    * (SimilarityOps.pcaPower, components = 2): C ← C − λ₁v₁v₁ᵀ after
+    * the first power loop, then the same e0-seeded loop finds the
+    * second axis — mirrored by a second unrolled CTE chain over the
+    * deflated matrix.
+    */
+  private val pcaDeflateQ = Q(
+    (s, d) => operators.SimilarityOps.pcaPower(
+        Tables.embeddings(s, d), "vec_id", "embedding",
+        components = 2)
+      .select(col("component").cast("long").as("component"),
+        col("dim").cast("long").as("dim"),
+        qround(col("loading"), 8).as("loading"),
+        qround(col("lambda"), 8).as("lambda"), col("n")),
+    s"""WITH $pcaBaseSql,
+       |${pcaIterSql(8)},
+       |w1f AS (
+       |  SELECT cm.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(cm.c * p.v ORDER BY cm.j)), (a_, b_) -> a_ + b_) AS wv
+       |  FROM cm JOIN v8 p ON cm.j = p.i GROUP BY cm.i),
+       |lam1 AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(v.v * w.wv ORDER BY v.i)), (a_, b_) -> a_ + b_) AS lg
+       |  FROM v8 v JOIN w1f w ON v.i = w.i),
+       |cm2 AS MATERIALIZED (
+       |  SELECT cm.i, cm.j, cm.c - lam1.lg * vi.v * vj.v AS c
+       |  FROM cm JOIN v8 vi ON cm.i = vi.i
+       |  JOIN v8 vj ON cm.j = vj.i CROSS JOIN lam1),
+       |${pcaIterSql(8, "cm2", "d")},
+       |w2f AS (
+       |  SELECT cm2.i AS i, list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(cm2.c * p.v ORDER BY cm2.j)), (a_, b_) -> a_ + b_) AS wv
+       |  FROM cm2 JOIN d8 p ON cm2.j = p.i GROUP BY cm2.i),
+       |lam2 AS (
+       |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |    list(v.v * w.wv ORDER BY v.i)), (a_, b_) -> a_ + b_) AS lg
+       |  FROM d8 v JOIN w2f w ON v.i = w.i)
+       |SELECT CAST(1 AS BIGINT) AS component, CAST(v.i AS BIGINT) AS dim,
+       |  floor(v.v * 100000000.0 + 0.5) / 100000000.0 AS loading,
+       |  floor(lam1.lg / 100000000.0 * 100000000.0 + 0.5)
+       |    / 100000000.0 AS lambda, n
+       |FROM v8 v, lam1, nn
+       |UNION ALL
+       |SELECT CAST(2 AS BIGINT), CAST(v.i AS BIGINT),
+       |  floor(v.v * 100000000.0 + 0.5) / 100000000.0,
+       |  floor(lam2.lg / 100000000.0 * 100000000.0 + 0.5)
+       |    / 100000000.0, n
+       |FROM d8 v, lam2, nn""".stripMargin)
 
   /** Pinball-loss quantile backtest per event type
     * (ClassifierOps.pinballEval): hash split, exact train-side rank
@@ -1945,6 +1998,7 @@ object QueriesAnalytics {
     "rbo_terms" -> rboTermsQ,
     "transition_entropy" -> transitionEntropyQ,
     "rmst" -> rmstQ,
+    "pca_deflate" -> pcaDeflateQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

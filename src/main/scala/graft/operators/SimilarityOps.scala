@@ -844,8 +844,10 @@ object SimilarityOps {
     * (dim, loading, lambda, n).
     */
   def pcaPower(df: DataFrame, idCol: String, vecCol: String,
-               iters: Int = 8): DataFrame = {
+               iters: Int = 8, components: Int = 1): DataFrame = {
     require(iters >= 1 && iters <= 32, s"iters in [1,32], got $iters")
+    require(components >= 1 && components <= 8,
+      s"components in [1,8], got $components")
     val q = expr(s"transform($vecCol, x -> " +
       "cast(floor(cast(x as double) * 10000.0 + 0.5) as long))")
     val base = df.where(col(vecCol).isNotNull).select(q.as("_q"))
@@ -865,8 +867,8 @@ object SimilarityOps {
       .map(r => r.getInt(0) -> ((r.getLong(1), r.getLong(2)))).toMap
     val spark = df.sparkSession
     import spark.implicits._
-    if (dims.isEmpty) return Seq.empty[(Int, Double, Double, Long)]
-      .toDF("dim", "loading", "lambda", "n")
+    if (dims.isEmpty) return Seq.empty[(Int, Int, Double, Double, Long)]
+      .toDF("component", "dim", "loading", "lambda", "n")
     val d = dims.keys.max + 1
     val n = dims(0)._2
     val nD = n.toDouble
@@ -880,20 +882,32 @@ object SimilarityOps {
         while (j < d) { acc += c(i)(j) * v(j); j += 1 }
         acc
       }
-    var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
-    for (_ <- 1 to iters) {
-      val u = matvec(v)
-      var n2 = 0.0; var i = 0
-      while (i < d) { n2 += u(i) * u(i); i += 1 }
-      val nm = math.sqrt(n2)
-      v = u.map(_ / nm)
+    val rows = (1 to components).flatMap { comp =>
+      var v = Array.tabulate(d)(i => if (i == 0) 1.0 else 0.0)
+      for (_ <- 1 to iters) {
+        val u = matvec(v)
+        var n2 = 0.0; var i = 0
+        while (i < d) { n2 += u(i) * u(i); i += 1 }
+        val nm = math.sqrt(n2)
+        v = u.map(_ / nm)
+      }
+      val w = matvec(v)
+      var lamGrid = 0.0
+      var i = 0
+      while (i < d) { lamGrid += v(i) * w(i); i += 1 }
+      // Hotelling deflation: C <- C - lambda v v^T removes the found
+      // component so the SAME v0 = e0 power loop finds the next one
+      if (comp < components) {
+        var a = 0
+        while (a < d) {
+          var b = 0
+          while (b < d) { c(a)(b) -= lamGrid * v(a) * v(b); b += 1 }
+          a += 1
+        }
+      }
+      val lambda = lamGrid / 1.0e8
+      v.zipWithIndex.map { case (x, dim) => (comp, dim, x, lambda, n) }
     }
-    val w = matvec(v)
-    var lamGrid = 0.0
-    var i = 0
-    while (i < d) { lamGrid += v(i) * w(i); i += 1 }
-    val lambda = lamGrid / 1.0e8
-    v.zipWithIndex.map { case (x, dim) => (dim, x, lambda, n) }
-      .toSeq.toDF("dim", "loading", "lambda", "n")
+    rows.toDF("component", "dim", "loading", "lambda", "n")
   }
 }

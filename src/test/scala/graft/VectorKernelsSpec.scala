@@ -201,8 +201,8 @@ class VectorKernelsSpec extends SparkSpec {
     val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(-3f, -4f)),
       (3L, Seq(6f, 8f)), (4L, Seq(-6f, -8f))).toDF("id", "v")
     val out = SimilarityOps.pcaPower(df, "id", "v").collect()
-      .map(r => r.getInt(0) -> ((r.getDouble(1), r.getDouble(2),
-        r.getLong(3)))).toMap
+      .map(r => r.getInt(1) -> ((r.getDouble(2), r.getDouble(3),
+        r.getLong(4)))).toMap
     assert(out(0)._3 === 4L)
     assert(approx(out(0)._1, 0.6, 1e-9))
     assert(approx(out(1)._1, 0.8, 1e-9))
@@ -211,7 +211,24 @@ class VectorKernelsSpec extends SparkSpec {
     val shifted = Seq((1L, Seq(13f, 24f)), (2L, Seq(7f, 16f)),
       (3L, Seq(16f, 28f)), (4L, Seq(4f, 12f))).toDF("id", "v")
     val s0 = SimilarityOps.pcaPower(shifted, "id", "v").collect()
-      .map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      .map(r => r.getInt(1) -> r.getDouble(2)).toMap
     assert(approx(s0(0), 0.6, 1e-9) && approx(s0(1), 0.8, 1e-9))
+  }
+
+  test("pcaPower deflation: orthogonal second component + eigenvalues") {
+    // span{(0.6,0.8)} with lambda 250/6 plus span{(0.8,-0.6)} with
+    // lambda 50/6: deflation must recover both axes in order
+    val df = Seq((1L, Seq(3f, 4f)), (2L, Seq(-3f, -4f)),
+      (3L, Seq(6f, 8f)), (4L, Seq(-6f, -8f)),
+      (5L, Seq(4f, -3f)), (6L, Seq(-4f, 3f))).toDF("id", "v")
+    val out = SimilarityOps.pcaPower(df, "id", "v", components = 2)
+      .collect().map(r => (r.getInt(0), r.getInt(1)) ->
+        ((r.getDouble(2), r.getDouble(3)))).toMap
+    assert(approx(out((1, 0))._1, 0.6, 1e-4))
+    assert(approx(out((1, 1))._1, 0.8, 1e-4))
+    assert(approx(out((1, 0))._2, 250.0 / 6, 1e-4))
+    assert(approx(out((2, 0))._1, 0.8, 1e-4))
+    assert(approx(out((2, 1))._1, -0.6, 1e-4))
+    assert(approx(out((2, 0))._2, 50.0 / 6, 1e-4))
   }
 }
