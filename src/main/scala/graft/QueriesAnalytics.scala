@@ -916,6 +916,114 @@ object QueriesAnalytics {
       |  floor(st[2] * 100000000.0 + 0.5) / 100000000.0 AS s_final
       |FROM f""".stripMargin)
 
+  /** Streaming per-user max drawdown over the raw quantized value
+    * sequence (StreamingOps.drawdownStream) — all-integer state, so
+    * the batch-frame fold below is exactly what the stream emits.
+    */
+  private val streamDrawdownQ = Q(
+    (s, d) => graft.streaming.StreamingOps.drawdownStream(s,
+        Tables.events(s, d).where(col("value").isNotNull)
+          .select(col("user_id"), col("ts_ns"), col("event_id"),
+            floor(col("value") * 100.0 + 0.5).cast("long").as("vq")),
+        "user_id", "ts_ns", "event_id", "vq"),
+    """WITH e AS (
+      |  SELECT user_id, epoch_ns(ts) AS tsn, event_id,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      |  FROM events WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |one AS (
+      |  SELECT user_id,
+      |    list({'t': tsn, 'e': event_id, 'v': vq}
+      |      ORDER BY tsn, event_id) AS arr
+      |  FROM e GROUP BY 1),
+      |f AS (
+      |  SELECT user_id, CAST(len(arr) AS BIGINT) AS n,
+      |    list_reduce(list_prepend(
+      |      [arr[1].v, CAST(0 AS BIGINT), arr[1].t],
+      |      list_transform(arr[2:], e_ -> [e_.v, CAST(0 AS BIGINT),
+      |        e_.t])),
+      |      (acc, x_) -> [
+      |        greatest(acc[1], x_[1]),
+      |        greatest(acc[2], greatest(acc[1], x_[1]) - x_[1]),
+      |        CASE WHEN greatest(acc[1], x_[1]) - x_[1] > acc[2]
+      |          THEN x_[3] ELSE acc[3] END]) AS st
+      |  FROM one)
+      |SELECT user_id, n, st[1] AS peak, st[2] AS max_drawdown,
+      |  st[3] AS trough_at
+      |FROM f""".stripMargin)
+
+  /** Difference-in-differences on event values
+    * (StatsOps.didEstimate): treatment = user hash gate, post =
+    * second half of the observed day span; four exact cell means,
+    * closed-form effect.
+    */
+  private val didEstimateQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("value"))
+      val b = ev.agg(
+        min(expr("ts_ns div 86400000000000L")).as("_lo"),
+        max(expr("ts_ns div 86400000000000L")).as("_hi"))
+      val base = ev.crossJoin(broadcast(b)).select(
+        (expr("(((user_id % 1000000007L) * 2654435761L)" +
+          " % 1000000007L) % 10000") < 5000).as("treat"),
+        (expr("ts_ns div 86400000000000L") >=
+          expr("(_lo + _hi + 1) div 2")).as("post"),
+        col("value"))
+      StatsOps.didEstimate(base, "treat", "post", "value")
+        .select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+          qround(col("mean_treat_pre"), 8).as("mean_treat_pre"),
+          qround(col("mean_treat_post"), 8).as("mean_treat_post"),
+          qround(col("mean_ctrl_pre"), 8).as("mean_ctrl_pre"),
+          qround(col("mean_ctrl_post"), 8).as("mean_ctrl_post"),
+          qround(col("did"), 8).as("did"))
+    },
+    """WITH b AS (
+      |  SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+      |    max(epoch_ns(ts) // 86400000000000) AS hi
+      |  FROM events),
+      |f AS (
+      |  SELECT
+      |    (((user_id % 1000000007) * 2654435761) % 1000000007)
+      |      % 10000 < 5000 AS tr,
+      |    epoch_ns(ts) // 86400000000000 >= (lo + hi + 1) // 2 AS po,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS vq
+      |  FROM events CROSS JOIN b
+      |  WHERE user_id IS NOT NULL AND value IS NOT NULL),
+      |a AS (
+      |  SELECT
+      |    CAST(sum(CASE WHEN tr AND NOT po THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t0,
+      |    CAST(sum(CASE WHEN tr AND NOT po THEN vq ELSE 0 END)
+      |      AS BIGINT) AS s_t0,
+      |    CAST(sum(CASE WHEN tr AND po THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_t1,
+      |    CAST(sum(CASE WHEN tr AND po THEN vq ELSE 0 END)
+      |      AS BIGINT) AS s_t1,
+      |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c0,
+      |    CAST(sum(CASE WHEN NOT tr AND NOT po THEN vq ELSE 0 END)
+      |      AS BIGINT) AS s_c0,
+      |    CAST(sum(CASE WHEN NOT tr AND po THEN 1 ELSE 0 END)
+      |      AS BIGINT) AS n_c1,
+      |    CAST(sum(CASE WHEN NOT tr AND po THEN vq ELSE 0 END)
+      |      AS BIGINT) AS s_c1
+      |  FROM f)
+      |SELECT n_t0, n_t1, n_c0, n_c1,
+      |  floor(CAST(s_t0 AS DOUBLE) / 100.0 / CAST(n_t0 AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_treat_pre,
+      |  floor(CAST(s_t1 AS DOUBLE) / 100.0 / CAST(n_t1 AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_treat_post,
+      |  floor(CAST(s_c0 AS DOUBLE) / 100.0 / CAST(n_c0 AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_ctrl_pre,
+      |  floor(CAST(s_c1 AS DOUBLE) / 100.0 / CAST(n_c1 AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS mean_ctrl_post,
+      |  floor(((CAST(s_t1 AS DOUBLE) / 100.0 / CAST(n_t1 AS DOUBLE)
+      |      - CAST(s_t0 AS DOUBLE) / 100.0 / CAST(n_t0 AS DOUBLE))
+      |    - (CAST(s_c1 AS DOUBLE) / 100.0 / CAST(n_c1 AS DOUBLE)
+      |      - CAST(s_c0 AS DOUBLE) / 100.0 / CAST(n_c0 AS DOUBLE)))
+      |    * 100000000.0 + 0.5) / 100000000.0 AS did
+      |FROM a""".stripMargin)
+
   /** Entropy-rate readout over the user event-type Markov chain
     * (SequenceOps.transitionEntropy): exact censuses, fixed-order
     * entropy folds, info gain = H(next) − H(next|prev).
@@ -1999,6 +2107,8 @@ object QueriesAnalytics {
     "transition_entropy" -> transitionEntropyQ,
     "rmst" -> rmstQ,
     "pca_deflate" -> pcaDeflateQ,
+    "did_estimate" -> didEstimateQ,
+    "stream_drawdown" -> streamDrawdownQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -1275,6 +1275,47 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Difference-in-differences estimate — the observational-causal
+    * workhorse next to ab_test (which needs randomization; DiD only
+    * needs parallel trends): effect = (ȳ_treat,post − ȳ_treat,pre) −
+    * (ȳ_ctrl,post − ȳ_ctrl,pre), with all four cell means as exact
+    * integer ratios on the value grid, plus the per-cell counts the
+    * parallel-trends reviewer asks for first.
+    *
+    * Exactness + plan: one conditional-sum hash aggregate over the
+    * fact (state = 8 longs), closed-form doubles after. Callers pass
+    * boolean treatment/post columns (hash gates, geo flags, launch
+    * dates).
+    */
+  def didEstimate(df: DataFrame, treatCol: String, postCol: String,
+                  valueCol: String, quantDigits: Int = 2): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    def cell(t: Boolean, p: Boolean) =
+      col(treatCol) === t && col(postCol) === p
+    def cnt(t: Boolean, p: Boolean) =
+      sum(when(cell(t, p), 1L).otherwise(0L))
+    def sm(t: Boolean, p: Boolean) =
+      sum(when(cell(t, p), vq).otherwise(0L))
+    val agg = df.where(col(treatCol).isNotNull && col(postCol).isNotNull
+        && col(valueCol).isNotNull)
+      .agg(cnt(true, false).as("n_t0"), sm(true, false).as("_s_t0"),
+        cnt(true, true).as("n_t1"), sm(true, true).as("_s_t1"),
+        cnt(false, false).as("n_c0"), sm(false, false).as("_s_c0"),
+        cnt(false, true).as("n_c1"), sm(false, true).as("_s_c1"))
+    def mean(s: String, n: String): Column =
+      col(s).cast("double") / lit(scale) / col(n).cast("double")
+    val mt0 = mean("_s_t0", "n_t0")
+    val mt1 = mean("_s_t1", "n_t1")
+    val mc0 = mean("_s_c0", "n_c0")
+    val mc1 = mean("_s_c1", "n_c1")
+    agg.select(col("n_t0"), col("n_t1"), col("n_c0"), col("n_c1"),
+      mt0.as("mean_treat_pre"), mt1.as("mean_treat_post"),
+      mc0.as("mean_ctrl_pre"), mc1.as("mean_ctrl_post"),
+      ((mt1 - mt0) - (mc1 - mc0)).as("did"))
+  }
+
   /** 1-D two-component Gaussian-mixture EM per group — the
     * distributional upgrade of anomaly_zscore/mahalanobis: bimodal
     * metrics (mixed traffic classes, dual-population latencies) get a

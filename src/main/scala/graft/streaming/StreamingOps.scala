@@ -938,6 +938,50 @@ object StreamingOps {
       .toDF(keyCol, "zero_regs", "hll_est")
   }
 
+  /** Streaming max-drawdown per key — the online twin of
+    * [[graft.operators.SequenceOps.maxDrawdown]]'s fold, over the raw
+    * quantized value sequence: state = (n, running peak, max
+    * drawdown, trough timestamp) in exact integers, events applied in
+    * (ts, tie) order within each batch and carried across batches.
+    * All-integer state means batch slicing cannot perturb the result
+    * as long as batches respect event-time order (same contract as
+    * [[cusumStream]]).
+    */
+  def drawdownStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                     tsCol: String, tieCol: String,
+                     vqCol: String): DataFrame = {
+    import spark.implicits._
+    val typed = df
+      .where(col(keyCol).isNotNull && col(vqCol).isNotNull)
+      .select(col(keyCol).cast("long"), col(tsCol).cast("long"),
+        col(tieCol).cast("long"), col(vqCol).cast("long"))
+      .as[(Long, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long, Long),
+        (Long, Long, Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          val evs = rows.toArray.sortBy(x => (x._2, x._3))
+          if (evs.isEmpty) Iterator.empty
+          else {
+            var (n, peak, mdd, at) =
+              state.getOption.getOrElse((0L, 0L, 0L, 0L))
+            for (e <- evs) {
+              if (n == 0L) { peak = e._4; mdd = 0L; at = e._2; n = 1L }
+              else {
+                n += 1
+                if (e._4 > peak) peak = e._4
+                val dd = peak - e._4
+                if (dd > mdd) { mdd = dd; at = e._2 }
+              }
+            }
+            state.update((n, peak, mdd, at))
+            Iterator((key, n, peak, mdd, at))
+          }
+      }
+      .toDF(keyCol, "n", "peak", "max_drawdown", "trough_at")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

@@ -122,6 +122,18 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("didEstimate: hand four-cell effect") {
+    // treat pre 10 -> post 15; ctrl pre 8 -> post 9; DiD = 5 - 1 = 4
+    val df = Seq((true, false, 10.0), (true, false, 10.0),
+      (true, true, 15.0), (true, true, 15.0),
+      (false, false, 8.0), (false, true, 9.0))
+      .toDF("tr", "po", "v")
+    val r = StatsOps.didEstimate(df, "tr", "po", "v").head()
+    assert(r.getAs[Long]("n_t0") === 2L && r.getAs[Long]("n_c1") === 1L)
+    assert(approx(r.getAs[Double]("mean_treat_post"), 15.0))
+    assert(approx(r.getAs[Double]("did"), 4.0))
+  }
+
   test("gmm1dEm: separates a clean bimodal mix; degenerate is NaN-free") {
     val lo = Seq(-0.1, 0.0, 0.1).flatMap(v => Seq.fill(20)(("a", v)))
     val hi = Seq(9.9, 10.0, 10.1).flatMap(v => Seq.fill(20)(("a", v + 0.0)))

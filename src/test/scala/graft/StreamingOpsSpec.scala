@@ -585,6 +585,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last._2 === batch.getAs[Double]("hll_est")) // bit-exact
   }
 
+  test("drawdownStream: integer peak/drawdown state across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long, Long)]
+    val df = input.toDF().toDF("k", "ts", "tie", "vq")
+    val out = StreamingOps.drawdownStream(spark, df, "k", "ts", "tie",
+      "vq")
+    val q = out.writeStream.format("memory").queryName("dd_t")
+      .outputMode("append").start()
+    input.addData((1L, 0L, 0L, 10L), (1L, 1L, 1L, 20L),
+      (1L, 2L, 2L, 15L))
+    q.processAllAvailable()
+    input.addData((1L, 3L, 3L, 25L), (1L, 4L, 4L, 5L))
+    q.processAllAvailable()
+    q.stop()
+    val snaps = spark.table("dd_t").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getLong(3),
+        r.getLong(4)))).toMap
+    assert(snaps(3L) === ((20L, 5L, 2L)))  // after batch 1
+    assert(snaps(5L) === ((25L, 20L, 4L))) // resumed across batches
+    // single-batch fold equals the two-batch result
+    import spark.implicits._
+    val whole = StreamingOps.drawdownStream(spark,
+      Seq((1L, 0L, 0L, 10L), (1L, 1L, 1L, 20L), (1L, 2L, 2L, 15L),
+        (1L, 3L, 3L, 25L), (1L, 4L, 4L, 5L)).toDF("k", "ts", "tie",
+        "vq"), "k", "ts", "tie", "vq").head()
+    assert((whole.getLong(2), whole.getLong(3), whole.getLong(4)) ===
+      ((25L, 20L, 4L)))
+  }
+
   test("cusumStream carries integer CUSUM state across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)]
