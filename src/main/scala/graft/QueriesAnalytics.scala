@@ -916,6 +916,49 @@ object QueriesAnalytics {
       |  floor(st[2] * 100000000.0 + 0.5) / 100000000.0 AS s_final
       |FROM f""".stripMargin)
 
+  /** Mann-Kendall monotone-trend test on hourly arrivals per event
+    * type (StatsOps.mannKendall): exact bigint pair census over the
+    * hour domain, tie-corrected variance, continuity-corrected z.
+    */
+  private val mannKendallQ = Q(
+    (s, d) => StatsOps.mannKendall(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("m"), col("s"),
+        qround(col("var_s"), 6).as("var_s"),
+        qround(col("z"), 8).as("z")),
+    """WITH sr AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |pr AS (
+      |  SELECT a.g,
+      |    CAST(sum(CASE WHEN b.y > a.y THEN 1
+      |      WHEN b.y < a.y THEN -1 ELSE 0 END) AS BIGINT) AS s
+      |  FROM sr a JOIN sr b ON a.g = b.g AND a.h < b.h
+      |  GROUP BY 1),
+      |ti AS (
+      |  SELECT g,
+      |    CAST(sum(t * (t - 1) * (2 * t + 5)) AS BIGINT) AS tc
+      |  FROM (SELECT g, y, CAST(count(*) AS BIGINT) AS t
+      |        FROM sr GROUP BY 1, 2)
+      |  GROUP BY 1),
+      |mm AS (SELECT g, CAST(count(*) AS BIGINT) AS m
+      |       FROM sr GROUP BY 1)
+      |SELECT pr.g AS event_type, m, s,
+      |  floor(CAST(m * (m - 1) * (2 * m + 5) - tc AS DOUBLE) / 18.0
+      |    * 1000000.0 + 0.5) / 1000000.0 AS var_s,
+      |  floor(CASE WHEN s > 0 THEN CAST(s - 1 AS DOUBLE)
+      |      / sqrt(CAST(m * (m - 1) * (2 * m + 5) - tc AS DOUBLE)
+      |        / 18.0)
+      |    WHEN s < 0 THEN CAST(s + 1 AS DOUBLE)
+      |      / sqrt(CAST(m * (m - 1) * (2 * m + 5) - tc AS DOUBLE)
+      |        / 18.0)
+      |    ELSE 0.0 END * 100000000.0 + 0.5) / 100000000.0 AS z
+      |FROM pr JOIN mm ON pr.g = mm.g JOIN ti ON pr.g = ti.g"""
+      .stripMargin)
+
   /** Streaming per-user max drawdown over the raw quantized value
     * sequence (StreamingOps.drawdownStream) — all-integer state, so
     * the batch-frame fold below is exactly what the stream emits.
@@ -2109,6 +2152,7 @@ object QueriesAnalytics {
     "pca_deflate" -> pcaDeflateQ,
     "did_estimate" -> didEstimateQ,
     "stream_drawdown" -> streamDrawdownQ,
+    "mann_kendall" -> mannKendallQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

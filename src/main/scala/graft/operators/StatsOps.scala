@@ -1275,6 +1275,48 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Mann-Kendall trend test over each series' per-window counts —
+    * the nonparametric "is this metric monotonically drifting" test
+    * (Spearman-vs-time asks correlation; MK asks specifically for
+    * monotone trend with an exact tie-corrected null variance):
+    * S = Σ_{i<j} sign(y_j − y_i), Var(S) = [m(m−1)(2m+5) −
+    * Σ_t t(t−1)(2t+5)]/18, z with the ±1 continuity correction.
+    *
+    * Exactness + scale: counts are integers, so S and both variance
+    * terms are exact BIGINTs; the pair census is a self-join of the
+    * WINDOW DOMAIN (bounded by the observation span, never the fact)
+    * keyed on the series. z is one closed form.
+    */
+  def mannKendall(df: DataFrame, groupCol: String,
+                  windowCol: String): DataFrame = {
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).as("_y"))
+    val pairs = series.as("a")
+      .join(series.as("b"),
+        col("a._g") === col("b._g") && col("a._h") < col("b._h"))
+      .groupBy(col("a._g").as("_g"))
+      .agg(sum(signum(col("b._y") - col("a._y")).cast("long")).as("s"))
+    val ties = series.groupBy(col("_g"), col("_y"))
+      .agg(count(lit(1)).as("_t"))
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("_nv"),
+        sum(col("_t") * (col("_t") - 1) * (lit(2L) * col("_t") + 5))
+          .as("_tc"))
+    val m = series.groupBy(col("_g")).agg(count(lit(1)).as("m"))
+    def D(c: Column) = c.cast("double")
+    val varNum = col("m") * (col("m") - 1) * (lit(2L) * col("m") + 5) -
+      col("_tc")
+    val varS = D(varNum) / lit(18.0)
+    val z = when(col("s") > 0, D(col("s") - 1) / sqrt(varS))
+      .when(col("s") < 0, D(col("s") + 1) / sqrt(varS))
+      .otherwise(lit(0.0))
+    pairs.join(m, Seq("_g")).join(ties, Seq("_g"))
+      .select(col("_g").as(groupCol), col("m"), col("s"),
+        varS.as("var_s"), z.as("z"))
+  }
+
   /** Difference-in-differences estimate — the observational-causal
     * workhorse next to ab_test (which needs randomization; DiD only
     * needs parallel trends): effect = (ȳ_treat,post − ȳ_treat,pre) −

@@ -122,6 +122,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mannKendall: strict trend hand values, full-tie variance zero") {
+    // counts 1,2,3,4 over windows 0..3: S = 6, Var = 4*3*13/18
+    val up = (0L to 3L).flatMap(h => Seq.fill(h.toInt + 1)(("a", h)))
+    // two equal windows: S = 0 and the tie correction kills Var
+    val flat = Seq.fill(2)(("b", 0L)) ++ Seq.fill(2)(("b", 1L))
+    val out = StatsOps.mannKendall((up ++ flat).toDF("g", "w"),
+      "g", "w").collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3),
+          r.getDouble(4)))).toMap
+    assert(out("a")._1 === 4L && out("a")._2 === 6L)
+    assert(approx(out("a")._3, 4.0 * 3 * 13 / 18))
+    assert(approx(out("a")._4, 5.0 / math.sqrt(4.0 * 3 * 13 / 18)))
+    assert(out("b")._2 === 0L && out("b")._3 === 0.0 &&
+      out("b")._4 === 0.0)
+  }
+
   test("didEstimate: hand four-cell effect") {
     // treat pre 10 -> post 15; ctrl pre 8 -> post 9; DiD = 5 - 1 = 4
     val df = Seq((true, false, 10.0), (true, false, 10.0),
