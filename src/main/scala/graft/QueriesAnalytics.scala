@@ -959,6 +959,126 @@ object QueriesAnalytics {
       |FROM pr JOIN mm ON pr.g = mm.g JOIN ti ON pr.g = ti.g"""
       .stripMargin)
 
+  /** Greedy two-state burst detection on hourly arrivals per event
+    * type (SequenceOps.burstDetect, gamma = 2): Poisson state costs,
+    * one time-ordered fold per series.
+    */
+  private val burstDetectQ = Q(
+    (s, d) => operators.SequenceOps.burstDetect(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("n_windows"), col("n_bursts"),
+        col("burst_windows")),
+    """WITH s AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(count(*) AS DOUBLE) AS y
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2),
+      |lam AS (SELECT g, sum(y) / CAST(count(*) AS DOUBLE) AS l0
+      |        FROM s GROUP BY 1),
+      |arrs AS (
+      |  SELECT s.g, list({'h': h, 'y': y, 'l0': l0} ORDER BY h) AS arr
+      |  FROM s JOIN lam ON s.g = lam.g GROUP BY 1),
+      |st AS (
+      |  SELECT g, len(arr) AS nw,
+      |    list_reduce(list_prepend(
+      |      [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+      |       CAST(0.0 AS DOUBLE)],
+      |      list_transform(arr, e_ -> [e_.y, e_.l0,
+      |        CAST(0.0 AS DOUBLE)])),
+      |      (acc, x_) -> [
+      |        CASE WHEN x_[2] * 2.0 - x_[1] * ln(x_[2] * 2.0)
+      |            + CASE WHEN acc[1] < 0.5 THEN CAST(2.0 AS DOUBLE)
+      |              ELSE CAST(0.0 AS DOUBLE) END
+      |          < x_[2] - x_[1] * ln(x_[2])
+      |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+      |        acc[2] + CASE WHEN acc[1] < 0.5
+      |            AND x_[2] * 2.0 - x_[1] * ln(x_[2] * 2.0)
+      |              + CASE WHEN acc[1] < 0.5 THEN CAST(2.0 AS DOUBLE)
+      |                ELSE CAST(0.0 AS DOUBLE) END
+      |            < x_[2] - x_[1] * ln(x_[2])
+      |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END,
+      |        acc[3] + CASE WHEN x_[2] * 2.0 - x_[1] * ln(x_[2] * 2.0)
+      |              + CASE WHEN acc[1] < 0.5 THEN CAST(2.0 AS DOUBLE)
+      |                ELSE CAST(0.0 AS DOUBLE) END
+      |            < x_[2] - x_[1] * ln(x_[2])
+      |          THEN CAST(1.0 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END])
+      |      AS st
+      |  FROM arrs)
+      |SELECT g AS event_type, CAST(nw AS BIGINT) AS n_windows,
+      |  CAST(st[2] AS BIGINT) AS n_bursts,
+      |  CAST(st[3] AS BIGINT) AS burst_windows
+      |FROM st""".stripMargin)
+
+  /** Lorenz decile shares of document length per source
+    * (StatsOps.lorenzDeciles): integer decile boundaries, exact
+    * multiplicity clamps on the cumulative histogram.
+    */
+  private val lorenzDecilesQ = Q(
+    (s, d) => StatsOps.lorenzDeciles(
+        Tables.documents(s, d), "source", "n_chars")
+      .select(col("source"), col("decile"), col("n_items"),
+        qround(col("share"), 8).as("share")),
+    """WITH f AS (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE source IS NOT NULL
+      |    AND n_chars IS NOT NULL),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM f GROUP BY 1, 2),
+      |cc AS (
+      |  SELECT g, v, c,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY v
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM h),
+      |t AS (SELECT g, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v) AS BIGINT) AS sv
+      |      FROM f GROUP BY 1),
+      |x AS (
+      |  SELECT cc.g, d,
+      |    greatest(CAST(0 AS BIGINT),
+      |      least(cum, (d * n) // 10)
+      |      - greatest(cum - c, ((d - 1) * n) // 10)) AS ke,
+      |    v, sv
+      |  FROM cc JOIN t USING (g)
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 10)) AS d))
+      |SELECT g AS source, CAST(d AS BIGINT) AS decile,
+      |  CAST(sum(ke) AS BIGINT) AS n_items,
+      |  floor(CAST(sum(ke * v) AS DOUBLE) / CAST(max(sv) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS share
+      |FROM x GROUP BY 1, 2""".stripMargin)
+
+  /** Vocabulary head coverage per source (TextOps.vocabCoverage,
+    * 80%): exact integer rank selection over the deterministic
+    * (freq desc, term) vocabulary ranking.
+    */
+  private val vocabCoverageQ = Q(
+    (s, d) => operators.TextOps.vocabCoverage(
+        Tables.documents(s, d), "source", "text")
+      .select(col("source"), col("n_tokens"), col("vocab_size"),
+        col("k_head"), qround(col("head_share"), 8).as("head_share")),
+    """WITH tk AS (
+      |  SELECT source AS g, unnest(string_split(text, ' ')) AS w
+      |  FROM documents WHERE source IS NOT NULL
+      |    AND text IS NOT NULL),
+      |c AS (SELECT g, w, CAST(count(*) AS BIGINT) AS c
+      |      FROM tk GROUP BY 1, 2),
+      |r AS (
+      |  SELECT g, c,
+      |    row_number() OVER (PARTITION BY g ORDER BY c DESC, w) AS r,
+      |    CAST(sum(c) OVER (PARTITION BY g ORDER BY c DESC, w
+      |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+      |  FROM c),
+      |t AS (SELECT g, CAST(sum(c) AS BIGINT) AS tot,
+      |        CAST(count(*) AS BIGINT) AS vs
+      |      FROM c GROUP BY 1)
+      |SELECT r.g AS source, max(tot) AS n_tokens,
+      |  max(vs) AS vocab_size, CAST(min(r) AS BIGINT) AS k_head,
+      |  floor(CAST(min(cum) AS DOUBLE) / CAST(max(tot) AS DOUBLE)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS head_share
+      |FROM r JOIN t USING (g)
+      |WHERE cum >= (tot * 800 + 999) // 1000
+      |GROUP BY 1""".stripMargin)
+
   /** Streaming per-user max drawdown over the raw quantized value
     * sequence (StreamingOps.drawdownStream) — all-integer state, so
     * the batch-frame fold below is exactly what the stream emits.
@@ -2153,6 +2273,9 @@ object QueriesAnalytics {
     "did_estimate" -> didEstimateQ,
     "stream_drawdown" -> streamDrawdownQ,
     "mann_kendall" -> mannKendallQ,
+    "burst_detect" -> burstDetectQ,
+    "lorenz_deciles" -> lorenzDecilesQ,
+    "vocab_coverage" -> vocabCoverageQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -905,6 +905,60 @@ object SequenceOps {
         col("_st.s").as("sse"))
   }
 
+  /** Greedy two-state burst detection (Kleinberg-lite) over each
+    * series' per-window counts: baseline rate λ0 = the series mean,
+    * burst rate λ1 = 2λ0, per-window Poisson cost λ − y·ln λ (the y!
+    * term cancels between states), entering the burst state pays
+    * penalty γ; the fold greedily takes the cheaper state per window
+    * and counts burst entries and burst windows. Not full Viterbi —
+    * the greedy form is the standard streaming-friendly variant, and
+    * it is exactly replayable.
+    *
+    * Exactness: counts and the mean are exact-integer-derived; the
+    * fold is the same domain-bounded list recurrence as
+    * [[holtLinear]] (ln probed bit-identical across engines).
+    */
+  def burstDetect(df: DataFrame, groupCol: String, windowCol: String,
+                  gamma: Double = 2.0): DataFrame = {
+    require(gamma >= 0, s"gamma must be >= 0, got $gamma")
+    val g = gamma.toString
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).cast("double").as("_y"))
+    val lam = series.groupBy(col("_g"))
+      .agg((sum(col("_y")) / count(lit(1)).cast("double")).as("_l0"))
+    series.join(broadcast(lam), Seq("_g"))
+      .groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_h"), col("_y"),
+        col("_l0")))).as("arr"))
+      .withColumn("_st", expr(
+        s"""aggregate(arr,
+           |  named_struct('s', cast(0.0 as double),
+           |    'nb', cast(0.0 as double), 'bw', cast(0.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    's', if(x._l0 * 2.0 - x._y * ln(x._l0 * 2.0)
+           |        + if(acc.s < 0.5, cast($g as double),
+           |          cast(0.0 as double))
+           |      < x._l0 - x._y * ln(x._l0), cast(1.0 as double),
+           |      cast(0.0 as double)),
+           |    'nb', acc.nb + if(acc.s < 0.5 AND
+           |      x._l0 * 2.0 - x._y * ln(x._l0 * 2.0)
+           |        + if(acc.s < 0.5, cast($g as double),
+           |          cast(0.0 as double))
+           |      < x._l0 - x._y * ln(x._l0), cast(1.0 as double),
+           |      cast(0.0 as double)),
+           |    'bw', acc.bw + if(x._l0 * 2.0 - x._y * ln(x._l0 * 2.0)
+           |        + if(acc.s < 0.5, cast($g as double),
+           |          cast(0.0 as double))
+           |      < x._l0 - x._y * ln(x._l0), cast(1.0 as double),
+           |      cast(0.0 as double))))""".stripMargin))
+      .select(col("_g").as(groupCol),
+        size(col("arr")).cast("long").as("n_windows"),
+        col("_st.nb").cast("long").as("n_bursts"),
+        col("_st.bw").cast("long").as("burst_windows"))
+  }
+
   /** Maximum drawdown of each series' per-window mean — the
     * peak-to-trough collapse metric (how far did the metric fall from
     * its running high, and when): one fixed-order fold carrying

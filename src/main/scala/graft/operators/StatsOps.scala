@@ -1275,6 +1275,48 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Lorenz decile shares — the curve behind [[concentration]]'s Gini
+    * scalar: per group, the share of total value held by each
+    * ascending-rank decile (decile 10 = the largest items). The skew
+    * profile a partition planner actually reads: "decile 10 holds 60%
+    * of bytes" is the salting decision.
+    *
+    * Exactness: rank boundaries are integer ((d·n) div 10); each
+    * distinct value's per-decile multiplicity is an integer clamp on
+    * the cumulative histogram (same shape as [[trimmedMean]]), so
+    * every share is an exact integer ratio. Plan: one fact hash
+    * aggregate → group-partitioned domain window → domain×10 clamp
+    * arithmetic.
+    */
+  def lorenzDeciles(df: DataFrame, groupCol: String,
+                    valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val f = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        col(valueCol).cast("long").as("_v"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val hist = f.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+      .withColumn("_cum", sum(col("_c")).over(w))
+      .join(f.groupBy(col("_g")).agg(count(lit(1)).as("_n"),
+        sum(col("_v")).as("_sv")), Seq("_g"))
+    val d = col("_d")
+    val lo = expr("((_d - 1) * _n) div 10")
+    val hi = expr("(_d * _n) div 10")
+    val kept = greatest(lit(0L),
+      least(col("_cum"), hi) - greatest(col("_cum") - col("_c"), lo))
+    hist.crossJoin(
+        df.sparkSession.range(1, 11).select(col("id").as("_d")))
+      .groupBy(col("_g"), d)
+      .agg(sum(kept).as("n_items"), sum(kept * col("_v")).as("_dv"),
+        max(col("_sv")).as("_tv"))
+      .select(col("_g").as(groupCol), d.cast("long").as("decile"),
+        col("n_items"),
+        (col("_dv").cast("double") / col("_tv").cast("double"))
+          .as("share"))
+  }
+
   /** Mann-Kendall trend test over each series' per-window counts —
     * the nonparametric "is this metric monotonically drifting" test
     * (Spearman-vs-time asks correlation; MK asks specifically for

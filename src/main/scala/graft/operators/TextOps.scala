@@ -1606,6 +1606,50 @@ object TextOps {
           .as("oov_rate"))
   }
 
+  /** Vocabulary head coverage — how many distinct terms cover `frac`
+    * of each group's tokens (the tokenizer/compression planning
+    * number: a tiny head covering 80% means aggressive vocab pruning
+    * is safe). k = the smallest rank (freq desc, term asc —
+    * deterministic) whose cumulative frequency reaches
+    * ceil(frac·total), exact integer rank selection.
+    *
+    * Plan: token scan → vocab-bounded counts → group-partitioned
+    * rank/cumulative window over the vocab domain.
+    */
+  def vocabCoverage(docs: DataFrame, groupCol: String, textCol: String,
+                    fracPermille: Int = 800): DataFrame = {
+    require(fracPermille > 0 && fracPermille <= 1000,
+      s"fracPermille in (0,1000], got $fracPermille")
+    import org.apache.spark.sql.expressions.Window
+    val counts = docs.where(col(groupCol).isNotNull &&
+        col(textCol).isNotNull)
+      .select(col(groupCol).as("_g"),
+        explode(words(col(textCol))).as("_w"))
+      .groupBy(col("_g"), col("_w")).agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g"))
+      .orderBy(col("_c").desc, col("_w"))
+    val ranked = counts
+      .withColumn("_r", row_number().over(w))
+      .withColumn("_cum", sum(col("_c")).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .join(counts.groupBy(col("_g")).agg(sum(col("_c")).as("_tot"),
+        count(lit(1)).as("vocab_size")), Seq("_g"))
+    // ceil(frac·total) in exact integers
+    val need = expr(s"(_tot * ${fracPermille}L + 999L) div 1000L")
+    ranked.where(col("_cum") >= need)
+      .groupBy(col("_g"))
+      .agg(max(col("_tot")).as("n_tokens"),
+        max(col("vocab_size")).as("vocab_size"),
+        min(col("_r")).as("k_head"),
+        min(col("_cum")).as("_chead"))
+    // min(_cum) pairs with min(_r): the first rank past the
+    // threshold also has the smallest cumulative among survivors
+      .select(col("_g").as(groupCol), col("n_tokens"),
+        col("vocab_size"), col("k_head"),
+        (col("_chead").cast("double") / col("n_tokens").cast("double"))
+          .as("head_share"))
+  }
+
   /** Rank-biased overlap (RBO, Webber et al.) between two cohorts'
     * top-k term rankings — [[termShift]] scores individual terms;
     * RBO scores whether the RANKINGS agree, top-weighted (a swap at

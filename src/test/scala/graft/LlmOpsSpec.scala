@@ -1099,6 +1099,20 @@ class LlmOpsSpec extends SparkSpec {
     assert(out((2L, 1))._1 === "other" && out((2L, 2))._1 === "shared")
   }
 
+  test("vocabCoverage: hand head size at 80%, deterministic tie rank") {
+    // tokens a*4 b*2 c d: total 8, need ceil(6.4)=7 -> head = a,b,c
+    val df = Seq(("s", "a a a a b b c d")).toDF("g", "text")
+    val r = operators.TextOps.vocabCoverage(df, "g", "text").head()
+    assert(r.getAs[Long]("n_tokens") === 8L)
+    assert(r.getAs[Long]("vocab_size") === 4L)
+    assert(r.getAs[Long]("k_head") === 3L)
+    assert(approx(r.getAs[Double]("head_share"), 7.0 / 8))
+    // all-equal frequencies: ties ranked by term; 80% of 5 -> 4 terms
+    val flat = Seq(("t", "e d c b a")).toDF("g", "text")
+    val r2 = operators.TextOps.vocabCoverage(flat, "g", "text").head()
+    assert(r2.getAs[Long]("k_head") === 4L)
+  }
+
   test("rboTerms: identical rankings replay, disjoint vocab is zero") {
     // both cohorts rank x > y > z identically
     val same = Seq(("A", "x x x y y z"), ("B", "x x x y y z"))

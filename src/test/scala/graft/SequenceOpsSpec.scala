@@ -208,6 +208,23 @@ class SequenceOpsSpec extends SparkSpec {
     assert(approx(r.getDouble(3), 1.0) && approx(r.getDouble(4), 3.0))
   }
 
+  test("burstDetect: strong burst entered once, weak burst gated out") {
+    // counts [1,1,9,9,1,1]: lambda0 = 22/6; the 9s beat gamma=2
+    val strong = Seq(0L -> 1, 1L -> 1, 2L -> 9, 3L -> 9, 4L -> 1,
+      5L -> 1).flatMap { case (h, c) => Seq.fill(c)(("a", h)) }
+    val r = operators.SequenceOps.burstDetect(strong.toDF("g", "w"),
+      "g", "w").head()
+    assert(r.getAs[Long]("n_windows") === 6L)
+    assert(r.getAs[Long]("n_bursts") === 1L)
+    assert(r.getAs[Long]("burst_windows") === 2L)
+    // counts [1,1,5,5,1,1]: the entry penalty keeps state 0 throughout
+    val weak = Seq(0L -> 1, 1L -> 1, 2L -> 5, 3L -> 5, 4L -> 1,
+      5L -> 1).flatMap { case (h, c) => Seq.fill(c)(("b", h)) }
+    val r2 = operators.SequenceOps.burstDetect(weak.toDF("g", "w"),
+      "g", "w").head()
+    assert(r2.getAs[Long]("n_bursts") === 0L)
+  }
+
   test("rmst: hand step integral over the KM curve, tau clipping") {
     val day = 86400000000000L
     // same fixture as nelsonAalen: deaths at t=0 (S->3/4), t=1

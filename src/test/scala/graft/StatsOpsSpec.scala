@@ -122,6 +122,22 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("lorenzDeciles: values 1..10 give one item and share d/55 each") {
+    val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
+    val out = StatsOps.lorenzDeciles(df, "g", "v").collect()
+      .map(r => r.getLong(1) -> ((r.getLong(2), r.getDouble(3)))).toMap
+    assert(out.size === 10)
+    for (d <- 1L to 10L) {
+      assert(out(d)._1 === 1L)
+      assert(approx(out(d)._2, d / 55.0))
+    }
+    // ties spanning a boundary split exactly: [5,5] -> 0.5 per half
+    val ties = Seq(("b", 5.0), ("b", 5.0)).toDF("g", "v")
+    val t = StatsOps.lorenzDeciles(ties, "g", "v").collect()
+      .map(r => r.getLong(1) -> r.getLong(2)).toMap
+    assert(t(5L) === 1L && t(10L) === 1L && t(1L) === 0L)
+  }
+
   test("mannKendall: strict trend hand values, full-tie variance zero") {
     // counts 1,2,3,4 over windows 0..3: S = 6, Var = 4*3*13/18
     val up = (0L to 3L).flatMap(h => Seq.fill(h.toInt + 1)(("a", h)))
