@@ -959,6 +959,69 @@ object QueriesAnalytics {
       |FROM pr JOIN mm ON pr.g = mm.g JOIN ti ON pr.g = ti.g"""
       .stripMargin)
 
+  /** Theil T inequality of document lengths with between/within
+    * source decomposition (StatsOps.theilIndex): fixed-order entropy
+    * folds over the value and group domains.
+    */
+  private val theilIndexQ = Q(
+    (s, d) => StatsOps.theilIndex(
+        Tables.documents(s, d), "source", "n_chars")
+      .select(col("n"), qround(col("theil_total"), 8).as("theil_total"),
+        qround(col("theil_between"), 8).as("theil_between"),
+        qround(col("theil_within"), 8).as("theil_within")),
+    """WITH f AS (
+      |  SELECT source AS g, CAST(n_chars AS BIGINT) AS v
+      |  FROM documents WHERE source IS NOT NULL
+      |    AND n_chars IS NOT NULL AND n_chars > 0),
+      |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+      |      FROM f GROUP BY 1, 2),
+      |gt AS (SELECT g, CAST(count(*) AS BIGINT) AS ng,
+      |         CAST(sum(v) AS BIGINT) AS vg
+      |       FROM f GROUP BY 1),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |        CAST(sum(v) AS BIGINT) AS vv
+      |      FROM f),
+      |tg AS (
+      |  SELECT h.g,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list(CAST(c AS DOUBLE) * CAST(v AS DOUBLE)
+      |          / CAST(vg AS DOUBLE)
+      |        * ln(CAST(v AS DOUBLE) * CAST(ng AS DOUBLE)
+      |          / CAST(vg AS DOUBLE)) ORDER BY v)),
+      |      (a_, b_) -> a_ + b_) AS tgv
+      |  FROM h JOIN gt USING (g) GROUP BY 1),
+      |wi AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(vg AS DOUBLE) / CAST(vv AS DOUBLE) * tgv
+      |      ORDER BY tg.g)), (a_, b_) -> a_ + b_) AS theil_within
+      |  FROM tg JOIN gt USING (g) CROSS JOIN t),
+      |bt AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(vg AS DOUBLE) / CAST(vv AS DOUBLE)
+      |      * ln((CAST(vg AS DOUBLE) / CAST(vv AS DOUBLE))
+      |        / (CAST(ng AS DOUBLE) / CAST(n AS DOUBLE)))
+      |      ORDER BY g)), (a_, b_) -> a_ + b_) AS theil_between
+      |  FROM gt CROSS JOIN t),
+      |tl AS (
+      |  SELECT list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |    list(CAST(c AS DOUBLE) * CAST(v AS DOUBLE)
+      |        / CAST(vv AS DOUBLE)
+      |      * ln(CAST(v AS DOUBLE) * CAST(n AS DOUBLE)
+      |        / CAST(vv AS DOUBLE)) ORDER BY v)),
+      |      (a_, b_) -> a_ + b_) AS theil_total
+      |  FROM (SELECT v, CAST(count(*) AS BIGINT) AS c
+      |        FROM f GROUP BY 1) hv
+      |  CROSS JOIN t)
+      |SELECT n,
+      |  floor(theil_total * 100000000.0 + 0.5) / 100000000.0
+      |    AS theil_total,
+      |  floor(theil_between * 100000000.0 + 0.5) / 100000000.0
+      |    AS theil_between,
+      |  floor(theil_within * 100000000.0 + 0.5) / 100000000.0
+      |    AS theil_within
+      |FROM t CROSS JOIN tl CROSS JOIN bt CROSS JOIN wi"""
+      .stripMargin)
+
   /** Greedy two-state burst detection on hourly arrivals per event
     * type (SequenceOps.burstDetect, gamma = 2): Poisson state costs,
     * one time-ordered fold per series.
@@ -2276,6 +2339,7 @@ object QueriesAnalytics {
     "burst_detect" -> burstDetectQ,
     "lorenz_deciles" -> lorenzDecilesQ,
     "vocab_coverage" -> vocabCoverageQ,
+    "theil_index" -> theilIndexQ,
     "forecast_backtest" -> forecastBacktestQ,
     "kaplan_meier" -> kaplanMeierQ,
     "compaction_plan" -> compactionPlanQ,

@@ -1275,6 +1275,62 @@ object StatsOps {
       .withColumnRenamed("_g", groupCol)
   }
 
+  /** Theil T inequality index with between/within decomposition —
+    * the DECOMPOSABLE member of the inequality family (gini gives
+    * the scalar, [[lorenzDeciles]] the curve; Theil answers "is the
+    * imbalance BETWEEN sources or WITHIN them", which decides whether
+    * rebalancing the source mixture can help at all):
+    * T = Σ (vᵢ/V)·ln(vᵢ/μ), T = T_between + T_within exactly.
+    *
+    * Exactness: all sums are exact BIGINTs off the value histogram;
+    * every entropy-style Σ is a fixed-order fold ([[orderedFoldSum]])
+    * over the value domain (per group and global) or the group
+    * domain. Positive values only (ln). Plan: one fact hash aggregate
+    * to the (group × value) histogram; everything after is
+    * domain-bounded.
+    */
+  def theilIndex(df: DataFrame, groupCol: String,
+                 valueCol: String): DataFrame = {
+    val f = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull
+        && col(valueCol) > 0)
+      .select(col(groupCol).cast("string").as("_g"),
+        col(valueCol).cast("long").as("_v"))
+    val hist = f.groupBy(col("_g"), col("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val gtot = f.groupBy(col("_g"))
+      .agg(count(lit(1)).as("_ng"), sum(col("_v")).as("_vg"))
+    val tot = f.agg(count(lit(1)).as("_n"), sum(col("_v")).as("_vv"))
+    def D(c: String) = col(c).cast("double")
+    // per-group Theil over each group's own mean
+    val tg = hist.join(broadcast(gtot), Seq("_g"))
+      .select(col("_g"), col("_v"),
+        (D("_c") * D("_v") / D("_vg") *
+          log(D("_v") * D("_ng") / D("_vg"))).as("_t"))
+      .groupBy(col("_g"))
+      .agg(orderedFoldSum(Seq("_v"), "_t").as("_tg"))
+    // within = value-share-weighted per-group Theils (group-ordered)
+    val within = tg.join(broadcast(gtot), Seq("_g"))
+      .crossJoin(broadcast(tot))
+      .select(col("_g"), (D("_vg") / D("_vv") * col("_tg")).as("_t"))
+      .agg(orderedFoldSum(Seq("_g"), "_t").as("theil_within"))
+    // between = group means vs the global mean
+    val between = gtot.crossJoin(broadcast(tot))
+      .select(col("_g"),
+        (D("_vg") / D("_vv") *
+          log((D("_vg") / D("_vv")) / (D("_ng") / D("_n")))).as("_t"))
+      .agg(orderedFoldSum(Seq("_g"), "_t").as("theil_between"))
+    // total, independently, over the global value histogram
+    val total = f.groupBy(col("_v")).agg(count(lit(1)).as("_c"))
+      .crossJoin(broadcast(tot))
+      .select(col("_v"),
+        (D("_c") * D("_v") / D("_vv") *
+          log(D("_v") * D("_n") / D("_vv"))).as("_t"))
+      .agg(orderedFoldSum(Seq("_v"), "_t").as("theil_total"))
+    tot.crossJoin(total).crossJoin(between).crossJoin(within)
+      .select(col("_n").as("n"), col("theil_total"),
+        col("theil_between"), col("theil_within"))
+  }
+
   /** Lorenz decile shares — the curve behind [[concentration]]'s Gini
     * scalar: per group, the share of total value held by each
     * ascending-rank decile (decile 10 = the largest items). The skew

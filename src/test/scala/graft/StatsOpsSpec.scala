@@ -122,6 +122,30 @@ class StatsOpsSpec extends SparkSpec {
     }
   }
 
+  test("theilIndex: pure between-group case, decomposition identity") {
+    // within-group equal -> within 0 and total == between
+    val df = Seq(("a", 2L), ("a", 2L), ("b", 8L), ("b", 8L))
+      .toDF("g", "v")
+    val r = StatsOps.theilIndex(df, "g", "v").head()
+    val want = 0.2 * math.log(0.4) + 0.8 * math.log(1.6)
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approx(r.getAs[Double]("theil_total"), want, 1e-12))
+    assert(approx(r.getAs[Double]("theil_between"), want, 1e-12))
+    assert(r.getAs[Double]("theil_within") === 0.0)
+    // perfectly equal values -> all three zero
+    val eq = StatsOps.theilIndex(
+      Seq(("a", 5L), ("b", 5L), ("b", 5L)).toDF("g", "v"), "g", "v")
+      .head()
+    assert(eq.getDouble(1) === 0.0 && eq.getDouble(2) === 0.0 &&
+      eq.getDouble(3) === 0.0)
+    // mixed case: T = between + within up to float association
+    val mx = StatsOps.theilIndex(
+      Seq(("a", 1L), ("a", 3L), ("b", 6L), ("b", 10L)).toDF("g", "v"),
+      "g", "v").head()
+    assert(approx(mx.getDouble(1), mx.getDouble(2) + mx.getDouble(3),
+      1e-12))
+  }
+
   test("lorenzDeciles: values 1..10 give one item and share d/55 each") {
     val df = (1 to 10).map(v => ("a", v.toDouble)).toDF("g", "v")
     val out = StatsOps.lorenzDeciles(df, "g", "v").collect()
