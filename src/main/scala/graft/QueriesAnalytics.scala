@@ -268,17 +268,22 @@ object QueriesAnalytics {
       |z AS (
       |  SELECT g, hour, n_w,
       |    CAST(svw AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE)) AS paa,
-      |    (CAST(svw AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE))
-      |      - CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
-      |    / sqrt((CAST(svv AS DOUBLE) / (100.0 * 100.0)
-      |        - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
-      |          / (100.0 * 100.0 * CAST(n AS DOUBLE)))
-      |      / CAST(n AS DOUBLE)) AS zz
+      |    CASE WHEN sqrt((CAST(svv AS DOUBLE) / (100.0 * 100.0)
+      |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |            / (100.0 * 100.0 * CAST(n AS DOUBLE)))
+      |        / CAST(n AS DOUBLE)) > 0.0 THEN
+      |      (CAST(svw AS DOUBLE) / (100.0 * CAST(n_w AS DOUBLE))
+      |        - CAST(sv AS DOUBLE) / (100.0 * CAST(n AS DOUBLE)))
+      |      / sqrt((CAST(svv AS DOUBLE) / (100.0 * 100.0)
+      |          - CAST(sv AS DOUBLE) * CAST(sv AS DOUBLE)
+      |            / (100.0 * 100.0 * CAST(n AS DOUBLE)))
+      |        / CAST(n AS DOUBLE)) END AS zz
       |  FROM pw JOIN pg USING (g))
       |SELECT g AS event_type, hour, n_w,
       |  floor(paa * 100000000.0 + 0.5) / 100000000.0 AS paa,
       |  floor(zz * 100000000.0 + 0.5) / 100000000.0 AS z,
-      |  CASE WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
+      |  CASE WHEN zz IS NULL THEN NULL
+      |       WHEN zz < -0.6745 THEN 'a' WHEN zz < 0.0 THEN 'b'
       |       WHEN zz < 0.6745 THEN 'c' ELSE 'd' END AS symbol
       |FROM z""".stripMargin)
 
@@ -1937,7 +1942,8 @@ object QueriesAnalytics {
     },
     """WITH h0 AS (
       |  SELECT event_type AS g,
-      |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h0
+      |    ((((user_id % 1000000007) + 1000000007) % 1000000007)
+      |      * 2654435761) % 1000000007 AS h0
       |  FROM events WHERE user_id IS NOT NULL AND event_type IS NOT NULL),
       |hm AS (
       |  SELECT g, (xor(h0, h0 >> 15) * 2654435761) % 1000000007 AS g2
@@ -1989,7 +1995,8 @@ object QueriesAnalytics {
         qround(col("hll_est"), 4).as("hll_est")),
     """WITH h0 AS (
       |  SELECT epoch_ns(ts) // 86400000000000 AS g,
-      |    ((user_id % 1000000007) * 2654435761) % 1000000007 AS h0
+      |    ((((user_id % 1000000007) + 1000000007) % 1000000007)
+      |      * 2654435761) % 1000000007 AS h0
       |  FROM events WHERE user_id IS NOT NULL),
       |hm AS (
       |  SELECT g, (xor(h0, h0 >> 15) * 2654435761) % 1000000007 AS g2

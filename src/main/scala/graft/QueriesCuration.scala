@@ -318,19 +318,24 @@ object QueriesCuration {
         qround(col("ewma"), 6).as("ewma")),
     ewmaSmoothQ.sql)
 
-  /** Zarr v2 interchange round-trip (sources.ZarrSource): the per-user
-    * event counts — a DIMENSION-bounded vector (one element per user),
-    * so the writer's driver-side collect is the same bounded pattern
-    * as the plot canvases — are written as a chunked, zlib-compressed
-    * zarr 1-D array and read back through the distributed chunk
-    * decoder; matching the oracle computed directly on the source
-    * parquet proves writer + reader lossless end to end. Values are
-    * integer-valued doubles, so the readback sum is exact.
+  /** Zarr v2 interchange round-trip (sources.ZarrSource): the event
+    * counts of the TOP-512 users by exact rank (count desc, user_id
+    * asc tie-break) — a FIXED-N vector, so the 1-D writer's
+    * driver-side collect is provably ≤ 512 elements no matter how
+    * the user population grows with the fact (the former per-user
+    * vector grew with the corpus; VERDICT r12 #3) — are written as a
+    * chunked, zlib-compressed zarr 1-D array and read back through
+    * the distributed chunk decoder; matching the oracle computed
+    * directly on the source parquet proves writer + reader lossless
+    * end to end. Values are integer-valued doubles, so the readback
+    * sum is exact.
     */
   private val zarrRoundtripQ = Q(
     (s, d) => {
       val counts = Tables.events(s, d).groupBy(col("user_id"))
-        .agg(count(lit(1)).as("n")).orderBy(col("user_id"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("user_id")).limit(512)
+        .orderBy(col("user_id"))
         .select(col("n").cast("double"))
         .collect().map(_.getDouble(0))
       val path = s"/tmp/graft_zarr_${java.util.UUID.randomUUID.toString
@@ -343,11 +348,14 @@ object QueriesCuration {
           max(col("value")).cast("long").as("max_val"))
     },
     """WITH c AS (
-      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1)
+      |  SELECT user_id, count(*) AS n FROM events GROUP BY 1),
+      |t AS (
+      |  SELECT user_id, n FROM c
+      |  ORDER BY n DESC, user_id LIMIT 512)
       |SELECT count(*) AS n_vals, CAST(sum(n) AS BIGINT) AS sum_vals,
       |  CAST(min(n) AS BIGINT) AS min_val,
       |  CAST(max(n) AS BIGINT) AS max_val
-      |FROM c""".stripMargin)
+      |FROM t""".stripMargin)
 
   /** Trailing rolling median per user (SequenceOps.rollingMedian):
     * discrete lower-median pick from the sorted bounded frame —
@@ -601,11 +609,6 @@ object QueriesCuration {
       |FROM t CROSS JOIN hx CROSS JOIN hy CROSS JOIN hxy
       |CROSS JOIN mi""".stripMargin)
 
-  /** Mann-Whitney U drift (StatsOps.mannWhitney): rank-sum test of
-    * view vs purchase values on the 1e-4 quantized grid — doubled
-    * midranks keep the rank sum an exact bigint; the tie sum replays
-    * as the same fixed-order fold in both engines.
-    */
   /** Cliff's delta (StatsOps.cliffsDelta) for view-vs-purchase event
     * values — the effect-size companion sharing mann_whitney's
     * distinct-quantized-value domain; pair counts stay exact BIGINTs.
@@ -645,6 +648,11 @@ object QueriesCuration {
       |    / 100000000.0 AS delta
       |FROM t""".stripMargin)
 
+  /** Mann-Whitney U drift (StatsOps.mannWhitney): rank-sum test of
+    * view vs purchase values on the 1e-4 quantized grid — doubled
+    * midranks keep the rank sum an exact bigint; the tie sum replays
+    * as the same fixed-order fold in both engines.
+    */
   private val mannWhitneyQ = Q(
     (s, d) => StatsOps.mannWhitney(
         Tables.events(s, d).select(col("event_type"), col("value")),
@@ -1549,19 +1557,21 @@ object QueriesCuration {
       |    / 100000000.0 AS risk_share
       |FROM pe""".stripMargin)
 
-  /** ε-DP noisy histogram (ValidateOps.dpCount, ε = 1): customers per
-    * nation with deterministic hash-seeded Laplace noise — the
-    * release side of the privacy family. The oracle replays the
-    * multiplicative hash, the half-shifted uniform and the inverse
-    * CDF verbatim.
+  /** Laplace-noised histogram (ValidateOps.laplaceNoisedCount, ε = 1):
+    * customers per nation with deterministic hash-seeded Laplace
+    * noise — the mechanism-shape AUDIT VIEW of the release side of
+    * the privacy family (NOT an ε-DP release: the default salt-0
+    * draw is recomputable from the public key; production passes a
+    * secret salt). The oracle replays the multiplicative hash, the
+    * half-shifted uniform and the inverse CDF verbatim.
     */
-  private val dpCountQ = Q(
-    (s, d) => graft.operators.ValidateOps.dpCount(
+  private val noisedCountQ = Q(
+    (s, d) => graft.operators.ValidateOps.laplaceNoisedCount(
         Tables.customer(s, d).select(col("c_nationkey")),
         "c_nationkey", epsilon = 1.0)
       .select(col("c_nationkey").as("nationkey"), col("n"),
         qround(col("noise"), 8).as("noise"),
-        qround(col("dp_n"), 8).as("dp_n")),
+        qround(col("noised_n"), 8).as("noised_n")),
     s"""WITH g AS (
        |  SELECT c_nationkey AS k, CAST(count(*) AS BIGINT) AS n
        |  FROM customer GROUP BY 1),
@@ -1575,7 +1585,7 @@ object QueriesCuration {
        |    * 100000000.0 + 0.5) / 100000000.0 AS noise,
        |  floor((CAST(n AS DOUBLE) + (-1.0) * sign(uu)
        |      * ln(1.0 - 2.0 * abs(uu))) * 100000000.0 + 0.5)
-       |    / 100000000.0 AS dp_n
+       |    / 100000000.0 AS noised_n
        |FROM u""".stripMargin)
 
   private val kAnonymityQ = Q(
@@ -1637,7 +1647,7 @@ object QueriesCuration {
     "bootstrap_ci" -> bootstrapCiQ,
     "impute_eval" -> imputeEvalQ,
     "k_anonymity" -> kAnonymityQ,
-    "dp_count" -> dpCountQ,
+    "noised_count" -> noisedCountQ,
     "cliffs_delta" -> cliffsDeltaQ,
     "t_closeness" -> tClosenessQ,
     "rolling_median" -> rollingMedianQ,

@@ -262,7 +262,8 @@ object QueriesLlm {
           .select(col("doc_id").as("_orig"), col("lang")), "_orig")
         .select(col("doc_id"), col("lang"))
       DedupOps.modularity(pairs, "id1", "id2", labels, "doc_id", "lang")
-        .select(col("m"), col("n_comms"), qround(col("q"), 8).as("q"))
+        .select(col("m"), col("dropped_edges"), col("n_comms"),
+          qround(col("q"), 8).as("q"))
     },
     s"""WITH ${minhashVerSql(mod = 4)},
        |pairs AS (
@@ -276,7 +277,9 @@ object QueriesLlm {
        |  SELECT p.id1, p.id2, a.lang AS ca, b.lang AS cb
        |  FROM pairs p JOIN lab a ON p.id1 = a.doc_id
        |               JOIN lab b ON p.id2 = b.doc_id),
-       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m FROM j),
+       |tot AS (SELECT CAST(count(*) AS BIGINT) AS m,
+       |  (SELECT CAST(count(*) AS BIGINT) FROM pairs) -
+       |    CAST(count(*) AS BIGINT) AS dropped_edges FROM j),
        |ein AS (SELECT ca AS c, CAST(count(*) AS BIGINT) AS e
        |        FROM j WHERE ca = cb GROUP BY 1),
        |deg AS (SELECT c, CAST(count(*) AS BIGINT) AS dd FROM (
@@ -285,7 +288,7 @@ object QueriesLlm {
        |comm AS (
        |  SELECT deg.c, dd, CAST(coalesce(e, 0) AS BIGINT) AS e
        |  FROM deg LEFT JOIN ein USING (c))
-       |SELECT m, CAST(count(*) AS BIGINT) AS n_comms,
+       |SELECT m, dropped_edges, CAST(count(*) AS BIGINT) AS n_comms,
        |  ${qrSql("""list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
          |    list_transform(list({'c': c,
          |        'term': CAST(e AS DOUBLE) / CAST(m AS DOUBLE)
@@ -294,7 +297,8 @@ object QueriesLlm {
          |      ORDER BY c),
          |      x_ -> x_.term)), (a_, b_) -> a_ + b_)""".stripMargin, 8)}
        |    AS q
-       |FROM comm CROSS JOIN tot GROUP BY m""".stripMargin)
+       |FROM comm CROSS JOIN tot GROUP BY m, dropped_edges"""
+      .stripMargin)
 
   /** Tokenizer-efficiency readout per language
     * (TextOps.bpeApply over the learned merges): chars-per-token and
@@ -4202,14 +4206,6 @@ object QueriesLlm {
          8)} AS lift
        |FROM b""".stripMargin)
 
-  /** Precision-recall curve + average precision
-    * (ClassifierOps.prCurve) of the trained quality classifier — the
-    * imbalanced-data readout beside roc_auc: per distinct COARSE
-    * (1e-3) quantized score threshold, exact tp/fp and the
-    * closed-form rates, with the step-integral AP broadcast onto
-    * every row. The coarse grid bounds both the window's domain and
-    * the output row count.
-    */
   /** Split conformal interval (ClassifierOps.conformalInterval) for
     * price ~ quantity on lineitem at alpha = 0.1: hash 3-way split,
     * exact-bigint OLS on train, rank-select residual quantile on
@@ -4286,6 +4282,14 @@ object QueriesLlm {
          8)} AS coverage
        |FROM ab2, kk, qh, tst""".stripMargin)
 
+  /** Precision-recall curve + average precision
+    * (ClassifierOps.prCurve) of the trained quality classifier — the
+    * imbalanced-data readout beside roc_auc: per distinct COARSE
+    * (1e-3) quantized score threshold, exact tp/fp and the
+    * closed-form rates, with the step-integral AP broadcast onto
+    * every row. The coarse grid bounds both the window's domain and
+    * the output row count.
+    */
   private val prCurveQ = Q(
     (s, d) => {
       val w = trainLogregWeights(s, d)
@@ -4347,12 +4351,6 @@ object QueriesLlm {
        |  ${qrSql("ap.ap", 8)} AS ap
        |FROM r CROSS JOIN ap""".stripMargin)
 
-  /** Brier score + 10-bin expected calibration error
-    * (ClassifierOps.brierEce) — the scalar probability-quality
-    * summary beside calibration_curve's per-bin shape; squared errors
-    * are exact BIGINTs on the 1e-4 score grid, ECE is a fixed-order
-    * fold over the 10 bins.
-    */
   /** Isotonic recalibration (ClassifierOps.isotonicCalibrate) of the
     * trained logreg quality score at 50 buckets: PAV by minimax over
     * the bucket domain — integer cum-sums, exact divisions, min/max
@@ -4414,6 +4412,12 @@ object QueriesLlm {
        |  ${qrSql("iso.iso_p", 8)} AS iso_p
        |FROM g JOIN iso ON g.b = iso.i""".stripMargin)
 
+  /** Brier score + 10-bin expected calibration error
+    * (ClassifierOps.brierEce) — the scalar probability-quality
+    * summary beside calibration_curve's per-bin shape; squared errors
+    * are exact BIGINTs on the 1e-4 score grid, ECE is a fixed-order
+    * fold over the 10 bins.
+    */
   private val brierEceQ = Q(
     (s, d) => {
       val w = trainLogregWeights(s, d)

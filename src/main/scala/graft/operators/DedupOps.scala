@@ -889,7 +889,9 @@ object DedupOps {
     * Exactness: e_c, d_c, m are exact BIGINTs off edge-list joins and
     * hash aggregates (cost rides |edges|); each community term is one
     * short double expression and Σ_c is a fixed-order fold over the
-    * community-sorted list. Output: 1 row (m, n_comms, q).
+    * community-sorted list. Output: 1 row (m, dropped_edges,
+    * n_comms, q) — dropped_edges counts input edges lost to
+    * unlabeled endpoints (0 when labels cover every node).
     */
   def modularity(pairs: DataFrame, id1: String, id2: String,
                  labels: DataFrame, idCol: String,
@@ -898,9 +900,15 @@ object DedupOps {
       col(commCol).cast("string").as("_ca"))
     val lb = labels.select(col(idCol).as("_b"),
       col(commCol).cast("string").as("_cb"))
-    val j = pairs.select(col(id1).as("_a"), col(id2).as("_b"))
-      .join(la, "_a").join(lb, "_b")
+    val e = pairs.select(col(id1).as("_a"), col(id2).as("_b"))
+    val j = e.join(la, "_a").join(lb, "_b")
+    // edges touching an unlabeled endpoint drop out of the inner
+    // joins above and shrink m — surface the loss as an explicit
+    // dropped_edges count so a partial label table can't silently
+    // skew Q (ADVICE r12)
     val tot = j.agg(count(lit(1)).as("m"))
+      .crossJoin(e.agg(count(lit(1)).as("_n_in")))
+      .select(col("m"), (col("_n_in") - col("m")).as("dropped_edges"))
     val eIn = j.where(col("_ca") === col("_cb"))
       .groupBy(col("_ca").as("_c")).agg(count(lit(1)).as("_e"))
     val deg = j.select(col("_ca").as("_c"))
@@ -913,8 +921,11 @@ object DedupOps {
     val term = col("_e").cast("double") / mD -
       (col("_d").cast("double") / (lit(2.0) * mD)) *
         (col("_d").cast("double") / (lit(2.0) * mD))
-    comm.select(col("_c"), term.as("_term"), col("m"))
-      .agg(max(col("m")).as("m"), count(lit(1)).as("n_comms"),
+    comm.select(col("_c"), term.as("_term"), col("m"),
+        col("dropped_edges"))
+      .agg(max(col("m")).as("m"),
+        max(col("dropped_edges")).as("dropped_edges"),
+        count(lit(1)).as("n_comms"),
         StatsOps.orderedFoldSum(Seq("_c"), "_term").as("q"))
   }
 }

@@ -742,12 +742,16 @@ object SequenceOps {
       D("_sv") * D("_sv") / (lit(sc) * lit(sc) * D("_n"))) / D("_n"))
     val paa = D("_svw") / (lit(sc) * D("n_w"))
     val bp = 0.6745 // N(0,1) quartile; alphabet 'a' < -bp <= 'b' < 0 <= 'c' < bp <= 'd'
+    // zero-variance guard: a constant series has std = 0, so the raw
+    // z would be NaN/±Inf and silently fall through every when-branch
+    // to 'd' — emit null z/symbol instead (try_divide convention)
     perWin.join(broadcast(perGroup), Seq(groupCol))
-      .withColumn("_z", (paa - mean) / std)
+      .withColumn("_z", when(std > lit(0.0), (paa - mean) / std))
       .select(col(groupCol), col(windowCol), col("n_w"),
         paa.as("paa"), col("_z").as("z"),
-        when(col("_z") < -bp, "a").when(col("_z") < 0.0, "b")
-          .when(col("_z") < bp, "c").otherwise("d").as("symbol"))
+        when(col("_z").isNotNull,
+          when(col("_z") < -bp, "a").when(col("_z") < 0.0, "b")
+            .when(col("_z") < bp, "c").otherwise("d")).as("symbol"))
   }
 
   /** Seasonal-naive forecast backtest — the "beat this before you

@@ -422,7 +422,13 @@ object SketchOps {
       case _ => 0.7213 / (1.0 + 1.079 / m)
     }
     val g = groupCols.map(col)
-    val h = expr(s"((($keyCol % ${KmvMod}L) * ${KmvMult}L) % ${KmvMod}L)")
+    // pmod, not %: Spark's % keeps the dividend's sign, so a negative
+    // int64 key would yield a negative hash and a negative register
+    // index — pmod matches kmvHash's floorMod convention and the
+    // streaming twin (StreamingOps.hllStream), keeping batch/stream
+    // bit-equality for ALL int64 keys, not just non-negative ones
+    val h = expr(
+      s"((pmod($keyCol, ${KmvMod}L)) * ${KmvMult}L) % ${KmvMod}L")
     val mixed = df.where(col(keyCol).isNotNull)
       .select((g :+ h.as("_h0")): _*)
       .withColumn("_g1", expr("_h0 ^ shiftright(_h0, 15)"))

@@ -1373,6 +1373,31 @@ object StatsOps {
           .as("share"))
   }
 
+  /** Merge-sort count of STRICT inversions (pairs i < j with
+    * a(i) > a(j)) — O(T log T); ties never count (taken from the
+    * left run first). Mutates `a` (sorts it) — callers pass a copy.
+    */
+  private def inversionCount(a: Array[Long]): Long = {
+    val buf = new Array[Long](a.length)
+    def go(lo: Int, hi: Int): Long = // [lo, hi)
+      if (hi - lo <= 1) 0L
+      else {
+        val mid = (lo + hi) >>> 1
+        var inv = go(lo, mid) + go(mid, hi)
+        var i = lo; var j = mid; var k = lo
+        while (i < mid && j < hi) {
+          if (a(i) <= a(j)) { buf(k) = a(i); i += 1 }
+          else { inv += mid - i; buf(k) = a(j); j += 1 }
+          k += 1
+        }
+        while (i < mid) { buf(k) = a(i); i += 1; k += 1 }
+        while (j < hi) { buf(k) = a(j); j += 1; k += 1 }
+        System.arraycopy(buf, lo, a, lo, hi - lo)
+        inv
+      }
+    go(0, a.length)
+  }
+
   /** Mann-Kendall trend test over each series' per-window counts —
     * the nonparametric "is this metric monotonically drifting" test
     * (Spearman-vs-time asks correlation; MK asks specifically for
@@ -1381,9 +1406,17 @@ object StatsOps {
     * Σ_t t(t−1)(2t+5)]/18, z with the ±1 continuity correction.
     *
     * Exactness + scale: counts are integers, so S and both variance
-    * terms are exact BIGINTs; the pair census is a self-join of the
-    * WINDOW DOMAIN (bounded by the observation span, never the fact)
-    * keyed on the series. z is one closed form.
+    * terms are exact BIGINTs. S comes from the pair-free identity
+    *   S = C(m,2) − tiePairs − 2·inversions
+    * (every time-ordered pair is concordant, discordant, or tied in
+    * y; inversions = discordant pairs), with inversions counted by a
+    * per-group O(T log T) merge sort over the TIME-ORDERED count
+    * vector — the former window-domain self-join was O(T²) per group
+    * and a 10-year hourly series (~87k windows) would have paid ~3.8G
+    * join rows (VERDICT r12 #2). The collect_list is bounded by the
+    * window domain (same budget the old join's input had), the UDF is
+    * a group-level solver on the aggregated series, never the fact.
+    * z is one closed form.
     */
   def mannKendall(df: DataFrame, groupCol: String,
                   windowCol: String): DataFrame = {
@@ -1391,26 +1424,33 @@ object StatsOps {
         col(windowCol).isNotNull)
       .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
       .agg(count(lit(1)).as("_y"))
-    val pairs = series.as("a")
-      .join(series.as("b"),
-        col("a._g") === col("b._g") && col("a._h") < col("b._h"))
-      .groupBy(col("a._g").as("_g"))
-      .agg(sum(signum(col("b._y") - col("a._y")).cast("long")).as("s"))
+    val invUdf = udf((ys: Seq[Long]) => inversionCount(ys.toArray))
+    // sort_array on struct(_h, _y) orders lexicographically by _h
+    // (windows are distinct within a group), i.e. time order
+    val perG = series
+      .groupBy(col("_g"))
+      .agg(count(lit(1)).as("m"),
+        sort_array(collect_list(struct(col("_h"), col("_y"))))
+          .as("_tv"))
+      .withColumn("_inv",
+        invUdf(expr("transform(_tv, x -> x._y)")))
     val ties = series.groupBy(col("_g"), col("_y"))
       .agg(count(lit(1)).as("_t"))
       .groupBy(col("_g"))
-      .agg(count(lit(1)).as("_nv"),
-        sum(col("_t") * (col("_t") - 1) * (lit(2L) * col("_t") + 5))
-          .as("_tc"))
-    val m = series.groupBy(col("_g")).agg(count(lit(1)).as("m"))
+      .agg(sum(col("_t") * (col("_t") - 1) * (lit(2L) * col("_t") + 5))
+          .as("_tc"),
+        sum(col("_t") * (col("_t") - 1)).as("_tp2")) // 2 * tiePairs
     def D(c: Column) = c.cast("double")
+    // m(m−1) − 2·tiePairs is always even, so `div` is exact
+    val s = expr("(m * (m - 1) - _tp2) div 2 - 2 * _inv")
     val varNum = col("m") * (col("m") - 1) * (lit(2L) * col("m") + 5) -
       col("_tc")
     val varS = D(varNum) / lit(18.0)
     val z = when(col("s") > 0, D(col("s") - 1) / sqrt(varS))
       .when(col("s") < 0, D(col("s") + 1) / sqrt(varS))
       .otherwise(lit(0.0))
-    pairs.join(m, Seq("_g")).join(ties, Seq("_g"))
+    perG.join(ties, Seq("_g"))
+      .withColumn("s", s.cast("long"))
       .select(col("_g").as(groupCol), col("m"), col("s"),
         varS.as("var_s"), z.as("z"))
   }

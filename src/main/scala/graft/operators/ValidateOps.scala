@@ -138,6 +138,48 @@ object ValidateOps {
         (col("n_rows") === col("_d")).as("pass"))
   }
 
+  /** Laplace-NOISED histogram release — the noisy-counts shape of
+    * Dwork et al.'s Laplace mechanism (sensitivity 1 for a
+    * disjoint-group count) that completes the privacy trio's release
+    * side: k-anonymity/l-diversity/t-closeness AUDIT a release, this
+    * PRODUCES one.
+    *
+    * **NOT differential privacy by default.** With the default
+    * `secretSalt = 0` the Laplace draw is DETERMINISTIC and derived
+    * from the PUBLIC group key (the library's multiplicative hash —
+    * never `rand()`, per the engine-wide reproducibility rule), so
+    * anyone can recompute and subtract the noise: this form is the
+    * oracle-testable AUDIT VIEW of the mechanism, nothing more. A
+    * production ε-DP release MUST pass a `secretSalt` drawn once
+    * from a CSPRNG and kept secret (and should drop the raw `n`
+    * column); only then does the draw become unpredictable to the
+    * adversary and the ε accounting meaningful.
+    *
+    * Mechanics: u = (hash(key + salt) + ½)/M − 0.5 is a fixed uniform
+    * in (−0.5, 0.5), and noise = −(1/ε)·sign(u)·ln(1 − 2|u|) is the
+    * Laplace inverse CDF. Every step is one IEEE expression an oracle
+    * replays exactly (for the salt it knows).
+    *
+    * Scale: one hash aggregate to the group domain; noise is
+    * per-group post-work. Output: group key, n, noise, noised_n.
+    */
+  def laplaceNoisedCount(df: DataFrame, keyCol: String, epsilon: Double,
+                         secretSalt: Long = 0L): DataFrame = {
+    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
+    val m = graft.operators.TextOps.HashMod
+    val h = pmod(col(keyCol).cast("long") + lit(secretSalt), lit(m)) *
+      graft.operators.SketchOps.KmvMult % lit(m)
+    // half-step shift keeps u strictly inside (-0.5, 0.5): h = 0 would
+    // otherwise put ln(1 - 2|u|) at ln(0) = -inf
+    val u = (h.cast("double") + lit(0.5)) / lit(m.toDouble) - lit(0.5)
+    val noise = lit(-1.0 / epsilon) * signum(u) *
+      log(lit(1.0) - lit(2.0) * abs(u))
+    df.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .select(col(keyCol), col("n"), noise.as("noise"),
+        (col("n").cast("double") + noise).as("noised_n"))
+  }
+
   /** t-closeness audit — the distribution-shape member of the release
     * trio ([[kAnonymity]] guards group SIZE, [[lDiversity]] guards
     * sensitive-value VARIETY; this guards sensitive-value
@@ -165,40 +207,6 @@ object ValidateOps {
     * cumulative window PARTITIONED by group; summary is the same
     * 1-row shape as the other two audits.
     */
-  /** ε-differentially-private histogram release — the noisy-counts
-    * mechanism (Dwork et al.'s Laplace mechanism, sensitivity 1 for a
-    * disjoint-group count) that completes the privacy trio's release
-    * side: k-anonymity/l-diversity/t-closeness AUDIT a release, this
-    * PRODUCES one.
-    *
-    * The Laplace draw is DETERMINISTIC — seeded by the group key via
-    * the library's multiplicative hash (never `rand()`, per the
-    * engine-wide reproducibility rule): u = hash(key)/M − 0.5 is a
-    * fixed uniform in (−0.5, 0.5), and noise = −(1/ε)·sign(u)·
-    * ln(1 − 2|u|) is the Laplace inverse CDF. Every step is one IEEE
-    * expression an oracle replays exactly. (A production release
-    * would swap the seed for a secret salt and drop `n`; the audit
-    * view keeps `n` so the noise magnitude is verifiable.)
-    *
-    * Scale: one hash aggregate to the group domain; noise is
-    * per-group post-work. Output: group key, n, noise, dp_n.
-    */
-  def dpCount(df: DataFrame, keyCol: String, epsilon: Double): DataFrame = {
-    require(epsilon > 0, s"epsilon must be positive, got $epsilon")
-    val m = graft.operators.TextOps.HashMod
-    val h = pmod(col(keyCol).cast("long"), lit(m)) *
-      graft.operators.SketchOps.KmvMult % lit(m)
-    // half-step shift keeps u strictly inside (-0.5, 0.5): h = 0 would
-    // otherwise put ln(1 - 2|u|) at ln(0) = -inf
-    val u = (h.cast("double") + lit(0.5)) / lit(m.toDouble) - lit(0.5)
-    val noise = lit(-1.0 / epsilon) * signum(u) *
-      log(lit(1.0) - lit(2.0) * abs(u))
-    df.groupBy(col(keyCol))
-      .agg(count(lit(1)).as("n"))
-      .select(col(keyCol), col("n"), noise.as("noise"),
-        (col("n").cast("double") + noise).as("dp_n"))
-  }
-
   def tCloseness(df: DataFrame, quasiIds: Seq[String],
                  sensitiveCol: String, t: Double): DataFrame = {
     import org.apache.spark.sql.expressions.Window

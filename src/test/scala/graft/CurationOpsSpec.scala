@@ -738,15 +738,16 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
-  test("dpCount: deterministic Laplace noise scales as 1/epsilon") {
+  test("laplaceNoisedCount: deterministic draw scales as 1/epsilon; " +
+      "a secret salt changes it") {
     val df = (0L until 100L).map(k => (k % 7, k)).toDF("g", "id")
-    def run(eps: Double) = operators.ValidateOps
-      .dpCount(df.select(col("g")), "g", eps)
+    def run(eps: Double, salt: Long = 0L) = operators.ValidateOps
+      .laplaceNoisedCount(df.select(col("g")), "g", eps, salt)
       .orderBy("g").collect()
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2),
         r.getDouble(3)))
     val e1 = run(1.0)
-    // exact counts survive underneath; dp_n = n + noise by definition
+    // exact counts survive underneath; noised_n = n + noise by definition
     assert(e1.map(_._2).sum === 100L)
     e1.foreach { case (_, n, noise, dp) =>
       assert(approx(dp, n + noise, 1e-12)) }
@@ -759,5 +760,10 @@ class CurationOpsSpec extends SparkSpec {
     // noise is nonzero and finite for every group
     e1.foreach { case (_, _, noise, _) =>
       assert(!noise.isNaN && !noise.isInfinite && noise != 0.0) }
+    // a nonzero secret salt reseeds every draw (the DP-capable path)
+    val salted = run(1.0, salt = 987654321L)
+    assert(salted.map(_._3).toSeq != e1.map(_._3).toSeq)
+    salted.foreach { case (_, n, noise, dp) =>
+      assert(approx(dp, n + noise, 1e-12)) }
   }
 }
