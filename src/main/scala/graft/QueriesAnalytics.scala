@@ -1078,6 +1078,22 @@ object QueriesAnalytics {
       |  CAST(st[3] AS BIGINT) AS burst_windows
       |FROM st""".stripMargin)
 
+  /** Streaming burst-detection twin (StreamingOps.burstStream) driven
+    * on a batch frame: the (window → count) histogram state merges
+    * commutatively across micro-batches and the greedy Poisson fold
+    * is recomputed from the merged histogram, so the last emission
+    * equals the batch operator bit-exactly — shared oracle with
+    * burst_detect's SQL.
+    */
+  private val streamBurstQ = Q(
+    (s, d) => graft.streaming.StreamingOps.burstStream(s,
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "win")
+      .select(col("event_type"), col("n_windows"), col("n_bursts"),
+        col("burst_windows")),
+    burstDetectQ.sql)
+
   /** Lorenz decile shares of document length per source
     * (StatsOps.lorenzDeciles): integer decile boundaries, exact
     * multiplicity clamps on the cumulative histogram.
@@ -2344,6 +2360,7 @@ object QueriesAnalytics {
     "stream_drawdown" -> streamDrawdownQ,
     "mann_kendall" -> mannKendallQ,
     "burst_detect" -> burstDetectQ,
+    "stream_burst" -> streamBurstQ,
     "lorenz_deciles" -> lorenzDecilesQ,
     "vocab_coverage" -> vocabCoverageQ,
     "theil_index" -> theilIndexQ,

@@ -982,6 +982,59 @@ object StreamingOps {
       .toDF(keyCol, "n", "peak", "max_drawdown", "trough_at")
   }
 
+  /** Streaming twin of [[graft.operators.SequenceOps.burstDetect]] —
+    * greedy two-state Poisson burst detection per key with the
+    * (window → count) histogram carried as state across
+    * micro-batches. The greedy fold depends on the WHOLE series (λ0
+    * is the series mean), so unlike the commutative register-max of
+    * [[hllStream]] the readout is recomputed from the merged
+    * histogram each batch — the state is window-DOMAIN-bounded (one
+    * long per observed window, the same budget the batch operator's
+    * collect_list has), never fact-sized, and count merging is
+    * commutative so arrival order across batches cannot change the
+    * final answer. After the last batch the emitted
+    * (n_windows, n_bursts, burst_windows) equals burstDetect's
+    * bit-exactly: counts are integers (exact in double), λ0 is the
+    * same single division, and the fold replays the identical IEEE
+    * expressions with StrictMath.log (Catalyst's ln).
+    */
+  def burstStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                  windowCol: String, gamma: Double = 2.0): DataFrame = {
+    import spark.implicits._
+    val typed = df
+      .where(col(keyCol).isNotNull && col(windowCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(windowCol).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long], (String, Long, Long, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+          for ((_, w) <- rows)
+            hist = hist.updated(w, hist.getOrElse(w, 0L) + 1L)
+          state.update(hist)
+          val ws = hist.keys.toArray.sorted
+          var tot = 0L
+          for (w <- ws) tot += hist(w)
+          val l0 = tot.toDouble / ws.length.toDouble
+          var s = 0.0; var nb = 0L; var bw = 0L
+          for (w <- ws) {
+            val y = hist(w).toDouble
+            val pen = if (s < 0.5) gamma else 0.0
+            val burstCost =
+              l0 * 2.0 - y * StrictMath.log(l0 * 2.0) + pen
+            val baseCost = l0 - y * StrictMath.log(l0)
+            if (burstCost < baseCost) {
+              if (s < 0.5) nb += 1
+              bw += 1
+              s = 1.0
+            } else s = 0.0
+          }
+          (key, ws.length.toLong, nb, bw)
+      }
+      .toDF(keyCol, "n_windows", "n_bursts", "burst_windows")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

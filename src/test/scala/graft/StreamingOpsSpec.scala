@@ -585,6 +585,35 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last._2 === batch.getAs[Double]("hll_est")) // bit-exact
   }
 
+  test("burstStream: histogram state across batches equals batch " +
+      "burstDetect") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("g", "win")
+    val out = StreamingOps.burstStream(spark, df, "g", "win")
+    val q = out.writeStream.format("memory").queryName("burst_t")
+      .outputMode("update").start()
+    // windows 0..7 at 1 event each, then window 8 spikes — split so
+    // the spike's events straddle the two micro-batches
+    val quiet = (0L to 7L).map(w => ("a", w))
+    val spike = Seq.fill(6)(("a", 8L))
+    input.addData(quiet ++ spike.take(2): _*)
+    q.processAllAvailable()
+    input.addData(spike.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("burst_t").collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).last
+    val batch = operators.SequenceOps.burstDetect(
+      (quiet ++ spike).toDF("g", "win"), "g", "win").head()
+    assert(last === ((batch.getAs[Long]("n_windows"),
+      batch.getAs[Long]("n_bursts"),
+      batch.getAs[Long]("burst_windows"))))
+    // the spike is actually detected
+    assert(last._2 >= 1L && last._3 >= 1L)
+  }
+
   test("drawdownStream: integer peak/drawdown state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)]
