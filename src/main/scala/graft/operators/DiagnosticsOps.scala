@@ -1,0 +1,543 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Experiment-analysis / model-diagnostics completions (round 13):
+  * the classical test battery a 100 TB training-data pipeline runs on
+  * its metric streams before trusting a change — one-way ANOVA +
+  * effect size, Brown-Forsythe variance homogeneity, Welch's unequal-
+  * variance t, Wald-Wolfowitz runs randomness, Friedman blocked
+  * ranks, McNemar paired flips, 1-D Wasserstein and Hellinger
+  * distribution drift, and the time-series diagnostics (AR(1)
+  * Yule-Walker, Ljung-Box portmanteau, cross-correlation lead/lag,
+  * dominant period, Page-Hinkley drift, Granger-lite F).
+  *
+  * House rules throughout (SURVEY §5): values quantize to an integer
+  * grid before any sum, so every accumulated moment is an exact
+  * BIGINT and order-free; non-integer folds walk bounded domains in a
+  * fixed key order ([[StatsOps.orderedFoldSum]]); windows run over
+  * value/window DOMAINS (grid-bounded), never fact sorts; the only
+  * fact-sized stage anywhere is one hash aggregate.
+  */
+object DiagnosticsOps {
+
+  private def D(c: Column): Column = c.cast("double")
+  private def D(s: String): Column = col(s).cast("double")
+
+  /** One-way ANOVA over a quantized value grid: F = MSB/MSW plus the
+    * eta-squared effect size. Exactness: per-group (n, Σv, Σv²) are
+    * exact grid BIGINTs; Σ_g S_g²/n_g is the only non-integer sum and
+    * folds group-ordered. Plan: one fact hash aggregate → k rows.
+    */
+  def anovaOneway(df: DataFrame, groupCol: String, valueCol: String,
+                  quantDigits: Int = 2): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val per = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"))
+      .agg(count(lit(1)).as("_n"), sum(vq).as("_s"),
+        sum(vq * vq).as("_ss"))
+      .withColumn("_term", D("_s") * D("_s") / D("_n"))
+    val agg = per.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_ts"), sum(col("_ss")).as("_tss"),
+      StatsOps.orderedFoldSum(Seq("_g"), "_term").as("_sb"))
+    val nD = D("n")
+    val kD = D("k")
+    val gm = D("_ts") * D("_ts") / nD
+    val ssb = col("_sb") - gm
+    val ssw = D("_tss") - col("_sb")
+    val sst = D("_tss") - gm
+    val s2 = scale * scale
+    val f = when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+      (ssb / (kD - 1)) / (ssw / (nD - kD)))
+    agg.select(col("k"), col("n"), (col("k") - 1).as("dof1"),
+      (col("n") - col("k")).as("dof2"),
+      (ssb / lit(s2)).as("ss_between"), (ssw / lit(s2)).as("ss_within"),
+      f.as("f"),
+      when(sst > 0, ssb / sst).as("eta_sq"))
+  }
+
+  /** Welch's unequal-variance two-sample t with the Welch-
+    * Satterthwaite degrees of freedom — the default two-cohort mean
+    * test when variances differ (the pooled test ab_test assumes they
+    * don't). All moments exact grid BIGINTs; t and dof are closed
+    * forms both engines derive identically.
+    */
+  def welchT(df: DataFrame, cohortCol: String, cohortA: String,
+             cohortB: String, valueCol: String,
+             quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    def side(c: String, suf: String) = Seq(
+      sum(when(col(cohortCol) === c, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col(cohortCol) === c, vq).otherwise(0L)).as(s"_s$suf"),
+      sum(when(col(cohortCol) === c, vq * vq).otherwise(0L))
+        .as(s"_ss$suf"))
+    val aggs = side(cohortA, "a") ++ side(cohortB, "b")
+    val agg = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) = D(s) / lit(scale) / D(n)
+    // sample variance in USER units: (Σv² − (Σv)²/n) / (scale²·(n−1))
+    def varS(ss: String, s: String, n: String) =
+      (D(ss) - D(s) * D(s) / D(n)) / lit(scale * scale) / (D(n) - 1)
+    val va = varS("_ssa", "_sa", "n_a")
+    val vb = varS("_ssb", "_sb", "n_b")
+    val sa2 = va / D("n_a")
+    val sb2 = vb / D("n_b")
+    val se2 = sa2 + sb2
+    val t = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+      (mean("_sa", "n_a") - mean("_sb", "n_b")) / sqrt(se2))
+    val dof = when(col("n_a") > 1 && col("n_b") > 1 && se2 > 0,
+      se2 * se2 / (sa2 * sa2 / (D("n_a") - 1) +
+        sb2 * sb2 / (D("n_b") - 1)))
+    agg.select(col("n_a"), col("n_b"),
+      mean("_sa", "n_a").as("mean_a"), mean("_sb", "n_b").as("mean_b"),
+      t.as("t"), dof.as("dof"))
+  }
+
+  /** Brown-Forsythe variance-homogeneity test (Levene with median
+    * centers — the robust form): one-way ANOVA F over the absolute
+    * deviations from each group's median. Entirely on the (group ×
+    * grid value) HISTOGRAM: the median is an exact integer rank
+    * select on the per-group cumulative histogram (lower median at
+    * rank (n+1) div 2), |v − med| is an exact grid BIGINT, and the
+    * deviation moments come from the histogram's multiplicities — no
+    * second fact pass. The per-group cumulative window is
+    * group-partitioned over the value domain.
+    */
+  def leveneTest(df: DataFrame, groupCol: String, valueCol: String,
+                 quantDigits: Int = 2): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val hist = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"), vq.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val w = Window.partitionBy(col("_g")).orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
+      .join(hist.groupBy("_g").agg(sum(col("_c")).as("_n")), Seq("_g"))
+    val med = cum.where(col("_cum") >= (col("_n") + 1) / 2)
+      .groupBy("_g").agg(min(col("_v")).as("_med"))
+    val dev = hist.join(med, Seq("_g"))
+      .select(col("_g"), col("_c"), abs(col("_v") - col("_med")).as("_z"))
+    val per = dev.groupBy("_g")
+      .agg(sum(col("_c")).as("_n"), sum(col("_c") * col("_z")).as("_s"),
+        sum(col("_c") * col("_z") * col("_z")).as("_ss"))
+      .withColumn("_term", D("_s") * D("_s") / D("_n"))
+    val agg = per.agg(count(lit(1)).as("k"), sum(col("_n")).as("n"),
+      sum(col("_s")).as("_ts"), sum(col("_ss")).as("_tss"),
+      StatsOps.orderedFoldSum(Seq("_g"), "_term").as("_sb"))
+    val nD = D("n")
+    val kD = D("k")
+    val ssb = col("_sb") - D("_ts") * D("_ts") / nD
+    val ssw = D("_tss") - col("_sb")
+    val wStat = when(col("k") > 1 && col("n") > col("k") && ssw > 0,
+      (ssb / (kD - 1)) / (ssw / (nD - kD)))
+    agg.select(col("k"), col("n"), (col("k") - 1).as("dof1"),
+      (col("n") - col("k")).as("dof2"), wStat.as("w"))
+  }
+
+  /** Wald-Wolfowitz runs test for randomness of each series' per-
+    * window counts around its median: R runs of above/below-median
+    * signs (median-equal windows drop, the standard convention), with
+    * the exact-integer E[R]/Var[R] closed forms and normal z.
+    * The sign-change census is a lag over the WINDOW DOMAIN
+    * partitioned by series.
+    */
+  def runsTest(df: DataFrame, groupCol: String,
+               windowCol: String): DataFrame = {
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).as("_y"))
+    val yh = series.groupBy(col("_g"), col("_y"))
+      .agg(count(lit(1)).as("_c"))
+    val wv = Window.partitionBy(col("_g")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val cum = yh.withColumn("_cum", sum(col("_c")).over(wv))
+      .join(yh.groupBy("_g").agg(sum(col("_c")).as("_n")), Seq("_g"))
+    val med = cum.where(col("_cum") >= (col("_n") + 1) / 2)
+      .groupBy("_g").agg(min(col("_y")).as("_med"))
+    val signs = series.join(med, Seq("_g"))
+      .where(col("_y") =!= col("_med"))
+      .select(col("_g"), col("_h"), (col("_y") > col("_med")).as("_s"))
+    val wt = Window.partitionBy(col("_g")).orderBy(col("_h"))
+    val runs = signs
+      .withColumn("_prev", lag(col("_s"), 1).over(wt))
+      .groupBy("_g")
+      .agg(sum(when(col("_s"), 1L).otherwise(0L)).as("n_above"),
+        sum(when(col("_s"), 0L).otherwise(1L)).as("n_below"),
+        (sum(when(col("_prev").isNotNull &&
+          (col("_s") =!= col("_prev")), 1L).otherwise(0L)) + 1)
+          .as("runs"))
+    val n1 = D("n_above")
+    val n2 = D("n_below")
+    val nn = n1 + n2
+    val e = lit(2.0) * n1 * n2 / nn + 1
+    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
+      (nn * nn * (nn - 1))
+    val ok = col("n_above") > 0 && col("n_below") > 0 &&
+      col("n_above") + col("n_below") > 1
+    runs.select(col("_g").as(groupCol), col("n_above"), col("n_below"),
+      col("runs"), when(ok, e).as("e_runs"),
+      when(ok && v > 0, (D("runs") - e) / sqrt(v)).as("z"))
+  }
+
+  /** Friedman blocked-rank test — "does any treatment differ, given
+    * block effects" (the k-sample, blocked sibling of kruskal_wallis):
+    * treatments ranked WITHIN each block (doubled midranks stay exact
+    * BIGINTs), χ²_F from Σ R_j², with the tie-corrected variant.
+    * Only COMPLETE blocks (all k treatments present) count, per the
+    * classical design. All windows are block-partitioned over ≤ k
+    * rows.
+    */
+  def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
+                   valueCol: String): DataFrame = {
+    val cells = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull
+        && col(valueCol).isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatCol).as("_t"))
+      .agg(sum(col(valueCol).cast("long")).as("_y"))
+    val k = cells.agg(count_distinct(col("_t")).as("_k"))
+    val complete = cells.groupBy("_b").agg(count(lit(1)).as("_kb"))
+      .crossJoin(broadcast(k)).where(col("_kb") === col("_k"))
+      .select(col("_b"))
+    val used = cells.join(complete, Seq("_b"))
+    // doubled midrank of _y within the block: 2·cum − t + 1 over the
+    // block's value histogram (≤ k rows per block)
+    val bh = used.groupBy(col("_b"), col("_y"))
+      .agg(count(lit(1)).as("_tc"))
+    val wb = Window.partitionBy(col("_b")).orderBy(col("_y"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = bh.withColumn("_cum", sum(col("_tc")).over(wb))
+      .select(col("_b"), col("_y"),
+        (lit(2) * col("_cum") - col("_tc") + 1).as("_dr"),
+        (col("_tc") * col("_tc") * col("_tc") - col("_tc")).as("_t3"))
+    val r2 = used.join(ranked.select("_b", "_y", "_dr"), Seq("_b", "_y"))
+      .groupBy("_t").agg(sum(col("_dr")).as("_r2"))
+    val ties = ranked.groupBy("_b").agg(sum(col("_t3")).as("_bt3"))
+      .agg(sum(col("_bt3")).as("_t3"), count(lit(1)).as("n_blocks"))
+    val sums = r2.withColumn("_term", D("_r2") / 2 * (D("_r2") / 2))
+      .agg(StatsOps.orderedFoldSum(Seq("_t"), "_term").as("_sr2"),
+        count(lit(1)).as("k"))
+      .crossJoin(broadcast(ties))
+    val nD = D("n_blocks")
+    val kD = D("k")
+    val chi2 = lit(12.0) / (nD * kD * (kD + 1)) * col("_sr2") -
+      lit(3.0) * nD * (kD + 1)
+    val corr = lit(1.0) -
+      try_divide(D("_t3"), nD * kD * (kD * kD - 1))
+    sums.select(col("n_blocks"), col("k"), (col("k") - 1).as("dof"),
+      when(col("n_blocks") > 0 && col("k") > 1, chi2).as("chi2"),
+      when(col("n_blocks") > 0 && col("k") > 1 && corr > 0,
+        chi2 / corr).as("chi2_corr"))
+  }
+
+  /** McNemar's paired-flip test with continuity correction — "did the
+    * same population's binary outcome change between two conditions"
+    * (the paired sibling of ab_test): per key, pre/post indicators
+    * OR-reduced over the key's rows, then the discordant-pair census
+    * b (1→0) and c (0→1) and χ² = (|b−c|−1)²/(b+c). One fact hash
+    * aggregate to the key domain, one 1-row reduction.
+    */
+  def mcnemarTest(df: DataFrame, keyCol: String, preCol: String,
+                  postCol: String): DataFrame = {
+    val per = df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg(max(when(col(preCol), 1L).otherwise(0L)).as("_x"),
+        max(when(col(postCol), 1L).otherwise(0L)).as("_y"))
+    val agg = per.agg(count(lit(1)).as("n_pairs"),
+      sum(when(col("_x") === 1 && col("_y") === 0, 1L).otherwise(0L))
+        .as("b"),
+      sum(when(col("_x") === 0 && col("_y") === 1, 1L).otherwise(0L))
+        .as("c"))
+    val bc = D("b") + D("c")
+    val num = (abs(D("b") - D("c")) - 1) * (abs(D("b") - D("c")) - 1)
+    agg.select(col("n_pairs"), col("b"), col("c"),
+      when(col("b") + col("c") > 0, num / bc).as("chi2"))
+  }
+
+  /** 1-D Wasserstein (earth mover's) distance between two cohorts'
+    * value distributions — the drift metric that, unlike PSI/KS,
+    * weighs HOW FAR mass moved: W1 = Σ_i |F_a(v_i) − F_b(v_i)|·Δv_i
+    * over the sorted quantized value grid. Exactness: the CDF gap
+    * clears denominators to the exact BIGINT |cumA·Nb − cumB·Na|, the
+    * grid gap Δv is an exact integer, and their product sums
+    * order-free; one division at the end. The cumulative/lead window
+    * walks the GRID domain (same whitelist argument as ks_drift).
+    * Integer range: |cumA·Nb|·Δv stays under 2⁶³ while
+    * N_a·N_b·span < 9·10¹⁸ — carry the term in double past that.
+    */
+  def wassersteinDrift(df: DataFrame, cohortCol: String, cohortA: String,
+                       cohortB: String, valueCol: String,
+                       quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"), vq.as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("_v"))
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    counts
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .withColumn("_gap", lead(col("_v"), 1).over(wl) - col("_v"))
+      .crossJoin(broadcast(tot))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        (sum(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
+          * coalesce(col("_gap"), lit(0L))).cast("double") /
+          (D("n_a") * D("n_b") * lit(scale))).as("w1"))
+  }
+
+  /** Hellinger distance between two cohorts' value distributions over
+    * the quantized grid: BC = Σ √(p_i·q_i), H = √(1 − BC) — the
+    * bounded [0,1] drift companion to [[wassersteinDrift]] (which is
+    * scale-bearing). √(ca·cb) of exact BIGINTs is correctly rounded
+    * identically in both engines; the BC fold runs value-ordered.
+    */
+  def hellingerDrift(df: DataFrame, cohortCol: String, cohortA: String,
+                     cohortB: String, valueCol: String,
+                     quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"), vq.as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+      .withColumn("_term", sqrt(D("_ca") * D("_cb")))
+    val agg = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"),
+      StatsOps.orderedFoldSum(Seq("_v"), "_term").as("_sbc"))
+    val bc = try_divide(col("_sbc"), sqrt(D("n_a") * D("n_b")))
+    agg.select(col("n_a"), col("n_b"), bc.as("bc"),
+      sqrt(greatest(lit(0.0), lit(1.0) - bc)).as("hellinger"))
+  }
+
+  // ------------------------------------------------- series diagnostics
+
+  /** Per-series (group × window) integer count table — the shared
+    * first stage of every series diagnostic below (one fact hash
+    * aggregate; everything after is window-domain-bounded).
+    */
+  private def seriesCounts(df: DataFrame, groupCol: String,
+                           windowCol: String): DataFrame =
+    df.where(col(groupCol).isNotNull && col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).as("_y"))
+
+  /** AR(1) Yule-Walker fit per series: φ = c₁/c₀ over the textbook
+    * autocovariances (full-series mean, 1/T normalization), plus the
+    * innovation variance c₀(1 − φ²). All moment sums are exact
+    * BIGINTs off the window domain; the lag pairing is one lead over
+    * the series-partitioned window order.
+    */
+  def ar1Fit(df: DataFrame, groupCol: String,
+             windowCol: String): DataFrame = {
+    val series = seriesCounts(df, groupCol, windowCol)
+    val w = Window.partitionBy(col("_g")).orderBy(col("_h"))
+    val agg = series
+      .withColumn("_y1", lead(col("_y"), 1).over(w))
+      .groupBy("_g")
+      .agg(count(lit(1)).as("t"), sum(col("_y")).as("_s"),
+        sum(col("_y") * col("_y")).as("_ss"),
+        sum(col("_y") * col("_y1")).as("_s1"),
+        sum(when(col("_y1").isNotNull, col("_y"))).as("_sh"),
+        sum(col("_y1")).as("_st"),
+        count(col("_y1")).as("_c1"))
+    val tD = D("t")
+    val yb = D("_s") / tD
+    val c0 = D("_ss") / tD - yb * yb
+    val c1 = (D("_s1") - yb * (D("_sh") + D("_st")) +
+      D("_c1") * yb * yb) / tD
+    val phi = try_divide(c1, c0)
+    agg.select(col("_g").as(groupCol), col("t"), yb.as("mean"),
+      phi.as("phi"),
+      (c0 * (lit(1.0) - phi * phi)).as("innov_var"))
+  }
+
+  /** Ljung-Box portmanteau whiteness test per series, composed on
+    * [[StatsOps.autocorrelation]] over the window-domain counts:
+    * Q = T(T+2) Σ_{k≤h} ρ_k²/(T−k). The ρ fold runs lag-ordered;
+    * dof = h.
+    */
+  def ljungBox(df: DataFrame, groupCol: String, windowCol: String,
+               maxLag: Int = 6): DataFrame = {
+    val series = seriesCounts(df, groupCol, windowCol)
+    val acf = StatsOps.autocorrelation(series, Seq("_g"), "_h", "_h",
+      "_y", maxLag)
+    val terms = acf.withColumn("_term",
+      col("acf") * col("acf") / D("n_pairs"))
+    terms.groupBy(col("_g"))
+      .agg(max(col("n")).as("t"),
+        StatsOps.orderedFoldSum(Seq("lag"), "_term").as("_sq"))
+      .select(col("_g").as(groupCol), col("t"),
+        lit(maxLag.toLong).as("dof"),
+        (D("t") * (D("t") + 2) * col("_sq")).as("q"))
+  }
+
+  /** Dominant period per series: the lag k in [2, maxLag] with the
+    * largest ACF (Pearson form shared with [[ljungBox]]); determinism
+    * from the (acf desc, lag asc) rank over the lag domain — both
+    * engines compare identical IEEE doubles.
+    */
+  def dominantPeriod(df: DataFrame, groupCol: String, windowCol: String,
+                     maxLag: Int = 24): DataFrame = {
+    val series = seriesCounts(df, groupCol, windowCol)
+    val acf = StatsOps.autocorrelation(series, Seq("_g"), "_h", "_h",
+      "_y", maxLag)
+    val rk = Window.partitionBy(col("_g"))
+      .orderBy(col("acf").desc, col("lag"))
+    acf.where(col("lag") >= 2 && col("acf").isNotNull)
+      .withColumn("_r", row_number().over(rk))
+      .where(col("_r") === 1)
+      .select(col("_g").as(groupCol), col("n"),
+        col("lag").cast("long").as("period"), col("acf"))
+  }
+
+  /** Lead/lag cross-correlation between two cohorts' per-window
+    * counts: Pearson r over the PAIRED windows (t, t+lag) for each
+    * lag in [−maxLag, maxLag]. The pairing is a self-join of the
+    * window DOMAIN against its lag-shifted self (domain × lags,
+    * never the fact); all sums exact BIGINTs.
+    */
+  def crossCorrelation(df: DataFrame, cohortCol: String, cohortA: String,
+                       cohortB: String, windowCol: String,
+                       maxLag: Int = 6): DataFrame = {
+    val dom = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(windowCol).isNotNull)
+      .groupBy(col(windowCol).as("_h"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+          .as("_xa"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
+          .as("_xb"))
+    val lags = df.sparkSession.range(-maxLag.toLong, maxLag + 1L)
+      .select(col("id").as("lag"))
+    val pairs = dom.as("t").crossJoin(broadcast(lags))
+      .join(dom.as("u"), col("u._h") === col("t._h") + col("lag"))
+      .select(col("lag"), col("t._xa").as("_a"), col("u._xb").as("_b"))
+    val agg = pairs.groupBy("lag")
+      .agg(count(lit(1)).as("n_pairs"), sum(col("_a")).as("_sa"),
+        sum(col("_b")).as("_sb"), sum(col("_a") * col("_a")).as("_saa"),
+        sum(col("_b") * col("_b")).as("_sbb"),
+        sum(col("_a") * col("_b")).as("_sab"))
+    val nD = D("n_pairs")
+    val num = D("_sab") - D("_sa") * D("_sb") / nD
+    val den = sqrt((D("_saa") - D("_sa") * D("_sa") / nD) *
+      (D("_sbb") - D("_sb") * D("_sb") / nD))
+    agg.select(col("lag"), col("n_pairs"),
+      try_divide(num, den).as("ccf"))
+  }
+
+  /** Page-Hinkley drift detector per series — the sequential mean-
+    * shift monitor (CUSUM's running-mean sibling): one time-ordered
+    * fold over the window-domain counts carrying
+    * (n, Σy, PH, min PH, max excess, alarm windows); a window alarms
+    * when PH − min PH > λ. The fold is the same domain-bounded
+    * collect_list recurrence as holtLinear (the oracle replays it as
+    * a LIST-state reduce — struct states rebind mid-struct in DuckDB).
+    */
+  def pageHinkley(df: DataFrame, groupCol: String, windowCol: String,
+                  delta: Double = 0.1,
+                  lambda: Double = 10.0): DataFrame = {
+    val d = delta.toString
+    val l = lambda.toString
+    val series = seriesCounts(df, groupCol, windowCol)
+    series.groupBy(col("_g"))
+      .agg(sort_array(collect_list(struct(col("_h"),
+        col("_y").cast("double").as("_y")))).as("arr"))
+      .withColumn("_st", expr(
+        s"""aggregate(arr,
+           |  named_struct('n', cast(0.0 as double),
+           |    's', cast(0.0 as double), 'ph', cast(0.0 as double),
+           |    'mn', cast(0.0 as double), 'mx', cast(0.0 as double),
+           |    'al', cast(0.0 as double)),
+           |  (acc, x) -> named_struct(
+           |    'n', acc.n + 1.0,
+           |    's', acc.s + x._y,
+           |    'ph', acc.ph + (x._y - (acc.s + x._y) / (acc.n + 1.0)
+           |      - cast($d as double)),
+           |    'mn', least(acc.mn, acc.ph + (x._y
+           |      - (acc.s + x._y) / (acc.n + 1.0)
+           |      - cast($d as double))),
+           |    'mx', greatest(acc.mx, acc.ph + (x._y
+           |      - (acc.s + x._y) / (acc.n + 1.0)
+           |      - cast($d as double)) - acc.mn),
+           |    'al', acc.al + if(acc.ph + (x._y
+           |      - (acc.s + x._y) / (acc.n + 1.0)
+           |      - cast($d as double)) - acc.mn
+           |      > cast($l as double), 1.0, 0.0)))""".stripMargin))
+      .select(col("_g").as(groupCol),
+        size(col("arr")).cast("long").as("n_windows"),
+        col("_st.ph").as("ph_final"), col("_st.mx").as("max_excess"),
+        col("_st.al").cast("long").as("alarm_windows"))
+  }
+
+  /** Granger-lite causality F per direction x→y on two cohorts'
+    * per-window counts: restricted model y_t ~ y_{t−1} vs full model
+    * y_t ~ y_{t−1} + x_{t−1}, both as closed-form centered OLS over
+    * exact BIGINT moment sums (the 2-predictor solve is the explicit
+    * 2×2 inverse), F = (RSS_r − RSS_f)/(RSS_f/(T−3)). The lag shift
+    * is one lag window over the GLOBAL window domain (grid-bounded,
+    * whitelisted).
+    */
+  def grangerLite(df: DataFrame, cohortCol: String, causeCohort: String,
+                  effectCohort: String,
+                  windowCol: String): DataFrame = {
+    val dom = df.where(col(cohortCol).isin(causeCohort, effectCohort) &&
+        col(windowCol).isNotNull)
+      .groupBy(col(windowCol).as("_h"))
+      .agg(sum(when(col(cohortCol) === causeCohort, 1L).otherwise(0L))
+          .as("_x"),
+        sum(when(col(cohortCol) === effectCohort, 1L).otherwise(0L))
+          .as("_yv"))
+    val w = Window.orderBy(col("_h"))
+    val rows = dom
+      .withColumn("_p", lag(col("_yv"), 1).over(w))
+      .withColumn("_q", lag(col("_x"), 1).over(w))
+      .where(col("_p").isNotNull)
+    val agg = rows.agg(count(lit(1)).as("t"),
+      sum(col("_yv")).as("_sy"), sum(col("_p")).as("_sp"),
+      sum(col("_q")).as("_sq"),
+      sum(col("_yv") * col("_yv")).as("_syy"),
+      sum(col("_p") * col("_p")).as("_spp"),
+      sum(col("_q") * col("_q")).as("_sqq"),
+      sum(col("_p") * col("_q")).as("_spq"),
+      sum(col("_p") * col("_yv")).as("_spy"),
+      sum(col("_q") * col("_yv")).as("_sqy"))
+    val tD = D("t")
+    def cen(sab: String, sa: String, sb: String) =
+      D(sab) - D(sa) * D(sb) / tD
+    val spp = cen("_spp", "_sp", "_sp")
+    val sqq = cen("_sqq", "_sq", "_sq")
+    val spq = cen("_spq", "_sp", "_sq")
+    val spy = cen("_spy", "_sp", "_sy")
+    val sqy = cen("_sqy", "_sq", "_sy")
+    val syy = cen("_syy", "_sy", "_sy")
+    val rssR = syy - when(spp > 0, spy * spy / spp).otherwise(lit(0.0))
+    val det = spp * sqq - spq * spq
+    val bp = (spy * sqq - sqy * spq) / det
+    val bq = (sqy * spp - spy * spq) / det
+    val rssF = syy - bp * spy - bq * sqy
+    val ok = col("t") > 3 && det > 0 && rssF > 0
+    agg.select(col("t"),
+      when(ok, bq).as("beta_cause"),
+      when(ok, rssR).as("rss_restricted"),
+      when(ok, rssF).as("rss_full"),
+      when(ok, (rssR - rssF) / (rssF / (tD - 3))).as("f"))
+  }
+}
