@@ -2840,5 +2840,6 @@ object Queries {
     "distinct_sketch" -> distinctSketchQ,
     "quantile_sketch" -> quantileSketchQ) ++
     QueriesLlm.all ++ QueriesImaging.all ++ QueriesKernels.all ++
-    QueriesCuration.all ++ QueriesAnalytics.all
+    QueriesCuration.all ++ QueriesAnalytics.all ++
+    QueriesDiagnostics.all
 }

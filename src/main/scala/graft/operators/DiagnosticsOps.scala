@@ -122,7 +122,7 @@ object DiagnosticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = hist.withColumn("_cum", sum(col("_c")).over(w))
       .join(hist.groupBy("_g").agg(sum(col("_c")).as("_n")), Seq("_g"))
-    val med = cum.where(col("_cum") >= (col("_n") + 1) / 2)
+    val med = cum.where(col("_cum") >= expr("(_n + 1) div 2"))
       .groupBy("_g").agg(min(col("_v")).as("_med"))
     val dev = hist.join(med, Seq("_g"))
       .select(col("_g"), col("_c"), abs(col("_v") - col("_med")).as("_z"))
@@ -162,7 +162,7 @@ object DiagnosticsOps {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val cum = yh.withColumn("_cum", sum(col("_c")).over(wv))
       .join(yh.groupBy("_g").agg(sum(col("_c")).as("_n")), Seq("_g"))
-    val med = cum.where(col("_cum") >= (col("_n") + 1) / 2)
+    val med = cum.where(col("_cum") >= expr("(_n + 1) div 2"))
       .groupBy("_g").agg(min(col("_y")).as("_med"))
     val signs = series.join(med, Seq("_g"))
       .where(col("_y") =!= col("_med"))
@@ -296,9 +296,10 @@ object DiagnosticsOps {
       .withColumn("_gap", lead(col("_v"), 1).over(wl) - col("_v"))
       .crossJoin(broadcast(tot))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        (sum(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
-          * coalesce(col("_gap"), lit(0L))).cast("double") /
-          (D("n_a") * D("n_b") * lit(scale))).as("w1"))
+        sum(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
+          * coalesce(col("_gap"), lit(0L))).as("_sw"))
+      .select(col("n_a"), col("n_b"),
+        (D("_sw") / (D("n_a") * D("n_b") * lit(scale))).as("w1"))
   }
 
   /** Hellinger distance between two cohorts' value distributions over

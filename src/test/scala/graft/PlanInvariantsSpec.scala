@@ -360,9 +360,18 @@ class PlanInvariantsSpec extends SparkSpec {
       // to that domain first; doc-length/grid cardinality-bounded)
       // rmst: same integer-day lifetime domain as kaplan_meier /
       // nelson_aalen (SequenceOps.rmst aggregates keys first)
+      // wasserstein_drift: the cumulative + the Δv lead both walk the
+      // distinct QUANTIZED value grid — ks_drift's 1e-4-grid argument
+      // verbatim (DiagnosticsOps.wassersteinDrift aggregates the fact
+      // to per-value cohort counts FIRST)
+      // granger_lite: the two lag windows walk the WINDOW domain
+      // (hour grid, bounded by the observation span —
+      // DiagnosticsOps.grangerLite aggregates the fact to per-window
+      // cohort counts FIRST)
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
       "map_eval", "isotonic_calibration", "cliffs_delta",
-      "nelson_aalen", "quantile_normalize", "rmst")
+      "nelson_aalen", "quantile_normalize", "rmst",
+      "wasserstein_drift", "granger_lite")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
