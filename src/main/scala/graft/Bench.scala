@@ -74,17 +74,27 @@ object Bench {
         .map(_._1)
       (slow ++ spread).distinct.take(15)
     }
-    val soloByName = suspects.map { name =>
+    // A solo rep that THROWS must not be recorded as the query's
+    // contention-free floor (a fast failure would masquerade as a
+    // speedup): log it like the main loop and keep only clean reps;
+    // a query with zero clean reps is omitted from "solo" entirely.
+    val soloByName = suspects.flatMap { name =>
       val fn = SparkEntry.queries(name)
-      val times = (1 to 2).map { _ =>
+      val times = (1 to 2).flatMap { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => () }
+        val ok =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); true }
+          catch {
+            case e: Throwable =>
+              System.err.println(s"BENCH solo rep failed: $name: " +
+                s"${e.getClass.getName}: ${e.getMessage}")
+              false
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         spark.catalog.clearCache()
-        dt
+        if (ok) Some(dt) else None
       }
-      name -> times.min
+      times.reduceOption(_ min _).map(name -> _)
     }
     val qsSolo = soloByName
       .map { case (k, v) => s"\"" + k + "\":" + (math.floor(v * 1000) / 1000) }

@@ -1095,7 +1095,9 @@ object QueriesCuration {
       |WHERE sample_rank <= 5""".stripMargin)
 
   /** The one-pass monitor dashboard: every scalar drift statistic this
-    * engine ships (PSI, KS, Mann-Whitney z, chi2, JSD) over the same
+    * engine ships (PSI, KS, Mann-Whitney z, chi2, JSD — and since
+    * round 14 the scale-bearing Wasserstein W1 and bounded Hellinger
+    * legs from [[operators.DiagnosticsOps]]) over the same
     * view/purchase cohort pair, labeled and unioned — operator
     * composition, each leg identical to its standalone gate query.
     */
@@ -1119,10 +1121,19 @@ object QueriesCuration {
         .unionByName(leg("jsd", StatsOps.jsDivergence(
           Tables.documents(s, d).select(col("lang"), col("source")),
           "lang", "en", "es", "source"), "jsd"))
+        .unionByName(leg("w1", graft.operators.DiagnosticsOps
+          .wassersteinDrift(ev, "event_type", "view", "purchase",
+            "value", quantDigits = 4), "w1"))
+        .unionByName(leg("hellinger", graft.operators.DiagnosticsOps
+          .hellingerDrift(ev, "event_type", "view", "purchase",
+            "value", quantDigits = 4), "hellinger"))
     },
     Seq(("psi", datasetDriftQ.sql, "psi"), ("ks", ksDriftQ.sql, "ks"),
       ("mwu_z", mannWhitneyQ.sql, "z"), ("chi2", chi2DriftQ.sql, "chi2"),
-      ("jsd", jsDivergenceQ.sql, "jsd")).map { case (name, sql, stat) =>
+      ("jsd", jsDivergenceQ.sql, "jsd"),
+      ("w1", QueriesDiagnostics.all("wasserstein_drift").sql, "w1"),
+      ("hellinger", QueriesDiagnostics.all("hellinger_drift").sql,
+        "hellinger")).map { case (name, sql, stat) =>
       s"""SELECT '$name' AS metric, n_a, n_b, $stat AS statistic
          |FROM (
          |$sql

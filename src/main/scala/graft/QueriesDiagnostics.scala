@@ -287,11 +287,459 @@ object QueriesDiagnostics {
        |    AS hellinger
        |FROM a""".stripMargin)
 
+  // ---------------------------------------------- series diagnostics
+
+  /** Spark-side (event_type × hour) series frame shared by the series
+    * diagnostics below — DiagnosticsOps.seriesCounts aggregates it to
+    * per-window counts.
+    */
+  private def hourly(s: org.apache.spark.sql.SparkSession, d: String) =
+    Tables.events(s, d).select(col("event_type"),
+      expr("ts_ns div 3600000000000L").as("win"))
+
+  /** Oracle CTE `sr`: the same (event_type × hour) count series. */
+  private val srSql: String =
+    """sr AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 AS h,
+      |    CAST(count(*) AS BIGINT) AS y
+      |  FROM events WHERE event_type IS NOT NULL GROUP BY 1, 2)"""
+      .stripMargin
+
+  /** Oracle CTE chain `b`/`gg`/`s`/`acf` mirroring
+    * [[operators.StatsOps.autocorrelation]] over `sr` at lags
+    * 1..maxLag — the same unrolled-lead shape as the long-standing
+    * `autocorrelation` oracle, machine-generated per lag count.
+    */
+  private def acfSql(maxLag: Int): String = {
+    val lags = 1 to maxLag
+    val leads = lags.map(l => s"    lead(y, $l) OVER w AS l$l")
+      .mkString(",\n")
+    val aggs = lags.map(l =>
+      s"""    CAST(sum(y * l$l) AS BIGINT) AS sxy$l,
+         |    CAST(sum(CASE WHEN l$l IS NOT NULL THEN y END) AS BIGINT)
+         |      AS sh$l,
+         |    CAST(sum(l$l) AS BIGINT) AS st$l, count(l$l) AS cnt$l"""
+        .stripMargin).mkString(",\n")
+    val stack = lags.map(l =>
+      s"  SELECT g, n, sx, sxx, $l AS lag, sxy$l AS sxy, sh$l AS sh," +
+        s" st$l AS st, cnt$l AS cnt FROM gg")
+      .mkString("\n  UNION ALL\n")
+    s"""b AS (
+       |  SELECT g, y,
+       |$leads
+       |  FROM sr WINDOW w AS (PARTITION BY g ORDER BY h)),
+       |gg AS (
+       |  SELECT g, count(*) AS n, CAST(sum(y) AS BIGINT) AS sx,
+       |    CAST(sum(y * y) AS BIGINT) AS sxx,
+       |$aggs
+       |  FROM b GROUP BY 1),
+       |s AS (
+       |$stack),
+       |acf AS (
+       |  SELECT g, n, lag, cnt,
+       |    (CAST(sxy AS DOUBLE)
+       |       - (CAST(sx AS DOUBLE) / n)
+       |         * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+       |       + CAST(cnt AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+       |         * (CAST(sx AS DOUBLE) / n))
+       |      / nullif(CAST(sxx AS DOUBLE)
+       |         - CAST(n AS DOUBLE) * (CAST(sx AS DOUBLE) / n)
+       |           * (CAST(sx AS DOUBLE) / n), 0.0) AS acf
+       |  FROM s)""".stripMargin
+  }
+
+  /** Wald-Wolfowitz runs test of each event type's hourly counts
+    * around the series median (DiagnosticsOps.runsTest): exact
+    * integer run census, closed-form E[R]/Var[R], normal z.
+    */
+  private val runsTestQ = Q(
+    (s, d) => DiagnosticsOps.runsTest(hourly(s, d), "event_type", "win")
+      .select(col("event_type"), col("n_above"), col("n_below"),
+        col("runs"), qround(col("e_runs"), 8).as("e_runs"),
+        qround(col("z"), 8).as("z")),
+    s"""WITH $srSql,
+       |yh AS (SELECT g, y, CAST(count(*) AS BIGINT) AS c
+       |       FROM sr GROUP BY 1, 2),
+       |cu AS (
+       |  SELECT g, y, c,
+       |    CAST(sum(c) OVER (PARTITION BY g ORDER BY y
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum,
+       |    CAST(sum(c) OVER (PARTITION BY g) AS BIGINT) AS n
+       |  FROM yh),
+       |med AS (SELECT g, CAST(min(y) AS BIGINT) AS med
+       |        FROM cu WHERE cum >= (n + 1) // 2 GROUP BY 1),
+       |sg AS (
+       |  SELECT sr.g, h, (y > med) AS s
+       |  FROM sr JOIN med ON sr.g = med.g WHERE y <> med),
+       |r AS (SELECT g, s,
+       |        lag(s) OVER (PARTITION BY g ORDER BY h) AS p
+       |      FROM sg),
+       |a AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN s THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN s THEN 0 ELSE 1 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN p IS NOT NULL AND s <> p
+       |      THEN 1 ELSE 0 END) + 1 AS BIGINT) AS runs
+       |  FROM r GROUP BY 1)
+       |SELECT g AS event_type, n1 AS n_above, n2 AS n_below, runs,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1 THEN
+       |    ${qrSql("2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+         " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1", 8)}
+       |  END AS e_runs,
+       |  CASE WHEN n1 > 0 AND n2 > 0 AND n1 + n2 > 1
+       |    AND 2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       |      * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)
+       |         - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+       |      / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+       |         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))
+       |         * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)) > 0
+       |  THEN
+       |    ${qrSql("(CAST(runs AS DOUBLE)" +
+         " - (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+         " / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)) + 1))" +
+         " / sqrt(2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+         " * (2.0 * CAST(n1 AS DOUBLE) * CAST(n2 AS DOUBLE)" +
+         " - (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))" +
+         " / ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))" +
+         " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))" +
+         " * (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1)))", 8)}
+       |  END AS z
+       |FROM a""".stripMargin)
+
+  /** Friedman blocked-rank test: day blocks × event-type treatments,
+    * cell value = the day's summed 1e-2-grid event value
+    * (DiagnosticsOps.friedmanTest): doubled midranks, tie-corrected
+    * χ²_F over complete blocks.
+    */
+  private val friedmanTestQ = Q(
+    (s, d) => DiagnosticsOps.friedmanTest(
+        Tables.events(s, d).select(
+          expr("ts_ns div 86400000000000L").as("day"),
+          col("event_type"), col("value")),
+        "day", "event_type", "value", quantDigits = 2)
+      .select(col("n_blocks"), col("k"), col("dof"),
+        qround(col("chi2"), 8).as("chi2"),
+        qround(col("chi2_corr"), 8).as("chi2_corr")),
+    s"""WITH cells AS (
+       |  SELECT epoch_ns(ts) // 86400000000000 AS b, event_type AS t,
+       |    CAST(sum(CAST(floor(value * 100.0 + 0.5) AS BIGINT))
+       |      AS BIGINT) AS y
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL
+       |  GROUP BY 1, 2),
+       |kk AS (SELECT CAST(count(DISTINCT t) AS BIGINT) AS k FROM cells),
+       |comp AS (SELECT b FROM cells GROUP BY 1
+       |         HAVING count(*) = (SELECT k FROM kk)),
+       |used AS (SELECT cells.b, cells.t, cells.y
+       |         FROM cells JOIN comp USING (b)),
+       |bh AS (SELECT b, y, CAST(count(*) AS BIGINT) AS tc
+       |       FROM used GROUP BY 1, 2),
+       |rk AS (
+       |  SELECT b, y,
+       |    2 * CAST(sum(tc) OVER (PARTITION BY b ORDER BY y
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) - tc + 1 AS dr,
+       |    tc * tc * tc - tc AS t3
+       |  FROM bh),
+       |r2 AS (SELECT t, CAST(sum(dr) AS BIGINT) AS r2
+       |       FROM used JOIN rk USING (b, y) GROUP BY 1),
+       |ti AS (SELECT CAST(sum(t3) AS BIGINT) AS t3,
+       |         CAST(count(DISTINCT b) AS BIGINT) AS n_blocks
+       |       FROM rk),
+       |sums AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'t': t,
+       |          'x': CAST(r2 AS DOUBLE) / 2 * (CAST(r2 AS DOUBLE) / 2)}
+       |        ORDER BY t), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS sr2
+       |  FROM r2)
+       |SELECT n_blocks, k, k - 1 AS dof,
+       |  CASE WHEN n_blocks > 0 AND k > 1 THEN
+       |    ${qrSql("12.0 / (CAST(n_blocks AS DOUBLE)" +
+         " * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)) * sr2" +
+         " - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1)",
+         8)}
+       |  END AS chi2,
+       |  CASE WHEN n_blocks > 0 AND k > 1
+       |    AND 1.0 - CAST(t3 AS DOUBLE) / (CAST(n_blocks AS DOUBLE)
+       |      * CAST(k AS DOUBLE)
+       |      * (CAST(k AS DOUBLE) * CAST(k AS DOUBLE) - 1)) > 0
+       |  THEN
+       |    ${qrSql("(12.0 / (CAST(n_blocks AS DOUBLE)" +
+         " * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE) + 1)) * sr2" +
+         " - 3.0 * CAST(n_blocks AS DOUBLE) * (CAST(k AS DOUBLE) + 1))" +
+         " / (1.0 - CAST(t3 AS DOUBLE) / (CAST(n_blocks AS DOUBLE)" +
+         " * CAST(k AS DOUBLE) * (CAST(k AS DOUBLE)" +
+         " * CAST(k AS DOUBLE) - 1)))", 8)}
+       |  END AS chi2_corr
+       |FROM sums CROSS JOIN ti""".stripMargin)
+
+  /** AR(1) Yule-Walker fit of each event type's hourly count series
+    * (DiagnosticsOps.ar1Fit): φ = c₁/c₀ over exact BIGINT moments,
+    * innovation variance c₀(1 − φ²).
+    */
+  private val ar1FitQ = Q(
+    (s, d) => DiagnosticsOps.ar1Fit(hourly(s, d), "event_type", "win")
+      .select(col("event_type"), col("t"),
+        qround(col("mean"), 8).as("mean"),
+        qround(col("phi"), 8).as("phi"),
+        qround(col("innov_var"), 6).as("innov_var")),
+    s"""WITH $srSql,
+       |b AS (SELECT g, y,
+       |        lead(y) OVER (PARTITION BY g ORDER BY h) AS y1
+       |      FROM sr),
+       |ag AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(y) AS BIGINT) AS s,
+       |    CAST(sum(y * y) AS BIGINT) AS ss,
+       |    CAST(sum(y * y1) AS BIGINT) AS s1,
+       |    CAST(sum(CASE WHEN y1 IS NOT NULL THEN y END) AS BIGINT)
+       |      AS sh,
+       |    CAST(sum(y1) AS BIGINT) AS st,
+       |    CAST(count(y1) AS BIGINT) AS c1
+       |  FROM b GROUP BY 1),
+       |v AS (
+       |  SELECT g, t,
+       |    CAST(s AS DOUBLE) / CAST(t AS DOUBLE) AS yb,
+       |    CAST(ss AS DOUBLE) / CAST(t AS DOUBLE)
+       |      - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+       |        * (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)) AS c0,
+       |    (CAST(s1 AS DOUBLE)
+       |       - CAST(s AS DOUBLE) / CAST(t AS DOUBLE)
+       |         * (CAST(sh AS DOUBLE) + CAST(st AS DOUBLE))
+       |       + CAST(c1 AS DOUBLE)
+       |         * (CAST(s AS DOUBLE) / CAST(t AS DOUBLE))
+       |         * (CAST(s AS DOUBLE) / CAST(t AS DOUBLE)))
+       |      / CAST(t AS DOUBLE) AS c1v
+       |  FROM ag)
+       |SELECT g AS event_type, t, ${qrSql("yb", 8)} AS mean,
+       |  ${qrSql("c1v / nullif(c0, 0.0)", 8)} AS phi,
+       |  ${qrSql("c0 * (1.0 - c1v / nullif(c0, 0.0)" +
+         " * (c1v / nullif(c0, 0.0)))", 6)} AS innov_var
+       |FROM v""".stripMargin)
+
+  /** Ljung-Box whiteness Q at lags 1..6 of each event type's hourly
+    * counts (DiagnosticsOps.ljungBox on StatsOps.autocorrelation):
+    * lag-ordered ρ²/(T−k) fold, dof = computable lags.
+    */
+  private val ljungBoxQ = Q(
+    (s, d) => DiagnosticsOps.ljungBox(hourly(s, d), "event_type", "win",
+        maxLag = 6)
+      .select(col("event_type"), col("t"), col("dof"),
+        qround(col("q"), 6).as("q")),
+    s"""WITH $srSql,
+       |${acfSql(6)},
+       |tq AS (
+       |  SELECT g, CAST(max(n) AS BIGINT) AS t,
+       |    CAST(count(*) AS BIGINT) AS dof,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'l': lag,
+       |          'x': acf * acf / CAST(cnt AS DOUBLE)} ORDER BY lag),
+       |        x_ -> x_.x)), (a_, b_) -> a_ + b_) AS sq
+       |  FROM acf WHERE acf IS NOT NULL GROUP BY 1)
+       |SELECT g AS event_type, t, dof,
+       |  ${qrSql("CAST(t AS DOUBLE) * (CAST(t AS DOUBLE) + 2) * sq",
+         6)} AS q
+       |FROM tq""".stripMargin)
+
+  /** Dominant period (lag of max ACF in [2, 24]) of each event type's
+    * hourly counts (DiagnosticsOps.dominantPeriod) — the daily cycle
+    * detector; (acf desc, lag asc) rank over the lag domain.
+    */
+  private val dominantPeriodQ = Q(
+    (s, d) => DiagnosticsOps.dominantPeriod(hourly(s, d), "event_type",
+        "win", maxLag = 24)
+      .select(col("event_type"), col("n"), col("period"),
+        qround(col("acf"), 8).as("acf")),
+    s"""WITH $srSql,
+       |${acfSql(24)},
+       |sel AS (
+       |  SELECT g, n, lag, acf,
+       |    row_number() OVER (PARTITION BY g ORDER BY acf DESC, lag)
+       |      AS r
+       |  FROM acf WHERE lag >= 2 AND acf IS NOT NULL)
+       |SELECT g AS event_type, CAST(n AS BIGINT) AS n,
+       |  CAST(lag AS BIGINT) AS period, ${qrSql("acf", 8)} AS acf
+       |FROM sel WHERE r = 1""".stripMargin)
+
+  /** Lead/lag cross-correlation between view and purchase hourly
+    * counts at lags −6..6 (DiagnosticsOps.crossCorrelation): window
+    * domain × lags self-join, exact BIGINT moments, closed-form r.
+    */
+  private val crossCorrelationQ = Q(
+    (s, d) => DiagnosticsOps.crossCorrelation(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "view", "purchase", "win", maxLag = 6)
+      .select(col("lag"), col("n_pairs"),
+        qround(col("ccf"), 8).as("ccf")),
+    s"""WITH dom AS (
+       |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS xa,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS xb
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1),
+       |lg AS (SELECT CAST(range AS BIGINT) AS lag FROM range(-6, 7)),
+       |p AS (
+       |  SELECT lag, t.xa AS a, u.xb AS b
+       |  FROM dom t CROSS JOIN lg JOIN dom u ON u.h = t.h + lag),
+       |ag AS (
+       |  SELECT lag, CAST(count(*) AS BIGINT) AS n_pairs,
+       |    CAST(sum(a) AS BIGINT) AS sa, CAST(sum(b) AS BIGINT) AS sb,
+       |    CAST(sum(a * a) AS BIGINT) AS saa,
+       |    CAST(sum(b * b) AS BIGINT) AS sbb,
+       |    CAST(sum(a * b) AS BIGINT) AS sab
+       |  FROM p GROUP BY 1)
+       |SELECT lag, n_pairs,
+       |  ${qrSql("(CAST(sab AS DOUBLE) - CAST(sa AS DOUBLE)" +
+         " * CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE))" +
+         " / nullif(sqrt((CAST(saa AS DOUBLE) - CAST(sa AS DOUBLE)" +
+         " * CAST(sa AS DOUBLE) / CAST(n_pairs AS DOUBLE))" +
+         " * (CAST(sbb AS DOUBLE) - CAST(sb AS DOUBLE)" +
+         " * CAST(sb AS DOUBLE) / CAST(n_pairs AS DOUBLE))), 0.0)",
+         8)} AS ccf
+       |FROM ag""".stripMargin)
+
+  /** Page-Hinkley mean-shift monitor per event type's hourly counts
+    * (DiagnosticsOps.pageHinkley, δ=0.1, λ=10): hour-ordered LIST-
+    * state fold (DuckDB struct lambdas rebind acc fields — the
+    * holt_winters lesson), alarm census against the running minimum.
+    */
+  private val pageHinkleyQ = Q(
+    (s, d) => DiagnosticsOps.pageHinkley(hourly(s, d), "event_type",
+        "win", delta = 0.1, lambda = 10.0)
+      .select(col("event_type"), col("n_windows"),
+        qround(col("ph_final"), 6).as("ph_final"),
+        qround(col("max_excess"), 6).as("max_excess"),
+        col("alarm_windows")),
+    s"""WITH $srSql,
+       |arrs AS (
+       |  SELECT g, list({'h': h, 'y': CAST(y AS DOUBLE)} ORDER BY h)
+       |    AS arr
+       |  FROM sr GROUP BY 1),
+       |st AS (
+       |  SELECT g, len(arr) AS n_windows,
+       |    list_reduce(list_prepend(
+       |      [CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |       CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)],
+       |      list_transform(arr, e_ -> [e_.y, CAST(0.0 AS DOUBLE),
+       |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE),
+       |        CAST(0.0 AS DOUBLE), CAST(0.0 AS DOUBLE)])),
+       |      (acc, x_) -> [
+       |        acc[1] + 1.0,
+       |        acc[2] + x_[1],
+       |        acc[3] + (x_[1] - (acc[2] + x_[1]) / (acc[1] + 1.0)
+       |          - CAST(0.1 AS DOUBLE)),
+       |        least(acc[4], acc[3] + (x_[1]
+       |          - (acc[2] + x_[1]) / (acc[1] + 1.0)
+       |          - CAST(0.1 AS DOUBLE))),
+       |        greatest(acc[5], acc[3] + (x_[1]
+       |          - (acc[2] + x_[1]) / (acc[1] + 1.0)
+       |          - CAST(0.1 AS DOUBLE)) - acc[4]),
+       |        acc[6] + CASE WHEN acc[3] + (x_[1]
+       |          - (acc[2] + x_[1]) / (acc[1] + 1.0)
+       |          - CAST(0.1 AS DOUBLE)) - acc[4]
+       |          > CAST(10.0 AS DOUBLE) THEN 1.0 ELSE 0.0 END]) AS st
+       |  FROM arrs)
+       |SELECT g AS event_type, CAST(n_windows AS BIGINT) AS n_windows,
+       |  ${qrSql("st[3]", 6)} AS ph_final,
+       |  ${qrSql("st[5]", 6)} AS max_excess,
+       |  CAST(st[6] AS BIGINT) AS alarm_windows
+       |FROM st""".stripMargin)
+
+  /** Granger-lite F for view→purchase on the hourly count series
+    * (DiagnosticsOps.grangerLite): restricted y~y₋₁ vs full
+    * y~y₋₁+x₋₁ closed-form OLS over exact BIGINT moments.
+    */
+  private val grangerLiteQ = Q(
+    (s, d) => DiagnosticsOps.grangerLite(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "view", "purchase", "win")
+      .select(col("t"), qround(col("beta_cause"), 8).as("beta_cause"),
+        qround(col("rss_restricted"), 6).as("rss_restricted"),
+        qround(col("rss_full"), 6).as("rss_full"),
+        qround(col("f"), 8).as("f")),
+    s"""WITH dom AS (
+       |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS yv
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1),
+       |r AS (
+       |  SELECT yv, lag(yv, 1) OVER (ORDER BY h) AS p,
+       |    lag(x, 1) OVER (ORDER BY h) AS q
+       |  FROM dom),
+       |rr AS (SELECT yv, p, q FROM r WHERE p IS NOT NULL),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS t,
+       |    CAST(sum(yv) AS BIGINT) AS sy, CAST(sum(p) AS BIGINT) AS sp,
+       |    CAST(sum(q) AS BIGINT) AS sq,
+       |    CAST(sum(yv * yv) AS BIGINT) AS syy,
+       |    CAST(sum(p * p) AS BIGINT) AS spp,
+       |    CAST(sum(q * q) AS BIGINT) AS sqq,
+       |    CAST(sum(p * q) AS BIGINT) AS spq,
+       |    CAST(sum(p * yv) AS BIGINT) AS spy,
+       |    CAST(sum(q * yv) AS BIGINT) AS sqy
+       |  FROM rr),
+       |c AS (
+       |  SELECT t,
+       |    CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cpp,
+       |    CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cqq,
+       |    CAST(spq AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sq AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cpq,
+       |    CAST(spy AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sy AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cpy,
+       |    CAST(sqy AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sy AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cqy,
+       |    CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)
+       |      / CAST(t AS DOUBLE) AS cyy
+       |  FROM ag),
+       |m AS (
+       |  SELECT t, cpp, cqq, cpq, cpy, cqy, cyy,
+       |    cyy - CASE WHEN cpp > 0 THEN cpy * cpy / cpp
+       |          ELSE 0.0 END AS rssr,
+       |    cpp * cqq - cpq * cpq AS det
+       |  FROM c),
+       |m2 AS (
+       |  SELECT t, cpy, cqy, cyy, rssr, det,
+       |    (cpy * cqq - cqy * cpq) / det AS bp,
+       |    (cqy * cpp - cpy * cpq) / det AS bq
+       |  FROM m),
+       |m3 AS (
+       |  SELECT t, rssr, det, bq,
+       |    cyy - bp * cpy - bq * cqy AS rssf
+       |  FROM m2)
+       |SELECT t,
+       |  CASE WHEN t > 3 AND det > 0 AND rssf > 0
+       |    THEN ${qrSql("bq", 8)} END AS beta_cause,
+       |  CASE WHEN t > 3 AND det > 0 AND rssf > 0
+       |    THEN ${qrSql("rssr", 6)} END AS rss_restricted,
+       |  CASE WHEN t > 3 AND det > 0 AND rssf > 0
+       |    THEN ${qrSql("rssf", 6)} END AS rss_full,
+       |  CASE WHEN t > 3 AND det > 0 AND rssf > 0
+       |    THEN ${qrSql("(rssr - rssf) / (rssf / (CAST(t AS DOUBLE)" +
+         " - 3))", 8)} END AS f
+       |FROM m3""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "anova_oneway" -> anovaOnewayQ,
     "welch_t" -> welchTQ,
     "levene_test" -> leveneTestQ,
     "mcnemar_test" -> mcnemarTestQ,
     "wasserstein_drift" -> wassersteinDriftQ,
-    "hellinger_drift" -> hellingerDriftQ)
+    "hellinger_drift" -> hellingerDriftQ,
+    "runs_test" -> runsTestQ,
+    "friedman_test" -> friedmanTestQ,
+    "ar1_fit" -> ar1FitQ,
+    "ljung_box" -> ljungBoxQ,
+    "dominant_period" -> dominantPeriodQ,
+    "cross_correlation" -> crossCorrelationQ,
+    "page_hinkley" -> pageHinkleyQ,
+    "granger_lite" -> grangerLiteQ)
 }

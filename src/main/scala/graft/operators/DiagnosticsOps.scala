@@ -81,10 +81,13 @@ object DiagnosticsOps {
     val agg = df.where(col(cohortCol).isin(cohortA, cohortB) &&
         col(valueCol).isNotNull)
       .agg(aggs.head, aggs.tail: _*)
-    def mean(s: String, n: String) = D(s) / lit(scale) / D(n)
+    // empty/singleton cohorts yield null, not an ANSI divide-by-zero
+    def mean(s: String, n: String) =
+      when(col(n) > 0, D(s) / lit(scale) / D(n))
     // sample variance in USER units: (Σv² − (Σv)²/n) / (scale²·(n−1))
     def varS(ss: String, s: String, n: String) =
-      (D(ss) - D(s) * D(s) / D(n)) / lit(scale * scale) / (D(n) - 1)
+      when(col(n) > 1,
+        (D(ss) - D(s) * D(s) / D(n)) / lit(scale * scale) / (D(n) - 1))
     val va = varS("_ssa", "_sa", "n_a")
     val vb = varS("_ssb", "_sb", "n_b")
     val sa2 = va / D("n_a")
@@ -180,8 +183,10 @@ object DiagnosticsOps {
     val n2 = D("n_below")
     val nn = n1 + n2
     val e = lit(2.0) * n1 * n2 / nn + 1
-    val v = lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn) /
-      (nn * nn * (nn - 1))
+    // try_divide: a single-sign series (nn = 1) must yield null, not
+    // an ANSI divide-by-zero
+    val v = try_divide(lit(2.0) * n1 * n2 * (lit(2.0) * n1 * n2 - nn),
+      nn * nn * (nn - 1))
     val ok = col("n_above") > 0 && col("n_below") > 0 &&
       col("n_above") + col("n_below") > 1
     runs.select(col("_g").as(groupCol), col("n_above"), col("n_below"),
@@ -195,14 +200,19 @@ object DiagnosticsOps {
     * BIGINTs), χ²_F from Σ R_j², with the tie-corrected variant.
     * Only COMPLETE blocks (all k treatments present) count, per the
     * classical design. All windows are block-partitioned over ≤ k
-    * rows.
+    * rows. Cell values quantize to the 10^-quantDigits grid before
+    * the per-cell sum (the house grid idiom), so fractional values
+    * rank exactly rather than truncating.
     */
   def friedmanTest(df: DataFrame, blockCol: String, treatCol: String,
-                   valueCol: String): DataFrame = {
+                   valueCol: String, quantDigits: Int = 2): DataFrame = {
+    val qscale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(qscale) + lit(0.5))
+      .cast("long")
     val cells = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull
         && col(valueCol).isNotNull)
       .groupBy(col(blockCol).as("_b"), col(treatCol).as("_t"))
-      .agg(sum(col(valueCol).cast("long")).as("_y"))
+      .agg(sum(vq).as("_y"))
     val k = cells.agg(count_distinct(col("_t")).as("_k"))
     val complete = cells.groupBy("_b").agg(count(lit(1)).as("_kb"))
       .crossJoin(broadcast(k)).where(col("_kb") === col("_k"))
@@ -270,8 +280,11 @@ object DiagnosticsOps {
     * grid gap Δv is an exact integer, and their product sums
     * order-free; one division at the end. The cumulative/lead window
     * walks the GRID domain (same whitelist argument as ks_drift).
-    * Integer range: |cumA·Nb|·Δv stays under 2⁶³ while
-    * N_a·N_b·span < 9·10¹⁸ — carry the term in double past that.
+    * Integer range: each |cumA·Nb − cumB·Na| term stays under 2⁶³
+    * while N_a·N_b < 9·10¹⁸; the SUM of terms is carried in
+    * decimal(38,0) (128-bit in both engines — DuckDB sums BIGINT into
+    * HUGEINT), so N_a·N_b·span can reach ~10³⁸ before overflow
+    * instead of wrapping silently at 2⁶³.
     */
   def wassersteinDrift(df: DataFrame, cohortCol: String, cohortA: String,
                        cohortB: String, valueCol: String,
@@ -296,8 +309,9 @@ object DiagnosticsOps {
       .withColumn("_gap", lead(col("_v"), 1).over(wl) - col("_v"))
       .crossJoin(broadcast(tot))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        sum(abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
-          * coalesce(col("_gap"), lit(0L))).as("_sw"))
+        sum((abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
+          * coalesce(col("_gap"), lit(0L))).cast("decimal(38,0)"))
+          .as("_sw"))
       .select(col("n_a"), col("n_b"),
         (D("_sw") / (D("n_a") * D("n_b") * lit(scale))).as("w1"))
   }
@@ -373,21 +387,24 @@ object DiagnosticsOps {
 
   /** Ljung-Box portmanteau whiteness test per series, composed on
     * [[StatsOps.autocorrelation]] over the window-domain counts:
-    * Q = T(T+2) Σ_{k≤h} ρ_k²/(T−k). The ρ fold runs lag-ordered;
-    * dof = h.
+    * Q = T(T+2) Σ_{k≤h} ρ_k²/(T−k). The ρ fold runs lag-ordered.
+    * Lags whose ACF is null (series shorter than the lag, or zero
+    * variance) are EXCLUDED from the sum, and dof reports the count
+    * of lags actually summed — a short series yields a valid Q over
+    * its computable lags rather than an all-null row; a series with
+    * NO computable lag drops from the output.
     */
   def ljungBox(df: DataFrame, groupCol: String, windowCol: String,
                maxLag: Int = 6): DataFrame = {
     val series = seriesCounts(df, groupCol, windowCol)
     val acf = StatsOps.autocorrelation(series, Seq("_g"), "_h", "_h",
       "_y", maxLag)
-    val terms = acf.withColumn("_term",
+    val terms = acf.where(col("acf").isNotNull).withColumn("_term",
       col("acf") * col("acf") / D("n_pairs"))
     terms.groupBy(col("_g"))
-      .agg(max(col("n")).as("t"),
+      .agg(max(col("n")).as("t"), count(lit(1)).as("dof"),
         StatsOps.orderedFoldSum(Seq("lag"), "_term").as("_sq"))
-      .select(col("_g").as(groupCol), col("t"),
-        lit(maxLag.toLong).as("dof"),
+      .select(col("_g").as(groupCol), col("t"), col("dof"),
         (D("t") * (D("t") + 2) * col("_sq")).as("q"))
   }
 
@@ -531,8 +548,10 @@ object DiagnosticsOps {
     val syy = cen("_syy", "_sy", "_sy")
     val rssR = syy - when(spp > 0, spy * spy / spp).otherwise(lit(0.0))
     val det = spp * sqq - spq * spq
-    val bp = (spy * sqq - sqy * spq) / det
-    val bq = (sqy * spp - spy * spq) / det
+    // try_divide: a singular normal matrix (constant predictor) must
+    // yield null, not an ANSI divide-by-zero
+    val bp = try_divide(spy * sqq - sqy * spq, det)
+    val bq = try_divide(sqy * spp - spy * spq, det)
     val rssF = syy - bp * spy - bq * sqy
     val ok = col("t") > 3 && det > 0 && rssF > 0
     agg.select(col("t"),

@@ -997,6 +997,21 @@ object StreamingOps {
     * bit-exactly: counts are integers (exact in double), λ0 is the
     * same single division, and the fold replays the identical IEEE
     * expressions with StrictMath.log (Catalyst's ln).
+    *
+    * RETENTION CONTRACT: state per key = one (long → long) entry per
+    * DISTINCT OBSERVED WINDOW, growing linearly with the observation
+    * span and never with row volume — for hourly windows that is
+    * 8,760 entries/key/year, ~140 KB/key/year. This is inherent to
+    * the operator's semantics (λ0 is the whole-series mean, so every
+    * window stays relevant forever); there is deliberately NO
+    * watermark eviction here, because dropping old windows would
+    * silently change λ0 and break the batch-equality guarantee. A
+    * deployment that needs bounded state must bound the DOMAIN
+    * instead: pre-filter the stream to a lookback horizon (making the
+    * answer "bursts within the horizon", still batch-exact over that
+    * horizon), coarsen the window grain, or restart the query per
+    * epoch. Those are semantic choices the caller owns, not defaults
+    * this operator should silently apply.
     */
   def burstStream(spark: SparkSession, df: DataFrame, keyCol: String,
                   windowCol: String, gamma: Double = 2.0): DataFrame = {

@@ -1,0 +1,279 @@
+package graft
+
+import graft.operators.DiagnosticsOps
+
+/** Hand-computed fixtures for the round-13/14 diagnostics battery —
+  * every expected value below is a closed-form paper calculation
+  * (scipy-checkable), not an oracle replay, plus the degenerate edges
+  * (single group, zero variance, b+c=0, empty cohort, constant
+  * series).
+  */
+class DiagnosticsOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Expand (group, window, count) rows into count-many raw rows —
+    * the series ops aggregate raw rows to per-window counts first.
+    */
+  private def seriesDf(rows: Seq[(String, Long, Int)]) =
+    rows.flatMap { case (g, h, c) => Seq.fill(c)((g, h)) }
+      .toDF("g", "h")
+
+  test("anovaOneway: 3-group textbook F and eta-squared") {
+    // a=(1,2,3) b=(2,4,6) c=(5,5,8): means 2/4/6, grand 4
+    // SSB = 3*4+0+3*4 = 24, SSW = 2+8+6 = 16, SST = 40
+    // F = (24/2)/(16/6) = 4.5, eta2 = 0.6
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 2.0, "b" -> 4.0, "b" -> 6.0,
+      "c" -> 5.0, "c" -> 5.0, "c" -> 8.0).toDF("g", "v")
+    val r = DiagnosticsOps.anovaOneway(df, "g", "v", quantDigits = 0).head()
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 9L)
+    assert(r.getAs[Long]("dof1") === 2L && r.getAs[Long]("dof2") === 6L)
+    assert(approx(r.getAs[Double]("ss_between"), 24.0))
+    assert(approx(r.getAs[Double]("ss_within"), 16.0))
+    assert(approx(r.getAs[Double]("f"), 4.5))
+    assert(approx(r.getAs[Double]("eta_sq"), 0.6))
+  }
+
+  test("anovaOneway: single group yields null F") {
+    val df = Seq("a" -> 1.0, "a" -> 2.0).toDF("g", "v")
+    val r = DiagnosticsOps.anovaOneway(df, "g", "v", quantDigits = 0).head()
+    assert(r.getAs[Long]("k") === 1L)
+    assert(r.isNullAt(r.fieldIndex("f")))
+  }
+
+  test("welchT: unequal-variance t and Welch-Satterthwaite dof") {
+    // A=(1,2,3): mean 2 var 1; B=(2,4,9): mean 5 var 13
+    // se2 = 1/3 + 13/3 = 14/3; t = -3/sqrt(14/3)
+    // dof = (14/3)^2 / ((1/3)^2/2 + (13/3)^2/2) = 196/85
+    val df = Seq("A" -> 1.0, "A" -> 2.0, "A" -> 3.0,
+      "B" -> 2.0, "B" -> 4.0, "B" -> 9.0).toDF("c", "v")
+    val r = DiagnosticsOps.welchT(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(r.getAs[Long]("n_a") === 3L && r.getAs[Long]("n_b") === 3L)
+    assert(approx(r.getAs[Double]("mean_a"), 2.0))
+    assert(approx(r.getAs[Double]("mean_b"), 5.0))
+    assert(approx(r.getAs[Double]("t"), -3.0 / math.sqrt(14.0 / 3.0)))
+    assert(approx(r.getAs[Double]("dof"), 196.0 / 85.0))
+  }
+
+  test("welchT: empty cohort B yields null t/dof") {
+    val df = Seq("A" -> 1.0, "A" -> 2.0).toDF("c", "v")
+    val r = DiagnosticsOps.welchT(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(r.getAs[Long]("n_b") === 0L)
+    assert(r.isNullAt(r.fieldIndex("t")))
+    assert(r.isNullAt(r.fieldIndex("dof")))
+  }
+
+  test("leveneTest: Brown-Forsythe W on median absolute deviations") {
+    // a=(1,2,3,10) lower-median 2 -> |dev|=(1,0,1,8) mean 2.5
+    // b=(5,5,7,9)  lower-median 5 -> |dev|=(0,0,2,4) mean 1.5
+    // grand 2: SSB = 4*.25+4*.25 = 2; SSW = 41+11 = 52
+    // W = (2/1)/(52/6) = 3/13
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0, "a" -> 10.0,
+      "b" -> 5.0, "b" -> 5.0, "b" -> 7.0, "b" -> 9.0).toDF("g", "v")
+    val r = DiagnosticsOps.leveneTest(df, "g", "v", quantDigits = 0).head()
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 8L)
+    assert(approx(r.getAs[Double]("w"), 3.0 / 13.0))
+  }
+
+  test("runsTest: alternating counts give R=5 and the closed-form z") {
+    // counts (3,1,3,1,3,2) over h=1..6: lower median 2, h=6 drops
+    // signs + - + - + : n1=3 n2=2 R=5
+    // E[R] = 2*3*2/5+1 = 3.4; Var = 12*7/100 = 0.84
+    val df = seriesDf(Seq(("g1", 1L, 3), ("g1", 2L, 1), ("g1", 3L, 3),
+      ("g1", 4L, 1), ("g1", 5L, 3), ("g1", 6L, 2)))
+    val r = DiagnosticsOps.runsTest(df, "g", "h").head()
+    assert(r.getAs[Long]("n_above") === 3L)
+    assert(r.getAs[Long]("n_below") === 2L)
+    assert(r.getAs[Long]("runs") === 5L)
+    assert(approx(r.getAs[Double]("e_runs"), 3.4))
+    assert(approx(r.getAs[Double]("z"), 1.6 / math.sqrt(0.84)))
+  }
+
+  test("runsTest: constant series drops (every window equals median)") {
+    val df = seriesDf(Seq(("g1", 1L, 2), ("g1", 2L, 2), ("g1", 3L, 2)))
+    assert(DiagnosticsOps.runsTest(df, "g", "h").count() === 0L)
+    // single non-median window: nn = 1 -> e/z null, no ANSI div-by-zero
+    val one = seriesDf(Seq(("g1", 1L, 1), ("g1", 2L, 3)))
+    val r = DiagnosticsOps.runsTest(one, "g", "h").head()
+    assert(r.getAs[Long]("runs") === 1L)
+    assert(r.isNullAt(r.fieldIndex("z")))
+  }
+
+  test("friedmanTest: 3 blocks x 3 treatments, chi2 = 14/3") {
+    // ranks b1 (1,2,3), b2 (2,1,3), b3 (1,2,3): R = (4,5,9)
+    // chi2 = 12/(3*3*4)*(16+25+81) - 3*3*4 = 14/3; no ties
+    // block 4 is incomplete (only A) and must be excluded
+    val df = Seq(
+      (1L, "A", 1.0), (1L, "B", 2.0), (1L, "C", 3.0),
+      (2L, "A", 2.0), (2L, "B", 1.0), (2L, "C", 3.0),
+      (3L, "A", 1.0), (3L, "B", 2.0), (3L, "C", 3.0),
+      (4L, "A", 9.0)).toDF("b", "t", "v")
+    val r = DiagnosticsOps.friedmanTest(df, "b", "t", "v",
+      quantDigits = 0).head()
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("dof") === 2L)
+    assert(approx(r.getAs[Double]("chi2"), 14.0 / 3.0))
+    assert(approx(r.getAs[Double]("chi2_corr"), 14.0 / 3.0))
+  }
+
+  test("mcnemarTest: b=3 c=1 gives continuity-corrected chi2 = 0.25") {
+    val df = Seq(
+      (1L, true, false), (2L, true, false), (3L, true, false), // b
+      (4L, false, true), // c
+      (5L, true, true), (6L, false, false)).toDF("k", "pre", "post")
+    val r = DiagnosticsOps.mcnemarTest(df, "k", "pre", "post").head()
+    assert(r.getAs[Long]("n_pairs") === 6L)
+    assert(r.getAs[Long]("b") === 3L && r.getAs[Long]("c") === 1L)
+    assert(approx(r.getAs[Double]("chi2"), 0.25))
+  }
+
+  test("mcnemarTest: b+c=0 yields null chi2") {
+    val df = Seq((1L, true, true), (2L, false, false))
+      .toDF("k", "pre", "post")
+    val r = DiagnosticsOps.mcnemarTest(df, "k", "pre", "post").head()
+    assert(r.isNullAt(r.fieldIndex("chi2")))
+  }
+
+  test("wassersteinDrift: unit shift has W1 = 1; identity has W1 = 0") {
+    val df = Seq("A" -> 0.0, "A" -> 1.0, "B" -> 1.0, "B" -> 2.0)
+      .toDF("c", "v")
+    val r = DiagnosticsOps.wassersteinDrift(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(approx(r.getAs[Double]("w1"), 1.0))
+    val same = DiagnosticsOps.wassersteinDrift(df, "c", "A", "A", "v",
+      quantDigits = 0).head()
+    assert(approx(same.getAs[Double]("w1"), 0.0))
+  }
+
+  test("hellingerDrift: half-overlap BC = 0.5, H = sqrt(0.5)") {
+    // A=(0,1) B=(1,2): only v=1 contributes sqrt(1*1); BC = 1/sqrt(4)
+    val df = Seq("A" -> 0.0, "A" -> 1.0, "B" -> 1.0, "B" -> 2.0)
+      .toDF("c", "v")
+    val r = DiagnosticsOps.hellingerDrift(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(approx(r.getAs[Double]("bc"), 0.5))
+    assert(approx(r.getAs[Double]("hellinger"), math.sqrt(0.5)))
+    val same = DiagnosticsOps.hellingerDrift(df, "c", "A", "A", "v",
+      quantDigits = 0).head()
+    assert(approx(same.getAs[Double]("bc"), 1.0))
+    assert(approx(same.getAs[Double]("hellinger"), 0.0))
+  }
+
+  test("ar1Fit: alternating counts give phi = -0.75") {
+    // y=(1,2,1,2): mean 1.5, c0 = 2.5-2.25 = 0.25
+    // c1 = (6 - 1.5*(4+5) + 3*2.25)/4 = -0.1875; phi = -0.75
+    // innov = 0.25*(1-0.5625) = 0.109375
+    val df = seriesDf(Seq(("g1", 1L, 1), ("g1", 2L, 2), ("g1", 3L, 1),
+      ("g1", 4L, 2)))
+    val r = DiagnosticsOps.ar1Fit(df, "g", "h").head()
+    assert(r.getAs[Long]("t") === 4L)
+    assert(approx(r.getAs[Double]("mean"), 1.5))
+    assert(approx(r.getAs[Double]("phi"), -0.75))
+    assert(approx(r.getAs[Double]("innov_var"), 0.109375))
+  }
+
+  test("ar1Fit: constant series yields null phi (zero variance)") {
+    val df = seriesDf(Seq(("g1", 1L, 2), ("g1", 2L, 2), ("g1", 3L, 2)))
+    val r = DiagnosticsOps.ar1Fit(df, "g", "h").head()
+    assert(approx(r.getAs[Double]("mean"), 2.0))
+    assert(r.isNullAt(r.fieldIndex("phi")))
+  }
+
+  test("ljungBox: 6-point alternating series has Q = 12 at maxLag 2") {
+    // y=(1,2,1,2,1,2): rho1 = -5/6 (5 pairs), rho2 = 2/3 (4 pairs)
+    // Q = 6*8*((25/36)/5 + (4/9)/4) = 48*0.25 = 12; dof = 2
+    val df = seriesDf(Seq(("g1", 1L, 1), ("g1", 2L, 2), ("g1", 3L, 1),
+      ("g1", 4L, 2), ("g1", 5L, 1), ("g1", 6L, 2)))
+    val r = DiagnosticsOps.ljungBox(df, "g", "h", maxLag = 2).head()
+    assert(r.getAs[Long]("t") === 6L)
+    assert(r.getAs[Long]("dof") === 2L)
+    assert(approx(r.getAs[Double]("q"), 12.0))
+  }
+
+  test("ljungBox: zero-variance series drops; dof counts usable lags") {
+    // constant counts -> every acf null -> group absent
+    val const = seriesDf(Seq(("g1", 1L, 2), ("g1", 2L, 2), ("g1", 3L, 2)))
+    assert(DiagnosticsOps.ljungBox(const, "g", "h", maxLag = 2)
+      .count() === 0L)
+    // 3 windows at maxLag 4: lags 3,4 have no pairs -> dof = 2, not 4
+    val short = seriesDf(Seq(("g1", 1L, 1), ("g1", 2L, 3), ("g1", 3L, 1)))
+    val r = DiagnosticsOps.ljungBox(short, "g", "h", maxLag = 4).head()
+    assert(r.getAs[Long]("dof") === 2L)
+  }
+
+  test("dominantPeriod: period-2 series peaks at lag 2 with acf 0.75") {
+    // y=(1,2,1,2,1,2,1,2): rho2 = 1.5/2 = 0.75, rho3 = -0.625
+    val df = seriesDf((1 to 8).map(h =>
+      ("g1", h.toLong, if (h % 2 == 0) 2 else 1)))
+    val r = DiagnosticsOps.dominantPeriod(df, "g", "h", maxLag = 3).head()
+    assert(r.getAs[Long]("period") === 2L)
+    assert(approx(r.getAs[Double]("acf"), 0.75))
+  }
+
+  test("crossCorrelation: B = A shifted by one window -> ccf(1) = 1") {
+    // A counts (1,2,3) at h=1..3; B counts (1,2,3) at h=2..4
+    val df = seriesDf(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 2L, 1), ("B", 3L, 2), ("B", 4L, 3)))
+      .withColumnRenamed("g", "c")
+    val out = DiagnosticsOps.crossCorrelation(df, "c", "A", "B", "h",
+        maxLag = 1)
+      .collect().map(r => r.getAs[Long]("lag") ->
+        (r.getAs[Long]("n_pairs"), Option(r.getAs[Any]("ccf")))).toMap
+    assert(out(1L)._1 === 3L)
+    assert(approx(out(1L)._2.get.asInstanceOf[Double], 1.0))
+    // lag 0 over h=1..4 incl. zero-count windows: r = -1/5
+    assert(out(0L)._1 === 4L)
+    assert(approx(out(0L)._2.get.asInstanceOf[Double], -0.2))
+  }
+
+  test("pageHinkley: single upward step alarms once") {
+    // y=(4,6), delta=0: inc1 = 0, inc2 = 6-5 = 1
+    // ph = 1, min = 0, excess 1 > lambda 0.5 -> 1 alarm
+    val df = seriesDf(Seq(("g1", 1L, 4), ("g1", 2L, 6)))
+    val r = DiagnosticsOps.pageHinkley(df, "g", "h", delta = 0.0,
+      lambda = 0.5).head()
+    assert(r.getAs[Long]("n_windows") === 2L)
+    assert(approx(r.getAs[Double]("ph_final"), 1.0))
+    assert(approx(r.getAs[Double]("max_excess"), 1.0))
+    assert(r.getAs[Long]("alarm_windows") === 1L)
+  }
+
+  test("pageHinkley: flat series never alarms") {
+    val df = seriesDf(Seq(("g1", 1L, 5), ("g1", 2L, 5), ("g1", 3L, 5)))
+    val r = DiagnosticsOps.pageHinkley(df, "g", "h", delta = 0.0,
+      lambda = 0.5).head()
+    assert(approx(r.getAs[Double]("ph_final"), 0.0))
+    assert(r.getAs[Long]("alarm_windows") === 0L)
+  }
+
+  test("grangerLite: hand-solved 2-predictor OLS, F = 27") {
+    // x=(1,2,1,3,1), y=(1,1,2,1,4) at h=1..5; after lag rows t=2..5:
+    // yv=(1,2,1,4) p=(1,1,2,1) q=(1,2,1,3)
+    // cpp=.75 cqq=2.75 cpq=-.75 cpy=-1 cqy=4 cyy=6
+    // rssR = 6-4/3 = 14/3; det = 1.5; bq = 2.25/1.5 = 1.5
+    // rssF = 6+1/6-6 = 1/6; F = (14/3-1/6)/((1/6)/1) = 27
+    val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
+      ("x", 4L, 3), ("x", 5L, 1),
+      ("y", 1L, 1), ("y", 2L, 1), ("y", 3L, 2), ("y", 4L, 1),
+      ("y", 5L, 4))).withColumnRenamed("g", "c")
+    val r = DiagnosticsOps.grangerLite(df, "c", "x", "y", "h").head()
+    assert(r.getAs[Long]("t") === 4L)
+    assert(approx(r.getAs[Double]("beta_cause"), 1.5))
+    assert(approx(r.getAs[Double]("rss_restricted"), 14.0 / 3.0))
+    assert(approx(r.getAs[Double]("rss_full"), 1.0 / 6.0))
+    assert(approx(r.getAs[Double]("f"), 27.0))
+  }
+
+  test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
+    // y_t equals x_{t-1} exactly -> full model is exact
+    val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
+      ("x", 4L, 3), ("x", 5L, 2),
+      ("y", 2L, 1), ("y", 3L, 2), ("y", 4L, 1), ("y", 5L, 3)))
+      .withColumnRenamed("g", "c")
+    val r = DiagnosticsOps.grangerLite(df, "c", "x", "y", "h").head()
+    assert(r.isNullAt(r.fieldIndex("f")))
+  }
+}
