@@ -727,6 +727,333 @@ object QueriesDiagnostics {
          " - 3))", 8)} END AS f
        |FROM m3""".stripMargin)
 
+  /** Two-sample Cramér–von Mises ω² between view and purchase value
+    * distributions (DiagnosticsOps.cvmDrift, 1e-4 grid): squared CDF
+    * gap integrated under the pooled distribution, value-ordered fold.
+    */
+  private val cvmDriftQ = Q(
+    (s, d) => DiagnosticsOps.cvmDrift(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", quantDigits = 4)
+      .select(col("n_a"), col("n_b"), qround(col("t"), 8).as("t")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |g AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM e GROUP BY 1),
+       |t0 AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |              CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+       |cum AS (
+       |  SELECT v, ca, cb,
+       |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cuma,
+       |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cumb
+       |  FROM g),
+       |a AS (
+       |  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'v': v, 'x':
+       |        (CAST(cuma AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |           - CAST(cumb AS DOUBLE) * CAST(n_a AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |        * ((CAST(cuma AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |            - CAST(cumb AS DOUBLE) * CAST(n_a AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+       |        * (CAST(ca AS DOUBLE) + CAST(cb AS DOUBLE))}
+       |        ORDER BY v), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS s
+       |  FROM cum CROSS JOIN t0)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${qrSql("CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)" +
+         " / ((CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))" +
+         " * (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))) * s", 8)}
+       |  END AS t
+       |FROM a""".stripMargin)
+
+  /** 1-D energy distance between the same cohorts
+    * (DiagnosticsOps.energyDrift): 2·Σ(F_a−F_b)²·Δv/scale over the
+    * grid — the metric companion to cvm_drift's pooled-weighted form.
+    */
+  private val energyDriftQ = Q(
+    (s, d) => DiagnosticsOps.energyDrift(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", quantDigits = 4)
+      .select(col("n_a"), col("n_b"),
+        qround(col("energy"), 8).as("energy")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |g AS (
+       |  SELECT v,
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ca,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM e GROUP BY 1),
+       |t0 AS (SELECT CAST(sum(ca) AS BIGINT) AS n_a,
+       |              CAST(sum(cb) AS BIGINT) AS n_b FROM g),
+       |cum AS (
+       |  SELECT v,
+       |    CAST(sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cuma,
+       |    CAST(sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) AS cumb,
+       |    lead(v) OVER (ORDER BY v) - v AS gap
+       |  FROM g),
+       |a AS (
+       |  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'v': v, 'x':
+       |        (CAST(cuma AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |           - CAST(cumb AS DOUBLE) * CAST(n_a AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE))
+       |        * ((CAST(cuma AS DOUBLE) * CAST(n_b AS DOUBLE)
+       |            - CAST(cumb AS DOUBLE) * CAST(n_a AS DOUBLE))
+       |          / (CAST(n_a AS DOUBLE) * CAST(n_b AS DOUBLE)))
+       |        * CAST(coalesce(gap, 0) AS DOUBLE)}
+       |        ORDER BY v), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS s
+       |  FROM cum CROSS JOIN t0)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${qrSql("2.0 * s / 10000.0", 8)}
+       |  END AS energy
+       |FROM a""".stripMargin)
+
+  /** Shared oracle CTE for the paired first-half/second-half per-user
+    * value deltas (1e-2 grid) used by sign_test and
+    * wilcoxon_signed_rank.
+    */
+  private val pairedSql: String =
+    """bnd AS (
+      |  SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+      |    max(epoch_ns(ts) // 86400000000000) AS hi
+      |  FROM events),
+      |per AS (
+      |  SELECT user_id,
+      |    CAST(sum(coalesce(CASE
+      |      WHEN epoch_ns(ts) // 86400000000000 >= (lo + hi + 1) // 2
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END, 0))
+      |      AS BIGINT)
+      |    - CAST(sum(coalesce(CASE
+      |      WHEN epoch_ns(ts) // 86400000000000 < (lo + hi + 1) // 2
+      |      THEN CAST(floor(value * 100.0 + 0.5) AS BIGINT) END, 0))
+      |      AS BIGINT) AS d
+      |  FROM events CROSS JOIN bnd
+      |  WHERE user_id IS NOT NULL
+      |  GROUP BY 1)""".stripMargin
+
+  /** Spark-side paired frame matching [[pairedSql]]. */
+  private def pairedFrame(s: org.apache.spark.sql.SparkSession,
+                          d: String) = {
+    val ev = Tables.events(s, d)
+      .select(col("user_id"), col("ts_ns"), col("value"))
+    val b = ev.agg(
+      min(expr("ts_ns div 86400000000000L")).as("_lo"),
+      max(expr("ts_ns div 86400000000000L")).as("_hi"))
+    ev.crossJoin(broadcast(b)).select(col("user_id"),
+      when(expr("ts_ns div 86400000000000L") <
+        expr("(_lo + _hi + 1) div 2"), col("value")).as("pre"),
+      when(expr("ts_ns div 86400000000000L") >=
+        expr("(_lo + _hi + 1) div 2"), col("value")).as("post"))
+  }
+
+  /** Paired sign test of per-user value mass, first vs second half of
+    * the observed span (DiagnosticsOps.signTest): b/c census and the
+    * continuity-corrected normal z.
+    */
+  private val signTestQ = Q(
+    (s, d) => DiagnosticsOps.signTest(pairedFrame(s, d), "user_id",
+        "pre", "post", quantDigits = 2)
+      .select(col("b"), col("c"), col("n_zero"),
+        qround(col("z"), 8).as("z")),
+    s"""WITH $pairedSql,
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN d > 0 THEN 1 ELSE 0 END) AS BIGINT) AS b,
+       |    CAST(sum(CASE WHEN d < 0 THEN 1 ELSE 0 END) AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN d = 0 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_zero
+       |  FROM per)
+       |SELECT b, c, n_zero,
+       |  CASE WHEN b + c > 0 THEN
+       |    ${qrSql("(CASE WHEN CAST(b AS DOUBLE) - CAST(c AS DOUBLE) > 0" +
+         " THEN 1.0 WHEN CAST(b AS DOUBLE) - CAST(c AS DOUBLE) < 0" +
+         " THEN -1.0 ELSE 0.0 END)" +
+         " * (abs(CAST(b AS DOUBLE) - CAST(c AS DOUBLE)) - 1)" +
+         " / sqrt(CAST(b AS DOUBLE) + CAST(c AS DOUBLE))", 8)}
+       |  END AS z
+       |FROM a""".stripMargin)
+
+  /** Wilcoxon signed-rank on the same paired deltas
+    * (DiagnosticsOps.wilcoxonSignedRank): doubled midranks of |d|,
+    * exact tie-corrected variance, normal z.
+    */
+  private val wilcoxonSignedRankQ = Q(
+    (s, d) => DiagnosticsOps.wilcoxonSignedRank(pairedFrame(s, d),
+        "user_id", "pre", "post", quantDigits = 2)
+      .select(col("n"), qround(col("w_plus"), 4).as("w_plus"),
+        qround(col("z"), 8).as("z")),
+    s"""WITH $pairedSql,
+       |nz AS (SELECT abs(d) AS ad, d > 0 AS pos FROM per WHERE d <> 0),
+       |h AS (SELECT ad, CAST(count(*) AS BIGINT) AS t,
+       |        CAST(sum(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+       |          AS tp
+       |      FROM nz GROUP BY 1),
+       |rk AS (
+       |  SELECT t, tp,
+       |    2 * CAST(sum(t) OVER (ORDER BY ad ROWS UNBOUNDED PRECEDING)
+       |      AS BIGINT) - t + 1 AS dr
+       |  FROM h),
+       |a AS (
+       |  SELECT CAST(sum(t) AS BIGINT) AS n,
+       |    CAST(sum(dr * tp) AS BIGINT) AS w2,
+       |    CAST(sum(t * t * t - t) AS BIGINT) AS t3
+       |  FROM rk)
+       |SELECT n, ${qrSql("CAST(w2 AS DOUBLE) / 2", 4)} AS w_plus,
+       |  CASE WHEN n > 0
+       |    AND CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)
+       |      * (2.0 * CAST(n AS DOUBLE) + 1) / 6
+       |      - CAST(t3 AS DOUBLE) / 12 > 0
+       |  THEN
+       |    ${qrSql("(CAST(w2 AS DOUBLE) - CAST(n AS DOUBLE)" +
+         " * (CAST(n AS DOUBLE) + 1) / 2)" +
+         " / sqrt(CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) + 1)" +
+         " * (2.0 * CAST(n AS DOUBLE) + 1) / 6" +
+         " - CAST(t3 AS DOUBLE) / 12)", 8)}
+       |  END AS z
+       |FROM a""".stripMargin)
+
+  /** Cochran's Q: did each user's purchase incidence differ across
+    * the three tertiles of the observed span
+    * (DiagnosticsOps.cochranQ over a dense user × tertile frame):
+    * all-integer closed form, one division.
+    */
+  private val cochranQQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("user_id"), col("ts_ns"), col("event_type"))
+      val b = ev.agg(
+        min(expr("ts_ns div 86400000000000L")).as("_lo"),
+        max(expr("ts_ns div 86400000000000L")).as("_hi"))
+      val tid = expr(
+        "((ts_ns div 86400000000000L) - _lo) * 3 div (_hi - _lo + 1)")
+      def hit(i: Int) = max(when(tid === i &&
+        col("event_type") === "purchase", 1L).otherwise(0L))
+      val per = ev.where(col("user_id").isNotNull)
+        .crossJoin(broadcast(b))
+        .groupBy("user_id")
+        .agg(hit(0).as("x0"), hit(1).as("x1"), hit(2).as("x2"))
+      val melted = per.select(col("user_id"), expr(
+        "stack(3, 0L, x0 = 1, 1L, x1 = 1, 2L, x2 = 1) as (treat, x)"))
+      DiagnosticsOps.cochranQ(melted, "user_id", "treat", "x")
+        .select(col("n_blocks"), col("k"), col("dof"),
+          qround(col("q"), 8).as("q"))
+    },
+    s"""WITH bnd AS (
+       |  SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+       |    max(epoch_ns(ts) // 86400000000000) AS hi
+       |  FROM events),
+       |per AS (
+       |  SELECT user_id,
+       |    CAST(max(CASE WHEN (epoch_ns(ts) // 86400000000000 - lo) * 3
+       |        // (hi - lo + 1) = 0 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x0,
+       |    CAST(max(CASE WHEN (epoch_ns(ts) // 86400000000000 - lo) * 3
+       |        // (hi - lo + 1) = 1 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x1,
+       |    CAST(max(CASE WHEN (epoch_ns(ts) // 86400000000000 - lo) * 3
+       |        // (hi - lo + 1) = 2 AND event_type = 'purchase'
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x2
+       |  FROM events CROSS JOIN bnd
+       |  WHERE user_id IS NOT NULL
+       |  GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(3 AS BIGINT) AS k,
+       |    CAST(sum(x0) + sum(x1) + sum(x2) AS BIGINT) AS n,
+       |    CAST(sum(x0) * sum(x0) + sum(x1) * sum(x1)
+       |      + sum(x2) * sum(x2) AS BIGINT) AS st2,
+       |    CAST(sum((x0 + x1 + x2) * (x0 + x1 + x2)) AS BIGINT) AS su2
+       |  FROM per)
+       |SELECT n_blocks, k, k - 1 AS dof,
+       |  CASE WHEN k > 1 AND k * n - su2 > 0 THEN
+       |    ${qrSql("CAST((k - 1) * (k * st2 - n * n) AS DOUBLE)" +
+         " / CAST(k * n - su2 AS DOUBLE)", 8)}
+       |  END AS q
+       |FROM a""".stripMargin)
+
+  /** Kendall τ-b between the view and purchase hourly count series
+    * (DiagnosticsOps.kendallTau): O(T log T) inversion census on the
+    * Spark side, verified against the oracle's direct O(T²) pair
+    * count.
+    */
+  private val kendallTauQ = Q(
+    (s, d) => DiagnosticsOps.kendallTau(
+        Tables.events(s, d).select(col("event_type"),
+          expr("ts_ns div 3600000000000L").as("win")),
+        "event_type", "view", "purchase", "win")
+      .select(col("t"), col("concordant"), col("discordant"),
+        qround(col("tau_b"), 8).as("tau_b")),
+    s"""WITH dom AS (
+       |  SELECT epoch_ns(ts) // 3600000000000 AS h,
+       |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS yv
+       |  FROM events WHERE event_type IN ('view', 'purchase')
+       |  GROUP BY 1),
+       |pr AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN (a.x < b.x AND a.yv < b.yv)
+       |      OR (a.x > b.x AND a.yv > b.yv) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS c,
+       |    CAST(sum(CASE WHEN (a.x < b.x AND a.yv > b.yv)
+       |      OR (a.x > b.x AND a.yv < b.yv) THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS d
+       |  FROM dom a JOIN dom b ON a.h < b.h),
+       |tt AS (SELECT CAST(count(*) AS BIGINT) AS t FROM dom),
+       |n1 AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+       |         AS n1
+       |       FROM (SELECT count(*) AS c FROM dom GROUP BY x)),
+       |n2 AS (SELECT CAST(coalesce(sum(c * (c - 1) // 2), 0) AS BIGINT)
+       |         AS n2
+       |       FROM (SELECT count(*) AS c FROM dom GROUP BY yv))
+       |SELECT t, c AS concordant, d AS discordant,
+       |  CASE WHEN t > 1
+       |    AND sqrt(CAST(t * (t - 1) // 2 - n1 AS DOUBLE)
+       |      * CAST(t * (t - 1) // 2 - n2 AS DOUBLE)) > 0
+       |  THEN
+       |    ${qrSql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE))" +
+         " / sqrt(CAST(t * (t - 1) // 2 - n1 AS DOUBLE)" +
+         " * CAST(t * (t - 1) // 2 - n2 AS DOUBLE))", 8)}
+       |  END AS tau_b
+       |FROM pr CROSS JOIN tt CROSS JOIN n1 CROSS JOIN n2"""
+      .stripMargin)
+
+  /** Streaming Page-Hinkley twin on the batch frame
+    * (streaming.StreamingOps.pageHinkleyStream — commutative
+    * (window → count) map state, batch-equality pinned in
+    * StreamingOpsSpec): same oracle as the batch page_hinkley.
+    */
+  private val streamPageHinkleyQ = Q(
+    (s, d) => graft.streaming.StreamingOps.pageHinkleyStream(s,
+        hourly(s, d), "event_type", "win", delta = 0.1, lambda = 10.0)
+      .select(col("event_type"), col("n_windows"),
+        qround(col("ph_final"), 6).as("ph_final"),
+        qround(col("max_excess"), 6).as("max_excess"),
+        col("alarm_windows")),
+    pageHinkleyQ.sql)
+
   val all: Map[String, Q] = Map(
     "anova_oneway" -> anovaOnewayQ,
     "welch_t" -> welchTQ,
@@ -741,5 +1068,12 @@ object QueriesDiagnostics {
     "dominant_period" -> dominantPeriodQ,
     "cross_correlation" -> crossCorrelationQ,
     "page_hinkley" -> pageHinkleyQ,
-    "granger_lite" -> grangerLiteQ)
+    "granger_lite" -> grangerLiteQ,
+    "cvm_drift" -> cvmDriftQ,
+    "energy_drift" -> energyDriftQ,
+    "sign_test" -> signTestQ,
+    "wilcoxon_signed_rank" -> wilcoxonSignedRankQ,
+    "cochran_q" -> cochranQQ,
+    "kendall_tau" -> kendallTauQ,
+    "stream_page_hinkley" -> streamPageHinkleyQ)
 }

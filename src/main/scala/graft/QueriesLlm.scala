@@ -4515,8 +4515,118 @@ object QueriesLlm {
          "CAST(n * n - pe2 AS DOUBLE)", 8)} AS kappa
        |FROM tot, pe""".stripMargin)
 
+  /** k-core peeling of the near-dup candidate graph
+    * (DedupOps.kCore, k=2, 4 fixed peel rounds): the dense-cluster
+    * prefilter — nodes surviving repeated degree-<2 deletion are the
+    * transitive duplicate cores. Oracle unrolls the same 4 rounds as
+    * MATERIALIZED CTEs.
+    */
+  private val kcoreQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 4)
+      val pairs = DedupOps.minHashNearDup(corpus, "doc_id", "text",
+        threshold = 0.5).select(col("id1"), col("id2"))
+      DedupOps.kCore(pairs, "id1", "id2", k = 2, rounds = 4)
+    }, {
+      def peel(prev: String, cur: String) =
+        s"""$cur AS MATERIALIZED (
+           |  SELECT a, b FROM $prev
+           |  WHERE a IN (SELECT n FROM (SELECT a AS n FROM $prev
+           |      UNION ALL SELECT b FROM $prev) GROUP BY n
+           |      HAVING count(*) >= 2)
+           |    AND b IN (SELECT n FROM (SELECT a AS n FROM $prev
+           |      UNION ALL SELECT b FROM $prev) GROUP BY n
+           |      HAVING count(*) >= 2))""".stripMargin
+      def nn(e: String) =
+        s"""(SELECT CAST(count(DISTINCT n) AS BIGINT) FROM
+           |  (SELECT a AS n FROM $e UNION ALL SELECT b FROM $e))"""
+          .stripMargin
+      s"""WITH ${minhashVerSql(mod = 4)},
+         |e0 AS MATERIALIZED (
+         |  SELECT DISTINCT least(id1, id2) AS a,
+         |    greatest(id1, id2) AS b
+         |  FROM ver WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5
+         |    AND least(id1, id2) < greatest(id1, id2)),
+         |${peel("e0", "e1")},
+         |${peel("e1", "e2")},
+         |${peel("e2", "e3")},
+         |${peel("e3", "e4")}
+         |SELECT CAST(2 AS BIGINT) AS k, CAST(4 AS BIGINT) AS rounds,
+         |  ${nn("e4")} AS n_nodes,
+         |  (SELECT CAST(count(*) AS BIGINT) FROM e4) AS n_edges,
+         |  ${nn("e4")} = ${nn("e3")} AS converged"""
+        .stripMargin
+    })
+
+  /** Matthews correlation + balanced accuracy + Youden's J of the
+    * learned quality classifier against the stopword-ratio heuristic
+    * gate (ClassifierOps.matthews) — the imbalance-robust companions
+    * to cohens_kappa on the same two raters.
+    */
+  private val mccEvalQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(
+          when(qround(col("f_stop"), 6) >= 0.12, 1).otherwise(0)
+            .as("truth"),
+          when(qround(col("score"), 6) >= 0.44, 1).otherwise(0)
+            .as("pred"))
+      ClassifierOps.matthews(scored, "truth", "pred")
+        .select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
+          qround(col("mcc"), 8).as("mcc"),
+          qround(col("balanced_accuracy"), 8).as("balanced_accuracy"),
+          qround(col("youden_j"), 8).as("youden_j"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |r AS (
+       |  SELECT
+       |    CASE WHEN ${qrSql("f2", 6)} >= 0.12e0 THEN 1 ELSE 0 END AS a,
+       |    CASE WHEN ${qrSql(
+             "1.0e0/(1.0e0 + exp(-(wf.w1*f1 + wf.w2*f2 + wf.w3*f3 + wf.b)))",
+             6)} >= 0.44e0
+       |      THEN 1 ELSE 0 END AS b
+       |  FROM f, wf),
+       |cells AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN a = 0 AND b = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN a = 1 AND b = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn
+       |  FROM r)
+       |SELECT n, tp, tn, fp, fn,
+       |  CASE WHEN sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))
+       |      * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))
+       |      * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))
+       |      * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE))) > 0
+       |  THEN
+       |    ${qrSql("(CAST(tp AS DOUBLE) * CAST(tn AS DOUBLE)" +
+         " - CAST(fp AS DOUBLE) * CAST(fn AS DOUBLE))" +
+         " / sqrt((CAST(tp AS DOUBLE) + CAST(fp AS DOUBLE))" +
+         " * (CAST(tp AS DOUBLE) + CAST(fn AS DOUBLE))" +
+         " * (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))" +
+         " * (CAST(tn AS DOUBLE) + CAST(fn AS DOUBLE)))", 8)}
+       |  END AS mcc,
+       |  ${qrSql("(CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)" +
+         " + CAST(fn AS DOUBLE)) + CAST(tn AS DOUBLE)" +
+         " / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE))) / 2", 8)}
+       |    AS balanced_accuracy,
+       |  ${qrSql("CAST(tp AS DOUBLE) / (CAST(tp AS DOUBLE)" +
+         " + CAST(fn AS DOUBLE)) + CAST(tn AS DOUBLE)" +
+         " / (CAST(tn AS DOUBLE) + CAST(fp AS DOUBLE)) - 1", 8)}
+       |    AS youden_j
+       |FROM cells""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "roc_auc" -> rocAucQ,
+    "mcc_eval" -> mccEvalQ,
+    "kcore" -> kcoreQ,
     "pr_curve" -> prCurveQ,
     "conformal_interval" -> conformalIntervalQ,
     "brier_ece" -> brierEceQ,

@@ -285,6 +285,40 @@ object ClassifierOps {
           (col("n") * col("n") - col("_pe2")).cast("double")).as("kappa"))
   }
 
+  /** Matthews correlation coefficient + balanced accuracy + Youden's J
+    * for a BINARY prediction column against a binary truth column —
+    * the chance-robust single-number classifier summaries that, unlike
+    * raw accuracy, stay honest under class imbalance (the usual state
+    * of a quality gate at corpus scale, where "keep" dominates).
+    * Both columns are 0/1 ints. The four confusion cells are exact
+    * BIGINTs off one hash aggregate;
+    *   MCC = (TP·TN − FP·FN)/√((TP+FP)(TP+FN)(TN+FP)(TN+FN))
+    * is one mirrored IEEE expression over the cells (the product
+    * under the root exceeds 2⁶³ long before the cells do, so the
+    * root's factors multiply in double); balanced accuracy =
+    * (TPR+TNR)/2, J = TPR+TNR−1. Degenerate margins (any factor 0)
+    * yield null MCC, not an ANSI error.
+    */
+  def matthews(df: DataFrame, truthCol: String,
+               predCol: String): DataFrame = {
+    def cell(t: Int, p: Int) =
+      sum(when(col(truthCol) === t && col(predCol) === p, 1L)
+        .otherwise(0L))
+    val agg = df.where(col(truthCol).isNotNull && col(predCol).isNotNull)
+      .agg(count(lit(1)).as("n"), cell(1, 1).as("tp"),
+        cell(0, 0).as("tn"), cell(0, 1).as("fp"), cell(1, 0).as("fn"))
+    def D(s: String) = col(s).cast("double")
+    val den = sqrt((D("tp") + D("fp")) * (D("tp") + D("fn")) *
+      (D("tn") + D("fp")) * (D("tn") + D("fn")))
+    val tpr = try_divide(D("tp"), D("tp") + D("fn"))
+    val tnr = try_divide(D("tn"), D("tn") + D("fp"))
+    agg.select(col("n"), col("tp"), col("tn"), col("fp"), col("fn"),
+      when(den > 0, (D("tp") * D("tn") - D("fp") * D("fn")) / den)
+        .as("mcc"),
+      ((tpr + tnr) / 2).as("balanced_accuracy"),
+      (tpr + tnr - 1).as("youden_j"))
+  }
+
   /** Fleiss' kappa — [[cohensKappa]] generalized to n raters per item
     * (the labeling-quality gate for multi-annotator curation: raters
     * here are usually heuristic classifiers whose consensus is being

@@ -928,4 +928,66 @@ object DedupOps {
         count(lit(1)).as("n_comms"),
         StatsOps.orderedFoldSum(Seq("_c"), "_term").as("q"))
   }
+
+  /** k-core peeling of the near-dup candidate graph — "which nodes
+    * survive repeatedly deleting everything with degree < k". Dense
+    * cores are where transitive duplicate clusters (and LSH bucket
+    * pathologies) live; peeling is the standard cheap prefilter
+    * before any per-cluster work. Edges are first canonicalized
+    * (undirected, self-loops and duplicate pairs dropped) so degree
+    * means simple-graph degree.
+    *
+    * Determinism + scale: the peel is a FIXED number of rounds (the
+    * contract — not peel-to-convergence, whose round count is
+    * data-dependent; callers pick rounds ≥ the graph's peel depth,
+    * and the spec shows convergence detection via the fixpoint
+    * column). Each round is one degree aggregate + two semi-joins on
+    * the candidate edge list — cost rides |edges| per round, nothing
+    * fact-sized, no collect. Converged = did the LAST round change
+    * nothing (node count fixpoint). Output: 1 row (k, rounds,
+    * n_nodes, n_edges, converged).
+    */
+  def kCore(pairs: DataFrame, id1: String, id2: String, k: Int,
+            rounds: Int): DataFrame = {
+    require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    // Each round reads its edge frame three times (two degree scans +
+    // the semi-join probe), so a lazy chain would nest ~3^rounds
+    // copies of the upstream candidate build into one logical plan —
+    // minutes of analyzer time before a row moves. The standard Spark
+    // idiom for iterative graph algorithms applies: EAGER
+    // localCheckpoint per round truncates plan and lineage to the
+    // materialized edge list (LSH-bounded by contract, executor-local
+    // blocks, no driver collect), so the candidate build runs exactly
+    // once and each round is one small job over the previous round's
+    // blocks. The eager work happens when the caller builds the
+    // frame — the peel IS the operator, not a plan detail.
+    val e0 = pairs
+      .select(least(col(id1), col(id2)).as("_a"),
+        greatest(col(id1), col(id2)).as("_b"))
+      .where(col("_a") < col("_b"))
+      .distinct()
+      .localCheckpoint(true)
+    def peel(e: DataFrame): DataFrame = {
+      val deg = e.select(col("_a").as("_n"))
+        .unionAll(e.select(col("_b").as("_n")))
+        .groupBy("_n").agg(count(lit(1)).as("_d"))
+      val keep = deg.where(col("_d") >= k).select(col("_n"))
+      e.join(keep.withColumnRenamed("_n", "_a"), Seq("_a"), "left_semi")
+        .join(keep.withColumnRenamed("_n", "_b"), Seq("_b"), "left_semi")
+        .localCheckpoint(true)
+    }
+    val chain = (1 to rounds).scanLeft(e0)((e, _) => peel(e))
+    val last = chain.last
+    val prev = chain(rounds - 1)
+    def nodes(e: DataFrame) = e.select(col("_a").as("_n"))
+      .unionAll(e.select(col("_b").as("_n"))).distinct()
+      .agg(count(lit(1)).as("c"))
+    val nLast = nodes(last).select(col("c").as("n_nodes"))
+    val nPrev = nodes(prev).select(col("c").as("_np"))
+    val eLast = last.agg(count(lit(1)).as("n_edges"))
+    nLast.crossJoin(broadcast(nPrev)).crossJoin(broadcast(eLast))
+      .select(lit(k.toLong).as("k"), lit(rounds.toLong).as("rounds"),
+        col("n_nodes"), col("n_edges"),
+        (col("n_nodes") === col("_np")).as("converged"))
+  }
 }

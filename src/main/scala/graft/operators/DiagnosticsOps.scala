@@ -343,6 +343,238 @@ object DiagnosticsOps {
       sqrt(greatest(lit(0.0), lit(1.0) - bc)).as("hellinger"))
   }
 
+  /** Two-sample Cramér–von Mises ω² between two cohorts' value
+    * distributions over the quantized grid — the whole-CDF companion
+    * to [[wassersteinDrift]] (W1 weighs displacement; CvM weighs
+    * squared CDF gap under the POOLED distribution):
+    *   T = (n·m/N²) · Σ_k (F_a(v_k) − F_b(v_k))² · h_k
+    * with h_k the pooled count at grid value k. The CDF gap clears
+    * denominators to the exact BIGINT d_k = cumA·m − cumB·n; each
+    * term (d_k/(n·m))²·h_k is one mirrored IEEE expression and the Σ
+    * folds value-ordered, so the statistic is engine-exact at ANY
+    * cohort size (no integer-range cliff — the only integers are
+    * d_k and h_k). The cumulative window walks the grid domain
+    * (ks_drift's whitelist argument).
+    */
+  def cvmDrift(df: DataFrame, cohortCol: String, cohortA: String,
+               cohortB: String, valueCol: String,
+               quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"), vq.as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    val cum = counts
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .crossJoin(broadcast(tot))
+    val nm = D("n_a") * D("n_b")
+    val gap = (D("_cuma") * D("n_b") - D("_cumb") * D("n_a")) / nm
+    val agg = cum
+      .withColumn("_term", gap * gap * (D("_ca") + D("_cb")))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        StatsOps.orderedFoldSum(Seq("_v"), "_term").as("_s"))
+    val nD = D("n_a") + D("n_b")
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        D("n_a") * D("n_b") / (nD * nD) * col("_s")).as("t"))
+  }
+
+  /** 1-D energy distance (= twice the squared Cramér distance)
+    * between two cohorts over the quantized grid:
+    *   E = 2 · Σ_k (F_a(v_k) − F_b(v_k))² · Δv_k / scale
+    * — the metric form 2E|X−Y| − E|X−X'| − E|Y−Y'|, which for 1-D
+    * reduces to the squared-CDF-gap integral. Same exact-BIGINT
+    * d_k core and value-ordered fold as [[cvmDrift]]; Δv is the
+    * exact integer grid gap. Zero iff the distributions coincide.
+    */
+  def energyDrift(df: DataFrame, cohortCol: String, cohortA: String,
+                  cohortB: String, valueCol: String,
+                  quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val counts = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .select(col(cohortCol).as("_c"), vq.as("_v"))
+      .groupBy("_v")
+      .agg(sum(when(col("_c") === cohortA, 1L).otherwise(0L)).as("_ca"),
+        sum(when(col("_c") === cohortB, 1L).otherwise(0L)).as("_cb"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("_v"))
+    val tot = counts.agg(sum(col("_ca")).as("n_a"),
+      sum(col("_cb")).as("n_b"))
+    val cum = counts
+      .withColumn("_cuma", sum(col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_cb")).over(w))
+      .withColumn("_gap", lead(col("_v"), 1).over(wl) - col("_v"))
+      .crossJoin(broadcast(tot))
+    val nm = D("n_a") * D("n_b")
+    val g = (D("_cuma") * D("n_b") - D("_cumb") * D("n_a")) / nm
+    val agg = cum
+      .withColumn("_term",
+        g * g * D(coalesce(col("_gap"), lit(0L))))
+      .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
+        StatsOps.orderedFoldSum(Seq("_v"), "_term").as("_s"))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0,
+        lit(2.0) * col("_s") / lit(scale)).as("energy"))
+  }
+
+  /** Per-key paired delta census shared by [[signTest]] and
+    * [[wilcoxonSignedRank]]: one fact hash aggregate to
+    * (key, d = Σ quant(post) − Σ quant(pre)), exact grid BIGINTs.
+    */
+  private def pairedDeltas(df: DataFrame, keyCol: String, preCol: String,
+                           postCol: String, quantDigits: Int): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    def q(c: String) = sum(coalesce(
+      floor(col(c).cast("double") * lit(scale) + lit(0.5)).cast("long"),
+      lit(0L)))
+    df.where(col(keyCol).isNotNull)
+      .groupBy(col(keyCol))
+      .agg((q(postCol) - q(preCol)).as("_d"))
+  }
+
+  /** Paired sign test over per-key pre/post sums: b keys improved,
+    * c regressed, zeros dropped (the classical convention), normal z
+    * with continuity correction sign(b−c)·(|b−c|−1)/√(b+c). The
+    * distribution-free sibling of [[welchT]] for paired designs; one
+    * fact hash aggregate, one 1-row reduction.
+    */
+  def signTest(df: DataFrame, keyCol: String, preCol: String,
+               postCol: String, quantDigits: Int = 2): DataFrame = {
+    val per = pairedDeltas(df, keyCol, preCol, postCol, quantDigits)
+    val agg = per.agg(
+      sum(when(col("_d") > 0, 1L).otherwise(0L)).as("b"),
+      sum(when(col("_d") < 0, 1L).otherwise(0L)).as("c"),
+      sum(when(col("_d") === 0, 1L).otherwise(0L)).as("n_zero"))
+    val bD = D("b")
+    val cD = D("c")
+    val z = signum(bD - cD) * (abs(bD - cD) - 1) / sqrt(bD + cD)
+    agg.select(col("b"), col("c"), col("n_zero"),
+      when(col("b") + col("c") > 0, z).as("z"))
+  }
+
+  /** Wilcoxon signed-rank test over the same per-key paired deltas:
+    * midranks of |d| (zeros dropped) via DOUBLED ranks on the
+    * distinct-|d| histogram — dr = 2·cum − t + 1 keeps every rank an
+    * exact BIGINT (mann_whitney's trick), so W2 = 2·W⁺ and the
+    * tie-corrected variance term Σ(t³−t) are exact integers;
+    *   z = (W2 − n(n+1)/2) / √(n(n+1)(2n+1)/6 − Σ(t³−t)/12).
+    * The rank cumulative walks the distinct-|d| value domain
+    * (mann_whitney's whitelist argument verbatim).
+    */
+  def wilcoxonSignedRank(df: DataFrame, keyCol: String, preCol: String,
+                         postCol: String,
+                         quantDigits: Int = 2): DataFrame = {
+    val per = pairedDeltas(df, keyCol, preCol, postCol, quantDigits)
+      .where(col("_d") =!= 0)
+      .select(abs(col("_d")).as("_ad"), (col("_d") > 0).as("_pos"))
+    val hist = per.groupBy(col("_ad"))
+      .agg(count(lit(1)).as("_t"),
+        sum(when(col("_pos"), 1L).otherwise(0L)).as("_tp"))
+    val w = Window.orderBy(col("_ad"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val ranked = hist.withColumn("_cum", sum(col("_t")).over(w))
+      .select(col("_t"), col("_tp"),
+        (lit(2) * col("_cum") - col("_t") + 1).as("_dr"))
+    val agg = ranked.agg(sum(col("_t")).as("n"),
+      sum(col("_dr") * col("_tp")).as("_w2"),
+      sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_t3"))
+    val nD = D("n")
+    val varW2 = nD * (nD + 1) * (lit(2.0) * nD + 1) / 6 -
+      D("_t3") / 12
+    val z = (D("_w2") - nD * (nD + 1) / 2) / sqrt(varW2)
+    agg.select(col("n"), (D("_w2") / 2).as("w_plus"),
+      when(col("n") > 0 && varW2 > 0, z).as("z"))
+  }
+
+  /** Cochran's Q — "did the binary outcome rate differ across k
+    * conditions, blocked by subject" (the k-condition generalization
+    * of [[mcnemarTest]]): per (block, treatment) OR-reduced outcome,
+    * complete blocks only, and the all-integer closed form
+    *   Q = (k−1)·(k·ΣT_j² − N²) / (k·N − Σu_i²)
+    * (T_j = treatment successes, u_i = block successes, N = Σu_i) —
+    * numerator and denominator are exact BIGINTs, one division.
+    */
+  def cochranQ(df: DataFrame, blockCol: String, treatCol: String,
+               outcomeCol: String): DataFrame = {
+    val cells = df.where(col(blockCol).isNotNull && col(treatCol).isNotNull)
+      .groupBy(col(blockCol).as("_b"), col(treatCol).as("_t"))
+      .agg(max(when(col(outcomeCol), 1L).otherwise(0L)).as("_x"))
+    val k = cells.agg(count_distinct(col("_t")).as("_k"))
+    val complete = cells.groupBy("_b").agg(count(lit(1)).as("_kb"))
+      .crossJoin(broadcast(k)).where(col("_kb") === col("_k"))
+      .select(col("_b"))
+    val used = cells.join(complete, Seq("_b"))
+    val tj = used.groupBy("_t").agg(sum(col("_x")).as("_tj"))
+      .agg(count(lit(1)).as("k"), sum(col("_tj")).as("n"),
+        sum(col("_tj") * col("_tj")).as("_st2"))
+    val ui = used.groupBy("_b").agg(sum(col("_x")).as("_ui"))
+      .agg(count(lit(1)).as("n_blocks"),
+        sum(col("_ui") * col("_ui")).as("_su2"))
+    val agg = tj.crossJoin(broadcast(ui))
+    val num = (col("k") - 1) * (col("k") * col("_st2") -
+      col("n") * col("n"))
+    val den = col("k") * col("n") - col("_su2")
+    agg.select(col("n_blocks"), col("k"), (col("k") - 1).as("dof"),
+      when(col("k") > 1 && den > 0, D(num) / D(den)).as("q"))
+  }
+
+  /** Kendall τ-b between two cohorts' per-window counts — rank
+    * concordance of the paired (x_t, y_t) hourly series, the
+    * tie-corrected cross-series sibling of mann_kendall and the
+    * robust alternative to Pearson cross-correlation at lag 0.
+    * Discordant pairs D = inversions of the y-sequence after sorting
+    * pairs by (x asc, y asc) — x-tied pairs sort y-ascending and so
+    * contribute no inversion, exactly matching "neither concordant
+    * nor discordant". C = C(T,2) − n1 − n2 + n3 − D with n1/n2/n3
+    * the x/y/joint tie-pair censuses;
+    *   τ_b = (C − D)/√((C(T,2) − n1)(C(T,2) − n2)).
+    * All censuses exact BIGINTs; D is [[StatsOps.seriesInversions]]
+    * (O(T log T) merge sort) over the window-domain-bounded pair
+    * list. One fact hash aggregate; everything after is domain-sized.
+    */
+  def kendallTau(df: DataFrame, cohortCol: String, cohortA: String,
+                 cohortB: String, windowCol: String): DataFrame = {
+    val dom = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(windowCol).isNotNull)
+      .groupBy(col(windowCol).as("_h"))
+      .agg(sum(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+          .as("_x"),
+        sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
+          .as("_y"))
+    val inv = dom.agg(count(lit(1)).as("t"),
+        StatsOps.seriesInversions(
+          expr("transform(array_sort(collect_list(struct(_x, _y)))," +
+            " p -> p._y)")).as("_d"))
+    val tx = dom.groupBy("_x").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n1"))
+    val ty = dom.groupBy("_y").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n2"))
+    val txy = dom.groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
+      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n3"))
+    val agg = inv.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
+      .crossJoin(broadcast(txy))
+    val n0 = expr("t * (t - 1) div 2")
+    val c = n0 - col("_n1") - col("_n2") + col("_n3") - col("_d")
+    val den = sqrt(D(n0 - col("_n1")) * D(n0 - col("_n2")))
+    agg.select(col("t"), c.as("concordant"),
+      col("_d").as("discordant"),
+      when(col("t") > 1 && den > 0, (D(c) - D(col("_d"))) / den)
+        .as("tau_b"))
+  }
+
   // ------------------------------------------------- series diagnostics
 
   /** Per-series (group × window) integer count table — the shared

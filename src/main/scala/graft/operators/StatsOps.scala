@@ -1398,6 +1398,14 @@ object StatsOps {
     go(0, a.length)
   }
 
+  /** Inversion count of a long-array Column — the group-level
+    * O(T log T) solver shared by [[mannKendall]] and
+    * [[DiagnosticsOps.kendallTau]] (a UDF over a bounded-domain
+    * collect, the sanctioned shape — never applied to fact rows).
+    */
+  private[operators] def seriesInversions(arr: Column): Column =
+    udf((ys: Seq[Long]) => inversionCount(ys.toArray)).apply(arr)
+
   /** Mann-Kendall trend test over each series' per-window counts —
     * the nonparametric "is this metric monotonically drifting" test
     * (Spearman-vs-time asks correlation; MK asks specifically for

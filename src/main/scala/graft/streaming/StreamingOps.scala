@@ -1050,6 +1050,69 @@ object StreamingOps {
       .toDF(keyCol, "n_windows", "n_bursts", "burst_windows")
   }
 
+  /** Streaming twin of [[graft.operators.DiagnosticsOps.pageHinkley]]
+    * — the sequential mean-shift monitor per key with the
+    * (window → count) histogram carried as state across
+    * micro-batches, the same recompute-from-merged-state shape as
+    * [[burstStream]] (PH's running mean makes every prefix relevant,
+    * so the readout replays the whole hour-ordered fold each batch;
+    * count merging is commutative, so cross-batch arrival order
+    * cannot change the answer). After the last batch the emitted
+    * (n_windows, ph_final, max_excess, alarm_windows) equals the
+    * batch operator's bit-exactly: the Scala fold below replays the
+    * batch SQL aggregate's IEEE expressions operation-for-operation
+    * (same association order, old-state min in the excess, δ/λ the
+    * same parsed doubles).
+    *
+    * RETENTION CONTRACT: identical to [[burstStream]] — one long per
+    * distinct observed window per key, linear in the observation
+    * span, never fact-sized; no watermark eviction because dropping
+    * old windows would shift the running mean and break the
+    * batch-equality guarantee. Bound the DOMAIN upstream (lookback
+    * filter, coarser grain, per-epoch restart) if state must be
+    * bounded.
+    */
+  def pageHinkleyStream(spark: SparkSession, df: DataFrame,
+                        keyCol: String, windowCol: String,
+                        delta: Double = 0.1,
+                        lambda: Double = 10.0): DataFrame = {
+    import spark.implicits._
+    val typed = df
+      .where(col(keyCol).isNotNull && col(windowCol).isNotNull)
+      .select(col(keyCol).cast("string"), col(windowCol).cast("long"))
+      .as[(String, Long)]
+    typed.groupByKey(_._1)
+      .mapGroupsWithState[Map[Long, Long],
+        (String, Long, Double, Double, Long)](
+        GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var hist = state.getOption.getOrElse(Map.empty[Long, Long])
+          for ((_, w) <- rows)
+            hist = hist.updated(w, hist.getOrElse(w, 0L) + 1L)
+          state.update(hist)
+          val ws = hist.keys.toArray.sorted
+          var n = 0.0; var s = 0.0; var ph = 0.0
+          var mn = 0.0; var mx = 0.0; var al = 0.0
+          for (w <- ws) {
+            val y = hist(w).toDouble
+            // mirror the batch fold's expression order exactly:
+            // inc = y − (s + y)/(n + 1) − δ, state mins/maxes use the
+            // OLD mn (the batch named_struct reads acc.*, never the
+            // fields computed alongside)
+            val inc = y - (s + y) / (n + 1.0) - delta
+            val phNew = ph + inc
+            val excess = phNew - mn
+            if (excess > lambda) al += 1.0
+            if (excess > mx) mx = excess
+            if (phNew < mn) mn = phNew
+            ph = phNew; s += y; n += 1.0
+          }
+          (key, ws.length.toLong, ph, mx, al.toLong)
+      }
+      .toDF(keyCol, "n_windows", "ph_final", "max_excess",
+        "alarm_windows")
+  }
+
   /** Incremental append analog of convert_ms(append=True)
     * (cngi/conversion/convert_ms.py:21,79): a streaming sink writing
     * partitioned parquet per micro-batch.

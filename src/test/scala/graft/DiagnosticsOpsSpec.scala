@@ -267,6 +267,137 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("f"), 27.0))
   }
 
+  test("cvmDrift: unit shift over {0,1} vs {1,2} gives T = 0.1875") {
+    // grid gaps: v0 (1,0) g=.5 h=1; v1 (2,1) g=.5 h=2; v2 (2,2) g=0
+    // sum = .25 + .5 = .75; T = (2*2/16)*.75
+    val df = Seq("A" -> 0.0, "A" -> 1.0, "B" -> 1.0, "B" -> 2.0)
+      .toDF("c", "v")
+    val r = DiagnosticsOps.cvmDrift(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(approx(r.getAs[Double]("t"), 0.1875))
+    val same = DiagnosticsOps.cvmDrift(df, "c", "A", "A", "v",
+      quantDigits = 0).head()
+    assert(approx(same.getAs[Double]("t"), 0.0))
+  }
+
+  test("energyDrift: unit shift has E = 1 (2E|X-Y| - E|X-X'| - E|Y-Y'|)") {
+    // E|X-Y| = 1, E|X-X'| = E|Y-Y'| = 0.5 -> E = 1
+    val df = Seq("A" -> 0.0, "A" -> 1.0, "B" -> 1.0, "B" -> 2.0)
+      .toDF("c", "v")
+    val r = DiagnosticsOps.energyDrift(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(approx(r.getAs[Double]("energy"), 1.0))
+    val same = DiagnosticsOps.energyDrift(df, "c", "A", "A", "v",
+      quantDigits = 0).head()
+    assert(approx(same.getAs[Double]("energy"), 0.0))
+  }
+
+  private def pairedFixture = Seq(
+    ("k1", Some(1.0), Some(3.0)), // d = +2
+    ("k2", Some(2.0), Some(1.0)), // d = -1
+    ("k3", Some(1.0), Some(1.0)), // d = 0
+    ("k4", Some(1.0), Some(5.0)), // d = +4
+    ("k5", Some(3.0), Some(4.0))) // d = +1
+    .toDF("k", "pre", "post")
+
+  test("signTest: b=3 c=1 one zero, z = 0.5") {
+    val r = DiagnosticsOps.signTest(pairedFixture, "k", "pre", "post",
+      quantDigits = 0).head()
+    assert(r.getAs[Long]("b") === 3L && r.getAs[Long]("c") === 1L)
+    assert(r.getAs[Long]("n_zero") === 1L)
+    assert(approx(r.getAs[Double]("z"), 0.5))
+  }
+
+  test("wilcoxonSignedRank: W+ = 8.5 with a |d| tie, exact variance") {
+    // |d| = (2,1,4,1): ranks 3, 1.5, 4, 1.5; positives 2,4,1 -> 8.5
+    // Var(W2) = 4*5*9/6 - 6/12 = 29.5; z = (17-10)/sqrt(29.5)
+    val r = DiagnosticsOps.wilcoxonSignedRank(pairedFixture, "k",
+      "pre", "post", quantDigits = 0).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approx(r.getAs[Double]("w_plus"), 8.5))
+    assert(approx(r.getAs[Double]("z"), 7.0 / math.sqrt(29.5)))
+  }
+
+  test("cochranQ: textbook 4x3 binary table gives Q = 8/3") {
+    // blocks (1,1,0),(1,0,0),(1,1,1),(0,1,0): T=(3,3,1) N=7 u2=15
+    // Q = 2*(3*19-49)/(21-15) = 8/3; block 5 incomplete -> excluded
+    val df = Seq(
+      (1L, 0L, true), (1L, 1L, true), (1L, 2L, false),
+      (2L, 0L, true), (2L, 1L, false), (2L, 2L, false),
+      (3L, 0L, true), (3L, 1L, true), (3L, 2L, true),
+      (4L, 0L, false), (4L, 1L, true), (4L, 2L, false),
+      (5L, 0L, true)).toDF("b", "t", "x")
+    val r = DiagnosticsOps.cochranQ(df, "b", "t", "x").head()
+    assert(r.getAs[Long]("n_blocks") === 4L)
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("dof") === 2L)
+    assert(approx(r.getAs[Double]("q"), 8.0 / 3.0))
+  }
+
+  test("kendallTau: hand-counted C=6 D=2 with x/y/joint ties, tau_b = 0.5") {
+    // x=(1,2,3,1,2) y=(1,3,2,1,3): n1=n2=n3=2
+    // tau_b = (6-2)/sqrt((10-2)(10-2)) = 0.5
+    val df = seriesDf(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("A", 4L, 1), ("A", 5L, 2),
+      ("B", 1L, 1), ("B", 2L, 3), ("B", 3L, 2), ("B", 4L, 1),
+      ("B", 5L, 3))).withColumnRenamed("g", "c")
+    val r = DiagnosticsOps.kendallTau(df, "c", "A", "B", "h").head()
+    assert(r.getAs[Long]("t") === 5L)
+    assert(r.getAs[Long]("concordant") === 6L)
+    assert(r.getAs[Long]("discordant") === 2L)
+    assert(approx(r.getAs[Double]("tau_b"), 0.5))
+  }
+
+  test("kendallTau: perfectly concordant and anti-concordant series") {
+    val up = seriesDf(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 1L, 2), ("B", 2L, 4), ("B", 3L, 6)))
+      .withColumnRenamed("g", "c")
+    assert(approx(DiagnosticsOps.kendallTau(up, "c", "A", "B", "h")
+      .head().getAs[Double]("tau_b"), 1.0))
+    val down = seriesDf(Seq(("A", 1L, 1), ("A", 2L, 2), ("A", 3L, 3),
+      ("B", 1L, 6), ("B", 2L, 4), ("B", 3L, 2)))
+      .withColumnRenamed("g", "c")
+    assert(approx(DiagnosticsOps.kendallTau(down, "c", "A", "B", "h")
+      .head().getAs[Double]("tau_b"), -1.0))
+  }
+
+  test("matthews: hand confusion matrix, MCC = 4/sqrt(240)") {
+    // tp=3 tn=2 fp=1 fn=2: MCC = (6-2)/sqrt(4*5*3*4)
+    // tpr=3/5 tnr=2/3: ba = 19/30, J = 4/15
+    val df = Seq((1, 1), (1, 1), (1, 1), (1, 0), (1, 0),
+      (0, 0), (0, 0), (0, 1)).toDF("truth", "pred")
+    val r = graft.operators.ClassifierOps.matthews(df, "truth", "pred")
+      .head()
+    assert(r.getAs[Long]("tp") === 3L && r.getAs[Long]("tn") === 2L)
+    assert(r.getAs[Long]("fp") === 1L && r.getAs[Long]("fn") === 2L)
+    assert(approx(r.getAs[Double]("mcc"), 4.0 / math.sqrt(240.0)))
+    assert(approx(r.getAs[Double]("balanced_accuracy"), 19.0 / 30.0))
+    assert(approx(r.getAs[Double]("youden_j"), 4.0 / 15.0))
+  }
+
+  test("matthews: constant prediction yields null MCC, not an error") {
+    val df = Seq((1, 1), (0, 1), (1, 1)).toDF("truth", "pred")
+    val r = graft.operators.ClassifierOps.matthews(df, "truth", "pred")
+      .head()
+    assert(r.isNullAt(r.fieldIndex("mcc")))
+  }
+
+  test("kCore: triangle survives k=2 peeling, tails and islands drop") {
+    // triangle {1,2,3} + chain 3-4-5 + island 6-7, with a duplicate
+    // and a self-loop that canonicalization must ignore
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (2L, 3L), (3L, 4L),
+      (4L, 5L), (6L, 7L), (3L, 3L)).toDF("id1", "id2")
+    val r = graft.operators.DedupOps.kCore(edges, "id1", "id2",
+      k = 2, rounds = 3).head()
+    assert(r.getAs[Long]("n_nodes") === 3L)
+    assert(r.getAs[Long]("n_edges") === 3L)
+    assert(r.getAs[Boolean]("converged"))
+    // one round is not enough to finish peeling the chain
+    val r1 = graft.operators.DedupOps.kCore(edges, "id1", "id2",
+      k = 2, rounds = 1).head()
+    assert(r1.getAs[Long]("n_nodes") === 4L)
+    assert(!r1.getAs[Boolean]("converged"))
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),

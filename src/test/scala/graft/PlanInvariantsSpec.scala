@@ -368,10 +368,19 @@ class PlanInvariantsSpec extends SparkSpec {
       // (hour grid, bounded by the observation span —
       // DiagnosticsOps.grangerLite aggregates the fact to per-window
       // cohort counts FIRST)
+      // cvm_drift / energy_drift: the cumulative (+ Δv lead) walks the
+      // distinct QUANTIZED value grid — wasserstein_drift's 1e-4-grid
+      // argument verbatim (DiagnosticsOps.cvmDrift/energyDrift
+      // aggregate the fact to per-value cohort counts FIRST)
+      // wilcoxon_signed_rank: the doubled-rank cumulative walks the
+      // distinct-|d| histogram of per-USER paired deltas — bounded by
+      // the 1e-2 value grid span, mann_whitney's argument
+      // (DiagnosticsOps.wilcoxonSignedRank aggregates keys first)
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
       "map_eval", "isotonic_calibration", "cliffs_delta",
       "nelson_aalen", "quantile_normalize", "rmst",
-      "wasserstein_drift", "granger_lite")
+      "wasserstein_drift", "granger_lite",
+      "cvm_drift", "energy_drift", "wilcoxon_signed_rank")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {

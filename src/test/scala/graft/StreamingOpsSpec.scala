@@ -614,6 +614,40 @@ class StreamingOpsSpec extends SparkSpec {
     assert(last._2 >= 1L && last._3 >= 1L)
   }
 
+  test("pageHinkleyStream: histogram state across batches equals " +
+      "batch pageHinkley bit-exactly") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(String, Long)]
+    val df = input.toDF().toDF("g", "win")
+    val out = StreamingOps.pageHinkleyStream(spark, df, "g", "win",
+      delta = 0.0, lambda = 0.5)
+    val q = out.writeStream.format("memory").queryName("ph_t")
+      .outputMode("update").start()
+    // flat counts then an upward step; split mid-step so arrival
+    // order across micro-batches differs from window order
+    val rows = Seq.fill(4)(("a", 1L)) ++ Seq.fill(4)(("a", 2L)) ++
+      Seq.fill(6)(("a", 3L)) ++ Seq.fill(6)(("a", 4L))
+    input.addData(rows.take(9): _*)
+    q.processAllAvailable()
+    input.addData(rows.drop(9): _*)
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("ph_t").collect()
+      .map(r => (r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getLong(4))).last
+    val batch = operators.DiagnosticsOps.pageHinkley(
+      rows.toDF("g", "win"), "g", "win", delta = 0.0,
+      lambda = 0.5).head()
+    // BIT equality, not approx — the twin replays the identical IEEE
+    // expressions over the merged histogram
+    assert(last === ((batch.getAs[Long]("n_windows"),
+      batch.getAs[Double]("ph_final"),
+      batch.getAs[Double]("max_excess"),
+      batch.getAs[Long]("alarm_windows"))))
+    assert(last._4 >= 1L) // the step actually alarms
+  }
+
   test("drawdownStream: integer peak/drawdown state across batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, Long, Long, Long)]
