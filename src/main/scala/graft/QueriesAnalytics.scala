@@ -1852,6 +1852,132 @@ object QueriesAnalytics {
       |    * 100000000.0 + 0.5) / 100000000.0 AS kappa
       |FROM b, drp, ne""".stripMargin)
 
+  /** Krippendorff's alpha (nominal) over the same synthetic rater
+    * battery as fleiss_kappa but with rater 3 MISSING for ~30% of
+    * documents (the case Fleiss cannot handle): items keep their 2-3
+    * available ratings (ClassifierOps.krippendorffAlpha); per-item
+    * D_o terms snap to the 1e-9 grid for an order-free exact sum over
+    * the item domain.
+    */
+  private val krippendorffAlphaQ = Q(
+    (s, d) => operators.ClassifierOps.krippendorffAlpha(
+        Tables.documents(s, d)
+          .where(col("doc_id").isNotNull && col("n_chars").isNotNull)
+          .select(col("doc_id"), col("n_chars"),
+            explode(expr("sequence(1, 3)")).as("r"))
+          .where(col("r") < 3 || expr(
+            "(((doc_id % 1000000007L) * 2654435761L) % 1000000007L)" +
+              " % 10 < 7"))
+          .select(col("doc_id").as("item"),
+            expr("""CASE WHEN (((((doc_id % 1000000007L) * 31 + r)
+              % 1000000007L) * 2654435761L) % 1000000007L) % 10 < 2
+              THEN (n_chars % 3 + 1) % 3
+              ELSE n_chars % 3 END""").as("cat")),
+        "item", "cat")
+      .select(col("n_values"), col("n_dropped"),
+        qround(col("alpha"), 8).as("alpha")),
+    """WITH r AS (
+      |  SELECT doc_id AS i,
+      |    CASE WHEN (((((doc_id % 1000000007) * 31 + rr)
+      |      % 1000000007) * 2654435761) % 1000000007) % 10 < 2
+      |      THEN (n_chars % 3 + 1) % 3
+      |      ELSE n_chars % 3 END AS cat
+      |  FROM documents
+      |  CROSS JOIN (SELECT unnest(generate_series(1, 3)) AS rr)
+      |  WHERE doc_id IS NOT NULL AND n_chars IS NOT NULL
+      |    AND (rr < 3 OR (((doc_id % 1000000007) * 2654435761)
+      |      % 1000000007) % 10 < 7)),
+      |cells AS (
+      |  SELECT i, cat, CAST(count(*) AS BIGINT) AS nic
+      |  FROM r GROUP BY 1, 2),
+      |items AS (SELECT i, CAST(sum(nic) AS BIGINT) AS m
+      |          FROM cells GROUP BY 1),
+      |usable AS (SELECT * FROM items WHERE m >= 2),
+      |drp AS (SELECT CAST(sum(CASE WHEN m < 2 THEN 1 ELSE 0 END)
+      |          AS BIGINT) AS n_dropped FROM items),
+      |used AS (SELECT cells.i, cat, nic, m
+      |         FROM cells JOIN usable USING (i)),
+      |dos AS (
+      |  SELECT CAST(sum(CAST(floor(CAST(nic AS DOUBLE)
+      |      * (CAST(m AS DOUBLE) - CAST(nic AS DOUBLE))
+      |      / (CAST(m AS DOUBLE) - 1) * 1000000000.0 + 0.5)
+      |      AS BIGINT)) AS BIGINT) AS doq,
+      |    CAST(sum(nic) AS BIGINT) AS n_values
+      |  FROM used),
+      |nc AS (SELECT cat, CAST(sum(nic) AS BIGINT) AS nc
+      |       FROM used GROUP BY 1),
+      |det AS (SELECT CAST(sum(nc) AS BIGINT) AS n FROM nc),
+      |des AS (
+      |  SELECT max(n) AS n,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list({'c': cat, 'x':
+      |        CAST(nc AS DOUBLE) * (CAST(n AS DOUBLE)
+      |          - CAST(nc AS DOUBLE))} ORDER BY cat),
+      |        x_ -> x_.x)), (a_, b_) -> a_ + b_) AS de
+      |  FROM nc CROSS JOIN det)
+      |SELECT n_values, n_dropped,
+      |  CASE WHEN n_values > 1
+      |    AND de / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1)) > 0
+      |  THEN
+      |    floor((1.0 - CAST(doq AS DOUBLE) / 1000000000.0
+      |        / CAST(n_values AS DOUBLE)
+      |      / (de / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1))))
+      |      * 100000000.0 + 0.5) / 100000000.0
+      |  END AS alpha
+      |FROM dos CROSS JOIN des CROSS JOIN drp""".stripMargin)
+
+  /** Seasonal strength of the hourly-profile decomposition per event
+    * type (SequenceOps.seasonalStrength on the seasonal_decompose
+    * model): F_s = max(0, 1 − Var(resid)/Var(total)) from the same
+    * exact grid moments.
+    */
+  private val seasonalStrengthQ = Q(
+    (s, d) => operators.SequenceOps.seasonalStrength(
+        Tables.events(s, d).select(col("event_type"),
+          expr("(ts_ns div 3600000000000L) % 24").as("hour"),
+          col("value")),
+        "event_type", "hour", "value", quantDigits = 2)
+      .select(col("event_type"), col("n"),
+        qround(col("var_total"), 6).as("var_total"),
+        qround(col("var_resid"), 6).as("var_resid"),
+        qround(col("strength"), 8).as("strength")),
+    """WITH e AS (
+      |  SELECT event_type AS g, epoch_ns(ts) // 3600000000000 % 24
+      |      AS hod,
+      |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+      |  FROM events WHERE value IS NOT NULL AND event_type IS NOT NULL),
+      |ps AS (
+      |  SELECT g, hod, CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(v) AS BIGINT) AS sv,
+      |    CAST(sum(v * v) AS BIGINT) AS svv
+      |  FROM e GROUP BY 1, 2),
+      |pg AS (
+      |  SELECT g, CAST(sum(n) AS BIGINT) AS n,
+      |    CAST(sum(sv) AS BIGINT) AS svg,
+      |    CAST(sum(svv) AS BIGINT) AS svvg,
+      |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |      list_transform(list({'h': hod, 'x':
+      |        (CAST(svv AS DOUBLE) - CAST(sv AS DOUBLE)
+      |          * CAST(sv AS DOUBLE) / CAST(n AS DOUBLE))
+      |        / 10000.0} ORDER BY hod), x_ -> x_.x)),
+      |      (a_, b_) -> a_ + b_) AS ssr
+      |  FROM ps GROUP BY 1),
+      |v2 AS (
+      |  SELECT g, n,
+      |    (CAST(svvg AS DOUBLE) - CAST(svg AS DOUBLE)
+      |      * CAST(svg AS DOUBLE) / CAST(n AS DOUBLE)) / 10000.0
+      |      / CAST(n AS DOUBLE) AS vt,
+      |    ssr / CAST(n AS DOUBLE) AS vr
+      |  FROM pg)
+      |SELECT g AS event_type, n,
+      |  floor(vt * 1000000.0 + 0.5) / 1000000.0 AS var_total,
+      |  floor(vr * 1000000.0 + 0.5) / 1000000.0 AS var_resid,
+      |  CASE WHEN vt > 0 THEN
+      |    floor(greatest(0.0, 1.0 - vr / vt) * 100000000.0 + 0.5)
+      |      / 100000000.0
+      |  END AS strength
+      |FROM v2""".stripMargin)
+
   /** Flesch reading-ease per source (TextOps.fleschReadability):
     * exact word/sentence/vowel-group censuses, per-doc score snapped
     * to a 1e-6 bigint before the group mean.
@@ -2337,6 +2463,8 @@ object QueriesAnalytics {
     "flesch_readability" -> fleschQ,
     "nelson_aalen" -> nelsonAalenQ,
     "fleiss_kappa" -> fleissKappaQ,
+    "krippendorff_alpha" -> krippendorffAlphaQ,
+    "seasonal_strength" -> seasonalStrengthQ,
     "pinball_eval" -> pinballEvalQ,
     "sq8_encode" -> sq8EncodeQ,
     "pca_power" -> pcaPowerQ,

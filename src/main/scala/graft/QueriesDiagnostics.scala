@@ -1054,6 +1054,194 @@ object QueriesDiagnostics {
         col("alarm_windows")),
     pageHinkleyQ.sql)
 
+  /** Two-cohort log-rank survival test: even- vs odd-user-id cohorts
+    * under kaplan_meier's lifetime/censoring model
+    * (SequenceOps.logRankTest, censorDays=1): O−E over the death-time
+    * domain, hypergeometric variance, z and χ².
+    */
+  private val logrankTestQ = Q(
+    (s, d) => operators.SequenceOps.logRankTest(
+        Tables.events(s, d).select(col("user_id"), col("ts_ns"),
+          pmod(col("user_id"), lit(2)).cast("string").as("grp")),
+        "user_id", "ts_ns", "grp", "0", "1", censorDays = 1)
+      .select(col("n_a"), col("n_b"), col("o_a"),
+        qround(col("e_a"), 6).as("e_a"), qround(col("v"), 6).as("v"),
+        qround(col("z"), 8).as("z"),
+        qround(col("chi2"), 8).as("chi2")),
+    s"""WITH pk AS (
+       |  SELECT user_id,
+       |    min(epoch_ns(ts) // 86400000000000) AS d0,
+       |    max(epoch_ns(ts) // 86400000000000) AS d1,
+       |    CAST(max(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ia
+       |  FROM events WHERE user_id IS NOT NULL GROUP BY 1),
+       |e2 AS (SELECT max(d1) AS endd FROM pk),
+       |lv AS (SELECT d1 - d0 AS t, d1 <= endd - 1 AS dead, ia
+       |       FROM pk CROSS JOIN e2),
+       |tot AS (SELECT CAST(sum(ia) AS BIGINT) AS n_a,
+       |               CAST(sum(1 - ia) AS BIGINT) AS n_b FROM lv),
+       |h AS (
+       |  SELECT t,
+       |    CAST(sum(CASE WHEN dead AND ia = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS da,
+       |    CAST(sum(CASE WHEN NOT dead AND ia = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS ca,
+       |    CAST(sum(CASE WHEN dead AND ia = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS db,
+       |    CAST(sum(CASE WHEN NOT dead AND ia = 0 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS cb
+       |  FROM lv GROUP BY 1),
+       |ar AS (
+       |  SELECT t, da, db, n_a, n_b,
+       |    n_a - CAST(sum(da + ca) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + da + ca AS n1,
+       |    n_b - CAST(sum(db + cb) OVER (ORDER BY t
+       |      ROWS UNBOUNDED PRECEDING) AS BIGINT) + db + cb AS n2
+       |  FROM h CROSS JOIN tot),
+       |dt AS (SELECT * FROM ar WHERE da + db > 0),
+       |ag AS (
+       |  SELECT max(n_a) AS n_a, max(n_b) AS n_b,
+       |    CAST(sum(da) AS BIGINT) AS o_a,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'t': t, 'x':
+       |        (CAST(da AS DOUBLE) + CAST(db AS DOUBLE))
+       |          * CAST(n1 AS DOUBLE)
+       |          / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE))}
+       |        ORDER BY t), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS e_a,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'t': t, 'x':
+       |        CASE WHEN CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) > 1
+       |        THEN (CAST(da AS DOUBLE) + CAST(db AS DOUBLE))
+       |          * (CAST(n1 AS DOUBLE)
+       |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+       |          * (CAST(n2 AS DOUBLE)
+       |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)))
+       |          * ((CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE)
+       |              - (CAST(da AS DOUBLE) + CAST(db AS DOUBLE)))
+       |             / (CAST(n1 AS DOUBLE) + CAST(n2 AS DOUBLE) - 1))
+       |        ELSE 0.0 END}
+       |        ORDER BY t), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS v
+       |  FROM dt)
+       |SELECT n_a, n_b, o_a, ${qrSql("e_a", 6)} AS e_a,
+       |  ${qrSql("v", 6)} AS v,
+       |  CASE WHEN v > 0 THEN
+       |    ${qrSql("(CAST(o_a AS DOUBLE) - e_a) / sqrt(v)", 8)}
+       |  END AS z,
+       |  CASE WHEN v > 0 THEN
+       |    ${qrSql("(CAST(o_a AS DOUBLE) - e_a)" +
+         " * (CAST(o_a AS DOUBLE) - e_a) / v", 8)}
+       |  END AS chi2
+       |FROM ag""".stripMargin)
+
+  /** Mood's median test of event value across event types
+    * (DiagnosticsOps.medianTest, 1e-2 grid): exact pooled-median rank
+    * select, 2×k census, group-ordered χ² fold.
+    */
+  private val medianTestQ = Q(
+    (s, d) => DiagnosticsOps.medianTest(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "value", quantDigits = 2)
+      .select(col("k"), col("n"), col("dof"),
+        qround(col("chi2"), 8).as("chi2")),
+    s"""WITH e AS (
+       |  SELECT event_type AS g,
+       |    CAST(floor(value * 100.0 + 0.5) AS BIGINT) AS v
+       |  FROM events WHERE event_type IS NOT NULL AND value IS NOT NULL),
+       |h AS (SELECT g, v, CAST(count(*) AS BIGINT) AS c
+       |      FROM e GROUP BY 1, 2),
+       |p AS (SELECT v, CAST(sum(c) AS BIGINT) AS pc FROM h GROUP BY 1),
+       |tq AS (SELECT CAST(sum(pc) AS BIGINT) AS nn FROM p),
+       |med AS (
+       |  SELECT CAST(min(v) AS BIGINT) AS med
+       |  FROM (SELECT v, CAST(sum(pc) OVER (ORDER BY v
+       |          ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum FROM p)
+       |    CROSS JOIN tq
+       |  WHERE cum >= (nn + 1) // 2),
+       |cells AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN v > med THEN c ELSE 0 END) AS BIGINT)
+       |      AS a,
+       |    CAST(sum(CASE WHEN v <= med THEN c ELSE 0 END) AS BIGINT)
+       |      AS b
+       |  FROM h CROSS JOIN med GROUP BY 1),
+       |m AS (SELECT CAST(sum(a) AS BIGINT) AS ta,
+       |             CAST(sum(b) AS BIGINT) AS tb FROM cells),
+       |ag AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(a + b) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'g': g, 'x':
+       |        (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE)
+       |           + CAST(b AS DOUBLE)) * CAST(ta AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       |        * (CAST(a AS DOUBLE) - (CAST(a AS DOUBLE)
+       |           + CAST(b AS DOUBLE)) * CAST(ta AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       |        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+       |           * CAST(ta AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       |        + (CAST(b AS DOUBLE) - (CAST(a AS DOUBLE)
+       |           + CAST(b AS DOUBLE)) * CAST(tb AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       |        * (CAST(b AS DOUBLE) - (CAST(a AS DOUBLE)
+       |           + CAST(b AS DOUBLE)) * CAST(tb AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))
+       |        / ((CAST(a AS DOUBLE) + CAST(b AS DOUBLE))
+       |           * CAST(tb AS DOUBLE)
+       |           / (CAST(ta AS DOUBLE) + CAST(tb AS DOUBLE)))}
+       |        ORDER BY g), x_ -> x_.x)), (a_, b_) -> a_ + b_)
+       |      AS chi2
+       |  FROM cells CROSS JOIN m)
+       |SELECT k, n, k - 1 AS dof,
+       |  CASE WHEN k > 1 THEN ${qrSql("chi2", 8)} END AS chi2
+       |FROM ag""".stripMargin)
+
+  /** Polynomial-kernel (degree-2) MMD between view and purchase value
+    * distributions (DiagnosticsOps.mmdDrift, γ=100, 1e-4 grid):
+    * exact-moment matching in closed form.
+    */
+  private val mmdDriftQ = Q(
+    (s, d) => DiagnosticsOps.mmdDrift(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", gamma = 100.0,
+        quantDigits = 4)
+      .select(col("n_a"), col("n_b"),
+        qround(col("mmd2"), 10).as("mmd2")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v ELSE 0 END) AS BIGINT)
+       |      AS sa,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssa,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v ELSE 0 END)
+       |      AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssb
+       |  FROM e),
+       |v AS (
+       |  SELECT na, nb,
+       |    CAST(sa AS DOUBLE) / 10000.0 / CAST(na AS DOUBLE)
+       |      - CAST(sb AS DOUBLE) / 10000.0 / CAST(nb AS DOUBLE) AS d1,
+       |    CAST(ssa AS DOUBLE) / 100000000.0 / CAST(na AS DOUBLE)
+       |      - CAST(ssb AS DOUBLE) / 100000000.0 / CAST(nb AS DOUBLE)
+       |      AS d2
+       |  FROM a)
+       |SELECT na AS n_a, nb AS n_b,
+       |  CASE WHEN na > 0 AND nb > 0 THEN
+       |    ${qrSql("2.0 / 100.0 * (d1 * d1)" +
+         " + d2 * d2 / (100.0 * 100.0)", 10)}
+       |  END AS mmd2
+       |FROM v""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "anova_oneway" -> anovaOnewayQ,
     "welch_t" -> welchTQ,
@@ -1075,5 +1263,8 @@ object QueriesDiagnostics {
     "wilcoxon_signed_rank" -> wilcoxonSignedRankQ,
     "cochran_q" -> cochranQQ,
     "kendall_tau" -> kendallTauQ,
-    "stream_page_hinkley" -> streamPageHinkleyQ)
+    "stream_page_hinkley" -> streamPageHinkleyQ,
+    "logrank_test" -> logrankTestQ,
+    "median_test" -> medianTestQ,
+    "mmd_drift" -> mmdDriftQ)
 }

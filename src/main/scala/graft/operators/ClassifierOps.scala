@@ -319,6 +319,53 @@ object ClassifierOps {
       (tpr + tnr - 1).as("youden_j"))
   }
 
+  /** Krippendorff's alpha (nominal data) — the agreement coefficient
+    * that, unlike [[fleissKappa]], tolerates MISSING ratings: items
+    * keep whatever raters they have, items with fewer than two
+    * ratings drop (counted). α = 1 − D_o/D_e with
+    *   D_o = (1/n)·Σ_i Σ_c n_ic·(m_i − n_ic)/(m_i − 1)
+    *   D_e = Σ_c n_c·(n − n_c) / (n·(n − 1))
+    * over the pairable values (n = Σ m_i). Exactness: n_ic/m_i/n_c
+    * are exact BIGINT censuses; each item's D_o term is quantized to
+    * the 1e-9 grid before summing (integer sums are order-free — the
+    * items domain is too large for an ordered fold, and the term is
+    * a small rational, so the grid loses nothing detectable at 1e-8
+    * output rounding); D_e is a category-ordered fold (categories are
+    * domain-bounded). Plan: one (item × category) hash aggregate,
+    * then item- and category-bounded reductions.
+    */
+  def krippendorffAlpha(df: DataFrame, itemCol: String,
+                        catCol: String): DataFrame = {
+    val cells = df.where(col(itemCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(itemCol).as("_i"), col(catCol).as("_c"))
+      .agg(count(lit(1)).as("_nic"))
+    val items = cells.groupBy("_i").agg(sum(col("_nic")).as("_m"))
+    val usable = items.where(col("_m") >= 2)
+    val dropped = items.agg(
+      sum(when(col("_m") < 2, 1L).otherwise(0L)).as("n_dropped"))
+    val used = cells.join(usable, Seq("_i"))
+    def D(c: Column) = c.cast("double")
+    // per-item D_o mass, quantized to the 1e-9 grid for an order-free
+    // exact BIGINT sum over the (unbounded) item domain
+    val termQ = floor(D(col("_nic")) * (D(col("_m")) - D(col("_nic"))) /
+      (D(col("_m")) - 1) * lit(1e9) + lit(0.5)).cast("long")
+    val doSum = used.agg(sum(termQ).as("_doq"),
+      sum(col("_nic")).as("n_values"))
+    val nc = used.groupBy("_c").agg(sum(col("_nic")).as("_nc"))
+    val deTot = nc.agg(sum(col("_nc")).as("_n"))
+    val deSum = nc.crossJoin(broadcast(deTot))
+      .withColumn("_term", D(col("_nc")) * (D(col("_n")) - D(col("_nc"))))
+      .agg(max(col("_n")).as("_n"),
+        StatsOps.orderedFoldSum(Seq("_c"), "_term").as("_de"))
+    val agg = doSum.crossJoin(broadcast(deSum))
+      .crossJoin(broadcast(dropped))
+    val dObs = D(col("_doq")) / lit(1e9) / D(col("n_values"))
+    val dExp = col("_de") / (D(col("_n")) * (D(col("_n")) - 1))
+    agg.select(col("n_values"), col("n_dropped"),
+      when(col("n_values") > 1 && dExp > 0,
+        lit(1.0) - dObs / dExp).as("alpha"))
+  }
+
   /** Fleiss' kappa — [[cohensKappa]] generalized to n raters per item
     * (the labeling-quality gate for multi-annotator curation: raters
     * here are usually heuristic classifiers whose consensus is being

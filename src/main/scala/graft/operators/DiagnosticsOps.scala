@@ -575,6 +575,91 @@ object DiagnosticsOps {
         .as("tau_b"))
   }
 
+  /** Mood's median test across k groups: χ² homogeneity of the
+    * above-/at-or-below-grand-median split — the crude-but-robust
+    * k-group location test (kruskal_wallis is its rank-powered
+    * sibling; this one survives arbitrary outliers and needs only the
+    * 2×k census). Grand median = exact lower-median rank select on
+    * the pooled grid histogram (one global cumulative over the value
+    * domain, ks_drift's whitelist argument); cells are exact BIGINTs;
+    * each (obs−exp)²/exp term is one mirrored IEEE expression folded
+    * group-ordered. dof = k−1.
+    */
+  def medianTest(df: DataFrame, groupCol: String, valueCol: String,
+                 quantDigits: Int = 2): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    val hist = df.where(col(groupCol).isNotNull && col(valueCol).isNotNull)
+      .groupBy(col(groupCol).cast("string").as("_g"), vq.as("_v"))
+      .agg(count(lit(1)).as("_c"))
+    val pooled = hist.groupBy("_v").agg(sum(col("_c")).as("_pc"))
+    val w = Window.orderBy(col("_v"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val tot = pooled.agg(sum(col("_pc")).as("_nn"))
+    val med = pooled.withColumn("_cum", sum(col("_pc")).over(w))
+      .crossJoin(broadcast(tot))
+      .where(col("_cum") >= expr("(_nn + 1) div 2"))
+      .agg(min(col("_v")).as("_med"))
+    val cells = hist.crossJoin(broadcast(med))
+      .groupBy("_g")
+      .agg(sum(when(col("_v") > col("_med"), col("_c")).otherwise(0L))
+          .as("_a"),
+        sum(when(col("_v") <= col("_med"), col("_c")).otherwise(0L))
+          .as("_b"))
+    val margins = cells.agg(sum(col("_a")).as("_ta"),
+      sum(col("_b")).as("_tb"))
+    val nD = D("_ta") + D("_tb")
+    val rowT = D("_a") + D("_b")
+    val ea = rowT * D("_ta") / nD
+    val eb = rowT * D("_tb") / nD
+    val term = (D("_a") - ea) * (D("_a") - ea) / ea +
+      (D("_b") - eb) * (D("_b") - eb) / eb
+    cells.crossJoin(broadcast(margins))
+      .withColumn("_term", term)
+      .agg(count(lit(1)).as("k"), sum(col("_a") + col("_b")).as("n"),
+        StatsOps.orderedFoldSum(Seq("_g"), "_term").as("_chi2"))
+      .select(col("k"), col("n"), (col("k") - 1).as("dof"),
+        when(col("k") > 1, col("_chi2")).as("chi2"))
+  }
+
+  /** Maximum mean discrepancy between two cohorts under the
+    * degree-2 polynomial kernel k(a,b) = (1 + ab/γ)² — which expands
+    * exactly to first/second moment matching:
+    *   MMD² = (2/γ)(μ₁ᴬ − μ₁ᴮ)² + (1/γ²)(μ₂ᴬ − μ₂ᴮ)²
+    * (the V-statistic form; no pair enumeration, ever). This is the
+    * honest closed-form face of kernel MMD at this kernel: moments
+    * come from the exact 10^-quantDigits grid BIGINTs, so the
+    * statistic is one short mirrored IEEE expression. γ sets the
+    * value scale the kernel saturates at.
+    */
+  def mmdDrift(df: DataFrame, cohortCol: String, cohortA: String,
+               cohortB: String, valueCol: String,
+               gamma: Double = 100.0,
+               quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    def side(c: String, suf: String) = Seq(
+      sum(when(col(cohortCol) === c, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col(cohortCol) === c, vq).otherwise(0L)).as(s"_s$suf"),
+      sum(when(col(cohortCol) === c, vq * vq).otherwise(0L))
+        .as(s"_ss$suf"))
+    val aggs = side(cohortA, "a") ++ side(cohortB, "b")
+    val agg = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def m1(s: String, n: String) = D(s) / lit(scale) / D(n)
+    def m2(ss: String, n: String) =
+      D(ss) / lit(scale * scale) / D(n)
+    val d1 = m1("_sa", "n_a") - m1("_sb", "n_b")
+    val d2 = m2("_ssa", "n_a") - m2("_ssb", "n_b")
+    val mmd2 = lit(2.0) / lit(gamma) * (d1 * d1) +
+      d2 * d2 / (lit(gamma) * lit(gamma))
+    agg.select(col("n_a"), col("n_b"),
+      when(col("n_a") > 0 && col("n_b") > 0, mmd2).as("mmd2"))
+  }
+
   // ------------------------------------------------- series diagnostics
 
   /** Per-series (group × window) integer count table — the shared

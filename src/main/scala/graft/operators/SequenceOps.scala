@@ -860,6 +860,122 @@ object SequenceOps {
       .where(col("d") > 0)
   }
 
+  /** Two-cohort log-rank test — "do these two populations' survival
+    * curves differ" (the inferential companion to [[kaplanMeier]]'s
+    * estimate; same lifetime/censoring model: last activity within
+    * `censorDays` of the window end = censored). At each death time
+    * t: O accumulates cohort-A deaths, E the hypergeometric
+    * expectation d_t·n1_t/n_t, V the variance
+    * d_t·(n1/n)·(n2/n)·(n−d)/(n−1);
+    *   z = (O − E)/√V,  χ² = (O − E)²/V.
+    *
+    * The cohort must be constant per key (it is keyed on the subject);
+    * a key's cohort is the A-indicator max over its rows. Exactness:
+    * d/c/n censuses are exact BIGINTs off one per-key aggregate + one
+    * cumulative window over the day-bounded lifetime domain
+    * (kaplan_meier's whitelist argument); E and V are per-t closed
+    * forms folded t-ordered. Plan: nothing fact-sized past the
+    * per-key aggregate.
+    */
+  def logRankTest(df: DataFrame, keyCol: String, tsNsCol: String,
+                  cohortCol: String, cohortA: String, cohortB: String,
+                  censorDays: Int = 7): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    require(censorDays >= 0, s"censorDays must be >= 0, got $censorDays")
+    val dayNs = 86400000000000L
+    val perKey = df.where(col(keyCol).isNotNull && col(tsNsCol).isNotNull
+        && col(cohortCol).isin(cohortA, cohortB))
+      .groupBy(col(keyCol))
+      .agg(min(expr(s"$tsNsCol div ${dayNs}L")).as("_d0"),
+        max(expr(s"$tsNsCol div ${dayNs}L")).as("_d1"),
+        max(when(col(cohortCol) === cohortA, 1L).otherwise(0L))
+          .as("_ia"))
+    val end = perKey.agg(max(col("_d1")).as("_end"))
+    val lives = perKey.crossJoin(broadcast(end))
+      .select((col("_d1") - col("_d0")).as("_t"),
+        (col("_d1") <= col("_end") - censorDays).as("_dead"),
+        col("_ia"))
+    val tot = lives.agg(sum(col("_ia")).as("n_a"),
+      sum(lit(1L) - col("_ia")).as("n_b"))
+    def cnt(dead: Boolean, a: Boolean) =
+      sum(when(col("_dead") === dead &&
+        col("_ia") === (if (a) 1L else 0L), 1L).otherwise(0L))
+    val hist = lives.groupBy(col("_t"))
+      .agg(cnt(dead = true, a = true).as("_da"),
+        cnt(dead = false, a = true).as("_ca"),
+        cnt(dead = true, a = false).as("_db"),
+        cnt(dead = false, a = false).as("_cb"))
+    val w = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def D(c: Column) = c.cast("double")
+    val atRisk = hist
+      .withColumn("_cuma", sum(col("_da") + col("_ca")).over(w))
+      .withColumn("_cumb", sum(col("_db") + col("_cb")).over(w))
+      .crossJoin(broadcast(tot))
+      .select(col("_t"), col("_da"), col("_db"), col("n_a"), col("n_b"),
+        (col("n_a") - col("_cuma") + col("_da") + col("_ca")).as("_n1"),
+        (col("n_b") - col("_cumb") + col("_db") + col("_cb")).as("_n2"))
+      .where(col("_da") + col("_db") > 0)
+    val d = D(col("_da")) + D(col("_db"))
+    val n1 = D(col("_n1"))
+    val n2 = D(col("_n2"))
+    val nn = n1 + n2
+    val terms = atRisk
+      .withColumn("_e", d * n1 / nn)
+      .withColumn("_v", when(nn > 1,
+        d * (n1 / nn) * (n2 / nn) * ((nn - d) / (nn - 1)))
+        .otherwise(lit(0.0)))
+    val agg = terms.agg(max(col("n_a")).as("n_a"),
+      max(col("n_b")).as("n_b"), sum(col("_da")).as("o_a"),
+      StatsOps.orderedFoldSum(Seq("_t"), "_e").as("e_a"),
+      StatsOps.orderedFoldSum(Seq("_t"), "_v").as("_v"))
+    val oe = D(col("o_a")) - col("e_a")
+    agg.select(col("n_a"), col("n_b"), col("o_a"), col("e_a").as("e_a"),
+      col("_v").as("v"),
+      when(col("_v") > 0, oe / sqrt(col("_v"))).as("z"),
+      when(col("_v") > 0, oe * oe / col("_v")).as("chi2"))
+  }
+
+  /** Seasonal strength per series — Hyndman's
+    * F_s = max(0, 1 − Var(remainder)/Var(detrended)) specialized to
+    * [[seasonalDecompose]]'s period-mean model (no trend component,
+    * so the denominator is the series' total variance): one number
+    * per group saying how much of the variance the seasonal profile
+    * explains. Shares the decomposition's exact grid moments — total
+    * variance from (n, Σv, Σv²), remainder variance as the
+    * season-ordered fold of within-season SS.
+    */
+  def seasonalStrength(df: DataFrame, groupCol: String,
+                       seasonCol: String, valueCol: String,
+                       quantDigits: Int = 2): DataFrame = {
+    val sc = math.pow(10, quantDigits)
+    val q = floor(col(valueCol) * lit(sc) + lit(0.5)).cast("long")
+    val perSeason = df
+      .where(col(valueCol).isNotNull && col(seasonCol).isNotNull &&
+        col(groupCol).isNotNull)
+      .select(col(groupCol), col(seasonCol), q.as("_v"))
+      .groupBy(col(groupCol), col(seasonCol))
+      .agg(count(lit(1)).as("n"), sum(col("_v")).as("_sv"),
+        sum(col("_v") * col("_v")).as("_svv"))
+    def D(c: String) = col(c).cast("double")
+    val ssw = (D("_svv") - D("_sv") * D("_sv") / D("n")) /
+      lit(sc * sc)
+    val perGroup = perSeason
+      .withColumn("_ssw", ssw)
+      .groupBy(col(groupCol))
+      .agg(sum(col("n")).as("n"), sum(col("_sv")).as("_svg"),
+        sum(col("_svv")).as("_svvg"),
+        StatsOps.orderedFoldSum(Seq(seasonCol), "_ssw").as("_ssr"))
+    val varTotal = (D("_svvg") - D("_svg") * D("_svg") / D("n")) /
+      lit(sc * sc) / D("n")
+    val varResid = col("_ssr") / D("n")
+    perGroup.select(col(groupCol), col("n"),
+      varTotal.as("var_total"), varResid.as("var_resid"),
+      when(varTotal > 0,
+        greatest(lit(0.0), lit(1.0) - varResid / varTotal))
+        .as("strength"))
+  }
+
   /** Holt linear (level+trend) exponential smoothing over each
     * series' per-window counts — the forecasting step up from
     * [[SequenceOps]]'s seasonal-naive backtest and ewma: state

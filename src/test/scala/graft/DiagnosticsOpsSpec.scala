@@ -398,6 +398,90 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(!r1.getAs[Boolean]("converged"))
   }
 
+  test("logRankTest: 2+2 subjects, hand-walked risk sets, V = 13/18") {
+    // A lifetimes (1,3), B (2,5), censorDays=0 (all deaths)
+    // t=1: e=.5 v=.25; t=2: e=1/3 v=2/9; t=3: e=.5 v=.25; t=5: 0
+    // O_A=2, E_A=4/3, z=(2/3)/sqrt(13/18)
+    val day = 86400000000000L
+    val rows = Seq(("a1", 0L, "A"), ("a1", 1L, "A"),
+      ("a2", 0L, "A"), ("a2", 3L, "A"),
+      ("b1", 0L, "B"), ("b1", 2L, "B"),
+      ("b2", 0L, "B"), ("b2", 5L, "B"))
+      .map { case (k, dd, g) => (k, dd * day, g) }
+      .toDF("k", "ts", "grp")
+    val r = graft.operators.SequenceOps.logRankTest(rows, "k", "ts",
+      "grp", "A", "B", censorDays = 0).head()
+    assert(r.getAs[Long]("n_a") === 2L && r.getAs[Long]("n_b") === 2L)
+    assert(r.getAs[Long]("o_a") === 2L)
+    assert(approx(r.getAs[Double]("e_a"), 4.0 / 3.0))
+    assert(approx(r.getAs[Double]("v"), 13.0 / 18.0))
+    assert(approx(r.getAs[Double]("z"),
+      (2.0 / 3.0) / math.sqrt(13.0 / 18.0)))
+  }
+
+  test("medianTest: disjoint groups give chi2 = n") {
+    // a=(1,2,3) b=(4,5,6): med=3, cells (0,3)/(3,0), chi2 = 6
+    val df = Seq("a" -> 1.0, "a" -> 2.0, "a" -> 3.0,
+      "b" -> 4.0, "b" -> 5.0, "b" -> 6.0).toDF("g", "v")
+    val r = DiagnosticsOps.medianTest(df, "g", "v", quantDigits = 0)
+      .head()
+    assert(r.getAs[Long]("k") === 2L && r.getAs[Long]("n") === 6L)
+    assert(r.getAs[Long]("dof") === 1L)
+    assert(approx(r.getAs[Double]("chi2"), 6.0))
+  }
+
+  test("mmdDrift: poly-2 kernel equals closed-form moment matching") {
+    // A=(0,2) mu=(1,2); B=(1,3) mu=(2,5); gamma=1:
+    // MMD2 = 2*(-1)^2 + (-3)^2 = 11
+    val df = Seq("A" -> 0.0, "A" -> 2.0, "B" -> 1.0, "B" -> 3.0)
+      .toDF("c", "v")
+    val r = DiagnosticsOps.mmdDrift(df, "c", "A", "B", "v",
+      gamma = 1.0, quantDigits = 0).head()
+    assert(approx(r.getAs[Double]("mmd2"), 11.0))
+    val same = DiagnosticsOps.mmdDrift(df, "c", "A", "A", "v",
+      gamma = 1.0, quantDigits = 0).head()
+    assert(approx(same.getAs[Double]("mmd2"), 0.0))
+  }
+
+  test("krippendorffAlpha: textbook missing-rating case, alpha = 0.5") {
+    // i1 (a,a), i2 (a,b), i3 (b,b,b), i4 (a) dropped
+    // Do = 2/7, De = 24/42 = 4/7 -> alpha = 0.5
+    val df = Seq(("i1", "a"), ("i1", "a"), ("i2", "a"), ("i2", "b"),
+      ("i3", "b"), ("i3", "b"), ("i3", "b"), ("i4", "a"))
+      .toDF("item", "cat")
+    val r = graft.operators.ClassifierOps.krippendorffAlpha(df,
+      "item", "cat").head()
+    assert(r.getAs[Long]("n_values") === 7L)
+    assert(r.getAs[Long]("n_dropped") === 1L)
+    assert(approx(r.getAs[Double]("alpha"), 0.5))
+  }
+
+  test("krippendorffAlpha: perfect agreement gives alpha = 1") {
+    val df = Seq(("i1", "a"), ("i1", "a"), ("i2", "b"), ("i2", "b"))
+      .toDF("item", "cat")
+    val r = graft.operators.ClassifierOps.krippendorffAlpha(df,
+      "item", "cat").head()
+    assert(approx(r.getAs[Double]("alpha"), 1.0))
+  }
+
+  test("seasonalStrength: two clean seasons explain 80% of variance") {
+    // season 0 = (1,3), season 1 = (5,7): varT=5, varR=1, F_s=0.8
+    val df = Seq(("g1", 0L, 1.0), ("g1", 0L, 3.0),
+      ("g1", 1L, 5.0), ("g1", 1L, 7.0)).toDF("g", "season", "v")
+    val r = graft.operators.SequenceOps.seasonalStrength(df, "g",
+      "season", "v", quantDigits = 0).head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approx(r.getAs[Double]("var_total"), 5.0))
+    assert(approx(r.getAs[Double]("var_resid"), 1.0))
+    assert(approx(r.getAs[Double]("strength"), 0.8))
+    // constant series: zero total variance -> null strength
+    val const = Seq(("g1", 0L, 2.0), ("g1", 1L, 2.0))
+      .toDF("g", "season", "v")
+    val rc = graft.operators.SequenceOps.seasonalStrength(const, "g",
+      "season", "v", quantDigits = 0).head()
+    assert(rc.isNullAt(rc.fieldIndex("strength")))
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),

@@ -379,8 +379,16 @@ class PlanInvariantsSpec extends SparkSpec {
       "kruskal_wallis", "pr_curve", "t_closeness", "kaplan_meier",
       "map_eval", "isotonic_calibration", "cliffs_delta",
       "nelson_aalen", "quantile_normalize", "rmst",
+      // logrank_test: the two cohort cumulatives walk the integer-DAY
+      // lifetime domain — kaplan_meier's argument verbatim
+      // (SequenceOps.logRankTest aggregates keys first)
+      // median_test: the pooled-median cumulative walks the distinct
+      // 1e-2-quantized value grid — ks_drift's argument
+      // (DiagnosticsOps.medianTest aggregates the fact to the grid
+      // histogram first)
       "wasserstein_drift", "granger_lite",
-      "cvm_drift", "energy_drift", "wilcoxon_signed_rank")
+      "cvm_drift", "energy_drift", "wilcoxon_signed_rank",
+      "logrank_test", "median_test")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
