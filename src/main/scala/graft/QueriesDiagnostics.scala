@@ -1003,7 +1003,10 @@ object QueriesDiagnostics {
           expr("ts_ns div 3600000000000L").as("win")),
         "event_type", "view", "purchase", "win")
       .select(col("t"), col("concordant"), col("discordant"),
-        qround(col("tau_b"), 8).as("tau_b")),
+        qround(col("tau_b"), 8).as("tau_b"),
+        qround(col("gamma"), 8).as("gamma"),
+        qround(col("somers_dyx"), 8).as("somers_dyx"),
+        qround(col("somers_dxy"), 8).as("somers_dxy")),
     s"""WITH dom AS (
        |  SELECT epoch_ns(ts) // 3600000000000 AS h,
        |    CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
@@ -1036,7 +1039,16 @@ object QueriesDiagnostics {
        |    ${qrSql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE))" +
          " / sqrt(CAST(t * (t - 1) // 2 - n1 AS DOUBLE)" +
          " * CAST(t * (t - 1) // 2 - n2 AS DOUBLE))", 8)}
-       |  END AS tau_b
+       |  END AS tau_b,
+       |  ${qrSql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE))" +
+         " / nullif(CAST(c AS DOUBLE) + CAST(d AS DOUBLE), 0.0)", 8)}
+       |    AS gamma,
+       |  ${qrSql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE))" +
+         " / nullif(CAST(t * (t - 1) // 2 - n1 AS DOUBLE), 0.0)", 8)}
+       |    AS somers_dyx,
+       |  ${qrSql("(CAST(c AS DOUBLE) - CAST(d AS DOUBLE))" +
+         " / nullif(CAST(t * (t - 1) // 2 - n2 AS DOUBLE), 0.0)", 8)}
+       |    AS somers_dxy
        |FROM pr CROSS JOIN tt CROSS JOIN n1 CROSS JOIN n2"""
       .stripMargin)
 
@@ -1242,6 +1254,205 @@ object QueriesDiagnostics {
        |  END AS mmd2
        |FROM v""".stripMargin)
 
+  /** Cohen's d / Hedges' g between view and purchase values
+    * (DiagnosticsOps.cohensD, 1e-4 grid): pooled-SD effect size with
+    * the small-sample correction.
+    */
+  private val cohensDQ = Q(
+    (s, d) => DiagnosticsOps.cohensD(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", quantDigits = 4)
+      .select(col("n_a"), col("n_b"),
+        qround(col("pooled_sd"), 8).as("pooled_sd"),
+        qround(col("d"), 8).as("d"),
+        qround(col("hedges_g"), 8).as("hedges_g")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v ELSE 0 END) AS BIGINT)
+       |      AS sa,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssa,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v ELSE 0 END)
+       |      AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssb
+       |  FROM e),
+       |v AS (
+       |  SELECT na, nb,
+       |    CAST(sa AS DOUBLE) / 10000.0 / CAST(na AS DOUBLE) AS ma,
+       |    CAST(sb AS DOUBLE) / 10000.0 / CAST(nb AS DOUBLE) AS mb,
+       |    sqrt(((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+       |        * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE)) / 100000000.0
+       |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+       |        * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE)) / 100000000.0)
+       |      / (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE) - 2)) AS sp
+       |  FROM a)
+       |SELECT na AS n_a, nb AS n_b,
+       |  CASE WHEN na > 1 AND nb > 1 AND sp > 0
+       |    THEN ${qrSql("sp", 8)} END AS pooled_sd,
+       |  CASE WHEN na > 1 AND nb > 1 AND sp > 0
+       |    THEN ${qrSql("(ma - mb) / sp", 8)} END AS d,
+       |  CASE WHEN na > 1 AND nb > 1 AND sp > 0
+       |    THEN ${qrSql("(ma - mb) / sp * (1.0 - 3.0" +
+         " / (4.0 * (CAST(na AS DOUBLE) + CAST(nb AS DOUBLE)) - 9))",
+         8)} END AS hedges_g
+       |FROM v""".stripMargin)
+
+  /** Cochran-Armitage trend of the purchase share across the three
+    * span tertiles (DiagnosticsOps.cochranArmitage): dose = tertile
+    * index per event, outcome = is-purchase, all-integer censuses.
+    */
+  private val trendTestQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+        .select(col("ts_ns"), col("event_type"))
+      val b = ev.agg(
+        min(expr("ts_ns div 86400000000000L")).as("_lo"),
+        max(expr("ts_ns div 86400000000000L")).as("_hi"))
+      val dosed = ev.crossJoin(broadcast(b)).select(
+        expr("((ts_ns div 86400000000000L) - _lo) * 3" +
+          " div (_hi - _lo + 1)").as("dose"),
+        (col("event_type") === "purchase").as("outcome"))
+      DiagnosticsOps.cochranArmitage(dosed, "dose", "outcome")
+        .select(col("k"), col("n"), col("successes"),
+          qround(col("z"), 8).as("z"))
+    },
+    s"""WITH bnd AS (
+       |  SELECT min(epoch_ns(ts) // 86400000000000) AS lo,
+       |    max(epoch_ns(ts) // 86400000000000) AS hi
+       |  FROM events),
+       |r AS (
+       |  SELECT (epoch_ns(ts) // 86400000000000 - lo) * 3
+       |      // (hi - lo + 1) AS s,
+       |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
+       |  FROM events CROSS JOIN bnd),
+       |a AS (
+       |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS k,
+       |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS r,
+       |    CAST(sum(s * y) AS BIGINT) AS sr,
+       |    CAST(sum(s) AS BIGINT) AS sn,
+       |    CAST(sum(s * s) AS BIGINT) AS sn2
+       |  FROM r)
+       |SELECT k, n, r AS successes,
+       |  CASE WHEN k > 1
+       |    AND sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)
+       |      * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))
+       |      * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)
+       |        * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE))) > 0
+       |  THEN
+       |    ${qrSql("(CAST(sr AS DOUBLE) - CAST(r AS DOUBLE)" +
+         " / CAST(n AS DOUBLE) * CAST(sn AS DOUBLE))" +
+         " / sqrt(CAST(r AS DOUBLE) / CAST(n AS DOUBLE)" +
+         " * (1.0 - CAST(r AS DOUBLE) / CAST(n AS DOUBLE))" +
+         " * (CAST(sn2 AS DOUBLE) - CAST(sn AS DOUBLE)" +
+         " * CAST(sn AS DOUBLE) / CAST(n AS DOUBLE)))", 8)}
+       |  END AS z
+       |FROM a""".stripMargin)
+
+  /** Language-mix diversity per document source
+    * (DiagnosticsOps.diversityIndex): Shannon H, Pielou evenness,
+    * exact Simpson + effective language count.
+    */
+  private val diversityIndexQ = Q(
+    (s, d) => DiagnosticsOps.diversityIndex(
+        Tables.documents(s, d).select(col("source"), col("lang")),
+        "source", "lang")
+      .select(col("source"), col("n"), col("k"),
+        qround(col("shannon"), 8).as("shannon"),
+        qround(col("evenness"), 8).as("evenness"),
+        qround(col("simpson"), 8).as("simpson"),
+        qround(col("inv_simpson"), 8).as("inv_simpson")),
+    s"""WITH c AS (
+       |  SELECT source AS g, lang AS cat, CAST(count(*) AS BIGINT) AS n
+       |  FROM documents WHERE source IS NOT NULL AND lang IS NOT NULL
+       |  GROUP BY 1, 2),
+       |t AS (SELECT g, CAST(sum(n) AS BIGINT) AS tt FROM c GROUP BY 1),
+       |a AS (
+       |  SELECT c.g, max(tt) AS n, CAST(count(*) AS BIGINT) AS k,
+       |    CAST(sum(c.n * c.n) AS BIGINT) AS s2,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'c': cat, 'x':
+       |        (CAST(c.n AS DOUBLE) / CAST(tt AS DOUBLE))
+       |          * ln(CAST(c.n AS DOUBLE) / CAST(tt AS DOUBLE))
+       |          * (-1.0)} ORDER BY cat), x_ -> x_.x)),
+       |      (a_, b_) -> a_ + b_) AS h
+       |  FROM c JOIN t ON c.g = t.g GROUP BY 1)
+       |SELECT g AS source, n, k, ${qrSql("h", 8)} AS shannon,
+       |  CASE WHEN k > 1
+       |    THEN ${qrSql("h / ln(CAST(k AS DOUBLE))", 8)} END
+       |    AS evenness,
+       |  ${qrSql("CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE)" +
+         " * CAST(n AS DOUBLE))", 8)} AS simpson,
+       |  ${qrSql("1.0 / (CAST(s2 AS DOUBLE) / (CAST(n AS DOUBLE)" +
+         " * CAST(n AS DOUBLE)))", 8)} AS inv_simpson
+       |FROM a""".stripMargin)
+
+  /** Post-hoc minimum detectable effect for the ab_test experiment
+    * (DiagnosticsOps.abPower at α=0.05 two-sided / 80% power): same
+    * hash-split arms and heavy-purchaser conversion as ab_test.
+    */
+  private val abPowerQ = Q(
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15, 1L).otherwise(0L).as("converted"))
+      val armed = operators.SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      DiagnosticsOps.abPower(armed, "split", "a", "b", "converted")
+        .select(col("n_a"), col("n_b"),
+          qround(col("pooled_rate"), 8).as("pooled_rate"),
+          qround(col("mde_abs"), 8).as("mde_abs"),
+          qround(col("mde_rel"), 8).as("mde_rel"))
+    },
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv
+       |  FROM events GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN (((user_id % ${operators.TextOps.HashMod})
+       |      * ${operators.SketchOps.KmvMult})
+       |      % ${operators.TextOps.HashMod})
+       |      % ${operators.SampleOps.SplitBuckets} < 5000
+       |    THEN 'a' ELSE 'b' END AS arm, conv
+       |  FROM u),
+       |g AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(conv) AS BIGINT) AS x
+       |  FROM arms),
+       |v AS (
+       |  SELECT n_a, n_b, CAST(x AS DOUBLE)
+       |    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+       |  FROM g)
+       |SELECT n_a, n_b,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN ${qrSql("pp", 8)} END AS pooled_rate,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${qrSql("(1.959963984540054 + 0.8416212335729143)" +
+         " * sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)" +
+         " + 1.0 / CAST(n_b AS DOUBLE)))", 8)}
+       |  END AS mde_abs,
+       |  CASE WHEN n_a > 0 AND n_b > 0 THEN
+       |    ${qrSql("(1.959963984540054 + 0.8416212335729143)" +
+         " * sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)" +
+         " + 1.0 / CAST(n_b AS DOUBLE))) / nullif(pp, 0.0)", 8)}
+       |  END AS mde_rel
+       |FROM v""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "anova_oneway" -> anovaOnewayQ,
     "welch_t" -> welchTQ,
@@ -1266,5 +1477,9 @@ object QueriesDiagnostics {
     "stream_page_hinkley" -> streamPageHinkleyQ,
     "logrank_test" -> logrankTestQ,
     "median_test" -> medianTestQ,
-    "mmd_drift" -> mmdDriftQ)
+    "mmd_drift" -> mmdDriftQ,
+    "cohens_d" -> cohensDQ,
+    "trend_test" -> trendTestQ,
+    "diversity_index" -> diversityIndexQ,
+    "ab_power" -> abPowerQ)
 }

@@ -4558,6 +4558,56 @@ object QueriesLlm {
         .stripMargin
     })
 
+  /** Spiegelhalter calibration z of the learned quality classifier's
+    * scores against the heuristic gate (ClassifierOps.spiegelhalterZ):
+    * the inferential cut of the reliability curve on the
+    * distinct-1e-6-score domain.
+    */
+  private val spiegelhalterZQ = Q(
+    (s, d) => {
+      val w = trainLogregWeights(s, d)
+      val scored = ClassifierOps.scoreLogistic(
+          logregFeatures(Tables.documents(s, d)), logregFeatureNames, w)
+        .select(col("score"),
+          (qround(col("f_stop"), 6) >= 0.12).as("label"))
+      ClassifierOps.spiegelhalterZ(scored, "score", "label")
+        .select(col("n"), qround(col("z"), 8).as("z"))
+    },
+    s"""WITH RECURSIVE $logregGdSql,
+       |wf AS (SELECT * FROM gd WHERE it = 5),
+       |r AS (
+       |  SELECT
+       |    CAST(floor(1.0e0 / (1.0e0 + exp(-(wf.w1 * f1 + wf.w2 * f2
+       |      + wf.w3 * f3 + wf.b))) * 1000000.0 + 0.5) AS BIGINT)
+       |      AS iq,
+       |    CASE WHEN ${qrSql("f2", 6)} >= 0.12e0 THEN 1 ELSE 0 END
+       |      AS y
+       |  FROM f, wf),
+       |cells AS (
+       |  SELECT iq, CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(y) AS BIGINT) AS yy
+       |  FROM r GROUP BY 1),
+       |a AS (
+       |  SELECT CAST(sum(n) AS BIGINT) AS n,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'i': iq, 'x':
+       |        (CAST(yy AS DOUBLE) - CAST(n AS DOUBLE)
+       |          * (CAST(iq AS DOUBLE) / 1000000.0))
+       |        * (1.0 - 2.0 * (CAST(iq AS DOUBLE) / 1000000.0))}
+       |        ORDER BY iq), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS sn,
+       |    list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+       |      list_transform(list({'i': iq, 'x':
+       |        CAST(n AS DOUBLE)
+       |        * (1.0 - 2.0 * (CAST(iq AS DOUBLE) / 1000000.0))
+       |        * (1.0 - 2.0 * (CAST(iq AS DOUBLE) / 1000000.0))
+       |        * (CAST(iq AS DOUBLE) / 1000000.0)
+       |        * (1.0 - CAST(iq AS DOUBLE) / 1000000.0)}
+       |        ORDER BY iq), x_ -> x_.x)), (a_, b_) -> a_ + b_) AS sv
+       |  FROM cells)
+       |SELECT n,
+       |  CASE WHEN sv > 0 THEN ${qrSql("sn / sqrt(sv)", 8)} END AS z
+       |FROM a""".stripMargin)
+
   /** Matthews correlation + balanced accuracy + Youden's J of the
     * learned quality classifier against the stopword-ratio heuristic
     * gate (ClassifierOps.matthews) — the imbalance-robust companions
@@ -4626,6 +4676,7 @@ object QueriesLlm {
   val all: Map[String, Q] = Map(
     "roc_auc" -> rocAucQ,
     "mcc_eval" -> mccEvalQ,
+    "spiegelhalter_z" -> spiegelhalterZQ,
     "kcore" -> kcoreQ,
     "pr_curve" -> prCurveQ,
     "conformal_interval" -> conformalIntervalQ,

@@ -319,6 +319,38 @@ object ClassifierOps {
       (tpr + tnr - 1).as("youden_j"))
   }
 
+  /** Spiegelhalter's calibration z — "are the predicted probabilities
+    * themselves honest" (the inferential cut of the reliability
+    * curve; Brier measures the loss, this tests the calibration null):
+    *   z = Σ(y−p)(1−2p) / √(Σ(1−2p)²·p(1−p)).
+    * Scores quantize to the 1e-6 grid first, so both sums reduce to
+    * the distinct-score domain — per grid point p: numerator term
+    * (y_p − n_p·p)(1−2p), variance term n_p(1−2p)²p(1−p) — folded
+    * score-ordered (roc_auc's distinct-quantized-score domain
+    * argument). y_p/n_p are exact BIGINTs.
+    */
+  def spiegelhalterZ(df: DataFrame, scoreCol: String,
+                     labelCol: String): DataFrame = {
+    val iq = floor(col(scoreCol).cast("double") * lit(1e6) + lit(0.5))
+      .cast("long")
+    val y = when(col(labelCol).cast("boolean"), 1L).otherwise(0L)
+    val cells = df.where(col(scoreCol).isNotNull && col(labelCol).isNotNull)
+      .groupBy(iq.as("_iq"))
+      .agg(count(lit(1)).as("_n"), sum(y).as("_y"))
+    def D(c: Column) = c.cast("double")
+    val p = D(col("_iq")) / lit(1e6)
+    val omp = lit(1.0) - lit(2.0) * p
+    val terms = cells
+      .withColumn("_num", (D(col("_y")) - D(col("_n")) * p) * omp)
+      .withColumn("_var",
+        D(col("_n")) * omp * omp * p * (lit(1.0) - p))
+    val agg = terms.agg(sum(col("_n")).as("n"),
+      StatsOps.orderedFoldSum(Seq("_iq"), "_num").as("_sn"),
+      StatsOps.orderedFoldSum(Seq("_iq"), "_var").as("_sv"))
+    agg.select(col("n"),
+      when(col("_sv") > 0, col("_sn") / sqrt(col("_sv"))).as("z"))
+  }
+
   /** Krippendorff's alpha (nominal data) — the agreement coefficient
     * that, unlike [[fleissKappa]], tolerates MISSING ratings: items
     * keep whatever raters they have, items with fewer than two

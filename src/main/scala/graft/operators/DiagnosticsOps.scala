@@ -569,10 +569,136 @@ object DiagnosticsOps {
     val n0 = expr("t * (t - 1) div 2")
     val c = n0 - col("_n1") - col("_n2") + col("_n3") - col("_d")
     val den = sqrt(D(n0 - col("_n1")) * D(n0 - col("_n2")))
+    val s = D(c) - D(col("_d"))
     agg.select(col("t"), c.as("concordant"),
       col("_d").as("discordant"),
-      when(col("t") > 1 && den > 0, (D(c) - D(col("_d"))) / den)
-        .as("tau_b"))
+      when(col("t") > 1 && den > 0, s / den).as("tau_b"),
+      // the whole ordinal-association family falls out of the same
+      // censuses: Goodman-Kruskal γ ignores all ties, Somers' D
+      // conditions on the predictor's untied pairs (d_yx treats x as
+      // the predictor, d_xy treats y)
+      try_divide(s, D(c) + D(col("_d"))).as("gamma"),
+      try_divide(s, D(n0 - col("_n1"))).as("somers_dyx"),
+      try_divide(s, D(n0 - col("_n2"))).as("somers_dxy"))
+  }
+
+  /** Cohen's d / Hedges' g standardized mean difference between two
+    * cohorts — the "how big, in SD units" companion to [[welchT]]'s
+    * "how sure": pooled-SD d, small-sample-corrected
+    * g = d·(1 − 3/(4N − 9)). Exact grid moments (welch's sums);
+    * d is one closed form.
+    */
+  def cohensD(df: DataFrame, cohortCol: String, cohortA: String,
+              cohortB: String, valueCol: String,
+              quantDigits: Int = 4): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    def side(c: String, suf: String) = Seq(
+      sum(when(col(cohortCol) === c, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col(cohortCol) === c, vq).otherwise(0L)).as(s"_s$suf"),
+      sum(when(col(cohortCol) === c, vq * vq).otherwise(0L))
+        .as(s"_ss$suf"))
+    val aggs = side(cohortA, "a") ++ side(cohortB, "b")
+    val agg = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) =
+      when(col(n) > 0, D(s) / lit(scale) / D(n))
+    def ssc(ss: String, s: String, n: String) =
+      (D(ss) - D(s) * D(s) / D(n)) / lit(scale * scale)
+    val nA = D("n_a")
+    val nB = D("n_b")
+    val sp = sqrt((ssc("_ssa", "_sa", "n_a") +
+      ssc("_ssb", "_sb", "n_b")) / (nA + nB - 2))
+    val dd = (mean("_sa", "n_a") - mean("_sb", "n_b")) / sp
+    val ok = col("n_a") > 1 && col("n_b") > 1 && sp > 0
+    agg.select(col("n_a"), col("n_b"),
+      when(ok, sp).as("pooled_sd"), when(ok, dd).as("d"),
+      when(ok, dd * (lit(1.0) - lit(3.0) /
+        (lit(4.0) * (nA + nB) - 9))).as("hedges_g"))
+  }
+
+  /** Cochran-Armitage trend test — "does the success rate trend
+    * monotonically across ordered doses" (the dose-response sibling
+    * of [[cochranQ]]; scores are the ordered group labels):
+    *   z = Σ s(r_s − n_s·p̄) / √(p̄(1−p̄)(Σ n s² − (Σ n s)²/N)).
+    * Every census (n_s, r_s, Σns, Σns², Σsr) is an exact BIGINT off
+    * one hash aggregate; z is one closed form — no fold at all.
+    */
+  def cochranArmitage(df: DataFrame, scoreCol: String,
+                      outcomeCol: String): DataFrame = {
+    val s = col(scoreCol).cast("long")
+    val y = when(col(outcomeCol), 1L).otherwise(0L)
+    val agg = df.where(col(scoreCol).isNotNull)
+      .agg(count_distinct(s).as("k"), count(lit(1)).as("n"),
+        sum(y).as("_r"), sum(s * y).as("_sr"), sum(s).as("_sn"),
+        sum(s * s).as("_sn2"))
+    val nD = D("n")
+    val pbar = D("_r") / nD
+    val num = D("_sr") - pbar * D("_sn")
+    val den = sqrt(pbar * (lit(1.0) - pbar) *
+      (D("_sn2") - D("_sn") * D("_sn") / nD))
+    agg.select(col("k"), col("n"), col("_r").as("successes"),
+      when(col("k") > 1 && den > 0, num / den).as("z"))
+  }
+
+  /** Category-mix diversity per group — Shannon H (nats), Pielou
+    * evenness H/ln k, and Simpson concentration Σp² (with its inverse,
+    * the "effective number of categories"): the corpus-mix health
+    * readout next to gini_concentration. Simpson is EXACT
+    * (Σc²/n² over BIGINT censuses); H folds category-ordered
+    * (StrictMath/DuckDB ln probed bit-identical by gmm1d_em).
+    */
+  def diversityIndex(df: DataFrame, groupCol: String,
+                     catCol: String): DataFrame = {
+    val counts = df.where(col(groupCol).isNotNull && col(catCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(catCol).cast("string").as("_c"))
+      .agg(count(lit(1)).as("_n"))
+    val tot = counts.groupBy("_g").agg(sum(col("_n")).as("_t"))
+    val agg = counts.join(broadcast(tot), Seq("_g"))
+      .withColumn("_term",
+        (D("_n") / D("_t")) * log(D("_n") / D("_t")) * lit(-1.0))
+      .groupBy("_g")
+      .agg(max(col("_t")).as("n"), count(lit(1)).as("k"),
+        sum(col("_n") * col("_n")).as("_s2"),
+        StatsOps.orderedFoldSum(Seq("_c"), "_term").as("_h"))
+    val simpson = D("_s2") / (D("n") * D("n"))
+    agg.select(col("_g").as(groupCol), col("n"), col("k"),
+      col("_h").as("shannon"),
+      when(col("k") > 1, col("_h") / log(D("k"))).as("evenness"),
+      simpson.as("simpson"),
+      try_divide(lit(1.0), simpson).as("inv_simpson"))
+  }
+
+  /** Post-hoc power readout for a two-arm binary experiment — the
+    * minimum detectable ABSOLUTE effect at the classic α=0.05
+    * two-sided / 80%-power operating point (z literals spelled to
+    * full double precision so both engines compare the same IEEE
+    * constants):
+    *   MDE = (z_{α/2} + z_{power}) · √(p̄(1−p̄)(1/n_a + 1/n_b)).
+    * The honest companion to [[StatsOps.twoProportionZ]]: a
+    * non-significant test with MDE ≫ the effect you care about is an
+    * underpowered experiment, not a negative result.
+    */
+  def abPower(df: DataFrame, armCol: String, armA: String, armB: String,
+              successCol: String,
+              zAlpha: Double = 1.959963984540054,
+              zPower: Double = 0.8416212335729143): DataFrame = {
+    val sCol = col(successCol).cast("long")
+    val agg = df.where(col(armCol).isin(armA, armB) &&
+        col(successCol).isNotNull)
+      .agg(sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("n_a"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("n_b"),
+        sum(sCol).as("_x"))
+    val pbar = D("_x") / (D("n_a") + D("n_b"))
+    val mde = (lit(zAlpha) + lit(zPower)) *
+      sqrt(pbar * (lit(1.0) - pbar) *
+        (lit(1.0) / D("n_a") + lit(1.0) / D("n_b")))
+    val ok = col("n_a") > 0 && col("n_b") > 0
+    agg.select(col("n_a"), col("n_b"),
+      when(ok, pbar).as("pooled_rate"), when(ok, mde).as("mde_abs"),
+      when(ok, try_divide(mde, pbar)).as("mde_rel"))
   }
 
   /** Mood's median test across k groups: χ² homogeneity of the

@@ -482,6 +482,87 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(rc.isNullAt(rc.fieldIndex("strength")))
   }
 
+  test("kendallTau: gamma and Somers' D diverge under one-sided ties") {
+    // x=(1,1,2) y=(1,2,3): C=2 D=0, n1=1 n2=0
+    // gamma = 1, d_yx = 2/(3-1) = 1, d_xy = 2/3, tau_b = 2/sqrt(6)
+    val df = seriesDf(Seq(("A", 1L, 1), ("A", 2L, 1), ("A", 3L, 2),
+      ("B", 1L, 1), ("B", 2L, 2), ("B", 3L, 3)))
+      .withColumnRenamed("g", "c")
+    val r = DiagnosticsOps.kendallTau(df, "c", "A", "B", "h").head()
+    assert(approx(r.getAs[Double]("tau_b"), 2.0 / math.sqrt(6.0)))
+    assert(approx(r.getAs[Double]("gamma"), 1.0))
+    assert(approx(r.getAs[Double]("somers_dyx"), 1.0))
+    assert(approx(r.getAs[Double]("somers_dxy"), 2.0 / 3.0))
+  }
+
+  test("cohensD: pooled SD sqrt(7), d = -3/sqrt(7), g = 0.8 d") {
+    val df = Seq("A" -> 1.0, "A" -> 2.0, "A" -> 3.0,
+      "B" -> 2.0, "B" -> 4.0, "B" -> 9.0).toDF("c", "v")
+    val r = DiagnosticsOps.cohensD(df, "c", "A", "B", "v",
+      quantDigits = 0).head()
+    assert(approx(r.getAs[Double]("pooled_sd"), math.sqrt(7.0)))
+    assert(approx(r.getAs[Double]("d"), -3.0 / math.sqrt(7.0)))
+    assert(approx(r.getAs[Double]("hedges_g"),
+      -3.0 / math.sqrt(7.0) * 0.8))
+  }
+
+  test("cochranArmitage: linear dose-response, z = sqrt(2)") {
+    // doses 0/1/2 with successes 1/2/3 of 4 each: num=2, den=sqrt(2)
+    val rows = Seq(0 -> 1, 1 -> 2, 2 -> 3).flatMap { case (s, r) =>
+      (1 to 4).map(i => (s.toLong, i <= r))
+    }
+    val df = rows.toDF("dose", "y")
+    val r = DiagnosticsOps.cochranArmitage(df, "dose", "y").head()
+    assert(r.getAs[Long]("k") === 3L && r.getAs[Long]("n") === 12L)
+    assert(r.getAs[Long]("successes") === 6L)
+    assert(approx(r.getAs[Double]("z"), math.sqrt(2.0)))
+  }
+
+  test("diversityIndex: even two-way mix vs single category") {
+    val df = Seq(("g1", "a"), ("g1", "a"), ("g1", "b"), ("g1", "b"),
+      ("g2", "c"), ("g2", "c"), ("g2", "c"), ("g2", "c"))
+      .toDF("g", "cat")
+    val out = DiagnosticsOps.diversityIndex(df, "g", "cat")
+      .collect().map(r => r.getString(0) -> r).toMap
+    val g1 = out("g1")
+    assert(approx(g1.getAs[Double]("shannon"), math.log(2.0)))
+    assert(approx(g1.getAs[Double]("evenness"), 1.0))
+    assert(approx(g1.getAs[Double]("simpson"), 0.5))
+    assert(approx(g1.getAs[Double]("inv_simpson"), 2.0))
+    val g2 = out("g2")
+    assert(g2.getAs[Long]("k") === 1L)
+    assert(approx(g2.getAs[Double]("shannon"), 0.0))
+    assert(g2.isNullAt(g2.fieldIndex("evenness")))
+    assert(approx(g2.getAs[Double]("simpson"), 1.0))
+  }
+
+  test("abPower: MDE closed form at the 0.05/0.80 operating point") {
+    // arms of 2/2, pooled rate 0.5: mde = (z_a + z_p) * 0.5
+    val df = Seq(("a", 1L), ("a", 0L), ("b", 1L), ("b", 0L))
+      .toDF("arm", "conv")
+    val r = DiagnosticsOps.abPower(df, "arm", "a", "b", "conv").head()
+    val zsum = 1.959963984540054 + 0.8416212335729143
+    assert(approx(r.getAs[Double]("pooled_rate"), 0.5))
+    assert(approx(r.getAs[Double]("mde_abs"), zsum * 0.5))
+    assert(approx(r.getAs[Double]("mde_rel"), zsum))
+  }
+
+  test("spiegelhalterZ: calibrated scores give z = 0; inflated give 2*sqrt(3)") {
+    // four p=0.25 predictions, exactly one positive -> num = 0
+    val cal = Seq((0.25, true), (0.25, false), (0.25, false),
+      (0.25, false)).toDF("score", "label")
+    val r = graft.operators.ClassifierOps.spiegelhalterZ(cal, "score",
+      "label").head()
+    assert(r.getAs[Long]("n") === 4L)
+    assert(approx(r.getAs[Double]("z"), 0.0))
+    // all four positive at p=0.25: num = 1.5, var = 0.1875
+    val off = Seq((0.25, true), (0.25, true), (0.25, true),
+      (0.25, true)).toDF("score", "label")
+    val r2 = graft.operators.ClassifierOps.spiegelhalterZ(off, "score",
+      "label").head()
+    assert(approx(r2.getAs[Double]("z"), 2.0 * math.sqrt(3.0)))
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
