@@ -741,12 +741,19 @@ object DiagnosticsOps {
     val eb = rowT * D("_tb") / nD
     val term = (D("_a") - ea) * (D("_a") - ea) / ea +
       (D("_b") - eb) * (D("_b") - eb) / eb
+    // a zero margin (every value on one side of the median — e.g. a
+    // single-row input) makes an expected cell 0: the statistic is
+    // undefined, so emit null rather than an ANSI divide-by-zero; the
+    // term guard keeps the fold total (0.0) so the final when decides
+    val marginOk = col("_ta") > 0 && col("_tb") > 0
     cells.crossJoin(broadcast(margins))
-      .withColumn("_term", term)
+      .withColumn("_term", when(marginOk, term).otherwise(lit(0.0)))
       .agg(count(lit(1)).as("k"), sum(col("_a") + col("_b")).as("n"),
+        max(col("_ta")).as("_ta2"), max(col("_tb")).as("_tb2"),
         StatsOps.orderedFoldSum(Seq("_g"), "_term").as("_chi2"))
       .select(col("k"), col("n"), (col("k") - 1).as("dof"),
-        when(col("k") > 1, col("_chi2")).as("chi2"))
+        when(col("k") > 1 && col("_ta2") > 0 && col("_tb2") > 0,
+          col("_chi2")).as("chi2"))
   }
 
   /** Maximum mean discrepancy between two cohorts under the

@@ -848,6 +848,10 @@ object SequenceOps {
     domain
       .agg(sort_array(collect_list(struct(col("_t"), col("_d"),
         col("_c"), col("_n")))).as("arr"))
+      // empty input: sequence(1, 0) DESCENDS to [1, 0] instead of
+      // yielding an empty array, so arr[0] on a 0-element array would
+      // throw; an empty domain legitimately produces zero output rows
+      .where(size(col("arr")) > 0)
       .select(explode(expr(
         """transform(sequence(1, size(arr)), i -> struct(
           |  arr[i-1]._t as t, arr[i-1]._d as d, arr[i-1]._n as n_at_risk,
@@ -1219,6 +1223,10 @@ object SequenceOps {
     domain
       .agg(sort_array(collect_list(struct(col("_t"), col("_d"),
         col("_c"), col("_n")))).as("arr"))
+      // empty input: sequence(1, 0) DESCENDS to [1, 0] instead of
+      // yielding an empty array, so arr[0] on a 0-element array would
+      // throw; an empty domain legitimately produces zero output rows
+      .where(size(col("arr")) > 0)
       .select(explode(expr(
         """transform(sequence(1, size(arr)), i -> struct(
           |  arr[i-1]._t as t, arr[i-1]._d as d, arr[i-1]._n as n_at_risk,

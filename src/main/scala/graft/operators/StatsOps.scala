@@ -1492,8 +1492,10 @@ object StatsOps {
         cnt(true, true).as("n_t1"), sm(true, true).as("_s_t1"),
         cnt(false, false).as("n_c0"), sm(false, false).as("_s_c0"),
         cnt(false, true).as("n_c1"), sm(false, true).as("_s_c1"))
+    // an empty cell yields null means/did, not an ANSI divide-by-zero
     def mean(s: String, n: String): Column =
-      col(s).cast("double") / lit(scale) / col(n).cast("double")
+      when(col(n) > 0,
+        col(s).cast("double") / lit(scale) / col(n).cast("double"))
     val mt0 = mean("_s_t0", "n_t0")
     val mt1 = mean("_s_t1", "n_t1")
     val mc0 = mean("_s_c0", "n_c0")
@@ -1896,8 +1898,10 @@ object StatsOps {
     val pB = try_divide(col("x_b").cast("double"), nbD)
     val pPool = try_divide((col("x_a") + col("x_b")).cast("double"),
       naD + nbD)
+    // try_divide: an EMPTY arm must yield null z, not an ANSI
+    // divide-by-zero from 1/n
     val se = sqrt(pPool * (lit(1.0) - pPool) *
-      (lit(1.0) / naD + lit(1.0) / nbD))
+      (try_divide(lit(1.0), naD) + try_divide(lit(1.0), nbD)))
     g.select(col("n_a"), col("x_a"), col("n_b"), col("x_b"),
       pA.as("rate_a"), pB.as("rate_b"), (pA - pB).as("lift"),
       when(se > 0, (pA - pB) / se).otherwise(lit(null)).as("z"))

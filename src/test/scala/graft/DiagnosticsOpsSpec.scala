@@ -563,6 +563,32 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(approx(r2.getAs[Double]("z"), 2.0 * math.sqrt(3.0)))
   }
 
+  test("degenerate inputs survive ANSI mode (empty-sweep regressions)") {
+    // medianTest single row: one margin is 0 -> null chi2, no /0
+    val one = Seq("a" -> 1.0).toDF("g", "v")
+    val m = DiagnosticsOps.medianTest(one, "g", "v", quantDigits = 0)
+      .head()
+    assert(m.isNullAt(m.fieldIndex("chi2")))
+    // twoProportionZ with an empty arm: null z, no 1/0
+    val oneArm = Seq(("a", 1L), ("a", 0L)).toDF("arm", "s")
+    val z = graft.operators.StatsOps.twoProportionZ(oneArm, "arm",
+      "a", "b", "s").head()
+    assert(z.getAs[Long]("n_b") === 0L)
+    assert(z.isNullAt(z.fieldIndex("z")))
+    // didEstimate with an empty cell: null did, no /0
+    val did = graft.operators.StatsOps.didEstimate(
+      Seq((true, true, 1.0), (false, false, 2.0))
+        .toDF("treat", "post", "v"), "treat", "post", "v").head()
+    assert(did.isNullAt(did.fieldIndex("did")))
+    // kaplanMeier on an empty frame: zero rows (sequence(1,0) would
+    // otherwise descend to [1,0] and index an empty array)
+    val empty = Seq.empty[(Long, Long)].toDF("k", "ts")
+    assert(graft.operators.SequenceOps.kaplanMeier(empty, "k", "ts",
+      censorDays = 0).count() === 0L)
+    assert(graft.operators.SequenceOps.nelsonAalen(empty, "k", "ts",
+      censorDays = 0).count() === 0L)
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
