@@ -1010,6 +1010,71 @@ object Queries {
     * matching the oracle's replayed ANTI JOIN + union proves the merge
     * semantics row-for-row (quantities are integral, sums exact).
     */
+  /** SCD Type-2 dimension versioning (IoOps.scd2Apply): the customer
+    * dimension seeded as all-current at valid_from 0, then one change
+    * batch — every 7th customer's balance moves by +100.00 (cents
+    * kept as exact BIGINTs) and every 31st key arrives brand new —
+    * closed/kept/new-version rows emitted per the SCD2 contract.
+    */
+  private val scd2ApplyQ = Q(
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val cur = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal"),
+        lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val ch = cust.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            + 10000L).as("bal"), lit(86400L).as("ts"))
+        .unionByName(cust.where(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("NEW").as("seg"), lit(0L).as("bal"),
+            lit(86400L).as("ts")))
+      sources.IoOps.scd2Apply(cur, ch, Seq("k"), Seq("seg", "bal"), "ts")
+    },
+    """WITH cur AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) AS bal,
+      |    CAST(0 AS BIGINT) AS valid_from,
+      |    CAST(NULL AS BIGINT) AS valid_to, true AS is_current
+      |  FROM customer),
+      |ch AS (
+      |  SELECT c_custkey AS k, c_mktsegment AS seg,
+      |    CAST(floor(c_acctbal * 100 + 0.5) AS BIGINT) + 10000 AS bal,
+      |    CAST(86400 AS BIGINT) AS ts
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, 'NEW', CAST(0 AS BIGINT),
+      |    CAST(86400 AS BIGINT)
+      |  FROM customer WHERE c_custkey % 31 = 0),
+      |j AS (
+      |  SELECT cur.k AS k0, cur.seg, cur.bal, cur.valid_from,
+      |    cur.valid_to, ch.k AS ck, ch.seg AS cseg, ch.bal AS cbal,
+      |    ch.ts
+      |  FROM cur FULL OUTER JOIN ch ON cur.k = ch.k),
+      |closed AS (
+      |  SELECT k0 AS k, seg, bal, valid_from,
+      |    ts AS valid_to, false AS is_current
+      |  FROM j WHERE k0 IS NOT NULL AND ck IS NOT NULL
+      |    AND (seg IS DISTINCT FROM cseg OR bal IS DISTINCT FROM cbal)),
+      |kept AS (
+      |  SELECT k0 AS k, seg, bal, valid_from, valid_to,
+      |    true AS is_current
+      |  FROM j WHERE k0 IS NOT NULL AND (ck IS NULL
+      |    OR (seg IS NOT DISTINCT FROM cseg
+      |        AND bal IS NOT DISTINCT FROM cbal))),
+      |fresh AS (
+      |  SELECT ck AS k, cseg AS seg, cbal AS bal,
+      |    ts AS valid_from, CAST(NULL AS BIGINT) AS valid_to,
+      |    true AS is_current
+      |  FROM j WHERE ck IS NOT NULL AND (k0 IS NULL
+      |    OR (seg IS DISTINCT FROM cseg OR bal IS DISTINCT FROM cbal)))
+      |SELECT * FROM closed UNION ALL SELECT * FROM kept
+      |UNION ALL SELECT * FROM fresh""".stripMargin)
+
   private val mergeUpsertQ = Q(
     (s, d) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
@@ -2779,6 +2844,7 @@ object Queries {
     "zorder_layout" -> zorderLayoutQ,
     "hilbert_layout" -> hilbertLayoutQ,
     "merge_upsert" -> mergeUpsertQ,
+    "scd2_apply" -> scd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,
     "append_xds" -> appendXdsQ,

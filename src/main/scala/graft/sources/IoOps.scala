@@ -283,6 +283,63 @@ object IoOps {
     kept.unionByName(upserts)
   }
 
+  /** SCD Type-2 apply — the dimension-HISTORY sibling of
+    * [[mergeUpsert]] (which replaces; SCD2 versions): given a
+    * versioned dimension (`keyCols ++ trackedCols ++ (valid_from,
+    * valid_to, is_current)`, integer timestamps) and a change batch
+    * (`keyCols ++ trackedCols ++ tsCol`), emit the next version of
+    * the dimension:
+    *   - a current row whose tracked attributes CHANGED is closed
+    *     (valid_to = change ts, is_current = false) and a new current
+    *     version inserts at the change ts;
+    *   - an unchanged or untouched current row passes through;
+    *   - a change for an unseen key inserts as a new current row;
+    *   - history rows (is_current = false) always pass through.
+    * Multiple changes per key in one batch collapse to the LATEST by
+    * (ts, tracked...) struct order — deterministic for any multiset.
+    * Attribute comparison is null-safe (`<=>`). Plan: one hash
+    * aggregate on the change keys + ONE key-partitioned full-outer
+    * join + unions — shuffle rides |current|+|changes| on the key,
+    * no broadcast assumption (AQE handles a small batch), nothing
+    * collected.
+    */
+  def scd2Apply(current: DataFrame, changes: DataFrame,
+                keyCols: Seq[String], trackedCols: Seq[String],
+                tsCol: String): DataFrame = {
+    val outCols = (keyCols ++ trackedCols ++
+      Seq("valid_from", "valid_to", "is_current")).map(col)
+    val hist = current.where(!col("is_current")).select(outCols: _*)
+    val live = current.where(col("is_current"))
+      .withColumn("_cur", lit(true))
+    val latest = changes
+      .groupBy(keyCols.map(col): _*)
+      .agg(max(struct((col(tsCol).as("_ts") +:
+        trackedCols.map(n => col(n).as(s"_u_$n"))): _*)).as("_ch"))
+      .select((keyCols.map(col) :+ col("_ch._ts").as("_u_ts")) ++
+        trackedCols.map(n => col(s"_ch._u_$n").as(s"_u_$n")): _*)
+      .withColumn("_upd", lit(true))
+    val j = live.join(latest, keyCols, "full_outer")
+    val differs = trackedCols
+      .map(n => !(col(n) <=> col(s"_u_$n")))
+      .reduce(_ || _)
+    val isCur = coalesce(col("_cur"), lit(false))
+    val isUpd = coalesce(col("_upd"), lit(false))
+    val closed = j.where(isCur && isUpd && differs)
+      .select((keyCols ++ trackedCols).map(col) ++ Seq(
+        col("valid_from"), col("_u_ts").as("valid_to"),
+        lit(false).as("is_current")): _*)
+    val kept = j.where(isCur && (!isUpd || !differs))
+      .select(outCols: _*)
+    val fresh = j.where(isUpd && (!isCur || differs))
+      .select(keyCols.map(col) ++
+        trackedCols.map(n => col(s"_u_$n").as(n)) ++ Seq(
+        col("_u_ts").as("valid_from"),
+        lit(null).cast(current.schema("valid_to").dataType)
+          .as("valid_to"),
+        lit(true).as("is_current")): _*)
+    hist.unionByName(closed).unionByName(kept).unionByName(fresh)
+  }
+
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
     * 84-137): sibling artifacts (psf, pb, residual, model, ...) become
     * one table with one value column per artifact — a chain of outer

@@ -589,6 +589,31 @@ class DiagnosticsOpsSpec extends SparkSpec {
       censorDays = 0).count() === 0L)
   }
 
+  test("scd2Apply: close/keep/insert/history plus latest-change collapse") {
+    val cur = Seq(
+      ("k1", "segOld", 50L, -10L, Some(0L), false), // history row
+      ("k1", "segA", 100L, 0L, None, true),
+      ("k2", "segB", 200L, 0L, None, true))
+      .toDF("k", "seg", "bal", "valid_from", "valid_to", "is_current")
+    val ch = Seq(
+      ("k1", "segA", 120L, 3L), // superseded by the ts=5 change
+      ("k1", "segA", 150L, 5L), // bal change -> close + new version
+      ("k2", "segB", 200L, 5L), // no-op change -> kept untouched
+      ("k3", "segC", 1L, 5L)) // brand-new key
+      .toDF("k", "seg", "bal", "ts")
+    val out = graft.sources.IoOps.scd2Apply(cur, ch, Seq("k"),
+      Seq("seg", "bal"), "ts")
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), Option(r.get(4)), r.getBoolean(5))).toSet
+    assert(out === Set(
+      ("k1", "segOld", 50L, -10L, Some(0L), false), // history kept
+      ("k1", "segA", 100L, 0L, Some(5L), false), // closed at ts 5
+      ("k1", "segA", 150L, 5L, None, true), // new current version
+      ("k2", "segB", 200L, 0L, None, true), // unchanged passes
+      ("k3", "segC", 1L, 5L, None, true))) // fresh key inserts
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
