@@ -19,7 +19,12 @@ object PlanAudit {
       "stream_dedup", "make_image_mosaic",
       "auto_rflag", "auto_tfcrop", "reframe", "url_dedup", "pii_scrub",
       "line_dedup", "pq_search", "shard_by_tokens", "semantic_dedup",
-      "decontaminate_bloom", "dsir_sample")) {
+      "decontaminate_bloom", "dsir_sample",
+      // round-14 representatives: the SCD2 outer join, the survival
+      // cumulative, the inversion-census aggregate, the paired-delta
+      // rank test, and the streaming PH state op on the batch frame
+      "scd2_apply", "logrank_test", "kendall_tau",
+      "wilcoxon_signed_rank", "stream_page_hinkley")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

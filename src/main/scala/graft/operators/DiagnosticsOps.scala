@@ -554,18 +554,44 @@ object DiagnosticsOps {
           .as("_x"),
         sum(when(col(cohortCol) === cohortB, 1L).otherwise(0L))
           .as("_y"))
-    val inv = dom.agg(count(lit(1)).as("t"),
-        StatsOps.seriesInversions(
-          expr("transform(array_sort(collect_list(struct(_x, _y)))," +
-            " p -> p._y)")).as("_d"))
-    val tx = dom.groupBy("_x").agg(count(lit(1)).as("_c"))
-      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n1"))
-    val ty = dom.groupBy("_y").agg(count(lit(1)).as("_c"))
-      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n2"))
-    val txy = dom.groupBy("_x", "_y").agg(count(lit(1)).as("_c"))
-      .agg(coalesce(sum(expr("_c * (_c - 1) div 2")), lit(0L)).as("_n3"))
-    val agg = inv.crossJoin(broadcast(tx)).crossJoin(broadcast(ty))
-      .crossJoin(broadcast(txy))
+    // every census reads the SAME collected (x, y) array — separate
+    // groupBy censuses would re-derive the fact scan once each (the
+    // round-14 PlanAudit caught 4 scans); a run-length fold over the
+    // sorted bounded-domain array costs O(T) and keeps ONE scan.
+    // Adding the (k+1)'th member of an equal-key run adds k tied
+    // pairs, so each fold carries (prev key, run length, pair count);
+    // counts are never negative, so -1 is a safe "no previous" key.
+    val agg = dom
+      .agg(count(lit(1)).as("t"),
+        sort_array(collect_list(struct(col("_x"), col("_y"))))
+          .as("_tv"))
+      .withColumn("_d", StatsOps.seriesInversions(
+        expr("transform(_tv, p -> p._y)")))
+      .withColumn("_n1", expr(
+        """(aggregate(_tv,
+          |  named_struct('p', cast(-1 as bigint), 'r', cast(0 as bigint),
+          |    'a', cast(0 as bigint)),
+          |  (acc, e) -> named_struct('p', e._x,
+          |    'r', if(e._x = acc.p, acc.r + 1, cast(1 as bigint)),
+          |    'a', acc.a + if(e._x = acc.p, acc.r,
+          |      cast(0 as bigint))))).a""".stripMargin))
+      .withColumn("_n3", expr(
+        """(aggregate(_tv,
+          |  named_struct('p', cast(-1 as bigint), 'q', cast(-1 as bigint),
+          |    'r', cast(0 as bigint), 'a', cast(0 as bigint)),
+          |  (acc, e) -> named_struct('p', e._x, 'q', e._y,
+          |    'r', if(e._x = acc.p AND e._y = acc.q, acc.r + 1,
+          |      cast(1 as bigint)),
+          |    'a', acc.a + if(e._x = acc.p AND e._y = acc.q, acc.r,
+          |      cast(0 as bigint))))).a""".stripMargin))
+      .withColumn("_n2", expr(
+        """(aggregate(array_sort(transform(_tv, p -> p._y)),
+          |  named_struct('p', cast(-1 as bigint), 'r', cast(0 as bigint),
+          |    'a', cast(0 as bigint)),
+          |  (acc, e) -> named_struct('p', e,
+          |    'r', if(e = acc.p, acc.r + 1, cast(1 as bigint)),
+          |    'a', acc.a + if(e = acc.p, acc.r,
+          |      cast(0 as bigint))))).a""".stripMargin))
     val n0 = expr("t * (t - 1) div 2")
     val c = n0 - col("_n1") - col("_n2") + col("_n3") - col("_d")
     val den = sqrt(D(n0 - col("_n1")) * D(n0 - col("_n2")))

@@ -899,8 +899,6 @@ object SequenceOps {
       .select((col("_d1") - col("_d0")).as("_t"),
         (col("_d1") <= col("_end") - censorDays).as("_dead"),
         col("_ia"))
-    val tot = lives.agg(sum(col("_ia")).as("n_a"),
-      sum(lit(1L) - col("_ia")).as("n_b"))
     def cnt(dead: Boolean, a: Boolean) =
       sum(when(col("_dead") === dead &&
         col("_ia") === (if (a) 1L else 0L), 1L).otherwise(0L))
@@ -911,11 +909,18 @@ object SequenceOps {
         cnt(dead = false, a = false).as("_cb"))
     val w = Window.orderBy(col("_t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    // cohort totals ride the SAME day-domain window pass with a
+    // full-partition frame — a separate totals aggregate would
+    // re-derive the histogram and its per-key fact aggregate
+    // (PlanAudit r14 counted the duplicate scans)
+    val wAll = Window.orderBy(col("_t"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     def D(c: Column) = c.cast("double")
     val atRisk = hist
       .withColumn("_cuma", sum(col("_da") + col("_ca")).over(w))
       .withColumn("_cumb", sum(col("_db") + col("_cb")).over(w))
-      .crossJoin(broadcast(tot))
+      .withColumn("n_a", sum(col("_da") + col("_ca")).over(wAll))
+      .withColumn("n_b", sum(col("_db") + col("_cb")).over(wAll))
       .select(col("_t"), col("_da"), col("_db"), col("n_a"), col("n_b"),
         (col("n_a") - col("_cuma") + col("_da") + col("_ca")).as("_n1"),
         (col("n_b") - col("_cumb") + col("_db") + col("_cb")).as("_n2"))

@@ -324,20 +324,30 @@ object IoOps {
       .reduce(_ || _)
     val isCur = coalesce(col("_cur"), lit(false))
     val isUpd = coalesce(col("_upd"), lit(false))
-    val closed = j.where(isCur && isUpd && differs)
-      .select((keyCols ++ trackedCols).map(col) ++ Seq(
-        col("valid_from"), col("_u_ts").as("valid_to"),
-        lit(false).as("is_current")): _*)
-    val kept = j.where(isCur && (!isUpd || !differs))
-      .select(outCols: _*)
-    val fresh = j.where(isUpd && (!isCur || differs))
-      .select(keyCols.map(col) ++
-        trackedCols.map(n => col(s"_u_$n").as(n)) ++ Seq(
-        col("_u_ts").as("valid_from"),
-        lit(null).cast(current.schema("valid_to").dataType)
-          .as("valid_to"),
-        lit(true).as("is_current")): _*)
-    hist.unionByName(closed).unionByName(kept).unionByName(fresh)
+    // One joined row emits 0-2 output rows (closed + new version for
+    // a changed key, one row otherwise). A where+union per branch
+    // would make Catalyst re-derive the JOIN per branch (three scans
+    // of each input — the Delta-MERGE expansion); building the
+    // branches as conditional structs and exploding keeps ONE join
+    // and one scan per side.
+    val closedS = struct((keyCols ++ trackedCols).map(col) ++ Seq(
+      col("valid_from"), col("_u_ts").as("valid_to"),
+      lit(false).as("is_current")): _*)
+    val keptS = struct(outCols: _*)
+    val freshS = struct(keyCols.map(col) ++
+      trackedCols.map(n => col(s"_u_$n").as(n)) ++ Seq(
+      col("_u_ts").as("valid_from"),
+      lit(null).cast(current.schema("valid_to").dataType)
+        .as("valid_to"),
+      lit(true).as("is_current")): _*)
+    val branches = array(
+      when(isCur && isUpd && differs, closedS),
+      when(isCur && (!isUpd || !differs), keptS),
+      when(isUpd && (!isCur || differs), freshS))
+    val emitted = j
+      .select(explode(filter(branches, _.isNotNull)).as("_r"))
+      .select(col("_r.*"))
+    hist.unionByName(emitted)
   }
 
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
