@@ -1453,6 +1453,235 @@ object QueriesDiagnostics {
        |  END AS mde_rel
        |FROM v""".stripMargin)
 
+  /** Chow structural-break F at the span's midpoint hour per event
+    * type (DiagnosticsOps.chowTest): pooled vs two-segment OLS SSEs
+    * over exact BIGINT moments, one conditional-sum pass. The break
+    * hour is the (lo+hi+1) div 2 midpoint, resolved from a 1-row
+    * bounds aggregate at plan-build time (bounded collect).
+    */
+  private val chowTestQ = Q(
+    (s, d) => {
+      val ev = hourly(s, d)
+      val b = ev.agg(min(col("win")).as("lo"), max(col("win")).as("hi"))
+        .head()
+      val mid = (b.getLong(0) + b.getLong(1) + 1) / 2
+      DiagnosticsOps.chowTest(ev, "event_type", "win", mid)
+        .select(col("event_type"), col("n"), col("n_1"), col("n_2"),
+          col("break_win"), qround(col("sse_pooled"), 6).as("sse_pooled"),
+          qround(col("sse_split"), 6).as("sse_split"),
+          qround(col("f"), 8).as("f"))
+    },
+    s"""WITH $srSql,
+       |bnd AS (SELECT (min(h) + max(h) + 1) // 2 AS mid FROM sr),
+       |a AS (
+       |  SELECT g,
+       |    CAST(sum(CASE WHEN h < mid THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n1,
+       |    CAST(sum(CASE WHEN h < mid THEN h ELSE 0 END) AS BIGINT)
+       |      AS sx1,
+       |    CAST(sum(CASE WHEN h < mid THEN y ELSE 0 END) AS BIGINT)
+       |      AS sy1,
+       |    CAST(sum(CASE WHEN h < mid THEN h * h ELSE 0 END) AS BIGINT)
+       |      AS sxx1,
+       |    CAST(sum(CASE WHEN h < mid THEN h * y ELSE 0 END) AS BIGINT)
+       |      AS sxy1,
+       |    CAST(sum(CASE WHEN h < mid THEN y * y ELSE 0 END) AS BIGINT)
+       |      AS syy1,
+       |    CAST(sum(CASE WHEN h >= mid THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n2,
+       |    CAST(sum(CASE WHEN h >= mid THEN h ELSE 0 END) AS BIGINT)
+       |      AS sx2,
+       |    CAST(sum(CASE WHEN h >= mid THEN y ELSE 0 END) AS BIGINT)
+       |      AS sy2,
+       |    CAST(sum(CASE WHEN h >= mid THEN h * h ELSE 0 END)
+       |      AS BIGINT) AS sxx2,
+       |    CAST(sum(CASE WHEN h >= mid THEN h * y ELSE 0 END)
+       |      AS BIGINT) AS sxy2,
+       |    CAST(sum(CASE WHEN h >= mid THEN y * y ELSE 0 END)
+       |      AS BIGINT) AS syy2,
+       |    max(mid) AS mid
+       |  FROM sr CROSS JOIN bnd GROUP BY 1),
+       |s2 AS (
+       |  SELECT g, n1, n2, mid,
+       |    CASE WHEN n1 > 2 AND CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+       |        * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE) > 0
+       |    THEN (CAST(syy1 AS DOUBLE) - CAST(sy1 AS DOUBLE)
+       |        * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |      - (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+       |          * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |        * (CAST(sxy1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+       |          * CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE))
+       |        / (CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE)
+       |          * CAST(sx1 AS DOUBLE) / CAST(n1 AS DOUBLE)) END AS e1,
+       |    CASE WHEN n2 > 2 AND CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+       |        * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE) > 0
+       |    THEN (CAST(syy2 AS DOUBLE) - CAST(sy2 AS DOUBLE)
+       |        * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       |      - (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+       |          * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       |        * (CAST(sxy2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+       |          * CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE))
+       |        / (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE)
+       |          * CAST(sx2 AS DOUBLE) / CAST(n2 AS DOUBLE)) END AS e2,
+       |    CASE WHEN n1 + n2 > 2
+       |      AND CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+       |        * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE) > 0
+       |    THEN (CAST(syy1 + syy2 AS DOUBLE) - CAST(sy1 + sy2 AS DOUBLE)
+       |        * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |      - (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+       |          * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |        * (CAST(sxy1 + sxy2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+       |          * CAST(sy1 + sy2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |        / (CAST(sxx1 + sxx2 AS DOUBLE) - CAST(sx1 + sx2 AS DOUBLE)
+       |          * CAST(sx1 + sx2 AS DOUBLE) / CAST(n1 + n2 AS DOUBLE))
+       |    END AS ep
+       |  FROM a)
+       |SELECT g AS event_type, n1 + n2 AS n, n1 AS n_1, n2 AS n_2,
+       |  mid AS break_win, ${qrSql("ep", 6)} AS sse_pooled,
+       |  ${qrSql("e1 + e2", 6)} AS sse_split,
+       |  CASE WHEN n1 + n2 > 4 AND e1 + e2 > 0 THEN
+       |    ${qrSql("(ep - (e1 + e2)) / 2 / ((e1 + e2)" +
+         " / (CAST(n1 + n2 AS DOUBLE) - 4))", 8)}
+       |  END AS f
+       |FROM s2""".stripMargin)
+
+  /** TOST equivalence of view vs purchase mean values under a ±5.0
+    * margin (DiagnosticsOps.tostEquivalence, 1e-4 grid): both
+    * one-sided Welch z's must clear the one-sided 0.05 critical
+    * value.
+    */
+  private val tostEquivalenceQ = Q(
+    (s, d) => DiagnosticsOps.tostEquivalence(
+        Tables.events(s, d).select(col("event_type"), col("value")),
+        "event_type", "view", "purchase", "value", delta = 5.0,
+        quantDigits = 4)
+      .select(col("n_a"), col("n_b"), qround(col("diff"), 8).as("diff"),
+        qround(col("se"), 8).as("se"),
+        qround(col("z_lower"), 8).as("z_lower"),
+        qround(col("z_upper"), 8).as("z_upper"), col("equivalent")),
+    s"""WITH e AS (
+       |  SELECT event_type AS c,
+       |    CAST(floor(value * 10000.0 + 0.5) AS BIGINT) AS v
+       |  FROM events
+       |  WHERE event_type IN ('view', 'purchase') AND value IS NOT NULL),
+       |a AS (
+       |  SELECT
+       |    CAST(sum(CASE WHEN c = 'view' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS na,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v ELSE 0 END) AS BIGINT)
+       |      AS sa,
+       |    CAST(sum(CASE WHEN c = 'view' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssa,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS nb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v ELSE 0 END)
+       |      AS BIGINT) AS sb,
+       |    CAST(sum(CASE WHEN c = 'purchase' THEN v * v ELSE 0 END)
+       |      AS BIGINT) AS ssb
+       |  FROM e),
+       |v AS (
+       |  SELECT na, nb,
+       |    CAST(sa AS DOUBLE) / 10000.0 / CAST(na AS DOUBLE)
+       |      - CAST(sb AS DOUBLE) / 10000.0 / CAST(nb AS DOUBLE)
+       |      AS diff,
+       |    sqrt((CAST(ssa AS DOUBLE) - CAST(sa AS DOUBLE)
+       |        * CAST(sa AS DOUBLE) / CAST(na AS DOUBLE))
+       |        / 100000000.0 / (CAST(na AS DOUBLE) - 1)
+       |        / CAST(na AS DOUBLE)
+       |      + (CAST(ssb AS DOUBLE) - CAST(sb AS DOUBLE)
+       |        * CAST(sb AS DOUBLE) / CAST(nb AS DOUBLE))
+       |        / 100000000.0 / (CAST(nb AS DOUBLE) - 1)
+       |        / CAST(nb AS DOUBLE)) AS se
+       |  FROM a)
+       |SELECT na AS n_a, nb AS n_b,
+       |  CASE WHEN na > 1 AND nb > 1 AND se > 0
+       |    THEN ${qrSql("diff", 8)} END AS diff,
+       |  CASE WHEN na > 1 AND nb > 1 AND se > 0
+       |    THEN ${qrSql("se", 8)} END AS se,
+       |  CASE WHEN na > 1 AND nb > 1 AND se > 0
+       |    THEN ${qrSql("(diff + 5.0) / se", 8)} END AS z_lower,
+       |  CASE WHEN na > 1 AND nb > 1 AND se > 0
+       |    THEN ${qrSql("(5.0 - diff) / se", 8)} END AS z_upper,
+       |  CASE WHEN na > 1 AND nb > 1 AND se > 0
+       |    THEN (diff + 5.0) / se > 1.6448536269514722
+       |      AND (5.0 - diff) / se > 1.6448536269514722 END
+       |    AS equivalent
+       |FROM v""".stripMargin)
+
+  /** Chapman capture-recapture estimate of the document population
+    * from two independent 25% hash samples
+    * (SketchOps.captureRecapture): the abundance readout, with the
+    * true count alongside for the eval story.
+    */
+  private val captureRecaptureQ = Q(
+    (s, d) => operators.SketchOps.captureRecapture(
+        Tables.documents(s, d).select(col("doc_id")), "doc_id")
+      .select(col("n_true"), col("n1"), col("n2"), col("m"),
+        qround(col("n_chapman"), 6).as("n_chapman")),
+    s"""WITH g AS (
+       |  SELECT
+       |    CAST(count(*) AS BIGINT) AS n_true,
+       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 1)
+       |      % 1000000007) * 2654435761 % 1000000007 % 100 < 25
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 2)
+       |      % 1000000007) * 2654435761 % 1000000007 % 100 < 25
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 1)
+       |        % 1000000007) * 2654435761 % 1000000007 % 100 < 25
+       |      AND (((doc_id % 1000000007) * 31 + 2)
+       |        % 1000000007) * 2654435761 % 1000000007 % 100 < 25
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS m
+       |  FROM documents WHERE doc_id IS NOT NULL)
+       |SELECT n_true, n1, n2, m,
+       |  ${qrSql("(CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)" +
+         " / (CAST(m AS DOUBLE) + 1) - 1", 6)} AS n_chapman
+       |FROM g""".stripMargin)
+
+  /** Gumbel method-of-moments fit of per-day maxima of each event
+    * type's hourly counts (SequenceOps.gumbelFit): β = s√6/π,
+    * μ = m − γβ, and the P99-day burst forecast.
+    */
+  private val gumbelFitQ = Q(
+    (s, d) => operators.SequenceOps.gumbelFit(hourly(s, d),
+        "event_type", "win", blockDiv = 24L)
+      .select(col("event_type"), col("n_blocks"),
+        qround(col("mean_max"), 8).as("mean_max"),
+        qround(col("beta"), 8).as("beta"),
+        qround(col("mu"), 8).as("mu"),
+        qround(col("p99"), 8).as("p99")),
+    s"""WITH $srSql,
+       |mx AS (SELECT g, h // 24 AS b, CAST(max(y) AS BIGINT) AS m
+       |       FROM sr GROUP BY 1, 2),
+       |a AS (
+       |  SELECT g, CAST(count(*) AS BIGINT) AS n_blocks,
+       |    CAST(sum(m) AS BIGINT) AS s, CAST(sum(m * m) AS BIGINT) AS ss
+       |  FROM mx GROUP BY 1),
+       |v AS (
+       |  SELECT g, n_blocks,
+       |    CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE) AS mean,
+       |    sqrt((CAST(ss AS DOUBLE) - CAST(s AS DOUBLE)
+       |        * CAST(s AS DOUBLE) / CAST(n_blocks AS DOUBLE))
+       |      / (CAST(n_blocks AS DOUBLE) - 1)) AS sd
+       |  FROM a)
+       |SELECT g AS event_type, n_blocks,
+       |  CASE WHEN n_blocks > 0 THEN ${qrSql("mean", 8)} END
+       |    AS mean_max,
+       |  CASE WHEN n_blocks > 1 AND sd > 0 THEN
+       |    ${qrSql("sd * 2.449489742783178 / 3.141592653589793", 8)}
+       |  END AS beta,
+       |  CASE WHEN n_blocks > 1 AND sd > 0 THEN
+       |    ${qrSql("mean - 0.5772156649015329 * (sd" +
+         " * 2.449489742783178 / 3.141592653589793)", 8)}
+       |  END AS mu,
+       |  CASE WHEN n_blocks > 1 AND sd > 0 THEN
+       |    ${qrSql("mean - 0.5772156649015329 * (sd" +
+         " * 2.449489742783178 / 3.141592653589793)" +
+         " - sd * 2.449489742783178 / 3.141592653589793" +
+         " * (-4.600149226776579)", 8)}
+       |  END AS p99
+       |FROM v""".stripMargin)
+
   val all: Map[String, Q] = Map(
     "anova_oneway" -> anovaOnewayQ,
     "welch_t" -> welchTQ,
@@ -1481,5 +1710,9 @@ object QueriesDiagnostics {
     "cohens_d" -> cohensDQ,
     "trend_test" -> trendTestQ,
     "diversity_index" -> diversityIndexQ,
-    "ab_power" -> abPowerQ)
+    "ab_power" -> abPowerQ,
+    "chow_test" -> chowTestQ,
+    "tost_equivalence" -> tostEquivalenceQ,
+    "capture_recapture" -> captureRecaptureQ,
+    "gumbel_fit" -> gumbelFitQ)
 }

@@ -819,6 +819,99 @@ object DiagnosticsOps {
       when(col("n_a") > 0 && col("n_b") > 0, mmd2).as("mmd2"))
   }
 
+  /** Chow structural-break test at a KNOWN break window τ per series:
+    * pooled straight-line fit vs separate fits left/right of τ,
+    *   F = ((SSE_p − SSE_1 − SSE_2)/2) / ((SSE_1 + SSE_2)/(n − 4)).
+    * The "did the regime change at the deploy" companion to
+    * changepoint_split (which SEARCHES for the break; Chow tests a
+    * hypothesized one). Each segment's OLS SSE is the centered closed
+    * form Syy − Sxy²/Sxx over exact BIGINT moment sums, and both
+    * segments accumulate in ONE hash aggregate over the window domain
+    * via conditional sums. Degenerate segments (< 3 windows or zero
+    * x-variance) yield null F.
+    */
+  def chowTest(df: DataFrame, groupCol: String, windowCol: String,
+               breakWin: Long): DataFrame = {
+    val series = seriesCounts(df, groupCol, windowCol)
+    def seg(pred: Column, suf: String) = Seq(
+      sum(when(pred, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(pred, col("_h")).otherwise(0L)).as(s"_sx$suf"),
+      sum(when(pred, col("_y")).otherwise(0L)).as(s"_sy$suf"),
+      sum(when(pred, col("_h") * col("_h")).otherwise(0L))
+        .as(s"_sxx$suf"),
+      sum(when(pred, col("_h") * col("_y")).otherwise(0L))
+        .as(s"_sxy$suf"),
+      sum(when(pred, col("_y") * col("_y")).otherwise(0L))
+        .as(s"_syy$suf"))
+    val aggs = seg(col("_h") < breakWin, "1") ++
+      seg(col("_h") >= breakWin, "2")
+    val agg = series.groupBy(col("_g")).agg(aggs.head, aggs.tail: _*)
+    def sse(n: Column, sx: Column, sy: Column, sxx: Column,
+            sxy: Column, syy: Column): Column = {
+      val nD = D(n)
+      val cxx = D(sxx) - D(sx) * D(sx) / nD
+      val cxy = D(sxy) - D(sx) * D(sy) / nD
+      val cyy = D(syy) - D(sy) * D(sy) / nD
+      when(n > 2 && cxx > 0, cyy - cxy * cxy / cxx)
+    }
+    def c(s: String) = col(s)
+    val sse1 = sse(c("n_1"), c("_sx1"), c("_sy1"), c("_sxx1"),
+      c("_sxy1"), c("_syy1"))
+    val sse2 = sse(c("n_2"), c("_sx2"), c("_sy2"), c("_sxx2"),
+      c("_sxy2"), c("_syy2"))
+    val sseP = sse(c("n_1") + c("n_2"), c("_sx1") + c("_sx2"),
+      c("_sy1") + c("_sy2"), c("_sxx1") + c("_sxx2"),
+      c("_sxy1") + c("_sxy2"), c("_syy1") + c("_syy2"))
+    val nD = D(c("n_1") + c("n_2"))
+    val rss = sse1 + sse2
+    val f = when(c("n_1") + c("n_2") > 4 && rss > 0,
+      (sseP - rss) / 2 / (rss / (nD - 4)))
+    agg.select(col("_g").as(groupCol),
+      (c("n_1") + c("n_2")).as("n"), c("n_1"), c("n_2"),
+      lit(breakWin).as("break_win"), sseP.as("sse_pooled"),
+      rss.as("sse_split"), f.as("f"))
+  }
+
+  /** TOST equivalence test (two one-sided tests) for two cohorts'
+    * means under an absolute margin ±δ — the test that can CONFIRM
+    * "no meaningful difference" (a non-significant welch_t cannot):
+    * both z_lower = (diff + δ)/se and z_upper = (δ − diff)/se must
+    * clear z_{α} (one-sided 0.05 literal spelled to full double
+    * precision). Welch's unequal-variance se over exact grid moments.
+    */
+  def tostEquivalence(df: DataFrame, cohortCol: String, cohortA: String,
+                      cohortB: String, valueCol: String, delta: Double,
+                      quantDigits: Int = 4,
+                      zCrit: Double = 1.6448536269514722): DataFrame = {
+    val scale = math.pow(10, quantDigits)
+    val vq = floor(col(valueCol).cast("double") * lit(scale) + lit(0.5))
+      .cast("long")
+    def side(cv: String, suf: String) = Seq(
+      sum(when(col(cohortCol) === cv, 1L).otherwise(0L)).as(s"n_$suf"),
+      sum(when(col(cohortCol) === cv, vq).otherwise(0L)).as(s"_s$suf"),
+      sum(when(col(cohortCol) === cv, vq * vq).otherwise(0L))
+        .as(s"_ss$suf"))
+    val aggs = side(cohortA, "a") ++ side(cohortB, "b")
+    val agg = df.where(col(cohortCol).isin(cohortA, cohortB) &&
+        col(valueCol).isNotNull)
+      .agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) =
+      when(col(n) > 0, D(s) / lit(scale) / D(n))
+    def varS(ss: String, s: String, n: String) =
+      when(col(n) > 1,
+        (D(ss) - D(s) * D(s) / D(n)) / lit(scale * scale) / (D(n) - 1))
+    val se = sqrt(varS("_ssa", "_sa", "n_a") / D("n_a") +
+      varS("_ssb", "_sb", "n_b") / D("n_b"))
+    val diff = mean("_sa", "n_a") - mean("_sb", "n_b")
+    val zLo = (diff + lit(delta)) / se
+    val zHi = (lit(delta) - diff) / se
+    val ok = col("n_a") > 1 && col("n_b") > 1 && se > 0
+    agg.select(col("n_a"), col("n_b"), when(ok, diff).as("diff"),
+      when(ok, se).as("se"), when(ok, zLo).as("z_lower"),
+      when(ok, zHi).as("z_upper"),
+      when(ok, zLo > zCrit && zHi > zCrit).as("equivalent"))
+  }
+
   // ------------------------------------------------- series diagnostics
 
   /** Per-series (group × window) integer count table — the shared

@@ -1247,4 +1247,41 @@ object SequenceOps {
         col("r.var_h").as("var_h"))
       .where(col("d") > 0)
   }
+
+  /** Gumbel (EV-I) fit of per-DAY block maxima of each series' hourly
+    * counts, by the method of moments — the tail-risk readout ("how
+    * big a burst should a day bring"): block maxima of light-tailed
+    * arrival counts converge to Gumbel, whose MoM fit is
+    *   β = s·√6/π,   μ = m − γβ
+    * (γ Euler-Mascheroni, both constants full-precision literals so
+    * the engines compare identical IEEE values). The maxima are exact
+    * integers off two domain-bounded aggregates (fact → hour counts →
+    * day maxima), so m and s come from exact BIGINT moment sums; the
+    * P99-day forecast μ − β·ln(−ln 0.99) is one more closed form.
+    */
+  def gumbelFit(df: DataFrame, groupCol: String, windowCol: String,
+                blockDiv: Long = 24L): DataFrame = {
+    require(blockDiv >= 1, s"blockDiv must be >= 1, got $blockDiv")
+    val series = df.where(col(groupCol).isNotNull &&
+        col(windowCol).isNotNull)
+      .groupBy(col(groupCol).as("_g"), col(windowCol).as("_h"))
+      .agg(count(lit(1)).as("_y"))
+    val maxima = series
+      .groupBy(col("_g"), expr(s"_h div ${blockDiv}L").as("_b"))
+      .agg(max(col("_y")).as("_m"))
+    val agg = maxima.groupBy(col("_g"))
+      .agg(count(lit(1)).as("n_blocks"), sum(col("_m")).as("_s"),
+        sum(col("_m") * col("_m")).as("_ss"))
+    def D(c: String) = col(c).cast("double")
+    val nD = D("n_blocks")
+    val mean = D("_s") / nD
+    val sd = sqrt((D("_ss") - D("_s") * D("_s") / nD) / (nD - 1))
+    val beta = sd * lit(2.449489742783178) / lit(3.141592653589793)
+    val mu = mean - lit(0.5772156649015329) * beta
+    val ok = col("n_blocks") > 1 && sd > 0
+    agg.select(col("_g").as(groupCol), col("n_blocks"),
+      when(col("n_blocks") > 0, mean).as("mean_max"),
+      when(ok, beta).as("beta"), when(ok, mu).as("mu"),
+      when(ok, mu - beta * lit(-4.600149226776579)).as("p99"))
+  }
 }

@@ -454,4 +454,36 @@ object SketchOps {
     perGroup.select((g :+ zeros.as("zero_regs") :+
       est.as("hll_est")): _*)
   }
+
+  /** Chapman capture-recapture population estimate from two
+    * INDEPENDENT deterministic hash samples of a keyed corpus —
+    * "how big is the population we only see samples of" (dedup's
+    * abundance question: overlap between two crawl snapshots bounds
+    * the web corpus the same way two net hauls bound the fish):
+    *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
+    * unbiased for m ≥ 0 where Lincoln-Petersen diverges. The two
+    * gates use the house multiplicative hash with different salts, so
+    * membership is reproducible in SQL; all censuses are one
+    * conditional-sum pass.
+    */
+  def captureRecapture(df: DataFrame, keyCol: String,
+                       rate1Pct: Int = 25,
+                       rate2Pct: Int = 25): DataFrame = {
+    require(rate1Pct > 0 && rate1Pct < 100 &&
+      rate2Pct > 0 && rate2Pct < 100, "rates in (0,100)")
+    def gate(salt: Long, pct: Int) =
+      expr(s"(((pmod($keyCol, ${KmvMod}L) * 31 + $salt)" +
+        s" % ${KmvMod}L) * ${KmvMult}L) % ${KmvMod}L % 100") < pct
+    val g1 = gate(1L, rate1Pct)
+    val g2 = gate(2L, rate2Pct)
+    val agg = df.where(col(keyCol).isNotNull)
+      .agg(count(lit(1)).as("n_true"),
+        sum(when(g1, 1L).otherwise(0L)).as("n1"),
+        sum(when(g2, 1L).otherwise(0L)).as("n2"),
+        sum(when(g1 && g2, 1L).otherwise(0L)).as("m"))
+    def D(c: String) = col(c).cast("double")
+    agg.select(col("n_true"), col("n1"), col("n2"), col("m"),
+      ((D("n1") + 1) * (D("n2") + 1) / (D("m") + 1) - 1)
+        .as("n_chapman"))
+  }
 }

@@ -614,6 +614,80 @@ class DiagnosticsOpsSpec extends SparkSpec {
       ("k3", "segC", 1L, 5L, None, true))) // fresh key inserts
   }
 
+  test("chowTest: level shift at a known break, F = 128/21") {
+    // seg1 y=(1,2,1,2) h=0..3, seg2 y=(5,6,5,6) h=4..7, break at 4
+    // SSE1 = SSE2 = 0.8; SSEp = 136/21; F = ((136/21-1.6)/2)/(1.6/4)
+    val df = seriesDf(Seq(("g1", 0L, 1), ("g1", 1L, 2), ("g1", 2L, 1),
+      ("g1", 3L, 2), ("g1", 4L, 5), ("g1", 5L, 6), ("g1", 6L, 5),
+      ("g1", 7L, 6)))
+    val r = DiagnosticsOps.chowTest(df, "g", "h", breakWin = 4L).head()
+    assert(r.getAs[Long]("n") === 8L)
+    assert(r.getAs[Long]("n_1") === 4L && r.getAs[Long]("n_2") === 4L)
+    assert(approx(r.getAs[Double]("sse_pooled"), 136.0 / 21.0))
+    assert(approx(r.getAs[Double]("sse_split"), 1.6))
+    assert(approx(r.getAs[Double]("f"), 128.0 / 21.0))
+  }
+
+  test("chowTest: perfectly-fit segments yield null F, not Inf") {
+    // both segments flat -> rss = 0
+    val df = seriesDf((0L to 7L).map(h =>
+      ("g1", h, if (h < 4) 1 else 5)))
+    val r = DiagnosticsOps.chowTest(df, "g", "h", breakWin = 4L).head()
+    assert(approx(r.getAs[Double]("sse_split"), 0.0))
+    assert(r.isNullAt(r.fieldIndex("f")))
+  }
+
+  test("tostEquivalence: wide margin passes, narrow margin fails") {
+    // A=(1,2,3) B=(2,4,9): diff=-3, se=sqrt(14/3)
+    val df = Seq("A" -> 1.0, "A" -> 2.0, "A" -> 3.0,
+      "B" -> 2.0, "B" -> 4.0, "B" -> 9.0).toDF("c", "v")
+    val wide = DiagnosticsOps.tostEquivalence(df, "c", "A", "B", "v",
+      delta = 10.0, quantDigits = 0).head()
+    val se = math.sqrt(14.0 / 3.0)
+    assert(approx(wide.getAs[Double]("diff"), -3.0))
+    assert(approx(wide.getAs[Double]("se"), se))
+    assert(approx(wide.getAs[Double]("z_lower"), 7.0 / se))
+    assert(approx(wide.getAs[Double]("z_upper"), 13.0 / se))
+    assert(wide.getAs[Boolean]("equivalent"))
+    val narrow = DiagnosticsOps.tostEquivalence(df, "c", "A", "B", "v",
+      delta = 1.0, quantDigits = 0).head()
+    assert(!narrow.getAs[Boolean]("equivalent"))
+  }
+
+  test("captureRecapture: Chapman matches the replayed hash censuses") {
+    val ids = (0L until 100L)
+    val df = ids.toDF("doc_id")
+    def gate(id: Long, salt: Long): Boolean =
+      ((id % 1000000007L) * 31 + salt) % 1000000007L *
+        2654435761L % 1000000007L % 100 < 25
+    val n1 = ids.count(gate(_, 1))
+    val n2 = ids.count(gate(_, 2))
+    val m = ids.count(id => gate(id, 1) && gate(id, 2))
+    val r = graft.operators.SketchOps.captureRecapture(df, "doc_id")
+      .head()
+    assert(r.getAs[Long]("n_true") === 100L)
+    assert(r.getAs[Long]("n1") === n1.toLong)
+    assert(r.getAs[Long]("n2") === n2.toLong)
+    assert(r.getAs[Long]("m") === m.toLong)
+    assert(approx(r.getAs[Double]("n_chapman"),
+      (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0))
+  }
+
+  test("gumbelFit: block maxima (3,5,7) give MoM beta = 2*sqrt(6)/pi") {
+    val df = seriesDf(Seq(("g1", 0L, 1), ("g1", 1L, 3), ("g1", 2L, 5),
+      ("g1", 3L, 2), ("g1", 4L, 4), ("g1", 5L, 7)))
+    val r = graft.operators.SequenceOps.gumbelFit(df, "g", "h",
+      blockDiv = 2L).head()
+    assert(r.getAs[Long]("n_blocks") === 3L)
+    assert(approx(r.getAs[Double]("mean_max"), 5.0))
+    val beta = 2.0 * math.sqrt(6.0) / math.Pi
+    val mu = 5.0 - 0.5772156649015329 * beta
+    assert(approx(r.getAs[Double]("beta"), beta))
+    assert(approx(r.getAs[Double]("mu"), mu))
+    assert(approx(r.getAs[Double]("p99"),
+      mu - beta * math.log(-math.log(0.99))))
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
