@@ -488,7 +488,9 @@ object DiagnosticsOps {
     val ranked = hist.withColumn("_cum", sum(col("_t")).over(w))
       .select(col("_t"), col("_tp"),
         (lit(2) * col("_cum") - col("_t") + 1).as("_dr"))
-    val agg = ranked.agg(sum(col("_t")).as("n"),
+    // coalesce: an all-zero-delta input leaves the histogram empty
+    // and a bare sum would report null n instead of an honest 0
+    val agg = ranked.agg(coalesce(sum(col("_t")), lit(0L)).as("n"),
       sum(col("_dr") * col("_tp")).as("_w2"),
       sum(col("_t") * col("_t") * col("_t") - col("_t")).as("_t3"))
     val nD = D("n")

@@ -772,6 +772,63 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: kendallTau C/D equal the brute-force pair census") {
+    import spark.implicits._
+    // random paired (x, y) count series; the O(T log T) inversion
+    // identity must match direct enumeration incl. every tie mode
+    val rnd = new scala.util.Random(11)
+    (0 until 25).foreach { _ =>
+      val t = 3 + rnd.nextInt(10)
+      val xs = Seq.fill(t)(1 + rnd.nextInt(3))
+      val ys = Seq.fill(t)(1 + rnd.nextInt(3))
+      val rows = (0 until t).flatMap { w =>
+        Seq.fill(xs(w))(("A", w.toLong)) ++
+          Seq.fill(ys(w))(("B", w.toLong))
+      }
+      val df = rows.toDF("c", "h")
+      val r = operators.DiagnosticsOps.kendallTau(df, "c", "A", "B",
+        "h").head()
+      val pairs = for {
+        i <- 0 until t; j <- 0 until t if i < j
+      } yield (xs(i) - xs(j), ys(i) - ys(j))
+      val cBrute = pairs.count { case (dx, dy) =>
+        (dx < 0 && dy < 0) || (dx > 0 && dy > 0) }
+      val dBrute = pairs.count { case (dx, dy) =>
+        (dx < 0 && dy > 0) || (dx > 0 && dy < 0) }
+      assert(r.getAs[Long]("concordant") === cBrute.toLong,
+        s"C: $xs / $ys")
+      assert(r.getAs[Long]("discordant") === dBrute.toLong,
+        s"D: $xs / $ys")
+    }
+  }
+
+  test("property: wilcoxonSignedRank W+ equals the brute-force midrank sum") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(13)
+    (0 until 25).foreach { _ =>
+      val n = 2 + rnd.nextInt(10)
+      val ds = Seq.fill(n)(rnd.nextInt(9) - 4) // deltas in [-4, 4]
+      val df = ds.zipWithIndex.map { case (d, i) =>
+        (s"k$i", 0.0, d.toDouble)
+      }.toDF("k", "pre", "post")
+      val out = operators.DiagnosticsOps.wilcoxonSignedRank(df, "k",
+        "pre", "post", quantDigits = 0).collect()
+      val nz = ds.filter(_ != 0)
+      if (nz.isEmpty) assert(out.head.getAs[Long]("n") === 0L)
+      else {
+        val sorted = nz.map(math.abs).sorted
+        def midrank(a: Int): Double = {
+          val lo = sorted.indexOf(a) + 1
+          val hi = sorted.lastIndexOf(a) + 1
+          (lo + hi) / 2.0
+        }
+        val wPlus = nz.filter(_ > 0).map(d => midrank(math.abs(d))).sum
+        assert(out.head.getAs[Long]("n") === nz.length.toLong, s"$ds")
+        assert(approx(out.head.getAs[Double]("w_plus"), wPlus), s"$ds")
+      }
+    }
+  }
+
   test("property: mannKendall S equals the brute-force pair census on random series") {
     import spark.implicits._
     // 40 random series as 40 groups in ONE call (one Spark job)
