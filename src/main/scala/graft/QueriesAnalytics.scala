@@ -2123,6 +2123,84 @@ object QueriesAnalytics {
       |  floor(est * 10000.0 + 0.5) / 10000.0 AS hll_est
       |FROM e JOIN ex ON e.g = ex.g""".stripMargin)
 
+  /** HLL set algebra between the view-user and purchase-user sets
+    * (SketchOps.hllSetOps): union by register max, intersection by
+    * inclusion-exclusion, Jaccard — one register-domain pass, the
+    * sketch answer to "how much do these cohorts overlap".
+    */
+  private val hllUnionQ = Q(
+    (s, d) => operators.SketchOps.hllSetOps(
+        Tables.events(s, d).select(col("event_type"), col("user_id")),
+        "user_id", "event_type", "view", "purchase")
+      .select(col("m"), qround(col("est_a"), 4).as("est_a"),
+        qround(col("est_b"), 4).as("est_b"),
+        qround(col("est_union"), 4).as("est_union"),
+        qround(col("est_intersection"), 4).as("est_intersection"),
+        qround(col("jaccard_est"), 8).as("jaccard_est")),
+    """WITH h0 AS (
+      |  SELECT event_type AS c,
+      |    ((((user_id % 1000000007) + 1000000007) % 1000000007)
+      |      * 2654435761) % 1000000007 AS h0
+      |  FROM events WHERE user_id IS NOT NULL
+      |    AND event_type IN ('view', 'purchase')),
+      |hm AS (
+      |  SELECT c, (xor(h0, h0 >> 15) * 2654435761) % 1000000007 AS g2
+      |  FROM h0),
+      |h AS (SELECT c, xor(g2, g2 >> 15) AS h FROM hm),
+      |r AS (
+      |  SELECT c, h % 64 AS reg,
+      |    CASE WHEN h // 64 = 0 THEN 26
+      |      ELSE length(bin(h // 64)) - length(rtrim(bin(h // 64), '0'))
+      |        + 1 END AS rho
+      |  FROM h),
+      |m AS (
+      |  SELECT reg,
+      |    CAST(max(CASE WHEN c = 'view' THEN rho END) AS BIGINT) AS ma,
+      |    CAST(max(CASE WHEN c = 'purchase' THEN rho END) AS BIGINT)
+      |      AS mb
+      |  FROM r GROUP BY 1),
+      |a AS (
+      |  SELECT CAST(count(ma) AS BIGINT) AS va,
+      |    sum(CASE WHEN ma IS NOT NULL THEN 1.0
+      |      / CAST((CAST(1 AS BIGINT) << CAST(ma AS INTEGER)) AS DOUBLE)
+      |      END) AS spa,
+      |    CAST(count(mb) AS BIGINT) AS vb,
+      |    sum(CASE WHEN mb IS NOT NULL THEN 1.0
+      |      / CAST((CAST(1 AS BIGINT) << CAST(mb AS INTEGER)) AS DOUBLE)
+      |      END) AS spb,
+      |    CAST(count(*) AS BIGINT) AS vu,
+      |    sum(1.0 / CAST((CAST(1 AS BIGINT)
+      |      << CAST(greatest(coalesce(ma, 0), coalesce(mb, 0))
+      |        AS INTEGER)) AS DOUBLE)) AS spu
+      |  FROM m),
+      |e AS (
+      |  SELECT
+      |    CASE WHEN 0.709 * 4096.0 / (spa + CAST(64 - va AS DOUBLE))
+      |        <= 160.0 AND 64 - va > 0
+      |      THEN 64.0 * ln(64.0 / CAST(64 - va AS DOUBLE))
+      |      ELSE 0.709 * 4096.0 / (spa + CAST(64 - va AS DOUBLE)) END
+      |      AS ea,
+      |    CASE WHEN 0.709 * 4096.0 / (spb + CAST(64 - vb AS DOUBLE))
+      |        <= 160.0 AND 64 - vb > 0
+      |      THEN 64.0 * ln(64.0 / CAST(64 - vb AS DOUBLE))
+      |      ELSE 0.709 * 4096.0 / (spb + CAST(64 - vb AS DOUBLE)) END
+      |      AS eb,
+      |    CASE WHEN 0.709 * 4096.0 / (spu + CAST(64 - vu AS DOUBLE))
+      |        <= 160.0 AND 64 - vu > 0
+      |      THEN 64.0 * ln(64.0 / CAST(64 - vu AS DOUBLE))
+      |      ELSE 0.709 * 4096.0 / (spu + CAST(64 - vu AS DOUBLE)) END
+      |      AS eu
+      |  FROM a)
+      |SELECT CAST(64 AS BIGINT) AS m,
+      |  floor(ea * 10000.0 + 0.5) / 10000.0 AS est_a,
+      |  floor(eb * 10000.0 + 0.5) / 10000.0 AS est_b,
+      |  floor(eu * 10000.0 + 0.5) / 10000.0 AS est_union,
+      |  floor(greatest(0.0, ea + eb - eu) * 10000.0 + 0.5) / 10000.0
+      |    AS est_intersection,
+      |  floor(greatest(0.0, ea + eb - eu) / nullif(eu, 0.0)
+      |    * 100000000.0 + 0.5) / 100000000.0 AS jaccard_est
+      |FROM e""".stripMargin)
+
   /** Streaming HLL twin (StreamingOps.hllStream) — distinct users per
     * DAY with register-max state carried across micro-batches;
     * register max is commutative+idempotent so the batch fold here is
@@ -2458,6 +2536,7 @@ object QueriesAnalytics {
     "tail_index" -> tailIndexQ,
     "burstiness" -> burstinessQ,
     "hll_sketch" -> hllSketchQ,
+    "hll_union" -> hllUnionQ,
     "fk_orphans" -> fkOrphansQ,
     "mahalanobis_outliers" -> mahalanobisQ,
     "flesch_readability" -> fleschQ,

@@ -455,6 +455,74 @@ object SketchOps {
       est.as("hll_est")): _*)
   }
 
+  /** HLL set algebra between two cohorts' key sets — union by
+    * REGISTER MAX (the HLL identity: the sketch of a union is the
+    * elementwise max of the sketches), intersection by
+    * inclusion-exclusion, Jaccard from the two — the "how much do
+    * these two crawls overlap" readout priced at 2^p longs total,
+    * never a join of the key sets. Both cohorts' registers and the
+    * union's accumulate in ONE register-domain aggregate (conditional
+    * maxes), so the fact is scanned once. Same exact-integer hash,
+    * string-binary rho, and dyadic harmonic sums as [[hllDistinct]];
+    * each estimate is the same mirrored closed form. Intersection is
+    * clamped at 0 (inclusion-exclusion of estimates can go slightly
+    * negative for disjoint sets).
+    */
+  def hllSetOps(df: DataFrame, keyCol: String, cohortCol: String,
+                cohortA: String, cohortB: String,
+                p: Int = 6): DataFrame = {
+    require(p >= 2 && p <= 12, s"hllSetOps: p must be in [2,12], got $p")
+    val m = 1 << p
+    val alpha = m match {
+      case 16 => 0.673
+      case 32 => 0.697
+      case 64 => 0.709
+      case _ => 0.7213 / (1.0 + 1.079 / m)
+    }
+    val h = expr(
+      s"((pmod($keyCol, ${KmvMod}L)) * ${KmvMult}L) % ${KmvMod}L")
+    val mixed = df.where(col(keyCol).isNotNull &&
+        col(cohortCol).isin(cohortA, cohortB))
+      .select(col(cohortCol).as("_c"), h.as("_h0"))
+      .withColumn("_g1", expr("_h0 ^ shiftright(_h0, 15)"))
+      .withColumn("_g2", expr(s"(_g1 * ${KmvMult}L) % ${KmvMod}L"))
+      .withColumn("_hm", expr("_g2 ^ shiftright(_g2, 15)"))
+    val regs = mixed
+      .select(col("_c"), (col("_hm") % lit(m.toLong)).as("_reg"),
+        expr(s"_hm div ${m.toLong}L").as("_w"))
+      .withColumn("_rho", when(col("_w") === 0, lit(26))
+        .otherwise(length(expr("bin(_w)")) -
+          length(expr("trim(TRAILING '0' FROM bin(_w))")) + lit(1)))
+      .groupBy(col("_reg"))
+      .agg(max(when(col("_c") === cohortA, col("_rho"))).as("_ma"),
+        max(when(col("_c") === cohortB, col("_rho"))).as("_mb"))
+    val agg = regs.agg(
+      count(col("_ma")).as("_va"),
+      sum(when(col("_ma").isNotNull,
+        lit(1.0) / expr("shiftleft(1L, cast(_ma as int))"))).as("_spa"),
+      count(col("_mb")).as("_vb"),
+      sum(when(col("_mb").isNotNull,
+        lit(1.0) / expr("shiftleft(1L, cast(_mb as int))"))).as("_spb"),
+      count(lit(1)).as("_vu"),
+      // coalesce before greatest: engines disagree on greatest's
+      // null handling; rho >= 1 makes 0 a neutral floor
+      sum(lit(1.0) / expr("shiftleft(1L, cast(greatest(" +
+        "coalesce(_ma, 0), coalesce(_mb, 0)) as int))")).as("_spu"))
+    def est(v: Column, sp: Column): Column = {
+      val zeros = (lit(m.toLong) - v).cast("double")
+      val raw = lit(alpha * m * m) / (sp + zeros)
+      when(raw <= lit(2.5 * m) && zeros > 0,
+        lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
+    }
+    val ea = est(col("_va"), col("_spa"))
+    val eb = est(col("_vb"), col("_spb"))
+    val eu = est(col("_vu"), col("_spu"))
+    val inter = greatest(lit(0.0), ea + eb - eu)
+    agg.select(lit(m.toLong).as("m"), ea.as("est_a"), eb.as("est_b"),
+      eu.as("est_union"), inter.as("est_intersection"),
+      try_divide(inter, eu).as("jaccard_est"))
+  }
+
   /** Chapman capture-recapture population estimate from two
     * INDEPENDENT deterministic hash samples of a keyed corpus —
     * "how big is the population we only see samples of" (dedup's

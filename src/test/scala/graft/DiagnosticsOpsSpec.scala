@@ -688,6 +688,38 @@ class DiagnosticsOpsSpec extends SparkSpec {
       mu - beta * math.log(-math.log(0.99))))
   }
 
+  test("hllSetOps: union estimate equals hllDistinct of the union, bit-exact") {
+    // A = 1..200, B = 101..300 (overlap 100): the union sketch must
+    // be EXACTLY the sketch of the union input (register-max identity)
+    val df = ((1L to 200L).map(k => ("A", k)) ++
+      (101L to 300L).map(k => ("B", k))).toDF("c", "k")
+    val r = graft.operators.SketchOps.hllSetOps(df, "k", "c", "A", "B")
+      .head()
+    val unionDf = (1L to 300L).map(k => ("g", k)).toDF("g", "k")
+    val direct = graft.operators.SketchOps.hllDistinct(unionDf, "k",
+      Seq("g")).head().getAs[Double]("hll_est")
+    assert(r.getAs[Double]("est_union") === direct) // bit equality
+    assert(r.getAs[Double]("est_intersection") >= 0.0)
+    // rough sketch sanity at m=64: estimates in the right ballpark
+    assert(math.abs(r.getAs[Double]("est_a") - 200.0) < 80.0)
+    assert(math.abs(r.getAs[Double]("est_union") - 300.0) < 120.0)
+  }
+
+  test("hllSetOps: identical cohorts have jaccard 1; disjoint clamp at 0") {
+    val same = ((1L to 150L).map(k => ("A", k)) ++
+      (1L to 150L).map(k => ("B", k))).toDF("c", "k")
+    val r = graft.operators.SketchOps.hllSetOps(same, "k", "c", "A", "B")
+      .head()
+    assert(r.getAs[Double]("est_a") === r.getAs[Double]("est_union"))
+    assert(approx(r.getAs[Double]("jaccard_est"), 1.0))
+    val disj = ((1L to 50L).map(k => ("A", k)) ++
+      (1001L to 1050L).map(k => ("B", k))).toDF("c", "k")
+    val d = graft.operators.SketchOps.hllSetOps(disj, "k", "c", "A", "B")
+      .head()
+    assert(d.getAs[Double]("est_intersection") >= 0.0)
+    assert(d.getAs[Double]("jaccard_est") < 0.5)
+  }
+
   test("grangerLite: exact fit (rssF = 0) yields null F, not Inf") {
     // y_t equals x_{t-1} exactly -> full model is exact
     val df = seriesDf(Seq(("x", 1L, 1), ("x", 2L, 2), ("x", 3L, 1),
