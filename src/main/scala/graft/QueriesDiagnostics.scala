@@ -1334,7 +1334,7 @@ object QueriesDiagnostics {
        |  SELECT (epoch_ns(ts) // 86400000000000 - lo) * 3
        |      // (hi - lo + 1) AS s,
        |    CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS y
-       |  FROM events CROSS JOIN bnd),
+       |  FROM events CROSS JOIN bnd WHERE event_type IS NOT NULL),
        |a AS (
        |  SELECT CAST(count(DISTINCT s) AS BIGINT) AS k,
        |    CAST(count(*) AS BIGINT) AS n, CAST(sum(y) AS BIGINT) AS r,
@@ -1618,21 +1618,28 @@ object QueriesDiagnostics {
         Tables.documents(s, d).select(col("doc_id")), "doc_id")
       .select(col("n_true"), col("n1"), col("n2"), col("m"),
         qround(col("n_chapman"), 6).as("n_chapman")),
-    s"""WITH g AS (
+    s"""WITH h AS (
+       |  SELECT
+       |    (doc_id % 1000000007) * 2654435761 % 1000000007 AS a0,
+       |    (doc_id % 1000000007) * 2246822519 % 1000000007 AS b0
+       |  FROM documents WHERE doc_id IS NOT NULL),
+       |h2 AS (
+       |  SELECT
+       |    (xor(a0, a0 >> 15) * 2654435761) % 1000000007 AS a2,
+       |    (xor(b0, b0 >> 15) * 2246822519) % 1000000007 AS b2
+       |  FROM h),
+       |gt AS (
+       |  SELECT xor(a2, a2 >> 15) % 100 < 25 AS g1,
+       |         xor(b2, b2 >> 15) % 100 < 25 AS g2
+       |  FROM h2),
+       |g AS (
        |  SELECT
        |    CAST(count(*) AS BIGINT) AS n_true,
-       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 1)
-       |      % 1000000007) * 2654435761 % 1000000007 % 100 < 25
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n1,
-       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 2)
-       |      % 1000000007) * 2654435761 % 1000000007 % 100 < 25
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS n2,
-       |    CAST(sum(CASE WHEN (((doc_id % 1000000007) * 31 + 1)
-       |        % 1000000007) * 2654435761 % 1000000007 % 100 < 25
-       |      AND (((doc_id % 1000000007) * 31 + 2)
-       |        % 1000000007) * 2654435761 % 1000000007 % 100 < 25
-       |      THEN 1 ELSE 0 END) AS BIGINT) AS m
-       |  FROM documents WHERE doc_id IS NOT NULL)
+       |    CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+       |    CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS n2,
+       |    CAST(sum(CASE WHEN g1 AND g2 THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS m
+       |  FROM gt)
        |SELECT n_true, n1, n2, m,
        |  ${qrSql("(CAST(n1 AS DOUBLE) + 1) * (CAST(n2 AS DOUBLE) + 1)" +
          " / (CAST(m AS DOUBLE) + 1) - 1", 6)} AS n_chapman

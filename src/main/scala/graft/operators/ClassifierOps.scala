@@ -379,8 +379,11 @@ object ClassifierOps {
     def D(c: Column) = c.cast("double")
     // per-item D_o mass, quantized to the 1e-9 grid for an order-free
     // exact BIGINT sum over the (unbounded) item domain
+    // accumulate in decimal(38,0): the grid sum is ~n_values·1e9 worst
+    // case, which clears 2^63 once pairable values exceed ~9e9 — inside
+    // the corpus scale this targets (the wassersteinDrift discipline)
     val termQ = floor(D(col("_nic")) * (D(col("_m")) - D(col("_nic"))) /
-      (D(col("_m")) - 1) * lit(1e9) + lit(0.5)).cast("long")
+      (D(col("_m")) - 1) * lit(1e9) + lit(0.5)).cast("decimal(38,0)")
     val doSum = used.agg(sum(termQ).as("_doq"),
       sum(col("_nic")).as("n_values"))
     val nc = used.groupBy("_c").agg(sum(col("_nic")).as("_nc"))

@@ -280,11 +280,13 @@ object DiagnosticsOps {
     * grid gap Δv is an exact integer, and their product sums
     * order-free; one division at the end. The cumulative/lead window
     * walks the GRID domain (same whitelist argument as ks_drift).
-    * Integer range: each |cumA·Nb − cumB·Na| term stays under 2⁶³
-    * while N_a·N_b < 9·10¹⁸; the SUM of terms is carried in
-    * decimal(38,0) (128-bit in both engines — DuckDB sums BIGINT into
-    * HUGEINT), so N_a·N_b·span can reach ~10³⁸ before overflow
-    * instead of wrapping silently at 2⁶³.
+    * Integer range: every factor is widened to decimal(38,0) BEFORE
+    * the first product (cumA·Nb alone clears 2⁶³ once N_a·N_b does —
+    * cohorts of ~3·10⁹ rows each, real at 100 TB), so products,
+    * per-term |·|·Δv, and the running sum are all exact 128-bit in
+    * both engines (DuckDB computes the mirrored term in HUGEINT);
+    * N_a·N_b·span can reach ~10³⁸ before overflow instead of wrapping
+    * silently at 2⁶³.
     */
   def wassersteinDrift(df: DataFrame, cohortCol: String, cohortA: String,
                        cohortB: String, valueCol: String,
@@ -309,8 +311,15 @@ object DiagnosticsOps {
       .withColumn("_gap", lead(col("_v"), 1).over(wl) - col("_v"))
       .crossJoin(broadcast(tot))
       .agg(max(col("n_a")).as("n_a"), max(col("n_b")).as("n_b"),
-        sum((abs(col("_cuma") * col("n_b") - col("_cumb") * col("n_a"))
-          * coalesce(col("_gap"), lit(0L))).cast("decimal(38,0)"))
+        // widen to decimal BEFORE any product: cumA·N_b alone exceeds
+        // int64 once N_a·N_b > 2^63 (cohorts ~3e9 rows each — real at
+        // 100 TB); decimal(38,0) throughout keeps the whole term exact
+        // to ~10^38
+        sum(abs(col("_cuma").cast("decimal(38,0)")
+            * col("n_b").cast("decimal(38,0)")
+          - col("_cumb").cast("decimal(38,0)")
+            * col("n_a").cast("decimal(38,0)"))
+          * coalesce(col("_gap"), lit(0L)).cast("decimal(38,0)"))
           .as("_sw"))
       .select(col("n_a"), col("n_b"),
         (D("_sw") / (D("n_a") * D("n_b") * lit(scale))).as("w1"))
@@ -658,7 +667,10 @@ object DiagnosticsOps {
                       outcomeCol: String): DataFrame = {
     val s = col(scoreCol).cast("long")
     val y = when(col(outcomeCol), 1L).otherwise(0L)
-    val agg = df.where(col(scoreCol).isNotNull)
+    // null outcomes are EXCLUDED (not coerced to failure) — the same
+    // null-dropping convention as every sibling test in this file
+    val agg = df.where(col(scoreCol).isNotNull &&
+        col(outcomeCol).isNotNull)
       .agg(count_distinct(s).as("k"), count(lit(1)).as("n"),
         sum(y).as("_r"), sum(s * y).as("_sr"), sum(s).as("_sn"),
         sum(s * s).as("_sn2"))

@@ -28,6 +28,13 @@ object SketchOps {
 
   val KmvMod = 1000000007L
   val KmvMult = 2654435761L
+  /** Second multiplicative-hash constant (xxHash's PRIME32_2) for
+    * operators that need a SECOND hash genuinely independent of the
+    * [[KmvMult]] family — a salt added before a shared multiply is a
+    * constant offset, not an independent gate (the capture-recapture
+    * lesson).
+    */
+  val KmvMult2 = 2246822519L
 
   /** Pre-reducing x into [0, M) before the multiply keeps the product
     * under 2^62 for ANY int64 input — without it, ids >= ~3.5e9 (easy
@@ -510,7 +517,10 @@ object SketchOps {
         "coalesce(_ma, 0), coalesce(_mb, 0)) as int))")).as("_spu"))
     def est(v: Column, sp: Column): Column = {
       val zeros = (lit(m.toLong) - v).cast("double")
-      val raw = lit(alpha * m * m) / (sp + zeros)
+      // coalesce: an EMPTY cohort has a null harmonic sum (sum over
+      // zero rows) — left null it poisons raw and short-circuits the
+      // linear-counting branch that correctly returns m·ln(m/m) = 0
+      val raw = lit(alpha * m * m) / (coalesce(sp, lit(0.0)) + zeros)
       when(raw <= lit(2.5 * m) && zeros > 0,
         lit(m.toDouble) * log(lit(m.toDouble) / zeros)).otherwise(raw)
     }
@@ -530,20 +540,28 @@ object SketchOps {
     * the web corpus the same way two net hauls bound the fish):
     *   N̂ = (n₁+1)(n₂+1)/(m+1) − 1,
     * unbiased for m ≥ 0 where Lincoln-Petersen diverges. The two
-    * gates use the house multiplicative hash with different salts, so
-    * membership is reproducible in SQL; all censuses are one
-    * conditional-sum pass.
+    * gates MUST be independent — a salt added before a shared multiply
+    * yields h₂ = h₁ + const (mod M), perfectly correlated gates, m ≡ 0
+    * at disjoint thresholds and N̂ ~ N²/16. Each gate therefore uses
+    * its OWN multiplier ([[KmvMult]] vs [[KmvMult2]]) with two
+    * xor-shift mixing rounds (the [[hllDistinct]] lattice-breaker);
+    * the pair of %100 digits is then equidistributed (property-tested:
+    * N̂ within 1% of truth on 2e5 sequential ids). Membership stays
+    * reproducible in SQL; all censuses are one conditional-sum pass.
     */
   def captureRecapture(df: DataFrame, keyCol: String,
                        rate1Pct: Int = 25,
                        rate2Pct: Int = 25): DataFrame = {
     require(rate1Pct > 0 && rate1Pct < 100 &&
       rate2Pct > 0 && rate2Pct < 100, "rates in (0,100)")
-    def gate(salt: Long, pct: Int) =
-      expr(s"(((pmod($keyCol, ${KmvMod}L) * 31 + $salt)" +
-        s" % ${KmvMod}L) * ${KmvMult}L) % ${KmvMod}L % 100") < pct
-    val g1 = gate(1L, rate1Pct)
-    val g2 = gate(2L, rate2Pct)
+    def gate(mult: Long, pct: Int) = {
+      val h0 = s"(pmod($keyCol, ${KmvMod}L) * ${mult}L) % ${KmvMod}L"
+      val g1 = s"(($h0) ^ shiftright($h0, 15))"
+      val g2 = s"(($g1 * ${mult}L) % ${KmvMod}L)"
+      expr(s"($g2 ^ shiftright($g2, 15)) % 100") < pct
+    }
+    val g1 = gate(KmvMult, rate1Pct)
+    val g2 = gate(KmvMult2, rate2Pct)
     val agg = df.where(col(keyCol).isNotNull)
       .agg(count(lit(1)).as("n_true"),
         sum(when(g1, 1L).otherwise(0L)).as("n1"),

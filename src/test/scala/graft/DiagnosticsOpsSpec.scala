@@ -654,15 +654,21 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(!narrow.getAs[Boolean]("equivalent"))
   }
 
+  private def crGate(id: Long, mult: Long): Boolean = {
+    val M = 1000000007L
+    val h0 = java.lang.Math.floorMod(id, M) * mult % M
+    val g1 = h0 ^ (h0 >> 15)
+    val g2 = g1 * mult % M
+    (g2 ^ (g2 >> 15)) % 100 < 25
+  }
+
   test("captureRecapture: Chapman matches the replayed hash censuses") {
     val ids = (0L until 100L)
     val df = ids.toDF("doc_id")
-    def gate(id: Long, salt: Long): Boolean =
-      ((id % 1000000007L) * 31 + salt) % 1000000007L *
-        2654435761L % 1000000007L % 100 < 25
-    val n1 = ids.count(gate(_, 1))
-    val n2 = ids.count(gate(_, 2))
-    val m = ids.count(id => gate(id, 1) && gate(id, 2))
+    val n1 = ids.count(crGate(_, 2654435761L))
+    val n2 = ids.count(crGate(_, 2246822519L))
+    val m = ids.count(id =>
+      crGate(id, 2654435761L) && crGate(id, 2246822519L))
     val r = graft.operators.SketchOps.captureRecapture(df, "doc_id")
       .head()
     assert(r.getAs[Long]("n_true") === 100L)
@@ -671,6 +677,26 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(r.getAs[Long]("m") === m.toLong)
     assert(approx(r.getAs[Double]("n_chapman"),
       (n1 + 1.0) * (n2 + 1.0) / (m + 1.0) - 1.0))
+  }
+
+  test("captureRecapture: gates are independent — Chapman approximates" +
+      " the true population on sequential ids") {
+    // The r14 bug: salt-before-shared-multiply made the gates affine
+    // twins (m = 0 for ALL keys at 25%/25%, N-hat ~ N^2/16). With
+    // genuinely independent hashes, m ~ N/16 and N-hat ~ N. Sequential
+    // ids are the adversarial key shape for multiplicative hashes.
+    val n = 200000L
+    val df = spark.range(1L, n + 1L).toDF("doc_id")
+    val r = graft.operators.SketchOps.captureRecapture(df, "doc_id")
+      .head()
+    val m = r.getAs[Long]("m")
+    val est = r.getAs[Double]("n_chapman")
+    // expected m = n/16 = 12500; allow +-20% (deterministic, so this
+    // pins the exact hash as much as the statistics)
+    assert(m > 10000L && m < 15000L,
+      s"recapture overlap m=$m not near n/16=12500 — gates correlated?")
+    assert(math.abs(est - n) / n < 0.05,
+      s"Chapman estimate $est not within 5% of true $n")
   }
 
   test("gumbelFit: block maxima (3,5,7) give MoM beta = 2*sqrt(6)/pi") {
@@ -686,6 +712,17 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(approx(r.getAs[Double]("mu"), mu))
     assert(approx(r.getAs[Double]("p99"),
       mu - beta * math.log(-math.log(0.99))))
+  }
+
+  test("hllSetOps: an empty cohort estimates 0, not null") {
+    // cohort B has no rows: its harmonic sum is a null SUM; the fix
+    // coalesces it to 0 so zeros == m hits linear counting (= 0.0)
+    val df = (1L to 200L).map(k => ("A", k)).toDF("c", "k")
+    val r = graft.operators.SketchOps.hllSetOps(df, "k", "c", "A", "B")
+      .head()
+    assert(r.getAs[Double]("est_b") === 0.0)
+    assert(r.getAs[Double]("est_intersection") === 0.0)
+    assert(!r.isNullAt(r.fieldIndex("est_a")))
   }
 
   test("hllSetOps: union estimate equals hllDistinct of the union, bit-exact") {
