@@ -22,6 +22,26 @@ import TextOps.{HashMod, shingleHashes}
   */
 object DedupOps {
 
+  /** Lineage truncation policy for the iterative graph operators
+    * ([[connectedComponents]], [[kCore]]): `None` → eager
+    * `localCheckpoint` (executor-local blocks — fastest, but executor
+    * loss on a real cluster drops the truncated lineage); `Some(dir)` →
+    * durable `checkpoint` to `dir` (HDFS/S3 on a cluster), which
+    * survives executor loss at the cost of one replicated write per
+    * round. Returns the per-round truncation function so the choice is
+    * an ARGUMENT, not scaladoc advice.
+    */
+  private def truncator(sample: DataFrame,
+                        checkpointDir: Option[String]): DataFrame => DataFrame =
+    checkpointDir match {
+      case Some(dir) =>
+        val sc = sample.sparkSession.sparkContext
+        if (sc.getCheckpointDir.isEmpty) sc.setCheckpointDir(dir)
+        df => df.checkpoint(true)
+      case None =>
+        df => df.localCheckpoint(true)
+    }
+
   /** Exact dedup by content hash: one row per distinct text with the
     * smallest id as representative and the duplicate count. Keys on
     * the 128-bit composite (two independent polynomial hashes): a
@@ -591,23 +611,27 @@ object DedupOps {
     * Each round is two shuffles (one join + one hash aggregate) over
     * the EDGE list — never all pairs of nodes. Convergence is
     * detected by the strictly-decreasing sum of labels (one scalar
-    * action per round). `localCheckpoint` truncates the lineage each
-    * round; on a real cluster use `checkpoint` to HDFS so a lost
-    * executor replays one round, not the whole history. Near-dup
-    * clusters are shallow (all copies of one document), so rounds
-    * stay in single digits even at web scale.
+    * action per round). Lineage: each round's labels are checkpointed —
+    * `localCheckpoint` by default (fastest on a healthy cluster, but
+    * executor loss drops the truncated lineage and fails the job);
+    * pass `checkpointDir = Some(hdfsPath)` on a real cluster for a
+    * DURABLE `checkpoint`, so a lost executor replays one round from
+    * replicated storage, not the whole history. Near-dup clusters are
+    * shallow (all copies of one document), so rounds stay in single
+    * digits even at web scale.
     */
   def connectedComponents(pairs: DataFrame, id1: String, id2: String,
-                          maxIter: Int = 20): DataFrame = {
+                          maxIter: Int = 20,
+                          checkpointDir: Option[String] = None): DataFrame = {
+    val cp = truncator(pairs, checkpointDir)
     // Materialize the pair source ONCE before symmetrizing: the union
     // references it twice, and an unmaterialized source (e.g. the whole
     // LSH pipeline) would execute twice inside the distinct.
-    val p = pairs.select(col(id1).as("src"), col(id2).as("dst"))
-      .localCheckpoint()
-    val edges = p.union(p.select(col("dst").as("src"), col("src").as("dst")))
-      .distinct().localCheckpoint()
-    var labels = edges.select(col("src").as("id")).distinct()
-      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val p = cp(pairs.select(col(id1).as("src"), col(id2).as("dst")))
+    val edges = cp(p.union(
+      p.select(col("dst").as("src"), col("src").as("dst"))).distinct())
+    var labels = cp(edges.select(col("src").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")))
     // no edges → no non-trivial components; the convergence sum below
     // would read a NULL aggregate off the empty frame
     if (labels.isEmpty) return labels
@@ -623,9 +647,8 @@ object DedupOps {
       val lblOfLbl = labels
         .join(labels.toDF("lbl", "lbl2"), Seq("lbl"), "left")
         .select(col("id"), coalesce(col("lbl2"), col("lbl")).as("lbl"))
-      val newLabels = labels.union(nbr).union(lblOfLbl)
-        .groupBy("id").agg(min("lbl").as("lbl"))
-        .localCheckpoint()
+      val newLabels = cp(labels.union(nbr).union(lblOfLbl)
+        .groupBy("id").agg(min("lbl").as("lbl")))
       val s = newLabels.agg(sum("lbl")).head.getLong(0)
       converged = s == prevSum
       prevSum = s
@@ -948,16 +971,19 @@ object DedupOps {
     * n_nodes, n_edges, converged).
     */
   def kCore(pairs: DataFrame, id1: String, id2: String, k: Int,
-            rounds: Int): DataFrame = {
+            rounds: Int,
+            checkpointDir: Option[String] = None): DataFrame = {
     require(k >= 1 && rounds >= 1, s"need k>=1, rounds>=1; got $k/$rounds")
+    val cp = truncator(pairs, checkpointDir)
     // Each round reads its edge frame three times (two degree scans +
     // the semi-join probe), so a lazy chain would nest ~3^rounds
     // copies of the upstream candidate build into one logical plan —
     // minutes of analyzer time before a row moves. The standard Spark
-    // idiom for iterative graph algorithms applies: EAGER
-    // localCheckpoint per round truncates plan and lineage to the
-    // materialized edge list (LSH-bounded by contract, executor-local
-    // blocks, no driver collect), so the candidate build runs exactly
+    // idiom for iterative graph algorithms applies: an EAGER
+    // checkpoint per round (localCheckpoint by default, durable
+    // checkpoint when checkpointDir is given — see truncator) truncates
+    // plan and lineage to the materialized edge list (LSH-bounded by
+    // contract, no driver collect), so the candidate build runs exactly
     // once and each round is one small job over the previous round's
     // blocks. The eager work happens when the caller builds the
     // frame — the peel IS the operator, not a plan detail.
@@ -966,17 +992,16 @@ object DedupOps {
         greatest(col(id1), col(id2)).as("_b"))
       .where(col("_a") < col("_b"))
       .distinct()
-      .localCheckpoint(true)
+    val e0cp = cp(e0)
     def peel(e: DataFrame): DataFrame = {
       val deg = e.select(col("_a").as("_n"))
         .unionAll(e.select(col("_b").as("_n")))
         .groupBy("_n").agg(count(lit(1)).as("_d"))
       val keep = deg.where(col("_d") >= k).select(col("_n"))
-      e.join(keep.withColumnRenamed("_n", "_a"), Seq("_a"), "left_semi")
-        .join(keep.withColumnRenamed("_n", "_b"), Seq("_b"), "left_semi")
-        .localCheckpoint(true)
+      cp(e.join(keep.withColumnRenamed("_n", "_a"), Seq("_a"), "left_semi")
+        .join(keep.withColumnRenamed("_n", "_b"), Seq("_b"), "left_semi"))
     }
-    val chain = (1 to rounds).scanLeft(e0)((e, _) => peel(e))
+    val chain = (1 to rounds).scanLeft(e0cp)((e, _) => peel(e))
     val last = chain.last
     val prev = chain(rounds - 1)
     def nodes(e: DataFrame) = e.select(col("_a").as("_n"))

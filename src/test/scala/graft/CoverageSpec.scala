@@ -27,6 +27,32 @@ class CoverageSpec extends SparkSpec {
       s"queries missing from SURVEY.md: ${missing.toSeq.sorted.mkString(", ")}")
   }
 
+  test("every SURVEY §2.12/§2.13 backticked query name still resolves" +
+      " (reverse freshness)") {
+    // The forward test above catches a query SURVEY forgot; this one
+    // catches the reverse — a renamed/deleted query leaving a stale
+    // backtick in the contract-query sections (the r13
+    // dp_count -> noised_count case). Scope: §2.12 through the end of
+    // §2.13, where every snake_case backtick is a gate-query name by
+    // convention; prose terms that merely look like one go in the
+    // allowlist.
+    val proseAllow = Set("from_json") // Spark SQL function, not a query
+    val f = new java.io.File("SURVEY.md")
+    assume(f.exists(), "SURVEY.md not visible from test cwd")
+    val text = new String(
+      Files.readAllBytes(f.toPath), java.nio.charset.StandardCharsets.UTF_8)
+    val start = text.indexOf("### 2.12")
+    val end = text.indexOf("## 3.")
+    assert(start >= 0 && end > start, "SURVEY §2.12/§3 anchors moved")
+    val section = text.substring(start, end)
+    val snake = "`([a-z][a-z0-9]*(?:_[a-z0-9]+)+)`".r
+    val stale = snake.findAllMatchIn(section).map(_.group(1)).toSet
+      .diff(SparkEntry.queries.keySet).diff(proseAllow)
+    assert(stale.isEmpty,
+      s"SURVEY names queries that no longer resolve in " +
+        s"SparkEntry.queries: ${stale.toSeq.sorted.mkString(", ")}")
+  }
+
   test("mergeImageArtifacts: one value column per artifact, outer-joined") {
     val img = Seq((0, 0, 1.0), (0, 1, 2.0)).toDF("l", "m", "image")
     val psf = Seq((0, 0, 0.5), (1, 1, 0.1)).toDF("l", "m", "image")

@@ -398,6 +398,36 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(!r1.getAs[Boolean]("converged"))
   }
 
+  test("graph iterators: durable checkpoint mode equals localCheckpoint" +
+      " mode") {
+    // The scale-safe path (checkpointDir -> df.checkpoint) must be
+    // result-identical to the default local path — the cluster caveat
+    // is an argument now, not scaladoc advice.
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ckpt").toString
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L),
+      (1L, 3L), (2L, 4L)).toDF("id1", "id2")
+    val ccLocal = graft.operators.DedupOps
+      .connectedComponents(edges, "id1", "id2")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val ccDurable = graft.operators.DedupOps
+      .connectedComponents(edges, "id1", "id2",
+        checkpointDir = Some(dir))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(ccDurable === ccLocal)
+    val kLocal = graft.operators.DedupOps
+      .kCore(edges, "id1", "id2", k = 2, rounds = 3).head()
+    val kDurable = graft.operators.DedupOps
+      .kCore(edges, "id1", "id2", k = 2, rounds = 3,
+        checkpointDir = Some(dir)).head()
+    assert(kDurable.getAs[Long]("n_nodes") ===
+      kLocal.getAs[Long]("n_nodes"))
+    assert(kDurable.getAs[Long]("n_edges") ===
+      kLocal.getAs[Long]("n_edges"))
+    assert(kDurable.getAs[Boolean]("converged") ===
+      kLocal.getAs[Boolean]("converged"))
+  }
+
   test("logRankTest: 2+2 subjects, hand-walked risk sets, V = 13/18") {
     // A lifetimes (1,3), B (2,5), censorDays=0 (all deaths)
     // t=1: e=.5 v=.25; t=2: e=1/3 v=2/9; t=3: e=.5 v=.25; t=5: 0
