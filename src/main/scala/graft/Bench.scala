@@ -90,10 +90,18 @@ object Bench {
           val json = new String(
             java.nio.file.Files.readAllBytes(f.toPath),
             java.nio.charset.StandardCharsets.UTF_8)
-          val solo = parseMap(json, "solo")
-          val mins = parseMap(json, "queries_min")
-          // solo is the better floor where present; fall back to min
-          mins ++ solo
+          // floors only transfer between runs at the SAME scale — an
+          // sf0.1 floor read by a 100x rehearsal would flag every
+          // query and double the run with pointless solo reps
+          val sameSf = "\"sf\"\\s*:\\s*\"([^\"]*)\"".r
+            .findFirstMatchIn(json).map(_.group(1)).contains(sfDir)
+          if (!sameSf) Map.empty
+          else {
+            val solo = parseMap(json, "solo")
+            val mins = parseMap(json, "queries_min")
+            // solo is the better floor where present; fall back to min
+            mins ++ solo
+          }
         }
       } catch { case _: Throwable => Map.empty }
     }

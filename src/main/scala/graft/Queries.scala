@@ -1075,6 +1075,36 @@ object Queries {
       |SELECT * FROM closed UNION ALL SELECT * FROM kept
       |UNION ALL SELECT * FROM fresh""".stripMargin)
 
+  /** Streaming twin of scd2_apply (StreamingOps.scd2ApplyStream): the
+    * foreachBatch CDC loop applied to the SAME seeded dimension and
+    * change batch as scd2_apply — one micro-batch through the
+    * maintained-table state must be bit-equal to the batch operator
+    * (identical code path by construction), so the oracle is shared.
+    */
+  private val streamScd2ApplyQ = Q(
+    (s, d) => {
+      val cust = Tables.customer(s, d)
+      val cur = cust.select(col("c_custkey").as("k"),
+        col("c_mktsegment").as("seg"),
+        floor(col("c_acctbal") * 100 + lit(0.5)).cast("long").as("bal"),
+        lit(0L).as("valid_from"),
+        lit(null).cast("long").as("valid_to"),
+        lit(true).as("is_current"))
+      val ch = cust.where(col("c_custkey") % 7 === 0)
+        .select(col("c_custkey").as("k"), col("c_mktsegment").as("seg"),
+          (floor(col("c_acctbal") * 100 + lit(0.5)).cast("long")
+            + 10000L).as("bal"), lit(86400L).as("ts"))
+        .unionByName(cust.where(col("c_custkey") % 31 === 0)
+          .select((col("c_custkey") + 1000000L).as("k"),
+            lit("NEW").as("seg"), lit(0L).as("bal"),
+            lit(86400L).as("ts")))
+      val st = streaming.StreamingOps.scd2ApplyStream(
+        cur, Seq("k"), Seq("seg", "bal"), "ts")
+      st(ch)
+      st.snapshot
+    },
+    scd2ApplyQ.sql)
+
   private val mergeUpsertQ = Q(
     (s, d) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
@@ -2845,6 +2875,7 @@ object Queries {
     "hilbert_layout" -> hilbertLayoutQ,
     "merge_upsert" -> mergeUpsertQ,
     "scd2_apply" -> scd2ApplyQ,
+    "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,
     "append_xds" -> appendXdsQ,

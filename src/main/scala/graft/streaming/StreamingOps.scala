@@ -1125,4 +1125,47 @@ object StreamingOps {
       .option("checkpointLocation", checkpoint)
       .partitionBy(partitionBy: _*)
       .outputMode("append")
+
+  /** Incremental SCD2 CDC apply — the foreachBatch lakehouse twin of
+    * IoOps.scd2Apply, closing the streaming family's dimension-table
+    * leg. The maintained table IS the state; each micro-batch runs the
+    * SAME single-full-outer-join batch operator against it, so there is
+    * zero semantic drift between the batch and streaming paths (the
+    * discipline every other twin earns by re-deriving a fold is here
+    * free by construction). Per-batch `localCheckpoint` truncates the
+    * join lineage — N micro-batches stay N small jobs, not one
+    * N-join-deep plan; on a real cluster swap in a Delta/iceberg table
+    * (or durable `checkpoint`) for the same loop.
+    *
+    * Equality contract: applying ONE batch equals `scd2Apply`
+    * bit-for-bit (same code path — the `stream_scd2_apply` gate query
+    * shares `scd2_apply`'s oracle). Applying N micro-batches equals
+    * one batch apply of the concatenated changes whenever each key's
+    * changes arrive within one batch (batch apply collapses a key's
+    * in-batch changes to the LATEST; sequential batches version each
+    * step — the full version trail a real CDC consumer wants, pinned
+    * in the MemoryStream spec).
+    *
+    * Usage — streaming: `changes.writeStream.foreachBatch(st.sink)`;
+    * batch (gate): `st(changes); st.snapshot`.
+    */
+  final class Scd2TableState(initial: DataFrame, keyCols: Seq[String],
+                             trackedCols: Seq[String], tsCol: String) {
+    @volatile private var table: DataFrame = initial
+    /** Apply one micro-batch of changes to the maintained dimension. */
+    def apply(changes: DataFrame): Unit = synchronized {
+      table = graft.sources.IoOps
+        .scd2Apply(table, changes, keyCols, trackedCols, tsCol)
+        .localCheckpoint(true)
+    }
+    /** foreachBatch adapter. */
+    def sink: (DataFrame, Long) => Unit = (df, _) => apply(df)
+    /** The dimension table after every batch applied so far. */
+    def snapshot: DataFrame = table
+  }
+
+  def scd2ApplyStream(current: DataFrame, keyCols: Seq[String],
+                      trackedCols: Seq[String],
+                      tsCol: String): Scd2TableState =
+    new Scd2TableState(current, keyCols, trackedCols, tsCol)
 }

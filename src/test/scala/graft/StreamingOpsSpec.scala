@@ -67,6 +67,61 @@ class StreamingOpsSpec extends SparkSpec {
     assert(b === Seq(0L, 9L))
   }
 
+  test("scd2ApplyStream: key-disjoint micro-batches equal one-shot" +
+      " batch apply; overlapping keys version each step") {
+    implicit val sqlCtx = spark.sqlContext
+    def dim(rows: Seq[(Long, String, Long, Long, Any, Boolean)]) =
+      rows.map { case (k, s, b, f, t, c) =>
+        (k, s, b, f, t.asInstanceOf[java.lang.Long] match {
+          case null => Option.empty[Long]
+          case v => Some(v.longValue())
+        }, c)
+      }.toDF("k", "seg", "bal", "valid_from", "valid_to", "is_current")
+    val cur = dim(Seq((1L, "A", 10L, 0L, null, true),
+      (2L, "B", 20L, 0L, null, true), (3L, "C", 30L, 0L, null, true)))
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5))).sorted.toSeq
+
+    // --- key-disjoint batches: row-identical to one concatenated apply
+    val st = StreamingOps.scd2ApplyStream(
+      cur, Seq("k"), Seq("seg", "bal"), "ts")
+    val input = MemoryStream[(Long, String, Long, Long)]
+    val q = input.toDF().toDF("k", "seg", "bal", "ts")
+      .writeStream.foreachBatch(st.sink).start()
+    input.addData((1L, "A", 11L, 100L), (4L, "D", 40L, 100L))
+    q.processAllAvailable()
+    // batch 2: an EQUAL-VALUED change for k=2 (kept, no close) and a
+    // real change for k=3
+    input.addData((2L, "B", 20L, 200L), (3L, "Z", 30L, 200L))
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.sources.IoOps.scd2Apply(cur,
+      Seq((1L, "A", 11L, 100L), (4L, "D", 40L, 100L),
+        (2L, "B", 20L, 200L), (3L, "Z", 30L, 200L))
+        .toDF("k", "seg", "bal", "ts"),
+      Seq("k"), Seq("seg", "bal"), "ts")
+    assert(rowsOf(st.snapshot) === rowsOf(oneShot))
+
+    // --- overlapping key across batches: the CDC trail keeps the
+    // intermediate version (one per batch), and the CURRENT view
+    // still equals the collapsed one-shot apply
+    val st2 = StreamingOps.scd2ApplyStream(
+      cur, Seq("k"), Seq("seg", "bal"), "ts")
+    st2(Seq((1L, "A", 11L, 100L)).toDF("k", "seg", "bal", "ts"))
+    st2(Seq((1L, "A", 12L, 300L)).toDF("k", "seg", "bal", "ts"))
+    val trail = rowsOf(st2.snapshot)
+    assert(trail.count(_._1 == 1L) === 3) // v0 closed, v1 closed, v2 open
+    assert(trail.contains((1L, "A", 11L, 100L, 300L, false)))
+    val oneShot2 = graft.sources.IoOps.scd2Apply(cur,
+      Seq((1L, "A", 11L, 100L), (1L, "A", 12L, 300L))
+        .toDF("k", "seg", "bal", "ts"),
+      Seq("k"), Seq("seg", "bal"), "ts")
+    assert(rowsOf(st2.snapshot.where(col("is_current"))) ===
+      rowsOf(oneShot2.where(col("is_current"))))
+  }
+
   test("streamingBandCollisions remembers band buckets across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
