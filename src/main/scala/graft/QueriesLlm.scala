@@ -1323,6 +1323,44 @@ object QueriesLlm {
        |FROM p a JOIN p b ON a.fp = b.fp AND a.doc_id < b.doc_id
        |GROUP BY 1, 2 HAVING count(*) >= 5""".stripMargin)
 
+  /** Exact shared-substring runs (DedupOps.exactSubstringRuns) over
+    * the dup-injected corpus: every injected near-copy shares its full
+    * original text as one maximal run; the oracle replays the anchor
+    * stream, df prune, diagonal join, and islands grouping in pure
+    * integer SQL (select-list unnest(generate_series) — the lateral
+    * table form rejects column bounds, and the scalar form yields []
+    * for shingle-less docs).
+    */
+  private val substringExactDedupQ = Q(
+    (s, d) => DedupOps.exactSubstringRuns(dupCorpus(s, d, mod = 2),
+      "doc_id", "text", shingleN = 3, maxDf = 50, minRunTokens = 10),
+    s"""WITH ${dupCorpusSql(mod = 2)},
+       |f0 AS (
+       |  SELECT doc_id, ${shPosSql(whSql("text"))} AS sh FROM corpus),
+       |pos0 AS (
+       |  SELECT doc_id, sh,
+       |    CAST(unnest(generate_series(1, len(sh))) AS BIGINT) AS i
+       |  FROM f0),
+       |pos AS (SELECT doc_id, i - 1 AS p, sh[i] AS h FROM pos0),
+       |keep AS (SELECT h FROM pos GROUP BY h HAVING count(*) <= 50),
+       |pr AS (SELECT pos.* FROM pos JOIN keep USING (h)),
+       |m AS (
+       |  SELECT a.doc_id AS id1, b.doc_id AS id2, a.p AS p1, b.p AS p2,
+       |    a.p - b.p AS diag
+       |  FROM pr a JOIN pr b ON a.h = b.h AND a.doc_id < b.doc_id),
+       |r AS (
+       |  SELECT id1, id2, diag, p1, p2,
+       |    p1 - row_number() OVER (PARTITION BY id1, id2, diag
+       |      ORDER BY p1) AS isl
+       |  FROM m),
+       |runs AS (
+       |  SELECT id1, id2, CAST(min(p1) AS BIGINT) AS start1,
+       |    CAST(min(p2) AS BIGINT) AS start2,
+       |    CAST(count(*) + 2 AS BIGINT) AS run_tokens
+       |  FROM r GROUP BY id1, id2, diag, isl)
+       |SELECT id1, id2, start1, start2, run_tokens
+       |FROM runs WHERE run_tokens >= 10""".stripMargin)
+
   /** PQ codebook CTE shared by the encode/search oracles: subspace m's
     * codebook = the m-th 8-dim slice of the first 16 corpus vectors
     * (mirrors SimilarityOps.pqCodebooks).
@@ -4750,6 +4788,7 @@ object QueriesLlm {
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,
     "substring_dupes" -> substringDupesQ,
+    "substring_exact_dedup" -> substringExactDedupQ,
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
     "bpe_apply" -> bpeApplyQ,

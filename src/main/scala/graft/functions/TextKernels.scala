@@ -125,6 +125,35 @@ object ShingleHashArr {
     toColumn(ShingleHashArr(toExpression(c), n))
 }
 
+/** POSITIONAL (non-distinct) n-word shingle hashes — native
+  * TextOps.positionalShingleHashes: array index = token position, the
+  * anchor stream of the exact-substring dedup run extension.
+  */
+case class PosShingleHashArr(child: Expression, n: Int)
+    extends UnaryExpression {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"pos_shingle_hashes expects STRING, got ${child.dataType.sql}")
+  override def nullSafeEval(input: Any): Any =
+    PosShingleHashArr.kernel(input.asInstanceOf[UTF8String], n)
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    defineCodeGen(ctx, ev,
+      s => s"graft.functions.PosShingleHashArr.kernel($s, $n)")
+  override protected def withNewChildInternal(newChild: Expression): PosShingleHashArr =
+    copy(child = newChild)
+}
+
+object PosShingleHashArr {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+  def kernel(s: UTF8String, n: Int): ArrayData =
+    new GenericArrayData(
+      graft.operators.TextOps.positionalShingleHashesFn(s.toString, n))
+  def apply(c: Column, n: Int): Column =
+    toColumn(PosShingleHashArr(toExpression(c), n))
+}
+
 /** Winnowed fingerprint set — native TextOps.winnowFingerprints. */
 case class WinnowFpArr(child: Expression, n: Int, w: Int)
     extends UnaryExpression {

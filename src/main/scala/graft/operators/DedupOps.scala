@@ -487,6 +487,65 @@ object DedupOps {
       .filter(col("n_shared_fp") >= minShared)
   }
 
+  /** EXACT shared-substring runs ≥ `minRunTokens` tokens between
+    * document pairs — the Lee-et-al "dedup exact substrings" pass that
+    * [[substringDupes]]' winnowing only approximates (winnowing says
+    * "a long span is shared", this says WHERE and HOW LONG, exactly).
+    *
+    * Relational suffix-anchor formulation (no suffix array, no
+    * per-pair alignment): every position's n-token shingle hash is an
+    * anchor `(doc, pos, h)`; corpus-frequent anchors (> `maxDf`
+    * occurrences — boilerplate) are pruned BEFORE the posting-list
+    * self-join; matched anchors land on a (id1, id2, diagonal =
+    * pos1 − pos2) key, where a shared substring of L tokens is exactly
+    * a run of L − n + 1 CONSECUTIVE anchors on one diagonal. Runs fall
+    * out of the classic islands trick (pos − row_number over the
+    * diagonal) — the window partitions by (pair, diagonal), a
+    * candidate-bounded domain, never a global sort. Output: one row
+    * per maximal run, (id1, id2, start1, start2, run_tokens), 0-based
+    * token offsets.
+    *
+    * Exactness/caveat: with no pruning the longest run per pair EQUALS
+    * the longest common token-substring (property-tested vs brute-force
+    * DP); a pruned mid-run anchor splits a run in two — the documented
+    * price of the df cap, deterministic and disclosed, same discipline
+    * as the LSH bucket caps.
+    *
+    * 100 TB story: the anchor stream is one scan (native positional
+    * shingle kernel, codegen); df-prune bounds every posting list to
+    * `maxDf`, so the self-join shuffles ≤ maxDf² pairs per surviving
+    * anchor value; the islands window rides matched-anchor volume,
+    * already pair-bounded. Nothing fact-sized after the prune.
+    */
+  def exactSubstringRuns(df: DataFrame, idCol: String, textCol: String,
+                         shingleN: Int = 3, maxDf: Long = 50,
+                         minRunTokens: Long = 10): DataFrame = {
+    require(shingleN >= 1 && minRunTokens >= shingleN,
+      s"need shingleN >= 1 and minRunTokens >= shingleN; " +
+        s"got $shingleN/$minRunTokens")
+    val posSh = df.select(col(idCol).as("_id"),
+      posexplode(TextOps.positionalShingleHashes(col(textCol), shingleN)))
+      .toDF("_id", "_p", "_h")
+    val keep = posSh.groupBy("_h").agg(count(lit(1)).as("_df"))
+      .filter(col("_df") <= maxDf).select("_h")
+    val pruned = posSh.join(keep, "_h")
+    val m = pruned.select(col("_h"), col("_id").as("id1"),
+        col("_p").as("_p1"))
+      .join(pruned.select(col("_h"), col("_id").as("id2"),
+        col("_p").as("_p2")), Seq("_h"))
+      .where(col("id1") < col("id2"))
+      .withColumn("_diag", col("_p1") - col("_p2"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id1", "id2", "_diag").orderBy("_p1")
+    m.withColumn("_isl", col("_p1") - row_number().over(w))
+      .groupBy("id1", "id2", "_diag", "_isl")
+      .agg(min(col("_p1")).cast("long").as("start1"),
+        min(col("_p2")).cast("long").as("start2"),
+        (count(lit(1)) + (shingleN - 1).toLong).as("run_tokens"))
+      .where(col("run_tokens") >= minRunTokens)
+      .select("id1", "id2", "start1", "start2", "run_tokens")
+  }
+
   /** Bloom-prefiltered decontamination — IDENTICAL output to
     * [[contaminationPairs]], cheaper scan side. A Bloom filter is
     * built over the eval-split shingle hashes (the small side: eval

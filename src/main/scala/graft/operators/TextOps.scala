@@ -50,8 +50,12 @@ object TextOps {
 
   def wordHashesFn(s: String): Array[Long] = wordsFn(s).map(w => polyHashFn(w))
 
-  /** Distinct hashes of n-word shingles (base-31^k positional combine). */
-  def shingleHashesFn(s: String, n: Int): Array[Long] = {
+  /** POSITIONAL hashes of n-word shingles — out(i) = hash of
+    * words[i..i+n-1] (base-31^k positional combine); NOT distinct, so
+    * index IS token position. The anchor stream for exact-substring
+    * run extension; [[shingleHashesFn]] is this plus distinct.
+    */
+  def positionalShingleHashesFn(s: String, n: Int): Array[Long] = {
     val wh = wordHashesFn(s)
     if (wh.length < n) return Array.empty
     val weights = Array.tabulate(n)(k => {
@@ -66,8 +70,12 @@ object TextOps {
       out(i) = acc % HashMod
       i += 1
     }
-    out.distinct
+    out
   }
+
+  /** Distinct hashes of n-word shingles (base-31^k positional combine). */
+  def shingleHashesFn(s: String, n: Int): Array[Long] =
+    positionalShingleHashesFn(s, n).distinct
 
   /** Polynomial rolling hash of a string column — a native Catalyst
     * expression with whole-stage codegen (graft.functions.PolyHash);
@@ -94,6 +102,13 @@ object TextOps {
     */
   def shingleHashes(c: Column, n: Int): Column =
     graft.functions.ShingleHashArr(c, n)
+
+  /** Positional (non-distinct) n-word shingle hashes — array index =
+    * token position. Native codegen kernel
+    * (functions.PosShingleHashArr).
+    */
+  def positionalShingleHashes(c: Column, n: Int): Column =
+    graft.functions.PosShingleHashArr(c, n)
 
   /** Winnowed fingerprints (Schleimer et al. 2003, the MOSS local
     * fingerprinting scheme): slide a window of `w` consecutive n-gram

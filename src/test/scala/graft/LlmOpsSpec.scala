@@ -823,6 +823,61 @@ class LlmOpsSpec extends SparkSpec {
     assert(pairs === Set((0L, 1L)))
   }
 
+  test("exactSubstringRuns: hand case — the copied span located exactly") {
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "intro alpha beta gamma delta epsilon zeta eta theta END tail"),
+      (2L, "lambda mu nu xi omicron pi rho sigma tau upsilon"))
+      .toDF("doc_id", "text")
+    val runs = DedupOps.exactSubstringRuns(docs, "doc_id", "text",
+        shingleN = 3, maxDf = 50, minRunTokens = 4)
+      .collect().map(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2"),
+        r.getAs[Long]("start1"), r.getAs[Long]("start2"),
+        r.getAs[Long]("run_tokens"))).toSet
+    // doc 1 copies doc 0's tokens 0..7 ("alpha".."theta", 8 tokens)
+    // starting at its own offset 1; nothing else shares >= 4 tokens
+    assert(runs === Set((0L, 1L, 0L, 1L, 8L)))
+  }
+
+  test("exactSubstringRuns: property — maximal runs equal brute-force" +
+      " token DP (no pruning)") {
+    // brute force: every maximal common token run between two arrays
+    def maximalRuns(a: Array[String], b: Array[String],
+                    minRun: Int): Set[(Long, Long, Long)] = {
+      val out = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+      for (i <- a.indices; j <- b.indices
+           if a(i) == b(j) &&
+             (i == 0 || j == 0 || a(i - 1) != b(j - 1))) {
+        var len = 0
+        while (i + len < a.length && j + len < b.length &&
+          a(i + len) == b(j + len)) len += 1
+        if (len >= minRun) out += ((i.toLong, j.toLong, len.toLong))
+      }
+      out.toSet
+    }
+    // small vocab forces shared substrings; deterministic seed
+    val vocab = Array("aa", "bb", "cc", "dd", "ee")
+    val rng = new scala.util.Random(42)
+    val toks = (0 until 8).map { _ =>
+      Array.fill(24 + rng.nextInt(12))(vocab(rng.nextInt(vocab.length)))
+    }
+    val docs = toks.zipWithIndex
+      .map { case (t, i) => (i.toLong, t.mkString(" ")) }
+      .toDF("doc_id", "text")
+    val got = DedupOps.exactSubstringRuns(docs, "doc_id", "text",
+        shingleN = 3, maxDf = 1000000, minRunTokens = 4)
+      .collect()
+      .groupBy(r => (r.getAs[Long]("id1"), r.getAs[Long]("id2")))
+      .view.mapValues(_.map(r => (r.getAs[Long]("start1"),
+        r.getAs[Long]("start2"), r.getAs[Long]("run_tokens"))).toSet)
+      .toMap
+    val want = (for {
+      i <- toks.indices; j <- toks.indices if i < j
+      rs = maximalRuns(toks(i), toks(j), 4) if rs.nonEmpty
+    } yield (i.toLong, j.toLong) -> rs).toMap
+    assert(got === want)
+  }
+
   test("contaminationPairsBloom equals the exact join at any fpp") {
     val corpus = Seq(
       (0L, "train", "alpha beta gamma delta epsilon"),
