@@ -1645,6 +1645,88 @@ object QueriesDiagnostics {
          " / (CAST(m AS DOUBLE) + 1) - 1", 6)} AS n_chapman
        |FROM g""".stripMargin)
 
+  /** O'Brien-Fleming group-sequential monitor over the ab_test
+    * experiment (DiagnosticsOps.groupSequential): same hash-assigned
+    * arms and heavy-purchaser conversion, subjects accruing by first
+    * event day, cumulative z vs C/√t boundary per look — the
+    * always-valid-inference leg of the A/B surface.
+    */
+  private val sequentialTestQ = Q(
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15, 1L).otherwise(0L).as("converted"),
+          min(expr("ts_ns div 86400000000000L")).as("day"))
+      val armed = graft.operators.SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      DiagnosticsOps.groupSequential(armed, "split", "a", "b",
+          "converted", "day")
+        .select(col("look"), col("k"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"),
+          qround(col("info_frac"), 8).as("info_frac"),
+          qround(col("z"), 8).as("z"),
+          qround(col("boundary"), 8).as("boundary"),
+          col("crossed"))
+    },
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv,
+       |    min(epoch_ns(ts) // 86400000000000) AS day
+       |  FROM events GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN (((user_id % 1000000007)
+       |      * 2654435761) % 1000000007) % 10000 < 5000
+       |    THEN 'a' ELSE 'b' END AS arm, conv, day
+       |  FROM u),
+       |inc AS (
+       |  SELECT day AS look,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ia,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS xa,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ib,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS xb
+       |  FROM arms GROUP BY 1),
+       |tot AS (SELECT CAST(sum(ia) + sum(ib) AS BIGINT) AS nn FROM inc),
+       |cum AS (
+       |  SELECT look,
+       |    CAST(row_number() OVER (ORDER BY look) AS BIGINT) AS k,
+       |    CAST(sum(ia) OVER w AS BIGINT) AS n_a,
+       |    CAST(sum(xa) OVER w AS BIGINT) AS x_a,
+       |    CAST(sum(ib) OVER w AS BIGINT) AS n_b,
+       |    CAST(sum(xb) OVER w AS BIGINT) AS x_b
+       |  FROM inc
+       |  WINDOW w AS (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |v AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b,
+       |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+       |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+       |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp,
+       |    (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+       |      / CAST(nn AS DOUBLE) AS tf
+       |  FROM cum CROSS JOIN tot),
+       |z0 AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b, tf,
+       |    sqrt(pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+       |      + 1.0 / CAST(n_b AS DOUBLE))) AS se,
+       |    pa, pb,
+       |    CAST(2.04 AS DOUBLE) / sqrt(tf) AS bnd
+       |  FROM v)
+       |SELECT look, k, n_a, x_a, n_b, x_b,
+       |  ${qrSql("tf", 8)} AS info_frac,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+       |    THEN ${qrSql("(pa - pb) / se", 8)} END AS z,
+       |  ${qrSql("bnd", 8)} AS boundary,
+       |  CASE WHEN n_a > 0 AND n_b > 0 AND se > 0
+       |    THEN abs((pa - pb) / se) >= bnd ELSE false END AS crossed
+       |FROM z0""".stripMargin)
+
   /** Gumbel method-of-moments fit of per-day maxima of each event
     * type's hourly counts (SequenceOps.gumbelFit): β = s√6/π,
     * μ = m − γβ, and the P99-day burst forecast.
@@ -1721,5 +1803,6 @@ object QueriesDiagnostics {
     "chow_test" -> chowTestQ,
     "tost_equivalence" -> tostEquivalenceQ,
     "capture_recapture" -> captureRecaptureQ,
+    "sequential_test" -> sequentialTestQ,
     "gumbel_fit" -> gumbelFitQ)
 }

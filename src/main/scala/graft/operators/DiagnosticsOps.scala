@@ -741,6 +741,65 @@ object DiagnosticsOps {
       when(ok, try_divide(mde, pbar)).as("mde_rel"))
   }
 
+  /** Group-sequential A/B monitoring — the always-valid-inference leg
+    * of the experimentation surface: the two-proportion z statistic at
+    * every interim look against an O'Brien-Fleming-shaped boundary
+    *   b(t_k) = C / √t_k,   t_k = (n_a+n_b cumulative at look k) / N,
+    * which spends almost no α early (b(0.2) ≈ 4.6·C) and converges to
+    * the fixed-horizon critical value at t=1 — the standard defence
+    * against the "peek every day, 30% false-positive rate" failure.
+    * `obfConstant` is the K-look two-sided critical constant from the
+    * published OBF tables (α=0.05: K=1 → 1.960, 2 → 1.977, 3 → 2.004,
+    * 4 → 2.024, 5 → 2.040); with information-fraction spacing the same
+    * C applies at unequally sized looks.
+    *
+    * Looks are `lookCol` values (e.g. enrollment day); subjects
+    * accumulate across looks. Output: one row per look with cumulative
+    * exact-BIGINT censuses, z, the boundary, and the crossing flag.
+    * Exactness: per-look increments are one hash aggregate; cumulatives
+    * are a window over the LOOK domain (bounded — K interim analyses,
+    * the ks_drift whitelist argument); z and boundary are mirrored
+    * closed forms over exact counts.
+    */
+  def groupSequential(df: DataFrame, armCol: String, armA: String,
+                      armB: String, successCol: String, lookCol: String,
+                      obfConstant: Double = 2.04): DataFrame = {
+    val sCol = col(successCol).cast("long")
+    val inc = df.where(col(armCol).isin(armA, armB) &&
+        col(successCol).isNotNull && col(lookCol).isNotNull)
+      .groupBy(col(lookCol).cast("long").as("look"))
+      .agg(sum(when(col(armCol) === armA, 1L).otherwise(0L)).as("_ia"),
+        sum(when(col(armCol) === armA, sCol).otherwise(0L)).as("_xa"),
+        sum(when(col(armCol) === armB, 1L).otherwise(0L)).as("_ib"),
+        sum(when(col(armCol) === armB, sCol).otherwise(0L)).as("_xb"))
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wl = Window.orderBy(col("look"))
+    val tot = inc.agg((sum(col("_ia")) + sum(col("_ib"))).as("_nn"))
+    val cum = inc
+      .withColumn("k", row_number().over(wl).cast("long"))
+      .withColumn("n_a", sum(col("_ia")).over(w))
+      .withColumn("x_a", sum(col("_xa")).over(w))
+      .withColumn("n_b", sum(col("_ib")).over(w))
+      .withColumn("x_b", sum(col("_xb")).over(w))
+      .crossJoin(broadcast(tot))
+    val pa = D("x_a") / D("n_a")
+    val pb = D("x_b") / D("n_b")
+    val pp = (D("x_a") + D("x_b")) / (D("n_a") + D("n_b"))
+    val se = sqrt(pp * (lit(1.0) - pp) *
+      (lit(1.0) / D("n_a") + lit(1.0) / D("n_b")))
+    val infoFrac = (D("n_a") + D("n_b")) / D("_nn")
+    val boundary = lit(obfConstant) / sqrt(infoFrac)
+    val ok = col("n_a") > 0 && col("n_b") > 0 && se > 0
+    cum.select(col("look"), col("k"), col("n_a"), col("x_a"),
+      col("n_b"), col("x_b"),
+      infoFrac.as("info_frac"),
+      when(ok, (pa - pb) / se).as("z"),
+      boundary.as("boundary"),
+      when(ok, abs((pa - pb) / se) >= boundary).otherwise(lit(false))
+        .as("crossed"))
+  }
+
   /** Mood's median test across k groups: χ² homogeneity of the
     * above-/at-or-below-grand-median split — the crude-but-robust
     * k-group location test (kruskal_wallis is its rank-powered

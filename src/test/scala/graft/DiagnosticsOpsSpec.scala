@@ -729,6 +729,37 @@ class DiagnosticsOpsSpec extends SparkSpec {
       s"Chapman estimate $est not within 5% of true $n")
   }
 
+  test("groupSequential: hand-walked OBF boundary, crossing at look 2") {
+    // look 1: a = 2 subjects 1 conv, b = 2 subjects 0 conv
+    // look 2 adds: a = 2 subjects 2 conv, b = 2 subjects 0 conv
+    val df = Seq(
+      ("a", 1L, 1L), ("a", 0L, 1L), ("b", 0L, 1L), ("b", 0L, 1L),
+      ("a", 1L, 2L), ("a", 1L, 2L), ("b", 0L, 2L), ("b", 0L, 2L))
+      .toDF("arm", "conv", "day")
+    val rows = DiagnosticsOps.groupSequential(df, "arm", "a", "b",
+        "conv", "day")
+      .orderBy("look").collect()
+    assert(rows.length === 2)
+    val r1 = rows(0)
+    // look 1: pa=.5 pb=0 pp=.25, se=sqrt(.25*.75*(1/2+1/2)), t=.5
+    val se1 = math.sqrt(0.25 * 0.75 * 1.0)
+    assert(r1.getAs[Long]("n_a") === 2L && r1.getAs[Long]("x_a") === 1L)
+    assert(approx(r1.getAs[Double]("info_frac"), 0.5))
+    assert(approx(r1.getAs[Double]("z"), 0.5 / se1))
+    assert(approx(r1.getAs[Double]("boundary"), 2.04 / math.sqrt(0.5)))
+    assert(!r1.getAs[Boolean]("crossed")) // 1.155 < 2.885
+    val r2 = rows(1)
+    // look 2 cumulative: a 4/3... wait x_a = 1+2 = 3, x_b = 0
+    // pa=.75 pb=0 pp=3/8, se=sqrt(3/8*5/8*(1/4+1/4)), t=1
+    val pp2 = 3.0 / 8.0
+    val se2 = math.sqrt(pp2 * (1 - pp2) * 0.5)
+    assert(r2.getAs[Long]("n_a") === 4L && r2.getAs[Long]("x_a") === 3L)
+    assert(approx(r2.getAs[Double]("info_frac"), 1.0))
+    assert(approx(r2.getAs[Double]("z"), 0.75 / se2))
+    assert(approx(r2.getAs[Double]("boundary"), 2.04))
+    assert(r2.getAs[Boolean]("crossed")) // 2.191 >= 2.04
+  }
+
   test("gumbelFit: block maxima (3,5,7) give MoM beta = 2*sqrt(6)/pi") {
     val df = seriesDf(Seq(("g1", 0L, 1), ("g1", 1L, 3), ("g1", 2L, 5),
       ("g1", 3L, 2), ("g1", 4L, 4), ("g1", 5L, 7)))

@@ -388,7 +388,12 @@ class PlanInvariantsSpec extends SparkSpec {
       // histogram first)
       "wasserstein_drift", "granger_lite",
       "cvm_drift", "energy_drift", "wilcoxon_signed_rank",
-      "logrank_test", "median_test")
+      "logrank_test", "median_test",
+      // sequential_test: the cumulative + row_number walk the LOOK
+      // domain (interim analyses — enrollment days, bounded by the
+      // observation span; DiagnosticsOps.groupSequential aggregates
+      // the fact to per-look arm censuses FIRST)
+      "sequential_test")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
