@@ -1331,11 +1331,12 @@ object QueriesLlm {
     * table form rejects column bounds, and the scalar form yields []
     * for shingle-less docs).
     */
-  private val substringExactDedupQ = Q(
-    (s, d) => DedupOps.exactSubstringRuns(dupCorpus(s, d, mod = 2),
-      "doc_id", "text", shingleN = 3, maxDf = 50, minRunTokens = 10),
-    s"""WITH ${dupCorpusSql(mod = 2)},
-       |f0 AS (
+  /** Shared CTE chain `corpus → runs` (unfiltered maximal anchor runs)
+    * mirroring DedupOps.exactSubstringRuns at shingleN=3/maxDf=50;
+    * consumers filter `run_tokens` themselves.
+    */
+  private def substrRunsCtes: String =
+    s"""f0 AS (
        |  SELECT doc_id, ${shPosSql(whSql("text"))} AS sh FROM corpus),
        |pos0 AS (
        |  SELECT doc_id, sh,
@@ -1357,9 +1358,66 @@ object QueriesLlm {
        |  SELECT id1, id2, CAST(min(p1) AS BIGINT) AS start1,
        |    CAST(min(p2) AS BIGINT) AS start2,
        |    CAST(count(*) + 2 AS BIGINT) AS run_tokens
-       |  FROM r GROUP BY id1, id2, diag, isl)
+       |  FROM r GROUP BY id1, id2, diag, isl)""".stripMargin
+
+  private val substringExactDedupQ = Q(
+    (s, d) => DedupOps.exactSubstringRuns(dupCorpus(s, d, mod = 2),
+      "doc_id", "text", shingleN = 3, maxDf = 50, minRunTokens = 10),
+    s"""WITH ${dupCorpusSql(mod = 2)},
+       |$substrRunsCtes
        |SELECT id1, id2, start1, start2, run_tokens
        |FROM runs WHERE run_tokens >= 10""".stripMargin)
+
+  /** The REMOVAL pass (DedupOps.exactSubstringDedupApply): every run's
+    * span cut from the higher-id doc, intervals merged per doc, text
+    * reassembled by a discrete indexed token filter — mirrored via
+    * DuckDB's (x, i) list_filter lambda (i is 1-based there, 0-based
+    * in Spark).
+    */
+  private val substringDedupApplyQ = Q(
+    (s, d) => DedupOps.exactSubstringDedupApply(dupCorpus(s, d, mod = 2),
+      "doc_id", "text", shingleN = 3, maxDf = 50, minRunTokens = 10),
+    s"""WITH ${dupCorpusSql(mod = 2)},
+       |$substrRunsCtes,
+       |iv AS (
+       |  SELECT id2 AS doc_id, start2 AS s, start2 + run_tokens AS e
+       |  FROM runs WHERE run_tokens >= 10),
+       |r1 AS (
+       |  SELECT doc_id, s, e,
+       |    max(e) OVER (PARTITION BY doc_id ORDER BY s, e
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+       |  FROM iv),
+       |r2 AS (
+       |  SELECT doc_id, s, e,
+       |    CAST(sum(CASE WHEN pm IS NULL OR s > pm THEN 1 ELSE 0 END)
+       |      OVER (PARTITION BY doc_id ORDER BY s, e
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+       |      AS BIGINT) AS isl
+       |  FROM r1),
+       |mi AS (
+       |  SELECT doc_id, min(s) AS s, max(e) AS e
+       |  FROM r2 GROUP BY doc_id, isl),
+       |rmpos AS (
+       |  SELECT doc_id, flatten(list(generate_series(s, e - 1))) AS rm
+       |  FROM mi GROUP BY doc_id),
+       |out0 AS (
+       |  SELECT c.doc_id, string_split(c.text, ' ') AS toks, rm
+       |  FROM corpus c LEFT JOIN rmpos USING (doc_id)),
+       |out1 AS (
+       |  SELECT doc_id, toks,
+       |    CASE WHEN rm IS NULL THEN toks
+       |      ELSE list_filter(toks, (x_, i_) ->
+       |        NOT coalesce(list_contains(rm,
+       |          CAST(i_ - 1 AS BIGINT)), false))
+       |    END AS kept
+       |  FROM out0)
+       |SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+       |  CAST(len(kept) AS BIGINT) AS n_kept,
+       |  CAST(len(toks) - len(kept) AS BIGINT) AS n_removed,
+       |  -- coalesce: DuckDB's array_to_string([]) is NULL, Spark's
+       |  -- array_join([]) is '' — a fully-removed doc must agree
+       |  coalesce(array_to_string(kept, ' '), '') AS text_deduped
+       |FROM out1""".stripMargin)
 
   /** PQ codebook CTE shared by the encode/search oracles: subspace m's
     * codebook = the m-th 8-dim slice of the first 16 corpus vectors
@@ -4789,6 +4847,7 @@ object QueriesLlm {
     "winnow_fingerprints" -> winnowFingerprintsQ,
     "substring_dupes" -> substringDupesQ,
     "substring_exact_dedup" -> substringExactDedupQ,
+    "substring_dedup_apply" -> substringDedupApplyQ,
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
     "bpe_apply" -> bpeApplyQ,

@@ -546,6 +546,63 @@ object DedupOps {
       .select("id1", "id2", "start1", "start2", "run_tokens")
   }
 
+  /** APPLY step of exact-substring dedup — the Lee-et-al removal pass:
+    * every maximal shared run found by [[exactSubstringRuns]] is CUT
+    * from the higher-id document (the lower id keeps the canonical
+    * copy), and the corpus is re-emitted with per-doc removal
+    * accounting. A doc hit by several partners has its spans merged
+    * (interval union per doc — overlapping quotes are removed once);
+    * a doc that is only ever the lower id passes through verbatim.
+    *
+    * Plan: runs → per-doc interval union (islands over a window
+    * partitioned by doc, ordered by span start — run count per doc is
+    * candidate-bounded) → ONE broadcast-size join back to the corpus →
+    * expression-level token filter (`filter(tokens, (t,i) → …)`) and
+    * rejoin with a single space; the reconstruction never explodes the
+    * token stream into rows. Exactness: all positions are exact
+    * integers; text reassembly is a discrete token filter, identical
+    * in any engine on single-space-tokenized text.
+    */
+  def exactSubstringDedupApply(df: DataFrame, idCol: String,
+                               textCol: String, shingleN: Int = 3,
+                               maxDf: Long = 50,
+                               minRunTokens: Long = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val runs = exactSubstringRuns(df, idCol, textCol, shingleN, maxDf,
+      minRunTokens)
+    val iv = runs.select(col("id2").as("_doc"), col("start2").as("_s"),
+      (col("start2") + col("run_tokens")).as("_e"))
+    val wp = Window.partitionBy("_doc").orderBy(col("_s"), col("_e"))
+    val wr = wp.rowsBetween(Window.unboundedPreceding, -1)
+    val wc = wp.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val merged = iv
+      .withColumn("_pm", max(col("_e")).over(wr))
+      .withColumn("_new",
+        when(col("_pm").isNull || col("_s") > col("_pm"), 1L)
+          .otherwise(0L))
+      .withColumn("_isl", sum(col("_new")).over(wc))
+      .groupBy("_doc", "_isl")
+      .agg(min(col("_s")).as("_s"), max(col("_e")).as("_e"))
+    // removed token positions per doc — bounded by doc length
+    val removed = merged
+      .groupBy("_doc")
+      .agg(flatten(collect_list(expr("sequence(_s, _e - 1)")))
+        .as("_rm"))
+    val toks = split(col(textCol), " ")
+    df.join(removed, df(idCol) === removed("_doc"), "left")
+      .withColumn("_toks", toks)
+      .withColumn("_kept",
+        when(col("_rm").isNull, col("_toks"))
+          .otherwise(filter(col("_toks"),
+            (_, i) => !array_contains(col("_rm"), i.cast("long")))))
+      .select(col(idCol),
+        size(col("_toks")).cast("long").as("n_tokens"),
+        size(col("_kept")).cast("long").as("n_kept"),
+        (size(col("_toks")) - size(col("_kept"))).cast("long")
+          .as("n_removed"),
+        array_join(col("_kept"), " ").as("text_deduped"))
+  }
+
   /** Bloom-prefiltered decontamination — IDENTICAL output to
     * [[contaminationPairs]], cheaper scan side. A Bloom filter is
     * built over the eval-split shingle hashes (the small side: eval

@@ -839,6 +839,30 @@ class LlmOpsSpec extends SparkSpec {
     assert(runs === Set((0L, 1L, 0L, 1L, 8L)))
   }
 
+  test("exactSubstringDedupApply: cuts the copied span from the" +
+      " higher id, merges overlaps, keeps the canonical copy") {
+    // doc 1 copies doc 0's tokens 0..7 at offset 1; doc 2 copies
+    // doc 0's tokens 2..9 at offset 0 — doc 2's interval [0,8) and a
+    // second partner's hit must merge rather than double-remove
+    val docs = Seq(
+      (0L, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+      (1L, "intro alpha beta gamma delta epsilon zeta eta theta END tail"),
+      (2L, "gamma delta epsilon zeta eta theta iota kappa trailer"))
+      .toDF("doc_id", "text")
+    val out = DedupOps.exactSubstringDedupApply(docs, "doc_id", "text",
+        shingleN = 3, maxDf = 50, minRunTokens = 4)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        (r.getAs[Long]("n_tokens"), r.getAs[Long]("n_removed"),
+          r.getAs[String]("text_deduped"))).toMap
+    // doc 0 is always the lower id: untouched
+    assert(out(0L)._2 === 0L)
+    assert(out(0L)._3.startsWith("alpha beta"))
+    // doc 1 loses the 8-token copied span at [1, 9)
+    assert(out(1L) === ((11L, 8L, "intro END tail")))
+    // doc 2 loses its 8-token overlap with doc 0 at [0, 8)
+    assert(out(2L) === ((9L, 8L, "trailer")))
+  }
+
   test("exactSubstringRuns: property — maximal runs equal brute-force" +
       " token DP (no pruning)") {
     // brute force: every maximal common token run between two arrays
