@@ -1464,7 +1464,10 @@ object QueriesDiagnostics {
       val ev = hourly(s, d)
       val b = ev.agg(min(col("win")).as("lo"), max(col("win")).as("hi"))
         .head()
-      val mid = (b.getLong(0) + b.getLong(1) + 1) / 2
+      // empty input: min/max are null — any mid works, the series
+      // aggregate below has no groups to emit
+      val mid = if (b.isNullAt(0) || b.isNullAt(1)) 0L
+        else (b.getLong(0) + b.getLong(1) + 1) / 2
       DiagnosticsOps.chowTest(ev, "event_type", "win", mid)
         .select(col("event_type"), col("n"), col("n_1"), col("n_2"),
           col("break_win"), qround(col("sse_pooled"), 6).as("sse_pooled"),
