@@ -1105,6 +1105,95 @@ object Queries {
     },
     scd2ApplyQ.sql)
 
+  /** Merge-on-read DELETE via deletion vectors (IoOps.buildDeleteVector
+    * / applyDeleteVector): write a physical store, record a predicate
+    * delete as (_metadata.file_path, _metadata.row_index) pairs — NO
+    * data-file rewrite — then serve the read through the anti-join.
+    * The oracle runs the plain complement predicate on the source
+    * table, so a hash match proves the physical positions identify
+    * exactly the predicate's rows through the write/scan round trip.
+    */
+  private val deleteVectorsQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_mor_${scratchTag(s, d)}"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag", "l_linestatus")
+      sources.IoOps.writeVis(
+        Tables.lineitem(s, d).select(cols.map(col): _*), path,
+        repartitionTo = Some(4))
+      val lin = sources.IoOps.readWithLineage(s, path)
+      val dv = sources.IoOps.buildDeleteVector(lin,
+        col("l_quantity") < 5 || col("l_orderkey") % 97 === 0)
+      sources.IoOps.applyDeleteVector(lin, dv)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """SELECT l_returnflag, l_linestatus, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |    AS sum_price,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM lineitem
+      |WHERE NOT (l_quantity < 5 OR l_orderkey % 97 = 0)
+      |GROUP BY 1, 2""".stripMargin)
+
+  /** Snapshot time travel over versioned deletion vectors
+    * (IoOps.commitDeleteVector / readAsOf): two delete commits land as
+    * v=1 and v=2 partitions of the DV store; reading AS OF versions
+    * 0/1/2 subtracts the pruned cumulative union. The per-version
+    * aggregates must match the oracle's cumulative complement
+    * predicates — including the overlap between the two commits, which
+    * the idempotent anti-join must not double-drop.
+    */
+  private val timeTravelQ = Q(
+    (s, d) => {
+      val tag = scratchTag(s, d)
+      val path = s"/tmp/graft_tt_$tag"
+      val dvRoot = s"/tmp/graft_tt_dv_$tag"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+      sources.IoOps.writeVis(
+        Tables.lineitem(s, d).select(cols.map(col): _*), path,
+        repartitionTo = Some(4))
+      val lin = sources.IoOps.readWithLineage(s, path)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin, col("l_quantity") < 3),
+        dvRoot, version = 1)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin,
+          col("l_returnflag") === "A" || col("l_quantity") < 4),
+        dvRoot, version = 2)
+      Seq(0, 1, 2).map { v =>
+        sources.IoOps.readAsOf(s, path, dvRoot, v)
+          .agg(count(lit(1)).as("n"),
+            qround(sum(col("l_quantity")), 4).as("sum_qty"),
+            qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+          .select(lit(v).as("v"), col("n"), col("sum_qty"),
+            col("sum_price"))
+      }.reduce(_ unionByName _)
+    },
+    """SELECT 0 AS v, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |    AS sum_price
+      |FROM lineitem
+      |UNION ALL
+      |SELECT 1, count(*),
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |FROM lineitem WHERE NOT (l_quantity < 3)
+      |UNION ALL
+      |SELECT 2, count(*),
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |FROM lineitem
+      |WHERE NOT (l_quantity < 3 OR l_returnflag = 'A'
+      |  OR l_quantity < 4)""".stripMargin)
+
   private val mergeUpsertQ = Q(
     (s, d) => {
       val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
@@ -2875,6 +2964,8 @@ object Queries {
     "hilbert_layout" -> hilbertLayoutQ,
     "merge_upsert" -> mergeUpsertQ,
     "scd2_apply" -> scd2ApplyQ,
+    "delete_vectors" -> deleteVectorsQ,
+    "time_travel" -> timeTravelQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Dataset I/O surface (SURVEY.md §2.1): the Spark re-expression of the
@@ -349,6 +349,78 @@ object IoOps {
       .select(col("_r.*"))
     hist.unionByName(emitted)
   }
+
+  /** Open a parquet store with physical row lineage: every row carries
+    * the (_file, _pos) identity deletion vectors address. Positions
+    * come from the parquet scanner's own `_metadata.row_index` — stable
+    * for immutable files by construction, computed by the reader (no
+    * window, no shuffle, no stored id column).
+    */
+  def readWithLineage(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path)
+      .withColumn("_file", col("_metadata.file_path"))
+      .withColumn("_pos", col("_metadata.row_index"))
+
+  /** Merge-on-read DELETE via deletion vectors — the read-optimized
+    * sibling of [[mergeUpsert]] (which rewrites data files
+    * copy-on-write). A delete is recorded as the (_file, _pos) pairs of
+    * the doomed rows in a tiny sidecar — the Iceberg-v2
+    * position-delete / Delta deletion-vector shape — so deleting 0.1%
+    * of a 100 TB table writes megabytes, not the table.
+    */
+  def buildDeleteVector(lineage: DataFrame, predicate: Column): DataFrame =
+    lineage.where(predicate).select(col("_file"), col("_pos"))
+
+  /** Merge-on-read scan: base minus every vectored position, ONE
+    * anti-join on (_file, _pos). The vector is typically tiny → AQE
+    * broadcasts it and the scan stays shuffle-free; a pathological
+    * vector degrades to a key-partitioned shuffle, never a rewrite.
+    */
+  def applyDeleteVector(lineage: DataFrame, dv: DataFrame): DataFrame =
+    lineage.join(dv, Seq("_file", "_pos"), "left_anti")
+      .drop("_file", "_pos")
+
+  /** Commit a deletion vector as snapshot `version` of the store: an
+    * append-only `v=` partition under dvRoot (dynamic partition
+    * overwrite makes re-committing the same version idempotent). Each
+    * version's files hold only ITS deletes; snapshot selection is
+    * partition PRUNING at the DV scan, so time travel never reads
+    * future versions' bytes.
+    */
+  def commitDeleteVector(dv: DataFrame, dvRoot: String, version: Int,
+                         repartitionTo: Option[Int] = Some(1)): Unit =
+    repartitionTo.map(dv.repartition(_)).getOrElse(dv)
+      .withColumn("v", lit(version))
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("v").parquet(dvRoot)
+
+  /** Time-travel merge-on-read scan: the store AS OF snapshot
+    * `version` — base minus all deletes committed at v <= version
+    * (version 0 = the pristine table). Cumulative union of versions
+    * comes from ONE pruned scan of the DV store; overlapping deletes
+    * across versions are harmless (anti-join is idempotent).
+    */
+  def readAsOf(spark: SparkSession, basePath: String, dvRoot: String,
+               version: Int): DataFrame = {
+    val base = readWithLineage(spark, basePath)
+    if (version <= 0) base.drop("_file", "_pos")
+    else applyDeleteVector(base,
+      spark.read.parquet(dvRoot).where(col("v") <= version)
+        .select("_file", "_pos"))
+  }
+
+  /** Purge compaction: materialize the merge-on-read view back to
+    * plain data files — readers drop the anti-join and the DV store
+    * resets. The maintenance step that bounds read amplification once
+    * a vector grows past the broadcast regime.
+    */
+  def purgeDeletes(spark: SparkSession, basePath: String, dvRoot: String,
+                   version: Int, outPath: String,
+                   repartitionTo: Option[Int] = None): Unit =
+    writeVis(readAsOf(spark, basePath, dvRoot, version), outPath,
+      repartitionTo = repartitionTo)
 
   /** convert_image artifact merge (cngi/conversion/convert_image.py:
     * 84-137): sibling artifacts (psf, pb, residual, model, ...) become

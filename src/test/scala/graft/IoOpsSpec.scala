@@ -134,4 +134,62 @@ class IoOpsSpec extends SparkSpec {
       .as[(Long, String, Double)].collect().sorted.toSeq
     assert(out === Seq((1L, "a", 10.0), (2L, "b2", 99.0), (4L, "d", 40.0)))
   }
+
+  test("deletion vector: predicate delete == filtered complement, row-identical") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dv").toString + "/store"
+    val src = (1 to 100).map(i => (i.toLong, i % 7, s"r$i"))
+      .toDF("id", "m", "tag")
+    IoOps.writeVis(src, dir, repartitionTo = Some(3))
+    val lin = IoOps.readWithLineage(spark, dir)
+    val dv = IoOps.buildDeleteVector(lin, $"m" === 3)
+    val got = IoOps.applyDeleteVector(lin, dv)
+    assert(got.count() === src.where($"m" =!= 3).count())
+    assert(got.exceptAll(src.where($"m" =!= 3)).count() === 0)
+    assert(src.where($"m" =!= 3).exceptAll(got).count() === 0)
+    // no lineage columns leak into the served schema
+    assert(!got.columns.exists(c => c == "_file" || c == "_pos"))
+  }
+
+  test("deletion vector addresses physical rows: one (file,pos) drops exactly that row") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_dv1").toString + "/store"
+    val src = (1 to 50).map(i => (i.toLong, s"r$i")).toDF("id", "tag")
+    IoOps.writeVis(src, dir, repartitionTo = Some(4))
+    val lin = IoOps.readWithLineage(spark, dir)
+    val victim = lin.where($"id" === 17L)
+      .select($"_file", $"_pos").collect()
+    assert(victim.length === 1)
+    val dv = Seq((victim.head.getString(0), victim.head.getLong(1)))
+      .toDF("_file", "_pos")
+    val got = IoOps.applyDeleteVector(lin, dv)
+    assert(got.count() === 49)
+    assert(got.where($"id" === 17L).count() === 0)
+  }
+
+  test("time travel: versioned DV commits read AS OF, idempotent overlaps, purge compacts") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_tt").toString
+    val (base, dvRoot, out) = (root + "/base", root + "/dv", root + "/out")
+    val src = (1 to 100).map(i => (i.toLong, i % 10)).toDF("id", "m")
+    IoOps.writeVis(src, base, repartitionTo = Some(2))
+    val lin = IoOps.readWithLineage(spark, base)
+    IoOps.commitDeleteVector(
+      IoOps.buildDeleteVector(lin, $"m" === 0), dvRoot, version = 1)
+    // v2 overlaps v1 (m in {0,1}): the anti-join must not double-drop
+    IoOps.commitDeleteVector(
+      IoOps.buildDeleteVector(lin, $"m" <= 1), dvRoot, version = 2)
+    assert(IoOps.readAsOf(spark, base, dvRoot, 0).count() === 100)
+    assert(IoOps.readAsOf(spark, base, dvRoot, 1).count() === 90)
+    assert(IoOps.readAsOf(spark, base, dvRoot, 2).count() === 80)
+    // re-committing a version is idempotent (dynamic partition overwrite)
+    IoOps.commitDeleteVector(
+      IoOps.buildDeleteVector(lin, $"m" <= 1), dvRoot, version = 2)
+    assert(IoOps.readAsOf(spark, base, dvRoot, 2).count() === 80)
+    // purge materializes the v2 view; the compacted store needs no DV
+    IoOps.purgeDeletes(spark, base, dvRoot, 2, out)
+    val purged = spark.read.parquet(out)
+    assert(purged.count() === 80)
+    assert(purged.where($"m" <= 1).count() === 0)
+  }
 }
