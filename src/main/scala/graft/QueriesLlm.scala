@@ -1273,6 +1273,189 @@ object QueriesLlm {
          |FROM tok""".stripMargin
     })
 
+  /** Unigram-tokenizer oracle CTEs, part 1: word histogram → substring
+    * candidates → seed vocabulary (top-V by (freq desc, binary lex) +
+    * single-codepoint completion) → 1e-9-quantized-log seed scores —
+    * mirrors TextOps.unigramTrain's seeding at vocabSize/maxPieceLen.
+    */
+  private def uniSeedCtes(vocabSize: Int, maxPieceLen: Int): String =
+    s"""uwh AS (
+       |  SELECT wd, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS wd FROM documents)
+       |  WHERE length(wd) > 0 GROUP BY wd),
+       |usp0 AS (
+       |  SELECT wd, wc,
+       |    CAST(unnest(generate_series(0, length(wd) - 1)) AS BIGINT) AS i
+       |  FROM uwh),
+       |usp1 AS (
+       |  SELECT wd, wc, i,
+       |    CAST(unnest(generate_series(1,
+       |      least($maxPieceLen, length(wd) - i))) AS BIGINT) AS l
+       |  FROM usp0),
+       |ucand AS (
+       |  SELECT substr(wd, CAST(i + 1 AS INT), CAST(l AS INT)) AS piece,
+       |    CAST(sum(wc) AS BIGINT) AS freq
+       |  FROM usp1 GROUP BY 1),
+       |utot0 AS (SELECT CAST(sum(freq) AS BIGINT) AS tot FROM ucand),
+       |utop AS (
+       |  SELECT piece, freq FROM ucand
+       |  ORDER BY freq DESC, piece LIMIT $vocabSize),
+       |uvoc AS (
+       |  SELECT piece, max(freq) AS freq FROM (
+       |    SELECT * FROM utop UNION ALL
+       |    SELECT piece, freq FROM ucand WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |useed AS (
+       |  SELECT piece, CAST(floor(ln(CAST(freq AS DOUBLE)
+       |      / CAST(tot AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+       |    AS score
+       |  FROM uvoc CROSS JOIN utot0)""".stripMargin
+
+  /** Unigram-tokenizer oracle CTEs, part 2: Viterbi segmentation of
+    * every distinct word under score table `$scores`. The DP fold
+    * carries a FLAT [v0, bp0, v1, bp1, ...] BIGINT list; each step's
+    * candidates come from a fixed 4-slot per-position vector built
+    * RELATIONALLY (slot m = piece length 5-m, NULL when no in-vocab
+    * span), so the inner max unrolls to `greatest` over four exact
+    * BIGINT sums and the one fold lambda references NOTHING but its
+    * own parameters — DuckDB lambdas that capture row columns (and
+    * nested lambdas capturing outer params) proved RACY under
+    * parallelism here (reproduced: ~1-in-10 runs returned a different
+    * segmentation), so the backpointer walk is a recursive CTE and
+    * the cut-point substrings are plain relational expressions, no
+    * capturing lambda anywhere. Ties go to the smallest start i
+    * (= longest piece): the backpointer CASE probes candidates in
+    * i-ascending order, exactly the kernel's strict-`>` update. NULL
+    * slots keep impossible spans (i < 0, absent pieces) out of both
+    * greatest() and the CASE — including DuckDB's python-style
+    * negative list indexing, which the NULL slot neutralizes before
+    * the wrapped index could matter.
+    */
+  private def uniVitCtes(x: String, scores: String): String = {
+    // candidate for piece length l at the fold step for position
+    // j = len(acc_)/2: best(j-l) + slot score; acc_[len-2l+1] = v_{j-l}
+    def cand(l: Int): String =
+      s"acc_[len(acc_) - ${2 * l - 1}] + x_[${5 - l}]"
+    val vBest = s"greatest(${cand(4)}, ${cand(3)}, ${cand(2)}, ${cand(1)})"
+    val bpBest = (4 to 1 by -1).map { l =>
+      s"""WHEN ${cand(l)} IS NOT NULL AND $vBest = ${cand(l)}
+         |          THEN len(acc_) // 2 - $l""".stripMargin
+    }.mkString("CASE ", "\n          ", " END")
+    s"""uvsp$x AS (
+       |  SELECT s1.wd, s1.i + s1.l AS j, s1.l, sc.score AS s
+       |  FROM usp1 s1 JOIN $scores sc
+       |    ON substr(s1.wd, CAST(s1.i + 1 AS INT), CAST(s1.l AS INT))
+       |      = sc.piece),
+       |uvj$x AS (
+       |  SELECT wd, j, [max(CASE WHEN l = 4 THEN s END),
+       |    max(CASE WHEN l = 3 THEN s END),
+       |    max(CASE WHEN l = 2 THEN s END),
+       |    max(CASE WHEN l = 1 THEN s END)] AS slot
+       |  FROM uvsp$x GROUP BY wd, j),
+       |uvarr$x AS (
+       |  SELECT wd, length(wd) AS L, list(slot ORDER BY j) AS sl
+       |  FROM uvj$x GROUP BY wd, length(wd)),
+       |uvvit$x AS (
+       |  SELECT wd, L,
+       |    list_reduce(
+       |      list_prepend([CAST(0 AS BIGINT), CAST(0 AS BIGINT)], sl),
+       |      (acc_, x_) -> list_append(list_append(acc_,
+       |        $vBest),
+       |        $bpBest)) AS dp
+       |  FROM uvarr$x),
+       |uvwalk$x AS (
+       |  SELECT wd, CAST(L AS BIGINT) AS p FROM uvvit$x
+       |  UNION ALL
+       |  SELECT w.wd, v.dp[CAST(w.p AS INT) * 2 + 2] AS p
+       |  FROM uvwalk$x w JOIN uvvit$x v USING (wd) WHERE w.p > 0),
+       |uvcut$x AS (
+       |  SELECT wd, list(p ORDER BY p) AS cps FROM uvwalk$x GROUP BY wd),
+       |uvpos$x AS (
+       |  SELECT wd, cps,
+       |    CAST(unnest(generate_series(1, len(cps) - 1)) AS INT) AS k
+       |  FROM uvcut$x),
+       |uvout$x AS (
+       |  SELECT wd, list(substr(wd, CAST(cps[k] + 1 AS INT),
+       |    CAST(cps[k + 1] - cps[k] AS INT)) ORDER BY k) AS toks
+       |  FROM uvpos$x GROUP BY wd)""".stripMargin
+  }
+
+  /** Unigram-tokenizer oracle CTEs, part 3: the EM re-estimation —
+    * Viterbi counts weighted by word count, add-one smoothing over the
+    * FULL vocab domain (zero-count pieces keep a floor score, so
+    * single-codepoint coverage survives the round).
+    */
+  private val uniEmCtes =
+    s"""uemc AS (
+       |  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
+       |    SELECT t.wd, unnest(t.toks) AS piece FROM uvout0 t) u
+       |  JOIN uwh USING (wd) GROUP BY piece),
+       |uemj AS (
+       |  SELECT v.piece, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
+       |  FROM (SELECT piece FROM useed) v LEFT JOIN uemc c USING (piece)),
+       |uemt AS (
+       |  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
+       |    CAST(count(*) AS BIGINT) AS v FROM uemj),
+       |ufinal AS (
+       |  SELECT piece, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
+       |      / CAST(tot + v AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
+       |    AS score, cnt
+       |  FROM uemj CROSS JOIN uemt)""".stripMargin
+
+  /** Unigram-LM tokenizer training (TextOps.unigramTrain): substring
+    * seeding + one exact EM round on the documents corpus. The oracle
+    * replays seeding, the Viterbi E-step and the add-one M-step in
+    * pure integer SQL; output is the full trained table
+    * (vocabSize + charset rows — tokenizer-bounded).
+    */
+  private val unigramTrainQ = Q(
+    (s, d) => TextOps.unigramTrain(Tables.documents(s, d), "text",
+      vocabSize = 40, maxPieceLen = 4),
+    s"""WITH RECURSIVE ${uniSeedCtes(40, 4)},
+       |${uniVitCtes("0", "useed")},
+       |$uniEmCtes
+       |SELECT piece, score, cnt FROM ufinal""".stripMargin)
+
+  /** Unigram tokenization end to end (TextOps.unigramTokenize): train
+    * the table, then Viterbi-segment every document word — long-form
+    * (doc, word_idx, sym_idx, token), the unigram sibling of
+    * bpe_apply. The oracle re-trains with the same CTEs and replays
+    * the segmentation per DISTINCT word (the kernel is deterministic
+    * per word, so occurrence-level and distinct-level agree), joined
+    * back to document word positions.
+    */
+  private val unigramTokenizeQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val trained = TextOps.unigramTrain(docs, "text",
+          vocabSize = 40, maxPieceLen = 4)
+        .orderBy(encode(col("piece"), "UTF-8")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      TextOps.unigramTokenize(docs, "doc_id", "text", trained,
+        maxPieceLen = 4)
+    },
+    s"""WITH RECURSIVE ${uniSeedCtes(40, 4)},
+       |${uniVitCtes("0", "useed")},
+       |$uniEmCtes,
+       |${uniVitCtes("1", "ufinal")},
+       |udw AS (
+       |  SELECT doc_id, wds,
+       |    CAST(unnest(generate_series(1, len(wds))) AS INT) AS wi
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS wds
+       |        FROM documents)),
+       |udt AS (
+       |  SELECT doc_id, wi - 1 AS word_idx, wds[wi] AS wd
+       |  FROM udw WHERE length(wds[wi]) > 0),
+       |uj AS (
+       |  SELECT d.doc_id, d.word_idx, v.toks
+       |  FROM udt d JOIN uvout1 v USING (wd)),
+       |ujx AS (
+       |  SELECT doc_id, word_idx, toks,
+       |    CAST(unnest(generate_series(1, len(toks))) AS INT) AS si
+       |  FROM uj)
+       |SELECT doc_id, word_idx, si - 1 AS sym_idx, toks[si] AS token
+       |FROM ujx""".stripMargin)
+
   /** POSITIONAL 3-gram shingle hashes (no distinct) — the winnowing
     * input; same combine as shSql.
     */
@@ -4851,6 +5034,8 @@ object QueriesLlm {
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
     "bpe_apply" -> bpeApplyQ,
+    "unigram_train" -> unigramTrainQ,
+    "unigram_tokenize" -> unigramTokenizeQ,
     "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,
     "logreg_quality_train" -> logregTrainQ,

@@ -404,6 +404,95 @@ object BpeApplySyms {
       merges.map(_._1).toList, merges.map(_._2).toList))
 }
 
+/** Unigram-LM (SentencePiece-style) Viterbi segmentation of one word —
+  * the maximum-likelihood tokenization under a piece table of
+  * 1e-9-grid-quantized integer log-probabilities (exact BIGINT sums, so
+  * the argmax is engine-portable). DP over codepoint positions:
+  * best(j) = max over in-vocab spans w[i..j) of best(i) + score; ties
+  * broken toward the SMALLEST i (= longest last piece) by ascending-i
+  * iteration with a strict `>` update — the oracle replays the same
+  * order with the same strict compare. A single codepoint absent from
+  * the table falls back to `unkScore`, so every word is segmentable;
+  * tables built by TextOps.unigramTrain contain every corpus codepoint
+  * and never exercise the fallback. The piece table is tokenizer-sized
+  * and rides the expression as a reference object — the corpus pass is
+  * ONE codegen scan, no shuffle, no state (the bpeApply shape).
+  */
+case class UnigramViterbiSyms(child: Expression, piecesS: Seq[String],
+                              scoresS: Seq[Long], maxPieceLen: Int,
+                              unkScore: Long)
+    extends UnaryExpression {
+  import org.apache.spark.sql.catalyst.util.GenericArrayData
+  // Seq fields for value equality (see TermFreqs); the hash map is
+  // built once per task for O(1) piece lookups in the DP inner loop.
+  @transient private lazy val pieceMap: java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long](piecesS.size * 2)
+    piecesS.iterator.zip(scoresS.iterator).foreach { case (p, s) =>
+      m.put(p, java.lang.Long.valueOf(s))
+    }
+    m
+  }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def checkInputDataTypes(): TypeCheckResult =
+    if (child.dataType == StringType) TypeCheckResult.TypeCheckSuccess
+    else TypeCheckResult.TypeCheckFailure(
+      s"unigram_viterbi expects STRING, got ${child.dataType.sql}")
+  def kernel(s: UTF8String): Any = {
+    val cps = s.toString.codePoints().toArray
+    val n = cps.length
+    if (n == 0) return new GenericArrayData(Array.empty[AnyRef])
+    val best = new Array[Long](n + 1)
+    val bp = new Array[Int](n + 1)
+    var j = 1
+    while (j <= n) {
+      var chosen = Long.MinValue
+      var cbp = -1
+      var i = math.max(0, j - maxPieceLen)
+      while (i < j) {
+        val piece = new String(cps, i, j - i)
+        val sc = pieceMap.get(piece)
+        val v =
+          if (sc != null) sc.longValue()
+          else if (j - i == 1) unkScore
+          else Long.MinValue
+        if (v != Long.MinValue) {
+          val cand = best(i) + v
+          if (cand > chosen) { chosen = cand; cbp = i }
+        }
+        i += 1
+      }
+      best(j) = chosen
+      bp(j) = cbp
+      j += 1
+    }
+    var p = n
+    val rev = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    while (p > 0) {
+      val i = bp(p)
+      rev += UTF8String.fromString(new String(cps, i, p - i))
+      p = i
+    }
+    new GenericArrayData(rev.reverseIterator.toArray[AnyRef])
+  }
+  override def nullSafeEval(input: Any): Any =
+    kernel(input.asInstanceOf[UTF8String])
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("kernel", this, classOf[UnigramViterbiSyms].getName)
+    nullSafeCodeGen(ctx, ev, s =>
+      s"${ev.value} = (org.apache.spark.sql.catalyst.util.ArrayData) $ref.kernel($s);")
+  }
+  override protected def withNewChildInternal(newChild: Expression): UnigramViterbiSyms =
+    copy(child = newChild)
+}
+
+object UnigramViterbiSyms {
+  def apply(c: Column, vocab: Seq[(String, Long)], maxPieceLen: Int,
+            unkScore: Long): Column =
+    toColumn(UnigramViterbiSyms(toExpression(c),
+      vocab.map(_._1).toList, vocab.map(_._2).toList, maxPieceLen,
+      unkScore))
+}
+
 /** Gopher repetition statistics in one pass — native form of
   * gopherQuality's kernel scan. Emits the struct
   * (n_words, n_distinct_words, dup_word_frac, top_bigram,

@@ -913,6 +913,115 @@ object TextOps {
           .as(Seq("sym_idx", "token")))
   }
 
+  /** 1e-9-grid quantized natural-log probability: floor(ln(a/b)*1e9
+    * + 0.5) as BIGINT — the exact-integer score unit of the unigram
+    * tokenizer (ln parity between engines is proven by lang_id/bm25;
+    * sums of quantized scores are exact BIGINTs, so Viterbi argmaxes
+    * are engine-portable).
+    */
+  private def qlogScore(a: Column, b: Column): Column =
+    floor(log(a.cast("double") / b.cast("double")) * lit(1e9) + lit(0.5))
+      .cast("long")
+
+  /** Word histogram over the corpus — the ONE corpus-sized aggregate
+    * every tokenizer-induction pass hangs off (map-side combined;
+    * everything downstream is vocabulary-domain).
+    */
+  private def wordHist(df: DataFrame, textCol: String): DataFrame =
+    df.select(explode(words(col(textCol))).as("wd"))
+      .where(length(col("wd")) > 0)
+      .groupBy("wd").agg(count(lit(1)).as("wc"))
+
+  /** All (start, len<=maxPieceLen) substring spans of each distinct
+    * word — vocabulary-domain double explode, bounded by
+    * |vocab| * maxWordLen * maxPieceLen.
+    */
+  private def wordSpans(wh: DataFrame, maxPieceLen: Int): DataFrame =
+    wh.select(col("wd"), col("wc"),
+        explode(sequence(lit(0L), length(col("wd")).cast("long") - 1))
+          .as("i"))
+      .select(col("wd"), col("wc"), col("i"),
+        explode(sequence(lit(1L),
+          least(lit(maxPieceLen.toLong),
+            length(col("wd")).cast("long") - col("i")))).as("l"))
+      .withColumn("piece",
+        col("wd").substr((col("i") + 1).cast("int"), col("l").cast("int")))
+
+  /** Unigram-LM (SentencePiece-style) tokenizer training (Kudo 2018,
+    * shaped to the house exact-integer discipline): seed a piece
+    * vocabulary from positional substring frequencies of the word
+    * histogram — top `vocabSize` pieces by (freq desc, UTF-8-byte
+    * lexicographic) PLUS every single-codepoint piece (coverage: any
+    * corpus word stays segmentable) — with quantized-log seed scores,
+    * then run one EM re-estimation: E-step Viterbi-segments each
+    * DISTINCT word under the seed scores (kernel scan on the
+    * vocabulary domain, weighted by word count), M-step re-scores
+    * every vocab piece with add-one smoothing over the vocab domain
+    * (zero-count pieces keep a floor score instead of dropping, so
+    * coverage survives). Output: (piece, score, cnt), tokenizer-sized.
+    *
+    * 100 TB story: the corpus contributes exactly ONE hash aggregate
+    * (the word histogram); candidate generation, Viterbi counting and
+    * re-scoring all live on the vocabulary domain, and the learned
+    * table rides task closures — the same scaling shape as
+    * [[bpeMerges]]' driver fast path, without the driver loop.
+    */
+  def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int = 40,
+                   maxPieceLen: Int = 4,
+                   unkScore: Long = -30000000000L): DataFrame = {
+    require(vocabSize > 0 && vocabSize <= (1 << 20),
+      s"vocabSize must be in [1, 2^20], got $vocabSize")
+    val spark = df.sparkSession
+    val wh = wordHist(df, textCol).localCheckpoint()
+    val cand = wordSpans(wh, maxPieceLen)
+      .groupBy("piece").agg(sum("wc").as("freq"))
+    val top = cand
+      .orderBy(col("freq").desc, encode(col("piece"), "UTF-8"))
+      .limit(vocabSize)
+    val chars = cand.where(length(col("piece")) === 1)
+    val vocab0 = top.unionByName(chars)
+      .groupBy("piece").agg(max("freq").as("freq"))
+    val tot0 = cand.agg(sum("freq").as("_tot"))
+    val seed = vocab0.crossJoin(broadcast(tot0))
+      .select(col("piece"), qlogScore(col("freq"), col("_tot")).as("score"))
+      .orderBy(encode(col("piece"), "UTF-8"))
+      .collect() // tokenizer-sized (vocabSize + charset rows)
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+    // E-step: Viterbi counts over the distinct-word domain, weighted
+    // by word count — the kernel never sees the corpus
+    val cnts = wh.select(col("wc"),
+        explode(graft.functions.UnigramViterbiSyms(col("wd"), seed,
+          maxPieceLen, unkScore)).as("piece"))
+      .groupBy("piece").agg(sum("wc").as("cnt"))
+    // M-step: add-one smoothing over the FULL vocab domain keeps
+    // zero-count pieces (and with them single-codepoint coverage)
+    import spark.implicits._
+    val vdf = seed.map(_._1).toDF("piece")
+    val joined = vdf.join(cnts, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val tot1 = joined.agg(sum("cnt").as("_tot"), count(lit(1)).as("_v"))
+    joined.crossJoin(broadcast(tot1))
+      .select(col("piece"),
+        qlogScore(col("cnt") + 1, col("_tot") + col("_v")).as("score"),
+        col("cnt"))
+  }
+
+  /** Tokenize a corpus with a learned unigram piece table
+    * ([[unigramTrain]]): maximum-likelihood Viterbi segmentation per
+    * word, long-form output (doc, word position, piece position,
+    * token) — the unigram sibling of [[bpeApply]], same ONE-codegen-
+    * scan corpus shape (table rides the task closure, no shuffle).
+    */
+  def unigramTokenize(df: DataFrame, idCol: String, textCol: String,
+                      vocab: Seq[(String, Long)], maxPieceLen: Int = 4,
+                      unkScore: Long = -30000000000L): DataFrame =
+    df.select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("word_idx", "wd")))
+      .where(length(col("wd")) > 0)
+      .select(col(idCol), col("word_idx"),
+        posexplode(graft.functions.UnigramViterbiSyms(col("wd"), vocab,
+          maxPieceLen, unkScore)).as(Seq("sym_idx", "token")))
+
   /** Quality-score components + composite (length / punctuation ratio /
     * stopword ratio / mean word length) — the standard cheap heuristics
     * used to filter web-scale training corpora.

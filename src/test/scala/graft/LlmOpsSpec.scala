@@ -1263,4 +1263,80 @@ class LlmOpsSpec extends SparkSpec {
     val m = operators.TextOps.fleschReadability(both, "text", "g").head()
     assert(approx(m.getDouble(2), (119.6975 + 162.505) / 2, 1e-6))
   }
+
+  private def viterbi(word: String, vocab: Seq[(String, Long)],
+                      maxLen: Int = 4,
+                      unk: Long = -30000000000L): Seq[String] = {
+    val df = Seq(Tuple1(word)).toDF("wd")
+    df.select(graft.functions.UnigramViterbiSyms(col("wd"), vocab,
+        maxLen, unk).as("t"))
+      .head().getSeq[String](0)
+  }
+
+  test("unigram Viterbi: hand cases — max-likelihood path, longest-piece ties") {
+    val v = Seq(("a", -300L), ("b", -400L), ("ab", -500L),
+      ("ba", -10000L), ("aba", -2000L))
+    // ab+ab = -1000 beats a+b+a+b (-1400), aba+b (-2400), a+ba+b
+    assert(viterbi("abab", v) === Seq("ab", "ab"))
+    assert(viterbi("bbb", v) === Seq("b", "b", "b"))
+    // exact tie a+b = ab = -700: the longest piece (smallest start) wins
+    val tie = Seq(("a", -300L), ("b", -400L), ("ab", -700L))
+    assert(viterbi("ab", tie) === Seq("ab"))
+    // unknown codepoint falls back to a single-char unk piece
+    assert(viterbi("axb", tie) === Seq("a", "x", "b"))
+    assert(viterbi("", tie) === Seq.empty)
+  }
+
+  test("unigram Viterbi: property — achieves the brute-force max score") {
+    val rnd = new scala.util.Random(7)
+    val alpha = "abc"
+    for (_ <- 1 to 200) {
+      val word = Seq.fill(1 + rnd.nextInt(7))(
+        alpha(rnd.nextInt(3))).mkString
+      // random vocab over all substrings <= 4, kept with p=0.5, plus
+      // all single chars (coverage)
+      val subs = (for {
+        i <- 0 until word.length; l <- 1 to math.min(4, word.length - i)
+      } yield word.substring(i, i + l)).distinct
+      val vocab = subs.collect {
+        case p if p.length == 1 || rnd.nextBoolean() =>
+          (p, -(100L + rnd.nextInt(1000)))
+      }
+      val scores = vocab.toMap
+      def brute(w: String): Long =
+        if (w.isEmpty) 0L
+        else (1 to math.min(4, w.length)).flatMap { l =>
+          scores.get(w.substring(0, l)).map(_ + brute(w.substring(l)))
+        }.max
+      val got = viterbi(word, vocab)
+      assert(got.mkString("") === word)
+      assert(got.map(scores).sum === brute(word),
+        s"word=$word got=$got vocab=$vocab")
+    }
+  }
+
+  test("unigramTrain: coverage, exact counts, add-one scores") {
+    val corpus = Seq((0L, "abab ba abab"), (1L, "ba ba cc")).toDF("doc_id", "text")
+    val t = TextOps.unigramTrain(corpus, "text", vocabSize = 3,
+      maxPieceLen = 4)
+    val rows = t.collect().map(r =>
+      r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    // every corpus codepoint survives as a piece regardless of top-V
+    assert(Set("a", "b", "c").subsetOf(rows.keySet))
+    // token counts are exact integers and sum to the corpus fold
+    val tot = rows.values.map(_._2).sum
+    assert(tot > 0)
+    // add-one smoothing: a zero-count piece still carries a (floor)
+    // score strictly below any used piece of the same table
+    val used = rows.filter(_._2._2 > 0).values.map(_._1)
+    rows.filter(_._2._2 == 0).values.foreach { case (s, _) =>
+      assert(s < used.max)
+    }
+    // tokenizing the corpus with the trained table uses only vocab
+    // pieces (coverage: no unk fires)
+    val toks = TextOps.unigramTokenize(corpus, "doc_id", "text",
+        t.collect().map(r => (r.getString(0), r.getLong(1))).toSeq)
+      .select("token").distinct().as[String].collect()
+    assert(toks.forall(rows.contains))
+  }
 }
