@@ -24,7 +24,10 @@ object PlanAudit {
       // cumulative, the inversion-census aggregate, the paired-delta
       // rank test, and the streaming PH state op on the batch frame
       "scd2_apply", "logrank_test", "kendall_tau",
-      "wilcoxon_signed_rank", "stream_page_hinkley")) {
+      "wilcoxon_signed_rank", "stream_page_hinkley",
+      // round-15 representatives: the merge-on-read anti-join, the
+      // version-pruned time-travel union, and the unigram corpus scan
+      "delete_vectors", "time_travel", "unigram_tokenize")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -1764,6 +1764,72 @@ object QueriesLlm {
        |SELECT af.vec_id, af.cluster, (d.vec_id IS NULL) AS keep
        |FROM af LEFT JOIN drops d ON af.vec_id = d.vec_id""".stripMargin)
 
+  /** Similarity-ordered packing (PackOps.similarityPack): the
+    * in-context-pretraining layout — IVF-cell assignment under the
+    * same trained-Lloyd centroids as semantic_dedup/ann_ivf_trained,
+    * within-cell (quantized centroid distance, id) order, greedy
+    * char-budget packs. The oracle replays the training chain, the
+    * argmin assignment, the distance quantization, and the window
+    * cumsum; pack boundaries are double-division floors mirrored
+    * exactly.
+    */
+  private val similarityPackQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cents = SimilarityOps.trainIvf(emb, "vec_id", "embedding",
+        k = 8, iters = 1)
+      PackOps.similarityPack(
+        Tables.documents(s, d).select(col("doc_id"), col("n_chars")),
+        "doc_id", "n_chars", emb, "vec_id", "embedding", cents,
+        budget = 4000L)
+        .select(col("doc_id"), col("list_id"),
+          col("centroid_dist"), col("start_tok"), col("pack_id"))
+    },
+    s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |a1 AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, c0.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c0.cv")}, c0.cid) AS rn_
+       |    FROM e CROSS JOIN c0) WHERE rn_ = 1),
+       |x1 AS (
+       |  SELECT a1.cid, g.i AS dim, e.v[g.i] AS x
+       |  FROM a1 JOIN e ON a1.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(i)),
+       |s1 AS (
+       |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
+       |  FROM x1 GROUP BY 1, 2),
+       |l1 AS (
+       |  SELECT cid, array_agg(c ORDER BY dim) AS cv FROM s1 GROUP BY 1),
+       |c1 AS (
+       |  SELECT p.cid, coalesce(l1.cv, p.cv) AS cv
+       |  FROM c0 p LEFT JOIN l1 ON p.cid = l1.cid),
+       |af AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c1.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c1.cv")}, c1.cid) AS rn_
+       |    FROM e CROSS JOIN c1) WHERE rn_ = 1),
+       |ad AS (
+       |  SELECT af.vec_id AS doc_id, af.list_id,
+       |    ${qrSql(sqDistSql("e.v", "c1.cv"), 8)} AS centroid_dist
+       |  FROM af JOIN e ON af.vec_id = e.vec_id
+       |  JOIN c1 ON af.list_id = c1.cid),
+       |j AS (
+       |  SELECT d.doc_id, d.n_chars, ad.list_id, ad.centroid_dist
+       |  FROM documents d JOIN ad USING (doc_id)),
+       |wnd AS (
+       |  SELECT doc_id, list_id, centroid_dist,
+       |    CAST(sum(n_chars) OVER (PARTITION BY list_id
+       |      ORDER BY centroid_dist, doc_id) - n_chars AS BIGINT)
+       |      AS start_tok
+       |  FROM j)
+       |SELECT doc_id, list_id, centroid_dist, start_tok,
+       |  list_id * 1000000000 + CAST(floor(start_tok / 4000.0) AS BIGINT)
+       |    AS pack_id
+       |FROM wnd""".stripMargin)
+
   /** CCNet-style line dedup over a multi-line fixture: every document
     * is framed by a shared boilerplate header/footer line (removed —
     * corpus frequency 2N) around two content lines (kept unless they
@@ -5036,6 +5102,7 @@ object QueriesLlm {
     "bpe_apply" -> bpeApplyQ,
     "unigram_train" -> unigramTrainQ,
     "unigram_tokenize" -> unigramTokenizeQ,
+    "similarity_pack" -> similarityPackQ,
     "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,
     "logreg_quality_train" -> logregTrainQ,

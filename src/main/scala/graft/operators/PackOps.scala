@@ -41,6 +41,56 @@ object PackOps {
           floor(col("start_tok") / budget).cast("long"))
   }
 
+  /** Similarity-ordered sequence packing — the in-context-pretraining
+    * layout (Shi et al. 2023: train on sequences of RELATED documents
+    * instead of hash-random neighbors). Each document's embedding is
+    * assigned to its nearest trained centroid (the IVF coarse
+    * quantizer, a closure-embedded codegen argmin — one scan, no
+    * shuffle for the assignment), documents are laid out within the
+    * cell by (quantized distance to the centroid asc, id), and that
+    * order packs greedily into token-budget sequences with the same
+    * offset-addressed boundaries as [[packSequences]] — so a pack's
+    * members share a semantic neighborhood by construction.
+    *
+    * Plan shape: one broadcast join (k centroid rows), one window
+    * aggregate partitioned by cell. The per-cell sort is the
+    * operator's contract (a total order within each neighborhood);
+    * cell sizes are bounded by sizing k to the corpus, exactly like
+    * the IVF lists it reuses. Output adds (list_id, centroid_dist,
+    * start_tok, pack_id).
+    */
+  def similarityPack(docs: DataFrame, idCol: String, tokenCol: String,
+                     emb: DataFrame, embIdCol: String, vecCol: String,
+                     cents: Seq[(Long, Array[Double])], budget: Long,
+                     qdec: Int = 8): DataFrame = {
+    require(budget > 0 && cents.nonEmpty)
+    val spark = docs.sparkSession
+    import spark.implicits._
+    val scale = math.pow(10, qdec)
+    val centDf = cents.map { case (id, v) => (id, v.toSeq) }
+      .toDF("list_id", "_cv")
+    val vecD = col(vecCol).cast(
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.DoubleType))
+    val assigned = emb
+      .select(col(embIdCol).as(idCol), vecD.as("_v"))
+      .withColumn("list_id",
+        graft.functions.NearestCentroidId(col("_v"), cents))
+      .join(broadcast(centDf), Seq("list_id"))
+      .withColumn("centroid_dist",
+        floor(graft.functions.SquaredDistance(col("_v"), col("_cv"))
+          * lit(scale) + lit(0.5)) / lit(scale))
+      .select(col(idCol), col("list_id"), col("centroid_dist"))
+    val w = Window.partitionBy("list_id")
+      .orderBy(col("centroid_dist"), col(idCol))
+    docs.join(assigned, Seq(idCol))
+      .withColumn("start_tok",
+        sum(col(tokenCol)).over(w) - col(tokenCol))
+      .withColumn("pack_id",
+        col("list_id") * PackStride +
+          floor(col("start_tok") / budget).cast("long"))
+  }
+
   /** Per-pack summary (n_docs, tokens) — the capacity/overflow audit. */
   def packStats(packed: DataFrame, tokenCol: String): DataFrame =
     packed.groupBy("pack_id")

@@ -403,13 +403,13 @@ object IoOps {
     * across versions are harmless (anti-join is idempotent).
     */
   def readAsOf(spark: SparkSession, basePath: String, dvRoot: String,
-               version: Int): DataFrame = {
-    val base = readWithLineage(spark, basePath)
-    if (version <= 0) base.drop("_file", "_pos")
-    else applyDeleteVector(base,
+               version: Int): DataFrame =
+    // version 0 never touches lineage: a plain scan, no _metadata
+    // struct materialized per row
+    if (version <= 0) spark.read.parquet(basePath)
+    else applyDeleteVector(readWithLineage(spark, basePath),
       spark.read.parquet(dvRoot).where(col("v") <= version)
         .select("_file", "_pos"))
-  }
 
   /** Purge compaction: materialize the merge-on-read view back to
     * plain data files — readers drop the anti-join and the DV store

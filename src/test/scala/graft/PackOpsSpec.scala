@@ -78,4 +78,40 @@ class PackOpsSpec extends SparkSpec {
     // 10 tokens/doc, 500/shard -> 50 docs per shard, in id order
     assert(out.forall { case (id, s) => s === id / 50 })
   }
+
+  test("similarityPack: cell assignment, distance order, budget boundaries") {
+    // two well-separated centroids in 2-D; docs 0-2 near (0,0),
+    // docs 10-12 near (10,0); distances force the within-cell order
+    // 0 < 1 < 2 and 11 < 10 < 12
+    val emb = Seq(
+      (0L, Seq(0.0, 0.1)), (1L, Seq(0.0, 0.5)), (2L, Seq(0.9, 0.0)),
+      (10L, Seq(10.0, 0.4)), (11L, Seq(10.0, 0.2)), (12L, Seq(9.0, 0.0)))
+      .toDF("vec_id", "embedding")
+    val docs = Seq((0L, 60L), (1L, 60L), (2L, 60L),
+      (10L, 60L), (11L, 60L), (12L, 60L)).toDF("doc_id", "toks")
+    val cents = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 0.0)))
+    val out = PackOps.similarityPack(docs, "doc_id", "toks",
+        emb, "vec_id", "embedding", cents, budget = 100L)
+      .collect().map(r => r.getAs[Long]("doc_id") ->
+        ((r.getAs[Long]("list_id"), r.getAs[Long]("start_tok"),
+          r.getAs[Long]("pack_id")))).toMap
+    // cell assignment: nearest centroid
+    assert(Seq(0L, 1L, 2L).forall(out(_)._1 == 0L))
+    assert(Seq(10L, 11L, 12L).forall(out(_)._1 == 1L))
+    // within-cell distance order drives the stream offsets
+    assert(out(0L)._2 === 0L)   // d^2=0.01
+    assert(out(1L)._2 === 60L)  // d^2=0.25
+    assert(out(2L)._2 === 120L) // d^2=0.81
+    assert(out(11L)._2 === 0L)  // d^2=0.04
+    assert(out(10L)._2 === 60L) // d^2=0.16
+    assert(out(12L)._2 === 120L) // d^2=1.0
+    // packs split every 100 tokens within the cell stream, per cell
+    assert(out(0L)._3 === 0L && out(1L)._3 === 0L && out(2L)._3 === 1L)
+    assert(out(11L)._3 === PackOps.PackStride)
+    assert(out(12L)._3 === PackOps.PackStride + 1L)
+    // a pack never mixes cells
+    assert(out.values.forall { case (cell, _, pid) =>
+      pid / PackOps.PackStride == cell
+    })
+  }
 }
