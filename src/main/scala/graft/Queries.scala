@@ -1141,6 +1141,41 @@ object Queries {
       |WHERE NOT (l_quantity < 5 OR l_orderkey % 97 = 0)
       |GROUP BY 1, 2""".stripMargin)
 
+  /** Per-file Bloom data-skipping point lookup (IoOps.bloomIndex /
+    * bloomSkipRead): a range-laid-out physical store, a per-file
+    * Bloom occupancy index built in one scan, and a multi-key point
+    * lookup that reads ONLY the qualifying files before the exact
+    * re-filter. The oracle runs the plain IN-list on the source
+    * table, so a hash match proves no false negative survived the
+    * write → index → prune → scan chain (false positives are
+    * re-filtered away by construction). 40001 is a key the generator
+    * never mints — its legs must vanish from both sides.
+    */
+  private val bloomSkipQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_bloom_${scratchTag(s, d)}"
+      val keys = Seq(1L, 7L, 68L, 4000L, 40001L)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(path)
+      val idx = sources.IoOps.bloomIndex(s, path, "l_orderkey")
+      sources.IoOps.bloomSkipRead(s, path, idx, "l_orderkey", keys)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+    },
+    """SELECT l_orderkey, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |    AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (1, 7, 68, 4000, 40001)
+      |GROUP BY 1""".stripMargin)
+
   /** Snapshot time travel over versioned deletion vectors
     * (IoOps.commitDeleteVector / readAsOf): two delete commits land as
     * v=1 and v=2 partitions of the DV store; reading AS OF versions
@@ -2966,6 +3001,7 @@ object Queries {
     "scd2_apply" -> scd2ApplyQ,
     "delete_vectors" -> deleteVectorsQ,
     "time_travel" -> timeTravelQ,
+    "bloom_skip" -> bloomSkipQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,

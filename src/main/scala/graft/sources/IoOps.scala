@@ -411,6 +411,83 @@ object IoOps {
       spark.read.parquet(dvRoot).where(col("v") <= version)
         .select("_file", "_pos"))
 
+  /** Bloom hash positions of a key: k independent affine-mod probes
+    * on the house 1e9+7 prime, folded onto `bits` positions. Exact
+    * integer math shared verbatim by [[bloomIndex]]'s build scan (as
+    * Columns) and [[bloomProbeFiles]]'s driver-side probe (as Longs)
+    * — the index is only correct because both sides compute the SAME
+    * positions.
+    */
+  private val BloomMod = 1000000007L
+  private val BloomMults = Seq(2654435761L, 2246822519L, 3266489917L,
+    668265263L, 374761393L)
+
+  private def bloomPos(key: Column, i: Int, bits: Int): Column =
+    pmod(pmod(key, lit(BloomMod)) * lit(BloomMults(i)) + lit(i + 1),
+      lit(BloomMod)) % lit(bits.toLong)
+
+  private def bloomPosFn(key: Long, i: Int, bits: Int): Long = {
+    val m = java.lang.Math.floorMod(key, BloomMod)
+    java.lang.Math.floorMod(m * BloomMults(i) + (i + 1), BloomMod) %
+      bits
+  }
+
+  /** Per-file Bloom data-skipping index over a point-lookup key — the
+    * needle-in-100-TB companion to zone maps (`skipStats`): zone maps
+    * skip on RANGES and die on high-cardinality scattered keys; a
+    * Bloom index skips on MEMBERSHIP. One scan of (key, file) builds
+    * the set of occupied hash positions per file (bounded by `bits`,
+    * so the index is #files x O(bits) — dimension-sized however big
+    * the table). No false negatives by construction; false positives
+    * only cost an extra file read, never a wrong row — the read path
+    * re-filters exactly.
+    */
+  def bloomIndex(spark: SparkSession, path: String, keyCol: String,
+                 bits: Int = 65536, hashes: Int = 3): DataFrame = {
+    require(hashes >= 1 && hashes <= BloomMults.size,
+      s"hashes must be in [1, ${BloomMults.size}]")
+    val k = col(keyCol).cast("long")
+    spark.read.parquet(path)
+      .select(col("_metadata.file_path").as("_file"),
+        explode(array((0 until hashes).map(bloomPos(k, _, bits)): _*))
+          .as("pos"))
+      .groupBy("_file")
+      .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+  }
+
+  /** Files that MAY contain any of the probe keys: a file qualifies
+    * for key κ when all `hashes` positions of κ are occupied. The
+    * collect is index-sized (#files rows) — the same driver-side
+    * manifest pruning every lakehouse reader does.
+    */
+  def bloomProbeFiles(index: DataFrame, keys: Seq[Long],
+                      bits: Int = 65536, hashes: Int = 3): Seq[String] = {
+    require(keys.nonEmpty)
+    val anyKey = keys.map { key =>
+      (0 until hashes)
+        .map(i => array_contains(col("bloom"), bloomPosFn(key, i, bits)))
+        .reduce(_ && _)
+    }.reduce(_ || _)
+    index.where(anyKey).select("_file").collect()
+      .map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Point-lookup read through the Bloom index: scan ONLY the
+    * qualifying files, then re-filter exactly (false positives cost a
+    * file read, never a row). An empty candidate set short-circuits to
+    * an empty frame without touching storage.
+    */
+  def bloomSkipRead(spark: SparkSession, path: String, index: DataFrame,
+                    keyCol: String, keys: Seq[Long],
+                    bits: Int = 65536, hashes: Int = 3): DataFrame = {
+    val files = bloomProbeFiles(index, keys, bits, hashes)
+    val base =
+      if (files.isEmpty)
+        spark.read.parquet(path).limit(0)
+      else spark.read.parquet(files: _*)
+    base.where(col(keyCol).isin(keys: _*))
+  }
+
   /** Purge compaction: materialize the merge-on-read view back to
     * plain data files — readers drop the anti-join and the DV store
     * resets. The maintenance step that bounds read amplification once

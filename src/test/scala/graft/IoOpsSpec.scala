@@ -167,6 +167,30 @@ class IoOpsSpec extends SparkSpec {
     assert(got.where($"id" === 17L).count() === 0)
   }
 
+  test("bloom index: genuine file skipping, no false negatives, exact reads") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft_bloom").toString + "/store"
+    // 8 range-partitioned files over 800 keys -> a point key lives in 1
+    val src = (1L to 800L).map(i => (i, s"v$i")).toDF("id", "tag")
+    src.repartitionByRange(8, $"id").write.parquet(dir)
+    val idx = IoOps.bloomIndex(spark, dir, "id", bits = 4096, hashes = 3)
+    val nFiles = idx.count()
+    assert(nFiles === 8)
+    // present keys: candidates must be a strict subset of the files
+    val cand = IoOps.bloomProbeFiles(idx, Seq(17L, 600L), 4096, 3)
+    assert(cand.nonEmpty && cand.size < nFiles)
+    // read equality vs the direct filter (no false negatives)
+    val got = IoOps.bloomSkipRead(spark, dir, idx, "id",
+      Seq(17L, 600L), 4096, 3)
+    val want = src.where($"id".isin(17L, 600L))
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // an absent key returns empty (bloom may pass files; the exact
+    // re-filter drops the rows)
+    assert(IoOps.bloomSkipRead(spark, dir, idx, "id",
+      Seq(100000L), 4096, 3).count() === 0)
+  }
+
   test("time travel: versioned DV commits read AS OF, idempotent overlaps, purge compacts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_tt").toString
