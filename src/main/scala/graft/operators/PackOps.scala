@@ -63,7 +63,10 @@ object PackOps {
                      emb: DataFrame, embIdCol: String, vecCol: String,
                      cents: Seq[(Long, Array[Double])], budget: Long,
                      qdec: Int = 8): DataFrame = {
-    require(budget > 0 && cents.nonEmpty)
+    require(budget > 0, s"similarityPack budget must be positive: $budget")
+    require(cents.nonEmpty,
+      "similarityPack needs a non-empty centroid table (trainIvf on an " +
+        "empty embedding corpus yields none)")
     val spark = docs.sparkSession
     import spark.implicits._
     val scale = math.pow(10, qdec)

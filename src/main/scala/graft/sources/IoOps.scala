@@ -403,13 +403,24 @@ object IoOps {
     * across versions are harmless (anti-join is idempotent).
     */
   def readAsOf(spark: SparkSession, basePath: String, dvRoot: String,
-               version: Int): DataFrame =
+               version: Int): DataFrame = {
+    // a DV store with no committed files = no deletes yet (an empty
+    // change batch under partitionBy writes nothing, and a fresh
+    // table has no history) — serve the plain scan instead of
+    // tripping schema inference on the empty directory
+    def dvHasFiles: Boolean = {
+      val p = new org.apache.hadoop.fs.Path(dvRoot)
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.exists(p) && fs.listStatus(p).exists(s =>
+        s.isDirectory || s.getPath.getName.endsWith(".parquet"))
+    }
     // version 0 never touches lineage: a plain scan, no _metadata
     // struct materialized per row
-    if (version <= 0) spark.read.parquet(basePath)
+    if (version <= 0 || !dvHasFiles) spark.read.parquet(basePath)
     else applyDeleteVector(readWithLineage(spark, basePath),
       spark.read.parquet(dvRoot).where(col("v") <= version)
         .select("_file", "_pos"))
+  }
 
   /** Bloom hash positions of a key: k independent affine-mod probes
     * on the house 1e9+7 prime, folded onto `bits` positions. Exact
