@@ -1176,6 +1176,39 @@ object Queries {
       |WHERE l_orderkey IN (1, 7, 68, 4000, 40001)
       |GROUP BY 1""".stripMargin)
 
+  /** Streaming twin of bloom_skip's index build
+    * (StreamingOps.bloomIndexStream): the store's (key, file) rows
+    * arrive as two micro-batches split by file hash; the maintained
+    * per-file position-SET state merges by set-union — a commutative
+    * idempotent monoid, so any batch order lands on the one-scan
+    * index. The point lookup through the streamed index shares
+    * bloom_skip's oracle.
+    */
+  private val streamBloomIndexQ = Q(
+    (s, d) => {
+      val path = s"/tmp/graft_bloomst_${scratchTag(s, d)}"
+      val keys = Seq(1L, 7L, 68L, 4000L, 40001L)
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(path)
+      val rows = s.read.parquet(path)
+        .select(col("l_orderkey"), col("_metadata.file_path").as("_file"))
+      val st = streaming.StreamingOps.bloomIndexStream(
+        "l_orderkey", "_file")
+      st(rows.where(pmod(hash(col("_file")), lit(2)) === 0))
+      st(rows.where(pmod(hash(col("_file")), lit(2)) === 1))
+      sources.IoOps.bloomSkipRead(s, path, st.snapshot, "l_orderkey",
+          keys)
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+    },
+    bloomSkipQ.sql)
+
   /** Snapshot time travel over versioned deletion vectors
     * (IoOps.commitDeleteVector / readAsOf): two delete commits land as
     * v=1 and v=2 partitions of the DV store; reading AS OF versions
@@ -3002,6 +3035,7 @@ object Queries {
     "delete_vectors" -> deleteVectorsQ,
     "time_travel" -> timeTravelQ,
     "bloom_skip" -> bloomSkipQ,
+    "stream_bloom_index" -> streamBloomIndexQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,

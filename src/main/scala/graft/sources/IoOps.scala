@@ -437,6 +437,17 @@ object IoOps {
     pmod(pmod(key, lit(BloomMod)) * lit(BloomMults(i)) + lit(i + 1),
       lit(BloomMod)) % lit(bits.toLong)
 
+  /** All `hashes` Bloom positions of a key as an array Column — shared
+    * by [[bloomIndex]]'s one-scan build and the streaming incremental
+    * maintenance twin (graft.streaming.StreamingOps.BloomIndexState).
+    */
+  private[graft] def bloomPositions(key: Column, bits: Int,
+                                    hashes: Int): Column = {
+    require(hashes >= 1 && hashes <= BloomMults.size,
+      s"hashes must be in [1, ${BloomMults.size}]")
+    array((0 until hashes).map(bloomPos(key, _, bits)): _*)
+  }
+
   private def bloomPosFn(key: Long, i: Int, bits: Int): Long = {
     val m = java.lang.Math.floorMod(key, BloomMod)
     java.lang.Math.floorMod(m * BloomMults(i) + (i + 1), BloomMod) %
@@ -454,17 +465,13 @@ object IoOps {
     * re-filters exactly.
     */
   def bloomIndex(spark: SparkSession, path: String, keyCol: String,
-                 bits: Int = 65536, hashes: Int = 3): DataFrame = {
-    require(hashes >= 1 && hashes <= BloomMults.size,
-      s"hashes must be in [1, ${BloomMults.size}]")
-    val k = col(keyCol).cast("long")
+                 bits: Int = 65536, hashes: Int = 3): DataFrame =
     spark.read.parquet(path)
       .select(col("_metadata.file_path").as("_file"),
-        explode(array((0 until hashes).map(bloomPos(k, _, bits)): _*))
+        explode(bloomPositions(col(keyCol).cast("long"), bits, hashes))
           .as("pos"))
       .groupBy("_file")
       .agg(sort_array(collect_set(col("pos"))).as("bloom"))
-  }
 
   /** Files that MAY contain any of the probe keys: a file qualifies
     * for key κ when all `hashes` positions of κ are occupied. The

@@ -1168,4 +1168,50 @@ object StreamingOps {
                       trackedCols: Seq[String],
                       tsCol: String): Scd2TableState =
     new Scd2TableState(current, keyCols, trackedCols, tsCol)
+
+  /** Incremental Bloom-index maintenance — the foreachBatch twin of
+    * IoOps.bloomIndex for a store ingested file-by-file: each
+    * micro-batch carries (key, file) rows for the files it appended,
+    * and the maintained index merges per-file position SETS by
+    * set-union. The state is a genuine commutative-idempotent monoid
+    * (bounded by `bits` positions per file), so ANY batch order — and
+    * re-ingesting the same file twice — lands on the index the
+    * one-scan batch build produces: the strongest batch-equality
+    * discipline in the twin family, by algebra rather than by fold
+    * replay. Per-batch localCheckpoint truncates the join lineage
+    * (same note as Scd2TableState: swap durable checkpointing in on a
+    * real cluster).
+    */
+  final class BloomIndexState(keyCol: String, fileCol: String,
+                              bits: Int, hashes: Int) {
+    @volatile private var index: DataFrame = null
+    def apply(batch: DataFrame): Unit = synchronized {
+      val delta = batch
+        .select(col(fileCol).as("_file"),
+          explode(graft.sources.IoOps.bloomPositions(
+            col(keyCol).cast("long"), bits, hashes)).as("pos"))
+        .groupBy("_file")
+        .agg(sort_array(collect_set(col("pos"))).as("_b2"))
+      index =
+        if (index == null)
+          delta.withColumnRenamed("_b2", "bloom").localCheckpoint(true)
+        else {
+          val empty = array().cast("array<bigint>")
+          index.join(delta, Seq("_file"), "full_outer")
+            .select(col("_file"),
+              sort_array(array_union(coalesce(col("bloom"), empty),
+                coalesce(col("_b2"), empty))).as("bloom"))
+            .localCheckpoint(true)
+        }
+    }
+    /** foreachBatch adapter. */
+    def sink: (DataFrame, Long) => Unit = (df, _) => apply(df)
+    /** The index after every batch applied so far. */
+    def snapshot: DataFrame = index
+  }
+
+  def bloomIndexStream(keyCol: String, fileCol: String,
+                       bits: Int = 65536,
+                       hashes: Int = 3): BloomIndexState =
+    new BloomIndexState(keyCol, fileCol, bits, hashes)
 }

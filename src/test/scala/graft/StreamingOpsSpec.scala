@@ -122,6 +122,42 @@ class StreamingOpsSpec extends SparkSpec {
       rowsOf(oneShot2.where(col("is_current"))))
   }
 
+  test("bloomIndexStream: union of micro-batches equals the one-scan" +
+      " index for any order; re-ingest is idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_bst")
+      .toString + "/store"
+    val src = (1L to 300L).map(i => (i, i % 9)).toDF("id", "m")
+    src.repartitionByRange(6, col("id")).write.parquet(dir)
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("_metadata.file_path").as("_file"))
+    val want = graft.sources.IoOps
+      .bloomIndex(spark, dir, "id", bits = 4096, hashes = 3)
+
+    // two batches via MemoryStream, split by file hash
+    val st = StreamingOps.bloomIndexStream("id", "_file", 4096, 3)
+    val input = MemoryStream[(Long, String)]
+    val q = input.toDF().toDF("id", "_file")
+      .writeStream.foreachBatch(st.sink).start()
+    val all = rows.collect().map(r => (r.getLong(0), r.getString(1)))
+    val (b1, b2) = all.partition(_._2.hashCode % 2 == 0)
+    input.addData(b1.toSeq: _*)
+    q.processAllAvailable()
+    input.addData(b2.toSeq: _*)
+    q.processAllAvailable()
+    q.stop()
+    assert(st.snapshot.exceptAll(want).count() === 0)
+    assert(want.exceptAll(st.snapshot).count() === 0)
+
+    // reversed order AND a duplicate re-ingest of batch 1: same index
+    val st2 = StreamingOps.bloomIndexStream("id", "_file", 4096, 3)
+    st2(b2.toSeq.toDF("id", "_file"))
+    st2(b1.toSeq.toDF("id", "_file"))
+    st2(b1.toSeq.toDF("id", "_file"))
+    assert(st2.snapshot.exceptAll(want).count() === 0)
+    assert(want.exceptAll(st2.snapshot).count() === 0)
+  }
+
   test("streamingBandCollisions remembers band buckets across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
