@@ -1305,7 +1305,7 @@ object QueriesLlm {
        |    SELECT * FROM utop UNION ALL
        |    SELECT piece, freq FROM ucand WHERE length(piece) = 1)
        |  GROUP BY piece),
-       |useed AS (
+       |useed AS MATERIALIZED (
        |  SELECT piece, CAST(floor(ln(CAST(freq AS DOUBLE)
        |      / CAST(tot AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
        |    AS score
@@ -1374,33 +1374,36 @@ object QueriesLlm {
        |  SELECT wd, cps,
        |    CAST(unnest(generate_series(1, len(cps) - 1)) AS INT) AS k
        |  FROM uvcut$x),
-       |uvout$x AS (
+       |uvout$x AS MATERIALIZED (
        |  SELECT wd, list(substr(wd, CAST(cps[k] + 1 AS INT),
        |    CAST(cps[k + 1] - cps[k] AS INT)) ORDER BY k) AS toks
        |  FROM uvpos$x GROUP BY wd)""".stripMargin
   }
 
-  /** Unigram-tokenizer oracle CTEs, part 3: the EM re-estimation —
-    * Viterbi counts weighted by word count, add-one smoothing over the
-    * FULL vocab domain (zero-count pieces keep a floor score, so
-    * single-codepoint coverage survives the round).
+  /** Unigram-tokenizer oracle CTEs, part 3: one EM re-estimation —
+    * Viterbi counts (from uvout$x) weighted by word count, add-one
+    * smoothing over the FULL current vocab domain `$vocabTable`
+    * (zero-count pieces keep a floor score, so single-codepoint
+    * coverage survives the round). Emits the rescored table as `$out`.
     */
-  private val uniEmCtes =
-    s"""uemc AS (
+  private def uniEmCtes(x: String, vocabTable: String,
+                        out: String): String =
+    s"""uemc$x AS (
        |  SELECT piece, CAST(sum(wc) AS BIGINT) AS cnt FROM (
-       |    SELECT t.wd, unnest(t.toks) AS piece FROM uvout0 t) u
+       |    SELECT t.wd, unnest(t.toks) AS piece FROM uvout$x t) u
        |  JOIN uwh USING (wd) GROUP BY piece),
-       |uemj AS (
+       |uemj$x AS (
        |  SELECT v.piece, coalesce(c.cnt, CAST(0 AS BIGINT)) AS cnt
-       |  FROM (SELECT piece FROM useed) v LEFT JOIN uemc c USING (piece)),
-       |uemt AS (
+       |  FROM (SELECT piece FROM $vocabTable) v
+       |  LEFT JOIN uemc$x c USING (piece)),
+       |uemt$x AS (
        |  SELECT CAST(sum(cnt) AS BIGINT) AS tot,
-       |    CAST(count(*) AS BIGINT) AS v FROM uemj),
-       |ufinal AS (
+       |    CAST(count(*) AS BIGINT) AS v FROM uemj$x),
+       |$out AS MATERIALIZED (
        |  SELECT piece, CAST(floor(ln(CAST(cnt + 1 AS DOUBLE)
        |      / CAST(tot + v AS DOUBLE)) * 1000000000.0 + 0.5) AS BIGINT)
        |    AS score, cnt
-       |  FROM uemj CROSS JOIN uemt)""".stripMargin
+       |  FROM uemj$x CROSS JOIN uemt$x)""".stripMargin
 
   /** Unigram-LM tokenizer training (TextOps.unigramTrain): substring
     * seeding + one exact EM round on the documents corpus. The oracle
@@ -1413,8 +1416,36 @@ object QueriesLlm {
       vocabSize = 40, maxPieceLen = 4),
     s"""WITH RECURSIVE ${uniSeedCtes(40, 4)},
        |${uniVitCtes("0", "useed")},
-       |$uniEmCtes
+       |${uniEmCtes("0", "useed", "ufinal")}
        |SELECT piece, score, cnt FROM ufinal""".stripMargin)
+
+  /** Unigram training with the full SentencePiece EM+prune loop
+    * (TextOps.unigramTrain, emIters = 2, seed 60 → prune to 30 + the
+    * unprunable single-codepoint pieces): round 1 rescans under the
+    * seed scores, the between-round prune keeps the top-30 pieces by
+    * Viterbi occupancy (count desc, byte-lex), and round 2 re-runs
+    * the E/M pair on the pruned vocabulary. The oracle unrolls both
+    * rounds (two Viterbi chains, two EM blocks, the prune as a
+    * LIMIT + single-codepoint union).
+    */
+  private val unigramTrainPrunedQ = Q(
+    (s, d) => TextOps.unigramTrain(Tables.documents(s, d), "text",
+      vocabSize = 30, maxPieceLen = 4, emIters = 2,
+      seedSize = Some(60)),
+    s"""WITH RECURSIVE ${uniSeedCtes(60, 4)},
+       |${uniVitCtes("0", "useed")},
+       |${uniEmCtes("0", "useed", "ufin0")},
+       |uprune AS MATERIALIZED (
+       |  SELECT piece, max(score) AS score FROM (
+       |    SELECT piece, score FROM (
+       |      SELECT piece, score, cnt FROM ufin0
+       |      ORDER BY cnt DESC, piece LIMIT 30)
+       |    UNION ALL
+       |    SELECT piece, score FROM ufin0 WHERE length(piece) = 1)
+       |  GROUP BY piece),
+       |${uniVitCtes("1", "uprune")},
+       |${uniEmCtes("1", "uprune", "ufin1")}
+       |SELECT piece, score, cnt FROM ufin1""".stripMargin)
 
   /** Unigram tokenization end to end (TextOps.unigramTokenize): train
     * the table, then Viterbi-segment every document word — long-form
@@ -1436,7 +1467,7 @@ object QueriesLlm {
     },
     s"""WITH RECURSIVE ${uniSeedCtes(40, 4)},
        |${uniVitCtes("0", "useed")},
-       |$uniEmCtes,
+       |${uniEmCtes("0", "useed", "ufinal")},
        |${uniVitCtes("1", "ufinal")},
        |udw AS (
        |  SELECT doc_id, wds,
@@ -5101,6 +5132,7 @@ object QueriesLlm {
     "bpe_merges" -> bpeMergesQ,
     "bpe_apply" -> bpeApplyQ,
     "unigram_train" -> unigramTrainQ,
+    "unigram_train_pruned" -> unigramTrainPrunedQ,
     "unigram_tokenize" -> unigramTokenizeQ,
     "similarity_pack" -> similarityPackQ,
     "chunk_documents" -> chunkDocumentsQ,

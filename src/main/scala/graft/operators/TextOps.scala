@@ -968,42 +968,69 @@ object TextOps {
     */
   def unigramTrain(df: DataFrame, textCol: String, vocabSize: Int = 40,
                    maxPieceLen: Int = 4,
-                   unkScore: Long = -30000000000L): DataFrame = {
+                   unkScore: Long = -30000000000L,
+                   emIters: Int = 1,
+                   seedSize: Option[Int] = None): DataFrame = {
     require(vocabSize > 0 && vocabSize <= (1 << 20),
       s"vocabSize must be in [1, 2^20], got $vocabSize")
+    require(emIters >= 1 && emIters <= 8,
+      s"emIters must be in [1, 8], got $emIters")
+    val seedN = seedSize.getOrElse(vocabSize)
+    require(seedN >= vocabSize,
+      s"seedSize ($seedN) must be >= vocabSize ($vocabSize)")
     val spark = df.sparkSession
+    import spark.implicits._
     val wh = wordHist(df, textCol).localCheckpoint()
     val cand = wordSpans(wh, maxPieceLen)
       .groupBy("piece").agg(sum("wc").as("freq"))
     val top = cand
       .orderBy(col("freq").desc, encode(col("piece"), "UTF-8"))
-      .limit(vocabSize)
+      .limit(seedN)
     val chars = cand.where(length(col("piece")) === 1)
     val vocab0 = top.unionByName(chars)
       .groupBy("piece").agg(max("freq").as("freq"))
     val tot0 = cand.agg(sum("freq").as("_tot"))
-    val seed = vocab0.crossJoin(broadcast(tot0))
+    // tokenizer-sized collect (seedSize + charset rows)
+    var vocab: Seq[(String, Long)] = vocab0.crossJoin(broadcast(tot0))
       .select(col("piece"), qlogScore(col("freq"), col("_tot")).as("score"))
       .orderBy(encode(col("piece"), "UTF-8"))
-      .collect() // tokenizer-sized (vocabSize + charset rows)
+      .collect()
       .map(r => (r.getString(0), r.getLong(1))).toSeq
-    // E-step: Viterbi counts over the distinct-word domain, weighted
-    // by word count — the kernel never sees the corpus
-    val cnts = wh.select(col("wc"),
-        explode(graft.functions.UnigramViterbiSyms(col("wd"), seed,
-          maxPieceLen, unkScore)).as("piece"))
-      .groupBy("piece").agg(sum("wc").as("cnt"))
-    // M-step: add-one smoothing over the FULL vocab domain keeps
-    // zero-count pieces (and with them single-codepoint coverage)
-    import spark.implicits._
-    val vdf = seed.map(_._1).toDF("piece")
-    val joined = vdf.join(cnts, Seq("piece"), "left")
-      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
-    val tot1 = joined.agg(sum("cnt").as("_tot"), count(lit(1)).as("_v"))
-    joined.crossJoin(broadcast(tot1))
-      .select(col("piece"),
-        qlogScore(col("cnt") + 1, col("_tot") + col("_v")).as("score"),
-        col("cnt"))
+    var result: DataFrame = null
+    for (r <- 1 to emIters) {
+      // E-step: Viterbi counts over the distinct-word domain, weighted
+      // by word count — the kernel never sees the corpus
+      val cnts = wh.select(col("wc"),
+          explode(graft.functions.UnigramViterbiSyms(col("wd"), vocab,
+            maxPieceLen, unkScore)).as("piece"))
+        .groupBy("piece").agg(sum("wc").as("cnt"))
+      // M-step: add-one smoothing over the FULL current vocab domain
+      // keeps zero-count pieces (and with them single-codepoint
+      // coverage)
+      val vdf = vocab.map(_._1).toDF("piece")
+      val joined = vdf.join(cnts, Seq("piece"), "left")
+        .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+      val tot1 = joined.agg(sum("cnt").as("_tot"), count(lit(1)).as("_v"))
+      val rescored = joined.crossJoin(broadcast(tot1))
+        .select(col("piece"),
+          qlogScore(col("cnt") + 1, col("_tot") + col("_v")).as("score"),
+          col("cnt"))
+      if (r < emIters) {
+        // between rounds: prune toward the target size by Viterbi
+        // occupancy (count desc, byte-lex) — the SentencePiece
+        // EM+prune loop with count-based loss; single-codepoint
+        // pieces are never pruned, so coverage survives every round
+        vocab = rescored
+          .orderBy(col("cnt").desc, encode(col("piece"), "UTF-8"))
+          .limit(vocabSize)
+          .unionByName(rescored.where(length(col("piece")) === 1))
+          .groupBy("piece").agg(max("score").as("score"))
+          .orderBy(encode(col("piece"), "UTF-8"))
+          .collect()
+          .map(r0 => (r0.getString(0), r0.getLong(1))).toSeq
+      } else result = rescored
+    }
+    result
   }
 
   /** Tokenize a corpus with a learned unigram piece table

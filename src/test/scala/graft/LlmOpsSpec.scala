@@ -1339,4 +1339,27 @@ class LlmOpsSpec extends SparkSpec {
       .select("token").distinct().as[String].collect()
     assert(toks.forall(rows.contains))
   }
+
+  test("unigramTrain EM+prune: shrinks toward target, keeps all chars," +
+      " emIters=1 unchanged") {
+    val corpus = Seq((0L, "abab ba abab cc dd"), (1L, "ba ba cc abab"))
+      .toDF("doc_id", "text")
+    val seedOnly = TextOps.unigramTrain(corpus, "text", vocabSize = 20,
+      maxPieceLen = 4)
+    val pruned = TextOps.unigramTrain(corpus, "text", vocabSize = 2,
+      maxPieceLen = 4, emIters = 2, seedSize = Some(20))
+    val pp = pruned.collect().map(r =>
+      r.getString(0) -> r.getLong(2)).toMap
+    // pruned vocab = top-2 by round-1 occupancy + ALL single chars
+    assert(pp.size < seedOnly.count())
+    assert(Set("a", "b", "c", "d").subsetOf(pp.keySet))
+    assert(pp.size <= 2 + 4)
+    // multi-char survivors must have been used in round 1
+    assert(pp.keys.filter(_.length > 1).forall(p => pp(p) >= 0))
+    // emIters=1 with explicit seedSize == the default single-round path
+    val a = TextOps.unigramTrain(corpus, "text", vocabSize = 20,
+      maxPieceLen = 4, emIters = 1, seedSize = Some(20))
+    assert(a.exceptAll(seedOnly).count() === 0)
+    assert(seedOnly.exceptAll(a).count() === 0)
+  }
 }

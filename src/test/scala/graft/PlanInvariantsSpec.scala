@@ -128,7 +128,7 @@ class PlanInvariantsSpec extends SparkSpec {
     for (name <- Seq("dedup_minhash", "dedup_simhash",
         "winnow_fingerprints", "stream_neardup",
         "gopher_quality", "bm25_score", "bpe_apply",
-        "decontaminate_bloom")) {
+        "decontaminate_bloom", "unigram_tokenize")) {
       val p = plan(name)
       assert(!p.contains("ScalaUDF"),
         s"$name corpus scan fell back to a Scala UDF:\n$p")
