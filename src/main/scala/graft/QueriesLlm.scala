@@ -3038,13 +3038,17 @@ object QueriesLlm {
         .unionByName(leg("containment_pairs", containmentDupesQ))
         .unionByName(leg("line_dedup_docs", lineDedupQ))
         .unionByName(leg("url_survivors", urlDedupQ))
+        // r15: the exact-substring-run mode joins the dashboard, so
+        // every duplication family the library detects is one row here
+        .unionByName(leg("substring_runs", substringExactDedupQ))
     },
     Seq(("exact_survivors", dedupExactQ.sql),
       ("minhash_verified_pairs", dedupMinhashQ.sql),
       ("simhash_pairs", simhashNearDupQ.sql),
       ("containment_pairs", containmentDupesQ.sql),
       ("line_dedup_docs", lineDedupQ.sql),
-      ("url_survivors", urlDedupQ.sql)).map { case (n, sql) =>
+      ("url_survivors", urlDedupQ.sql),
+      ("substring_runs", substringExactDedupQ.sql)).map { case (n, sql) =>
       // plain concatenation, NOT stripMargin: the embedded leg SQL has
       // continuation lines starting with `||`, which an outer
       // stripMargin would truncate to `|`
