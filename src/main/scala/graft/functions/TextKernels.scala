@@ -487,10 +487,14 @@ case class UnigramViterbiSyms(child: Expression, piecesS: Seq[String],
 
 object UnigramViterbiSyms {
   def apply(c: Column, vocab: Seq[(String, Long)], maxPieceLen: Int,
-            unkScore: Long): Column =
+            unkScore: Long): Column = {
+    require(maxPieceLen >= 1,
+      s"unigram_viterbi maxPieceLen must be >= 1, got $maxPieceLen " +
+        "(0 would leave every position uncoverable)")
     toColumn(UnigramViterbiSyms(toExpression(c),
       vocab.map(_._1).toList, vocab.map(_._2).toList, maxPieceLen,
       unkScore))
+  }
 }
 
 /** Gopher repetition statistics in one pass — native form of

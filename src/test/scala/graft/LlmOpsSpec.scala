@@ -1285,6 +1285,13 @@ class LlmOpsSpec extends SparkSpec {
     // unknown codepoint falls back to a single-char unk piece
     assert(viterbi("axb", tie) === Seq("a", "x", "b"))
     assert(viterbi("", tie) === Seq.empty)
+    // positions are CODEPOINTS: a supplementary-plane char (surrogate
+    // pair in UTF-16) is one symbol, never split into halves
+    val emoji = new String(Character.toChars(0x1F600))
+    val uv = Seq(("a", -300L), (emoji, -400L), ("a" + emoji, -500L))
+    assert(viterbi("a" + emoji + "a", uv) === Seq("a" + emoji, "a"))
+    assert(viterbi(emoji + emoji, uv) === Seq(emoji, emoji))
+    intercept[IllegalArgumentException](viterbi("ab", uv, maxLen = 0))
   }
 
   test("unigram Viterbi: property — achieves the brute-force max score") {
