@@ -1307,6 +1307,74 @@ object Queries {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM merged GROUP BY 1""".stripMargin)
 
+  /** Lakehouse composition end to end: the COW MERGE (same change set
+    * as merge_upsert) materializes a physical store, a merge-on-read
+    * DV delete lands on THAT store without rewriting it, and the
+    * snapshot read serves the final table — copy-on-write and
+    * merge-on-read composing on one table, which is how a real
+    * lakehouse alternates big rewrites with cheap deletes. The oracle
+    * replays the merge relationally and applies the delete as the
+    * complement predicate.
+    */
+  private val lakehousePipelineQ = Q(
+    (s, d) => {
+      val tag = scratchTag(s, d)
+      val path = s"/tmp/graft_lake_$tag"
+      val dvRoot = s"/tmp/graft_lake_dv_$tag"
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity")
+      val t0 = Tables.lineitem(s, d).select(cols.map(col): _*)
+      val changes = Tables.lineitem(s, d)
+        .where(col("l_orderkey") % 10 <= 2)
+        .select(
+          when(col("l_orderkey") % 10 === 2,
+            col("l_orderkey") + 3000000L)
+            .otherwise(col("l_orderkey")).as("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"),
+          when(col("l_orderkey") % 10 === 0, col("l_quantity") + 100)
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          (col("l_orderkey") % 10 === 1).as("_del"))
+      val merged = sources.IoOps.mergeUpsert(t0, changes,
+        Seq("l_orderkey", "l_linenumber"), deleteCol = Some("_del"))
+      sources.IoOps.writeVis(merged, path, repartitionTo = Some(4))
+      val lin = sources.IoOps.readWithLineage(s, path)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin,
+          col("l_returnflag") === "R" && col("l_quantity") < 10),
+        dvRoot, version = 1)
+      sources.IoOps.readAsOf(s, path, dvRoot, 1)
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    """WITH chg AS (
+      |  SELECT CASE WHEN l_orderkey % 10 = 2 THEN l_orderkey + 3000000
+      |              ELSE l_orderkey END AS l_orderkey,
+      |    l_linenumber, l_returnflag,
+      |    CASE WHEN l_orderkey % 10 = 0 THEN l_quantity + 100
+      |         ELSE l_quantity END AS l_quantity,
+      |    (l_orderkey % 10 = 1) AS _del
+      |  FROM lineitem WHERE l_orderkey % 10 <= 2),
+      |kept AS (
+      |  SELECT t.l_orderkey, t.l_linenumber, t.l_returnflag, t.l_quantity
+      |  FROM lineitem t ANTI JOIN chg c
+      |    ON t.l_orderkey = c.l_orderkey
+      |   AND t.l_linenumber = c.l_linenumber),
+      |merged AS (
+      |  SELECT * FROM kept
+      |  UNION ALL
+      |  SELECT l_orderkey, l_linenumber, l_returnflag, l_quantity
+      |  FROM chg WHERE NOT _del),
+      |alive AS (
+      |  SELECT * FROM merged
+      |  WHERE NOT (l_returnflag = 'R' AND l_quantity < 10))
+      |SELECT l_returnflag, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
+      |FROM alive GROUP BY 1""".stripMargin)
+
   /** Salted skew join (JoinOps.saltedJoin): result must be
     * row-identical to the plain lineitem x part join — the salt only
     * moves rows between reducers, never changes the relation.
@@ -3036,6 +3104,7 @@ object Queries {
     "time_travel" -> timeTravelQ,
     "bloom_skip" -> bloomSkipQ,
     "stream_bloom_index" -> streamBloomIndexQ,
+    "lakehouse_pipeline" -> lakehousePipelineQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,
