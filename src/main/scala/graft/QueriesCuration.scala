@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.functions._
 
 import graft.Queries.{Q, qround}
-import graft.operators.{SampleOps, SequenceOps, SketchOps, StatsOps}
+import graft.operators.{DiagnosticsOps, SampleOps, SequenceOps, SketchOps, StatsOps}
 
 /** Round-10 curation / data-quality query surface: table profiling,
   * Tukey-fence outlier filtering, exact heavy hitters priced as a
@@ -1356,6 +1356,100 @@ object QueriesCuration {
        |    * 100000000.0 + 0.5) / 100000000.0 AS z
        |FROM v""".stripMargin)
 
+  /** CUPED variance reduction (DiagnosticsOps.cupedAdjust): the
+    * event stream splits at its time midpoint — the PRE-half per-user
+    * event count is the covariate, the POST-half purchase count the
+    * experiment metric — arms come from the same deterministic hash
+    * split as ab_test, and θ/means/variance-reduction are closed-form
+    * doubles off one hash aggregate of exact BIGINT moments. The
+    * oracle replays the midpoint, the split, and every moment.
+    */
+  private val cupedAdjustQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d)
+      val bnd = ev.agg(min(col("ts_ns")).as("lo"),
+        max(col("ts_ns")).as("hi"))
+      val perUser = ev.crossJoin(broadcast(bnd))
+        .withColumn("mid", expr("(lo + hi) div 2"))
+        .groupBy(col("user_id"))
+        .agg(
+          sum(when(col("ts_ns") < col("mid"), 1L).otherwise(0L)).as("x"),
+          sum(when(col("ts_ns") >= col("mid") &&
+            col("event_type") === "purchase", 1L).otherwise(0L)).as("y"))
+      val armed = SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      DiagnosticsOps.cupedAdjust(armed, "split", "a", "b", "x", "y")
+        .select(col("n_a"), col("n_b"),
+          qround(col("theta"), 8).as("theta"),
+          qround(col("diff_raw"), 8).as("diff_raw"),
+          qround(col("diff_cuped"), 8).as("diff_cuped"),
+          qround(col("var_reduction"), 8).as("var_reduction"))
+    },
+    s"""WITH bnd AS (
+       |  SELECT min(epoch_ns(ts)) AS lo, max(epoch_ns(ts)) AS hi
+       |  FROM events),
+       |u AS (
+       |  SELECT user_id,
+       |    CAST(sum(CASE WHEN epoch_ns(ts) < (lo + hi) // 2
+       |      THEN 1 ELSE 0 END) AS BIGINT) AS x,
+       |    CAST(sum(CASE WHEN epoch_ns(ts) >= (lo + hi) // 2
+       |      AND event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS y
+       |  FROM events CROSS JOIN bnd GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN (((user_id % ${graft.operators.TextOps.HashMod})
+       |      * ${SketchOps.KmvMult}) % ${graft.operators.TextOps.HashMod})
+       |      % ${SampleOps.SplitBuckets} < 5000
+       |    THEN 'a' ELSE 'b' END AS arm, x, y
+       |  FROM u),
+       |m AS (
+       |  SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |    CAST(sum(x * y) AS BIGINT) AS sxy,
+       |    CAST(sum(x * x) AS BIGINT) AS sxx,
+       |    CAST(sum(y * y) AS BIGINT) AS syy,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_a,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN x ELSE 0 END) AS BIGINT)
+       |      AS sxa,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN y ELSE 0 END) AS BIGINT)
+       |      AS sya,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS n_b,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN x ELSE 0 END) AS BIGINT)
+       |      AS sxb,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN y ELSE 0 END) AS BIGINT)
+       |      AS syb
+       |  FROM arms),
+       |v AS (
+       |  SELECT n_a, n_b,
+       |    CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE) AS covxy,
+       |    CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+       |      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) AS varx,
+       |    CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+       |      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) AS vary,
+       |    CAST(sya AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(syb AS DOUBLE) / CAST(n_b AS DOUBLE) AS draw,
+       |    CAST(sxa AS DOUBLE) / CAST(n_a AS DOUBLE)
+       |      - CAST(sxb AS DOUBLE) / CAST(n_b AS DOUBLE) AS dx
+       |  FROM m),
+       |w AS (
+       |  SELECT n_a, n_b, draw,
+       |    CASE WHEN varx > 0 THEN covxy / varx ELSE 0.0 END AS theta,
+       |    CASE WHEN varx > 0 AND vary > 0
+       |      THEN covxy * covxy / (varx * vary) ELSE 0.0 END AS vred,
+       |    dx
+       |  FROM v)
+       |SELECT n_a, n_b,
+       |  floor(theta * 100000000.0 + 0.5) / 100000000.0 AS theta,
+       |  floor(draw * 100000000.0 + 0.5) / 100000000.0 AS diff_raw,
+       |  floor((draw - theta * dx) * 100000000.0 + 0.5) / 100000000.0
+       |    AS diff_cuped,
+       |  floor(vred * 100000000.0 + 0.5) / 100000000.0
+       |    AS var_reduction
+       |FROM w""".stripMargin)
+
   /** The STREAMING A/B readout on the batch frame
     * (StreamingOps.conversionStream): per-user purchase counts as ONE
     * long of order-free state, then the same threshold/arm/z
@@ -1653,6 +1747,7 @@ object QueriesCuration {
 
   val all: Map[String, Q] = Map(
     "ab_test" -> abTestQ,
+    "cuped_adjust" -> cupedAdjustQ,
     "l_diversity" -> lDiversityQ,
     "stream_abtest" -> streamAbTestQ,
     "bootstrap_ci" -> bootstrapCiQ,

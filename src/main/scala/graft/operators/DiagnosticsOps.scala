@@ -1202,4 +1202,56 @@ object DiagnosticsOps {
       when(ok, rssF).as("rss_full"),
       when(ok, (rssR - rssF) / (rssF / (tD - 3))).as("f"))
   }
+
+  /** CUPED variance reduction (Deng et al. 2013, "Improving the
+    * sensitivity of online controlled experiments"): adjust each
+    * unit's experiment metric `y` by its PRE-experiment covariate `x`
+    * — Y' = Y − θ(X − X̄) with θ = cov(X,Y)/var(X) — which shrinks
+    * metric variance by exactly ρ² while leaving the treatment-effect
+    * estimate unbiased (X predates assignment, so E[X|arm] is equal
+    * across arms). The workhorse sensitivity lever of industrial A/B
+    * platforms: the same experiment resolves with ~1/(1−ρ²) fewer
+    * units.
+    *
+    * Input: one row per unit with integer-valued `x`/`y` (counts) and
+    * the arm label. ONE hash aggregate produces every global and
+    * per-arm moment as an exact BIGINT (order-free); θ, the raw and
+    * adjusted arm means, their difference, and the variance-reduction
+    * ratio ρ² = cov²/(var·var) are closed-form doubles off those
+    * integers — engine-exact after output quantization. A zero-
+    * variance covariate degrades to θ = 0 (no adjustment), never /0.
+    */
+  def cupedAdjust(perUnit: DataFrame, armCol: String, armA: Any,
+                  armB: Any, xCol: String, yCol: String): DataFrame = {
+    val x = col(xCol).cast("long")
+    val y = col(yCol).cast("long")
+    val isA = col(armCol) === lit(armA)
+    val isB = col(armCol) === lit(armB)
+    val agg = perUnit.where(isA || isB).agg(
+      count(lit(1)).as("n"),
+      sum(x).as("sx"), sum(y).as("sy"),
+      sum(x * y).as("sxy"), sum(x * x).as("sxx"),
+      sum(y * y).as("syy"),
+      sum(when(isA, 1L).otherwise(0L)).as("n_a"),
+      sum(when(isA, x).otherwise(0L)).as("sxa"),
+      sum(when(isA, y).otherwise(0L)).as("sya"),
+      sum(when(isB, 1L).otherwise(0L)).as("n_b"),
+      sum(when(isB, x).otherwise(0L)).as("sxb"),
+      sum(when(isB, y).otherwise(0L)).as("syb"))
+    val nD = D("n")
+    val covXY = nD * D("sxy") - D("sx") * D("sy")
+    val varX = nD * D("sxx") - D("sx") * D("sx")
+    val varY = nD * D("syy") - D("sy") * D("sy")
+    val theta = when(varX > 0, covXY / varX).otherwise(lit(0.0))
+    val diffRaw = D("sya") / D("n_a") - D("syb") / D("n_b")
+    val diffCuped =
+      diffRaw - theta * (D("sxa") / D("n_a") - D("sxb") / D("n_b"))
+    val varRed = when(varX > 0 && varY > 0,
+      covXY * covXY / (varX * varY)).otherwise(lit(0.0))
+    agg.select(col("n_a"), col("n_b"),
+      theta.as("theta"),
+      diffRaw.as("diff_raw"),
+      diffCuped.as("diff_cuped"),
+      varRed.as("var_reduction"))
+  }
 }

@@ -827,4 +827,39 @@ class DiagnosticsOpsSpec extends SparkSpec {
     val r = DiagnosticsOps.grangerLite(df, "c", "x", "y", "h").head()
     assert(r.isNullAt(r.fieldIndex("f")))
   }
+
+  test("cupedAdjust: hand-computed theta, adjusted diff, rho^2;" +
+      " perfect covariate zeroes residual variance share") {
+    import spark.implicits._
+    // units: (arm, x, y); hand moments over n=6:
+    // sx=21, sy=12, sxy=50, sxx=91, syy=28
+    // cov n-form = 6*50-21*12 = 48; varx = 6*91-441 = 105
+    // theta = 48/105; vary = 6*28-144 = 24; rho2 = 48^2/(105*24)
+    val df = Seq(("a", 1L, 1L), ("a", 3L, 2L), ("a", 5L, 3L),
+      ("b", 2L, 1L), ("b", 4L, 2L), ("b", 6L, 3L))
+      .toDF("arm", "x", "y")
+    val r = DiagnosticsOps.cupedAdjust(df, "arm", "a", "b", "x", "y")
+      .head()
+    val theta = 48.0 / 105.0
+    assert(r.getLong(0) === 3L && r.getLong(1) === 3L)
+    assert(approx(r.getDouble(2), theta))
+    // raw diff: (6/3 - 6/3) = 0; x means differ by (9-12)/3 = -1
+    assert(approx(r.getDouble(3), 0.0))
+    assert(approx(r.getDouble(4), 0.0 - theta * (-1.0)))
+    assert(approx(r.getDouble(5), 48.0 * 48.0 / (105.0 * 24.0)))
+    // y == x: rho^2 = 1 (CUPED removes ALL variance), theta = 1
+    val perfect = Seq(("a", 1L, 1L), ("a", 2L, 2L), ("b", 3L, 3L),
+      ("b", 4L, 4L)).toDF("arm", "x", "y")
+    val p = DiagnosticsOps.cupedAdjust(perfect, "arm", "a", "b", "x", "y")
+      .head()
+    assert(approx(p.getDouble(2), 1.0) && approx(p.getDouble(5), 1.0))
+    // constant covariate: theta = 0, adjustment is a no-op
+    val const = Seq(("a", 2L, 1L), ("a", 2L, 3L), ("b", 2L, 2L))
+      .toDF("arm", "x", "y")
+    val c = DiagnosticsOps.cupedAdjust(const, "arm", "a", "b", "x", "y")
+      .head()
+    assert(c.getDouble(2) === 0.0)
+    assert(approx(c.getDouble(3), c.getDouble(4)))
+    assert(c.getDouble(5) === 0.0)
+  }
 }
