@@ -1730,6 +1730,97 @@ object QueriesDiagnostics {
        |    THEN abs((pa - pb) / se) >= bnd ELSE false END AS crossed
        |FROM z0""".stripMargin)
 
+  /** mSPRT always-valid monitor over the same accruing experiment as
+    * sequential_test (DiagnosticsOps.msprtTest, τ = 0.1, α = 0.05):
+    * the mixture likelihood ratio per look and the running-min
+    * always-valid p-value — valid at ANY stopping time, no final
+    * horizon needed. The oracle replays the census, Λ's closed form
+    * (ln/exp parity already proven), and the running MIN (selection,
+    * order-free).
+    */
+  private val msprtTestQ = Q(
+    (s, d) => {
+      val perUser = Tables.events(s, d)
+        .groupBy(col("user_id"))
+        .agg(when(sum(when(col("event_type") === "purchase", 1L)
+          .otherwise(0L)) >= 15, 1L).otherwise(0L).as("converted"),
+          min(expr("ts_ns div 86400000000000L")).as("day"))
+      val armed = graft.operators.SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      DiagnosticsOps.msprtTest(armed, "split", "a", "b",
+          "converted", "day")
+        .select(col("look"), col("k"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"),
+          qround(col("lambda"), 8).as("lambda"),
+          qround(col("p_always_valid"), 8).as("p_always_valid"),
+          col("rejected"))
+    },
+    s"""WITH u AS (
+       |  SELECT user_id,
+       |    CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1
+       |      ELSE 0 END) >= 15 THEN 1 ELSE 0 END AS conv,
+       |    min(epoch_ns(ts) // 86400000000000) AS day
+       |  FROM events GROUP BY 1),
+       |arms AS (
+       |  SELECT CASE WHEN (((user_id % 1000000007)
+       |      * 2654435761) % 1000000007) % 10000 < 5000
+       |    THEN 'a' ELSE 'b' END AS arm, conv, day
+       |  FROM u),
+       |inc AS (
+       |  SELECT day AS look,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ia,
+       |    CAST(sum(CASE WHEN arm = 'a' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS xa,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN 1 ELSE 0 END) AS BIGINT)
+       |      AS ib,
+       |    CAST(sum(CASE WHEN arm = 'b' THEN conv ELSE 0 END) AS BIGINT)
+       |      AS xb
+       |  FROM arms GROUP BY 1),
+       |cum AS (
+       |  SELECT look,
+       |    CAST(row_number() OVER (ORDER BY look) AS BIGINT) AS k,
+       |    CAST(sum(ia) OVER w AS BIGINT) AS n_a,
+       |    CAST(sum(xa) OVER w AS BIGINT) AS x_a,
+       |    CAST(sum(ib) OVER w AS BIGINT) AS n_b,
+       |    CAST(sum(xb) OVER w AS BIGINT) AS x_b
+       |  FROM inc
+       |  WINDOW w AS (ORDER BY look
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+       |v AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b,
+       |    CAST(x_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS pa,
+       |    CAST(x_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS pb,
+       |    (CAST(x_a AS DOUBLE) + CAST(x_b AS DOUBLE))
+       |      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)) AS pp
+       |  FROM cum),
+       |z0 AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b, pa, pb,
+       |    pp * (1.0 - pp) * (1.0 / CAST(n_a AS DOUBLE)
+       |      + 1.0 / CAST(n_b AS DOUBLE)) AS vv
+       |  FROM v),
+       |z1 AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b,
+       |    CASE WHEN n_a > 0 AND n_b > 0 AND vv > 0
+       |      THEN sqrt(vv / (vv + 0.010000000000000002))
+       |        * exp(0.010000000000000002 * (pa - pb) * (pa - pb)
+       |          / (2.0 * vv * (vv + 0.010000000000000002)))
+       |      END AS lam
+       |  FROM z0),
+       |z2 AS (
+       |  SELECT look, k, n_a, x_a, n_b, x_b, lam,
+       |    min(CASE WHEN lam IS NOT NULL
+       |      THEN least(1.0, 1.0 / lam) END)
+       |      OVER (ORDER BY look
+       |        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS p
+       |  FROM z1)
+       |SELECT look, k, n_a, x_a, n_b, x_b,
+       |  CASE WHEN lam IS NOT NULL THEN ${qrSql("lam", 8)} END AS lambda,
+       |  CASE WHEN p IS NOT NULL THEN ${qrSql("p", 8)} END
+       |    AS p_always_valid,
+       |  coalesce(p <= 0.05, false) AS rejected
+       |FROM z2""".stripMargin)
+
   /** Gumbel method-of-moments fit of per-day maxima of each event
     * type's hourly counts (SequenceOps.gumbelFit): β = s√6/π,
     * μ = m − γβ, and the P99-day burst forecast.
@@ -1807,5 +1898,6 @@ object QueriesDiagnostics {
     "tost_equivalence" -> tostEquivalenceQ,
     "capture_recapture" -> captureRecaptureQ,
     "sequential_test" -> sequentialTestQ,
+    "msprt_test" -> msprtTestQ,
     "gumbel_fit" -> gumbelFitQ)
 }

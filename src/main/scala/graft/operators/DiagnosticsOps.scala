@@ -761,9 +761,14 @@ object DiagnosticsOps {
     * the ks_drift whitelist argument); z and boundary are mirrored
     * closed forms over exact counts.
     */
-  def groupSequential(df: DataFrame, armCol: String, armA: String,
-                      armB: String, successCol: String, lookCol: String,
-                      obfConstant: Double = 2.04): DataFrame = {
+  /** Cumulative per-look arm censuses shared by the sequential
+    * monitors ([[groupSequential]], [[msprtTest]]): one fact hash
+    * aggregate onto the bounded look domain, then the cumulative
+    * window over it (whitelisted: look-domain-sized, never the fact).
+    */
+  private def lookCensus(df: DataFrame, armCol: String, armA: String,
+                         armB: String, successCol: String,
+                         lookCol: String): DataFrame = {
     val sCol = col(successCol).cast("long")
     val inc = df.where(col(armCol).isin(armA, armB) &&
         col(successCol).isNotNull && col(lookCol).isNotNull)
@@ -775,14 +780,21 @@ object DiagnosticsOps {
     val w = Window.orderBy(col("look"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val wl = Window.orderBy(col("look"))
-    val tot = inc.agg((sum(col("_ia")) + sum(col("_ib"))).as("_nn"))
-    val cum = inc
+    inc
       .withColumn("k", row_number().over(wl).cast("long"))
       .withColumn("n_a", sum(col("_ia")).over(w))
       .withColumn("x_a", sum(col("_xa")).over(w))
       .withColumn("n_b", sum(col("_ib")).over(w))
       .withColumn("x_b", sum(col("_xb")).over(w))
-      .crossJoin(broadcast(tot))
+  }
+
+  def groupSequential(df: DataFrame, armCol: String, armA: String,
+                      armB: String, successCol: String, lookCol: String,
+                      obfConstant: Double = 2.04): DataFrame = {
+    val censed = lookCensus(df, armCol, armA, armB, successCol, lookCol)
+    val tot = censed
+      .agg((sum(col("_ia")) + sum(col("_ib"))).as("_nn"))
+    val cum = censed.crossJoin(broadcast(tot))
     val pa = D("x_a") / D("n_a")
     val pb = D("x_b") / D("n_b")
     val pp = (D("x_a") + D("x_b")) / (D("n_a") + D("n_b"))
@@ -798,6 +810,49 @@ object DiagnosticsOps {
       boundary.as("boundary"),
       when(ok, abs((pa - pb) / se) >= boundary).otherwise(lit(false))
         .as("crossed"))
+  }
+
+  /** mSPRT always-valid inference (Johari et al. 2017, "Peeking at
+    * A/B tests"): at every look the mixture likelihood ratio against
+    * H0: δ = 0 under a N(0, τ²) effect prior has the closed form
+    * Λ = sqrt(V/(V+τ²)) · exp(τ²·δ̂²/(2V(V+τ²))) with δ̂ the
+    * cumulative rate difference and V its pooled-proportion sampling
+    * variance; p_n = min over looks so far of min(1, 1/Λ) is a valid
+    * p-value at EVERY stopping time — the peeking-proof companion to
+    * [[groupSequential]]'s fixed-boundary monitor (OBF needs the
+    * final horizon; mSPRT never does). Same one-hash-aggregate look
+    * census; the running minimum is a window MIN over the bounded
+    * look domain — selection, not accumulation, so no IEEE ordering
+    * concern. Looks with an empty arm carry null Λ and are skipped by
+    * the running min (never a spurious rejection).
+    */
+  def msprtTest(df: DataFrame, armCol: String, armA: String,
+                armB: String, successCol: String, lookCol: String,
+                tau: Double = 0.1, alpha: Double = 0.05): DataFrame = {
+    require(tau > 0, s"mixture sd tau must be positive: $tau")
+    val cum = lookCensus(df, armCol, armA, armB, successCol, lookCol)
+    val pa = D("x_a") / D("n_a")
+    val pb = D("x_b") / D("n_b")
+    val pp = (D("x_a") + D("x_b")) / (D("n_a") + D("n_b"))
+    val vv = pp * (lit(1.0) - pp) *
+      (lit(1.0) / D("n_a") + lit(1.0) / D("n_b"))
+    val t2 = lit(tau * tau)
+    val lam = sqrt(vv / (vv + t2)) *
+      exp(t2 * (pa - pb) * (pa - pb) / (lit(2.0) * vv * (vv + t2)))
+    val ok = col("n_a") > 0 && col("n_b") > 0 && vv > 0
+    val w = Window.orderBy(col("look"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    cum
+      .withColumn("_lam", when(ok, lam))
+      .withColumn("_cand",
+        when(ok, least(lit(1.0), lit(1.0) / col("_lam"))))
+      .withColumn("p_always_valid", min(col("_cand")).over(w))
+      .select(col("look"), col("k"), col("n_a"), col("x_a"),
+        col("n_b"), col("x_b"),
+        col("_lam").as("lambda"),
+        col("p_always_valid"),
+        coalesce(col("p_always_valid") <= lit(alpha), lit(false))
+          .as("rejected"))
   }
 
   /** Mood's median test across k groups: χ² homogeneity of the

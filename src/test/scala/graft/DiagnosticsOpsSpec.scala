@@ -828,6 +828,45 @@ class DiagnosticsOpsSpec extends SparkSpec {
     assert(r.isNullAt(r.fieldIndex("f")))
   }
 
+  test("msprtTest: hand-computed lambda, monotone always-valid p," +
+      " null-arm looks skipped") {
+    import spark.implicits._
+    // look 1: arm a only (no b yet) -> lambda null, p null
+    // look 2 cumulative: a: n=4,x=2 (pa=.5); b: n=2,x=0 -> pp=1/3
+    //   V = (1/3)(2/3)(1/4+1/2) = 1/6; t2 = .01
+    //   lam = sqrt(V/(V+t2))*exp(t2*.25/(2V(V+t2)))
+    val rows = Seq(
+      ("a", 1L, 1L), ("a", 1L, 0L),
+      ("b", 2L, 0L), ("b", 2L, 0L), ("a", 2L, 1L), ("a", 2L, 0L))
+      .toDF("arm", "day", "conv")
+      // look 1 has ONLY a-arm units
+      .where(!($"arm" === "b" && $"day" === 1L))
+    val out = DiagnosticsOps.msprtTest(rows, "arm", "a", "b",
+        "conv", "day")
+      .orderBy("look").collect()
+    assert(out.length === 2)
+    assert(out(0).isNullAt(out(0).fieldIndex("lambda")))
+    assert(out(0).isNullAt(out(0).fieldIndex("p_always_valid")))
+    assert(!out(0).getBoolean(out(0).fieldIndex("rejected")))
+    val v = (1.0 / 3) * (2.0 / 3) * (1.0 / 4 + 1.0 / 2)
+    val t2 = 0.1 * 0.1
+    val lam = math.sqrt(v / (v + t2)) *
+      math.exp(t2 * 0.5 * 0.5 / (2.0 * v * (v + t2)))
+    assert(approx(out(1).getDouble(out(1).fieldIndex("lambda")), lam))
+    assert(approx(out(1).getDouble(out(1).fieldIndex("p_always_valid")),
+      math.min(1.0, 1.0 / lam)))
+    // monotonicity: p never increases across looks on a longer stream
+    val many = (1L to 40L).flatMap(u => Seq(
+      (if (u % 2 == 0) "a" else "b", 1L + u % 5,
+        if (u % 2 == 0 && u % 3 == 0) 1L else 0L)))
+      .toDF("arm", "day", "conv")
+    val ps = DiagnosticsOps.msprtTest(many, "arm", "a", "b",
+        "conv", "day")
+      .orderBy("look").collect()
+      .flatMap(r => if (r.isNullAt(7)) None else Some(r.getDouble(7)))
+    assert(ps.sliding(2).forall(p => p.length < 2 || p(1) <= p(0)))
+  }
+
   test("cupedAdjust: hand-computed theta, adjusted diff, rho^2;" +
       " perfect covariate zeroes residual variance share") {
     import spark.implicits._
