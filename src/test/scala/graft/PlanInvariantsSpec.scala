@@ -389,11 +389,12 @@ class PlanInvariantsSpec extends SparkSpec {
       "wasserstein_drift", "granger_lite",
       "cvm_drift", "energy_drift", "wilcoxon_signed_rank",
       "logrank_test", "median_test",
-      // sequential_test: the cumulative + row_number walk the LOOK
-      // domain (interim analyses — enrollment days, bounded by the
-      // observation span; DiagnosticsOps.groupSequential aggregates
-      // the fact to per-look arm censuses FIRST)
-      "sequential_test")
+      // sequential_test / msprt_test: the cumulative + row_number +
+      // running-min walk the LOOK domain (interim analyses —
+      // enrollment days, bounded by the observation span; the shared
+      // DiagnosticsOps.lookCensus aggregates the fact to per-look arm
+      // censuses FIRST)
+      "sequential_test", "msprt_test")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
