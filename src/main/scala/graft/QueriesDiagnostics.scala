@@ -1821,6 +1821,37 @@ object QueriesDiagnostics {
        |  coalesce(p <= 0.05, false) AS rejected
        |FROM z2""".stripMargin)
 
+  /** Streaming twin of msprt_test (StreamingOps.accrualStream): the
+    * per-user (lifetime purchases, first-seen day) state folds
+    * commutatively, the monitor math composes statelessly on the
+    * snapshot — one batch through the state op is bit-equal to the
+    * batch census, so the oracle is shared. This is always-valid
+    * inference in its natural deployment form: the stream feeds the
+    * monitor that stays valid at every peek.
+    */
+  private val streamMsprtQ = Q(
+    (s, d) => {
+      val ev = Tables.events(s, d).select(col("user_id"),
+        when(col("event_type") === "purchase", 1L).otherwise(0L)
+          .as("is_purchase"),
+        expr("ts_ns div 86400000000000L").as("day"))
+      val perUser = graft.streaming.StreamingOps
+        .accrualStream(s, ev, "user_id", "is_purchase", "day")
+        .select(col("user_id"),
+          when(col("n_success") >= 15, 1L).otherwise(0L).as("converted"),
+          col("first_look").as("day"))
+      val armed = graft.operators.SampleOps.hashSplit(perUser, "user_id",
+        Seq(0.5, 0.5), Seq("a", "b"))
+      DiagnosticsOps.msprtTest(armed, "split", "a", "b",
+          "converted", "day")
+        .select(col("look"), col("k"), col("n_a"), col("x_a"),
+          col("n_b"), col("x_b"),
+          qround(col("lambda"), 8).as("lambda"),
+          qround(col("p_always_valid"), 8).as("p_always_valid"),
+          col("rejected"))
+    },
+    msprtTestQ.sql)
+
   /** Gumbel method-of-moments fit of per-day maxima of each event
     * type's hourly counts (SequenceOps.gumbelFit): β = s√6/π,
     * μ = m − γβ, and the P99-day burst forecast.
@@ -1899,5 +1930,6 @@ object QueriesDiagnostics {
     "capture_recapture" -> captureRecaptureQ,
     "sequential_test" -> sequentialTestQ,
     "msprt_test" -> msprtTestQ,
+    "stream_msprt" -> streamMsprtQ,
     "gumbel_fit" -> gumbelFitQ)
 }

@@ -876,6 +876,49 @@ object StreamingOps {
       .toDF(keyCol, "n_success")
   }
 
+  /** Streaming per-key accrual state for the sequential A/B monitors
+    * (sequential_test / msprt_test): lifetime success count AND
+    * first-seen look per key, both merged commutatively (sum, min) —
+    * late events can still flip a unit's conversion or pull its
+    * enrollment look earlier, and the state absorbs either in any
+    * micro-batch order. Each batch a key saw data emits its updated
+    * (count, first look) snapshot; arm assignment and the monitor
+    * math are stateless downstream compositions, so the continuously-
+    * monitored mSPRT table after any slicing is bit-equal to the
+    * batch computation over the same events — always-valid inference
+    * in its NATURAL deployment form (the monitor that is valid at
+    * every peek, fed by the stream it peeks at).
+    */
+  def accrualStream(spark: SparkSession, df: DataFrame, keyCol: String,
+                    flagCol: String, lookCol: String): DataFrame = {
+    import spark.implicits._
+    import org.apache.spark.sql.types.{ByteType, IntegerType, LongType, ShortType}
+    val integral = Set[org.apache.spark.sql.types.DataType](
+      ByteType, ShortType, IntegerType, LongType)
+    for (c <- Seq(keyCol, flagCol, lookCol))
+      require(integral.contains(df.schema(c).dataType),
+        s"accrualStream needs an integral $c, " +
+          s"got ${df.schema(c).dataType.sql}")
+    val typed = df.select(col(keyCol).cast("long").as("_k"),
+        col(flagCol).cast("long").as("_f"),
+        col(lookCol).cast("long").as("_l"))
+      .as[(Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long), (Long, Long, Long)](
+        OutputMode.Append, GroupStateTimeout.NoTimeout) {
+        case (key, rows, state) =>
+          var (n, lo) = state.getOption.getOrElse((0L, Long.MaxValue))
+          var any = false
+          for (r <- rows) { any = true; n += r._2; lo = math.min(lo, r._3) }
+          if (!any) Iterator.empty
+          else {
+            state.update((n, lo))
+            Iterator((key, n, lo))
+          }
+      }
+      .toDF(keyCol, "n_success", "first_look")
+  }
+
   /** Streaming HyperLogLog distinct estimate per key — the streaming
     * twin of [[graft.operators.SketchOps.hllDistinct]]: state is the
     * m-byte register-max array, and register max is commutative AND

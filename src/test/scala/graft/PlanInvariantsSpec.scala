@@ -394,7 +394,7 @@ class PlanInvariantsSpec extends SparkSpec {
       // enrollment days, bounded by the observation span; the shared
       // DiagnosticsOps.lookCensus aggregates the fact to per-look arm
       // censuses FIRST)
-      "sequential_test", "msprt_test")
+      "sequential_test", "msprt_test", "stream_msprt")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {

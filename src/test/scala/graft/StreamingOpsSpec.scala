@@ -158,6 +158,38 @@ class StreamingOpsSpec extends SparkSpec {
     assert(want.exceptAll(st2.snapshot).count() === 0)
   }
 
+  test("accrualStream: late events flip conversion and pull the look" +
+      " earlier; final state batch-equal under any slicing") {
+    implicit val sqlCtx = spark.sqlContext
+    val input = MemoryStream[(Long, Long, Long)]
+    val df = input.toDF().toDF("u", "f", "d")
+    val st = StreamingOps.accrualStream(spark, df, "u", "f", "d")
+    val q = st.writeStream.format("memory").queryName("accrual")
+      .outputMode("append").start()
+    input.addData((1L, 1L, 5L), (1L, 0L, 7L), (2L, 1L, 3L))
+    q.processAllAvailable()
+    // late batch: user 1 gains a success AND an earlier look
+    input.addData((1L, 1L, 2L))
+    q.processAllAvailable()
+    q.stop()
+    val last = spark.table("accrual")
+      .groupBy("u").agg(max(struct(col("n_success"),
+        col("first_look"))).as("s"))
+      .select(col("u"), col("s.n_success"), col("s.first_look"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(last(1L) === ((2L, 2L)))
+    assert(last(2L) === ((1L, 3L)))
+    // batch-frame run over the same rows yields identical state
+    import spark.implicits._
+    val batch = StreamingOps.accrualStream(spark,
+      Seq((1L, 1L, 5L), (1L, 0L, 7L), (2L, 1L, 3L), (1L, 1L, 2L))
+        .toDF("u", "f", "d"), "u", "f", "d")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(batch === last)
+  }
+
   test("streamingBandCollisions remembers band buckets across micro-batches") {
     implicit val sqlCtx = spark.sqlContext
     val input = MemoryStream[(Long, String)]
