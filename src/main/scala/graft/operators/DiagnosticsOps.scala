@@ -1280,13 +1280,19 @@ object DiagnosticsOps {
                   armB: Any, xCol: String, yCol: String): DataFrame = {
     val x = col(xCol).cast("long")
     val y = col(yCol).cast("long")
+    // second-moment sums accumulate in decimal(38,0), NOT BIGINT: at
+    // ~10^10 units a per-unit product of ~10^9 clears 2^63 (the
+    // wasserstein_drift overflow class) — widen BEFORE the product so
+    // the product itself cannot overflow either
+    val xD = x.cast("decimal(19,0)")
+    val yD = y.cast("decimal(19,0)")
     val isA = col(armCol) === lit(armA)
     val isB = col(armCol) === lit(armB)
     val agg = perUnit.where(isA || isB).agg(
       count(lit(1)).as("n"),
       sum(x).as("sx"), sum(y).as("sy"),
-      sum(x * y).as("sxy"), sum(x * x).as("sxx"),
-      sum(y * y).as("syy"),
+      sum(xD * yD).as("sxy"), sum(xD * xD).as("sxx"),
+      sum(yD * yD).as("syy"),
       sum(when(isA, 1L).otherwise(0L)).as("n_a"),
       sum(when(isA, x).otherwise(0L)).as("sxa"),
       sum(when(isA, y).otherwise(0L)).as("sya"),
