@@ -1443,9 +1443,12 @@ object QueriesCuration {
        |  FROM v)
        |SELECT n_a, n_b,
        |  floor(theta * 100000000.0 + 0.5) / 100000000.0 AS theta,
-       |  floor(draw * 100000000.0 + 0.5) / 100000000.0 AS diff_raw,
-       |  floor((draw - theta * dx) * 100000000.0 + 0.5) / 100000000.0
-       |    AS diff_cuped,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN floor(draw * 100000000.0 + 0.5) / 100000000.0 END
+       |    AS diff_raw,
+       |  CASE WHEN n_a > 0 AND n_b > 0
+       |    THEN floor((draw - theta * dx) * 100000000.0 + 0.5)
+       |      / 100000000.0 END AS diff_cuped,
        |  floor(vred * 100000000.0 + 0.5) / 100000000.0
        |    AS var_reduction
        |FROM w""".stripMargin)

@@ -1304,6 +1304,9 @@ object DiagnosticsOps {
     val varX = nD * D("sxx") - D("sx") * D("sx")
     val varY = nD * D("syy") - D("sy") * D("sy")
     val theta = when(varX > 0, covXY / varX).otherwise(lit(0.0))
+    // an empty arm has no mean: guard the divisions (ANSI /0) and
+    // report null differences rather than a crash or an Inf
+    val bothArms = col("n_a") > 0 && col("n_b") > 0
     val diffRaw = D("sya") / D("n_a") - D("syb") / D("n_b")
     val diffCuped =
       diffRaw - theta * (D("sxa") / D("n_a") - D("sxb") / D("n_b"))
@@ -1311,8 +1314,8 @@ object DiagnosticsOps {
       covXY * covXY / (varX * varY)).otherwise(lit(0.0))
     agg.select(col("n_a"), col("n_b"),
       theta.as("theta"),
-      diffRaw.as("diff_raw"),
-      diffCuped.as("diff_cuped"),
+      when(bothArms, diffRaw).as("diff_raw"),
+      when(bothArms, diffCuped).as("diff_cuped"),
       varRed.as("var_reduction"))
   }
 }
