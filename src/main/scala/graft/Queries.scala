@@ -1307,6 +1307,41 @@ object Queries {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM merged GROUP BY 1""".stripMargin)
 
+  /** Streaming twin of merge_upsert (StreamingOps.mergeUpsertStream):
+    * the foreachBatch COW loop applied to the SAME target and change
+    * set as merge_upsert, the changes split into two KEY-DISJOINT
+    * micro-batches (hash of the change's final key) — sequential
+    * applies of key-disjoint batches compose to the one-shot MERGE
+    * (each batch's anti-join only ever removes its own keys), so the
+    * oracle is shared with the batch operator.
+    */
+  private val streamMergeUpsertQ = Q(
+    (s, d) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_quantity")
+      val t = li(s, d).select(cols.map(col): _*)
+      val changes = li(s, d).where(col("l_orderkey") % 10 <= 2)
+        .select(
+          when(col("l_orderkey") % 10 === 2,
+            col("l_orderkey") + 3000000L).otherwise(col("l_orderkey"))
+            .as("l_orderkey"),
+          col("l_linenumber"), col("l_returnflag"),
+          when(col("l_orderkey") % 10 === 0, col("l_quantity") + 100)
+            .otherwise(col("l_quantity")).as("l_quantity"),
+          (col("l_orderkey") % 10 === 1).as("_del"))
+      val st = streaming.StreamingOps.mergeUpsertStream(t,
+        Seq("l_orderkey", "l_linenumber"), deleteCol = Some("_del"))
+      st(changes.where(pmod(hash(col("l_orderkey")), lit(2)) === 0))
+      st(changes.where(pmod(hash(col("l_orderkey")), lit(2)) === 1))
+      st.snapshot
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          min(col("l_orderkey")).as("min_okey"),
+          max(col("l_orderkey")).as("max_okey"))
+    },
+    mergeUpsertQ.sql)
+
   /** Lakehouse composition end to end: the COW MERGE (same change set
     * as merge_upsert) materializes a physical store, a merge-on-read
     * DV delete lands on THAT store without rewriting it, and the
@@ -3099,6 +3134,7 @@ object Queries {
     "zorder_layout" -> zorderLayoutQ,
     "hilbert_layout" -> hilbertLayoutQ,
     "merge_upsert" -> mergeUpsertQ,
+    "stream_merge_upsert" -> streamMergeUpsertQ,
     "scd2_apply" -> scd2ApplyQ,
     "delete_vectors" -> deleteVectorsQ,
     "time_travel" -> timeTravelQ,

@@ -58,6 +58,13 @@ object PackOps {
     * cell sizes are bounded by sizing k to the corpus, exactly like
     * the IVF lists it reuses. Output adds (list_id, centroid_dist,
     * start_tok, pack_id).
+    *
+    * CONTRACT: `docs.idCol` and `emb.embIdCol` must align 1:1 — the
+    * doc<->embedding join is INNER, so a document without an embedding
+    * row is dropped from the packing (and an embedding without a
+    * document contributes nothing). Run the id-alignment audit
+    * (ValidateOps / fk_orphans) upstream if the two tables come from
+    * independent pipelines; packing is a layout op, not a reconciler.
     */
   def similarityPack(docs: DataFrame, idCol: String, tokenCol: String,
                      emb: DataFrame, embIdCol: String, vecCol: String,

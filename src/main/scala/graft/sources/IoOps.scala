@@ -404,16 +404,22 @@ object IoOps {
     */
   def readAsOf(spark: SparkSession, basePath: String, dvRoot: String,
                version: Int): DataFrame = {
-    // a DV store with no committed files = no deletes yet (an empty
-    // change batch under partitionBy writes nothing, and a fresh
-    // table has no history) — serve the plain scan instead of
-    // tripping schema inference on the empty directory
-    def dvHasFiles: Boolean = {
-      val p = new org.apache.hadoop.fs.Path(dvRoot)
-      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      fs.exists(p) && fs.listStatus(p).exists(s =>
+    // a DV store directory with no committed files = no deletes yet
+    // (an empty change batch under partitionBy writes nothing) — serve
+    // the plain scan instead of tripping schema inference on the empty
+    // directory. A dvRoot that does not EXIST at all is different: for
+    // version > 0 the caller asked for deletes that can't be found
+    // (mistyped path), and serving the plain scan would silently
+    // resurrect them — fail loudly instead.
+    val dvPath = new org.apache.hadoop.fs.Path(dvRoot)
+    val dvFs = dvPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dvHasFiles: Boolean =
+      dvFs.listStatus(dvPath).exists(s =>
         s.isDirectory || s.getPath.getName.endsWith(".parquet"))
-    }
+    require(version <= 0 || dvFs.exists(dvPath),
+      s"readAsOf(version=$version) needs the DV store at $dvRoot, but " +
+        "the path does not exist — a mistyped dvRoot would silently " +
+        "serve the table with all deletes resurrected")
     // version 0 never touches lineage: a plain scan, no _metadata
     // struct materialized per row
     if (version <= 0 || !dvHasFiles) spark.read.parquet(basePath)
@@ -472,6 +478,35 @@ object IoOps {
           .as("pos"))
       .groupBy("_file")
       .agg(sort_array(collect_set(col("pos"))).as("bloom"))
+      // the index records the parameters it was built with — probing
+      // with mismatched (bits, hashes) computes DIFFERENT positions and
+      // silently skips files that do contain the key (false negatives),
+      // so bloomProbeFiles validates these against its own arguments
+      .withColumn("bits", lit(bits))
+      .withColumn("hashes", lit(hashes))
+
+  /** Fail fast when an index built with one (bits, hashes) pair is
+    * probed with another — the mismatch would silently break the
+    * no-false-negative contract. Indexes from before the parameters
+    * were recorded (no bits/hashes columns) are trusted as before.
+    */
+  private def validateBloomParams(index: DataFrame, bits: Int,
+                                  hashes: Int): Unit = {
+    val cols = index.columns.toSet
+    if (cols.contains("bits") && cols.contains("hashes")) {
+      // one-row collect on the #files-bounded index — dimension-sized
+      val mismatch = index
+        .where(col("bits") =!= bits || col("hashes") =!= hashes)
+        .select("bits", "hashes").limit(1).collect()
+      require(mismatch.isEmpty, {
+        val r = mismatch.head
+        s"Bloom index was built with bits=${r.getInt(0)}, " +
+          s"hashes=${r.getInt(1)} but probed with bits=$bits, " +
+          s"hashes=$hashes — positions would not line up (silent " +
+          "false negatives)"
+      })
+    }
+  }
 
   /** Files that MAY contain any of the probe keys: a file qualifies
     * for key κ when all `hashes` positions of κ are occupied. The
@@ -480,7 +515,8 @@ object IoOps {
     */
   def bloomProbeFiles(index: DataFrame, keys: Seq[Long],
                       bits: Int = 65536, hashes: Int = 3): Seq[String] = {
-    require(keys.nonEmpty)
+    if (keys.isEmpty) return Nil // no keys -> no candidate files
+    validateBloomParams(index, bits, hashes)
     val anyKey = keys.map { key =>
       (0 until hashes)
         .map(i => array_contains(col("bloom"), bloomPosFn(key, i, bits)))

@@ -1212,6 +1212,44 @@ object StreamingOps {
                       tsCol: String): Scd2TableState =
     new Scd2TableState(current, keyCols, trackedCols, tsCol)
 
+  /** Incremental MERGE (upsert + delete) — the foreachBatch
+    * copy-on-write twin of IoOps.mergeUpsert, the COW sibling of
+    * [[Scd2TableState]] (which versions; MERGE replaces). The
+    * maintained table IS the state; each micro-batch runs the SAME
+    * anti-join + union batch operator against it, so batch/streaming
+    * semantic equality holds by construction. Per-batch
+    * `localCheckpoint` truncates the lineage — N micro-batches stay N
+    * small jobs (swap a Delta/Iceberg table or durable `checkpoint`
+    * in on a real cluster).
+    *
+    * Equality contract: ONE batch equals `mergeUpsert` bit-for-bit
+    * (shared code path — the `stream_merge_upsert` gate query shares
+    * `merge_upsert`'s oracle). N micro-batches equal one batch MERGE
+    * of the concatenated changes whenever the batches are KEY-DISJOINT
+    * (each key's change rows arrive within one batch); same-key
+    * changes split across batches apply sequentially — later batches
+    * replace earlier ones, the CDC ordering a streaming consumer
+    * expects (pinned in the MemoryStream spec).
+    */
+  final class MergeTableState(initial: DataFrame, keys: Seq[String],
+                              deleteCol: Option[String]) {
+    @volatile private var table: DataFrame = initial
+    /** Apply one micro-batch of change rows to the maintained table. */
+    def apply(changes: DataFrame): Unit = synchronized {
+      table = graft.sources.IoOps
+        .mergeUpsert(table, changes, keys, deleteCol)
+        .localCheckpoint(true)
+    }
+    /** foreachBatch adapter. */
+    def sink: (DataFrame, Long) => Unit = (df, _) => apply(df)
+    /** The table after every batch applied so far. */
+    def snapshot: DataFrame = table
+  }
+
+  def mergeUpsertStream(initial: DataFrame, keys: Seq[String],
+                        deleteCol: Option[String] = None): MergeTableState =
+    new MergeTableState(initial, keys, deleteCol)
+
   /** Incremental Bloom-index maintenance — the foreachBatch twin of
     * IoOps.bloomIndex for a store ingested file-by-file: each
     * micro-batch carries (key, file) rows for the files it appended,
@@ -1235,15 +1273,20 @@ object StreamingOps {
             col(keyCol).cast("long"), bits, hashes)).as("pos"))
         .groupBy("_file")
         .agg(sort_array(collect_set(col("pos"))).as("_b2"))
+      // carry the build parameters like IoOps.bloomIndex does, so the
+      // probe-time (bits, hashes) validation covers streamed indexes too
       index =
         if (index == null)
-          delta.withColumnRenamed("_b2", "bloom").localCheckpoint(true)
+          delta.withColumnRenamed("_b2", "bloom")
+            .withColumn("bits", lit(bits)).withColumn("hashes", lit(hashes))
+            .localCheckpoint(true)
         else {
           val empty = array().cast("array<bigint>")
           index.join(delta, Seq("_file"), "full_outer")
             .select(col("_file"),
               sort_array(array_union(coalesce(col("bloom"), empty),
                 coalesce(col("_b2"), empty))).as("bloom"))
+            .withColumn("bits", lit(bits)).withColumn("hashes", lit(hashes))
             .localCheckpoint(true)
         }
     }

@@ -189,6 +189,16 @@ class IoOpsSpec extends SparkSpec {
     // re-filter drops the rows)
     assert(IoOps.bloomSkipRead(spark, dir, idx, "id",
       Seq(100000L), 4096, 3).count() === 0)
+    // an empty key list short-circuits to an empty frame, not an error
+    assert(IoOps.bloomSkipRead(spark, dir, idx, "id",
+      Nil, 4096, 3).count() === 0)
+    // probing with mismatched (bits, hashes) would compute different
+    // positions -> silent false negatives; the recorded build params
+    // make it fail loudly instead
+    intercept[IllegalArgumentException](
+      IoOps.bloomProbeFiles(idx, Seq(17L), bits = 8192, hashes = 3))
+    intercept[IllegalArgumentException](
+      IoOps.bloomProbeFiles(idx, Seq(17L), bits = 4096, hashes = 2))
   }
 
   test("time travel: versioned DV commits read AS OF, idempotent overlaps, purge compacts") {
@@ -215,5 +225,12 @@ class IoOpsSpec extends SparkSpec {
     val purged = spark.read.parquet(out)
     assert(purged.count() === 80)
     assert(purged.where($"m" <= 1).count() === 0)
+    // a mistyped dvRoot must fail loudly for version > 0 (serving the
+    // plain scan would silently resurrect the deletes)...
+    intercept[IllegalArgumentException](
+      IoOps.readAsOf(spark, base, root + "/no_such_dv", 1))
+    // ...while version 0 never needs the DV store at all
+    assert(IoOps.readAsOf(spark, base, root + "/no_such_dv", 0)
+      .count() === 100)
   }
 }

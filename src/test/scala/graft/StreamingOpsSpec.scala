@@ -122,6 +122,51 @@ class StreamingOpsSpec extends SparkSpec {
       rowsOf(oneShot2.where(col("is_current"))))
   }
 
+  test("mergeUpsertStream: key-disjoint micro-batches equal one-shot" +
+      " MERGE; same-key changes across batches apply sequentially") {
+    implicit val sqlCtx = spark.sqlContext
+    val target = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L))
+      .toDF("k", "tag", "v")
+    def rowsOf(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r =>
+        (r.getLong(0), r.getString(1), r.getLong(2))).sorted.toSeq
+
+    // --- key-disjoint batches through a real MemoryStream
+    val st = StreamingOps.mergeUpsertStream(target, Seq("k"),
+      deleteCol = Some("_del"))
+    val input = MemoryStream[(Long, String, Long, Boolean)]
+    val q = input.toDF().toDF("k", "tag", "v", "_del")
+      .writeStream.foreachBatch(st.sink).start()
+    input.addData((1L, "a2", 11L, false), (4L, "d", 40L, false))
+    q.processAllAvailable()
+    input.addData((2L, "b", 20L, true)) // delete k=2
+    q.processAllAvailable()
+    q.stop()
+    val oneShot = graft.sources.IoOps.mergeUpsert(target,
+      Seq((1L, "a2", 11L, false), (4L, "d", 40L, false),
+        (2L, "b", 20L, true)).toDF("k", "tag", "v", "_del"),
+      Seq("k"), deleteCol = Some("_del"))
+    assert(rowsOf(st.snapshot) === rowsOf(oneShot))
+    assert(rowsOf(st.snapshot) ===
+      Seq((1L, "a2", 11L), (3L, "c", 30L), (4L, "d", 40L)))
+
+    // --- same key across batches: later batch replaces the earlier
+    // (CDC ordering); a delete then an insert resurrects the key
+    val st2 = StreamingOps.mergeUpsertStream(target, Seq("k"),
+      deleteCol = Some("_del"))
+    st2(Seq((1L, "x", 100L, false)).toDF("k", "tag", "v", "_del"))
+    st2(Seq((1L, "y", 200L, false)).toDF("k", "tag", "v", "_del"))
+    assert(rowsOf(st2.snapshot).filter(_._1 == 1L) ===
+      Seq((1L, "y", 200L)))
+    val st3 = StreamingOps.mergeUpsertStream(target, Seq("k"),
+      deleteCol = Some("_del"))
+    st3(Seq((3L, "c", 30L, true)).toDF("k", "tag", "v", "_del"))
+    assert(rowsOf(st3.snapshot).count(_._1 == 3L) === 0)
+    st3(Seq((3L, "c3", 33L, false)).toDF("k", "tag", "v", "_del"))
+    assert(rowsOf(st3.snapshot).filter(_._1 == 3L) ===
+      Seq((3L, "c3", 33L)))
+  }
+
   test("bloomIndexStream: union of micro-batches equals the one-scan" +
       " index for any order; re-ingest is idempotent") {
     implicit val sqlCtx = spark.sqlContext
