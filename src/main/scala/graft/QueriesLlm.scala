@@ -1073,6 +1073,40 @@ object QueriesLlm {
     * (assign -> per-dim mean -> qround -> dead-cluster coalesce), the
     * final corpus assignment, probes, and ranked cosines.
     */
+  /** One Lloyd-iteration CTE chain (assign -> per-dim mean -> qround
+    * -> dead-cluster coalesce) — shared by every oracle that replays
+    * the trained coarse quantizer (`ann_ivf_trained`, the trained
+    * `ann_ivfpq`, `ann_index_persist`).
+    */
+  private def lloydIterSql(prev: String, n: Int): String =
+    s"""a$n AS (
+       |  SELECT vec_id, cid FROM (
+       |    SELECT e.vec_id, $prev.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", s"$prev.cv")}, $prev.cid) AS rn_
+       |    FROM e CROSS JOIN $prev) WHERE rn_ = 1),
+       |x$n AS (
+       |  SELECT a$n.cid, g.i AS dim, e.v[g.i] AS x
+       |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id
+       |  CROSS JOIN generate_series(1, 64) g(i)),
+       |s$n AS (
+       |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
+       |  FROM x$n GROUP BY 1, 2),
+       |l$n AS (
+       |  SELECT cid, array_agg(c ORDER BY dim) AS cv FROM s$n GROUP BY 1),
+       |c$n AS (
+       |  SELECT p.cid, coalesce(l$n.cv, p.cv) AS cv
+       |  FROM $prev p LEFT JOIN l$n ON p.cid = l$n.cid)"""
+
+  /** The trained-quantizer CTE chain c0 -> c2 (seed = dense id prefix
+    * of 8, two Lloyd iterations) — requires an `e(vec_id, v)` CTE in
+    * scope; the final centroid table is `c2`.
+    */
+  private val trainedC2Sql: String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
+       |${lloydIterSql("c0", 1)},
+       |${lloydIterSql("c1", 2)}""".stripMargin
+
   private val annIvfTrainedQ = Q(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
@@ -1084,29 +1118,8 @@ object QueriesLlm {
           qround(col("cosine"), 8).as("cosine"), col("rank"))
     },
     {
-      def iter(prev: String, n: Int): String =
-        s"""a$n AS (
-           |  SELECT vec_id, cid FROM (
-           |    SELECT e.vec_id, $prev.cid,
-           |      row_number() OVER (PARTITION BY e.vec_id
-           |        ORDER BY ${sqDistSql("e.v", s"$prev.cv")}, $prev.cid) AS rn_
-           |    FROM e CROSS JOIN $prev) WHERE rn_ = 1),
-           |x$n AS (
-           |  SELECT a$n.cid, g.i AS dim, e.v[g.i] AS x
-           |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id
-           |  CROSS JOIN generate_series(1, 64) g(i)),
-           |s$n AS (
-           |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
-           |  FROM x$n GROUP BY 1, 2),
-           |l$n AS (
-           |  SELECT cid, array_agg(c ORDER BY dim) AS cv FROM s$n GROUP BY 1),
-           |c$n AS (
-           |  SELECT p.cid, coalesce(l$n.cv, p.cv) AS cv
-           |  FROM $prev p LEFT JOIN l$n ON p.cid = l$n.cid)"""
       s"""WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
-         |c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-         |${iter("c0", 1)},
-         |${iter("c1", 2)},
+         |$trainedC2Sql,
          |af AS (
          |  SELECT vec_id, cid AS list_id FROM (
          |    SELECT e.vec_id, c2.cid,
@@ -1703,7 +1716,11 @@ object QueriesLlm {
     * via at most ONE list (each vector has one list_id), so grouping
     * by (query, neighbor, list) is collision-free.
     */
-  private val annIvfpqQ = Q(
+  /** The SEEDED IVFPQ fallback (id-prefix coarse quantizer) — fully
+    * deterministic with zero training cost; `ann_ivfpq` proper now
+    * composes on the TRAINED quantizer below.
+    */
+  private val annIvfpqSeededQ = Q(
     (s, d) => {
       val emb = Tables.embeddings(s, d)
       val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
@@ -1747,6 +1764,89 @@ object QueriesLlm {
        |  FROM adc0)
        |SELECT query_id, neighbor_id, list_id, adc, rank
        |FROM ranked WHERE rank <= 5""".stripMargin)
+
+  /** The probe/assign/ADC CTE tail shared by the trained IVFPQ oracle
+    * and the persisted-index oracle: requires `e`, `cb`, `enc` (from
+    * pqCbSql) and the trained centroid table `c2` in scope.
+    */
+  private val ivfpqTrainedTailSql: String =
+    s"""assign AS (
+       |  SELECT vec_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c2.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+       |    FROM e CROSS JOIN c2) WHERE rn_ = 1),
+       |probes AS (
+       |  SELECT vec_id AS query_id, cid AS list_id FROM (
+       |    SELECT e.vec_id, c2.cid,
+       |      row_number() OVER (PARTITION BY e.vec_id
+       |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+       |    FROM e CROSS JOIN c2 WHERE e.vec_id < 10) WHERE rn_ <= 3),
+       |dt AS (
+       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+       |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")} AS dd
+       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |adc0 AS (
+       |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id,
+       |    sum(dt.dd) AS adc_
+       |  FROM probes p
+       |  JOIN assign a ON a.list_id = p.list_id
+       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN dt ON dt.query_id = p.query_id
+       |    AND dt.m = enc.subspace AND dt.code = enc.code
+       |  WHERE p.query_id <> a.vec_id
+       |  GROUP BY 1, 2, 3),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, list_id, ${qrSql("adc_", 6)} AS adc,
+       |    row_number() OVER (PARTITION BY query_id
+       |      ORDER BY ${qrSql("adc_", 6)}, neighbor_id) AS rank
+       |  FROM adc0)
+       |SELECT query_id, neighbor_id, list_id, adc, rank
+       |FROM ranked WHERE rank <= 5""".stripMargin
+
+  /** IVFPQ on the TRAINED coarse quantizer (the honest k-means via two
+    * distributed Lloyd iterations — same training chain as
+    * `ann_ivf_trained`), composed with the seeded PQ codebooks: the
+    * default IVFPQ a 100 TB pipeline would actually deploy. The
+    * oracle replays training (c0->c2), assignment, probing, and ADC
+    * pricing over the same discrete structures.
+    */
+  private val annIvfpqQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16)
+      val trained = SimilarityOps.trainIvf(emb, "vec_id", "embedding",
+        k = 8, iters = 2)
+      SimilarityOps.ivfPqTopKWith(emb.where(col("vec_id") < 10), emb,
+        "vec_id", "vec_id", "embedding", k = 5, trained, cb, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |$trainedC2Sql,
+       |$ivfpqTrainedTailSql""".stripMargin)
+
+  /** Persisted ANN index lifecycle (SimilarityOps.indexWrite /
+    * indexSearch): train once — trained-Lloyd coarse quantizer + PQ
+    * codebooks — store centroids/codebooks/coded-vectors as parquet
+    * with the code table PARTITIONED BY list_id, then serve the query
+    * batch from the STORED index, the probe realized as partition
+    * pruning. Results are row-identical to the in-memory trained
+    * IVFPQ, so the oracle is shared with `ann_ivfpq` — a hash match
+    * proves the whole write -> reload -> probe-pruned-scan chain is
+    * lossless.
+    */
+  private val annIndexPersistQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidx_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |$trainedC2Sql,
+       |$ivfpqTrainedTailSql""".stripMargin)
 
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
@@ -5126,6 +5226,8 @@ object QueriesLlm {
     "pq_encode" -> pqEncodeQ,
     "pq_search" -> pqSearchQ,
     "ann_ivfpq" -> annIvfpqQ,
+    "ann_ivfpq_seeded" -> annIvfpqSeededQ,
+    "ann_index_persist" -> annIndexPersistQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,

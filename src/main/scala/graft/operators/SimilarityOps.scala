@@ -431,27 +431,55 @@ object SimilarityOps {
                 codebooks: Array[Array[Array[Double]]],
                 nCentroids: Int = 16, nProbe: Int = 4,
                 qdec: Int = 6): DataFrame = {
-    val scale = math.pow(10, qdec)
-    val ksub = codebooks(0).length
     val cents: Array[(Long, Array[Double])] = corpus
       .where(col(cId) < nCentroids)
       .select(col(cId).cast("long"), toDouble(col(vecCol)))
       .collect()
       .map(r => (r.getLong(0), r.getSeq[Double](1).toArray))
       .sortBy(_._1)
+    ivfPqTopKWith(queries, corpus, qId, cId, vecCol, k, cents.toSeq,
+      codebooks, nProbe, qdec)
+  }
+
+  /** IVFPQ search against an EXPLICIT coarse quantizer (e.g. trained
+    * by [[trainIvf]]) — the honest k-means composition of the IVFPQ
+    * shape (the seeded [[ivfPqTopK]] delegates here). Same plan: ONE
+    * corpus scan computes (list_id, codes), the probe equi-join on
+    * list_id is the only shuffle, queries broadcast with their
+    * m x ksub ADC tables.
+    */
+  def ivfPqTopKWith(queries: DataFrame, corpus: DataFrame, qId: String,
+                    cId: String, vecCol: String, k: Int,
+                    cents: Seq[(Long, Array[Double])],
+                    codebooks: Array[Array[Array[Double]]],
+                    nProbe: Int, qdec: Int = 6): DataFrame = {
     // one corpus pass: coarse list + PQ codes, both native codegen
     // kernels riding the same scan projection
     val c = spread(corpus)
       .select(col(cId).as("neighbor_id"), toDouble(col(vecCol)).as("cv"))
       .select(col("neighbor_id"),
-        graft.functions.NearestCentroidId(col("cv"), cents.toSeq).as("list_id"),
+        graft.functions.NearestCentroidId(col("cv"), cents).as("list_id"),
         graft.functions.PqCodes(col("cv"), codebooks).as("codes"))
+    ivfPqScore(queries, c, qId, vecCol, k, cents, codebooks, nProbe, qdec)
+  }
+
+  /** The probe-join + ADC scoring tail shared by the in-memory IVFPQ
+    * searches and [[indexSearch]]: `coded` must carry
+    * (neighbor_id, list_id, codes).
+    */
+  private def ivfPqScore(queries: DataFrame, coded: DataFrame, qId: String,
+                         vecCol: String, k: Int,
+                         cents: Seq[(Long, Array[Double])],
+                         codebooks: Array[Array[Array[Double]]],
+                         nProbe: Int, qdec: Int): DataFrame = {
+    val scale = math.pow(10, qdec)
+    val ksub = codebooks(0).length
     val q = queries.select(col(qId).as("query_id"), toDouble(col(vecCol)).as("qv"))
       .withColumn("list_id",
-        explode(graft.functions.ProbeListIds(col("qv"), cents.toSeq, nProbe)))
+        explode(graft.functions.ProbeListIds(col("qv"), cents, nProbe)))
       .select(col("query_id"), col("list_id"),
         graft.functions.PqDistTable(col("qv"), codebooks).as("tab"))
-    val scored = c.join(broadcast(q), Seq("list_id"))
+    val scored = coded.join(broadcast(q), Seq("list_id"))
       .where(col("query_id") =!= col("neighbor_id"))
       .withColumn("adc",
         graft.functions.AdcFromTable(col("tab"), col("codes"), ksub, scale))
@@ -460,6 +488,140 @@ object SimilarityOps {
     scored.withColumn("rank", row_number().over(w))
       .where(col("rank") <= k)
       .select("query_id", "neighbor_id", "list_id", "adc", "rank")
+  }
+
+  // ------------------------------------------------------------------
+  // Persisted ANN index lifecycle: train once, store, serve many.
+  // ------------------------------------------------------------------
+
+  /** Build and PERSIST an IVF+PQ index under `root` — the difference
+    * between "has ANN operators" and "is an ANN system" at 100 TB: a
+    * real pipeline trains the quantizers once, stores the index, and
+    * serves many query batches from it instead of re-running Lloyd per
+    * query. Layout (all parquet):
+    *
+    *   root/centroids  (cid, dim, value)            — K x d rows,
+    *     the trained-Lloyd coarse quantizer ([[trainIvf]], quantized
+    *     to qdec decimals so reload is value-identical by construction)
+    *   root/codebooks  (subspace, code, dim, value) — m x ksub x dsub
+    *     rows, the PQ codebooks ([[pqCodebooks]] seeding rule)
+    *   root/vectors    (vec_id, codes) PARTITIONED BY list_id — the
+    *     only corpus-sized table, m bytes of codes per row (32x
+    *     smaller than raw vectors), laid out so a probe's nProbe lists
+    *     are PARTITION PRUNING at the scan — search I/O rides probed-
+    *     list volume, never corpus size
+    *   root/meta       one row: the build parameters + corpus census
+    *     (n_vectors, id checksum) for the staleness check
+    *
+    * Doubles round-trip bit-exactly through parquet, so a search
+    * through the stored index is row-identical to the in-memory
+    * [[ivfPqTopKWith]] on the same trained structures (the
+    * `ann_index_persist` gate shares `ann_ivfpq`'s oracle).
+    */
+  def indexWrite(corpus: DataFrame, idCol: String, vecCol: String,
+                 root: String, k: Int, iters: Int,
+                 m: Int, dsub: Int, ksub: Int, qdec: Int = 8): Unit = {
+    val spark = corpus.sparkSession
+    import spark.implicits._
+    val cents = trainIvf(corpus, idCol, vecCol, k, iters, qdec)
+    val cb = pqCodebooks(corpus, idCol, vecCol, m, dsub, ksub)
+    cents.flatMap { case (cid, v) =>
+      v.iterator.zipWithIndex.map { case (x, dim) => (cid, dim, x) }
+    }.toDF("cid", "dim", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/centroids")
+    cb.zipWithIndex.flatMap { case (book, s) =>
+      book.zipWithIndex.flatMap { case (cv, code) =>
+        cv.zipWithIndex.map { case (x, dim) => (s, code, dim, x) }
+      }
+    }.toSeq.toDF("subspace", "code", "dim", "value").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/codebooks")
+    // ONE corpus scan: coarse list + PQ codes off the same projection;
+    // the list_id partitioning IS the inverted-list structure on disk
+    corpus
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
+      .select(col("vec_id"),
+        graft.functions.NearestCentroidId(col("_v"), cents).as("list_id"),
+        graft.functions.PqCodes(col("_v"), cb).as("codes"))
+      .write.mode("overwrite").partitionBy("list_id")
+      .parquet(s"$root/vectors")
+    corpus.agg(count(lit(1)).as("n_vectors"),
+        coalesce(sum(pmod(hash(col(idCol)).cast("long"), lit(1000000007L))),
+          lit(0L)).as("id_checksum"))
+      .select(lit(k).as("k"), lit(iters).as("iters"), lit(m).as("m"),
+        lit(dsub).as("dsub"), lit(ksub).as("ksub"), lit(qdec).as("qdec"),
+        col("n_vectors"), col("id_checksum"))
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Reload the trained coarse quantizer from a persisted index —
+    * K x d bounded collect, value-identical to the trained centroids
+    * (decimal-quantized doubles round-trip bit-exactly).
+    */
+  def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
+                         root: String): Seq[(Long, Array[Double])] =
+    spark.read.parquet(s"$root/centroids")
+      .select(col("cid").cast("long"), col("dim").cast("int"), col("value"))
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+      .groupBy(_._1).toSeq
+      .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toArray) }
+      .sortBy(_._1)
+
+  /** Reload the PQ codebooks — m x ksub x dsub bounded collect. */
+  def readIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
+                         root: String): Array[Array[Array[Double]]] = {
+    val rows = spark.read.parquet(s"$root/codebooks")
+      .select(col("subspace").cast("int"), col("code").cast("int"),
+        col("dim").cast("int"), col("value"))
+      .collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, book) =>
+      book.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cv) =>
+        cv.sortBy(_._3).map(_._4)
+      }.toArray
+    }.toArray
+  }
+
+  /** Has the corpus drifted since [[indexWrite]]? Compares the stored
+    * (n_vectors, order-free id checksum) census against the live
+    * corpus — one hash aggregate, the cheap gate a serving path runs
+    * before trusting a stored index. True = rebuild needed.
+    */
+  def indexIsStale(corpus: DataFrame, idCol: String, root: String): Boolean = {
+    val meta = corpus.sparkSession.read.parquet(s"$root/meta")
+      .select(col("n_vectors").cast("long"), col("id_checksum").cast("long"))
+      .head()
+    val live = corpus.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(pmod(hash(col(idCol)).cast("long"), lit(1000000007L))),
+          lit(0L)).cast("long").as("c"))
+      .head()
+    meta.getLong(0) != live.getLong(0) || meta.getLong(1) != live.getLong(1)
+  }
+
+  /** Serve a query batch from a PERSISTED index: reload the bounded
+    * quantizer tables, compute each query's nProbe lists, and scan
+    * ONLY the probed `list_id=` partitions of the stored code table —
+    * the IVF probe realized as parquet partition pruning, so search
+    * cost rides probed-list volume, not corpus size. The driver-side
+    * probe manifest is bounded by K (distinct centroid ids), never by
+    * |queries| or the corpus. Results are row-identical to
+    * [[ivfPqTopKWith]] over the same trained structures.
+    */
+  def indexSearch(queries: DataFrame, root: String, qId: String,
+                  vecCol: String, k: Int, nProbe: Int,
+                  qdec: Int = 6): DataFrame = {
+    val spark = queries.sparkSession
+    val cents = readIndexCentroids(spark, root)
+    val cb = readIndexCodebooks(spark, root)
+    val probed = queries
+      .select(explode(graft.functions.ProbeListIds(
+        toDouble(col(vecCol)), cents, nProbe)).as("list_id"))
+      .distinct().collect().map(_.getLong(0))
+    val coded = spark.read.parquet(s"$root/vectors")
+      .where(col("list_id").isin(probed: _*))
+      .select(col("vec_id").as("neighbor_id"),
+        col("list_id").cast("long").as("list_id"), col("codes"))
+    ivfPqScore(queries, coded, qId, vecCol, k, cents, cb, nProbe, qdec)
   }
 
   /** SemDeDup (cluster-restricted semantic dedup, after Abbas et al.

@@ -603,6 +603,85 @@ class LlmOpsSpec extends SparkSpec {
       .forall(_.getAs[Long]("neighbor_id") % 2 == 0))
   }
 
+  test("persisted index lifecycle: stored-index search row-identical to" +
+      " in-memory IVFPQ; staleness detected; only probed lists read") {
+    val root = java.nio.file.Files.createTempDirectory("graft_annidx")
+      .toString + "/idx"
+    // two tight clusters + mild per-vector drift, 64-dim like the gate
+    val vecs = (0 until 40).map { i =>
+      val base = if (i % 2 == 0) 0.0f else 10.0f
+      (i.toLong, Array.tabulate(64)(d => base + (i / 2) * 0.01f + d * 0.001f))
+    }.toDF("vec_id", "embedding")
+    SimilarityOps.indexWrite(vecs, "vec_id", "embedding", root,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    // queries from ONE cluster (even ids), so nProbe=1 probes one list
+    val queries = vecs.where(col("vec_id") < 4 && col("vec_id") % 2 === 0)
+    val stored = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 1)
+    // row-identical to the in-memory trained IVFPQ on the same structures
+    val cents = SimilarityOps.trainIvf(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val cb = SimilarityOps.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 8, dsub = 8, ksub = 4)
+    val mem = SimilarityOps.ivfPqTopKWith(queries, vecs,
+      "vec_id", "vec_id", "embedding", k = 3, cents, cb, nProbe = 1)
+    assert(stored.exceptAll(mem).count() === 0)
+    assert(mem.exceptAll(stored).count() === 0)
+    // reloaded quantizers are value-identical to the trained ones
+    assert(SimilarityOps.readIndexCentroids(spark, root)
+      .map { case (id, v) => (id, v.toSeq) } ===
+      cents.map { case (id, v) => (id, v.toSeq) })
+    assert(SimilarityOps.readIndexCodebooks(spark, root)
+      .map(_.map(_.toSeq).toSeq).toSeq === cb.map(_.map(_.toSeq).toSeq).toSeq)
+    // the probe is partition pruning: nProbe=1 on a clean 2-cluster
+    // corpus must scan exactly ONE list_id= partition of the code table
+    // sparkPlan, not executedPlan: AQE wraps the tree and hides leaves
+    val vecScans = stored.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("vectors")) => f
+    }
+    assert(vecScans.nonEmpty)
+    assert(vecScans.forall(_.selectedPartitions.partitionCount === 1))
+    // staleness: same corpus -> fresh; any row added/removed -> stale
+    assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root))
+    assert(SimilarityOps.indexIsStale(vecs.where(col("vec_id") < 39),
+      "vec_id", root))
+    // empty query batch serves an empty result, no probed partitions
+    assert(SimilarityOps.indexSearch(queries.limit(0), root,
+      "vec_id", "embedding", k = 3, nProbe = 1).count() === 0)
+  }
+
+  test("trained IVFPQ recall@5 >= seeded IVFPQ recall@5 (gate corpora)") {
+    // the promotion contract (round-16): on the driver eval slice the
+    // trained coarse quantizer must win or tie the id-prefix seed
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val q10 = emb.where(col("vec_id") < 10)
+    val exact = SimilarityOps.bruteForceTopK(q10, emb,
+        "vec_id", "vec_id", "embedding", k = 5)
+      .select(col("query_id"), col("neighbor_id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame): Double = {
+      val got = df.select(col("query_id").cast("long"),
+          col("neighbor_id").cast("long")).collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+      got.count(exact).toDouble / exact.size
+    }
+    val cb = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, dsub = 8, ksub = 16)
+    val trained = SimilarityOps.trainIvf(emb, "vec_id", "embedding",
+      k = 8, iters = 2)
+    val rTrained = recallOf(SimilarityOps.ivfPqTopKWith(q10, emb,
+      "vec_id", "vec_id", "embedding", k = 5, trained, cb, nProbe = 3))
+    val rSeeded = recallOf(SimilarityOps.ivfPqTopK(q10, emb,
+      "vec_id", "vec_id", "embedding", k = 5, cb,
+      nCentroids = 16, nProbe = 4))
+    info(s"recall@5 trained=$rTrained seeded=$rSeeded")
+    assert(rTrained >= rSeeded)
+  }
+
   test("imagePatchStats: exact int stats per 128-byte patch") {
     val d = Seq((0L, "ab" * 100)).toDF("doc_id", "text") // 200 bytes
     val media = MultimodalOps.packMedia(d, "doc_id", "text")
