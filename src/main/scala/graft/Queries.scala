@@ -1209,6 +1209,55 @@ object Queries {
     },
     bloomSkipQ.sql)
 
+  /** Unified snapshot manifest read (IoOps.commitManifest /
+    * manifestRead): the zone-map, Bloom-membership, and deletion-
+    * vector legs committed together as ONE `v=`-partitioned manifest,
+    * and the read planned from one manifest scan — range pruning on
+    * the range-laid-out l_orderkey zones, membership pruning through
+    * the per-file Bloom, exact re-filter, and the DVs the manifest
+    * points at applied. The oracle runs the equivalent predicates on
+    * the source table, so a hash match proves the whole
+    * commit -> plan -> pruned-scan -> MOR chain is lossless (40001 is
+    * never minted; the DV hides every l_quantity < 5 row).
+    */
+  private val manifestReadQ = Q(
+    (s, d) => {
+      val tag = scratchTag(s, d)
+      val path = s"/tmp/graft_man_$tag"
+      val dvRoot = s"/tmp/graft_man_dv_$tag"
+      val manRoot = s"/tmp/graft_man_m_$tag"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(path)
+      val lin = sources.IoOps.readWithLineage(s, path)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin, col("l_quantity") < 5),
+        dvRoot, version = 1)
+      sources.IoOps.commitManifest(s, path, manRoot, version = 1,
+        keyCol = "l_orderkey",
+        statsCols = Seq("l_orderkey", "l_quantity"), dvVersion = 1)
+      sources.IoOps.manifestRead(s, path, manRoot, version = 1,
+          dvRoot = Some(dvRoot), keyCol = "l_orderkey",
+          keys = Seq(1L, 7L, 68L, 4000L, 40001L),
+          ranges = Seq(("l_orderkey", 1.0, 5000.0)))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+    },
+    """SELECT l_orderkey, count(*) AS n,
+      |  floor(sum(l_quantity) * 10000.0 + 0.5) / 10000.0 AS sum_qty,
+      |  floor(sum(l_extendedprice) * 10000.0 + 0.5) / 10000.0
+      |    AS sum_price
+      |FROM lineitem
+      |WHERE l_orderkey IN (1, 7, 68, 4000, 40001)
+      |  AND l_orderkey BETWEEN 1 AND 5000
+      |  AND NOT (l_quantity < 5)
+      |GROUP BY 1""".stripMargin)
+
   /** Snapshot time travel over versioned deletion vectors
     * (IoOps.commitDeleteVector / readAsOf): two delete commits land as
     * v=1 and v=2 partitions of the DV store; reading AS OF versions
@@ -3139,6 +3188,7 @@ object Queries {
     "delete_vectors" -> deleteVectorsQ,
     "time_travel" -> timeTravelQ,
     "bloom_skip" -> bloomSkipQ,
+    "manifest_read" -> manifestReadQ,
     "stream_bloom_index" -> streamBloomIndexQ,
     "lakehouse_pipeline" -> lakehousePipelineQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,

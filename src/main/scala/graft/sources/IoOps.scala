@@ -658,4 +658,145 @@ object IoOps {
         try_divide((col("n_rows") - col("rows_skipped")).cast("double"),
           col("n_rows").cast("double")).as("scan_share"))
   }
+
+  // ------------------------------------------------------------------
+  // Unified snapshot manifest: the lakehouse legs (zone maps, Bloom
+  // membership, deletion-vector visibility) committed TOGETHER, so a
+  // reader plans all file pruning from ONE manifest read.
+  // ------------------------------------------------------------------
+
+  /** Commit snapshot `version` of the store's manifest under
+    * manifestRoot: one row per data file carrying
+    *   - n_rows + the zone map (min/max per statsCol, as maps),
+    *   - the Bloom occupancy of keyCol with its (bits, hashes),
+    *   - dv_v, the deletion-vector version this snapshot reads at.
+    * Same `v=` commit discipline as [[commitDeleteVector]] (dynamic
+    * partition overwrite -> idempotent re-commit, snapshot selection =
+    * partition pruning). The manifest is #files x O(bits) — dimension-
+    * sized at any table size, exactly like the indexes it unifies.
+    *
+    * Build cost: one stats pass + one Bloom pass over the table
+    * (the Bloom leg's explode cannot share the stats leg's aggregate
+    * without either miscounting rows or holding per-key array state);
+    * both legs are single hash aggregates a real table format folds
+    * into the write path. A file whose keyCol is entirely NULL gets an
+    * empty Bloom (membership probes always skip it — correct, since a
+    * NULL key never equals a probe key) but keeps its zone map.
+    */
+  def commitManifest(spark: SparkSession, basePath: String,
+                     manifestRoot: String, version: Int, keyCol: String,
+                     statsCols: Seq[String], dvVersion: Int = 0,
+                     bits: Int = 65536, hashes: Int = 3,
+                     repartitionTo: Option[Int] = Some(1)): Unit = {
+    require(statsCols.nonEmpty, "commitManifest needs at least one statsCol")
+    val df = spark.read.parquet(basePath)
+    val aggs = count(lit(1)).as("n_rows") +:
+      statsCols.flatMap(c => Seq(
+        min(col(c)).cast("double").as(s"_mn_$c"),
+        max(col(c)).cast("double").as(s"_mx_$c")))
+    val stats = df
+      .select((col("_metadata.file_path").as("_file") +:
+        statsCols.map(col)): _*)
+      .groupBy("_file").agg(aggs.head, aggs.tail: _*)
+      .select(col("_file"), col("n_rows"),
+        map(statsCols.flatMap(c =>
+          Seq(lit(c), col(s"_mn_$c"))): _*).as("zmin"),
+        map(statsCols.flatMap(c =>
+          Seq(lit(c), col(s"_mx_$c"))): _*).as("zmax"))
+    val manifest = stats
+      .join(bloomIndex(spark, basePath, keyCol, bits, hashes),
+        Seq("_file"), "left")
+      .select(col("_file"), col("n_rows"), col("zmin"), col("zmax"),
+        coalesce(col("bloom"), array().cast("array<bigint>")).as("bloom"),
+        coalesce(col("bits"), lit(bits)).as("bits"),
+        coalesce(col("hashes"), lit(hashes)).as("hashes"),
+        lit(dvVersion).as("dv_v"))
+      .withColumn("v", lit(version))
+    repartitionTo.map(manifest.repartition(_)).getOrElse(manifest)
+      .write.mode("overwrite")
+      .option("partitionOverwriteMode", "dynamic")
+      .option("compression", "zstd")
+      .partitionBy("v").parquet(manifestRoot)
+  }
+
+  /** The manifest of snapshot `version` — one pruned `v=` scan. */
+  def readManifest(spark: SparkSession, manifestRoot: String,
+                   version: Int): DataFrame =
+    spark.read.parquet(manifestRoot).where(col("v") === version)
+
+  /** Files of a manifest snapshot that MAY satisfy the predicate: a
+    * file survives when (ANY probe key is all-positions-occupied in
+    * its Bloom — or no keys given) AND (every range [lo, hi] overlaps
+    * its [min, max] zone — or no ranges given). Bloom positions are
+    * computed from each row's RECORDED (bits, hashes), so a probe can
+    * never silently mismatch the build parameters. The collect is
+    * manifest-sized (#files rows) — the same driver-side planning
+    * every lakehouse reader does.
+    */
+  def manifestCandidateFiles(manifest: DataFrame, keys: Seq[Long],
+      ranges: Seq[(String, Double, Double)]): Seq[String] = {
+    val rows = manifest
+      .select(col("_file"), col("bloom"), col("bits"), col("hashes"),
+        col("zmin"), col("zmax"))
+      .collect()
+    rows.filter { r =>
+      val bloom = r.getSeq[Long](1).toSet
+      val bits = r.getInt(2); val hashes = r.getInt(3)
+      // boxed doubles: an all-NULL statsCol lands as a null map value,
+      // which (like a missing column) must never prune — the exact
+      // re-filter decides
+      val zmin = r.getMap[String, java.lang.Double](4)
+      val zmax = r.getMap[String, java.lang.Double](5)
+      val keyMay = keys.isEmpty || keys.exists(key =>
+        (0 until hashes).forall(i => bloom(bloomPosFn(key, i, bits))))
+      val rangeMay = ranges.forall { case (c, lo, hi) =>
+        (zmin.get(c).flatMap(Option(_)), zmax.get(c).flatMap(Option(_))) match {
+          case (Some(mn), Some(mx)) =>
+            mx.doubleValue >= lo && mn.doubleValue <= hi
+          case _ => true
+        }
+      }
+      keyMay && rangeMay
+    }.map(_.getString(0)).toSeq.sorted
+  }
+
+  /** Manifest-planned snapshot read: ONE manifest scan plans the file
+    * pruning (Bloom membership for the key IN-list, zone maps for the
+    * ranges), only surviving files are scanned, the exact predicate
+    * re-filters (false positives cost a file read, never a row), and
+    * the deletion vectors the manifest POINTS AT (dv_v) are applied —
+    * the `bloom_skip` and `skip_stats` legs plus delete visibility
+    * served through one planning read, which is how a real table
+    * format's reader works.
+    */
+  def manifestRead(spark: SparkSession, basePath: String,
+                   manifestRoot: String, version: Int,
+                   dvRoot: Option[String], keyCol: String,
+                   keys: Seq[Long],
+                   ranges: Seq[(String, Double, Double)]): DataFrame = {
+    val man = readManifest(spark, manifestRoot, version)
+    val manRows = man.select(col("dv_v")).limit(1).collect()
+    require(manRows.nonEmpty,
+      s"no manifest committed at v=$version under $manifestRoot")
+    val dvV = manRows.head.getInt(0)
+    val files = manifestCandidateFiles(man, keys, ranges)
+    val base =
+      if (files.isEmpty) spark.read.parquet(basePath).limit(0)
+      else spark.read.parquet(files: _*)
+    val keyPred =
+      if (keys.isEmpty) lit(true) else col(keyCol).isin(keys: _*)
+    val rangePred = ranges.map { case (c, lo, hi) =>
+      col(c) >= lit(lo) && col(c) <= lit(hi)
+    }.foldLeft(lit(true))(_ && _)
+    val exact = base.where(keyPred && rangePred)
+    dvRoot match {
+      case Some(r) if dvV > 0 =>
+        applyDeleteVector(
+          exact.withColumn("_file", col("_metadata.file_path"))
+            .withColumn("_pos", col("_metadata.row_index")),
+          spark.read.parquet(r).where(col("v") <= dvV)
+            .select("_file", "_pos"))
+      case _ => exact
+    }
+  }
 }

@@ -201,6 +201,56 @@ class IoOpsSpec extends SparkSpec {
       IoOps.bloomProbeFiles(idx, Seq(17L), bits = 4096, hashes = 2))
   }
 
+  test("snapshot manifest: one planning read serves zone + bloom + DV" +
+      " legs; genuine pruning; per-version DV visibility") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft_man").toString
+    val (base, dvRoot, manRoot) =
+      (root + "/base", root + "/dv", root + "/man")
+    // 8 range-partitioned files over 800 keys
+    val src = (1L to 800L).map(i => (i, i % 10, s"v$i"))
+      .toDF("id", "m", "tag")
+    src.repartitionByRange(8, $"id").write.parquet(base)
+    val lin = IoOps.readWithLineage(spark, base)
+    IoOps.commitDeleteVector(
+      IoOps.buildDeleteVector(lin, $"m" === 0), dvRoot, version = 1)
+    IoOps.commitManifest(spark, base, manRoot, version = 1,
+      keyCol = "id", statsCols = Seq("id", "m"), dvVersion = 1,
+      bits = 4096)
+    val man = IoOps.readManifest(spark, manRoot, 1)
+    assert(man.count() === 8)
+    // zone pruning: a tight id range keeps ~1 file of 8
+    val zoneFiles = IoOps.manifestCandidateFiles(man, Nil,
+      Seq(("id", 10.0, 20.0)))
+    assert(zoneFiles.nonEmpty && zoneFiles.size < 8)
+    // bloom pruning: a point key keeps a strict subset
+    val keyFiles = IoOps.manifestCandidateFiles(man, Seq(17L), Nil)
+    assert(keyFiles.nonEmpty && keyFiles.size < 8)
+    // combined read = exact predicate + DV applied
+    val got = IoOps.manifestRead(spark, base, manRoot, 1, Some(dvRoot),
+      "id", keys = Seq(17L, 600L, 100000L), ranges = Seq(("id", 1.0, 700.0)))
+    val want = src.where($"id".isin(17L, 600L) && $"m" =!= 0)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+    // a second snapshot with more deletes: each manifest version
+    // serves its own DV visibility
+    IoOps.commitDeleteVector(
+      IoOps.buildDeleteVector(lin, $"m" <= 1), dvRoot, version = 2)
+    IoOps.commitManifest(spark, base, manRoot, version = 2,
+      keyCol = "id", statsCols = Seq("id", "m"), dvVersion = 2,
+      bits = 4096)
+    val v1 = IoOps.manifestRead(spark, base, manRoot, 1, Some(dvRoot),
+      "id", Nil, Nil)
+    val v2 = IoOps.manifestRead(spark, base, manRoot, 2, Some(dvRoot),
+      "id", Nil, Nil)
+    assert(v1.count() === 720) // m == 0 hidden
+    assert(v2.count() === 640) // m <= 1 hidden
+    // an uncommitted version fails loudly, never serves stale data
+    intercept[IllegalArgumentException](
+      IoOps.manifestRead(spark, base, manRoot, 3, Some(dvRoot),
+        "id", Nil, Nil))
+  }
+
   test("time travel: versioned DV commits read AS OF, idempotent overlaps, purge compacts") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft_tt").toString
