@@ -1344,7 +1344,18 @@ object QueriesLlm {
     * negative list indexing, which the NULL slot neutralizes before
     * the wrapped index could matter.
     */
-  private def uniVitCtes(x: String, scores: String): String = {
+  private def uniVitCtes(x: String, scores: String): String =
+    uniVitCtesOver(x, scores, "usp1", None)
+
+  /** As [[uniVitCtes]] but over an arbitrary span table (same
+    * (wd, i, l) shape as usp1) and, when `unk` is given, with the
+    * kernel's unk transition replayed: a single-codepoint span whose
+    * piece is NOT in the score table scores `unk` instead of being
+    * impossible — the contract that lets the chain tokenize words
+    * containing codepoints the vocabulary never saw.
+    */
+  private def uniVitCtesOver(x: String, scores: String, spans: String,
+                             unk: Option[Long]): String = {
     // candidate for piece length l at the fold step for position
     // j = len(acc_)/2: best(j-l) + slot score; acc_[len-2l+1] = v_{j-l}
     def cand(l: Int): String =
@@ -1354,11 +1365,24 @@ object QueriesLlm {
       s"""WHEN ${cand(l)} IS NOT NULL AND $vBest = ${cand(l)}
          |          THEN len(acc_) // 2 - $l""".stripMargin
     }.mkString("CASE ", "\n          ", " END")
-    s"""uvsp$x AS (
-       |  SELECT s1.wd, s1.i + s1.l AS j, s1.l, sc.score AS s
-       |  FROM usp1 s1 JOIN $scores sc
-       |    ON substr(s1.wd, CAST(s1.i + 1 AS INT), CAST(s1.l AS INT))
-       |      = sc.piece),
+    val spCte = unk match {
+      case None =>
+        s"""uvsp$x AS (
+           |  SELECT s1.wd, s1.i + s1.l AS j, s1.l, sc.score AS s
+           |  FROM $spans s1 JOIN $scores sc
+           |    ON substr(s1.wd, CAST(s1.i + 1 AS INT), CAST(s1.l AS INT))
+           |      = sc.piece),"""
+      case Some(u) =>
+        s"""uvsp$x AS (
+           |  SELECT s1.wd, s1.i + s1.l AS j, s1.l,
+           |    CASE WHEN sc.piece IS NOT NULL THEN sc.score
+           |         WHEN s1.l = 1 THEN CAST($u AS BIGINT) END AS s
+           |  FROM $spans s1 LEFT JOIN $scores sc
+           |    ON substr(s1.wd, CAST(s1.i + 1 AS INT), CAST(s1.l AS INT))
+           |      = sc.piece
+           |  WHERE sc.piece IS NOT NULL OR s1.l = 1),"""
+    }
+    s"""$spCte
        |uvj$x AS (
        |  SELECT wd, j, [max(CASE WHEN l = 4 THEN s END),
        |    max(CASE WHEN l = 3 THEN s END),
@@ -1499,6 +1523,130 @@ object QueriesLlm {
        |  FROM uj)
        |SELECT doc_id, word_idx, si - 1 AS sym_idx, toks[si] AS token
        |FROM ujx""".stripMargin)
+
+  /** The byte-fallback fixture corpus: every 5th document gains a
+    * trailing word mixing covered letters with codepoints the
+    * training corpus never saw — é (2 UTF-8 bytes), € (3), U+1D11E
+    * (4, non-BMP). Train on the CLEAN corpus, tokenize the mutated
+    * one: the unseen codepoints must come out as `<0xNN>` pieces.
+    */
+  private def byteDocs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d).withColumn("text",
+      when(col("doc_id") % 5 === 0,
+        concat(col("text"), lit(" héllo€𝄞")))
+        .otherwise(col("text")))
+
+  // NOTE: embedded into an outer .stripMargin template, so no line may
+  // start with `|` after this val's own margin strip (a leading || of
+  // a concat continuation would lose a pipe to the second strip)
+  private val byteDocsSql: String =
+    """bdocs AS (
+      |  SELECT doc_id, CASE WHEN doc_id % 5 = 0
+      |    THEN text || ' h' || chr(233) || 'llo' ||
+      |      chr(8364) || chr(119070)
+      |    ELSE text END AS text
+      |  FROM documents)""".stripMargin
+
+  /** Byte-fallback unigram tokenization
+    * (TextOps.unigramTokenizeBytes): train on the clean corpus,
+    * Viterbi-segment the byte-fixture corpus with the kernel's unk
+    * transition, then expand every OOV single-codepoint token into
+    * its uppercase-hex UTF-8 `<0xNN>` pieces (SentencePiece
+    * --byte_fallback) with sym_idx renumbered — OOV rate exactly 0 by
+    * construction. The oracle replays training, the unk-aware DP over
+    * the mutated corpus's words, and the byte expansion RELATIONALLY
+    * (vocab membership by LEFT JOIN, bytes by hex + per-position
+    * unnest — no captured lambdas, per the uvvit race note).
+    */
+  private val unigramTokenizeBytesQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val trained = TextOps.unigramTrain(docs, "text",
+          vocabSize = 40, maxPieceLen = 4)
+        .orderBy(encode(col("piece"), "UTF-8")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      TextOps.unigramTokenizeBytes(byteDocs(s, d), "doc_id", "text",
+        trained, maxPieceLen = 4)
+    },
+    s"""WITH RECURSIVE ${uniSeedCtes(40, 4)},
+       |${uniVitCtes("0", "useed")},
+       |${uniEmCtes("0", "useed", "ufinal")},
+       |$byteDocsSql,
+       |bwh AS (
+       |  SELECT wd, CAST(count(*) AS BIGINT) AS wc FROM (
+       |    SELECT unnest(string_split(text, ' ')) AS wd FROM bdocs)
+       |  WHERE length(wd) > 0 GROUP BY wd),
+       |bsp0 AS (
+       |  SELECT wd, wc,
+       |    CAST(unnest(generate_series(0, length(wd) - 1)) AS BIGINT) AS i
+       |  FROM bwh),
+       |bsp1 AS (
+       |  SELECT wd, wc, i,
+       |    CAST(unnest(generate_series(1,
+       |      least(4, length(wd) - i))) AS BIGINT) AS l
+       |  FROM bsp0),
+       |${uniVitCtesOver("b", "ufinal", "bsp1", Some(-30000000000L))},
+       |bvt AS (
+       |  SELECT wd, toks,
+       |    CAST(unnest(generate_series(1, len(toks))) AS INT) AS k
+       |  FROM uvoutb),
+       |bvt2 AS (SELECT wd, k, toks[k] AS t FROM bvt),
+       |bvm AS (
+       |  SELECT bvt2.wd, bvt2.k, bvt2.t, (u.piece IS NOT NULL) AS inv
+       |  FROM bvt2 LEFT JOIN ufinal u ON bvt2.t = u.piece),
+       |bvb AS (
+       |  SELECT wd, k, regexp_extract_all(hex(t), '[0-9A-F]{2}') AS hx
+       |  FROM bvm WHERE NOT inv),
+       |bvbx AS (
+       |  SELECT wd, k, hx,
+       |    CAST(unnest(generate_series(1, len(hx))) AS INT) AS b
+       |  FROM bvb),
+       |bvu AS (
+       |  SELECT wd, k, 1 AS b, t AS token FROM bvm WHERE inv
+       |  UNION ALL
+       |  SELECT wd, k, b, '<0x' || hx[b] || '>' AS token FROM bvbx),
+       |bseq AS MATERIALIZED (
+       |  SELECT wd, list(token ORDER BY k, b) AS toks2 FROM bvu
+       |  GROUP BY wd),
+       |bdw AS (
+       |  SELECT doc_id, wds,
+       |    CAST(unnest(generate_series(1, len(wds))) AS INT) AS wi
+       |  FROM (SELECT doc_id, string_split(text, ' ') AS wds
+       |        FROM bdocs)),
+       |bdt AS (
+       |  SELECT doc_id, wi - 1 AS word_idx, wds[wi] AS wd
+       |  FROM bdw WHERE length(wds[wi]) > 0),
+       |bj AS (
+       |  SELECT d.doc_id, d.word_idx, x.toks2
+       |  FROM bdt d JOIN bseq x USING (wd)),
+       |bjx AS (
+       |  SELECT doc_id, word_idx, toks2,
+       |    CAST(unnest(generate_series(1, len(toks2))) AS INT) AS si
+       |  FROM bj)
+       |SELECT doc_id, word_idx, si - 1 AS sym_idx, toks2[si] AS token
+       |FROM bjx""".stripMargin)
+
+  /** GPT-2-style regex pretokenization (TextOps.pretokenize): the
+    * standard BPE front end in the Java/RE2-shared regex subset —
+    * contractions, space-prefixed letter runs, number runs,
+    * punctuation runs, whitespace runs (the lookahead-dependent
+    * trailing-space rule documented out). Both engines scan
+    * leftmost-first with ordered alternation, so the tiling is
+    * identical; pretokens concatenate back to the source text.
+    */
+  private val bpePretokenizeQ = Q(
+    (s, d) => TextOps.pretokenize(Tables.documents(s, d),
+      "doc_id", "text"),
+    """WITH p AS (
+      |  SELECT doc_id, regexp_extract_all(text,
+      |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+|\s+')
+      |    AS pts FROM documents),
+      |x AS (
+      |  SELECT doc_id, pts,
+      |    CAST(unnest(generate_series(1, len(pts))) AS INT) AS i
+      |  FROM p)
+      |SELECT doc_id, i - 1 AS pt_idx, pts[i] AS pretoken FROM x"""
+      .stripMargin)
 
   /** POSITIONAL 3-gram shingle hashes (no distinct) — the winnowing
     * input; same combine as shSql.
@@ -5240,6 +5388,8 @@ object QueriesLlm {
     "unigram_train" -> unigramTrainQ,
     "unigram_train_pruned" -> unigramTrainPrunedQ,
     "unigram_tokenize" -> unigramTokenizeQ,
+    "unigram_tokenize_bytes" -> unigramTokenizeBytesQ,
+    "bpe_pretokenize" -> bpePretokenizeQ,
     "similarity_pack" -> similarityPackQ,
     "chunk_documents" -> chunkDocumentsQ,
     "text_quality" -> textQualityQ,

@@ -1049,6 +1049,68 @@ object TextOps {
         posexplode(graft.functions.UnigramViterbiSyms(col("wd"), vocab,
           maxPieceLen, unkScore)).as(Seq("sym_idx", "token")))
 
+  /** Byte-fallback unigram tokenization (the SentencePiece
+    * `--byte_fallback` contract): Viterbi segmentation exactly as
+    * [[unigramTokenize]] (same DP, same unk transition), but every
+    * OOV single-codepoint token is REPLACED by its UTF-8 bytes as
+    * `<0xNN>` pieces — so the OOV rate is exactly 0 by construction
+    * (any codepoint decomposes into bytes, and the 256 byte pieces
+    * are always representable). sym_idx renumbers over the expanded
+    * per-word sequence; byte pieces use uppercase hex like
+    * SentencePiece. A multi-byte codepoint (é -> <0xC3><0xA9>,
+    * U+1D11E -> 4 pieces) expands to one piece per byte.
+    *
+    * Plan shape: the same ONE-codegen-scan corpus pass as
+    * unigramTokenize; the expansion is a per-token array transform
+    * (vocab membership against the tokenizer-bounded literal array),
+    * no extra shuffle, no UDF.
+    */
+  def unigramTokenizeBytes(df: DataFrame, idCol: String, textCol: String,
+                           vocab: Seq[(String, Long)], maxPieceLen: Int = 4,
+                           unkScore: Long = -30000000000L): DataFrame = {
+    val vocabArr = array(vocab.map(p => lit(p._1)): _*)
+    def expand(t: Column): Column =
+      when(array_contains(vocabArr, t), array(t))
+        .otherwise(transform(
+          regexp_extract_all(hex(encode(t, "UTF-8")),
+            lit("[0-9A-F]{2}"), lit(0)),
+          b => concat(lit("<0x"), b, lit(">"))))
+    df.select(col(idCol), posexplode(words(col(textCol)))
+        .as(Seq("word_idx", "wd")))
+      .where(length(col("wd")) > 0)
+      .select(col(idCol), col("word_idx"),
+        graft.functions.UnigramViterbiSyms(col("wd"), vocab,
+          maxPieceLen, unkScore).as("_syms"))
+      .select(col(idCol), col("word_idx"),
+        posexplode(flatten(transform(col("_syms"), expand(_))))
+          .as(Seq("sym_idx", "token")))
+  }
+
+  /** GPT-2-style regex pretokenization — the standard BPE front end
+    * (Radford et al. 2019 released pattern), restricted to the regex
+    * subset Java and RE2 share so Spark and any RE2 engine agree
+    * byte-for-byte: contractions ('s 't 're 've 'm 'll 'd), a word =
+    * optional leading space + letters, a number run, a punctuation
+    * run, a whitespace run. The one divergence from GPT-2's exact
+    * pattern is documented: `\\s+(?!\\S)` needs negative lookahead
+    * (unsupported in RE2), so interior whitespace runs stay one
+    * pretoken instead of donating their last space to the next word.
+    * Both engines scan leftmost-first with ordered alternation, so
+    * the split is deterministic and identical.
+    */
+  val Gpt2PretokenPattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+|\\s+"
+
+  /** Long-form pretokens (id, pt_idx, pretoken) — one regex scan,
+    * whole-stage codegen, no shuffle. Pretokens concatenate back to
+    * the exact source text (the pattern tiles the string).
+    */
+  def pretokenize(df: DataFrame, idCol: String, textCol: String,
+                  pattern: String = Gpt2PretokenPattern): DataFrame =
+    df.select(col(idCol),
+      posexplode(regexp_extract_all(col(textCol), lit(pattern), lit(0)))
+        .as(Seq("pt_idx", "pretoken")))
+
   /** Quality-score components + composite (length / punctuation ratio /
     * stopword ratio / mean word length) — the standard cheap heuristics
     * used to filter web-scale training corpora.

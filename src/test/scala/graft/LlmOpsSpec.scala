@@ -682,6 +682,74 @@ class LlmOpsSpec extends SparkSpec {
     assert(rTrained >= rSeeded)
   }
 
+  test("unigramTokenizeBytes: OOV rate exactly 0; byte pieces decode" +
+      " back to the source word; multi-byte + non-BMP covered") {
+    val corpus = Seq((0L, "abc abd bca"), (1L, "abc cab")).toDF("doc_id", "text")
+    val vocab = TextOps.unigramTrain(corpus, "text",
+        vocabSize = 10, maxPieceLen = 3)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    val vocabSet = vocab.map(_._1).toSet
+    // fixture with codepoints the vocab never saw: é (2B), € (3B),
+    // U+1D11E (4B, non-BMP), plus covered chars around them
+    val probe = Seq((9L, "abc aéb € 𝄞c"))
+      .toDF("doc_id", "text")
+    val toks = TextOps.unigramTokenizeBytes(probe, "doc_id", "text",
+      vocab, maxPieceLen = 3).collect()
+    val bytePat = "<0x[0-9A-F]{2}>".r
+    // OOV = a token neither in the vocab nor a byte piece: none exist
+    assert(toks.forall { r =>
+      val t = r.getAs[String]("token")
+      vocabSet.contains(t) || bytePat.matches(t)
+    })
+    // é = C3 A9, € = E2 82 AC, 𝄞 = F0 9D 84 9E
+    val byToken = toks.map(_.getAs[String]("token"))
+    assert(byToken.containsSlice(Seq("<0xC3>", "<0xA9>")))
+    assert(byToken.containsSlice(Seq("<0xE2>", "<0x82>", "<0xAC>")))
+    assert(byToken.containsSlice(Seq("<0xF0>", "<0x9D>", "<0x84>", "<0x9E>")))
+    // round trip: per word, decoding byte pieces and concatenating
+    // tokens reproduces the source word exactly
+    val words = toks.groupBy(r => (r.getLong(0), r.getInt(1)))
+      .map { case ((_, wi), rs) =>
+        val bs = rs.sortBy(_.getInt(2)).flatMap { r =>
+          val t = r.getAs[String]("token")
+          if (bytePat.matches(t))
+            Array(Integer.parseInt(t.substring(3, 5), 16).toByte)
+          else t.getBytes("UTF-8")
+        }
+        wi -> new String(bs.toArray, "UTF-8")
+      }
+    assert(words.values.toSet === Set("abc", "aéb", "€",
+      "𝄞c"))
+    // efficiency readout on the byte-fallback vocab: well-defined
+    // (nonzero tokens for every doc) even on the OOV-heavy fixture
+    val eff = TextOps.unigramTokenizeBytes(probe, "doc_id", "text",
+        vocab, maxPieceLen = 3)
+      .groupBy("doc_id").agg(count(lit(1)).as("nt"))
+      .join(probe, Seq("doc_id"))
+      .select((length(col("text")).cast("double") / col("nt"))
+        .as("chars_per_token")).head().getDouble(0)
+    assert(eff > 0.0 && eff.isFinite)
+  }
+
+  test("pretokenize: GPT-2 regex tiles the text exactly; contractions" +
+      " and space-prefixed words split as documented") {
+    val df = Seq(
+      (0L, "I've got 42 cats, don't you know?"),
+      (1L, "  leading spaces and trailing  "),
+      (2L, "punct!!! then-more")).toDF("doc_id", "text")
+    val pts = TextOps.pretokenize(df, "doc_id", "text").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) =>
+        id -> rs.sortBy(_.getInt(1)).map(_.getAs[String]("pretoken")).toSeq
+      }
+    // tiling: concatenation reproduces the source text
+    val src = df.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    for ((id, seq) <- pts) assert(seq.mkString === src(id))
+    assert(pts(0L).take(5) === Seq("I", "'ve", " got", " 42", " cats"))
+    assert(pts(0L).contains("'t")) // don't -> don + 't
+    assert(pts(2L) === Seq("punct", "!!!", " then", "-", "more"))
+  }
+
   test("imagePatchStats: exact int stats per 128-byte patch") {
     val d = Seq((0L, "ab" * 100)).toDF("doc_id", "text") // 200 bytes
     val media = MultimodalOps.packMedia(d, "doc_id", "text")
