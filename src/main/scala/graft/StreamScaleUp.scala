@@ -1,0 +1,234 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.streaming.StreamingOps
+
+/** Streaming scale-rehearsal harness (round-16 verdict item 2): drive
+  * the four heavy STATEFUL streaming twins with 10 micro-batches (the
+  * stream grows 10x over the run) and record, per batch, the wall
+  * time and the STATE-STORE size — the artifact that turns each twin's
+  * documented state bound into a measurement:
+  *
+  *   stream_neardup     state = occupied (band, band_hash) buckets
+  *                      (bound: bands x distinct signatures, NOT
+  *                      stream length — verbatim replicas collide)
+  *   stream_hll         state = one 2^p-byte register array per key
+  *                      (bound: #keys rows, FLAT as the stream grows)
+  *   stream_bloom_index state = per-file position sets
+  *                      (bound: #files x bits positions)
+  *   stream_msprt       state = (n_success, first_look) per unit
+  *                      (bound: #units rows, 2 longs each)
+  *
+  * `sbt "runMain graft.StreamScaleUp [sfDir]"` -> one JSON line +
+  * BENCH_stream_r16.json in the CWD. Inputs amplify the driver
+  * testdata by key-offset replicas (the ScaleUp recipe, in memory).
+  */
+object StreamScaleUp {
+
+  final case class BatchRec(i: Int, rowsIn: Long, cumRows: Long,
+                            wallS: Double, stateRows: Long,
+                            stateBytes: Long)
+
+  private def jnum(d: Double): String =
+    (math.floor(d * 1000) / 1000).toString
+
+  private def recsJson(rs: Seq[BatchRec]): String =
+    rs.map(r => s"""{"i":${r.i},"rows_in":${r.rowsIn},""" +
+        s""""cum_rows":${r.cumRows},"wall_s":${jnum(r.wallS)},""" +
+        s""""state_rows":${r.stateRows},"state_bytes":${r.stateBytes}}""")
+      .mkString("[", ",", "]")
+
+  /** max state rows/bytes over every progress so far (NoTimeout state
+    * only grows; processAllAvailable may append empty-batch progress
+    * entries, so scan them all instead of trusting lastProgress).
+    */
+  private def stateOf(q: org.apache.spark.sql.streaming.StreamingQuery)
+      : (Long, Long) = {
+    val ops = q.recentProgress.flatMap(p => Option(p.stateOperators)
+      .toSeq.flatten)
+    if (ops.isEmpty) (0L, 0L)
+    else (ops.map(_.numRowsTotal).max, ops.map(_.memoryUsedBytes).max)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse(
+      sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1"))
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val nBatches = 10
+    val Off = 1000000000L
+
+    // ---------------- stream_neardup (band-bucket memory) ----------
+    val neardup: (Seq[BatchRec], String, Boolean) = {
+      val docs = Tables.documents(spark, sfDir)
+        .select(col("doc_id").cast("long"), col("text"))
+        .collect().map(r => (r.getLong(0), r.getString(1)))
+      val input = MemoryStream[(Long, String)]
+      val df = input.toDF().toDF("doc_id", "text")
+      val out = StreamingOps.streamingBandCollisions(spark, df,
+        "doc_id", "text")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        // replica i: id-offset, text VERBATIM (web-corpus duplication)
+        val batch = docs.map { case (id, t) => (id + i * Off, t) }
+        val t0 = System.nanoTime()
+        input.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += batch.length
+        val (sr, sb) = stateOf(q)
+        BatchRec(i, batch.length, cum, w, sr, sb)
+      }
+      q.stop()
+      // bound: occupied buckets <= bands x distinct signatures of ONE
+      // replica (verbatim copies band into the SAME buckets), so state
+      // must not grow past batch 0's bucket census (8 bands/doc max)
+      val cap = 8L * docs.length
+      (recs, s"bands x distinct sigs (<= $cap; replicas collide)",
+        recs.last.stateRows <= cap &&
+          recs.last.stateRows == recs.head.stateRows)
+    }
+
+    // ---------------- stream_hll (register state per key) ----------
+    val hll: (Seq[BatchRec], String, Boolean) = {
+      val ev = Tables.events(spark, sfDir)
+        .select(pmod(col("user_id"), lit(256L)).cast("long").as("k"),
+          col("event_id").cast("long").as("id"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val input = MemoryStream[(Long, Long)]
+      val df = input.toDF().toDF("k", "id")
+      val out = StreamingOps.hllStream(spark, df, "k", "id", p = 6)
+      val q = out.writeStream.format("noop").outputMode("update").start()
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        val batch = ev.map { case (k, id) => (k, id + i * Off) }
+        val t0 = System.nanoTime()
+        input.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += batch.length
+        val (sr, sb) = stateOf(q)
+        BatchRec(i, batch.length, cum, w, sr, sb)
+      }
+      q.stop()
+      // bound: one 2^6-byte register row per key — 256 rows however
+      // long the stream runs
+      (recs, "2^p registers x #keys (= 256 rows, flat)",
+        recs.last.stateRows <= 256 &&
+          recs.last.stateRows == recs.head.stateRows)
+    }
+
+    // ------------- stream_bloom_index (per-file position sets) -----
+    val bloom: (Seq[BatchRec], String, Boolean) = {
+      val bits = 65536
+      val path = s"/tmp/graft_stscale_${ProcessHandle.current().pid()}"
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"))
+        .repartitionByRange(64, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val rows = spark.read.parquet(path)
+        .select(col("l_orderkey"),
+          col("_metadata.file_path").as("_file"))
+      val files = rows.select("_file").distinct()
+        .collect().map(_.getString(0)).sorted
+      // ceil-sized groups: every file lands in one of <= nBatches
+      // batches (a floor+take would silently drop the tail files)
+      val groups = files.grouped(math.max(1,
+        math.ceil(files.length.toDouble / nBatches).toInt)).toSeq
+      val st = StreamingOps.bloomIndexStream("l_orderkey", "_file",
+        bits, 3)
+      var cum = 0L
+      val recs = groups.zipWithIndex.map { case (fs, i) =>
+        val batch = rows.where(col("_file").isin(fs: _*))
+        val n = batch.count()
+        val t0 = System.nanoTime()
+        st(batch)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += n
+        val snap = st.snapshot
+          .agg(count(lit(1)).as("nf"),
+            sum(size(col("bloom"))).as("npos")).head()
+        BatchRec(i, n, cum, w, snap.getLong(0),
+          snap.getLong(1) * 8) // positions as 8-byte longs
+      }
+      val maxPos = st.snapshot
+        .agg(max(size(col("bloom")))).head().getInt(0)
+      (recs, s"#files x O(bits): rows = files ingested, " +
+        s"positions/file <= $bits (max seen $maxPos)",
+        recs.last.stateRows == files.length && maxPos <= bits)
+    }
+
+    // ---------------- stream_msprt (per-unit accrual) --------------
+    val msprt: (Seq[BatchRec], String, Boolean) = {
+      val ev = Tables.events(spark, sfDir)
+        .select(col("user_id").cast("long").as("u"),
+          (col("event_type") === "purchase").cast("long").as("f"),
+          dayofyear(col("ts")).cast("long").as("d"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      val nUnits = ev.map(_._1).distinct.length
+      val input = MemoryStream[(Long, Long, Long)]
+      val df = input.toDF().toDF("u", "f", "d")
+      val out = StreamingOps.accrualStream(spark, df, "u", "f", "d")
+      val q = out.writeStream.format("noop").outputMode("append").start()
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        // replica i: new units (10x enrollment), same look window
+        val batch = ev.map { case (u, f, d) => (u + i * Off, f, d) }
+        val t0 = System.nanoTime()
+        input.addData(batch.toIndexedSeq)
+        q.processAllAvailable()
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += batch.length
+        val (sr, sb) = stateOf(q)
+        BatchRec(i, batch.length, cum, w, sr, sb)
+      }
+      q.stop()
+      // bound: 2 longs per ENROLLED unit — rows = units seen so far,
+      // linear in enrollment and independent of events per unit
+      (recs, s"#units rows x 2 longs (units/replica = $nUnits)",
+        msprtBoundOk(recs, nUnits))
+    }
+
+    val all = Seq(
+      "stream_neardup" -> neardup,
+      "stream_hll" -> hll,
+      "stream_bloom_index" -> bloom,
+      "stream_msprt" -> msprt)
+    val opsJson = all.map { case (name, (recs, bound, ok)) =>
+      // flat-wall readout: last batch vs the min early batch (JIT-free)
+      val early = recs.take(3).map(_.wallS).min
+      val flat = recs.last.wallS / math.max(early, 1e-9)
+      s""""$name":{"batches":${recsJson(recs)},""" +
+        s""""state_bound":"$bound","bound_ok":$ok,""" +
+        s""""wall_last_over_early":${jnum(flat)}}"""
+    }.mkString("{", ",", "}")
+    val line =
+      s"""{"metric":"stream_scale","n_batches":$nBatches,""" +
+        s""""sf":"$sfDir","ops":$opsJson}"""
+    for (dst <- Seq("BENCH_stream_r16.json")) {
+      val w = new java.io.PrintWriter(dst)
+      try w.println(line) finally w.close()
+    }
+    spark.stop()
+    println(line)
+  }
+
+  /** Units-so-far bound: after batch i the state holds exactly the
+    * units enrolled by replicas 0..i.
+    */
+  private def msprtBoundOk(recs: Seq[BatchRec], nUnits: Int): Boolean =
+    recs.zipWithIndex.forall { case (r, i) =>
+      r.stateRows == (i + 1).toLong * nUnits
+    }
+}
