@@ -27,7 +27,12 @@ object PlanAudit {
       "wilcoxon_signed_rank", "stream_page_hinkley",
       // round-15 representatives: the merge-on-read anti-join, the
       // version-pruned time-travel union, and the unigram corpus scan
-      "delete_vectors", "time_travel", "unigram_tokenize")) {
+      "delete_vectors", "time_travel", "unigram_tokenize",
+      // round-16 representatives: the manifest-planned read, the
+      // partition-pruned stored-index search, the trained IVFPQ, the
+      // byte-fallback token scan, and the regex pretokenizer
+      "manifest_read", "ann_index_persist", "ann_ivfpq",
+      "unigram_tokenize_bytes", "bpe_pretokenize")) {
       println(s"########## $name ##########")
       println(Queries.all(name).fn(spark, d).queryExecution.explainString(
         org.apache.spark.sql.execution.SimpleMode))

@@ -1258,6 +1258,49 @@ object Queries {
       |  AND NOT (l_quantity < 5)
       |GROUP BY 1""".stripMargin)
 
+  /** Streaming twin of manifest_read's build
+    * (StreamingOps.manifestStream): the store's rows arrive as two
+    * micro-batches sliced BY ROW (odd/even line numbers — finer than
+    * file-grouped slicing), and the maintained per-file manifest
+    * merges n_rows by +, zones by min/max, bloom by set union — all
+    * commutative, the zone/bloom legs idempotent — so any slicing
+    * lands on the one-scan commitManifest result. The snapshot serves
+    * the SAME planned read (manifestReadWith) as the batch gate, so
+    * the oracle is shared with manifest_read.
+    */
+  private val streamManifestQ = Q(
+    (s, d) => {
+      val tag = scratchTag(s, d)
+      val path = s"/tmp/graft_manst_$tag"
+      val dvRoot = s"/tmp/graft_manst_dv_$tag"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(path)
+      val lin = sources.IoOps.readWithLineage(s, path)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin, col("l_quantity") < 5),
+        dvRoot, version = 1)
+      val rows = s.read.parquet(path)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("_metadata.file_path").as("_file"))
+      val st = streaming.StreamingOps.manifestStream("l_orderkey",
+        Seq("l_orderkey", "l_quantity"))
+      st(rows.where(col("l_linenumber") % 2 === 0))
+      st(rows.where(col("l_linenumber") % 2 === 1))
+      sources.IoOps.manifestReadWith(s, path, st.snapshot, dvV = 1,
+          dvRoot = Some(dvRoot), keyCol = "l_orderkey",
+          keys = Seq(1L, 7L, 68L, 4000L, 40001L),
+          ranges = Seq(("l_orderkey", 1.0, 5000.0)))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+    },
+    manifestReadQ.sql)
+
   /** Snapshot time travel over versioned deletion vectors
     * (IoOps.commitDeleteVector / readAsOf): two delete commits land as
     * v=1 and v=2 partitions of the DV store; reading AS OF versions
@@ -3189,6 +3232,7 @@ object Queries {
     "time_travel" -> timeTravelQ,
     "bloom_skip" -> bloomSkipQ,
     "manifest_read" -> manifestReadQ,
+    "stream_manifest" -> streamManifestQ,
     "stream_bloom_index" -> streamBloomIndexQ,
     "lakehouse_pipeline" -> lakehousePipelineQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,

@@ -1626,6 +1626,69 @@ object QueriesLlm {
        |SELECT doc_id, word_idx, si - 1 AS sym_idx, toks2[si] AS token
        |FROM bjx""".stripMargin)
 
+  /** Tokenizer-efficiency readout re-run on the BYTE-FALLBACK vocab
+    * (the round-16 promotion contract): per-language chars-per-token
+    * and token-chars/doc-chars compression over the byte-fixture
+    * corpus tokenized by unigramTokenizeBytes — every document
+    * tokenizes (OOV rate 0), and languages whose docs carry the
+    * unseen-codepoint marker pay their byte expansion visibly (a
+    * `<0xNN>` piece is 6 chars of token text for 1 source byte). The
+    * oracle wraps the full byte-fallback chain as a token subquery,
+    * exactly how the BPE efficiency gate wraps bpe_apply.
+    */
+  private lazy val tokenizerEfficiencyBytesQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val trained = TextOps.unigramTrain(docs, "text",
+          vocabSize = 40, maxPieceLen = 4)
+        .orderBy(encode(col("piece"), "UTF-8")).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      val bd = byteDocs(s, d)
+      val perDoc = TextOps.unigramTokenizeBytes(bd, "doc_id", "text",
+          trained, maxPieceLen = 4)
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("_nt"),
+          sum(length(col("token")).cast("long")).as("_sc"))
+      bd.select(col("doc_id"), length(col("text")).cast("long").as("_len"))
+        .join(docs.select(col("doc_id"), col("lang")), Seq("doc_id"))
+        .join(perDoc, Seq("doc_id"), "left")
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("_nt"), lit(0L))).as("n_tokens"),
+          sum(col("_len")).as("n_chars"),
+          sum(coalesce(col("_sc"), lit(0L))).as("n_token_chars"))
+        .select(col("lang"), col("n_docs"), col("n_tokens"),
+          col("n_chars"),
+          qround(try_divide(col("n_chars").cast("double"),
+            col("n_tokens").cast("double")), 8).as("chars_per_token"),
+          qround(try_divide(col("n_token_chars").cast("double"),
+            col("n_chars").cast("double")), 8).as("compression"))
+    },
+    s"""WITH tk AS (
+       |  SELECT doc_id, token FROM (
+       |${unigramTokenizeBytesQ.sql}
+       |  )),
+       |pd AS (
+       |  SELECT doc_id, CAST(count(*) AS BIGINT) AS nt,
+       |    CAST(sum(length(token)) AS BIGINT) AS sc
+       |  FROM tk GROUP BY 1),
+       |$byteDocsSql
+       |SELECT d2.lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(coalesce(nt, 0)) AS BIGINT) AS n_tokens,
+       |  CAST(sum(length(b2.text)) AS BIGINT) AS n_chars,
+       |  CASE WHEN sum(coalesce(nt, 0)) <> 0 THEN
+       |    ${qrSql("CAST(sum(length(b2.text)) AS DOUBLE) / " +
+         "CAST(sum(coalesce(nt, 0)) AS DOUBLE)", 8)} END
+       |    AS chars_per_token,
+       |  CASE WHEN sum(length(b2.text)) <> 0 THEN
+       |    ${qrSql("CAST(sum(coalesce(sc, 0)) AS DOUBLE) / " +
+         "CAST(sum(length(b2.text)) AS DOUBLE)", 8)} END
+       |    AS compression
+       |FROM bdocs b2
+       |JOIN documents d2 USING (doc_id)
+       |LEFT JOIN pd ON b2.doc_id = pd.doc_id
+       |GROUP BY 1""".stripMargin)
+
   /** GPT-2-style regex pretokenization (TextOps.pretokenize): the
     * standard BPE front end in the Java/RE2-shared regex subset —
     * contractions, space-prefixed letter runs, number runs,
@@ -5389,6 +5452,7 @@ object QueriesLlm {
     "unigram_train_pruned" -> unigramTrainPrunedQ,
     "unigram_tokenize" -> unigramTokenizeQ,
     "unigram_tokenize_bytes" -> unigramTokenizeBytesQ,
+    "tokenizer_efficiency_bytes" -> tokenizerEfficiencyBytesQ,
     "bpe_pretokenize" -> bpePretokenizeQ,
     "similarity_pack" -> similarityPackQ,
     "chunk_documents" -> chunkDocumentsQ,

@@ -778,7 +778,20 @@ object IoOps {
     val manRows = man.select(col("dv_v")).limit(1).collect()
     require(manRows.nonEmpty,
       s"no manifest committed at v=$version under $manifestRoot")
-    val dvV = manRows.head.getInt(0)
+    manifestReadWith(spark, basePath, man, manRows.head.getInt(0),
+      dvRoot, keyCol, keys, ranges)
+  }
+
+  /** [[manifestRead]] against an EXPLICIT manifest frame (e.g. the
+    * snapshot of the streaming maintenance twin) and DV version —
+    * the planning/pruning/re-filter/MOR chain without the `v=` store
+    * round trip.
+    */
+  def manifestReadWith(spark: SparkSession, basePath: String,
+                       man: DataFrame, dvV: Int,
+                       dvRoot: Option[String], keyCol: String,
+                       keys: Seq[Long],
+                       ranges: Seq[(String, Double, Double)]): DataFrame = {
     val files = manifestCandidateFiles(man, keys, ranges)
     val base =
       if (files.isEmpty) spark.read.parquet(basePath).limit(0)

@@ -1300,4 +1300,84 @@ object StreamingOps {
                        bits: Int = 65536,
                        hashes: Int = 3): BloomIndexState =
     new BloomIndexState(keyCol, fileCol, bits, hashes)
+
+  /** Incremental snapshot-manifest maintenance — the foreachBatch twin
+    * of IoOps.commitManifest, completing the lakehouse streaming
+    * family (MERGE, SCD2, Bloom index, and now the unified manifest).
+    * Each micro-batch carries rows WITH their `_file` lineage; the
+    * maintained per-file manifest merges
+    *   n_rows  by +            (commutative),
+    *   zones   by min/max      (commutative AND idempotent),
+    *   bloom   by set union    (commutative AND idempotent),
+    * so ANY row slicing of the table across micro-batches — even
+    * splitting one file's rows across batches — lands on the manifest
+    * the one-scan batch build produces. The n_rows census is the one
+    * leg that is not replay-idempotent (a re-delivered row counts
+    * twice); foreachBatch's exactly-once epochs are the contract, as
+    * for every counting sink. The manifest snapshot serves reads
+    * through IoOps.manifestReadWith — the `stream_manifest` gate
+    * shares `manifest_read`'s oracle.
+    */
+  final class ManifestState(keyCol: String, statsCols: Seq[String],
+                            bits: Int, hashes: Int) {
+    @volatile private var man: DataFrame = null
+    def apply(batch: DataFrame): Unit = synchronized {
+      val aggs = count(lit(1)).as("n_rows") +:
+        statsCols.flatMap(c => Seq(
+          min(col(c)).cast("double").as(s"_mn_$c"),
+          max(col(c)).cast("double").as(s"_mx_$c")))
+      val stats = batch
+        .groupBy(col("_file"))
+        .agg(aggs.head, aggs.tail: _*)
+        .select(col("_file"), col("n_rows"),
+          map(statsCols.flatMap(c =>
+            Seq(lit(c), col(s"_mn_$c"))): _*).as("zmin"),
+          map(statsCols.flatMap(c =>
+            Seq(lit(c), col(s"_mx_$c"))): _*).as("zmax"))
+      val bloom = batch
+        .select(col("_file"),
+          explode(graft.sources.IoOps.bloomPositions(
+            col(keyCol).cast("long"), bits, hashes)).as("pos"))
+        .groupBy("_file")
+        .agg(sort_array(collect_set(col("pos"))).as("_b2"))
+      val delta = stats.join(bloom, Seq("_file"), "left")
+        .select(col("_file"), col("n_rows"), col("zmin"), col("zmax"),
+          coalesce(col("_b2"), array().cast("array<bigint>")).as("bloom"))
+      man =
+        if (man == null)
+          delta.withColumn("bits", lit(bits))
+            .withColumn("hashes", lit(hashes))
+            .localCheckpoint(true)
+        else {
+          val empty = array().cast("array<bigint>")
+          // map_zip_with + least/greatest: a column absent on one side
+          // (null) defers to the other — min/max merge per stats key
+          man.join(delta, Seq("_file"), "full_outer")
+            .select(col("_file"),
+              (coalesce(man("n_rows"), lit(0L)) +
+                coalesce(delta("n_rows"), lit(0L))).as("n_rows"),
+              map_zip_with(
+                coalesce(man("zmin"), delta("zmin")),
+                coalesce(delta("zmin"), man("zmin")),
+                (_, a, b) => least(a, b)).as("zmin"),
+              map_zip_with(
+                coalesce(man("zmax"), delta("zmax")),
+                coalesce(delta("zmax"), man("zmax")),
+                (_, a, b) => greatest(a, b)).as("zmax"),
+              sort_array(array_union(coalesce(man("bloom"), empty),
+                coalesce(delta("bloom"), empty))).as("bloom"))
+            .withColumn("bits", lit(bits))
+            .withColumn("hashes", lit(hashes))
+            .localCheckpoint(true)
+        }
+    }
+    /** foreachBatch adapter. */
+    def sink: (DataFrame, Long) => Unit = (df, _) => apply(df)
+    /** The manifest after every batch applied so far. */
+    def snapshot: DataFrame = man
+  }
+
+  def manifestStream(keyCol: String, statsCols: Seq[String],
+                     bits: Int = 65536, hashes: Int = 3): ManifestState =
+    new ManifestState(keyCol, statsCols, bits, hashes)
 }

@@ -203,6 +203,60 @@ class StreamingOpsSpec extends SparkSpec {
     assert(want.exceptAll(st2.snapshot).count() === 0)
   }
 
+  test("manifestStream: row-sliced micro-batches equal the one-scan" +
+      " manifest build; snapshot serves the planned read") {
+    implicit val sqlCtx = spark.sqlContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_mst")
+      .toString + "/store"
+    val src = (1L to 400L).map(i => (i, i % 7)).toDF("id", "m")
+    src.repartitionByRange(4, col("id")).write.parquet(dir)
+    graft.sources.IoOps.commitManifest(spark, dir, dir + "_man", 1,
+      keyCol = "id", statsCols = Seq("id", "m"), bits = 4096)
+    // set-ops reject MapType columns: compare with the zone maps
+    // flattened to sorted entry arrays
+    def flat(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("_file"), col("n_rows"),
+        sort_array(map_entries(col("zmin"))).as("zmin"),
+        sort_array(map_entries(col("zmax"))).as("zmax"),
+        col("bloom"), col("bits"), col("hashes"))
+    val want = flat(
+      graft.sources.IoOps.readManifest(spark, dir + "_man", 1))
+    val rows = spark.read.parquet(dir)
+      .select(col("id"), col("m"), col("_metadata.file_path").as("_file"))
+
+    // two batches sliced BY ROW (not by file) through a MemoryStream
+    val st = StreamingOps.manifestStream("id", Seq("id", "m"),
+      bits = 4096)
+    val input = MemoryStream[(Long, Long, String)]
+    val q = input.toDF().toDF("id", "m", "_file")
+      .writeStream.foreachBatch(st.sink).start()
+    val all = rows.collect().map(r =>
+      (r.getLong(0), r.getLong(1), r.getString(2)))
+    val (b1, b2) = all.partition(_._1 % 2 == 0)
+    input.addData(b1.toIndexedSeq)
+    q.processAllAvailable()
+    input.addData(b2.toIndexedSeq)
+    q.processAllAvailable()
+    q.stop()
+    assert(flat(st.snapshot).exceptAll(want).count() === 0)
+    assert(want.exceptAll(flat(st.snapshot)).count() === 0)
+
+    // reversed slicing order: same manifest (commutative merges)
+    val st2 = StreamingOps.manifestStream("id", Seq("id", "m"),
+      bits = 4096)
+    st2(b2.toIndexedSeq.toDF("id", "m", "_file"))
+    st2(b1.toIndexedSeq.toDF("id", "m", "_file"))
+    assert(flat(st2.snapshot).exceptAll(want).count() === 0)
+
+    // the streamed snapshot plans the same pruned read
+    val got = graft.sources.IoOps.manifestReadWith(spark, dir,
+      st.snapshot, dvV = 0, dvRoot = None, keyCol = "id",
+      keys = Seq(17L, 300L), ranges = Nil)
+    val direct = src.where(col("id").isin(17L, 300L))
+    assert(got.exceptAll(direct).count() === 0)
+    assert(direct.exceptAll(got).count() === 0)
+  }
+
   test("accrualStream: late events flip conversion and pull the look" +
       " earlier; final state batch-equal under any slicing") {
     implicit val sqlCtx = spark.sqlContext
