@@ -1078,16 +1078,21 @@ object QueriesLlm {
     * the trained coarse quantizer (`ann_ivf_trained`, the trained
     * `ann_ivfpq`, `ann_index_persist`).
     */
-  private def lloydIterSql(prev: String, n: Int): String =
+  /** One Lloyd iteration over the corpus CTE `src` (default `e`) —
+    * parameterized so the append-lifecycle oracle can train on a BASE
+    * subset while assigning the full corpus.
+    */
+  private def lloydIterSql(prev: String, n: Int,
+                           src: String = "e"): String =
     s"""a$n AS (
        |  SELECT vec_id, cid FROM (
-       |    SELECT e.vec_id, $prev.cid,
-       |      row_number() OVER (PARTITION BY e.vec_id
-       |        ORDER BY ${sqDistSql("e.v", s"$prev.cv")}, $prev.cid) AS rn_
-       |    FROM e CROSS JOIN $prev) WHERE rn_ = 1),
+       |    SELECT $src.vec_id, $prev.cid,
+       |      row_number() OVER (PARTITION BY $src.vec_id
+       |        ORDER BY ${sqDistSql(s"$src.v", s"$prev.cv")}, $prev.cid) AS rn_
+       |    FROM $src CROSS JOIN $prev) WHERE rn_ = 1),
        |x$n AS (
-       |  SELECT a$n.cid, g.i AS dim, e.v[g.i] AS x
-       |  FROM a$n JOIN e ON a$n.vec_id = e.vec_id
+       |  SELECT a$n.cid, g.i AS dim, $src.v[g.i] AS x
+       |  FROM a$n JOIN $src ON a$n.vec_id = $src.vec_id
        |  CROSS JOIN generate_series(1, 64) g(i)),
        |s$n AS (
        |  SELECT cid, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
@@ -1099,13 +1104,15 @@ object QueriesLlm {
        |  FROM $prev p LEFT JOIN l$n ON p.cid = l$n.cid)"""
 
   /** The trained-quantizer CTE chain c0 -> c2 (seed = dense id prefix
-    * of 8, two Lloyd iterations) — requires an `e(vec_id, v)` CTE in
-    * scope; the final centroid table is `c2`.
+    * of 8, two Lloyd iterations) over corpus CTE `src` — requires a
+    * `src(vec_id, v)` CTE in scope; the final centroid table is `c2`.
     */
-  private val trainedC2Sql: String =
-    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM e WHERE vec_id < 8),
-       |${lloydIterSql("c0", 1)},
-       |${lloydIterSql("c1", 2)}""".stripMargin
+  private def trainedC2SqlOver(src: String): String =
+    s"""c0 AS (SELECT vec_id AS cid, v AS cv FROM $src WHERE vec_id < 8),
+       |${lloydIterSql("c0", 1, src)},
+       |${lloydIterSql("c1", 2, src)}""".stripMargin
+
+  private val trainedC2Sql: String = trainedC2SqlOver("e")
 
   private val annIvfTrainedQ = Q(
     (s, d) => {
@@ -2057,6 +2064,35 @@ object QueriesLlm {
     },
     s"""WITH $pqCbSql,
        |$trainedC2Sql,
+       |$ivfpqTrainedTailSql""".stripMargin)
+
+  /** Incremental index APPEND (SimilarityOps.indexAppend): train and
+    * store the index on the BASE half of the corpus only (vec_id <
+    * 100), then append the rest WITHOUT retraining — delta vectors
+    * assigned to the stored centroids and encoded with the stored
+    * codebooks, landing as new files in the same `list_id=`
+    * partitions. The search serves the FULL corpus through the
+    * appended index; the oracle trains its Lloyd chain on the base
+    * subset (eb) and assigns/prices the full corpus — a hash match
+    * proves the append path is assignment-identical to a one-shot
+    * build under the same quantizers, the train-once/append-forever
+    * lifecycle of a production index.
+    */
+  private val annIndexAppendQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxa_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 100),
+        "vec_id", "embedding", root)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |eb AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+       |${trainedC2SqlOver("eb")},
        |$ivfpqTrainedTailSql""".stripMargin)
 
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
@@ -5439,6 +5475,7 @@ object QueriesLlm {
     "ann_ivfpq" -> annIvfpqQ,
     "ann_ivfpq_seeded" -> annIvfpqSeededQ,
     "ann_index_persist" -> annIndexPersistQ,
+    "ann_index_append" -> annIndexAppendQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,

@@ -518,6 +518,22 @@ object SimilarityOps {
     * [[ivfPqTopKWith]] on the same trained structures (the
     * `ann_index_persist` gate shares `ann_ivfpq`'s oracle).
     */
+  /** Order-free corpus census for the staleness gate: (row count,
+    * Σ pmod(hash(id), p) mod p). The sum accumulates in decimal(38,0)
+    * so it cannot overflow long at any corpus size before the final
+    * mod, and the mod makes the checksum ADDITIVE across disjoint
+    * parts — [[indexAppend]] merges it without rescanning the base.
+    */
+  private val CensusMod = 1000000007L
+  private def corpusCensus(corpus: DataFrame, idCol: String): (Long, Long) = {
+    val r = corpus.agg(count(lit(1)).cast("long").as("n"),
+        coalesce(pmod(sum(pmod(hash(col(idCol)).cast("long"),
+            lit(CensusMod)).cast("decimal(38,0)")), lit(CensusMod)),
+          lit(0).cast("decimal(38,0)")).cast("long").as("c"))
+      .head()
+    (r.getLong(0), r.getLong(1))
+  }
+
   def indexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                  root: String, k: Int, iters: Int,
                  m: Int, dsub: Int, ksub: Int, qdec: Int = 8): Unit = {
@@ -544,12 +560,53 @@ object SimilarityOps {
         graft.functions.PqCodes(col("_v"), cb).as("codes"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$root/vectors")
-    corpus.agg(count(lit(1)).as("n_vectors"),
-        coalesce(sum(pmod(hash(col(idCol)).cast("long"), lit(1000000007L))),
-          lit(0L)).as("id_checksum"))
-      .select(lit(k).as("k"), lit(iters).as("iters"), lit(m).as("m"),
-        lit(dsub).as("dsub"), lit(ksub).as("ksub"), lit(qdec).as("qdec"),
-        col("n_vectors"), col("id_checksum"))
+    val (n, c) = corpusCensus(corpus, idCol)
+    import spark.implicits._
+    Seq((k, iters, m, dsub, ksub, qdec, n, c))
+      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
+        "id_checksum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Append NEW vectors to a persisted index WITHOUT retraining — the
+    * continuous-ingest half of the index lifecycle: a 100 TB pipeline
+    * trains quantizers once and keeps appending embeddings for months.
+    * Each delta vector is assigned to its nearest STORED centroid and
+    * PQ-encoded with the STORED codebooks, and the coded rows APPEND
+    * to the `list_id=` partitions (new parquet files only — existing
+    * files untouched, searches stay partition-pruned). The meta census
+    * updates additively (count +, checksum + mod p — commutative, so
+    * it equals the census recomputed over the union), keeping
+    * [[indexIsStale]] honest for the appended corpus.
+    *
+    * Equality contract (spec-pinned): for any disjoint split
+    * C = B ∪ D, `indexWrite(B); indexAppend(D)` serves searches
+    * row-identical to the in-memory [[ivfPqTopKWith]] over ALL of C
+    * under B-trained quantizers — per-row assignment is independent,
+    * so append order and batching never matter.
+    */
+  def indexAppend(delta: DataFrame, idCol: String, vecCol: String,
+                  root: String): Unit = {
+    val spark = delta.sparkSession
+    val cents = readIndexCentroids(spark, root)
+    val cb = readIndexCodebooks(spark, root)
+    delta
+      .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
+      .select(col("vec_id"),
+        graft.functions.NearestCentroidId(col("_v"), cents).as("list_id"),
+        graft.functions.PqCodes(col("_v"), cb).as("codes"))
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$root/vectors")
+    val old = spark.read.parquet(s"$root/meta").head()
+    val (dn, dc) = corpusCensus(delta, idCol)
+    import spark.implicits._
+    Seq((old.getAs[Int]("k"), old.getAs[Int]("iters"), old.getAs[Int]("m"),
+      old.getAs[Int]("dsub"), old.getAs[Int]("ksub"),
+      old.getAs[Int]("qdec"),
+      old.getAs[Long]("n_vectors") + dn,
+      (old.getAs[Long]("id_checksum") + dc) % CensusMod))
+      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
+        "id_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
@@ -591,11 +648,8 @@ object SimilarityOps {
     val meta = corpus.sparkSession.read.parquet(s"$root/meta")
       .select(col("n_vectors").cast("long"), col("id_checksum").cast("long"))
       .head()
-    val live = corpus.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(pmod(hash(col(idCol)).cast("long"), lit(1000000007L))),
-          lit(0L)).cast("long").as("c"))
-      .head()
-    meta.getLong(0) != live.getLong(0) || meta.getLong(1) != live.getLong(1)
+    val (n, c) = corpusCensus(corpus, idCol)
+    meta.getLong(0) != n || meta.getLong(1) != c
   }
 
   /** Serve a query batch from a PERSISTED index: reload the bounded

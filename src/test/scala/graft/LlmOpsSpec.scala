@@ -650,6 +650,35 @@ class LlmOpsSpec extends SparkSpec {
     // empty query batch serves an empty result, no probed partitions
     assert(SimilarityOps.indexSearch(queries.limit(0), root,
       "vec_id", "embedding", k = 3, nProbe = 1).count() === 0)
+
+    // --- incremental append: write(B) + append(D) serves searches
+    // row-identical to in-memory IVFPQ over B ∪ D under B-trained
+    // quantizers, regardless of append batching
+    val root2 = java.nio.file.Files.createTempDirectory("graft_annap")
+      .toString + "/idx"
+    val base = vecs.where(col("vec_id") < 20)
+    SimilarityOps.indexWrite(base, "vec_id", "embedding", root2,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    // two append batches (order/batching must not matter)
+    SimilarityOps.indexAppend(
+      vecs.where(col("vec_id") >= 30), "vec_id", "embedding", root2)
+    SimilarityOps.indexAppend(
+      vecs.where(col("vec_id") >= 20 && col("vec_id") < 30),
+      "vec_id", "embedding", root2)
+    val storedA = SimilarityOps.indexSearch(queries, root2,
+      "vec_id", "embedding", k = 3, nProbe = 1)
+    val centsB = SimilarityOps.trainIvf(base, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val cbB = SimilarityOps.pqCodebooks(base, "vec_id", "embedding",
+      m = 8, dsub = 8, ksub = 4)
+    val memA = SimilarityOps.ivfPqTopKWith(queries, vecs,
+      "vec_id", "vec_id", "embedding", k = 3, centsB, cbB, nProbe = 1)
+    assert(storedA.exceptAll(memA).count() === 0)
+    assert(memA.exceptAll(storedA).count() === 0)
+    // the meta census tracked the appends: fresh vs the full corpus,
+    // stale vs the base alone
+    assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root2))
+    assert(SimilarityOps.indexIsStale(base, "vec_id", root2))
   }
 
   test("trained IVFPQ recall@5 >= seeded IVFPQ recall@5 (gate corpora)") {
