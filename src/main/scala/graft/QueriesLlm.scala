@@ -3678,6 +3678,26 @@ object QueriesLlm {
          |ORDER BY $terms DESC, doc_id LIMIT 25""".stripMargin
     })
 
+  /** BM25 served from the PERSISTED inverted index
+    * (TextOps.invertedIndexWrite / bm25SearchIndexed): index the
+    * corpus once — term-bucket-partitioned postings + doc lengths +
+    * census — then answer the query from the stored postings with the
+    * probe as partition pruning. The score replays bm25Score's
+    * fixed-order fold float-identically, so the oracle is SHARED with
+    * `bm25_topk`: a hash match proves the index -> prune -> pivot ->
+    * fold chain reproduces the full-scan ranking bit-for-bit.
+    */
+  private lazy val bm25IndexSearchQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25idx_${Queries.scratchTag(s, d)}"
+      TextOps.invertedIndexWrite(Tables.documents(s, d), "doc_id",
+        "text", root)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25TopKQ.sql)
+
   /** Per-doc top-3 terms by TF-IDF. Integer tf/df in both engines; the
     * only float ops are n_docs/df_t, ln, and one multiply — identical
     * IEEE sequences, so the (tfidf desc, term) ranking agrees exactly
@@ -5435,6 +5455,7 @@ object QueriesLlm {
     "image_decode_stats" -> imageDecodeStatsQ,
     "image_resize" -> imageResizeQ,
     "bm25_topk" -> bm25TopKQ,
+    "bm25_index_search" -> bm25IndexSearchQ,
     "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,

@@ -1552,6 +1552,96 @@ object TextOps {
       .orderBy(col("bm25").desc, col(idCol))
       .limit(k)
 
+  /** Persist a BM25 inverted index — the sparse-retrieval sibling of
+    * the ANN index lifecycle (SimilarityOps.indexWrite): a 100 TB
+    * corpus is indexed ONCE and serves many query batches from the
+    * stored postings instead of rescanning text per query. Layout:
+    *
+    *   root/postings  (doc_id, term, tf) PARTITIONED BY bucket =
+    *     pmod(polyHash(term), nBuckets) — a query's terms resolve to
+    *     their buckets driver-side, so the search scans only those
+    *     `bucket=` partitions (partition pruning as the posting-list
+    *     lookup); within a bucket the term IN-list pushes to parquet
+    *   root/doclens   (doc_id, dl) — the length normalization table
+    *   root/meta      (n_docs, sum_dl, n_buckets) — corpus census
+    *
+    * One corpus scan builds everything; the postings shuffle is
+    * bounded by distinct (doc, term) pairs, never token count.
+    */
+  def invertedIndexWrite(df: DataFrame, idCol: String, textCol: String,
+                         root: String, nBuckets: Int = 64): Unit = {
+    require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("bucket").parquet(s"$root/postings")
+    df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$root/doclens")
+    val m = df.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(words(col(textCol))).cast("long")).as("s")).head()
+    Seq((m.getLong(0), m.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** BM25 top-k served from a PERSISTED inverted index — results
+    * FLOAT-IDENTICAL to [[bm25TopK]] over the same corpus (the
+    * `bm25_index_search` gate shares `bm25_topk`'s oracle): the score
+    * replays bm25Score's fixed-order per-term fold with the same
+    * expression shapes (df as double, StrictMath log, same division
+    * order), with per-doc term frequencies pivoted from the postings
+    * instead of recomputed from text. Only the probed `bucket=`
+    * partitions are scanned; the per-term df collect is |terms|-
+    * bounded; doc lengths join on the (already term-filtered) matched
+    * docs.
+    */
+  def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
+                        root: String, terms: Seq[String], k: Int,
+                        k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs").toDouble
+    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val buckets = terms.map(t =>
+      java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
+    val post = spark.read.parquet(s"$root/postings")
+      .where(col("bucket").isin(buckets: _*) &&
+        col("term").isin(terms: _*))
+    // per-term document frequency: |terms|-bounded collect
+    val dfMap = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pivots = terms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("tf"))).as(s"_tf_$i")
+    }
+    val perDoc = post.groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .join(spark.read.parquet(s"$root/doclens"), Seq("doc_id"))
+    // the SAME fixed-order fold as bm25Score — float-identical
+    val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
+      val tf = coalesce(col(s"_tf_$i"), lit(0)).cast("double")
+      val dfi = lit(dfMap.getOrElse(terms(i), 0L).toDouble)
+      val idf = log(lit(1.0) + (lit(nDocs) - dfi + 0.5) / (dfi + 0.5))
+      acc + idf * tf * (k1 + 1.0) /
+        (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+    }
+    val nMatched = terms.indices.foldLeft(lit(0)) { (acc, i) =>
+      acc + when(coalesce(col(s"_tf_$i"), lit(0)) > 0, 1).otherwise(0)
+    }
+    perDoc.select(col("doc_id"), col("dl"),
+        nMatched.as("n_terms_matched"), score.as("bm25"))
+      .where(col("n_terms_matched") > 0)
+      .orderBy(col("bm25").desc, col("doc_id"))
+      .limit(k)
+  }
+
   /** Per-document top-k terms by TF-IDF — the keyword/topic-feature
     * extraction step of a curation pipeline (domain tagging, cluster
     * labeling). tfidf(t, d) = tf(t, d) * ln(N / df(t)) with raw

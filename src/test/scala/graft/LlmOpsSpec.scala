@@ -681,6 +681,43 @@ class LlmOpsSpec extends SparkSpec {
     assert(SimilarityOps.indexIsStale(base, "vec_id", root2))
   }
 
+  test("bm25 inverted index: indexed search float-identical to the" +
+      " full-scan ranking; only probed term buckets read") {
+    val corpus = Seq(
+      (0L, "spark joins data with hash joins"),
+      (1L, "hash tables back the join"),
+      (2L, "completely unrelated prose here"),
+      (3L, "spark spark spark"),
+      (4L, "the quick brown fox"),
+      (5L, "join join hash spark")).toDF("doc_id", "text")
+    val root = java.nio.file.Files.createTempDirectory("graft_bm25")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(corpus, "doc_id", "text", root,
+      nBuckets = 16)
+    val terms = Seq("spark", "join", "hash")
+    val got = TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+    val want = TextOps.bm25TopK(corpus, "doc_id", "text", terms, k = 10)
+    // float-identical: compare the RAW doubles, no rounding
+    val g = got.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getDouble(3))).toSeq
+    val w = want.collect().map(r => (r.getLong(0), r.getInt(1),
+      r.getInt(2), r.getDouble(3))).toSeq
+    assert(g === w)
+    // probe is partition pruning: <= |distinct term buckets| of 16
+    val nb = terms.map(t => java.lang.Math.floorMod(
+      TextOps.polyHashFn(t), 16L)).distinct.length
+    val scans = got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => f
+    }
+    assert(scans.nonEmpty)
+    assert(scans.forall(_.selectedPartitions.partitionCount <= nb))
+    // a query of entirely unseen terms returns empty, not an error
+    assert(TextOps.bm25SearchIndexed(spark, root,
+      Seq("zzz", "qqq"), k = 5).count() === 0)
+  }
+
   test("trained IVFPQ recall@5 >= seeded IVFPQ recall@5 (gate corpora)") {
     // the promotion contract (round-16): on the driver eval slice the
     // trained coarse quantizer must win or tie the id-prefix seed
