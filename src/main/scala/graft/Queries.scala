@@ -1502,6 +1502,53 @@ object Queries {
       |  min(l_orderkey) AS min_okey, max(l_orderkey) AS max_okey
       |FROM alive GROUP BY 1""".stripMargin)
 
+  /** Lakehouse OPTIMIZE composition: the maintenance rhythm that
+    * bounds read amplification — a store accumulates a deletion
+    * vector (MOR), then OPTIMIZE materializes the MOR view COMPACTED
+    * (16 range files -> 4, clustering preserved via
+    * repartitionByRange so zone maps stay useful), resets the DV
+    * store, and commits a FRESH manifest (dv_v = 0) over the new
+    * files; the planned read then serves the same rows with no
+    * anti-join and no dead bytes. Every leg is an already-proven
+    * operator (commitDeleteVector, readAsOf, commitManifest,
+    * manifestRead) — this gate proves the composition, sharing
+    * manifest_read's oracle.
+    */
+  private val optimizePipelineQ = Q(
+    (s, d) => {
+      val tag = scratchTag(s, d)
+      val path = s"/tmp/graft_opt_$tag"
+      val dvRoot = s"/tmp/graft_opt_dv_$tag"
+      val path2 = s"/tmp/graft_opt_c_$tag"
+      val manRoot2 = s"/tmp/graft_opt_m2_$tag"
+      Tables.lineitem(s, d)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          col("l_quantity"), col("l_extendedprice"))
+        .repartitionByRange(16, col("l_orderkey"))
+        .write.mode("overwrite").option("compression", "zstd")
+        .parquet(path)
+      val lin = sources.IoOps.readWithLineage(s, path)
+      sources.IoOps.commitDeleteVector(
+        sources.IoOps.buildDeleteVector(lin, col("l_quantity") < 5),
+        dvRoot, version = 1)
+      // OPTIMIZE: compact the MOR view, keep the range clustering
+      sources.IoOps.writeVis(
+        sources.IoOps.readAsOf(s, path, dvRoot, 1)
+          .repartitionByRange(4, col("l_orderkey")), path2)
+      sources.IoOps.commitManifest(s, path2, manRoot2, version = 2,
+        keyCol = "l_orderkey",
+        statsCols = Seq("l_orderkey", "l_quantity"), dvVersion = 0)
+      sources.IoOps.manifestRead(s, path2, manRoot2, version = 2,
+          dvRoot = None, keyCol = "l_orderkey",
+          keys = Seq(1L, 7L, 68L, 4000L, 40001L),
+          ranges = Seq(("l_orderkey", 1.0, 5000.0)))
+        .groupBy("l_orderkey")
+        .agg(count(lit(1)).as("n"),
+          qround(sum(col("l_quantity")), 4).as("sum_qty"),
+          qround(sum(col("l_extendedprice")), 4).as("sum_price"))
+    },
+    manifestReadQ.sql)
+
   /** Salted skew join (JoinOps.saltedJoin): result must be
     * row-identical to the plain lineitem x part join — the salt only
     * moves rows between reducers, never changes the relation.
@@ -3235,6 +3282,7 @@ object Queries {
     "stream_manifest" -> streamManifestQ,
     "stream_bloom_index" -> streamBloomIndexQ,
     "lakehouse_pipeline" -> lakehousePipelineQ,
+    "optimize_pipeline" -> optimizePipelineQ,
     "stream_scd2_apply" -> streamScd2ApplyQ,
     "salted_join" -> saltedJoinQ2,
     "bucketed_join" -> bucketedJoinQ,
