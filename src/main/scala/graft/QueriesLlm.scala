@@ -1987,7 +1987,13 @@ object QueriesLlm {
     * and the persisted-index oracle: requires `e`, `cb`, `enc` (from
     * pqCbSql) and the trained centroid table `c2` in scope.
     */
-  private val ivfpqTrainedTailSql: String =
+  private val ivfpqTrainedTailSql: String = ivfpqTrainedTailSqlWhere("")
+
+  /** As [[ivfpqTrainedTailSql]] with an extra candidate predicate
+    * ANDed into the scoring join (the delete-sidecar oracle).
+    */
+  private def ivfpqTrainedTailSqlWhere(extra: String): String = {
+    val extraAnd = if (extra.isEmpty) "" else s" AND $extra"
     s"""assign AS (
        |  SELECT vec_id, cid AS list_id FROM (
        |    SELECT e.vec_id, c2.cid,
@@ -2012,7 +2018,7 @@ object QueriesLlm {
        |  JOIN enc ON enc.vec_id = a.vec_id
        |  JOIN dt ON dt.query_id = p.query_id
        |    AND dt.m = enc.subspace AND dt.code = enc.code
-       |  WHERE p.query_id <> a.vec_id
+       |  WHERE p.query_id <> a.vec_id$extraAnd
        |  GROUP BY 1, 2, 3),
        |ranked AS (
        |  SELECT query_id, neighbor_id, list_id, ${qrSql("adc_", 6)} AS adc,
@@ -2021,6 +2027,7 @@ object QueriesLlm {
        |  FROM adc0)
        |SELECT query_id, neighbor_id, list_id, adc, rank
        |FROM ranked WHERE rank <= 5""".stripMargin
+  }
 
   /** IVFPQ on the TRAINED coarse quantizer (the honest k-means via two
     * distributed Lloyd iterations — same training chain as
@@ -2094,6 +2101,30 @@ object QueriesLlm {
        |eb AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
        |${trainedC2SqlOver("eb")},
        |$ivfpqTrainedTailSql""".stripMargin)
+
+  /** Index DELETE lifecycle (SimilarityOps.indexDelete): build the
+    * full index, record a predicate delete (vec_id % 7 = 3) in the
+    * append-mode sidecar — megabytes, never the code table — then
+    * serve the search: base minus deletes through one anti-join. The
+    * oracle replays the trained chain over the full corpus and
+    * excludes the doomed ids from the candidate join only, exactly
+    * the merge-on-read contract (quantizers still reflect the
+    * trained-once corpus).
+    */
+  private val annIndexDeleteQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxd_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexDelete(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", root)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |$trainedC2Sql,
+       |${ivfpqTrainedTailSqlWhere("a.vec_id % 7 <> 3")}""".stripMargin)
 
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
@@ -5497,6 +5528,7 @@ object QueriesLlm {
     "ann_ivfpq_seeded" -> annIvfpqSeededQ,
     "ann_index_persist" -> annIndexPersistQ,
     "ann_index_append" -> annIndexAppendQ,
+    "ann_index_delete" -> annIndexDeleteQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,

@@ -610,6 +610,36 @@ object SimilarityOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
+  /** Record deletions against a persisted index — the third leg of the
+    * lifecycle (write once / append forever / delete cheaply): doomed
+    * vec_ids land in an append-mode `deletes` sidecar (megabytes,
+    * never the code table — the deletion-vector discipline of the
+    * lakehouse ops applied to the index), and [[indexSearch]] serves
+    * base-minus-deletes through ONE anti-join the small list
+    * broadcasts through. The meta census updates subtractively
+    * (count -, checksum - mod p), so [[indexIsStale]] stays honest
+    * for the corpus WITHOUT its deleted rows. Rebuild (indexWrite)
+    * is the compaction that resets read amplification, exactly like
+    * purgeDeletes for tables.
+    */
+  def indexDelete(doomed: DataFrame, idCol: String, root: String): Unit = {
+    val spark = doomed.sparkSession
+    doomed.select(col(idCol).cast("long").as("vec_id"))
+      .write.mode("append").parquet(s"$root/deletes")
+    val old = spark.read.parquet(s"$root/meta").head()
+    val (dn, dc) = corpusCensus(doomed, idCol)
+    import spark.implicits._
+    Seq((old.getAs[Int]("k"), old.getAs[Int]("iters"), old.getAs[Int]("m"),
+      old.getAs[Int]("dsub"), old.getAs[Int]("ksub"),
+      old.getAs[Int]("qdec"),
+      old.getAs[Long]("n_vectors") - dn,
+      java.lang.Math.floorMod(
+        old.getAs[Long]("id_checksum") - dc, CensusMod)))
+      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
+        "id_checksum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
   /** Reload the trained coarse quantizer from a persisted index —
     * K x d bounded collect, value-identical to the trained centroids
     * (decimal-quantized doubles round-trip bit-exactly).
@@ -671,10 +701,22 @@ object SimilarityOps {
       .select(explode(graft.functions.ProbeListIds(
         toDouble(col(vecCol)), cents, nProbe)).as("list_id"))
       .distinct().collect().map(_.getLong(0))
-    val coded = spark.read.parquet(s"$root/vectors")
+    val coded0 = spark.read.parquet(s"$root/vectors")
       .where(col("list_id").isin(probed: _*))
       .select(col("vec_id").as("neighbor_id"),
         col("list_id").cast("long").as("list_id"), col("codes"))
+    // serve base minus deletes: one anti-join against the (small)
+    // delete sidecar when one exists — the index's merge-on-read
+    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    val delFs = delPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val coded =
+      if (delFs.exists(delPath))
+        coded0.join(
+          spark.read.parquet(s"$root/deletes")
+            .select(col("vec_id").as("neighbor_id")),
+          Seq("neighbor_id"), "left_anti")
+      else coded0
     ivfPqScore(queries, coded, qId, vecCol, k, cents, cb, nProbe, qdec)
   }
 

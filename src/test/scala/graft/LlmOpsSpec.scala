@@ -679,6 +679,22 @@ class LlmOpsSpec extends SparkSpec {
     // stale vs the base alone
     assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root2))
     assert(SimilarityOps.indexIsStale(base, "vec_id", root2))
+
+    // --- merge-on-read delete: searches serve base minus deletes,
+    // quantizers untouched; census tracks the post-delete corpus
+    SimilarityOps.indexDelete(vecs.where(col("vec_id") % 5 === 2),
+      "vec_id", root2)
+    val storedD = SimilarityOps.indexSearch(queries, root2,
+      "vec_id", "embedding", k = 3, nProbe = 1)
+    val memD = SimilarityOps.ivfPqTopKWith(queries,
+      vecs.where(col("vec_id") % 5 =!= 2),
+      "vec_id", "vec_id", "embedding", k = 3, centsB, cbB, nProbe = 1)
+    assert(storedD.exceptAll(memD).count() === 0)
+    assert(memD.exceptAll(storedD).count() === 0)
+    assert(storedD.where(col("neighbor_id") % 5 === 2).count() === 0)
+    assert(!SimilarityOps.indexIsStale(
+      vecs.where(col("vec_id") % 5 =!= 2), "vec_id", root2))
+    assert(SimilarityOps.indexIsStale(vecs, "vec_id", root2))
   }
 
   test("bm25 inverted index: indexed search float-identical to the" +
