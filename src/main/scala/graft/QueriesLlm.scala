@@ -243,6 +243,51 @@ object QueriesLlm {
        |  CAST(coalesce(l.cluster_id, c.doc_id) = c.doc_id AS BIGINT) AS keep
        |FROM corpus c LEFT JOIN lab l USING (doc_id)""".stripMargin)
 
+  /** Synchronous label propagation (DedupOps.labelPropagation) over
+    * the verified near-dup graph, 3 rounds: community detection as
+    * the density complement of dedup_clusters' connectivity classes.
+    * Every step is discrete (exact neighbor-label counts, count-desc /
+    * label-asc tie-break), so the oracle unrolls the 3 rounds
+    * verbatim — no convergence heuristics, no randomness.
+    */
+  private val labelPropagationQ = Q(
+    (s, d) => {
+      val corpus = dupCorpus(s, d, mod = 4)
+      val pairs = DedupOps.minHashNearDup(corpus, "doc_id", "text",
+        threshold = 0.5).select(col("id1"), col("id2"))
+      DedupOps.labelPropagation(pairs, "id1", "id2", corpus, "doc_id",
+          rounds = 3)
+        .select(col("node").as("doc_id"), col("community"))
+    },
+    {
+      def round(r: Int): String = {
+        val prev = s"n${r - 1}"
+        s"""v$r AS (
+           |  SELECT e.a, l.label, CAST(count(*) AS BIGINT) AS n
+           |  FROM e JOIN $prev l ON e.b = l.node GROUP BY 1, 2),
+           |w$r AS (
+           |  SELECT a AS node, label FROM (
+           |    SELECT a, label,
+           |      row_number() OVER (PARTITION BY a
+           |        ORDER BY n DESC, label) AS rn_
+           |    FROM v$r) WHERE rn_ = 1),
+           |n$r AS MATERIALIZED (
+           |  SELECT p.node, coalesce(w$r.label, p.label) AS label
+           |  FROM $prev p LEFT JOIN w$r USING (node))"""
+      }
+      s"""WITH ${minhashVerSql(mod = 4)},
+         |pairs AS (
+         |  SELECT id1, id2 FROM ver
+         |  WHERE CAST(n_inter AS DOUBLE) / n_union >= 0.5),
+         |e AS MATERIALIZED (SELECT id1 AS a, id2 AS b FROM pairs
+         |      UNION SELECT id2, id1 FROM pairs),
+         |n0 AS (SELECT doc_id AS node, doc_id AS label FROM corpus),
+         |${round(1)},
+         |${round(2)},
+         |${round(3)}
+         |SELECT node AS doc_id, label AS community FROM n3""".stripMargin
+    })
+
   /** Newman modularity (DedupOps.modularity) of the LANGUAGE
     * partition over the verified near-dup graph — "do duplicate edges
     * stay inside a language, or is the corpus leaking cross-language
@@ -5566,6 +5611,7 @@ object QueriesLlm {
     "decontaminate_bloom" -> decontaminateBloomQ,
     "dedup_clusters" -> dedupClustersQ,
     "graph_modularity" -> graphModularityQ,
+    "label_propagation" -> labelPropagationQ,
     "tokenizer_efficiency" -> tokenizerEfficiencyQ,
     "cluster_best_rep" -> clusterBestRepQ,
     "embed_leakage" -> embedLeakageQ,

@@ -1086,6 +1086,54 @@ object DedupOps {
     * nothing (node count fixpoint). Output: 1 row (k, rounds,
     * n_nodes, n_edges, converged).
     */
+  /** Synchronous label propagation (Raghavan et al. 2007) — community
+    * detection over the near-dup candidate graph, the density-driven
+    * complement of [[connectedComponents]] (which finds CONNECTIVITY
+    * classes; LPA splits a weakly-bridged component into its dense
+    * cores). Deterministic variant: every node starts as its own
+    * label; each round, a node adopts the most frequent label among
+    * its NEIGHBORS (count desc, smallest label on ties — a total
+    * order, so the classic random tie-break nondeterminism is
+    * removed); isolated nodes keep their label. Fixed `rounds` is the
+    * contract, like [[kCore]] — callers pick rounds ≥ the expected
+    * community diameter.
+    *
+    * 100 TB story per round: one |E|-shuffle join tagging each edge
+    * with its endpoint's current label, one (node, label) hash
+    * aggregate, one top-1 window (partial WindowGroupLimit — ≤ 1 row
+    * per node per map task crosses the exchange); state is one label
+    * per node, lineage truncated per round like every iterative op
+    * here.
+    */
+  def labelPropagation(pairs: DataFrame, id1: String, id2: String,
+                       nodes: DataFrame, nodeCol: String, rounds: Int,
+                       checkpointDir: Option[String] = None): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1, got $rounds")
+    val cp = truncator(pairs, checkpointDir)
+    val p = cp(pairs.select(col(id1).cast("long").as("_i1"),
+      col(id2).cast("long").as("_i2")))
+    val e = cp(p.select(col("_i1").as("a"), col("_i2").as("b"))
+      .unionByName(p.select(col("_i2").as("a"), col("_i1").as("b")))
+      .distinct())
+    var lab = nodes.select(col(nodeCol).cast("long").as("node"))
+      .distinct().withColumn("label", col("node"))
+    for (_ <- 1 to rounds) {
+      val votes = e
+        .join(lab.select(col("node").as("b"), col("label")), Seq("b"))
+        .groupBy(col("a"), col("label"))
+        .agg(count(lit(1)).as("_n"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy("a")
+        .orderBy(col("_n").desc, col("label"))
+      val winners = votes
+        .withColumn("_rn", row_number().over(w)).where(col("_rn") === 1)
+        .select(col("a").as("node"), col("label").as("_new"))
+      lab = cp(lab.join(winners, Seq("node"), "left")
+        .select(col("node"),
+          coalesce(col("_new"), col("label")).as("label")))
+    }
+    lab.select(col("node"), col("label").as("community"))
+  }
+
   def kCore(pairs: DataFrame, id1: String, id2: String, k: Int,
             rounds: Int,
             checkpointDir: Option[String] = None): DataFrame = {

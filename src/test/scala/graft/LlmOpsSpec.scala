@@ -697,6 +697,32 @@ class LlmOpsSpec extends SparkSpec {
     assert(SimilarityOps.indexIsStale(vecs, "vec_id", root2))
   }
 
+  test("labelPropagation: two bridged 4-cliques split into their dense" +
+      " cores; isolated nodes keep their own label") {
+    // cliques {0..3} and {10..13}, one bridge 3-10, isolated 99
+    def clique(ids: Seq[Long]) =
+      for (a <- ids; b <- ids if a < b) yield (a, b)
+    val pairs = (clique(Seq(0L, 1L, 2L, 3L)) ++
+      clique(Seq(10L, 11L, 12L, 13L)) :+ (3L, 10L))
+      .toDF("id1", "id2")
+    val nodes = (Seq(0L, 1L, 2L, 3L, 10L, 11L, 12L, 13L, 99L))
+      .toDF("doc_id")
+    val out = DedupOps.labelPropagation(pairs, "id1", "id2",
+        nodes, "doc_id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // each clique converges to ONE community; the bridge does not
+    // merge them (connectedComponents WOULD — that's the difference)
+    assert(Set(0L, 1L, 2L, 3L).map(out).size === 1)
+    assert(Set(10L, 11L, 12L, 13L).map(out).size === 1)
+    assert(out(0L) !== out(10L))
+    assert(out(99L) === 99L) // isolated keeps its own label
+    // determinism: same input, same result
+    val out2 = DedupOps.labelPropagation(pairs, "id1", "id2",
+        nodes, "doc_id", rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === out2)
+  }
+
   test("bm25 inverted index: indexed search float-identical to the" +
       " full-scan ranking; only probed term buckets read") {
     val corpus = Seq(
