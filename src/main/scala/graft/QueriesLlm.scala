@@ -1927,6 +1927,54 @@ object QueriesLlm {
        |        ORDER BY ${sqDistSql("list_slice(e.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")}, cb.code) AS rn_
        |    FROM e CROSS JOIN cb) WHERE rn_ = 1)""".stripMargin
 
+  /** Trained PQ codebooks (SimilarityOps.trainPqCodebooks, one Lloyd
+    * round over all 8 subspaces in one corpus scan): assignment is a
+    * discrete argmin over exact fold distances, means are quantized
+    * to 8 decimals (absorbing partial-sum order noise, the trainIvf
+    * contract), dead codes keep their seed entry. The oracle replays
+    * the whole round relationally — subvector explode, per-(vector,
+    * subspace) argmin, per-(subspace, code, dim) mean, dead-code
+    * coalesce — in ONE chain, no per-subspace unrolling.
+    */
+  private val pqTrainQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16, iters = 1)
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.flatMap { case (cv, code) =>
+          cv.zipWithIndex.map { case (x, dim) => (sub, code, dim, x) }
+        }
+      }.toSeq.toDF("subspace", "code", "dim", "value")
+    },
+    s"""WITH $pqCbSql,
+       |sub AS (
+       |  SELECT e.vec_id, g.m AS sp,
+       |    list_slice(e.v, g.m * 8 + 1, g.m * 8 + 8) AS sv
+       |  FROM e CROSS JOIN generate_series(0, 7) g(m)),
+       |pa AS (
+       |  SELECT vec_id, sp, code FROM (
+       |    SELECT sub.vec_id, sub.sp, cb.code,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.sp
+       |        ORDER BY ${sqDistSql("sub.sv", "cb.cv")}, cb.code) AS rn_
+       |    FROM sub JOIN cb ON cb.m = sub.sp) WHERE rn_ = 1),
+       |px AS (
+       |  SELECT pa.sp, pa.code, g.i AS dim, sub.sv[g.i] AS x
+       |  FROM pa JOIN sub ON pa.vec_id = sub.vec_id AND pa.sp = sub.sp
+       |  CROSS JOIN generate_series(1, 8) g(i)),
+       |ps AS (
+       |  SELECT sp, code, dim, ${qrSql("sum(x) / count(*)", 8)} AS c
+       |  FROM px GROUP BY 1, 2, 3),
+       |fullcb AS (
+       |  SELECT cb.m AS sp, cb.code, g.i AS dim, cb.cv[g.i] AS c0
+       |  FROM cb CROSS JOIN generate_series(1, 8) g(i))
+       |SELECT CAST(f.sp AS INT) AS subspace, CAST(f.code AS INT) AS code,
+       |  CAST(f.dim - 1 AS INT) AS dim, coalesce(ps.c, f.c0) AS value
+       |FROM fullcb f LEFT JOIN ps
+       |  ON ps.sp = f.sp AND ps.code = f.code AND ps.dim = f.dim"""
+      .stripMargin)
+
   /** PQ encode: every distance is a left-to-right fold (bit-exact in
     * both engines) and the output is a discrete argmin — fully exact.
     */
@@ -5568,6 +5616,7 @@ object QueriesLlm {
     "ivf_train_iter" -> ivfTrainIterQ,
     "embed_neardup" -> embedNearDupQ,
     "pq_encode" -> pqEncodeQ,
+    "pq_train" -> pqTrainQ,
     "pq_search" -> pqSearchQ,
     "ann_ivfpq" -> annIvfpqQ,
     "ann_ivfpq_seeded" -> annIvfpqSeededQ,

@@ -353,6 +353,86 @@ object SimilarityOps {
     Array.tabulate(m)(s => seeds.map(_._2.slice(s * dsub, s * dsub + dsub)))
   }
 
+  /** Train the PQ codebooks with per-subspace Lloyd iterations — the
+    * honest k-means for the PRODUCT quantizer, completing what
+    * [[trainIvf]] did for the coarse quantizer (the seeded
+    * [[pqCodebooks]] stays the zero-training fallback). All m
+    * subspaces train in ONE scan per iteration: each vector
+    * contributes its m subvectors to their nearest codebook entries
+    * (exact squared distance, lowest-code tiebreak), partial
+    * per-(subspace, code, dim) sums combine map-side, and the means
+    * are quantized to qdec decimals between iterations (same
+    * reproducibility contract as trainIvf — every downstream discrete
+    * choice replays exactly in any engine). A code that loses all
+    * members keeps its previous entry (dead-code rule).
+    *
+    * 100 TB story per iteration: one corpus scan with the m x ksub x
+    * dsub codebooks in the task closure; the shuffle carries
+    * n_partitions x m x ksub x dsub partial rows, never vectors; only
+    * the codebook table (bounded, tiny) is collected.
+    */
+  def trainPqCodebooks(emb: DataFrame, idCol: String, vecCol: String,
+                       m: Int, dsub: Int, ksub: Int, iters: Int,
+                       qdec: Int = 8): Array[Array[Array[Double]]] = {
+    require(iters >= 1, s"need iters >= 1, got $iters")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val scale = math.pow(10, qdec)
+    def qr(x: Double): Double = math.floor(x * scale + 0.5) / scale
+    var books = pqCodebooks(emb, idCol, vecCol, m, dsub, ksub)
+    for (_ <- 1 to iters) {
+      val cur = books // stable capture for the closure
+      val partial = emb.select(toDouble(col(vecCol)).as("v"))
+        .as[Seq[Double]]
+        .mapPartitions { rows =>
+          // (subspace, code) -> (per-dim sums, count)
+          val sums = mutable.Map.empty[(Int, Int), (Array[Double], Long)]
+          for (v <- rows) {
+            var s = 0
+            while (s < m) {
+              val off = s * dsub
+              var best = -1; var bestD = Double.MaxValue
+              var c = 0
+              while (c < ksub) {
+                val cv = cur(s)(c)
+                var d2 = 0.0; var i = 0
+                while (i < dsub) {
+                  val d = v(off + i) - cv(i); d2 += d * d; i += 1
+                }
+                if (d2 < bestD) { best = c; bestD = d2 } // asc codes win ties
+                c += 1
+              }
+              val key = (s, best)
+              val (acc, _) = sums.getOrElseUpdate(key,
+                (new Array[Double](dsub), 0L))
+              var i = 0
+              while (i < dsub) { acc(i) += v(off + i); i += 1 }
+              sums(key) = (acc, sums(key)._2 + 1)
+              s += 1
+            }
+          }
+          sums.iterator.flatMap { case ((s, c), (acc, n)) =>
+            acc.iterator.zipWithIndex.map { case (x, dim) =>
+              (s, c, dim, x, n)
+            }
+          }
+        }
+        .toDF("subspace", "code", "dim", "psum", "pn")
+        .groupBy("subspace", "code", "dim")
+        .agg((sum(col("psum")) / sum(col("pn"))).as("c"))
+        .collect()
+        .map(r => ((r.getInt(0), r.getInt(1)), r.getInt(2),
+          r.getDouble(3)))
+        .groupBy(_._1)
+        .map { case (k, rows) =>
+          k -> rows.sortBy(_._2).map(t => qr(t._3)).toArray
+        }
+      books = Array.tabulate(m)(s => Array.tabulate(ksub)(c =>
+        partial.getOrElse((s, c), books(s)(c))))
+    }
+    books
+  }
+
   /** PQ encode: each vector becomes m small integer codes — the
     * nearest codebook entry per subspace (exact squared distance,
     * lowest-code tiebreak). Output long form (id, subspace, code).

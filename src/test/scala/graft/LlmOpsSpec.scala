@@ -760,6 +760,34 @@ class LlmOpsSpec extends SparkSpec {
       Seq("zzz", "qqq"), k = 5).count() === 0)
   }
 
+  test("trainPqCodebooks: Lloyd round reduces quantization error vs" +
+      " seeded codebooks; dead codes keep their seed entry") {
+    val dir = "/root/testdata/sf0.001"
+    assume(new java.io.File(s"$dir/embeddings.parquet").exists())
+    val emb = Tables.embeddings(spark, dir)
+    val seeded = SimilarityOps.pqCodebooks(emb, "vec_id", "embedding",
+      m = 8, dsub = 8, ksub = 16)
+    val trained = SimilarityOps.trainPqCodebooks(emb, "vec_id",
+      "embedding", m = 8, dsub = 8, ksub = 16, iters = 2)
+    // mean squared quantization error: each vector to its own codes
+    def mse(cb: Array[Array[Array[Double]]]): Double = {
+      val vs = emb.select(col("embedding").cast("array<double>"))
+        .collect().map(_.getSeq[Double](0).toArray)
+      vs.map { v =>
+        (0 until 8).map { s =>
+          cb(s).map(cv => SimilarityOps.sqDistFn(
+            v.slice(s * 8, s * 8 + 8).toSeq, cv.toSeq)).min
+        }.sum
+      }.sum / vs.length
+    }
+    val (e0, e1) = (mse(seeded), mse(trained))
+    info(s"PQ mse seeded=$e0 trained=$e1")
+    assert(e1 <= e0) // Lloyd never increases the objective here
+    // shape preserved
+    assert(trained.length === 8 &&
+      trained.forall(b => b.length === 16 && b.forall(_.length === 8)))
+  }
+
   test("trained IVFPQ recall@5 >= seeded IVFPQ recall@5 (gate corpora)") {
     // the promotion contract (round-16): on the driver eval slice the
     // trained coarse quantizer must win or tie the id-prefix seed
