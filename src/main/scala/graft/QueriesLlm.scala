@@ -1936,20 +1936,13 @@ object QueriesLlm {
     * subspace) argmin, per-(subspace, code, dim) mean, dead-code
     * coalesce — in ONE chain, no per-subspace unrolling.
     */
-  private val pqTrainQ = Q(
-    (s, d) => {
-      val emb = Tables.embeddings(s, d)
-      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
-        m = 8, dsub = 8, ksub = 16, iters = 1)
-      import s.implicits._
-      cb.zipWithIndex.flatMap { case (book, sub) =>
-        book.zipWithIndex.flatMap { case (cv, code) =>
-          cv.zipWithIndex.map { case (x, dim) => (sub, code, dim, x) }
-        }
-      }.toSeq.toDF("subspace", "code", "dim", "value")
-    },
-    s"""WITH $pqCbSql,
-       |sub AS (
+  /** One PQ-Lloyd round as CTEs (subvector explode, per-(vector,
+    * subspace) argmin under the SEEDED codebooks, per-(subspace,
+    * code, dim) quantized mean, fullcb for the dead-code coalesce) —
+    * shared by `pq_train` and the fully-trained index oracle.
+    */
+  private val pqTrainChainSql: String =
+    s"""sub AS (
        |  SELECT e.vec_id, g.m AS sp,
        |    list_slice(e.v, g.m * 8 + 1, g.m * 8 + 8) AS sv
        |  FROM e CROSS JOIN generate_series(0, 7) g(m)),
@@ -1968,12 +1961,61 @@ object QueriesLlm {
        |  FROM px GROUP BY 1, 2, 3),
        |fullcb AS (
        |  SELECT cb.m AS sp, cb.code, g.i AS dim, cb.cv[g.i] AS c0
-       |  FROM cb CROSS JOIN generate_series(1, 8) g(i))
+       |  FROM cb CROSS JOIN generate_series(1, 8) g(i))""".stripMargin
+
+  private val pqTrainQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val cb = SimilarityOps.trainPqCodebooks(emb, "vec_id", "embedding",
+        m = 8, dsub = 8, ksub = 16, iters = 1)
+      import s.implicits._
+      cb.zipWithIndex.flatMap { case (book, sub) =>
+        book.zipWithIndex.flatMap { case (cv, code) =>
+          cv.zipWithIndex.map { case (x, dim) => (sub, code, dim, x) }
+        }
+      }.toSeq.toDF("subspace", "code", "dim", "value")
+    },
+    s"""WITH $pqCbSql,
+       |$pqTrainChainSql
        |SELECT CAST(f.sp AS INT) AS subspace, CAST(f.code AS INT) AS code,
        |  CAST(f.dim - 1 AS INT) AS dim, coalesce(ps.c, f.c0) AS value
        |FROM fullcb f LEFT JOIN ps
        |  ON ps.sp = f.sp AND ps.code = f.code AND ps.dim = f.dim"""
       .stripMargin)
+
+  /** The FULLY-TRAINED persisted index: both quantizers k-means
+    * (coarse via two Lloyd iterations, PQ via one PQ-Lloyd round),
+    * stored and served (SimilarityOps.indexWrite(pqIters = 1) /
+    * indexSearch). The oracle composes the trained-centroid chain
+    * with the PQ-training chain, re-derives the codebooks (cb1) and
+    * corpus codes (enc1) under the TRAINED books, and prices through
+    * the shared probe/ADC tail — the production shape end to end.
+    */
+  private val annIndexTrainedPqQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxt_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16, pqIters = 1)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |$pqTrainChainSql,
+       |cb1 AS MATERIALIZED (
+       |  SELECT f.sp AS m, f.code,
+       |    list(coalesce(ps.c, f.c0) ORDER BY f.dim) AS cv
+       |  FROM fullcb f LEFT JOIN ps
+       |    ON ps.sp = f.sp AND ps.code = f.code AND ps.dim = f.dim
+       |  GROUP BY 1, 2),
+       |enc1 AS MATERIALIZED (
+       |  SELECT vec_id, sp AS subspace, code FROM (
+       |    SELECT sub.vec_id, sub.sp, cb1.code,
+       |      row_number() OVER (PARTITION BY sub.vec_id, sub.sp
+       |        ORDER BY ${sqDistSql("sub.sv", "cb1.cv")}, cb1.code) AS rn_
+       |    FROM sub JOIN cb1 ON cb1.m = sub.sp) WHERE rn_ = 1),
+       |$trainedC2Sql,
+       |${ivfpqTailOver("cb1", "enc1", "")}""".stripMargin)
 
   /** PQ encode: every distance is a left-to-right fold (bit-exact in
     * both engines) and the output is a discrete argmin — fully exact.
@@ -2085,7 +2127,14 @@ object QueriesLlm {
   /** As [[ivfpqTrainedTailSql]] with an extra candidate predicate
     * ANDed into the scoring join (the delete-sidecar oracle).
     */
-  private def ivfpqTrainedTailSqlWhere(extra: String): String = {
+  private def ivfpqTrainedTailSqlWhere(extra: String): String =
+    ivfpqTailOver("cb", "enc", extra)
+
+  /** As above, parameterized over the codebook/encoding CTE names so
+    * the fully-trained-PQ oracle can serve from cb1/enc1.
+    */
+  private def ivfpqTailOver(cbN: String, encN: String,
+                            extra: String): String = {
     val extraAnd = if (extra.isEmpty) "" else s" AND $extra"
     s"""assign AS (
        |  SELECT vec_id, cid AS list_id FROM (
@@ -2100,17 +2149,17 @@ object QueriesLlm {
        |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
        |    FROM e CROSS JOIN c2 WHERE e.vec_id < 10) WHERE rn_ <= 3),
        |dt AS (
-       |  SELECT q.vec_id AS query_id, cb.m, cb.code,
-       |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")} AS dd
-       |  FROM e q CROSS JOIN cb WHERE q.vec_id < 10),
+       |  SELECT q.vec_id AS query_id, $cbN.m, $cbN.code,
+       |    ${sqDistSql(s"list_slice(q.v, $cbN.m * 8 + 1, $cbN.m * 8 + 8)", s"$cbN.cv")} AS dd
+       |  FROM e q CROSS JOIN $cbN WHERE q.vec_id < 10),
        |adc0 AS (
        |  SELECT p.query_id, a.vec_id AS neighbor_id, p.list_id,
        |    sum(dt.dd) AS adc_
        |  FROM probes p
        |  JOIN assign a ON a.list_id = p.list_id
-       |  JOIN enc ON enc.vec_id = a.vec_id
+       |  JOIN $encN ON $encN.vec_id = a.vec_id
        |  JOIN dt ON dt.query_id = p.query_id
-       |    AND dt.m = enc.subspace AND dt.code = enc.code
+       |    AND dt.m = $encN.subspace AND dt.code = $encN.code
        |  WHERE p.query_id <> a.vec_id$extraAnd
        |  GROUP BY 1, 2, 3),
        |ranked AS (
@@ -5617,6 +5666,7 @@ object QueriesLlm {
     "embed_neardup" -> embedNearDupQ,
     "pq_encode" -> pqEncodeQ,
     "pq_train" -> pqTrainQ,
+    "ann_index_trained_pq" -> annIndexTrainedPqQ,
     "pq_search" -> pqSearchQ,
     "ann_ivfpq" -> annIvfpqQ,
     "ann_ivfpq_seeded" -> annIvfpqSeededQ,

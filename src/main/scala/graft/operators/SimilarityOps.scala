@@ -614,13 +614,22 @@ object SimilarityOps {
     (r.getLong(0), r.getLong(1))
   }
 
+  /** @param pqIters 0 (default) = seeded PQ codebooks; > 0 = train
+    *   them too ([[trainPqCodebooks]]) — the fully-trained production
+    *   index (both quantizers k-means).
+    */
   def indexWrite(corpus: DataFrame, idCol: String, vecCol: String,
                  root: String, k: Int, iters: Int,
-                 m: Int, dsub: Int, ksub: Int, qdec: Int = 8): Unit = {
+                 m: Int, dsub: Int, ksub: Int, qdec: Int = 8,
+                 pqIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
     import spark.implicits._
     val cents = trainIvf(corpus, idCol, vecCol, k, iters, qdec)
-    val cb = pqCodebooks(corpus, idCol, vecCol, m, dsub, ksub)
+    val cb =
+      if (pqIters > 0)
+        trainPqCodebooks(corpus, idCol, vecCol, m, dsub, ksub,
+          pqIters, qdec)
+      else pqCodebooks(corpus, idCol, vecCol, m, dsub, ksub)
     cents.flatMap { case (cid, v) =>
       v.iterator.zipWithIndex.map { case (x, dim) => (cid, dim, x) }
     }.toDF("cid", "dim", "value").coalesce(1)
