@@ -2244,6 +2244,29 @@ object QueriesLlm {
        |${trainedC2SqlOver("eb")},
        |$ivfpqTrainedTailSql""".stripMargin)
 
+  /** Streaming twin of ann_index_append
+    * (StreamingOps.indexAppendSink): the delta vectors arrive as two
+    * micro-batches in REVERSED id order — per-row assignment under
+    * the stored quantizers is independent and the census merge
+    * commutes, so any batching/order lands on the same index; the
+    * search through it shares ann_index_append's oracle.
+    */
+  private lazy val streamIndexAppendQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxs_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      val sink = streaming.StreamingOps.indexAppendSink(
+        "vec_id", "embedding", root)
+      sink(emb.where(col("vec_id") >= 150), 0L)
+      sink(emb.where(col("vec_id") >= 100 && col("vec_id") < 150), 1L)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
   /** Index DELETE lifecycle (SimilarityOps.indexDelete): build the
     * full index, record a predicate delete (vec_id % 7 = 3) in the
     * append-mode sidecar — megabytes, never the code table — then
@@ -5673,6 +5696,7 @@ object QueriesLlm {
     "ann_index_persist" -> annIndexPersistQ,
     "ann_index_append" -> annIndexAppendQ,
     "ann_index_delete" -> annIndexDeleteQ,
+    "stream_index_append" -> streamIndexAppendQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,

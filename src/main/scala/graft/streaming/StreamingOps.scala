@@ -1380,4 +1380,19 @@ object StreamingOps {
   def manifestStream(keyCol: String, statsCols: Seq[String],
                      bits: Int = 65536, hashes: Int = 3): ManifestState =
     new ManifestState(keyCol, statsCols, bits, hashes)
+
+  /** foreachBatch sink appending each micro-batch of NEW vectors to a
+    * persisted ANN index (SimilarityOps.indexAppend) — the streaming
+    * leg of the train-once/append-forever lifecycle. Unlike the
+    * table-state twins there is no in-memory state to carry: the
+    * on-disk index IS the state, and per-row assignment under the
+    * STORED quantizers is independent, so any batching/order of the
+    * appends lands on the same index (the `stream_index_append` gate
+    * shares `ann_index_append`'s oracle; the census merge is
+    * commutative mod-p addition).
+    */
+  def indexAppendSink(idCol: String, vecCol: String,
+                      root: String): (DataFrame, Long) => Unit =
+    (df, _) => graft.operators.SimilarityOps.indexAppend(
+      df, idCol, vecCol, root)
 }
