@@ -2952,6 +2952,37 @@ object QueriesLlm {
       |SELECT doc_id, n_tok, start_tok, start_tok // 1000 AS shard
       |FROM c""".stripMargin)
 
+  /** Deterministic shuffled packing (PackOps.shuffledPack): the
+    * training-order layout — pseudorandom but fully reproducible
+    * document order via the house multiplicative hash, exact global
+    * positions from the two-phase prefix sum over the HASH domain,
+    * greedy token-budget packs. The oracle replays the hash and the
+    * whole prefix relationally; a hash match proves the distributed
+    * two-phase rank equals the single global ordering exactly.
+    */
+  private val packShuffledQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+        .withColumn("n_tok", size(split(col("text"), " ")).cast("long"))
+      PackOps.shuffledPack(docs, "doc_id", "n_tok",
+          budget = 1000, buckets = 16)
+        .select("doc_id", "n_tok", "shuffle_key", "start_tok", "pack_id")
+    },
+    s"""WITH t AS (
+       |  SELECT doc_id,
+       |    CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok,
+       |    ((doc_id % $M) * ${SketchOps.KmvMult}) % $M AS shuffle_key
+       |  FROM documents),
+       |c AS (
+       |  SELECT doc_id, n_tok, shuffle_key,
+       |    coalesce(CAST(sum(n_tok) OVER (ORDER BY shuffle_key, doc_id
+       |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT),
+       |      0) AS start_tok
+       |  FROM t)
+       |SELECT doc_id, n_tok, shuffle_key, start_tok,
+       |  start_tok // 1000 AS pack_id
+       |FROM c""".stripMargin)
+
   /** Eval decontamination sweep: test-split docs sharing rare 3-gram
     * shingles with train-split docs (doc-frequency-pruned join, never
     * all pairs).
@@ -5729,6 +5760,7 @@ object QueriesLlm {
     "dsir_sample" -> dsirSampleQ,
     "pack_sequences" -> packSequencesQ,
     "shard_by_tokens" -> shardByTokensQ,
+    "pack_shuffled" -> packShuffledQ,
     "packing_pipeline" -> packingPipelineQ,
     "decontaminate" -> decontaminateQ,
     "decontaminate_bloom" -> decontaminateBloomQ,

@@ -178,4 +178,46 @@ object PackOps {
     globalCumsum(df, idCol, tokenCol, buckets)
       .withColumn("shard", expr(s"start_tok DIV $budget"))
   }
+
+  /** Deterministic global SHUFFLE + token-budget packing — the
+    * training-order layout step: a pretraining corpus must be read in
+    * pseudorandom document order (breaking crawl/source/temporal
+    * locality that biases SGD) yet REPRODUCIBLY, so a re-run or a
+    * resumed job sees the identical order. Order = (shuffle_key, id)
+    * where shuffle_key is the house multiplicative hash (pure
+    * function of the id — no rand(), replayable in any engine);
+    * positions are the exact two-phase prefix sum of
+    * [[globalCumsum]] re-keyed to the HASH domain: bucket = key DIV
+    * width is monotone in the shuffled order, offsets are a
+    * buckets-row broadcast, the rank window partitions by bucket —
+    * no global window, no driver sort, no skew (the multiplicative
+    * hash spreads any id distribution uniformly over [0, M)).
+    * Output adds (shuffle_key, start_tok, pack_id).
+    */
+  def shuffledPack(df: DataFrame, idCol: String, tokenCol: String,
+                   budget: Long, buckets: Int = 32): DataFrame = {
+    require(budget > 0 && buckets > 0)
+    val m = graft.operators.TextOps.HashMod
+    val mult = graft.operators.SketchOps.KmvMult
+    val width = (m + buckets - 1) / buckets
+    val withK = df
+      .withColumn("shuffle_key",
+        pmod(col(idCol).cast("long"), lit(m)) * lit(mult) % lit(m))
+      .withColumn("_b", expr(s"shuffle_key DIV $width"))
+    val offsets = withK.groupBy("_b")
+      .agg(sum(col(tokenCol)).as("_btok"))
+      .withColumn("_offset",
+        coalesce(sum(col("_btok")).over(
+          Window.orderBy("_b").rowsBetween(
+            Window.unboundedPreceding, -1)), lit(0L)))
+      .select("_b", "_offset") // buckets rows: broadcast side
+    withK.join(broadcast(offsets), Seq("_b"))
+      .withColumn("start_tok",
+        col("_offset") + coalesce(sum(col(tokenCol)).over(
+          Window.partitionBy("_b")
+            .orderBy(col("shuffle_key"), col(idCol))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .withColumn("pack_id", expr(s"start_tok DIV $budget"))
+      .drop("_b", "_offset")
+  }
 }

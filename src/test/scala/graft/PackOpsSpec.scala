@@ -114,4 +114,36 @@ class PackOpsSpec extends SparkSpec {
       pid / PackOps.PackStride == cell
     })
   }
+
+  test("shuffledPack: exact tiling in shuffled order, reproducible," +
+      " and genuinely order-breaking") {
+    import spark.implicits._
+    val docs = (0L until 200L).map(i => (i, 10L + i % 3))
+      .toDF("doc_id", "n_tok")
+    val out = PackOps.shuffledPack(docs, "doc_id", "n_tok",
+        budget = 100, buckets = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("shuffle_key"), r.getAs[Long]("n_tok"),
+        r.getAs[Long]("start_tok"), r.getAs[Long]("pack_id")))
+    // exact tiling: sorted by (shuffle_key, id), each start_tok is the
+    // running total of everything before it — no gaps, no overlaps
+    val ordered = out.sortBy(t => (t._2, t._1))
+    var acc = 0L
+    for ((_, _, tok, st, _) <- ordered) {
+      assert(st === acc); acc += tok
+    }
+    assert(acc === out.map(_._3).sum)
+    // reproducible: a second run is identical
+    val again = PackOps.shuffledPack(docs, "doc_id", "n_tok",
+        budget = 100, buckets = 8)
+      .collect().map(r => (r.getAs[Long]("doc_id"),
+        r.getAs[Long]("start_tok"))).toMap
+    assert(out.forall { case (id, _, _, st, _) => again(id) == st })
+    // order-breaking: the shuffled rank order is far from id order
+    // (Spearman footrule distance well above a small perturbation)
+    val rankByShuffle = ordered.map(_._1).zipWithIndex.toMap
+    val footrule = (0L until 200L)
+      .map(id => math.abs(rankByShuffle(id) - id)).sum
+    assert(footrule > 200L * 200L / 10) // ~uniform permutation scale
+  }
 }
