@@ -1576,6 +1576,25 @@ object QueriesLlm {
        |SELECT doc_id, word_idx, si - 1 AS sym_idx, toks[si] AS token
        |FROM ujx""".stripMargin)
 
+  /** Tokenizer artifact lifecycle (TextOps.vocabWrite/vocabRead):
+    * train, PERSIST the piece table, reload, tokenize from the stored
+    * artifact — integer scores round-trip losslessly, so the result
+    * is bit-identical to in-memory tokenization and the oracle is
+    * shared with `unigram_tokenize`.
+    */
+  private lazy val unigramTokenizeStoredQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val path = s"/tmp/graft_vocab_${Queries.scratchTag(s, d)}"
+      val trained = TextOps.unigramTrain(docs, "text",
+          vocabSize = 40, maxPieceLen = 4)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      TextOps.vocabWrite(trained, s, path)
+      TextOps.unigramTokenize(docs, "doc_id", "text",
+        TextOps.vocabRead(s, path), maxPieceLen = 4)
+    },
+    unigramTokenizeQ.sql)
+
   /** The byte-fallback fixture corpus: every 5th document gains a
     * trailing word mixing covered letters with codepoints the
     * training corpus never saw — é (2 UTF-8 bytes), € (3), U+1D11E
@@ -5741,6 +5760,7 @@ object QueriesLlm {
     "unigram_train_pruned" -> unigramTrainPrunedQ,
     "unigram_tokenize" -> unigramTokenizeQ,
     "unigram_tokenize_bytes" -> unigramTokenizeBytesQ,
+    "unigram_tokenize_stored" -> unigramTokenizeStoredQ,
     "tokenizer_efficiency_bytes" -> tokenizerEfficiencyBytesQ,
     "bpe_pretokenize" -> bpePretokenizeQ,
     "similarity_pack" -> similarityPackQ,

@@ -1049,6 +1049,30 @@ object TextOps {
         posexplode(graft.functions.UnigramViterbiSyms(col("wd"), vocab,
           maxPieceLen, unkScore)).as(Seq("sym_idx", "token")))
 
+  /** Persist a trained unigram vocabulary — the tokenizer ARTIFACT
+    * lifecycle (train once, ship the table, tokenize everywhere):
+    * one tokenizer-sized parquet of (piece, score). Integer scores
+    * round-trip losslessly, so tokenization from the stored vocab is
+    * bit-identical to tokenization from the in-memory table (the
+    * `unigram_tokenize_stored` gate shares `unigram_tokenize`'s
+    * oracle).
+    */
+  def vocabWrite(vocab: Seq[(String, Long)], spark: org.apache.spark.sql.SparkSession,
+                 path: String): Unit = {
+    import spark.implicits._
+    vocab.toDF("piece", "score").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted vocabulary in the canonical byte-lex order
+    * every trainer emits — tokenizer-sized collect.
+    */
+  def vocabRead(spark: org.apache.spark.sql.SparkSession,
+                path: String): Seq[(String, Long)] =
+    spark.read.parquet(path)
+      .orderBy(encode(col("piece"), "UTF-8"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+
   /** Byte-fallback unigram tokenization (the SentencePiece
     * `--byte_fallback` contract): Viterbi segmentation exactly as
     * [[unigramTokenize]] (same DP, same unk transition), but every
