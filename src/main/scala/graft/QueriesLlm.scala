@@ -2286,6 +2286,115 @@ object QueriesLlm {
     },
     annIndexAppendQ.sql)
 
+  /** Hybrid retrieval served ENTIRELY from the persisted indexes —
+    * the RAG serving path as it actually deploys: the dense leg from
+    * the stored IVFPQ index (probe = partition pruning), the sparse
+    * leg from the stored BM25 postings (bucket pruning,
+    * float-identical ranking), RRF-fused. The oracle composes the
+    * trained-quantizer/ADC chain (one query, top-50) with the BM25
+    * chain and the same fixed-form RRF arithmetic.
+    */
+  private lazy val hybridRetrievalIndexedQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val tag = Queries.scratchTag(s, d)
+      val annRoot = s"/tmp/graft_hyb_ann_$tag"
+      val bmRoot = s"/tmp/graft_hyb_bm_$tag"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", annRoot,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      TextOps.invertedIndexWrite(Tables.documents(s, d), "doc_id",
+        "text", bmRoot)
+      val cos = SimilarityOps.indexSearch(
+          emb.where(col("vec_id") === 0), annRoot,
+          "vec_id", "embedding", k = 50, nProbe = 3)
+        .select(col("neighbor_id").as("id"), col("rank").as("cos_rank"))
+      val bm = TextOps.bm25SearchIndexed(s, bmRoot, bm25Terms, k = 50)
+        .withColumn("bm_rank", row_number().over(
+          Window.orderBy(col("bm25").desc, col("doc_id"))))
+        .select(col("doc_id").as("id"), col("bm_rank"))
+      bm.join(cos, Seq("id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+        .orderBy(col("rrf").desc, col("id")).limit(20)
+        .select(col("id"), col("bm_rank"), col("cos_rank"),
+          qround(col("rrf"), 8).as("rrf"))
+    },
+    {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+      val half = dlit(0.5); val one = dlit(1.0)
+      val tfs = bm25Terms.indices.map(i =>
+        s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
+        .mkString(",\n    ")
+      val dfs = bm25Terms.indices.map(i =>
+        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n    ")
+      val terms = bm25Terms.indices.map { i =>
+        s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+          s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+          s" * dl / avgdl))"
+      }.mkString(" + ")
+      val matched = bm25Terms.indices
+        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+      s"""WITH $pqCbSql,
+         |$trainedC2Sql,
+         |assign AS (
+         |  SELECT vec_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e CROSS JOIN c2) WHERE rn_ = 1),
+         |hprob AS (
+         |  SELECT cid AS list_id FROM (
+         |    SELECT c2.cid,
+         |      row_number() OVER (
+         |        ORDER BY ${sqDistSql("q.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e q CROSS JOIN c2 WHERE q.vec_id = 0) WHERE rn_ <= 3),
+         |hdt AS (
+         |  SELECT cb.m, cb.code,
+         |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)", "cb.cv")} AS dd
+         |  FROM e q CROSS JOIN cb WHERE q.vec_id = 0),
+         |hadc AS (
+         |  SELECT a.vec_id AS id, sum(hdt.dd) AS adc_
+         |  FROM hprob p
+         |  JOIN assign a ON a.list_id = p.list_id
+         |  JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN hdt ON hdt.m = enc.subspace AND hdt.code = enc.code
+         |  WHERE a.vec_id <> 0 GROUP BY 1),
+         |cosx AS (
+         |  SELECT id, CAST(row_number() OVER (
+         |      ORDER BY ${qrSql("adc_", 6)}, id) AS INT) AS cos_rank
+         |  FROM hadc QUALIFY cos_rank <= 50),
+         |w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |tf AS (
+         |  SELECT doc_id, CAST(len(ws) AS INT) AS dl, $tfs FROM w),
+         |stats AS (
+         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         |    CAST(sum(dl) AS DOUBLE) AS sum_dl, $dfs
+         |  FROM tf),
+         |jx AS (
+         |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
+         |  FROM tf CROSS JOIN stats),
+         |bmall AS (
+         |  SELECT doc_id, $terms AS bm25 FROM jx WHERE $matched > 0),
+         |bm AS (
+         |  SELECT doc_id AS id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS INT)
+         |      AS bm_rank
+         |  FROM bmall QUALIFY bm_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(bm.id, cosx.id) AS id, bm.bm_rank,
+         |    cosx.cos_rank,
+         |    coalesce(1.0 / (60 + bm.bm_rank), 0.0) +
+         |      coalesce(1.0 / (60 + cosx.cos_rank), 0.0) AS rrf_
+         |  FROM bm FULL OUTER JOIN cosx ON bm.id = cosx.id)
+         |SELECT id, bm_rank, cos_rank, ${qrSql("rrf_", 8)} AS rrf
+         |FROM f ORDER BY rrf_ DESC, id LIMIT 20""".stripMargin
+    })
+
   /** Index DELETE lifecycle (SimilarityOps.indexDelete): build the
     * full index, record a predicate delete (vec_id % 7 = 3) in the
     * append-mode sidecar — megabytes, never the code table — then
@@ -5747,6 +5856,7 @@ object QueriesLlm {
     "ann_index_append" -> annIndexAppendQ,
     "ann_index_delete" -> annIndexDeleteQ,
     "stream_index_append" -> streamIndexAppendQ,
+    "hybrid_retrieval_indexed" -> hybridRetrievalIndexedQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,
