@@ -76,7 +76,15 @@ class PlanInvariantsSpec extends SparkSpec {
     // ccnet's label table broadcasts, l_diversity is two aggregates
     "repetition_score", "ccnet_buckets", "l_diversity",
     "span_corruption", "dedup_report", "fairness_report", "auc_by_group",
-    "contamination_rate", "dataset_card")
+    "contamination_rate", "dataset_card",
+    // round-16: the shuffled-packing offsets join must broadcast the
+    // buckets-row table (the lakehouse/index gates are deliberately
+    // absent — they write scratch stores as side effects, same
+    // contract as evolve_schema, and label_propagation checkpoints
+    // per round like pagerank; manifest/index plan shapes are
+    // asserted in the dedicated test below and in LlmOpsSpec's
+    // partition-count asserts)
+    "pack_shuffled")
 
   test("interval_join pushes the event_type filters to the parquet scan") {
     // the view/click selections must reach the scan even through the
@@ -89,6 +97,20 @@ class PlanInvariantsSpec extends SparkSpec {
       s"view-side event_type filter no longer pushed to scan:\n$p")
     assert(p.contains("EqualTo(event_type,click)"),
       s"click-side event_type filter no longer pushed to scan:\n$p")
+  }
+
+  test("manifest-planned read: DV anti-join broadcasts, key IN-list" +
+      " pushes to the pruned scan") {
+    // the fixture write runs once (scratch store under /tmp); the
+    // assertion is about the READ plan the manifest produces
+    val p = plan("manifest_read")
+    assert(p.contains("LeftAnti"),
+      s"manifest_read lost its merge-on-read anti-join:\n$p")
+    assert(p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"),
+      s"manifest_read's DV anti-join no longer broadcasts:\n$p")
+    assert(p.contains("In(l_orderkey"),
+      s"manifest_read's key IN-list no longer pushes to the scan:\n$p")
+    assert(!p.contains("CartesianProduct"))
   }
 
   test("no CartesianProduct in any fact-path plan") {
@@ -394,7 +416,14 @@ class PlanInvariantsSpec extends SparkSpec {
       // enrollment days, bounded by the observation span; the shared
       // DiagnosticsOps.lookCensus aggregates the fact to per-look arm
       // censuses FIRST)
-      "sequential_test", "msprt_test", "stream_msprt")
+      "sequential_test", "msprt_test", "stream_msprt",
+      // pack_shuffled: the offsets window walks the BUCKETS-row table
+      // (shard_by_tokens' two-phase-prefix argument verbatim — the
+      // per-row rank window partitions by bucket; PackOps.shuffledPack)
+      // hybrid_retrieval_indexed: the bm_rank window walks the <= 50
+      // rows AFTER bm25SearchIndexed's limit (hybrid_retrieval's
+      // top-k-bounded argument verbatim)
+      "pack_shuffled", "hybrid_retrieval_indexed")
     val offenders = (for ((name, q) <- Queries.all.toSeq.sortBy(_._1)) yield {
       val globals =
         try q.fn(spark, d).queryExecution.sparkPlan.collect {
