@@ -4053,6 +4053,26 @@ object QueriesLlm {
     },
     bm25TopKQ.sql)
 
+  /** BM25 index APPEND (TextOps.invertedIndexAppend): index the even
+    * doc_ids, append the odd ones — disjoint docs' postings
+    * concatenate with no merge, the census adds — then serve the
+    * query: identical to the one-shot build over the union, so the
+    * oracle is shared with `bm25_topk`/`bm25_index_search`.
+    */
+  private lazy val bm25IndexAppendQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25app_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      TextOps.invertedIndexAppend(docs.where(col("doc_id") % 2 === 1),
+        "doc_id", "text", root)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25TopKQ.sql)
+
   /** Per-doc top-3 terms by TF-IDF. Integer tf/df in both engines; the
     * only float ops are n_docs/df_t, ln, and one multiply — identical
     * IEEE sequences, so the (tfidf desc, term) ranking agrees exactly
@@ -5811,6 +5831,7 @@ object QueriesLlm {
     "image_resize" -> imageResizeQ,
     "bm25_topk" -> bm25TopKQ,
     "bm25_index_search" -> bm25IndexSearchQ,
+    "bm25_index_append" -> bm25IndexAppendQ,
     "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,

@@ -1616,6 +1616,44 @@ object TextOps {
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
 
+  /** Append NEW documents to a persisted BM25 index — the ingest leg
+    * of the retrieval lifecycle, mirroring the ANN index's
+    * train-once/append-forever discipline: a new document's postings
+    * are DISJOINT from every existing doc's (doc_id is the key), so
+    * they land as new files in the same `bucket=` partitions with no
+    * merge at all; doc lengths append likewise; the census updates
+    * additively. Searches through the appended index are identical to
+    * a one-shot build over the union — postings of disjoint docs just
+    * concatenate (spec-pinned). CONTRACT: delta doc_ids must be new
+    * (re-appending a doc double-counts it, like any append-only log).
+    */
+  def invertedIndexAppend(df: DataFrame, idCol: String, textCol: String,
+                          root: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val nBuckets = spark.read.parquet(s"$root/meta").head()
+      .getAs[Int]("n_buckets")
+    df.select(col(idCol).as("doc_id"),
+        explode(words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"))
+      .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      .write.mode("append").option("compression", "zstd")
+      .partitionBy("bucket").parquet(s"$root/postings")
+    df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"))
+      .write.mode("append").option("compression", "zstd")
+      .parquet(s"$root/doclens")
+    val old = spark.read.parquet(s"$root/meta").head()
+    val m = df.agg(count(lit(1)).cast("long").as("n"),
+      sum(size(words(col(textCol))).cast("long")).as("s")).head()
+    Seq((old.getAs[Long]("n_docs") + m.getLong(0),
+      old.getAs[Long]("sum_dl") + m.getLong(1), nBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
   /** BM25 top-k served from a PERSISTED inverted index — results
     * FLOAT-IDENTICAL to [[bm25TopK]] over the same corpus (the
     * `bm25_index_search` gate shares `bm25_topk`'s oracle): the score
