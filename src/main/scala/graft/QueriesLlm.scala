@@ -1338,6 +1338,28 @@ object QueriesLlm {
          |FROM tok""".stripMargin
     })
 
+  /** BPE tokenizer ARTIFACT lifecycle (TextOps.mergesWrite /
+    * mergesRead): learn the merges, persist the rank-ordered merge
+    * table, reload it from storage, and tokenize with the reload —
+    * the train → persist → serve shape of a production tokenizer
+    * (the unigram twin is `unigram_tokenize_stored`). Ranks and UTF-8
+    * symbols round-trip parquet exactly, so the result is
+    * token-identical to `bpe_apply` and the oracle is SHARED — a hash
+    * match proves the stored artifact drives the same tokenizer.
+    */
+  private lazy val bpeApplyStoredQ = Q(
+    (s, d) => {
+      val docs = Tables.documents(s, d)
+      val merges = TextOps.bpeMerges(docs, "text", nMerges = 3)
+        .orderBy("merge_rank").collect()
+        .map(r => (r.getAs[String]("sym_left"), r.getAs[String]("sym_right")))
+        .toSeq
+      val path = s"/tmp/graft_bpemrg_${Queries.scratchTag(s, d)}"
+      TextOps.mergesWrite(merges, s, path)
+      TextOps.bpeApply(docs, "doc_id", "text", TextOps.mergesRead(s, path))
+    },
+    bpeApplyQ.sql)
+
   /** Unigram-tokenizer oracle CTEs, part 1: word histogram → substring
     * candidates → seed vocabulary (top-V by (freq desc, binary lex) +
     * single-codepoint completion) → 1e-9-quantized-log seed scores —
@@ -2395,6 +2417,151 @@ object QueriesLlm {
          |FROM f ORDER BY rrf_ DESC, id LIMIT 20""".stripMargin
     })
 
+  /** The batch of (query id, term set) pairs served by
+    * `hybrid_retrieval_batch` — three dense queries (vec_id 0/1/2)
+    * each paired with its own sparse term set.
+    */
+  private val hybridBatch: Seq[(Long, Seq[String])] = Seq(
+    0L -> Seq("spark", "join", "hash"),
+    1L -> Seq("scan", "filter", "merge"),
+    2L -> Seq("stream", "batch", "window"))
+
+  /** BATCH hybrid retrieval from the persisted indexes — the serving
+    * path at its deployed shape: a batch of queries, ONE stored-index
+    * scan per leg serving all of them. The dense leg is
+    * SimilarityOps.indexSearch's native query batch (union of probed
+    * lists = one partition-pruned scan; per-query ranks from its
+    * query-partitioned window); the sparse leg is
+    * TextOps.bm25SearchIndexedBatch (union term IN-list over the
+    * probed buckets = one postings scan; each query's score its own
+    * fixed-order fold, float-identical to its single-query search);
+    * the RRF fuse joins on (query_id, id) and ranks per query. The
+    * oracle replays all three queries' trained-chain ADC rankings and
+    * BM25 chains plus the same fixed-form RRF arithmetic — per-query
+    * rows are pinned identical to the single-query composition by
+    * construction of the folds.
+    */
+  private lazy val hybridRetrievalBatchQ = Q(
+    (s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val emb = Tables.embeddings(s, d)
+      val tag = Queries.scratchTag(s, d)
+      val annRoot = s"/tmp/graft_hybb_ann_$tag"
+      val bmRoot = s"/tmp/graft_hybb_bm_$tag"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", annRoot,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      TextOps.invertedIndexWrite(Tables.documents(s, d), "doc_id",
+        "text", bmRoot)
+      val cos = SimilarityOps.indexSearch(
+          emb.where(col("vec_id") < 3), annRoot,
+          "vec_id", "embedding", k = 50, nProbe = 3)
+        .select(col("query_id"), col("neighbor_id").as("id"),
+          col("rank").as("cos_rank"))
+      val bm = TextOps.bm25SearchIndexedBatch(s, bmRoot, hybridBatch,
+          k = 50)
+        .select(col("query_id"), col("doc_id").as("id"), col("bm_rank"))
+      val w = Window.partitionBy("query_id")
+        .orderBy(col("rrf").desc, col("id"))
+      bm.join(cos, Seq("query_id", "id"), "full_outer")
+        .withColumn("rrf",
+          coalesce(lit(1.0) / (lit(60) + col("bm_rank")), lit(0.0)) +
+            coalesce(lit(1.0) / (lit(60) + col("cos_rank")), lit(0.0)))
+        .withColumn("_rn", row_number().over(w))
+        .where(col("_rn") <= 20)
+        .select(col("query_id"), col("id"), col("bm_rank"),
+          col("cos_rank"), qround(col("rrf"), 8).as("rrf"))
+    },
+    {
+      val k1 = 1.2; val b = 0.75
+      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+      val half = dlit(0.5); val one = dlit(1.0)
+      // one tf/stats/score CTE chain per query, each over ITS term set
+      val perQ = hybridBatch.map { case (qid, ts) =>
+        val tfs = ts.indices.map(i =>
+          s"len(list_filter(ws, x_ -> x_ = '${ts(i)}')) AS tf$i")
+          .mkString(",\n    ")
+        val dfs = ts.indices.map(i =>
+          s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE)" +
+            s" AS df$i").mkString(",\n    ")
+        val terms = ts.indices.map { i =>
+          s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+            s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+            s" * dl / avgdl))"
+        }.mkString(" + ")
+        val matched = ts.indices
+          .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)")
+          .mkString(" + ")
+        s"""tq$qid AS (
+           |  SELECT doc_id, CAST(len(ws) AS INT) AS dl, $tfs FROM w),
+           |sq$qid AS (
+           |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+           |    CAST(sum(dl) AS DOUBLE) AS sum_dl, $dfs
+           |  FROM tq$qid),
+           |bq$qid AS (
+           |  SELECT CAST($qid AS BIGINT) AS query_id, doc_id,
+           |    $terms AS bm25
+           |  FROM tq$qid CROSS JOIN (
+           |    SELECT *, sum_dl / n_docs AS avgdl FROM sq$qid)
+           |  WHERE $matched > 0)""".stripMargin
+      }.mkString(",\n")
+      val bmUnion = hybridBatch
+        .map { case (qid, _) => s"SELECT * FROM bq$qid" }
+        .mkString(" UNION ALL ")
+      s"""WITH $pqCbSql,
+         |$trainedC2Sql,
+         |assign AS (
+         |  SELECT vec_id, cid AS list_id FROM (
+         |    SELECT e.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY e.vec_id
+         |        ORDER BY ${sqDistSql("e.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e CROSS JOIN c2) WHERE rn_ = 1),
+         |hprob AS (
+         |  SELECT vec_id AS query_id, cid AS list_id FROM (
+         |    SELECT q.vec_id, c2.cid,
+         |      row_number() OVER (PARTITION BY q.vec_id
+         |        ORDER BY ${sqDistSql("q.v", "c2.cv")}, c2.cid) AS rn_
+         |    FROM e q CROSS JOIN c2 WHERE q.vec_id < 3) WHERE rn_ <= 3),
+         |hdt AS (
+         |  SELECT q.vec_id AS query_id, cb.m, cb.code,
+         |    ${sqDistSql("list_slice(q.v, cb.m * 8 + 1, cb.m * 8 + 8)",
+              "cb.cv")} AS dd
+         |  FROM e q CROSS JOIN cb WHERE q.vec_id < 3),
+         |hadc AS (
+         |  SELECT p.query_id, a.vec_id AS id, sum(hdt.dd) AS adc_
+         |  FROM hprob p
+         |  JOIN assign a ON a.list_id = p.list_id
+         |  JOIN enc ON enc.vec_id = a.vec_id
+         |  JOIN hdt ON hdt.query_id = p.query_id
+         |    AND hdt.m = enc.subspace AND hdt.code = enc.code
+         |  WHERE a.vec_id <> p.query_id GROUP BY 1, 2),
+         |cosx AS (
+         |  SELECT query_id, id, CAST(row_number() OVER (
+         |      PARTITION BY query_id
+         |      ORDER BY ${qrSql("adc_", 6)}, id) AS INT) AS cos_rank
+         |  FROM hadc QUALIFY cos_rank <= 50),
+         |w AS (
+         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
+         |$perQ,
+         |bmu AS ($bmUnion),
+         |bm AS (
+         |  SELECT query_id, doc_id AS id,
+         |    CAST(row_number() OVER (PARTITION BY query_id
+         |      ORDER BY bm25 DESC, doc_id) AS INT) AS bm_rank
+         |  FROM bmu QUALIFY bm_rank <= 50),
+         |f AS (
+         |  SELECT coalesce(bm.query_id, cosx.query_id) AS query_id,
+         |    coalesce(bm.id, cosx.id) AS id, bm.bm_rank, cosx.cos_rank,
+         |    coalesce(1.0 / (60 + bm.bm_rank), 0.0) +
+         |      coalesce(1.0 / (60 + cosx.cos_rank), 0.0) AS rrf_
+         |  FROM bm FULL OUTER JOIN cosx
+         |    ON bm.query_id = cosx.query_id AND bm.id = cosx.id),
+         |r AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |    ORDER BY rrf_ DESC, id) AS rn_ FROM f)
+         |SELECT query_id, id, bm_rank, cos_rank, ${qrSql("rrf_", 8)} AS rrf
+         |FROM r WHERE rn_ <= 20""".stripMargin
+    })
+
   /** Index DELETE lifecycle (SimilarityOps.indexDelete): build the
     * full index, record a predicate delete (vec_id % 7 = 3) in the
     * append-mode sidecar — megabytes, never the code table — then
@@ -2418,6 +2585,33 @@ object QueriesLlm {
     s"""WITH $pqCbSql,
        |$trainedC2Sql,
        |${ivfpqTrainedTailSqlWhere("a.vec_id % 7 <> 3")}""".stripMargin)
+
+  /** Index COMPACT lifecycle (SimilarityOps.indexCompact) — the fourth
+    * leg: build, record the same predicate delete as `ann_index_delete`
+    * (with the vectors present, so each doomed row records its
+    * `list_id` and compaction needs NO discovery scan), then compact —
+    * ONLY the delete-touched `list_id=` partitions are rewritten
+    * (partition-pruned read + anti-join + directory swap; untouched
+    * partitions' files stay byte-identical, asserted by
+    * IndexLifecycleSpec) and the sidecar is dropped. The post-compact
+    * search must be row-identical to the pre-compact merge-on-read
+    * search, so the oracle is SHARED with `ann_index_delete` — a hash
+    * match proves compaction changes the physical layout and nothing
+    * else.
+    */
+  private lazy val annIndexCompactQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxk_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb, "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexDelete(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", root, vecCol = "embedding")
+      SimilarityOps.indexCompact(s, root)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexDeleteQ.sql)
 
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
@@ -3991,47 +4185,55 @@ object QueriesLlm {
     * tie-break (bm25 desc, doc_id) are computed on identical doubles
     * in both engines, so the selected set is exact.
     */
+  /** The bm25_topk oracle, parameterized by the corpus predicate —
+    * "" replays the full corpus; `bm25_index_delete`/`_compact` pass
+    * the surviving-corpus filter (idf/avgdl/n_docs then all reflect
+    * the post-delete corpus, exactly the merge-on-read contract).
+    */
+  private def bm25OracleSql(docsWhere: String): String = {
+    val k1 = 1.2; val b = 0.75
+    val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
+    val half = dlit(0.5); val one = dlit(1.0)
+    val tfs = bm25Terms.indices.map(i =>
+      s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
+      .mkString(",\n    ")
+    val dfs = bm25Terms.indices.map(i =>
+      s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n    ")
+    val terms = bm25Terms.indices.map { i =>
+      s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
+        s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
+        s" * dl / avgdl))"
+    }.mkString(" + ")
+    val matched = bm25Terms.indices
+      .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
+    val where = if (docsWhere.isEmpty) "" else s" WHERE $docsWhere"
+    s"""WITH w AS (
+       |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents$where),
+       |tf AS (
+       |  SELECT doc_id, CAST(len(ws) AS INT) AS dl,
+       |    $tfs
+       |  FROM w),
+       |stats AS (
+       |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+       |    CAST(sum(dl) AS DOUBLE) AS sum_dl,
+       |    $dfs
+       |  FROM tf),
+       |j AS (
+       |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
+       |  FROM tf CROSS JOIN stats)
+       |SELECT doc_id, CAST($matched AS INT) AS n_terms_matched,
+       |  ${qrSql(terms, 6)} AS bm25
+       |FROM j WHERE $matched > 0
+       |ORDER BY $terms DESC, doc_id LIMIT 25""".stripMargin
+  }
+
   private val bm25TopKQ = Q(
     (s, d) => TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
         bm25Terms, k = 25)
       .select(col("doc_id"), col("n_terms_matched"),
         qround(col("bm25"), 6).as("bm25")),
-    {
-      val k1 = 1.2; val b = 0.75
-      val k1p1 = dlit(k1 + 1.0); val oneMb = dlit(1.0 - b)
-      val half = dlit(0.5); val one = dlit(1.0)
-      val tfs = bm25Terms.indices.map(i =>
-        s"len(list_filter(ws, x_ -> x_ = '${bm25Terms(i)}')) AS tf$i")
-        .mkString(",\n    ")
-      val dfs = bm25Terms.indices.map(i =>
-        s"CAST(sum(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
-        .mkString(",\n    ")
-      val terms = bm25Terms.indices.map { i =>
-        s"ln($one + (n_docs - df$i + $half) / (df$i + $half)) * tf$i" +
-          s" * $k1p1 / (tf$i + ${dlit(k1)} * ($oneMb + ${dlit(b)}" +
-          s" * dl / avgdl))"
-      }.mkString(" + ")
-      val matched = bm25Terms.indices
-        .map(i => s"(CASE WHEN tf$i > 0 THEN 1 ELSE 0 END)").mkString(" + ")
-      s"""WITH w AS (
-         |  SELECT doc_id, string_split(text, ' ') AS ws FROM documents),
-         |tf AS (
-         |  SELECT doc_id, CAST(len(ws) AS INT) AS dl,
-         |    $tfs
-         |  FROM w),
-         |stats AS (
-         |  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
-         |    CAST(sum(dl) AS DOUBLE) AS sum_dl,
-         |    $dfs
-         |  FROM tf),
-         |j AS (
-         |  SELECT tf.*, stats.*, sum_dl / n_docs AS avgdl
-         |  FROM tf CROSS JOIN stats)
-         |SELECT doc_id, CAST($matched AS INT) AS n_terms_matched,
-         |  ${qrSql(terms, 6)} AS bm25
-         |FROM j WHERE $matched > 0
-         |ORDER BY $terms DESC, doc_id LIMIT 25""".stripMargin
-    })
+    bm25OracleSql(""))
 
   /** BM25 served from the PERSISTED inverted index
     * (TextOps.invertedIndexWrite / bm25SearchIndexed): index the
@@ -4072,6 +4274,52 @@ object QueriesLlm {
           qround(col("bm25"), 6).as("bm25"))
     },
     bm25TopKQ.sql)
+
+  /** BM25 index DELETE (TextOps.invertedIndexDelete): build the full
+    * index, record a predicate delete (doc_id % 7 = 3) in the
+    * append-mode sidecar — never the postings — then serve the query:
+    * base minus deletes through one broadcast anti-join applied BEFORE
+    * the df aggregate, and meta's n_docs/sum_dl already subtractive,
+    * so idf and avgdl reflect the SURVIVING corpus exactly. The oracle
+    * is the bm25_topk chain over `doc_id % 7 <> 3` — a hash match
+    * proves the merge-on-read search equals a fresh build over the
+    * surviving documents.
+    */
+  private lazy val bm25IndexDeleteQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25del_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs, "doc_id", "text", root)
+      TextOps.invertedIndexDelete(docs.where(col("doc_id") % 7 === 3),
+        "doc_id", root)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25OracleSql("doc_id % 7 <> 3"))
+
+  /** BM25 index COMPACT (TextOps.invertedIndexCompact): same build +
+    * delete as `bm25_index_delete`, then physically remove the doomed
+    * postings — only the term-hash buckets that actually hold doomed
+    * rows rewrite (doc deletes are non-local in a term-partitioned
+    * store, so this is the OPTIMIZE-cadence maintenance op) — and drop
+    * the sidecar. The post-compact search must be row-identical to the
+    * pre-compact merge-on-read, so the oracle is SHARED with
+    * `bm25_index_delete`.
+    */
+  private lazy val bm25IndexCompactQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25cmp_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs, "doc_id", "text", root)
+      TextOps.invertedIndexDelete(docs.where(col("doc_id") % 7 === 3),
+        "doc_id", root)
+      TextOps.invertedIndexCompact(s, root)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25IndexDeleteQ.sql)
 
   /** Per-doc top-3 terms by TF-IDF. Integer tf/df in both engines; the
     * only float ops are n_docs/df_t, ln, and one multiply — identical
@@ -5832,6 +6080,8 @@ object QueriesLlm {
     "bm25_topk" -> bm25TopKQ,
     "bm25_index_search" -> bm25IndexSearchQ,
     "bm25_index_append" -> bm25IndexAppendQ,
+    "bm25_index_delete" -> bm25IndexDeleteQ,
+    "bm25_index_compact" -> bm25IndexCompactQ,
     "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
@@ -5876,8 +6126,10 @@ object QueriesLlm {
     "ann_index_persist" -> annIndexPersistQ,
     "ann_index_append" -> annIndexAppendQ,
     "ann_index_delete" -> annIndexDeleteQ,
+    "ann_index_compact" -> annIndexCompactQ,
     "stream_index_append" -> streamIndexAppendQ,
     "hybrid_retrieval_indexed" -> hybridRetrievalIndexedQ,
+    "hybrid_retrieval_batch" -> hybridRetrievalBatchQ,
     "semantic_dedup" -> semanticDedupQ,
     "line_dedup" -> lineDedupQ,
     "winnow_fingerprints" -> winnowFingerprintsQ,
@@ -5887,6 +6139,7 @@ object QueriesLlm {
     "token_count" -> tokenCountQ,
     "bpe_merges" -> bpeMergesQ,
     "bpe_apply" -> bpeApplyQ,
+    "bpe_apply_stored" -> bpeApplyStoredQ,
     "unigram_train" -> unigramTrainQ,
     "unigram_train_pruned" -> unigramTrainPrunedQ,
     "unigram_tokenize" -> unigramTokenizeQ,

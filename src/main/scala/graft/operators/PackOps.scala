@@ -193,6 +193,14 @@ object PackOps {
     * no global window, no driver sort, no skew (the multiplicative
     * hash spreads any id distribution uniformly over [0, M)).
     * Output adds (shuffle_key, start_tok, pack_id).
+    *
+    * CONTRACT: ids must be UNIQUE — the same requirement (and for the
+    * same reason) as [[globalCumsum]]: the intra-bucket order is
+    * (shuffle_key, id), and shuffle_key is a pure function of the id,
+    * so duplicate ids tie on BOTH keys and their relative start_tok
+    * would differ across runs, breaking the reproducible-order claim.
+    * Callers keyed by a dedup'd corpus satisfy this by construction;
+    * anything else should `require` distinctness first.
     */
   def shuffledPack(df: DataFrame, idCol: String, tokenCol: String,
                    budget: Long, buckets: Int = 32): DataFrame = {

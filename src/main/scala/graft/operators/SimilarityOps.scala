@@ -707,14 +707,30 @@ object SimilarityOps {
     * base-minus-deletes through ONE anti-join the small list
     * broadcasts through. The meta census updates subtractively
     * (count -, checksum - mod p), so [[indexIsStale]] stays honest
-    * for the corpus WITHOUT its deleted rows. Rebuild (indexWrite)
-    * is the compaction that resets read amplification, exactly like
-    * purgeDeletes for tables.
+    * for the corpus WITHOUT its deleted rows. [[indexCompact]] is the
+    * partition-surgical compaction that resets read amplification —
+    * a full retrain (indexWrite) is only ever needed when the
+    * quantizers themselves have drifted.
     */
-  def indexDelete(doomed: DataFrame, idCol: String, root: String): Unit = {
+  def indexDelete(doomed: DataFrame, idCol: String, root: String,
+                  vecCol: String = null): Unit = {
     val spark = doomed.sparkSession
-    doomed.select(col(idCol).cast("long").as("vec_id"))
-      .write.mode("append").parquet(s"$root/deletes")
+    // When the doomed rows carry their vectors, record the list_id too
+    // (same NearestCentroidId over the same stored centroids that
+    // placed the row at write/append time — deterministic, so it names
+    // the exact partition holding the row). [[indexCompact]] then
+    // rewrites ONLY those partitions with no discovery scan; id-only
+    // deletes store null and compact falls back to one discovery join.
+    val withList =
+      if (vecCol != null) {
+        val cents = readIndexCentroids(spark, root)
+        doomed.select(col(idCol).cast("long").as("vec_id"),
+          graft.functions.NearestCentroidId(
+            toDouble(col(vecCol)), cents).cast("long").as("list_id"))
+      } else
+        doomed.select(col(idCol).cast("long").as("vec_id"),
+          lit(null).cast("long").as("list_id"))
+    withList.write.mode("append").parquet(s"$root/deletes")
     val old = spark.read.parquet(s"$root/meta").head()
     val (dn, dc) = corpusCensus(doomed, idCol)
     import spark.implicits._
@@ -727,6 +743,70 @@ object SimilarityOps {
       .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
         "id_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Compact a persisted index's delete sidecar — the fourth leg of
+    * the lifecycle (write / append / delete / COMPACT), completing the
+    * maintenance rhythm: physically remove doomed rows and drop the
+    * sidecar, restoring delete-free serving. Surgical by partition,
+    * like purgeDeletes for tables: ONLY the `list_id=` partitions that
+    * actually contain doomed rows are rewritten (read partition-pruned
+    * to those lists, one broadcastable anti-join against the doomed
+    * ids, atomic-per-partition directory swap); every other
+    * partition's files are left byte-untouched on disk — at 100 TB a
+    * handful of doomed lists cost a handful of list rewrites, never a
+    * corpus rewrite. Quantizers and meta are untouched (the census
+    * already went subtractive at [[indexDelete]] time, so
+    * [[indexIsStale]] agrees before and after). Searches through the
+    * compacted index are row-identical to the merge-on-read searches
+    * before it (the `ann_index_compact` gate shares
+    * `ann_index_delete`'s oracle).
+    *
+    * Touched lists come straight from the sidecar when every delete
+    * recorded its `list_id` (deletes-sidecar-sized driver list, K-
+    * bounded after distinct); legacy id-only rows fall back to ONE
+    * column-pruned discovery join against the code table — documented
+    * cost, avoided entirely by passing `vecCol` to [[indexDelete]].
+    */
+  def indexCompact(spark: org.apache.spark.sql.SparkSession,
+                   root: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    val fs = delPath.getFileSystem(hconf)
+    if (!fs.exists(delPath)) return // nothing accrued: no-op
+    val del = spark.read.parquet(s"$root/deletes")
+    val delIds = del.select("vec_id").distinct()
+    val haveAllLists = del.columns.contains("list_id") &&
+      del.where(col("list_id").isNull).limit(1).isEmpty
+    // driver list bounded by K (distinct list ids), never corpus size
+    val touched: Array[Long] =
+      (if (haveAllLists)
+         del.select(col("list_id").cast("long"))
+       else
+         spark.read.parquet(s"$root/vectors")
+           .join(broadcast(delIds), Seq("vec_id"))
+           .select(col("list_id").cast("long")))
+        .distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val tmp = s"$root/.compact"
+      // survivors of the touched lists ONLY: partition-pruned scan
+      spark.read.parquet(s"$root/vectors")
+        .where(col("list_id").isin(touched: _*))
+        .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+        .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      // swap rewritten partitions into place; a list whose every row
+      // was doomed has no tmp dir and is simply dropped
+      touched.foreach { l =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/vectors/list_id=$l"), true)
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/list_id=$l")
+        if (fs.exists(src))
+          fs.rename(src,
+            new org.apache.hadoop.fs.Path(s"$root/vectors/list_id=$l"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    fs.delete(delPath, true)
   }
 
   /** Reload the trained coarse quantizer from a persisted index —

@@ -1073,6 +1073,35 @@ object TextOps {
       .orderBy(encode(col("piece"), "UTF-8"))
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
 
+  /** Persist a learned BPE merge table — the BPE half of the tokenizer
+    * artifact lifecycle ([[vocabWrite]] is the unigram half): rank is
+    * the merge ORDER, which is the whole semantic content of a BPE
+    * tokenizer, so it is stored explicitly rather than relying on row
+    * order. Merge tables are tokenizer-sized (the 30k-100k rows of a
+    * production BPE fit one parquet footer).
+    */
+  def mergesWrite(merges: Seq[(String, String)],
+                  spark: org.apache.spark.sql.SparkSession,
+                  path: String): Unit = {
+    import spark.implicits._
+    merges.zipWithIndex
+      .map { case ((l, r), i) => (i + 1, l, r) }
+      .toDF("rank", "sym_left", "sym_right").coalesce(1)
+      .write.mode("overwrite").parquet(path)
+  }
+
+  /** Reload a persisted BPE merge table in rank order — tokenizer-
+    * sized collect. Round-trips [[mergesWrite]] exactly (ranks are
+    * integers, symbols UTF-8 strings), so [[bpeApply]] with the reload
+    * is token-identical to applying the in-memory table (the
+    * `bpe_apply_stored` gate shares `bpe_apply`'s oracle).
+    */
+  def mergesRead(spark: org.apache.spark.sql.SparkSession,
+                 path: String): Seq[(String, String)] =
+    spark.read.parquet(path).orderBy(col("rank"))
+      .select(col("sym_left"), col("sym_right"))
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq
+
   /** Byte-fallback unigram tokenization (the SentencePiece
     * `--byte_fallback` contract): Viterbi segmentation exactly as
     * [[unigramTokenize]] (same DP, same unk transition), but every
@@ -1587,7 +1616,11 @@ object TextOps {
     *     `bucket=` partitions (partition pruning as the posting-list
     *     lookup); within a bucket the term IN-list pushes to parquet
     *   root/doclens   (doc_id, dl) — the length normalization table
-    *   root/meta      (n_docs, sum_dl, n_buckets) — corpus census
+    *   root/meta      (n_docs, sum_dl, n_buckets, doc_checksum) —
+    *     corpus census; the checksum is order-free and additive mod p
+    *     (mirroring SimilarityOps.indexWrite's), so append/delete
+    *     maintain it incrementally and [[invertedIndexIsStale]] can
+    *     gate serving without rescanning text
     *
     * One corpus scan builds everything; the postings shuffle is
     * bounded by distinct (doc, term) pairs, never token count.
@@ -1610,11 +1643,24 @@ object TextOps {
       .write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$root/doclens")
     val m = df.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(words(col(textCol))).cast("long")).as("s")).head()
-    Seq((m.getLong(0), m.getLong(1), nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+      sum(size(words(col(textCol))).cast("long")).as("s"),
+      docChecksumAgg(col(idCol)).as("c")).head()
+    Seq((m.getLong(0), m.getLong(1), nBuckets, m.getLong(2)))
+      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
   }
+
+  /** Order-free doc-id checksum aggregate: Σ pmod(hash(id), p) mod p,
+    * accumulated in decimal(38,0) so it never overflows before the
+    * final mod — additive across disjoint parts (append merges by +,
+    * delete by -, both mod p), the same census discipline as
+    * SimilarityOps.indexWrite's.
+    */
+  private val DocCensusMod = 1000000007L
+  private def docChecksumAgg(id: Column): Column =
+    coalesce(pmod(sum(pmod(hash(id).cast("long"),
+        lit(DocCensusMod)).cast("decimal(38,0)")), lit(DocCensusMod)),
+      lit(0).cast("decimal(38,0)")).cast("long")
 
   /** Append NEW documents to a persisted BM25 index — the ingest leg
     * of the retrieval lifecycle, mirroring the ANN index's
@@ -1624,8 +1670,15 @@ object TextOps {
     * merge at all; doc lengths append likewise; the census updates
     * additively. Searches through the appended index are identical to
     * a one-shot build over the union — postings of disjoint docs just
-    * concatenate (spec-pinned). CONTRACT: delta doc_ids must be new
-    * (re-appending a doc double-counts it, like any append-only log).
+    * concatenate (spec-pinned). Delta doc_ids must be NEW, and that is
+    * ENFORCED, not just documented: a re-appended doc would silently
+    * double-count (duplicate doclens rows fanning out through the
+    * search join, df/n_docs/sum_dl inflated), so the append validates
+    * the delta ids against the stored doclens first — one semi-join
+    * the (small) delta broadcasts through, reading only doclens'
+    * doc_id column, and fails fast on the first duplicate. The
+    * continuous census ([[invertedIndexIsStale]]) guards the corpus
+    * as a whole the same way the ANN index's does.
     */
   def invertedIndexAppend(df: DataFrame, idCol: String, textCol: String,
                           root: String): Unit = {
@@ -1633,6 +1686,14 @@ object TextOps {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$root/meta").head()
       .getAs[Int]("n_buckets")
+    val dup = spark.read.parquet(s"$root/doclens").select(col("doc_id"))
+      .join(broadcast(df.select(col(idCol).as("doc_id")).distinct()),
+        Seq("doc_id"), "left_semi")
+      .limit(1).collect()
+    require(dup.isEmpty,
+      s"invertedIndexAppend: doc_id ${dup.headOption.map(_.get(0))
+        .getOrElse("")} is already indexed — appends must carry NEW " +
+        "documents only (use invertedIndexDelete + compact, or rebuild)")
     df.select(col(idCol).as("doc_id"),
         explode(words(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
@@ -1647,11 +1708,114 @@ object TextOps {
       .parquet(s"$root/doclens")
     val old = spark.read.parquet(s"$root/meta").head()
     val m = df.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(words(col(textCol))).cast("long")).as("s")).head()
+      sum(size(words(col(textCol))).cast("long")).as("s"),
+      docChecksumAgg(col(idCol)).as("c")).head()
     Seq((old.getAs[Long]("n_docs") + m.getLong(0),
-      old.getAs[Long]("sum_dl") + m.getLong(1), nBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets")
+      old.getAs[Long]("sum_dl") + m.getLong(1), nBuckets,
+      (old.getAs[Long]("doc_checksum") + m.getLong(2)) % DocCensusMod))
+      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Record document deletions against a persisted inverted index —
+    * the merge-on-read leg, mirroring SimilarityOps.indexDelete:
+    * doomed doc_ids land in an append-mode `deletes` sidecar (never
+    * the postings), [[bm25SearchIndexed]] serves base-minus-deletes
+    * through ONE broadcastable anti-join applied BEFORE the df
+    * aggregate (so idf reflects the surviving corpus exactly), and
+    * the meta census updates subtractively — n_docs/checksum by
+    * count/-mod-p, sum_dl from the STORED doclens of the doomed ids
+    * (an inner join, so ids never indexed are ignored rather than
+    * corrupting the census). [[invertedIndexCompact]] physically
+    * removes the doomed postings and drops the sidecar.
+    */
+  def invertedIndexDelete(doomed: DataFrame, idCol: String,
+                          root: String): Unit = {
+    val spark = doomed.sparkSession
+    import spark.implicits._
+    val ids = doomed.select(col(idCol).as("doc_id")).distinct()
+    ids.write.mode("append").parquet(s"$root/deletes")
+    val m = spark.read.parquet(s"$root/doclens")
+      .join(broadcast(ids), Seq("doc_id"))
+      .agg(count(lit(1)).cast("long").as("n"),
+        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+        docChecksumAgg(col("doc_id")).as("c")).head()
+    val old = spark.read.parquet(s"$root/meta").head()
+    Seq((old.getAs[Long]("n_docs") - m.getLong(0),
+      old.getAs[Long]("sum_dl") - m.getLong(1),
+      old.getAs[Int]("n_buckets"),
+      java.lang.Math.floorMod(
+        old.getAs[Long]("doc_checksum") - m.getLong(2), DocCensusMod)))
+      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
+      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+  }
+
+  /** Has the document corpus drifted since the index was built?
+    * Compares the stored (n_docs, order-free doc checksum) census
+    * against the live corpus — one hash aggregate, the cheap gate a
+    * serving path runs before trusting stored postings (the BM25 twin
+    * of SimilarityOps.indexIsStale). True = rebuild needed.
+    */
+  def invertedIndexIsStale(corpus: DataFrame, idCol: String,
+                           root: String): Boolean = {
+    val meta = corpus.sparkSession.read.parquet(s"$root/meta")
+      .select(col("n_docs").cast("long"),
+        col("doc_checksum").cast("long")).head()
+    val live = corpus.agg(count(lit(1)).cast("long").as("n"),
+      docChecksumAgg(col(idCol)).as("c")).head()
+    meta.getLong(0) != live.getLong(0) || meta.getLong(1) != live.getLong(1)
+  }
+
+  /** Compact the inverted index's delete sidecar: physically drop the
+    * doomed docs' postings and doclens rows, then remove the sidecar —
+    * meta stays (the census went subtractive at delete time). Unlike
+    * the ANN index, a doc's postings spread across MANY term-hash
+    * `bucket=` partitions (the partition key is the TERM, deletes key
+    * on the DOC), so doc deletes are non-local by construction: the
+    * touched buckets are discovered with one column-pruned
+    * (doc_id, bucket) scan, and only those partitions rewrite — few
+    * doomed docs touch few buckets; bulk deletes degrade gracefully
+    * toward the full rewrite a term-partitioned store fundamentally
+    * requires, which is why this runs on the OPTIMIZE maintenance
+    * cadence, not per delete. Post-compact searches are row-identical
+    * to the pre-compact merge-on-read (the `bm25_index_compact` gate
+    * shares `bm25_index_delete`'s oracle).
+    */
+  def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
+                           root: String): Unit = {
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    val fs = delPath.getFileSystem(hconf)
+    if (!fs.exists(delPath)) return // nothing accrued: no-op
+    val ids = spark.read.parquet(s"$root/deletes")
+      .select("doc_id").distinct()
+    val touched: Array[Long] = spark.read.parquet(s"$root/postings")
+      .join(broadcast(ids), Seq("doc_id"))
+      .select(col("bucket").cast("long"))
+      .distinct().collect().map(_.getLong(0))
+    if (touched.nonEmpty) {
+      val tmp = s"$root/.compact"
+      spark.read.parquet(s"$root/postings")
+        .where(col("bucket").isin(touched: _*))
+        .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .write.mode("overwrite").option("compression", "zstd")
+        .partitionBy("bucket").parquet(tmp)
+      touched.foreach { b =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          s"$root/postings/bucket=$b"), true)
+        val src = new org.apache.hadoop.fs.Path(s"$tmp/bucket=$b")
+        if (fs.exists(src))
+          fs.rename(src,
+            new org.apache.hadoop.fs.Path(s"$root/postings/bucket=$b"))
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    }
+    val lens = spark.read.parquet(s"$root/doclens")
+      .join(broadcast(ids), Seq("doc_id"), "left_anti")
+      .localCheckpoint(true) // break lineage: overwrite its own input
+    lens.write.mode("overwrite").option("compression", "zstd")
+      .parquet(s"$root/doclens")
+    fs.delete(delPath, true)
   }
 
   /** BM25 top-k served from a PERSISTED inverted index — results
@@ -1674,9 +1838,21 @@ object TextOps {
     val nBuckets = meta.getAs[Int]("n_buckets")
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
-    val post = spark.read.parquet(s"$root/postings")
+    val post0 = spark.read.parquet(s"$root/postings")
       .where(col("bucket").isin(buckets: _*) &&
         col("term").isin(terms: _*))
+    // merge-on-read: when a delete sidecar exists, drop doomed docs
+    // BEFORE the df aggregate — idf then reflects the surviving corpus
+    // exactly (the delete list is small and broadcasts)
+    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    val delFs = delPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val post =
+      if (delFs.exists(delPath))
+        post0.join(
+          broadcast(spark.read.parquet(s"$root/deletes").select("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else post0
     // per-term document frequency: |terms|-bounded collect
     val dfMap = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1702,6 +1878,88 @@ object TextOps {
       .where(col("n_terms_matched") > 0)
       .orderBy(col("bm25").desc, col("doc_id"))
       .limit(k)
+  }
+
+  /** A BATCH of BM25 queries served from ONE scan of the persisted
+    * index — the serving shape of a retrieval deployment (queries
+    * arrive in batches; the postings must not be re-read per query).
+    * The probed buckets / term IN-list are the UNION of all queries'
+    * terms (still partition pruning + pushdown), the per-doc pivot is
+    * over the union vocabulary, and each query's score is its OWN
+    * fixed-order fold over its own term list — same expression shapes
+    * as [[bm25SearchIndexed]], so every query's rows are FLOAT-
+    * IDENTICAL to its single-query search (the `hybrid_retrieval_batch`
+    * gate pins this). Per-query candidates fan out via one generated
+    * struct array (|queries| entries per MATCHED doc, never per
+    * posting); ranks are a query-partitioned window, k rows per query
+    * survive. Deletes are honored exactly as in the single-query path.
+    * Output: (query_id, doc_id, dl, n_terms_matched, bm25, bm_rank).
+    */
+  def bm25SearchIndexedBatch(spark: org.apache.spark.sql.SparkSession,
+                             root: String,
+                             queries: Seq[(Long, Seq[String])], k: Int,
+                             k1: Double = 1.2, b: Double = 0.75)
+    : DataFrame = {
+    val meta = spark.read.parquet(s"$root/meta").head()
+    val nDocs = meta.getAs[Long]("n_docs").toDouble
+    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs
+    val nBuckets = meta.getAs[Int]("n_buckets")
+    val unionTerms = queries.flatMap(_._2).distinct
+    val buckets = unionTerms.map(t =>
+      java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
+    val post0 = spark.read.parquet(s"$root/postings")
+      .where(col("bucket").isin(buckets: _*) &&
+        col("term").isin(unionTerms: _*))
+    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+    val delFs = delPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val post =
+      if (delFs.exists(delPath))
+        post0.join(
+          broadcast(spark.read.parquet(s"$root/deletes").select("doc_id")),
+          Seq("doc_id"), "left_anti")
+      else post0
+    val dfMap = post.groupBy("term").agg(count(lit(1)).as("df"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val pivots = unionTerms.zipWithIndex.map { case (t, i) =>
+      max(when(col("term") === t, col("tf"))).as(s"_tf_$i")
+    }
+    val perDoc = post.groupBy("doc_id")
+      .agg(pivots.head, pivots.tail: _*)
+      .join(spark.read.parquet(s"$root/doclens"), Seq("doc_id"))
+    def tfOf(t: String): Column = {
+      val i = unionTerms.indexOf(t)
+      coalesce(col(s"_tf_$i"), lit(0))
+    }
+    // one struct per query per matched doc: each query's score is its
+    // own fixed-order fold — identical float sequence to the
+    // single-query search over the same stored values
+    val qStructs = queries.map { case (qid, terms) =>
+      val score = terms.foldLeft(lit(0.0)) { (acc, t) =>
+        val tf = tfOf(t).cast("double")
+        val dfi = lit(dfMap.getOrElse(t, 0L).toDouble)
+        val idf = log(lit(1.0) + (lit(nDocs) - dfi + 0.5) / (dfi + 0.5))
+        acc + idf * tf * (k1 + 1.0) /
+          (tf + lit(k1) * (lit(1.0 - b) + lit(b) * col("dl") / lit(avgdl)))
+      }
+      val nMatched = terms.foldLeft(lit(0)) { (acc, t) =>
+        acc + when(tfOf(t) > 0, 1).otherwise(0)
+      }
+      struct(lit(qid).as("query_id"),
+        nMatched.as("n_terms_matched"), score.as("bm25"))
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_id")
+      .orderBy(col("bm25").desc, col("doc_id"))
+    perDoc
+      .select(col("doc_id"), col("dl"),
+        explode(array(qStructs: _*)).as("_q"))
+      .select(col("_q.query_id").as("query_id"), col("doc_id"),
+        col("dl"), col("_q.n_terms_matched").as("n_terms_matched"),
+        col("_q.bm25").as("bm25"))
+      .where(col("n_terms_matched") > 0)
+      .withColumn("bm_rank", row_number().over(w))
+      .where(col("bm_rank") <= k)
   }
 
   /** Per-document top-k terms by TF-IDF — the keyword/topic-feature

@@ -786,6 +786,15 @@ object IoOps {
     * snapshot of the streaming maintenance twin) and DV version —
     * the planning/pruning/re-filter/MOR chain without the `v=` store
     * round trip.
+    *
+    * Range semantics are in the DOUBLE domain end to end: commitManifest
+    * stores zone bounds cast to double and the exact re-filter below
+    * compares the key column against double literals, so an integral
+    * key column above 2^53 loses precision and BETWEEN can diverge
+    * from integer semantics at the boundary. Integral keys are exact
+    * up to 2^53 (9e15) — beyond that, range-plan on a column that fits
+    * the double domain (or a truncated derivative) and re-filter
+    * exactly in the caller.
     */
   def manifestReadWith(spark: SparkSession, basePath: String,
                        man: DataFrame, dvV: Int,

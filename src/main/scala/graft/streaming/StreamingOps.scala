@@ -1313,8 +1313,13 @@ object StreamingOps {
     * splitting one file's rows across batches — lands on the manifest
     * the one-scan batch build produces. The n_rows census is the one
     * leg that is not replay-idempotent (a re-delivered row counts
-    * twice); foreachBatch's exactly-once epochs are the contract, as
-    * for every counting sink. The manifest snapshot serves reads
+    * twice) — and Spark foreachBatch is AT-LEAST-once under
+    * failure/retry, so a replayed epoch can inflate n_rows. The
+    * zones/bloom legs (what pruning actually reads) are idempotent
+    * and replay-safe; n_rows is informational only and is never used
+    * for a pruning decision. A sink that needs a replay-exact count
+    * should dedupe by batchId before apply(). The manifest snapshot
+    * serves reads
     * through IoOps.manifestReadWith — the `stream_manifest` gate
     * shares `manifest_read`'s oracle.
     */

@@ -1,0 +1,298 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators._
+
+/** The round-17 lifecycle-symmetry surface: partition-surgical ANN
+  * index compaction, the BM25 index's delete / census / compaction
+  * legs, the batched indexed-BM25 search, and the persisted BPE merge
+  * table. The file-list assertions here are the physical-evidence half
+  * of the gate queries' row-identity oracles: compaction must change
+  * ONLY the partitions it claims to.
+  */
+class IndexLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def listFiles(dir: String): Map[String, Long] = {
+    def walk(f: java.io.File): Seq[java.io.File] =
+      if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+    val base = new java.io.File(dir)
+    if (!base.exists()) Map.empty
+    else walk(base).filter(_.getName.endsWith(".parquet"))
+      .map(f => f.getPath -> f.lastModified()).toMap
+  }
+
+  private def annVecs = (0 until 40).map { i =>
+    val base = if (i % 2 == 0) 0.0f else 10.0f
+    (i.toLong, Array.tabulate(64)(d => base + (i / 2) * 0.01f + d * 0.001f))
+  }.toDF("vec_id", "embedding")
+
+  test("indexCompact: only delete-touched list_id partitions rewrite;" +
+      " sidecar dropped; searches row-identical; census still fresh") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anncmp")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs, "vec_id", "embedding", root,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    // doom only EVEN ids: with the clean even/odd clustering, exactly
+    // one of the two list_id partitions is touched
+    SimilarityOps.indexDelete(
+      vecs.where(col("vec_id") % 2 === 0 && col("vec_id") >= 20),
+      "vec_id", root, vecCol = "embedding")
+    val queries = vecs.where(col("vec_id") < 4)
+    val preCompact = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq
+    val before = listFiles(s"$root/vectors")
+    // the doomed rows' list: every doomed row recorded its list_id, so
+    // compact needs no discovery scan — read the sidecar to learn which
+    val doomedLists = spark.read.parquet(s"$root/deletes")
+      .select("list_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(doomedLists.size === 1) // even cluster only
+    SimilarityOps.indexCompact(spark, root)
+    val after = listFiles(s"$root/vectors")
+    // untouched partitions: files byte-identical (same paths, same mtimes)
+    val untouchedBefore = before.filter {
+      case (p, _) => !doomedLists.exists(l => p.contains(s"list_id=$l"))
+    }
+    val untouchedAfter = after.filter {
+      case (p, _) => !doomedLists.exists(l => p.contains(s"list_id=$l"))
+    }
+    assert(untouchedBefore === untouchedAfter)
+    assert(untouchedBefore.nonEmpty)
+    // touched partition: fully rewritten (no pre-compact file survives)
+    val touchedBefore = before.keySet -- untouchedBefore.keySet
+    val touchedAfter = after.keySet -- untouchedAfter.keySet
+    assert(touchedBefore.nonEmpty && (touchedBefore & touchedAfter).isEmpty)
+    // sidecar gone, doomed rows physically gone
+    assert(!new java.io.File(s"$root/deletes").exists())
+    val ids = spark.read.parquet(s"$root/vectors")
+      .select("vec_id").collect().map(_.getLong(0)).toSet
+    assert(ids === (0 until 40).map(_.toLong)
+      .filterNot(i => i % 2 == 0 && i >= 20).toSet)
+    // searches row-identical to the pre-compact merge-on-read
+    val postCompact = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq
+    assert(postCompact === preCompact)
+    // meta untouched: census still fresh for the surviving corpus
+    assert(!SimilarityOps.indexIsStale(
+      vecs.where(!(col("vec_id") % 2 === 0 && col("vec_id") >= 20)),
+      "vec_id", root))
+    // compacting again is a no-op (no sidecar)
+    SimilarityOps.indexCompact(spark, root)
+    assert(listFiles(s"$root/vectors") === after)
+  }
+
+  test("indexCompact: id-only deletes (no recorded list_id) fall back" +
+      " to the discovery join; a fully-doomed list's partition drops") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anncm2")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs, "vec_id", "embedding", root,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    // id-only delete of EVERY even id: the whole even list is doomed
+    SimilarityOps.indexDelete(vecs.where(col("vec_id") % 2 === 0),
+      "vec_id", root)
+    SimilarityOps.indexCompact(spark, root)
+    val surviving = spark.read.parquet(s"$root/vectors")
+    assert(surviving.select("vec_id").collect().map(_.getLong(0)).toSet ===
+      (0 until 40).map(_.toLong).filter(_ % 2 == 1).toSet)
+    // one of the two list partitions vanished entirely
+    assert(surviving.select("list_id").distinct().count() === 1)
+    assert(!new java.io.File(s"$root/deletes").exists())
+    // post-compact search equals in-memory IVFPQ over the survivors
+    val cents = SimilarityOps.trainIvf(vecs, "vec_id", "embedding",
+      k = 2, iters = 2)
+    val cb = SimilarityOps.pqCodebooks(vecs, "vec_id", "embedding",
+      m = 8, dsub = 8, ksub = 4)
+    val queries = vecs.where(col("vec_id") < 4)
+    val got = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val want = SimilarityOps.ivfPqTopKWith(queries,
+      vecs.where(col("vec_id") % 2 === 1),
+      "vec_id", "vec_id", "embedding", k = 3, cents, cb, nProbe = 2)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
+  private def bmCorpus = Seq(
+    (0L, "spark joins data with hash joins"),
+    (1L, "hash tables back the join"),
+    (2L, "completely unrelated prose here"),
+    (3L, "spark spark spark"),
+    (4L, "the quick brown fox"),
+    (5L, "join join hash spark"),
+    (6L, "spark hash join spark hash")).toDF("doc_id", "text")
+
+  test("invertedIndexDelete: merge-on-read search equals a fresh build" +
+      " over the surviving corpus; census subtractive; compact equal" +
+      " and drops the sidecar") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmdel")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root,
+      nBuckets = 16)
+    TextOps.invertedIndexDelete(bmCorpus.where(col("doc_id") % 3 === 0),
+      "doc_id", root)
+    val terms = Seq("spark", "join", "hash")
+    val got = TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    // oracle: a FRESH index over the surviving docs — idf/avgdl/n_docs
+    // must all reflect the post-delete corpus for this to match
+    val root2 = java.nio.file.Files.createTempDirectory("graft_bmdel2")
+      .toString + "/idx"
+    val surviving = bmCorpus.where(col("doc_id") % 3 =!= 0)
+    TextOps.invertedIndexWrite(surviving, "doc_id", "text", root2,
+      nBuckets = 16)
+    val want = TextOps.bm25SearchIndexed(spark, root2, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(got === want)
+    // census went subtractive with the delete
+    assert(!TextOps.invertedIndexIsStale(surviving, "doc_id", root))
+    assert(TextOps.invertedIndexIsStale(bmCorpus, "doc_id", root))
+    // compaction: physically removes the doomed postings, search
+    // row-identical, sidecar gone, census untouched
+    TextOps.invertedIndexCompact(spark, root)
+    assert(!new java.io.File(s"$root/deletes").exists())
+    assert(spark.read.parquet(s"$root/postings")
+      .where(col("doc_id") % 3 === 0).count() === 0)
+    assert(spark.read.parquet(s"$root/doclens")
+      .where(col("doc_id") % 3 === 0).count() === 0)
+    val gotC = TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq
+    assert(gotC === want)
+    assert(!TextOps.invertedIndexIsStale(surviving, "doc_id", root))
+    // compacting with no sidecar is a no-op
+    TextOps.invertedIndexCompact(spark, root)
+    assert(TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getDouble(3))).toSeq === want)
+  }
+
+  test("invertedIndexCompact rewrites only doomed-posting buckets") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmcmp")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root,
+      nBuckets = 16)
+    // doc 4 is the only doc with these terms: its buckets are the only
+    // buckets any doomed posting lives in
+    val doomedBuckets = Seq("quick", "brown", "fox", "the").map(t =>
+      java.lang.Math.floorMod(TextOps.polyHashFn(t), 16L)).toSet
+    TextOps.invertedIndexDelete(bmCorpus.where(col("doc_id") === 4),
+      "doc_id", root)
+    val before = spark.read.parquet(s"$root/postings")
+      .select(input_file_name().as("f"), col("bucket"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1))
+    TextOps.invertedIndexCompact(spark, root)
+    val after = spark.read.parquet(s"$root/postings")
+      .select(input_file_name().as("f"), col("bucket"))
+      .distinct().collect().map(r => r.getString(0) -> r.getInt(1))
+    val untouchedBefore = before.filterNot {
+      case (_, b) => doomedBuckets.contains(b.toLong) }.toSet
+    val untouchedAfter = after.filterNot {
+      case (_, b) => doomedBuckets.contains(b.toLong) }.toSet
+    assert(untouchedBefore === untouchedAfter)
+    assert(untouchedBefore.nonEmpty)
+    val touchedBefore = before.toSet -- untouchedBefore
+    val touchedAfter = after.toSet -- untouchedAfter
+    assert(touchedBefore.nonEmpty)
+    assert(touchedBefore.map(_._1).intersect(touchedAfter.map(_._1)).isEmpty)
+  }
+
+  test("invertedIndexAppend rejects an already-indexed doc_id instead" +
+      " of silently double-counting it") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmapp")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus.where(col("doc_id") < 4),
+      "doc_id", "text", root, nBuckets = 16)
+    // fresh docs append fine
+    TextOps.invertedIndexAppend(bmCorpus.where(col("doc_id") >= 4),
+      "doc_id", "text", root)
+    assert(!TextOps.invertedIndexIsStale(bmCorpus, "doc_id", root))
+    // re-appending doc 5 must fail fast, not double-count
+    val e = intercept[IllegalArgumentException] {
+      TextOps.invertedIndexAppend(bmCorpus.where(col("doc_id") === 5),
+        "doc_id", "text", root)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // and the failed append left the index serving correctly
+    val terms = Seq("spark", "join", "hash")
+    val root2 = java.nio.file.Files.createTempDirectory("graft_bmapp2")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root2,
+      nBuckets = 16)
+    assert(TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+      .collect().toSeq ===
+      TextOps.bm25SearchIndexed(spark, root2, terms, k = 10)
+        .collect().toSeq)
+  }
+
+  test("bm25SearchIndexedBatch: each query's rows float-identical to" +
+      " its single-query search; one postings scan serves the batch") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmbat")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root,
+      nBuckets = 16)
+    val batch = Seq(
+      7L -> Seq("spark", "join", "hash"),
+      8L -> Seq("quick", "brown", "fox"),
+      9L -> Seq("unrelated", "prose", "zzz"))
+    val got = TextOps.bm25SearchIndexedBatch(spark, root, batch, k = 10)
+    for ((qid, terms) <- batch) {
+      val per = got.where(col("query_id") === qid)
+        .select("doc_id", "dl", "n_terms_matched", "bm25", "bm_rank")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getDouble(3), r.getInt(4))).sortBy(_._5).toSeq
+      val single = TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+          r.getDouble(3))).toSeq
+      assert(per.map(t => (t._1, t._2, t._3, t._4)) === single,
+        s"query $qid")
+      assert(per.map(_._5) === (1 to per.length).toSeq)
+    }
+    // one postings scan in the whole plan
+    val scans = got.queryExecution.sparkPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec
+          if f.relation.location.rootPaths.exists(
+            _.toString.contains("postings")) => f
+    }
+    assert(scans.length === 1)
+    // deletes honored identically in the batched path
+    TextOps.invertedIndexDelete(bmCorpus.where(col("doc_id") === 5),
+      "doc_id", root)
+    val gotD = TextOps.bm25SearchIndexedBatch(spark, root,
+      batch.take(1), k = 10)
+    val singleD = TextOps.bm25SearchIndexed(spark, root,
+      batch.head._2, k = 10)
+    assert(gotD.select("doc_id", "bm25").collect().map(r =>
+      (r.getLong(0), r.getDouble(1))).toSeq ===
+      singleD.select("doc_id", "bm25").collect().map(r =>
+        (r.getLong(0), r.getDouble(1))).toSeq)
+    assert(gotD.where(col("doc_id") === 5).count() === 0)
+  }
+
+  test("BPE merge table round-trips storage: bpeApply from mergesRead" +
+      " is token-identical to the in-memory table") {
+    val docs = Seq(
+      (0L, "banana bandana"),
+      (1L, "an analog banana"),
+      (2L, "nan nan nan")).toDF("doc_id", "text")
+    val merges = TextOps.bpeMerges(docs, "text", nMerges = 3)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getAs[String]("sym_left"), r.getAs[String]("sym_right")))
+      .toSeq
+    val path = java.nio.file.Files.createTempDirectory("graft_mrg")
+      .toString + "/merges"
+    TextOps.mergesWrite(merges, spark, path)
+    assert(TextOps.mergesRead(spark, path) === merges)
+    val mem = TextOps.bpeApply(docs, "doc_id", "text", merges)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSeq.sorted
+    val stored = TextOps.bpeApply(docs, "doc_id", "text",
+        TextOps.mergesRead(spark, path))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2),
+        r.getString(3))).toSeq.sorted
+    assert(stored === mem)
+  }
+}

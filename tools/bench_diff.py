@@ -39,7 +39,10 @@ def load_full(path: str) -> dict:
         if not os.path.exists(c):
             continue
         full = json.load(open(c))
-        if len(full.get("queries", {})) >= len(rec.get("queries", {})):
+        # A genuine full map must cover the compact record's declared
+        # n_queries — an equally-compact sibling (e.g. a stale partial
+        # BENCH_LOCAL) must NOT be silently accepted as "full".
+        if len(full.get("queries", {})) >= nq:
             print(f"note: {os.path.basename(path)} is compact "
                   f"({len(rec.get('queries', {}))}/{nq} queries) -> "
                   f"using {os.path.basename(c)}")
