@@ -5,11 +5,14 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
 import graft.streaming.StreamingOps
 
-/** Streaming scale-rehearsal harness (round-16 verdict item 2): drive
-  * the four heavy STATEFUL streaming twins with 10 micro-batches (the
-  * stream grows 10x over the run) and record, per batch, the wall
-  * time and the STATE-STORE size — the artifact that turns each twin's
-  * documented state bound into a measurement:
+/** Streaming scale-rehearsal harness (round-16 verdict item 2, round-17
+  * item 5): drive the heavy STATEFUL streaming twins with 10
+  * micro-batches (the stream grows 10x over the run) and record, per
+  * batch, the wall time and the STATE size — the artifact that turns
+  * each twin's documented state bound into a measurement.
+  *
+  * In-memory state-store twins (state read from StreamingQuery
+  * progress):
   *
   *   stream_neardup     state = occupied (band, band_hash) buckets
   *                      (bound: bands x distinct signatures, NOT
@@ -21,8 +24,27 @@ import graft.streaming.StreamingOps
   *   stream_msprt       state = (n_success, first_look) per unit
   *                      (bound: #units rows, 2 longs each)
   *
+  * Table-as-state foreachBatch twins (round-17: the state is the
+  * maintained TABLE, so the artifact records its rows + estimated
+  * bytes per batch — the trajectory that proves the table rides the
+  * semantic content, not the stream length):
+  *
+  *   stream_merge_upsert state = the merged table
+  *                       (bound: #keys rows FLAT under steady-state
+  *                       re-upserts of the same key set)
+  *   stream_scd2_apply   state = the versioned dimension
+  *                       (bound: rows = keys x (versions+1) — linear
+  *                       in CHANGES, independent of replay volume)
+  *   stream_manifest     state = the per-file manifest
+  *                       (bound: #files rows however the table's rows
+  *                       are sliced across batches)
+  *   stream_index_append state = the ON-DISK index (no memory state);
+  *                       rows/bytes grow exactly with appended
+  *                       vectors, per-batch wall FLAT (cost rides the
+  *                       delta, never the accumulated index)
+  *
   * `sbt "runMain graft.StreamScaleUp [sfDir]"` -> one JSON line +
-  * BENCH_stream_r16.json in the CWD. Inputs amplify the driver
+  * BENCH_stream_r17.json in the CWD. Inputs amplify the driver
   * testdata by key-offset replicas (the ScaleUp recipe, in memory).
   */
 object StreamScaleUp {
@@ -200,11 +222,146 @@ object StreamScaleUp {
         msprtBoundOk(recs, nUnits))
     }
 
+    // ------------- stream_merge_upsert (table-as-state COW) --------
+    val merge: (Seq[BatchRec], String, Boolean) = {
+      val cust = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").cast("double").as("v"))
+        .localCheckpoint(true)
+      val nKeys = cust.count()
+      val rowBytes = cust.schema.defaultSize.toLong
+      val st = StreamingOps.mergeUpsertStream(cust, Seq("k"))
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        // steady-state CDC: every batch re-upserts the SAME key set
+        // with new values — the table must stay #keys rows forever
+        val batch = cust.select(col("k"), (col("v") + lit(i + 1)).as("v"))
+        val t0 = System.nanoTime()
+        st(batch)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += nKeys
+        val rows = st.snapshot.count()
+        BatchRec(i, nKeys, cum, w, rows, rows * rowBytes)
+      }
+      (recs, s"#keys rows flat under re-upserts (= $nKeys)",
+        recs.forall(_.stateRows == nKeys))
+    }
+
+    // ------------- stream_scd2_apply (versioned dimension) ----------
+    val scd2: (Seq[BatchRec], String, Boolean) = {
+      val keys = Tables.customer(spark, sfDir)
+        .select(col("c_custkey").cast("long").as("k"),
+          col("c_acctbal").cast("double").as("v"))
+        .localCheckpoint(true)
+      val nKeys = keys.count()
+      val dim0 = keys
+        .withColumn("valid_from", lit(0L))
+        .withColumn("valid_to", lit(null).cast("long"))
+        .withColumn("is_current", lit(true))
+        .localCheckpoint(true)
+      val rowBytes = dim0.schema.defaultSize.toLong
+      val st = StreamingOps.scd2ApplyStream(dim0, Seq("k"), Seq("v"), "ts")
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        // every batch changes EVERY key once: the dimension must grow
+        // by exactly #keys closed-version rows per batch — linear in
+        // CHANGES, not in rows replayed
+        val batch = keys.select(col("k"),
+          (col("v") + lit(1000.0 * (i + 1))).as("v"),
+          lit((i + 1).toLong).as("ts"))
+        val t0 = System.nanoTime()
+        st(batch)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += nKeys
+        val rows = st.snapshot.count()
+        BatchRec(i, nKeys, cum, w, rows, rows * rowBytes)
+      }
+      (recs, s"keys x (versions+1) rows (= (i+2) x $nKeys after batch i)",
+        recs.zipWithIndex.forall { case (r, i) =>
+          r.stateRows == (i + 2).toLong * nKeys })
+    }
+
+    // ------------- stream_manifest (per-file zones + bloom) ---------
+    val manifest: (Seq[BatchRec], String, Boolean) = {
+      val bits = 65536
+      val path = s"/tmp/graft_stscale_man_${ProcessHandle.current().pid()}"
+      Tables.lineitem(spark, sfDir)
+        .select(col("l_orderkey"))
+        .repartitionByRange(64, col("l_orderkey"))
+        .write.mode("overwrite").parquet(path)
+      val rows = spark.read.parquet(path)
+        .select(col("l_orderkey"),
+          col("_metadata.file_path").as("_file"))
+        .localCheckpoint(true)
+      val nFiles = rows.select("_file").distinct().count()
+      val st = StreamingOps.manifestStream("l_orderkey",
+        Seq("l_orderkey"), bits, 3)
+      var cum = 0L
+      val recs = (0 until nBatches).map { i =>
+        // slice the SAME file set by row hash: every batch touches
+        // every file, yet the manifest stays #files rows (zones/bloom
+        // merge by min/max/union — idempotent, commutative)
+        val batch = rows.where(pmod(col("l_orderkey"), lit(nBatches))
+          === i)
+        val n = batch.count()
+        val t0 = System.nanoTime()
+        st(batch)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += n
+        val snap = st.snapshot
+          .agg(count(lit(1)).as("nf"),
+            sum(size(col("bloom"))).as("npos")).head()
+        BatchRec(i, n, cum, w, snap.getLong(0), snap.getLong(1) * 8)
+      }
+      (recs, s"#files rows however rows are sliced (= $nFiles)",
+        recs.forall(_.stateRows == nFiles))
+    }
+
+    // ------------- stream_index_append (on-disk index as state) -----
+    val idxAppend: (Seq[BatchRec], String, Boolean) = {
+      val root = s"/tmp/graft_stscale_idx_${ProcessHandle.current().pid()}"
+      val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+      val nBase = emb.count()
+      // train + store once (untimed): appends must never retrain
+      graft.operators.SimilarityOps.indexWrite(emb, "vec_id",
+        "embedding", root, k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      val sink = StreamingOps.indexAppendSink("vec_id", "embedding", root)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      var cum = nBase
+      val recs = (0 until nBatches).map { i =>
+        // each micro-batch appends a NEW id-offset replica of the
+        // corpus: per-batch cost must ride the DELTA, not the
+        // accumulated index (no read-modify-write of existing files)
+        val batch = emb.select(
+          (col("vec_id") + lit((i + 1) * Off)).as("vec_id"),
+          col("embedding"))
+        val t0 = System.nanoTime()
+        sink(batch, i.toLong)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += nBase
+        val bytes = fs.getContentSummary(
+          new org.apache.hadoop.fs.Path(s"$root/vectors")).getLength
+        BatchRec(i, nBase, cum, w, cum, bytes)
+      }
+      // disk rows exactly linear in appends; meta census agrees
+      val diskRows = spark.read.parquet(s"$root/vectors").count()
+      val metaN = spark.read.parquet(s"$root/meta").head()
+        .getAs[Long]("n_vectors")
+      (recs, s"on-disk rows = base + appends (= ${11L * nBase}); " +
+        "memory state = 0 (the index IS the state)",
+        diskRows == 11L * nBase && metaN == 11L * nBase)
+    }
+
     val all = Seq(
       "stream_neardup" -> neardup,
       "stream_hll" -> hll,
       "stream_bloom_index" -> bloom,
-      "stream_msprt" -> msprt)
+      "stream_msprt" -> msprt,
+      "stream_merge_upsert" -> merge,
+      "stream_scd2_apply" -> scd2,
+      "stream_manifest" -> manifest,
+      "stream_index_append" -> idxAppend)
     val opsJson = all.map { case (name, (recs, bound, ok)) =>
       // flat-wall readout: last batch vs the min early batch (JIT-free)
       val early = recs.take(3).map(_.wallS).min
@@ -216,7 +373,7 @@ object StreamScaleUp {
     val line =
       s"""{"metric":"stream_scale","n_batches":$nBatches,""" +
         s""""sf":"$sfDir","ops":$opsJson}"""
-    for (dst <- Seq("BENCH_stream_r16.json")) {
+    for (dst <- Seq("BENCH_stream_r17.json")) {
       val w = new java.io.PrintWriter(dst)
       try w.println(line) finally w.close()
     }

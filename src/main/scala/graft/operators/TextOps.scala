@@ -1610,12 +1610,17 @@ object TextOps {
     * corpus is indexed ONCE and serves many query batches from the
     * stored postings instead of rescanning text per query. Layout:
     *
-    *   root/postings  (doc_id, term, tf) PARTITIONED BY bucket =
+    *   root/postings  (doc_id, term, tf, dl) PARTITIONED BY bucket =
     *     pmod(polyHash(term), nBuckets) — a query's terms resolve to
     *     their buckets driver-side, so the search scans only those
     *     `bucket=` partitions (partition pruning as the posting-list
-    *     lookup); within a bucket the term IN-list pushes to parquet
-    *   root/doclens   (doc_id, dl) — the length normalization table
+    *     lookup); within a bucket the term IN-list pushes to parquet.
+    *     The doc length rides ON the posting row (the norm-inlined
+    *     postings layout of a production IR engine), so SERVING never
+    *     joins a corpus-sized side table — search cost is probed
+    *     posting volume, full stop
+    *   root/doclens   (doc_id, dl) — the census/maintenance table
+    *     (append dup-guard, delete census); not on the serving path
     *   root/meta      (n_docs, sum_dl, n_buckets, doc_checksum) —
     *     corpus census; the checksum is order-free and additive mod p
     *     (mirroring SimilarityOps.indexWrite's), so append/delete
@@ -1631,11 +1636,17 @@ object TextOps {
     val spark = df.sparkSession
     import spark.implicits._
     df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"),
         explode(words(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        max(col("dl")).as("dl")) // constant per doc: norm rides the row
       .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      // one file per bucket, not one per writing task: term-hash
+      // buckets are ~uniform by construction, and a probed search
+      // pays file-listing + footer reads per file in the pruned dirs
+      .repartition(col("bucket"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
     df.select(col(idCol).as("doc_id"),
@@ -1695,11 +1706,14 @@ object TextOps {
         .getOrElse("")} is already indexed — appends must carry NEW " +
         "documents only (use invertedIndexDelete + compact, or rebuild)")
     df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"),
         explode(words(col(textCol))).as("term"))
       .where(length(col("term")) > 0)
       .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("int").as("tf"))
+      .agg(count(lit(1)).cast("int").as("tf"),
+        max(col("dl")).as("dl"))
       .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket")) // one new file per touched bucket
       .write.mode("append").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
     df.select(col(idCol).as("doc_id"),
@@ -1798,6 +1812,7 @@ object TextOps {
       spark.read.parquet(s"$root/postings")
         .where(col("bucket").isin(touched: _*))
         .join(broadcast(ids), Seq("doc_id"), "left_anti")
+        .repartition(col("bucket")) // one file per rewritten bucket
         .write.mode("overwrite").option("compression", "zstd")
         .partitionBy("bucket").parquet(tmp)
       touched.foreach { b =>
@@ -1826,8 +1841,9 @@ object TextOps {
     * order), with per-doc term frequencies pivoted from the postings
     * instead of recomputed from text. Only the probed `bucket=`
     * partitions are scanned; the per-term df collect is |terms|-
-    * bounded; doc lengths join on the (already term-filtered) matched
-    * docs.
+    * bounded; doc lengths ride the posting rows themselves, so the
+    * serving path touches NOTHING corpus-sized — cost is probed
+    * posting volume alone.
     */
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
                         root: String, terms: Seq[String], k: Int,
@@ -1858,10 +1874,9 @@ object TextOps {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pivots = terms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("tf"))).as(s"_tf_$i")
-    }
+    } :+ max(col("dl")).as("dl") // norm inlined on the posting rows
     val perDoc = post.groupBy("doc_id")
       .agg(pivots.head, pivots.tail: _*)
-      .join(spark.read.parquet(s"$root/doclens"), Seq("doc_id"))
     // the SAME fixed-order fold as bm25Score — float-identical
     val score = terms.indices.foldLeft(lit(0.0)) { (acc, i) =>
       val tf = coalesce(col(s"_tf_$i"), lit(0)).cast("double")
@@ -1923,10 +1938,9 @@ object TextOps {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pivots = unionTerms.zipWithIndex.map { case (t, i) =>
       max(when(col("term") === t, col("tf"))).as(s"_tf_$i")
-    }
+    } :+ max(col("dl")).as("dl") // norm inlined on the posting rows
     val perDoc = post.groupBy("doc_id")
       .agg(pivots.head, pivots.tail: _*)
-      .join(spark.read.parquet(s"$root/doclens"), Seq("doc_id"))
     def tfOf(t: String): Column = {
       val i = unionTerms.indexOf(t)
       coalesce(col(s"_tf_$i"), lit(0))
