@@ -1620,7 +1620,14 @@ object TextOps {
     *     joins a corpus-sized side table — search cost is probed
     *     posting volume, full stop
     *   root/doclens   (doc_id, dl) — the census/maintenance table
-    *     (append dup-guard, delete census); not on the serving path
+    *     (delete census, exact dup arbitration); not on the serving
+    *     path
+    *   root/bloomidx  (widx, word) — a PACKED doc-id Bloom bitmap
+    *     (bits/64 rows max, ~2 MB at the 1<<24 default — bounded by
+    *     BITS, never by corpus size), the append dup-guard's fast
+    *     path: a delta whose ids all miss the bloom is provably new
+    *     with NO corpus-sized read at all; only bloom HITS (dups or
+    *     false positives) pay the exact doclens check
     *   root/meta      (n_docs, sum_dl, n_buckets, doc_checksum) —
     *     corpus census; the checksum is order-free and additive mod p
     *     (mirroring SimilarityOps.indexWrite's), so append/delete
@@ -1630,11 +1637,30 @@ object TextOps {
     * One corpus scan builds everything; the postings shuffle is
     * bounded by distinct (doc, term) pairs, never token count.
     */
+  /** Bloom sizing for the doc-id dup-guard: 1<<24 bits / 3 hashes give
+    * ~6e-4 false-positive rate at 500k docs (positions from
+    * IoOps.bloomPositions — the same hash family as the file-skipping
+    * index). The bitmap is stored PACKED (64 positions per word), so
+    * its size is bounded by BITS/64 rows regardless of corpus size.
+    */
+  private val DupBloomBits = 1 << 24
+  private val DupBloomHashes = 3
+
+  /** (widx, word) packed-bitmap rows for a set of ids. */
+  private def dupBloomWords(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(explode(graft.sources.IoOps.bloomPositions(
+        col(idCol).cast("long"), DupBloomBits, DupBloomHashes)).as("pos"))
+      .select(expr("pos DIV 64").as("widx"),
+        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("w"))
+      .groupBy("widx").agg(expr("bit_or(w)").as("word"))
+
   def invertedIndexWrite(df: DataFrame, idCol: String, textCol: String,
                          root: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = df.sparkSession
     import spark.implicits._
+    dupBloomWords(df, idCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/bloomidx")
     df.select(col(idCol).as("doc_id"),
         size(words(col(textCol))).as("dl"),
         explode(words(col(textCol))).as("term"))
@@ -1683,13 +1709,19 @@ object TextOps {
     * a one-shot build over the union — postings of disjoint docs just
     * concatenate (spec-pinned). Delta doc_ids must be NEW, and that is
     * ENFORCED, not just documented: a re-appended doc would silently
-    * double-count (duplicate doclens rows fanning out through the
-    * search join, df/n_docs/sum_dl inflated), so the append validates
-    * the delta ids against the stored doclens first — one semi-join
-    * the (small) delta broadcasts through, reading only doclens'
-    * doc_id column, and fails fast on the first duplicate. The
-    * continuous census ([[invertedIndexIsStale]]) guards the corpus
-    * as a whole the same way the ANN index's does.
+    * double-count (duplicate postings rows fanning out through the
+    * search pivot, df/n_docs/sum_dl inflated), so the append validates
+    * the delta ids first — against the PACKED doc-id Bloom bitmap
+    * (bits/64 rows, broadcast; cost rides the DELTA, never the
+    * corpus): ids that miss the bloom are provably new, and only
+    * bloom HITS (actual dups or ~6e-4 false positives) arbitrate
+    * exactly against doclens. Fails fast on the first confirmed
+    * duplicate. A DELETED doc_id counts as still indexed until
+    * [[invertedIndexCompact]] physically removes it — re-appending it
+    * earlier would be anti-joined invisible by the delete sidecar, so
+    * the guard rejects that too (doclens keeps the row until compact,
+    * by design). The continuous census ([[invertedIndexIsStale]])
+    * guards the corpus as a whole the same way the ANN index's does.
     */
   def invertedIndexAppend(df: DataFrame, idCol: String, textCol: String,
                           root: String): Unit = {
@@ -1697,10 +1729,33 @@ object TextOps {
     import spark.implicits._
     val nBuckets = spark.read.parquet(s"$root/meta").head()
       .getAs[Int]("n_buckets")
-    val dup = spark.read.parquet(s"$root/doclens").select(col("doc_id"))
-      .join(broadcast(df.select(col(idCol).as("doc_id")).distinct()),
-        Seq("doc_id"), "left_semi")
-      .limit(1).collect()
+    val deltaIds = df.select(col(idCol).as("doc_id")).distinct()
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$root/bloomidx")
+    val bloomFs = bloomPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val suspects =
+      if (bloomFs.exists(bloomPath)) {
+        // all-hashes-hit test against the packed words: one delta-sized
+        // explode + one broadcast join — nothing corpus-sized
+        val words = spark.read.parquet(s"$root/bloomidx")
+        deltaIds.select(col("doc_id"),
+            explode(graft.sources.IoOps.bloomPositions(
+              col("doc_id").cast("long"), DupBloomBits, DupBloomHashes))
+              .as("pos"))
+          .select(col("doc_id"), expr("pos DIV 64").as("widx"),
+            expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("m"))
+          .join(broadcast(words), Seq("widx"), "left")
+          .withColumn("_hit",
+            coalesce(col("word").bitwiseAND(col("m")) =!= 0L, lit(false)))
+          .groupBy("doc_id")
+          .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
+          .where(col("_miss") === 0).select("doc_id")
+      } else deltaIds // legacy index without a bloom: arbitrate all
+    val dup =
+      if (suspects.limit(1).isEmpty) Array.empty[org.apache.spark.sql.Row]
+      else spark.read.parquet(s"$root/doclens").select(col("doc_id"))
+        .join(broadcast(suspects), Seq("doc_id"), "left_semi")
+        .limit(1).collect()
     require(dup.isEmpty,
       s"invertedIndexAppend: doc_id ${dup.headOption.map(_.get(0))
         .getOrElse("")} is already indexed — appends must carry NEW " +
@@ -1729,6 +1784,16 @@ object TextOps {
       (old.getAs[Long]("doc_checksum") + m.getLong(2)) % DocCensusMod))
       .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // fold the delta into the dup-guard bloom (bit_or merge is
+    // commutative/idempotent; bounded at bits/64 rows either way)
+    val merged =
+      (if (bloomFs.exists(bloomPath))
+         spark.read.parquet(s"$root/bloomidx")
+           .unionByName(dupBloomWords(deltaIds, "doc_id"))
+       else dupBloomWords(deltaIds, "doc_id"))
+        .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+        .localCheckpoint(true) // break lineage: overwrites its input
+    merged.coalesce(1).write.mode("overwrite").parquet(s"$root/bloomidx")
   }
 
   /** Record document deletions against a persisted inverted index —
@@ -1830,6 +1895,12 @@ object TextOps {
       .localCheckpoint(true) // break lineage: overwrite its own input
     lens.write.mode("overwrite").option("compression", "zstd")
       .parquet(s"$root/doclens")
+    // rebuild the dup-guard bloom over the SURVIVORS (a bloom cannot
+    // unset bits, and compact is the moment a deleted doc_id becomes
+    // legally re-appendable) — bounded by the doclens column scan this
+    // op already pays
+    dupBloomWords(lens, "doc_id").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/bloomidx")
     fs.delete(delPath, true)
   }
 

@@ -228,6 +228,39 @@ class IndexLifecycleSpec extends SparkSpec {
         .collect().toSeq)
   }
 
+  test("append dup-guard lifecycle: a deleted doc_id stays rejected" +
+      " until compact physically removes it, then re-appends cleanly") {
+    val root = java.nio.file.Files.createTempDirectory("graft_bmre")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root,
+      nBuckets = 16)
+    TextOps.invertedIndexDelete(bmCorpus.where(col("doc_id") === 5),
+      "doc_id", root)
+    // deleted but not compacted: the postings still exist physically
+    // (served invisible via the sidecar), so a re-append would be
+    // anti-joined invisible too — the guard must reject it
+    val e = intercept[IllegalArgumentException] {
+      TextOps.invertedIndexAppend(bmCorpus.where(col("doc_id") === 5),
+        "doc_id", "text", root)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    TextOps.invertedIndexCompact(spark, root)
+    // post-compact the id is legally new again: re-append, and the
+    // index must serve exactly like a fresh build over the full corpus
+    TextOps.invertedIndexAppend(bmCorpus.where(col("doc_id") === 5),
+      "doc_id", "text", root)
+    assert(!TextOps.invertedIndexIsStale(bmCorpus, "doc_id", root))
+    val terms = Seq("spark", "join", "hash")
+    val root2 = java.nio.file.Files.createTempDirectory("graft_bmre2")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", root2,
+      nBuckets = 16)
+    assert(TextOps.bm25SearchIndexed(spark, root, terms, k = 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq ===
+      TextOps.bm25SearchIndexed(spark, root2, terms, k = 10)
+        .collect().map(r => (r.getLong(0), r.getDouble(3))).toSeq)
+  }
+
   test("bm25SearchIndexedBatch: each query's rows float-identical to" +
       " its single-query search; one postings scan serves the batch") {
     val root = java.nio.file.Files.createTempDirectory("graft_bmbat")
@@ -270,6 +303,42 @@ class IndexLifecycleSpec extends SparkSpec {
       singleD.select("doc_id", "bm25").collect().map(r =>
         (r.getLong(0), r.getDouble(1))).toSeq)
     assert(gotD.where(col("doc_id") === 5).count() === 0)
+  }
+
+  test("serving plans touch nothing corpus-sized: no doclens scan in" +
+      " either BM25 path; ANN reads only the probed list directories") {
+    val bmRoot = java.nio.file.Files.createTempDirectory("graft_plbm")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", bmRoot,
+      nBuckets = 16)
+    def scanRoots(df: org.apache.spark.sql.DataFrame): Seq[String] =
+      df.queryExecution.sparkPlan.collect {
+        case f: org.apache.spark.sql.execution.FileSourceScanExec =>
+          f.relation.location.rootPaths.map(_.toString)
+      }.flatten
+    // the doc length rides the posting row: serving must never scan
+    // the doclens table (it exists for maintenance only)
+    val single = scanRoots(TextOps.bm25SearchIndexed(spark, bmRoot,
+      Seq("spark", "join"), k = 5))
+    assert(single.nonEmpty && !single.exists(_.contains("doclens")),
+      s"single-query serving scans: $single")
+    val batch = scanRoots(TextOps.bm25SearchIndexedBatch(spark, bmRoot,
+      Seq(0L -> Seq("spark", "join"), 1L -> Seq("hash")), k = 5))
+    assert(batch.nonEmpty && !batch.exists(_.contains("doclens")),
+      s"batch serving scans: $batch")
+    // ANN: the stored-index search plans its read from the PROBED
+    // list_id= directories only — planning cost rides |probed|, not K
+    val annRoot = java.nio.file.Files.createTempDirectory("graft_plann")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs, "vec_id", "embedding", annRoot,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    val queries = vecs.where(col("vec_id") < 4 && col("vec_id") % 2 === 0)
+    val ann = scanRoots(SimilarityOps.indexSearch(queries, annRoot,
+      "vec_id", "embedding", k = 3, nProbe = 1))
+    val vecRoots = ann.filter(_.contains("/vectors"))
+    assert(vecRoots.nonEmpty && vecRoots.forall(_.contains("list_id=")),
+      s"vectors read lists the whole store, not the probed dirs: $ann")
   }
 
   test("BPE merge table round-trips storage: bpeApply from mergesRead" +
