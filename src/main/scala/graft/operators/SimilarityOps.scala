@@ -621,6 +621,45 @@ object SimilarityOps {
     * mod, and the mod makes the checksum ADDITIVE across disjoint
     * parts — [[indexAppend]] merges it without rescanning the base.
     */
+  /** Packed vec-id Bloom bitmap for the append dup-guard — same
+    * sizing/layout as TextOps' doc-id guard: bits/64 rows max (~2 MB),
+    * bounded by BITS regardless of corpus size. Advisory only: a HIT
+    * arbitrates exactly against the probed `list_id=` partitions (the
+    * suspect's list is recomputable from the stored centroids, so
+    * arbitration is partition-pruned too — nothing corpus-sized on
+    * the append path, ever).
+    */
+  private val DupBloomBits = 1 << 24
+  private val DupBloomHashes = 3
+  private def dupBloomWords(ids: DataFrame, idCol: String): DataFrame =
+    ids.select(explode(graft.sources.IoOps.bloomPositions(
+        col(idCol).cast("long"), DupBloomBits, DupBloomHashes)).as("pos"))
+      .select(expr("pos DIV 64").as("widx"),
+        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("w"))
+      .groupBy("widx").agg(expr("bit_or(w)").as("word"))
+
+  /** Ids from `ids` whose every hash position is set in the stored
+    * bitmap — the dup SUSPECTS (real dups plus ~6e-4 false positives);
+    * an id that misses is provably new. Delta-sized work only.
+    */
+  private def bloomSuspects(spark: org.apache.spark.sql.SparkSession,
+                            ids: DataFrame, idCol: String,
+                            bloomDir: String): DataFrame = {
+    val words = spark.read.parquet(bloomDir)
+    ids.select(col(idCol),
+        explode(graft.sources.IoOps.bloomPositions(
+          col(idCol).cast("long"), DupBloomBits, DupBloomHashes))
+          .as("pos"))
+      .select(col(idCol), expr("pos DIV 64").as("widx"),
+        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("m"))
+      .join(broadcast(words), Seq("widx"), "left")
+      .withColumn("_hit",
+        coalesce(col("word").bitwiseAND(col("m")) =!= 0L, lit(false)))
+      .groupBy(idCol)
+      .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
+      .where(col("_miss") === 0).select(idCol)
+  }
+
   private val CensusMod = 1000000007L
   private def corpusCensus(corpus: DataFrame, idCol: String): (Long, Long) = {
     val r = corpus.agg(count(lit(1)).cast("long").as("n"),
@@ -674,6 +713,8 @@ object SimilarityOps {
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$root/vectors")
+    dupBloomWords(corpus.select(col(idCol)), idCol).coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/bloomidx")
     val (n, c) = corpusCensus(corpus, idCol)
     import spark.implicits._
     Seq((k, iters, m, dsub, ksub, qdec, n, c))
@@ -704,6 +745,46 @@ object SimilarityOps {
     val spark = delta.sparkSession
     val cents = readIndexCentroids(spark, root)
     val cb = readIndexCodebooks(spark, root)
+    // Append idempotence, ENFORCED (mirroring the BM25 index's guard):
+    // delta ids check against the packed id-bloom (delta-sized work);
+    // ids that miss are provably new; HITS arbitrate exactly against
+    // ONLY the suspects' own `list_id=` partitions — the suspect's
+    // list is recomputable from the stored centroids, so even the
+    // exact check is partition-pruned. A deleted-but-not-compacted id
+    // is still physically present and correctly rejected until
+    // indexCompact removes it. Legacy indexes without a bloom skip
+    // the guard (the census still catches drift post-hoc).
+    val bloomPath = new org.apache.hadoop.fs.Path(s"$root/bloomidx")
+    val bloomFs = bloomPath.getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val hasBloom = bloomFs.exists(bloomPath)
+    if (hasBloom) {
+      val suspects = bloomSuspects(spark,
+        delta.select(col(idCol)).distinct(), idCol, s"$root/bloomidx")
+      if (!suspects.limit(1).isEmpty) {
+        val sv = delta.join(broadcast(suspects), Seq(idCol), "left_semi")
+          .select(col(idCol).cast("long").as("vec_id"),
+            graft.functions.NearestCentroidId(
+              toDouble(col(vecCol)), cents).cast("long").as("list_id"))
+        val lists = sv.select("list_id").distinct()
+          .collect().map(_.getLong(0))
+        val paths = lists.map(l => s"$root/vectors/list_id=$l")
+          .filter(p => bloomFs.exists(new org.apache.hadoop.fs.Path(p)))
+        val dup =
+          if (paths.isEmpty) Array.empty[org.apache.spark.sql.Row]
+          else spark.read.option("basePath", s"$root/vectors")
+            .parquet(paths: _*)
+            .select(col("vec_id").cast("long").as("vec_id"))
+            .join(broadcast(sv.select("vec_id")), Seq("vec_id"),
+              "left_semi")
+            .limit(1).collect()
+        require(dup.isEmpty,
+          s"indexAppend: vec_id ${dup.headOption.map(_.get(0))
+            .getOrElse("")} is already indexed — appends must carry " +
+            "NEW vectors only (use indexDelete + indexCompact, or " +
+            "rebuild)")
+      }
+    }
     delta
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
       .select(col("vec_id"),
@@ -723,6 +804,18 @@ object SimilarityOps {
       .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
         "id_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // fold the delta into the dup-guard bloom (bit_or: commutative and
+    // idempotent, so the streaming twin's batching/order still cannot
+    // matter); legacy indexes stay bloom-less — a PARTIAL bloom would
+    // wrongly clear pre-bloom ids as "provably new"
+    if (hasBloom) {
+      val merged = spark.read.parquet(s"$root/bloomidx")
+        .unionByName(dupBloomWords(delta.select(col(idCol)), idCol))
+        .groupBy("widx").agg(expr("bit_or(word)").as("word"))
+        .localCheckpoint(true) // break lineage: overwrites its input
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/bloomidx")
+    }
   }
 
   /** Record deletions against a persisted index — the third leg of the
@@ -793,6 +886,12 @@ object SimilarityOps {
     * bounded after distinct); legacy id-only rows fall back to ONE
     * column-pruned discovery join against the code table — documented
     * cost, avoided entirely by passing `vecCol` to [[indexDelete]].
+    *
+    * The append dup-guard bloom is NOT rebuilt here (unsetting bits
+    * would need a corpus scan, defeating the surgical contract):
+    * deleted ids stay "possibly present", and [[indexAppend]]'s exact
+    * arbitration — which reads only the suspect's own partition —
+    * correctly finds them gone post-compact, so re-appends work.
     */
   def indexCompact(spark: org.apache.spark.sql.SparkSession,
                    root: String): Unit = {

@@ -114,6 +114,51 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("ANN append dup-guard: re-appended vec_id rejected (including" +
+      " deleted-not-compacted); clean re-append after compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_anndup")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs.where(col("vec_id") < 30),
+      "vec_id", "embedding", root, k = 2, iters = 2, m = 8, dsub = 8,
+      ksub = 4)
+    // fresh ids append fine (bloom misses: provably new, no read)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") >= 30),
+      "vec_id", "embedding", root)
+    assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root))
+    // a re-append must fail fast, not silently double the vector
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.indexAppend(vecs.where(col("vec_id") === 35),
+        "vec_id", "embedding", root)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // deleted but not compacted: physically present, still rejected
+    SimilarityOps.indexDelete(vecs.where(col("vec_id") === 35),
+      "vec_id", root, vecCol = "embedding")
+    val e2 = intercept[IllegalArgumentException] {
+      SimilarityOps.indexAppend(vecs.where(col("vec_id") === 35),
+        "vec_id", "embedding", root)
+    }
+    assert(e2.getMessage.contains("already indexed"))
+    // post-compact the id is legally new: re-append restores the full
+    // corpus and the index serves exactly like a never-deleted one
+    SimilarityOps.indexCompact(spark, root)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") === 35),
+      "vec_id", "embedding", root)
+    assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root))
+    val queries = vecs.where(col("vec_id") < 4)
+    val cents = SimilarityOps.trainIvf(vecs.where(col("vec_id") < 30),
+      "vec_id", "embedding", k = 2, iters = 2)
+    val cb = SimilarityOps.pqCodebooks(vecs.where(col("vec_id") < 30),
+      "vec_id", "embedding", m = 8, dsub = 8, ksub = 4)
+    val got = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val want = SimilarityOps.ivfPqTopKWith(queries, vecs,
+      "vec_id", "vec_id", "embedding", k = 3, cents, cb, nProbe = 2)
+    assert(got.exceptAll(want).count() === 0)
+    assert(want.exceptAll(got).count() === 0)
+  }
+
   private def bmCorpus = Seq(
     (0L, "spark joins data with hash joins"),
     (1L, "hash tables back the join"),
