@@ -130,6 +130,20 @@ object IndexScaleBench {
       val (_, appendS) = timed {
         SimilarityOps.indexAppend(delta, "vec_id", "embedding", rootScaled)
       }
+      // the LSM ingest path: a second fixed-size delta lands as ONE
+      // segment file (no per-directory commits), then flush folds it —
+      // buffered wall must be FLAT across scales; flush pays the
+      // directory commits once for the whole log
+      val delta2 = Tables.embeddings(spark, "/root/testdata/sf0.1")
+        .select((col("vec_id").cast("long") + lit(2 * DeltaOff))
+          .as("vec_id"), col("embedding"))
+      val (_, bufAppendS) = timed {
+        SimilarityOps.indexAppend(delta2, "vec_id", "embedding",
+          rootScaled, buffered = true)
+      }
+      val (_, flushS) = timed {
+        SimilarityOps.indexFlush(spark, rootScaled)
+      }
       // delete a FIXED doomed set (50 original ids, embeddings present
       // so each records its list_id), then compact: the rewrite must
       // touch only the doomed lists — flat cost while the corpus grows
@@ -209,7 +223,9 @@ object IndexScaleBench {
           s""""ann_fixedK":{"k":$kFixed,$fixedJson},""" +
           s""""ann_scaledK":{"k":$kScaled,$scaledJson},""" +
           s""""ann_append":{"delta_rows":${delta.count()},""" +
-          s""""append_s":${jnum(appendS)}},""" +
+          s""""append_s":${jnum(appendS)},""" +
+          s""""buffered_append_s":${jnum(bufAppendS)},""" +
+          s""""flush_s":${jnum(flushS)}},""" +
           s""""ann_delete_compact":{"doomed_rows":50,""" +
           s""""delete_s":${jnum(deleteS)},"compact_s":${jnum(compactS)},""" +
           s""""rewritten_partitions":$doomedLists,""" +

@@ -2308,6 +2308,78 @@ object QueriesLlm {
     },
     annIndexAppendQ.sql)
 
+  /** Streaming twin of the LSM-buffered append
+    * (StreamingOps.indexAppendBufferedSink): micro-batches in reversed
+    * id order land as one segment file each; per-row assignment under
+    * the stored quantizers is independent and the census/bloom merges
+    * commute, so any batching/order serves identically — and the log
+    * path costs ONE file write per trigger, the cadence-compatible
+    * ingest shape. Shares `ann_index_append`'s oracle.
+    */
+  private lazy val streamIndexAppendBufferedQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxsb_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      val sink = streaming.StreamingOps.indexAppendBufferedSink(
+        "vec_id", "embedding", root)
+      sink(emb.where(col("vec_id") >= 150), 0L)
+      sink(emb.where(col("vec_id") >= 100 && col("vec_id") < 150), 1L)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
+  /** LSM-buffered index APPEND (SimilarityOps.indexAppend with
+    * buffered=true): the same base/delta split as `ann_index_append`,
+    * but the delta lands as segment files in the append LOG — one file
+    * write per append instead of up-to-K partition-directory commits,
+    * the ingest shape a streaming cadence tolerates. The search serves
+    * the union of partitions + log behind the same probe filter, so
+    * the oracle is SHARED with `ann_index_append` — a hash match
+    * proves the log path is serving-identical to the direct one.
+    */
+  private lazy val annIndexAppendBufferedQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxb_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 100),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
+  /** Index FLUSH (SimilarityOps.indexFlush): two buffered appends fold
+    * into the `list_id=` partitions in one merge — the background half
+    * of the LSM ingest. Post-flush searches must be row-identical to
+    * the log-serving ones (and to the direct-append build), so the
+    * oracle is SHARED with `ann_index_append`: a hash match proves the
+    * flush changes the physical layout and nothing else.
+    */
+  private lazy val annIndexFlushQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxf_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 150),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexAppend(
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 150),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexFlush(s, root)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
   /** Hybrid retrieval served ENTIRELY from the persisted indexes —
     * the RAG serving path as it actually deploys: the dense leg from
     * the stored IVFPQ index (probe = partition pruning), the sparse
@@ -6125,9 +6197,12 @@ object QueriesLlm {
     "ann_ivfpq_seeded" -> annIvfpqSeededQ,
     "ann_index_persist" -> annIndexPersistQ,
     "ann_index_append" -> annIndexAppendQ,
+    "ann_index_append_buffered" -> annIndexAppendBufferedQ,
+    "ann_index_flush" -> annIndexFlushQ,
     "ann_index_delete" -> annIndexDeleteQ,
     "ann_index_compact" -> annIndexCompactQ,
     "stream_index_append" -> streamIndexAppendQ,
+    "stream_index_append_buffered" -> streamIndexAppendBufferedQ,
     "hybrid_retrieval_indexed" -> hybridRetrievalIndexedQ,
     "hybrid_retrieval_batch" -> hybridRetrievalBatchQ,
     "semantic_dedup" -> semanticDedupQ,

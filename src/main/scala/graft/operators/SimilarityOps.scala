@@ -740,8 +740,22 @@ object SimilarityOps {
     * under B-trained quantizers — per-row assignment is independent,
     * so append order and batching never matter.
     */
+  /** @param buffered false (default) writes straight into the
+    *   `list_id=` partitions — one new file per TOUCHED list, the
+    *   right shape for batched ingest. true is the LSM path for small
+    *   / frequent deltas (streaming ingest): the coded rows land as a
+    *   SEGMENT in `root/applog` (list_id as a plain column — parquet
+    *   row-group stats still prune it), costing one file write instead
+    *   of up-to-K directory commits; searches union the log behind the
+    *   same probe filter, and [[indexFlush]] folds the log into the
+    *   partitions on the maintenance cadence — write-ahead segment +
+    *   background merge, the classic LSM trade. Both paths maintain
+    *   the same census/bloom, and both serve row-identically (the
+    *   `ann_index_append_buffered` / `ann_index_flush` gates share
+    *   `ann_index_append`'s oracle).
+    */
   def indexAppend(delta: DataFrame, idCol: String, vecCol: String,
-                  root: String): Unit = {
+                  root: String, buffered: Boolean = false): Unit = {
     val spark = delta.sparkSession
     val cents = readIndexCentroids(spark, root)
     val cb = readIndexCodebooks(spark, root)
@@ -770,10 +784,19 @@ object SimilarityOps {
           .collect().map(_.getLong(0))
         val paths = lists.map(l => s"$root/vectors/list_id=$l")
           .filter(p => bloomFs.exists(new org.apache.hadoop.fs.Path(p)))
-        val dup =
+        val partDup =
           if (paths.isEmpty) Array.empty[org.apache.spark.sql.Row]
           else spark.read.option("basePath", s"$root/vectors")
             .parquet(paths: _*)
+            .select(col("vec_id").cast("long").as("vec_id"))
+            .join(broadcast(sv.select("vec_id")), Seq("vec_id"),
+              "left_semi")
+            .limit(1).collect()
+        // a suspect may also live in the unflushed append log
+        val logP = new org.apache.hadoop.fs.Path(s"$root/applog")
+        val dup =
+          if (partDup.nonEmpty || !bloomFs.exists(logP)) partDup
+          else spark.read.parquet(s"$root/applog")
             .select(col("vec_id").cast("long").as("vec_id"))
             .join(broadcast(sv.select("vec_id")), Seq("vec_id"),
               "left_semi")
@@ -785,14 +808,20 @@ object SimilarityOps {
             "rebuild)")
       }
     }
-    delta
+    val coded = delta
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
       .select(col("vec_id"),
-        graft.functions.NearestCentroidId(col("_v"), cents).as("list_id"),
+        graft.functions.NearestCentroidId(col("_v"), cents)
+          .cast("long").as("list_id"),
         graft.functions.PqCodes(col("_v"), cb).as("codes"))
-      .repartition(col("list_id")) // one new file per touched list
-      .write.mode("append").partitionBy("list_id")
-      .parquet(s"$root/vectors")
+    if (buffered)
+      coded.coalesce(1) // one segment file per buffered append
+        .write.mode("append").parquet(s"$root/applog")
+    else
+      coded
+        .repartition(col("list_id")) // one new file per touched list
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$root/vectors")
     val old = spark.read.parquet(s"$root/meta").head()
     val (dn, dc) = corpusCensus(delta, idCol)
     import spark.implicits._
@@ -816,6 +845,30 @@ object SimilarityOps {
       merged.coalesce(1).write.mode("overwrite")
         .parquet(s"$root/bloomidx")
     }
+  }
+
+  /** Fold the buffered append log into the `list_id=` partitions and
+    * drop it — the background-merge half of the LSM ingest path
+    * ([[indexAppend]] with buffered=true): many small appends each
+    * paid ONE segment-file write; the flush pays the per-directory
+    * commit cost ONCE for all of them, touching only the lists the
+    * log actually contains. Census, bloom and quantizers are already
+    * up to date (maintained at append time), and searches are
+    * row-identical before and after (the `ann_index_flush` gate
+    * shares `ann_index_append`'s oracle) — flushing changes the
+    * physical layout and nothing else.
+    */
+  def indexFlush(spark: org.apache.spark.sql.SparkSession,
+                 root: String): Unit = {
+    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(logPath)) return // nothing buffered: no-op
+    spark.read.parquet(s"$root/applog")
+      .localCheckpoint(true) // the log dir is deleted below
+      .repartition(col("list_id")) // one new file per touched list
+      .write.mode("append").partitionBy("list_id")
+      .parquet(s"$root/vectors")
+    fs.delete(logPath, true)
   }
 
   /** Record deletions against a persisted index — the third leg of the
@@ -932,6 +985,16 @@ object SimilarityOps {
       }
       fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
     }
+    // doomed rows may also sit in unflushed LSM segments: rewrite the
+    // (flush-cadence-bounded, never corpus-sized) append log minus them
+    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+    if (fs.exists(logPath)) {
+      val survivors = spark.read.parquet(s"$root/applog")
+        .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+        .localCheckpoint(true) // break lineage: overwrites its input
+      survivors.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/applog")
+    }
     fs.delete(delPath, true)
   }
 
@@ -1007,13 +1070,26 @@ object SimilarityOps {
       spark.sparkContext.hadoopConfiguration)
     val probedPaths = probed.map(l => s"$vecBase/list_id=$l")
       .filter(p => fsV.exists(new org.apache.hadoop.fs.Path(p)))
-    val coded0 =
+    val codedMain =
       (if (probedPaths.isEmpty)
          spark.read.parquet(vecBase).where(lit(false))
        else
          spark.read.option("basePath", vecBase).parquet(probedPaths: _*))
         .select(col("vec_id").as("neighbor_id"),
           col("list_id").cast("long").as("list_id"), col("codes"))
+    // unflushed LSM segments: same probe filter as a plain column —
+    // parquet min/max row-group stats prune it; the log is bounded by
+    // the flush cadence, never corpus-sized
+    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+    val coded0 =
+      if (logPath.getFileSystem(
+          spark.sparkContext.hadoopConfiguration).exists(logPath))
+        codedMain.unionByName(
+          spark.read.parquet(s"$root/applog")
+            .where(col("list_id").isin(probed: _*))
+            .select(col("vec_id").as("neighbor_id"),
+              col("list_id").cast("long").as("list_id"), col("codes")))
+      else codedMain
     // serve base minus deletes: one anti-join against the (small)
     // delete sidecar when one exists — the index's merge-on-read
     val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")

@@ -1400,4 +1400,18 @@ object StreamingOps {
                       root: String): (DataFrame, Long) => Unit =
     (df, _) => graft.operators.SimilarityOps.indexAppend(
       df, idCol, vecCol, root)
+
+  /** The LSM variant of [[indexAppendSink]] — each micro-batch lands
+    * as ONE segment file in the index's append log instead of up-to-K
+    * partition-directory commits (the per-batch cost a streaming
+    * trigger cadence actually tolerates); SimilarityOps.indexFlush
+    * folds the log on the maintenance cadence. Searches union the log
+    * behind the same probe filter, so serving is row-identical whether
+    * or not a flush has happened (the `stream_index_append_buffered`
+    * gate shares `ann_index_append`'s oracle).
+    */
+  def indexAppendBufferedSink(idCol: String, vecCol: String,
+                              root: String): (DataFrame, Long) => Unit =
+    (df, _) => graft.operators.SimilarityOps.indexAppend(
+      df, idCol, vecCol, root, buffered = true)
 }

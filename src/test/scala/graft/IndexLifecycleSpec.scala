@@ -159,6 +159,77 @@ class IndexLifecycleSpec extends SparkSpec {
     assert(want.exceptAll(got).count() === 0)
   }
 
+  test("LSM-buffered append: log-served searches row-identical to" +
+      " direct append; flush lossless; dup guard sees the log;" +
+      " compact strips doomed log rows") {
+    val vecs = annVecs
+    val direct = java.nio.file.Files.createTempDirectory("graft_lsm0")
+      .toString + "/idx"
+    SimilarityOps.indexWrite(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", direct, k = 2, iters = 2, m = 8, dsub = 8,
+      ksub = 4)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") >= 20),
+      "vec_id", "embedding", direct)
+    val queries = vecs.where(col("vec_id") < 4)
+    val want = SimilarityOps.indexSearch(queries, direct,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq
+    // buffered twin: two segments, searches served from the log
+    val root = java.nio.file.Files.createTempDirectory("graft_lsm1")
+      .toString + "/idx"
+    SimilarityOps.indexWrite(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", root, k = 2, iters = 2, m = 8, dsub = 8,
+      ksub = 4)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") >= 30),
+      "vec_id", "embedding", root, buffered = true)
+    SimilarityOps.indexAppend(
+      vecs.where(col("vec_id") >= 20 && col("vec_id") < 30),
+      "vec_id", "embedding", root, buffered = true)
+    assert(new java.io.File(s"$root/applog").exists())
+    assert(SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq === want)
+    assert(!SimilarityOps.indexIsStale(vecs, "vec_id", root))
+    // the dup guard must see log-resident ids too
+    val e = intercept[IllegalArgumentException] {
+      SimilarityOps.indexAppend(vecs.where(col("vec_id") === 35),
+        "vec_id", "embedding", root, buffered = true)
+    }
+    assert(e.getMessage.contains("already indexed"))
+    // flush: physical fold, serving identical, log gone
+    SimilarityOps.indexFlush(spark, root)
+    assert(!new java.io.File(s"$root/applog").exists())
+    assert(SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq === want)
+    // flush with no log is a no-op
+    SimilarityOps.indexFlush(spark, root)
+    // delete + compact with a live log: doomed log rows stripped too
+    val root2 = java.nio.file.Files.createTempDirectory("graft_lsm2")
+      .toString + "/idx"
+    SimilarityOps.indexWrite(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", root2, k = 2, iters = 2, m = 8, dsub = 8,
+      ksub = 4)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") >= 20),
+      "vec_id", "embedding", root2, buffered = true)
+    SimilarityOps.indexDelete(vecs.where(col("vec_id") >= 30),
+      "vec_id", root2, vecCol = "embedding")
+    SimilarityOps.indexCompact(spark, root2)
+    assert(spark.read.parquet(s"$root2/applog")
+      .where(col("vec_id") >= 30).count() === 0)
+    val cents = SimilarityOps.trainIvf(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", k = 2, iters = 2)
+    val cb = SimilarityOps.pqCodebooks(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", m = 8, dsub = 8, ksub = 4)
+    val got2 = SimilarityOps.indexSearch(queries, root2,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val want2 = SimilarityOps.ivfPqTopKWith(queries,
+      vecs.where(col("vec_id") < 30),
+      "vec_id", "vec_id", "embedding", k = 3, cents, cb, nProbe = 2)
+    assert(got2.exceptAll(want2).count() === 0)
+    assert(want2.exceptAll(got2).count() === 0)
+    // post-compact the deleted log ids are legally new again
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") === 35),
+      "vec_id", "embedding", root2, buffered = true)
+  }
+
   private def bmCorpus = Seq(
     (0L, "spark joins data with hash joins"),
     (1L, "hash tables back the join"),
