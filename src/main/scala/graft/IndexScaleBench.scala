@@ -29,7 +29,7 @@ import graft.operators.{SimilarityOps, TextOps}
   *         3 sparse queries, one pruned scan per leg)
   *
   * `sbt "runMain graft.IndexScaleBench"` -> one JSON line +
-  * BENCH_sf10_r17.json in the CWD. Run on a QUIET machine (the r14/r15
+  * BENCH_sf10_r18.json in the CWD. Run on a QUIET machine (the r14/r15
   * lesson: overlapping sbt builds inflate walls 2-4x).
   */
 object IndexScaleBench {
@@ -247,7 +247,7 @@ object IndexScaleBench {
     val line =
       s"""{"metric":"index_lifecycle_scale","scales":{""" +
         recs.map(_._3).mkString(",") + "}}"
-    val w = new java.io.PrintWriter("BENCH_sf10_r17.json")
+    val w = new java.io.PrintWriter("BENCH_sf10_r18.json")
     try w.println(line) finally w.close()
     spark.stop()
     println(line)

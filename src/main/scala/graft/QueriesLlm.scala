@@ -2685,6 +2685,96 @@ object QueriesLlm {
     },
     annIndexDeleteQ.sql)
 
+  /** The COMMIT PROTOCOL end to end (graft.sources.IndexCommits):
+    * every lifecycle leg — write, buffered + direct append, flush,
+    * delete, compact — mutates the store through versioned snapshots
+    * (new files staged, one atomic pointer rename, vacuum), and the
+    * final search plans its file list from the current commit instead
+    * of directory listings. The oracle trains on the base subset,
+    * assigns/prices the full corpus, and excludes the deleted ids
+    * from the candidate join — a hash match proves five pointer swaps
+    * compose to exactly the one-shot semantics.
+    */
+  private lazy val annIndexCommitQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxv_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 150),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexAppend(
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 150),
+        "vec_id", "embedding", root)
+      SimilarityOps.indexFlush(s, root)
+      SimilarityOps.indexDelete(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", root, vecCol = "embedding")
+      SimilarityOps.indexCompact(s, root)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    s"""WITH $pqCbSql,
+       |eb AS (SELECT vec_id, v FROM e WHERE vec_id < 100),
+       |${trainedC2SqlOver("eb")},
+       |${ivfpqTrainedTailSqlWhere("a.vec_id % 7 <> 3")}""".stripMargin)
+
+  /** CRASH RECOVERY through the commit protocol: stage a flush's
+    * folded files WITHOUT the pointer swap (prepareFlush — the
+    * simulated crash inside the old write-then-delete window), search
+    * THROUGH the debris (staged files are invisible: the snapshot
+    * still serves the log), then run the real flush — whose head
+    * vacuum heals the orphans before folding. The single shared
+    * oracle (`ann_index_append`'s) pins that the served rows are
+    * identical before the crash, during the debris, and after
+    * recovery.
+    */
+  private lazy val annIndexCrashRecoveryQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxc_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 100),
+        "vec_id", "embedding", root, buffered = true)
+      // simulated crash: folded files staged, pointer NOT swapped
+      SimilarityOps.prepareFlush(s, root)
+      // debris-blind serve: the snapshot still plans the log union
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+        .queryExecution.toRdd.count()
+      SimilarityOps.indexFlush(s, root) // heals, then folds for real
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
+  /** LSM AUTO-FLUSH policy (indexAppend autoFlushSegments — directive:
+    * nothing bounded the append log): three buffered appends with a
+    * threshold of 2 trigger an inline fold mid-stream, so the store
+    * ends mixed (folded partitions + a fresh log segment) and no
+    * search ever unions more than threshold segments. Serving is
+    * row-identical however many folds happened — the oracle is
+    * `ann_index_append`'s.
+    */
+  private lazy val annIndexAutoflushQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxaf_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      val sink = streaming.StreamingOps.indexAppendBufferedSink(
+        "vec_id", "embedding", root, autoFlushSegments = 2)
+      sink(emb.where(col("vec_id") >= 180), 0L)
+      sink(emb.where(col("vec_id") >= 140 && col("vec_id") < 180), 1L)
+      sink(emb.where(col("vec_id") >= 100 && col("vec_id") < 140), 2L)
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexAppendQ.sql)
+
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
     * ann_ivf_trained), the final cluster assignment, and the
@@ -4387,6 +4477,34 @@ object QueriesLlm {
       TextOps.invertedIndexDelete(docs.where(col("doc_id") % 7 === 3),
         "doc_id", root)
       TextOps.invertedIndexCompact(s, root)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25IndexDeleteQ.sql)
+
+  /** CRASH RECOVERY for the BM25 store (the sparse twin of
+    * `ann_index_crash_recovery`): stage a compaction's survivor files
+    * WITHOUT the pointer swap (prepareInvertedCompact — the simulated
+    * crash inside the old delete-then-rename window), search THROUGH
+    * the debris (the snapshot still serves merge-on-read), then run
+    * the real compact — whose head vacuum heals the orphans first.
+    * One shared oracle (`bm25_index_delete`'s) pins that served rows
+    * are identical before, during, and after.
+    */
+  private lazy val bm25IndexCrashRecoveryQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25crr_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs, "doc_id", "text", root)
+      TextOps.invertedIndexDelete(docs.where(col("doc_id") % 7 === 3),
+        "doc_id", root)
+      // simulated crash: survivors staged, pointer NOT swapped
+      TextOps.prepareInvertedCompact(s, root)
+      // debris-blind serve: still the merge-on-read plan
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .queryExecution.toRdd.count()
+      TextOps.invertedIndexCompact(s, root) // heals, then compacts
       TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
         .select(col("doc_id"), col("n_terms_matched"),
           qround(col("bm25"), 6).as("bm25"))
@@ -6154,6 +6272,7 @@ object QueriesLlm {
     "bm25_index_append" -> bm25IndexAppendQ,
     "bm25_index_delete" -> bm25IndexDeleteQ,
     "bm25_index_compact" -> bm25IndexCompactQ,
+    "bm25_index_crash_recovery" -> bm25IndexCrashRecoveryQ,
     "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
@@ -6201,6 +6320,9 @@ object QueriesLlm {
     "ann_index_flush" -> annIndexFlushQ,
     "ann_index_delete" -> annIndexDeleteQ,
     "ann_index_compact" -> annIndexCompactQ,
+    "ann_index_commit" -> annIndexCommitQ,
+    "ann_index_crash_recovery" -> annIndexCrashRecoveryQ,
+    "ann_index_autoflush" -> annIndexAutoflushQ,
     "stream_index_append" -> streamIndexAppendQ,
     "stream_index_append_buffered" -> streamIndexAppendBufferedQ,
     "hybrid_retrieval_indexed" -> hybridRetrievalIndexedQ,

@@ -42,9 +42,18 @@ import graft.streaming.StreamingOps
   *                       rows/bytes grow exactly with appended
   *                       vectors, per-batch wall FLAT (cost rides the
   *                       delta, never the accumulated index)
+  *   stream_index_append_buffered (round-18: the streaming-ingest
+  *                       default) state = the LSM append LOG — one
+  *                       segment file per batch, auto-flushed once
+  *                       the segment count reaches the threshold
+  *                       (bound: #segments <= autoFlushSegments =
+  *                       batches since the last fold, a sawtooth
+  *                       that can NEVER ride stream length); per-
+  *                       batch wall = one segment write, plus the
+  *                       fold amortized 1/threshold
   *
   * `sbt "runMain graft.StreamScaleUp [sfDir]"` -> one JSON line +
-  * BENCH_stream_r17.json in the CWD. Inputs amplify the driver
+  * BENCH_stream_r18.json in the CWD. Inputs amplify the driver
   * testdata by key-offset replicas (the ScaleUp recipe, in memory).
   */
 object StreamScaleUp {
@@ -353,6 +362,66 @@ object StreamScaleUp {
         diskRows == 11L * nBase && metaN == 11L * nBase)
     }
 
+    // --- stream_index_append_buffered (LSM log as bounded state) ----
+    val idxAppendBuf: (Seq[BatchRec], String, Boolean) = {
+      val thresh = 4
+      val root =
+        s"/tmp/graft_stscale_idxb_${ProcessHandle.current().pid()}"
+      val emb = Tables.embeddings(spark, sfDir).localCheckpoint(true)
+      val nBase = emb.count()
+      // train + store once (untimed): appends must never retrain
+      graft.operators.SimilarityOps.indexWrite(emb, "vec_id",
+        "embedding", root, k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      val sink = StreamingOps.indexAppendBufferedSink("vec_id",
+        "embedding", root, autoFlushSegments = thresh)
+      val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      def logState(): (Long, Long) = {
+        val p = new org.apache.hadoop.fs.Path(s"$root/applog")
+        if (!fs.exists(p)) (0L, 0L)
+        else {
+          var n = 0L; var b = 0L
+          val it = fs.listFiles(p, true)
+          while (it.hasNext) {
+            val st = it.next()
+            if (st.getPath.getName.startsWith("part-")) {
+              n += 1; b += st.getLen
+            }
+          }
+          (n, b)
+        }
+      }
+      var cum = nBase
+      val recs = (0 until nBatches).map { i =>
+        val batch = emb.select(
+          (col("vec_id") + lit((i + 1) * Off)).as("vec_id"),
+          col("embedding"))
+        val t0 = System.nanoTime()
+        sink(batch, i.toLong)
+        val w = (System.nanoTime() - t0) / 1e9
+        cum += nBase
+        val (segs, segBytes) = logState()
+        BatchRec(i, nBase, cum, w, segs, segBytes)
+      }
+      // the log is a SAWTOOTH: +1 segment per batch, reset to 0 by the
+      // inline fold the moment it reaches the threshold — so the state
+      // after batch i is (i+1) mod threshold, never the stream length
+      val sawtoothOk = recs.zipWithIndex.forall { case (r, i) =>
+        r.stateRows == ((i + 1) % thresh)
+      }
+      // nothing lost across folds: vectors + surviving log = everything
+      val diskRows = spark.read.parquet(s"$root/vectors").count() + {
+        val p = new org.apache.hadoop.fs.Path(s"$root/applog")
+        if (fs.exists(p)) spark.read.parquet(s"$root/applog").count()
+        else 0L
+      }
+      val metaN = spark.read.parquet(s"$root/meta").head()
+        .getAs[Long]("n_vectors")
+      (recs, s"log segments = batches since last fold, <= $thresh " +
+        "(auto-flush sawtooth); memory state = 0",
+        sawtoothOk && diskRows == 11L * nBase && metaN == 11L * nBase)
+    }
+
     val all = Seq(
       "stream_neardup" -> neardup,
       "stream_hll" -> hll,
@@ -361,7 +430,8 @@ object StreamScaleUp {
       "stream_merge_upsert" -> merge,
       "stream_scd2_apply" -> scd2,
       "stream_manifest" -> manifest,
-      "stream_index_append" -> idxAppend)
+      "stream_index_append" -> idxAppend,
+      "stream_index_append_buffered" -> idxAppendBuf)
     val opsJson = all.map { case (name, (recs, bound, ok)) =>
       // flat-wall readout: last batch vs the min early batch (JIT-free)
       val early = recs.take(3).map(_.wallS).min
@@ -373,7 +443,7 @@ object StreamScaleUp {
     val line =
       s"""{"metric":"stream_scale","n_batches":$nBatches,""" +
         s""""sf":"$sfDir","ops":$opsJson}"""
-    for (dst <- Seq("BENCH_stream_r17.json")) {
+    for (dst <- Seq("BENCH_stream_r18.json")) {
       val w = new java.io.PrintWriter(dst)
       try w.println(line) finally w.close()
     }

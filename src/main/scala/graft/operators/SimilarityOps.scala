@@ -631,34 +631,37 @@ object SimilarityOps {
     */
   private val DupBloomBits = 1 << 24
   private val DupBloomHashes = 3
-  private def dupBloomWords(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(explode(graft.sources.IoOps.bloomPositions(
-        col(idCol).cast("long"), DupBloomBits, DupBloomHashes)).as("pos"))
-      .select(expr("pos DIV 64").as("widx"),
-        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("w"))
-      .groupBy("widx").agg(expr("bit_or(w)").as("word"))
-
-  /** Ids from `ids` whose every hash position is set in the stored
-    * bitmap — the dup SUSPECTS (real dups plus ~6e-4 false positives);
-    * an id that misses is provably new. Delta-sized work only.
+  /** Shared implementation lives in IoOps beside bloomPositions (one
+    * guard, both index suites). Keyed on hash(id) cast long — NOT a
+    * raw numeric cast — so ids of any type hash to real positions
+    * instead of casting to null and silently disarming the guard.
     */
-  private def bloomSuspects(spark: org.apache.spark.sql.SparkSession,
-                            ids: DataFrame, idCol: String,
-                            bloomDir: String): DataFrame = {
-    val words = spark.read.parquet(bloomDir)
-    ids.select(col(idCol),
-        explode(graft.sources.IoOps.bloomPositions(
-          col(idCol).cast("long"), DupBloomBits, DupBloomHashes))
-          .as("pos"))
-      .select(col(idCol), expr("pos DIV 64").as("widx"),
-        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("m"))
-      .join(broadcast(words), Seq("widx"), "left")
-      .withColumn("_hit",
-        coalesce(col("word").bitwiseAND(col("m")) =!= 0L, lit(false)))
-      .groupBy(idCol)
-      .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
-      .where(col("_miss") === 0).select(idCol)
-  }
+  private def dupBloomWords(ids: DataFrame, idCol: String): DataFrame =
+    graft.sources.IoOps.dupBloomWords(ids,
+      hash(col(idCol)).cast("long"), DupBloomBits, DupBloomHashes)
+
+  private def bloomSuspects(ids: DataFrame, idCol: String,
+                            words: DataFrame): DataFrame =
+    graft.sources.IoOps.dupBloomSuspects(ids, idCol,
+      hash(col(idCol)).cast("long"), words, DupBloomBits,
+      DupBloomHashes)
+
+  // Versioned-snapshot plumbing (IndexCommits): the subdirectories the
+  // snapshot manages (served data + the compact staging dir) and the
+  // tree listings mutations diff to learn what they just wrote.
+  private val AnnSubs = Seq("vectors", "applog", "deletes", ".compact")
+  private def listVectors(spark: org.apache.spark.sql.SparkSession,
+                          root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "vectors",
+      "vectors", Some("list_id"))
+  private def listApplog(spark: org.apache.spark.sql.SparkSession,
+                         root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "applog",
+      "applog", None)
+  private def listDeletes(spark: org.apache.spark.sql.SparkSession,
+                          root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "deletes",
+      "deletes", None)
 
   private val CensusMod = 1000000007L
   private def corpusCensus(corpus: DataFrame, idCol: String): (Long, Long) = {
@@ -721,6 +724,14 @@ object SimilarityOps {
       .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
         "id_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // Commit the initial snapshot: from here on every read plans its
+    // file list from the current commit and every maintenance op is
+    // an atomic pointer swap (IndexCommits). The vacuum retires
+    // whatever a previous lifecycle on a reused root left behind
+    // (old applog segments, delete sidecars, superseded snapshots).
+    graft.sources.IndexCommits.commit(spark, root,
+      listVectors(spark, root))
+    graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
   }
 
   /** Append NEW vectors to a persisted index WITHOUT retraining — the
@@ -754,11 +765,21 @@ object SimilarityOps {
     *   `ann_index_append_buffered` / `ann_index_flush` gates share
     *   `ann_index_append`'s oracle).
     */
+  /** @param autoFlushSegments LSM flush policy for the buffered path:
+    *   when > 0 and the append log holds at least this many segment
+    *   files after the append, [[indexFlush]] runs inline — bounding
+    *   the log (whose union scan every search pays) without a manual
+    *   maintenance trigger. 0 disables (flush stays a manual/cadence
+    *   decision). Ignored for direct appends.
+    */
   def indexAppend(delta: DataFrame, idCol: String, vecCol: String,
-                  root: String, buffered: Boolean = false): Unit = {
+                  root: String, buffered: Boolean = false,
+                  autoFlushSegments: Int = 0): Unit = {
     val spark = delta.sparkSession
     val cents = readIndexCentroids(spark, root)
     val cb = readIndexCodebooks(spark, root)
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val versioned = snap.nonEmpty
     // Append idempotence, ENFORCED (mirroring the BM25 index's guard):
     // delta ids check against the packed id-bloom (delta-sized work);
     // ids that miss are provably new; HITS arbitrate exactly against
@@ -773,8 +794,9 @@ object SimilarityOps {
       spark.sparkContext.hadoopConfiguration)
     val hasBloom = bloomFs.exists(bloomPath)
     if (hasBloom) {
-      val suspects = bloomSuspects(spark,
-        delta.select(col(idCol)).distinct(), idCol, s"$root/bloomidx")
+      val suspects = bloomSuspects(
+        delta.select(col(idCol)).distinct(), idCol,
+        spark.read.parquet(s"$root/bloomidx"))
       if (!suspects.limit(1).isEmpty) {
         val sv = delta.join(broadcast(suspects), Seq(idCol), "left_semi")
           .select(col(idCol).cast("long").as("vec_id"),
@@ -782,8 +804,14 @@ object SimilarityOps {
               toDouble(col(vecCol)), cents).cast("long").as("list_id"))
         val lists = sv.select("list_id").distinct()
           .collect().map(_.getLong(0))
-        val paths = lists.map(l => s"$root/vectors/list_id=$l")
-          .filter(p => bloomFs.exists(new org.apache.hadoop.fs.Path(p)))
+        // versioned store: the suspects' lists' files come straight
+        // from the snapshot (no per-list existence probes)
+        val paths =
+          if (versioned)
+            graft.sources.IndexCommits.filesOfParts(snap, "vectors",
+              lists.toSet)
+          else lists.toSeq.map(l => s"$root/vectors/list_id=$l")
+            .filter(p => bloomFs.exists(new org.apache.hadoop.fs.Path(p)))
         val partDup =
           if (paths.isEmpty) Array.empty[org.apache.spark.sql.Row]
           else spark.read.option("basePath", s"$root/vectors")
@@ -793,10 +821,16 @@ object SimilarityOps {
               "left_semi")
             .limit(1).collect()
         // a suspect may also live in the unflushed append log
-        val logP = new org.apache.hadoop.fs.Path(s"$root/applog")
+        val logFiles =
+          if (versioned)
+            graft.sources.IndexCommits.filesOf(snap, "applog")
+          else {
+            val logP = new org.apache.hadoop.fs.Path(s"$root/applog")
+            if (bloomFs.exists(logP)) Seq(s"$root/applog") else Seq.empty
+          }
         val dup =
-          if (partDup.nonEmpty || !bloomFs.exists(logP)) partDup
-          else spark.read.parquet(s"$root/applog")
+          if (partDup.nonEmpty || logFiles.isEmpty) partDup
+          else spark.read.parquet(logFiles: _*)
             .select(col("vec_id").cast("long").as("vec_id"))
             .join(broadcast(sv.select("vec_id")), Seq("vec_id"),
               "left_semi")
@@ -814,6 +848,14 @@ object SimilarityOps {
         graft.functions.NearestCentroidId(col("_v"), cents)
           .cast("long").as("list_id"),
         graft.functions.PqCodes(col("_v"), cb).as("codes"))
+    // versioned store: discover what this write adds by diffing the
+    // listing around it (applog dir for buffered — flush-cadence
+    // bounded; vectors tree for direct — K-bounded, and the direct
+    // path already pays up-to-K directory commits)
+    val before =
+      if (!versioned) Set.empty[String]
+      else if (buffered) listApplog(spark, root).map(_.file).toSet
+      else listVectors(spark, root).map(_.file).toSet
     if (buffered)
       coded.coalesce(1) // one segment file per buffered append
         .write.mode("append").parquet(s"$root/applog")
@@ -845,6 +887,24 @@ object SimilarityOps {
       merged.coalesce(1).write.mode("overwrite")
         .parquet(s"$root/bloomidx")
     }
+    if (versioned) {
+      // pointer swap: the appended files become visible atomically;
+      // a crash before this line leaves them invisible orphans (the
+      // next maintenance vacuum heals), never a half-applied append
+      val added =
+        (if (buffered) listApplog(spark, root)
+         else listVectors(spark, root)).filterNot(e => before(e.file))
+      graft.sources.IndexCommits.commit(spark, root, snap ++ added)
+    }
+    if (buffered && autoFlushSegments > 0) {
+      val segs =
+        if (versioned)
+          graft.sources.IndexCommits.filesOf(
+            graft.sources.IndexCommits.readEntries(spark, root),
+            "applog").size
+        else listApplog(spark, root).size
+      if (segs >= autoFlushSegments) indexFlush(spark, root)
+    }
   }
 
   /** Fold the buffered append log into the `list_id=` partitions and
@@ -860,15 +920,51 @@ object SimilarityOps {
     */
   def indexFlush(spark: org.apache.spark.sql.SparkSession,
                  root: String): Unit = {
-    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
-    val fs = logPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(logPath)) return // nothing buffered: no-op
-    spark.read.parquet(s"$root/applog")
-      .localCheckpoint(true) // the log dir is deleted below
+    if (graft.sources.IndexCommits.enabled(spark, root)) {
+      // crash-safe protocol: heal any debris a crashed maintenance op
+      // left (staged files are invisible until their pointer swap),
+      // stage the fold as NEW files, swap the pointer, retire the log
+      graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      prepareFlush(spark, root).foreach { next =>
+        graft.sources.IndexCommits.commit(spark, root, next)
+        graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      }
+    } else {
+      // legacy (pre-commit-protocol) store: the original swap, with
+      // its documented crash window between append and delete
+      val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+      val fs = logPath.getFileSystem(
+        spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(logPath)) return // nothing buffered: no-op
+      spark.read.parquet(s"$root/applog")
+        .localCheckpoint(true) // the log dir is deleted below
+        .repartition(col("list_id")) // one new file per touched list
+        .write.mode("append").partitionBy("list_id")
+        .parquet(s"$root/vectors")
+      fs.delete(logPath, true)
+    }
+  }
+
+  /** Stage a flush WITHOUT committing it: fold the log's rows into new
+    * `list_id=` files and return the snapshot that would serve them —
+    * the crash-window half the lifecycle spec exercises (staged files
+    * must be invisible to every read until the pointer swap). None if
+    * no log segments are committed. Package-private: callers use
+    * [[indexFlush]].
+    */
+  private[graft] def prepareFlush(
+      spark: org.apache.spark.sql.SparkSession, root: String)
+    : Option[Seq[graft.sources.IndexCommits.Entry]] = {
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val logFiles = graft.sources.IndexCommits.filesOf(snap, "applog")
+    if (logFiles.isEmpty) return None
+    val before = listVectors(spark, root).map(_.file).toSet
+    spark.read.parquet(logFiles: _*)
       .repartition(col("list_id")) // one new file per touched list
       .write.mode("append").partitionBy("list_id")
       .parquet(s"$root/vectors")
-    fs.delete(logPath, true)
+    val added = listVectors(spark, root).filterNot(e => before(e.file))
+    Some(snap.filterNot(_.kind == "applog") ++ added)
   }
 
   /** Record deletions against a persisted index — the third leg of the
@@ -887,6 +983,28 @@ object SimilarityOps {
   def indexDelete(doomed: DataFrame, idCol: String, root: String,
                   vecCol: String = null): Unit = {
     val spark = doomed.sparkSession
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val versioned = snap.nonEmpty
+    // Idempotence: a re-deleted id must not subtract the census twice
+    // (that would permanently corrupt n_vectors/checksum and with them
+    // the staleness gate). Dedup within the batch, then anti-join the
+    // ids already in the sidecar — sidecar-sized broadcast, never
+    // corpus-sized.
+    val delFiles =
+      if (versioned) graft.sources.IndexCommits.filesOf(snap, "deletes")
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Seq(s"$root/deletes") else Seq.empty
+      }
+    val batch = doomed.dropDuplicates(Seq(idCol))
+    val fresh =
+      if (delFiles.isEmpty) batch
+      else batch.join(
+        broadcast(spark.read.parquet(delFiles: _*)
+          .select(col("vec_id").as("_exid"))),
+        col(idCol).cast("long") === col("_exid"), "left_anti")
+    if (fresh.limit(1).isEmpty) return // every id already recorded
     // When the doomed rows carry their vectors, record the list_id too
     // (same NearestCentroidId over the same stored centroids that
     // placed the row at write/append time — deterministic, so it names
@@ -896,15 +1014,18 @@ object SimilarityOps {
     val withList =
       if (vecCol != null) {
         val cents = readIndexCentroids(spark, root)
-        doomed.select(col(idCol).cast("long").as("vec_id"),
+        fresh.select(col(idCol).cast("long").as("vec_id"),
           graft.functions.NearestCentroidId(
             toDouble(col(vecCol)), cents).cast("long").as("list_id"))
       } else
-        doomed.select(col(idCol).cast("long").as("vec_id"),
+        fresh.select(col(idCol).cast("long").as("vec_id"),
           lit(null).cast("long").as("list_id"))
+    val before =
+      if (versioned) listDeletes(spark, root).map(_.file).toSet
+      else Set.empty[String]
     withList.write.mode("append").parquet(s"$root/deletes")
     val old = spark.read.parquet(s"$root/meta").head()
-    val (dn, dc) = corpusCensus(doomed, idCol)
+    val (dn, dc) = corpusCensus(fresh, idCol)
     import spark.implicits._
     Seq((old.getAs[Int]("k"), old.getAs[Int]("iters"), old.getAs[Int]("m"),
       old.getAs[Int]("dsub"), old.getAs[Int]("ksub"),
@@ -915,6 +1036,10 @@ object SimilarityOps {
       .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
         "id_checksum")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    if (versioned) {
+      val added = listDeletes(spark, root).filterNot(e => before(e.file))
+      graft.sources.IndexCommits.commit(spark, root, snap ++ added)
+    }
   }
 
   /** Compact a persisted index's delete sidecar — the fourth leg of
@@ -948,6 +1073,20 @@ object SimilarityOps {
     */
   def indexCompact(spark: org.apache.spark.sql.SparkSession,
                    root: String): Unit = {
+    if (graft.sources.IndexCommits.enabled(spark, root)) {
+      // crash-safe protocol: heal debris, stage survivors as NEW
+      // files, swap the pointer, retire the replaced files + sidecar.
+      // A crash at any point leaves the CURRENT snapshot serving the
+      // same merge-on-read results it served before compact started.
+      graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      prepareCompact(spark, root).foreach { next =>
+        graft.sources.IndexCommits.commit(spark, root, next)
+        graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      }
+      return
+    }
+    // legacy (pre-commit-protocol) store: delete-then-rename swap,
+    // with its documented lost-partition crash window
     val hconf = spark.sparkContext.hadoopConfiguration
     val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = delPath.getFileSystem(hconf)
@@ -996,6 +1135,91 @@ object SimilarityOps {
         .parquet(s"$root/applog")
     }
     fs.delete(delPath, true)
+  }
+
+  /** Stage a compaction WITHOUT committing it: write the touched
+    * lists' survivors as NEW files (job-unique names moved into the
+    * live `list_id=` dirs), fold the append log's survivors into one
+    * new segment, and return the snapshot that would serve the
+    * compacted store — deletes and replaced files excluded. Staged
+    * files are invisible to every read until the pointer swap, which
+    * is exactly the crash window the lifecycle spec pins. None when no
+    * deletes are recorded. Package-private: callers use
+    * [[indexCompact]].
+    */
+  private[graft] def prepareCompact(
+      spark: org.apache.spark.sql.SparkSession, root: String)
+    : Option[Seq[graft.sources.IndexCommits.Entry]] = {
+    val IC = graft.sources.IndexCommits
+    val snap = IC.readEntries(spark, root)
+    val delFiles = IC.filesOf(snap, "deletes")
+    if (delFiles.isEmpty) return None // nothing accrued: no-op
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val del = spark.read.parquet(delFiles: _*)
+    val delIds = del.select("vec_id").distinct()
+    val haveAllLists = del.columns.contains("list_id") &&
+      del.where(col("list_id").isNull).limit(1).isEmpty
+    val allVecFiles = IC.filesOf(snap, "vectors")
+    // driver list bounded by K (distinct list ids), never corpus size
+    val touched: Array[Long] =
+      if (haveAllLists)
+        del.select(col("list_id").cast("long"))
+          .distinct().collect().map(_.getLong(0))
+      else if (allVecFiles.isEmpty) Array.empty[Long]
+      else // legacy id-only rows: ONE discovery join, column-pruned
+        spark.read.option("basePath", s"$root/vectors")
+          .parquet(allVecFiles: _*)
+          .join(broadcast(delIds), Seq("vec_id"))
+          .select(col("list_id").cast("long"))
+          .distinct().collect().map(_.getLong(0))
+    var entries = snap.filterNot(e =>
+      e.kind == "deletes" || e.kind == "applog")
+    if (touched.nonEmpty) {
+      val touchedSet = touched.toSet
+      val touchedFiles = IC.filesOfParts(snap, "vectors", touchedSet)
+      val tmp = s"$root/.compact"
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale stage
+      if (touchedFiles.nonEmpty)
+        // survivors of the touched lists ONLY: snapshot-pruned scan
+        spark.read.option("basePath", s"$root/vectors")
+          .parquet(touchedFiles: _*)
+          .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+          .repartition(col("list_id")) // one file per rewritten list
+          .write.mode("overwrite").partitionBy("list_id").parquet(tmp)
+      val staged = IC.listDataFiles(spark, root, "vectors", ".compact",
+        Some("list_id"))
+      val moved = staged.map { e =>
+        val dstDir = new org.apache.hadoop.fs.Path(
+          s"$root/vectors/list_id=${e.partId.get}")
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        val dst = new org.apache.hadoop.fs.Path(dstDir,
+          new org.apache.hadoop.fs.Path(e.file).getName)
+        require(fs.rename(new org.apache.hadoop.fs.Path(e.file), dst),
+          s"indexCompact: staging move failed for ${e.file}")
+        e.copy(file = dst.toUri.getPath)
+      }
+      fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+      // a list whose every row was doomed gets no staged file and is
+      // simply dropped from the snapshot
+      entries = entries.filterNot(e =>
+        e.kind == "vectors" && e.partId.exists(touchedSet.contains)) ++
+        moved
+    }
+    // doomed rows may also sit in unflushed LSM segments: fold the
+    // log's survivors into ONE new segment (bounded by flush cadence)
+    val logFiles = IC.filesOf(snap, "applog")
+    if (logFiles.nonEmpty) {
+      val before = listApplog(spark, root).map(_.file).toSet
+      val survivors = spark.read.parquet(logFiles: _*)
+        .join(broadcast(delIds), Seq("vec_id"), "left_anti")
+      if (!survivors.limit(1).isEmpty)
+        survivors.coalesce(1).write.mode("append")
+          .parquet(s"$root/applog")
+      entries = entries ++
+        listApplog(spark, root).filterNot(e => before(e.file))
+    }
+    Some(entries)
   }
 
   /** Reload the trained coarse quantizer from a persisted index —
@@ -1059,17 +1283,30 @@ object SimilarityOps {
       .select(explode(graft.functions.ProbeListIds(
         toDouble(col(vecCol)), cents, nProbe)).as("list_id"))
       .distinct().collect().map(_.getLong(0))
-    // list ONLY the probed partition directories (basePath recovers
-    // the list_id column): planning cost rides |probed lists|, never K
-    // — with K=1600 lists the full-store InMemoryFileIndex listing
-    // cost more than the data read (100x rehearsal). A probed list
-    // with no vectors has no directory; skipping it is exactly the
-    // empty-list semantics of the isin scan.
+    // Plan the probed read from the current SNAPSHOT when the store is
+    // commit-versioned (one bounded commit read names every live file
+    // — no per-list existence probes, and staged/orphaned files from
+    // an interrupted maintenance op are invisible by construction).
+    // Legacy stores list ONLY the probed partition directories
+    // (basePath recovers the list_id column): planning cost rides
+    // |probed lists|, never K — with K=1600 lists the full-store
+    // InMemoryFileIndex listing cost more than the data read (100x
+    // rehearsal). A probed list with no vectors has no directory /
+    // no snapshot entry; skipping it is exactly the empty-list
+    // semantics of the isin scan.
     val vecBase = s"$root/vectors"
-    val fsV = new org.apache.hadoop.fs.Path(vecBase).getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val probedPaths = probed.map(l => s"$vecBase/list_id=$l")
-      .filter(p => fsV.exists(new org.apache.hadoop.fs.Path(p)))
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val versioned = snap.nonEmpty
+    val probedPaths =
+      if (versioned)
+        graft.sources.IndexCommits.filesOfParts(snap, "vectors",
+          probed.toSet)
+      else {
+        val fsV = new org.apache.hadoop.fs.Path(vecBase).getFileSystem(
+          spark.sparkContext.hadoopConfiguration)
+        probed.toSeq.map(l => s"$vecBase/list_id=$l")
+          .filter(p => fsV.exists(new org.apache.hadoop.fs.Path(p)))
+      }
     val codedMain =
       (if (probedPaths.isEmpty)
          spark.read.parquet(vecBase).where(lit(false))
@@ -1080,25 +1317,38 @@ object SimilarityOps {
     // unflushed LSM segments: same probe filter as a plain column —
     // parquet min/max row-group stats prune it; the log is bounded by
     // the flush cadence, never corpus-sized
-    val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+    val logFiles =
+      if (versioned) graft.sources.IndexCommits.filesOf(snap, "applog")
+      else {
+        val logPath = new org.apache.hadoop.fs.Path(s"$root/applog")
+        if (logPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(logPath))
+          Seq(s"$root/applog")
+        else Seq.empty
+      }
     val coded0 =
-      if (logPath.getFileSystem(
-          spark.sparkContext.hadoopConfiguration).exists(logPath))
+      if (logFiles.nonEmpty)
         codedMain.unionByName(
-          spark.read.parquet(s"$root/applog")
+          spark.read.parquet(logFiles: _*)
             .where(col("list_id").isin(probed: _*))
             .select(col("vec_id").as("neighbor_id"),
               col("list_id").cast("long").as("list_id"), col("codes")))
       else codedMain
     // serve base minus deletes: one anti-join against the (small)
     // delete sidecar when one exists — the index's merge-on-read
-    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
-    val delFs = delPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
+    val delFiles =
+      if (versioned) graft.sources.IndexCommits.filesOf(snap, "deletes")
+      else {
+        val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        if (delPath.getFileSystem(
+            spark.sparkContext.hadoopConfiguration).exists(delPath))
+          Seq(s"$root/deletes")
+        else Seq.empty
+      }
     val coded =
-      if (delFs.exists(delPath))
+      if (delFiles.nonEmpty)
         coded0.join(
-          spark.read.parquet(s"$root/deletes")
+          spark.read.parquet(delFiles: _*)
             .select(col("vec_id").as("neighbor_id")),
           Seq("neighbor_id"), "left_anti")
       else coded0

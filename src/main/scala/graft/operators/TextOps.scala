@@ -1646,13 +1646,47 @@ object TextOps {
   private val DupBloomBits = 1 << 24
   private val DupBloomHashes = 3
 
-  /** (widx, word) packed-bitmap rows for a set of ids. */
+  /** Shared implementation lives in IoOps beside bloomPositions (one
+    * guard, both index suites). Keyed on hash(id) cast long — NOT a
+    * raw numeric cast — so string/UUID doc ids hash to real positions
+    * instead of casting to null and silently disarming the dup-guard
+    * (the rest of the index already supports arbitrary id types).
+    */
   private def dupBloomWords(ids: DataFrame, idCol: String): DataFrame =
-    ids.select(explode(graft.sources.IoOps.bloomPositions(
-        col(idCol).cast("long"), DupBloomBits, DupBloomHashes)).as("pos"))
-      .select(expr("pos DIV 64").as("widx"),
-        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("w"))
-      .groupBy("widx").agg(expr("bit_or(w)").as("word"))
+    graft.sources.IoOps.dupBloomWords(ids,
+      hash(col(idCol)).cast("long"), DupBloomBits, DupBloomHashes)
+
+  private def bloomSuspects(ids: DataFrame, idCol: String,
+                            bloomWords: DataFrame): DataFrame =
+    graft.sources.IoOps.dupBloomSuspects(ids, idCol,
+      hash(col(idCol)).cast("long"), bloomWords, DupBloomBits,
+      DupBloomHashes)
+
+  /** doc-id hash bucket count for the doclens layout: append-time dup
+    * ARBITRATION (the exact check a Bloom hit pays) prunes to the
+    * suspects' `docbucket=` partitions only — the BM25 mirror of the
+    * ANN side's list-pruned arbitration, closing the one append-path
+    * read that used to ride corpus size.
+    */
+  private val DocLenBuckets = 32
+  private def docBucket(id: Column, n: Int): Column =
+    pmod(hash(id), lit(n))
+
+  // Versioned-snapshot plumbing (IndexCommits): the subdirectories the
+  // snapshot manages and the tree listings mutations diff.
+  private val BmSubs = Seq("postings", "doclens", "deletes", ".compact")
+  private def listPostings(spark: org.apache.spark.sql.SparkSession,
+                           root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "postings",
+      "postings", Some("bucket"))
+  private def listDoclens(spark: org.apache.spark.sql.SparkSession,
+                          root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "doclens",
+      "doclens", Some("docbucket"))
+  private def listBmDeletes(spark: org.apache.spark.sql.SparkSession,
+                            root: String) =
+    graft.sources.IndexCommits.listDataFiles(spark, root, "deletes",
+      "deletes", None)
 
   def invertedIndexWrite(df: DataFrame, idCol: String, textCol: String,
                          root: String, nBuckets: Int = 64): Unit = {
@@ -1675,16 +1709,29 @@ object TextOps {
       .repartition(col("bucket"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
+    // doclens bucketed by doc-id hash: the maintenance table's reads
+    // (dup arbitration, delete census) prune to the relevant buckets
     df.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).as("dl"))
+        size(words(col(textCol))).as("dl"),
+        docBucket(col(idCol), DocLenBuckets).as("docbucket"))
+      .repartition(col("docbucket"))
       .write.mode("overwrite").option("compression", "zstd")
-      .parquet(s"$root/doclens")
+      .partitionBy("docbucket").parquet(s"$root/doclens")
     val m = df.agg(count(lit(1)).cast("long").as("n"),
       sum(size(words(col(textCol))).cast("long")).as("s"),
       docChecksumAgg(col(idCol)).as("c")).head()
-    Seq((m.getLong(0), m.getLong(1), nBuckets, m.getLong(2)))
-      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
+    Seq((m.getLong(0), m.getLong(1), nBuckets, m.getLong(2),
+        DocLenBuckets))
+      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum",
+        "n_docbuckets")
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    // Commit the initial snapshot (IndexCommits): from here on every
+    // read plans its file list from the current commit and every
+    // maintenance op is an atomic pointer swap. The vacuum retires
+    // whatever a previous lifecycle on a reused root left behind.
+    graft.sources.IndexCommits.commit(spark, root,
+      listPostings(spark, root) ++ listDoclens(spark, root))
+    graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
   }
 
   /** Order-free doc-id checksum aggregate: Σ pmod(hash(id), p) mod p,
@@ -1727,39 +1774,71 @@ object TextOps {
                           root: String): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val nBuckets = spark.read.parquet(s"$root/meta").head()
-      .getAs[Int]("n_buckets")
+    val oldMeta = spark.read.parquet(s"$root/meta").head()
+    val nBuckets = oldMeta.getAs[Int]("n_buckets")
+    // legacy stores (pre-docbucket layout) keep unpartitioned doclens
+    val nDocBuckets =
+      if (oldMeta.schema.fieldNames.contains("n_docbuckets"))
+        oldMeta.getAs[Int]("n_docbuckets")
+      else 0
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val versioned = snap.nonEmpty
     val deltaIds = df.select(col(idCol).as("doc_id")).distinct()
     val bloomPath = new org.apache.hadoop.fs.Path(s"$root/bloomidx")
     val bloomFs = bloomPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
+    val hasBloom = bloomFs.exists(bloomPath)
     val suspects =
-      if (bloomFs.exists(bloomPath)) {
+      if (hasBloom)
         // all-hashes-hit test against the packed words: one delta-sized
         // explode + one broadcast join — nothing corpus-sized
-        val words = spark.read.parquet(s"$root/bloomidx")
-        deltaIds.select(col("doc_id"),
-            explode(graft.sources.IoOps.bloomPositions(
-              col("doc_id").cast("long"), DupBloomBits, DupBloomHashes))
-              .as("pos"))
-          .select(col("doc_id"), expr("pos DIV 64").as("widx"),
-            expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("m"))
-          .join(broadcast(words), Seq("widx"), "left")
-          .withColumn("_hit",
-            coalesce(col("word").bitwiseAND(col("m")) =!= 0L, lit(false)))
-          .groupBy("doc_id")
-          .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
-          .where(col("_miss") === 0).select("doc_id")
-      } else deltaIds // legacy index without a bloom: arbitrate all
+        bloomSuspects(deltaIds, "doc_id",
+          spark.read.parquet(s"$root/bloomidx"))
+      else deltaIds // legacy index without a bloom: arbitrate all
     val dup =
       if (suspects.limit(1).isEmpty) Array.empty[org.apache.spark.sql.Row]
-      else spark.read.parquet(s"$root/doclens").select(col("doc_id"))
-        .join(broadcast(suspects), Seq("doc_id"), "left_semi")
-        .limit(1).collect()
+      else {
+        // exact arbitration pruned to the SUSPECTS' own `docbucket=`
+        // partitions when the layout carries them (the ANN side's
+        // list-pruned discipline) — suspect-bounded work, never the
+        // corpus-sized doclens scan the pre-round-18 path paid
+        val lens =
+          if (nDocBuckets > 0) {
+            val bkts = suspects
+              .select(docBucket(col("doc_id"), nDocBuckets)
+                .cast("long").as("b"))
+              .distinct().collect().map(_.getLong(0)).toSet
+            val files =
+              if (versioned)
+                graft.sources.IndexCommits.filesOfParts(snap, "doclens",
+                  bkts)
+              else {
+                val fs = bloomFs
+                bkts.toSeq.map(b => s"$root/doclens/docbucket=$b")
+                  .filter(p =>
+                    fs.exists(new org.apache.hadoop.fs.Path(p)))
+              }
+            if (files.isEmpty) None
+            else Some(spark.read.option("basePath", s"$root/doclens")
+              .parquet(files: _*))
+          } else Some(spark.read.parquet(s"$root/doclens"))
+        lens match {
+          case None => Array.empty[org.apache.spark.sql.Row]
+          case Some(l) => l.select(col("doc_id"))
+            .join(broadcast(suspects), Seq("doc_id"), "left_semi")
+            .limit(1).collect()
+        }
+      }
     require(dup.isEmpty,
       s"invertedIndexAppend: doc_id ${dup.headOption.map(_.get(0))
         .getOrElse("")} is already indexed — appends must carry NEW " +
         "documents only (use invertedIndexDelete + compact, or rebuild)")
+    val beforePost =
+      if (versioned) listPostings(spark, root).map(_.file).toSet
+      else Set.empty[String]
+    val beforeLens =
+      if (versioned) listDoclens(spark, root).map(_.file).toSet
+      else Set.empty[String]
     df.select(col(idCol).as("doc_id"),
         size(words(col(textCol))).as("dl"),
         explode(words(col(textCol))).as("term"))
@@ -1771,29 +1850,52 @@ object TextOps {
       .repartition(col("bucket")) // one new file per touched bucket
       .write.mode("append").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
-    df.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).as("dl"))
-      .write.mode("append").option("compression", "zstd")
-      .parquet(s"$root/doclens")
-    val old = spark.read.parquet(s"$root/meta").head()
+    val lensDelta = df.select(col(idCol).as("doc_id"),
+      size(words(col(textCol))).as("dl"))
+    if (nDocBuckets > 0)
+      lensDelta
+        .withColumn("docbucket", docBucket(col("doc_id"), nDocBuckets))
+        .repartition(col("docbucket"))
+        .write.mode("append").option("compression", "zstd")
+        .partitionBy("docbucket").parquet(s"$root/doclens")
+    else
+      lensDelta.write.mode("append").option("compression", "zstd")
+        .parquet(s"$root/doclens")
     val m = df.agg(count(lit(1)).cast("long").as("n"),
       sum(size(words(col(textCol))).cast("long")).as("s"),
       docChecksumAgg(col(idCol)).as("c")).head()
-    Seq((old.getAs[Long]("n_docs") + m.getLong(0),
-      old.getAs[Long]("sum_dl") + m.getLong(1), nBuckets,
-      (old.getAs[Long]("doc_checksum") + m.getLong(2)) % DocCensusMod))
+    val newMeta = Seq((oldMeta.getAs[Long]("n_docs") + m.getLong(0),
+      oldMeta.getAs[Long]("sum_dl") + m.getLong(1), nBuckets,
+      (oldMeta.getAs[Long]("doc_checksum") + m.getLong(2))
+        % DocCensusMod))
       .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
+    (if (nDocBuckets > 0)
+       newMeta.withColumn("n_docbuckets", lit(nDocBuckets))
+     else newMeta)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
     // fold the delta into the dup-guard bloom (bit_or merge is
-    // commutative/idempotent; bounded at bits/64 rows either way)
-    val merged =
-      (if (bloomFs.exists(bloomPath))
-         spark.read.parquet(s"$root/bloomidx")
-           .unionByName(dupBloomWords(deltaIds, "doc_id"))
-       else dupBloomWords(deltaIds, "doc_id"))
+    // commutative/idempotent; bounded at bits/64 rows either way).
+    // ONLY when the bloom already existed: folding a delta-only bloom
+    // onto a legacy (bloom-less) index would wrongly clear every
+    // pre-bloom doc_id as "provably new" on the NEXT append — legacy
+    // indexes stay bloom-less, exactly as the ANN side does.
+    if (hasBloom) {
+      val merged = spark.read.parquet(s"$root/bloomidx")
+        .unionByName(dupBloomWords(deltaIds, "doc_id"))
         .groupBy("widx").agg(expr("bit_or(word)").as("word"))
         .localCheckpoint(true) // break lineage: overwrites its input
-    merged.coalesce(1).write.mode("overwrite").parquet(s"$root/bloomidx")
+      merged.coalesce(1).write.mode("overwrite")
+        .parquet(s"$root/bloomidx")
+    }
+    if (versioned) {
+      // pointer swap: the appended postings/doclens files become
+      // visible atomically; a crash before this line leaves invisible
+      // orphans for the next maintenance vacuum, never a half-append
+      val added =
+        listPostings(spark, root).filterNot(e => beforePost(e.file)) ++
+          listDoclens(spark, root).filterNot(e => beforeLens(e.file))
+      graft.sources.IndexCommits.commit(spark, root, snap ++ added)
+    }
   }
 
   /** Record document deletions against a persisted inverted index —
@@ -1812,21 +1914,79 @@ object TextOps {
                           root: String): Unit = {
     val spark = doomed.sparkSession
     import spark.implicits._
-    val ids = doomed.select(col(idCol).as("doc_id")).distinct()
-    ids.write.mode("append").parquet(s"$root/deletes")
-    val m = spark.read.parquet(s"$root/doclens")
-      .join(broadcast(ids), Seq("doc_id"))
-      .agg(count(lit(1)).cast("long").as("n"),
-        coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
-        docChecksumAgg(col("doc_id")).as("c")).head()
+    val snap = graft.sources.IndexCommits.readEntries(spark, root)
+    val versioned = snap.nonEmpty
     val old = spark.read.parquet(s"$root/meta").head()
-    Seq((old.getAs[Long]("n_docs") - m.getLong(0),
+    val nDocBuckets =
+      if (old.schema.fieldNames.contains("n_docbuckets"))
+        old.getAs[Int]("n_docbuckets")
+      else 0
+    // Idempotence: a re-deleted doc_id must not subtract the census
+    // twice (that would permanently corrupt the n_docs/sum_dl/checksum
+    // feeding idf/avgdl in every subsequent indexed search and the
+    // staleness gate). Anti-join the incoming ids against the existing
+    // sidecar — sidecar-sized broadcast, never corpus-sized.
+    val delFiles =
+      if (versioned) graft.sources.IndexCommits.filesOf(snap, "deletes")
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Seq(s"$root/deletes") else Seq.empty
+      }
+    val batch = doomed.select(col(idCol).as("doc_id")).distinct()
+    val ids =
+      if (delFiles.isEmpty) batch
+      else batch.join(
+        broadcast(spark.read.parquet(delFiles: _*).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    if (ids.limit(1).isEmpty) return // every id already recorded
+    // census from the STORED doclens of the doomed ids (inner join:
+    // never-indexed ids are ignored, not subtracted) — read pruned to
+    // the doomed ids' `docbucket=` partitions when the layout has them
+    val lensFiles =
+      if (nDocBuckets > 0) {
+        val bkts = ids.select(docBucket(col("doc_id"), nDocBuckets)
+            .cast("long").as("b"))
+          .distinct().collect().map(_.getLong(0)).toSet
+        if (versioned)
+          graft.sources.IndexCommits.filesOfParts(snap, "doclens", bkts)
+        else {
+          val fs = new org.apache.hadoop.fs.Path(root).getFileSystem(
+            spark.sparkContext.hadoopConfiguration)
+          bkts.toSeq.map(b => s"$root/doclens/docbucket=$b")
+            .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p)))
+        }
+      } else Seq(s"$root/doclens")
+    val m =
+      (if (lensFiles.isEmpty) // nothing indexed in those buckets
+         ids.select(col("doc_id"), lit(0).as("dl")).where(lit(false))
+       else if (nDocBuckets > 0)
+         spark.read.option("basePath", s"$root/doclens")
+           .parquet(lensFiles: _*)
+       else spark.read.parquet(lensFiles: _*))
+        .join(broadcast(ids), Seq("doc_id"))
+        .agg(count(lit(1)).cast("long").as("n"),
+          coalesce(sum(col("dl").cast("long")), lit(0L)).as("s"),
+          docChecksumAgg(col("doc_id")).as("c")).head()
+    val before =
+      if (versioned) listBmDeletes(spark, root).map(_.file).toSet
+      else Set.empty[String]
+    ids.write.mode("append").parquet(s"$root/deletes")
+    val newMeta = Seq((old.getAs[Long]("n_docs") - m.getLong(0),
       old.getAs[Long]("sum_dl") - m.getLong(1),
       old.getAs[Int]("n_buckets"),
       java.lang.Math.floorMod(
         old.getAs[Long]("doc_checksum") - m.getLong(2), DocCensusMod)))
       .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
+    (if (nDocBuckets > 0)
+       newMeta.withColumn("n_docbuckets", lit(nDocBuckets))
+     else newMeta)
       .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    if (versioned) {
+      val added =
+        listBmDeletes(spark, root).filterNot(e => before(e.file))
+      graft.sources.IndexCommits.commit(spark, root, snap ++ added)
+    }
   }
 
   /** Has the document corpus drifted since the index was built?
@@ -1837,7 +1997,10 @@ object TextOps {
     */
   def invertedIndexIsStale(corpus: DataFrame, idCol: String,
                            root: String): Boolean = {
-    val meta = corpus.sparkSession.read.parquet(s"$root/meta")
+    val raw = corpus.sparkSession.read.parquet(s"$root/meta")
+    // a pre-checksum legacy index cannot prove freshness: always stale
+    if (!raw.columns.contains("doc_checksum")) return true
+    val meta = raw
       .select(col("n_docs").cast("long"),
         col("doc_checksum").cast("long")).head()
     val live = corpus.agg(count(lit(1)).cast("long").as("n"),
@@ -1862,6 +2025,35 @@ object TextOps {
     */
   def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
                            root: String): Unit = {
+    if (graft.sources.IndexCommits.enabled(spark, root)) {
+      // crash-safe protocol (the ANN side's, applied to the term-
+      // partitioned store): heal debris, stage survivors as NEW files,
+      // swap the pointer, retire replaced files + sidecar. A crash at
+      // any point leaves the current snapshot serving the same
+      // merge-on-read results it served before compact started.
+      graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
+      prepareInvertedCompact(spark, root).foreach { next =>
+        graft.sources.IndexCommits.commit(spark, root, next)
+        // rebuild the dup-guard bloom over the SURVIVORS, strictly
+        // AFTER the pointer swap (compact is the moment a deleted
+        // doc_id becomes legally re-appendable; a crash between swap
+        // and rebuild leaves the bloom over-approximate — the safe
+        // direction, since suspects arbitrate exactly)
+        val lensFiles =
+          graft.sources.IndexCommits.filesOf(next, "doclens")
+        val survivors =
+          if (lensFiles.isEmpty)
+            spark.read.parquet(s"$root/doclens").where(lit(false))
+          else spark.read.option("basePath", s"$root/doclens")
+            .parquet(lensFiles: _*)
+        dupBloomWords(survivors.select("doc_id"), "doc_id").coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/bloomidx")
+        graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
+      }
+      return
+    }
+    // legacy (pre-commit-protocol) store: delete-then-rename swap,
+    // with its documented lost-partition crash window
     val hconf = spark.sparkContext.hadoopConfiguration
     val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
     val fs = delPath.getFileSystem(hconf)
@@ -1904,6 +2096,85 @@ object TextOps {
     fs.delete(delPath, true)
   }
 
+  /** Stage an inverted-index compaction WITHOUT committing it: write
+    * the doomed-touched postings buckets' AND doclens docbuckets'
+    * survivors as NEW files (job-unique names moved into the live
+    * partition dirs) and return the snapshot that would serve the
+    * compacted store — deletes and replaced files excluded. Staged
+    * files are invisible to every read until the pointer swap (the
+    * crash window the lifecycle spec pins). The bloom rebuild happens
+    * AFTER the swap in [[invertedIndexCompact]]: a stale
+    * possibly-present bloom is the safe over-approximation (suspects
+    * arbitrate exactly), while a survivors-only bloom ahead of the
+    * swap would clear still-indexed deleted ids as provably new.
+    * None when no deletes are recorded.
+    */
+  private[graft] def prepareInvertedCompact(
+      spark: org.apache.spark.sql.SparkSession, root: String)
+    : Option[Seq[graft.sources.IndexCommits.Entry]] = {
+    val IC = graft.sources.IndexCommits
+    val snap = IC.readEntries(spark, root)
+    val delFiles = IC.filesOf(snap, "deletes")
+    if (delFiles.isEmpty) return None // nothing accrued: no-op
+    val fs = new org.apache.hadoop.fs.Path(root)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val ids = spark.read.parquet(delFiles: _*)
+      .select("doc_id").distinct()
+    val tmp = s"$root/.compact"
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true) // stale stage
+    var entries = snap.filterNot(_.kind == "deletes")
+    // stage survivors of `kind` partitions touched by the doomed rows:
+    // one column-pruned discovery of the touched partition ids, one
+    // pruned scan + broadcast anti-join, files moved under job-unique
+    // names — the shared surgical-rewrite shape of both tables
+    def stageSurvivors(kind: String, partKey: String,
+                       touched: Set[Long]): Unit = {
+      if (touched.isEmpty) return
+      val files = IC.filesOfParts(snap, kind, touched)
+      if (files.nonEmpty)
+        spark.read.option("basePath", s"$root/$kind")
+          .parquet(files: _*)
+          .join(broadcast(ids), Seq("doc_id"), "left_anti")
+          .repartition(col(partKey)) // one file per rewritten part
+          .write.mode("overwrite").option("compression", "zstd")
+          .partitionBy(partKey).parquet(s"$tmp/$kind")
+      val staged = IC.listDataFiles(spark, root, kind,
+        s".compact/$kind", Some(partKey))
+      val moved = staged.map { e =>
+        val dstDir = new org.apache.hadoop.fs.Path(
+          s"$root/$kind/$partKey=${e.partId.get}")
+        if (!fs.exists(dstDir)) fs.mkdirs(dstDir)
+        val dst = new org.apache.hadoop.fs.Path(dstDir,
+          new org.apache.hadoop.fs.Path(e.file).getName)
+        require(fs.rename(new org.apache.hadoop.fs.Path(e.file), dst),
+          s"invertedIndexCompact: staging move failed for ${e.file}")
+        e.copy(file = dst.toUri.getPath)
+      }
+      entries = entries.filterNot(e =>
+        e.kind == kind && e.partId.exists(touched.contains)) ++ moved
+    }
+    val postFiles = IC.filesOf(snap, "postings")
+    val touchedBuckets: Set[Long] =
+      if (postFiles.isEmpty) Set.empty
+      else spark.read.option("basePath", s"$root/postings")
+        .parquet(postFiles: _*)
+        .join(broadcast(ids), Seq("doc_id"))
+        .select(col("bucket").cast("long"))
+        .distinct().collect().map(_.getLong(0)).toSet
+    stageSurvivors("postings", "bucket", touchedBuckets)
+    // doclens deletes ARE local (keyed and partitioned by doc_id
+    // hash): only the doomed ids' docbuckets rewrite
+    val nDocBuckets = spark.read.parquet(s"$root/meta").head()
+      .getAs[Int]("n_docbuckets")
+    val touchedLens: Set[Long] = ids
+      .select(docBucket(col("doc_id"), nDocBuckets)
+        .cast("long").as("b"))
+      .distinct().collect().map(_.getLong(0)).toSet
+    stageSurvivors("doclens", "docbucket", touchedLens)
+    fs.delete(new org.apache.hadoop.fs.Path(tmp), true)
+    Some(entries)
+  }
+
   /** BM25 top-k served from a PERSISTED inverted index — results
     * FLOAT-IDENTICAL to [[bm25TopK]] over the same corpus (the
     * `bm25_index_search` gate shares `bm25_topk`'s oracle): the score
@@ -1916,6 +2187,53 @@ object TextOps {
     * serving path touches NOTHING corpus-sized — cost is probed
     * posting volume alone.
     */
+  /** The probed postings read both indexed searches serve from:
+    * snapshot-planned when the store is commit-versioned (the probed
+    * buckets' files come from the current commit — staged/orphaned
+    * files from an interrupted maintenance op are invisible by
+    * construction), directory-planned with partition pruning on
+    * legacy stores. Handles the two legacy-format fallbacks: postings
+    * that predate the norm-inlined layout join doclens for dl, and
+    * the merge-on-read delete sidecar applies whenever one exists.
+    */
+  private def servePostings(spark: org.apache.spark.sql.SparkSession,
+                            root: String, buckets: Seq[Long],
+                            terms: Seq[String]): DataFrame = {
+    val IC = graft.sources.IndexCommits
+    val snap = IC.readEntries(spark, root)
+    val versioned = snap.nonEmpty
+    val base =
+      if (versioned) {
+        val files = IC.filesOfParts(snap, "postings", buckets.toSet)
+        if (files.isEmpty)
+          spark.read.parquet(s"$root/postings").where(lit(false))
+        else spark.read.option("basePath", s"$root/postings")
+          .parquet(files: _*)
+      } else spark.read.parquet(s"$root/postings")
+    val probed = base.where(col("bucket").isin(buckets: _*) &&
+      col("term").isin(terms: _*))
+    val withDl =
+      if (probed.columns.contains("dl")) probed
+      else probed.join( // pre-norm-inline legacy store: dl via doclens
+        spark.read.parquet(s"$root/doclens").select("doc_id", "dl"),
+        Seq("doc_id"))
+    val delFiles =
+      if (versioned) IC.filesOf(snap, "deletes")
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Seq(s"$root/deletes") else Seq.empty
+      }
+    // merge-on-read: drop doomed docs BEFORE the df aggregate — idf
+    // then reflects the surviving corpus exactly (the delete list is
+    // small and broadcasts)
+    if (delFiles.nonEmpty)
+      withDl.join(
+        broadcast(spark.read.parquet(delFiles: _*).select("doc_id")),
+        Seq("doc_id"), "left_anti")
+    else withDl
+  }
+
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
                         root: String, terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
@@ -1925,21 +2243,7 @@ object TextOps {
     val nBuckets = meta.getAs[Int]("n_buckets")
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
-    val post0 = spark.read.parquet(s"$root/postings")
-      .where(col("bucket").isin(buckets: _*) &&
-        col("term").isin(terms: _*))
-    // merge-on-read: when a delete sidecar exists, drop doomed docs
-    // BEFORE the df aggregate — idf then reflects the surviving corpus
-    // exactly (the delete list is small and broadcasts)
-    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
-    val delFs = delPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val post =
-      if (delFs.exists(delPath))
-        post0.join(
-          broadcast(spark.read.parquet(s"$root/deletes").select("doc_id")),
-          Seq("doc_id"), "left_anti")
-      else post0
+    val post = servePostings(spark, root, buckets, terms)
     // per-term document frequency: |terms|-bounded collect
     val dfMap = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
@@ -1993,18 +2297,7 @@ object TextOps {
     val unionTerms = queries.flatMap(_._2).distinct
     val buckets = unionTerms.map(t =>
       java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
-    val post0 = spark.read.parquet(s"$root/postings")
-      .where(col("bucket").isin(buckets: _*) &&
-        col("term").isin(unionTerms: _*))
-    val delPath = new org.apache.hadoop.fs.Path(s"$root/deletes")
-    val delFs = delPath.getFileSystem(
-      spark.sparkContext.hadoopConfiguration)
-    val post =
-      if (delFs.exists(delPath))
-        post0.join(
-          broadcast(spark.read.parquet(s"$root/deletes").select("doc_id")),
-          Seq("doc_id"), "left_anti")
-      else post0
+    val post = servePostings(spark, root, buckets, unionTerms)
     val dfMap = post.groupBy("term").agg(count(lit(1)).as("df"))
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     val pivots = unionTerms.zipWithIndex.map { case (t, i) =>

@@ -454,6 +454,44 @@ object IoOps {
     array((0 until hashes).map(bloomPos(key, _, bits)): _*)
   }
 
+  /** Packed-bitmap rows (widx, word) of a Bloom filter over `key` —
+    * the shared dup-guard build for the persisted index appends
+    * (SimilarityOps.indexAppend / TextOps.invertedIndexAppend). The
+    * bitmap is PACKED 64 positions per word, so its row count is
+    * bounded by bits/64 regardless of corpus size, and the bit_or
+    * merge is commutative AND idempotent — append batching/order can
+    * never change it. `key` must be the same expression at build and
+    * probe time (the index ops key on hash(id) cast long, so ids of
+    * ANY type — string/UUID/numeric — hash to real positions instead
+    * of casting to null and silently disarming the guard).
+    */
+  private[graft] def dupBloomWords(ids: DataFrame, key: Column,
+                                   bits: Int, hashes: Int): DataFrame =
+    ids.select(explode(bloomPositions(key, bits, hashes)).as("pos"))
+      .select(expr("pos DIV 64").as("widx"),
+        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("w"))
+      .groupBy("widx").agg(expr("bit_or(w)").as("word"))
+
+  /** Ids from `ids` whose EVERY hash position is set in the packed
+    * bitmap `words` — the dup SUSPECTS (real dups plus the bounded
+    * false-positive tail); an id that misses any position is provably
+    * new. Delta-sized work: one explode + one broadcast join against
+    * the bits/64-row bitmap, nothing corpus-sized.
+    */
+  private[graft] def dupBloomSuspects(ids: DataFrame, idCol: String,
+                                      key: Column, words: DataFrame,
+                                      bits: Int, hashes: Int): DataFrame =
+    ids.select(col(idCol),
+        explode(bloomPositions(key, bits, hashes)).as("pos"))
+      .select(col(idCol), expr("pos DIV 64").as("widx"),
+        expr("shiftleft(1L, CAST(pmod(pos, 64) AS INT))").as("m"))
+      .join(broadcast(words), Seq("widx"), "left")
+      .withColumn("_hit",
+        coalesce(col("word").bitwiseAND(col("m")) =!= 0L, lit(false)))
+      .groupBy(idCol)
+      .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
+      .where(col("_miss") === 0).select(idCol)
+
   private def bloomPosFn(key: Long, i: Int, bits: Int): Long = {
     val m = java.lang.Math.floorMod(key, BloomMod)
     java.lang.Math.floorMod(m * BloomMults(i) + (i + 1), BloomMod) %

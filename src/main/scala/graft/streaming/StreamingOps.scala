@@ -1395,23 +1395,46 @@ object StreamingOps {
     * appends lands on the same index (the `stream_index_append` gate
     * shares `ann_index_append`'s oracle; the census merge is
     * commutative mod-p addition).
+    *
+    * THIS IS THE BATCH-CADENCE SINK. Each micro-batch pays one
+    * directory commit per TOUCHED list — up to K of them (measured
+    * 19 s per 2000-row batch at K=1600 on the 100x rehearsal). At a
+    * streaming trigger cadence, or at production K, use
+    * [[indexAppendBufferedSink]]: one segment-file write per batch,
+    * folded on the maintenance cadence — that sink is the documented
+    * default for streaming ingest (spec-pinned).
     */
   def indexAppendSink(idCol: String, vecCol: String,
                       root: String): (DataFrame, Long) => Unit =
     (df, _) => graft.operators.SimilarityOps.indexAppend(
       df, idCol, vecCol, root)
 
-  /** The LSM variant of [[indexAppendSink]] — each micro-batch lands
-    * as ONE segment file in the index's append log instead of up-to-K
-    * partition-directory commits (the per-batch cost a streaming
-    * trigger cadence actually tolerates); SimilarityOps.indexFlush
-    * folds the log on the maintenance cadence. Searches union the log
-    * behind the same probe filter, so serving is row-identical whether
-    * or not a flush has happened (the `stream_index_append_buffered`
-    * gate shares `ann_index_append`'s oracle).
+  /** The streaming-ingest default: the LSM variant of
+    * [[indexAppendSink]] — each micro-batch lands as ONE segment file
+    * in the index's append log instead of up-to-K partition-directory
+    * commits (the per-batch cost a streaming trigger cadence actually
+    * tolerates, measured flat ~1.4 s at 1x/10x/100x vs 19 s direct at
+    * K=1600); SimilarityOps.indexFlush folds the log on the
+    * maintenance cadence. Searches union the log behind the same probe
+    * filter, so serving is row-identical whether or not a flush has
+    * happened (the `stream_index_append_buffered` gate shares
+    * `ann_index_append`'s oracle).
+    *
+    * @param autoFlushSegments bounds the log WITHOUT a manual
+    *   maintenance trigger: once the append log holds this many
+    *   segment files, the append folds it inline (indexFlush) — so a
+    *   search's log-union scan never grows past the threshold while
+    *   the amortized per-batch cost stays one segment write plus
+    *   1/threshold of a fold. The default (16) sits where the measured
+    *   search-wall-vs-log-size curve is still flat while flush work
+    *   amortizes 16x (BENCH_logsens_r18). 0 = never flush (manual
+    *   cadence only).
     */
   def indexAppendBufferedSink(idCol: String, vecCol: String,
-                              root: String): (DataFrame, Long) => Unit =
+                              root: String,
+                              autoFlushSegments: Int = 16)
+    : (DataFrame, Long) => Unit =
     (df, _) => graft.operators.SimilarityOps.indexAppend(
-      df, idCol, vecCol, root, buffered = true)
+      df, idCol, vecCol, root, buffered = true,
+      autoFlushSegments = autoFlushSegments)
 }
