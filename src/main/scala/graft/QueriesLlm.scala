@@ -2775,6 +2775,39 @@ object QueriesLlm {
     },
     annIndexAppendQ.sql)
 
+  /** SELF-MAINTENANCE policy layer (SimilarityOps.indexMaintain):
+    * one cron-safe call applies the measured thresholds — flush once
+    * the append log reaches the segment threshold, compact once
+    * recorded deletes reach the corpus fraction. Here both policies
+    * trigger (2 log segments >= 2; deletes ~14% >= 1%), so the store
+    * ends folded AND physically compacted — and the search must equal
+    * the one-shot semantics (`ann_index_commit`'s oracle, shared).
+    * The below-threshold no-op half is spec-pinned
+    * (IndexCommitSpec).
+    */
+  private lazy val annIndexMaintainQ = Q(
+    (s, d) => {
+      val emb = Tables.embeddings(s, d)
+      val root = s"/tmp/graft_annidxm_${Queries.scratchTag(s, d)}"
+      SimilarityOps.indexWrite(emb.where(col("vec_id") < 100),
+        "vec_id", "embedding", root,
+        k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+      SimilarityOps.indexAppend(emb.where(col("vec_id") >= 150),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexAppend(
+        emb.where(col("vec_id") >= 100 && col("vec_id") < 150),
+        "vec_id", "embedding", root, buffered = true)
+      SimilarityOps.indexDelete(emb.where(col("vec_id") % 7 === 3),
+        "vec_id", root, vecCol = "embedding")
+      val (flushed, compacted) = SimilarityOps.indexMaintain(s, root,
+        flushSegments = 2, compactDeletedFraction = 0.01)
+      require(flushed && compacted,
+        s"maintenance policies should both trigger: $flushed $compacted")
+      SimilarityOps.indexSearch(emb.where(col("vec_id") < 10), root,
+        "vec_id", "embedding", k = 5, nProbe = 3)
+    },
+    annIndexCommitQ.sql)
+
   /** SemDeDup: the oracle replays the one trained-Lloyd iteration
     * (assign -> qround'd mean -> dead-cluster coalesce — same chain as
     * ann_ivf_trained), the final cluster assignment, and the
@@ -4505,6 +4538,29 @@ object QueriesLlm {
       TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
         .queryExecution.toRdd.count()
       TextOps.invertedIndexCompact(s, root) // heals, then compacts
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25IndexDeleteQ.sql)
+
+  /** BM25 SELF-MAINTENANCE (TextOps.invertedIndexMaintain — the
+    * sparse twin of `ann_index_maintain`): the policy call sees
+    * recorded deletes at ~14% of the corpus >= the 1% threshold and
+    * compacts; the post-maintenance search must be row-identical to
+    * the merge-on-read (`bm25_index_delete`'s oracle, shared). The
+    * below-threshold no-op half is spec-pinned (IndexCommitSpec).
+    */
+  private lazy val bm25IndexMaintainQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25mnt_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs, "doc_id", "text", root)
+      TextOps.invertedIndexDelete(docs.where(col("doc_id") % 7 === 3),
+        "doc_id", root)
+      require(TextOps.invertedIndexMaintain(s, root,
+          compactDeletedFraction = 0.01),
+        "maintenance policy should trigger a compact")
       TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
         .select(col("doc_id"), col("n_terms_matched"),
           qround(col("bm25"), 6).as("bm25"))
@@ -6273,6 +6329,7 @@ object QueriesLlm {
     "bm25_index_delete" -> bm25IndexDeleteQ,
     "bm25_index_compact" -> bm25IndexCompactQ,
     "bm25_index_crash_recovery" -> bm25IndexCrashRecoveryQ,
+    "bm25_index_maintain" -> bm25IndexMaintainQ,
     "hybrid_retrieval" -> hybridRetrievalQ,
     "frame_sample" -> frameSampleQ,
     "audio_decode_energy" -> audioDecodeEnergyQ,
@@ -6323,6 +6380,7 @@ object QueriesLlm {
     "ann_index_commit" -> annIndexCommitQ,
     "ann_index_crash_recovery" -> annIndexCrashRecoveryQ,
     "ann_index_autoflush" -> annIndexAutoflushQ,
+    "ann_index_maintain" -> annIndexMaintainQ,
     "stream_index_append" -> streamIndexAppendQ,
     "stream_index_append_buffered" -> streamIndexAppendBufferedQ,
     "hybrid_retrieval_indexed" -> hybridRetrievalIndexedQ,

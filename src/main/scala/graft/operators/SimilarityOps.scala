@@ -945,6 +945,56 @@ object SimilarityOps {
     }
   }
 
+  /** One-call self-maintenance for a persisted index — the policy
+    * layer over [[indexFlush]] and [[indexCompact]], so a store stays
+    * healthy on a cron cadence without the operator deciding per-store:
+    *
+    *   - FLUSH when the append log holds >= `flushSegments` segment
+    *     files (the measured search-wall-vs-log-size curve is flat to
+    *     ~16 segments, BENCH_logsens_r18 — the same default
+    *     `indexAppendBufferedSink` enforces inline);
+    *   - COMPACT when recorded deletes reach `compactDeletedFraction`
+    *     of the pre-delete corpus (merge-on-read stays row-identical
+    *     at any fraction, but every search pays the anti-join and the
+    *     doomed rows' scan volume — reclaim once it is material).
+    *
+    * Below both thresholds this is a cheap no-op (one snapshot read +
+    * one sidecar count — nothing corpus-sized), so it is safe to call
+    * on every maintenance tick. Returns (flushed, compacted).
+    */
+  def indexMaintain(spark: org.apache.spark.sql.SparkSession,
+                    root: String, flushSegments: Int = 16,
+                    compactDeletedFraction: Double = 0.1)
+    : (Boolean, Boolean) = {
+    val IC = graft.sources.IndexCommits
+    val snap = IC.readEntries(spark, root)
+    val versioned = snap.nonEmpty
+    val segs =
+      if (versioned) IC.filesOf(snap, "applog").size
+      else listApplog(spark, root).size
+    val doFlush = flushSegments > 0 && segs >= flushSegments
+    if (doFlush) indexFlush(spark, root)
+    val delFiles =
+      if (versioned) IC.filesOf(snap, "deletes")
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Seq(s"$root/deletes") else Seq.empty
+      }
+    val delRows =
+      if (delFiles.isEmpty) 0L
+      else spark.read.parquet(delFiles: _*).count()
+    // meta's n_vectors is the post-delete census, so the pre-delete
+    // corpus is live + doomed — the denominator the fraction means
+    val doCompact = delRows > 0 && {
+      val live = spark.read.parquet(s"$root/meta").head()
+        .getAs[Long]("n_vectors")
+      delRows.toDouble / (live + delRows) >= compactDeletedFraction
+    }
+    if (doCompact) indexCompact(spark, root)
+    (doFlush, doCompact)
+  }
+
   /** Stage a flush WITHOUT committing it: fold the log's rows into new
     * `list_id=` files and return the snapshot that would serve them —
     * the crash-window half the lifecycle spec exercises (staged files

@@ -2023,6 +2023,42 @@ object TextOps {
     * to the pre-compact merge-on-read (the `bm25_index_compact` gate
     * shares `bm25_index_delete`'s oracle).
     */
+  /** One-call self-maintenance for a persisted inverted index — the
+    * policy layer over [[invertedIndexCompact]], the sparse twin of
+    * SimilarityOps.indexMaintain: COMPACT once recorded deletes reach
+    * `compactDeletedFraction` of the pre-delete corpus (merge-on-read
+    * serving is row-identical at any fraction, but every search pays
+    * the anti-join and the doomed postings' scan volume — and doc
+    * deletes are non-local in a term-partitioned store, so the rewrite
+    * is worth batching until material). Below the threshold this is a
+    * cheap no-op (one snapshot read + one sidecar count), safe on
+    * every maintenance tick. Returns whether a compact ran.
+    */
+  def invertedIndexMaintain(spark: org.apache.spark.sql.SparkSession,
+                            root: String,
+                            compactDeletedFraction: Double = 0.1)
+    : Boolean = {
+    val IC = graft.sources.IndexCommits
+    val snap = IC.readEntries(spark, root)
+    val delFiles =
+      if (snap.nonEmpty) IC.filesOf(snap, "deletes")
+      else {
+        val p = new org.apache.hadoop.fs.Path(s"$root/deletes")
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (fs.exists(p)) Seq(s"$root/deletes") else Seq.empty
+      }
+    val delRows =
+      if (delFiles.isEmpty) 0L
+      else spark.read.parquet(delFiles: _*).count()
+    val doCompact = delRows > 0 && {
+      val live = spark.read.parquet(s"$root/meta").head()
+        .getAs[Long]("n_docs")
+      delRows.toDouble / (live + delRows) >= compactDeletedFraction
+    }
+    if (doCompact) invertedIndexCompact(spark, root)
+    doCompact
+  }
+
   def invertedIndexCompact(spark: org.apache.spark.sql.SparkSession,
                            root: String): Unit = {
     if (graft.sources.IndexCommits.enabled(spark, root)) {

@@ -191,6 +191,53 @@ class IndexCommitSpec extends SparkSpec {
     assert(logSegs() === 1)
   }
 
+  test("maintenance policies are threshold-gated: below both" +
+      " thresholds indexMaintain / invertedIndexMaintain are no-ops" +
+      " (no pointer swap); above them they fold and compact") {
+    val root = java.nio.file.Files.createTempDirectory("graft_icm")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs.where(col("vec_id") < 20),
+      "vec_id", "embedding", root, k = 2, iters = 2, m = 8, dsub = 8,
+      ksub = 4)
+    SimilarityOps.indexAppend(vecs.where(col("vec_id") >= 20),
+      "vec_id", "embedding", root, buffered = true)
+    SimilarityOps.indexDelete(vecs.where(col("vec_id") === 5),
+      "vec_id", root, vecCol = "embedding")
+    val v0 = IndexCommits.currentVersion(spark, root)
+    // 1 segment < 16; 1 deleted of 40 = 2.5% < 50%: nothing runs
+    assert(SimilarityOps.indexMaintain(spark, root,
+      flushSegments = 16, compactDeletedFraction = 0.5) === (false, false))
+    assert(IndexCommits.currentVersion(spark, root) === v0)
+    // 1 segment >= 1; 2.5% >= 1%: both run
+    assert(SimilarityOps.indexMaintain(spark, root,
+      flushSegments = 1, compactDeletedFraction = 0.01) === (true, true))
+    val after = IndexCommits.readEntries(spark, root)
+    assert(IndexCommits.filesOf(after, "applog").isEmpty)
+    assert(IndexCommits.filesOf(after, "deletes").isEmpty)
+    // and a second tick is a clean no-op again
+    assert(SimilarityOps.indexMaintain(spark, root,
+      flushSegments = 1, compactDeletedFraction = 0.01) === (false, false))
+    // BM25 twin
+    val bm = java.nio.file.Files.createTempDirectory("graft_icmb")
+      .toString + "/idx"
+    TextOps.invertedIndexWrite(bmCorpus, "doc_id", "text", bm,
+      nBuckets = 16)
+    TextOps.invertedIndexDelete(bmCorpus.where(col("doc_id") === 4),
+      "doc_id", bm)
+    val b0 = IndexCommits.currentVersion(spark, bm)
+    // 1 of 7 docs ~ 14% < 50%: no compact
+    assert(!TextOps.invertedIndexMaintain(spark, bm,
+      compactDeletedFraction = 0.5))
+    assert(IndexCommits.currentVersion(spark, bm) === b0)
+    assert(TextOps.invertedIndexMaintain(spark, bm,
+      compactDeletedFraction = 0.1))
+    assert(IndexCommits.filesOf(
+      IndexCommits.readEntries(spark, bm), "deletes").isEmpty)
+    assert(!TextOps.invertedIndexMaintain(spark, bm,
+      compactDeletedFraction = 0.1))
+  }
+
   test("BM25 append dup-arbitration reads only the suspects'" +
       " docbucket= doclens partitions (plan-captured), never the" +
       " whole doclens table") {
