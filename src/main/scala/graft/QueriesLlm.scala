@@ -4470,6 +4470,30 @@ object QueriesLlm {
     },
     bm25TopKQ.sql)
 
+  /** Streaming twin of the BM25 index append
+    * (StreamingOps.invertedIndexAppendSink — the sparse side of
+    * `stream_index_append`): micro-batches of disjoint documents land
+    * through the foreachBatch sink in reversed id order; postings
+    * concatenate, the census merge commutes, and the dup-guard ignores
+    * nothing — so any trigger batching/order serves identically to the
+    * one-shot append (`bm25_index_append`'s oracle, shared).
+    */
+  private lazy val streamBm25IndexAppendQ = Q(
+    (s, d) => {
+      val root = s"/tmp/graft_bm25strm_${Queries.scratchTag(s, d)}"
+      val docs = Tables.documents(s, d)
+      TextOps.invertedIndexWrite(docs.where(col("doc_id") % 2 === 0),
+        "doc_id", "text", root)
+      val sink = streaming.StreamingOps.invertedIndexAppendSink(
+        "doc_id", "text", root)
+      sink(docs.where(col("doc_id") % 4 === 3), 0L)
+      sink(docs.where(col("doc_id") % 4 === 1), 1L)
+      TextOps.bm25SearchIndexed(s, root, bm25Terms, k = 25)
+        .select(col("doc_id"), col("n_terms_matched"),
+          qround(col("bm25"), 6).as("bm25"))
+    },
+    bm25TopKQ.sql)
+
   /** BM25 index DELETE (TextOps.invertedIndexDelete): build the full
     * index, record a predicate delete (doc_id % 7 = 3) in the
     * append-mode sidecar — never the postings — then serve the query:
@@ -6326,6 +6350,7 @@ object QueriesLlm {
     "bm25_topk" -> bm25TopKQ,
     "bm25_index_search" -> bm25IndexSearchQ,
     "bm25_index_append" -> bm25IndexAppendQ,
+    "stream_bm25_index_append" -> streamBm25IndexAppendQ,
     "bm25_index_delete" -> bm25IndexDeleteQ,
     "bm25_index_compact" -> bm25IndexCompactQ,
     "bm25_index_crash_recovery" -> bm25IndexCrashRecoveryQ,
