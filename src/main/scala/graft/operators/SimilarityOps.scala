@@ -756,7 +756,7 @@ object SimilarityOps {
     // (old applog segments, delete sidecars, superseded snapshots).
     graft.sources.IndexCommits.commit(spark, root,
       listVectors(spark, root))
-    graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+    graft.sources.IndexCommits.vacuumConf(spark, root, AnnSubs)
   }
 
   /** Append NEW vectors to a persisted index WITHOUT retraining — the
@@ -959,10 +959,10 @@ object SimilarityOps {
       // crash-safe protocol: heal any debris a crashed maintenance op
       // left (staged files are invisible until their pointer swap),
       // stage the fold as NEW files, swap the pointer, retire the log
-      graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      graft.sources.IndexCommits.vacuumConf(spark, root, AnnSubs)
       prepareFlush(spark, root).foreach { next =>
         graft.sources.IndexCommits.commit(spark, root, next)
-        graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+        graft.sources.IndexCommits.vacuumConf(spark, root, AnnSubs)
       }
     } else {
       // legacy (pre-commit-protocol) store: the original swap, with
@@ -1169,10 +1169,10 @@ object SimilarityOps {
       // files, swap the pointer, retire the replaced files + sidecar.
       // A crash at any point leaves the CURRENT snapshot serving the
       // same merge-on-read results it served before compact started.
-      graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+      graft.sources.IndexCommits.vacuumConf(spark, root, AnnSubs)
       prepareCompact(spark, root).foreach { next =>
         graft.sources.IndexCommits.commit(spark, root, next)
-        graft.sources.IndexCommits.vacuum(spark, root, AnnSubs)
+        graft.sources.IndexCommits.vacuumConf(spark, root, AnnSubs)
       }
       return
     }

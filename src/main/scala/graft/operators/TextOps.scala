@@ -1731,7 +1731,7 @@ object TextOps {
     // whatever a previous lifecycle on a reused root left behind.
     graft.sources.IndexCommits.commit(spark, root,
       listPostings(spark, root) ++ listDoclens(spark, root))
-    graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
+    graft.sources.IndexCommits.vacuumConf(spark, root, BmSubs)
   }
 
   /** Order-free doc-id checksum aggregate: Σ pmod(hash(id), p) mod p,
@@ -2067,7 +2067,7 @@ object TextOps {
       // swap the pointer, retire replaced files + sidecar. A crash at
       // any point leaves the current snapshot serving the same
       // merge-on-read results it served before compact started.
-      graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
+      graft.sources.IndexCommits.vacuumConf(spark, root, BmSubs)
       prepareInvertedCompact(spark, root).foreach { next =>
         graft.sources.IndexCommits.commit(spark, root, next)
         // rebuild the dup-guard bloom over the SURVIVORS, strictly
@@ -2084,7 +2084,7 @@ object TextOps {
             .parquet(lensFiles: _*)
         dupBloomWords(survivors.select("doc_id"), "doc_id").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/bloomidx")
-        graft.sources.IndexCommits.vacuum(spark, root, BmSubs)
+        graft.sources.IndexCommits.vacuumConf(spark, root, BmSubs)
       }
       return
     }

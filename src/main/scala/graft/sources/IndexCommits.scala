@@ -161,13 +161,28 @@ object IndexCommits {
     * every maintenance op (heals crash debris) and after every commit
     * (retires the files the new snapshot replaced). Never touches a
     * referenced file, the current snapshot, or the unmanaged sidecars.
+    *
+    * `retainMs` is the concurrent-reader grace window (the lakehouse
+    * VACUUM retention discipline): an unreferenced file younger than
+    * the window is KEPT — a reader that planned its file list from the
+    * previous snapshot may still be scanning it. Unreferenced files
+    * are invisible to every NEW read by construction (reads plan from
+    * the snapshot, never directory listings), so retained debris costs
+    * only disk until it ages out of the window. 0 (the default)
+    * reclaims immediately — correct for a single-process lifecycle,
+    * where no reader can outlive the mutation that supersedes it.
+    * Maintenance ops read the window from the session conf
+    * (`graft.index.vacuum.retainMs`, see [[vacuumConf]]).
     */
   def vacuum(spark: SparkSession, root: String,
-             subs: Seq[String]): Long = {
+             subs: Seq[String], retainMs: Long = 0L): Long = {
     val fs = hfs(spark, root)
     val vs = versions(fs, root)
     if (vs.isEmpty) return 0L
     val live = readEntries(spark, root).map(_.file).toSet
+    val cutoff =
+      if (retainMs <= 0) Long.MaxValue
+      else System.currentTimeMillis() - retainMs
     var deleted = 0L
     // Returns "directory is now effectively empty" (nothing but job
     // markers / checksum leftovers remain — those go with the dir).
@@ -180,7 +195,8 @@ object IndexCommits {
           if (sweep(st.getPath)) fs.delete(st.getPath, true)
           else empty = false
         } else if (name.startsWith("part-")) {
-          if (!live.contains(st.getPath.toUri.getPath)) {
+          if (!live.contains(st.getPath.toUri.getPath) &&
+              st.getModificationTime < cutoff) {
             fs.delete(st.getPath, false); deleted += 1
           } else empty = false
         } else if (name != "_SUCCESS" && !name.startsWith("."))
@@ -193,16 +209,33 @@ object IndexCommits {
       if (fs.exists(dir) && sweep(dir)) fs.delete(dir, true)
     }
     // retire superseded snapshots (the store is not time-traveled;
-    // bounding commit history keeps the commits dir O(1))
+    // bounding commit history keeps the commits dir O(1)) — under the
+    // same grace window, so a reader mid-way between reading the
+    // current version and its entries is never stranded
     vs.dropRight(1).foreach { v =>
-      fs.delete(new Path(s"$root/commits/v=$v"), true)
+      val p = new Path(s"$root/commits/v=$v")
+      if (fs.getFileStatus(p).getModificationTime < cutoff)
+        fs.delete(p, true)
     }
     // and any half-written commit attempt (crash before its rename)
     val cdir = new Path(s"$root/commits")
     fs.listStatus(cdir).foreach { st =>
-      if (st.getPath.getName.startsWith(".tmp-"))
+      if (st.getPath.getName.startsWith(".tmp-") &&
+          st.getModificationTime < cutoff)
         fs.delete(st.getPath, true)
     }
     deleted
   }
+
+  /** [[vacuum]] with the grace window taken from the session conf
+    * `graft.index.vacuum.retainMs` (default 0 — reclaim immediately).
+    * Every index maintenance op vacuums through this, so a deployment
+    * with long-running concurrent readers sets ONE conf and every
+    * store honors the window.
+    */
+  def vacuumConf(spark: SparkSession, root: String,
+                 subs: Seq[String]): Long =
+    vacuum(spark, root, subs,
+      spark.conf.getOption("graft.index.vacuum.retainMs")
+        .flatMap(v => scala.util.Try(v.toLong).toOption).getOrElse(0L))
 }

@@ -238,6 +238,47 @@ class IndexCommitSpec extends SparkSpec {
       compactDeletedFraction = 0.1))
   }
 
+  test("vacuum retention window: a reader planned from the previous" +
+      " snapshot survives a compact when graft.index.vacuum.retainMs" +
+      " is set; debris reclaims once the window lapses") {
+    val root = java.nio.file.Files.createTempDirectory("graft_icr")
+      .toString + "/idx"
+    val vecs = annVecs
+    SimilarityOps.indexWrite(vecs, "vec_id", "embedding", root,
+      k = 2, iters = 2, m = 8, dsub = 8, ksub = 4)
+    val queries = vecs.where(col("vec_id") < 4)
+    // the in-flight reader: planned (snapshot read + probed file list)
+    // BEFORE the delete/compact below, collected only after
+    val preDf = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2)
+    val preWant = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq
+    SimilarityOps.indexDelete(
+      vecs.where(col("vec_id") % 2 === 0 && col("vec_id") >= 20),
+      "vec_id", root, vecCol = "embedding")
+    val mor = SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq
+    spark.conf.set("graft.index.vacuum.retainMs", "3600000")
+    try SimilarityOps.indexCompact(spark, root)
+    finally spark.conf.unset("graft.index.vacuum.retainMs")
+    // new reads serve the compacted store...
+    assert(SimilarityOps.indexSearch(queries, root,
+      "vec_id", "embedding", k = 3, nProbe = 2).collect().toSeq === mor)
+    // ...while the in-flight reader's superseded files were RETAINED:
+    // it still collects its own planned-at snapshot (which predates
+    // even the delete sidecar), instead of failing on deleted files
+    assert(preDf.collect().toSeq === preWant)
+    // superseded files exist but are invisible orphans
+    val live = IndexCommits.readEntries(spark, root).map(_.file).toSet
+    assert((dataFiles(root, Seq("vectors")) -- live).nonEmpty)
+    // window cleared (default 0): the next vacuum reclaims them all
+    IndexCommits.vacuum(spark, root,
+      Seq("vectors", "applog", "deletes", ".compact"))
+    assert(dataFiles(root, Seq("vectors", "applog", "deletes")) === live)
+    val cd = commitDirs(root)
+    assert(cd.count(_.startsWith("v=")) === 1, cd.mkString(","))
+  }
+
   test("BM25 append dup-arbitration reads only the suspects'" +
       " docbucket= doclens partitions (plan-captured), never the" +
       " whole doclens table") {
