@@ -96,13 +96,19 @@ object IndexCommits {
     }
 
   /** Commit the next snapshot: ONE atomic rename makes it current.
-    * Returns the committed version.
+    * Returns the committed version. The staging dir name is unique per
+    * ATTEMPT (not per version): two racing writers who both compute
+    * the same next version stage independently and exactly one rename
+    * wins — the loser's require fires without ever having touched the
+    * winner's files, and its orphaned staging dir is swept by the next
+    * vacuum. (Single-writer remains the design assumption; this makes
+    * a violation fail loudly instead of silently interleaving.)
     */
   def commit(spark: SparkSession, root: String,
              entries: Seq[Entry]): Long = {
     val fs = hfs(spark, root)
     val next = versions(fs, root).lastOption.getOrElse(0L) + 1
-    val tmp = s"$root/commits/.tmp-$next"
+    val tmp = s"$root/commits/.tmp-$next-${java.util.UUID.randomUUID()}"
     import spark.implicits._
     entries.map(e => (e.kind, e.partId.map(Long.box).orNull, e.file))
       .toDF("kind", "part_id", "file")
