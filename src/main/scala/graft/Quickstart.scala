@@ -18,10 +18,11 @@ import org.apache.spark.sql.functions._
 object Quickstart {
 
   /** The documented tour on a caller-provided session. Returns the
-    * final sky image and the near-dup pair count — the two artifacts
-    * the README tells the reader to look at.
+    * final sky image, the near-dup pair count, and the stored-index
+    * search hit count — the three artifacts the README tells the
+    * reader to look at.
     */
-  def run(spark: SparkSession, sf: String): (DataFrame, Long) = {
+  def run(spark: SparkSession, sf: String): (DataFrame, Long, Long) = {
     // 1. A visibility-shaped fact table from the bundled fixtures (the
     //    melted long form every vis operator consumes: one row per
     //    (time, baseline, chan, pol) sample).
@@ -47,7 +48,29 @@ object Quickstart {
     val docs = spark.read.parquet(s"$sf/documents.parquet")
     val nDups = operators.DedupOps.minHashNearDup(
       docs, idCol = "doc_id", textCol = "text", threshold = 0.7).count()
-    (image, nDups)
+
+    // 4. The retrieval-index lifecycle (crash-safe, self-maintaining):
+    //    train the IVF-PQ quantizers once and persist the store, ingest
+    //    new vectors through the streaming LSM sink (one segment file
+    //    per micro-batch, auto-flushed at the measured threshold), let
+    //    the one-call maintenance policy decide whether to fold or
+    //    compact, then serve approximate neighbors from the stored
+    //    index — the probe is partition pruning, so the scan rides
+    //    probed-list volume, never corpus size.
+    val emb = spark.read.parquet(s"$sf/embeddings.parquet")
+    val idxRoot = java.nio.file.Files
+      .createTempDirectory("graft_qs_idx").toString + "/idx"
+    operators.SimilarityOps.indexWrite(
+      emb.where(col("vec_id") < 100), "vec_id", "embedding", idxRoot,
+      k = 8, iters = 2, m = 8, dsub = 8, ksub = 16)
+    val ingest = streaming.StreamingOps.indexAppendBufferedSink(
+      "vec_id", "embedding", idxRoot, autoFlushSegments = 2)
+    ingest(emb.where(col("vec_id") >= 100), 0L)
+    operators.SimilarityOps.indexMaintain(spark, idxRoot)
+    val nHits = operators.SimilarityOps.indexSearch(
+      emb.where(col("vec_id") < 3), idxRoot, "vec_id", "embedding",
+      k = 5, nProbe = 2).count()
+    (image, nDups, nHits)
   }
 
   def main(args: Array[String]): Unit = {
@@ -59,10 +82,11 @@ object Quickstart {
       workers = 8, extraConf = Map("spark.sql.shuffle.partitions" -> "8"))
     spark.sparkContext.setLogLevel("WARN")
 
-    val (image, nDups) = run(spark, sf)
+    val (image, nDups, nHits) = run(spark, sf)
     println("-- brightest image pixels --")
     image.orderBy(desc("image")).show(3)
     println(s"near-dup pairs at jaccard >= 0.7: $nDups")
+    println(s"stored-index ANN hits for 3 queries at k=5: $nHits")
 
     println("QUICKSTART_OK")
     spark.stop()

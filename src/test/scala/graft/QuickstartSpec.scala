@@ -10,7 +10,8 @@ package graft
 class QuickstartSpec extends SparkSpec {
 
   test("the documented Quickstart tour runs end-to-end on sf0.001") {
-    val (image, nDups) = Quickstart.run(spark, "/root/testdata/sf0.001")
+    val (image, nDups, nHits) =
+      Quickstart.run(spark, "/root/testdata/sf0.001")
     // imageSize (16, 16), one (img_chan, pol) plane -> exactly 256
     // sky pixels; a wrong count means the imaging chain's plane
     // handling or FFT crop changed
@@ -24,5 +25,10 @@ class QuickstartSpec extends SparkSpec {
     // count is stable; >= 0 always holds, but a count() that throws or
     // returns before the LSH join materializes is the regression
     assert(nDups >= 0L)
+    // the index-lifecycle step serves 3 queries at k=5 from the stored
+    // index (train + streamed LSM ingest + maintenance + search): a
+    // non-degenerate store returns a full top-k per query
+    assert(nHits === 15L,
+      "Quickstart stored-index search lost its 3x5 top-k shape")
   }
 }
