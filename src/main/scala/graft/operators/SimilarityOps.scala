@@ -689,14 +689,69 @@ object SimilarityOps {
   }
 
   private val CensusMod = 1000000007L
+  private def censusCountExpr: Column =
+    count(lit(1)).cast("long").as("_census_n")
+  private def censusChecksumExpr(idCol: String): Column =
+    coalesce(pmod(sum(pmod(hash(col(idCol)).cast("long"),
+        lit(CensusMod)).cast("decimal(38,0)")), lit(CensusMod)),
+      lit(0).cast("decimal(38,0)")).cast("long").as("_census_c")
   private def corpusCensus(corpus: DataFrame, idCol: String): (Long, Long) = {
-    val r = corpus.agg(count(lit(1)).cast("long").as("n"),
-        coalesce(pmod(sum(pmod(hash(col(idCol)).cast("long"),
-            lit(CensusMod)).cast("decimal(38,0)")), lit(CensusMod)),
-          lit(0).cast("decimal(38,0)")).cast("long").as("c"))
-      .head()
+    val r = corpus
+      .agg(censusCountExpr, censusChecksumExpr(idCol)).head()
     (r.getLong(0), r.getLong(1))
   }
+  /** The (count, checksum) census observed on a WRITE job — the same
+    * aggregates as [[corpusCensus]], riding the write's own pass over
+    * the delta instead of a second scan (guide §1.2: fewer passes).
+    */
+  private def censusOf(obs: org.apache.spark.sql.Observation)
+    : (Long, Long) = {
+    val m = obs.get
+    (m("_census_n").asInstanceOf[Long], m("_census_c").asInstanceOf[Long])
+  }
+
+  // Driver-side IO for the bounded sidecars (TinyParquet): the meta
+  // census row, the packed dup-guard bloom (bits/64 rows), and — at
+  // the call sites — quantizer tables and commit snapshots. Format
+  // unchanged (plain parquet, same columns/types); only the fixed
+  // per-file Spark-job + committer cost is gone.
+  private def writeAnnMeta(hconf: org.apache.hadoop.conf.Configuration,
+                           root: String, k: Int, iters: Int, m: Int,
+                           dsub: Int, ksub: Int, qdec: Int,
+                           n: Long, c: Long): Unit =
+    graft.sources.TinyParquet.write(hconf, s"$root/meta",
+      Seq("k" -> "int", "iters" -> "int", "m" -> "int", "dsub" -> "int",
+        "ksub" -> "int", "qdec" -> "int", "n_vectors" -> "long",
+        "id_checksum" -> "long"),
+      Seq(Seq(k, iters, m, dsub, ksub, qdec, n, c)))
+  private def readAnnMeta(hconf: org.apache.hadoop.conf.Configuration,
+                          root: String): graft.sources.TinyParquet.TRow =
+    graft.sources.TinyParquet.read(hconf, s"$root/meta").head
+  private def writeBloomSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      words: Seq[(Long, Long)]): Unit =
+    graft.sources.TinyParquet.write(
+      spark.sparkContext.hadoopConfiguration, path,
+      Seq("widx" -> "long", "word" -> "long"),
+      words.map { case (w, v) => Seq(w, v) })
+  private def writeBloomSidecar(
+      spark: org.apache.spark.sql.SparkSession, path: String,
+      words: DataFrame): Unit =
+    writeBloomSidecar(spark, path,
+      words.select(col("widx").cast("long"), col("word").cast("long"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+  private def readBloomWordsLocal(
+      spark: org.apache.spark.sql.SparkSession, path: String)
+    : Seq[(Long, Long)] =
+    graft.sources.TinyParquet.read(
+        spark.sparkContext.hadoopConfiguration, path)
+      .map(r => (r.getLong("widx"), r.getLong("word")))
+  /** The packed bloom as a LOCAL-relation DataFrame (bits/64-bounded):
+    * the suspects join broadcasts it with no parquet scan job.
+    */
+  private def localWordsDf(spark: org.apache.spark.sql.SparkSession,
+                           rows: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(rows).toDF("widx", "word")
 
   /** @param pqIters 0 (default) = seeded PQ codebooks; > 0 = train
     *   them too ([[trainPqCodebooks]]) — the fully-trained production
@@ -707,23 +762,33 @@ object SimilarityOps {
                  m: Int, dsub: Int, ksub: Int, qdec: Int = 8,
                  pqIters: Int = 0): Unit = {
     val spark = corpus.sparkSession
-    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
     val cents = trainIvf(corpus, idCol, vecCol, k, iters, qdec)
     val cb =
       if (pqIters > 0)
         trainPqCodebooks(corpus, idCol, vecCol, m, dsub, ksub,
           pqIters, qdec)
       else pqCodebooks(corpus, idCol, vecCol, m, dsub, ksub)
-    cents.flatMap { case (cid, v) =>
-      v.iterator.zipWithIndex.map { case (x, dim) => (cid, dim, x) }
-    }.toDF("cid", "dim", "value").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/centroids")
-    cb.zipWithIndex.flatMap { case (book, s) =>
-      book.zipWithIndex.flatMap { case (cv, code) =>
-        cv.zipWithIndex.map { case (x, dim) => (s, code, dim, x) }
-      }
-    }.toSeq.toDF("subspace", "code", "dim", "value").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/codebooks")
+    // quantizer tables are driver-side Seqs of K x d / m x ksub x dsub
+    // rows — write them (and below, the one-row meta and the packed
+    // bloom) on the driver: same parquet layout, none of the per-write
+    // Spark-job + output-committer fixed cost (round-18 profiling: the
+    // lifecycle gates' wall was ~50 tiny jobs, mostly these sidecars)
+    graft.sources.TinyParquet.write(hconf, s"$root/centroids",
+      Seq("cid" -> "long", "dim" -> "int", "value" -> "double"),
+      cents.flatMap { case (cid, v) =>
+        v.iterator.zipWithIndex.map { case (x, dim) => Seq(cid, dim, x) }
+      })
+    graft.sources.TinyParquet.write(hconf, s"$root/codebooks",
+      Seq("subspace" -> "int", "code" -> "int", "dim" -> "int",
+        "value" -> "double"),
+      cb.zipWithIndex.toSeq.flatMap { case (book, s) =>
+        book.zipWithIndex.toSeq.flatMap { case (cv, code) =>
+          cv.zipWithIndex.toSeq.map { case (x, dim) =>
+            Seq[Any](s, code, dim, x)
+          }
+        }
+      })
     // ONE corpus scan: coarse list + PQ codes off the same projection;
     // the list_id partitioning IS the inverted-list structure on disk.
     // Repartition ON the partition column first: every inverted list
@@ -732,23 +797,22 @@ object SimilarityOps {
     // would dominate every subsequent search/append (measured 4x on
     // the 100x rehearsal). Per-list volume is bounded by design (K
     // scales with the corpus), so the single-task-per-list write
-    // cannot skew.
+    // cannot skew. The census rides the SAME write job as observed
+    // metrics — no second corpus pass (guide §1.2: fewer passes).
+    val obs = new org.apache.spark.sql.Observation()
     corpus
       .select(col(idCol).as("vec_id"), toDouble(col(vecCol)).as("_v"))
+      .observe(obs, censusCountExpr, censusChecksumExpr("vec_id"))
       .select(col("vec_id"),
         graft.functions.NearestCentroidId(col("_v"), cents).as("list_id"),
         graft.functions.PqCodes(col("_v"), cb).as("codes"))
       .repartition(col("list_id"))
       .write.mode("overwrite").partitionBy("list_id")
       .parquet(s"$root/vectors")
-    dupBloomWords(corpus.select(col(idCol)), idCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/bloomidx")
-    val (n, c) = corpusCensus(corpus, idCol)
-    import spark.implicits._
-    Seq((k, iters, m, dsub, ksub, qdec, n, c))
-      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
-        "id_checksum")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val (n, c) = censusOf(obs)
+    writeBloomSidecar(spark, s"$root/bloomidx",
+      dupBloomWords(corpus.select(col(idCol)), idCol))
+    writeAnnMeta(hconf, root, k, iters, m, dsub, ksub, qdec, n, c)
     // Commit the initial snapshot: from here on every read plans its
     // file list from the current commit and every maintenance op is
     // an atomic pointer swap (IndexCommits). The vacuum retires
@@ -818,10 +882,16 @@ object SimilarityOps {
     val bloomFs = bloomPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val hasBloom = bloomFs.exists(bloomPath)
+    // the packed bloom is bits/64-bounded: read it ONCE on the driver;
+    // the suspects join broadcasts it as a local relation (no scan
+    // job), and the post-append fold reuses the same words
+    val bloomWords =
+      if (hasBloom) readBloomWordsLocal(spark, s"$root/bloomidx")
+      else Seq.empty[(Long, Long)]
     if (hasBloom) {
       val suspects = bloomSuspects(
         delta.select(col(idCol)).distinct(), idCol,
-        spark.read.parquet(s"$root/bloomidx"))
+        localWordsDf(spark, bloomWords))
       if (!suspects.limit(1).isEmpty) {
         val sv = delta.join(broadcast(suspects), Seq(idCol), "left_semi")
           .select(col(idCol).cast("long").as("vec_id"),
@@ -877,48 +947,59 @@ object SimilarityOps {
     // listing around it — applog dir for buffered (flush-cadence
     // bounded); for direct, ONLY the delta's touched `list_id=` dirs
     // (delta-bounded; the codes are cached so the touched-list collect
-    // and the write share one assignment pass)
+    // and the write share one assignment pass). The delta census
+    // (count + order-free id checksum) rides the SAME pass: combined
+    // into the direct path's touched-list aggregate, observed on the
+    // buffered path's segment write — never a second delta scan.
     val codedC =
-      if (versioned && !buffered) coded.persist() else coded
+      if (!buffered) coded.persist() else coded
+    var dn = 0L; var dc = 0L
     val touchedLists: Seq[Long] =
-      if (versioned && !buffered)
-        codedC.select("list_id").distinct().collect()
-          .map(_.getLong(0)).toSeq
-      else Seq.empty
+      if (!buffered) {
+        val r = codedC.agg(
+          collect_set(col("list_id")).as("_lists"),
+          censusCountExpr, censusChecksumExpr("vec_id")).head()
+        dn = r.getLong(1); dc = r.getLong(2)
+        r.getSeq[Long](0)
+      } else Seq.empty
     val before =
       if (!versioned) Set.empty[String]
       else if (buffered) listApplog(spark, root).map(_.file).toSet
       else listVectorLists(spark, root, touchedLists).map(_.file).toSet
-    if (buffered)
-      codedC.coalesce(1) // one segment file per buffered append
+    if (buffered) {
+      val obs = new org.apache.spark.sql.Observation()
+      codedC.observe(obs, censusCountExpr, censusChecksumExpr("vec_id"))
+        .coalesce(1) // one segment file per buffered append
         .write.mode("append").parquet(s"$root/applog")
-    else
+      val (n0, c0) = censusOf(obs); dn = n0; dc = c0
+    } else
       codedC
         .repartition(col("list_id")) // one new file per touched list
         .write.mode("append").partitionBy("list_id")
         .parquet(s"$root/vectors")
-    val old = spark.read.parquet(s"$root/meta").head()
-    val (dn, dc) = corpusCensus(delta, idCol)
-    import spark.implicits._
-    Seq((old.getAs[Int]("k"), old.getAs[Int]("iters"), old.getAs[Int]("m"),
-      old.getAs[Int]("dsub"), old.getAs[Int]("ksub"),
-      old.getAs[Int]("qdec"),
-      old.getAs[Long]("n_vectors") + dn,
-      (old.getAs[Long]("id_checksum") + dc) % CensusMod))
-      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
-        "id_checksum")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val old = readAnnMeta(hconf, root)
+    writeAnnMeta(hconf, root, old.getInt("k"), old.getInt("iters"),
+      old.getInt("m"), old.getInt("dsub"), old.getInt("ksub"),
+      old.getInt("qdec"), old.getLong("n_vectors") + dn,
+      (old.getLong("id_checksum") + dc) % CensusMod)
     // fold the delta into the dup-guard bloom (bit_or: commutative and
     // idempotent, so the streaming twin's batching/order still cannot
     // matter); legacy indexes stay bloom-less — a PARTIAL bloom would
-    // wrongly clear pre-bloom ids as "provably new"
+    // wrongly clear pre-bloom ids as "provably new". The delta words
+    // are one bounded aggregate; the merge with the already-read base
+    // words is a driver-side OR over bits/64 entries.
     if (hasBloom) {
-      val merged = spark.read.parquet(s"$root/bloomidx")
-        .unionByName(dupBloomWords(delta.select(col(idCol)), idCol))
-        .groupBy("widx").agg(expr("bit_or(word)").as("word"))
-        .localCheckpoint(true) // break lineage: overwrites its input
-      merged.coalesce(1).write.mode("overwrite")
-        .parquet(s"$root/bloomidx")
+      val deltaWords = dupBloomWords(delta.select(col(idCol)), idCol)
+        .select(col("widx").cast("long"), col("word").cast("long"))
+        .collect().map(r => (r.getLong(0), r.getLong(1)))
+      val merged = scala.collection.mutable.LongMap
+        .from(bloomWords.map { case (w, v) => (w, v) })
+      deltaWords.foreach { case (w, v) =>
+        merged(w) = merged.getOrElse(w, 0L) | v
+      }
+      writeBloomSidecar(spark, s"$root/bloomidx",
+        merged.toSeq.sortBy(_._1))
     }
     if (versioned) {
       // pointer swap: the appended files become visible atomically;
@@ -930,7 +1011,7 @@ object SimilarityOps {
           .filterNot(e => before(e.file))
       graft.sources.IndexCommits.commit(spark, root, snap ++ added)
     }
-    if (versioned && !buffered) codedC.unpersist()
+    if (!buffered) codedC.unpersist()
     if (buffered && autoFlushSegments > 0) {
       val segs =
         if (versioned)
@@ -1018,12 +1099,13 @@ object SimilarityOps {
       }
     val delRows =
       if (delFiles.isEmpty) 0L
-      else spark.read.parquet(delFiles: _*).count()
+      else graft.sources.TinyParquet.rowCount(
+        spark.sparkContext.hadoopConfiguration, delFiles)
     // meta's n_vectors is the post-delete census, so the pre-delete
     // corpus is live + doomed — the denominator the fraction means
     val doCompact = delRows > 0 && {
-      val live = spark.read.parquet(s"$root/meta").head()
-        .getAs[Long]("n_vectors")
+      val live = readAnnMeta(spark.sparkContext.hadoopConfiguration,
+        root).getLong("n_vectors")
       delRows.toDouble / (live + delRows) >= compactDeletedFraction
     }
     if (doCompact) indexCompact(spark, root)
@@ -1102,31 +1184,35 @@ object SimilarityOps {
     // the exact partition holding the row). [[indexCompact]] then
     // rewrites ONLY those partitions with no discovery scan; id-only
     // deletes store null and compact falls back to one discovery join.
+    // the (count, checksum) census of the fresh doomed ids rides the
+    // sidecar write itself as observed metrics — no second pass. The
+    // checksum hashes the ORIGINAL-typed idCol (observed BEFORE the
+    // cast-to-long select), exactly as write/append census it (a hash
+    // over a cast value would not cancel against theirs).
+    val obs = new org.apache.spark.sql.Observation()
+    val freshObs =
+      fresh.observe(obs, censusCountExpr, censusChecksumExpr(idCol))
     val withList =
       if (vecCol != null) {
         val cents = readIndexCentroids(spark, root)
-        fresh.select(col(idCol).cast("long").as("vec_id"),
+        freshObs.select(col(idCol).cast("long").as("vec_id"),
           graft.functions.NearestCentroidId(
             toDouble(col(vecCol)), cents).cast("long").as("list_id"))
       } else
-        fresh.select(col(idCol).cast("long").as("vec_id"),
+        freshObs.select(col(idCol).cast("long").as("vec_id"),
           lit(null).cast("long").as("list_id"))
     val before =
       if (versioned) listDeletes(spark, root).map(_.file).toSet
       else Set.empty[String]
     withList.write.mode("append").parquet(s"$root/deletes")
-    val old = spark.read.parquet(s"$root/meta").head()
-    val (dn, dc) = corpusCensus(fresh, idCol)
-    import spark.implicits._
-    Seq((old.getAs[Int]("k"), old.getAs[Int]("iters"), old.getAs[Int]("m"),
-      old.getAs[Int]("dsub"), old.getAs[Int]("ksub"),
-      old.getAs[Int]("qdec"),
-      old.getAs[Long]("n_vectors") - dn,
-      java.lang.Math.floorMod(
-        old.getAs[Long]("id_checksum") - dc, CensusMod)))
-      .toDF("k", "iters", "m", "dsub", "ksub", "qdec", "n_vectors",
-        "id_checksum")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val (dn, dc) = censusOf(obs)
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val old = readAnnMeta(hconf, root)
+    writeAnnMeta(hconf, root, old.getInt("k"), old.getInt("iters"),
+      old.getInt("m"), old.getInt("dsub"), old.getInt("ksub"),
+      old.getInt("qdec"), old.getLong("n_vectors") - dn,
+      java.lang.Math.floorMod(old.getLong("id_checksum") - dc,
+        CensusMod))
     if (versioned) {
       val added = listDeletes(spark, root).filterNot(e => before(e.file))
       graft.sources.IndexCommits.commit(spark, root, snap ++ added)
@@ -1319,22 +1405,21 @@ object SimilarityOps {
     */
   def readIndexCentroids(spark: org.apache.spark.sql.SparkSession,
                          root: String): Seq[(Long, Array[Double])] =
-    spark.read.parquet(s"$root/centroids")
-      .select(col("cid").cast("long"), col("dim").cast("int"), col("value"))
-      .collect()
-      .map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    graft.sources.TinyParquet.read(
+        spark.sparkContext.hadoopConfiguration, s"$root/centroids")
+      .map(r => (r.getLong("cid"), r.getInt("dim"), r.getDouble("value")))
       .groupBy(_._1).toSeq
       .map { case (cid, rows) => (cid, rows.sortBy(_._2).map(_._3).toArray) }
       .sortBy(_._1)
 
-  /** Reload the PQ codebooks — m x ksub x dsub bounded collect. */
+  /** Reload the PQ codebooks — m x ksub x dsub bounded driver read. */
   def readIndexCodebooks(spark: org.apache.spark.sql.SparkSession,
                          root: String): Array[Array[Array[Double]]] = {
-    val rows = spark.read.parquet(s"$root/codebooks")
-      .select(col("subspace").cast("int"), col("code").cast("int"),
-        col("dim").cast("int"), col("value"))
-      .collect()
-      .map(r => (r.getInt(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+    val rows = graft.sources.TinyParquet.read(
+        spark.sparkContext.hadoopConfiguration, s"$root/codebooks")
+      .map(r => (r.getInt("subspace"), r.getInt("code"),
+        r.getInt("dim"), r.getDouble("value")))
+      .toArray
     rows.groupBy(_._1).toSeq.sortBy(_._1).map { case (_, book) =>
       book.groupBy(_._2).toSeq.sortBy(_._1).map { case (_, cv) =>
         cv.sortBy(_._3).map(_._4)
@@ -1348,11 +1433,10 @@ object SimilarityOps {
     * before trusting a stored index. True = rebuild needed.
     */
   def indexIsStale(corpus: DataFrame, idCol: String, root: String): Boolean = {
-    val meta = corpus.sparkSession.read.parquet(s"$root/meta")
-      .select(col("n_vectors").cast("long"), col("id_checksum").cast("long"))
-      .head()
+    val meta = readAnnMeta(
+      corpus.sparkSession.sparkContext.hadoopConfiguration, root)
     val (n, c) = corpusCensus(corpus, idCol)
-    meta.getLong(0) != n || meta.getLong(1) != c
+    meta.getLong("n_vectors") != n || meta.getLong("id_checksum") != c
   }
 
   /** Serve a query batch from a PERSISTED index: reload the bounded

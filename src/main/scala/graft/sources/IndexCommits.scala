@@ -88,11 +88,15 @@ object IndexCommits {
     currentVersion(spark, root) match {
       case None => Seq.empty
       case Some(v) =>
-        spark.read.parquet(s"$root/commits/v=$v")
-          .select("kind", "part_id", "file").collect().toSeq
-          .map(r => Entry(r.getString(0),
-            if (r.isNullAt(1)) None else Some(r.getLong(1)),
-            r.getString(2)))
+        // snapshot files are kilobyte-bounded (#files rows): read them
+        // on the driver — no Spark job for the planning collect every
+        // read and mutation pays (round-18 opt: the lifecycle gates
+        // spent most of their wall on exactly these tiny jobs)
+        TinyParquet.read(spark.sparkContext.hadoopConfiguration,
+            s"$root/commits/v=$v")
+          .map(r => Entry(r.getString("kind"),
+            if (r.isNullAt("part_id")) None else Some(r.getLong("part_id")),
+            r.getString("file")))
     }
 
   /** Commit the next snapshot: ONE atomic rename makes it current.
@@ -109,10 +113,11 @@ object IndexCommits {
     val fs = hfs(spark, root)
     val next = versions(fs, root).lastOption.getOrElse(0L) + 1
     val tmp = s"$root/commits/.tmp-$next-${java.util.UUID.randomUUID()}"
-    import spark.implicits._
-    entries.map(e => (e.kind, e.partId.map(Long.box).orNull, e.file))
-      .toDF("kind", "part_id", "file")
-      .coalesce(1).write.mode("overwrite").parquet(tmp)
+    // the snapshot is a driver-side Seq already — write it on the
+    // driver (same parquet layout, no Spark job / output committer)
+    TinyParquet.write(spark.sparkContext.hadoopConfiguration, tmp,
+      Seq("kind" -> "string", "part_id" -> "long", "file" -> "string"),
+      entries.map(e => Seq(e.kind, e.partId.map(Long.box).orNull, e.file)))
     val ok = fs.rename(new Path(tmp), new Path(s"$root/commits/v=$next"))
     require(ok, s"commit v=$next failed: concurrent writer on $root?")
     next
