@@ -727,31 +727,18 @@ object SimilarityOps {
   private def readAnnMeta(hconf: org.apache.hadoop.conf.Configuration,
                           root: String): graft.sources.TinyParquet.TRow =
     graft.sources.TinyParquet.read(hconf, s"$root/meta").head
-  private def writeBloomSidecar(
-      spark: org.apache.spark.sql.SparkSession, path: String,
-      words: Seq[(Long, Long)]): Unit =
-    graft.sources.TinyParquet.write(
-      spark.sparkContext.hadoopConfiguration, path,
-      Seq("widx" -> "long", "word" -> "long"),
-      words.map { case (w, v) => Seq(w, v) })
+  // bloom sidecar IO shared with the BM25 suite: IoOps.*BloomSidecar
   private def writeBloomSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,
       words: DataFrame): Unit =
-    writeBloomSidecar(spark, path,
-      words.select(col("widx").cast("long"), col("word").cast("long"))
-        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+    graft.sources.IoOps.writeBloomSidecar(spark, path, words)
   private def readBloomWordsLocal(
       spark: org.apache.spark.sql.SparkSession, path: String)
     : Seq[(Long, Long)] =
-    graft.sources.TinyParquet.read(
-        spark.sparkContext.hadoopConfiguration, path)
-      .map(r => (r.getLong("widx"), r.getLong("word")))
-  /** The packed bloom as a LOCAL-relation DataFrame (bits/64-bounded):
-    * the suspects join broadcasts it with no parquet scan job.
-    */
+    graft.sources.IoOps.readBloomWordsLocal(spark, path)
   private def localWordsDf(spark: org.apache.spark.sql.SparkSession,
                            rows: Seq[(Long, Long)]): DataFrame =
-    spark.createDataFrame(rows).toDF("widx", "word")
+    graft.sources.IoOps.localWordsDf(spark, rows)
 
   /** @param pqIters 0 (default) = seeded PQ codebooks; > 0 = train
     *   them too ([[trainPqCodebooks]]) — the fully-trained production
@@ -992,14 +979,9 @@ object SimilarityOps {
     if (hasBloom) {
       val deltaWords = dupBloomWords(delta.select(col(idCol)), idCol)
         .select(col("widx").cast("long"), col("word").cast("long"))
-        .collect().map(r => (r.getLong(0), r.getLong(1)))
-      val merged = scala.collection.mutable.LongMap
-        .from(bloomWords.map { case (w, v) => (w, v) })
-      deltaWords.foreach { case (w, v) =>
-        merged(w) = merged.getOrElse(w, 0L) | v
-      }
-      writeBloomSidecar(spark, s"$root/bloomidx",
-        merged.toSeq.sortBy(_._1))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
+        graft.sources.IoOps.mergeBloomWords(bloomWords, deltaWords))
     }
     if (versioned) {
       // pointer swap: the appended files become visible atomically;

@@ -1692,9 +1692,8 @@ object TextOps {
                          root: String, nBuckets: Int = 64): Unit = {
     require(nBuckets >= 1, s"nBuckets must be >= 1, got $nBuckets")
     val spark = df.sparkSession
-    import spark.implicits._
-    dupBloomWords(df, idCol).coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/bloomidx")
+    graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
+      dupBloomWords(df, idCol))
     df.select(col(idCol).as("doc_id"),
         size(words(col(textCol))).as("dl"),
         explode(words(col(textCol))).as("term"))
@@ -1710,21 +1709,19 @@ object TextOps {
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
     // doclens bucketed by doc-id hash: the maintenance table's reads
-    // (dup arbitration, delete census) prune to the relevant buckets
+    // (dup arbitration, delete census) prune to the relevant buckets.
+    // The meta census (n_docs, sum_dl, checksum) rides this write as
+    // observed metrics — no separate tokenizing pass over the corpus.
+    val obs = new org.apache.spark.sql.Observation()
     df.select(col(idCol).as("doc_id"),
         size(words(col(textCol))).as("dl"),
         docBucket(col(idCol), DocLenBuckets).as("docbucket"))
+      .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
       .repartition(col("docbucket"))
       .write.mode("overwrite").option("compression", "zstd")
       .partitionBy("docbucket").parquet(s"$root/doclens")
-    val m = df.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(words(col(textCol))).cast("long")).as("s"),
-      docChecksumAgg(col(idCol)).as("c")).head()
-    Seq((m.getLong(0), m.getLong(1), nBuckets, m.getLong(2),
-        DocLenBuckets))
-      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum",
-        "n_docbuckets")
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val (n, s, c) = bmCensusOf(obs)
+    writeBmMeta(spark, root, n, s, nBuckets, c, DocLenBuckets)
     // Commit the initial snapshot (IndexCommits): from here on every
     // read plans its file list from the current commit and every
     // maintenance op is an atomic pointer swap. The vacuum retires
@@ -1745,6 +1742,43 @@ object TextOps {
     coalesce(pmod(sum(pmod(hash(id).cast("long"),
         lit(DocCensusMod)).cast("decimal(38,0)")), lit(DocCensusMod)),
       lit(0).cast("decimal(38,0)")).cast("long")
+
+  // Driver-side IO for the one-row meta census (TinyParquet: same
+  // parquet layout, no Spark job / committer per read/write — the
+  // round-18 lifecycle profiling showed these tiny jobs dominated the
+  // maintenance ops' wall). Legacy stores may lack n_docbuckets /
+  // doc_checksum; TRow.has mirrors the old schema.fieldNames checks.
+  private def writeBmMeta(spark: org.apache.spark.sql.SparkSession,
+                          root: String, nDocs: Long, sumDl: Long,
+                          nBuckets: Int, checksum: Long,
+                          nDocBuckets: Int): Unit = {
+    val base = Seq("n_docs" -> "long", "sum_dl" -> "long",
+      "n_buckets" -> "int", "doc_checksum" -> "long")
+    val row = Seq[Any](nDocs, sumDl, nBuckets, checksum)
+    graft.sources.TinyParquet.write(
+      spark.sparkContext.hadoopConfiguration, s"$root/meta",
+      if (nDocBuckets > 0) base :+ ("n_docbuckets" -> "int") else base,
+      Seq(if (nDocBuckets > 0) row :+ nDocBuckets else row))
+  }
+  private def readBmMeta(spark: org.apache.spark.sql.SparkSession,
+                         root: String): graft.sources.TinyParquet.TRow =
+    graft.sources.TinyParquet.read(
+      spark.sparkContext.hadoopConfiguration, s"$root/meta").head
+
+  /** The (n_docs, sum_dl, checksum) census as observed metrics riding
+    * a write over (doc_id, dl, ...) rows — the same aggregates as the
+    * standalone census pass, with no second scan of the delta.
+    */
+  private def bmCensusExprs: Seq[Column] = Seq(
+    count(lit(1)).cast("long").as("_census_n"),
+    coalesce(sum(col("dl").cast("long")), lit(0L)).as("_census_s"),
+    docChecksumAgg(col("doc_id")).as("_census_c"))
+  private def bmCensusOf(obs: org.apache.spark.sql.Observation)
+    : (Long, Long, Long) = {
+    val m = obs.get
+    (m("_census_n").asInstanceOf[Long], m("_census_s").asInstanceOf[Long],
+      m("_census_c").asInstanceOf[Long])
+  }
 
   /** Append NEW documents to a persisted BM25 index — the ingest leg
     * of the retrieval lifecycle, mirroring the ANN index's
@@ -1773,13 +1807,11 @@ object TextOps {
   def invertedIndexAppend(df: DataFrame, idCol: String, textCol: String,
                           root: String): Unit = {
     val spark = df.sparkSession
-    import spark.implicits._
-    val oldMeta = spark.read.parquet(s"$root/meta").head()
-    val nBuckets = oldMeta.getAs[Int]("n_buckets")
+    val oldMeta = readBmMeta(spark, root)
+    val nBuckets = oldMeta.getInt("n_buckets")
     // legacy stores (pre-docbucket layout) keep unpartitioned doclens
     val nDocBuckets =
-      if (oldMeta.schema.fieldNames.contains("n_docbuckets"))
-        oldMeta.getAs[Int]("n_docbuckets")
+      if (oldMeta.has("n_docbuckets")) oldMeta.getInt("n_docbuckets")
       else 0
     val snap = graft.sources.IndexCommits.readEntries(spark, root)
     val versioned = snap.nonEmpty
@@ -1788,12 +1820,19 @@ object TextOps {
     val bloomFs = bloomPath.getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     val hasBloom = bloomFs.exists(bloomPath)
+    // bits/64-bounded: one driver read serves both the suspects join
+    // (as a broadcast local relation — no scan job) and the post-
+    // append fold
+    val bloomWords =
+      if (hasBloom)
+        graft.sources.IoOps.readBloomWordsLocal(spark, s"$root/bloomidx")
+      else Seq.empty[(Long, Long)]
     val suspects =
       if (hasBloom)
         // all-hashes-hit test against the packed words: one delta-sized
         // explode + one broadcast join — nothing corpus-sized
         bloomSuspects(deltaIds, "doc_id",
-          spark.read.parquet(s"$root/bloomidx"))
+          graft.sources.IoOps.localWordsDf(spark, bloomWords))
       else deltaIds // legacy index without a bloom: arbitrate all
     val dup =
       if (suspects.limit(1).isEmpty) Array.empty[org.apache.spark.sql.Row]
@@ -1850,8 +1889,12 @@ object TextOps {
       .repartition(col("bucket")) // one new file per touched bucket
       .write.mode("append").option("compression", "zstd")
       .partitionBy("bucket").parquet(s"$root/postings")
+    // the delta census rides the doclens write as observed metrics —
+    // no separate tokenizing pass over the delta
+    val obs = new org.apache.spark.sql.Observation()
     val lensDelta = df.select(col(idCol).as("doc_id"),
-      size(words(col(textCol))).as("dl"))
+        size(words(col(textCol))).as("dl"))
+      .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
     if (nDocBuckets > 0)
       lensDelta
         .withColumn("docbucket", docBucket(col("doc_id"), nDocBuckets))
@@ -1861,31 +1904,24 @@ object TextOps {
     else
       lensDelta.write.mode("append").option("compression", "zstd")
         .parquet(s"$root/doclens")
-    val m = df.agg(count(lit(1)).cast("long").as("n"),
-      sum(size(words(col(textCol))).cast("long")).as("s"),
-      docChecksumAgg(col(idCol)).as("c")).head()
-    val newMeta = Seq((oldMeta.getAs[Long]("n_docs") + m.getLong(0),
-      oldMeta.getAs[Long]("sum_dl") + m.getLong(1), nBuckets,
-      (oldMeta.getAs[Long]("doc_checksum") + m.getLong(2))
-        % DocCensusMod))
-      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
-    (if (nDocBuckets > 0)
-       newMeta.withColumn("n_docbuckets", lit(nDocBuckets))
-     else newMeta)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+    val (dn, ds, dc) = bmCensusOf(obs)
+    writeBmMeta(spark, root, oldMeta.getLong("n_docs") + dn,
+      oldMeta.getLong("sum_dl") + ds, nBuckets,
+      (oldMeta.getLong("doc_checksum") + dc) % DocCensusMod,
+      nDocBuckets)
     // fold the delta into the dup-guard bloom (bit_or merge is
     // commutative/idempotent; bounded at bits/64 rows either way).
     // ONLY when the bloom already existed: folding a delta-only bloom
     // onto a legacy (bloom-less) index would wrongly clear every
     // pre-bloom doc_id as "provably new" on the NEXT append — legacy
-    // indexes stay bloom-less, exactly as the ANN side does.
+    // indexes stay bloom-less, exactly as the ANN side does. The merge
+    // is a driver OR over the already-read base words.
     if (hasBloom) {
-      val merged = spark.read.parquet(s"$root/bloomidx")
-        .unionByName(dupBloomWords(deltaIds, "doc_id"))
-        .groupBy("widx").agg(expr("bit_or(word)").as("word"))
-        .localCheckpoint(true) // break lineage: overwrites its input
-      merged.coalesce(1).write.mode("overwrite")
-        .parquet(s"$root/bloomidx")
+      val deltaWords = dupBloomWords(deltaIds, "doc_id")
+        .select(col("widx").cast("long"), col("word").cast("long"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1)))
+      graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
+        graft.sources.IoOps.mergeBloomWords(bloomWords, deltaWords))
     }
     if (versioned) {
       // pointer swap: the appended postings/doclens files become
@@ -1913,13 +1949,11 @@ object TextOps {
   def invertedIndexDelete(doomed: DataFrame, idCol: String,
                           root: String): Unit = {
     val spark = doomed.sparkSession
-    import spark.implicits._
     val snap = graft.sources.IndexCommits.readEntries(spark, root)
     val versioned = snap.nonEmpty
-    val old = spark.read.parquet(s"$root/meta").head()
+    val old = readBmMeta(spark, root)
     val nDocBuckets =
-      if (old.schema.fieldNames.contains("n_docbuckets"))
-        old.getAs[Int]("n_docbuckets")
+      if (old.has("n_docbuckets")) old.getInt("n_docbuckets")
       else 0
     // Idempotence: a re-deleted doc_id must not subtract the census
     // twice (that would permanently corrupt the n_docs/sum_dl/checksum
@@ -1972,16 +2006,11 @@ object TextOps {
       if (versioned) listBmDeletes(spark, root).map(_.file).toSet
       else Set.empty[String]
     ids.write.mode("append").parquet(s"$root/deletes")
-    val newMeta = Seq((old.getAs[Long]("n_docs") - m.getLong(0),
-      old.getAs[Long]("sum_dl") - m.getLong(1),
-      old.getAs[Int]("n_buckets"),
+    writeBmMeta(spark, root, old.getLong("n_docs") - m.getLong(0),
+      old.getLong("sum_dl") - m.getLong(1), old.getInt("n_buckets"),
       java.lang.Math.floorMod(
-        old.getAs[Long]("doc_checksum") - m.getLong(2), DocCensusMod)))
-      .toDF("n_docs", "sum_dl", "n_buckets", "doc_checksum")
-    (if (nDocBuckets > 0)
-       newMeta.withColumn("n_docbuckets", lit(nDocBuckets))
-     else newMeta)
-      .coalesce(1).write.mode("overwrite").parquet(s"$root/meta")
+        old.getLong("doc_checksum") - m.getLong(2), DocCensusMod),
+      nDocBuckets)
     if (versioned) {
       val added =
         listBmDeletes(spark, root).filterNot(e => before(e.file))
@@ -1997,15 +2026,13 @@ object TextOps {
     */
   def invertedIndexIsStale(corpus: DataFrame, idCol: String,
                            root: String): Boolean = {
-    val raw = corpus.sparkSession.read.parquet(s"$root/meta")
+    val meta = readBmMeta(corpus.sparkSession, root)
     // a pre-checksum legacy index cannot prove freshness: always stale
-    if (!raw.columns.contains("doc_checksum")) return true
-    val meta = raw
-      .select(col("n_docs").cast("long"),
-        col("doc_checksum").cast("long")).head()
+    if (!meta.has("doc_checksum")) return true
     val live = corpus.agg(count(lit(1)).cast("long").as("n"),
       docChecksumAgg(col(idCol)).as("c")).head()
-    meta.getLong(0) != live.getLong(0) || meta.getLong(1) != live.getLong(1)
+    meta.getLong("n_docs") != live.getLong(0) ||
+      meta.getLong("doc_checksum") != live.getLong(1)
   }
 
   /** Compact the inverted index's delete sidecar: physically drop the
@@ -2049,10 +2076,10 @@ object TextOps {
       }
     val delRows =
       if (delFiles.isEmpty) 0L
-      else spark.read.parquet(delFiles: _*).count()
+      else graft.sources.TinyParquet.rowCount(
+        spark.sparkContext.hadoopConfiguration, delFiles)
     val doCompact = delRows > 0 && {
-      val live = spark.read.parquet(s"$root/meta").head()
-        .getAs[Long]("n_docs")
+      val live = readBmMeta(spark, root).getLong("n_docs")
       delRows.toDouble / (live + delRows) >= compactDeletedFraction
     }
     if (doCompact) invertedIndexCompact(spark, root)
@@ -2082,8 +2109,8 @@ object TextOps {
             spark.read.parquet(s"$root/doclens").where(lit(false))
           else spark.read.option("basePath", s"$root/doclens")
             .parquet(lensFiles: _*)
-        dupBloomWords(survivors.select("doc_id"), "doc_id").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/bloomidx")
+        graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
+          dupBloomWords(survivors.select("doc_id"), "doc_id"))
         graft.sources.IndexCommits.vacuumConf(spark, root, BmSubs)
       }
       return
@@ -2127,8 +2154,8 @@ object TextOps {
     // unset bits, and compact is the moment a deleted doc_id becomes
     // legally re-appendable) — bounded by the doclens column scan this
     // op already pays
-    dupBloomWords(lens, "doc_id").coalesce(1)
-      .write.mode("overwrite").parquet(s"$root/bloomidx")
+    graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
+      dupBloomWords(lens, "doc_id"))
     fs.delete(delPath, true)
   }
 
@@ -2200,8 +2227,7 @@ object TextOps {
     stageSurvivors("postings", "bucket", touchedBuckets)
     // doclens deletes ARE local (keyed and partitioned by doc_id
     // hash): only the doomed ids' docbuckets rewrite
-    val nDocBuckets = spark.read.parquet(s"$root/meta").head()
-      .getAs[Int]("n_docbuckets")
+    val nDocBuckets = readBmMeta(spark, root).getInt("n_docbuckets")
     val touchedLens: Set[Long] = ids
       .select(docBucket(col("doc_id"), nDocBuckets)
         .cast("long").as("b"))
@@ -2273,10 +2299,10 @@ object TextOps {
   def bm25SearchIndexed(spark: org.apache.spark.sql.SparkSession,
                         root: String, terms: Seq[String], k: Int,
                         k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val meta = spark.read.parquet(s"$root/meta").head()
-    val nDocs = meta.getAs[Long]("n_docs").toDouble
-    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs
-    val nBuckets = meta.getAs[Int]("n_buckets")
+    val meta = readBmMeta(spark, root)
+    val nDocs = meta.getLong("n_docs").toDouble
+    val avgdl = meta.getLong("sum_dl").toDouble / nDocs
+    val nBuckets = meta.getInt("n_buckets")
     val buckets = terms.map(t =>
       java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct
     val post = servePostings(spark, root, buckets, terms)
@@ -2326,10 +2352,10 @@ object TextOps {
                              queries: Seq[(Long, Seq[String])], k: Int,
                              k1: Double = 1.2, b: Double = 0.75)
     : DataFrame = {
-    val meta = spark.read.parquet(s"$root/meta").head()
-    val nDocs = meta.getAs[Long]("n_docs").toDouble
-    val avgdl = meta.getAs[Long]("sum_dl").toDouble / nDocs
-    val nBuckets = meta.getAs[Int]("n_buckets")
+    val meta = readBmMeta(spark, root)
+    val nDocs = meta.getLong("n_docs").toDouble
+    val avgdl = meta.getLong("sum_dl").toDouble / nDocs
+    val nBuckets = meta.getInt("n_buckets")
     val unionTerms = queries.flatMap(_._2).distinct
     val buckets = unionTerms.map(t =>
       java.lang.Math.floorMod(polyHashFn(t), nBuckets.toLong)).distinct

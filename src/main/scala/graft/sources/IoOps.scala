@@ -492,6 +492,46 @@ object IoOps {
       .agg(sum(when(col("_hit"), 0).otherwise(1)).as("_miss"))
       .where(col("_miss") === 0).select(idCol)
 
+  /** Driver-side IO for the packed dup-guard bloom sidecar (bits/64
+    * rows by construction — kilobytes): read once per mutation, merge
+    * deltas with a driver OR, write without a Spark job. Shared by
+    * both index suites (SimilarityOps / TextOps).
+    */
+  private[graft] def readBloomWordsLocal(spark: SparkSession,
+                                         path: String): Seq[(Long, Long)] =
+    TinyParquet.read(spark.sparkContext.hadoopConfiguration, path)
+      .map(r => (r.getLong("widx"), r.getLong("word")))
+
+  private[graft] def writeBloomSidecar(spark: SparkSession, path: String,
+                                       rows: Seq[(Long, Long)]): Unit =
+    TinyParquet.write(spark.sparkContext.hadoopConfiguration, path,
+      Seq("widx" -> "long", "word" -> "long"),
+      rows.map { case (w, v) => Seq(w, v) })
+
+  private[graft] def writeBloomSidecar(spark: SparkSession, path: String,
+                                       words: DataFrame): Unit =
+    writeBloomSidecar(spark, path,
+      words.select(col("widx").cast("long"), col("word").cast("long"))
+        .collect().toSeq.map(r => (r.getLong(0), r.getLong(1))))
+
+  /** The packed bloom as a LOCAL-relation DataFrame: the suspects join
+    * broadcasts it with no parquet scan job.
+    */
+  private[graft] def localWordsDf(spark: SparkSession,
+                                  rows: Seq[(Long, Long)]): DataFrame =
+    spark.createDataFrame(rows).toDF("widx", "word")
+
+  /** Driver-side OR-merge of delta bloom words into the base words. */
+  private[graft] def mergeBloomWords(base: Seq[(Long, Long)],
+                                     delta: Seq[(Long, Long)])
+    : Seq[(Long, Long)] = {
+    val merged = scala.collection.mutable.LongMap.from(base)
+    delta.foreach { case (w, v) =>
+      merged(w) = merged.getOrElse(w, 0L) | v
+    }
+    merged.toSeq.sortBy(_._1)
+  }
+
   private def bloomPosFn(key: Long, i: Int, bits: Int): Long = {
     val m = java.lang.Math.floorMod(key, BloomMod)
     java.lang.Math.floorMod(m * BloomMults(i) + (i + 1), BloomMod) %
