@@ -88,8 +88,24 @@ object StatsOps {
       sorted: org.apache.spark.rdd.RDD[Double], offsets: Array[Long],
       seed: Map[Long, Double]) {
     private val memo = scala.collection.mutable.Map[Long, Double](seed.toSeq: _*)
-    def at(r: Long): Double = memo.getOrElseUpdate(r,
-      valuesAtRanks(sorted, offsets, Set(r))(r))
+    // On a miss, fetch a constant-size BLOCK of neighboring ranks in
+    // the same probe job: the MAD two-sequence selection
+    // (madFromSorted) walks O(log n) ranks whose later probes cluster,
+    // and one-value-per-job turned that walk into ~40 tiny Spark jobs
+    // per statistics() call (round-18 profile: 54 jobs, most of them
+    // these). The block is 1025 doubles (~8 KB collect) — bounded and
+    // scale-independent, so the job count drops identically at any
+    // data size; the probe task's scan cost is unchanged (same single
+    // pass up to the last wanted offset).
+    private val Block = 512L
+    def at(r: Long): Double = memo.getOrElse(r, {
+      val n = offsets.last
+      val lo = math.max(0L, r - Block)
+      val hi = math.min(n - 1, r + Block)
+      val want = (lo to hi).filterNot(memo.contains).toSet + r
+      memo ++= valuesAtRanks(sorted, offsets, want)
+      memo(r)
+    })
   }
 
   /** Linear interpolation at rank p*(n-1) (numpy / quantile_cont). */
