@@ -768,26 +768,36 @@ object IoOps {
                      repartitionTo: Option[Int] = Some(1)): Unit = {
     require(statsCols.nonEmpty, "commitManifest needs at least one statsCol")
     val df = spark.read.parquet(basePath)
-    val aggs = count(lit(1)).as("n_rows") +:
+    // ONE scan builds BOTH per-file structures (zone stats + Bloom):
+    // posexplode replicates each row once per hash position, n_rows
+    // counts only the _pi=0 copy, min/max are replication-invariant,
+    // and collect_set keeps the aggregate state bounded by DISTINCT
+    // positions (<= bits), exactly like the standalone bloomIndex
+    // build. Previously the bloom leg re-scanned the whole base table
+    // (guide §1.2: the manifest commit is a maintenance op a 100 TB
+    // table pays per snapshot — one pass, not two). Values are
+    // bit-identical to the former two-scan build: same counts, same
+    // min/max casts, same sorted distinct position arrays (a file
+    // whose every key is null gets the same empty array the old
+    // left-join coalesce produced).
+    val aggs = count(when(col("_pi") === 0, 1)).as("n_rows") +:
+      sort_array(collect_set(col("_pos"))).as("bloom") +:
       statsCols.flatMap(c => Seq(
         min(col(c)).cast("double").as(s"_mn_$c"),
         max(col(c)).cast("double").as(s"_mx_$c")))
-    val stats = df
+    val manifest = df
       .select((col("_metadata.file_path").as("_file") +:
-        statsCols.map(col)): _*)
+        statsCols.map(col) :+
+        posexplode(bloomPositions(col(keyCol).cast("long"), bits,
+          hashes))): _*)
+      .withColumnRenamed("pos", "_pi").withColumnRenamed("col", "_pos")
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
       .select(col("_file"), col("n_rows"),
         map(statsCols.flatMap(c =>
           Seq(lit(c), col(s"_mn_$c"))): _*).as("zmin"),
         map(statsCols.flatMap(c =>
-          Seq(lit(c), col(s"_mx_$c"))): _*).as("zmax"))
-    val manifest = stats
-      .join(bloomIndex(spark, basePath, keyCol, bits, hashes),
-        Seq("_file"), "left")
-      .select(col("_file"), col("n_rows"), col("zmin"), col("zmax"),
-        coalesce(col("bloom"), array().cast("array<bigint>")).as("bloom"),
-        coalesce(col("bits"), lit(bits)).as("bits"),
-        coalesce(col("hashes"), lit(hashes)).as("hashes"),
+          Seq(lit(c), col(s"_mx_$c"))): _*).as("zmax"),
+        col("bloom"), lit(bits).as("bits"), lit(hashes).as("hashes"),
         lit(dvVersion).as("dv_v"))
       .withColumn("v", lit(version))
     repartitionTo.map(manifest.repartition(_)).getOrElse(manifest)
