@@ -725,8 +725,12 @@ object SimilarityOps {
         "id_checksum" -> "long"),
       Seq(Seq(k, iters, m, dsub, ksub, qdec, n, c)))
   private def readAnnMeta(hconf: org.apache.hadoop.conf.Configuration,
-                          root: String): graft.sources.TinyParquet.TRow =
-    graft.sources.TinyParquet.read(hconf, s"$root/meta").head
+                          root: String): graft.sources.TinyParquet.TRow = {
+    val rows = graft.sources.TinyParquet.read(hconf, s"$root/meta")
+    require(rows.nonEmpty,
+      s"missing index meta at $root/meta — not an ANN index store?")
+    rows.head
+  }
   // bloom sidecar IO shared with the BM25 suite: IoOps.*BloomSidecar
   private def writeBloomSidecar(
       spark: org.apache.spark.sql.SparkSession, path: String,
@@ -815,8 +819,9 @@ object SimilarityOps {
     * trains quantizers once and keeps appending embeddings for months.
     * Each delta vector is assigned to its nearest STORED centroid and
     * PQ-encoded with the STORED codebooks, and the coded rows APPEND
-    * to the `list_id=` partitions (new parquet files only — existing
-    * files untouched, searches stay partition-pruned). The meta census
+    * as flat log segments (new parquet files only — existing files
+    * untouched; [[indexFlush]] folds them into the `list_id=`
+    * partitions on the maintenance cadence). The meta census
     * updates additively (count +, checksum + mod p — commutative, so
     * it equals the census recomputed over the union), keeping
     * [[indexIsStale]] honest for the appended corpus.
@@ -827,17 +832,23 @@ object SimilarityOps {
     * under B-trained quantizers — per-row assignment is independent,
     * so append order and batching never matter.
     */
-  /** @param buffered false (default) writes straight into the
-    *   `list_id=` partitions — one new file per TOUCHED list, the
-    *   right shape for batched ingest. true is the LSM path for small
-    *   / frequent deltas (streaming ingest): the coded rows land as a
-    *   SEGMENT in `root/applog` (list_id as a plain column — parquet
-    *   row-group stats still prune it), costing one file write instead
-    *   of up-to-K directory commits; searches union the log behind the
-    *   same probe filter, and [[indexFlush]] folds the log into the
-    *   partitions on the maintenance cadence — write-ahead segment +
-    *   background merge, the classic LSM trade. Both paths maintain
-    *   the same census/bloom, and both serve row-identically (the
+  /** @param buffered Both paths land the delta as SEGMENT file(s) in
+    *   `root/applog` with list_id as a plain column (round-19 opt,
+    *   guide §6 — snapshot-addressed flat segments): a direct append
+    *   previously wrote into up-to-K `list_id=` partition directories,
+    *   paying one parquet writer open + Hadoop committer rename PER
+    *   TOUCHED LIST (~K directory commits — 40 s at K=1600 on the 100x
+    *   rehearsal for a 2000-row delta). One flat snapshot-registered
+    *   write costs one job regardless of K; searches already union the
+    *   log behind the probe filter (parquet row-group stats prune
+    *   list_id — segments are sorted by it), and [[indexFlush]] /
+    *   [[indexMaintain]] fold segments into the `list_id=` partitions
+    *   on the maintenance cadence — write-ahead segment + background
+    *   merge, the classic LSM trade. `buffered=true` (the streaming
+    *   shape) lands each micro-delta as ONE file; false (batched
+    *   ingest) spreads large deltas across list_id-sorted files (AQE
+    *   coalesces a small delta back to one). Both paths maintain the
+    *   same census/bloom, and both serve row-identically (the
     *   `ann_index_append_buffered` / `ann_index_flush` gates share
     *   `ann_index_append`'s oracle).
     */
@@ -930,40 +941,27 @@ object SimilarityOps {
         graft.functions.NearestCentroidId(col("_v"), cents)
           .cast("long").as("list_id"),
         graft.functions.PqCodes(col("_v"), cb).as("codes"))
-    // versioned store: discover what this write adds by diffing the
-    // listing around it — applog dir for buffered (flush-cadence
-    // bounded); for direct, ONLY the delta's touched `list_id=` dirs
-    // (delta-bounded; the codes are cached so the touched-list collect
-    // and the write share one assignment pass). The delta census
-    // (count + order-free id checksum) rides the SAME pass: combined
-    // into the direct path's touched-list aggregate, observed on the
-    // buffered path's segment write — never a second delta scan.
-    val codedC =
-      if (!buffered) coded.persist() else coded
-    var dn = 0L; var dc = 0L
-    val touchedLists: Seq[Long] =
-      if (!buffered) {
-        val r = codedC.agg(
-          collect_set(col("list_id")).as("_lists"),
-          censusCountExpr, censusChecksumExpr("vec_id")).head()
-        dn = r.getLong(1); dc = r.getLong(2)
-        r.getSeq[Long](0)
-      } else Seq.empty
+    // both paths write flat applog segment(s) (see the buffered param
+    // doc): discover what the write adds by diffing the applog listing
+    // (flush-cadence bounded), and let the delta census (count +
+    // order-free id checksum) ride the segment write as observed
+    // metrics — one delta pass total, no per-list directory commits.
     val before =
       if (!versioned) Set.empty[String]
-      else if (buffered) listApplog(spark, root).map(_.file).toSet
-      else listVectorLists(spark, root, touchedLists).map(_.file).toSet
-    if (buffered) {
-      val obs = new org.apache.spark.sql.Observation()
-      codedC.observe(obs, censusCountExpr, censusChecksumExpr("vec_id"))
-        .coalesce(1) // one segment file per buffered append
-        .write.mode("append").parquet(s"$root/applog")
-      val (n0, c0) = censusOf(obs); dn = n0; dc = c0
-    } else
-      codedC
-        .repartition(col("list_id")) // one new file per touched list
-        .write.mode("append").partitionBy("list_id")
-        .parquet(s"$root/vectors")
+      else listApplog(spark, root).map(_.file).toSet
+    val obs = new org.apache.spark.sql.Observation()
+    val observed =
+      coded.observe(obs, censusCountExpr, censusChecksumExpr("vec_id"))
+    (if (buffered)
+       observed.coalesce(1) // one segment file per buffered append
+     else
+       // batched deltas can be large: spread on list_id (AQE coalesces
+       // a small delta back to one partition/file) and sort within
+       // files so parquet row-group stats prune the probe filter
+       observed.repartition(col("list_id"))
+         .sortWithinPartitions("list_id"))
+      .write.mode("append").parquet(s"$root/applog")
+    val (dn, dc) = censusOf(obs)
     val hconf = spark.sparkContext.hadoopConfiguration
     val old = readAnnMeta(hconf, root)
     writeAnnMeta(hconf, root, old.getInt("k"), old.getInt("iters"),
@@ -987,13 +985,9 @@ object SimilarityOps {
       // pointer swap: the appended files become visible atomically;
       // a crash before this line leaves them invisible orphans (the
       // next maintenance vacuum heals), never a half-applied append
-      val added =
-        (if (buffered) listApplog(spark, root)
-         else listVectorLists(spark, root, touchedLists))
-          .filterNot(e => before(e.file))
+      val added = listApplog(spark, root).filterNot(e => before(e.file))
       graft.sources.IndexCommits.commit(spark, root, snap ++ added)
     }
-    if (!buffered) codedC.unpersist()
     if (buffered && autoFlushSegments > 0) {
       val segs =
         if (versioned)

@@ -788,9 +788,11 @@ object IoOps {
     val manifest = df
       .select((col("_metadata.file_path").as("_file") +:
         statsCols.map(col) :+
+        // alias the generator output directly: a rename-after-the-fact
+        // of posexplode's default "pos"/"col" names would collide with
+        // a user statsCol/keyCol literally named pos or col
         posexplode(bloomPositions(col(keyCol).cast("long"), bits,
-          hashes))): _*)
-      .withColumnRenamed("pos", "_pi").withColumnRenamed("col", "_pos")
+          hashes)).as(Seq("_pi", "_pos"))): _*)
       .groupBy("_file").agg(aggs.head, aggs.tail: _*)
       .select(col("_file"), col("n_rows"),
         map(statsCols.flatMap(c =>

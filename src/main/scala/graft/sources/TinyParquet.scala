@@ -50,21 +50,27 @@ object TinyParquet {
   }
 
   /** Write `rows` as ONE parquet data file under `dir` (created if
-    * needed; replaced first when `overwrite`). The file is named
-    * part-* so the index stores' data-file discovery and vacuum
+    * needed; prior part files replaced when `overwrite`). The file is
+    * named part-* so the index stores' data-file discovery and vacuum
     * conventions apply unchanged.
+    *
+    * Rename discipline (not delete-dir-then-write): the file is built
+    * under a dot-prefixed temp name (invisible to the part-* read
+    * filter), renamed into place fully formed, and only THEN are the
+    * superseded part files removed — so a concurrent reader or a crash
+    * mid-write can never observe a missing dir or a torn (footerless)
+    * parquet file, mirroring IndexCommits.commit's staging rename.
     */
   def write(conf: Configuration, dir: String,
             fields: Seq[(String, String)], rows: Seq[Seq[Any]],
             overwrite: Boolean = true): Unit = {
     val dirPath = new Path(dir)
     val fs = dirPath.getFileSystem(conf)
-    if (overwrite && fs.exists(dirPath)) fs.delete(dirPath, true)
     fs.mkdirs(dirPath)
     val schema = schemaOf(fields)
-    val file = new Path(dirPath,
-      s"part-00000-${java.util.UUID.randomUUID()}.parquet")
-    val writer = ExampleParquetWriter.builder(file)
+    val name = s"part-00000-${java.util.UUID.randomUUID()}.parquet"
+    val tmp = new Path(dirPath, s".$name.tmp")
+    val writer = ExampleParquetWriter.builder(tmp)
       .withType(schema).withConf(conf).build()
     val factory = new SimpleGroupFactory(schema)
     try rows.foreach { r =>
@@ -80,6 +86,19 @@ object TinyParquet {
       }
       writer.write(g)
     } finally writer.close()
+    val old =
+      if (!overwrite) Array.empty[Path]
+      else fs.listStatus(dirPath).collect {
+        // superseded part files, plus any stale .tmp a crashed writer
+        // left (both invisible to readers once the rename lands)
+        case st if !st.isDirectory && st.getPath != tmp &&
+            (st.getPath.getName.startsWith("part-") ||
+              (st.getPath.getName.startsWith(".part-") &&
+                st.getPath.getName.endsWith(".tmp"))) => st.getPath
+      }
+    require(fs.rename(tmp, new Path(dirPath, name)),
+      s"TinyParquet: publish rename failed for $tmp")
+    old.foreach(p => fs.delete(p, false))
   }
 
   /** One row of a tiny sidecar, with Row-like typed getters. */

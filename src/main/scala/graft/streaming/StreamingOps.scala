@@ -1396,13 +1396,12 @@ object StreamingOps {
     * shares `ann_index_append`'s oracle; the census merge is
     * commutative mod-p addition).
     *
-    * THIS IS THE BATCH-CADENCE SINK. Each micro-batch pays one
-    * directory commit per TOUCHED list — up to K of them (measured
-    * 19 s per 2000-row batch at K=1600 on the 100x rehearsal). At a
-    * streaming trigger cadence, or at production K, use
-    * [[indexAppendBufferedSink]]: one segment-file write per batch,
-    * folded on the maintenance cadence — that sink is the documented
-    * default for streaming ingest (spec-pinned).
+    * Since round 19 both sinks land micro-batches as flat snapshot-
+    * registered log segments (SimilarityOps.indexAppend writes no
+    * per-list directories on any path — the K-scaled directory-commit
+    * storm is gone); [[indexAppendBufferedSink]] remains the
+    * documented streaming default because it additionally bounds the
+    * log with the auto-flush policy, which this sink does not.
     */
   def indexAppendSink(idCol: String, vecCol: String,
                       root: String): (DataFrame, Long) => Unit =
