@@ -247,7 +247,7 @@ object IndexScaleBench {
     val line =
       s"""{"metric":"index_lifecycle_scale","scales":{""" +
         recs.map(_._3).mkString(",") + "}}"
-    val w = new java.io.PrintWriter("BENCH_sf10_r18.json")
+    val w = new java.io.PrintWriter("BENCH_sf10_r19.json")
     try w.println(line) finally w.close()
     spark.stop()
     println(line)

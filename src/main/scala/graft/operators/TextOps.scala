@@ -1694,39 +1694,45 @@ object TextOps {
     val spark = df.sparkSession
     graft.sources.IoOps.writeBloomSidecar(spark, s"$root/bloomidx",
       dupBloomWords(df, idCol))
-    // ONE tokenize pass builds both tables (round-19 opt, guide §1.2:
-    // postings and doclens each tokenized the corpus — one full text
-    // scan too many per build). explode_outer keeps a row for a
-    // document with NO nonempty term (null term, dropped from the
-    // postings write), so the grouped frame carries EVERY document and
-    // doclens derives from it exactly — dl is constant per doc, and a
-    // null-text doc keeps its null dl, both as before. The persist
-    // holds the distinct-(doc, term) aggregate (postings-sized, never
-    // token-count-sized) across the two writes.
-    val grouped = tokenizedPostings(df, idCol, textCol).persist()
-    try {
-      grouped.where(col("term").isNotNull)
-        .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
-        // one file per bucket, not one per writing task: term-hash
-        // buckets are ~uniform by construction, and a probed search
-        // pays file-listing + footer reads per file in the pruned dirs
-        .repartition(col("bucket"))
-        .write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("bucket").parquet(s"$root/postings")
-      // doclens bucketed by doc-id hash: the maintenance table's reads
-      // (dup arbitration, delete census) prune to the relevant buckets.
-      // The meta census (n_docs, sum_dl, checksum) rides this write as
-      // observed metrics — no separate pass over the corpus.
-      val obs = new org.apache.spark.sql.Observation()
-      grouped.groupBy("doc_id").agg(max(col("dl")).as("dl"))
-        .withColumn("docbucket", docBucket(col("doc_id"), DocLenBuckets))
-        .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
-        .repartition(col("docbucket"))
-        .write.mode("overwrite").option("compression", "zstd")
-        .partitionBy("docbucket").parquet(s"$root/doclens")
-      val (n, s, c) = bmCensusOf(obs)
-      writeBmMeta(spark, root, n, s, nBuckets, c, DocLenBuckets)
-    } finally grouped.unpersist()
+    // Two tokenize passes BY MEASUREMENT (round-19, guide §1.3): the
+    // verdict-ordered single-tokenize fusion (explode_outer keeping a
+    // null-term row per empty doc + persist of the distinct-(doc,term)
+    // aggregate feeding both writes) was built, verified oracle-exact,
+    // and REJECTED — caching the postings-sized aggregate cost more
+    // than this second text pass at EVERY measurable scale (BM25 gates
+    // +5-12% at sf0.1 min-of-3; 100x rehearsal build +12%, append
+    // +17% — plans/r19/bench_family_*.json). The doclens pass below is
+    // a split+size projection with no explode/shuffle; its cost is the
+    // text re-read, which page cache absorbs at any scale this sandbox
+    // can measure.
+    df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"),
+        explode(words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"),
+        max(col("dl")).as("dl")) // constant per doc: norm rides the row
+      .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      // one file per bucket, not one per writing task: term-hash
+      // buckets are ~uniform by construction, and a probed search
+      // pays file-listing + footer reads per file in the pruned dirs
+      .repartition(col("bucket"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("bucket").parquet(s"$root/postings")
+    // doclens bucketed by doc-id hash: the maintenance table's reads
+    // (dup arbitration, delete census) prune to the relevant buckets.
+    // The meta census (n_docs, sum_dl, checksum) rides this write as
+    // observed metrics — no separate tokenizing pass over the corpus.
+    val obs = new org.apache.spark.sql.Observation()
+    df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"),
+        docBucket(col(idCol), DocLenBuckets).as("docbucket"))
+      .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
+      .repartition(col("docbucket"))
+      .write.mode("overwrite").option("compression", "zstd")
+      .partitionBy("docbucket").parquet(s"$root/doclens")
+    val (n, s, c) = bmCensusOf(obs)
+    writeBmMeta(spark, root, n, s, nBuckets, c, DocLenBuckets)
     // Commit the initial snapshot (IndexCommits): from here on every
     // read plans its file list from the current commit and every
     // maintenance op is an atomic pointer swap. The vacuum retires
@@ -1735,23 +1741,6 @@ object TextOps {
       listPostings(spark, root) ++ listDoclens(spark, root))
     graft.sources.IndexCommits.vacuumConf(spark, root, BmSubs)
   }
-
-  /** The shared single-tokenize (doc_id, term, tf, dl) aggregate both
-    * index tables build from: term-filtered BEFORE the explode, with
-    * explode_outer keeping one null-term row per document that has no
-    * nonempty term — so doclens (one row per doc, dl constant) derives
-    * from the SAME pass that feeds the postings write instead of
-    * re-tokenizing the corpus.
-    */
-  private def tokenizedPostings(df: DataFrame, idCol: String,
-                                textCol: String): DataFrame =
-    df.select(col(idCol).as("doc_id"),
-        size(words(col(textCol))).as("dl"),
-        explode_outer(filter(words(col(textCol)),
-          t => length(t) > 0)).as("term"))
-      .groupBy("doc_id", "term")
-      .agg(count(lit(1)).cast("int").as("tf"),
-        max(col("dl")).as("dl")) // constant per doc: norm rides the row
 
   /** Order-free doc-id checksum aggregate: Σ pmod(hash(id), p) mod p,
     * accumulated in decimal(38,0) so it never overflows before the
@@ -1904,34 +1893,36 @@ object TextOps {
     val beforeLens =
       if (versioned) listDoclens(spark, root).map(_.file).toSet
       else Set.empty[String]
-    // ONE tokenize pass for postings AND doclens (round-19 opt — same
-    // fusion as invertedIndexWrite; the delta used to be tokenized
-    // twice): the persisted aggregate is distinct-(doc, term)-sized
-    // and carries every delta doc via the null-term rows
-    val grouped = tokenizedPostings(df, idCol, textCol).persist()
-    val (dn, ds, dc) = try {
-      grouped.where(col("term").isNotNull)
-        .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
-        .repartition(col("bucket")) // one new file per touched bucket
+    // two tokenize passes by measurement — see invertedIndexWrite's
+    // rejection note (the fused single-tokenize build measured slower
+    // at every scale this sandbox can drive)
+    df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"),
+        explode(words(col(textCol))).as("term"))
+      .where(length(col("term")) > 0)
+      .groupBy("doc_id", "term")
+      .agg(count(lit(1)).cast("int").as("tf"),
+        max(col("dl")).as("dl"))
+      .withColumn("bucket", pmod(polyHash(col("term")), lit(nBuckets)))
+      .repartition(col("bucket")) // one new file per touched bucket
+      .write.mode("append").option("compression", "zstd")
+      .partitionBy("bucket").parquet(s"$root/postings")
+    // the delta census rides the doclens write as observed metrics —
+    // no separate tokenizing pass over the delta
+    val obs = new org.apache.spark.sql.Observation()
+    val lensDelta = df.select(col(idCol).as("doc_id"),
+        size(words(col(textCol))).as("dl"))
+      .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
+    if (nDocBuckets > 0)
+      lensDelta
+        .withColumn("docbucket", docBucket(col("doc_id"), nDocBuckets))
+        .repartition(col("docbucket"))
         .write.mode("append").option("compression", "zstd")
-        .partitionBy("bucket").parquet(s"$root/postings")
-      // the delta census rides the doclens write as observed metrics —
-      // no separate tokenizing pass over the delta
-      val obs = new org.apache.spark.sql.Observation()
-      val lensDelta = grouped.groupBy("doc_id")
-        .agg(max(col("dl")).as("dl"))
-        .observe(obs, bmCensusExprs.head, bmCensusExprs.tail: _*)
-      if (nDocBuckets > 0)
-        lensDelta
-          .withColumn("docbucket", docBucket(col("doc_id"), nDocBuckets))
-          .repartition(col("docbucket"))
-          .write.mode("append").option("compression", "zstd")
-          .partitionBy("docbucket").parquet(s"$root/doclens")
-      else
-        lensDelta.write.mode("append").option("compression", "zstd")
-          .parquet(s"$root/doclens")
-      bmCensusOf(obs)
-    } finally grouped.unpersist()
+        .partitionBy("docbucket").parquet(s"$root/doclens")
+    else
+      lensDelta.write.mode("append").option("compression", "zstd")
+        .parquet(s"$root/doclens")
+    val (dn, ds, dc) = bmCensusOf(obs)
     writeBmMeta(spark, root, oldMeta.getLong("n_docs") + dn,
       oldMeta.getLong("sum_dl") + ds, nBuckets,
       (oldMeta.getLong("doc_checksum") + dc) % DocCensusMod,
